@@ -1,13 +1,259 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an executed operator from the SURVEY.md §2
+  * inventory (or an extension op); [[oracleSql]] carries the DuckDB-dialect
+  * equivalent the driver replays over the same parquet tables.
+  *
+  * DuckDB/Spark hash-stability rules used throughout the oracles:
+  *  - integer SUMs are wrapped in CAST(... AS BIGINT) — DuckDB widens
+  *    BIGINT sums to HUGEINT, Spark keeps LongType;
+  *  - doubles are reduced per-row to exact integer cents before summing;
+  *  - double→int casts only ever happen on integral values (DuckDB rounds,
+  *    Spark truncates);
+  *  - every query ends in a total ORDER BY with a unique tiebreak.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> Relational.q01PricingSummary _,
+    "q02_filter_project"  -> Relational.q02FilterProject _,
+    "q03_join_agg"        -> Relational.q03JoinAgg _,
+    "q04_left_join"       -> Relational.q04LeftJoin _,
+    "q05_semi_anti"       -> Relational.q05SemiAnti _,
+    "q06_window_topk"     -> Relational.q06WindowTopK _,
+    "q07_group_concat"    -> Relational.q07GroupConcat _,
+    "q08_limit_offset"    -> Relational.q08LimitOffset _,
+    "q09_setops"          -> Relational.q09SetOps _,
+    "q10_rollup"          -> Relational.q10Rollup _,
+    "q11_conditional"     -> Relational.q11Conditional _,
+    "q12_strings"         -> Relational.q12Strings _,
+    "q13_dates"           -> Relational.q13Dates _,
+    "q14_json"            -> Relational.q14Json _,
+    "q15_event_lag"       -> Relational.q15EventLag _,
+    "q16_event_windows"   -> Relational.q16EventWindows _,
+    "q17_multi_join"      -> Relational.q17MultiJoin _,
+    "q18_count_validation" -> Relational.q18CountValidation _,
+    "q19_math_casts"      -> Relational.q19MathCasts _,
+    "q20_above_avg"       -> Relational.q20AboveAvg _,
+  )
+
+  /** DuckDB-dialect oracle per query key (same parquet tables, same column
+    * names, same deterministic row order). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS net_cents
+        |FROM lineitem
+        |WHERE l_quantity >= 49 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_left_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS spend_cents
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_window_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, price_cents, run_cents FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+        |    row_number() OVER w AS rn,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q07_group_concat" ->
+      """SELECT n_name,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS members,
+        |  count(*) AS n_members
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9000
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q08_limit_offset" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM orders
+        |ORDER BY price_cents DESC, o_orderkey
+        |LIMIT 20 OFFSET 10""".stripMargin,
+
+    "q09_setops" ->
+      """SELECT 'both' AS tag, nkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nkey FROM customer
+        |  INTERSECT
+        |  SELECT DISTINCT s_nationkey AS nkey FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, nkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nkey FROM customer
+        |  EXCEPT
+        |  SELECT DISTINCT s_nationkey AS nkey FROM supplier)
+        |ORDER BY tag, nkey""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q11_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_tag,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2,
+        |  CASE WHEN o_orderstatus = 'F' THEN 0
+        |       WHEN o_orderstatus < 'F' THEN -1 ELSE 1 END AS strcmp_f
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q12_strings" ->
+      """SELECT p_partkey,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  CAST(strpos(p_name, 'widget') AS BIGINT) AS widget_pos,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  reverse(p_brand) AS brand_rev,
+        |  substring(p_name, 1, 3) AS left3,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+        |  upper(p_type) AS type_upper,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q13_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS d,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98,
+        |  CAST(o_orderdate AS DATE) + 90 AS plus90,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  epoch_us(o_orderdate) AS epoch_us
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q14_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q15_event_lag" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+        |FROM (SELECT user_id, event_id, ts,
+        |        lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events)
+        |WHERE prev_ts IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q16_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q17_multi_join" ->
+      """SELECT r_name,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  count(DISTINCT c_custkey) AS n_customers
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY revenue_cents DESC, r_name""".stripMargin,
+
+    "q18_count_validation" ->
+      """SELECT * FROM (
+        |  SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+        |  UNION ALL SELECT 'nation', count(*) FROM nation
+        |  UNION ALL SELECT 'customer', count(*) FROM customer
+        |  UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |  UNION ALL SELECT 'part', count(*) FROM part
+        |  UNION ALL SELECT 'orders', count(*) FROM orders
+        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |  UNION ALL SELECT 'events', count(*) FROM events
+        |  UNION ALL SELECT 'documents', count(*) FROM documents
+        |  UNION ALL SELECT 'embeddings', count(*) FROM embeddings)
+        |ORDER BY table_name""".stripMargin,
+
+    "q19_math_casts" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey % 7 AS mod7,
+        |  CAST(l_quantity AS BIGINT) AS qty_signed,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_discount*100) AS BIGINT) AS disc_pct_ceil,
+        |  CAST(abs(l_quantity - 25) AS BIGINT) AS abs_from_25,
+        |  CAST(l_quantity * l_quantity AS BIGINT) AS qty_sq
+        |FROM lineitem
+        |WHERE l_orderkey % 997 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q20_above_avg" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents FROM orders),
+        |ag AS (SELECT o_custkey AS k,
+        |    CAST(sum(price_cents) AS BIGINT) AS sum_cents, count(*) AS n
+        |  FROM o GROUP BY 1)
+        |SELECT o_orderkey, o_custkey, price_cents
+        |FROM o JOIN ag ON o_custkey = k
+        |WHERE price_cents * n * 2 > sum_cents * 3
+        |ORDER BY o_orderkey""".stripMargin,
+  )
 }

@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Core relational operator surface, executed (not just rewritten — the
+  * capability upgrade over the reference, SURVEY.md §2.6 note + §7 step 4).
+  * Every query has a DuckDB oracle in [[graft.SparkEntry.oracleSql]].
+  *
+  * Hash-stability convention: monetary doubles are reduced per-row to exact
+  * integer cents (`round(x*100)::bigint`) before aggregation, so sums are
+  * order-independent and bit-identical across Spark and DuckDB regardless of
+  * partial-aggregation order. Every query ends in a deterministic total
+  * ORDER BY (unique tiebreak column included).
+  *
+  * Scale notes: aggregations are partial (map-side combine) by construction
+  * via groupBy/agg; dimension joins broadcast (region/nation/supplier);
+  * fact-fact joins shuffle on the join key only after filters are pushed to
+  * the parquet scan.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact integer cents from a 2-decimal double — order-independent sums. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** TPC-H Q1-style pricing summary: scan → filter (pushed to parquet) →
+    * partial agg → final agg. Reference analogue: the aggregate surface of
+    * rewritten views (sync_viewddl.go:359-370 SUM handling). */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum(cents($"l_extendedprice")).as("sum_base_cents"),
+        sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("sum_disc_cents"),
+        sum(cents($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"))).as("sum_charge_cents"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Projection + filter, verifying parquet predicate pushdown / pruning. */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_quantity" >= 49 && $"l_discount" >= 0.05)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        $"l_quantity".cast("long").as("qty"),
+        cents($"l_extendedprice" * (lit(1) - $"l_discount")).as("net_cents"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Star-schema join: fact orders → customer → broadcast nation/region.
+    * Catalyst broadcasts the dims; one shuffle on o_custkey/c_custkey. */
+  def q03JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(cents($"o_totalprice")).as("revenue_cents"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Left outer join preserving customers with no orders. */
+  def q04LeftJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(sum(cents($"o_totalprice")), lit(0L)).as("spend_cents"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Semi/anti join (EXISTS / NOT EXISTS) — customers tagged by whether
+    * they have any order. leftsemi/leftanti avoid materializing the match. */
+  def q05SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select($"o_custkey")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select($"c_custkey", lit("has_orders").as("tag"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", lit("no_orders").as("tag"))
+    withOrders.unionAll(without).orderBy($"c_custkey")
+  }
+
+  /** Window functions: top-2 orders per customer by price (row_number),
+    * plus running total — single shuffle on the partition key. */
+  def q06WindowTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("run_cents",
+        sum(cents($"o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"rn" <= 2)
+      .select($"o_custkey", $"rn", $"o_orderkey",
+        cents($"o_totalprice").as("price_cents"), $"run_cents")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** GROUP_CONCAT semantics (sync_viewddl.go:177-193) with deterministic
+    * ORDER BY, Spark-first: sorted collect_list + array_join. */
+  def q07GroupConcat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val n = broadcast(t(s, dir, "nation"))
+    c.filter($"c_acctbal" > 9000)
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(array_join(array_sort(collect_list($"c_name")), ",").as("members"),
+        count(lit(1)).as("n_members"))
+      .orderBy($"n_name")
+  }
+
+  /** MySQL `LIMIT offset, n` semantics (sync_viewddl.go:26,217) →
+    * Spark offset().limit() over a total order. */
+  def q08LimitOffset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderkey", cents($"o_totalprice").as("price_cents"))
+      .orderBy($"price_cents".desc, $"o_orderkey")
+      .offset(10)
+      .limit(20)
+  }
+
+  /** Set operations: nations having customers ∩/∖ nations having suppliers. */
+  def q09SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val custN = t(s, dir, "customer").select($"c_nationkey".as("nkey")).distinct()
+    val suppN = t(s, dir, "supplier").select($"s_nationkey".as("nkey")).distinct()
+    custN.intersect(suppN).withColumn("tag", lit("both"))
+      .unionAll(custN.except(suppN).withColumn("tag", lit("cust_only")))
+      .select($"tag", $"nkey")
+      .orderBy($"tag", $"nkey")
+  }
+
+  /** ROLLUP aggregate with grouping() marker — subtotal lattice in one pass. */
+  def q10Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("cents"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"cents")
+      .orderBy($"status", $"priority")
+  }
+
+  /** Conditional / null surface: IF, IFNULL, CASE, NULLIF, STRCMP
+    * (sync_viewddl.go:14-22,171-199,342-347) as native Spark expressions. */
+  def q11Conditional(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        when($"o_totalprice" > 200000, "big").otherwise("small").as("size_tag"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("status2"),
+        when($"o_orderstatus" === "F", 0)
+          .when($"o_orderstatus" < "F", -1).otherwise(1).as("strcmp_f"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** String-function surface (§2.4 string table): concat, substring_index,
+    * locate, lpad, repeat, reverse, left/right, replace, upper/lower. */
+  def q12Strings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select(
+        $"p_partkey",
+        concat($"p_brand", lit("/"), $"p_type").as("brand_type"),
+        substring_index($"p_name", " ", 1).as("first_word"),
+        instr($"p_name", "widget").cast("long").as("widget_pos"),
+        lpad($"p_size".cast("string"), 4, "0").as("size_pad"),
+        reverse($"p_brand").as("brand_rev"),
+        substring($"p_name", 1, 3).as("left3"),
+        regexp_replace($"p_name", "[aeiou]", "").as("no_vowels"),
+        upper($"p_type").as("type_upper"),
+        length($"p_name").cast("long").as("name_len"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Date/time surface (§2.4 date table): year/month/day/quarter/week,
+    * dayofweek (MySQL 1=Sunday), datediff, date_add, last_day, epoch. */
+  def q13Dates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("y"),
+        quarter($"o_orderdate").cast("long").as("q"),
+        month($"o_orderdate").cast("long").as("m"),
+        dayofmonth($"o_orderdate").cast("long").as("d"),
+        dayofweek($"o_orderdate").cast("long").as("dow"),
+        weekofyear($"o_orderdate").cast("long").as("woy"),
+        datediff(lit("1998-01-01").cast("date"), $"o_orderdate".cast("date"))
+          .cast("long").as("days_to_98"),
+        date_add($"o_orderdate".cast("date"), 90).as("plus90"),
+        last_day($"o_orderdate".cast("date")).as("eom"),
+        unix_micros($"o_orderdate".cast("timestamp")).as("epoch_us"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** JSON surface (§2.4 JSON table): extract from the events.props JSON
+    * column and aggregate — get_json_object ≈ JSON_EXTRACT/JSON_VALUE. */
+  def q14Json(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Lag/lead event-stream analytics: inter-arrival seconds per user. */
+  def q15EventLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .filter($"prev_ts".isNotNull)
+      .select($"user_id", $"event_id",
+        (unix_micros($"ts".cast("timestamp")) -
+          unix_micros($"prev_ts".cast("timestamp"))).as("gap_us"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Tumbling-window aggregation (batch form of the streaming pipeline in
+    * graft.streaming): hourly event counts per type via date_trunc. */
+  def q16EventWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents($"value")).as("value_cents"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  /** Multi-way join like the reference's stored-function fixtures
+    * (create_function.sql:46-88, 5-way joins + ORDER BY + LIMIT):
+    * lineitem → orders → customer → nation → region, top revenue lines. */
+  def q17MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name")
+      .agg(
+        sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue_cents"),
+        countDistinct($"o_orderkey").as("n_orders"),
+        countDistinct($"c_custkey").as("n_customers"))
+      .orderBy($"revenue_cents".desc, $"r_name")
+  }
+
+  /** Count validation (reference P3, sync_data.go:313-356): per-table row
+    * counts — the migration engine's correctness gate, as one query. */
+  def q18CountValidation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.all.map { name =>
+      t(s, dir, name).select(
+        lit(name).as("table_name"),
+        lit(1L).as("one"))
+        .groupBy($"table_name").agg(count($"one").as("n_rows"))
+    }.reduce(_ unionAll _).orderBy($"table_name")
+  }
+
+  /** Scalar math/cast surface: MOD, SIGNED/UNSIGNED casts, abs/floor/ceil/
+    * pow/sqrt (§2.4 cast + math rewrites) with exact integer outputs. */
+  def q19MathCasts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_orderkey" % 997 === 0)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        ($"l_orderkey" % 7).as("mod7"),
+        $"l_quantity".cast("long").as("qty_signed"),
+        floor($"l_extendedprice").cast("long").as("price_floor"),
+        ceil($"l_discount" * 100).cast("long").as("disc_pct_ceil"),
+        abs($"l_quantity" - 25).cast("long").as("abs_from_25"),
+        // exact integral multiply, NOT pow(): libm pow can return
+        // 2024.9999…, and DuckDB rounds double→int casts while Spark
+        // truncates — only integral doubles cast identically.
+        ($"l_quantity" * $"l_quantity").cast("long").as("qty_sq"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Correlated-subquery shape: orders above 1.5× their customer's average —
+    * decorrelated into a join against a pre-aggregate (what Catalyst does
+    * too). The predicate `price > 1.5 * sum/n` is evaluated as the exact
+    * integer inequality `price*n*2 > sum*3` so the comparison never depends
+    * on float accumulation order. */
+  def q20AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", cents($"o_totalprice").as("price_cents"))
+    val ag = o.groupBy($"o_custkey".as("k"))
+      .agg(sum($"price_cents").as("sum_cents"), count(lit(1)).as("n"))
+    o.join(ag, o("o_custkey") === ag("k"))
+      .filter($"price_cents" * $"n" * 2 > $"sum_cents" * 3)
+      .select($"o_orderkey", $"o_custkey", $"price_cents")
+      .orderBy($"o_orderkey")
+  }
+}
