@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Relational, Views}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,6 +45,11 @@ object SparkEntry {
     "q18_count_validation" -> Relational.q18CountValidation _,
     "q19_math_casts"      -> Relational.q19MathCasts _,
     "q20_above_avg"       -> Relational.q20AboveAvg _,
+    "q21_view_dates"      -> Views.q21ViewDates _,
+    "q22_view_group_concat" -> Views.q22ViewGroupConcat _,
+    "q23_view_conditional" -> Views.q23ViewConditional _,
+    "q24_view_json"       -> Views.q24ViewJson _,
+    "q25_view_strings"    -> Views.q25ViewStrings _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -255,5 +260,52 @@ object SparkEntry {
         |FROM o JOIN ag ON o_custkey = k
         |WHERE price_cents * n * 2 > sum_cents * 3
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q21_view_dates" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |  strftime(o_orderdate, '%d/%m/%y %H:%M:%S') AS euro_ts,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 719528 AS BIGINT) AS days_since_y0
+        |FROM orders
+        |ORDER BY o_orderkey
+        |LIMIT 100 OFFSET 5""".stripMargin,
+
+    "q22_view_group_concat" ->
+      """SELECT n_name,
+        |  string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segs,
+        |  count(*) AS n_members
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q23_view_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_tag,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2,
+        |  CASE WHEN o_orderstatus = 'F' THEN 0
+        |       WHEN o_orderstatus < 'F' THEN -1 ELSE 1 END AS strcmp_f,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q24_view_json" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q25_view_strings" ->
+      """SELECT p_partkey,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  CAST(strpos(p_name, 'widget') AS BIGINT) AS widget_pos,
+        |  CAST(p_size AS VARCHAR) AS size_str,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  lower(p_type) AS type_lower
+        |FROM part
+        |ORDER BY p_partkey
+        |LIMIT 50 OFFSET 10""".stripMargin,
   )
 }

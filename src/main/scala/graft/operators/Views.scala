@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+import graft.sqlrewrite.SqlRewriter
+
+/** View path (SURVEY.md §3 E3): MySQL-dialect view bodies — written in the
+  * style of the reference's fixture corpus (`scripts/mysql/create_view.sql`:
+  * DATE_FORMAT/CONCAT/SUBSTRING_INDEX/JSON_EXTRACT/IF/IFNULL/GROUP_CONCAT
+  * select lists over joins) — run through [[SqlRewriter]] and *executed* by
+  * Catalyst. The reference only emitted rewritten text; executing it is the
+  * capability upgrade.
+  */
+object Views {
+
+  private def run(s: SparkSession, dir: String, mysqlSql: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    SqlRewriter.sql(s, mysqlSql)
+  }
+
+  /** DATE_FORMAT %-token translation + TO_DAYS + MySQL LIMIT offset,n. */
+  def q21ViewDates(s: SparkSession, dir: String): DataFrame = run(s, dir,
+    """SELECT o_orderkey,
+      |  DATE_FORMAT(o_orderdate, '%Y-%m-%d') AS order_day,
+      |  DATE_FORMAT(o_orderdate, '%d/%m/%y %H:%i:%S') AS euro_ts,
+      |  TO_DAYS(o_orderdate) AS days_since_y0
+      |FROM orders
+      |ORDER BY o_orderkey
+      |LIMIT 5, 100""".stripMargin)
+
+  /** GROUP_CONCAT with DISTINCT + SEPARATOR over a dimension join. */
+  def q22ViewGroupConcat(s: SparkSession, dir: String): DataFrame = run(s, dir,
+    """SELECT n_name,
+      |  GROUP_CONCAT(DISTINCT c_mktsegment SEPARATOR '|') AS segs,
+      |  COUNT(*) AS n_members
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin)
+
+  /** IF / IFNULL / NULLIF / STRCMP / CAST AS SIGNED conditional surface. */
+  def q23ViewConditional(s: SparkSession, dir: String): DataFrame = run(s, dir,
+    """SELECT o_orderkey,
+      |  IF(o_totalprice > 200000, 'big', 'small') AS size_tag,
+      |  IFNULL(NULLIF(o_orderstatus, 'O'), 'open') AS status2,
+      |  STRCMP(o_orderstatus, 'F') AS strcmp_f,
+      |  CAST(FLOOR(o_totalprice) AS SIGNED) AS price_floor
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin)
+
+  /** JSON_EXTRACT / JSON_UNQUOTE over the events.props JSON column. */
+  def q24ViewJson(s: SparkSession, dir: String): DataFrame = run(s, dir,
+    """SELECT event_type,
+      |  SUM(CAST(JSON_UNQUOTE(JSON_EXTRACT(props, '$.k')) AS SIGNED)) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin)
+
+  /** String-function view: CONCAT, SUBSTRING_INDEX, LOCATE, LPAD, CONVERT. */
+  def q25ViewStrings(s: SparkSession, dir: String): DataFrame = run(s, dir,
+    """SELECT p_partkey,
+      |  CONCAT(p_brand, '/', p_type) AS brand_type,
+      |  SUBSTRING_INDEX(p_name, ' ', 1) AS first_word,
+      |  CAST(LOCATE('widget', p_name) AS SIGNED) AS widget_pos,
+      |  CONVERT(p_size, CHAR) AS size_str,
+      |  LPAD(p_size, 4, '0') AS size_pad,
+      |  LOWER(p_type) AS type_lower
+      |FROM part
+      |ORDER BY p_partkey
+      |LIMIT 10, 50""".stripMargin)
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sqlrewrite.SqlRewriter
+import graft.sqlrewrite.SqlRewriter.{rewrite, translateDateFormat}
+
+class SqlRewriterSpec extends AnyFunSuite {
+
+  test("LIMIT offset,n → LIMIT n OFFSET offset") {
+    assert(rewrite("SELECT a FROM t LIMIT 5, 100").contains("LIMIT 100 OFFSET 5"))
+    assert(rewrite("select a from t limit 0,10").contains("LIMIT 10 OFFSET 0"))
+  }
+
+  test("LIMIT inside a string literal is untouched") {
+    val sql = "SELECT 'LIMIT 5, 100' AS s FROM t"
+    assert(rewrite(sql) == sql)
+  }
+
+  test("CAST AS SIGNED/UNSIGNED → BIGINT") {
+    assert(rewrite("SELECT CAST(x AS SIGNED) FROM t").contains("CAST(x AS BIGINT)"))
+    assert(rewrite("SELECT CAST(x AS UNSIGNED INTEGER) FROM t").contains("CAST(x AS BIGINT)"))
+  }
+
+  test("CONVERT two-arg and USING forms") {
+    assert(rewrite("SELECT CONVERT(x, SIGNED) FROM t").contains("CAST(x AS BIGINT)"))
+    assert(rewrite("SELECT CONVERT(x, CHAR) FROM t").contains("CAST(x AS STRING)"))
+    assert(rewrite("SELECT CONVERT(x USING utf8mb4) FROM t").contains("CAST(x AS STRING)"))
+    assert(rewrite("SELECT CAST(x USING utf8) FROM t").contains("CAST(x AS STRING)"))
+  }
+
+  test("GROUP_CONCAT plain / DISTINCT / SEPARATOR") {
+    assert(rewrite("SELECT GROUP_CONCAT(name) FROM t") ==
+      "SELECT array_join(array_sort(collect_list(name)), ',') FROM t")
+    assert(rewrite("SELECT GROUP_CONCAT(DISTINCT seg SEPARATOR '|') FROM t") ==
+      "SELECT array_join(array_sort(collect_set(seg)), '|') FROM t")
+    assert(rewrite("SELECT GROUP_CONCAT(name ORDER BY name SEPARATOR ';') FROM t") ==
+      "SELECT array_join(array_sort(collect_list(name)), ';') FROM t")
+  }
+
+  test("GROUP_CONCAT with nested function arg") {
+    assert(rewrite("SELECT GROUP_CONCAT(CONCAT(a, b)) FROM t") ==
+      "SELECT array_join(array_sort(collect_list(CONCAT(a, b))), ',') FROM t")
+  }
+
+  test("DATE_FORMAT pattern translation") {
+    assert(translateDateFormat("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(translateDateFormat("%H:%i:%S") == "HH:mm:ss")
+    assert(translateDateFormat("%M %e, %Y") == "MMMM d, yyyy")
+    // literal pattern letters are quoted
+    assert(translateDateFormat("%Yq%c") == "yyyy'q'M")
+    assert(rewrite("SELECT DATE_FORMAT(d, '%Y-%m-%d') FROM t") ==
+      "SELECT date_format(d, 'yyyy-MM-dd') FROM t")
+  }
+
+  test("STR_TO_DATE → to_timestamp with translated pattern") {
+    assert(rewrite("SELECT STR_TO_DATE(s, '%d/%m/%Y') FROM t") ==
+      "SELECT to_timestamp(s, 'dd/MM/yyyy') FROM t")
+  }
+
+  test("STRCMP → CASE") {
+    val out = rewrite("SELECT STRCMP(a, b) FROM t")
+    assert(out.contains("WHEN (a) = (b) THEN 0"))
+    assert(out.contains("WHEN (a) < (b) THEN -1 ELSE 1"))
+  }
+
+  test("JSON functions") {
+    assert(rewrite("SELECT JSON_EXTRACT(j, '$.k') FROM t") ==
+      "SELECT get_json_object(j, '$.k') FROM t")
+    assert(rewrite("SELECT JSON_UNQUOTE(JSON_EXTRACT(j, '$.k')) FROM t") ==
+      "SELECT get_json_object(j, '$.k') FROM t")
+    assert(rewrite("SELECT JSON_OBJECT('a', 1) FROM t") ==
+      "SELECT to_json(named_struct('a', 1)) FROM t")
+    assert(rewrite("SELECT JSON_ARRAY(1, 2) FROM t") ==
+      "SELECT to_json(array(1, 2)) FROM t")
+  }
+
+  test("TO_DAYS epoch anchor") {
+    assert(rewrite("SELECT TO_DAYS(d) FROM t") ==
+      "SELECT CAST(datediff(CAST(d AS DATE), DATE '1970-01-01') + 719528 AS BIGINT) FROM t")
+  }
+
+  test("COLLATE and charset introducers dropped") {
+    assert(rewrite("SELECT a COLLATE utf8mb4_general_ci FROM t") == "SELECT a FROM t")
+    assert(rewrite("SELECT _utf8mb4'x' FROM t") == "SELECT 'x' FROM t")
+  }
+
+  test("string literal masking roundtrip with escapes") {
+    val sql = "SELECT 'it''s', 'a\\'b', \"q\" FROM t"
+    assert(rewrite(sql) == sql)
+  }
+
+  test("SYSDATE / UUID_SHORT / DATABASE rewrites") {
+    assert(rewrite("SELECT SYSDATE() FROM t") == "SELECT current_timestamp() FROM t")
+    assert(rewrite("SELECT UUID_SHORT() FROM t") == "SELECT monotonically_increasing_id() FROM t")
+    assert(rewrite("SELECT DATABASE() FROM t") == "SELECT current_database() FROM t")
+  }
+
+  test("splitTopLevelCommas respects nesting") {
+    assert(SqlRewriter.splitTopLevelCommas("a, f(b, c), d") == List("a", "f(b, c)", "d"))
+  }
+}
