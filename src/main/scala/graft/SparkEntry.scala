@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, Views}
+import graft.operators.{Relational, SchemaOps, Views}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,8 @@ object SparkEntry {
     "q23_view_conditional" -> Views.q23ViewConditional _,
     "q24_view_json"       -> Views.q24ViewJson _,
     "q25_view_strings"    -> Views.q25ViewStrings _,
+    "q26_type_mapping"    -> SchemaOps.q26TypeMapping _,
+    "q27_ddl_convert"     -> SchemaOps.q27DdlConvert _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -307,5 +309,52 @@ object SparkEntry {
         |FROM part
         |ORDER BY p_partkey
         |LIMIT 50 OFFSET 10""".stripMargin,
+
+    "q26_type_mapping" ->
+      """SELECT * FROM (VALUES
+        |  ('bigint', 'bigint', 'BIGINT'),
+        |  ('bigint unsigned', 'decimal(20,0)', 'NUMERIC(20,0)'),
+        |  ('blob', 'binary', 'BYTEA'),
+        |  ('char(10)', 'string', 'CHAR(10)'),
+        |  ('date', 'date', 'DATE'),
+        |  ('datetime', 'timestamp', 'TIMESTAMP'),
+        |  ('decimal(10,2)', 'decimal(10,2)', 'DECIMAL(10,2)'),
+        |  ('double', 'double', 'DOUBLE PRECISION'),
+        |  ('enum(''a'',''b'')', 'string', 'VARCHAR(255)'),
+        |  ('float', 'float', 'REAL'),
+        |  ('geometry', 'binary', 'BYTEA'),
+        |  ('int', 'int', 'INTEGER'),
+        |  ('int unsigned', 'bigint', 'BIGINT'),
+        |  ('int(11)', 'int', 'INTEGER'),
+        |  ('json', 'string', 'JSON'),
+        |  ('json(1024)', 'string', 'JSON'),
+        |  ('longtext', 'string', 'TEXT'),
+        |  ('mediumint', 'int', 'INTEGER'),
+        |  ('numeric(20,4)', 'decimal(20,4)', 'NUMERIC(20,4)'),
+        |  ('point', 'binary', 'POINT'),
+        |  ('real', 'double', 'DOUBLE PRECISION'),
+        |  ('set(''x'',''y'')', 'string', 'VARCHAR(255)'),
+        |  ('smallint', 'smallint', 'SMALLINT'),
+        |  ('text', 'string', 'TEXT'),
+        |  ('time', 'bigint', 'TIME'),
+        |  ('time(6)', 'bigint', 'TIME(6)'),
+        |  ('timestamp(6)', 'timestamp', 'TIMESTAMP(6)'),
+        |  ('tinyint', 'smallint', 'SMALLINT'),
+        |  ('tinyint(1)', 'boolean', 'BOOLEAN'),
+        |  ('varbinary', 'binary', 'BYTEA'),
+        |  ('varchar(0)', 'string', 'VARCHAR(1)'),
+        |  ('varchar(255)', 'string', 'VARCHAR(255)'),
+        |  ('year', 'int', 'INTEGER')
+        |) AS t(mysql_type, spark_type, pg_type)
+        |ORDER BY mysql_type""".stripMargin,
+
+    "q27_ddl_convert" ->
+      """SELECT * FROM (VALUES
+        |  ('case_11_autoincrement', 'CREATE TABLE "case_11_autoincrement" (   "id" SERIAL,   "name" VARCHAR(50) NOT NULL,   PRIMARY KEY ("id") )'),
+        |  ('case_19_comments', 'CREATE TABLE "case_19_comments" (   "c1" INTEGER ); COMMENT ON TABLE "case_19_comments" IS ''Table comment''; COMMENT ON COLUMN "case_19_comments"."c1" IS ''Simple comment'''),
+        |  ('case_21_generated', 'CREATE TABLE "case_21_generated" (   "c1" INTEGER,   "c2" INTEGER GENERATED ALWAYS AS (c1 * 2) STORED )'),
+        |  ('case_27_check', 'CREATE TABLE "case_27_check" (   "age" INTEGER,   CHECK (age > 18) )')
+        |) AS t(case_name, pg_ddl)
+        |ORDER BY case_name""".stripMargin,
   )
 }

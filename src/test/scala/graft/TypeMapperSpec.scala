@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.types.TypeMapper
+import graft.types.TypeMapper.MappedType
+
+/** Golden tests from the reference's 63-case corpus (FIXTURES.md §A). */
+class TypeMapperSpec extends AnyFunSuite {
+
+  private def m(t: String) = TypeMapper.map(t)
+
+  test("case_01_integers: widths") {
+    assert(m("tinyint") == MappedType(ShortType, "SMALLINT"))
+    assert(m("smallint") == MappedType(ShortType, "SMALLINT"))
+    assert(m("mediumint") == MappedType(IntegerType, "INTEGER"))
+    assert(m("int") == MappedType(IntegerType, "INTEGER"))
+    assert(m("integer") == MappedType(IntegerType, "INTEGER"))
+    assert(m("bigint") == MappedType(LongType, "BIGINT"))
+    // display width dropped
+    assert(m("int(11)") == MappedType(IntegerType, "INTEGER"))
+    assert(m("bigint(20)") == MappedType(LongType, "BIGINT"))
+  }
+
+  test("case_02_boolean: tinyint(1) special case") {
+    assert(m("tinyint(1)") == MappedType(BooleanType, "BOOLEAN"))
+    assert(m("TINYINT(1)") == MappedType(BooleanType, "BOOLEAN"))
+    assert(m("tinyint(4)") == MappedType(ShortType, "SMALLINT"))
+  }
+
+  test("case_03_floats: precision preservation") {
+    assert(m("float") == MappedType(FloatType, "REAL"))
+    assert(m("float(10,2)") == MappedType(FloatType, "REAL"))
+    assert(m("double") == MappedType(DoubleType, "DOUBLE PRECISION"))
+    assert(m("double precision") == MappedType(DoubleType, "DOUBLE PRECISION"))
+    assert(m("real") == MappedType(DoubleType, "DOUBLE PRECISION"))
+    assert(m("decimal(10,2)") == MappedType(DecimalType(10, 2), "DECIMAL(10,2)"))
+    assert(m("numeric(10,2)") == MappedType(DecimalType(10, 2), "NUMERIC(10,2)"))
+    assert(m("decimal") == MappedType(DecimalType(10, 0), "DECIMAL(10,0)"))
+  }
+
+  test("case_09_datetime: temporal types") {
+    assert(m("date") == MappedType(DateType, "DATE"))
+    assert(m("time") == MappedType(LongType, "TIME"))
+    assert(m("time(6)") == MappedType(LongType, "TIME(6)"))
+    assert(m("datetime") == MappedType(TimestampType, "TIMESTAMP"))
+    assert(m("datetime(3)") == MappedType(TimestampType, "TIMESTAMP(3)"))
+    assert(m("timestamp") == MappedType(TimestampType, "TIMESTAMP"))
+    assert(m("timestamp(6)") == MappedType(TimestampType, "TIMESTAMP(6)"))
+    assert(m("year") == MappedType(IntegerType, "INTEGER"))
+  }
+
+  test("strings, enum/set, char(0) clamps") {
+    assert(m("char(10)") == MappedType(StringType, "CHAR(10)"))
+    assert(m("varchar(255)") == MappedType(StringType, "VARCHAR(255)"))
+    assert(m("char(0)") == MappedType(StringType, "CHAR(1)"))
+    assert(m("varchar(0)") == MappedType(StringType, "VARCHAR(1)"))
+    assert(m("text") == MappedType(StringType, "TEXT"))
+    assert(m("longtext") == MappedType(StringType, "TEXT"))
+    assert(m("enum('a','b','c')") == MappedType(StringType, "VARCHAR(255)"))
+    assert(m("set('x','y')") == MappedType(StringType, "VARCHAR(255)"))
+  }
+
+  test("case_14 binary family / case_22 spatial") {
+    Seq("blob", "longblob", "mediumblob", "tinyblob", "binary", "varbinary")
+      .foreach(t => assert(m(t).spark == BinaryType))
+    assert(m("blob").pg == "BYTEA")
+    assert(m("point") == MappedType(BinaryType, "POINT"))
+    Seq("geometry", "linestring", "polygon", "multipoint", "geometrycollection")
+      .foreach(t => assert(m(t) == MappedType(BinaryType, "BYTEA")))
+  }
+
+  test("json display-width collapse") {
+    assert(m("json") == MappedType(StringType, "JSON"))
+    assert(m("json(1024)") == MappedType(StringType, "JSON"))
+    assert(m("jsonb") == MappedType(StringType, "JSONB"))
+  }
+
+  test("case_12 unsigned: widened (fidelity fix over reference)") {
+    assert(m("int unsigned") == MappedType(LongType, "BIGINT"))
+    assert(m("tinyint unsigned") == MappedType(IntegerType, "INTEGER"))
+    assert(m("bigint unsigned") == MappedType(DecimalType(20, 0), "NUMERIC(20,0)"))
+    // reference-compat mode strips instead
+    assert(TypeMapper.map("int unsigned", widenUnsigned = false) ==
+      MappedType(IntegerType, "INTEGER"))
+    // zerofill stripped either way
+    assert(m("int(10) zerofill") == MappedType(IntegerType, "INTEGER"))
+    // tinyint(1) unsigned is NOT boolean
+    assert(m("tinyint(1) unsigned") == MappedType(IntegerType, "INTEGER"))
+  }
+
+  test("case_11/24 auto-increment serial mapping") {
+    assert(TypeMapper.serialFor("int") == Some("SERIAL"))
+    assert(TypeMapper.serialFor("bigint") == Some("BIGSERIAL"))
+    assert(TypeMapper.serialFor("smallint") == Some("SMALLSERIAL"))
+    assert(TypeMapper.serialFor("varchar(10)") == None)
+  }
+}
