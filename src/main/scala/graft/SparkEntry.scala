@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Relational, SchemaOps, Views}
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,6 +53,17 @@ object SparkEntry {
     "q25_view_strings"    -> Views.q25ViewStrings _,
     "q26_type_mapping"    -> SchemaOps.q26TypeMapping _,
     "q27_ddl_convert"     -> SchemaOps.q27DdlConvert _,
+    "q30_text_stats"      -> TextOps.q30TextStats _,
+    "q31_lang_quality"    -> TextOps.q31LangQuality _,
+    "q32_dedup_exact"     -> DedupOps.q32DedupExact _,
+    "q33_dedup_jaccard"   -> DedupOps.q33DedupJaccard _,
+    "q34_dedup_minhash"   -> DedupOps.q34DedupMinhash _,
+    "q35_simhash"         -> TextOps.q35Simhash _,
+    "q36_embed_dedup"     -> DedupOps.q36EmbedDedup _,
+    "q37_cosine_topk"     -> SimilarityOps.q37CosineTopk _,
+    "q38_ann_lsh"         -> SimilarityOps.q38AnnLsh _,
+    "q39_embed_stats"     -> SimilarityOps.q39EmbedStats _,
+    "q40_multimodal"      -> MultimodalOps.q40Multimodal _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -356,5 +368,141 @@ object SparkEntry {
         |  ('case_27_check', 'CREATE TABLE "case_27_check" (   "age" INTEGER,   CHECK (age > 18) )')
         |) AS t(case_name, pg_ddl)
         |ORDER BY case_name""".stripMargin,
+
+    "q30_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |              (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_lang_quality" ->
+      """WITH d AS (SELECT doc_id, source, lang, text, string_split(text, ' ') ws FROM documents),
+        |e AS (SELECT doc_id, source, lang,
+        |        len(ws) AS n_words,
+        |        len(list_filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of')) AS stop_hits,
+        |        len(list_distinct(ws)) AS n_distinct,
+        |        length(text) AS n_chars
+        |      FROM d)
+        |SELECT doc_id, source, lang,
+        |  CASE WHEN stop_hits * 20 >= n_words THEN 'en' ELSE 'unknown' END AS pred_lang,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  (CAST(n_distinct AS BIGINT) * 1000) // CAST(n_words AS BIGINT) AS quality_millis,
+        |  CAST(n_words AS BIGINT) AS ws_tokens,
+        |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_tokens_est
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    "q32_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q33_dedup_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) ws FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter_n,
+        |  CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS BIGINT) AS union_n
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws)) * 10 >=
+        |      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) * 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q34_dedup_minhash" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
+        |hs AS (SELECT doc_id, list_transform(shingles,
+        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |sig AS (SELECT doc_id, [
+        |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
+        |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
+        |  list_min(list_transform(h, x -> (11 * x + 13) % 1000000007)),
+        |  list_min(list_transform(h, x -> (17 * x + 29) % 1000000007)),
+        |  list_min(list_transform(h, x -> (23 * x + 37) % 1000000007)),
+        |  list_min(list_transform(h, x -> (31 * x + 43) % 1000000007)),
+        |  list_min(list_transform(h, x -> (41 * x + 53) % 1000000007)),
+        |  list_min(list_transform(h, x -> (47 * x + 61) % 1000000007)),
+        |  list_min(list_transform(h, x -> (59 * x + 71) % 1000000007)),
+        |  list_min(list_transform(h, x -> (67 * x + 79) % 1000000007)),
+        |  list_min(list_transform(h, x -> (73 * x + 89) % 1000000007)),
+        |  list_min(list_transform(h, x -> (83 * x + 101) % 1000000007))] AS sig FROM hs),
+        |bands AS (SELECT doc_id, i AS band_idx,
+        |    CAST(sig[3*i + 1] AS VARCHAR) || ':' || CAST(sig[3*i + 2] AS VARCHAR)
+        |      || ':' || CAST(sig[3*i + 3] AS VARCHAR) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_match
+        |FROM cands JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |WHERE len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) >= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q35_simhash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |h AS (SELECT doc_id,
+        |        list_reduce(list_transform(string_split(word, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |                    (a, b) -> (a * 31 + b) % 1000000007) AS hw FROM w),
+        |v AS (SELECT doc_id, b.b,
+        |        CASE WHEN sum(CASE WHEN ((hw >> b.b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+        |             THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS val
+        |      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+        |      GROUP BY doc_id, b.b)
+        |SELECT doc_id, CAST(sum(val) AS BIGINT) AS simhash
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q36_embed_dedup" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2 FROM e)
+        |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]),
+        |              (x, y) -> x + y) / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cos
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]),
+        |              (x, y) -> x + y) / (sqrt(a.nrm2) * sqrt(b.nrm2)) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q37_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2 FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm2 AS qn FROM n WHERE vec_id < 10),
+        |s AS (SELECT q.q_id, n.vec_id,
+        |        list_reduce(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * n.v[i]),
+        |                    (x, y) -> x + y) / (sqrt(q.qn) * sqrt(n.nrm2)) AS cos
+        |      FROM n CROSS JOIN q WHERE n.vec_id >= 10)
+        |SELECT q_id, rk, neighbor_id, cos FROM (
+        |  SELECT q_id, vec_id AS neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+        |  FROM s)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "q39_embed_stats" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label,
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS norm FROM e)
+        |SELECT label, count(*) AS n_vecs, min(norm) AS min_norm, max(norm) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "q40_multimodal" ->
+      """SELECT doc_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  (doc_id * 37) % 640 + 16 AS width,
+        |  (doc_id * 23) % 480 + 16 AS height,
+        |  CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS n_frames,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rolling polynomial hash fingerprint: `acc = (acc*31 + byte) mod 1e9+7`
+  * over the UTF-8 bytes of the input.
+  *
+  * A native Catalyst expression with codegen (not a Scala UDF) so it stays
+  * inside WholeStageCodegen on the hot path — used for document
+  * fingerprinting and as the portable shingle hash for MinHash (the same
+  * arithmetic is expressible in any engine, e.g. DuckDB
+  * `list_reduce(list_transform(...ascii...), (a,b) -> (a*31+b)%1000000007)`,
+  * which is what makes the dedup oracles cross-checkable).
+  *
+  * The modulus keeps values < 2^30, so downstream `a*h+b` permutation
+  * arithmetic in MinHash never overflows int64.
+  */
+case class Fingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fingerprint requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $acc = ($acc * 31 + ($bytes[$i] & 0xff)) % 1000000007L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint =
+    copy(child = newChild)
+}
+
+object Fingerprint {
+  /** SQL registration; usable both as a Column (via [[fingerprint]]) and
+    * inside lambda expressions (`transform(arr, s -> graft_fingerprint(s))`). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fingerprint", exprs => Fingerprint(exprs.head), "built-in")
+
+  /** Column API over the registered function (register() must run first). */
+  def fingerprint(colName: String): Column = expr(s"graft_fingerprint($colName)")
+}

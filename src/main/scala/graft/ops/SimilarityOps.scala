@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *  - [[q37CosineTopk]]: brute-force cosine top-k — the exactness baseline.
+  *    The (small) query set is broadcast, so the scan side never shuffles:
+  *    cost is one pass over the corpus per batch of queries. This is the
+  *    right plan even at 100 TB when the query batch fits in memory.
+  *  - [[q38AnnLsh]]: random-hyperplane LSH bucketing — the scale path:
+  *    each vector maps to a bit-signature bucket; candidates come only from
+  *    matching buckets (shuffle on bucket key instead of cross product).
+  *    Hyperplanes are derived from the portable polynomial hash so the
+  *    whole pipeline stays deterministic.
+  *
+  * Cosines are computed in double precision with explicit sequential
+  * folds (`aggregate`), which DuckDB's `list_*` lambdas replicate
+  * bit-for-bit — that is what makes top-k rankings hash-comparable.
+  */
+object SimilarityOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "label", "v",
+        "aggregate(v, 0D, (acc, x) -> acc + x * x) AS nrm2")
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10. */
+  def q37CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = broadcast(e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm2".as("qn")))
+    val scored = e.filter($"vec_id" >= 10).crossJoin(q)
+      .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos", $"dot" / (sqrt($"qn") * sqrt($"nrm2")))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"cos")
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** Random-hyperplane LSH: 12-bit signatures from deterministic planes
+    * (plane(i,j) = ((hash("i:j") mod 2001) - 1000)/1000), candidates from
+    * same-bucket pairs, exact cosine re-rank within bucket, top-3 per
+    * query. No oracle (approximate op); recall is spec-tested against
+    * [[q37CosineTopk]]. */
+  def q38AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    val nBits = 12
+    // deterministic pseudo-random hyperplanes, dim = 64
+    val planeExpr = (0 until nBits).map { i =>
+      s"""aggregate(zip_with(v, transform(sequence(0, 63), j -> (CAST(graft_fingerprint(concat('$i', ':', j)) % 2001 AS DOUBLE) - 1000.0) / 1000.0), (x, w) -> x * w), 0D, (acc, x) -> acc + x)"""
+    }.zipWithIndex.map { case (dot, i) =>
+      s"CASE WHEN $dot > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+    val e = emb(s, dir).withColumn("bucket", expr(planeExpr).cast("long"))
+    val q = broadcast(e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm2".as("qn"), $"bucket"))
+    val cands = e.filter($"vec_id" >= 10)
+      .join(q, Seq("bucket"))
+      .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos", $"dot" / (sqrt($"qn") * sqrt($"nrm2")))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    cands
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"cos", $"bucket")
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** Per-label embedding statistics: centroid norm, vector norms — an
+    * embedding-column aggregate with an exact DuckDB oracle. */
+  def q39EmbedStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    emb(s, dir)
+      .select($"label", $"vec_id", sqrt($"nrm2").as("norm"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min($"norm").as("min_norm"),
+        max($"norm").as("max_norm"))
+      .orderBy($"label")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Fingerprint
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token statistics, quality scoring, language-ID heuristic, BPE-ish token
+  * estimation, and document fingerprinting (custom codegen Expression).
+  *
+  * All per-document metrics use integer/exact arithmetic (or deterministic
+  * double division of exact integers) so every query is hash-checkable
+  * against a DuckDB oracle. Everything is a narrow map over the scan —
+  * no shuffle at all until an aggregate; at 100 TB these run at full scan
+  * throughput with column pruning (only `text` + keys read).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Per-document token statistics + rolling-hash fingerprint. */
+  def q30TextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    docs(s, dir)
+      .withColumn("ws", split($"text", " "))
+      .select(
+        $"doc_id",
+        size($"ws").cast("long").as("n_words"),
+        size(array_distinct($"ws")).cast("long").as("n_distinct_words"),
+        length($"text").cast("long").as("n_chars"),
+        // exact ints → deterministic double division
+        ((length($"text") - (size($"ws") - 1)).cast("double") /
+          size($"ws").cast("double")).as("avg_word_len"),
+        expr("graft_fingerprint(text)").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID heuristic (stopword-profile), quality score, token counts.
+    * The heuristic is deliberately simple and *portable*: integer stopword
+    * hits vs document length — the op's value is the distributed shape
+    * (pure narrow map), not linguistic sophistication. */
+  def q31LangQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("ws", split($"text", " "))
+      .withColumn("n_words", size($"ws"))
+      .withColumn("stop_hits",
+        size(expr("filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of')")))
+      .select(
+        $"doc_id", $"source", $"lang",
+        when($"stop_hits" * 20 >= $"n_words", "en").otherwise("unknown").as("pred_lang"),
+        $"stop_hits".cast("long").as("stop_hits"),
+        // distinct-word ratio ×1000, integer-exact
+        (size(array_distinct($"ws")).cast("long") * 1000 / $"n_words".cast("long"))
+          .cast("long").as("quality_millis"),
+        $"n_words".cast("long").as("ws_tokens"),
+        ceil(length($"text") / lit(4.0)).cast("long").as("bpe_tokens_est"))
+      .orderBy($"doc_id")
+  }
+
+  /** SimHash (16-bit) per document from word-level rolling hashes:
+    * explode words → per-bit signed votes → assemble bits. Distributed
+    * shape: one shuffle on doc_id (the explode is narrow); at scale this
+    * is the standard map-reduce simhash. */
+  def q35Simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val words = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .select($"doc_id", expr("graft_fingerprint(word)").as("hw"))
+    val bits = s.range(0, 16).select($"id".cast("int").as("b"))
+    words.crossJoin(broadcast(bits))
+      .groupBy($"doc_id", $"b")
+      .agg(sum(when(expr("(hw >> b) & 1") === 1, 1).otherwise(-1)).as("vote"))
+      .select($"doc_id",
+        when($"vote" > 0, expr("shiftleft(1L, b)")).otherwise(0L).as("v"))
+      .groupBy($"doc_id")
+      .agg(sum($"v").cast("long").as("simhash"))
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.Fingerprint
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Scala reference implementation of the rolling hash. */
+  private def refHash(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+
+  test("fingerprint expression matches reference impl through codegen path") {
+    import spark.implicits._
+    Fingerprint.register(spark)
+    val inputs = Seq("", "a", "ab", "the quick brown fox", "spark join merge", "%$#!\n\t")
+    val got = inputs.toDF("s")
+      .selectExpr("s", "graft_fingerprint(s) AS fp")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach(s => assert(got(s) == refHash(s), s"mismatch for '$s'"))
+  }
+
+  test("fingerprint works inside higher-order function lambdas") {
+    import spark.implicits._
+    Fingerprint.register(spark)
+    val row = Seq((Seq("ab", "cd"))).toDF("arr")
+      .selectExpr("transform(arr, x -> graft_fingerprint(x)) AS h")
+      .collect().head.getSeq[Long](0)
+    assert(row == Seq(refHash("ab"), refHash("cd")))
+  }
+
+  test("exact dedup accounts for every document") {
+    val rows = DedupOps.q32DedupExact(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    // n_docs - n_distinct == n_dup_docs per group
+    rows.foreach(r => assert(r.getLong(1) - r.getLong(2) == r.getLong(3)))
+  }
+
+  test("minhash candidates are genuinely similar (est vs true Jaccard)") {
+    import spark.implicits._
+    val cands = DedupOps.q34DedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cands.nonEmpty, "expected some near-dup candidates")
+    // true word-set Jaccard of accepted pairs should be nontrivial
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "array_distinct(split(text, ' ')) AS ws")
+      .as[(Long, Seq[String])].collect().toMap
+    val jaccs = cands.toSeq.map { case (a, b) =>
+      val (wa, wb) = (docs(a).toSet, docs(b).toSet)
+      wa.intersect(wb).size.toDouble / wa.union(wb).size
+    }
+    assert(jaccs.min > 0.2, s"weak pair accepted: min J=${jaccs.min}")
+  }
+
+  test("LSH ANN returns subsets of brute-force scores") {
+    import spark.implicits._
+    val brute = SimilarityOps.q37CosineTopk(spark, sf)
+      .select($"q_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val lsh = SimilarityOps.q38AnnLsh(spark, sf)
+      .select($"q_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty, "LSH produced no candidates")
+    // any LSH pair that is also a brute-force top-5 pair must carry the
+    // identical cosine (same arithmetic, same data)
+    lsh.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(bc => assert(bc == c, s"cos mismatch for ($q,$n)"))
+    }
+  }
+
+  test("multimodal pipeline is deterministic and length-correct") {
+    import spark.implicits._
+    val a = MultimodalOps.q40Multimodal(spark, sf).collect()
+    val b = MultimodalOps.q40Multimodal(spark, sf).collect()
+    assert(a.sameElements(b))
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "length(text) AS n").as[(Long, Int)].collect().toMap
+    a.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_bytes")) == texts(r.getLong(0)).toLong)
+    }
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    import spark.implicits._
+    val sh = TextOps.q35Simhash(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // pairs that q33 (exact Jaccard >= 0.8) accepts should have close simhashes
+    val pairs = DedupOps.q33DedupJaccard(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].limit(50).collect()
+    assert(pairs.nonEmpty)
+    val dists = pairs.map { case (a, b) =>
+      java.lang.Long.bitCount(sh(a) ^ sh(b))
+    }
+    // 16-bit simhash: similar docs should average well under half the bits
+    assert(dists.sum.toDouble / dists.length < 8.0)
+  }
+}
