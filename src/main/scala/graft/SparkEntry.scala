@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Relational, SchemaOps, Views}
+import graft.operators.TransferOps
 import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -64,6 +65,7 @@ object SparkEntry {
     "q38_ann_lsh"         -> SimilarityOps.q38AnnLsh _,
     "q39_embed_stats"     -> SimilarityOps.q39EmbedStats _,
     "q40_multimodal"      -> MultimodalOps.q40Multimodal _,
+    "q41_transfer_validate" -> TransferOps.q41TransferValidate _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -504,5 +506,13 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS n_frames,
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q41_transfer_validate" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS table_name, count(*) AS src_rows,
+        |         count(*) AS dst_rows, true AS checksum_match FROM customer
+        |  UNION ALL SELECT 'lineitem', count(*), count(*), true FROM lineitem
+        |  UNION ALL SELECT 'orders', count(*), count(*), true FROM orders)
+        |ORDER BY table_name""".stripMargin,
   )
 }

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.transfer.Transfer
+import graft.transfer.Transfer.ParquetDir
+import java.nio.file.Files
+
+/** The reference's core capability — bulk table migration with validation
+  * (E2 + P3) — surfaced as a driver-contract query: copy tables to a fresh
+  * target, then emit the validation report the reference prints as its
+  * summary table (`manager.go:1785-1800`). The oracle asserts what the
+  * reference's own gate asserts: dst counts equal src counts, checksums
+  * match. At bench scale (sf0.1) this measures end-to-end transfer
+  * throughput — lineitem alone is ~600k rows vs the reference's 10k rows/s
+  * baseline. */
+object TransferOps {
+
+  private val tables = Seq("customer", "lineitem", "orders")
+
+  def q41TransferValidate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dst = ParquetDir(Files.createTempDirectory("graft_transfer").toString)
+    val results = tables.map(t =>
+      Transfer.copyTable(s, ParquetDir(dir), dst, t, truncate = true))
+    results.map(r => (r.table, r.srcRows, r.dstRows, r.checksumMatch))
+      .toDF("table_name", "src_rows", "dst_rows", "checksum_match")
+      .orderBy($"table_name")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming incremental sync — the streaming extension the
+  * batch-only reference lacks (SURVEY.md §1.1 note, §7). The `events` table
+  * models a CDC/append stream; the same transformations run identically on
+  * `readStream` (production) and on a static DataFrame (tests/backfill) —
+  * that's the Spark contract this module leans on.
+  *
+  * Scale design: both aggregations are keyed (windowed groupBy / user_id),
+  * so state is partitioned across executors; watermarks bound state size —
+  * without one, a 100 TB-scale stream would accumulate state forever.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      first_ts: Timestamp, last_ts: Timestamp, total_value: Double)
+
+  final case class SessState(nEvents: Long, firstTs: Long, lastTs: Long, total: Double)
+
+  /** Tumbling 1-hour windowed counts per event type with a 2-hour
+    * watermark. Works on both streaming and static frames. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("value_cents"))
+
+  /** Gap-based sessionization (30-minute inactivity) with
+    * flatMapGroupsWithState — custom keyed state, the Spark-native
+    * replacement for hand-rolled cursor loops over ordered scans. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, st.nEvents,
+              new Timestamp(st.firstTs), new Timestamp(st.lastTs), st.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.lastTs <= gapMs =>
+                  cur = Some(SessState(st.nEvents + 1, st.firstTs, t, st.total + e.value))
+                case Some(st) =>
+                  closed ::= SessionSummary(userId, st.nEvents,
+                    new Timestamp(st.firstTs), new Timestamp(st.lastTs), st.total)
+                  cur = Some(SessState(1, t, t, e.value))
+                case None =>
+                  cur = Some(SessState(1, t, t, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** File-source incremental sync: watch a directory of parquet drops and
+    * maintain the hourly rollup — the streaming upgrade of the reference's
+    * batch re-runs. */
+  def incrementalSync(spark: SparkSession, watchDir: String,
+                      checkpointDir: String, outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(watchDir)
+    hourlyCounts(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private def ev(id: Long, min: Long, user: Long, typ: String = "click",
+                 value: Double = 1.0): Event =
+    Event(id, ts(min), user, typ, value, "{}")
+
+  test("streaming hourlyCounts equals batch hourlyCounts on same data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = Seq(
+      ev(1, 0, 1), ev(2, 10, 1), ev(3, 65, 2, "buy", 2.5),
+      ev(4, 70, 1), ev(5, 200, 3, "buy", 9.0))
+
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStream.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    val streamed = spark.table("hourly")
+      .orderBy("hour", "event_type").collect().map(_.toString).toSeq
+    q.stop()
+
+    val batch = EventStream.hourlyCounts(events.toDF())
+      .orderBy("hour", "event_type").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(batch.size == 4) // (h0 click), (h1 buy), (h1 click), (h3 buy)
+  }
+
+  test("sessionize closes sessions on inactivity gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // user 1: burst at t0..t10, then new burst at t120 (gap > 30min closes first)
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+
+    mem.addData(ev(1, 0, 1), ev(2, 10, 1, value = 2.0))
+    q.processAllAvailable()
+    mem.addData(ev(3, 120, 1), ev(4, 125, 2))
+    q.processAllAvailable()
+    // advance watermark far enough to time out everything open
+    mem.addData(ev(99, 600, 9))
+    q.processAllAvailable()
+    mem.addData(ev(100, 1200, 9))
+    q.processAllAvailable()
+
+    val out = spark.table("sessions").as[EventStream.SessionSummary]
+      .collect().sortBy(s => (s.user_id, s.first_ts.getTime))
+    q.stop()
+
+    val u1 = out.filter(_.user_id == 1)
+    assert(u1.length == 2, s"expected 2 closed sessions for user 1, got ${out.mkString(";")}")
+    assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+    assert(u1(1).n_events == 1)
+    assert(out.count(_.user_id == 2) == 1)
+  }
+
+  test("file-source incremental sync picks up new drops") {
+    import spark.implicits._
+    val watch = java.nio.file.Files.createTempDirectory("stream_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("stream_out").toString
+
+    Seq(ev(1, 0, 1), ev(2, 5, 2)).toDF()
+      .write.mode("append").parquet(watch)
+    val q = EventStream.incrementalSync(spark, watch, ckpt, out)
+    q.processAllAvailable()
+    // second drop, 3 hours later -> watermark passes hour 0, appending its window
+    Seq(ev(3, 185, 1), ev(4, 190, 1)).toDF()
+      .write.mode("append").parquet(watch)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out).collect()
+    // append mode emits only windows the watermark has closed: hour 0
+    assert(got.length >= 1)
+    assert(got.exists(r => r.getAs[Long]("n") == 2))
+  }
+}

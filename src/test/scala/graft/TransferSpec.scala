@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.transfer.Transfer
+import graft.transfer.Transfer.{Jdbc, ParquetDir}
+import graft.pipeline.Pipeline
+import graft.functions.PointDecode
+import java.nio.file.Files
+
+class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("transfer-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("parquet -> parquet copy validates counts and checksum") {
+    val dst = ParquetDir(Files.createTempDirectory("xfer_pq").toString)
+    val r = Transfer.copyTable(spark, ParquetDir(sf), dst, "orders")
+    assert(r.srcRows == 1500 && r.dstRows == 1500 && r.checksumMatch)
+  }
+
+  test("parquet -> Derby JDBC roundtrip (real database)") {
+    val db = Files.createTempDirectory("derbydb").toString + "/g"
+    val url = s"jdbc:derby:$db;create=true"
+    val jdbc = Jdbc(url, "%s", partitionColumn = None, batchSize = 500)
+    val r = Transfer.copyTable(spark, ParquetDir(sf), jdbc, "nation",
+      truncate = false, validateChecksum = false)
+    assert(r.srcRows == 25 && r.dstRows == 25)
+    // partitioned (keyset-equivalent) read back out of the database
+    val part = Transfer.read(spark, Jdbc(url, "%s",
+      partitionColumn = Some("n_nationkey"), numPartitions = 4), "nation")
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == 25)
+  }
+
+  test("empty-table shortcut") {
+    import spark.implicits._
+    val src = ParquetDir(Files.createTempDirectory("xfer_empty_src").toString)
+    val dst = ParquetDir(Files.createTempDirectory("xfer_empty_dst").toString)
+    Seq.empty[(Long, String)].toDF("id", "v")
+      .write.parquet(s"${src.dir}/t0.parquet")
+    val r = Transfer.copyTable(spark, src, dst, "t0")
+    assert(r.srcRows == 0 && r.dstRows == 0 && r.checksumMatch)
+  }
+
+  test("zero-date strings become NULL in flight") {
+    import spark.implicits._
+    val df = Seq(("0000-00-00 00:00:00", "2020-01-02"), ("x", "0000-00-00"))
+      .toDF("a", "b")
+    val out = Transfer.zeroDatesToNull(df).collect()
+    assert(out(0).isNullAt(0) && out(0).getString(1) == "2020-01-02")
+    assert(out(1).getString(0) == "x" && out(1).isNullAt(1))
+  }
+
+  test("WKB point decode expression (MySQL 25-byte + bare WKB + garbage)") {
+    import spark.implicits._
+    PointDecode.register(spark)
+    val rows = Seq(
+      PointDecode.encode(116.397, 39.909),          // SRID-prefixed
+      PointDecode.encode(-1.5, 2.5).drop(4),        // bare WKB
+      Array[Byte](1, 2, 3))                         // garbage
+      .toDF("p")
+      .selectExpr("graft_point_decode(p) AS pt")
+      .collect()
+    assert(rows(0).getStruct(0).getDouble(0) == 116.397)
+    assert(rows(0).getStruct(0).getDouble(1) == 39.909)
+    assert(rows(1).getStruct(0).getDouble(0) == -1.5)
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("pipeline run: include/exclude lists, stage stats, consistency") {
+    val dst = ParquetDir(Files.createTempDirectory("xfer_pipe").toString)
+    val report = Pipeline.run(spark, ParquetDir(sf), dst,
+      Pipeline.Config(
+        includeTables = Seq("region", "nation", "supplier", "customer"),
+        excludeTables = Seq("supplier"),
+        concurrency = 3))
+    assert(report.results.map(_.table).sorted == Seq("customer", "nation", "region"))
+    assert(report.inconsistent.isEmpty)
+    assert(report.stats.map(_.stage) == Seq("schema", "data", "validate"))
+    assert(report.stats.forall(_.failures.isEmpty))
+  }
+
+  test("pipeline surfaces validation failure when target is corrupted") {
+    import spark.implicits._
+    val src = ParquetDir(Files.createTempDirectory("xfer_bad_src").toString)
+    val dstDir = Files.createTempDirectory("xfer_bad_dst").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"${src.dir}/t1.parquet")
+    // copy, then corrupt the destination and re-validate
+    val dst = ParquetDir(dstDir)
+    Transfer.copyTable(spark, src, dst, "t1")
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(s"$dstDir/t1.parquet")
+    val r = Transfer.validate(spark, src, dst, "t1")
+    assert(r.srcRows == 2 && r.dstRows == 1 && !r.checksumMatch)
+  }
+}
