@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Relational, SchemaOps, Views}
-import graft.operators.TransferOps
+import graft.operators.{FunctionOps, TransferOps}
 import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -53,6 +53,8 @@ object SparkEntry {
     "q24_view_json"       -> Views.q24ViewJson _,
     "q25_view_strings"    -> Views.q25ViewStrings _,
     "q26_type_mapping"    -> SchemaOps.q26TypeMapping _,
+    "q28_view_datetime"   -> Views.q28ViewDatetime _,
+    "q29_view_inet"       -> Views.q29ViewInet _,
     "q27_ddl_convert"     -> SchemaOps.q27DdlConvert _,
     "q30_text_stats"      -> TextOps.q30TextStats _,
     "q31_lang_quality"    -> TextOps.q31LangQuality _,
@@ -66,6 +68,7 @@ object SparkEntry {
     "q39_embed_stats"     -> SimilarityOps.q39EmbedStats _,
     "q40_multimodal"      -> MultimodalOps.q40Multimodal _,
     "q41_transfer_validate" -> TransferOps.q41TransferValidate _,
+    "q42_stored_functions" -> FunctionOps.q42StoredFunctions _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -370,6 +373,60 @@ object SparkEntry {
         |  ('case_27_check', 'CREATE TABLE "case_27_check" (   "age" INTEGER,   CHECK (age > 18) )')
         |) AS t(case_name, pg_ddl)
         |ORDER BY case_name""".stripMargin,
+
+    "q28_view_datetime" ->
+      """SELECT o_orderkey,
+        |  date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS days_to98,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(o_orderdate AS DATE) - 15 AS minus15,
+        |  dayname(o_orderdate) AS dname,
+        |  monthname(o_orderdate) AS mname
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q29_view_inet" ->
+      """SELECT n_nationkey,
+        |  CAST(167772160 + CAST(n_nationkey AS BIGINT) * 65536 + n_regionkey AS BIGINT) AS ip_num,
+        |  '10.0.0.' || CAST(1 + n_nationkey AS VARCHAR) AS ip_str
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q42_stored_functions" ->
+      """WITH os AS (
+        |  SELECT o_orderkey, 'Order: ' || o_orderkey || ', Cust: ' || c_name
+        |    || ', Nation: ' || n_name || ', Region: ' || r_name
+        |    || ', Items: ' || cnt || ', Qty: ' || qty AS result
+        |  FROM (SELECT o_orderkey, c_name, n_name, r_name, count(*) AS cnt,
+        |          CAST(sum(l_quantity) AS BIGINT) AS qty
+        |        FROM lineitem
+        |        JOIN orders ON l_orderkey = o_orderkey
+        |        JOIN customer ON o_custkey = c_custkey
+        |        JOIN nation ON c_nationkey = n_nationkey
+        |        JOIN region ON n_regionkey = r_regionkey
+        |        GROUP BY 1, 2, 3, 4)
+        |  WHERE o_orderkey IN (1, 7, 997)),
+        |ss AS (
+        |  SELECT status, 'Status: ' || status || ', Top Cust: ' || cust
+        |    || ', Cents: ' || cents AS result
+        |  FROM (SELECT o_orderstatus AS status, coalesce(c_name, 'N/A') AS cust,
+        |          CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |          row_number() OVER (PARTITION BY o_orderstatus
+        |            ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rk
+        |        FROM orders LEFT JOIN customer ON o_custkey = c_custkey)
+        |  WHERE rk = 1),
+        |sd AS (
+        |  SELECT s_suppkey, 'Supp: ' || s_name || ', Order: ' || l_orderkey
+        |    || ', Line: ' || l_linenumber || ', Qty: ' || CAST(l_quantity AS BIGINT) AS result
+        |  FROM (SELECT s_suppkey, s_name, l_orderkey, l_linenumber, l_quantity,
+        |          row_number() OVER (PARTITION BY s_suppkey
+        |            ORDER BY l_orderkey, l_linenumber) AS rk
+        |        FROM lineitem JOIN supplier
+        |          ON l_suppkey = s_suppkey AND l_quantity > 40 AND l_discount >= 0.05)
+        |  WHERE rk = 1 AND s_suppkey IN (1, 2, 3))
+        |SELECT 'order_summary' AS fn_name, CAST(o_orderkey AS VARCHAR) AS param, result FROM os
+        |UNION ALL SELECT 'status_summary', status, result FROM ss
+        |UNION ALL SELECT 'supplier_detail', CAST(s_suppkey AS VARCHAR), result FROM sd
+        |ORDER BY fn_name, param""".stripMargin,
 
     "q30_text_stats" ->
       """SELECT doc_id,

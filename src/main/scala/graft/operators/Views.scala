@@ -15,6 +15,7 @@ object Views {
 
   private def run(s: SparkSession, dir: String, mysqlSql: String): DataFrame = {
     Tables.registerAll(s, dir)
+    graft.functions.InetFunctions.register(s)
     SqlRewriter.sql(s, mysqlSql)
   }
 
@@ -55,6 +56,27 @@ object Views {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin)
+
+  /** Extended datetime surface: TIMESTAMPDIFF, ADDDATE/SUBDATE, DAYNAME,
+    * MONTHNAME — §2.4 date table, second tranche. */
+  def q28ViewDatetime(s: SparkSession, dir: String): DataFrame = run(s, dir,
+    """SELECT o_orderkey,
+      |  TIMESTAMPDIFF(DAY, o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS days_to98,
+      |  ADDDATE(CAST(o_orderdate AS DATE), 30) AS plus30,
+      |  SUBDATE(CAST(o_orderdate AS DATE), 15) AS minus15,
+      |  DAYNAME(o_orderdate) AS dname,
+      |  MONTHNAME(o_orderdate) AS mname
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin)
+
+  /** Network functions: INET_ATON / INET_NTOA (custom Catalyst
+    * expressions — Spark has no native inet surface). */
+  def q29ViewInet(s: SparkSession, dir: String): DataFrame = run(s, dir,
+    """SELECT n_nationkey,
+      |  INET_ATON(CONCAT('10.', n_nationkey, '.0.', n_regionkey)) AS ip_num,
+      |  INET_NTOA(167772161 + n_nationkey) AS ip_str
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin)
 
   /** String-function view: CONCAT, SUBSTRING_INDEX, LOCATE, LPAD, CONVERT. */
   def q25ViewStrings(s: SparkSession, dir: String): DataFrame = run(s, dir,

@@ -299,6 +299,35 @@ object SqlRewriter {
       case args => s"JSON_VALID(${args.mkString(", ")})"
     }
 
+    // MySQL INSERT(str,pos,len,new) → overlay (sync_viewddl.go:99,477-502)
+    s = rewriteCalls(s, "INSERT") {
+      case List(str, pos, len, rep) => s"overlay($str, $rep, $pos, $len)"
+      case args => s"INSERT(${args.mkString(", ")})"
+    }
+    // DAYNAME / MONTHNAME → date_format patterns
+    s = rewriteCalls(s, "DAYNAME") {
+      case List(x) => s"date_format($x, 'EEEE')"
+      case args => s"DAYNAME(${args.mkString(", ")})"
+    }
+    s = rewriteCalls(s, "MONTHNAME") {
+      case List(x) => s"date_format($x, 'MMMM')"
+      case args => s"MONTHNAME(${args.mkString(", ")})"
+    }
+    // ADDDATE/SUBDATE(d, n) → date_add/date_sub; INTERVAL forms pass through
+    // as native `d + INTERVAL n unit` arithmetic (sync_viewddl.go:57-67)
+    s = rewriteCalls(s, "ADDDATE") {
+      case List(d, n) if !n.toUpperCase.contains("INTERVAL") => s"date_add($d, $n)"
+      case List(d, iv) => s"($d + ${iv.trim})"
+      case args => s"ADDDATE(${args.mkString(", ")})"
+    }
+    s = rewriteCalls(s, "SUBDATE") {
+      case List(d, n) if !n.toUpperCase.contains("INTERVAL") => s"date_sub($d, $n)"
+      case List(d, iv) => s"($d - ${iv.trim.replaceFirst("(?i)^INTERVAL\\s+", "INTERVAL ")})"
+      case args => s"SUBDATE(${args.mkString(", ")})"
+    }
+    // a REGEXP b → a RLIKE b (sync_functions.go:21,505)
+    s = s.replaceAll("(?i)\\bREGEXP\\b", "RLIKE")
+
     // SYSDATE() → current_timestamp() (NOW/CURDATE/CURTIME are native)
     s = s.replaceAll("(?i)\\bSYSDATE\\s*\\(\\s*\\)", "current_timestamp()")
     s = s.replaceAll("(?i)\\bCURTIME\\s*\\(\\s*\\)", "current_timestamp()")

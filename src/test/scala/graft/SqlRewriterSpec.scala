@@ -95,6 +95,20 @@ class SqlRewriterSpec extends AnyFunSuite {
     assert(rewrite("SELECT DATABASE() FROM t") == "SELECT current_database() FROM t")
   }
 
+  test("INSERT → overlay; DAYNAME/MONTHNAME; ADDDATE/SUBDATE; REGEXP") {
+    assert(rewrite("SELECT INSERT(s, 2, 3, 'xy') FROM t") ==
+      "SELECT overlay(s, 'xy', 2, 3) FROM t")
+    assert(rewrite("INSERT INTO t VALUES (1)") == "INSERT INTO t VALUES (1)")
+    assert(rewrite("SELECT DAYNAME(d) FROM t") == "SELECT date_format(d, 'EEEE') FROM t")
+    assert(rewrite("SELECT MONTHNAME(d) FROM t") == "SELECT date_format(d, 'MMMM') FROM t")
+    assert(rewrite("SELECT ADDDATE(d, 30) FROM t") == "SELECT date_add(d, 30) FROM t")
+    assert(rewrite("SELECT SUBDATE(d, 15) FROM t") == "SELECT date_sub(d, 15) FROM t")
+    assert(rewrite("SELECT ADDDATE(d, INTERVAL 1 DAY) FROM t") ==
+      "SELECT (d + INTERVAL 1 DAY) FROM t")
+    assert(rewrite("SELECT a FROM t WHERE a REGEXP '^x'") ==
+      "SELECT a FROM t WHERE a RLIKE '^x'")
+  }
+
   test("splitTopLevelCommas respects nesting") {
     assert(SqlRewriter.splitTopLevelCommas("a, f(b, c), d") == List("a", "f(b, c)", "d"))
   }
