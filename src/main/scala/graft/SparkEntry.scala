@@ -69,6 +69,7 @@ object SparkEntry {
     "q40_multimodal"      -> MultimodalOps.q40Multimodal _,
     "q41_transfer_validate" -> TransferOps.q41TransferValidate _,
     "q42_stored_functions" -> FunctionOps.q42StoredFunctions _,
+    "q43_percentiles"     -> Relational.q43Percentiles _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -427,6 +428,16 @@ object SparkEntry {
         |UNION ALL SELECT 'status_summary', status, result FROM ss
         |UNION ALL SELECT 'supplier_detail', CAST(s_suppkey AS VARCHAR), result FROM sd
         |ORDER BY fn_name, param""".stripMargin,
+
+    "q43_percentiles" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  quantile_cont(c, 0.5) AS p50,
+        |  quantile_cont(c, 0.9) AS p90,
+        |  CAST(min(c) AS BIGINT) AS min_cents,
+        |  CAST(max(c) AS BIGINT) AS max_cents
+        |FROM (SELECT o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q30_text_stats" ->
       """SELECT doc_id,

@@ -312,6 +312,26 @@ object Relational {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  /** Exact order-statistics: continuous-interpolation percentiles over
+    * integer cents (both engines use the (n-1)·p rank definition, and the
+    * interpolation arithmetic on exact integers is deterministic). Exact
+    * percentile is a full-sort-per-group op — at 100 TB you'd swap in
+    * approx_percentile (t-digest) and lose the oracle; this is the exact
+    * baseline. */
+  def q43Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderstatus", cents($"o_totalprice").as("c"))
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(c, 0.5)").as("p50"),
+        expr("percentile(c, 0.9)").as("p90"),
+        min($"c").as("min_cents"),
+        max($"c").as("max_cents"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Correlated-subquery shape: orders above 1.5× their customer's average —
     * decorrelated into a join against a pre-aggregate (what Catalyst does
     * too). The predicate `price > 1.5 * sum/n` is evaluated as the exact
