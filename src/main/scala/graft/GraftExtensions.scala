@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{Fingerprint, InetAton, InetNtoa, PointDecode}
+
+/** Session-extension entry point: makes every graft custom function
+  * available in any session via
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`), the
+  * library-grade alternative to calling each `register(spark)` by hand.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "rolling polynomial hash of a string"),
+      (exprs: Seq[Expression]) => Fingerprint(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("inet_aton"),
+      info("inet_aton", "dotted-quad IPv4 to number (MySQL semantics)"),
+      (exprs: Seq[Expression]) => InetAton(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("inet_ntoa"),
+      info("inet_ntoa", "number to dotted-quad IPv4"),
+      (exprs: Seq[Expression]) => InetNtoa(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_point_decode"),
+      info("graft_point_decode", "MySQL WKB point bytes to struct(x,y)"),
+      (exprs: Seq[Expression]) => PointDecode(exprs.head)))
+  }
+}

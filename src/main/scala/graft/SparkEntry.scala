@@ -70,6 +70,7 @@ object SparkEntry {
     "q41_transfer_validate" -> TransferOps.q41TransferValidate _,
     "q42_stored_functions" -> FunctionOps.q42StoredFunctions _,
     "q43_percentiles"     -> Relational.q43Percentiles _,
+    "q44_view_math"       -> Views.q44ViewMath _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -438,6 +439,25 @@ object SparkEntry {
         |FROM (SELECT o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders)
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q44_view_math" ->
+      """SELECT p_partkey,
+        |  round(p_retailprice) AS price_round,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  abs(p_size - 25) AS size_abs,
+        |  p_partkey % 7 AS key_mod7,
+        |  CAST(pow(p_size, 2) AS BIGINT) AS size_sq,
+        |  sqrt(p_size) AS size_sqrt,
+        |  CAST(greatest(p_size, 10) AS BIGINT) AS size_hi,
+        |  CAST(least(p_size, 10) AS BIGINT) AS size_lo,
+        |  hex(p_size) AS size_hex,
+        |  bin(p_size) AS size_bin,
+        |  '[' || repeat(' ', 2) || ']' AS spaced,
+        |  substring(p_name, 2, 4) AS name_mid,
+        |  repeat(p_brand, 2) AS brand_x2
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
 
     "q30_text_stats" ->
       """SELECT doc_id,

@@ -78,6 +78,29 @@ object Views {
       |FROM nation
       |ORDER BY n_nationkey""".stripMargin)
 
+  /** Math/string surface (the reference's ~40-function view select lists,
+    * create_view.sql:17-70): ROUND/CEIL/FLOOR/ABS/MOD/POWER/SQRT/GREATEST/
+    * LEAST + HEX/CONV/SPACE/MID/REPEAT — only deterministic-exact functions
+    * so the oracle stays hash-exact (no libm trig, see scaladoc). */
+  def q44ViewMath(s: SparkSession, dir: String): DataFrame = run(s, dir,
+    """SELECT p_partkey,
+      |  ROUND(p_retailprice) AS price_round,
+      |  CEIL(p_retailprice) AS price_ceil,
+      |  FLOOR(p_retailprice) AS price_floor,
+      |  ABS(p_size - 25) AS size_abs,
+      |  MOD(p_partkey, 7) AS key_mod7,
+      |  CAST(POWER(p_size, 2) AS SIGNED) AS size_sq,
+      |  SQRT(p_size) AS size_sqrt,
+      |  CAST(GREATEST(p_size, 10) AS SIGNED) AS size_hi,
+      |  CAST(LEAST(p_size, 10) AS SIGNED) AS size_lo,
+      |  HEX(p_size) AS size_hex,
+      |  CONV(p_size, 10, 2) AS size_bin,
+      |  CONCAT('[', SPACE(2), ']') AS spaced,
+      |  MID(p_name, 2, 4) AS name_mid,
+      |  REPEAT(p_brand, 2) AS brand_x2
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin)
+
   /** String-function view: CONCAT, SUBSTRING_INDEX, LOCATE, LPAD, CONVERT. */
   def q25ViewStrings(s: SparkSession, dir: String): DataFrame = run(s, dir,
     """SELECT p_partkey,

@@ -59,11 +59,19 @@ object DedupOps {
           ws.foldLeft(0L)((m, w) => m | (1L << idx(w))))
         d.withColumn("mask", idxUdf($"ws"))
       } else d.withColumn("mask", lit(null).cast("long"))
+    // Skew salting: `lang` has ~5 distinct values, so a bare block join
+    // would land on 5 shuffle partitions no matter the cluster size. Salt
+    // the left side deterministically (doc_id mod S) and replicate the
+    // right side S ways — 5 blocks become 5·S balanced partitions. Output
+    // is identical (each pair meets exactly once, on the left row's salt).
+    val SALTS = 8
     val a = encoded.select($"doc_id".as("doc_a"), $"lang",
-      $"ws".as("wa"), $"mask".as("ma"))
+      $"ws".as("wa"), $"mask".as("ma"),
+      ($"doc_id" % SALTS).cast("int").as("salt"))
     val b = encoded.select($"doc_id".as("doc_b"), $"lang",
       $"ws".as("wb"), $"mask".as("mb"))
-    val joined = a.join(b, Seq("lang")).filter($"doc_a" < $"doc_b")
+      .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+    val joined = a.join(b, Seq("lang", "salt")).filter($"doc_a" < $"doc_b")
     val withCounts =
       if (vocab.length <= 64)
         joined

@@ -325,6 +325,11 @@ object SqlRewriter {
       case List(d, iv) => s"($d - ${iv.trim.replaceFirst("(?i)^INTERVAL\\s+", "INTERVAL ")})"
       case args => s"SUBDATE(${args.mkString(", ")})"
     }
+    // MID(s, p, l) → substring (MySQL alias Spark lacks)
+    s = rewriteCalls(s, "MID") {
+      case List(str, p, l) => s"substring($str, $p, $l)"
+      case args => s"MID(${args.mkString(", ")})"
+    }
     // a REGEXP b → a RLIKE b (sync_functions.go:21,505)
     s = s.replaceAll("(?i)\\bREGEXP\\b", "RLIKE")
 
