@@ -71,6 +71,7 @@ object SparkEntry {
     "q42_stored_functions" -> FunctionOps.q42StoredFunctions _,
     "q43_percentiles"     -> Relational.q43Percentiles _,
     "q44_view_math"       -> Views.q44ViewMath _,
+    "q45_generator"       -> Relational.q45Generator _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -458,6 +459,14 @@ object SparkEntry {
         |  repeat(p_brand, 2) AS brand_x2
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
+
+    "q45_generator" ->
+      """SELECT o_orderkey,
+        |  CAST(unnest(generate_series(CAST(o_orderdate AS DATE),
+        |    CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, INTERVAL 1 MONTH)) AS DATE) AS month_date
+        |FROM orders
+        |WHERE o_orderkey % 500 = 0
+        |ORDER BY o_orderkey, month_date""".stripMargin,
 
     "q30_text_stats" ->
       """SELECT doc_id,

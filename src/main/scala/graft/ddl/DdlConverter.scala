@@ -176,6 +176,13 @@ object DdlConverter {
   private def q(ident: String, lower: Boolean): String =
     "\"" + (if (lower) ident.toLowerCase else ident) + "\""
 
+  /** Original→converted identifier map threaded from DDL conversion to
+    * index/comment conversion (reference sync_tableddl.go:173,
+    * manager.go:30,1219-1220,1464-1466). */
+  def columnNameMap(spec: TableSpec, lowercase: Boolean): Map[String, String] =
+    (spec.columns.map(_.name).map(n => n -> (if (lowercase) n.toLowerCase else n))
+      :+ (spec.name -> (if (lowercase) spec.name.toLowerCase else spec.name))).toMap
+
   def toStructType(spec: TableSpec): StructType =
     StructType(spec.columns.filter(_.generated.isEmpty).map { c =>
       val m = new MetadataBuilder()

@@ -280,6 +280,20 @@ object Relational {
       .orderBy($"revenue_cents".desc, $"r_name")
   }
 
+  /** Generator/UDTF surface: explode a per-order generated month sequence
+    * (lateral-view shape). Narrow explode — no shuffle until the agg. */
+  def q45Generator(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .filter($"o_orderkey" % 500 === 0)
+      .select($"o_orderkey",
+        explode(expr(
+          "sequence(CAST(o_orderdate AS DATE), add_months(CAST(o_orderdate AS DATE), 3), INTERVAL 1 MONTH)"))
+          .as("month_date"))
+      .select($"o_orderkey", $"month_date")
+      .orderBy($"o_orderkey", $"month_date")
+  }
+
   /** Count validation (reference P3, sync_data.go:313-356): per-table row
     * counts — the migration engine's correctness gate, as one query. */
   def q18CountValidation(s: SparkSession, dir: String): DataFrame = {

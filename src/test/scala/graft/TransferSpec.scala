@@ -91,6 +91,37 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(report.stats.forall(_.failures.isEmpty))
   }
 
+  test("pipeline end-to-end into Derby (JDBC target)") {
+    val db = Files.createTempDirectory("pipederby").toString + "/p"
+    val jdbc = Jdbc(s"jdbc:derby:$db;create=true", "%s", batchSize = 500)
+    val report = Pipeline.run(spark, ParquetDir(sf), jdbc,
+      Pipeline.Config(includeTables = Seq("region", "nation"),
+        truncateBeforeSync = false, validateData = false, concurrency = 2))
+    assert(report.results.map(r => (r.table, r.srcRows, r.dstRows)).sorted ==
+      Seq(("nation", 25L, 25L), ("region", 5L, 5L)))
+    assert(report.inconsistent.isEmpty)
+    // reference S13-style probe against the freshly-written target
+    assert(graft.catalog.Catalog.rowCount(jdbc.url, "nation") == 25)
+  }
+
+  test("stored-function scalar accessors (reference UDF surface)") {
+    import graft.functions.StoredFunctions
+    val r = StoredFunctions.getOrderSummary(spark, sf, 1L)
+    r.foreach(s => assert(s.startsWith("Order: 1, Cust: Customer#")))
+    val st = StoredFunctions.getStatusSummary(spark, sf, "F")
+    assert(st.exists(_.startsWith("Status: F, Top Cust: ")))
+    assert(StoredFunctions.getOrderSummary(spark, sf, -99L).isEmpty)
+  }
+
+  test("identifier name map (lowercase threading)") {
+    import graft.ddl.DdlConverter
+    val spec = DdlConverter.parse("CREATE TABLE MixedCase (UserID int, Name varchar(5))")
+    val m = DdlConverter.columnNameMap(spec, lowercase = true)
+    assert(m == Map("UserID" -> "userid", "Name" -> "name", "MixedCase" -> "mixedcase"))
+    val id = DdlConverter.columnNameMap(spec, lowercase = false)
+    assert(id("UserID") == "UserID")
+  }
+
   test("pipeline surfaces validation failure when target is corrupted") {
     import spark.implicits._
     val src = ParquetDir(Files.createTempDirectory("xfer_bad_src").toString)
