@@ -55,6 +55,10 @@ object DdlConverter {
 
   private def stripVersionComments(s: String): String =
     s.replaceAll("/\\*!\\d{5}", "").replaceAll("\\*/", " ")
+      // inline comments: whitespace-delimited `-- ...` / `# ...` to EOL
+      // (a bare strip would eat string defaults containing '--')
+      .replaceAll("(?m)\\s+--\\s.*$", "")
+      .replaceAll("(?m)\\s+#\\s.*$", "")
 
   // ------------------------------------------------------------- parsing
 
@@ -67,8 +71,9 @@ object DdlConverter {
     val tableName = unquoteIdent(nameM.group(1).split('.').last)
 
     val open = ddl.indexOf('(', nameM.end - 1)
+    require(open >= 0, s"no column body (LIKE/AS-SELECT copy form?): ${ddl.take(60)}")
     val close = matchParen(ddl, open)
-    require(open >= 0 && close > open, "unbalanced CREATE TABLE body")
+    require(close > open, "unbalanced CREATE TABLE body")
     val body = ddl.substring(open + 1, close)
     val tail = ddl.substring(close + 1)
 
@@ -183,12 +188,19 @@ object DdlConverter {
     (spec.columns.map(_.name).map(n => n -> (if (lowercase) n.toLowerCase else n))
       :+ (spec.name -> (if (lowercase) spec.name.toLowerCase else spec.name))).toMap
 
-  def toStructType(spec: TableSpec): StructType =
+  /** Transfer-facing StructType; `mysqlCompat = true` keeps MySQL's own
+    * runtime typing (tinyint(1) numeric, native TIME) for serving the
+    * source's views rather than the PG-target mapping. */
+  def toStructType(spec: TableSpec, mysqlCompat: Boolean = false): StructType =
     StructType(spec.columns.filter(_.generated.isEmpty).map { c =>
       val m = new MetadataBuilder()
       c.comment.foreach(m.putString("comment", _))
       c.default.foreach(m.putString("default", _))
-      StructField(c.name, c.mapped.spark, c.nullable, m.build())
+      val t =
+        if (mysqlCompat)
+          TypeMapper.map(c.mysqlType, tinyint1Boolean = false, timeNative = true).spark
+        else c.mapped.spark
+      StructField(c.name, t, c.nullable, m.build())
     })
 
   /** Emit PG CREATE TABLE + COMMENT ON statements. */

@@ -268,6 +268,59 @@ object SqlRewriter {
         s"(hour($x)*3600 + minute($x)*60 + second($x))"
       case args => s"TIME_TO_SEC(${args.mkString(", ")})"
     }
+    // TIMEDIFF(a,b) → interval subtraction (sync_viewddl.go:97,595)
+    s = rewriteCalls(s, "TIMEDIFF") {
+      case List(a, b) => s"($a - $b)"
+      case args => s"TIMEDIFF(${args.mkString(", ")})"
+    }
+    // SEC_TO_TIME(n) → day-time interval (sync_viewddl.go:687-699)
+    s = rewriteCalls(s, "SEC_TO_TIME") {
+      case List(n) => s"make_dt_interval(0, 0, 0, CAST($n AS DOUBLE))"
+      case args => s"SEC_TO_TIME(${args.mkString(", ")})"
+    }
+    // TIME(x) → time-of-day string (consistent with the TIME mapping note)
+    s = rewriteCalls(s, "TIME") {
+      case List(x) => s"date_format($x, 'HH:mm:ss')"
+      case args => s"TIME(${args.mkString(", ")})"
+    }
+    // JSON_DEPTH / JSON_OVERLAPS unsupported → NULL (sync_viewddl.go:432-437)
+    s = rewriteCalls(s, "JSON_DEPTH") { _ => "CAST(NULL AS INT)" }
+    s = rewriteCalls(s, "JSON_OVERLAPS") { _ => "CAST(NULL AS BOOLEAN)" }
+    // JSON_TYPE(j) → first-character heuristic (sync_viewddl.go:438-443)
+    s = rewriteCalls(s, "JSON_TYPE") {
+      case List(j) =>
+        s"(CASE WHEN ($j) IS NULL THEN NULL" +
+          s" WHEN left(ltrim($j), 1) = '{' THEN 'OBJECT'" +
+          s" WHEN left(ltrim($j), 1) = '[' THEN 'ARRAY'" +
+          s" WHEN left(ltrim($j), 1) = '\"' THEN 'STRING'" +
+          s" WHEN lower(trim($j)) IN ('true', 'false') THEN 'BOOLEAN'" +
+          s" WHEN trim($j) = 'null' THEN 'NULL'" +
+          s" ELSE 'NUMBER' END)"
+      case args => s"JSON_TYPE(${args.mkString(", ")})"
+    }
+
+    // COALESCE args force-cast to string (sync_viewddl.go:377-383) — MySQL
+    // freely mixes tinyint(1)/int in COALESCE; Spark's coercion refuses
+    // BOOLEAN-vs-INT, so the reference's text-cast rule is kept verbatim.
+    s = rewriteCalls(s, "COALESCE") { args =>
+      s"coalesce(${args.map(a => s"CAST($a AS STRING)").mkString(", ")})"
+    }
+    // WEEK(d) → ISO week (reference maps to extract(week), :636-655)
+    s = rewriteCalls(s, "WEEK") {
+      case List(d) => s"weekofyear($d)"
+      case args => s"WEEK(${args.mkString(", ")})"
+    }
+    // JSON_CONTAINS_PATH(j, 'one'|'all', p...) → null-check combination
+    // (sync_viewddl.go:424-431)
+    s = rewriteCalls(s, "JSON_CONTAINS_PATH") { args =>
+      if (args.size >= 3) {
+        val j = args.head
+        val mode = args(1).toLowerCase
+        val checks = args.drop(2).map(p => s"get_json_object($j, $p) IS NOT NULL")
+        val op = if (mode.contains("all")) " AND " else " OR "
+        s"(${checks.mkString(op)})"
+      } else s"JSON_CONTAINS_PATH(${args.mkString(", ")})"
+    }
 
     // JSON surface → Spark JSON functions (sync_viewddl.go:389-474)
     s = rewriteCalls(s, "JSON_UNQUOTE") { args => args.mkString(", ") } // get_json_object already unquotes
@@ -329,6 +382,22 @@ object SqlRewriter {
     s = rewriteCalls(s, "MID") {
       case List(str, p, l) => s"substring($str, $p, $l)"
       case args => s"MID(${args.mkString(", ")})"
+    }
+    // DATE_ADD/DATE_SUB(d, INTERVAL n unit) → interval arithmetic
+    // (sync_viewddl.go:57-67, 706-803); plain numeric second arg is native
+    s = rewriteCalls(s, "DATE_ADD") {
+      case List(d, iv) if iv.toUpperCase.startsWith("INTERVAL") => s"($d + $iv)"
+      case args => s"date_add(${args.mkString(", ")})"
+    }
+    s = rewriteCalls(s, "DATE_SUB") {
+      case List(d, iv) if iv.toUpperCase.startsWith("INTERVAL") => s"($d - $iv)"
+      case args => s"date_sub(${args.mkString(", ")})"
+    }
+    // JSON_PRETTY → identity (PG jsonb_pretty has no Spark analogue; the
+    // JSON text is already canonical for comparison purposes)
+    s = rewriteCalls(s, "JSON_PRETTY") {
+      case List(j) => j
+      case args => s"JSON_PRETTY(${args.mkString(", ")})"
     }
     // a REGEXP b → a RLIKE b (sync_functions.go:21,505)
     s = s.replaceAll("(?i)\\bREGEXP\\b", "RLIKE")

@@ -43,14 +43,22 @@ object TypeMapper {
 
   /** Map a MySQL type string (as in SHOW FULL COLUMNS / DDL) to Spark + PG.
     * @param widenUnsigned when true (default), unsigned integer types widen
-    *        one step; false replicates the reference's lossy strip. */
-  def map(mysqlType: String, widenUnsigned: Boolean = true): MappedType = {
+    *        one step; false replicates the reference's lossy strip.
+    * @param tinyint1Boolean when false, tinyint(1) stays SMALLINT — MySQL's
+    *        own runtime semantics (it computes ROUND(bool_col) happily);
+    *        true is the PG-target mapping the reference uses.
+    * @param timeNative when true, TIME maps to Spark 4's native TimeType
+    *        (requires spark.sql.timeType.enabled); default keeps the
+    *        portable micros-of-day BIGINT. */
+  def map(mysqlType: String, widenUnsigned: Boolean = true,
+          tinyint1Boolean: Boolean = true,
+          timeNative: Boolean = false): MappedType = {
     val (base, args, unsigned) = parse(mysqlType)
     def arg0: Option[Int] = args.headOption.flatMap(_.toIntOption)
     val widen = unsigned && widenUnsigned
 
     base match {
-      case "tinyint" if arg0.contains(1) && !unsigned =>
+      case "tinyint" if arg0.contains(1) && !unsigned && tinyint1Boolean =>
         MappedType(BooleanType, "BOOLEAN")
       case "tinyint" | "smallint" | "tinyinteger" | "smallinteger" =>
         if (widen) MappedType(IntegerType, "INTEGER")
@@ -71,7 +79,13 @@ object TypeMapper {
         val p = args.headOption.flatMap(_.toIntOption).getOrElse(10)
         val sc = args.lift(1).flatMap(_.toIntOption).getOrElse(0)
         val kw = if (base == "numeric") "NUMERIC" else "DECIMAL"
-        MappedType(DecimalType(p, sc), s"$kw($p,$sc)")
+        // MySQL allows DECIMAL up to (65,30); Spark caps precision at 38.
+        // Clamp preserving integer digits first (documented lossy edge);
+        // the PG side keeps the original precision (PG supports it).
+        val intDigits = math.min(p - sc, DecimalType.MAX_PRECISION)
+        val sparkScale = math.min(sc, DecimalType.MAX_PRECISION - intDigits)
+        val sparkPrec = math.min(p, DecimalType.MAX_PRECISION)
+        MappedType(DecimalType(sparkPrec, sparkScale), s"$kw($p,$sc)")
       case "double" | "double precision" | "real" =>
         MappedType(DoubleType, "DOUBLE PRECISION")
       case "float" => MappedType(FloatType, "REAL")
@@ -90,9 +104,11 @@ object TypeMapper {
         MappedType(TimestampType, s"TIMESTAMP$prec")
       case "date" => MappedType(DateType, "DATE")
       case "time" =>
-        // no native Spark TIME: carry as micros-of-day (lossless, sortable)
         val prec = arg0.map(p => s"($p)").getOrElse("")
-        MappedType(LongType, s"TIME$prec")
+        if (timeNative)  // Spark 4 native TIME (behind spark.sql.timeType.enabled)
+          MappedType(TimeType(math.min(arg0.getOrElse(6), 6)), s"TIME$prec")
+        else  // portable default: micros-of-day (lossless, sortable)
+          MappedType(LongType, s"TIME$prec")
       case "json" => MappedType(StringType, "JSON")   // json(n) collapse
       case "jsonb" => MappedType(StringType, "JSONB")
       case "enum" | "set" => MappedType(StringType, "VARCHAR(255)")
