@@ -107,6 +107,22 @@ object Catalog {
     } finally pool.shutdown()
   }
 
+  /** K1: driver-side DDL executor (`ExecuteDDL`, postgres/connection.go:
+    * 79-91) — Spark has no DataFrame surface for arbitrary DDL. */
+  def executeDdl(url: String, ddl: String): Unit =
+    withConnection(url)(_.createStatement().execute(ddl))
+
+  /** K6: existence probe driving skip-vs-drop (`TableExists`,
+    * postgres/connection.go:357-373; logic manager.go:1228-1278). */
+  def tableExists(url: String, table: String): Boolean =
+    withConnection(url) { conn =>
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      var found = false
+      while (rs.next() && !found)
+        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      found
+    }
+
   /** S13: version probe (< 1 s test_only path, `cmd/main.go:96-144`). */
   def version(url: String): String =
     withConnection(url) { conn =>

@@ -232,6 +232,33 @@ object DdlConverter {
     Seq(create) ++ tableComment ++ colComments
   }
 
+  /** Target CREATE TABLE straight from a Spark schema (for sources that
+    * carry schema natively — parquet footers, JDBC metadata — where no
+    * MySQL DDL text exists to parse). Types chosen from the ANSI subset
+    * Derby and PostgreSQL share. */
+  def ddlForSchema(table: String, schema: StructType,
+                   lowercase: Boolean = false): String = {
+    def sqlType(dt: DataType): String = dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case BinaryType => "BLOB"
+      case StringType => "VARCHAR(4000)"
+      case other => "VARCHAR(4000)"
+    }
+    val cols = schema.fields.map { f =>
+      s"  ${q(f.name, lowercase)} ${sqlType(f.dataType)}" +
+        (if (f.nullable) "" else " NOT NULL")
+    }
+    s"CREATE TABLE ${q(table, lowercase)} (\n${cols.mkString(",\n")}\n)"
+  }
+
   // ------------------------------------------- index / user / priv (D2-D4)
 
   /** `ConvertIndexDDL` (sync_indexes.go:11-87): table-prefixed name,
