@@ -378,6 +378,23 @@ object SqlRewriter {
       case List(d, iv) => s"($d - ${iv.trim.replaceFirst("(?i)^INTERVAL\\s+", "INTERVAL ")})"
       case args => s"SUBDATE(${args.mkString(", ")})"
     }
+    // ELT(n, a, b, ...) → element_at(array(...), n)
+    s = rewriteCalls(s, "ELT") { args =>
+      if (args.size >= 2)
+        s"element_at(array(${args.tail.mkString(", ")}), CAST(${args.head} AS INT))"
+      else s"ELT(${args.mkString(", ")})"
+    }
+    // FIELD(x, a, b, ...) → array_position(array(...), x)
+    s = rewriteCalls(s, "FIELD") { args =>
+      if (args.size >= 2)
+        s"CAST(array_position(array(${args.tail.mkString(", ")}), ${args.head}) AS BIGINT)"
+      else s"FIELD(${args.mkString(", ")})"
+    }
+    // FORMAT(x, d) → format_number
+    s = rewriteCalls(s, "FORMAT") {
+      case List(x, d) => s"format_number($x, $d)"
+      case args => s"FORMAT(${args.mkString(", ")})"
+    }
     // MID(s, p, l) → substring (MySQL alias Spark lacks)
     s = rewriteCalls(s, "MID") {
       case List(str, p, l) => s"substring($str, $p, $l)"

@@ -109,6 +109,31 @@ class SqlRewriterSpec extends AnyFunSuite {
       "SELECT a FROM t WHERE a RLIKE '^x'")
   }
 
+  test("corpus-gate rewrites: COALESCE cast, WEEK, TIME, TIMEDIFF, JSON extras") {
+    assert(rewrite("SELECT COALESCE(a, b, 0) FROM t") ==
+      "SELECT coalesce(CAST(a AS STRING), CAST(b AS STRING), CAST(0 AS STRING)) FROM t")
+    assert(rewrite("SELECT WEEK(d) FROM t") == "SELECT weekofyear(d) FROM t")
+    assert(rewrite("SELECT TIME(dt) FROM t") == "SELECT date_format(dt, 'HH:mm:ss') FROM t")
+    // TIMEDIFF/TIME_TO_SEC/SEC_TO_TIME are not eaten by the TIME( rule
+    assert(rewrite("SELECT TIMEDIFF(a, b) FROM t") == "SELECT (a - b) FROM t")
+    assert(rewrite("SELECT SEC_TO_TIME(90) FROM t") ==
+      "SELECT make_dt_interval(0, 0, 0, CAST(90 AS DOUBLE)) FROM t")
+    assert(rewrite("SELECT JSON_DEPTH(j) FROM t") == "SELECT CAST(NULL AS INT) FROM t")
+    assert(rewrite("SELECT JSON_CONTAINS_PATH(j, 'one', '$.a', '$.b') FROM t")
+      .contains("get_json_object(j, '$.a') IS NOT NULL OR get_json_object(j, '$.b') IS NOT NULL"))
+    assert(rewrite("SELECT DATE_ADD(d, INTERVAL 1 DAY) FROM t") ==
+      "SELECT (d + INTERVAL 1 DAY) FROM t")
+    assert(rewrite("SELECT DATE_ADD(d, 5) FROM t") == "SELECT date_add(d, 5) FROM t")
+  }
+
+  test("ELT / FIELD / FORMAT rewrites") {
+    assert(rewrite("SELECT ELT(2, 'a', 'b', 'c') FROM t") ==
+      "SELECT element_at(array('a', 'b', 'c'), CAST(2 AS INT)) FROM t")
+    assert(rewrite("SELECT FIELD(x, 'a', 'b') FROM t") ==
+      "SELECT CAST(array_position(array('a', 'b'), x) AS BIGINT) FROM t")
+    assert(rewrite("SELECT FORMAT(x, 2) FROM t") == "SELECT format_number(x, 2) FROM t")
+  }
+
   test("splitTopLevelCommas respects nesting") {
     assert(SqlRewriter.splitTopLevelCommas("a, f(b, c), d") == List("a", "f(b, c)", "d"))
   }
