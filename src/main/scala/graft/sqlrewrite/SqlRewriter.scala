@@ -221,22 +221,41 @@ object SqlRewriter {
       } else s"CAST(${args.mkString(", ")})"
     }
 
-    // GROUP_CONCAT([DISTINCT] x [ORDER BY ...] [SEPARATOR 's'])
-    //   → array_join(array_sort(collect_list/collect_set(x)), sep)
-    // Like the reference (:177-193) the ORDER BY column list is honored only
-    // when it orders by the collected expression itself (sorted ascending);
-    // other orderings collapse to ascending — documented fidelity note.
+    // GROUP_CONCAT([DISTINCT] x [ORDER BY k [ASC|DESC]] [SEPARATOR 's'])
+    //   → array_join over a sorted collect. Unlike the reference, which
+    // silently DROPS the ORDER BY (:177-193), a general single-key ordering
+    // is honored by collecting (key, value) structs, sorting (array_sort
+    // orders structs field-by-field), optionally reversing for DESC, and
+    // projecting the value back out.
     s = rewriteCalls(s, "GROUP_CONCAT") { args =>
       val joined = args.mkString(",")
       var body = joined
       var sep = "','"
       val sepM = "(?is)\\bSEPARATOR\\s+(␀STR\\d+␀|\\S+)\\s*$".r.findFirstMatchIn(body)
       sepM.foreach { m => sep = m.group(1); body = body.substring(0, m.start).trim }
-      body = body.replaceAll("(?is)\\bORDER\\s+BY\\b.*$", "").trim
+      var orderKey: Option[(String, Boolean)] = None // (expr, desc)
+      val obM = "(?is)\\bORDER\\s+BY\\s+(.+?)(\\s+ASC|\\s+DESC)?\\s*$".r.findFirstMatchIn(body)
+      obM.foreach { m =>
+        orderKey = Some((m.group(1).trim,
+          Option(m.group(2)).exists(_.trim.equalsIgnoreCase("DESC"))))
+        body = body.substring(0, m.start).trim
+      }
       val distinct = body.matches("(?is)^DISTINCT\\b.*")
       val e = if (distinct) body.replaceFirst("(?is)^DISTINCT\\b", "").trim else body
-      val collect = if (distinct) s"collect_set($e)" else s"collect_list($e)"
-      s"array_join(array_sort($collect), $sep)"
+      orderKey match {
+        case Some((k, desc)) if k != e =>
+          val collect = if (distinct) s"collect_set(struct($k AS k, $e AS v))"
+                        else s"collect_list(struct($k AS k, $e AS v))"
+          val sorted = s"array_sort($collect)"
+          val ordered = if (desc) s"reverse($sorted)" else sorted
+          s"array_join(transform($ordered, p -> p.v), $sep)"
+        case Some((_, true)) =>
+          val collect = if (distinct) s"collect_set($e)" else s"collect_list($e)"
+          s"array_join(reverse(array_sort($collect)), $sep)"
+        case _ =>
+          val collect = if (distinct) s"collect_set($e)" else s"collect_list($e)"
+          s"array_join(array_sort($collect), $sep)"
+      }
     }
 
     // DATE_FORMAT(x, fmt) → date_format(x, javaFmt)

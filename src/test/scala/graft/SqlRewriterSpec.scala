@@ -37,6 +37,15 @@ class SqlRewriterSpec extends AnyFunSuite {
       "SELECT array_join(array_sort(collect_list(name)), ';') FROM t")
   }
 
+  test("GROUP_CONCAT honors ORDER BY on a different key (reference drops it)") {
+    assert(rewrite("SELECT GROUP_CONCAT(name ORDER BY id SEPARATOR '|') FROM t") ==
+      "SELECT array_join(transform(array_sort(collect_list(struct(id AS k, name AS v))), p -> p.v), '|') FROM t")
+    assert(rewrite("SELECT GROUP_CONCAT(name ORDER BY id DESC) FROM t") ==
+      "SELECT array_join(transform(reverse(array_sort(collect_list(struct(id AS k, name AS v)))), p -> p.v), ',') FROM t")
+    assert(rewrite("SELECT GROUP_CONCAT(name ORDER BY name DESC) FROM t") ==
+      "SELECT array_join(reverse(array_sort(collect_list(name))), ',') FROM t")
+  }
+
   test("GROUP_CONCAT with nested function arg") {
     assert(rewrite("SELECT GROUP_CONCAT(CONCAT(a, b)) FROM t") ==
       "SELECT array_join(array_sort(collect_list(CONCAT(a, b))), ',') FROM t")
