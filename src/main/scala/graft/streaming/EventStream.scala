@@ -80,6 +80,14 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop duplicate event_ids within the watermark
+    * window — the streaming face of the dedup ladder (state is bounded by
+    * the watermark, so it scales with the window, not the stream). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source incremental sync: watch a directory of parquet drops and
     * maintain the hourly rollup — the streaming upgrade of the reference's
     * batch re-runs. */

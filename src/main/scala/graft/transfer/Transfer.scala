@@ -136,7 +136,19 @@ object Transfer {
       write(df0, dst, table, truncate)
       return TransferResult(table, 0L, 0L, checksumMatch = true)
     }
-    val df = decodePoints(zeroDatesToNull(df0), pointCols)
+    val df1 = decodePoints(zeroDatesToNull(df0), pointCols)
+    // JDBC targets: bound per-partition transaction size by re-sizing the
+    // write parallelism from row count × estimated row width (the scalable
+    // version of the reference's max_rows_per_batch pagination bound)
+    val df = dst match {
+      case j: Jdbc =>
+        val rows = df1.count()
+        val width = math.max(df1.schema.defaultSize, 20 * df1.schema.size)
+        val target = graft.catalog.Catalog.suggestNumPartitions(
+          rows, width, targetBytesPerPartition = 64L << 20)
+        if (target != df1.rdd.getNumPartitions) df1.repartition(target) else df1
+      case _ => df1
+    }
     write(df, dst, table, truncate)
     validate(spark, src, dst, table, validateChecksum)
   }

@@ -81,6 +81,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_.user_id == 2) == 1)
   }
 
+  test("streaming dedup drops duplicate event_ids within watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(ev(1, 0, 1), ev(1, 0, 1), ev(2, 5, 1), ev(1, 1, 2))
+    q.processAllAvailable()
+    mem.addData(ev(2, 6, 3), ev(3, 7, 3))
+    q.processAllAvailable()
+    val ids = spark.table("deduped").select("event_id")
+      .as[Long].collect().sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // dups across batches removed
+  }
+
   test("file-source incremental sync picks up new drops") {
     import spark.implicits._
     val watch = java.nio.file.Files.createTempDirectory("stream_in").toString
