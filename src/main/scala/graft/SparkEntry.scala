@@ -72,6 +72,9 @@ object SparkEntry {
     "q43_percentiles"     -> Relational.q43Percentiles _,
     "q44_view_math"       -> Views.q44ViewMath _,
     "q45_generator"       -> Relational.q45Generator _,
+    "q46_pivot"           -> Relational.q46Pivot _,
+    "q47_cube"            -> Relational.q47Cube _,
+    "q48_window_ranks"    -> Relational.q48WindowRanks _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -467,6 +470,37 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey % 500 = 0
         |ORDER BY o_orderkey, month_date""".stripMargin,
+
+    "q46_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q47_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q48_window_ranks" ->
+      """SELECT c_custkey, c_mktsegment, spend_cents,
+        |  CAST(rank() OVER w AS BIGINT) AS rk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  lead(spend_cents, 1) OVER w AS next_cents
+        |FROM (SELECT c_custkey, c_mktsegment,
+        |        CAST(round(c_acctbal*100) AS BIGINT) AS spend_cents FROM customer)
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend_cents DESC, c_custkey)
+        |ORDER BY c_mktsegment, rk, c_custkey""".stripMargin,
 
     "q30_text_stats" ->
       """SELECT doc_id,

@@ -294,6 +294,51 @@ object Relational {
       .orderBy($"o_orderkey", $"month_date")
   }
 
+  /** Pivot: order counts + revenue by priority × status — one shuffle,
+    * pivot columns resolved statically (explicit value list, which is the
+    * scale-safe form: no extra pass to discover values). */
+  def q46Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select($"o_orderpriority",
+        $"F".as("n_f"), $"O".as("n_o"), $"P".as("n_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** CUBE lattice over status × priority (all 4 grouping combinations). */
+  def q47Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("cents"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"cents")
+      .orderBy($"status", $"priority")
+  }
+
+  /** Advanced window ranks: rank/dense_rank/ntile/percent_rank/cume_dist/
+    * lead over customer spend — exact rational arithmetic, portable. */
+  def q48WindowRanks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"spend_cents".desc, $"c_custkey")
+    t(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment", cents($"c_acctbal").as("spend_cents"))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("drk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("next_cents", lead($"spend_cents", 1).over(w))
+      .orderBy($"c_mktsegment", $"rk", $"c_custkey")
+  }
+
   /** Count validation (reference P3, sync_data.go:313-356): per-table row
     * counts — the migration engine's correctness gate, as one query. */
   def q18CountValidation(s: SparkSession, dir: String): DataFrame = {
