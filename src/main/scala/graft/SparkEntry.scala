@@ -75,6 +75,7 @@ object SparkEntry {
     "q46_pivot"           -> Relational.q46Pivot _,
     "q47_cube"            -> Relational.q47Cube _,
     "q48_window_ranks"    -> Relational.q48WindowRanks _,
+    "q49_tfidf"           -> TextOps.q49Tfidf _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -501,6 +502,22 @@ object SparkEntry {
         |        CAST(round(c_acctbal*100) AS BIGINT) AS spend_cents FROM customer)
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend_cents DESC, c_custkey)
         |ORDER BY c_mktsegment, rk, c_custkey""".stripMargin,
+
+    "q49_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, count(*) AS df
+        |          FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, word, tf, df,
+        |    CAST(tf AS BIGINT) * ((CAST(n.n AS BIGINT) * 1000) // CAST(df AS BIGINT)) AS score
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+        |SELECT doc_id, rk, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       CAST(score AS BIGINT) AS score
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, word) AS BIGINT) AS rk FROM scored)
+        |WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
 
     "q30_text_stats" ->
       """SELECT doc_id,

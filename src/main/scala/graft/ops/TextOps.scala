@@ -61,6 +61,33 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** TF-IDF keyword extraction: top-3 terms per document scored by
+    * `tf × idf_milli` where `idf_milli = (N·1000) div df` — an integer
+    * rational instead of `ln(N/df)` so the score is portable (libm log
+    * differs across engines in the last bit). Shape: explode → two keyed
+    * aggregations (term-frequency per doc, document-frequency per term) →
+    * broadcast-join df (vocabulary is small relative to corpus) → window
+    * top-k. At 100 TB the df table is the only global state and it is
+    * vocabulary-sized, not corpus-sized. */
+  def q49Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val n = d.count()
+    val words = d.select($"doc_id", explode(split($"text", " ")).as("word"))
+    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val dfreq = words.select($"doc_id", $"word").distinct()
+      .groupBy($"word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "word")
+      .withColumn("idf_milli", expr(s"(${n}L * 1000) div df"))
+      .withColumn("score", $"tf" * $"idf_milli")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"word")
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"word", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rk")
+  }
+
   /** SimHash (16-bit) per document from word-level rolling hashes:
     * explode words → per-bit signed votes → assemble bits. Distributed
     * shape: one shuffle on doc_id (the explode is narrow); at scale this

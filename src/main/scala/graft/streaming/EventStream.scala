@@ -80,6 +80,14 @@ object EventStream {
       }
   }
 
+  /** Stream–static enrichment join: events stream × broadcast user dim —
+    * the streaming face of the star join (no state: the static side is
+    * broadcast per micro-batch, so this scales with the dim, not the
+    * stream). */
+  def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"), "left")
+
   /** Streaming exact dedup: drop duplicate event_ids within the watermark
     * window — the streaming face of the dedup ladder (state is bounded by
     * the watermark, so it scales with the window, not the stream). */

@@ -98,6 +98,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.toSeq == Seq(1L, 2L, 3L)) // dups across batches removed
   }
 
+  test("stream-static enrichment join (broadcast dim)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = EventStream.enrich(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(ev(1, 0, 1), ev(2, 1, 2), ev(3, 2, 9))
+    q.processAllAvailable()
+    val rows = spark.table("enriched")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    q.stop()
+    assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+  }
+
   test("file-source incremental sync picks up new drops") {
     import spark.implicits._
     val watch = java.nio.file.Files.createTempDirectory("stream_in").toString
