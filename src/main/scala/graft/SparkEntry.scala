@@ -519,6 +519,42 @@ object SparkEntry {
         |WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
 
+    "q38_ann_lsh" ->
+      """WITH ij AS (SELECT i.i, j.j
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS i) i
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j),
+        |wts AS (SELECT i, j,
+        |    (CAST(list_reduce(list_transform(
+        |        string_split(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*31 + b) % 1000000007)
+        |      % 2001 AS DOUBLE) - 1000.0) / 1000.0 AS w
+        |  FROM ij),
+        |plane AS (SELECT i, list(w ORDER BY j) AS wl FROM wts GROUP BY i),
+        |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2 FROM e),
+        |dots AS (SELECT n.vec_id, plane.i,
+        |    list_reduce(list_transform(generate_series(1, 64), j -> n.v[j] * plane.wl[j]),
+        |                (a, b) -> a + b) AS dot
+        |  FROM n CROSS JOIN plane),
+        |buckets AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |nb AS (SELECT n.vec_id, n.v, n.nrm2, buckets.bucket
+        |       FROM n JOIN buckets ON n.vec_id = buckets.vec_id),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm2 AS qn, bucket FROM nb WHERE vec_id < 10),
+        |cand AS (SELECT q.q_id, nb.vec_id, nb.bucket,
+        |    list_reduce(list_transform(generate_series(1, 64), j -> q.qv[j] * nb.v[j]),
+        |                (a, b) -> a + b) / (sqrt(q.qn) * sqrt(nb.nrm2)) AS cos
+        |  FROM nb JOIN q ON nb.bucket = q.bucket AND nb.vec_id >= 10)
+        |SELECT q_id, rk, neighbor_id, cos, bucket FROM (
+        |  SELECT q_id, vec_id AS neighbor_id, cos, bucket,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+        |  FROM cand)
+        |WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin,
+
     "q30_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
