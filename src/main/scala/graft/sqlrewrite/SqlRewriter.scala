@@ -192,6 +192,10 @@ object SqlRewriter {
     s = s.replaceAll("(?i)\\s+COLLATE\\s+\\w+", "")
     s = s.replaceAll("(?i)_utf8mb4\\s*", "").replaceAll("(?i)_latin1\\s*", "")
 
+    // db-name prefix strip in table references (sync_viewddl.go:159-164):
+    // only after FROM/JOIN/INTO so column refs like alias.col are untouched
+    s = s.replaceAll("(?i)\\b(FROM|JOIN|INTO)\\s+`?\\w+`?\\.(`?\\w+`?)", "$1 $2")
+
     // LIMIT a,b → LIMIT b OFFSET a (sync_viewddl.go:26,217)
     s = s.replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
 

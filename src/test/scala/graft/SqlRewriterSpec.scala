@@ -88,6 +88,14 @@ class SqlRewriterSpec extends AnyFunSuite {
       "SELECT CAST(datediff(CAST(d AS DATE), DATE '1970-01-01') + 719528 AS BIGINT) FROM t")
   }
 
+  test("db-name prefix stripped from table refs only") {
+    assert(rewrite("SELECT a.x FROM mydb.orders a JOIN mydb.`lineitem` l ON a.k = l.k") ==
+      "SELECT a.x FROM orders a JOIN `lineitem` l ON a.k = l.k")
+    // column qualifications survive
+    assert(rewrite("SELECT t.col FROM orders t WHERE t.col > 1") ==
+      "SELECT t.col FROM orders t WHERE t.col > 1")
+  }
+
   test("COLLATE and charset introducers dropped") {
     assert(rewrite("SELECT a COLLATE utf8mb4_general_ci FROM t") == "SELECT a FROM t")
     assert(rewrite("SELECT _utf8mb4'x' FROM t") == "SELECT 'x' FROM t")
