@@ -76,6 +76,7 @@ object SparkEntry {
     "q47_cube"            -> Relational.q47Cube _,
     "q48_window_ranks"    -> Relational.q48WindowRanks _,
     "q49_tfidf"           -> TextOps.q49Tfidf _,
+    "q50_dedup_clusters"  -> DedupOps.q50DedupClusters _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -698,5 +699,49 @@ object SparkEntry {
         |  UNION ALL SELECT 'lineitem', count(*), count(*), true FROM lineitem
         |  UNION ALL SELECT 'orders', count(*), count(*), true FROM orders)
         |ORDER BY table_name""".stripMargin,
+
+    "q50_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
+        |hs AS (SELECT doc_id, list_transform(shingles,
+        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |sig AS (SELECT doc_id, [
+        |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
+        |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
+        |  list_min(list_transform(h, x -> (11 * x + 13) % 1000000007)),
+        |  list_min(list_transform(h, x -> (17 * x + 29) % 1000000007)),
+        |  list_min(list_transform(h, x -> (23 * x + 37) % 1000000007)),
+        |  list_min(list_transform(h, x -> (31 * x + 43) % 1000000007)),
+        |  list_min(list_transform(h, x -> (41 * x + 53) % 1000000007)),
+        |  list_min(list_transform(h, x -> (47 * x + 61) % 1000000007)),
+        |  list_min(list_transform(h, x -> (59 * x + 71) % 1000000007)),
+        |  list_min(list_transform(h, x -> (67 * x + 79) % 1000000007)),
+        |  list_min(list_transform(h, x -> (73 * x + 89) % 1000000007)),
+        |  list_min(list_transform(h, x -> (83 * x + 101) % 1000000007))] AS sig FROM hs),
+        |bands AS (SELECT doc_id, i AS band_idx,
+        |    CAST(sig[3*i + 1] AS VARCHAR) || ':' || CAST(sig[3*i + 2] AS VARCHAR)
+        |      || ':' || CAST(sig[3*i + 3] AS VARCHAR) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM cands JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |  WHERE len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) >= 6),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS label FROM nodes
+        |  UNION
+        |  SELECT e.a AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b),
+        |lab AS (SELECT doc_id, CAST(min(label) AS BIGINT) AS canonical_id
+        |        FROM reach GROUP BY doc_id),
+        |sz AS (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY canonical_id)
+        |SELECT doc_id, canonical_id, CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM lab JOIN sz USING (canonical_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -137,6 +137,40 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Dedup cluster resolution: connected components over the MinHash
+    * candidate pairs via iterative min-label propagation (the standard
+    * large-scale CC algorithm: each round is one join+aggregate, rounds =
+    * O(component diameter), driver only checks convergence counts).
+    * Output: every clustered doc with its canonical (min) id and cluster
+    * size — the table a dedup pipeline joins against to drop duplicates. */
+  def q50DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = q34DedupMinhash(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
+      .unionAll(pairs.select($"doc_b".as("a"), $"doc_a".as("b")))
+      .distinct().cache()
+    var labels = edges.select($"a".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id").cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      rounds += 1
+      val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy($"a").agg(min($"label").as("nbr_label"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("a"), "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nbr_label", $"label")).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnsRenamed(Map("label" -> "old")),
+        "doc_id").filter($"label" =!= $"old").isEmpty
+      labels = next
+    }
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select($"doc_id", $"label".as("canonical_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
   /** Embedding cosine near-dup pairs blocked by label: double-precision
     * cosine with explicit sequential reduction (bit-identical in DuckDB). */
   def q36EmbedDedup(s: SparkSession, dir: String): DataFrame = {
