@@ -143,32 +143,64 @@ object DedupOps {
     * O(component diameter), driver only checks convergence counts).
     * Output: every clustered doc with its canonical (min) id and cluster
     * size — the table a dedup pipeline joins against to drop duplicates. */
-  def q50DedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def q50DedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir, localThreshold = 1000000L)
+
+  private[graft] def dedupClusters(s: SparkSession, dir: String,
+                                 localThreshold: Long): DataFrame = {
     import s.implicits._
-    val pairs = q34DedupMinhash(s, dir).select($"doc_a", $"doc_b")
-    val edges = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
-      .unionAll(pairs.select($"doc_b".as("a"), $"doc_a".as("b")))
-      .distinct().cache()
-    var labels = edges.select($"a".as("doc_id")).distinct()
-      .withColumn("label", $"doc_id").cache()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      rounds += 1
-      val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
-        .groupBy($"a").agg(min($"label").as("nbr_label"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("a"), "left")
-        .select($"doc_id",
-          least($"label", coalesce($"nbr_label", $"label")).as("label"))
-        .cache()
-      converged = next.join(labels.withColumnsRenamed(Map("label" -> "old")),
-        "doc_id").filter($"label" =!= $"old").isEmpty
-      labels = next
+    val pairs = q34DedupMinhash(s, dir).select($"doc_a", $"doc_b").cache()
+    // The candidate graph is orders of magnitude smaller than the corpus;
+    // when it fits comfortably on the driver, a local union-find beats
+    // paying per-round distributed-job overhead. Above the threshold the
+    // iterative min-label-propagation loop takes over (same output).
+    val edgeList = pairs.as[(Long, Long)]
+    if (pairs.count() <= localThreshold) {
+      val es = edgeList.collect()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.map(k => (k, find(k))).toSeq
+      val sizes = labels.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      labels.toSeq.sortBy(_._1)
+        .map { case (d, c) => (d, c, sizes(c)) }
+        .toDF("doc_id", "canonical_id", "cluster_size")
+        .orderBy($"doc_id")
+    } else {
+      val edges = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
+        .unionAll(pairs.select($"doc_b".as("a"), $"doc_a".as("b")))
+        .distinct().cache()
+      var labels = edges.select($"a".as("doc_id")).distinct()
+        .withColumn("label", $"doc_id").cache()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        rounds += 1
+        val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
+          .groupBy($"a").agg(min($"label").as("nbr_label"))
+        val next = labels.join(nbrMin, labels("doc_id") === nbrMin("a"), "left")
+          .select($"doc_id",
+            least($"label", coalesce($"nbr_label", $"label")).as("label"))
+          .cache()
+        converged = next.join(labels.withColumnsRenamed(Map("label" -> "old")),
+          "doc_id").filter($"label" =!= $"old").isEmpty
+        labels = next
+      }
+      val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select($"doc_id", $"label".as("canonical_id"), $"cluster_size")
+        .orderBy($"doc_id")
     }
-    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select($"doc_id", $"label".as("canonical_id"), $"cluster_size")
-      .orderBy($"doc_id")
   }
 
   /** Embedding cosine near-dup pairs blocked by label: double-precision

@@ -95,6 +95,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup clusters: local union-find equals distributed label propagation") {
+    val local = DedupOps.dedupClusters(spark, sf, localThreshold = Long.MaxValue)
+      .collect().map(_.toString).sorted
+    val dist = DedupOps.dedupClusters(spark, sf, localThreshold = 0L)
+      .collect().map(_.toString).sorted
+    assert(local.nonEmpty && local.sameElements(dist))
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     import spark.implicits._
     val sh = TextOps.q35Simhash(spark, sf)
