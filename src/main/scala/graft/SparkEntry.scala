@@ -600,7 +600,7 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q34_dedup_minhash" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
         |hs AS (SELECT doc_id, list_transform(shingles,
@@ -701,7 +701,7 @@ object SparkEntry {
         |ORDER BY table_name""".stripMargin,
 
     "q50_dedup_clusters" ->
-      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
         |hs AS (SELECT doc_id, list_transform(shingles,

@@ -97,7 +97,12 @@ object DedupOps {
   private val bandsN = 4
   private val rowsPerBand = 3
 
-  /** doc_id + 12-element minhash signature over 3-word shingles. */
+  /** doc_id + 12-element minhash signature over 3-word shingles.
+    * Documents with fewer than 3 words have no 3-shingle and are excluded
+    * up front: `sequence(1, size(ws)-2)` would otherwise run DESCENDING
+    * ([1,0]) and index ws[-1] — an ANSI INVALID_ARRAY_INDEX error — and a
+    * null/empty signature would band-collide every short doc with every
+    * other. Short docs are exact-dedup territory (q32), not minhash. */
   private[ops] def signatures(s: SparkSession, dir: String): DataFrame = {
     Fingerprint.register(s)
     val sigExprs = perms.map { case (a, b) =>
@@ -105,6 +110,7 @@ object DedupOps {
     }.mkString("array(", ", ", ")")
     docs(s, dir)
       .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .where("size(ws) >= 3")
       .selectExpr("doc_id",
         "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])) AS shingles")
       .selectExpr("doc_id", "transform(shingles, s -> graft_fingerprint(s)) AS hs")
@@ -184,16 +190,32 @@ object DedupOps {
         .withColumn("label", $"doc_id").cache()
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 20) {
+      // Each round = one min-label propagation step (neighbor min) followed
+      // by a pointer-doubling step (label := label of my label), so label
+      // distance halves every round: convergence in O(log diameter), and a
+      // cap of 40 covers diameters up to 2^40. Hitting the cap without
+      // convergence is a bug, and silently emitting half-propagated labels
+      // would corrupt canonical_id/cluster_size downstream — fail loudly.
+      val maxRounds = 40
+      while (!converged) {
         rounds += 1
+        if (rounds > maxRounds)
+          throw new IllegalStateException(
+            s"dedupClusters: connected components failed to converge in $maxRounds rounds")
         val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
           .groupBy($"a").agg(min($"label").as("nbr_label"))
-        val next = labels.join(nbrMin, labels("doc_id") === nbrMin("a"), "left")
+        val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("a"), "left")
           .select($"doc_id",
             least($"label", coalesce($"nbr_label", $"label")).as("label"))
+        val next = stepped.as("x")
+          .join(stepped.select($"doc_id".as("l_id"), $"label".as("l_lbl")).as("y"),
+            col("x.label") === col("l_id"), "left")
+          .select(col("x.doc_id"),
+            least(col("x.label"), coalesce($"l_lbl", col("x.label"))).as("label"))
           .cache()
         converged = next.join(labels.withColumnsRenamed(Map("label" -> "old")),
           "doc_id").filter($"label" =!= $"old").isEmpty
+        labels.unpersist()
         labels = next
       }
       val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))

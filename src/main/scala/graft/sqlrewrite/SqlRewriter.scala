@@ -92,7 +92,11 @@ object SqlRewriter {
           val openParen = search + m.end - 1
           val close = matchParen(s, openParen)
           if (close < 0) return s
+          // Rewrite nested same-function calls inside the args first
+          // (JSON_EXTRACT(JSON_EXTRACT(j,'$.a'),'$.b'), nested COALESCE, ...);
+          // recursion terminates because each arg is strictly shorter.
           val args = splitTopLevelCommas(s.substring(openParen + 1, close))
+            .map(a => rewriteCalls(a, fn)(transform))
           val replacement = transform(args)
           s = s.substring(0, callStart) + replacement + s.substring(close + 1)
           search = callStart + replacement.length

@@ -117,39 +117,51 @@ object Transfer {
       }
   }
 
+  /** Compare source against destination. `convertSrc` must be the same
+    * conversion chain the writer applied (zero-dates, point decode, ...) —
+    * validating the raw source against a converted destination would flag
+    * correctly-migrated tables as corrupt. */
   def validate(spark: SparkSession, src: Endpoint, dst: Endpoint,
-               table: String, withChecksum: Boolean = true): TransferResult = {
-    val s = read(spark, src, table)
+               table: String, withChecksum: Boolean = true,
+               convertSrc: DataFrame => DataFrame = identity): TransferResult = {
+    val s = convertSrc(read(spark, src, table))
     val d = read(spark, dst, table)
     val (sc, dc) = (s.count(), d.count())
     val ok = !withChecksum || checksum(s) == checksum(d)
     TransferResult(table, sc, dc, ok && sc == dc)
   }
 
-  /** Full per-table transfer: read → convert → write → validate. */
+  /** Full per-table transfer: read → convert → write → validate.
+    * The converted frame is cached and reused for the source side of
+    * validation — one source scan total, and the checksum compares the
+    * frame that was actually written (not a raw re-read). */
   def copyTable(spark: SparkSession, src: Endpoint, dst: Endpoint, table: String,
                 truncate: Boolean = true,
                 pointCols: Seq[String] = Nil,
                 validateChecksum: Boolean = true): TransferResult = {
-    val df0 = read(spark, src, table)
-    if (df0.isEmpty) { // empty-table shortcut (sync_data.go:64-113)
-      write(df0, dst, table, truncate)
-      return TransferResult(table, 0L, 0L, checksumMatch = true)
-    }
-    val df1 = decodePoints(zeroDatesToNull(df0), pointCols)
-    // JDBC targets: bound per-partition transaction size by re-sizing the
-    // write parallelism from row count × estimated row width (the scalable
-    // version of the reference's max_rows_per_batch pagination bound)
-    val df = dst match {
-      case j: Jdbc =>
-        val rows = df1.count()
-        val width = math.max(df1.schema.defaultSize, 20 * df1.schema.size)
-        val target = graft.catalog.Catalog.suggestNumPartitions(
-          rows, width, targetBytesPerPartition = 64L << 20)
-        if (target != df1.rdd.getNumPartitions) df1.repartition(target) else df1
-      case _ => df1
-    }
-    write(df, dst, table, truncate)
-    validate(spark, src, dst, table, validateChecksum)
+    val df1 = decodePoints(zeroDatesToNull(read(spark, src, table)), pointCols).persist()
+    try {
+      val srcRows = df1.count()
+      if (srcRows == 0L) { // empty-table shortcut (sync_data.go:64-113)
+        write(df1, dst, table, truncate)
+        return TransferResult(table, 0L, 0L, checksumMatch = true)
+      }
+      // JDBC targets: bound per-partition transaction size by re-sizing the
+      // write parallelism from row count × estimated row width (the scalable
+      // version of the reference's max_rows_per_batch pagination bound)
+      val df = dst match {
+        case j: Jdbc =>
+          val width = math.max(df1.schema.defaultSize, 20 * df1.schema.size)
+          val target = graft.catalog.Catalog.suggestNumPartitions(
+            srcRows, width, targetBytesPerPartition = 64L << 20)
+          if (target != df1.rdd.getNumPartitions) df1.repartition(target) else df1
+        case _ => df1
+      }
+      write(df, dst, table, truncate)
+      val d = read(spark, dst, table)
+      val dstRows = d.count()
+      val ok = !validateChecksum || checksum(df1) == checksum(d)
+      TransferResult(table, srcRows, dstRows, ok && srcRows == dstRows)
+    } finally df1.unpersist()
   }
 }

@@ -121,14 +121,23 @@ object TypeMapper {
     }
   }
 
-  /** AUTO_INCREMENT DDL emission (sync_tableddl.go:351-357, :793-821). */
+  /** AUTO_INCREMENT DDL emission (sync_tableddl.go:351-357, :793-821).
+    * Widens unsigned one step, matching [[map]]'s widening fix: an
+    * `int unsigned AUTO_INCREMENT` id can exceed 2^31, so it must land in
+    * BIGSERIAL, not SERIAL. `bigint unsigned AUTO_INCREMENT` has no PG
+    * serial/identity type wide enough (identity requires an int type, so
+    * NUMERIC(20,0) identity is not an option): emitted as BIGSERIAL with
+    * the documented lossy edge that values above 2^63-1 are unsupported —
+    * in practice unreachable for an auto-increment counter. */
   def serialFor(mysqlType: String): Option[String] = {
-    val (base, _, _) = parse(mysqlType)
+    val (base, _, unsigned) = parse(mysqlType)
     base match {
-      case "int" | "integer" | "mediumint"          => Some("SERIAL")
-      case "bigint"                                  => Some("BIGSERIAL")
-      case "smallint" | "tinyint"                    => Some("SMALLSERIAL")
-      case _                                         => None
+      case "int" | "integer" | "mediumint" =>
+        Some(if (unsigned) "BIGSERIAL" else "SERIAL")
+      case "bigint" => Some("BIGSERIAL")
+      case "smallint" | "tinyint" =>
+        Some(if (unsigned) "SERIAL" else "SMALLSERIAL")
+      case _ => None
     }
   }
 }

@@ -95,6 +95,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("minhash tolerates documents with fewer than 3 words (ADVICE r1)") {
+    import spark.implicits._
+    // Under ANSI mode the unguarded shingle range indexed ws[-1] and threw
+    // INVALID_ARRAY_INDEX for short docs; they must instead be excluded.
+    val dir = java.nio.file.Files.createTempDirectory("minhash_short").toString
+    val base = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val shorts = Seq(
+      (900001L, "hi", "en", "web", 2L),
+      (900002L, "one two", "en", "web", 7L),
+      (900003L, "", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.unionAll(shorts).write.parquet(s"$dir/documents.parquet")
+    val pairs = DedupOps.q34DedupMinhash(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(!pairs.exists(p => p._1 >= 900001L || p._2 >= 900001L),
+      "short docs must not appear as near-dup candidates")
+    // and the full suite on the augmented corpus matches the unaugmented one
+    val origPairs = DedupOps.q34DedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.toSet == origPairs)
+  }
+
   test("dedup clusters: local union-find equals distributed label propagation") {
     val local = DedupOps.dedupClusters(spark, sf, localThreshold = Long.MaxValue)
       .collect().map(_.toString).sorted

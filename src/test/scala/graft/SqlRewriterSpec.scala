@@ -154,4 +154,15 @@ class SqlRewriterSpec extends AnyFunSuite {
   test("splitTopLevelCommas respects nesting") {
     assert(SqlRewriter.splitTopLevelCommas("a, f(b, c), d") == List("a", "f(b, c)", "d"))
   }
+
+  test("nested same-function calls are rewritten (ADVICE r1)") {
+    assert(rewrite("SELECT JSON_EXTRACT(JSON_EXTRACT(j, '$.a'), '$.b') FROM t") ==
+      "SELECT get_json_object(get_json_object(j, '$.a'), '$.b') FROM t")
+    assert(rewrite(
+      "SELECT JSON_EXTRACT(JSON_EXTRACT(JSON_EXTRACT(j, '$.a'), '$.b'), '$.c') FROM t") ==
+      "SELECT get_json_object(get_json_object(get_json_object(j, '$.a'), '$.b'), '$.c') FROM t")
+    // same-function nesting where the transform unwraps its argument
+    assert(rewrite("SELECT JSON_UNQUOTE(JSON_UNQUOTE(JSON_EXTRACT(j, '$.a'))) FROM t") ==
+      "SELECT get_json_object(j, '$.a') FROM t")
+  }
 }

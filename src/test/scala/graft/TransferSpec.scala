@@ -122,6 +122,29 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(id("UserID") == "UserID")
   }
 
+  test("copyTable validates converted data, not the raw source (ADVICE r1)") {
+    import spark.implicits._
+    val src = ParquetDir(Files.createTempDirectory("xfer_conv_src").toString)
+    val dst = ParquetDir(Files.createTempDirectory("xfer_conv_dst").toString)
+    // zero-date strings and WKB points both mutate in flight; the checksum
+    // must compare the converted frame, not a raw re-read of the source.
+    Seq(
+      (1L, "0000-00-00 00:00:00", PointDecode.encode(1.0, 2.0)),
+      (2L, "2024-05-06 07:08:09", PointDecode.encode(-3.5, 4.5)))
+      .toDF("id", "dt", "loc")
+      .write.parquet(s"${src.dir}/tconv.parquet")
+    val r = Transfer.copyTable(spark, src, dst, "tconv", pointCols = Seq("loc"))
+    assert(r.srcRows == 2 && r.dstRows == 2)
+    assert(r.checksumMatch, "converted table must validate clean")
+    // standalone validate with the same conversion chain also passes...
+    val rv = Transfer.validate(spark, src, dst, "tconv",
+      convertSrc = d => Transfer.decodePoints(Transfer.zeroDatesToNull(d), Seq("loc")))
+    assert(rv.checksumMatch)
+    // ...and without it, the mismatch is real (raw source != converted dst)
+    val raw = Transfer.validate(spark, src, dst, "tconv")
+    assert(!raw.checksumMatch)
+  }
+
   test("pipeline surfaces validation failure when target is corrupted") {
     import spark.implicits._
     val src = ParquetDir(Files.createTempDirectory("xfer_bad_src").toString)

@@ -94,5 +94,11 @@ class TypeMapperSpec extends AnyFunSuite {
     assert(TypeMapper.serialFor("bigint") == Some("BIGSERIAL"))
     assert(TypeMapper.serialFor("smallint") == Some("SMALLSERIAL"))
     assert(TypeMapper.serialFor("varchar(10)") == None)
+    // unsigned widens one step, consistent with map()'s widening (ADVICE r1)
+    assert(TypeMapper.serialFor("int unsigned") == Some("BIGSERIAL"))
+    assert(TypeMapper.serialFor("int(10) unsigned") == Some("BIGSERIAL"))
+    assert(TypeMapper.serialFor("smallint unsigned") == Some("SERIAL"))
+    assert(TypeMapper.serialFor("tinyint unsigned") == Some("SERIAL"))
+    assert(TypeMapper.serialFor("bigint unsigned") == Some("BIGSERIAL"))
   }
 }
