@@ -61,6 +61,19 @@ case class Fingerprint(child: Expression) extends UnaryExpression {
 }
 
 object Fingerprint {
+  /** Driver-side evaluation of the same hash — for precomputing constants
+    * (e.g. deterministic LSH hyperplanes) without a per-row expression. */
+  def hashString(s: String): Long = {
+    val bytes = s.getBytes("UTF-8")
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
   /** SQL registration; usable both as a Column (via [[fingerprint]]) and
     * inside lambda expressions (`transform(arr, s -> graft_fingerprint(s))`). */
   def register(spark: SparkSession): Unit =

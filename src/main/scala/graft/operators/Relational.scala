@@ -340,15 +340,21 @@ object Relational {
   }
 
   /** Count validation (reference P3, sync_data.go:313-356): per-table row
-    * counts — the migration engine's correctness gate, as one query. */
+    * counts — the migration engine's correctness gate, as one query.
+    * Each table is a plain `df.count()` (Spark's count-star fast path reads
+    * only parquet row-group metadata, no column data) and the tables run
+    * from concurrent driver futures — exactly how the validation stage
+    * counts both sides of a live migration. */
   def q18CountValidation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.all.map { name =>
-      t(s, dir, name).select(
-        lit(name).as("table_name"),
-        lit(1L).as("one"))
-        .groupBy($"table_name").agg(count($"one").as("n_rows"))
-    }.reduce(_ unionAll _).orderBy($"table_name")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val counts = Await.result(
+      Future.sequence(Tables.all.map(name =>
+        Future(name -> t(s, dir, name).count()))),
+      Duration.Inf)
+    counts.toDF("table_name", "n_rows").orderBy($"table_name")
   }
 
   /** Scalar math/cast surface: MOD, SIGNED/UNSIGNED casts, abs/floor/ceil/

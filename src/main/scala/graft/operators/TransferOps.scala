@@ -20,9 +20,19 @@ object TransferOps {
 
   def q41TransferValidate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val dst = ParquetDir(Files.createTempDirectory("graft_transfer").toString)
-    val results = tables.map(t =>
-      Transfer.copyTable(s, ParquetDir(dir), dst, t, truncate = true))
+    // cross-table parallelism: each copyTable is a chain of distributed
+    // jobs, so running the three per-table pipelines from driver futures
+    // overlaps lineitem's big scan with the small tables' job latencies —
+    // the Spark analogue of the reference's `concurrency` table semaphore
+    // (manager.go:371).
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val results = Await.result(
+      Future.sequence(tables.map(t => Future(
+        Transfer.copyTable(s, ParquetDir(dir), dst, t, truncate = true)))),
+      Duration.Inf)
     results.map(r => (r.table, r.srcRows, r.dstRows, r.checksumMatch))
       .toDF("table_name", "src_rows", "dst_rows", "checksum_match")
       .orderBy($"table_name")

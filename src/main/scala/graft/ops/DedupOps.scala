@@ -226,19 +226,23 @@ object DedupOps {
   }
 
   /** Embedding cosine near-dup pairs blocked by label: double-precision
-    * cosine with explicit sequential reduction (bit-identical in DuckDB). */
+    * cosine via the codegen'd [[graft.functions.DotProduct]] sequential
+    * fold (bit-identical to the DuckDB list_reduce oracle). The block join
+    * is salted the same way as q33: `label` has ~10 distinct values, which
+    * would pin the quadratic scoring onto 10 tasks regardless of cluster
+    * size — salting spreads each block S ways at the cost of replicating
+    * the (narrow) right side. */
   def q36EmbedDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.load(s, dir, "embeddings")
-      .selectExpr("vec_id", "label",
-        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-      .selectExpr("vec_id", "label", "v",
-        "aggregate(v, 0D, (acc, x) -> acc + x * x) AS nrm2")
-    val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"), $"nrm2".as("na"))
+    val e = SimilarityOps.emb(s, dir)
+    val SALTS = 8
+    val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"), $"nrm2".as("na"),
+      ($"vec_id" % SALTS).cast("int").as("salt"))
     val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"), $"nrm2".as("nb"))
-    a.join(b, Seq("label"))
+      .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+    a.join(b, Seq("label", "salt"))
       .filter($"vec_a" < $"vec_b")
-      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_dot(va, vb)"))
       .withColumn("cos", $"dot" / (sqrt($"na") * sqrt($"nb")))
       .filter($"cos" >= 0.3)
       .select($"label", $"vec_a", $"vec_b", $"cos")

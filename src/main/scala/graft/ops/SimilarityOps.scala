@@ -23,12 +23,15 @@ import graft.sources.Tables
   */
 object SimilarityOps {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[ops] def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     Tables.load(s, dir, "embeddings")
       .selectExpr("vec_id", "label",
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-      .selectExpr("vec_id", "label", "v",
-        "aggregate(v, 0D, (acc, x) -> acc + x * x) AS nrm2")
+      // graft_dot(v, v) = the same sequential fold as
+      // aggregate(v, 0D, (acc,x) -> acc + x*x), in one codegen'd loop
+      .selectExpr("vec_id", "label", "v", "graft_dot(v, v) AS nrm2")
+  }
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def q37CosineTopk(s: SparkSession, dir: String): DataFrame = {
@@ -37,7 +40,7 @@ object SimilarityOps {
     val q = broadcast(e.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm2".as("qn")))
     val scored = e.filter($"vec_id" >= 10).crossJoin(q)
-      .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_dot(qv, v)"))
       .withColumn("cos", $"dot" / (sqrt($"qn") * sqrt($"nrm2")))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     scored
@@ -54,20 +57,26 @@ object SimilarityOps {
     * [[q37CosineTopk]]. */
   def q38AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.functions.Fingerprint.register(s)
     val nBits = 12
-    // deterministic pseudo-random hyperplanes, dim = 64
-    val planeExpr = (0 until nBits).map { i =>
-      s"""aggregate(zip_with(v, transform(sequence(0, 63), j -> (CAST(graft_fingerprint(concat('$i', ':', j)) % 2001 AS DOUBLE) - 1000.0) / 1000.0), (x, w) -> x * w), 0D, (acc, x) -> acc + x)"""
-    }.zipWithIndex.map { case (dot, i) =>
-      s"CASE WHEN $dot > 0 THEN ${1 << i} ELSE 0 END"
+    // Deterministic pseudo-random hyperplanes, dim = 64. The planes are
+    // CONSTANT, so they are evaluated once on the driver (same fingerprint
+    // arithmetic) and embedded as array literals — the previous form
+    // re-derived all 12×64 plane weights per ROW inside a lambda.
+    val planeLits = (0 until nBits).map { i =>
+      (0 until 64).map { j =>
+        val w = (graft.functions.Fingerprint.hashString(s"$i:$j") % 2001 - 1000).toDouble / 1000.0
+        s"${w}D"
+      }.mkString("array(", ", ", ")")
+    }
+    val planeExpr = planeLits.zipWithIndex.map { case (plane, i) =>
+      s"CASE WHEN graft_dot(v, $plane) > 0 THEN ${1 << i} ELSE 0 END"
     }.mkString(" + ")
     val e = emb(s, dir).withColumn("bucket", expr(planeExpr).cast("long"))
     val q = broadcast(e.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm2".as("qn"), $"bucket"))
     val cands = e.filter($"vec_id" >= 10)
       .join(q, Seq("bucket"))
-      .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_dot(qv, v)"))
       .withColumn("cos", $"dot" / (sqrt($"qn") * sqrt($"nrm2")))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     cands

@@ -108,13 +108,17 @@ object Transfer {
   /** Order-independent checksum: xor-aggregate of xxhash64 over all columns.
     * Strictly stronger than the reference's row-count compare (P3) at the
     * same cost class (one scan each side, map-side combinable). */
-  def checksum(df: DataFrame): Long = {
-    val cols: Seq[Column] = df.schema.fieldNames.toSeq.map(col)
-    df.agg(expr(s"bit_xor(xxhash64(${df.schema.fieldNames.mkString(", ")}))"))
-      .collect().head match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
+  def checksum(df: DataFrame): Long = stats(df)._2
+
+  /** (row count, xor-xxhash64 checksum) in ONE scan — count and checksum
+    * are both map-side-combinable aggregates, so fusing them halves the
+    * number of validation jobs per side. */
+  def stats(df: DataFrame): (Long, Long) = {
+    val r = df.agg(
+      count(lit(1)),
+      expr(s"bit_xor(xxhash64(${df.schema.fieldNames.mkString(", ")}))"))
+      .collect().head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Compare source against destination. `convertSrc` must be the same
@@ -124,24 +128,29 @@ object Transfer {
   def validate(spark: SparkSession, src: Endpoint, dst: Endpoint,
                table: String, withChecksum: Boolean = true,
                convertSrc: DataFrame => DataFrame = identity): TransferResult = {
-    val s = convertSrc(read(spark, src, table))
-    val d = read(spark, dst, table)
-    val (sc, dc) = (s.count(), d.count())
-    val ok = !withChecksum || checksum(s) == checksum(d)
+    val (sc, ssum) = stats(convertSrc(read(spark, src, table)))
+    val (dc, dsum) = stats(read(spark, dst, table))
+    val ok = !withChecksum || ssum == dsum
     TransferResult(table, sc, dc, ok && sc == dc)
   }
 
   /** Full per-table transfer: read → convert → write → validate.
-    * The converted frame is cached and reused for the source side of
-    * validation — one source scan total, and the checksum compares the
-    * frame that was actually written (not a raw re-read). */
+    * The source side of validation aggregates over the SAME converted frame
+    * the writer produced (not a raw re-read), so in-flight conversions
+    * (zero-dates, point decode) never trip the checksum. JDBC sources are
+    * cached for the duration so source count/checksum/write see one
+    * snapshot; parquet sources are immutable files and re-scan for free
+    * (whole-stage-codegen'd scans beat cache materialization there).
+    * Three scans total: src stats, write, dst stats — each a single job. */
   def copyTable(spark: SparkSession, src: Endpoint, dst: Endpoint, table: String,
                 truncate: Boolean = true,
                 pointCols: Seq[String] = Nil,
                 validateChecksum: Boolean = true): TransferResult = {
-    val df1 = decodePoints(zeroDatesToNull(read(spark, src, table)), pointCols).persist()
+    val df1 = decodePoints(zeroDatesToNull(read(spark, src, table)), pointCols)
+    val snapshot = src.isInstanceOf[Jdbc]
+    if (snapshot) df1.persist()
     try {
-      val srcRows = df1.count()
+      val (srcRows, srcSum) = stats(df1)
       if (srcRows == 0L) { // empty-table shortcut (sync_data.go:64-113)
         write(df1, dst, table, truncate)
         return TransferResult(table, 0L, 0L, checksumMatch = true)
@@ -158,10 +167,9 @@ object Transfer {
         case _ => df1
       }
       write(df, dst, table, truncate)
-      val d = read(spark, dst, table)
-      val dstRows = d.count()
-      val ok = !validateChecksum || checksum(df1) == checksum(d)
+      val (dstRows, dstSum) = stats(read(spark, dst, table))
+      val ok = !validateChecksum || srcSum == dstSum
       TransferResult(table, srcRows, dstRows, ok && srcRows == dstRows)
-    } finally df1.unpersist()
+    } finally if (snapshot) df1.unpersist()
   }
 }

@@ -43,6 +43,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row == Seq(refHash("ab"), refHash("cd")))
   }
 
+  test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
+    import spark.implicits._
+    graft.functions.DotProduct.register(spark)
+    val df = Seq(
+      (Seq(1.5, -2.25, 3.125), Seq(0.5, 4.0, -1.0)),
+      (Seq(0.1, 0.2, 0.3), Seq(0.7, 0.8, 0.9)))
+      .toDF("a", "b")
+      .selectExpr("graft_dot(a, b) AS fast",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) AS slow")
+      .collect()
+    df.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // null semantics mirror zip_with: length mismatch and null inputs -> null
+    val edge = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(1.0D)) AS mismatch,
+        |       graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS nullarr,
+        |       graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS nullelem
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+  }
+
   test("exact dedup accounts for every document") {
     val rows = DedupOps.q32DedupExact(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum == 500L)
