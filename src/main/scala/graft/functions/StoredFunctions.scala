@@ -60,14 +60,18 @@ object StoredFunctions {
       .select($"o_orderstatus".as("status"), $"o_orderkey",
         coalesce($"c_name", lit("N/A")).as("cust"),
         round($"o_totalprice" * 100).cast("long").as("cents"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"status").orderBy($"cents".desc, $"o_orderkey")
-    joined.withColumn("rk", row_number().over(w))
-      .filter($"rk" === 1)
+    // top-1 per group via max_by on a (cents, -key) struct: a hash
+    // aggregate with map-side partials instead of a row_number window,
+    // which would sort the whole table into (here) THREE partitions —
+    // the classic low-cardinality window skew. Same row wins: struct
+    // comparison is lexicographic and o_orderkey makes it unique.
+    joined.groupBy($"status")
+      .agg(max_by(struct($"cust", $"cents"),
+        struct($"cents", (-$"o_orderkey").as("nk"))).as("top"))
       .select($"status", concat(
         lit("Status: "), $"status",
-        lit(", Top Cust: "), $"cust",
-        lit(", Cents: "), $"cents").as("result"))
+        lit(", Top Cust: "), $"top.cust",
+        lit(", Cents: "), $"top.cents").as("result"))
   }
 
   def getStatusSummary(s: SparkSession, dir: String, status: String): Option[String] = {
@@ -84,15 +88,15 @@ object StoredFunctions {
     val sup = broadcast(Tables.load(s, dir, "supplier"))
     val joined = l.join(sup,
       l("l_suppkey") === sup("s_suppkey") && l("l_quantity") > 40 && l("l_discount") >= 0.05)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"s_suppkey").orderBy($"l_orderkey", $"l_linenumber")
-    joined.withColumn("rk", row_number().over(w))
-      .filter($"rk" === 1)
+    // first row per supplier as a min_by hash aggregate (see statusSummary)
+    joined.groupBy($"s_suppkey", $"s_name")
+      .agg(min_by(struct($"l_orderkey", $"l_linenumber", $"l_quantity"),
+        struct($"l_orderkey", $"l_linenumber")).as("f"))
       .select($"s_suppkey", concat(
         lit("Supp: "), $"s_name",
-        lit(", Order: "), $"l_orderkey",
-        lit(", Line: "), $"l_linenumber",
-        lit(", Qty: "), $"l_quantity".cast("long")).as("result"))
+        lit(", Order: "), $"f.l_orderkey",
+        lit(", Line: "), $"f.l_linenumber",
+        lit(", Qty: "), $"f.l_quantity".cast("long")).as("result"))
   }
 
   def getSupplierDetail(s: SparkSession, dir: String, suppKey: Long): Option[String] = {
