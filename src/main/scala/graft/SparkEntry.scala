@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Relational, SchemaOps, Views}
 import graft.operators.{FunctionOps, TransferOps}
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, EventOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -77,6 +77,12 @@ object SparkEntry {
     "q48_window_ranks"    -> Relational.q48WindowRanks _,
     "q49_tfidf"           -> TextOps.q49Tfidf _,
     "q50_dedup_clusters"  -> DedupOps.q50DedupClusters _,
+    "q51_asof_join"       -> EventOps.q51AsofJoin _,
+    "q52_range_join"      -> Relational.q52RangeJoin _,
+    "q53_ngram_jaccard"   -> DedupOps.q53NgramJaccard _,
+    "q54_sessionize"      -> EventOps.q54Sessionize _,
+    "q55_stratified_sample" -> TextOps.q55StratifiedSample _,
+    "q56_ivf_ann"         -> SimilarityOps.q56IvfAnn _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -743,5 +749,91 @@ object SparkEntry {
         |SELECT doc_id, canonical_id, CAST(cluster_size AS BIGINT) AS cluster_size
         |FROM lab JOIN sz USING (canonical_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q51_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |errors AS (SELECT user_id, ts, max(event_id) AS event_id FROM events
+        |           WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id,
+        |  epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+        |FROM clicks c ASOF LEFT JOIN errors e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.user_id, click_id""".stripMargin,
+
+    "q52_range_join" ->
+      """WITH bands AS (SELECT 'band_' || CAST(i AS VARCHAR) AS band,
+        |    CAST(i * 10000000 AS BIGINT) AS lo_cents,
+        |    CAST((i + 1) * 10000000 AS BIGINT) AS hi_cents
+        |  FROM generate_series(0, 5) t(i))
+        |SELECT band, lo_cents, count(*) AS n_orders,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
+        |FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders) o
+        |JOIN bands ON price_cents >= lo_cents AND price_cents < hi_cents
+        |GROUP BY band, lo_cents
+        |ORDER BY lo_cents""".stripMargin,
+
+    "q53_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(generate_series(1, length(text) - 2),
+        |      i -> substring(text, i, 3))) AS gs
+        |  FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS inter_n,
+        |  CAST(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS BIGINT) AS union_n
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.gs, b.gs)) * 5 >=
+        |      (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) * 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q54_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END AS new_sess FROM l),
+        |g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx FROM f)
+        |SELECT user_id, sess_idx, count(*) AS n_events,
+        |  CAST(min(us) AS BIGINT) AS start_us,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+        |  CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM g GROUP BY user_id, sess_idx
+        |ORDER BY user_id, sess_idx""".stripMargin,
+
+    "q55_stratified_sample" ->
+      """SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN fp % 10 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN fp % 10 < 2 THEN doc_id END) AS BIGINT) AS sampled_id_sum
+        |FROM (SELECT lang, doc_id,
+        |    list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |                (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |  FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q56_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2 FROM e),
+        |c AS (SELECT vec_id AS c_id, v AS cv, nrm2 AS cn FROM n WHERE vec_id < 8),
+        |ac AS (SELECT n.vec_id, c.c_id, n.v, n.nrm2,
+        |        list_reduce(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * c.cv[i]),
+        |                    (x, y) -> x + y) / (sqrt(n.nrm2) * sqrt(c.cn)) AS c_cos
+        |      FROM n CROSS JOIN c),
+        |asg AS (SELECT vec_id, c_id AS cluster, v, nrm2 FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS ark
+        |        FROM ac) WHERE ark = 1),
+        |corpus AS (SELECT * FROM asg WHERE vec_id >= 18),
+        |queries AS (SELECT vec_id AS q_id, cluster, v AS qv, nrm2 AS qn
+        |            FROM asg WHERE vec_id >= 8 AND vec_id < 18),
+        |s AS (SELECT q.q_id, co.vec_id, q.cluster,
+        |        list_reduce(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * co.v[i]),
+        |                    (x, y) -> x + y) / (sqrt(q.qn) * sqrt(co.nrm2)) AS cos
+        |      FROM corpus co JOIN queries q USING (cluster))
+        |SELECT q_id, rk, neighbor_id, cluster, cos FROM (
+        |  SELECT q_id, vec_id AS neighbor_id, cluster, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+        |  FROM s)
+        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
   )
 }

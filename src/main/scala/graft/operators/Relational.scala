@@ -413,4 +413,29 @@ object Relational {
       .select($"o_orderkey", $"o_custkey", $"price_cents")
       .orderBy($"o_orderkey")
   }
+
+  /** Range join: orders bucketed into price bands via an interval-overlap
+    * predicate against a small band table. The band side is broadcast, so
+    * the plan is a BroadcastNestedLoopJoin — a single pass over the fact
+    * table with no shuffle, the right plan whenever the range side fits in
+    * memory (here: always; band tables are inherently tiny). Were the
+    * bands uniform-width (they are), the scalable equivalent for a
+    * non-broadcastable band table is the equi-join on
+    * floor(price / width) — documented, not needed at any realistic band
+    * cardinality. */
+  def q52RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = broadcast(
+      (0 until 6).map(i => (s"band_$i", i * 100000L, (i + 1) * 100000L))
+        .toDF("band", "lo_cents_k", "hi_cents_k")
+        .select($"band", ($"lo_cents_k" * 100).as("lo_cents"),
+          ($"hi_cents_k" * 100).as("hi_cents")))
+    t(s, dir, "orders")
+      .select(cents($"o_totalprice").as("price_cents"))
+      .join(bands, $"price_cents" >= $"lo_cents" && $"price_cents" < $"hi_cents")
+      .groupBy($"band", $"lo_cents")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"price_cents").as("sum_cents"))
+      .orderBy($"lo_cents")
+  }
 }

@@ -88,6 +88,32 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Character-trigram Jaccard near-dup pairs (J >= 0.6), the n-gram
+    * complement of the word-set ladder rung: robust to word-boundary noise
+    * (tokenizer differences, punctuation). Same exactness role as q33 —
+    * quadratic within a (lang, doc_id mod 10) block, salted; the scale path
+    * for trigram similarity is the same MinHash machinery with trigram
+    * shingles. The doc_id stratum keeps the candidate set at oracle-able
+    * size while remaining a deterministic, hash-replayable restriction. */
+  def q53NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+      .filter($"doc_id" % 10 === 0 && length($"text") >= 3)
+      .selectExpr("doc_id", "lang",
+        "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS gs")
+    val SALTS = 8
+    val a = d.select($"doc_id".as("doc_a"), $"lang", $"gs".as("ga"),
+      ($"doc_id" % SALTS).cast("int").as("salt"))
+    val b = d.select($"doc_id".as("doc_b"), $"lang", $"gs".as("gb"))
+      .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+    a.join(b, Seq("lang", "salt")).filter($"doc_a" < $"doc_b")
+      .withColumn("inter_n", size(array_intersect($"ga", $"gb")).cast("long"))
+      .withColumn("union_n", (size($"ga") + size($"gb")).cast("long") - $"inter_n")
+      .filter($"inter_n" * 5 >= $"union_n" * 3)
+      .select($"doc_a", $"doc_b", $"inter_n", $"union_n")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   // MinHash permutation constants h_i(x) = (a_i·x + b_i) mod p; p = 1e9+7
   // keeps a_i·x < 2^63. 12 perms in 4 bands of 3.
   private[ops] val perms: Seq[(Int, Int)] = Seq(

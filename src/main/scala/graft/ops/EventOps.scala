@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Time-series operators over `events` that the reference (a batch
+  * migration engine) has no analogue for, but that any large-scale event/
+  * training-data pipeline needs: as-of joins and gap sessionization.
+  *
+  * Both are implemented with the single-shuffle pattern: union/partition by
+  * the entity key, one sort per partition, windowed scan — no range cross
+  * products, no per-row subqueries. At 100 TB the only shuffle is the one
+  * repartition by user_id; everything downstream is a linear pass.
+  */
+object EventOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** As-of join: for every 'click' event, the most recent 'error' event of
+    * the same user at or before it. Instead of a range join (quadratic per
+    * user), the two streams are UNIONed and sorted once per user; a
+    * last_value-ignore-nulls window carries the latest error forward — one
+    * shuffle + one sort, O(n log n) regardless of match fan-out. DuckDB
+    * replays it with a native ASOF JOIN, which is exactly the semantics.
+    * Errors are deduped to one per (user, ts) (max event_id) so the as-of
+    * pick is unique on ties. */
+  def q51AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", lit(1).as("is_click"))
+    val errors = e.filter($"event_type" === "error")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("event_id"))
+      .select($"user_id", $"ts", $"event_id", lit(0).as("is_click"))
+    // at equal ts the error sorts first (is_click asc), so "at or before"
+    // includes same-instant errors — matching ASOF's >= semantics.
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"is_click", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("err_id",
+        last(when($"is_click" === 0, $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("err_ts",
+        last(when($"is_click" === 0, $"ts"), ignoreNulls = true).over(w))
+      .filter($"is_click" === 1)
+      .select($"user_id", $"event_id".as("click_id"), $"err_id",
+        (unix_micros($"ts".cast("timestamp")) -
+          unix_micros($"err_ts".cast("timestamp"))).as("gap_us"))
+      .orderBy($"user_id", $"click_id")
+  }
+
+  /** Gap sessionization (30-minute inactivity threshold): the batch form of
+    * streaming session windows. lag → boundary flag → running sum = session
+    * index; then one aggregate per session. All three windows share one
+    * partitioning (user_id), so Catalyst plans a single Exchange+Sort. */
+  def q54Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 1800L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .select($"user_id", $"event_id", $"ts",
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("us", unix_micros($"ts".cast("timestamp")))
+      .withColumn("new_sess",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum($"new_sess").over(run))
+      .groupBy($"user_id", $"sess_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min($"us").as("start_us"),
+        max($"us").as("end_us"),
+        sum($"cents").as("value_cents"))
+      .withColumn("duration_us", $"end_us" - $"start_us")
+      .select($"user_id", $"sess_idx", $"n_events", $"start_us",
+        $"duration_us", $"value_cents")
+      .orderBy($"user_id", $"sess_idx")
+  }
+}

@@ -86,6 +86,41 @@ object SimilarityOps {
       .orderBy($"q_id", $"rk")
   }
 
+  /** IVF-style ANN — the scale path beyond one LSH table: the corpus is
+    * partitioned into K inverted lists by nearest seed centroid, and each
+    * query probes ONLY its own centroid's list, turning the per-query cost
+    * from O(corpus) into O(corpus / K). Centroids here are deterministic
+    * seed vectors (vec_id < 8) rather than k-means output, which keeps the
+    * whole pipeline exactly replayable in the oracle; swapping in trained
+    * centroids changes recall, not the dataflow. Assignment is a broadcast
+    * nested-loop over 8 centroids (narrow, no shuffle); the probe is an
+    * equi-join on centroid id — the shape that scales out, vs q37's
+    * broadcast-scan which stays O(corpus) per query batch. Top-3 by exact
+    * cosine within the probed list, ties broken by vec_id. */
+  def q56IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = broadcast(e.filter($"vec_id" < 8)
+      .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm2".as("cn")))
+    def assigned(df: DataFrame): DataFrame =
+      df.crossJoin(cents)
+        .withColumn("c_cos", expr("graft_dot(v, cv)") / (sqrt($"nrm2") * sqrt($"cn")))
+        .groupBy($"vec_id")
+        .agg(max_by($"c_id", struct($"c_cos", (-$"c_id").as("nk"))).as("cluster"),
+          first($"v").as("v"), first($"nrm2").as("nrm2"))
+    val corpus = assigned(e.filter($"vec_id" >= 18))
+      .select($"vec_id", $"cluster", $"v", $"nrm2")
+    val queries = assigned(e.filter($"vec_id" >= 8 && $"vec_id" < 18))
+      .select($"vec_id".as("q_id"), $"cluster", $"v".as("qv"), $"nrm2".as("qn"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    corpus.join(queries, "cluster")
+      .withColumn("cos", expr("graft_dot(qv, v)") / (sqrt($"qn") * sqrt($"nrm2")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"cluster", $"cos")
+      .orderBy($"q_id", $"rk")
+  }
+
   /** Per-label embedding statistics: centroid norm, vector norms — an
     * embedding-column aggregate with an exact DuckDB oracle. */
   def q39EmbedStats(s: SparkSession, dir: String): DataFrame = {

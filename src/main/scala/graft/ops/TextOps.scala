@@ -108,4 +108,25 @@ object TextOps {
       .agg(sum($"v").cast("long").as("simhash"))
       .orderBy($"doc_id")
   }
+
+  /** Deterministic stratified sampling — the training-data-mixing primitive:
+    * per language stratum, keep documents whose content fingerprint lands in
+    * 2 of 10 hash buckets (a content-keyed ~20% sample; re-running over a
+    * grown corpus keeps previously-selected docs selected, unlike
+    * `TABLESAMPLE`/`rand()`). Pure narrow map + one aggregate: scales at
+    * scan throughput. The portable hash makes the exact sample replayable
+    * in any engine — this is the property that turns sampling from a
+    * statistical claim into an auditable one. */
+  def q55StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    docs(s, dir)
+      .select($"lang", $"doc_id",
+        (expr("graft_fingerprint(text)") % 10).as("bucket"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"bucket" < 2, 1L).otherwise(0L)).as("n_sampled"),
+        sum(when($"bucket" < 2, $"doc_id")).as("sampled_id_sum"))
+      .orderBy($"lang")
+  }
 }

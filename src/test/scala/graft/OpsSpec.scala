@@ -147,6 +147,90 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(local.nonEmpty && local.sameElements(dist))
   }
 
+  test("asof join matches a brute-force per-click scan") {
+    import spark.implicits._
+    import graft.ops.EventOps
+    val got = EventOps.q51AsofJoin(spark, sf)
+      .select("user_id", "click_id", "err_id")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(got.nonEmpty)
+    // brute force on the raw table
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, Long, String, Long)].collect()
+    val errByUser = ev.filter(_._3 == "error").groupBy(_._1)
+    got.foreach { case (u, cid, eid) =>
+      val click = ev.find(e => e._1 == u && e._2 == cid).get
+      val best = errByUser.getOrElse(u, Array.empty)
+        .filter(_._4 <= click._4)
+        .sortBy(e => (-e._4, -e._2)).headOption.map(_._2)
+      assert(eid == best, s"user $u click $cid")
+    }
+  }
+
+  test("sessionization: sessions tile each user's event stream") {
+    import spark.implicits._
+    import graft.ops.EventOps
+    val sess = EventOps.q54Sessionize(spark, sf)
+      .select("user_id", "sess_idx", "n_events", "duration_us")
+      .as[(Long, Long, Long, Long)].collect()
+    val total = graft.sources.Tables.load(spark, sf, "events").count()
+    assert(sess.map(_._3).sum == total, "every event in exactly one session")
+    sess.groupBy(_._1).foreach { case (_, ss) =>
+      val idx = ss.map(_._2).sorted
+      assert(idx.head == 1L && idx.last == idx.length, "contiguous session indexes")
+    }
+    assert(sess.forall(_._4 >= 0))
+  }
+
+  test("range join covers every order at most once") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val bands = Relational.q52RangeJoin(spark, sf)
+      .select("n_orders").as[Long].collect()
+    val inRange = graft.sources.Tables.load(spark, sf, "orders")
+      .filter("CAST(round(o_totalprice*100) AS BIGINT) < 60000000").count()
+    assert(bands.sum == inRange)
+  }
+
+  test("ngram jaccard pairs meet the 0.6 threshold exactly") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val pairs = DedupOps.q53NgramJaccard(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    pairs.foreach { case (a, b, i, u) =>
+      assert(a < b && a % 10 == 0 && b % 10 == 0)
+      assert(i * 5 >= u * 3, s"pair ($a,$b) below threshold")
+    }
+  }
+
+  test("stratified sample is deterministic and ~20% per stratum") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val s1 = TextOps.q55StratifiedSample(spark, sf).collect().map(_.toSeq)
+    val s2 = TextOps.q55StratifiedSample(spark, sf).collect().map(_.toSeq)
+    assert(s1.toSeq == s2.toSeq, "content-hash sampling must be replayable")
+    s1.foreach { r =>
+      val (total, sampled) = (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])
+      assert(sampled <= total && sampled > 0)
+    }
+  }
+
+  test("IVF ANN probes only the query's own cluster") {
+    import spark.implicits._
+    import graft.ops.SimilarityOps
+    val rows = SimilarityOps.q56IvfAnn(spark, sf)
+      .select("q_id", "rk", "neighbor_id", "cluster")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, rk, n, c) =>
+      q >= 8 && q < 18 && n >= 18 && rk >= 1 && rk <= 3 && c >= 0 && c < 8 })
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length))
+    }
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     import spark.implicits._
     val sh = TextOps.q35Simhash(spark, sf)
