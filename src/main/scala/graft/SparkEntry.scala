@@ -83,6 +83,7 @@ object SparkEntry {
     "q54_sessionize"      -> EventOps.q54Sessionize _,
     "q55_stratified_sample" -> TextOps.q55StratifiedSample _,
     "q56_ivf_ann"         -> SimilarityOps.q56IvfAnn _,
+    "q57_view_json_mutate" -> Views.q57ViewJsonMutate _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -835,5 +836,14 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
         |  FROM s)
         |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+
+    "q57_view_json_mutate" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS n2,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_kept,
+        |  CAST(NULL AS BIGINT) AS k_removed,
+        |  'x' AS tag,
+        |  '2' AS arr1
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
   )
 }

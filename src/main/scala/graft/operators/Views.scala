@@ -16,6 +16,7 @@ object Views {
   private def run(s: SparkSession, dir: String, mysqlSql: String): DataFrame = {
     Tables.registerAll(s, dir)
     graft.functions.InetFunctions.register(s)
+    graft.functions.JsonFunctions.register(s)
     SqlRewriter.sql(s, mysqlSql)
   }
 
@@ -113,4 +114,19 @@ object Views {
       |FROM part
       |ORDER BY p_partkey
       |LIMIT 10, 50""".stripMargin)
+
+  /** JSON mutation surface: JSON_SET / JSON_REMOVE / JSON_MERGE_PATCH /
+    * JSON_ARRAY_APPEND executed via the graft_json_* expressions
+    * (sync_viewddl.go:39-45, :452-474). Outputs are extracted scalars, so
+    * the oracle is engine-independent of JSON text formatting. */
+  def q57ViewJsonMutate(s: SparkSession, dir: String): DataFrame = run(s, dir,
+    """SELECT event_id,
+      |  CAST(JSON_EXTRACT(JSON_SET(props, '$.n', CAST(JSON_EXTRACT(props, '$.k') AS SIGNED) * 2), '$.n') AS SIGNED) AS n2,
+      |  CAST(JSON_EXTRACT(JSON_INSERT(props, '$.k', 0), '$.k') AS SIGNED) AS k_kept,
+      |  CAST(JSON_EXTRACT(JSON_REMOVE(props, '$.k'), '$.k') AS SIGNED) AS k_removed,
+      |  JSON_EXTRACT(JSON_MERGE_PATCH(props, '{"tag": "x"}'), '$.tag') AS tag,
+      |  JSON_EXTRACT(JSON_ARRAY_APPEND(JSON_SET(props, '$.arr', 1), '$.arr', 2), '$.arr[1]') AS arr1
+      |FROM events
+      |ORDER BY event_id
+      |LIMIT 500""".stripMargin)
 }

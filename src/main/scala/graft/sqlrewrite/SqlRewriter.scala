@@ -349,6 +349,37 @@ object SqlRewriter {
       } else s"JSON_CONTAINS_PATH(${args.mkString(", ")})"
     }
 
+    // JSON mutators → graft_json_* custom expressions, multi-pair calls
+    // folded into nested binary/ternary applications
+    // (sync_viewddl.go:39-45, :452-474; JsonFunctions must be registered)
+    def foldJsonPairs(mode: String, passName: String)(args: List[String]): String =
+      if (args.size >= 3 && args.size % 2 == 1)
+        args.tail.grouped(2).foldLeft(args.head) {
+          case (acc, List(p, v)) => s"graft_json_$mode($acc, $p, $v)"
+          case (acc, _) => acc
+        }
+      else s"$passName(${args.mkString(", ")})"
+    s = rewriteCalls(s, "JSON_SET")(foldJsonPairs("set", "JSON_SET"))
+    s = rewriteCalls(s, "JSON_INSERT")(foldJsonPairs("insert", "JSON_INSERT"))
+    s = rewriteCalls(s, "JSON_REPLACE")(foldJsonPairs("replace", "JSON_REPLACE"))
+    s = rewriteCalls(s, "JSON_ARRAY_APPEND")(foldJsonPairs("array_append", "JSON_ARRAY_APPEND"))
+    s = rewriteCalls(s, "JSON_REMOVE") { args =>
+      if (args.size >= 2)
+        args.tail.foldLeft(args.head)((acc, p) => s"graft_json_remove($acc, $p)")
+      else s"JSON_REMOVE(${args.mkString(", ")})"
+    }
+    s = rewriteCalls(s, "JSON_MERGE_PATCH") { args =>
+      if (args.size >= 2)
+        args.tail.foldLeft(args.head)((acc, x) => s"graft_json_merge_patch($acc, $x)")
+      else s"JSON_MERGE_PATCH(${args.mkString(", ")})"
+    }
+    def foldMergePreserve(passName: String)(args: List[String]): String =
+      if (args.size >= 2)
+        args.tail.foldLeft(args.head)((acc, x) => s"graft_json_merge_preserve($acc, $x)")
+      else s"$passName(${args.mkString(", ")})"
+    s = rewriteCalls(s, "JSON_MERGE_PRESERVE")(foldMergePreserve("JSON_MERGE_PRESERVE"))
+    s = rewriteCalls(s, "JSON_MERGE")(foldMergePreserve("JSON_MERGE"))
+
     // JSON surface → Spark JSON functions (sync_viewddl.go:389-474)
     s = rewriteCalls(s, "JSON_UNQUOTE") { args => args.mkString(", ") } // get_json_object already unquotes
     s = rewriteCalls(s, "JSON_EXTRACT") {

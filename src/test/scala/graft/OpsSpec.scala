@@ -231,6 +231,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("JSON mutator expressions follow MySQL semantics") {
+    graft.functions.JsonFunctions.register(spark)
+    def one(sql: String): String = {
+      val r = spark.sql(s"SELECT $sql AS v").collect().head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // SET: create + replace; INSERT: no clobber; REPLACE: only existing
+    assert(one("""graft_json_set('{"a":1}', '$.b', 2)""") == """{"a":1,"b":2}""")
+    assert(one("""graft_json_set('{"a":1}', '$.a', 9)""") == """{"a":9}""")
+    assert(one("""graft_json_insert('{"a":1}', '$.a', 9)""") == """{"a":1}""")
+    assert(one("""graft_json_replace('{"a":1}', '$.b', 9)""") == """{"a":1}""")
+    assert(one("""graft_json_remove('{"a":1,"b":2}', '$.b')""") == """{"a":1}""")
+    // nested paths and array indexes
+    assert(one("""graft_json_set('{"a":{"b":[1,2]}}', '$.a.b[0]', 7)""") ==
+      """{"a":{"b":[7,2]}}""")
+    assert(one("""graft_json_set('{"a":[1]}', '$.a[5]', 2)""") == """{"a":[1,2]}""")
+    // array_append wraps non-arrays (MySQL behavior)
+    assert(one("""graft_json_array_append('{"a":[1]}', '$.a', 2)""") == """{"a":[1,2]}""")
+    assert(one("""graft_json_array_append('{"a":1}', '$.a', 2)""") == """{"a":[1,2]}""")
+    // merge_patch: RFC 7386 (null deletes, objects recurse)
+    assert(one("""graft_json_merge_patch('{"a":1,"b":{"x":1}}', '{"a":null,"b":{"y":2}}')""") ==
+      """{"b":{"x":1,"y":2}}""")
+    // merge_preserve: arrays/scalars concatenate, objects union
+    assert(one("""graft_json_merge_preserve('{"a":1}', '{"a":2,"b":3}')""") ==
+      """{"a":[1,2],"b":3}""")
+    // invalid json / bad path -> NULL
+    assert(one("""graft_json_set('not json', '$.a', 1)""") == null)
+    assert(one("""graft_json_set('{"a":1}', 'a.b', 1)""") == null)
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     import spark.implicits._
     val sh = TextOps.q35Simhash(spark, sf)

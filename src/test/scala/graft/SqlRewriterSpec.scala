@@ -155,6 +155,21 @@ class SqlRewriterSpec extends AnyFunSuite {
     assert(SqlRewriter.splitTopLevelCommas("a, f(b, c), d") == List("a", "f(b, c)", "d"))
   }
 
+  test("JSON mutator rewrites fold multi-pair calls") {
+    assert(rewrite("SELECT JSON_SET(j, '$.a', 1, '$.b', 2) FROM t") ==
+      "SELECT graft_json_set(graft_json_set(j, '$.a', 1), '$.b', 2) FROM t")
+    assert(rewrite("SELECT JSON_REMOVE(j, '$.a', '$.b') FROM t") ==
+      "SELECT graft_json_remove(graft_json_remove(j, '$.a'), '$.b') FROM t")
+    assert(rewrite("SELECT JSON_MERGE_PATCH(a, b, c) FROM t") ==
+      "SELECT graft_json_merge_patch(graft_json_merge_patch(a, b), c) FROM t")
+    assert(rewrite("SELECT JSON_MERGE(a, b) FROM t") ==
+      "SELECT graft_json_merge_preserve(a, b) FROM t")
+    assert(rewrite("SELECT JSON_INSERT(j, '$.a', 'v') FROM t") ==
+      "SELECT graft_json_insert(j, '$.a', 'v') FROM t")
+    assert(rewrite("SELECT JSON_ARRAY_APPEND(j, '$.a', 9) FROM t") ==
+      "SELECT graft_json_array_append(j, '$.a', 9) FROM t")
+  }
+
   test("nested same-function calls are rewritten (ADVICE r1)") {
     assert(rewrite("SELECT JSON_EXTRACT(JSON_EXTRACT(j, '$.a'), '$.b') FROM t") ==
       "SELECT get_json_object(get_json_object(j, '$.a'), '$.b') FROM t")
