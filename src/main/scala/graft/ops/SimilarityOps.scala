@@ -110,8 +110,11 @@ object SimilarityOps {
           first($"v").as("v"), first($"nrm2").as("nrm2"))
     val corpus = assigned(e.filter($"vec_id" >= 18))
       .select($"vec_id", $"cluster", $"v", $"nrm2")
-    val queries = assigned(e.filter($"vec_id" >= 8 && $"vec_id" < 18))
-      .select($"vec_id".as("q_id"), $"cluster", $"v".as("qv"), $"nrm2".as("qn"))
+    // the query batch is tiny by construction — broadcast it so the probe
+    // join is a map-side hash join (no shuffle of the corpus side; stats
+    // after the argmax aggregate are unknown to AQE, so hint explicitly)
+    val queries = broadcast(assigned(e.filter($"vec_id" >= 8 && $"vec_id" < 18))
+      .select($"vec_id".as("q_id"), $"cluster", $"v".as("qv"), $"nrm2".as("qn")))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     corpus.join(queries, "cluster")
       .withColumn("cos", expr("graft_dot(qv, v)") / (sqrt($"qn") * sqrt($"nrm2")))
