@@ -696,7 +696,20 @@ object SparkEntry {
         |  (doc_id * 37) % 640 + 16 AS width,
         |  (doc_id * 23) % 480 + 16 AS height,
         |  CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS n_frames,
-        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  CASE WHEN greatest((doc_id * 37) % 640 + 16, (doc_id * 23) % 480 + 16) <= 224
+        |       THEN (doc_id * 37) % 640 + 16
+        |       ELSE ((doc_id * 37) % 640 + 16) * 224
+        |            // greatest((doc_id * 37) % 640 + 16, (doc_id * 23) % 480 + 16)
+        |  END AS out_width,
+        |  CASE WHEN greatest((doc_id * 37) % 640 + 16, (doc_id * 23) % 480 + 16) <= 224
+        |       THEN (doc_id * 23) % 480 + 16
+        |       ELSE ((doc_id * 23) % 480 + 16) * 224
+        |            // greatest((doc_id * 37) % 640 + 16, (doc_id * 23) % 480 + 16)
+        |  END AS out_height,
+        |  CASE WHEN doc_id % 3 = 2
+        |       THEN CAST((octet_length(encode(text)) // 64 + 1 + 9) // 10 AS BIGINT)
+        |       ELSE 1 END AS n_sampled_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q41_transfer_validate" ->

@@ -48,8 +48,10 @@ object DedupOps {
     * so the DuckDB oracle (list_intersect form) still matches. */
   def q33DedupJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.SortedIntersectSize.register(s)
     val d = docs(s, dir)
-      .select($"doc_id", $"lang", array_distinct(split($"text", " ")).as("ws"))
+      .select($"doc_id", $"lang",
+        array_sort(array_distinct(split($"text", " "))).as("ws"))
     val vocab = d.select(explode($"ws").as("w")).distinct()
       .orderBy($"w").collect().map(_.getString(0))
     val encoded =
@@ -78,8 +80,8 @@ object DedupOps {
           .withColumn("inter_n", bit_count($"ma" bitwiseAND $"mb").cast("long"))
           .withColumn("union_n", bit_count($"ma" bitwiseOR $"mb").cast("long"))
       else
-        joined
-          .withColumn("inter_n", size(array_intersect($"wa", $"wb")).cast("long"))
+        joined // general-vocab fallback: sorted merge count, no per-pair alloc
+          .withColumn("inter_n", expr("graft_sorted_inter_n(wa, wb)"))
           .withColumn("union_n",
             (size($"wa") + size($"wb")).cast("long") - $"inter_n")
     withCounts
@@ -97,17 +99,21 @@ object DedupOps {
     * size while remaining a deterministic, hash-replayable restriction. */
   def q53NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.SortedIntersectSize.register(s)
+    // trigram sets are SORTED once per row so the per-pair intersection is
+    // an allocation-free merge count (graft_sorted_inter_n) instead of
+    // array_intersect's per-pair hash set — the pair loop is the hot path
     val d = docs(s, dir)
       .filter($"doc_id" % 10 === 0 && length($"text") >= 3)
       .selectExpr("doc_id", "lang",
-        "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS gs")
+        "array_sort(array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))) AS gs")
     val SALTS = 8
     val a = d.select($"doc_id".as("doc_a"), $"lang", $"gs".as("ga"),
       ($"doc_id" % SALTS).cast("int").as("salt"))
     val b = d.select($"doc_id".as("doc_b"), $"lang", $"gs".as("gb"))
       .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
     a.join(b, Seq("lang", "salt")).filter($"doc_a" < $"doc_b")
-      .withColumn("inter_n", size(array_intersect($"ga", $"gb")).cast("long"))
+      .withColumn("inter_n", expr("graft_sorted_inter_n(ga, gb)"))
       .withColumn("union_n", (size($"ga") + size($"gb")).cast("long") - $"inter_n")
       .filter($"inter_n" * 5 >= $"union_n" * 3)
       .select($"doc_a", $"doc_b", $"inter_n", $"union_n")

@@ -20,7 +20,10 @@ object MultimodalOps {
   /** Input row: payload + metadata (what a real media table stores). */
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted features (what a real decoder emits). */
+  /** Extracted features (what a real decoder emits), plus the two
+    * downstream media transforms a training pipeline applies: resize to a
+    * bounded edge (preserving aspect via integer arithmetic) and uniform
+    * frame sampling (every 10th frame) for video. */
   final case class MediaFeatures(
       doc_id: Long,
       media_type: String,
@@ -28,23 +31,45 @@ object MultimodalOps {
       width: Long,
       height: Long,
       n_frames: Long,
-      first_byte: Long)
+      first_byte: Long,
+      out_width: Long,
+      out_height: Long,
+      n_sampled_frames: Long)
 
   /** STUB: stands in for an image/audio decoder (libs absent in this
     * container). Deterministic pure function of the payload + id so the
     * pipeline is testable end-to-end; swap with a real codec on a cluster
     * (one decoder instance per partition — see mapPartitions below). */
   object StubDecoder {
+    /** Resize target: longest edge clamped to 224 (integer arithmetic so
+      * any engine replays it exactly); upscaling never happens. */
+    val MaxEdge = 224L
+    /** Video frame sampling stride. */
+    val FrameStride = 10L
+
     def decode(r: MediaRow): MediaFeatures = {
       val n = r.payload.length.toLong
+      val w = (r.doc_id * 37) % 640 + 16
+      val h = (r.doc_id * 23) % 480 + 16
+      val edge = math.max(w, h)
+      val (ow, oh) =
+        if (edge <= MaxEdge) (w, h)
+        else (w * MaxEdge / edge, h * MaxEdge / edge) // integer floor-div
+      val frames = n / 64 + 1
       MediaFeatures(
         doc_id = r.doc_id,
         media_type = r.media_type,
         n_bytes = n,
-        width = (r.doc_id * 37) % 640 + 16,
-        height = (r.doc_id * 23) % 480 + 16,
-        n_frames = n / 64 + 1,
-        first_byte = if (n > 0) r.payload(0) & 0xffL else -1L)
+        width = w,
+        height = h,
+        n_frames = frames,
+        first_byte = if (n > 0) r.payload(0) & 0xffL else -1L,
+        out_width = ow,
+        out_height = oh,
+        // ceil(frames / stride) uniform sample; images/audio keep 1 frame
+        n_sampled_frames =
+          if (r.media_type == "video") (frames + FrameStride - 1) / FrameStride
+          else 1L)
     }
   }
 

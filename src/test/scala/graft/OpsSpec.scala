@@ -63,6 +63,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
   }
 
+  test("graft_sorted_inter_n equals array_intersect size on sorted inputs") {
+    import spark.implicits._
+    graft.functions.SortedIntersectSize.register(spark)
+    val rows = Seq(
+      (Seq("a", "b", "c", "x"), Seq("b", "c", "z")),
+      (Seq("a"), Seq("b")),
+      (Seq[String](), Seq("a")),
+      (Seq("m", "n"), Seq("m", "n")))
+      .toDF("a", "b")
+      .selectExpr("graft_sorted_inter_n(a, b) AS fast",
+        "CAST(size(array_intersect(a, b)) AS BIGINT) AS slow").collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // bigint element variant + null input
+    val lr = spark.sql(
+      """SELECT graft_sorted_inter_n(array(1L, 5L, 9L), array(5L, 9L, 11L)) AS n,
+        |       graft_sorted_inter_n(CAST(NULL AS ARRAY<STRING>), array('a')) AS nn
+        |""".stripMargin).collect().head
+    assert(lr.getLong(0) == 2L && lr.isNullAt(1))
+  }
+
   test("exact dedup accounts for every document") {
     val rows = DedupOps.q32DedupExact(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum == 500L)
