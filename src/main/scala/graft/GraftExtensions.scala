@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Fingerprint, InetAton, InetNtoa, PointDecode}
+import graft.functions.{DotProduct, Fingerprint, InetAton, InetNtoa,
+  JsonFunctions, PointDecode, SortedIntersectSize}
 
 /** Session-extension entry point: makes every graft custom function
   * available in any session via
@@ -29,5 +30,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_point_decode"),
       info("graft_point_decode", "MySQL WKB point bytes to struct(x,y)"),
       (exprs: Seq[Expression]) => PointDecode(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "sequential-fold dot product of two ARRAY<DOUBLE>"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_sorted_inter_n"),
+      info("graft_sorted_inter_n",
+        "intersection size of two sorted distinct arrays (merge count)"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
+    Seq("set", "insert", "replace", "remove", "array_append",
+        "merge_patch", "merge_preserve").foreach { m =>
+      ext.injectFunction((FunctionIdentifier(s"graft_json_$m"),
+        info(s"graft_json_$m", s"MySQL JSON_${m.toUpperCase} semantics"),
+        (exprs: Seq[Expression]) => JsonFunctions.JsonMutateExpr(exprs, m)))
+    }
   }
 }
