@@ -96,6 +96,29 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–stream interval join (the streaming face of the as-of join,
+    * batch form `EventOps.q51AsofJoin`): clicks matched to error events of
+    * the same user within the preceding 30 minutes. Both sides are
+    * watermarked so the join state (the error buffer) is bounded — without
+    * the time-range predicate + watermarks, stream-stream equi-joins must
+    * retain unbounded state. */
+  def clickErrorJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    clicks.join(errors,
+      col("user_id") === col("err_user") &&
+        col("err_ts") <= col("click_ts") &&
+        col("err_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("err_id"),
+        col("click_ts"), col("err_ts"))
+  }
+
   /** File-source incremental sync: watch a directory of parquet drops and
     * maintain the hourly rollup — the streaming upgrade of the reference's
     * batch re-runs. */

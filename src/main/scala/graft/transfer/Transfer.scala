@@ -41,6 +41,10 @@ object Transfer {
   def read(spark: SparkSession, src: Endpoint, table: String): DataFrame = src match {
     case ParquetDir(dir) => graft.sources.Tables.load(spark, dir, table)
     case j: Jdbc =>
+      // MySQL sources get the reference's type semantics (tinyint(1),
+      // unsigned widening, spatial→binary) via the custom dialect
+      if (graft.types.MySqlGraftDialect.canHandle(j.url))
+        graft.types.MySqlGraftDialect.install()
       val base = spark.read.format("jdbc")
         .option("url", j.url).option("dbtable", j.table.replace("%s", table))
       j.partitionColumn match {

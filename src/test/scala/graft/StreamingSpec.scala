@@ -115,6 +115,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
   }
 
+  test("stream-stream interval join matches clicks to in-window errors") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.clickErrorJoin(mem.toDF())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      ev(10, 0, 1, "error"),
+      ev(11, 10, 1, "click"),   // error 10 min before: in window
+      ev(12, 50, 1, "click"),   // error 50 min before: outside 30-min window
+      ev(20, 5, 2, "error"),
+      ev(21, 6, 2, "error"),
+      ev(22, 8, 2, "click"))    // both user-2 errors in window
+    q.processAllAvailable()
+    val rows = spark.table("asof_stream")
+      .select("click_id", "err_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set((11L, 10L), (22L, 20L), (22L, 21L)))
+  }
+
   test("file-source incremental sync picks up new drops") {
     import spark.implicits._
     val watch = java.nio.file.Files.createTempDirectory("stream_in").toString

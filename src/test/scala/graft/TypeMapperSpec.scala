@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.types.TypeMapper
+import graft.types.{MySqlGraftDialect, TypeMapper}
 import graft.types.TypeMapper.MappedType
 
 /** Golden tests from the reference's 63-case corpus (FIXTURES.md §A). */
@@ -100,5 +100,37 @@ class TypeMapperSpec extends AnyFunSuite {
     assert(TypeMapper.serialFor("smallint unsigned") == Some("SERIAL"))
     assert(TypeMapper.serialFor("tinyint unsigned") == Some("SERIAL"))
     assert(TypeMapper.serialFor("bigint unsigned") == Some("BIGSERIAL"))
+  }
+
+  test("MySqlGraftDialect maps JDBC metadata like the reference typeMap") {
+    import org.apache.spark.sql.types._
+    val d = MySqlGraftDialect
+    def ct(tn: String, size: Int = 0) =
+      d.getCatalystType(java.sql.Types.OTHER, tn, size, new MetadataBuilder)
+    assert(ct("TINYINT", 1) == Some(BooleanType))
+    assert(ct("TINYINT UNSIGNED", 1) == Some(IntegerType))  // unsigned: never boolean
+    assert(ct("SMALLINT UNSIGNED") == Some(IntegerType))
+    assert(ct("INT UNSIGNED") == Some(LongType))
+    assert(ct("MEDIUMINT UNSIGNED") == Some(LongType))
+    assert(ct("BIGINT UNSIGNED") == Some(DecimalType(20, 0)))
+    assert(ct("INT") == None)           // signed ints: Spark defaults are right
+    assert(ct("YEAR") == Some(IntegerType))
+    assert(ct("JSON") == Some(StringType))
+    assert(ct("POINT") == Some(BinaryType))
+    assert(ct("TIME") == None)          // deliberate: JDBC Time conversion intact
+    assert(d.quoteIdentifier("or`der") == "`or``der`")
+    assert(MySqlGraftDialect.sourceUrl("jdbc:mysql://h/db")
+      .contains("?zeroDateTimeBehavior=convertToNull"))
+    assert(MySqlGraftDialect.sourceUrl("jdbc:mysql://h/db?x=1")
+      .contains("&zeroDateTimeBehavior=convertToNull"))
+    // registration resolves for mysql URLs: the registry aggregates this
+    // dialect with Spark's built-in MySQL dialect, ours taking precedence
+    MySqlGraftDialect.install()
+    val resolved = org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:mysql://h/db")
+    assert(resolved.canHandle("jdbc:mysql://h/db"))
+    assert(resolved.getCatalystType(java.sql.Types.OTHER, "INT UNSIGNED", 0,
+      new MetadataBuilder) == Some(LongType))
+    assert(resolved.getCatalystType(java.sql.Types.OTHER, "BIGINT UNSIGNED", 0,
+      new MetadataBuilder) == Some(DecimalType(20, 0)))
   }
 }
