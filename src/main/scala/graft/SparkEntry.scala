@@ -84,6 +84,7 @@ object SparkEntry {
     "q55_stratified_sample" -> TextOps.q55StratifiedSample _,
     "q56_ivf_ann"         -> SimilarityOps.q56IvfAnn _,
     "q57_view_json_mutate" -> Views.q57ViewJsonMutate _,
+    "q58_view_elt_field"  -> Views.q58ViewEltField _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -858,5 +859,17 @@ object SparkEntry {
         |  'x' AS tag,
         |  '2' AS arr1
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+
+    "q58_view_elt_field" ->
+      """SELECT n_nationkey,
+        |  ['africa', 'america', 'asia', 'europe', 'mideast'][CAST(n_regionkey AS INT) + 1] AS region_elt,
+        |  CAST(CASE n_name WHEN 'FRANCE' THEN 1 WHEN 'GERMANY' THEN 2
+        |       WHEN 'CHINA' THEN 3 ELSE 0 END AS BIGINT) AS field_pos,
+        |  format('{:,}', (n_nationkey * 10005) // 10) || '.' ||
+        |    CAST((n_nationkey * 10005) % 10 AS VARCHAR) AS fmt,
+        |  substr(n_name, 1, 1) || '***' || substr(n_name, 5) AS name_patched,
+        |  37805 AS t2s
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
   )
 }

@@ -115,6 +115,19 @@ object Views {
       |ORDER BY p_partkey
       |LIMIT 10, 50""".stripMargin)
 
+  /** Remaining §2.4 scalar tranche executed end-to-end: ELT / FIELD /
+    * FORMAT (thousands-separator formatting), MySQL INSERT→overlay, and
+    * TIME_TO_SEC over a timestamp. */
+  def q58ViewEltField(s: SparkSession, dir: String): DataFrame = run(s, dir,
+    """SELECT n_nationkey,
+      |  ELT(n_regionkey + 1, 'africa', 'america', 'asia', 'europe', 'mideast') AS region_elt,
+      |  FIELD(n_name, 'FRANCE', 'GERMANY', 'CHINA') AS field_pos,
+      |  FORMAT(n_nationkey * 1000.5, 1) AS fmt,
+      |  INSERT(n_name, 2, 3, '***') AS name_patched,
+      |  TIME_TO_SEC(TIMESTAMP '1970-01-01 10:30:05') AS t2s
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin)
+
   /** JSON mutation surface: JSON_SET / JSON_REMOVE / JSON_MERGE_PATCH /
     * JSON_ARRAY_APPEND executed via the graft_json_* expressions
     * (sync_viewddl.go:39-45, :452-474). Outputs are extracted scalars, so
