@@ -67,15 +67,23 @@ object DedupOps {
     // right side S ways — 5 blocks become 5·S balanced partitions. Output
     // is identical (each pair meets exactly once, on the left row's salt).
     val SALTS = 8
-    val a = encoded.select($"doc_id".as("doc_a"), $"lang",
+    val bitmask = vocab.length <= 64
+    // In bitmask mode the word arrays are NOT projected into the join:
+    // 2.5M candidate pairs each dragging two ~50-string arrays through the
+    // exchange is pure shuffle weight when the comparison runs on two
+    // BIGINTs. Catalyst prunes from the select list, so the parquet scan
+    // shrinks too.
+    val a0 = encoded.select($"doc_id".as("doc_a"), $"lang",
       $"ws".as("wa"), $"mask".as("ma"),
       ($"doc_id" % SALTS).cast("int").as("salt"))
-    val b = encoded.select($"doc_id".as("doc_b"), $"lang",
+    val b0 = encoded.select($"doc_id".as("doc_b"), $"lang",
       $"ws".as("wb"), $"mask".as("mb"))
       .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+    val (a, b) =
+      if (bitmask) (a0.drop("wa"), b0.drop("wb")) else (a0.drop("ma"), b0.drop("mb"))
     val joined = a.join(b, Seq("lang", "salt")).filter($"doc_a" < $"doc_b")
     val withCounts =
-      if (vocab.length <= 64)
+      if (bitmask)
         joined
           .withColumn("inter_n", bit_count($"ma" bitwiseAND $"mb").cast("long"))
           .withColumn("union_n", bit_count($"ma" bitwiseOR $"mb").cast("long"))
