@@ -85,6 +85,7 @@ object SparkEntry {
     "q56_ivf_ann"         -> SimilarityOps.q56IvfAnn _,
     "q57_view_json_mutate" -> Views.q57ViewJsonMutate _,
     "q58_view_elt_field"  -> Views.q58ViewEltField _,
+    "q59_bucketed_join"   -> graft.operators.BucketedOps.q59BucketedJoin _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -871,5 +872,12 @@ object SparkEntry {
         |  37805 AS t2s
         |FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q59_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Bucketed-layout operators: pre-shuffling a table ONCE at write time so
+  * every subsequent equi-join/aggregation on the bucket key runs with no
+  * exchange — the storage-layout leg of the 100 TB join strategy (the
+  * other two being broadcast for dims and AQE for skew). The reference has
+  * no analogue (it moves rows, never lays them out); this is pure Spark
+  * capability surplus.
+  */
+object BucketedOps {
+
+  private val DB = "graft_buckets"
+  private val BUCKETS = 8
+
+  /** Write orders+customer bucketed by custkey, then join and aggregate.
+    * The join consumes bucket layout directly: zero Exchange below the
+    * SortMergeJoin (verified by BucketedJoinSpec); the only shuffle in the
+    * whole query is the post-join segment aggregate. Results are identical
+    * to the plain join, so the DuckDB oracle is the ordinary SQL. */
+  def q59BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $DB")
+    Seq(("orders_b", "orders", "o_custkey"),
+        ("customer_b", "customer", "c_custkey")).foreach {
+      case (name, src, key) =>
+        // drop catalog entry AND stale warehouse dir: the in-memory catalog
+        // of a fresh session doesn't know locations left by prior JVMs, and
+        // saveAsTable refuses to create over an existing managed location
+        s.sql(s"DROP TABLE IF EXISTS $DB.$name")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath, s"$DB.db/$name")
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        Tables.load(s, dir, src)
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(BUCKETS, key).sortBy(key)
+          .saveAsTable(s"$DB.$name")
+    }
+    bucketedJoinPlan(s)
+  }
+
+  /** The join over the already-bucketed tables (factored out so the spec
+    * can assert exchange counts on exactly the plan the query runs). */
+  def bucketedJoinPlan(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val ob = s.table(s"$DB.orders_b")
+    val cb = s.table(s"$DB.customer_b")
+    ob.join(cb, ob("o_custkey") === cb("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("revenue_cents"))
+      .orderBy($"c_mktsegment")
+  }
+}

@@ -281,6 +281,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("""graft_json_set('{"a":1}', 'a.b', 1)""") == null)
   }
 
+  test("bucketed join plans without exchanges under the join") {
+    import graft.operators.BucketedOps
+    val df = BucketedOps.q59BucketedJoin(spark, sf)
+    assert(df.count() > 0)
+    // simple mode shows one plan (formatted under AQE prints initial+final
+    // and doubles every count)
+    def exchanges(d: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(d.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))).size
+    // same query over the unbucketed parquet tables needs two extra
+    // exchanges (one per join side); bucketing eliminates exactly those.
+    // Broadcast is disabled so the tiny test tables plan the same SMJ the
+    // big-data case would — broadcast joins never consult bucket layout.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val bucketed = exchanges(BucketedOps.bucketedJoinPlan(spark))
+      val plain = {
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val o = graft.sources.Tables.load(spark, sf, "orders")
+        val c = graft.sources.Tables.load(spark, sf, "customer")
+        exchanges(o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy($"c_mktsegment"))
+      }
+      assert(bucketed == plain - 2,
+        s"bucketed=$bucketed plain=$plain: bucket layout must remove both join shuffles")
+    } finally spark.conf.set(thresholdKey, saved)
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     import spark.implicits._
     val sh = TextOps.q35Simhash(spark, sf)
