@@ -1,0 +1,140 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{Fingerprint, JsonFunctions, SortedIntersectSize}
+import graft.sqlrewrite.SqlRewriter
+import graft.types.TypeMapper
+
+/** ScalaCheck property tests for the pure driver-side surfaces (SURVEY.md
+  * §5 "adopted strategy"): the type mapper, the rewriter infrastructure,
+  * and expression eval paths that need no SparkSession. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  // ---------------------------------------------------------- type mapper
+
+  private val baseTypes = Gen.oneOf(
+    "tinyint", "smallint", "mediumint", "int", "integer", "bigint", "float",
+    "double", "decimal", "numeric", "char", "varchar", "text", "longtext",
+    "blob", "binary", "varbinary", "datetime", "timestamp", "date", "time",
+    "json", "enum", "set", "point", "geometry", "year", "bit", "bool")
+
+  test("TypeMapper.map is total and structurally sound on fuzzed inputs") {
+    val genType = for {
+      base <- baseTypes
+      p <- Gen.choose(0, 70)
+      s <- Gen.choose(0, 35)
+      args <- Gen.oneOf("", s"($p)", s"($p,$s)")
+      unsigned <- Gen.oneOf("", " unsigned", " UNSIGNED")
+      zerofill <- Gen.oneOf("", " zerofill")
+      caps <- Gen.oneOf(true, false)
+      pad <- Gen.oneOf("", "  ")
+    } yield {
+      val t = s"$pad$base$args$unsigned$zerofill$pad"
+      if (caps) t.toUpperCase else t
+    }
+    check("map total", Prop.forAll(genType) { t =>
+      val m = TypeMapper.map(t)
+      val decimalOk = m.spark match {
+        case d: DecimalType => d.precision <= 38 && d.scale <= d.precision
+        case _ => true
+      }
+      m.pg.nonEmpty && decimalOk
+    })
+  }
+
+  test("TypeMapper unsigned widening is monotone across the int ladder") {
+    val ladder = Seq("tinyint" -> "smallint", "smallint" -> "int",
+      "int" -> "bigint")
+    ladder.foreach { case (t, _) =>
+      val signed = TypeMapper.map(t, tinyint1Boolean = false).spark
+      val widened = TypeMapper.map(s"$t unsigned", tinyint1Boolean = false).spark
+      assert(signed.defaultSize <= widened.defaultSize,
+        s"$t: $signed !<= $widened")
+    }
+  }
+
+  // ------------------------------------------------- rewriter infrastructure
+
+  test("maskStringLiterals round-trips arbitrary quoted SQL") {
+    val fragment = Gen.oneOf("SELECT a", "x = ", ", ", "fn(", ")",
+      "'lit''eral'", "'it\\'s'", "\"dq\"", "'%Y-%m'", "b", " FROM t")
+    val genSql = Gen.listOf(fragment).map(_.mkString)
+    check("mask round-trip", Prop.forAll(genSql) { sql =>
+      val (masked, lits) = SqlRewriter.maskStringLiterals(sql)
+      SqlRewriter.unmask(masked, lits) == sql &&
+        !masked.exists(c => c == '\'')
+    })
+  }
+
+  test("rewrite preserves parenthesis balance on fuzzed MySQL calls") {
+    val leaf = Gen.oneOf("a", "b.c", "1", "'s'", "NULL")
+    def call(depth: Int): Gen[String] =
+      if (depth == 0) leaf
+      else for {
+        fn <- Gen.oneOf("IFNULL", "JSON_EXTRACT", "CONCAT", "COALESCE",
+          "JSON_SET", "ELT", "FIELD", "DATE_FORMAT", "GROUP_CONCAT", "HEX")
+        n <- Gen.choose(1, 3)
+        args <- Gen.listOfN(n, call(depth - 1))
+      } yield s"$fn(${args.mkString(", ")})"
+    val genSql = call(3).map(c => s"SELECT $c FROM t")
+    check("paren balance", Prop.forAll(genSql) { sql =>
+      val out = SqlRewriter.rewrite(sql)
+      out.count(_ == '(') == out.count(_ == ')')
+    })
+  }
+
+  test("translateDateFormat maps every %-token and quotes literals safely") {
+    val tok = Gen.oneOf("%Y", "%y", "%m", "%d", "%H", "%i", "%S", "%f",
+      "%M", "%b", "%W", "%a", "%p", "%j", "%T", "%r", "%%", "-", "/", " ", ":")
+    val genFmt = Gen.listOf(tok).map(_.mkString)
+    check("date format", Prop.forAll(genFmt) { f =>
+      val out = SqlRewriter.translateDateFormat(f)
+      !out.contains('%') || f.contains("%%")
+    })
+  }
+
+  // ------------------------------------------------ expression eval (no session)
+
+  private def strArray(xs: Seq[String]) =
+    Literal.create(new GenericArrayData(xs.map(UTF8String.fromString)),
+      ArrayType(StringType))
+
+  test("SortedIntersectSize equals Set.intersect on sorted distinct arrays") {
+    val genSet = Gen.listOf(Gen.alphaLowerStr.map(_.take(4))).map(_.distinct.sorted)
+    check("sorted intersect", Prop.forAll(genSet, genSet) { (a, b) =>
+      val got = SortedIntersectSize(strArray(a), strArray(b)).eval(null)
+      got == a.toSet.intersect(b.toSet).size.toLong
+    })
+  }
+
+  test("Fingerprint expression eval equals driver-side hashString") {
+    check("fingerprint", Prop.forAll(Gen.asciiPrintableStr) { s =>
+      Fingerprint(Literal.create(UTF8String.fromString(s), StringType))
+        .eval(null) == Fingerprint.hashString(s)
+    })
+  }
+
+  test("JsonFunctions.parsePath round-trips generated paths") {
+    val seg = Gen.oneOf(
+      Gen.alphaLowerStr.suchThat(_.nonEmpty).map(n => JsonFunctions.Key(n.take(6))),
+      Gen.choose(0, 99).map(JsonFunctions.Idx))
+    val genSegs = Gen.nonEmptyListOf(seg)
+    check("json path", Prop.forAll(genSegs) { segs =>
+      val rendered = "$" + segs.map {
+        case JsonFunctions.Key(k) => s".$k"
+        case JsonFunctions.Idx(i) => s"[$i]"
+      }.mkString
+      JsonFunctions.parsePath(rendered).contains(segs)
+    })
+  }
+}
