@@ -26,6 +26,12 @@ import java.sql.{Connection, DriverManager, PreparedStatement, Timestamp}
 object BatchSink {
 
   def write(df: DataFrame, url: String, table: String, batchSize: Int = 1000): Unit = {
+    // PostgreSQL targets with the PG driver present take the COPY stream
+    // path (true K4 parity); everything else uses the portable batch body.
+    if (url.startsWith("jdbc:postgresql") && CopyEncoder.copySupported()) {
+      CopyEncoder.write(df, url, table, batchRows = math.max(batchSize, 1))
+      return
+    }
     val schema = df.schema
     val cols = schema.fieldNames
     val placeholders = cols.map(_ => "?").mkString(", ")

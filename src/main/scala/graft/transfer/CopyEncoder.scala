@@ -1,0 +1,113 @@
+package graft.transfer
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.sql.{Connection, DriverManager}
+
+/** PostgreSQL COPY bulk-load path — K4 parity (reference
+  * `postgres/connection.go:447-593`, pgx `CopyFrom` at `:557,:571`).
+  *
+  * Two layers:
+  *  - [[encodeRow]]/[[encodeBatch]]: the COPY `text` format encoder — the
+  *    actual protocol work (tab field separator, `\N` nulls, backslash
+  *    escapes, bytea `\x` hex, microsecond timestamps, t/f booleans).
+  *    Pure and golden-tested; identical bytes to what pgx streams.
+  *  - [[write]]: `foreachPartition` sink that feeds the encoded stream to
+  *    `CopyManager.copyIn` — one COPY per partition, one transaction. The
+  *    PG driver is loaded reflectively because this container ships only
+  *    Derby; [[copySupported]] gates the path and the portable
+  *    [[BatchSink]] addBatch body is the documented fallback.
+  *
+  * Scale: COPY is the fastest PG ingest path (single round-trip stream per
+  * partition vs per-batch statement execution); partitions stream
+  * concurrently, so ingest scales with executor count until the target's
+  * WAL becomes the bottleneck.
+  */
+object CopyEncoder {
+
+  private val Null = "\\N"
+
+  /** Escape one COPY text-format field (PG docs: COPY TO/FROM text). */
+  def escapeField(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\t' => sb.append("\\t")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  def encodeValue(dt: DataType, v: Any): String = dt match {
+    case StringType => escapeField(v.toString)
+    case BooleanType => if (v.asInstanceOf[Boolean]) "t" else "f"
+    case BinaryType =>
+      "\\\\x" + v.asInstanceOf[Array[Byte]].map("%02x".format(_)).mkString
+    case TimestampType | TimestampNTZType =>
+      v match {
+        case t: java.sql.Timestamp => tsFmt.format(t.toLocalDateTime)
+        case l: java.time.LocalDateTime => tsFmt.format(l)
+        case i: java.time.Instant =>
+          tsFmt.format(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
+        case other => escapeField(other.toString)
+      }
+    case _ => v.toString // numerics, dates: canonical toString is COPY-valid
+  }
+
+  /** One row → one COPY text line (no trailing newline). */
+  def encodeRow(schema: StructType, row: Row): String =
+    schema.fields.indices.map { i =>
+      if (row.isNullAt(i)) Null else encodeValue(schema.fields(i).dataType, row.get(i))
+    }.mkString("\t")
+
+  /** Batch of rows → newline-terminated COPY payload bytes. */
+  def encodeBatch(schema: StructType, rows: Iterator[Row]): Array[Byte] = {
+    val sb = new StringBuilder
+    rows.foreach(r => sb.append(encodeRow(schema, r)).append('\n'))
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** True when the PostgreSQL driver (and thus CopyManager) is loadable. */
+  def copySupported(): Boolean =
+    try { Class.forName("org.postgresql.copy.CopyManager"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** COPY-stream the frame into `table`, one COPY + transaction per
+    * partition. Requires the PostgreSQL driver on the executor classpath;
+    * callers should gate on [[copySupported]] and fall back to
+    * [[BatchSink.write]] otherwise. */
+  def write(df: DataFrame, url: String, table: String,
+            batchRows: Int = 10000): Unit = {
+    val schema = df.schema
+    val colList = schema.fieldNames.mkString(", ")
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn: Connection = DriverManager.getConnection(url)
+        conn.setAutoCommit(false)
+        try {
+          // reflective: new CopyManager(conn.unwrap(BaseConnection))
+          val baseCls = Class.forName("org.postgresql.core.BaseConnection")
+          val mgrCls = Class.forName("org.postgresql.copy.CopyManager")
+          val mgr = mgrCls.getConstructor(baseCls)
+            .newInstance(conn.unwrap(baseCls.asInstanceOf[Class[AnyRef]]))
+          val copyIn = mgrCls.getMethod("copyIn", classOf[String], classOf[java.io.InputStream])
+          val sql = s"COPY $table ($colList) FROM STDIN"
+          rows.grouped(batchRows).foreach { batch =>
+            val payload = encodeBatch(schema, batch.iterator)
+            copyIn.invoke(mgr, sql, new ByteArrayInputStream(payload))
+          }
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+}

@@ -76,8 +76,10 @@ object TypeMapper {
           case Some(n)        => MappedType(LongType, s"BIT($n)")
         }
       case "decimal" | "numeric" | "dec" | "fixed" =>
-        val p = args.headOption.flatMap(_.toIntOption).getOrElse(10)
-        val sc = args.lift(1).flatMap(_.toIntOption).getOrElse(0)
+        val p = math.max(args.headOption.flatMap(_.toIntOption).getOrElse(10), 1)
+        // scale > precision is invalid even in MySQL; clamp so the mapper
+        // stays total on malformed catalog strings (found by PropertySpec)
+        val sc = math.min(args.lift(1).flatMap(_.toIntOption).getOrElse(0), p)
         val kw = if (base == "numeric") "NUMERIC" else "DECIMAL"
         // MySQL allows DECIMAL up to (65,30); Spark caps precision at 38.
         // Clamp preserving integer digits first (documented lossy edge);

@@ -1,5 +1,7 @@
 package graft
 
+// (CopyEncoder golden tests live at the bottom of this suite)
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
@@ -76,5 +78,25 @@ class SinkProgressSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     info(s"converted $converted reference index statements")
     assert(converted >= 20)
+  }
+
+  test("CopyEncoder: golden COPY text-format bytes") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.transfer.CopyEncoder
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("b", BooleanType), StructField("bin", BinaryType),
+      StructField("ts", TimestampNTZType), StructField("d", DoubleType)))
+    val ts = java.time.LocalDateTime.of(2024, 5, 6, 7, 8, 9, 123456000)
+    val row = Row(42L, "a\tb\nc\\d", true, Array[Byte](0x0a, 0x7f.toByte), ts, 1.5)
+    assert(CopyEncoder.encodeRow(schema, row) ==
+      "42\ta\\tb\\nc\\\\d\tt\t\\\\x0a7f\t2024-05-06 07:08:09.123456\t1.5")
+    val nulls = Row(null, null, null, null, null, null)
+    assert(CopyEncoder.encodeRow(schema, nulls) == "\\N\t\\N\t\\N\t\\N\t\\N\t\\N")
+    val batch = CopyEncoder.encodeBatch(schema, Iterator(nulls, nulls))
+    assert(new String(batch, "UTF-8").count(_ == '\n') == 2)
+    // this container ships only Derby: the reflective COPY path must gate off
+    assert(!CopyEncoder.copySupported())
   }
 }
