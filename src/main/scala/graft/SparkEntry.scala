@@ -86,6 +86,9 @@ object SparkEntry {
     "q57_view_json_mutate" -> Views.q57ViewJsonMutate _,
     "q58_view_elt_field"  -> Views.q58ViewEltField _,
     "q59_bucketed_join"   -> graft.operators.BucketedOps.q59BucketedJoin _,
+    "q60_approx_stats"    -> Relational.q60ApproxStats _,  // no oracle: sketch
+                                                           // outputs are engine-
+                                                           // specific (rows-only)
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column

@@ -414,6 +414,27 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Approximate aggregates — the documented 100 TB swap for the exact
+    * order-statistics ops (q43's exact percentile, q18's exact counts):
+    * HyperLogLog++ distinct counting and t-digest percentiles run in one
+    * pass with fixed-size sketches (mergeable map-side, no sort, no
+    * full-cardinality state). Sketch outputs are engine-specific, so there
+    * is no DuckDB hash oracle (driver records a rows-only check); instead
+    * the query emits the EXACT values alongside and ApproxSpec asserts the
+    * error envelope — the operator carries its own calibration. */
+  def q60ApproxStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderstatus", $"o_custkey", cents($"o_totalprice").as("c"))
+      .groupBy($"o_orderstatus")
+      .agg(
+        approx_count_distinct($"o_custkey", 0.02).as("approx_custs"),
+        countDistinct($"o_custkey").as("exact_custs"),
+        percentile_approx($"c", lit(0.5), lit(10000)).as("approx_median_cents"),
+        expr("percentile(c, 0.5D)").as("exact_median_cents"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Range join: orders bucketed into price bands via an interval-overlap
     * predicate against a small band table. The band side is broadcast, so
     * the plan is a BroadcastNestedLoopJoin — a single pass over the fact

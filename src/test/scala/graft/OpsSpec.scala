@@ -281,6 +281,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("""graft_json_set('{"a":1}', 'a.b', 1)""") == null)
   }
 
+  test("approx aggregates stay inside their error envelopes") {
+    import graft.operators.Relational
+    val rows = Relational.q60ApproxStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ac, ec) = (r.getLong(r.fieldIndex("approx_custs")),
+        r.getLong(r.fieldIndex("exact_custs")))
+      assert(math.abs(ac - ec).toDouble / ec <= 0.06,
+        s"HLL count $ac vs exact $ec exceeds rsd envelope")
+      val (am, em) = (r.getLong(r.fieldIndex("approx_median_cents")),
+        r.getDouble(r.fieldIndex("exact_median_cents")))
+      assert(math.abs(am - em) / em <= 0.02,
+        s"t-digest median $am vs exact $em exceeds 2%")
+    }
+  }
+
   test("bucketed join plans without exchanges under the join") {
     import graft.operators.BucketedOps
     val df = BucketedOps.q59BucketedJoin(spark, sf)
