@@ -37,8 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_sorted_inter_n",
         "intersection size of two sorted distinct arrays (merge count)"),
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
-    Seq("set", "insert", "replace", "remove", "array_append",
-        "merge_patch", "merge_preserve").foreach { m =>
+    JsonFunctions.modes.foreach { m =>
       ext.injectFunction((FunctionIdentifier(s"graft_json_$m"),
         info(s"graft_json_$m", s"MySQL JSON_${m.toUpperCase} semantics"),
         (exprs: Seq[Expression]) => JsonFunctions.JsonMutateExpr(exprs, m)))

@@ -77,7 +77,16 @@ object JsonFunctions {
 
   /** Apply one (path, value) mutation; returns the mutated root (in place). */
   def mutate(root: JsonNode, segs: List[Seg], value: JsonNode, mode: String): JsonNode = {
-    if (segs.isEmpty) return if (mode == "replace" || mode == "set") value else root
+    if (segs.isEmpty) return mode match {
+      case "replace" | "set" => value
+      case "array_append" => // MySQL appends at '$' too, wrapping non-arrays
+        root match {
+          case a: ArrayNode => a.add(value); a
+          case other =>
+            val arr = nf.arrayNode(); arr.add(other); arr.add(value); arr
+        }
+      case _ => root // insert/remove at '$' are no-ops
+    }
     val parent = navigate(root, segs.init).orNull
     val last = segs.last
     (parent, last) match {
@@ -194,6 +203,11 @@ object JsonFunctions {
         TypeCheckResult.TypeCheckFailure(s"graft_json_$mode expects $arity args")
       else if (children.head.dataType != StringType)
         TypeCheckResult.TypeCheckFailure("first arg must be a JSON string")
+      else if (children(1).dataType != StringType)
+        TypeCheckResult.TypeCheckFailure(
+          if (mode == "merge_patch" || mode == "merge_preserve")
+            "patch arg must be a JSON string"
+          else "path arg must be a string")
       else TypeCheckResult.TypeCheckSuccess
     }
 
@@ -235,10 +249,15 @@ object JsonFunctions {
       copy(children = newChildren)
   }
 
+  /** Single source of truth for the mutator modes — both registration
+    * paths (session [[register]] and [[graft.GraftExtensions]]) iterate
+    * this, so they cannot drift. */
+  val modes: Seq[String] = Seq("set", "insert", "replace", "remove",
+    "array_append", "merge_patch", "merge_preserve")
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq("set", "insert", "replace", "remove", "array_append",
-        "merge_patch", "merge_preserve").foreach { m =>
+    modes.foreach { m =>
       reg.createOrReplaceTempFunction(
         s"graft_json_$m", exprs => JsonMutateExpr(exprs, m), "built-in")
     }

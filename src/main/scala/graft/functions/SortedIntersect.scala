@@ -17,8 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * are pre-sorted once per row (`array_sort`, amortized over all pairs the
   * row participates in), the count needs one allocation-free merge scan:
   * O(|a|+|b|) comparisons, no hashing, no output array. Inputs MUST be
-  * sorted ascending and distinct (Spark's array_sort order) and must not
-  * contain null elements; NULL input → NULL.
+  * sorted ascending and distinct (Spark's array_sort order); NULL input or
+  * a NULL element (which has no sort position) → NULL, mirroring
+  * [[DotProduct]].
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,12 +48,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var i = 0; var j = 0; var c = 0L
     if (elemType == StringType) {
       while (i < n && j < m) {
+        if (xa.isNullAt(i) || xb.isNullAt(j)) return null
         val cmp = xa.getUTF8String(i).compareTo(xb.getUTF8String(j))
         if (cmp == 0) { c += 1; i += 1; j += 1 }
         else if (cmp < 0) i += 1 else j += 1
       }
     } else {
       while (i < n && j < m) {
+        if (xa.isNullAt(i) || xb.isNullAt(j)) return null
         val cmp = java.lang.Long.compare(xa.getLong(i), xb.getLong(j))
         if (cmp == 0) { c += 1; i += 1; j += 1 }
         else if (cmp < 0) i += 1 else j += 1
@@ -73,11 +76,12 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |int $n = $a.numElements(); int $m = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
          |  int $cmp = $cmpExpr;
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}
-         |${ev.value} = $c;
+         |if (!${ev.isNull}) ${ev.value} = $c;
        """.stripMargin
     })
 

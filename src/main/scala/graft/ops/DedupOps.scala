@@ -23,6 +23,20 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Shared skew-salting for blocked self-joins: the block key (lang,
+    * label, ...) has few distinct values, so a bare block join lands on
+    * that many shuffle partitions no matter the cluster size. The left
+    * side gets a deterministic salt (id mod S), the right side is
+    * replicated S ways — each pair still meets exactly once (on the left
+    * row's salt) and the blocks spread over block·S partitions. */
+  private[ops] val SALTS = 8
+
+  private[ops] def saltLeft(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("salt", (col(idCol) % SALTS).cast("int"))
+
+  private[ops] def replicateRight(df: DataFrame): DataFrame =
+    df.withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+
   /** Exact dedup via md5-groupBy, reported per source partition. */
   def q32DedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -61,24 +75,16 @@ object DedupOps {
           ws.foldLeft(0L)((m, w) => m | (1L << idx(w))))
         d.withColumn("mask", idxUdf($"ws"))
       } else d.withColumn("mask", lit(null).cast("long"))
-    // Skew salting: `lang` has ~5 distinct values, so a bare block join
-    // would land on 5 shuffle partitions no matter the cluster size. Salt
-    // the left side deterministically (doc_id mod S) and replicate the
-    // right side S ways — 5 blocks become 5·S balanced partitions. Output
-    // is identical (each pair meets exactly once, on the left row's salt).
-    val SALTS = 8
     val bitmask = vocab.length <= 64
     // In bitmask mode the word arrays are NOT projected into the join:
     // 2.5M candidate pairs each dragging two ~50-string arrays through the
     // exchange is pure shuffle weight when the comparison runs on two
     // BIGINTs. Catalyst prunes from the select list, so the parquet scan
     // shrinks too.
-    val a0 = encoded.select($"doc_id".as("doc_a"), $"lang",
-      $"ws".as("wa"), $"mask".as("ma"),
-      ($"doc_id" % SALTS).cast("int").as("salt"))
-    val b0 = encoded.select($"doc_id".as("doc_b"), $"lang",
-      $"ws".as("wb"), $"mask".as("mb"))
-      .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+    val a0 = saltLeft(encoded.select($"doc_id".as("doc_a"), $"lang",
+      $"ws".as("wa"), $"mask".as("ma")), "doc_a")
+    val b0 = replicateRight(encoded.select($"doc_id".as("doc_b"), $"lang",
+      $"ws".as("wb"), $"mask".as("mb")))
     val (a, b) =
       if (bitmask) (a0.drop("wa"), b0.drop("wb")) else (a0.drop("ma"), b0.drop("mb"))
     val joined = a.join(b, Seq("lang", "salt")).filter($"doc_a" < $"doc_b")
@@ -115,11 +121,8 @@ object DedupOps {
       .filter($"doc_id" % 10 === 0 && length($"text") >= 3)
       .selectExpr("doc_id", "lang",
         "array_sort(array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))) AS gs")
-    val SALTS = 8
-    val a = d.select($"doc_id".as("doc_a"), $"lang", $"gs".as("ga"),
-      ($"doc_id" % SALTS).cast("int").as("salt"))
-    val b = d.select($"doc_id".as("doc_b"), $"lang", $"gs".as("gb"))
-      .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+    val a = saltLeft(d.select($"doc_id".as("doc_a"), $"lang", $"gs".as("ga")), "doc_a")
+    val b = replicateRight(d.select($"doc_id".as("doc_b"), $"lang", $"gs".as("gb")))
     a.join(b, Seq("lang", "salt")).filter($"doc_a" < $"doc_b")
       .withColumn("inter_n", expr("graft_sorted_inter_n(ga, gb)"))
       .withColumn("union_n", (size($"ga") + size($"gb")).cast("long") - $"inter_n")
@@ -268,18 +271,16 @@ object DedupOps {
   /** Embedding cosine near-dup pairs blocked by label: double-precision
     * cosine via the codegen'd [[graft.functions.DotProduct]] sequential
     * fold (bit-identical to the DuckDB list_reduce oracle). The block join
-    * is salted the same way as q33: `label` has ~10 distinct values, which
-    * would pin the quadratic scoring onto 10 tasks regardless of cluster
-    * size — salting spreads each block S ways at the cost of replicating
-    * the (narrow) right side. */
+    * uses the shared [[saltLeft]]/[[replicateRight]] skew salting: `label`
+    * has ~10 distinct values, which would pin the quadratic scoring onto
+    * 10 tasks regardless of cluster size. */
   def q36EmbedDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = SimilarityOps.emb(s, dir)
-    val SALTS = 8
-    val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"), $"nrm2".as("na"),
-      ($"vec_id" % SALTS).cast("int").as("salt"))
-    val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"), $"nrm2".as("nb"))
-      .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+    val a = saltLeft(e.select($"vec_id".as("vec_a"), $"label",
+      $"v".as("va"), $"nrm2".as("na")), "vec_a")
+    val b = replicateRight(e.select($"vec_id".as("vec_b"), $"label",
+      $"v".as("vb"), $"nrm2".as("nb")))
     a.join(b, Seq("label", "salt"))
       .filter($"vec_a" < $"vec_b")
       .withColumn("dot", expr("graft_dot(va, vb)"))

@@ -28,36 +28,46 @@ object BatchSink {
   def write(df: DataFrame, url: String, table: String, batchSize: Int = 1000): Unit = {
     // PostgreSQL targets with the PG driver present take the COPY stream
     // path (true K4 parity); everything else uses the portable batch body.
+    // CopyEncoder re-checks driver presence ON THE EXECUTOR and falls back
+    // to writePartition there, so a driver-only PG jar can't strand tasks.
     if (url.startsWith("jdbc:postgresql") && CopyEncoder.copySupported()) {
       CopyEncoder.write(df, url, table, batchRows = math.max(batchSize, 1))
       return
     }
     val schema = df.schema
-    val cols = schema.fieldNames
-    val placeholders = cols.map(_ => "?").mkString(", ")
-    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES ($placeholders)"
-
     df.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.nonEmpty) {
-        val conn: Connection = DriverManager.getConnection(url)
-        conn.setAutoCommit(false)  // one transaction per partition
-        try {
-          val ps = conn.prepareStatement(insertSql)
-          var pending = 0
-          rows.foreach { row =>
-            bindRow(ps, schema, row)
-            ps.addBatch()
-            pending += 1
-            if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
-          }
-          if (pending > 0) ps.executeBatch()
-          conn.commit()
-        } catch {
-          case e: Throwable => conn.rollback(); throw e
-        } finally conn.close()
-      }
+      writePartition(rows, schema, url, table, batchSize)
     }
   }
+
+  /** The portable per-partition body: one connection, one transaction,
+    * batched prepared statements. Callable from executors (CopyEncoder's
+    * fallback) as well as from [[write]]. */
+  def writePartition(rows: Iterator[Row], schema: StructType, url: String,
+                     table: String, batchSize: Int): Unit =
+    if (rows.nonEmpty) {
+      val cols = schema.fieldNames
+      val placeholders = cols.map(_ => "?").mkString(", ")
+      val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES ($placeholders)"
+      val conn: Connection = DriverManager.getConnection(url)
+      conn.setAutoCommit(false)  // one transaction per partition
+      try {
+        val ps = conn.prepareStatement(insertSql)
+        var pending = 0
+        rows.foreach { row =>
+          bindRow(ps, schema, row)
+          ps.addBatch()
+          pending += 1
+          if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+        }
+        if (pending > 0) ps.executeBatch()
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
+      } finally conn.close()
+    }
 
   private def bindRow(ps: PreparedStatement, schema: StructType, row: Row): Unit =
     schema.fields.zipWithIndex.foreach { case (f, i) =>

@@ -80,15 +80,18 @@ object CopyEncoder {
     catch { case _: ClassNotFoundException => false }
 
   /** COPY-stream the frame into `table`, one COPY + transaction per
-    * partition. Requires the PostgreSQL driver on the executor classpath;
-    * callers should gate on [[copySupported]] and fall back to
-    * [[BatchSink.write]] otherwise. */
+    * partition. Driver presence is re-checked ON THE EXECUTOR (a jar on
+    * the driver classpath only is a common misconfiguration): partitions
+    * whose JVM lacks the PG driver fall back to the portable
+    * [[BatchSink.writePartition]] body instead of failing the task. */
   def write(df: DataFrame, url: String, table: String,
             batchRows: Int = 10000): Unit = {
     val schema = df.schema
     val colList = schema.fieldNames.mkString(", ")
     df.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.nonEmpty) {
+      if (!copySupported()) {
+        BatchSink.writePartition(rows, schema, url, table, batchRows)
+      } else if (rows.nonEmpty) {
         val conn: Connection = DriverManager.getConnection(url)
         conn.setAutoCommit(false)
         try {
@@ -105,7 +108,11 @@ object CopyEncoder {
           }
           conn.commit()
         } catch {
-          case e: Throwable => conn.rollback(); throw e
+          // a failed COPY often leaves the connection broken: keep the
+          // root cause, attach the rollback failure as suppressed
+          case e: Throwable =>
+            try conn.rollback() catch { case r: Throwable => e.addSuppressed(r) }
+            throw e
         } finally conn.close()
       }
     }

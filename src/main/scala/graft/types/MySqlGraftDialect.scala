@@ -72,9 +72,13 @@ object MySqlGraftDialect extends JdbcDialect {
     s"$url${sep}zeroDateTimeBehavior=convertToNull&tinyInt1isBit=$tinyInt1isBit"
   }
 
-  /** Idempotent JVM-wide registration. */
-  def install(): Unit = {
-    JdbcDialects.unregisterDialect(this)
-    JdbcDialects.registerDialect(this)
-  }
+  private val installed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Once-only JVM-wide registration. The registry's dialect list is an
+    * unsynchronized var, so an unregister/re-register pair on every read
+    * would open a window where a concurrent `spark.read.jdbc` resolves the
+    * default MySQL dialect (and e.g. BIGINT UNSIGNED maps differently,
+    * tripping checksum validation). */
+  def install(): Unit =
+    if (installed.compareAndSet(false, true)) JdbcDialects.registerDialect(this)
 }

@@ -77,9 +77,10 @@ object TypeMapper {
         }
       case "decimal" | "numeric" | "dec" | "fixed" =>
         val p = math.max(args.headOption.flatMap(_.toIntOption).getOrElse(10), 1)
-        // scale > precision is invalid even in MySQL; clamp so the mapper
-        // stays total on malformed catalog strings (found by PropertySpec)
-        val sc = math.min(args.lift(1).flatMap(_.toIntOption).getOrElse(0), p)
+        // scale outside [0, precision] is invalid even in MySQL; clamp so
+        // the mapper stays total on malformed catalog strings (negative
+        // scales are also rejected by Spark's DecimalType since 3.0)
+        val sc = math.min(math.max(args.lift(1).flatMap(_.toIntOption).getOrElse(0), 0), p)
         val kw = if (base == "numeric") "NUMERIC" else "DECIMAL"
         // MySQL allows DECIMAL up to (65,30); Spark caps precision at 38.
         // Clamp preserving integer digits first (documented lossy edge);

@@ -78,9 +78,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bigint element variant + null input
     val lr = spark.sql(
       """SELECT graft_sorted_inter_n(array(1L, 5L, 9L), array(5L, 9L, 11L)) AS n,
-        |       graft_sorted_inter_n(CAST(NULL AS ARRAY<STRING>), array('a')) AS nn
+        |       graft_sorted_inter_n(CAST(NULL AS ARRAY<STRING>), array('a')) AS nn,
+        |       graft_sorted_inter_n(array('a', CAST(NULL AS STRING)), array('a', 'b')) AS ne
         |""".stripMargin).collect().head
     assert(lr.getLong(0) == 2L && lr.isNullAt(1))
+    assert(lr.isNullAt(2), "null element must yield NULL, not NPE")
   }
 
   test("exact dedup accounts for every document") {
@@ -267,9 +269,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("""graft_json_set('{"a":{"b":[1,2]}}', '$.a.b[0]', 7)""") ==
       """{"a":{"b":[7,2]}}""")
     assert(one("""graft_json_set('{"a":[1]}', '$.a[5]', 2)""") == """{"a":[1,2]}""")
-    // array_append wraps non-arrays (MySQL behavior)
+    // array_append wraps non-arrays (MySQL behavior), including at root '$'
     assert(one("""graft_json_array_append('{"a":[1]}', '$.a', 2)""") == """{"a":[1,2]}""")
     assert(one("""graft_json_array_append('{"a":1}', '$.a', 2)""") == """{"a":[1,2]}""")
+    assert(one("""graft_json_array_append('[1,2]', '$', 3)""") == """[1,2,3]""")
+    assert(one("""graft_json_array_append('{"a":1}', '$', 2)""") == """[{"a":1},2]""")
     // merge_patch: RFC 7386 (null deletes, objects recurse)
     assert(one("""graft_json_merge_patch('{"a":1,"b":{"x":1}}', '{"a":null,"b":{"y":2}}')""") ==
       """{"b":{"x":1,"y":2}}""")
