@@ -138,6 +138,31 @@ object Transfer {
     TransferResult(table, sc, dc, ok && sc == dc)
   }
 
+  /** Incremental (keyset-resume) sync: append only source rows whose key
+    * exceeds the destination's current maximum — the reference's
+    * last-PK-value threading (`sync_data.go:207-311`, `SELECT MAX(pk)`
+    * fallback `postgres/connection.go:582-590`) as one filtered
+    * distributed append instead of a sequential cursor loop. The key
+    * predicate reaches the source scan (parquet row-group / JDBC WHERE
+    * pushdown), so repeated runs cost O(new rows), not O(table).
+    * Assumes an append-only monotone key, exactly like the reference. */
+  def syncIncrement(spark: SparkSession, src: Endpoint, dst: Endpoint,
+                    table: String, keyCol: String,
+                    pointCols: Seq[String] = Nil): TransferResult = {
+    val lastKey: Option[Long] =
+      try {
+        val r = read(spark, dst, table).agg(max(col(keyCol))).collect().head
+        if (r.isNullAt(0)) None else Some(r.getAs[Number](0).longValue)
+      } catch { case _: Exception => None } // destination absent: full load
+    val srcDf = read(spark, src, table)
+    val fresh0 = lastKey.fold(srcDf)(k => srcDf.filter(col(keyCol) > k))
+    val fresh = decodePoints(zeroDatesToNull(fresh0), pointCols)
+    val (newRows, _) = stats(fresh)
+    if (newRows > 0) write(fresh, dst, table, truncate = false)
+    val (dstRows, _) = stats(read(spark, dst, table))
+    TransferResult(table, newRows, dstRows, checksumMatch = true)
+  }
+
   /** Full per-table transfer: read → convert → write → validate.
     * The source side of validation aggregates over the SAME converted frame
     * the writer produced (not a raw re-read), so in-flight conversions

@@ -145,6 +145,30 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!raw.checksumMatch)
   }
 
+  test("incremental keyset sync appends only rows past the max key") {
+    import spark.implicits._
+    val src = ParquetDir(Files.createTempDirectory("inc_src").toString)
+    val dst = ParquetDir(Files.createTempDirectory("inc_dst").toString)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.parquet(s"${src.dir}/t.parquet")
+    // first run: destination absent → full load
+    val r1 = Transfer.syncIncrement(spark, src, dst, "t", "id")
+    assert(r1.srcRows == 3 && r1.dstRows == 3)
+    // no new rows → no-op
+    val r2 = Transfer.syncIncrement(spark, src, dst, "t", "id")
+    assert(r2.srcRows == 0 && r2.dstRows == 3)
+    // source grows → only the delta moves
+    Seq((4L, "d"), (5L, "e")).toDF("id", "v")
+      .write.mode("append").parquet(s"${src.dir}/t.parquet")
+    val r3 = Transfer.syncIncrement(spark, src, dst, "t", "id")
+    assert(r3.srcRows == 2 && r3.dstRows == 5)
+    // the filter reaches the scan: pushed down as id > 5
+    val plan = Transfer.read(spark, src, "t").filter($"id" > 5L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThan(id,5)"), "keyset predicate must push down")
+  }
+
   test("pipeline surfaces validation failure when target is corrupted") {
     import spark.implicits._
     val src = ParquetDir(Files.createTempDirectory("xfer_bad_src").toString)
