@@ -63,7 +63,10 @@ object Migrate {
       val tables = Pipeline.tableList(cfg.toPipelineConfig, src match {
         case ParquetDir(dir) => graft.sources.Tables.all
           .filter(t => new java.io.File(s"$dir/$t.parquet").exists())
-        case j: Jdbc => Catalog.listTables(j.url).map(_.toLowerCase)
+        // keep source-reported case: lowercasing here broke case-sensitive
+        // sources (MySQL lower_case_table_names=0); config-list matching is
+        // case-insensitive in Pipeline.tableList instead
+        case j: Jdbc => Catalog.listTables(j.url)
       })
 
       // schema stage: create target tables (skip existing, manager.go:1228+)
@@ -72,7 +75,8 @@ object Migrate {
           if (Catalog.tableExists(j.url, t)) println(s"[schema] $t exists, skipping")
           else {
             val schema = Transfer.read(spark, src, t).schema
-            Catalog.executeDdl(j.url, DdlConverter.ddlForSchema(t, schema, cfg.lowercaseColumns))
+            Catalog.executeDdl(j.url,
+              DdlConverter.ddlForSchema(t, schema, cfg.lowercaseColumns, j.url))
             println(s"[schema] created $t")
           }
         }

@@ -84,7 +84,11 @@ object DdlConverter {
 
     lines.foreach { raw =>
       val line = raw.trim
-      val upper = line.toUpperCase
+      // classify on a literal-masked, word-boundary basis: a column named
+      // `keyword`/`checksum` must NOT be eaten by the KEY/CHECK branches,
+      // and keywords inside COMMENT/DEFAULT literals must not classify
+      val upper = graft.sqlrewrite.SqlRewriter.maskStringLiterals(line)._1.toUpperCase
+      def starts(kw: String): Boolean = upper.matches(s"^$kw\\b.*")
       if (upper.startsWith("PRIMARY KEY")) {
         val o = line.indexOf('(')
         if (o >= 0) {
@@ -92,7 +96,7 @@ object DdlConverter {
           pk = splitTopLevelCommas(line.substring(o + 1, c))
             .map(x => unquoteIdent(x.replaceAll("\\(\\d+\\)\\s*$", ""))) // prefix length
         }
-      } else if (upper.startsWith("CONSTRAINT") || upper.startsWith("CHECK")) {
+      } else if (starts("CONSTRAINT") || starts("CHECK")) {
         val ci = upper.indexOf("CHECK")
         if (ci >= 0) {
           val o = line.indexOf('(', ci)
@@ -105,16 +109,17 @@ object DdlConverter {
             }
           }
         }
-      } else if (upper.startsWith("UNIQUE KEY") || upper.startsWith("UNIQUE INDEX") ||
-                 upper.startsWith("KEY") || upper.startsWith("INDEX") ||
-                 upper.startsWith("FULLTEXT") || upper.startsWith("SPATIAL") ||
-                 upper.startsWith("FOREIGN KEY")) {
+      } else if (starts("UNIQUE KEY") || starts("UNIQUE INDEX") ||
+                 starts("KEY") || starts("INDEX") ||
+                 starts("FULLTEXT") || starts("SPATIAL") ||
+                 starts("FOREIGN KEY")) {
         // handled by the index converter / intentionally dropped (:737-745)
       } else if (line.nonEmpty) {
         parseColumn(line).foreach { c =>
           cols += c
-          // inline PRIMARY KEY
-          if (line.toUpperCase.matches(".*\\bPRIMARY\\s+KEY\\b.*") && pk.isEmpty)
+          // inline PRIMARY KEY (masked: 'PRIMARY KEY' in a COMMENT literal
+          // must not promote the column)
+          if (upper.matches(".*\\bPRIMARY\\s+KEY\\b.*") && pk.isEmpty)
             pk = Seq(c.name)
         }
       }
@@ -140,7 +145,11 @@ object DdlConverter {
     val name = unquoteIdent(nameM.group(1))
     line = line.substring(nameM.end)
 
-    if (line.toUpperCase.contains(" INVISIBLE")) return None
+    // flag checks run on a literal-masked copy so COMMENT/DEFAULT text
+    // ('marks INVISIBLE rows', 'the PRIMARY KEY is...') can't trigger them
+    def masked(s: String): String =
+      graft.sqlrewrite.SqlRewriter.maskStringLiterals(s)._1.toUpperCase
+    if (masked(line).contains(" INVISIBLE")) return None
 
     // type: word(+args) plus optional unsigned/zerofill modifiers
     val typeM = "(?i)^([a-z]+(?:\\s+precision|\\s+varying)?(?:\\s*\\([^)]*\\))?(?:\\s+unsigned)?(?:\\s+zerofill)?)".r
@@ -153,7 +162,7 @@ object DdlConverter {
       .replaceAll("(?i)\\s+COLLATE\\s+\\w+", "")
       .replaceAll("(?i)\\s+ON\\s+UPDATE\\s+CURRENT_TIMESTAMP(\\(\\d*\\))?", "")
 
-    val upperRest = rest.toUpperCase
+    val upperRest = masked(rest)
     val autoInc = upperRest.contains("AUTO_INCREMENT")
     val notNull = upperRest.contains("NOT NULL")
 
@@ -234,21 +243,25 @@ object DdlConverter {
 
   /** Target CREATE TABLE straight from a Spark schema (for sources that
     * carry schema natively — parquet footers, JDBC metadata — where no
-    * MySQL DDL text exists to parse). Types chosen from the ANSI subset
-    * Derby and PostgreSQL share. */
+    * MySQL DDL text exists to parse). Types are the ANSI spellings Derby
+    * and PostgreSQL share (DOUBLE PRECISION, not DOUBLE — PG has no bare
+    * DOUBLE); binary is the one divergent type, chosen per target dialect
+    * (PG BYTEA / everywhere-else BLOB). */
   def ddlForSchema(table: String, schema: StructType,
-                   lowercase: Boolean = false): String = {
+                   lowercase: Boolean = false,
+                   targetUrl: String = "jdbc:postgresql:"): String = {
+    val binary = if (targetUrl.startsWith("jdbc:postgresql")) "BYTEA" else "BLOB"
     def sqlType(dt: DataType): String = dt match {
       case LongType => "BIGINT"
       case IntegerType => "INTEGER"
       case ShortType => "SMALLINT"
-      case DoubleType => "DOUBLE"
+      case DoubleType => "DOUBLE PRECISION"
       case FloatType => "REAL"
       case BooleanType => "BOOLEAN"
       case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
       case DateType => "DATE"
       case TimestampType | TimestampNTZType => "TIMESTAMP"
-      case BinaryType => "BLOB"
+      case BinaryType => binary
       case StringType => "VARCHAR(4000)"
       case other => "VARCHAR(4000)"
     }

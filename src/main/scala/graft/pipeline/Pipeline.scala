@@ -42,9 +42,14 @@ object Pipeline {
       results.filter(r => r.srcRows != r.dstRows || !r.checksumMatch)
   }
 
+  /** Include/exclude matching is case-insensitive: the reference compares
+    * config names against catalog names loosely, and a whitelist whose case
+    * differs from the source's must select the table rather than silently
+    * selecting nothing (and exiting 0 having migrated nothing). */
   def tableList(cfg: Config, all: Seq[String]): Seq[String] =
-    all.filter(t => cfg.includeTables.isEmpty || cfg.includeTables.contains(t))
-      .filterNot(cfg.excludeTables.contains)
+    all.filter(t => cfg.includeTables.isEmpty ||
+        cfg.includeTables.exists(_.equalsIgnoreCase(t)))
+      .filterNot(x => cfg.excludeTables.exists(_.equalsIgnoreCase(x)))
 
   /** Run a full parquet→target migration of the corpus tables. */
   def run(spark: SparkSession, src: Endpoint, dst: Endpoint,

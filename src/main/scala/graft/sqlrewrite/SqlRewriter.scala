@@ -161,10 +161,18 @@ object SqlRewriter {
         i += 2
       } else {
         val c = mysqlFmt.charAt(i)
-        // literal chars that are pattern letters in Java need quoting
-        if (c.isLetter) sb.append('\'').append(c).append('\'')
-        else sb.append(c)
-        i += 1
+        // Literal chars that are pattern letters in Java need quoting.
+        // Consecutive letters must share ONE quoted run: per-letter quoting
+        // would emit 'a''t' which DateTimeFormatter reads as a't ('' is an
+        // escaped quote inside quoted text).
+        if (c.isLetter) {
+          sb.append('\'')
+          while (i < mysqlFmt.length && mysqlFmt.charAt(i).isLetter &&
+                 mysqlFmt.charAt(i) != '%') {
+            sb.append(mysqlFmt.charAt(i)); i += 1
+          }
+          sb.append('\'')
+        } else { sb.append(c); i += 1 }
       }
     }
     sb.toString
@@ -252,11 +260,16 @@ object SqlRewriter {
       val e = if (distinct) body.replaceFirst("(?is)^DISTINCT\\b", "").trim else body
       orderKey match {
         case Some((k, desc)) if k != e =>
-          val collect = if (distinct) s"collect_set(struct($k AS k, $e AS v))"
-                        else s"collect_list(struct($k AS k, $e AS v))"
+          // DISTINCT must dedupe VALUES, not (key, value) pairs — two rows
+          // with different keys and the same value yield the value once in
+          // MySQL. Sort by key first, project to values, then array_distinct
+          // (which keeps first occurrence, i.e. each value at its best key).
+          val collect = s"collect_list(struct($k AS k, $e AS v))"
           val sorted = s"array_sort($collect)"
           val ordered = if (desc) s"reverse($sorted)" else sorted
-          s"array_join(transform($ordered, p -> p.v), $sep)"
+          val values = s"transform($ordered, p -> p.v)"
+          val deduped = if (distinct) s"array_distinct($values)" else values
+          s"array_join($deduped, $sep)"
         case Some((_, true)) =>
           val collect = if (distinct) s"collect_set($e)" else s"collect_list($e)"
           s"array_join(reverse(array_sort($collect)), $sep)"
@@ -397,7 +410,13 @@ object SqlRewriter {
       s"to_json(array(${args.mkString(", ")}))"
     }
     s = rewriteCalls(s, "JSON_LENGTH") {
-      case List(j) => s"json_array_length($j)"
+      // MySQL: array → element count, object → key count, scalar → 1
+      // (json_array_length alone returns NULL for objects/scalars)
+      case List(j) =>
+        s"(CASE WHEN ($j) IS NULL THEN NULL" +
+          s" WHEN startswith(ltrim($j), '[') THEN json_array_length($j)" +
+          s" WHEN startswith(ltrim($j), '{') THEN size(from_json($j, 'map<string,string>'))" +
+          s" ELSE 1 END)"
       case args => s"JSON_LENGTH(${args.mkString(", ")})"
     }
     s = rewriteCalls(s, "JSON_KEYS") {
@@ -477,9 +496,13 @@ object SqlRewriter {
     // a REGEXP b → a RLIKE b (sync_functions.go:21,505)
     s = s.replaceAll("(?i)\\bREGEXP\\b", "RLIKE")
 
-    // SYSDATE() → current_timestamp() (NOW/CURDATE/CURTIME are native)
+    // CURTIME() is a TIME-of-day value: keep the module's TIME convention
+    // (HH:mm:ss string), NOT current_timestamp (which would silently turn
+    // time comparisons into timestamp-vs-time ones)
+    s = s.replaceAll("(?i)\\bCURTIME\\s*\\(\\s*\\)",
+      "date_format(current_timestamp(), 'HH:mm:ss')")
+    // SYSDATE() → current_timestamp() (NOW/CURDATE are native)
     s = s.replaceAll("(?i)\\bSYSDATE\\s*\\(\\s*\\)", "current_timestamp()")
-    s = s.replaceAll("(?i)\\bCURTIME\\s*\\(\\s*\\)", "current_timestamp()")
     // UUID_SHORT() → monotonically increasing id
     s = s.replaceAll("(?i)\\bUUID_SHORT\\s*\\(\\s*\\)", "monotonically_increasing_id()")
     // RAND() is native; DATABASE() → current_database(); no-op renames:

@@ -187,4 +187,43 @@ class DdlConverterSpec extends AnyFunSuite {
     assert(st("n").dataType == LongType)        // TIME as micros-of-day
     assert(st("u").dataType == BinaryType)
   }
+
+  test("columns whose names share a keyword prefix are not dropped") {
+    val spec = DdlConverter.parse(
+      """CREATE TABLE t (
+        |  id int NOT NULL,
+        |  keyword varchar(50),
+        |  checksum bigint,
+        |  index_no int,
+        |  KEY idx_kw (keyword)
+        |)""".stripMargin)
+    assert(spec.columns.map(_.name) == Seq("id", "keyword", "checksum", "index_no"))
+  }
+
+  test("keywords inside COMMENT/DEFAULT literals do not classify") {
+    val spec = DdlConverter.parse(
+      """CREATE TABLE t (
+        |  id int,
+        |  note varchar(30) COMMENT 'the PRIMARY KEY is external',
+        |  flags varchar(10) COMMENT 'marks INVISIBLE rows',
+        |  status varchar(8) DEFAULT 'NOT NULL'
+        |)""".stripMargin)
+    assert(spec.columns.map(_.name) == Seq("id", "note", "flags", "status"))
+    assert(spec.primaryKey.isEmpty, "literal PRIMARY KEY must not promote")
+    assert(spec.columns.find(_.name == "status").exists(_.nullable),
+      "literal 'NOT NULL' default must not flip nullability")
+    assert(spec.columns.find(_.name == "note")
+      .flatMap(_.comment).contains("the PRIMARY KEY is external"))
+  }
+
+  test("ddlForSchema emits PG-valid types for PG targets, BLOB elsewhere") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("d", DoubleType), StructField("b", BinaryType)))
+    val pg = DdlConverter.ddlForSchema("t", schema)
+    assert(pg.contains("DOUBLE PRECISION") && pg.contains("BYTEA") &&
+      !pg.contains("\"d\" DOUBLE\n"))
+    val derby = DdlConverter.ddlForSchema("t", schema, targetUrl = "jdbc:derby:x")
+    assert(derby.contains("DOUBLE PRECISION") && derby.contains("BLOB"))
+  }
 }

@@ -44,6 +44,10 @@ class SqlRewriterSpec extends AnyFunSuite {
       "SELECT array_join(transform(reverse(array_sort(collect_list(struct(id AS k, name AS v)))), p -> p.v), ',') FROM t")
     assert(rewrite("SELECT GROUP_CONCAT(name ORDER BY name DESC) FROM t") ==
       "SELECT array_join(reverse(array_sort(collect_list(name))), ',') FROM t")
+    // DISTINCT with a different order key dedupes VALUES (not (k,v) pairs):
+    // rows (1,'a'),(2,'a') must yield 'a' once, like MySQL
+    assert(rewrite("SELECT GROUP_CONCAT(DISTINCT name ORDER BY id) FROM t") ==
+      "SELECT array_join(array_distinct(transform(array_sort(collect_list(struct(id AS k, name AS v))), p -> p.v)), ',') FROM t")
   }
 
   test("GROUP_CONCAT with nested function arg") {
@@ -57,6 +61,16 @@ class SqlRewriterSpec extends AnyFunSuite {
     assert(translateDateFormat("%M %e, %Y") == "MMMM d, yyyy")
     // literal pattern letters are quoted
     assert(translateDateFormat("%Yq%c") == "yyyy'q'M")
+    // consecutive literal letters share one quoted run: per-letter quoting
+    // would produce 'a''t' = the escaped-quote literal a't
+    assert(translateDateFormat("%d at %H") == "dd 'at' HH")
+    // JSON_LENGTH distinguishes arrays, objects, scalars (MySQL semantics)
+    val jl = rewrite("SELECT JSON_LENGTH(j) FROM t")
+    assert(jl.contains("json_array_length(j)") &&
+      jl.contains("from_json(j, 'map<string,string>')") && jl.contains("ELSE 1"))
+    // CURTIME keeps a time-of-day value, not a full timestamp
+    assert(rewrite("SELECT CURTIME() FROM t") ==
+      "SELECT date_format(current_timestamp(), 'HH:mm:ss') FROM t")
     assert(rewrite("SELECT DATE_FORMAT(d, '%Y-%m-%d') FROM t") ==
       "SELECT date_format(d, 'yyyy-MM-dd') FROM t")
   }
