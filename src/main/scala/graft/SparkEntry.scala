@@ -89,6 +89,10 @@ object SparkEntry {
     "q60_approx_stats"    -> Relational.q60ApproxStats _,  // no oracle: sketch
                                                            // outputs are engine-
                                                            // specific (rows-only)
+    "q61_sample_topk"     -> TextOps.q61SampleTopk _,
+    "q62_range_window"    -> EventOps.q62RangeWindow _,
+    "q63_resample"        -> EventOps.q63Resample _,
+    "q64_fuzzy_name"      -> DedupOps.q64FuzzyName _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -882,5 +886,46 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q61_sample_topk" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    list_reduce(list_transform(string_split(text || CAST(doc_id AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS pri
+        |  FROM documents)
+        |SELECT lang, rk, doc_id, pri FROM (
+        |  SELECT lang, doc_id, pri,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS BIGINT) AS rk
+        |  FROM d)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    "q62_range_window" ->
+      """SELECT user_id, event_id, us, n_5min, cents_5min FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_5min,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_5min
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW))
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q63_resample" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |ag AS (SELECT hour, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+        |       FROM e GROUP BY hour),
+        |b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM e),
+        |sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b)
+        |SELECT sp.hour, coalesce(n, 0) AS n_events, coalesce(cents, 0) AS value_cents
+        |FROM sp LEFT JOIN ag ON sp.hour = ag.hour
+        |ORDER BY sp.hour""".stripMargin,
+
+    "q64_fuzzy_name" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part)
+        |SELECT a.p_brand, a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 5
+        |ORDER BY pk_a, pk_b""".stripMargin,
   )
 }

@@ -131,6 +131,26 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Fuzzy key matching: near-identical part names by edit distance within
+    * (brand, size) blocks — the approximate-string rung of the dedup
+    * ladder (entity resolution for dirty keys during migration). Blocks
+    * here are numerous and small so no salting is needed; levenshtein is
+    * codegen'd in Spark and definitionally identical in the oracle. */
+  def q64FuzzyName(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.load(s, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_size", $"p_name")
+    val a = p.select($"p_partkey".as("pk_a"), $"p_brand", $"p_size",
+      $"p_name".as("name_a"))
+    val b = p.select($"p_partkey".as("pk_b"), $"p_brand", $"p_size",
+      $"p_name".as("name_b"))
+    a.join(b, Seq("p_brand", "p_size")).filter($"pk_a" < $"pk_b")
+      .withColumn("lev", levenshtein($"name_a", $"name_b").cast("long"))
+      .filter($"lev" <= 5)
+      .select($"p_brand", $"pk_a", $"pk_b", $"lev")
+      .orderBy($"pk_a", $"pk_b")
+  }
+
   // MinHash permutation constants h_i(x) = (a_i·x + b_i) mod p; p = 1e9+7
   // keeps a_i·x < 2^63. 12 perms in 4 bands of 3.
   private[ops] val perms: Seq[(Int, Int)] = Seq(

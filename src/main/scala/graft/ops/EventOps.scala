@@ -53,6 +53,48 @@ object EventOps {
       .orderBy($"user_id", $"click_id")
   }
 
+  /** RANGE-frame sliding window: per event, count and value-sum of the
+    * same user's events in the trailing 5 minutes — the time-based frame
+    * (RANGE over microseconds) complementing the ROWS frames elsewhere in
+    * the suite. Same single (user_id) partitioning as the other event
+    * windows; peers at equal timestamps are included by both engines per
+    * standard RANGE semantics, so the oracle is exact. */
+  def q62RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-300000000L, 0L) // 5 minutes in microseconds
+    ev(s, dir)
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        round($"value" * 100).cast("long").as("c"))
+      .withColumn("n_5min", count(lit(1)).over(w).cast("long"))
+      .withColumn("cents_5min", sum($"c").over(w))
+      .select($"user_id", $"event_id", $"us", $"n_5min", $"cents_5min")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Gap-filled hourly resample: the time-series regularization step every
+    * monitoring/feature pipeline needs — hours with no events appear with
+    * zero counts. The hour spine is generated from the observed bounds
+    * (sequence + explode: a generator, not a driver loop) and left-joined
+    * to the hourly aggregate; at scale the spine is tiny (hours, not
+    * events) and broadcasts. */
+  def q63Resample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir)
+      .select(date_trunc("hour", $"ts").as("hour"),
+        round($"value" * 100).cast("long").as("c"))
+    val hourly = e.groupBy($"hour")
+      .agg(count(lit(1)).as("n"), sum($"c").as("cents"))
+    val spine = e.agg(min($"hour").as("lo"), max($"hour").as("hi"))
+      .selectExpr("explode(sequence(lo, hi, interval 1 hour)) AS hour")
+    spine.join(hourly, Seq("hour"), "left")
+      .select($"hour",
+        coalesce($"n", lit(0L)).as("n_events"),
+        coalesce($"cents", lit(0L)).as("value_cents"))
+      .orderBy($"hour")
+  }
+
   /** Gap sessionization (30-minute inactivity threshold): the batch form of
     * streaming session windows. lag → boundary flag → running sum = session
     * index; then one aggregate per session. All three windows share one

@@ -109,6 +109,26 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Exact-k deterministic sample per stratum: rank documents by a content
+    * hash priority and keep the k best — the hash-priority analogue of
+    * reservoir sampling (A-Res with a deterministic priority), giving an
+    * exactly-k, replayable, content-keyed sample per language. One window
+    * per stratum, no global shuffle beyond the partitioning. */
+  def q61SampleTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Fingerprint.register(s)
+    val k = 20
+    val w = Window.partitionBy($"lang").orderBy($"pri", $"doc_id")
+    docs(s, dir)
+      .select($"lang", $"doc_id",
+        expr("graft_fingerprint(concat(text, CAST(doc_id AS STRING)))").as("pri"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"lang", $"rk", $"doc_id", $"pri")
+      .orderBy($"lang", $"rk")
+  }
+
   /** Deterministic stratified sampling — the training-data-mixing primitive:
     * per language stratum, keep documents whose content fingerprint lands in
     * 2 of 10 hash buckets (a content-keyed ~20% sample; re-running over a
