@@ -93,6 +93,9 @@ object SparkEntry {
     "q62_range_window"    -> EventOps.q62RangeWindow _,
     "q63_resample"        -> EventOps.q63Resample _,
     "q64_fuzzy_name"      -> DedupOps.q64FuzzyName _,
+    "q65_merge_upsert"    -> TransferOps.q65MergeUpsert _,
+    "q66_grouping_sets"   -> Relational.q66GroupingSets _,
+    "q67_correlated_subq" -> Relational.q67CorrelatedSubquery _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -927,5 +930,35 @@ object SparkEntry {
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 5
         |ORDER BY pk_a, pk_b""".stripMargin,
+
+    "q65_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders),
+        |upd AS (SELECT o_orderkey, price_cents + 100000 AS new_cents
+        |        FROM base WHERE o_orderkey % 100 = 0)
+        |SELECT b.o_orderkey, b.o_custkey,
+        |  CAST(coalesce(u.new_cents, b.price_cents) AS BIGINT) AS price_cents
+        |FROM base b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |WHERE b.o_orderkey % 177 <> 0
+        |ORDER BY b.o_orderkey""".stripMargin,
+
+    "q66_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    "q67_correlated_subq" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+        |   FROM orders o WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_orderstatus = 'F') AS f_cents
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -322,6 +322,43 @@ object Relational {
       .orderBy($"status", $"priority")
   }
 
+  /** Explicit GROUPING SETS (the general form behind rollup/cube) with
+    * grouping_id disambiguation — ((status), (priority), ()) computes two
+    * independent dimension totals and the grand total in ONE pass over the
+    * fact table (one shuffle, expanded map-side), vs three separate
+    * aggregations. */
+  def q66GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin)
+  }
+
+  /** Correlated scalar subqueries — written in the subquery form users
+    * write, decorrelated by Catalyst into aggregate+join (no per-row
+    * execution; `.explain` shows one join, not N subplans). The capability
+    * upgrade over the reference, which could only pass such text through
+    * untouched. */
+  def q67CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+        |   FROM orders o WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_orderstatus = 'F') AS f_cents
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Advanced window ranks: rank/dense_rank/ntile/percent_rank/cume_dist/
     * lead over customer spend — exact rational arithmetic, portable. */
   def q48WindowRanks(s: SparkSession, dir: String): DataFrame = {

@@ -37,4 +37,28 @@ object TransferOps {
       .toDF("table_name", "src_rows", "dst_rows", "checksum_match")
       .orderBy($"table_name")
   }
+
+  /** CDC merge/upsert compaction: apply a change batch (updates + deletes)
+    * to a snapshot — the incremental-sync step beyond [[graft.transfer
+    * .Transfer.syncIncrement]]'s append-only case, expressed as the
+    * standard two-join plan Catalyst executes as one shuffle per side:
+    * anti-join removes deleted keys, left join overlays updated values.
+    * The change batch is derived deterministically from the snapshot
+    * (keys ≡ 0 mod 100 get +1000.00, keys ≡ 0 mod 177 are deleted) so the
+    * oracle replays it exactly. */
+  def q65MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val base = graft.sources.Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("price_cents"))
+    val deletes = base.filter($"o_orderkey" % 177 === 0).select($"o_orderkey")
+    val updates = base.filter($"o_orderkey" % 100 === 0)
+      .select($"o_orderkey", ($"price_cents" + 100000L).as("new_cents"))
+    base.join(deletes, Seq("o_orderkey"), "left_anti")
+      .join(updates, Seq("o_orderkey"), "left")
+      .select($"o_orderkey", $"o_custkey",
+        coalesce($"new_cents", $"price_cents").as("price_cents"))
+      .orderBy($"o_orderkey")
+  }
 }
