@@ -96,6 +96,7 @@ object SparkEntry {
     "q65_merge_upsert"    -> TransferOps.q65MergeUpsert _,
     "q66_grouping_sets"   -> Relational.q66GroupingSets _,
     "q67_correlated_subq" -> Relational.q67CorrelatedSubquery _,
+    "q68_lateral_topk"    -> Relational.q68LateralTopk _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -960,5 +961,13 @@ object SparkEntry {
         |     AND o.o_orderstatus = 'F') AS f_cents
         |FROM customer c
         |ORDER BY c_custkey""".stripMargin,
+
+    "q68_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.price_cents
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |         FROM orders WHERE o_custkey = c.c_custkey
+        |         ORDER BY price_cents DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.price_cents DESC, o.o_orderkey""".stripMargin,
   )
 }

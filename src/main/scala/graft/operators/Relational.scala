@@ -359,6 +359,22 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** LATERAL correlated subquery with per-row LIMIT — top-2 orders per
+    * customer in the lateral form (the other spelling of q06's window
+    * top-k; Catalyst plans it via DomainJoin decorrelation rather than N
+    * subplans). Inner-join semantics: order-less customers drop out. */
+  def q68LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.price_cents
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |         FROM orders WHERE o_custkey = c.c_custkey
+        |         ORDER BY price_cents DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.price_cents DESC, o.o_orderkey""".stripMargin)
+  }
+
   /** Advanced window ranks: rank/dense_rank/ntile/percent_rank/cume_dist/
     * lead over customer spend — exact rational arithmetic, portable. */
   def q48WindowRanks(s: SparkSession, dir: String): DataFrame = {

@@ -124,6 +124,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("CopyEncoder field escaping round-trips") {
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\')
+            case 't' => sb.append('\t')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case c => sb.append(c)
+          }
+          i += 2
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    check("copy escape", Prop.forAll(Gen.asciiStr) { s =>
+      val enc = graft.transfer.CopyEncoder.escapeField(s)
+      // encoded field contains no raw separators/newlines, and decodes back
+      !enc.exists(c => c == '\t' || c == '\n' || c == '\r') && unescape(enc) == s
+    })
+  }
+
   test("JsonFunctions.parsePath round-trips generated paths") {
     val seg = Gen.oneOf(
       Gen.alphaLowerStr.suchThat(_.nonEmpty).map(n => JsonFunctions.Key(n.take(6))),
