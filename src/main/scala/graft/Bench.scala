@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Size scan splits below the corpus file size (sf0.1 files ~25 MB vs
+      // the 128 MB default). NOTE: the driver-generated files hold a SINGLE
+      // row group, so scans stay one-task here regardless — but this is the
+      // right setting wherever files carry multiple row groups, which a
+      // 100 TB deployment has by construction.
+      .config("spark.sql.files.maxPartitionBytes", String.valueOf(4L << 20))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
