@@ -184,17 +184,21 @@ object Transfer {
         write(df1, dst, table, truncate)
         return TransferResult(table, 0L, 0L, checksumMatch = true)
       }
-      // JDBC targets: bound per-partition transaction size by re-sizing the
-      // write parallelism from row count × estimated row width (the scalable
-      // version of the reference's max_rows_per_batch pagination bound)
-      val df = dst match {
-        case j: Jdbc =>
-          val width = math.max(df1.schema.defaultSize, 20 * df1.schema.size)
-          val target = graft.catalog.Catalog.suggestNumPartitions(
-            srcRows, width, targetBytesPerPartition = 64L << 20)
-          if (target != df1.rdd.getNumPartitions) df1.repartition(target) else df1
-        case _ => df1
+      // Re-size write parallelism from row count × estimated row width.
+      // For JDBC this bounds per-partition transaction size (the scalable
+      // version of the reference's max_rows_per_batch pagination bound);
+      // for file targets it decouples writer parallelism from the source's
+      // split count (a single-row-group source file would otherwise funnel
+      // the whole encode+write through one task). Only ever scales UP —
+      // collapsing an already-parallel source would serialize the write.
+      val width = math.max(df1.schema.defaultSize, 20 * df1.schema.size)
+      val targetBytes = dst match {
+        case _: Jdbc => 64L << 20
+        case _ => 16L << 20
       }
+      val target = graft.catalog.Catalog.suggestNumPartitions(
+        srcRows, width, targetBytesPerPartition = targetBytes)
+      val df = if (target > df1.rdd.getNumPartitions) df1.repartition(target) else df1
       write(df, dst, table, truncate)
       val (dstRows, dstSum) = stats(read(spark, dst, table))
       val ok = !validateChecksum || srcSum == dstSum
