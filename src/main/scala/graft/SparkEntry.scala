@@ -97,6 +97,7 @@ object SparkEntry {
     "q66_grouping_sets"   -> Relational.q66GroupingSets _,
     "q67_correlated_subq" -> Relational.q67CorrelatedSubquery _,
     "q68_lateral_topk"    -> Relational.q68LateralTopk _,
+    "q69_topk_aggregator" -> Relational.q69TopkAggregator _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -969,5 +970,14 @@ object SparkEntry {
         |         FROM orders WHERE o_custkey = c.c_custkey
         |         ORDER BY price_cents DESC, o_orderkey LIMIT 2) o
         |ORDER BY c.c_custkey, o.price_cents DESC, o.o_orderkey""".stripMargin,
+
+    "q69_topk_aggregator" ->
+      """SELECT o_orderstatus, rk, o_orderkey, price_cents FROM (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderstatus, rk""".stripMargin,
   )
 }

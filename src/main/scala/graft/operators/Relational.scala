@@ -359,6 +359,23 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Custom typed Aggregator (UDAF tier): exact top-3 orders per status
+    * via a bounded-buffer heap aggregate — O(k) state per group map-side
+    * vs the window form's full per-group sort. Output exploded to rows so
+    * the oracle (a plain row_number window) hash-compares. */
+  def q69TopkAggregator(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    t(s, dir, "orders")
+      .select($"o_orderstatus", $"o_orderkey", cents($"o_totalprice").as("c"))
+      .groupBy($"o_orderstatus")
+      .agg(topk($"o_orderkey", $"c").as("top"))
+      .select($"o_orderstatus", posexplode($"top"))
+      .select($"o_orderstatus", ($"pos" + 1).cast("long").as("rk"),
+        $"col._1".as("o_orderkey"), $"col._2".as("price_cents"))
+      .orderBy($"o_orderstatus", $"rk")
+  }
+
   /** LATERAL correlated subquery with per-row LIMIT — top-2 orders per
     * customer in the lateral form (the other spelling of q06's window
     * top-k; Catalyst plans it via DomainJoin decorrelation rather than N
