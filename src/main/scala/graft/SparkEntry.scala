@@ -894,7 +894,7 @@ object SparkEntry {
 
     "q61_sample_topk" ->
       """WITH d AS (SELECT lang, doc_id,
-        |    list_reduce(list_transform(string_split(text || CAST(doc_id AS VARCHAR), ''),
+        |    list_reduce(list_transform(string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
         |      c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS pri
         |  FROM documents)
         |SELECT lang, rk, doc_id, pri FROM (

@@ -22,17 +22,27 @@ object TransferOps {
     import s.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val dst = ParquetDir(Files.createTempDirectory("graft_transfer").toString)
+    val dstPath = Files.createTempDirectory("graft_transfer")
+    val dst = ParquetDir(dstPath.toString)
     // cross-table parallelism: each copyTable is a chain of distributed
     // jobs, so running the three per-table pipelines from driver futures
     // overlaps lineitem's big scan with the small tables' job latencies —
     // the Spark analogue of the reference's `concurrency` table semaphore
     // (manager.go:371).
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val results = Await.result(
-      Future.sequence(tables.map(t => Future(
-        Transfer.copyTable(s, ParquetDir(dir), dst, t, truncate = true)))),
-      Duration.Inf)
+    val results =
+      try Await.result(
+        Future.sequence(tables.map(t => Future(
+          Transfer.copyTable(s, ParquetDir(dir), dst, t, truncate = true)))),
+        Duration.Inf)
+      finally {
+        // results are materialized; delete the throwaway target so repeated
+        // bench/verify runs don't accumulate full table copies under /tmp
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dstPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     results.map(r => (r.table, r.srcRows, r.dstRows, r.checksumMatch))
       .toDF("table_name", "src_rows", "dst_rows", "checksum_match")
       .orderBy($"table_name")

@@ -120,9 +120,12 @@ object TextOps {
     Fingerprint.register(s)
     val k = 20
     val w = Window.partitionBy($"lang").orderBy($"pri", $"doc_id")
+    // coalesce: a NULL text must hash (to the id-only priority), not rank
+    // NULL — Spark and DuckDB disagree on NULLS FIRST/LAST defaults, so a
+    // NULL priority would silently diverge the selected sample
     docs(s, dir)
       .select($"lang", $"doc_id",
-        expr("graft_fingerprint(concat(text, CAST(doc_id AS STRING)))").as("pri"))
+        expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))").as("pri"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= k)
       .select($"lang", $"rk", $"doc_id", $"pri")
