@@ -60,6 +60,54 @@ object DdlConverter {
       .replaceAll("(?m)\\s+--\\s.*$", "")
       .replaceAll("(?m)\\s+#\\s.*$", "")
 
+  /** Length-preserving literal mask: contents of '...'/"..." literals are
+    * replaced with spaces (quotes kept), so keyword/paren/comma positions
+    * found on the masked copy are valid indexes into the RAW string.
+    * `SqlRewriter.maskStringLiterals` swaps literals for tokens of a
+    * different length and must never be mixed with raw-string offsets. */
+  private def maskSameLen(s: String): String = {
+    val out = s.toCharArray
+    var i = 0
+    while (i < out.length) {
+      val quote = out(i)
+      if (quote == '\'' || quote == '"') {
+        i += 1
+        var done = false
+        while (i < out.length && !done) {
+          val ch = out(i)
+          if (ch == '\\' && i + 1 < out.length) {
+            out(i) = ' '; out(i + 1) = ' '; i += 2
+          } else if (ch == quote && i + 1 < out.length && out(i + 1) == quote) {
+            out(i) = ' '; out(i + 1) = ' '; i += 2
+          } else if (ch == quote) { i += 1; done = true }
+          else { out(i) = ' '; i += 1 }
+        }
+      } else i += 1
+    }
+    new String(out)
+  }
+
+  /** splitTopLevelCommas with literal awareness: depth/commas are tracked on
+    * the same-length masked copy, slices are taken from the raw string — a
+    * `COMMENT 'a, b'` or `DEFAULT ')('` can no longer split or unbalance. */
+  private def splitLinesLiteralSafe(raw: String): List[String] = {
+    val masked = maskSameLen(raw)
+    val parts = List.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          parts += raw.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (start <= raw.length) parts += raw.substring(start).trim
+    parts.result()
+  }
+
   // ------------------------------------------------------------- parsing
 
   def parse(ddl0: String): TableSpec = {
@@ -70,14 +118,15 @@ object DdlConverter {
       .getOrElse(throw new IllegalArgumentException(s"not a CREATE TABLE: ${ddl.take(60)}"))
     val tableName = unquoteIdent(nameM.group(1).split('.').last)
 
-    val open = ddl.indexOf('(', nameM.end - 1)
+    val maskedDdl = maskSameLen(ddl)
+    val open = maskedDdl.indexOf('(', nameM.end - 1)
     require(open >= 0, s"no column body (LIKE/AS-SELECT copy form?): ${ddl.take(60)}")
-    val close = matchParen(ddl, open)
+    val close = matchParen(maskedDdl, open)
     require(close > open, "unbalanced CREATE TABLE body")
     val body = ddl.substring(open + 1, close)
     val tail = ddl.substring(close + 1)
 
-    val lines = splitTopLevelCommas(body)
+    val lines = splitLinesLiteralSafe(body)
     val cols = Vector.newBuilder[ColumnSpec]
     var pk: Seq[String] = Nil
     val checks = Vector.newBuilder[String]
@@ -86,22 +135,25 @@ object DdlConverter {
       val line = raw.trim
       // classify on a literal-masked, word-boundary basis: a column named
       // `keyword`/`checksum` must NOT be eaten by the KEY/CHECK branches,
-      // and keywords inside COMMENT/DEFAULT literals must not classify
-      val upper = graft.sqlrewrite.SqlRewriter.maskStringLiterals(line)._1.toUpperCase
+      // and keywords inside COMMENT/DEFAULT literals must not classify.
+      // The mask is LENGTH-PRESERVING, so every index found on `upper` is
+      // a valid index into the raw `line` (a token mask would drift once a
+      // literal precedes the keyword).
+      val upper = maskSameLen(line).toUpperCase
       def starts(kw: String): Boolean = upper.matches(s"^$kw\\b.*")
       if (upper.startsWith("PRIMARY KEY")) {
-        val o = line.indexOf('(')
+        val o = upper.indexOf('(')
         if (o >= 0) {
-          val c = matchParen(line, o)
-          pk = splitTopLevelCommas(line.substring(o + 1, c))
+          val c = matchParen(upper, o)
+          pk = splitLinesLiteralSafe(line.substring(o + 1, c))
             .map(x => unquoteIdent(x.replaceAll("\\(\\d+\\)\\s*$", ""))) // prefix length
         }
       } else if (starts("CONSTRAINT") || starts("CHECK")) {
-        val ci = upper.indexOf("CHECK")
+        val ci = "\\bCHECK\\b".r.findFirstMatchIn(upper).map(_.start).getOrElse(-1)
         if (ci >= 0) {
-          val o = line.indexOf('(', ci)
+          val o = upper.indexOf('(', ci)
           if (o >= 0) {
-            val c = matchParen(line, o)
+            val c = matchParen(upper, o)
             if (c > o) {
               val expr = line.substring(o, c + 1)
                 .replaceAll("(?i)\\s+(NOT\\s+)?ENFORCED\\s*", "")
@@ -147,8 +199,7 @@ object DdlConverter {
 
     // flag checks run on a literal-masked copy so COMMENT/DEFAULT text
     // ('marks INVISIBLE rows', 'the PRIMARY KEY is...') can't trigger them
-    def masked(s: String): String =
-      graft.sqlrewrite.SqlRewriter.maskStringLiterals(s)._1.toUpperCase
+    def masked(s: String): String = maskSameLen(s).toUpperCase
     if (masked(line).contains(" INVISIBLE")) return None
 
     // type: word(+args) plus optional unsigned/zerofill modifiers

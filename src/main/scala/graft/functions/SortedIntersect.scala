@@ -45,6 +45,11 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val (n, m) = (xa.numElements(), xb.numElements())
+    // array_sort places NULL elements LAST, so a null last element catches
+    // any null in the tail the merge loop never reaches (the loop's own
+    // checks cover the scanned prefix) — '[NULL element] → NULL' holds for
+    // the whole array, not just the scanned part
+    if ((n > 0 && xa.isNullAt(n - 1)) || (m > 0 && xb.isNullAt(m - 1))) return null
     var i = 0; var j = 0; var c = 0L
     if (elemType == StringType) {
       while (i < n && j < m) {
@@ -74,14 +79,20 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       }
       s"""
          |int $n = $a.numElements(); int $m = $b.numElements();
-         |int $i = 0; int $j = 0; long $c = 0L;
-         |while ($i < $n && $j < $m) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
-         |  int $cmp = $cmpExpr;
-         |  if ($cmp == 0) { $c++; $i++; $j++; }
-         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |// array_sort puts NULLs last: a null last element covers the
+         |// unscanned tail, keeping '[NULL element] -> NULL' exact
+         |if (($n > 0 && $a.isNullAt($n - 1)) || ($m > 0 && $b.isNullAt($m - 1))) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $i = 0; int $j = 0; long $c = 0L;
+         |  while ($i < $n && $j < $m) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |    int $cmp = $cmpExpr;
+         |    if ($cmp == 0) { $c++; $i++; $j++; }
+         |    else if ($cmp < 0) { $i++; } else { $j++; }
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $c;
          |}
-         |if (!${ev.isNull}) ${ev.value} = $c;
        """.stripMargin
     })
 

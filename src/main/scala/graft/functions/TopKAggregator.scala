@@ -33,11 +33,31 @@ class TopKAggregator(k: Int)
   private def trim(xs: Seq[(Long, Long)]): Seq[(Long, Long)] =
     xs.sorted(ord).take(k)
 
-  override def zero: Seq[(Long, Long)] = Nil
-  override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
-    trim(b :+ a)
+  // first index whose element ranks strictly after `a` (binary search over
+  // the sorted buffer)
+  private def insertionPoint(b: Seq[(Long, Long)], a: (Long, Long)): Int = {
+    var lo = 0; var hi = b.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.compare(b(mid), a) <= 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override def zero: Seq[(Long, Long)] = Vector.empty
+
+  /** Per-row path: O(log k) compare with early reject when the candidate
+    * ranks at/after the current k-th element, O(k) slice-insert otherwise —
+    * not a full O(k log k) re-sort per input row. */
+  override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] = {
+    if (b.length >= k && (b.isEmpty || ord.compare(a, b.last) >= 0)) return b
+    val i = insertionPoint(b, a)
+    val inserted = (b.take(i) :+ a) ++ b.drop(i)
+    if (inserted.length > k) inserted.take(k) else inserted
+  }
+
   override def merge(b1: Seq[(Long, Long)], b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    trim(b1 ++ b2)
+    trim(b1 ++ b2) // k-vs-k, cold path (once per partition pair)
   override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
   override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
     ExpressionEncoder[Seq[(Long, Long)]]()

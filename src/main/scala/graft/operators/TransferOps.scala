@@ -30,19 +30,21 @@ object TransferOps {
     // the Spark analogue of the reference's `concurrency` table semaphore
     // (manager.go:371).
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val results =
-      try Await.result(
-        Future.sequence(tables.map(t => Future(
-          Transfer.copyTable(s, ParquetDir(dir), dst, t, truncate = true)))),
-        Duration.Inf)
-      finally {
-        // results are materialized; delete the throwaway target so repeated
-        // bench/verify runs don't accumulate full table copies under /tmp
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dstPath).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+    // Settle EVERY per-table future (Try-wrapped, so Future.sequence can't
+    // fail fast) before touching the temp dir: deleting while a sibling
+    // copyTable is still writing would race its in-flight tasks.
+    val settled = Await.result(
+      Future.sequence(tables.map(t =>
+        Future(Transfer.copyTable(s, ParquetDir(dir), dst, t, truncate = true))
+          .transform(scala.util.Success(_)))),
+      Duration.Inf)
+    // all writers are done; delete the throwaway target so repeated
+    // bench/verify runs don't accumulate full table copies under /tmp
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dstPath).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount)
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    val results = settled.map(_.get) // rethrow the first failure, if any
     results.map(r => (r.table, r.srcRows, r.dstRows, r.checksumMatch))
       .toDF("table_name", "src_rows", "dst_rows", "checksum_match")
       .orderBy($"table_name")

@@ -138,29 +138,72 @@ object Transfer {
     TransferResult(table, sc, dc, ok && sc == dc)
   }
 
+  /** Does the endpoint already hold `table`? Parquet: directory existence.
+    * JDBC: catalog metadata lookup. This is the ONLY signal syncIncrement
+    * treats as "destination absent" — transient read errors (network, auth,
+    * corrupt files) propagate instead of silently triggering a duplicate
+    * full load. */
+  def exists(spark: SparkSession, ep: Endpoint, table: String): Boolean = ep match {
+    case ParquetDir(dir) =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    case j: Jdbc =>
+      val bare = j.table.replace("%s", table)
+        .split('.').last.replaceAll("[\"`]", "")
+      val conn = java.sql.DriverManager.getConnection(j.url)
+      try {
+        val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+        try {
+          var found = false
+          while (!found && rs.next())
+            found = bare.equalsIgnoreCase(rs.getString("TABLE_NAME"))
+          found
+        } finally rs.close()
+      } finally conn.close()
+  }
+
   /** Incremental (keyset-resume) sync: append only source rows whose key
     * exceeds the destination's current maximum — the reference's
     * last-PK-value threading (`sync_data.go:207-311`, `SELECT MAX(pk)`
     * fallback `postgres/connection.go:582-590`) as one filtered
     * distributed append instead of a sequential cursor loop. The key
     * predicate reaches the source scan (parquet row-group / JDBC WHERE
-    * pushdown), so repeated runs cost O(new rows), not O(table).
-    * Assumes an append-only monotone key, exactly like the reference. */
+    * pushdown), so the sync itself costs O(new rows), not O(table).
+    * Assumes an append-only monotone key, exactly like the reference.
+    *
+    * "Destination absent → full load" is decided by [[exists]], never by
+    * catching read errors. `validate = true` (default) runs a full
+    * count+checksum compare of converted source vs destination after the
+    * append (two extra O(table) scans — the reference's P3 gate);
+    * `validate = false` skips it and reports `checksumMatch = false`,
+    * meaning NOT VERIFIED, never "assumed good". */
   def syncIncrement(spark: SparkSession, src: Endpoint, dst: Endpoint,
                     table: String, keyCol: String,
-                    pointCols: Seq[String] = Nil): TransferResult = {
+                    pointCols: Seq[String] = Nil,
+                    validate: Boolean = true): TransferResult = {
+    val dstExists = exists(spark, dst, table)
     val lastKey: Option[Long] =
-      try {
+      if (!dstExists) None
+      else { // errors here propagate: the destination demonstrably exists
         val r = read(spark, dst, table).agg(max(col(keyCol))).collect().head
         if (r.isNullAt(0)) None else Some(r.getAs[Number](0).longValue)
-      } catch { case _: Exception => None } // destination absent: full load
+      }
     val srcDf = read(spark, src, table)
     val fresh0 = lastKey.fold(srcDf)(k => srcDf.filter(col(keyCol) > k))
     val fresh = decodePoints(zeroDatesToNull(fresh0), pointCols)
     val (newRows, _) = stats(fresh)
     if (newRows > 0) write(fresh, dst, table, truncate = false)
-    val (dstRows, _) = stats(read(spark, dst, table))
-    TransferResult(table, newRows, dstRows, checksumMatch = true)
+    if (newRows == 0 && !dstExists) // empty source, nothing created
+      return TransferResult(table, 0L, 0L, checksumMatch = validate)
+    if (validate) {
+      val (srcRows, srcSum) = stats(decodePoints(zeroDatesToNull(srcDf), pointCols))
+      val (dstRows, dstSum) = stats(read(spark, dst, table))
+      TransferResult(table, newRows, dstRows,
+        checksumMatch = srcRows == dstRows && srcSum == dstSum)
+    } else {
+      val (dstRows, _) = stats(read(spark, dst, table))
+      TransferResult(table, newRows, dstRows, checksumMatch = false)
+    }
   }
 
   /** Full per-table transfer: read → convert → write → validate.

@@ -216,6 +216,33 @@ class DdlConverterSpec extends AnyFunSuite {
       .flatMap(_.comment).contains("the PRIMARY KEY is external"))
   }
 
+  test("CHECK after a shifting string literal extracts the right expression") {
+    // a quoted constraint name / any literal before CHECK used to shift the
+    // masked-string offset used against the raw line (token mask changes
+    // lengths) — the extracted expression came out garbled or dropped
+    val spec = DdlConverter.parse(
+      """CREATE TABLE t (
+        |  id int,
+        |  CONSTRAINT "age range check" CHECK (id > 0 AND id < 150),
+        |  CHECK(id <> 13)
+        |)""".stripMargin)
+    assert(spec.checks == Seq("(id > 0 AND id < 150)", "(id <> 13)"))
+  }
+
+  test("commas and parens inside literals do not split or unbalance") {
+    val spec = DdlConverter.parse(
+      """CREATE TABLE t (
+        |  id int,
+        |  note varchar(40) DEFAULT 'a, b' COMMENT 'closes ) and opens (',
+        |  tag varchar(10)
+        |) COMMENT='top, level'""".stripMargin)
+    assert(spec.columns.map(_.name) == Seq("id", "note", "tag"))
+    assert(spec.columns.find(_.name == "note").flatMap(_.default).contains("'a, b'"))
+    assert(spec.columns.find(_.name == "note")
+      .flatMap(_.comment).contains("closes ) and opens ("))
+    assert(spec.comment.contains("top, level"))
+  }
+
   test("ddlForSchema emits PG-valid types for PG targets, BLOB elsewhere") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -83,6 +83,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |""".stripMargin).collect().head
     assert(lr.getLong(0) == 2L && lr.isNullAt(1))
     assert(lr.isNullAt(2), "null element must yield NULL, not NPE")
+    // a TRAILING null (array_sort's null position) past the point where the
+    // shorter side is exhausted must still yield NULL, not a count
+    val tr = spark.sql(
+      """SELECT graft_sorted_inter_n(array('a'), array('a', 'b', CAST(NULL AS STRING))) AS t1,
+        |       graft_sorted_inter_n(array(1L, 2L, CAST(NULL AS BIGINT)), array(1L)) AS t2
+        |""".stripMargin).collect().head
+    assert(tr.isNullAt(0) && tr.isNullAt(1),
+      "trailing NULL element beyond the merge scan must yield NULL")
   }
 
   test("exact dedup accounts for every document") {

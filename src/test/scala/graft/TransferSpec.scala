@@ -162,6 +162,11 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.mode("append").parquet(s"${src.dir}/t.parquet")
     val r3 = Transfer.syncIncrement(spark, src, dst, "t", "id")
     assert(r3.srcRows == 2 && r3.dstRows == 5)
+    // validation is now real (full count+checksum compare), not assumed
+    assert(r1.checksumMatch && r2.checksumMatch && r3.checksumMatch)
+    // opting out reports NOT VERIFIED, never an unearned pass
+    val r4 = Transfer.syncIncrement(spark, src, dst, "t", "id", validate = false)
+    assert(!r4.checksumMatch)
     // the filter reaches the scan: pushed down as id > 5
     val plan = Transfer.read(spark, src, "t").filter($"id" > 5L)
       .queryExecution.explainString(
