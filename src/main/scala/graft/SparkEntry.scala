@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Relational, SchemaOps, Views}
 import graft.operators.{FunctionOps, TransferOps}
-import graft.ops.{DedupOps, EventOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{CorpusOps, DedupOps, EventOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -98,6 +98,11 @@ object SparkEntry {
     "q67_correlated_subq" -> Relational.q67CorrelatedSubquery _,
     "q68_lateral_topk"    -> Relational.q68LateralTopk _,
     "q69_topk_aggregator" -> Relational.q69TopkAggregator _,
+    "q70_repetition"      -> CorpusOps.q70Repetition _,
+    "q71_df_quality"      -> CorpusOps.q71DfQuality _,
+    "q72_salted_agg"      -> CorpusOps.q72SaltedAgg _,
+    "q73_vocab_topk"      -> CorpusOps.q73VocabTopk _,
+    "q74_corpus_clean"    -> CorpusOps.q74CorpusClean _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -979,5 +984,66 @@ object SparkEntry {
         |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS BIGINT) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderstatus, rk""".stripMargin,
+
+    "q70_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |wc AS (SELECT doc_id, w, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY doc_id, w),
+        |top AS (SELECT doc_id, w AS top_word, CAST(c AS BIGINT) AS top_word_n
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY c DESC, w) AS rk FROM wc)
+        |        WHERE rk = 1),
+        |g AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |        list_transform(generate_series(1, len(ws) - 1),
+        |          i -> ws[i] || ' ' || ws[i+1]) AS gs
+        |      FROM d)
+        |SELECT g.doc_id, n_words, top_word, top_word_n,
+        |  CAST(len(gs) - len(list_distinct(gs)) AS BIGINT) AS dup_2gram_n,
+        |  CAST(top_word_n AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac
+        |FROM g JOIN top ON g.doc_id = top.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+
+    "q71_df_quality" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |           FROM documents),
+        |dw AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        |dfreq AS (SELECT w, count(*) AS df FROM dw GROUP BY w),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, count(*) AS n_distinct_words,
+        |  CAST(sum(df) AS BIGINT) AS sum_df,
+        |  CAST(sum(CASE WHEN df * 5 < n.n THEN 1 ELSE 0 END) AS BIGINT) AS rare_words
+        |FROM dw JOIN dfreq USING (w) CROSS JOIN n
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q72_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q73_vocab_topk" ->
+      """SELECT w, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w
+        |ORDER BY n_occurrences DESC, w
+        |LIMIT 20""".stripMargin,
+
+    "q74_corpus_clean" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |                (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |  FROM documents),
+        |r AS (SELECT lang,
+        |    CASE WHEN doc_id <> keep_id THEN 'exact_dup'
+        |         WHEN n_words < 20 OR n_words > 500 THEN 'quality'
+        |         WHEN fp % 10 >= 8 THEN 'sampled_out'
+        |         ELSE 'kept' END AS reason
+        |  FROM f)
+        |SELECT lang, reason, count(*) AS n_docs
+        |FROM r GROUP BY lang, reason
+        |ORDER BY lang, reason""".stripMargin,
   )
 }

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Fingerprint
+
+/** Corpus-level training-data operators (SURVEY.md §2.7 X29-X33): the
+  * quality/repetition/frequency layer a 100 TB pre-training pipeline runs
+  * between raw ingest and dedup — repetition heuristics, corpus-frequency
+  * scoring, vocabulary statistics, skew-proof aggregation, and the composite
+  * cleaning pass that strings the gates together.
+  *
+  * Scale design notes per operator are on each method. The shared theme:
+  * per-document metrics stay NARROW (higher-order functions over the split
+  * array — zero shuffles, scan throughput); corpus-level statistics are one
+  * partial-aggregable shuffle each; the only joins are broadcast joins
+  * against vocabulary-sized dimensions.
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** X29 — repetition metrics (the Gopher-style quality signals): per doc,
+    * the most-repeated word and its count, duplicate-2-gram count, and the
+    * top-word fraction.
+    *
+    * Entirely narrow: the top word is the LONGEST RUN in the sorted word
+    * array, computed by one `aggregate()` HOF pass — no explode, no
+    * (doc_id, word) shuffle, no window. At 100 TB this is the difference
+    * between a scan-speed map and a corpus-wide word shuffle. Tie-break is
+    * deterministic: first run reaching the max in sorted order ⇒ the
+    * alphabetically smallest word among ties (the oracle's
+    * `ORDER BY c DESC, w ASC LIMIT 1` picks the same).
+    */
+  def q70Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("ws", split($"text", " "))
+      .filter(size($"ws") >= 2)
+      .withColumn("sw", array_sort($"ws"))
+      .withColumn("top", expr(
+        """aggregate(
+          |  sw,
+          |  named_struct('prev', CAST('' AS STRING), 'run', 0L,
+          |               'best', 0L, 'bestw', CAST('' AS STRING)),
+          |  (s, x) -> named_struct(
+          |    'prev', x,
+          |    'run',  IF(x = s.prev, s.run + 1, 1L),
+          |    'best', IF(IF(x = s.prev, s.run + 1, 1L) > s.best,
+          |               IF(x = s.prev, s.run + 1, 1L), s.best),
+          |    'bestw', IF(IF(x = s.prev, s.run + 1, 1L) > s.best, x, s.bestw)))
+          |""".stripMargin))
+      .withColumn("gs", expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+      .select(
+        $"doc_id",
+        size($"ws").cast("long").as("n_words"),
+        $"top.bestw".as("top_word"),
+        $"top.best".as("top_word_n"),
+        (size($"gs") - size(array_distinct($"gs"))).cast("long").as("dup_2gram_n"),
+        ($"top.best".cast("double") / size($"ws")).as("top_word_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** X30 — corpus-frequency (document-frequency) quality score: per doc,
+    * how "common" its vocabulary is across the corpus. The CCNet-style
+    * quality gate shape: a corpus statistic joined back onto every doc.
+    *
+    * Scale: the DF table is vocabulary-sized (⋘ corpus) → `broadcast()`;
+    * the per-doc re-aggregation is partial-agg combinable, so the whole op
+    * is one explode-shuffle for DF plus one map-side-combined doc agg.
+    * All-integer outputs (sum of DFs, rare-word count) — hash-exact.
+    */
+  def q71DfQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val dw = d.select($"doc_id",
+      explode(array_distinct(split($"text", " "))).as("w"))
+    val dfTab = dw.groupBy($"w").agg(count(lit(1)).as("df"))
+    val nDocs = d.count()
+    dw.join(broadcast(dfTab), Seq("w"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct_words"),
+        sum($"df").as("sum_df"),
+        sum(when($"df" * 5 < lit(nDocs), 1L).otherwise(0L)).as("rare_words"))
+      .orderBy($"doc_id")
+  }
+
+  /** X31 — skew-proof two-phase aggregation (salting): the canonical fix
+    * for a hot grouping key. lineitem's 3-value `l_returnflag` is exactly
+    * the shape that melts a 1000-executor groupBy: every row routes to 3
+    * reducers. Salting fans the partial aggregate across 32 sub-keys, then
+    * a second k×32-row aggregate folds the salt back out. Results are
+    * bit-identical to the direct groupBy (integer counts/sums commute), so
+    * the oracle is the PLAIN group-by — proving the rewrite is free.
+    * (Spark's map-side partial aggregation already does this implicitly
+    * when upstream partitioning is uniform; explicit salting is the tool
+    * when it is not — e.g. directly after a key-clustered scan.)
+    */
+  def q72SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem").select(
+      $"l_returnflag",
+      round($"l_extendedprice" * 100).cast("long").as("cents"))
+    li.withColumn("salt", pmod(xxhash64($"cents"), lit(32)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(count(lit(1)).as("c"), sum($"cents").as("s"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"c").as("n_rows"), sum($"s").as("sum_cents"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** X32 — corpus vocabulary statistics: top-20 words by total frequency
+    * with their document frequency. One explode + one partial-aggregable
+    * shuffle + a driver-k sort: the Zipf table every corpus audit starts
+    * from. Deterministic under frequency ties via the word tiebreak.
+    */
+  def q73VocabTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"n_occurrences".desc, $"w")
+      .limit(20)
+  }
+
+  /** X33 — composite corpus-cleaning pass: exact-dedup keep-first →
+    * length-based quality gate → replayable hash sampling gate, reported as
+    * a per-(lang, reason) audit table. The reasons are FIRST-MATCH
+    * exclusive, so they partition the corpus and the report totals
+    * reconcile exactly — the property a data-governance audit needs.
+    *
+    * Scale: one shuffle on md5(text) for the dedup window (hash keys
+    * distribute uniformly — no skew), narrow gates, one final tiny agg.
+    * The sampling gate reuses the portable rolling-hash fingerprint (q55),
+    * so membership is replayable across engines and runs.
+    */
+  def q74CorpusClean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val flagged = docs(s, dir)
+      .withColumn("n_words", size(split($"text", " ")))
+      .withColumn("fp", expr("graft_fingerprint(text)"))
+      .withColumn("keep_id",
+        min($"doc_id").over(Window.partitionBy(md5($"text"))))
+      .withColumn("reason",
+        when($"doc_id" =!= $"keep_id", "exact_dup")
+          .when($"n_words" < 20 || $"n_words" > 500, "quality")
+          .when($"fp" % 10 >= 8, "sampled_out")
+          .otherwise("kept"))
+    flagged.groupBy($"lang", $"reason")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"reason")
+  }
+}
