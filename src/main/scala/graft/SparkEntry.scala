@@ -103,6 +103,10 @@ object SparkEntry {
     "q72_salted_agg"      -> CorpusOps.q72SaltedAgg _,
     "q73_vocab_topk"      -> CorpusOps.q73VocabTopk _,
     "q74_corpus_clean"    -> CorpusOps.q74CorpusClean _,
+    "q75_tokenize"        -> TextOps.q75Tokenize _,
+    "q76_contamination"   -> CorpusOps.q76Contamination _,
+    "q77_chunk_dedup"     -> CorpusOps.q77ChunkDedup _,
+    "q78_funnel"          -> EventOps.q78Funnel _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1045,5 +1049,70 @@ object SparkEntry {
         |SELECT lang, reason, count(*) AS n_docs
         |FROM r GROUP BY lang, reason
         |ORDER BY lang, reason""".stripMargin,
+
+    "q75_tokenize" ->
+      """WITH t AS (SELECT event_type,
+        |    regexp_extract_all(props, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS toks
+        |  FROM events),
+        |p AS (SELECT event_type,
+        |    len(toks) AS n_toks,
+        |    len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]'))) AS n_alpha,
+        |    len(list_filter(toks, x -> regexp_matches(x, '^[0-9]'))) AS n_num,
+        |    CASE WHEN len(toks) = 0 THEN 0
+        |         ELSE list_reduce(list_transform(toks, x -> (length(x) + 3) // 4),
+        |                          (a, b) -> a + b)
+        |    END AS bpe
+        |  FROM t)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_alpha) AS BIGINT) AS n_alpha,
+        |  CAST(sum(n_num) AS BIGINT) AS n_num,
+        |  CAST(sum(n_toks - n_alpha - n_num) AS BIGINT) AS n_punct,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_units
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q76_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, len(ws) - 4),
+        |        i -> array_to_string(list_slice(ws, i, i + 4), ' ')))) AS g
+        |      FROM d),
+        |ev AS (SELECT DISTINCT g AS eg FROM g WHERE doc_id % 20 = 0)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN eg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(sum(CASE WHEN eg IS NOT NULL THEN 1 ELSE 0 END) * 1000
+        |       // count(*) AS BIGINT) AS contam_permille
+        |FROM (SELECT * FROM g WHERE doc_id % 20 <> 0) c LEFT JOIN ev ON c.g = ev.eg
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q77_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, unnest(list_transform(generate_series(0, (len(ws) - 1) // 10),
+        |        i -> array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10), ' '))) AS chunk
+        |      FROM d),
+        |f AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs_with FROM c GROUP BY chunk)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
+        |FROM c JOIN f USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q78_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS click_us FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us >= view_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS purchase_us FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us >= click_us GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN view_us IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN click_us IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN purchase_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage,
+        |  view_us, click_us, purchase_us
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
   )
 }

@@ -159,4 +159,60 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"lang", $"reason")
   }
+
+  /** X34 — benchmark-contamination check: for every training document, how
+    * many of its distinct word 5-grams appear anywhere in the held-out
+    * eval set (docs with doc_id ≡ 0 mod 20 stand in for the benchmark).
+    * This is the decontamination gate every pre-training pipeline runs
+    * before training.
+    *
+    * Scale: the eval-set gram table is benchmark-sized (⋘ corpus) —
+    * `broadcast()` it and the corpus side never shuffles: gram explosion
+    * is narrow, the membership probe is a map-side hash lookup, and the
+    * per-doc re-aggregation is partial-agg combinable. At 100 TB the only
+    * wide op is the final tiny orderBy. */
+  def q76Contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+      .withColumn("ws", split($"text", " "))
+      .filter(size($"ws") >= 5)
+    val grams = d.select($"doc_id", explode(array_distinct(expr(
+      "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, CAST(i AS INT), 5)))"))).as("g"))
+    val evalGrams = grams.filter($"doc_id" % 20 === 0)
+      .select($"g").distinct().withColumn("hit", lit(1L))
+    grams.filter($"doc_id" % 20 =!= 0)
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+      .withColumn("contam_permille", expr("n_contaminated * 1000 div n_grams"))
+      .orderBy($"doc_id")
+  }
+
+  /** X35 — chunk-level (paragraph-granularity) dedup signal: documents are
+    * chunked into fixed 10-word windows and each doc reports how many of
+    * its chunks also occur in OTHER documents — the sub-document dedup
+    * pass (boilerplate headers, repeated paragraphs) that document-level
+    * dedup misses.
+    *
+    * Scale: unlike q76's benchmark probe, the chunk-frequency table here
+    * is corpus-sized, so the join back is a genuine shuffle join on the
+    * chunk key — hash keys distribute uniformly, and both sides shuffle
+    * once on the same key so Catalyst reuses the exchange. This is the
+    * honest 100 TB shape: one wide pass, no broadcast pretenses. */
+  def q77ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = docs(s, dir)
+      .withColumn("ws", split($"text", " "))
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, (size(ws) - 1) div 10),
+          |  i -> concat_ws(' ', slice(ws, CAST(i * 10 + 1 AS INT), 10)))""".stripMargin)).as("chunk"))
+    val freq = chunks.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("n_docs_with"))
+    chunks.join(freq, Seq("chunk"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"n_docs_with" > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .orderBy($"doc_id")
+  }
 }

@@ -122,4 +122,40 @@ object EventOps {
         $"duration_us", $"value_cents")
       .orderBy($"user_id", $"sess_idx")
   }
+
+  /** X37 — ordered funnel (view → click → purchase): per user, the first view,
+    * the first click AT OR AFTER that view, and the first purchase at or
+    * after that click — sequential pattern matching, the event-analytics
+    * op MATCH_RECOGNIZE engines special-case.
+    *
+    * Implemented as three cascaded min-aggregates rather than a per-user
+    * sort: each stage is a partial-aggregable groupBy on user_id, and all
+    * three share the same key so the stage joins are co-partitioned (one
+    * exchange reused; at 100 TB the user dimension also broadcasts under
+    * AQE once aggregated). No window over the full event stream needed. */
+  def q78Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir).select($"user_id", $"event_type",
+      unix_micros($"ts".cast("timestamp")).as("us"))
+    val views = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("view_us"))
+    val clicks = e.filter($"event_type" === "click")
+      .join(views, Seq("user_id"))
+      .filter($"us" >= $"view_us")
+      .groupBy($"user_id").agg(min($"us").as("click_us"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter($"us" >= $"click_us")
+      .groupBy($"user_id").agg(min($"us").as("purchase_us"))
+    e.select($"user_id").distinct()
+      .join(views, Seq("user_id"), "left")
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select($"user_id",
+        (when($"view_us".isNotNull, 1L).otherwise(0L) +
+          when($"click_us".isNotNull, 1L).otherwise(0L) +
+          when($"purchase_us".isNotNull, 1L).otherwise(0L)).as("stage"),
+        $"view_us", $"click_us", $"purchase_us")
+      .orderBy($"user_id")
+  }
 }

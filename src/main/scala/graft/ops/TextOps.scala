@@ -152,4 +152,36 @@ object TextOps {
         sum(when($"bucket" < 2, $"doc_id")).as("sampled_id_sum"))
       .orderBy($"lang")
   }
+
+  /** X36 — BPE-ish regex tokenization (the mandate's "whitespace + a BPE-ish
+    * regex" token counter), run over the `events.props` JSON strings — the
+    * corpus's only mixed-class text (letters, digits, punctuation). The
+    * splitter is the classic pre-tokenizer shape: letter runs | digit runs
+    * | single non-alnum symbols, with a 4-chars-per-BPE-unit subword
+    * estimate folded per token.
+    *
+    * Scale: `regexp_extract_all` + higher-order filter/aggregate are all
+    * narrow codegen'd expressions — token statistics at scan throughput,
+    * then one partial-aggregable groupBy on the 5-value event_type key
+    * (tiny reducer fan-in; the salting rewrite in q72 is the fallback if
+    * the key set were hot). */
+  def q75Tokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select($"event_type", expr(
+        "regexp_extract_all(props, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)").as("toks"))
+      .select($"event_type",
+        size($"toks").cast("long").as("n_toks"),
+        expr("CAST(size(filter(toks, t -> t RLIKE '^[A-Za-z]')) AS BIGINT)").as("n_alpha"),
+        expr("CAST(size(filter(toks, t -> t RLIKE '^[0-9]')) AS BIGINT)").as("n_num"),
+        expr("aggregate(toks, 0L, (a, t) -> a + ((length(t) + 3) div 4))").as("bpe"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"n_toks").as("n_tokens"),
+        sum($"n_alpha").as("n_alpha"),
+        sum($"n_num").as("n_num"),
+        sum($"n_toks" - $"n_alpha" - $"n_num").as("n_punct"),
+        sum($"bpe").as("bpe_units"))
+      .orderBy($"event_type")
+  }
 }

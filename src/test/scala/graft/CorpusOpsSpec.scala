@@ -94,4 +94,63 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sorted = pairs.sortBy { case (n, w) => (-n, w) }
     assert(pairs.toSeq == sorted.toSeq)
   }
+
+  test("tokenizer classes partition the token count") {
+    val rows = graft.ops.TextOps.q75Tokenize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_alpha") + r.getAs[Long]("n_num") +
+        r.getAs[Long]("n_punct") == r.getAs[Long]("n_tokens"))
+      // every token is >= 1 BPE unit, 4-char units never exceed token count * some bound
+      assert(r.getAs[Long]("bpe_units") >= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("contamination excludes eval docs and bounds the ratio") {
+    val rows = CorpusOps.q76Contamination(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 20 != 0)
+      val n = r.getAs[Long]("n_grams"); val c = r.getAs[Long]("n_contaminated")
+      assert(c >= 0 && c <= n)
+      val pm = r.getAs[Long]("contam_permille")
+      assert(pm >= 0 && pm <= 1000)
+      assert(pm == c * 1000 / n)
+    }
+  }
+
+  test("chunk dedup: exact-duplicate documents share every chunk") {
+    import spark.implicits._
+    val got = CorpusOps.q77ChunkDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_shared_chunks"))))
+      .toMap
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", md5($"text").as("h"), size(split($"text", " ")).as("nw"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // chunk count is ceil(n_words / 10) for every doc
+    d.foreach { case (id, _, nw) =>
+      assert(got(id)._1 == (nw + 9) / 10, s"doc $id chunk count") }
+    // docs whose full text duplicates another doc share all their chunks
+    val dupHashes = d.groupBy(_._2).filter(_._2.size > 1).keySet
+    d.filter(t => dupHashes(t._2)).foreach { case (id, _, _) =>
+      assert(got(id)._2 == got(id)._1, s"doc $id should share all chunks") }
+  }
+
+  test("funnel stages are ordered and monotonically shrinking") {
+    val rows = graft.ops.EventOps.q78Funnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val stage = r.getAs[Long]("stage")
+      val v = Option(r.get(r.fieldIndex("view_us"))).map(_.asInstanceOf[Long])
+      val c = Option(r.get(r.fieldIndex("click_us"))).map(_.asInstanceOf[Long])
+      val p = Option(r.get(r.fieldIndex("purchase_us"))).map(_.asInstanceOf[Long])
+      assert(stage == Seq(v, c, p).count(_.isDefined))
+      // non-null pattern is a prefix: click implies view, purchase implies click
+      assert(c.isEmpty || v.isDefined); assert(p.isEmpty || c.isDefined)
+      for (vv <- v; cc <- c) assert(cc >= vv)
+      for (cc <- c; pp <- p) assert(pp >= cc)
+    }
+    val byStage = (0 to 3).map(k => rows.count(_.getAs[Long]("stage") >= k))
+    assert(byStage == byStage.sorted.reverse)
+  }
 }
