@@ -24,9 +24,9 @@ object BucketedOps {
   def q59BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.sql(s"CREATE DATABASE IF NOT EXISTS $DB")
-    Seq(("orders_b", "orders", "o_custkey"),
-        ("customer_b", "customer", "c_custkey")).foreach {
-      case (name, src, key) =>
+    Seq(("orders_b", "orders", "o_custkey", Seq("o_custkey", "o_totalprice")),
+        ("customer_b", "customer", "c_custkey", Seq("c_custkey", "c_mktsegment"))).foreach {
+      case (name, src, key, cols) =>
         // drop catalog entry AND stale warehouse dir: the in-memory catalog
         // of a fresh session doesn't know locations left by prior JVMs, and
         // saveAsTable refuses to create over an existing managed location
@@ -34,7 +34,10 @@ object BucketedOps {
         val loc = new org.apache.hadoop.fs.Path(
           s.sessionState.conf.warehousePath, s"$DB.db/$name")
         loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-        Tables.load(s, dir, src)
+        // bucket only the join/agg projection: the bucketed copy is a
+        // layout investment priced by bytes written — at 100 TB you bucket
+        // the columns the co-located join consumes, not the whole table
+        Tables.load(s, dir, src).select(cols.map(col): _*)
           .write.mode("overwrite").format("parquet")
           .bucketBy(BUCKETS, key).sortBy(key)
           .saveAsTable(s"$DB.$name")

@@ -95,6 +95,11 @@ object DedupOps {
           .withColumn("union_n", bit_count($"ma" bitwiseOR $"mb").cast("long"))
       else
         joined // general-vocab fallback: sorted merge count, no per-pair alloc
+          // size-compatibility prefilter (exact): J >= 0.8 forces
+          // 5*min(|a|,|b|) >= 4*max(|a|,|b|), so size-mismatched pairs are
+          // rejected before any merge scan runs
+          .filter(size($"wa") * 5 >= size($"wb") * 4 &&
+            size($"wb") * 5 >= size($"wa") * 4)
           .withColumn("inter_n", expr("graft_sorted_inter_n(wa, wb)"))
           .withColumn("union_n",
             (size($"wa") + size($"wb")).cast("long") - $"inter_n")
@@ -124,6 +129,11 @@ object DedupOps {
     val a = saltLeft(d.select($"doc_id".as("doc_a"), $"lang", $"gs".as("ga")), "doc_a")
     val b = replicateRight(d.select($"doc_id".as("doc_b"), $"lang", $"gs".as("gb")))
     a.join(b, Seq("lang", "salt")).filter($"doc_a" < $"doc_b")
+      // size-compatibility prefilter (exact): J >= 0.6 forces
+      // 5*min(|a|,|b|) >= 3*max(|a|,|b|) since J <= min/max — kills
+      // size-mismatched pairs before the per-pair merge scan
+      .filter(size($"ga") * 5 >= size($"gb") * 3 &&
+        size($"gb") * 5 >= size($"ga") * 3)
       .withColumn("inter_n", expr("graft_sorted_inter_n(ga, gb)"))
       .withColumn("union_n", (size($"ga") + size($"gb")).cast("long") - $"inter_n")
       .filter($"inter_n" * 5 >= $"union_n" * 3)

@@ -213,7 +213,14 @@ object Transfer {
     * cached for the duration so source count/checksum/write see one
     * snapshot; parquet sources are immutable files and re-scan for free
     * (whole-stage-codegen'd scans beat cache materialization there).
-    * Three scans total: src stats, write, dst stats — each a single job. */
+    *
+    * TWO passes over the data total: the source count is a metadata-only
+    * job (parquet row-group counts; the JDBC path materializes its snapshot
+    * cache), the source checksum rides the write pass itself via
+    * `observe()` (each row is hashed as it flows to the writer — no
+    * separate source scan), and the destination re-read is the one
+    * unavoidable full validation pass. At 100 TB that is one saved
+    * table-sized scan per table versus the naive stats→write→stats chain. */
   def copyTable(spark: SparkSession, src: Endpoint, dst: Endpoint, table: String,
                 truncate: Boolean = true,
                 pointCols: Seq[String] = Nil,
@@ -222,7 +229,9 @@ object Transfer {
     val snapshot = src.isInstanceOf[Jdbc]
     if (snapshot) df1.persist()
     try {
-      val (srcRows, srcSum) = stats(df1)
+      // row count only: Catalyst strips the conversion projections under a
+      // bare count, so parquet answers from row-group metadata (no scan)
+      val srcRows = df1.count()
       if (srcRows == 0L) { // empty-table shortcut (sync_data.go:64-113)
         write(df1, dst, table, truncate)
         return TransferResult(table, 0L, 0L, checksumMatch = true)
@@ -242,10 +251,19 @@ object Transfer {
       val target = graft.catalog.Catalog.suggestNumPartitions(
         srcRows, width, targetBytesPerPartition = targetBytes)
       val df = if (target > df1.rdd.getNumPartitions) df1.repartition(target) else df1
-      write(df, dst, table, truncate)
+      // source checksum fused into the write pass: every row is hashed as
+      // it flows to the writer, so no standalone source-stats scan runs
+      val obs = org.apache.spark.sql.Observation(s"graft_src_stats_$table")
+      val observed = df.observe(obs,
+        count(lit(1)).as("n"),
+        expr(s"bit_xor(xxhash64(${df.schema.fieldNames.mkString(", ")}))").as("chk"))
+      write(observed, dst, table, truncate)
+      val m = obs.get
+      val obsRows = m("n").asInstanceOf[Long]
+      val srcSum = Option(m("chk")).map(_.asInstanceOf[Long]).getOrElse(0L)
       val (dstRows, dstSum) = stats(read(spark, dst, table))
       val ok = !validateChecksum || srcSum == dstSum
-      TransferResult(table, srcRows, dstRows, ok && srcRows == dstRows)
+      TransferResult(table, obsRows, dstRows, ok && obsRows == dstRows)
     } finally if (snapshot) df1.unpersist()
   }
 }
