@@ -50,8 +50,13 @@ object DdlConverter {
       checks: Seq[String],
       comment: Option[String])
 
-  private def unquoteIdent(s: String): String =
-    s.trim.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\"")
+  private def unquoteIdent(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("`"))
+      // doubled backticks inside a backtick-quoted ident escape a backtick
+      t.stripPrefix("`").stripSuffix("`").replace("``", "`")
+    else t.stripPrefix("\"").stripSuffix("\"")
+  }
 
   private def stripVersionComments(s: String): String =
     s.replaceAll("/\\*!\\d{5}", "").replaceAll("\\*/", " ")
@@ -63,6 +68,11 @@ object DdlConverter {
   /** Length-preserving literal mask: contents of '...'/"..." literals are
     * replaced with spaces (quotes kept), so keyword/paren/comma positions
     * found on the masked copy are valid indexes into the RAW string.
+    * Backtick-quoted identifiers are scanned through (doubled-backtick
+    * escapes honored) so an apostrophe INSIDE an identifier — legal MySQL,
+    * e.g. `it's` — never opens a phantom literal that would swallow the
+    * following column separator; quote chars inside such identifiers are
+    * blanked in the mask so they cannot confuse later literal scans.
     * `SqlRewriter.maskStringLiterals` swaps literals for tokens of a
     * different length and must never be mixed with raw-string offsets. */
   private def maskSameLen(s: String): String = {
@@ -70,7 +80,16 @@ object DdlConverter {
     var i = 0
     while (i < out.length) {
       val quote = out(i)
-      if (quote == '\'' || quote == '"') {
+      if (quote == '`') {
+        i += 1
+        var done = false
+        while (i < out.length && !done) {
+          val ch = out(i)
+          if (ch == '`' && i + 1 < out.length && out(i + 1) == '`') i += 2
+          else if (ch == '`') { i += 1; done = true }
+          else { if (ch == '\'' || ch == '"') out(i) = ' '; i += 1 }
+        }
+      } else if (quote == '\'' || quote == '"') {
         i += 1
         var done = false
         while (i < out.length && !done) {
@@ -192,7 +211,8 @@ object DdlConverter {
   /** Parse one column definition line. Returns None for INVISIBLE columns. */
   private def parseColumn(line0: String): Option[ColumnSpec] = {
     var line = line0.trim
-    val nameM = "^([`\"][^`\"]+[`\"]|\\w+)\\s+".r.findFirstMatchIn(line)
+    // backtick idents may contain doubled-backtick escapes (`a``b`)
+    val nameM = "^(`(?:[^`]|``)+`|\"[^\"]+\"|\\w+)\\s+".r.findFirstMatchIn(line)
       .getOrElse(return None)
     val name = unquoteIdent(nameM.group(1))
     line = line.substring(nameM.end)

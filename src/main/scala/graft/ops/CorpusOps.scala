@@ -81,13 +81,16 @@ object CorpusOps {
     val dw = d.select($"doc_id",
       explode(array_distinct(split($"text", " "))).as("w"))
     val dfTab = dw.groupBy($"w").agg(count(lit(1)).as("df"))
-    val nDocs = d.count()
+    // corpus size stays a lazy 1-row aggregate cross-joined in (broadcast
+    // NLJ over one row) — constructing this DataFrame must not run a job
+    val nDocs = d.agg(count(lit(1)).as("n_total"))
     dw.join(broadcast(dfTab), Seq("w"))
+      .crossJoin(broadcast(nDocs))
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_distinct_words"),
         sum($"df").as("sum_df"),
-        sum(when($"df" * 5 < lit(nDocs), 1L).otherwise(0L)).as("rare_words"))
+        sum(when($"df" * 5 < $"n_total", 1L).otherwise(0L)).as("rare_words"))
       .orderBy($"doc_id")
   }
 
@@ -104,11 +107,16 @@ object CorpusOps {
     */
   def q72SaltedAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // salt from the PRIMARY-KEY hash, not the aggregated value: a hot key
+    // whose values are also concentrated (constant-price flag — the usual
+    // skew shape) would collapse a value-derived salt into one bucket,
+    // defeating the fan-out; the PK is unique by construction so its hash
+    // spreads uniformly no matter how the measures are distributed
     val li = Tables.load(s, dir, "lineitem").select(
       $"l_returnflag",
-      round($"l_extendedprice" * 100).cast("long").as("cents"))
-    li.withColumn("salt", pmod(xxhash64($"cents"), lit(32)))
-      .groupBy($"l_returnflag", $"salt")
+      round($"l_extendedprice" * 100).cast("long").as("cents"),
+      pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(32)).as("salt"))
+    li.groupBy($"l_returnflag", $"salt")
       .agg(count(lit(1)).as("c"), sum($"cents").as("s"))
       .groupBy($"l_returnflag")
       .agg(sum($"c").as("n_rows"), sum($"s").as("sum_cents"))

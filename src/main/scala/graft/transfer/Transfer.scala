@@ -114,14 +114,20 @@ object Transfer {
     * same cost class (one scan each side, map-side combinable). */
   def checksum(df: DataFrame): Long = stats(df)._2
 
+  /** bit_xor(xxhash64(all columns)) with every column name backtick-quoted
+    * — reserved words (`order`, `select`) and spaced names are legal MySQL
+    * column names and must survive the round trip through expr(). */
+  private def checksumCol(df: DataFrame): Column = {
+    val quoted = df.schema.fieldNames
+      .map(n => "`" + n.replace("`", "``") + "`")
+    expr(s"bit_xor(xxhash64(${quoted.mkString(", ")}))")
+  }
+
   /** (row count, xor-xxhash64 checksum) in ONE scan — count and checksum
     * are both map-side-combinable aggregates, so fusing them halves the
     * number of validation jobs per side. */
   def stats(df: DataFrame): (Long, Long) = {
-    val r = df.agg(
-      count(lit(1)),
-      expr(s"bit_xor(xxhash64(${df.schema.fieldNames.mkString(", ")}))"))
-      .collect().head
+    val r = df.agg(count(lit(1)), checksumCol(df)).collect().head
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
@@ -148,15 +154,23 @@ object Transfer {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     case j: Jdbc =>
-      val bare = j.table.replace("%s", table)
-        .split('.').last.replaceAll("[\"`]", "")
+      val parts = j.table.replace("%s", table).split('.')
+      val bare = parts.last.replaceAll("[\"`]", "")
+      // honor a schema qualifier if present: `archive.t` existing must not
+      // make `public.t` look present (case-insensitive compare rather than
+      // a getTables pattern — drivers disagree on pattern case folding)
+      val schema =
+        if (parts.length > 1) parts(parts.length - 2).replaceAll("[\"`]", "")
+        else null
       val conn = java.sql.DriverManager.getConnection(j.url)
       try {
         val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
         try {
           var found = false
           while (!found && rs.next())
-            found = bare.equalsIgnoreCase(rs.getString("TABLE_NAME"))
+            found = bare.equalsIgnoreCase(rs.getString("TABLE_NAME")) &&
+              (schema == null ||
+                schema.equalsIgnoreCase(rs.getString("TABLE_SCHEM")))
           found
         } finally rs.close()
       } finally conn.close()
@@ -191,7 +205,10 @@ object Transfer {
     val srcDf = read(spark, src, table)
     val fresh0 = lastKey.fold(srcDf)(k => srcDf.filter(col(keyCol) > k))
     val fresh = decodePoints(zeroDatesToNull(fresh0), pointCols)
-    val (newRows, _) = stats(fresh)
+    // count only — a checksum of the delta alone validates nothing (the
+    // post-append compare below hashes the full table), so don't pay a
+    // hashing pass for a number the row-group metadata already knows
+    val newRows = fresh.count()
     if (newRows > 0) write(fresh, dst, table, truncate = false)
     if (newRows == 0 && !dstExists) // empty source, nothing created
       return TransferResult(table, 0L, 0L, checksumMatch = validate)
@@ -255,8 +272,7 @@ object Transfer {
       // it flows to the writer, so no standalone source-stats scan runs
       val obs = org.apache.spark.sql.Observation(s"graft_src_stats_$table")
       val observed = df.observe(obs,
-        count(lit(1)).as("n"),
-        expr(s"bit_xor(xxhash64(${df.schema.fieldNames.mkString(", ")}))").as("chk"))
+        count(lit(1)).as("n"), checksumCol(df).as("chk"))
       write(observed, dst, table, truncate)
       val m = obs.get
       val obsRows = m("n").asInstanceOf[Long]

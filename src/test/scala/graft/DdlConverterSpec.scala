@@ -243,6 +243,18 @@ class DdlConverterSpec extends AnyFunSuite {
     assert(spec.comment.contains("top, level"))
   }
 
+  test("apostrophe inside a backtick identifier does not mask the next column") {
+    val spec = DdlConverter.parse(
+      "CREATE TABLE t (`it's` int, b varchar(5) DEFAULT 'z')")
+    assert(spec.columns.map(_.name) == Seq("it's", "b"))
+    assert(spec.columns.find(_.name == "b").flatMap(_.default).contains("'z'"))
+    // doubled-backtick escape: identifier containing a literal backtick
+    val esc = DdlConverter.parse(
+      "CREATE TABLE t2 (`a``b` int, c int)")
+    assert(esc.columns.map(_.name).length == 2)
+    assert(esc.columns.last.name == "c")
+  }
+
   test("ddlForSchema emits PG-valid types for PG targets, BLOB elsewhere") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
