@@ -119,6 +119,55 @@ object EventStream {
         col("click_ts"), col("err_ts"))
   }
 
+  final case class FunnelState(viewTs: Long, clickTs: Long, purchaseTs: Long)
+
+  final case class FunnelUpdate(user_id: Long, stage: Int,
+      view_ts: Long, click_ts: Long, purchase_ts: Long)
+
+  /** Streaming ordered funnel (view → click → purchase) with
+    * mapGroupsWithState — the streaming face of [[graft.ops.EventOps
+    * .q78Funnel]]: per user, a 3-slot stage machine that latches the first
+    * view, the first click at-or-after it, and the first purchase at-or-
+    * after that, emitting the user's current stage every micro-batch.
+    *
+    * State is three longs per user — bounded by the user dimension, not
+    * the stream. Within a batch, rows are folded in (ts, stage-rank,
+    * event_id) order so same-instant view+click resolves exactly like the
+    * batch form's `>=` comparisons; events arriving later than the
+    * watermark can still under-count a stage — the inherent streaming
+    * caveat the batch backfill (q78) reconciles. Unset slots are -1. */
+  def funnel(events: Dataset[Event]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          rows.toSeq
+            .filter(e => rank.contains(e.event_type))
+            .sortBy(e => (e.ts.getTime, rank(e.event_type), e.event_id))
+            .foreach { e =>
+              val t = e.ts.getTime
+              e.event_type match {
+                case "view" if st.viewTs < 0 =>
+                  st = st.copy(viewTs = t)
+                case "click" if st.viewTs >= 0 && st.clickTs < 0 && t >= st.viewTs =>
+                  st = st.copy(clickTs = t)
+                case "purchase" if st.clickTs >= 0 && st.purchaseTs < 0 && t >= st.clickTs =>
+                  st = st.copy(purchaseTs = t)
+                case _ =>
+              }
+            }
+          state.update(st)
+          FunnelUpdate(userId,
+            Seq(st.viewTs, st.clickTs, st.purchaseTs).count(_ >= 0),
+            st.viewTs, st.clickTs, st.purchaseTs)
+      }
+  }
+
   /** File-source incremental sync: watch a directory of parquet drops and
     * maintain the hourly rollup — the streaming upgrade of the reference's
     * batch re-runs. */

@@ -156,4 +156,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length >= 1)
     assert(got.exists(r => r.getAs[Long]("n") == 2))
   }
+
+  test("streaming funnel run in batch mode equals the q78 batch stages") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ds = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp")).as[Event]
+    val streamed = EventStream.funnel(ds).collect()
+      .map(u => u.user_id -> u.stage.toLong).toMap
+    val batch = graft.ops.EventOps.q78Funnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("stage")).toMap
+    assert(streamed == batch)
+  }
+
+  test("funnel stage machine: order and same-instant ties") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = Seq(
+      // user 1: click BEFORE any view -> not counted; then view+click same
+      // instant (counts, >= semantics), purchase later -> stage 3
+      ev(1, 0, 1, "click"), ev(2, 10, 1, "view"), ev(3, 10, 1, "click"),
+      ev(4, 20, 1, "purchase"),
+      // user 2: purchase with no prior click -> stays stage 1 after view
+      ev(5, 0, 2, "view"), ev(6, 5, 2, "purchase"),
+      // user 3: arrives across two micro-batches, state carries over
+      ev(7, 0, 3, "view"))
+    val mem = MemoryStream[Event]
+    val q = EventStream.funnel(mem.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update).start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    mem.addData(ev(8, 30, 3, "click"), ev(9, 40, 3, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    // last update per user wins (Update mode emits one row per batch)
+    val last = spark.table("funnel").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.map(_.getAs[Int]("stage")).max }
+    assert(last == Map(1L -> 3, 2L -> 1, 3L -> 3))
+  }
 }
