@@ -107,6 +107,8 @@ object SparkEntry {
     "q76_contamination"   -> CorpusOps.q76Contamination _,
     "q77_chunk_dedup"     -> CorpusOps.q77ChunkDedup _,
     "q78_funnel"          -> EventOps.q78Funnel _,
+    "q79_keep_best"       -> CorpusOps.q79KeepBest _,
+    "q80_sequence_pack"   -> CorpusOps.q80SequencePack _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1114,5 +1116,69 @@ object SparkEntry {
         |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |ORDER BY u.user_id""".stripMargin,
+
+    // q79 replays q50's cluster derivation (same minhash/LSH CTE chain),
+    // then resolves each cluster to its keep-best member.
+    "q79_keep_best" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
+        |hs AS (SELECT doc_id, list_transform(shingles,
+        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |sig AS (SELECT doc_id, [
+        |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
+        |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
+        |  list_min(list_transform(h, x -> (11 * x + 13) % 1000000007)),
+        |  list_min(list_transform(h, x -> (17 * x + 29) % 1000000007)),
+        |  list_min(list_transform(h, x -> (23 * x + 37) % 1000000007)),
+        |  list_min(list_transform(h, x -> (31 * x + 43) % 1000000007)),
+        |  list_min(list_transform(h, x -> (41 * x + 53) % 1000000007)),
+        |  list_min(list_transform(h, x -> (47 * x + 61) % 1000000007)),
+        |  list_min(list_transform(h, x -> (59 * x + 71) % 1000000007)),
+        |  list_min(list_transform(h, x -> (67 * x + 79) % 1000000007)),
+        |  list_min(list_transform(h, x -> (73 * x + 89) % 1000000007)),
+        |  list_min(list_transform(h, x -> (83 * x + 101) % 1000000007))] AS sig FROM hs),
+        |bands AS (SELECT doc_id, i AS band_idx,
+        |    CAST(sig[3*i + 1] AS VARCHAR) || ':' || CAST(sig[3*i + 2] AS VARCHAR)
+        |      || ':' || CAST(sig[3*i + 3] AS VARCHAR) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM cands JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |  WHERE len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) >= 6),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS label FROM nodes
+        |  UNION
+        |  SELECT e.a AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b),
+        |lab AS (SELECT doc_id, CAST(min(label) AS BIGINT) AS canonical_id
+        |        FROM reach GROUP BY doc_id),
+        |q AS (SELECT l.doc_id, l.canonical_id, CAST(length(d.text) AS BIGINT) AS n_chars
+        |      FROM lab l JOIN documents d ON l.doc_id = d.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY canonical_id
+        |        ORDER BY n_chars DESC, doc_id) AS rk FROM q)
+        |SELECT canonical_id,
+        |  CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_doc_id,
+        |  CAST(min(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+        |  count(*) AS cluster_size,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_discarded
+        |FROM r GROUP BY canonical_id ORDER BY canonical_id""".stripMargin,
+
+    "q80_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_tok
+        |      FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  (end_tok - n_tokens) // 2048 AS start_ctx,
+        |  (end_tok - 1) // 2048 AS end_ctx,
+        |  (end_tok - 1) // 2048 - (end_tok - n_tokens) // 2048 AS n_boundary_crossings
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

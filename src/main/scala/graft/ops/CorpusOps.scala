@@ -223,4 +223,59 @@ object CorpusOps {
         sum(when($"n_docs_with" > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
       .orderBy($"doc_id")
   }
+
+  /** X38 — keep-best dedup resolution: the KEEP policy that turns near-dup
+    * clusters (q50's MinHash connected components) into a concrete survivor
+    * set — per cluster keep the highest-quality member (longest text,
+    * doc_id tiebreak), the step between "these documents are duplicates"
+    * and "train on these ones".
+    *
+    * Scale: cluster labels join back to a narrow (doc_id, length) frame —
+    * the clustered subset is dedup-candidate-sized (⋘ corpus); the argmax
+    * is one window over cluster ids. Everything upstream reuses q50's
+    * machinery unchanged. */
+  def q79KeepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clusters = DedupOps.q50DedupClusters(s, dir)
+    val quality = docs(s, dir)
+      .select($"doc_id", length($"text").cast("long").as("n_chars"))
+    val w = Window.partitionBy($"canonical_id")
+      .orderBy($"n_chars".desc, $"doc_id")
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy($"canonical_id")
+      .agg(
+        min(when($"rk" === 1, $"doc_id")).as("kept_doc_id"),
+        min(when($"rk" === 1, $"n_chars")).as("kept_chars"),
+        count(lit(1)).as("cluster_size"))
+      .withColumn("n_discarded", $"cluster_size" - 1)
+      .orderBy($"canonical_id")
+  }
+
+  /** X39 — concatenate-and-chunk sequence packing: the pre-training step
+    * that turns a document stream into fixed 2048-token contexts. Per
+    * language stream, documents are laid end-to-end in doc_id order and
+    * cut every 2048 tokens; each doc reports the context window(s) it
+    * lands in and how many boundaries it straddles.
+    *
+    * Scale: ONE window shuffle per language stream (running token sum);
+    * context assignment is integer arithmetic on the cumulative offsets —
+    * no second pass, no driver loop. This is the exact shape of the
+    * "pack then chunk" layout job a 100 TB tokenized corpus runs before
+    * training. */
+  def q80SequencePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ctx = 2048L
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("end_tok", sum($"n_tokens").over(w))
+      .select($"doc_id", $"lang", $"n_tokens",
+        expr(s"(end_tok - n_tokens) div $ctx").as("start_ctx"),
+        expr(s"(end_tok - 1) div $ctx").as("end_ctx"))
+      .withColumn("n_boundary_crossings", $"end_ctx" - $"start_ctx")
+      .orderBy($"doc_id")
+  }
 }

@@ -136,6 +136,49 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(id)._2 == got(id)._1, s"doc $id should share all chunks") }
   }
 
+  test("keep-best resolution picks the longest member of every q50 cluster") {
+    import spark.implicits._
+    val clusters = graft.ops.DedupOps.q50DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val lens = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", length($"text").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = clusters.groupBy(_._2).map { case (cid, ms) =>
+      cid -> ms.map(_._1).minBy(id => (-lens(id), id)) }
+    val got = CorpusOps.q79KeepBest(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val cid = r.getAs[Long]("canonical_id")
+      assert(r.getAs[Long]("kept_doc_id") == best(cid), s"cluster $cid")
+      assert(r.getAs[Long]("kept_chars") == lens(best(cid)))
+      assert(r.getAs[Long]("n_discarded") == r.getAs[Long]("cluster_size") - 1)
+    }
+    assert(got.length == best.size)
+  }
+
+  test("sequence packing tiles each language stream without gaps") {
+    import spark.implicits._
+    val rows = CorpusOps.q80SequencePack(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("start_ctx") <= r.getAs[Long]("end_ctx"))
+      assert(r.getAs[Long]("n_boundary_crossings") ==
+        r.getAs[Long]("end_ctx") - r.getAs[Long]("start_ctx"))
+    }
+    // per lang: the last doc's end context is exactly ceil(total/2048) - 1,
+    // and consecutive docs are contiguous (next start == prev end or prev end + 1)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      val total = sorted.map(_.getAs[Long]("n_tokens")).sum
+      assert(sorted.last.getAs[Long]("end_ctx") == (total - 1) / 2048, lang)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val diff = b.getAs[Long]("start_ctx") - a.getAs[Long]("end_ctx")
+          assert(diff == 0 || diff == 1, s"$lang gap")
+        case _ =>
+      }
+    }
+  }
+
   test("funnel stages are ordered and monotonically shrinking") {
     val rows = graft.ops.EventOps.q78Funnel(spark, sf).collect()
     assert(rows.nonEmpty)
