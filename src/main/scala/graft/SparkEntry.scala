@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Relational, SchemaOps, Views}
 import graft.operators.{FunctionOps, TransferOps}
-import graft.ops.{CorpusOps, DedupOps, EventOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{CorpusOps, DedupOps, EventOps, MultimodalOps, PipelineOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -109,6 +109,12 @@ object SparkEntry {
     "q78_funnel"          -> EventOps.q78Funnel _,
     "q79_keep_best"       -> CorpusOps.q79KeepBest _,
     "q80_sequence_pack"   -> CorpusOps.q80SequencePack _,
+    "q81_pii_redact"      -> PipelineOps.q81PiiRedact _,
+    "q82_lang_mixture"    -> PipelineOps.q82LangMixture _,
+    "q83_shard_assign"    -> PipelineOps.q83ShardAssign _,
+    "q84_inverted_index"  -> PipelineOps.q84InvertedIndex _,
+    "q85_zorder_layout"   -> PipelineOps.q85ZorderLayout _,
+    "q86_quantile_trim"   -> PipelineOps.q86QuantileTrim _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1180,5 +1186,99 @@ object SparkEntry {
         |  (end_tok - 1) // 2048 AS end_ctx,
         |  (end_tok - 1) // 2048 - (end_tok - n_tokens) // 2048 AS n_boundary_crossings
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q81: the PII is planted deterministically from doc_id (same
+    // derivation here and in the Spark plan), then detected and masked in
+    // a fixed email -> ip -> number pass order.
+    "q81_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |    coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' ref ' || CAST(doc_id * 1000003 + 1000007 AS VARCHAR) AS pii_text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS r1
+        |  FROM p),
+        |s2 AS (SELECT doc_id, n_emails,
+        |    CAST(len(regexp_extract_all(r1, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+        |    regexp_replace(r1, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g') AS r2
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_emails, n_ips,
+        |    CAST(len(regexp_extract_all(r2, '\d{6,}')) AS BIGINT) AS n_longnums,
+        |    regexp_replace(r2, '\d{6,}', '[NUM]', 'g') AS redacted
+        |  FROM s2)
+        |SELECT doc_id, n_emails, n_ips, n_longnums,
+        |  CAST(length(redacted) AS BIGINT) AS redacted_chars,
+        |  list_reduce(list_transform(string_split(redacted, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |              (a, b) -> (a * 31 + b) % 1000000007) AS redacted_fp
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    "q82_lang_mixture" ->
+      """WITH l AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w_sqrt FROM l)
+        |SELECT lang, n_docs, n_tokens, w_sqrt,
+        |  w_sqrt * 1000000 // CAST(sum(w_sqrt) OVER () AS BIGINT) AS weight_ppm
+        |FROM w ORDER BY lang""".stripMargin,
+
+    "q83_shard_assign" ->
+      """WITH f AS (SELECT doc_id,
+        |    list_reduce(list_transform(
+        |        string_split(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, ''), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |  FROM documents),
+        |sh AS (SELECT doc_id, fp, fp % 16 AS shard FROM f)
+        |SELECT doc_id, fp, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY fp, doc_id) AS BIGINT) AS pos
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q84_inverted_index" ->
+      """WITH pairs AS (SELECT DISTINCT term, doc_id
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> ''),
+        |t AS (SELECT term, count(*) AS df,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM pairs GROUP BY term)
+        |SELECT term, df, postings FROM t
+        |WHERE df >= 5 ORDER BY df DESC, term LIMIT 100""".stripMargin,
+
+    "q85_zorder_layout" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    o_custkey % 65536 AS x,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 65536 AS y
+        |  FROM orders),
+        |z AS (SELECT *,
+        |    CAST(list_sum(list_transform(generate_series(0, 15),
+        |      i -> ((x >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+        |         + ((y >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))) AS BIGINT) AS zval
+        |  FROM b),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY zval, o_orderkey) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM z)
+        |SELECT (rn - 1) * 32 // n AS bucket, count(*) AS n_rows,
+        |  min(x) AS x_min, max(x) AS x_max,
+        |  min(y) AS y_min, max(y) AS y_max,
+        |  min(zval) AS z_min, max(zval) AS z_max
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q86_quantile_trim" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM t),
+        |k AS (SELECT *, rk * 20 > n AND rk * 20 <= n * 19 AS keep FROM r)
+        |SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  min(CASE WHEN keep THEN n_tokens END) AS kept_min_tokens,
+        |  max(CASE WHEN keep THEN n_tokens END) AS kept_max_tokens,
+        |  CAST(sum(CASE WHEN keep THEN n_tokens END) AS BIGINT) AS kept_sum_tokens
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

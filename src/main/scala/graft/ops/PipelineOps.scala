@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Fingerprint
+
+/** Data-layout and curation operators (SURVEY.md §2.7 X40-X45): the
+  * pipeline steps between a cleaned corpus and training shards — PII
+  * scrubbing, mixture reweighting, deterministic sharding, inverted-index
+  * construction, z-order layout for data skipping, and quantile-based
+  * outlier trimming.
+  *
+  * Shared scale theme: per-document passes are narrow codegen'd expressions
+  * (regexp/HOF — scan throughput, zero shuffles); corpus statistics are one
+  * combinable shuffle; layout operators are exactly the one range/hash
+  * repartition they model, never a global sort plus a second pass.
+  */
+object PipelineOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe    = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  private val NumRe   = "\\d{6,}"
+
+  /** X40 — PII redaction: the scrub pass every shareable corpus runs —
+    * emails, IPv4 addresses, long digit runs (phone/account-shaped) each
+    * detected, counted, and replaced with a typed mask token, in a fixed
+    * order (email → ip → number) so the passes compose deterministically.
+    *
+    * The corpus is synthetic and PII-free, so the query plants
+    * deterministic PII derived from doc_id (same derivation in the oracle)
+    * and then redacts it — the detector runs against known ground truth:
+    * every doc must yield exactly 1 email, 1 ip, 1 long number.
+    *
+    * Scale: three codegen'd regexp passes + a fingerprint — narrow map at
+    * scan throughput, zero shuffles; the redacted-text fingerprint lets a
+    * downstream audit verify the scrub without re-reading the corpus. */
+  def q81PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    docs(s, dir)
+      .withColumn("pii_text", concat(
+        coalesce($"text", lit("")), lit(" contact user"), $"doc_id",
+        lit("@mail.example.com via 10.0."), $"doc_id" % 256,
+        lit("."), $"doc_id" % 100,
+        lit(" ref "), $"doc_id" * 1000003L + 1000007L))
+      // patterns go through the Scala API (lit), never expr() — Spark SQL
+      // string literals eat backslashes, the Column API does not
+      .withColumn("n_emails",
+        size(regexp_extract_all($"pii_text", lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("r1", regexp_replace($"pii_text", EmailRe, "[EMAIL]"))
+      .withColumn("n_ips",
+        size(regexp_extract_all($"r1", lit(IpRe), lit(0))).cast("long"))
+      .withColumn("r2", regexp_replace($"r1", IpRe, "[IP]"))
+      .withColumn("n_longnums",
+        size(regexp_extract_all($"r2", lit(NumRe), lit(0))).cast("long"))
+      .withColumn("redacted", regexp_replace($"r2", NumRe, "[NUM]"))
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_longnums",
+        length($"redacted").cast("long").as("redacted_chars"),
+        expr("graft_fingerprint(redacted)").as("redacted_fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** X41 — temperature-based mixture reweighting: per-language sampling
+    * weights ∝ n_tokens^(1/2) (the multilingual-training upweighting that
+    * keeps head languages from drowning the tail), expressed in integer
+    * parts-per-million so the weights are hash-exact.
+    *
+    * floor(sqrt(bigint)) is safe cross-engine: IEEE-754 sqrt is correctly
+    * rounded, floor makes it integral, and DuckDB's round-on-cast equals
+    * truncation on integral doubles.
+    *
+    * Scale: one combinable groupBy to language-level (output is
+    * vocabulary-of-languages sized — driver-tiny), then an empty-window
+    * normalization over that tiny frame. The 100 TB input is touched once. */
+  def q82LangMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perLang = docs(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+      .withColumn("w_sqrt", floor(sqrt($"n_tokens")).cast("long"))
+    perLang
+      .withColumn("weight_ppm",
+        expr("w_sqrt * 1000000 div sum(w_sqrt) over ()"))
+      .orderBy($"lang")
+  }
+
+  /** X42 — deterministic global shuffle + shard assignment: the "shuffle
+    * the corpus, write N shards" step before training. Shard membership and
+    * intra-shard position both derive from a portable content fingerprint,
+    * so the layout is replayable from any engine — no RNG state, no
+    * sampleless `repartition(N)` round-robin that changes under retries.
+    *
+    * Scale: shard = fp % 16 IS the hash partitioning (write-side
+    * `repartition(shard)` colocates each shard); position is a row_number
+    * within shard only — per-partition sort, never a global one. */
+  def q83ShardAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val w = Window.partitionBy($"shard").orderBy($"fp", $"doc_id")
+    docs(s, dir)
+      .select($"doc_id",
+        expr("graft_fingerprint(concat(CAST(doc_id AS STRING), ':', coalesce(text, '')))")
+          .as("fp"))
+      .withColumn("shard", $"fp" % 16)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"fp", $"shard", $"pos")
+      .orderBy($"doc_id")
+  }
+
+  /** X43 — inverted-index build: term → sorted posting list + document
+    * frequency, the retrieval-side structure (BM25 / dedup-audit lookups)
+    * built from the same explode the DF statistics already use. Postings
+    * are emitted as comma-joined strings so the gate can hash them.
+    *
+    * Scale: one (term, doc) distinct-shuffle, one term-level agg —
+    * both combinable; the df >= 5 gate bounds posting-list width and the
+    * head-100 cap is driver-side top-k, not a global sort of the index. */
+  def q84InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .distinct()
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(sort_array(collect_set($"doc_id")),
+            x => x.cast("string")), ",").as("postings"))
+      .filter($"df" >= 5)
+      .orderBy($"df".desc, $"term")
+      .limit(100)
+  }
+
+  /** X44 — z-order (Morton-curve) layout audit: interleave the bits of two
+    * query dimensions (customer key, order date) into one sort key, cut the
+    * curve into 32 equal file-sized buckets, and report each bucket's
+    * extent in BOTH dimensions — the min/max column stats a parquet footer
+    * would carry, i.e. exactly what makes 2-D predicate data skipping work
+    * after a single 1-D layout pass.
+    *
+    * Scale: production form is `repartitionByRange(zval)` +
+    * `sortWithinPartitions(zval)` + write; one range shuffle total. The
+    * audit here adds only a bucket-level agg (32 rows). The bit interleave
+    * is a codegen'd HOF over a 16-literal sequence — narrow map. */
+  def q85ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "orders")
+      .select($"o_orderkey",
+        ($"o_custkey" % 65536L).as("x"),
+        (datediff($"o_orderdate", lit("1992-01-01")).cast("long") % 65536L).as("y"))
+      .withColumn("zval", expr(
+        """aggregate(sequence(0, 15), 0L,
+          |  (acc, i) -> acc + shiftleft(shiftright(x, i) & 1, 2 * i)
+          |                  + shiftleft(shiftright(y, i) & 1, 2 * i + 1))""".stripMargin))
+    val w = Window.orderBy($"zval", $"o_orderkey")
+    base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("bucket", expr(s"(rn - 1) * 32 div count(*) over ()"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"x").as("x_min"), max($"x").as("x_max"),
+        min($"y").as("y_min"), max($"y").as("y_max"),
+        min($"zval").as("z_min"), max($"zval").as("z_max"))
+      .orderBy($"bucket")
+  }
+
+  /** X45 — exact-quantile length trimming: drop each language's shortest
+    * 5% and longest 5% of documents (the outlier trim before packing).
+    * Rank-based with pure integer comparisons (20·rk > n keeps P5..P95) —
+    * no interpolated quantile, so the cut is hash-exact cross-engine.
+    *
+    * Scale: one shuffle by language; rank + count share the partitioning.
+    * At 100 TB a head language's partition is large but the sort is
+    * spill-safe and the alternative (exact global quantiles) needs the
+    * same sort; approx trimming would swap in percentile_approx (q60's
+    * envelope pattern) when exactness is not required. */
+  def q86QuantileTrim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wRank = Window.partitionBy($"lang").orderBy($"n_tokens", $"doc_id")
+    val wN = Window.partitionBy($"lang")
+    docs(s, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("keep", $"rk" * 20 > $"n" && $"rk" * 20 <= $"n" * 19)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        min(when($"keep", $"n_tokens")).as("kept_min_tokens"),
+        max(when($"keep", $"n_tokens")).as("kept_max_tokens"),
+        sum(when($"keep", $"n_tokens")).as("kept_sum_tokens"))
+      .orderBy($"lang")
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.PipelineOps
+
+/** Invariant checks for the layout/curation operators (SURVEY.md §2.7
+  * X40-X45) beyond the driver's DuckDB hash gate: redaction must actually
+  * remove what it counted, shard assignment must partition the corpus with
+  * contiguous positions, z-order buckets must be balanced and z-contiguous,
+  * and the quantile trim must keep exactly the P5..P95 rank band.
+  */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("pii redaction finds exactly the planted PII and scrubs it") {
+    val rows = PipelineOps.q81PiiRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1L)
+      assert(r.getAs[Long]("n_ips") == 1L)
+      assert(r.getAs[Long]("n_longnums") == 1L)
+    }
+  }
+
+  test("pii redaction leaves no email/ip/long-number shapes behind") {
+    import spark.implicits._
+    // rebuild the redacted text the operator fingerprints and re-scan it
+    val redacted = graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("pii_text", concat(
+        coalesce($"text", lit("")), lit(" contact user"), $"doc_id",
+        lit("@mail.example.com via 10.0."), $"doc_id" % 256,
+        lit("."), $"doc_id" % 100,
+        lit(" ref "), $"doc_id" * 1000003L + 1000007L))
+      .withColumn("r", regexp_replace(regexp_replace(regexp_replace($"pii_text",
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+        "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "[IP]"),
+        "\\d{6,}", "[NUM]"))
+      .filter($"r".rlike("@|\\d{6,}|\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"))
+    assert(redacted.count() == 0L)
+  }
+
+  test("mixture weights: sqrt bracket holds and ppm sums to ~1e6") {
+    val rows = PipelineOps.q82LangMixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("w_sqrt"); val t = r.getAs[Long]("n_tokens")
+      assert(w * w <= t && t < (w + 1) * (w + 1))
+    }
+    val total = rows.map(_.getAs[Long]("weight_ppm")).sum
+    // integer floor division loses < 1 ppm per language
+    assert(total <= 1000000L && total > 1000000L - rows.length)
+  }
+
+  test("shard assignment partitions the corpus with contiguous positions") {
+    import spark.implicits._
+    val rows = PipelineOps.q83ShardAssign(spark, sf).collect()
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.length.toLong == nDocs)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length.toLong == nDocs)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+      assert(sh >= 0 && sh < 16)
+      val pos = rs.map(_.getAs[Long]("pos")).sorted
+      assert(pos.toSeq == (1L to rs.length.toLong), s"shard $sh positions")
+    }
+  }
+
+  test("inverted index postings agree with df and are sorted") {
+    val rows = PipelineOps.q84InvertedIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(ids.length.toLong == r.getAs[Long]("df"))
+      assert(ids.toSeq == ids.sorted.toSeq)
+      assert(ids.distinct.length == ids.length)
+      assert(r.getAs[Long]("df") >= 5L)
+    }
+  }
+
+  test("z-order buckets are balanced and z-contiguous; extents bounded") {
+    val rows = PipelineOps.q85ZorderLayout(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.length == 32)
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    rows.foreach { r =>
+      // equal-split buckets: floor/ceil of total/32
+      val n = r.getAs[Long]("n_rows")
+      assert(n == total / 32 || n == total / 32 + 1)
+      assert(r.getAs[Long]("z_min") <= r.getAs[Long]("z_max"))
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("z_max") <= b.getAs[Long]("z_min"),
+          s"buckets ${a.getAs[Long]("bucket")}/${b.getAs[Long]("bucket")} overlap in z")
+      case _ =>
+    }
+  }
+
+  test("quantile trim keeps exactly the P5..P95 rank band per language") {
+    import spark.implicits._
+    val byLang = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"lang", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .collect().groupBy(_.getString(0))
+    val rows = PipelineOps.q86QuantileTrim(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet == byLang.keySet)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_total")
+      // ranks kept: rk in (n/20, 19n/20] — count is floor(19n/20) - floor(n/20)
+      assert(r.getAs[Long]("n_kept") == n * 19 / 20 - n / 20)
+      val toks = byLang(r.getAs[String]("lang")).map(_.getLong(1)).sorted
+      assert(r.getAs[Long]("kept_min_tokens") >= toks.head)
+      assert(r.getAs[Long]("kept_max_tokens") <= toks.last)
+    }
+  }
+}
