@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed total ordering: global `row_number` without the
+  * single-task sort an unpartitioned `Window.orderBy` degenerates to.
+  *
+  * The classic two-phase shape every engine uses for a scalable ORDER BY
+  * + rank (reference: the keyset pagination loop sync_data.go:207-311 is
+  * the sequential single-node version of the same total order):
+  *   1. `repartitionByRange(sortCols)` + `sortWithinPartitions` — ONE
+  *      range shuffle; partition i holds keys strictly below partition
+  *      i+1, each sorted internally, so the concatenation is the total
+  *      order;
+  *   2. a count-per-partition job (returns numPartitions longs — driver
+  *      tiny) turned into broadcast prefix offsets;
+  *   3. a narrow map adding `offset(i) + local index`.
+  *
+  * Deterministic as long as `sortCols` is a total order (callers pass a
+  * unique tiebreak): range boundary placement from sampling may vary, but
+  * offsets shift with the boundaries, so the assigned numbers do not.
+  *
+  * The sorted frame is persisted (MEMORY_AND_DISK) between the count job
+  * and the numbering pass so the range shuffle + sort run once, not twice.
+  * Callers streaming into a write can `unpersist()` the input afterwards.
+  */
+object GlobalOrder {
+
+  def withRowNumber(df: DataFrame, sortCols: Seq[Column], out: String,
+                    numPartitions: Int = 0): DataFrame =
+    withRowNumberAndTotal(df, sortCols, out, numPartitions)._1
+
+  /** Same, plus the total row count — already known from the per-partition
+    * count job, so callers needing `n` (quantile cuts, equal-split bucket
+    * math) get it without a `count(*) over ()` single-partition window or
+    * a second scan. */
+  def withRowNumberAndTotal(df: DataFrame, sortCols: Seq[Column], out: String,
+                    numPartitions: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    // RangePartitioner SAMPLES the input to place boundaries — an extra
+    // pass over `df` before the shuffle pass. Persist the (caller-narrowed)
+    // input so sampling + shuffle read the computed frame once, then drop
+    // it as soon as the sorted side is materialized by the count job.
+    val input = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val sorted = input.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    input.unpersist(blocking = false)
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
+    val schema = sorted.schema.add(StructField(out, LongType, nullable = false))
+    val numbered = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var rn = offsets(i)
+      it.map { r => rn += 1; Row.fromSeq(r.toSeq :+ rn) }
+    }
+    (spark.createDataFrame(numbered, schema), offsets.last)
+  }
+}

@@ -146,8 +146,12 @@ object PipelineOps {
     *
     * Scale: production form is `repartitionByRange(zval)` +
     * `sortWithinPartitions(zval)` + write; one range shuffle total. The
-    * audit here adds only a bucket-level agg (32 rows). The bit interleave
-    * is a codegen'd HOF over a 16-literal sequence — narrow map. */
+    * rank that cuts the curve into equal buckets comes from
+    * [[graft.operators.GlobalOrder]] — the distributed two-phase
+    * row_number — NOT an unpartitioned window, which would collapse the
+    * whole table into one sort task. The audit adds only a bucket-level
+    * agg (32 rows). The bit interleave is a codegen'd HOF over a
+    * 16-literal sequence — narrow map. */
   def q85ZorderLayout(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = Tables.load(s, dir, "orders")
@@ -158,10 +162,10 @@ object PipelineOps {
         """aggregate(sequence(0, 15), 0L,
           |  (acc, i) -> acc + shiftleft(shiftright(x, i) & 1, 2 * i)
           |                  + shiftleft(shiftright(y, i) & 1, 2 * i + 1))""".stripMargin))
-    val w = Window.orderBy($"zval", $"o_orderkey")
-    base
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("bucket", expr(s"(rn - 1) * 32 div count(*) over ()"))
+    val (numbered, total) = graft.operators.GlobalOrder
+      .withRowNumberAndTotal(base, Seq($"zval", $"o_orderkey"), "rn")
+    numbered
+      .withColumn("bucket", expr(s"(rn - 1) * 32 div ${total}L"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n_rows"),
         min($"x").as("x_min"), max($"x").as("x_max"),
