@@ -115,6 +115,8 @@ object SparkEntry {
     "q84_inverted_index"  -> PipelineOps.q84InvertedIndex _,
     "q85_zorder_layout"   -> PipelineOps.q85ZorderLayout _,
     "q86_quantile_trim"   -> PipelineOps.q86QuantileTrim _,
+    "q87_collocations"    -> PipelineOps.q87Collocations _,
+    "q88_stratified_split" -> PipelineOps.q88StratifiedSplit _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1280,5 +1282,39 @@ object SparkEntry {
         |  max(CASE WHEN keep THEN n_tokens END) AS kept_max_tokens,
         |  CAST(sum(CASE WHEN keep THEN n_tokens END) AS BIGINT) AS kept_sum_tokens
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q87_collocations" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |uni AS (SELECT u.w, count(*) AS n_w
+        |        FROM (SELECT unnest(ws) AS w FROM w) u GROUP BY u.w),
+        |bi AS (SELECT g.a, g.b, count(*) AS n_ab FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS g FROM w)
+        |  GROUP BY g.a, g.b HAVING count(*) >= 5)
+        |SELECT a, b, n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+        |  n_ab * 1000000000000 // (ua.n_w * ub.n_w) AS lift_ppt
+        |FROM bi JOIN uni ua ON bi.a = ua.w JOIN uni ub ON bi.b = ub.w
+        |ORDER BY lift_ppt DESC, a, b LIMIT 50""".stripMargin,
+
+    "q88_stratified_split" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    list_reduce(list_transform(
+        |        string_split(coalesce(text, '') || '#' || CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |  FROM documents),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM f),
+        |k AS (SELECT *, CASE WHEN rk * 20 <= n THEN 'test'
+        |                     WHEN rk * 20 <= n * 2 THEN 'val'
+        |                     ELSE 'train' END AS split FROM r)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc_id
+        |FROM k GROUP BY lang, split ORDER BY lang, split""".stripMargin,
   )
 }

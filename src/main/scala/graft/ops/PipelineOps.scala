@@ -202,4 +202,68 @@ object PipelineOps {
         sum(when($"keep", $"n_tokens")).as("kept_sum_tokens"))
       .orderBy($"lang")
   }
+
+  /** X47 — PMI-style collocation mining: corpus-wide bigram lift —
+    * observed bigram frequency vs the unigram-independence expectation —
+    * the phrase/tokenizer-vocabulary signal. Lift is kept in integer
+    * parts-per-trillion (n_ab·10^12 div n_a·n_b) so ranking is hash-exact;
+    * the log (true PMI) is monotone in it, so the top-k is the same set.
+    * Integer headroom: safe while n_ab < 9·10^6; a 100 TB corpus switches
+    * the SCORE (not the counts) to doubles, or rescales the constant.
+    *
+    * Scale: one bigram shuffle + one unigram shuffle (both map-side
+    * combinable); unigram counts for the n_ab >= 5 survivors are
+    * vocabulary-sized → both joins broadcast. No corpus-sized join. */
+  def q87Collocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = docs(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+    val uni = words.select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n_w"))
+    val bi = words
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> named_struct('a', element_at(ws, i), 'b', element_at(ws, i + 1)))"))
+        .as("g"))
+      .select($"g.a".as("a"), $"g.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 5)
+    bi
+      .join(broadcast(uni.withColumnRenamed("w", "a").withColumnRenamed("n_w", "n_a")), Seq("a"))
+      .join(broadcast(uni.withColumnRenamed("w", "b").withColumnRenamed("n_w", "n_b")), Seq("b"))
+      .withColumn("lift_ppt", expr("n_ab * 1000000000000 div (n_a * n_b)"))
+      .select($"a", $"b", $"n_ab", $"n_a", $"n_b", $"lift_ppt")
+      .orderBy($"lift_ppt".desc, $"a", $"b")
+      .limit(50)
+  }
+
+  /** X48 — stratified train/val/test split: per language, 5% test / 5%
+    * val / 90% train, with membership decided by rank over the portable
+    * content fingerprint — a replayable pseudo-random split (no RNG
+    * state, stable under retries and engine changes), stratified exactly.
+    *
+    * Scale: one shuffle by language (rank + count share it), then a
+    * tiny (lang × split) agg. Split thresholds are integer rank bands,
+    * so the assignment is hash-exact cross-engine. */
+  def q88StratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val wRank = Window.partitionBy($"lang").orderBy($"fp", $"doc_id")
+    val wN = Window.partitionBy($"lang")
+    docs(s, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        expr("graft_fingerprint(concat(coalesce(text, ''), '#', CAST(doc_id AS STRING)))").as("fp"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("split",
+        when($"rk" * 20 <= $"n", "test")
+          .when($"rk" * 20 <= $"n" * 2, "val")
+          .otherwise("train"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        min($"doc_id").as("min_doc_id"))
+      .orderBy($"lang", $"split")
+  }
 }

@@ -109,6 +109,41 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("collocation lift agrees with independently recounted frequencies") {
+    import spark.implicits._
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"text").collect().map(_.getString(0)).filter(_ != null)
+      .map(_.split(" ")).filter(_.length >= 2)
+    val uni = texts.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bi = texts.flatMap(ws => ws.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = PipelineOps.q87Collocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+      assert(r.getAs[Long]("n_ab") == bi((a, b)))
+      assert(r.getAs[Long]("n_a") == uni(a))
+      assert(r.getAs[Long]("n_b") == uni(b))
+      assert(r.getAs[Long]("n_ab") >= 5L)
+      assert(r.getAs[Long]("lift_ppt") ==
+        r.getAs[Long]("n_ab") * 1000000000000L / (uni(a) * uni(b)))
+    }
+  }
+
+  test("stratified split hits the 5/5/90 bands exactly and covers every doc") {
+    val rows = PipelineOps.q88StratifiedSplit(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val m = rs.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+      val n = m.values.sum
+      assert(m.getOrElse("test", 0L) == n / 20, s"$lang test band")
+      assert(m.getOrElse("val", 0L) == n * 2 / 20 - n / 20, s"$lang val band")
+      assert(m.getOrElse("train", 0L) == n - n * 2 / 20, s"$lang train band")
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.sources.Tables.load(spark, sf, "documents").count())
+  }
+
   test("quantile trim keeps exactly the P5..P95 rank band per language") {
     import spark.implicits._
     val byLang = graft.sources.Tables.load(spark, sf, "documents")
