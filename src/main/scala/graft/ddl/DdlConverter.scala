@@ -68,11 +68,13 @@ object DdlConverter {
   /** Length-preserving literal mask: contents of '...'/"..." literals are
     * replaced with spaces (quotes kept), so keyword/paren/comma positions
     * found on the masked copy are valid indexes into the RAW string.
-    * Backtick-quoted identifiers are scanned through (doubled-backtick
-    * escapes honored) so an apostrophe INSIDE an identifier — legal MySQL,
-    * e.g. `it's` — never opens a phantom literal that would swallow the
-    * following column separator; quote chars inside such identifiers are
-    * blanked in the mask so they cannot confuse later literal scans.
+    * Backtick-quoted identifiers have their content FULLY blanked too
+    * (doubled-backtick escapes honored, the delimiting backticks kept):
+    * a paren/comma inside an identifier — legal MySQL, e.g. `a(b` or
+    * `x,y` — must not unbalance the paren matcher or split a column line,
+    * a keyword inside one (CONSTRAINT `must check` ...) must not classify
+    * the line, and an apostrophe inside one (`it's`) must not open a
+    * phantom literal that would swallow the next separator.
     * `SqlRewriter.maskStringLiterals` swaps literals for tokens of a
     * different length and must never be mixed with raw-string offsets. */
   private def maskSameLen(s: String): String = {
@@ -85,9 +87,11 @@ object DdlConverter {
         var done = false
         while (i < out.length && !done) {
           val ch = out(i)
-          if (ch == '`' && i + 1 < out.length && out(i + 1) == '`') i += 2
+          if (ch == '`' && i + 1 < out.length && out(i + 1) == '`') {
+            out(i) = ' '; out(i + 1) = ' '; i += 2
+          }
           else if (ch == '`') { i += 1; done = true }
-          else { if (ch == '\'' || ch == '"') out(i) = ' '; i += 1 }
+          else { out(i) = ' '; i += 1 }
         }
       } else if (quote == '\'' || quote == '"') {
         i += 1

@@ -44,18 +44,23 @@ object GlobalOrder {
     // RangePartitioner SAMPLES the input to place boundaries — an extra
     // pass over `df` before the shuffle pass. Persist the (caller-narrowed)
     // input so sampling + shuffle read the computed frame once, then drop
-    // it as soon as the sorted side is materialized by the count job.
+    // it as soon as the count job has run the shuffle's map stage.
     val input = df.persist(StorageLevel.MEMORY_AND_DISK)
     val sorted = input.repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.rdd
+    // ONE RDD instance shared by the count job and the numbering job: the
+    // second job skips the completed shuffle map stage and re-reads the
+    // shuffle files, so nothing table-sized needs to stay cached (only the
+    // reduce-side within-partition sort repeats). No persist → no leaked
+    // storage after the call.
+    val sortedRdd = sorted.rdd
+    val counts = sortedRdd
       .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
       .collect().sortBy(_._1).map(_._2)
     input.unpersist(blocking = false)
     val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
     val schema = sorted.schema.add(StructField(out, LongType, nullable = false))
-    val numbered = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val numbered = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var rn = offsets(i)
       it.map { r => rn += 1; Row.fromSeq(r.toSeq :+ rn) }
     }

@@ -119,9 +119,11 @@ object DedupOps {
   def q53NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.SortedIntersectSize.register(s)
-    // Trigram sets are (a) packed into BIGINT codes — ascii(c1)*961 +
-    // ascii(c2)*31 + ascii(c3) is injective for 3 bytes (max < 2^17), so
-    // int equality IS trigram equality — and (b) SORTED once per row, so
+    // Trigram sets are (a) packed into BIGINT codes — base-256 place
+    // values (ascii(c1)*65536 + ascii(c2)*256 + ascii(c3), max < 2^24)
+    // are injective for any byte values, so int equality IS trigram
+    // equality (base-31 would NOT be: 97*31+97 == 98*31+66) — and
+    // (b) SORTED once per row, so
     // the per-pair intersection is an allocation-free merge count over
     // longs (graft_sorted_inter_n): the pair loop is the hot path, and a
     // long compare beats a UTF8String compare several-fold. Shuffle width
@@ -130,8 +132,8 @@ object DedupOps {
       .filter($"doc_id" % 10 === 0 && length($"text") >= 3)
       .selectExpr("doc_id", "lang",
         """array_sort(array_distinct(transform(sequence(1, length(text) - 2),
-          |  i -> CAST(ascii(substring(text, i, 1)) * 961
-          |          + ascii(substring(text, i + 1, 1)) * 31
+          |  i -> CAST(ascii(substring(text, i, 1)) * 65536
+          |          + ascii(substring(text, i + 1, 1)) * 256
           |          + ascii(substring(text, i + 2, 1)) AS BIGINT)))) AS gs""".stripMargin)
     val a = saltLeft(d.select($"doc_id".as("doc_a"), $"lang", $"gs".as("ga")), "doc_a")
     val b = replicateRight(d.select($"doc_id".as("doc_b"), $"lang", $"gs".as("gb")))

@@ -219,8 +219,13 @@ object PipelineOps {
     val words = docs(s, dir)
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= 2)
+    // the two broadcast joins below are differently-projected subtrees, so
+    // exchange reuse does NOT canonicalize them together — cache the
+    // vocabulary-sized aggregate once or the corpus is scanned and the
+    // unigram shuffle run once per join
     val uni = words.select(explode($"ws").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("n_w"))
+      .cache()
     val bi = words
       .select(explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> named_struct('a', element_at(ws, i), 'b', element_at(ws, i + 1)))"))

@@ -135,10 +135,17 @@ object EventStream {
     * event_id) order so same-instant view+click resolves exactly like the
     * batch form's `>=` comparisons; events arriving later than the
     * watermark can still under-count a stage — the inherent streaming
-    * caveat the batch backfill (q78) reconciles. Unset slots are -1. */
+    * caveat the batch backfill (q78) reconciles. Unset slots are -1.
+    *
+    * Timestamps are carried as MICROSECONDS (`getTime` ms + sub-ms from
+    * `getNanos`), matching the batch form's precision — comparing at ms
+    * would latch a click that is strictly (but sub-millisecond) earlier
+    * than its view, diverging from q78's `>=` on microseconds. */
   def funnel(events: Dataset[Event]): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
     val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
@@ -148,9 +155,9 @@ object EventStream {
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           rows.toSeq
             .filter(e => rank.contains(e.event_type))
-            .sortBy(e => (e.ts.getTime, rank(e.event_type), e.event_id))
+            .sortBy(e => (micros(e.ts), rank(e.event_type), e.event_id))
             .foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               e.event_type match {
                 case "view" if st.viewTs < 0 =>
                   st = st.copy(viewTs = t)

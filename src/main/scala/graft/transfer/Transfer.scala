@@ -159,11 +159,22 @@ object Transfer {
       // honor a schema qualifier if present: `archive.t` existing must not
       // make `public.t` look present (case-insensitive compare rather than
       // a getTables pattern — drivers disagree on pattern case folding)
-      val schema =
+      val qualifier =
         if (parts.length > 1) parts(parts.length - 2).replaceAll("[\"`]", "")
         else null
       val conn = java.sql.DriverManager.getConnection(j.url)
       try {
+        // unqualified names resolve against the connection's CURRENT
+        // schema, not any schema: a same-named table in an unrelated
+        // schema (archive.t) must not make an unqualified `t` look
+        // present — syncIncrement would then query a table the
+        // connection can't resolve instead of running its full load.
+        // Filtered in the loop (not via schemaPattern) because drivers
+        // disagree on pattern case folding; getSchema() may be null on
+        // old drivers, which degrades to the any-schema match.
+        val schema =
+          if (qualifier != null) qualifier
+          else try conn.getSchema catch { case _: Throwable => null }
         val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
         try {
           var found = false

@@ -255,6 +255,25 @@ class DdlConverterSpec extends AnyFunSuite {
     assert(esc.columns.last.name == "c")
   }
 
+  test("parens, commas, and keywords inside backtick identifiers are inert") {
+    // '(' in an identifier must not unbalance the body matcher
+    val p = DdlConverter.parse("CREATE TABLE t (`a(b` int, c int)")
+    assert(p.columns.map(_.name) == Seq("a(b", "c"))
+    // ',' in an identifier must not split the column line
+    val m = DdlConverter.parse("CREATE TABLE t (`x,y` int, c int)")
+    assert(m.columns.map(_.name) == Seq("x,y", "c"))
+    // CHECK inside a CONSTRAINT name must not classify the FK line as a
+    // CHECK constraint (it is a dropped-line kind, not a check)
+    val fk = DdlConverter.parse(
+      "CREATE TABLE t (a int, CONSTRAINT `must check` FOREIGN KEY (a) REFERENCES u(a))")
+    assert(fk.columns.map(_.name) == Seq("a"))
+    assert(fk.checks.isEmpty)
+    // a column NAMED `primary key` must not become the table's PK
+    val pk = DdlConverter.parse("CREATE TABLE t (`primary key` int, b int)")
+    assert(pk.primaryKey.isEmpty)
+    assert(pk.columns.map(_.name) == Seq("primary key", "b"))
+  }
+
   test("ddlForSchema emits PG-valid types for PG targets, BLOB elsewhere") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

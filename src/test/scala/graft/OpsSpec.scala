@@ -235,6 +235,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("trigram packing is injective: distinct trigrams get distinct codes") {
+    import spark.implicits._
+    // 'aaa' vs 'abB' collide under base-31 packing (97*31+97 == 98*31+66);
+    // the base-256 pack must keep every distinct byte-trigram distinct
+    val texts = Seq("aaaXabB", "zz zz.Z9!", "The quick, brown FOX")
+    val codes = texts.toDF("text").selectExpr(
+      """transform(sequence(1, length(text) - 2),
+        |  i -> named_struct(
+        |    't', substring(text, i, 3),
+        |    'c', CAST(ascii(substring(text, i, 1)) * 65536
+        |            + ascii(substring(text, i + 1, 1)) * 256
+        |            + ascii(substring(text, i + 2, 1)) AS BIGINT))) AS tc""".stripMargin)
+      .selectExpr("explode(tc) AS p").select($"p.t", $"p.c")
+      .as[(String, Long)].collect()
+    val byCode = codes.groupBy(_._2).view.mapValues(_.map(_._1).distinct)
+    byCode.foreach { case (c, ts) =>
+      assert(ts.length == 1, s"code $c maps to ${ts.mkString("/")}")
+    }
+    val byTri = codes.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    byTri.foreach { case (t, cs) => assert(cs.length == 1, s"trigram $t") }
+  }
+
   test("stratified sample is deterministic and ~20% per stratum") {
     import spark.implicits._
     import graft.ops.TextOps
