@@ -22,6 +22,13 @@ object Bench {
     // absorb session/codegen warmup outside the timed region
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // warm the RDD<->DataFrame bridge (RowEncoder + RDD-scan codegen) that
+    // GlobalOrder-based queries hit — first use costs ~1s of Janino work
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L))),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType, nullable = false))
+      .selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
