@@ -117,6 +117,8 @@ object SparkEntry {
     "q86_quantile_trim"   -> PipelineOps.q86QuantileTrim _,
     "q87_collocations"    -> PipelineOps.q87Collocations _,
     "q88_stratified_split" -> PipelineOps.q88StratifiedSplit _,
+    "q89_compaction_plan" -> PipelineOps.q89CompactionPlan _,
+    "q90_skew_audit"      -> PipelineOps.q90SkewAudit _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1316,5 +1318,32 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS min_doc_id
         |FROM k GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q89_compaction_plan" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(coalesce(length(text), 0) AS BIGINT) AS n_bytes FROM documents),
+        |c AS (SELECT *, CAST(sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_byte
+        |      FROM t)
+        |SELECT source, (end_byte - 1) // 262144 AS file_seq,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+        |  min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+        |FROM c GROUP BY source, file_seq ORDER BY source, file_seq""".stripMargin,
+
+    "q90_skew_audit" ->
+      """WITH tot AS (SELECT count(*) AS total FROM lineitem),
+        |s AS (SELECT CAST(l_suppkey AS BIGINT) AS key, count(*) AS n_rows
+        |      FROM lineitem GROUP BY 1 ORDER BY n_rows DESC, key LIMIT 5),
+        |p AS (SELECT CAST(l_partkey AS BIGINT) AS key, count(*) AS n_rows
+        |      FROM lineitem GROUP BY 1 ORDER BY n_rows DESC, key LIMIT 5),
+        |u AS (
+        |  SELECT 'l_suppkey' AS key_col, key, n_rows,
+        |    n_rows * 1000000 // total AS share_ppm FROM s CROSS JOIN tot
+        |  UNION ALL
+        |  SELECT 'l_partkey' AS key_col, key, n_rows,
+        |    n_rows * 1000000 // total AS share_ppm FROM p CROSS JOIN tot)
+        |SELECT key_col, key, n_rows, share_ppm FROM u
+        |ORDER BY key_col, n_rows DESC, key""".stripMargin,
   )
 }

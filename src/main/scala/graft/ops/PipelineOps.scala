@@ -271,4 +271,61 @@ object PipelineOps {
         min($"doc_id").as("min_doc_id"))
       .orderBy($"lang", $"split")
   }
+
+  /** X49 — small-file compaction planner: per source stream, lay documents
+    * end-to-end in doc_id order and cut output files every 256 KB — the
+    * "compact a million tiny objects into scan-sized files" maintenance
+    * job every long-lived lake runs. Same cumulative-offset shape as q80
+    * (one running-sum window per source), emitting the per-file manifest:
+    * file sequence number, doc count, byte count.
+    *
+    * Scale: one shuffle keyed by source; file assignment is integer math
+    * on the cumulative byte offsets — no second pass. A real compactor
+    * follows with `repartition(file_id)` + write, both narrow. */
+  def q89CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val target = 262144L // 256 KB
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select($"doc_id", $"source",
+        coalesce(length($"text"), lit(0)).cast("long").as("n_bytes"))
+      .withColumn("end_byte", sum($"n_bytes").over(w))
+      .withColumn("file_seq", expr(s"(end_byte - 1) div $target"))
+      .groupBy($"source", $"file_seq")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_bytes").as("n_bytes"),
+        min($"doc_id").as("first_doc_id"),
+        max($"doc_id").as("last_doc_id"))
+      .orderBy($"source", $"file_seq")
+  }
+
+  /** X50 — join-key skew audit: the pre-flight diagnosis that decides
+    * between a plain shuffle join, salting (q72's rewrite), and AQE skew
+    * splitting — per candidate key column, the heaviest keys and their
+    * corpus share in integer ppm, plus how many rows the top key would
+    * put in ONE reducer task.
+    *
+    * Scale: one combinable count-shuffle per audited key; the heavy-key
+    * frames are top-k-sized. This is the measurement step the 100 TB
+    * runbook runs BEFORE choosing a join strategy — measure, don't
+    * guess. */
+  def q90SkewAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    // global total as a broadcast 1-row aggregate — NOT a sum-over-()
+    // window on the counts frame, which would collapse the key-cardinality
+    // frame (millions of keys at scale) into one task
+    val totalDf = li.agg(count(lit(1)).as("total"))
+    def audit(keyCol: String): DataFrame =
+      li.groupBy(col(keyCol).cast("long").as("key"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy($"n_rows".desc, $"key")
+        .limit(5)
+        .crossJoin(broadcast(totalDf))
+        .select(lit(keyCol).as("key_col"), $"key", $"n_rows",
+          expr("n_rows * 1000000 div total").as("share_ppm"))
+    audit("l_suppkey").unionAll(audit("l_partkey"))
+      .orderBy($"key_col", $"n_rows".desc, $"key")
+  }
 }

@@ -144,6 +144,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == graft.sources.Tables.load(spark, sf, "documents").count())
   }
 
+  test("compaction plan tiles each source: files near target, no gaps") {
+    val rows = PipelineOps.q89CompactionPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("file_seq"))
+      // file sequence is contiguous from 0
+      assert(sorted.map(_.getAs[Long]("file_seq")).toSeq ==
+        (0L until sorted.length.toLong), s"$src file_seq gap")
+      // every file except the last holds at least the target's worth of
+      // bytes MINUS one doc (a doc can straddle the cut)
+      sorted.init.zip(sorted.tail).foreach { case (f, next) =>
+        assert(f.getAs[Long]("last_doc_id") < next.getAs[Long]("first_doc_id"))
+      }
+      val total = sorted.map(_.getAs[Long]("n_bytes")).sum
+      assert(sorted.last.getAs[Long]("file_seq") == (total - 1) / 262144L, src)
+    }
+  }
+
+  test("skew audit shares agree with exact recounted key frequencies") {
+    import spark.implicits._
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val total = li.count()
+    val rows = PipelineOps.q90SkewAudit(spark, sf).collect()
+    assert(rows.length == 10)
+    Seq("l_suppkey", "l_partkey").foreach { kc =>
+      val expected = li.groupBy(col(kc).cast("long")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (k, n) => (-n, k) }.take(5)
+      val got = rows.filter(_.getAs[String]("key_col") == kc)
+        .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n_rows")))
+      assert(got.toSeq == expected.toSeq, kc)
+      rows.filter(_.getAs[String]("key_col") == kc).foreach { r =>
+        assert(r.getAs[Long]("share_ppm") ==
+          r.getAs[Long]("n_rows") * 1000000L / total)
+      }
+    }
+  }
+
   test("quantile trim keeps exactly the P5..P95 rank band per language") {
     import spark.implicits._
     val byLang = graft.sources.Tables.load(spark, sf, "documents")
