@@ -28,10 +28,26 @@ object Transfer {
 
   sealed trait Endpoint
   final case class ParquetDir(dir: String) extends Endpoint
+  /** CSV directory endpoint — the text-format interchange path (same
+    * fidelity class as the reference's COPY text encoding, K4). `schema`
+    * types the read side: validation MUST read back with the source
+    * schema, because an inferred `int` where the source had `bigint`
+    * changes xxhash64 inputs and falsely fails the checksum. Writes pin
+    * a microsecond timestamp format and a quoted empty-value so
+    * `""` vs NULL survives the round trip. */
+  final case class CsvDir(dir: String,
+      schema: Option[StructType] = None) extends Endpoint
+  /** JSON-lines directory endpoint; `schema` as in [[CsvDir]]. */
+  final case class JsonDir(dir: String,
+      schema: Option[StructType] = None) extends Endpoint
+  /** ORC directory endpoint — lossless columnar alternative to parquet. */
+  final case class OrcDir(dir: String) extends Endpoint
   final case class Jdbc(url: String, table: String,
       partitionColumn: Option[String] = None,
       numPartitions: Int = 4,
       batchSize: Int = 10000) extends Endpoint
+
+  private val CsvTsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   final case class TransferResult(
       table: String, srcRows: Long, dstRows: Long, checksumMatch: Boolean)
@@ -40,6 +56,16 @@ object Transfer {
 
   def read(spark: SparkSession, src: Endpoint, table: String): DataFrame = src match {
     case ParquetDir(dir) => graft.sources.Tables.load(spark, dir, table)
+    case CsvDir(dir, schema) =>
+      val r = spark.read.option("header", "true")
+        .option("timestampFormat", CsvTsFmt)
+        .option("timestampNTZFormat", CsvTsFmt)
+      schema.fold(r.option("inferSchema", "true"))(r.schema)
+        .csv(s"$dir/$table.csv")
+    case JsonDir(dir, schema) =>
+      val r = spark.read
+      schema.fold(r)(r.schema).json(s"$dir/$table.json")
+    case OrcDir(dir) => spark.read.orc(s"$dir/$table.orc")
     case j: Jdbc =>
       // MySQL sources get the reference's type semantics (tinyint(1),
       // unsigned widening, spatial→binary) via the custom dialect
@@ -97,6 +123,20 @@ object Transfer {
       case ParquetDir(dir) =>
         df.write.mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
           .parquet(s"$dir/$table.parquet")
+      case CsvDir(dir, _) =>
+        df.write.mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
+          .option("header", "true")
+          .option("timestampFormat", CsvTsFmt)
+          .option("timestampNTZFormat", CsvTsFmt)
+          // distinguish empty string from NULL on the round trip
+          .option("emptyValue", "\"\"")
+          .csv(s"$dir/$table.csv")
+      case JsonDir(dir, _) =>
+        df.write.mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
+          .json(s"$dir/$table.json")
+      case OrcDir(dir) =>
+        df.write.mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
+          .orc(s"$dir/$table.orc")
       case j: Jdbc =>
         df.write.format("jdbc")
           .option("url", j.url)
@@ -150,9 +190,10 @@ object Transfer {
     * corrupt files) propagate instead of silently triggering a duplicate
     * full load. */
   def exists(spark: SparkSession, ep: Endpoint, table: String): Boolean = ep match {
-    case ParquetDir(dir) =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    case ParquetDir(dir) => pathExists(spark, s"$dir/$table.parquet")
+    case CsvDir(dir, _)  => pathExists(spark, s"$dir/$table.csv")
+    case JsonDir(dir, _) => pathExists(spark, s"$dir/$table.json")
+    case OrcDir(dir)     => pathExists(spark, s"$dir/$table.orc")
     case j: Jdbc =>
       val parts = j.table.replace("%s", table).split('.')
       val bare = parts.last.replaceAll("[\"`]", "")
@@ -185,6 +226,11 @@ object Transfer {
           found
         } finally rs.close()
       } finally conn.close()
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Incremental (keyset-resume) sync: append only source rows whose key

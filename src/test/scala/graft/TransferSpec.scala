@@ -29,6 +29,25 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.srcRows == 1500 && r.dstRows == 1500 && r.checksumMatch)
   }
 
+  test("csv/json/orc endpoints round-trip with matching checksums") {
+    import graft.transfer.Transfer.{CsvDir, JsonDir, OrcDir}
+    val srcSchema = Transfer.read(spark, ParquetDir(sf), "customer").schema
+    // customer: strings with commas/quotes exercise CSV escaping
+    val csv = CsvDir(Files.createTempDirectory("xfer_csv").toString, Some(srcSchema))
+    val rc = Transfer.copyTable(spark, ParquetDir(sf), csv, "customer")
+    assert(rc.srcRows == 150 && rc.dstRows == 150 && rc.checksumMatch, "csv")
+    val json = JsonDir(Files.createTempDirectory("xfer_js").toString, Some(srcSchema))
+    val rj = Transfer.copyTable(spark, ParquetDir(sf), json, "customer")
+    assert(rj.srcRows == 150 && rj.dstRows == 150 && rj.checksumMatch, "json")
+    // orders: timestamp column through the lossless columnar path
+    val orc = OrcDir(Files.createTempDirectory("xfer_orc").toString)
+    val ro = Transfer.copyTable(spark, ParquetDir(sf), orc, "orders")
+    assert(ro.srcRows == 1500 && ro.dstRows == 1500 && ro.checksumMatch, "orc")
+    // exists() sees the written file endpoints
+    assert(Transfer.exists(spark, csv, "customer"))
+    assert(!Transfer.exists(spark, csv, "nation"))
+  }
+
   test("parquet -> Derby JDBC roundtrip (real database)") {
     val db = Files.createTempDirectory("derbydb").toString + "/g"
     val url = s"jdbc:derby:$db;create=true"
