@@ -6,7 +6,7 @@ import graft.config.GraftConfig
 import graft.ddl.DdlConverter
 import graft.pipeline.{Pipeline, ProgressTracker}
 import graft.transfer.Transfer
-import graft.transfer.Transfer.{Endpoint, Jdbc, ParquetDir}
+import graft.transfer.Transfer.{CsvDir, Endpoint, Jdbc, JsonDir, OrcDir, ParquetDir}
 
 /** The user entry point — the reference's `./mysql2pg -c config.yml`
   * (cmd/main.go:16-158) re-expressed:
@@ -21,12 +21,18 @@ import graft.transfer.Transfer.{Endpoint, Jdbc, ParquetDir}
   * (manager.go:1752-1800).
   *
   * Endpoints are URL-typed in the config: a path → parquet directory,
-  * `jdbc:` → database.
+  * `jdbc:` → database, `csv:`/`json:`/`orc:` prefix → that file format's
+  * directory (text targets get the source schema threaded automatically
+  * for the validation read-back).
   */
 object Migrate {
 
   private def endpoint(url: String): Endpoint =
-    if (url.startsWith("jdbc:")) Jdbc(url, "%s") else ParquetDir(url)
+    if (url.startsWith("jdbc:")) Jdbc(url, "%s")
+    else if (url.startsWith("csv:")) CsvDir(url.stripPrefix("csv:"))
+    else if (url.startsWith("json:")) JsonDir(url.stripPrefix("json:"))
+    else if (url.startsWith("orc:")) OrcDir(url.stripPrefix("orc:"))
+    else ParquetDir(url)
 
   def main(args: Array[String]): Unit = {
     val cfgPath = args.sliding(2).collectFirst { case Array("-c", p) => p }
@@ -61,12 +67,13 @@ object Migrate {
       val src = endpoint(cfg.sourceUrl)
       val dst = endpoint(cfg.targetUrl)
       val tables = Pipeline.tableList(cfg.toPipelineConfig, src match {
-        case ParquetDir(dir) => graft.sources.Tables.all
-          .filter(t => new java.io.File(s"$dir/$t.parquet").exists())
         // keep source-reported case: lowercasing here broke case-sensitive
         // sources (MySQL lower_case_table_names=0); config-list matching is
         // case-insensitive in Pipeline.tableList instead
         case j: Jdbc => Catalog.listTables(j.url)
+        // any file-format source: probe the known table names on disk
+        case fileEp => graft.sources.Tables.all
+          .filter(t => Transfer.exists(spark, fileEp, t))
       })
 
       // schema stage: create target tables (skip existing, manager.go:1228+)

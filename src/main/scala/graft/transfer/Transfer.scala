@@ -233,6 +233,16 @@ object Transfer {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Schema-untyped text endpoints (CsvDir/JsonDir built without a schema,
+    * e.g. from a config URL) get the writer's schema for the validation
+    * read-back — inference would widen/narrow types (int vs bigint) and
+    * change xxhash64 inputs, falsely failing the checksum. */
+  private def typed(ep: Endpoint, schema: StructType): Endpoint = ep match {
+    case CsvDir(d, None)  => CsvDir(d, Some(schema))
+    case JsonDir(d, None) => JsonDir(d, Some(schema))
+    case other => other
+  }
+
   /** Incremental (keyset-resume) sync: append only source rows whose key
     * exceeds the destination's current maximum — the reference's
     * last-PK-value threading (`sync_data.go:207-311`, `SELECT MAX(pk)`
@@ -253,13 +263,14 @@ object Transfer {
                     pointCols: Seq[String] = Nil,
                     validate: Boolean = true): TransferResult = {
     val dstExists = exists(spark, dst, table)
+    val srcDf = read(spark, src, table) // lazy: plan only, no job yet
+    val dstTyped = typed(dst, srcDf.schema)
     val lastKey: Option[Long] =
       if (!dstExists) None
       else { // errors here propagate: the destination demonstrably exists
-        val r = read(spark, dst, table).agg(max(col(keyCol))).collect().head
+        val r = read(spark, dstTyped, table).agg(max(col(keyCol))).collect().head
         if (r.isNullAt(0)) None else Some(r.getAs[Number](0).longValue)
       }
-    val srcDf = read(spark, src, table)
     val fresh0 = lastKey.fold(srcDf)(k => srcDf.filter(col(keyCol) > k))
     val fresh = decodePoints(zeroDatesToNull(fresh0), pointCols)
     // count only — a checksum of the delta alone validates nothing (the
@@ -271,11 +282,11 @@ object Transfer {
       return TransferResult(table, 0L, 0L, checksumMatch = validate)
     if (validate) {
       val (srcRows, srcSum) = stats(decodePoints(zeroDatesToNull(srcDf), pointCols))
-      val (dstRows, dstSum) = stats(read(spark, dst, table))
+      val (dstRows, dstSum) = stats(read(spark, dstTyped, table))
       TransferResult(table, newRows, dstRows,
         checksumMatch = srcRows == dstRows && srcSum == dstSum)
     } else {
-      val (dstRows, _) = stats(read(spark, dst, table))
+      val (dstRows, _) = stats(read(spark, dstTyped, table))
       TransferResult(table, newRows, dstRows, checksumMatch = false)
     }
   }
@@ -334,7 +345,7 @@ object Transfer {
       val m = obs.get
       val obsRows = m("n").asInstanceOf[Long]
       val srcSum = Option(m("chk")).map(_.asInstanceOf[Long]).getOrElse(0L)
-      val (dstRows, dstSum) = stats(read(spark, dst, table))
+      val (dstRows, dstSum) = stats(read(spark, typed(dst, df.schema), table))
       val ok = !validateChecksum || srcSum == dstSum
       TransferResult(table, obsRows, dstRows, ok && obsRows == dstRows)
     } finally if (snapshot) df1.unpersist()

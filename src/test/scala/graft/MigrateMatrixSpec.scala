@@ -50,6 +50,20 @@ class MigrateMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pipeline.tableList(p, graft.sources.Tables.all) == Seq("region"))
   }
 
+  test("case: pipeline into a csv: target validates checksums end-to-end") {
+    import graft.transfer.Transfer.CsvDir
+    val dst = CsvDir(Files.createTempDirectory("mm_csv").toString)
+    val cfg = cfgOf(
+      """use_table_list: [region, nation]
+        |truncate_before_sync: true
+        |validate_data: true
+        |""".stripMargin).toPipelineConfig
+    val r = Pipeline.run(spark, ParquetDir(sf), dst, cfg)
+    assert(r.results.length == 2)
+    assert(r.results.forall(_.checksumMatch), r.results.mkString(", "))
+    assert(r.inconsistent.isEmpty)
+  }
+
   test("case 31/32: truncate re-run is idempotent") {
     val dst = ParquetDir(Files.createTempDirectory("mm_idem").toString)
     val cfg = cfgOf(
