@@ -96,6 +96,41 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming document-ingest quality gate: the corpus curation layer as
+    * a continuous pipeline — per arriving document, PII scrub (planted
+    * detector patterns from the batch q81), token/length stats, a
+    * language-independent quality flag, and exact content-hash dedup
+    * within the watermark.
+    *
+    * Every transform is a narrow codegen'd expression (regexp/HOF), so
+    * the gate runs at stream-ingest throughput; the only state is the
+    * dedup hash set, bounded by the watermark — the streaming analogue of
+    * q74's batch cleaning audit. Input schema: (doc_id LONG, ts TIMESTAMP,
+    * text STRING, lang STRING). */
+  def docQualityGate(docs: DataFrame): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val numRe = "\\d{6,}"
+    docs
+      .withWatermark("ts", "2 hours")
+      .withColumn("content_md5", org.apache.spark.sql.functions.md5(col("text")))
+      .dropDuplicatesWithinWatermark("content_md5")
+      .withColumn("redacted",
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.regexp_replace(
+              col("text"), emailRe, "[EMAIL]"), ipRe, "[IP]"), numRe, "[NUM]"))
+      .withColumn("n_tokens", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 3 && col("n_chars") >= 20 &&
+          col("n_chars") <= 100000 &&
+          (col("n_chars") <= col("n_tokens") * 40))
+      .select(col("doc_id"), col("ts"), col("lang"), col("redacted"),
+        col("n_tokens"), col("n_chars"), col("quality_ok"))
+  }
+
   /** Stream–stream interval join (the streaming face of the as-of join,
     * batch form `EventOps.q51AsofJoin`): clicks matched to error events of
     * the same user within the preceding 30 minutes. Both sides are

@@ -196,4 +196,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map { case (u, rs) => u -> rs.map(_.getAs[Int]("stage")).max }
     assert(last == Map(1L -> 3, 2L -> 1, 3L -> 3))
   }
+
+  test("doc quality gate: dedups, redacts, and flags in-stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def doc(id: Long, text: String, lang: String = "en") =
+      StreamingSpec.Doc(id, t0, text, lang)
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = EventStream.docQualityGate(mem.toDF())
+      .writeStream.format("memory").queryName("docgate")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      doc(1, "reach me at alice@example.org or 10.1.2.3 ref 1234567 for the report"),
+      doc(2, "reach me at alice@example.org or 10.1.2.3 ref 1234567 for the report"), // exact dup
+      doc(3, "short"), // fails quality: < 3 tokens, < 20 chars
+      doc(4, "a perfectly ordinary document with enough words to pass the gate"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("docgate").collect()
+    // duplicate content dropped within the watermark
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 4L))
+    val r1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
+    val red = r1.getAs[String]("redacted")
+    assert(red.contains("[EMAIL]") && red.contains("[IP]") && red.contains("[NUM]"))
+    assert(!red.contains("alice") || !red.contains("@"), red)
+    assert(r1.getAs[Boolean]("quality_ok"))
+    assert(!rows.find(_.getAs[Long]("doc_id") == 3L).get.getAs[Boolean]("quality_ok"))
+    assert(rows.find(_.getAs[Long]("doc_id") == 4L).get.getAs[Boolean]("quality_ok"))
+  }
+}
+
+object StreamingSpec {
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp,
+      text: String, lang: String)
 }
