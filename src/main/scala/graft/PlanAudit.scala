@@ -26,6 +26,9 @@ object PlanAudit {
       if (only.isEmpty || only.exists(name.startsWith)) {
         try {
           val df = fn(spark, sfDir)
+          // collect() executes THIS queryExecution (count() would plan a
+          // separate one), so AQE finalizes and codegen spans exist
+          df.collect()
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
           val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq.distinct
@@ -34,7 +37,10 @@ object PlanAudit {
             "BroadcastNestedLoopJoin", "CartesianProduct")
             .map(j => j -> j.r.findAllIn(plan).size).filter(_._2 > 0)
           val exchanges = "Exchange ".r.findAllIn(plan).size
-          val codegen = "codegen id : (\\d+)".r.findAllMatchIn(plan)
+          // WholeStageCodegen spans: the *(N) markers in the executed
+          // (AQE-final) plan — formatted mode does not carry them
+          val codegen = "\\*\\((\\d+)\\)".r
+            .findAllMatchIn(df.queryExecution.executedPlan.toString)
             .map(_.group(1).toInt).toSeq.distinct.size
           println(s"== $name")
           println(s"   joins=${joins.map { case (k, v) => s"$k x$v" }.mkString(", ")}" +
