@@ -119,6 +119,7 @@ object SparkEntry {
     "q88_stratified_split" -> PipelineOps.q88StratifiedSplit _,
     "q89_compaction_plan" -> PipelineOps.q89CompactionPlan _,
     "q90_skew_audit"      -> PipelineOps.q90SkewAudit _,
+    "q91_global_deciles"  -> PipelineOps.q91GlobalDeciles _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1345,5 +1346,17 @@ object SparkEntry {
         |    n_rows * 1000000 // total AS share_ppm FROM p CROSS JOIN tot)
         |SELECT key_col, key, n_rows, share_ppm FROM u
         |ORDER BY key_col, n_rows DESC, key""".stripMargin,
+
+    "q91_global_deciles" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM t)
+        |SELECT (rn - 1) * 10 // n AS decile, count(*) AS n_docs,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM r GROUP BY decile ORDER BY decile""".stripMargin,
   )
 }

@@ -328,4 +328,30 @@ object PipelineOps {
     audit("l_suppkey").unionAll(audit("l_partkey"))
       .orderBy($"key_col", $"n_rows".desc, $"key")
   }
+
+  /** X53 — exact global deciles: corpus-wide token-length decile table —
+    * the exact-quantile report a curation run publishes (P10/P50/P90
+    * length cuts for filter thresholds). Rank-based, so hash-exact.
+    *
+    * Second consumer of [[graft.operators.GlobalOrder]]: the global rank
+    * comes from the distributed two-phase row_number (range shuffle +
+    * broadcast offsets), NEVER an unpartitioned window — this is the
+    * operator q86's per-group trim generalizes from when the grouping
+    * dimension disappears and the whole corpus is one ordered stream. */
+  def q91GlobalDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+    val (numbered, total) = graft.operators.GlobalOrder
+      .withRowNumberAndTotal(base, Seq($"n_tokens", $"doc_id"), "rn")
+    numbered
+      .withColumn("decile", expr(s"(rn - 1) * 10 div ${total}L"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_tokens").as("min_tokens"),
+        max($"n_tokens").as("max_tokens"),
+        sum($"n_tokens").as("sum_tokens"))
+      .orderBy($"decile")
+  }
 }

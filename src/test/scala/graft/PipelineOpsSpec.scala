@@ -182,6 +182,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("global deciles partition the corpus into contiguous token bands") {
+    val rows = PipelineOps.q91GlobalDeciles(spark, sf).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (0L to 9L))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.sources.Tables.load(spark, sf, "documents").count())
+    rows.foreach { r => // equal split up to integer rounding
+      val n = r.getAs[Long]("n_docs")
+      assert(n == total / 10 || n == total / 10 + 1)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_tokens") <= b.getAs[Long]("min_tokens"),
+          "decile token ranges overlap")
+      case _ =>
+    }
+  }
+
   test("quantile trim keeps exactly the P5..P95 rank band per language") {
     import spark.implicits._
     val byLang = graft.sources.Tables.load(spark, sf, "documents")

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shuffle-budget regression gate: each listed query's OPTIMIZED logical /
+  * pre-AQE physical plan must not exceed its documented Exchange count
+  * (docs/SCALE.md §1). A new release that silently adds a shuffle to a
+  * scan-throughput operator — the exact regression that is invisible at
+  * sf0.001 and catastrophic at 100 TB — fails here, not in production.
+  *
+  * Counts come from the INITIAL physical plan (before AQE re-planning),
+  * which is deterministic for a fixed query shape; AQE only ever splits
+  * or coalesces these exchanges at runtime, it does not add logical ones.
+  * The budget is an upper bound: a query may plan fewer exchanges (e.g.
+  * empty-relation propagation), never more.
+  */
+class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-budget-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def exchanges(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    "Exchange ".r.findAllIn(df.queryExecution.executedPlan.toString).size
+  }
+
+  // (query, max allowed exchanges) — from the scale-design rationale:
+  // narrow ops get their final orderBy only; corpus statistics one
+  // combinable shuffle + orderBy; joins one partitioning per side.
+  private val budgets = Seq(
+    "q30_text_stats"    -> 1, // narrow map + final orderBy
+    "q31_lang_quality"  -> 1, // narrow map + final orderBy
+    "q81_pii_redact"    -> 1, // three regexp passes, still narrow
+    "q70_repetition"    -> 1, // HOF longest-run, no (doc,word) shuffle
+    "q32_dedup_exact"   -> 3, // countDistinct = two-phase agg + orderBy
+    "q73_vocab_topk"    -> 2, // explode agg + driver top-k sort
+    "q54_sessionize"    -> 2, // ONE user_id partitioning shared by all
+                              // three windows + session agg, + orderBy
+    "q51_asof_join"     -> 3, // union + last-ignore-nulls window + orderBy
+    "q80_sequence_pack" -> 2, // one running-sum window per lang + orderBy
+    "q86_quantile_trim" -> 3, // one lang partitioning (rank+count) + agg + orderBy
+    "q89_compaction_plan" -> 3 // one source partitioning + agg + orderBy
+  )
+
+  budgets.foreach { case (name, max) =>
+    test(s"$name plans at most $max exchanges") {
+      val n = exchanges(name)
+      assert(n <= max, s"$name planned $n exchanges, budget $max — " +
+        "a shuffle crept into a scan-throughput operator")
+    }
+  }
+
+  // q59's zero-exchange bucketed join is asserted by its dedicated
+  // exchange-count spec (OpsSpec), which controls the bucketed layout
+  // lifecycle — not duplicated here.
+}
