@@ -120,6 +120,8 @@ object SparkEntry {
     "q89_compaction_plan" -> PipelineOps.q89CompactionPlan _,
     "q90_skew_audit"      -> PipelineOps.q90SkewAudit _,
     "q91_global_deciles"  -> PipelineOps.q91GlobalDeciles _,
+    "q92_incr_dedup"      -> PipelineOps.q92IncrementalDedup _,
+    "q93_quantize_audit"  -> PipelineOps.q93QuantizeAudit _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1358,5 +1360,43 @@ object SparkEntry {
         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM r GROUP BY decile ORDER BY decile""".stripMargin,
+
+    // q92: the size-ratio prefilter in the Spark plan is exact-implied by
+    // J >= 0.8, so the oracle needs only the Jaccard condition itself.
+    "q92_incr_dedup" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |    list_distinct(string_split(text, ' ')) AS ws FROM documents),
+        |b AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |c AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        |ex AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON md5(b.text) = md5(c.text)),
+        |nr AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_near_dups
+        |       FROM b JOIN c ON b.lang = c.lang
+        |       WHERE len(list_intersect(b.ws, c.ws)) * 10 >=
+        |             (len(b.ws) + len(c.ws) - len(list_intersect(b.ws, c.ws))) * 8
+        |       GROUP BY b.doc_id)
+        |SELECT b.doc_id, ex.doc_id IS NOT NULL AS dup_exact,
+        |  CAST(coalesce(nr.n_near_dups, 0) AS BIGINT) AS n_near_dups
+        |FROM b LEFT JOIN ex USING (doc_id) LEFT JOIN nr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q93: max is order-independent; the error sum is a sequential fold
+    // (DuckDB's no-init list_reduce == Spark's 0D-init aggregate because
+    // 0 + e1 == e1 exactly); round() is half-away-from-zero in both.
+    "q93_quantize_audit" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e
+        |  WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+        |q AS (SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qv FROM s)
+        |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS abs_q_sum,
+        |  CAST(list_sum(list_transform(qv,
+        |    x -> CASE WHEN abs(x) = 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_saturated,
+        |  list_reduce(list_transform(generate_series(1, len(v)),
+        |    i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)),
+        |    (a, b) -> a + b) AS sq_err
+        |FROM q ORDER BY vec_id""".stripMargin,
   )
 }

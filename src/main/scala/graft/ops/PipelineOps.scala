@@ -354,4 +354,70 @@ object PipelineOps {
         sum($"n_tokens").as("sum_tokens"))
       .orderBy($"decile")
   }
+
+  /** X54 — incremental batch-vs-corpus dedup: "dedupe the new crawl
+    * against the existing corpus" — the standing-corpus form of q33's
+    * pairwise dedup. Docs with doc_id % 5 == 0 stand in for the new
+    * batch; each is checked for (a) an exact content twin and (b) a
+    * word-set Jaccard >= 0.8 near-dup in the existing corpus.
+    *
+    * Scale: the exact pass is a broadcast-able md5 semi-join keyed on a
+    * uniform hash; the near pass joins ONLY batch×corpus within lang
+    * blocks (never corpus×corpus — the quadratic term has batch size as
+    * one factor, the incremental win). Merge-count intersection on
+    * sorted arrays; size-ratio prefilter exact for J >= 0.8. */
+  def q92IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SortedIntersectSize.register(s)
+    val d = docs(s, dir).select($"doc_id", $"lang", $"text",
+      array_sort(array_distinct(split($"text", " "))).as("ws"))
+    val batch = d.filter($"doc_id" % 5 === 0)
+    val corpus = d.filter($"doc_id" % 5 =!= 0)
+    val exact = batch.select($"doc_id", md5($"text").as("h"))
+      .join(corpus.select(md5($"text").as("h")).distinct(), Seq("h"), "left_semi")
+      .select($"doc_id").withColumn("dup_exact", lit(true))
+    val near = batch.select($"doc_id", $"lang", $"ws".as("wa"))
+      .join(corpus.select($"lang", $"ws".as("wb")), Seq("lang"))
+      .filter(size($"wa") * 5 >= size($"wb") * 4 &&
+        size($"wb") * 5 >= size($"wa") * 4)
+      .withColumn("inter_n", expr("graft_sorted_inter_n(wa, wb)"))
+      .filter($"inter_n" * 10 >=
+        (size($"wa") + size($"wb") - $"inter_n") * 8)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_near_dups"))
+    batch.select($"doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"dup_exact", lit(false)).as("dup_exact"),
+        coalesce($"n_near_dups", lit(0L)).as("n_near_dups"))
+      .orderBy($"doc_id")
+  }
+
+  /** X55 — int8 embedding quantization audit: per-vector max-abs scaling
+    * to int8 (the storage/serving compression every large embedding store
+    * applies), reporting the quantized-magnitude checksum and the exact
+    * reconstruction error. The sequential-fold error sum is IEEE-exact
+    * cross-engine (q37's cosine precedent), and round() is half-away in
+    * both engines, so even the double column hash-matches.
+    *
+    * Scale: entirely narrow — two HOF passes per row (scale, then
+    * quantize+error), no shuffle but the final orderBy. */
+  def q93QuantizeAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("scale", expr(
+        "aggregate(v, 0D, (m, x) -> greatest(m, abs(x))) / 127D"))
+      .filter($"scale" > 0)
+      .withColumn("q", expr(
+        "transform(v, x -> CAST(round(x / scale) AS BIGINT))"))
+      .select($"vec_id",
+        size($"v").cast("long").as("n_dims"),
+        expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("abs_q_sum"),
+        expr("aggregate(q, 0L, (a, x) -> a + IF(abs(x) = 127, 1L, 0L))")
+          .as("n_saturated"),
+        expr("""aggregate(zip_with(v, q, (x, qx) -> (x - qx * scale) * (x - qx * scale)),
+               |0D, (a, e) -> a + e)""".stripMargin).as("sq_err"))
+      .orderBy($"vec_id")
+  }
 }

@@ -200,6 +200,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental dedup: exact twins imply near-dup hits; batch covered") {
+    import spark.implicits._
+    val rows = PipelineOps.q92IncrementalDedup(spark, sf).collect()
+    val batchN = graft.sources.Tables.load(spark, sf, "documents")
+      .filter($"doc_id" % 5 === 0).count()
+    assert(rows.length.toLong == batchN)
+    rows.foreach { r =>
+      // an exact twin with non-null text is also a J=1.0 near-dup
+      if (r.getAs[Boolean]("dup_exact"))
+        assert(r.getAs[Long]("n_near_dups") >= 1L,
+          s"doc ${r.getAs[Long]("doc_id")} exact dup but no near hit")
+    }
+  }
+
+  test("quantization audit: saturation bounded, error small vs magnitude") {
+    val rows = PipelineOps.q93QuantizeAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_dims")
+      assert(r.getAs[Long]("n_saturated") >= 1L, "max-abs dim must hit 127")
+      assert(r.getAs[Long]("n_saturated") <= n)
+      assert(r.getAs[Long]("abs_q_sum") <= n * 127L)
+      // per-dim error is at most (scale/2)^2; scale <= maxabs/127 and the
+      // embedding dims are O(1), so total error stays well under n_dims
+      assert(r.getAs[Double]("sq_err") >= 0.0)
+      assert(r.getAs[Double]("sq_err") < n.toDouble)
+    }
+  }
+
   test("quantile trim keeps exactly the P5..P95 rank band per language") {
     import spark.implicits._
     val byLang = graft.sources.Tables.load(spark, sf, "documents")
