@@ -44,7 +44,12 @@ object Migrate {
     Seq("source" -> cfg.sourceUrl, "target" -> cfg.targetUrl).foreach {
       case (side, url) if url.startsWith("jdbc:") =>
         println(s"[$side] ${Catalog.version(url)}")
-      case (side, url) => println(s"[$side] parquet dir $url")
+      case (side, url) =>
+        val kind = endpoint(url) match {
+          case _: CsvDir => "csv dir"; case _: JsonDir => "json dir"
+          case _: OrcDir => "orc dir"; case _ => "parquet dir"
+        }
+        println(s"[$side] $kind $url")
     }
     if (cfg.testOnly) {
       println(f"[test_only] connectivity OK in ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -87,7 +92,12 @@ object Migrate {
             println(s"[schema] created $t")
           }
         }
-        case _ => println(s"[schema] parquet target carries schema in-file")
+        case _: ParquetDir | _: OrcDir =>
+          println(s"[schema] columnar target carries schema in-file")
+        case _ =>
+          // CSV headers / JSON keys carry names, not types — the pipeline
+          // threads the writer's schema into every validation read-back
+          println(s"[schema] text target: types enforced via typed read-back")
       }
 
       // data + validate stages under metric tracking

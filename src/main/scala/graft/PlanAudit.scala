@@ -26,9 +26,10 @@ object PlanAudit {
       if (only.isEmpty || only.exists(name.startsWith)) {
         try {
           val df = fn(spark, sfDir)
-          // collect() executes THIS queryExecution (count() would plan a
-          // separate one), so AQE finalizes and codegen spans exist
-          df.collect()
+          // execute THIS queryExecution (count() would plan a separate
+          // one) so AQE finalizes and codegen spans exist — but without
+          // collect()'s driver materialization of corpus-sized results
+          df.queryExecution.toRdd.foreach(_ => ())
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
           val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq.distinct

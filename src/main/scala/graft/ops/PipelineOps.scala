@@ -22,9 +22,9 @@ object PipelineOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val IpRe    = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
-  private val NumRe   = "\\d{6,}"
+  private val EmailRe = PiiPatterns.Email
+  private val IpRe    = PiiPatterns.Ipv4
+  private val NumRe   = PiiPatterns.LongNumber
 
   /** X40 — PII redaction: the scrub pass every shareable corpus runs —
     * emails, IPv4 addresses, long digit runs (phone/account-shaped) each

@@ -108,12 +108,21 @@ object EventStream {
     * q74's batch cleaning audit. Input schema: (doc_id LONG, ts TIMESTAMP,
     * text STRING, lang STRING). */
   def docQualityGate(docs: DataFrame): DataFrame = {
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
-    val numRe = "\\d{6,}"
+    // ONE detector definition shared with the batch scrub (q81) — see
+    // graft.ops.PiiPatterns; divergent copies would silently split the
+    // batch and stream redaction behavior
+    val emailRe = graft.ops.PiiPatterns.Email
+    val ipRe = graft.ops.PiiPatterns.Ipv4
+    val numRe = graft.ops.PiiPatterns.LongNumber
+    import org.apache.spark.sql.functions.{coalesce, concat, lit}
     docs
       .withWatermark("ts", "2 hours")
-      .withColumn("content_md5", org.apache.spark.sql.functions.md5(col("text")))
+      // null-safe dedup key: md5(null) is null for EVERY null-text doc and
+      // dropDuplicates treats null keys as equal — distinct null-text docs
+      // must flow through (flagged low-quality), not vanish as "duplicates"
+      .withColumn("content_md5", coalesce(
+        org.apache.spark.sql.functions.md5(col("text")),
+        concat(lit("null:"), col("doc_id"))))
       .dropDuplicatesWithinWatermark("content_md5")
       .withColumn("redacted",
         org.apache.spark.sql.functions.regexp_replace(
@@ -123,10 +132,11 @@ object EventStream {
       .withColumn("n_tokens", org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
       .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
-      .withColumn("quality_ok",
+      .withColumn("quality_ok", coalesce(
         col("n_tokens") >= 3 && col("n_chars") >= 20 &&
           col("n_chars") <= 100000 &&
-          (col("n_chars") <= col("n_tokens") * 40))
+          (col("n_chars") <= col("n_tokens") * 40),
+        lit(false))) // null text: emitted, flagged, never dropped
       .select(col("doc_id"), col("ts"), col("lang"), col("redacted"),
         col("n_tokens"), col("n_chars"), col("quality_ok"))
   }

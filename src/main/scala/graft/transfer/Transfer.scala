@@ -264,7 +264,12 @@ object Transfer {
                     validate: Boolean = true): TransferResult = {
     val dstExists = exists(spark, dst, table)
     val srcDf = read(spark, src, table) // lazy: plan only, no job yet
-    val dstTyped = typed(dst, srcDf.schema)
+    // the destination holds CONVERTED rows (point structs, nulled zero
+    // dates), so text read-backs must be typed with the post-conversion
+    // schema — srcDf.schema would parse a decoded point as binary.
+    // Deriving it from the lazy plan runs no job.
+    val dstTyped = typed(dst,
+      decodePoints(zeroDatesToNull(srcDf), pointCols).schema)
     val lastKey: Option[Long] =
       if (!dstExists) None
       else { // errors here propagate: the destination demonstrably exists

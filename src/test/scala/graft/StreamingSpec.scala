@@ -211,12 +211,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       doc(1, "reach me at alice@example.org or 10.1.2.3 ref 1234567 for the report"),
       doc(2, "reach me at alice@example.org or 10.1.2.3 ref 1234567 for the report"), // exact dup
       doc(3, "short"), // fails quality: < 3 tokens, < 20 chars
-      doc(4, "a perfectly ordinary document with enough words to pass the gate"))
+      doc(4, "a perfectly ordinary document with enough words to pass the gate"),
+      doc(5, null), doc(6, null)) // DISTINCT null-text docs: both must flow
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("docgate").collect()
-    // duplicate content dropped within the watermark
-    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 4L))
+    // duplicate content dropped within the watermark; null-text docs are
+    // NOT each other's duplicates (null-safe dedup key) and flag as low
+    // quality instead of vanishing
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 4L, 5L, 6L))
+    Seq(5L, 6L).foreach { id =>
+      assert(!rows.find(_.getAs[Long]("doc_id") == id).get.getAs[Boolean]("quality_ok"))
+    }
     val r1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
     val red = r1.getAs[String]("redacted")
     assert(red.contains("[EMAIL]") && red.contains("[IP]") && red.contains("[NUM]"))
