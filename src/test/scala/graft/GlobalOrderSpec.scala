@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.GlobalOrder
+
+/** Direct contract tests for the distributed two-phase row_number: it must
+  * agree exactly with the single-partition window form (the semantics it
+  * replaces), independent of partition count, and report the right total.
+  */
+class GlobalOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("global-order-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def base = {
+    import spark.implicits._
+    graft.sources.Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey")
+  }
+
+  test("row numbers equal the unpartitioned-window reference") {
+    import spark.implicits._
+    val expected = base
+      .withColumn("rn", row_number()
+        .over(Window.orderBy($"o_custkey", $"o_orderkey")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rn")).toMap
+    val (got, total) = GlobalOrder.withRowNumberAndTotal(
+      base, Seq($"o_custkey", $"o_orderkey"), "rn")
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getAs[Long]("rn")).toMap
+    assert(total == expected.size.toLong)
+    assert(gotMap == expected)
+  }
+
+  test("partition count does not change the assigned order") {
+    import spark.implicits._
+    val a = GlobalOrder.withRowNumber(base, Seq($"o_custkey", $"o_orderkey"), "rn", 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rn")).toMap
+    val b = GlobalOrder.withRowNumber(base, Seq($"o_custkey", $"o_orderkey"), "rn", 7)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rn")).toMap
+    assert(a == b)
+  }
+
+  test("descending sort keys are honored") {
+    import spark.implicits._
+    val rows = GlobalOrder.withRowNumber(
+      base, Seq($"o_custkey".desc, $"o_orderkey"), "rn")
+      .collect().sortBy(_.getAs[Long]("rn"))
+    rows.sliding(2).foreach {
+      case Array(x, y) =>
+        val (cx, cy) = (x.getLong(1), y.getLong(1))
+        assert(cx > cy || (cx == cy && x.getLong(0) < y.getLong(0)))
+      case _ =>
+    }
+  }
+}
