@@ -122,6 +122,7 @@ object SparkEntry {
     "q91_global_deciles"  -> PipelineOps.q91GlobalDeciles _,
     "q92_incr_dedup"      -> PipelineOps.q92IncrementalDedup _,
     "q93_quantize_audit"  -> PipelineOps.q93QuantizeAudit _,
+    "q94_dup_gram_coverage" -> PipelineOps.q94DupGramCoverage _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1398,5 +1399,24 @@ object SparkEntry {
         |    i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)),
         |    (a, b) -> a + b) AS sq_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q94_dup_gram_coverage" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+        |        i -> list_reduce(list_transform(
+        |               string_split(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                 || ' ' || ws[i+3] || ' ' || ws[i+4], ''),
+        |               c -> CAST(ascii(c) AS BIGINT)),
+        |             (a, b) -> (a * 31 + b) % 1000000007))) AS gf
+        |      FROM w),
+        |dpg AS (SELECT gf, count(*) AS n_docs_with
+        |        FROM (SELECT DISTINCT doc_id, gf FROM g) GROUP BY gf)
+        |SELECT doc_id, count(*) AS n_gram_positions,
+        |  CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions,
+        |  CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // count(*) AS dup_coverage_ppm
+        |FROM g JOIN dpg USING (gf)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -420,4 +420,36 @@ object PipelineOps {
                |0D, (a, e) -> a + e)""".stripMargin).as("sq_err"))
       .orderBy($"vec_id")
   }
+
+  /** X56 — duplicated 5-gram coverage: per document, how many of its
+    * 5-gram POSITIONS (occurrence-weighted, not distinct) are duplicated
+    * somewhere else in the corpus — the RefinedWeb-style triage signal
+    * between exact dedup (whole doc) and chunk dedup (q77, paragraph):
+    * high coverage with no exact twin means templated/boilerplate text.
+    *
+    * Scale: gram table and per-position join both key on the portable
+    * gram fingerprint — uniform, corpus-sized, ONE honest shuffle each
+    * with the exchange reused between the count and the join (q77's
+    * pattern, finer granularity). Coverage is integer ppm. */
+  def q94DupGramCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val grams = docs(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .where("size(ws) >= 5")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(ws) - 4),
+          |  i -> graft_fingerprint(concat_ws(' ', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]))))
+          |  AS g""".stripMargin)
+    val docsPerGram = grams.select($"doc_id", $"g").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("n_docs_with"))
+    grams
+      .join(docsPerGram, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_gram_positions"),
+        sum(when($"n_docs_with" > 1, 1L).otherwise(0L)).as("n_dup_positions"))
+      .withColumn("dup_coverage_ppm",
+        expr("n_dup_positions * 1000000 div n_gram_positions"))
+      .orderBy($"doc_id")
+  }
 }

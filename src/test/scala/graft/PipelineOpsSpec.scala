@@ -229,6 +229,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dup-gram coverage agrees with a brute-force local recount") {
+    import spark.implicits._
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .filter($"text".isNotNull).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .filter(_._2.length >= 5)
+    // recount on the SAME portable fingerprint the operator keys on —
+    // distinct grams can collide (expected ~1 per 50k grams at mod 1e9+7),
+    // and the operator's contract is hash-keyed like any real dedup table
+    def fp(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    val gramsOf = texts.map { case (id, ws) =>
+      id -> ws.sliding(5).map(g => fp(g.mkString(" "))).toArray }.toMap
+    val docsPerGram: Map[Long, Int] = gramsOf.toSeq
+      .flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    val rows = PipelineOps.q94DupGramCoverage(spark, sf).collect()
+    assert(rows.length == gramsOf.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val gs = gramsOf(id)
+      val dup = gs.count(g => docsPerGram(g) > 1).toLong
+      assert(r.getAs[Long]("n_gram_positions") == gs.length.toLong, s"doc $id positions")
+      assert(r.getAs[Long]("n_dup_positions") == dup, s"doc $id dup count")
+      assert(r.getAs[Long]("dup_coverage_ppm") == dup * 1000000L / gs.length)
+    }
+  }
+
   test("quantile trim keeps exactly the P5..P95 rank band per language") {
     import spark.implicits._
     val byLang = graft.sources.Tables.load(spark, sf, "documents")
