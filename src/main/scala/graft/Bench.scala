@@ -29,6 +29,9 @@ object Bench {
       new org.apache.spark.sql.types.StructType()
         .add("id", org.apache.spark.sql.types.LongType, nullable = false))
       .selectExpr("sum(id)").collect()
+    graft.operators.GlobalOrder.withRowNumber(
+      spark.range(100).toDF(), Seq(org.apache.spark.sql.functions.col("id")), "rn")
+      .count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }

@@ -53,38 +53,56 @@ object DedupOps {
     * J >= 0.8 via the integer cross-multiplication `10·|I| >= 8·|U|` (no
     * float compare). Quadratic within block — the exactness baseline.
     *
-    * Physical trick: the corpus vocabulary is dictionary-encoded first; when
-    * it fits in 64 bits the word set becomes one BIGINT bitmask and the
-    * per-pair cost drops from an O(|A|·|B|) string-array intersect to two
-    * CPU instructions (`bit_count(a & b)`). On a general corpus (vocab > 64)
-    * the same code falls back to the array path. At 2.5M candidate pairs
-    * this is a ~20× wall-clock win; the *output* is identical either way,
-    * so the DuckDB oracle (list_intersect form) still matches. */
+    * Physical trick: the corpus vocabulary is dictionary-encoded first.
+    * When it fits in 64 bits the word set becomes one BIGINT bitmask and
+    * the per-pair cost drops to two CPU instructions (`bit_count(a & b)`).
+    * On a general corpus the words are dictionary-encoded to BIGINT ids
+    * (distributed: GlobalOrder over the distinct vocabulary — NO vocab
+    * collect to the driver; the ≤64 gate is a 1-row countDistinct) and the
+    * per-pair cost is a sorted-merge over longs instead of UTF8 strings.
+    * The *output* is identical on every path — int equality is word
+    * equality by construction — so the DuckDB oracle (list_intersect on
+    * strings) still matches. */
   def q33DedupJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.SortedIntersectSize.register(s)
     val d = docs(s, dir)
       .select($"doc_id", $"lang",
         array_sort(array_distinct(split($"text", " "))).as("ws"))
-    val vocab = d.select(explode($"ws").as("w")).distinct()
-      .orderBy($"w").collect().map(_.getString(0))
+    val nVocab = d.select(explode($"ws").as("w"))
+      .agg(countDistinct($"w")).collect().head.getLong(0)
+    val bitmask = nVocab <= 64
     val encoded =
-      if (vocab.length <= 64) {
+      if (bitmask) {
+        val vocab = d.select(explode($"ws").as("w")).distinct()
+          .orderBy($"w").collect().map(_.getString(0)) // ≤64 strings
         val idx = vocab.zipWithIndex.toMap
         val idxUdf = udf((ws: Seq[String]) =>
           ws.foldLeft(0L)((m, w) => m | (1L << idx(w))))
         d.withColumn("mask", idxUdf($"ws"))
-      } else d.withColumn("mask", lit(null).cast("long"))
-    val bitmask = vocab.length <= 64
+          .withColumn("wi", lit(null).cast("array<long>"))
+      } else {
+        // distributed dictionary: deterministic BIGINT id per word, built
+        // with the two-phase global rank — the vocabulary never lands on
+        // the driver. Long-merge in the pair loop beats UTF8-string
+        // compares several-fold and halves the pair-exchange width.
+        val vocabIds = graft.operators.GlobalOrder.withRowNumber(
+          d.select(explode($"ws").as("w")).distinct(), Seq($"w"), "wid")
+        d.select($"doc_id", $"lang", explode($"ws").as("w"))
+          .join(vocabIds, Seq("w"))
+          .groupBy($"doc_id", $"lang")
+          .agg(sort_array(collect_list($"wid")).as("wi"))
+          .withColumn("mask", lit(null).cast("long"))
+      }
     // In bitmask mode the word arrays are NOT projected into the join:
-    // 2.5M candidate pairs each dragging two ~50-string arrays through the
-    // exchange is pure shuffle weight when the comparison runs on two
+    // 2.5M candidate pairs each dragging two ~50-element arrays through
+    // the exchange is pure shuffle weight when the comparison runs on two
     // BIGINTs. Catalyst prunes from the select list, so the parquet scan
     // shrinks too.
     val a0 = saltLeft(encoded.select($"doc_id".as("doc_a"), $"lang",
-      $"ws".as("wa"), $"mask".as("ma")), "doc_a")
+      $"wi".as("wa"), $"mask".as("ma")), "doc_a")
     val b0 = replicateRight(encoded.select($"doc_id".as("doc_b"), $"lang",
-      $"ws".as("wb"), $"mask".as("mb")))
+      $"wi".as("wb"), $"mask".as("mb")))
     val (a, b) =
       if (bitmask) (a0.drop("wa"), b0.drop("wb")) else (a0.drop("ma"), b0.drop("mb"))
     val joined = a.join(b, Seq("lang", "salt")).filter($"doc_a" < $"doc_b")
