@@ -123,6 +123,7 @@ object SparkEntry {
     "q92_incr_dedup"      -> PipelineOps.q92IncrementalDedup _,
     "q93_quantize_audit"  -> PipelineOps.q93QuantizeAudit _,
     "q94_dup_gram_coverage" -> PipelineOps.q94DupGramCoverage _,
+    "q95_embed_coverage"  -> PipelineOps.q95EmbedCoverage _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1418,5 +1419,17 @@ object SparkEntry {
         |    // count(*) AS dup_coverage_ppm
         |FROM g JOIN dpg USING (gf)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q95_embed_coverage" ->
+      """WITH e AS (SELECT DISTINCT vec_id AS doc_id, 1 AS has_emb FROM embeddings),
+        |d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(coalesce(has_emb, 0)) AS BIGINT) AS n_embedded,
+        |  CAST(sum(CASE WHEN has_emb IS NOT NULL THEN n_tokens END) AS BIGINT) AS embedded_tokens,
+        |  CAST(sum(CASE WHEN has_emb IS NULL THEN n_tokens END) AS BIGINT) AS uncovered_tokens,
+        |  CAST(sum(coalesce(has_emb, 0)) AS BIGINT) * 1000000 // count(*) AS coverage_ppm
+        |FROM d LEFT JOIN e USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -452,4 +452,32 @@ object PipelineOps {
         expr("n_dup_positions * 1000000 div n_gram_positions"))
       .orderBy($"doc_id")
   }
+
+  /** X57 — embedding-coverage audit: join the text corpus to the
+    * embedding store (doc_id = vec_id) and report, per language, how much
+    * of the corpus is actually embedded and how long the covered vs
+    * uncovered documents are — the completeness check before any
+    * embedding-dependent stage (q36/q37/q56) runs, so missing coverage
+    * surfaces as a report instead of silently shrunken join output.
+    *
+    * Scale: full outer semantics via one left join; the embedding side
+    * projects to its key ONLY (no vector payloads move), so the shuffle
+    * carries 8 bytes/row. One combinable lang agg after. */
+  def q95EmbedCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("doc_id")).distinct()
+      .withColumn("has_emb", lit(1L))
+    docs(s, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .join(emb, Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"has_emb", lit(0L))).as("n_embedded"),
+        sum(when($"has_emb".isNotNull, $"n_tokens")).as("embedded_tokens"),
+        sum(when($"has_emb".isNull, $"n_tokens")).as("uncovered_tokens"))
+      .withColumn("coverage_ppm", expr("n_embedded * 1000000 div n_docs"))
+      .orderBy($"lang")
+  }
 }

@@ -257,6 +257,23 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("embedding coverage: counts reconcile and bound the corpus") {
+    import spark.implicits._
+    val rows = PipelineOps.q95EmbedCoverage(spark, sf).collect()
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    val embIds = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id").distinct().collect().map(_.getLong(0)).toSet
+    val docIds = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("n_embedded")).sum ==
+      (embIds intersect docIds).size.toLong)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_embedded") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("coverage_ppm") <= 1000000L)
+    }
+  }
+
   test("quantile trim keeps exactly the P5..P95 rank band per language") {
     import spark.implicits._
     val byLang = graft.sources.Tables.load(spark, sf, "documents")
