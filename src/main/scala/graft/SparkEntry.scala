@@ -124,6 +124,7 @@ object SparkEntry {
     "q93_quantize_audit"  -> PipelineOps.q93QuantizeAudit _,
     "q94_dup_gram_coverage" -> PipelineOps.q94DupGramCoverage _,
     "q95_embed_coverage"  -> PipelineOps.q95EmbedCoverage _,
+    "q96_chunk_split"     -> PipelineOps.q96ChunkSplit _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1431,5 +1432,24 @@ object SparkEntry {
         |  CAST(sum(coalesce(has_emb, 0)) AS BIGINT) * 1000000 // count(*) AS coverage_ppm
         |FROM d LEFT JOIN e USING (doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q96: NULL text yields a NULL ws -> the sequence/explode drops the
+    // doc on both sides identically.
+    "q96_chunk_split" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, len(ws) AS n_tokens,
+        |    unnest(generate_series(0,
+        |      CASE WHEN len(ws) <= 64 THEN 0
+        |           ELSE (len(ws) - 64 + 47) // 48 END)) AS k
+        |  FROM w)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |  CAST(k * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(n_tokens, k * 48 + 64) AS BIGINT) AS end_tok,
+        |  CAST(least(n_tokens, k * 48 + 64) - k * 48 AS BIGINT) AS chunk_tokens,
+        |  list_reduce(list_transform(
+        |    string_split(array_to_string(ws[k * 48 + 1 : least(n_tokens, k * 48 + 64)], ' '), ''),
+        |    ch -> CAST(ascii(ch) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

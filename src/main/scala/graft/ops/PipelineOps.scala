@@ -480,4 +480,38 @@ object PipelineOps {
       .withColumn("coverage_ppm", expr("n_embedded * 1000000 div n_docs"))
       .orderBy($"lang")
   }
+
+  /** X58 — overlapping chunk split (RAG-style): cut each document into
+    * 64-token windows at stride 48 (16-token overlap), emitting the chunk
+    * manifest — offsets, length, and a content fingerprint per chunk —
+    * the retrieval-indexing complement of q80's training-side packing
+    * (q80 lays docs into contexts; this splits docs into windows).
+    *
+    * Scale: one narrow explode per document (chunk count is
+    * ceil((n-64)/48)+1, data grows ~1.33×); the fingerprint rides the
+    * same projection. Zero shuffles except the final orderBy. */
+  def q96ChunkSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val (win, stride) = (64, 48)
+    // chunk count per doc: 1 for n <= win, else ceil((n-win)/stride) + 1 —
+    // integer ceil, so the last (short) window starts below n and every
+    // token is covered (win > stride guarantees overlap, never a gap)
+    docs(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id", "ws", "size(ws) AS n_tokens",
+        s"""explode(sequence(0,
+           |  IF(size(ws) <= $win, 0,
+           |     (size(ws) - $win + $stride - 1) div $stride))) AS k""".stripMargin)
+      .selectExpr("doc_id", "n_tokens",
+        s"CAST(k AS BIGINT) AS chunk_idx",
+        s"CAST(k * $stride AS BIGINT) AS start_tok",
+        s"CAST(least(n_tokens, k * $stride + $win) AS BIGINT) AS end_tok",
+        s"graft_fingerprint(concat_ws(' ', slice(ws, k * $stride + 1, " +
+          s"least(n_tokens, k * $stride + $win) - k * $stride))) AS chunk_fp")
+      .withColumn("chunk_tokens", $"end_tok" - $"start_tok")
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"end_tok",
+        $"chunk_tokens", $"chunk_fp")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
 }

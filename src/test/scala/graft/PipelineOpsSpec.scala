@@ -274,6 +274,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("chunk split tiles every document: full coverage, fixed overlap") {
+    val rows = PipelineOps.q96ChunkSplit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(sorted.head.getAs[Long]("start_tok") == 0L)
+      assert(sorted.map(_.getAs[Long]("chunk_idx")).toSeq ==
+        (0L until sorted.length.toLong))
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("chunk_tokens") ==
+          r.getAs[Long]("end_tok") - r.getAs[Long]("start_tok"))
+        assert(r.getAs[Long]("chunk_tokens") >= 1L &&
+          r.getAs[Long]("chunk_tokens") <= 64L)
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") - a.getAs[Long]("start_tok") == 48L)
+          // overlap: next chunk starts before the previous ends
+          assert(b.getAs[Long]("start_tok") < a.getAs[Long]("end_tok"),
+            s"doc $id gap between chunks")
+        case _ =>
+      }
+      // the doc's full token range is covered
+      val n = sorted.last.getAs[Long]("end_tok")
+      assert(sorted.length == (if (n <= 64) 1 else ((n - 64 + 47) / 48 + 1)))
+    }
+  }
+
   test("quantile trim keeps exactly the P5..P95 rank band per language") {
     import spark.implicits._
     val byLang = graft.sources.Tables.load(spark, sf, "documents")
