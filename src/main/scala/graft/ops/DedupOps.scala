@@ -58,25 +58,33 @@ object DedupOps {
     * the per-pair cost drops to two CPU instructions (`bit_count(a & b)`).
     * On a general corpus the words are dictionary-encoded to BIGINT ids
     * (distributed: GlobalOrder over the distinct vocabulary — NO vocab
-    * collect to the driver; the ≤64 gate is a 1-row countDistinct) and the
+    * collect to the driver; the ≤64 gate is a limit-bounded probe that
+    * doubles as the bitmask index, so ONE pre-scan total) and the
     * per-pair cost is a sorted-merge over longs instead of UTF8 strings.
     * The *output* is identical on every path — int equality is word
     * equality by construction — so the DuckDB oracle (list_intersect on
     * strings) still matches. */
-  def q33DedupJaccard(s: SparkSession, dir: String): DataFrame = {
+  def q33DedupJaccard(s: SparkSession, dir: String): DataFrame =
+    dedupJaccard(s, dir, bitmaskMaxVocab = 64)
+
+  /** `bitmaskMaxVocab` exists so the spec can force the general-vocab
+    * (distributed-dictionary) branch on the small test corpus (vocab 31):
+    * pass 0 and the long-merge path runs; output must be identical. */
+  private[graft] def dedupJaccard(s: SparkSession, dir: String,
+                                  bitmaskMaxVocab: Int): DataFrame = {
     import s.implicits._
     graft.functions.SortedIntersectSize.register(s)
     val d = docs(s, dir)
       .select($"doc_id", $"lang",
         array_sort(array_distinct(split($"text", " "))).as("ws"))
-    val nVocab = d.select(explode($"ws").as("w"))
-      .agg(countDistinct($"w")).collect().head.getLong(0)
-    val bitmask = nVocab <= 64
+    // ONE bounded pre-scan decides the branch AND yields the vocab when
+    // small: at most bitmaskMaxVocab+1 rows ever reach the driver
+    val vocabProbe = d.select(explode($"ws").as("w")).distinct()
+      .orderBy($"w").limit(bitmaskMaxVocab + 1).collect().map(_.getString(0))
+    val bitmask = bitmaskMaxVocab > 0 && vocabProbe.length <= bitmaskMaxVocab
     val encoded =
       if (bitmask) {
-        val vocab = d.select(explode($"ws").as("w")).distinct()
-          .orderBy($"w").collect().map(_.getString(0)) // ≤64 strings
-        val idx = vocab.zipWithIndex.toMap
+        val idx = vocabProbe.zipWithIndex.toMap
         val idxUdf = udf((ws: Seq[String]) =>
           ws.foldLeft(0L)((m, w) => m | (1L << idx(w))))
         d.withColumn("mask", idxUdf($"ws"))
@@ -211,9 +219,7 @@ object DedupOps {
     docs(s, dir)
       .selectExpr("doc_id", "split(text, ' ') AS ws")
       .where("size(ws) >= 3")
-      .selectExpr("doc_id",
-        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])) AS shingles")
-      .selectExpr("doc_id", "transform(shingles, s -> graft_fingerprint(s)) AS hs")
+      .selectExpr("doc_id", s"${TextGrams.fpArrayExpr(3)} AS hs")
       .selectExpr("doc_id", s"$sigExprs AS sig")
   }
 

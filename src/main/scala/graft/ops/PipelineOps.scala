@@ -437,10 +437,7 @@ object PipelineOps {
     val grams = docs(s, dir)
       .selectExpr("doc_id", "split(text, ' ') AS ws")
       .where("size(ws) >= 5")
-      .selectExpr("doc_id",
-        """explode(transform(sequence(1, size(ws) - 4),
-          |  i -> graft_fingerprint(concat_ws(' ', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]))))
-          |  AS g""".stripMargin)
+      .selectExpr("doc_id", s"explode(${TextGrams.fpArrayExpr(5)}) AS g")
     val docsPerGram = grams.select($"doc_id", $"g").distinct()
       .groupBy($"g").agg(count(lit(1)).as("n_docs_with"))
     grams

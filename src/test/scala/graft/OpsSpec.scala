@@ -224,6 +224,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bands.sum == inRange)
   }
 
+  test("q33 general-vocab (distributed dictionary) path equals the bitmask path") {
+    import graft.ops.DedupOps
+    // the test corpus vocabulary (31 words) always takes the bitmask
+    // branch; forcing bitmaskMaxVocab = 0 exercises the GlobalOrder
+    // dictionary + long-merge branch, which must be output-identical
+    val viaB = DedupOps.q33DedupJaccard(spark, sf).collect().map(_.toSeq).toSeq
+    val viaD = DedupOps.dedupJaccard(spark, sf, bitmaskMaxVocab = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(viaD == viaB)
+    assert(viaB.nonEmpty)
+  }
+
   test("ngram jaccard pairs meet the 0.6 threshold exactly") {
     import spark.implicits._
     import graft.ops.DedupOps

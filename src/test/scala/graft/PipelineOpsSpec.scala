@@ -113,7 +113,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val texts = graft.sources.Tables.load(spark, sf, "documents")
       .select($"text").collect().map(_.getString(0)).filter(_ != null)
-      .map(_.split(" ")).filter(_.length >= 2)
+      .map(_.split(" ", -1)).filter(_.length >= 2) // -1: keep trailing empties like Spark
     val uni = texts.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
     val bi = texts.flatMap(ws => ws.sliding(2).map(p => (p(0), p(1))))
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
@@ -233,7 +233,8 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val texts = graft.sources.Tables.load(spark, sf, "documents")
       .filter($"text".isNotNull).select($"doc_id", $"text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+      // limit -1: keep trailing empty tokens, matching Spark's split()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
       .filter(_._2.length >= 5)
     // recount on the SAME portable fingerprint the operator keys on —
     // distinct grams can collide (expected ~1 per 50k grams at mod 1e9+7),
