@@ -125,6 +125,8 @@ object SparkEntry {
     "q94_dup_gram_coverage" -> PipelineOps.q94DupGramCoverage _,
     "q95_embed_coverage"  -> PipelineOps.q95EmbedCoverage _,
     "q96_chunk_split"     -> PipelineOps.q96ChunkSplit _,
+    "q97_lang_agreement"  -> PipelineOps.q97LangAgreement _,
+    "q98_corpus_report"   -> PipelineOps.q98CorpusReport _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1451,5 +1453,37 @@ object SparkEntry {
         |    ch -> CAST(ascii(ch) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q97_lang_agreement" ->
+      """WITH p AS (SELECT lang,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w = 'the' OR w = 'a' OR w = 'of')) AS stop_hits
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN stop_hits * 20 >= n_words THEN 'en' ELSE 'unknown' END AS pred_lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "q98_corpus_report" ->
+      """WITH c AS (SELECT source, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+        |g AS (SELECT *, CASE WHEN n_tokens >= 3 AND n_chars >= 20
+        |                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |        * CASE WHEN n_tokens IS NULL THEN NULL ELSE 1 END AS passes
+        |      FROM c)
+        |SELECT CASE WHEN grouping(source) = 1 THEN '(all)'
+        |            ELSE coalesce(source, '(null)') END AS source,
+        |       CASE WHEN grouping(lang) = 1 THEN '(all)'
+        |            ELSE coalesce(lang, '(null)') END AS lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(sum(passes) AS BIGINT) AS n_pass,
+        |       CAST(sum(passes) AS BIGINT) * 1000000 // count(*) AS pass_ppm
+        |FROM g
+        |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        |ORDER BY source, lang""".stripMargin,
   )
 }

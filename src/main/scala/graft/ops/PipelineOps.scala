@@ -511,4 +511,57 @@ object PipelineOps {
         $"chunk_tokens", $"chunk_fp")
       .orderBy($"doc_id", $"chunk_idx")
   }
+
+  /** X59 — metadata-vs-classifier agreement matrix: cross-tabulate the
+    * corpus's declared `lang` column against q31's stopword-profile
+    * prediction — the audit that catches mislabeled metadata (or a broken
+    * classifier) before either is trusted downstream for mixture weights
+    * (q82) or stratified splits (q88).
+    *
+    * Scale: the prediction is q31's narrow map; the matrix is one
+    * combinable groupBy on a (langs × predictions)-sized key space. */
+  def q97LangAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("ws", split($"text", " "))
+      .withColumn("n_words", size($"ws"))
+      .withColumn("stop_hits",
+        size(expr("filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of')")))
+      .withColumn("pred_lang",
+        when($"stop_hits" * 20 >= $"n_words", "en").otherwise("unknown"))
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words".cast("long")).as("n_tokens"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  /** X60 — corpus composition report: the (source × lang) rollup a
+    * curation run publishes — doc/token counts and integer-exact quality
+    * gate rates at every margin via GROUPING SETS, in one expanded pass
+    * (q66's relational machinery applied to the corpus domain).
+    *
+    * Scale: grouping sets expand each row ~3× before ONE combinable
+    * shuffle — still one pass over the corpus, no per-margin re-scans. */
+  def q98CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"source", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        length($"text").cast("long").as("n_chars"))
+      .withColumn("passes", ($"n_tokens" >= 3 && $"n_chars" >= 20).cast("long"))
+      .createOrReplaceTempView("corpus_report_in")
+    s.sql(
+      // grouping() disambiguates the rollup margin from a NULL data value
+      """SELECT CASE WHEN grouping(source) = 1 THEN '(all)'
+        |            ELSE coalesce(source, '(null)') END AS source,
+        |       CASE WHEN grouping(lang) = 1 THEN '(all)'
+        |            ELSE coalesce(lang, '(null)') END AS lang,
+        |       count(*) AS n_docs,
+        |       sum(n_tokens) AS n_tokens,
+        |       sum(passes) AS n_pass,
+        |       sum(passes) * 1000000 div count(*) AS pass_ppm
+        |FROM corpus_report_in
+        |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        |ORDER BY source, lang""".stripMargin)
+  }
 }

@@ -303,6 +303,29 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lang agreement matrix partitions the corpus") {
+    val rows = PipelineOps.q97LangAgreement(spark, sf).collect()
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.map(_.getAs[String]("pred_lang")).toSet.subsetOf(Set("en", "unknown")))
+  }
+
+  test("corpus report margins reconcile: (all,all) equals the cell sum") {
+    val rows = PipelineOps.q98CorpusReport(spark, sf).collect()
+    def cellSum(f: org.apache.spark.sql.Row => Boolean) =
+      rows.filter(f).map(_.getAs[Long]("n_docs")).sum
+    val total = rows.find(r => r.getAs[String]("source") == "(all)" &&
+      r.getAs[String]("lang") == "(all)").get.getAs[Long]("n_docs")
+    // full cells, source margins, and lang margins must each sum to total
+    assert(cellSum(r => r.getAs[String]("source") != "(all)" &&
+      r.getAs[String]("lang") != "(all)") == total)
+    assert(cellSum(r => r.getAs[String]("source") != "(all)" &&
+      r.getAs[String]("lang") == "(all)") == total)
+    assert(cellSum(r => r.getAs[String]("source") == "(all)" &&
+      r.getAs[String]("lang") != "(all)") == total)
+    rows.foreach(r => assert(r.getAs[Long]("pass_ppm") <= 1000000L))
+  }
+
   test("quantile trim keeps exactly the P5..P95 rank band per language") {
     import spark.implicits._
     val byLang = graft.sources.Tables.load(spark, sf, "documents")
