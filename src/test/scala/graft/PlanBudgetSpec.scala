@@ -50,7 +50,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q51_asof_join"     -> 3, // union + last-ignore-nulls window + orderBy
     "q80_sequence_pack" -> 2, // one running-sum window per lang + orderBy
     "q86_quantile_trim" -> 3, // one lang partitioning (rank+count) + agg + orderBy
-    "q89_compaction_plan" -> 3 // one source partitioning + agg + orderBy
+    "q89_compaction_plan" -> 3, // one source partitioning + agg + orderBy
+    "q95_embed_coverage" -> 4, // emb distinct + join + lang agg + orderBy
+    "q96_chunk_split"   -> 1, // narrow explode; only the final orderBy
+    "q97_lang_agreement" -> 2, // narrow predictor + one matrix agg + orderBy
+    "q98_corpus_report" -> 2  // ONE expanded grouping-sets agg + orderBy
   )
 
   budgets.foreach { case (name, max) =>
