@@ -1470,9 +1470,10 @@ object SparkEntry {
       """WITH c AS (SELECT source, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |    CAST(length(text) AS BIGINT) AS n_chars FROM documents),
-        |g AS (SELECT *, CASE WHEN n_tokens >= 3 AND n_chars >= 20
-        |                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
-        |        * CASE WHEN n_tokens IS NULL THEN NULL ELSE 1 END AS passes
+        |g AS (SELECT *, CASE WHEN n_tokens IS NULL THEN NULL
+        |                     WHEN n_tokens >= 12 AND n_chars >= 50
+        |                     THEN CAST(1 AS BIGINT)
+        |                     ELSE CAST(0 AS BIGINT) END AS passes
         |      FROM c)
         |SELECT CASE WHEN grouping(source) = 1 THEN '(all)'
         |            ELSE coalesce(source, '(null)') END AS source,

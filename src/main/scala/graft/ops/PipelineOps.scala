@@ -522,17 +522,14 @@ object PipelineOps {
     * combinable groupBy on a (langs × predictions)-sized key space. */
   def q97LangAgreement(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docs(s, dir)
-      .withColumn("ws", split($"text", " "))
-      .withColumn("n_words", size($"ws"))
-      .withColumn("stop_hits",
-        size(expr("filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of')")))
-      .withColumn("pred_lang",
-        when($"stop_hits" * 20 >= $"n_words", "en").otherwise("unknown"))
+    // the predictor IS q31's (TextOps.withLangPrediction) — a drifting
+    // copy would make this matrix audit a classifier nobody runs
+    TextOps.withLangPrediction(docs(s, dir))
       .groupBy($"lang", $"pred_lang")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_words".cast("long")).as("n_tokens"))
-      .orderBy($"lang", $"pred_lang")
+      // nulls-last so a NULL-lang corpus sorts identically in DuckDB
+      .orderBy($"lang".asc_nulls_last, $"pred_lang")
   }
 
   /** X60 — corpus composition report: the (source × lang) rollup a
@@ -544,24 +541,31 @@ object PipelineOps {
     * shuffle — still one pass over the corpus, no per-margin re-scans. */
   def q98CorpusReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docs(s, dir)
+    // the gate thresholds sit INSIDE the corpus's length distribution
+    // (docs run 10+ tokens / 44+ chars) so both pass and fail classes are
+    // populated — a gate that never binds audits nothing
+    val base = docs(s, dir)
       .select($"source", $"lang",
         size(split($"text", " ")).cast("long").as("n_tokens"),
         length($"text").cast("long").as("n_chars"))
-      .withColumn("passes", ($"n_tokens" >= 3 && $"n_chars" >= 20).cast("long"))
-      .createOrReplaceTempView("corpus_report_in")
-    s.sql(
-      // grouping() disambiguates the rollup margin from a NULL data value
-      """SELECT CASE WHEN grouping(source) = 1 THEN '(all)'
-        |            ELSE coalesce(source, '(null)') END AS source,
-        |       CASE WHEN grouping(lang) = 1 THEN '(all)'
-        |            ELSE coalesce(lang, '(null)') END AS lang,
-        |       count(*) AS n_docs,
-        |       sum(n_tokens) AS n_tokens,
-        |       sum(passes) AS n_pass,
-        |       sum(passes) * 1000000 div count(*) AS pass_ppm
-        |FROM corpus_report_in
-        |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
-        |ORDER BY source, lang""".stripMargin)
+      .withColumn("passes", ($"n_tokens" >= 12 && $"n_chars" >= 50).cast("long"))
+    // Dataset.groupingSets (no temp-view side effect — a shared view name
+    // would race Verify's concurrent submitters); grouping() disambiguates
+    // the rollup margin from a NULL data value
+    base.groupingSets(
+        Seq(Seq($"source", $"lang"), Seq($"source"), Seq($"lang"), Seq()),
+        $"source", $"lang")
+      .agg(grouping($"source").as("g_src"), grouping($"lang").as("g_lang"),
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        sum($"passes").as("n_pass"),
+        expr("sum(passes) * 1000000 div count(1)").as("pass_ppm"))
+      .select(
+        when($"g_src" === 1, lit("(all)"))
+          .otherwise(coalesce($"source", lit("(null)"))).as("source"),
+        when($"g_lang" === 1, lit("(all)"))
+          .otherwise(coalesce($"lang", lit("(null)"))).as("lang"),
+        $"n_docs", $"n_tokens", $"n_pass", $"pass_ppm")
+      .orderBy($"source", $"lang")
   }
 }

@@ -38,20 +38,28 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** THE language predictor: ONE definition of the stopword set and the
+    * hits·20 >= n_words threshold, shared by the q31 scorer and the q97
+    * agreement audit — the audit must test the classifier actually used,
+    * so the two can never drift apart. Adds `ws`, `n_words`, `stop_hits`,
+    * `pred_lang`. */
+  private[graft] def withLangPrediction(df: DataFrame): DataFrame =
+    df.withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("stop_hits",
+        size(expr("filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of')")))
+      .withColumn("pred_lang",
+        when(col("stop_hits") * 20 >= col("n_words"), "en").otherwise("unknown"))
+
   /** Language-ID heuristic (stopword-profile), quality score, token counts.
     * The heuristic is deliberately simple and *portable*: integer stopword
     * hits vs document length — the op's value is the distributed shape
     * (pure narrow map), not linguistic sophistication. */
   def q31LangQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docs(s, dir)
-      .withColumn("ws", split($"text", " "))
-      .withColumn("n_words", size($"ws"))
-      .withColumn("stop_hits",
-        size(expr("filter(ws, w -> w = 'the' OR w = 'a' OR w = 'of')")))
+    withLangPrediction(docs(s, dir))
       .select(
-        $"doc_id", $"source", $"lang",
-        when($"stop_hits" * 20 >= $"n_words", "en").otherwise("unknown").as("pred_lang"),
+        $"doc_id", $"source", $"lang", $"pred_lang",
         $"stop_hits".cast("long").as("stop_hits"),
         // distinct-word ratio ×1000, integer-exact
         (size(array_distinct($"ws")).cast("long") * 1000 / $"n_words".cast("long"))

@@ -323,7 +323,20 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[String]("lang") == "(all)") == total)
     assert(cellSum(r => r.getAs[String]("source") == "(all)" &&
       r.getAs[String]("lang") != "(all)") == total)
-    rows.foreach(r => assert(r.getAs[Long]("pass_ppm") <= 1000000L))
+    // the gate must DISCRIMINATE (both classes populated) and n_pass must
+    // match an independent recount — pass_ppm <= 1e6 alone is vacuous
+    import spark.implicits._
+    val expectedPass = graft.sources.Tables.load(spark, sf, "documents")
+      .filter($"text".isNotNull).collect().count { r =>
+        val t = r.getAs[String]("text")
+        t.split(" ", -1).length >= 12 && t.length >= 50
+      }.toLong
+    val all = rows.find(r => r.getAs[String]("source") == "(all)" &&
+      r.getAs[String]("lang") == "(all)").get
+    assert(all.getAs[Long]("n_pass") == expectedPass)
+    assert(expectedPass > 0L && expectedPass < total,
+      s"gate does not discriminate: $expectedPass of $total pass")
+    assert(all.getAs[Long]("pass_ppm") == expectedPass * 1000000L / total)
   }
 
   test("quantile trim keeps exactly the P5..P95 rank band per language") {
