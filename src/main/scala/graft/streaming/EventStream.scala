@@ -141,6 +141,35 @@ object EventStream {
         col("n_tokens"), col("n_chars"), col("quality_ok"))
   }
 
+  /** Streaming incremental dedup against a standing corpus — the
+    * streaming face of the batch batch-vs-corpus dedup (q92's exact
+    * pass): each arriving document is flagged when its content hash
+    * already exists in the static corpus, after in-stream dedup within
+    * the watermark (a doc duplicated both in-stream and in-corpus is
+    * emitted once, flagged).
+    *
+    * Scale: the corpus side is a STATIC md5-key projection (8+32 bytes a
+    * row, no text payload) joined per micro-batch — broadcast when it
+    * fits, shuffled stream-static hash join when it does not; per-batch
+    * state beyond the watermarked dedup set is zero. Input schema as
+    * [[docQualityGate]]. */
+  def incrementalDedupStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, concat, lit, md5}
+    val corpusHashes = corpus
+      .select(md5(col("text")).as("content_md5"))
+      .where(col("content_md5").isNotNull)
+      .distinct()
+      .withColumn("in_corpus", lit(true))
+    docs
+      .withWatermark("ts", "2 hours")
+      .withColumn("content_md5", coalesce(md5(col("text")),
+        concat(lit("null:"), col("doc_id"))))
+      .dropDuplicatesWithinWatermark("content_md5")
+      .join(corpusHashes, Seq("content_md5"), "left")
+      .select(col("doc_id"), col("ts"), col("lang"),
+        coalesce(col("in_corpus"), lit(false)).as("dup_of_corpus"))
+  }
+
   /** Stream–stream interval join (the streaming face of the as-of join,
     * batch form `EventOps.q51AsofJoin`): clicks matched to error events of
     * the same user within the preceding 30 minutes. Both sides are

@@ -197,6 +197,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last == Map(1L -> 3, 2L -> 1, 3L -> 3))
   }
 
+  test("incremental dedup stream flags corpus twins, dedups in-stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def doc(id: Long, text: String) = StreamingSpec.Doc(id, t0, text, "en")
+    val corpus = Seq("an old corpus document", "another standing document")
+      .toDF("text")
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = EventStream.incrementalDedupStream(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("incrdedup")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      doc(1, "an old corpus document"),     // corpus twin -> flagged
+      doc(2, "a genuinely new document"),   // fresh
+      doc(3, "a genuinely new document"),   // in-stream dup -> dropped
+      doc(4, "yet another new one"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("incrdedup").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("dup_of_corpus")).toMap
+    assert(rows.keySet == Set(1L, 2L, 4L), s"got ${rows.keySet}")
+    assert(rows(1L) && !rows(2L) && !rows(4L))
+  }
+
   test("doc quality gate: dedups, redacts, and flags in-stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
