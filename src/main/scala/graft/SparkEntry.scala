@@ -127,6 +127,10 @@ object SparkEntry {
     "q96_chunk_split"     -> PipelineOps.q96ChunkSplit _,
     "q97_lang_agreement"  -> PipelineOps.q97LangAgreement _,
     "q98_corpus_report"   -> PipelineOps.q98CorpusReport _,
+    "q99_retention_cohorts" -> EventOps.q99RetentionCohorts _,
+    "q100_heavy_hitters"  -> CorpusOps.q100HeavyHitters _,
+    "q101_active_window"  -> EventOps.q101ActiveWindow _,
+    "q102_snapshot_diff"  -> TransferOps.q102SnapshotDiff _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1486,5 +1490,76 @@ object SparkEntry {
         |FROM g
         |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
         |ORDER BY source, lang""".stripMargin,
+
+    "q99_retention_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, week,
+        |    min(week) OVER (PARTITION BY user_id) AS cohort_week FROM a),
+        |g AS (SELECT cohort_week, week - cohort_week AS week_offset,
+        |    count(*) AS n_users FROM c GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_users,
+        |  n_users * 1000000 // max(CASE WHEN week_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort_week) AS retention_ppm
+        |FROM g ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // q100: the Spark side is a Misra-Gries sketch + exact recount of the
+    // candidates; MG with k=400 provably retains every word above N/401,
+    // so filtering the exact recount at N/200 equals the plain HAVING.
+    "q100_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |t AS (SELECT count(*) AS total FROM w)
+        |SELECT w, count(*) AS n_occurrences,
+        |  CAST(count(*) * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM w CROSS JOIN t
+        |GROUP BY w, total
+        |HAVING count(*) * 200 > total
+        |ORDER BY w""".stripMargin,
+
+    "q101_active_window" ->
+      """WITH p AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |m AS (SELECT max(day) AS max_day FROM p),
+        |c AS (SELECT user_id, day + k AS day
+        |      FROM p CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) g),
+        |t AS (SELECT day, count(DISTINCT user_id) AS n_active_7d
+        |      FROM c CROSS JOIN m WHERE day <= max_day GROUP BY day),
+        |d AS (SELECT day, count(*) AS n_active_1d FROM p GROUP BY day)
+        |SELECT t.day, CAST(coalesce(d.n_active_1d, 0) AS BIGINT) AS n_active_1d,
+        |  n_active_7d
+        |FROM t LEFT JOIN d USING (day) ORDER BY day""".stripMargin,
+
+    // q102: int64->string rendering is engine-portable (double->string is
+    // not), so the row hash goes through cents / epoch-day integer forms.
+    "q102_snapshot_diff" ->
+      """WITH cur AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 177 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 211 = 0),
+        |bh AS (SELECT o_orderkey AS k, md5(concat_ws('|',
+        |    CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+        |    CAST(epoch_us(o_orderdate) // 86400000000 AS VARCHAR),
+        |    o_orderpriority)) AS h FROM orders),
+        |ch AS (SELECT o_orderkey AS k, md5(concat_ws('|',
+        |    CAST(o_custkey AS VARCHAR), o_orderstatus,
+        |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+        |    CAST(epoch_us(o_orderdate) // 86400000000 AS VARCHAR),
+        |    o_orderpriority)) AS h FROM cur),
+        |j AS (SELECT coalesce(bh.k, ch.k) AS k, bh.h AS hb, ch.h AS hc
+        |      FROM bh FULL OUTER JOIN ch ON bh.k = ch.k)
+        |SELECT CASE WHEN hb IS NULL THEN 'added'
+        |            WHEN hc IS NULL THEN 'deleted'
+        |            WHEN hb <> hc THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_keys,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
   )
 }

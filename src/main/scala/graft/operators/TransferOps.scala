@@ -73,4 +73,46 @@ object TransferOps {
         coalesce($"new_cents", $"price_cents").as("price_cents"))
       .orderBy($"o_orderkey")
   }
+
+  /** X65 — snapshot diff / change-data audit: classify every key across two
+    * table snapshots as added / deleted / changed / unchanged and report
+    * per-status row counts plus key aggregates — the "what drifted since
+    * the last sync" report a migration engine needs beyond the reference's
+    * whole-table count compare (P3, `sync_data.go:313-356`).
+    *
+    * Scale: each snapshot is projected to (key, md5-of-rendered-row) BEFORE
+    * the full-outer join, so the join moves 2 narrow columns per side, not
+    * the table payload — at 100 TB the wide columns never shuffle. The
+    * rendering goes through exact integer forms (cents, epoch days) because
+    * double→string formatting is engine-specific but int64→string is not.
+    * The "current" snapshot is derived deterministically from orders
+    * (deletes: key≡0 mod 177; price bump: key≡0 mod 100; inserts: key≡0
+    * mod 211 re-keyed +10M) so the oracle replays it exactly. */
+  def q102SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.sources.Tables.load(s, dir, "orders")
+    val current = base
+      .filter($"o_orderkey" % 177 =!= 0)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 100 === 0, $"o_totalprice" + 1000.0)
+          .otherwise($"o_totalprice"))
+      .unionByName(base.filter($"o_orderkey" % 211 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 10000000L))
+    def keyed(df: DataFrame, h: String) = df.select($"o_orderkey".as("k"),
+      md5(concat_ws("|",
+        $"o_custkey".cast("string"), $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").cast("string"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").cast("string"),
+        $"o_orderpriority")).as(h))
+    keyed(base, "h_base").join(keyed(current, "h_cur"), Seq("k"), "full_outer")
+      .withColumn("status",
+        when($"h_base".isNull, "added")
+          .when($"h_cur".isNull, "deleted")
+          .when($"h_base" =!= $"h_cur", "changed")
+          .otherwise("unchanged"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_rows"), sum($"k").as("sum_keys"),
+        min($"k").as("min_key"), max($"k").as("max_key"))
+      .orderBy($"status")
+  }
 }

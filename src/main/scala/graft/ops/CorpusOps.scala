@@ -278,4 +278,36 @@ object CorpusOps {
       .withColumn("n_boundary_crossings", $"end_ctx" - $"start_ctx")
       .orderBy($"doc_id")
   }
+
+  /** X62 — heavy-hitter vocabulary terms via sketch-then-recount: a
+    * Misra–Gries pass (bounded buffer, [[graft.functions.MisraGries]])
+    * proposes candidate words, then a second pass recounts ONLY the
+    * candidates exactly and keeps those above 0.5% of all tokens.
+    *
+    * Why not q73's plain groupBy: that shuffles the ENTIRE vocabulary to
+    * find a handful of frequent terms. Here pass 1 is partial-aggregable
+    * with ≤k counters per map partition (no word-keyed shuffle at all) and
+    * pass 2 shuffles only rows surviving a broadcast semi-join against the
+    * ≤k candidates — at 100 TB, that's a vocabulary-sized shuffle replaced
+    * by a constant-sized one. MG guarantees every word with true count
+    * > N/(k+1) survives the sketch; with k=400 and a N/200 report
+    * threshold, the recounted output is provably EXACT — which is why a
+    * plain `HAVING count(*)*200 > total` oracle can hash-match a sketch.
+    */
+  def q100HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = docs(s, dir).select(explode(split($"text", " ")).as("w"))
+    val mg = udaf(new graft.functions.MisraGries(400))
+    // one job: (candidate words, exact total N); both tiny → driver-safe
+    val (cands, total) = words.agg(mg($"w").as("r"))
+      .select($"r._1".as("cands"), $"r._2".as("total"))
+      .as[(Seq[String], Long)].head()
+    words.join(broadcast(cands.toDF("w")), Seq("w"), "left_semi")
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter($"n_occurrences" * 200L > total)
+      .select($"w", $"n_occurrences",
+        expr(s"n_occurrences * 1000000 div ${total}L").as("share_ppm"))
+      .orderBy($"w")
+  }
 }

@@ -158,4 +158,64 @@ object EventOps {
         $"view_us", $"click_us", $"purchase_us")
       .orderBy($"user_id")
   }
+
+  /** X63 — cohort retention matrix: users are cohorted by their first
+    * active epoch-week; each later active week counts toward that cohort's
+    * retention at offset (week − cohort_week), reported in integer ppm of
+    * the cohort size.
+    *
+    * Scale: ONE shuffle, on user_id — `collect_set(week)` is partial-agg
+    * combinable and bounded by the calendar (weeks, not events), the
+    * cohort is `array_min` of that set, and offsets explode narrowly from
+    * it. The usual two-step (first-seen agg + join back onto the event
+    * stream) re-shuffles the full stream; this never touches events again
+    * after the per-user fold. The final ppm window runs over the
+    * weeks×weeks aggregate — a calendar-sized frame, irrelevant at any
+    * data scale. */
+  def q99RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val act = ev(s, dir).select($"user_id",
+      expr("unix_micros(cast(ts as timestamp)) div 604800000000").as("week"))
+    val counts = act.groupBy($"user_id")
+      .agg(collect_set($"week").as("weeks"))
+      .select(array_min($"weeks").as("cohort_week"), explode($"weeks").as("week"))
+      .select($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val wC = Window.partitionBy($"cohort_week")
+    counts
+      .withColumn("cohort_size",
+        max(when($"week_offset" === 0L, $"n_users")).over(wC))
+      .select($"cohort_week", $"week_offset", $"n_users",
+        expr("n_users * 1000000 div cohort_size").as("retention_ppm"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  /** X64 — trailing-7-day distinct actives per day WITHOUT a range join:
+    * each distinct (user, day) pair is exploded to the ≤7 future days it
+    * keeps the user "active" for, then a plain count-distinct per day.
+    * The range join this replaces (`days d JOIN events e ON e.day BETWEEN
+    * d.day-6 AND d.day`) is quadratic per skewed day and unplannable as an
+    * equi-join; the contribution explode is a ×7 narrow map into ONE
+    * hash-aggregable shuffle — the standard sliding-window-distinct shape
+    * at stream scale. Days past the corpus horizon are cut by a broadcast
+    * 1-row max. */
+  def q101ActiveWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = ev(s, dir).select($"user_id",
+      expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .distinct()
+    val maxDay = pairs.agg(max($"day").as("max_day"))
+    val trailing = pairs
+      .select($"user_id", explode(sequence($"day", $"day" + 6L)).as("day"))
+      .crossJoin(broadcast(maxDay))
+      .filter($"day" <= $"max_day")
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("n_active_7d"))
+    val daily = pairs.groupBy($"day").agg(count(lit(1)).as("n_active_1d"))
+    trailing.join(daily, Seq("day"), "left")
+      .select($"day", coalesce($"n_active_1d", lit(0L)).as("n_active_1d"),
+        $"n_active_7d")
+      .orderBy($"day")
+  }
 }

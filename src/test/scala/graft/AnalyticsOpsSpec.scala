@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.{CorpusOps, EventOps}
+import graft.operators.TransferOps
+
+/** Invariant checks for the round-4 analytics operators (SURVEY.md §2.7
+  * X62-X65) beyond the driver's DuckDB hash gate: the Misra-Gries sketch
+  * must retain every true heavy hitter (the property that makes the exact
+  * oracle legitimate), retention offsets must reconcile to cohort sizes,
+  * the trailing-window actives must equal the brute-force range join, and
+  * the snapshot diff must classify exactly per the mutation rules.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("analytics-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ------------------------------------------------------------- X62
+
+  test("misra-gries retains every item above N/(k+1), any input order") {
+    // skewed stream: item i appears 2^(10-i) times, i = 0..9 (N = 2046)
+    val items = (0 to 9).flatMap(i => Seq.fill(1 << (10 - i))(s"w$i"))
+    val n = items.size
+    val k = 5
+    for (seed <- Seq(1, 7, 42)) {
+      val shuffled = new scala.util.Random(seed).shuffle(items)
+      val mg = new graft.functions.MisraGries(k)
+      // exercise reduce AND merge: fold two halves separately, then merge
+      val (l, r) = shuffled.splitAt(n / 3)
+      val b = mg.merge(l.foldLeft(mg.zero)(mg.reduce), r.foldLeft(mg.zero)(mg.reduce))
+      val (cands, total) = mg.finish(b)
+      assert(total == n)
+      val exact = items.groupBy(identity).view.mapValues(_.size).toMap
+      val mustSurvive = exact.collect { case (w, c) if c > n / (k + 1) => w }
+      mustSurvive.foreach(w => assert(cands.contains(w), s"lost heavy hitter $w"))
+      assert(cands.size <= k)
+    }
+  }
+
+  test("q100 equals the exact full-shuffle heavy-hitter query") {
+    import spark.implicits._
+    val got = CorpusOps.q100HeavyHitters(spark, sf).collect()
+    val words = graft.sources.Tables.load(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+    val total = words.count()
+    val exact = words.groupBy($"w").agg(count(lit(1)).as("n"))
+      .filter($"n" * 200L > total).orderBy($"w").collect()
+    assert(got.length == exact.length && got.nonEmpty)
+    got.zip(exact).foreach { case (g, e) =>
+      assert(g.getAs[String]("w") == e.getAs[String]("w"))
+      assert(g.getAs[Long]("n_occurrences") == e.getAs[Long]("n"))
+    }
+  }
+
+  // ------------------------------------------------------------- X63
+
+  test("retention: offset 0 is 1e6 ppm and cohort sizes cover all users") {
+    import spark.implicits._
+    val rows = EventOps.q99RetentionCohorts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[Long]("week_offset") == 0L)
+      .foreach(r => assert(r.getAs[Long]("retention_ppm") == 1000000L))
+    // every cohort's offset-0 bucket counts each user exactly once
+    val cohortTotal = rows.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    val nUsers = graft.sources.Tables.load(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    assert(cohortTotal == nUsers)
+    // retention never exceeds the cohort size
+    rows.foreach(r => assert(r.getAs[Long]("retention_ppm") <= 1000000L))
+  }
+
+  // ------------------------------------------------------------- X64
+
+  test("trailing-7d actives equal the brute-force range join") {
+    import spark.implicits._
+    val got = EventOps.q101ActiveWindow(spark, sf)
+      .select($"day", $"n_active_7d").as[(Long, Long)].collect().toMap
+    val pairs = graft.sources.Tables.load(spark, sf, "events")
+      .select($"user_id",
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .distinct().as[(Long, Long)].collect()
+    val days = pairs.map(_._2)
+    val brute = (days.min to days.max).map { d =>
+      d -> pairs.filter(p => p._2 >= d - 6 && p._2 <= d).map(_._1).distinct.size.toLong
+    }.filter(_._2 > 0L).toMap
+    assert(got == brute)
+  }
+
+  // ------------------------------------------------------------- X65
+
+  test("snapshot diff statuses match the mutation rules exactly") {
+    import spark.implicits._
+    val byStatus = TransferOps.q102SnapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_rows")).toMap
+    val keys = graft.sources.Tables.load(spark, sf, "orders")
+      .select($"o_orderkey").as[Long].collect()
+    val expAdded = keys.count(_ % 211 == 0).toLong
+    val expDeleted = keys.count(_ % 177 == 0).toLong
+    val expChanged = keys.count(k => k % 100 == 0 && k % 177 != 0).toLong
+    assert(byStatus.getOrElse("added", 0L) == expAdded)
+    assert(byStatus.getOrElse("deleted", 0L) == expDeleted)
+    assert(byStatus.getOrElse("changed", 0L) == expChanged)
+    assert(byStatus.values.sum == keys.length + expAdded)
+  }
+}
