@@ -131,6 +131,9 @@ object SparkEntry {
     "q100_heavy_hitters"  -> CorpusOps.q100HeavyHitters _,
     "q101_active_window"  -> EventOps.q101ActiveWindow _,
     "q102_snapshot_diff"  -> TransferOps.q102SnapshotDiff _,
+    "q103_simhash_neardup" -> DedupOps.q103SimhashNearDup _,
+    "q104_partition_prune" -> PipelineOps.q104PartitionPrune _,
+    "q105_profile_table"  -> SchemaOps.q105ProfileTable _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1561,5 +1564,78 @@ object SparkEntry {
         |  count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_keys,
         |  min(k) AS min_key, max(k) AS max_key
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    // q103: the Spark side is a banded LSH join; 4 disjoint 4-bit bands
+    // make recall EXACT for hamming<=3 (pigeonhole), so the brute-force
+    // all-pairs oracle is the same relation.
+    "q103_simhash_neardup" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |hw AS (SELECT doc_id,
+        |        list_reduce(list_transform(string_split(word, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |                    (a, b) -> (a * 31 + b) % 1000000007) AS hw FROM w),
+        |v AS (SELECT doc_id, b.b,
+        |        CASE WHEN sum(CASE WHEN ((hw >> b.b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+        |             THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS val
+        |      FROM hw CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+        |      GROUP BY doc_id, b.b),
+        |h AS (SELECT doc_id, CAST(sum(val) AS BIGINT) AS simhash
+        |      FROM v GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |      FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |u AS (SELECT da AS doc_id, db AS partner FROM p
+        |      UNION ALL SELECT db, da FROM p),
+        |n AS (SELECT doc_id, count(*) AS n_near, min(partner) AS min_partner
+        |      FROM u GROUP BY doc_id)
+        |SELECT h.doc_id, h.simhash,
+        |  CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near_dups,
+        |  CAST(coalesce(n.min_partner, -1) AS BIGINT) AS min_partner
+        |FROM h LEFT JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q104_partition_prune" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY day ORDER BY day""".stripMargin,
+
+    "q105_profile_table" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    epoch_us(o_orderdate) // 86400000000 AS order_day,
+        |    o_orderpriority FROM orders),
+        |u AS (
+        |  SELECT 'o_orderkey' AS column_name,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM o
+        |  UNION ALL
+        |  SELECT 'o_custkey',
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderstatus',
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'price_cents',
+        |    CAST(sum(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT price_cents),
+        |    CAST(min(price_cents) AS VARCHAR), CAST(max(price_cents) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'order_day',
+        |    CAST(sum(CASE WHEN order_day IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT order_day),
+        |    CAST(min(order_day) AS VARCHAR), CAST(max(order_day) AS VARCHAR) FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderpriority',
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM o)
+        |SELECT column_name, n_nulls, n_distinct, min_s, max_s
+        |FROM u ORDER BY column_name""".stripMargin,
   )
 }

@@ -352,4 +352,41 @@ object DedupOps {
       .select($"label", $"vec_a", $"vec_b", $"cos")
       .orderBy($"vec_a", $"vec_b")
   }
+
+  /** X66 — SimHash banded near-dup join with EXACT recall: the 16-bit
+    * simhash (q35's, reused verbatim) is cut into 4 disjoint 4-bit bands;
+    * docs sharing any band value become candidate pairs, verified by
+    * popcount of the XOR. Pigeonhole makes the LSH pass lossless here:
+    * ≤3 flipped bits can dirty at most 3 of the 4 bands, so every pair at
+    * Hamming distance ≤3 shares an intact band — the banded join finds
+    * EVERY qualifying pair, which is why a brute-force all-pairs oracle can
+    * hash-match an LSH plan.
+    *
+    * Scale: the self-join keys on (band, value) — candidates, not n² —
+    * and carries only (doc_id, simhash); the distinct collapses multi-band
+    * hits before the popcount verify. Bucket skew (a viral simhash value)
+    * is bounded by the band width: widen the hash / add bands before the
+    * corpus outgrows 16 bits — the STRUCTURE is what survives scale-up. */
+  def q103SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = TextOps.q35Simhash(s, dir) // (doc_id, simhash), 16-bit
+    val bands = h.select($"doc_id", $"simhash",
+      explode(expr("array(0, 1, 2, 3)")).as("b"))
+      .withColumn("bv", expr("(simhash >> (4 * b)) & 15"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        $"x.b" === $"y.b" && $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("da"), $"x.simhash".as("ha"),
+        $"y.doc_id".as("db"), $"y.simhash".as("hb"))
+      .distinct()
+      .filter(expr("bit_count(ha ^ hb) <= 3"))
+    val n = pairs.select($"da".as("doc_id"), $"db".as("partner"))
+      .unionByName(pairs.select($"db".as("doc_id"), $"da".as("partner")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_near"), min($"partner").as("min_partner"))
+    h.join(n, Seq("doc_id"), "left")
+      .select($"doc_id", $"simhash",
+        coalesce($"n_near", lit(0L)).as("n_near_dups"),
+        coalesce($"min_partner", lit(-1L)).as("min_partner"))
+      .orderBy($"doc_id")
+  }
 }

@@ -568,4 +568,43 @@ object PipelineOps {
         $"n_docs", $"n_tokens", $"n_pass", $"pass_ppm")
       .orderBy($"source", $"lang")
   }
+
+  /** X67 — hive-partitioned layout + partition-pruned read-back: events are
+    * written `partitionBy(event_type)` and re-read with an equality filter,
+    * which Spark satisfies from DIRECTORY listing (PartitionFilters), never
+    * opening a non-matching file — the layout-level complement to q59's
+    * bucketing and the reason a 100 TB store keys its directories on the
+    * dominant filter column. The pruning is asserted on the physical plan
+    * in AnalyticsOpsSpec; this query returns the pruned-side aggregate the
+    * oracle replays with a plain WHERE.
+    *
+    * The tiny post-aggregate result is collected before the temp layout is
+    * deleted (the plan must not outlive its input files); at real scale the
+    * layout is the durable table and nothing is collected. */
+  def q104PartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout")
+    try {
+      Tables.load(s, dir, "events")
+        .write.partitionBy("event_type").parquet(s"$tmp/events_by_type")
+      val rows = s.read.parquet(s"$tmp/events_by_type")
+        .filter($"event_type" === "purchase")
+        .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_events"), sum($"cents").as("value_cents"))
+        .orderBy($"day")
+        .collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value_cents", org.apache.spark.sql.types.LongType))))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }

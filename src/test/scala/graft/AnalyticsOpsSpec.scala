@@ -116,4 +116,64 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byStatus.getOrElse("changed", 0L) == expChanged)
     assert(byStatus.values.sum == keys.length + expAdded)
   }
+
+  // ------------------------------------------------------------- X66
+
+  test("banded simhash join finds exactly the brute-force hamming<=3 pairs") {
+    import spark.implicits._
+    val got = graft.ops.DedupOps.q103SimhashNearDup(spark, sf)
+      .select($"doc_id", $"n_near_dups").as[(Long, Long)].collect().toMap
+    val sims = graft.ops.TextOps.q35Simhash(spark, sf)
+      .as[(Long, Long)].collect()
+    val brute = sims.map { case (id, h) =>
+      id -> sims.count { case (id2, h2) =>
+        id2 != id && java.lang.Long.bitCount(h ^ h2) <= 3
+      }.toLong
+    }.toMap
+    assert(got == brute)
+    assert(got.values.exists(_ > 0L), "expected at least one near-dup pair")
+  }
+
+  // ------------------------------------------------------------- X67
+
+  test("partitionBy layout prunes non-matching partitions at the scan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune_spec")
+    try {
+      graft.sources.Tables.load(spark, sf, "events")
+        .write.partitionBy("event_type").parquet(s"$tmp/ev")
+      val scan = spark.read.parquet(s"$tmp/ev")
+        .filter($"event_type" === "purchase")
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), plan.take(500))
+      assert(plan.contains("event_type"), plan.take(500))
+      // only files under the matching partition directory are touched
+      val files = scan.select(input_file_name()).distinct()
+        .as[String].collect()
+      assert(files.nonEmpty)
+      assert(files.forall(_.contains("event_type=purchase")), files.mkString(","))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  // ------------------------------------------------------------- X68
+
+  test("profiler stats are internally consistent") {
+    val rows = graft.operators.SchemaOps.q105ProfileTable(spark, sf).collect()
+    assert(rows.length == 6)
+    val nOrders = graft.sources.Tables.load(spark, sf, "orders").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nulls") >= 0L)
+      assert(r.getAs[Long]("n_distinct") <= nOrders)
+      assert(r.getAs[String]("min_s") != null)
+    }
+    val byCol = rows.map(r => r.getAs[String]("column_name") -> r).toMap
+    // the primary key is unique and non-null
+    assert(byCol("o_orderkey").getAs[Long]("n_distinct") == nOrders)
+    assert(byCol("o_orderkey").getAs[Long]("n_nulls") == 0L)
+  }
 }
