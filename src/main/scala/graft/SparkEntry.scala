@@ -134,6 +134,7 @@ object SparkEntry {
     "q103_simhash_neardup" -> DedupOps.q103SimhashNearDup _,
     "q104_partition_prune" -> PipelineOps.q104PartitionPrune _,
     "q105_profile_table"  -> SchemaOps.q105ProfileTable _,
+    "q106_kmeans"         -> SimilarityOps.q106Kmeans _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1637,5 +1638,50 @@ object SparkEntry {
         |    CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM o)
         |SELECT column_name, n_nulls, n_distinct, min_s, max_s
         |FROM u ORDER BY column_name""".stripMargin,
+
+    // q106: integer-space Lloyd's is exact, so the 3 iterations unroll as
+    // CTEs; parallel unnests zip (DuckDB), replicating posexplode. The
+    // centroid mean divides exact int64 sums in double (both engines IEEE,
+    // same two operands -> same quotient) and rounds half-away (q93 rule).
+    "q106_kmeans" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+        |       FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, q, cid, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, e.q, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c0 c)) WHERE rn = 1),
+        |x1 AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a1),
+        |s1 AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+        |       FROM x1 GROUP BY cid, i),
+        |u1 AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+        |       FROM s1 GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(u1.c, c0.c) AS c FROM c0 LEFT JOIN u1 USING (cid)),
+        |a2 AS (SELECT vec_id, q, cid, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, e.q, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c1 c)) WHERE rn = 1),
+        |x2 AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a2),
+        |s2 AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+        |       FROM x2 GROUP BY cid, i),
+        |u2 AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+        |       FROM s2 GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(u2.c, c1.c) AS c FROM c1 LEFT JOIN u2 USING (cid)),
+        |a3 AS (SELECT vec_id, cid, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c2 c)) WHERE rn = 1)
+        |SELECT cid AS cluster_id, count(*) AS n_members,
+        |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids,
+        |  CAST(sum(d) AS BIGINT) AS inertia, min(vec_id) AS min_vec_id
+        |FROM a3 GROUP BY cid ORDER BY cluster_id""".stripMargin,
   )
 }

@@ -136,4 +136,62 @@ object SimilarityOps {
         max($"norm").as("max_norm"))
       .orderBy($"label")
   }
+
+  /** X69 — distributed Lloyd's k-means over the embedding column, in
+    * INTEGER space so every step is exact and the unrolled-CTE DuckDB
+    * oracle hash-matches: vectors quantize to milli-units
+    * (`round(x*1000)`), distances are int64 sums of squares, and the
+    * centroid update rounds an exact-in-double mean (sums ≪ 2^53). Float
+    * k-means can't be oracle-checked — cross-row double accumulation is
+    * order-dependent; integer k-means is the same algorithm with a
+    * deterministic answer. Semantic dedup / IVF-index building runs
+    * exactly this loop at corpus scale.
+    *
+    * Spark shape per iteration (the standard scalable Lloyd's): centroids
+    * live on the DRIVER (k×d longs — the only collect), assignment is a
+    * narrow codegen'd argmin over centroid literals (sort_array on
+    * (dist, cid) structs: ties break to the lowest cid), and the update is
+    * posexplode → groupBy(cid, dim) — map-side combine shrinks the shuffle
+    * to k×d rows per partition regardless of corpus size. Empty clusters
+    * keep their previous centroid. Init = the k lowest vec_ids' vectors. */
+  def q106Kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8; val iters = 3
+    val q = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+    val init: Array[(Int, Array[Long])] = q.orderBy($"vec_id").limit(k)
+      .select($"q").as[Array[Long]].collect().zipWithIndex.map(_.swap)
+
+    def assign(cents: Array[(Int, Array[Long])]): DataFrame = {
+      val scored = cents.map { case (cid, c) =>
+        val carr = array(c.map(lit(_)): _*)
+        struct(
+          aggregate(zip_with($"q", carr, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, v) => acc + v).as("d"),
+          lit(cid.toLong).as("cid"))
+      }
+      q.withColumn("best", sort_array(array(scored: _*)).getItem(0))
+        .select($"vec_id", $"q", $"best.cid".as("cid"), $"best.d".as("d"))
+    }
+
+    val finalCents = (1 until iters).foldLeft(init) { (cents, _) =>
+      val updated = assign(cents)
+        .select($"cid", posexplode($"q").as(Seq("dim", "x")))
+        .groupBy($"cid", $"dim")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+        .withColumn("m", expr("CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT)"))
+        .groupBy($"cid")
+        .agg(sort_array(collect_list(struct($"dim", $"m"))).as("c"))
+        .select($"cid", $"c.m".as("c"))
+        .as[(Long, Array[Long])].collect()
+        .map { case (cid, c) => (cid.toInt, c) }.toMap
+      cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    assign(finalCents)
+      .groupBy($"cid".as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), sum($"vec_id").as("sum_vec_ids"),
+        sum($"d").as("inertia"), min($"vec_id").as("min_vec_id"))
+      .orderBy($"cluster_id")
+  }
 }

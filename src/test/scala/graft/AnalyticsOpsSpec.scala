@@ -176,4 +176,46 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byCol("o_orderkey").getAs[Long]("n_distinct") == nOrders)
     assert(byCol("o_orderkey").getAs[Long]("n_nulls") == 0L)
   }
+
+  // ------------------------------------------------------------- X69
+
+  test("distributed integer k-means equals the single-machine run") {
+    import spark.implicits._
+    val got = graft.ops.SimilarityOps.q106Kmeans(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster_id"),
+        (r.getAs[Long]("n_members"), r.getAs[Long]("inertia")))).toMap
+
+    // plain-Scala Lloyd's with the identical quantization/tie/round rules
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    var cents: Array[Array[Long]] = vecs.take(8).map(_._2)
+    def nearest(q: Array[Long]): (Int, Long) = {
+      var best = -1; var bd = Long.MaxValue
+      for (c <- cents.indices) {
+        var d = 0L; var i = 0
+        while (i < q.length) { val t = q(i) - cents(c)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = c }
+      }
+      (best, bd)
+    }
+    for (_ <- 1 until 3) {
+      val byC = vecs.groupBy(v => nearest(v._2)._1)
+      cents = cents.indices.toArray.map { c =>
+        byC.get(c).fold(cents(c)) { m =>
+          val d = m.head._2.length
+          // half-away-from-zero, matching Spark/DuckDB round() — NOT
+          // math.round, which is floor(x+0.5) and differs at negative .5
+          def rnd(x: Double): Long =
+            if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+          Array.tabulate(d)(i => rnd(m.map(_._2(i)).sum.toDouble / m.size))
+        }
+      }
+    }
+    val local = vecs.map(v => nearest(v._2)).groupBy(_._1)
+      .map { case (c, xs) => c.toLong -> (xs.length.toLong, xs.map(_._2).sum) }
+    assert(got == local)
+    assert(got.values.map(_._1).sum == vecs.length)
+  }
 }
