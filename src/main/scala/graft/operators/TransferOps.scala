@@ -40,10 +40,7 @@ object TransferOps {
       Duration.Inf)
     // all writers are done; delete the throwaway target so repeated
     // bench/verify runs don't accumulate full table copies under /tmp
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(dstPath).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount)
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    Transfer.deleteRecursively(dstPath)
     val results = settled.map(_.get) // rethrow the first failure, if any
     results.map(r => (r.table, r.srcRows, r.dstRows, r.checksumMatch))
       .toDF("table_name", "src_rows", "dst_rows", "checksum_match")

@@ -601,10 +601,7 @@ object PipelineOps {
           org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("value_cents", org.apache.spark.sql.types.LongType))))
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.transfer.Transfer.deleteRecursively(tmp)
     }
   }
 }

@@ -184,6 +184,16 @@ object Transfer {
     TransferResult(table, sc, dc, ok && sc == dc)
   }
 
+  /** Recursive local delete for throwaway transfer targets (deepest-first,
+    * stream closed). Shared by the temp-layout queries and specs — NOT for
+    * use on anything but directories this process created. */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val stream = java.nio.file.Files.walk(p)
+    try stream.sorted(java.util.Comparator.reverseOrder())
+      .forEach(x => java.nio.file.Files.deleteIfExists(x))
+    finally stream.close()
+  }
+
   /** Does the endpoint already hold `table`? Parquet: directory existence.
     * JDBC: catalog metadata lookup. This is the ONLY signal syncIncrement
     * treats as "destination absent" — transient read errors (network, auth,

@@ -38,7 +38,8 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (seed <- Seq(1, 7, 42)) {
       val shuffled = new scala.util.Random(seed).shuffle(items)
       val mg = new graft.functions.MisraGries(k)
-      // exercise reduce AND merge: fold two halves separately, then merge
+      // exercise reduce AND merge: fold a third and the remaining two
+      // thirds separately (unequal partials), then merge
       val (l, r) = shuffled.splitAt(n / 3)
       val b = mg.merge(l.foldLeft(mg.zero)(mg.reduce), r.foldLeft(mg.zero)(mg.reduce))
       val (cands, total) = mg.finish(b)
@@ -142,21 +143,41 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       graft.sources.Tables.load(spark, sf, "events")
         .write.partitionBy("event_type").parquet(s"$tmp/ev")
+      // ground truth from the filesystem: data files per partition dir
+      def dataFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+        val st = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+        } finally st.close()
+      }
+      val all = dataFiles(java.nio.file.Path.of(s"$tmp/ev"))
+      val purchaseOnly = all.filter(_.toString.contains("event_type=purchase"))
+      assert(purchaseOnly.nonEmpty && purchaseOnly.size < all.size,
+        s"layout not partitioned: ${all.size} files, ${purchaseOnly.size} purchase")
+
       val scan = spark.read.parquet(s"$tmp/ev")
         .filter($"event_type" === "purchase")
-      val plan = scan.queryExecution.executedPlan.toString
-      assert(plan.contains("PartitionFilters"), plan.take(500))
-      assert(plan.contains("event_type"), plan.take(500))
-      // only files under the matching partition directory are touched
-      val files = scan.select(input_file_name()).distinct()
-        .as[String].collect()
-      assert(files.nonEmpty)
-      assert(files.forall(_.contains("event_type=purchase")), files.mkString(","))
+      // execute THIS queryExecution so the scan node's metrics populate
+      scan.queryExecution.toRdd.foreach(_ => ())
+      def leafScan(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.FileSourceScanExec = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leafScan(a.executedPlan)
+        case other => other.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.getOrElse(fail(s"no FileSourceScanExec in\n$other"))
+      }
+      val f = leafScan(scan.queryExecution.executedPlan)
+      // the pruning predicate sits in PartitionFilters (not a row filter)
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "event_type")),
+        f.metadata.getOrElse("PartitionFilters", "<none>"))
+      // and the scan OPENED only the matching partition's files
+      assert(f.metrics("numFiles").value == purchaseOnly.size.toLong,
+        s"scan read ${f.metrics("numFiles").value} files, " +
+          s"expected ${purchaseOnly.size} of ${all.size}")
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.transfer.Transfer.deleteRecursively(tmp)
     }
   }
 
@@ -205,10 +226,11 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       cents = cents.indices.toArray.map { c =>
         byC.get(c).fold(cents(c)) { m =>
           val d = m.head._2.length
-          // half-away-from-zero, matching Spark/DuckDB round() — NOT
-          // math.round, which is floor(x+0.5) and differs at negative .5
-          def rnd(x: Double): Long =
-            if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+          // HALF_UP on the decimal repr, matching Spark's Round and
+          // DuckDB's round exactly — floor(x+0.5) tricks round the wrong
+          // way for doubles epsilon-below a .5 boundary
+          def rnd(x: Double): Long = BigDecimal(x)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
           Array.tabulate(d)(i => rnd(m.map(_._2(i)).sum.toDouble / m.size))
         }
       }
