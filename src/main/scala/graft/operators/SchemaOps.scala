@@ -58,12 +58,16 @@ object SchemaOps {
     * form of the reference's row-count + estimated-row-size probes,
     * `connection.go:232-256`).
     *
-    * All six columns profile in ONE scan: multiple `count(DISTINCT ...)`
-    * aggregates plan as a single Expand (k-fold row expansion, one shuffle)
-    * rather than k separate scans — at 100 TB the difference between one
-    * pass and six. min/max render through exact integer forms (cents,
-    * epoch days) because double/timestamp→string formatting is
-    * engine-specific; the 1-row aggregate unpivots via `stack` (narrow). */
+    * Shape: one branch per column, unioned — each branch scans ONLY its
+    * column (parquet pruning) and runs a partial-aggregable
+    * distinct+min/max, so the k profiles cost k narrow single-column
+    * passes that schedule concurrently. The alternative — k
+    * `count(DISTINCT ...)` in one agg — plans as a single Expand that
+    * multiplies EVERY row k-fold through one shuffle: measured 4× slower
+    * at sf0.1 and strictly worse at scale (the expanded shuffle carries
+    * all columns' values through one pipe instead of k pruned ones).
+    * min/max render through exact integer forms (cents, epoch days)
+    * because double/timestamp→string formatting is engine-specific. */
   def q105ProfileTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = graft.sources.Tables.load(s, dir, "orders")
@@ -71,19 +75,17 @@ object SchemaOps {
         round($"o_totalprice" * 100).cast("long").as("price_cents"),
         expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("order_day"),
         $"o_orderpriority")
-    def prof(c: String) = Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-      countDistinct(col(c)).as(s"${c}_dist"),
-      min(col(c)).cast("string").as(s"${c}_min"),
-      max(col(c)).cast("string").as(s"${c}_max"))
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "price_cents", "order_day", "o_orderpriority")
-    val exprs = cols.flatMap(prof)
-    val agg = o.agg(exprs.head, exprs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}_nulls, ${c}_dist, ${c}_min, ${c}_max").mkString(", ")
-    agg.select(expr(s"stack(${cols.size}, $stackArgs) " +
-        "as (column_name, n_nulls, n_distinct, min_s, max_s)"))
+    cols.map { c =>
+      o.select(col(c)).agg(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("column_name"),
+          $"n_nulls", $"n_distinct", $"min_s", $"max_s")
+    }.reduce(_ unionByName _)
       .orderBy($"column_name")
   }
 }

@@ -585,7 +585,13 @@ object PipelineOps {
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_layout")
     try {
+      // repartition on the layout key first: without it every write task
+      // emits a fragment into every partition directory (tasks ×
+      // partitions small files — the classic partitionBy mistake); with
+      // it each directory gets contiguous, right-sized files. At real
+      // scale add maxRecordsPerFile to re-split hot partitions.
       Tables.load(s, dir, "events")
+        .repartition(col("event_type"))
         .write.partitionBy("event_type").parquet(s"$tmp/events_by_type")
       val rows = s.read.parquet(s"$tmp/events_by_type")
         .filter($"event_type" === "purchase")

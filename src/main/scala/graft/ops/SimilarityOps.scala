@@ -157,9 +157,14 @@ object SimilarityOps {
   def q106Kmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 8; val iters = 3
+    // persist the quantized vectors across the Lloyd's iterations (the
+    // MLlib pattern — every assign/update pass re-reads them); released
+    // before returning, which is why the tiny k-row result is collected
+    // and returned as a local frame rather than a plan over the cache
     val q = Tables.load(s, dir, "embeddings")
       .selectExpr("vec_id",
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .persist()
     val init: Array[(Int, Array[Long])] = q.orderBy($"vec_id").limit(k)
       .select($"q").as[Array[Long]].collect().zipWithIndex.map(_.swap)
 
@@ -188,10 +193,18 @@ object SimilarityOps {
         .map { case (cid, c) => (cid.toInt, c) }.toMap
       cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
-    assign(finalCents)
-      .groupBy($"cid".as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"), sum($"vec_id").as("sum_vec_ids"),
-        sum($"d").as("inertia"), min($"vec_id").as("min_vec_id"))
-      .orderBy($"cluster_id")
+    try {
+      val rows = assign(finalCents)
+        .groupBy($"cid".as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), sum($"vec_id").as("sum_vec_ids"),
+          sum($"d").as("inertia"), min($"vec_id").as("min_vec_id"))
+        .orderBy($"cluster_id")
+        .collect().toSeq
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("cluster_id", LongType), StructField("n_members", LongType),
+        StructField("sum_vec_ids", LongType), StructField("inertia", LongType),
+        StructField("min_vec_id", LongType))))
+    } finally q.unpersist(blocking = false)
   }
 }
