@@ -135,6 +135,9 @@ object SparkEntry {
     "q104_partition_prune" -> PipelineOps.q104PartitionPrune _,
     "q105_profile_table"  -> SchemaOps.q105ProfileTable _,
     "q106_kmeans"         -> SimilarityOps.q106Kmeans _,
+    "q107_bigram_lm"      -> CorpusOps.q107BigramLm _,
+    "q108_kanon_audit"    -> PipelineOps.q108KanonAudit _,
+    "q109_nested_export"  -> TransferOps.q109NestedExport _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1683,5 +1686,42 @@ object SparkEntry {
         |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids,
         |  CAST(sum(d) AS BIGINT) AS inertia, min(vec_id) AS min_vec_id
         |FROM a3 GROUP BY cid ORDER BY cluster_id""".stripMargin,
+
+    // q107: integer ppm ratios instead of log-probabilities — libm log()
+    // differs by ulps across engines, integer division never does.
+    "q107_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+        |g AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM x),
+        |c2 AS (SELECT w1, w2, count(*) AS n12 FROM g GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+        |d AS (SELECT c2.w1, c2.w2, n12 * 1000000 // n1 AS ppm
+        |      FROM c2 JOIN c1 USING (w1))
+        |SELECT doc_id, count(*) AS n_pairs,
+        |  CAST(sum(ppm) AS BIGINT) // count(*) AS avg_predict_ppm
+        |FROM g JOIN d USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q108_kanon_audit" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS segment,
+        |  count(*) AS n_members,
+        |  1000000 // count(*) AS risk_ppm,
+        |  CASE WHEN count(*) < 5 THEN 'suppress' ELSE 'publish' END AS verdict
+        |FROM customer GROUP BY 1, 2 ORDER BY nationkey, segment""".stripMargin,
+
+    // q109: ordered by the FULL item rendering — l_linenumber is not
+    // unique within an order, so a partial sort key leaves ties
+    // engine-specific.
+    "q109_nested_export" ->
+      """WITH it AS (SELECT l_orderkey,
+        |    CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)
+        |      || ':' || CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR)
+        |      || ':' || CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+        |      AS item
+        |  FROM lineitem)
+        |SELECT l_orderkey, count(*) AS n_items,
+        |  md5(string_agg(item, '|' ORDER BY item)) AS items_md5
+        |FROM it GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
   )
 }

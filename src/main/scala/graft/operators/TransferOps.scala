@@ -85,6 +85,33 @@ object TransferOps {
     * The "current" snapshot is derived deterministically from orders
     * (deletes: key≡0 mod 177; price bump: key≡0 mod 100; inserts: key≡0
     * mod 211 re-keyed +10M) so the oracle replays it exactly. */
+  /** X72 — nested denormalized export: assemble each order's line items
+    * into one deterministic record — the "build the training example /
+    * document-store row" step that inverts the relational layout. The
+    * nested payload is verified by fingerprint (md5 over the
+    * linenumber-ordered, integer-rendered item list) because complex-typed
+    * columns don't hash-compare across engines.
+    *
+    * ONE shuffle on the parent key; the per-group assembly is an
+    * object-aggregating collect_list sorted in-group. The sort key is the
+    * FULL rendered item (linenumber is NOT unique within an order in this
+    * corpus — a partial key would leave the tie order engine-specific and
+    * break the fingerprint; identical full renderings are interchangeable
+    * by construction). At 100 TB the same plan holds: group sizes are
+    * bounded by order width, never by corpus size. */
+  def q109NestedExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey",
+        concat_ws(":", $"l_linenumber".cast("string"), $"l_partkey".cast("string"),
+          round($"l_quantity" * 100).cast("long").cast("string"),
+          round($"l_extendedprice" * 100).cast("long").cast("string")).as("item"))
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        md5(array_join(sort_array(collect_list($"item")), "|")).as("items_md5"))
+      .orderBy($"l_orderkey")
+  }
+
   def q102SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = graft.sources.Tables.load(s, dir, "orders")

@@ -294,6 +294,40 @@ object CorpusOps {
     * threshold, the recounted output is provably EXACT — which is why a
     * plain `HAVING count(*)*200 > total` oracle can hash-match a sketch.
     */
+  /** X70 — bigram language-model predictability score: train corpus bigram
+    * statistics, then score every document by how predictable its word
+    * transitions are — the integer-exact surrogate of LM-perplexity
+    * filtering (the quality gate LLM pipelines run with a real LM; counts
+    * stand in for logits so the oracle can hash-match: `log`/`exp` differ
+    * by ulps across libm implementations, integer ppm ratios never do).
+    *
+    * Shape: bigram extraction is NARROW (zip of the word array with its
+    * own tail — no positional self-join); bigram counts are one combinable
+    * shuffle; context counts derive from the bigram frame (vocabulary-
+    * sized, never touching the corpus again); the corpus re-joins ONCE on
+    * the uniform (w1,w2) key against the count-enriched bigram dictionary
+    * (q77's exchange-reuse pattern). Per-doc aggregation rides the same
+    * doc_id grouping every narrow metric uses. */
+  def q107BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = docs(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val c2 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("n12"))
+    val c1 = c2.groupBy($"w1").agg(sum($"n12").as("n1"))
+    val dict = c2.join(c1, "w1")
+      .select($"w1", $"w2", expr("n12 * 1000000 div n1").as("ppm"))
+    pairs.join(dict, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(ppm) AS BIGINT) div count(1)").as("avg_predict_ppm"))
+      .orderBy($"doc_id")
+  }
+
   def q100HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = docs(s, dir).select(explode(split($"text", " ")).as("w"))

@@ -581,6 +581,27 @@ object PipelineOps {
     * The tiny post-aggregate result is collected before the temp layout is
     * deleted (the plan must not outlive its input files); at real scale the
     * layout is the durable table and nothing is collected. */
+  /** X71 — k-anonymity audit over quasi-identifiers: group sizes for the
+    * (nation, market-segment) identifier combination, each group's
+    * re-identification risk in integer ppm, and the suppress/publish
+    * verdict at k=5 — the privacy-governance gate a training-data release
+    * runs before shipping user-derived tables.
+    *
+    * ONE combinable shuffle on the quasi-identifier key; the frame after
+    * aggregation is identifier-cardinality-sized (tiny), so the audit
+    * costs a scan regardless of table size. */
+  def q108KanonAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 5L
+    Tables.load(s, dir, "customer")
+      .groupBy($"c_nationkey".cast("long").as("nationkey"), $"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("n_members"))
+      .select($"nationkey", $"segment", $"n_members",
+        expr("1000000 div n_members").as("risk_ppm"),
+        when($"n_members" < k, lit("suppress")).otherwise(lit("publish")).as("verdict"))
+      .orderBy($"nationkey", $"segment")
+  }
+
   def q104PartitionPrune(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_layout")

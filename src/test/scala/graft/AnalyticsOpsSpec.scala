@@ -240,4 +240,59 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == local)
     assert(got.values.map(_._1).sum == vecs.length)
   }
+
+  // ------------------------------------------------------------- X70
+
+  test("bigram predictability: ppm bounded, pair counts reconcile") {
+    import spark.implicits._
+    val rows = graft.ops.CorpusOps.q107BigramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("avg_predict_ppm")
+      assert(ppm > 0L && ppm <= 1000000L, s"ppm out of range: $ppm")
+    }
+    // every scored doc contributes exactly (n_words - 1) pairs
+    val nPairs = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_pairs")).toMap
+    val expected = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", (size(split($"text", " ")) - 1).cast("long").as("np"))
+      .filter($"np" >= 1L).as[(Long, Long)].collect().toMap
+    assert(nPairs == expected)
+  }
+
+  // ------------------------------------------------------------- X71
+
+  test("k-anonymity audit partitions the table and flags consistently") {
+    val rows = graft.ops.PipelineOps.q108KanonAudit(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    assert(total == graft.sources.Tables.load(spark, sf, "customer").count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      assert(r.getAs[Long]("risk_ppm") == 1000000L / n)
+      assert(r.getAs[String]("verdict") == (if (n < 5) "suppress" else "publish"))
+    }
+  }
+
+  // ------------------------------------------------------------- X72
+
+  test("nested export fingerprint matches a driver-side reassembly") {
+    import spark.implicits._
+    val got = graft.operators.TransferOps.q109NestedExport(spark, sf)
+      .filter($"l_orderkey" <= 50L)
+      .collect().map(r => r.getAs[Long]("l_orderkey") ->
+        (r.getAs[Long]("n_items"), r.getAs[String]("items_md5"))).toMap
+    val items = graft.sources.Tables.load(spark, sf, "lineitem")
+      .filter($"l_orderkey" <= 50L)
+      .select($"l_orderkey",
+        concat_ws(":", $"l_linenumber".cast("string"), $"l_partkey".cast("string"),
+          round($"l_quantity" * 100).cast("long").cast("string"),
+          round($"l_extendedprice" * 100).cast("long").cast("string")).as("item"))
+      .as[(Long, String)].collect()
+    val local = items.groupBy(_._1).map { case (k, xs) =>
+      val joined = xs.map(_._2).sorted.mkString("|")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      k -> (xs.length.toLong, md)
+    }
+    assert(got == local && got.nonEmpty)
+  }
 }
