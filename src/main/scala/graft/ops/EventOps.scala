@@ -205,14 +205,15 @@ object EventOps {
     val pairs = ev(s, dir).select($"user_id",
       expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
       .distinct()
-    val maxDay = pairs.agg(max($"day").as("max_day"))
+    val daily = pairs.groupBy($"day").agg(count(lit(1)).as("n_active_1d"))
+    // horizon from the tiny per-day aggregate, not a third pass over pairs
+    val maxDay = daily.agg(max($"day").as("max_day"))
     val trailing = pairs
       .select($"user_id", explode(sequence($"day", $"day" + 6L)).as("day"))
       .crossJoin(broadcast(maxDay))
       .filter($"day" <= $"max_day")
       .groupBy($"day")
       .agg(countDistinct($"user_id").as("n_active_7d"))
-    val daily = pairs.groupBy($"day").agg(count(lit(1)).as("n_active_1d"))
     trailing.join(daily, Seq("day"), "left")
       .select($"day", coalesce($"n_active_1d", lit(0L)).as("n_active_1d"),
         $"n_active_7d")

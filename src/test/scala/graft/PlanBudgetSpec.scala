@@ -54,7 +54,21 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q95_embed_coverage" -> 4, // emb distinct + join + lang agg + orderBy
     "q96_chunk_split"   -> 1, // narrow explode; only the final orderBy
     "q97_lang_agreement" -> 2, // narrow predictor + one matrix agg + orderBy
-    "q98_corpus_report" -> 2  // ONE expanded grouping-sets agg + orderBy
+    "q98_corpus_report" -> 2, // ONE expanded grouping-sets agg + orderBy
+    "q99_retention_cohorts" -> 4, // user fold + matrix agg + ppm window + orderBy
+    "q100_heavy_hitters" -> 3, // MG global agg + candidate recount + orderBy
+                               // (no vocabulary-wide shuffle anywhere)
+    "q101_active_window" -> 9, // pairs-distinct feeds three consumers (plan
+                               // text re-counts it; runtime reuses the
+                               // exchange) + 2-phase count-distinct + orderBy
+    "q102_snapshot_diff" -> 4, // full-outer join (2 narrow sides) + status
+                               // agg + orderBy — payload never shuffles
+    "q105_profile_table" -> 12, // 6 single-column branches x 2-phase
+                                // distinct; each moves ONE pruned column
+    "q107_bigram_lm"    -> 7, // gram counts (combinable) + context join +
+                              // corpus re-join + doc agg + orderBy
+    "q108_kanon_audit"  -> 2, // one combinable QI agg + orderBy
+    "q109_nested_export" -> 2  // one parent-key fold + orderBy
   )
 
   budgets.foreach { case (name, max) =>
