@@ -141,6 +141,25 @@ object EventStream {
         col("n_tokens"), col("n_chars"), col("quality_ok"))
   }
 
+  /** Streaming trending terms: watermarked tumbling-window word counts —
+    * the continuous form of q73's vocabulary statistics. Word extraction
+    * is a narrow explode; the windowed count is partial-aggregable with
+    * state bounded by (open windows × live vocabulary); counts FINALIZE
+    * in append mode once the watermark passes the window end. The top-k
+    * cut belongs on the finalized sink: rank-over-window is not
+    * expressible mid-stream, and the stream's job is the heavy
+    * incremental part, not the k-row skim. Input schema as
+    * [[docQualityGate]]. */
+  def trendingTerms(docs: DataFrame, windowMinutes: Int = 60): DataFrame =
+    docs
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word").isNotNull && col("word") =!= "")
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("word"))
+      .count()
+      .select(col("window.start").as("window_start"), col("word"),
+        col("count").as("n"))
+
   /** Streaming incremental dedup against a standing corpus — the
     * streaming face of the batch batch-vs-corpus dedup (q92's exact
     * pass): each arriving document is flagged when its content hash

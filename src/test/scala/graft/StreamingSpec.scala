@@ -221,6 +221,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1L) && !rows(2L) && !rows(4L))
   }
 
+  test("trending terms: windows finalize past the watermark, match batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def doc(id: Long, at: String, text: String) =
+      StreamingSpec.Doc(id, java.sql.Timestamp.valueOf(at), text, "en")
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = EventStream.trendingTerms(mem.toDF(), windowMinutes = 60)
+      .writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Append).start()
+    val batch = Seq(
+      doc(1, "2026-01-01 00:05:00", "spark spark flink"),
+      doc(2, "2026-01-01 00:40:00", "spark duckdb"),
+      doc(3, "2026-01-01 01:10:00", "flink flink flink spark"))
+    mem.addData(batch: _*)
+    q.processAllAvailable()
+    // nothing finalized yet: watermark (2h) still inside both windows
+    assert(spark.table("trending").count() == 0L)
+    // late-arriving far-future doc pushes the watermark past both windows
+    mem.addData(doc(99, "2026-01-01 09:00:00", "closer"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trending").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[String]("word")) -> r.getAs[Long]("n")).toMap
+    val expected = batch
+      .flatMap(d => d.text.split(" ").map(w =>
+        (d.ts.getTime / 3600000 * 3600000, w)))
+      .groupBy(identity).map { case ((ms, w), xs) =>
+        (new java.sql.Timestamp(ms).toString, w) -> xs.size.toLong }
+    assert(got == expected, s"got $got")
+    // the finalized sink supports the top-k skim the stream can't rank
+    val top = got.toSeq.filter(_._1._1.startsWith("2026-01-01 00:"))
+      .sortBy { case ((_, w), n) => (-n, w) }.take(1)
+    assert(top.head._1._2 == "spark" && top.head._2 == 3L)
+  }
+
   test("doc quality gate: dedups, redacts, and flags in-stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
