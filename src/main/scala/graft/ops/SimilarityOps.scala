@@ -169,14 +169,19 @@ object SimilarityOps {
       .select($"q").as[Array[Long]].collect().zipWithIndex.map(_.swap)
 
     def assign(cents: Array[(Int, Array[Long])]): DataFrame = {
-      val scored = cents.map { case (cid, c) =>
-        val carr = array(c.map(lit(_)): _*)
-        struct(
-          aggregate(zip_with($"q", carr, (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, v) => acc + v).as("d"),
-          lit(cid.toLong).as("cid"))
-      }
-      q.withColumn("best", sort_array(array(scored: _*)).getItem(0))
+      // ONE literal array of (cid, centroid) structs + a transform loop:
+      // codegen size is independent of k (an unrolled per-centroid
+      // expression bank recompiles k aggregate exprs per iteration and
+      // stops scaling past a handful of clusters). array_min on the
+      // (d, cid) struct is the argmin with ties to the lowest cid.
+      val centLit = array(cents.map { case (cid, c) =>
+        struct(lit(cid.toLong).as("cid"), array(c.map(lit(_)): _*).as("c"))
+      }: _*)
+      val scored = transform(centLit, ct => struct(
+        aggregate(zip_with($"q", ct.getField("c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d"),
+        ct.getField("cid").as("cid")))
+      q.withColumn("best", array_min(scored))
         .select($"vec_id", $"q", $"best.cid".as("cid"), $"best.d".as("d"))
     }
 
