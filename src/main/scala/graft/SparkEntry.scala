@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Relational, SchemaOps, Views}
 import graft.operators.{FunctionOps, TransferOps}
-import graft.ops.{CorpusOps, DedupOps, EventOps, MultimodalOps, PipelineOps, SimilarityOps, TextOps}
+import graft.ops.{AffinityOps, CorpusOps, DedupOps, EventOps, MultimodalOps, PipelineOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -138,6 +138,14 @@ object SparkEntry {
     "q107_bigram_lm"      -> CorpusOps.q107BigramLm _,
     "q108_kanon_audit"    -> PipelineOps.q108KanonAudit _,
     "q109_nested_export"  -> TransferOps.q109NestedExport _,
+    "q110_copurchase"     -> AffinityOps.q110Copurchase _,
+    "q111_scd2"           -> TransferOps.q111Scd2 _,
+    "q112_first_seen"     -> EventOps.q112FirstSeen _,
+    "q113_oov_rate"       -> ((s, d) => CorpusOps.q113OovRate(s, d)),
+    "q114_length_histogram" -> TextOps.q114LengthHistogram _,
+    "q115_transitions"    -> EventOps.q115Transitions _,
+    "q116_abc_classes"    -> PipelineOps.q116AbcClasses _,
+    "q117_source_overlap" -> AffinityOps.q117SourceOverlap _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1723,5 +1731,122 @@ object SparkEntry {
         |SELECT l_orderkey, count(*) AS n_items,
         |  md5(string_agg(item, '|' ORDER BY item)) AS items_md5
         |FROM it GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    // q110: support counts orders (the incidence is deduped), lift in
+    // integer ppm — n_both·T·1e6 stays far under 2^63.
+    "q110_copurchase" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_both
+        |      FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |f AS (SELECT pk, count(*) AS n FROM po GROUP BY pk),
+        |t AS (SELECT count(DISTINCT ok) AS t FROM po)
+        |SELECT p1, p2, n_both,
+        |  CAST(n_both * t * 1000000 // (f1.n * f2.n) AS BIGINT) AS lift_ppm
+        |FROM p JOIN f f1 ON p.p1 = f1.pk JOIN f f2 ON p.p2 = f2.pk CROSS JOIN t
+        |ORDER BY p1, p2""".stripMargin,
+
+    // q111: the window's ORDER BY includes the orderkey tiebreak — two
+    // same-day orders of one customer must version deterministically.
+    "q111_scd2" ->
+      """SELECT o_custkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  CAST(o_orderdate AS DATE) AS valid_from,
+        |  lead(CAST(o_orderdate AS DATE)) OVER w AS valid_to,
+        |  o_orderstatus AS status,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    // q112: hourly buckets — first contact is front-loaded in this corpus,
+    // so daily buckets would collapse the curve to two rows.
+    "q112_first_seen" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts) // 3600000000) AS hour
+        |           FROM events GROUP BY user_id),
+        |d AS (SELECT hour, count(*) AS n_new_users FROM f GROUP BY hour)
+        |SELECT hour, n_new_users,
+        |  CAST(sum(n_new_users) OVER (ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d ORDER BY hour""".stripMargin,
+
+    // q113: the vocabulary is the top-16 words by (count DESC, word ASC) —
+    // a total order, so both engines build the identical vocab.
+    "q113_oov_rate" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |v AS (SELECT w, 1 AS in_vocab FROM (
+        |        SELECT w, count(*) AS n FROM w GROUP BY w
+        |        ORDER BY n DESC, w LIMIT 16)),
+        |s AS (SELECT doc_id, count(*) AS n_tokens,
+        |        CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_oov
+        |      FROM w LEFT JOIN v USING (w) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  n_oov * 1000000 // n_tokens AS oov_ppm
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q114_length_histogram" ->
+      """SELECT lang, least(n_chars // 100, 19) AS bucket,
+        |  count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "q115_transitions" ->
+      """WITH p AS (SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type,
+        |        count(*) AS n_transitions
+        |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_transitions,
+        |  CAST(n_transitions * 1000000 //
+        |    sum(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS p_ppm
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
+    // q116: integer cut comparisons (cum·100 ≤ total·80) — no percentage
+    // doubles; cum·1e6 ≈ 2e17 would drown in a 53-bit mantissa.
+    "q116_abc_classes" ->
+      """WITH r AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS revenue_cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total FROM r),
+        |c AS (SELECT l_partkey, revenue_cents,
+        |    CAST(sum(revenue_cents) OVER (ORDER BY revenue_cents DESC,
+        |      l_partkey) AS BIGINT) AS cum FROM r)
+        |SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |            WHEN cum * 100 <= total * 95 THEN 'B'
+        |            ELSE 'C' END AS abc_class,
+        |  count(*) AS n_parts,
+        |  CAST(sum(revenue_cents) AS BIGINT) AS revenue_cents,
+        |  min(l_partkey) AS min_partkey,
+        |  CAST(sum(revenue_cents) * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM c CROSS JOIN t GROUP BY 1, total ORDER BY abc_class""".stripMargin,
+
+    // q117: word-trigram shingles — the unigram vocabulary is fully shared
+    // across sources (every pair would score 1.0 and verify nothing).
+    "q117_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |x AS (SELECT source, ws,
+        |        unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+        |g AS (SELECT DISTINCT source,
+        |        ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS t FROM x),
+        |i AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+        |      FROM g a JOIN g b ON a.t = b.t AND a.source < b.source
+        |      GROUP BY 1, 2),
+        |z AS (SELECT source, count(*) AS n_vocab FROM g GROUP BY source)
+        |SELECT s1, s2, n_shared, z1.n_vocab AS v1, z2.n_vocab AS v2,
+        |  n_shared * 1000000 // (z1.n_vocab + z2.n_vocab - n_shared)
+        |    AS jaccard_ppm
+        |FROM i JOIN z z1 ON i.s1 = z1.source JOIN z z2 ON i.s2 = z2.source
+        |ORDER BY s1, s2""".stripMargin,
   )
 }

@@ -66,4 +66,38 @@ object GlobalOrder {
     }
     (spark.createDataFrame(numbered, schema), offsets.last)
   }
+
+  /** Distributed inclusive prefix sum over a total order — the running-sum
+    * analogue of [[withRowNumberAndTotal]] (cumulative revenue, Pareto
+    * cuts, equal-bytes packing). Same two-phase shape: ONE range shuffle,
+    * a per-partition sums job (numPartitions longs — driver tiny) turned
+    * into broadcast prefix offsets, then a narrow map accumulating within
+    * each partition. `valueCol` must be LongType; the grand total comes
+    * back for free from the offsets. */
+  def withRunningSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                     out: String, numPartitions: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val input = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val sorted = input.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val sortedRdd = sorted.rdd // shared: sums job + summing job reuse the shuffle
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val sums = sortedRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var acc = 0L
+        it.foreach(r => acc += r.getLong(vIdx))
+        Iterator((i, acc))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    input.unpersist(blocking = false)
+    val offsets = sums.scanLeft(0L)(_ + _) // offsets(i) = sum before partition i
+    val schema = sorted.schema.add(StructField(out, LongType, nullable = false))
+    val summed = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    (spark.createDataFrame(summed, schema), offsets.last)
+  }
 }

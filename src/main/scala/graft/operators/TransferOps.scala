@@ -139,4 +139,35 @@ object TransferOps {
         min($"k").as("min_key"), max($"k").as("max_key"))
       .orderBy($"status")
   }
+
+  /** X76 — SCD Type-2 dimension build: turn a customer's order history into
+    * versioned validity ranges (valid_from / valid_to, open-ended current
+    * row) — the standard "history table" a migration engine materializes
+    * when the target warehouse wants slowly-changing dimensions instead of
+    * the source's latest-state rows.
+    *
+    * Scale: ONE shuffle on the dimension key; version number, valid_to and
+    * the is-current flag are all a single window pass over each customer's
+    * (date, orderkey)-ordered history — no self-join of the history against
+    * itself (the naive from-to pairing), no global sort until the final
+    * presentation orderBy. Same-day consecutive orders produce zero-length
+    * versions (valid_to = valid_from), disambiguated deterministically by
+    * the orderkey tiebreak — exactly how a warehouse dedups intra-batch
+    * changes. */
+  def q111Scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"valid_from", $"o_orderkey")
+    graft.sources.Tables.load(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("price_cents"),
+        $"o_orderdate".cast("date").as("valid_from"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead($"valid_from", 1).over(w))
+      .withColumn("is_current", when($"valid_to".isNull, 1).otherwise(0))
+      .select($"o_custkey", $"version".cast("long").as("version"),
+        $"valid_from", $"valid_to", $"o_orderstatus".as("status"),
+        $"price_cents", $"is_current".cast("long").as("is_current"))
+      .orderBy($"o_custkey", $"version")
+  }
 }

@@ -344,4 +344,30 @@ object CorpusOps {
         expr(s"n_occurrences * 1000000 div ${total}L").as("share_ppm"))
       .orderBy($"w")
   }
+
+  /** X79 — out-of-vocabulary rate against a frequency-built tokenizer
+    * vocabulary: take the top-V corpus words (count desc, word asc — a
+    * total order, so the vocabulary is deterministic), then score every
+    * document by the ppm share of its tokens that fall outside it. This is
+    * the go/no-go metric for shipping a fixed vocab/tokenizer over a new
+    * corpus.
+    *
+    * Scale: the vocabulary build is one combinable word count + a driver-k
+    * TakeOrdered (vocabulary-sized, not corpus-sized); scoring broadcasts
+    * the V-row vocab back onto the exploded token stream — tokens are
+    * never shuffled, the only data-sized exchange is the per-doc fold. */
+  def q113OovRate(s: SparkSession, dir: String, vocabSize: Int = 16): DataFrame = {
+    import s.implicits._
+    val words = docs(s, dir).select($"doc_id", explode(split($"text", " ")).as("w"))
+    val vocab = words.groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w").limit(vocabSize)
+      .select($"w", lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"doc_id", $"n_tokens", $"n_oov",
+        expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+      .orderBy($"doc_id")
+  }
 }

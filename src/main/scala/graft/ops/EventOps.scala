@@ -219,4 +219,59 @@ object EventOps {
         $"n_active_7d")
       .orderBy($"day")
   }
+
+  /** X77 — first-seen growth curve: new distinct users per HOUR and the
+    * running cumulative user count — the acquisition chart behind every
+    * "signups over time" dashboard, and the one metric a trailing window
+    * (X64) cannot express. Hourly because this corpus front-loads user
+    * first-contact into the opening days — daily buckets would collapse
+    * the curve to two rows and verify nothing.
+    *
+    * Scale: the per-user min(ts) fold is ONE combinable user_id shuffle
+    * (events never move again); the running sum then operates on a frame
+    * whose cardinality is the number of HOURS in the corpus horizon, so
+    * the unpartitioned window — normally a scale bug — is over thousands
+    * of rows regardless of corpus size. */
+  def q112FirstSeen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firstHour = ev(s, dir)
+      .select($"user_id",
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("hour"))
+      .groupBy($"user_id").agg(min($"hour").as("hour"))
+    val hourly = firstHour.groupBy($"hour").agg(count(lit(1)).as("n_new_users"))
+    val w = Window.orderBy($"hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("cum_users", sum($"n_new_users").over(w))
+      .orderBy($"hour")
+  }
+
+  /** X78 — Markov transition matrix of event types: for every ordered pair
+    * (previous event, next event) within a user's (ts, event_id)-ordered
+    * stream, the transition count and probability in integer ppm — the
+    * behavioral fingerprint used for session-model features and bot
+    * detection.
+    *
+    * Scale: lag() shares ONE user_id partitioning with the per-user sort;
+    * the pair aggregation is combinable and its result frame is
+    * |event_types|² (25 rows here) — so after the single event shuffle
+    * everything is effectively driver-sized. Probabilities are integer
+    * ratios of the pair count to its row's prev-type total, computed with
+    * a window over the tiny pair frame. */
+  def q115Transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = ev(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val byPrev = Window.partitionBy($"prev_type")
+    pairs
+      .withColumn("tot", sum($"n_transitions").over(byPrev))
+      .selectExpr("prev_type", "next_type", "n_transitions",
+        "n_transitions * 1000000 div tot AS p_ppm")
+      .orderBy($"prev_type", $"next_type")
+  }
 }

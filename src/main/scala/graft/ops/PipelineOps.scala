@@ -631,4 +631,37 @@ object PipelineOps {
       graft.transfer.Transfer.deleteRecursively(tmp)
     }
   }
+
+  /** X81 — ABC / Pareto revenue classification: rank parts by revenue,
+    * cut the cumulative share at 80% (class A) and 95% (class B), report
+    * per-class part counts and revenue — the inventory-analytics classic,
+    * and the canonical "cumulative sum over a total order" workload.
+    *
+    * Scale: revenue per part is one combinable shuffle; the running sum
+    * over the part-cardinality frame uses [[graft.operators.GlobalOrder
+    * .withRunningSum]] (range shuffle + broadcast prefix offsets) — NOT an
+    * unpartitioned window, which would funnel every part through one task
+    * at catalog scale. Cuts are integer comparisons (cum·100 ≤ total·80),
+    * exact in every engine. */
+  def q116AbcClasses(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.load(s, dir, "lineitem")
+      .select($"l_partkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"l_partkey").agg(sum($"cents").as("revenue_cents"))
+    val (ranked, total) = graft.operators.GlobalOrder.withRunningSum(
+      rev, Seq($"revenue_cents".desc, $"l_partkey"), "revenue_cents", "cum_cents")
+    ranked
+      .withColumn("abc_class",
+        when($"cum_cents" * 100L <= total * 80L, "A")
+          .when($"cum_cents" * 100L <= total * 95L, "B")
+          .otherwise("C"))
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"revenue_cents").as("revenue_cents"),
+        min($"l_partkey").as("min_partkey"))
+      .select($"abc_class", $"n_parts", $"revenue_cents", $"min_partkey",
+        expr(s"revenue_cents * 1000000 div ${total}L").as("share_ppm"))
+      .orderBy($"abc_class")
+  }
 }

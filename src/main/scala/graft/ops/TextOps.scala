@@ -192,4 +192,26 @@ object TextOps {
         sum($"bpe").as("bpe_units"))
       .orderBy($"event_type")
   }
+
+  /** X80 — equi-width length histogram per language: documents bucketed by
+    * character count (width 100, top bucket open-ended) with per-bucket
+    * count and length extrema — the length-distribution profile that
+    * informs chunking (X58) and trimming (X45) thresholds, as a first-class
+    * operator instead of an eyeballed notebook plot.
+    *
+    * Scale: bucket assignment is integer math in the scan projection; the
+    * aggregation is combinable and its result frame is |langs| × 20 — a
+    * narrow map plus one tiny shuffle, nothing else. */
+  def q114LengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"lang", $"n_chars",
+        expr("least(n_chars div 100, 19L)").as("bucket"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang", $"bucket")
+  }
 }

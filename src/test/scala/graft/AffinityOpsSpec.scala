@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.{AffinityOps, CorpusOps, EventOps, TextOps, PipelineOps}
+import graft.operators.TransferOps
+
+/** Invariant checks for the q110-q117 batch (SURVEY.md §2.7 X74-X81)
+  * beyond the driver's DuckDB hash gate: the co-purchase expansion must
+  * equal a driver-side brute force, SCD2 ranges must tile each customer's
+  * history, growth/histogram/transition outputs must reconcile to corpus
+  * totals, and the Pareto cut must respect its threshold algebra.
+  */
+class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("affinity-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ------------------------------------------------------------- X74
+
+  test("co-purchase pairs equal the driver-side brute force") {
+    import spark.implicits._
+    val got = AffinityOps.q110Copurchase(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val po = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = po.groupBy(_._1).values
+    val brute = byOrder.flatMap { lines =>
+      val ps = lines.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toMap
+    assert(got == brute)
+  }
+
+  // ------------------------------------------------------------- X76
+
+  test("SCD2 versions tile each customer's history with one current row") {
+    import spark.implicits._
+    val rows = TransferOps.q111Scd2(spark, sf)
+      .select($"o_custkey", $"version", $"valid_from".cast("string"),
+        $"valid_to".cast("string"), $"is_current")
+      .as[(Long, Long, String, String, Long)].collect()
+    val orders = graft.sources.Tables.load(spark, sf, "orders").count()
+    assert(rows.length == orders) // every order becomes exactly one version
+    rows.groupBy(_._1).foreach { case (cust, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to vs.length).toSeq,
+        s"customer $cust versions not contiguous")
+      // ranges chain: valid_to(v) == valid_from(v+1); only the last is open
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3 && a._5 == 0L)
+        case _ =>
+      }
+      assert(sorted.last._4 == null && sorted.last._5 == 1L)
+    }
+  }
+
+  // ------------------------------------------------------------- X77
+
+  test("first-seen curve: monotone cumulative, reconciles to distinct users") {
+    import spark.implicits._
+    val rows = EventOps.q112FirstSeen(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    assert(rows.map(_._2).sum == rows.last._3) // new-user counts sum to cum
+    val users = graft.sources.Tables.load(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    assert(rows.last._3 == users)
+  }
+
+  // ------------------------------------------------------------- X79
+
+  test("OOV rate: vocab hit iff token in the top-V set; ppm bounded") {
+    import spark.implicits._
+    val got = CorpusOps.q113OovRate(spark, sf).collect()
+    got.foreach { r =>
+      val (tok, oov, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(oov >= 0 && oov <= tok)
+      assert(ppm == oov * 1000000L / tok)
+    }
+    // driver recount for one doc: build the same vocab, rescore doc 0
+    val words = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val vocab = words.groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), $"w").limit(16).select($"w").as[String].collect().toSet
+    val doc0 = words.filter($"doc_id" === 0).select($"w").as[String].collect()
+    val expectOov = doc0.count(w => !vocab.contains(w)).toLong
+    val got0 = got.find(_.getLong(0) == 0L).get
+    assert(got0.getLong(2) == expectOov)
+  }
+
+  // ------------------------------------------------------------- X80
+
+  test("length histogram: buckets partition the corpus, extrema in-bucket") {
+    val rows = TextOps.q114LengthHistogram(spark, sf).collect()
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(mn >= b * 100 && mn <= mx)
+      if (b < 19) assert(mx < (b + 1) * 100)
+    }
+  }
+
+  // ------------------------------------------------------------- X78
+
+  test("transition matrix: rows count n-1 per user, ppm rows sum to ~1e6") {
+    import spark.implicits._
+    val rows = EventOps.q115Transitions(spark, sf).collect()
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val expectTransitions = ev.count() -
+      ev.select($"user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expectTransitions)
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val s = rs.map(_.getLong(3)).sum
+      // floor-rounded ppm shares: within one ulp-per-row of exactly 1e6
+      assert(s > 1000000L - rs.length && s <= 1000000L, s"prev=$prev sum=$s")
+    }
+  }
+
+  // ------------------------------------------------------------- X81
+
+  test("ABC classes: partition parts, respect the 80/95 cut algebra") {
+    import spark.implicits._
+    val rows = PipelineOps.q116AbcClasses(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).distinct.toSeq)
+    val rev = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select($"l_partkey", round($"l_extendedprice" * 100).cast("long").as("c"))
+      .groupBy($"l_partkey").agg(sum($"c").as("c"))
+      .as[(Long, Long)].collect()
+    assert(rows.map(_.getLong(1)).sum == rev.length)  // every part classified
+    assert(rows.map(_.getLong(2)).sum == rev.map(_._2).sum) // revenue total
+    // recompute the cut driver-side and compare per-class part counts
+    val total = rev.map(_._2).sum
+    val sorted = rev.sortBy { case (pk, c) => (-c, pk) }
+    var cum = 0L
+    val classes = sorted.map { case (_, c) =>
+      cum += c
+      if (cum * 100 <= total * 80) "A" else if (cum * 100 <= total * 95) "B" else "C"
+    }
+    val expected = classes.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach(r => assert(expected(r.getString(0)) == r.getLong(1)))
+  }
+
+  // ------------------------------------------------------------- X75
+
+  test("source overlap: shingle jaccard bounded and driver-exact for one pair") {
+    import spark.implicits._
+    val rows = AffinityOps.q117SourceOverlap(spark, sf).collect()
+    rows.foreach { r =>
+      val (ns, v1, v2, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ns >= 1 && ns <= math.min(v1, v2))
+      assert(j >= 1 && j <= 1000000L)
+      assert(j == ns * 1000000L / (v1 + v2 - ns))
+    }
+    // driver recount of the first listed pair's trigram sets
+    val first = rows.head
+    val (s1, s2) = (first.getString(0), first.getString(1))
+    def tris(src: String): Set[String] = graft.sources.Tables
+      .load(spark, sf, "documents").filter($"source" === src)
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")))
+      .toSet
+    val (a, b) = (tris(s1), tris(s2))
+    assert(first.getLong(2) == (a & b).size.toLong)
+    assert(first.getLong(3) == a.size.toLong && first.getLong(4) == b.size.toLong)
+  }
+}
