@@ -29,9 +29,14 @@ object AffinityOps {
   def q110Copurchase(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one (order, part) incidence frame: dedup multiple lines of the same
-    // part in one order so pair support counts orders, not line pairs
+    // part in one order so pair support counts orders, not line pairs.
+    // The explicit non-null filter matches what the self-join would push
+    // into ITS branches only — with every consumer seeing the identical
+    // subtree, ReuseExchange collapses the four uses of this distinct to
+    // ONE scan + ONE (ok, pk) shuffle instead of four of each.
     val po = Tables.load(s, dir, "lineitem")
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .filter($"ok".isNotNull && $"pk".isNotNull)
       .distinct()
     val a = po.select($"ok", $"pk".as("p1"))
     val b = po.select($"ok", $"pk".as("p2"))
@@ -66,12 +71,15 @@ object AffinityOps {
     * are a source-cardinality frame, broadcast. */
   def q117SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // non-null filter aligned across all three consumers (see q110) so the
+    // (source, trigram) distinct plans one scan + one exchange, reused
     val sw = Tables.load(s, dir, "documents")
       .select($"source", split($"text", " ").as("ws"))
       .select($"source", explode(expr(
         """transform(sequence(1, size(ws) - 2),
           |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
           |                 element_at(ws, i + 2)))""".stripMargin)).as("t"))
+      .filter($"source".isNotNull && $"t".isNotNull)
       .distinct()
     val inter = sw.select($"t", $"source".as("s1"))
       .join(sw.select($"t", $"source".as("s2")), Seq("t"))

@@ -68,7 +68,22 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q107_bigram_lm"    -> 7, // gram counts (combinable) + context join +
                               // corpus re-join + doc agg + orderBy
     "q108_kanon_audit"  -> 2, // one combinable QI agg + orderBy
-    "q109_nested_export" -> 2  // one parent-key fold + orderBy
+    "q109_nested_export" -> 2, // one parent-key fold + orderBy
+    "q110_copurchase"   -> 14, // plan text recounts the shared (ok, pk)
+                               // incidence distinct once per consumer; at
+                               // runtime AQE reuses the stage (3 observed
+                               // ReusedQueryStages) — aligned non-null
+                               // filters keep the subtrees identical
+    "q111_scd2"         -> 2, // ONE dimension-key window pass + orderBy
+    "q112_first_seen"   -> 3, // user fold + hour agg + horizon-sized window
+    "q113_oov_rate"     -> 4, // vocab agg + driver-k top + doc fold + orderBy
+    "q114_length_histogram" -> 2, // one combinable agg + orderBy
+    "q115_transitions"  -> 4, // one user_id lag partitioning + pair agg +
+                              // |types|²-frame window + orderBy
+    "q116_abc_classes"  -> 2, // GlobalOrder range shuffle rides the RDD
+                              // bridge; class agg + orderBy remain
+    "q117_source_overlap" -> 11 // same recount shape as q110 over the
+                                // (source, trigram) incidence
   )
 
   budgets.foreach { case (name, max) =>
