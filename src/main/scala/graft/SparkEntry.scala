@@ -146,6 +146,9 @@ object SparkEntry {
     "q115_transitions"    -> EventOps.q115Transitions _,
     "q116_abc_classes"    -> PipelineOps.q116AbcClasses _,
     "q117_source_overlap" -> AffinityOps.q117SourceOverlap _,
+    "q118_rfm_segments"   -> PipelineOps.q118RfmSegments _,
+    "q119_anomaly_p99"    -> EventOps.q119AnomalyP99 _,
+    "q120_session_paths"  -> EventOps.q120SessionPaths _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1848,5 +1851,66 @@ object SparkEntry {
         |    AS jaccard_ppm
         |FROM i JOIN z z1 ON i.s1 = z1.source JOIN z z2 ON i.s2 = z2.source
         |ORDER BY s1, s2""".stripMargin,
+
+    // q118: quartile = (rn-1)*4 // n + 1 in BOTH engines — ntile's
+    // remainder distribution is engine-ambiguous, integer rank math isn't.
+    "q118_rfm_segments" ->
+      """WITH b AS (SELECT o_custkey,
+        |    max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_cents
+        |  FROM orders GROUP BY 1),
+        |x AS (SELECT *, (SELECT max(last_day) FROM b) - last_day
+        |        AS recency_days FROM b),
+        |t AS (SELECT count(*) AS n FROM b),
+        |q AS (SELECT o_custkey, spend_cents,
+        |    (row_number() OVER (ORDER BY recency_days, o_custkey) - 1) * 4
+        |      // n + 1 AS r_q,
+        |    (row_number() OVER (ORDER BY n_orders DESC, o_custkey) - 1) * 4
+        |      // n + 1 AS f_q,
+        |    (row_number() OVER (ORDER BY spend_cents DESC, o_custkey) - 1) * 4
+        |      // n + 1 AS m_q
+        |  FROM x CROSS JOIN t)
+        |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+        |  CAST(sum(spend_cents) AS BIGINT) AS segment_cents
+        |FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
+
+    // q119: exact top-1% rank band, not an approximate percentile — the
+    // threshold is the min flagged value, NULL when n < 100.
+    "q119_anomaly_p99" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY cents DESC, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |f AS (SELECT *, CASE WHEN rk <= n // 100 THEN 1 ELSE 0 END
+        |        AS is_anom FROM r)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(is_anom) AS BIGINT) AS n_anomalies,
+        |  min(CASE WHEN is_anom = 1 THEN cents END) AS threshold_cents,
+        |  max(cents) AS max_cents
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q120: same session definition as q54; array_agg with an explicit
+    // ORDER BY mirrors Spark's sort_array over (us, event_id) structs.
+    "q120_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS prev_us FROM e),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END AS new_sess FROM l),
+        |g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS sess_idx FROM f),
+        |p AS (SELECT user_id, sess_idx,
+        |    array_to_string((array_agg(event_type ORDER BY us, event_id))[1:3],
+        |      '>') AS path
+        |  FROM g GROUP BY user_id, sess_idx)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY path ORDER BY n_sessions DESC, path""".stripMargin,
   )
 }

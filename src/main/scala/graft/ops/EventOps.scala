@@ -274,4 +274,66 @@ object EventOps {
         "n_transitions * 1000000 div tot AS p_ppm")
       .orderBy($"prev_type", $"next_type")
   }
+
+  /** X83 — exact-P99 anomaly audit: per event type, flag the top 1% of
+    * purchase/interaction values and report count + threshold — the alert
+    * feed behind fraud/outlier monitoring. EXACT rank banding (top
+    * n div 100 rows by value with an event_id tiebreak), not an
+    * approximate percentile: an alerting gate that drifts with sketch
+    * error pages someone at 3am.
+    *
+    * Scale: the rank window and the per-type count window share ONE
+    * event_type partitioning (one exchange); the output frame is
+    * |event_types| rows. A type with fewer than 100 events flags nothing
+    * (n div 100 = 0) and reports a NULL threshold. */
+  def q119AnomalyP99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"cents".desc, $"event_id")
+    val cw = Window.partitionBy($"event_type")
+    ev(s, dir)
+      .select($"event_type", $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .withColumn("is_anom",
+        when($"rk" <= expr("n div 100"), 1L).otherwise(0L))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"is_anom").as("n_anomalies"),
+        min(when($"is_anom" === 1L, $"cents")).as("threshold_cents"),
+        max($"cents").as("max_cents"))
+      .orderBy($"event_type")
+  }
+
+  /** X84 — session journey paths: the first three event types of every
+    * gap-defined session (X17's 30-minute sessionization, unchanged),
+    * ranked by how many sessions follow each path — the entry-funnel
+    * report product teams read daily.
+    *
+    * Scale: session assignment rides the SAME single user_id partitioning
+    * as X17; the per-session fold is a combinable groupBy whose in-group
+    * state is capped by the sort_array+slice(3) (the collected struct is
+    * sorted then cut — order-insensitive to collect_list's arrival order);
+    * the path frame is ≤|types|³ rows. */
+  def q120SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 1800L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("us", unix_micros($"ts".cast("timestamp")))
+      .withColumn("new_sess",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum($"new_sess").over(run))
+      .groupBy($"user_id", $"sess_idx")
+      .agg(collect_list(struct($"us", $"event_id", $"event_type")).as("evs"))
+      .select(expr(
+        """array_join(transform(slice(sort_array(evs), 1, 3),
+          |  x -> x.event_type), '>')""".stripMargin).as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+  }
 }

@@ -664,4 +664,52 @@ object PipelineOps {
         expr(s"revenue_cents * 1000000 div ${total}L").as("share_ppm"))
       .orderBy($"abc_class")
   }
+
+  /** X82 — RFM customer segmentation: quartile-band customers on Recency
+    * (days since last order), Frequency (order count) and Monetary (total
+    * spend), then report segment sizes and revenue — the standard CRM
+    * cohorting every warehouse replacing the reference's OLTP pair runs.
+    *
+    * Scale: each quartile is an integer rank band over a TOTAL order
+    * ((rn−1)·4 div n — exact, no ntile remainder ambiguity), computed with
+    * [[graft.operators.GlobalOrder.withRowNumberAndTotal]] — three range
+    * shuffles over the customer-cardinality frame, never an unpartitioned
+    * ntile window funneling every customer through one task. The three
+    * band frames re-join on the customer key (dimension-sized), and the
+    * final segment frame is ≤4³ rows. */
+  def q118RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "orders")
+      .select($"o_custkey",
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"o_custkey")
+      .agg(max($"day").as("last_day"), count(lit(1)).as("n_orders"),
+        sum($"cents").as("spend_cents"))
+    val refDay = base.agg(max($"last_day").as("ref_day")) // 1-row broadcast
+    val rfm = base.crossJoin(broadcast(refDay))
+      .select($"o_custkey", ($"ref_day" - $"last_day").as("recency_days"),
+        $"n_orders", $"spend_cents")
+    def band(metric: org.apache.spark.sql.Column, tiebreak: Boolean,
+             out: String): DataFrame = {
+      val sort = if (tiebreak) Seq(metric, $"o_custkey")
+                 else Seq(metric.desc, $"o_custkey")
+      val (ranked, n) = graft.operators.GlobalOrder.withRowNumberAndTotal(
+        rfm.select($"o_custkey", $"recency_days", $"n_orders", $"spend_cents"),
+        sort, "rn")
+      ranked.selectExpr("o_custkey", s"(rn - 1) * 4 div ${n}L + 1 AS $out")
+    }
+    // recency: smaller is better (ascending); frequency/monetary: larger
+    // is better (descending) — quartile 1 is always the best customers
+    val r = band($"recency_days", tiebreak = true, "r_q")
+    val f = band($"n_orders", tiebreak = false, "f_q")
+    val m = band($"spend_cents", tiebreak = false, "m_q")
+    r.join(f, Seq("o_custkey")).join(m, Seq("o_custkey"))
+      .join(rfm.select($"o_custkey", $"spend_cents"), Seq("o_custkey"))
+      .groupBy($"r_q", $"f_q", $"m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"spend_cents").as("segment_cents"))
+      .orderBy($"r_q", $"f_q", $"m_q")
+  }
 }

@@ -155,6 +155,67 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(expected(r.getString(0)) == r.getLong(1)))
   }
 
+  // ------------------------------------------------------------- X82
+
+  test("RFM: quartile bands near-equal-sized, segments partition customers") {
+    import spark.implicits._
+    val rows = PipelineOps.q118RfmSegments(spark, sf).collect()
+    val nCust = graft.sources.Tables.load(spark, sf, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nCust)
+    // every quartile digit in 1..4; each R-band holds ~n/4 customers
+    // ((rn-1)*4 div n puts every band within 1 of n/4)
+    rows.foreach { r =>
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+        .foreach(q => assert(q >= 1 && q <= 4))
+    }
+    val byR = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    byR.values.foreach(n => assert(math.abs(n - nCust / 4) <= 1))
+    // total spend reconciles to the orders table
+    val spend = graft.sources.Tables.load(spark, sf, "orders")
+      .select(round($"o_totalprice" * 100).cast("long").as("c"))
+      .agg(sum($"c")).head.getLong(0)
+    assert(rows.map(_.getLong(4)).sum == spend)
+  }
+
+  // ------------------------------------------------------------- X83
+
+  test("P99 anomalies: exactly n div 100 flagged, threshold is a real cut") {
+    import spark.implicits._
+    val rows = EventOps.q119AnomalyP99(spark, sf).collect()
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select($"event_type", round($"value" * 100).cast("long").as("cents"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val cents = ev(t).map(_._2).sorted(Ordering[Long].reverse)
+      assert(r.getLong(1) == cents.length)
+      assert(r.getLong(2) == cents.length / 100)
+      if (cents.length >= 100) {
+        // threshold equals the (n/100)-th largest value
+        assert(r.getLong(3) == cents(cents.length / 100 - 1))
+      } else assert(r.isNullAt(3))
+      assert(r.getLong(4) == cents.head)
+    }
+  }
+
+  // ------------------------------------------------------------- X84
+
+  test("session paths: session count reconciles with q54, paths bounded") {
+    val paths = EventOps.q120SessionPaths(spark, sf).collect()
+    val nSessions = EventOps.q54Sessionize(spark, sf).count()
+    assert(paths.map(_.getLong(1)).sum == nSessions)
+    val types = Set("click", "error", "purchase", "signup", "view")
+    paths.foreach { r =>
+      val segs = r.getString(0).split(">")
+      assert(segs.length >= 1 && segs.length <= 3)
+      segs.foreach(t => assert(types.contains(t)))
+    }
+    // ranked output: counts non-increasing
+    val counts = paths.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted(Ordering[Long].reverse))
+  }
+
   // ------------------------------------------------------------- X75
 
   test("source overlap: shingle jaccard bounded and driver-exact for one pair") {
