@@ -149,6 +149,8 @@ object SparkEntry {
     "q118_rfm_segments"   -> PipelineOps.q118RfmSegments _,
     "q119_anomaly_p99"    -> EventOps.q119AnomalyP99 _,
     "q120_session_paths"  -> EventOps.q120SessionPaths _,
+    "q121_ri_audit"       -> TransferOps.q121RiAudit _,
+    "q122_ohlc_bars"      -> EventOps.q122OhlcBars _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1912,5 +1914,69 @@ object SparkEntry {
         |  FROM g GROUP BY user_id, sess_idx)
         |SELECT path, count(*) AS n_sessions
         |FROM p GROUP BY path ORDER BY n_sessions DESC, path""".stripMargin,
+
+    // q121: parent snapshots deterministically damaged (mod 97 / mod 89 —
+    // the q102 mutation idiom) so the audit provably detects orphans; the
+    // intact edges prove it doesn't false-positive.
+    "q121_ri_audit" ->
+      """WITH
+        |e1 AS (SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS fk_edge,
+        |  (SELECT count(*) FROM lineitem) AS n_child,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0))
+        |    AS n_orphan),
+        |e2 AS (SELECT 'lineitem.l_partkey -> part.p_partkey',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+        |    (SELECT p_partkey FROM part))),
+        |e3 AS (SELECT 'lineitem.l_suppkey -> supplier.s_suppkey',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier))),
+        |e4 AS (SELECT 'orders.o_custkey -> customer.c_custkey',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey % 89 <> 0))),
+        |e5 AS (SELECT 'customer.c_nationkey -> nation.n_nationkey',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+        |    (SELECT n_nationkey FROM nation))),
+        |e6 AS (SELECT 'supplier.s_nationkey -> nation.n_nationkey',
+        |  (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN
+        |    (SELECT n_nationkey FROM nation))),
+        |e7 AS (SELECT 'region <- nation.n_regionkey',
+        |  (SELECT count(*) FROM nation),
+        |  (SELECT count(*) FROM nation WHERE n_regionkey NOT IN
+        |    (SELECT r_regionkey FROM region))),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        |  UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6
+        |  UNION ALL SELECT * FROM e7)
+        |SELECT fk_edge, n_child, n_orphan,
+        |  n_orphan * 1000000 // greatest(n_child, 1) AS orphan_ppm
+        |FROM u ORDER BY fk_edge""".stripMargin,
+
+    // q122: open/close via first/last in the (us, event_id) total order —
+    // arg_min/arg_max with composite keys is engine-wobbly, row_number
+    // rank-1 picks are not.
+    "q122_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) // 3600000000 AS hour FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, hour
+        |                       ORDER BY us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, hour
+        |                       ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, hour, count(*) AS n_events,
+        |  max(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+        |  max(cents) AS high_cents,
+        |  min(cents) AS low_cents,
+        |  max(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+        |  CAST(sum(cents) AS BIGINT) AS volume_cents
+        |FROM r GROUP BY event_type, hour
+        |ORDER BY event_type, hour""".stripMargin,
   )
 }

@@ -170,4 +170,58 @@ object TransferOps {
         $"price_cents", $"is_current".cast("long").as("is_current"))
       .orderBy($"o_custkey", $"version")
   }
+
+  /** X85 — referential-integrity audit: orphan counts for every foreign-key
+    * edge of the star schema — the "did every parent row make it across?"
+    * gate a migration engine must run beyond the reference's per-table
+    * count compare (P3). Two parent snapshots are deterministically damaged
+    * (orders missing keys ≡ 0 mod 97, customer missing keys ≡ 0 mod 89 —
+    * the q102 mutation idiom) so the audit provably DETECTS orphans rather
+    * than vacuously reporting zeros on by-construction-consistent data;
+    * the intact edges prove it doesn't false-positive.
+    *
+    * Scale: each edge is one left-anti join; child sides project to the
+    * single FK column before shuffling (at dimension-parent edges the
+    * parent broadcasts and the child never moves). The report frame is
+    * |edges| rows. */
+  def q121RiAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def t(n: String) = graft.sources.Tables.load(s, dir, n)
+    val orders   = t("orders").select($"o_orderkey")
+      .filter($"o_orderkey" % 97 =!= 0)                 // planted damage
+    val customer = t("customer").select($"c_custkey")
+      .filter($"c_custkey" % 89 =!= 0)                  // planted damage
+    val edges: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("lineitem.l_orderkey -> orders.o_orderkey",
+        t("lineitem").select($"l_orderkey".as("k")), orders.toDF("k")),
+      ("lineitem.l_partkey -> part.p_partkey",
+        t("lineitem").select($"l_partkey".as("k")),
+        t("part").select($"p_partkey".as("k"))),
+      ("lineitem.l_suppkey -> supplier.s_suppkey",
+        t("lineitem").select($"l_suppkey".as("k")),
+        t("supplier").select($"s_suppkey".as("k"))),
+      ("orders.o_custkey -> customer.c_custkey",
+        t("orders").select($"o_custkey".as("k")), customer.toDF("k")),
+      ("customer.c_nationkey -> nation.n_nationkey",
+        t("customer").select($"c_nationkey".cast("long").as("k")),
+        t("nation").select($"n_nationkey".cast("long").as("k"))),
+      ("supplier.s_nationkey -> nation.n_nationkey",
+        t("supplier").select($"s_nationkey".cast("long").as("k")),
+        t("nation").select($"n_nationkey".cast("long").as("k"))),
+      ("region <- nation.n_regionkey",
+        t("nation").select($"n_regionkey".cast("long").as("k")),
+        t("region").select($"r_regionkey".cast("long").as("k"))))
+    // ONE lazy plan: each edge contributes two 1-row aggregates (child
+    // count + anti-join orphan count) — the union's branches schedule in
+    // parallel, nothing is collected during query construction
+    edges.map { case (name, child, parent) =>
+      val nChild = child.agg(count(lit(1)).as("n_child"))
+      val nOrphan = child.join(parent, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      nChild.crossJoin(nOrphan)
+        .select(lit(name).as("fk_edge"), $"n_child", $"n_orphan",
+          expr("n_orphan * 1000000 div greatest(n_child, 1)").as("orphan_ppm"))
+    }.reduce(_ unionByName _)
+      .orderBy($"fk_edge")
+  }
 }

@@ -336,4 +336,38 @@ object EventOps {
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy($"n_sessions".desc, $"path")
   }
+
+  /** X86 — tumbling-window OHLC bars: per event type and hour, the opening
+    * value (first by time), high, low, closing value (last by time), event
+    * count and volume — the arg-first/arg-last aggregation family, time-
+    * series compaction every metrics store performs at ingest.
+    *
+    * Scale: ascending and descending row_number windows SHARE one
+    * (event_type, hour) hash partitioning (one exchange, two in-partition
+    * sorts), and the bar fold is combinable on the same key — so the whole
+    * operator is one shuffle of (type, hour, cents) triples, never a
+    * self-join of the stream against window boundaries. Open/close ties
+    * are impossible: event_id is the total-order tiebreak. */
+  def q122OhlcBars(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = ev(s, dir)
+      .select($"event_type", $"event_id",
+        expr("unix_micros(cast(ts as timestamp))").as("us"),
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("hour", expr("us div 3600000000"))
+    val asc = Window.partitionBy($"event_type", $"hour").orderBy($"us", $"event_id")
+    val desc = Window.partitionBy($"event_type", $"hour")
+      .orderBy($"us".desc, $"event_id".desc)
+    base
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy($"event_type", $"hour")
+      .agg(count(lit(1)).as("n_events"),
+        max(when($"rn_a" === 1, $"cents")).as("open_cents"),
+        max($"cents").as("high_cents"),
+        min($"cents").as("low_cents"),
+        max(when($"rn_d" === 1, $"cents")).as("close_cents"),
+        sum($"cents").as("volume_cents"))
+      .orderBy($"event_type", $"hour")
+  }
 }

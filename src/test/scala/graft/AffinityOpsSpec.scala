@@ -216,6 +216,56 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts == counts.sorted(Ordering[Long].reverse))
   }
 
+  // ------------------------------------------------------------- X85
+
+  test("RI audit: planted orphans counted exactly, intact edges report zero") {
+    import spark.implicits._
+    val rows = TransferOps.q121RiAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val or = graft.sources.Tables.load(spark, sf, "orders")
+    // every child key exists in the undamaged parent, so orphans == rows
+    // whose parent key hits the planted removal rule
+    val liOrphans = li.filter($"l_orderkey" % 97 === 0).count()
+    val orOrphans = or.filter($"o_custkey" % 89 === 0).count()
+    assert(rows("lineitem.l_orderkey -> orders.o_orderkey") ==
+      (li.count(), liOrphans))
+    assert(rows("orders.o_custkey -> customer.c_custkey") ==
+      (or.count(), orOrphans))
+    Seq("lineitem.l_partkey -> part.p_partkey",
+      "lineitem.l_suppkey -> supplier.s_suppkey",
+      "customer.c_nationkey -> nation.n_nationkey",
+      "supplier.s_nationkey -> nation.n_nationkey",
+      "region <- nation.n_regionkey").foreach(e => assert(rows(e)._2 == 0L))
+  }
+
+  // ------------------------------------------------------------- X86
+
+  test("OHLC bars: driver recount for one bar, envelope invariants for all") {
+    import spark.implicits._
+    val rows = EventOps.q122OhlcBars(spark, sf).collect()
+    val nEvents = graft.sources.Tables.load(spark, sf, "events").count()
+    assert(rows.map(_.getLong(2)).sum == nEvents)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(h >= l && o >= l && o <= h && c >= l && c <= h)
+      if (r.getLong(2) == 1) assert(o == c && o == h && h == l)
+    }
+    // brute-force the bar with the most events
+    val top = rows.maxBy(_.getLong(2))
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .filter($"event_type" === top.getString(0))
+      .select(expr("unix_micros(cast(ts as timestamp))").as("us"),
+        $"event_id", round($"value" * 100).cast("long").as("cents"))
+      .filter(expr(s"us div 3600000000 = ${top.getLong(1)}L"))
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(top.getLong(2) == evs.length)
+    assert(top.getLong(3) == evs.head._3 && top.getLong(6) == evs.last._3)
+    assert(top.getLong(4) == evs.map(_._3).max)
+    assert(top.getLong(5) == evs.map(_._3).min)
+    assert(top.getLong(7) == evs.map(_._3).sum)
+  }
+
   // ------------------------------------------------------------- X75
 
   test("source overlap: shingle jaccard bounded and driver-exact for one pair") {

@@ -90,8 +90,14 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                               // dimension-sized frames
     "q119_anomaly_p99"  -> 2, // ONE event_type partitioning (rank + count
                               // windows share it) + orderBy
-    "q120_session_paths" -> 3 // q54's single user_id partitioning + path
-                              // agg + ranked orderBy
+    "q120_session_paths" -> 3, // q54's single user_id partitioning + path
+                               // agg + ranked orderBy
+    "q121_ri_audit"     -> 28, // 7 FK edges × (2-phase child count +
+                               // 2-phase orphan count) — every exchange
+                               // carries a 1-row aggregate; the anti-joins
+                               // themselves broadcast the parent key set
+    "q122_ohlc_bars"    -> 2  // ONE (type, hour) partitioning shared by
+                              // both rank windows + the bar fold, + orderBy
   )
 
   budgets.foreach { case (name, max) =>
