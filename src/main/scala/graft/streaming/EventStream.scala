@@ -36,6 +36,30 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("value_cents"))
 
+  /** X86's continuous form — streaming OHLC bars: per event type and
+    * tumbling hour, open/high/low/close/volume, finalizing in append mode
+    * once the watermark passes the window end. Open/close are min_by/
+    * max_by over the (event-time micros, event_id) struct — a TOTAL order
+    * (event_id unique), so the picks are deterministic and match the
+    * batch operator's rank-1 selection exactly. State per open window ×
+    * type is constant-size running extrema, never buffered events. */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("cents"), struct(col("us"), col("event_id"))).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), struct(col("us"), col("event_id"))).as("close_cents"),
+        sum(col("cents")).as("volume_cents"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("open_cents"), col("high_cents"),
+        col("low_cents"), col("close_cents"), col("volume_cents"))
+
   /** Gap-based sessionization (30-minute inactivity) with
     * flatMapGroupsWithState — custom keyed state, the Spark-native
     * replacement for hand-rolled cursor loops over ordered scans. */

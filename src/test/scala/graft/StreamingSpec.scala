@@ -257,6 +257,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.head._1._2 == "spark" && top.head._2 == 3L)
   }
 
+  test("OHLC bars finalize past the watermark and match the batch picks") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.ohlcBars(mem.toDF())
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode(OutputMode.Append).start()
+    // one hour-bucket of 'click' events (base ts is 22:13:20 UTC, so all
+    // offsets stay below the 23:00 boundary), arriving out of order
+    val batch = Seq(
+      ev(3, 40, 1, "click", 7.00),   // close (latest ts)
+      ev(1, 5, 1, "click", 2.50),
+      ev(4, 3, 2, "click", 9.99),    // open (earliest ts) and high
+      ev(2, 30, 2, "click", 0.25))   // low
+    mem.addData(batch: _*)
+    q.processAllAvailable()
+    assert(spark.table("ohlc").count() == 0L) // window still open
+    mem.addData(ev(99, 600, 9, "view", 1.0))  // push the watermark past it
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ohlc").collect()
+      .filter(_.getAs[String]("event_type") == "click")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_events") == 4L)
+    assert(r.getAs[Long]("open_cents") == 999L)   // id 4 at minute 3
+    assert(r.getAs[Long]("high_cents") == 999L)
+    assert(r.getAs[Long]("low_cents") == 25L)
+    assert(r.getAs[Long]("close_cents") == 700L)  // id 3 at minute 40
+    assert(r.getAs[Long]("volume_cents") == 999L + 250L + 25L + 700L)
+  }
+
   test("doc quality gate: dedups, redacts, and flags in-stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
