@@ -151,6 +151,8 @@ object SparkEntry {
     "q120_session_paths"  -> EventOps.q120SessionPaths _,
     "q121_ri_audit"       -> TransferOps.q121RiAudit _,
     "q122_ohlc_bars"      -> EventOps.q122OhlcBars _,
+    "q123_item_rank"      -> AffinityOps.q123ItemRank _,
+    "q124_schema_evolution" -> SchemaOps.q124SchemaEvolution _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -1978,5 +1980,45 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS volume_cents
         |FROM r GROUP BY event_type, hour
         |ORDER BY event_type, hour""".stripMargin,
+
+    // q123: the damped propagation loop unrolled as three CTEs — integer
+    // ppm arithmetic makes the fixed point bit-identical across engines.
+    "q123_item_rank" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pr AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS w
+        |       FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT p1 AS src, p2 AS dst, w FROM pr
+        |      UNION ALL SELECT p2, p1, w FROM pr),
+        |wt AS (SELECT src, CAST(sum(w) AS BIGINT) AS w_tot FROM e GROUP BY src),
+        |g AS (SELECT e.src, e.dst, e.w, wt.w_tot FROM e JOIN wt USING (src)),
+        |s0 AS (SELECT DISTINCT src AS pk, CAST(1000000 AS BIGINT) AS score FROM e),
+        |s1 AS (SELECT dst AS pk,
+        |    150000 + 850 * CAST(sum(score * w // w_tot) AS BIGINT) // 1000 AS score
+        |  FROM g JOIN s0 ON g.src = s0.pk GROUP BY dst),
+        |s2 AS (SELECT dst AS pk,
+        |    150000 + 850 * CAST(sum(score * w // w_tot) AS BIGINT) // 1000 AS score
+        |  FROM g JOIN s1 ON g.src = s1.pk GROUP BY dst),
+        |s3 AS (SELECT dst AS pk,
+        |    150000 + 850 * CAST(sum(score * w // w_tot) AS BIGINT) // 1000 AS score
+        |  FROM g JOIN s2 ON g.src = s2.pk GROUP BY dst)
+        |SELECT pk AS part_key, score AS rank_ppm FROM s3
+        |ORDER BY rank_ppm DESC, part_key LIMIT 100""".stripMargin,
+
+    // q124: expected profile recomputed from the SOURCE table via the
+    // deterministic even/odd batch rule — the oracle never reads the temp
+    // layout the Spark side wrote.
+    "q124_schema_evolution" ->
+      """WITH t AS (SELECT count(*) AS n FROM orders),
+        |a AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 <> 0),
+        |u AS (
+        |  SELECT 'o_orderkey' AS column_name, t.n AS n_rows, t.n AS n_nonnull FROM t
+        |  UNION ALL SELECT 'o_custkey', t.n, t.n FROM t
+        |  UNION ALL SELECT 'price_cents', t.n, a.n FROM t CROSS JOIN a
+        |  UNION ALL SELECT 'o_orderpriority', t.n, b.n FROM t CROSS JOIN b)
+        |SELECT column_name, n_rows, n_nonnull,
+        |  n_nonnull * 1000000 // n_rows AS coverage_ppm
+        |FROM u ORDER BY column_name""".stripMargin,
   )
 }

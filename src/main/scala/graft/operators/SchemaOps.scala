@@ -88,4 +88,51 @@ object SchemaOps {
     }.reduce(_ unionByName _)
       .orderBy($"column_name")
   }
+
+  /** X89 — schema-evolution merge audit: write two parquet batches whose
+    * schemas have drifted (a column dropped, a column added, one shared
+    * core), read the directory back with `mergeSchema`, and profile the
+    * union schema's null structure — the "did the new feed break the old
+    * readers?" report every long-lived lake table needs when producers
+    * evolve independently. The batch split is deterministic (even/odd
+    * orderkey), so the DuckDB oracle recomputes the expected profile from
+    * the source table without touching the temp files.
+    *
+    * Scale: schema merge happens at footer level (file-count-sized, not
+    * data-sized); the null profile is one combinable aggregate over the
+    * merged scan. The temp layout is removed afterwards. */
+  def q124SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve")
+    try {
+      val o = graft.sources.Tables.load(s, dir, "orders")
+      // batch A (old producer): core + o_totalprice, even keys
+      o.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_custkey",
+          round($"o_totalprice" * 100).cast("long").as("price_cents"))
+        .write.parquet(s"$tmp/batch=a")
+      // batch B (new producer): core + o_orderpriority, odd keys —
+      // price_cents dropped, priority added
+      o.filter($"o_orderkey" % 2 =!= 0)
+        .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+        .write.parquet(s"$tmp/batch=b")
+      val merged = s.read.option("mergeSchema", "true").parquet(tmp.toString)
+      val cols = Seq("o_orderkey", "o_custkey", "price_cents", "o_orderpriority")
+      val rows = cols.map { c =>
+        merged.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNotNull, 1L).otherwise(0L)).as("n_nonnull"))
+          .select(lit(c).as("column_name"), $"n_rows", $"n_nonnull",
+            expr("n_nonnull * 1000000 div n_rows").as("coverage_ppm"))
+      }.reduce(_ unionByName _)
+        .orderBy($"column_name")
+        .collect().toSeq
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("column_name", StringType), StructField("n_rows", LongType),
+        StructField("n_nonnull", LongType), StructField("coverage_ppm", LongType))))
+    } finally {
+      graft.transfer.Transfer.deleteRecursively(tmp)
+    }
+  }
 }

@@ -93,4 +93,61 @@ object AffinityOps {
         expr("n_shared * 1000000 div (v1 + v2 - n_shared)").as("jaccard_ppm"))
       .orderBy($"s1", $"s2")
   }
+
+  /** X88 — iterative item-rank over the co-purchase graph: 3 rounds of
+    * damped, weight-normalized score propagation (the PageRank recurrence)
+    * across the part-pair edges, entirely in integer ppm — libm-free, so
+    * the fixed-point result is bit-identical in every engine and the
+    * DuckDB oracle replays the loop as three unrolled CTEs.
+    *
+    *   s₀(v)   = 1_000_000
+    *   s₊(v)   = 150_000 + 850·(Σ_{u→v} s(u)·w(u,v) div W(u)) div 1000
+    *
+    * Scale: the edge list is built ONCE (the q110 expansion, both
+    * directions) and the score frame is node-cardinality-sized — each
+    * iteration broadcasts scores onto the edges and folds contributions
+    * with ONE combinable dst-key shuffle; edges never re-shuffle, and the
+    * loop count is fixed (no driver-side convergence collect). At catalog
+    * sizes past broadcast range, the same loop runs with edges and scores
+    * co-partitioned on the join key. Nodes with no qualifying edge are
+    * out of the graph by definition. */
+  def q123ItemRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val po = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .filter($"ok".isNotNull && $"pk".isNotNull)
+      .distinct()
+    val pairs = po.select($"ok", $"pk".as("p1"))
+      .join(po.select($"ok", $"pk".as("p2")), Seq("ok"))
+      .filter($"p1" < $"p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+    // undirected: materialize both directions, then the per-source total
+    // weight W(u) every contribution normalizes by
+    val edges = pairs.select($"p1".as("src"), $"p2".as("dst"), $"w")
+      .unionByName(pairs.select($"p2".as("src"), $"p1".as("dst"), $"w"))
+    val wTot = edges.groupBy($"src").agg(sum($"w").as("w_tot"))
+    val g = edges.join(wTot, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = g.select($"src".as("pk")).distinct()
+    var scores = nodes.select($"pk", lit(1000000L).as("score"))
+    for (_ <- 1 to 3) {
+      scores = g
+        .join(broadcast(scores.withColumnRenamed("pk", "src")), Seq("src"))
+        .select($"dst", expr("score * w div w_tot").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("inflow"))
+        .select($"dst".as("pk"),
+          expr("150000 + 850 * inflow div 1000").as("score"))
+    }
+    try {
+      // the ranked head is driver-small (k rows); materialize it while the
+      // edge frame is still cached, then return a local frame (q106 idiom)
+      val rows = scores.select($"pk".as("part_key"), $"score".as("rank_ppm"))
+        .orderBy($"rank_ppm".desc, $"part_key")
+        .limit(100).collect().toSeq
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("part_key", LongType), StructField("rank_ppm", LongType))))
+    } finally g.unpersist(blocking = false)
+  }
 }

@@ -266,6 +266,49 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.getLong(7) == evs.map(_._3).sum)
   }
 
+  // ------------------------------------------------------------- X88
+
+  test("item-rank: distributed loop equals a driver-side replay") {
+    import spark.implicits._
+    val got = AffinityOps.q123ItemRank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    got.foreach { case (_, s) => assert(s >= 150000L) }
+    // rebuild the graph locally and run the identical integer recurrence
+    val po = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val pairs = po.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2)
+    val edges = pairs.toSeq.flatMap { case ((a, b), w) =>
+      Seq((a, b, w), (b, a, w)) }
+    val wTot = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var score = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val inflow = edges.groupBy(_._2).view.mapValues(_.map { case (s2, _, w) =>
+        score(s2) * w / wTot(s2) }.sum)
+      score = inflow.map { case (pk, in) => pk -> (150000L + 850L * in / 1000L) }.toMap
+    }
+    val expect = score.toSeq.sortBy { case (pk, s2) => (-s2, pk) }.take(100)
+    assert(got.toSeq == expect)
+  }
+
+  // ------------------------------------------------------------- X89
+
+  test("schema-evolution audit matches the planted batch rule") {
+    import spark.implicits._
+    val rows = graft.operators.SchemaOps.q124SchemaEvolution(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+    val n = o.count()
+    val even = o.filter($"o_orderkey" % 2 === 0).count()
+    assert(rows("o_orderkey") == (n, n))
+    assert(rows("o_custkey") == (n, n))
+    assert(rows("price_cents") == (n, even))      // only batch A carries it
+    assert(rows("o_orderpriority") == (n, n - even)) // only batch B
+  }
+
   // ------------------------------------------------------------- X75
 
   test("source overlap: shingle jaccard bounded and driver-exact for one pair") {
