@@ -153,6 +153,7 @@ object SparkEntry {
     "q122_ohlc_bars"      -> EventOps.q122OhlcBars _,
     "q123_item_rank"      -> AffinityOps.q123ItemRank _,
     "q124_schema_evolution" -> SchemaOps.q124SchemaEvolution _,
+    "q125_ldiversity"     -> PipelineOps.q125LDiversity _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2020,5 +2021,16 @@ object SparkEntry {
         |SELECT column_name, n_rows, n_nonnull,
         |  n_nonnull * 1000000 // n_rows AS coverage_ppm
         |FROM u ORDER BY column_name""".stripMargin,
+
+    // q125: negative balances land in band 0 in BOTH engines — Spark div
+    // and DuckDB // truncate integer division toward zero alike.
+    "q125_ldiversity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  c_mktsegment AS segment, count(*) AS n_members,
+        |  CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 100000)
+        |    AS BIGINT) AS n_sensitive,
+        |  CASE WHEN count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)
+        |    // 100000) < 3 THEN 'diversify' ELSE 'publish' END AS verdict
+        |FROM customer GROUP BY 1, 2 ORDER BY nationkey, segment""".stripMargin,
   )
 }

@@ -712,4 +712,30 @@ object PipelineOps {
         sum($"spend_cents").as("segment_cents"))
       .orderBy($"r_q", $"f_q", $"m_q")
   }
+
+  /** X90 — l-diversity audit: beyond X71's k-anonymity (group SIZE), each
+    * quasi-identifier group must also contain at least l distinct values
+    * of the sensitive attribute — a group of 50 people who all share one
+    * account balance band leaks the band even though k=50 passes. QI =
+    * (nationkey, mktsegment) as in X71; sensitive attribute = the
+    * customer's spend band (decile of account balance cents).
+    *
+    * Scale: ONE combinable shuffle on the QI key computes size and
+    * distinct-sensitive-count together (count_distinct partial-aggregates
+    * per group); the audited frame is QI-cardinality-sized. */
+  def q125LDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = 3L
+    Tables.load(s, dir, "customer")
+      .select($"c_nationkey".cast("long").as("nationkey"),
+        $"c_mktsegment".as("segment"),
+        expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("bal_band"))
+      .groupBy($"nationkey", $"segment")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct($"bal_band").as("n_sensitive"))
+      .select($"nationkey", $"segment", $"n_members", $"n_sensitive",
+        when($"n_sensitive" < l, lit("diversify")).otherwise(lit("publish"))
+          .as("verdict"))
+      .orderBy($"nationkey", $"segment")
+  }
 }

@@ -309,6 +309,49 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("o_orderpriority") == (n, n - even)) // only batch B
   }
 
+  // ------------------------------------------------------------- X90
+
+  test("l-diversity: groups match k-anon frame, verdict follows the rule") {
+    import spark.implicits._
+    val ld = PipelineOps.q125LDiversity(spark, sf).collect()
+    val ka = PipelineOps.q108KanonAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ld.length == ka.size) // same QI partition
+    ld.foreach { r =>
+      val key = (r.getLong(0), r.getString(1))
+      assert(r.getLong(2) == ka(key)) // same group sizes
+      val (n, d) = (r.getLong(2), r.getLong(3))
+      assert(d >= 1 && d <= n)
+      assert(r.getString(4) == (if (d < 3) "diversify" else "publish"))
+    }
+  }
+
+  test("dynamic partition pruning fires on a partitioned-fact dim join") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp")
+    try {
+      graft.sources.Tables.load(spark, sf, "events")
+        .write.partitionBy("event_type").parquet(s"$tmp/fact")
+      val fact = spark.read.parquet(s"$tmp/fact")
+      // the dim predicate must be AGGREGATE-derived: a literal equality on
+      // the join key propagates through the equi-join as a STATIC
+      // partition filter (strictly better than DPP, but not what this
+      // test pins down) — a count threshold can only be evaluated at
+      // runtime, forcing the dynamicpruning subquery onto the fact scan
+      val dim = graft.sources.Tables.load(spark, sf, "events")
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .filter($"n" > 205L) // selects only the most frequent type(s)
+        .select($"event_type")
+      val joined = fact.join(dim, Seq("event_type"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no DPP in plan:\n${plan.take(2000)}")
+      val expect = graft.sources.Tables.load(spark, sf, "events")
+        .filter($"event_type" === "click").count() // the only type > 205
+      assert(joined.count() == expect)
+    } finally graft.transfer.Transfer.deleteRecursively(tmp)
+  }
+
   // ------------------------------------------------------------- X75
 
   test("source overlap: shingle jaccard bounded and driver-exact for one pair") {

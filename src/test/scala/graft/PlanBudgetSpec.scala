@@ -96,8 +96,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                                // 2-phase orphan count) — every exchange
                                // carries a 1-row aggregate; the anti-joins
                                // themselves broadcast the parent key set
-    "q122_ohlc_bars"    -> 2  // ONE (type, hour) partitioning shared by
+    "q122_ohlc_bars"    -> 2, // ONE (type, hour) partitioning shared by
                               // both rank windows + the bar fold, + orderBy
+    "q125_ldiversity"   -> 3  // one combinable QI agg (count_distinct is
+                              // 2-phase) + orderBy
   )
 
   budgets.foreach { case (name, max) =>
