@@ -1085,7 +1085,8 @@ object SparkEntry {
         |    len(string_split(text, ' ')) AS n_words,
         |    list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
         |                (a, b) -> (a * 31 + b) % 1000000007) AS fp,
-        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |    min(doc_id) OVER (PARTITION BY
+        |      coalesce(md5(text), 'null:' || CAST(doc_id AS VARCHAR))) AS keep_id
         |  FROM documents),
         |r AS (SELECT lang,
         |    CASE WHEN doc_id <> keep_id THEN 'exact_dup'

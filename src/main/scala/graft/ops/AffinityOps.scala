@@ -75,6 +75,8 @@ object AffinityOps {
     // (source, trigram) distinct plans one scan + one exchange, reused
     val sw = Tables.load(s, dir, "documents")
       .select($"source", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 3) // TextGrams contract: sequence(1, n-2)
+                                // DESCENDS for shorter docs and crashes
       .select($"source", explode(expr(
         """transform(sequence(1, size(ws) - 2),
           |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),

@@ -157,7 +157,11 @@ object CorpusOps {
       .withColumn("n_words", size(split($"text", " ")))
       .withColumn("fp", expr("graft_fingerprint(text)"))
       .withColumn("keep_id",
-        min($"doc_id").over(Window.partitionBy(md5($"text"))))
+        // null-text docs are NOT duplicates of each other: give each its
+        // own partition key instead of letting md5(NULL)=NULL group them
+        // (the invariant the streaming gate documents at docQualityGate)
+        min($"doc_id").over(Window.partitionBy(
+          coalesce(md5($"text"), concat(lit("null:"), $"doc_id")))))
       .withColumn("reason",
         when($"doc_id" =!= $"keep_id", "exact_dup")
           .when($"n_words" < 20 || $"n_words" > 500, "quality")

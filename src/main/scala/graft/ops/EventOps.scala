@@ -86,7 +86,9 @@ object EventOps {
         round($"value" * 100).cast("long").as("c"))
     val hourly = e.groupBy($"hour")
       .agg(count(lit(1)).as("n"), sum($"c").as("cents"))
-    val spine = e.agg(min($"hour").as("lo"), max($"hour").as("hi"))
+    // horizon from the tiny hourly aggregate, not a second corpus scan
+    // (the q101 idiom)
+    val spine = hourly.agg(min($"hour").as("lo"), max($"hour").as("hi"))
       .selectExpr("explode(sequence(lo, hi, interval 1 hour)) AS hour")
     spine.join(hourly, Seq("hour"), "left")
       .select($"hour",

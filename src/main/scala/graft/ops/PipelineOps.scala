@@ -220,26 +220,35 @@ object PipelineOps {
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= 2)
     // the two broadcast joins below are differently-projected subtrees, so
-    // exchange reuse does NOT canonicalize them together — cache the
+    // exchange reuse does NOT canonicalize them together — persist the
     // vocabulary-sized aggregate once or the corpus is scanned and the
-    // unigram shuffle run once per join
+    // unigram shuffle run once per join; released in the finally (the
+    // q123 collect-then-unpersist idiom — the result is 50 rows)
     val uni = words.select(explode($"ws").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("n_w"))
-      .cache()
-    val bi = words
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> named_struct('a', element_at(ws, i), 'b', element_at(ws, i + 1)))"))
-        .as("g"))
-      .select($"g.a".as("a"), $"g.b".as("b"))
-      .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
-      .filter($"n_ab" >= 5)
-    bi
-      .join(broadcast(uni.withColumnRenamed("w", "a").withColumnRenamed("n_w", "n_a")), Seq("a"))
-      .join(broadcast(uni.withColumnRenamed("w", "b").withColumnRenamed("n_w", "n_b")), Seq("b"))
-      .withColumn("lift_ppt", expr("n_ab * 1000000000000 div (n_a * n_b)"))
-      .select($"a", $"b", $"n_ab", $"n_a", $"n_b", $"lift_ppt")
-      .orderBy($"lift_ppt".desc, $"a", $"b")
-      .limit(50)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bi = words
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> named_struct('a', element_at(ws, i), 'b', element_at(ws, i + 1)))"))
+          .as("g"))
+        .select($"g.a".as("a"), $"g.b".as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 5)
+      val rows = bi
+        .join(broadcast(uni.withColumnRenamed("w", "a").withColumnRenamed("n_w", "n_a")), Seq("a"))
+        .join(broadcast(uni.withColumnRenamed("w", "b").withColumnRenamed("n_w", "n_b")), Seq("b"))
+        .withColumn("lift_ppt", expr("n_ab * 1000000000000 div (n_a * n_b)"))
+        .select($"a", $"b", $"n_ab", $"n_a", $"n_b", $"lift_ppt")
+        .orderBy($"lift_ppt".desc, $"a", $"b")
+        .limit(50)
+        .collect().toSeq
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("a", StringType), StructField("b", StringType),
+        StructField("n_ab", LongType), StructField("n_a", LongType),
+        StructField("n_b", LongType), StructField("lift_ppt", LongType))))
+    } finally uni.unpersist(blocking = false)
   }
 
   /** X48 — stratified train/val/test split: per language, 5% test / 5%
@@ -688,29 +697,41 @@ object PipelineOps {
       .agg(max($"day").as("last_day"), count(lit(1)).as("n_orders"),
         sum($"cents").as("spend_cents"))
     val refDay = base.agg(max($"last_day").as("ref_day")) // 1-row broadcast
+    // persisted ONCE across its four consumers (three band rankings + the
+    // spend re-join): each GlobalOrder call runs two jobs over its input,
+    // so an unpersisted rfm would recompute the orders fold ~7 times
     val rfm = base.crossJoin(broadcast(refDay))
       .select($"o_custkey", ($"ref_day" - $"last_day").as("recency_days"),
         $"n_orders", $"spend_cents")
-    def band(metric: org.apache.spark.sql.Column, tiebreak: Boolean,
-             out: String): DataFrame = {
-      val sort = if (tiebreak) Seq(metric, $"o_custkey")
-                 else Seq(metric.desc, $"o_custkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def band(metric: String, ascending: Boolean, out: String): DataFrame = {
+      val m = col(metric)
+      val sort = if (ascending) Seq(m, $"o_custkey") else Seq(m.desc, $"o_custkey")
+      // project to (key, metric) BEFORE ranking: the range shuffle moves
+      // two columns, not the whole frame
       val (ranked, n) = graft.operators.GlobalOrder.withRowNumberAndTotal(
-        rfm.select($"o_custkey", $"recency_days", $"n_orders", $"spend_cents"),
-        sort, "rn")
+        rfm.select($"o_custkey", m), sort, "rn")
       ranked.selectExpr("o_custkey", s"(rn - 1) * 4 div ${n}L + 1 AS $out")
     }
-    // recency: smaller is better (ascending); frequency/monetary: larger
-    // is better (descending) — quartile 1 is always the best customers
-    val r = band($"recency_days", tiebreak = true, "r_q")
-    val f = band($"n_orders", tiebreak = false, "f_q")
-    val m = band($"spend_cents", tiebreak = false, "m_q")
-    r.join(f, Seq("o_custkey")).join(m, Seq("o_custkey"))
-      .join(rfm.select($"o_custkey", $"spend_cents"), Seq("o_custkey"))
-      .groupBy($"r_q", $"f_q", $"m_q")
-      .agg(count(lit(1)).as("n_customers"),
-        sum($"spend_cents").as("segment_cents"))
-      .orderBy($"r_q", $"f_q", $"m_q")
+    try {
+      // recency: smaller is better (ascending); frequency/monetary: larger
+      // is better (descending) — quartile 1 is always the best customers
+      val r = band("recency_days", ascending = true, "r_q")
+      val f = band("n_orders", ascending = false, "f_q")
+      val m = band("spend_cents", ascending = false, "m_q")
+      val rows = r.join(f, Seq("o_custkey")).join(m, Seq("o_custkey"))
+        .join(rfm.select($"o_custkey", $"spend_cents"), Seq("o_custkey"))
+        .groupBy($"r_q", $"f_q", $"m_q")
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"spend_cents").as("segment_cents"))
+        .orderBy($"r_q", $"f_q", $"m_q")
+        .collect().toSeq // ≤4³ rows — q123 collect-then-unpersist idiom
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("r_q", LongType), StructField("f_q", LongType),
+        StructField("m_q", LongType), StructField("n_customers", LongType),
+        StructField("segment_cents", LongType))))
+    } finally rfm.unpersist(blocking = false)
   }
 
   /** X90 — l-diversity audit: beyond X71's k-anonymity (group SIZE), each

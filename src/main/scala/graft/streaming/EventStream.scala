@@ -23,7 +23,7 @@ object EventStream {
   final case class SessionSummary(user_id: Long, n_events: Long,
       first_ts: Timestamp, last_ts: Timestamp, total_value: Double)
 
-  final case class SessState(nEvents: Long, firstTs: Long, lastTs: Long, total: Double)
+  final case class SessState(pending: List[(Long, Double)]) // (event micros, value)
 
   /** Tumbling 1-hour windowed counts per event type with a 2-hour
     * watermark. Works on both streaming and static frames. */
@@ -62,10 +62,26 @@ object EventStream {
 
   /** Gap-based sessionization (30-minute inactivity) with
     * flatMapGroupsWithState — custom keyed state, the Spark-native
-    * replacement for hand-rolled cursor loops over ordered scans. */
+    * replacement for hand-rolled cursor loops over ordered scans.
+    *
+    * Watermark-aware buffering: events are held in state (bounded by the
+    * watermark horizon per user) and a session is emitted only once the
+    * watermark has passed its last event + gap — at that point no
+    * in-watermark arrival can extend it, split it, or slot into it, so an
+    * out-of-order-but-valid event can never rewind a session boundary
+    * (folding eagerly on arrival order does exactly that). Gap compares
+    * happen in MICROSECONDS, matching the batch form q54's precision —
+    * a millisecond compare merges pairs the batch form splits. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60 * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    def tsOf(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
 
     events
       .withWatermark("ts", "2 hours")
@@ -73,33 +89,38 @@ object EventStream {
       .flatMapGroupsWithState[SessState, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
-          if (state.hasTimedOut) {
-            val st = state.get
-            state.remove()
-            Iterator.single(SessionSummary(userId, st.nEvents,
-              new Timestamp(st.firstTs), new Timestamp(st.lastTs), st.total))
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[SessionSummary]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(st) if t - st.lastTs <= gapMs =>
-                  cur = Some(SessState(st.nEvents + 1, st.firstTs, t, st.total + e.value))
-                case Some(st) =>
-                  closed ::= SessionSummary(userId, st.nEvents,
-                    new Timestamp(st.firstTs), new Timestamp(st.lastTs), st.total)
-                  cur = Some(SessState(1, t, t, e.value))
-                case None =>
-                  cur = Some(SessState(1, t, t, e.value))
-              }
-            }
-            cur.foreach { st =>
-              state.update(st)
-              state.setTimeoutTimestamp(st.lastTs + gapMs)
-            }
-            closed.reverseIterator
+          // batch execution (no watermark tracking) finalizes everything
+          val wmUs =
+            try {
+              val ms = state.getCurrentWatermarkMs()
+              if (ms <= 0L) 0L else ms * 1000L
+            } catch { case _: UnsupportedOperationException => Long.MaxValue }
+          val prior = state.getOption.map(_.pending).getOrElse(Nil)
+          val incoming = rows.map(e => (micros(e.ts), e.value)).toList
+          val all = (prior ++ incoming).sortBy(_._1)
+          // split the buffered span into gap-delimited sessions
+          val sessions = scala.collection.mutable.ListBuffer.empty[Vector[(Long, Double)]]
+          var cur = Vector.empty[(Long, Double)]
+          all.foreach { p =>
+            if (cur.nonEmpty && p._1 - cur.last._1 > gapUs) {
+              sessions += cur; cur = Vector(p)
+            } else cur = cur :+ p
+          }
+          if (cur.nonEmpty) sessions += cur
+          // FINAL iff the watermark passed last-event + gap: any future
+          // in-watermark arrival has ts >= wm, so it cannot join or split
+          val (closed, open) = sessions.partition(s => s.last._1 + gapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessState(open.flatten.toList))
+            // +1 ms: the µs→ms truncation must not land the timeout AT the
+            // watermark (Spark requires strictly-later timeouts)
+            state.setTimeoutTimestamp(open.map(_.last._1).max / 1000L +
+              gapMinutes * 60L * 1000L + 1L)
+          }
+          closed.iterator.map { s =>
+            SessionSummary(userId, s.size.toLong, tsOf(s.head._1),
+              tsOf(s.last._1), s.map(_._2).sum)
           }
       }
   }
@@ -236,7 +257,8 @@ object EventStream {
         col("click_ts"), col("err_ts"))
   }
 
-  final case class FunnelState(viewTs: Long, clickTs: Long, purchaseTs: Long)
+  final case class FunnelState(viewTs: Long, clickTs: Long, purchaseTs: Long,
+                               pending: List[(Long, Int, Long)]) // (us, rank, id)
 
   final case class FunnelUpdate(user_id: Long, stage: Int,
       view_ts: Long, click_ts: Long, purchase_ts: Long)
@@ -247,12 +269,16 @@ object EventStream {
     * view, the first click at-or-after it, and the first purchase at-or-
     * after that, emitting the user's current stage every micro-batch.
     *
-    * State is three longs per user — bounded by the user dimension, not
-    * the stream. Within a batch, rows are folded in (ts, stage-rank,
-    * event_id) order so same-instant view+click resolves exactly like the
-    * batch form's `>=` comparisons; events arriving later than the
-    * watermark can still under-count a stage — the inherent streaming
-    * caveat the batch backfill (q78) reconciles. Unset slots are -1.
+    * State per user: the FINALIZED stage fold (three longs) plus a buffer
+    * of events the watermark has not yet passed. Only events with
+    * ts strictly below the watermark fold into the persisted slots — an
+    * out-of-order-but-valid event (a view arriving after the click that
+    * follows it) still slots correctly because nothing at-or-after the
+    * watermark has been irrevocably consumed. The emitted update folds
+    * the buffer provisionally (Update-mode semantics: later batches
+    * refine it), so per-batch output stays incremental while the state
+    * converges to exactly the batch fold. Buffer size is bounded by the
+    * watermark horizon, not the stream.
     *
     * Timestamps are carried as MICROSECONDS (`getTime` ms + sub-ms from
     * `getNanos`), matching the batch form's precision — comparing at ms
@@ -263,32 +289,43 @@ object EventStream {
     val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    def fold(s0: (Long, Long, Long),
+             evs: Seq[(Long, Int, Long)]): (Long, Long, Long) =
+      evs.foldLeft(s0) { case ((v, c, p), (t, r, _)) =>
+        r match {
+          case 0 if v < 0 => (t, c, p)
+          case 1 if v >= 0 && c < 0 && t >= v => (v, t, p)
+          case 2 if c >= 0 && p < 0 && t >= c => (v, c, t)
+          case _ => (v, c, p)
+        }
+      }
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelUpdate](
         GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          rows.toSeq
+          // batch execution (no watermark tracking) finalizes everything
+          val wmUs =
+            try {
+              val ms = state.getCurrentWatermarkMs()
+              if (ms <= 0L) 0L else ms * 1000L
+            } catch { case _: UnsupportedOperationException => Long.MaxValue }
+          val st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, Nil))
+          val incoming = rows
             .filter(e => rank.contains(e.event_type))
-            .sortBy(e => (micros(e.ts), rank(e.event_type), e.event_id))
-            .foreach { e =>
-              val t = micros(e.ts)
-              e.event_type match {
-                case "view" if st.viewTs < 0 =>
-                  st = st.copy(viewTs = t)
-                case "click" if st.viewTs >= 0 && st.clickTs < 0 && t >= st.viewTs =>
-                  st = st.copy(clickTs = t)
-                case "purchase" if st.clickTs >= 0 && st.purchaseTs < 0 && t >= st.clickTs =>
-                  st = st.copy(purchaseTs = t)
-                case _ =>
-              }
-            }
-          state.update(st)
+            .map(e => (micros(e.ts), rank(e.event_type), e.event_id)).toList
+          val all = (st.pending ++ incoming)
+            .sortBy(t => (t._1, t._2, t._3))
+          // strictly-below-watermark events can never be joined by an
+          // earlier arrival — their fold is final; the boundary (== wm)
+          // stays buffered because an equal-timestamp event is still valid
+          val (fin, pend) = all.partition(_._1 < wmUs)
+          val (fv, fc, fp) = fold((st.viewTs, st.clickTs, st.purchaseTs), fin)
+          state.update(FunnelState(fv, fc, fp, pend))
+          val (pv, pc, pp) = fold((fv, fc, fp), pend) // provisional output
           FunnelUpdate(userId,
-            Seq(st.viewTs, st.clickTs, st.purchaseTs).count(_ >= 0),
-            st.viewTs, st.clickTs, st.purchaseTs)
+            Seq(pv, pc, pp).count(_ >= 0), pv, pc, pp)
       }
   }
 

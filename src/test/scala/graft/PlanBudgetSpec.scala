@@ -84,10 +84,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                               // bridge; class agg + orderBy remain
     "q117_source_overlap" -> 11, // same recount shape as q110 over the
                                  // (source, trigram) incidence
-    "q118_rfm_segments" -> 9, // customer fold + three GlobalOrder range
-                              // shuffles (plan recounts the shared base)
-                              // + cust-key joins + segment agg — all
-                              // dimension-sized frames
+    // q118 materializes via collect-then-unpersist (q106 idiom) so its
+    // returned plan is local — its shuffle story is asserted by the
+    // AffinityOpsSpec reconciliation test instead
     "q119_anomaly_p99"  -> 2, // ONE event_type partitioning (rank + count
                               // windows share it) + orderBy
     "q120_session_paths" -> 3, // q54's single user_id partitioning + path
