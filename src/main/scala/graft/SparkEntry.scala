@@ -154,6 +154,7 @@ object SparkEntry {
     "q123_item_rank"      -> AffinityOps.q123ItemRank _,
     "q124_schema_evolution" -> SchemaOps.q124SchemaEvolution _,
     "q125_ldiversity"     -> PipelineOps.q125LDiversity _,
+    "q126_negative_pairs" -> ((s, d) => PipelineOps.q126NegativePairs(s, d)),
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2033,5 +2034,28 @@ object SparkEntry {
         |  CASE WHEN count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)
         |    // 100000) < 3 THEN 'diversify' ELSE 'publish' END AS verdict
         |FROM customer GROUP BY 1, 2 ORDER BY nationkey, segment""".stripMargin,
+
+    // q126: the offset replays graft_fingerprint's polynomial byte hash
+    // (q55's portable list_reduce idiom) — pure ASCII keys, so ascii()
+    // equals the UTF-8 byte value in both engines.
+    "q126_negative_pairs" ->
+      """WITH t AS (SELECT count(*) AS n FROM documents),
+        |d AS (SELECT doc_id, lang,
+        |    row_number() OVER (ORDER BY doc_id) AS rn FROM documents),
+        |a AS (SELECT doc_id, lang, rn, k FROM d
+        |      CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS k)),
+        |f AS (SELECT a.*, t.n,
+        |    list_reduce(list_transform(
+        |      string_split(CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (x, y) -> (x * 31 + y) % 1000000007) AS fp
+        |  FROM a CROSS JOIN t),
+        |o AS (SELECT *, 1 + (fp * fp % 1000000007) % (n - 1) AS off FROM f),
+        |j AS (SELECT doc_id, lang, k, ((rn - 1 + off) % n) + 1 AS neg_rn FROM o)
+        |SELECT j.doc_id, j.k, d.doc_id AS neg_doc_id, d.lang AS neg_lang,
+        |  CAST(CASE WHEN j.lang = d.lang THEN 1 ELSE 0 END AS BIGINT)
+        |    AS same_lang
+        |FROM j JOIN d ON j.neg_rn = d.rn
+        |ORDER BY j.doc_id, j.k""".stripMargin,
   )
 }

@@ -734,6 +734,44 @@ object PipelineOps {
     } finally rfm.unpersist(blocking = false)
   }
 
+  /** X91 — deterministic negative-pair sampling for contrastive training
+    * data: for every anchor document, k pseudo-random negatives drawn by
+    * fingerprint-derived rank offsets — replayable under retries (no RNG,
+    * the offset IS a function of (doc_id, k)), never self-pairing (offsets
+    * are in [1, N−1]), and uniform-ish over the corpus. The same/cross-
+    * language flag labels the "easy negative" stratum contrastive
+    * curricula care about.
+    *
+    * Scale: ranks come from [[graft.operators.GlobalOrder]] (range
+    * shuffle, no single-task window); the negative lookup is ONE
+    * equi-join on the computed rank — the corpus never cross-joins
+    * itself, and k multiplies rows narrowly before the join. */
+  def q126NegativePairs(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val d = Tables.load(s, dir, "documents").select($"doc_id", $"lang")
+    val (ranked, n) = graft.operators.GlobalOrder.withRowNumberAndTotal(
+      d, Seq($"doc_id"), "rn")
+    val anchors = ranked
+      .select($"doc_id", $"lang", $"rn",
+        explode(expr(s"sequence(1, $k)")).as("k"))
+      // square the hash mod p before reducing: the raw polynomial hash of
+      // "d:1","d:2","d:3" differs only in the last byte, which would hand
+      // every anchor a run of CONSECUTIVE negatives; squaring avalanches
+      // (fp < 2^30, so fp² fits int64 in every engine)
+      .withColumn("f", expr(
+        "graft_fingerprint(concat(cast(doc_id as string), ':', cast(k as string)))"))
+      .withColumn("off", expr(s"1 + pmod(f * f % 1000000007, ${n - 1}L)"))
+      .withColumn("neg_rn", expr(s"pmod(rn - 1 + off, ${n}L) + 1"))
+    anchors.join(
+        ranked.select($"rn".as("neg_rn"), $"doc_id".as("neg_doc_id"),
+          $"lang".as("neg_lang")),
+        Seq("neg_rn"))
+      .select($"doc_id", $"k".cast("long").as("k"), $"neg_doc_id", $"neg_lang",
+        when($"lang" === $"neg_lang", 1L).otherwise(0L).as("same_lang"))
+      .orderBy($"doc_id", $"k")
+  }
+
   /** X90 — l-diversity audit: beyond X71's k-anonymity (group SIZE), each
     * quasi-identifier group must also contain at least l distinct values
     * of the sensitive attribute — a group of 50 people who all share one

@@ -352,6 +352,33 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.transfer.Transfer.deleteRecursively(tmp)
   }
 
+  // ------------------------------------------------------------- X91
+
+  test("negative pairs: k per anchor, never self, replayable") {
+    import spark.implicits._
+    val rows = PipelineOps.q126NegativePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.length == n * 3)
+    assert(rows.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L)))
+    rows.foreach { case (a, _, neg) => assert(a != neg) }
+    // replayable: a second run draws the identical pairs (no RNG anywhere)
+    val again = PipelineOps.q126NegativePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+    // driver replay of the offset arithmetic for anchor 0, k=1
+    val p = 1000000007L
+    def fp(s2: String): Long =
+      s2.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % p)
+    val ids = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect().sorted
+    val f0 = fp(s"${ids.head}:1")
+    val off = 1L + (f0 * f0 % p) % (n - 1)
+    // the smallest doc_id holds rank 1, so neg_rn = off + 1 → ids(off)
+    val expectNeg = ids(off.toInt)
+    assert(rows.find(r => r._1 == ids.head && r._2 == 1L).get._3 == expectNeg)
+  }
+
   // ------------------------------------------------------------- X75
 
   test("source overlap: shingle jaccard bounded and driver-exact for one pair") {

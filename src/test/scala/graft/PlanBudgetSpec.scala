@@ -97,8 +97,12 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                                // themselves broadcast the parent key set
     "q122_ohlc_bars"    -> 2, // ONE (type, hour) partitioning shared by
                               // both rank windows + the bar fold, + orderBy
-    "q125_ldiversity"   -> 3  // one combinable QI agg (count_distinct is
+    "q125_ldiversity"   -> 3, // one combinable QI agg (count_distinct is
                               // 2-phase) + orderBy
+    "q126_negative_pairs" -> 7 // two GlobalOrder rank passes (anchor +
+                               // lookup side re-derive the same total
+                               // order) + the rank equi-join + orderBy —
+                               // all frames are doc-count-sized
   )
 
   budgets.foreach { case (name, max) =>
