@@ -155,6 +155,9 @@ object SparkEntry {
     "q124_schema_evolution" -> SchemaOps.q124SchemaEvolution _,
     "q125_ldiversity"     -> PipelineOps.q125LDiversity _,
     "q126_negative_pairs" -> ((s, d) => PipelineOps.q126NegativePairs(s, d)),
+    "q127_time_decay"     -> EventOps.q127TimeDecay _,
+    "q128_revenue_reconcile" -> TransferOps.q128RevenueReconcile _,
+    "q129_distribution_drift" -> TextOps.q129DistributionDrift _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2057,5 +2060,59 @@ object SparkEntry {
         |    AS same_lang
         |FROM j JOIN d ON j.neg_rn = d.rn
         |ORDER BY j.doc_id, j.k""".stripMargin,
+
+    // q127: integer bit-shift decay (cents >> age_weeks) — bit-exact in
+    // both engines where a float exp() half-life never is.
+    "q127_time_decay" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT max(day) AS max_day FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |  CAST(sum(cents >> ((max_day - day) // 7)) AS BIGINT)
+        |    AS decayed_cents
+        |FROM e CROSS JOIN m
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q128: drift in integer ppm of header cents; ≤1% = 'near'.
+    "q128_revenue_reconcile" ->
+      """WITH li AS (SELECT l_orderkey AS o_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS li_cents
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT o.o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents, li.li_cents
+        |  FROM orders o LEFT JOIN li USING (o_orderkey)),
+        |c AS (SELECT *,
+        |    abs(o_cents - coalesce(li_cents, 0)) * 1000000
+        |      // greatest(o_cents, 1) AS drift_ppm FROM j),
+        |v AS (SELECT *, CASE WHEN li_cents IS NULL THEN 'no_lines'
+        |    WHEN drift_ppm = 0 THEN 'exact'
+        |    WHEN drift_ppm <= 10000 THEN 'near' ELSE 'off' END AS verdict
+        |  FROM c)
+        |SELECT verdict, count(*) AS n_orders,
+        |  CAST(max(drift_ppm) AS BIGINT) AS max_drift_ppm,
+        |  min(o_orderkey) AS min_orderkey
+        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
+
+    // q129: Σ|Δppm| drift instead of PSI — ln() is engine-inexact,
+    // integer shares are not.
+    "q129_distribution_drift" ->
+      """WITH a AS (SELECT least(n_chars // 100, 19) AS band, count(*) AS n
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT least(n_chars // 100, 19) AS band, count(*) AS n
+        |  FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1),
+        |ta AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM a),
+        |tb AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM b),
+        |sa AS (SELECT band, n, n * 1000000 // ta.t AS share FROM a CROSS JOIN ta),
+        |sb AS (SELECT band, n, n * 1000000 // tb.t AS share FROM b CROSS JOIN tb)
+        |SELECT coalesce(sa.band, sb.band) AS band,
+        |  coalesce(sa.n, 0) AS n_a, coalesce(sb.n, 0) AS n_b,
+        |  CAST(coalesce(sa.share, 0) AS BIGINT) AS share_a_ppm,
+        |  CAST(coalesce(sb.share, 0) AS BIGINT) AS share_b_ppm,
+        |  CAST(abs(coalesce(sa.share, 0) - coalesce(sb.share, 0)) AS BIGINT)
+        |    AS drift_ppm
+        |FROM sa FULL OUTER JOIN sb ON sa.band = sb.band
+        |ORDER BY band""".stripMargin,
   )
 }

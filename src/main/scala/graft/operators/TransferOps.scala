@@ -224,4 +224,39 @@ object TransferOps {
     }.reduce(_ unionByName _)
       .orderBy($"fk_edge")
   }
+
+  /** X93 — cross-table revenue reconciliation: does each order's header
+    * total agree with the sum of its line items? The migration-validation
+    * step AFTER counts and checksums pass — a load that dropped half of
+    * an order's lines keeps both tables' row counts and per-table
+    * checksums self-consistent, and only a cross-table invariant catches
+    * it. Orders are classified exact / near (≤1%) / off / no_lines and
+    * reported as a per-verdict summary with the worst drift.
+    *
+    * Scale: the line fold is ONE combinable orderkey shuffle; the header
+    * join is co-keyed on the same column; the verdict frame is 4 rows.
+    * Drift is integer ppm of header cents — no float tolerance. */
+  def q128RevenueReconcile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = graft.sources.Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("o_orderkey"),
+        round($"l_extendedprice" * 100).cast("long").as("c"))
+      .groupBy($"o_orderkey").agg(sum($"c").as("li_cents"))
+    graft.sources.Tables.load(s, dir, "orders")
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("o_cents"))
+      .join(li, Seq("o_orderkey"), "left")
+      .withColumn("drift_ppm", expr(
+        "abs(o_cents - coalesce(li_cents, 0L)) * 1000000 div greatest(o_cents, 1)"))
+      .withColumn("verdict",
+        when($"li_cents".isNull, "no_lines")
+          .when($"drift_ppm" === 0L, "exact")
+          .when($"drift_ppm" <= 10000L, "near")
+          .otherwise("off"))
+      .groupBy($"verdict")
+      .agg(count(lit(1)).as("n_orders"),
+        max($"drift_ppm").as("max_drift_ppm"),
+        min($"o_orderkey").as("min_orderkey"))
+      .orderBy($"verdict")
+  }
 }

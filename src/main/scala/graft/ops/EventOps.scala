@@ -372,4 +372,30 @@ object EventOps {
         sum($"cents").as("volume_cents"))
       .orderBy($"event_type", $"hour")
   }
+
+  /** X92 — time-decayed engagement score: per user, event value summed
+    * with an exponential half-life of one week — but decayed by integer
+    * BIT-SHIFT (cents >> age_weeks), not a float exp(): the decay is then
+    * bit-exact in every engine, monotone in age, and the oracle replays
+    * it with `>>`. The float version is the one scoring function every
+    * recommender uses and no two engines agree on to the last ulp.
+    *
+    * Scale: the horizon comes from a broadcast 1-row aggregate; decay is
+    * narrow scan math; the per-user fold is ONE combinable shuffle. */
+  def q127TimeDecay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = ev(s, dir)
+      .select($"user_id",
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+    val horizon = base.agg(max($"day").as("max_day")) // 1-row broadcast
+    base.crossJoin(broadcast(horizon))
+      .withColumn("age_weeks", expr("(max_day - day) div 7"))
+      .withColumn("decayed", expr("shiftright(cents, cast(age_weeks as int))"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"cents").as("raw_cents"),
+        sum($"decayed").as("decayed_cents"))
+      .orderBy($"user_id")
+  }
 }

@@ -214,4 +214,41 @@ object TextOps {
         sum($"n_chars").as("sum_chars"))
       .orderBy($"lang", $"bucket")
   }
+
+  /** X94 — distribution-drift monitor: compare the length distribution of
+    * two corpus snapshots (deterministic even/odd doc_id split standing in
+    * for old/new feeds) band by band, in integer ppm shares with absolute
+    * drift per band — the L1-style drift report a training-data pipeline
+    * alerts on when a new crawl shifts the corpus shape. Integer shares
+    * instead of a PSI: PSI's ln() is engine-inexact, while Σ|Δppm| ranks
+    * drifts identically for monitoring purposes.
+    *
+    * Scale: two combinable band aggs over one scan pass each (the split
+    * predicate is scan math); the drift frame is band-cardinality-sized,
+    * joined after both sides broadcast their 1-row totals. */
+  def q129DistributionDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bands(snapshot: DataFrame): DataFrame = {
+      val b = snapshot
+        .select(expr("least(n_chars div 100, 19L)").as("band"))
+        .groupBy($"band").agg(count(lit(1)).as("n"))
+      val tot = b.agg(sum($"n").as("t"))
+      b.crossJoin(broadcast(tot))
+        .select($"band", $"n", expr("n * 1000000 div t").as("share_ppm"))
+    }
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"n_chars")
+    val a = bands(docs.filter($"doc_id" % 2 === 0))
+      .select($"band", $"n".as("n_a"), $"share_ppm".as("share_a_ppm"))
+    val c = bands(docs.filter($"doc_id" % 2 =!= 0))
+      .select($"band", $"n".as("n_b"), $"share_ppm".as("share_b_ppm"))
+    a.join(c, Seq("band"), "full_outer")
+      .select($"band",
+        coalesce($"n_a", lit(0L)).as("n_a"),
+        coalesce($"n_b", lit(0L)).as("n_b"),
+        coalesce($"share_a_ppm", lit(0L)).as("share_a_ppm"),
+        coalesce($"share_b_ppm", lit(0L)).as("share_b_ppm"))
+      .withColumn("drift_ppm",
+        abs($"share_a_ppm" - $"share_b_ppm"))
+      .orderBy($"band")
+  }
 }

@@ -379,6 +379,55 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.find(r => r._1 == ids.head && r._2 == 1L).get._3 == expectNeg)
   }
 
+  // ------------------------------------------------------------- X92
+
+  test("time-decay: decayed <= raw, driver replay for one user") {
+    import spark.implicits._
+    val rows = EventOps.q127TimeDecay(spark, sf).collect()
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select($"user_id",
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect()
+    val maxDay = ev.map(_._2).max
+    val u = rows.head.getLong(0)
+    val mine = ev.filter(_._1 == u)
+    assert(rows.head.getLong(1) == mine.length)
+    assert(rows.head.getLong(3) ==
+      mine.map { case (_, d, c) => c >> ((maxDay - d) / 7).toInt }.sum)
+  }
+
+  // ------------------------------------------------------------- X93
+
+  test("revenue reconcile: verdicts partition orders, no_lines = anti-join") {
+    import spark.implicits._
+    val rows = TransferOps.q128RevenueReconcile(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = graft.sources.Tables.load(spark, sf, "orders")
+    assert(rows.values.sum == orders.count())
+    val noLines = orders.join(
+      graft.sources.Tables.load(spark, sf, "lineitem")
+        .select($"l_orderkey".as("o_orderkey")).distinct(),
+      Seq("o_orderkey"), "left_anti").count()
+    assert(rows.getOrElse("no_lines", 0L) == noLines)
+  }
+
+  // ------------------------------------------------------------- X94
+
+  test("distribution drift: shares sum to ~1e6, bands cover the corpus") {
+    val drift = TextOps.q129DistributionDrift(spark, sf).collect()
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(drift.map(r => r.getLong(1) + r.getLong(2)).sum == nDocs)
+    // floor-rounded ppm shares: within one band-count of exactly 1e6
+    Seq(3, 4).foreach { i =>
+      val s = drift.map(_.getLong(i)).sum
+      assert(s > 1000000L - drift.length && s <= 1000000L, s"col $i sum=$s")
+    }
+    drift.foreach(r =>
+      assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4))))
+  }
+
   // ------------------------------------------------------------- X75
 
   test("source overlap: shingle jaccard bounded and driver-exact for one pair") {

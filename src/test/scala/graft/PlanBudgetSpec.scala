@@ -99,10 +99,17 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                               // both rank windows + the bar fold, + orderBy
     "q125_ldiversity"   -> 3, // one combinable QI agg (count_distinct is
                               // 2-phase) + orderBy
-    "q126_negative_pairs" -> 7 // two GlobalOrder rank passes (anchor +
+    "q126_negative_pairs" -> 7, // two GlobalOrder rank passes (anchor +
                                // lookup side re-derive the same total
                                // order) + the rank equi-join + orderBy —
                                // all frames are doc-count-sized
+    "q127_time_decay"   -> 4, // broadcast horizon agg (2-phase) + one
+                              // combinable user fold + orderBy
+    "q128_revenue_reconcile" -> 4, // line fold + co-keyed header join +
+                                   // 4-row verdict agg + orderBy
+    "q129_distribution_drift" -> 9 // two snapshot band aggs, each with a
+                                   // broadcast 1-row total (2-phase), +
+                                   // band-frame full-outer join + orderBy
   )
 
   budgets.foreach { case (name, max) =>
