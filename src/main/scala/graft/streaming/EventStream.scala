@@ -205,6 +205,26 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("word"),
         col("count").as("n"))
 
+  /** X94's continuous form — streaming distribution-drift feed: per
+    * tumbling hour, the corpus length-band counts with the static
+    * baseline share joined on — the live half of the drift alert. The
+    * stream does the incremental work (watermarked windowed counts,
+    * finalized in append mode); the share/drift skim runs on the
+    * finalized sink, where the per-window total is known — the same
+    * division of labor as [[trendingTerms]]. The baseline frame is
+    * band-cardinality-sized and broadcast; input schema as
+    * [[docQualityGate]], baseline columns (band, share_ppm). */
+  def bandDriftFeed(docs: DataFrame, baseline: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), expr("least(length(text) div 100, 19L)").as("band"))
+      .groupBy(window(col("ts"), "1 hour"), col("band"))
+      .count()
+      .join(broadcast(baseline), Seq("band"), "left")
+      .select(col("window.start").as("window_start"), col("band"),
+        col("count").as("n_docs"),
+        col("share_ppm").as("baseline_share_ppm"))
+
   /** Streaming incremental dedup against a standing corpus — the
     * streaming face of the batch batch-vs-corpus dedup (q92's exact
     * pass): each arriving document is flagged when its content hash

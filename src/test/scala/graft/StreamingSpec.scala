@@ -289,6 +289,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("volume_cents") == 999L + 250L + 25L + 700L)
   }
 
+  test("band drift feed finalizes windowed counts with baseline attached") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def doc(id: Long, at: String, len: Int) =
+      StreamingSpec.Doc(id, java.sql.Timestamp.valueOf(at), "x" * len, "en")
+    val baseline = Seq((0L, 600000L), (1L, 400000L)).toDF("band", "share_ppm")
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = EventStream.bandDriftFeed(mem.toDF(), baseline)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      doc(1, "2026-01-01 00:10:00", 50),   // band 0
+      doc(2, "2026-01-01 00:20:00", 50),   // band 0
+      doc(3, "2026-01-01 00:30:00", 150),  // band 1
+      doc(4, "2026-01-01 00:40:00", 2500)) // band 19 (no baseline row)
+    q.processAllAvailable()
+    assert(spark.table("drift").count() == 0L) // window still open
+    mem.addData(doc(99, "2026-01-01 09:00:00", 10))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("drift").collect()
+      .map(r => r.getAs[Long]("band") ->
+        (r.getAs[Long]("n_docs"),
+          Option(r.getAs[java.lang.Long]("baseline_share_ppm")))).toMap
+    assert(rows(0L) == (2L, Some(600000L)))
+    assert(rows(1L) == (1L, Some(400000L)))
+    assert(rows(19L) == (1L, None)) // unknown band surfaces, not dropped
+  }
+
   test("doc quality gate: dedups, redacts, and flags in-stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
