@@ -2062,16 +2062,23 @@ object SparkEntry {
         |ORDER BY j.doc_id, j.k""".stripMargin,
 
     // q127: integer bit-shift decay (cents >> age_weeks) — bit-exact in
-    // both engines where a float exp() half-life never is.
+    // both engines where a float exp() half-life never is. Shift counts
+    // >= 63 clamp to 0 (Java masks the count to 6 bits, DuckDB doesn't)
+    // and negatives decay symmetrically toward zero (arithmetic >> floors
+    // a negative at -1) — same guards as the Spark side.
     "q127_time_decay" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        |m AS (SELECT max(day) AS max_day FROM e)
+        |m AS (SELECT max(day) AS max_day FROM e),
+        |d AS (SELECT user_id, cents, (max_day - day) // 7 AS w
+        |      FROM e CROSS JOIN m)
         |SELECT user_id, count(*) AS n_events,
         |  CAST(sum(cents) AS BIGINT) AS raw_cents,
-        |  CAST(sum(cents >> ((max_day - day) // 7)) AS BIGINT)
+        |  CAST(sum(CASE WHEN w >= 63 THEN 0
+        |                WHEN cents >= 0 THEN cents >> w
+        |                ELSE -((-cents) >> w) END) AS BIGINT)
         |    AS decayed_cents
-        |FROM e CROSS JOIN m
+        |FROM d
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // q128: drift in integer ppm of header cents; ≤1% = 'near'.

@@ -380,8 +380,21 @@ object EventOps {
     * it with `>>`. The float version is the one scoring function every
     * recommender uses and no two engines agree on to the last ulp.
     *
+    * Two explicit guards keep the shift honest where raw `>>` is not:
+    * age_weeks >= 63 decays to exactly 0 (Java/Spark mask the shift count
+    * to 6 bits, so an unguarded `cents >> 64` would return cents — scoring
+    * an ancient event at FULL value — while DuckDB returns 0), and
+    * negative cents decay symmetrically toward zero via -((-cents) >> w)
+    * (arithmetic shift floors a negative at -1 forever and makes the
+    * "decayed" value EXCEED the raw one).
+    *
     * Scale: the horizon comes from a broadcast 1-row aggregate; decay is
     * narrow scan math; the per-user fold is ONE combinable shuffle. */
+  private[graft] val decayExpr: org.apache.spark.sql.Column = expr(
+    """CASE WHEN age_weeks >= 63 THEN 0L
+      |     WHEN cents >= 0 THEN shiftright(cents, cast(age_weeks as int))
+      |     ELSE -shiftright(-cents, cast(age_weeks as int)) END""".stripMargin)
+
   def q127TimeDecay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = ev(s, dir)
@@ -391,7 +404,7 @@ object EventOps {
     val horizon = base.agg(max($"day").as("max_day")) // 1-row broadcast
     base.crossJoin(broadcast(horizon))
       .withColumn("age_weeks", expr("(max_day - day) div 7"))
-      .withColumn("decayed", expr("shiftright(cents, cast(age_weeks as int))"))
+      .withColumn("decayed", decayExpr)
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"),
         sum($"cents").as("raw_cents"),

@@ -20,6 +20,15 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Shared equi-width length band: width 100 chars, top band open-ended
+    * at 19. The ONE definition behind q114's histogram bucket, q129's
+    * drift band, and the streaming [[graft.streaming.EventStream
+    * .bandDriftFeed]] — the stream joins a baseline produced by the batch
+    * banding, so divergent copies would silently attach a baseline share
+    * for a different band than the live count's. */
+  def lengthBand(charsExpr: String): org.apache.spark.sql.Column =
+    expr(s"least(($charsExpr) div 100, 19L)")
+
   /** Per-document token statistics + rolling-hash fingerprint. */
   def q30TextStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -206,7 +215,7 @@ object TextOps {
     import s.implicits._
     Tables.load(s, dir, "documents")
       .select($"lang", $"n_chars",
-        expr("least(n_chars div 100, 19L)").as("bucket"))
+        lengthBand("n_chars").as("bucket"))
       .groupBy($"lang", $"bucket")
       .agg(count(lit(1)).as("n_docs"),
         min($"n_chars").as("min_chars"),
@@ -230,7 +239,7 @@ object TextOps {
     import s.implicits._
     def bands(snapshot: DataFrame): DataFrame = {
       val b = snapshot
-        .select(expr("least(n_chars div 100, 19L)").as("band"))
+        .select(lengthBand("n_chars").as("band"))
         .groupBy($"band").agg(count(lit(1)).as("n"))
       val tot = b.agg(sum($"n").as("t"))
       b.crossJoin(broadcast(tot))

@@ -217,7 +217,7 @@ object EventStream {
   def bandDriftFeed(docs: DataFrame, baseline: DataFrame): DataFrame =
     docs
       .withWatermark("ts", "2 hours")
-      .select(col("ts"), expr("least(length(text) div 100, 19L)").as("band"))
+      .select(col("ts"), graft.ops.TextOps.lengthBand("length(text)").as("band"))
       .groupBy(window(col("ts"), "1 hour"), col("band"))
       .count()
       .join(broadcast(baseline), Seq("band"), "left")

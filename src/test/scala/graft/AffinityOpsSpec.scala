@@ -394,8 +394,34 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val u = rows.head.getLong(0)
     val mine = ev.filter(_._1 == u)
     assert(rows.head.getLong(1) == mine.length)
+    def decay(c: Long, w: Long): Long =
+      if (w >= 63) 0L else if (c >= 0) c >> w.toInt else -((-c) >> w.toInt)
     assert(rows.head.getLong(3) ==
-      mine.map { case (_, d, c) => c >> ((maxDay - d) / 7).toInt }.sum)
+      mine.map { case (_, d, c) => decay(c, (maxDay - d) / 7) }.sum)
+  }
+
+  test("time-decay guards: >=63-week shift decays to 0, negatives decay toward 0") {
+    import spark.implicits._
+    // the parquet corpus spans 30 days, so the clamp paths only fire on
+    // synthetic ages — exercise the ACTUAL operator expression on them
+    val cases = Seq(
+      (100L, 0L), (100L, 3L), (100L, 62L), (100L, 63L), (100L, 64L),
+      (100L, 200L), (-100L, 0L), (-100L, 3L), (-100L, 62L), (-100L, 64L),
+      (Long.MaxValue, 64L), (1L, 62L))
+    val got = cases.toDF("cents", "age_weeks")
+      .withColumn("decayed", EventOps.decayExpr)
+      .select($"cents", $"age_weeks", $"decayed")
+      .as[(Long, Long, Long)].collect().toSeq
+    got.foreach { case (c, w, d) =>
+      assert(math.abs(d) <= math.abs(c), s"|decayed| grew: $c >> $w = $d")
+      assert(d * c >= 0, s"sign flipped: $c >> $w = $d")
+      if (w >= 63) assert(d == 0L, s"unclamped shift: $c >> $w = $d")
+    }
+    // monotone in age for fixed positive cents
+    val pos = got.filter(_._1 == 100L).sortBy(_._2).map(_._3)
+    assert(pos == pos.sorted.reverse, s"non-monotone decay: $pos")
+    // symmetric halving, not arithmetic-shift flooring (-100 >> 3 is -13)
+    assert(got.find(t => t._1 == -100L && t._2 == 3L).get._3 == -12L)
   }
 
   // ------------------------------------------------------------- X93
