@@ -158,6 +158,10 @@ object SparkEntry {
     "q127_time_decay"     -> EventOps.q127TimeDecay _,
     "q128_revenue_reconcile" -> TransferOps.q128RevenueReconcile _,
     "q129_distribution_drift" -> TextOps.q129DistributionDrift _,
+    "q130_interarrival"   -> EventOps.q130InterArrival _,
+    "q131_mad_outliers"   -> EventOps.q131MadOutliers _,
+    "q132_triangles"      -> AffinityOps.q132Triangles _,
+    "q133_curriculum"     -> PipelineOps.q133CurriculumInterleave _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2121,5 +2125,95 @@ object SparkEntry {
         |    AS drift_ppm
         |FROM sa FULL OUTER JOIN sb ON sa.band = sb.band
         |ORDER BY band""".stripMargin,
+
+    // q130: log2 gap band via length(bin(x)) - 1 — string-length integer
+    // math both engines compute identically (libm log2() would not be).
+    // The gap belongs to the LATER event's type.
+    "q130_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |g AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS gap_us
+        |  FROM e)
+        |SELECT event_type,
+        |  CAST(length(bin(gap_us)) - 1 AS BIGINT) AS band,
+        |  count(*) AS n_gaps,
+        |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type, band
+        |ORDER BY event_type, band""".stripMargin,
+
+    // q131: exact lower-median + MAD via cumulative rank over the value
+    // histogram — no interpolation, no sketch; pure integer math.
+    "q131_mad_outliers" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cm AS (SELECT event_type, cents, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cumc,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |med AS (SELECT event_type, min(cents) AS median_cents, max(n) AS n
+        |  FROM cm WHERE cumc * 2 >= n GROUP BY event_type),
+        |hd AS (SELECT h.event_type, abs(h.cents - m.median_cents) AS dev,
+        |    m.n AS n, sum(h.c) AS c
+        |  FROM h JOIN med m USING (event_type) GROUP BY 1, 2, 3),
+        |cmd AS (SELECT event_type, dev, c, n,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cumc
+        |  FROM hd),
+        |mad AS (SELECT event_type, min(dev) AS mad_cents
+        |  FROM cmd WHERE cumc * 2 >= n GROUP BY event_type),
+        |outl AS (SELECT hd.event_type, CAST(sum(hd.c) AS BIGINT) AS n_out
+        |  FROM hd JOIN mad USING (event_type)
+        |  WHERE hd.dev > mad.mad_cents * 3 GROUP BY hd.event_type)
+        |SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+        |  m.median_cents, mad.mad_cents,
+        |  CAST(coalesce(outl.n_out, 0) AS BIGINT) AS n_outliers
+        |FROM med m JOIN mad USING (event_type)
+        |LEFT JOIN outl USING (event_type)
+        |ORDER BY m.event_type""".stripMargin,
+
+    // q132: triangle participation is orientation-independent, so the
+    // oracle uses the naive canonical a<b<c three-way join while the Spark
+    // side counts over the degree-oriented DAG — they must agree exactly.
+    "q132_triangles" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
+        |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+        |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |corners AS (SELECT a AS part_key FROM tri
+        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT part_key, count(*) AS n_triangles
+        |FROM corners GROUP BY part_key
+        |ORDER BY n_triangles DESC, part_key LIMIT 20""".stripMargin,
+
+    // q133: virtual-time weighted interleave — stream s's k-th doc at
+    // vtime k·1e9 div weight_ppm(s); the merged (vtime, lang, doc_id)
+    // order is the schedule. Fingerprint priority as q61, weights as q82.
+    "q133_curriculum" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    list_reduce(list_transform(string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS pri
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS BIGINT) AS rk
+        |  FROM d),
+        |l AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w_sqrt FROM l),
+        |ww AS (SELECT lang,
+        |    w_sqrt * 1000000 // CAST(sum(w_sqrt) OVER () AS BIGINT) AS weight_ppm
+        |  FROM w),
+        |k AS (SELECT r.lang, r.doc_id, r.rk,
+        |    r.rk * 1000000000 // ww.weight_ppm AS vtime
+        |  FROM r JOIN ww USING (lang))
+        |SELECT CAST(row_number() OVER (ORDER BY vtime, lang, doc_id) AS BIGINT) AS pos,
+        |  lang, doc_id, rk, vtime
+        |FROM k ORDER BY pos""".stripMargin,
   )
 }

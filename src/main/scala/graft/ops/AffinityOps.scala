@@ -152,4 +152,66 @@ object AffinityOps {
         StructField("part_key", LongType), StructField("rank_ppm", LongType))))
     } finally g.unpersist(blocking = false)
   }
+
+  /** X98 — triangle participation on the co-purchase graph: for each part,
+    * in how many part-triangles (three parts pairwise co-purchased) it
+    * appears — the local-clustering signal behind "bundle" detection,
+    * ranked top-20. A triangle needs all three pairwise edges; the count
+    * is orientation-independent, so the oracle replays it with the naive
+    * canonical a<b<c three-way join and must agree exactly.
+    *
+    * Scale: THE classic self-join that must not explode. Edges are
+    * DEGREE-ORIENTED (low-degree endpoint → high-degree, id tiebreak)
+    * before the wedge join, so every out-neighborhood is O(√m) and the
+    * wedge count is bounded by Σ out_deg² — the standard distributed
+    * triangle-count bound — instead of Σ deg² (a hub part with 10k
+    * co-purchases would otherwise contribute 10⁸ wedges alone). Both
+    * wedge-join sides are the SAME oriented frame, shuffled on its join
+    * keys; the closing edge is a third equi-join, and the per-part fold
+    * is one combinable explode of the three corners. */
+  def q132Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val po = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .filter($"ok".isNotNull && $"pk".isNotNull)
+      .distinct()
+    // undirected edge set: parts co-purchased in >= 1 order, canonical p1<p2
+    val e = po.select($"ok", $"pk".as("p1"))
+      .join(po.select($"ok", $"pk".as("p2")), Seq("ok"))
+      .filter($"p1" < $"p2")
+      .select($"p1", $"p2").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // degree frame is part-cardinality-sized → broadcast both lookups
+      val deg = e.select($"p1".as("pk")).unionByName(e.select($"p2".as("pk")))
+        .groupBy($"pk").agg(count(lit(1)).as("d"))
+      // orient each edge from the (degree, id)-smaller endpoint
+      val or = e
+        .join(broadcast(deg.select($"pk".as("p1"), $"d".as("d1"))), Seq("p1"))
+        .join(broadcast(deg.select($"pk".as("p2"), $"d".as("d2"))), Seq("p2"))
+        .select(
+          when($"d1" < $"d2" || ($"d1" === $"d2" && $"p1" < $"p2"), $"p1")
+            .otherwise($"p2").as("src"),
+          when($"d1" < $"d2" || ($"d1" === $"d2" && $"p1" < $"p2"), $"p2")
+            .otherwise($"p1").as("dst"))
+      // wedges from each source's (small) out-neighborhood; in the degree-
+      // ordered DAG every triangle has exactly ONE node with two out-edges,
+      // so each is found once. The closing edge in canonical (min, max)
+      // form is just the persisted undirected edge set again.
+      val wedge = or.select($"src", $"dst".as("v"))
+        .join(or.select($"src", $"dst".as("w2")), Seq("src"))
+        .filter($"v" < $"w2") // each unordered out-pair once
+      val tri = wedge
+        .join(e.select($"p1".as("v"), $"p2".as("w2")), Seq("v", "w2"))
+      // per-part participation: each triangle credits its three corners
+      val part = tri
+        .select(explode(array($"src", $"v", $"w2")).as("part_key"))
+        .groupBy($"part_key").agg(count(lit(1)).as("n_triangles"))
+      val rows = part.orderBy($"n_triangles".desc, $"part_key")
+        .limit(20).collect().toSeq
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("part_key", LongType), StructField("n_triangles", LongType))))
+    } finally e.unpersist(blocking = false)
+  }
 }

@@ -411,4 +411,82 @@ object EventOps {
         sum($"decayed").as("decayed_cents"))
       .orderBy($"user_id")
   }
+
+  /** X96 — inter-arrival gap histogram: per event type, the distribution
+    * of microsecond gaps between a user's consecutive events, in log2
+    * bands — the latency-shape profile behind bot detection (suspiciously
+    * tight bands) and session-gap threshold selection (X17 hardcodes 30
+    * min; this measures what the corpus actually does).
+    *
+    * The band is `length(bin(gap_us)) - 1` = floor(log2) — string-length
+    * integer math both engines compute identically, where a libm log2()
+    * would hash-differ in the last ulp. The gap is attributed to the
+    * LATER event's type.
+    *
+    * Scale: lag() rides the SAME user_id partitioning as every other
+    * sequence operator (X16/X37/X78); the band aggregation is combinable
+    * into a |types| × ~40 frame. One event shuffle, nothing else. */
+  def q130InterArrival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    ev(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .withColumn("gap_us", $"us" - lag($"us", 1).over(w))
+      .filter($"gap_us".isNotNull)
+      .withColumn("band", (length(bin($"gap_us")) - 1).cast("long"))
+      .groupBy($"event_type", $"band")
+      .agg(count(lit(1)).as("n_gaps"),
+        min($"gap_us").as("min_gap_us"),
+        max($"gap_us").as("max_gap_us"))
+      .orderBy($"event_type", $"band")
+  }
+
+  /** X97 — exact-MAD outlier audit: per event type, the (lower) median
+    * value, the median absolute deviation from it, and how many events
+    * sit more than 3 MADs out — the robust-statistics alternative to
+    * X83's P99 band (a median/MAD gate doesn't move when the outliers
+    * themselves grow).
+    *
+    * Exactness: lower median = smallest value whose cumulative count
+    * reaches ceil(n/2) — pure integer rank math, no interpolation, no
+    * approx_percentile sketch drift.
+    *
+    * Scale: THE design point — medians come from a cumulative walk over
+    * the per-type VALUE HISTOGRAM (one combinable (type, cents) shuffle;
+    * the histogram frame is value-domain-sized, not corpus-sized), never
+    * from sorting events inside a 5-partition window. The deviation
+    * histogram derives from the value histogram by re-keying — the raw
+    * events are scanned ONCE. */
+  def q131MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byType = Window.partitionBy($"event_type")
+    val cumV = byType.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumD = byType.orderBy($"dev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      // value histogram: the only corpus-sized aggregation
+      .select($"event_type", round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("c"))
+      // lower median: smallest cents with 2·cum >= n, attached per row by
+      // a full-partition window (no join, no second pass over events)
+      .withColumn("cumc", sum($"c").over(cumV))
+      .withColumn("n", sum($"c").over(byType))
+      .withColumn("median_cents",
+        min(when($"cumc" * 2 >= $"n", $"cents")).over(byType))
+      // deviation histogram derives from the VALUE histogram by re-keying
+      .groupBy($"event_type", abs($"cents" - $"median_cents").as("dev"))
+      .agg(sum($"c").as("c"), max($"n").as("n"), // constants per type
+        max($"median_cents").as("median_cents"))
+      .withColumn("cumd", sum($"c").over(cumD))
+      .withColumn("mad_cents",
+        min(when($"cumd" * 2 >= $"n", $"dev")).over(byType))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), max($"median_cents").as("median_cents"),
+        max($"mad_cents").as("mad_cents"),
+        sum(when($"dev" > $"mad_cents" * 3, $"c").otherwise(0L))
+          .as("n_outliers"))
+      .orderBy($"event_type")
+  }
 }

@@ -77,17 +77,21 @@ object PipelineOps {
     * Scale: one combinable groupBy to language-level (output is
     * vocabulary-of-languages sized — driver-tiny), then an empty-window
     * normalization over that tiny frame. The 100 TB input is touched once. */
-  def q82LangMixture(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val perLang = docs(s, dir)
-      .groupBy($"lang")
+  /** THE mixture-weight frame (lang, n_docs, n_tokens, w_sqrt, weight_ppm):
+    * one definition shared by the q82 report and the q133 curriculum
+    * interleave that consumes the weights — the schedule must interleave
+    * by the weights actually reported, so the two can never drift. */
+  private[graft] def mixtureWeights(d: DataFrame): DataFrame =
+    d.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
-      .withColumn("w_sqrt", floor(sqrt($"n_tokens")).cast("long"))
-    perLang
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("w_sqrt", floor(sqrt(col("n_tokens"))).cast("long"))
       .withColumn("weight_ppm",
         expr("w_sqrt * 1000000 div sum(w_sqrt) over ()"))
-      .orderBy($"lang")
+
+  def q82LangMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mixtureWeights(docs(s, dir)).orderBy($"lang")
   }
 
   /** X42 — deterministic global shuffle + shard assignment: the "shuffle
@@ -796,5 +800,42 @@ object PipelineOps {
         when($"n_sensitive" < l, lit("diversify")).otherwise(lit("publish"))
           .as("verdict"))
       .orderBy($"nationkey", $"segment")
+  }
+
+  /** X99 — deterministic weighted curriculum interleave: the exact global
+    * reading order a trainer draws when sampling languages proportional to
+    * the [[mixtureWeights]] sqrt-token weights — stream s's k-th document
+    * is scheduled at virtual time k·10⁹ div weight_ppm(s), and the merged
+    * (vtime, lang, doc_id) order IS the curriculum. Replayable end to end:
+    * within-stream order is the portable content-fingerprint priority
+    * (q61's), weights are integer ppm, no RNG anywhere — a retried run or
+    * a different engine draws the identical schedule.
+    *
+    * Scale: within-language rank comes from ONE GlobalOrder pass over
+    * (lang, pri, doc_id) minus a broadcast per-language offset — never a
+    * per-language row_number window funneling each language through one
+    * task. The schedule position is a second GlobalOrder pass over the
+    * computed vtime. Both are range shuffles with broadcast prefix
+    * offsets; the weight frame is |langs| rows, broadcast. */
+  def q133CurriculumInterleave(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val d = docs(s, dir).select($"lang", $"doc_id",
+      expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))")
+        .as("pri"))
+    val ranked = graft.operators.GlobalOrder.withRowNumber(
+      d, Seq($"lang", $"pri", $"doc_id"), "grk")
+    val offsets = ranked.groupBy($"lang").agg(min($"grk").as("lang_off"))
+    val weights = mixtureWeights(docs(s, dir)).select($"lang", $"weight_ppm")
+    val keyed = ranked
+      .join(broadcast(offsets), Seq("lang"))
+      .join(broadcast(weights), Seq("lang"))
+      .withColumn("rk", $"grk" - $"lang_off" + 1L)
+      .withColumn("vtime", expr("rk * 1000000000 div weight_ppm"))
+      .select($"lang", $"doc_id", $"rk", $"vtime")
+    graft.operators.GlobalOrder.withRowNumber(
+        keyed, Seq($"vtime", $"lang", $"doc_id"), "pos")
+      .select($"pos", $"lang", $"doc_id", $"rk", $"vtime")
+      .orderBy($"pos")
   }
 }

@@ -352,6 +352,44 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.transfer.Transfer.deleteRecursively(tmp)
   }
 
+  test("runtime bloom filter injects on a selective shuffled dim join") {
+    import spark.implicits._
+    // pin: the runtime-filter optimizer stays ON and engages for the
+    // selective-dim shuffle join shape (the 100 TB fact-scan saver: the
+    // fact side drops non-joining rows BEFORE its shuffle). Thresholds are
+    // sized for clusters, so the application-side floor is lowered to let
+    // the sf0.001 fixture cross it — the assertion is about the feature
+    // being wired, the thresholds themselves stay production defaults.
+    val conf = spark.conf
+    assert(conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true",
+      "runtime bloom filters disabled — a silent config regression")
+    val savedBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val floorKey =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val savedFloor = conf.get(floorKey)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set(floorKey, "0")
+      val fact = graft.sources.Tables.load(spark, sf, "lineitem")
+        .select($"l_partkey", $"l_quantity")
+      val dim = graft.sources.Tables.load(spark, sf, "part")
+        .filter($"p_size" === 1).select($"p_partkey")
+      val joined = fact.join(dim, $"l_partkey" === $"p_partkey")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"no runtime bloom filter in plan:\n${plan.take(2000)}")
+      // the filter is a pure pre-shuffle prune — results unchanged
+      val keys = graft.sources.Tables.load(spark, sf, "part")
+        .filter($"p_size" === 1).select($"p_partkey").as[Long].collect().toSet
+      val expect = graft.sources.Tables.load(spark, sf, "lineitem")
+        .select($"l_partkey").as[Long].collect().count(keys)
+      assert(joined.count() == expect)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      conf.set(floorKey, savedFloor)
+    }
+  }
+
   // ------------------------------------------------------------- X91
 
   test("negative pairs: k per anchor, never self, replayable") {
@@ -476,5 +514,96 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (a, b) = (tris(s1), tris(s2))
     assert(first.getLong(2) == (a & b).size.toLong)
     assert(first.getLong(3) == a.size.toLong && first.getLong(4) == b.size.toLong)
+  }
+
+  // ------------------------------------------------------------- X96
+
+  test("inter-arrival: bands tile all consecutive gaps, extrema inside band") {
+    import spark.implicits._
+    val rows = EventOps.q130InterArrival(spark, sf).collect()
+    rows.foreach { r =>
+      val (band, mn, mx) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(mn >= (1L << band) || (band == 0 && mn >= 0),
+        s"min $mn below band $band")
+      assert(mx < (1L << (band + 1)), s"max $mx above band $band")
+      assert(mn <= mx)
+    }
+    // every consecutive (user-ordered) gap is counted exactly once
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select($"user_id").as[Long].collect()
+    val users = ev.groupBy(identity).view.mapValues(_.length)
+    val expected = users.values.map(n => (n - 1).toLong).sum
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
+  // ------------------------------------------------------------- X97
+
+  test("MAD outliers: driver-exact median/MAD replay per type") {
+    import spark.implicits._
+    val got = EventOps.q131MadOutliers(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select($"event_type", round($"value" * 100).cast("long"))
+      .as[(String, Long)].collect()
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s2 = xs.sorted; s2((s2.length + 1) / 2 - 1)
+    }
+    ev.groupBy(_._1).foreach { case (t, vs) =>
+      val cents = vs.map(_._2).toSeq
+      val med = lowerMedian(cents)
+      val mad = lowerMedian(cents.map(c => math.abs(c - med)))
+      val out = cents.count(c => math.abs(c - med) > 3 * mad).toLong
+      assert(got(t) == ((cents.length.toLong, med, mad, out)),
+        s"type $t: got ${got(t)}, want (${cents.length}, $med, $mad, $out)")
+    }
+  }
+
+  // ------------------------------------------------------------- X98
+
+  test("triangles: degree-oriented count equals driver brute force") {
+    import spark.implicits._
+    val rows = AffinityOps.q132Triangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val po = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val edges = po.groupBy(_._1).values.flatMap { ls =>
+      val ps = ls.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val count = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, bs) <- adj; b <- bs; c <- adj.getOrElse(b, Set.empty) if bs(c)) {
+      count(a) += 1; count(b) += 1; count(c) += 1
+    }
+    val top = count.toSeq.sortBy { case (k, n) => (-n, k) }.take(20)
+    assert(rows == top.toMap, s"got $rows want ${top.toMap}")
+  }
+
+  // ------------------------------------------------------------- X99
+
+  test("curriculum: contiguous positions, per-stream order, exact vtime") {
+    import spark.implicits._
+    val rows = PipelineOps.q133CurriculumInterleave(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = graft.sources.Tables.load(spark, sf, "documents").count()
+    // schedule covers the corpus exactly once, positions 1..n
+    assert(rows.length == n)
+    assert(rows.map(_._1).sorted.toSeq == (1L to n).toSeq)
+    // within every language stream the schedule preserves stream order:
+    // rk strictly increases with pos
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val byPos = rs.sortBy(_._1).map(_._4)
+      assert(byPos.toSeq == byPos.sorted.toSeq)
+      assert(byPos.toSeq == (1L to byPos.length).toSeq) // rk contiguous too
+    }
+    // vtime is the exact integer virtual time for the reported weight
+    val w = PipelineOps.q82LangMixture(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    rows.foreach { case (_, lang, _, rk, vt) =>
+      assert(vt == rk * 1000000000L / w(lang),
+        s"$lang rk=$rk: vtime $vt != ${rk * 1000000000L / w(lang)}")
+    }
   }
 }

@@ -107,9 +107,17 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                               // combinable user fold + orderBy
     "q128_revenue_reconcile" -> 4, // line fold + co-keyed header join +
                                    // 4-row verdict agg + orderBy
-    "q129_distribution_drift" -> 9 // two snapshot band aggs, each with a
+    "q129_distribution_drift" -> 9, // two snapshot band aggs, each with a
                                    // broadcast 1-row total (2-phase), +
                                    // band-frame full-outer join + orderBy
+    "q130_interarrival" -> 3, // ONE user_id lag partitioning + combinable
+                             // (type, band) agg + orderBy
+    "q131_mad_outliers" -> 5 // (type,cents) agg + type window + (type,dev)
+                             // agg + type window + orderBy — every frame
+                             // after the first agg is histogram-sized
+    // q132 materializes via collect-then-unpersist (q106 idiom) so its
+    // returned plan is local — its shuffle story is asserted by the
+    // AffinityOpsSpec brute-force replay instead
   )
 
   budgets.foreach { case (name, max) =>
