@@ -2193,8 +2193,9 @@ object SparkEntry {
         |ORDER BY n_triangles DESC, part_key LIMIT 20""".stripMargin,
 
     // q133: virtual-time weighted interleave — stream s's k-th doc at
-    // vtime k·1e9 div weight_ppm(s); the merged (vtime, lang, doc_id)
-    // order is the schedule. Fingerprint priority as q61, weights as q82.
+    // vtime k·1e6 div weight_ppm(s) (clamped >= 1 ppm); the merged
+    // (vtime, lang, doc_id) order is the schedule. Fingerprint priority
+    // as q61, weights as q82.
     "q133_curriculum" ->
       """WITH d AS (SELECT lang, doc_id,
         |    list_reduce(list_transform(string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
@@ -2210,7 +2211,7 @@ object SparkEntry {
         |    w_sqrt * 1000000 // CAST(sum(w_sqrt) OVER () AS BIGINT) AS weight_ppm
         |  FROM w),
         |k AS (SELECT r.lang, r.doc_id, r.rk,
-        |    r.rk * 1000000000 // ww.weight_ppm AS vtime
+        |    r.rk * 1000000 // greatest(ww.weight_ppm, 1) AS vtime
         |  FROM r JOIN ww USING (lang))
         |SELECT CAST(row_number() OVER (ORDER BY vtime, lang, doc_id) AS BIGINT) AS pos,
         |  lang, doc_id, rk, vtime

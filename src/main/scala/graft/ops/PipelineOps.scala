@@ -65,33 +65,39 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
-  /** X41 — temperature-based mixture reweighting: per-language sampling
-    * weights ∝ n_tokens^(1/2) (the multilingual-training upweighting that
-    * keeps head languages from drowning the tail), expressed in integer
-    * parts-per-million so the weights are hash-exact.
+  /** THE mixture-weight frame (lang, n_docs, n_tokens, w_sqrt, weight_ppm)
+    * from a doc-level (lang, n_toks) projection: one definition shared by
+    * the q82 report and the q133 curriculum interleave that consumes the
+    * weights — the schedule must interleave by the weights actually
+    * reported, so the two can never drift. Taking the projection (rather
+    * than raw documents) lets q133 feed it from an already-tokenized
+    * frame instead of re-scanning the corpus text.
     *
     * floor(sqrt(bigint)) is safe cross-engine: IEEE-754 sqrt is correctly
     * rounded, floor makes it integral, and DuckDB's round-on-cast equals
-    * truncation on integral doubles.
-    *
-    * Scale: one combinable groupBy to language-level (output is
-    * vocabulary-of-languages sized — driver-tiny), then an empty-window
-    * normalization over that tiny frame. The 100 TB input is touched once. */
-  /** THE mixture-weight frame (lang, n_docs, n_tokens, w_sqrt, weight_ppm):
-    * one definition shared by the q82 report and the q133 curriculum
-    * interleave that consumes the weights — the schedule must interleave
-    * by the weights actually reported, so the two can never drift. */
-  private[graft] def mixtureWeights(d: DataFrame): DataFrame =
-    d.groupBy(col("lang"))
+    * truncation on integral doubles. */
+  private[graft] def mixtureWeights(tokens: DataFrame): DataFrame =
+    tokens.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        sum(col("n_toks")).as("n_tokens"))
       .withColumn("w_sqrt", floor(sqrt(col("n_tokens"))).cast("long"))
       .withColumn("weight_ppm",
         expr("w_sqrt * 1000000 div sum(w_sqrt) over ()"))
 
+  /** X41 — temperature-based mixture reweighting: per-language sampling
+    * weights ∝ n_tokens^(1/2) (the multilingual-training upweighting that
+    * keeps head languages from drowning the tail), expressed in integer
+    * parts-per-million so the weights are hash-exact ([[mixtureWeights]]
+    * holds the shared formula).
+    *
+    * Scale: one combinable groupBy to language-level (output is
+    * vocabulary-of-languages sized — driver-tiny), then an empty-window
+    * normalization over that tiny frame. The 100 TB input is touched once. */
   def q82LangMixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mixtureWeights(docs(s, dir)).orderBy($"lang")
+    mixtureWeights(docs(s, dir)
+        .select($"lang", size(split($"text", " ")).cast("long").as("n_toks")))
+      .orderBy($"lang")
   }
 
   /** X42 — deterministic global shuffle + shard assignment: the "shuffle
@@ -805,33 +811,47 @@ object PipelineOps {
   /** X99 — deterministic weighted curriculum interleave: the exact global
     * reading order a trainer draws when sampling languages proportional to
     * the [[mixtureWeights]] sqrt-token weights — stream s's k-th document
-    * is scheduled at virtual time k·10⁹ div weight_ppm(s), and the merged
+    * is scheduled at virtual time k·10⁶ div weight_ppm(s), and the merged
     * (vtime, lang, doc_id) order IS the curriculum. Replayable end to end:
     * within-stream order is the portable content-fingerprint priority
     * (q61's), weights are integer ppm, no RNG anywhere — a retried run or
     * a different engine draws the identical schedule.
     *
-    * Scale: within-language rank comes from ONE GlobalOrder pass over
-    * (lang, pri, doc_id) minus a broadcast per-language offset — never a
-    * per-language row_number window funneling each language through one
-    * task. The schedule position is a second GlobalOrder pass over the
-    * computed vtime. Both are range shuffles with broadcast prefix
-    * offsets; the weight frame is |langs| rows, broadcast. */
+    * Integer envelope: the 10⁶ multiplier leaves rk headroom to ~9.2·10¹²
+    * documents per language before the vtime multiply can overflow —
+    * beyond any 100 TB corpus (10⁹ would cap at ~9.2·10⁹, reachable).
+    * A tail language whose sqrt weight truncates to 0 ppm is clamped to
+    * 1 ppm instead of dividing by zero (it schedules last, as it should).
+    *
+    * Scale: the corpus text is scanned ONCE — the fingerprint + token
+    * count ride one narrow projection into the first GlobalOrder pass,
+    * and the weights aggregate from that pass's shuffle files (n_toks is
+    * 8 bytes/row through the range shuffle), not from a re-scan. Within-
+    * language rank is the global rank minus a broadcast per-language
+    * offset — never a per-language row_number window funneling each
+    * language through one task. The schedule position is a second
+    * GlobalOrder pass over the computed vtime. Both are range shuffles
+    * with broadcast prefix offsets; offset + weight frames are |langs|
+    * rows, broadcast. */
   def q133CurriculumInterleave(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Fingerprint.register(s)
     val d = docs(s, dir).select($"lang", $"doc_id",
       expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))")
-        .as("pri"))
+        .as("pri"),
+      size(split($"text", " ")).cast("long").as("n_toks"))
     val ranked = graft.operators.GlobalOrder.withRowNumber(
       d, Seq($"lang", $"pri", $"doc_id"), "grk")
+    // both language-sized frames aggregate from the ranked pass's shuffle
+    // files — no second pass over the text column
     val offsets = ranked.groupBy($"lang").agg(min($"grk").as("lang_off"))
-    val weights = mixtureWeights(docs(s, dir)).select($"lang", $"weight_ppm")
+    val weights = mixtureWeights(ranked.select($"lang", $"n_toks"))
+      .select($"lang", $"weight_ppm")
     val keyed = ranked
       .join(broadcast(offsets), Seq("lang"))
       .join(broadcast(weights), Seq("lang"))
       .withColumn("rk", $"grk" - $"lang_off" + 1L)
-      .withColumn("vtime", expr("rk * 1000000000 div weight_ppm"))
+      .withColumn("vtime", expr("rk * 1000000 div greatest(weight_ppm, 1L)"))
       .select($"lang", $"doc_id", $"rk", $"vtime")
     graft.operators.GlobalOrder.withRowNumber(
         keyed, Seq($"vtime", $"lang", $"doc_id"), "pos")

@@ -602,8 +602,8 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val w = PipelineOps.q82LangMixture(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(4)).toMap
     rows.foreach { case (_, lang, _, rk, vt) =>
-      assert(vt == rk * 1000000000L / w(lang),
-        s"$lang rk=$rk: vtime $vt != ${rk * 1000000000L / w(lang)}")
+      assert(vt == rk * 1000000L / math.max(w(lang), 1L),
+        s"$lang rk=$rk: vtime $vt != ${rk * 1000000L / math.max(w(lang), 1L)}")
     }
   }
 }

@@ -112,9 +112,12 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                                    // band-frame full-outer join + orderBy
     "q130_interarrival" -> 3, // ONE user_id lag partitioning + combinable
                              // (type, band) agg + orderBy
-    "q131_mad_outliers" -> 5 // (type,cents) agg + type window + (type,dev)
+    "q131_mad_outliers" -> 5, // (type,cents) agg + type window + (type,dev)
                              // agg + type window + orderBy — every frame
                              // after the first agg is histogram-sized
+    "q133_curriculum"   -> 1 // both GlobalOrder range shuffles ride the
+                             // RDD bridge (q116's pattern); only the final
+                             // orderBy plans as an Exchange
     // q132 materializes via collect-then-unpersist (q106 idiom) so its
     // returned plan is local — its shuffle story is asserted by the
     // AffinityOpsSpec brute-force replay instead

@@ -31,14 +31,18 @@ object SmokeNew {
     val json = SparkEntry.oracleSql.filter(kv => names(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    for (name <- args.drop(2); fn = SparkEntry.queries(name)) {
+    for (name <- args.drop(2)) {
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        println(f"[smoke] $name ok ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      } catch { case e: Throwable =>
-        println(s"[smoke] $name FAILED: ${e.getMessage}")
+      SparkEntry.queries.get(name) match {
+        case None => println(s"[smoke] $name FAILED: unknown query name")
+        case Some(fn) =>
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            println(f"[smoke] $name ok ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          } catch { case e: Throwable =>
+            println(s"[smoke] $name FAILED: ${e.getMessage}")
+          }
       }
     }
     spark.stop()
