@@ -162,6 +162,10 @@ object SparkEntry {
     "q131_mad_outliers"   -> EventOps.q131MadOutliers _,
     "q132_triangles"      -> AffinityOps.q132Triangles _,
     "q133_curriculum"     -> PipelineOps.q133CurriculumInterleave _,
+    "q134_bloom_prefilter" -> PipelineOps.q134BloomPrefilter _,
+    "q135_pit_join"       -> TransferOps.q135PitJoin _,
+    "q136_incr_stats"     -> PipelineOps.q136IncrStats _,
+    "q137_salted_join"    -> PipelineOps.q137SaltedJoin _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2216,5 +2220,64 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY vtime, lang, doc_id) AS BIGINT) AS pos,
         |  lang, doc_id, rk, vtime
         |FROM k ORDER BY pos""".stripMargin,
+
+    // q134: the Bloom prefilter is transparent — false positives are
+    // removed by the exact semi-join, false negatives are impossible — so
+    // the oracle is the PLAIN semi-join aggregate.
+    "q134_bloom_prefilter" ->
+      """SELECT l.l_returnflag,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT))
+        |    AS BIGINT) AS qty_x100,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |WHERE l.l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice >= 450000.0)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
+
+    // q135: the oracle states PIT semantics declaratively — interval
+    // containment against the SCD2 version table ([valid_from, valid_to),
+    // open tail = NULL). Same-day version chains leave empty intervals, so
+    // at most one version contains any date; the Spark side's as-of union
+    // trick must agree row for row.
+    "q135_pit_join" ->
+      """WITH scd AS (SELECT o_custkey,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    CAST(o_orderdate AS DATE) AS valid_from,
+        |    lead(CAST(o_orderdate AS DATE)) OVER w AS valid_to,
+        |    o_orderstatus AS status
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY CAST(o_orderdate AS DATE), o_orderkey)),
+        |f AS (SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+        |    o.o_custkey, CAST(l.l_shipdate AS DATE) AS ship_date
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.ship_date,
+        |  d.version, d.status
+        |FROM f LEFT JOIN scd d
+        |  ON f.o_custkey = d.o_custkey AND f.ship_date >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.ship_date < d.valid_to)
+        |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin,
+
+    // q136: the oracle is the full recompute the incremental merge
+    // replaces — state(9 deciles) + delta(1 decile) must equal one pass
+    // over everything.
+    "q136_incr_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q137: salting is semantics-preserving for inner joins — the oracle
+    // is the plain unsalted join aggregate.
+    "q137_salted_join" ->
+      """SELECT CAST(s.s_nationkey AS BIGINT) AS s_nationkey,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

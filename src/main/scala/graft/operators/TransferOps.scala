@@ -156,6 +156,14 @@ object TransferOps {
     * changes. */
   def q111Scd2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    scd2Frame(s, dir).orderBy($"o_custkey", $"version")
+  }
+
+  /** The SCD2 build without q111's presentation orderBy — consumers that
+    * re-partition the dimension anyway (the PIT join unions it into its
+    * own custkey shuffle) use this to avoid a discarded range exchange. */
+  private def scd2Frame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"o_custkey").orderBy($"valid_from", $"o_orderkey")
     graft.sources.Tables.load(s, dir, "orders")
@@ -168,7 +176,6 @@ object TransferOps {
       .select($"o_custkey", $"version".cast("long").as("version"),
         $"valid_from", $"valid_to", $"o_orderstatus".as("status"),
         $"price_cents", $"is_current".cast("long").as("is_current"))
-      .orderBy($"o_custkey", $"version")
   }
 
   /** X85 — referential-integrity audit: orphan counts for every foreign-key
@@ -258,5 +265,48 @@ object TransferOps {
         max($"drift_ppm").as("max_drift_ppm"),
         min($"o_orderkey").as("min_orderkey"))
       .orderBy($"verdict")
+  }
+
+  /** X103 — point-in-time (PIT) join against the SCD2 dimension: attribute
+    * each fact row to the dimension VERSION that was valid at the fact's
+    * own date — the correctness step that separates a Type-2 dimension
+    * build (X76/q111) from being actually usable (joining facts to
+    * `is_current` silently rewrites history). Facts are lineitem rows at
+    * their ship date, keyed to the customer via the order header; facts
+    * dated before the customer's first version attribute to NULL.
+    *
+    * Scale: implemented as the X16 as-of union trick, NOT an interval
+    * join — version-change rows and fact rows union into ONE custkey
+    * shuffle, a last-ignore-nulls window over (date, kind, version) hands
+    * every fact the latest version at its instant (version rows sort
+    * before same-day facts; same-day version chains resolve to the highest
+    * version). An interval-predicate join would be a per-customer cross
+    * product; this is one exchange + one window, and the version payload
+    * (status) rides the union row so no second join is needed. */
+  def q135PitJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dim = scd2Frame(s, dir)
+      .select($"o_custkey", $"valid_from".as("d"), lit(0).as("kind"),
+        $"version", struct($"version", $"status").as("payload"),
+        lit(null).cast("long").as("l_orderkey"),
+        lit(null).cast("long").as("l_linenumber"))
+    val fact = graft.sources.Tables.load(s, dir, "lineitem")
+      .join(graft.sources.Tables.load(s, dir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_shipdate".cast("date").as("d"),
+        lit(1).as("kind"), lit(Long.MaxValue).as("version"),
+        lit(null).cast("struct<version:bigint,status:string>").as("payload"),
+        $"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"))
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"d", $"kind", $"version")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(fact)
+      .withColumn("pit", last($"payload", ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .select($"l_orderkey", $"l_linenumber", $"o_custkey",
+        $"d".as("ship_date"), $"pit.version".as("version"),
+        $"pit.status".as("status"))
+      .orderBy($"l_orderkey", $"l_linenumber")
   }
 }

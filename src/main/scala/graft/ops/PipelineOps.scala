@@ -858,4 +858,120 @@ object PipelineOps {
       .select($"pos", $"lang", $"doc_id", $"rk", $"vtime")
       .orderBy($"pos")
   }
+
+  /** X100 — Bloom-prefiltered semi-join: the runtime-filter pattern for
+    * "big fact ⋉ selective dim predicate" joins — build a Bloom filter over
+    * the qualifying dimension keys (`df.stat.bloomFilter`, a distributed
+    * aggregate), broadcast the ~filter-sized sketch, and drop non-matching
+    * fact rows in a NARROW map before the exact semi-join finishes the job.
+    * False positives cost nothing (the exact join removes them); false
+    * negatives are impossible, so the result is bit-identical to the plain
+    * semi-join.
+    *
+    * Scale: at 100 TB the win is shuffle elimination — the fact side
+    * shrinks by the predicate's selectivity (~10% here) BEFORE its
+    * exchange, while the Bloom sketch stays a few hundred KB regardless of
+    * fact size (vs broadcasting the full keyset, which grows with the dim).
+    * This is what Spark's own runtime row-group filtering does inside the
+    * engine, surfaced as an explicit operator for engines/readers that
+    * cannot inject it. */
+  def q134BloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = Tables.load(s, dir, "orders")
+      .filter($"o_totalprice" >= 450000.0)
+      .select($"o_orderkey")
+    // expectedNumItems from a cheap count on the (already selective) dim
+    // side; fpp 1% keeps the sketch ~1.2 KB per 1k keys — broadcastable at
+    // any corpus scale.
+    val n = math.max(keys.count(), 1L)
+    val bf = s.sparkContext.broadcast(keys.stat.bloomFilter("o_orderkey", n, 0.01))
+    val mightContain = udf((k: Long) => bf.value.mightContainLong(k))
+    Tables.load(s, dir, "lineitem")
+      .filter($"l_orderkey".isNotNull && mightContain($"l_orderkey"))
+      .join(keys, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round($"l_quantity" * 100).cast("long")).as("qty_x100"),
+        sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long")).as("revenue_cents"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** X101 — incremental aggregate maintenance (IVM): merge a persisted
+    * per-language statistics snapshot with the aggregate of a NEW document
+    * batch instead of rescanning the corpus — the standing-state pattern
+    * behind every "corpus dashboard" that survives daily ingests. The batch
+    * is the deterministic doc_id ≡ 0 (mod 10) decile; the snapshot is the
+    * other nine deciles, written to (and read back from) a parquet state
+    * table so the merge provably consumes persisted state, not a live
+    * re-aggregation.
+    *
+    * Scale: the incremental pass scans O(|batch|) rows + a |langs|-row
+    * state table; the merge is a full-outer join of two language-sized
+    * frames (count/sum are the canonical mergeable aggregates). The full
+    * recompute this replaces is the oracle. */
+  def q136IncrStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def agg(df: DataFrame): DataFrame = df.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
+        sum(length($"text").cast("long")).as("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_state")
+    try {
+      agg(docs(s, dir).filter($"doc_id" % 10 =!= 0))
+        .write.mode("overwrite").parquet(s"$tmp/state")
+      val state = s.read.parquet(s"$tmp/state")
+      val delta = agg(docs(s, dir).filter($"doc_id" % 10 === 0))
+      val rows = state.as("b").join(delta.as("d"), Seq("lang"), "full_outer")
+        .select($"lang",
+          (coalesce($"b.n_docs", lit(0L)) + coalesce($"d.n_docs", lit(0L)))
+            .as("n_docs"),
+          (coalesce($"b.n_tokens", lit(0L)) + coalesce($"d.n_tokens", lit(0L)))
+            .as("n_tokens"),
+          (coalesce($"b.n_chars", lit(0L)) + coalesce($"d.n_chars", lit(0L)))
+            .as("n_chars"))
+        .orderBy($"lang")
+        .collect().toSeq
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("lang", StringType),
+          StructField("n_docs", LongType), StructField("n_tokens", LongType),
+          StructField("n_chars", LongType))))
+    } finally {
+      graft.transfer.Transfer.deleteRecursively(tmp)
+    }
+  }
+
+  /** X102 — salted replicated join: the skew-join escape hatch when one
+    * join key carries a disproportionate share of the fact rows and the dim
+    * side is too large (or the engine too old) for AQE's skew splitting —
+    * the fact side gets a deterministic salt in [0, R), the dim side is
+    * replicated R×, and the join key becomes (key, salt), splitting each
+    * hot key's rows across R reducers. Inner-join semantics are exactly
+    * preserved: every fact row still meets precisely its one dim row (in
+    * its salt slice).
+    *
+    * Scale: R multiplies only the DIM side (supplier ×8 here); the fact
+    * side gains an 8-byte column. The join is pinned to SHUFFLE_HASH —
+    * with a broadcast the salt would be pointless (no shuffle to skew),
+    * and sort-merge would re-sort the replicated side. The salt is
+    * xxhash64-derived (uniform, replayable under retries), never rand(). */
+  def q137SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val R = 8
+    val fact = Tables.load(s, dir, "lineitem")
+      .filter($"l_suppkey".isNotNull)
+      .select($"l_suppkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"),
+        pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(R)).as("salt"))
+    val dim = Tables.load(s, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey".cast("long").as("s_nationkey"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(R - 1L))))
+    fact.join(dim.hint("SHUFFLE_HASH"),
+        fact("l_suppkey") === dim("s_suppkey") && fact("salt") === dim("salt"))
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_lines"), sum($"cents").as("revenue_cents"))
+      .orderBy($"s_nationkey")
+  }
 }

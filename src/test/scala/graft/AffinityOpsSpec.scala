@@ -606,4 +606,95 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$lang rk=$rk: vtime $vt != ${rk * 1000000L / math.max(w(lang), 1L)}")
     }
   }
+
+  // ------------------------------------------------------------- X100
+
+  test("bloom prefilter: bit-identical to the plain semi-join aggregate") {
+    import spark.implicits._
+    val got = PipelineOps.q134BloomPrefilter(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val keys = graft.sources.Tables.load(spark, sf, "orders")
+      .filter($"o_totalprice" >= 450000.0).select($"o_orderkey")
+    val want = graft.sources.Tables.load(spark, sf, "lineitem")
+      .join(keys, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"l_quantity" * 100).cast("long")).as("q"),
+        sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long")).as("r"))
+      .orderBy($"l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+    // the narrow prefilter is actually in the plan (a pre-join UDF filter)
+    val plan = PipelineOps.q134BloomPrefilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("UDF"), s"no bloom prefilter stage:\n${plan.take(1500)}")
+  }
+
+  // ------------------------------------------------------------- X103
+
+  test("PIT join: every fact gets the version valid at its ship date") {
+    import spark.implicits._
+    // driver replay: per customer, versions sorted by (valid_from, version);
+    // a fact's version is the LAST one starting on/before its date
+    val dim = TransferOps.q111Scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2)))
+      .groupBy(_._1).map { case (ck, vs) =>
+        ck -> vs.map(v => (v._3.toLocalDate.toEpochDay, v._2))
+          .sortBy(v => (v._1, v._2)).toSeq
+      }
+    val got = TransferOps.q135PitJoin(spark, sf).collect()
+    assert(got.nonEmpty)
+    var nullSeen = 0
+    got.foreach { r =>
+      val (ck, d) = (r.getLong(2), r.getDate(3).toLocalDate.toEpochDay)
+      val expect = dim.getOrElse(ck, Seq.empty)
+        .takeWhile(_._1 <= d).lastOption.map(_._2)
+      val gotV = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(gotV == expect, s"cust $ck date $d: got $gotV want $expect")
+      if (gotV.isEmpty) nullSeen += 1
+    }
+    // facts predating the first version DO occur in this corpus — the NULL
+    // branch is exercised, not vacuous
+    assert(nullSeen > 0)
+  }
+
+  // ------------------------------------------------------------- X101
+
+  test("incremental stats merge equals the full recompute") {
+    import spark.implicits._
+    val got = PipelineOps.q136IncrStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = graft.sources.Tables.load(spark, sf, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("d"),
+        sum(size(split($"text", " ")).cast("long")).as("t"),
+        sum(length($"text").cast("long")).as("c"))
+      .orderBy($"lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  // ------------------------------------------------------------- X102
+
+  test("salted join: bit-identical to direct join, pinned to shuffle-hash") {
+    import spark.implicits._
+    val df = PipelineOps.q137SaltedJoin(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = graft.sources.Tables.load(spark, sf, "lineitem")
+      .join(graft.sources.Tables.load(spark, sf, "supplier"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey".cast("long").as("nk"))
+      .agg(count(lit(1)).as("n"),
+        sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long")).as("r"))
+      .orderBy($"nk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+    // the salt only does its job under a SHUFFLED join — a broadcast here
+    // means the hint regressed and the operator is a silent no-op
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join not shuffle-hash:\n${plan.take(1500)}")
+  }
 }

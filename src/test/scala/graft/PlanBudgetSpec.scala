@@ -115,12 +115,23 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q131_mad_outliers" -> 5, // (type,cents) agg + type window + (type,dev)
                              // agg + type window + orderBy — every frame
                              // after the first agg is histogram-sized
-    "q133_curriculum"   -> 1 // both GlobalOrder range shuffles ride the
+    "q133_curriculum"   -> 1, // both GlobalOrder range shuffles ride the
                              // RDD bridge (q116's pattern); only the final
                              // orderBy plans as an Exchange
     // q132 materializes via collect-then-unpersist (q106 idiom) so its
     // returned plan is local — its shuffle story is asserted by the
     // AffinityOpsSpec brute-force replay instead
+    "q134_bloom_prefilter" -> 3, // broadcast key-set + combinable flag agg
+                                 // + orderBy; the bloom prune itself is a
+                                 // NARROW pre-join filter (no exchange)
+    "q135_pit_join"     -> 4, // dim version window + ONE union custkey
+                              // window + broadcast header join + orderBy
+    "q137_salted_join"  -> 4 // (key,salt) exchange per side (the point:
+                             // hot keys split across R reducers) + nation
+                             // agg + orderBy
+    // q136 materializes via collect (state round-trips through parquet) so
+    // its returned plan is local — merge≡recompute is asserted in
+    // AffinityOpsSpec instead
   )
 
   budgets.foreach { case (name, max) =>
