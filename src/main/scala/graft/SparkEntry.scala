@@ -166,6 +166,10 @@ object SparkEntry {
     "q135_pit_join"       -> TransferOps.q135PitJoin _,
     "q136_incr_stats"     -> PipelineOps.q136IncrStats _,
     "q137_salted_join"    -> PipelineOps.q137SaltedJoin _,
+    "q138_contam_spans"   -> CorpusOps.q138ContamSpans _,
+    "q139_skipgrams"      -> CorpusOps.q139Skipgrams _,
+    "q140_ks_drift"       -> TextOps.q140KsDrift _,
+    "q141_attribution"    -> EventOps.q141Attribution _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2279,5 +2283,96 @@ object SparkEntry {
         |    AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q138: q76's gram/eval construction with POSITIONS; the interval
+    // union is the same two-window pass on both engines (running
+    // max(end) over preceding rows flags span starts).
+    "q138_contam_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |        unnest(list_transform(generate_series(1, len(ws) - 4),
+        |          i -> {'pos': i,
+        |                'gram': array_to_string(list_slice(ws, i, i + 4), ' ')}))
+        |          AS pg
+        |      FROM d),
+        |ev AS (SELECT DISTINCT pg.gram AS eg FROM g WHERE doc_id % 20 = 0),
+        |h AS (SELECT doc_id, n_tokens, CAST(pg.pos AS BIGINT) AS s,
+        |        CAST(pg.pos + 4 AS BIGINT) AS e
+        |      FROM g WHERE doc_id % 20 <> 0
+        |        AND pg.gram IN (SELECT eg FROM ev)),
+        |m AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM h),
+        |sid AS (SELECT *, CAST(sum(CASE WHEN prev_end IS NULL OR s > prev_end
+        |          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS span_id
+        |        FROM m),
+        |spans AS (SELECT doc_id, span_id, max(n_tokens) AS n_tokens,
+        |            min(s) AS ss, max(e) AS ee
+        |          FROM sid GROUP BY doc_id, span_id)
+        |SELECT doc_id, max(n_tokens) AS n_tokens, count(*) AS n_spans,
+        |  CAST(sum(ee - ss + 1) AS BIGINT) AS covered_tokens,
+        |  CAST(sum(ee - ss + 1) * 1000000 // max(n_tokens) AS BIGINT)
+        |    AS covered_ppm
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q139: distance-1 and distance-2 pairs; the list-comprehension
+    // expansion mirrors the Spark HOF exactly, the top-50 skim uses the
+    // same (count desc, w1, w2) total order.
+    "q139_skipgrams" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |        i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS pr FROM d
+        |      UNION ALL
+        |      SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+        |        i -> {'w1': ws[i], 'w2': ws[i + 2]})) FROM d
+        |      WHERE len(ws) >= 3)
+        |SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS n_pairs
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n_pairs DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // q140: KS distance in integer ppm over the n_chars ECDFs of the
+    // doc_id parity halves; cumulative walk over the length-histogram
+    // frame, report the 10 widest gaps.
+    "q140_ks_drift" ->
+      """WITH c AS (SELECT n_chars AS len,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb
+        |      FROM c),
+        |w AS (SELECT len,
+        |    CAST(sum(ca) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |    CAST(sum(cb) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum_b
+        |  FROM c)
+        |SELECT w.len, w.cum_a, w.cum_b,
+        |  w.cum_a * 1000000 // t.ta AS f_a_ppm,
+        |  w.cum_b * 1000000 // t.tb AS f_b_ppm,
+        |  abs(w.cum_a * 1000000 // t.ta - w.cum_b * 1000000 // t.tb) AS gap_ppm
+        |FROM w, t
+        |ORDER BY gap_ppm DESC, len LIMIT 10""".stripMargin,
+
+    // q141: last-touch attribution — the same (us, event_id)-ordered
+    // last-ignore-nulls window on both engines; the 7-day cut applies
+    // AFTER the pick on both sides.
+    "q141_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |l AS (SELECT *, last_value(CASE WHEN event_type = 'click'
+        |          THEN {'cus': us, 'cid': event_id} END IGNORE NULLS)
+        |        OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastc
+        |      FROM e)
+        |SELECT event_id, user_id,
+        |  CASE WHEN lastc IS NOT NULL AND us - lastc.cus <= 604800000000
+        |       THEN lastc.cid END AS click_id,
+        |  CASE WHEN lastc IS NOT NULL AND us - lastc.cus <= 604800000000
+        |       THEN (us - lastc.cus) // 60000000 END AS gap_minutes
+        |FROM l WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
   )
 }

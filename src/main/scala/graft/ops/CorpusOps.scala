@@ -374,4 +374,84 @@ object CorpusOps {
         expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
       .orderBy($"doc_id")
   }
+
+  /** X104 — contamination SPAN coverage: q76 counts matching 5-grams; this
+    * reports how much of each contaminated document the matches actually
+    * cover — each hit occupies token positions [p, p+4], overlapping hits
+    * are merged into maximal spans (the interval-union problem), and the
+    * document reports span count, covered tokens, and covered ppm. The
+    * distinction matters for decontamination policy: 40 overlapping hits in
+    * one 50-token block is one boilerplate quote to excise; 40 scattered
+    * hits is a document to drop.
+    *
+    * Scale: hits are benchmark-overlap-sized (≪ corpus); the interval
+    * merge is the classic two-window pass — running max(end) over
+    * preceding rows flags span starts, a running sum assigns span ids —
+    * and BOTH windows share one (doc_id, start) partitioning, so the
+    * merge costs a single hit-sized shuffle. No per-document loops. */
+  def q138ContamSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+      .withColumn("ws", split($"text", " "))
+      .filter(size($"ws") >= 5)
+      .select($"doc_id", $"ws", size($"ws").cast("long").as("n_tokens"))
+    val g = d.select($"doc_id", $"n_tokens", explode(expr(
+        """transform(sequence(1, size(ws) - 4), i -> struct(
+          |  CAST(i AS BIGINT) AS pos,
+          |  concat_ws(' ', slice(ws, CAST(i AS INT), 5)) AS gram))""".stripMargin))
+        .as("pg"))
+      .select($"doc_id", $"n_tokens", $"pg.pos".as("pos"), $"pg.gram".as("gram"))
+    val ev = g.filter($"doc_id" % 20 === 0).select($"gram").distinct()
+    val hits = g.filter($"doc_id" % 20 =!= 0)
+      .join(broadcast(ev), Seq("gram"))
+      .select($"doc_id", $"n_tokens", $"pos".as("s"), ($"pos" + 4L).as("e"))
+    val byStart = Window.partitionBy($"doc_id").orderBy($"s")
+    val wPrev = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum  = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("prev_end", max($"e").over(wPrev))
+      .withColumn("new_span",
+        when($"prev_end".isNull || $"s" > $"prev_end", 1L).otherwise(0L))
+      .withColumn("span_id", sum($"new_span").over(wCum))
+      .groupBy($"doc_id", $"span_id")
+      .agg(max($"n_tokens").as("n_tokens"),
+        min($"s").as("ss"), max($"e").as("ee"))
+      .groupBy($"doc_id")
+      .agg(max($"n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum($"ee" - $"ss" + 1L).as("covered_tokens"))
+      .withColumn("covered_ppm",
+        expr("covered_tokens * 1000000 div n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** X105 — skip-gram pair extraction (word2vec-style training pairs):
+    * co-occurring word pairs at distance 1 and 2 within each document,
+    * counted over the corpus — the expansion step that feeds embedding
+    * training and co-occurrence-matrix builds.
+    *
+    * Scale: the expansion is a NARROW flatten-of-transform HOF over token
+    * positions (≤2 pairs per token, no positional self-join, no (doc,pos)
+    * shuffle); `try_element_at` keeps the i+2 probe in ANSI-safe codegen.
+    * The pair count is ONE combinable shuffle on the (w1, w2) key, and
+    * the top-k skim is a driver-sized TakeOrdered over the total order
+    * (count desc, w1, w2). */
+  def q139Skipgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = docs(s, dir)
+      .withColumn("ws", split($"text", " "))
+      .filter(size($"ws") >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ws) - 1), i -> filter(array(
+          |  struct(element_at(ws, CAST(i AS INT)) AS w1,
+          |         element_at(ws, CAST(i + 1 AS INT)) AS w2),
+          |  struct(element_at(ws, CAST(i AS INT)) AS w1,
+          |         try_element_at(ws, CAST(i + 2 AS INT)) AS w2)),
+          |  x -> x.w2 IS NOT NULL)))""".stripMargin)).as("p"))
+      .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+    pairs.groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"n_pairs".desc, $"w1", $"w2")
+      .limit(50)
+  }
 }

@@ -489,4 +489,40 @@ object EventOps {
           .as("n_outliers"))
       .orderBy($"event_type")
   }
+
+  /** X107 — last-touch attribution: each purchase is credited to the most
+    * recent PRIOR click by the same user within a 7-day lookback — the
+    * marketing-attribution primitive, and the in-stream cousin of the X16
+    * as-of join (here both sides live in one event stream, so there is no
+    * union to build: one last-ignore-nulls window over the user's
+    * timeline does the whole lookup). Purchases with no qualifying click
+    * attribute to NULL.
+    *
+    * Scale: ONE user_id partitioning carries everything; the click payload
+    * (timestamp + event id) rides a struct through the window, so no
+    * self-join of the stream against its own clicks and no second
+    * shuffle. The (us, event_id) total order pins tie-breaks
+    * deterministically. The 7-day cut is integer-microsecond math applied
+    * AFTER the pick — a window-frame range bound would change which click
+    * wins under ties, not just filter it. */
+  def q141Attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Lookback = 7L * 86400L * 1000000L
+    val e = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("lastc",
+        last(when($"event_type" === "click",
+          struct($"us".as("cus"), $"event_id".as("cid"))),
+          ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("hit",
+        $"lastc".isNotNull && $"us" - $"lastc.cus" <= Lookback)
+      .select($"event_id", $"user_id",
+        when($"hit", $"lastc.cid").as("click_id"),
+        when($"hit", expr("(us - lastc.cus) div 60000000")).as("gap_minutes"))
+      .orderBy($"event_id")
+  }
 }

@@ -260,4 +260,40 @@ object TextOps {
         abs($"share_a_ppm" - $"share_b_ppm"))
       .orderBy($"band")
   }
+
+  /** X106 — KS-style ECDF drift: the maximum cumulative-share gap between
+    * two corpus snapshots' length distributions — the finer-grained
+    * complement to q129's banded drift (a Kolmogorov-Smirnov distance in
+    * integer ppm instead of a sup over real-valued ECDFs, so it is
+    * engine-exact). Snapshots are the deterministic doc_id parity halves;
+    * the report is the 10 lengths where the distributions diverge most.
+    *
+    * Scale: one combinable (length) aggregate with both snapshot counts as
+    * conditional sums (the corpus is scanned ONCE); the cumulative walk is
+    * an unpartitioned window — legitimate because it runs on the
+    * length-histogram frame (|distinct lengths| rows, driver-sized), never
+    * on the corpus (q112's horizon-window argument). Totals attach via a
+    * broadcast 1-row aggregate, not a count(*) window. */
+  def q140KsDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir)
+      .select(($"doc_id" % 2).as("grp"), $"n_chars".as("len"))
+      .groupBy($"len")
+      .agg(sum(when($"grp" === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when($"grp" === 1, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum($"ca").as("ta"), sum($"cb").as("tb"))
+    val wCum = Window.orderBy($"len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum_a", sum($"ca").over(wCum))
+      .withColumn("cum_b", sum($"cb").over(wCum))
+      .crossJoin(broadcast(totals))
+      .select($"len", $"cum_a", $"cum_b",
+        expr("cum_a * 1000000 div ta").as("f_a_ppm"),
+        expr("cum_b * 1000000 div tb").as("f_b_ppm"))
+      .withColumn("gap_ppm", abs($"f_a_ppm" - $"f_b_ppm"))
+      .orderBy($"gap_ppm".desc, $"len")
+      .limit(10)
+  }
 }

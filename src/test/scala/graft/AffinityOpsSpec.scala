@@ -697,4 +697,118 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ShuffledHashJoin"),
       s"salted join not shuffle-hash:\n${plan.take(1500)}")
   }
+
+  // ------------------------------------------------------------- X104
+
+  test("contamination spans: driver-side interval union agrees exactly") {
+    import spark.implicits._
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val grams = texts.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      id -> (1 to ws.length - 4).map(i =>
+        (i.toLong, ws.slice(i - 1, i + 4).mkString(" ")))
+    }.filter(_._2.nonEmpty).toMap
+    val ev = grams.collect { case (id, gs) if id % 20 == 0 => gs.map(_._2) }
+      .flatten.toSet
+    val want = grams.collect { case (id, gs) if id % 20 != 0 =>
+      val hits = gs.filter(g => ev(g._2)).map(g => (g._1, g._1 + 4))
+      id -> hits
+    }.filter(_._2.nonEmpty).map { case (id, hits) =>
+      // classic sweep: merge intervals sorted by start
+      val merged = hits.sortBy(_._1)
+        .foldLeft(List.empty[(Long, Long)]) {
+          case (acc @ ((s0, e0) :: rest), (s1, e1)) =>
+            if (s1 <= e0) (s0, math.max(e0, e1)) :: rest
+            else (s1, e1) :: acc
+          case (Nil, iv) => iv :: Nil
+        }.reverse
+      id -> (merged.length.toLong, merged.map(iv => iv._2 - iv._1 + 1).sum)
+    }
+    val got = graft.ops.CorpusOps.q138ContamSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)), r.getLong(1), r.getLong(4)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, exp) =>
+      val (spansCov, nTokens, ppm) = got(id)
+      assert(spansCov == exp, s"doc $id: got $spansCov want $exp")
+      assert(ppm == exp._2 * 1000000L / nTokens)
+      assert(ppm <= 1000000L)
+    }
+  }
+
+  // ------------------------------------------------------------- X105
+
+  test("skip-grams: top-50 equals the driver-side pair count") {
+    import spark.implicits._
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"text").as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val ws = t.split(" ", -1)
+      for (i <- 0 until ws.length - 1)
+        counts((ws(i), ws(i + 1))) = counts.getOrElse((ws(i), ws(i + 1)), 0L) + 1
+      for (i <- 0 until ws.length - 2)
+        counts((ws(i), ws(i + 2))) = counts.getOrElse((ws(i), ws(i + 2)), 0L) + 1
+    }
+    val want = counts.toSeq
+      .sortBy { case ((w1, w2), n) => (-n, w1, w2) }.take(50)
+      .map { case ((w1, w2), n) => (w1, w2, n) }
+    val got = graft.ops.CorpusOps.q139Skipgrams(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------- X106
+
+  test("KS drift: gaps are exact ECDF distances, monotone cumulatives") {
+    import spark.implicits._
+    val lens = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val a = lens.filter(_._1 % 2 == 0).map(_._2)
+    val b = lens.filter(_._1 % 2 == 1).map(_._2)
+    val allLens = lens.map(_._2).distinct.sorted
+    val gaps = allLens.map { l =>
+      val fa = a.count(_ <= l).toLong * 1000000L / a.length
+      val fb = b.count(_ <= l).toLong * 1000000L / b.length
+      (l, math.abs(fa - fb))
+    }
+    val want = gaps.sortBy { case (l, g) => (-g, l) }.take(10)
+    val got = graft.ops.TextOps.q140KsDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(5))).toSeq
+    assert(got == want.toSeq)
+  }
+
+  // ------------------------------------------------------------- X107
+
+  test("attribution: driver replay of last prior click within 7 days") {
+    import spark.implicits._
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val byUser = events.groupBy(_._2)
+    val want = scala.collection.mutable.Map.empty[Long, Option[(Long, Long)]]
+    byUser.foreach { case (_, evs) =>
+      val tl = evs.sortBy(e => (e._4, e._1))
+      var lastClick: Option[(Long, Long)] = None // (us, id)
+      tl.foreach { case (id, _, typ, us) =>
+        if (typ == "purchase")
+          want(id) = lastClick.filter(c => us - c._1 <= 7L * 86400L * 1000000L)
+            .map(c => (c._2, (us - c._1) / 60000000L))
+        if (typ == "click") lastClick = Some((us, id))
+      }
+    }
+    val got = graft.ops.EventOps.q141Attribution(spark, sf).collect()
+    assert(got.length == want.size)
+    var attributed = 0
+    got.foreach { r =>
+      val exp = want(r.getLong(0))
+      val g = if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))
+      assert(g == exp, s"purchase ${r.getLong(0)}: got $g want $exp")
+      if (g.isDefined) attributed += 1
+    }
+    // both branches are exercised
+    assert(attributed > 0 && attributed < got.length)
+  }
 }

@@ -126,12 +126,23 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                                  // NARROW pre-join filter (no exchange)
     "q135_pit_join"     -> 4, // dim version window + ONE union custkey
                               // window + broadcast header join + orderBy
-    "q137_salted_join"  -> 4 // (key,salt) exchange per side (the point:
+    "q137_salted_join"  -> 4, // (key,salt) exchange per side (the point:
                              // hot keys split across R reducers) + nation
                              // agg + orderBy
     // q136 materializes via collect (state round-trips through parquet) so
     // its returned plan is local — merge≡recompute is asserted in
     // AffinityOpsSpec instead
+    "q138_contam_spans" -> 4, // eval-gram distinct (2-phase broadcast) +
+                              // ONE doc_id partitioning shared by both
+                              // interval windows AND both span groupBys
+                              // (subset-key clustering) + orderBy
+    "q139_skipgrams"    -> 1, // narrow HOF expansion + ONE combinable pair
+                              // agg; top-50 is TakeOrdered, not a sort
+    "q140_ks_drift"     -> 5, // len agg (2-phase to the histogram frame) +
+                              // its single-partition cumulative window +
+                              // broadcast totals branch — every exchange
+                              // after the first carries histogram-sized rows
+    "q141_attribution"  -> 2 // ONE user_id timeline window + orderBy
   )
 
   budgets.foreach { case (name, max) =>
