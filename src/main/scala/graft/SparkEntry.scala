@@ -170,6 +170,9 @@ object SparkEntry {
     "q139_skipgrams"      -> CorpusOps.q139Skipgrams _,
     "q140_ks_drift"       -> TextOps.q140KsDrift _,
     "q141_attribution"    -> EventOps.q141Attribution _,
+    "q142_prefix_join"    -> DedupOps.q142PrefixJoin _,
+    "q143_weighted_sample" -> TextOps.q143WeightedSample _,
+    "q144_compaction_apply" -> PipelineOps.q144CompactionApply _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2374,5 +2377,48 @@ object SparkEntry {
         |  CASE WHEN lastc IS NOT NULL AND us - lastc.cus <= 604800000000
         |       THEN (us - lastc.cus) // 60000000 END AS gap_minutes
         |FROM l WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // q142: the oracle is the BRUTE-FORCE O(n²) set-similarity relation —
+    // prefix filtering is exact (the prefix lemma guarantees no misses for
+    // J >= t), so the filtered plan must reproduce it identically.
+    "q142_prefix_join" ->
+      """WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |           FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter,
+        |        CAST(len(a.ws) + len(b.ws)
+        |             - len(list_intersect(a.ws, b.ws)) AS BIGINT) AS un
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, inter, un, inter * 1000 // un AS j_ppt
+        |FROM p WHERE inter * 1000 // un >= 800
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q143: q133's portable polynomial fingerprint, scaled down by the
+    // token weight — identical integer priority on both engines.
+    "q143_weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    list_reduce(list_transform(
+        |      string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |  FROM documents)
+        |SELECT doc_id, n_toks, fp // (n_toks + 1) AS pri
+        |FROM d ORDER BY pri, doc_id LIMIT 100""".stripMargin,
+
+    // q144: the oracle recomputes the plan (q89's assignment) and asserts
+    // the executed layout matched it everywhere (ok = 1) — a read-back
+    // mismatch surfaces as a row the oracle doesn't have.
+    "q144_compaction_apply" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(coalesce(length(text), 0) AS BIGINT) AS n_bytes FROM documents),
+        |c AS (SELECT *, CAST(sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_byte
+        |      FROM t)
+        |SELECT source, (end_byte - 1) // 262144 AS file_seq,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM c GROUP BY source, file_seq ORDER BY source, file_seq""".stripMargin,
   )
 }

@@ -389,4 +389,57 @@ object DedupOps {
         coalesce($"min_partner", lit(-1L)).as("min_partner"))
       .orderBy($"doc_id")
   }
+
+  /** X108 — EXACT set-similarity join via prefix filtering (the
+    * PPJoin/AllPairs family): all document pairs with word-set Jaccard
+    * ≥ 0.8, found without a quadratic candidate space and without the
+    * probabilistic miss risk of MinHash (X3). The classic lemma: order the
+    * vocabulary by ascending document frequency (rarest first); if
+    * J(A,B) ≥ t, the first |X| − ⌈t·|X|⌉ + 1 tokens of each set (its
+    * "prefix") must overlap — so candidates are pairs sharing a PREFIX
+    * token, and rare-token prefixes generate few collisions. Every
+    * candidate is then verified exactly.
+    *
+    * Scale: the df count is one combinable shuffle; the global rarity
+    * rank is GlobalOrder's two-phase pass (vocabulary never on the
+    * driver); prefix explosion is ~20% of each doc's distinct tokens;
+    * the candidate join moves ONLY (prefix_token, doc_id) pairs — the
+    * sorted rank vectors stay out of the exchange until the pair-sized
+    * candidate frame joins them back (q33's shuffle-weight argument).
+    * Verification is the codegen'd sorted-merge intersect on BIGINT
+    * ranks. The brute-force O(n²) relation is the oracle: prefix
+    * filtering must lose NOTHING. */
+  def q142PrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SortedIntersectSize.register(s)
+    val d = docs(s, dir)
+      .select($"doc_id", array_distinct(split($"text", " ")).as("ws"))
+    val tok = d.select($"doc_id", explode($"ws").as("w"))
+    val dfC = tok.groupBy($"w").agg(count(lit(1)).as("df"))
+    val ranked = graft.operators.GlobalOrder
+      .withRowNumber(dfC, Seq($"df", $"w"), "wid").select($"w", $"wid")
+    val sets = tok.join(ranked, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"wid")).as("wi"))
+      .withColumn("n", size($"wi").cast("long"))
+    // p = n - ceil(0.8 n) + 1 rarest tokens (wid ascending = rarest first)
+    val pref = sets
+      .withColumn("p", expr("n - ((n * 8 + 9) div 10) + 1"))
+      .select($"doc_id", explode(expr("slice(wi, 1, CAST(p AS INT))")).as("ptok"))
+    val cand = pref.select($"ptok", $"doc_id".as("doc_a"))
+      .join(pref.select($"ptok", $"doc_id".as("doc_b")), Seq("ptok"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    cand
+      .join(sets.select($"doc_id".as("doc_a"), $"wi".as("wa"), $"n".as("na")),
+        Seq("doc_a"))
+      .join(sets.select($"doc_id".as("doc_b"), $"wi".as("wb"), $"n".as("nb")),
+        Seq("doc_b"))
+      .withColumn("inter", expr("graft_sorted_inter_n(wa, wb)"))
+      .withColumn("un", $"na" + $"nb" - $"inter")
+      .withColumn("j_ppt", expr("inter * 1000 div un"))
+      .filter($"j_ppt" >= 800)
+      .select($"doc_a", $"doc_b", $"inter", $"un", $"j_ppt")
+      .orderBy($"doc_a", $"doc_b")
+  }
 }

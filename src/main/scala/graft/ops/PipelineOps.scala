@@ -974,4 +974,56 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_lines"), sum($"cents").as("revenue_cents"))
       .orderBy($"s_nationkey")
   }
+
+  /** X110 — compaction EXECUTION: materialize q89's small-file compaction
+    * plan — assign every document its planned (source, file_seq), lay the
+    * data out with one repartition on exactly that key, write, and read
+    * the layout back to prove each physical file landed with precisely the
+    * planned document count and byte payload. q89 is the planner; this is
+    * the worker that a nightly layout job actually runs.
+    *
+    * Scale: the assignment reuses q89's single running-sum window per
+    * source stream; the write is ONE repartition((source, file_seq)) —
+    * each planned file becomes one task writing one contiguous file, the
+    * inverse of the small-files problem. The read-back audit is one
+    * combinable agg over the new layout. Everything else is integer math
+    * on cumulative bytes. */
+  def q144CompactionApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val target = 262144L // 256 KB — q89's target
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assigned = docs(s, dir)
+      .select($"doc_id", $"source",
+        coalesce(length($"text"), lit(0)).cast("long").as("n_bytes"))
+      .withColumn("end_byte", sum($"n_bytes").over(w))
+      .withColumn("file_seq", expr(s"(end_byte - 1) div $target"))
+      .select($"doc_id", $"source", $"n_bytes", $"file_seq")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    try {
+      assigned.repartition($"source", $"file_seq")
+        .write.partitionBy("source", "file_seq").parquet(s"$tmp/layout")
+      val actual = s.read.parquet(s"$tmp/layout")
+        .groupBy($"source", $"file_seq".cast("long").as("file_seq"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_bytes").as("n_bytes"))
+      val plan = assigned
+        .groupBy($"source", $"file_seq")
+        .agg(count(lit(1)).as("plan_docs"), sum($"n_bytes").as("plan_bytes"))
+      val rows = actual.join(plan, Seq("source", "file_seq"), "full_outer")
+        .select($"source", $"file_seq",
+          coalesce($"n_docs", lit(0L)).as("n_docs"),
+          coalesce($"n_bytes", lit(0L)).as("n_bytes"),
+          when($"n_docs" === $"plan_docs" && $"n_bytes" === $"plan_bytes", 1L)
+            .otherwise(0L).as("ok"))
+        .orderBy($"source", $"file_seq")
+        .collect().toSeq
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("source", StringType),
+          StructField("file_seq", LongType), StructField("n_docs", LongType),
+          StructField("n_bytes", LongType), StructField("ok", LongType))))
+    } finally {
+      graft.transfer.Transfer.deleteRecursively(tmp)
+    }
+  }
 }

@@ -296,4 +296,31 @@ object TextOps {
       .orderBy($"gap_ppm".desc, $"len")
       .limit(10)
   }
+
+  /** X109 — deterministic weighted sampling (hash-priority analogue of
+    * Efraimidis-Spirakis A-ES): draw 100 documents with inclusion odds
+    * ∝ token count by ranking on priority = fingerprint div (n_tokens+1)
+    * and keeping the k smallest — a uniform hash scaled down by the
+    * weight, so heavy documents sink to the front. The float-free
+    * integer-division priority is engine-exact and replayable under
+    * retries (X15/X22's replay argument, now with weights): re-running
+    * selects the SAME sample, and adding documents never flips the
+    * relative order of existing ones.
+    *
+    * Scale: one narrow projection (fingerprint + token count ride the
+    * scan) and a driver-k TakeOrdered — no shuffle at all. The sample is
+    * auditable: the priority column IS the proof of membership. */
+  def q143WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    docs(s, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_toks"),
+        expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))")
+          .as("fp"))
+      .withColumn("pri", expr("fp div (n_toks + 1)"))
+      .select($"doc_id", $"n_toks", $"pri")
+      .orderBy($"pri", $"doc_id")
+      .limit(100)
+  }
 }

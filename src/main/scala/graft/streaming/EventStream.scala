@@ -349,6 +349,78 @@ object EventStream {
       }
   }
 
+  final case class AttribState(clickUs: Long, clickId: Long,
+      pending: List[(Long, Long, Int)]) // (micros, event_id, 0=click|1=purchase)
+  final case class AttributionUpdate(purchase_id: Long, user_id: Long,
+      click_id: Long, gap_minutes: Long, finalized: Boolean)
+
+  /** Streaming last-touch attribution — the in-flight form of the q141
+    * batch operator: every purchase is credited to the user's most recent
+    * prior click within the lookback, with the attribution emitted as the
+    * purchase arrives rather than at end of day.
+    *
+    * State per user: the last FINALIZED click (two longs) plus the
+    * watermark-buffered event tail (the funnel's buffering discipline —
+    * only events strictly below the watermark advance the persisted
+    * click slot, so an out-of-order click that precedes a buffered
+    * purchase still wins). Purchases below the watermark emit their FINAL
+    * attribution exactly once; buffered purchases emit provisional rows
+    * (`finalized = false`) that later batches refine — Update-mode
+    * semantics. State is two longs + a horizon-bounded buffer per user,
+    * regardless of stream length; in batch mode everything finalizes and
+    * the output matches q141 row for row. */
+  def attributionFeed(events: Dataset[Event],
+      lookbackDays: Int = 7): Dataset[AttributionUpdate] = {
+    import events.sparkSession.implicits._
+    val lookUs = lookbackDays * 86400L * 1000000L
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, AttributionUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[AttribState]) =>
+          val wmUs =
+            try {
+              val ms = state.getCurrentWatermarkMs()
+              if (ms <= 0L) 0L else ms * 1000L
+            } catch { case _: UnsupportedOperationException => Long.MaxValue }
+          val st = state.getOption.getOrElse(AttribState(-1L, -1L, Nil))
+          val incoming = rows.flatMap { e =>
+            e.event_type match {
+              case "click"    => Some((micros(e.ts), e.event_id, 0))
+              case "purchase" => Some((micros(e.ts), e.event_id, 1))
+              case _          => None
+            }
+          }.toList
+          // (us, event_id) is q141's total order — ties resolve identically
+          val all = (st.pending ++ incoming).sortBy(t => (t._1, t._2))
+          val (fin, pend) = all.partition(_._1 < wmUs)
+          val out = List.newBuilder[AttributionUpdate]
+          var cUs = st.clickUs; var cId = st.clickId
+          fin.foreach { case (us, id, r) =>
+            if (r == 1) {
+              val hit = cUs >= 0 && us - cUs <= lookUs
+              out += AttributionUpdate(id, userId,
+                if (hit) cId else -1L,
+                if (hit) (us - cUs) / 60000000L else -1L, finalized = true)
+            } else { cUs = us; cId = id }
+          }
+          state.update(AttribState(cUs, cId, pend))
+          var pUs = cUs; var pId = cId
+          pend.foreach { case (us, id, r) =>
+            if (r == 1) {
+              val hit = pUs >= 0 && us - pUs <= lookUs
+              out += AttributionUpdate(id, userId,
+                if (hit) pId else -1L,
+                if (hit) (us - pUs) / 60000000L else -1L, finalized = false)
+            } else { pUs = us; pId = id }
+          }
+          out.result().iterator
+      }
+  }
+
   /** File-source incremental sync: watch a directory of parquet drops and
     * maintain the hourly rollup — the streaming upgrade of the reference's
     * batch re-runs. */

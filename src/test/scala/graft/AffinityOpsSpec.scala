@@ -811,4 +811,60 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // both branches are exercised
     assert(attributed > 0 && attributed < got.length)
   }
+
+  // ------------------------------------------------------------- X108
+
+  test("prefix-filtered similarity join equals the brute-force relation") {
+    import spark.implicits._
+    val sets = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).distinct.toSet }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size.toLong
+      un = sa.size + sb.size - inter
+      jppt = inter * 1000L / un if jppt >= 800L
+    } yield (ia, ib, inter, un, jppt)).sortBy(p => (p._1, p._2)).toSeq
+    val got = graft.ops.DedupOps.q142PrefixJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == want, s"got ${got.length} pairs want ${want.length}")
+    assert(want.nonEmpty) // the threshold actually admits pairs here
+  }
+
+  // ------------------------------------------------------------- X109
+
+  test("weighted sample: exact replay, and the sample skews heavy") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def fp(text: String, id: Long): Long =
+      (text + id.toString).foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val all = docs.map { case (id, t) =>
+      val n = t.split(" ", -1).length.toLong
+      (id, n, fp(t, id) / (n + 1))
+    }
+    val want = all.sortBy(d => (d._3, d._1)).take(100).toSeq
+    val got = graft.ops.TextOps.q143WeightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // inclusion odds ∝ tokens: the sample's mean length exceeds the corpus'
+    val corpusMean = all.map(_._2).sum.toDouble / all.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  // ------------------------------------------------------------- X110
+
+  test("compaction apply: every physical file matches its plan row") {
+    val got = PipelineOps.q144CompactionApply(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getLong(4) == 1L), "a file diverged from its plan")
+    val plan = PipelineOps.q89CompactionPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val actual = got
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(actual == plan)
+  }
 }

@@ -197,6 +197,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last == Map(1L -> 3, 2L -> 1, 3L -> 3))
   }
 
+  test("streaming attribution in batch mode equals the q141 batch operator") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ds = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp")).as[Event]
+    val streamed = EventStream.attributionFeed(ds).collect()
+      .map(u => u.purchase_id -> (u.click_id, u.gap_minutes)).toMap
+    val batch = graft.ops.EventOps.q141Attribution(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) (-1L, -1L) else (r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch)
+  }
+
+  test("attribution feed: last click carries across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.attributionFeed(mem.toDS())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Update).start()
+    mem.addData(ev(1, 0, 1, "click"), ev(2, 5, 1, "purchase"))
+    q.processAllAvailable()
+    mem.addData(ev(3, 10, 1, "purchase"), // still credits click 1
+      ev(4, 11, 1, "click"), ev(5, 12, 1, "purchase")) // credits click 4
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attrib").collect()
+      .map(r => (r.getAs[Long]("purchase_id"),
+        (r.getAs[Long]("click_id"), r.getAs[Long]("gap_minutes"))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    assert(rows == Map(2L -> (1L, 5L), 3L -> (1L, 10L), 5L -> (4L, 1L)))
+  }
+
   test("incremental dedup stream flags corpus twins, dedups in-stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
