@@ -2390,7 +2390,7 @@ object SparkEntry {
         |             - len(list_intersect(a.ws, b.ws)) AS BIGINT) AS un
         |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, inter, un, inter * 1000 // un AS j_ppt
-        |FROM p WHERE inter * 1000 // un >= 800
+        |FROM p WHERE inter * 1000 // un >= 900
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // q143: q133's portable polynomial fingerprint, scaled down by the

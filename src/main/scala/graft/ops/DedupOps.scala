@@ -392,7 +392,7 @@ object DedupOps {
 
   /** X108 — EXACT set-similarity join via prefix filtering (the
     * PPJoin/AllPairs family): all document pairs with word-set Jaccard
-    * ≥ 0.8, found without a quadratic candidate space and without the
+    * ≥ 0.9, found without a quadratic candidate space and without the
     * probabilistic miss risk of MinHash (X3). The classic lemma: order the
     * vocabulary by ascending document frequency (rarest first); if
     * J(A,B) ≥ t, the first |X| − ⌈t·|X|⌉ + 1 tokens of each set (its
@@ -422,13 +422,19 @@ object DedupOps {
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"wid")).as("wi"))
       .withColumn("n", size($"wi").cast("long"))
-    // p = n - ceil(0.8 n) + 1 rarest tokens (wid ascending = rarest first)
+    // p = n - ceil(0.9 n) + 1 rarest tokens (wid ascending = rarest first)
     val pref = sets
-      .withColumn("p", expr("n - ((n * 8 + 9) div 10) + 1"))
-      .select($"doc_id", explode(expr("slice(wi, 1, CAST(p AS INT))")).as("ptok"))
-    val cand = pref.select($"ptok", $"doc_id".as("doc_a"))
-      .join(pref.select($"ptok", $"doc_id".as("doc_b")), Seq("ptok"))
-      .filter($"doc_a" < $"doc_b")
+      .withColumn("p", expr("n - ((n * 9 + 9) div 10) + 1"))
+      .select($"doc_id", $"n",
+        explode(expr("slice(wi, 1, CAST(p AS INT))")).as("ptok"))
+    // AllPairs length filter INSIDE the candidate join: J >= t forces
+    // t·|A| <= |B| <= |A|/t, so size-incompatible collisions never reach
+    // the distinct, let alone verification
+    val pa = pref.select($"ptok", $"doc_id".as("doc_a"), $"n".as("na"))
+    val pb = pref.select($"ptok", $"doc_id".as("doc_b"), $"n".as("nb"))
+    val cand = pa.join(pb,
+        pa("ptok") === pb("ptok") && pa("doc_a") < pb("doc_b") &&
+          pa("na") * 9 <= pb("nb") * 10 && pb("nb") * 9 <= pa("na") * 10)
       .select($"doc_a", $"doc_b").distinct()
     cand
       .join(sets.select($"doc_id".as("doc_a"), $"wi".as("wa"), $"n".as("na")),
@@ -438,7 +444,7 @@ object DedupOps {
       .withColumn("inter", expr("graft_sorted_inter_n(wa, wb)"))
       .withColumn("un", $"na" + $"nb" - $"inter")
       .withColumn("j_ppt", expr("inter * 1000 div un"))
-      .filter($"j_ppt" >= 800)
+      .filter($"j_ppt" >= 900)
       .select($"doc_a", $"doc_b", $"inter", $"un", $"j_ppt")
       .orderBy($"doc_a", $"doc_b")
   }

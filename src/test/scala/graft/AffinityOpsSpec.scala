@@ -823,7 +823,7 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
       inter = (sa & sb).size.toLong
       un = sa.size + sb.size - inter
-      jppt = inter * 1000L / un if jppt >= 800L
+      jppt = inter * 1000L / un if jppt >= 900L
     } yield (ia, ib, inter, un, jppt)).sortBy(p => (p._1, p._2)).toSeq
     val got = graft.ops.DedupOps.q142PrefixJoin(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
