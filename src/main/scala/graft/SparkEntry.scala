@@ -173,6 +173,10 @@ object SparkEntry {
     "q142_prefix_join"    -> DedupOps.q142PrefixJoin _,
     "q143_weighted_sample" -> TextOps.q143WeightedSample _,
     "q144_compaction_apply" -> PipelineOps.q144CompactionApply _,
+    "q145_intra_repetition" -> CorpusOps.q145IntraDocRepetition _,
+    "q146_bm25_probe"     -> CorpusOps.q146Bm25Probe _,
+    "q147_join_size_audit" -> SchemaOps.q147JoinSizeAudit _,
+    "q148_gini_audit"     -> TextOps.q148GiniAudit _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2420,5 +2424,90 @@ object SparkEntry {
         |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
         |  CAST(1 AS BIGINT) AS ok
         |FROM c GROUP BY source, file_seq ORDER BY source, file_seq""".stripMargin,
+
+    // q145: q77's chunk geometry, distinct-counted WITHIN each document.
+    "q145_intra_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, list_transform(generate_series(0, (len(ws) - 1) // 10),
+        |        i -> array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10), ' '))
+        |        AS cs
+        |      FROM d)
+        |SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_chunks,
+        |  CAST(len(list_distinct(cs)) AS BIGINT) AS n_unique,
+        |  CAST((len(cs) - len(list_distinct(cs))) * 1000000 // len(cs)
+        |    AS BIGINT) AS rep_ppm
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q146: same integer idf/saturation arithmetic — N·1e6 div (df+1)
+    // times tf·2e6 div (tf+1), div 1e6 — on both engines; 3 literal terms.
+    "q146_bm25_probe" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN list_contains(ws, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN list_contains(ws, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN list_contains(ws, 'hash') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM d),
+        |f AS (SELECT doc_id,
+        |    CAST(len(list_filter(ws, w -> w = 'spark')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(ws, w -> w = 'merge')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(ws, w -> w = 'hash')) AS BIGINT) AS tf2
+        |  FROM d)
+        |SELECT doc_id,
+        |  (CASE WHEN tf0 > 0 THEN (n * 1000000 // (df0 + 1))
+        |        * (tf0 * 2000000 // (tf0 + 1)) // 1000000 ELSE 0 END)
+        |  + (CASE WHEN tf1 > 0 THEN (n * 1000000 // (df1 + 1))
+        |        * (tf1 * 2000000 // (tf1 + 1)) // 1000000 ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN (n * 1000000 // (df2 + 1))
+        |        * (tf2 * 2000000 // (tf2 + 1)) // 1000000 ELSE 0 END) AS score,
+        |  tf0 AS tf_spark, tf1 AS tf_merge, tf2 AS tf_hash
+        |FROM f, s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q147: |A ⋈ B| = Σ_k cA(k)·cB(k) — the oracle computes prediction AND
+    // actual declaratively per edge; ok must be 1 everywhere.
+    "q147_join_size_audit" ->
+      """WITH e1 AS (SELECT 'lineitem-orders' AS edge,
+        |    (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) FROM
+        |      (SELECT l_orderkey AS k, count(*) AS na FROM lineitem
+        |       WHERE l_orderkey IS NOT NULL GROUP BY 1) a JOIN
+        |      (SELECT o_orderkey AS k, count(*) AS nb FROM orders
+        |       WHERE o_orderkey IS NOT NULL GROUP BY 1) b USING (k)) AS predicted_rows,
+        |    (SELECT count(*) FROM lineitem l JOIN orders o
+        |       ON l.l_orderkey = o.o_orderkey) AS actual_rows),
+        |e2 AS (SELECT 'lineitem-part' AS edge,
+        |    (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) FROM
+        |      (SELECT l_partkey AS k, count(*) AS na FROM lineitem
+        |       WHERE l_partkey IS NOT NULL GROUP BY 1) a JOIN
+        |      (SELECT p_partkey AS k, count(*) AS nb FROM part
+        |       WHERE p_partkey IS NOT NULL GROUP BY 1) b USING (k)) AS predicted_rows,
+        |    (SELECT count(*) FROM lineitem l JOIN part p
+        |       ON l.l_partkey = p.p_partkey) AS actual_rows),
+        |e3 AS (SELECT 'orders-customer' AS edge,
+        |    (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) FROM
+        |      (SELECT o_custkey AS k, count(*) AS na FROM orders
+        |       WHERE o_custkey IS NOT NULL GROUP BY 1) a JOIN
+        |      (SELECT c_custkey AS k, count(*) AS nb FROM customer
+        |       WHERE c_custkey IS NOT NULL GROUP BY 1) b USING (k)) AS predicted_rows,
+        |    (SELECT count(*) FROM orders o JOIN customer c
+        |       ON o.o_custkey = c.c_custkey) AS actual_rows)
+        |SELECT edge, predicted_rows, actual_rows,
+        |  CAST(CASE WHEN predicted_rows = actual_rows THEN 1 ELSE 0 END AS BIGINT) AS ok
+        |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |      UNION ALL SELECT * FROM e3)
+        |ORDER BY edge""".stripMargin,
+
+    // q148: rank-formula Gini over ascending (n_chars, doc_id) per source —
+    // identical integer arithmetic on both engines.
+    "q148_gini_audit" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(rk * n_chars) AS BIGINT) AS rank_mass,
+        |  CAST((2 * CAST(sum(rk * n_chars) AS BIGINT)
+        |        - (count(*) + 1) * CAST(sum(n_chars) AS BIGINT)) * 1000000
+        |    // (count(*) * CAST(sum(n_chars) AS BIGINT)) AS BIGINT) AS gini_ppm
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -135,4 +135,52 @@ object SchemaOps {
       graft.transfer.Transfer.deleteRecursively(tmp)
     }
   }
+
+  /** X114 — join-cardinality pre-flight audit: predict each join edge's
+    * output size EXACTLY from per-key histograms (|A ⋈ B| = Σ_k
+    * count_A(k)·count_B(k)) before running the join, then run it and
+    * reconcile. The 100 TB use is the prediction alone — two combinable
+    * per-key counts and a histogram-sized join tell you whether the real
+    * join will explode (skewed key products) for the cost of two cheap
+    * aggs; the audit here also EXECUTES each join to prove the estimator
+    * is exact, which is what makes it a correctness gate for the engine's
+    * join semantics (a mismatch means dropped or duplicated keys).
+    *
+    * Scale: per-key count frames are key-cardinality-sized; their join is
+    * co-keyed; the Σ-product is a broadcast 1-row aggregate. Nothing in
+    * the prediction touches the fact tables wider than (key). */
+  def q147JoinSizeAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def t(n: String) = graft.sources.Tables.load(s, dir, n)
+    def edge(name: String, l: DataFrame, lk: String,
+             r: DataFrame, rk: String): (String, Long, Long) = {
+      val ca = l.filter(col(lk).isNotNull)
+        .groupBy(col(lk).as("k")).agg(count(lit(1)).as("na"))
+      val cb = r.filter(col(rk).isNotNull)
+        .groupBy(col(rk).as("k")).agg(count(lit(1)).as("nb"))
+      val predicted = ca.join(cb, Seq("k"))
+        .agg(sum($"na" * $"nb")).collect().head match {
+          case row if row.isNullAt(0) => 0L
+          case row => row.getLong(0)
+        }
+      val actual = l.join(r, l(lk) === r(rk)).count()
+      (name, predicted, actual)
+    }
+    val rows = Seq(
+      edge("lineitem-orders", t("lineitem"), "l_orderkey",
+        t("orders"), "o_orderkey"),
+      edge("lineitem-part", t("lineitem"), "l_partkey",
+        t("part"), "p_partkey"),
+      edge("orders-customer", t("orders"), "o_custkey",
+        t("customer"), "c_custkey"))
+      .map { case (e, p, a) => (e, p, a, if (p == a) 1L else 0L) }
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)), 1),
+      StructType(Seq(StructField("edge", StringType),
+        StructField("predicted_rows", LongType),
+        StructField("actual_rows", LongType),
+        StructField("ok", LongType))))
+  }
 }

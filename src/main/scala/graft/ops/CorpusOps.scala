@@ -454,4 +454,71 @@ object CorpusOps {
       .orderBy($"n_pairs".desc, $"w1", $"w2")
       .limit(50)
   }
+
+  /** X112 — INTRA-document repetition: per document, how many of its own
+    * 10-word chunks are repeats of earlier chunks in the SAME document —
+    * the within-doc complement of q77's cross-doc chunk dedup, and the
+    * signal that catches looping generations / copy-pasted boilerplate
+    * inside one document (a Gopher-style quality gate that X29's
+    * longest-run metric misses when the repeated unit is a phrase, not a
+    * word).
+    *
+    * Scale: ZERO shuffles — chunking and the distinct count are
+    * higher-order functions over the split array, so the whole operator
+    * runs at scan throughput (only the presentation orderBy is wide).
+    * Chunk geometry is exactly q77's, so the two signals compose. */
+  def q145IntraDocRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("ws", split($"text", " "))
+      .select($"doc_id", expr(
+        """transform(sequence(0, (size(ws) - 1) div 10),
+          |  i -> concat_ws(' ', slice(ws, CAST(i * 10 + 1 AS INT), 10)))""".stripMargin)
+        .as("cs"))
+      .select($"doc_id",
+        size($"cs").cast("long").as("n_chunks"),
+        size(array_distinct($"cs")).cast("long").as("n_unique"))
+      .withColumn("rep_ppm",
+        expr("(n_chunks - n_unique) * 1000000 div n_chunks"))
+      .orderBy($"doc_id")
+  }
+
+  /** X113 — integer BM25-surrogate relevance ranking: score every document
+    * against a fixed query-term set with the BM25 shape — saturating term
+    * frequency times a rarity weight — in pure integer arithmetic:
+    * idf_ppm(t) = N·10⁶ div (df(t)+1) and tf_sat_ppm = tf·2·10⁶ div (tf+1)
+    * (the k₁=1 saturation curve), score = Σ idf·sat div 10⁶. Both factors
+    * are monotone in their BM25 counterparts, so the RANKING matches what
+    * log-based BM25 would produce for a fixed query while staying
+    * engine-exact (no libm). The data-curation use: quality-biased
+    * retrieval of documents relevant to a probe topic.
+    *
+    * Scale: per-term tf is a narrow `filter` HOF (the query is 3 literal
+    * terms — no explode, no inverted index needed for a fixed probe); the
+    * df/N statistics are ONE 1-row aggregate broadcast back; the top-k is
+    * a driver-sized TakeOrdered. The corpus never shuffles. */
+  def q146Bm25Probe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "merge", "hash")
+    val d = docs(s, dir).select($"doc_id", split($"text", " ").as("ws"))
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains($"ws", t), 1L).otherwise(0L)).as(s"df$i")
+    }
+    val stats = d.agg(count(lit(1)).as("n"), dfCols: _*)
+    val withTf = terms.zipWithIndex.foldLeft(d) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i",
+        expr(s"size(filter(ws, w -> w = '$t'))").cast("long"))
+    }
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("score", terms.indices.map { i =>
+        expr(s"""CASE WHEN tf$i > 0
+                |  THEN (n * 1000000 div (df$i + 1))
+                |       * (tf$i * 2000000 div (tf$i + 1)) div 1000000
+                |  ELSE 0 END""".stripMargin)
+      }.reduce(_ + _))
+    scored.select(($"doc_id" +: $"score" +:
+        terms.indices.map(i => col(s"tf$i").as(s"tf_${terms(i)}"))): _*)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(20)
+  }
 }

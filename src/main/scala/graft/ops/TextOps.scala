@@ -323,4 +323,34 @@ object TextOps {
       .orderBy($"pri", $"doc_id")
       .limit(100)
   }
+
+  /** X115 — per-source length-concentration audit (Gini coefficient in
+    * integer ppm): how unequally document mass is distributed within each
+    * source, via the rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * over ascending-sorted lengths — the corpus-balance signal that flags
+    * a source whose token budget is dominated by a few giant documents
+    * (mixture weighting by doc count then over-trains on those). All
+    * integer arithmetic on exact ranks: engine-portable, no float Lorenz
+    * interpolation.
+    *
+    * Scale: the rank is a row_number over ONE source partitioning (each
+    * source's frame sorts within its own partition — no global sort), and
+    * the Gini fold is a combinable per-source aggregate of three sums.
+    * The report frame is |sources| rows. */
+  def q148GiniAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    docs(s, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum($"rk" * $"n_chars").as("rank_mass"))
+      .withColumn("gini_ppm", expr(
+        "(2 * rank_mass - (n_docs + 1) * total_chars) * 1000000" +
+          " div (n_docs * total_chars)"))
+      .orderBy($"source")
+  }
 }

@@ -855,6 +855,82 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  // ------------------------------------------------------------- X112
+
+  test("intra-doc repetition: exact replay of chunk distinct-counts") {
+    import spark.implicits._
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = texts.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val cs = (0 to (ws.length - 1) / 10)
+        .map(i => ws.slice(i * 10, i * 10 + 10).mkString(" "))
+      val (n, u) = (cs.length.toLong, cs.distinct.length.toLong)
+      (id, n, u, (n - u) * 1000000L / n)
+    }.sortBy(_._1).toSeq
+    val got = graft.ops.CorpusOps.q145IntraDocRepetition(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------- X113
+
+  test("BM25 probe: integer scoring replay matches the top-20") {
+    import spark.implicits._
+    val terms = Seq("spark", "merge", "hash")
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val wss = texts.map { case (id, t) => (id, t.split(" ", -1)) }
+    val n = wss.length.toLong
+    val dfs = terms.map(t => wss.count(_._2.contains(t)).toLong)
+    val want = wss.map { case (id, ws) =>
+      val tfs = terms.map(t => ws.count(_ == t).toLong)
+      val score = tfs.zip(dfs).map { case (tf, df) =>
+        if (tf > 0) (n * 1000000L / (df + 1)) * (tf * 2000000L / (tf + 1)) / 1000000L
+        else 0L
+      }.sum
+      (id, score, tfs(0), tfs(1), tfs(2))
+    }.sortBy(r => (-r._2, r._1)).take(20).toSeq
+    val got = graft.ops.CorpusOps.q146Bm25Probe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == want)
+    assert(want.head._2 > 0L) // the probe actually hits the corpus
+  }
+
+  // ------------------------------------------------------------- X114
+
+  test("join-size audit: Σ cA·cB predicts every edge exactly") {
+    val got = graft.operators.SchemaOps.q147JoinSizeAudit(spark, sf).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.getLong(3) == 1L,
+        s"${r.getString(0)}: predicted ${r.getLong(1)} != actual ${r.getLong(2)}")
+      assert(r.getLong(1) > 0L)
+    }
+  }
+
+  // ------------------------------------------------------------- X115
+
+  test("Gini audit: rank-formula replay per source, bounded in [0, 1e6)") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"source", $"doc_id", $"n_chars").as[(String, Long, Long)].collect()
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._2)).zipWithIndex
+      val n = ds.length.toLong
+      val total = ds.map(_._3).sum
+      val rankMass = sorted.map { case (d, i) => (i + 1L) * d._3 }.sum
+      src -> (n, total, rankMass,
+        (2 * rankMass - (n + 1) * total) * 1000000L / (n * total))
+    }
+    val got = graft.ops.TextOps.q148GiniAudit(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    got.values.foreach { case (_, _, _, g) => assert(g >= 0L && g < 1000000L) }
+  }
+
   // ------------------------------------------------------------- X110
 
   test("compaction apply: every physical file matches its plan row") {

@@ -149,10 +149,19 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                                // recounts the shared `sets`/`pref`
                                // subtrees per consumer (q110's pattern;
                                // AQE reuses the stages at runtime)
-    "q143_weighted_sample" -> 0 // narrow projection + TakeOrdered: the
+    "q143_weighted_sample" -> 0, // narrow projection + TakeOrdered: the
                                 // whole operator is shuffle-free
     // q144 materializes via collect (layout round-trips through parquet);
     // plan≡layout is asserted in AffinityOpsSpec instead
+    "q145_intra_repetition" -> 1, // HOF chunk distinct-count: narrow map,
+                                  // only the presentation orderBy is wide
+    "q146_bm25_probe"   -> 2, // ONE 1-row stats agg (2-phase) broadcast
+                              // back; tf HOFs are narrow; top-k TakeOrdered
+    "q148_gini_audit"   -> 2 // ONE source partitioning (rank window +
+                             // combinable Gini fold) + orderBy
+    // q147 materializes via collect (each edge's predict + count are
+    // separate driver-sized jobs); Σ cA·cB ≡ count is asserted in
+    // AffinityOpsSpec instead
   )
 
   budgets.foreach { case (name, max) =>
