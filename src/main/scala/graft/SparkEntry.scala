@@ -177,6 +177,9 @@ object SparkEntry {
     "q146_bm25_probe"     -> CorpusOps.q146Bm25Probe _,
     "q147_join_size_audit" -> SchemaOps.q147JoinSizeAudit _,
     "q148_gini_audit"     -> TextOps.q148GiniAudit _,
+    "q149_partition_diff" -> TransferOps.q149PartitionDiff _,
+    "q150_kanon_repair"   -> PipelineOps.q150KanonRepair _,
+    "q151_rebalance_plan" -> PipelineOps.q151RebalancePlan _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2509,5 +2512,81 @@ object SparkEntry {
         |        - (count(*) + 1) * CAST(sum(n_chars) AS BIGINT)) * 1000000
         |    // (count(*) * CAST(sum(n_chars) AS BIGINT)) AS BIGINT) AS gini_ppm
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // q149: per-day SUM of q133's portable fingerprint over the rendered
+    // row; snapshot b replays the deterministic q102-style damage, so
+    // changed = days holding a mutated or deleted event.
+    "q149_partition_diff" ->
+      """WITH ev AS (SELECT event_id, event_type, value,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |fpa AS (SELECT day, list_reduce(list_transform(string_split(
+        |      CAST(event_id AS VARCHAR) || ':' || event_type || ':' ||
+        |      CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |    FROM ev),
+        |m AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 1009 = 0 THEN value + 1 ELSE value END AS value,
+        |    day FROM ev WHERE event_id % 997 <> 0),
+        |fpb AS (SELECT day, list_reduce(list_transform(string_split(
+        |      CAST(event_id AS VARCHAR) || ':' || event_type || ':' ||
+        |      CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |    FROM m),
+        |a AS (SELECT day, count(*) AS n, CAST(sum(f) AS BIGINT) AS s
+        |      FROM fpa GROUP BY day),
+        |b AS (SELECT day, count(*) AS n, CAST(sum(f) AS BIGINT) AS s
+        |      FROM fpb GROUP BY day)
+        |SELECT day, coalesce(a.n, 0) AS n_orig, coalesce(b.n, 0) AS n_new,
+        |  CAST(CASE WHEN a.n IS NOT DISTINCT FROM b.n
+        |       AND a.s IS NOT DISTINCT FROM b.s THEN 0 ELSE 1 END AS BIGINT)
+        |    AS changed
+        |FROM a FULL JOIN b USING (day) ORDER BY day""".stripMargin,
+
+    // q150: the same three-level cascade — failing groups merge upward,
+    // counts carried by sum; suppression only below k at the top level.
+    "q150_kanon_repair" ->
+      """WITH r AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+        |    c.c_mktsegment AS segment, CAST(n.n_regionkey AS BIGINT) AS regionkey
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |g0 AS (SELECT nationkey, segment, regionkey, count(*) AS n
+        |       FROM r GROUP BY 1, 2, 3),
+        |p0 AS (SELECT CAST(0 AS BIGINT) AS level,
+        |    'n' || CAST(nationkey AS VARCHAR) || '/' || segment AS qi_group,
+        |    CAST(n AS BIGINT) AS n_members FROM g0 WHERE n >= 5),
+        |g1 AS (SELECT regionkey, segment, CAST(sum(n) AS BIGINT) AS n
+        |       FROM g0 WHERE n < 5 GROUP BY 1, 2),
+        |p1 AS (SELECT CAST(1 AS BIGINT),
+        |    'r' || CAST(regionkey AS VARCHAR) || '/' || segment, n
+        |  FROM g1 WHERE n >= 5),
+        |g2 AS (SELECT segment, CAST(sum(n) AS BIGINT) AS n
+        |       FROM g1 WHERE n < 5 GROUP BY 1),
+        |p2 AS (SELECT CAST(2 AS BIGINT), segment, n FROM g2 WHERE n >= 5),
+        |p3 AS (SELECT CAST(3 AS BIGINT), 'suppressed/' || segment, n
+        |       FROM g2 WHERE n < 5)
+        |SELECT * FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1
+        |  UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+        |ORDER BY level, qi_group""".stripMargin,
+
+    // q151: X41's floor-sqrt weights vs current token share; factors and
+    // planned counts in integer ppm.
+    "q151_rebalance_plan" ->
+      """WITH l AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+        |    CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w_sqrt FROM l),
+        |t AS (SELECT CAST(sum(w_sqrt) AS BIGINT) AS sw,
+        |    CAST(sum(n_tokens) AS BIGINT) AS st FROM w),
+        |p AS (SELECT lang, n_docs, n_tokens,
+        |    n_tokens * 1000000 // t.st AS share_ppm,
+        |    w_sqrt * 1000000 // t.sw AS target_ppm
+        |  FROM w, t)
+        |SELECT lang, n_docs, n_tokens, share_ppm, target_ppm,
+        |  target_ppm * 1000000 // greatest(share_ppm, 1) AS factor_ppm,
+        |  n_docs * (target_ppm * 1000000 // greatest(share_ppm, 1)) // 1000000
+        |    AS planned_docs
+        |FROM p ORDER BY lang""".stripMargin,
   )
 }

@@ -283,6 +283,44 @@ object TransferOps {
     * version). An interval-predicate join would be a per-customer cross
     * product; this is one exchange + one window, and the version payload
     * (status) rides the union row so no second join is needed. */
+  /** X116 — changed-partition detection: per-day content checksums of two
+    * table snapshots, compared to find WHICH daily partitions need
+    * reprocessing — the incremental-pipeline step above q102's row-level
+    * diff (at 100 TB you first decide which partitions to even read). The
+    * second snapshot carries q102's deterministic damage (value bumped on
+    * event_id ≡ 0 mod 1009, rows dropped on ≡ 0 mod 997) so changed days
+    * are provably detected and unchanged days provably pass.
+    *
+    * Scale: each snapshot folds to a |days|-row frame in ONE combinable
+    * agg (count + SUM of portable row fingerprints — order-independent,
+    * mergeable, engine-exact; fp < 10⁹ so a day of 10¹⁰ rows stays in
+    * BIGINT range); the comparison joins two |days| frames. Row payloads
+    * never move — only 16 bytes per row into the partial agg. */
+  def q149PartitionDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    def snap(df: DataFrame): DataFrame = df
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+        expr("""graft_fingerprint(concat(CAST(event_id AS STRING), ':',
+          |  event_type, ':', CAST(CAST(round(value * 100) AS BIGINT) AS STRING)))"""
+          .stripMargin).as("fp"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n"), sum($"fp").as("sum_fp"))
+    val events = graft.sources.Tables.load(s, dir, "events")
+    val a = snap(events)
+    val b = snap(events
+      .filter($"event_id" % 997 =!= 0)
+      .withColumn("value",
+        when($"event_id" % 1009 === 0, $"value" + 1.0).otherwise($"value")))
+    a.as("a").join(b.as("b"), Seq("day"), "full_outer")
+      .select($"day",
+        coalesce($"a.n", lit(0L)).as("n_orig"),
+        coalesce($"b.n", lit(0L)).as("n_new"),
+        when($"a.n" <=> $"b.n" && $"a.sum_fp" <=> $"b.sum_fp", 0L)
+          .otherwise(1L).as("changed"))
+      .orderBy($"day")
+  }
+
   def q135PitJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -975,6 +975,82 @@ object PipelineOps {
       .orderBy($"s_nationkey")
   }
 
+  /** X117 — k-anonymity generalization REPAIR: q108 finds quasi-identifier
+    * groups smaller than k; this op actually repairs them by walking a
+    * fixed generalization hierarchy — (nation, segment) → (region,
+    * segment) → (segment) → suppress — promoting each failing group to the
+    * next level until its (recursively merged) population reaches k. Local
+    * recoding: rows in passing groups keep their precision; only failing
+    * rows coarsen. The output is the per-level group report a privacy
+    * review signs off on.
+    *
+    * Scale: each level is one combinable count over only the
+    * still-failing rows (a shrinking minority); the nation→region lookup
+    * broadcasts. Level frames are QI-cardinality-sized. */
+  def q150KanonRepair(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 5L
+    val nat = Tables.load(s, dir, "nation")
+      .select($"n_nationkey".cast("long").as("nationkey"),
+        $"n_regionkey".cast("long").as("regionkey"))
+    val rows = Tables.load(s, dir, "customer")
+      .select($"c_nationkey".cast("long").as("nationkey"),
+        $"c_mktsegment".as("segment"))
+      .join(broadcast(nat), Seq("nationkey"))
+    // level 0: (nation, segment)
+    val g0 = rows.groupBy($"nationkey", $"segment", $"regionkey")
+      .agg(count(lit(1)).as("n"))
+    val pass0 = g0.filter($"n" >= k)
+      .select(lit(0L).as("level"),
+        concat(lit("n"), $"nationkey", lit("/"), $"segment").as("qi_group"),
+        $"n".as("n_members"))
+    // level 1: failing level-0 rows regrouped as (region, segment)
+    val g1 = g0.filter($"n" < k)
+      .groupBy($"regionkey", $"segment").agg(sum($"n").as("n"))
+    val pass1 = g1.filter($"n" >= k)
+      .select(lit(1L).as("level"),
+        concat(lit("r"), $"regionkey", lit("/"), $"segment").as("qi_group"),
+        $"n".as("n_members"))
+    // level 2: still failing → (segment); below k even there → suppress
+    val g2 = g1.filter($"n" < k)
+      .groupBy($"segment").agg(sum($"n").as("n"))
+    val pass2 = g2.filter($"n" >= k)
+      .select(lit(2L).as("level"), $"segment".as("qi_group"),
+        $"n".as("n_members"))
+    val suppressed = g2.filter($"n" < k)
+      .select(lit(3L).as("level"),
+        concat(lit("suppressed/"), $"segment").as("qi_group"),
+        $"n".as("n_members"))
+    pass0.unionByName(pass1).unionByName(pass2).unionByName(suppressed)
+      .orderBy($"level", $"qi_group")
+  }
+
+  /** X118 — mixture rebalance PLAN: turn X41's target weights into the
+    * concrete per-language resampling factors a pipeline executes —
+    * current token share vs the sqrt-temperature target, the up/downsample
+    * factor in ppm (>10⁶ = repeat, <10⁶ = subsample), and the planned
+    * post-rebalance document count. The missing step between "here are
+    * the weights" (q82) and "emit the curriculum" (q133).
+    *
+    * Scale: ONE combinable language fold over the corpus (shared with
+    * X41's mixtureWeights); everything after runs on the |langs| frame.
+    * Integer ppm throughout — floor-sqrt is the only nonlinearity and is
+    * cross-engine exact. */
+  def q151RebalancePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = mixtureWeights(docs(s, dir)
+      .select($"lang", size(split($"text", " ")).cast("long").as("n_toks")))
+    val total = w.agg(sum($"n_tokens").as("total_tokens"))
+    w.crossJoin(broadcast(total))
+      .select($"lang", $"n_docs", $"n_tokens",
+        expr("n_tokens * 1000000 div total_tokens").as("share_ppm"),
+        $"weight_ppm".as("target_ppm"))
+      .withColumn("factor_ppm",
+        expr("target_ppm * 1000000 div greatest(share_ppm, 1)"))
+      .withColumn("planned_docs", expr("n_docs * factor_ppm div 1000000"))
+      .orderBy($"lang")
+  }
+
   /** X110 — compaction EXECUTION: materialize q89's small-file compaction
     * plan — assign every document its planned (source, file_seq), lay the
     * data out with one repartition on exactly that key, write, and read

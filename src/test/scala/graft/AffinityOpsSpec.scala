@@ -931,6 +931,80 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.values.foreach { case (_, _, _, g) => assert(g >= 0L && g < 1000000L) }
   }
 
+  // ------------------------------------------------------------- X116
+
+  test("partition diff: detects exactly the damaged days") {
+    import spark.implicits._
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select($"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .as[(Long, String, Long, Long)].collect()
+    val damagedDays = evs.filter(e => e._1 % 997 == 0 || e._1 % 1009 == 0)
+      .map(_._4).toSet
+    val got = graft.operators.TransferOps.q149PartitionDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.keySet == evs.map(_._4).toSet)
+    got.foreach { case (day, changed) =>
+      assert(changed == (if (damagedDays(day)) 1L else 0L), s"day $day")
+    }
+    // detection is non-vacuous in both directions
+    assert(got.values.exists(_ == 1L) && got.values.exists(_ == 0L))
+  }
+
+  // ------------------------------------------------------------- X117
+
+  test("k-anon repair: cascade replay, mass conservation, k respected") {
+    import spark.implicits._
+    val k = 5L
+    val nat = graft.sources.Tables.load(spark, sf, "nation")
+      .select($"n_nationkey".cast("long"), $"n_regionkey".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val cust = graft.sources.Tables.load(spark, sf, "customer")
+      .select($"c_nationkey".cast("long"), $"c_mktsegment")
+      .as[(Long, String)].collect()
+    val g0 = cust.groupBy(identity).map { case ((n, s), xs) =>
+      (n, s, nat(n), xs.length.toLong) }.toSeq
+    val p0 = g0.filter(_._4 >= k).map(g => (0L, s"n${g._1}/${g._2}", g._4))
+    val g1 = g0.filter(_._4 < k).groupBy(g => (g._3, g._2))
+      .map { case ((r, s), xs) => (r, s, xs.map(_._4).sum) }.toSeq
+    val p1 = g1.filter(_._3 >= k).map(g => (1L, s"r${g._1}/${g._2}", g._3))
+    val g2 = g1.filter(_._3 < k).groupBy(_._2)
+      .map { case (s, xs) => (s, xs.map(_._3).sum) }.toSeq
+    val p2 = g2.filter(_._2 >= k).map(g => (2L, g._1, g._2))
+    val p3 = g2.filter(_._2 < k).map(g => (3L, s"suppressed/${g._1}", g._2))
+    val want = (p0 ++ p1 ++ p2 ++ p3).sortBy(r => (r._1, r._2)).toSeq
+    val got = PipelineOps.q150KanonRepair(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // every customer lands in exactly one report row
+    assert(got.map(_._3).sum == cust.length.toLong)
+    // k respected everywhere except the explicit suppression bucket
+    got.filter(_._1 < 3L).foreach(r => assert(r._3 >= k))
+  }
+
+  // ------------------------------------------------------------- X118
+
+  test("rebalance plan: factors reproduce target/share, shares sum to ~1e6") {
+    import spark.implicits._
+    val got = PipelineOps.q151RebalancePlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    val shareSum = got.map(_._4).sum
+    assert(shareSum > 1000000L - got.length && shareSum <= 1000000L)
+    got.foreach { case (_, nDocs, _, share, target, factor, planned) =>
+      assert(factor == target * 1000000L / math.max(share, 1L))
+      assert(planned == nDocs * factor / 1000000L)
+    }
+    // weights are q82's — cross-check against the shared operator
+    val w = PipelineOps.q82LangMixture(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    got.foreach { case (lang, _, _, _, target, _, _) =>
+      assert(target == w(lang))
+    }
+  }
+
   // ------------------------------------------------------------- X110
 
   test("compaction apply: every physical file matches its plan row") {

@@ -157,11 +157,19 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                                   // only the presentation orderBy is wide
     "q146_bm25_probe"   -> 2, // ONE 1-row stats agg (2-phase) broadcast
                               // back; tf HOFs are narrow; top-k TakeOrdered
-    "q148_gini_audit"   -> 2 // ONE source partitioning (rank window +
+    "q148_gini_audit"   -> 2, // ONE source partitioning (rank window +
                              // combinable Gini fold) + orderBy
     // q147 materializes via collect (each edge's predict + count are
     // separate driver-sized jobs); Σ cA·cB ≡ count is asserted in
     // AffinityOpsSpec instead
+    "q149_partition_diff" -> 3, // two combinable |days| folds + their
+                                // full-outer day join + orderBy
+    "q150_kanon_repair" -> 14, // plan text recounts the shared g0/g1
+                               // subtrees once per cascade consumer
+                               // (q110's pattern — AQE reuses the
+                               // exchanges, the corpus scans once)
+    "q151_rebalance_plan" -> 5 // ONE language fold + |langs|-frame window
+                               // + broadcast total + orderBy
   )
 
   budgets.foreach { case (name, max) =>
