@@ -180,6 +180,9 @@ object SparkEntry {
     "q149_partition_diff" -> TransferOps.q149PartitionDiff _,
     "q150_kanon_repair"   -> PipelineOps.q150KanonRepair _,
     "q151_rebalance_plan" -> PipelineOps.q151RebalancePlan _,
+    "q152_group_sample"   -> TextOps.q152GroupSample _,
+    "q153_net_effect"     -> EventOps.q153NetEffect _,
+    "q154_curation_funnel" -> CorpusOps.q154CurationFunnel _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2588,5 +2591,68 @@ object SparkEntry {
         |  n_docs * (target_ppm * 1000000 // greatest(share_ppm, 1)) // 1000000
         |    AS planned_docs
         |FROM p ORDER BY lang""".stripMargin,
+
+    // q152: q61's fingerprint priority, ranked within each language.
+    "q152_group_sample" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    list_reduce(list_transform(
+        |      string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS pri
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, pri,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id)
+        |      AS BIGINT) AS rk
+        |  FROM d)
+        |SELECT lang, rk, doc_id, pri FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
+
+    // q153: first/last via arg_min/arg_max over the [us, event_id] order —
+    // DuckDB's list compare mirrors Spark's struct compare.
+    "q153_net_effect" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+        |         ELSE 'U' END AS op
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_i,
+        |  CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_u,
+        |  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+        |  arg_min(op, CAST(us AS HUGEINT) * 1000000 + event_id) AS first_op,
+        |  arg_max(op, CAST(us AS HUGEINT) * 1000000 + event_id) AS last_op,
+        |  CASE WHEN arg_max(op, CAST(us AS HUGEINT) * 1000000 + event_id) = 'D'
+        |       THEN 'absent' ELSE 'present' END AS net_state
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q154: q74's exact gate definitions as cumulative stages; four
+    // conditional sums from one pass.
+    "q154_curation_funnel" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    list_reduce(list_transform(string_split(text, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |    min(doc_id) OVER (PARTITION BY coalesce(md5(text),
+        |      'null:' || CAST(doc_id AS VARCHAR))) AS keep_id
+        |  FROM documents),
+        |g AS (SELECT *, (doc_id = keep_id) AS s1,
+        |    (doc_id = keep_id AND n_words BETWEEN 20 AND 500) AS s2,
+        |    (doc_id = keep_id AND n_words BETWEEN 20 AND 500
+        |     AND fp % 10 < 8) AS s3
+        |  FROM f),
+        |a AS (SELECT count(*) AS d0, CAST(sum(n_words) AS BIGINT) AS t0,
+        |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN s1 THEN n_words ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(sum(CASE WHEN s2 THEN n_words ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |    CAST(sum(CASE WHEN s3 THEN n_words ELSE 0 END) AS BIGINT) AS t3
+        |  FROM g)
+        |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+        |  d0 AS n_docs, t0 AS n_tokens FROM a
+        |UNION ALL SELECT 1, 'exact_dedup', d1, t1 FROM a
+        |UNION ALL SELECT 2, 'quality', d2, t2 FROM a
+        |UNION ALL SELECT 3, 'sampled', d3, t3 FROM a
+        |ORDER BY stage""".stripMargin,
   )
 }

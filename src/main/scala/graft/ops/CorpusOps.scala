@@ -521,4 +521,46 @@ object CorpusOps {
       .orderBy($"score".desc, $"doc_id")
       .limit(20)
   }
+
+  /** X121 — curation funnel report: the stage-by-stage survival counts of
+    * the cleaning pipeline (raw → exact-dedup → quality gate → sampling),
+    * with X33's exact gate definitions so the funnel reconciles against
+    * q74's per-reason breakdown — the one-page answer to "where did my
+    * tokens go?" that every corpus rebuild publishes.
+    *
+    * Scale: ONE corpus scan computes every flag (dedup keep-id is the
+    * only wide step — q74's md5-key min window); the four stages are
+    * conditional sums in ONE combinable aggregate, and the report is a
+    * 4-row frame exploded from that single aggregate row — stages never
+    * rescan. */
+  def q154CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val flagged = docs(s, dir)
+      .withColumn("n_words", size(split($"text", " ")).cast("long"))
+      .withColumn("fp", expr("graft_fingerprint(text)"))
+      .withColumn("keep_id",
+        min($"doc_id").over(Window.partitionBy(
+          coalesce(md5($"text"), concat(lit("null:"), $"doc_id")))))
+      .withColumn("s1", $"doc_id" === $"keep_id")
+      .withColumn("s2", $"s1" && $"n_words" >= 20 && $"n_words" <= 500)
+      .withColumn("s3", $"s2" && $"fp" % 10 < 8)
+    val one = flagged.agg(
+      count(lit(1)).as("d0"), sum($"n_words").as("t0"),
+      sum(when($"s1", 1L).otherwise(0L)).as("d1"),
+      sum(when($"s1", $"n_words").otherwise(0L)).as("t1"),
+      sum(when($"s2", 1L).otherwise(0L)).as("d2"),
+      sum(when($"s2", $"n_words").otherwise(0L)).as("t2"),
+      sum(when($"s3", 1L).otherwise(0L)).as("d3"),
+      sum(when($"s3", $"n_words").otherwise(0L)).as("t3"))
+    one.select(explode(expr(
+        """array(
+          |  struct(0L AS stage, 'raw' AS stage_name, d0 AS n_docs, t0 AS n_tokens),
+          |  struct(1L AS stage, 'exact_dedup' AS stage_name, d1 AS n_docs, t1 AS n_tokens),
+          |  struct(2L AS stage, 'quality' AS stage_name, d2 AS n_docs, t2 AS n_tokens),
+          |  struct(3L AS stage, 'sampled' AS stage_name, d3 AS n_docs, t3 AS n_tokens))"""
+          .stripMargin)).as("r"))
+      .select($"r.stage", $"r.stage_name", $"r.n_docs", $"r.n_tokens")
+      .orderBy($"stage")
+  }
 }

@@ -525,4 +525,36 @@ object EventOps {
         when($"hit", expr("(us - lastc.cus) div 60000000")).as("gap_minutes"))
       .orderBy($"event_id")
   }
+
+  /** X120 — change-log net-effect compaction: collapse each entity's event
+    * history to its NET state — op counts, first/last operation in the
+    * (time, event_id) total order, and whether the entity survives (last
+    * op ≠ delete) — the log-compaction step a CDC consumer runs before
+    * merging a day's stream into the warehouse (a key whose history nets
+    * to absent never needs to touch the target table). Ops derive from
+    * event types: signup=I, error=D, everything else=U.
+    *
+    * Scale: ONE combinable user fold and NO window — first/last ride
+    * `min_by`/`max_by` over the (us, event_id) struct order, which
+    * partial-aggregates map-side like any min/max. The compacted frame is
+    * entity-cardinality-sized. */
+  def q153NetEffect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        when($"event_type" === "signup", "I")
+          .when($"event_type" === "error", "D")
+          .otherwise("U").as("op"))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"op" === "I", 1L).otherwise(0L)).as("n_i"),
+        sum(when($"op" === "U", 1L).otherwise(0L)).as("n_u"),
+        sum(when($"op" === "D", 1L).otherwise(0L)).as("n_d"),
+        min_by($"op", struct($"us", $"event_id")).as("first_op"),
+        max_by($"op", struct($"us", $"event_id")).as("last_op"))
+      .withColumn("net_state",
+        when($"last_op" === "D", "absent").otherwise("present"))
+      .orderBy($"user_id")
+  }
 }

@@ -353,4 +353,30 @@ object TextOps {
           " div (n_docs * total_chars)"))
       .orderBy($"source")
   }
+
+  /** X119 — per-group exact-k sampling: the k lowest hash priorities
+    * WITHIN each language — completing the deterministic sampling family
+    * (X22 global exact-k, X15 stratified percentage, X109 weighted) with
+    * the per-stratum quota draw every balanced eval set needs. Same
+    * priority convention as q61 so the samples compose.
+    *
+    * Scale: ONE language partitioning carries the rank; k rows survive
+    * per group before anything widens. No global sort, no driver-side
+    * per-group loops — a 10⁵-language corpus costs the same one
+    * shuffle. */
+  def q152GroupSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Fingerprint.register(s)
+    val k = 10
+    val w = Window.partitionBy($"lang").orderBy($"pri", $"doc_id")
+    docs(s, dir)
+      .select($"lang", $"doc_id",
+        expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))")
+          .as("pri"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"lang", $"rk", $"doc_id", $"pri")
+      .orderBy($"lang", $"rk")
+  }
 }

@@ -1005,6 +1005,67 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------------------- X119
+
+  test("group sample: exactly min(k, group) per language, q61's priorities") {
+    import spark.implicits._
+    val got = graft.ops.TextOps.q152GroupSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def fp(text: String, id: Long): Long =
+      (text + id.toString).foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"lang", $"doc_id", $"text").as[(String, Long, String)].collect()
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+      ds.map(d => (lang, d._2, fp(d._3, d._2)))
+        .sortBy(d => (d._3, d._2)).take(10).zipWithIndex
+        .map { case ((l, id, pri), i) => (l, i + 1L, id, pri) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want)
+    got.groupBy(_._1).values.foreach(g => assert(g.length <= 10))
+  }
+
+  // ------------------------------------------------------------- X120
+
+  test("net effect: op counts and first/last replay per user") {
+    import spark.implicits._
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    def op(t: String) = t match {
+      case "signup" => "I"; case "error" => "D"; case _ => "U"
+    }
+    val want = evs.groupBy(_._1).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).map(e => op(e._4))
+      u -> (sorted.count(_ == "I").toLong, sorted.count(_ == "U").toLong,
+        sorted.count(_ == "D").toLong, sorted.head, sorted.last,
+        if (sorted.last == "D") "absent" else "present")
+    }
+    val got = graft.ops.EventOps.q153NetEffect(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getString(6))).toMap
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------- X121
+
+  test("curation funnel: monotone stages, reconciles with q74's reasons") {
+    val got = graft.ops.CorpusOps.q154CurationFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).toSeq == Seq("raw", "exact_dedup", "quality", "sampled"))
+    // survival is monotone in docs and tokens
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4)
+    }
+    // q74's per-reason counts reconcile: kept == final stage count,
+    // raw == total of all reasons
+    val reasons = graft.ops.CorpusOps.q74CorpusClean(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getLong(2))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(got.head._3 == reasons.values.sum)
+    assert(got.last._3 == reasons.getOrElse("kept", 0L))
+  }
+
   // ------------------------------------------------------------- X110
 
   test("compaction apply: every physical file matches its plan row") {

@@ -168,8 +168,14 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                                // subtrees once per cascade consumer
                                // (q110's pattern — AQE reuses the
                                // exchanges, the corpus scans once)
-    "q151_rebalance_plan" -> 5 // ONE language fold + |langs|-frame window
+    "q151_rebalance_plan" -> 5, // ONE language fold + |langs|-frame window
                                // + broadcast total + orderBy
+    "q152_group_sample" -> 2, // ONE language partitioning for the rank +
+                              // orderBy; k rows/group survive the window
+    "q153_net_effect"   -> 2, // ONE combinable user fold (min_by/max_by
+                              // partial-aggregate) + orderBy — no window
+    "q154_curation_funnel" -> 2 // md5 dedup window + the 1-row funnel agg;
+                                // stages are conditional sums, no rescans
   )
 
   budgets.foreach { case (name, max) =>
