@@ -2202,8 +2202,9 @@ object SparkEntry {
     "q132_triangles" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-        |e AS (SELECT DISTINCT a.pk AS p1, b.pk AS p2
-        |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT a.pk AS p1, b.pk AS p2
+        |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
         |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
         |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),

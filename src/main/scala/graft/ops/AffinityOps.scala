@@ -175,11 +175,17 @@ object AffinityOps {
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
       .filter($"ok".isNotNull && $"pk".isNotNull)
       .distinct()
-    // undirected edge set: parts co-purchased in >= 1 order, canonical p1<p2
+    // undirected edge set at MINIMUM SUPPORT 2 (parts co-purchased in >= 2
+    // orders, canonical p1<p2): the standard market-basket support gate —
+    // a single co-occurrence is noise, and on a random-basket corpus it is
+    // also the difference between a ~1M-edge near-clique (wedge explosion)
+    // and a support-backed affinity graph three orders sparser
     val e = po.select($"ok", $"pk".as("p1"))
       .join(po.select($"ok", $"pk".as("p2")), Seq("ok"))
       .filter($"p1" < $"p2")
-      .select($"p1", $"p2").distinct()
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"p1", $"p2")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // degree frame is part-cardinality-sized → broadcast both lookups

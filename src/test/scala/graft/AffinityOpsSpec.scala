@@ -568,10 +568,11 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val po = graft.sources.Tables.load(spark, sf, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()
       .as[(Long, Long)].collect()
+    // support >= 2: the pair must co-occur in at least two orders
     val edges = po.groupBy(_._1).values.flatMap { ls =>
       val ps = ls.map(_._2).distinct.sorted
       for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
-    }.toSet
+    }.groupBy(identity).filter(_._2.size >= 2).keySet // support >= 2 only
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val count = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
     for ((a, bs) <- adj; b <- bs; c <- adj.getOrElse(b, Set.empty) if bs(c)) {
