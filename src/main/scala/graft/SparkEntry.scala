@@ -183,6 +183,10 @@ object SparkEntry {
     "q152_group_sample"   -> TextOps.q152GroupSample _,
     "q153_net_effect"     -> EventOps.q153NetEffect _,
     "q154_curation_funnel" -> CorpusOps.q154CurationFunnel _,
+    "q155_luhn_audit"      -> PipelineOps.q155LuhnAudit _,
+    "q156_url_domains"     -> TextOps.q156UrlDomains _,
+    "q157_vocab_coverage"  -> CorpusOps.q157VocabCoverage _,
+    "q158_encoding_audit"  -> TextOps.q158EncodingAudit _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2655,5 +2659,121 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'quality', d2, t2 FROM a
         |UNION ALL SELECT 3, 'sampled', d3, t3 FROM a
         |ORDER BY stage""".stripMargin,
+
+    "q155_luhn_audit" ->
+      """WITH p AS (SELECT doc_id,
+        |    lpad(CAST((doc_id * 1000003 + 777) % 1000000000000000 AS VARCHAR),
+        |         15, '0') AS pan15,
+        |    coalesce(text, '') AS t0
+        |  FROM documents),
+        |s AS (SELECT doc_id, pan15, t0,
+        |    CAST(list_sum(list_transform(range(1, 16), j ->
+        |      CASE WHEN j % 2 = 1
+        |        THEN CASE WHEN 2 * CAST(substring(reverse(pan15), j, 1) AS BIGINT) > 9
+        |               THEN 2 * CAST(substring(reverse(pan15), j, 1) AS BIGINT) - 9
+        |               ELSE 2 * CAST(substring(reverse(pan15), j, 1) AS BIGINT) END
+        |        ELSE CAST(substring(reverse(pan15), j, 1) AS BIGINT) END))
+        |      AS BIGINT) AS luhn_s
+        |  FROM p),
+        |t AS (SELECT doc_id,
+        |    t0 || ' card ' || pan15 ||
+        |      CAST(CASE WHEN doc_id % 3 = 0 THEN (10 - luhn_s % 10) % 10
+        |                ELSE ((10 - luhn_s % 10) % 10 + 5) % 10 END AS VARCHAR)
+        |      || ' end' AS t2
+        |  FROM s),
+        |d AS (SELECT doc_id,
+        |    regexp_extract_all(t2, '[0-9]{13,19}') AS cands FROM t),
+        |v AS (SELECT doc_id,
+        |    CAST(len(cands) AS BIGINT) AS n_candidates,
+        |    CAST(len(list_filter(cands, c ->
+        |      CAST(list_sum(list_transform(range(1, length(c) + 1), j ->
+        |        CASE WHEN j % 2 = 0
+        |          THEN CASE WHEN 2 * CAST(substring(reverse(c), j, 1) AS BIGINT) > 9
+        |                 THEN 2 * CAST(substring(reverse(c), j, 1) AS BIGINT) - 9
+        |                 ELSE 2 * CAST(substring(reverse(c), j, 1) AS BIGINT) END
+        |          ELSE CAST(substring(reverse(c), j, 1) AS BIGINT) END))
+        |        AS BIGINT) % 10 = 0)) AS BIGINT) AS n_valid
+        |  FROM d)
+        |SELECT doc_id, n_candidates, n_valid,
+        |  CAST(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS has_valid_card
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q156_url_domains" ->
+      """WITH p AS (SELECT doc_id,
+        |    coalesce(text, '') || ' see https://site'
+        |      || CAST((doc_id * 2654435761) % 40 AS VARCHAR)
+        |      || '.example.org/p/' || CAST(doc_id % 7 AS VARCHAR)
+        |      || CASE WHEN doc_id % 5 = 0
+        |           THEN ' and http://m'
+        |             || CAST((doc_id * 2654435761) % 40 AS VARCHAR)
+        |             || '.example.net/q'
+        |           ELSE '' END
+        |      || ' ok' AS t2
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(t2, 'https?://([A-Za-z0-9.-]+)', 1))
+        |      AS domain
+        |  FROM p),
+        |g AS (SELECT domain, count(*) AS n_hits,
+        |    count(DISTINCT doc_id) AS n_docs
+        |  FROM h GROUP BY domain),
+        |tot AS (SELECT count(*) AS total_hits FROM h)
+        |SELECT domain, n_hits, n_docs,
+        |  n_hits * 1000000 // total_hits AS share_ppm
+        |FROM g, tot ORDER BY n_hits DESC, domain""".stripMargin,
+
+    "q157_vocab_coverage" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |c AS (SELECT w, count(*) AS n FROM w GROUP BY w),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM c),
+        |a AS (SELECT count(*) AS n_types, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT) AS c10,
+        |    CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS BIGINT) AS c100,
+        |    CAST(sum(CASE WHEN rk <= 1000 THEN n ELSE 0 END) AS BIGINT) AS c1000,
+        |    CAST(sum(CASE WHEN rk <= 10000 THEN n ELSE 0 END) AS BIGINT) AS c10000
+        |  FROM r)
+        |SELECT CAST(10 AS BIGINT) AS k, n_types, n_tokens,
+        |  c10 AS covered_tokens, c10 * 1000000 // n_tokens AS coverage_ppm FROM a
+        |UNION ALL SELECT 100, n_types, n_tokens,
+        |  c100, c100 * 1000000 // n_tokens FROM a
+        |UNION ALL SELECT 1000, n_types, n_tokens,
+        |  c1000, c1000 * 1000000 // n_tokens FROM a
+        |UNION ALL SELECT 10000, n_types, n_tokens,
+        |  c10000, c10000 * 1000000 // n_tokens FROM a
+        |ORDER BY k""".stripMargin,
+
+    "q158_encoding_audit" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    coalesce(text, '')
+        |      || CASE WHEN doc_id % 11 = 0
+        |           THEN ' caf' || chr(195) || chr(169) ELSE '' END
+        |      || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END
+        |      || CASE WHEN doc_id % 17 = 0 THEN chr(65533) ELSE '' END AS t2
+        |  FROM documents),
+        |m AS (SELECT source,
+        |    CAST(len(regexp_extract_all(t2,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS c_ctrl,
+        |    CAST(len(regexp_extract_all(t2, chr(195) || '.')) AS BIGINT)
+        |      AS c_moji,
+        |    CAST(length(t2) - length(replace(t2, chr(65533), '')) AS BIGINT)
+        |      AS c_repl
+        |  FROM p)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN c_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_ctrl,
+        |  CAST(sum(CASE WHEN c_moji > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_moji,
+        |  CAST(sum(CASE WHEN c_repl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_repl,
+        |  CAST(sum(CASE WHEN c_ctrl = 0 AND c_moji = 0 AND c_repl = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_clean,
+        |  CAST(sum(c_ctrl) AS BIGINT) AS n_ctrl,
+        |  CAST(sum(c_moji) AS BIGINT) AS n_moji,
+        |  CAST(sum(c_repl) AS BIGINT) AS n_repl,
+        |  CAST(sum(CASE WHEN c_ctrl = 0 AND c_moji = 0 AND c_repl = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS clean_ppm
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -563,4 +563,37 @@ object CorpusOps {
       .select($"r.stage", $"r.stage_name", $"r.n_docs", $"r.n_tokens")
       .orderBy($"stage")
   }
+
+  /** X125 — vocabulary coverage curve: what fraction of corpus TOKENS do
+    * the top-k vocabulary TYPES cover, for k ∈ {10, 100, 1000, 10000}?
+    * The sizing curve behind every tokenizer-vocabulary decision (q113
+    * scores documents against one fixed vocab; this reports the corpus-
+    * level tradeoff that picks the vocab size in the first place).
+    *
+    * Scale: the word-count shuffle is combinable; ranking the vocabulary
+    * frame by (count desc, word) runs through [[graft.operators
+    * .GlobalOrder]]'s two-phase range shuffle — the vocabulary NEVER
+    * lands on the driver and there is no single-task unpartitioned
+    * window; all four cuts are conditional sums in ONE combinable pass
+    * over the ranked frame (not four scans); the report is 4 rows. */
+  def q157VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = docs(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.GlobalOrder.withRowNumber(
+      vocab, Seq($"n".desc, $"w".asc), "rk")
+    val cuts = Seq(10L, 100L, 1000L, 10000L)
+    val aggCols =
+      Seq(count(lit(1)).as("n_types"), sum($"n").as("n_tokens")) ++
+        cuts.map(k => sum(when(col("rk") <= k, col("n")).otherwise(0L)).as(s"c$k"))
+    val one = ranked.agg(aggCols.head, aggCols.tail: _*)
+    one.select(explode(expr(
+        cuts.map(k => s"struct(${k}L AS k, c$k AS covered_tokens)")
+          .mkString("array(", ", ", ")"))).as("r"),
+        $"n_types", $"n_tokens")
+      .select($"r.k".as("k"), $"n_types", $"n_tokens", $"r.covered_tokens",
+        expr("r.covered_tokens * 1000000 div n_tokens").as("coverage_ppm"))
+      .orderBy($"k")
+  }
 }

@@ -1102,4 +1102,56 @@ object PipelineOps {
       graft.transfer.Transfer.deleteRecursively(tmp)
     }
   }
+
+  /** X122 — Luhn-validated card-number audit: q81's PII scrub counts digit
+    * SHAPES; payment-card numbers need the mod-10 check or the redactor
+    * drowns in false positives (order ids, timestamps). Ground truth is
+    * planted per document — a deterministic 15-digit base derived from
+    * doc_id gets its true Luhn check digit appended when doc_id % 3 = 0
+    * and a corrupted one (+5 mod 10, never equal) otherwise — so the
+    * detector's verdict on every row is independently checkable.
+    *
+    * The detector re-derives nothing from the plant: it extracts ALL
+    * 13-19 digit runs and validates each with the Luhn fold (double every
+    * second digit from the right, subtract 9 above 9, sum % 10 = 0).
+    *
+    * Scale: entirely narrow — the plant, the extraction and the per-
+    * candidate fold are codegen'd string/HOF expressions at scan
+    * throughput; zero shuffles before the final orderBy. The fold is
+    * O(digits) per candidate with no allocation beyond the match list. */
+  def q155LuhnAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Luhn partial sum over the 15-digit base, doubling positions that sit
+    // at EVEN offsets in the final 16-digit number (reversed j odd here,
+    // because the appended check digit shifts every base digit left once).
+    val baseSum =
+      """aggregate(sequence(1, 15), 0L, (acc, j) ->
+        |  acc + CASE WHEN j % 2 = 1
+        |    THEN IF(2 * CAST(substring(reverse(pan15), j, 1) AS BIGINT) > 9,
+        |            2 * CAST(substring(reverse(pan15), j, 1) AS BIGINT) - 9,
+        |            2 * CAST(substring(reverse(pan15), j, 1) AS BIGINT))
+        |    ELSE CAST(substring(reverse(pan15), j, 1) AS BIGINT) END)""".stripMargin
+    // full-number Luhn total: rightmost digit (j=1) undoubled, then every
+    // second — the textbook validation, applied to each extracted run
+    val luhnValid =
+      """filter(cands, c -> aggregate(sequence(1, length(c)), 0L, (acc, j) ->
+        |  acc + CASE WHEN j % 2 = 0
+        |    THEN IF(2 * CAST(substring(reverse(c), j, 1) AS BIGINT) > 9,
+        |            2 * CAST(substring(reverse(c), j, 1) AS BIGINT) - 9,
+        |            2 * CAST(substring(reverse(c), j, 1) AS BIGINT))
+        |    ELSE CAST(substring(reverse(c), j, 1) AS BIGINT) END) % 10 = 0)""".stripMargin
+    docs(s, dir)
+      .withColumn("pan15", lpad(
+        (($"doc_id" * 1000003L + 777L) % 1000000000000000L).cast("string"), 15, "0"))
+      .withColumn("cd", (lit(10L) - expr(baseSum) % 10L) % 10L)
+      .withColumn("t2", concat(coalesce($"text", lit("")), lit(" card "), $"pan15",
+        when($"doc_id" % 3 === 0, $"cd").otherwise(($"cd" + 5L) % 10L).cast("string"),
+        lit(" end")))
+      .withColumn("cands", expr("regexp_extract_all(t2, '[0-9]{13,19}', 0)"))
+      .select($"doc_id",
+        size($"cands").cast("long").as("n_candidates"),
+        size(expr(luhnValid)).cast("long").as("n_valid"))
+      .withColumn("has_valid_card", when($"n_valid" > 0, 1L).otherwise(0L))
+      .orderBy($"doc_id")
+  }
 }

@@ -379,4 +379,82 @@ object TextOps {
       .select($"lang", $"rk", $"doc_id", $"pri")
       .orderBy($"lang", $"rk")
   }
+
+  /** X123 — URL/domain extraction report: the provenance histogram every
+    * web-scraped corpus needs before domain-level filtering (blocklists,
+    * per-domain caps). Ground truth is planted deterministically — every
+    * document gets one https URL on a doc_id-derived domain, docs with
+    * doc_id % 5 = 0 a second http URL on a sibling domain — so hit counts,
+    * per-domain reach and shares are all independently checkable.
+    *
+    * The detector extracts the authority of every http(s) URL (capture
+    * group 1), then aggregates per domain: total hits, distinct documents
+    * reached, and corpus share in integer ppm.
+    *
+    * Scale: the extraction is a narrow codegen'd regexp pass (≤2 URLs per
+    * doc here; bounded by text size in general); ONE combinable shuffle on
+    * the domain key (count and count_distinct both partial-aggregate); the
+    * grand total joins back as a broadcast 1-row aggregate (q90's rule:
+    * never a window over the report frame); report is |domains|-sized. */
+  def q156UrlDomains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = docs(s, dir)
+      .withColumn("t2", concat(coalesce($"text", lit("")),
+        lit(" see https://site"), (($"doc_id" * 2654435761L) % 40L).cast("string"),
+        lit(".example.org/p/"), ($"doc_id" % 7L).cast("string"),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" and http://m"), (($"doc_id" * 2654435761L) % 40L).cast("string"),
+            lit(".example.net/q"))).otherwise(lit("")),
+        lit(" ok")))
+    val hits = planted.select($"doc_id",
+      explode(expr("regexp_extract_all(t2, 'https?://([A-Za-z0-9.-]+)', 1)"))
+        .as("domain"))
+    val total = hits.agg(count(lit(1)).as("total_hits"))
+    hits.groupBy($"domain")
+      .agg(count(lit(1)).as("n_hits"), countDistinct($"doc_id").as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select($"domain", $"n_hits", $"n_docs",
+        expr("n_hits * 1000000 div total_hits").as("share_ppm"))
+      .orderBy($"n_hits".desc, $"domain")
+  }
+
+  /** X124 — encoding-health audit: the mojibake/control-character scan a
+    * corpus assembled from heterogeneous crawls runs before tokenization
+    * (a tokenizer happily learns 'Ã©' as a type). Three independent planted
+    * defects — a UTF-8-as-Latin-1 mojibake sequence (doc_id % 11), a BEL
+    * control character (doc_id % 13), a U+FFFD replacement character
+    * (doc_id % 17) — make every per-source count checkable.
+    *
+    * Detectors: control chars via an explicit C0 class (tab/newline/CR
+    * excluded), mojibake via the 'Ã' + continuation shape, replacement
+    * chars by exact-char occurrence count (length delta under replace —
+    * cheaper than a regex for a single fixed code point).
+    *
+    * Scale: all three detectors are narrow codegen'd passes at scan
+    * throughput; ONE combinable shuffle to the |sources| report frame. */
+  def q158EncodingAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("t2", concat(coalesce($"text", lit("")),
+        when($"doc_id" % 11 === 0, lit(" cafÃ©")).otherwise(lit("")),
+        when($"doc_id" % 13 === 0, lit("\u0007")).otherwise(lit("")),
+        when($"doc_id" % 17 === 0, lit("�")).otherwise(lit(""))))
+      .withColumn("c_ctrl", size(regexp_extract_all($"t2",
+        lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), lit(0))).cast("long"))
+      .withColumn("c_moji", size(regexp_extract_all($"t2",
+        lit("Ã."), lit(0))).cast("long"))
+      .withColumn("c_repl",
+        (length($"t2") - length(expr("replace(t2, '�', '')"))).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"c_ctrl" > 0, 1L).otherwise(0L)).as("docs_ctrl"),
+        sum(when($"c_moji" > 0, 1L).otherwise(0L)).as("docs_moji"),
+        sum(when($"c_repl" > 0, 1L).otherwise(0L)).as("docs_repl"),
+        sum(when($"c_ctrl" === 0 && $"c_moji" === 0 && $"c_repl" === 0, 1L)
+          .otherwise(0L)).as("docs_clean"),
+        sum($"c_ctrl").as("n_ctrl"), sum($"c_moji").as("n_moji"),
+        sum($"c_repl").as("n_repl"))
+      .withColumn("clean_ppm", expr("docs_clean * 1000000 div n_docs"))
+      .orderBy($"source")
+  }
 }

@@ -1079,4 +1079,88 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(actual == plan)
   }
+
+  // ------------------------------------------------------------- X122
+
+  test("luhn audit: detector verdict equals the planted rule on every doc") {
+    val rows = PipelineOps.q155LuhnAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // exactly the one planted 16-digit run is a candidate
+      assert(r.getAs[Long]("n_candidates") == 1L)
+      val expectValid = if (id % 3 == 0) 1L else 0L
+      assert(r.getAs[Long]("n_valid") == expectValid,
+        s"doc $id: luhn verdict diverged from the plant rule")
+      assert(r.getAs[Long]("has_valid_card") == expectValid)
+    }
+  }
+
+  // ------------------------------------------------------------- X123
+
+  test("url domains: hits reconcile to the plant and shares sum to ~1e6") {
+    import spark.implicits._
+    val rows = TextOps.q156UrlDomains(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val nDocs = d.count()
+    val nSecond = d.filter($"doc_id" % 5 === 0).count()
+    // every doc plants one https URL; every fifth doc a second http URL
+    assert(rows.map(_.getAs[Long]("n_hits")).sum == nDocs + nSecond)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum >= nDocs)
+    val ppm = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - rows.length,
+      s"floor-div shares must sum into (1e6 - |domains|, 1e6], got $ppm")
+    // ordering contract: n_hits desc, domain asc tiebreak
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (ha, hb) = (a.getAs[Long]("n_hits"), b.getAs[Long]("n_hits"))
+      assert(hb < ha || (hb == ha &&
+        a.getAs[String]("domain") < b.getAs[String]("domain")))
+    }
+  }
+
+  // ------------------------------------------------------------- X125
+
+  test("vocab coverage curve is monotone and caps at the corpus total") {
+    val rows = CorpusOps.q157VocabCoverage(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(10L, 100L, 1000L, 10000L))
+    val total = rows.head.getAs[Long]("n_tokens")
+    val types = rows.head.getAs[Long]("n_types")
+    var prev = 0L
+    rows.foreach { r =>
+      val c = r.getAs[Long]("covered_tokens")
+      assert(c >= prev && c <= total); prev = c
+      // once the cut covers the whole vocabulary, coverage is exactly total
+      if (r.getAs[Long]("k") >= types) assert(c == total)
+      assert(r.getAs[Long]("coverage_ppm") == c * 1000000L / total)
+    }
+  }
+
+  // ------------------------------------------------------------- X124
+
+  test("encoding audit counts exactly the planted defects per source") {
+    import spark.implicits._
+    val rows = TextOps.q158EncodingAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val expected = graft.sources.Tables.load(spark, sf, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"doc_id" % 13 === 0, 1L).otherwise(0L)).as("ctrl"),
+        sum(when($"doc_id" % 11 === 0, 1L).otherwise(0L)).as("moji"),
+        sum(when($"doc_id" % 17 === 0, 1L).otherwise(0L)).as("repl"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("ctrl"),
+         r.getAs[Long]("moji"), r.getAs[Long]("repl"))).toMap
+    rows.foreach { r =>
+      val (n, ctrl, moji, repl) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("docs_ctrl") == ctrl)
+      assert(r.getAs[Long]("docs_moji") == moji)
+      assert(r.getAs[Long]("docs_repl") == repl)
+      // occurrence counts equal doc counts: each plant inserts exactly one
+      assert(r.getAs[Long]("n_ctrl") == ctrl)
+      assert(r.getAs[Long]("n_moji") == moji)
+      assert(r.getAs[Long]("n_repl") == repl)
+    }
+  }
 }
