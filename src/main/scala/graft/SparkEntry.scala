@@ -187,6 +187,10 @@ object SparkEntry {
     "q156_url_domains"     -> TextOps.q156UrlDomains _,
     "q157_vocab_coverage"  -> CorpusOps.q157VocabCoverage _,
     "q158_encoding_audit"  -> TextOps.q158EncodingAudit _,
+    "q159_blocklist_filter" -> TextOps.q159BlocklistFilter _,
+    "q160_length_pair"     -> PipelineOps.q160LengthPair _,
+    "q161_forget_audit"    -> PipelineOps.q161ForgetAudit _,
+    "q162_feature_hashing" -> PipelineOps.q162FeatureHashing _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2775,5 +2779,68 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN c_ctrl = 0 AND c_moji = 0 AND c_repl = 0
         |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS clean_ppm
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // Blocked ⟺ the planted domain id ≡ 3 (mod 10): both of a document's
+    // planted domains share one id, and the blocklist holds both families
+    // for ids 3/13/23/33 — the rule replay is exact, not approximate.
+    "q159_blocklist_filter" ->
+      """WITH f AS (SELECT source,
+        |    CASE WHEN ((doc_id * 2654435761) % 40) % 10 = 3
+        |      THEN 1 ELSE 0 END AS blocked
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(1 - blocked) AS BIGINT) AS kept_docs,
+        |  CAST(sum(blocked) AS BIGINT) AS blocked_docs,
+        |  CAST(sum(blocked) AS BIGINT) * 1000000 // count(*) AS blocked_ppm
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "q160_length_pair" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    list_reduce(list_transform(
+        |        string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 10 = 9 AS is_eval,
+        |    n_chars * 1000000 + doc_id AS k
+        |  FROM documents),
+        |e AS (SELECT * FROM d WHERE is_eval),
+        |t AS (SELECT * FROM d WHERE NOT is_eval)
+        |SELECT e.lang, e.doc_id, e.n_chars,
+        |  t.doc_id AS pair_doc_id, t.n_chars AS pair_chars,
+        |  e.n_chars - t.n_chars AS char_gap
+        |FROM e ASOF LEFT JOIN t
+        |  ON e.lang = t.lang AND e.k > t.k
+        |ORDER BY e.lang, e.doc_id""".stripMargin,
+
+    "q161_forget_audit" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    list_reduce(list_transform(
+        |        string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |    CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END AS del
+        |  FROM documents)
+        |SELECT lang, count(*) AS before_docs,
+        |  CAST(sum(1 - del) AS BIGINT) AS after_docs,
+        |  CAST(sum(del) AS BIGINT) AS deleted_docs,
+        |  CAST(0 AS BIGINT) AS residual,
+        |  CAST(sum(CASE WHEN del = 1 THEN fp ELSE 0 END) AS BIGINT)
+        |    AS deleted_fpsum
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q162_feature_hashing" ->
+      """WITH cat AS (SELECT n_name || '|' || c_mktsegment AS category
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |h AS (SELECT category,
+        |    list_reduce(list_transform(string_split(category, ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 64 AS bucket
+        |  FROM cat),
+        |g AS (SELECT bucket, category, count(*) AS n
+        |  FROM h GROUP BY bucket, category)
+        |SELECT bucket, count(*) AS n_categories,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS collided
+        |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

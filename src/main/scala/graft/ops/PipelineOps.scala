@@ -1154,4 +1154,102 @@ object PipelineOps {
       .withColumn("has_valid_card", when($"n_valid" > 0, 1L).otherwise(0L))
       .orderBy($"doc_id")
   }
+
+  /** X127 — nearest-length eval pairing: for every held-out document
+    * (content-hash band 9 of q61's fingerprint convention — a replayable
+    * ~10% split), find the training document of the same language with
+    * the closest smaller (n_chars, doc_id) key — the matched-control
+    * construction behind paired eval protocols (compare model scores on
+    * like-for-like lengths, ablate length as a confound).
+    *
+    * The scalar as-of trick (X16, generalized off the time axis): instead
+    * of a range self-join eval×train on "largest key below mine", ONE
+    * window over the language-partitioned (n_chars, doc_id) total order
+    * carries the last-seen TRAIN payload (last_value ignore-nulls over a
+    * strictly-preceding frame) onto every eval row. No cross product at
+    * any scale; the composite key packs into one BIGINT (chars·10⁶ + id)
+    * so the oracle's ASOF join sees the identical total order.
+    *
+    * Scale: ONE language partitioning; payload is a 2-field struct; eval
+    * rows filter AFTER the window (they must observe train neighbors),
+    * but nothing wider than (lang, key, struct) ever shuffles. */
+  def q160LengthPair(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val w = Window.partitionBy($"lang").orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .withColumn("fp",
+        expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))"))
+      .withColumn("is_eval", $"fp" % 10 === 9)
+      .withColumn("k", $"n_chars" * 1000000L + $"doc_id")
+      .withColumn("pair", last(
+        when(!$"is_eval", struct($"doc_id".as("id"), $"n_chars".as("chars"))),
+        ignoreNulls = true).over(w))
+      .filter($"is_eval")
+      .select($"lang", $"doc_id", $"n_chars",
+        $"pair.id".as("pair_doc_id"), $"pair.chars".as("pair_chars"),
+        ($"n_chars" - $"pair.chars").as("char_gap"))
+      .orderBy($"lang", $"doc_id")
+  }
+
+  /** X128 — right-to-be-forgotten deletion audit: apply a deletion-request
+    * list (arriving as DATA — here the planted doc_id ≡ 0 (mod 19) set)
+    * to the corpus via anti-join and prove the result: per language,
+    * before/after/deleted counts, a residual probe (after-side rows still
+    * matching the request rule — must be 0), and the fingerprint-sum
+    * delta, which reconciles exactly because Σfp(before) − Σfp(after) =
+    * Σfp(deleted) for an order-independent sum.
+    *
+    * Scale: the request list projects to its key column and broadcasts
+    * (real deletion lists are ≪ corpus); the anti-join moves only
+    * (doc_id, lang, fp); both report aggs are combinable into |langs|
+    * frames. Text never shuffles; the corpus scans twice (before/after
+    * legs) against once for an unaudited delete — the audit's price. */
+  def q161ForgetAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val d = docs(s, dir).select($"doc_id", $"lang",
+      expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))")
+        .as("fp"))
+    val requests = d.filter($"doc_id" % 19 === 0).select($"doc_id")
+    val after = d.join(broadcast(requests), Seq("doc_id"), "left_anti")
+    val before = d.groupBy($"lang")
+      .agg(count(lit(1)).as("before_docs"), sum($"fp").as("before_fpsum"))
+    val afterAgg = after.groupBy($"lang")
+      .agg(count(lit(1)).as("after_docs"), sum($"fp").as("after_fpsum"),
+        sum(when($"doc_id" % 19 === 0, 1L).otherwise(0L)).as("residual"))
+    before.join(afterAgg, Seq("lang"))
+      .select($"lang", $"before_docs", $"after_docs",
+        ($"before_docs" - $"after_docs").as("deleted_docs"), $"residual",
+        ($"before_fpsum" - $"after_fpsum").as("deleted_fpsum"))
+      .orderBy($"lang")
+  }
+
+  /** X129 — feature-hashing collision audit: the hashing trick maps a
+    * categorical space (here nation × market segment, 125 categories)
+    * into a fixed 64-bucket feature space; before training on hashed
+    * features, measure what collided — per bucket: distinct categories,
+    * row mass, and a collision flag. The portable fingerprint is the
+    * hash, so the bucket assignment is replayable in any engine.
+    *
+    * Scale: the category hash is a narrow projection on the (broadcast-
+    * dimension-joined) fact; ONE combinable (bucket, category) distinct
+    * + bucket fold — both frames are category-space-sized, never fact-
+    * sized; the 64-row report orders by bucket. */
+  def q162FeatureHashing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val cust = Tables.load(s, dir, "customer")
+    val nation = Tables.load(s, dir, "nation")
+    val cat = cust.join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .select(concat($"n_name", lit("|"), $"c_mktsegment").as("category"))
+      .withColumn("bucket", expr("graft_fingerprint(category) % 64"))
+    cat.groupBy($"bucket", $"category").agg(count(lit(1)).as("n"))
+      .groupBy($"bucket")
+      .agg(countDistinct($"category").as("n_categories"),
+        sum($"n").as("n_rows"))
+      .withColumn("collided", when($"n_categories" > 1, 1L).otherwise(0L))
+      .orderBy($"bucket")
+  }
 }

@@ -457,4 +457,55 @@ object TextOps {
       .withColumn("clean_ppm", expr("docs_clean * 1000000 div n_docs"))
       .orderBy($"source")
   }
+
+  /** X126 — domain-blocklist filter: the policy gate downstream of X123's
+    * provenance report — documents citing any blocklisted domain are
+    * dropped, per-source survival is reported. The blocklist here is the
+    * 8 domains whose planted id ≡ 3 (mod 10), spanning both the
+    * `.example.org` and `.example.net` families, so the verdict for every
+    * document is independently derivable from the q156 plant rule (both
+    * of a document's planted domains share one id — blocked ⟺
+    * (doc_id·2654435761) mod 40 ≡ 3 mod 10).
+    *
+    * The operator itself derives nothing from the rule: it re-extracts
+    * domains and joins them against an explicit blocklist relation — the
+    * real shape (blocklists arrive as data, not predicates).
+    *
+    * Scale: extraction is narrow; the blocklist is policy-sized →
+    * broadcast semi-join (a 10⁶-row blocklist still broadcasts); hit doc
+    * ids collapse by distinct BEFORE rejoining the corpus (left_anti
+    * carries only the key column); per-source report is one combinable
+    * shuffle. The corpus text payload never moves. */
+  def q159BlocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = docs(s, dir)
+      .withColumn("t2", concat(coalesce($"text", lit("")),
+        lit(" see https://site"), (($"doc_id" * 2654435761L) % 40L).cast("string"),
+        lit(".example.org/p/"), ($"doc_id" % 7L).cast("string"),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" and http://m"), (($"doc_id" * 2654435761L) % 40L).cast("string"),
+            lit(".example.net/q"))).otherwise(lit("")),
+        lit(" ok")))
+    val blocklist = (0 until 40).filter(_ % 10 == 3)
+      .flatMap(i => Seq(s"site$i.example.org", s"m$i.example.net"))
+      .toDF("domain")
+    val blockedDocs = planted
+      .select($"doc_id",
+        explode(expr("regexp_extract_all(t2, 'https?://([A-Za-z0-9.-]+)', 1)"))
+          .as("domain"))
+      .join(broadcast(blocklist), Seq("domain"), "left_semi")
+      .select($"doc_id").distinct()
+    val base = planted.select($"doc_id", $"source")
+    val kept = base.join(blockedDocs, Seq("doc_id"), "left_anti")
+      .groupBy($"source").agg(count(lit(1)).as("kept_raw"))
+    // left join from the full source frame: a source whose every document
+    // is blocked must still report (kept = 0), not vanish
+    base.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .withColumn("kept_docs", coalesce($"kept_raw", lit(0L)))
+      .select($"source", $"n_docs", $"kept_docs",
+        ($"n_docs" - $"kept_docs").as("blocked_docs"))
+      .withColumn("blocked_ppm", expr("blocked_docs * 1000000 div n_docs"))
+      .orderBy($"source")
+  }
 }

@@ -1163,4 +1163,89 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_repl") == repl)
     }
   }
+
+  // ------------------------------------------------------------- X126
+
+  test("blocklist filter blocks exactly the rule-derived documents") {
+    import spark.implicits._
+    val rows = TextOps.q159BlocklistFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val expected = graft.sources.Tables.load(spark, sf, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(($"doc_id" * 2654435761L % 40L) % 10L === 3L, 1L)
+          .otherwise(0L)).as("blocked"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("blocked"))).toMap
+    rows.foreach { r =>
+      val (n, blocked) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("blocked_docs") == blocked)
+      assert(r.getAs[Long]("kept_docs") == n - blocked)
+    }
+  }
+
+  // ------------------------------------------------------------- X127
+
+  test("length pairing: every pair is the closest smaller train key") {
+    import spark.implicits._
+    val rows = PipelineOps.q160LengthPair(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver replay: per language, the train doc with the largest
+    // (n_chars, doc_id) strictly below the eval doc's key
+    graft.functions.Fingerprint.register(spark)
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("fp", expr(
+        "graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))"))
+      .select($"lang", $"doc_id", $"n_chars", ($"fp" % 10 === 9).as("is_eval"))
+      .collect()
+    val trainByLang: Map[String, Seq[(Long, Long)]] =
+      d.filter(!_.getAs[Boolean]("is_eval")).toSeq
+        .groupBy(_.getAs[String]("lang"))
+        .map { case (l, rs) => l -> rs.map(r =>
+          (r.getAs[Long]("n_chars") * 1000000L + r.getAs[Long]("doc_id"),
+           r.getAs[Long]("doc_id"))).sortBy(_._1) }
+    var paired = 0
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_chars") * 1000000L + r.getAs[Long]("doc_id")
+      val want = trainByLang.getOrElse(r.getAs[String]("lang"), Seq.empty)
+        .takeWhile(_._1 < k).lastOption.map(_._2)
+      val got = Option(r.get(r.fieldIndex("pair_doc_id")))
+        .map(_.asInstanceOf[Long])
+      assert(got == want, s"doc ${r.getAs[Long]("doc_id")}: pair diverged")
+      if (got.isDefined) paired += 1
+    }
+    assert(paired > 0)
+  }
+
+  // ------------------------------------------------------------- X128
+
+  test("forget audit: deletion is total, residual-free and mass-conserving") {
+    val rows = PipelineOps.q161ForgetAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("residual") == 0L, "a requested doc survived")
+      assert(r.getAs[Long]("before_docs") ==
+        r.getAs[Long]("after_docs") + r.getAs[Long]("deleted_docs"))
+    }
+    assert(rows.map(_.getAs[Long]("deleted_docs")).sum > 0L)
+  }
+
+  // ------------------------------------------------------------- X129
+
+  test("feature hashing: buckets partition all 125 categories and rows") {
+    import spark.implicits._
+    val rows = PipelineOps.q162FeatureHashing(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nCust = graft.sources.Tables.load(spark, sf, "customer").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == nCust)
+    val nCats = rows.map(_.getAs[Long]("n_categories")).sum
+    assert(nCats >= 25L && nCats <= 125L) // nations × segments present
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b < 64L)
+      assert(r.getAs[Long]("collided") ==
+        (if (r.getAs[Long]("n_categories") > 1) 1L else 0L))
+    }
+  }
 }

@@ -174,8 +174,28 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                               // orderBy; k rows/group survive the window
     "q153_net_effect"   -> 2, // ONE combinable user fold (min_by/max_by
                               // partial-aggregate) + orderBy — no window
-    "q154_curation_funnel" -> 2 // md5 dedup window + the 1-row funnel agg;
+    "q154_curation_funnel" -> 2, // md5 dedup window + the 1-row funnel agg;
                                 // stages are conditional sums, no rescans
+    "q155_luhn_audit"   -> 1, // plant + extraction + mod-10 fold all narrow
+                              // HOFs; only the presentation orderBy is wide
+    "q156_url_domains"  -> 5, // mixed count+count_distinct domain agg is
+                              // 2-phase; + the 1-row total agg, its
+                              // BroadcastExchange (the "Exchange " count
+                              // includes broadcasts), and the orderBy
+    "q157_vocab_coverage" -> 3, // word agg (2-phase, combinable) feeding the
+                              // GlobalOrder RDD bridge + 1-row cut agg;
+                              // the 4-row report explode stays narrow
+    "q158_encoding_audit" -> 2, // three narrow detectors + ONE combinable
+                               // source agg + orderBy
+    "q159_blocklist_filter" -> 7, // hit-id distinct (2-phase) behind the
+                               // broadcast semi-join + anti-join broadcast
+                               // + two source aggs + their join + orderBy
+    "q160_length_pair"  -> 2, // ONE language partitioning for the as-of
+                              // window + orderBy
+    "q161_forget_audit" -> 7, // request-key broadcast + before/after
+                              // combinable folds + |langs| join + orderBy
+    "q162_feature_hashing" -> 4 // broadcast dim + (bucket, category)
+                                // distinct (2-phase) + bucket fold + orderBy
   )
 
   budgets.foreach { case (name, max) =>
