@@ -191,6 +191,9 @@ object SparkEntry {
     "q160_length_pair"     -> PipelineOps.q160LengthPair _,
     "q161_forget_audit"    -> PipelineOps.q161ForgetAudit _,
     "q162_feature_hashing" -> PipelineOps.q162FeatureHashing _,
+    "q163_prefix_boilerplate" -> DedupOps.q163PrefixBoilerplate _,
+    "q164_degree_histogram" -> AffinityOps.q164DegreeHistogram _,
+    "q165_burstiness"      -> EventOps.q165Burstiness _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2842,5 +2845,63 @@ object SparkEntry {
         |  CAST(CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS BIGINT)
         |    AS collided
         |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Sorted-neighbor LCP, bounded at 64 chars: first mismatch j in 1..m
+    // → LCP = j-1, all equal → m. The m = 0 guard covers the first row
+    // of each language partition and empty texts.
+    "q163_prefix_boilerplate" ->
+      """WITH d AS (SELECT doc_id, lang, coalesce(text, '') AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, lang, text,
+        |    lag(text) OVER (PARTITION BY lang ORDER BY text, doc_id)
+        |      AS prev_text
+        |  FROM d),
+        |m AS (SELECT lang,
+        |    CASE WHEN prev_text IS NULL THEN 0
+        |         ELSE least(64, length(text), length(prev_text)) END AS m,
+        |    text, prev_text FROM l),
+        |c AS (SELECT lang,
+        |    CASE WHEN m = 0 THEN 0
+        |         ELSE least(m, list_min(list_transform(range(1, m + 1), j ->
+        |           CASE WHEN substring(text, j, 1) = substring(prev_text, j, 1)
+        |                THEN m + 1 ELSE j END)) - 1) END AS lcp
+        |  FROM m)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(max(lcp) AS BIGINT) AS max_lcp,
+        |  CAST(sum(lcp) AS BIGINT) AS sum_lcp,
+        |  CAST(sum(CASE WHEN lcp >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS boiler_docs,
+        |  CAST(sum(CASE WHEN lcp >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS boiler_ppm
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q164_degree_histogram" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |e AS (SELECT a.pk AS p1, b.pk AS p2
+        |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT pk, count(*) AS d FROM (
+        |    SELECT p1 AS pk FROM e UNION ALL SELECT p2 FROM e)
+        |  GROUP BY pk)
+        |SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS band,
+        |  count(*) AS n_parts,
+        |  CAST(min(d) AS BIGINT) AS min_degree,
+        |  CAST(max(d) AS BIGINT) AS max_degree,
+        |  CAST(sum(d) AS BIGINT) AS sum_degree
+        |FROM deg GROUP BY band ORDER BY band""".stripMargin,
+
+    "q165_burstiness" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*) AS n_hours,
+        |    CAST(sum(c) AS BIGINT) AS n_events,
+        |    CAST(sum(c * c) AS BIGINT) AS sum_sq
+        |  FROM h GROUP BY 1)
+        |SELECT event_type, n_hours, n_events,
+        |  (n_hours * sum_sq - n_events * n_events) * 1000000
+        |    // (n_hours * n_events) AS fano_ppm
+        |FROM a ORDER BY event_type""".stripMargin,
   )
 }

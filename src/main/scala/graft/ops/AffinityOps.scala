@@ -220,4 +220,35 @@ object AffinityOps {
         StructField("part_key", LongType), StructField("n_triangles", LongType))))
     } finally e.unpersist(blocking = false)
   }
+
+  /** X131 — co-purchase degree distribution: the log2-banded degree
+    * histogram of the support-≥2 affinity graph (X98's edge set) — the
+    * shape check run before any graph algorithm is let loose (a heavy
+    * tail says "orient your wedges"; a near-regular graph says the
+    * support gate is too high).
+    *
+    * Scale: the edge build is X98's one group-keyed self-join (bounded
+    * per order); the degree fold and the ~20-band histogram are both
+    * combinable aggregates on frames no larger than the part dimension;
+    * the band is integer bit-length math (q130's engine-exact log2). */
+  def q164DegreeHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val po = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .filter($"ok".isNotNull && $"pk".isNotNull)
+      .distinct()
+    val e = po.select($"ok", $"pk".as("p1"))
+      .join(po.select($"ok", $"pk".as("p2")), Seq("ok"))
+      .filter($"p1" < $"p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+    val deg = e.select($"p1".as("pk")).unionByName(e.select($"p2".as("pk")))
+      .groupBy($"pk").agg(count(lit(1)).as("d"))
+    deg.withColumn("band", (length(bin($"d")) - 1).cast("long"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_parts"),
+        min($"d").as("min_degree"), max($"d").as("max_degree"),
+        sum($"d").as("sum_degree"))
+      .orderBy($"band")
+  }
 }

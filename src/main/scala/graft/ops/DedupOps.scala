@@ -448,4 +448,50 @@ object DedupOps {
       .select($"doc_a", $"doc_b", $"inter", $"un", $"j_ppt")
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** X130 — sorted-neighbor prefix-boilerplate audit: sort each language's
+    * documents lexicographically and measure the longest common prefix
+    * (LCP) between every document and its predecessor — the suffix-array
+    * neighbor trick reduced to prefixes: shared headers/templates cluster
+    * adjacently under the sort, so one neighbor comparison finds them
+    * without any pairwise join. Documents whose neighbor-LCP reaches 20
+    * chars are flagged as prefix-boilerplate suspects.
+    *
+    * The LCP is BOUNDED at 64 chars: boilerplate headers live at the
+    * front, and the bound makes the per-row cost a constant (O(64²)
+    * cheap char compares in a codegen'd HOF) instead of O(|text|²) —
+    * the difference between scan throughput and a quadratic stall on
+    * long documents.
+    *
+    * Scale: ONE language partitioning carries the sort and the lag —
+    * q61's per-stratum window convention; the report fold is combinable
+    * into a \|langs\| frame. No self-join at any scale. */
+  def q163PrefixBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"text", $"doc_id")
+    // first mismatch position j in 1..m → LCP = j-1; all m equal → m.
+    // Guarded on m = 0 (no predecessor / empty side): Spark's
+    // sequence(1, 0) would count DOWN, so the branch must never be taken
+    // unguarded.
+    val lcpExpr =
+      """CASE WHEN m = 0 THEN 0L ELSE
+        |  least(CAST(m AS BIGINT), CAST(array_min(transform(sequence(1, m),
+        |    j -> IF(substring(text, j, 1) = substring(prev_text, j, 1),
+        |            m + 1, j))) AS BIGINT) - 1L) END""".stripMargin
+    docs(s, dir)
+      .select($"doc_id", $"lang", coalesce($"text", lit("")).as("text"))
+      .withColumn("prev_text", lag($"text", 1).over(w))
+      .withColumn("m", when($"prev_text".isNull, lit(0))
+        .otherwise(least(lit(64), length($"text"), length($"prev_text")))
+        .cast("int"))
+      .withColumn("lcp", expr(lcpExpr))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"lcp").as("max_lcp"),
+        sum($"lcp").as("sum_lcp"),
+        sum(when($"lcp" >= 20, 1L).otherwise(0L)).as("boiler_docs"))
+      .withColumn("boiler_ppm", expr("boiler_docs * 1000000 div n_docs"))
+      .orderBy($"lang")
+  }
 }

@@ -557,4 +557,35 @@ object EventOps {
         when($"last_op" === "D", "absent").otherwise("present"))
       .orderBy($"user_id")
   }
+
+  /** X132 — hourly burstiness audit: per event type, the Fano factor
+    * (variance/mean of hourly counts, 10⁶ = Poisson) over the hours the
+    * type was observed — the dispersion monitor that separates steady
+    * traffic from bursty traffic where a mean-based alert threshold lies.
+    *
+    * Exactness: Fano = var/mean = (n·Σc² − S²) / (n·S) over the hourly
+    * count vector (S = Σc) — every term an exact integer, no float
+    * variance accumulation, so the ppm rendering is engine-identical.
+    * Headroom: per-(type, hour) counts enter squared; c < ~3·10⁹ keeps
+    * n·Σc² inside int64 at a 720-hour horizon — beyond that, band the
+    * hours first.
+    *
+    * Scale: TWO combinable aggregates — (type, hour) then type; the
+    * first reduces the stream to a horizon-sized frame, the second to
+    * \|types\| rows. Observed-hours only (a type absent all hour
+    * contributes no row) — documented, deterministic. */
+  def q165Burstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = ev(s, dir)
+      .select($"event_type",
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("hour"))
+      .groupBy($"event_type", $"hour").agg(count(lit(1)).as("c"))
+    hourly.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hours"), sum($"c").as("n_events"),
+        sum($"c" * $"c").as("sum_sq"))
+      .select($"event_type", $"n_hours", $"n_events",
+        expr("(n_hours * sum_sq - n_events * n_events) * 1000000" +
+          " div (n_hours * n_events)").as("fano_ppm"))
+      .orderBy($"event_type")
+  }
 }

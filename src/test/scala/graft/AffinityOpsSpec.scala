@@ -1248,4 +1248,82 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         (if (r.getAs[Long]("n_categories") > 1) 1L else 0L))
     }
   }
+
+  // ------------------------------------------------------------- X130
+
+  test("prefix boilerplate: driver replay of sorted-neighbor bounded LCP") {
+    import spark.implicits._
+    val rows = graft.ops.DedupOps.q163PrefixBoilerplate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"lang", $"doc_id", coalesce($"text", lit("")).as("text"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("doc_id"), r.getString(2)))
+    def lcp(a: String, b: String): Long = {
+      val m = math.min(64, math.min(a.length, b.length))
+      var i = 0
+      while (i < m && a.charAt(i) == b.charAt(i)) i += 1
+      i.toLong
+    }
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._2)).toSeq
+      val lcps = 0L +: sorted.sliding(2).collect {
+        case Seq(p, c) => lcp(c._3, p._3) }.toSeq
+      lang -> (sorted.size.toLong, lcps.max, lcps.sum,
+        lcps.count(_ >= 20L).toLong)
+    }
+    rows.foreach { r =>
+      val (n, mx, sm, boiler) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("max_lcp") == mx)
+      assert(r.getAs[Long]("sum_lcp") == sm)
+      assert(r.getAs[Long]("boiler_docs") == boiler)
+      assert(r.getAs[Long]("max_lcp") <= 64L)
+    }
+  }
+
+  // ------------------------------------------------------------- X131
+
+  test("degree histogram: bands tile the degrees and mass reconciles") {
+    import spark.implicits._
+    val rows = AffinityOps.q164DegreeHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val band = r.getAs[Long]("band")
+      val lo = 1L << band; val hi = (1L << (band + 1)) - 1
+      assert(r.getAs[Long]("min_degree") >= lo)
+      assert(r.getAs[Long]("max_degree") <= hi)
+      assert(r.getAs[Long]("min_degree") >= 1L)
+    }
+    // Σ degree = 2·|edges| of the support-2 graph (handshake lemma)
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .filter($"ok".isNotNull && $"pk".isNotNull).distinct()
+    val nEdges = li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk", $"b.pk").count().filter($"count" >= 2).count()
+    assert(rows.map(_.getAs[Long]("sum_degree")).sum == 2L * nEdges)
+  }
+
+  // ------------------------------------------------------------- X132
+
+  test("burstiness: exact integer Fano replay per event type") {
+    import spark.implicits._
+    val rows = EventOps.q165Burstiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hourly = graft.sources.Tables.load(spark, sf, "events")
+      .select($"event_type",
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("hour"))
+      .groupBy($"event_type", $"hour").count()
+      .collect().map(r => (r.getString(0), r.getAs[Long]("count")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val cs = hourly(r.getAs[String]("event_type")).map(_._2).toSeq
+      val n = cs.size.toLong; val sTot = cs.sum; val sq = cs.map(c => c * c).sum
+      assert(r.getAs[Long]("n_hours") == n)
+      assert(r.getAs[Long]("n_events") == sTot)
+      assert(r.getAs[Long]("fano_ppm") ==
+        (n * sq - sTot * sTot) * 1000000L / (n * sTot))
+      assert(r.getAs[Long]("fano_ppm") >= 0L)
+    }
+  }
 }

@@ -194,8 +194,18 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                               // window + orderBy
     "q161_forget_audit" -> 7, // request-key broadcast + before/after
                               // combinable folds + |langs| join + orderBy
-    "q162_feature_hashing" -> 4 // broadcast dim + (bucket, category)
+    "q162_feature_hashing" -> 4, // broadcast dim + (bucket, category)
                                 // distinct (2-phase) + bucket fold + orderBy
+    "q163_prefix_boilerplate" -> 3, // ONE language partitioning for the
+                                // sort+lag + combinable |langs| fold +
+                                // orderBy; the LCP HOF is narrow
+    "q164_degree_histogram" -> 11, // plan text recounts the shared po
+                                // distinct subtree per self-join side
+                                // (q110's pattern; AQE reuses the stage)
+                                // + ok re-shuffles + edge agg + two-branch
+                                // degree fold + band histogram + orderBy
+    "q165_burstiness"   -> 3 // (type, hour) agg + type fold + orderBy,
+                             // all combinable
   )
 
   budgets.foreach { case (name, max) =>
