@@ -194,6 +194,9 @@ object SparkEntry {
     "q163_prefix_boilerplate" -> DedupOps.q163PrefixBoilerplate _,
     "q164_degree_histogram" -> AffinityOps.q164DegreeHistogram _,
     "q165_burstiness"      -> EventOps.q165Burstiness _,
+    "q166_dataset_card"    -> CorpusOps.q166DatasetCard _,
+    "q167_mad_lengths"     -> TextOps.q167MadLengthOutliers _,
+    "q168_weekly_churn"    -> EventOps.q168WeeklyChurn _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2903,5 +2906,72 @@ object SparkEntry {
         |  (n_hours * sum_sq - n_events * n_events) * 1000000
         |    // (n_hours * n_events) AS fano_ppm
         |FROM a ORDER BY event_type""".stripMargin,
+
+    "q166_dataset_card" ->
+      """WITH d AS (SELECT source, lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS uniq_words,
+        |    min(doc_id) OVER (PARTITION BY
+        |      coalesce(md5(text), 'null:' || CAST(doc_id AS VARCHAR)))
+        |      AS keep_id
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_docs,
+        |  CAST(sum(uniq_words * 1000 // n_words) AS BIGINT)
+        |    AS sum_quality_millis,
+        |  CAST(sum(CASE WHEN n_words < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS short_docs,
+        |  CAST(sum(CASE WHEN n_words > 500 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS long_docs,
+        |  CAST(sum(uniq_words * 1000 // n_words) AS BIGINT) // count(*)
+        |    AS mean_quality_millis
+        |FROM d GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    "q167_mad_lengths" ->
+      """WITH h AS (SELECT lang, n_chars, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cm AS (SELECT lang, n_chars, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cumc,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h),
+        |med AS (SELECT lang, min(n_chars) AS median_chars, max(n) AS n
+        |  FROM cm WHERE cumc * 2 >= n GROUP BY lang),
+        |hd AS (SELECT h.lang, abs(h.n_chars - m.median_chars) AS dev,
+        |    m.n AS n, sum(h.c) AS c
+        |  FROM h JOIN med m USING (lang) GROUP BY 1, 2, 3),
+        |cmd AS (SELECT lang, dev, c, n,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY dev) AS cumc
+        |  FROM hd),
+        |mad AS (SELECT lang, min(dev) AS mad_chars
+        |  FROM cmd WHERE cumc * 2 >= n GROUP BY lang),
+        |outl AS (SELECT hd.lang, CAST(sum(hd.c) AS BIGINT) AS n_out
+        |  FROM hd JOIN mad USING (lang)
+        |  WHERE hd.dev > mad.mad_chars * 3 GROUP BY hd.lang)
+        |SELECT m.lang, CAST(m.n AS BIGINT) AS n_docs,
+        |  m.median_chars, mad.mad_chars,
+        |  CAST(coalesce(outl.n_out, 0) AS BIGINT) AS n_outliers
+        |FROM med m JOIN mad USING (lang)
+        |LEFT JOIN outl USING (lang)
+        |ORDER BY m.lang""".stripMargin,
+
+    "q168_weekly_churn" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |nx AS (SELECT user_id, week,
+        |    lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+        |  FROM uw),
+        |hz AS (SELECT max(week) AS max_week FROM uw)
+        |SELECT week, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN week < max_week
+        |    AND (next_week IS NULL OR next_week > week + 1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+        |  CAST(sum(CASE WHEN week < max_week
+        |    AND (next_week IS NULL OR next_week > week + 1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS churn_ppm
+        |FROM nx, hz GROUP BY week ORDER BY week""".stripMargin,
   )
 }

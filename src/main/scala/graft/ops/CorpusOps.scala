@@ -596,4 +596,35 @@ object CorpusOps {
         expr("r.covered_tokens * 1000000 div n_tokens").as("coverage_ppm"))
       .orderBy($"k")
   }
+
+  /** X133 — dataset-card report: the per-(source, language) release
+    * dashboard — document/token mass, exact-duplicate share (q154's md5
+    * keep-id rule, so the card reconciles with the funnel), mean
+    * distinct-word quality (q31's integer millis), and the short/long
+    * tails. One artifact a consumer reads before training on a corpus
+    * drop.
+    *
+    * Scale: every signal rides ONE scan; the md5 keep-id window is the
+    * only wide step (uniform content-hash keys — no skew); the card fold
+    * is a combinable aggregate into a (sources × langs) frame. */
+  def q166DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keepW = Window.partitionBy(
+      coalesce(md5($"text"), concat(lit("null:"), $"doc_id")))
+    docs(s, dir)
+      .withColumn("n_words", size(split($"text", " ")).cast("long"))
+      .withColumn("uniq_words",
+        size(array_distinct(split($"text", " "))).cast("long"))
+      .withColumn("keep_id", min($"doc_id").over(keepW))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("n_tokens"),
+        sum(when($"doc_id" =!= $"keep_id", 1L).otherwise(0L)).as("dup_docs"),
+        sum(expr("uniq_words * 1000 div n_words")).as("sum_quality_millis"),
+        sum(when($"n_words" < 20, 1L).otherwise(0L)).as("short_docs"),
+        sum(when($"n_words" > 500, 1L).otherwise(0L)).as("long_docs"))
+      .withColumn("mean_quality_millis",
+        expr("sum_quality_millis div n_docs"))
+      .orderBy($"source", $"lang")
+  }
 }

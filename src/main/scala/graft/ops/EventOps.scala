@@ -588,4 +588,36 @@ object EventOps {
           " div (n_hours * n_events)").as("fano_ppm"))
       .orderBy($"event_type")
   }
+
+  /** X135 — weekly churn rate: per calendar week, how many active users
+    * do NOT return the following week — the flow complement to X63's
+    * retention stock (the cohort matrix says who is still here; churn
+    * says who just left). A user churns at week w when their next active
+    * week is > w+1 (or never); the horizon week is excluded — its
+    * successor is unobservable, and counting it would report phantom
+    * churn that disappears when the next batch lands.
+    *
+    * Scale: ONE (user, week) distinct (combinable) collapses the event
+    * stream to user-weeks; the successor lookup is a lead() on the
+    * user partitioning; the horizon is a broadcast 1-row max; the report
+    * fold is a combinable \|weeks\| aggregate. Events shuffle once. */
+  def q168WeeklyChurn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uw = ev(s, dir)
+      .select($"user_id",
+        expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+          .as("week"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"week")
+    val horizon = uw.agg(max($"week").as("max_week"))
+    uw.withColumn("next_week", lead($"week", 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .withColumn("churned", when($"week" < $"max_week" &&
+          ($"next_week".isNull || $"next_week" > $"week" + 1), 1L)
+        .otherwise(0L))
+      .groupBy($"week")
+      .agg(count(lit(1)).as("n_active"), sum($"churned").as("n_churned"))
+      .withColumn("churn_ppm", expr("n_churned * 1000000 div n_active"))
+      .orderBy($"week")
+  }
 }

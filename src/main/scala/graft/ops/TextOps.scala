@@ -508,4 +508,44 @@ object TextOps {
       .withColumn("blocked_ppm", expr("blocked_docs * 1000000 div n_docs"))
       .orderBy($"source")
   }
+
+  /** X134 — robust length-outlier audit per language: exact lower median
+    * and MAD of document length from a cumulative walk over the per-lang
+    * LENGTH histogram (X97's discipline moved from event values to corpus
+    * curation), flagging documents beyond 3 MADs — the trim gate that
+    * does not move when the outliers themselves grow, unlike the
+    * quantile band of q86.
+    *
+    * Scale: the only corpus-sized aggregation is the (lang, n_chars)
+    * histogram (combinable); every window after it operates on the
+    * histogram frame, and the deviation histogram re-keys the value
+    * histogram — documents are scanned ONCE. No approx_percentile
+    * sketch drift; pure integer rank math. */
+  def q167MadLengthOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy($"lang")
+    val cumV = byLang.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumD = byLang.orderBy($"dev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .groupBy($"lang", $"n_chars").agg(count(lit(1)).as("c"))
+      .withColumn("cumc", sum($"c").over(cumV))
+      .withColumn("n", sum($"c").over(byLang))
+      .withColumn("median_chars",
+        min(when($"cumc" * 2 >= $"n", $"n_chars")).over(byLang))
+      .groupBy($"lang", abs($"n_chars" - $"median_chars").as("dev"))
+      .agg(sum($"c").as("c"), max($"n").as("n"),
+        max($"median_chars").as("median_chars"))
+      .withColumn("cumd", sum($"c").over(cumD))
+      .withColumn("mad_chars",
+        min(when($"cumd" * 2 >= $"n", $"dev")).over(byLang))
+      .groupBy($"lang")
+      .agg(max($"n").as("n_docs"), max($"median_chars").as("median_chars"),
+        max($"mad_chars").as("mad_chars"),
+        sum(when($"dev" > $"mad_chars" * 3, $"c").otherwise(0L))
+          .as("n_outliers"))
+      .orderBy($"lang")
+  }
 }

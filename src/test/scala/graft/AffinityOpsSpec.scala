@@ -1326,4 +1326,76 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("fano_ppm") >= 0L)
     }
   }
+
+  // ------------------------------------------------------------- X133
+
+  test("dataset card reconciles with the q154 funnel's dedup stage") {
+    val rows = CorpusOps.q166DatasetCard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val funnel = CorpusOps.q154CurationFunnel(spark, sf).collect()
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_docs")).toMap
+    // Σ n_docs = raw stage; Σ (n_docs - dup_docs) = exact-dedup stage
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == funnel(0L))
+    assert(rows.map(r => r.getAs[Long]("n_docs") - r.getAs[Long]("dup_docs"))
+      .sum == funnel(1L))
+    rows.foreach { r =>
+      val q = r.getAs[Long]("mean_quality_millis")
+      assert(q >= 0L && q <= 1000L, "distinct-ratio millis out of range")
+      assert(r.getAs[Long]("short_docs") + r.getAs[Long]("long_docs")
+        <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  // ------------------------------------------------------------- X134
+
+  test("MAD length outliers: driver-exact median/MAD replay per lang") {
+    import spark.implicits._
+    val rows = TextOps.q167MadLengthOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lens = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"lang", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_chars"))).groupBy(_._1)
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size - 1) / 2)
+    rows.foreach { r =>
+      val xs = lens(r.getAs[String]("lang")).map(_._2).toSeq
+      val med = lowerMedian(xs)
+      val mad = lowerMedian(xs.map(x => math.abs(x - med)))
+      assert(r.getAs[Long]("n_docs") == xs.size.toLong)
+      assert(r.getAs[Long]("median_chars") == med)
+      assert(r.getAs[Long]("mad_chars") == mad)
+      assert(r.getAs[Long]("n_outliers") ==
+        xs.count(x => math.abs(x - med) > 3 * mad).toLong)
+    }
+  }
+
+  // ------------------------------------------------------------- X135
+
+  test("weekly churn: horizon week reports zero churn, flows reconcile") {
+    import spark.implicits._
+    val rows = EventOps.q168WeeklyChurn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val maxWeek = rows.map(_.getAs[Long]("week")).max
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_churned") <= r.getAs[Long]("n_active"))
+      if (r.getAs[Long]("week") == maxWeek)
+        assert(r.getAs[Long]("n_churned") == 0L,
+          "horizon week must not report phantom churn")
+    }
+    // driver replay on one mid-range week: churned = active(w) minus
+    // those also active in w+1
+    val uw = graft.sources.Tables.load(spark, sf, "events")
+      .select($"user_id",
+        expr("unix_micros(cast(ts as timestamp)) div 604800000000").as("week"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("week")))
+    val mid = rows.map(_.getAs[Long]("week")).sorted.apply(rows.length / 2)
+    if (mid < maxWeek) {
+      val act = uw.filter(_._2 == mid).map(_._1).toSet
+      val nxt = uw.filter(_._2 == mid + 1).map(_._1).toSet
+      val expect = act.count(u => !nxt.contains(u)).toLong
+      val got = rows.find(_.getAs[Long]("week") == mid).get
+      assert(got.getAs[Long]("n_churned") == expect)
+      assert(got.getAs[Long]("n_active") == act.size.toLong)
+    }
+  }
 }

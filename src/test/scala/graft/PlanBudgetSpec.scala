@@ -204,8 +204,16 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                                 // (q110's pattern; AQE reuses the stage)
                                 // + ok re-shuffles + edge agg + two-branch
                                 // degree fold + band histogram + orderBy
-    "q165_burstiness"   -> 3 // (type, hour) agg + type fold + orderBy,
+    "q165_burstiness"   -> 3, // (type, hour) agg + type fold + orderBy,
                              // all combinable
+    "q166_dataset_card" -> 3, // md5 keep-id window + (source, lang) fold
+                              // + orderBy; every signal rides one scan
+    "q167_mad_lengths"  -> 5, // (lang, chars) histogram agg + lang windows
+                              // + dev re-key agg + dev window + orderBy —
+                              // all post-histogram frames are tiny
+    "q168_weekly_churn" -> 6 // (user, week) distinct (2-phase) + user lead
+                             // partitioning + broadcast horizon + week fold
+                             // + orderBy
   )
 
   budgets.foreach { case (name, max) =>
