@@ -441,4 +441,28 @@ object EventStream {
       .option("path", outDir)
       .start()
   }
+
+  /** Streaming domain-blocklist gate — the continuous form of the q159
+    * policy filter (X126). The blocklist is policy-sized and STATIC for
+    * the life of the query: collected once at query definition and
+    * compiled into a literal membership array, so the per-document check
+    * is a narrow `arrays_overlap` over the extracted URL authorities —
+    * no state, no stream-static shuffle, scan throughput at ingest.
+    * (Blocklist updates = restart with the new snapshot, the standard
+    * policy-rollout discipline; a stream-static join feeding a per-doc
+    * re-aggregation would instead hold every document to the watermark
+    * for no semantic gain.) Input schema as [[docQualityGate]]; every
+    * document is EMITTED with its domains and the verdict — routing
+    * (quarantine vs pass) belongs to the sink, auditability to the flag. */
+  def blocklistGate(docs: DataFrame, blocklist: DataFrame): DataFrame = {
+    val blocked: Array[String] = blocklist
+      .select(col("domain").cast("string")).collect().map(_.getString(0))
+    docs
+      .withColumn("domains", expr(
+        "regexp_extract_all(coalesce(text, ''), 'https?://([A-Za-z0-9.-]+)', 1)"))
+      .withColumn("blocked", coalesce(
+        arrays_overlap(col("domains"), typedlit(blocked)), lit(false)))
+      .select(col("doc_id"), col("ts"), col("lang"), col("domains"),
+        col("blocked"))
+  }
 }

@@ -385,6 +385,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows.find(_.getAs[Long]("doc_id") == 3L).get.getAs[Boolean]("quality_ok"))
     assert(rows.find(_.getAs[Long]("doc_id") == 4L).get.getAs[Boolean]("quality_ok"))
   }
+
+  test("blocklist gate flags exactly the blocklisted-domain docs in-stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def doc(id: Long, text: String) = StreamingSpec.Doc(id, t0, text, "en")
+    val blocklist = Seq("bad.example.org", "worse.example.net").toDF("domain")
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = EventStream.blocklistGate(mem.toDF(), blocklist)
+      .writeStream.format("memory").queryName("blockgate")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      doc(1, "see https://ok.example.org/a fine"),
+      doc(2, "cite http://bad.example.org/x here"),          // blocked
+      doc(3, "both https://ok.example.org and http://worse.example.net"), // blocked
+      doc(4, "no links at all"),
+      doc(5, null))                                          // null text flows
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("blockgate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("blocked")).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(!rows(1L) && rows(2L) && rows(3L) && !rows(4L) && !rows(5L))
+  }
 }
 
 object StreamingSpec {
