@@ -197,6 +197,9 @@ object SparkEntry {
     "q166_dataset_card"    -> CorpusOps.q166DatasetCard _,
     "q167_mad_lengths"     -> TextOps.q167MadLengthOutliers _,
     "q168_weekly_churn"    -> EventOps.q168WeeklyChurn _,
+    "q169_volume_shipping" -> Relational.q169VolumeShipping _,
+    "q170_market_share"    -> Relational.q170MarketShare _,
+    "q171_product_margin"  -> Relational.q171ProductMargin _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -2973,5 +2976,63 @@ object SparkEntry {
         |    AND (next_week IS NULL OR next_week > week + 1)
         |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS churn_ppm
         |FROM nx, hz GROUP BY week ORDER BY week""".stripMargin,
+
+    "q169_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_3', 'NATION_19')
+        |  AND cn.n_name IN ('NATION_3', 'NATION_19')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q170_market_share" ->
+      """WITH v AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    sn.n_name AS supp_nation,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |      AS vol_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA')
+        |SELECT o_year, CAST(sum(vol_cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_cents
+        |    ELSE 0 END) AS BIGINT) AS nation_cents,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_cents
+        |    ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(sum(vol_cents) AS BIGINT) AS share_ppm
+        |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q171_product_margin" ->
+      """SELECT sn.n_name AS supp_nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(sum(CAST(round(l_quantity * p_retailprice * 100) AS BIGINT))
+        |    AS BIGINT) AS cost_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT)
+        |    - CAST(sum(CAST(round(l_quantity * p_retailprice * 100)
+        |    AS BIGINT)) AS BIGINT) AS margin_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -529,4 +529,109 @@ object Relational {
         sum($"price_cents").as("sum_cents"))
       .orderBy($"lo_cents")
   }
+
+  /** X137 — volume shipping (TPC-H Q7 analogue): bilateral revenue flow
+    * between two nations — lineitems whose SUPPLIER sits in one nation of
+    * the pair and whose ordering CUSTOMER sits in the other, grouped by
+    * (supp_nation, cust_nation, ship year). The classic 6-table join
+    * showcasing Catalyst's join planning: the dimension chain
+    * (supplier/nation/customer-nation) broadcasts, the lineitem⋈orders
+    * fact-fact join shuffles once on the order key after the nation
+    * filters have pruned both sides.
+    *
+    * Scale: revenue reduces per-row to integer cents in the scan
+    * projection (order-independent partial sums); the grouped frame is
+    * 2 nations × 2 directions × years. */
+  def q169VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pair = Seq("NATION_3", "NATION_19")
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val sup = broadcast(t(s, dir, "supplier"))
+    val n1 = broadcast(t(s, dir, "nation")
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation")))
+    val n2 = broadcast(t(s, dir, "nation")
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation")))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(n1, $"s_nationkey" === $"s_nk")
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n2, $"c_nationkey" === $"c_nk")
+      .filter($"supp_nation".isin(pair: _*) && $"cust_nation".isin(pair: _*)
+        && $"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents($"l_extendedprice" * (lit(1) - $"l_discount")))
+          .as("revenue_cents"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** X138 — market share (TPC-H Q8 analogue): within one region's
+    * customers, the revenue share (integer ppm) captured by suppliers of
+    * one nation, per order year. The two-level aggregate runs in ONE
+    * grouped pass — the national slice is a conditional sum inside the
+    * same fold as the regional total, so there is no second scan and no
+    * share-vs-total join.
+    *
+    * Scale: same broadcast-dimension / one fact-fact shuffle shape as
+    * X137; the report frame is \|years\|-sized. */
+  def q170MarketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val targetNation = "NATION_3"
+    val region = "ASIA"
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val sup = broadcast(t(s, dir, "supplier"))
+    val nS = broadcast(t(s, dir, "nation")
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation")))
+    val nC = broadcast(t(s, dir, "nation")
+      .select($"n_nationkey".as("c_nk"), $"n_regionkey".as("c_rk")))
+    val r = broadcast(t(s, dir, "region").filter($"r_name" === region))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nS, $"s_nationkey" === $"s_nk")
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(nC, $"c_nationkey" === $"c_nk")
+      .join(r, $"c_rk" === $"r_regionkey")
+      .withColumn("vol_cents", cents($"l_extendedprice" * (lit(1) - $"l_discount")))
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(sum($"vol_cents").as("total_cents"),
+        sum(when($"supp_nation" === targetNation, $"vol_cents")
+          .otherwise(0L)).as("nation_cents"))
+      .withColumn("share_ppm", expr("nation_cents * 1000000 div total_cents"))
+      .orderBy($"o_year")
+  }
+
+  /** X139 — product margin (TPC-H Q9 analogue, partsupp-free): for parts
+    * whose name carries a token, per (supplier nation, ship year): line
+    * revenue against list-price cost (quantity × p_retailprice) — the
+    * margin ledger grouped over a 9-way-join star. Both sides of the
+    * margin reduce to integer cents per row before any aggregation.
+    *
+    * Scale: part dimension filters in the scan (pushed LIKE), then
+    * broadcasts; the only wide join is lineitem⋈orders on the order key;
+    * the grouped frame is \|nations\| × \|years\|. */
+  def q171ProductMargin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val sup = broadcast(t(s, dir, "supplier"))
+    val nS = broadcast(t(s, dir, "nation")
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation")))
+    val p = broadcast(t(s, dir, "part").filter($"p_name".contains("red")))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nS, $"s_nationkey" === $"s_nk")
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy($"supp_nation", year($"o_orderdate").cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents($"l_extendedprice" * (lit(1) - $"l_discount")))
+          .as("revenue_cents"),
+        sum(cents($"l_quantity" * $"p_retailprice")).as("cost_cents"))
+      .withColumn("margin_cents", $"revenue_cents" - $"cost_cents")
+      .orderBy($"supp_nation", $"o_year")
+  }
 }

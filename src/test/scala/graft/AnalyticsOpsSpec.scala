@@ -295,4 +295,37 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(got == local && got.nonEmpty)
   }
+
+  // ------------------------------------------- X137-X139 (TPC-H classics)
+
+  test("volume shipping: strictly bilateral pairs, cents mass positive") {
+    val rows = graft.operators.Relational.q169VolumeShipping(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sn, cn) = (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))
+      assert(Set("NATION_3", "NATION_19")(sn) && Set("NATION_3", "NATION_19")(cn))
+      assert(sn != cn, "same-nation flow must be excluded")
+      assert(r.getAs[Long]("revenue_cents") > 0L)
+    }
+  }
+
+  test("market share: national slice bounded by the regional total") {
+    val rows = graft.operators.Relational.q170MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tot = r.getAs[Long]("total_cents"); val nat = r.getAs[Long]("nation_cents")
+      assert(nat >= 0L && nat <= tot)
+      assert(r.getAs[Long]("share_ppm") == nat * 1000000L / tot)
+    }
+  }
+
+  test("product margin: margin algebra holds row by row") {
+    val rows = graft.operators.Relational.q171ProductMargin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("margin_cents") ==
+        r.getAs[Long]("revenue_cents") - r.getAs[Long]("cost_cents"))
+      assert(r.getAs[Long]("n_lines") > 0L)
+    }
+  }
 }

@@ -211,9 +211,18 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q167_mad_lengths"  -> 5, // (lang, chars) histogram agg + lang windows
                               // + dev re-key agg + dev window + orderBy —
                               // all post-histogram frames are tiny
-    "q168_weekly_churn" -> 6 // (user, week) distinct (2-phase) + user lead
+    "q168_weekly_churn" -> 6, // (user, week) distinct (2-phase) + user lead
                              // partitioning + broadcast horizon + week fold
                              // + orderBy
+    "q169_volume_shipping" -> 8, // broadcast supplier + 2 nation dims (each
+                             // a BroadcastExchange) + one li⋈orders shuffle
+                             // pair + year fold + orderBy
+    "q170_market_share" -> 10, // X137's dim broadcasts + region broadcast +
+                             // the fact-fact shuffle + single-pass
+                             // conditional-share fold + orderBy
+    "q171_product_margin" -> 9 // broadcast part/supplier/nation + the
+                             // li⋈orders shuffle + (nation, year) fold +
+                             // orderBy
   )
 
   budgets.foreach { case (name, max) =>
