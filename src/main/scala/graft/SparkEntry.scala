@@ -200,6 +200,10 @@ object SparkEntry {
     "q169_volume_shipping" -> Relational.q169VolumeShipping _,
     "q170_market_share"    -> Relational.q170MarketShare _,
     "q171_product_margin"  -> Relational.q171ProductMargin _,
+    "q172_local_supplier"  -> Relational.q172LocalSupplier _,
+    "q173_returned_items"  -> Relational.q173ReturnedItems _,
+    "q174_custdist"        -> Relational.q174CustDist _,
+    "q175_large_volume"    -> Relational.q175LargeVolume _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3034,5 +3038,54 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE p_name LIKE '%red%'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q172_local_supplier" ->
+      """SELECT n_name, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "q173_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  count(*) AS n_returned_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS lost_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_cents DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q174_custdist" ->
+      """WITH cc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM cc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q175_large_volume" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(l_quantity) AS BIGINT) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
   )
 }

@@ -634,4 +634,102 @@ object Relational {
       .withColumn("margin_cents", $"revenue_cents" - $"cost_cents")
       .orderBy($"supp_nation", $"o_year")
   }
+
+  /** X140 — local supplier volume (TPC-H Q5 analogue): revenue per nation
+    * within one region where the SUPPLIER and the ordering CUSTOMER share
+    * the nation — the "domestic trade" slice. The c_nationkey =
+    * s_nationkey equality rides the customer join condition, so the
+    * cross-nation volume is discarded before the aggregate, not filtered
+    * after.
+    *
+    * Scale: same shape as X137 — broadcast dimension chain, ONE
+    * lineitem⋈orders shuffle, a \|nations-in-region\| report frame. */
+  def q172LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val sup = broadcast(t(s, dir, "supplier"))
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region").filter($"r_name" === "EUROPE"))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey")
+        && c("c_nationkey") === sup("s_nationkey"))
+      .join(n, $"s_nationkey" === $"n_nationkey")
+      .join(r, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents($"l_extendedprice" * (lit(1) - $"l_discount")))
+          .as("revenue_cents"))
+      .orderBy($"revenue_cents".desc, $"n_name")
+  }
+
+  /** X141 — returned-item reporting (TPC-H Q10 analogue): the top-20
+    * customers by revenue lost to returns (l_returnflag = 'R'). The
+    * return filter is pushed to the lineitem scan; the top-k cut is a
+    * TakeOrdered over the customer-sized aggregate, not a global sort.
+    *
+    * Scale: returns are a small slice of lineitem (scan-filtered); ONE
+    * fact-fact shuffle; the aggregate frame is customer-sized and the
+    * k-row skim never materializes it. */
+  def q173ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = broadcast(t(s, dir, "nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(count(lit(1)).as("n_returned_lines"),
+        sum(cents($"l_extendedprice" * (lit(1) - $"l_discount")))
+          .as("lost_cents"))
+      .orderBy($"lost_cents".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  /** X142 — customer order-count distribution (TPC-H Q13 analogue): how
+    * many customers placed exactly k orders, including k = 0 — the
+    * left-join histogram that sizes engagement tiers. Two combinable
+    * folds: orders-per-customer, then customers-per-count.
+    *
+    * Scale: the left join preserves orderless customers; both aggregate
+    * frames are customer- then \|distinct counts\|-sized. */
+  def q174CustDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** X143 — large-volume customers (TPC-H Q18 analogue): orders whose
+    * total line quantity clears 250 units, reported with their customer.
+    * The HAVING-style gate runs on the order-key aggregate BEFORE the
+    * customer join, so only qualifying orders (a tail of the
+    * distribution) ever reach the join.
+    *
+    * Scale: ONE order-key fold (combinable), the qualifying-order frame
+    * is tail-sized and broadcasts onto orders⋈customer. */
+  def q175LargeVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").cast("long").as("sum_qty"))
+      .filter($"sum_qty" > 250)
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        year($"o_orderdate").cast("long").as("o_year"),
+        cents($"o_totalprice").as("price_cents"), $"sum_qty")
+      .orderBy($"sum_qty".desc, $"o_orderkey")
+  }
 }

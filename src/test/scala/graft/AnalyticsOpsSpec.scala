@@ -328,4 +328,56 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_lines") > 0L)
     }
   }
+
+  test("local supplier: every reported line is same-nation, in-region") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q172LocalSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the report's nations must all sit in EUROPE
+    val euro = graft.sources.Tables.load(spark, sf, "nation")
+      .join(graft.sources.Tables.load(spark, sf, "region")
+        .filter($"r_name" === "EUROPE"), $"n_regionkey" === $"r_regionkey")
+      .select($"n_name").as[String].collect().toSet
+    rows.foreach(r => assert(euro(r.getAs[String]("n_name"))))
+    // ordering: revenue desc with name tiebreak
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("revenue_cents") < a.getAs[Long]("revenue_cents") ||
+        (b.getAs[Long]("revenue_cents") == a.getAs[Long]("revenue_cents") &&
+          a.getAs[String]("n_name") < b.getAs[String]("n_name")))
+    }
+  }
+
+  test("returned items: top-20 by lost revenue, returns only") {
+    val rows = graft.operators.Relational.q173ReturnedItems(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("lost_cents") <= a.getAs[Long]("lost_cents"))
+    }
+    rows.foreach(r => assert(r.getAs[Long]("n_returned_lines") > 0L))
+  }
+
+  test("custdist histogram masses reconcile to the customer count") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q174CustDist(spark, sf).collect()
+    val nCust = graft.sources.Tables.load(spark, sf, "customer").count()
+    val nOrders = graft.sources.Tables.load(spark, sf, "orders").count()
+    assert(rows.map(_.getAs[Long]("custdist")).sum == nCust)
+    assert(rows.map(r => r.getAs[Long]("c_count") * r.getAs[Long]("custdist"))
+      .sum == nOrders)
+  }
+
+  test("large volume: every order's quantity fold clears the gate") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q175LargeVolume(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val qty = graft.sources.Tables.load(spark, sf, "lineitem")
+      .groupBy($"l_orderkey").agg(sum($"l_quantity").cast("long").as("q"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { r =>
+      val ok = r.getAs[Long]("o_orderkey")
+      assert(r.getAs[Long]("sum_qty") == qty(ok) && qty(ok) > 250L)
+    }
+    // completeness: every qualifying order appears
+    assert(rows.length == qty.values.count(_ > 250L))
+  }
 }

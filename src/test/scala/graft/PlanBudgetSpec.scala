@@ -220,8 +220,19 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q170_market_share" -> 10, // X137's dim broadcasts + region broadcast +
                              // the fact-fact shuffle + single-pass
                              // conditional-share fold + orderBy
-    "q171_product_margin" -> 9 // broadcast part/supplier/nation + the
+    "q171_product_margin" -> 9, // broadcast part/supplier/nation + the
                              // li⋈orders shuffle + (nation, year) fold +
+                             // orderBy
+    "q172_local_supplier" -> 9, // broadcast supplier/nation/region + ONE
+                             // li⋈orders shuffle + customer join + nation
+                             // fold + orderBy
+    "q173_returned_items" -> 7, // scan-filtered returns + li⋈orders
+                             // shuffle + customer join + fold; top-20 is
+                             // TakeOrdered, not a sort exchange
+    "q174_custdist"     -> 5, // left join + per-customer fold + count
+                             // histogram + orderBy
+    "q175_large_volume" -> 6 // order-key quantity fold (combinable,
+                             // 2-phase) broadcast onto orders⋈customer +
                              // orderBy
   )
 
