@@ -204,6 +204,9 @@ object SparkEntry {
     "q173_returned_items"  -> Relational.q173ReturnedItems _,
     "q174_custdist"        -> Relational.q174CustDist _,
     "q175_large_volume"    -> Relational.q175LargeVolume _,
+    "q176_temporal_split"  -> EventOps.q176TemporalSplit _,
+    "q177_ivf_recall"      -> SimilarityOps.q177IvfRecall _,
+    "q178_split_leakage"   -> PipelineOps.q178SplitLeakage _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3087,5 +3090,77 @@ object SparkEntry {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+
+    "q176_temporal_split" ->
+      """WITH tr AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-24'),
+        |te AS (SELECT e.event_type, e.user_id,
+        |    CASE WHEN tr.user_id IS NULL THEN 1 ELSE 0 END AS cold
+        |  FROM events e LEFT JOIN tr ON e.user_id = tr.user_id
+        |  WHERE e.ts >= TIMESTAMP '2024-01-24')
+        |SELECT event_type, count(*) AS n_test_events,
+        |  CAST(sum(cold) AS BIGINT) AS cold_events,
+        |  count(DISTINCT user_id) AS n_test_users,
+        |  count(DISTINCT CASE WHEN cold = 1 THEN user_id END) AS cold_users,
+        |  CAST(sum(cold) AS BIGINT) * 1000000 // count(*) AS cold_ppm
+        |FROM te GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Recall of the q56 single-probe IVF against the exact top-3 over the
+    // same corpus universe (vec_id >= 18) for the same query batch
+    // (8 <= vec_id < 18): both legs replay the established pipelines.
+    "q177_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2 FROM e),
+        |c AS (SELECT vec_id AS c_id, v AS cv, nrm2 AS cn FROM n WHERE vec_id < 8),
+        |ac AS (SELECT n.vec_id, c.c_id, n.v, n.nrm2,
+        |        list_reduce(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * c.cv[i]),
+        |                    (x, y) -> x + y) / (sqrt(n.nrm2) * sqrt(c.cn)) AS c_cos
+        |      FROM n CROSS JOIN c),
+        |asg AS (SELECT vec_id, c_id AS cluster, v, nrm2 FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS ark
+        |        FROM ac) WHERE ark = 1),
+        |corpus AS (SELECT * FROM asg WHERE vec_id >= 18),
+        |queries AS (SELECT vec_id AS q_id, cluster, v AS qv, nrm2 AS qn
+        |            FROM asg WHERE vec_id >= 8 AND vec_id < 18),
+        |ivf AS (SELECT q_id, vec_id AS neighbor_id FROM (
+        |        SELECT q.q_id, co.vec_id,
+        |          row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |            list_reduce(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * co.v[i]),
+        |                        (x, y) -> x + y) / (sqrt(q.qn) * sqrt(co.nrm2)) DESC,
+        |            co.vec_id) AS rk
+        |        FROM corpus co JOIN queries q USING (cluster)) WHERE rk <= 3),
+        |truth AS (SELECT q_id, vec_id AS neighbor_id FROM (
+        |        SELECT q.q_id, co.vec_id,
+        |          row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |            list_reduce(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * co.v[i]),
+        |                        (x, y) -> x + y) / (sqrt(q.qn) * sqrt(co.nrm2)) DESC,
+        |            co.vec_id) AS rk
+        |        FROM (SELECT * FROM asg WHERE vec_id >= 18) co
+        |        CROSS JOIN queries q) WHERE rk <= 3)
+        |SELECT t.q_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+        |  CAST(count(i.neighbor_id) AS BIGINT) * 1000000 // count(*)
+        |    AS recall_ppm
+        |FROM truth t LEFT JOIN ivf i
+        |  ON t.q_id = i.q_id AND t.neighbor_id = i.neighbor_id
+        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
+
+    "q178_split_leakage" ->
+      """WITH d AS (SELECT doc_id, lang, md5(coalesce(text, '')) AS h,
+        |    list_reduce(list_transform(
+        |        string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 10 = 9 AS is_eval
+        |  FROM documents),
+        |tr AS (SELECT DISTINCT h FROM d WHERE NOT is_eval)
+        |SELECT lang, count(*) AS n_eval,
+        |  CAST(sum(CASE WHEN tr.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_leaked,
+        |  CAST(sum(CASE WHEN tr.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    * 1000000 // count(*) AS leak_ppm
+        |FROM (SELECT * FROM d WHERE is_eval) e
+        |LEFT JOIN tr ON e.h = tr.h
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -620,4 +620,32 @@ object EventOps {
       .withColumn("churn_ppm", expr("n_churned * 1000000 div n_active"))
       .orderBy($"week")
   }
+
+  /** X144 — temporal-split cold-start audit: split the stream at a cut
+    * timestamp (train before, test after) and measure, per event type,
+    * how much test traffic comes from users with NO train history — the
+    * leakage/coverage check run before any time-split evaluation
+    * (a recommender eval where 40% of test users are cold measures
+    * onboarding, not ranking).
+    *
+    * Scale: the train-user frame projects to its key column (user-
+    * dimension-sized) before the membership join; both the event fold
+    * and the distinct-user counts are combinable into a \|types\| frame.
+    * The cut predicate pushes to the scan on both legs. */
+  def q176TemporalSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("2024-01-24").cast("timestamp")
+    val ev0 = ev(s, dir)
+    val trainUsers = ev0.filter($"ts" < cut).select($"user_id").distinct()
+      .withColumn("seen", lit(1L))
+    ev0.filter($"ts" >= cut)
+      .join(trainUsers, Seq("user_id"), "left")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_test_events"),
+        sum(when($"seen".isNull, 1L).otherwise(0L)).as("cold_events"),
+        countDistinct($"user_id").as("n_test_users"),
+        countDistinct(when($"seen".isNull, $"user_id")).as("cold_users"))
+      .withColumn("cold_ppm", expr("cold_events * 1000000 div n_test_events"))
+      .orderBy($"event_type")
+  }
 }

@@ -1155,6 +1155,36 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  /** X146 — train/eval split-leakage audit: under the replayable
+    * fingerprint split (X127's convention — band 9 of
+    * fingerprint(text ‖ doc_id) is eval), count eval documents whose
+    * EXACT text (md5) also appears on the train side — the split-hygiene
+    * check that catches benchmark leakage the split itself cannot see,
+    * because a fingerprint keyed on (text, doc_id) deliberately
+    * scatters exact duplicates across both sides.
+    *
+    * Scale: both legs project to (md5, lang) before anything moves; the
+    * membership join shuffles 16-byte uniform keys on both sides (q77's
+    * honest-shuffle rule — the train hash set is corpus-sized, never
+    * broadcast-pretended); the report fold is combinable into \|langs\|. */
+  def q178SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val d = docs(s, dir).select($"doc_id", $"lang",
+      md5(coalesce($"text", lit(""))).as("h"),
+      (expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))")
+        % 10 === 9).as("is_eval"))
+    val trainH = d.filter(!$"is_eval").select($"h").distinct()
+      .withColumn("leak", lit(1L))
+    d.filter($"is_eval")
+      .join(trainH, Seq("h"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(coalesce($"leak", lit(0L))).as("n_leaked"))
+      .withColumn("leak_ppm", expr("n_leaked * 1000000 div n_eval"))
+      .orderBy($"lang")
+  }
+
   /** X127 — nearest-length eval pairing: for every held-out document
     * (content-hash band 9 of q61's fingerprint convention — a replayable
     * ~10% split), find the training document of the same language with

@@ -212,4 +212,35 @@ object SimilarityOps {
         StructField("min_vec_id", LongType))))
     } finally q.unpersist(blocking = false)
   }
+
+  /** X145 — IVF recall audit: per query of the X10 pipeline, how many of
+    * the TRUE top-3 neighbors (exact cosine over the full corpus
+    * universe) the single-probe IVF search actually returned — the
+    * self-calibration every approximate index needs before anyone
+    * trusts its answers. Recall in integer ppm over k = 3.
+    *
+    * Scale: the exact-truth leg is the calibration pass an ANN
+    * deployment runs on a SAMPLED query batch (here the 10-query batch
+    * — broadcast), never per production query; the audit join moves only
+    * (q_id, neighbor_id) pairs; the report is query-batch-sized. */
+  def q177IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ivf = q56IvfAnn(s, dir).select($"q_id", $"neighbor_id")
+      .withColumn("hit", lit(1L))
+    val e = emb(s, dir)
+    val q = broadcast(e.filter($"vec_id" >= 8 && $"vec_id" < 18)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm2".as("qn")))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    val truth = e.filter($"vec_id" >= 18).crossJoin(q)
+      .withColumn("cos", expr("graft_dot(qv, v)") / (sqrt($"qn") * sqrt($"nrm2")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"vec_id".as("neighbor_id"))
+    truth.join(ivf, Seq("q_id", "neighbor_id"), "left")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .select($"q_id", $"n_hits", expr("n_hits * 1000000 div k").as("recall_ppm"))
+      .orderBy($"q_id")
+  }
 }

@@ -1398,4 +1398,66 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.getAs[Long]("n_active") == act.size.toLong)
     }
   }
+
+  // ------------------------------------------------------------- X144
+
+  test("temporal split: cold counts equal the driver replay per type") {
+    import spark.implicits._
+    val rows = EventOps.q176TemporalSplit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cut = java.sql.Timestamp.valueOf("2024-01-24 00:00:00")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_type")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getString(2)))
+    val train = ev.filter(_._2.before(cut)).map(_._1).toSet
+    val test = ev.filter(!_._2.before(cut))
+    rows.foreach { r =>
+      val t = test.filter(_._3 == r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_test_events") == t.length.toLong)
+      assert(r.getAs[Long]("cold_events") ==
+        t.count(e => !train(e._1)).toLong)
+      assert(r.getAs[Long]("n_test_users") == t.map(_._1).distinct.length.toLong)
+      assert(r.getAs[Long]("cold_users") ==
+        t.map(_._1).distinct.count(u => !train(u)).toLong)
+    }
+  }
+
+  // ------------------------------------------------------------- X145
+
+  test("ivf recall: bounded, ppm-consistent, covers the query batch") {
+    val rows = graft.ops.SimilarityOps.q177IvfRecall(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("q_id")).toSeq == (8L to 17L))
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 3L)
+      assert(r.getAs[Long]("recall_ppm") == h * 1000000L / 3L)
+    }
+    // single-probe IVF on clustered data should find something
+    assert(rows.map(_.getAs[Long]("n_hits")).sum > 0L)
+  }
+
+  // ------------------------------------------------------------- X146
+
+  test("split leakage: exact-dup families crossing the split are counted") {
+    import spark.implicits._
+    graft.functions.Fingerprint.register(spark)
+    val rows = PipelineOps.q178SplitLeakage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"lang",
+        md5(coalesce($"text", lit(""))).as("h"),
+        (expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))")
+          % 10 === 9).as("is_eval"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Boolean]("is_eval")))
+    val trainH = d.filter(!_._3).map(_._2).toSet
+    val expected = d.filter(_._3).groupBy(_._1).map { case (l, xs) =>
+      l -> (xs.length.toLong, xs.count(x => trainH(x._2)).toLong) }
+    rows.foreach { r =>
+      val (n, leaked) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_eval") == n)
+      assert(r.getAs[Long]("n_leaked") == leaked)
+    }
+  }
 }

@@ -231,9 +231,19 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // TakeOrdered, not a sort exchange
     "q174_custdist"     -> 5, // left join + per-customer fold + count
                              // histogram + orderBy
-    "q175_large_volume" -> 6 // order-key quantity fold (combinable,
+    "q175_large_volume" -> 6, // order-key quantity fold (combinable,
                              // 2-phase) broadcast onto orders⋈customer +
                              // orderBy
+    "q176_temporal_split" -> 7, // train-user distinct (2-phase) broadcast
+                             // onto the test leg + mixed distinct-count
+                             // type fold (2-phase) + orderBy
+    "q177_ivf_recall"   -> 14, // the q56 subplan (argmax aggregates + its
+                             // broadcasts) + the exact-truth window + the
+                             // pair audit join + orderBy; plan text
+                             // recounts the shared emb subtree
+    "q178_split_leakage" -> 6 // both split legs shuffle their 16-byte md5
+                             // projection (honest corpus-sized set, never
+                             // broadcast) + lang fold + orderBy
   )
 
   budgets.foreach { case (name, max) =>
