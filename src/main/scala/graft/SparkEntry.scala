@@ -207,6 +207,9 @@ object SparkEntry {
     "q176_temporal_split"  -> EventOps.q176TemporalSplit _,
     "q177_ivf_recall"      -> SimilarityOps.q177IvfRecall _,
     "q178_split_leakage"   -> PipelineOps.q178SplitLeakage _,
+    "q179_promo_effect"    -> Relational.q179PromoEffect _,
+    "q180_top_supplier"    -> Relational.q180TopSupplier _,
+    "q181_small_qty"       -> Relational.q181SmallQtyRevenue _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3162,5 +3165,53 @@ object SparkEntry {
         |FROM (SELECT * FROM d WHERE is_eval) e
         |LEFT JOIN tr ON e.h = tr.h
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q179_promo_effect" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT) ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS promo_ppm
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q180_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT max(total_cents) AS max_cents FROM rev)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM rev
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |CROSS JOIN mx
+        |WHERE total_cents = max_cents
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q181_small_qty" ->
+      """WITH li AS (SELECT p_brand, l_partkey,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        |a AS (SELECT l_partkey AS pk, count(*) AS n,
+        |    CAST(sum(qty) AS BIGINT) AS sum_qty
+        |  FROM li GROUP BY l_partkey)
+        |SELECT p_brand, count(*) AS n_small_lines,
+        |  CAST(sum(price_cents) AS BIGINT) AS locked_cents
+        |FROM li JOIN a ON l_partkey = pk
+        |WHERE qty * n * 2 < sum_qty
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }

@@ -732,4 +732,85 @@ object Relational {
         cents($"o_totalprice").as("price_cents"), $"sum_qty")
       .orderBy($"sum_qty".desc, $"o_orderkey")
   }
+
+  /** X147 — promotion effect (TPC-H Q14 analogue): per order month, the
+    * revenue share (integer ppm) of PROMO-type parts — Q8's single-pass
+    * conditional-share discipline on the part-type axis: the promo slice
+    * is a conditional sum INSIDE the monthly fold, never a second scan.
+    *
+    * Scale: part dimension broadcasts; ONE lineitem⋈orders shuffle; the
+    * report frame is \|months\|-sized. */
+  def q179PromoEffect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val p = broadcast(t(s, dir, "part").select($"p_partkey", $"p_type"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .withColumn("vol_cents", cents($"l_extendedprice" * (lit(1) - $"l_discount")))
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("o_month"))
+      .agg(sum($"vol_cents").as("total_cents"),
+        sum(when($"p_type" === "PROMO", $"vol_cents").otherwise(0L))
+          .as("promo_cents"))
+      .withColumn("promo_ppm", expr("promo_cents * 1000000 div total_cents"))
+      .orderBy($"o_month")
+  }
+
+  /** X148 — top supplier (TPC-H Q15 analogue): the supplier(s) whose
+    * quarterly revenue equals the maximum — the max-over-aggregate
+    * pattern done without a second scan OR an unpartitioned window: the
+    * per-supplier fold is computed once, the 1-row max broadcasts back
+    * onto it (q90's broadcast-total rule), and the equality filter keeps
+    * every tied supplier (ties are real data, not an ORDER BY accident).
+    *
+    * Scale: supplier fold is combinable and dimension-sized; the max is
+    * one broadcast row; nothing rescans lineitem. */
+  def q180TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1995-04-01").cast("timestamp"))
+    val sup = broadcast(t(s, dir, "supplier"))
+    val rev = li.groupBy($"l_suppkey")
+      .agg(sum(cents($"l_extendedprice" * (lit(1) - $"l_discount")))
+        .as("total_cents"))
+    val mx = rev.agg(max($"total_cents").as("max_cents"))
+    rev.crossJoin(broadcast(mx))
+      .filter($"total_cents" === $"max_cents")
+      .join(sup, $"l_suppkey" === sup("s_suppkey"))
+      .select($"s_suppkey", $"s_name", $"total_cents")
+      .orderBy($"s_suppkey")
+  }
+
+  /** X149 — small-quantity revenue (TPC-H Q17 analogue): revenue locked
+    * in lineitems whose quantity falls below HALF the part's average
+    * quantity, for one brand — the per-group-average-threshold pattern:
+    * the part-level average is its own combinable fold, joined back on
+    * the SAME part key (exchange-reusable), never a correlated per-row
+    * subquery.
+    *
+    * Exactness: the threshold compare runs on integers — 2·n·qty <
+    * sum_qty avoids the average's division entirely.
+    *
+    * Scale: brand filter pushes into the part scan and broadcasts; both
+    * the average fold and the line filter key on l_partkey, so the two
+    * legs share one exchange; the report is one row per brand-year. */
+  def q181SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = broadcast(t(s, dir, "part").filter($"p_brand" === "Brand#1")
+      .select($"p_partkey", $"p_brand"))
+    val li = t(s, dir, "lineitem").join(p, $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"l_partkey",
+        $"l_quantity".cast("long").as("qty"),
+        cents($"l_extendedprice").as("price_cents"))
+    val avgQ = li.groupBy($"l_partkey".as("pk"))
+      .agg(count(lit(1)).as("n"), sum($"qty").as("sum_qty"))
+    li.join(avgQ, $"l_partkey" === $"pk")
+      // qty < avg/2  ⟺  2·n·qty < sum_qty (integer-exact, no division)
+      .filter($"qty" * $"n" * 2 < $"sum_qty")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_small_lines"),
+        sum($"price_cents").as("locked_cents"))
+      .orderBy($"p_brand")
+  }
 }

@@ -380,4 +380,53 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // completeness: every qualifying order appears
     assert(rows.length == qty.values.count(_ > 250L))
   }
+
+  test("promo effect: slice bounded by the monthly total, months ordered") {
+    val rows = graft.operators.Relational.q179PromoEffect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tot = r.getAs[Long]("total_cents"); val pr = r.getAs[Long]("promo_cents")
+      assert(pr >= 0L && pr <= tot)
+      assert(r.getAs[Long]("promo_ppm") == pr * 1000000L / tot)
+    }
+    val months = rows.map(_.getAs[String]("o_month"))
+    assert(months.sorted.sameElements(months))
+  }
+
+  test("top supplier: reported revenue is the verified maximum") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q180TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val best = rows.head.getAs[Long]("total_cents")
+    assert(rows.forall(_.getAs[Long]("total_cents") == best))
+    // independent recompute of the quarterly max
+    val mx = graft.sources.Tables.load(spark, sf, "lineitem")
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1995-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 100)
+        .cast("long")).as("c"))
+      .agg(max($"c")).collect().head.getLong(0)
+    assert(best == mx)
+  }
+
+  test("small-qty revenue: the integer gate equals the avg/2 threshold") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q181SmallQtyRevenue(spark, sf).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("p_brand") == "Brand#1")
+    // driver replay of the per-part threshold
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .join(graft.sources.Tables.load(spark, sf, "part")
+        .filter($"p_brand" === "Brand#1"), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity".cast("long").as("q"),
+        round($"l_extendedprice" * 100).cast("long").as("pc"))
+      .collect().map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("q"),
+        r.getAs[Long]("pc")))
+    val byPart = li.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_._2).sum) }
+    val small = li.filter { case (k, q, _) =>
+      val (n, sq) = byPart(k); q * n * 2 < sq }
+    assert(rows.head.getAs[Long]("n_small_lines") == small.length.toLong)
+    assert(rows.head.getAs[Long]("locked_cents") == small.map(_._3).sum)
+  }
 }

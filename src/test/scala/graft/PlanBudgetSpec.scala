@@ -241,9 +241,17 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // broadcasts) + the exact-truth window + the
                              // pair audit join + orderBy; plan text
                              // recounts the shared emb subtree
-    "q178_split_leakage" -> 6 // both split legs shuffle their 16-byte md5
+    "q178_split_leakage" -> 6, // both split legs shuffle their 16-byte md5
                              // projection (honest corpus-sized set, never
                              // broadcast) + lang fold + orderBy
+    "q179_promo_effect" -> 6, // broadcast part + li⋈orders shuffle +
+                             // single-pass conditional month fold + orderBy
+    "q180_top_supplier" -> 6, // supplier fold (2-phase) + broadcast 1-row
+                             // max + broadcast supplier dim + orderBy —
+                             // lineitem scans once
+    "q181_small_qty"    -> 6 // brand-filtered part broadcast + the partkey
+                             // avg fold re-joined on the SAME key + brand
+                             // fold + orderBy
   )
 
   budgets.foreach { case (name, max) =>
