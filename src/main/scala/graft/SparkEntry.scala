@@ -210,6 +210,8 @@ object SparkEntry {
     "q179_promo_effect"    -> Relational.q179PromoEffect _,
     "q180_top_supplier"    -> Relational.q180TopSupplier _,
     "q181_small_qty"       -> Relational.q181SmallQtyRevenue _,
+    "q182_spearman"        -> PipelineOps.q182SpearmanAudit _,
+    "q183_copy_matrix"     -> DedupOps.q183CopyMatrix _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3213,5 +3215,44 @@ object SparkEntry {
         |FROM li JOIN a ON l_partkey = pk
         |WHERE qty * n * 2 < sum_qty
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q182_spearman" ->
+      """WITH base AS (SELECT c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |    coalesce(sp.spend_cents, 0) AS spend_cents
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_custkey,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |        AS spend_cents
+        |    FROM orders GROUP BY o_custkey) sp ON c_custkey = o_custkey),
+        |r AS (SELECT
+        |    row_number() OVER (ORDER BY bal_cents, c_custkey) AS r_bal,
+        |    row_number() OVER (ORDER BY spend_cents, c_custkey) AS r_spend
+        |  FROM base)
+        |SELECT count(*) AS n,
+        |  CAST(sum((r_bal - r_spend) * (r_bal - r_spend)) AS BIGINT)
+        |    AS sum_d2,
+        |  6 * CAST(sum((r_bal - r_spend) * (r_bal - r_spend)) AS BIGINT)
+        |    * 1000 // (count(*) * (count(*) * count(*) - 1))
+        |    AS discordance_millis
+        |FROM r""".stripMargin,
+
+    "q183_copy_matrix" ->
+      """WITH inc AS (SELECT DISTINCT md5(
+        |    CASE WHEN doc_id % 23 = 0
+        |      THEN 'canonical template block ' || CAST(doc_id % 7 AS VARCHAR)
+        |      ELSE coalesce(text, '') END) AS h, source
+        |  FROM documents),
+        |sz AS (SELECT source, count(*) AS n FROM inc GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared
+        |  FROM inc a JOIN inc b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+        |  n_shared * 1000000 // (sa.n + sb.n - n_shared) AS jaccard_ppm
+        |FROM p
+        |JOIN sz sa ON p.source_a = sa.source
+        |JOIN sz sb ON p.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
   )
 }

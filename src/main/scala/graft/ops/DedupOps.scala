@@ -494,4 +494,44 @@ object DedupOps {
       .withColumn("boiler_ppm", expr("boiler_docs * 1000000 div n_docs"))
       .orderBy($"lang")
   }
+
+  /** X151 — exact-copy provenance matrix: for every source pair, how many
+    * DISTINCT texts (md5) appear in BOTH — the "who copies from whom"
+    * complement to X75's trigram-overlap matrix (q117 measures shared
+    * vocabulary; this counts verbatim copies, the dedup-relevant kind).
+    * Jaccard over distinct-text sets in integer ppm. Ground truth is
+    * planted: docs with doc_id ≡ 0 (mod 23) carry one of 7 canonical
+    * templates instead of their own text (the synthetic corpus has no
+    * natural cross-source copies), so every matrix cell is derivable
+    * from the plant rule.
+    *
+    * Scale: the (md5, source) incidence is ONE combinable distinct; the
+    * pair expansion joins the incidence with itself on the md5 key, and
+    * is bounded by C(\|sources\|, 2) rows PER HASH — never quadratic in
+    * the corpus; per-source distinct counts are a \|sources\| frame
+    * broadcast back onto the pair fold. */
+  def q183CopyMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inc = docs(s, dir)
+      .withColumn("t2", when($"doc_id" % 23 === 0,
+          concat(lit("canonical template block "), ($"doc_id" % 7).cast("string")))
+        .otherwise(coalesce($"text", lit(""))))
+      .select(md5($"t2").as("h"), $"source")
+      .distinct()
+    val sizes = inc.groupBy($"source").agg(count(lit(1)).as("n"))
+    val pairs = inc.select($"h", $"source".as("source_a"))
+      .join(inc.select($"h", $"source".as("source_b")), Seq("h"))
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select($"source".as("source_a"), $"n".as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("n_b"))),
+        Seq("source_b"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b", $"n_shared",
+        expr("n_shared * 1000000 div (n_a + n_b - n_shared)")
+          .as("jaccard_ppm"))
+      .orderBy($"source_a", $"source_b")
+  }
 }

@@ -1185,6 +1185,42 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
+  /** X150 — Spearman rank-discordance audit: does account balance predict
+    * customer spend? Both variables rank through [[graft.operators
+    * .GlobalOrder]] (two range shuffles — no unpartitioned window), the
+    * squared rank differences fold to one row, and the verdict is the
+    * integer discordance `6·Σd²·1000 div n(n²−1)` — 0 = perfectly
+    * concordant, 1000 = independent, 2000 = perfectly reversed
+    * (Spearman ρ = 1 − disc/1000). Ties break deterministically by
+    * custkey, so ranks are permutations and the formula is exact.
+    *
+    * Headroom: 6·Σd²·1000 stays inside int64 up to n ≈ 10⁵ entities;
+    * beyond that, run the audit on a fingerprint-sampled subset (a rank
+    * correlation is a statistical read — sampling is the norm).
+    *
+    * Scale: spend is one combinable custkey fold; each ranking is a
+    * GlobalOrder range shuffle over the customer frame; the discordance
+    * fold is a 1-row aggregate. */
+  def q182SpearmanAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer")
+      .select($"c_custkey", round($"c_acctbal" * 100).cast("long").as("bal_cents"))
+    val spend = Tables.load(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("spend_cents"))
+    val base = c.join(spend, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"bal_cents",
+        coalesce($"spend_cents", lit(0L)).as("spend_cents"))
+    val rBal = graft.operators.GlobalOrder.withRowNumber(
+      base, Seq($"bal_cents".asc, $"c_custkey".asc), "r_bal")
+    val rBoth = graft.operators.GlobalOrder.withRowNumber(
+      rBal, Seq($"spend_cents".asc, $"c_custkey".asc), "r_spend")
+    rBoth.select((($"r_bal" - $"r_spend") * ($"r_bal" - $"r_spend")).as("d2"))
+      .agg(count(lit(1)).as("n"), sum($"d2").as("sum_d2"))
+      .select($"n", $"sum_d2",
+        expr("6 * sum_d2 * 1000 div (n * (n * n - 1))").as("discordance_millis"))
+  }
+
   /** X127 — nearest-length eval pairing: for every held-out document
     * (content-hash band 9 of q61's fingerprint convention — a replayable
     * ~10% split), find the training document of the same language with

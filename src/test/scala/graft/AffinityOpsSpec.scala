@@ -1460,4 +1460,55 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_leaked") == leaked)
     }
   }
+
+  // ------------------------------------------------------------- X150
+
+  test("spearman: discordance equals the driver rank replay") {
+    import spark.implicits._
+    val row = PipelineOps.q182SpearmanAudit(spark, sf).collect().head
+    val cust = graft.sources.Tables.load(spark, sf, "customer")
+      .select($"c_custkey", round($"c_acctbal" * 100).cast("long").as("b"))
+      .collect().map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("b")))
+    val spend = graft.sources.Tables.load(spark, sf, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("sp"))
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("sp")).toMap
+    val base = cust.map { case (k, b) => (k, b, spend.getOrElse(k, 0L)) }
+    def ranks(key: ((Long, Long, Long)) => (Long, Long)): Map[Long, Long] =
+      base.sortBy(key).zipWithIndex.map { case (x, i) => x._1 -> (i + 1L) }.toMap
+    val rb = ranks(x => (x._2, x._1)); val rs = ranks(x => (x._3, x._1))
+    val n = base.length.toLong
+    val s2 = base.map(x => { val d = rb(x._1) - rs(x._1); d * d }).sum
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("sum_d2") == s2)
+    assert(row.getAs[Long]("discordance_millis") ==
+      6L * s2 * 1000L / (n * (n * n - 1L)))
+    val d = row.getAs[Long]("discordance_millis")
+    assert(d >= 0L && d <= 2000L)
+  }
+
+  // ------------------------------------------------------------- X151
+
+  test("copy matrix cells equal the planted template incidence") {
+    import spark.implicits._
+    val rows = graft.ops.DedupOps.q183CopyMatrix(spark, sf).collect()
+    assert(rows.nonEmpty, "planted templates must create cross-source copies")
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", coalesce($"text", lit("")).as("t"))
+      .collect().map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val text = if (id % 23 == 0) s"canonical template block ${id % 7}"
+                   else r.getString(2)
+        (text, r.getString(1))
+      }.distinct
+    val bySource = d.groupBy(_._2).map { case (s0, xs) => s0 -> xs.map(_._1).toSet }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val shared = (bySource(a) & bySource(b)).size.toLong
+      assert(r.getAs[Long]("n_shared") == shared)
+      assert(r.getAs[Long]("n_a") == bySource(a).size.toLong)
+      assert(r.getAs[Long]("n_b") == bySource(b).size.toLong)
+      assert(a < b)
+    }
+  }
 }

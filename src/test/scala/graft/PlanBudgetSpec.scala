@@ -249,9 +249,16 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q180_top_supplier" -> 6, // supplier fold (2-phase) + broadcast 1-row
                              // max + broadcast supplier dim + orderBy —
                              // lineitem scans once
-    "q181_small_qty"    -> 6 // brand-filtered part broadcast + the partkey
+    "q181_small_qty"    -> 6, // brand-filtered part broadcast + the partkey
                              // avg fold re-joined on the SAME key + brand
                              // fold + orderBy
+    "q182_spearman"     -> 4, // spend fold + the left join; both GlobalOrder
+                             // rankings ride the RDD bridge (q116's
+                             // pattern); 1-row discordance agg
+    "q183_copy_matrix"  -> 11 // (md5, source) incidence distinct (2-phase,
+                             // recounted per self-join side AND per sizes
+                             // consumer — q110's pattern) + bounded pair
+                             // fold + two |sources| broadcasts + orderBy
   )
 
   budgets.foreach { case (name, max) =>
