@@ -212,6 +212,7 @@ object SparkEntry {
     "q181_small_qty"       -> Relational.q181SmallQtyRevenue _,
     "q182_spearman"        -> PipelineOps.q182SpearmanAudit _,
     "q183_copy_matrix"     -> DedupOps.q183CopyMatrix _,
+    "q184_audio_windows"   -> MultimodalOps.q184AudioWindows _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3254,5 +3255,33 @@ object SparkEntry {
         |JOIN sz sa ON p.source_a = sa.source
         |JOIN sz sb ON p.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // 8-bit PCM stand-in: ASCII text bytes as samples; 256-sample windows
+    // at hop 128; energy = Σ (s-128)² per window; argmax tie → first.
+    "q184_audio_windows" ->
+      """WITH d AS (SELECT doc_id, list_transform(
+        |    string_split(coalesce(text, ''), ''),
+        |    c -> CAST(ascii(c) AS BIGINT)) AS smp
+        |  FROM documents),
+        |w AS (SELECT doc_id, len(smp) AS n,
+        |    CASE WHEN len(smp) < 256 THEN 0
+        |         ELSE (len(smp) - 256) // 128 + 1 END AS nw, smp
+        |  FROM d),
+        |e AS (SELECT doc_id, n, nw,
+        |    list_transform(range(0, nw), j -> CAST(
+        |      list_sum(list_transform(range(1 + j*128, 257 + j*128),
+        |        i -> (smp[i] - 128) * (smp[i] - 128))) AS BIGINT)) AS es
+        |  FROM w)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(nw AS BIGINT) AS n_windows,
+        |  CAST(coalesce(list_max(es), 0) AS BIGINT) AS max_energy,
+        |  CAST(CASE WHEN nw = 0 THEN -1
+        |    ELSE list_position(es, list_max(es)) - 1 END AS BIGINT)
+        |    AS max_energy_win,
+        |  CAST(CASE WHEN nw = 0 THEN 0
+        |    ELSE CAST(list_sum(es) AS BIGINT) // nw END AS BIGINT)
+        |    AS mean_energy,
+        |  CAST(len(list_filter(es, x -> x < 25600)) AS BIGINT) AS n_silent
+        |FROM e ORDER BY doc_id""".stripMargin,
   )
 }

@@ -90,4 +90,51 @@ object MultimodalOps {
     }
     feats.toDF().orderBy($"doc_id")
   }
+
+  /** Per-document windowed audio features (X152). */
+  final case class AudioWindows(doc_id: Long, n_samples: Long, n_windows: Long,
+      max_energy: Long, max_energy_win: Long, mean_energy: Long, n_silent: Long)
+
+  /** X152 — windowed audio-energy extraction: treat the payload as 8-bit
+    * PCM (the stub's stand-in for a real audio decode) and fold 256-sample
+    * windows at 50% overlap (hop 128) into centered sum-of-squares
+    * energies — per document: window count, peak energy + its window
+    * (argmax, first-window tiebreak), integer mean energy, and
+    * silence-gated window count. The windowing loop is the real
+    * product: VAD/silence trimming and loudness normalization both start
+    * from exactly this per-window energy frame.
+    *
+    * Scale: the decode+window fold runs in `mapPartitions` (one decoder
+    * init per partition, q40's discipline), is O(samples) per row with
+    * constant memory (no window list materialized), and emits a fixed
+    * 7-column row — narrow at scan throughput, zero shuffles before the
+    * presentation orderBy. All arithmetic is integer, so the DuckDB
+    * oracle replays bit-for-bit. */
+  def q184AudioWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Win = 256; val Hop = 128; val SilentBelow = 25600L
+    val media = Tables.load(s, dir, "documents")
+      .select($"doc_id", encode(coalesce($"text", lit("")), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    media.mapPartitions { rows =>
+      rows.map { case (id, p) =>
+        val n = p.length
+        val nw = if (n < Win) 0 else (n - Win) / Hop + 1
+        var maxE = 0L; var maxI = -1L; var sumE = 0L; var silent = 0L
+        var j = 0
+        while (j < nw) {
+          var e = 0L; var i = j * Hop; val end = i + Win
+          while (i < end) {
+            val d = (p(i) & 0xff) - 128; e += (d * d).toLong; i += 1
+          }
+          if (maxI < 0 || e > maxE) { maxE = e; maxI = j }
+          if (e < SilentBelow) silent += 1
+          sumE += e; j += 1
+        }
+        AudioWindows(id, n.toLong, nw.toLong,
+          if (nw == 0) 0L else maxE, maxI,
+          if (nw == 0) 0L else sumE / nw, silent)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
 }

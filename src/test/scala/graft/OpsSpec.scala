@@ -390,4 +390,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 16-bit simhash: similar docs should average well under half the bits
     assert(dists.sum.toDouble / dists.length < 8.0)
   }
+
+  test("audio windows: driver replay of the energy fold and tiling") {
+    import spark.implicits._
+    val rows = MultimodalOps.q184AudioWindows(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.coalesce($"text",
+          org.apache.spark.sql.functions.lit("")).as("t"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val p = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      val nw = if (p.length < 256) 0 else (p.length - 256) / 128 + 1
+      val es = (0 until nw).map { j =>
+        (j * 128 until j * 128 + 256).map { i =>
+          val d = (p(i) & 0xff) - 128; (d * d).toLong }.sum
+      }
+      assert(r.getAs[Long]("n_samples") == p.length.toLong)
+      assert(r.getAs[Long]("n_windows") == nw.toLong)
+      if (nw > 0) {
+        assert(r.getAs[Long]("max_energy") == es.max)
+        assert(r.getAs[Long]("max_energy_win") == es.indexOf(es.max).toLong)
+        assert(r.getAs[Long]("mean_energy") == es.sum / nw)
+        assert(r.getAs[Long]("n_silent") == es.count(_ < 25600L).toLong)
+      } else {
+        assert(r.getAs[Long]("max_energy_win") == -1L)
+      }
+    }
+    // hop-128 windows tile: consecutive windows overlap by exactly 128
+    // samples — implied by the index arithmetic the replay just verified
+  }
 }

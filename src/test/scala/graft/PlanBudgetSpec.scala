@@ -255,10 +255,12 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q182_spearman"     -> 4, // spend fold + the left join; both GlobalOrder
                              // rankings ride the RDD bridge (q116's
                              // pattern); 1-row discordance agg
-    "q183_copy_matrix"  -> 11 // (md5, source) incidence distinct (2-phase,
+    "q183_copy_matrix"  -> 11, // (md5, source) incidence distinct (2-phase,
                              // recounted per self-join side AND per sizes
                              // consumer — q110's pattern) + bounded pair
                              // fold + two |sources| broadcasts + orderBy
+    "q184_audio_windows" -> 1 // mapPartitions energy fold is narrow; only
+                              // the presentation orderBy plans an Exchange
   )
 
   budgets.foreach { case (name, max) =>
