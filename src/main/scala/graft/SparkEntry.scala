@@ -213,6 +213,7 @@ object SparkEntry {
     "q182_spearman"        -> PipelineOps.q182SpearmanAudit _,
     "q183_copy_matrix"     -> DedupOps.q183CopyMatrix _,
     "q184_audio_windows"   -> MultimodalOps.q184AudioWindows _,
+    "q185_frame_dedup"     -> MultimodalOps.q185FrameDedup _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3283,5 +3284,23 @@ object SparkEntry {
         |    AS mean_energy,
         |  CAST(len(list_filter(es, x -> x < 25600)) AS BIGINT) AS n_silent
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // 64-byte frame chunks fingerprinted with the portable hash; the
+    // final frame may be short (substring tail), matching Spark exactly.
+    "q185_frame_dedup" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |f AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_bytes,
+        |    list_transform(range(0, (length(t) + 63) // 64), j ->
+        |      list_reduce(list_transform(
+        |        string_split(substring(t, j * 64 + 1, 64), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007)) AS fps
+        |  FROM d)
+        |SELECT doc_id, n_bytes,
+        |  CAST(len(fps) AS BIGINT) AS n_frames,
+        |  CAST(len(list_distinct(fps)) AS BIGINT) AS n_distinct,
+        |  (CAST(len(fps) AS BIGINT) - CAST(len(list_distinct(fps)) AS BIGINT))
+        |    * 1000000 // CAST(len(fps) AS BIGINT) AS dup_ppm
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

@@ -137,4 +137,39 @@ object MultimodalOps {
       }
     }.toDF().orderBy($"doc_id")
   }
+
+  /** X153 — video frame-level dedup signal: chunk the payload into
+    * 64-byte "frames" (q40's frame convention), fingerprint each with the
+    * portable polynomial hash, and report per video: frame count,
+    * distinct frames, and the intra-video duplication in integer ppm —
+    * the static-scene/duplicated-segment signal a video curation
+    * pipeline gates on before paying for real decode.
+    *
+    * Spark-first shape: the chunk+hash runs as a narrow HOF pass
+    * (`transform` over the chunk index sequence + `graft_fingerprint`
+    * inside the lambda — codegen'd, no UDF, no shuffle); the distinct
+    * count is `size(array_distinct(...))` on the per-row array. Zero
+    * shuffles before the presentation orderBy.
+    *
+    * Scale: O(frames) per row; the frame array lives only inside the
+    * projection (never shuffled, never stored); at 100 TB this runs at
+    * scan throughput exactly like q30's text metrics. */
+  def q185FrameDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .withColumn("n_bytes", length($"t").cast("long"))
+      // ceil(n/64) frames; substring's out-of-range tail yields the short
+      // final frame, exactly like a trailing partial video segment
+      .withColumn("fps", expr(
+        """transform(sequence(0, CAST((length(t) + 63) div 64 AS INT) - 1),
+          |  j -> graft_fingerprint(substring(t, j * 64 + 1, 64)))""".stripMargin))
+      .select($"doc_id", $"n_bytes",
+        size($"fps").cast("long").as("n_frames"),
+        size(array_distinct($"fps")).cast("long").as("n_distinct"))
+      .withColumn("dup_ppm",
+        expr("(n_frames - n_distinct) * 1000000 div n_frames"))
+      .orderBy($"doc_id")
+  }
 }

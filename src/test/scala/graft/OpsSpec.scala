@@ -421,4 +421,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hop-128 windows tile: consecutive windows overlap by exactly 128
     // samples — implied by the index arithmetic the replay just verified
   }
+
+  test("frame dedup: driver replay of 64-byte frame fingerprints") {
+    import spark.implicits._
+    val rows = MultimodalOps.q185FrameDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def fp(s0: String): Long =
+      s0.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.coalesce($"text",
+          org.apache.spark.sql.functions.lit("")).as("t"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val frames = t.grouped(64).map(fp).toSeq
+      assert(r.getAs[Long]("n_frames") == frames.length.toLong)
+      assert(r.getAs[Long]("n_distinct") == frames.distinct.length.toLong)
+      assert(r.getAs[Long]("dup_ppm") ==
+        (frames.length - frames.distinct.length).toLong * 1000000L / frames.length)
+    }
+  }
 }

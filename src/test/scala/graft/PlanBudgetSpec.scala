@@ -259,8 +259,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // recounted per self-join side AND per sizes
                              // consumer — q110's pattern) + bounded pair
                              // fold + two |sources| broadcasts + orderBy
-    "q184_audio_windows" -> 1 // mapPartitions energy fold is narrow; only
+    "q184_audio_windows" -> 1, // mapPartitions energy fold is narrow; only
                               // the presentation orderBy plans an Exchange
+    "q185_frame_dedup"  -> 1 // chunk+fingerprint HOF is a narrow codegen'd
+                             // projection; only the orderBy is wide
   )
 
   budgets.foreach { case (name, max) =>
