@@ -214,6 +214,8 @@ object SparkEntry {
     "q183_copy_matrix"     -> DedupOps.q183CopyMatrix _,
     "q184_audio_windows"   -> MultimodalOps.q184AudioWindows _,
     "q185_frame_dedup"     -> MultimodalOps.q185FrameDedup _,
+    "q186_compressibility" -> TextOps.q186Compressibility _,
+    "q187_funnel_rates"    -> EventOps.q187FunnelRates _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3302,5 +3304,50 @@ object SparkEntry {
         |  (CAST(len(fps) AS BIGINT) - CAST(len(list_distinct(fps)) AS BIGINT))
         |    * 1000000 // CAST(len(fps) AS BIGINT) AS dup_ppm
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q186_compressibility" ->
+      """WITH d AS (SELECT source,
+        |    CAST(length(text) - 3 AS BIGINT) AS n_grams,
+        |    CAST(len(list_distinct(list_transform(
+        |      range(1, length(text) - 2),
+        |      i -> substring(text, i, 4)))) AS BIGINT) AS n_distinct
+        |  FROM documents WHERE length(coalesce(text, '')) >= 4),
+        |p AS (SELECT source, n_grams, n_distinct,
+        |    n_distinct * 1000000 // n_grams AS distinct_ppm FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+        |  CAST(sum(n_distinct) AS BIGINT) AS n_distinct,
+        |  CAST(min(distinct_ppm) AS BIGINT) AS min_ppm,
+        |  CAST(max(distinct_ppm) AS BIGINT) AS max_ppm,
+        |  CAST(sum(distinct_ppm) AS BIGINT) AS sum_ppm,
+        |  CAST(sum(distinct_ppm) AS BIGINT) // count(*) AS mean_ppm
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "q187_funnel_rates" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS click_us FROM e
+        |      JOIN v ON e.user_id = v.user_id AND e.us >= v.view_us
+        |      WHERE event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS purchase_us FROM e
+        |      JOIN c ON e.user_id = c.user_id AND e.us >= c.click_us
+        |      WHERE event_type = 'purchase' GROUP BY e.user_id),
+        |a AS (SELECT
+        |    (SELECT count(DISTINCT user_id) FROM e) AS u0,
+        |    (SELECT count(*) FROM v) AS u1,
+        |    (SELECT count(*) FROM c) AS u2,
+        |    (SELECT count(*) FROM p) AS u3)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+        |  CAST(u1 AS BIGINT) AS n_users,
+        |  CAST(u1 AS BIGINT) * 1000000 // u0 AS step_ppm,
+        |  CAST(u1 AS BIGINT) * 1000000 // u0 AS cum_ppm FROM a
+        |UNION ALL SELECT 2, 'click', u2,
+        |  CASE WHEN u1 = 0 THEN 0 ELSE u2 * 1000000 // u1 END,
+        |  u2 * 1000000 // u0 FROM a
+        |UNION ALL SELECT 3, 'purchase', u3,
+        |  CASE WHEN u2 = 0 THEN 0 ELSE u3 * 1000000 // u2 END,
+        |  u3 * 1000000 // u0 FROM a
+        |ORDER BY stage""".stripMargin,
   )
 }

@@ -648,4 +648,35 @@ object EventOps {
       .withColumn("cold_ppm", expr("cold_events * 1000000 div n_test_events"))
       .orderBy($"event_type")
   }
+
+  /** X155 — funnel conversion-rate report: the stage-to-stage rates the
+    * X37 funnel's per-user frame implies — users reaching each stage,
+    * step conversion (stage k → k+1) and cumulative conversion from the
+    * top, all in integer ppm. One aggregate over the funnel frame;
+    * reconciles with q78 row-for-row because it CONSUMES q78's operator
+    * (the same ordered-min cascade) rather than re-deriving it.
+    *
+    * Scale: q78's cascade is the corpus-touching part; this report adds
+    * one conditional-sum fold to a 1-row frame exploded to 3 stage rows. */
+  def q187FunnelRates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val one = q78Funnel(s, dir).agg(
+      count(lit(1)).as("u0"),
+      sum(when($"stage" >= 1, 1L).otherwise(0L)).as("u1"),
+      sum(when($"stage" >= 2, 1L).otherwise(0L)).as("u2"),
+      sum(when($"stage" >= 3, 1L).otherwise(0L)).as("u3"))
+    one.select(explode(expr(
+        """array(
+          |  struct(1L AS stage, 'view' AS step, u1 AS n_users,
+          |         u1 * 1000000 div u0 AS step_ppm,
+          |         u1 * 1000000 div u0 AS cum_ppm),
+          |  struct(2L AS stage, 'click' AS step, u2 AS n_users,
+          |         CASE WHEN u1 = 0 THEN 0L ELSE u2 * 1000000 div u1 END AS step_ppm,
+          |         u2 * 1000000 div u0 AS cum_ppm),
+          |  struct(3L AS stage, 'purchase' AS step, u3 AS n_users,
+          |         CASE WHEN u2 = 0 THEN 0L ELSE u3 * 1000000 div u2 END AS step_ppm,
+          |         u3 * 1000000 div u0 AS cum_ppm))""".stripMargin)).as("r"))
+      .select($"r.stage", $"r.step", $"r.n_users", $"r.step_ppm", $"r.cum_ppm")
+      .orderBy($"stage")
+  }
 }

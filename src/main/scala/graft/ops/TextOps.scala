@@ -548,4 +548,36 @@ object TextOps {
           .as("n_outliers"))
       .orderBy($"lang")
   }
+
+  /** X154 — character-4-gram compressibility surrogate: the ratio of
+    * DISTINCT overlapping 4-char grams to total grams, in integer ppm —
+    * a dictionary-coder (LZ) proxy: heavily templated/repetitive text
+    * compresses well and scores LOW, diverse prose scores HIGH. The
+    * char-level cousin of q70's word-run signal and the per-document
+    * form of the corpus-level q94 coverage; Gopher-class filters gate on
+    * exactly this kind of compression heuristic.
+    *
+    * Scale: entirely narrow — the gram array is built and de-duplicated
+    * inside one codegen'd HOF projection per row (never shuffled); the
+    * per-source rollup is a combinable aggregate. Gram count is
+    * length-3 per doc, so cost is O(chars)/row at scan throughput. */
+  def q186Compressibility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+      .filter(length(coalesce($"text", lit(""))) >= 4)
+      .withColumn("n_grams", (length($"text") - 3).cast("long"))
+      .withColumn("n_distinct", size(expr(
+        """array_distinct(transform(sequence(1, CAST(length(text) AS INT) - 3),
+          |  i -> substring(text, i, 4)))""".stripMargin)).cast("long"))
+      .withColumn("distinct_ppm", expr("n_distinct * 1000000 div n_grams"))
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_grams").as("n_grams"),
+        sum($"n_distinct").as("n_distinct"),
+        min($"distinct_ppm").as("min_ppm"),
+        max($"distinct_ppm").as("max_ppm"),
+        sum($"distinct_ppm").as("sum_ppm"))
+      .withColumn("mean_ppm", expr("sum_ppm div n_docs"))
+      .orderBy($"source")
+  }
 }

@@ -1511,4 +1511,51 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a < b)
     }
   }
+
+  // ------------------------------------------------------------- X154
+
+  test("compressibility: per-source masses equal the driver gram replay") {
+    import spark.implicits._
+    val rows = TextOps.q186Compressibility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"source", coalesce($"text", lit("")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.length >= 4)
+    val expected = d.groupBy(_._1).map { case (src, xs) =>
+      val per = xs.map { case (_, t) =>
+        val grams = (0 to t.length - 4).map(i => t.substring(i, i + 4))
+        (grams.length.toLong, grams.distinct.length.toLong)
+      }
+      src -> (per.length.toLong, per.map(_._1).sum, per.map(_._2).sum,
+        per.map(p => p._2 * 1000000L / p._1).sum)
+    }
+    rows.foreach { r =>
+      val (n, g, dct, sp) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_grams") == g)
+      assert(r.getAs[Long]("n_distinct") == dct)
+      assert(r.getAs[Long]("sum_ppm") == sp)
+      assert(r.getAs[Long]("min_ppm") <= r.getAs[Long]("max_ppm"))
+    }
+  }
+
+  // ------------------------------------------------------------- X155
+
+  test("funnel rates reconcile with q78's stage frame") {
+    val rows = EventOps.q187FunnelRates(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("stage")).toSeq == Seq(1L, 2L, 3L))
+    val stages = EventOps.q78Funnel(spark, sf).collect()
+      .map(_.getAs[Long]("stage"))
+    val u0 = stages.length.toLong
+    rows.foreach { r =>
+      val k = r.getAs[Long]("stage")
+      val uk = stages.count(_ >= k).toLong
+      assert(r.getAs[Long]("n_users") == uk)
+      assert(r.getAs[Long]("cum_ppm") == uk * 1000000L / u0)
+    }
+    // funnel monotone: each stage no larger than the previous
+    val us = rows.map(_.getAs[Long]("n_users"))
+    assert(us.sliding(2).forall { case Array(a, b) => b <= a })
+  }
 }

@@ -261,8 +261,13 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // fold + two |sources| broadcasts + orderBy
     "q184_audio_windows" -> 1, // mapPartitions energy fold is narrow; only
                               // the presentation orderBy plans an Exchange
-    "q185_frame_dedup"  -> 1 // chunk+fingerprint HOF is a narrow codegen'd
+    "q185_frame_dedup"  -> 1, // chunk+fingerprint HOF is a narrow codegen'd
                              // projection; only the orderBy is wide
+    "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
+                             // fold + orderBy
+    "q187_funnel_rates" -> 13 // q78's cascaded min-agg subplan (its own
+                             // budget) + the 1-row conditional fold; the
+                             // 3-row explode stays narrow
   )
 
   budgets.foreach { case (name, max) =>
