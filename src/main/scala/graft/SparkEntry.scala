@@ -216,6 +216,8 @@ object SparkEntry {
     "q185_frame_dedup"     -> MultimodalOps.q185FrameDedup _,
     "q186_compressibility" -> TextOps.q186Compressibility _,
     "q187_funnel_rates"    -> EventOps.q187FunnelRates _,
+    "q188_two_hop"         -> AffinityOps.q188TwoHopReach _,
+    "q189_rebalance_apply" -> PipelineOps.q189RebalanceApply _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3349,5 +3351,66 @@ object SparkEntry {
         |  CASE WHEN u2 = 0 THEN 0 ELSE u3 * 1000000 // u2 END,
         |  u3 * 1000000 // u0 FROM a
         |ORDER BY stage""".stripMargin,
+
+    "q188_two_hop" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |e AS (SELECT a.pk AS p1, b.pk AS p2
+        |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT p1, p2 FROM e UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT p1 AS node, count(*) AS degree FROM adj GROUP BY p1),
+        |wedge AS (SELECT DISTINCT x.p1 AS a, y.p2 AS c
+        |  FROM adj x JOIN adj y ON x.p2 = y.p1
+        |  WHERE x.p1 <> y.p2),
+        |two AS (SELECT a, count(*) AS n_two_hop FROM wedge w
+        |  WHERE NOT EXISTS (SELECT 1 FROM adj
+        |    WHERE adj.p1 = w.a AND adj.p2 = w.c)
+        |  GROUP BY a)
+        |SELECT a AS part_key, degree, n_two_hop
+        |FROM two JOIN deg ON a = node
+        |ORDER BY n_two_hop DESC, part_key LIMIT 20""".stripMargin,
+
+    // q189: Σ copies arithmetic replays the explode — achieved_docs is the
+    // copy count, achieved_tokens weights by per-doc token counts; copies =
+    // factor div 1e6 + the deterministic fractional Bernoulli on the
+    // fingerprint.
+    "q189_rebalance_apply" ->
+      """WITH l AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_tokens,
+        |    CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w_sqrt FROM l),
+        |t AS (SELECT CAST(sum(w_sqrt) AS BIGINT) AS sw,
+        |    CAST(sum(n_tokens) AS BIGINT) AS st FROM w),
+        |f AS (SELECT lang,
+        |    w_sqrt * 1000000 // t.sw AS target_ppm,
+        |    (w_sqrt * 1000000 // t.sw) * 1000000
+        |      // greatest(n_tokens * 1000000 // t.st, 1) AS factor_ppm
+        |  FROM w, t),
+        |d AS (SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    list_reduce(list_transform(
+        |        string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |  FROM documents),
+        |c AS (SELECT d.lang, f.target_ppm, d.n_toks,
+        |    f.factor_ppm // 1000000 +
+        |      CASE WHEN d.fp % 1000000 < f.factor_ppm % 1000000
+        |           THEN 1 ELSE 0 END AS copies
+        |  FROM d JOIN f ON d.lang = f.lang),
+        |g AS (SELECT lang, max(target_ppm) AS target_ppm,
+        |    CAST(sum(copies) AS BIGINT) AS achieved_docs,
+        |    CAST(sum(copies * n_toks) AS BIGINT) AS achieved_tokens
+        |  FROM c GROUP BY lang
+        |  HAVING sum(copies) > 0),
+        |tt AS (SELECT CAST(sum(achieved_tokens) AS BIGINT) AS total FROM g)
+        |SELECT lang, achieved_docs, achieved_tokens,
+        |  achieved_tokens * 1000000 // tt.total AS achieved_ppm,
+        |  target_ppm,
+        |  abs(achieved_tokens * 1000000 // tt.total - target_ppm)
+        |    AS delta_ppm
+        |FROM g, tt ORDER BY lang""".stripMargin,
   )
 }

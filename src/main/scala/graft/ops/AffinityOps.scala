@@ -251,4 +251,52 @@ object AffinityOps {
         sum($"d").as("sum_degree"))
       .orderBy($"band")
   }
+
+  /** X156 — two-hop reach (friend-of-friend audience): for the top-20
+    * best-connected parts of the support-2 co-purchase graph, how many
+    * parts sit EXACTLY two hops away (reachable through a shared
+    * neighbor, not directly co-purchased) — the recommendation-candidate
+    * pool size, and the expansion-factor audit run before any 2-hop
+    * retrieval is productionized.
+    *
+    * Scale: the wedge join costs Σ deg(b)² over the support-gated graph
+    * (the gate is what keeps the bound civil — see X98); candidate
+    * (a, c) pairs collapse by distinct BEFORE the direct-edge anti-join,
+    * which moves only canonical pairs; the per-node fold is combinable
+    * and the k-row skim is a TakeOrdered. */
+  def q188TwoHopReach(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val po = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .filter($"ok".isNotNull && $"pk".isNotNull).distinct()
+    val e = po.select($"ok", $"pk".as("p1"))
+      .join(po.select($"ok", $"pk".as("p2")), Seq("ok"))
+      .filter($"p1" < $"p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2).select($"p1", $"p2")
+    // the adjacency feeds FOUR consumers (both wedge sides, the degree
+    // fold, the direct-edge anti-join) — persist it once so the edge
+    // pipeline runs once, not once per consumer (q132's idiom; the
+    // result is 20 rows, so collect-and-localize is free)
+    val adj = e.unionByName(e.select($"p2".as("p1"), $"p1".as("p2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = adj.groupBy($"p1".as("node")).agg(count(lit(1)).as("degree"))
+      val wedge = adj.select($"p1".as("a"), $"p2".as("b"))
+        .join(adj.select($"p1".as("b"), $"p2".as("c")), Seq("b"))
+        .filter($"a" =!= $"c")
+        .select($"a", $"c").distinct()
+      val twoHop = wedge
+        .join(adj.select($"p1".as("a"), $"p2".as("c")), Seq("a", "c"), "left_anti")
+        .groupBy($"a").agg(count(lit(1)).as("n_two_hop"))
+      val rows = twoHop.join(deg, $"a" === $"node")
+        .select($"a".as("part_key"), $"degree", $"n_two_hop")
+        .orderBy($"n_two_hop".desc, $"part_key")
+        .limit(20).collect().toSeq
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("part_key", LongType), StructField("degree", LongType),
+        StructField("n_two_hop", LongType))))
+    } finally adj.unpersist(blocking = false)
+  }
 }

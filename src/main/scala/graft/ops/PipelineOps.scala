@@ -1221,6 +1221,49 @@ object PipelineOps {
         expr("6 * sum_d2 * 1000 div (n * (n * n - 1))").as("discordance_millis"))
   }
 
+  /** X157 — mixture rebalance EXECUTION: materialize q151's plan — each
+    * document replicates `factor_ppm div 10⁶` times plus one fractional
+    * copy when its fingerprint lands below `factor_ppm mod 10⁶` (the
+    * deterministic Bernoulli that makes the resample replayable under
+    * retries), then the achieved mixture is audited against the plan's
+    * targets. q151 is the planner; this is the worker a data-mixing job
+    * actually runs — and the audit that catches integer-rounding drift
+    * between planned and achieved shares.
+    *
+    * Scale: the \|langs\| factor frame broadcasts onto the corpus; the
+    * replication is a narrow bounded explode (factor-many copies); the
+    * achieved fold is combinable with a broadcast 1-row total. Documents
+    * scan once. */
+  def q189RebalanceApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val factors = broadcast(q151RebalancePlan(s, dir)
+      .select($"lang", $"target_ppm", $"factor_ppm"))
+    val applied = docs(s, dir)
+      .select($"lang", $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_toks"),
+        expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))")
+          .as("fp"))
+      .join(factors, Seq("lang"))
+      .withColumn("copies",
+        expr("factor_ppm div 1000000 + IF(fp % 1000000 < factor_ppm % 1000000, 1L, 0L)"))
+      .filter($"copies" >= 1)
+      .select($"lang", $"target_ppm", $"n_toks",
+        explode(expr("sequence(1L, copies)")).as("copy_idx"))
+    val byLang = applied.groupBy($"lang")
+      .agg(max($"target_ppm").as("target_ppm"),
+        count(lit(1)).as("achieved_docs"),
+        sum($"n_toks").as("achieved_tokens"))
+    val total = byLang.agg(sum($"achieved_tokens").as("total_tokens"))
+    byLang.crossJoin(broadcast(total))
+      .withColumn("achieved_ppm",
+        expr("achieved_tokens * 1000000 div total_tokens"))
+      .withColumn("delta_ppm", abs($"achieved_ppm" - $"target_ppm"))
+      .select($"lang", $"achieved_docs", $"achieved_tokens",
+        $"achieved_ppm", $"target_ppm", $"delta_ppm")
+      .orderBy($"lang")
+  }
+
   /** X127 — nearest-length eval pairing: for every held-out document
     * (content-hash band 9 of q61's fingerprint convention — a replayable
     * ~10% split), find the training document of the same language with

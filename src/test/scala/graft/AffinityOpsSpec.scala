@@ -1558,4 +1558,63 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val us = rows.map(_.getAs[Long]("n_users"))
     assert(us.sliding(2).forall { case Array(a, b) => b <= a })
   }
+
+  // ------------------------------------------------------------- X156
+
+  test("two-hop reach equals the driver BFS on the support-2 graph") {
+    import spark.implicits._
+    val rows = AffinityOps.q188TwoHopReach(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the graph on the driver
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val pairs = li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.foreach { r =>
+      val a = r.getAs[Long]("part_key")
+      val n1 = adj(a)
+      val n2 = n1.flatMap(adj.getOrElse(_, Set.empty)) -- n1 - a
+      assert(r.getAs[Long]("degree") == n1.size.toLong)
+      assert(r.getAs[Long]("n_two_hop") == n2.size.toLong,
+        s"part $a: two-hop reach diverged")
+    }
+  }
+
+  // ------------------------------------------------------------- X157
+
+  test("rebalance apply: achieved mass equals the copies arithmetic") {
+    import spark.implicits._
+    graft.functions.Fingerprint.register(spark)
+    val rows = PipelineOps.q189RebalanceApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val plan = PipelineOps.q151RebalancePlan(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("factor_ppm")).toMap
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"lang",
+        size(split($"text", " ")).cast("long").as("nt"),
+        expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))")
+          .as("fp"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("nt"), r.getAs[Long]("fp")))
+    val expected = d.groupBy(_._1).map { case (lang, xs) =>
+      val f = plan(lang)
+      val per = xs.map { case (_, nt, fp) =>
+        val copies = f / 1000000L + (if (fp % 1000000L < f % 1000000L) 1L else 0L)
+        (copies, copies * nt)
+      }
+      lang -> (per.map(_._1).sum, per.map(_._2).sum)
+    }
+    rows.foreach { r =>
+      val (docs, toks) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("achieved_docs") == docs)
+      assert(r.getAs[Long]("achieved_tokens") == toks)
+      // the apply should land reasonably close to its target share
+      assert(r.getAs[Long]("delta_ppm") < 200000L,
+        "achieved mixture drifted far from the planned target")
+    }
+  }
 }

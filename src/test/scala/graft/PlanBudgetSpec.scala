@@ -265,9 +265,17 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // projection; only the orderBy is wide
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
-    "q187_funnel_rates" -> 13 // q78's cascaded min-agg subplan (its own
+    "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
                              // budget) + the 1-row conditional fold; the
                              // 3-row explode stays narrow
+    // q188 materializes via persist-then-collect (q132's idiom: the adj
+    // frame feeds four consumers) so its returned plan is local — the
+    // two-hop relation is asserted by the AffinityOpsSpec BFS replay
+    "q189_rebalance_apply" -> 17 // q151's planner subplan is recounted per
+                             // consumer in plan text (factors broadcast +
+                             // totals) + the bounded explode + lang fold +
+                             // broadcast total + orderBy; AQE reuses the
+                             // planner's stages at runtime
   )
 
   budgets.foreach { case (name, max) =>
