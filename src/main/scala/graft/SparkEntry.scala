@@ -218,6 +218,9 @@ object SparkEntry {
     "q187_funnel_rates"    -> EventOps.q187FunnelRates _,
     "q188_two_hop"         -> AffinityOps.q188TwoHopReach _,
     "q189_rebalance_apply" -> PipelineOps.q189RebalanceApply _,
+    "q190_cluster_sizes"   -> DedupOps.q190ClusterSizes _,
+    "q191_vocab_drift"     -> CorpusOps.q191VocabDrift _,
+    "q192_audience_overlap" -> EventOps.q192AudienceOverlap _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3412,5 +3415,93 @@ object SparkEntry {
         |  abs(achieved_tokens * 1000000 // tt.total - target_ppm)
         |    AS delta_ppm
         |FROM g, tt ORDER BY lang""".stripMargin,
+
+    // q190: the q50 cluster pipeline (minhash -> bands -> candidates ->
+    // connected components) summarized into a log2 size histogram.
+    "q190_cluster_sizes" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
+        |hs AS (SELECT doc_id, list_transform(shingles,
+        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |sig AS (SELECT doc_id, [
+        |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
+        |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
+        |  list_min(list_transform(h, x -> (11 * x + 13) % 1000000007)),
+        |  list_min(list_transform(h, x -> (17 * x + 29) % 1000000007)),
+        |  list_min(list_transform(h, x -> (23 * x + 37) % 1000000007)),
+        |  list_min(list_transform(h, x -> (31 * x + 43) % 1000000007)),
+        |  list_min(list_transform(h, x -> (41 * x + 53) % 1000000007)),
+        |  list_min(list_transform(h, x -> (47 * x + 61) % 1000000007)),
+        |  list_min(list_transform(h, x -> (59 * x + 71) % 1000000007)),
+        |  list_min(list_transform(h, x -> (67 * x + 79) % 1000000007)),
+        |  list_min(list_transform(h, x -> (73 * x + 89) % 1000000007)),
+        |  list_min(list_transform(h, x -> (83 * x + 101) % 1000000007))] AS sig FROM hs),
+        |bands AS (SELECT doc_id, i AS band_idx,
+        |    CAST(sig[3*i + 1] AS VARCHAR) || ':' || CAST(sig[3*i + 2] AS VARCHAR)
+        |      || ':' || CAST(sig[3*i + 3] AS VARCHAR) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM cands JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |  WHERE len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) >= 6),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS label FROM nodes
+        |  UNION
+        |  SELECT e.a AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b),
+        |lab AS (SELECT doc_id, CAST(min(label) AS BIGINT) AS canonical_id
+        |        FROM reach GROUP BY doc_id),
+        |sz AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM lab GROUP BY canonical_id)
+        |SELECT CAST(length(bin(cluster_size)) - 1 AS BIGINT) AS band,
+        |  count(*) AS n_clusters,
+        |  CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+        |  CAST(min(cluster_size) AS BIGINT) AS min_size,
+        |  CAST(max(cluster_size) AS BIGINT) AS max_size
+        |FROM sz GROUP BY band ORDER BY band""".stripMargin,
+
+    "q191_vocab_drift" ->
+      """WITH w AS (SELECT lang, doc_id % 2 = 1 AS second,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |va AS (SELECT DISTINCT lang, w FROM w WHERE NOT second),
+        |bt AS (SELECT lang, w, count(*) AS n FROM w WHERE second
+        |       GROUP BY lang, w),
+        |novel AS (SELECT bt.lang, count(*) AS new_types,
+        |    CAST(sum(bt.n) AS BIGINT) AS new_tokens
+        |  FROM bt LEFT JOIN va ON bt.lang = va.lang AND bt.w = va.w
+        |  WHERE va.w IS NULL GROUP BY bt.lang),
+        |tot AS (SELECT lang, count(*) AS b_types,
+        |    CAST(sum(n) AS BIGINT) AS b_tokens FROM bt GROUP BY lang)
+        |SELECT tot.lang, b_types, b_tokens,
+        |  CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(coalesce(new_tokens, 0) AS BIGINT) AS new_tokens,
+        |  CAST(coalesce(new_types, 0) AS BIGINT) * 1000000 // b_types
+        |    AS new_type_ppm,
+        |  CAST(coalesce(new_tokens, 0) AS BIGINT) * 1000000 // b_tokens
+        |    AS new_token_ppm
+        |FROM tot LEFT JOIN novel ON tot.lang = novel.lang
+        |ORDER BY tot.lang""".stripMargin,
+
+    "q192_audience_overlap" ->
+      """WITH inc AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS n FROM inc GROUP BY event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_shared
+        |  FROM inc a JOIN inc b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+        |  n_shared * 1000000 // (sa.n + sb.n - n_shared) AS jaccard_ppm
+        |FROM p
+        |JOIN sz sa ON p.type_a = sa.event_type
+        |JOIN sz sb ON p.type_b = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 }

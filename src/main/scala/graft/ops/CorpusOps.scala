@@ -627,4 +627,38 @@ object CorpusOps {
         expr("sum_quality_millis div n_docs"))
       .orderBy($"source", $"lang")
   }
+
+  /** X159 — vocabulary drift between corpus snapshots: split the corpus
+    * into two deterministic halves (doc_id parity — the stand-in for
+    * consecutive ingest batches) and measure, per language, how much of
+    * the second half's vocabulary and token mass is NEW relative to the
+    * first — the growth signal that decides when a tokenizer vocabulary
+    * needs rebuilding (q113 scores against a FIXED vocab; this measures
+    * the drift that invalidates it).
+    *
+    * Scale: each half folds to a (lang, word) distinct (combinable);
+    * the novelty probe is a left anti-join on the uniform (lang, word)
+    * key — vocabulary-sized, never corpus-sized; token counts ride the
+    * same folds; the report is \|langs\| rows. */
+  def q191VocabDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = docs(s, dir)
+      .select($"lang", ($"doc_id" % 2 === 1).as("second"),
+        explode(split($"text", " ")).as("w"))
+    val vocabA = words.filter(!$"second").select($"lang", $"w").distinct()
+    val bTypes = words.filter($"second")
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("n"))
+    val novel = bTypes.join(vocabA, Seq("lang", "w"), "left_anti")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("new_types"), sum($"n").as("new_tokens"))
+    val bTotals = bTypes.groupBy($"lang")
+      .agg(count(lit(1)).as("b_types"), sum($"n").as("b_tokens"))
+    bTotals.join(novel, Seq("lang"), "left")
+      .select($"lang", $"b_types", $"b_tokens",
+        coalesce($"new_types", lit(0L)).as("new_types"),
+        coalesce($"new_tokens", lit(0L)).as("new_tokens"))
+      .withColumn("new_type_ppm", expr("new_types * 1000000 div b_types"))
+      .withColumn("new_token_ppm", expr("new_tokens * 1000000 div b_tokens"))
+      .orderBy($"lang")
+  }
 }

@@ -534,4 +534,28 @@ object DedupOps {
           .as("jaccard_ppm"))
       .orderBy($"source_a", $"source_b")
   }
+
+  /** X158 — near-dup cluster-size histogram: the log2-banded size
+    * distribution of X6's resolved clusters — the release metric that
+    * says whether duplication is a long tail of pairs or a few massive
+    * template families (the two need different remediation). CONSUMES
+    * q50's operator, so the histogram can never drift from the
+    * resolution it summarizes.
+    *
+    * Scale: q50's output is corpus-keyed but the distinct (cluster, size)
+    * frame is cluster-count-sized; the band fold is combinable; q130's
+    * engine-exact bit-length log2. */
+  def q190ClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clusters = q50DedupClusters(s, dir)
+      .select($"canonical_id", $"cluster_size").distinct()
+    clusters
+      .withColumn("band", (length(bin($"cluster_size")) - 1).cast("long"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"cluster_size").as("n_docs"),
+        min($"cluster_size").as("min_size"),
+        max($"cluster_size").as("max_size"))
+      .orderBy($"band")
+  }
 }

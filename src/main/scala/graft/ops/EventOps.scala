@@ -679,4 +679,33 @@ object EventOps {
       .select($"r.stage", $"r.step", $"r.n_users", $"r.step_ppm", $"r.cum_ppm")
       .orderBy($"stage")
   }
+
+  /** X160 — event-type audience overlap: for every pair of event types,
+    * the distinct-user intersection and Jaccard in integer ppm — the
+    * co-engagement matrix behind "do purchasers also browse?" questions
+    * and segment-targeting decisions.
+    *
+    * Scale: the (type, user) incidence is ONE combinable distinct; the
+    * pair expansion self-joins on user_id and is bounded by
+    * C(\|types\|, 2) rows PER USER (X151's bounded-incidence shape);
+    * per-type audience sizes are a \|types\| frame broadcast back. */
+  def q192AudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inc = ev(s, dir).select($"event_type", $"user_id").distinct()
+    val sizes = inc.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val pairs = inc.select($"user_id", $"event_type".as("type_a"))
+      .join(inc.select($"user_id", $"event_type".as("type_b")), Seq("user_id"))
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select($"event_type".as("type_a"), $"n".as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(sizes.select($"event_type".as("type_b"), $"n".as("n_b"))),
+        Seq("type_b"))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_shared",
+        expr("n_shared * 1000000 div (n_a + n_b - n_shared)")
+          .as("jaccard_ppm"))
+      .orderBy($"type_a", $"type_b")
+  }
 }

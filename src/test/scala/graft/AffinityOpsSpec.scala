@@ -1617,4 +1617,68 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "achieved mixture drifted far from the planned target")
     }
   }
+
+  // ------------------------------------------------------------- X158
+
+  test("cluster-size histogram reconciles with the q50 resolution") {
+    val rows = graft.ops.DedupOps.q190ClusterSizes(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val clusters = graft.ops.DedupOps.q50DedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("cluster_size"))
+      .distinct
+    assert(rows.map(_.getAs[Long]("n_clusters")).sum == clusters.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == clusters.map(_._2).sum)
+    rows.foreach { r =>
+      val band = r.getAs[Long]("band")
+      assert(r.getAs[Long]("min_size") >= (1L << band))
+      assert(r.getAs[Long]("max_size") <= (1L << (band + 1)) - 1)
+    }
+  }
+
+  // ------------------------------------------------------------- X159
+
+  test("vocab drift: novelty equals the driver half-split replay") {
+    import spark.implicits._
+    val rows = CorpusOps.q191VocabDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"lang", $"doc_id", $"text").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("doc_id"), r.getString(2)))
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val first = d.filter(x => x._1 == lang && x._2 % 2 == 0)
+        .flatMap(_._3.split(" ")).toSet
+      val secondToks = d.filter(x => x._1 == lang && x._2 % 2 == 1)
+        .flatMap(_._3.split(" "))
+      val bTypes = secondToks.distinct
+      val novelTypes = bTypes.filterNot(first)
+      assert(r.getAs[Long]("b_types") == bTypes.length.toLong)
+      assert(r.getAs[Long]("b_tokens") == secondToks.length.toLong)
+      assert(r.getAs[Long]("new_types") == novelTypes.length.toLong)
+      assert(r.getAs[Long]("new_tokens") ==
+        secondToks.count(w => !first(w)).toLong)
+    }
+  }
+
+  // ------------------------------------------------------------- X160
+
+  test("audience overlap: intersections equal the driver set replay") {
+    import spark.implicits._
+    val rows = EventOps.q192AudienceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val inc = graft.sources.Tables.load(spark, sf, "events")
+      .select($"event_type", $"user_id").distinct()
+      .as[(String, Long)].collect()
+    val byType = inc.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(a < b)
+      val shared = (byType(a) & byType(b)).size.toLong
+      assert(r.getAs[Long]("n_shared") == shared)
+      assert(r.getAs[Long]("n_a") == byType(a).size.toLong)
+      assert(r.getAs[Long]("n_b") == byType(b).size.toLong)
+      assert(r.getAs[Long]("jaccard_ppm") ==
+        shared * 1000000L / (byType(a).size + byType(b).size - shared))
+    }
+  }
 }

@@ -271,11 +271,20 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q188 materializes via persist-then-collect (q132's idiom: the adj
     // frame feeds four consumers) so its returned plan is local — the
     // two-hop relation is asserted by the AffinityOpsSpec BFS replay
-    "q189_rebalance_apply" -> 17 // q151's planner subplan is recounted per
+    "q189_rebalance_apply" -> 17, // q151's planner subplan is recounted per
                              // consumer in plan text (factors broadcast +
                              // totals) + the bounded explode + lang fold +
                              // broadcast total + orderBy; AQE reuses the
                              // planner's stages at runtime
+    // q190 consumes q50, which resolves clusters on the driver (its local
+    // union-find path) — the returned plan mixes a local relation with one
+    // band fold; the histogram⇄resolution identity is the AffinityOpsSpec
+    // reconciliation test
+    "q191_vocab_drift"  -> 8, // two (lang, word) folds (2-phase each) +
+                             // the vocab anti-join + |langs| join + orderBy
+    "q192_audience_overlap" -> 11 // (type, user) incidence distinct
+                             // (recounted per self-join side) + bounded
+                             // pair fold + two |types| broadcasts + orderBy
   )
 
   budgets.foreach { case (name, max) =>
