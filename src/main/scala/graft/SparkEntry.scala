@@ -221,6 +221,9 @@ object SparkEntry {
     "q190_cluster_sizes"   -> DedupOps.q190ClusterSizes _,
     "q191_vocab_drift"     -> CorpusOps.q191VocabDrift _,
     "q192_audience_overlap" -> EventOps.q192AudienceOverlap _,
+    "q193_conversion_latency" -> EventOps.q193ConversionLatency _,
+    "q194_supplier_hhi"    -> Relational.q194SupplierHhi _,
+    "q195_json_audit"      -> EventOps.q195JsonAudit _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3503,5 +3506,52 @@ object SparkEntry {
         |JOIN sz sa ON p.type_a = sa.event_type
         |JOIN sz sb ON p.type_b = sb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "q193_conversion_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS click_us FROM e
+        |      JOIN v ON e.user_id = v.user_id AND e.us >= v.view_us
+        |      WHERE event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS purchase_us FROM e
+        |      JOIN c ON e.user_id = c.user_id AND e.us >= c.click_us
+        |      WHERE event_type = 'purchase' GROUP BY e.user_id),
+        |lat AS (SELECT p.purchase_us - v.view_us AS latency_us
+        |  FROM p JOIN v ON p.user_id = v.user_id)
+        |SELECT CAST(length(bin(latency_us)) - 1 AS BIGINT) AS band,
+        |  count(*) AS n_users,
+        |  CAST(min(latency_us) AS BIGINT) AS min_us,
+        |  CAST(max(latency_us) AS BIGINT) AS max_us
+        |FROM lat GROUP BY band ORDER BY band""".stripMargin,
+
+    "q194_supplier_hhi" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM rev),
+        |s AS (SELECT c * 1000000 // t.tot AS share_ppm FROM rev, t)
+        |SELECT count(*) AS n_suppliers,
+        |  CAST(sum(share_ppm) AS BIGINT) AS share_mass_ppm,
+        |  CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000 AS hhi_ppm
+        |FROM s""".stripMargin,
+
+    "q195_json_audit" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN event_id % 31 = 0 THEN '{"k": "corrupt"}' ELSE props END
+        |      AS p2
+        |  FROM events),
+        |k AS (SELECT event_type,
+        |    TRY_CAST(json_extract_string(p2, '$.k') AS BIGINT) AS k
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS parse_failures,
+        |  CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS fail_ppm
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -813,4 +813,30 @@ object Relational {
         sum($"price_cents").as("locked_cents"))
       .orderBy($"p_brand")
   }
+
+  /** X163 — supplier concentration (HHI): the Herfindahl–Hirschman index
+    * of supplier revenue shares — Σ share_ppm² scaled back to ppm (10⁶ =
+    * monopoly, 10⁶/n = perfectly even) — the standard concentration
+    * measure, computed without floats: shares floor to integer ppm
+    * per supplier, squares sum exactly (n·10¹² fits int64 to ~9M
+    * suppliers), and the verdict is one division.
+    *
+    * Scale: one combinable supplier fold + a broadcast 1-row total; the
+    * HHI fold runs on the supplier-dimension frame. Flooring loses < n
+    * ppm of mass — bounded and deterministic, unlike float rounding. */
+  def q194SupplierHhi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = t(s, dir, "lineitem")
+      .groupBy($"l_suppkey")
+      .agg(sum(cents($"l_extendedprice" * (lit(1) - $"l_discount")))
+        .as("c"))
+    val total = rev.agg(sum($"c").as("tot"))
+    rev.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("c * 1000000 div tot"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum($"share_ppm").as("share_mass_ppm"),
+        sum($"share_ppm" * $"share_ppm").as("sum_sq"))
+      .select($"n_suppliers", $"share_mass_ppm",
+        expr("sum_sq div 1000000").as("hhi_ppm"))
+  }
 }

@@ -708,4 +708,50 @@ object EventOps {
           .as("jaccard_ppm"))
       .orderBy($"type_a", $"type_b")
   }
+
+  /** X161 — view→purchase latency histogram: for users who completed the
+    * X37 funnel, the time from first view to first qualifying purchase,
+    * banded in log2 microseconds — the time-to-convert distribution that
+    * prices remarketing windows. CONSUMES q78's frame (the latencies are
+    * its columns), adding one narrow band projection and a combinable
+    * ~40-row fold.
+    *
+    * Scale: q78's cascade touches the corpus; everything here operates
+    * on the user-sized funnel frame. */
+  def q193ConversionLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q78Funnel(s, dir)
+      .filter($"purchase_us".isNotNull)
+      .select(($"purchase_us" - $"view_us").as("latency_us"))
+      // same-instant conversions land in band 0 (bin(0) has length 1)
+      .withColumn("band", (length(bin($"latency_us")) - 1).cast("long"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_users"),
+        min($"latency_us").as("min_us"), max($"latency_us").as("max_us"))
+      .orderBy($"band")
+  }
+
+  /** X162 — JSON-extraction robustness audit: per event type, extract the
+    * numeric `k` from the props JSON and report value mass plus parse
+    * failures. Corruption is PLANTED (event_id ≡ 0 mod 31 carries a
+    * non-numeric k) so the failure counts are ground-truth
+    * checkable — the audit shape for semi-structured columns whose
+    * producers drift: count the nulls, never throw.
+    *
+    * Scale: get_json_object is a narrow codegen'd pass; ONE combinable
+    * \|types\| fold. */
+  def q195JsonAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ev(s, dir)
+      .withColumn("p2", when($"event_id" % 31 === 0,
+        lit("{\"k\": \"corrupt\"}")).otherwise($"props"))
+      .withColumn("k", expr("try_cast(get_json_object(p2, '$.k') AS BIGINT)"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"k".isNull, 1L).otherwise(0L)).as("parse_failures"),
+        sum(coalesce($"k", lit(0L))).as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .withColumn("fail_ppm", expr("parse_failures * 1000000 div n_events"))
+      .orderBy($"event_type")
+  }
 }

@@ -429,4 +429,53 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getAs[Long]("n_small_lines") == small.length.toLong)
     assert(rows.head.getAs[Long]("locked_cents") == small.map(_._3).sum)
   }
+
+  test("conversion latency bands tile q78's completed funnels") {
+    val rows = EventOps.q193ConversionLatency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lat = EventOps.q78Funnel(spark, sf).collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("purchase_us")))
+      .map(r => r.getAs[Long]("purchase_us") - r.getAs[Long]("view_us"))
+    assert(rows.map(_.getAs[Long]("n_users")).sum == lat.length.toLong)
+    rows.foreach { r =>
+      val band = r.getAs[Long]("band")
+      assert(r.getAs[Long]("min_us") >= (if (band == 0) 0L else 1L << band))
+      assert(r.getAs[Long]("max_us") <= (1L << (band + 1)) - 1)
+    }
+  }
+
+  test("supplier HHI: share mass and squared fold match the driver") {
+    import spark.implicits._
+    val row = graft.operators.Relational.q194SupplierHhi(spark, sf).collect().head
+    val cents = graft.sources.Tables.load(spark, sf, "lineitem")
+      .groupBy($"l_suppkey")
+      .agg(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 100)
+        .cast("long")).as("c"))
+      .as[(Long, Long)].collect().map(_._2)
+    val tot = cents.sum
+    val shares = cents.map(_ * 1000000L / tot)
+    assert(row.getAs[Long]("n_suppliers") == cents.length.toLong)
+    assert(row.getAs[Long]("share_mass_ppm") == shares.sum)
+    assert(row.getAs[Long]("hhi_ppm") == shares.map(s => s * s).sum / 1000000L)
+    // flooring loses less than one ppm per supplier
+    assert(shares.sum > 1000000L - cents.length && shares.sum <= 1000000L)
+  }
+
+  test("json audit: failures equal exactly the planted corruption") {
+    import spark.implicits._
+    val rows = EventOps.q195JsonAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val expected = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"event_id" % 31 === 0, 1L).otherwise(0L)).as("bad"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("bad"))).toMap
+    rows.foreach { r =>
+      val (n, bad) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("parse_failures") == bad,
+        "json failure count diverged from the plant rule")
+    }
+  }
 }

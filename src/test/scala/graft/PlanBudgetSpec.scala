@@ -282,9 +282,16 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // reconciliation test
     "q191_vocab_drift"  -> 8, // two (lang, word) folds (2-phase each) +
                              // the vocab anti-join + |langs| join + orderBy
-    "q192_audience_overlap" -> 11 // (type, user) incidence distinct
+    "q192_audience_overlap" -> 11, // (type, user) incidence distinct
                              // (recounted per self-join side) + bounded
                              // pair fold + two |types| broadcasts + orderBy
+    "q193_conversion_latency" -> 13, // q78's cascade subplan + the band
+                             // fold + orderBy (the latency math is narrow
+                             // on the user-sized funnel frame)
+    "q194_supplier_hhi" -> 5, // supplier fold (2-phase) + broadcast 1-row
+                             // total + the 1-row HHI fold
+    "q195_json_audit"   -> 2 // narrow get_json_object pass + ONE
+                             // combinable |types| fold + orderBy
   )
 
   budgets.foreach { case (name, max) =>
