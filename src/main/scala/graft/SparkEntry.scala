@@ -224,6 +224,8 @@ object SparkEntry {
     "q193_conversion_latency" -> EventOps.q193ConversionLatency _,
     "q194_supplier_hhi"    -> Relational.q194SupplierHhi _,
     "q195_json_audit"      -> EventOps.q195JsonAudit _,
+    "q196_zipf_audit"      -> CorpusOps.q196ZipfAudit _,
+    "q197_new_returning"   -> Relational.q197NewVsReturning _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3553,5 +3555,42 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000000 // count(*) AS fail_ppm
         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q196_zipf_audit" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |c AS (SELECT w, count(*) AS n FROM w GROUP BY w),
+        |r AS (SELECT n,
+        |    row_number() OVER (ORDER BY n DESC, w) AS rk FROM c),
+        |b AS (SELECT CAST(length(CAST(rk AS VARCHAR)) - 1 AS BIGINT) AS band,
+        |    count(*) AS n_types, CAST(sum(n) AS BIGINT) AS band_tokens,
+        |    CAST(sum(rk * n) AS BIGINT) AS rank_freq_mass,
+        |    CAST(min(n) AS BIGINT) AS min_freq,
+        |    CAST(max(n) AS BIGINT) AS max_freq
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(band_tokens) AS BIGINT) AS total FROM b)
+        |SELECT band, n_types, band_tokens,
+        |  band_tokens * 1000000 // t.total AS token_share_ppm,
+        |  rank_freq_mass, min_freq, max_freq
+        |FROM b, t ORDER BY band""".stripMargin,
+
+    "q197_new_returning" ->
+      """WITH o AS (SELECT o_custkey,
+        |    strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(month) AS first_month
+        |  FROM o GROUP BY o_custkey)
+        |SELECT month, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN month = first_month THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS new_orders,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(sum(CASE WHEN month = first_month THEN cents ELSE 0 END)
+        |    AS BIGINT) AS new_revenue_cents,
+        |  CAST(sum(CASE WHEN month = first_month THEN cents ELSE 0 END)
+        |    AS BIGINT) * 1000000 // CAST(sum(cents) AS BIGINT)
+        |    AS new_revenue_ppm
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY month ORDER BY month""".stripMargin,
   )
 }

@@ -839,4 +839,31 @@ object Relational {
       .select($"n_suppliers", $"share_mass_ppm",
         expr("sum_sq div 1000000").as("hhi_ppm"))
   }
+
+  /** X165 — new-vs-returning revenue split: per order month, revenue and
+    * order counts split by whether the order falls in its customer's
+    * FIRST month — the acquisition-vs-retention lens on the revenue
+    * stream. The first-month flag rides ONE customer partitioning
+    * (min-over-window, no self-join); the monthly fold is a combinable
+    * conditional sum (Q8's one-pass discipline on the cohort axis).
+    *
+    * Scale: one custkey window + one \|months\| fold; orders scan once. */
+  def q197NewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+    t(s, dir, "orders")
+      .withColumn("month", date_format($"o_orderdate", "yyyy-MM"))
+      .withColumn("first_month", min($"month").over(w))
+      .withColumn("cents", cents($"o_totalprice"))
+      .groupBy($"month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"month" === $"first_month", 1L).otherwise(0L))
+          .as("new_orders"),
+        sum($"cents").as("revenue_cents"),
+        sum(when($"month" === $"first_month", $"cents").otherwise(0L))
+          .as("new_revenue_cents"))
+      .withColumn("new_revenue_ppm",
+        expr("new_revenue_cents * 1000000 div revenue_cents"))
+      .orderBy($"month")
+  }
 }

@@ -661,4 +661,38 @@ object CorpusOps {
       .withColumn("new_token_ppm", expr("new_tokens * 1000000 div b_tokens"))
       .orderBy($"lang")
   }
+
+  /** X164 — Zipf rank-frequency audit: per log10 rank band (1-9, 10-99,
+    * 100-999, ...), the Σ rank·freq mass and the band's token share in
+    * integer ppm — under Zipf's law rank·freq is roughly constant, so a
+    * corpus whose bands diverge wildly from flat is synthetic, templated
+    * or truncated (exactly what a pretraining-data pipeline wants to
+    * notice BEFORE training). Purely integer — no log-log regression,
+    * no floats.
+    *
+    * Scale: the word fold is combinable; ranking runs through
+    * GlobalOrder's two-phase range shuffle (vocabulary never on the
+    * driver); the band fold is combinable into ≤ ~7 rows; total via
+    * broadcast 1-row aggregate. */
+  def q196ZipfAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = docs(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.GlobalOrder.withRowNumber(
+      vocab, Seq($"n".desc, $"w".asc), "rk")
+    val banded = ranked
+      .withColumn("band", (length($"rk".cast("string")) - 1).cast("long"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_types"), sum($"n").as("band_tokens"),
+        sum($"rk" * $"n").as("rank_freq_mass"),
+        min($"n").as("min_freq"), max($"n").as("max_freq"))
+    val total = banded.agg(sum($"band_tokens").as("total_tokens"))
+    banded.crossJoin(broadcast(total))
+      .withColumn("token_share_ppm",
+        expr("band_tokens * 1000000 div total_tokens"))
+      .select($"band", $"n_types", $"band_tokens", $"token_share_ppm",
+        $"rank_freq_mass", $"min_freq", $"max_freq")
+      .orderBy($"band")
+  }
 }

@@ -478,4 +478,50 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "json failure count diverged from the plant rule")
     }
   }
+
+  test("zipf audit: band masses reconcile to the corpus totals") {
+    import spark.implicits._
+    val rows = CorpusOps.q196ZipfAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val words = graft.sources.Tables.load(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+    assert(rows.map(_.getAs[Long]("band_tokens")).sum == words.count())
+    assert(rows.map(_.getAs[Long]("n_types")).sum ==
+      words.distinct().count())
+    // bands tile the rank space: band b holds ranks with b+1 digits
+    rows.foreach { r =>
+      val b = r.getAs[Long]("band")
+      val maxTypes = 9L * math.pow(10, b).toLong
+      assert(r.getAs[Long]("n_types") <= maxTypes)
+      // frequencies within a band are non-increasing in rank: max >= min
+      assert(r.getAs[Long]("max_freq") >= r.getAs[Long]("min_freq"))
+    }
+    // Zipf direction: earlier bands carry higher per-type frequency
+    val perType = rows.map(r =>
+      r.getAs[Long]("band_tokens").toDouble / r.getAs[Long]("n_types"))
+    assert(perType.sliding(2).forall { case Array(a, b) => b <= a })
+  }
+
+  test("new-vs-returning: first-month split equals the driver replay") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q197NewVsReturning(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .select($"o_custkey",
+        date_format($"o_orderdate", "yyyy-MM").as("m"),
+        round($"o_totalprice" * 100).cast("long").as("c"))
+      .collect().map(r => (r.getAs[Long]("o_custkey"), r.getString(1),
+        r.getAs[Long]("c")))
+    val firstM = o.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).min }
+    rows.foreach { r =>
+      val m = r.getAs[String]("month")
+      val inMonth = o.filter(_._2 == m)
+      val newOnes = inMonth.filter(x => firstM(x._1) == m)
+      assert(r.getAs[Long]("n_orders") == inMonth.length.toLong)
+      assert(r.getAs[Long]("new_orders") == newOnes.length.toLong)
+      assert(r.getAs[Long]("new_revenue_cents") == newOnes.map(_._3).sum)
+    }
+    // every ordering customer contributes at least one first-month order
+    assert(rows.map(_.getAs[Long]("new_orders")).sum >= firstM.size.toLong)
+  }
 }

@@ -290,8 +290,13 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // on the user-sized funnel frame)
     "q194_supplier_hhi" -> 5, // supplier fold (2-phase) + broadcast 1-row
                              // total + the 1-row HHI fold
-    "q195_json_audit"   -> 2 // narrow get_json_object pass + ONE
+    "q195_json_audit"   -> 2, // narrow get_json_object pass + ONE
                              // combinable |types| fold + orderBy
+    "q196_zipf_audit"   -> 5, // word fold (2-phase) feeding the GlobalOrder
+                             // RDD bridge + band fold + broadcast total +
+                             // orderBy
+    "q197_new_returning" -> 3 // ONE custkey window for the first-month
+                             // flag + combinable |months| fold + orderBy
   )
 
   budgets.foreach { case (name, max) =>
