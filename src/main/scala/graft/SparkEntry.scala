@@ -226,6 +226,9 @@ object SparkEntry {
     "q195_json_audit"      -> EventOps.q195JsonAudit _,
     "q196_zipf_audit"      -> CorpusOps.q196ZipfAudit _,
     "q197_new_returning"   -> Relational.q197NewVsReturning _,
+    "q198_centroid_drift"  -> SimilarityOps.q198CentroidDrift _,
+    "q199_order_fanout"    -> Relational.q199OrderFanout _,
+    "q200_scorecard"       -> CorpusOps.q200Scorecard _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3592,5 +3595,71 @@ object SparkEntry {
         |    AS new_revenue_ppm
         |FROM o JOIN f USING (o_custkey)
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    "q198_centroid_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    vec_id % 2 AS half,
+        |    unnest(list_transform(range(1, 65), i -> {
+        |      'dim': CAST(i AS BIGINT),
+        |      'q': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |    })) AS u
+        |  FROM embeddings),
+        |s AS (SELECT label, half, u.dim AS dim,
+        |    CAST(sum(u.q) AS BIGINT) AS sq,
+        |    count(DISTINCT vec_id) AS n
+        |  FROM e GROUP BY 1, 2, 3),
+        |a AS (SELECT label, dim, sq AS sa, n AS na FROM s WHERE half = 0),
+        |b AS (SELECT label, dim, sq AS sb, n AS nb FROM s WHERE half = 1)
+        |SELECT label, CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(sum(abs(sa * nb - sb * na)) AS BIGINT) AS drift_mass
+        |FROM a JOIN b USING (label, dim)
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "q199_order_fanout" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS n_lines
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT CAST(length(bin(n_lines)) - 1 AS BIGINT) AS band,
+        |  count(*) AS n_orders,
+        |  CAST(min(n_lines) AS BIGINT) AS min_lines,
+        |  CAST(max(n_lines) AS BIGINT) AS max_lines,
+        |  CAST(sum(n_lines) AS BIGINT) AS sum_lines
+        |FROM c GROUP BY band ORDER BY band""".stripMargin,
+
+    "q200_scorecard" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    list_reduce(list_transform(
+        |        string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |    min(doc_id) OVER (PARTITION BY
+        |      coalesce(md5(text), 'null:' || CAST(doc_id AS VARCHAR)))
+        |      AS keep_id
+        |  FROM documents),
+        |a AS (SELECT count(*) AS m_docs,
+        |    CAST(sum(n_words) AS BIGINT) AS m_tokens,
+        |    CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m_dups,
+        |    CAST(sum(CASE WHEN n_words < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS m_short,
+        |    CAST(sum(CASE WHEN fp % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS m_eval,
+        |    CAST(sum(CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS m_forget,
+        |    CAST(sum(CASE WHEN ((doc_id * 2654435761) % 40) % 10 = 3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS m_blocked,
+        |    CAST(sum(CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS m_template
+        |  FROM d)
+        |SELECT 'n_docs' AS metric, m_docs AS value FROM a
+        |UNION ALL SELECT 'n_tokens', m_tokens FROM a
+        |UNION ALL SELECT 'exact_dup_docs', m_dups FROM a
+        |UNION ALL SELECT 'short_docs', m_short FROM a
+        |UNION ALL SELECT 'eval_band_docs', m_eval FROM a
+        |UNION ALL SELECT 'deletion_requests', m_forget FROM a
+        |UNION ALL SELECT 'blocklisted_docs', m_blocked FROM a
+        |UNION ALL SELECT 'template_docs', m_template FROM a
+        |ORDER BY metric""".stripMargin,
   )
 }

@@ -866,4 +866,24 @@ object Relational {
         expr("new_revenue_cents * 1000000 div revenue_cents"))
       .orderBy($"month")
   }
+
+  /** X167 — order fan-out histogram: the lines-per-order distribution in
+    * log2 bands — the join-cardinality shape behind every
+    * lineitem⋈orders plan in the suite (X114 predicts one join's size
+    * exactly; this is the standing profile a planner consults). Two
+    * combinable folds: order-key count, then band histogram.
+    *
+    * Scale: the order fold is the same single shuffle every per-order
+    * aggregate pays; the histogram is a ≤~10-row frame. */
+  def q199OrderFanout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n_lines"))
+      .withColumn("band", (length(bin($"n_lines")) - 1).cast("long"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"n_lines").as("min_lines"), max($"n_lines").as("max_lines"),
+        sum($"n_lines").as("sum_lines"))
+      .orderBy($"band")
+  }
 }

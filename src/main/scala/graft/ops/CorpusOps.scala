@@ -695,4 +695,49 @@ object CorpusOps {
         $"rank_freq_mass", $"min_freq", $"max_freq")
       .orderBy($"band")
   }
+
+  /** X168 — corpus release scorecard: the one-look gate — every headline
+    * number a release review asks for, from ONE scan plus the md5
+    * keep-id window: document/token mass, exact-duplicate count (q154's
+    * rule), short-document tail (q154's quality gate), the replayable
+    * eval-band size (X127's split), standing deletion requests (X128's
+    * rule), blocklisted provenance (X126's planted rule) and planted
+    * template copies (X151's rule). Every metric reconciles with the
+    * operator that owns it — this row set is the index, not a fork.
+    *
+    * Scale: ONE scan, one content-hash window, one 1-row aggregate
+    * exploded to the metric rows. */
+  def q200Scorecard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val one = docs(s, dir)
+      .withColumn("n_words", size(split($"text", " ")).cast("long"))
+      .withColumn("fp",
+        expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))"))
+      .withColumn("keep_id", min($"doc_id").over(Window.partitionBy(
+        coalesce(md5($"text"), concat(lit("null:"), $"doc_id")))))
+      .agg(
+        count(lit(1)).as("m_docs"),
+        sum($"n_words").as("m_tokens"),
+        sum(when($"doc_id" =!= $"keep_id", 1L).otherwise(0L)).as("m_dups"),
+        sum(when($"n_words" < 20, 1L).otherwise(0L)).as("m_short"),
+        sum(when($"fp" % 10 === 9, 1L).otherwise(0L)).as("m_eval"),
+        sum(when($"doc_id" % 19 === 0, 1L).otherwise(0L)).as("m_forget"),
+        sum(when(($"doc_id" * 2654435761L % 40L) % 10L === 3L, 1L)
+          .otherwise(0L)).as("m_blocked"),
+        sum(when($"doc_id" % 23 === 0, 1L).otherwise(0L)).as("m_template"))
+    one.select(explode(expr(
+        """array(
+          |  struct('n_docs' AS metric, m_docs AS value),
+          |  struct('n_tokens' AS metric, m_tokens AS value),
+          |  struct('exact_dup_docs' AS metric, m_dups AS value),
+          |  struct('short_docs' AS metric, m_short AS value),
+          |  struct('eval_band_docs' AS metric, m_eval AS value),
+          |  struct('deletion_requests' AS metric, m_forget AS value),
+          |  struct('blocklisted_docs' AS metric, m_blocked AS value),
+          |  struct('template_docs' AS metric, m_template AS value))""".stripMargin))
+        .as("r"))
+      .select($"r.metric", $"r.value")
+      .orderBy($"metric")
+  }
 }

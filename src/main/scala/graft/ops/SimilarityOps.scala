@@ -243,4 +243,39 @@ object SimilarityOps {
       .select($"q_id", $"n_hits", expr("n_hits * 1000000 div k").as("recall_ppm"))
       .orderBy($"q_id")
   }
+
+  /** X166 — quantized centroid-drift monitor: per label, the L1 distance
+    * between the two snapshot halves' centroid MASS (vec_id parity —
+    * consecutive embedding batches) — the "did the encoder or the data
+    * move?" alarm for embedding pipelines. Components quantize to
+    * fixed-point millis BEFORE summing, so the per-dimension sums are
+    * exact integers (order-independent — a float mean would be
+    * partial-aggregation-order-dependent and unhashable); the drift is
+    * Σ_d |sumA_d·nB − sumB_d·nA| — the cross-multiplied integer form of
+    * \|meanA − meanB\|₁ that never divides.
+    *
+    * Scale: the dim explode is a ×64 narrow pass; the (label, half, dim)
+    * fold is combinable into a 10×2×64 frame; everything after is
+    * dimension-frame joins. */
+  def q198CentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"),
+        ($"vec_id" % 2).as("half"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+          .as(Seq("pos", "q")))
+      .select($"vec_id", $"label", $"half", ($"pos" + 1).as("dim"), $"q")
+    val sums = e.groupBy($"label", $"half", $"dim")
+      .agg(sum($"q").as("sq"), countDistinct($"vec_id").as("n"))
+    val a = sums.filter($"half" === 0)
+      .select($"label", $"dim", $"sq".as("sa"), $"n".as("na"))
+    val b = sums.filter($"half" === 1)
+      .select($"label", $"dim", $"sq".as("sb"), $"n".as("nb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy($"label")
+      .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+        sum(abs($"sa" * $"nb" - $"sb" * $"na")).as("drift_mass"))
+      .orderBy($"label")
+  }
 }

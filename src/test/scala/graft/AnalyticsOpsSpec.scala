@@ -524,4 +524,61 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every ordering customer contributes at least one first-month order
     assert(rows.map(_.getAs[Long]("new_orders")).sum >= firstM.size.toLong)
   }
+
+  test("centroid drift: quantized sums equal the driver fold per label") {
+    import spark.implicits._
+    val rows = graft.ops.SimilarityOps.q198CentroidDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("l"), $"embedding")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("l"),
+        r.getSeq[Float](2).map(x => math.round(x.toDouble * 1000))))
+    rows.foreach { r =>
+      val label = r.getAs[Long]("label")
+      val xs = e.filter(_._2 == label)
+      val ha = xs.filter(_._1 % 2 == 0); val hb = xs.filter(_._1 % 2 == 1)
+      val na = ha.length.toLong; val nb = hb.length.toLong
+      val drift = (0 until 64).map { d =>
+        val sa = ha.map(_._3(d)).sum; val sb = hb.map(_._3(d)).sum
+        math.abs(sa * nb - sb * na)
+      }.sum
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+      assert(r.getAs[Long]("drift_mass") == drift,
+        s"label $label: quantized drift diverged")
+    }
+  }
+
+  test("order fanout: bands tile and masses reconcile to lineitem") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q199OrderFanout(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    assert(rows.map(_.getAs[Long]("sum_lines")).sum == li.count())
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      li.select($"l_orderkey").distinct().count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("band")
+      assert(r.getAs[Long]("min_lines") >= (1L << b))
+      assert(r.getAs[Long]("max_lines") <= (1L << (b + 1)) - 1)
+    }
+  }
+
+  test("scorecard metrics reconcile with the operators that own them") {
+    val m = CorpusOps.q200Scorecard(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    // q154's funnel owns docs/dups/tokens
+    val funnel = CorpusOps.q154CurationFunnel(spark, sf).collect()
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(m("n_docs") == funnel(0L))
+    assert(m("n_docs") - m("exact_dup_docs") == funnel(1L))
+    // q161 owns the deletion-request rule
+    val forget = graft.ops.PipelineOps.q161ForgetAudit(spark, sf).collect()
+      .map(_.getAs[Long]("deleted_docs")).sum
+    assert(m("deletion_requests") == forget)
+    // q159 owns the blocklist rule
+    val blocked = graft.ops.TextOps.q159BlocklistFilter(spark, sf).collect()
+      .map(_.getAs[Long]("blocked_docs")).sum
+    assert(m("blocklisted_docs") == blocked)
+    assert(m("eval_band_docs") > 0L && m("eval_band_docs") < m("n_docs"))
+  }
 }

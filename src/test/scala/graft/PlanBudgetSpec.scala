@@ -295,8 +295,14 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q196_zipf_audit"   -> 5, // word fold (2-phase) feeding the GlobalOrder
                              // RDD bridge + band fold + broadcast total +
                              // orderBy
-    "q197_new_returning" -> 3 // ONE custkey window for the first-month
+    "q197_new_returning" -> 3, // ONE custkey window for the first-month
                              // flag + combinable |months| fold + orderBy
+    "q198_centroid_drift" -> 7, // (label, half, dim) fold with 2-phase
+                             // distinct-count + the half split join +
+                             // label fold + orderBy — frames are 10×2×64
+    "q199_order_fanout" -> 3, // order fold + band histogram + orderBy
+    "q200_scorecard"    -> 2 // ONE md5 keep-id window + the 1-row metric
+                             // aggregate; the 8-row explode stays narrow
   )
 
   budgets.foreach { case (name, max) =>
