@@ -2838,7 +2838,7 @@ object SparkEntry {
         |        string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
         |        c -> CAST(ascii(c) AS BIGINT)),
         |      (a, b) -> (a * 31 + b) % 1000000007) % 10 = 9 AS is_eval,
-        |    n_chars * 1000000 + doc_id AS k
+        |    n_chars * 1000000000000 + doc_id AS k
         |  FROM documents),
         |e AS (SELECT * FROM d WHERE is_eval),
         |t AS (SELECT * FROM d WHERE NOT is_eval)
@@ -3274,11 +3274,14 @@ object SparkEntry {
 
     // 8-bit PCM stand-in: ASCII text bytes as samples; 256-sample windows
     // at hop 128; energy = Σ (s-128)² per window; argmax tie → first.
+    // Non-ASCII documents are excluded on BOTH sides (code points ≠ UTF-8
+    // bytes beyond 7 bits).
     "q184_audio_windows" ->
       """WITH d AS (SELECT doc_id, list_transform(
         |    string_split(coalesce(text, ''), ''),
         |    c -> CAST(ascii(c) AS BIGINT)) AS smp
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE NOT regexp_matches(coalesce(text, ''), '[^\x00-\x7f]')),
         |w AS (SELECT doc_id, len(smp) AS n,
         |    CASE WHEN len(smp) < 256 THEN 0
         |         ELSE (len(smp) - 256) // 128 + 1 END AS nw, smp
@@ -3303,7 +3306,8 @@ object SparkEntry {
     // 64-byte frame chunks fingerprinted with the portable hash; the
     // final frame may be short (substring tail), matching Spark exactly.
     "q185_frame_dedup" ->
-      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
+        |  WHERE length(coalesce(text, '')) >= 1),
         |f AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_bytes,
         |    list_transform(range(0, (length(t) + 63) // 64), j ->
         |      list_reduce(list_transform(

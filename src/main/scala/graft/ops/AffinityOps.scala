@@ -19,6 +19,28 @@ import graft.sources.Tables
   */
 object AffinityOps {
 
+  /** THE support-2 co-purchase edge set (canonical p1 < p2): parts
+    * co-purchased in >= 2 distinct orders. ONE definition shared by the
+    * triangle count (X98), the degree histogram (X131) and the two-hop
+    * reach (X156) — a support-gate change must hit all three graph
+    * operators at once or their "same graph" claims silently drift.
+    * The gate is also the scale argument: a single co-occurrence is
+    * noise, and on a random-basket corpus it is the difference between a
+    * near-clique (wedge explosion) and an affinity graph orders sparser. */
+  private def support2Edges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val po = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .filter($"ok".isNotNull && $"pk".isNotNull)
+      .distinct()
+    po.select($"ok", $"pk".as("p1"))
+      .join(po.select($"ok", $"pk".as("p2")), Seq("ok"))
+      .filter($"p1" < $"p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"p1", $"p2")
+  }
+
   /** X74 — co-purchase lift: for every unordered part pair appearing in ≥2
     * common orders, the support count and the lift vs independence, in
     * integer parts-per-million (ppm keeps the ratio engine-exact; a libm
@@ -171,21 +193,7 @@ object AffinityOps {
     * is one combinable explode of the three corners. */
   def q132Triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val po = Tables.load(s, dir, "lineitem")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      .filter($"ok".isNotNull && $"pk".isNotNull)
-      .distinct()
-    // undirected edge set at MINIMUM SUPPORT 2 (parts co-purchased in >= 2
-    // orders, canonical p1<p2): the standard market-basket support gate —
-    // a single co-occurrence is noise, and on a random-basket corpus it is
-    // also the difference between a ~1M-edge near-clique (wedge explosion)
-    // and a support-backed affinity graph three orders sparser
-    val e = po.select($"ok", $"pk".as("p1"))
-      .join(po.select($"ok", $"pk".as("p2")), Seq("ok"))
-      .filter($"p1" < $"p2")
-      .groupBy($"p1", $"p2").agg(count(lit(1)).as("w"))
-      .filter($"w" >= 2)
-      .select($"p1", $"p2")
+    val e = support2Edges(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // degree frame is part-cardinality-sized → broadcast both lookups
@@ -233,15 +241,7 @@ object AffinityOps {
     * the band is integer bit-length math (q130's engine-exact log2). */
   def q164DegreeHistogram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val po = Tables.load(s, dir, "lineitem")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      .filter($"ok".isNotNull && $"pk".isNotNull)
-      .distinct()
-    val e = po.select($"ok", $"pk".as("p1"))
-      .join(po.select($"ok", $"pk".as("p2")), Seq("ok"))
-      .filter($"p1" < $"p2")
-      .groupBy($"p1", $"p2").agg(count(lit(1)).as("w"))
-      .filter($"w" >= 2)
+    val e = support2Edges(s, dir)
     val deg = e.select($"p1".as("pk")).unionByName(e.select($"p2".as("pk")))
       .groupBy($"pk").agg(count(lit(1)).as("d"))
     deg.withColumn("band", (length(bin($"d")) - 1).cast("long"))
@@ -266,14 +266,7 @@ object AffinityOps {
     * and the k-row skim is a TakeOrdered. */
   def q188TwoHopReach(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val po = Tables.load(s, dir, "lineitem")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      .filter($"ok".isNotNull && $"pk".isNotNull).distinct()
-    val e = po.select($"ok", $"pk".as("p1"))
-      .join(po.select($"ok", $"pk".as("p2")), Seq("ok"))
-      .filter($"p1" < $"p2")
-      .groupBy($"p1", $"p2").agg(count(lit(1)).as("w"))
-      .filter($"w" >= 2).select($"p1", $"p2")
+    val e = support2Edges(s, dir)
     // the adjacency feeds FOUR consumers (both wedge sides, the degree
     // fold, the direct-edge anti-join) — persist it once so the edge
     // pipeline runs once, not once per consumer (q132's idiom; the

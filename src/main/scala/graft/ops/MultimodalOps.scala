@@ -114,6 +114,11 @@ object MultimodalOps {
     import s.implicits._
     val Win = 256; val Hop = 128; val SilentBelow = 25600L
     val media = Tables.load(s, dir, "documents")
+      // ASCII precondition, ENFORCED: the DuckDB oracle replays samples as
+      // per-character code points, which equals UTF-8 bytes only for
+      // 7-bit text — multi-byte documents are excluded on both sides
+      // rather than silently diverging
+      .filter(!coalesce($"text", lit("")).rlike("[^\\x00-\\x7F]"))
       .select($"doc_id", encode(coalesce($"text", lit("")), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
     media.mapPartitions { rows =>
@@ -159,6 +164,10 @@ object MultimodalOps {
     graft.functions.Fingerprint.register(s)
     Tables.load(s, dir, "documents")
       .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      // empty payloads carry no frames — and unguarded they would hit
+      // Spark's DESCENDING sequence(0, -1) = [0, -1], fabricating two
+      // phantom frames (the documented sequence pitfall) and a 0-divisor
+      .filter(length($"t") >= 1)
       .withColumn("n_bytes", length($"t").cast("long"))
       // ceil(n/64) frames; substring's out-of-range tail yields the short
       // final frame, exactly like a trailing partial video segment

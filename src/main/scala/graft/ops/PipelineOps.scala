@@ -1276,8 +1276,9 @@ object PipelineOps {
     * window over the language-partitioned (n_chars, doc_id) total order
     * carries the last-seen TRAIN payload (last_value ignore-nulls over a
     * strictly-preceding frame) onto every eval row. No cross product at
-    * any scale; the composite key packs into one BIGINT (chars·10⁶ + id)
-    * so the oracle's ASOF join sees the identical total order.
+    * any scale; the composite key packs into one BIGINT (chars·10¹² +
+    * id — distinct to 10¹² docs and ~9.2·10⁶ chars) so the oracle's
+    * ASOF join sees the identical total order.
     *
     * Scale: ONE language partitioning; payload is a 2-field struct; eval
     * rows filter AFTER the window (they must observe train neighbors),
@@ -1291,7 +1292,9 @@ object PipelineOps {
       .withColumn("fp",
         expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))"))
       .withColumn("is_eval", $"fp" % 10 === 9)
-      .withColumn("k", $"n_chars" * 1000000L + $"doc_id")
+      // 10^12 multiplier: doc ids stay distinct from length bits up to
+      // 10^12 docs and ~9.2M chars — int64 headroom documented, not hoped
+      .withColumn("k", $"n_chars" * 1000000000000L + $"doc_id")
       .withColumn("pair", last(
         when(!$"is_eval", struct($"doc_id".as("id"), $"n_chars".as("chars"))),
         ignoreNulls = true).over(w))
@@ -1326,12 +1329,18 @@ object PipelineOps {
     val before = d.groupBy($"lang")
       .agg(count(lit(1)).as("before_docs"), sum($"fp").as("before_fpsum"))
     val afterAgg = after.groupBy($"lang")
-      .agg(count(lit(1)).as("after_docs"), sum($"fp").as("after_fpsum"),
-        sum(when($"doc_id" % 19 === 0, 1L).otherwise(0L)).as("residual"))
-    before.join(afterAgg, Seq("lang"))
-      .select($"lang", $"before_docs", $"after_docs",
-        ($"before_docs" - $"after_docs").as("deleted_docs"), $"residual",
-        ($"before_fpsum" - $"after_fpsum").as("deleted_fpsum"))
+      .agg(count(lit(1)).as("after_raw"), sum($"fp").as("after_fpsum_raw"),
+        sum(when($"doc_id" % 19 === 0, 1L).otherwise(0L)).as("residual_raw"))
+    // LEFT join from the before frame: a language whose every document was
+    // requested for deletion must still report (after_docs = 0), not
+    // vanish — q159's fully-blocked-source rule
+    before.join(afterAgg, Seq("lang"), "left")
+      .select($"lang", $"before_docs",
+        coalesce($"after_raw", lit(0L)).as("after_docs"),
+        ($"before_docs" - coalesce($"after_raw", lit(0L))).as("deleted_docs"),
+        coalesce($"residual_raw", lit(0L)).as("residual"),
+        ($"before_fpsum" - coalesce($"after_fpsum_raw", lit(0L)))
+          .as("deleted_fpsum"))
       .orderBy($"lang")
   }
 

@@ -380,6 +380,21 @@ object TextOps {
       .orderBy($"lang", $"rk")
   }
 
+  /** THE planted-URL projection (X123's ground truth): every document gets
+    * one https URL on a doc_id-derived domain; every fifth doc a second
+    * http URL on the sibling domain. ONE definition shared by the q156
+    * domain report and the q159 blocklist gate — q159's oracle derives
+    * "blocked" purely from this plant's id rule, so a drift between two
+    * copies would silently break the blocked ⟺ id%10==3 equivalence. */
+  private def withPlantedUrls(df: DataFrame): DataFrame =
+    df.withColumn("t2", concat(coalesce(col("text"), lit("")),
+      lit(" see https://site"), ((col("doc_id") * 2654435761L) % 40L).cast("string"),
+      lit(".example.org/p/"), (col("doc_id") % 7L).cast("string"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" and http://m"), ((col("doc_id") * 2654435761L) % 40L).cast("string"),
+          lit(".example.net/q"))).otherwise(lit("")),
+      lit(" ok")))
+
   /** X123 — URL/domain extraction report: the provenance histogram every
     * web-scraped corpus needs before domain-level filtering (blocklists,
     * per-domain caps). Ground truth is planted deterministically — every
@@ -398,14 +413,7 @@ object TextOps {
     * never a window over the report frame); report is |domains|-sized. */
   def q156UrlDomains(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val planted = docs(s, dir)
-      .withColumn("t2", concat(coalesce($"text", lit("")),
-        lit(" see https://site"), (($"doc_id" * 2654435761L) % 40L).cast("string"),
-        lit(".example.org/p/"), ($"doc_id" % 7L).cast("string"),
-        when($"doc_id" % 5 === 0,
-          concat(lit(" and http://m"), (($"doc_id" * 2654435761L) % 40L).cast("string"),
-            lit(".example.net/q"))).otherwise(lit("")),
-        lit(" ok")))
+    val planted = withPlantedUrls(docs(s, dir))
     val hits = planted.select($"doc_id",
       explode(expr("regexp_extract_all(t2, 'https?://([A-Za-z0-9.-]+)', 1)"))
         .as("domain"))
@@ -478,14 +486,7 @@ object TextOps {
     * shuffle. The corpus text payload never moves. */
   def q159BlocklistFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val planted = docs(s, dir)
-      .withColumn("t2", concat(coalesce($"text", lit("")),
-        lit(" see https://site"), (($"doc_id" * 2654435761L) % 40L).cast("string"),
-        lit(".example.org/p/"), ($"doc_id" % 7L).cast("string"),
-        when($"doc_id" % 5 === 0,
-          concat(lit(" and http://m"), (($"doc_id" * 2654435761L) % 40L).cast("string"),
-            lit(".example.net/q"))).otherwise(lit("")),
-        lit(" ok")))
+    val planted = withPlantedUrls(docs(s, dir))
     val blocklist = (0 until 40).filter(_ % 10 == 3)
       .flatMap(i => Seq(s"site$i.example.org", s"m$i.example.net"))
       .toDF("domain")

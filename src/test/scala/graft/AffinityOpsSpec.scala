@@ -1203,11 +1203,11 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       d.filter(!_.getAs[Boolean]("is_eval")).toSeq
         .groupBy(_.getAs[String]("lang"))
         .map { case (l, rs) => l -> rs.map(r =>
-          (r.getAs[Long]("n_chars") * 1000000L + r.getAs[Long]("doc_id"),
+          (r.getAs[Long]("n_chars") * 1000000000000L + r.getAs[Long]("doc_id"),
            r.getAs[Long]("doc_id"))).sortBy(_._1) }
     var paired = 0
     rows.foreach { r =>
-      val k = r.getAs[Long]("n_chars") * 1000000L + r.getAs[Long]("doc_id")
+      val k = r.getAs[Long]("n_chars") * 1000000000000L + r.getAs[Long]("doc_id")
       val want = trainByLang.getOrElse(r.getAs[String]("lang"), Seq.empty)
         .takeWhile(_._1 < k).lastOption.map(_._2)
       val got = Option(r.get(r.fieldIndex("pair_doc_id")))
