@@ -229,6 +229,8 @@ object SparkEntry {
     "q198_centroid_drift"  -> SimilarityOps.q198CentroidDrift _,
     "q199_order_fanout"    -> Relational.q199OrderFanout _,
     "q200_scorecard"       -> CorpusOps.q200Scorecard _,
+    "q201_lang_purity"     -> TextOps.q201LangPurity _,
+    "q202_weekday_seasonality" -> EventOps.q202WeekdaySeasonality _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3665,5 +3667,32 @@ object SparkEntry {
         |UNION ALL SELECT 'blocklisted_docs', m_blocked FROM a
         |UNION ALL SELECT 'template_docs', m_template FROM a
         |ORDER BY metric""".stripMargin,
+
+    // Same stopword classifier as q31/q97: hits*20 >= n_words -> 'en'.
+    "q201_lang_purity" ->
+      """WITH p AS (SELECT source, lang,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |        w -> w = 'the' OR w = 'a' OR w = 'of')) * 20
+        |      >= len(string_split(text, ' '))
+        |      THEN 'en' ELSE 'unknown' END AS pred_lang
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree,
+        |  CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS purity_ppm
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "q202_weekday_seasonality" ->
+      """WITH e AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow
+        |  FROM events),
+        |g AS (SELECT event_type, iso_dow, count(*) AS n_events
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS type_total
+        |  FROM g GROUP BY event_type)
+        |SELECT g.event_type, iso_dow, n_events,
+        |  n_events * 1000000 // type_total AS share_ppm
+        |FROM g JOIN t ON g.event_type = t.event_type
+        |ORDER BY g.event_type, iso_dow""".stripMargin,
   )
 }

@@ -754,4 +754,28 @@ object EventOps {
       .withColumn("fail_ppm", expr("parse_failures * 1000000 div n_events"))
       .orderBy($"event_type")
   }
+
+  /** X170 — weekday seasonality: events per ISO weekday × type with the
+    * within-type share in integer ppm — the calendar-shape audit behind
+    * anomaly thresholds (a Monday spike is seasonality, not an
+    * incident). ISO numbering (1 = Monday) via weekday()+1, which both
+    * engines express exactly — Spark's dayofweek() and DuckDB's dow
+    * disagree on the week start, so neither is used.
+    *
+    * Scale: narrow calendar projection + ONE combinable \|types\|×7
+    * fold; per-type totals ride the same fold via a window over the
+    * 7-row-per-type frame. */
+  def q202WeekdaySeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byType = Window.partitionBy($"event_type")
+    ev(s, dir)
+      .select($"event_type",
+        (weekday($"ts".cast("timestamp")) + 1).cast("long").as("iso_dow"))
+      .groupBy($"event_type", $"iso_dow")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("type_total", sum($"n_events").over(byType))
+      .withColumn("share_ppm", expr("n_events * 1000000 div type_total"))
+      .select($"event_type", $"iso_dow", $"n_events", $"share_ppm")
+      .orderBy($"event_type", $"iso_dow")
+  }
 }

@@ -581,4 +581,22 @@ object TextOps {
       .withColumn("mean_ppm", expr("sum_ppm div n_docs"))
       .orderBy($"source")
   }
+
+  /** X169 — per-source language purity: the share of each source's
+    * documents whose PREDICTED language agrees with the metadata tag, in
+    * integer ppm — q97's agreement matrix collapsed to the per-source
+    * verdict a crawl triage reads first ("which feed's language labels
+    * can we trust?"). CONSUMES [[withLangPrediction]] — the same
+    * classifier the matrix audits, so the two reports cannot drift.
+    *
+    * Scale: narrow predictor pass + ONE combinable \|sources\| fold. */
+  def q201LangPurity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withLangPrediction(docs(s, dir))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"pred_lang" === $"lang", 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("purity_ppm", expr("n_agree * 1000000 div n_docs"))
+      .orderBy($"source")
+  }
 }

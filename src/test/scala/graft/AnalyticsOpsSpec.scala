@@ -581,4 +581,40 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("blocklisted_docs") == blocked)
     assert(m("eval_band_docs") > 0L && m("eval_band_docs") < m("n_docs"))
   }
+
+  test("lang purity: per-source agreement equals the q31 classifier replay") {
+    import spark.implicits._
+    val rows = graft.ops.TextOps.q201LangPurity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val expected = graft.ops.TextOps.q31LangQuality(spark, sf)
+      .join(graft.sources.Tables.load(spark, sf, "documents")
+        .select($"doc_id", $"source".as("src2")), Seq("doc_id"))
+      .groupBy($"src2")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pred_lang" === $"lang", 1L).otherwise(0L)).as("agree"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("agree"))).toMap
+    rows.foreach { r =>
+      val (n, agree) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_agree") == agree)
+      assert(r.getAs[Long]("purity_ppm") == agree * 1000000L / n)
+    }
+  }
+
+  test("weekday seasonality: shares sum to ~1e6 and days are ISO") {
+    val rows = EventOps.q202WeekdaySeasonality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("iso_dow")
+      assert(d >= 1L && d <= 7L)
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val s = rs.map(_.getAs[Long]("share_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length)
+      val tot = rs.map(_.getAs[Long]("n_events")).sum
+      rs.foreach(r => assert(r.getAs[Long]("share_ppm") ==
+        r.getAs[Long]("n_events") * 1000000L / tot))
+    }
+  }
 }

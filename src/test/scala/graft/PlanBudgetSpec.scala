@@ -301,8 +301,13 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // distinct-count + the half split join +
                              // label fold + orderBy — frames are 10×2×64
     "q199_order_fanout" -> 3, // order fold + band histogram + orderBy
-    "q200_scorecard"    -> 2 // ONE md5 keep-id window + the 1-row metric
+    "q200_scorecard"    -> 2, // ONE md5 keep-id window + the 1-row metric
                              // aggregate; the 8-row explode stays narrow
+    "q201_lang_purity"  -> 2, // narrow predictor pass + ONE combinable
+                             // |sources| fold + orderBy
+    "q202_weekday_seasonality" -> 3 // calendar projection + |types|×7 fold
+                             // + the per-type share window on that frame
+                             // + orderBy
   )
 
   budgets.foreach { case (name, max) =>
