@@ -231,6 +231,8 @@ object SparkEntry {
     "q200_scorecard"       -> CorpusOps.q200Scorecard _,
     "q201_lang_purity"     -> TextOps.q201LangPurity _,
     "q202_weekday_seasonality" -> EventOps.q202WeekdaySeasonality _,
+    "q203_source_terms"    -> CorpusOps.q203SourceTerms _,
+    "q204_dup_by_length"   -> CorpusOps.q204DupByLength _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3694,5 +3696,38 @@ object SparkEntry {
         |  n_events * 1000000 // type_total AS share_ppm
         |FROM g JOIN t ON g.event_type = t.event_type
         |ORDER BY g.event_type, iso_dow""".stripMargin,
+
+    "q203_source_terms" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |bs AS (SELECT source, w, count(*) AS cnt FROM w
+        |       GROUP BY source, w HAVING count(*) >= 20),
+        |bw AS (SELECT w, count(*) AS tot_w FROM w GROUP BY w),
+        |st AS (SELECT source, count(*) AS src_total FROM w GROUP BY source),
+        |g AS (SELECT count(*) AS grand_total FROM w),
+        |l AS (SELECT bs.source, bs.w, bs.cnt,
+        |    bs.cnt * g.grand_total * 1000000
+        |      // (bw.tot_w * st.src_total) AS lift_ppm
+        |  FROM bs JOIN bw USING (w) JOIN st USING (source) CROSS JOIN g),
+        |r AS (SELECT source, w, cnt, lift_ppm,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY lift_ppm DESC, w) AS BIGINT) AS rk
+        |  FROM l)
+        |SELECT source, rk, w, cnt, lift_ppm
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    "q204_dup_by_length" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    min(doc_id) OVER (PARTITION BY
+        |      coalesce(md5(text), 'null:' || CAST(doc_id AS VARCHAR)))
+        |      AS keep_id
+        |  FROM documents)
+        |SELECT least(n_chars // 100, 19) AS band,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS dup_docs,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // count(*) AS dup_ppm
+        |FROM d GROUP BY band ORDER BY band""".stripMargin,
   )
 }

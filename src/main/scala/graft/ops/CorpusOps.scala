@@ -740,4 +740,60 @@ object CorpusOps {
       .select($"r.metric", $"r.value")
       .orderBy($"metric")
   }
+
+  /** X171 — distinctive terms per source: the top-5 words whose share of
+    * a source's token stream most exceeds their corpus-wide share
+    * (integer-ppm lift, n ≥ 20 floor against one-off flukes) — the
+    * "source signature" a crawl triage reads to spot a feed gone
+    * boilerplate or off-topic. Lift, not raw tf-idf: q49 ranks terms
+    * WITHIN a document; this contrasts a source AGAINST the corpus.
+    *
+    * Scale: one combinable (source, word) fold; corpus-wide word totals
+    * are vocabulary-sized and join on the uniform word key; the top-k
+    * is one window over the per-source candidate frame. Lift in ppm:
+    * cnt·T·10⁶ div (tot_w·S) — int64-safe to ~10⁹-token sources per
+    * word (document larger with a pre-scaled share). */
+  def q203SourceTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = docs(s, dir)
+      .select($"source", explode(split($"text", " ")).as("w"))
+    val bySrc = words.groupBy($"source", $"w").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 20)
+    val byWord = words.groupBy($"w").agg(count(lit(1)).as("tot_w"))
+    val srcTotals = words.groupBy($"source").agg(count(lit(1)).as("src_total"))
+    val grand = words.agg(count(lit(1)).as("grand_total"))
+    val win = Window.partitionBy($"source")
+      .orderBy($"lift_ppm".desc, $"w".asc)
+    bySrc
+      .join(byWord, Seq("w"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .withColumn("lift_ppm",
+        expr("cnt * grand_total * 1000000 div (tot_w * src_total)"))
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"source", $"rk", $"w", $"cnt", $"lift_ppm")
+      .orderBy($"source", $"rk")
+  }
+
+  /** X172 — duplicate rate by length band: exact-dup share (q154's md5
+    * keep-id rule) per 100-char length band — the "are duplicates
+    * short?" bias diagnostic that decides whether dedup will skew the
+    * length distribution (if dup_ppm concentrates in one band, removal
+    * reshapes the corpus there). Reuses [[TextOps.lengthBand]], so the
+    * bands line up with q114's histogram and q129's drift monitor.
+    *
+    * Scale: ONE scan + the md5 window + a combinable ~20-row band fold. */
+  def q204DupByLength(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("keep_id", min($"doc_id").over(Window.partitionBy(
+        coalesce(md5($"text"), concat(lit("null:"), $"doc_id")))))
+      .withColumn("band", TextOps.lengthBand("n_chars"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"doc_id" =!= $"keep_id", 1L).otherwise(0L)).as("dup_docs"))
+      .withColumn("dup_ppm", expr("dup_docs * 1000000 div n_docs"))
+      .orderBy($"band")
+  }
 }

@@ -617,4 +617,45 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Long]("n_events") * 1000000L / tot))
     }
   }
+
+  test("source terms: lift replay on the driver for every reported term") {
+    import spark.implicits._
+    val rows = CorpusOps.q203SourceTerms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val toks = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .as[(String, String)].collect()
+    val grand = toks.length.toLong
+    val bySrcW = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byW = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bySrc = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val (src, w) = (r.getAs[String]("source"), r.getAs[String]("w"))
+      val cnt = bySrcW((src, w))
+      assert(r.getAs[Long]("cnt") == cnt && cnt >= 20L)
+      assert(r.getAs[Long]("lift_ppm") ==
+        cnt * grand * 1000000L / (byW(w) * bySrc(src)))
+    }
+    // ordering: rk 1..5 per source, lift non-increasing
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length))
+      val lifts = sorted.map(_.getAs[Long]("lift_ppm")).toSeq
+      assert(lifts.sliding(2).forall(p => p.length < 2 || p(1) <= p(0)))
+    }
+  }
+
+  test("dup-by-length bands reconcile with the scorecard dup total") {
+    val rows = CorpusOps.q204DupByLength(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val m = CorpusOps.q200Scorecard(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == m("n_docs"))
+    assert(rows.map(_.getAs[Long]("dup_docs")).sum == m("exact_dup_docs"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_docs") <= r.getAs[Long]("n_docs"))
+      val band = r.getAs[Long]("band")
+      assert(band >= 0L && band <= 19L)
+    }
+  }
 }

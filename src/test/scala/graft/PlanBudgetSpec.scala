@@ -305,8 +305,14 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // aggregate; the 8-row explode stays narrow
     "q201_lang_purity"  -> 2, // narrow predictor pass + ONE combinable
                              // |sources| fold + orderBy
-    "q202_weekday_seasonality" -> 3 // calendar projection + |types|×7 fold
+    "q202_weekday_seasonality" -> 3, // calendar projection + |types|×7 fold
                              // + the per-type share window on that frame
+                             // + orderBy
+    "q203_source_terms" -> 10, // (source, word) fold + word-total fold
+                             // (both 2-phase, recounted per consumer) +
+                             // broadcast source/grand totals + the top-k
+                             // window + orderBy
+    "q204_dup_by_length" -> 3 // md5 keep-id window + combinable band fold
                              // + orderBy
   )
 
