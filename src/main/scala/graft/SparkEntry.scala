@@ -233,6 +233,8 @@ object SparkEntry {
     "q202_weekday_seasonality" -> EventOps.q202WeekdaySeasonality _,
     "q203_source_terms"    -> CorpusOps.q203SourceTerms _,
     "q204_dup_by_length"   -> CorpusOps.q204DupByLength _,
+    "q205_word_lengths"    -> CorpusOps.q205WordLengths _,
+    "q206_status_mix"      -> Relational.q206StatusMix _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3729,5 +3731,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
         |    AS BIGINT) * 1000000 // count(*) AS dup_ppm
         |FROM d GROUP BY band ORDER BY band""".stripMargin,
+
+    "q205_word_lengths" ->
+      """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |w AS (SELECT CAST(length(w) AS BIGINT) AS len FROM w0),
+        |h AS (SELECT len, count(*) AS n_words FROM w GROUP BY len),
+        |t AS (SELECT CAST(sum(n_words) AS BIGINT) AS total FROM h)
+        |SELECT len, n_words, n_words * 1000000 // t.total AS share_ppm
+        |FROM h, t ORDER BY len""".stripMargin,
+
+    "q206_status_mix" ->
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    o_orderstatus
+        |  FROM orders),
+        |g AS (SELECT month, o_orderstatus, count(*) AS n_orders
+        |  FROM o GROUP BY 1, 2),
+        |t AS (SELECT month, CAST(sum(n_orders) AS BIGINT) AS month_total
+        |  FROM g GROUP BY month)
+        |SELECT g.month, o_orderstatus, n_orders,
+        |  n_orders * 1000000 // month_total AS share_ppm
+        |FROM g JOIN t ON g.month = t.month
+        |ORDER BY g.month, o_orderstatus""".stripMargin,
   )
 }

@@ -886,4 +886,27 @@ object Relational {
         sum($"n_lines").as("sum_lines"))
       .orderBy($"band")
   }
+
+  /** X174 — order-status mix by month: each status's share of the month's
+    * orders in integer ppm — the categorical drift monitor on the order
+    * stream (X94 watches a numeric distribution; this watches a discrete
+    * one; a fulfillment regression shows up as the 'F' share bending).
+    * Single-pass conditional shares via the same one-fold discipline as
+    * Q8/Q14.
+    *
+    * Scale: narrow calendar projection + ONE combinable (month, status)
+    * fold; the share window runs on the \|months\|×\|statuses\| frame. */
+  def q206StatusMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byMonth = Window.partitionBy($"month")
+    t(s, dir, "orders")
+      .select(date_format($"o_orderdate", "yyyy-MM").as("month"),
+        $"o_orderstatus")
+      .groupBy($"month", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("month_total", sum($"n_orders").over(byMonth))
+      .withColumn("share_ppm", expr("n_orders * 1000000 div month_total"))
+      .select($"month", $"o_orderstatus", $"n_orders", $"share_ppm")
+      .orderBy($"month", $"o_orderstatus")
+  }
 }

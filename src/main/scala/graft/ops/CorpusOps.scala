@@ -796,4 +796,25 @@ object CorpusOps {
       .withColumn("dup_ppm", expr("dup_docs * 1000000 div n_docs"))
       .orderBy($"band")
   }
+
+  /** X173 — word-length distribution: token count and corpus share per
+    * exact word length (chars) — the subword-tokenizer sizing diagnostic
+    * (the longer the tail, the more a fixed BPE merges pay off; a spike
+    * at one length flags templated ids). Word lengths are naturally
+    * bounded, so the exact distribution IS small — no banding needed.
+    *
+    * Scale: one narrow explode + ONE combinable \|lengths\| fold with a
+    * broadcast 1-row total. */
+  def q205WordLengths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = docs(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .select(length($"w").cast("long").as("len"))
+    val hist = w.groupBy($"len").agg(count(lit(1)).as("n_words"))
+    val total = hist.agg(sum($"n_words").as("total"))
+    hist.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("n_words * 1000000 div total"))
+      .select($"len", $"n_words", $"share_ppm")
+      .orderBy($"len")
+  }
 }

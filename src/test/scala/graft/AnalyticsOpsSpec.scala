@@ -658,4 +658,34 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(band >= 0L && band <= 19L)
     }
   }
+
+  test("word lengths: histogram mass equals the corpus token count") {
+    import spark.implicits._
+    val rows = CorpusOps.q205WordLengths(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val toks = graft.sources.Tables.load(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("w")).as[String].collect()
+    assert(rows.map(_.getAs[Long]("n_words")).sum == toks.length.toLong)
+    val byLen = toks.groupBy(_.length.toLong).view.mapValues(_.length.toLong)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") == byLen(r.getAs[Long]("len")))
+    }
+    val ppm = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - rows.length)
+  }
+
+  test("status mix: per-month shares sum to ~1e6 and counts replay") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q206StatusMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .select(date_format($"o_orderdate", "yyyy-MM").as("m"), $"o_orderstatus")
+      .as[(String, String)].collect()
+    rows.groupBy(_.getAs[String]("month")).foreach { case (m, rs) =>
+      val tot = o.count(_._1 == m).toLong
+      assert(rs.map(_.getAs[Long]("n_orders")).sum == tot)
+      val s = rs.map(_.getAs[Long]("share_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length)
+    }
+  }
 }

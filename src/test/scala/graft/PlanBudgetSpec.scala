@@ -312,8 +312,13 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // (both 2-phase, recounted per consumer) +
                              // broadcast source/grand totals + the top-k
                              // window + orderBy
-    "q204_dup_by_length" -> 3 // md5 keep-id window + combinable band fold
+    "q204_dup_by_length" -> 3, // md5 keep-id window + combinable band fold
                              // + orderBy
+    "q205_word_lengths" -> 5, // explode + |lengths| fold (2-phase,
+                             // recounted for the total consumer) +
+                             // broadcast 1-row total + orderBy
+    "q206_status_mix"   -> 3 // (month, status) fold + the share window on
+                             // that frame + orderBy
   )
 
   budgets.foreach { case (name, max) =>
