@@ -235,6 +235,7 @@ object SparkEntry {
     "q204_dup_by_length"   -> CorpusOps.q204DupByLength _,
     "q205_word_lengths"    -> CorpusOps.q205WordLengths _,
     "q206_status_mix"      -> Relational.q206StatusMix _,
+    "q207_key_completeness" -> SchemaOps.q207KeyCompleteness _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3753,5 +3754,39 @@ object SparkEntry {
         |  n_orders * 1000000 // month_total AS share_ppm
         |FROM g JOIN t ON g.month = t.month
         |ORDER BY g.month, o_orderstatus""".stripMargin,
+
+    "q207_key_completeness" ->
+      """SELECT 'customer' AS table_name, 'c_custkey' AS key_column,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_keys FROM customer
+        |UNION ALL SELECT 'documents', 'doc_id', count(*),
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |UNION ALL SELECT 'embeddings', 'vec_id', count(*),
+        |  CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM embeddings
+        |UNION ALL SELECT 'events', 'event_id', count(*),
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
+        |UNION ALL SELECT 'lineitem', 'l_orderkey', count(*),
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |UNION ALL SELECT 'nation', 'n_nationkey', count(*),
+        |  CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM nation
+        |UNION ALL SELECT 'orders', 'o_orderkey', count(*),
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |UNION ALL SELECT 'part', 'p_partkey', count(*),
+        |  CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM part
+        |UNION ALL SELECT 'region', 'r_regionkey', count(*),
+        |  CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM region
+        |UNION ALL SELECT 'supplier', 's_suppkey', count(*),
+        |  CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM supplier
+        |ORDER BY table_name""".stripMargin,
   )
 }

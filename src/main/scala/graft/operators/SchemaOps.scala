@@ -149,6 +149,33 @@ object SchemaOps {
     * Scale: per-key count frames are key-cardinality-sized; their join is
     * co-keyed; the Σ-product is a broadcast 1-row aggregate. Nothing in
     * the prediction touches the fact tables wider than (key). */
+  /** X175 — cross-table key-completeness audit: every table's row count
+    * and the null count of its primary/join key — the one-look ingestion
+    * gate that catches a feed dropping keys before any join silently
+    * shrinks (q105 profiles ONE table in depth; this sweeps the whole
+    * catalog shallowly — the two compose). The reference's count-based
+    * validation (§2.6 P3) generalized to per-key null accounting.
+    *
+    * Scale: one 1-row combinable aggregate per table (each a single scan
+    * of one pruned column); the union is table-count-sized. */
+  def q207KeyCompleteness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = Seq(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "events" -> "event_id",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
+    keys.map { case (tbl, key) =>
+      graft.sources.Tables.load(s, dir, tbl)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(key).isNull, 1L).otherwise(0L)).as("null_keys"))
+        .select(lit(tbl).as("table_name"), lit(key).as("key_column"),
+          $"n_rows", $"null_keys")
+    }.reduce(_ unionByName _)
+      .orderBy($"table_name")
+  }
+
   def q147JoinSizeAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def t(n: String) = graft.sources.Tables.load(s, dir, n)

@@ -688,4 +688,16 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s <= 1000000L && s > 1000000L - rs.length)
     }
   }
+
+  test("key completeness: one row per table, counts match direct scans") {
+    val rows = graft.operators.SchemaOps.q207KeyCompleteness(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val n = graft.sources.Tables.load(spark, sf,
+        r.getAs[String]("table_name")).count()
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("null_keys") >= 0L &&
+        r.getAs[Long]("null_keys") <= n)
+    }
+  }
 }

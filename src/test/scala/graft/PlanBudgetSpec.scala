@@ -317,8 +317,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q205_word_lengths" -> 5, // explode + |lengths| fold (2-phase,
                              // recounted for the total consumer) +
                              // broadcast 1-row total + orderBy
-    "q206_status_mix"   -> 3 // (month, status) fold + the share window on
+    "q206_status_mix"   -> 3, // (month, status) fold + the share window on
                              // that frame + orderBy
+    "q207_key_completeness" -> 21 // ten 1-row table aggregates (2-phase
+                             // each) unioned + orderBy — every exchange
+                             // carries exactly one row
   )
 
   budgets.foreach { case (name, max) =>
