@@ -86,9 +86,7 @@ object SparkEntry {
     "q57_view_json_mutate" -> Views.q57ViewJsonMutate _,
     "q58_view_elt_field"  -> Views.q58ViewEltField _,
     "q59_bucketed_join"   -> graft.operators.BucketedOps.q59BucketedJoin _,
-    "q60_approx_stats"    -> Relational.q60ApproxStats _,  // no oracle: sketch
-                                                           // outputs are engine-
-                                                           // specific (rows-only)
+    "q60_approx_stats"    -> Relational.q60ApproxStats _,
     "q61_sample_topk"     -> TextOps.q61SampleTopk _,
     "q62_range_window"    -> EventOps.q62RangeWindow _,
     "q63_resample"        -> EventOps.q63Resample _,
@@ -1029,6 +1027,25 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // Tolerance-based oracle (ADVICE r5): each engine checks ITS OWN sketch
+    // against ITS OWN exact value — the exact columns hash cross-engine, the
+    // ok-booleans hash because both sketches sit far inside the 5% band.
+    "q60_approx_stats" ->
+      """WITH o AS (SELECT o_orderstatus, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |a AS (SELECT o_orderstatus,
+        |    approx_count_distinct(o_custkey) AS ac,
+        |    count(DISTINCT o_custkey) AS ec,
+        |    approx_quantile(c, 0.5) AS am,
+        |    CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS em2
+        |  FROM o GROUP BY o_orderstatus)
+        |SELECT o_orderstatus,
+        |  CAST(ec AS BIGINT) AS exact_custs,
+        |  em2 AS exact_median_x2,
+        |  (abs(ac - ec) * 20 <= ec) AS custs_ok,
+        |  (abs(2 * am - em2) * 20 <= em2) AS median_ok
+        |FROM a ORDER BY o_orderstatus""".stripMargin,
 
     "q61_sample_topk" ->
       """WITH d AS (SELECT lang, doc_id,

@@ -488,20 +488,28 @@ object Relational {
     * order-statistics ops (q43's exact percentile, q18's exact counts):
     * HyperLogLog++ distinct counting and t-digest percentiles run in one
     * pass with fixed-size sketches (mergeable map-side, no sort, no
-    * full-cardinality state). Sketch outputs are engine-specific, so there
-    * is no DuckDB hash oracle (driver records a rows-only check); instead
-    * the query emits the EXACT values alongside and ApproxSpec asserts the
-    * error envelope — the operator carries its own calibration. */
+    * full-cardinality state). Raw sketch outputs are engine-specific, so
+    * the hashable surface is a TOLERANCE verdict instead (ADVICE r5): each
+    * engine computes its own approx AND its own exact value and asserts
+    * |approx − exact| ≤ 5% — the exact values hash cross-engine, and the
+    * booleans hash because both engines' sketches sit far inside the band
+    * (HLL rsd 1% → 5σ; t-digest at the median ≪1%). The median is emitted
+    * ×2 so even-count interpolation ((a+b)/2) stays integral. */
   def q60ApproxStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "orders")
       .select($"o_orderstatus", $"o_custkey", cents($"o_totalprice").as("c"))
       .groupBy($"o_orderstatus")
       .agg(
-        approx_count_distinct($"o_custkey", 0.02).as("approx_custs"),
-        countDistinct($"o_custkey").as("exact_custs"),
-        percentile_approx($"c", lit(0.5), lit(10000)).as("approx_median_cents"),
-        expr("percentile(c, 0.5D)").as("exact_median_cents"))
+        approx_count_distinct($"o_custkey", 0.01).as("ac"),
+        countDistinct($"o_custkey").as("ec"),
+        percentile_approx($"c", lit(0.5), lit(10000)).as("am"),
+        expr("CAST(2 * percentile(c, 0.5D) AS BIGINT)").as("em2"))
+      .select($"o_orderstatus",
+        $"ec".as("exact_custs"),
+        $"em2".as("exact_median_x2"),
+        (abs($"ac" - $"ec") * 20 <= $"ec").as("custs_ok"),
+        (abs($"am" * 2 - $"em2") * 20 <= $"em2").as("median_ok"))
       .orderBy($"o_orderstatus")
   }
 
