@@ -234,6 +234,12 @@ object SparkEntry {
     "q205_word_lengths"    -> CorpusOps.q205WordLengths _,
     "q206_status_mix"      -> Relational.q206StatusMix _,
     "q207_key_completeness" -> SchemaOps.q207KeyCompleteness _,
+    "q208_late_orders"    -> Relational.q208LateOrders _,
+    "q209_disjunctive_revenue" -> Relational.q209DisjunctiveRevenue _,
+    "q210_dormant_balance" -> Relational.q210DormantBalance _,
+    "q211_ship_delay_mix" -> Relational.q211ShipDelayMix _,
+    "q212_dim_variance"   -> SimilarityOps.q212DimVariance _,
+    "q213_minhash_agreement" -> DedupOps.q213MinhashAgreement _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3805,5 +3811,121 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |  FROM supplier
         |ORDER BY table_name""".stripMargin,
+
+    "q208_late_orders" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q209_disjunctive_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#8' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+    "q210_dormant_balance" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+        |p AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS pos_sum,
+        |    count(*) AS pos_n FROM c WHERE bal_cents > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_custs,
+        |  CAST(sum(bal_cents) AS BIGINT) AS bal_sum_cents
+        |FROM c CROSS JOIN p
+        |WHERE bal_cents * pos_n > pos_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin,
+
+    "q211_ship_delay_mix" ->
+      """WITH j AS (SELECT date_diff('day', o_orderdate, l_shipdate) AS delay_days,
+        |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS critical
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT CASE WHEN delay_days < 0 THEN '0_early'
+        |    WHEN delay_days <= 30 THEN '1_within_30d'
+        |    WHEN delay_days <= 90 THEN '2_within_90d'
+        |    ELSE '3_over_90d' END AS band,
+        |  CAST(sum(CASE WHEN critical THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
+        |  CAST(sum(CASE WHEN critical THEN 0 ELSE 1 END) AS BIGINT) AS other_lines,
+        |  CAST(min(delay_days) AS BIGINT) AS min_delay,
+        |  CAST(max(delay_days) AS BIGINT) AS max_delay
+        |FROM j GROUP BY band ORDER BY band""".stripMargin,
+
+    "q212_dim_variance" ->
+      """WITH q AS (SELECT unnest(list_transform(range(1, 65), i -> {
+        |      'dim': CAST(i AS BIGINT),
+        |      'm': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |    })) AS u
+        |  FROM embeddings)
+        |SELECT u.dim AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(u.m) AS BIGINT) AS sum_millis,
+        |  CAST(sum(u.m * u.m) AS BIGINT) AS ss_millis,
+        |  CAST(count(*) * sum(u.m * u.m) - sum(u.m) * sum(u.m) AS BIGINT) AS var_num
+        |FROM q GROUP BY u.dim ORDER BY dim""".stripMargin,
+
+    // Both legs replay X3's exact arithmetic: the polynomial shingle hash,
+    // the 12-perm signature, the 4-band bucketing — and the truth leg is
+    // the exact Jaccard of the distinct shingle-hash sets on the sample.
+    "q213_minhash_agreement" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |    WHERE len(string_split(text, ' ')) >= 3 AND doc_id % 2 = 0),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
+        |hs AS (SELECT doc_id, list_transform(shingles,
+        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |sig AS (SELECT doc_id, list_distinct(h) AS ss, [
+        |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
+        |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
+        |  list_min(list_transform(h, x -> (11 * x + 13) % 1000000007)),
+        |  list_min(list_transform(h, x -> (17 * x + 29) % 1000000007)),
+        |  list_min(list_transform(h, x -> (23 * x + 37) % 1000000007)),
+        |  list_min(list_transform(h, x -> (31 * x + 43) % 1000000007)),
+        |  list_min(list_transform(h, x -> (41 * x + 53) % 1000000007)),
+        |  list_min(list_transform(h, x -> (47 * x + 61) % 1000000007)),
+        |  list_min(list_transform(h, x -> (59 * x + 71) % 1000000007)),
+        |  list_min(list_transform(h, x -> (67 * x + 79) % 1000000007)),
+        |  list_min(list_transform(h, x -> (73 * x + 89) % 1000000007)),
+        |  list_min(list_transform(h, x -> (83 * x + 101) % 1000000007))] AS sig FROM hs),
+        |bands AS (SELECT doc_id, i AS band_idx,
+        |    CAST(sig[3*i + 1] AS VARCHAR) || ':' || CAST(sig[3*i + 2] AS VARCHAR)
+        |      || ':' || CAST(sig[3*i + 3] AS VARCHAR) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |cand2 AS (SELECT doc_a, doc_b
+        |  FROM cands JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |  WHERE len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) >= 6),
+        |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) * 2 >=
+        |    CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS BIGINT))
+        |SELECT
+        |  (SELECT count(*) FROM docs) AS n_sample_docs,
+        |  (SELECT count(*) FROM truth) AS n_truth,
+        |  (SELECT count(*) FROM cand2) AS n_cand,
+        |  (SELECT count(*) FROM truth t JOIN cand2 c
+        |     ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit,
+        |  CASE WHEN (SELECT count(*) FROM cand2) = 0 THEN 0
+        |    ELSE (SELECT count(*) FROM truth t JOIN cand2 c
+        |            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1000000
+        |         // (SELECT count(*) FROM cand2) END AS precision_ppm,
+        |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0
+        |    ELSE (SELECT count(*) FROM truth t JOIN cand2 c
+        |            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1000000
+        |         // (SELECT count(*) FROM truth) END AS recall_ppm""".stripMargin,
   )
 }

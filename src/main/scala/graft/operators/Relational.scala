@@ -917,4 +917,116 @@ object Relational {
       .select($"month", $"o_orderstatus", $"n_orders", $"share_ppm")
       .orderBy($"month", $"o_orderstatus")
   }
+
+  /** X176 — late-order priority check (TPC-H Q4 analogue): orders placed
+    * in 1996 with at least one lineitem shipped more than 60 days after
+    * the order date, counted per priority — the EXISTS shape, executed as
+    * a LEFT SEMI join so each order contributes once no matter how many
+    * late lines it has.
+    *
+    * Scale: lineitem projects to (l_orderkey, l_shipdate) BEFORE its
+    * exchange — the semi-join moves 16 bytes/line, never the payload; the
+    * year filter is pushed to the orders scan; the fold after the
+    * semi-join is a combinable \|priorities\|-row aggregate. */
+  def q208LateOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** X177 — disjunctive-predicate revenue (TPC-H Q19 analogue): revenue
+    * from three OR'd (brand × size-band × quantity-band) branches. The
+    * part-only disjunction ((brand,size) per branch) is applied to the
+    * part side EXPLICITLY before the join — Catalyst can extract it from
+    * the join filter too, but shrinking the build side by ~3 brands/25
+    * ahead of time keeps the broadcast table small by construction
+    * rather than by optimizer grace.
+    *
+    * Scale: part is a broadcast dim; lineitem never shuffles — scan →
+    * broadcast hash join → combinable 1-row fold. */
+  def q209DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val branch1 = ($"p_brand" === "Brand#4" && $"p_size".between(1, 15),
+      $"l_quantity".between(1, 20))
+    val branch2 = ($"p_brand" === "Brand#19" && $"p_size".between(10, 30),
+      $"l_quantity".between(10, 30))
+    val branch3 = ($"p_brand" === "Brand#8" && $"p_size".between(20, 50),
+      $"l_quantity".between(20, 50))
+    val p = broadcast(t(s, dir, "part")
+      .filter(branch1._1 || branch2._1 || branch3._1)
+      .select($"p_partkey", $"p_brand", $"p_size"))
+    t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity",
+        cents($"l_extendedprice" * (lit(1) - $"l_discount")).as("net_cents"))
+      .join(p, $"l_partkey" === $"p_partkey")
+      .filter((branch1._1 && branch1._2) || (branch2._1 && branch2._2) ||
+        (branch3._1 && branch3._2))
+      .agg(count(lit(1)).as("n_lines"), sum($"net_cents").as("revenue_cents"))
+  }
+
+  /** X178 — dormant high-balance customers (TPC-H Q22 analogue): customers
+    * whose balance is strictly above the positive-balance average and who
+    * placed NO order on/after 2000-01-01, per nation. The scalar subquery
+    * is a broadcast 1-row aggregate; "no recent order" is a LEFT ANTI join
+    * against orders projected to o_custkey. The above-average test is the
+    * exact integer inequality bal·n > sum (no float average).
+    *
+    * Scale: customer is dimension-sized but the same shape holds for a
+    * fact-sized left side — the anti-join key is 8 bytes/order, the 1-row
+    * average broadcasts, and the fold is \|nations\|-sized. */
+  def q210DormantBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey", cents($"c_acctbal").as("bal_cents"))
+    val posAvg = c.filter($"bal_cents" > 0)
+      .agg(sum($"bal_cents").as("pos_sum"), count(lit(1)).as("pos_n"))
+    val recent = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    c.crossJoin(broadcast(posAvg))
+      .filter($"bal_cents" * $"pos_n" > $"pos_sum")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey".cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_custs"), sum($"bal_cents").as("bal_sum_cents"))
+      .orderBy($"nationkey")
+  }
+
+  /** X179 — ship-delay × priority mix (TPC-H Q12 analogue): lines banded
+    * by ship delay (days between order and ship date), with the critical
+    * (1-URGENT/2-HIGH) vs other split as conditional sums INSIDE the band
+    * fold — Q12's two-column trick, no second pass and no pivot join.
+    *
+    * Scale: ONE lineitem⋈orders shuffle (the suite's standing fact-fact
+    * join); the band fold is combinable into a 4-row frame. */
+  def q211ShipDelayMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+    val critical = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .withColumn("delay_days",
+        datediff($"l_shipdate", $"o_orderdate").cast("long"))
+      .withColumn("band",
+        when($"delay_days" < 0, "0_early")
+          .when($"delay_days" <= 30, "1_within_30d")
+          .when($"delay_days" <= 90, "2_within_90d")
+          .otherwise("3_over_90d"))
+      .groupBy($"band")
+      .agg(
+        sum(when(critical, 1L).otherwise(0L)).as("critical_lines"),
+        sum(when(critical, 0L).otherwise(1L)).as("other_lines"),
+        min($"delay_days").as("min_delay"),
+        max($"delay_days").as("max_delay"))
+      .orderBy($"band")
+  }
 }

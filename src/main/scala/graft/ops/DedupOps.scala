@@ -558,4 +558,68 @@ object DedupOps {
         max($"cluster_size").as("max_size"))
       .orderBy($"band")
   }
+
+  /** X181 — MinHash method-agreement audit: X3's LSH candidate relation
+    * (signature agreement ≥ 6/12 ⇔ estimated J ≥ 0.5) scored against the
+    * EXACT shingle-set Jaccard ≥ 0.5 truth on a deterministic sample —
+    * precision/recall in integer ppm. X145 audits the ANN index the same
+    * way; this audits the dedup sketch: the number that says whether the
+    * band/threshold choice is dropping real duplicates.
+    *
+    * Scale: the quadratic truth leg runs ONLY on the fingerprint-stratum
+    * sample (X145's discipline — the exact leg is audit-sized, never
+    * corpus-sized); the LSH leg reuses X3's band machinery restricted to
+    * the same sample; the verdict folds are 1-row aggregates. */
+  def q213MinhashAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SortedIntersectSize.register(s)
+    Fingerprint.register(s)
+    val sigExprs = perms.map { case (a, b) =>
+      s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${P}L))"
+    }.mkString("array(", ", ", ")")
+    val base = docs(s, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .where("size(ws) >= 3 AND doc_id % 2 = 0")
+      .selectExpr("doc_id", s"${TextGrams.fpArrayExpr(3)} AS hs")
+      .selectExpr("doc_id", "array_sort(array_distinct(hs)) AS ss",
+        s"$sigExprs AS sig")
+      .cache()
+    val bandCols: Column = array((0 until bandsN).map { j =>
+      val parts = (0 until rowsPerBand).map(r => s"sig[${j * rowsPerBand + r}]")
+      expr(s"concat_ws(':', ${parts.mkString(", ")})")
+    }: _*)
+    val bands = base.select($"doc_id",
+      posexplode(bandCols).as(Seq("band_idx", "band_key")))
+    val sa = base.select($"doc_id".as("doc_a"), $"sig".as("sig_a"))
+    val sb = base.select($"doc_id".as("doc_b"), $"sig".as("sig_b"))
+    val cands = bands.as("x").join(bands.as("y"),
+        $"x.band_idx" === $"y.band_idx" && $"x.band_key" === $"y.band_key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .filter(expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") >= 6)
+      .select($"doc_a", $"doc_b")
+    val ta = base.select($"doc_id".as("doc_a"), $"ss".as("ss_a"))
+    val tb = base.select($"doc_id".as("doc_b"), $"ss".as("ss_b"))
+    val truth = ta.crossJoin(tb).filter($"doc_a" < $"doc_b")
+      // exact size-compat prefilter (q53's trick): J >= 0.5 forces
+      // 2·min(|a|,|b|) >= max(|a|,|b|), killing size-mismatched pairs
+      // before the per-pair merge scan
+      .filter(size($"ss_a") * 2 >= size($"ss_b") &&
+        size($"ss_b") * 2 >= size($"ss_a"))
+      .withColumn("inter_n", expr("graft_sorted_inter_n(ss_a, ss_b)"))
+      .withColumn("union_n",
+        (size($"ss_a") + size($"ss_b")).cast("long") - $"inter_n")
+      .filter($"inter_n" * 2 >= $"union_n")
+      .select($"doc_a", $"doc_b")
+    base.agg(count(lit(1)).as("n_sample_docs"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(truth.join(cands, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_hit")))
+      .withColumn("precision_ppm",
+        expr("CASE WHEN n_cand = 0 THEN 0 ELSE n_hit * 1000000 div n_cand END"))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN n_truth = 0 THEN 0 ELSE n_hit * 1000000 div n_truth END"))
+  }
 }

@@ -278,4 +278,29 @@ object SimilarityOps {
         sum(abs($"sa" * $"nb" - $"sb" * $"na")).as("drift_mass"))
       .orderBy($"label")
   }
+
+  /** X180 — per-dimension variance audit: the embedding-space health check
+    * behind every ANN index here (X9/X10) — a dead dimension (near-zero
+    * variance) wastes index bits, a runaway one dominates every distance.
+    * Components quantize to fixed-point millis FIRST (X166's rule: float
+    * sums are order-dependent and unhashable), then the variance numerator
+    * n·Σx² − (Σx)² is exact int64 — no mean subtraction, no catastrophic
+    * cancellation, engine-portable.
+    *
+    * Scale: one narrow posexplode (×dims) + ONE combinable (dim) fold into
+    * a \|dims\|-row frame; int64 holds to ~10⁹ vectors at \|x\|≲2
+    * (ss ≈ n·4·10⁶). */
+  def q212DimVariance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings")
+      .select(posexplode(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .as(Seq("pos", "q")))
+      .groupBy(($"pos" + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"q").as("sum_millis"),
+        sum($"q" * $"q").as("ss_millis"))
+      .withColumn("var_num", $"n_vecs" * $"ss_millis" - $"sum_millis" * $"sum_millis")
+      .orderBy($"dim")
+  }
 }

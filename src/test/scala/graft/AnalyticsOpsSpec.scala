@@ -700,4 +700,134 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Long]("null_keys") <= n)
     }
   }
+
+  // ------------------------------------------------------------- X176
+
+  test("late orders: semi-join counts equal the grouped-exists replay") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q208LateOrders(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent plan: per-order max(late-line flag) then count
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val replay = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy($"o_orderkey", $"o_orderpriority")
+      .agg(max(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), 1)
+        .otherwise(0)).as("late"))
+      .filter($"late" === 1)
+      .groupBy($"o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_late_orders") ==
+        replay(r.getAs[String]("o_orderpriority")))
+    }
+  }
+
+  // ------------------------------------------------------------- X177
+
+  test("disjunctive revenue: branch sums reconcile (brands are disjoint)") {
+    import spark.implicits._
+    val total = graft.operators.Relational.q209DisjunctiveRevenue(spark, sf)
+      .collect()(0)
+    // the three branches are brand-disjoint, so per-brand replays must sum
+    // to the single-pass result
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val p = graft.sources.Tables.load(spark, sf, "part")
+    val branches = Seq(
+      ("Brand#4", 1, 15, 1, 20), ("Brand#19", 10, 30, 10, 30),
+      ("Brand#8", 20, 50, 20, 50))
+    val parts = branches.map { case (brand, s0, s1, q0, q1) =>
+      li.join(p, $"l_partkey" === $"p_partkey")
+        .filter($"p_brand" === brand && $"p_size".between(s0, s1) &&
+          $"l_quantity".between(q0, q1))
+        .agg(count(lit(1)).cast("long"),
+          coalesce(sum(round($"l_extendedprice" * (lit(1) - $"l_discount") * 100)
+            .cast("long")), lit(0L)))
+        .as[(Long, Long)].collect()(0)
+    }
+    assert(total.getAs[Long]("n_lines") == parts.map(_._1).sum)
+    assert(total.getAs[Long]("revenue_cents") == parts.map(_._2).sum)
+  }
+
+  // ------------------------------------------------------------- X178
+
+  test("dormant balance: every member is above-average and order-free since cut") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q210DormantBalance(spark, sf).collect()
+    val c = graft.sources.Tables.load(spark, sf, "customer")
+      .select($"c_custkey", $"c_nationkey".cast("long"),
+        round($"c_acctbal" * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val pos = c.map(_._3).filter(_ > 0)
+    val (posSum, posN) = (pos.sum, pos.length.toLong)
+    val recent = graft.sources.Tables.load(spark, sf, "orders")
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select($"o_custkey").as[Long].collect().toSet
+    val expect = c.filter(x => x._3 * posN > posSum && !recent(x._1))
+      .groupBy(_._2).view.mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    assert(rows.map(_.getAs[Long]("n_custs")).sum == expect.values.map(_._1).sum)
+    rows.foreach { r =>
+      val e = expect(r.getAs[Long]("nationkey"))
+      assert(r.getAs[Long]("n_custs") == e._1)
+      assert(r.getAs[Long]("bal_sum_cents") == e._2)
+    }
+  }
+
+  // ------------------------------------------------------------- X179
+
+  test("ship-delay mix: bands tile the joined line count, bounds respected") {
+    val rows = graft.operators.Relational.q211ShipDelayMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getAs[Long]("critical_lines") +
+      r.getAs[Long]("other_lines")).sum
+    // every lineitem has its order (RI holds), so bands tile the lineitem count
+    assert(total == graft.sources.Tables.load(spark, sf, "lineitem").count())
+    val bounds = Map("0_early" -> (Long.MinValue, -1L),
+      "1_within_30d" -> (0L, 30L), "2_within_90d" -> (31L, 90L),
+      "3_over_90d" -> (91L, Long.MaxValue))
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getAs[String]("band"))
+      assert(r.getAs[Long]("min_delay") >= lo)
+      assert(r.getAs[Long]("max_delay") <= hi)
+    }
+  }
+
+  // ------------------------------------------------------------- X180
+
+  test("dim variance: quantized sums replay exactly on the driver") {
+    import spark.implicits._
+    val rows = graft.ops.SimilarityOps.q212DimVariance(spark, sf).collect()
+    assert(rows.length == 64)
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select($"embedding").as[Seq[Float]].collect()
+    val byDim = rows.map(r => r.getAs[Long]("dim") -> r).toMap
+    for (d <- 1 to 64) {
+      val ms = vecs.map(v => math.round(v(d - 1).toDouble * 1000))
+      val r = byDim(d.toLong)
+      assert(r.getAs[Long]("n_vecs") == vecs.length.toLong)
+      assert(r.getAs[Long]("sum_millis") == ms.sum)
+      assert(r.getAs[Long]("ss_millis") == ms.map(m => m * m).sum)
+      val varNum = vecs.length.toLong * ms.map(m => m * m).sum - ms.sum * ms.sum
+      assert(r.getAs[Long]("var_num") == varNum)
+      assert(varNum >= 0L) // n·Σx² ≥ (Σx)² by Cauchy-Schwarz
+    }
+  }
+
+  // ------------------------------------------------------------- X181
+
+  test("minhash agreement: verdict algebra holds and is deterministic") {
+    val r = graft.ops.DedupOps.q213MinhashAgreement(spark, sf).collect()(0)
+    val (nt, nc, nh) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_cand"),
+      r.getAs[Long]("n_hit"))
+    assert(r.getAs[Long]("n_sample_docs") > 0)
+    assert(nh <= math.min(nt, nc))
+    val (p, rec) = (r.getAs[Long]("precision_ppm"), r.getAs[Long]("recall_ppm"))
+    assert(p >= 0L && p <= 1000000L && rec >= 0L && rec <= 1000000L)
+    if (nc > 0) assert(p == nh * 1000000L / nc)
+    if (nt > 0) assert(rec == nh * 1000000L / nt)
+    val r2 = graft.ops.DedupOps.q213MinhashAgreement(spark, sf).collect()(0)
+    assert(r.toSeq == r2.toSeq) // replayable: no RNG anywhere in the audit
+  }
 }
