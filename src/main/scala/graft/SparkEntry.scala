@@ -240,6 +240,10 @@ object SparkEntry {
     "q211_ship_delay_mix" -> Relational.q211ShipDelayMix _,
     "q212_dim_variance"   -> SimilarityOps.q212DimVariance _,
     "q213_minhash_agreement" -> DedupOps.q213MinhashAgreement _,
+    "q214_norm_dedup_delta" -> CorpusOps.q214NormDedupDelta _,
+    "q215_window_frames"  -> EventOps.q215WindowFrames _,
+    "q216_spend_decile_shift" -> PipelineOps.q216SpendDecileShift _,
+    "q217_label_margin"   -> SimilarityOps.q217LabelMargin _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -3880,7 +3884,8 @@ object SparkEntry {
     // the exact Jaccard of the distinct shingle-hash sets on the sample.
     "q213_minhash_agreement" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |    WHERE len(string_split(text, ' ')) >= 3 AND doc_id % 2 = 0),
+        |    WHERE len(string_split(text, ' ')) >= 3
+        |      AND doc_id % greatest(1, (SELECT count(*) FROM documents) // 500) = 0),
         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
         |hs AS (SELECT doc_id, list_transform(shingles,
@@ -3927,5 +3932,77 @@ object SparkEntry {
         |    ELSE (SELECT count(*) FROM truth t JOIN cand2 c
         |            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1000000
         |         // (SELECT count(*) FROM truth) END AS recall_ppm""".stripMargin,
+
+    "q214_norm_dedup_delta" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, replace(upper(text), ' ', '  ')
+        |    FROM documents WHERE doc_id % 25 = 0),
+        |d AS (SELECT doc_id, source, md5(text) AS h_exact,
+        |    md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS h_norm
+        |  FROM all_docs)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT h_exact) AS BIGINT) AS exact_unique,
+        |  CAST(count(DISTINCT h_norm) AS BIGINT) AS norm_unique,
+        |  CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_planted,
+        |  CAST(count(*) - count(DISTINCT h_exact) AS BIGINT) AS exact_dup_docs,
+        |  CAST(count(DISTINCT h_exact) - count(DISTINCT h_norm) AS BIGINT)
+        |    AS extra_norm_dups
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q215_window_frames" ->
+      """SELECT user_id, event_id, us,
+        |  first_value(us) OVER w1 AS first_us,
+        |  last_value(event_type) OVER w2 AS last_type,
+        |  nth_value(event_type, 3) OVER w2 AS third_type,
+        |  CAST(sum(cents) OVER w3 AS BIGINT) AS trail3_cents
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |WINDOW
+        |  w1 AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w2 AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  w3 AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
+
+    "q216_spend_decile_shift" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |e0 AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS spend FROM o
+        |  WHERE o_orderdate < TIMESTAMP '1998-07-01' GROUP BY o_custkey),
+        |l0 AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS spend FROM o
+        |  WHERE o_orderdate >= TIMESTAMP '1998-07-01' GROUP BY o_custkey),
+        |e AS (SELECT o_custkey,
+        |    (row_number() OVER (ORDER BY spend, o_custkey) - 1) * 10
+        |      // (SELECT count(*) FROM e0) + 1 AS early_decile FROM e0),
+        |l AS (SELECT o_custkey,
+        |    (row_number() OVER (ORDER BY spend, o_custkey) - 1) * 10
+        |      // (SELECT count(*) FROM l0) + 1 AS late_decile FROM l0)
+        |SELECT coalesce(e.early_decile, 0) AS early_decile,
+        |  coalesce(l.late_decile, 0) AS late_decile,
+        |  CAST(count(*) AS BIGINT) AS n_custs
+        |FROM e FULL OUTER JOIN l USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q217_label_margin" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS q_id, label AS q_label, q AS qq FROM e
+        |  WHERE vec_id % 50 = 0),
+        |d AS (SELECT q_id, q_label, e.label AS label,
+        |    list_reduce(list_transform(generate_series(1, len(qq)),
+        |      i -> (qq[i] - e.q[i]) * (qq[i] - e.q[i])), (a, b) -> a + b) AS d2
+        |  FROM e CROSS JOIN qs WHERE e.vec_id != qs.q_id)
+        |SELECT q_id, q_label,
+        |  CAST(min(CASE WHEN label = q_label THEN d2 END) AS BIGINT) AS min_same_d2,
+        |  CAST(min(CASE WHEN label != q_label THEN d2 END) AS BIGINT) AS min_other_d2,
+        |  CAST(min(CASE WHEN label != q_label THEN d2 END)
+        |    - min(CASE WHEN label = q_label THEN d2 END) AS BIGINT) AS margin
+        |FROM d GROUP BY q_id, q_label ORDER BY q_id""".stripMargin,
   )
 }

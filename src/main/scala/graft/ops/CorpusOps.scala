@@ -817,4 +817,41 @@ object CorpusOps {
       .select($"len", $"n_words", $"share_ppm")
       .orderBy($"len")
   }
+
+  /** X182 — normalization-sensitivity of exact dedup: how many duplicate
+    * docs appear only after case-folding + whitespace collapse — the
+    * number that says whether X1's byte-exact pass is leaving trivial
+    * formatting twins behind (the classic gap between "md5 dedup" and
+    * "what a human calls identical"). The corpus carries no natural
+    * formatting twins, so the detector is proven on PLANTED ones (q81's
+    * rule: planted ground truth makes every verdict checkable): every
+    * 25th doc gains an uppercased, double-spaced copy that byte-exact
+    * dedup must miss and normalized dedup must catch. The whitespace
+    * class is the explicit [ \t\n\r] so Java regex and RE2 agree (\s
+    * differs on \x0B).
+    *
+    * Scale: entirely narrow until ONE combinable source fold — both
+    * hashes ride the same scan projection; the two count-distincts
+    * partial-aggregate in one Expand pass (X68's pattern). */
+  def q214NormDedupDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", $"text")
+    val planted = d.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"source",
+        expr("replace(upper(text), ' ', '  ')").as("text"))
+    d.unionByName(planted)
+      .select($"doc_id", $"source",
+        md5($"text").as("h_exact"),
+        md5(trim(regexp_replace(lower($"text"), "[ \\t\\n\\r]+", " ")))
+          .as("h_norm"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"h_exact").as("exact_unique"),
+        countDistinct($"h_norm").as("norm_unique"),
+        sum(when($"doc_id" >= 1000000L, 1L).otherwise(0L)).as("n_planted"))
+      .withColumn("exact_dup_docs", $"n_docs" - $"exact_unique")
+      .withColumn("extra_norm_dups", $"exact_unique" - $"norm_unique")
+      .orderBy($"source")
+  }
 }

@@ -566,8 +566,10 @@ object DedupOps {
     * way; this audits the dedup sketch: the number that says whether the
     * band/threshold choice is dropping real duplicates.
     *
-    * Scale: the quadratic truth leg runs ONLY on the fingerprint-stratum
-    * sample (X145's discipline — the exact leg is audit-sized, never
+    * Scale: the quadratic truth leg runs ONLY on a deterministic sample
+    * whose modulus GROWS with the corpus (k = max(1, n/500)), so the
+    * audit stays ~500 docs — and the truth leg ~125k pairs — at ANY
+    * corpus size (X145's discipline: the exact leg is audit-sized, never
     * corpus-sized); the LSH leg reuses X3's band machinery restricted to
     * the same sample; the verdict folds are 1-row aggregates. */
   def q213MinhashAgreement(s: SparkSession, dir: String): DataFrame = {
@@ -577,9 +579,13 @@ object DedupOps {
     val sigExprs = perms.map { case (a, b) =>
       s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${P}L))"
     }.mkString("array(", ", ", ")")
-    val base = docs(s, dir)
-      .selectExpr("doc_id", "split(text, ' ') AS ws")
-      .where("size(ws) >= 3 AND doc_id % 2 = 0")
+    // sample modulus from the corpus size — declarative (1-row broadcast),
+    // no driver-side count action
+    val k = docs(s, dir).agg(greatest(lit(1L),
+      expr("count(1) div 500")).as("k"))
+    val base = docs(s, dir).crossJoin(broadcast(k))
+      .selectExpr("doc_id", "k", "split(text, ' ') AS ws")
+      .where("size(ws) >= 3 AND doc_id % k = 0")
       .selectExpr("doc_id", s"${TextGrams.fpArrayExpr(3)} AS hs")
       .selectExpr("doc_id", "array_sort(array_distinct(hs)) AS ss",
         s"$sigExprs AS sig")

@@ -778,4 +778,33 @@ object EventOps {
       .select($"event_type", $"iso_dow", $"n_events", $"share_ppm")
       .orderBy($"event_type", $"iso_dow")
   }
+
+  /** X183 — ROWS-frame navigation functions (first/last/nth_value +
+    * trailing sum): the frame-semantics surface q48 (ranks) and q62
+    * (RANGE frames) don't touch. Frames are spelled EXPLICITLY — Spark's
+    * default window frame for last_value is RANGE..CURRENT ROW, which
+    * silently returns the current row's value; the unbounded-both-ends
+    * frame is what "last in partition" actually means, and the (us,
+    * event_id) total order pins every pick deterministically.
+    *
+    * Scale: all four windows share ONE user_id partitioning — a single
+    * shuffle, then narrow frame walks per partition. */
+  def q215WindowFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wTo = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wTrail = w.rowsBetween(-2, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_type", round($"value" * 100).cast("long").as("cents"))
+      .withColumn("first_us", first($"us").over(wTo))
+      .withColumn("last_type", last($"event_type").over(wFull))
+      .withColumn("third_type", nth_value($"event_type", 3).over(wFull))
+      .withColumn("trail3_cents", sum($"cents").over(wTrail))
+      .select($"user_id", $"event_id", $"us", $"first_us", $"last_type",
+        $"third_type", $"trail3_cents")
+      .orderBy($"user_id", $"us", $"event_id")
+  }
 }

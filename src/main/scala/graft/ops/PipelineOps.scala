@@ -1370,4 +1370,37 @@ object PipelineOps {
       .withColumn("collided", when($"n_categories" > 1, 1L).otherwise(0L))
       .orderBy($"bucket")
   }
+
+  /** X184 — spend-decile transition matrix: each customer's exact spend
+    * decile in the EARLY half of the order history vs the LATE half —
+    * the customer-value drift report (who climbed, who churned; decile 0
+    * = absent from that half). Deciles are X82's exact rank math
+    * ((rn−1)·10 div n + 1) over the (spend, custkey) total order — no
+    * engine-ambiguous ntile, no unpartitioned window.
+    *
+    * Scale: each half is one combinable custkey fold + a GlobalOrder
+    * two-phase range shuffle on the (key, spend) projection; the
+    * transition fold lands on a ≤11×11 frame. */
+  def q216SpendDecileShift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("1998-07-01").cast("timestamp")
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_custkey", $"o_orderdate",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    def decile(cond: org.apache.spark.sql.Column, out: String): DataFrame = {
+      val spend = o.filter(cond).groupBy($"o_custkey")
+        .agg(sum($"cents").as("spend"))
+      val (ranked, n) = graft.operators.GlobalOrder.withRowNumberAndTotal(
+        spend.select($"o_custkey", $"spend"), Seq($"spend", $"o_custkey"), "rn")
+      ranked.selectExpr("o_custkey", s"(rn - 1) * 10 div ${n}L + 1 AS $out")
+    }
+    decile($"o_orderdate" < cut, "early_decile")
+      .join(decile($"o_orderdate" >= cut, "late_decile"),
+        Seq("o_custkey"), "full_outer")
+      .select(coalesce($"early_decile", lit(0L)).as("early_decile"),
+        coalesce($"late_decile", lit(0L)).as("late_decile"))
+      .groupBy($"early_decile", $"late_decile")
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy($"early_decile", $"late_decile")
+  }
 }

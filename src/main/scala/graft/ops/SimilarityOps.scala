@@ -303,4 +303,36 @@ object SimilarityOps {
       .withColumn("var_num", $"n_vecs" * $"ss_millis" - $"sum_millis" * $"sum_millis")
       .orderBy($"dim")
   }
+
+  /** X185 — label-margin audit (contrastive-data quality): for each
+    * sampled query vector, the nearest same-label vs nearest other-label
+    * squared distance over the corpus, margin = other − same. A negative
+    * margin marks a vector whose nearest neighbor wears a DIFFERENT
+    * label — exactly the rows that poison a contrastive batch (X91
+    * builds negative pairs; this measures whether labels support them).
+    * Distances are exact int64 on fixed-point millis (X166's rule) — no
+    * float accumulation, engine-portable.
+    *
+    * Scale: X8's broadcast discipline — the sampled query batch
+    * broadcasts, the corpus streams through ONE narrow pass (no corpus
+    * self-join); the argmin folds are combinable per (q_id, label
+    * side). */
+  def q217LabelMargin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("q"))
+    val queries = broadcast(e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"), $"q".as("qq")))
+    e.join(queries, $"vec_id" =!= $"q_id")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qq, q, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .groupBy($"q_id", $"q_label")
+      .agg(
+        min(when($"label" === $"q_label", $"d2")).as("min_same_d2"),
+        min(when($"label" =!= $"q_label", $"d2")).as("min_other_d2"))
+      .withColumn("margin", $"min_other_d2" - $"min_same_d2")
+      .orderBy($"q_id")
+  }
 }

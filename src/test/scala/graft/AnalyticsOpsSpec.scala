@@ -830,4 +830,96 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = graft.ops.DedupOps.q213MinhashAgreement(spark, sf).collect()(0)
     assert(r.toSeq == r2.toSeq) // replayable: no RNG anywhere in the audit
   }
+
+  // ------------------------------------------------------------- X182
+
+  test("norm dedup delta: planted formatting twins caught exactly, and only by norm") {
+    val rows = graft.ops.CorpusOps.q214NormDedupDelta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var planted = 0L
+    rows.foreach { r =>
+      // byte-exact dedup must MISS every planted twin (uppercase + double
+      // spaces changes the bytes), normalized dedup must catch exactly them
+      assert(r.getAs[Long]("exact_dup_docs") == 0L)
+      assert(r.getAs[Long]("extra_norm_dups") == r.getAs[Long]("n_planted"))
+      planted += r.getAs[Long]("n_planted")
+    }
+    val expected = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 25 === 0).count()
+    assert(planted == expected)
+  }
+
+  // ------------------------------------------------------------- X183
+
+  test("window frames: every pick replays against the raw per-user timeline") {
+    import spark.implicits._
+    val rows = graft.ops.EventOps.q215WindowFrames(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent ground truth straight from the source table
+    val raw = graft.sources.Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_type", round($"value" * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._3, e._2))).toMap
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, rs) =>
+      val tl = raw(uid)
+      val sorted = rs.sortBy(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+      assert(sorted.length == tl.length)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("first_us") == tl.head._3)
+        assert(r.getAs[String]("last_type") == tl.last._4)
+        val expectedThird = if (tl.length >= 3) tl(2)._4 else null
+        assert(r.getAs[String]("third_type") == expectedThird)
+        val trail = tl.slice(math.max(0, i - 2), i + 1).map(_._5).sum
+        assert(r.getAs[Long]("trail3_cents") == trail)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- X184
+
+  test("spend decile shift: matrix mass reconciles, deciles near-balanced") {
+    val rows = graft.ops.PipelineOps.q216SpendDecileShift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalCusts = rows.map(_.getAs[Long]("n_custs")).sum
+    val activeCusts = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(totalCusts == activeCusts)
+    // each half's decile histogram: every non-absent decile within ±1 of n/10
+    for (side <- Seq("early_decile", "late_decile")) {
+      val hist = rows.groupBy(_.getAs[Long](side)).view
+        .mapValues(_.map(_.getAs[Long]("n_custs")).sum)
+      val present = hist.filterKeys(_ > 0L).values
+      if (present.nonEmpty) {
+        val n = present.sum
+        present.foreach(c => assert(math.abs(c - n / 10) <= n / 10 / 5 + 2))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- X185
+
+  test("label margin: distances replay exactly on the driver") {
+    import spark.implicits._
+    val rows = graft.ops.SimilarityOps.q217LabelMargin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"label".cast("long"), $"embedding")
+      .as[(Long, Long, Seq[Float])].collect()
+      .map { case (id, l, v) => (id, l, v.map(x => math.round(x.toDouble * 1000)).toArray) }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    rows.foreach { r =>
+      val qId = r.getAs[Long]("q_id")
+      val (_, qLabel, qv) = vecs.find(_._1 == qId).get
+      val others = vecs.filter(_._1 != qId)
+      val same = others.filter(_._2 == qLabel).map(v => d2(qv, v._3)).min
+      val other = others.filter(_._2 != qLabel).map(v => d2(qv, v._3)).min
+      assert(r.getAs[Long]("min_same_d2") == same)
+      assert(r.getAs[Long]("min_other_d2") == other)
+      assert(r.getAs[Long]("margin") == other - same)
+    }
+  }
 }
