@@ -244,6 +244,10 @@ object SparkEntry {
     "q215_window_frames"  -> EventOps.q215WindowFrames _,
     "q216_spend_decile_shift" -> PipelineOps.q216SpendDecileShift _,
     "q217_label_margin"   -> SimilarityOps.q217LabelMargin _,
+    "q218_shipping_priority" -> Relational.q218ShippingPriority _,
+    "q219_revenue_forecast" -> Relational.q219RevenueForecast _,
+    "q220_promotion_suppliers" -> Relational.q220PromotionSuppliers _,
+    "q221_blame_supplier" -> Relational.q221BlameSupplier _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4004,5 +4008,47 @@ object SparkEntry {
         |  CAST(min(CASE WHEN label != q_label THEN d2 END)
         |    - min(CASE WHEN label = q_label THEN d2 END) AS BIGINT) AS margin
         |FROM d GROUP BY q_id, q_label ORDER BY q_id""".stripMargin,
+
+    "q218_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY o_orderkey, orderdate, o_orderpriority
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q219_revenue_forecast" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+        |    AS BIGINT) AS forecast_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q220_promotion_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 100)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q221_blame_supplier" ->
+      """WITH j AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    date_diff('day', o_orderdate, l_shipdate) AS delay
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |late AS (SELECT DISTINCT ok, sk FROM j WHERE delay > 365)
+        |SELECT sk AS s_suppkey, CAST(count(*) AS BIGINT) AS n_blamed_orders
+        |FROM late l
+        |WHERE EXISTS (SELECT 1 FROM j
+        |  WHERE j.ok = l.ok AND j.sk != l.sk AND j.delay <= 90)
+        |GROUP BY sk ORDER BY n_blamed_orders DESC, s_suppkey LIMIT 20""".stripMargin,
   )
 }

@@ -1029,4 +1029,107 @@ object Relational {
         max($"delay_days").as("max_delay"))
       .orderBy($"band")
   }
+
+  /** X186 — shipping-priority top-10 (TPC-H Q3 analogue): the 10 highest-
+    * revenue orders in one segment placed before the cut but (partly)
+    * shipped after it. Customer membership rides a broadcast SEMI join
+    * (the segment slice of a dimension); the cut predicates push to both
+    * fact scans; top-10 via TakeOrdered on the order-sized fold — no
+    * global sort.
+    *
+    * Scale: ONE lineitem⋈orders shuffle after both scans prune. */
+  def q218ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("1998-07-01").cast("timestamp")
+    val c = broadcast(t(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey"))
+    val o = t(s, dir, "orders")
+      .filter($"o_orderdate" < cut)
+      .join(c, $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = t(s, dir, "lineitem")
+      .filter($"l_shipdate" > cut)
+      .select($"l_orderkey",
+        cents($"l_extendedprice" * (lit(1) - $"l_discount")).as("net_cents"))
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+        $"o_orderpriority")
+      .agg(sum($"net_cents").as("revenue_cents"))
+      .orderBy($"revenue_cents".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** X187 — forecast-revenue-change probe (TPC-H Q6 analogue): the
+    * revenue that would be reclaimed by dropping small-quantity discounts
+    * in one year — a pure scan-side query: every predicate (year band,
+    * discount band, quantity cap) reaches the parquet scan, the fold is a
+    * combinable 1-row aggregate, and nothing shuffles but partial-agg
+    * rows. The simplest query in the suite and the purest pushdown test. */
+  def q219RevenueForecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents($"l_extendedprice" * $"l_discount")).as("forecast_cents"))
+  }
+
+  /** X188 — promotion-capable suppliers (TPC-H Q20 analogue): suppliers
+    * who shipped more than 100 units of some promoted ('red …') part —
+    * a two-level SEMI chain: the (supplier, part) quantity fold gates on
+    * the HAVING threshold, semi-joins the promoted-part list, and the
+    * survivors semi-join the supplier dim. Qty threshold is the exact
+    * integer compare on round(qty) (quantities are integral doubles).
+    *
+    * Scale: the fold shuffles lineitem once on its natural (supp, part)
+    * key; the part list broadcasts; supplier-side semi touches only
+    * 8-byte keys. */
+  def q220PromotionSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val promoted = broadcast(t(s, dir, "part")
+      .filter($"p_name".startsWith("red ")).select($"p_partkey"))
+    val gate = t(s, dir, "lineitem")
+      .select($"l_suppkey", $"l_partkey", round($"l_quantity").cast("long").as("qty"))
+      .join(promoted, $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum($"qty").as("total_qty"))
+      .filter($"total_qty" > 100)
+      .select($"l_suppkey").distinct()
+    t(s, dir, "supplier")
+      .join(gate, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
+  }
+
+  /** X189 — waiting-order blame report (TPC-H Q21 analogue): suppliers
+    * whose line shipped more than a year after the order date on orders
+    * where SOME OTHER supplier shipped within 90 days — the late party on
+    * an otherwise-servable order. EXISTS(other supplier, on time) is a
+    * LEFT SEMI against the same joined frame with the inequality in the
+    * join condition; the (order, supplier) distinct collapses multi-line
+    * blame before the count.
+    *
+    * Scale: the o⋈li frame is built ONCE and reused by both legs (the
+    * semi probes a projection of it); one orderkey shuffle + one
+    * supplier-sized fold; top-20 via TakeOrdered. */
+  def q221BlameSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderdate")
+    val j = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .withColumn("delay", datediff($"l_shipdate", $"o_orderdate").cast("long"))
+      .select($"l_orderkey", $"l_suppkey", $"delay")
+    val late = j.filter($"delay" > 365)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    val onTime = j.filter($"delay" <= 90)
+      .select($"l_orderkey".as("ok2"), $"l_suppkey".as("sk2"))
+    late.join(onTime, $"ok" === $"ok2" && $"sk" =!= $"sk2", "left_semi")
+      .groupBy($"sk".as("s_suppkey"))
+      .agg(count(lit(1)).as("n_blamed_orders"))
+      .orderBy($"n_blamed_orders".desc, $"s_suppkey")
+      .limit(20)
+  }
 }

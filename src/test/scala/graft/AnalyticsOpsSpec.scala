@@ -922,4 +922,87 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("margin") == other - same)
     }
   }
+
+  // ------------------------------------------------------------- X186-X189
+
+  test("shipping priority: top-10 descending, membership and revenue replay") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q218ShippingPriority(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Long]("revenue_cents"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+    val building = graft.sources.Tables.load(spark, sf, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      .as[Long].collect().toSet
+    val orders = graft.sources.Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate".cast("string"))
+      .as[(Long, Long, String)].collect().map(o => o._1 -> o).toMap
+    rows.foreach { r =>
+      val o = orders(r.getAs[Long]("o_orderkey"))
+      assert(building(o._2))
+      assert(o._3 < "1998-07-01")
+    }
+  }
+
+  test("revenue forecast: the scan-side fold replays on the driver") {
+    import spark.implicits._
+    val r = graft.operators.Relational.q219RevenueForecast(spark, sf).collect()(0)
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select($"l_shipdate".cast("string"), $"l_discount", $"l_quantity",
+        round($"l_extendedprice" * $"l_discount" * 100).cast("long"))
+      .as[(String, Double, Double, Long)].collect()
+      .filter(x => x._1 >= "1997-01-01" && x._1 < "1998-01-01" &&
+        x._2 >= 0.05 && x._2 <= 0.07 && x._3 < 24)
+    assert(r.getAs[Long]("n_lines") == li.length.toLong)
+    assert(r.getAs[Long]("forecast_cents") == li.map(_._4).sum)
+  }
+
+  test("promotion suppliers: exactly the red-part over-threshold shippers") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q220PromotionSuppliers(spark, sf)
+      .collect().map(_.getAs[Long]("s_suppkey")).toSet
+    val red = graft.sources.Tables.load(spark, sf, "part")
+      .filter($"p_name".startsWith("red ")).select($"p_partkey")
+      .as[Long].collect().toSet
+    val expected = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select($"l_suppkey", $"l_partkey", round($"l_quantity").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .filter(x => red(x._2))
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).sum)
+      .filter(_._2 > 100L).keys.map(_._1).toSet
+    assert(rows == expected)
+  }
+
+  test("blame supplier: the late-on-servable-order rule replays") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q221BlameSupplier(spark, sf).collect()
+    val od = graft.sources.Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_orderdate".cast("date").cast("string"))
+      .as[(Long, String)].collect().toMap
+    val j = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate".cast("date").cast("string"))
+      .as[(Long, Long, String)].collect()
+      .map { case (ok, sk, ship) =>
+        val days = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(od(ok)), java.time.LocalDate.parse(ship))
+        (ok, sk, days)
+      }
+    val late = j.filter(_._3 > 365).map(x => (x._1, x._2)).distinct
+    val onTimeByOrder = j.filter(_._3 <= 90).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val blamed = late.filter { case (ok, sk) =>
+      onTimeByOrder.get(ok).exists(s => (s - sk).nonEmpty) }
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(blamed(r.getAs[Long]("s_suppkey")) ==
+        r.getAs[Long]("n_blamed_orders"))
+    }
+    // top-20 really is the top: no unreported supplier beats the reported min
+    if (rows.nonEmpty && blamed.size > rows.length) {
+      val reported = rows.map(_.getAs[Long]("s_suppkey")).toSet
+      val minReported = rows.map(_.getAs[Long]("n_blamed_orders")).min
+      blamed.filterNot(kv => reported(kv._1)).values
+        .foreach(v => assert(v <= minReported))
+    }
+  }
 }
