@@ -3880,12 +3880,18 @@ object SparkEntry {
         |SELECT u.dim AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(sum(u.m) AS BIGINT) AS sum_millis,
         |  CAST(sum(u.m * u.m) AS BIGINT) AS ss_millis,
-        |  CAST(count(*) * sum(u.m * u.m) - sum(u.m) * sum(u.m) AS BIGINT) AS var_num
+        |  CAST(count(*) * sum(u.m * u.m) - sum(u.m) * sum(u.m)
+        |    AS DECIMAL(38,0)) AS var_num
         |FROM q GROUP BY u.dim ORDER BY dim""".stripMargin,
 
     // Both legs replay X3's exact arithmetic: the polynomial shingle hash,
     // the 12-perm signature, the 4-band bucketing — and the truth leg is
     // the exact Jaccard of the distinct shingle-hash sets on the sample.
+    // ASCII-ONLY INVARIANT (see functions/Fingerprint.scala): this leg
+    // hashes per-character ascii() codepoints while graft_fingerprint
+    // hashes UTF-8 bytes; they agree because the documents corpus is pure
+    // ASCII (verified octet_length(encode(text)) = length(text) at every
+    // SF). A non-ASCII corpus needs a byte-level hash here first.
     "q213_minhash_agreement" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |    WHERE len(string_split(text, ' ')) >= 3
@@ -3941,7 +3947,7 @@ object SparkEntry {
       """WITH all_docs AS (
         |  SELECT doc_id, source, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, source, replace(upper(text), ' ', '  ')
+        |  SELECT -doc_id - 1, source, replace(upper(text), ' ', '  ')
         |    FROM documents WHERE doc_id % 25 = 0),
         |d AS (SELECT doc_id, source, md5(text) AS h_exact,
         |    md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS h_norm
@@ -3949,7 +3955,7 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT h_exact) AS BIGINT) AS exact_unique,
         |  CAST(count(DISTINCT h_norm) AS BIGINT) AS norm_unique,
-        |  CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_planted,
         |  CAST(count(*) - count(DISTINCT h_exact) AS BIGINT) AS exact_dup_docs,
         |  CAST(count(DISTINCT h_exact) - count(DISTINCT h_norm) AS BIGINT)

@@ -17,6 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `list_reduce(list_transform(...ascii...), (a,b) -> (a*31+b)%1000000007)`,
   * which is what makes the dedup oracles cross-checkable).
   *
+  * ORACLE INVARIANT: this hashes UTF-8 BYTES, while the DuckDB oracle
+  * convention above hashes per-character `ascii()` CODEPOINTS. The two
+  * agree iff every hashed string is pure ASCII (one byte per codepoint,
+  * values < 128). The synthetic `documents` corpus is ASCII by
+  * construction, and every fingerprint oracle (q33/q34/q53/q213) leans on
+  * that; pointing those oracles at non-ASCII text requires switching the
+  * DuckDB leg to a byte-level hash first.
+  *
   * The modulus keeps values < 2^30, so downstream `a*h+b` permutation
   * arithmetic in MinHash never overflows int64.
   */

@@ -826,9 +826,10 @@ object CorpusOps {
     * formatting twins, so the detector is proven on PLANTED ones (q81's
     * rule: planted ground truth makes every verdict checkable): every
     * 25th doc gains an uppercased, double-spaced copy that byte-exact
-    * dedup must miss and normalized dedup must catch. The whitespace
-    * class is the explicit [ \t\n\r] so Java regex and RE2 agree (\s
-    * differs on \x0B).
+    * dedup must miss and normalized dedup must catch; planted copies take
+    * id = -doc_id - 1, disjoint from real (non-negative) ids at any
+    * corpus size. The whitespace class is the explicit [ \t\n\r] so Java
+    * regex and RE2 agree (\s differs on \x0B).
     *
     * Scale: entirely narrow until ONE combinable source fold — both
     * hashes ride the same scan projection; the two count-distincts
@@ -837,8 +838,11 @@ object CorpusOps {
     import s.implicits._
     val d = Tables.load(s, dir, "documents")
       .select($"doc_id", $"source", $"text")
+    // planted ids live in the NEGATIVE range (-doc_id - 1), which cannot
+    // collide with real ids at any corpus size (real doc_id >= 0); a fixed
+    // positive offset would silently collide once the corpus passes it
     val planted = d.filter($"doc_id" % 25 === 0)
-      .select(($"doc_id" + 1000000L).as("doc_id"), $"source",
+      .select((-$"doc_id" - 1L).as("doc_id"), $"source",
         expr("replace(upper(text), ' ', '  ')").as("text"))
     d.unionByName(planted)
       .select($"doc_id", $"source",
@@ -849,7 +853,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct($"h_exact").as("exact_unique"),
         countDistinct($"h_norm").as("norm_unique"),
-        sum(when($"doc_id" >= 1000000L, 1L).otherwise(0L)).as("n_planted"))
+        sum(when($"doc_id" < 0L, 1L).otherwise(0L)).as("n_planted"))
       .withColumn("exact_dup_docs", $"n_docs" - $"exact_unique")
       .withColumn("extra_norm_dups", $"exact_unique" - $"norm_unique")
       .orderBy($"source")

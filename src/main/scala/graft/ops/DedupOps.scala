@@ -618,7 +618,7 @@ object DedupOps {
         (size($"ss_a") + size($"ss_b")).cast("long") - $"inter_n")
       .filter($"inter_n" * 2 >= $"union_n")
       .select($"doc_a", $"doc_b")
-    base.agg(count(lit(1)).as("n_sample_docs"))
+    val verdict = base.agg(count(lit(1)).as("n_sample_docs"))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
       .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
       .crossJoin(truth.join(cands, Seq("doc_a", "doc_b"))
@@ -627,5 +627,12 @@ object DedupOps {
         expr("CASE WHEN n_cand = 0 THEN 0 ELSE n_hit * 1000000 div n_cand END"))
       .withColumn("recall_ppm",
         expr("CASE WHEN n_truth = 0 THEN 0 ELSE n_hit * 1000000 div n_truth END"))
+    // the verdict is ONE row: materialize it now so the cached sample
+    // (signatures + shingle sets) can be released instead of staying
+    // pinned in executor storage for the rest of a 200-query session
+    // (GlobalOrder's persist/unpersist discipline)
+    val rows = verdict.collect().toSeq
+    base.unpersist(blocking = false)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), verdict.schema)
   }
 }

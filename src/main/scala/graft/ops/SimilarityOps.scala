@@ -288,8 +288,11 @@ object SimilarityOps {
     * cancellation, engine-portable.
     *
     * Scale: one narrow posexplode (×dims) + ONE combinable (dim) fold into
-    * a \|dims\|-row frame; int64 holds to ~10⁹ vectors at \|x\|≲2
-    * (ss ≈ n·4·10⁶). */
+    * a \|dims\|-row frame. The per-dim sums (Σq, Σq²) are int64-safe to
+    * ~10⁹ vectors at \|x\|≲2 (ss ≈ n·4·10⁶), but the numerator
+    * n·Σq² − (Σq)² grows as n² — int64 would wrap silently around
+    * n ≈ 1.5·10⁶ — so it is computed and emitted as DECIMAL(38,0),
+    * which holds to n ≈ 10¹⁶. */
   def q212DimVariance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "embeddings")
@@ -300,7 +303,10 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_vecs"),
         sum($"q").as("sum_millis"),
         sum($"q" * $"q").as("ss_millis"))
-      .withColumn("var_num", $"n_vecs" * $"ss_millis" - $"sum_millis" * $"sum_millis")
+      .withColumn("var_num",
+        ($"n_vecs".cast("decimal(38,0)") * $"ss_millis" -
+          $"sum_millis".cast("decimal(38,0)") * $"sum_millis")
+          .cast("decimal(38,0)"))
       .orderBy($"dim")
   }
 
