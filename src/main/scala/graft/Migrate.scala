@@ -81,26 +81,9 @@ object Migrate {
           .filter(t => Transfer.exists(spark, fileEp, t))
       })
 
-      // schema stage: create target tables (skip existing, manager.go:1228+)
-      dst match {
-        case j: Jdbc => tables.foreach { t =>
-          if (Catalog.tableExists(j.url, t)) println(s"[schema] $t exists, skipping")
-          else {
-            val schema = Transfer.read(spark, src, t).schema
-            Catalog.executeDdl(j.url,
-              DdlConverter.ddlForSchema(t, schema, cfg.lowercaseColumns, j.url))
-            println(s"[schema] created $t")
-          }
-        }
-        case _: ParquetDir | _: OrcDir =>
-          println(s"[schema] columnar target carries schema in-file")
-        case _ =>
-          // CSV headers / JSON keys carry names, not types — the pipeline
-          // threads the writer's schema into every validation read-back
-          println(s"[schema] text target: types enforced via typed read-back")
-      }
-
-      // data + validate stages under metric tracking
+      // schema stage now lives inside Pipeline.run (real CREATE TABLEs on
+      // JDBC targets, no-op for file targets whose formats carry schema);
+      // all stages run under metric tracking
       val (report, metrics) = ProgressTracker.track(spark) {
         Pipeline.run(spark, src, dst, cfg.toPipelineConfig, tables)
       }

@@ -14,6 +14,10 @@ import scala.collection.mutable.ArrayBuffer
   *  S4 index scan                         (`metadata.go:295-344`)
   *  S2-style bounded-concurrency fetch    (`metadata.go:133-255`, 20-way
   *                                         semaphore → fixed thread pool)
+  *  S5 view-definition scan               (`metadata.go:347-374`)
+  *  S6 stored-function scan               (`metadata.go:377-531`)
+  *  S7 user/grant scan                    (`metadata.go:534-589`)
+  *  S8 table-privilege scan               (`metadata.go:601-625`)
   *  S11 row count / S12 row-size estimate (`connection.go:232-256`)
   *  S13 version probe                     (`connection.go:259-266`)
   *
@@ -30,11 +34,36 @@ object Catalog {
       unique: Boolean)
   final case class TableMeta(name: String, columns: Seq[ColumnMeta],
       primaryKey: Seq[String], indexes: Seq[IndexMeta])
+  /** S5: a view and the SELECT body of its definition. */
+  final case class ViewMeta(name: String, definition: String)
+  /** S6: a stored function and its (re)constructed CREATE FUNCTION DDL. */
+  final case class FunctionMeta(name: String, ddl: String)
+  /** S7: an account plus its grant statements, `user@host`-named for MySQL
+    * sources and plain-named elsewhere. */
+  final case class UserMeta(name: String, grants: Seq[String])
+  /** S8: one (user, table) privilege row, privileges comma-joined like the
+    * reference's `mysql.tables_priv.Table_priv` column. */
+  final case class TablePrivMeta(user: String, table: String, privCsv: String)
 
   private def withConnection[A](url: String)(f: Connection => A): A = {
     val conn = DriverManager.getConnection(url)
     try f(conn) finally conn.close()
   }
+
+  /** Run the first probe query that the engine accepts and map its rows.
+    * Engine-specific catalogs (INFORMATION_SCHEMA vs SYS.*) differ in
+    * spelling, not in shape — so each scan is an ordered probe list,
+    * MySQL-first to match the reference, with ANSI and Derby fallbacks. */
+  private def firstProbe[A](conn: Connection, probes: Seq[String])(
+      row: java.sql.ResultSet => A): Seq[A] =
+    probes.view.flatMap { sql =>
+      scala.util.Try {
+        val rs = conn.createStatement().executeQuery(sql)
+        val out = ArrayBuffer[A]()
+        while (rs.next()) out += row(rs)
+        out.toSeq
+      }.toOption
+    }.headOption.getOrElse(Nil)
 
   /** S1: list base tables, with app-side include/exclude filtering. */
   def listTables(url: String, include: Seq[String] = Nil,
@@ -106,6 +135,175 @@ object Catalog {
       futures.map(Await.result(_, 5.minutes))
     } finally pool.shutdown()
   }
+
+  // ----------------------------------------------- S5-S8 object-catalog scans
+
+  /** Strip a stored full `CREATE VIEW name AS <select>` statement down to
+    * its SELECT body; definitions already stored as bare SELECTs (MySQL's
+    * INFORMATION_SCHEMA.VIEWS) pass through unchanged. */
+  def viewSelectBody(definition: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("(?is)^\\s*create\\s+(?:or\\s+replace\\s+)?view\\s+\\S+\\s*(?:\\([^)]*\\)\\s*)?as\\s+(.*)$")
+      .matcher(definition.trim)
+    if (m.matches()) m.group(1).trim else definition.trim
+  }
+
+  /** S5: view-definition scan (`GetViews`, metadata.go:347-374). Names come
+    * from JDBC metadata (user views only); bodies from the engine's view
+    * catalog — INFORMATION_SCHEMA.VIEWS holds a bare SELECT (MySQL/H2/PG),
+    * Derby's SYS.SYSVIEWS the full CREATE VIEW text, normalized here to the
+    * SELECT body so converters see one shape. */
+  def listViews(url: String): Seq[ViewMeta] =
+    withConnection(url) { conn =>
+      val names = {
+        val rs = conn.getMetaData.getTables(null, null, "%", Array("VIEW"))
+        val out = ArrayBuffer[String]()
+        while (rs.next()) out += rs.getString("TABLE_NAME")
+        out.toSeq
+      }
+      val defs = firstProbe(conn, Seq(
+        "SELECT table_name, view_definition FROM INFORMATION_SCHEMA.VIEWS WHERE table_schema = DATABASE()",
+        "SELECT table_name, view_definition FROM INFORMATION_SCHEMA.VIEWS",
+        "SELECT t.TABLENAME, v.VIEWDEFINITION FROM SYS.SYSVIEWS v JOIN SYS.SYSTABLES t ON v.TABLEID = t.TABLEID"
+      ))(rs => rs.getString(1) -> rs.getString(2))
+        .map { case (n, d) => n.toLowerCase -> Option(d).getOrElse("") }.toMap
+      names.sorted.map(n =>
+        ViewMeta(n, viewSelectBody(defs.getOrElse(n.toLowerCase, ""))))
+    }
+
+  /** S6: stored-function scan (`GetFunctions`, metadata.go:377-531). The
+    * MySQL path is the reference's two-step SHOW FUNCTION STATUS → SHOW
+    * CREATE FUNCTION (dynamic column lookup — field sets differ across
+    * server versions); ANSI engines answer from
+    * INFORMATION_SCHEMA.ROUTINES; Derby's Java-backed aliases are
+    * reconstructed into executable CREATE FUNCTION DDL from SYS.SYSALIASES
+    * (signature text + EXTERNAL NAME from the alias class/method). Per the
+    * reference, a function whose definition cannot be fetched is skipped,
+    * not fatal. */
+  def listFunctions(url: String): Seq[FunctionMeta] =
+    withConnection(url) { conn =>
+      def cell(rs: java.sql.ResultSet, label: String): Option[String] = {
+        val md = rs.getMetaData
+        (1 to md.getColumnCount)
+          .find(i => md.getColumnLabel(i).equalsIgnoreCase(label))
+          .flatMap(i => Option(rs.getString(i)))
+      }
+      // MySQL: SHOW statements (fails fast on other engines)
+      val viaShow = scala.util.Try {
+        val rs = conn.createStatement()
+          .executeQuery("SHOW FUNCTION STATUS WHERE Db = DATABASE()")
+        val names = ArrayBuffer[String]()
+        while (rs.next()) cell(rs, "Name").foreach(names += _)
+        names.toSeq.flatMap { fn =>
+          scala.util.Try {
+            val fr = conn.createStatement()
+              .executeQuery(s"SHOW CREATE FUNCTION `$fn`")
+            if (fr.next()) cell(fr, "Create Function").map(FunctionMeta(fn, _))
+            else None
+          }.toOption.flatten
+        }
+      }.toOption
+      lazy val viaRoutines = scala.util.Try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT routine_name, routine_definition FROM INFORMATION_SCHEMA.ROUTINES WHERE routine_type = 'FUNCTION'")
+        val out = ArrayBuffer[FunctionMeta]()
+        while (rs.next())
+          out += FunctionMeta(rs.getString(1), Option(rs.getString(2)).getOrElse(""))
+        out.toSeq
+      }.toOption
+      lazy val viaDerby = scala.util.Try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT a.ALIAS, CAST(a.ALIASINFO AS VARCHAR(32672)), a.JAVACLASSNAME " +
+          "FROM SYS.SYSALIASES a JOIN SYS.SYSSCHEMAS s ON a.SCHEMAID = s.SCHEMAID " +
+          "WHERE a.ALIASTYPE = 'F' AND s.SCHEMANAME NOT LIKE 'SYS%'")
+        val out = ArrayBuffer[FunctionMeta]()
+        while (rs.next()) {
+          val (alias, info, cls) = (rs.getString(1), rs.getString(2), rs.getString(3))
+          val paren = info.indexOf('(')
+          if (paren >= 0) {
+            val method = info.substring(0, paren)
+            out += FunctionMeta(alias,
+              s"CREATE FUNCTION $alias${info.substring(paren)} EXTERNAL NAME '$cls.$method'")
+          }
+        }
+        out.toSeq
+      }.toOption
+      viaShow.filter(_.nonEmpty)
+        .orElse(viaRoutines.filter(_.nonEmpty))
+        .orElse(viaDerby)
+        .getOrElse(Nil)
+        .sortBy(_.name)
+    }
+
+  /** S7: user/grant scan (`GetUsers` + `getUserGrants`, metadata.go:
+    * 534-589). MySQL: `mysql.user` minus the reference's system-account
+    * exclusions, each with its SHOW GRANTS statements. Other engines have
+    * no portable account catalog, so the scan degrades to what IS
+    * portable: declared users (Derby SYS.SYSUSERS) unioned with distinct
+    * grantees of table privileges, each carrying per-table GRANT
+    * statements synthesized from [[listTablePrivileges]] — exactly the
+    * shape [[graft.ddl.DdlConverter.userDdl]] consumes. */
+  def listUsers(url: String): Seq[UserMeta] =
+    withConnection(url) { conn =>
+      val viaMysql = scala.util.Try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT user, host FROM mysql.user WHERE user != 'root' AND " +
+          "user != 'mysql.sys' AND user != 'mysql.session' AND user != 'mysql.infoschema'")
+        val accounts = ArrayBuffer[(String, String)]()
+        while (rs.next()) accounts += ((rs.getString(1), rs.getString(2)))
+        accounts.toSeq.map { case (u, h) =>
+          val grants = scala.util.Try {
+            val gr = conn.createStatement()
+              .executeQuery(s"SHOW GRANTS FOR '$u'@'$h'")
+            val out = ArrayBuffer[String]()
+            while (gr.next()) out += gr.getString(1)
+            out.toSeq
+          }.getOrElse(Nil)
+          UserMeta(s"$u@$h", grants)
+        }
+      }.toOption
+      lazy val viaGeneric = {
+        val declared = firstProbe(conn,
+          Seq("SELECT USERNAME FROM SYS.SYSUSERS"))(_.getString(1))
+        val privs = tablePrivsGeneric(conn)
+        val byUser = privs.groupBy(_.user)
+        (declared ++ byUser.keys).distinct.sorted.map { u =>
+          UserMeta(u, byUser.getOrElse(u, Nil).map(p =>
+            s"GRANT ${p.privCsv} ON ${p.table} TO $u"))
+        }
+      }
+      viaMysql.filter(_.nonEmpty).getOrElse(viaGeneric)
+    }
+
+  /** S8: table-privilege scan (`GetTablePrivileges`, metadata.go:601-625).
+    * MySQL: `mysql.tables_priv` rows with non-empty privileges; elsewhere
+    * the JDBC-standard `DatabaseMetaData.getTablePrivileges` rows are
+    * regrouped to the same (user, table, privCsv) shape. */
+  def listTablePrivileges(url: String): Seq[TablePrivMeta] =
+    withConnection(url) { conn =>
+      val viaMysql = scala.util.Try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT User, Table_name, Table_priv FROM mysql.tables_priv WHERE Table_priv != ''")
+        val out = ArrayBuffer[TablePrivMeta]()
+        while (rs.next())
+          out += TablePrivMeta(rs.getString(1), rs.getString(2), rs.getString(3))
+        out.toSeq
+      }.toOption
+      viaMysql.filter(_.nonEmpty).getOrElse(tablePrivsGeneric(conn))
+    }
+
+  private def tablePrivsGeneric(conn: Connection): Seq[TablePrivMeta] =
+    scala.util.Try {
+      val rs = conn.getMetaData.getTablePrivileges(null, null, "%")
+      val rows = ArrayBuffer[(String, String, String)]()
+      while (rs.next())
+        rows += ((rs.getString("GRANTEE"), rs.getString("TABLE_NAME"),
+          rs.getString("PRIVILEGE")))
+      rows.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1).map {
+        case ((user, table), ps) =>
+          TablePrivMeta(user, table, ps.map(_._3).distinct.sorted.mkString(","))
+      }
+    }.getOrElse(Nil)
 
   /** K1: driver-side DDL executor (`ExecuteDDL`, postgres/connection.go:
     * 79-91) — Spark has no DataFrame surface for arbitrary DDL. */

@@ -32,7 +32,8 @@ final case class GraftConfig(
       truncateBeforeSync = truncateBeforeSync,
       validateData = validateData,
       concurrency = concurrency,
-      stages = stages)
+      stages = stages,
+      lowercaseColumns = lowercaseColumns)
 }
 
 object GraftConfig {

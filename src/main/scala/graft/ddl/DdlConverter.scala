@@ -347,6 +347,25 @@ object DdlConverter {
     s"CREATE TABLE ${q(table, lowercase)} (\n${cols.mkString(",\n")}\n)"
   }
 
+  // ------------------------------------------- view (sync_viewddl.go)
+
+  /** `ConvertViewDDL` (sync_viewddl.go:141-917): rewrite the MySQL SELECT
+    * body via [[graft.sqlrewrite.SqlRewriter]] and wrap it as a drop +
+    * create-or-replace pair (the reference emits
+    * `DROP VIEW IF EXISTS ... CASCADE; CREATE OR REPLACE VIEW ... AS ...`).
+    * Returned as two statements because JDBC `Statement.execute` targets
+    * generally reject multi-statement strings; the drop is best-effort
+    * (ignorable failure) so a fresh target works without it. */
+  def viewDdl(view: String, selectBody: String,
+              lowercase: Boolean = false): Seq[String] = {
+    val body0 = graft.sqlrewrite.SqlRewriter.rewrite(selectBody.trim)
+      .stripSuffix(";").trim
+    val body = if (lowercase) body0.toLowerCase else body0
+    Seq(
+      s"DROP VIEW IF EXISTS ${q(view, lowercase)} CASCADE",
+      s"CREATE OR REPLACE VIEW ${q(view, lowercase)} AS $body")
+  }
+
   // ------------------------------------------- index / user / priv (D2-D4)
 
   /** `ConvertIndexDDL` (sync_indexes.go:11-87): table-prefixed name,

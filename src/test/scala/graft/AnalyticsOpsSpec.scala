@@ -810,7 +810,8 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("sum_millis") == ms.sum)
       assert(r.getAs[Long]("ss_millis") == ms.map(m => m * m).sum)
       val varNum = vecs.length.toLong * ms.map(m => m * m).sum - ms.sum * ms.sum
-      assert(r.getAs[Long]("var_num") == varNum)
+      // var_num is DECIMAL(38,0) (int64 wraps near 1.5e6 vectors)
+      assert(r.getAs[java.math.BigDecimal]("var_num").longValueExact() == varNum)
       assert(varNum >= 0L) // n·Σx² ≥ (Σx)² by Cauchy-Schwarz
     }
   }

@@ -22,6 +22,78 @@ class CatalogConfigSpec extends AnyFunSuite {
     u
   }
 
+  /** Second fixture DB with SQL authorization on (Derby's gate for GRANT),
+    * carrying one of each catalog object the S5-S8 scans read. */
+  private lazy val authUrl: String = {
+    val db = Files.createTempDirectory("catauth").toString + "/cat"
+    val u = s"jdbc:derby:$db;create=true"
+    var conn = DriverManager.getConnection(u)
+    conn.createStatement().execute(
+      "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY('derby.database.sqlAuthorization', 'TRUE')")
+    conn.close()
+    // the property only takes effect on reboot
+    try DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")
+    catch { case _: Throwable => () }
+    conn = DriverManager.getConnection(u)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE ACCOUNTS (ID INT NOT NULL PRIMARY KEY, EMAIL VARCHAR(100), SPEND DECIMAL(10,2))")
+    st.execute("CREATE VIEW V_SPENDERS AS SELECT ID, EMAIL FROM ACCOUNTS WHERE SPEND > 100.00")
+    st.execute("CREATE FUNCTION F_MAG(X INT) RETURNS INT LANGUAGE JAVA PARAMETER STYLE JAVA EXTERNAL NAME 'java.lang.Math.abs'")
+    st.execute("GRANT SELECT ON ACCOUNTS TO ALICE")
+    st.execute("GRANT UPDATE, INSERT ON ACCOUNTS TO BOB")
+    conn.close()
+    u
+  }
+
+  test("S5 view scan returns names with normalized SELECT bodies") {
+    val views = Catalog.listViews(authUrl)
+    assert(views.map(_.name) == Seq("V_SPENDERS"))
+    assert(views.head.definition ==
+      "SELECT ID, EMAIL FROM ACCOUNTS WHERE SPEND > 100.00")
+    // full-statement and bare-SELECT storage normalize to the same body
+    assert(Catalog.viewSelectBody("CREATE VIEW x AS SELECT 1") == "SELECT 1")
+    assert(Catalog.viewSelectBody("create or replace view x (a, b) as select a, b from t") ==
+      "select a, b from t")
+    assert(Catalog.viewSelectBody("SELECT a FROM t") == "SELECT a FROM t")
+  }
+
+  test("S6 function scan reconstructs executable CREATE FUNCTION DDL") {
+    val fns = Catalog.listFunctions(authUrl)
+    assert(fns.map(_.name) == Seq("F_MAG"))
+    val ddl = fns.head.ddl
+    assert(ddl.startsWith("CREATE FUNCTION F_MAG("))
+    assert(ddl.contains("RETURNS INTEGER"))
+    assert(ddl.contains("EXTERNAL NAME 'java.lang.Math.abs'"))
+    // the reconstruction must be executable, not just descriptive: replay
+    // it on a fresh database and find the function there
+    val db2 = Files.createTempDirectory("catfn2").toString + "/f"
+    val u2 = s"jdbc:derby:$db2;create=true"
+    DriverManager.getConnection(u2).close()
+    Catalog.executeDdl(u2, ddl)
+    assert(Catalog.listFunctions(u2).map(_.name) == Seq("F_MAG"))
+  }
+
+  test("S7 user scan derives grantees and per-table grant statements") {
+    val users = Catalog.listUsers(authUrl)
+    assert(users.map(_.name) == Seq("ALICE", "BOB"))
+    assert(users.head.grants == Seq("GRANT SELECT ON ACCOUNTS TO ALICE"))
+    assert(users(1).grants == Seq("GRANT INSERT,UPDATE ON ACCOUNTS TO BOB"))
+  }
+
+  test("S8 table-privilege scan groups privileges per (user, table)") {
+    val privs = Catalog.listTablePrivileges(authUrl)
+    assert(privs == Seq(
+      Catalog.TablePrivMeta("ALICE", "ACCOUNTS", "SELECT"),
+      Catalog.TablePrivMeta("BOB", "ACCOUNTS", "INSERT,UPDATE")))
+  }
+
+  test("S5-S8 degrade to empty on a catalog with no such objects") {
+    assert(Catalog.listViews(url).isEmpty)
+    assert(Catalog.listFunctions(url).isEmpty)
+    assert(Catalog.listUsers(url).isEmpty)
+    assert(Catalog.listTablePrivileges(url).isEmpty)
+  }
+
   test("S1 table list with include/exclude filters") {
     assert(Catalog.listTables(url) == Seq("ORDERS", "SCRATCH", "USERS"))
     assert(Catalog.listTables(url, include = Seq("users", "orders")) == Seq("ORDERS", "USERS"))
