@@ -32,7 +32,13 @@ object Bench {
     graft.operators.GlobalOrder.withRowNumber(
       spark.range(100).toDF(), Seq(org.apache.spark.sql.functions.col("id")), "rn")
       .count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated filter for fast single-query iteration
+    // (mirrors Verify's SPARK_GRAFT_ONLY)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>

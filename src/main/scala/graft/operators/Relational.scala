@@ -547,27 +547,41 @@ object Relational {
     * fact-fact join shuffles once on the order key after the nation
     * filters have pruned both sides.
     *
-    * Scale: revenue reduces per-row to integer cents in the scan
-    * projection (order-independent partial sums); the grouped frame is
-    * 2 nations × 2 directions × years. */
+    * Scale: BOTH fact inputs are nation-pruned BEFORE the one fact-fact
+    * shuffle — lineitem drops ~(1 − 2/\|nations\|) of its rows map-side
+    * through the broadcast supplier-pair join, and orders is semi-joined
+    * against the pair's customers first (X140's discipline: prune inside
+    * the join graph, never after it). Revenue reduces per-row to integer
+    * cents in the scan projection (order-independent partial sums); the
+    * grouped frame is 2 nations × 2 directions × years. */
   def q169VolumeShipping(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pair = Seq("NATION_3", "NATION_19")
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
-    val sup = broadcast(t(s, dir, "supplier"))
-    val n1 = broadcast(t(s, dir, "nation")
-      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation")))
-    val n2 = broadcast(t(s, dir, "nation")
-      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation")))
-    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
-      .join(n1, $"s_nationkey" === $"s_nk")
-      .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .join(n2, $"c_nationkey" === $"c_nk")
-      .filter($"supp_nation".isin(pair: _*) && $"cust_nation".isin(pair: _*)
-        && $"supp_nation" =!= $"cust_nation")
+    // supplier side: nation filter rides the broadcast build, so the
+    // lineitem scan keeps only the pair's suppliers' lines (map-side)
+    val supPair = broadcast(t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .filter($"n_name".isin(pair: _*))
+        .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"s_nk")
+      .select($"s_suppkey", $"supp_nation"))
+    // customer side: prune orders down to the pair's customers BEFORE the
+    // lineitem join — at scale this is a key-partitioned semi-join that
+    // shrinks the orders shuffle by the same 2/|nations| factor
+    val custPair = c
+      .join(broadcast(t(s, dir, "nation")
+        .filter($"n_name".isin(pair: _*))
+        .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))),
+        $"c_nationkey" === $"c_nk")
+      .select($"c_custkey", $"cust_nation")
+    val oPair = o.join(custPair, o("o_custkey") === $"c_custkey")
+      .select($"o_orderkey", $"cust_nation")
+    li.join(supPair, li("l_suppkey") === $"s_suppkey")
+      .join(oPair, li("l_orderkey") === $"o_orderkey")
+      .filter($"supp_nation" =!= $"cust_nation")
       .groupBy($"supp_nation", $"cust_nation",
         year($"l_shipdate").cast("long").as("l_year"))
       .agg(count(lit(1)).as("n_lines"),
@@ -583,8 +597,12 @@ object Relational {
     * same fold as the regional total, so there is no second scan and no
     * share-vs-total join.
     *
-    * Scale: same broadcast-dimension / one fact-fact shuffle shape as
-    * X137; the report frame is \|years\|-sized. */
+    * Scale: the region predicate prunes ORDERS before the fact-fact
+    * shuffle — customers filter through the broadcast nation/region chain,
+    * orders semi-join against those keys, and only then does lineitem
+    * shuffle against the ~1/\|regions\| surviving orders (X140's
+    * prune-inside-the-join-graph discipline); the report frame is
+    * \|years\|-sized. */
   def q170MarketShare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val targetNation = "NATION_3"
@@ -598,12 +616,16 @@ object Relational {
     val nC = broadcast(t(s, dir, "nation")
       .select($"n_nationkey".as("c_nk"), $"n_regionkey".as("c_rk")))
     val r = broadcast(t(s, dir, "region").filter($"r_name" === region))
+    // region-filtered customer keys, then orders pruned on them — the
+    // 80% of orders outside the region never reaches the lineitem join
+    val custRegion = c.join(nC, $"c_nationkey" === $"c_nk")
+      .join(r, $"c_rk" === $"r_regionkey")
+      .select($"c_custkey")
+    val oRegion = o.join(custRegion, o("o_custkey") === $"c_custkey")
+      .select($"o_orderkey", $"o_orderdate")
     li.join(sup, li("l_suppkey") === sup("s_suppkey"))
       .join(nS, $"s_nationkey" === $"s_nk")
-      .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .join(nC, $"c_nationkey" === $"c_nk")
-      .join(r, $"c_rk" === $"r_regionkey")
+      .join(oRegion, li("l_orderkey") === $"o_orderkey")
       .withColumn("vol_cents", cents($"l_extendedprice" * (lit(1) - $"l_discount")))
       .groupBy(year($"o_orderdate").cast("long").as("o_year"))
       .agg(sum($"vol_cents").as("total_cents"),

@@ -214,12 +214,15 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q168_weekly_churn" -> 6, // (user, week) distinct (2-phase) + user lead
                              // partitioning + broadcast horizon + week fold
                              // + orderBy
-    "q169_volume_shipping" -> 8, // broadcast supplier + 2 nation dims (each
-                             // a BroadcastExchange) + one li⋈orders shuffle
-                             // pair + year fold + orderBy
-    "q170_market_share" -> 10, // X137's dim broadcasts + region broadcast +
-                             // the fact-fact shuffle + single-pass
-                             // conditional-share fold + orderBy
+    "q169_volume_shipping" -> 8, // broadcast supplier-pair + nation dims +
+                             // customer-pruned orders semi-join + ONE
+                             // pre-pruned li⋈orders shuffle + year fold +
+                             // orderBy (both fact inputs nation-pruned
+                             // BEFORE the wide join)
+    "q170_market_share" -> 10, // dim broadcasts + region-filtered customer
+                             // semi-join pruning orders + the fact-fact
+                             // shuffle + single-pass conditional-share
+                             // fold + orderBy
     "q171_product_margin" -> 9, // broadcast part/supplier/nation + the
                              // li⋈orders shuffle + (nation, year) fold +
                              // orderBy
