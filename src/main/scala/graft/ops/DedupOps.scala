@@ -84,10 +84,17 @@ object DedupOps {
     val bitmask = bitmaskMaxVocab > 0 && vocabProbe.length <= bitmaskMaxVocab
     val encoded =
       if (bitmask) {
-        val idx = vocabProbe.zipWithIndex.toMap
-        val idxUdf = udf((ws: Seq[String]) =>
-          ws.foldLeft(0L)((m, w) => m | (1L << idx(w))))
-        d.withColumn("mask", idxUdf($"ws"))
+        // bit index = position in the sorted vocab literal (array_position
+        // is 1-based) — a native expression tree, not a Scala UDF, so the
+        // narrow pass needs no closure serialization and stays inside the
+        // optimizer's reach; vocab is complete by construction (the probe
+        // saw every distinct word), so array_position never returns 0
+        val vocabLit = vocabProbe
+          .map(w => "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'")
+          .mkString("array(", ", ", ")")
+        d.withColumn("mask", expr(
+          s"aggregate(ws, 0L, (m, w) -> m | shiftleft(1L, " +
+          s"CAST(array_position($vocabLit, w) AS INT) - 1))"))
           .withColumn("wi", lit(null).cast("array<long>"))
       } else {
         // distributed dictionary: deterministic BIGINT id per word, built
