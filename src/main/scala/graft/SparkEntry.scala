@@ -248,6 +248,7 @@ object SparkEntry {
     "q219_revenue_forecast" -> Relational.q219RevenueForecast _,
     "q220_promotion_suppliers" -> Relational.q220PromotionSuppliers _,
     "q221_blame_supplier" -> Relational.q221BlameSupplier _,
+    "q222_image_decode"   -> MultimodalOps.q222ImageDecode _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4056,5 +4057,21 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM j
         |  WHERE j.ok = l.ok AND j.sk != l.sk AND j.delay <= 90)
         |GROUP BY sk ORDER BY n_blamed_orders DESC, s_suppkey LIMIT 20""".stripMargin,
+
+    // The Spark side ENCODES a deterministic gray test card to a real
+    // PNG/BMP bitstream and DECODES it back via javax.imageio; the oracle
+    // recomputes the expected dimensions and pixel sum arithmetically —
+    // equality proves the real codec round trip without DuckDB decoding
+    // anything.
+    "q222_image_decode" ->
+      """SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |  CAST(d.doc_id % 13 + 1 AS BIGINT) AS width,
+        |  CAST(d.doc_id % 7 + 1 AS BIGINT) AS height,
+        |  CAST(sum(3 * ((d.doc_id + 31 * g1.i + 17 * g2.j) % 256)) AS BIGINT)
+        |    AS pixel_sum
+        |FROM documents d, generate_series(0, 12) g1(i), generate_series(0, 6) g2(j)
+        |WHERE g1.i < d.doc_id % 13 + 1 AND g2.j < d.doc_id % 7 + 1
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
   )
 }

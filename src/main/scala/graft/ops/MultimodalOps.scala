@@ -7,13 +7,16 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB ([[StubDecoder.decode]]) — what is
-  * real and tested is the Spark-side shape a 100 TB media pipeline needs:
-  * binary payload column + metadata, `mapPartitions` over batches (the
-  * Scala analogue of `mapInPandas` — one decoder init per partition, not
-  * per row), a schema that survives columnar scan pruning, and partition
-  * sizing driven by payload bytes rather than row count.
+  * PNG and BMP decode is REAL (`javax.imageio`, JVM standard library —
+  * [[MultimodalOps.ImageCodec]], round-trip-gated by
+  * [[MultimodalOps.q222ImageDecode]]). Formats the container lacks codecs
+  * for (JPEG-2000, video, audio) take a clearly-marked DETERMINISTIC STUB
+  * ([[StubDecoder.decode]]). Real and tested either way is the Spark-side
+  * shape a 100 TB media pipeline needs: binary payload column + metadata,
+  * `mapPartitions` over batches (the Scala analogue of `mapInPandas` —
+  * one decoder init per partition, not per row), a schema that survives
+  * columnar scan pruning, and partition sizing driven by payload bytes
+  * rather than row count.
   */
 object MultimodalOps {
 
@@ -73,9 +76,55 @@ object MultimodalOps {
     }
   }
 
+  /** REAL codec for the formats the JVM ships decoders for: PNG and BMP
+    * via `javax.imageio` (no external dependency — ImageIO is java.desktop
+    * standard library). Payloads are sniffed by magic number; anything
+    * else (or a corrupt stream) returns None and the caller falls back to
+    * [[StubDecoder]] — the disclosed stand-in for codecs this container
+    * lacks (JPEG-2000, video, audio). */
+  object ImageCodec {
+    def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    def isBmp(b: Array[Byte]): Boolean =
+      b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+
+    /** Decode a real image payload into the same feature row the stub
+      * emits, so the two paths are interchangeable downstream: real
+      * width/height from the bitstream, the MaxEdge resize rule applied
+      * with the same integer arithmetic, single-frame semantics. */
+    def decode(r: MediaRow): Option[MediaFeatures] =
+      if (!isPng(r.payload) && !isBmp(r.payload)) None
+      else scala.util.Try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))).map { img =>
+          val w = img.getWidth.toLong
+          val h = img.getHeight.toLong
+          val edge = math.max(w, h)
+          val (ow, oh) =
+            if (edge <= StubDecoder.MaxEdge) (w, h)
+            else (w * StubDecoder.MaxEdge / edge, h * StubDecoder.MaxEdge / edge)
+          MediaFeatures(
+            doc_id = r.doc_id,
+            media_type = r.media_type,
+            n_bytes = r.payload.length.toLong,
+            width = w,
+            height = h,
+            n_frames = 1L,
+            first_byte = (r.payload(0) & 0xff).toLong,
+            out_width = ow,
+            out_height = oh,
+            n_sampled_frames = 1L)
+        }
+      }.toOption.flatten
+  }
+
   /** Synthesize a media table from `documents` (text bytes as payload),
-    * then run the decode-features pipeline. The synthesis is arithmetic,
-    * so a DuckDB oracle can replay it exactly (octet_length / ascii). */
+    * then run the decode-features pipeline. Payloads carrying a real
+    * PNG/BMP bitstream decode through [[ImageCodec]] (javax.imageio);
+    * everything else takes the deterministic stub — here the synthetic
+    * payloads are text, so the whole table rides the stub and the
+    * arithmetic DuckDB oracle replays it exactly (octet_length / ascii).
+    * [[q222ImageDecode]] is the real-bitstream path's correctness gate. */
   def q40Multimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media: Dataset[MediaRow] = Tables.load(s, dir, "documents")
@@ -85,10 +134,70 @@ object MultimodalOps {
       .as[MediaRow]
     // one decoder init per partition; rows stream through in batches
     val feats = media.mapPartitions { rows =>
-      val decoder = StubDecoder // real codec: init once here, per partition
-      rows.map(decoder.decode)
+      rows.map(r => ImageCodec.decode(r).getOrElse(StubDecoder.decode(r)))
     }
     feats.toDF().orderBy($"doc_id")
+  }
+
+  /** Decoded-image audit row: everything a DuckDB oracle can recompute
+    * arithmetically without a codec. */
+  final case class DecodedImage(doc_id: Long, fmt: String, width: Long,
+      height: Long, pixel_sum: Long)
+
+  /** X186 — REAL image decode, correctness-gated: each document id maps to
+    * a deterministic gray test card (w = id%13+1, h = id%7+1, gray(i,j) =
+    * (id + 31·i + 17·j) mod 256), ENCODED to a real PNG (even ids) or BMP
+    * (odd ids) bitstream with `javax.imageio`, then DECODED back through
+    * [[ImageCodec]] — the same code path q40 gives real payloads. The
+    * emitted width/height/pixel-sum are pure arithmetic in doc_id, so the
+    * cross-engine oracle verifies the full encode→decode round trip
+    * without DuckDB needing a codec: any decoder bug breaks the equality.
+    * Both formats are lossless RGB, so the pixel sum is exact.
+    *
+    * Scale: encode+decode run inside ONE `mapPartitions` pass (decoder
+    * init per partition, q40's discipline), constant memory per row
+    * (≤ 13×7 px), zero shuffles before the presentation orderBy. */
+  def q222ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents").select($"doc_id").as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 13 + 1).toInt
+        val h = (id % 7 + 1).toInt
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var j = 0
+        while (j < h) {
+          var i = 0
+          while (i < w) {
+            val g = ((id + 31L * i + 17L * j) % 256L).toInt
+            img.setRGB(i, j, (g << 16) | (g << 8) | g)
+            i += 1
+          }
+          j += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        val payload = bos.toByteArray
+        val feats = ImageCodec.decode(MediaRow(id, "image", payload))
+          .getOrElse(sys.error(s"real $fmt payload failed to decode for doc $id"))
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        var sum = 0L
+        var jj = 0
+        while (jj < back.getHeight) {
+          var ii = 0
+          while (ii < back.getWidth) {
+            val rgb = back.getRGB(ii, jj)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            ii += 1
+          }
+          jj += 1
+        }
+        DecodedImage(id, fmt, feats.width, feats.height, sum)
+      }
+    }.toDF().orderBy($"doc_id")
   }
 
   /** Per-document windowed audio features (X152). */

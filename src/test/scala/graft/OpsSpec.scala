@@ -145,6 +145,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("image codec: real PNG/BMP payloads decode, others fall back to stub") {
+    import MultimodalOps.{ImageCodec, MediaRow, StubDecoder}
+    // a real 5x3 PNG and BMP, encoded by the JVM itself
+    for (fmt <- Seq("png", "bmp")) {
+      val img = new java.awt.image.BufferedImage(
+        5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(4, 2, 0x123456)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      val row = MediaRow(7L, "image", bos.toByteArray)
+      val feats = ImageCodec.decode(row)
+      assert(feats.isDefined, s"$fmt did not decode")
+      assert(feats.get.width == 5L && feats.get.height == 3L)
+      assert(feats.get.n_frames == 1L && feats.get.n_sampled_frames == 1L)
+      // determinism: decoding the same payload twice gives the same row
+      assert(ImageCodec.decode(row) == feats)
+    }
+    // resize rule matches the stub's integer arithmetic on a big image
+    val big = new java.awt.image.BufferedImage(
+      640, 360, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", bos)
+    val bf = ImageCodec.decode(MediaRow(1L, "image", bos.toByteArray)).get
+    assert((bf.out_width, bf.out_height) == (224L, 360L * 224L / 640L))
+    // non-image payloads sniff negative and take the stub
+    val text = MediaRow(3L, "image", "just some text".getBytes("UTF-8"))
+    assert(ImageCodec.decode(text).isEmpty)
+    assert(StubDecoder.decode(text).n_bytes == 14L)
+    // corrupt bitstream: magic number present, body garbage → stub fallback
+    val corrupt = MediaRow(4L, "image",
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3))
+    assert(ImageCodec.decode(corrupt).isEmpty)
+  }
+
+  test("q222 image decode round-trips the arithmetic test card") {
+    import spark.implicits._
+    val rows = MultimodalOps.q222ImageDecode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      assert(r.getLong(r.fieldIndex("width")) == id % 13 + 1)
+      assert(r.getLong(r.fieldIndex("height")) == id % 7 + 1)
+      var expect = 0L
+      for (j <- 0 until (id % 7 + 1).toInt; i <- 0 until (id % 13 + 1).toInt)
+        expect += 3L * ((id + 31L * i + 17L * j) % 256L)
+      assert(r.getLong(r.fieldIndex("pixel_sum")) == expect, s"doc $id")
+      assert(r.getString(r.fieldIndex("fmt")) ==
+        (if (id % 2 == 0) "png" else "bmp"))
+    }
+  }
+
   test("minhash tolerates documents with fewer than 3 words (ADVICE r1)") {
     import spark.implicits._
     // Under ANSI mode the unguarded shingle range indexed ws[-1] and threw
