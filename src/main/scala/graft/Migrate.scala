@@ -83,10 +83,11 @@ object Migrate {
 
       // schema stage now lives inside Pipeline.run (real CREATE TABLEs on
       // JDBC targets, no-op for file targets whose formats carry schema);
-      // all stages run under metric tracking
-      val (report, metrics) = ProgressTracker.track(spark) {
-        Pipeline.run(spark, src, dst, cfg.toPipelineConfig, tables)
-      }
+      // all stages run under metric tracking with the file/error log split
+      val runLog = cfg.toRunLog
+      val (report, metrics) = try ProgressTracker.track(spark) {
+        Pipeline.run(spark, src, dst, cfg.toPipelineConfig, tables, runLog)
+      } finally runLog.close()
 
       // summary (manager.go:1752-1771)
       report.stats.foreach(s =>

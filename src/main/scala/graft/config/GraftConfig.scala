@@ -23,7 +23,12 @@ final case class GraftConfig(
     lowercaseColumns: Boolean = false,     // config.go:67
     showProgress: Boolean = true,
     testOnly: Boolean = false,
-    stages: Seq[String] = Seq("schema", "data", "validate")) {
+    stages: Seq[String] = Seq("schema", "data", "validate"),
+    enableFileLogging: Boolean = false,    // config.go:87 (RunConfig)
+    logFilePath: String = "graft_run.log",
+    errorLogPath: String = "graft_error.log",
+    showConsoleLogs: Boolean = true,
+    showLogInConsole: Boolean = false) {
 
   def toPipelineConfig: graft.pipeline.Pipeline.Config =
     graft.pipeline.Pipeline.Config(
@@ -34,6 +39,13 @@ final case class GraftConfig(
       concurrency = concurrency,
       stages = stages,
       lowercaseColumns = lowercaseColumns)
+
+  def toRunLog: graft.pipeline.RunLog = new graft.pipeline.RunLog(
+    enableFileLogging = enableFileLogging,
+    logFilePath = logFilePath,
+    errorLogPath = errorLogPath,
+    showConsoleLogs = showConsoleLogs,
+    showLogInConsole = showLogInConsole)
 }
 
 object GraftConfig {
@@ -113,6 +125,11 @@ object GraftConfig {
       case (_, "lowercase_columns") => c.copy(lowercaseColumns = bool)
       case (_, "show_progress")     => c.copy(showProgress = bool)
       case (_, "test_only")         => c.copy(testOnly = bool)
+      case (_, "enable_file_logging")  => c.copy(enableFileLogging = bool)
+      case (_, "log_file_path")        => c.copy(logFilePath = value)
+      case (_, "error_log_path")       => c.copy(errorLogPath = value)
+      case (_, "show_console_logs")    => c.copy(showConsoleLogs = bool)
+      case (_, "show_log_in_console")  => c.copy(showLogInConsole = bool)
       case (_, "use_table_list") if value0.startsWith("[") =>
         c.copy(useTableList = parseInlineList(value0))
       case (_, "exclude_table_list") if value0.startsWith("[") =>

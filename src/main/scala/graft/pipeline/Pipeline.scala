@@ -26,7 +26,9 @@ import scala.util.{Failure, Success, Try}
   *    (`manager.go:372,433-437`); validation failures abort ONLY when
   *    `truncate_before_sync` is on — append-mode runs warn and keep going,
   *    reporting inconsistent tables at the end (README.md:137-144);
-  *  - per-stage timing stats (`ConversionStageStat`, manager.go:16-39).
+  *  - per-stage timing stats (`ConversionStageStat`, manager.go:16-39);
+  *  - per-stage narrative + error lines through [[RunLog]] (the
+  *    reference's file/error log split, manager.go:1695-1737).
   *
   * The object-catalog stages (views/indexes/functions/users/privileges)
   * read via [[graft.catalog.Catalog]]'s S5-S8 scans and emit via
@@ -89,7 +91,8 @@ object Pipeline {
     * (views/indexes/functions/users/privileges) when configured. */
   def run(spark: SparkSession, src: Endpoint, dst: Endpoint,
           cfg: Config = Config(),
-          tables: Seq[String] = graft.sources.Tables.all): RunReport = {
+          tables: Seq[String] = graft.sources.Tables.all,
+          log: RunLog = RunLog.consoleOnly): RunReport = {
     val pool = Executors.newFixedThreadPool(cfg.concurrency)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val stats = Vector.newBuilder[StageStat]
@@ -122,6 +125,9 @@ object Pipeline {
       val failures = items.flatMap(_._2)
       stats += StageStat(stage, items.size, (System.nanoTime() - t0) / 1e9,
         failures)
+      log.log(f"stage $stage: ${items.size} items in ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        (if (failures.nonEmpty) s" (${failures.size} failed)" else ""))
+      failures.foreach(f => log.error(s"$stage: $f"))
       if (failures.nonEmpty && cfg.stopOnError)
         throw new RuntimeException(s"$stage stage failed: ${failures.mkString("; ")}")
     }
@@ -148,6 +154,9 @@ object Pipeline {
           }
           stats += StageStat("schema", selected.size,
             (System.nanoTime() - t0) / 1e9, failures)
+          log.log(s"stage schema: ${selected.size} tables" +
+            (if (failures.nonEmpty) s" (${failures.size} failed)" else ""))
+          failures.foreach(f => log.error(s"schema: $f"))
           if (failures.nonEmpty && cfg.stopOnError)
             throw new RuntimeException(s"schema stage failed: ${failures.mkString("; ")}")
 
@@ -175,6 +184,10 @@ object Pipeline {
           results = done.collect { case (_, Success(r)) => r }
           stats += StageStat("data", selected.size,
             (System.nanoTime() - t0) / 1e9, failures)
+          log.log(f"stage data: ${selected.size} tables, " +
+            f"${results.map(_.dstRows).sum} rows in ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+            (if (failures.nonEmpty) s" (${failures.size} failed)" else ""))
+          failures.foreach(f => log.error(s"data: $f"))
           if (failures.nonEmpty && cfg.stopOnError)
             throw new RuntimeException(s"data stage failed: ${failures.mkString("; ")}")
 
@@ -183,6 +196,8 @@ object Pipeline {
           val bad = results.filter(r => r.srcRows != r.dstRows || !r.checksumMatch)
           stats += StageStat("validate", results.size,
             (System.nanoTime() - t0) / 1e9, bad.map(_.table))
+          log.log(s"stage validate: ${results.size} tables" +
+            (if (bad.nonEmpty) s" (${bad.size} inconsistent)" else ""))
           // README.md:137-144: a truncate-before-sync run must land exactly
           // the source rows — mismatch aborts. An append-mode run
           // (truncate off) legitimately accumulates rows: warn, keep going,
@@ -192,8 +207,8 @@ object Pipeline {
               throw new RuntimeException(
                 s"validation failed: ${bad.map(b => s"${b.table}(${b.srcRows}!=${b.dstRows})").mkString(", ")}")
             else
-              bad.foreach(b => println(
-                s"[validate] data validation inconsistent: ${b.table} " +
+              bad.foreach(b => log.error(
+                s"data validation inconsistent: ${b.table} " +
                 s"src=${b.srcRows} dst=${b.dstRows} (continuing: truncate_before_sync=false)"))
           }
 

@@ -185,6 +185,46 @@ class MigrateMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r3.inconsistent.isEmpty && r3.results.head.dstRows == 5)
   }
 
+  test("case: file/error log split writes per-stage lines and errors") {
+    import graft.pipeline.RunLog
+    val tmp = Files.createTempDirectory("mm_log").toString
+    val logPath = s"$tmp/run.log"
+    val errPath = s"$tmp/err.log"
+    val cfg = cfgOf(
+      """use_table_list: [region, nation]
+        |truncate_before_sync: true
+        |enable_file_logging: true
+        |show_console_logs: false
+        |""".stripMargin)
+    assert(cfg.enableFileLogging && !cfg.showConsoleLogs)
+    val log = new RunLog(enableFileLogging = true, logFilePath = logPath,
+      errorLogPath = errPath, showConsoleLogs = false)
+    val dst = ParquetDir(Files.createTempDirectory("mm_log_dst").toString)
+    try Pipeline.run(spark, ParquetDir(sf), dst, cfg.toPipelineConfig, log = log)
+    finally log.close()
+    val lines = Files.readAllLines(java.nio.file.Paths.get(logPath))
+    assert(lines.size >= 3, s"expected per-stage lines, got $lines")
+    for (stage <- Seq("schema", "data", "validate"))
+      assert(lines.toArray.exists(_.toString.contains(s"stage $stage")), stage)
+    // timestamped prefix on every line
+    assert(lines.toArray.forall(_.toString.matches("^\\[\\d{4}-\\d{2}-\\d{2} .*")))
+    // clean run: error file stays empty (or absent content)
+    assert(!Files.exists(java.nio.file.Paths.get(errPath)) ||
+      Files.readAllLines(java.nio.file.Paths.get(errPath)).isEmpty)
+
+    // a failing data stage routes the failure into the ERROR file
+    val log2 = new RunLog(enableFileLogging = true, logFilePath = logPath,
+      errorLogPath = errPath, showConsoleLogs = false)
+    val cfg2 = cfg.toPipelineConfig.copy(stopOnError = false,
+      includeTables = Nil)
+    try Pipeline.run(spark, ParquetDir(sf), dst, cfg2,
+      tables = Seq("no_such_table"), log = log2)
+    finally log2.close()
+    val errs = Files.readAllLines(java.nio.file.Paths.get(errPath))
+    assert(errs.toArray.exists(_.toString.contains("ERROR: data: no_such_table")),
+      s"error file missing data-stage failure: $errs")
+  }
+
   test("case 17/18: validate_data=false skips checksum but keeps counts") {
     val dst = ParquetDir(Files.createTempDirectory("mm_noval").toString)
     val cfg = cfgOf(
