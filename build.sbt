@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout through UNPREFIXED: sbt's default logger
+// tags every runMain stdout line with "[info] ", which breaks any
+// consumer that greps for a line-initial JSON object (the bench driver
+// does exactly that — its tail parser needs the line to start with '{').
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
