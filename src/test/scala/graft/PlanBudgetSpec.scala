@@ -266,6 +266,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                               // the presentation orderBy plans an Exchange
     "q185_frame_dedup"  -> 1, // chunk+fingerprint HOF is a narrow codegen'd
                              // projection; only the orderBy is wide
+    "q222_image_decode" -> 1, // encode→decode round trip runs inside ONE
+                             // mapPartitions pass; only the orderBy is wide
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
