@@ -1,0 +1,159 @@
+package graft.ddl
+
+import graft.sqlrewrite.SqlRewriter
+
+/** MySQL stored-function DDL → PostgreSQL PL/pgSQL — the reference's
+  * `ConvertFunctionDDL` (sync_functions.go:156-1426) re-expressed
+  * structurally:
+  *
+  *  - signature: paren-matched parameter list with the reference's type
+  *    cleanups — DATETIME→TIMESTAMP, TINYINT→SMALLINT, UNSIGNED/ZEROFILL
+  *    and charset/collate noise dropped, backticks→double quotes
+  *    (sync_functions.go:219-260);
+  *  - RETURNS type with the same cleanups, DATETIME precision carried
+  *    (:263-335);
+  *  - characteristics → volatility/security/comment (:337-408):
+  *    DETERMINISTIC→IMMUTABLE, NOT DETERMINISTIC→VOLATILE, else NO
+  *    SQL→IMMUTABLE / READS SQL DATA→STABLE / MODIFIES SQL DATA→VOLATILE;
+  *    SQL SECURITY DEFINER|INVOKER passes through; COMMENT 'txt' becomes a
+  *    trailing COMMENT ON FUNCTION;
+  *  - body between the outermost BEGIN..END: MySQL in-body `DECLARE`s
+  *    hoist into the PL/pgSQL DECLARE block (handlers are dropped — PG has
+  *    no direct equivalent, :96-99), `SET x =` becomes `x :=`;
+  *  - expression-level builtins (IFNULL, CONCAT, DATE_FORMAT, …) ride
+  *    [[graft.sqlrewrite.SqlRewriter.rewrite]] — ONE structural rewriter
+  *    shared with the view converter instead of the reference's ~60
+  *    ordered regex passes over the same surface;
+  *  - wrapped as `CREATE OR REPLACE FUNCTION <lower(name)>(params)
+  *    RETURNS type <security> <volatility> AS $$ ... $$ LANGUAGE plpgsql`
+  *    (:1285-1320).
+  *
+  * Driver-side cold path (pipeline `functions` stage); returns None for
+  * DDL that is not a MySQL-shaped `CREATE FUNCTION ... BEGIN ... END`
+  * (e.g. Derby's Java-alias reconstructions pass through untouched).
+  */
+object FunctionDdl {
+
+  final case class Converted(name: String, ddl: String)
+
+  private val NameRe =
+    "(?is)CREATE\\s+(?:DEFINER\\s*=\\s*\\S+\\s+)?FUNCTION\\s+`?([\\w$]+)`?".r
+
+  private def cleanTypes(s: String): String = s
+    .replace("`", "\"")
+    .replaceAll("(?i)\\bDATETIME\\b", "TIMESTAMP")
+    .replaceAll("(?i)\\bTINYINT\\b", "SMALLINT")
+    .replaceAll("(?i)\\s+UNSIGNED\\b", "")
+    .replaceAll("(?i)\\s+ZEROFILL\\b", "")
+    .replaceAll("(?i)\\s+CHARACTER\\s+SET\\s+\\w+", "")
+    .replaceAll("(?i)\\s+CHARSET\\s+\\w+", "")
+    .replaceAll("(?i)\\s+COLLATE\\s+\\w+", "")
+
+  /** Matching close paren for the open paren at `open`. -1 if unbalanced. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  def convert(mysqlDdl: String): Option[Converted] = {
+    // DELIMITER wrappers and the custom terminator are client syntax, not
+    // function text
+    val ddl = mysqlDdl
+      .replaceAll("(?im)^\\s*DELIMITER\\s+\\S+\\s*$", "")
+      .replaceAll("(?m)//\\s*$", "")
+      .trim
+    val upper = ddl.toUpperCase
+    for {
+      m <- NameRe.findFirstMatchIn(ddl)
+      name = m.group(1)
+      open = ddl.indexOf('(', m.end - 1) if open >= 0
+      close = matchParen(ddl, open) if close > open
+      returnsIdx = upper.indexOf("RETURNS", close) if returnsIdx >= 0
+      beginIdx = upper.indexOf("BEGIN", returnsIdx) if beginIdx >= 0
+    } yield {
+      val params = cleanTypes(ddl.substring(open + 1, close)).trim
+
+      // RETURNS <type> runs to the first top-level space after the type
+      // (paren depth honored for VARCHAR(255), DECIMAL(10,2), …)
+      val afterReturns = ddl.substring(returnsIdx + 7, beginIdx).trim
+      var depth = 0
+      var cut = afterReturns.length
+      var i = 0
+      while (i < afterReturns.length && cut == afterReturns.length) {
+        afterReturns.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case c if Character.isWhitespace(c) && depth == 0 => cut = i
+          case _ =>
+        }
+        i += 1
+      }
+      val returnType = {
+        val t = cleanTypes(afterReturns.substring(0, cut)).trim
+        if (t.isEmpty) "VOID" else t
+      }
+
+      // characteristics live between the return type and BEGIN
+      val chars = afterReturns.substring(math.min(cut, afterReturns.length))
+      val uchars = chars.toUpperCase
+      val volatility =
+        if (uchars.contains("NOT DETERMINISTIC")) "VOLATILE"
+        else if (uchars.contains("DETERMINISTIC")) "IMMUTABLE"
+        else if (uchars.contains("NO SQL")) "IMMUTABLE"
+        else if (uchars.contains("READS SQL DATA")) "STABLE"
+        else "VOLATILE"
+      val security =
+        if (uchars.contains("SQL SECURITY DEFINER")) "SECURITY DEFINER"
+        else "SECURITY INVOKER"
+      val comment = "(?is)COMMENT\\s+'((?:[^'\\\\]|\\\\.)*)'".r
+        .findFirstMatchIn(chars).map(_.group(1))
+
+      // body: after the outermost BEGIN, trailing END (+ terminator) cut
+      var body = ddl.substring(beginIdx + 5)
+        .replaceAll("(?is)\\s*END\\s*(?:\\$\\$|;)*\\s*$", "")
+
+      // MySQL handlers have no PL/pgSQL equivalent — dropped like the
+      // reference (reHandler); plain DECLAREs hoist into the PG block
+      body = body.replaceAll(
+        "(?i)DECLARE\\s+(?:CONTINUE|EXIT)\\s+HANDLER\\s+FOR\\s+[^;]+;", "")
+      val declRe = ("(?i)DECLARE\\s+(\\w+)\\s+([A-Za-z]+" +
+        "(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)" +
+        "(?:\\s+DEFAULT\\s+([^;]+))?;").r
+      val decls = declRe.findAllMatchIn(body).map { d =>
+        val default = Option(d.group(3)).map(v => s" DEFAULT ${v.trim}").getOrElse("")
+        s"${d.group(1)} ${cleanTypes(d.group(2))}$default;"
+      }.toSeq
+      body = declRe.replaceAllIn(body, "")
+
+      // SET x = v; → x := v;  (assignment, not the session SET statement)
+      body = body.replaceAll("(?i)\\bSET\\s+(\\w+)\\s*=", "$1 :=")
+
+      // expression-level MySQL builtins → PG through the shared rewriter
+      body = SqlRewriter.rewrite(body).trim
+
+      val declareBlock =
+        if (decls.isEmpty) "" else "DECLARE\n  " + decls.mkString("\n  ") + "\n"
+      val fn = name.toLowerCase
+      val stmt =
+        s"""CREATE OR REPLACE FUNCTION $fn($params)
+           |RETURNS $returnType
+           |$security
+           |$volatility AS $$$$
+           |${declareBlock}BEGIN
+           |$body
+           |END;
+           |$$$$ LANGUAGE plpgsql""".stripMargin +
+          comment.map(c => s";\nCOMMENT ON FUNCTION $fn IS '$c'").getOrElse("")
+      Converted(fn, stmt)
+    }
+  }
+}

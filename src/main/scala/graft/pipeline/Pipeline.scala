@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.SparkSession
 import graft.catalog.Catalog
-import graft.ddl.DdlConverter
+import graft.ddl.{DdlConverter, FunctionDdl}
 import graft.transfer.Transfer
 import graft.transfer.Transfer.{Endpoint, Jdbc, TransferResult}
 import java.util.concurrent.Executors
@@ -234,9 +234,18 @@ object Pipeline {
 
         case "functions" =>
           // reference: manager.go:589-640; unfetchable definitions were
-          // already skipped by the scan (metadata.go:436-439)
+          // already skipped by the scan (metadata.go:436-439). MySQL-shaped
+          // bodies convert to PL/pgSQL for PG targets (ConvertFunctionDDL);
+          // other DDL (Derby Java aliases, ANSI routines) passes through.
           ddlStage("functions") { sj =>
-            Catalog.listFunctions(sj.url).map(f => (f.name, Seq(f.ddl), false))
+            val pgTarget = dstJdbc.exists(_.url.startsWith("jdbc:postgresql"))
+            Catalog.listFunctions(sj.url).map { f =>
+              val ddl =
+                if (pgTarget)
+                  FunctionDdl.convert(f.ddl).map(_.ddl).getOrElse(f.ddl)
+                else f.ddl
+              (f.name, Seq(ddl), false)
+            }
           }
 
         case "users" =>

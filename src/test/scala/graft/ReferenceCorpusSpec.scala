@@ -46,6 +46,68 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(views.size >= 10, s"expected >=10 views, got ${views.size}")
   }
 
+  /** The reference's stored-function fixture corpus
+    * (`scripts/mysql/create_function.sql`, 3 functions exercising 5.7/8.0
+    * reserved words, mixed joins, COALESCE, ORDER/LIMIT) must convert into
+    * structurally sound PL/pgSQL through FunctionDdl — signature, RETURNS,
+    * volatility from READS SQL DATA, hoisted DECLAREs, preserved
+    * SELECT..INTO, and no MySQL client syntax left behind. */
+  test("every reference fixture function converts to PL/pgSQL") {
+    import graft.ddl.FunctionDdl
+    val text = {
+      val s = Source.fromFile(
+        "/root/reference/scripts/mysql/create_function.sql", "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val blocks = "(?is)CREATE\\s+FUNCTION.*?END\\s*//".r
+      .findAllIn(text).toSeq
+    assert(blocks.size == 3, s"expected the 3 fixture functions, got ${blocks.size}")
+    val converted = blocks.map(b => FunctionDdl.convert(b)
+      .getOrElse(fail(s"did not convert: ${b.take(60)}...")))
+    assert(converted.map(_.name).sorted ==
+      Seq("get_combined_data", "get_detailed_data", "get_joined_data"))
+    converted.foreach { c =>
+      val d = c.ddl
+      assert(d.startsWith(s"CREATE OR REPLACE FUNCTION ${c.name}(p_"), c.name)
+      assert(d.contains("RETURNS VARCHAR(255)"), c.name)
+      // READS SQL DATA → STABLE; no explicit security → INVOKER
+      assert(d.contains("STABLE AS $$") && d.contains("SECURITY INVOKER"), c.name)
+      // the in-body DECLARE hoists into the PL/pgSQL block
+      assert(d.contains("DECLARE\n  result VARCHAR(255);"), c.name)
+      assert(d.contains("INTO result"), c.name)
+      assert(d.contains("RETURN result;"), c.name)
+      assert(d.trim.endsWith("$$ LANGUAGE plpgsql"), c.name)
+      // client syntax and MySQL quoting must be gone
+      assert(!d.contains("DELIMITER") && !d.contains("`") && !d.contains("//"), c.name)
+    }
+    // the LIMIT-carrying function keeps its ORDER BY ... LIMIT tail
+    val combined = converted.find(_.name == "get_combined_data").get.ddl
+    assert(combined.contains("ORDER BY") && combined.contains("LIMIT 1"))
+  }
+
+  test("FunctionDdl characteristics and non-function passthrough") {
+    import graft.ddl.FunctionDdl
+    val det = FunctionDdl.convert(
+      """CREATE FUNCTION add_days(d DATETIME, n INT UNSIGNED) RETURNS DATETIME(3)
+        |DETERMINISTIC SQL SECURITY DEFINER COMMENT 'adds days'
+        |BEGIN
+        |  DECLARE x INT DEFAULT 0;
+        |  SET x = n + 1;
+        |  RETURN d;
+        |END""".stripMargin).get
+    assert(det.ddl.contains("add_days(d TIMESTAMP, n INT)"))
+    assert(det.ddl.contains("RETURNS TIMESTAMP(3)"))
+    assert(det.ddl.contains("IMMUTABLE AS $$"))
+    assert(det.ddl.contains("SECURITY DEFINER"))
+    assert(det.ddl.contains("x INT DEFAULT 0;"))
+    assert(det.ddl.contains("x := n + 1;"))
+    assert(det.ddl.contains("COMMENT ON FUNCTION add_days IS 'adds days'"))
+    // Derby's reconstructed Java alias is NOT MySQL-shaped: no BEGIN body
+    assert(FunctionDdl.convert(
+      "CREATE FUNCTION F_MAG(X INTEGER) RETURNS INTEGER LANGUAGE JAVA " +
+      "PARAMETER STYLE JAVA EXTERNAL NAME 'java.lang.Math.abs'").isEmpty)
+  }
+
   test("every reference view rewrites to parseable Spark SQL") {
     val parser = spark.sessionState.sqlParser
     val failures = viewStatements().flatMap { stmt =>
