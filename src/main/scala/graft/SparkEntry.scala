@@ -249,6 +249,7 @@ object SparkEntry {
     "q220_promotion_suppliers" -> Relational.q220PromotionSuppliers _,
     "q221_blame_supplier" -> Relational.q221BlameSupplier _,
     "q222_image_decode"   -> MultimodalOps.q222ImageDecode _,
+    "q223_neardup_leakage" -> DedupOps.q223NeardupLeakage _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4073,5 +4074,53 @@ object SparkEntry {
         |FROM documents d, generate_series(0, 12) g1(i), generate_series(0, 6) g2(j)
         |WHERE g1.i < d.doc_id % 13 + 1 AND g2.j < d.doc_id % 7 + 1
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // q178's split rule + q213's MinHash replay, restricted to eval→train
+    // band probes (ASCII-only fingerprint invariant, see q213's note).
+    "q223_neardup_leakage" ->
+      """WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS ws,
+        |    list_reduce(list_transform(
+        |        string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 10 = 9 AS is_eval
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, lang, is_eval,
+        |    list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
+        |hs AS (SELECT doc_id, lang, is_eval, list_transform(shingles,
+        |    s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |                     (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |sig AS (SELECT doc_id, lang, is_eval, [
+        |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
+        |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
+        |  list_min(list_transform(h, x -> (11 * x + 13) % 1000000007)),
+        |  list_min(list_transform(h, x -> (17 * x + 29) % 1000000007)),
+        |  list_min(list_transform(h, x -> (23 * x + 37) % 1000000007)),
+        |  list_min(list_transform(h, x -> (31 * x + 43) % 1000000007)),
+        |  list_min(list_transform(h, x -> (41 * x + 53) % 1000000007)),
+        |  list_min(list_transform(h, x -> (47 * x + 61) % 1000000007)),
+        |  list_min(list_transform(h, x -> (59 * x + 71) % 1000000007)),
+        |  list_min(list_transform(h, x -> (67 * x + 79) % 1000000007)),
+        |  list_min(list_transform(h, x -> (73 * x + 89) % 1000000007)),
+        |  list_min(list_transform(h, x -> (83 * x + 101) % 1000000007))] AS sig FROM hs),
+        |bands AS (SELECT doc_id, is_eval, i AS band_idx,
+        |    CAST(sig[3*i + 1] AS VARCHAR) || ':' || CAST(sig[3*i + 2] AS VARCHAR)
+        |      || ':' || CAST(sig[3*i + 3] AS VARCHAR) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |cands AS (SELECT DISTINCT e.doc_id AS e_id, t.doc_id AS t_id
+        |  FROM bands e JOIN bands t
+        |    ON e.band_idx = t.band_idx AND e.band_key = t.band_key
+        |  WHERE e.is_eval AND NOT t.is_eval),
+        |leaked AS (SELECT DISTINCT e_id FROM cands
+        |  JOIN sig se ON se.doc_id = e_id JOIN sig st ON st.doc_id = t_id
+        |  WHERE len(list_filter(generate_series(1, 12), i -> se.sig[i] = st.sig[i])) >= 6)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(CASE WHEN leaked.e_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_neardup_leaked,
+        |  CAST(sum(CASE WHEN leaked.e_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    * 1000000 // count(*) AS leak_ppm
+        |FROM (SELECT * FROM sig WHERE is_eval) e
+        |LEFT JOIN leaked ON e.doc_id = leaked.e_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

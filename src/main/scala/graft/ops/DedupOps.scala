@@ -566,6 +566,60 @@ object DedupOps {
       .orderBy($"band")
   }
 
+  /** X191 — NEAR-duplicate train/eval leakage: X146 (q178) catches only
+    * byte-identical leaks; a paraphrased or lightly-edited eval document
+    * that near-duplicates a training document contaminates a benchmark
+    * just as hard. This runs X3's banded MinHash machinery ACROSS the
+    * split boundary — eval-side bands probe train-side bands, candidates
+    * confirm at signature agreement ≥ 6/12 (estimated Jaccard ≥ 0.5) —
+    * and reports per-language eval counts, near-dup-leaked counts, and
+    * leak ppm. Split rule is byte-identical to q178's (fingerprint of
+    * text+doc_id mod 10 = 9 → eval), so the two audits gate the SAME
+    * split. The universe is ≥3-word docs (the minhashable set — q34's
+    * exclusion rule; short docs are exact-dedup territory).
+    *
+    * Scale: the cross-split join is banded (no all-pairs) and STRICTLY
+    * cheaper than q34's full self-join — the eval side is ~10% of bands;
+    * the confirm join touches only candidates; the verdict is a
+    * lang-keyed combinable fold. */
+  def q223NeardupLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val sigExprs = perms.map { case (a, b) =>
+      s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${P}L))"
+    }.mkString("array(", ", ", ")")
+    val base = docs(s, dir)
+      .selectExpr("doc_id", "lang",
+        "graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING))) % 10 = 9 AS is_eval",
+        "split(text, ' ') AS ws")
+      .where("size(ws) >= 3")
+      .selectExpr("doc_id", "lang", "is_eval", s"${TextGrams.fpArrayExpr(3)} AS hs")
+      .selectExpr("doc_id", "lang", "is_eval", s"$sigExprs AS sig")
+    val bandCols: Column = array((0 until bandsN).map { j =>
+      val parts = (0 until rowsPerBand).map(r => s"sig[${j * rowsPerBand + r}]")
+      expr(s"concat_ws(':', ${parts.mkString(", ")})")
+    }: _*)
+    val bands = base.select($"doc_id", $"is_eval",
+      posexplode(bandCols).as(Seq("band_idx", "band_key")))
+    val cands = bands.filter($"is_eval").as("e")
+      .join(bands.filter(!$"is_eval").as("t"),
+        $"e.band_idx" === $"t.band_idx" && $"e.band_key" === $"t.band_key")
+      .select($"e.doc_id".as("e_id"), $"t.doc_id".as("t_id")).distinct()
+    val leaked = cands
+      .join(base.select($"doc_id".as("e_id"), $"sig".as("sig_e")), "e_id")
+      .join(base.select($"doc_id".as("t_id"), $"sig".as("sig_t")), "t_id")
+      .filter(expr("size(filter(zip_with(sig_e, sig_t, (x, y) -> x = y), v -> v))") >= 6)
+      .select($"e_id").distinct()
+      .withColumn("leak", lit(1L))
+    base.filter($"is_eval")
+      .join(leaked, $"doc_id" === $"e_id", "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(coalesce($"leak", lit(0L))).as("n_neardup_leaked"))
+      .withColumn("leak_ppm", expr("n_neardup_leaked * 1000000 div n_eval"))
+      .orderBy($"lang")
+  }
+
   /** X181 — MinHash method-agreement audit: X3's LSH candidate relation
     * (signature agreement ≥ 6/12 ⇔ estimated J ≥ 0.5) scored against the
     * EXACT shingle-set Jaccard ≥ 0.5 truth on a deterministic sample —

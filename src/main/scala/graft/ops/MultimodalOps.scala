@@ -144,7 +144,7 @@ object MultimodalOps {
   final case class DecodedImage(doc_id: Long, fmt: String, width: Long,
       height: Long, pixel_sum: Long)
 
-  /** X186 — REAL image decode, correctness-gated: each document id maps to
+  /** X190 — REAL image decode, correctness-gated: each document id maps to
     * a deterministic gray test card (w = id%13+1, h = id%7+1, gray(i,j) =
     * (id + 31·i + 17·j) mod 256), ENCODED to a real PNG (even ids) or BMP
     * (odd ids) bitstream with `javax.imageio`, then DECODED back through

@@ -220,6 +220,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSet == origPairs)
   }
 
+  test("neardup leakage: planted cross-split near-dup twin is flagged") {
+    import spark.implicits._
+    // plant BOTH sides (q81's planted-ground-truth rule): a fresh EVAL doc
+    // with vocabulary foreign to the corpus, and a lightly-edited
+    // TRAIN-side twin (one appended word — high Jaccard, not
+    // byte-identical, so only the NEAR-dup audit can catch it). The split
+    // fingerprint is deterministic, so ids are searched until each lands
+    // on its intended side.
+    val base = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val evalText = ("qqa qqb qqc qqd qqe qqf qqg qqh qqi qqj qqk qql").trim
+    val twinText = evalText + " zzzz"
+    val fpOf = (s: String) => {
+      var acc = 0L
+      s.getBytes("UTF-8").foreach(b => acc = (acc * 31 + (b & 0xff)) % 1000000007L)
+      acc
+    }
+    val evalId = (900101L to 900400L)
+      .find(id => fpOf(evalText + id.toString) % 10 == 9).get
+    val twinId = (900401L to 900700L)
+      .find(id => fpOf(twinText + id.toString) % 10 != 9).get
+    val dir = java.nio.file.Files.createTempDirectory("neardup_leak").toString
+    base.unionAll(Seq(
+        (evalId, evalText, "en", "planted", evalText.length.toLong),
+        (twinId, twinText, "en", "planted", twinText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.parquet(s"$dir/documents.parquet")
+    val before = DedupOps.q223NeardupLeakage(spark, sf)
+      .select($"lang", $"n_eval", $"n_neardup_leaked")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val after = DedupOps.q223NeardupLeakage(spark, dir)
+      .select($"lang", $"n_eval", $"n_neardup_leaked")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // exactly one new eval doc, and it is near-dup-leaked by its twin
+    assert(after("en")._1 == before("en")._1 + 1, s"before=$before after=$after")
+    assert(after("en")._2 == before("en")._2 + 1,
+      s"planted near-dup twin not flagged: before=$before after=$after")
+    // the unplanted languages are untouched by the plant
+    (before.keySet - "en").foreach { l =>
+      assert(after.getOrElse(l, (0L, 0L)) == before(l), s"lang $l drifted")
+    }
+  }
+
   test("dedup clusters: local union-find equals distributed label propagation") {
     val local = DedupOps.dedupClusters(spark, sf, localThreshold = Long.MaxValue)
       .collect().map(_.toString).sorted
