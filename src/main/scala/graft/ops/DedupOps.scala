@@ -588,6 +588,9 @@ object DedupOps {
     val sigExprs = perms.map { case (a, b) =>
       s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${P}L))"
     }.mkString("array(", ", ", ")")
+    // the signature build feeds FIVE consumers (two band sides, two
+    // confirm joins, the eval fold) — cache it, materialize the
+    // |langs|-row verdict, release (q213's persist/unpersist discipline)
     val base = docs(s, dir)
       .selectExpr("doc_id", "lang",
         "graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING))) % 10 = 9 AS is_eval",
@@ -595,6 +598,7 @@ object DedupOps {
       .where("size(ws) >= 3")
       .selectExpr("doc_id", "lang", "is_eval", s"${TextGrams.fpArrayExpr(3)} AS hs")
       .selectExpr("doc_id", "lang", "is_eval", s"$sigExprs AS sig")
+      .cache()
     val bandCols: Column = array((0 until bandsN).map { j =>
       val parts = (0 until rowsPerBand).map(r => s"sig[${j * rowsPerBand + r}]")
       expr(s"concat_ws(':', ${parts.mkString(", ")})")
@@ -611,13 +615,16 @@ object DedupOps {
       .filter(expr("size(filter(zip_with(sig_e, sig_t, (x, y) -> x = y), v -> v))") >= 6)
       .select($"e_id").distinct()
       .withColumn("leak", lit(1L))
-    base.filter($"is_eval")
+    val verdict = base.filter($"is_eval")
       .join(leaked, $"doc_id" === $"e_id", "left")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_eval"),
         sum(coalesce($"leak", lit(0L))).as("n_neardup_leaked"))
       .withColumn("leak_ppm", expr("n_neardup_leaked * 1000000 div n_eval"))
       .orderBy($"lang")
+    val rows = verdict.collect().toSeq
+    base.unpersist(blocking = false)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), verdict.schema)
   }
 
   /** X181 — MinHash method-agreement audit: X3's LSH candidate relation

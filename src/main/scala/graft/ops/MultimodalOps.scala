@@ -134,6 +134,7 @@ object MultimodalOps {
       .as[MediaRow]
     // one decoder init per partition; rows stream through in batches
     val feats = media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams only
       rows.map(r => ImageCodec.decode(r).getOrElse(StubDecoder.decode(r)))
     }
     feats.toDF().orderBy($"doc_id")
@@ -161,6 +162,10 @@ object MultimodalOps {
     import s.implicits._
     val ids = Tables.load(s, dir, "documents").select($"doc_id").as[Long]
     ids.mapPartitions { it =>
+      // per-partition decoder init (q40's discipline): in-memory streams
+      // only — ImageIO's default disk cache would add a temp-file write
+      // per image on every executor thread
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val w = (id % 13 + 1).toInt
         val h = (id % 7 + 1).toInt
