@@ -125,17 +125,21 @@ object FunctionDdl {
       // reference (reHandler); plain DECLAREs hoist into the PG block
       body = body.replaceAll(
         "(?i)DECLARE\\s+(?:CONTINUE|EXIT)\\s+HANDLER\\s+FOR\\s+[^;]+;", "")
-      val declRe = ("(?i)DECLARE\\s+(\\w+)\\s+([A-Za-z]+" +
+      // MySQL allows `DECLARE a, b INT`; PL/pgSQL wants one name per line
+      val declRe = ("(?i)DECLARE\\s+(\\w+(?:\\s*,\\s*\\w+)*)\\s+([A-Za-z]+" +
         "(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)" +
         "(?:\\s+DEFAULT\\s+([^;]+))?;").r
-      val decls = declRe.findAllMatchIn(body).map { d =>
+      val decls = declRe.findAllMatchIn(body).flatMap { d =>
         val default = Option(d.group(3)).map(v => s" DEFAULT ${v.trim}").getOrElse("")
-        s"${d.group(1)} ${cleanTypes(d.group(2))}$default;"
+        d.group(1).split(",").map(_.trim).map(n =>
+          s"$n ${cleanTypes(d.group(2))}$default;")
       }.toSeq
       body = declRe.replaceAllIn(body, "")
 
-      // SET x = v; → x := v;  (assignment, not the session SET statement)
-      body = body.replaceAll("(?i)\\bSET\\s+(\\w+)\\s*=", "$1 :=")
+      // statement-initial SET x = v; → x := v; — anchored so column
+      // assignments inside UPDATE ... SET col = v are left alone
+      body = body.replaceAll(
+        "(?im)(^|;)(\\s*)SET\\s+(\\w+)\\s*=", "$1$2$3 :=")
 
       // expression-level MySQL builtins → PG through the shared rewriter
       body = SqlRewriter.rewrite(body).trim

@@ -106,6 +106,20 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FunctionDdl.convert(
       "CREATE FUNCTION F_MAG(X INTEGER) RETURNS INTEGER LANGUAGE JAVA " +
       "PARAMETER STYLE JAVA EXTERNAL NAME 'java.lang.Math.abs'").isEmpty)
+    // comma-list DECLARE splits one-per-line; UPDATE ... SET survives the
+    // assignment rewrite untouched
+    val upd = FunctionDdl.convert(
+      """CREATE FUNCTION bump(p INT) RETURNS INT
+        |BEGIN
+        |  DECLARE a, b INT DEFAULT 0;
+        |  SET a = p + 1;
+        |  UPDATE t SET col = a WHERE id = p;
+        |  RETURN a;
+        |END""".stripMargin).get
+    assert(upd.ddl.contains("a INT DEFAULT 0;") && upd.ddl.contains("b INT DEFAULT 0;"))
+    assert(upd.ddl.contains("a := p + 1;"))
+    assert(upd.ddl.contains("UPDATE t SET col = a WHERE id = p;"),
+      s"UPDATE SET corrupted:\n${upd.ddl}")
   }
 
   test("every reference view rewrites to parseable Spark SQL") {
