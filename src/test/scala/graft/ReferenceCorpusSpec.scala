@@ -85,6 +85,41 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(combined.contains("ORDER BY") && combined.contains("LIMIT 1"))
   }
 
+  /** The reference's user/grant fixture corpus
+    * (`scripts/mysql/create_user.sql`): every GRANT statement in it must
+    * convert through userDdl into non-empty PG statements, with the
+    * ALL PRIVILEGES form expanding to the table+sequence pair the
+    * reference emits (sync_user_privilege.go:28-41). */
+  test("every reference fixture grant converts through userDdl") {
+    import graft.ddl.DdlConverter
+    val text = {
+      val s = Source.fromFile(
+        "/root/reference/scripts/mysql/create_user.sql", "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val grants = text.linesIterator
+      .map(_.trim).filter(_.toUpperCase.startsWith("GRANT ")).toSeq
+    assert(grants.size >= 8, s"expected >=8 fixture grants, got ${grants.size}")
+    for (user <- Seq("test1", "test2")) {
+      val mine = grants.filter(_.contains(s"'$user'"))
+      val stmts = DdlConverter.userDdl(user, mine)
+      // CREATE USER guard + at least one grant per fixture line
+      assert(stmts.head.contains(s"""CREATE USER "$user""""), stmts.head)
+      assert(stmts.tail.nonEmpty && stmts.tail.forall(_.startsWith("GRANT ")))
+      // ALL PRIVILEGES expands to the tables+sequences pair
+      assert(stmts.tail.exists(_.contains("ON ALL TABLES IN SCHEMA public")))
+      assert(stmts.tail.exists(_.contains("ON ALL SEQUENCES IN SCHEMA public")))
+    }
+    // the per-table grant form (mysql.tables_priv shape) also converts
+    val perTable = DdlConverter.tablePrivDdl("test1", "case_01_integers",
+      "Select,Insert,Update,Delete")
+    assert(perTable == Seq(
+      """GRANT SELECT ON "case_01_integers" TO "test1"""",
+      """GRANT INSERT ON "case_01_integers" TO "test1"""",
+      """GRANT UPDATE ON "case_01_integers" TO "test1"""",
+      """GRANT DELETE ON "case_01_integers" TO "test1""""))
+  }
+
   test("FunctionDdl characteristics and non-function passthrough") {
     import graft.ddl.FunctionDdl
     val det = FunctionDdl.convert(
