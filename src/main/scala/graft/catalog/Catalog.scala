@@ -203,14 +203,25 @@ object Catalog {
           }.toOption.flatten
         }
       }.toOption
-      lazy val viaRoutines = scala.util.Try {
-        val rs = conn.createStatement().executeQuery(
-          "SELECT routine_name, routine_definition FROM INFORMATION_SCHEMA.ROUTINES WHERE routine_type = 'FUNCTION'")
-        val out = ArrayBuffer[FunctionMeta]()
-        while (rs.next())
-          out += FunctionMeta(rs.getString(1), Option(rs.getString(2)).getOrElse(""))
-        out.toSeq
-      }.toOption
+      lazy val viaRoutines = Seq(
+        // schema-scoped first: an unfiltered ROUTINES read on engines with
+        // populated system schemas (MySQL's sys) would leak built-in
+        // functions into the migration
+        "SELECT routine_name, routine_definition FROM INFORMATION_SCHEMA.ROUTINES " +
+          "WHERE routine_type = 'FUNCTION' AND routine_schema = DATABASE()",
+        "SELECT routine_name, routine_definition FROM INFORMATION_SCHEMA.ROUTINES " +
+          "WHERE routine_type = 'FUNCTION' AND routine_schema = CURRENT_SCHEMA",
+        "SELECT routine_name, routine_definition FROM INFORMATION_SCHEMA.ROUTINES " +
+          "WHERE routine_type = 'FUNCTION'"
+      ).view.flatMap { sql =>
+        scala.util.Try {
+          val rs = conn.createStatement().executeQuery(sql)
+          val out = ArrayBuffer[FunctionMeta]()
+          while (rs.next())
+            out += FunctionMeta(rs.getString(1), Option(rs.getString(2)).getOrElse(""))
+          out.toSeq
+        }.toOption
+      }.headOption
       lazy val viaDerby = scala.util.Try {
         val rs = conn.createStatement().executeQuery(
           "SELECT a.ALIAS, CAST(a.ALIASINFO AS VARCHAR(32672)), a.JAVACLASSNAME " +
@@ -228,7 +239,10 @@ object Catalog {
         }
         out.toSeq
       }.toOption
-      viaShow.filter(_.nonEmpty)
+      // a SUCCESSFUL SHOW probe is terminal even when empty: it means
+      // "MySQL source, zero user functions" — falling through to the
+      // ROUTINES catalog would surface other schemas' functions instead
+      viaShow
         .orElse(viaRoutines.filter(_.nonEmpty))
         .orElse(viaDerby)
         .getOrElse(Nil)

@@ -360,7 +360,13 @@ object DdlConverter {
               lowercase: Boolean = false): Seq[String] = {
     val body0 = graft.sqlrewrite.SqlRewriter.rewrite(selectBody.trim)
       .stripSuffix(";").trim
-    val body = if (lowercase) body0.toLowerCase else body0
+    // lowercase with literals MASKED: the reference lowercases the whole
+    // statement including string literals (sync_viewddl.go:915), which
+    // silently changes WHERE status = 'ACTIVE' semantics — masking first
+    // keeps identifier folding without corrupting data comparisons
+    val body =
+      if (lowercase) graft.sqlrewrite.SqlRewriter.lowercaseOutsideLiterals(body0)
+      else body0
     Seq(
       s"DROP VIEW IF EXISTS ${q(view, lowercase)} CASCADE",
       s"CREATE OR REPLACE VIEW ${q(view, lowercase)} AS $body")
@@ -380,11 +386,15 @@ object DdlConverter {
       s"(${columns.map(q(_, lowercase)).mkString(", ")})")
   }
 
-  /** `ConvertUserDDL` (sync_user_privilege.go:11-74): skip mysql.* accounts,
-    * dots → underscores, CREATE USER + grant expansion. */
+  /** `ConvertUserDDL` (sync_user_privilege.go:11-74): host part stripped
+    * (`'u'@'%'` → `u`, :15-19 — PG roles have no host), skip mysql.*
+    * accounts, dots → underscores, CREATE USER + grant expansion. The
+    * stripped name is what the privileges stage grants to, so both stages
+    * target the SAME role. */
   def userDdl(user: String, grants: Seq[String]): Seq[String] = {
-    if (user.startsWith("mysql.")) return Nil
-    val u = user.replace(".", "_")
+    val bare = user.split("@")(0)
+    if (bare.startsWith("mysql.")) return Nil
+    val u = bare.replace(".", "_")
     val create =
       s"""DO $$$$ BEGIN CREATE USER "$u"; EXCEPTION WHEN duplicate_object THEN NULL; END $$$$"""
     val converted = grants.flatMap { g =>
@@ -402,9 +412,11 @@ object DdlConverter {
     create +: converted
   }
 
-  /** `ConvertTablePrivilegeDDL` (sync_table_privilege.go:12-51). */
+  /** `ConvertTablePrivilegeDDL` (sync_table_privilege.go:12-51); user
+    * names normalize exactly like [[userDdl]] (host stripped,
+    * dots → underscores) so grants land on the role that stage created. */
   def tablePrivDdl(user: String, table: String, privCsv: String): Seq[String] =
     privCsv.split(",").map(_.trim).filter(_.nonEmpty).map { p =>
-      s"""GRANT ${p.toUpperCase} ON "$table" TO "${user.replace(".", "_")}""""
+      s"""GRANT ${p.toUpperCase} ON "$table" TO "${user.split("@")(0).replace(".", "_")}""""
     }.toSeq
 }

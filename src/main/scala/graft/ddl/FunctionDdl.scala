@@ -114,32 +114,50 @@ object FunctionDdl {
       val security =
         if (uchars.contains("SQL SECURITY DEFINER")) "SECURITY DEFINER"
         else "SECURITY INVOKER"
+      // re-quote for PG: MySQL's \' escape becomes the SQL-standard '' —
+      // under standard_conforming_strings a carried backslash would
+      // terminate the literal early and break the statement
       val comment = "(?is)COMMENT\\s+'((?:[^'\\\\]|\\\\.)*)'".r
-        .findFirstMatchIn(chars).map(_.group(1))
+        .findFirstMatchIn(chars)
+        .map(_.group(1).replace("\\'", "'").replace("'", "''"))
 
       // body: after the outermost BEGIN, trailing END (+ terminator) cut
       var body = ddl.substring(beginIdx + 5)
         .replaceAll("(?is)\\s*END\\s*(?:\\$\\$|;)*\\s*$", "")
 
       // MySQL handlers have no PL/pgSQL equivalent — dropped like the
-      // reference (reHandler); plain DECLAREs hoist into the PG block
+      // reference (reHandler); cursors hoist as PL/pgSQL BOUND cursors
+      // (`name CURSOR FOR query;` is valid in a PG DECLARE block); plain
+      // DECLAREs hoist into the PG block
       body = body.replaceAll(
         "(?i)DECLARE\\s+(?:CONTINUE|EXIT)\\s+HANDLER\\s+FOR\\s+[^;]+;", "")
-      // MySQL allows `DECLARE a, b INT`; PL/pgSQL wants one name per line
-      val declRe = ("(?i)DECLARE\\s+(\\w+(?:\\s*,\\s*\\w+)*)\\s+([A-Za-z]+" +
-        "(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)" +
+      val cursorRe = "(?i)DECLARE\\s+(\\w+)\\s+CURSOR\\s+FOR\\s+([^;]+);".r
+      val cursorDecls = cursorRe.findAllMatchIn(body)
+        .map(c => s"${c.group(1)} CURSOR FOR ${c.group(2).trim};").toSeq
+      body = cursorRe.replaceAllIn(body, "")
+      // MySQL allows `DECLARE a, b INT`; PL/pgSQL wants one name per line.
+      // The type may be multi-word (DOUBLE PRECISION, INT UNSIGNED,
+      // VARCHAR(10) CHARACTER SET utf8) — capture through to the
+      // DEFAULT/semicolon and clean modifiers off.
+      val declRe = ("(?i)DECLARE\\s+(\\w+(?:\\s*,\\s*\\w+)*)\\s+" +
+        "((?!CONTINUE\\b|EXIT\\b)[A-Za-z][A-Za-z0-9 ]*" +
+        "(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?[A-Za-z0-9 ]*?)" +
         "(?:\\s+DEFAULT\\s+([^;]+))?;").r
-      val decls = declRe.findAllMatchIn(body).flatMap { d =>
+      val decls = cursorDecls ++ declRe.findAllMatchIn(body).flatMap { d =>
         val default = Option(d.group(3)).map(v => s" DEFAULT ${v.trim}").getOrElse("")
         d.group(1).split(",").map(_.trim).map(n =>
-          s"$n ${cleanTypes(d.group(2))}$default;")
+          s"$n ${cleanTypes(d.group(2)).trim}$default;")
       }.toSeq
       body = declRe.replaceAllIn(body, "")
 
-      // statement-initial SET x = v; → x := v; — anchored so column
-      // assignments inside UPDATE ... SET col = v are left alone
+      // SET x = v → x := v at statement starts AND after flow-control
+      // keywords (THEN/ELSE/LOOP/DO) — anchored so column assignments
+      // inside UPDATE ... SET col = v are left alone. MySQL multi-assign
+      // (`SET a = 1, b = 2`) keeps only its first assignment rewritten;
+      // split such statements upstream if they appear.
       body = body.replaceAll(
-        "(?im)(^|;)(\\s*)SET\\s+(\\w+)\\s*=", "$1$2$3 :=")
+        "(?im)(^|;|\\bTHEN\\b|\\bELSE\\b|\\bLOOP\\b|\\bDO\\b)(\\s*)SET\\s+(\\w+)\\s*=",
+        "$1$2$3 :=")
 
       // expression-level MySQL builtins → PG through the shared rewriter
       body = SqlRewriter.rewrite(body).trim

@@ -74,14 +74,20 @@ object Pipeline {
 
   /** Execute DDL with one PG-sugar-stripped retry (`IF [NOT] EXISTS`,
     * `OR REPLACE`, trailing `CASCADE`) so PG-flavored emissions run on
-    * ANSI-only targets too. Returns the ORIGINAL error if both fail. */
+    * ANSI-only targets too. Statements carrying a dollar-quoted body
+    * (PL/pgSQL functions, DO blocks) are never rewritten — the sugar may
+    * be INSIDE the body, and stripping it there would silently change the
+    * installed function's semantics. Returns the ORIGINAL error if both
+    * attempts fail. */
   private[pipeline] def execLenient(url: String, ddl: String): Try[Unit] =
     Try(Catalog.executeDdl(url, ddl)).recoverWith { case e =>
-      val stripped = ddl
-        .replaceAll("(?i)\\bIF\\s+NOT\\s+EXISTS\\s+", "")
-        .replaceAll("(?i)\\bIF\\s+EXISTS\\s+", "")
-        .replaceAll("(?i)\\bOR\\s+REPLACE\\s+", "")
-        .replaceAll("(?i)\\s+CASCADE\\s*$", "")
+      val stripped =
+        if (ddl.contains("$$")) ddl
+        else ddl
+          .replaceAll("(?i)\\bIF\\s+NOT\\s+EXISTS\\s+", "")
+          .replaceAll("(?i)\\bIF\\s+EXISTS\\s+", "")
+          .replaceAll("(?i)\\bOR\\s+REPLACE\\s+", "")
+          .replaceAll("(?i)\\s+CASCADE\\s*$", "")
       if (stripped != ddl)
         Try(Catalog.executeDdl(url, stripped)).recoverWith { case _ => Failure(e) }
       else Failure(e)
@@ -262,9 +268,12 @@ object Pipeline {
           // reference: manager.go:697-786; rows for tables absent from the
           // target are skipped, not failed (manager.go:1638-1645)
           ddlStage("privileges") { sj =>
-            val dstUrl = dstJdbc.get.url
+            // one metadata read for the whole stage, not one connection +
+            // full getTables walk per privilege row
+            val dstTables = Catalog.listTables(dstJdbc.get.url)
+              .map(_.toLowerCase).toSet
             Catalog.listTablePrivileges(sj.url)
-              .filter(p => Catalog.tableExists(dstUrl, p.table))
+              .filter(p => dstTables(p.table.toLowerCase))
               .map { p =>
                 (s"${p.user}/${p.table}",
                   DdlConverter.tablePrivDdl(p.user, p.table, p.privCsv), false)

@@ -74,6 +74,17 @@ object SqlRewriter {
       s.replace(MaskToken.format(idx), lit)
     }
 
+  /** Lowercase SQL text with string literals (and quoted identifiers —
+    * the masker treats both quote kinds) preserved verbatim. Used by the
+    * view converter's lowercase_columns mode; folding literals too would
+    * silently change `WHERE status = 'ACTIVE'` semantics. */
+  def lowercaseOutsideLiterals(sql: String): String = {
+    val (masked, lits) = maskStringLiterals(sql)
+    lits.zipWithIndex.foldLeft(masked.toLowerCase) { case (s, (lit, idx)) =>
+      s.replace(MaskToken.format(idx).toLowerCase, lit)
+    }
+  }
+
   // ------------------------------------------------------- call extraction
 
   /** Find `fn(` occurrences (case-insensitive, word boundary) and rewrite

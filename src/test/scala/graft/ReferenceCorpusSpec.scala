@@ -121,7 +121,7 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("FunctionDdl characteristics and non-function passthrough") {
-    import graft.ddl.FunctionDdl
+    import graft.ddl.{DdlConverter, FunctionDdl}
     val det = FunctionDdl.convert(
       """CREATE FUNCTION add_days(d DATETIME, n INT UNSIGNED) RETURNS DATETIME(3)
         |DETERMINISTIC SQL SECURITY DEFINER COMMENT 'adds days'
@@ -141,6 +141,12 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FunctionDdl.convert(
       "CREATE FUNCTION F_MAG(X INTEGER) RETURNS INTEGER LANGUAGE JAVA " +
       "PARAMETER STYLE JAVA EXTERNAL NAME 'java.lang.Math.abs'").isEmpty)
+    // host part strips like the reference (PG roles have no host), so the
+    // users and privileges stages target the SAME role
+    assert(DdlConverter.userDdl("app.user@%", Seq("GRANT SELECT ON *.* TO x"))
+      .head.contains("\"app_user\""))
+    assert(DdlConverter.tablePrivDdl("test1@localhost", "t", "Select") ==
+      Seq("""GRANT SELECT ON "t" TO "test1""""))
     // comma-list DECLARE splits one-per-line; UPDATE ... SET survives the
     // assignment rewrite untouched
     val upd = FunctionDdl.convert(
@@ -155,6 +161,21 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(upd.ddl.contains("a := p + 1;"))
     assert(upd.ddl.contains("UPDATE t SET col = a WHERE id = p;"),
       s"UPDATE SET corrupted:\n${upd.ddl}")
+    // multi-word types hoist; inline THEN SET rewrites; cursors hoist as
+    // bound PL/pgSQL cursors; escaped comment quotes re-quote as ''
+    val adv = FunctionDdl.convert(
+      """CREATE FUNCTION f2(p INT) RETURNS DOUBLE
+        |COMMENT 'it\'s a helper'
+        |BEGIN
+        |  DECLARE v DOUBLE PRECISION;
+        |  DECLARE c CURSOR FOR SELECT id FROM t WHERE id > p;
+        |  IF p > 0 THEN SET v = p * 2; END IF;
+        |  RETURN v;
+        |END""".stripMargin).get
+    assert(adv.ddl.contains("v DOUBLE PRECISION;"), adv.ddl)
+    assert(adv.ddl.contains("c CURSOR FOR SELECT id FROM t WHERE id > p;"), adv.ddl)
+    assert(adv.ddl.contains("THEN v := p * 2;"), adv.ddl)
+    assert(adv.ddl.contains("COMMENT ON FUNCTION f2 IS 'it''s a helper'"), adv.ddl)
   }
 
   test("every reference view rewrites to parseable Spark SQL") {
