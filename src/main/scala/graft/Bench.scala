@@ -59,16 +59,17 @@ object Bench {
     java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
     // The PRINTED line is kept compact enough to survive the tail capture:
     // a fixed headline subset (round-over-round comparable) + the total.
+    // The driver's tail window is ~2000 bytes and sbt appends a ~70-byte
+    // "[success] Total time" footer AFTER this line — r6's 24-entry
+    // headline (~1950 bytes) got its opening brace clipped and parsed as
+    // null, so the subset stays ≤12 entries (~600 bytes, 3× headroom).
     // a failed query must not masquerade as a fast success: failures are
     // listed explicitly in the report
     val headline = Set(
-      "q01_pricing_summary", "q03_join_agg", "q06_window_topk", "q17_multi_join",
-      "q32_dedup_exact", "q33_dedup_jaccard", "q34_dedup_minhash",
-      "q37_cosine_topk", "q38_ann_lsh", "q49_tfidf", "q50_dedup_clusters",
-      "q51_asof_join", "q54_sessionize", "q56_ivf_ann", "q59_bucketed_join",
-      "q65_merge_upsert", "q76_contamination", "q85_zorder_layout",
-      "q100_heavy_hitters", "q106_kmeans", "q133_curriculum", "q142_prefix_join",
-      "q169_volume_shipping", "q171_product_margin")
+      "q01_pricing_summary", "q03_join_agg", "q06_window_topk",
+      "q32_dedup_exact", "q34_dedup_minhash", "q37_cosine_topk",
+      "q49_tfidf", "q56_ivf_ann", "q106_kmeans", "q133_curriculum",
+      "q142_prefix_join", "q169_volume_shipping")
     val qs = results.collect { case (k, v, _) if headline(k) =>
       s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +

@@ -250,6 +250,8 @@ object SparkEntry {
     "q221_blame_supplier" -> Relational.q221BlameSupplier _,
     "q222_image_decode"   -> MultimodalOps.q222ImageDecode _,
     "q223_neardup_leakage" -> DedupOps.q223NeardupLeakage _,
+    "q224_repeated_spans" -> DedupOps.q224RepeatedSpans _,
+    "q225_importance_weights" -> PipelineOps.q225ImportanceWeights _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4122,5 +4124,73 @@ object SparkEntry {
         |FROM (SELECT * FROM sig WHERE is_eval) e
         |LEFT JOIN leaked ON e.doc_id = leaked.e_id
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q224: cross-doc repeated 8-gram spans with q138's interval-union
+    // windows; gram fingerprints replay the ASCII-only polynomial hash
+    // (q213's note); the planted 12-word suffix rides both engines.
+    "q224_repeated_spans" ->
+      """WITH d0 AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 9 = 0 THEN text ||
+        |      ' shared boilerplate footer all rights reserved contact us terms of service apply'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d0
+        |      WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |        unnest(list_transform(generate_series(1, len(ws) - 7),
+        |          i -> {'pos': i,
+        |                'fp': list_reduce(list_transform(
+        |                    string_split(array_to_string(
+        |                      list_slice(ws, i, i + 7), ' '), ''),
+        |                    c -> CAST(ascii(c) AS BIGINT)),
+        |                  (a, b) -> (a * 31 + b) % 1000000007)}))
+        |          AS pg
+        |      FROM d),
+        |rep AS (SELECT pg.fp AS rfp FROM g
+        |        GROUP BY pg.fp HAVING count(DISTINCT doc_id) >= 2),
+        |h AS (SELECT doc_id, n_tokens, CAST(pg.pos AS BIGINT) AS st,
+        |        CAST(pg.pos + 7 AS BIGINT) AS en
+        |      FROM g WHERE pg.fp IN (SELECT rfp FROM rep)),
+        |m AS (SELECT *, max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM h),
+        |sid AS (SELECT *, CAST(sum(CASE WHEN prev_end IS NULL OR st > prev_end
+        |          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY st
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS span_id
+        |        FROM m),
+        |spans AS (SELECT doc_id, span_id, max(n_tokens) AS n_tokens,
+        |            min(st) AS ss, max(en) AS ee
+        |          FROM sid GROUP BY doc_id, span_id)
+        |SELECT doc_id, max(n_tokens) AS n_tokens, count(*) AS n_spans,
+        |  CAST(sum(ee - ss + 1) AS BIGINT) AS covered_tokens,
+        |  CAST(sum(ee - ss + 1) * 1000000 // max(n_tokens) AS BIGINT)
+        |    AS covered_ppm,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS BIGINT) AS planted
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q225: DSIR importance scores — integer-ppm hashed-bucket rate
+    // deltas (target = src0, 8192 buckets via the ASCII-only polynomial
+    // hash, q213's note) folded per document; both legs replay exactly.
+    "q225_importance_weights" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_reduce(list_transform(string_split(w, ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 8192 AS b
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |raw AS (SELECT b, count(*) AS n_raw FROM toks GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS n_tgt FROM toks
+        |        WHERE source = 'src0' GROUP BY b),
+        |tot AS (SELECT (SELECT CAST(sum(n_raw) AS BIGINT) FROM raw) AS t_raw,
+        |               (SELECT CAST(sum(n_tgt) AS BIGINT) FROM tgt) AS t_tgt),
+        |dict AS (SELECT raw.b,
+        |    (coalesce(n_tgt, 0) * 1000000 // t_tgt)
+        |      - (n_raw * 1000000 // t_raw) AS delta_ppm
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
+        |SELECT doc_id, max(source) AS source, count(*) AS n_tokens,
+        |  CAST(sum(delta_ppm) AS BIGINT) AS dsir_score
+        |FROM toks JOIN dict USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.Fingerprint
@@ -702,5 +703,70 @@ object DedupOps {
     val rows = verdict.collect().toSeq
     base.unpersist(blocking = false)
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), verdict.schema)
+  }
+
+  /** X192 — CROSS-document repeated-span coverage (the exact-substring
+    * dedup signal): for every document, how many of its token positions
+    * sit inside an 8-token run that also appears VERBATIM in some OTHER
+    * document — X112 measures a document repeating itself; this measures
+    * the corpus repeating across documents (shared boilerplate, licence
+    * headers, templated pages), the spans an exact-substring dedup pass
+    * would excise. Proven on PLANTED boilerplate (q81's rule): every 9th
+    * document gains a fixed 12-word suffix, so those docs must report
+    * covered_tokens ≥ 12 while the sentence's junction grams (unique per
+    * doc) must NOT extend the span leftward.
+    *
+    * Scale: grams shuffle as 8-byte [[Fingerprint]] keys, never as
+    * strings; the repeated-gram set is built by a combinable
+    * (fp → distinct-doc) fold and stays DISTRIBUTED (it is corpus-sized —
+    * q77's honest-set rule, no broadcast); the hit join is one shuffle on
+    * the uniform fp key; the interval union is q138's two-window pass,
+    * both windows sharing ONE (doc_id, pos) partitioning. No per-document
+    * loops, nothing driver-sized but the report. */
+  def q224RepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val bp = "shared boilerplate footer all rights reserved contact us terms of service apply"
+    val d = docs(s, dir)
+      .select($"doc_id", $"source",
+        when($"doc_id" % 9 === 0, concat($"text", lit(" " + bp)))
+          .otherwise($"text").as("text"))
+      .select($"doc_id", $"source", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 8)
+      .select($"doc_id", $"source", $"ws",
+        size($"ws").cast("long").as("n_tokens"))
+    val g = d.select($"doc_id", $"n_tokens", explode(expr(
+        """transform(sequence(1, size(ws) - 7), i -> struct(
+          |  CAST(i AS BIGINT) AS pos,
+          |  graft_fingerprint(concat_ws(' ', slice(ws, CAST(i AS INT), 8)))
+          |    AS fp))""".stripMargin)).as("pg"))
+      .select($"doc_id", $"n_tokens", $"pg.pos".as("pos"), $"pg.fp".as("fp"))
+    // grams seen in >= 2 DISTINCT documents; two-stage distinct keeps the
+    // fold combinable (no count-distinct shuffle of raw positions)
+    val rep = g.select($"fp", $"doc_id").distinct()
+      .groupBy($"fp").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2L)
+      .select($"fp")
+    val hits = g.join(rep, Seq("fp"))
+      .select($"doc_id", $"n_tokens", $"pos".as("st"), ($"pos" + 7L).as("en"))
+    val byStart = Window.partitionBy($"doc_id").orderBy($"st")
+    val wPrev = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum  = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("prev_end", max($"en").over(wPrev))
+      .withColumn("new_span",
+        when($"prev_end".isNull || $"st" > $"prev_end", 1L).otherwise(0L))
+      .withColumn("span_id", sum($"new_span").over(wCum))
+      .groupBy($"doc_id", $"span_id")
+      .agg(max($"n_tokens").as("n_tokens"),
+        min($"st").as("ss"), max($"en").as("ee"))
+      .groupBy($"doc_id")
+      .agg(max($"n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum($"ee" - $"ss" + 1L).as("covered_tokens"))
+      .withColumn("covered_ppm",
+        expr("covered_tokens * 1000000 div n_tokens"))
+      .withColumn("planted", when($"doc_id" % 9 === 0, 1L).otherwise(0L))
+      .orderBy($"doc_id")
   }
 }

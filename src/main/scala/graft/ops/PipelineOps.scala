@@ -1403,4 +1403,53 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_custs"))
       .orderBy($"early_decile", $"late_decile")
   }
+
+  /** X193 — importance-weighted data selection (DSIR-style): score every
+    * document by how much more its HASHED unigram features look like a
+    * TARGET domain (here: source `src0`) than like the raw corpus —
+    * score = Σ_tokens (ppm_target(b) − ppm_raw(b)) over feature buckets
+    * b = fingerprint(w) mod 8192, the integer-exact surrogate of the
+    * hashed-n-gram log-likelihood-ratio importance weight (counts stand
+    * in for log-probs so the oracle hash-matches; the ranking is what
+    * drives selection, and both orderings are monotone in their ratio).
+    * Bucket hashing is the published design, not a shortcut: it is what
+    * makes the feature dictionary FIXED-SIZE regardless of vocabulary.
+    * Target-dead buckets contribute −ppm_raw(b): actively penalized, not
+    * ignored. The selection use: rank the corpus, keep the top slice
+    * that "looks like" the target.
+    *
+    * Scale: ONE combinable bucket fold computes both rates (the target
+    * count is a conditional sum inside the same pass — q170's one-pass
+    * rule) and lands on ≤8192 rows; the totals ride an unpartitioned
+    * window over that FIXED-SIZE frame (bounded by construction — the
+    * no-unpartitioned-windows rule bans them on data-sized frames only);
+    * the 8192-row dictionary BROADCASTS into the token stream — unlike
+    * q107's vocabulary-sized dictionary there is no corpus-sized shuffle
+    * on the feature key at ANY corpus size; the only data-sized exchange
+    * is the per-doc fold. int64 headroom: |Σ tf·Δppm| ≤ n_tokens(doc)·10⁶
+    * — safe to 10¹²-token documents. */
+  def q225ImportanceWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val toks = docs(s, dir)
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
+      .select($"doc_id", $"source",
+        expr("graft_fingerprint(w) % 8192").as("b"))
+    val stats = toks.groupBy($"b")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when($"source" === "src0", 1L).otherwise(0L)).as("n_tgt"))
+    val all = Window.partitionBy()
+    val dict = stats
+      .withColumn("t_raw", sum($"n_raw").over(all))
+      .withColumn("t_tgt", sum($"n_tgt").over(all))
+      .select($"b",
+        (expr("n_tgt * 1000000 div t_tgt") -
+          expr("n_raw * 1000000 div t_raw")).as("delta_ppm"))
+    toks.join(broadcast(dict), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(max($"source").as("source"),
+        count(lit(1)).as("n_tokens"),
+        sum($"delta_ppm").as("dsir_score"))
+      .orderBy($"doc_id")
+  }
 }

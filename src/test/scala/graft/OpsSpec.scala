@@ -537,4 +537,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         (frames.length - frames.distinct.length).toLong * 1000000L / frames.length)
     }
   }
+
+  test("q224 repeated-span coverage matches a driver interval-union replay") {
+    import spark.implicits._
+    val bp = "shared boilerplate footer all rights reserved contact us terms of service apply"
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getLong(0) % 9 == 0) r.getString(1) + " " + bp else r.getString(1)))
+      .toMap
+    // driver replay: 8-gram fingerprints, cross-doc repeated set,
+    // per-doc interval union
+    val grams = docs.toSeq.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < 8) Seq.empty
+      else (0 to ws.length - 8).map(i =>
+        (id, i + 1, refHash(ws.slice(i, i + 8).mkString(" ")), ws.length))
+    }
+    val rep = grams.map(g => (g._3, g._1)).distinct.groupBy(_._1)
+      .collect { case (fpv, ds) if ds.length >= 2 => fpv }.toSet
+    val expected = grams.filter(g => rep(g._3)).groupBy(_._1).map {
+      case (id, hs) =>
+        val iv = hs.map(h => (h._2.toLong, h._2.toLong + 7L)).sortBy(_._1)
+        val merged = iv.tail.foldLeft(List(iv.head)) { case (acc, (s0, e0)) =>
+          if (s0 <= acc.head._2) (acc.head._1, acc.head._2.max(e0)) :: acc.tail
+          else (s0, e0) :: acc
+        }
+        id -> (merged.length.toLong,
+          merged.map(m => m._2 - m._1 + 1L).sum, hs.head._4.toLong)
+    }
+    val got = DedupOps.q224RepeatedSpans(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_spans"),
+        r.getAs[Long]("covered_tokens"), r.getAs[Long]("n_tokens"))).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size} docs with spans")
+    // every planted doc reports coverage at least the 12-token suffix
+    docs.keys.filter(_ % 9 == 0).foreach { id =>
+      assert(got.contains(id) && got(id)._2 >= 12L,
+        s"planted boilerplate not covered for doc $id: ${got.get(id)}")
+    }
+  }
 }

@@ -355,4 +355,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("kept_max_tokens") <= toks.last)
     }
   }
+
+  test("q225 DSIR importance scores match a driver replay of the bucket math") {
+    import spark.implicits._
+    def fp(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val buckets = docs.flatMap { case (id, src, t) =>
+      t.split(" ").map(w => (id, src, fp(w) % 8192L)) }
+    val nRaw = buckets.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val nTgt = buckets.filter(_._2 == "src0")
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val tRaw = nRaw.values.sum
+    val tTgt = nTgt.values.sum
+    def fdiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    val delta = nRaw.map { case (b, nr) =>
+      b -> (fdiv(nTgt.getOrElse(b, 0L) * 1000000L, tTgt) -
+        fdiv(nr * 1000000L, tRaw)) }
+    val expected = buckets.groupBy(_._1).view.mapValues(bs =>
+      (bs.length.toLong, bs.map(x => delta(x._3)).sum)).toMap
+    val got = PipelineOps.q225ImportanceWeights(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dsir_score"))).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size} docs")
+    // the signal discriminates: target-source docs outrank the rest on
+    // average (that is the entire point of importance weighting)
+    val (t, o) = docs.partition(_._2 == "src0")
+    def mean(ids: Array[Long]) =
+      ids.map(got(_)._2).sum / ids.length.max(1)
+    assert(mean(t.map(_._1)) > mean(o.map(_._1)),
+      "target docs do not outrank non-target docs")
+  }
 }

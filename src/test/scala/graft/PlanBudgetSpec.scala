@@ -324,9 +324,15 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // broadcast 1-row total + orderBy
     "q206_status_mix"   -> 3, // (month, status) fold + the share window on
                              // that frame + orderBy
-    "q207_key_completeness" -> 21 // ten 1-row table aggregates (2-phase
+    "q207_key_completeness" -> 21, // ten 1-row table aggregates (2-phase
                              // each) unioned + orderBy — every exchange
                              // carries exactly one row
+    "q224_repeated_spans" -> 5, // fp-keyed repeated-gram fold + hit join
+                             // + ONE (doc_id) window partitioning shared
+                             // by both interval-union windows + orderBy
+    "q225_importance_weights" -> 5 // ONE bucket fold (≤8192 rows) +
+                             // bounded-frame totals window + broadcast
+                             // dict + per-doc fold + orderBy
   )
 
   budgets.foreach { case (name, max) =>
