@@ -252,6 +252,7 @@ object SparkEntry {
     "q223_neardup_leakage" -> DedupOps.q223NeardupLeakage _,
     "q224_repeated_spans" -> DedupOps.q224RepeatedSpans _,
     "q225_importance_weights" -> PipelineOps.q225ImportanceWeights _,
+    "q226_bpe_merges"     -> ((s, dir) => CorpusOps.q226BpeMerges(s, dir)),
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4192,5 +4193,10 @@ object SparkEntry {
         |  CAST(sum(delta_ppm) AS BIGINT) AS dsir_score
         |FROM toks JOIN dict USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q226: GENERATED oracle — DuckDB independently re-learns the BPE
+    // merge table through an unrolled CTE chain (one pair-count +
+    // arg-max + replace-apply round per merge; same total order).
+    "q226_bpe_merges" -> CorpusOps.bpeOracleSql(),
   )
 }

@@ -858,4 +858,107 @@ object CorpusOps {
       .withColumn("extra_norm_dups", $"exact_unique" - $"norm_unique")
       .orderBy($"source")
   }
+
+  /** X194 — BPE merge learning (the subword-tokenizer trainer): the
+    * classic byte-pair-encoding loop over the word-TYPE dictionary —
+    * count adjacent symbol pairs weighted by type frequency, merge the
+    * most frequent pair (ties: count desc, left asc, right asc — a total
+    * order, so the merge table is deterministic), apply left-to-right
+    * non-overlapping, repeat. This is how real tokenizer vocabularies
+    * are built; the output is the ranked merge table itself.
+    *
+    * Scale: the ONLY corpus-sized work is the distributed word-type fold;
+    * the trainer then runs on the top-V type dictionary (count desc, word
+    * asc — deterministic cap), exactly how production BPE trainers bound
+    * their input (HF tokenizers trains on word counts, not the corpus).
+    * V×8 driver work is microseconds; nothing corpus-sized ever reaches
+    * the driver.
+    *
+    * Engine portability: merge application is expressed over a
+    * bracketed-symbol string `(a)(b)(c)` where replacing `(l)(r)` with
+    * `(lr)` under plain left-to-right non-overlapping `replace` is
+    * EXACTLY the BPE merge rule (delimiters are balanced per symbol, so
+    * no match shares characters with the next and no symbol-prefix can
+    * false-match) — the same arithmetic DuckDB's unrolled CTE chain
+    * replays with its own `replace`. Words are restricted to `[a-z]+` so
+    * the brackets can never collide with symbol bytes. */
+  def q226BpeMerges(s: SparkSession, dir: String, vocabCap: Int = 256,
+      nMerges: Int = 8): DataFrame = {
+    import s.implicits._
+    val types = docs(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w".rlike("^[a-z]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w").limit(vocabCap)
+      .as[(String, Long)].collect()
+    // driver trainer over the bounded type dict (V rows, 8 rounds)
+    var seqs: Array[(Array[String], Long)] =
+      types.map { case (w, n) => (w.split("").filter(_.nonEmpty), n) }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (sl, n) =>
+        var i = 0
+        while (i < sl.length - 1) {
+          counts((sl(i), sl(i + 1))) =
+            counts.getOrElse((sl(i), sl(i + 1)), 0L) + n
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((l0, r0), c0) => (-c0, l0, r0) }.head
+        merges += ((rank.toLong, l, r, c))
+        seqs = seqs.map { case (sl, n) =>
+          val out = Seq.newBuilder[String]
+          var i = 0
+          while (i < sl.length) {
+            if (i < sl.length - 1 && sl(i) == l && sl(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += sl(i); i += 1 }
+          }
+          (out.result().toArray, n)
+        }
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy($"merge_rank")
+  }
+
+  /** The q226 oracle is GENERATED: one CTE pair per merge round — pair
+    * counts from the bracketed-symbol strings, arg-max under the same
+    * (count desc, left, right) total order, `replace`-applied merge —
+    * so DuckDB independently re-learns the same table. Every round CTE
+    * is MATERIALIZED: each references its predecessor several times, and
+    * default CTE inlining would expand the chain exponentially (4^rounds
+    * re-scans of the source). */
+  def bpeOracleSql(vocabCap: Int = 256, nMerges: Int = 8): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT n, unnest(list_transform(generate_series(1, len(sl) - 1),
+         |    i -> {'l': sl[i], 'r': sl[i + 1]})) AS pr
+         |  FROM (SELECT n, string_split(trim(s, '()'), ')(') AS sl FROM v${r - 1})),
+         |b$r AS MATERIALIZED (
+         |  SELECT pr.l AS lsym, pr.r AS rsym, CAST(sum(n) AS BIGINT) AS c
+         |  FROM p$r GROUP BY 1, 2 ORDER BY c DESC, lsym, rsym LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT n, replace(s,
+         |    '(' || (SELECT lsym FROM b$r) || ')(' || (SELECT rsym FROM b$r) || ')',
+         |    '(' || (SELECT lsym FROM b$r) || (SELECT rsym FROM b$r) || ')') AS s
+         |  FROM v${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to nMerges).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, lsym AS left_sym, " +
+        s"rsym AS right_sym, c AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH types AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_full_match(w, '[a-z]+')
+       |  GROUP BY w ORDER BY n DESC, w LIMIT $vocabCap),
+       |v0 AS MATERIALIZED (SELECT n, '(' || array_to_string(list_filter(
+       |    string_split(w, ''), c -> c <> ''), ')(') || ')' AS s FROM types),
+       |$rounds
+       |SELECT * FROM ($out) ORDER BY merge_rank""".stripMargin
+  }
 }

@@ -196,4 +196,29 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byStage = (0 to 3).map(k => rows.count(_.getAs[Long]("stage") >= k))
     assert(byStage == byStage.sorted.reverse)
   }
+
+  test("q226 BPE merges: prefix-stable, counts non-increasing, symbols compose") {
+    val full = CorpusOps.q226BpeMerges(spark, sf).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count")))
+    assert(full.length == 8)
+    // greedy prefix stability: learning 4 merges yields exactly the
+    // first 4 rows of the 8-merge run (BPE's defining property)
+    val four = CorpusOps.q226BpeMerges(spark, sf, nMerges = 4).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count")))
+    assert(four.toSeq == full.take(4).toSeq)
+    // the winning count never increases round-over-round: a new pair
+    // (x, lr) can appear at most once per consumed (l, r) occurrence
+    assert(full.map(_._4).toSeq == full.map(_._4).toSeq.sorted.reverse)
+    // every symbol is either a single char or the concatenation of two
+    // previously-learned symbols (the merge table is self-consistent)
+    val known = collection.mutable.Set[String]()
+    ('a' to 'z').foreach(c => known += c.toString)
+    full.foreach { case (_, l, r, c) =>
+      assert(known(l) && known(r), s"merge uses unknown symbol: $l + $r")
+      assert(c > 0L)
+      known += (l + r)
+    }
+  }
 }
