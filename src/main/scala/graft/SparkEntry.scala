@@ -253,6 +253,7 @@ object SparkEntry {
     "q224_repeated_spans" -> DedupOps.q224RepeatedSpans _,
     "q225_importance_weights" -> PipelineOps.q225ImportanceWeights _,
     "q226_bpe_merges"     -> ((s, dir) => CorpusOps.q226BpeMerges(s, dir)),
+    "q227_bpe_fertility"  -> CorpusOps.q227BpeFertility _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4198,5 +4199,9 @@ object SparkEntry {
     // merge table through an unrolled CTE chain (one pair-count +
     // arg-max + replace-apply round per merge; same total order).
     "q226_bpe_merges" -> CorpusOps.bpeOracleSql(),
+
+    // q227: the q226 chain re-learned, then applied to every token via
+    // the same scalar-subquery replace steps; per-lang fertility fold.
+    "q227_bpe_fertility" -> CorpusOps.bpeFertilityOracleSql(),
   )
 }

@@ -926,6 +926,75 @@ object CorpusOps {
       .orderBy($"merge_rank")
   }
 
+  /** X195 — BPE tokenization fertility: apply q226's learned merge table
+    * to EVERY corpus token and report, per language, whitespace words vs
+    * BPE subtokens and the compression in ppm — the standing "how many
+    * tokens is this corpus" audit behind every training-budget estimate,
+    * and the reconciliation proof that the trainer's output actually
+    * drives tokenization (subtokens ≤ chars, ≥ words, by construction).
+    *
+    * Scale: the trainer cost is q226's (one distributed type fold + a
+    * bounded driver loop); application is a NARROW chain of 8 `replace`
+    * calls over the bracketed-symbol rendering of each token — pure
+    * codegen string work at scan throughput, no join against a
+    * vocabulary, no shuffle before the \|langs\| fold. Subtoken counts
+    * derive arithmetically from separator counts — the symbol array is
+    * never materialized. */
+  def q227BpeFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = q226BpeMerges(s, dir).collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    val bracketed = "concat('(', array_join(filter(split(w, ''), " +
+      "c -> c <> ''), ')('), ')')"
+    val applied = merges.foldLeft(bracketed) { case (e, (l, r)) =>
+      s"replace($e, '($l)($r)', '($l$r)')"
+    }
+    docs(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter($"w".rlike("^[a-z]+$"))
+      .select($"lang", length($"w").cast("long").as("n_chars"),
+        expr(applied).as("bs"))
+      .select($"lang", $"n_chars",
+        expr("(length(bs) - length(replace(bs, ')(', ''))) div 2 + 1")
+          .as("n_sub"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_chars").as("n_chars"),
+        sum($"n_sub").as("n_subtokens"))
+      .withColumn("compression_ppm",
+        expr("n_subtokens * 1000000 div n_chars"))
+      .orderBy($"lang")
+  }
+
+  /** The q227 oracle extends [[bpeOracleSql]]'s chain: after the rounds
+    * re-learn b1..bN, the token stream is bracketed and run through the
+    * same N scalar-subquery `replace` steps, then folded per lang. */
+  def bpeFertilityOracleSql(vocabCap: Int = 256, nMerges: Int = 8): String = {
+    val learn = bpeOracleSql(vocabCap, nMerges)
+    val withPart = learn.substring(0, learn.lastIndexOf("SELECT * FROM"))
+    val applied = (1 to nMerges).foldLeft("bs") { (e, r) =>
+      s"replace($e, '(' || (SELECT lsym FROM b$r) || ')(' || " +
+        s"(SELECT rsym FROM b$r) || ')', " +
+        s"'(' || (SELECT lsym FROM b$r) || (SELECT rsym FROM b$r) || ')')"
+    }
+    s"""${withPart},
+       |toks AS (SELECT lang, w,
+       |    '(' || array_to_string(list_filter(string_split(w, ''),
+       |      c -> c <> ''), ')(') || ')' AS bs
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  WHERE regexp_full_match(w, '[a-z]+')),
+       |app AS (SELECT lang, CAST(len(w) AS BIGINT) AS n_chars,
+       |    (len($applied) - len(replace($applied, ')(', ''))) // 2 + 1 AS n_sub
+       |  FROM toks)
+       |SELECT lang, count(*) AS n_words,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+       |  CAST(sum(n_sub) * 1000000 // sum(n_chars) AS BIGINT)
+       |    AS compression_ppm
+       |FROM app GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** The q226 oracle is GENERATED: one CTE pair per merge round — pair
     * counts from the bracketed-symbol strings, arg-max under the same
     * (count desc, left, right) total order, `replace`-applied merge —

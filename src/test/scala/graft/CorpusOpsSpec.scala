@@ -221,4 +221,44 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       known += (l + r)
     }
   }
+
+  test("q227 BPE fertility matches a driver merge-application replay") {
+    val merges = CorpusOps.q226BpeMerges(spark, sf).collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    def tokenize(w: String): Int = {
+      var sl = w.split("").filter(_.nonEmpty)
+      merges.foreach { case (l, r) =>
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < sl.length) {
+          if (i < sl.length - 1 && sl(i) == l && sl(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += sl(i); i += 1 }
+        }
+        sl = out.result().toArray
+      }
+      sl.length
+    }
+    val byLang = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ")
+        .filter(_.matches("^[a-z]+$")).map(w => (r.getString(0), w)))
+      .groupBy(_._1)
+    val got = CorpusOps.q227BpeFertility(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_subtokens"))).toMap
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, ws) =>
+      val (nw, nc, ns) = got(lang)
+      assert(nw == ws.length.toLong)
+      assert(nc == ws.map(_._2.length.toLong).sum)
+      assert(ns == ws.map(p => tokenize(p._2).toLong).sum,
+        s"subtoken replay mismatch for $lang")
+      // fertility sits between word- and char-tokenization by construction
+      assert(nw <= ns && ns <= nc)
+    }
+    // the learned merges actually compress: strictly fewer subtokens
+    // than characters overall
+    assert(got.values.map(_._3).sum < got.values.map(_._2).sum)
+  }
 }

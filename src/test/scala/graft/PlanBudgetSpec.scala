@@ -330,9 +330,12 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q224_repeated_spans" -> 5, // fp-keyed repeated-gram fold + hit join
                              // + ONE (doc_id) window partitioning shared
                              // by both interval-union windows + orderBy
-    "q225_importance_weights" -> 5 // ONE bucket fold (≤8192 rows) +
+    "q225_importance_weights" -> 5, // ONE bucket fold (≤8192 rows) +
                              // bounded-frame totals window + broadcast
                              // dict + per-doc fold + orderBy
+    "q227_bpe_fertility" -> 2 // merge application is a NARROW replace
+                             // chain (trainer runs as its own bounded
+                             // job); |langs| fold + orderBy only
   )
 
   budgets.foreach { case (name, max) =>
