@@ -254,6 +254,7 @@ object SparkEntry {
     "q225_importance_weights" -> PipelineOps.q225ImportanceWeights _,
     "q226_bpe_merges"     -> ((s, dir) => CorpusOps.q226BpeMerges(s, dir)),
     "q227_bpe_fertility"  -> CorpusOps.q227BpeFertility _,
+    "q228_audio_decode"   -> MultimodalOps.q228AudioDecode _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4128,23 +4129,26 @@ object SparkEntry {
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q224: cross-doc repeated 8-gram spans with q138's interval-union
-    // windows; gram fingerprints replay the ASCII-only polynomial hash
-    // (q213's note); the planted 12-word suffix rides both engines.
+    // windows; gram keys compose per-word polynomial hashes (ASCII-only,
+    // q213's note) through the same 8-step fold as the Spark aggregate
+    // HOF (list_reduce seeds with the first element, which equals the
+    // 0-seeded fold since 0*31+h = h); the planted 12-word suffix rides
+    // both engines.
     "q224_repeated_spans" ->
       """WITH d0 AS (SELECT doc_id, source,
         |    CASE WHEN doc_id % 9 = 0 THEN text ||
         |      ' shared boilerplate footer all rights reserved contact us terms of service apply'
         |    ELSE text END AS text
         |  FROM documents),
-        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d0
-        |      WHERE len(string_split(text, ' ')) >= 8),
-        |g AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
-        |        unnest(list_transform(generate_series(1, len(ws) - 7),
+        |d AS (SELECT doc_id, list_transform(string_split(text, ' '),
+        |        w -> list_reduce(list_transform(string_split(w, ''),
+        |            c -> CAST(ascii(c) AS BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        |      FROM d0 WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_tokens,
+        |        unnest(list_transform(generate_series(1, len(hs) - 7),
         |          i -> {'pos': i,
-        |                'fp': list_reduce(list_transform(
-        |                    string_split(array_to_string(
-        |                      list_slice(ws, i, i + 7), ' '), ''),
-        |                    c -> CAST(ascii(c) AS BIGINT)),
+        |                'fp': list_reduce(list_slice(hs, i, i + 7),
         |                  (a, b) -> (a * 31 + b) % 1000000007)}))
         |          AS pg
         |      FROM d),
@@ -4203,5 +4207,19 @@ object SparkEntry {
     // q227: the q226 chain re-learned, then applied to every token via
     // the same scalar-subquery replace steps; per-lang fertility fold.
     "q227_bpe_fertility" -> CorpusOps.bpeFertilityOracleSql(),
+
+    // q228: the audio analogue of q222 — the oracle recomputes the
+    // expected sample count/sum/energy arithmetically; equality proves
+    // the real RIFF/WAVE encode→decode round trip codec-free.
+    "q228_audio_decode" ->
+      """SELECT d.doc_id,
+        |  CAST(d.doc_id % 240 + 16 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(sum((d.doc_id * 7 + g.i * 13) % 256) AS BIGINT) AS sample_sum,
+        |  CAST(sum(((d.doc_id * 7 + g.i * 13) % 256 - 128)
+        |         * ((d.doc_id * 7 + g.i * 13) % 256 - 128)) AS BIGINT) AS energy
+        |FROM documents d, generate_series(0, 254) g(i)
+        |WHERE g.i < d.doc_id % 240 + 16
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
   )
 }

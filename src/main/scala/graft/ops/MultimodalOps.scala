@@ -295,4 +295,67 @@ object MultimodalOps {
         expr("(n_frames - n_distinct) * 1000000 div n_frames"))
       .orderBy($"doc_id")
   }
+
+  final case class DecodedAudio(doc_id: Long, n_samples: Long,
+      sample_rate: Long, sample_sum: Long, energy: Long)
+
+  /** Real WAV decoding through `javax.sound.sampled` (java.desktop, no
+    * external dependency — q222's rule for images applied to audio).
+    * Returns None for payloads the platform codec rejects, so callers
+    * can fall back to the stub PCM path. */
+  object AudioCodec {
+    def decode(payload: Array[Byte]): Option[(Long, Long, Array[Byte])] =
+      scala.util.Try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val bytes = in.readAllBytes()
+          (fmt.getSampleRate.toLong, fmt.getSampleSizeInBits.toLong, bytes)
+        } finally in.close()
+      }.toOption
+  }
+
+  /** X196 — REAL audio decode, correctness-gated (q222's pattern for the
+    * audio lane): each document id maps to a deterministic 8-bit mono
+    * PCM waveform (n = id%240+16 samples at 8 kHz, s(i) = (7·id + 13·i)
+    * mod 256), ENCODED to a real RIFF/WAVE bitstream with
+    * `javax.sound.sampled.AudioSystem` and DECODED back through
+    * [[AudioCodec]]. The emitted sample count / sum / energy are pure
+    * arithmetic in doc_id, so the cross-engine oracle proves the full
+    * encode→decode round trip without DuckDB touching a codec — any
+    * header, endianness, or sign-convention bug breaks the equality.
+    * This retires the one stub left in the multimodal lane for formats
+    * the JVM ships a codec for; exotic codecs still take the stub.
+    *
+    * Scale: encode+decode inside ONE `mapPartitions` pass (q40's
+    * per-partition init discipline), constant memory per row (≤ 255
+    * samples), zero shuffles before the presentation orderBy. */
+  def q228AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents").select($"doc_id").as[Long]
+    ids.mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 8, 1, /*signed=*/ false, /*bigEndian=*/ false)
+      it.map { id =>
+        val n = (id % 240 + 16).toInt
+        val pcm = Array.tabulate[Byte](n)(i => ((7L * id + 13L * i) % 256L).toByte)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val (rate, bits, back) = AudioCodec.decode(bos.toByteArray)
+          .getOrElse(sys.error(s"real WAV payload failed to decode for doc $id"))
+        if (bits != 8L || back.length != n)
+          sys.error(s"WAV round trip drifted for doc $id: bits=$bits n=${back.length}")
+        var sum = 0L; var e = 0L; var i = 0
+        while (i < back.length) {
+          val v = (back(i) & 0xff).toLong
+          sum += v; val d = v - 128L; e += d * d; i += 1
+        }
+        DecodedAudio(id, back.length.toLong, rate, sum, e)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
 }

@@ -546,13 +546,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) ->
         (if (r.getLong(0) % 9 == 0) r.getString(1) + " " + bp else r.getString(1)))
       .toMap
-    // driver replay: 8-gram fingerprints, cross-doc repeated set,
-    // per-doc interval union
+    // driver replay: gram keys composed from per-word hashes by the same
+    // 0-seeded (a*31 + h) % p fold, cross-doc repeated set, per-doc
+    // interval union
+    def gramKey(hs: Array[Long]): Long =
+      hs.foldLeft(0L)((a, h) => (a * 31 + h) % 1000000007L)
     val grams = docs.toSeq.flatMap { case (id, t) =>
-      val ws = t.split(" ", -1)
-      if (ws.length < 8) Seq.empty
-      else (0 to ws.length - 8).map(i =>
-        (id, i + 1, refHash(ws.slice(i, i + 8).mkString(" ")), ws.length))
+      val hs = t.split(" ", -1).map(refHash)
+      if (hs.length < 8) Seq.empty
+      else (0 to hs.length - 8).map(i =>
+        (id, i + 1, gramKey(hs.slice(i, i + 8)), hs.length))
     }
     val rep = grams.map(g => (g._3, g._1)).distinct.groupBy(_._1)
       .collect { case (fpv, ds) if ds.length >= 2 => fpv }.toSet
@@ -575,5 +578,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.contains(id) && got(id)._2 >= 12L,
         s"planted boilerplate not covered for doc $id: ${got.get(id)}")
     }
+  }
+
+  test("q228 audio decode: WAV round trip matches the arithmetic expectation") {
+    val rows = MultimodalOps.q228AudioDecode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = id % 240 + 16
+      val samples = (0L until n).map(i => (7L * id + 13L * i) % 256L)
+      assert(r.getAs[Long]("n_samples") == n)
+      assert(r.getAs[Long]("sample_rate") == 8000L)
+      assert(r.getAs[Long]("sample_sum") == samples.sum)
+      assert(r.getAs[Long]("energy") ==
+        samples.map(v => (v - 128L) * (v - 128L)).sum)
+    }
+  }
+
+  test("AudioCodec rejects non-WAV payloads instead of throwing") {
+    assert(MultimodalOps.AudioCodec.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(MultimodalOps.AudioCodec.decode(
+      "not audio at all".getBytes("UTF-8")).isEmpty)
   }
 }
