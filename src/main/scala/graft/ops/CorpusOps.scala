@@ -882,17 +882,15 @@ object CorpusOps {
     * false-match) — the same arithmetic DuckDB's unrolled CTE chain
     * replays with its own `replace`. Words are restricted to `[a-z]+` so
     * the brackets can never collide with symbol bytes. */
-  def q226BpeMerges(s: SparkSession, dir: String, vocabCap: Int = 256,
-      nMerges: Int = 8): DataFrame = {
-    import s.implicits._
-    val types = docs(s, dir)
-      .select(explode(split($"text", " ")).as("w"))
-      .filter($"w".rlike("^[a-z]+$"))
-      .groupBy($"w").agg(count(lit(1)).as("n"))
-      .orderBy($"n".desc, $"w").limit(vocabCap)
-      .as[(String, Long)].collect()
-    // driver trainer over the bounded type dict (V rows, 8 rounds)
-    var seqs: Array[(Array[String], Long)] =
+  /** The pure trainer core: greedy BPE over a (word, count) type
+    * dictionary — pair counts weighted by type frequency, arg-max under
+    * the (count desc, left asc, right asc) total order, left-to-right
+    * non-overlapping application. Factored out so the algorithm is
+    * property-testable without a SparkSession (PropertySpec fuzzes
+    * random dictionaries for prefix stability and count monotonicity). */
+  private[graft] def learnMerges(types: Seq[(String, Long)],
+      nMerges: Int): Seq[(Long, String, String, Long)] = {
+    var seqs: Seq[(Array[String], Long)] =
       types.map { case (w, n) => (w.split("").filter(_.nonEmpty), n) }
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (rank <- 1 to nMerges) {
@@ -922,6 +920,19 @@ object CorpusOps {
       }
     }
     merges.result()
+  }
+
+  def q226BpeMerges(s: SparkSession, dir: String, vocabCap: Int = 256,
+      nMerges: Int = 8): DataFrame = {
+    import s.implicits._
+    val types = docs(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w".rlike("^[a-z]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w").limit(vocabCap)
+      .as[(String, Long)].collect()
+    // driver trainer over the bounded type dict (V rows, 8 rounds)
+    learnMerges(types.toSeq, nMerges)
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
       .orderBy($"merge_rank")
   }

@@ -162,4 +162,39 @@ class PropertySpec extends AnyFunSuite {
       JsonFunctions.parsePath(rendered).contains(segs)
     })
   }
+
+  // ------------------------------------------------------------ BPE core
+
+  private val genDict: Gen[List[(String, Long)]] = Gen.nonEmptyListOf(for {
+    w <- Gen.nonEmptyListOf(Gen.choose('a', 'e')).map(_.mkString.take(10))
+    n <- Gen.choose(1L, 50L)
+  } yield (w, n)).map(_.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    .toList.sortBy(_._1))
+
+  test("BPE trainer: greedy prefix stability on fuzzed dictionaries") {
+    check("bpe prefix", Prop.forAll(genDict, Gen.choose(1, 6)) { (dict, k) =>
+      val full = graft.ops.CorpusOps.learnMerges(dict, 8)
+      val part = graft.ops.CorpusOps.learnMerges(dict, k)
+      part == full.take(part.length) && part.length <= k
+    })
+  }
+
+  test("BPE trainer: winning pair counts never increase round-over-round") {
+    check("bpe monotone", Prop.forAll(genDict) { dict =>
+      val counts = graft.ops.CorpusOps.learnMerges(dict, 8).map(_._4)
+      counts == counts.sorted.reverse
+    })
+  }
+
+  test("BPE trainer: every merged symbol composes from prior symbols") {
+    check("bpe compose", Prop.forAll(genDict) { dict =>
+      val known = collection.mutable.Set[String]()
+      ('a' to 'e').foreach(c => known += c.toString)
+      graft.ops.CorpusOps.learnMerges(dict, 8).forall { case (_, l, r, c) =>
+        val ok = known(l) && known(r) && c > 0
+        known += (l + r)
+        ok
+      }
+    })
+  }
 }
