@@ -4191,7 +4191,8 @@ object SparkEntry {
         |tot AS (SELECT (SELECT CAST(sum(n_raw) AS BIGINT) FROM raw) AS t_raw,
         |               (SELECT CAST(sum(n_tgt) AS BIGINT) FROM tgt) AS t_tgt),
         |dict AS (SELECT raw.b,
-        |    (coalesce(n_tgt, 0) * 1000000 // t_tgt)
+        |    (CASE WHEN coalesce(t_tgt, 0) = 0 THEN 0
+        |          ELSE coalesce(n_tgt, 0) * 1000000 // t_tgt END)
         |      - (n_raw * 1000000 // t_raw) AS delta_ppm
         |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
         |SELECT doc_id, max(source) AS source, count(*) AS n_tokens,

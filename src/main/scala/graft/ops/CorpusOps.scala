@@ -927,7 +927,7 @@ object CorpusOps {
     import s.implicits._
     val types = docs(s, dir)
       .select(explode(split($"text", " ")).as("w"))
-      .filter($"w".rlike("^[a-z]+$"))
+      .filter($"w".rlike("\\A[a-z]+\\z"))
       .groupBy($"w").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"w").limit(vocabCap)
       .as[(String, Long)].collect()
@@ -962,7 +962,7 @@ object CorpusOps {
     }
     docs(s, dir)
       .select($"lang", explode(split($"text", " ")).as("w"))
-      .filter($"w".rlike("^[a-z]+$"))
+      .filter($"w".rlike("\\A[a-z]+\\z"))
       .select($"lang", length($"w").cast("long").as("n_chars"),
         expr(applied).as("bs"))
       .select($"lang", $"n_chars",
@@ -977,18 +977,21 @@ object CorpusOps {
       .orderBy($"lang")
   }
 
-  /** The q227 oracle extends [[bpeOracleSql]]'s chain: after the rounds
+  /** The q227 oracle composes [[bpeLearnWith]]'s chain: after the rounds
     * re-learn b1..bN, the token stream is bracketed and run through the
-    * same N scalar-subquery `replace` steps, then folded per lang. */
+    * same N scalar-subquery `replace` steps, then folded per lang. Each
+    * step's pattern is COALESCEd to an unmatchable chr(1) sentinel so a
+    * round that learned nothing (empty b_r → NULL subquery) is a no-op
+    * instead of NULL-poisoning every token — mirroring the Spark side,
+    * which simply applies fewer merges. */
   def bpeFertilityOracleSql(vocabCap: Int = 256, nMerges: Int = 8): String = {
-    val learn = bpeOracleSql(vocabCap, nMerges)
-    val withPart = learn.substring(0, learn.lastIndexOf("SELECT * FROM"))
     val applied = (1 to nMerges).foldLeft("bs") { (e, r) =>
-      s"replace($e, '(' || (SELECT lsym FROM b$r) || ')(' || " +
-        s"(SELECT rsym FROM b$r) || ')', " +
-        s"'(' || (SELECT lsym FROM b$r) || (SELECT rsym FROM b$r) || ')')"
+      s"replace($e, coalesce('(' || (SELECT lsym FROM b$r) || ')(' || " +
+        s"(SELECT rsym FROM b$r) || ')', chr(1)), " +
+        s"coalesce('(' || (SELECT lsym FROM b$r) || " +
+        s"(SELECT rsym FROM b$r) || ')', ''))"
     }
-    s"""${withPart},
+    s"""${bpeLearnWith(vocabCap, nMerges)},
        |toks AS (SELECT lang, w,
        |    '(' || array_to_string(list_filter(string_split(w, ''),
        |      c -> c <> ''), ')(') || ')' AS bs
@@ -1006,14 +1009,15 @@ object CorpusOps {
        |FROM app GROUP BY lang ORDER BY lang""".stripMargin
   }
 
-  /** The q226 oracle is GENERATED: one CTE pair per merge round — pair
-    * counts from the bracketed-symbol strings, arg-max under the same
-    * (count desc, left, right) total order, `replace`-applied merge —
-    * so DuckDB independently re-learns the same table. Every round CTE
+  /** The shared WITH-clause prefix both generated oracles build on: the
+    * type dictionary, the bracketed v0 rendering, and one (pair-count,
+    * arg-max, replace-apply) CTE triple per merge round. Every round CTE
     * is MATERIALIZED: each references its predecessor several times, and
     * default CTE inlining would expand the chain exponentially (4^rounds
-    * re-scans of the source). */
-  def bpeOracleSql(vocabCap: Int = 256, nMerges: Int = 8): String = {
+    * re-scans of the source). Exposed as a builder — NOT recovered by
+    * string surgery on a finished query — so the two consumers cannot
+    * drift apart. */
+  private def bpeLearnWith(vocabCap: Int, nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT n, unnest(list_transform(generate_series(1, len(sl) - 1),
@@ -1028,17 +1032,23 @@ object CorpusOps {
          |    '(' || (SELECT lsym FROM b$r) || (SELECT rsym FROM b$r) || ')') AS s
          |  FROM v${r - 1})""".stripMargin
     }.mkString(",\n")
-    val out = (1 to nMerges).map { r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_rank, lsym AS left_sym, " +
-        s"rsym AS right_sym, c AS pair_count FROM b$r"
-    }.mkString("\nUNION ALL\n")
     s"""WITH types AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE regexp_full_match(w, '[a-z]+')
        |  GROUP BY w ORDER BY n DESC, w LIMIT $vocabCap),
        |v0 AS MATERIALIZED (SELECT n, '(' || array_to_string(list_filter(
        |    string_split(w, ''), c -> c <> ''), ')(') || ')' AS s FROM types),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** The q226 oracle: [[bpeLearnWith]]'s chain + the ranked merge-table
+    * projection, so DuckDB independently re-learns the same table. */
+  def bpeOracleSql(vocabCap: Int = 256, nMerges: Int = 8): String = {
+    val out = (1 to nMerges).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, lsym AS left_sym, " +
+        s"rsym AS right_sym, c AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""${bpeLearnWith(vocabCap, nMerges)}
        |SELECT * FROM ($out) ORDER BY merge_rank""".stripMargin
   }
 }

@@ -1442,8 +1442,12 @@ object PipelineOps {
     val dict = stats
       .withColumn("t_raw", sum($"n_raw").over(all))
       .withColumn("t_tgt", sum($"n_tgt").over(all))
+      // t_tgt = 0 (no target-source docs) degrades to pure raw-rate
+      // penalties instead of NULL scores — and matches the oracle, whose
+      // bare integer division would otherwise ERROR while Spark's div
+      // silently returns NULL (the engines must agree on degenerates)
       .select($"b",
-        (expr("n_tgt * 1000000 div t_tgt") -
+        (expr("CASE WHEN t_tgt = 0 THEN 0 ELSE n_tgt * 1000000 div t_tgt END") -
           expr("n_raw * 1000000 div t_raw")).as("delta_ppm"))
     toks.join(broadcast(dict), Seq("b"))
       .groupBy($"doc_id")

@@ -364,7 +364,8 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"doc_id", $"source", $"text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val buckets = docs.flatMap { case (id, src, t) =>
-      t.split(" ").map(w => (id, src, fp(w) % 8192L)) }
+      // -1: keep trailing empties like Spark's split(text, ' ')
+      t.split(" ", -1).map(w => (id, src, fp(w) % 8192L)) }
     val nRaw = buckets.groupBy(_._3).view.mapValues(_.length.toLong).toMap
     val nTgt = buckets.filter(_._2 == "src0")
       .groupBy(_._3).view.mapValues(_.length.toLong).toMap
