@@ -167,8 +167,14 @@ object Catalog {
         "SELECT t.TABLENAME, v.VIEWDEFINITION FROM SYS.SYSVIEWS v JOIN SYS.SYSTABLES t ON v.TABLEID = t.TABLEID"
       ))(rs => rs.getString(1) -> rs.getString(2))
         .map { case (n, d) => n.toLowerCase -> Option(d).getOrElse("") }.toMap
-      names.sorted.map(n =>
-        ViewMeta(n, viewSelectBody(defs.getOrElse(n.toLowerCase, ""))))
+      // a view whose definition cannot be fetched is SKIPPED, not emitted
+      // with an empty body (the reference's posture, metadata.go:360-368):
+      // downstream would otherwise execute `CREATE VIEW v AS ` — always
+      // invalid — and fail the whole stage for an unreadable definition
+      names.sorted.flatMap { n =>
+        val body = viewSelectBody(defs.getOrElse(n.toLowerCase, ""))
+        if (body.trim.isEmpty) None else Some(ViewMeta(n, body))
+      }
     }
 
   /** S6: stored-function scan (`GetFunctions`, metadata.go:377-531). The
@@ -286,7 +292,11 @@ object Catalog {
             s"GRANT ${p.privCsv} ON ${p.table} TO $u"))
         }
       }
-      viaMysql.filter(_.nonEmpty).getOrElse(viaGeneric)
+      // a SUCCESSFUL mysql.user read is terminal even when empty: the
+      // query having worked proves this is the MySQL account catalog, and
+      // an empty result means only excluded system accounts exist — the
+      // generic grantee fallback would leak exactly those accounts back
+      viaMysql.getOrElse(viaGeneric)
     }
 
   /** S8: table-privilege scan (`GetTablePrivileges`, metadata.go:601-625).
@@ -328,11 +338,20 @@ object Catalog {
     * postgres/connection.go:357-373; logic manager.go:1228-1278). */
   def tableExists(url: String, table: String): Boolean =
     withConnection(url) { conn =>
-      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
-      var found = false
-      while (rs.next() && !found)
-        found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-      found
+      val md = conn.getMetaData
+      // name-pattern probes (O(1) metadata rows each) instead of walking
+      // the full table list per call — the schema stage calls this once
+      // per table, which was O(N²) metadata rows. JDBC patterns treat
+      // _/% as wildcards, so real name characters are escaped, and the
+      // three casings cover drivers that store identifiers folded.
+      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+      def probe(p: String): Boolean = {
+        val q = p.replace(esc, esc + esc)
+          .replace("_", esc + "_").replace("%", esc + "%")
+        val rs = md.getTables(null, null, q, Array("TABLE"))
+        try rs.next() finally rs.close()
+      }
+      probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
     }
 
   /** S13: version probe (< 1 s test_only path, `cmd/main.go:96-144`). */

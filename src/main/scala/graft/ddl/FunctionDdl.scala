@@ -49,6 +49,64 @@ object FunctionDdl {
     .replaceAll("(?i)\\s+CHARSET\\s+\\w+", "")
     .replaceAll("(?i)\\s+COLLATE\\s+\\w+", "")
 
+  /** PG-dialect scrub applied AFTER [[SqlRewriter.rewrite]]: the shared
+    * rewriter targets Spark SQL, which natively accepts IFNULL and
+    * backtick identifiers, so it deliberately leaves them — PostgreSQL
+    * accepts neither. Only the unambiguous swaps live here (backtick →
+    * double quote, IFNULL → COALESCE); string literals are masked so
+    * neither touches quoted text. */
+  private def pgScrub(sql: String): String = {
+    val (masked, lits) = SqlRewriter.maskStringLiterals(sql)
+    val s = masked.replace("`", "\"")
+      .replaceAll("(?i)\\bIFNULL\\s*\\(", "COALESCE(")
+    SqlRewriter.unmask(s, lits)
+  }
+
+  /** Same-length copy of `s` with every string-literal span (quotes
+    * included) blanked to spaces, so keyword indexes found on the mask
+    * are valid in the original — a COMMENT 'begin ...' characteristic
+    * must not anchor the body. Handles '' and \' escapes like
+    * [[SqlRewriter.maskStringLiterals]] (which swaps in variable-length
+    * tokens and therefore cannot be used for index math). */
+  private def blankLiterals(s: String): String = {
+    val out = s.toCharArray
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"') {
+        val quote = c
+        out(i) = ' '; i += 1
+        var done = false
+        while (i < s.length && !done) {
+          val ch = s.charAt(i)
+          if (ch == '\\' && i + 1 < s.length) {
+            out(i) = ' '; out(i + 1) = ' '; i += 2
+          } else if (ch == quote && i + 1 < s.length &&
+              s.charAt(i + 1) == quote) {
+            out(i) = ' '; out(i + 1) = ' '; i += 2
+          } else if (ch == quote) {
+            out(i) = ' '; i += 1; done = true
+          } else { out(i) = ' '; i += 1 }
+        }
+      } else i += 1
+    }
+    new String(out)
+  }
+
+  /** First whole-word occurrence of `word` in `hay` at or after `from`;
+    * -1 if none. Guards against BEGIN matching inside an identifier. */
+  private def indexOfWord(hay: String, word: String, from: Int): Int = {
+    var i = hay.indexOf(word, from)
+    while (i >= 0) {
+      val before = i == 0 || !Character.isLetterOrDigit(hay.charAt(i - 1))
+      val after = i + word.length >= hay.length ||
+        !Character.isLetterOrDigit(hay.charAt(i + word.length))
+      if (before && after) return i
+      i = hay.indexOf(word, i + 1)
+    }
+    -1
+  }
+
   /** Matching close paren for the open paren at `open`. -1 if unbalanced. */
   private def matchParen(s: String, open: Int): Int = {
     var depth = 0
@@ -71,14 +129,16 @@ object FunctionDdl {
       .replaceAll("(?im)^\\s*DELIMITER\\s+\\S+\\s*$", "")
       .replaceAll("(?m)//\\s*$", "")
       .trim
-    val upper = ddl.toUpperCase
+    // keyword anchors are found on a literal-blanked, same-length mask:
+    // 'begin'/'returns' inside a COMMENT string must not anchor the body
+    val upper = blankLiterals(ddl).toUpperCase
     for {
       m <- NameRe.findFirstMatchIn(ddl)
       name = m.group(1)
       open = ddl.indexOf('(', m.end - 1) if open >= 0
       close = matchParen(ddl, open) if close > open
-      returnsIdx = upper.indexOf("RETURNS", close) if returnsIdx >= 0
-      beginIdx = upper.indexOf("BEGIN", returnsIdx) if beginIdx >= 0
+      returnsIdx = indexOfWord(upper, "RETURNS", close) if returnsIdx >= 0
+      beginIdx = indexOfWord(upper, "BEGIN", returnsIdx) if beginIdx >= 0
     } yield {
       val params = cleanTypes(ddl.substring(open + 1, close)).trim
 
@@ -102,9 +162,12 @@ object FunctionDdl {
         if (t.isEmpty) "VOID" else t
       }
 
-      // characteristics live between the return type and BEGIN
+      // characteristics live between the return type and BEGIN; the
+      // keyword checks read the literal-blanked mask so a COMMENT
+      // containing 'not deterministic' cannot flip volatility — only the
+      // COMMENT extraction below needs the real text
       val chars = afterReturns.substring(math.min(cut, afterReturns.length))
-      val uchars = chars.toUpperCase
+      val uchars = blankLiterals(chars).toUpperCase
       val volatility =
         if (uchars.contains("NOT DETERMINISTIC")) "VOLATILE"
         else if (uchars.contains("DETERMINISTIC")) "IMMUTABLE"
@@ -132,8 +195,12 @@ object FunctionDdl {
       body = body.replaceAll(
         "(?i)DECLARE\\s+(?:CONTINUE|EXIT)\\s+HANDLER\\s+FOR\\s+[^;]+;", "")
       val cursorRe = "(?i)DECLARE\\s+(\\w+)\\s+CURSOR\\s+FOR\\s+([^;]+);".r
+      // the hoisted cursor query is MySQL text excised BEFORE the body
+      // rides SqlRewriter below — it must go through the same rewrite
+      // (IFNULL, backticks, …) or OPEN fails on the target
       val cursorDecls = cursorRe.findAllMatchIn(body)
-        .map(c => s"${c.group(1)} CURSOR FOR ${c.group(2).trim};").toSeq
+        .map(c => s"${c.group(1)} CURSOR FOR " +
+          s"${pgScrub(SqlRewriter.rewrite(c.group(2).trim))};").toSeq
       body = cursorRe.replaceAllIn(body, "")
       // MySQL allows `DECLARE a, b INT`; PL/pgSQL wants one name per line.
       // The type may be multi-word (DOUBLE PRECISION, INT UNSIGNED,
@@ -143,24 +210,30 @@ object FunctionDdl {
         "((?!CONTINUE\\b|EXIT\\b)[A-Za-z][A-Za-z0-9 ]*" +
         "(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?[A-Za-z0-9 ]*?)" +
         "(?:\\s+DEFAULT\\s+([^;]+))?;").r
-      val decls = cursorDecls ++ declRe.findAllMatchIn(body).flatMap { d =>
+      // plain variables FIRST: PL/pgSQL declarations are processed in
+      // order, and a bound cursor's query may reference them
+      val decls = declRe.findAllMatchIn(body).flatMap { d =>
         val default = Option(d.group(3)).map(v => s" DEFAULT ${v.trim}").getOrElse("")
         d.group(1).split(",").map(_.trim).map(n =>
           s"$n ${cleanTypes(d.group(2)).trim}$default;")
-      }.toSeq
+      }.toSeq ++ cursorDecls
       body = declRe.replaceAllIn(body, "")
 
       // SET x = v → x := v at statement starts AND after flow-control
       // keywords (THEN/ELSE/LOOP/DO) — anchored so column assignments
-      // inside UPDATE ... SET col = v are left alone. MySQL multi-assign
-      // (`SET a = 1, b = 2`) keeps only its first assignment rewritten;
-      // split such statements upstream if they appear.
+      // inside UPDATE ... SET col = v are left alone. The statement-start
+      // anchor is \A (body start), NOT multiline ^: every later statement
+      // begins after a `;` (\s* spans newlines), while a formatted
+      // `UPDATE t\n  SET col = v` puts SET at a line start with no
+      // preceding `;` — exactly the case ^ used to clobber. MySQL
+      // multi-assign (`SET a = 1, b = 2`) keeps only its first assignment
+      // rewritten; split such statements upstream if they appear.
       body = body.replaceAll(
-        "(?im)(^|;|\\bTHEN\\b|\\bELSE\\b|\\bLOOP\\b|\\bDO\\b)(\\s*)SET\\s+(\\w+)\\s*=",
+        "(?i)(\\A|;|\\bTHEN\\b|\\bELSE\\b|\\bLOOP\\b|\\bDO\\b)(\\s*)SET\\s+(\\w+)\\s*=",
         "$1$2$3 :=")
 
       // expression-level MySQL builtins → PG through the shared rewriter
-      body = SqlRewriter.rewrite(body).trim
+      body = pgScrub(SqlRewriter.rewrite(body)).trim
 
       val declareBlock =
         if (decls.isEmpty) "" else "DECLARE\n  " + decls.mkString("\n  ") + "\n"

@@ -114,21 +114,30 @@ object Pipeline {
       * (parquet directories hold no views/users). */
     def ddlStage(stage: String)(emit: Jdbc => Seq[(String, Seq[String], Boolean)]): Unit = {
       val t0 = System.nanoTime()
-      val items = (srcJdbc, dstJdbc) match {
+      // the source-catalog scan inside `emit` can itself throw (dropped
+      // connection, permission loss mid-run) — that is a stage failure
+      // subject to the SAME stopOnError policy as per-item DDL errors,
+      // not an escape hatch past the continue-on-error contract
+      val (items, scanFailures) = (srcJdbc, dstJdbc) match {
         case (Some(sj), Some(dj)) =>
-          emit(sj).map { case (label, stmts, dropOptional) =>
-            val failed = stmts.zipWithIndex.flatMap { case (ddl, i) =>
-              execLenient(dj.url, ddl) match {
-                case Failure(e) if !(dropOptional && i == 0) =>
-                  Some(s"$label: ${e.getMessage}")
-                case _ => None
-              }
-            }
-            (label, failed)
+          scala.util.Try(emit(sj)) match {
+            case scala.util.Success(emitted) =>
+              (emitted.map { case (label, stmts, dropOptional) =>
+                val failed = stmts.zipWithIndex.flatMap { case (ddl, i) =>
+                  execLenient(dj.url, ddl) match {
+                    case Failure(e) if !(dropOptional && i == 0) =>
+                      Some(s"$label: ${e.getMessage}")
+                    case _ => None
+                  }
+                }
+                (label, failed)
+              }, Nil)
+            case Failure(e) =>
+              (Nil, Seq(s"source scan: ${e.getMessage}"))
           }
-        case _ => Nil
+        case _ => (Nil, Nil)
       }
-      val failures = items.flatMap(_._2)
+      val failures = items.flatMap(_._2) ++ scanFailures
       stats += StageStat(stage, items.size, (System.nanoTime() - t0) / 1e9,
         failures)
       log.log(f"stage $stage: ${items.size} items in ${(System.nanoTime() - t0) / 1e9}%.2f s" +
@@ -212,10 +221,16 @@ object Pipeline {
             if (cfg.truncateBeforeSync && cfg.stopOnError)
               throw new RuntimeException(
                 s"validation failed: ${bad.map(b => s"${b.table}(${b.srcRows}!=${b.dstRows})").mkString(", ")}")
-            else
+            else {
+              // say WHY the run continued — blaming truncate when the
+              // actual reason is stop_on_error=false misdirects diagnosis
+              val why =
+                if (!cfg.truncateBeforeSync) "truncate_before_sync=false"
+                else "stop_on_error=false"
               bad.foreach(b => log.error(
                 s"data validation inconsistent: ${b.table} " +
-                s"src=${b.srcRows} dst=${b.dstRows} (continuing: truncate_before_sync=false)"))
+                s"src=${b.srcRows} dst=${b.dstRows} (continuing: $why)"))
+            }
           }
 
         case "indexes" =>
@@ -269,14 +284,17 @@ object Pipeline {
           // target are skipped, not failed (manager.go:1638-1645)
           ddlStage("privileges") { sj =>
             // one metadata read for the whole stage, not one connection +
-            // full getTables walk per privilege row
-            val dstTables = Catalog.listTables(dstJdbc.get.url)
-              .map(_.toLowerCase).toSet
+            // full getTables walk per privilege row; keep the TARGET's
+            // stored casing so the emitted quoted GRANT names the table
+            // that actually exists (a lowercased target would otherwise
+            // get GRANT ... ON "Orders" and fail)
+            val dstByLower = Catalog.listTables(dstJdbc.get.url)
+              .map(t => t.toLowerCase -> t).toMap
             Catalog.listTablePrivileges(sj.url)
-              .filter(p => dstTables(p.table.toLowerCase))
-              .map { p =>
-                (s"${p.user}/${p.table}",
-                  DdlConverter.tablePrivDdl(p.user, p.table, p.privCsv), false)
+              .flatMap(p => dstByLower.get(p.table.toLowerCase).map(p -> _))
+              .map { case (p, dstName) =>
+                (s"${p.user}/$dstName",
+                  DdlConverter.tablePrivDdl(p.user, dstName, p.privCsv), false)
               }
           }
 

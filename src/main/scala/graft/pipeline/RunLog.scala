@@ -54,6 +54,8 @@ final class RunLog(
 }
 
 object RunLog {
-  /** Console-only (file logging off) — the reference's default posture. */
-  def consoleOnly: RunLog = new RunLog()
+  /** Console-only (file logging off, narrative on stdout). Info lines
+    * must actually reach the console here — with showLogInConsole left
+    * false this logger would silently discard the whole run narrative. */
+  def consoleOnly: RunLog = new RunLog(showLogInConsole = true)
 }

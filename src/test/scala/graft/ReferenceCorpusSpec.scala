@@ -178,6 +178,51 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(adv.ddl.contains("COMMENT ON FUNCTION f2 IS 'it''s a helper'"), adv.ddl)
   }
 
+  test("FunctionDdl hardening: multiline UPDATE SET, keyword-in-comment, cursor hoisting") {
+    import graft.ddl.FunctionDdl
+    // a formatted UPDATE puts SET at a line start with no preceding ';' —
+    // the one shape the old multiline ^ anchor clobbered into ':='
+    val ml = FunctionDdl.convert(
+      """CREATE FUNCTION deduct(v_id INT, amt INT) RETURNS INT
+        |BEGIN
+        |  UPDATE accounts
+        |    SET balance = balance - amt
+        |    WHERE id = v_id;
+        |  RETURN amt;
+        |END""".stripMargin).get
+    assert(ml.ddl.contains("SET balance = balance - amt"),
+      s"multiline UPDATE SET corrupted:\n${ml.ddl}")
+    assert(!ml.ddl.contains(":="), ml.ddl)
+    // 'begin'/'not deterministic' inside the COMMENT characteristic must
+    // not anchor the body or flip volatility
+    val cm = FunctionDdl.convert(
+      """CREATE FUNCTION f3() RETURNS INT
+        |COMMENT 'begin balance calc, not deterministic text' DETERMINISTIC
+        |BEGIN
+        |  RETURN 1;
+        |END""".stripMargin).get
+    assert(cm.ddl.contains("IMMUTABLE AS $$"), cm.ddl)
+    assert(cm.ddl.contains("RETURN 1;"), cm.ddl)
+    assert(cm.ddl.contains(
+      "COMMENT ON FUNCTION f3 IS 'begin balance calc, not deterministic text'"),
+      cm.ddl)
+    // hoisted cursor queries ride the SAME MySQL→PG rewrite as the body,
+    // and declare AFTER the plain variables they may reference
+    val cu = FunctionDdl.convert(
+      """CREATE FUNCTION f4(p INT) RETURNS INT
+        |BEGIN
+        |  DECLARE c CURSOR FOR SELECT IFNULL(`name`, 'x') FROM t WHERE id = v_id;
+        |  DECLARE v_id INT DEFAULT 0;
+        |  RETURN p;
+        |END""".stripMargin).get
+    assert(cu.ddl.contains("COALESCE(\"name\", 'x')"),
+      s"cursor query not rewritten:\n${cu.ddl}")
+    val declIdx = cu.ddl.indexOf("v_id INT DEFAULT 0;")
+    val curIdx = cu.ddl.indexOf("c CURSOR FOR")
+    assert(declIdx >= 0 && curIdx >= 0 && declIdx < curIdx,
+      s"cursor declared before the variable it references:\n${cu.ddl}")
+  }
+
   test("every reference view rewrites to parseable Spark SQL") {
     val parser = spark.sessionState.sqlParser
     val failures = viewStatements().flatMap { stmt =>
