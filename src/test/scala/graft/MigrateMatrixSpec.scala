@@ -163,6 +163,28 @@ class MigrateMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byStage("schema").failures.isEmpty && byStage("data").failures.isEmpty)
   }
 
+  test("case: source-scan failure honors the stop-on-error policy") {
+    import java.sql.DriverManager
+    import graft.transfer.Transfer.Jdbc
+    val dst = Files.createTempDirectory("mm_scanfail_dst").toString + "/db"
+    val dstUrl = s"jdbc:derby:$dst;create=true"
+    DriverManager.getConnection(dstUrl).close()
+    // a syntactically valid JDBC url whose connection fails — the views
+    // stage's source-catalog scan throws before any DDL is emitted
+    val badSrc = Jdbc(s"jdbc:derby:${Files.createTempDirectory("mm_void")}/absent", "%s")
+    val lenient = Pipeline.run(spark, badSrc, Jdbc(dstUrl, "%s"),
+      Pipeline.Config(stages = Seq("views"), stopOnError = false), tables = Nil)
+    // continue-on-error: the run completes and RECORDS the scan failure
+    val vs = lenient.stats.find(_.stage == "views").get
+    assert(vs.items == 0 && vs.failures.exists(_.contains("source scan")),
+      vs.toString)
+    // stop-on-error: the same failure aborts the run
+    intercept[RuntimeException] {
+      Pipeline.run(spark, badSrc, Jdbc(dstUrl, "%s"),
+        Pipeline.Config(stages = Seq("views"), stopOnError = true), tables = Nil)
+    }
+  }
+
   test("case 21/22: truncate-coupled validation policy (abort vs continue)") {
     // append mode (truncate off): a count mismatch is reported but does NOT
     // abort even with stop_on_error on — README.md:137-144
