@@ -255,6 +255,7 @@ object SparkEntry {
     "q226_bpe_merges"     -> ((s, dir) => CorpusOps.q226BpeMerges(s, dir)),
     "q227_bpe_fertility"  -> CorpusOps.q227BpeFertility _,
     "q228_audio_decode"   -> MultimodalOps.q228AudioDecode _,
+    "q229_semantic_dedup" -> DedupOps.q229SemDedup _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4222,5 +4223,64 @@ object SparkEntry {
         |FROM documents d, generate_series(0, 254) g(i)
         |WHERE g.i < d.doc_id % 240 + 16
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // q229: q106's unrolled Lloyd's chain over the planted-twin union,
+    // then within-cluster high-cosine drops (dot/nrm2 exact int64; only
+    // the threshold compare is double — IEEE sqrt/divide match).
+    "q229_semantic_dedup" ->
+      """WITH e0 AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |e AS (SELECT * FROM e0
+        |      UNION ALL
+        |      SELECT -vec_id - 1 AS vec_id, q FROM e0 WHERE vec_id % 10 = 0),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+        |       FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, e.q, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c0 c)) WHERE rn = 1),
+        |x1 AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a1),
+        |s1 AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+        |       FROM x1 GROUP BY cid, i),
+        |u1 AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+        |       FROM s1 GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(u1.c, c0.c) AS c FROM c0 LEFT JOIN u1 USING (cid)),
+        |a2 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, e.q, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c1 c)) WHERE rn = 1),
+        |x2 AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a2),
+        |s2 AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+        |       FROM x2 GROUP BY cid, i),
+        |u2 AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+        |       FROM s2 GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(u2.c, c1.c) AS c FROM c1 LEFT JOIN u2 USING (cid)),
+        |n AS MATERIALIZED (SELECT vec_id, cid, q,
+        |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm2
+        |  FROM (SELECT vec_id, q, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, e.q, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c2 c)) WHERE rn = 1)),
+        |dr AS (SELECT DISTINCT y.vec_id FROM n x JOIN n y
+        |         ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |       WHERE x.nrm2 > 0 AND y.nrm2 > 0 AND
+        |         CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+        |             i -> x.q[i] * y.q[i])) AS DOUBLE)
+        |           / (sqrt(CAST(x.nrm2 AS DOUBLE)) * sqrt(CAST(y.nrm2 AS DOUBLE)))
+        |           >= 0.95)
+        |SELECT cid AS cluster_id, count(*) AS n_members,
+        |  CAST(sum(CASE WHEN n.vec_id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+        |  CAST(sum(CASE WHEN dr.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN dr.vec_id IS NULL THEN 0 ELSE 1 END) * 1000000
+        |    // count(*) AS BIGINT) AS drop_ppm
+        |FROM n LEFT JOIN dr ON n.vec_id = dr.vec_id
+        |GROUP BY cid ORDER BY cluster_id""".stripMargin,
   )
 }

@@ -775,4 +775,61 @@ object DedupOps {
       .withColumn("planted", when($"doc_id" % 9 === 0, 1L).otherwise(0L))
       .orderBy($"doc_id")
   }
+
+  /** X197 — semantic deduplication (SemDeDup): embedding near-duplicates
+    * found WITHIN k-means clusters instead of label blocks — X5 needs a
+    * trusted label to block on; SemDeDup derives the blocks from the
+    * embedding space itself (the published recipe: cluster, then compare
+    * only within a cluster, drop all but the lowest-id member of each
+    * high-cosine pair). Clustering is X69's integer Lloyd's loop —
+    * shared code, so the blocks are exactly the q106 clusters. Proven on
+    * PLANTED exact twins (q214's disjoint-range rule: copies at
+    * -vec_id-1): a twin lands in its original's cluster by construction
+    * (identical distances, ties to the lowest cid), so every planted
+    * pair must surface as one dropped member.
+    *
+    * Scale: the pairwise stage is quadratic only WITHIN a cluster —
+    * the entire point of the method (k grows with the corpus so cluster
+    * populations stay bounded); blocks are salted 8× against cluster-count
+    * partitioning collapse; distances/dots are exact int64 on quantized
+    * components, so only the threshold compare touches doubles (IEEE
+    * sqrt/divide — engine-portable); the k-row verdict is collected and
+    * the cache released (q118's materialize-then-unpersist idiom). */
+  def q229SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+    val planted = base.filter($"vec_id" % 10 === 0)
+      .select((-$"vec_id" - 1L).as("vec_id"), $"q")
+    val q = base.unionByName(planted).persist()
+    try {
+      val assigned = SimilarityOps.kmeansAssign(s, q, k = 8, iters = 3)
+        .withColumn("nrm2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+      val a = assigned.select($"vec_id".as("vec_a"), $"cid",
+          $"q".as("qa"), $"nrm2".as("na"))
+        .withColumn("salt", pmod($"vec_a", lit(SALTS)).cast("int"))
+      val b = assigned.select($"vec_id".as("vec_b"), $"cid",
+          $"q".as("qb"), $"nrm2".as("nb"))
+        .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+      val dropped = a.join(b, Seq("cid", "salt"))
+        .filter($"vec_a" < $"vec_b" && $"na" > 0L && $"nb" > 0L)
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .filter($"dot".cast("double") /
+          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))) >= 0.95)
+        .select($"vec_b".as("vec_id")).distinct()
+        .withColumn("dropped", lit(1L))
+      val verdict = assigned.select($"vec_id", $"cid")
+        .join(dropped, Seq("vec_id"), "left")
+        .groupBy($"cid".as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when($"vec_id" < 0L, 1L).otherwise(0L)).as("n_planted"),
+          sum(coalesce($"dropped", lit(0L))).as("n_dropped"))
+        .withColumn("drop_ppm", expr("n_dropped * 1000000 div n_members"))
+        .orderBy($"cluster_id")
+      val rows = verdict.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), verdict.schema)
+    } finally q.unpersist(blocking = false)
+  }
 }

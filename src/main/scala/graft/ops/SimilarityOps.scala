@@ -137,34 +137,15 @@ object SimilarityOps {
       .orderBy($"label")
   }
 
-  /** X69 — distributed Lloyd's k-means over the embedding column, in
-    * INTEGER space so every step is exact and the unrolled-CTE DuckDB
-    * oracle hash-matches: vectors quantize to milli-units
-    * (`round(x*1000)`), distances are int64 sums of squares, and the
-    * centroid update rounds an exact-in-double mean (sums ≪ 2^53). Float
-    * k-means can't be oracle-checked — cross-row double accumulation is
-    * order-dependent; integer k-means is the same algorithm with a
-    * deterministic answer. Semantic dedup / IVF-index building runs
-    * exactly this loop at corpus scale.
-    *
-    * Spark shape per iteration (the standard scalable Lloyd's): centroids
-    * live on the DRIVER (k×d longs — the only collect), assignment is a
-    * narrow codegen'd argmin over centroid literals (sort_array on
-    * (dist, cid) structs: ties break to the lowest cid), and the update is
-    * posexplode → groupBy(cid, dim) — map-side combine shrinks the shuffle
-    * to k×d rows per partition regardless of corpus size. Empty clusters
-    * keep their previous centroid. Init = the k lowest vec_ids' vectors. */
-  def q106Kmeans(s: SparkSession, dir: String): DataFrame = {
+  /** Shared Lloyd's-iterations core over a PERSISTED quantized frame
+    * (vec_id, q: ARRAY<BIGINT>): deterministic init (first k by vec_id),
+    * `iters` assign/update rounds, returns the FINAL per-vector
+    * assignment (vec_id, q, cid, d). Factored out so X78's summary and
+    * X197's SemDeDup blocking run the identical clustering. Caller owns
+    * the persist lifecycle of `q`. */
+  private[ops] def kmeansAssign(s: SparkSession, q: DataFrame,
+      k: Int, iters: Int): DataFrame = {
     import s.implicits._
-    val k = 8; val iters = 3
-    // persist the quantized vectors across the Lloyd's iterations (the
-    // MLlib pattern — every assign/update pass re-reads them); released
-    // before returning, which is why the tiny k-row result is collected
-    // and returned as a local frame rather than a plan over the cache
-    val q = Tables.load(s, dir, "embeddings")
-      .selectExpr("vec_id",
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
-      .persist()
     val init: Array[(Int, Array[Long])] = q.orderBy($"vec_id").limit(k)
       .select($"q").as[Array[Long]].collect().zipWithIndex.map(_.swap)
 
@@ -198,8 +179,38 @@ object SimilarityOps {
         .map { case (cid, c) => (cid.toInt, c) }.toMap
       cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
+    assign(finalCents)
+  }
+
+  /** X69 — distributed Lloyd's k-means over the embedding column, in
+    * INTEGER space so every step is exact and the unrolled-CTE DuckDB
+    * oracle hash-matches: vectors quantize to milli-units
+    * (`round(x*1000)`), distances are int64 sums of squares, and the
+    * centroid update rounds an exact-in-double mean (sums ≪ 2^53). Float
+    * k-means can't be oracle-checked — cross-row double accumulation is
+    * order-dependent; integer k-means is the same algorithm with a
+    * deterministic answer. Semantic dedup / IVF-index building runs
+    * exactly this loop at corpus scale.
+    *
+    * Spark shape per iteration (the standard scalable Lloyd's): centroids
+    * live on the DRIVER (k×d longs — the only collect), assignment is a
+    * narrow codegen'd argmin over centroid literals (sort_array on
+    * (dist, cid) structs: ties break to the lowest cid), and the update is
+    * posexplode → groupBy(cid, dim) — map-side combine shrinks the shuffle
+    * to k×d rows per partition regardless of corpus size. Empty clusters
+    * keep their previous centroid. Init = the k lowest vec_ids' vectors. */
+  def q106Kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // persist the quantized vectors across the Lloyd's iterations (the
+    // MLlib pattern — every assign/update pass re-reads them); released
+    // before returning, which is why the tiny k-row result is collected
+    // and returned as a local frame rather than a plan over the cache
+    val q = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .persist()
     try {
-      val rows = assign(finalCents)
+      val rows = kmeansAssign(s, q, k = 8, iters = 3)
         .groupBy($"cid".as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), sum($"vec_id").as("sum_vec_ids"),
           sum($"d").as("inertia"), min($"vec_id").as("min_vec_id"))

@@ -600,4 +600,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MultimodalOps.AudioCodec.decode(
       "not audio at all".getBytes("UTF-8")).isEmpty)
   }
+
+  test("q229 SemDeDup: planted twins are clustered with their originals and dropped") {
+    import spark.implicits._
+    val ids = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id").as[Long].collect()
+    val nPlanted = ids.count(_ % 10 == 0).toLong
+    val rows = DedupOps.q229SemDedup(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("n_members")).sum == ids.length + nPlanted)
+    assert(rows.map(_.getAs[Long]("n_planted")).sum == nPlanted)
+    // an exact twin lands in its original's cluster (identical distances,
+    // deterministic tie-break) and always forms a >=0.95 pair, so every
+    // cluster drops at least its planted members
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") >= r.getAs[Long]("n_planted"),
+        s"cluster ${r.getAs[Long]("cluster_id")}: ${r.mkString(",")}")
+      assert(r.getAs[Long]("drop_ppm") ==
+        r.getAs[Long]("n_dropped") * 1000000L / r.getAs[Long]("n_members"))
+    }
+    // deterministic end-to-end: the iterative trainer + pair stage
+    // reproduce bit-identically
+    val again = DedupOps.q229SemDedup(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
