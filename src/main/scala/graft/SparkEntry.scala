@@ -713,7 +713,8 @@ object SparkEntry {
         |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |      FROM embeddings),
         |n AS (SELECT vec_id, v,
-        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2 FROM e),
+        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2
+        |      FROM e WHERE list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) > 0),
         |dots AS (SELECT n.vec_id, plane.i,
         |    list_reduce(list_transform(generate_series(1, 64), j -> n.v[j] * plane.wl[j]),
         |                (a, b) -> a + b) AS dot
@@ -828,7 +829,8 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |n AS (SELECT vec_id, label, v,
-        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2 FROM e)
+        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2
+        |      FROM e WHERE list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) > 0)
         |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]),
         |              (x, y) -> x + y) / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cos
@@ -841,7 +843,8 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |n AS (SELECT vec_id, v,
-        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2 FROM e),
+        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2
+        |      FROM e WHERE list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) > 0),
         |q AS (SELECT vec_id AS q_id, v AS qv, nrm2 AS qn FROM n WHERE vec_id < 10),
         |s AS (SELECT q.q_id, n.vec_id,
         |        list_reduce(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * n.v[i]),
@@ -857,7 +860,8 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |n AS (SELECT vec_id, label,
-        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS norm FROM e)
+        |        sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS norm
+        |      FROM e WHERE list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) > 0)
         |SELECT label, count(*) AS n_vecs, min(norm) AS min_norm, max(norm) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
@@ -1000,7 +1004,8 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |n AS (SELECT vec_id, v,
-        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2 FROM e),
+        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2
+        |      FROM e WHERE list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) > 0),
         |c AS (SELECT vec_id AS c_id, v AS cv, nrm2 AS cn FROM n WHERE vec_id < 8),
         |ac AS (SELECT n.vec_id, c.c_id, n.v, n.nrm2,
         |        list_reduce(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * c.cv[i]),
@@ -3180,7 +3185,8 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |n AS (SELECT vec_id, v,
-        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2 FROM e),
+        |        list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm2
+        |      FROM e WHERE list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) > 0),
         |c AS (SELECT vec_id AS c_id, v AS cv, nrm2 AS cn FROM n WHERE vec_id < 8),
         |ac AS (SELECT n.vec_id, c.c_id, n.v, n.nrm2,
         |        list_reduce(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * c.cv[i]),
@@ -3656,15 +3662,18 @@ object SparkEntry {
         |  FROM embeddings),
         |s AS (SELECT label, half, u.dim AS dim,
         |    CAST(sum(u.q) AS BIGINT) AS sq,
-        |    count(DISTINCT vec_id) AS n
+        |    count(*) AS n
         |  FROM e GROUP BY 1, 2, 3),
         |a AS (SELECT label, dim, sq AS sa, n AS na FROM s WHERE half = 0),
-        |b AS (SELECT label, dim, sq AS sb, n AS nb FROM s WHERE half = 1)
+        |b AS (SELECT label, dim, sq AS sb, n AS nb FROM s WHERE half = 1),
+        |j AS (SELECT coalesce(a.label, b.label) AS label,
+        |    coalesce(sa, 0) AS sa, coalesce(na, 0) AS na,
+        |    coalesce(sb, 0) AS sb, coalesce(nb, 0) AS nb
+        |  FROM a FULL OUTER JOIN b ON a.label = b.label AND a.dim = b.dim)
         |SELECT label, CAST(max(na) AS BIGINT) AS n_a,
         |  CAST(max(nb) AS BIGINT) AS n_b,
         |  CAST(sum(abs(sa * nb - sb * na)) AS BIGINT) AS drift_mass
-        |FROM a JOIN b USING (label, dim)
-        |GROUP BY label ORDER BY label""".stripMargin,
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
 
     "q199_order_fanout" ->
       """WITH c AS (SELECT l_orderkey, count(*) AS n_lines

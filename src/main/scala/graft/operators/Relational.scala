@@ -25,8 +25,9 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Exact integer cents from a 2-decimal double — order-independent sums. */
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** Exact integer cents from a 2-decimal double — order-independent sums
+    * (the shared quantizer; see [[graft.functions.Exact]]). */
+  private def cents(c: Column): Column = graft.functions.Exact.cents(c)
 
   /** TPC-H Q1-style pricing summary: scan → filter (pushed to parquet) →
     * partial agg → final agg. Reference analogue: the aggregate surface of
@@ -154,7 +155,11 @@ object Relational {
       .orderBy($"tag", $"nkey")
   }
 
-  /** ROLLUP aggregate with grouping() marker — subtotal lattice in one pass. */
+  /** ROLLUP subtotal lattice in one pass. Subtotal rows are rendered via
+    * `coalesce(col, 'ALL')` — a presentation convention that assumes the
+    * group columns never contain NULL or the literal 'ALL' (true for
+    * o_orderstatus/year here); a domain where they could needs the
+    * `grouping_id()` disambiguation q66 uses. */
   def q10Rollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "orders")

@@ -799,7 +799,7 @@ object DedupOps {
     import s.implicits._
     val base = Tables.load(s, dir, "embeddings")
       .selectExpr("vec_id",
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
     val planted = base.filter($"vec_id" % 10 === 0)
       .select((-$"vec_id" - 1L).as("vec_id"), $"q")
     val q = base.unionByName(planted).persist()

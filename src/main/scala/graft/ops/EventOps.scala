@@ -66,7 +66,7 @@ object EventOps {
     ev(s, dir)
       .select($"user_id", $"event_id",
         unix_micros($"ts".cast("timestamp")).as("us"),
-        round($"value" * 100).cast("long").as("c"))
+        graft.functions.Exact.cents($"value").as("c"))
       .withColumn("n_5min", count(lit(1)).over(w).cast("long"))
       .withColumn("cents_5min", sum($"c").over(w))
       .select($"user_id", $"event_id", $"us", $"n_5min", $"cents_5min")
@@ -83,7 +83,7 @@ object EventOps {
     import s.implicits._
     val e = ev(s, dir)
       .select(date_trunc("hour", $"ts").as("hour"),
-        round($"value" * 100).cast("long").as("c"))
+        graft.functions.Exact.cents($"value").as("c"))
     val hourly = e.groupBy($"hour")
       .agg(count(lit(1)).as("n"), sum($"c").as("cents"))
     // horizon from the tiny hourly aggregate, not a second corpus scan
@@ -97,23 +97,32 @@ object EventOps {
       .orderBy($"hour")
   }
 
+  /** Shared 30-minute gap-sessionization: lag → boundary flag → running
+    * sum, all three windows on ONE user_id partitioning. Factored so X17's
+    * session aggregates and X84's journey paths segment the stream with
+    * the SAME rule — the two reports must not drift. Emits the input
+    * columns plus (us, sess_idx). */
+  private def sessionized(df: DataFrame): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(run))
+      .drop("new_sess")
+  }
+
   /** Gap sessionization (30-minute inactivity threshold): the batch form of
     * streaming session windows. lag → boundary flag → running sum = session
     * index; then one aggregate per session. All three windows share one
     * partitioning (user_id), so Catalyst plans a single Exchange+Sort. */
   def q54Sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val gapUs = 1800L * 1000000L
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev(s, dir)
+    sessionized(ev(s, dir)
       .select($"user_id", $"event_id", $"ts",
-        round($"value" * 100).cast("long").as("cents"))
-      .withColumn("us", unix_micros($"ts".cast("timestamp")))
-      .withColumn("new_sess",
-        when(lag($"us", 1).over(w).isNull ||
-          $"us" - lag($"us", 1).over(w) > gapUs, 1L).otherwise(0L))
-      .withColumn("sess_idx", sum($"new_sess").over(run))
+        graft.functions.Exact.cents($"value").as("cents")))
       .groupBy($"user_id", $"sess_idx")
       .agg(count(lit(1)).as("n_events"),
         min($"us").as("start_us"),
@@ -294,7 +303,7 @@ object EventOps {
     val cw = Window.partitionBy($"event_type")
     ev(s, dir)
       .select($"event_type", $"event_id",
-        round($"value" * 100).cast("long").as("cents"))
+        graft.functions.Exact.cents($"value").as("cents"))
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(cw))
       .withColumn("is_anom",
@@ -319,16 +328,8 @@ object EventOps {
     * the path frame is ≤|types|³ rows. */
   def q120SessionPaths(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val gapUs = 1800L * 1000000L
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev(s, dir)
-      .select($"user_id", $"event_id", $"ts", $"event_type")
-      .withColumn("us", unix_micros($"ts".cast("timestamp")))
-      .withColumn("new_sess",
-        when(lag($"us", 1).over(w).isNull ||
-          $"us" - lag($"us", 1).over(w) > gapUs, 1L).otherwise(0L))
-      .withColumn("sess_idx", sum($"new_sess").over(run))
+    sessionized(ev(s, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type"))
       .groupBy($"user_id", $"sess_idx")
       .agg(collect_list(struct($"us", $"event_id", $"event_type")).as("evs"))
       .select(expr(
@@ -355,7 +356,7 @@ object EventOps {
     val base = ev(s, dir)
       .select($"event_type", $"event_id",
         expr("unix_micros(cast(ts as timestamp))").as("us"),
-        round($"value" * 100).cast("long").as("cents"))
+        graft.functions.Exact.cents($"value").as("cents"))
       .withColumn("hour", expr("us div 3600000000"))
     val asc = Window.partitionBy($"event_type", $"hour").orderBy($"us", $"event_id")
     val desc = Window.partitionBy($"event_type", $"hour")
@@ -400,7 +401,7 @@ object EventOps {
     val base = ev(s, dir)
       .select($"user_id",
         expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
-        round($"value" * 100).cast("long").as("cents"))
+        graft.functions.Exact.cents($"value").as("cents"))
     val horizon = base.agg(max($"day").as("max_day")) // 1-row broadcast
     base.crossJoin(broadcast(horizon))
       .withColumn("age_weeks", expr("(max_day - day) div 7"))
@@ -467,7 +468,7 @@ object EventOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev(s, dir)
       // value histogram: the only corpus-sized aggregation
-      .select($"event_type", round($"value" * 100).cast("long").as("cents"))
+      .select($"event_type", graft.functions.Exact.cents($"value").as("cents"))
       .groupBy($"event_type", $"cents").agg(count(lit(1)).as("c"))
       // lower median: smallest cents with 2·cum >= n, attached per row by
       // a full-partition window (no join, no second pass over events)
@@ -691,22 +692,31 @@ object EventOps {
     * per-type audience sizes are a \|types\| frame broadcast back. */
   def q192AudienceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the (type, user) incidence feeds THREE consumers (sizes + both
+    // sides of the pair join): persist once instead of re-running the
+    // events-wide distinct per consumer, materialize the ≤C(|types|,2)
+    // report, release (q118's collect-then-unpersist idiom)
     val inc = ev(s, dir).select($"event_type", $"user_id").distinct()
-    val sizes = inc.groupBy($"event_type").agg(count(lit(1)).as("n"))
-    val pairs = inc.select($"user_id", $"event_type".as("type_a"))
-      .join(inc.select($"user_id", $"event_type".as("type_b")), Seq("user_id"))
-      .filter($"type_a" < $"type_b")
-      .groupBy($"type_a", $"type_b")
-      .agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(broadcast(sizes.select($"event_type".as("type_a"), $"n".as("n_a"))),
-        Seq("type_a"))
-      .join(broadcast(sizes.select($"event_type".as("type_b"), $"n".as("n_b"))),
-        Seq("type_b"))
-      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_shared",
-        expr("n_shared * 1000000 div (n_a + n_b - n_shared)")
-          .as("jaccard_ppm"))
-      .orderBy($"type_a", $"type_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = inc.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val pairs = inc.select($"user_id", $"event_type".as("type_a"))
+        .join(inc.select($"user_id", $"event_type".as("type_b")), Seq("user_id"))
+        .filter($"type_a" < $"type_b")
+        .groupBy($"type_a", $"type_b")
+        .agg(count(lit(1)).as("n_shared"))
+      val out = pairs
+        .join(broadcast(sizes.select($"event_type".as("type_a"), $"n".as("n_a"))),
+          Seq("type_a"))
+        .join(broadcast(sizes.select($"event_type".as("type_b"), $"n".as("n_b"))),
+          Seq("type_b"))
+        .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_shared",
+          expr("n_shared * 1000000 div (n_a + n_b - n_shared)")
+            .as("jaccard_ppm"))
+        .orderBy($"type_a", $"type_b")
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    } finally inc.unpersist(blocking = false)
   }
 
   /** X161 — view→purchase latency histogram: for users who completed the
@@ -798,7 +808,7 @@ object EventOps {
     Tables.load(s, dir, "events")
       .select($"user_id", $"event_id",
         unix_micros($"ts".cast("timestamp")).as("us"),
-        $"event_type", round($"value" * 100).cast("long").as("cents"))
+        $"event_type", graft.functions.Exact.cents($"value").as("cents"))
       .withColumn("first_us", first($"us").over(wTo))
       .withColumn("last_type", last($"event_type").over(wFull))
       .withColumn("third_type", nth_value($"event_type", 3).over(wFull))

@@ -31,6 +31,13 @@ object SimilarityOps {
       // graft_dot(v, v) = the same sequential fold as
       // aggregate(v, 0D, (acc,x) -> acc + x*x), in one codegen'd loop
       .selectExpr("vec_id", "label", "v", "graft_dot(v, v) AS nrm2")
+      // a zero-norm vector makes every cosine 0/0 = NaN, and NaN sorts
+      // ABOVE every real cosine in a desc window — the degenerate vector
+      // would become the rank-1 neighbor of every query in q37/q38/q56/
+      // q177 in BOTH engines (the oracle gate cannot catch what the
+      // engines agree on). Excluded from the embedding universe here and
+      // with the same predicate in every oracle's n-CTE.
+      .filter("nrm2 > 0")
   }
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
@@ -86,6 +93,13 @@ object SimilarityOps {
       .orderBy($"q_id", $"rk")
   }
 
+  /** The IVF id partitioning shared by the index (X10) and its recall
+    * audit (X145): seed centroids [0, IvfQueryLo), query batch
+    * [IvfQueryLo, IvfCorpusLo), corpus [IvfCorpusLo, ∞). One definition —
+    * the audit must measure the exact universe the index serves. */
+  private[ops] val IvfQueryLo = 8L
+  private[ops] val IvfCorpusLo = 18L
+
   /** IVF-style ANN — the scale path beyond one LSH table: the corpus is
     * partitioned into K inverted lists by nearest seed centroid, and each
     * query probes ONLY its own centroid's list, turning the per-query cost
@@ -100,7 +114,7 @@ object SimilarityOps {
   def q56IvfAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
-    val cents = broadcast(e.filter($"vec_id" < 8)
+    val cents = broadcast(e.filter($"vec_id" < IvfQueryLo)
       .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm2".as("cn")))
     def assigned(df: DataFrame): DataFrame =
       df.crossJoin(cents)
@@ -108,12 +122,13 @@ object SimilarityOps {
         .groupBy($"vec_id")
         .agg(max_by($"c_id", struct($"c_cos", (-$"c_id").as("nk"))).as("cluster"),
           first($"v").as("v"), first($"nrm2").as("nrm2"))
-    val corpus = assigned(e.filter($"vec_id" >= 18))
+    val corpus = assigned(e.filter($"vec_id" >= IvfCorpusLo))
       .select($"vec_id", $"cluster", $"v", $"nrm2")
     // the query batch is tiny by construction — broadcast it so the probe
     // join is a map-side hash join (no shuffle of the corpus side; stats
     // after the argmax aggregate are unknown to AQE, so hint explicitly)
-    val queries = broadcast(assigned(e.filter($"vec_id" >= 8 && $"vec_id" < 18))
+    val queries = broadcast(assigned(
+      e.filter($"vec_id" >= IvfQueryLo && $"vec_id" < IvfCorpusLo))
       .select($"vec_id".as("q_id"), $"cluster", $"v".as("qv"), $"nrm2".as("qn")))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     corpus.join(queries, "cluster")
@@ -207,7 +222,7 @@ object SimilarityOps {
     // and returned as a local frame rather than a plan over the cache
     val q = Tables.load(s, dir, "embeddings")
       .selectExpr("vec_id",
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
       .persist()
     try {
       val rows = kmeansAssign(s, q, k = 8, iters = 3)
@@ -236,14 +251,16 @@ object SimilarityOps {
     * (q_id, neighbor_id) pairs; the report is query-batch-sized. */
   def q177IvfRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val ivf = q56IvfAnn(s, dir).select($"q_id", $"neighbor_id")
       .withColumn("hit", lit(1L))
     val e = emb(s, dir)
-    val q = broadcast(e.filter($"vec_id" >= 8 && $"vec_id" < 18)
+    // the SAME id partitioning as the index under audit (IvfQueryLo /
+    // IvfCorpusLo) — re-hardcoding it here would let the two drift and
+    // leave recall_ppm scoring against a mismatched truth universe
+    val q = broadcast(e.filter($"vec_id" >= IvfQueryLo && $"vec_id" < IvfCorpusLo)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm2".as("qn")))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    val truth = e.filter($"vec_id" >= 18).crossJoin(q)
+    val truth = e.filter($"vec_id" >= IvfCorpusLo).crossJoin(q)
       .withColumn("cos", expr("graft_dot(qv, v)") / (sqrt($"qn") * sqrt($"nrm2")))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
@@ -273,17 +290,26 @@ object SimilarityOps {
     val e = Tables.load(s, dir, "embeddings")
       .select($"vec_id", $"label".cast("long").as("label"),
         ($"vec_id" % 2).as("half"),
-        posexplode(expr(
-          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        posexplode(expr(graft.functions.Exact.milliArrayExpr("embedding")))
           .as(Seq("pos", "q")))
       .select($"vec_id", $"label", $"half", ($"pos" + 1).as("dim"), $"q")
+    // plain count: posexplode emits exactly one row per (vec_id, dim), so
+    // vec_ids are already unique within the group — countDistinct would
+    // pay a distinct-expand for nothing
     val sums = e.groupBy($"label", $"half", $"dim")
-      .agg(sum($"q").as("sq"), countDistinct($"vec_id").as("n"))
+      .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
     val a = sums.filter($"half" === 0)
       .select($"label", $"dim", $"sq".as("sa"), $"n".as("na"))
     val b = sums.filter($"half" === 1)
       .select($"label", $"dim", $"sq".as("sb"), $"n".as("nb"))
-    a.join(b, Seq("label", "dim"))
+    // FULL outer: a label whose vectors all sit in one parity half is a
+    // ONE-SIDED snapshot — maximal drift, the exact signal this monitor
+    // exists for — and an inner join would silently drop it from the
+    // report; the absent half contributes zero mass and a zero count
+    a.join(b, Seq("label", "dim"), "full_outer")
+      .select($"label", $"dim",
+        coalesce($"sa", lit(0L)).as("sa"), coalesce($"na", lit(0L)).as("na"),
+        coalesce($"sb", lit(0L)).as("sb"), coalesce($"nb", lit(0L)).as("nb"))
       .groupBy($"label")
       .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
         sum(abs($"sa" * $"nb" - $"sb" * $"na")).as("drift_mass"))
@@ -307,8 +333,7 @@ object SimilarityOps {
   def q212DimVariance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "embeddings")
-      .select(posexplode(expr(
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .select(posexplode(expr(graft.functions.Exact.milliArrayExpr("embedding")))
         .as(Seq("pos", "q")))
       .groupBy(($"pos" + 1).cast("long").as("dim"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -338,8 +363,7 @@ object SimilarityOps {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
       .select($"vec_id", $"label".cast("long").as("label"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-          .as("q"))
+        expr(graft.functions.Exact.milliArrayExpr("embedding")).as("q"))
     val queries = broadcast(e.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"label".as("q_label"), $"q".as("qq")))
     e.join(queries, $"vec_id" =!= $"q_id")

@@ -316,6 +316,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val inRange = graft.sources.Tables.load(spark, sf, "orders")
       .filter("CAST(round(o_totalprice*100) AS BIGINT) < 60000000").count()
     assert(bands.sum == inRange)
+    // DOMAIN-COVERAGE CANARY: q52's band table tops out at 600,000.00 —
+    // an order at or past the cap would silently vanish from the inner
+    // range join on BOTH engines (the oracle gate cannot flag what the
+    // engines agree on). Fail loudly here the day the corpus outgrows
+    // the table so the band list gets extended, not silently truncated.
+    val total = graft.sources.Tables.load(spark, sf, "orders").count()
+    assert(total == inRange,
+      s"${total - inRange} orders at/above the q52 band cap (600000.00): " +
+        "extend the band table in Relational.q52RangeJoin")
   }
 
   test("q33 general-vocab (distributed dictionary) path equals the bitmask path") {
