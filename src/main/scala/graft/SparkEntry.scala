@@ -4170,7 +4170,7 @@ object SparkEntry {
         |m AS (SELECT *, max(en) OVER (PARTITION BY doc_id ORDER BY st
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
         |      FROM h),
-        |sid AS (SELECT *, CAST(sum(CASE WHEN prev_end IS NULL OR st > prev_end
+        |sid AS (SELECT *, CAST(sum(CASE WHEN prev_end IS NULL OR st > prev_end + 1
         |          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY st
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |          AS span_id

@@ -33,7 +33,10 @@ object DedupOps {
   private[ops] val SALTS = 8
 
   private[ops] def saltLeft(df: DataFrame, idCol: String): DataFrame =
-    df.withColumn("salt", (col(idCol) % SALTS).cast("int"))
+    // pmod, not %: a negative id (the planted-ground-truth range) would
+    // produce a negative salt that never matches replicateRight's 0..S-1
+    // and silently lose every pair involving that row
+    df.withColumn("salt", pmod(col(idCol), lit(SALTS)).cast("int"))
 
   private[ops] def replicateRight(df: DataFrame): DataFrame =
     df.withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
@@ -236,7 +239,12 @@ object DedupOps {
     * (estimated Jaccard >= 0.5). */
   def q34DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = signatures(s, dir).cache()
+    // NOT cached: the signature build is a narrow codegen'd scan pass, and
+    // a returned-lazily frame can never release a cache — a pinned
+    // corpus-sized cache in the shared 229-query session costs more than
+    // the ≤3 narrow recomputes (the heavy band self-join reuses ONE
+    // exchange for both sides regardless)
+    val sig = signatures(s, dir)
     val bandCols: Column = array((0 until bandsN).map { j =>
       val parts = (0 until rowsPerBand).map(r => s"sig[${j * rowsPerBand + r}]")
       expr(s"concat_ws(':', ${parts.mkString(", ")})")
@@ -269,7 +277,8 @@ object DedupOps {
   private[graft] def dedupClusters(s: SparkSession, dir: String,
                                  localThreshold: Long): DataFrame = {
     import s.implicits._
-    val pairs = q34DedupMinhash(s, dir).select($"doc_a", $"doc_b").cache()
+    val pairs = q34DedupMinhash(s, dir).select($"doc_a", $"doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The candidate graph is orders of magnitude smaller than the corpus;
     // when it fits comfortably on the driver, a local union-find beats
     // paying per-round distributed-job overhead. Above the threshold the
@@ -277,6 +286,7 @@ object DedupOps {
     val edgeList = pairs.as[(Long, Long)]
     if (pairs.count() <= localThreshold) {
       val es = edgeList.collect()
+      pairs.unpersist(blocking = false) // graph is on the driver now
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -300,6 +310,8 @@ object DedupOps {
       val edges = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
         .unionAll(pairs.select($"doc_b".as("a"), $"doc_a".as("b")))
         .distinct().cache()
+      edges.count() // materialize, then drop the upstream pair cache
+      pairs.unpersist(blocking = false)
       var labels = edges.select($"a".as("doc_id")).distinct()
         .withColumn("label", $"doc_id").cache()
       var converged = false
@@ -332,7 +344,13 @@ object DedupOps {
         labels.unpersist()
         labels = next
       }
+      edges.unpersist(blocking = false) // propagation done; only labels remain
       val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+      // labels stays cached: the returned frame reads it twice (sizes +
+      // join) and unpersisting before the caller materializes would
+      // replay the whole O(log d) propagation chain — the one deliberate
+      // exception to the release-before-return rule, and it is
+      // duplicate-doc-sized, not corpus-sized
       labels.join(sizes, "label")
         .select($"doc_id", $"label".as("canonical_id"), $"cluster_size")
         .orderBy($"doc_id")
@@ -760,8 +778,11 @@ object DedupOps {
     val wCum  = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hits
       .withColumn("prev_end", max($"en").over(wPrev))
+      // a new span starts only past prev_end + 1: ADJACENT hits (an
+      // 8-gram at i and another at i+8) cover one contiguous repeated
+      // run and must count as ONE maximal span, not two
       .withColumn("new_span",
-        when($"prev_end".isNull || $"st" > $"prev_end", 1L).otherwise(0L))
+        when($"prev_end".isNull || $"st" > $"prev_end" + 1L, 1L).otherwise(0L))
       .withColumn("span_id", sum($"new_span").over(wCum))
       .groupBy($"doc_id", $"span_id")
       .agg(max($"n_tokens").as("n_tokens"),
@@ -781,8 +802,9 @@ object DedupOps {
     * trusted label to block on; SemDeDup derives the blocks from the
     * embedding space itself (the published recipe: cluster, then compare
     * only within a cluster, drop all but the lowest-id member of each
-    * high-cosine pair). Clustering is X69's integer Lloyd's loop —
-    * shared code, so the blocks are exactly the q106 clusters. Proven on
+    * high-cosine pair). Clustering is X69's integer Lloyd's loop — the
+    * SAME shared trainer as q106 (note: not the same fixed point, since
+    * the planted twins join the input and its lowest-id init). Proven on
     * PLANTED exact twins (q214's disjoint-range rule: copies at
     * -vec_id-1): a twin lands in its original's cluster by construction
     * (identical distances, ties to the lowest cid), so every planted
@@ -806,12 +828,10 @@ object DedupOps {
     try {
       val assigned = SimilarityOps.kmeansAssign(s, q, k = 8, iters = 3)
         .withColumn("nrm2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
-      val a = assigned.select($"vec_id".as("vec_a"), $"cid",
-          $"q".as("qa"), $"nrm2".as("na"))
-        .withColumn("salt", pmod($"vec_a", lit(SALTS)).cast("int"))
-      val b = assigned.select($"vec_id".as("vec_b"), $"cid",
-          $"q".as("qb"), $"nrm2".as("nb"))
-        .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+      val a = saltLeft(assigned.select($"vec_id".as("vec_a"), $"cid",
+          $"q".as("qa"), $"nrm2".as("na")), "vec_a")
+      val b = replicateRight(assigned.select($"vec_id".as("vec_b"), $"cid",
+          $"q".as("qb"), $"nrm2".as("nb")))
       val dropped = a.join(b, Seq("cid", "salt"))
         .filter($"vec_a" < $"vec_b" && $"na" > 0L && $"nb" > 0L)
         .withColumn("dot", expr(

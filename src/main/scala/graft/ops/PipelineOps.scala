@@ -395,8 +395,13 @@ object PipelineOps {
     val exact = batch.select($"doc_id", md5($"text").as("h"))
       .join(corpus.select(md5($"text").as("h")).distinct(), Seq("h"), "left_semi")
       .select($"doc_id").withColumn("dup_exact", lit(true))
-    val near = batch.select($"doc_id", $"lang", $"ws".as("wa"))
-      .join(corpus.select($"lang", $"ws".as("wb")), Seq("lang"))
+    // lang has a handful of values — a bare lang join would land the
+    // whole batch×corpus comparison on |langs| reducers at any cluster
+    // size; the shared salting (q33's) spreads it to |langs|·SALTS
+    val near = DedupOps.saltLeft(
+        batch.select($"doc_id", $"lang", $"ws".as("wa")), "doc_id")
+      .join(DedupOps.replicateRight(
+        corpus.select($"lang", $"ws".as("wb"))), Seq("lang", "salt"))
       .filter(size($"wa") * 5 >= size($"wb") * 4 &&
         size($"wb") * 5 >= size($"wa") * 4)
       .withColumn("inter_n", expr("graft_sorted_inter_n(wa, wb)"))
@@ -588,18 +593,6 @@ object PipelineOps {
       .orderBy($"source", $"lang")
   }
 
-  /** X67 — hive-partitioned layout + partition-pruned read-back: events are
-    * written `partitionBy(event_type)` and re-read with an equality filter,
-    * which Spark satisfies from DIRECTORY listing (PartitionFilters), never
-    * opening a non-matching file — the layout-level complement to q59's
-    * bucketing and the reason a 100 TB store keys its directories on the
-    * dominant filter column. The pruning is asserted on the physical plan
-    * in AnalyticsOpsSpec; this query returns the pruned-side aggregate the
-    * oracle replays with a plain WHERE.
-    *
-    * The tiny post-aggregate result is collected before the temp layout is
-    * deleted (the plan must not outlive its input files); at real scale the
-    * layout is the durable table and nothing is collected. */
   /** X71 — k-anonymity audit over quasi-identifiers: group sizes for the
     * (nation, market-segment) identifier combination, each group's
     * re-identification risk in integer ppm, and the suppress/publish
@@ -621,6 +614,18 @@ object PipelineOps {
       .orderBy($"nationkey", $"segment")
   }
 
+  /** X67 — hive-partitioned layout + partition-pruned read-back: events are
+    * written `partitionBy(event_type)` and re-read with an equality filter,
+    * which Spark satisfies from DIRECTORY listing (PartitionFilters), never
+    * opening a non-matching file — the layout-level complement to q59's
+    * bucketing and the reason a 100 TB store keys its directories on the
+    * dominant filter column. The pruning is asserted on the physical plan
+    * in AnalyticsOpsSpec; this query returns the pruned-side aggregate the
+    * oracle replays with a plain WHERE.
+    *
+    * The tiny post-aggregate result is collected before the temp layout is
+    * deleted (the plan must not outlive its input files); at real scale the
+    * layout is the durable table and nothing is collected. */
   def q104PartitionPrune(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_layout")
@@ -636,7 +641,7 @@ object PipelineOps {
       val rows = s.read.parquet(s"$tmp/events_by_type")
         .filter($"event_type" === "purchase")
         .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
-          round($"value" * 100).cast("long").as("cents"))
+          graft.functions.Exact.cents($"value").as("cents"))
         .groupBy($"day")
         .agg(count(lit(1)).as("n_events"), sum($"cents").as("value_cents"))
         .orderBy($"day")
@@ -666,7 +671,7 @@ object PipelineOps {
     import s.implicits._
     val rev = Tables.load(s, dir, "lineitem")
       .select($"l_partkey",
-        round($"l_extendedprice" * 100).cast("long").as("cents"))
+        graft.functions.Exact.cents($"l_extendedprice").as("cents"))
       .groupBy($"l_partkey").agg(sum($"cents").as("revenue_cents"))
     val (ranked, total) = graft.operators.GlobalOrder.withRunningSum(
       rev, Seq($"revenue_cents".desc, $"l_partkey"), "revenue_cents", "cum_cents")
@@ -702,7 +707,7 @@ object PipelineOps {
       .select($"o_custkey",
         expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
           .as("day"),
-        round($"o_totalprice" * 100).cast("long").as("cents"))
+        graft.functions.Exact.cents($"o_totalprice").as("cents"))
       .groupBy($"o_custkey")
       .agg(max($"day").as("last_day"), count(lit(1)).as("n_orders"),
         sum($"cents").as("spend_cents"))
@@ -891,7 +896,7 @@ object PipelineOps {
       .join(keys, $"l_orderkey" === $"o_orderkey", "left_semi")
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_lines"),
-        sum(round($"l_quantity" * 100).cast("long")).as("qty_x100"),
+        sum(graft.functions.Exact.cents($"l_quantity")).as("qty_x100"),
         sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
           .cast("long")).as("revenue_cents"))
       .orderBy($"l_returnflag")
@@ -1204,10 +1209,10 @@ object PipelineOps {
   def q182SpearmanAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = Tables.load(s, dir, "customer")
-      .select($"c_custkey", round($"c_acctbal" * 100).cast("long").as("bal_cents"))
+      .select($"c_custkey", graft.functions.Exact.cents($"c_acctbal").as("bal_cents"))
     val spend = Tables.load(s, dir, "orders")
       .groupBy($"o_custkey")
-      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("spend_cents"))
+      .agg(sum(graft.functions.Exact.cents($"o_totalprice")).as("spend_cents"))
     val base = c.join(spend, $"c_custkey" === $"o_custkey", "left")
       .select($"c_custkey", $"bal_cents",
         coalesce($"spend_cents", lit(0L)).as("spend_cents"))
@@ -1386,7 +1391,7 @@ object PipelineOps {
     val cut = lit("1998-07-01").cast("timestamp")
     val o = Tables.load(s, dir, "orders")
       .select($"o_custkey", $"o_orderdate",
-        round($"o_totalprice" * 100).cast("long").as("cents"))
+        graft.functions.Exact.cents($"o_totalprice").as("cents"))
     def decile(cond: org.apache.spark.sql.Column, out: String): DataFrame = {
       val spend = o.filter(cond).groupBy($"o_custkey")
         .agg(sum($"cents").as("spend"))

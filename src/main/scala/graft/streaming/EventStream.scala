@@ -21,9 +21,14 @@ object EventStream {
       event_type: String, value: Double, props: String)
 
   final case class SessionSummary(user_id: Long, n_events: Long,
-      first_ts: Timestamp, last_ts: Timestamp, total_value: Double)
+      first_ts: Timestamp, last_ts: Timestamp, total_cents: Long)
 
-  final case class SessState(pending: List[(Long, Double)]) // (event micros, value)
+  // (event micros, event_id, cents): event_id completes the total order
+  // (same-microsecond ties would otherwise leave buffer order
+  // arrival-dependent) and cents keep the session sum order-independent
+  // exact integer math (Exact.cents' rule) — a List[Double].sum differs
+  // in the last bits between a run and its retry
+  final case class SessState(pending: List[(Long, Long, Long)])
 
   /** Tumbling 1-hour windowed counts per event type with a 2-hour
     * watermark. Works on both streaming and static frames. */
@@ -32,7 +37,7 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        sum(graft.functions.Exact.cents(col("value"))).as("value_cents"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("value_cents"))
 
@@ -47,7 +52,7 @@ object EventStream {
     events
       .withWatermark("ts", "2 hours")
       .select(col("ts"), col("event_type"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"),
+        graft.functions.Exact.cents(col("value")).as("cents"),
         unix_micros(col("ts")).as("us"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -96,11 +101,12 @@ object EventStream {
               if (ms <= 0L) 0L else ms * 1000L
             } catch { case _: UnsupportedOperationException => Long.MaxValue }
           val prior = state.getOption.map(_.pending).getOrElse(Nil)
-          val incoming = rows.map(e => (micros(e.ts), e.value)).toList
-          val all = (prior ++ incoming).sortBy(_._1)
+          val incoming = rows.map(e => (micros(e.ts), e.event_id,
+            math.round(e.value * 100))).toList
+          val all = (prior ++ incoming).sortBy(t => (t._1, t._2))
           // split the buffered span into gap-delimited sessions
-          val sessions = scala.collection.mutable.ListBuffer.empty[Vector[(Long, Double)]]
-          var cur = Vector.empty[(Long, Double)]
+          val sessions = scala.collection.mutable.ListBuffer.empty[Vector[(Long, Long, Long)]]
+          var cur = Vector.empty[(Long, Long, Long)]
           all.foreach { p =>
             if (cur.nonEmpty && p._1 - cur.last._1 > gapUs) {
               sessions += cur; cur = Vector(p)
@@ -120,7 +126,7 @@ object EventStream {
           }
           closed.iterator.map { s =>
             SessionSummary(userId, s.size.toLong, tsOf(s.head._1),
-              tsOf(s.last._1), s.map(_._2).sum)
+              tsOf(s.last._1), s.map(_._3).sum)
           }
       }
   }
@@ -323,7 +329,7 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelUpdate](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
           // batch execution (no watermark tracking) finalizes everything
           val wmUs =
@@ -343,6 +349,16 @@ object EventStream {
           val (fin, pend) = all.partition(_._1 < wmUs)
           val (fv, fc, fp) = fold((st.viewTs, st.clickTs, st.purchaseTs), fin)
           state.update(FunnelState(fv, fc, fp, pend))
+          // an idle user's buffer must still fold once the watermark
+          // passes it: with NoTimeout this function never runs again for
+          // a silent user and the pending list is retained forever. The
+          // timeout lands just past the newest buffered event; on firing
+          // (empty incoming, advanced watermark) the partition above
+          // finalizes the buffer and the state shrinks to the three
+          // lifetime slots. Batch mode never reaches here (wm = MaxValue
+          // -> pend is empty).
+          if (pend.nonEmpty)
+            state.setTimeoutTimestamp(pend.map(_._1).max / 1000L + 1L)
           val (pv, pc, pp) = fold((fv, fc, fp), pend) // provisional output
           FunnelUpdate(userId,
             Seq(pv, pc, pp).count(_ >= 0), pv, pc, pp)
@@ -379,7 +395,7 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AttribState, AttributionUpdate](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[AttribState]) =>
           val wmUs =
             try {
@@ -408,6 +424,13 @@ object EventStream {
             } else { cUs = us; cId = id }
           }
           state.update(AttribState(cUs, cId, pend))
+          // funnel's rule: a buffered purchase of a user who goes silent
+          // must still emit its FINAL row once the watermark passes it —
+          // schedule a wake-up just past the newest buffered event
+          // (NoTimeout would leave the provisional row unrefined and the
+          // buffer pinned forever). Batch mode never buffers.
+          if (pend.nonEmpty)
+            state.setTimeoutTimestamp(pend.map(_._1).max / 1000L + 1L)
           var pUs = cUs; var pId = cId
           pend.foreach { case (us, id, r) =>
             if (r == 1) {

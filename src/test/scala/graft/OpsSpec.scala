@@ -572,7 +572,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       case (id, hs) =>
         val iv = hs.map(h => (h._2.toLong, h._2.toLong + 7L)).sortBy(_._1)
         val merged = iv.tail.foldLeft(List(iv.head)) { case (acc, (s0, e0)) =>
-          if (s0 <= acc.head._2) (acc.head._1, acc.head._2.max(e0)) :: acc.tail
+          // adjacency merges too (s0 == prev_end + 1): contiguous covered
+          // runs are one maximal span
+          if (s0 <= acc.head._2 + 1) (acc.head._1, acc.head._2.max(e0)) :: acc.tail
           else (s0, e0) :: acc
         }
         id -> (merged.length.toLong,

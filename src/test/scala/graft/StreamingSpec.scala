@@ -76,7 +76,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val u1 = out.filter(_.user_id == 1)
     assert(u1.length == 2, s"expected 2 closed sessions for user 1, got ${out.mkString(";")}")
-    assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+    assert(u1(0).n_events == 2 && u1(0).total_cents == 300L)
     assert(u1(1).n_events == 1)
     assert(out.count(_.user_id == 2) == 1)
   }
