@@ -3966,8 +3966,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT -doc_id - 1, source, replace(upper(text), ' ', '  ')
         |    FROM documents WHERE doc_id % 25 = 0),
-        |d AS (SELECT doc_id, source, md5(text) AS h_exact,
-        |    md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS h_norm
+        |d AS (SELECT doc_id, source,
+        |    coalesce(md5(text), 'null:' || CAST(doc_id AS VARCHAR)) AS h_exact,
+        |    coalesce(md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))),
+        |      'null:' || CAST(doc_id AS VARCHAR)) AS h_norm
         |  FROM all_docs)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT h_exact) AS BIGINT) AS exact_unique,

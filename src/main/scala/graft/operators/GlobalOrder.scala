@@ -55,7 +55,14 @@ object GlobalOrder {
     // storage after the call.
     val sortedRdd = sorted.rdd
     val counts = sortedRdd
-      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
+      .mapPartitionsWithIndex { (i, it) =>
+        // count in a Long: Iterator.size returns Int and would wrap
+        // negative past 2^31 rows in one range partition — silently
+        // corrupting every offset at exactly the scale this exists for
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1 }
+        Iterator((i, c))
+      }
       .collect().sortBy(_._1).map(_._2)
     input.unpersist(blocking = false)
     val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
@@ -84,10 +91,18 @@ object GlobalOrder {
       .sortWithinPartitions(sortCols: _*)
     val sortedRdd = sorted.rdd // shared: sums job + summing job reuse the shuffle
     val vIdx = sorted.schema.fieldIndex(valueCol)
+    // a NULL would auto-unbox to an opaque executor NPE inside getLong —
+    // name the offending column instead
+    def valueOf(r: Row): Long = {
+      if (r.isNullAt(vIdx))
+        throw new IllegalArgumentException(
+          s"GlobalOrder.withRunningSum: NULL in value column '$valueCol'")
+      r.getLong(vIdx)
+    }
     val sums = sortedRdd
       .mapPartitionsWithIndex { (i, it) =>
         var acc = 0L
-        it.foreach(r => acc += r.getLong(vIdx))
+        it.foreach(r => acc += valueOf(r))
         Iterator((i, acc))
       }
       .collect().sortBy(_._1).map(_._2)
@@ -96,7 +111,7 @@ object GlobalOrder {
     val schema = sorted.schema.add(StructField(out, LongType, nullable = false))
     val summed = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var acc = offsets(i)
-      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+      it.map { r => acc += valueOf(r); Row.fromSeq(r.toSeq :+ acc) }
     }
     (spark.createDataFrame(summed, schema), offsets.last)
   }

@@ -27,19 +27,33 @@ object AffinityOps {
     * The gate is also the scale argument: a single co-occurrence is
     * noise, and on a random-basket corpus it is the difference between a
     * near-clique (wedge explosion) and an affinity graph orders sparser. */
-  private def support2Edges(s: SparkSession, dir: String): DataFrame = {
+  /** The deduped (order, part) incidence every graph operator starts
+    * from; identical subtree everywhere so ReuseExchange collapses the
+    * repeated uses to one scan + one shuffle. */
+  private def partOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val po = Tables.load(s, dir, "lineitem")
+    Tables.load(s, dir, "lineitem")
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
       .filter($"ok".isNotNull && $"pk".isNotNull)
       .distinct()
+  }
+
+  /** WEIGHTED support-2 pairs (p1 < p2, w = co-order count, w >= 2): the
+    * single place the support gate lives — q110's lift, q123's rank
+    * weights, and the bare-edge consumers all derive from this frame, so
+    * a gate change cannot fork the graph. */
+  private def support2Pairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val po = partOrders(s, dir)
     po.select($"ok", $"pk".as("p1"))
       .join(po.select($"ok", $"pk".as("p2")), Seq("ok"))
       .filter($"p1" < $"p2")
       .groupBy($"p1", $"p2").agg(count(lit(1)).as("w"))
       .filter($"w" >= 2)
-      .select($"p1", $"p2")
   }
+
+  private def support2Edges(s: SparkSession, dir: String): DataFrame =
+    support2Pairs(s, dir).select("p1", "p2")
 
   /** X74 — co-purchase lift: for every unordered part pair appearing in ≥2
     * common orders, the support count and the lift vs independence, in
@@ -56,17 +70,9 @@ object AffinityOps {
     // into ITS branches only — with every consumer seeing the identical
     // subtree, ReuseExchange collapses the four uses of this distinct to
     // ONE scan + ONE (ok, pk) shuffle instead of four of each.
-    val po = Tables.load(s, dir, "lineitem")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      .filter($"ok".isNotNull && $"pk".isNotNull)
-      .distinct()
-    val a = po.select($"ok", $"pk".as("p1"))
-    val b = po.select($"ok", $"pk".as("p2"))
-    // within-order pair expansion: both sides hash-partition on ok (the
-    // same exchange), group size bounds the quadratic term
-    val pairs = a.join(b, Seq("ok")).filter($"p1" < $"p2")
-      .groupBy($"p1", $"p2").agg(count(lit(1)).as("n_both"))
-      .filter($"n_both" >= 2)
+    val po = partOrders(s, dir)
+    // the shared weighted support-2 frame IS the pair support count
+    val pairs = support2Pairs(s, dir).withColumnRenamed("w", "n_both")
     // per-part order frequency: a part-cardinality frame — broadcast it
     // onto the surviving pairs rather than shuffling pairs twice
     val freq = po.groupBy($"pk").agg(count(lit(1)).as("n_orders"))
@@ -137,15 +143,7 @@ object AffinityOps {
     * out of the graph by definition. */
   def q123ItemRank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val po = Tables.load(s, dir, "lineitem")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      .filter($"ok".isNotNull && $"pk".isNotNull)
-      .distinct()
-    val pairs = po.select($"ok", $"pk".as("p1"))
-      .join(po.select($"ok", $"pk".as("p2")), Seq("ok"))
-      .filter($"p1" < $"p2")
-      .groupBy($"p1", $"p2").agg(count(lit(1)).as("w"))
-      .filter($"w" >= 2)
+    val pairs = support2Pairs(s, dir)
     // undirected: materialize both directions, then the per-source total
     // weight W(u) every contribution normalizes by
     val edges = pairs.select($"p1".as("src"), $"p2".as("dst"), $"w")

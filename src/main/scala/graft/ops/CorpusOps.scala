@@ -23,6 +23,24 @@ object CorpusOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+
+  /** The 10-word chunk geometry shared by q77 (cross-doc chunk dedup) and
+    * q145 (intra-doc repetition) — their docstrings promise the two
+    * signals compose over the SAME chunks, which only holds with one
+    * definition. Expects a `ws` array column in scope. */
+  private val chunk10Expr: String =
+    """transform(sequence(0, (size(ws) - 1) div 10),
+      |  i -> concat_ws(' ', slice(ws, CAST(i * 10 + 1 AS INT), 10)))""".stripMargin
+
+  /** The exact-dedup partition key shared by every md5 keep-id operator
+    * (q74/q154/q166/q200/q204 all promise their duplicate counts
+    * reconcile): md5 of the text, with a per-document sentinel for NULL
+    * text so null docs are never duplicates of each other (q74's
+    * invariant). ONE definition — five hand-typed copies of this
+    * expression is how the reconciliation guarantee silently breaks. */
+  private[ops] def dedupKey: org.apache.spark.sql.Column =
+    coalesce(md5(col("text")), concat(lit("null:"), col("doc_id")))
+
   /** X29 — repetition metrics (the Gopher-style quality signals): per doc,
     * the most-repeated word and its count, duplicate-2-gram count, and the
     * top-word fraction.
@@ -161,7 +179,7 @@ object CorpusOps {
         // own partition key instead of letting md5(NULL)=NULL group them
         // (the invariant the streaming gate documents at docQualityGate)
         min($"doc_id").over(Window.partitionBy(
-          coalesce(md5($"text"), concat(lit("null:"), $"doc_id")))))
+          dedupKey)))
       .withColumn("reason",
         when($"doc_id" =!= $"keep_id", "exact_dup")
           .when($"n_words" < 20 || $"n_words" > 500, "quality")
@@ -216,9 +234,7 @@ object CorpusOps {
     import s.implicits._
     val chunks = docs(s, dir)
       .withColumn("ws", split($"text", " "))
-      .select($"doc_id", explode(expr(
-        """transform(sequence(0, (size(ws) - 1) div 10),
-          |  i -> concat_ws(' ', slice(ws, CAST(i * 10 + 1 AS INT), 10)))""".stripMargin)).as("chunk"))
+      .select($"doc_id", explode(expr(chunk10Expr)).as("chunk"))
     val freq = chunks.groupBy($"chunk")
       .agg(countDistinct($"doc_id").as("n_docs_with"))
     chunks.join(freq, Seq("chunk"))
@@ -471,10 +487,7 @@ object CorpusOps {
     import s.implicits._
     docs(s, dir)
       .withColumn("ws", split($"text", " "))
-      .select($"doc_id", expr(
-        """transform(sequence(0, (size(ws) - 1) div 10),
-          |  i -> concat_ws(' ', slice(ws, CAST(i * 10 + 1 AS INT), 10)))""".stripMargin)
-        .as("cs"))
+      .select($"doc_id", expr(chunk10Expr).as("cs"))
       .select($"doc_id",
         size($"cs").cast("long").as("n_chunks"),
         size(array_distinct($"cs")).cast("long").as("n_unique"))
@@ -541,7 +554,7 @@ object CorpusOps {
       .withColumn("fp", expr("graft_fingerprint(text)"))
       .withColumn("keep_id",
         min($"doc_id").over(Window.partitionBy(
-          coalesce(md5($"text"), concat(lit("null:"), $"doc_id")))))
+          dedupKey)))
       .withColumn("s1", $"doc_id" === $"keep_id")
       .withColumn("s2", $"s1" && $"n_words" >= 20 && $"n_words" <= 500)
       .withColumn("s3", $"s2" && $"fp" % 10 < 8)
@@ -610,7 +623,7 @@ object CorpusOps {
   def q166DatasetCard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val keepW = Window.partitionBy(
-      coalesce(md5($"text"), concat(lit("null:"), $"doc_id")))
+      dedupKey)
     docs(s, dir)
       .withColumn("n_words", size(split($"text", " ")).cast("long"))
       .withColumn("uniq_words",
@@ -674,6 +687,11 @@ object CorpusOps {
     * GlobalOrder's two-phase range shuffle (vocabulary never on the
     * driver); the band fold is combinable into ≤ ~7 rows; total via
     * broadcast 1-row aggregate. */
+  /** int64 headroom note: a band's Σ rank·freq is bounded by
+    * N·(types in band) for Zipf-shaped counts (n ≈ N/rank), so at
+    * ~10¹³ tokens × 10⁹ types the top bands approach 2^63 — past that,
+    * compute rank_freq_mass in DECIMAL(38,0) (q212's rule). At any SF
+    * this suite runs, the sum is far inside int64. */
   def q196ZipfAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vocab = docs(s, dir)
@@ -715,7 +733,7 @@ object CorpusOps {
       .withColumn("fp",
         expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))"))
       .withColumn("keep_id", min($"doc_id").over(Window.partitionBy(
-        coalesce(md5($"text"), concat(lit("null:"), $"doc_id")))))
+        dedupKey)))
       .agg(
         count(lit(1)).as("m_docs"),
         sum($"n_words").as("m_tokens"),
@@ -788,7 +806,7 @@ object CorpusOps {
     import s.implicits._
     docs(s, dir)
       .withColumn("keep_id", min($"doc_id").over(Window.partitionBy(
-        coalesce(md5($"text"), concat(lit("null:"), $"doc_id")))))
+        dedupKey)))
       .withColumn("band", TextOps.lengthBand("n_chars"))
       .groupBy($"band")
       .agg(count(lit(1)).as("n_docs"),
@@ -846,9 +864,13 @@ object CorpusOps {
         expr("replace(upper(text), ' ', '  ')").as("text"))
     d.unionByName(planted)
       .select($"doc_id", $"source",
-        md5($"text").as("h_exact"),
-        md5(trim(regexp_replace(lower($"text"), "[ \\t\\n\\r]+", " ")))
-          .as("h_norm"))
+        // q74's null invariant on BOTH hashes: md5(NULL) is NULL, which
+        // countDistinct skips — every null-text doc would silently count
+        // as an exact duplicate; the per-doc sentinel keeps them unique
+        coalesce(md5($"text"), concat(lit("null:"), $"doc_id"))
+          .as("h_exact"),
+        coalesce(md5(trim(regexp_replace(lower($"text"), "[ \\t\\n\\r]+", " "))),
+          concat(lit("null:"), $"doc_id")).as("h_norm"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct($"h_exact").as("exact_unique"),

@@ -89,13 +89,17 @@ object TextOps {
   def q49Tfidf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = docs(s, dir)
-    val n = d.count()
+    // corpus size stays a LAZY broadcast 1-row aggregate (q71's rule:
+    // constructing this DataFrame must not run a job) — an eager count()
+    // here cost a second full corpus scan at plan-construction time
+    val nDocs = d.agg(count(lit(1)).as("n_total"))
     val words = d.select($"doc_id", explode(split($"text", " ")).as("word"))
     val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
     val dfreq = words.select($"doc_id", $"word").distinct()
       .groupBy($"word").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "word")
-      .withColumn("idf_milli", expr(s"(${n}L * 1000) div df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_milli", expr("(n_total * 1000) div df"))
       .withColumn("score", $"tf" * $"idf_milli")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"word")
