@@ -867,7 +867,7 @@ object SparkEntry {
 
     "q40_multimodal" ->
       """SELECT doc_id,
-        |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  ['image', 'audio', 'video'][CAST(((doc_id % 3) + 3) % 3 AS INT) + 1] AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  (doc_id * 37) % 640 + 16 AS width,
         |  (doc_id * 23) % 480 + 16 AS height,
@@ -4083,13 +4083,14 @@ object SparkEntry {
     // anything.
     "q222_image_decode" ->
       """SELECT d.doc_id,
-        |  CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
-        |  CAST(d.doc_id % 13 + 1 AS BIGINT) AS width,
-        |  CAST(d.doc_id % 7 + 1 AS BIGINT) AS height,
-        |  CAST(sum(3 * ((d.doc_id + 31 * g1.i + 17 * g2.j) % 256)) AS BIGINT)
-        |    AS pixel_sum
+        |  CASE WHEN ((d.doc_id % 2) + 2) % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |  CAST(((d.doc_id % 13) + 13) % 13 + 1 AS BIGINT) AS width,
+        |  CAST(((d.doc_id % 7) + 7) % 7 + 1 AS BIGINT) AS height,
+        |  CAST(sum(3 * ((((d.doc_id + 31 * g1.i + 17 * g2.j) % 256) + 256) % 256))
+        |    AS BIGINT) AS pixel_sum
         |FROM documents d, generate_series(0, 12) g1(i), generate_series(0, 6) g2(j)
-        |WHERE g1.i < d.doc_id % 13 + 1 AND g2.j < d.doc_id % 7 + 1
+        |WHERE g1.i < ((d.doc_id % 13) + 13) % 13 + 1
+        |  AND g2.j < ((d.doc_id % 7) + 7) % 7 + 1
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // q178's split rule + q213's MinHash replay, restricted to eval→train
@@ -4226,13 +4227,15 @@ object SparkEntry {
     // the real RIFF/WAVE encode→decode round trip codec-free.
     "q228_audio_decode" ->
       """SELECT d.doc_id,
-        |  CAST(d.doc_id % 240 + 16 AS BIGINT) AS n_samples,
+        |  CAST(((d.doc_id % 240) + 240) % 240 + 16 AS BIGINT) AS n_samples,
         |  CAST(8000 AS BIGINT) AS sample_rate,
-        |  CAST(sum((d.doc_id * 7 + g.i * 13) % 256) AS BIGINT) AS sample_sum,
-        |  CAST(sum(((d.doc_id * 7 + g.i * 13) % 256 - 128)
-        |         * ((d.doc_id * 7 + g.i * 13) % 256 - 128)) AS BIGINT) AS energy
+        |  CAST(sum((((d.doc_id * 7 + g.i * 13) % 256) + 256) % 256) AS BIGINT)
+        |    AS sample_sum,
+        |  CAST(sum(((((d.doc_id * 7 + g.i * 13) % 256) + 256) % 256 - 128)
+        |         * ((((d.doc_id * 7 + g.i * 13) % 256) + 256) % 256 - 128))
+        |    AS BIGINT) AS energy
         |FROM documents d, generate_series(0, 254) g(i)
-        |WHERE g.i < d.doc_id % 240 + 16
+        |WHERE g.i < ((d.doc_id % 240) + 240) % 240 + 16
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // q229: q106's unrolled Lloyd's chain over the planted-twin union,

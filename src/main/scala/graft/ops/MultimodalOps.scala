@@ -129,7 +129,7 @@ object MultimodalOps {
     import s.implicits._
     val media: Dataset[MediaRow] = Tables.load(s, dir, "documents")
       .select($"doc_id",
-        expr("element_at(array('image','audio','video'), CAST(doc_id % 3 AS INT) + 1)").as("media_type"),
+        expr("element_at(array('image','audio','video'), CAST(pmod(doc_id, 3) AS INT) + 1)").as("media_type"),
         encode($"text", "UTF-8").as("payload"))
       .as[MediaRow]
     // one decoder init per partition; rows stream through in batches
@@ -167,16 +167,18 @@ object MultimodalOps {
       // per image on every executor thread
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
-        val w = (id % 13 + 1).toInt
-        val h = (id % 7 + 1).toInt
-        val fmt = if (id % 2 == 0) "png" else "bmp"
+        // floorMod: Java % is negative for negative ids (the planted
+        // ground-truth range) and would request a zero/negative-sized image
+        val w = (Math.floorMod(id, 13L) + 1).toInt
+        val h = (Math.floorMod(id, 7L) + 1).toInt
+        val fmt = if (Math.floorMod(id, 2L) == 0L) "png" else "bmp"
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var j = 0
         while (j < h) {
           var i = 0
           while (i < w) {
-            val g = ((id + 31L * i + 17L * j) % 256L).toInt
+            val g = Math.floorMod(id + 31L * i + 17L * j, 256L).toInt
             img.setRGB(i, j, (g << 16) | (g << 8) | g)
             i += 1
           }
@@ -185,10 +187,15 @@ object MultimodalOps {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, fmt, bos)
         val payload = bos.toByteArray
-        val feats = ImageCodec.decode(MediaRow(id, "image", payload))
+        // ONE decode: the magic gate proves the payload routes down
+        // ImageCodec's real-bitstream path, and the single ImageIO.read
+        // below supplies dims AND pixels (a full ImageCodec.decode here
+        // re-parsed the whole raster a second time per row)
+        if (!ImageCodec.isPng(payload) && !ImageCodec.isBmp(payload))
+          sys.error(s"real $fmt payload not recognized by the codec gate for doc $id")
+        val back = Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
           .getOrElse(sys.error(s"real $fmt payload failed to decode for doc $id"))
-        val back = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
         var sum = 0L
         var jj = 0
         while (jj < back.getHeight) {
@@ -200,7 +207,7 @@ object MultimodalOps {
           }
           jj += 1
         }
-        DecodedImage(id, fmt, feats.width, feats.height, sum)
+        DecodedImage(id, fmt, back.getWidth.toLong, back.getHeight.toLong, sum)
       }
     }.toDF().orderBy($"doc_id")
   }
@@ -338,8 +345,11 @@ object MultimodalOps {
       val fmt = new javax.sound.sampled.AudioFormat(
         8000f, 8, 1, /*signed=*/ false, /*bigEndian=*/ false)
       it.map { id =>
-        val n = (id % 240 + 16).toInt
-        val pcm = Array.tabulate[Byte](n)(i => ((7L * id + 13L * i) % 256L).toByte)
+        // floorMod: negative planted ids would give a negative sample
+        // count (NegativeArraySizeException) with Java %
+        val n = (Math.floorMod(id, 240L) + 16).toInt
+        val pcm = Array.tabulate[Byte](n)(i =>
+          Math.floorMod(7L * id + 13L * i, 256L).toByte)
         val bos = new java.io.ByteArrayOutputStream()
         javax.sound.sampled.AudioSystem.write(
           new javax.sound.sampled.AudioInputStream(

@@ -95,26 +95,37 @@ object Transfer {
 
   // ------------------------------------------------- value conversions
 
-  /** MySQL zero-dates arrive as strings '0000-00-00[ 00:00:00]' or as nulls
-    * depending on the driver; normalize any matching string/timestamp
-    * column to NULL (reference `connection.go:526-541`). */
-  def zeroDatesToNull(df: DataFrame): DataFrame =
-    df.schema.fields.foldLeft(df) { (d, f) =>
-      f.dataType match {
-        case StringType =>
-          d.withColumn(f.name,
-            when(col(f.name).startsWith("0000-00-00"), lit(null)).otherwise(col(f.name)))
-        case _ => d
-      }
+  /** MySQL zero-dates arrive as strings '0000-00-00[ 00:00:00[.0...]]' or
+    * as nulls depending on the driver; normalize string columns whose
+    * ENTIRE value is a zero-date to NULL (reference `connection.go:
+    * 526-541`). Full-match, not startsWith: a free-text column legally
+    * begins with the literal ("0000-00-00 is the MySQL zero date") and a
+    * prefix match would silently null it — and because validation hashes
+    * the same converted frame, the corruption would verify clean. One
+    * `withColumns` projection (not a per-column fold: O(cols) nested
+    * Projects cost quadratic analysis on wide tables) with backtick-quoted
+    * refs so dotted/reserved names resolve. */
+  def zeroDatesToNull(df: DataFrame): DataFrame = {
+    val zero = "^0000-00-00( 00:00:00(\\.0+)?)?$"
+    def ref(n: String) = col("`" + n.replace("`", "``") + "`")
+    val updates = df.schema.fields.collect {
+      case f if f.dataType == StringType =>
+        f.name -> when(ref(f.name).rlike(zero), lit(null)).otherwise(ref(f.name))
     }
+    if (updates.isEmpty) df else df.withColumns(updates.toMap)
+  }
 
   /** Decode MySQL POINT binary columns into (x,y) structs where requested
     * (reference `postgres/connection.go:596-633`). */
-  def decodePoints(df: DataFrame, pointCols: Seq[String]): DataFrame =
+  def decodePoints(df: DataFrame, pointCols: Seq[String]): DataFrame = {
+    if (pointCols.nonEmpty) graft.functions.PointDecode.register(df.sparkSession)
     pointCols.foldLeft(df) { (d, c) =>
-      graft.functions.PointDecode.register(d.sparkSession)
-      d.withColumn(c, expr(s"graft_point_decode($c)"))
+      // backtick-quoted like checksumCol: reserved/spaced column names are
+      // legal MySQL identifiers and must survive expr()
+      val q = "`" + c.replace("`", "``") + "`"
+      d.withColumn(c, expr(s"graft_point_decode($q)"))
     }
+  }
 
   // ------------------------------------------------------------- writing
 
@@ -151,7 +162,12 @@ object Transfer {
 
   /** Order-independent checksum: xor-aggregate of xxhash64 over all columns.
     * Strictly stronger than the reference's row-count compare (P3) at the
-    * same cost class (one scan each side, map-side combinable). */
+    * same cost class (one scan each side, map-side combinable). KNOWN
+    * LIMIT: xor is blind to EVEN-multiplicity drift — a row lost twice
+    * while another is duplicated twice cancels out of both the count and
+    * the xor (relevant only for PK-less tables with duplicated rows; a
+    * wrapping SUM of hashes would catch it but overflows under ANSI
+    * arithmetic, so the trade is documented rather than swapped). */
   def checksum(df: DataFrame): Long = stats(df)._2
 
   /** bit_xor(xxhash64(all columns)) with every column name backtick-quoted
@@ -178,8 +194,13 @@ object Transfer {
   def validate(spark: SparkSession, src: Endpoint, dst: Endpoint,
                table: String, withChecksum: Boolean = true,
                convertSrc: DataFrame => DataFrame = identity): TransferResult = {
-    val (sc, ssum) = stats(convertSrc(read(spark, src, table)))
-    val (dc, dsum) = stats(read(spark, dst, table))
+    val srcConv = convertSrc(read(spark, src, table))
+    val (sc, ssum) = stats(srcConv)
+    // the destination read-back is TYPED with the converted-source schema,
+    // exactly like copyTable/syncIncrement: an inferred CSV/JSON schema
+    // widens/narrows types (int vs bigint hash differently under
+    // xxhash64) and would fail the checksum on a correct migration
+    val (dc, dsum) = stats(read(spark, typed(dst, srcConv.schema), table))
     val ok = !withChecksum || ssum == dsum
     TransferResult(table, sc, dc, ok && sc == dc)
   }
@@ -223,16 +244,25 @@ object Transfer {
         // Filtered in the loop (not via schemaPattern) because drivers
         // disagree on pattern case folding; getSchema() may be null on
         // old drivers, which degrades to the any-schema match.
+        // MySQL's driver reports databases as CATALOGS (TABLE_SCHEM is
+        // null and getSchema() is null) — the qualifier must match EITHER
+        // namespace column, and the unqualified fallback tries the
+        // connection's current catalog when it has no current schema
         val schema =
           if (qualifier != null) qualifier
-          else try conn.getSchema catch { case _: Throwable => null }
+          else {
+            val s0 = try conn.getSchema catch { case _: Throwable => null }
+            if (s0 != null) s0
+            else try conn.getCatalog catch { case _: Throwable => null }
+          }
         val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
         try {
           var found = false
           while (!found && rs.next())
             found = bare.equalsIgnoreCase(rs.getString("TABLE_NAME")) &&
               (schema == null ||
-                schema.equalsIgnoreCase(rs.getString("TABLE_SCHEM")))
+                schema.equalsIgnoreCase(rs.getString("TABLE_SCHEM")) ||
+                schema.equalsIgnoreCase(rs.getString("TABLE_CAT")))
           found
         } finally rs.close()
       } finally conn.close()
@@ -273,7 +303,14 @@ object Transfer {
                     pointCols: Seq[String] = Nil,
                     validate: Boolean = true): TransferResult = {
     val dstExists = exists(spark, dst, table)
-    val srcDf = read(spark, src, table) // lazy: plan only, no job yet
+    // JDBC sources are SNAPSHOTTED for the run (copyTable's discipline):
+    // the delta count, the append, and the post-append validation each
+    // launch a job, and a live table mutating between them would misreport
+    // the delta or fail the checksum on a correct sync
+    val srcRaw = read(spark, src, table) // lazy: plan only, no job yet
+    val srcSnapshot = src.isInstanceOf[Jdbc]
+    val srcDf = if (srcSnapshot) srcRaw.persist() else srcRaw
+    try {
     // the destination holds CONVERTED rows (point structs, nulled zero
     // dates), so text read-backs must be typed with the post-conversion
     // schema — srcDf.schema would parse a decoded point as binary.
@@ -304,6 +341,7 @@ object Transfer {
       val (dstRows, _) = stats(read(spark, dstTyped, table))
       TransferResult(table, newRows, dstRows, checksumMatch = false)
     }
+    } finally if (srcSnapshot) srcDf.unpersist(blocking = false)
   }
 
   /** Full per-table transfer: read → convert → write → validate.
