@@ -58,12 +58,57 @@ object DdlConverter {
     else t.stripPrefix("\"").stripSuffix("\"")
   }
 
-  private def stripVersionComments(s: String): String =
-    s.replaceAll("/\\*!\\d{5}", "").replaceAll("\\*/", " ")
-      // inline comments: whitespace-delimited `-- ...` / `# ...` to EOL
-      // (a bare strip would eat string defaults containing '--')
-      .replaceAll("(?m)\\s+--\\s.*$", "")
-      .replaceAll("(?m)\\s+#\\s.*$", "")
+  /** Backtick identifiers inside an expression → PG double quotes
+    * (`` escapes unfolded). Literal-safe: only backtick runs are touched. */
+  private def requoteIdents(expr: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < expr.length) {
+      val c = expr.charAt(i)
+      if (c == '`') {
+        val e = new StringBuilder
+        i += 1
+        var done = false
+        while (i < expr.length && !done) {
+          if (expr.charAt(i) == '`' && i + 1 < expr.length && expr.charAt(i + 1) == '`') {
+            e.append('`'); i += 2
+          } else if (expr.charAt(i) == '`') { i += 1; done = true }
+          else { e.append(expr.charAt(i)); i += 1 }
+        }
+        out.append('"').append(e.toString.replace("\"", "\"\"")).append('"')
+      } else if (c == '\'') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < expr.length && !done) {
+          if (expr.charAt(i) == '\'' && i + 1 < expr.length && expr.charAt(i + 1) == '\'') i += 2
+          else if (expr.charAt(i) == '\'') { i += 1; done = true }
+          else i += 1
+        }
+        out.append(expr.substring(start, i))
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  private def stripVersionComments(s: String): String = {
+    // comment spans are FOUND on the literal-blanked mask and cut from
+    // the raw text: a COMMENT 'room # 12' or a default containing ' -- '
+    // must never lose its tail to end-of-line stripping (the mask is
+    // same-length, so span indexes transfer)
+    val m = maskSameLen(s)
+    val dels = scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
+    for (mm <- "/\\*!\\d{5}".r.findAllMatchIn(m)) dels += ((mm.start, mm.end, ""))
+    for (mm <- "\\*/".r.findAllMatchIn(m)) dels += ((mm.start, mm.end, " "))
+    for (mm <- "(?m)\\s+--\\s.*$".r.findAllMatchIn(m)) dels += ((mm.start, mm.end, ""))
+    for (mm <- "(?m)\\s+#\\s.*$".r.findAllMatchIn(m)) dels += ((mm.start, mm.end, ""))
+    val out = new StringBuilder
+    var i = 0
+    for ((st, en, rep) <- dels.sortBy(_._1) if st >= i) {
+      out.append(s.substring(i, st)).append(rep); i = en
+    }
+    out.append(s.substring(i)).toString
+  }
 
   /** Length-preserving literal mask: contents of '...'/"..." literals are
     * replaced with spaces (quotes kept), so keyword/paren/comma positions
@@ -241,18 +286,25 @@ object DdlConverter {
     val autoInc = upperRest.contains("AUTO_INCREMENT")
     val notNull = upperRest.contains("NOT NULL")
 
+    // keyword clauses are LOCATED on the literal-blanked mask (a COMMENT
+    // string containing 'DEFAULT 0' or 'GENERATED ALWAYS AS (x)' must not
+    // fabricate a clause) and their text EXTRACTED from the raw string by
+    // index — maskedRest is same-length by construction
+    val maskedRest = masked(rest)
     val generated = "(?i)GENERATED\\s+ALWAYS\\s+AS\\s*(\\(.*\\))\\s*(VIRTUAL|STORED)?".r
-      .findFirstMatchIn(rest)
-      .map(m => m.group(1)) // VIRTUAL→STORED happens at emit (:627-673)
+      .findFirstMatchIn(maskedRest)
+      .map(m => rest.substring(m.start(1), m.end(1))) // VIRTUAL→STORED at emit (:627-673)
 
     val default = "(?i)\\bDEFAULT\\s+('(?:[^']|'')*'|[\\w.()+-]+)".r
-      .findFirstMatchIn(rest).map(_.group(1)).filter {
+      .findFirstMatchIn(maskedRest)
+      .map(m => rest.substring(m.start(1), m.end(1))).filter {
         case ZeroDate() => false // zero dates dropped (:616-619)
         case _ => true
       }
 
     val comment = "(?i)\\bCOMMENT\\s+'((?:[^']|'')*)'".r
-      .findFirstMatchIn(rest).map(_.group(1).replace("''", "'"))
+      .findFirstMatchIn(maskedRest)
+      .map(m => rest.substring(m.start(1), m.end(1)).replace("''", "'"))
 
     Some(ColumnSpec(name, mysqlType, nullable = !notNull, default, comment,
       autoIncrement = autoInc, generated = generated))
@@ -294,7 +346,8 @@ object DdlConverter {
         if (c.autoIncrement) TypeMapper.serialFor(c.mysqlType).getOrElse(c.mapped.pg)
         else c.mapped.pg
       val base = s"  ${q(c.name, lowercase)} $pgType"
-      val gen = c.generated.map(g => s" GENERATED ALWAYS AS $g STORED").getOrElse("")
+      val gen = c.generated.map(g =>
+        s" GENERATED ALWAYS AS ${requoteIdents(g)} STORED").getOrElse("")
       val nn = if (!c.nullable && !c.autoIncrement) " NOT NULL" else ""
       val dflt = c.default.filter(_ => c.generated.isEmpty && !c.autoIncrement)
         .map(d => s" DEFAULT $d").getOrElse("")
@@ -304,7 +357,9 @@ object DdlConverter {
       if (spec.primaryKey.nonEmpty)
         Seq(s"  PRIMARY KEY (${spec.primaryKey.map(q(_, lowercase)).mkString(", ")})")
       else Nil
-    val checkLines = spec.checks.map(c => s"  CHECK $c")
+    // real SHOW CREATE TABLE output backtick-quotes identifiers inside
+    // constraint bodies — PG needs double quotes
+    val checkLines = spec.checks.map(c => s"  CHECK ${requoteIdents(c)}")
     val tempKw = if (spec.temporary) "TEMPORARY " else ""
     val create =
       s"CREATE ${tempKw}TABLE ${q(spec.name, lowercase)} (\n" +
@@ -364,9 +419,20 @@ object DdlConverter {
     // statement including string literals (sync_viewddl.go:915), which
     // silently changes WHERE status = 'ACTIVE' semantics — masking first
     // keeps identifier folding without corrupting data comparisons
-    val body =
+    val body1 =
       if (lowercase) graft.sqlrewrite.SqlRewriter.lowercaseOutsideLiterals(body0)
       else body0
+    // DIALECT BOUNDARY: SqlRewriter targets Spark SQL (the repo executes
+    // rewritten views through Catalyst — operators/Views.scala); when the
+    // emitted DDL runs on a JDBC target instead, the unambiguous swaps are
+    // applied here (backtick identifiers → double quotes, IFNULL →
+    // COALESCE — FunctionDdl's pgScrub rule). Views whose bodies need
+    // Spark-specific constructs (GROUP_CONCAT's collect_list lambdas,
+    // Java date patterns) remain Spark-dialect and will be reported as
+    // stage failures on targets that cannot parse them rather than
+    // silently rewritten to something semantically different.
+    val body = requoteIdents(body1)
+      .replaceAll("(?i)\\bIFNULL\\s*\\(", "COALESCE(")
     Seq(
       s"DROP VIEW IF EXISTS ${q(view, lowercase)} CASCADE",
       s"CREATE OR REPLACE VIEW ${q(view, lowercase)} AS $body")
@@ -398,12 +464,17 @@ object DdlConverter {
     val create =
       s"""DO $$$$ BEGIN CREATE USER "$u"; EXCEPTION WHEN duplicate_object THEN NULL; END $$$$"""
     val converted = grants.flatMap { g =>
-      if (g.toUpperCase.contains("ALL PRIVILEGES"))
+      // parse the privilege LIST (everything before ON), word-bounded:
+      // a substring scan over the whole statement matched object names —
+      // "GRANT SELECT ON `insert_log`" silently granted INSERT too
+      // (privilege escalation on the target)
+      val head = g.toUpperCase.split("(?i)\\bON\\b")(0)
+      if (head.contains("ALL PRIVILEGES"))
         Seq(s"""GRANT ALL PRIVILEGES ON ALL TABLES IN SCHEMA public TO "$u"""",
             s"""GRANT ALL PRIVILEGES ON ALL SEQUENCES IN SCHEMA public TO "$u"""")
       else {
         val privs = Seq("SELECT", "INSERT", "UPDATE", "DELETE")
-          .filter(p => g.toUpperCase.contains(p))
+          .filter(p => ("\\b" + p + "\\b").r.findFirstIn(head).isDefined)
         if (privs.nonEmpty)
           Seq(s"""GRANT ${privs.mkString(", ")} ON ALL TABLES IN SCHEMA public TO "$u"""")
         else Nil

@@ -57,9 +57,16 @@ object FunctionDdl {
     * neither touches quoted text. */
   private def pgScrub(sql: String): String = {
     val (masked, lits) = SqlRewriter.maskStringLiterals(sql)
-    val s = masked.replace("`", "\"")
-      .replaceAll("(?i)\\bIFNULL\\s*\\(", "COALESCE(")
-    SqlRewriter.unmask(s, lits)
+    val s = masked.replaceAll("(?i)\\bIFNULL\\s*\\(", "COALESCE(")
+    // the shared masker now tokenizes backtick identifiers too — requote
+    // them in the LITERAL list (`` escapes unfolded, PG "" escapes applied)
+    val requoted = lits.map { l =>
+      if (l.length >= 2 && l.head == '`')
+        "\"" + l.substring(1, l.length - 1)
+          .replace("``", "`").replace("\"", "\"\"") + "\""
+      else l
+    }
+    SqlRewriter.unmask(s, requoted)
   }
 
   /** Same-length copy of `s` with every string-literal span (quotes

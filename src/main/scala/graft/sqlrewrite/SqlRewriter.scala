@@ -42,15 +42,19 @@ object SqlRewriter {
 
   private val MaskToken = "␀STR%d␀"
 
-  /** Replace string literals with placeholders so regexes never fire inside
-    * quotes; returns (masked, literals). Handles '' escapes and \' escapes. */
+  /** Replace string literals AND backtick-quoted identifiers with
+    * placeholders so regexes never fire inside quotes; returns (masked,
+    * literals). Handles '' escapes and \' escapes. Backtick identifiers
+    * are masked too: an apostrophe inside one (`it's`) would otherwise
+    * open a phantom string literal and swallow real SQL, and keyword
+    * rewrites (REGEXP → RLIKE) must never rename a quoted identifier. */
   def maskStringLiterals(sql: String): (String, Vector[String]) = {
     val out = new StringBuilder
     val lits = mutable.ArrayBuffer[String]()
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'' || c == '"') {
+      if (c == '\'' || c == '"' || c == '`') {
         val quote = c
         val start = i
         i += 1
@@ -189,18 +193,26 @@ object SqlRewriter {
     sb.toString
   }
 
-  /** Translate a masked-literal arg holding a MySQL format string. */
-  private def translateFmtArg(arg: String, lits: Vector[String]): String = {
-    val m = "␀STR(\\d+)␀".r.findFirstMatchIn(arg)
-    m match {
-      case Some(mm) =>
-        val idx = mm.group(1).toInt
-        val raw = lits(idx)
-        val inner = raw.substring(1, raw.length - 1)
-        "'" + translateDateFormat(inner).replace("'", "''") + "'"
-      case None => arg
+  /** Resolve an arg that is exactly one masked literal token to its
+    * unquoted text (None for anything else). */
+  private def litText(arg: String, lits: Vector[String]): Option[String] =
+    "^␀STR(\\d+)␀$".r.findFirstMatchIn(arg.trim).map { m =>
+      val raw = lits(m.group(1).toInt)
+      raw.substring(1, raw.length - 1)
     }
-  }
+
+  /** Translate EVERY masked literal inside a format arg — the arg may be
+    * an expression (CONCAT('%Y','-%m')); replacing the whole arg with its
+    * first literal would silently drop the surrounding expression. */
+  private def translateFmtArg(arg: String, lits: Vector[String]): String =
+    "␀STR(\\d+)␀".r.replaceAllIn(arg, mm => {
+      val raw = lits(mm.group(1).toInt)
+      if (raw.length >= 2 && (raw.head == '\'' || raw.head == '"')) {
+        val inner = raw.substring(1, raw.length - 1)
+        java.util.regex.Matcher.quoteReplacement(
+          "'" + translateDateFormat(inner).replace("'", "''") + "'")
+      } else java.util.regex.Matcher.quoteReplacement(raw)
+    })
 
   // ----------------------------------------------------------- main entry
 
@@ -217,7 +229,8 @@ object SqlRewriter {
 
     // db-name prefix strip in table references (sync_viewddl.go:159-164):
     // only after FROM/JOIN/INTO so column refs like alias.col are untouched
-    s = s.replaceAll("(?i)\\b(FROM|JOIN|INTO)\\s+`?\\w+`?\\.(`?\\w+`?)", "$1 $2")
+    s = s.replaceAll(
+      "(?i)\\b(FROM|JOIN|INTO)\\s+(?:\\w+|␀STR\\d+␀)\\.(\\w+|␀STR\\d+␀)", "$1 $2")
 
     // LIMIT a,b → LIMIT b OFFSET a (sync_viewddl.go:26,217)
     s = s.replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
@@ -260,30 +273,51 @@ object SqlRewriter {
       var sep = "','"
       val sepM = "(?is)\\bSEPARATOR\\s+(␀STR\\d+␀|\\S+)\\s*$".r.findFirstMatchIn(body)
       sepM.foreach { m => sep = m.group(1); body = body.substring(0, m.start).trim }
-      var orderKey: Option[(String, Boolean)] = None // (expr, desc)
-      val obM = "(?is)\\bORDER\\s+BY\\s+(.+?)(\\s+ASC|\\s+DESC)?\\s*$".r.findFirstMatchIn(body)
+      // keys split on TOP-LEVEL commas with per-key direction — a single
+      // trailing-anchored capture turned `ORDER BY a DESC, b` into the
+      // unparseable struct key "a DESC,b"
+      var orderKeys: List[(String, Boolean)] = Nil
+      val obM = "(?is)\\bORDER\\s+BY\\s+(.+)$".r.findFirstMatchIn(body)
       obM.foreach { m =>
-        orderKey = Some((m.group(1).trim,
-          Option(m.group(2)).exists(_.trim.equalsIgnoreCase("DESC"))))
+        orderKeys = splitTopLevelCommas(m.group(1)).map { kk =>
+          val t = kk.trim
+          (t.replaceAll("(?is)\\s+(ASC|DESC)\\s*$", "").trim,
+            "(?is)\\s+DESC\\s*$".r.findFirstIn(t).isDefined)
+        }
         body = body.substring(0, m.start).trim
       }
       val distinct = body.matches("(?is)^DISTINCT\\b.*")
       val e = if (distinct) body.replaceFirst("(?is)^DISTINCT\\b", "").trim else body
-      orderKey match {
-        case Some((k, desc)) if k != e =>
+      val sameDir = orderKeys.map(_._2).distinct.size <= 1
+      orderKeys match {
+        case ks if ks.nonEmpty && sameDir && ks.map(_._1) != List(e) =>
           // DISTINCT must dedupe VALUES, not (key, value) pairs — two rows
           // with different keys and the same value yield the value once in
-          // MySQL. Sort by key first, project to values, then array_distinct
-          // (which keeps first occurrence, i.e. each value at its best key).
-          val collect = s"collect_list(struct($k AS k, $e AS v))"
+          // MySQL. Sort by keys first (array_sort orders structs
+          // field-by-field, so multi-key works when all directions agree),
+          // project to values, then array_distinct (which keeps first
+          // occurrence, i.e. each value at its best key).
+          val desc = ks.head._2
+          val keyFields =
+            if (ks.size == 1) s"${ks.head._1} AS k"
+            else ks.map(_._1).zipWithIndex
+              .map { case (k, i) => s"$k AS k$i" }.mkString(", ")
+          val collect = s"collect_list(struct($keyFields, $e AS v))"
           val sorted = s"array_sort($collect)"
           val ordered = if (desc) s"reverse($sorted)" else sorted
           val values = s"transform($ordered, p -> p.v)"
           val deduped = if (distinct) s"array_distinct($values)" else values
           s"array_join($deduped, $sep)"
-        case Some((_, true)) =>
+        case List((k, true)) if k == e =>
           val collect = if (distinct) s"collect_set($e)" else s"collect_list($e)"
           s"array_join(reverse(array_sort($collect)), $sep)"
+        case ks if ks.nonEmpty && !sameDir =>
+          // mixed ASC/DESC keys cannot ride one array_sort+reverse; the
+          // reference DROPS GROUP_CONCAT ordering entirely
+          // (sync_viewddl.go:177-193) — match it, keeping a deterministic
+          // value sort
+          val collect = if (distinct) s"collect_set($e)" else s"collect_list($e)"
+          s"array_join(array_sort($collect), $sep)"
         case _ =>
           val collect = if (distinct) s"collect_set($e)" else s"collect_list($e)"
           s"array_join(array_sort($collect), $sep)"
@@ -366,7 +400,10 @@ object SqlRewriter {
     s = rewriteCalls(s, "JSON_CONTAINS_PATH") { args =>
       if (args.size >= 3) {
         val j = args.head
-        val mode = args(1).toLowerCase
+        // the mode arg is a MASKED literal token at this point — the raw
+        // text never contains 'all', so resolve it through lits (a bare
+        // contains() on the token silently degraded every 'all' to OR)
+        val mode = litText(args(1), lits).getOrElse(args(1)).toLowerCase
         val checks = args.drop(2).map(p => s"get_json_object($j, $p) IS NOT NULL")
         val op = if (mode.contains("all")) " AND " else " OR "
         s"(${checks.mkString(op)})"

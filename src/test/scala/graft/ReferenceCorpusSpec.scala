@@ -223,6 +223,31 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cursor declared before the variable it references:\n${cu.ddl}")
   }
 
+  test("DdlConverter hardening: grant word boundaries, literal-safe clauses, PG requoting") {
+    import graft.ddl.DdlConverter
+    // an object name containing a privilege word must not grant it — a
+    // substring scan escalated read-only accounts to INSERT
+    val ro = DdlConverter.userDdl("reader",
+      Seq("GRANT SELECT ON `db`.`insert_log` TO 'reader'@'%'"))
+    assert(ro.exists(_.startsWith("GRANT SELECT ON ALL TABLES")), ro)
+    assert(!ro.exists(_.contains("INSERT")), s"privilege escalation: $ro")
+    // keywords inside a COMMENT literal must not fabricate clauses or eat
+    // the literal tail
+    val spec = DdlConverter.parse(
+      """CREATE TABLE t (
+        |  status int COMMENT 'falls back to DEFAULT 0 -- see room # 12',
+        |  price decimal(10,2),
+        |  CONSTRAINT `t_chk_1` CHECK ((`price` > 0))
+        |)""".stripMargin)
+    val st = spec.columns.find(_.name == "status").get
+    assert(st.default.isEmpty, s"comment text fabricated a default: $st")
+    assert(st.comment.contains("falls back to DEFAULT 0 -- see room # 12"), st)
+    // CHECK bodies requote backticks for the PG target
+    val ddl = DdlConverter.toPostgresDdl(spec)
+    assert(ddl.exists(_.contains("CHECK ((\"price\" > 0))")),
+      s"backticks survived into PG CHECK: $ddl")
+  }
+
   test("every reference view rewrites to parseable Spark SQL") {
     val parser = spark.sessionState.sqlParser
     val failures = viewStatements().flatMap { stmt =>

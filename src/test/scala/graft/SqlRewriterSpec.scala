@@ -194,4 +194,34 @@ class SqlRewriterSpec extends AnyFunSuite {
     assert(rewrite("SELECT JSON_UNQUOTE(JSON_UNQUOTE(JSON_EXTRACT(j, '$.a'))) FROM t") ==
       "SELECT get_json_object(j, '$.a') FROM t")
   }
+
+  test("JSON_CONTAINS_PATH resolves the masked mode literal ('all' → AND)") {
+    val all = rewrite("SELECT JSON_CONTAINS_PATH(j, 'all', '$.a', '$.b') FROM t")
+    assert(all.contains(" AND "), all)
+    val one = rewrite("SELECT JSON_CONTAINS_PATH(j, 'one', '$.a', '$.b') FROM t")
+    assert(one.contains(" OR ") && !one.contains(" AND "), one)
+  }
+
+  test("GROUP_CONCAT multi-key ORDER BY: same-direction structs, mixed drops ordering") {
+    val multi = rewrite("SELECT GROUP_CONCAT(x ORDER BY a, b) FROM t")
+    assert(multi.contains("struct(a AS k0, b AS k1, x AS v)"), multi)
+    // mixed directions cannot ride one sort+reverse — ordering drops
+    // (the reference's own behavior), never emits unparseable struct SQL
+    val mixed = rewrite("SELECT GROUP_CONCAT(x ORDER BY a DESC, b ASC) FROM t")
+    assert(!mixed.contains("DESC") && mixed.contains("array_sort(collect_list(x))"),
+      mixed)
+  }
+
+  test("DATE_FORMAT with an expression fmt translates literals IN PLACE") {
+    val r = rewrite("SELECT DATE_FORMAT(d, CONCAT('%Y', '-%m')) FROM t")
+    assert(r.contains("date_format(d, CONCAT('yyyy', '-MM'))"), r)
+  }
+
+  test("backtick identifiers are masked: keywords/apostrophes inside never rewrite") {
+    assert(rewrite("SELECT `regexp` FROM t") == "SELECT `regexp` FROM t")
+    val r = rewrite("SELECT `it's`, DATE_FORMAT(d, '%Y') FROM t")
+    assert(r == "SELECT `it's`, date_format(d, 'yyyy') FROM t", r)
+    // db-prefix strip still fires on quoted qualified tables
+    assert(rewrite("SELECT a FROM `mydb`.`orders`") == "SELECT a FROM `orders`")
+  }
 }
