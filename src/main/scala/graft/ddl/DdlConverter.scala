@@ -81,7 +81,8 @@ object DdlConverter {
         i += 1
         var done = false
         while (i < expr.length && !done) {
-          if (expr.charAt(i) == '\'' && i + 1 < expr.length && expr.charAt(i + 1) == '\'') i += 2
+          if (expr.charAt(i) == '\\' && i + 1 < expr.length) i += 2
+          else if (expr.charAt(i) == '\'' && i + 1 < expr.length && expr.charAt(i + 1) == '\'') i += 2
           else if (expr.charAt(i) == '\'') { i += 1; done = true }
           else i += 1
         }
@@ -92,22 +93,42 @@ object DdlConverter {
   }
 
   private def stripVersionComments(s: String): String = {
-    // comment spans are FOUND on the literal-blanked mask and cut from
-    // the raw text: a COMMENT 'room # 12' or a default containing ' -- '
-    // must never lose its tail to end-of-line stripping (the mask is
-    // same-length, so span indexes transfer)
-    val m = maskSameLen(s)
-    val dels = scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
-    for (mm <- "/\\*!\\d{5}".r.findAllMatchIn(m)) dels += ((mm.start, mm.end, ""))
-    for (mm <- "\\*/".r.findAllMatchIn(m)) dels += ((mm.start, mm.end, " "))
-    for (mm <- "(?m)\\s+--\\s.*$".r.findAllMatchIn(m)) dels += ((mm.start, mm.end, ""))
-    for (mm <- "(?m)\\s+#\\s.*$".r.findAllMatchIn(m)) dels += ((mm.start, mm.end, ""))
+    // single scan with JOINT literal/comment state: a mask-then-regex
+    // approach mishandles an apostrophe INSIDE a comment (the masker,
+    // which knows nothing of comments, opens a phantom literal there and
+    // blanks past the newline, so the EOL-comment deletion overruns and
+    // eats real DDL). Version-comment markers drop, their content stays;
+    // `-- `/`# ` comments (whitespace-delimited, outside literals) run to
+    // the REAL end of line.
     val out = new StringBuilder
     var i = 0
-    for ((st, en, rep) <- dels.sortBy(_._1) if st >= i) {
-      out.append(s.substring(i, st)).append(rep); i = en
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val quote = c
+        val start = i
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          val ch = s.charAt(i)
+          if (ch == '\\' && quote != '`' && i + 1 < s.length) i += 2
+          else if (ch == quote && i + 1 < s.length && s.charAt(i + 1) == quote) i += 2
+          else if (ch == quote) { i += 1; done = true }
+          else i += 1
+        }
+        out.append(s.substring(start, i))
+      } else if (c == '/' && s.regionMatches(i, "/*!", 0, 3) &&
+          i + 7 < s.length && s.substring(i + 3, i + 8).forall(_.isDigit)) {
+        i += 8 // drop the version marker, keep its content
+      } else if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+        out.append(' '); i += 2
+      } else if ((c == '-' && s.regionMatches(i, "-- ", 0, 3) ||
+          c == '#' && s.regionMatches(i, "# ", 0, 2)) &&
+          (out.isEmpty || out.last.isWhitespace)) {
+        while (i < s.length && s.charAt(i) != '\n') i += 1 // to real EOL
+      } else { out.append(c); i += 1 }
     }
-    out.append(s.substring(i)).toString
+    out.toString
   }
 
   /** Length-preserving literal mask: contents of '...'/"..." literals are
@@ -290,7 +311,7 @@ object DdlConverter {
     // string containing 'DEFAULT 0' or 'GENERATED ALWAYS AS (x)' must not
     // fabricate a clause) and their text EXTRACTED from the raw string by
     // index — maskedRest is same-length by construction
-    val maskedRest = masked(rest)
+    val maskedRest = upperRest // same maskSameLen pass, uppercase is index-safe
     val generated = "(?i)GENERATED\\s+ALWAYS\\s+AS\\s*(\\(.*\\))\\s*(VIRTUAL|STORED)?".r
       .findFirstMatchIn(maskedRest)
       .map(m => rest.substring(m.start(1), m.end(1))) // VIRTUAL→STORED at emit (:627-673)
@@ -426,13 +447,23 @@ object DdlConverter {
     // rewritten views through Catalyst — operators/Views.scala); when the
     // emitted DDL runs on a JDBC target instead, the unambiguous swaps are
     // applied here (backtick identifiers → double quotes, IFNULL →
-    // COALESCE — FunctionDdl's pgScrub rule). Views whose bodies need
-    // Spark-specific constructs (GROUP_CONCAT's collect_list lambdas,
-    // Java date patterns) remain Spark-dialect and will be reported as
-    // stage failures on targets that cannot parse them rather than
-    // silently rewritten to something semantically different.
-    val body = requoteIdents(body1)
-      .replaceAll("(?i)\\bIFNULL\\s*\\(", "COALESCE(")
+    // COALESCE — FunctionDdl's pgScrub rule), LITERAL-SAFE: both run on
+    // the masked copy so 'use IFNULL(..)' inside a string survives.
+    // Views whose bodies need Spark-specific constructs (GROUP_CONCAT's
+    // collect_list lambdas, Java date patterns) remain Spark-dialect and
+    // will be reported as stage failures on targets that cannot parse
+    // them rather than silently rewritten to something different.
+    val body = {
+      val (masked, lits) = graft.sqlrewrite.SqlRewriter.maskStringLiterals(body1)
+      val swapped = masked.replaceAll("(?i)\\bIFNULL\\s*\\(", "COALESCE(")
+      val requoted = lits.map { l =>
+        if (l.length >= 2 && l.head == '`')
+          "\"" + l.substring(1, l.length - 1)
+            .replace("``", "`").replace("\"", "\"\"") + "\""
+        else l
+      }
+      graft.sqlrewrite.SqlRewriter.unmask(swapped, requoted)
+    }
     Seq(
       s"DROP VIEW IF EXISTS ${q(view, lowercase)} CASCADE",
       s"CREATE OR REPLACE VIEW ${q(view, lowercase)} AS $body")

@@ -84,7 +84,13 @@ object SqlRewriter {
     * silently change `WHERE status = 'ACTIVE'` semantics. */
   def lowercaseOutsideLiterals(sql: String): String = {
     val (masked, lits) = maskStringLiterals(sql)
-    lits.zipWithIndex.foldLeft(masked.toLowerCase) { case (s, (lit, idx)) =>
+    // backtick-quoted IDENTIFIERS fold with the statement (they are
+    // identifiers, not data — leaving `MyCol` unfolded while the table
+    // DDL lowercases would emit case-mismatched references); string
+    // literals restore verbatim
+    val folded = lits.map(l =>
+      if (l.length >= 2 && l.head == '`') l.toLowerCase else l)
+    folded.zipWithIndex.foldLeft(masked.toLowerCase) { case (s, (lit, idx)) =>
       s.replace(MaskToken.format(idx).toLowerCase, lit)
     }
   }
@@ -211,7 +217,7 @@ object SqlRewriter {
         val inner = raw.substring(1, raw.length - 1)
         java.util.regex.Matcher.quoteReplacement(
           "'" + translateDateFormat(inner).replace("'", "''") + "'")
-      } else java.util.regex.Matcher.quoteReplacement(raw)
+      } else java.util.regex.Matcher.quoteReplacement(mm.matched)
     })
 
   // ----------------------------------------------------------- main entry

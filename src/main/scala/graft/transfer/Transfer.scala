@@ -106,7 +106,7 @@ object Transfer {
     * Projects cost quadratic analysis on wide tables) with backtick-quoted
     * refs so dotted/reserved names resolve. */
   def zeroDatesToNull(df: DataFrame): DataFrame = {
-    val zero = "^0000-00-00( 00:00:00(\\.0+)?)?$"
+    val zero = "\\A0000-00-00( \\d{2}:\\d{2}:\\d{2}(\\.\\d+)?)?\\z"
     def ref(n: String) = col("`" + n.replace("`", "``") + "`")
     val updates = df.schema.fields.collect {
       case f if f.dataType == StringType =>
@@ -259,10 +259,17 @@ object Transfer {
         try {
           var found = false
           while (!found && rs.next())
-            found = bare.equalsIgnoreCase(rs.getString("TABLE_NAME")) &&
-              (schema == null ||
-                schema.equalsIgnoreCase(rs.getString("TABLE_SCHEM")) ||
-                schema.equalsIgnoreCase(rs.getString("TABLE_CAT")))
+            found = bare.equalsIgnoreCase(rs.getString("TABLE_NAME")) && {
+              // the catalog column substitutes for the schema ONLY when
+              // the driver reports no schema at all (MySQL): on engines
+              // that populate TABLE_SCHEM, matching TABLE_CAT too would
+              // make a same-named table in ANY schema look present
+              // whenever the qualifier equals the database name
+              val rowSchema = rs.getString("TABLE_SCHEM")
+              schema == null ||
+                (if (rowSchema != null) schema.equalsIgnoreCase(rowSchema)
+                 else schema.equalsIgnoreCase(rs.getString("TABLE_CAT")))
+            }
           found
         } finally rs.close()
       } finally conn.close()

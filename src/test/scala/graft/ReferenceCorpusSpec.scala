@@ -246,6 +246,23 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ddl = DdlConverter.toPostgresDdl(spec)
     assert(ddl.exists(_.contains("CHECK ((\"price\" > 0))")),
       s"backticks survived into PG CHECK: $ddl")
+    // an apostrophe inside an EOL comment must not swallow following DDL
+    // (the masker knows nothing of comments — a joint-state scan does)
+    val apos = DdlConverter.parse(
+      """CREATE TABLE t2 (
+        |  a int, -- it's the key
+        |  b int
+        |)""".stripMargin)
+    assert(apos.columns.map(_.name) == Seq("a", "b"), apos.columns)
+    // lowercase folding reaches backtick-quoted identifiers in view
+    // bodies, and literal text containing IFNULL( is never rewritten
+    val vd = DdlConverter.viewDdl("V1",
+      "SELECT `MyCol`, 'use IFNULL(a,b) here' AS hint FROM `MyTable`",
+      lowercase = true)
+    val create = vd.last
+    assert(create.contains("\"mycol\"") && create.contains("\"mytable\""), create)
+    assert(create.contains("'use IFNULL(a,b) here'"),
+      s"literal rewritten: $create")
   }
 
   test("every reference view rewrites to parseable Spark SQL") {
