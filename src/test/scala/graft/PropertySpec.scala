@@ -163,6 +163,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ------------------------------------------------------- literal masker
+
+  test("maskStringLiterals/unmask round-trips fuzzed SQL-ish text") {
+    val frag = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.const(" "), Gen.const(","), Gen.const("("), Gen.const(")"),
+      Gen.const("SELECT "), Gen.const("REGEXP"),
+      // literals with the tricky escapes: '' doubling, \' escapes,
+      // apostrophes inside backtick identifiers, double quotes
+      Gen.const("'it''s'"), Gen.const("'a\\'b'"), Gen.const("\"dq\""),
+      Gen.const("`id`"), Gen.const("`it's`"), Gen.const("`a``b`"),
+      Gen.const("'-- not a comment'"), Gen.const("'%Y-%m'"))
+    val genSql = Gen.listOf(frag).map(_.mkString)
+    check("mask roundtrip", Prop.forAll(genSql) { sql =>
+      val (masked, lits) = SqlRewriter.maskStringLiterals(sql)
+      // nothing quoted survives in the masked copy, and unmask restores
+      // the input byte-for-byte
+      val clean = !masked.contains("'") || sql.count(_ == '\'') % 2 == 1
+      clean && SqlRewriter.unmask(masked, lits) == sql
+    })
+  }
+
   // ------------------------------------------------------------ BPE core
 
   private val genDict: Gen[List[(String, Long)]] = Gen.nonEmptyListOf(for {
