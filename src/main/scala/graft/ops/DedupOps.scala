@@ -449,10 +449,16 @@ object DedupOps {
     val dfC = tok.groupBy($"w").agg(count(lit(1)).as("df"))
     val ranked = graft.operators.GlobalOrder
       .withRowNumber(dfC, Seq($"df", $"w"), "wid").select($"w", $"wid")
+    // persisted under the measured-exception rule (CLAUDE.md): the sorted
+    // id-set frame feeds THREE consumers (prefix explode + both verify
+    // sides) and each re-derivation replays the GlobalOrder rank + the
+    // corpus-wide dictionary join; the frame is (doc_id, sorted ids) —
+    // the dictionary-encoded form, far narrower than the text it replaces
     val sets = tok.join(ranked, Seq("w"))
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"wid")).as("wi"))
       .withColumn("n", size($"wi").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // p = n - ceil(0.9 n) + 1 rarest tokens (wid ascending = rarest first)
     val pref = sets
       .withColumn("p", expr("n - ((n * 9 + 9) div 10) + 1"))

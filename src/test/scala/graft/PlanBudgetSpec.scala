@@ -143,12 +143,16 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                               // broadcast totals branch — every exchange
                               // after the first carries histogram-sized rows
     "q141_attribution"  -> 2, // ONE user_id timeline window + orderBy
-    "q142_prefix_join"  -> 14, // df agg + rank join + set fold + candidate
+    "q142_prefix_join"  -> 16, // df agg + rank join + set fold + candidate
                                // self-join + pair distinct + two co-keyed
                                // verify joins + orderBy — plan text
                                // recounts the shared `sets`/`pref`
-                               // subtrees per consumer (q110's pattern;
-                               // AQE reuses the stages at runtime)
+                               // subtrees per consumer; the `sets`
+                               // persist (measured 2.9×) costs two more
+                               // PLANNED nodes because the cache boundary
+                               // blocks textual exchange reuse, while at
+                               // runtime it eliminates two full lineage
+                               // replays
     "q143_weighted_sample" -> 0, // narrow projection + TakeOrdered: the
                                 // whole operator is shuffle-free
     // q144 materializes via collect (layout round-trips through parquet);
