@@ -37,6 +37,21 @@ for name in names:
         duck_df = con.execute(oracle[name]).fetchdf()
     except Exception as e:
         print(f"ORACLE-ERR {name}: {e}"); fails += 1; continue
+    # The driver's hasher renders DECIMAL columns differently from the
+    # engines' BIGINT convention (and pandas astype(str) coerces decimals
+    # through float64, masking it) — reject DECIMAL/HUGEINT output types
+    # outright so local ALL-OK implies driver green (CLAUDE.md invariant:
+    # integer-exact BIGINT outputs only).
+    spark_types = con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()
+    duck_types = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+    badtypes = [(side, cn, ct) for side, cols in
+                (("spark", spark_types), ("duck", duck_types))
+                for cn, ct, *_ in cols
+                if ct.upper().startswith("DECIMAL") or ct.upper() == "HUGEINT"]
+    if badtypes:
+        print(f"DECIMAL-TYPE {name}: {badtypes} (emit BIGINT instead)")
+        fails += 1; continue
     s = spark_df[sorted(spark_df.columns)]
     d = duck_df[sorted(duck_df.columns)]
     if list(s.columns) != list(d.columns):

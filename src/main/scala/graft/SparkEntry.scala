@@ -3893,13 +3893,16 @@ object SparkEntry {
         |      'dim': CAST(i AS BIGINT),
         |      'm': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
         |    })) AS u
-        |  FROM embeddings)
-        |SELECT u.dim AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
-        |  CAST(sum(u.m) AS BIGINT) AS sum_millis,
-        |  CAST(sum(u.m * u.m) AS BIGINT) AS ss_millis,
-        |  CAST(count(*) * sum(u.m * u.m) - sum(u.m) * sum(u.m)
-        |    AS DECIMAL(38,0)) AS var_num
-        |FROM q GROUP BY u.dim ORDER BY dim""".stripMargin,
+        |  FROM embeddings),
+        |g AS (SELECT u.dim AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(sum(u.m) AS BIGINT) AS sum_millis,
+        |    CAST(sum(u.m * u.m) AS BIGINT) AS ss_millis,
+        |    count(*) * sum(u.m * u.m) - sum(u.m) * sum(u.m) AS vn
+        |  FROM q GROUP BY u.dim)
+        |SELECT dim, n_vecs, sum_millis, ss_millis,
+        |  CAST(vn // 1000000000000000000 AS BIGINT) AS var_hi,
+        |  CAST(vn % 1000000000000000000 AS BIGINT) AS var_lo
+        |FROM g ORDER BY dim""".stripMargin,
 
     // Both legs replay X3's exact arithmetic: the polynomial shingle hash,
     // the 12-perm signature, the 4-band bucketing — and the truth leg is

@@ -328,8 +328,12 @@ object SimilarityOps {
     * a \|dims\|-row frame. The per-dim sums (Σq, Σq²) are int64-safe to
     * ~10⁹ vectors at \|x\|≲2 (ss ≈ n·4·10⁶), but the numerator
     * n·Σq² − (Σq)² grows as n² — int64 would wrap silently around
-    * n ≈ 1.5·10⁶ — so it is computed and emitted as DECIMAL(38,0),
-    * which holds to n ≈ 10¹⁶. */
+    * n ≈ 1.5·10⁶ — so it is computed in DECIMAL(38,0) (headroom to
+    * n ≈ 10¹⁶) and EMITTED as two integer-exact BIGINTs,
+    * var_hi = num div 10¹⁸ / var_lo = num mod 10¹⁸ (num ≥ 0 by
+    * Cauchy–Schwarz, so truncating div and floor div agree): both
+    * engines compute the split exactly in their wide-int types, and the
+    * output stays inside the BIGINT-only hashing convention. */
   def q212DimVariance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "embeddings")
@@ -343,6 +347,11 @@ object SimilarityOps {
         ($"n_vecs".cast("decimal(38,0)") * $"ss_millis" -
           $"sum_millis".cast("decimal(38,0)") * $"sum_millis")
           .cast("decimal(38,0)"))
+      .withColumn("var_hi",
+        expr("CAST(var_num div CAST(1000000000000000000 AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("var_lo",
+        expr("CAST(var_num % CAST(1000000000000000000 AS DECIMAL(38,0)) AS BIGINT)"))
+      .drop("var_num")
       .orderBy($"dim")
   }
 

@@ -810,8 +810,12 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("sum_millis") == ms.sum)
       assert(r.getAs[Long]("ss_millis") == ms.map(m => m * m).sum)
       val varNum = vecs.length.toLong * ms.map(m => m * m).sum - ms.sum * ms.sum
-      // var_num is DECIMAL(38,0) (int64 wraps near 1.5e6 vectors)
-      assert(r.getAs[java.math.BigDecimal]("var_num").longValueExact() == varNum)
+      // the DECIMAL(38,0) numerator is emitted as integer-exact BIGINTs:
+      // hi = num div 1e18, lo = num mod 1e18 (num ≥ 0, so truncating and
+      // floor division agree across engines)
+      val tenE18 = 1000000000000000000L
+      assert(r.getAs[Long]("var_hi") == varNum / tenE18)
+      assert(r.getAs[Long]("var_lo") == varNum % tenE18)
       assert(varNum >= 0L) // n·Σx² ≥ (Σx)² by Cauchy-Schwarz
     }
   }
