@@ -606,8 +606,16 @@ object Relational {
     * shuffle — customers filter through the broadcast nation/region chain,
     * orders semi-join against those keys, and only then does lineitem
     * shuffle against the ~1/\|regions\| surviving orders (X140's
-    * prune-inside-the-join-graph discipline); the report frame is
-    * \|years\|-sized. */
+    * prune-inside-the-join-graph discipline). Unlike X137 the lineitem
+    * side cannot be supplier-pruned (Q8 needs ALL supplier nations), so
+    * the fact gets X100's runtime filter instead: a Bloom sketch over the
+    * region-pruned order keys drops ~80% of lineitem in a NARROW map
+    * BEFORE its exchange. False positives die in the exact join, so the
+    * result is bit-identical; the sketch is sized from a metadata-only
+    * orders count (no extra join action) — at extreme key counts the
+    * sketch would be capped in bits and the fpp allowed to drift up,
+    * which only weakens (never breaks) the prefilter. The report frame
+    * is \|years\|-sized. */
   def q170MarketShare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val targetNation = "NATION_3"
@@ -628,7 +636,15 @@ object Relational {
       .select($"c_custkey")
     val oRegion = o.join(custRegion, o("o_custkey") === $"c_custkey")
       .select($"o_orderkey", $"o_orderdate")
-    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+    // X100's runtime filter: expectedNumItems is a metadata-count upper
+    // bound (~1/|regions| of orders, 4x headroom -> /4), so building the
+    // sketch is the only extra pass over the oRegion join
+    val nKeys = math.max(o.count() / 4L, 1000L)
+    val bf = s.sparkContext.broadcast(
+      oRegion.stat.bloomFilter("o_orderkey", nKeys, 0.01))
+    val mightContain = udf((k: Long) => bf.value.mightContainLong(k))
+    li.filter($"l_orderkey".isNotNull && mightContain($"l_orderkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
       .join(nS, $"s_nationkey" === $"s_nk")
       .join(oRegion, li("l_orderkey") === $"o_orderkey")
       .withColumn("vol_cents", cents($"l_extendedprice" * (lit(1) - $"l_discount")))

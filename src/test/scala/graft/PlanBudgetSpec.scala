@@ -223,10 +223,12 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // pre-pruned li⋈orders shuffle + year fold +
                              // orderBy (both fact inputs nation-pruned
                              // BEFORE the wide join)
-    "q170_market_share" -> 10, // dim broadcasts + region-filtered customer
+    "q170_market_share" -> 9, // dim broadcasts + region-filtered customer
                              // semi-join pruning orders + the fact-fact
-                             // shuffle + single-pass conditional-share
-                             // fold + orderBy
+                             // shuffle (Bloom-prefiltered map-side; the
+                             // sketch builds in its own eager jobs, so
+                             // the lazy plan sheds one exchange) +
+                             // single-pass conditional-share fold + orderBy
     "q171_product_margin" -> 9, // broadcast part/supplier/nation + the
                              // li⋈orders shuffle + (nation, year) fold +
                              // orderBy
