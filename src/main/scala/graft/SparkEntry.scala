@@ -4146,10 +4146,11 @@ object SparkEntry {
 
     // q224: cross-doc repeated 8-gram spans with q138's interval-union
     // windows; gram keys compose per-word polynomial hashes (ASCII-only,
-    // q213's note) through the same 8-step fold as the Spark aggregate
-    // HOF (list_reduce seeds with the first element, which equals the
-    // 0-seeded fold since 0*31+h = h); the planted 12-word suffix rides
-    // both engines.
+    // q213's note) through the same TWO 8-step folds as the Spark
+    // aggregate HOFs, packed fp1*2^31+fp2 into a ~2^60 space
+    // (list_reduce seeds with the first element, which equals the
+    // 0-seeded fold since 0*m+h = h and mod is congruence-stable); the
+    // planted 12-word suffix rides both engines.
     "q224_repeated_spans" ->
       """WITH d0 AS (SELECT doc_id, source,
         |    CASE WHEN doc_id % 9 = 0 THEN text ||
@@ -4165,7 +4166,9 @@ object SparkEntry {
         |        unnest(list_transform(generate_series(1, len(hs) - 7),
         |          i -> {'pos': i,
         |                'fp': list_reduce(list_slice(hs, i, i + 7),
-        |                  (a, b) -> (a * 31 + b) % 1000000007)}))
+        |                    (a, b) -> (a * 31 + b) % 1000000007) * 2147483648
+        |                  + list_reduce(list_slice(hs, i, i + 7),
+        |                    (a, b) -> (a * 37 + b) % 999999937)}))
         |          AS pg
         |      FROM d),
         |rep AS (SELECT pg.fp AS rfp FROM g

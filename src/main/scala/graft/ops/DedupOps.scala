@@ -746,16 +746,27 @@ object DedupOps {
     * doc) must NOT extend the span leftward.
     *
     * Scale: grams shuffle as 8-byte keys, never as strings — and the key
-    * is COMPOSED from per-word [[Fingerprint]]s by an 8-step integer
-    * fold (`aggregate` HOF over the precomputed word-hash array), so
-    * each gram costs 8 multiply-adds instead of building and re-hashing
-    * a ~50-byte string (measured 2.6× on the whole operator); the
+    * is COMPOSED from per-word [[Fingerprint]]s by TWO independent
+    * 8-step integer folds (`aggregate` HOF over the precomputed
+    * word-hash array; multiplier/modulus pairs 31/1e9+7 and
+    * 37/999999937) packed `fp1 * 2^31 + fp2`, so each gram costs 16
+    * multiply-adds instead of building and re-hashing a ~50-byte string
+    * (the single-fold variant measured 2.6× over the string key); the
     * repeated-gram set is built by a combinable (fp → distinct-doc) fold
     * and stays DISTRIBUTED (it is corpus-sized — q77's honest-set rule,
     * no broadcast); the hit join is one shuffle on the uniform fp key;
     * the interval union is q138's two-window pass, both windows sharing
     * ONE (doc_id, pos) partitioning. No per-document loops, nothing
-    * driver-sized but the report. */
+    * driver-sized but the report.
+    *
+    * HASH-SIGNAL CAVEAT (Fingerprint's ORACLE INVARIANT family): a gram
+    * key collision fabricates a "repeated" gram IDENTICALLY in both
+    * engines, so the oracle gate cannot flag it by design. The packed
+    * key space is ~9.2×10¹⁷ (two near-2³⁰ folds), so at 10¹² grams the
+    * expected colliding pairs are n²/2M ≈ 5×10⁵ — a ~10⁻⁶ fraction of
+    * grams, ppm-level noise in covered_ppm (the retired single
+    * mod-1e9+7 key collided ~10⁹× more, fabricating spans wholesale at
+    * corpus scale). */
   def q224RepeatedSpans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Fingerprint.register(s)
@@ -773,7 +784,9 @@ object DedupOps {
         """transform(sequence(1, size(hs) - 7), i -> struct(
           |  CAST(i AS BIGINT) AS pos,
           |  aggregate(slice(hs, CAST(i AS INT), 8), 0L,
-          |    (a, x) -> (a * 31 + x) % 1000000007) AS fp))""".stripMargin))
+          |    (a, x) -> (a * 31 + x) % 1000000007) * 2147483648L +
+          |  aggregate(slice(hs, CAST(i AS INT), 8), 0L,
+          |    (a, x) -> (a * 37 + x) % 999999937) AS fp))""".stripMargin))
         .as("pg"))
       .select($"doc_id", $"n_tokens", $"pg.pos".as("pos"), $"pg.fp".as("fp"))
     // grams seen in >= 2 DISTINCT documents; two-stage distinct keeps the

@@ -556,10 +556,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         (if (r.getLong(0) % 9 == 0) r.getString(1) + " " + bp else r.getString(1)))
       .toMap
     // driver replay: gram keys composed from per-word hashes by the same
-    // 0-seeded (a*31 + h) % p fold, cross-doc repeated set, per-doc
-    // interval union
+    // TWO 0-seeded (a*m + h) % p folds packed fp1*2^31 + fp2 (the ~2^60
+    // collision-safe key), cross-doc repeated set, per-doc interval union
     def gramKey(hs: Array[Long]): Long =
-      hs.foldLeft(0L)((a, h) => (a * 31 + h) % 1000000007L)
+      hs.foldLeft(0L)((a, h) => (a * 31 + h) % 1000000007L) * 2147483648L +
+        hs.foldLeft(0L)((a, h) => (a * 37 + h) % 999999937L)
     val grams = docs.toSeq.flatMap { case (id, t) =>
       val hs = t.split(" ", -1).map(refHash)
       if (hs.length < 8) Seq.empty
