@@ -20,6 +20,13 @@ import graft.sqlrewrite.SqlRewriter
   *  - body between the outermost BEGIN..END: MySQL in-body `DECLARE`s
   *    hoist into the PL/pgSQL DECLARE block (handlers are dropped — PG has
   *    no direct equivalent, :96-99), `SET x =` becomes `x :=`;
+  *  - procedural loop control (:64-67, :532-535): `LEAVE lbl`→`EXIT`,
+  *    `ITERATE lbl`→`CONTINUE`, `REPEAT … UNTIL c END REPEAT`→
+  *    `LOOP … EXIT WHEN c; END LOOP` (UNTIL rewrites before the bare
+  *    REPEAT pass — see body comment); `@user_var`s hoist into typed
+  *    `v_` locals with the reference's name-based inference (:1180-1224);
+  *    `x := ROW_COUNT()`→`GET DIAGNOSTICS x = ROW_COUNT` (:131,
+  *    :549-552);
   *  - expression-level builtins (IFNULL, CONCAT, DATE_FORMAT, …) ride
   *    [[graft.sqlrewrite.SqlRewriter.rewrite]] — ONE structural rewriter
   *    shared with the view converter instead of the reference's ~60
@@ -235,15 +242,58 @@ object FunctionDdl {
       // preceding `;` — exactly the case ^ used to clobber. MySQL
       // multi-assign (`SET a = 1, b = 2`) keeps only its first assignment
       // rewritten; split such statements upstream if they appear.
+      // the assignment target may be a session variable (`SET @x = …`) —
+      // the @ survives here and the user-var pass below renames it to v_x
       body = body.replaceAll(
-        "(?i)(\\A|;|\\bTHEN\\b|\\bELSE\\b|\\bLOOP\\b|\\bDO\\b)(\\s*)SET\\s+(\\w+)\\s*=",
+        "(?i)(\\A|;|\\bTHEN\\b|\\bELSE\\b|\\bLOOP\\b|\\bDO\\b)(\\s*)SET\\s+(@?\\w+)\\s*=",
         "$1$2$3 :=")
+
+      // procedural loop-control + session variables (sync_functions.go
+      // :64-67, :532-535, :47, :1180-1224, :131, :549-552), applied on a
+      // literal-masked body so quoted text is never rewritten:
+      //  - LEAVE lbl; → EXIT; / ITERATE lbl; → CONTINUE; (PL/pgSQL exits
+      //    the innermost loop; MySQL labels are dropped like the reference)
+      //  - REPEAT body UNTIL cond END REPEAT; → LOOP body EXIT WHEN cond;
+      //    END LOOP; — the UNTIL tail rewrites FIRST so the bare REPEAT
+      //    pass cannot eat the `END REPEAT` terminator (the reference
+      //    applies these in randomized map order, which breaks whenever
+      //    REPEAT wins; post-body EXIT WHEN preserves MySQL's
+      //    test-after-body semantics)
+      //  - @user_vars hoist into declared `v_` locals with the reference's
+      //    name-based type inference (count/sum/total/amount/price/id/num/
+      //    i/j → numeric, else text)
+      //  - x := ROW_COUNT() → GET DIAGNOSTICS x = ROW_COUNT (after the
+      //    SET→:= and @var passes, so both spellings land here)
+      val (maskedBody, bodyLits) = SqlRewriter.maskStringLiterals(body)
+      var mb = maskedBody
+        .replaceAll("(?i)\\bLEAVE\\s+\\w+\\s*;", "EXIT;")
+        .replaceAll("(?i)\\bITERATE\\s+\\w+\\s*;", "CONTINUE;")
+        .replaceAll("(?is)\\bUNTIL\\s+(.+?)\\s*END\\s+REPEAT\\s*;",
+          "EXIT WHEN $1; END LOOP;")
+        .replaceAll("(?i)\\bREPEAT\\b", "LOOP")
+      val userVars = "@(\\w+)".r.findAllMatchIn(mb).map(_.group(1))
+        .toSeq.distinct
+      val userDecls = userVars.flatMap { v =>
+        val pgVar = s"v_$v"
+        val lower = v.toLowerCase
+        val numeric = Seq("count", "sum", "total", "amount", "price", "id",
+          "num").exists(lower.contains) || lower == "i" || lower == "j"
+        val tpe = if (numeric) "numeric" else "text"
+        if (decls.exists(_.startsWith(pgVar + " "))) None
+        else Some(s"$pgVar $tpe;")
+      }
+      mb = mb.replaceAll("@(\\w+)", "v_$1")
+        .replaceAll("(?i)\\b(\\w+)\\s*:=\\s*ROW_COUNT\\(\\)\\s*;?",
+          "GET DIAGNOSTICS $1 = ROW_COUNT;")
+      body = SqlRewriter.unmask(mb, bodyLits)
 
       // expression-level MySQL builtins → PG through the shared rewriter
       body = pgScrub(SqlRewriter.rewrite(body)).trim
 
+      val allDecls = decls ++ userDecls
       val declareBlock =
-        if (decls.isEmpty) "" else "DECLARE\n  " + decls.mkString("\n  ") + "\n"
+        if (allDecls.isEmpty) ""
+        else "DECLARE\n  " + allDecls.mkString("\n  ") + "\n"
       val fn = name.toLowerCase
       val stmt =
         s"""CREATE OR REPLACE FUNCTION $fn($params)

@@ -223,6 +223,69 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cursor declared before the variable it references:\n${cu.ddl}")
   }
 
+  test("FunctionDdl procedural subset: loop control, user vars, ROW_COUNT") {
+    import graft.ddl.FunctionDdl
+    // LEAVE/ITERATE drop their MySQL label (sync_functions.go:64-65);
+    // REPEAT..UNTIL becomes a post-test LOOP..EXIT WHEN (:66-67, :532-535)
+    // with the UNTIL tail rewritten BEFORE the bare REPEAT keyword so the
+    // 'END REPEAT' terminator survives long enough to match
+    val lp = FunctionDdl.convert(
+      """CREATE FUNCTION countdown(n INT) RETURNS INT
+        |BEGIN
+        |  DECLARE i INT DEFAULT 0;
+        |  lbl: LOOP
+        |    SET i = i + 1;
+        |    IF i >= n THEN LEAVE lbl; END IF;
+        |    IF i = 2 THEN ITERATE lbl; END IF;
+        |  END LOOP;
+        |  REPEAT
+        |    SET i = i - 1;
+        |  UNTIL i <= 0 END REPEAT;
+        |  RETURN i;
+        |END""".stripMargin).get
+    assert(lp.ddl.contains("EXIT;") && !lp.ddl.toUpperCase.contains("LEAVE"),
+      lp.ddl)
+    assert(lp.ddl.contains("CONTINUE;") &&
+      !lp.ddl.toUpperCase.contains("ITERATE"), lp.ddl)
+    assert(lp.ddl.contains("EXIT WHEN i <= 0; END LOOP;"), lp.ddl)
+    assert(!lp.ddl.toUpperCase.contains("REPEAT"), lp.ddl)
+    // a string literal spelling the keywords must NOT be rewritten
+    val lit = FunctionDdl.convert(
+      """CREATE FUNCTION f5() RETURNS VARCHAR(64)
+        |BEGIN
+        |  RETURN 'please REPEAT and LEAVE now;';
+        |END""".stripMargin).get
+    assert(lit.ddl.contains("'please REPEAT and LEAVE now;'"), lit.ddl)
+    // @user_vars hoist into v_ locals with the reference's name-based
+    // type inference (:1180-1224): count-ish names -> numeric, else text
+    val uv = FunctionDdl.convert(
+      """CREATE FUNCTION tally(p INT) RETURNS INT
+        |BEGIN
+        |  SET @total = @total + p;
+        |  SET @label_text = 'x';
+        |  RETURN @total;
+        |END""".stripMargin).get
+    assert(uv.ddl.contains("v_total numeric;"), uv.ddl)
+    assert(uv.ddl.contains("v_label_text text;"), uv.ddl)
+    assert(uv.ddl.contains("v_total := v_total + p"), uv.ddl)
+    assert(!uv.ddl.contains("@"), uv.ddl)
+    // x := ROW_COUNT() (via SET or direct) -> GET DIAGNOSTICS (:549-552),
+    // catching the @var spelling after its v_ rewrite too
+    val rc = FunctionDdl.convert(
+      """CREATE FUNCTION touched() RETURNS INT
+        |BEGIN
+        |  DECLARE v_count INT DEFAULT 0;
+        |  UPDATE t SET a = 1;
+        |  SET v_count = ROW_COUNT();
+        |  SET @rows_id = ROW_COUNT();
+        |  RETURN v_count;
+        |END""".stripMargin).get
+    assert(rc.ddl.contains("GET DIAGNOSTICS v_count = ROW_COUNT;"), rc.ddl)
+    assert(rc.ddl.contains("GET DIAGNOSTICS v_rows_id = ROW_COUNT;"), rc.ddl)
+    assert(rc.ddl.contains("v_rows_id numeric;"), rc.ddl)
+    assert(!rc.ddl.contains("ROW_COUNT()"), rc.ddl)
+  }
+
   test("DdlConverter hardening: grant word boundaries, literal-safe clauses, PG requoting") {
     import graft.ddl.DdlConverter
     // an object name containing a privilege word must not grant it — a
