@@ -351,7 +351,19 @@ object Catalog {
         val rs = md.getTables(null, null, q, Array("TABLE"))
         try rs.next() finally rs.close()
       }
-      probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
+      probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase) || {
+        // a MIXED-case stored identifier (stored 'MyTable', caller passes
+        // 'MYTABLE') matches none of the three case-sensitive probes —
+        // fall back to the pre-probe full-list equalsIgnoreCase scan so
+        // the fast path never loses a table the slow path found
+        val rs = md.getTables(null, null, "%", Array("TABLE"))
+        try {
+          var found = false
+          while (!found && rs.next())
+            found = table.equalsIgnoreCase(rs.getString("TABLE_NAME"))
+          found
+        } finally rs.close()
+      }
     }
 
   /** S13: version probe (< 1 s test_only path, `cmd/main.go:96-144`). */

@@ -101,8 +101,12 @@ object EventStream {
               if (ms <= 0L) 0L else ms * 1000L
             } catch { case _: UnsupportedOperationException => Long.MaxValue }
           val prior = state.getOption.map(_.pending).getOrElse(Nil)
+          // HALF_UP like Exact.cents / Spark's round — math.round would
+          // round negative half-cents toward +inf (math.round(-0.5) == 0)
+          // and diverge from every batch operator's cents quantization
           val incoming = rows.map(e => (micros(e.ts), e.event_id,
-            math.round(e.value * 100))).toList
+            BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toList
           val all = (prior ++ incoming).sortBy(t => (t._1, t._2))
           // split the buffered span into gap-delimited sessions
           val sessions = scala.collection.mutable.ListBuffer.empty[Vector[(Long, Long, Long)]]
