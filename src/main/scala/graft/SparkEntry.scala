@@ -256,6 +256,7 @@ object SparkEntry {
     "q227_bpe_fertility"  -> CorpusOps.q227BpeFertility _,
     "q228_audio_decode"   -> MultimodalOps.q228AudioDecode _,
     "q229_semantic_dedup" -> DedupOps.q229SemDedup _,
+    "q230_jpeg_gif_decode" -> MultimodalOps.q230JpegGifDecode _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4094,6 +4095,25 @@ object SparkEntry {
         |FROM documents d, generate_series(0, 12) g1(i), generate_series(0, 6) g2(j)
         |WHERE g1.i < ((d.doc_id % 13) + 13) % 13 + 1
         |  AND g2.j < ((d.doc_id % 7) + 7) % 7 + 1
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // q230: q222's arithmetic replay for the JVM's two remaining native
+    // image codecs. GIF rides an exact 256-gray palette (lossless round
+    // trip -> exact pixel sum); JPEG is lossy by design, so the portable
+    // gate is exact SOF dimensions + decode success with pixel_sum = -1
+    // (the fidelity bound is asserted JVM-side in MultimodalSpec). Card
+    // height runs 5..11: this JDK's GIF writer corrupts heights 2-4.
+    "q230_jpeg_gif_decode" ->
+      """SELECT d.doc_id,
+        |  CASE WHEN ((d.doc_id % 2) + 2) % 2 = 0 THEN 'jpeg' ELSE 'gif' END AS fmt,
+        |  CAST(((d.doc_id % 13) + 13) % 13 + 1 AS BIGINT) AS width,
+        |  CAST(((d.doc_id % 7) + 7) % 7 + 5 AS BIGINT) AS height,
+        |  CASE WHEN ((d.doc_id % 2) + 2) % 2 = 0 THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST(sum(3 * ((((d.doc_id + 31 * g1.i + 17 * g2.j) % 256) + 256) % 256))
+        |      AS BIGINT) END AS pixel_sum
+        |FROM documents d, generate_series(0, 12) g1(i), generate_series(0, 10) g2(j)
+        |WHERE g1.i < ((d.doc_id % 13) + 13) % 13 + 1
+        |  AND g2.j < ((d.doc_id % 7) + 7) % 7 + 5
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // q178's split rule + q213's MinHash replay, restricted to eval→train

