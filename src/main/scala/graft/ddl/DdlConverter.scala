@@ -392,6 +392,29 @@ object DdlConverter {
     Seq(create) ++ tableComment ++ colComments
   }
 
+  /** The reference's multi-format `COMMENT ON COLUMN` retry
+    * (manager.go:1337-1414): a comment that fails under the emitted
+    * quoting is re-tried under the other casings/quotings a PG-side
+    * identifier may have folded to — quoted lower, quoted upper, fully
+    * unquoted — before being reported as failed. Pure variant
+    * generation; [[graft.pipeline.Pipeline.execLenient]] walks the list
+    * on execution failure. Returns Nil for anything that is not a
+    * single-column comment statement. */
+  def columnCommentFallbacks(ddl: String): Seq[String] = {
+    val Re = ("(?is)^\\s*COMMENT\\s+ON\\s+COLUMN\\s+" +
+      "(\"?)([\\w$]+)\\1\\.(\"?)([\\w$]+)\\3\\s+IS\\s+(.+)$").r
+    ddl.trim match {
+      case Re(_, tbl, _, col, lit) =>
+        Seq(
+          s"""COMMENT ON COLUMN "$tbl"."$col" IS $lit""",
+          s"""COMMENT ON COLUMN "$tbl"."${col.toLowerCase}" IS $lit""",
+          s"""COMMENT ON COLUMN "$tbl"."${col.toUpperCase}" IS $lit""",
+          s"""COMMENT ON COLUMN $tbl.$col IS $lit""")
+          .distinct.filterNot(_ == ddl.trim)
+      case _ => Nil
+    }
+  }
+
   /** Target CREATE TABLE straight from a Spark schema (for sources that
     * carry schema natively — parquet footers, JDBC metadata — where no
     * MySQL DDL text exists to parse). Types are the ANSI spellings Derby

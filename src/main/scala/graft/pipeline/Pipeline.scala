@@ -79,18 +79,28 @@ object Pipeline {
     * be INSIDE the body, and stripping it there would silently change the
     * installed function's semantics. Returns the ORIGINAL error if both
     * attempts fail. */
-  private[pipeline] def execLenient(url: String, ddl: String): Try[Unit] =
+  private[graft] def execLenient(url: String, ddl: String): Try[Unit] =
     Try(Catalog.executeDdl(url, ddl)).recoverWith { case e =>
-      val stripped =
-        if (ddl.contains("$$")) ddl
-        else ddl
-          .replaceAll("(?i)\\bIF\\s+NOT\\s+EXISTS\\s+", "")
-          .replaceAll("(?i)\\bIF\\s+EXISTS\\s+", "")
-          .replaceAll("(?i)\\bOR\\s+REPLACE\\s+", "")
-          .replaceAll("(?i)\\s+CASCADE\\s*$", "")
-      if (stripped != ddl)
-        Try(Catalog.executeDdl(url, stripped)).recoverWith { case _ => Failure(e) }
-      else Failure(e)
+      // reference parity (manager.go:1337-1414): a failed COMMENT ON
+      // COLUMN retries under the alternative identifier quotings/casings
+      // the target may have folded the column to; first success wins,
+      // all-fail returns the ORIGINAL error
+      val commentRetries = graft.ddl.DdlConverter.columnCommentFallbacks(ddl)
+      if (commentRetries.nonEmpty)
+        commentRetries.iterator.map(f => Try(Catalog.executeDdl(url, f)))
+          .find(_.isSuccess).getOrElse(Failure(e))
+      else {
+        val stripped =
+          if (ddl.contains("$$")) ddl
+          else ddl
+            .replaceAll("(?i)\\bIF\\s+NOT\\s+EXISTS\\s+", "")
+            .replaceAll("(?i)\\bIF\\s+EXISTS\\s+", "")
+            .replaceAll("(?i)\\bOR\\s+REPLACE\\s+", "")
+            .replaceAll("(?i)\\s+CASCADE\\s*$", "")
+        if (stripped != ddl)
+          Try(Catalog.executeDdl(url, stripped)).recoverWith { case _ => Failure(e) }
+        else Failure(e)
+      }
     }
 
   /** Run a source→target migration: data plane plus the object-catalog

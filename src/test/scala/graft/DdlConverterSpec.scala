@@ -284,4 +284,30 @@ class DdlConverterSpec extends AnyFunSuite {
     val derby = DdlConverter.ddlForSchema("t", schema, targetUrl = "jdbc:derby:x")
     assert(derby.contains("DOUBLE PRECISION") && derby.contains("BLOB"))
   }
+
+  test("column-comment retry formats cover the reference's quoting fallbacks") {
+    // reference parity (manager.go:1337-1414): a mixed-case / reserved-word
+    // column comment that fails as emitted retries quoted-lower,
+    // quoted-upper, and unquoted before giving up
+    val emitted = """COMMENT ON COLUMN "Orders"."Select" IS 'keyword col'"""
+    val fb = DdlConverter.columnCommentFallbacks(emitted)
+    assert(fb == Seq(
+      """COMMENT ON COLUMN "Orders"."select" IS 'keyword col'""",
+      """COMMENT ON COLUMN "Orders"."SELECT" IS 'keyword col'""",
+      """COMMENT ON COLUMN Orders.Select IS 'keyword col'"""), fb)
+    // unquoted emission gains the quoted variants (and drops itself)
+    val unq = DdlConverter.columnCommentFallbacks(
+      "COMMENT ON COLUMN t.MyCol IS 'x'")
+    assert(unq.contains("""COMMENT ON COLUMN "t"."MyCol" IS 'x'""") &&
+      unq.contains("""COMMENT ON COLUMN "t"."mycol" IS 'x'""") &&
+      !unq.contains("COMMENT ON COLUMN t.MyCol IS 'x'"), unq)
+    // literal text keeps its exact form (escaped quotes included)
+    val esc = DdlConverter.columnCommentFallbacks(
+      """COMMENT ON COLUMN "t"."c" IS 'it''s ok'""")
+    assert(esc.forall(_.endsWith("IS 'it''s ok'")), esc)
+    // non-column statements never generate retries
+    assert(DdlConverter.columnCommentFallbacks(
+      "COMMENT ON TABLE t IS 'x'").isEmpty)
+    assert(DdlConverter.columnCommentFallbacks("CREATE TABLE t (a INT)").isEmpty)
+  }
 }

@@ -163,6 +163,25 @@ class MigrateMatrixSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byStage("schema").failures.isEmpty && byStage("data").failures.isEmpty)
   }
 
+  test("case: column-comment retry walks the fallback formats and keeps the original error") {
+    import java.nio.file.Files
+    import java.sql.DriverManager
+    val db = Files.createTempDirectory("mm_comment").resolve("d")
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute("CREATE TABLE t (\"MyCol\" INT)")
+    conn.close()
+    // Derby supports no COMMENT ON at all, so EVERY fallback format fails:
+    // the retry must walk them without throwing and surface the ORIGINAL
+    // error (not the last fallback's)
+    val r = graft.pipeline.Pipeline.execLenient(
+      url, """COMMENT ON COLUMN "t"."MyCol" IS 'mixed case'""")
+    assert(r.isFailure)
+    // non-comment statements still take the sugar-strip path untouched
+    assert(graft.pipeline.Pipeline.execLenient(
+      url, "CREATE TABLE t2 (a INT)").isSuccess)
+  }
+
   test("case: source-scan failure honors the stop-on-error policy") {
     import java.sql.DriverManager
     import graft.transfer.Transfer.Jdbc
