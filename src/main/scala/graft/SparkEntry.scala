@@ -257,6 +257,9 @@ object SparkEntry {
     "q228_audio_decode"   -> MultimodalOps.q228AudioDecode _,
     "q229_semantic_dedup" -> DedupOps.q229SemDedup _,
     "q230_jpeg_gif_decode" -> MultimodalOps.q230JpegGifDecode _,
+    "q231_packing_efficiency" -> PipelineOps.q231PackingEfficiency _,
+    "q232_winnowing"      -> DedupOps.q232Winnowing _,
+    "q233_threshold_sensitivity" -> DedupOps.q233ThresholdSensitivity _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4115,6 +4118,92 @@ object SparkEntry {
         |WHERE g1.i < ((d.doc_id % 13) + 13) % 13 + 1
         |  AND g2.j < ((d.doc_id % 7) + 7) % 7 + 5
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // q231: the packing decision table — PAD vs CONCAT waste per candidate
+    // context length; per-doc ceil-division folds + arithmetic on the
+    // |capacities|-row frame, integer-exact in both engines.
+    "q231_packing_efficiency" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |e AS (SELECT n_tok, CAST(c.c AS BIGINT) AS capacity
+        |      FROM t CROSS JOIN (SELECT unnest([128, 512, 2048]) AS c) c),
+        |g AS (SELECT capacity, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |        CAST(sum((n_tok + capacity - 1) // capacity) AS BIGINT) AS pad_windows
+        |      FROM e GROUP BY capacity)
+        |SELECT capacity, n_docs, total_tokens, pad_windows,
+        |  pad_windows * capacity - total_tokens AS pad_waste,
+        |  (pad_windows * capacity - total_tokens) * 1000000
+        |    // (pad_windows * capacity) AS pad_waste_ppm,
+        |  (total_tokens + capacity - 1) // capacity AS concat_windows,
+        |  ((total_tokens + capacity - 1) // capacity) * capacity - total_tokens
+        |    AS concat_waste,
+        |  (((total_tokens + capacity - 1) // capacity) * capacity - total_tokens)
+        |    * 1000000 // (((total_tokens + capacity - 1) // capacity) * capacity)
+        |    AS concat_waste_ppm
+        |FROM g ORDER BY capacity""".stripMargin,
+
+    // q232: winnowing (MOSS) fingerprint selection — per-word polynomial
+    // hashes (ASCII-only, q213's note), 4-gram fold, sliding window-of-4
+    // minimum, distinct; all per-document list arithmetic both engines
+    // replay exactly (list_reduce first-element seeding = 0-seeded fold).
+    "q232_winnowing" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 7),
+        |h AS (SELECT doc_id, list_transform(ws,
+        |        w -> list_reduce(list_transform(string_split(w, ''),
+        |            c -> CAST(ascii(c) AS BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 1000000007)) AS hs FROM d),
+        |gr AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 3),
+        |        i -> list_reduce(list_slice(hs, i, i + 3),
+        |          (a, b) -> (a * 31 + b) % 1000000007)) AS g FROM h),
+        |sel AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+        |        list_distinct(list_transform(generate_series(1, len(g) - 3),
+        |          i -> list_min(list_slice(g, i, i + 3)))) AS s FROM gr)
+        |SELECT doc_id, n_grams, n_grams - 3 AS n_windows,
+        |  CAST(len(s) AS BIGINT) AS n_selected,
+        |  CAST(len(s) AS BIGINT) * 1000000 // (n_grams - 3) AS density_ppm
+        |FROM sel ORDER BY doc_id""".stripMargin,
+
+    // q233: X3's full MinHash replay (q34's CTE chain verbatim) swept over
+    // every agreement threshold k in [6,12]; the pair table is banded
+    // candidates only, so the sweep never touches all-pairs.
+    "q233_threshold_sensitivity" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
+        |hs AS (SELECT doc_id, list_transform(shingles,
+        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |sig AS (SELECT doc_id, [
+        |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
+        |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
+        |  list_min(list_transform(h, x -> (11 * x + 13) % 1000000007)),
+        |  list_min(list_transform(h, x -> (17 * x + 29) % 1000000007)),
+        |  list_min(list_transform(h, x -> (23 * x + 37) % 1000000007)),
+        |  list_min(list_transform(h, x -> (31 * x + 43) % 1000000007)),
+        |  list_min(list_transform(h, x -> (41 * x + 53) % 1000000007)),
+        |  list_min(list_transform(h, x -> (47 * x + 61) % 1000000007)),
+        |  list_min(list_transform(h, x -> (59 * x + 71) % 1000000007)),
+        |  list_min(list_transform(h, x -> (67 * x + 79) % 1000000007)),
+        |  list_min(list_transform(h, x -> (73 * x + 89) % 1000000007)),
+        |  list_min(list_transform(h, x -> (83 * x + 101) % 1000000007))] AS sig FROM hs),
+        |bands AS (SELECT doc_id, i AS band_idx,
+        |    CAST(sig[3*i + 1] AS VARCHAR) || ':' || CAST(sig[3*i + 2] AS VARCHAR)
+        |      || ':' || CAST(sig[3*i + 3] AS VARCHAR) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b,
+        |    CAST(len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_match
+        |  FROM cands JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |  WHERE len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) >= 6)
+        |SELECT CAST(k.k AS BIGINT) AS threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+        |FROM pairs CROSS JOIN (SELECT unnest(generate_series(6, 12)) AS k) k
+        |WHERE n_match >= k.k
+        |GROUP BY k.k ORDER BY threshold""".stripMargin,
 
     // q178's split rule + q213's MinHash replay, restricted to eval→train
     // band probes (ASCII-only fingerprint invariant, see q213's note).

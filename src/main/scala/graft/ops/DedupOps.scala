@@ -247,9 +247,15 @@ object DedupOps {
     // (doc_id, 12 longs) — ~100 bytes/doc, far below the corpus — and
     // MEMORY_AND_DISK makes eviction a spill, not a recompute storm. A
     // production pipeline owns the lifecycle one level up (persist the
-    // signature table once per dedup run, drop it at the end).
-    val sig = signatures(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature table once per dedup run, drop it at the end). The
+    // storageLevel guard keeps a second same-session invocation (q50/
+    // q190/q213 all re-enter here) from re-persisting the already-cached
+    // plan — the re-persist was a no-op, but its CacheManager warning
+    // masked real double-caching elsewhere.
+    val sigBase = signatures(s, dir)
+    val sig =
+      if (sigBase.storageLevel != org.apache.spark.storage.StorageLevel.NONE) sigBase
+      else sigBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols: Column = array((0 until bandsN).map { j =>
       val parts = (0 until rowsPerBand).map(r => s"sig[${j * rowsPerBand + r}]")
       expr(s"concat_ws(':', ${parts.mkString(", ")})")
@@ -453,12 +459,16 @@ object DedupOps {
     // id-set frame feeds THREE consumers (prefix explode + both verify
     // sides) and each re-derivation replays the GlobalOrder rank + the
     // corpus-wide dictionary join; the frame is (doc_id, sorted ids) —
-    // the dictionary-encoded form, far narrower than the text it replaces
-    val sets = tok.join(ranked, Seq("w"))
+    // the dictionary-encoded form, far narrower than the text it replaces.
+    // storageLevel guard: q34's rule — don't re-persist (and warn) when a
+    // same-session re-invocation finds the plan already cached
+    val setsBase = tok.join(ranked, Seq("w"))
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"wid")).as("wi"))
       .withColumn("n", size($"wi").cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets =
+      if (setsBase.storageLevel != org.apache.spark.storage.StorageLevel.NONE) setsBase
+      else setsBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // p = n - ceil(0.9 n) + 1 rarest tokens (wid ascending = rarest first)
     val pref = sets
       .withColumn("p", expr("n - ((n * 9 + 9) div 10) + 1"))
@@ -875,5 +885,73 @@ object DedupOps {
       val rows = verdict.collect().toSeq
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), verdict.schema)
     } finally q.unpersist(blocking = false)
+  }
+
+  /** X200 — winnowing fingerprint selection (the MOSS local-fingerprint
+    * algorithm): per document, hash every k-gram (k=4 words), then keep
+    * the MINIMUM hash of each sliding window of w=4 consecutive grams.
+    * The published guarantee: any substring match of at least w+k-1 = 7
+    * tokens between two documents shares at least one selected
+    * fingerprint — so the selected set is a provably sufficient index for
+    * substring-level matching at ~1/w the fingerprint volume (density
+    * → 2/(w+1) for random text).
+    *
+    * Scale: winnowing is the textbook LOCAL algorithm — selection for a
+    * document depends on that document alone, so the whole operator is
+    * ONE narrow codegen'd HOF pass (per-word [[Fingerprint]], gram fold,
+    * window-min, distinct) at scan throughput with zero shuffles before
+    * the presentation orderBy; the selected sets it emits are what a
+    * cross-doc matcher (q224's join shape) would shuffle INSTEAD of all
+    * grams — the density_ppm column quantifies that saving.
+    *
+    * HASH-SIGNAL CAVEAT (q224's note): gram hashes fold mod 1e9+7; a
+    * within-doc collision merges two fingerprints identically in both
+    * engines. Selection is per-doc (≤10⁴ grams), where collision odds
+    * are ~10⁻², and a merge only perturbs the density audit — nothing
+    * here feeds cross-doc equality. */
+  def q232Winnowing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    docs(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 7)
+      .select($"doc_id",
+        expr("transform(ws, w -> graft_fingerprint(w))").as("hs"))
+      .select($"doc_id", expr(
+        """transform(sequence(1, size(hs) - 3), i ->
+          |  aggregate(slice(hs, CAST(i AS INT), 4), 0L,
+          |    (a, x) -> (a * 31 + x) % 1000000007))""".stripMargin).as("g"))
+      .select($"doc_id", size($"g").cast("long").as("n_grams"),
+        expr("""array_distinct(transform(sequence(1, size(g) - 3), i ->
+               |  array_min(slice(g, CAST(i AS INT), 4))))""".stripMargin)
+          .as("sel"))
+      .select($"doc_id", $"n_grams",
+        ($"n_grams" - 3L).as("n_windows"),
+        size($"sel").cast("long").as("n_selected"))
+      .withColumn("density_ppm", expr("n_selected * 1000000 div n_windows"))
+      .orderBy($"doc_id")
+  }
+
+  /** X201 — dedup threshold-sensitivity audit: how many candidate pairs
+    * and how many dropped documents X3's MinHash dedup would produce at
+    * EVERY signature-agreement threshold k ∈ [6,12] — the decision curve
+    * for picking the dedup aggressiveness before committing a corpus
+    * rebuild (the marginal docs between k and k+1 are exactly the
+    * borderline near-dups). Drop rule is X38's keep-lowest-id (doc_b of
+    * a qualifying pair is the dropped side).
+    *
+    * Scale: consumes q34's banded candidate pairs (never all-pairs); the
+    * ×7 threshold explode runs on the PAIR table (orders of magnitude
+    * below the corpus), and the distinct-doc count per threshold is a
+    * bounded two-column fold. Re-entering q34 rides its cached signature
+    * frame (the documented exception). */
+  def q233ThresholdSensitivity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q34DedupMinhash(s, dir)
+      .select($"doc_b", explode(expr("sequence(6L, n_match)")).as("threshold"))
+      .groupBy($"threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"doc_b").as("n_docs_dropped"))
+      .orderBy($"threshold")
   }
 }

@@ -1461,4 +1461,42 @@ object PipelineOps {
         sum($"delta_ppm").as("dsir_score"))
       .orderBy($"doc_id")
   }
+
+  /** X199 — context-window packing-efficiency sweep: for each candidate
+    * training context length, the padding waste of the two standard
+    * batching strategies — PAD (each document alone, last window padded;
+    * what instruction-tuning pipelines do) vs CONCAT (X39's
+    * concat-and-chunk stream; what pretraining does) — as integer-exact
+    * window counts and waste ppm. The report is the decision table for
+    * choosing max_seq_len and strategy before a run: pad waste explodes
+    * as capacity outgrows the median document while concat waste is at
+    * most one window's tail.
+    *
+    * Scale: ONE narrow scan projects each document to its token count,
+    * a ×\|capacities\| explode (3 literals) keeps the fold combinable,
+    * and the grouped frame is \|capacities\|-sized; the CONCAT figures
+    * derive arithmetically from the same fold's totals — no second scan,
+    * no shuffle beyond the one capacity-keyed fold. int64: Σ⌈len/C⌉·C
+    * ≤ Σlen + n·C — safe past 10¹⁵ tokens. */
+  def q231PackingEfficiency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val caps = Seq(128L, 512L, 2048L)
+    val perDoc = docs(s, dir)
+      .select(size(split($"text", " ")).cast("long").as("n_tok"))
+      .select($"n_tok", explode(lit(caps.toArray)).as("capacity"))
+    perDoc.groupBy($"capacity")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("total_tokens"),
+        sum(expr("(n_tok + capacity - 1) div capacity")).as("pad_windows"))
+      .withColumn("pad_waste", $"pad_windows" * $"capacity" - $"total_tokens")
+      .withColumn("pad_waste_ppm",
+        expr("pad_waste * 1000000 div (pad_windows * capacity)"))
+      .withColumn("concat_windows",
+        expr("(total_tokens + capacity - 1) div capacity"))
+      .withColumn("concat_waste",
+        $"concat_windows" * $"capacity" - $"total_tokens")
+      .withColumn("concat_waste_ppm",
+        expr("concat_waste * 1000000 div (concat_windows * capacity)"))
+      .orderBy($"capacity")
+  }
 }

@@ -248,6 +248,89 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ImageCodec.isJpeg("plain".getBytes) && !ImageCodec.isGif("plain".getBytes))
   }
 
+  test("q231 packing sweep matches a driver ceil-division replay") {
+    import spark.implicits._
+    val lens = graft.sources.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")).cast("long"))
+      .as[Long].collect()
+    val rows = graft.ops.PipelineOps.q231PackingEfficiency(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("capacity")).toSeq == Seq(128L, 512L, 2048L))
+    rows.foreach { r =>
+      val c = r.getAs[Long]("capacity")
+      val padW = lens.map(n => (n + c - 1) / c).sum
+      val total = lens.sum
+      assert(r.getAs[Long]("n_docs") == lens.length.toLong)
+      assert(r.getAs[Long]("total_tokens") == total)
+      assert(r.getAs[Long]("pad_windows") == padW)
+      assert(r.getAs[Long]("pad_waste") == padW * c - total)
+      assert(r.getAs[Long]("pad_waste_ppm") == (padW * c - total) * 1000000L / (padW * c))
+      val catW = (total + c - 1) / c
+      assert(r.getAs[Long]("concat_windows") == catW)
+      assert(r.getAs[Long]("concat_waste") == catW * c - total)
+      // concat waste is at most one window's tail; pad waste never beats it
+      assert(r.getAs[Long]("concat_waste") < c)
+      assert(r.getAs[Long]("pad_waste") >= r.getAs[Long]("concat_waste"))
+    }
+  }
+
+  test("q232 winnowing matches a driver replay and keeps the coverage guarantee") {
+    import spark.implicits._
+    def grams(ws: Array[String]): Array[Long] = {
+      val hs = ws.map(refHash)
+      (0 to hs.length - 4).map(i =>
+        hs.slice(i, i + 4).foldLeft(0L)((a, h) => (a * 31 + h) % 1000000007L)).toArray
+    }
+    def select(g: Array[Long]): Set[Long] =
+      (0 to g.length - 4).map(i => g.slice(i, i + 4).min).toSet
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1) }
+      .filter(_._2.length >= 7).toMap
+    val got = graft.ops.DedupOps.q232Winnowing(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_windows"),
+          r.getAs[Long]("n_selected"), r.getAs[Long]("density_ppm"))).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, ws) =>
+      val g = grams(ws)
+      val sel = select(g)
+      val (ng, nw, nsel, dens) = got(id)
+      assert(ng == g.length.toLong && nw == g.length.toLong - 3)
+      assert(nsel == sel.size.toLong, s"doc $id")
+      assert(dens == sel.size.toLong * 1000000L / (g.length - 3))
+    }
+    // the published winnowing guarantee on a planted shared run: two word
+    // streams sharing a w+k-1 = 7-token substring share a fingerprint
+    val shared = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    val a = Array("one", "two", "three") ++ shared ++ Array("four")
+    val b = Array("five", "six") ++ shared ++ Array("seven", "eight", "nine")
+    assert(select(grams(a)).intersect(select(grams(b))).nonEmpty)
+  }
+
+  test("q233 threshold sweep reconciles with q34's pair table") {
+    import spark.implicits._
+    val pairs = DedupOps.q34DedupMinhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_b"), r.getAs[Long]("n_match")))
+    val rows = DedupOps.q233ThresholdSensitivity(spark, sf).collect()
+      .map(r => r.getAs[Long]("threshold") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_dropped"))).toMap
+    (6L to 12L).foreach { k =>
+      val qual = pairs.filter(_._2 >= k)
+      if (qual.nonEmpty) {
+        assert(rows(k)._1 == qual.length.toLong, s"k=$k")
+        assert(rows(k)._2 == qual.map(_._1).distinct.length.toLong, s"k=$k")
+      } else assert(!rows.contains(k))
+    }
+    // aggressiveness is monotone: raising the threshold never drops more
+    val ks = rows.keys.toSeq.sorted
+    ks.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(rows(a)._1 >= rows(b)._1 && rows(a)._2 >= rows(b)._2)
+      case _ =>
+    }
+  }
+
   test("minhash tolerates documents with fewer than 3 words (ADVICE r1)") {
     import spark.implicits._
     // Under ANSI mode the unguarded shingle range indexed ws[-1] and threw

@@ -276,6 +276,13 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // mapPartitions pass; only the orderBy is wide
     "q230_jpeg_gif_decode" -> 1, // q222's shape for the jpeg/gif codecs:
                              // one mapPartitions pass + presentation orderBy
+    "q231_packing_efficiency" -> 2, // one combinable capacity-keyed fold
+                             // over the ×3 explode + orderBy on 3 rows
+    "q232_winnowing" -> 1,   // textbook LOCAL algorithm: per-doc HOF chain
+                             // at scan throughput; only the orderBy is wide
+    "q233_threshold_sensitivity" -> 8, // q34's banded pipeline (its cached
+                             // signature frame) + the ×7 threshold explode
+                             // folding to a 7-row frame
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
