@@ -59,7 +59,13 @@ object Bench {
       val (t1, ok1) = once()
       if (ok1) {
         val (t2, ok2) = once()
-        (name, math.min(t1, t2), ok2)
+        val best2 = math.min(t1, t2)
+        // sub-3s queries carry the worst RELATIVE jitter and a third
+        // timing is cheap in absolute terms — heavy queries stay at two
+        if (ok2 && best2 < 3.0) {
+          val (t3, ok3) = once()
+          (name, math.min(best2, t3), ok3)
+        } else (name, best2, ok2)
       } else (name, t1, ok1)
     }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
