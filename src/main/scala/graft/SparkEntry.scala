@@ -260,6 +260,9 @@ object SparkEntry {
     "q231_packing_efficiency" -> PipelineOps.q231PackingEfficiency _,
     "q232_winnowing"      -> DedupOps.q232Winnowing _,
     "q233_threshold_sensitivity" -> DedupOps.q233ThresholdSensitivity _,
+    "q234_perplexity_buckets" -> CorpusOps.q234PerplexityBuckets _,
+    "q235_cdc_chunking"   -> DedupOps.q235CdcChunking _,
+    "q236_winnow_recall"  -> DedupOps.q236WinnowRecall _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4204,6 +4207,116 @@ object SparkEntry {
         |FROM pairs CROSS JOIN (SELECT unnest(generate_series(6, 12)) AS k) k
         |WHERE n_match >= k.k
         |GROUP BY k.k ORDER BY threshold""".stripMargin,
+
+    // q234: CCNet-style perplexity bucketing — q107's score chain ranked
+    // by (score, doc_id) into deciles via row_number arithmetic; the
+    // Spark leg's GlobalOrder rank matches because the order key is total.
+    "q234_perplexity_buckets" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+        |g AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM x),
+        |c2 AS (SELECT w1, w2, count(*) AS n12 FROM g GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+        |d AS (SELECT c2.w1, c2.w2, n12 * 1000000 // n1 AS ppm
+        |      FROM c2 JOIN c1 USING (w1)),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(ppm) AS BIGINT) // count(*) AS score
+        |       FROM g JOIN d USING (w1, w2) GROUP BY doc_id),
+        |j AS (SELECT sc.doc_id, sc.n_pairs, sc.score, documents.source
+        |      FROM sc JOIN documents USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score, doc_id) AS rk,
+        |        count(*) OVER () AS n_total FROM j)
+        |SELECT (rk - 1) * 10 // n_total AS decile, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+        |  CAST(min(score) AS BIGINT) AS min_score_ppm,
+        |  CAST(max(score) AS BIGINT) AS max_score_ppm
+        |FROM r GROUP BY 1, 2 ORDER BY decile, source""".stripMargin,
+
+    // q235: content-defined chunking — cuts where the rolling 4-gram hash
+    // is ≡ 0 mod 16, chunk fingerprints in q224's packed two-fold space.
+    // Both folds seed an EXPLICIT 0 ([0] || slice): a single-token chunk
+    // must reduce mod 999999937 exactly like Spark's 0-seeded aggregate
+    // (list_reduce's first-element seeding skips the mod for 1-element
+    // lists, and 70 of 1e9+7 word-hash values exceed that modulus).
+    "q235_cdc_chunking" ->
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 4),
+        |h AS (SELECT doc_id, list_transform(ws,
+        |        w -> list_reduce(list_transform(string_split(w, ''),
+        |            c -> CAST(ascii(c) AS BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 1000000007)) AS hs FROM d0),
+        |c AS (SELECT doc_id, hs, list_sort(list_distinct(list_concat(
+        |        list_filter(list_transform(generate_series(1, len(hs) - 3),
+        |          i -> CASE WHEN list_reduce(list_slice(hs, i, i + 3),
+        |                 (a, b) -> (a * 31 + b) % 1000000007) % 16 = 0
+        |               THEN i + 3 ELSE -1 END), x -> x > 0),
+        |        [len(hs)]))) AS cuts FROM h),
+        |f AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_tokens,
+        |        list_transform(generate_series(1, len(cuts)), j ->
+        |          list_reduce(list_concat([CAST(0 AS BIGINT)], list_slice(hs,
+        |              CASE WHEN j = 1 THEN 1 ELSE cuts[j - 1] + 1 END, cuts[j])),
+        |            (a, b) -> (a * 31 + b) % 1000000007) * 2147483648
+        |          + list_reduce(list_concat([CAST(0 AS BIGINT)], list_slice(hs,
+        |              CASE WHEN j = 1 THEN 1 ELSE cuts[j - 1] + 1 END, cuts[j])),
+        |            (a, b) -> (a * 37 + b) % 999999937)) AS cfps
+        |      FROM c),
+        |pc AS (SELECT doc_id, n_tokens, CAST(len(cfps) AS BIGINT) AS n_chunks,
+        |         unnest(cfps) AS fp FROM f),
+        |rep AS (SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM pc)
+        |        GROUP BY fp HAVING count(*) >= 2)
+        |SELECT doc_id, max(n_tokens) AS n_tokens, max(n_chunks) AS n_chunks,
+        |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM rep) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS shared_chunks,
+        |  max(n_tokens) * 1000 // max(n_chunks) AS mean_chunk_milli,
+        |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM rep) THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // max(n_chunks) AS shared_ppm
+        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q236: winnowing recall certificate on q213's deterministic sample —
+    // truth = pairs with >= 4 consecutive shared grams (the staircase
+    // trick), index = pairs sharing a winnowed fingerprint; the theorem
+    // forces n_missed = 0, and the oracle re-derives the same certificate.
+    // truth/idx/g/gp are MATERIALIZED: each is referenced several times
+    // and default inlining re-expands the whole upstream chain per use.
+    "q236_winnow_recall" ->
+      """WITH k AS (SELECT greatest(1, count(*) // 500) AS k FROM documents),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents, k
+        |      WHERE len(string_split(text, ' ')) >= 7 AND doc_id % k.k = 0),
+        |h AS (SELECT doc_id, list_transform(ws,
+        |        w -> list_reduce(list_transform(string_split(w, ''),
+        |            c -> CAST(ascii(c) AS BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 1000000007)) AS hs FROM d),
+        |g AS MATERIALIZED (SELECT doc_id,
+        |        list_transform(generate_series(1, len(hs) - 3),
+        |          i -> list_reduce(list_slice(hs, i, i + 3),
+        |            (a, b) -> (a * 31 + b) % 1000000007)) AS g FROM h),
+        |xp AS (SELECT doc_id, g, unnest(generate_series(1, len(g))) AS pos FROM g),
+        |gp AS MATERIALIZED (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |        g[pos] AS fp FROM xp),
+        |sh AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        |       FROM gp a JOIN gp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |st AS (SELECT da, db, pa - pb AS off,
+        |         pa - row_number() OVER (PARTITION BY da, db, pa - pb
+        |           ORDER BY pa) AS stair
+        |       FROM sh),
+        |truth AS MATERIALIZED (SELECT DISTINCT da, db FROM
+        |        (SELECT da, db FROM st GROUP BY da, db, off, stair
+        |         HAVING count(*) >= 4)),
+        |sel AS (SELECT doc_id, unnest(list_distinct(
+        |          list_transform(generate_series(1, len(g) - 3),
+        |            i -> list_min(list_slice(g, i, i + 3))))) AS sfp FROM g),
+        |idx AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |        FROM sel a JOIN sel b ON a.sfp = b.sfp AND a.doc_id < b.doc_id)
+        |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth_pairs,
+        |  CAST((SELECT count(*) FROM idx) AS BIGINT) AS n_index_pairs,
+        |  CAST((SELECT count(*) FROM truth t WHERE NOT EXISTS
+        |    (SELECT 1 FROM idx i WHERE i.da = t.da AND i.db = t.db))
+        |    AS BIGINT) AS n_missed,
+        |  CAST((SELECT count(*) FROM idx i WHERE NOT EXISTS
+        |    (SELECT 1 FROM truth t WHERE t.da = i.da AND t.db = i.db))
+        |    AS BIGINT) AS n_extra""".stripMargin,
 
     // q178's split rule + q213's MinHash replay, restricted to eval→train
     // band probes (ASCII-only fingerprint invariant, see q213's note).

@@ -1031,6 +1031,39 @@ object CorpusOps {
        |FROM app GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** X202 — perplexity-bucketed corpus composition (the CCNet recipe,
+    * deciles instead of head/middle/tail thirds): score every document
+    * with X70's integer bigram-LM predictability surrogate, rank the
+    * corpus by (score, doc_id) — a TOTAL order, so buckets are
+    * deterministic — and report per (decile, source) document counts,
+    * pair mass, and score bounds. This is the table a curation run reads
+    * to decide which perplexity band to keep and how each source is
+    * distributed across bands (a source concentrated in the
+    * least-predictable decile is the classic junk signal).
+    *
+    * Scale: X70's shapes end in a doc-sized scored frame; the global
+    * rank is [[graft.operators.GlobalOrder]]'s two-phase range shuffle
+    * (never a single-task window); the total-count divisor arrives by
+    * broadcasting a 1-row aggregate (no driver action, no collect); the
+    * report frame is ≤ 10×\|sources\|. */
+  def q234PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = q107BigramLm(s, dir)
+      .select($"doc_id", $"n_pairs", $"avg_predict_ppm".as("score"))
+      .join(docs(s, dir).select($"doc_id", $"source"), Seq("doc_id"))
+    val ranked = graft.operators.GlobalOrder.withRowNumber(
+      scored, Seq($"score", $"doc_id"), "rk")
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("decile", expr("(rk - 1) * 10 div n_total"))
+      .groupBy($"decile", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_pairs").as("n_pairs"),
+        min($"score").as("min_score_ppm"),
+        max($"score").as("max_score_ppm"))
+      .orderBy($"decile", $"source")
+  }
+
   /** The shared WITH-clause prefix both generated oracles build on: the
     * type dictionary, the bracketed v0 rendering, and one (pair-count,
     * arg-max, replace-apply) CTE triple per merge round. Every round CTE

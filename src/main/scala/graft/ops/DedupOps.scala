@@ -932,6 +932,151 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** X203 — content-defined chunking (CDC): cut every document at
+    * positions where the rolling 4-word gram hash lands in a fixed
+    * residue class (g ≡ 0 mod 16 → expected ~16-gram chunks), then audit
+    * cross-document chunk reuse. Content-defined cuts are the property
+    * fixed-size chunking lacks: an insertion shifts ALL fixed-window
+    * boundaries after it, but CDC boundaries downstream of the edit
+    * re-align — so shared runs keep producing IDENTICAL chunks, which is
+    * why storage dedup and incremental-corpus pipelines chunk this way.
+    * Chunk fingerprints use q224's packed two-fold (~2^60) key: they
+    * feed CROSS-doc equality, where a collision would fabricate sharing.
+    *
+    * Scale: boundary selection and chunk fingerprinting are per-document
+    * HOF chains (scan throughput, zero pre-shuffle); the only shuffles
+    * are the (fp → distinct-doc) repeated-chunk fold (distributed,
+    * corpus-sized — q77's honest-set rule) and the per-doc hit join on
+    * the uniform fp key. The report is per-document. */
+  def q235CdcChunking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val chunked = docs(s, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 4)
+      .select($"doc_id",
+        expr("transform(ws, w -> graft_fingerprint(w))").as("hs"))
+      // cut AFTER token i+3 when the 4-gram at i hits the residue class;
+      // the document end is always a cut, so chunks tile the token array
+      .select($"doc_id", $"hs", expr(
+        """concat(
+          |  filter(transform(sequence(1, size(hs) - 3), i ->
+          |    CASE WHEN aggregate(slice(hs, CAST(i AS INT), 4), 0L,
+          |      (a, x) -> (a * 31 + x) % 1000000007) % 16 = 0
+          |    THEN i + 3 ELSE -1 END), c -> c > 0),
+          |  array(size(hs)))""".stripMargin).as("cuts0"))
+      // a residue hit on the final gram duplicates the end cut — dedupe,
+      // then sort EXPLICITLY: distinct-order guarantees differ between
+      // engines and the span logic needs ascending cuts
+      .select($"doc_id", $"hs",
+        expr("array_sort(array_distinct(cuts0))").as("cuts"))
+      .select($"doc_id", size($"hs").cast("long").as("n_tokens"),
+        expr(
+          """transform(sequence(1, size(cuts)), j ->
+            |  aggregate(slice(hs,
+            |      CAST(CASE WHEN j = 1 THEN 1
+            |        ELSE element_at(cuts, CAST(j AS INT) - 1) + 1 END AS INT),
+            |      CAST(element_at(cuts, CAST(j AS INT)) -
+            |        CASE WHEN j = 1 THEN 0
+            |        ELSE element_at(cuts, CAST(j AS INT) - 1) END AS INT)),
+            |    0L, (a, x) -> (a * 31 + x) % 1000000007) * 2147483648L +
+            |  aggregate(slice(hs,
+            |      CAST(CASE WHEN j = 1 THEN 1
+            |        ELSE element_at(cuts, CAST(j AS INT) - 1) + 1 END AS INT),
+            |      CAST(element_at(cuts, CAST(j AS INT)) -
+            |        CASE WHEN j = 1 THEN 0
+            |        ELSE element_at(cuts, CAST(j AS INT) - 1) END AS INT)),
+            |    0L, (a, x) -> (a * 37 + x) % 999999937))""".stripMargin)
+          .as("cfps"))
+    val perChunk = chunked
+      .select($"doc_id", $"n_tokens", size($"cfps").cast("long").as("n_chunks"),
+        explode($"cfps").as("fp"))
+    val rep = perChunk.select($"fp", $"doc_id").distinct()
+      .groupBy($"fp").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2L).select($"fp", lit(1L).as("is_rep"))
+    // one fold: every ≥4-word doc has ≥1 chunk, so the per-chunk frame
+    // already carries every output row — no rejoin against a second scan
+    perChunk.join(rep, Seq("fp"), "left")
+      .groupBy($"doc_id")
+      .agg(max($"n_tokens").as("n_tokens"), max($"n_chunks").as("n_chunks"),
+        sum(coalesce($"is_rep", lit(0L))).as("shared_chunks"))
+      .withColumn("mean_chunk_milli", expr("n_tokens * 1000 div n_chunks"))
+      .withColumn("shared_ppm", expr("shared_chunks * 1000000 div n_chunks"))
+      .orderBy($"doc_id")
+  }
+
+  /** X204 — winnowing-index recall audit: X200's selected fingerprints
+    * are only worth shipping if the index they build actually finds the
+    * matches a full-gram index would. Truth leg: document pairs sharing
+    * at least one CROSS-doc repeated 4-gram RUN of length ≥ 4 grams
+    * (= 7 tokens, the published w+k−1 guarantee span, measured as 4
+    * consecutive shared grams); index leg: pairs sharing a winnowed
+    * fingerprint. Winnowing's theorem says truth ⊆ index, so
+    * n_missed MUST be 0 — the audit VERIFIES the guarantee on the live
+    * corpus rather than assuming it — while n_extra counts the
+    * shorter-than-guarantee matches the index also surfaces (not false
+    * positives, just sub-span hits).
+    *
+    * Scale: the truth leg is the exhaustive verifier, and ubiquitous
+    * grams (shared boilerplate) make its bucket joins quadratic in
+    * bucket population — so BOTH legs run on q213's deterministic
+    * audit sample (doc_id ≡ 0 mod ⌈n/500⌉, modulus from a 1-row
+    * broadcast aggregate, growing with the corpus so the sampled frame
+    * is audit-sized at any scale); within the sample, pairs still form
+    * only inside shared hash buckets; run detection is the staircase
+    * trick on the bounded shared-gram frame; the verdict is ONE row.
+    * Production ships only the index leg — that is winnowing's point —
+    * and this audit certifies it on the sample. */
+  def q236WinnowRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val k = docs(s, dir).agg(greatest(lit(1L),
+      expr("count(1) div 500")).as("k"))
+    val base = docs(s, dir).crossJoin(broadcast(k))
+      .select($"doc_id", $"k", split($"text", " ").as("ws"))
+      .where("size(ws) >= 7 AND doc_id % k = 0")
+      .select($"doc_id",
+        expr("transform(ws, w -> graft_fingerprint(w))").as("hs"))
+      .select($"doc_id", expr(
+        """transform(sequence(1, size(hs) - 3), i ->
+          |  aggregate(slice(hs, CAST(i AS INT), 4), 0L,
+          |    (a, x) -> (a * 31 + x) % 1000000007))""".stripMargin).as("g"))
+    val grams = base.select($"doc_id", posexplode($"g").as(Seq("pos0", "fp")))
+      .select($"doc_id", ($"pos0" + 1L).as("pos"), $"fp")
+    // truth: pairs with >= 4 consecutive shared gram positions — both
+    // docs' gram streams join on fp (bucketed by the hash), runs detected
+    // by the staircase trick (pos_a - rank within the pair's ordered
+    // matches is constant across a consecutive run on BOTH sides)
+    val ga = grams.select($"doc_id".as("da"), $"pos".as("pa"), $"fp")
+    val gb = grams.select($"doc_id".as("db"), $"pos".as("pb"), $"fp")
+    val shared = ga.join(gb, Seq("fp")).filter($"da" < $"db")
+    val wRun = Window.partitionBy($"da", $"db", $"pa" - $"pb")
+      .orderBy($"pa")
+    val truth = shared
+      .withColumn("stair", $"pa" - row_number().over(wRun))
+      .groupBy($"da", $"db", ($"pa" - $"pb").as("off"), $"stair")
+      .agg(count(lit(1)).as("run_len"))
+      .filter($"run_len" >= 4L)
+      .select($"da", $"db").distinct()
+    val sel = base.select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(1, size(g) - 3), i ->
+          |  array_min(slice(g, CAST(i AS INT), 4))))""".stripMargin)).as("sfp"))
+    val sa = sel.select($"doc_id".as("da"), $"sfp")
+    val sb = sel.select($"doc_id".as("db"), $"sfp")
+    val index = sa.join(sb, Seq("sfp")).filter($"da" < $"db")
+      .select($"da", $"db").distinct()
+    // ONE full-outer join derives all four counts — separate
+    // anti-join/count subplans would re-derive each leg per consumer
+    // (Spark has no automatic common-subplan reuse), measured 49 planned
+    // exchanges vs 15 for this shape
+    truth.withColumn("in_t", lit(1L))
+      .join(index.withColumn("in_i", lit(1L)), Seq("da", "db"), "full_outer")
+      .agg(sum(coalesce($"in_t", lit(0L))).as("n_truth_pairs"),
+        sum(coalesce($"in_i", lit(0L))).as("n_index_pairs"),
+        sum(when($"in_i".isNull, 1L).otherwise(0L)).as("n_missed"),
+        sum(when($"in_t".isNull, 1L).otherwise(0L)).as("n_extra"))
+  }
+
   /** X201 — dedup threshold-sensitivity audit: how many candidate pairs
     * and how many dropped documents X3's MinHash dedup would produce at
     * EVERY signature-agreement threshold k ∈ [6,12] — the decision curve

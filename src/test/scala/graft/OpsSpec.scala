@@ -331,6 +331,86 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q234 perplexity buckets reconcile with q107 and a driver rank replay") {
+    import spark.implicits._
+    val scored = graft.ops.CorpusOps.q107BigramLm(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("avg_predict_ppm")))
+    val src = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val n = scored.length.toLong
+    val expected = scored.sortBy(t => (t._3, t._1)).zipWithIndex
+      .map { case ((id, np, sc), i) => ((i.toLong * 10) / n, src(id), np, sc) }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((dec, s), rows) =>
+        (dec, s) -> (rows.length.toLong, rows.map(_._3).sum,
+          rows.map(_._4).min, rows.map(_._4).max) }
+    val got = graft.ops.CorpusOps.q234PerplexityBuckets(spark, sf).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("min_score_ppm"), r.getAs[Long]("max_score_ppm"))).toMap
+    assert(got == expected)
+    // every decile holds n/10 +- 1 docs in total (total-order ranking)
+    val perDec = got.groupBy(_._1._1).view.mapValues(_.values.map(_._1).sum)
+    perDec.foreach { case (d, c) =>
+      assert(math.abs(c - n / 10) <= 1L + n % 10, s"decile $d holds $c of $n") }
+  }
+
+  test("q235 CDC chunks tile the token array and re-align across an edit") {
+    import spark.implicits._
+    def perWord(ws: Array[String]): Array[Long] = ws.map(refHash)
+    def gram4(hs: Array[Long], i: Int): Long =
+      hs.slice(i, i + 4).foldLeft(0L)((a, h) => (a * 31 + h) % 1000000007L)
+    def cuts(hs: Array[Long]): Seq[Int] =
+      ((0 to hs.length - 4).collect { case i if gram4(hs, i) % 16 == 0 => i + 4 }
+        :+ hs.length).distinct.sorted
+    def fps(hs: Array[Long]): Seq[Long] = {
+      val cs = cuts(hs)
+      cs.indices.map { j =>
+        val st = if (j == 0) 0 else cs(j - 1)
+        val sl = hs.slice(st, cs(j))
+        sl.foldLeft(0L)((a, h) => (a * 31 + h) % 1000000007L) * 2147483648L +
+          sl.foldLeft(0L)((a, h) => (a * 37 + h) % 999999937L)
+      }
+    }
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1) }
+      .filter(_._2.length >= 4).toMap
+    val got = graft.ops.DedupOps.q235CdcChunking(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chunks"))).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, ws) =>
+      val hs = perWord(ws)
+      assert(got(id) == (hs.length.toLong, cuts(hs).length.toLong), s"doc $id")
+      // chunks tile: spans sum to the token count
+      assert(cuts(hs).last == hs.length)
+    }
+    // the CDC property: after a PREFIX edit, boundaries downstream
+    // re-align, so the tail chunks keep identical fingerprints (a
+    // fixed-size chunker would shift every boundary after the edit)
+    val tail = (1 to 60).map(i => s"w${i % 17}x$i").toArray
+    val a = perWord(Array("edit", "here") ++ tail)
+    val b = perWord(Array("completely", "different", "prefix", "words") ++ tail)
+    val common = fps(a).toSet.intersect(fps(b).toSet)
+    assert(common.nonEmpty, "no re-aligned chunk after a prefix edit")
+  }
+
+  test("q236 winnowing recall certificate: the guarantee holds live") {
+    val r = graft.ops.DedupOps.q236WinnowRecall(spark, sf).collect()(0)
+    val (t, i, m, e) = (r.getAs[Long]("n_truth_pairs"),
+      r.getAs[Long]("n_index_pairs"), r.getAs[Long]("n_missed"),
+      r.getAs[Long]("n_extra"))
+    // the theorem: every >= w+k-1-token shared run surfaces in the index
+    assert(m == 0L, s"winnowing guarantee violated: $m missed of $t")
+    // algebra: index = (truth - missed) + extra
+    assert(i == t - m + e)
+    // non-vacuous on this corpus (q224's planted boilerplate rides the
+    // sampled docs too)
+    assert(t > 0L && i > 0L)
+  }
+
   test("minhash tolerates documents with fewer than 3 words (ADVICE r1)") {
     import spark.implicits._
     // Under ANSI mode the unguarded shingle range indexed ws[-1] and threw

@@ -283,6 +283,17 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q233_threshold_sensitivity" -> 8, // q34's banded pipeline (its cached
                              // signature frame) + the ×7 threshold explode
                              // folding to a 7-row frame
+    "q234_perplexity_buckets" -> 10, // q107's score chain + source join +
+                             // GlobalOrder two-phase rank + broadcast
+                             // 1-row total + (decile, source) fold
+    "q235_cdc_chunking" -> 5, // per-doc HOF chunking is narrow; repeated-
+                             // chunk fold + the fp hit join + doc fold +
+                             // orderBy
+    "q236_winnow_recall" -> 15, // sampled truth leg (gram self-join +
+                             // staircase window + run fold) + index leg
+                             // (selected-fp self-join) + ONE full-outer
+                             // verdict join (49 with per-consumer
+                             // re-derivation — see the code comment)
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
