@@ -951,42 +951,47 @@ object DedupOps {
   def q235CdcChunking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Fingerprint.register(s)
+    // The whole per-doc computation is ONE expression with hs and cuts
+    // LET-BOUND as lambda variables (the single-element-transform idiom):
+    // split projections would collapse, inlining the hs/cuts expressions
+    // into every lambda invocation that references them — HOFs evaluate
+    // interpreted, so each gram fold would re-derive the full per-word
+    // fingerprint array and each chunk fold the full cut scan. Measured
+    // 55s → 0.6s at sf0.1 for this operator.
+    //
+    // Cut rule: cut AFTER token i+3 when the 4-gram at i hits the
+    // residue class; the document end is always a cut, so chunks tile
+    // the token array. Cuts are deduped (a residue hit on the final
+    // gram duplicates the end cut) and sorted EXPLICITLY — engine
+    // distinct-order guarantees differ and the span logic needs
+    // ascending cuts.
     val chunked = docs(s, dir)
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(size($"ws") >= 4)
-      .select($"doc_id",
-        expr("transform(ws, w -> graft_fingerprint(w))").as("hs"))
-      // cut AFTER token i+3 when the 4-gram at i hits the residue class;
-      // the document end is always a cut, so chunks tile the token array
-      .select($"doc_id", $"hs", expr(
-        """concat(
-          |  filter(transform(sequence(1, size(hs) - 3), i ->
-          |    CASE WHEN aggregate(slice(hs, CAST(i AS INT), 4), 0L,
-          |      (a, x) -> (a * 31 + x) % 1000000007) % 16 = 0
-          |    THEN i + 3 ELSE -1 END), c -> c > 0),
-          |  array(size(hs)))""".stripMargin).as("cuts0"))
-      // a residue hit on the final gram duplicates the end cut — dedupe,
-      // then sort EXPLICITLY: distinct-order guarantees differ between
-      // engines and the span logic needs ascending cuts
-      .select($"doc_id", $"hs",
-        expr("array_sort(array_distinct(cuts0))").as("cuts"))
-      .select($"doc_id", size($"hs").cast("long").as("n_tokens"),
+      .select($"doc_id", size($"ws").cast("long").as("n_tokens"),
         expr(
-          """transform(sequence(1, size(cuts)), j ->
-            |  aggregate(slice(hs,
-            |      CAST(CASE WHEN j = 1 THEN 1
-            |        ELSE element_at(cuts, CAST(j AS INT) - 1) + 1 END AS INT),
-            |      CAST(element_at(cuts, CAST(j AS INT)) -
-            |        CASE WHEN j = 1 THEN 0
-            |        ELSE element_at(cuts, CAST(j AS INT) - 1) END AS INT)),
-            |    0L, (a, x) -> (a * 31 + x) % 1000000007) * 2147483648L +
-            |  aggregate(slice(hs,
-            |      CAST(CASE WHEN j = 1 THEN 1
-            |        ELSE element_at(cuts, CAST(j AS INT) - 1) + 1 END AS INT),
-            |      CAST(element_at(cuts, CAST(j AS INT)) -
-            |        CASE WHEN j = 1 THEN 0
-            |        ELSE element_at(cuts, CAST(j AS INT) - 1) END AS INT)),
-            |    0L, (a, x) -> (a * 37 + x) % 999999937))""".stripMargin)
+          """element_at(transform(array(transform(ws, w -> graft_fingerprint(w))), hs ->
+            |  element_at(transform(array(array_sort(array_distinct(concat(
+            |      filter(transform(sequence(1, size(hs) - 3), i ->
+            |        CASE WHEN aggregate(slice(hs, CAST(i AS INT), 4), 0L,
+            |          (a, x) -> (a * 31 + x) % 1000000007) % 16 = 0
+            |        THEN i + 3 ELSE -1 END), c -> c > 0),
+            |      array(size(hs)))))), cuts ->
+            |    transform(sequence(1, size(cuts)), j ->
+            |      aggregate(slice(hs,
+            |          CAST(CASE WHEN j = 1 THEN 1
+            |            ELSE element_at(cuts, CAST(j AS INT) - 1) + 1 END AS INT),
+            |          CAST(element_at(cuts, CAST(j AS INT)) -
+            |            CASE WHEN j = 1 THEN 0
+            |            ELSE element_at(cuts, CAST(j AS INT) - 1) END AS INT)),
+            |        0L, (a, x) -> (a * 31 + x) % 1000000007) * 2147483648L +
+            |      aggregate(slice(hs,
+            |          CAST(CASE WHEN j = 1 THEN 1
+            |            ELSE element_at(cuts, CAST(j AS INT) - 1) + 1 END AS INT),
+            |          CAST(element_at(cuts, CAST(j AS INT)) -
+            |            CASE WHEN j = 1 THEN 0
+            |            ELSE element_at(cuts, CAST(j AS INT) - 1) END AS INT)),
+            |        0L, (a, x) -> (a * 37 + x) % 999999937))), 1)), 1)""".stripMargin)
           .as("cfps"))
     val perChunk = chunked
       .select($"doc_id", $"n_tokens", size($"cfps").cast("long").as("n_chunks"),
@@ -1032,6 +1037,12 @@ object DedupOps {
     Fingerprint.register(s)
     val k = docs(s, dir).agg(greatest(lit(1L),
       expr("count(1) div 500")).as("k"))
+    // cached: FOUR subtrees (both sides of each leg's self-join) consume
+    // the sampled gram frame, and the sample predicate rides a joined
+    // divisor so it cannot push into the scan — uncached, each subtree
+    // replays a full corpus scan to extract the audit-sized sample. The
+    // frame is sample-sized; released below via q213's collect-then-
+    // unpersist idiom (the verdict is ONE row).
     val base = docs(s, dir).crossJoin(broadcast(k))
       .select($"doc_id", $"k", split($"text", " ").as("ws"))
       .where("size(ws) >= 7 AND doc_id % k = 0")
@@ -1041,6 +1052,7 @@ object DedupOps {
         """transform(sequence(1, size(hs) - 3), i ->
           |  aggregate(slice(hs, CAST(i AS INT), 4), 0L,
           |    (a, x) -> (a * 31 + x) % 1000000007))""".stripMargin).as("g"))
+      .cache()
     val grams = base.select($"doc_id", posexplode($"g").as(Seq("pos0", "fp")))
       .select($"doc_id", ($"pos0" + 1L).as("pos"), $"fp")
     // truth: pairs with >= 4 consecutive shared gram positions — both
@@ -1069,12 +1081,15 @@ object DedupOps {
     // anti-join/count subplans would re-derive each leg per consumer
     // (Spark has no automatic common-subplan reuse), measured 49 planned
     // exchanges vs 15 for this shape
-    truth.withColumn("in_t", lit(1L))
+    val verdict = truth.withColumn("in_t", lit(1L))
       .join(index.withColumn("in_i", lit(1L)), Seq("da", "db"), "full_outer")
       .agg(sum(coalesce($"in_t", lit(0L))).as("n_truth_pairs"),
         sum(coalesce($"in_i", lit(0L))).as("n_index_pairs"),
         sum(when($"in_i".isNull, 1L).otherwise(0L)).as("n_missed"),
         sum(when($"in_t".isNull, 1L).otherwise(0L)).as("n_extra"))
+    val rows = verdict.collect().toSeq
+    base.unpersist(blocking = false)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), verdict.schema)
   }
 
   /** X201 — dedup threshold-sensitivity audit: how many candidate pairs

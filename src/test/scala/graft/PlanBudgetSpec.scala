@@ -289,11 +289,12 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q235_cdc_chunking" -> 5, // per-doc HOF chunking is narrow; repeated-
                              // chunk fold + the fp hit join + doc fold +
                              // orderBy
-    "q236_winnow_recall" -> 15, // sampled truth leg (gram self-join +
-                             // staircase window + run fold) + index leg
-                             // (selected-fp self-join) + ONE full-outer
-                             // verdict join (49 with per-consumer
-                             // re-derivation — see the code comment)
+    "q236_winnow_recall" -> 0, // q213's collect-then-unpersist idiom: the
+                             // 1-row verdict materializes eagerly (cached
+                             // sample feeds 4 subtrees; full-outer verdict
+                             // join measured 15 planned exchanges vs 49
+                             // for per-consumer re-derivation) and the
+                             // returned frame is a local parallelize
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
