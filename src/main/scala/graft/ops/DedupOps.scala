@@ -781,22 +781,26 @@ object DedupOps {
     import s.implicits._
     Fingerprint.register(s)
     val bp = "shared boilerplate footer all rights reserved contact us terms of service apply"
+    // hs is LET-BOUND inside the generator expression (q235's rule,
+    // CLAUDE.md scale discipline): a separately projected hs column is
+    // a collapse candidate whose inlining would re-derive the per-word
+    // hash array inside the per-gram lambda (q224's own cost is
+    // join-dominated, so this is a guard, not a measured win here)
     val d = docs(s, dir)
       .select($"doc_id", $"source",
         when($"doc_id" % 9 === 0, concat($"text", lit(" " + bp)))
           .otherwise($"text").as("text"))
       .select($"doc_id", $"source", split($"text", " ").as("ws"))
       .filter(size($"ws") >= 8)
-      .select($"doc_id",
-        expr("transform(ws, w -> graft_fingerprint(w))").as("hs"),
-        size($"ws").cast("long").as("n_tokens"))
-    val g = d.select($"doc_id", $"n_tokens", explode(expr(
-        """transform(sequence(1, size(hs) - 7), i -> struct(
-          |  CAST(i AS BIGINT) AS pos,
-          |  aggregate(slice(hs, CAST(i AS INT), 8), 0L,
-          |    (a, x) -> (a * 31 + x) % 1000000007) * 2147483648L +
-          |  aggregate(slice(hs, CAST(i AS INT), 8), 0L,
-          |    (a, x) -> (a * 37 + x) % 999999937) AS fp))""".stripMargin))
+    val g = d.select($"doc_id", size($"ws").cast("long").as("n_tokens"),
+        explode(expr(
+        """element_at(transform(array(transform(ws, w -> graft_fingerprint(w))), hs ->
+          |  transform(sequence(1, size(hs) - 7), i -> struct(
+          |    CAST(i AS BIGINT) AS pos,
+          |    aggregate(slice(hs, CAST(i AS INT), 8), 0L,
+          |      (a, x) -> (a * 31 + x) % 1000000007) * 2147483648L +
+          |    aggregate(slice(hs, CAST(i AS INT), 8), 0L,
+          |      (a, x) -> (a * 37 + x) % 999999937) AS fp))), 1)""".stripMargin))
         .as("pg"))
       .select($"doc_id", $"n_tokens", $"pg.pos".as("pos"), $"pg.fp".as("fp"))
     // grams seen in >= 2 DISTINCT documents; two-stage distinct keeps the
