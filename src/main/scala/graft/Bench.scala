@@ -61,10 +61,13 @@ object Bench {
         val (t2, ok2) = once()
         val best2 = math.min(t1, t2)
         // sub-3s queries carry the worst RELATIVE jitter and a third
-        // timing is cheap in absolute terms — heavy queries stay at two
+        // timing is cheap in absolute terms — heavy queries stay at two.
+        // A transient run-3 failure must not mark a twice-successful,
+        // twice-timed query as FAILED (nor report the aborted run's
+        // time): fold t3 in only when run 3 succeeded.
         if (ok2 && best2 < 3.0) {
           val (t3, ok3) = once()
-          (name, math.min(best2, t3), ok3)
+          (name, if (ok3) math.min(best2, t3) else best2, ok2)
         } else (name, best2, ok2)
       } else (name, t1, ok1)
     }

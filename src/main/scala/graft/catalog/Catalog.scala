@@ -355,7 +355,11 @@ object Catalog {
         // a MIXED-case stored identifier (stored 'MyTable', caller passes
         // 'MYTABLE') matches none of the three case-sensitive probes —
         // fall back to the pre-probe full-list equalsIgnoreCase scan so
-        // the fast path never loses a table the slow path found
+        // the fast path never loses a table the slow path found.
+        // COST: the fallback pays O(|catalog|) metadata rows on every
+        // negative probe (the common case in a fresh migration's schema
+        // stage) — exactly the pre-probe behavior, so worst case equals
+        // the old cost while positive probes stay O(1)
         val rs = md.getTables(null, null, "%", Array("TABLE"))
         try {
           var found = false

@@ -268,10 +268,22 @@ object FunctionDdl {
       var mb = maskedBody
         .replaceAll("(?i)\\bLEAVE\\s+\\w+\\s*;", "EXIT;")
         .replaceAll("(?i)\\bITERATE\\s+\\w+\\s*;", "CONTINUE;")
-        .replaceAll("(?is)\\bUNTIL\\s+(.+?)\\s*END\\s+REPEAT\\s*;",
+        // the optional trailing label (END REPEAT lbl;) must die here —
+        // the rewritten END LOOP carries no matching <<label>>
+        .replaceAll("(?is)\\bUNTIL\\s+(.+?)\\s*END\\s+REPEAT\\s*\\w*\\s*;",
           "EXIT WHEN $1; END LOOP;")
-        .replaceAll("(?i)\\bREPEAT\\b", "LOOP")
-      val userVars = "@(\\w+)".r.findAllMatchIn(mb).map(_.group(1))
+        // loop-opener REPEAT only: the string builtin REPEAT(str, n) is
+        // valid PostgreSQL and must survive — it is always followed by (
+        .replaceAll("(?i)\\bREPEAT\\b(?!\\s*\\()", "LOOP")
+        // MySQL loop labels (`lbl: LOOP`) are not PL/pgSQL (`<<lbl>>`);
+        // translate the prefix form and its matching END LOOP lbl; —
+        // LEAVE/ITERATE already dropped their label references above
+        .replaceAll("(?i)\\b(\\w+)\\s*:\\s*(?=(?:LOOP|WHILE)\\b)", "<<$1>> ")
+        .replaceAll("(?i)\\bEND\\s+LOOP\\s+(\\w+)\\s*;", "END LOOP $1;")
+      // @@system_vars are not user variables — the rename would leave a
+      // dangling `@v_name`; they pass through for the target to reject
+      // or a later mapping to handle explicitly
+      val userVars = "(?<!@)@(?!@)(\\w+)".r.findAllMatchIn(mb).map(_.group(1))
         .toSeq.distinct
       val userDecls = userVars.flatMap { v =>
         val pgVar = s"v_$v"
@@ -282,9 +294,12 @@ object FunctionDdl {
         if (decls.exists(_.startsWith(pgVar + " "))) None
         else Some(s"$pgVar $tpe;")
       }
-      mb = mb.replaceAll("@(\\w+)", "v_$1")
-        .replaceAll("(?i)\\b(\\w+)\\s*:=\\s*ROW_COUNT\\(\\)\\s*;?",
-          "GET DIAGNOSTICS $1 = ROW_COUNT;")
+      mb = mb.replaceAll("(?<!@)@(?!@)(\\w+)", "v_$1")
+        // whole-statement assignments only: `v := ROW_COUNT() + 1` is an
+        // expression use and must stay arithmetic — GET DIAGNOSTICS with
+        // a dangling `+ 1` tail would not parse
+        .replaceAll("(?i)\\b(\\w+)\\s*:=\\s*ROW_COUNT\\(\\)\\s*(?=;|\\z)",
+          "GET DIAGNOSTICS $1 = ROW_COUNT")
       body = SqlRewriter.unmask(mb, bodyLits)
 
       // expression-level MySQL builtins → PG through the shared rewriter

@@ -612,10 +612,10 @@ object Relational {
     * region-pruned order keys drops ~80% of lineitem in a NARROW map
     * BEFORE its exchange. False positives die in the exact join, so the
     * result is bit-identical; the sketch is sized from a metadata-only
-    * orders count (no extra join action) — at extreme key counts the
-    * sketch would be capped in bits and the fpp allowed to drift up,
-    * which only weakens (never breaks) the prefilter. The report frame
-    * is \|years\|-sized. */
+    * orders count (no extra join action) and CAPPED at 4M expected keys
+    * (~5 MB) so the broadcast stays bounded at any corpus scale — past
+    * the cap the fpp drifts up, which only weakens (never breaks) the
+    * prefilter. The report frame is \|years\|-sized. */
   def q170MarketShare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val targetNation = "NATION_3"
@@ -638,8 +638,12 @@ object Relational {
       .select($"o_orderkey", $"o_orderdate")
     // X100's runtime filter: expectedNumItems is a metadata-count upper
     // bound (~1/|regions| of orders, 4x headroom -> /4), so building the
-    // sketch is the only extra pass over the oRegion join
-    val nKeys = math.max(o.count() / 4L, 1000L)
+    // sketch is the only extra pass over the oRegion join. The 4M-key cap
+    // (~5 MB at fpp 0.01) keeps the broadcast BOUNDED at any corpus
+    // scale: past the cap the effective fpp drifts up, which only
+    // weakens (never breaks) the prefilter — the exact join still
+    // removes every false positive
+    val nKeys = math.min(math.max(o.count() / 4L, 1000L), 4L << 20)
     val bf = s.sparkContext.broadcast(
       oRegion.stat.bloomFilter("o_orderkey", nKeys, 0.01))
     val mightContain = udf((k: Long) => bf.value.mightContainLong(k))

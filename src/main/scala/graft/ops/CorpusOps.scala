@@ -1043,19 +1043,20 @@ object CorpusOps {
     *
     * Scale: X70's shapes end in a doc-sized scored frame; the global
     * rank is [[graft.operators.GlobalOrder]]'s two-phase range shuffle
-    * (never a single-task window); the total-count divisor arrives by
-    * broadcasting a 1-row aggregate (no driver action, no collect); the
-    * report frame is ≤ 10×\|sources\|. */
+    * (never a single-task window); the total-count divisor comes back
+    * FREE from withRowNumberAndTotal's per-partition count job — a
+    * separate `scored.agg(count)` would re-derive the whole q107 chain
+    * (corpus scan, two corpus-wide aggregations, dict join) a second
+    * time; the report frame is ≤ 10×\|sources\|. */
   def q234PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scored = q107BigramLm(s, dir)
       .select($"doc_id", $"n_pairs", $"avg_predict_ppm".as("score"))
       .join(docs(s, dir).select($"doc_id", $"source"), Seq("doc_id"))
-    val ranked = graft.operators.GlobalOrder.withRowNumber(
+    val (ranked, nTotal) = graft.operators.GlobalOrder.withRowNumberAndTotal(
       scored, Seq($"score", $"doc_id"), "rk")
-    val total = scored.agg(count(lit(1)).as("n_total"))
-    ranked.crossJoin(broadcast(total))
-      .withColumn("decile", expr("(rk - 1) * 10 div n_total"))
+    ranked
+      .withColumn("decile", expr(s"(rk - 1) * 10 div ${nTotal}L"))
       .groupBy($"decile", $"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_pairs").as("n_pairs"),

@@ -283,9 +283,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q233_threshold_sensitivity" -> 8, // q34's banded pipeline (its cached
                              // signature frame) + the ×7 threshold explode
                              // folding to a 7-row frame
-    "q234_perplexity_buckets" -> 10, // q107's score chain + source join +
-                             // GlobalOrder two-phase rank + broadcast
-                             // 1-row total + (decile, source) fold
+    "q234_perplexity_buckets" -> 2, // the lazy tail after GlobalOrder's
+                             // eager two-phase rank (q107's chain runs
+                             // inside it, total comes back free): the
+                             // (decile, source) fold + orderBy
     "q235_cdc_chunking" -> 5, // per-doc HOF chunking is narrow; repeated-
                              // chunk fold + the fp hit join + doc fold +
                              // orderBy

@@ -286,6 +286,56 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rc.ddl.contains("ROW_COUNT()"), rc.ddl)
   }
 
+  test("FunctionDdl procedural edges: REPEAT builtin, labels, @@vars, ROW_COUNT subexpr") {
+    import graft.ddl.FunctionDdl
+    // the string builtin REPEAT(str, n) is valid PostgreSQL and must not
+    // become LOOP(str, n); only the loop-opener keyword rewrites
+    val rb = FunctionDdl.convert(
+      """CREATE FUNCTION pad(n INT) RETURNS VARCHAR(64)
+        |BEGIN
+        |  RETURN REPEAT('-', n);
+        |END""".stripMargin).get
+    assert(rb.ddl.contains("REPEAT('-', n)"), rb.ddl)
+    assert(!rb.ddl.contains("LOOP('-'"), rb.ddl)
+    // MySQL loop labels become PL/pgSQL <<label>> declarations, and the
+    // matching END LOOP label survives (now valid against <<label>>)
+    val lb = FunctionDdl.convert(
+      """CREATE FUNCTION lbl(n INT) RETURNS INT
+        |BEGIN
+        |  DECLARE i INT DEFAULT 0;
+        |  outer_l: LOOP
+        |    SET i = i + 1;
+        |    IF i >= n THEN LEAVE outer_l; END IF;
+        |  END LOOP outer_l;
+        |  RETURN i;
+        |END""".stripMargin).get
+    assert(lb.ddl.contains("<<outer_l>> LOOP"), lb.ddl)
+    assert(lb.ddl.contains("END LOOP outer_l;"), lb.ddl)
+    assert(!lb.ddl.contains("outer_l: LOOP"), lb.ddl)
+    // @@system_vars are not user variables: no v_ rename, no bogus decl
+    val sv = FunctionDdl.convert(
+      """CREATE FUNCTION mode_of() RETURNS VARCHAR(64)
+        |BEGIN
+        |  SET @my_count = 1;
+        |  RETURN @@sql_mode;
+        |END""".stripMargin).get
+    assert(sv.ddl.contains("@@sql_mode"), sv.ddl)
+    assert(!sv.ddl.contains("v_sql_mode") && !sv.ddl.contains("@v_"), sv.ddl)
+    assert(sv.ddl.contains("v_my_count numeric;"), sv.ddl)
+    // ROW_COUNT() as a subexpression stays arithmetic — GET DIAGNOSTICS
+    // fires only on whole-statement assignments
+    val sub = FunctionDdl.convert(
+      """CREATE FUNCTION adj() RETURNS INT
+        |BEGIN
+        |  DECLARE v_n INT DEFAULT 0;
+        |  UPDATE t SET a = 1;
+        |  SET v_n = ROW_COUNT() + 1;
+        |  RETURN v_n;
+        |END""".stripMargin).get
+    assert(sub.ddl.contains("v_n := ROW_COUNT() + 1"), sub.ddl)
+    assert(!sub.ddl.contains("GET DIAGNOSTICS"), sub.ddl)
+  }
+
   test("DdlConverter hardening: grant word boundaries, literal-safe clauses, PG requoting") {
     import graft.ddl.DdlConverter
     // an object name containing a privilege word must not grant it — a
