@@ -263,6 +263,8 @@ object SparkEntry {
     "q234_perplexity_buckets" -> CorpusOps.q234PerplexityBuckets _,
     "q235_cdc_chunking"   -> DedupOps.q235CdcChunking _,
     "q236_winnow_recall"  -> DedupOps.q236WinnowRecall _,
+    "q237_label_noise"    -> SimilarityOps.q237LabelNoise _,
+    "q238_dedup_weights"  -> DedupOps.q238DedupWeights _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4317,6 +4319,119 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM idx i WHERE NOT EXISTS
         |    (SELECT 1 FROM truth t WHERE t.da = i.da AND t.db = i.db))
         |    AS BIGINT) AS n_extra""".stripMargin,
+
+    // q237: q106's unrolled 3-iteration Lloyd's replay (labels and
+    // quantized vectors carried through the final assignment), then
+    // within-cluster exact top-5 by (d2, vec_id) and the deterministic
+    // majority vote (votes desc, label asc). a3 is MATERIALIZED — the
+    // knn self-join references it twice and inlining would replay the
+    // whole Lloyd's chain per side.
+    "q237_label_noise" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+        |       FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, q, cid, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, e.q, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c0 c)) WHERE rn = 1),
+        |x1 AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a1),
+        |s1 AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+        |       FROM x1 GROUP BY cid, i),
+        |u1 AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+        |       FROM s1 GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(u1.c, c0.c) AS c FROM c0 LEFT JOIN u1 USING (cid)),
+        |a2 AS (SELECT vec_id, q, cid, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, e.q, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c1 c)) WHERE rn = 1),
+        |x2 AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a2),
+        |s2 AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+        |       FROM x2 GROUP BY cid, i),
+        |u2 AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+        |       FROM s2 GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(u2.c, c1.c) AS c FROM c1 LEFT JOIN u2 USING (cid)),
+        |a3 AS MATERIALIZED (SELECT vec_id, label, q, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, e.label, e.q, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c2 c)) WHERE rn = 1),
+        |top5 AS (SELECT va, la, lb FROM (
+        |    SELECT a.vec_id AS va, a.label AS la, b.label AS lb,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(a.q)),
+        |          i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))), b.vec_id) AS rn
+        |    FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id != b.vec_id)
+        |  WHERE rn <= 5),
+        |votes AS (SELECT va, la, lb, CAST(count(*) AS BIGINT) AS c
+        |          FROM top5 GROUP BY va, la, lb),
+        |win AS (SELECT va, la, lb, c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY va ORDER BY c DESC, lb) AS rk
+        |    FROM votes) WHERE rk = 1)
+        |SELECT va AS vec_id, la AS label, lb AS majority_label,
+        |  c AS majority_votes,
+        |  CAST(CASE WHEN la != lb THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM win ORDER BY vec_id""".stripMargin,
+
+    // q238: q50's full recursive-reachability cluster replay, folded into
+    // per-source soft-dedup weights (unclustered docs weigh 1e6 ppm).
+    "q238_dedup_weights" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
+        |hs AS (SELECT doc_id, list_transform(shingles,
+        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |sig AS (SELECT doc_id, [
+        |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
+        |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
+        |  list_min(list_transform(h, x -> (11 * x + 13) % 1000000007)),
+        |  list_min(list_transform(h, x -> (17 * x + 29) % 1000000007)),
+        |  list_min(list_transform(h, x -> (23 * x + 37) % 1000000007)),
+        |  list_min(list_transform(h, x -> (31 * x + 43) % 1000000007)),
+        |  list_min(list_transform(h, x -> (41 * x + 53) % 1000000007)),
+        |  list_min(list_transform(h, x -> (47 * x + 61) % 1000000007)),
+        |  list_min(list_transform(h, x -> (59 * x + 71) % 1000000007)),
+        |  list_min(list_transform(h, x -> (67 * x + 79) % 1000000007)),
+        |  list_min(list_transform(h, x -> (73 * x + 89) % 1000000007)),
+        |  list_min(list_transform(h, x -> (83 * x + 101) % 1000000007))] AS sig FROM hs),
+        |bands AS (SELECT doc_id, i AS band_idx,
+        |    CAST(sig[3*i + 1] AS VARCHAR) || ':' || CAST(sig[3*i + 2] AS VARCHAR)
+        |      || ':' || CAST(sig[3*i + 3] AS VARCHAR) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM cands JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |  WHERE len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) >= 6),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS label FROM nodes
+        |  UNION
+        |  SELECT e.a AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b),
+        |lab AS (SELECT doc_id, CAST(min(label) AS BIGINT) AS canonical_id
+        |        FROM reach GROUP BY doc_id),
+        |sz AS (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY canonical_id),
+        |w AS (SELECT d.doc_id, d.source,
+        |        j.cluster_size IS NOT NULL AS clustered,
+        |        COALESCE(j.cluster_size, 1) AS csize
+        |      FROM documents d LEFT JOIN
+        |        (SELECT lab.doc_id, CAST(sz.cluster_size AS BIGINT) AS cluster_size
+        |         FROM lab JOIN sz USING (canonical_id)) j USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+        |  CAST(sum(1000000 // csize) AS BIGINT) AS eff_mass_ppm,
+        |  CAST(sum(1000000 // csize) AS BIGINT) // count(*) AS eff_ratio_ppm
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
 
     // q178's split rule + q213's MinHash replay, restricted to eval→train
     // band probes (ASCII-only fingerprint invariant, see q213's note).

@@ -936,6 +936,34 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** X206 — dedup-aware mixture mass (soft dedup): instead of DROPPING
+    * near-duplicates (X6's keep-lowest-id), weight every document by
+    * 1e6 div cluster_size ppm — the repetition-aware sampling weight a
+    * pretraining mixture uses when it keeps duplicates but refuses to
+    * let a 40-copy boilerplate family count 40× in the mix. Per source:
+    * raw doc count, clustered count, effective unique mass (Σ weights),
+    * and the effective-to-raw ratio — a source whose ratio collapses is
+    * the over-duplicated one.
+    *
+    * Scale: composes X3→X6 (the cluster table re-entry rides q34's
+    * cached signature frame); the weight join is one left join on the
+    * uniform doc_id key against the (clustered-docs-only) cluster
+    * table; the report is \|sources\|-sized. */
+  def q238DedupWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clusters = q50DedupClusters(s, dir).select($"doc_id", $"cluster_size")
+    docs(s, dir).select($"doc_id", $"source")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("w_ppm",
+        expr("1000000 div coalesce(cluster_size, CAST(1 AS BIGINT))"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"cluster_size".isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum($"w_ppm").as("eff_mass_ppm"))
+      .withColumn("eff_ratio_ppm", expr("eff_mass_ppm div n_docs"))
+      .orderBy($"source")
+  }
+
   /** X203 — content-defined chunking (CDC): cut every document at
     * positions where the rolling 4-word gram hash lands in a fixed
     * residue class (g ≡ 0 mod 16 → expected ~16-gram chunks), then audit

@@ -241,6 +241,85 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.map(_._1).sum == vecs.length)
   }
 
+  // ------------------------------------------------------------- X205
+
+  test("label-noise audit matches a driver Lloyd's + knn-majority replay") {
+    import spark.implicits._
+    val got = graft.ops.SimilarityOps.q237LabelNoise(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("label"), r.getAs[Long]("majority_label"),
+          r.getAs[Long]("majority_votes"), r.getAs[Long]("flagged"))).toMap
+    // driver replay: the q106 Lloyd's rules (quantize, lowest-cid ties,
+    // HALF_UP centroid rounding), then within-cluster top-5 by (d2, id)
+    // and the (votes desc, label asc) majority
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT)",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .as[(Long, Long, Array[Long])].collect().sortBy(_._1)
+    var cents: Array[Array[Long]] = vecs.take(8).map(_._3)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    def nearest(q: Array[Long]): Int = {
+      var best = -1; var bd = Long.MaxValue
+      for (c <- cents.indices)
+        if (d2(q, cents(c)) < bd) { bd = d2(q, cents(c)); best = c }
+      best
+    }
+    for (_ <- 1 until 3) {
+      val byC = vecs.groupBy(v => nearest(v._3))
+      cents = cents.indices.toArray.map { c =>
+        byC.get(c).fold(cents(c)) { m =>
+          def rnd(x: Double): Long = BigDecimal(x)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+          Array.tabulate(m.head._3.length)(i =>
+            rnd(m.map(_._3(i)).sum.toDouble / m.size))
+        }
+      }
+    }
+    val byCluster = vecs.groupBy(v => nearest(v._3))
+    val expected = byCluster.values.flatMap { members =>
+      members.map { case (vid, lab, q) =>
+        val top5 = members.filter(_._1 != vid)
+          .map { case (ov, ol, oq) => (d2(q, oq), ov, ol) }
+          .sortBy(t => (t._1, t._2)).take(5)
+        val (wl, wc) = top5.groupBy(_._3).view.mapValues(_.size)
+          .toSeq.sortBy { case (l, c) => (-c, l) }.head
+        vid -> (lab, wl, wc.toLong, if (lab != wl) 1L else 0L)
+      }
+    }.toMap
+    assert(got == expected)
+    // the audit is non-vacuous: at least one flagged vector exists
+    assert(got.values.exists(_._4 == 1L))
+  }
+
+  // ------------------------------------------------------------- X206
+
+  test("dedup-aware mixture mass reconciles with q50's cluster table") {
+    import spark.implicits._
+    val clusters = graft.ops.DedupOps.q50DedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size")).toMap
+    val srcs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val expected = srcs.groupBy(_._2).map { case (src, ds) =>
+      val ws = ds.map { case (id, _) => 1000000L / clusters.getOrElse(id, 1L) }
+      src -> (ds.length.toLong, ds.count(d => clusters.contains(d._1)).toLong,
+        ws.sum, ws.sum / ds.length)
+    }
+    val got = graft.ops.DedupOps.q238DedupWeights(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_clustered"),
+          r.getAs[Long]("eff_mass_ppm"), r.getAs[Long]("eff_ratio_ppm"))).toMap
+    assert(got == expected)
+    // soft-dedup algebra: effective mass never exceeds raw mass, and a
+    // clustered doc always weighs less than an unclustered one
+    got.foreach { case (src, (n, _, eff, _)) =>
+      assert(eff <= n * 1000000L, src)
+    }
+  }
+
   // ------------------------------------------------------------- X70
 
   test("bigram predictability: ppm bounded, pair counts reconcile") {

@@ -290,6 +290,13 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q235_cdc_chunking" -> 5, // per-doc HOF chunking is narrow; repeated-
                              // chunk fold + the fp hit join + doc fold +
                              // orderBy
+    "q237_label_noise" -> 6, // final Lloyd's assign (centroid literals,
+                             // narrow) + label join + salted within-
+                             // cluster knn join + the two per-vec_id
+                             // windows + orderBy
+    "q238_dedup_weights" -> 3, // q50's cluster table (local-path frame at
+                             // this SF) left-joined on doc_id + the
+                             // |sources| fold + orderBy
     "q236_winnow_recall" -> 0, // q213's collect-then-unpersist idiom: the
                              // 1-row verdict materializes eagerly (cached
                              // sample feeds 4 subtrees; full-outer verdict
