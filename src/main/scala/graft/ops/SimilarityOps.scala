@@ -381,9 +381,9 @@ object SimilarityOps {
     * Scale: X197's blocking argument — pairwise distance is quadratic
     * only WITHIN a k-means cluster (k grows with the corpus, cluster
     * populations stay bounded), blocks salted 8× against cluster-count
-    * partitioning collapse; distances are exact int64 on quantized
-    * millis; the top-5 and majority windows partition by vec_id (never
-    * unpartitioned). The quantized scan is re-read by Lloyd's
+    * partitioning collapse;
+    * distances are exact int64 on quantized millis; the top-5 and
+    * majority windows partition by vec_id (never unpartitioned). The quantized scan is re-read by Lloyd's
     * iterations rather than pinned: the output here is CORPUS-sized, so
     * q229's collect-then-unpersist release is unavailable and a
     * lazily-returned frame cannot release its own cache — a production
@@ -401,9 +401,12 @@ object SimilarityOps {
     val b = assigned.select($"vec_id".as("vb"), $"label".as("lb"),
         $"cid", $"q".as("qb"))
       .withColumn("salt", explode(array((0 until 8).map(lit): _*)))
+    graft.functions.SquaredDistance.register(s)
     val top5 = a.join(b, Seq("cid", "salt")).filter($"va" =!= $"vb")
-      .withColumn("d2", expr(
-        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      // graft_dist2: one codegen'd loop, bit-identical to the
+      // aggregate(zip_with(...)) fold it replaces — the per-pair
+      // constant dominates the blocked pairwise stage
+      .withColumn("d2", expr("graft_dist2(qa, qb)"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"va").orderBy($"d2", $"vb")))
       .filter($"rn" <= 5)
