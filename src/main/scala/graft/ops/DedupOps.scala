@@ -872,8 +872,9 @@ object DedupOps {
           $"q".as("qb"), $"nrm2".as("nb")))
       val dropped = a.join(b, Seq("cid", "salt"))
         .filter($"vec_a" < $"vec_b" && $"na" > 0L && $"nb" > 0L)
-        .withColumn("dot", expr(
-          "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        // graft_dot_l: one codegen'd loop, bit-identical to the
+        // aggregate(zip_with(...)) fold it replaces
+        .withColumn("dot", expr("graft_dot_l(qa, qb)"))
         .filter($"dot".cast("double") /
           (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))) >= 0.95)
         .select($"vec_b".as("vec_id")).distinct()

@@ -161,6 +161,7 @@ object SimilarityOps {
   private[ops] def kmeansAssign(s: SparkSession, q: DataFrame,
       k: Int, iters: Int): DataFrame = {
     import s.implicits._
+    graft.functions.SquaredDistance.register(s)
     val init: Array[(Int, Array[Long])] = q.orderBy($"vec_id").limit(k)
       .select($"q").as[Array[Long]].collect().zipWithIndex.map(_.swap)
 
@@ -170,12 +171,14 @@ object SimilarityOps {
       // expression bank recompiles k aggregate exprs per iteration and
       // stops scaling past a handful of clusters). array_min on the
       // (d, cid) struct is the argmin with ties to the lowest cid.
+      // graft_dist2 inside the (interpreted) transform lambda evaluates
+      // as ONE tight fused loop per centroid instead of the generic
+      // aggregate+zip_with interpretation — same exact int64 arithmetic.
       val centLit = array(cents.map { case (cid, c) =>
         struct(lit(cid.toLong).as("cid"), array(c.map(lit(_)): _*).as("c"))
       }: _*)
       val scored = transform(centLit, ct => struct(
-        aggregate(zip_with($"q", ct.getField("c"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as("d"),
+        call_function("graft_dist2", $"q", ct.getField("c")).as("d"),
         ct.getField("cid").as("cid")))
       q.withColumn("best", array_min(scored))
         .select($"vec_id", $"q", $"best.cid".as("cid"), $"best.d".as("d"))
@@ -423,14 +426,14 @@ object SimilarityOps {
 
   def q217LabelMargin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.SquaredDistance.register(s)
     val e = Tables.load(s, dir, "embeddings")
       .select($"vec_id", $"label".cast("long").as("label"),
         expr(graft.functions.Exact.milliArrayExpr("embedding")).as("q"))
     val queries = broadcast(e.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"label".as("q_label"), $"q".as("qq")))
     e.join(queries, $"vec_id" =!= $"q_id")
-      .withColumn("d2", expr(
-        "aggregate(zip_with(qq, q, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("d2", expr("graft_dist2(qq, q)"))
       .groupBy($"q_id", $"q_label")
       .agg(
         min(when($"label" === $"q_label", $"d2")).as("min_same_d2"),
