@@ -63,6 +63,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
   }
 
+  test("graft_dist2 and graft_dot_l match the aggregate/zip_with folds bit-for-bit") {
+    import spark.implicits._
+    graft.functions.SquaredDistance.register(spark)
+    val df = Seq(
+      (Seq(5L, -3L, 1000000L), Seq(2L, 4L, -999999L)),
+      (Seq(0L, 0L, 0L), Seq(7L, -7L, 7L)))
+      .toDF("a", "b")
+      .selectExpr(
+        "graft_dist2(a, b) AS d_fast",
+        "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v) AS d_slow",
+        "graft_dot_l(a, b) AS p_fast",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS p_slow")
+      .collect()
+    df.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+    // null semantics mirror zip_with: length mismatch and null inputs -> null
+    val edge = spark.sql(
+      """SELECT graft_dist2(array(1L, 2L), array(1L)) AS mismatch,
+        |       graft_dist2(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS nullarr,
+        |       graft_dot_l(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS nullelem
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+  }
+
   test("graft_sorted_inter_n equals array_intersect size on sorted inputs") {
     import spark.implicits._
     graft.functions.SortedIntersectSize.register(spark)
