@@ -870,6 +870,9 @@ object DedupOps {
           $"q".as("qa"), $"nrm2".as("na")), "vec_a")
       val b = replicateRight(assigned.select($"vec_id".as("vec_b"), $"cid",
           $"q".as("qb"), $"nrm2".as("nb")))
+      // explicit registration: relying on kmeansAssign's side-effect
+      // registration breaks the first refactor that reorders the calls
+      graft.functions.SquaredDistance.register(s)
       val dropped = a.join(b, Seq("cid", "salt"))
         .filter($"vec_a" < $"vec_b" && $"na" > 0L && $"nb" > 0L)
         // graft_dot_l: one codegen'd loop, bit-identical to the

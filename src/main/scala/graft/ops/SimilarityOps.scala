@@ -371,59 +371,6 @@ object SimilarityOps {
     * broadcasts, the corpus streams through ONE narrow pass (no corpus
     * self-join); the argmin folds are combinable per (q_id, label
     * side). */
-  /** X205 — label-noise audit via k-NN disagreement (the confident-
-    * learning recipe's core signal): every vector's label is checked
-    * against the MAJORITY label of its 5 nearest neighbors, found
-    * WITHIN its X69 k-means cluster — X185 measures margin against the
-    * whole corpus for a sample; this flags every vector whose local
-    * neighborhood outvotes its own label, the standard mislabeled-
-    * example detector for contrastive/classifier training data. All
-    * ties deterministic: neighbor rank breaks on (d², vec_id), the
-    * majority vote on (votes desc, label asc).
-    *
-    * Scale: X197's blocking argument — pairwise distance is quadratic
-    * only WITHIN a k-means cluster (k grows with the corpus, cluster
-    * populations stay bounded), blocks salted 8× against cluster-count
-    * partitioning collapse;
-    * distances are exact int64 on quantized millis; the top-5 and
-    * majority windows partition by vec_id (never unpartitioned). The quantized scan is re-read by Lloyd's
-    * iterations rather than pinned: the output here is CORPUS-sized, so
-    * q229's collect-then-unpersist release is unavailable and a
-    * lazily-returned frame cannot release its own cache — a production
-    * run persists the quantized table once around the whole audit. */
-  def q237LabelNoise(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val base = Tables.load(s, dir, "embeddings")
-      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
-        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
-    val assigned = kmeansAssign(s, base.select($"vec_id", $"q"), k = 8, iters = 3)
-      .join(base.select($"vec_id", $"label"), Seq("vec_id"))
-    val a = assigned.select($"vec_id".as("va"), $"label".as("la"),
-        $"cid", $"q".as("qa"))
-      .withColumn("salt", pmod($"va", lit(8)).cast("int"))
-    val b = assigned.select($"vec_id".as("vb"), $"label".as("lb"),
-        $"cid", $"q".as("qb"))
-      .withColumn("salt", explode(array((0 until 8).map(lit): _*)))
-    graft.functions.SquaredDistance.register(s)
-    val top5 = a.join(b, Seq("cid", "salt")).filter($"va" =!= $"vb")
-      // graft_dist2: one codegen'd loop, bit-identical to the
-      // aggregate(zip_with(...)) fold it replaces — the per-pair
-      // constant dominates the blocked pairwise stage
-      .withColumn("d2", expr("graft_dist2(qa, qb)"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"va").orderBy($"d2", $"vb")))
-      .filter($"rn" <= 5)
-    top5.groupBy($"va", $"la", $"lb").agg(count(lit(1)).as("c"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"va").orderBy($"c".desc, $"lb")))
-      .filter($"rk" === 1)
-      .select($"va".as("vec_id"), $"la".as("label"),
-        $"lb".as("majority_label"), $"c".as("majority_votes"))
-      .withColumn("flagged",
-        when($"label" =!= $"majority_label", 1L).otherwise(0L))
-      .orderBy($"vec_id")
-  }
-
   def q217LabelMargin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.SquaredDistance.register(s)
@@ -440,5 +387,64 @@ object SimilarityOps {
         min(when($"label" =!= $"q_label", $"d2")).as("min_other_d2"))
       .withColumn("margin", $"min_other_d2" - $"min_same_d2")
       .orderBy($"q_id")
+  }
+
+  /** X205 — label-noise audit via k-NN disagreement (the confident-
+    * learning recipe's core signal): every vector's label is checked
+    * against the MAJORITY label of its 5 nearest neighbors, found
+    * WITHIN its X69 k-means cluster — X185 measures margin against the
+    * whole corpus for a sample; this flags every vector whose local
+    * neighborhood outvotes its own label, the standard mislabeled-
+    * example detector for contrastive/classifier training data. All
+    * ties deterministic: neighbor rank breaks on (d², vec_id), the
+    * majority vote on (votes desc, label asc). A vector ALONE in its
+    * cluster has no neighborhood and is absent from the report — both
+    * engines agree by construction (the pair join produces no row).
+    *
+    * Scale: X197's blocking argument — pairwise distance is quadratic
+    * only WITHIN a k-means cluster (k grows with the corpus, cluster
+    * populations stay bounded), blocks salted via the shared
+    * [[DedupOps.SALTS]] discipline against cluster-count partitioning
+    * collapse; distances are exact int64 on quantized millis through
+    * the codegen'd graft_dist2 loop; the top-5 and majority windows
+    * partition by vec_id (never unpartitioned). The assigned frame
+    * feeds BOTH salted join sides and is deliberately RECOMPUTED per
+    * side: the output is corpus-sized, so q229's collect-then-release
+    * is unavailable, and the persist-plus-eager-materialize alternative
+    * MEASURED WORSE (2.6s vs 1.7s at sf0.1 — the cache write plus the
+    * doubled final-stage run cost more than the narrow assign subtree's
+    * replay); Lloyd's iterations likewise re-read the quantized scan —
+    * a production run persists the quantized table once around the
+    * whole audit. */
+  def q237LabelNoise(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+    val assigned = kmeansAssign(s, base.select($"vec_id", $"q"), k = 8, iters = 3)
+      .join(base.select($"vec_id", $"label"), Seq("vec_id"))
+    val a = DedupOps.saltLeft(assigned.select($"vec_id".as("va"),
+      $"label".as("la"), $"cid", $"q".as("qa")), "va")
+    val b = DedupOps.replicateRight(assigned.select($"vec_id".as("vb"),
+      $"label".as("lb"), $"cid", $"q".as("qb")))
+    graft.functions.SquaredDistance.register(s)
+    val top5 = a.join(b, Seq("cid", "salt")).filter($"va" =!= $"vb")
+      // graft_dist2: one codegen'd loop, bit-identical to the
+      // aggregate(zip_with(...)) fold it replaces — the per-pair
+      // constant dominates the blocked pairwise stage
+      .withColumn("d2", expr("graft_dist2(qa, qb)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"va").orderBy($"d2", $"vb")))
+      .filter($"rn" <= 5)
+    val verdict = top5.groupBy($"va", $"la", $"lb").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"va").orderBy($"c".desc, $"lb")))
+      .filter($"rk" === 1)
+      .select($"va".as("vec_id"), $"la".as("label"),
+        $"lb".as("majority_label"), $"c".as("majority_votes"))
+      .withColumn("flagged",
+        when($"label" =!= $"majority_label", 1L).otherwise(0L))
+      .orderBy($"vec_id")
+    verdict
   }
 }

@@ -281,13 +281,17 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val byCluster = vecs.groupBy(v => nearest(v._3))
     val expected = byCluster.values.flatMap { members =>
-      members.map { case (vid, lab, q) =>
+      // a vector ALONE in its cluster has no neighborhood: the operator
+      // emits no row for it (the pair join is empty) — mirror that here
+      // instead of crashing on .head of an empty vote list
+      members.flatMap { case (vid, lab, q) =>
         val top5 = members.filter(_._1 != vid)
           .map { case (ov, ol, oq) => (d2(q, oq), ov, ol) }
           .sortBy(t => (t._1, t._2)).take(5)
-        val (wl, wc) = top5.groupBy(_._3).view.mapValues(_.size)
-          .toSeq.sortBy { case (l, c) => (-c, l) }.head
-        vid -> (lab, wl, wc.toLong, if (lab != wl) 1L else 0L)
+        top5.groupBy(_._3).view.mapValues(_.size)
+          .toSeq.sortBy { case (l, c) => (-c, l) }.headOption
+          .map { case (wl, wc) =>
+            vid -> (lab, wl, wc.toLong, if (lab != wl) 1L else 0L) }
       }
     }.toMap
     assert(got == expected)
