@@ -82,8 +82,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                               // |types|²-frame window + orderBy
     "q116_abc_classes"  -> 2, // GlobalOrder range shuffle rides the RDD
                               // bridge; class agg + orderBy remain
-    "q117_source_overlap" -> 11, // same recount shape as q110 over the
-                                 // (source, trigram) incidence
+    "q117_source_overlap" -> 0, // collect-then-unpersist (q123 idiom): the
+                                // C(|sources|,2) report materializes while
+                                // the 3-consumer incidence frame is cached;
+                                // the returned plan is local (ExchProbe=0)
     // q118 materializes via collect-then-unpersist (q106 idiom) so its
     // returned plan is local — its shuffle story is asserted by the
     // AffinityOpsSpec reconciliation test instead
