@@ -19,9 +19,13 @@ import graft.sqlrewrite.SqlRewriter
   *    trailing COMMENT ON FUNCTION;
   *  - body between the outermost BEGIN..END: MySQL in-body `DECLARE`s
   *    hoist into the PL/pgSQL DECLARE block (handlers are dropped — PG has
-  *    no direct equivalent, :96-99), `SET x =` becomes `x :=`;
-  *  - procedural loop control (:64-67, :532-535): `LEAVE lbl`→`EXIT`,
-  *    `ITERATE lbl`→`CONTINUE`, `REPEAT … UNTIL c END REPEAT`→
+  *    no direct equivalent, :96-99 — EXCEPT the NOT FOUND cursor protocol:
+  *    the handler's flag variable survives as a boolean and every `FETCH c
+  *    INTO v;` gains `IF NOT FOUND THEN flag := true; END IF;`,
+  *    :1062-1072), `SET x =` becomes `x :=`;
+  *  - procedural loop control (:64-67, :532-535): `LEAVE lbl`→`EXIT lbl`,
+  *    `ITERATE lbl`→`CONTINUE lbl` (labels kept — `lbl: LOOP` declares
+  *    `<<lbl>>`), `REPEAT … UNTIL c END REPEAT`→
   *    `LOOP … EXIT WHEN c; END LOOP` (UNTIL rewrites before the bare
   *    REPEAT pass — see body comment); `@user_var`s hoist into typed
   *    `v_` locals with the reference's name-based inference (:1180-1224);
@@ -202,12 +206,35 @@ object FunctionDdl {
       var body = ddl.substring(beginIdx + 5)
         .replaceAll("(?is)\\s*END\\s*(?:\\$\\$|;)*\\s*$", "")
 
-      // MySQL handlers have no PL/pgSQL equivalent — dropped like the
+      // NOT FOUND handler protocol (sync_functions.go:95-96, :1062-1072):
+      // MySQL cursor loops rely on `DECLARE CONTINUE HANDLER FOR NOT FOUND
+      // SET done = 1` + `IF done THEN LEAVE`; PL/pgSQL has no handlers, so
+      // the handler's flag variable is captured BEFORE handlers are
+      // dropped and every FETCH gains an explicit `IF NOT FOUND THEN flag
+      // := true; END IF;` tail — the reference hardcodes `done` (:1069);
+      // the declared handler variable is preferred, `done` is the
+      // no-handler fallback. Without this, the converted loop's flag is
+      // never set: an infinite loop at runtime. The flag's declaration is
+      // coerced to boolean and its integer writes/tests re-typed below so
+      // `IF done THEN` stays boolean-coherent in PL/pgSQL.
+      val notFoundRe = ("(?i)DECLARE\\s+(?:CONTINUE|EXIT)\\s+HANDLER\\s+FOR" +
+        "\\s+NOT\\s+FOUND\\s+SET\\s+(@?\\w+)\\s*=\\s*[^;]+;").r
+      val handlerFlag = notFoundRe.findFirstMatchIn(body).map(_.group(1))
+      // other handlers have no PL/pgSQL equivalent — dropped like the
       // reference (reHandler); cursors hoist as PL/pgSQL BOUND cursors
       // (`name CURSOR FOR query;` is valid in a PG DECLARE block); plain
       // DECLAREs hoist into the PG block
       body = body.replaceAll(
         "(?i)DECLARE\\s+(?:CONTINUE|EXIT)\\s+HANDLER\\s+FOR\\s+[^;]+;", "")
+      val fetchRe =
+        "(?i)\\bFETCH\\s+(?:NEXT\\s+FROM\\s+)?(\\w+)\\s+INTO\\s+([^;]+);".r
+      val hasFetch = fetchRe.findFirstIn(body).isDefined
+      val flagVar = handlerFlag.getOrElse("done")
+      if (hasFetch) {
+        body = fetchRe.replaceAllIn(body, m => scala.util.matching.Regex
+          .quoteReplacement(s"FETCH ${m.group(1)} INTO ${m.group(2).trim}; " +
+            s"IF NOT FOUND THEN $flagVar := true; END IF;"))
+      }
       val cursorRe = "(?i)DECLARE\\s+(\\w+)\\s+CURSOR\\s+FOR\\s+([^;]+);".r
       // the hoisted cursor query is MySQL text excised BEFORE the body
       // rides SqlRewriter below — it must go through the same rewrite
@@ -251,8 +278,12 @@ object FunctionDdl {
       // procedural loop-control + session variables (sync_functions.go
       // :64-67, :532-535, :47, :1180-1224, :131, :549-552), applied on a
       // literal-masked body so quoted text is never rewritten:
-      //  - LEAVE lbl; → EXIT; / ITERATE lbl; → CONTINUE; (PL/pgSQL exits
-      //    the innermost loop; MySQL labels are dropped like the reference)
+      //  - LEAVE lbl; → EXIT lbl; / ITERATE lbl; → CONTINUE lbl; — the
+      //    label is KEPT (unlike the reference, which drops it and silently
+      //    retargets nested control flow to the innermost loop): `lbl:
+      //    LOOP` becomes a declared <<lbl>> below, so the labeled form is
+      //    either correct or a loud PG compile error for untranslated
+      //    block labels, never silent wrong control flow
       //  - REPEAT body UNTIL cond END REPEAT; → LOOP body EXIT WHEN cond;
       //    END LOOP; — the UNTIL tail rewrites FIRST so the bare REPEAT
       //    pass cannot eat the `END REPEAT` terminator (the reference
@@ -266,8 +297,8 @@ object FunctionDdl {
       //    SET→:= and @var passes, so both spellings land here)
       val (maskedBody, bodyLits) = SqlRewriter.maskStringLiterals(body)
       var mb = maskedBody
-        .replaceAll("(?i)\\bLEAVE\\s+\\w+\\s*;", "EXIT;")
-        .replaceAll("(?i)\\bITERATE\\s+\\w+\\s*;", "CONTINUE;")
+        .replaceAll("(?i)\\bLEAVE\\s+(\\w+)\\s*;", "EXIT $1;")
+        .replaceAll("(?i)\\bITERATE\\s+(\\w+)\\s*;", "CONTINUE $1;")
         // the optional trailing label (END REPEAT lbl;) must die here —
         // the rewritten END LOOP carries no matching <<label>>
         .replaceAll("(?is)\\bUNTIL\\s+(.+?)\\s*END\\s+REPEAT\\s*\\w*\\s*;",
@@ -275,6 +306,12 @@ object FunctionDdl {
         // loop-opener REPEAT only: the string builtin REPEAT(str, n) is
         // valid PostgreSQL and must survive — it is always followed by (
         .replaceAll("(?i)\\bREPEAT\\b(?!\\s*\\()", "LOOP")
+        // WHILE c DO … END WHILE → WHILE c LOOP … END LOOP (the reference
+        // has NO while pass — its WHILE functions reach PG unconverted and
+        // fail to compile); non-greedy to the nearest DO so nested whiles
+        // each claim their own
+        .replaceAll("(?is)\\bWHILE\\b(.+?)\\bDO\\b", "WHILE$1LOOP")
+        .replaceAll("(?i)\\bEND\\s+WHILE\\b", "END LOOP")
         // MySQL loop labels (`lbl: LOOP`) are not PL/pgSQL (`<<lbl>>`);
         // translate the prefix form and its matching END LOOP lbl; —
         // LEAVE/ITERATE already dropped their label references above
@@ -300,12 +337,44 @@ object FunctionDdl {
         // a dangling `+ 1` tail would not parse
         .replaceAll("(?i)\\b(\\w+)\\s*:=\\s*ROW_COUNT\\(\\)\\s*(?=;|\\z)",
           "GET DIAGNOSTICS $1 = ROW_COUNT")
+      // the NOT FOUND flag is boolean in PL/pgSQL (the FETCH tail assigns
+      // `true`); MySQL bodies write/test it as an INT — re-type those uses
+      // so `done := 1` / `IF done = 1` stay coherent with the coerced
+      // boolean declaration below. Applied post-rename so an @flag's v_
+      // spelling is covered; masked body, so literals are safe.
+      val pgFlag =
+        if (flagVar.startsWith("@")) "v_" + flagVar.drop(1) else flagVar
+      if (handlerFlag.isDefined || hasFetch) {
+        mb = mb
+          .replaceAll(s"(?i)\\b$pgFlag\\s*:=\\s*(?:1|TRUE)\\s*(?=;)",
+            s"$pgFlag := true")
+          .replaceAll(s"(?i)\\b$pgFlag\\s*:=\\s*(?:0|FALSE)\\s*(?=;)",
+            s"$pgFlag := false")
+          .replaceAll(s"(?i)\\b$pgFlag\\s*=\\s*1\\b", s"$pgFlag = true")
+          .replaceAll(s"(?i)\\b$pgFlag\\s*=\\s*0\\b", s"$pgFlag = false")
+      }
       body = SqlRewriter.unmask(mb, bodyLits)
 
       // expression-level MySQL builtins → PG through the shared rewriter
       body = pgScrub(SqlRewriter.rewrite(body)).trim
 
-      val allDecls = decls ++ userDecls
+      // coerce the NOT FOUND flag's declaration to boolean (its MySQL
+      // spelling is usually `DECLARE done INT DEFAULT FALSE` — invalid in
+      // PG and type-incoherent with the FETCH tail's `:= true`); declare
+      // it when the body never did (the reference's hardcoded-`done` path)
+      val allDecls0 = decls ++ userDecls
+      val allDecls =
+        if (handlerFlag.isEmpty && !hasFetch) allDecls0
+        else {
+          val isFlag = (d: String) =>
+            d.toLowerCase.startsWith(pgFlag.toLowerCase + " ") &&
+              !d.toLowerCase.startsWith(pgFlag.toLowerCase + " cursor")
+          val coerced = allDecls0.map(d =>
+            if (isFlag(d)) s"$pgFlag boolean DEFAULT false;" else d)
+          if (hasFetch && !coerced.exists(isFlag))
+            coerced :+ s"$pgFlag boolean DEFAULT false;"
+          else coerced
+        }
       val declareBlock =
         if (allDecls.isEmpty) ""
         else "DECLARE\n  " + allDecls.mkString("\n  ") + "\n"

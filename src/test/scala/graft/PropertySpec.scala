@@ -219,4 +219,133 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  // ------------------------------------------------- FunctionDdl fuzzing
+
+  // The reference needed ~50 lines of post-hoc repair regexes (double
+  // semicolons, THEN THEN, LOOP LOOP, dangling END LOOP label —
+  // sync_functions.go:76-125) because its ordered text passes DO produce
+  // those states. Graft's structured pipeline should never need repair:
+  // prove it by fuzzing nested procedural bodies and asserting the output
+  // is structurally well formed.
+
+  private def genPgCond: Gen[String] =
+    Gen.oneOf("i < 10", "acc >= 0", "@cnt = 1", "i <> acc")
+
+  private def genPgExpr: Gen[String] = Gen.oneOf(
+    "1", "0", "i + 1", "acc + i", "IFNULL(i, 0)", "REPEAT('x', 2)",
+    "@cnt + 1", "'a; b'")
+
+  private def genLeafStmt: Gen[String] = Gen.frequency(
+    6 -> (for {
+      v <- Gen.oneOf("i", "acc", "@cnt", "@note")
+      e <- genPgExpr
+    } yield s"SET $v = $e;"),
+    1 -> Gen.const("SET i = ROW_COUNT();"),
+    1 -> Gen.const("RETURN acc;"))
+
+  private def genStmtSeq(d: Int): Gen[String] = for {
+    n <- Gen.choose(1, 3)
+    xs <- Gen.listOfN(n, genProcStmt(d))
+  } yield xs.mkString("\n")
+
+  private def genProcStmt(d: Int): Gen[String] =
+    if (d <= 0) genLeafStmt
+    else Gen.frequency(
+      4 -> genLeafStmt,
+      2 -> (for {
+        c <- genPgCond
+        t <- genStmtSeq(d - 1)
+        e <- Gen.option(genStmtSeq(d - 1))
+      } yield s"IF $c THEN\n$t\n" +
+        e.map(x => s"ELSE\n$x\n").getOrElse("") + "END IF;"),
+      1 -> (for {
+        l <- Gen.oneOf("l1", "l2", "outer_x")
+        b <- genStmtSeq(d - 1)
+        ctl <- Gen.oneOf("LEAVE", "ITERATE")
+      } yield s"$l: LOOP\n$b\nIF i > 3 THEN $ctl $l; END IF;\n" +
+        s"IF acc > 9 THEN LEAVE $l; END IF;\nEND LOOP $l;"),
+      1 -> (for {
+        b <- genStmtSeq(d - 1)
+        c <- genPgCond
+      } yield s"REPEAT\n$b\nUNTIL $c END REPEAT;"),
+      1 -> (for {
+        c <- genPgCond
+        b <- genStmtSeq(d - 1)
+      } yield s"WHILE $c DO\n$b\nEND WHILE;"))
+
+  private val cursorPrelude =
+    """  DECLARE done INT DEFAULT FALSE;
+      |  DECLARE cv INT;
+      |  DECLARE cur CURSOR FOR SELECT a FROM t;
+      |  DECLARE CONTINUE HANDLER FOR NOT FOUND SET done = 1;""".stripMargin
+
+  private val cursorLoop =
+    """  OPEN cur;
+      |  rl: LOOP
+      |    FETCH cur INTO cv;
+      |    IF done THEN LEAVE rl; END IF;
+      |    SET acc = acc + cv;
+      |  END LOOP rl;
+      |  CLOSE cur;""".stripMargin
+
+  private val genFuzzFn: Gen[(String, Boolean)] = for {
+    withCursor <- Gen.oneOf(true, false)
+    body <- genStmtSeq(3)
+  } yield (s"""CREATE FUNCTION fz(p INT) RETURNS INT
+BEGIN
+  DECLARE i INT DEFAULT 0;
+  DECLARE acc INT DEFAULT 0;
+${if (withCursor) cursorPrelude + "\n" + cursorLoop + "\n" else ""}$body
+  RETURN acc;
+END""", withCursor)
+
+  private def countTokens(s: String, re: String): Int =
+    re.r.findAllMatchIn(s).size
+
+  test("FunctionDdl fuzz: converted bodies are structurally well formed") {
+    // no shrinking: ScalaCheck's String shrinker chops characters and
+    // produces non-MySQL garbage that the converter rightly mangles
+    check("functionddl fuzz", Prop.forAllNoShrink(genFuzzFn) { case (ddl, cursor) =>
+      val out = graft.ddl.FunctionDdl.convert(ddl)
+        .getOrElse(sys.error("convert returned None")).ddl
+      val endIfs = countTokens(out, "(?i)\\bEND\\s+IF\\b")
+      val ifs = countTokens(out, "(?i)\\bIF\\b") - endIfs
+      val endLoops = countTokens(out, "(?i)\\bEND\\s+LOOP\\b")
+      val loops = countTokens(out, "(?i)\\bLOOP\\b") - endLoops
+      val bodyStart = out.indexOf("BEGIN")
+      val bodyTail = out.substring(bodyStart)
+      val checks = Seq(
+        "IF balance" -> (ifs == endIfs),
+        "LOOP balance" -> (loops == endLoops),
+        "no ;;" -> !";\\s*;".r.findFirstIn(out).isDefined,
+        "no THEN THEN" -> !"(?i)\\bTHEN\\s+THEN\\b".r.findFirstIn(out).isDefined,
+        // NOTE deliberately NO "LOOP LOOP" check: directly nested REPEATs
+        // legitimately convert to adjacent LOOP openers — the reference's
+        // reLoopLoop repair regex (sync_functions.go:118) would corrupt
+        // exactly that valid nesting
+        "no END END" -> !"(?i)\\bEND\\s+END\\b".r.findFirstIn(out).isDefined,
+        "no @" -> !out.contains("@"),
+        "no DECLARE in body" ->
+          !"(?i)\\bDECLARE\\b".r.findFirstIn(bodyTail).isDefined,
+        "no LEAVE" -> !"(?i)\\bLEAVE\\b".r.findFirstIn(out).isDefined,
+        "no ITERATE" -> !"(?i)\\bITERATE\\b".r.findFirstIn(out).isDefined,
+        "no UNTIL" -> !"(?i)\\bUNTIL\\b".r.findFirstIn(out).isDefined,
+        "no loop REPEAT" ->
+          !"(?i)\\bREPEAT\\b(?!\\s*\\()".r.findFirstIn(out).isDefined,
+        "no END WHILE" ->
+          !"(?i)\\bEND\\s+WHILE\\b".r.findFirstIn(out).isDefined,
+        "no dangling DO" -> !"(?i)\\bDO\\b".r.findFirstIn(out).isDefined,
+        "no HANDLER" -> !"(?i)\\bHANDLER\\b".r.findFirstIn(out).isDefined,
+        "cursor protocol" ->
+          (!cursor || out.contains("IF NOT FOUND THEN done := true;")),
+        "literal survives" ->
+          (!out.contains("'a, b'") || out.contains("'a; b'")))
+      val bad = checks.collect { case (n, false) => n }
+      if (bad.nonEmpty) {
+        println(s"FAILED ${bad.mkString(",")} on input:\n$ddl\noutput:\n$out")
+      }
+      bad.isEmpty
+    })
+  }
 }

@@ -225,8 +225,10 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("FunctionDdl procedural subset: loop control, user vars, ROW_COUNT") {
     import graft.ddl.FunctionDdl
-    // LEAVE/ITERATE drop their MySQL label (sync_functions.go:64-65);
-    // REPEAT..UNTIL becomes a post-test LOOP..EXIT WHEN (:66-67, :532-535)
+    // LEAVE/ITERATE KEEP their MySQL label (the reference drops it,
+    // sync_functions.go:64-65, silently retargeting nested control flow to
+    // the innermost loop — graft declares <<lbl>> so the labeled form is
+    // valid); REPEAT..UNTIL becomes a post-test LOOP..EXIT WHEN (:66-67, :532-535)
     // with the UNTIL tail rewritten BEFORE the bare REPEAT keyword so the
     // 'END REPEAT' terminator survives long enough to match
     val lp = FunctionDdl.convert(
@@ -243,10 +245,11 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  UNTIL i <= 0 END REPEAT;
         |  RETURN i;
         |END""".stripMargin).get
-    assert(lp.ddl.contains("EXIT;") && !lp.ddl.toUpperCase.contains("LEAVE"),
-      lp.ddl)
-    assert(lp.ddl.contains("CONTINUE;") &&
+    assert(lp.ddl.contains("EXIT lbl;") &&
+      !lp.ddl.toUpperCase.contains("LEAVE"), lp.ddl)
+    assert(lp.ddl.contains("CONTINUE lbl;") &&
       !lp.ddl.toUpperCase.contains("ITERATE"), lp.ddl)
+    assert(lp.ddl.contains("<<lbl>> LOOP"), lp.ddl)
     assert(lp.ddl.contains("EXIT WHEN i <= 0; END LOOP;"), lp.ddl)
     assert(!lp.ddl.toUpperCase.contains("REPEAT"), lp.ddl)
     // a string literal spelling the keywords must NOT be rewritten
@@ -334,6 +337,99 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
         |END""".stripMargin).get
     assert(sub.ddl.contains("v_n := ROW_COUNT() + 1"), sub.ddl)
     assert(!sub.ddl.contains("GET DIAGNOSTICS"), sub.ddl)
+  }
+
+  test("FunctionDdl cursor FETCH/handler protocol") {
+    import graft.ddl.FunctionDdl
+    // the canonical MySQL cursor loop: CONTINUE HANDLER FOR NOT FOUND sets
+    // a flag, the loop FETCHes and LEAVEs on the flag. PG has no handlers
+    // (sync_functions.go:95-96 drops them) — the reference instead appends
+    // `IF NOT FOUND THEN done := true; END IF;` to every FETCH
+    // (:1062-1072). Without that tail the converted loop never terminates.
+    val cl = FunctionDdl.convert(
+      """CREATE FUNCTION total_of() RETURNS INT
+        |BEGIN
+        |  DECLARE done INT DEFAULT FALSE;
+        |  DECLARE v INT;
+        |  DECLARE acc INT DEFAULT 0;
+        |  DECLARE cur CURSOR FOR SELECT a FROM t;
+        |  DECLARE CONTINUE HANDLER FOR NOT FOUND SET done = 1;
+        |  OPEN cur;
+        |  read_loop: LOOP
+        |    FETCH cur INTO v;
+        |    IF done THEN LEAVE read_loop; END IF;
+        |    SET acc = acc + v;
+        |  END LOOP;
+        |  CLOSE cur;
+        |  RETURN acc;
+        |END""".stripMargin).get
+    // the flag IS set on exhaustion — the loop terminates
+    assert(cl.ddl.contains(
+      "FETCH cur INTO v; IF NOT FOUND THEN done := true; END IF;"), cl.ddl)
+    // the handler itself is gone, but did NOT silently vanish: its flag
+    // survives, coerced to a PG boolean (MySQL spells it INT DEFAULT FALSE)
+    assert(!cl.ddl.toUpperCase.contains("HANDLER"), cl.ddl)
+    assert(cl.ddl.contains("done boolean DEFAULT false;"), cl.ddl)
+    assert(!cl.ddl.contains("done SMALLINT"), cl.ddl)
+    assert(cl.ddl.contains("<<read_loop>> LOOP"), cl.ddl)
+    assert(cl.ddl.contains("EXIT read_loop;"), cl.ddl)
+    assert(cl.ddl.contains("cur CURSOR FOR SELECT a FROM t;"), cl.ddl)
+    // the handler's OWN variable name is preferred over the reference's
+    // hardcoded `done`; integer writes/tests of the flag are re-typed
+    val fn = FunctionDdl.convert(
+      """CREATE FUNCTION scan_all() RETURNS INT
+        |BEGIN
+        |  DECLARE finished INT DEFAULT 0;
+        |  DECLARE v INT;
+        |  DECLARE cur CURSOR FOR SELECT a FROM t;
+        |  DECLARE CONTINUE HANDLER FOR NOT FOUND SET finished = 1;
+        |  OPEN cur;
+        |  SET finished = 0;
+        |  lp: LOOP
+        |    FETCH cur INTO v;
+        |    IF finished = 1 THEN LEAVE lp; END IF;
+        |  END LOOP;
+        |  CLOSE cur;
+        |  RETURN v;
+        |END""".stripMargin).get
+    assert(fn.ddl.contains("IF NOT FOUND THEN finished := true;"), fn.ddl)
+    assert(fn.ddl.contains("finished boolean DEFAULT false;"), fn.ddl)
+    assert(fn.ddl.contains("finished := false;"), fn.ddl) // SET finished=0
+    assert(fn.ddl.contains("IF finished = true THEN"), fn.ddl)
+    assert(!fn.ddl.contains("done"), fn.ddl)
+    // no handler at all: the reference unconditionally wires `done` —
+    // match it, and declare the fallback flag so the body compiles
+    val nf = FunctionDdl.convert(
+      """CREATE FUNCTION first_of() RETURNS INT
+        |BEGIN
+        |  DECLARE v INT;
+        |  DECLARE cur CURSOR FOR SELECT a FROM t;
+        |  OPEN cur;
+        |  FETCH cur INTO v;
+        |  CLOSE cur;
+        |  RETURN v;
+        |END""".stripMargin).get
+    assert(nf.ddl.contains(
+      "FETCH cur INTO v; IF NOT FOUND THEN done := true; END IF;"), nf.ddl)
+    assert(nf.ddl.contains("done boolean DEFAULT false;"), nf.ddl)
+    // an @user_var flag rides the v_ rename end-to-end
+    val uv = FunctionDdl.convert(
+      """CREATE FUNCTION drain() RETURNS INT
+        |BEGIN
+        |  DECLARE v INT;
+        |  DECLARE cur CURSOR FOR SELECT a FROM t;
+        |  DECLARE CONTINUE HANDLER FOR NOT FOUND SET @eof = 1;
+        |  OPEN cur;
+        |  lp: LOOP
+        |    FETCH cur INTO v;
+        |    IF @eof THEN LEAVE lp; END IF;
+        |  END LOOP;
+        |  CLOSE cur;
+        |  RETURN v;
+        |END""".stripMargin).get
+    assert(uv.ddl.contains("IF NOT FOUND THEN v_eof := true;"), uv.ddl)
+    assert(uv.ddl.contains("v_eof boolean DEFAULT false;"), uv.ddl)
+    assert(!uv.ddl.contains("@"), uv.ddl)
   }
 
   test("DdlConverter hardening: grant word boundaries, literal-safe clauses, PG requoting") {
