@@ -85,8 +85,10 @@ object Fingerprint {
   /** SQL registration; usable both as a Column (via [[fingerprint]]) and
     * inside lambda expressions (`transform(arr, s -> graft_fingerprint(s))`). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_fingerprint", exprs => Fingerprint(exprs.head), "built-in")
+    Registration.once(spark, "graft_fingerprint") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_fingerprint", exprs => Fingerprint(exprs.head), "built-in")
+    }
 
   /** Column API over the registered function (register() must run first). */
   def fingerprint(colName: String): Column = expr(s"graft_fingerprint($colName)")

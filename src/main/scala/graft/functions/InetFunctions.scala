@@ -65,7 +65,7 @@ case class InetNtoa(child: Expression) extends UnaryExpression with CodegenFallb
 }
 
 object InetFunctions {
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "inet_aton") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "inet_aton", exprs => InetAton(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

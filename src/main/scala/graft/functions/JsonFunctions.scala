@@ -255,7 +255,7 @@ object JsonFunctions {
   val modes: Seq[String] = Seq("set", "insert", "replace", "remove",
     "array_append", "merge_patch", "merge_preserve")
 
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "graft_json_set") {
     val reg = spark.sessionState.functionRegistry
     modes.foreach { m =>
       reg.createOrReplaceTempFunction(

@@ -46,8 +46,10 @@ case class PointDecode(child: Expression) extends UnaryExpression with CodegenFa
 
 object PointDecode {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_point_decode", exprs => PointDecode(exprs.head), "built-in")
+    Registration.once(spark, "graft_point_decode") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_point_decode", exprs => PointDecode(exprs.head), "built-in")
+    }
 
   /** Build a MySQL-internal point byte array (for tests / fixtures). */
   def encode(x: Double, y: Double, srid: Int = 0): Array[Byte] = {

@@ -103,6 +103,8 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
 object SortedIntersectSize {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sorted_inter_n", exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
+    Registration.once(spark, "graft_sorted_inter_n") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_sorted_inter_n", exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
+    }
 }
