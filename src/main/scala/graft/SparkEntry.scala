@@ -4372,7 +4372,7 @@ object SparkEntry {
         |votes AS (SELECT va, la, lb, CAST(count(*) AS BIGINT) AS c
         |          FROM top5 GROUP BY va, la, lb),
         |win AS (SELECT va, la, lb, c FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY va ORDER BY c DESC, lb) AS rk
+        |    SELECT *, row_number() OVER (PARTITION BY va ORDER BY c DESC, lb NULLS FIRST) AS rk
         |    FROM votes) WHERE rk = 1)
         |SELECT va AS vec_id, la AS label, lb AS majority_label,
         |  c AS majority_votes,

@@ -401,15 +401,22 @@ object DdlConverter {
     * on execution failure. Returns Nil for anything that is not a
     * single-column comment statement. */
   def columnCommentFallbacks(ddl: String): Seq[String] = {
+    // optional leading schema qualifier (schema.table.col) passes through
+    // unchanged — PG-side folding can affect any emitted identifier, and
+    // a schema-qualified comment previously got no retry variants at all
     val Re = ("(?is)^\\s*COMMENT\\s+ON\\s+COLUMN\\s+" +
-      "(\"?)([\\w$]+)\\1\\.(\"?)([\\w$]+)\\3\\s+IS\\s+(.+)$").r
+      "(?:(\"?)([\\w$]+)\\1\\.)?(\"?)([\\w$]+)\\3\\.(\"?)([\\w$]+)\\5" +
+      "\\s+IS\\s+(.+)$").r
     ddl.trim match {
-      case Re(_, tbl, _, col, lit) =>
+      case Re(_, schema, _, tbl, _, col, lit) =>
+        val pre = Option(schema).map(s => s""""$s".""").getOrElse("")
+        val preBare = Option(schema).map(_ + ".").getOrElse("")
         Seq(
-          s"""COMMENT ON COLUMN "$tbl"."$col" IS $lit""",
-          s"""COMMENT ON COLUMN "$tbl"."${col.toLowerCase}" IS $lit""",
-          s"""COMMENT ON COLUMN "$tbl"."${col.toUpperCase}" IS $lit""",
-          s"""COMMENT ON COLUMN $tbl.$col IS $lit""")
+          s"""COMMENT ON COLUMN $pre"$tbl"."$col" IS $lit""",
+          s"""COMMENT ON COLUMN $pre"$tbl"."${col.toLowerCase}" IS $lit""",
+          s"""COMMENT ON COLUMN $pre"$tbl"."${col.toUpperCase}" IS $lit""",
+          s"""COMMENT ON COLUMN $pre"${tbl.toLowerCase}"."${col.toLowerCase}" IS $lit""",
+          s"""COMMENT ON COLUMN $preBare$tbl.$col IS $lit""")
           .distinct.filterNot(_ == ddl.trim)
       case _ => Nil
     }

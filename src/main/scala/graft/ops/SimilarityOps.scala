@@ -436,9 +436,13 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"va").orderBy($"d2", $"vb")))
       .filter($"rn" <= 5)
+    // tie-break nulls EXPLICITLY: label is a nullable BIGINT cast, and
+    // Spark's asc default (NULLS FIRST) differs from DuckDB's (NULLS
+    // LAST) — vacuous on this corpus but both legs pin NULLS FIRST so
+    // the deterministic-tie-break invariant survives a null label
     val verdict = top5.groupBy($"va", $"la", $"lb").agg(count(lit(1)).as("c"))
       .withColumn("rk", row_number().over(
-        Window.partitionBy($"va").orderBy($"c".desc, $"lb")))
+        Window.partitionBy($"va").orderBy($"c".desc, $"lb".asc_nulls_first)))
       .filter($"rk" === 1)
       .select($"va".as("vec_id"), $"la".as("label"),
         $"lb".as("majority_label"), $"c".as("majority_votes"))

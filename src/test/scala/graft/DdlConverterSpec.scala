@@ -294,7 +294,15 @@ class DdlConverterSpec extends AnyFunSuite {
     assert(fb == Seq(
       """COMMENT ON COLUMN "Orders"."select" IS 'keyword col'""",
       """COMMENT ON COLUMN "Orders"."SELECT" IS 'keyword col'""",
+      """COMMENT ON COLUMN "orders"."select" IS 'keyword col'""",
       """COMMENT ON COLUMN Orders.Select IS 'keyword col'"""), fb)
+    // schema-qualified comments get the same retry family, with the
+    // qualifier passed through unchanged (previously: no variants at all)
+    val sq = DdlConverter.columnCommentFallbacks(
+      """COMMENT ON COLUMN "app"."Orders"."Select" IS 'x'""")
+    assert(sq.contains("""COMMENT ON COLUMN "app"."Orders"."select" IS 'x'""") &&
+      sq.contains("""COMMENT ON COLUMN "app"."orders"."select" IS 'x'""") &&
+      sq.contains("""COMMENT ON COLUMN app.Orders.Select IS 'x'"""), sq)
     // unquoted emission gains the quoted variants (and drops itself)
     val unq = DdlConverter.columnCommentFallbacks(
       "COMMENT ON COLUMN t.MyCol IS 'x'")
