@@ -265,6 +265,7 @@ object SparkEntry {
     "q236_winnow_recall"  -> DedupOps.q236WinnowRecall _,
     "q237_label_noise"    -> SimilarityOps.q237LabelNoise _,
     "q238_dedup_weights"  -> DedupOps.q238DedupWeights _,
+    "q239_format_roundtrip" -> TransferOps.q239FormatRoundtrip _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4432,6 +4433,23 @@ object SparkEntry {
         |  CAST(sum(1000000 // csize) AS BIGINT) AS eff_mass_ppm,
         |  CAST(sum(1000000 // csize) AS BIGINT) // count(*) AS eff_ratio_ppm
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+
+    // q239: the Spark leg round-trips customer through CSV/JSON/ORC and
+    // checksums the READ-BACK frames; the oracle recomputes the same
+    // checksums straight from the parquet source — equal iff every
+    // format's write/read path is lossless. Cents via round() (both
+    // engines round half away from zero on doubles).
+    "q239_format_roundtrip" ->
+      """WITH chk AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |    CAST(sum(c_nationkey) AS BIGINT) AS sum_nation,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |    CAST(sum(length(c_name) + length(c_mktsegment)) AS BIGINT) AS sum_strlen
+        |  FROM customer)
+        |SELECT f.format, chk.n_rows, chk.sum_key, chk.sum_nation,
+        |  chk.sum_cents, chk.sum_strlen
+        |FROM (VALUES ('csv'), ('json'), ('orc')) f(format) CROSS JOIN chk
+        |ORDER BY f.format""".stripMargin,
 
     // q178's split rule + q213's MinHash replay, restricted to eval→train
     // band probes (ASCII-only fingerprint invariant, see q213's note).

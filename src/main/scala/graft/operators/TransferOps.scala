@@ -347,4 +347,50 @@ object TransferOps {
         $"pit.status".as("status"))
       .orderBy($"l_orderkey", $"l_linenumber")
   }
+
+  /** X51 (oracle gate) — CSV / JSON-lines / ORC endpoint round trip:
+    * write `customer` through each non-parquet [[Transfer.Endpoint]],
+    * read it back schema-typed, and emit one count+checksum row per
+    * format. The DuckDB oracle recomputes the identical checksums from
+    * the parquet source, so any loss in a format's write/read path —
+    * dropped rows, double drift (CSV/JSON print doubles via shortest
+    * round-trip repr), truncated strings, null/empty confusion — breaks
+    * the hash. Closes the last spec-only non-streaming §2.7 component.
+    *
+    * Scale: writes are full distributed jobs (one per format) into a
+    * throwaway dir; each checksum is ONE combinable aggregate collapsing
+    * to a single collected row, and the returned frame is 3 rows. At
+    * 100 TB the same endpoints stream through the identical plan shape —
+    * nothing here is corpus-sized on the driver. */
+  def q239FormatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.Tables.load(s, dir, "customer")
+    val tmp = Files.createTempDirectory("graft_fmt")
+    try {
+      val eps: Seq[(String, Transfer.Endpoint)] = Seq(
+        "csv" -> Transfer.CsvDir(s"$tmp/csv", Some(src.schema)),
+        "json" -> Transfer.JsonDir(s"$tmp/json", Some(src.schema)),
+        "orc" -> Transfer.OrcDir(s"$tmp/orc"))
+      val rows = eps.map { case (fmt, ep) =>
+        Transfer.write(src, ep, "customer", truncate = true)
+        val r = Transfer.read(s, ep, "customer").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("c_custkey")).as("sum_key"),
+          sum(col("c_nationkey").cast("long")).as("sum_nation"),
+          sum(graft.functions.Exact.cents(col("c_acctbal"))).as("sum_cents"),
+          sum((length(col("c_name")) + length(col("c_mktsegment")))
+            .cast("long")).as("sum_strlen"))
+          .collect().head
+        org.apache.spark.sql.Row(fmt, r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))
+      }
+      import org.apache.spark.sql.types._
+      // rows are already in deterministic format order (csv, json, orc) —
+      // a trailing orderBy on the 3-row local frame would plan a range
+      // exchange for nothing (q117/q236 idiom)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("format", StringType), StructField("n_rows", LongType),
+        StructField("sum_key", LongType), StructField("sum_nation", LongType),
+        StructField("sum_cents", LongType), StructField("sum_strlen", LongType))))
+    } finally Transfer.deleteRecursively(tmp)
+  }
 }

@@ -305,6 +305,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // join measured 15 planned exchanges vs 49
                              // for per-consumer re-derivation) and the
                              // returned frame is a local parallelize
+    "q239_format_roundtrip" -> 0, // three write+readback jobs run eagerly
+                             // (each checksum one combinable 1-row agg);
+                             // the returned 3-row frame is local
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own

@@ -48,6 +48,24 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Transfer.exists(spark, csv, "nation"))
   }
 
+  test("q239 format round trip: per-format checksums equal the source's") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.TransferOps.q239FormatRoundtrip(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("csv", "json", "orc"), out.toSeq)
+    // driver replay: recompute the checksum tuple straight from parquet —
+    // every format's read-back must have produced exactly this
+    val exp = Transfer.read(spark, ParquetDir(sf), "customer").agg(
+      count(lit(1)), sum(col("c_custkey")),
+      sum(col("c_nationkey").cast("long")),
+      sum(graft.functions.Exact.cents(col("c_acctbal"))),
+      sum((length(col("c_name")) + length(col("c_mktsegment"))).cast("long")))
+      .collect().head
+    out.foreach { r =>
+      assert((1 to 5).forall(i => r.getLong(i) == exp.getLong(i - 1)),
+        s"${r.getString(0)}: $r vs $exp")
+    }
+  }
+
   test("parquet -> Derby JDBC roundtrip (real database)") {
     val db = Files.createTempDirectory("derbydb").toString + "/g"
     val url = s"jdbc:derby:$db;create=true"
