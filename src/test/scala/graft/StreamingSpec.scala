@@ -51,6 +51,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.size == 4) // (h0 click), (h1 buy), (h1 click), (h3 buy)
   }
 
+  test("streaming hourlyCounts through a real stream equals the q16 frame") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .as[Event].collect().toSeq
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStream.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_q16")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    val streamed = spark.table("hourly_q16")
+      .orderBy("hour", "event_type").collect().map(_.toString).toSeq
+    q.stop()
+    // the ORACLE-GATED q16 frame itself — stream and gate cannot drift
+    val batch = SparkEntry.queries("q16_event_windows")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sessionize finalize equals the ORACLE-GATED q54 frame") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ds = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .as[Event]
+    // batch execution finalizes every session (watermark = +inf path)
+    def us(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    val streamed = EventStream.sessionize(ds).collect()
+      .groupBy(_.user_id).iterator.flatMap { case (u, ss) =>
+        ss.sortBy(s => us(s.first_ts)).zipWithIndex.map { case (s, i) =>
+          (u, i + 1L, s.n_events, us(s.first_ts),
+            us(s.last_ts) - us(s.first_ts), s.total_cents)
+        }
+      }.toSet
+    val batch = SparkEntry.queries("q54_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionize closes sessions on inactivity gap") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -164,7 +210,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp")).as[Event]
     val streamed = EventStream.funnel(ds).collect()
       .map(u => u.user_id -> u.stage.toLong).toMap
-    val batch = graft.ops.EventOps.q78Funnel(spark, sf).collect()
+    // compare against the ORACLE-GATED frame itself (SparkEntry.queries),
+    // not a direct operator call — if the gate entry is ever remapped,
+    // stream and gate cannot silently drift apart
+    val batch = SparkEntry.queries("q78_funnel")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("stage")).toMap
     assert(streamed == batch)
   }
@@ -204,7 +253,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp")).as[Event]
     val streamed = EventStream.attributionFeed(ds).collect()
       .map(u => u.purchase_id -> (u.click_id, u.gap_minutes)).toMap
-    val batch = graft.ops.EventOps.q141Attribution(spark, sf).collect()
+    // oracle-gated frame, not a direct operator call (see funnel test)
+    val batch = SparkEntry.queries("q141_attribution")(spark, sf).collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(2)) (-1L, -1L) else (r.getLong(2), r.getLong(3)))).toMap
     assert(streamed == batch)
