@@ -86,9 +86,14 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                                 // C(|sources|,2) report materializes while
                                 // the 3-consumer incidence frame is cached;
                                 // the returned plan is local (ExchProbe=0)
-    // q118 materializes via collect-then-unpersist (q106 idiom) so its
-    // returned plan is local — its shuffle story is asserted by the
-    // AffinityOpsSpec reconciliation test instead
+    // q118/q123/q132 materialize via collect-then-unpersist (q106 idiom);
+    // their shuffle stories are asserted by the AffinityOpsSpec
+    // reconciliation tests — the 0-pins below gate the idiom itself (a
+    // regression that stops collecting would reintroduce exchanges into
+    // the returned plan and trip here, not just drift the bench)
+    "q118_rfm_segments" -> 0,
+    "q123_item_rank"    -> 0,
+    "q132_triangles"    -> 0,
     "q119_anomaly_p99"  -> 2, // ONE event_type partitioning (rank + count
                               // windows share it) + orderBy
     "q120_session_paths" -> 3, // q54's single user_id partitioning + path
