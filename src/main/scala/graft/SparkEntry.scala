@@ -266,6 +266,9 @@ object SparkEntry {
     "q237_label_noise"    -> SimilarityOps.q237LabelNoise _,
     "q238_dedup_weights"  -> DedupOps.q238DedupWeights _,
     "q239_format_roundtrip" -> TransferOps.q239FormatRoundtrip _,
+    "q240_min_cost_supplier" -> Relational.q240MinCostSupplier _,
+    "q241_important_stock" -> Relational.q241ImportantStock _,
+    "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
 
   /** DuckDB-dialect oracle per query key (same parquet tables, same column
@@ -4450,6 +4453,54 @@ object SparkEntry {
         |  chk.sum_cents, chk.sum_strlen
         |FROM (VALUES ('csv'), ('json'), ('orc')) f(format) CROSS JOIN chk
         |ORDER BY f.format""".stripMargin,
+
+    // q240-q242: the last three TPC-H analogues (Q2/Q11/Q16). No partsupp
+    // table exists, so the observed lineitem incidence IS the
+    // part-supplier relation; unit cost is milli-cents div integral qty
+    // (positive operands: Spark `div` == DuckDB `//`), and Q11's 1/10000
+    // threshold is the overflow-safe `value > total div 10000` form.
+    "q240_min_cost_supplier" ->
+      """WITH unit AS (SELECT l_partkey, l_suppkey,
+        |    min((CAST(round(l_extendedprice * 100) AS BIGINT) * 1000)
+        |        // CAST(round(l_quantity) AS BIGINT)) AS cost_milli_cents
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |sup AS (SELECT s_suppkey, s_name,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |j AS (SELECT p.p_partkey, p.p_brand, u.cost_milli_cents,
+        |    s.s_suppkey, s.s_name, s.s_acctbal_cents, s.n_name
+        |  FROM unit u JOIN part p ON u.l_partkey = p.p_partkey AND p.p_size >= 40
+        |  JOIN sup s ON u.l_suppkey = s.s_suppkey),
+        |best AS (SELECT * FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY p_partkey ORDER BY cost_milli_cents, s_suppkey) AS rn
+        |  FROM j) WHERE rn = 1)
+        |SELECT s_acctbal_cents, s_name, n_name, p_partkey, p_brand, cost_milli_cents
+        |FROM best ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q241_important_stock" ->
+      """WITH v AS (SELECT l_partkey AS p_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7')
+        |  GROUP BY l_partkey),
+        |tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS t FROM v)
+        |SELECT p_partkey, value_cents FROM v CROSS JOIN tot
+        |WHERE value_cents > t // 10000
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
+
+    "q242_parts_supplier" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) i
+        |JOIN part ON i.l_partkey = p_partkey
+        |WHERE p_brand != 'Brand#45' AND p_size <= 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     // q178's split rule + q213's MinHash replay, restricted to eval→train
     // band probes (ASCII-only fingerprint invariant, see q213's note).

@@ -1179,4 +1179,117 @@ object Relational {
       .orderBy($"n_blamed_orders".desc, $"s_suppkey")
       .limit(20)
   }
+
+  /** X207 — min-cost regional supplier (TPC-H Q2 analogue): for each
+    * large part (p_size >= 40), the cheapest EUROPE supplier. The test
+    * corpus has no partsupp table, so the observed supply-cost relation
+    * is the lineitem fold: per (part, supplier), the minimum unit cost
+    * `cents(l_extendedprice)·1000 div qty` — quantities are integral
+    * doubles, so milli-cents-per-unit is exact int64 in both engines
+    * (positive operands: Spark `div` and DuckDB `//` agree).
+    *
+    * Scale: ONE lineitem shuffle on its natural (part, supplier) key
+    * builds the cost relation; nation/region dims broadcast onto the
+    * supplier dim; the per-part argmin window runs on the
+    * incidence-sized (part × observed-supplier) frame, partitioned by
+    * part key — never on lineitem itself. Deterministic ties:
+    * (cost, s_suppkey); Q2's ordering with p_partkey as the unique
+    * final key. */
+  def q240MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val unit = t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey",
+        expr("(cast(round(l_extendedprice * 100) as bigint) * 1000) div cast(round(l_quantity) as bigint)")
+          .as("unit_mc"))
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"unit_mc").as("cost_milli_cents"))
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region").filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", cents($"s_acctbal").as("s_acctbal_cents"),
+        $"n_name")
+    val parts = t(s, dir, "part").filter($"p_size" >= 40)
+      .select($"p_partkey", $"p_brand")
+    unit
+      .join(parts, $"l_partkey" === $"p_partkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"p_partkey")
+          .orderBy($"cost_milli_cents", $"s_suppkey")))
+      .filter($"rn" === 1)
+      .select($"s_acctbal_cents", $"s_name", $"n_name", $"p_partkey",
+        $"p_brand", $"cost_milli_cents")
+      .orderBy($"s_acctbal_cents".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  /** X208 — important-stock audit (TPC-H Q11 analogue): per part, the
+    * total observed supply value `cents(extprice·(1−discount))` from
+    * NATION_7's suppliers, keeping parts whose value exceeds 1/10000 of
+    * the nation's total. The threshold compare is `value > total div
+    * 10000` — algebraically identical to `value·10000 > total` for
+    * positive int64 (both engines floor-divide positives), without the
+    * ×10000 overflow at corpus scale.
+    *
+    * Scale: the nation's supplier keys broadcast as a semi-join gate
+    * pushed to the lineitem scan; ONE combinable part-key fold, persisted
+    * — it has two consumers (the grand total and the survivors) and
+    * recomputing would double the lineitem shuffle. The survivor set is
+    * bounded BY CONSTRUCTION: at most 9999 parts can each exceed 1/10000
+    * of the total, so the report collects to a local frame and the cache
+    * releases before return (q117/q123 idiom). */
+  def q241ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val natSup = broadcast(t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter($"n_name" === "NATION_7")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey"))
+    val v = t(s, dir, "lineitem")
+      .join(natSup, $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_partkey")
+      .agg(sum(cents($"l_extendedprice" * (lit(1) - $"l_discount")))
+        .as("value_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // empty fold (a nation with no shipped lines) sums to NULL
+      val tRow = v.agg(sum($"value_cents")).collect().head
+      val tVal = if (tRow.isNullAt(0)) 0L else tRow.getLong(0)
+      val rows = v.filter($"value_cents" > lit(tVal / 10000L))
+        .select($"l_partkey".as("p_partkey"), $"value_cents")
+        .orderBy($"value_cents".desc, $"p_partkey")
+        .collect().toSeq
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("p_partkey", LongType),
+        StructField("value_cents", LongType))))
+    } finally v.unpersist(blocking = false)
+  }
+
+  /** X209 — parts/supplier relationship (TPC-H Q16 analogue): distinct
+    * supplier count per (brand, type, size) over the OBSERVED lineitem
+    * incidence, excluding one brand and the negative-balance suppliers
+    * (the corpus's stand-in for Q16's 'Customer Complaints' comment
+    * filter — no s_comment column exists).
+    *
+    * Scale: the complaint list is a broadcast anti-join on the distinct
+    * (part, supplier) incidence (one lineitem shuffle); the part-dim
+    * join shuffles only incidence-sized keys; countDistinct re-keys by
+    * the attribute triple. */
+  def q242PartsSupplierRel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bad = broadcast(t(s, dir, "supplier")
+      .filter($"s_acctbal" < 0).select($"s_suppkey"))
+    val inc = t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .join(bad, $"l_suppkey" === $"s_suppkey", "left_anti")
+    inc
+      .join(t(s, dir, "part")
+        .filter($"p_brand" =!= "Brand#45" && $"p_size" <= 25)
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
 }

@@ -1093,4 +1093,79 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .foreach(v => assert(v <= minReported))
     }
   }
+
+  test("min-cost supplier: per-part argmin replays over the lineitem fold") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.q240MinCostSupplier(spark, sf)
+      .collect().map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[String]("s_name"), r.getAs[Long]("cost_milli_cents"))).toMap
+    // driver replay: unit cost = cents(extprice)*1000 div qty, min per
+    // (part, supplier); argmin restricted to EUROPE suppliers, big parts
+    val europe = graft.sources.Tables.load(spark, sf, "supplier")
+      .join(graft.sources.Tables.load(spark, sf, "nation"),
+        $"s_nationkey" === $"n_nationkey")
+      .join(graft.sources.Tables.load(spark, sf, "region")
+        .filter($"r_name" === "EUROPE"), $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name").as[(Long, String)].collect().toMap
+    val bigParts = graft.sources.Tables.load(spark, sf, "part")
+      .filter($"p_size" >= 40).select($"p_partkey").as[Long].collect().toSet
+    val cost = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select($"l_partkey", $"l_suppkey",
+        expr("(cast(round(l_extendedprice * 100) as bigint) * 1000) div cast(round(l_quantity) as bigint)"))
+      .as[(Long, Long, Long)].collect()
+      .filter(x => bigParts(x._1) && europe.contains(x._2))
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).min).toSeq
+    val best = cost.groupBy(_._1._1).view.mapValues { cands =>
+      val (k, c) = cands.minBy { case ((_, sk), mc) => (mc, sk) }
+      (europe(k._2), c)
+    }.toMap
+    // the operator LIMITs to 100; every reported row must equal the replay
+    assert(rows.nonEmpty)
+    rows.foreach { case (pk, v) => assert(best(pk) == v, s"part $pk") }
+  }
+
+  test("important stock: threshold keeps exactly the >1/10000 parts") {
+    import spark.implicits._
+    // NATION_7 has no suppliers at sf0.001 — replay at sf0.01 where the
+    // fold is populated (and the bounded-result guarantee is exercised)
+    val sf1 = "/root/testdata/sf0.01"
+    val rows = graft.operators.Relational.q241ImportantStock(spark, sf1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sup7 = graft.sources.Tables.load(spark, sf1, "supplier")
+      .join(graft.sources.Tables.load(spark, sf1, "nation")
+        .filter($"n_name" === "NATION_7"), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey").as[Long].collect().toSet
+    val byPart = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select($"l_partkey", $"l_suppkey",
+        round($"l_extendedprice" * (lit(1) - $"l_discount") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .filter(x => sup7(x._2))
+      .groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val total = byPart.values.sum
+    val expected = byPart.filter(_._2 > total / 10000L)
+    assert(rows == expected)
+    assert(rows.nonEmpty && rows.size < 10000, s"bound violated: ${rows.size}")
+  }
+
+  test("parts/supplier relationship: distinct counts exclude flagged suppliers") {
+    import spark.implicits._
+    val sf1 = "/root/testdata/sf0.01" // has 6 negative-balance suppliers
+    val rows = graft.operators.Relational.q242PartsSupplierRel(spark, sf1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        r.getAs[Long]("supplier_cnt")).toMap
+    val bad = graft.sources.Tables.load(spark, sf1, "supplier")
+      .filter($"s_acctbal" < 0).select($"s_suppkey").as[Long].collect().toSet
+    assert(bad.nonEmpty, "exclusion set empty — test would be vacuous")
+    val attrs = graft.sources.Tables.load(spark, sf1, "part")
+      .filter($"p_brand" =!= "Brand#45" && $"p_size" <= 25)
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+      .as[(Long, String, String, Int)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    val expected = graft.sources.Tables.load(spark, sf1, "lineitem")
+      .select($"l_partkey", $"l_suppkey").as[(Long, Long)].collect().distinct
+      .filter(x => !bad(x._2) && attrs.contains(x._1))
+      .groupBy(x => attrs(x._1)).view
+      .mapValues(_.map(_._2).distinct.length.toLong).toMap
+    assert(rows == expected)
+  }
 }

@@ -313,6 +313,13 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q239_format_roundtrip" -> 0, // three write+readback jobs run eagerly
                              // (each checksum one combinable 1-row agg);
                              // the returned 3-row frame is local
+    "q240_min_cost_supplier" -> 7, // (part,supp) cost fold + part/supplier
+                             // joins + per-part argmin window + top-100
+    "q241_important_stock" -> 0, // persisted fold, 1-row total collect,
+                             // ≤9999-row survivor collect (bounded by the
+                             // 1/10000 threshold itself) — local frame
+    "q242_parts_supplier" -> 6, // incidence distinct + anti gate + part
+                             // join + attr-triple countDistinct + orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
