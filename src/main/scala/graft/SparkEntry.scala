@@ -267,6 +267,7 @@ object SparkEntry {
     "q238_dedup_weights"  -> DedupOps.q238DedupWeights _,
     "q239_format_roundtrip" -> TransferOps.q239FormatRoundtrip _,
     "q240_min_cost_supplier" -> Relational.q240MinCostSupplier _,
+    "q243_novelty_curve"  -> CorpusOps.q243NoveltyCurve _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4453,6 +4454,33 @@ object SparkEntry {
         |  chk.sum_cents, chk.sum_strlen
         |FROM (VALUES ('csv'), ('json'), ('orc')) f(format) CROSS JOIN chk
         |ORDER BY f.format""".stripMargin,
+
+    // q243: first-seen = min(doc_id) per distinct 5-gram (q76's gram
+    // spelling); deciles replay the GlobalOrder rank as row_number over
+    // doc_id. g/pd are MATERIALIZED (each referenced twice).
+    "q243_novelty_curve" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |g AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, len(ws) - 4),
+        |        i -> array_to_string(list_slice(ws, i, i + 4), ' ')))) AS g
+        |      FROM d),
+        |pd AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |      FROM g GROUP BY doc_id),
+        |nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM
+        |        (SELECT g, min(doc_id) AS doc_id FROM g GROUP BY g)
+        |       GROUP BY doc_id),
+        |st AS (SELECT pd.doc_id, pd.n_grams, COALESCE(nv.n_novel, 0) AS n_novel,
+        |        row_number() OVER (ORDER BY pd.doc_id) AS rk,
+        |        (SELECT count(*) FROM pd) AS t
+        |       FROM pd LEFT JOIN nv USING (doc_id))
+        |SELECT (rk - 1) * 10 // t AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+        |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+        |  CAST(sum(n_novel) AS BIGINT) * 1000000
+        |    // CAST(sum(n_grams) AS BIGINT) AS novelty_ppm
+        |FROM st GROUP BY decile ORDER BY decile""".stripMargin,
 
     // q240-q242: the last three TPC-H analogues (Q2/Q11/Q16). No partsupp
     // table exists, so the observed lineitem incidence IS the

@@ -1065,6 +1065,48 @@ object CorpusOps {
       .orderBy($"decile", $"source")
   }
 
+  /** X210 — corpus novelty curve (diversity-growth / saturation audit):
+    * in doc_id ingestion order, the fraction of each decile's distinct
+    * 5-grams that are FIRST occurrences (no earlier doc contains them) —
+    * the curve collection decisions read: a collapsing tail means new
+    * data re-treads the corpus (the saturation signal scaling-law
+    * ablations watch), a flat curve means the source still adds
+    * diversity. Shares q76's 5-gram spelling so the two audits agree on
+    * the gram space.
+    *
+    * Scale: per-doc distinct grams explode once (narrow); first-seen is
+    * ONE combinable min(doc_id) fold on the gram key — raw gram strings,
+    * exact in both engines with no collision caveat (the deliberate
+    * tradeoff vs q224's packed key: ~40-byte shuffle keys, zero
+    * false-merges); novel-per-doc re-aggregates that fold's OUTPUT
+    * (gram-vocabulary-sized), never the occurrence frame; deciles via
+    * GlobalOrder's two-phase rank on the doc-cardinality stats frame
+    * (q234's pattern — no unpartitioned window anywhere). */
+  def q243NoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+      .withColumn("ws", split($"text", " "))
+      .filter(size($"ws") >= 5)
+    val grams = d.select($"doc_id", explode(array_distinct(expr(
+      "transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, CAST(i AS INT), 5)))"))).as("g"))
+    val perDoc = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy($"g").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_novel"))
+    val stats = perDoc.join(novel, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_novel", lit(0L)).as("n_novel"))
+    val (ranked, nTotal) = graft.operators.GlobalOrder.withRowNumberAndTotal(
+      stats, Seq($"doc_id"), "rk")
+    ranked
+      .withColumn("decile", expr(s"(rk - 1) * 10 div ${nTotal}L"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_grams").as("n_grams"),
+        sum($"n_novel").as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
+      .orderBy($"decile")
+  }
+
   /** The shared WITH-clause prefix both generated oracles build on: the
     * type dictionary, the bracketed v0 rendering, and one (pair-count,
     * arg-max, replace-apply) CTE triple per merge round. Every round CTE

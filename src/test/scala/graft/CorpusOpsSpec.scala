@@ -261,4 +261,38 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // than characters overall
     assert(got.values.map(_._3).sum < got.values.map(_._2).sum)
   }
+
+  test("novelty curve: first-seen rule replays on the driver") {
+    import spark.implicits._
+    val out = CorpusOps.q243NoveltyCurve(spark, sf).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_grams"),
+         r.getAs[Long]("n_novel"), r.getAs[Long]("novelty_ppm"))).toMap
+    // driver replay of the whole rule at sf0.001
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      .filter(_._2.length >= 5).sortBy(_._1)
+    val gramsByDoc = docs.map { case (id, ws) =>
+      id -> ws.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val firstSeen = scala.collection.mutable.Map.empty[String, Long]
+    gramsByDoc.foreach { case (id, gs) =>
+      gs.foreach(g => if (!firstSeen.contains(g)) firstSeen(g) = id)
+    }
+    val n = gramsByDoc.length
+    val expected = gramsByDoc.zipWithIndex.map { case ((id, gs), i) =>
+      (i.toLong * 10 / n, gs.size.toLong,
+        gs.count(g => firstSeen(g) == id).toLong)
+    }.groupBy(_._1).map { case (dec, rows) =>
+      val grams = rows.map(_._2).sum
+      val novel = rows.map(_._3).sum
+      dec -> (rows.length.toLong, grams, novel, novel * 1000000L / grams)
+    }
+    assert(out == expected)
+    // the whole gram vocabulary is claimed exactly once across deciles
+    assert(out.values.map(_._3).sum == firstSeen.size.toLong)
+    // (no monotonicity assert: a small decile of unusual docs can
+    // legitimately out-novel the opening decile)
+  }
 }

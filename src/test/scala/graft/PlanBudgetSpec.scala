@@ -320,6 +320,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // 1/10000 threshold itself) — local frame
     "q242_parts_supplier" -> 6, // incidence distinct + anti gate + part
                              // join + attr-triple countDistinct + orderBy
+    "q243_novelty_curve" -> 2, // gram fold + first-seen re-agg + doc join
+                             // ride GlobalOrder's materialized passes;
+                             // the returned tail is decile agg + orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
