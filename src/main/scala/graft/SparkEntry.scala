@@ -268,6 +268,7 @@ object SparkEntry {
     "q239_format_roundtrip" -> TransferOps.q239FormatRoundtrip _,
     "q240_min_cost_supplier" -> Relational.q240MinCostSupplier _,
     "q243_novelty_curve"  -> CorpusOps.q243NoveltyCurve _,
+    "q244_coreset_sample" -> SimilarityOps.q244CoresetSample _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4454,6 +4455,58 @@ object SparkEntry {
         |  chk.sum_cents, chk.sum_strlen
         |FROM (VALUES ('csv'), ('json'), ('orc')) f(format) CROSS JOIN chk
         |ORDER BY f.format""".stripMargin,
+
+    // q244: q106's unrolled Lloyd's chain to the final assignment, then
+    // the per-cluster exact-k draw replayed as a single window (the
+    // Spark side's two-stage salted top-k selects the identical set).
+    "q244_coreset_sample" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+        |       FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, q, cid, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, e.q, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c0 c)) WHERE rn = 1),
+        |x1 AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a1),
+        |s1 AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+        |       FROM x1 GROUP BY cid, i),
+        |u1 AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+        |       FROM s1 GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(u1.c, c0.c) AS c FROM c0 LEFT JOIN u1 USING (cid)),
+        |a2 AS (SELECT vec_id, q, cid, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, e.q, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c1 c)) WHERE rn = 1),
+        |x2 AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a2),
+        |s2 AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+        |       FROM x2 GROUP BY cid, i),
+        |u2 AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+        |       FROM s2 GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(u2.c, c1.c) AS c FROM c1 LEFT JOIN u2 USING (cid)),
+        |a3 AS MATERIALIZED (SELECT vec_id, cid, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c2 c)) WHERE rn = 1),
+        |sel AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_selected,
+        |    CAST(sum(vec_id) AS BIGINT) AS sel_id_sum,
+        |    CAST(sum(d) AS BIGINT) AS sel_d2_sum
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY cid
+        |      ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id) AS rk
+        |    FROM a3) WHERE rk <= 10 GROUP BY cid)
+        |SELECT a.cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  any_value(sel.n_selected) AS n_selected,
+        |  any_value(sel.sel_id_sum) AS sel_id_sum,
+        |  any_value(sel.sel_d2_sum) AS sel_d2_sum
+        |FROM a3 a JOIN sel ON a.cid = sel.cid
+        |GROUP BY a.cid ORDER BY cluster_id""".stripMargin,
 
     // q243: first-seen = min(doc_id) per distinct 5-gram (q76's gram
     // spelling); deciles replay the GlobalOrder rank as row_number over

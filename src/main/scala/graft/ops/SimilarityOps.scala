@@ -451,4 +451,59 @@ object SimilarityOps {
       .orderBy($"vec_id")
     verdict
   }
+
+  /** X211 — cluster-balanced coreset selection: an exact-k deterministic
+    * draw PER k-means cluster (the diversity-preserving subset selection
+    * behind k-center/coreset data pruning — uniform sampling over-picks
+    * dense regions; per-cluster quotas keep every mode of the embedding
+    * distribution represented). Selection priority is a pure-integer LCG
+    * over vec_id (`(id·1103515245 + 12345) mod 2^31` — content-blind by
+    * design so the draw is uniform WITHIN the semantic block, replayable
+    * in any engine). Report per cluster: population, quota filled, and
+    * the selected-set id/d² checksums that pin the exact selection.
+    *
+    * Scale: rides q106's shared Lloyd's core over the persisted
+    * quantized frame. The per-cluster top-k is TWO-STAGE (q31-style
+    * salting): stage 1 ranks within (cid, salt) — SALT× more, bounded
+    * partitions — stage 2 ranks the ≤ k·SALT·quota survivors, a
+    * driver-small frame; with only k clusters a single per-cid window
+    * would funnel the corpus through k reducers. The k-row report
+    * collects and the cache releases (q106 idiom). */
+  def q244CoresetSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quota = 10
+    val salts = 8
+    val q = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      .persist()
+    try {
+      val assigned = kmeansAssign(s, q, k = 8, iters = 3)
+        .withColumn("h", expr("(vec_id * 1103515245 + 12345) % 2147483648"))
+        .select($"vec_id", $"cid", $"d", $"h")
+      val stage1 = assigned
+        .withColumn("salt", pmod($"vec_id", lit(salts)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"cid", $"salt").orderBy($"h", $"vec_id")))
+        .filter($"rn" <= quota).drop("rn", "salt")
+      val sel = stage1
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"cid").orderBy($"h", $"vec_id")))
+        .filter($"rn" <= quota)
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n_selected"), sum($"vec_id").as("sel_id_sum"),
+          sum($"d").as("sel_d2_sum"))
+      val rows = assigned.groupBy($"cid").agg(count(lit(1)).as("n_members"))
+        .join(sel, Seq("cid"))
+        .select($"cid".as("cluster_id"), $"n_members", $"n_selected",
+          $"sel_id_sum", $"sel_d2_sum")
+        .orderBy($"cluster_id")
+        .collect().toSeq
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("cluster_id", LongType), StructField("n_members", LongType),
+        StructField("n_selected", LongType), StructField("sel_id_sum", LongType),
+        StructField("sel_d2_sum", LongType))))
+    } finally q.unpersist(blocking = false)
+  }
 }

@@ -299,6 +299,54 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(_._4 == 1L))
   }
 
+  // ------------------------------------------------------------- X211
+
+  test("coreset sample: the two-stage draw equals the global per-cluster top-k") {
+    import spark.implicits._
+    val got = graft.ops.SimilarityOps.q244CoresetSample(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_selected"),
+          r.getAs[Long]("sel_id_sum"), r.getAs[Long]("sel_d2_sum"))).toMap
+    // q106's Lloyd's replay to the final assignment, then the LCG draw
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    var cents: Array[Array[Long]] = vecs.take(8).map(_._2)
+    def nearest(q: Array[Long]): (Int, Long) = {
+      var best = -1; var bd = Long.MaxValue
+      for (c <- cents.indices) {
+        var d = 0L; var i = 0
+        while (i < q.length) { val t = q(i) - cents(c)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = c }
+      }
+      (best, bd)
+    }
+    for (_ <- 1 until 3) {
+      val byC = vecs.groupBy(v => nearest(v._2)._1)
+      cents = cents.indices.toArray.map { c =>
+        byC.get(c).fold(cents(c)) { m =>
+          def rnd(x: Double): Long = BigDecimal(x)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+          Array.tabulate(m.head._2.length)(i =>
+            rnd(m.map(_._2(i)).sum.toDouble / m.size))
+        }
+      }
+    }
+    val expected = vecs.map { case (vid, q) =>
+      val (c, d) = nearest(q); (vid, c, d)
+    }.groupBy(_._2).map { case (c, ms) =>
+      // the GLOBAL per-cluster draw — the operator's salted two-stage
+      // top-k must select the identical set (two-stage top-k is exact)
+      val sel = ms.sortBy(m =>
+        ((m._1 * 1103515245L + 12345L) % 2147483648L, m._1)).take(10)
+      c.toLong -> (ms.length.toLong, sel.length.toLong,
+        sel.map(_._1).sum, sel.map(_._3).sum)
+    }
+    assert(got == expected)
+    got.values.foreach { case (n, k, _, _) => assert(k == math.min(10L, n)) }
+  }
+
   // ------------------------------------------------------------- X206
 
   test("dedup-aware mixture mass reconciles with q50's cluster table") {

@@ -323,6 +323,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q243_novelty_curve" -> 2, // gram fold + first-seen re-agg + doc join
                              // ride GlobalOrder's materialized passes;
                              // the returned tail is decile agg + orderBy
+    "q244_coreset_sample" -> 0, // q106's persist-collect idiom: the k-row
+                             // coverage report materializes while the
+                             // quantized frame is cached; local return
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
