@@ -269,6 +269,7 @@ object SparkEntry {
     "q240_min_cost_supplier" -> Relational.q240MinCostSupplier _,
     "q243_novelty_curve"  -> CorpusOps.q243NoveltyCurve _,
     "q244_coreset_sample" -> SimilarityOps.q244CoresetSample _,
+    "q245_decontam_apply" -> CorpusOps.q245DecontamApply _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4455,6 +4456,35 @@ object SparkEntry {
         |  chk.sum_cents, chk.sum_strlen
         |FROM (VALUES ('csv'), ('json'), ('orc')) f(format) CROSS JOIN chk
         |ORDER BY f.format""".stripMargin,
+
+    // q245: q76's contamination verdict replayed, then the >= 10% drop
+    // policy; short (<5-word) train docs carry no verdict and are kept.
+    "q245_decontam_apply" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |g AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, len(ws) - 4),
+        |        i -> array_to_string(list_slice(ws, i, i + 4), ' ')))) AS g
+        |      FROM d),
+        |ev AS (SELECT DISTINCT g AS eg FROM g WHERE doc_id % 20 = 0),
+        |vr AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN eg IS NOT NULL THEN 1 ELSE 0 END) * 1000
+        |         // count(*) AS BIGINT) AS cp
+        |  FROM (SELECT * FROM g WHERE doc_id % 20 <> 0) c
+        |  LEFT JOIN ev ON c.g = ev.eg
+        |  GROUP BY doc_id),
+        |tr AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    COALESCE(vr.cp, 0) AS cp
+        |  FROM documents LEFT JOIN vr USING (doc_id) WHERE doc_id % 20 <> 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN cp >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(count(*) - sum(CASE WHEN cp >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(sum(CASE WHEN cp < 100 THEN doc_id END), 0) AS BIGINT) AS kept_id_sum,
+        |  CAST(sum(CASE WHEN cp < 100 THEN n_words ELSE 0 END) AS BIGINT) AS kept_words,
+        |  CAST(sum(CASE WHEN cp >= 100 THEN 1 ELSE 0 END) * 1000000
+        |       // count(*) AS BIGINT) AS dropped_ppm
+        |FROM tr GROUP BY source ORDER BY source""".stripMargin,
 
     // q244: q106's unrolled Lloyd's chain to the final assignment, then
     // the per-cluster exact-k draw replayed as a single window (the

@@ -1065,6 +1065,43 @@ object CorpusOps {
       .orderBy($"decile", $"source")
   }
 
+  /** X212 — decontamination EXECUTION (the apply twin of X34, the
+    * pattern q144 set for q89's compaction plan and q189 for q151's
+    * rebalance weights): drop every train document whose q76
+    * contamination verdict reaches 10% (contam_permille >= 100), keep
+    * the rest — including the sub-5-word docs q76 has no gram evidence
+    * for — and emit the per-source survival report with the kept-set
+    * doc_id checksum that pins the EXACT membership of the cleaned
+    * corpus, not just its size. Eval docs (doc_id % 20 = 0) are the
+    * benchmark itself and are excluded from the output corpus.
+    *
+    * Scale: rides q76's frame (one gram fold + broadcast eval probe),
+    * one uniform doc_id join onto the train scan, one combinable
+    * per-source fold — nothing new shuffles at corpus width. */
+  def q245DecontamApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val verdict = q76Contamination(s, dir)
+      .select($"doc_id", $"contam_permille")
+    docs(s, dir).filter($"doc_id" % 20 =!= 0)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_words"))
+      .join(verdict, Seq("doc_id"), "left")
+      .withColumn("flagged",
+        (coalesce($"contam_permille", lit(0L)) >= 100L).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"flagged").as("n_dropped"),
+        coalesce(sum(when($"flagged" === 0L, $"doc_id")), lit(0L))
+          .as("kept_id_sum"),
+        sum(when($"flagged" === 0L, $"n_words").otherwise(0L))
+          .as("kept_words"))
+      .withColumn("n_kept", $"n_docs" - $"n_dropped")
+      .withColumn("dropped_ppm", expr("n_dropped * 1000000 div n_docs"))
+      .select($"source", $"n_docs", $"n_dropped", $"n_kept",
+        $"kept_id_sum", $"kept_words", $"dropped_ppm")
+      .orderBy($"source")
+  }
+
   /** X210 — corpus novelty curve (diversity-growth / saturation audit):
     * in doc_id ingestion order, the fraction of each decile's distinct
     * 5-grams that are FIRST occurrences (no earlier doc contains them) —

@@ -295,4 +295,29 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (no monotonicity assert: a small decile of unusual docs can
     // legitimately out-novel the opening decile)
   }
+
+  test("decontamination apply reconciles with the q76 verdicts") {
+    import spark.implicits._
+    val rep = CorpusOps.q245DecontamApply(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // the report must be EXACTLY the >= 100-permille policy applied to
+    // the q76 frame itself — the twins cannot drift
+    val v = CorpusOps.q76Contamination(spark, sf)
+      .select($"doc_id", $"contam_permille").as[(Long, Long)].collect().toMap
+    val train = graft.sources.Tables.load(spark, sf, "documents")
+      .filter($"doc_id" % 20 =!= 0)
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val expected = train.groupBy(_._2).map { case (src, ds) =>
+      val (flagged, kept) = ds.partition(d => v.getOrElse(d._1, 0L) >= 100L)
+      src -> (ds.length.toLong, flagged.length.toLong, kept.length.toLong,
+        kept.map(_._1).sum, kept.map(_._3).sum,
+        flagged.length.toLong * 1000000L / ds.length)
+    }
+    assert(rep == expected)
+    rep.values.foreach { case (n, d, k, _, _, _) => assert(n == d + k) }
+    // the policy actually bites somewhere (non-vacuous threshold)
+    assert(rep.values.exists(_._2 > 0L))
+  }
 }

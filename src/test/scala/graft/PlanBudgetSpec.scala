@@ -326,6 +326,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q244_coreset_sample" -> 0, // q106's persist-collect idiom: the k-row
                              // coverage report materializes while the
                              // quantized frame is cached; local return
+    "q245_decontam_apply" -> 6, // q76's frame (gram fold + eval probe +
+                             // per-doc verdict) + doc_id join + source
+                             // fold + orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
