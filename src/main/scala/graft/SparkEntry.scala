@@ -270,6 +270,7 @@ object SparkEntry {
     "q243_novelty_curve"  -> CorpusOps.q243NoveltyCurve _,
     "q244_coreset_sample" -> SimilarityOps.q244CoresetSample _,
     "q245_decontam_apply" -> CorpusOps.q245DecontamApply _,
+    "q246_secret_scan"    -> PipelineOps.q246SecretScan _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4456,6 +4457,36 @@ object SparkEntry {
         |  chk.sum_cents, chk.sum_strlen
         |FROM (VALUES ('csv'), ('json'), ('orc')) f(format) CROSS JOIN chk
         |ORDER BY f.format""".stripMargin,
+
+    // q246: the same plant (lpad'd hex blocks of doc_id-derived values —
+    // DuckDB to_hex is uppercase, hence lower()) and the same three
+    // detector regexes; RE2 inline (?i) works in both engines.
+    "q246_secret_scan" ->
+      """WITH p AS (SELECT doc_id, coalesce(text, '') ||
+        |    CASE
+        |      WHEN doc_id % 4 = 1 THEN ' api_key=' ||
+        |        lpad(lower(to_hex((doc_id * 2654435761 + 0) % 4294967296)), 8, '0') ||
+        |        lpad(lower(to_hex((doc_id * 2654435761 + 97) % 4294967296)), 8, '0') ||
+        |        lpad(lower(to_hex((doc_id * 2654435761 + 194) % 4294967296)), 8, '0') ||
+        |        lpad(lower(to_hex((doc_id * 2654435761 + 291) % 4294967296)), 8, '0')
+        |      WHEN doc_id % 4 = 2 THEN ' key AKIA' ||
+        |        lpad(upper(to_hex((doc_id * 2654435761 + 388) % 4294967296)), 8, '0') ||
+        |        lpad(upper(to_hex((doc_id * 2654435761 + 485) % 4294967296)), 8, '0')
+        |      WHEN doc_id % 4 = 3 THEN ' token=shortpw1'
+        |      ELSE '' END || ' end' AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[0-9a-f]{32,}')) AS BIGINT) AS n_hex_runs,
+        |  CAST(len(regexp_extract_all(t2, 'AKIA[0-9A-Z]{16}')) AS BIGINT) AS n_aws_keys,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '(?i)(?:api_key|secret|token|password)=[A-Za-z0-9+/_-]{16,}')) AS BIGINT)
+        |    AS n_cred_assign,
+        |  CAST(CASE WHEN len(regexp_extract_all(t2, '[0-9a-f]{32,}'))
+        |      + len(regexp_extract_all(t2, 'AKIA[0-9A-Z]{16}'))
+        |      + len(regexp_extract_all(t2,
+        |          '(?i)(?:api_key|secret|token|password)=[A-Za-z0-9+/_-]{16,}')) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS has_secret
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // q245: q76's contamination verdict replayed, then the >= 10% drop
     // policy; short (<5-word) train docs carry no verdict and are kept.

@@ -1108,6 +1108,51 @@ object PipelineOps {
     }
   }
 
+  /** X213 — secret/credential scan audit: the key-shaped-token detector
+    * a corpus needs BEYOND q81's PII shapes and q155's Luhn check —
+    * leaked API keys ship verbatim into model weights. Three detector
+    * classes: 32+-char lowercase-hex runs (hash/key material), AWS-style
+    * `AKIA[0-9A-Z]{16}` access-key ids, and credential assignments
+    * `(api_key|secret|token|password)=<16+ chars>`. Ground truth is
+    * planted per document from doc_id (q155's idiom): docs ≡1 (mod 4)
+    * get a hex-key assignment (fires hex AND assign), ≡2 an AWS key,
+    * ≡3 a NEAR-MISS short-value assignment that must NOT fire, ≡0
+    * nothing — every verdict independently checkable.
+    *
+    * Scale: entirely narrow — plant, three regexp_extract_all passes and
+    * the flag are codegen'd string expressions at scan throughput; zero
+    * shuffles before the final orderBy. */
+  def q246SecretScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // 8-hex-char blocks derived from doc_id: value < 2^32, zero-padded so
+    // the concatenation is exactly 32 (or 16) chars in both engines
+    def block(k: Int, up: Boolean) = {
+      val cased = if (up) "upper" else "lower"
+      s"lpad($cased(hex((doc_id * 2654435761 + ${k * 97}) % 4294967296)), 8, '0')"
+    }
+    val hex32 = (0 to 3).map(block(_, up = false)).mkString("concat(", ", ", ")")
+    val up16 = (4 to 5).map(block(_, up = true)).mkString("concat(", ", ", ")")
+    docs(s, dir)
+      .withColumn("t2", concat(coalesce($"text", lit("")),
+        when($"doc_id" % 4 === 1, concat(lit(" api_key="), expr(hex32)))
+          .when($"doc_id" % 4 === 2, concat(lit(" key AKIA"), expr(up16)))
+          .when($"doc_id" % 4 === 3, lit(" token=shortpw1"))
+          .otherwise(lit("")),
+        lit(" end")))
+      .select($"doc_id",
+        size(expr("regexp_extract_all(t2, '[0-9a-f]{32,}', 0)"))
+          .cast("long").as("n_hex_runs"),
+        size(expr("regexp_extract_all(t2, 'AKIA[0-9A-Z]{16}', 0)"))
+          .cast("long").as("n_aws_keys"),
+        size(expr("regexp_extract_all(t2, " +
+          "'(?i)(?:api_key|secret|token|password)=[A-Za-z0-9+/_-]{16,}', 0)"))
+          .cast("long").as("n_cred_assign"))
+      .withColumn("has_secret",
+        when($"n_hex_runs" + $"n_aws_keys" + $"n_cred_assign" > 0, 1L)
+          .otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
   /** X122 — Luhn-validated card-number audit: q81's PII scrub counts digit
     * SHAPES; payment-card numbers need the mod-10 check or the redactor
     * drowns in false positives (order ids, timestamps). Ground truth is

@@ -1681,4 +1681,21 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         shared * 1000000L / (byType(a).size + byType(b).size - shared))
     }
   }
+
+  test("secret scan fires exactly on the planted key classes") {
+    val rows = PipelineOps.q246SecretScan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val got = (r.getAs[Long]("n_hex_runs"), r.getAs[Long]("n_aws_keys"),
+        r.getAs[Long]("n_cred_assign"), r.getAs[Long]("has_secret"))
+      val expected = (id % 4) match {
+        case 1 => (1L, 0L, 1L, 1L) // hex-key assignment fires both
+        case 2 => (0L, 1L, 0L, 1L) // AWS-style access key id
+        case 3 => (0L, 0L, 0L, 0L) // near-miss short value must NOT fire
+        case _ => (0L, 0L, 0L, 0L) // natural text is secret-free
+      }
+      assert(got == expected, s"doc $id: $got")
+    }
+  }
 }

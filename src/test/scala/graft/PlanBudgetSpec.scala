@@ -329,6 +329,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q245_decontam_apply" -> 6, // q76's frame (gram fold + eval probe +
                              // per-doc verdict) + doc_id join + source
                              // fold + orderBy
+    "q246_secret_scan"  -> 1, // plant + three regex extracts are one
+                             // narrow codegen pass; orderBy only
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
