@@ -271,6 +271,7 @@ object SparkEntry {
     "q244_coreset_sample" -> SimilarityOps.q244CoresetSample _,
     "q245_decontam_apply" -> CorpusOps.q245DecontamApply _,
     "q246_secret_scan"    -> PipelineOps.q246SecretScan _,
+    "q247_nfd_packing"    -> CorpusOps.q247NfdPacking _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4457,6 +4458,29 @@ object SparkEntry {
         |  chk.sum_cents, chk.sum_strlen
         |FROM (VALUES ('csv'), ('json'), ('orc')) f(format) CROSS JOIN chk
         |ORDER BY f.format""".stripMargin,
+
+    // q247: the NFD walk replays as a list_reduce with the init state
+    // prepended (DuckDB's reduce takes no initial accumulator); the
+    // [-cost, doc_id] encoding sorts cost-desc/id-asc in both engines.
+    "q247_nfd_packing" ->
+      """WITH d AS (SELECT doc_id, doc_id // 64 AS batch_id,
+        |    least(CAST(len(string_split(text, ' ')) AS BIGINT), 512) AS cost,
+        |    CAST(len(string_split(text, ' ')) > 512 AS BIGINT) AS oversize
+        |  FROM documents),
+        |b AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(cost) AS BIGINT) AS total_tokens,
+        |    CAST(sum(oversize) AS BIGINT) AS n_oversize,
+        |    list_sort(list([-cost, doc_id])) AS q
+        |  FROM d GROUP BY batch_id),
+        |f AS (SELECT *, list_reduce(
+        |    list_prepend([CAST(0 AS BIGINT), CAST(512 AS BIGINT)], q),
+        |    (acc, x) -> CASE WHEN acc[2] - x[1] <= 512
+        |      THEN [acc[1], acc[2] - x[1]]
+        |      ELSE [acc[1] + 1, -x[1]] END)[1] AS n_bins FROM b)
+        |SELECT batch_id, n_docs, total_tokens, n_oversize, n_bins,
+        |  n_bins * 512 - total_tokens AS waste_tokens,
+        |  (n_bins * 512 - total_tokens) * 1000000 // (n_bins * 512) AS waste_ppm
+        |FROM f ORDER BY batch_id""".stripMargin,
 
     // q246: the same plant (lpad'd hex blocks of doc_id-derived values —
     // DuckDB to_hex is uppercase, hence lower()) and the same three

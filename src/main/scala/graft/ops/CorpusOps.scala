@@ -1065,6 +1065,51 @@ object CorpusOps {
       .orderBy($"decile", $"source")
   }
 
+  /** X214 — next-fit-decreasing sequence packing: the bin-packing
+    * QUALITY step the packing family lacked — X39 concat-and-chunks in
+    * arrival order (splitting documents across context boundaries) and
+    * X199 only sweeps capacities; NFD actually assigns documents to
+    * bins: sort a bounded batch by token cost descending, walk once,
+    * close the bin when the next document no longer fits. Per batch:
+    * bins opened, tokens placed, waste (padding) and the oversize count
+    * (docs longer than the context, truncated to it).
+    *
+    * Scale: batches are BOUNDED BY CONSTRUCTION (doc_id div 64 — the
+    * per-worker packing granularity), so the per-batch collect_list
+    * array is ≤64 entries at ANY corpus size and the NFD walk is one
+    * codegen'd aggregate() fold over it. ONE batch-key shuffle, report
+    * is |corpus|/64 rows. The fold state is a 2-long array
+    * [bins, fill]; fill starts AT capacity so the first document always
+    * opens a bin. */
+  def q247NfdPacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = 512L
+    docs(s, dir)
+      .select($"doc_id", expr("doc_id div 64").as("batch_id"),
+        least(size(split($"text", " ")).cast("long"), lit(cap)).as("cost"),
+        (size(split($"text", " ")).cast("long") > cap).cast("long")
+          .as("oversize"))
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"cost").as("total_tokens"),
+        sum($"oversize").as("n_oversize"),
+        // (-cost, doc_id) sorts cost DESC with doc_id ASC ties — the
+        // deterministic NFD input order
+        sort_array(collect_list(array(-$"cost", $"doc_id"))).as("q"))
+      .withColumn("n_bins", expr(
+        s"""element_at(aggregate(q, array(0L, ${cap}L),
+           |  (acc, x) -> IF(element_at(acc, 2) - element_at(x, 1) <= ${cap}L,
+           |    array(element_at(acc, 1),
+           |          element_at(acc, 2) - element_at(x, 1)),
+           |    array(element_at(acc, 1) + 1, -element_at(x, 1)))), 1)""".stripMargin))
+      .withColumn("waste_tokens", $"n_bins" * cap - $"total_tokens")
+      .withColumn("waste_ppm",
+        expr(s"waste_tokens * 1000000 div (n_bins * ${cap}L)"))
+      .select($"batch_id", $"n_docs", $"total_tokens", $"n_oversize",
+        $"n_bins", $"waste_tokens", $"waste_ppm")
+      .orderBy($"batch_id")
+  }
+
   /** X212 — decontamination EXECUTION (the apply twin of X34, the
     * pattern q144 set for q89's compaction plan and q189 for q151's
     * rebalance weights): drop every train document whose q76

@@ -320,4 +320,34 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the policy actually bites somewhere (non-vacuous threshold)
     assert(rep.values.exists(_._2 > 0L))
   }
+
+  test("NFD packing: the distributed fold equals a driver walk") {
+    import spark.implicits._
+    val got = CorpusOps.q247NfdPacking(spark, sf).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("n_oversize"), r.getAs[Long]("n_bins"),
+          r.getAs[Long]("waste_tokens"), r.getAs[Long]("waste_ppm"))).toMap
+    val cap = 512L
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect()
+    val expected = docs.groupBy(_._1 / 64).map { case (b, ds) =>
+      val costs = ds.map { case (id, t) => (math.min(t, cap), id) }
+        .sortBy { case (c, id) => (-c, id) }
+      var bins = 0L; var fill = cap
+      costs.foreach { case (c, _) =>
+        if (fill + c <= cap) fill += c else { bins += 1; fill = c }
+      }
+      val total = costs.map(_._1).sum
+      b -> (ds.length.toLong, total, ds.count(_._2 > cap).toLong, bins,
+        bins * cap - total, (bins * cap - total) * 1000000L / (bins * cap))
+    }
+    assert(got == expected)
+    // NFD can never beat the volume bound or waste below zero
+    got.values.foreach { case (_, total, _, bins, waste, _) =>
+      assert(bins >= (total + cap - 1) / cap)
+      assert(waste >= 0L)
+    }
+  }
 }

@@ -331,6 +331,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // fold + orderBy
     "q246_secret_scan"  -> 1, // plant + three regex extracts are one
                              // narrow codegen pass; orderBy only
+    "q247_nfd_packing"  -> 2, // ONE batch-key shuffle (64-doc batches by
+                             // construction) + the bounded fold + orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
