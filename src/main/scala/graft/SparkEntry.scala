@@ -272,6 +272,7 @@ object SparkEntry {
     "q245_decontam_apply" -> CorpusOps.q245DecontamApply _,
     "q246_secret_scan"    -> PipelineOps.q246SecretScan _,
     "q247_nfd_packing"    -> CorpusOps.q247NfdPacking _,
+    "q248_source_divergence" -> AffinityOps.q248SourceDivergence _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4458,6 +4459,30 @@ object SparkEntry {
         |  chk.sum_cents, chk.sum_strlen
         |FROM (VALUES ('csv'), ('json'), ('orc')) f(format) CROSS JOIN chk
         |ORDER BY f.format""".stripMargin,
+
+    // q248: dense S×V ppm grid over the shared top-256 vocabulary, then
+    // the pairwise L1 fold; ppm div floors identically in both engines.
+    "q248_source_divergence" ->
+      """WITH ws AS (SELECT source, w FROM (SELECT source,
+        |      unnest(string_split(text, ' ')) AS w FROM documents)
+        |    WHERE source IS NOT NULL AND w <> ''),
+        |cnt AS MATERIALIZED (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+        |  FROM ws GROUP BY source, w),
+        |vocab AS MATERIALIZED (SELECT w FROM (SELECT w, CAST(sum(n) AS BIGINT) AS nt
+        |  FROM cnt GROUP BY w ORDER BY nt DESC, w LIMIT 256)),
+        |iv AS MATERIALIZED (SELECT cnt.* FROM cnt JOIN vocab USING (w)),
+        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM iv GROUP BY source),
+        |grid AS MATERIALIZED (SELECT t.source, v.w,
+        |    COALESCE(iv.n, 0) * 1000000 // t.tot AS ppm
+        |  FROM tot t CROSS JOIN vocab v
+        |  LEFT JOIN iv ON iv.source = t.source AND iv.w = v.w)
+        |SELECT a.source AS s1, b.source AS s2,
+        |  CAST(sum(abs(a.ppm - b.ppm)) AS BIGINT) AS l1_ppm,
+        |  CAST(sum(CASE WHEN a.ppm > 0 AND b.ppm > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shared_vocab
+        |FROM grid a JOIN grid b ON a.w = b.w AND a.source < b.source
+        |GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
 
     // q247: the NFD walk replays as a list_reduce with the init state
     // prepended (DuckDB's reduce takes no initial accumulator); the

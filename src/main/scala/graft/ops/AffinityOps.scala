@@ -306,4 +306,55 @@ object AffinityOps {
         StructField("n_two_hop", LongType))))
     } finally adj.unpersist(blocking = false)
   }
+
+  /** X215 — source-pair distribution divergence: the L1 distance between
+    * per-source unigram FREQUENCY distributions over a shared top-V
+    * vocabulary, in ppm — the frequency-weighted complement of X75
+    * (q117 measures which shingles two sources share; this measures how
+    * differently they USE the words they share). Two crawls can have
+    * near-identical vocabularies and still be distributionally far —
+    * exactly what a mixture designer needs before merging sources.
+    * Distributions restrict to the shared top-V so each sums to ~1e6
+    * and the distance is a calibrated 0..2e6 scale.
+    *
+    * Scale: the (source, word) count is ONE combinable fold; the top-V
+    * dictionary (V=256, global count desc / word asc ties) and the
+    * |sources| totals broadcast; the dense S×V ppm grid comes from a
+    * broadcast-dims cross join LEFT-joined with counts, and the pair
+    * fold shuffles S²·V rows — dictionary-sized, corpus-independent. */
+  def q248SourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.load(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter($"source".isNotNull && $"w" =!= "")
+    val cnt = words.groupBy($"source", $"w").agg(count(lit(1)).as("n"))
+    val vocab = cnt.groupBy($"w").agg(sum($"n").as("nt"))
+      .orderBy($"nt".desc, $"w").limit(256).select($"w")
+    val inVocab = cnt.join(broadcast(vocab), Seq("w"))
+    val totals = inVocab.groupBy($"source").agg(sum($"n").as("tot"))
+    // the S×V grid has TWO consumers (both legs of the pair join) and its
+    // lineage contains the corpus-sized count fold — persist it so the
+    // fold runs once, collect the C(S,2) report, release (q117 idiom)
+    val grid = totals.select($"source", $"tot").crossJoin(broadcast(vocab))
+      .join(inVocab, Seq("source", "w"), "left")
+      .select($"source", $"w",
+        expr("coalesce(n, 0L) * 1000000 div tot").as("ppm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = grid.select($"w", $"source".as("s1"), $"ppm".as("p1"))
+        .join(grid.select($"w", $"source".as("s2"), $"ppm".as("p2")), Seq("w"))
+        .filter($"s1" < $"s2")
+        .groupBy($"s1", $"s2")
+        .agg(sum(abs($"p1" - $"p2")).as("l1_ppm"),
+          sum(when($"p1" > 0 && $"p2" > 0, 1L).otherwise(0L))
+            .as("n_shared_vocab"))
+        .orderBy($"s1", $"s2")
+        .collect().toSeq
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
+        StructField("s1", StringType), StructField("s2", StringType),
+        StructField("l1_ppm", LongType),
+        StructField("n_shared_vocab", LongType))))
+    } finally grid.unpersist(blocking = false)
+  }
 }

@@ -1698,4 +1698,31 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == expected, s"doc $id: $got")
     }
   }
+
+  test("source divergence: the dense-grid L1 replays on the driver") {
+    import spark.implicits._
+    val got = AffinityOps.q248SourceDivergence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("l1_ppm"), r.getAs[Long]("n_shared_vocab"))).toMap
+    val words = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter($"source".isNotNull && $"w" =!= "")
+      .as[(String, String)].collect()
+    val cnt = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val vocab = cnt.groupBy(_._1._2).view.mapValues(_.values.sum)
+      .toSeq.sortBy { case (w, n) => (-n, w) }.take(256).map(_._1).toSet
+    val sources = cnt.keys.map(_._1).toSeq.distinct
+    val tot = sources.map(s => s ->
+      vocab.toSeq.map(w => cnt.getOrElse((s, w), 0L)).sum).toMap
+    def ppm(s: String, w: String): Long =
+      cnt.getOrElse((s, w), 0L) * 1000000L / tot(s)
+    val expected = (for {
+      a <- sources; b <- sources if a < b
+    } yield (a, b) -> (
+      vocab.toSeq.map(w => math.abs(ppm(a, w) - ppm(b, w))).sum,
+      vocab.toSeq.count(w => ppm(a, w) > 0 && ppm(b, w) > 0).toLong)).toMap
+    assert(got == expected)
+    // a distribution sums to <= 1e6 (floor division), so L1 <= 2e6
+    got.values.foreach { case (l1, _) => assert(l1 >= 0L && l1 <= 2000000L) }
+  }
 }

@@ -333,6 +333,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // narrow codegen pass; orderBy only
     "q247_nfd_packing"  -> 2, // ONE batch-key shuffle (64-doc batches by
                              // construction) + the bounded fold + orderBy
+    "q248_source_divergence" -> 0, // persisted S×V grid (2 consumers over
+                             // the corpus-sized count fold), C(S,2)
+                             // report collected, local return (q117)
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
