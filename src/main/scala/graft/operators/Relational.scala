@@ -1188,21 +1188,16 @@ object Relational {
     * doubles, so milli-cents-per-unit is exact int64 in both engines
     * (positive operands: Spark `div` and DuckDB `//` agree).
     *
-    * Scale: ONE lineitem shuffle on its natural (part, supplier) key
-    * builds the cost relation; nation/region dims broadcast onto the
-    * supplier dim; the per-part argmin window runs on the
-    * incidence-sized (part × observed-supplier) frame, partitioned by
-    * part key — never on lineitem itself. Deterministic ties:
-    * (cost, s_suppkey); Q2's ordering with p_partkey as the unique
-    * final key. */
+    * Scale: BOTH gates (big parts, EUROPE suppliers) broadcast-semi
+    * onto the lineitem scan BEFORE the fold, so the one (part,
+    * supplier) shuffle carries only qualifying lines; the per-part
+    * argmin is a combinable `min(struct(cost, suppkey))` — partial
+    * aggregation on the map side, no window, no per-part sort — and
+    * the supplier/part details join back onto the part-cardinality
+    * winners. Deterministic ties: (cost, s_suppkey); Q2's ordering
+    * with p_partkey as the unique final key. */
   def q240MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val unit = t(s, dir, "lineitem")
-      .select($"l_partkey", $"l_suppkey",
-        expr("(cast(round(l_extendedprice * 100) as bigint) * 1000) div cast(round(l_quantity) as bigint)")
-          .as("unit_mc"))
-      .groupBy($"l_partkey", $"l_suppkey")
-      .agg(min($"unit_mc").as("cost_milli_cents"))
     val sup = t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(t(s, dir, "region").filter($"r_name" === "EUROPE")),
@@ -1211,13 +1206,22 @@ object Relational {
         $"n_name")
     val parts = t(s, dir, "part").filter($"p_size" >= 40)
       .select($"p_partkey", $"p_brand")
-    unit
+    val best = t(s, dir, "lineitem")
+      .join(broadcast(parts.select($"p_partkey")),
+        $"l_partkey" === $"p_partkey", "left_semi")
+      .join(broadcast(sup.select($"s_suppkey")),
+        $"l_suppkey" === $"s_suppkey", "left_semi")
+      .select($"l_partkey",
+        expr("(cast(round(l_extendedprice * 100) as bigint) * 1000) div cast(round(l_quantity) as bigint)")
+          .as("unit_mc"), $"l_suppkey")
+      .groupBy($"l_partkey")
+      .agg(min(struct($"unit_mc", $"l_suppkey")).as("b"))
+      .select($"l_partkey", $"b.unit_mc".as("cost_milli_cents"),
+        $"b.l_suppkey".as("l_suppkey"))
+    best
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      // no hint: both sides are part-cardinality frames — AQE picks
       .join(parts, $"l_partkey" === $"p_partkey")
-      .join(sup, $"l_suppkey" === $"s_suppkey")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"p_partkey")
-          .orderBy($"cost_milli_cents", $"s_suppkey")))
-      .filter($"rn" === 1)
       .select($"s_acctbal_cents", $"s_name", $"n_name", $"p_partkey",
         $"p_brand", $"cost_milli_cents")
       .orderBy($"s_acctbal_cents".desc, $"n_name", $"s_name", $"p_partkey")

@@ -313,8 +313,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q239_format_roundtrip" -> 0, // three write+readback jobs run eagerly
                              // (each checksum one combinable 1-row agg);
                              // the returned 3-row frame is local
-    "q240_min_cost_supplier" -> 7, // (part,supp) cost fold + part/supplier
-                             // joins + per-part argmin window + top-100
+    "q240_min_cost_supplier" -> 9, // ONE data shuffle (the part-key argmin
+                             // fold) — the other 8 are BroadcastExchanges
+                             // of the gated dims (sup/parts each feed a
+                             // semi gate and a detail join); TakeOrdered
+                             // top-100 needs no sort shuffle
     "q241_important_stock" -> 0, // persisted fold, 1-row total collect,
                              // ≤9999-row survivor collect (bounded by the
                              // 1/10000 threshold itself) — local frame
