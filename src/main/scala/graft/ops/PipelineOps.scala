@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -1122,8 +1122,11 @@ object PipelineOps {
     * Scale: entirely narrow — plant, three regexp_extract_all passes and
     * the flag are codegen'd string expressions at scan throughput; zero
     * shuffles before the final orderBy. */
-  def q246SecretScan(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The q246 ground-truth plant, exposed so the streaming-equivalence
+    * spec can feed the IDENTICAL planted text through
+    * [[graft.streaming.EventStream.secretGate]] and pin it to the
+    * oracle-gated q246 frame. */
+  private[graft] def secretPlant(df: DataFrame): DataFrame = {
     // 8-hex-char blocks derived from doc_id: value < 2^32, zero-padded so
     // the concatenation is exactly 32 (or 16) chars in both engines
     def block(k: Int, up: Boolean) = {
@@ -1132,21 +1135,28 @@ object PipelineOps {
     }
     val hex32 = (0 to 3).map(block(_, up = false)).mkString("concat(", ", ", ")")
     val up16 = (4 to 5).map(block(_, up = true)).mkString("concat(", ", ", ")")
-    docs(s, dir)
-      .withColumn("t2", concat(coalesce($"text", lit("")),
-        when($"doc_id" % 4 === 1, concat(lit(" api_key="), expr(hex32)))
-          .when($"doc_id" % 4 === 2, concat(lit(" key AKIA"), expr(up16)))
-          .when($"doc_id" % 4 === 3, lit(" token=shortpw1"))
-          .otherwise(lit("")),
-        lit(" end")))
-      .select($"doc_id",
-        size(expr("regexp_extract_all(t2, '[0-9a-f]{32,}', 0)"))
-          .cast("long").as("n_hex_runs"),
-        size(expr("regexp_extract_all(t2, 'AKIA[0-9A-Z]{16}', 0)"))
-          .cast("long").as("n_aws_keys"),
-        size(expr("regexp_extract_all(t2, " +
-          "'(?i)(?:api_key|secret|token|password)=[A-Za-z0-9+/_-]{16,}', 0)"))
-          .cast("long").as("n_cred_assign"))
+    df.withColumn("t2", concat(coalesce(col("text"), lit("")),
+      when(col("doc_id") % 4 === 1, concat(lit(" api_key="), expr(hex32)))
+        .when(col("doc_id") % 4 === 2, concat(lit(" key AKIA"), expr(up16)))
+        .when(col("doc_id") % 4 === 3, lit(" token=shortpw1"))
+        .otherwise(lit("")),
+      lit(" end")))
+  }
+
+  /** The three detector counts over a text column — ONE definition (via
+    * [[SecretPatterns]]) shared with the streaming gate. */
+  private[graft] def secretCounts(textCol: String): Seq[Column] = Seq(
+    size(expr(s"regexp_extract_all($textCol, '${SecretPatterns.HexRun}', 0)"))
+      .cast("long").as("n_hex_runs"),
+    size(expr(s"regexp_extract_all($textCol, '${SecretPatterns.AwsKeyId}', 0)"))
+      .cast("long").as("n_aws_keys"),
+    size(expr(s"regexp_extract_all($textCol, '${SecretPatterns.CredAssign}', 0)"))
+      .cast("long").as("n_cred_assign"))
+
+  def q246SecretScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    secretPlant(docs(s, dir))
+      .select(($"doc_id" +: secretCounts("t2")): _*)
       .withColumn("has_secret",
         when($"n_hex_runs" + $"n_aws_keys" + $"n_cred_assign" > 0, 1L)
           .otherwise(0L))

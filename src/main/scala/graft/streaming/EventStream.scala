@@ -481,6 +481,24 @@ object EventStream {
     * for no semantic gain.) Input schema as [[docQualityGate]]; every
     * document is EMITTED with its domains and the verdict — routing
     * (quarantine vs pass) belongs to the sink, auditability to the flag. */
+  /** Streaming secret/credential gate — q246's detectors applied at
+    * ingest (X213's continuous form): a leaked key caught here never
+    * reaches the corpus. ONE detector definition
+    * ([[graft.ops.SecretPatterns]] via `PipelineOps.secretCounts`) shared
+    * with the batch audit, so gate and audit can never silently diverge.
+    * Stateless narrow projection — scales at ingest throughput with zero
+    * state. Input schema as [[docQualityGate]]. */
+  def secretGate(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    docs
+      .withColumn("t", coalesce(col("text"), lit("")))
+      .select((Seq(col("doc_id"), col("ts"), col("lang")) ++
+        graft.ops.PipelineOps.secretCounts("t")): _*)
+      .withColumn("has_secret",
+        when(col("n_hex_runs") + col("n_aws_keys") + col("n_cred_assign") > 0,
+          lit(1L)).otherwise(lit(0L)))
+  }
+
   def blocklistGate(docs: DataFrame, blocklist: DataFrame): DataFrame = {
     val blocked: Array[String] = blocklist
       .select(col("domain").cast("string")).collect().map(_.getString(0))

@@ -459,6 +459,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
     assert(!rows(1L) && rows(2L) && rows(3L) && !rows(4L) && !rows(5L))
   }
+
+  test("secret gate flags planted keys in-stream and matches the q246 frame") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // the IDENTICAL planted text the oracle-gated q246 frame scans —
+    // through a REAL stream, the gate must reproduce its verdicts
+    val planted = graft.ops.PipelineOps.secretPlant(
+      graft.sources.Tables.load(spark, sf, "documents"))
+      .select($"doc_id", $"t2").as[(Long, String)].collect()
+      .map { case (id, t2) => StreamingSpec.Doc(id, t0, t2, "en") }
+    val mem = MemoryStream[StreamingSpec.Doc]
+    mem.addData(planted.toSeq: _*)
+    val q = EventStream.secretGate(mem.toDF())
+      .writeStream.format("memory").queryName("secretgate")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("secretgate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hex_runs"), r.getAs[Long]("n_aws_keys"),
+          r.getAs[Long]("n_cred_assign"), r.getAs[Long]("has_secret"))).toMap
+    val batch = SparkEntry.queries("q246_secret_scan")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hex_runs"), r.getAs[Long]("n_aws_keys"),
+          r.getAs[Long]("n_cred_assign"), r.getAs[Long]("has_secret"))).toMap
+    assert(streamed == batch)
+    assert(streamed.values.exists(_._4 == 1L))
+  }
 }
 
 object StreamingSpec {
