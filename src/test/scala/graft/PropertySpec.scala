@@ -220,6 +220,82 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ------------------------------------------------- DdlConverter fuzzing
+
+  // Same insurance as the FunctionDdl fuzz below, for the CREATE TABLE
+  // path: random column shapes (quoting, reserved words, modifiers,
+  // defaults, keyword-laden comments) must parse totally and emit
+  // structurally sound PostgreSQL.
+
+  private val declTypes = Gen.oneOf(
+    "int", "bigint", "smallint", "varchar", "char", "text", "decimal",
+    "double", "datetime", "date", "json", "blob", "tinyint")
+
+  private def fuzzColumn(idx: Int): Gen[(String, String, Boolean, Boolean)] =
+    for {
+      base <- Gen.oneOf("id", "Select", "order", "val", "x")
+      quoted <- Gen.oneOf(true, false)
+      tpe <- declTypes
+      p <- Gen.choose(1, 30)
+      sc <- Gen.choose(0, 5)
+      args <- Gen.oneOf("", s"($p)", s"($p,$sc)")
+      unsigned <- Gen.oneOf("", " unsigned")
+      notNull <- Gen.oneOf("", " NOT NULL")
+      dflt <- Gen.oneOf("", " DEFAULT 0", " DEFAULT 'a''b'", " DEFAULT NULL")
+      cmt <- Gen.oneOf("", " COMMENT 'has DEFAULT 5 -- and it''s fine'")
+    } yield {
+      val name = s"$base$idx"
+      val rendered = (if (quoted) s"`$name`" else name) +
+        s" $tpe$args$unsigned$notNull$dflt$cmt"
+      (name, rendered, cmt.nonEmpty, dflt == " DEFAULT 0")
+    }
+
+  private val fuzzTable: Gen[(String, Seq[(String, Boolean, Boolean)])] = for {
+    n <- Gen.choose(1, 8)
+    cols <- Gen.sequence[Seq[(String, String, Boolean, Boolean)], (String, String, Boolean, Boolean)](
+      (0 until n).map(fuzzColumn))
+    tblCmt <- Gen.oneOf("", " COMMENT='tbl ''note'' ends'")
+    pk <- Gen.oneOf(true, false)
+  } yield {
+    val pkLine = if (pk) s",\n  PRIMARY KEY (`${cols.head._1}`)" else ""
+    val ddl = s"CREATE TABLE `T_fuzz` (\n  " +
+      cols.map(_._2).mkString(",\n  ") + pkLine +
+      s"\n) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4$tblCmt"
+    (ddl, cols.map(c => (c._1, c._3, c._4)))
+  }
+
+  test("DdlConverter fuzz: parse is total and the PG emission is sound") {
+    check("ddlconverter fuzz", Prop.forAllNoShrink(fuzzTable) {
+      case (ddl, cols) =>
+        val spec = graft.ddl.DdlConverter.parse(ddl)
+        val pg = graft.ddl.DdlConverter.toPostgresDdl(spec)
+        val create = pg.head
+        val checks = Seq(
+          "all columns parsed" -> (spec.columns.length == cols.length),
+          "names survive" ->
+            spec.columns.map(_.name).sameElements(cols.map(_._1)),
+          "comments survive" -> cols.zip(spec.columns).forall {
+            case ((_, hasCmt, _), c) =>
+              c.comment.isDefined == hasCmt &&
+                (!hasCmt || c.comment.get.contains("DEFAULT 5"))
+          },
+          "comment text fabricates no default" ->
+            cols.zip(spec.columns).forall { case ((_, hasCmt, hasDflt), c) =>
+              !hasCmt || hasDflt == c.default.contains("0")
+            },
+          "no backticks in PG" -> pg.forall(!_.contains("`")),
+          "create balanced" ->
+            (create.count(_ == '(') == create.count(_ == ')')),
+          "one COMMENT ON COLUMN per commented col" ->
+            (pg.count(_.startsWith("COMMENT ON COLUMN")) ==
+              cols.count(_._2)))
+        val bad = checks.collect { case (nm, false) => nm }
+        if (bad.nonEmpty)
+          println(s"FAILED ${bad.mkString(",")} on:\n$ddl\nspec: $spec\npg:\n${pg.mkString("\n")}")
+        bad.isEmpty
+    })
+  }
+
   // ------------------------------------------------- FunctionDdl fuzzing
 
   // The reference needed ~50 lines of post-hoc repair regexes (double
