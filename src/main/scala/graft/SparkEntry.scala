@@ -273,6 +273,7 @@ object SparkEntry {
     "q246_secret_scan"    -> PipelineOps.q246SecretScan _,
     "q247_nfd_packing"    -> CorpusOps.q247NfdPacking _,
     "q248_source_divergence" -> AffinityOps.q248SourceDivergence _,
+    "q249_watermark_lateness" -> EventOps.q249WatermarkLateness _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4459,6 +4460,25 @@ object SparkEntry {
         |  chk.sum_cents, chk.sum_strlen
         |FROM (VALUES ('csv'), ('json'), ('orc')) f(format) CROSS JOIN chk
         |ORDER BY f.format""".stripMargin,
+
+    // q249: the oracle replays the PLAIN global exclusive running max in
+    // the sharded-collector arrival order (batch, shard, event_id); the
+    // Spark leg's GlobalOrder two-phase carry agrees exactly.
+    "q249_watermark_lateness" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+        |    event_id // 64 AS batch, user_id % 4 AS shard FROM events),
+        |l AS (SELECT event_type,
+        |    greatest(coalesce(max(us) OVER (ORDER BY batch, shard, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), us), us)
+        |      - us AS late_us
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+        |  CAST(sum(late_us) AS BIGINT) AS sum_late_us,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000
+        |       // count(*) AS BIGINT) AS late_ppm
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // q248: dense S×V ppm grid over the shared top-256 vocabulary, then
     // the pairwise L1 fold; ppm div floors identically in both engines.

@@ -115,4 +115,51 @@ object GlobalOrder {
     }
     (spark.createDataFrame(summed, schema), offsets.last)
   }
+
+  /** Distributed EXCLUSIVE prefix max over a total order — the
+    * running-frontier analogue of [[withRunningSum]] (watermark frontier,
+    * high-water marks). Each row gets the maximum of `valueCol` over all
+    * STRICTLY EARLIER rows in the total order; the first row gets
+    * `Long.MinValue` (no frontier yet — callers must treat it as "none",
+    * not subtract from it). Same two-phase shape: ONE range shuffle, a
+    * per-partition maxima job (numPartitions longs), broadcast prefix
+    * maxima, then a narrow map carrying the frontier within each
+    * partition. `valueCol` must be LongType and non-null. */
+  def withRunningMax(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                     out: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val input = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val sorted = input.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val sortedRdd = sorted.rdd // shared: maxima job + carry job reuse the shuffle
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    def valueOf(r: Row): Long = {
+      if (r.isNullAt(vIdx))
+        throw new IllegalArgumentException(
+          s"GlobalOrder.withRunningMax: NULL in value column '$valueCol'")
+      r.getLong(vIdx)
+    }
+    val maxima = sortedRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var acc = Long.MinValue
+        it.foreach(r => acc = math.max(acc, valueOf(r)))
+        Iterator((i, acc))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    input.unpersist(blocking = false)
+    // offsets(i) = max over all partitions before i (MinValue for the first)
+    val offsets = maxima.scanLeft(Long.MinValue)(math.max)
+    val schema = sorted.schema.add(StructField(out, LongType, nullable = false))
+    val carried = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val prev = acc
+        acc = math.max(acc, valueOf(r))
+        Row.fromSeq(r.toSeq :+ prev)
+      }
+    }
+    spark.createDataFrame(carried, schema)
+  }
 }

@@ -817,4 +817,45 @@ object EventOps {
         $"third_type", $"trail3_cents")
       .orderBy($"user_id", $"us", $"event_id")
   }
+
+  /** X217 — watermark-lateness audit: per event type, how far events
+    * arrive BEHIND the global event-time frontier (the maximum event
+    * time already seen in ARRIVAL order) — the exact distribution a
+    * streaming deployment needs to size `withWatermark` (X21's gates
+    * all carry "2 hours"; this measures what the data actually does —
+    * a watermark below max_late_us DROPS rows). The events table is
+    * stored in perfect event_id/ts order, so arrival is modeled as the
+    * sharded-collector reality that creates lateness in the first
+    * place: four collector shards (user_id mod 4) flush in 64-event
+    * batches — per-shard order is preserved, shards interleave per
+    * batch, exactly how multi-partition ingest reorders a stream.
+    *
+    * Scale: the frontier is a GLOBAL running max — the naive window is
+    * one reducer for the whole corpus. [[graft.operators.GlobalOrder
+    * .withRunningMax]] computes the EXCLUSIVE prefix max with the
+    * two-phase range-shuffle shape (per-partition maxima → broadcast
+    * prefix → narrow carry pass); the per-type report fold is
+    * combinable. The DuckDB oracle replays the plain global window;
+    * the two forms agree exactly. */
+  def q249WatermarkLateness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, dir).select($"event_type", $"event_id",
+      unix_micros($"ts".cast("timestamp")).as("us"),
+      expr("event_id div 64").as("batch"),
+      pmod($"user_id", lit(4L)).as("shard"))
+    val carried = graft.operators.GlobalOrder.withRunningMax(
+      e, Seq($"batch", $"shard", $"event_id"), "us", "frontier")
+    carried
+      // MinValue = no frontier yet (first arrival): never late
+      .withColumn("late_us",
+        when($"frontier" === Long.MinValue, 0L)
+          .otherwise(greatest($"frontier" - $"us", lit(0L))))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"late_us" > 0, 1L).otherwise(0L)).as("n_late"),
+        max($"late_us").as("max_late_us"),
+        sum($"late_us").as("sum_late_us"))
+      .withColumn("late_ppm", expr("n_late * 1000000 div n_events"))
+      .orderBy($"event_type")
+  }
 }

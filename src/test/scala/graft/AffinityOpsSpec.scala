@@ -1725,4 +1725,33 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a distribution sums to <= 1e6 (floor division), so L1 <= 2e6
     got.values.foreach { case (l1, _) => assert(l1 >= 0L && l1 <= 2000000L) }
   }
+
+  test("watermark lateness: two-phase running max equals the naive window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.ops.EventOps.q249WatermarkLateness(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_late"), r.getAs[Long]("max_late_us"),
+        r.getAs[Long]("sum_late_us"), r.getAs[Long]("late_ppm"))).toMap
+    // the naive single-window form the oracle replays — the operator's
+    // GlobalOrder two-phase running max must agree exactly
+    val w = Window.orderBy($"batch", $"shard", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = graft.sources.Tables.load(spark, sf, "events")
+      .select($"event_type", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        expr("event_id div 64").as("batch"),
+        pmod($"user_id", lit(4L)).as("shard"))
+      .withColumn("late_us",
+        greatest(coalesce(max($"us").over(w), $"us"), $"us") - $"us")
+      .groupBy($"event_type")
+      .agg(count(lit(1)), sum(when($"late_us" > 0, 1L).otherwise(0L)),
+        max($"late_us"), sum($"late_us"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(2) * 1000000L / r.getLong(1)))
+      .toMap
+    assert(got == expected)
+    // the audit is non-vacuous: some out-of-order arrival exists
+    assert(got.values.exists(_._2 > 0L))
+  }
 }

@@ -339,6 +339,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q248_source_divergence" -> 0, // persisted S×V grid (2 consumers over
                              // the corpus-sized count fold), C(S,2)
                              // report collected, local return (q117)
+    "q249_watermark_lateness" -> 2, // GlobalOrder.withRunningMax carries
+                             // the frontier in its own range-shuffle
+                             // passes; the tail is the |types| fold +
+                             // orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
