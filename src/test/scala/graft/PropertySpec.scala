@@ -220,6 +220,63 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // --------------------------------------------------- SqlRewriter fuzzing
+
+  // Nested compositions of every translated construct must come out
+  // balanced, MySQL-keyword-free outside literals, and with string
+  // literals untouched.
+
+  private def genSqlExpr(d: Int): Gen[String] =
+    if (d <= 0) Gen.oneOf("a", "`b`", "t.c", "1", "'lit '' x'", "NULL")
+    else {
+      val sub = Gen.lzy(genSqlExpr(d - 1))
+      Gen.oneOf(
+        Gen.zip(sub, sub).map { case (x, y) => s"IFNULL($x, $y)" },
+        sub.map(x => s"CAST($x AS UNSIGNED)"),
+        sub.map(x => s"CONVERT($x, CHAR)"),
+        sub.map(x => s"CONVERT($x USING utf8mb4)"),
+        Gen.zip(sub, sub).map { case (x, y) => s"STRCMP($x, $y)" },
+        sub.map(x => s"TO_DAYS($x)"),
+        sub.map(x => s"DATE_FORMAT($x, '%Y-%m-%d %H:%i:%s')"),
+        sub.map(x => s"JSON_EXTRACT($x, '$$.k')"),
+        sub.map(x => s"GROUP_CONCAT($x SEPARATOR '; ')"),
+        sub.map(x => s"SUBSTRING_INDEX($x, ',', 2)"))
+    }
+
+  private val genSqlQuery: Gen[String] = for {
+    e1 <- genSqlExpr(3)
+    e2 <- genSqlExpr(2)
+    off <- Gen.choose(0, 50)
+    n <- Gen.choose(1, 50)
+  } yield s"SELECT $e1 AS x, 'SENTINEL;()' AS s FROM t " +
+    s"WHERE $e2 IS NOT NULL LIMIT $off, $n"
+
+  test("SqlRewriter fuzz: rewritten queries are balanced and MySQL-free") {
+    check("sqlrewriter fuzz", Prop.forAllNoShrink(genSqlQuery) { q =>
+      val out = SqlRewriter.rewrite(q)
+      val (masked, _) = SqlRewriter.maskStringLiterals(out)
+      val checks = Seq(
+        "balanced parens" ->
+          (masked.count(_ == '(') == masked.count(_ == ')')),
+        "no CONVERT" -> !"(?i)\\bCONVERT\\s*\\(".r.findFirstIn(masked).isDefined,
+        "no STRCMP" -> !"(?i)\\bSTRCMP\\s*\\(".r.findFirstIn(masked).isDefined,
+        "no TO_DAYS" -> !"(?i)\\bTO_DAYS\\s*\\(".r.findFirstIn(masked).isDefined,
+        "no JSON_EXTRACT" ->
+          !"(?i)\\bJSON_EXTRACT\\s*\\(".r.findFirstIn(masked).isDefined,
+        "no GROUP_CONCAT" ->
+          !"(?i)\\bGROUP_CONCAT\\s*\\(".r.findFirstIn(masked).isDefined,
+        "no AS UNSIGNED" ->
+          !"(?i)\\bAS\\s+UNSIGNED\\b".r.findFirstIn(masked).isDefined,
+        "no MySQL LIMIT a,b" ->
+          !"(?i)\\bLIMIT\\s+\\d+\\s*,".r.findFirstIn(masked).isDefined,
+        "no % date tokens outside literals" -> !masked.contains("%"),
+        "sentinel literal untouched" -> out.contains("'SENTINEL;()'"))
+      val bad = checks.collect { case (nm, false) => nm }
+      if (bad.nonEmpty) println(s"FAILED ${bad.mkString(",")} on:\n$q\nout:\n$out")
+      bad.isEmpty
+    })
+  }
+
   // ------------------------------------------------- DdlConverter fuzzing
 
   // Same insurance as the FunctionDdl fuzz below, for the CREATE TABLE
