@@ -69,10 +69,15 @@ object Bench {
           val (t3, ok3) = once()
           (name, if (ok3) math.min(best2, t3) else best2, true)
         } else if (ok2) (name, best2, true)
-        // symmetric leniency for run 2: a transient re-run failure must
-        // not flag a once-successful query either — keep run 1's valid
-        // timing (run 1 failures still report FAILED below)
-        else (name, t1, true)
+        else {
+          // symmetric leniency for run 2: a transient re-run failure must
+          // not flag a once-successful query — keep run 1's valid timing
+          // (run 1 failures still report FAILED). Loudly noted on stderr
+          // so a rerun-REPRODUCIBLE failure (leaked session state) is
+          // still visible in the log even though the JSON reports ok.
+          System.err.println(s"[bench] $name run-2 failure ignored (run 1 ok)")
+          (name, t1, true)
+        }
       } else (name, t1, ok1)
     }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -410,12 +410,19 @@ object DdlConverter {
     ddl.trim match {
       case Re(_, schema, _, tbl, _, col, lit) =>
         val pre = Option(schema).map(s => s""""$s".""").getOrElse("")
+        // the schema qualifier can fold independently of the table (an
+        // unquoted CREATE SCHEMA folds to lowercase while the table kept
+        // its quoted case) — retry the folded-schema spelling too
+        val preLower =
+          Option(schema).map(s => s""""${s.toLowerCase}".""").getOrElse("")
         val preBare = Option(schema).map(_ + ".").getOrElse("")
         Seq(
           s"""COMMENT ON COLUMN $pre"$tbl"."$col" IS $lit""",
           s"""COMMENT ON COLUMN $pre"$tbl"."${col.toLowerCase}" IS $lit""",
           s"""COMMENT ON COLUMN $pre"$tbl"."${col.toUpperCase}" IS $lit""",
           s"""COMMENT ON COLUMN $pre"${tbl.toLowerCase}"."${col.toLowerCase}" IS $lit""",
+          s"""COMMENT ON COLUMN $preLower"$tbl"."${col.toLowerCase}" IS $lit""",
+          s"""COMMENT ON COLUMN $preLower"${tbl.toLowerCase}"."${col.toLowerCase}" IS $lit""",
           s"""COMMENT ON COLUMN $preBare$tbl.$col IS $lit""")
           .distinct.filterNot(_ == ddl.trim)
       case _ => Nil

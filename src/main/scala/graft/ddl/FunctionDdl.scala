@@ -219,22 +219,28 @@ object FunctionDdl {
       // `IF done THEN` stays boolean-coherent in PL/pgSQL.
       val notFoundRe = ("(?i)DECLARE\\s+(?:CONTINUE|EXIT)\\s+HANDLER\\s+FOR" +
         "\\s+NOT\\s+FOUND\\s+SET\\s+(@?\\w+)\\s*=\\s*[^;]+;").r
-      val handlerFlag = notFoundRe.findFirstMatchIn(body).map(_.group(1))
+      // these passes run on a MASKED copy: a string literal spelling
+      // 'FETCH c INTO v;' or a handler declaration must not be rewritten
+      // (nor count as cursor evidence for the fallback flag declaration)
+      val (mbH, litsH) = SqlRewriter.maskStringLiterals(body)
+      val handlerFlag = notFoundRe.findFirstMatchIn(mbH).map(_.group(1))
       // other handlers have no PL/pgSQL equivalent — dropped like the
       // reference (reHandler); cursors hoist as PL/pgSQL BOUND cursors
       // (`name CURSOR FOR query;` is valid in a PG DECLARE block); plain
       // DECLAREs hoist into the PG block
-      body = body.replaceAll(
+      var mbF = mbH.replaceAll(
         "(?i)DECLARE\\s+(?:CONTINUE|EXIT)\\s+HANDLER\\s+FOR\\s+[^;]+;", "")
-      val fetchRe =
-        "(?i)\\bFETCH\\s+(?:NEXT\\s+FROM\\s+)?(\\w+)\\s+INTO\\s+([^;]+);".r
-      val hasFetch = fetchRe.findFirstIn(body).isDefined
+      // both MySQL spellings: FETCH cur / FETCH [NEXT] FROM cur
+      val fetchRe = ("(?i)\\bFETCH\\s+(?:(?:NEXT\\s+)?FROM\\s+)?(\\w+)" +
+        "\\s+INTO\\s+([^;]+);").r
+      val hasFetch = fetchRe.findFirstIn(mbF).isDefined
       val flagVar = handlerFlag.getOrElse("done")
       if (hasFetch) {
-        body = fetchRe.replaceAllIn(body, m => scala.util.matching.Regex
+        mbF = fetchRe.replaceAllIn(mbF, m => scala.util.matching.Regex
           .quoteReplacement(s"FETCH ${m.group(1)} INTO ${m.group(2).trim}; " +
             s"IF NOT FOUND THEN $flagVar := true; END IF;"))
       }
+      body = SqlRewriter.unmask(mbF, litsH)
       val cursorRe = "(?i)DECLARE\\s+(\\w+)\\s+CURSOR\\s+FOR\\s+([^;]+);".r
       // the hoisted cursor query is MySQL text excised BEFORE the body
       // rides SqlRewriter below — it must go through the same rewrite
@@ -341,17 +347,24 @@ object FunctionDdl {
       // `true`); MySQL bodies write/test it as an INT — re-type those uses
       // so `done := 1` / `IF done = 1` stay coherent with the coerced
       // boolean declaration below. Applied post-rename so an @flag's v_
-      // spelling is covered; masked body, so literals are safe.
+      // spelling is covered; masked body, so literals are safe. The `:=`
+      // forms are procedural by construction (the SET pass only rewrites
+      // statement-position assignments), but the bare `= 1` comparison is
+      // scoped to procedural-condition context — an embedded
+      // `UPDATE t SET done = 1` / `WHERE done = 1` on a same-named COLUMN
+      // must stay integer SQL.
       val pgFlag =
         if (flagVar.startsWith("@")) "v_" + flagVar.drop(1) else flagVar
       if (handlerFlag.isDefined || hasFetch) {
+        val cond = "(?i)\\b(IF|ELSIF|WHILE|WHEN|AND|OR|NOT)(\\s+)" +
+          s"$pgFlag\\s*=\\s*"
         mb = mb
           .replaceAll(s"(?i)\\b$pgFlag\\s*:=\\s*(?:1|TRUE)\\s*(?=;)",
             s"$pgFlag := true")
           .replaceAll(s"(?i)\\b$pgFlag\\s*:=\\s*(?:0|FALSE)\\s*(?=;)",
             s"$pgFlag := false")
-          .replaceAll(s"(?i)\\b$pgFlag\\s*=\\s*1\\b", s"$pgFlag = true")
-          .replaceAll(s"(?i)\\b$pgFlag\\s*=\\s*0\\b", s"$pgFlag = false")
+          .replaceAll(cond + "1\\b", s"$$1$$2$pgFlag = true")
+          .replaceAll(cond + "0\\b", s"$$1$$2$pgFlag = false")
       }
       body = SqlRewriter.unmask(mb, bodyLits)
 

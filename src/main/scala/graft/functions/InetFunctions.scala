@@ -65,7 +65,7 @@ case class InetNtoa(child: Expression) extends UnaryExpression with CodegenFallb
 }
 
 object InetFunctions {
-  def register(spark: SparkSession): Unit = Registration.once(spark, "inet_aton") {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "inet_aton", "inet_ntoa") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "inet_aton", exprs => InetAton(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

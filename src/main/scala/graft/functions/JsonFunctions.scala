@@ -255,7 +255,8 @@ object JsonFunctions {
   val modes: Seq[String] = Seq("set", "insert", "replace", "remove",
     "array_append", "merge_patch", "merge_preserve")
 
-  def register(spark: SparkSession): Unit = Registration.once(spark, "graft_json_set") {
+  def register(spark: SparkSession): Unit =
+    Registration.once(spark, modes.map(m => s"graft_json_$m"): _*) {
     val reg = spark.sessionState.functionRegistry
     modes.foreach { m =>
       reg.createOrReplaceTempFunction(

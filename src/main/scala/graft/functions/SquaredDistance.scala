@@ -78,7 +78,7 @@ case class SquaredDistance(left: Expression, right: Expression)
 }
 
 object SquaredDistance {
-  def register(spark: SparkSession): Unit = Registration.once(spark, "graft_dist2") {
+  def register(spark: SparkSession): Unit = Registration.once(spark, "graft_dist2", "graft_dot_l") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dist2", exprs => SquaredDistance(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

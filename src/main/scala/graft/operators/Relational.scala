@@ -1264,9 +1264,9 @@ object Relational {
         .orderBy($"value_cents".desc, $"p_partkey")
         .collect().toSeq
       import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
-        StructField("p_partkey", LongType),
-        StructField("value_cents", LongType))))
+      LocalReport.frame(s, rows,
+        ("p_partkey", LongType),
+        ("value_cents", LongType))
     } finally v.unpersist(blocking = false)
   }
 

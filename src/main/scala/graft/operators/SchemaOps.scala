@@ -128,9 +128,11 @@ object SchemaOps {
         .orderBy($"column_name")
         .collect().toSeq
       import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
-        StructField("column_name", StringType), StructField("n_rows", LongType),
-        StructField("n_nonnull", LongType), StructField("coverage_ppm", LongType))))
+      LocalReport.frame(s, rows,
+        ("column_name", StringType),
+        ("n_rows", LongType),
+        ("n_nonnull", LongType),
+        ("coverage_ppm", LongType))
     } finally {
       graft.transfer.Transfer.deleteRecursively(tmp)
     }

@@ -387,10 +387,13 @@ object TransferOps {
       // rows are already in deterministic format order (csv, json, orc) —
       // a trailing orderBy on the 3-row local frame would plan a range
       // exchange for nothing (q117/q236 idiom)
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
-        StructField("format", StringType), StructField("n_rows", LongType),
-        StructField("sum_key", LongType), StructField("sum_nation", LongType),
-        StructField("sum_cents", LongType), StructField("sum_strlen", LongType))))
+      LocalReport.frame(s, rows,
+        ("format", StringType),
+        ("n_rows", LongType),
+        ("sum_key", LongType),
+        ("sum_nation", LongType),
+        ("sum_cents", LongType),
+        ("sum_strlen", LongType))
     } finally Transfer.deleteRecursively(tmp)
   }
 }

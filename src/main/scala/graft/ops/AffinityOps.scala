@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.operators.LocalReport
 
 /** Co-occurrence / affinity mining — the "users who bought X also bought Y"
   * family. The reference engine (a migration tool) has no analytics surface
@@ -133,10 +134,13 @@ object AffinityOps {
         .orderBy($"s1", $"s2")
         .collect().toSeq
       import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
-        StructField("s1", StringType), StructField("s2", StringType),
-        StructField("n_shared", LongType), StructField("v1", LongType),
-        StructField("v2", LongType), StructField("jaccard_ppm", LongType))))
+      LocalReport.frame(s, rows,
+        ("s1", StringType),
+        ("s2", StringType),
+        ("n_shared", LongType),
+        ("v1", LongType),
+        ("v2", LongType),
+        ("jaccard_ppm", LongType))
     } finally sw.unpersist(blocking = false)
   }
 
@@ -184,8 +188,9 @@ object AffinityOps {
         .orderBy($"rank_ppm".desc, $"part_key")
         .limit(100).collect().toSeq
       import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
-        StructField("part_key", LongType), StructField("rank_ppm", LongType))))
+      LocalReport.frame(s, rows,
+        ("part_key", LongType),
+        ("rank_ppm", LongType))
     } finally g.unpersist(blocking = false)
   }
 
@@ -238,8 +243,9 @@ object AffinityOps {
       val rows = part.orderBy($"n_triangles".desc, $"part_key")
         .limit(20).collect().toSeq
       import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
-        StructField("part_key", LongType), StructField("n_triangles", LongType))))
+      LocalReport.frame(s, rows,
+        ("part_key", LongType),
+        ("n_triangles", LongType))
     } finally e.unpersist(blocking = false)
   }
 
@@ -301,9 +307,10 @@ object AffinityOps {
         .orderBy($"n_two_hop".desc, $"part_key")
         .limit(20).collect().toSeq
       import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
-        StructField("part_key", LongType), StructField("degree", LongType),
-        StructField("n_two_hop", LongType))))
+      LocalReport.frame(s, rows,
+        ("part_key", LongType),
+        ("degree", LongType),
+        ("n_two_hop", LongType))
     } finally adj.unpersist(blocking = false)
   }
 
@@ -351,10 +358,11 @@ object AffinityOps {
         .orderBy($"s1", $"s2")
         .collect().toSeq
       import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
-        StructField("s1", StringType), StructField("s2", StringType),
-        StructField("l1_ppm", LongType),
-        StructField("n_shared_vocab", LongType))))
+      LocalReport.frame(s, rows,
+        ("s1", StringType),
+        ("s2", StringType),
+        ("l1_ppm", LongType),
+        ("n_shared_vocab", LongType))
     } finally grid.unpersist(blocking = false)
   }
 }

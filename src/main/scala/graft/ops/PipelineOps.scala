@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.operators.LocalReport
 import graft.functions.Fingerprint
 
 /** Data-layout and curation operators (SURVEY.md §2.7 X40-X45): the
@@ -254,10 +255,13 @@ object PipelineOps {
         .limit(50)
         .collect().toSeq
       import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
-        StructField("a", StringType), StructField("b", StringType),
-        StructField("n_ab", LongType), StructField("n_a", LongType),
-        StructField("n_b", LongType), StructField("lift_ppt", LongType))))
+      LocalReport.frame(s, rows,
+        ("a", StringType),
+        ("b", StringType),
+        ("n_ab", LongType),
+        ("n_a", LongType),
+        ("n_b", LongType),
+        ("lift_ppt", LongType))
     } finally uni.unpersist(blocking = false)
   }
 
@@ -646,11 +650,10 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_events"), sum($"cents").as("value_cents"))
         .orderBy($"day")
         .collect().toSeq
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("value_cents", org.apache.spark.sql.types.LongType))))
+      LocalReport.frame(s, rows,
+        ("day", org.apache.spark.sql.types.LongType),
+        ("n_events", org.apache.spark.sql.types.LongType),
+        ("value_cents", org.apache.spark.sql.types.LongType))
     } finally {
       graft.transfer.Transfer.deleteRecursively(tmp)
     }
@@ -742,10 +745,12 @@ object PipelineOps {
         .orderBy($"r_q", $"f_q", $"m_q")
         .collect().toSeq // ≤4³ rows — q123 collect-then-unpersist idiom
       import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
-        StructField("r_q", LongType), StructField("f_q", LongType),
-        StructField("m_q", LongType), StructField("n_customers", LongType),
-        StructField("segment_cents", LongType))))
+      LocalReport.frame(s, rows,
+        ("r_q", LongType),
+        ("f_q", LongType),
+        ("m_q", LongType),
+        ("n_customers", LongType),
+        ("segment_cents", LongType))
     } finally rfm.unpersist(blocking = false)
   }
 
@@ -938,10 +943,11 @@ object PipelineOps {
         .orderBy($"lang")
         .collect().toSeq
       import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
-        StructType(Seq(StructField("lang", StringType),
-          StructField("n_docs", LongType), StructField("n_tokens", LongType),
-          StructField("n_chars", LongType))))
+      LocalReport.frame(s, rows,
+        ("lang", StringType),
+        ("n_docs", LongType),
+        ("n_tokens", LongType),
+        ("n_chars", LongType))
     } finally {
       graft.transfer.Transfer.deleteRecursively(tmp)
     }
@@ -1099,10 +1105,12 @@ object PipelineOps {
         .orderBy($"source", $"file_seq")
         .collect().toSeq
       import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
-        StructType(Seq(StructField("source", StringType),
-          StructField("file_seq", LongType), StructField("n_docs", LongType),
-          StructField("n_bytes", LongType), StructField("ok", LongType))))
+      LocalReport.frame(s, rows,
+        ("source", StringType),
+        ("file_seq", LongType),
+        ("n_docs", LongType),
+        ("n_bytes", LongType),
+        ("ok", LongType))
     } finally {
       graft.transfer.Transfer.deleteRecursively(tmp)
     }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.operators.LocalReport
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -235,10 +236,12 @@ object SimilarityOps {
         .orderBy($"cluster_id")
         .collect().toSeq
       import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
-        StructField("cluster_id", LongType), StructField("n_members", LongType),
-        StructField("sum_vec_ids", LongType), StructField("inertia", LongType),
-        StructField("min_vec_id", LongType))))
+      LocalReport.frame(s, rows,
+        ("cluster_id", LongType),
+        ("n_members", LongType),
+        ("sum_vec_ids", LongType),
+        ("inertia", LongType),
+        ("min_vec_id", LongType))
     } finally q.unpersist(blocking = false)
   }
 
@@ -500,10 +503,12 @@ object SimilarityOps {
         .orderBy($"cluster_id")
         .collect().toSeq
       import org.apache.spark.sql.types._
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), StructType(Seq(
-        StructField("cluster_id", LongType), StructField("n_members", LongType),
-        StructField("n_selected", LongType), StructField("sel_id_sum", LongType),
-        StructField("sel_d2_sum", LongType))))
+      LocalReport.frame(s, rows,
+        ("cluster_id", LongType),
+        ("n_members", LongType),
+        ("n_selected", LongType),
+        ("sel_id_sum", LongType),
+        ("sel_d2_sum", LongType))
     } finally q.unpersist(blocking = false)
   }
 }

@@ -299,10 +299,14 @@ class DdlConverterSpec extends AnyFunSuite {
     // schema-qualified comments get the same retry family, with the
     // qualifier passed through unchanged (previously: no variants at all)
     val sq = DdlConverter.columnCommentFallbacks(
-      """COMMENT ON COLUMN "app"."Orders"."Select" IS 'x'""")
-    assert(sq.contains("""COMMENT ON COLUMN "app"."Orders"."select" IS 'x'""") &&
+      """COMMENT ON COLUMN "App"."Orders"."Select" IS 'x'""")
+    assert(sq.contains("""COMMENT ON COLUMN "App"."Orders"."select" IS 'x'""") &&
+      sq.contains("""COMMENT ON COLUMN "App"."orders"."select" IS 'x'""") &&
+      // the schema folds independently of the table (unquoted CREATE
+      // SCHEMA + quoted table): both folded-schema spellings retried
+      sq.contains("""COMMENT ON COLUMN "app"."Orders"."select" IS 'x'""") &&
       sq.contains("""COMMENT ON COLUMN "app"."orders"."select" IS 'x'""") &&
-      sq.contains("""COMMENT ON COLUMN app.Orders.Select IS 'x'"""), sq)
+      sq.contains("""COMMENT ON COLUMN App.Orders.Select IS 'x'"""), sq)
     // unquoted emission gains the quoted variants (and drops itself)
     val unq = DdlConverter.columnCommentFallbacks(
       "COMMENT ON COLUMN t.MyCol IS 'x'")

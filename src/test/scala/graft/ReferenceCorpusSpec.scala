@@ -430,6 +430,48 @@ class ReferenceCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uv.ddl.contains("IF NOT FOUND THEN v_eof := true;"), uv.ddl)
     assert(uv.ddl.contains("v_eof boolean DEFAULT false;"), uv.ddl)
     assert(!uv.ddl.contains("@"), uv.ddl)
+    // the alternate FETCH FROM spelling gets the same tail
+    val ff = FunctionDdl.convert(
+      """CREATE FUNCTION alt_of() RETURNS INT
+        |BEGIN
+        |  DECLARE v INT;
+        |  DECLARE cur CURSOR FOR SELECT a FROM t;
+        |  OPEN cur;
+        |  FETCH FROM cur INTO v;
+        |  CLOSE cur;
+        |  RETURN v;
+        |END""".stripMargin).get
+    assert(ff.ddl.contains(
+      "FETCH cur INTO v; IF NOT FOUND THEN done := true; END IF;"), ff.ddl)
+    // a string literal spelling FETCH is DATA: no rewrite, no phantom
+    // flag declaration
+    val lit = FunctionDdl.convert(
+      """CREATE FUNCTION doc_of() RETURNS VARCHAR(64)
+        |BEGIN
+        |  RETURN 'usage: FETCH cur INTO v; then close';
+        |END""".stripMargin).get
+    assert(lit.ddl.contains("'usage: FETCH cur INTO v; then close'"), lit.ddl)
+    assert(!lit.ddl.contains("NOT FOUND") && !lit.ddl.contains("done"), lit.ddl)
+    // a COLUMN named like the flag inside embedded DML stays integer SQL;
+    // only the procedural test re-types
+    val dml = FunctionDdl.convert(
+      """CREATE FUNCTION mark_done(p INT) RETURNS INT
+        |BEGIN
+        |  DECLARE done INT DEFAULT 0;
+        |  DECLARE v INT;
+        |  DECLARE cur CURSOR FOR SELECT a FROM t;
+        |  DECLARE CONTINUE HANDLER FOR NOT FOUND SET done = 1;
+        |  OPEN cur;
+        |  lp: LOOP
+        |    FETCH cur INTO v;
+        |    IF done = 1 THEN LEAVE lp; END IF;
+        |    UPDATE jobs SET done = 1 WHERE id = p;
+        |  END LOOP;
+        |  CLOSE cur;
+        |  RETURN v;
+        |END""".stripMargin).get
+    assert(dml.ddl.contains("IF done = true THEN"), dml.ddl)
+    assert(dml.ddl.contains("UPDATE jobs SET done = 1 WHERE id = p;"), dml.ddl)
   }
 
   test("DdlConverter hardening: grant word boundaries, literal-safe clauses, PG requoting") {
