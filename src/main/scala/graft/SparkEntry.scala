@@ -274,6 +274,7 @@ object SparkEntry {
     "q247_nfd_packing"    -> CorpusOps.q247NfdPacking _,
     "q248_source_divergence" -> AffinityOps.q248SourceDivergence _,
     "q249_watermark_lateness" -> EventOps.q249WatermarkLateness _,
+    "q250_epoch_plan"     -> PipelineOps.q250EpochPlan _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4460,6 +4461,26 @@ object SparkEntry {
         |  chk.sum_cents, chk.sum_strlen
         |FROM (VALUES ('csv'), ('json'), ('orc')) f(format) CROSS JOIN chk
         |ORDER BY f.format""".stripMargin,
+
+    // q250: q82's weight chain + the split-form quota/epoch divisions
+    // (algebraically identical to floor(B*w/1e6) / floor(q*1000/n) for
+    // positive int64, without the overflow products).
+    "q250_epoch_plan" ->
+      """WITH l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w_sqrt FROM l),
+        |n AS (SELECT *,
+        |    w_sqrt * 1000000 // CAST(sum(w_sqrt) OVER () AS BIGINT) AS weight_ppm,
+        |    CAST(sum(n_tokens) OVER () AS BIGINT) // 2 AS budget FROM w),
+        |p AS (SELECT *, (budget // 1000000) * weight_ppm +
+        |    ((budget % 1000000) * weight_ppm) // 1000000 AS quota_tokens FROM n),
+        |e AS (SELECT *, (quota_tokens // n_tokens) * 1000 +
+        |    ((quota_tokens % n_tokens) * 1000) // n_tokens AS epochs_permille FROM p)
+        |SELECT lang, n_docs, n_tokens, weight_ppm, quota_tokens, epochs_permille,
+        |  CAST(CASE WHEN epochs_permille > 1000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS repeats_data
+        |FROM e ORDER BY lang""".stripMargin,
 
     // q249: the oracle replays the PLAIN global exclusive running max in
     // the sharded-collector arrival order (batch, shard, event_id); the

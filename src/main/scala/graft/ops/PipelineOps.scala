@@ -101,6 +101,42 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
+  /** X218 — token-budget epoch planner: given a training budget (half
+    * the corpus's tokens — data-derived, deterministic), the per-language
+    * token quota under X41's shared sqrt-token mixture weights and the
+    * resulting EPOCH count in permille — the "how many times will
+    * training repeat each source" answer X41/X118 stop short of
+    * (weights say proportions; this says repetitions: epochs > 1000
+    * permille flags languages whose data the budget forces to repeat).
+    *
+    * Exactness at scale: quota = floor(B·w/1e6) and epochs =
+    * floor(quota·1000/n) are computed in SPLIT form
+    * ((B div 1e6)·w + ((B mod 1e6)·w) div 1e6 — algebraically identical
+    * for positive int64, no B·1e6 overflow at corpus token counts);
+    * permille (not ppm) keeps the remainder product under int64 for
+    * per-language token counts up to ~9·10^15.
+    *
+    * Scale: one combinable fold to the language frame (driver-tiny);
+    * the budget is an empty-window sum over that frame ([[q82LangMixture]]'s
+    * idiom). The corpus is touched once. */
+  def q250EpochPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mixtureWeights(docs(s, dir)
+        .select($"lang", size(split($"text", " ")).cast("long").as("n_toks")))
+      .withColumn("budget", expr("sum(n_tokens) over () div 2"))
+      .withColumn("quota_tokens", expr(
+        "(budget div 1000000) * weight_ppm + " +
+          "((budget % 1000000) * weight_ppm) div 1000000"))
+      .withColumn("epochs_permille", expr(
+        "(quota_tokens div n_tokens) * 1000 + " +
+          "((quota_tokens % n_tokens) * 1000) div n_tokens"))
+      .withColumn("repeats_data",
+        when($"epochs_permille" > 1000L, 1L).otherwise(0L))
+      .select($"lang", $"n_docs", $"n_tokens", $"weight_ppm",
+        $"quota_tokens", $"epochs_permille", $"repeats_data")
+      .orderBy($"lang")
+  }
+
   /** X42 — deterministic global shuffle + shard assignment: the "shuffle
     * the corpus, write N shards" step before training. Shard membership and
     * intra-shard position both derive from a portable content fingerprint,

@@ -389,4 +389,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean(t.map(_._1)) > mean(o.map(_._1)),
       "target docs do not outrank non-target docs")
   }
+
+  test("epoch plan: split-form quota/epochs equal the exact BigInt floors") {
+    val rows = graft.ops.PipelineOps.q250EpochPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = totalTokens / 2
+    rows.foreach { r =>
+      val w = r.getAs[Long]("weight_ppm")
+      val n = r.getAs[Long]("n_tokens")
+      val quota = r.getAs[Long]("quota_tokens")
+      val epochs = r.getAs[Long]("epochs_permille")
+      // the split form must be EXACTLY floor(B*w/1e6) / floor(q*1000/n)
+      assert(BigInt(budget) * w / 1000000 == BigInt(quota), r.toString)
+      assert(BigInt(quota) * 1000 / n == BigInt(epochs), r.toString)
+      assert(r.getAs[Long]("repeats_data") == (if (epochs > 1000) 1L else 0L))
+    }
+    // floor rounding only ever under-allocates: the plan fits the budget
+    assert(rows.map(_.getAs[Long]("quota_tokens")).sum <= budget)
+    // sqrt-weighting upweights the tail: the smallest language gets MORE
+    // epochs than the largest
+    val byTokens = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(byTokens.head.getAs[Long]("epochs_permille") >=
+      byTokens.last.getAs[Long]("epochs_permille"))
+  }
 }

@@ -343,6 +343,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // the frontier in its own range-shuffle
                              // passes; the tail is the |types| fold +
                              // orderBy
+    "q250_epoch_plan"   -> 2, // ONE combinable lang fold; budget/weights
+                             // are empty-windows over the driver-tiny
+                             // lang frame + orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
