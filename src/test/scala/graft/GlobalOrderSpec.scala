@@ -65,4 +65,27 @@ class GlobalOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
       case _ =>
     }
   }
+
+  test("withRunningMax equals the sequential exclusive prefix max") {
+    import spark.implicits._
+    // o_custkey as the running value over o_orderkey order: plenty of
+    // non-monotone movement to exercise the carry
+    val got = GlobalOrder.withRunningMax(
+      base, Seq($"o_orderkey"), "o_custkey", "frontier")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("frontier")).toMap
+    val seq = base.orderBy($"o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var acc = Long.MinValue
+    val expected = seq.map { case (k, v) =>
+      val prev = acc; acc = math.max(acc, v); k -> prev
+    }.toMap
+    assert(got == expected)
+    // the first row in the total order carries the no-frontier sentinel
+    assert(got(seq.head._1) == Long.MinValue)
+    // partition count never changes the carried values
+    val p7 = GlobalOrder.withRunningMax(
+      base, Seq($"o_orderkey"), "o_custkey", "frontier", 7)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("frontier")).toMap
+    assert(p7 == expected)
+  }
 }

@@ -372,6 +372,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("volume_cents") == 999L + 250L + 25L + 700L)
   }
 
+  test("ohlcBars in batch mode equals the ORACLE-GATED q122 frame") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    val streamed = EventStream.ohlcBars(events).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Timestamp]("hour_start").getTime * 1000L / 3600000000L) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("open_cents"),
+          r.getAs[Long]("high_cents"), r.getAs[Long]("low_cents"),
+          r.getAs[Long]("close_cents"), r.getAs[Long]("volume_cents"))).toMap
+    val batch = SparkEntry.queries("q122_ohlc_bars")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("open_cents"),
+          r.getAs[Long]("high_cents"), r.getAs[Long]("low_cents"),
+          r.getAs[Long]("close_cents"), r.getAs[Long]("volume_cents"))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("band drift feed finalizes windowed counts with baseline attached") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
