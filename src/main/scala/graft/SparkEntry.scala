@@ -275,6 +275,7 @@ object SparkEntry {
     "q248_source_divergence" -> AffinityOps.q248SourceDivergence _,
     "q249_watermark_lateness" -> EventOps.q249WatermarkLateness _,
     "q250_epoch_plan"     -> PipelineOps.q250EpochPlan _,
+    "q251_image_phash"    -> MultimodalOps.q251ImagePhash _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4461,6 +4462,43 @@ object SparkEntry {
         |  chk.sum_cents, chk.sum_strlen
         |FROM (VALUES ('csv'), ('json'), ('orc')) f(format) CROSS JOIN chk
         |ORDER BY f.format""".stripMargin,
+
+    // q251: the aHash replays arithmetically (nearest-neighbor 8x8 grid
+    // on the lossless test card, so decoded pixel == formula); the
+    // oracle's pair stage is the naive all-pairs form of the Spark
+    // leg's banded hamming-LSH — identical verdicts by the pigeonhole
+    // recall guarantee.
+    "q251_image_phash" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 7 THEN doc_id - 5 ELSE doc_id END AS base,
+        |    doc_id % 10 = 7 AS twin
+        |  FROM documents),
+        |dim AS (SELECT doc_id, base, twin,
+        |    base % 13 + 1 AS w, base % 7 + 1 AS h FROM d),
+        |sm AS (SELECT doc_id, base, twin, k,
+        |    ((k % 8) * w) // 8 AS x, ((k // 8) * h) // 8 AS y
+        |  FROM dim CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k)),
+        |sv AS (SELECT doc_id, k,
+        |    ((base * (2 * x + 3 * y + 5) + 7 * x * x + 11 * y * y) % 256 +
+        |     CASE WHEN twin AND x = 0 AND y = 0 THEN 1 ELSE 0 END) % 256 AS s
+        |  FROM sm),
+        |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS tot
+        |  FROM sv GROUP BY doc_id),
+        |hsh AS MATERIALIZED (SELECT sv.doc_id,
+        |    CAST(COALESCE(sum(CASE WHEN k >= 32 AND 64 * s > tot
+        |      THEN (CAST(1 AS BIGINT) << (k - 32)) END), 0) AS BIGINT) AS hash_hi,
+        |    CAST(COALESCE(sum(CASE WHEN k < 32 AND 64 * s > tot
+        |      THEN (CAST(1 AS BIGINT) << k) END), 0) AS BIGINT) AS hash_lo
+        |  FROM sv JOIN tot USING (doc_id) GROUP BY sv.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |       bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming
+        |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |WHERE (a.hash_hi != 0 OR a.hash_lo != 0)
+        |  AND (b.hash_hi != 0 OR b.hash_lo != 0)
+        |  AND bit_count(xor(a.hash_hi, b.hash_hi)) +
+        |      bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // q250: q82's weight chain + the split-form quota/epoch divisions
     // (algebraically identical to floor(B*w/1e6) / floor(q*1000/n) for

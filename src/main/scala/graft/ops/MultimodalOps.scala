@@ -455,4 +455,126 @@ object MultimodalOps {
       }
     }.toDF().orderBy($"doc_id")
   }
+
+  final case class ImageHash(doc_id: Long, hash_hi: Long, hash_lo: Long)
+
+  /** X219 — perceptual-hash image near-dup detection: the multimodal
+    * twin of X3/X66 — an average hash (aHash) over each REAL decoded
+    * image, banded hamming-LSH candidate join, exact hamming verdict at
+    * distance <= 3. The aHash samples a NEAREST-NEIGHBOR 8×8 grid
+    * (x_i = i·w div 8) instead of an interpolated resize, so every bit
+    * is integer arithmetic on decoded pixel values and the DuckDB
+    * oracle replays the whole hash from the test-card formula — an
+    * interpolated thumbnail could not be oracle-gated. Ground truth:
+    * docs ≡ 7 (mod 10) render the test card of doc id−5 with ONE pixel
+    * bumped a single gray level — a visual near-duplicate whose hash
+    * differs in at most a few bits, exactly what aHash exists to catch
+    * and exact byte-dedup never can.
+    *
+    * Scale: encode→decode→hash is one mapPartitions pass (q222's
+    * codec-gated discipline, lossless PNG/BMP so decoded == pattern);
+    * the hash splits into hi/lo 32-bit halves (q212's idiom — band keys
+    * via div/mod on NON-NEGATIVE int64, no engine-divergent shifts on
+    * negative values); candidates come from 4×16-bit hamming-LSH bands
+    * (pigeonhole: hamming <= 3 guarantees a shared band — recall 100%
+    * by construction, never all-pairs); the exact bit_count verdict
+    * runs on candidates only. */
+  def q251ImagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents").select($"doc_id").as[Long]
+    val hashed = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        // twins (id ≡ 7 mod 10) render the BASE doc's card (dims AND
+        // pattern from id-5) with pixel (0,0) bumped one gray level
+        val twin = Math.floorMod(id, 10L) == 7L
+        val base = if (twin) id - 5L else id
+        val w = (Math.floorMod(base, 13L) + 1).toInt
+        val h = (Math.floorMod(base, 7L) + 1).toInt
+        val fmt = if (Math.floorMod(id, 2L) == 0L) "png" else "bmp"
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var j = 0
+        while (j < h) {
+          var i = 0
+          while (i < w) {
+            // base-MULTIPLICATIVE texture: q222's additive card differs
+            // between same-size docs only by a constant gray offset, and
+            // aHash (thresholding around the mean) is invariant to
+            // constant offsets — every same-size pair would collide. The
+            // base*(2i+3j+5) term makes the relative pixel structure
+            // doc-specific, so only the planted twins hash close.
+            var g = Math.floorMod(
+              base * (2L * i + 3L * j + 5L) + 7L * i * i + 11L * j * j,
+              256L).toInt
+            if (twin && i == 0 && j == 0) g = (g + 1) % 256
+            img.setRGB(i, j, (g << 16) | (g << 8) | g)
+            i += 1
+          }
+          j += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        val payload = bos.toByteArray
+        if (!ImageCodec.isPng(payload) && !ImageCodec.isBmp(payload))
+          sys.error(s"real $fmt payload not recognized for doc $id")
+        val back = Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+          .getOrElse(sys.error(s"real $fmt payload failed to decode for doc $id"))
+        // aHash over the DECODED raster: 8×8 nearest-neighbor samples,
+        // bit k set iff 64·sample(k) > Σ samples (strict — ties to 0)
+        val samples = new Array[Long](64)
+        var k = 0
+        var total = 0L
+        var jj = 0
+        while (jj < 8) {
+          var ii = 0
+          while (ii < 8) {
+            val x = ii * back.getWidth / 8
+            val y = jj * back.getHeight / 8
+            val sv = (back.getRGB(x, y) & 0xff).toLong
+            samples(k) = sv
+            total += sv
+            ii += 1; k += 1
+          }
+          jj += 1
+        }
+        var hi = 0L; var lo = 0L
+        k = 0
+        while (k < 64) {
+          if (64L * samples(k) > total) {
+            if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+          }
+          k += 1
+        }
+        ImageHash(id, hi, lo)
+      }
+    }.toDF()
+    // a zero hash means ZERO contrast at the sample grid (1×1 and flat
+    // cards): no perceptual evidence — excluded, like every pHash
+    // deployment does, or all flat images pair with each other at
+    // hamming 0
+    val contrast = hashed.filter($"hash_hi" =!= 0L || $"hash_lo" =!= 0L)
+    val bands = contrast.select($"doc_id", $"hash_hi", $"hash_lo",
+      explode(expr(
+        """array(named_struct('b', 0L, 'key', hash_lo % 65536),
+          |      named_struct('b', 1L, 'key', hash_lo div 65536),
+          |      named_struct('b', 2L, 'key', hash_hi % 65536),
+          |      named_struct('b', 3L, 'key', hash_hi div 65536))""".stripMargin))
+        .as("bd"))
+      .select($"doc_id", $"hash_hi", $"hash_lo",
+        $"bd.b".as("b"), $"bd.key".as("key"))
+    bands.select($"b", $"key", $"doc_id".as("doc_a"),
+        $"hash_hi".as("ha_hi"), $"hash_lo".as("ha_lo"))
+      .join(bands.select($"b", $"key", $"doc_id".as("doc_b"),
+        $"hash_hi".as("hb_hi"), $"hash_lo".as("hb_lo")), Seq("b", "key"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"ha_hi", $"ha_lo", $"hb_hi", $"hb_lo")
+      .distinct()
+      .withColumn("hamming", expr(
+        "bit_count(ha_hi ^ hb_hi) + bit_count(ha_lo ^ hb_lo)").cast("long"))
+      .filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
 }

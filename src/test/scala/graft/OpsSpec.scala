@@ -877,4 +877,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = DedupOps.q229SemDedup(spark, sf).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("image pHash: planted visual twins are recovered; exact twins hash 0") {
+    import spark.implicits._
+    val pairs = graft.ops.MultimodalOps.q251ImagePhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    // every planted twin (id ≡ 7 mod 10 renders id−5's card with one
+    // pixel bumped) must be recovered at a SMALL hamming distance —
+    // unless the card has zero contrast at the sample grid, which the
+    // operator excludes by design (flat images carry no perceptual
+    // evidence). Verify exclusions really are contrast-free, not missed.
+    val ids = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect()
+    val twins = ids.filter(id => id % 10 == 7 && ids.contains(id - 5))
+    assert(twins.nonEmpty)
+    def card(base: Long, w: Int, h: Int, bump: Boolean): Array[Long] = {
+      val s = new Array[Long](64)
+      for (k <- 0 until 64) {
+        val x = (k % 8) * w / 8; val y = (k / 8) * h / 8
+        var g = Math.floorMod(
+          base * (2L * x + 3L * y + 5L) + 7L * x * x + 11L * y * y, 256L)
+        if (bump && x == 0 && y == 0) g = (g + 1) % 256
+        s(k) = g
+      }
+      s
+    }
+    def flat(s: Array[Long]): Boolean = {
+      val tot = s.sum
+      s.forall(v => 64L * v <= tot)
+    }
+    var found = 0
+    twins.foreach { id =>
+      val base = id - 5
+      val w = (Math.floorMod(base, 13L) + 1).toInt
+      val h = (Math.floorMod(base, 7L) + 1).toInt
+      val isFlat = flat(card(base, w, h, bump = false)) ||
+        flat(card(base, w, h, bump = true))
+      pairs.get((base, id)) match {
+        case Some(d) => assert(d <= 3, s"twin ($base,$id) at distance $d")
+                        found += 1
+        case None => assert(isFlat, s"twin ($base,$id) missed with contrast")
+      }
+    }
+    assert(found > twins.length / 2, s"only $found of ${twins.length} twins")
+  }
 }

@@ -346,6 +346,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q250_epoch_plan"   -> 2, // ONE combinable lang fold; budget/weights
                              // are empty-windows over the driver-tiny
                              // lang frame + orderBy
+    "q251_image_phash"  -> 3, // encode/decode/hash is one mapPartitions
+                             // pass; band-key shuffle + candidate
+                             // distinct + orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
