@@ -21,6 +21,29 @@ import graft.ops.{AffinityOps, CorpusOps, DedupOps, EventOps, MultimodalOps, Pip
   */
 object SparkEntry {
 
+  /** DuckDB replay of `graft_fingerprint`'s UTF-8-byte fold, byte-exact on
+    * ALL of Unicode (not just ASCII).
+    *
+    * The oracle side first maps the string to its codepoint list
+    * (`string_split(s, '')` splits per codepoint — verified down to ZWJ
+    * emoji sequences on DuckDB 1.0 — and `ascii(c)` yields the codepoint),
+    * prepends an explicit 0 accumulator (`list_reduce` otherwise seeds with
+    * the FIRST element, which is only correct when that element is a single
+    * byte), then this fold lambda expands each codepoint into its 1-4 UTF-8
+    * bytes algebraically: folding k bytes b1..bk from accumulator a is
+    * a*31^k + b1*31^(k-1) + ... + bk (mod 1e9+7), so per codepoint c the
+    * step is a CASE over the UTF-8 encoder ranges with 31^k in
+    * {31, 961, 29791, 923521}. Max intermediate a*923521 < 2^50 — no int64
+    * overflow. This makes every fingerprint oracle byte-identical to
+    * Spark's `graft_fingerprint` (functions/Fingerprint.scala) on arbitrary
+    * UTF-8 text; q252_utf8_fingerprint pins the non-ASCII lane explicitly.
+    */
+  private val FpByteFold: String =
+    "(a, b) -> CASE WHEN b < 128 THEN (a*31 + b) % 1000000007 " +
+      "WHEN b < 2048 THEN (a*961 + (192 + b//64)*31 + 128 + b%64) % 1000000007 " +
+      "WHEN b < 65536 THEN (a*29791 + (224 + b//4096)*961 + (128 + (b//64)%64)*31 + 128 + b%64) % 1000000007 " +
+      "ELSE (a*923521 + (240 + b//262144)*29791 + (128 + (b//4096)%64)*961 + (128 + (b//64)%64)*31 + 128 + b%64) % 1000000007 END"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
@@ -276,6 +299,7 @@ object SparkEntry {
     "q249_watermark_lateness" -> EventOps.q249WatermarkLateness _,
     "q250_epoch_plan"     -> PipelineOps.q250EpochPlan _,
     "q251_image_phash"    -> MultimodalOps.q251ImagePhash _,
+    "q252_utf8_fingerprint" -> TextOps.q252Utf8Fingerprint _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -722,13 +746,13 @@ object SparkEntry {
         |ORDER BY doc_id, rk""".stripMargin,
 
     "q38_ann_lsh" ->
-      """WITH ij AS (SELECT i.i, j.j
+      raw"""WITH ij AS (SELECT i.i, j.j
         |  FROM (SELECT unnest(generate_series(0, 11)) AS i) i
         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j),
         |wts AS (SELECT i, j,
-        |    (CAST(list_reduce(list_transform(
+        |    (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |        string_split(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR), ''),
-        |        c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*31 + b) % 1000000007)
+        |        c -> CAST(ascii(c) AS BIGINT))), $FpByteFold)
         |      % 2001 AS DOUBLE) - 1000.0) / 1000.0 AS w
         |  FROM ij),
         |plane AS (SELECT i, list(w ORDER BY j) AS wl FROM wts GROUP BY i),
@@ -759,14 +783,14 @@ object SparkEntry {
         |ORDER BY q_id, rk""".stripMargin,
 
     "q30_text_stats" ->
-      """SELECT doc_id,
+      raw"""SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
-        |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |              (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |              $FpByteFold) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q31_lang_quality" ->
@@ -802,12 +826,12 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q34_dedup_minhash" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      raw"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
         |hs AS (SELECT doc_id, list_transform(shingles,
-        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |         s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |                          $FpByteFold)) AS h FROM sh),
         |sig AS (SELECT doc_id, [
         |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
         |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
@@ -835,10 +859,10 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q35_simhash" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      raw"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |h AS (SELECT doc_id,
-        |        list_reduce(list_transform(string_split(word, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |                    (a, b) -> (a * 31 + b) % 1000000007) AS hw FROM w),
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(word, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |                    $FpByteFold) AS hw FROM w),
         |v AS (SELECT doc_id, b.b,
         |        CASE WHEN sum(CASE WHEN ((hw >> b.b) & 1) = 1 THEN 1 ELSE -1 END) > 0
         |             THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS val
@@ -919,12 +943,12 @@ object SparkEntry {
         |ORDER BY table_name""".stripMargin,
 
     "q50_dedup_clusters" ->
-      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      raw"""WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
         |hs AS (SELECT doc_id, list_transform(shingles,
-        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |         s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |                          $FpByteFold)) AS h FROM sh),
         |sig AS (SELECT doc_id, [
         |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
         |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
@@ -1013,12 +1037,12 @@ object SparkEntry {
         |ORDER BY user_id, sess_idx""".stripMargin,
 
     "q55_stratified_sample" ->
-      """SELECT lang, count(*) AS n_total,
+      raw"""SELECT lang, count(*) AS n_total,
         |  CAST(sum(CASE WHEN fp % 10 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  CAST(sum(CASE WHEN fp % 10 < 2 THEN doc_id END) AS BIGINT) AS sampled_id_sum
         |FROM (SELECT lang, doc_id,
-        |    list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |                (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |                $FpByteFold) AS fp
         |  FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -1097,9 +1121,9 @@ object SparkEntry {
         |FROM a ORDER BY o_orderstatus""".stripMargin,
 
     "q61_sample_topk" ->
-      """WITH d AS (SELECT lang, doc_id,
-        |    list_reduce(list_transform(string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
-        |      c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS pri
+      raw"""WITH d AS (SELECT lang, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS pri
         |  FROM documents)
         |SELECT lang, rk, doc_id, pri FROM (
         |  SELECT lang, doc_id, pri,
@@ -1229,10 +1253,10 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     "q74_corpus_clean" ->
-      """WITH f AS (SELECT doc_id, lang,
+      raw"""WITH f AS (SELECT doc_id, lang,
         |    len(string_split(text, ' ')) AS n_words,
-        |    list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |                (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |                $FpByteFold) AS fp,
         |    min(doc_id) OVER (PARTITION BY
         |      coalesce(md5(text), 'null:' || CAST(doc_id AS VARCHAR))) AS keep_id
         |  FROM documents),
@@ -1314,12 +1338,12 @@ object SparkEntry {
     // q79 replays q50's cluster derivation (same minhash/LSH CTE chain),
     // then resolves each cluster to its keep-best member.
     "q79_keep_best" ->
-      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      raw"""WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
         |hs AS (SELECT doc_id, list_transform(shingles,
-        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |         s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |                          $FpByteFold)) AS h FROM sh),
         |sig AS (SELECT doc_id, [
         |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
         |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
@@ -1379,7 +1403,7 @@ object SparkEntry {
     // derivation here and in the Spark plan), then detected and masked in
     // a fixed email -> ip -> number pass order.
     "q81_pii_redact" ->
-      """WITH p AS (SELECT doc_id,
+      raw"""WITH p AS (SELECT doc_id,
         |    coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
         |      || '@mail.example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
         |      || '.' || CAST(doc_id % 100 AS VARCHAR)
@@ -1399,8 +1423,8 @@ object SparkEntry {
         |  FROM s2)
         |SELECT doc_id, n_emails, n_ips, n_longnums,
         |  CAST(length(redacted) AS BIGINT) AS redacted_chars,
-        |  list_reduce(list_transform(string_split(redacted, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |              (a, b) -> (a * 31 + b) % 1000000007) AS redacted_fp
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(redacted, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |              $FpByteFold) AS redacted_fp
         |FROM s3 ORDER BY doc_id""".stripMargin,
 
     "q82_lang_mixture" ->
@@ -1413,11 +1437,11 @@ object SparkEntry {
         |FROM w ORDER BY lang""".stripMargin,
 
     "q83_shard_assign" ->
-      """WITH f AS (SELECT doc_id,
-        |    list_reduce(list_transform(
+      raw"""WITH f AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |        string_split(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, ''), ''),
-        |        c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp
         |  FROM documents),
         |sh AS (SELECT doc_id, fp, fp % 16 AS shard FROM f)
         |SELECT doc_id, fp, shard,
@@ -1484,12 +1508,12 @@ object SparkEntry {
         |ORDER BY lift_ppt DESC, a, b LIMIT 50""".stripMargin,
 
     "q88_stratified_split" ->
-      """WITH f AS (SELECT doc_id, lang,
+      raw"""WITH f AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    list_reduce(list_transform(
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |        string_split(coalesce(text, '') || '#' || CAST(doc_id AS VARCHAR), ''),
-        |        c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp
         |  FROM documents),
         |r AS (SELECT *,
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS BIGINT) AS rk,
@@ -1581,14 +1605,14 @@ object SparkEntry {
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "q94_dup_gram_coverage" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      raw"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |           WHERE len(string_split(text, ' ')) >= 5),
         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
-        |        i -> list_reduce(list_transform(
+        |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |               string_split(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
         |                 || ' ' || ws[i+3] || ' ' || ws[i+4], ''),
-        |               c -> CAST(ascii(c) AS BIGINT)),
-        |             (a, b) -> (a * 31 + b) % 1000000007))) AS gf
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |             $FpByteFold))) AS gf
         |      FROM w),
         |dpg AS (SELECT gf, count(*) AS n_docs_with
         |        FROM (SELECT DISTINCT doc_id, gf FROM g) GROUP BY gf)
@@ -1614,7 +1638,7 @@ object SparkEntry {
     // q96: NULL text yields a NULL ws -> the sequence/explode drops the
     // doc on both sides identically.
     "q96_chunk_split" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      raw"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, ws, len(ws) AS n_tokens,
         |    unnest(generate_series(0,
         |      CASE WHEN len(ws) <= 64 THEN 0
@@ -1624,10 +1648,10 @@ object SparkEntry {
         |  CAST(k * 48 AS BIGINT) AS start_tok,
         |  CAST(least(n_tokens, k * 48 + 64) AS BIGINT) AS end_tok,
         |  CAST(least(n_tokens, k * 48 + 64) - k * 48 AS BIGINT) AS chunk_tokens,
-        |  list_reduce(list_transform(
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |    string_split(array_to_string(ws[k * 48 + 1 : least(n_tokens, k * 48 + 64)], ' '), ''),
-        |    ch -> CAST(ascii(ch) AS BIGINT)),
-        |    (a, b) -> (a * 31 + b) % 1000000007) AS chunk_fp
+        |    ch -> CAST(ascii(ch) AS BIGINT))),
+        |    $FpByteFold) AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q97_lang_agreement" ->
@@ -1738,10 +1762,10 @@ object SparkEntry {
     // make recall EXACT for hamming<=3 (pigeonhole), so the brute-force
     // all-pairs oracle is the same relation.
     "q103_simhash_neardup" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      raw"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |hw AS (SELECT doc_id,
-        |        list_reduce(list_transform(string_split(word, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |                    (a, b) -> (a * 31 + b) % 1000000007) AS hw FROM w),
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(word, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |                    $FpByteFold) AS hw FROM w),
         |v AS (SELECT doc_id, b.b,
         |        CASE WHEN sum(CASE WHEN ((hw >> b.b) & 1) = 1 THEN 1 ELSE -1 END) > 0
         |             THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS val
@@ -2183,8 +2207,8 @@ object SparkEntry {
         |FROM customer GROUP BY 1, 2 ORDER BY nationkey, segment""".stripMargin,
 
     // q126: the offset replays graft_fingerprint's polynomial byte hash
-    // (q55's portable list_reduce idiom) — pure ASCII keys, so ascii()
-    // equals the UTF-8 byte value in both engines.
+    // (q55's portable list_reduce idiom, FpByteFold) — byte-exact on any
+    // UTF-8 text, ASCII keys included.
     "q126_negative_pairs" ->
       """WITH t AS (SELECT count(*) AS n FROM documents),
         |d AS (SELECT doc_id, lang,
@@ -2338,9 +2362,9 @@ object SparkEntry {
     // (vtime, lang, doc_id) order is the schedule. Fingerprint priority
     // as q61, weights as q82.
     "q133_curriculum" ->
-      """WITH d AS (SELECT lang, doc_id,
-        |    list_reduce(list_transform(string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
-        |      c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS pri
+      raw"""WITH d AS (SELECT lang, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS pri
         |  FROM documents),
         |r AS (SELECT lang, doc_id,
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS BIGINT) AS rk
@@ -2526,12 +2550,12 @@ object SparkEntry {
     // q143: q133's portable polynomial fingerprint, scaled down by the
     // token weight — identical integer priority on both engines.
     "q143_weighted_sample" ->
-      """WITH d AS (SELECT doc_id,
+      raw"""WITH d AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-        |    list_reduce(list_transform(
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |      string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
-        |      c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp
         |  FROM documents)
         |SELECT doc_id, n_toks, fp // (n_toks + 1) AS pri
         |FROM d ORDER BY pri, doc_id LIMIT 100""".stripMargin,
@@ -2640,22 +2664,22 @@ object SparkEntry {
     // row; snapshot b replays the deterministic q102-style damage, so
     // changed = days holding a mutated or deleted event.
     "q149_partition_diff" ->
-      """WITH ev AS (SELECT event_id, event_type, value,
+      raw"""WITH ev AS (SELECT event_id, event_type, value,
         |    epoch_us(ts) // 86400000000 AS day FROM events),
-        |fpa AS (SELECT day, list_reduce(list_transform(string_split(
+        |fpa AS (SELECT day, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(
         |      CAST(event_id AS VARCHAR) || ':' || event_type || ':' ||
         |      CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), ''),
-        |      c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS f
         |    FROM ev),
         |m AS (SELECT event_id, event_type,
         |    CASE WHEN event_id % 1009 = 0 THEN value + 1 ELSE value END AS value,
         |    day FROM ev WHERE event_id % 997 <> 0),
-        |fpb AS (SELECT day, list_reduce(list_transform(string_split(
+        |fpb AS (SELECT day, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(
         |      CAST(event_id AS VARCHAR) || ':' || event_type || ':' ||
         |      CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), ''),
-        |      c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS f
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS f
         |    FROM m),
         |a AS (SELECT day, count(*) AS n, CAST(sum(f) AS BIGINT) AS s
         |      FROM fpa GROUP BY day),
@@ -2714,11 +2738,11 @@ object SparkEntry {
 
     // q152: q61's fingerprint priority, ranked within each language.
     "q152_group_sample" ->
-      """WITH d AS (SELECT lang, doc_id,
-        |    list_reduce(list_transform(
+      raw"""WITH d AS (SELECT lang, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |      string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
-        |      c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS pri
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS pri
         |  FROM documents),
         |r AS (SELECT lang, doc_id, pri,
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id)
@@ -2747,11 +2771,11 @@ object SparkEntry {
     // q154: q74's exact gate definitions as cumulative stages; four
     // conditional sums from one pass.
     "q154_curation_funnel" ->
-      """WITH f AS (SELECT doc_id,
+      raw"""WITH f AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |    list_reduce(list_transform(string_split(text, ''),
-        |      c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp,
         |    min(doc_id) OVER (PARTITION BY coalesce(md5(text),
         |      'null:' || CAST(doc_id AS VARCHAR))) AS keep_id
         |  FROM documents),
@@ -2906,11 +2930,11 @@ object SparkEntry {
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     "q160_length_pair" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars,
-        |    list_reduce(list_transform(
+      raw"""WITH d AS (SELECT doc_id, lang, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |        string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
-        |        c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) % 10 = 9 AS is_eval,
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) % 10 = 9 AS is_eval,
         |    n_chars * 1000000000000 + doc_id AS k
         |  FROM documents),
         |e AS (SELECT * FROM d WHERE is_eval),
@@ -2923,11 +2947,11 @@ object SparkEntry {
         |ORDER BY e.lang, e.doc_id""".stripMargin,
 
     "q161_forget_audit" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |    list_reduce(list_transform(
+      raw"""WITH d AS (SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |        string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
-        |        c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp,
         |    CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END AS del
         |  FROM documents)
         |SELECT lang, count(*) AS before_docs,
@@ -2939,12 +2963,12 @@ object SparkEntry {
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q162_feature_hashing" ->
-      """WITH cat AS (SELECT n_name || '|' || c_mktsegment AS category
+      raw"""WITH cat AS (SELECT n_name || '|' || c_mktsegment AS category
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
         |h AS (SELECT category,
-        |    list_reduce(list_transform(string_split(category, ''),
-        |        c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) % 64 AS bucket
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(category, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) % 64 AS bucket
         |  FROM cat),
         |g AS (SELECT bucket, category, count(*) AS n
         |  FROM h GROUP BY bucket, category)
@@ -3243,11 +3267,11 @@ object SparkEntry {
         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
 
     "q178_split_leakage" ->
-      """WITH d AS (SELECT doc_id, lang, md5(coalesce(text, '')) AS h,
-        |    list_reduce(list_transform(
+      raw"""WITH d AS (SELECT doc_id, lang, md5(coalesce(text, '')) AS h,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |        string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
-        |        c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) % 10 = 9 AS is_eval
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) % 10 = 9 AS is_eval
         |  FROM documents),
         |tr AS (SELECT DISTINCT h FROM d WHERE NOT is_eval)
         |SELECT lang, count(*) AS n_eval,
@@ -3380,14 +3404,14 @@ object SparkEntry {
     // 64-byte frame chunks fingerprinted with the portable hash; the
     // final frame may be short (substring tail), matching Spark exactly.
     "q185_frame_dedup" ->
-      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
+      raw"""WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
         |  WHERE length(coalesce(text, '')) >= 1),
         |f AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_bytes,
         |    list_transform(range(0, (length(t) + 63) // 64), j ->
-        |      list_reduce(list_transform(
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |        string_split(substring(t, j * 64 + 1, 64), ''),
-        |        c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007)) AS fps
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold)) AS fps
         |  FROM d)
         |SELECT doc_id, n_bytes,
         |  CAST(len(fps) AS BIGINT) AS n_frames,
@@ -3465,7 +3489,7 @@ object SparkEntry {
     // factor div 1e6 + the deterministic fractional Bernoulli on the
     // fingerprint.
     "q189_rebalance_apply" ->
-      """WITH l AS (SELECT lang, count(*) AS n_docs,
+      raw"""WITH l AS (SELECT lang, count(*) AS n_docs,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY lang),
         |w AS (SELECT lang, n_tokens,
@@ -3479,10 +3503,10 @@ object SparkEntry {
         |  FROM w, t),
         |d AS (SELECT lang, doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-        |    list_reduce(list_transform(
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |        string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
-        |        c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp
         |  FROM documents),
         |c AS (SELECT d.lang, f.target_ppm, d.n_toks,
         |    f.factor_ppm // 1000000 +
@@ -3505,12 +3529,12 @@ object SparkEntry {
     // q190: the q50 cluster pipeline (minhash -> bands -> candidates ->
     // connected components) summarized into a log2 size histogram.
     "q190_cluster_sizes" ->
-      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      raw"""WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
         |hs AS (SELECT doc_id, list_transform(shingles,
-        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |         s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |                          $FpByteFold)) AS h FROM sh),
         |sig AS (SELECT doc_id, [
         |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
         |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
@@ -3708,12 +3732,12 @@ object SparkEntry {
         |FROM c GROUP BY band ORDER BY band""".stripMargin,
 
     "q200_scorecard" ->
-      """WITH d AS (SELECT doc_id,
+      raw"""WITH d AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |    list_reduce(list_transform(
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |        string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
-        |        c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp,
         |    min(doc_id) OVER (PARTITION BY
         |      coalesce(md5(text), 'null:' || CAST(doc_id AS VARCHAR)))
         |      AS keep_id
@@ -3929,20 +3953,17 @@ object SparkEntry {
     // Both legs replay X3's exact arithmetic: the polynomial shingle hash,
     // the 12-perm signature, the 4-band bucketing — and the truth leg is
     // the exact Jaccard of the distinct shingle-hash sets on the sample.
-    // ASCII-ONLY INVARIANT (see functions/Fingerprint.scala): this leg
-    // hashes per-character ascii() codepoints while graft_fingerprint
-    // hashes UTF-8 bytes; they agree because the documents corpus is pure
-    // ASCII (verified octet_length(encode(text)) = length(text) at every
-    // SF). A non-ASCII corpus needs a byte-level hash here first.
+    // The shingle hash replays at UTF-8-byte level (FpByteFold), so the
+    // agreement holds on any corpus, not just ASCII (q252 pins that).
     "q213_minhash_agreement" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      raw"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |    WHERE len(string_split(text, ' ')) >= 3
         |      AND doc_id % greatest(1, (SELECT count(*) FROM documents) // 500) = 0),
         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
         |hs AS (SELECT doc_id, list_transform(shingles,
-        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |         s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |                          $FpByteFold)) AS h FROM sh),
         |sig AS (SELECT doc_id, list_distinct(h) AS ss, [
         |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
         |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
@@ -4162,16 +4183,16 @@ object SparkEntry {
         |FROM g ORDER BY capacity""".stripMargin,
 
     // q232: winnowing (MOSS) fingerprint selection — per-word polynomial
-    // hashes (ASCII-only, q213's note), 4-gram fold, sliding window-of-4
-    // minimum, distinct; all per-document list arithmetic both engines
-    // replay exactly (list_reduce first-element seeding = 0-seeded fold).
+    // byte hashes (FpByteFold with an explicit 0-prepend seed), 4-gram
+    // fold, sliding window-of-4 minimum, distinct; all per-document list
+    // arithmetic both engines replay exactly.
     "q232_winnowing" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      raw"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |           WHERE len(string_split(text, ' ')) >= 7),
         |h AS (SELECT doc_id, list_transform(ws,
-        |        w -> list_reduce(list_transform(string_split(w, ''),
-        |            c -> CAST(ascii(c) AS BIGINT)),
-        |          (a, b) -> (a * 31 + b) % 1000000007)) AS hs FROM d),
+        |        w -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(w, ''),
+        |            c -> CAST(ascii(c) AS BIGINT))),
+        |          $FpByteFold)) AS hs FROM d),
         |gr AS (SELECT doc_id, list_transform(generate_series(1, len(hs) - 3),
         |        i -> list_reduce(list_slice(hs, i, i + 3),
         |          (a, b) -> (a * 31 + b) % 1000000007)) AS g FROM h),
@@ -4187,12 +4208,12 @@ object SparkEntry {
     // every agreement threshold k in [6,12]; the pair table is banded
     // candidates only, so the sweep never touches all-pairs.
     "q233_threshold_sensitivity" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      raw"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
         |hs AS (SELECT doc_id, list_transform(shingles,
-        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |         s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |                          $FpByteFold)) AS h FROM sh),
         |sig AS (SELECT doc_id, [
         |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
         |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
@@ -4256,12 +4277,12 @@ object SparkEntry {
     // (list_reduce's first-element seeding skips the mod for 1-element
     // lists, and 70 of 1e9+7 word-hash values exceed that modulus).
     "q235_cdc_chunking" ->
-      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      raw"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |            WHERE len(string_split(text, ' ')) >= 4),
         |h AS (SELECT doc_id, list_transform(ws,
-        |        w -> list_reduce(list_transform(string_split(w, ''),
-        |            c -> CAST(ascii(c) AS BIGINT)),
-        |          (a, b) -> (a * 31 + b) % 1000000007)) AS hs FROM d0),
+        |        w -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(w, ''),
+        |            c -> CAST(ascii(c) AS BIGINT))),
+        |          $FpByteFold)) AS hs FROM d0),
         |c AS (SELECT doc_id, hs, list_sort(list_distinct(list_concat(
         |        list_filter(list_transform(generate_series(1, len(hs) - 3),
         |          i -> CASE WHEN list_reduce(list_slice(hs, i, i + 3),
@@ -4296,13 +4317,13 @@ object SparkEntry {
     // truth/idx/g/gp are MATERIALIZED: each is referenced several times
     // and default inlining re-expands the whole upstream chain per use.
     "q236_winnow_recall" ->
-      """WITH k AS (SELECT greatest(1, count(*) // 500) AS k FROM documents),
+      raw"""WITH k AS (SELECT greatest(1, count(*) // 500) AS k FROM documents),
         |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents, k
         |      WHERE len(string_split(text, ' ')) >= 7 AND doc_id % k.k = 0),
         |h AS (SELECT doc_id, list_transform(ws,
-        |        w -> list_reduce(list_transform(string_split(w, ''),
-        |            c -> CAST(ascii(c) AS BIGINT)),
-        |          (a, b) -> (a * 31 + b) % 1000000007)) AS hs FROM d),
+        |        w -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(w, ''),
+        |            c -> CAST(ascii(c) AS BIGINT))),
+        |          $FpByteFold)) AS hs FROM d),
         |g AS MATERIALIZED (SELECT doc_id,
         |        list_transform(generate_series(1, len(hs) - 3),
         |          i -> list_reduce(list_slice(hs, i, i + 3),
@@ -4395,12 +4416,12 @@ object SparkEntry {
     // q238: q50's full recursive-reachability cluster replay, folded into
     // per-source soft-dedup weights (unclustered docs weigh 1e6 ppm).
     "q238_dedup_weights" ->
-      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      raw"""WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
         |hs AS (SELECT doc_id, list_transform(shingles,
-        |         s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |                          (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |         s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |                          $FpByteFold)) AS h FROM sh),
         |sig AS (SELECT doc_id, [
         |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
         |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
@@ -4519,6 +4540,22 @@ object SparkEntry {
         |  CAST(CASE WHEN epochs_permille > 1000 THEN 1 ELSE 0 END AS BIGINT)
         |    AS repeats_data
         |FROM e ORDER BY lang""".stripMargin,
+
+    // q252: the planted suffixes are interpolated VERBATIM from
+    // TextOps.Utf8Plant (one dictionary, both engines); the fold replays
+    // graft_fingerprint at UTF-8-byte level via FpByteFold, so the row is
+    // byte-exact on accents/Greek/CJK/astral emoji — not just ASCII.
+    "q252_utf8_fingerprint" ->
+      raw"""SELECT doc_id,
+        |  CAST(length(t2) AS BIGINT) AS n_chars,
+        |  CAST(strlen(t2) AS BIGINT) AS n_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(t2, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    $FpByteFold) AS fp
+        |FROM (SELECT doc_id, text || CASE doc_id % 8 ${(1 to 7).map(i =>
+                 s"WHEN $i THEN '${graft.ops.TextOps.Utf8Plant(i)}'").mkString(" ")}
+        |    ELSE '' END || ' fin' AS t2 FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // q249: the oracle replays the PLAIN global exclusive running max in
     // the sharded-collector arrival order (batch, shard, event_id); the
@@ -4775,18 +4812,18 @@ object SparkEntry {
     // q178's split rule + q213's MinHash replay, restricted to eval→train
     // band probes (ASCII-only fingerprint invariant, see q213's note).
     "q223_neardup_leakage" ->
-      """WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS ws,
-        |    list_reduce(list_transform(
+      raw"""WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS ws,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
         |        string_split(coalesce(text, '') || CAST(doc_id AS VARCHAR), ''),
-        |        c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) % 10 = 9 AS is_eval
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) % 10 = 9 AS is_eval
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT doc_id, lang, is_eval,
         |    list_transform(generate_series(1, len(ws) - 2),
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
         |hs AS (SELECT doc_id, lang, is_eval, list_transform(shingles,
-        |    s -> list_reduce(list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |                     (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM sh),
+        |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |                     $FpByteFold)) AS h FROM sh),
         |sig AS (SELECT doc_id, lang, is_eval, [
         |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
         |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
@@ -4828,15 +4865,15 @@ object SparkEntry {
     // 0-seeded fold since 0*m+h = h and mod is congruence-stable); the
     // planted 12-word suffix rides both engines.
     "q224_repeated_spans" ->
-      """WITH d0 AS (SELECT doc_id, source,
+      raw"""WITH d0 AS (SELECT doc_id, source,
         |    CASE WHEN doc_id % 9 = 0 THEN text ||
         |      ' shared boilerplate footer all rights reserved contact us terms of service apply'
         |    ELSE text END AS text
         |  FROM documents),
         |d AS (SELECT doc_id, list_transform(string_split(text, ' '),
-        |        w -> list_reduce(list_transform(string_split(w, ''),
-        |            c -> CAST(ascii(c) AS BIGINT)),
-        |          (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        |        w -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(w, ''),
+        |            c -> CAST(ascii(c) AS BIGINT))),
+        |          $FpByteFold)) AS hs
         |      FROM d0 WHERE len(string_split(text, ' ')) >= 8),
         |g AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_tokens,
         |        unnest(list_transform(generate_series(1, len(hs) - 7),
@@ -4874,10 +4911,10 @@ object SparkEntry {
     // deltas (target = src0, 8192 buckets via the ASCII-only polynomial
     // hash, q213's note) folded per document; both legs replay exactly.
     "q225_importance_weights" ->
-      """WITH toks AS (SELECT doc_id, source,
-        |    list_reduce(list_transform(string_split(w, ''),
-        |        c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) % 8192 AS b
+      raw"""WITH toks AS (SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(w, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) % 8192 AS b
         |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
         |        FROM documents)),
         |raw AS (SELECT b, count(*) AS n_raw FROM toks GROUP BY b),

@@ -13,17 +13,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * A native Catalyst expression with codegen (not a Scala UDF) so it stays
   * inside WholeStageCodegen on the hot path — used for document
   * fingerprinting and as the portable shingle hash for MinHash (the same
-  * arithmetic is expressible in any engine, e.g. DuckDB
-  * `list_reduce(list_transform(...ascii...), (a,b) -> (a*31+b)%1000000007)`,
-  * which is what makes the dedup oracles cross-checkable).
+  * arithmetic is expressible in any engine, which is what makes the dedup
+  * oracles cross-checkable).
   *
-  * ORACLE INVARIANT: this hashes UTF-8 BYTES, while the DuckDB oracle
-  * convention above hashes per-character `ascii()` CODEPOINTS. The two
-  * agree iff every hashed string is pure ASCII (one byte per codepoint,
-  * values < 128). The synthetic `documents` corpus is ASCII by
-  * construction, and every fingerprint oracle (q33/q34/q53/q213) leans on
-  * that; pointing those oracles at non-ASCII text requires switching the
-  * DuckDB leg to a byte-level hash first.
+  * ORACLE CONVENTION: this hashes UTF-8 BYTES, and the DuckDB oracles
+  * replay it byte-exactly on ANY Unicode text via SparkEntry.FpByteFold —
+  * a 0-seeded codepoint fold whose step expands each codepoint into its
+  * 1-4 UTF-8 bytes algebraically (a*31^k + Σ bᵢ·31^(k-i) mod 1e9+7).
+  * q252_utf8_fingerprint is the oracle-gated proof on a planted
+  * accents/Greek/CJK/emoji corpus; there is no ASCII precondition.
   *
   * The modulus keeps values < 2^30, so downstream `a*h+b` permutation
   * arithmetic in MinHash never overflows int64.

@@ -603,4 +603,51 @@ object TextOps {
       .withColumn("purity_ppm", expr("n_agree * 1000000 div n_docs"))
       .orderBy($"source")
   }
+
+  /** The q252 non-ASCII plant dictionary, indexed by doc_id % 8. Class 0 is
+    * the pure-ASCII control; the rest walk the UTF-8 encoder's ranges:
+    * Latin-1 accents and the 2-byte min U+00A2 / max U+07FF, Greek, CJK
+    * and the 3-byte min U+0800, astral-plane emoji (4-byte), a ZWJ emoji
+    * sequence (multi-codepoint grapheme), and the 4-byte min U+10000.
+    * Shared verbatim by the Spark plant, the DuckDB oracle literal, and
+    * the spec's driver replay — one definition, three consumers. */
+  private[graft] val Utf8Plant: IndexedSeq[String] = IndexedSeq(
+    "",
+    " café Ñandú",
+    " λόγος",
+    " 中文文本测试",
+    " 🙂🚀",
+    " 👩‍👩‍👧 family",
+    " ¢߿ࠀ�",
+    " 𐀀𝕏 end")
+
+  /** X223 — Unicode fingerprint gate: non-ASCII text (accents, Greek, CJK,
+    * astral-plane emoji incl. a ZWJ sequence, and every UTF-8 encoder range
+    * boundary) planted per document from doc_id, then pushed through the
+    * SAME `graft_fingerprint` lane every dedup / provenance / sampling
+    * operator uses. The DuckDB oracle replays the hash at BYTE level
+    * (SparkEntry.FpByteFold expands each codepoint into its 1-4 UTF-8
+    * bytes algebraically), so this query is the executable proof that the
+    * fingerprint lane carries no ASCII precondition — on either engine.
+    * n_chars (codepoints) and n_bytes pin the codepoint/byte split
+    * independently of the hash.
+    *
+    * Scale: a narrow codegen'd map at scan throughput — plant, length,
+    * octet_length and the fingerprint fold; zero shuffles before the
+    * final orderBy. */
+  def q252Utf8Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    docs(s, dir)
+      .withColumn("t2", concat($"text",
+        element_at(array(Utf8Plant.map(lit): _*),
+          pmod($"doc_id", lit(8)).cast("int") + 1),
+        lit(" fin")))
+      .select(
+        $"doc_id",
+        length($"t2").cast("long").as("n_chars"),
+        expr("octet_length(t2)").cast("long").as("n_bytes"),
+        expr("graft_fingerprint(t2)").as("fp"))
+      .orderBy($"doc_id")
+  }
 }

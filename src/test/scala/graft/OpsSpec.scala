@@ -43,6 +43,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row == Seq(refHash("ab"), refHash("cd")))
   }
 
+  test("q252: non-ASCII fingerprints match a pure-Scala UTF-8 byte replay") {
+    import spark.implicits._
+    // driver replay: rebuild every planted row (text + Utf8Plant suffix)
+    // from the parquet source and re-derive chars/bytes/fp independently —
+    // codepoint counts via codePointCount, bytes+hash via UTF-8 encoding.
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val got = TextOps.q252Utf8Fingerprint(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.length == texts.size)
+    // the sf0.001 ids must exercise every plant class, incl. all non-ASCII
+    assert(texts.keys.map(id => (id % 8 + 8) % 8).toSet.size == 8)
+    got.foreach { case (id, (nChars, nBytes, fp)) =>
+      val t2 = texts(id) + TextOps.Utf8Plant(((id % 8) + 8).toInt % 8) + " fin"
+      assert(nChars == t2.codePointCount(0, t2.length).toLong, s"chars doc $id")
+      assert(nBytes == t2.getBytes("UTF-8").length.toLong, s"bytes doc $id")
+      assert(fp == refHash(t2), s"fp doc $id")
+      assert(fp == Fingerprint.hashString(t2), s"hashString doc $id")
+    }
+    // and the plant really is non-ASCII for 7 of the 8 classes
+    assert(TextOps.Utf8Plant.count(s => s.getBytes("UTF-8").length > s.length) == 7)
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

@@ -349,6 +349,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q251_image_phash"  -> 3, // encode/decode/hash is one mapPartitions
                              // pass; band-key shuffle + candidate
                              // distinct + orderBy
+    "q252_utf8_fingerprint" -> 1, // narrow codegen'd plant+fingerprint map
+                             // at scan throughput; the only exchange is
+                             // the final orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
