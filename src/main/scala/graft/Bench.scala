@@ -36,6 +36,12 @@ object Bench {
     // (mirrors Verify's SPARK_GRAFT_ONLY)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // run-2 failures kept lenient for TIMING (run 1 proved the query runs;
+    // see below) but recorded here so the committed artifact still surfaces
+    // rerun-REPRODUCIBLE failures (leaked cache/session state — the exact
+    // class min-of-N re-runs exist to catch) instead of reporting ok=true
+    // with an empty failures array (ADVICE r9).
+    val rerunFailures = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -70,12 +76,11 @@ object Bench {
           (name, if (ok3) math.min(best2, t3) else best2, true)
         } else if (ok2) (name, best2, true)
         else {
-          // symmetric leniency for run 2: a transient re-run failure must
-          // not flag a once-successful query — keep run 1's valid timing
-          // (run 1 failures still report FAILED). Loudly noted on stderr
-          // so a rerun-REPRODUCIBLE failure (leaked session state) is
-          // still visible in the log even though the JSON reports ok.
-          System.err.println(s"[bench] $name run-2 failure ignored (run 1 ok)")
+          // symmetric leniency for run 2's TIMING only: keep run 1's valid
+          // time (run 1 failures still report FAILED), but record the name
+          // in rerun_failures so the artifact surfaces it.
+          System.err.println(s"[bench] $name run-2 failure (run 1 ok) — recorded in rerun_failures")
+          rerunFailures += s"\"$name\""
           (name, t1, true)
         }
       } else (name, t1, ok1)
@@ -89,7 +94,8 @@ object Bench {
     val fullQs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":$fullQs,"failures":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+      s""""queries":$fullQs,"failures":[${failed.mkString(",")}],""" +
+      s""""rerun_failures":[${rerunFailures.mkString(",")}],"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
     // The PRINTED line is kept compact enough to survive the tail capture:
@@ -109,7 +115,8 @@ object Bench {
       s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"queries":$qs,""" +
-      s""""failures":[${failed.mkString(",")}],"sf":"$sfDir",""" +
+      s""""failures":[${failed.mkString(",")}],""" +
+      s""""rerun_failures":[${rerunFailures.mkString(",")}],"sf":"$sfDir",""" +
       s""""full":"${fullPath.toAbsolutePath}"}""")
     spark.stop()
   }

@@ -149,8 +149,10 @@ object SchemaOps {
     * join semantics (a mismatch means dropped or duplicated keys).
     *
     * Scale: per-key count frames are key-cardinality-sized; their join is
-    * co-keyed; the Σ-product is a broadcast 1-row aggregate. Nothing in
-    * the prediction touches the fact tables wider than (key). */
+    * co-keyed; nothing in the prediction touches the fact tables wider
+    * than (key). All three edges run through ONE edge-tagged plan — a
+    * single driver action, no per-edge barriers — so a loaded scheduler
+    * amplifies nothing. */
   /** X175 — cross-table key-completeness audit: every table's row count
     * and the null count of its primary/join key — the one-look ingestion
     * gate that catches a feed dropping keys before any join silently
@@ -181,35 +183,41 @@ object SchemaOps {
   def q147JoinSizeAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def t(n: String) = graft.sources.Tables.load(s, dir, n)
-    def edge(name: String, l: DataFrame, lk: String,
-             r: DataFrame, rk: String): (String, Long, Long) = {
-      val ca = l.filter(col(lk).isNotNull)
-        .groupBy(col(lk).as("k")).agg(count(lit(1)).as("na"))
-      val cb = r.filter(col(rk).isNotNull)
-        .groupBy(col(rk).as("k")).agg(count(lit(1)).as("nb"))
-      val predicted = ca.join(cb, Seq("k"))
-        .agg(sum($"na" * $"nb")).collect().head match {
-          case row if row.isNullAt(0) => 0L
-          case row => row.getLong(0)
-        }
-      val actual = l.join(r, l(lk) === r(rk)).count()
-      (name, predicted, actual)
-    }
-    val rows = Seq(
-      edge("lineitem-orders", t("lineitem"), "l_orderkey",
-        t("orders"), "o_orderkey"),
-      edge("lineitem-part", t("lineitem"), "l_partkey",
-        t("part"), "p_partkey"),
-      edge("orders-customer", t("orders"), "o_custkey",
-        t("customer"), "c_custkey"))
-      .map { case (e, p, a) => (e, p, a, if (p == a) 1L else 0L) }
-    import org.apache.spark.sql.types._
-    s.createDataFrame(
-      s.sparkContext.parallelize(rows.map(r =>
-        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)), 1),
-      StructType(Seq(StructField("edge", StringType),
-        StructField("predicted_rows", LongType),
-        StructField("actual_rows", LongType),
-        StructField("ok", LongType))))
+    // Every edge role is TAGGED and unioned, so the whole audit is one
+    // declarative plan with zero driver-blocking actions (the round-8/9
+    // shape ran 6 sequential collect/count barriers and re-scanned
+    // lineitem per edge — the most load-fragile query in the r9 driver
+    // bench at 8.58 s). stack() emits both lineitem edges from ONE pruned
+    // scan; each base table is read at most twice (count leg + row leg).
+    val leftRows = t("lineitem").selectExpr(
+        "stack(2, 'lineitem-orders', l_orderkey, 'lineitem-part', l_partkey) AS (edge, k)")
+      .unionByName(t("orders")
+        .selectExpr("'orders-customer' AS edge", "o_custkey AS k"))
+      .filter($"k".isNotNull)
+    val rightRows = t("orders")
+        .selectExpr("'lineitem-orders' AS edge", "o_orderkey AS k")
+      .unionByName(t("part").selectExpr("'lineitem-part' AS edge", "p_partkey AS k"))
+      .unionByName(t("customer").selectExpr("'orders-customer' AS edge", "c_custkey AS k"))
+      .filter($"k".isNotNull)
+    // prediction: per-key histograms joined co-keyed, one Σ na·nb per edge
+    val predicted = leftRows.groupBy($"edge", $"k").agg(count(lit(1)).as("na"))
+      .join(rightRows.groupBy($"edge", $"k").agg(count(lit(1)).as("nb")),
+        Seq("edge", "k"))
+      .groupBy($"edge").agg(sum($"na" * $"nb").as("predicted_rows"))
+    // the EXECUTED joins: all three edges through one co-keyed row-level
+    // join (uniform fan-out keys), counted per edge
+    val actual = leftRows.join(rightRows, Seq("edge", "k"))
+      .groupBy($"edge").agg(count(lit(1)).as("actual_rows"))
+    // left-join a literal edge dimension so an empty intersection still
+    // reports (0, 0, ok=1) like the oracle's scalar subqueries
+    Seq("lineitem-orders", "lineitem-part", "orders-customer").toDF("edge")
+      .join(predicted, Seq("edge"), "left")
+      .join(actual, Seq("edge"), "left")
+      .select($"edge",
+        coalesce($"predicted_rows", lit(0L)).as("predicted_rows"),
+        coalesce($"actual_rows", lit(0L)).as("actual_rows"),
+        when(coalesce($"predicted_rows", lit(0L)) ===
+             coalesce($"actual_rows", lit(0L)), 1L).otherwise(0L).as("ok"))
+      .orderBy($"edge")
   }
 }

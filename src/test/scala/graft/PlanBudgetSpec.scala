@@ -170,9 +170,12 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                               // back; tf HOFs are narrow; top-k TakeOrdered
     "q148_gini_audit"   -> 2, // ONE source partitioning (rank window +
                              // combinable Gini fold) + orderBy
-    // q147 materializes via collect (each edge's predict + count are
-    // separate driver-sized jobs); Σ cA·cB ≡ count is asserted in
-    // AffinityOpsSpec instead
+    "q147_join_size_audit" -> 9, // ONE declarative edge-tagged plan (was 6
+                             // driver-barrier jobs through round 9): two
+                             // per-key count aggs + histogram join + the
+                             // row-level actual join + two 3-row edge
+                             // joins + orderBy; Σ cA·cB ≡ count is also
+                             // asserted in AffinityOpsSpec
     "q149_partition_diff" -> 3, // two combinable |days| folds + their
                                 // full-outer day join + orderBy
     "q150_kanon_repair" -> 14, // plan text recounts the shared g0/g1
