@@ -2841,11 +2841,11 @@ object SparkEntry {
     "q156_url_domains" ->
       """WITH p AS (SELECT doc_id,
         |    coalesce(text, '') || ' see https://site'
-        |      || CAST((doc_id * 2654435761) % 40 AS VARCHAR)
+        |      || CAST((((doc_id % 40 + 40) % 40) * 2654435761) % 40 AS VARCHAR)
         |      || '.example.org/p/' || CAST(doc_id % 7 AS VARCHAR)
         |      || CASE WHEN doc_id % 5 = 0
         |           THEN ' and http://m'
-        |             || CAST((doc_id * 2654435761) % 40 AS VARCHAR)
+        |             || CAST((((doc_id % 40 + 40) % 40) * 2654435761) % 40 AS VARCHAR)
         |             || '.example.net/q'
         |           ELSE '' END
         |      || ' ok' AS t2
@@ -2920,7 +2920,7 @@ object SparkEntry {
     // for ids 3/13/23/33 — the rule replay is exact, not approximate.
     "q159_blocklist_filter" ->
       """WITH f AS (SELECT source,
-        |    CASE WHEN ((doc_id * 2654435761) % 40) % 10 = 3
+        |    CASE WHEN ((((doc_id % 40 + 40) % 40) * 2654435761) % 40) % 10 = 3
         |      THEN 1 ELSE 0 END AS blocked
         |  FROM documents)
         |SELECT source, count(*) AS n_docs,
@@ -3752,7 +3752,7 @@ object SparkEntry {
         |      AS m_eval,
         |    CAST(sum(CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS m_forget,
-        |    CAST(sum(CASE WHEN ((doc_id * 2654435761) % 40) % 10 = 3
+        |    CAST(sum(CASE WHEN ((((doc_id % 40 + 40) % 40) * 2654435761) % 40) % 10 = 3
         |      THEN 1 ELSE 0 END) AS BIGINT) AS m_blocked,
         |    CAST(sum(CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS m_template
@@ -4500,7 +4500,8 @@ object SparkEntry {
         |    ((k % 8) * w) // 8 AS x, ((k // 8) * h) // 8 AS y
         |  FROM dim CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k)),
         |sv AS (SELECT doc_id, k,
-        |    ((base * (2 * x + 3 * y + 5) + 7 * x * x + 11 * y * y) % 256 +
+        |    ((((base % 256 + 256) % 256) * (2 * x + 3 * y + 5)
+        |        + 7 * x * x + 11 * y * y) % 256 +
         |     CASE WHEN twin AND x = 0 AND y = 0 THEN 1 ELSE 0 END) % 256 AS s
         |  FROM sm),
         |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS tot
@@ -4625,21 +4626,27 @@ object SparkEntry {
 
     // q246: the same plant (lpad'd hex blocks of doc_id-derived values —
     // DuckDB to_hex is uppercase, hence lower()) and the same three
-    // detector regexes; RE2 inline (?i) works in both engines.
+    // detector regexes; RE2 inline (?i) works in both engines. The LCG
+    // multiply is in the Spark plant's overflow-safe SPLIT FORM (xm is
+    // doc_id mod 2^32, split at 2^16; 2041643008 = 2654435761·2^16 mod
+    // 2^32) — identical values, every intermediate < 2^49.
     "q246_secret_scan" ->
-      """WITH p AS (SELECT doc_id, coalesce(text, '') ||
+      """WITH x AS (SELECT doc_id, text,
+        |    ((doc_id % 4294967296 + 4294967296) % 4294967296) AS xm
+        |  FROM documents),
+        |p AS (SELECT doc_id, coalesce(text, '') ||
         |    CASE
         |      WHEN doc_id % 4 = 1 THEN ' api_key=' ||
-        |        lpad(lower(to_hex((doc_id * 2654435761 + 0) % 4294967296)), 8, '0') ||
-        |        lpad(lower(to_hex((doc_id * 2654435761 + 97) % 4294967296)), 8, '0') ||
-        |        lpad(lower(to_hex((doc_id * 2654435761 + 194) % 4294967296)), 8, '0') ||
-        |        lpad(lower(to_hex((doc_id * 2654435761 + 291) % 4294967296)), 8, '0')
+        |        lpad(lower(to_hex((xm // 65536 * 2041643008 + xm % 65536 * 2654435761 + 0) % 4294967296)), 8, '0') ||
+        |        lpad(lower(to_hex((xm // 65536 * 2041643008 + xm % 65536 * 2654435761 + 97) % 4294967296)), 8, '0') ||
+        |        lpad(lower(to_hex((xm // 65536 * 2041643008 + xm % 65536 * 2654435761 + 194) % 4294967296)), 8, '0') ||
+        |        lpad(lower(to_hex((xm // 65536 * 2041643008 + xm % 65536 * 2654435761 + 291) % 4294967296)), 8, '0')
         |      WHEN doc_id % 4 = 2 THEN ' key AKIA' ||
-        |        lpad(upper(to_hex((doc_id * 2654435761 + 388) % 4294967296)), 8, '0') ||
-        |        lpad(upper(to_hex((doc_id * 2654435761 + 485) % 4294967296)), 8, '0')
+        |        lpad(upper(to_hex((xm // 65536 * 2041643008 + xm % 65536 * 2654435761 + 388) % 4294967296)), 8, '0') ||
+        |        lpad(upper(to_hex((xm // 65536 * 2041643008 + xm % 65536 * 2654435761 + 485) % 4294967296)), 8, '0')
         |      WHEN doc_id % 4 = 3 THEN ' token=shortpw1'
         |      ELSE '' END || ' end' AS t2
-        |  FROM documents)
+        |  FROM x)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t2, '[0-9a-f]{32,}')) AS BIGINT) AS n_hex_runs,
         |  CAST(len(regexp_extract_all(t2, 'AKIA[0-9A-Z]{16}')) AS BIGINT) AS n_aws_keys,
@@ -4725,7 +4732,8 @@ object SparkEntry {
         |    CAST(sum(vec_id) AS BIGINT) AS sel_id_sum,
         |    CAST(sum(d) AS BIGINT) AS sel_d2_sum
         |  FROM (SELECT *, row_number() OVER (PARTITION BY cid
-        |      ORDER BY (vec_id * 1103515245 + 12345) % 2147483648, vec_id) AS rk
+        |      ORDER BY (((vec_id % 2147483648 + 2147483648) % 2147483648)
+        |                 * 1103515245 + 12345) % 2147483648, vec_id) AS rk
         |    FROM a3) WHERE rk <= 10 GROUP BY cid)
         |SELECT a.cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
         |  any_value(sel.n_selected) AS n_selected,

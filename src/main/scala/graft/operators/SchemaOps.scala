@@ -103,7 +103,7 @@ object SchemaOps {
     * merged scan. The temp layout is removed afterwards. */
   def q124SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve")
+    val tmp = graft.sources.Scratch.alloc(s, "graft_evolve")
     try {
       val o = graft.sources.Tables.load(s, dir, "orders")
       // batch A (old producer): core + o_totalprice, even keys
@@ -134,7 +134,7 @@ object SchemaOps {
         ("n_nonnull", LongType),
         ("coverage_ppm", LongType))
     } finally {
-      graft.transfer.Transfer.deleteRecursively(tmp)
+      graft.sources.Scratch.delete(s, tmp)
     }
   }
 

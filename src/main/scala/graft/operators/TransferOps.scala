@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.transfer.Transfer
 import graft.transfer.Transfer.ParquetDir
-import java.nio.file.Files
 
 /** The reference's core capability — bulk table migration with validation
   * (E2 + P3) — surfaced as a driver-contract query: copy tables to a fresh
@@ -22,7 +21,7 @@ object TransferOps {
     import s.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val dstPath = Files.createTempDirectory("graft_transfer")
+    val dstPath = graft.sources.Scratch.alloc(s, "graft_transfer")
     val dst = ParquetDir(dstPath.toString)
     // cross-table parallelism: each copyTable is a chain of distributed
     // jobs, so running the three per-table pipelines from driver futures
@@ -40,7 +39,7 @@ object TransferOps {
       Duration.Inf)
     // all writers are done; delete the throwaway target so repeated
     // bench/verify runs don't accumulate full table copies under /tmp
-    Transfer.deleteRecursively(dstPath)
+    graft.sources.Scratch.delete(s, dstPath)
     val results = settled.map(_.get) // rethrow the first failure, if any
     results.map(r => (r.table, r.srcRows, r.dstRows, r.checksumMatch))
       .toDF("table_name", "src_rows", "dst_rows", "checksum_match")
@@ -364,7 +363,7 @@ object TransferOps {
     * nothing here is corpus-sized on the driver. */
   def q239FormatRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val src = graft.sources.Tables.load(s, dir, "customer")
-    val tmp = Files.createTempDirectory("graft_fmt")
+    val tmp = graft.sources.Scratch.alloc(s, "graft_fmt")
     try {
       val eps: Seq[(String, Transfer.Endpoint)] = Seq(
         "csv" -> Transfer.CsvDir(s"$tmp/csv", Some(src.schema)),
@@ -394,6 +393,6 @@ object TransferOps {
         ("sum_nation", LongType),
         ("sum_cents", LongType),
         ("sum_strlen", LongType))
-    } finally Transfer.deleteRecursively(tmp)
+    } finally graft.sources.Scratch.delete(s, tmp)
   }
 }

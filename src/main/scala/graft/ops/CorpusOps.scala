@@ -741,7 +741,7 @@ object CorpusOps {
         sum(when($"n_words" < 20, 1L).otherwise(0L)).as("m_short"),
         sum(when($"fp" % 10 === 9, 1L).otherwise(0L)).as("m_eval"),
         sum(when($"doc_id" % 19 === 0, 1L).otherwise(0L)).as("m_forget"),
-        sum(when(($"doc_id" * 2654435761L % 40L) % 10L === 3L, 1L)
+        sum(when((pmod($"doc_id", lit(40L)) * 2654435761L % 40L) % 10L === 3L, 1L)
           .otherwise(0L)).as("m_blocked"),
         sum(when($"doc_id" % 23 === 0, 1L).otherwise(0L)).as("m_template"))
     one.select(explode(expr(

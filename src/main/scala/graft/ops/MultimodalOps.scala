@@ -504,8 +504,12 @@ object MultimodalOps {
             // constant offsets — every same-size pair would collide. The
             // base*(2i+3j+5) term makes the relative pixel structure
             // doc-specific, so only the planted twins hash close.
+            // base pre-reduced mod 256 before the multiply: identical mod-
+            // 256 values, but no int64 overflow at base ≳ 2e17 (where Java
+            // wraps silently and the DuckDB replay raises — ADVICE r9 class)
             var g = Math.floorMod(
-              base * (2L * i + 3L * j + 5L) + 7L * i * i + 11L * j * j,
+              Math.floorMod(base, 256L) * (2L * i + 3L * j + 5L)
+                + 7L * i * i + 11L * j * j,
               256L).toInt
             if (twin && i == 0 && j == 0) g = (g + 1) % 256
             img.setRGB(i, j, (g << 16) | (g << 8) | g)

@@ -668,7 +668,7 @@ object PipelineOps {
     * layout is the durable table and nothing is collected. */
   def q104PartitionPrune(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_layout")
+    val tmp = graft.sources.Scratch.alloc(s, "graft_layout")
     try {
       // repartition on the layout key first: without it every write task
       // emits a fragment into every partition directory (tasks ×
@@ -691,7 +691,7 @@ object PipelineOps {
         ("n_events", org.apache.spark.sql.types.LongType),
         ("value_cents", org.apache.spark.sql.types.LongType))
     } finally {
-      graft.transfer.Transfer.deleteRecursively(tmp)
+      graft.sources.Scratch.delete(s, tmp)
     }
   }
 
@@ -962,7 +962,7 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
         sum(length($"text").cast("long")).as("n_chars"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivm_state")
+    val tmp = graft.sources.Scratch.alloc(s, "graft_ivm_state")
     try {
       agg(docs(s, dir).filter($"doc_id" % 10 =!= 0))
         .write.mode("overwrite").parquet(s"$tmp/state")
@@ -985,7 +985,7 @@ object PipelineOps {
         ("n_tokens", LongType),
         ("n_chars", LongType))
     } finally {
-      graft.transfer.Transfer.deleteRecursively(tmp)
+      graft.sources.Scratch.delete(s, tmp)
     }
   }
 
@@ -1122,7 +1122,7 @@ object PipelineOps {
       .withColumn("end_byte", sum($"n_bytes").over(w))
       .withColumn("file_seq", expr(s"(end_byte - 1) div $target"))
       .select($"doc_id", $"source", $"n_bytes", $"file_seq")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    val tmp = graft.sources.Scratch.alloc(s, "graft_compact")
     try {
       assigned.repartition($"source", $"file_seq")
         .write.partitionBy("source", "file_seq").parquet(s"$tmp/layout")
@@ -1148,7 +1148,7 @@ object PipelineOps {
         ("n_bytes", LongType),
         ("ok", LongType))
     } finally {
-      graft.transfer.Transfer.deleteRecursively(tmp)
+      graft.sources.Scratch.delete(s, tmp)
     }
   }
 
@@ -1172,10 +1172,18 @@ object PipelineOps {
     * oracle-gated q246 frame. */
   private[graft] def secretPlant(df: DataFrame): DataFrame = {
     // 8-hex-char blocks derived from doc_id: value < 2^32, zero-padded so
-    // the concatenation is exactly 32 (or 16) chars in both engines
+    // the concatenation is exactly 32 (or 16) chars in both engines.
+    // The multiply is in SPLIT FORM (x = id mod 2^32 split at 2^16;
+    // x·a ≡ (x div 2^16)·(a·2^16 mod 2^32) + (x mod 2^16)·a (mod 2^32),
+    // with a·2^16 mod 2^32 = 2041643008 precomputed): identical values in
+    // infinite precision, but every intermediate stays < 2^49 — the raw
+    // id·2654435761 overflows int64 at id ≳ 3.5e9, where Spark wraps
+    // silently and DuckDB raises (ADVICE r9).
     def block(k: Int, up: Boolean) = {
       val cased = if (up) "upper" else "lower"
-      s"lpad($cased(hex((doc_id * 2654435761 + ${k * 97}) % 4294967296)), 8, '0')"
+      val x = "pmod(doc_id, 4294967296)"
+      s"lpad($cased(hex(($x div 65536 * 2041643008 + $x % 65536 * 2654435761" +
+        s" + ${k * 97}) % 4294967296)), 8, '0')"
     }
     val hex32 = (0 to 3).map(block(_, up = false)).mkString("concat(", ", ", ")")
     val up16 = (4 to 5).map(block(_, up = true)).mkString("concat(", ", ", ")")

@@ -460,9 +460,10 @@ object SimilarityOps {
     * behind k-center/coreset data pruning — uniform sampling over-picks
     * dense regions; per-cluster quotas keep every mode of the embedding
     * distribution represented). Selection priority is a pure-integer LCG
-    * over vec_id (`(id·1103515245 + 12345) mod 2^31` — content-blind by
-    * design so the draw is uniform WITHIN the semantic block, replayable
-    * in any engine). Report per cluster: population, quota filled, and
+    * over vec_id (`((id mod 2^31)·1103515245 + 12345) mod 2^31` — the
+    * pre-reduction is a no-op in infinite precision but keeps the product
+    * overflow-free for any int64 id; content-blind by design so the draw
+    * is uniform WITHIN the semantic block, replayable in any engine). Report per cluster: population, quota filled, and
     * the selected-set id/d² checksums that pin the exact selection.
     *
     * Scale: rides q106's shared Lloyd's core over the persisted
@@ -482,7 +483,13 @@ object SimilarityOps {
       .persist()
     try {
       val assigned = kmeansAssign(s, q, k = 8, iters = 3)
-        .withColumn("h", expr("(vec_id * 1103515245 + 12345) % 2147483648"))
+        // pre-reduce the id mod 2^31 before the multiply: identical values
+        // in infinite precision ((id mod m)·a ≡ id·a (mod m)), but the
+        // product stays < 2^62 for ANY int64 id — the raw id·1103515245
+        // form overflows at id ≳ 8.4e9, where Spark wraps silently and
+        // DuckDB raises (ADVICE r9)
+        .withColumn("h",
+          expr("(pmod(vec_id, 2147483648) * 1103515245 + 12345) % 2147483648"))
         .select($"vec_id", $"cid", $"d", $"h")
       val stage1 = assigned
         .withColumn("salt", pmod($"vec_id", lit(salts)))

@@ -392,10 +392,10 @@ object TextOps {
     * copies would silently break the blocked ⟺ id%10==3 equivalence. */
   private def withPlantedUrls(df: DataFrame): DataFrame =
     df.withColumn("t2", concat(coalesce(col("text"), lit("")),
-      lit(" see https://site"), ((col("doc_id") * 2654435761L) % 40L).cast("string"),
+      lit(" see https://site"), ((pmod(col("doc_id"), lit(40L)) * 2654435761L) % 40L).cast("string"),
       lit(".example.org/p/"), (col("doc_id") % 7L).cast("string"),
       when(col("doc_id") % 5 === 0,
-        concat(lit(" and http://m"), ((col("doc_id") * 2654435761L) % 40L).cast("string"),
+        concat(lit(" and http://m"), ((pmod(col("doc_id"), lit(40L)) * 2654435761L) % 40L).cast("string"),
           lit(".example.net/q"))).otherwise(lit("")),
       lit(" ok")))
 

@@ -1173,7 +1173,7 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = graft.sources.Tables.load(spark, sf, "documents")
       .groupBy($"source")
       .agg(count(lit(1)).as("n"),
-        sum(when(($"doc_id" * 2654435761L % 40L) % 10L === 3L, 1L)
+        sum(when((pmod($"doc_id", lit(40L)) * 2654435761L % 40L) % 10L === 3L, 1L)
           .otherwise(0L)).as("blocked"))
       .collect().map(r => r.getString(0) ->
         (r.getAs[Long]("n"), r.getAs[Long]("blocked"))).toMap

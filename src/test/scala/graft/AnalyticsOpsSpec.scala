@@ -339,7 +339,8 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the GLOBAL per-cluster draw — the operator's salted two-stage
       // top-k must select the identical set (two-stage top-k is exact)
       val sel = ms.sortBy(m =>
-        ((m._1 * 1103515245L + 12345L) % 2147483648L, m._1)).take(10)
+        ((Math.floorMod(m._1, 2147483648L) * 1103515245L + 12345L)
+          % 2147483648L, m._1)).take(10)
       c.toLong -> (ms.length.toLong, sel.length.toLong,
         sel.map(_._1).sum, sel.map(_._3).sum)
     }

@@ -920,7 +920,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       for (k <- 0 until 64) {
         val x = (k % 8) * w / 8; val y = (k / 8) * h / 8
         var g = Math.floorMod(
-          base * (2L * x + 3L * y + 5L) + 7L * x * x + 11L * y * y, 256L)
+          Math.floorMod(base, 256L) * (2L * x + 3L * y + 5L)
+            + 7L * x * x + 11L * y * y, 256L)
         if (bump && x == 0 && y == 0) g = (g + 1) % 256
         s(k) = g
       }
