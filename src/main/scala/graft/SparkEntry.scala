@@ -300,6 +300,7 @@ object SparkEntry {
     "q250_epoch_plan"     -> PipelineOps.q250EpochPlan _,
     "q251_image_phash"    -> MultimodalOps.q251ImagePhash _,
     "q252_utf8_fingerprint" -> TextOps.q252Utf8Fingerprint _,
+    "q253_suffix_repeats" -> DedupOps.q253SuffixRepeats _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4557,6 +4558,67 @@ object SparkEntry {
                  s"WHEN $i THEN '${graft.ops.TextOps.Utf8Plant(i)}'").mkString(" ")}
         |    ELSE '' END || ' fin' AS t2 FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // q253: full replay of the suffix-anchored repeated-substring pipeline
+    // — whitespace normalize, content-defined anchors (byte-fold hash of
+    // the 8-char context, 0 mod 4), 24-char bucket keys capped at 2..64
+    // docs, then LCP extension over the pre-reversed/forward 200-char
+    // windows. list_position returns 0 when no mismatch exists (matching
+    // Spark's array_position), hence the pos = 0 -> full-length arm.
+    "q253_suffix_repeats" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id, regexp_replace(coalesce(text, ''), ' {2,}', ' ', 'g') AS na
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL SELECT * FROM (VALUES ${graft.ops.DedupOps.SuffixPlant
+                 .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+                 .mkString(",\n        |          ")}) v(doc_id, text))),
+        |an AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    substr(na, p, ${graft.ops.DedupOps.SfxKey}) AS key,
+        |    reverse(substr(na, greatest(1, p - ${graft.ops.DedupOps.SfxWin}),
+        |                   p - greatest(1, p - ${graft.ops.DedupOps.SfxWin}))) AS bck,
+        |    substr(na, p, ${graft.ops.DedupOps.SfxWin}) AS fwd
+        |  FROM (SELECT doc_id, na,
+        |          unnest(generate_series(1,
+        |            greatest(length(na) - ${graft.ops.DedupOps.SfxKey - 1}, 0))) AS p
+        |        FROM base)
+        |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(substr(na, p, ${graft.ops.DedupOps.SfxCtx}), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    $FpByteFold) % ${graft.ops.DedupOps.SfxMod} = 0),
+        |k2 AS MATERIALIZED (
+        |  SELECT key FROM (SELECT key, count(DISTINCT doc_id) AS nd
+        |                   FROM an GROUP BY key)
+        |  WHERE nd >= 2 AND nd <= ${graft.ops.DedupOps.SfxKeyCap}),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.bck AS ba, a.fwd AS fa, b.bck AS bb, b.fwd AS fb
+        |  FROM an a JOIN k2 USING (key) JOIN an b USING (key)
+        |  WHERE a.doc_id < b.doc_id),
+        |sp AS (SELECT doc_a, doc_b,
+        |    (CASE WHEN least(length(ba), length(bb)) = 0 THEN 0
+        |      WHEN list_position(list_transform(
+        |          generate_series(1, least(length(ba), length(bb))),
+        |          i -> substr(ba, i, 1) = substr(bb, i, 1)), false) = 0
+        |        THEN least(length(ba), length(bb))
+        |      ELSE list_position(list_transform(
+        |          generate_series(1, least(length(ba), length(bb))),
+        |          i -> substr(ba, i, 1) = substr(bb, i, 1)), false) - 1 END)
+        |    + (CASE WHEN least(length(fa), length(fb)) = 0 THEN 0
+        |      WHEN list_position(list_transform(
+        |          generate_series(1, least(length(fa), length(fb))),
+        |          i -> substr(fa, i, 1) = substr(fb, i, 1)), false) = 0
+        |        THEN least(length(fa), length(fb))
+        |      ELSE list_position(list_transform(
+        |          generate_series(1, least(length(fa), length(fb))),
+        |          i -> substr(fa, i, 1) = substr(fb, i, 1)), false) - 1 END)
+        |    AS span
+        |  FROM cand)
+        |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_anchor_pairs,
+        |  CAST(max(span) AS BIGINT) AS max_span
+        |FROM sp GROUP BY doc_a, doc_b
+        |HAVING max(span) >= ${graft.ops.DedupOps.SfxMinSpan}
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // q249: the oracle replays the PLAIN global exclusive running max in
     // the sharded-collector arrival order (batch, shard, event_id); the

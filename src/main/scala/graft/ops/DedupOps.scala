@@ -1150,4 +1150,120 @@ object DedupOps {
         countDistinct($"doc_b").as("n_docs_dropped"))
       .orderBy($"threshold")
   }
+
+  // ----------------------------------------------------------- X220
+
+  /** q253 anchor/window parameters — shared with the oracle (SparkEntry
+    * interpolates them) and the recall spec. */
+  private[graft] val SfxCtx = 8      // anchor-decision context, chars
+  private[graft] val SfxMod = 4      // anchor density: fp(ctx) % SfxMod == 0
+  private[graft] val SfxKey = 24     // bucket key length, chars
+  private[graft] val SfxWin = 200    // LCE window cap each way, chars
+  private[graft] val SfxMinSpan = 40 // report threshold L
+  private[graft] val SfxKeyCap = 64  // boilerplate guard: max docs per key
+
+  /** q253 planted ground truth — variable-length repeated spans that
+    * word-5-gram dedup (q224) cannot express, in a disjoint negative-id
+    * range. -201/-202 share a 76-char TWO-word span (no 5-word gram
+    * exists); -203/-204 are whitespace-jittered twins — the raw token
+    * sequences share ZERO 5-grams (doubled spaces split differently) but
+    * whitespace normalization exposes the 71-char span; -205 is the
+    * negative control; -206/-207 share a 37-char span that must stay
+    * UNDER the L=40 threshold. The spec re-derives anchor positions from
+    * the plant strings with the same hash, so in-span anchor existence
+    * (the detection precondition) is asserted, not assumed. */
+  private[graft] val SuffixPlant: Seq[(Long, String)] = {
+    val p1 = "pneumonoultramicroscopicsilicovolcanoconiosis antidisestablishmentarianism"
+    val s2 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val s2j = "the quick  brown fox jumps  over the lazy  dog near the  river bank  today"
+    val q = "zebra quetzal wombat axolotl lemurs"
+    Seq(
+      -201L -> s"alpha beta $p1 gamma delta epsilon",
+      -202L -> s"one two three four $p1 five six seven",
+      -203L -> s"north south $s2 east west",
+      -204L -> s"up down $s2j left right",
+      -205L -> "solitary unique sentinel negative control row with no repeated span content whatsoever",
+      -206L -> s"prefix $q suffixone",
+      -207L -> s"intro $q outro")
+  }
+
+  /** X220 — suffix-anchored variable-length repeated-substring dedup: the
+    * exact-substring signal behind suffix-array training-data dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" — /root/reference has no analogue), distributed without ever
+    * building a global suffix structure. q224 sees only fixed word
+    * 5-grams; this operator reports CHARACTER spans of any length >= L
+    * between any doc pair, after whitespace normalization (so
+    * jitter-obfuscated copies still match).
+    *
+    * Shape: (1) content-defined anchors — positions whose SfxCtx-char
+    * context hashes to 0 mod SfxMod; content-defined means the SAME
+    * positions fire inside every copy of a span, unlike stride sampling
+    * which cannot align across documents. (2) each anchor carries a
+    * SfxKey-char bucket key plus bounded backward/forward windows
+    * (SfxWin each way — bck pre-reversed so both extensions are prefix
+    * scans). (3) keys held by 2..SfxKeyCap distinct docs join
+    * co-keyed; the cap is the boilerplate guard that bounds any hot
+    * key's blowup. (4) per candidate anchor pair, span = LCP(bck) +
+    * LCP(fwd); per doc pair, report max span and anchor-pair count.
+    *
+    * Detection is deterministic, not probabilistic-in-expectation: a span
+    * of length m is found iff an anchor fires in its first m-SfxKey+1
+    * positions — decidable from the span text alone, and the spec asserts
+    * it for every plant. Missing only spans with no early anchor (density
+    * 1/SfxMod) is the published recipe's sampling tradeoff, stated here.
+    *
+    * Scale: anchor extraction is ONE narrow pass at scan throughput — the
+    * per-position context hashing and the LCP extension both run in the
+    * compiled [[graft.functions.SuffixText]] kernels (the interpreted HOF
+    * formulation measured 3.5 s/pass for the anchor scan alone at sf0.1;
+    * the kernels + the persist below took the whole query 12 s → ~2 s).
+    * Every row downstream carries <= 2·SfxWin+SfxKey chars regardless of
+    * document size; the join is content-keyed with a per-key doc cap;
+    * LCE cost is O(SfxWin) bytes per candidate. No global sort, no
+    * suffix array, no all-pairs stage. */
+  def q253SuffixRepeats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SuffixText.register(s)
+    val d = docs(s, dir).select($"doc_id", $"text")
+      .unionByName(SuffixPlant.toDF("doc_id", "text"))
+    // na (whitespace-normalized text) is let-bound so regexp_replace runs
+    // once per row, not once per anchor (q235's trap); the compiled
+    // kernel returns 1-based codepoint positions
+    val anchorsExpr =
+      s"""element_at(transform(array(regexp_replace(coalesce(text, ''), ' {2,}', ' ')), na ->
+         |  transform(
+         |    graft_anchor_positions(na, $SfxCtx, $SfxMod, $SfxKey),
+         |    p -> named_struct(
+         |      'key', substring(na, CAST(p AS INT), $SfxKey),
+         |      'bck', reverse(substring(na, CAST(greatest(1, p - $SfxWin) AS INT),
+         |                               CAST(p - greatest(1, p - $SfxWin) AS INT))),
+         |      'fwd', substring(na, CAST(p AS INT), $SfxWin)))), 1)""".stripMargin
+    // Persisted on the q34-exception pattern: the anchor frame feeds three
+    // subtrees (the key-cap aggregate and both sides of the candidate
+    // self-join) and the returned-lazily frame cannot release its own
+    // cache; unpersisted, the scan+explode ran 3× (measured +2 s at
+    // sf0.1). Rows are window-bounded (~450 chars), far below the corpus;
+    // MEMORY_AND_DISK makes eviction a spill, not a recompute storm.
+    val anchors = d
+      .select($"doc_id", explode(expr(anchorsExpr)).as("a"))
+      .select($"doc_id", $"a.key".as("key"), $"a.bck".as("bck"), $"a.fwd".as("fwd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyOk = anchors.groupBy($"key")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2 && $"nd" <= SfxKeyCap)
+      .select($"key")
+    val ak = anchors.join(keyOk, Seq("key"))
+    val cand = ak.select($"key", $"doc_id".as("doc_a"), $"bck".as("ba"), $"fwd".as("fa"))
+      .join(ak.select($"key", $"doc_id".as("doc_b"), $"bck".as("bb"), $"fwd".as("fb")),
+        Seq("key"))
+      .filter($"doc_a" < $"doc_b")
+    cand
+      .select($"doc_a", $"doc_b",
+        (expr("graft_lcp(ba, bb)") + expr("graft_lcp(fa, fb)")).as("span"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_anchor_pairs"), max($"span").as("max_span"))
+      .filter($"max_span" >= SfxMinSpan)
+      .orderBy($"doc_a", $"doc_b")
+  }
 }

@@ -66,6 +66,90 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.Utf8Plant.count(s => s.getBytes("UTF-8").length > s.length) == 7)
   }
 
+  test("suffix kernels match their interpreted HOF formulations (incl. non-ASCII)") {
+    import spark.implicits._
+    graft.functions.SuffixText.register(spark)
+    Fingerprint.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away home",
+      "short", "", "exactly twenty-four!!", "a" * 60,
+      "café naïve 中文文本 words 🙂 emoji tail padded out to length",
+      "x" * 23 + "y" * 23)
+    // anchor positions: kernel vs the per-position fingerprint filter
+    val hof =
+      """filter(sequence(1, greatest(length(t) - 23, 1)),
+        |  p -> p <= length(t) - 23
+        |       AND graft_fingerprint(substring(t, CAST(p AS INT), 8)) % 4 = 0)""".stripMargin
+    texts.toDF("t")
+      .selectExpr("t", s"graft_anchor_positions(t, 8, 4, 24) AS fast", s"$hof AS slow")
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"anchors for '${r.getString(0).take(30)}'")
+      }
+    // lcp: kernel vs per-codepoint comparison scan
+    val pairs = Seq(
+      ("abcdef", "abcxyz"), ("same", "same"), ("", "abc"), ("abc", ""),
+      ("café latte", "café mocha"), ("中文AB", "中XAB"),
+      ("🙂🚀", "🙂👩"), ("ab", "abcd"))
+    val lcpHof =
+      """element_at(transform(array(
+        |    array_position(transform(sequence(1, greatest(least(length(a), length(b)), 1)),
+        |      i -> i <= least(length(a), length(b))
+        |           AND substring(a, i, 1) = substring(b, i, 1)), false)),
+        |  pos -> CASE WHEN least(length(a), length(b)) = 0 THEN 0L
+        |              WHEN pos = 0 THEN CAST(least(length(a), length(b)) AS BIGINT)
+        |              ELSE pos - 1 END), 1)""".stripMargin
+    pairs.toDF("a", "b")
+      .selectExpr("a", "graft_lcp(a, b) AS fast", s"$lcpHof AS slow")
+      .collect().foreach { r =>
+        assert(r.getLong(1) == r.getLong(2), s"lcp for '${r.getString(0)}'")
+      }
+  }
+
+  test("q253: variable-length repeated spans that 5-gram dedup cannot see") {
+    import graft.ops.DedupOps
+    val plant = DedupOps.SuffixPlant.toMap
+    def norm(t: String) = t.replaceAll(" {2,}", " ")
+    // (a) q224-blindness: the jittered twins share ZERO raw word 5-grams
+    def grams5(t: String) =
+      { val w = t.split(" ", -1); w.sliding(5).map(_.toSeq).toSet }
+    assert(grams5(plant(-203L)).intersect(grams5(plant(-204L))).isEmpty)
+    // (b) detection precondition asserted, not assumed: every target span
+    // has an anchor (byte-fold of the 8-char context ≡ 0 mod 4) within
+    // its first span-24+1 positions, where the full 24-char key fits
+    def lcs(a: String, b: String): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1; best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    def longestShared(x: Long, y: Long): (Int, String) = {
+      val (a, b) = (norm(plant(x)), norm(plant(y)))
+      val n = lcs(a, b)
+      val span = (0 to a.length - n).map(i => a.substring(i, i + n))
+        .find(sp => b.contains(sp)).get
+      (n, span)
+    }
+    for ((x, y, want) <- Seq((-201L, -202L, 76), (-203L, -204L, 71))) {
+      val (n, span) = longestShared(x, y)
+      assert(n == want, s"plant span ($x,$y)")
+      val anchors = (0 to span.length - DedupOps.SfxKey).filter(i =>
+        Fingerprint.hashString(span.substring(i, i + DedupOps.SfxCtx))
+          % DedupOps.SfxMod == 0)
+      assert(anchors.nonEmpty, s"no in-span anchor for ($x,$y) — detection not guaranteed")
+    }
+    // (c) the operator recovers exactly those spans, skips the control and
+    // the below-threshold 37-char pair
+    val got = DedupOps.q253SuffixRepeats(spark, sf).collect()
+      .filter(_.getLong(0) < 0)
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == Map((-202L, -201L) -> 76L, (-204L, -203L) -> 71L), s"got $got")
+    val (qn, _) = longestShared(-206L, -207L)
+    assert(qn == 37 && qn < DedupOps.SfxMinSpan) // boundary control really is sub-threshold
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

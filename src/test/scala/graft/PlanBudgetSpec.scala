@@ -355,6 +355,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q252_utf8_fingerprint" -> 1, // narrow codegen'd plant+fingerprint map
                              // at scan throughput; the only exchange is
                              // the final orderBy
+    "q253_suffix_repeats" -> 9, // persisted anchor pass feeds the key-cap
+                             // agg + both candidate-join sides (key
+                             // shuffles); pair agg + orderBy; AQE lists
+                             // the reused key exchange per consumer
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
