@@ -301,6 +301,7 @@ object SparkEntry {
     "q251_image_phash"    -> MultimodalOps.q251ImagePhash _,
     "q252_utf8_fingerprint" -> TextOps.q252Utf8Fingerprint _,
     "q253_suffix_repeats" -> DedupOps.q253SuffixRepeats _,
+    "q254_scene_cuts"     -> MultimodalOps.q254SceneCuts _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4619,6 +4620,34 @@ object SparkEntry {
         |FROM sp GROUP BY doc_a, doc_b
         |HAVING max(span) >= ${graft.ops.DedupOps.SfxMinSpan}
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q254: the oracle replays the scene-cut ground truth arithmetically
+    // from doc_id — the per-pixel delta is the SAME for every pixel of a
+    // frame pair ((97·Δscene mod 150) + 1; the spatial term cancels), so
+    // E = w·h·Δ²; the Spark leg computes E from actually-decoded animated
+    // GIF rasters, making the equality an end-to-end codec gate.
+    "q254_scene_cuts" ->
+      """WITH d AS (SELECT doc_id,
+        |    (doc_id % 12 + 12) % 12 + 4 AS nf,
+        |    (doc_id % 3 + 3) % 3 + 2 AS L,
+        |    (doc_id % 7 + 7) % 7 + 5 AS w,
+        |    (doc_id % 5 + 5) % 5 + 5 AS h
+        |  FROM documents),
+        |fr AS (SELECT doc_id, nf, L, w, h,
+        |    unnest(generate_series(1, CAST(nf - 1 AS BIGINT))) AS f
+        |  FROM d),
+        |e AS (SELECT doc_id, nf, w, h, f, w * h * dd * dd AS energy
+        |  FROM (SELECT *,
+        |      ((doc_id + 97 * (f // L)) % 150 + 150) % 150
+        |        - ((doc_id + 97 * ((f - 1) // L)) % 150 + 150) % 150 + 1 AS dd
+        |    FROM fr))
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN energy > 1024 * w * h THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cuts,
+        |  CAST(sum(CASE WHEN energy > 1024 * w * h
+        |    THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS cut_mask,
+        |  CAST(max(energy) AS BIGINT) AS max_delta_energy
+        |FROM e GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin,
 
     // q249: the oracle replays the PLAIN global exclusive running max in
     // the sharded-collector arrival order (batch, shard, event_id); the

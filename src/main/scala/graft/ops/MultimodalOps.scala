@@ -458,6 +458,117 @@ object MultimodalOps {
 
   final case class ImageHash(doc_id: Long, hash_hi: Long, hash_lo: Long)
 
+  final case class SceneCuts(doc_id: Long, n_frames: Long, n_cuts: Long,
+      cut_mask: Long, max_delta_energy: Long)
+
+  /** X221 — video scene-cut detection on the REAL decode lane: each doc id
+    * maps to a deterministic multi-scene frame sequence (nf = id%12+4
+    * frames of w×h = (id%7+5)×(id%5+5) gray pixels, scene s = f div L with
+    * L = id%3+2, pixel g(f,x,y) = 20 + (id + 97·s mod 150) + (3x+5y mod
+    * 40) + f — every term bounded so values stay in [20,224]: NO mod-256
+    * wraparound, which would spike a within-scene delta to 255² and fake
+    * a cut). The sequence is ENCODED as a real animated GIF
+    * (ImageIO writeToSequence over q230's indexed 256-gray palette;
+    * heights stay ≥5, out of the JDK writer's corrupt 2-4 band) and every
+    * frame DECODED back; the detector then computes the classic cut
+    * metric — inter-frame pixel-delta energy E(f) = Σ(g_f − g_{f−1})² —
+    * from the DECODED rasters and flags a cut where E > 1024·w·h.
+    *
+    * The threshold separates BY CONSTRUCTION: within a scene the only
+    * change is the +f term, so E = w·h exactly; across a boundary the
+    * scene term shifts every pixel by c ∈ {97, −53} (97·Δs mod 150), so
+    * E = w·h·(c+1)² ≥ 2704·w·h. The DuckDB oracle replays E, the cut
+    * count, the exact cut POSITIONS (bitmask Σ 2^f, f ≤ 14) and max
+    * energy arithmetically from doc_id — so the equality proves the whole
+    * encode→decode→delta pipeline end to end; any frame drop, palette
+    * remap, or compositing bug breaks the hash.
+    *
+    * Scale: ONE mapPartitions pass (q40's per-partition init discipline),
+    * constant memory per row (≤15 frames × ≤99 pixels), zero shuffles
+    * before the presentation orderBy — scene-cut detection runs at scan
+    * throughput like the rest of the multimodal lane. */
+  def q254SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents").select($"doc_id").as[Long]
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val grays = Array.tabulate(256)(i => (i << 16 | i << 8 | i))
+      val icm = new java.awt.image.IndexColorModel(8, 256,
+        grays.map(g => ((g >> 16) & 0xff).toByte),
+        grays.map(g => ((g >> 8) & 0xff).toByte),
+        grays.map(g => (g & 0xff).toByte))
+      it.map { id =>
+        val w = (Math.floorMod(id, 7L) + 5).toInt
+        val h = (Math.floorMod(id, 5L) + 5).toInt
+        val nf = (Math.floorMod(id, 12L) + 4).toInt
+        val scLen = (Math.floorMod(id, 3L) + 2).toInt
+        val frames = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          val scene = f / scLen
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = 20 + Math.floorMod(id + 97L * scene, 150L).toInt +
+                Math.floorMod(3L * x + 5L * y, 40L).toInt + f
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach(fi => writer.writeToSequence(
+          new javax.imageio.IIOImage(fi, null, null), null))
+        writer.endWriteSequence(); ios.close(); writer.dispose()
+        val payload = bos.toByteArray
+        if (!ImageCodec.isGif(payload))
+          sys.error(s"real animated-gif payload not recognized for doc $id")
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        reader.setInput(iis)
+        val nBack = reader.getNumImages(true)
+        if (nBack != nf)
+          sys.error(s"decoded $nBack frames, wrote $nf for doc $id")
+        // decode frame-by-frame, keeping only the previous raster
+        var prev: Array[Int] = null
+        var nCuts = 0L; var mask = 0L; var maxE = 0L
+        var f = 0
+        while (f < nBack) {
+          val img = reader.read(f)
+          val cur = new Array[Int](w * h)
+          var k = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { cur(k) = img.getRGB(x, y) & 0xff; x += 1; k += 1 }
+            y += 1
+          }
+          if (prev != null) {
+            var e = 0L
+            var i = 0
+            while (i < cur.length) {
+              val d = (cur(i) - prev(i)).toLong; e += d * d; i += 1
+            }
+            if (e > 1024L * w * h) { nCuts += 1; mask |= 1L << f }
+            if (e > maxE) maxE = e
+          }
+          prev = cur
+          f += 1
+        }
+        reader.dispose(); iis.close()
+        SceneCuts(id, nf.toLong, nCuts, mask, maxE)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
   /** X219 — perceptual-hash image near-dup detection: the multimodal
     * twin of X3/X66 — an average hash (aHash) over each REAL decoded
     * image, banded hamming-LSH candidate join, exact hamming verdict at

@@ -150,6 +150,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qn == 37 && qn < DedupOps.SfxMinSpan) // boundary control really is sub-threshold
   }
 
+  test("q254: decoded scene cuts land exactly on the planted boundaries") {
+    import spark.implicits._
+    val got = graft.ops.MultimodalOps.q254SceneCuts(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, (nFrames, nCuts, mask, maxE)) =>
+      val w = Math.floorMod(id, 7L) + 5
+      val h = Math.floorMod(id, 5L) + 5
+      val nf = Math.floorMod(id, 12L) + 4
+      val L = Math.floorMod(id, 3L) + 2
+      def p(s: Long) = Math.floorMod(id + 97L * s, 150L)
+      // ground truth from the scheme: a cut at every frame f whose scene
+      // index advances; energy w·h·Δ² with Δ = P(s_f) − P(s_{f−1}) + 1
+      val cutFrames = (1L until nf).filter(f => f / L != (f - 1) / L)
+      val energies = (1L until nf).map { f =>
+        val d = p(f / L) - p((f - 1) / L) + 1; w * h * d * d
+      }
+      assert(nFrames == nf, s"doc $id frames")
+      assert(nCuts == cutFrames.size.toLong, s"doc $id cut count")
+      assert(mask == cutFrames.map(1L << _).sum, s"doc $id cut POSITIONS")
+      assert(maxE == energies.max, s"doc $id max energy")
+      // the threshold really separates: every within-scene pair is w·h,
+      // every boundary pair ≥ 2704·w·h
+      energies.zip(1L until nf).foreach { case (e, f) =>
+        if (f / L != (f - 1) / L) assert(e >= 2704 * w * h)
+        else assert(e == w * h)
+      }
+    }
+    // the sf covers multi-scene sequences of every scene length
+    val ids = got.map(_._1)
+    assert(ids.map(id => Math.floorMod(id, 3L)).distinct.size == 3)
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

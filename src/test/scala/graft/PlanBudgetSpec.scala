@@ -359,6 +359,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // agg + both candidate-join sides (key
                              // shuffles); pair agg + orderBy; AQE lists
                              // the reused key exchange per consumer
+    "q254_scene_cuts"   -> 1, // encode/decode/delta is one mapPartitions
+                             // pass; the only exchange is the orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
