@@ -302,6 +302,7 @@ object SparkEntry {
     "q252_utf8_fingerprint" -> TextOps.q252Utf8Fingerprint _,
     "q253_suffix_repeats" -> DedupOps.q253SuffixRepeats _,
     "q254_scene_cuts"     -> MultimodalOps.q254SceneCuts _,
+    "q255_viterbi_audit"  -> CorpusOps.q255ViterbiAudit _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5039,6 +5040,11 @@ object SparkEntry {
     // q227: the q226 chain re-learned, then applied to every token via
     // the same scalar-subquery replace steps; per-lang fertility fold.
     "q227_bpe_fertility" -> CorpusOps.bpeFertilityOracleSql(),
+
+    // q255: the oracle re-learns the merges (bpeLearnWith), then replays
+    // BOTH encoders — q227's greedy replace chain and the exact Viterbi
+    // dp as a prepended-init list_reduce — per word type.
+    "q255_viterbi_audit" -> CorpusOps.viterbiOracleSql(),
 
     // q228: the audio analogue of q222 — the oracle recomputes the
     // expected sample count/sum/energy arithmetically; equality proves

@@ -1221,6 +1221,126 @@ object CorpusOps {
        |$rounds""".stripMargin
   }
 
+  /** q227's greedy merge application over the bracketed rendering,
+    * reduced to a subtoken COUNT — factored so the q255 spec can apply it
+    * to a rigged merge table. `w` is the word column in scope. */
+  private[graft] def greedySubExpr(merges: Seq[(String, String)]): String = {
+    val bracketed = "concat('(', array_join(filter(split(w, ''), " +
+      "c -> c <> ''), ')('), ')')"
+    val applied = merges.foldLeft(bracketed) { case (e, (l, r)) =>
+      s"replace($e, '($l)($r)', '($l$r)')"
+    }
+    s"(length($applied) - length(replace($applied, ')(', ''))) div 2 + 1"
+  }
+
+  /** Exact minimum-token segmentation (Viterbi) of `w` over the vocabulary
+    * {all single chars} ∪ `syms`: dp[i] = min over symbols v ending at i
+    * of dp[i−|v|]+1, as ONE aggregate() fold whose accumulator is the dp
+    * list (the 1000000 sentinel disables non-matching candidates; the
+    * single-char candidate keeps dp feasible, so the sentinel never
+    * survives a least()). Integer costs only — both engines replay the
+    * identical DP. */
+  private[graft] def viterbiExpr(syms: Seq[String]): String = {
+    val cands = syms.distinct.map { sym =>
+      val k = sym.length
+      s"IF(i >= ${k}L AND substring(w, CAST(i AS INT) - ${k - 1}, $k) = '$sym', " +
+        s"element_at(acc, CAST(i AS INT) - ${k - 1}) + 1L, 1000000L)"
+    }
+    val step = (Seq("element_at(acc, CAST(i AS INT)) + 1L") ++ cands)
+      .mkString("least(", ", ", ")")
+    s"aggregate(sequence(1L, CAST(length(w) AS BIGINT)), array(0L), " +
+      s"(acc, i) -> concat(acc, array($step)), " +
+      s"acc -> element_at(acc, length(w) + 1))"
+  }
+
+  /** X222 — Viterbi BPE-encode consistency audit: q226 learns the merge
+    * table and q227 measures fertility under GREEDY rank-order
+    * application — but greedy is not optimal over the final vocabulary
+    * (an early merge can consume a char that two later symbols would
+    * have tiled better: vocab {bc, ab, cd} segments "abcd" greedily as
+    * a|bc|d but optimally as ab|cd). This query computes the exact
+    * integer-cost Viterbi segmentation over {base chars} ∪ {merged
+    * symbols} per word TYPE and reports, per language, greedy vs optimal
+    * token mass, the word mass where they disagree, and the excess in
+    * ppm — the tokenizer-consistency number real pipelines track when
+    * choosing between BPE-greedy and unigram-style encoders.
+    *
+    * Scale: the DP runs per word TYPE, not per token — the type fold is
+    * the only corpus-sized work (q226's rule), and each DP is
+    * O(len·|syms|) on a bounded-length word. No join against a
+    * vocabulary table: the ≤8 learned symbols inline into the fold as
+    * literals on the Spark side and as one broadcast 1-row frame in the
+    * oracle. Viterbi ≤ greedy by construction (greedy's output is itself
+    * a valid segmentation over the same vocabulary), so excess_ppm ≥ 0. */
+  def q255ViterbiAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = q226BpeMerges(s, dir).collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      .toSeq
+    docs(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter($"w".rlike("\\A[a-z]+\\z"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("n"))
+      .select($"lang", $"n",
+        expr(greedySubExpr(merges)).as("greedy"),
+        expr(viterbiExpr(merges.map { case (l, r) => l + r })).as("vit"))
+      .groupBy($"lang")
+      .agg(sum($"n").as("n_words"),
+        sum($"n" * $"greedy").as("greedy_tokens"),
+        sum($"n" * $"vit").as("viterbi_tokens"),
+        sum(when($"greedy" > $"vit", $"n").otherwise(0L)).as("n_suboptimal_words"))
+      .withColumn("excess_ppm",
+        expr("(greedy_tokens - viterbi_tokens) * 1000000 div viterbi_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** The q255 oracle: [[bpeLearnWith]] re-learns the merges, one 1-row
+    * frame carries the merged symbols + lengths, and the SAME dp fold
+    * runs as a list_reduce with the prepended [0] init (q247's idiom). */
+  def viterbiOracleSql(vocabCap: Int = 256, nMerges: Int = 8): String = {
+    val applied = (1 to nMerges).foldLeft("bs") { (e, r) =>
+      s"replace($e, coalesce('(' || (SELECT lsym FROM b$r) || ')(' || " +
+        s"(SELECT rsym FROM b$r) || ')', chr(1)), " +
+        s"coalesce('(' || (SELECT lsym FROM b$r) || " +
+        s"(SELECT rsym FROM b$r) || ')', ''))"
+    }
+    val syCols = (1 to nMerges).map { r =>
+      s"(SELECT lsym || rsym FROM b$r) AS s$r, " +
+        s"(SELECT CAST(len(lsym || rsym) AS BIGINT) FROM b$r) AS g$r"
+    }.mkString(",\n       |    ")
+    val cands = (1 to nMerges).map { r =>
+      s"CASE WHEN s$r IS NOT NULL AND e[1] >= g$r " +
+        s"AND substr(w, CAST(e[1] - g$r + 1 AS INTEGER), CAST(g$r AS INTEGER)) = s$r " +
+        s"THEN acc[CAST(e[1] - g$r + 1 AS INTEGER)] + 1 ELSE 1000000 END"
+    }.mkString(",\n       |        ")
+    s"""${bpeLearnWith(vocabCap, nMerges)},
+       |sy AS (SELECT $syCols),
+       |tt AS MATERIALIZED (SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_full_match(w, '[a-z]+') GROUP BY lang, w),
+       |gb AS (SELECT lang, n, w,
+       |    '(' || array_to_string(list_filter(string_split(w, ''),
+       |      c -> c <> ''), ')(') || ')' AS bs
+       |  FROM tt),
+       |sc AS (SELECT lang, n,
+       |    (len($applied) - len(replace($applied, ')(', ''))) // 2 + 1 AS greedy,
+       |    (list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT)],
+       |        list_transform(generate_series(1, CAST(length(w) AS BIGINT)), i -> [i])),
+       |      (acc, e) -> list_append(acc, least(
+       |        acc[CAST(e[1] AS INTEGER)] + 1,
+       |        $cands))))[CAST(length(w) + 1 AS INTEGER)] AS vit
+       |  FROM gb CROSS JOIN sy)
+       |SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+       |  CAST(sum(n * greedy) AS BIGINT) AS greedy_tokens,
+       |  CAST(sum(n * vit) AS BIGINT) AS viterbi_tokens,
+       |  CAST(sum(CASE WHEN greedy > vit THEN n ELSE 0 END) AS BIGINT)
+       |    AS n_suboptimal_words,
+       |  (CAST(sum(n * greedy) AS BIGINT) - CAST(sum(n * vit) AS BIGINT))
+       |    * 1000000 // CAST(sum(n * vit) AS BIGINT) AS excess_ppm
+       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** The q226 oracle: [[bpeLearnWith]]'s chain + the ranked merge-table
     * projection, so DuckDB independently re-learns the same table. */
   def bpeOracleSql(vocabCap: Int = 256, nMerges: Int = 8): String = {

@@ -222,6 +222,38 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q255: Viterbi beats greedy on a provably suboptimal vocabulary") {
+    import spark.implicits._
+    // rigged type dictionary: pair counts force the merge order
+    // (b,c) > (a,b) > (c,d), so the vocab is {bc, ab, cd} — and greedy
+    // rank-order application on "abcd" consumes the b with bc, leaving
+    // a|bc|d (3 tokens), while the optimal tiling is ab|cd (2)
+    val dict = Seq(("bc", 10L), ("ab", 6L), ("cd", 5L), ("abcd", 3L))
+    val merges = CorpusOps.learnMerges(dict, 3).map { case (_, l, r, _) => (l, r) }
+    assert(merges == Seq(("b", "c"), ("a", "b"), ("c", "d")))
+    val row = Seq("abcd", "ab", "bc", "cd", "abcdabcd", "x").toDF("w")
+      .selectExpr("w",
+        s"${CorpusOps.greedySubExpr(merges)} AS greedy",
+        s"${CorpusOps.viterbiExpr(merges.map { case (l, r) => l + r })} AS vit")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(row("abcd") == (3L, 2L))          // greedy provably suboptimal
+    assert(row("abcdabcd") == (6L, 4L))      // compounds per occurrence
+    assert(row("ab") == (1L, 1L))
+    assert(row("bc") == (1L, 1L))
+    assert(row("cd") == (1L, 1L))
+    assert(row("x") == (1L, 1L))             // base chars always feasible
+    // on the real corpus the audit's invariant side: viterbi <= greedy,
+    // excess accounted exactly
+    val audit = CorpusOps.q255ViterbiAudit(spark, sf).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val (g, v, ns, ex) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(v <= g)
+      assert(ex == (g - v) * 1000000L / v)
+      if (ns == 0) assert(g == v)
+    }
+  }
+
   test("q227 BPE fertility matches a driver merge-application replay") {
     val merges = CorpusOps.q226BpeMerges(spark, sf).collect()
       .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))

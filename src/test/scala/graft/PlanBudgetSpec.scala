@@ -361,6 +361,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // the reused key exchange per consumer
     "q254_scene_cuts"   -> 1, // encode/decode/delta is one mapPartitions
                              // pass; the only exchange is the orderBy
+    "q255_viterbi_audit" -> 3, // q226's bounded type fold feeds the
+                             // per-TYPE greedy/viterbi DP (narrow);
+                             // |langs| fold + orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
