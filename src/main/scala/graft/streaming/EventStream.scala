@@ -499,6 +499,73 @@ object EventStream {
           lit(1L)).otherwise(lit(0L)))
   }
 
+  final case class LatenessState(frontier: Long,
+      byType: Map[String, (Long, Long, Long, Long)])
+
+  final case class LatenessUpdate(event_type: String, n_events: Long,
+      n_late: Long, max_late_us: Long, sum_late_us: Long, late_ppm: Long)
+
+  /** Streaming watermark-lateness audit — the real-stream twin of q249
+    * (X217): per event type, the running distribution of how far events
+    * arrive behind the GLOBAL event-time frontier, emitted as refreshed
+    * per-type rows each micro-batch (Update mode). The watermark delay is
+    * an input precisely because sizing it is what the audit is FOR — the
+    * deployment loop is q249 measures max_late_us, the stream runs with a
+    * delay at or above it (default 2 hours, X21's convention), and this
+    * feed confirms the measured lateness stays inside the configured
+    * delay (no row older than the watermark ever reaches the operator,
+    * so the audit and the batch frame cannot diverge by silent drops).
+    *
+    * Arrival order inside a micro-batch is restored by the same
+    * (batch, shard, event_id) collector model q249 uses — micro-batch
+    * iterators do not preserve receiver order. Any prefix-split of the
+    * modeled sequence across micro-batches re-sorts to the identical
+    * global order, so the finalized rows equal the oracle-gated q249
+    * frame row for row (StreamingSpec pins it).
+    *
+    * Scale: the frontier is global BY DEFINITION (q249's batch form needs
+    * the GlobalOrder prefix-max primitive for the same reason), so the
+    * stateful fold is one task per micro-batch over that batch's rows
+    * with |types|-sized state — receiver-side accounting, not corpus
+    * work; a deployment that cannot afford the consistency point shards
+    * the audit per collector and reconciles with the batch q249 run. */
+  def latenessAudit(events: Dataset[Event],
+      watermarkDelay: String = "2 hours"): Dataset[LatenessUpdate] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[LatenessState, LatenessUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[LatenessState]) =>
+          val st = state.getOption.getOrElse(LatenessState(Long.MinValue, Map.empty))
+          val ordered = rows.toSeq.sortBy(e =>
+            (e.event_id / 64L, Math.floorMod(e.user_id, 4L), e.event_id))
+          var frontier = st.frontier
+          var acc = st.byType
+          val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+          ordered.foreach { e =>
+            val us = micros(e.ts)
+            val late =
+              if (frontier == Long.MinValue) 0L
+              else math.max(frontier - us, 0L)
+            val (n, nl, mx, sm) = acc.getOrElse(e.event_type, (0L, 0L, 0L, 0L))
+            acc = acc.updated(e.event_type,
+              (n + 1L, nl + (if (late > 0L) 1L else 0L),
+                math.max(mx, late), sm + late))
+            touched += e.event_type
+            if (us > frontier) frontier = us
+          }
+          state.update(LatenessState(frontier, acc))
+          touched.iterator.map { t =>
+            val (n, nl, mx, sm) = acc(t)
+            LatenessUpdate(t, n, nl, mx, sm, nl * 1000000L / n)
+          }
+      }
+  }
+
   def blocklistGate(docs: DataFrame, blocklist: DataFrame): DataFrame = {
     val blocked: Array[String] = blocklist
       .select(col("domain").cast("string")).collect().map(_.getString(0))

@@ -509,6 +509,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
     assert(streamed.values.exists(_._4 == 1L))
   }
+
+  test("latenessAudit through a real stream equals the ORACLE-GATED q249 frame") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the deployment loop the operator documents: the batch audit sizes
+    // the watermark, the stream runs with a delay >= the measured max
+    val batch = SparkEntry.queries("q249_watermark_lateness")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val maxLateUs = batch.values.map(_._3).max
+    val delay = s"${maxLateUs / 1000000L + 60L} seconds"
+    // feed the SAME modeled collector arrival (batch, shard, event_id),
+    // one micro-batch per collector flush, so lateness really crosses
+    // micro-batch boundaries
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .as[Event].collect()
+      .sortBy(e => (e.event_id / 64L, Math.floorMod(e.user_id, 4L), e.event_id))
+    val mem = MemoryStream[Event]
+    val q = EventStream.latenessAudit(mem.toDS(), delay)
+      .writeStream.format("memory").queryName("lateness")
+      .outputMode(OutputMode.Update).start()
+    events.grouped(events.length / 5 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val updates = spark.table("lateness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // Update mode refreshed each type across batches — the stream was
+    // genuinely incremental, not a single-batch replay
+    assert(updates.length > batch.size)
+    // final row per type = the one with the full count; must equal the
+    // oracle-gated q249 frame exactly
+    val streamedFinal = updates.groupBy(_._1).map { case (t, us) =>
+      t -> us.maxBy(_._2).productIterator.drop(1).map(_.asInstanceOf[Long]).toSeq
+    }
+    val want = batch.map { case (t, (a, b, c, d, e)) => t -> Seq(a, b, c, d, e) }
+    assert(streamedFinal == want)
+    assert(batch.values.exists(_._2 > 0L)) // lateness actually occurs
+  }
 }
 
 object StreamingSpec {
