@@ -303,6 +303,7 @@ object SparkEntry {
     "q253_suffix_repeats" -> DedupOps.q253SuffixRepeats _,
     "q254_scene_cuts"     -> MultimodalOps.q254SceneCuts _,
     "q255_viterbi_audit"  -> CorpusOps.q255ViterbiAudit _,
+    "q256_nfc_dedup"      -> DedupOps.q256NfcDedup _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4621,6 +4622,33 @@ object SparkEntry {
         |FROM sp GROUP BY doc_a, doc_b
         |HAVING max(span) >= ${graft.ops.DedupOps.SfxMinSpan}
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q256: DuckDB's utf8proc nfc_normalize vs the Spark leg's
+    // java.text.Normalizer — both UAX #15; the byte fold then hashes the
+    // normalized string, so a one-codepoint divergence between the two
+    // NFC implementations would break the cluster hash. Plant literals
+    // interpolate verbatim from DedupOps.NfcPlant.
+    "q256_nfc_dedup" ->
+      raw"""WITH base AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES ${graft.ops.DedupOps.NfcPlant
+                 .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+                 .mkString(",\n        |    ")}) v(doc_id, text)),
+        |n AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp_raw,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(nfc_normalize(text), ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp_nfc,
+        |    CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_chars
+        |  FROM base)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT fp_raw) AS BIGINT) AS n_raw_variants,
+        |  fp_nfc, CAST(min(nfc_chars) AS BIGINT) AS nfc_chars
+        |FROM n GROUP BY fp_nfc
+        |HAVING count(*) >= 2 AND count(DISTINCT fp_raw) >= 2
+        |ORDER BY min_doc_id""".stripMargin,
 
     // q254: the oracle replays the scene-cut ground truth arithmetically
     // from doc_id — the per-pixel delta is the SAME for every pixel of a

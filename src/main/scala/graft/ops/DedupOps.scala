@@ -1151,6 +1151,67 @@ object DedupOps {
       .orderBy($"threshold")
   }
 
+  // ----------------------------------------------------------- X225
+
+  /** q256 planted ground truth — raw-byte variants that are the SAME text
+    * under Unicode NFC, in a disjoint negative-id range: precomposed vs
+    * decomposed accents (-301/-302), the U+212B angstrom-sign singleton vs
+    * precomposed Å (-303/-304), U+2126 ohm vs U+03A9 omega (-305/-306), a
+    * combining-class REORDER pair (dot-below ccc 220 + acute ccc 230 in
+    * both orders, -307/-308 — canonical reordering without composition), a
+    * decomposed control with no twin (-309, must NOT cluster), and a
+    * THREE-variant cluster (-310/-311/-312). */
+  private[graft] val NfcPlant: Seq[(Long, String)] = Seq(
+    -301L -> "caf\u00e9 d\u00e9j\u00e0 vu review",
+    -302L -> "cafe\u0301 de\u0301ja\u0300 vu review",
+    -303L -> "length 10 \u212bngstr\u00f6m units",
+    -304L -> "length 10 \u00c5ngstr\u00f6m units",
+    -305L -> "resistance 50 \u2126 measured",
+    -306L -> "resistance 50 \u03a9 measured",
+    -307L -> "mark x\u0323\u0301 canonical order",
+    -308L -> "mark x\u0301\u0323 canonical order",
+    -309L -> "lone de\u0301composed control row",
+    -310L -> "tri\u00fcne token \u00e7heck",
+    -311L -> "triu\u0308ne token c\u0327heck",
+    -312L -> "tri\u00fcne token c\u0327heck")
+
+  /** X225 — Unicode-normalization dedup: the dedup ladder's Unicode rung.
+    * Exact dedup (q32) keys on raw bytes, but the SAME text ships in
+    * multiple canonically-equivalent encodings (precomposed vs decomposed
+    * accents, compatibility singletons, combining-mark orderings) — a real
+    * multilingual crawl is full of them, and every byte-keyed stage
+    * (fingerprints, MinHash shingles, provenance) silently treats them as
+    * distinct documents. This query fingerprints each doc RAW and after
+    * [[graft.functions.NfcNormalize]] (UAX #15 canonical composition,
+    * byte-identical to DuckDB's utf8proc `nfc_normalize` — the oracle
+    * pins the two implementations against each other) and reports the
+    * normalization-only duplicate clusters: NFC-equal groups holding ≥2
+    * raw variants. Exact-byte dups (q32's territory) have one raw variant
+    * and are excluded, so the output isolates precisely the mass only
+    * normalization recovers.
+    *
+    * Scale: one narrow normalize+fingerprint pass at scan throughput
+    * (ASCII fast path: `isNormalized` quick-checks YES without
+    * allocating), one hash aggregation on the NFC fingerprint. */
+  def q256NfcDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    graft.functions.NfcNormalize.register(s)
+    docs(s, dir).select($"doc_id", $"text")
+      .unionByName(NfcPlant.toDF("doc_id", "text"))
+      .select($"doc_id",
+        expr("graft_fingerprint(text)").as("fp_raw"),
+        expr("graft_fingerprint(graft_nfc(text))").as("fp_nfc"),
+        expr("length(graft_nfc(text))").cast("long").as("nfc_chars"))
+      .groupBy($"fp_nfc")
+      .agg(min($"doc_id").as("min_doc_id"), count(lit(1)).as("n_docs"),
+        countDistinct($"fp_raw").as("n_raw_variants"),
+        min($"nfc_chars").as("nfc_chars"))
+      .filter($"n_docs" >= 2 && $"n_raw_variants" >= 2)
+      .select($"min_doc_id", $"n_docs", $"n_raw_variants", $"fp_nfc", $"nfc_chars")
+      .orderBy($"min_doc_id")
+  }
+
   // ----------------------------------------------------------- X220
 
   /** q253 anchor/window parameters — shared with the oracle (SparkEntry

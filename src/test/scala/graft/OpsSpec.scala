@@ -183,6 +183,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.map(id => Math.floorMod(id, 3L)).distinct.size == 3)
   }
 
+  test("q256: NFC normalization clusters canonically-equivalent variants only") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    graft.functions.NfcNormalize.register(spark)
+    val plant = DedupOps.NfcPlant
+    // graft_nfc == java.text.Normalizer NFC on every plant + q252's
+    // Unicode dictionary (the two must be THE SAME implementation surface)
+    val inputs = plant.map(_._2) ++ graft.ops.TextOps.Utf8Plant.filter(_.nonEmpty)
+    inputs.toDF("s").selectExpr("s", "graft_nfc(s) AS n").collect().foreach { r =>
+      assert(r.getString(1) ==
+        java.text.Normalizer.normalize(r.getString(0), java.text.Normalizer.Form.NFC))
+    }
+    // the plant really exercises all three phenomena: decomposition,
+    // singleton mapping, and pure combining-class reordering
+    def nfc(s: String) = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val byId = plant.toMap
+    assert(byId(-301L) != byId(-302L) && nfc(byId(-301L)) == nfc(byId(-302L)))
+    assert(byId(-303L) != byId(-304L) && nfc(byId(-303L)) == nfc(byId(-304L)))
+    assert(byId(-307L) != byId(-308L) && nfc(byId(-307L)) == nfc(byId(-308L)))
+    assert(nfc(byId(-308L)) == byId(-307L)) // -307 is already canonical order
+    val got = DedupOps.q256NfcDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(-302L -> (2L, 2L), -304L -> (2L, 2L), -306L -> (2L, 2L),
+      -308L -> (2L, 2L), -312L -> (3L, 3L)), s"got $got")
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

@@ -364,6 +364,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q255_viterbi_audit" -> 3, // q226's bounded type fold feeds the
                              // per-TYPE greedy/viterbi DP (narrow);
                              // |langs| fold + orderBy
+    "q256_nfc_dedup"    -> 3, // narrow normalize+fingerprint pass; one
+                             // fp_nfc hash agg (2-phase) + orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
