@@ -304,6 +304,7 @@ object SparkEntry {
     "q254_scene_cuts"     -> MultimodalOps.q254SceneCuts _,
     "q255_viterbi_audit"  -> CorpusOps.q255ViterbiAudit _,
     "q256_nfc_dedup"      -> DedupOps.q256NfcDedup _,
+    "q257_sdc_release"    -> PipelineOps.q257SdcRelease _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4649,6 +4650,45 @@ object SparkEntry {
         |FROM n GROUP BY fp_nfc
         |HAVING count(*) >= 2 AND count(DISTINCT fp_raw) >= 2
         |ORDER BY min_doc_id""".stripMargin,
+
+    // q257: primary below-10 suppression, row-wise complementary
+    // suppression (rank-1 unsuppressed cell when exactly one primary),
+    // margin suppression when nothing remains to complement, round-to-10
+    // on everything released. Plants interpolate from PipelineOps.SdcPlant.
+    "q257_sdc_release" ->
+      s"""WITH base AS (SELECT doc_id, source, lang FROM documents
+        |  UNION ALL SELECT * FROM (VALUES ${graft.ops.PipelineOps.SdcPlant
+             .map { case (id, src, lg) => s"(CAST($id AS BIGINT), '$src', '$lg')" }
+             .mkString(",\n        |    ")}) v(doc_id, source, lang)),
+        |c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+        |    count(*) < 10 AS pri
+        |  FROM base GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |    CAST(sum(CASE WHEN pri THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY source) AS BIGINT) AS n_pri,
+        |    CASE WHEN NOT pri THEN row_number()
+        |      OVER (PARTITION BY source, pri ORDER BY n, lang) END AS rk_u
+        |  FROM c),
+        |cells AS (SELECT source, lang, n,
+        |    CASE WHEN pri THEN 'primary'
+        |         WHEN n_pri = 1 AND rk_u = 1 THEN 'complementary'
+        |         ELSE 'ok' END AS status
+        |  FROM t),
+        |rel AS (SELECT source, lang, n AS n_docs,
+        |    CAST(CASE WHEN status = 'ok' THEN ((n + 5) // 10) * 10
+        |              ELSE -1 END AS BIGINT) AS released, status
+        |  FROM cells),
+        |m AS (SELECT source, '~total' AS lang,
+        |    CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(CASE WHEN sum(CASE WHEN status = 'primary' THEN 1 ELSE 0 END) >= 1
+        |           AND sum(CASE WHEN status <> 'primary' THEN 1 ELSE 0 END) = 0
+        |      THEN -1 ELSE ((sum(n) + 5) // 10) * 10 END AS BIGINT) AS released,
+        |    CASE WHEN sum(CASE WHEN status = 'primary' THEN 1 ELSE 0 END) >= 1
+        |           AND sum(CASE WHEN status <> 'primary' THEN 1 ELSE 0 END) = 0
+        |      THEN 'margin_suppressed' ELSE 'margin' END AS status
+        |  FROM cells GROUP BY source)
+        |SELECT * FROM rel UNION ALL SELECT * FROM m
+        |ORDER BY source, lang""".stripMargin,
 
     // q254: the oracle replays the scene-cut ground truth arithmetically
     // from doc_id — the per-pixel delta is the SAME for every pixel of a

@@ -1606,4 +1606,66 @@ object PipelineOps {
         expr("concat_waste * 1000000 div (concat_windows * capacity)"))
       .orderBy($"capacity")
   }
+
+  /** q257 planted cells (disjoint negative-id range): 'zz-sdc-plant'
+    * guarantees the complementary branch at every SF (aa=3 is primary;
+    * bb=25 is the smallest unsuppressed cell, so it must be suppressed
+    * too or the published row total pins aa); 'zz-sdc-lone' has a single
+    * primary cell and nothing to complement, so its MARGIN is suppressed. */
+  private[graft] val SdcPlant: Seq[(Long, String, String)] =
+    (0 until 3).map(i => (-401L - i, "zz-sdc-plant", "aa")) ++
+    (0 until 25).map(i => (-411L - i, "zz-sdc-plant", "bb")) ++
+    (0 until 30).map(i => (-441L - i, "zz-sdc-plant", "cc")) ++
+    (0 until 4).map(i => (-481L - i, "zz-sdc-lone", "aa"))
+
+  /** X226 — statistical-disclosure-control release (census-style cell
+    * suppression): publishing per-(source, lang) document counts about a
+    * corpus leaks membership when cells are small — the standard SDC
+    * answer is PRIMARY suppression of cells below the threshold (K=10),
+    * COMPLEMENTARY suppression where a published row margin would pin a
+    * lone suppressed cell by subtraction (the smallest unsuppressed cell
+    * in that row goes too; ties break on lang), margin suppression when a
+    * row has nothing left to complement with, and rounding of everything
+    * released to the nearest 10. Column margins are simply NOT published
+    * — the single-dimension heuristic; LP-optimal multi-dimensional
+    * suppression is out of scope and documented as such. Output: every
+    * cell plus one '~total' margin row per source, each with the true
+    * count, the released value (-1 = suppressed), and its status — the
+    * release AND its audit trail in one frame.
+    *
+    * Scale: one (source, lang) count aggregate (map-side partial), two
+    * |sources|-partitioned windows over the CELL frame (cell count, not
+    * corpus count), one |sources| margin fold. Nothing data-sized past
+    * the first aggregate. */
+  def q257SdcRelease(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, dir).select($"doc_id", $"source", $"lang")
+      .unionByName(SdcPlant.toDF("doc_id", "source", "lang"))
+    val cells = base.groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+      .withColumn("pri", $"n" < 10)
+    val wSrc = Window.partitionBy($"source")
+    val wRank = Window.partitionBy($"source", $"pri").orderBy($"n", $"lang")
+    val tagged = cells
+      .withColumn("n_pri", sum(when($"pri", 1L).otherwise(0L)).over(wSrc))
+      .withColumn("rk_u", when(!$"pri", row_number().over(wRank)))
+      .withColumn("status",
+        when($"pri", "primary")
+          .when($"n_pri" === 1 && $"rk_u" === 1, "complementary")
+          .otherwise("ok"))
+    val rel = tagged.select($"source", $"lang", $"n".as("n_docs"),
+      when($"status" === "ok", expr("((n + 5) div 10) * 10"))
+        .otherwise(-1L).as("released"),
+      $"status")
+    val margins = tagged.groupBy($"source")
+      .agg(sum($"n").as("n_docs"),
+        sum(when($"status" === "primary", 1L).otherwise(0L)).as("np"),
+        sum(when($"status" =!= "primary", 1L).otherwise(0L)).as("nu"))
+      .select($"source", lit("~total").as("lang"), $"n_docs",
+        when($"np" >= 1 && $"nu" === 0, -1L)
+          .otherwise(expr("((n_docs + 5) div 10) * 10")).as("released"),
+        when($"np" >= 1 && $"nu" === 0, "margin_suppressed")
+          .otherwise(lit("margin")).as("status"))
+    rel.unionByName(margins).orderBy($"source", $"lang")
+  }
 }

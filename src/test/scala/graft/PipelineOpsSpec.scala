@@ -413,4 +413,46 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byTokens.head.getAs[Long]("epochs_permille") >=
       byTokens.last.getAs[Long]("epochs_permille"))
   }
+
+  test("q257: suppression rules replay and actually protect the release") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.ops.PipelineOps.q257SdcRelease(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getString(4)))
+    // driver replay of the rules from the true cell counts
+    val cells = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1))) ++
+      graft.ops.PipelineOps.SdcPlant.map(p => (p._2, p._3))
+    val byCell = cells.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def r10(n: Long) = ((n + 5) / 10) * 10
+    val want = byCell.keys.map(_._1).toSeq.distinct.sorted.flatMap { src =>
+      val row = byCell.collect { case ((s, l), n) if s == src => (l, n) }.toSeq
+      val (pri, unsup) = row.partition(_._2 < 10)
+      val comp: Set[String] =
+        if (pri.size == 1 && unsup.nonEmpty) Set(unsup.minBy(c => (c._2, c._1))._1)
+        else Set.empty
+      val cellRows = row.sortBy(_._1).map { case (l, n) =>
+        val st = if (n < 10) "primary"
+                 else if (comp(l)) "complementary" else "ok"
+        (src, l, n, if (st == "ok") r10(n) else -1L, st)
+      }
+      val total = row.map(_._2).sum
+      val mSup = pri.nonEmpty && unsup.isEmpty
+      cellRows :+ ((src, "~total", total,
+        if (mSup) -1L else r10(total),
+        if (mSup) "margin_suppressed" else "margin"))
+    }
+    assert(rows.toSeq == want)
+    // every published row margin is consistent with >=2 unknowns or none:
+    // never exactly one suppressed cell under a published margin
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val marginPublished = rs.exists(r => r._2 == "~total" && r._4 >= 0)
+      val suppressedCells = rs.count(r => r._2 != "~total" && r._4 == -1L)
+      if (marginPublished) assert(suppressedCells != 1, s"$src leaks by subtraction")
+    }
+    // both planted branches fired
+    assert(rows.contains(("zz-sdc-plant", "bb", 25L, -1L, "complementary")))
+    assert(rows.contains(("zz-sdc-lone", "~total", 4L, -1L, "margin_suppressed")))
+  }
 }

@@ -366,6 +366,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // |langs| fold + orderBy
     "q256_nfc_dedup"    -> 3, // narrow normalize+fingerprint pass; one
                              // fp_nfc hash agg (2-phase) + orderBy
+    "q257_sdc_release"  -> 5, // one (source,lang) count agg; windows +
+                             // margin fold run on the CELL frame
+                             // (|sources|·|langs| rows) + union + orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
