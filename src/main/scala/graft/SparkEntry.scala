@@ -305,6 +305,7 @@ object SparkEntry {
     "q255_viterbi_audit"  -> CorpusOps.q255ViterbiAudit _,
     "q256_nfc_dedup"      -> DedupOps.q256NfcDedup _,
     "q257_sdc_release"    -> PipelineOps.q257SdcRelease _,
+    "q258_ewma_backtest"  -> EventOps.q258EwmaBacktest _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4689,6 +4690,35 @@ object SparkEntry {
         |  FROM cells GROUP BY source)
         |SELECT * FROM rel UNION ALL SELECT * FROM m
         |ORDER BY source, lang""".stripMargin,
+
+    // q258: the same integer-milli EWMA recurrence as a prepended-init
+    // list_reduce over the day-ordered series (q247's fold idiom) — the
+    // fold is deliberately sequential, EWMA is order-dependent.
+    "q258_ewma_backtest" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS total_events,
+        |    list(c ORDER BY day) AS cs
+        |  FROM d GROUP BY event_type),
+        |f AS (SELECT event_type, total_events,
+        |    list_reduce(
+        |      list_prepend([CAST(0 AS BIGINT), 0, 0, 0, 0],
+        |        list_transform(cs, c -> [c, 0, 0, 0, 0])),
+        |      (acc, e) -> CASE WHEN acc[5] = 0
+        |        THEN [e[1] * 1000, e[1], 0, 0, 1]
+        |        ELSE [(300 * e[1] * 1000 + 700 * acc[1]) // 1000,
+        |              e[1],
+        |              acc[3] + abs(e[1] * 1000 - acc[1]),
+        |              acc[4] + abs(e[1] - acc[2]) * 1000,
+        |              acc[5] + 1] END) AS st
+        |  FROM g)
+        |SELECT event_type, CAST(st[5] AS BIGINT) AS n_days, total_events,
+        |  CAST(st[3] AS BIGINT) AS ewma_abs_err_milli,
+        |  CAST(st[4] AS BIGINT) AS naive_abs_err_milli,
+        |  CAST(CASE WHEN st[4] = 0 THEN -1
+        |       ELSE st[3] * 1000000 // st[4] END AS BIGINT) AS skill_ppm
+        |FROM f ORDER BY event_type""".stripMargin,
 
     // q254: the oracle replays the scene-cut ground truth arithmetically
     // from doc_id — the per-pixel delta is the SAME for every pixel of a

@@ -818,6 +818,58 @@ object EventOps {
       .orderBy($"user_id", $"us", $"event_id")
   }
 
+  /** X227 — EWMA forecast backtest: per event type, smooth the daily
+    * event-count series with an integer-permille EWMA (α = 300‰, state in
+    * milli-units so the recurrence `s ← (300·c·1000 + 700·s) div 1000` is
+    * exact integer arithmetic both engines replay bit-for-bit) and score
+    * the ONE-STEP-AHEAD forecast against the naive persistence baseline
+    * (forecast = yesterday) — the MASE-style skill ratio every capacity/
+    * anomaly forecast is judged by before anyone trusts it. Both error
+    * sums accumulate in milli-units; skill_ppm = ewma_err·1e6 div
+    * naive_err (-1 when the naive error is zero, i.e. a constant series).
+    * The series is the OBSERVED-day sequence in day order; gap-filled
+    * resampling is q63's separate operator and composes upstream.
+    *
+    * Scale: one (type, day) count aggregate (map-side partial) collapses
+    * the corpus to calendar-bounded series; collect_list is per TYPE and
+    * |days|-sized — never corpus-sized — and the sequential fold is the
+    * point (EWMA is order-dependent; a parallel reduction would change
+    * the arithmetic), so it runs on the bounded series, one fold per
+    * type, all types in parallel. */
+  def q258EwmaBacktest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = ev(s, dir)
+      .select($"event_type",
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+    // state = [s_milli, c_prev, err_ewma_milli, err_naive_milli, n_seen]
+    val fold =
+      """aggregate(
+        |  transform(sort_array(collect_days), d -> d.c),
+        |  array(0L, 0L, 0L, 0L, 0L),
+        |  (acc, c) -> CASE WHEN element_at(acc, 5) = 0L
+        |    THEN array(c * 1000L, c, 0L, 0L, 1L)
+        |    ELSE array(
+        |      (300L * c * 1000L + 700L * element_at(acc, 1)) div 1000L,
+        |      c,
+        |      element_at(acc, 3) + abs(c * 1000L - element_at(acc, 1)),
+        |      element_at(acc, 4) + abs(c - element_at(acc, 2)) * 1000L,
+        |      element_at(acc, 5) + 1L) END)""".stripMargin
+    daily.groupBy($"event_type")
+      .agg(collect_list(struct($"day", $"c")).as("collect_days"),
+        sum($"c").as("total_events"))
+      .select($"event_type", $"total_events", expr(fold).as("st"))
+      .select($"event_type",
+        expr("element_at(st, 5)").as("n_days"),
+        $"total_events",
+        expr("element_at(st, 3)").as("ewma_abs_err_milli"),
+        expr("element_at(st, 4)").as("naive_abs_err_milli"),
+        expr("""CASE WHEN element_at(st, 4) = 0L THEN -1L
+               |ELSE element_at(st, 3) * 1000000L div element_at(st, 4)
+               |END""".stripMargin).as("skill_ppm"))
+      .orderBy($"event_type")
+  }
+
   /** X217 — watermark-lateness audit: per event type, how far events
     * arrive BEHIND the global event-time frontier (the maximum event
     * time already seen in ARRIVAL order) — the exact distribution a

@@ -1754,4 +1754,36 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the audit is non-vacuous: some out-of-order arrival exists
     assert(got.values.exists(_._2 > 0L))
   }
+
+  test("EWMA backtest: pure-Scala sequential replay, skill accounted exactly") {
+    import spark.implicits._
+    val got = graft.ops.EventOps.q258EwmaBacktest(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val daily = graft.sources.Tables.load(spark, sf, "events")
+      .select($"event_type",
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view.mapValues(_.toSeq.map { case ((_, d), c) => (d, c) })
+    val expected = daily.map { case (t, ds) =>
+      val cs = ds.sortBy(_._1).map(_._2)
+      var sPrev = 0L; var cPrev = 0L; var eE = 0L; var eN = 0L; var seen = 0L
+      cs.foreach { c =>
+        if (seen == 0) { sPrev = c * 1000L }
+        else {
+          eE += math.abs(c * 1000L - sPrev)
+          eN += math.abs(c - cPrev) * 1000L
+          sPrev = (300L * c * 1000L + 700L * sPrev) / 1000L
+        }
+        cPrev = c; seen += 1
+      }
+      t -> (seen, cs.sum, eE, eN, if (eN == 0) -1L else eE * 1000000L / eN)
+    }.toMap
+    assert(got == expected)
+    // the smoother genuinely beats persistence somewhere (skill < 1e6) and
+    // the errors are non-trivial
+    assert(got.values.exists(v => v._5 >= 0L && v._5 < 1000000L))
+    assert(got.values.forall(_._3 >= 0L))
+  }
 }

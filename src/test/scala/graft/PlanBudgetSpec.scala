@@ -369,6 +369,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q257_sdc_release"  -> 5, // one (source,lang) count agg; windows +
                              // margin fold run on the CELL frame
                              // (|sources|·|langs| rows) + union + orderBy
+    "q258_ewma_backtest" -> 3, // (type,day) count agg; per-type
+                             // calendar-bounded collect + sequential
+                             // fold (EWMA is order-dependent) + orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
