@@ -306,6 +306,7 @@ object SparkEntry {
     "q256_nfc_dedup"      -> DedupOps.q256NfcDedup _,
     "q257_sdc_release"    -> PipelineOps.q257SdcRelease _,
     "q258_ewma_backtest"  -> EventOps.q258EwmaBacktest _,
+    "q259_special_tokens" -> PipelineOps.q259SpecialTokens _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4719,6 +4720,29 @@ object SparkEntry {
         |  CAST(CASE WHEN st[4] = 0 THEN -1
         |       ELSE st[3] * 1000000 // st[4] END AS BIGINT) AS skill_ppm
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // q259: identical escape-free regex literals on both engines (q246's
+    // detector-sharing discipline without even an escaping delta); the
+    // near-miss class (≡3 mod 4) must count zero everywhere.
+    "q259_special_tokens" ->
+      raw"""WITH p AS (SELECT doc_id, coalesce(text, '') ||
+        |    CASE ((doc_id % 4) + 4) % 4
+        |      WHEN 1 THEN ' <|endoftext|> <fim_prefix> tail'
+        |      WHEN 2 THEN ' [INST] do a thing [/INST] <<SYS>> x'
+        |      WHEN 3 THEN ' <endoftext> plain [INST tag'
+        |      ELSE '' END || ' end' AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '<[|][a-z_]+[|]>')) AS BIGINT)
+        |    AS n_reserved,
+        |  CAST(len(regexp_extract_all(t2, '${graft.ops.PipelineOps.ChatMarkers}')) AS BIGINT)
+        |    AS n_chat_markers,
+        |  CAST(len(regexp_extract_all(t2, '<fim_[a-z]+>')) AS BIGINT) AS n_fim,
+        |  CAST(CASE WHEN len(regexp_extract_all(t2, '<[|][a-z_]+[|]>'))
+        |      + len(regexp_extract_all(t2, '${graft.ops.PipelineOps.ChatMarkers}'))
+        |      + len(regexp_extract_all(t2, '<fim_[a-z]+>')) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS has_special
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // q254: the oracle replays the scene-cut ground truth arithmetically
     // from doc_id — the per-pixel delta is the SAME for every pixel of a

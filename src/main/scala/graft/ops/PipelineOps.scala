@@ -1607,6 +1607,53 @@ object PipelineOps {
       .orderBy($"capacity")
   }
 
+  /** X228 — special-token / chat-template contamination scan: reserved
+    * tokenizer strings leaking into training text corrupt the tokenizer
+    * contract — a document containing a literal `<|endoftext|>` splices
+    * itself across example boundaries, FIM sentinels teach the model to
+    * emit control tokens, and chat-template markers bleed instruction
+    * formatting into pretraining. Three detector classes; the ONE pattern
+    * needing escapes ([[ChatMarkers]] — Java regex, unlike RE2, rejects
+    * the POSIX `[]]` literal-bracket class) is defined once and re-escaped
+    * per engine, so the detectors cannot drift.
+    * Ground truth planted per document from doc_id (q246's idiom):
+    * ≡1 (mod 4) gets a reserved token AND a FIM sentinel, ≡2 a full chat
+    * template (three marker hits), ≡3 a NEAR-MISS (`<endoftext>` without
+    * pipes, an unclosed `[INST`) that must NOT fire, ≡0 nothing.
+    *
+    * Scale: plant + three regexp_extract_all passes are codegen'd string
+    * work at scan throughput; zero shuffles before the final orderBy. */
+  /** The q259 chat-template pattern, single definition: the oracle embeds
+    * it verbatim (DuckDB strings do not process backslashes), the Spark
+    * leg via [[chatMarkersSparkLit]] (Spark SQL strings DO, so each \
+    * doubles). */
+  private[graft] val ChatMarkers = """\[/?INST\]|<</?SYS>>"""
+  private[graft] def chatMarkersSparkLit: String = ChatMarkers.replace("\\", "\\\\")
+
+  def q259SpecialTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("t2", concat(coalesce($"text", lit("")),
+        when(pmod($"doc_id", lit(4L)) === 1,
+          lit(" <|endoftext|> <fim_prefix> tail"))
+          .when(pmod($"doc_id", lit(4L)) === 2,
+            lit(" [INST] do a thing [/INST] <<SYS>> x"))
+          .when(pmod($"doc_id", lit(4L)) === 3,
+            lit(" <endoftext> plain [INST tag"))
+          .otherwise(lit("")),
+        lit(" end")))
+      .select($"doc_id",
+        size(expr("regexp_extract_all(t2, '<[|][a-z_]+[|]>', 0)"))
+          .cast("long").as("n_reserved"),
+        size(expr(s"regexp_extract_all(t2, '$chatMarkersSparkLit', 0)"))
+          .cast("long").as("n_chat_markers"),
+        size(expr("regexp_extract_all(t2, '<fim_[a-z]+>', 0)"))
+          .cast("long").as("n_fim"))
+      .withColumn("has_special",
+        when($"n_reserved" + $"n_chat_markers" + $"n_fim" > 0, 1L).otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
   /** q257 planted cells (disjoint negative-id range): 'zz-sdc-plant'
     * guarantees the complementary branch at every SF (aa=3 is primary;
     * bb=25 is the smallest unsuppressed cell, so it must be suppressed

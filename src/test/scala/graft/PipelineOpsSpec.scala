@@ -414,6 +414,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       byTokens.last.getAs[Long]("epochs_permille"))
   }
 
+  test("q259: special-token classes fire exactly; near-miss stays silent") {
+    val got = graft.ops.PipelineOps.q259SpecialTokens(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, res, chat, fim, has) =>
+      Math.floorMod(id, 4L) match {
+        case 1L => assert((res, chat, fim, has) == (1L, 0L, 1L, 1L), s"doc $id")
+        case 2L => assert((res, chat, fim, has) == (0L, 3L, 0L, 1L), s"doc $id")
+        // the near-miss (<endoftext> without pipes, unclosed [INST) and
+        // the clean class must both be silent — the corpus itself carries
+        // no accidental special tokens
+        case _  => assert((res, chat, fim, has) == (0L, 0L, 0L, 0L), s"doc $id")
+      }
+    }
+    // one detector definition: the Spark literal is the re-escaped oracle
+    // pattern, nothing else
+    assert(graft.ops.PipelineOps.chatMarkersSparkLit ==
+      graft.ops.PipelineOps.ChatMarkers.replace("\\", "\\\\"))
+  }
+
   test("q257: suppression rules replay and actually protect the release") {
     import org.apache.spark.sql.functions.col
     val rows = graft.ops.PipelineOps.q257SdcRelease(spark, sf).collect()

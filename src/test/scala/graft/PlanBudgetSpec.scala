@@ -372,6 +372,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q258_ewma_backtest" -> 3, // (type,day) count agg; per-type
                              // calendar-bounded collect + sequential
                              // fold (EWMA is order-dependent) + orderBy
+    "q259_special_tokens" -> 1, // plant + three codegen'd regex passes at
+                             // scan throughput; only exchange is orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
