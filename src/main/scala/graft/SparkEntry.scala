@@ -307,6 +307,7 @@ object SparkEntry {
     "q257_sdc_release"    -> PipelineOps.q257SdcRelease _,
     "q258_ewma_backtest"  -> EventOps.q258EwmaBacktest _,
     "q259_special_tokens" -> PipelineOps.q259SpecialTokens _,
+    "q260_boilerplate_strip" -> DedupOps.q260BoilerplateStrip _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4743,6 +4744,54 @@ object SparkEntry {
         |      + len(regexp_extract_all(t2, '<fim_[a-z]+>')) > 0
         |    THEN 1 ELSE 0 END AS BIGINT) AS has_special
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // q260: q163's LCP replay twice — once to decide the strip, once to
+    // re-audit the stripped corpus; bit_xor is the portable
+    // order-independent content checksum (a modular sum overflows at
+    // corpus scale). The byte fold replays graft_fingerprint.
+    "q260_boilerplate_strip" ->
+      raw"""WITH d AS (SELECT doc_id, lang, coalesce(text, '') AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, lang, text,
+        |    lag(text) OVER (PARTITION BY lang ORDER BY text, doc_id)
+        |      AS prev_text
+        |  FROM d),
+        |m0 AS (SELECT doc_id, lang, text,
+        |    CASE WHEN prev_text IS NULL THEN 0
+        |         ELSE least(64, length(text), length(prev_text)) END AS m,
+        |    prev_text FROM l),
+        |c0 AS (SELECT doc_id, lang, text,
+        |    CASE WHEN m = 0 THEN 0
+        |         ELSE least(m, list_min(list_transform(range(1, m + 1), j ->
+        |           CASE WHEN substring(text, j, 1) = substring(prev_text, j, 1)
+        |                THEN m + 1 ELSE j END)) - 1) END AS lcp
+        |  FROM m0),
+        |st AS (SELECT doc_id, lang, lcp AS lcp_before, lcp >= 20 AS strip,
+        |    CASE WHEN lcp >= 20 THEN substring(text, CAST(lcp + 1 AS INTEGER))
+        |         ELSE text END AS text
+        |  FROM c0),
+        |l2 AS (SELECT *, lag(text) OVER (PARTITION BY lang
+        |    ORDER BY text, doc_id) AS prev_text FROM st),
+        |m2 AS (SELECT *, CASE WHEN prev_text IS NULL THEN 0
+        |    ELSE least(64, length(text), length(prev_text)) END AS m FROM l2),
+        |c2 AS (SELECT lang, lcp_before, strip, text,
+        |    CASE WHEN m = 0 THEN 0
+        |         ELSE least(m, list_min(list_transform(range(1, m + 1), j ->
+        |           CASE WHEN substring(text, j, 1) = substring(prev_text, j, 1)
+        |                THEN m + 1 ELSE j END)) - 1) END AS lcp
+        |  FROM m2)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN lcp_before >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS boiler_before,
+        |  CAST(sum(CASE WHEN strip THEN 1 ELSE 0 END) AS BIGINT) AS docs_stripped,
+        |  CAST(sum(CASE WHEN strip THEN lcp_before ELSE 0 END) AS BIGINT)
+        |    AS chars_removed,
+        |  CAST(sum(CASE WHEN lcp >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS boiler_after,
+        |  CAST(bit_xor(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    $FpByteFold)) AS BIGINT) AS fp_after_xor
+        |FROM c2 GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q254: the oracle replays the scene-cut ground truth arithmetically
     // from doc_id — the per-pixel delta is the SAME for every pixel of a

@@ -542,6 +542,61 @@ object DedupOps {
       .orderBy($"lang")
   }
 
+  /** X229 — prefix-boilerplate strip EXECUTION (q163's apply-twin, the
+    * detection→execution discipline of q144/q189/q245): under each
+    * language's lexicographic sort, every document whose neighbor-LCP
+    * reaches the q163 threshold (20 chars, LCP capped at 64) has that
+    * shared prefix REMOVED — the first document of a boilerplate run has
+    * no qualifying predecessor and keeps the header, exactly how
+    * sorted-neighbor boilerplate removal retains one representative.
+    * The report then RE-RUNS the q163 audit on the stripped corpus, so
+    * the frame carries the proof the execution worked (boiler_after) next
+    * to what it did (docs_stripped, chars_removed) and a content
+    * checksum of the result (bit_xor of the stripped fingerprints —
+    * order-independent and overflow-free at any corpus size, unlike a
+    * modular sum).
+    *
+    * Scale: two |langs|-partitioned window passes (sort + lag + bounded
+    * O(64) LCP each — q163's constants) and one combinable fold; no
+    * self-join, nothing corpus-sized beyond the windows q163 already
+    * pays. */
+  def q260BoilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Fingerprint.register(s)
+    def lcpOverPrev =
+      """CASE WHEN m = 0 THEN 0L ELSE
+        |  least(CAST(m AS BIGINT), CAST(array_min(transform(sequence(1, m),
+        |    j -> IF(substring(text, j, 1) = substring(prev_text, j, 1),
+        |            m + 1, j))) AS BIGINT) - 1L) END""".stripMargin
+    def withLcp(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("lang")).orderBy(col("text"), col("doc_id"))
+      df.withColumn("prev_text", lag($"text", 1).over(w))
+        .withColumn("m", when($"prev_text".isNull, lit(0))
+          .otherwise(least(lit(64), length($"text"), length($"prev_text")))
+          .cast("int"))
+        .withColumn("lcp", expr(lcpOverPrev))
+        .drop("prev_text", "m")
+    }
+    val before = withLcp(docs(s, dir)
+      .select($"doc_id", $"lang", coalesce($"text", lit("")).as("text")))
+    val stripped = before
+      .withColumn("strip", $"lcp" >= 20)
+      .withColumn("text",
+        when($"strip", expr("substring(text, CAST(lcp AS INT) + 1)"))
+          .otherwise($"text"))
+    val after = withLcp(stripped.select($"doc_id", $"lang", $"text",
+      $"strip", $"lcp".as("lcp_before")))
+    after.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"lcp_before" >= 20, 1L).otherwise(0L)).as("boiler_before"),
+        sum(when($"strip", 1L).otherwise(0L)).as("docs_stripped"),
+        sum(when($"strip", $"lcp_before").otherwise(0L)).as("chars_removed"),
+        sum(when($"lcp" >= 20, 1L).otherwise(0L)).as("boiler_after"),
+        expr("bit_xor(graft_fingerprint(text))").as("fp_after_xor"))
+      .orderBy($"lang")
+  }
+
   /** X151 — exact-copy provenance matrix: for every source pair, how many
     * DISTINCT texts (md5) appear in BOTH — the "who copies from whom"
     * complement to X75's trigram-overlap matrix (q117 measures shared

@@ -209,6 +209,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       -308L -> (2L, 2L), -312L -> (3L, 3L)), s"got $got")
   }
 
+  test("q260: boilerplate strip replays and removes what q163 found") {
+    import spark.implicits._
+    def lcp64(a: String, b: String): Long = {
+      val m = math.min(64, math.min(a.length, b.length))
+      var i = 0
+      while (i < m && a(i) == b(i)) i += 1
+      i.toLong
+    }
+    def audit(rows: Seq[(Long, String, String)]): Map[String, Seq[(Long, String, Long)]] =
+      rows.groupBy(_._2).view.mapValues { ds =>
+        val sorted = ds.sortBy(d => (d._3, d._1))
+        sorted.zipWithIndex.map { case ((id, _, t), i) =>
+          (id, t, if (i == 0) 0L else lcp64(t, sorted(i - 1)._3))
+        }
+      }.toMap
+    val base = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+      .map { case (id, l, t) => (id, l, Option(t).getOrElse("")) }.toSeq
+    val beforeA = audit(base)
+    val stripped = beforeA.toSeq.flatMap { case (lang, ds) =>
+      ds.map { case (id, t, l) =>
+        (id, lang, if (l >= 20) t.substring(l.toInt) else t, l, l >= 20)
+      }
+    }
+    val afterA = audit(stripped.map(d => (d._1, d._2, d._3)))
+    val want = afterA.map { case (lang, ds) =>
+      val pre = stripped.filter(_._2 == lang)
+      lang -> (ds.length.toLong,
+        pre.count(_._4 >= 20).toLong,
+        pre.count(_._5).toLong,
+        pre.filter(_._5).map(_._4).sum,
+        ds.count(_._3 >= 20).toLong,
+        pre.map(d => Fingerprint.hashString(d._3)).foldLeft(0L)(_ ^ _))
+    }
+    val got = graft.ops.DedupOps.q260BoilerplateStrip(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == want)
+    // the execution proves itself: stripping never increases the audit
+    got.foreach { case (l, v) => assert(v._5 <= v._2, s"$l grew boilerplate") }
+    assert(got.values.map(_._3).sum > 0L) // something was actually stripped
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

@@ -374,6 +374,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // fold (EWMA is order-dependent) + orderBy
     "q259_special_tokens" -> 1, // plant + three codegen'd regex passes at
                              // scan throughput; only exchange is orderBy
+    "q260_boilerplate_strip" -> 2, // ONE lang partitioning carries both
+                             // sort+lag windows and the strip between
+                             // them; combinable fold + orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
