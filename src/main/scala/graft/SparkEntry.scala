@@ -308,6 +308,7 @@ object SparkEntry {
     "q258_ewma_backtest"  -> EventOps.q258EwmaBacktest _,
     "q259_special_tokens" -> PipelineOps.q259SpecialTokens _,
     "q260_boilerplate_strip" -> DedupOps.q260BoilerplateStrip _,
+    "q261_audio_segments" -> MultimodalOps.q261AudioSegments _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4792,6 +4793,38 @@ object SparkEntry {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    $FpByteFold)) AS BIGINT) AS fp_after_xor
         |FROM c2 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q261: the oracle derives the planted segment structure purely from
+    // doc_id (segment lengths, gap placement, per-sample amplitude with
+    // the pre-reduced id); the Spark leg re-detects it from DECODED WAV
+    // bytes with generic run-length logic — equality gates codec AND
+    // detector at sample exactness.
+    "q261_audio_segments" ->
+      """WITH d AS (SELECT doc_id,
+        |    (doc_id % 4 + 4) % 4 + 2 AS nseg,
+        |    (doc_id % 80 + 80) % 80 AS idm,
+        |    (doc_id % 30 + 30) % 30 AS idr
+        |  FROM documents),
+        |sg AS (SELECT doc_id, nseg, idm, k, 20 + ((idr + 7 * k) % 30) AS lk
+        |  FROM (SELECT *, unnest(generate_series(0, CAST(nseg AS BIGINT) - 1)) AS k
+        |        FROM d)),
+        |st AS (SELECT *, coalesce(sum(lk) OVER (PARTITION BY doc_id ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 16 * k AS s0
+        |  FROM sg),
+        |sm AS (SELECT doc_id, idm,
+        |    unnest(generate_series(CAST(s0 AS BIGINT),
+        |      CAST(s0 + lk - 1 AS BIGINT))) AS i FROM st),
+        |aa AS (SELECT doc_id,
+        |    CAST(sum(20 + (7 * idm + 13 * i) % 80) AS BIGINT) AS amp_sum
+        |  FROM sm GROUP BY doc_id),
+        |gg AS (SELECT doc_id,
+        |    CAST(sum(lk) + 16 * (max(nseg) - 1) AS BIGINT) AS n_samples,
+        |    CAST(max(nseg) AS BIGINT) AS n_segments,
+        |    CAST(sum(lk) AS BIGINT) AS total_active,
+        |    CAST(max(lk) AS BIGINT) AS max_seg_len
+        |  FROM sg GROUP BY doc_id)
+        |SELECT gg.doc_id, n_samples, n_segments, total_active, max_seg_len, amp_sum
+        |FROM gg JOIN aa USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // q254: the oracle replays the scene-cut ground truth arithmetically
     // from doc_id — the per-pixel delta is the SAME for every pixel of a

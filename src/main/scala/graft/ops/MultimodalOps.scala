@@ -458,6 +458,95 @@ object MultimodalOps {
 
   final case class ImageHash(doc_id: Long, hash_hi: Long, hash_lo: Long)
 
+  final case class AudioSegments(doc_id: Long, n_samples: Long,
+      n_segments: Long, total_active: Long, max_seg_len: Long, amp_sum: Long)
+
+  /** X230 — audio silence-split segmentation on the REAL WAV lane (the
+    * audio sibling of q254's scene cuts): each doc id maps to a
+    * deterministic multi-segment 8-bit waveform — n_seg = id%4+2 active
+    * segments of length L_k = 20 + (id+7k mod 30), separated by 16-sample
+    * exact-silence gaps (value 128); active samples alternate sign with
+    * amplitude 20 + (7·id + 13·i mod 80) (id pre-reduced mod 80 before
+    * the multiply — the overflow-safe form), so |s−128| ≥ 20 on every
+    * active sample and the detector's silence rule (a run of ≥ 8 samples
+    * with |s−128| ≤ 2) separates BY CONSTRUCTION: gaps are 16 ≥ 8 silent
+    * samples, active runs contain none. The waveform round-trips through
+    * a real RIFF/WAVE encode→decode (q228's lane) and the detector runs
+    * on the DECODED bytes — generic run-length logic, not a formula
+    * replay — while the DuckDB oracle derives segment count, active
+    * mass, max segment length, and the absolute-amplitude sum purely
+    * arithmetically from doc_id. Equality = the codec round trip AND the
+    * detector agree with the planted structure, sample-exactly.
+    *
+    * Scale: ONE mapPartitions pass, ≤ 5 segments × ≤ 49 samples + 4 gaps
+    * per row, zero shuffles before the presentation orderBy. */
+  def q261AudioSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents").select($"doc_id").as[Long]
+    ids.mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 8, 1, /*signed=*/ false, /*bigEndian=*/ false)
+      it.map { id =>
+        val nSeg = (Math.floorMod(id, 4L) + 2).toInt
+        val segLens = (0 until nSeg).map(k =>
+          (20 + Math.floorMod(Math.floorMod(id, 30L) + 7L * k, 30L)).toInt)
+        val n = segLens.sum + 16 * (nSeg - 1)
+        val pcm = new Array[Byte](n)
+        java.util.Arrays.fill(pcm, 128.toByte)
+        var pos = 0
+        val idm = Math.floorMod(id, 80L)
+        segLens.zipWithIndex.foreach { case (len, k) =>
+          var j = 0
+          while (j < len) {
+            val i = pos + j
+            val amp = 20L + Math.floorMod(7L * idm + 13L * i, 80L)
+            val sign = if (i % 2 == 0) 1L else -1L
+            pcm(i) = (128L + sign * amp).toByte
+            j += 1
+          }
+          pos += len + (if (k < nSeg - 1) 16 else 0)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val (_, bits, back) = AudioCodec.decode(bos.toByteArray)
+          .getOrElse(sys.error(s"real WAV payload failed to decode for doc $id"))
+        if (bits != 8L || back.length != n)
+          sys.error(s"WAV round trip drifted for doc $id")
+        // generic silence-run segmentation over the DECODED samples
+        var i = 0
+        var segStart = -1
+        var nDetected = 0L; var active = 0L; var maxSeg = 0L; var ampSum = 0L
+        var silentRun = 0
+        def closeSeg(end: Int): Unit = if (segStart >= 0) {
+          val len = (end - segStart).toLong
+          nDetected += 1; active += len
+          if (len > maxSeg) maxSeg = len
+          segStart = -1
+        }
+        var lastLoud = -1
+        while (i < n) {
+          val v = (back(i) & 0xff) - 128
+          val silent = math.abs(v) <= 2
+          if (silent) {
+            silentRun += 1
+            if (silentRun == 8 && segStart >= 0) closeSeg(lastLoud + 1)
+          } else {
+            ampSum += math.abs(v)
+            if (segStart < 0) segStart = i
+            lastLoud = i
+            silentRun = 0
+          }
+          i += 1
+        }
+        closeSeg(lastLoud + 1)
+        AudioSegments(id, n.toLong, nDetected, active, maxSeg, ampSum)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
   final case class SceneCuts(doc_id: Long, n_frames: Long, n_cuts: Long,
       cut_mask: Long, max_delta_energy: Long)
 

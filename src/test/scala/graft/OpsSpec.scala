@@ -252,6 +252,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.map(_._3).sum > 0L) // something was actually stripped
   }
 
+  test("q261: silence-split segmentation recovers the planted structure") {
+    val got = graft.ops.MultimodalOps.q261AudioSegments(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, (n, nSeg, active, maxSeg, ampSum)) =>
+      val wantSeg = Math.floorMod(id, 4L) + 2
+      val lens = (0 until wantSeg.toInt).map(k =>
+        20L + Math.floorMod(Math.floorMod(id, 30L) + 7L * k, 30L))
+      assert(nSeg == wantSeg, s"doc $id segments")
+      assert(active == lens.sum && maxSeg == lens.max, s"doc $id lengths")
+      assert(n == lens.sum + 16 * (wantSeg - 1), s"doc $id samples")
+      // amplitude mass replay with the pre-reduced id
+      val idm = Math.floorMod(id, 80L)
+      var pos = 0L; var want = 0L
+      lens.foreach { len =>
+        (0L until len).foreach(j => want += 20L + Math.floorMod(7L * idm + 13L * (pos + j), 80L))
+        pos += len + 16
+      }
+      assert(ampSum == want, s"doc $id amplitude")
+    }
+    assert(got.map(_._2._2).distinct.sorted.toSeq == Seq(2L, 3L, 4L, 5L))
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

@@ -377,6 +377,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q260_boilerplate_strip" -> 2, // ONE lang partitioning carries both
                              // sort+lag windows and the strip between
                              // them; combinable fold + orderBy
+    "q261_audio_segments" -> 1, // encode/decode/segment is one
+                             // mapPartitions pass; only the orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
