@@ -566,6 +566,70 @@ object EventStream {
       }
   }
 
+  final case class EwmaState(pending: Map[Long, Long], s: Long, c: Long,
+      eE: Long, eN: Long, seen: Long, total: Long)
+
+  final case class EwmaUpdate(event_type: String, n_days: Long,
+      total_events: Long, ewma_abs_err_milli: Long, naive_abs_err_milli: Long,
+      skill_ppm: Long)
+
+  /** Streaming EWMA forecast/anomaly feed — q258's real-stream twin
+    * (X227): per event type, the daily-count EWMA backtest maintained
+    * incrementally. A day FINALIZES into the smoother once a later day
+    * arrives for that type (the per-type event-time frontier); days still
+    * at the frontier fold provisionally into each emitted row, so every
+    * Update-mode emission is the exact q258 row over the data seen so far
+    * and the final emission equals the oracle-gated q258 frame
+    * (StreamingSpec pins it). The EWMA recurrence is the identical
+    * integer-milli arithmetic — sequential BY DESIGN, which is exactly
+    * why the day-finalization order must be deterministic (day order,
+    * guaranteed by the frontier rule regardless of micro-batch splits).
+    *
+    * Scale: keyed by event_type, so state partitions across executors
+    * (no global consistency point — unlike [[latenessAudit]]'s frontier,
+    * the smoother is per-type by definition); state is the 6-long EWMA
+    * tuple plus the pending day map, bounded by the watermark horizon. */
+  def ewmaFeed(events: Dataset[Event],
+      watermarkDelay: String = "2 hours"): Dataset[EwmaUpdate] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (t, rows, state: GroupState[EwmaState]) =>
+          val st0 = state.getOption.getOrElse(
+            EwmaState(Map.empty, 0L, 0L, 0L, 0L, 0L, 0L))
+          var pending = st0.pending
+          var total = st0.total
+          rows.foreach { e =>
+            val d = micros(e.ts) / 86400000000L
+            pending = pending.updated(d, pending.getOrElse(d, 0L) + 1L)
+            total += 1L
+          }
+          // q258's fold step, shared by finalization and provisional view
+          def step(acc: (Long, Long, Long, Long, Long), cnt: Long) = {
+            val (s, c, eE, eN, seen) = acc
+            if (seen == 0L) (cnt * 1000L, cnt, 0L, 0L, 1L)
+            else ((300L * cnt * 1000L + 700L * s) / 1000L, cnt,
+              eE + math.abs(cnt * 1000L - s),
+              eN + math.abs(cnt - c) * 1000L, seen + 1L)
+          }
+          val frontier =
+            if (pending.isEmpty) Long.MinValue else pending.keys.max
+          val (fin, keep) = pending.partition(_._1 < frontier)
+          val folded = fin.toSeq.sortBy(_._1).map(_._2)
+            .foldLeft((st0.s, st0.c, st0.eE, st0.eN, st0.seen))(step)
+          state.update(EwmaState(keep, folded._1, folded._2, folded._3,
+            folded._4, folded._5, total))
+          val prov = keep.toSeq.sortBy(_._1).map(_._2).foldLeft(folded)(step)
+          Iterator.single(EwmaUpdate(t, prov._5, total, prov._3, prov._4,
+            if (prov._4 == 0L) -1L else prov._3 * 1000000L / prov._4))
+      }
+  }
+
   def blocklistGate(docs: DataFrame, blocklist: DataFrame): DataFrame = {
     val blocked: Array[String] = blocklist
       .select(col("domain").cast("string")).collect().map(_.getString(0))

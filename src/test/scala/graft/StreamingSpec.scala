@@ -552,6 +552,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamedFinal == want)
     assert(batch.values.exists(_._2 > 0L)) // lateness actually occurs
   }
+
+  test("ewmaFeed through a real stream equals the ORACLE-GATED q258 frame") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val mem = MemoryStream[Event]
+    val q = EventStream.ewmaFeed(mem.toDS())
+      .writeStream.format("memory").queryName("ewmafeed")
+      .outputMode(OutputMode.Update).start()
+    events.grouped(events.length / 6 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val updates = spark.table("ewmafeed").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val batch = SparkEntry.queries("q258_ewma_backtest")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // genuinely incremental: several provisional refreshes per type
+    assert(updates.length > batch.size)
+    // the final (full-count) refresh per type equals the oracle-gated frame
+    val streamedFinal = updates.groupBy(_._1).map { case (t, us) =>
+      val f = us.maxBy(_._3)
+      t -> (f._2, f._3, f._4, f._5, f._6)
+    }
+    assert(streamedFinal == batch)
+  }
 }
 
 object StreamingSpec {
