@@ -309,6 +309,7 @@ object SparkEntry {
     "q259_special_tokens" -> PipelineOps.q259SpecialTokens _,
     "q260_boilerplate_strip" -> DedupOps.q260BoilerplateStrip _,
     "q261_audio_segments" -> MultimodalOps.q261AudioSegments _,
+    "q262_fk_discovery"   -> SchemaOps.q262FkDiscovery _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4825,6 +4826,23 @@ object SparkEntry {
         |  FROM sg GROUP BY doc_id)
         |SELECT gg.doc_id, n_samples, n_segments, total_active, max_seg_len, amp_sum
         |FROM gg JOIN aa USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q262: the tagged distinct incidence is generated from the SAME
+    // column catalog (SchemaOps.FkColumns) the Spark leg uses.
+    "q262_fk_discovery" ->
+      s"""WITH inc AS (${graft.operators.SchemaOps.FkColumns.map { case (t, c) =>
+             s"SELECT '$t.$c' AS col_id, CAST($c AS BIGINT) AS v FROM $t WHERE $c IS NOT NULL GROUP BY 2"
+           }.mkString("\n        |  UNION ALL ")}),
+        |sz AS (SELECT col_id, CAST(count(*) AS BIGINT) AS na
+        |  FROM inc GROUP BY col_id),
+        |pr AS (SELECT a.col_id AS col_a, b.col_id AS col_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM inc a JOIN inc b ON a.v = b.v AND a.col_id <> b.col_id
+        |  GROUP BY 1, 2)
+        |SELECT col_a, col_b, na, inter, inter * 1000000 // na AS inclusion_ppm
+        |FROM pr JOIN sz ON sz.col_id = pr.col_a
+        |WHERE inter * 1000000 // na >= 950000
+        |ORDER BY col_a, col_b""".stripMargin,
 
     // q254: the oracle replays the scene-cut ground truth arithmetically
     // from doc_id — the per-pixel delta is the SAME for every pixel of a

@@ -180,6 +180,75 @@ object SchemaOps {
       .orderBy($"table_name")
   }
 
+  /** The q262 candidate-column catalog, shared with the oracle (which
+    * interpolates it into its per-column UNION) and the spec. Every
+    * integer-keyed column of the test schema. */
+  private[graft] val FkColumns: Seq[(String, String)] = Seq(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "nation" -> "n_regionkey", "customer" -> "c_custkey",
+    "customer" -> "c_nationkey", "supplier" -> "s_suppkey",
+    "supplier" -> "s_nationkey", "part" -> "p_partkey",
+    "orders" -> "o_orderkey", "orders" -> "o_custkey",
+    "lineitem" -> "l_orderkey", "lineitem" -> "l_partkey",
+    "lineitem" -> "l_suppkey", "events" -> "user_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** X231 — foreign-key discovery via inclusion dependencies (the
+    * SPIDER-family profiling step a migration engine runs when the source
+    * schema ships without declared constraints — the reference migrates
+    * FKs it is TOLD about; this infers the candidates): for every ordered
+    * cross-column pair (A, B) over the integer-key catalog, the inclusion
+    * coefficient |distinct(A) ∩ distinct(B)| / |distinct(A)| in ppm;
+    * pairs at ≥ 950000 ppm are FK candidates. Coincidental full
+    * inclusions (a 0..4 region-key range inside a 0..24 nation-key range)
+    * are genuine inclusion dependencies and are REPORTED as such — the
+    * spec asserts the seven true TPC-H-style FKs are all present, not
+    * that nothing else is.
+    *
+    * Scale: SPIDER's bitmap refinement, all-integer and codegen'd end to
+    * end — every table contributes its key columns from one stacked scan
+    * tagged with a COLUMN-BIT literal; the only corpus-sized work is a
+    * `bit_or` per value (a long-typed hash aggregate, map-side partial);
+    * the distinct column-MASK histogram is at most 2^|catalog| rows and
+    * in practice dozens, and every pair intersection AND per-column
+    * distinct count is a sum over that tiny frame (diagonal included).
+    * The obvious shapes paid real money at sf0.1 — a value-keyed
+    * incidence self-join 7.2 s, collect_set of column ids 4.4 s (object
+    * accumulators off the codegen path); the bitmap form runs 2.3 s,
+    * almost all of it the scans and the one value-keyed shuffle. */
+  def q262FkDiscovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = FkColumns.size
+    val bitOf = FkColumns.zipWithIndex
+      .map { case ((t, c), i) => s"$t.$c" -> i }.toMap
+    val rows = FkColumns.groupBy(_._1).toSeq.map { case (tbl, cols) =>
+      val stack = cols.map { case (_, c) =>
+        s"${1L << bitOf(s"$tbl.$c")}L, CAST($c AS BIGINT)"
+      }.mkString(s"stack(${cols.size}, ", ", ", ") AS (cb, v)")
+      graft.sources.Tables.load(s, dir, tbl).selectExpr(stack)
+        .filter($"v".isNotNull)
+    }.reduce(_ unionByName _)
+    val maskHist = rows.groupBy($"v").agg(expr("bit_or(cb)").as("mask"))
+      .groupBy($"mask").agg(count(lit(1)).as("cnt"))
+    val names = array(FkColumns.map { case (t, c) => lit(s"$t.$c") }: _*)
+    val pairCounts = maskHist
+      .select($"cnt", explode(expr(
+        s"""flatten(transform(filter(sequence(0, ${n - 1}), i -> ((mask >> i) & 1) = 1),
+           |  i -> transform(filter(sequence(0, ${n - 1}), j -> ((mask >> j) & 1) = 1),
+           |    j -> named_struct('i', i, 'j', j))))""".stripMargin)).as("p"))
+      .groupBy($"p.i".as("i"), $"p.j".as("j"))
+      .agg(sum($"cnt").as("inter"))
+    val sizes = pairCounts.filter($"i" === $"j").select($"i", $"inter".as("na"))
+    pairCounts.filter($"i" =!= $"j")
+      .join(sizes, Seq("i"))
+      .withColumn("inclusion_ppm", expr("inter * 1000000 div na"))
+      .filter($"inclusion_ppm" >= 950000)
+      .select(element_at(names, $"i" + 1).as("col_a"),
+        element_at(names, $"j" + 1).as("col_b"),
+        $"na", $"inter", $"inclusion_ppm")
+      .orderBy($"col_a", $"col_b")
+  }
+
   def q147JoinSizeAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def t(n: String) = graft.sources.Tables.load(s, dir, n)

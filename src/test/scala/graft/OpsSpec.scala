@@ -276,6 +276,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2._2).distinct.sorted.toSeq == Seq(2L, 3L, 4L, 5L))
   }
 
+  test("q262: every true FK surfaces as a full inclusion dependency") {
+    val got = graft.operators.SchemaOps.q262FkDiscovery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    val trueFks = Seq(
+      "lineitem.l_orderkey" -> "orders.o_orderkey",
+      "lineitem.l_partkey" -> "part.p_partkey",
+      "lineitem.l_suppkey" -> "supplier.s_suppkey",
+      "orders.o_custkey" -> "customer.c_custkey",
+      "customer.c_nationkey" -> "nation.n_nationkey",
+      "supplier.s_nationkey" -> "nation.n_nationkey",
+      "nation.n_regionkey" -> "region.r_regionkey")
+    trueFks.foreach { fk =>
+      assert(got.get(fk).contains(1000000L), s"missing/partial true FK $fk")
+    }
+    // candidates are a superset: coincidental dense-range inclusions are
+    // reported, never silently dropped
+    assert(got.size >= trueFks.size)
+    // and the coefficient really is directional arithmetic, not set
+    // symmetry: at least one reported pair is partial (< 1e6 ppm)
+    assert(got.values.exists(v => v >= 950000L && v < 1000000L))
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

@@ -379,6 +379,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // them; combinable fold + orderBy
     "q261_audio_segments" -> 1, // encode/decode/segment is one
                              // mapPartitions pass; only the orderBy
+    "q262_fk_discovery" -> 8, // stacked scans into ONE value-keyed bit_or
+                             // shuffle; mask histogram, pair agg, and the
+                             // diagonal join are all mask-frame-sized
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
