@@ -310,6 +310,7 @@ object SparkEntry {
     "q260_boilerplate_strip" -> DedupOps.q260BoilerplateStrip _,
     "q261_audio_segments" -> MultimodalOps.q261AudioSegments _,
     "q262_fk_discovery"   -> SchemaOps.q262FkDiscovery _,
+    "q263_key_candidates" -> SchemaOps.q263KeyCandidates _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4826,6 +4827,23 @@ object SparkEntry {
         |  FROM sg GROUP BY doc_id)
         |SELECT gg.doc_id, n_samples, n_segments, total_active, max_seg_len, amp_sum
         |FROM gg JOIN aa USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q263: per-column (value, multiplicity) rollup from the same catalog.
+    "q263_key_candidates" ->
+      s"""WITH inc AS (${graft.operators.SchemaOps.FkColumns.map { case (t, c) =>
+             s"SELECT '$t.$c' AS col_id, CAST($c AS BIGINT) AS v FROM $t WHERE $c IS NOT NULL"
+           }.mkString("\n        |  UNION ALL ")}),
+        |g AS (SELECT col_id, v, CAST(count(*) AS BIGINT) AS m
+        |  FROM inc GROUP BY 1, 2)
+        |SELECT col_id, CAST(sum(m) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) AS BIGINT) * 1000000 // CAST(sum(m) AS BIGINT)
+        |    AS uniqueness_ppm,
+        |  CAST(max(m) AS BIGINT) AS max_dup,
+        |  CAST(CASE WHEN CAST(count(*) AS BIGINT) * 1000000
+        |      // CAST(sum(m) AS BIGINT) = 1000000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_pk_candidate
+        |FROM g GROUP BY col_id ORDER BY col_id""".stripMargin,
 
     // q262: the tagged distinct incidence is generated from the SAME
     // column catalog (SchemaOps.FkColumns) the Spark leg uses.

@@ -249,6 +249,38 @@ object SchemaOps {
       .orderBy($"col_a", $"col_b")
   }
 
+  /** X232 — primary-key-candidate uniqueness audit, q262's other half:
+    * FK discovery needs to know which columns are KEYS in the first
+    * place. For every catalog column: non-null row count, exact distinct
+    * count, uniqueness in ppm, the hottest value's multiplicity (the
+    * max_dup a join planner fears), and the PK-candidate verdict
+    * (uniqueness = 1e6). Together with q262 this is the
+    * constraint-discovery pass an undeclared-schema migration starts
+    * from.
+    *
+    * Scale: the same stacked one-scan-per-table tagging as q262; the
+    * (col, value) count is one hash aggregate (map-side partial) and the
+    * per-column rollup is catalog-sized. */
+  def q263KeyCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = FkColumns.groupBy(_._1).toSeq.map { case (tbl, cols) =>
+      val stack = cols.map { case (_, c) => s"'$tbl.$c', CAST($c AS BIGINT)" }
+        .mkString(s"stack(${cols.size}, ", ", ", ") AS (col_id, v)")
+      graft.sources.Tables.load(s, dir, tbl).selectExpr(stack)
+        .filter($"v".isNotNull)
+    }.reduce(_ unionByName _)
+    rows.groupBy($"col_id", $"v").agg(count(lit(1)).as("m"))
+      .groupBy($"col_id")
+      .agg(sum($"m").as("n_rows"), count(lit(1)).as("n_distinct"),
+        max($"m").as("max_dup"))
+      .withColumn("uniqueness_ppm", expr("n_distinct * 1000000 div n_rows"))
+      .withColumn("is_pk_candidate",
+        when($"uniqueness_ppm" === 1000000L, 1L).otherwise(0L))
+      .select($"col_id", $"n_rows", $"n_distinct", $"uniqueness_ppm",
+        $"max_dup", $"is_pk_candidate")
+      .orderBy($"col_id")
+  }
+
   def q147JoinSizeAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def t(n: String) = graft.sources.Tables.load(s, dir, n)

@@ -298,6 +298,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(v => v >= 950000L && v < 1000000L))
   }
 
+  test("q263: exactly the true primary keys flag as candidates") {
+    val got = graft.operators.SchemaOps.q263KeyCandidates(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val pks = got.collect { case (c, v) if v._5 == 1L => c }.toSet
+    // every true PK flags; extra candidates are allowed ONLY when the
+    // column really is unique in this sample (s_nationkey at sf0.001:
+    // 10 suppliers in 10 distinct nations — the audit reports the data,
+    // and the uniqueness-consistency loop below proves any extra is real)
+    assert(pks.subsetOf(got.keySet))
+    Set("region.r_regionkey", "nation.n_nationkey",
+      "customer.c_custkey", "supplier.s_suppkey", "part.p_partkey",
+      "orders.o_orderkey", "documents.doc_id", "embeddings.vec_id")
+      .foreach(t => assert(pks(t), s"true PK $t not flagged"))
+    got.foreach { case (c, (rows, distinct, ppm, maxDup, pk)) =>
+      assert(ppm == distinct * 1000000L / rows, c)
+      assert((pk == 1L) == (distinct == rows && maxDup == 1L), c)
+    }
+    // composes with q262: every true-FK TARGET is a PK candidate
+    Seq("orders.o_orderkey", "part.p_partkey", "supplier.s_suppkey",
+      "customer.c_custkey", "nation.n_nationkey", "region.r_regionkey")
+      .foreach(t => assert(pks(t), s"FK target $t not a key"))
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

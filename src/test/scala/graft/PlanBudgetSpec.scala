@@ -382,6 +382,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q262_fk_discovery" -> 8, // stacked scans into ONE value-keyed bit_or
                              // shuffle; mask histogram, pair agg, and the
                              // diagonal join are all mask-frame-sized
+    "q263_key_candidates" -> 3, // stacked scans into one (col,v) count
+                             // agg; catalog-sized rollup + orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
