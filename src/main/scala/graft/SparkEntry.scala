@@ -311,6 +311,7 @@ object SparkEntry {
     "q261_audio_segments" -> MultimodalOps.q261AudioSegments _,
     "q262_fk_discovery"   -> SchemaOps.q262FkDiscovery _,
     "q263_key_candidates" -> SchemaOps.q263KeyCandidates _,
+    "q264_script_mix"     -> TextOps.q264ScriptMix _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4827,6 +4828,33 @@ object SparkEntry {
         |  FROM sg GROUP BY doc_id)
         |SELECT gg.doc_id, n_samples, n_segments, total_active, max_seg_len, amp_sum
         |FROM gg JOIN aa USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q264: the script classes interpolate RAW from TextOps (DuckDB
+    // strings do not process backslashes; the Spark leg re-escapes via
+    // scriptSparkLit — one definition). \x{...} parses in RE2 and Java.
+    "q264_script_mix" ->
+      raw"""WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
+        |  UNION ALL SELECT doc_id, text FROM (VALUES ${graft.ops.TextOps.ScriptPlant
+                 .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+                 .mkString(",\n        |    ")}) v(doc_id, text))
+        |SELECT doc_id,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '${graft.ops.TextOps.LatinClass}', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '${graft.ops.TextOps.GreekClass}', '', 'g')) AS BIGINT) AS n_greek,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '${graft.ops.TextOps.CyrillicClass}', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '${graft.ops.TextOps.CjkClass}', '', 'g')) AS BIGINT) AS n_cjk,
+        |  CAST(len(list_filter(string_split(t, ' '), w ->
+        |    regexp_matches(w, '${graft.ops.TextOps.LatinClass}')
+        |    AND regexp_matches(w, '${graft.ops.TextOps.ConfusableClass}')))
+        |    AS BIGINT) AS n_spoof_words,
+        |  CAST(CASE WHEN len(list_filter(string_split(t, ' '), w ->
+        |      regexp_matches(w, '${graft.ops.TextOps.LatinClass}')
+        |      AND regexp_matches(w, '${graft.ops.TextOps.ConfusableClass}'))) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS has_spoof
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     // q263: per-column (value, multiplicity) rollup from the same catalog.
     "q263_key_candidates" ->

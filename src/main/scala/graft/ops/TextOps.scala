@@ -621,6 +621,65 @@ object TextOps {
     " ¢߿ࠀ�",
     " 𐀀𝕏 end")
 
+  /** q264 script ranges, ONE definition re-escaped per engine (q259's
+    * discipline): `\x{...}` classes parse in both Java regex and RE2, but
+    * Spark SQL string literals process backslashes while DuckDB's do
+    * not — [[scriptSparkLit]] doubles them for the Spark leg. */
+  private[graft] val LatinClass = """[A-Za-z]"""
+  private[graft] val GreekClass = """[\x{0370}-\x{03FF}]"""
+  private[graft] val CyrillicClass = """[\x{0400}-\x{04FF}]"""
+  private[graft] val CjkClass = """[\x{4E00}-\x{9FFF}]"""
+  private[graft] val ConfusableClass = """[\x{0370}-\x{03FF}\x{0400}-\x{04FF}]"""
+  private[graft] def scriptSparkLit(p: String): String = p.replace("\\", "\\\\")
+
+  /** q264 planted ground truth (disjoint negative-id range): a pure-Latin
+    * control, a Cyrillic-а homoglyph spoof of a Latin word, legitimate
+    * single-script Cyrillic and CJK documents (must NOT flag), a Greek-ρ
+    * homoglyph, and a multilingual doc whose scripts mix only ACROSS
+    * words (normal, must NOT flag). */
+  private[graft] val ScriptPlant: Seq[(Long, String)] = Seq(
+    -501L -> "paypal account login today",
+    -502L -> "p\u0430ypal account login today",
+    -503L -> "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u0442\u0435\u043a\u0441\u0442",
+    -504L -> "\u03c1aypal verification notice",
+    -505L -> "\u4e2d\u6587\u6587\u672c\u6d4b\u8bd5 \u5185\u5bb9",
+    -506L -> "hello \u043f\u0440\u0438\u0432\u0435\u0442 bonjour \u4e16\u754c")
+
+  /** X233 — script-mix / homoglyph-spoof audit: confusable-script
+    * substitution (a Cyrillic а or Greek ρ inside a Latin word) is the
+    * classic phishing/spoofing obfuscation AND a dedup evader — byte-keyed
+    * stages see a brand-new document. Per document: codepoint counts by
+    * script class (Latin/Greek/Cyrillic/CJK, each a codegen'd
+    * length-difference over a single-codepoint regex class — no per-char
+    * HOF), the count of WORDS mixing Latin with a confusable script (the
+    * spoof signal — scripts mixing across words is just multilingual
+    * text and does not flag), and the verdict. Composes with q256: NFC
+    * normalizes encodings of the SAME codepoints; this catches different
+    * codepoints that merely LOOK alike.
+    *
+    * Scale: narrow codegen'd regex passes plus one word-level HOF (words,
+    * not chars) at scan throughput; zero shuffles before orderBy. */
+  def q264ScriptMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def scriptCount(cls: String) =
+      s"length(t) - length(regexp_replace(t, '${scriptSparkLit(cls)}', ''))"
+    val spoofWords =
+      s"""size(filter(split(t, ' '), w ->
+         |  w rlike '${scriptSparkLit(LatinClass)}'
+         |  AND w rlike '${scriptSparkLit(ConfusableClass)}'))""".stripMargin
+    docs(s, dir).select($"doc_id", $"text")
+      .unionByName(ScriptPlant.toDF("doc_id", "text"))
+      .withColumn("t", coalesce($"text", lit("")))
+      .select($"doc_id",
+        expr(scriptCount(LatinClass)).cast("long").as("n_latin"),
+        expr(scriptCount(GreekClass)).cast("long").as("n_greek"),
+        expr(scriptCount(CyrillicClass)).cast("long").as("n_cyrillic"),
+        expr(scriptCount(CjkClass)).cast("long").as("n_cjk"),
+        expr(spoofWords).cast("long").as("n_spoof_words"))
+      .withColumn("has_spoof", when($"n_spoof_words" > 0, 1L).otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
   /** X223 — Unicode fingerprint gate: non-ASCII text (accents, Greek, CJK,
     * astral-plane emoji incl. a ZWJ sequence, and every UTF-8 encoder range
     * boundary) planted per document from doc_id, then pushed through the

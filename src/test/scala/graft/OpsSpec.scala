@@ -322,6 +322,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(t => assert(pks(t), s"FK target $t not a key"))
   }
 
+  test("q264: homoglyph spoofs flag; single-script and cross-word mixing do not") {
+    import graft.ops.TextOps
+    val got = TextOps.q264ScriptMix(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // plants: spoofed words flag (exactly one each), everything else silent
+    assert(got(-501L)._6 == 0L)
+    assert(got(-502L)._5 == 1L && got(-502L)._6 == 1L) // Cyrillic а in a Latin word
+    assert(got(-503L)._6 == 0L && got(-503L)._3 > 0L)  // legit Cyrillic text
+    assert(got(-504L)._5 == 1L && got(-504L)._6 == 1L) // Greek ρ in a Latin word
+    assert(got(-505L)._6 == 0L && got(-505L)._4 > 0L)  // legit CJK text
+    assert(got(-506L)._6 == 0L && got(-506L)._1 > 0L && got(-506L)._3 > 0L) // cross-word mix
+    // script counts replay in pure Scala over the plants
+    TextOps.ScriptPlant.foreach { case (id, t) =>
+      def cnt(lo: Int, hi: Int) =
+        t.codePoints().filter(p => p >= lo && p <= hi).count()
+      val (la, gr, cy, cj, _, _) = got(id)
+      assert(la == t.codePoints().filter(p =>
+        (p >= 'A' && p <= 'Z') || (p >= 'a' && p <= 'z')).count(), s"latin $id")
+      assert(gr == cnt(0x370, 0x3FF), s"greek $id")
+      assert(cy == cnt(0x400, 0x4FF), s"cyrillic $id")
+      assert(cj == cnt(0x4E00, 0x9FFF), s"cjk $id")
+    }
+    // the ASCII corpus itself carries no spoofs and no non-Latin scripts
+    val real = got.filter(_._1 >= 0L)
+    assert(real.nonEmpty && real.values.forall(v =>
+      v._6 == 0L && v._2 == 0L && v._3 == 0L && v._4 == 0L))
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

@@ -384,6 +384,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // diagonal join are all mask-frame-sized
     "q263_key_candidates" -> 3, // stacked scans into one (col,v) count
                              // agg; catalog-sized rollup + orderBy
+    "q264_script_mix"   -> 1, // codegen'd regex class counts + one
+                             // word-level HOF at scan throughput;
+                             // only exchange is the orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
