@@ -312,6 +312,7 @@ object SparkEntry {
     "q262_fk_discovery"   -> SchemaOps.q262FkDiscovery _,
     "q263_key_candidates" -> SchemaOps.q263KeyCandidates _,
     "q264_script_mix"     -> TextOps.q264ScriptMix _,
+    "q265_skeleton_dedup" -> TextOps.q265SkeletonDedup _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4828,6 +4829,33 @@ object SparkEntry {
         |  FROM sg GROUP BY doc_id)
         |SELECT gg.doc_id, n_samples, n_segments, total_active, max_seg_len, amp_sum
         |FROM gg JOIN aa USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q265: the confusable map and the plant interpolate verbatim from
+    // TextOps; DuckDB's translate maps per codepoint like Spark's (all
+    // map entries are BMP), and nfc_normalize runs first on both legs.
+    "q265_skeleton_dedup" ->
+      raw"""WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
+        |  UNION ALL SELECT doc_id, coalesce(text, '') FROM (VALUES ${graft.ops.TextOps.ScriptPlant
+                 .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+                 .mkString(",\n        |    ")}) v(doc_id, text)),
+        |n AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(nfc_normalize(t), ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp_nfc,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(translate(nfc_normalize(t),
+        |        '${graft.ops.TextOps.ConfusablesFrom}',
+        |        '${graft.ops.TextOps.ConfusablesTo}'), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp_skeleton
+        |  FROM base)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT fp_nfc) AS BIGINT) AS n_nfc_variants,
+        |  fp_skeleton
+        |FROM n GROUP BY fp_skeleton
+        |HAVING count(*) >= 2 AND count(DISTINCT fp_nfc) >= 2
+        |ORDER BY min_doc_id""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

@@ -636,14 +636,62 @@ object TextOps {
     * control, a Cyrillic-а homoglyph spoof of a Latin word, legitimate
     * single-script Cyrillic and CJK documents (must NOT flag), a Greek-ρ
     * homoglyph, and a multilingual doc whose scripts mix only ACROSS
-    * words (normal, must NOT flag). */
+    * words (normal, must NOT flag); -507 is -504's pure-Latin twin so
+    * q265's skeleton fold has a planted collision for BOTH confusable
+    * scripts (-501 pairs with -502 the same way). */
   private[graft] val ScriptPlant: Seq[(Long, String)] = Seq(
     -501L -> "paypal account login today",
     -502L -> "p\u0430ypal account login today",
     -503L -> "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u0442\u0435\u043a\u0441\u0442",
     -504L -> "\u03c1aypal verification notice",
+    -507L -> "paypal verification notice",
     -505L -> "\u4e2d\u6587\u6587\u672c\u6d4b\u8bd5 \u5185\u5bb9",
     -506L -> "hello \u043f\u0440\u0438\u0432\u0435\u0442 bonjour \u4e16\u754c")
+
+  /** q265's confusable→Latin skeleton map (a practical subset of the
+    * UTS #39 confusables table: the Cyrillic and Greek letters that are
+    * pixel-identical or near-identical to Latin in common fonts — NOT the
+    * full table, which maps thousands of codepoints; the subset is the
+    * curated-policy shape a real pipeline ships, and extending it is a
+    * data change, not a code change). All BMP codepoints, so per-char
+    * translate() maps identically in Spark and DuckDB. */
+  private[graft] val ConfusablesFrom =
+    "\u0430\u0435\u043e\u0440\u0441\u0445\u0443\u0456\u0455\u0458" + // lowercase Cyrillic
+    "\u0410\u0412\u0415\u041a\u041c\u041d\u041e\u0420\u0421\u0422\u0425" + // uppercase Cyrillic
+    "\u03bf\u03b1\u03c1\u03bd\u03c5\u03b9\u03ba" // Greek
+  private[graft] val ConfusablesTo = "aeopcxyisj" + "ABEKMHOPCTX" + "oapvuik"
+
+  /** X234 — confusable-skeleton dedup (q264's EXECUTION twin, the
+    * detection→execution discipline): map each document through
+    * NFC + the confusable→Latin skeleton and re-fingerprint — the
+    * UTS #39 "skeleton" recipe that makes homoglyph-masked duplicates
+    * collide. Reported clusters are skeleton-equal groups still DISTINCT
+    * after NFC alone (n_nfc_variants ≥ 2), so the output isolates
+    * exactly the mass only confusable folding recovers — q256 catches
+    * same-codepoint encodings, this catches look-alike codepoints.
+    * The q264 plant supplies ground truth: the Cyrillic and Greek
+    * spoofed documents each collide with their pure-Latin twins.
+    *
+    * Scale: one narrow normalize+translate+fingerprint pass at scan
+    * throughput, one hash aggregation on the skeleton fingerprint. */
+  def q265SkeletonDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    graft.functions.NfcNormalize.register(s)
+    val sk = s"translate(graft_nfc(coalesce(text, ''))," +
+      s" '$ConfusablesFrom', '$ConfusablesTo')"
+    docs(s, dir).select($"doc_id", $"text")
+      .unionByName(ScriptPlant.toDF("doc_id", "text"))
+      .select($"doc_id",
+        expr("graft_fingerprint(graft_nfc(coalesce(text, '')))").as("fp_nfc"),
+        expr(s"graft_fingerprint($sk)").as("fp_skeleton"))
+      .groupBy($"fp_skeleton")
+      .agg(min($"doc_id").as("min_doc_id"), count(lit(1)).as("n_docs"),
+        countDistinct($"fp_nfc").as("n_nfc_variants"))
+      .filter($"n_docs" >= 2 && $"n_nfc_variants" >= 2)
+      .select($"min_doc_id", $"n_docs", $"n_nfc_variants", $"fp_skeleton")
+      .orderBy($"min_doc_id")
+  }
 
   /** X233 — script-mix / homoglyph-spoof audit: confusable-script
     * substitution (a Cyrillic а or Greek ρ inside a Latin word) is the

@@ -351,6 +351,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       v._6 == 0L && v._2 == 0L && v._3 == 0L && v._4 == 0L))
   }
 
+  test("q265: skeleton folding collides exactly the homoglyph-masked twins") {
+    import graft.ops.TextOps
+    // the map is a bijection-shaped table: equal lengths, Latin targets
+    assert(TextOps.ConfusablesFrom.length == TextOps.ConfusablesTo.length)
+    assert(TextOps.ConfusablesTo.forall(_ < 128))
+    assert(TextOps.ConfusablesFrom.forall(_ >= 128))
+    def skeleton(t: String): String = {
+      val nfc = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+      nfc.map { c =>
+        val i = TextOps.ConfusablesFrom.indexOf(c)
+        if (i >= 0) TextOps.ConfusablesTo(i) else c
+      }
+    }
+    val plant = TextOps.ScriptPlant.toMap
+    // the spoofed docs really skeleton-collide with their Latin twins
+    assert(skeleton(plant(-502L)) == plant(-501L))
+    assert(skeleton(plant(-504L)) == plant(-507L))
+    val got = TextOps.q265SkeletonDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(-502L -> (2L, 2L), -507L -> (2L, 2L)), s"got $got")
+    // and the collisions are invisible to NFC alone (q256's rung): the
+    // two legs differ per pair, which is exactly n_nfc_variants = 2
+    assert(plant(-502L) != plant(-501L) && plant(-504L) != plant(-507L))
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

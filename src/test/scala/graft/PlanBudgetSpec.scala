@@ -387,6 +387,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q264_script_mix"   -> 1, // codegen'd regex class counts + one
                              // word-level HOF at scan throughput;
                              // only exchange is the orderBy
+    "q265_skeleton_dedup" -> 3, // narrow nfc+translate+fingerprint pass;
+                             // skeleton-fp hash agg (2-phase) + orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
