@@ -313,6 +313,7 @@ object SparkEntry {
     "q263_key_candidates" -> SchemaOps.q263KeyCandidates _,
     "q264_script_mix"     -> TextOps.q264ScriptMix _,
     "q265_skeleton_dedup" -> TextOps.q265SkeletonDedup _,
+    "q266_markup_strip"   -> TextOps.q266MarkupStrip _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4856,6 +4857,44 @@ object SparkEntry {
         |FROM n GROUP BY fp_skeleton
         |HAVING count(*) >= 2 AND count(DISTINCT fp_nfc) >= 2
         |ORDER BY min_doc_id""".stripMargin,
+
+    // q266: the wrapper pieces and entity table interpolate verbatim from
+    // TextOps.MarkupWrap/EntityMap (no piece contains a single quote);
+    // the strip chain is identical — DuckDB regexp_replace needs the 'g'
+    // flag Spark applies by default, and the entity decode is plain
+    // (non-regex) replace on both engines, `&amp;` last.
+    "q266_markup_strip" ->
+      raw"""WITH w AS (SELECT doc_id,
+        |    CASE (doc_id % 6 + 6) % 6 ${graft.ops.TextOps.MarkupWrap.zipWithIndex
+               .map { case ((p, q), i) =>
+                 s"WHEN $i THEN '$p' || coalesce(text, '') || '$q'" }
+               .mkString("\n        |      ")}
+        |    END AS t2
+        |  FROM documents),
+        |s AS (SELECT doc_id, t2,
+        |    regexp_replace(regexp_replace(regexp_replace(t2,
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g') AS s3
+        |  FROM w),
+        |d AS (SELECT doc_id, t2, s3,
+        |    ${graft.ops.TextOps.EntityMap.foldLeft(
+                 "regexp_replace(s3, '<[^>]*>', ' ', 'g')") {
+               case (acc, (ent, "'")) => s"replace($acc, '$ent', chr(39))"
+               case (acc, (ent, ch))  => s"replace($acc, '$ent', '$ch')"
+             }} AS s5
+        |  FROM s),
+        |f AS (SELECT doc_id, t2, s3,
+        |    trim(regexp_replace(s5, '[ \t\n\r]+', ' ', 'g')) AS s6 FROM d)
+        |SELECT doc_id, CAST(length(t2) AS BIGINT) AS n_raw,
+        |  CAST(length(s6) AS BIGINT) AS n_text,
+        |  CAST(len(regexp_extract_all(s3, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  CAST(len(regexp_extract_all(t2, '&(amp|lt|gt|quot|#39|#x2603);'))
+        |    AS BIGINT) AS n_entities,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |    string_split(s6, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    $FpByteFold) AS fp_text
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

@@ -757,4 +757,80 @@ object TextOps {
         expr("graft_fingerprint(t2)").as("fp"))
       .orderBy($"doc_id")
   }
+
+  /** q266's markup wrappers, indexed by pmod(doc_id, 6): (prefix, suffix)
+    * pairs planted around each document's text. Class 0 is the no-markup
+    * control; 1 = plain tags; 2 = attributed anchor (visible link text
+    * survives); 3 = a script block whose BODY contains a bare `<` plus a
+    * comment HIDING tags (both prove the strip ORDER matters — tag
+    * removal first would shred them); 4 = the curated entity set incl.
+    * a double-escape (`&amp;lt;` must surface as the literal text
+    * `&lt;`), a non-ASCII numeric reference, and a near-miss `&bogus;`
+    * that must survive untouched; 5 = nested tags + a style block.
+    * Shared verbatim by the Spark leg, the DuckDB oracle, and the spec.
+    * No piece contains a single quote, so both SQL interpolations are
+    * escape-free. */
+  private[graft] val MarkupWrap: IndexedSeq[(String, String)] = IndexedSeq(
+    ("", ""),
+    ("<p>", "</p><br/>"),
+    ("<a href=\"https://x.example/p\">read</a> ", ""),
+    ("<script type=\"t\">var x = 1<2;</script>",
+      "<!-- <b>hidden</b> -->"),
+    ("", " &amp; &lt;tag&gt; &quot;q&quot; &#39;a&#39; snow &#x2603;" +
+      " literal &amp;lt; x &bogus; end"),
+    ("<div class=\"m\"><span>", "</span></div><style>p{c:red}</style>"))
+
+  /** q266's curated entity table (decode order is LOAD-BEARING: `&amp;`
+    * must decode LAST so double-escapes like `&amp;lt;` surface as the
+    * literal text `&lt;` instead of double-decoding to `<`). A curated
+    * subset like the confusable map — extending it is a data change. */
+  private[graft] val EntityMap: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&#x2603;" -> "☃", "&amp;" -> "&")
+
+  /** X235 — markup strip / visible-text extraction: the FIRST transform of
+    * any web-crawl pipeline — everything downstream (dedup, quality,
+    * tokenization) operates on visible text, not raw HTML. The chain is
+    * order-critical: (1) drop script bodies (a bare `<` inside code would
+    * shred a naive tag regex), (2) drop style bodies, (3) drop comments
+    * (they legally CONTAIN tags), (4) strip remaining tags to spaces,
+    * (5) decode the curated entity set with `&amp;` LAST (double-escape
+    * correctness), (6) collapse whitespace. Per document: raw/visible
+    * lengths, tag and entity counts, and the visible-text fingerprint —
+    * the downstream dedup key. Lazy quantifiers and `(?s)` behave
+    * identically in Java regex and RE2, so one pattern set serves both
+    * engines.
+    *
+    * Scale: six narrow codegen'd regexp/replace passes at scan
+    * throughput; zero shuffles before the presentation orderBy. */
+  def q266MarkupStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val pre = MarkupWrap.map { case (p, _) => lit(p) }
+    val post = MarkupWrap.map { case (_, q) => lit(q) }
+    val cls = pmod($"doc_id", lit(6L)).cast("int") + 1
+    val stripped = docs(s, dir)
+      .withColumn("t2", concat(element_at(array(pre: _*), cls),
+        coalesce($"text", lit("")), element_at(array(post: _*), cls)))
+      .withColumn("s3", regexp_replace(regexp_replace(regexp_replace($"t2",
+        "(?s)<script[^>]*>.*?</script>", " "),
+        "(?s)<style[^>]*>.*?</style>", " "),
+        "(?s)<!--.*?-->", " "))
+      .withColumn("s4", regexp_replace($"s3", "<[^>]*>", " "))
+    val decoded = EntityMap.foldLeft(stripped) { case (df, (ent, ch)) =>
+      df.withColumn("s4", replace(df("s4"), lit(ent), lit(ch)))
+    }
+    decoded
+      .withColumn("s6", trim(regexp_replace($"s4", "[ \t\n\r]+", " ")))
+      .select($"doc_id",
+        length($"t2").cast("long").as("n_raw"),
+        length($"s6").cast("long").as("n_text"),
+        size(regexp_extract_all($"s3", lit("<[^>]*>"), lit(0)))
+          .cast("long").as("n_tags"),
+        size(regexp_extract_all($"t2",
+          lit("&(amp|lt|gt|quot|#39|#x2603);"), lit(0)))
+          .cast("long").as("n_entities"),
+        expr("graft_fingerprint(s6)").as("fp_text"))
+      .orderBy($"doc_id")
+  }
 }

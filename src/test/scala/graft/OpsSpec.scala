@@ -376,6 +376,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plant(-502L) != plant(-501L) && plant(-504L) != plant(-507L))
   }
 
+  test("q266: markup strip replays in pure Scala; order-critical cases hold") {
+    import graft.ops.TextOps
+    def visible(t2: String): String = {
+      var x = t2.replaceAll("(?s)<script[^>]*>.*?</script>", " ")
+      x = x.replaceAll("(?s)<style[^>]*>.*?</style>", " ")
+      x = x.replaceAll("(?s)<!--.*?-->", " ")
+      x = x.replaceAll("<[^>]*>", " ")
+      TextOps.EntityMap.foreach { case (e, c) => x = x.replace(e, c) }
+      x.replaceAll("[ \t\n\r]+", " ").trim
+    }
+    // the order-critical wrapper cases, checked against hand-derived text
+    assert(visible("<script type=\"t\">var x = 1<2;</script>T<!-- <b>h</b> -->")
+      == "T") // bare < inside script; tags inside a comment
+    assert(visible("A &amp;lt; B") == "A &lt; B") // double-escape stays text
+    assert(visible("S &bogus; E") == "S &bogus; E") // near-miss untouched
+    assert(visible("<a href=\"https://x.example/p\">read</a> W") == "read W")
+    assert(visible("&#x2603;") == "☃")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    val got = TextOps.q266MarkupStrip(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      val (p, q) = TextOps.MarkupWrap((id % 6).toInt)
+      val t2 = p + text + q
+      val vis = visible(t2)
+      val (nRaw, nText, _, _, fp) = got(id)
+      assert(nRaw == t2.codePointCount(0, t2.length).toLong, s"n_raw $id")
+      assert(nText == vis.codePointCount(0, vis.length).toLong, s"n_text $id")
+      assert(fp == refHash(vis), s"fp $id")
+    }
+    // every class-3 doc drops its whole wrapper; class-4 docs decode
+    // 9 planted entity references (&amp;lt; counts its &amp; once)
+    got.foreach { case (id, (_, _, nTags, nEnt, _)) =>
+      if (id % 6 == 3) assert(nTags == 0L, s"script/comment leak $id")
+      if (id % 6 == 4) assert(nEnt == 9L, s"entities $id")
+      if (id % 6 == 0) assert(nTags == 0L && nEnt == 0L, s"control $id")
+    }
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

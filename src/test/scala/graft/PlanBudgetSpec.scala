@@ -389,6 +389,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // only exchange is the orderBy
     "q265_skeleton_dedup" -> 3, // narrow nfc+translate+fingerprint pass;
                              // skeleton-fp hash agg (2-phase) + orderBy
+    "q266_markup_strip" -> 1, // six chained narrow string passes at scan
+                             // throughput; only exchange is the orderBy
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
