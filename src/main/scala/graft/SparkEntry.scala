@@ -314,6 +314,7 @@ object SparkEntry {
     "q264_script_mix"     -> TextOps.q264ScriptMix _,
     "q265_skeleton_dedup" -> TextOps.q265SkeletonDedup _,
     "q266_markup_strip"   -> TextOps.q266MarkupStrip _,
+    "q267_line_boilerplate" -> DedupOps.q267LineBoilerplate _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4895,6 +4896,59 @@ object SparkEntry {
         |    string_split(s6, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    $FpByteFold) AS fp_text
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q267: the footer plant derives from (source, doc_id) arithmetically;
+    // the line-df threshold uses integer div on both engines, l2/tagged
+    // are MATERIALIZED (each referenced twice), and string_agg's
+    // null-skipping CASE mirrors Spark's null-skipping collect_list.
+    "q267_line_boilerplate" ->
+      raw"""WITH base AS (SELECT doc_id, source, coalesce(text, '') ||
+        |    chr(10) || '(C) ' || source || ' syndication network' ||
+        |    CASE WHEN (doc_id % 3 + 3) % 3 <> 2
+        |      THEN chr(10) || 'subscribe at ' || source || ' daily digest'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 29 = 0
+        |      THEN chr(10) || 'editor note ' || CAST(doc_id % 7 AS VARCHAR)
+        |      ELSE '' END AS t2
+        |  FROM documents),
+        |arr AS (SELECT doc_id, source, string_split(t2, chr(10)) AS a
+        |  FROM base),
+        |l2 AS MATERIALIZED (SELECT doc_id, source, pos,
+        |    a[CAST(pos AS INT) + 1] AS ln
+        |  FROM (SELECT doc_id, source, a,
+        |      unnest(generate_series(CAST(0 AS BIGINT),
+        |        CAST(len(a) - 1 AS BIGINT))) AS pos
+        |    FROM arr)),
+        |srcn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |boiler AS (SELECT f.source, f.ln
+        |  FROM (SELECT source, ln, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM l2 GROUP BY 1, 2) f
+        |  JOIN srcn USING (source)
+        |  WHERE df >= 2 AND df * 1000000 // n_docs >= 200000),
+        |tagged AS MATERIALIZED (SELECT l.doc_id, l.source, l.pos, l.ln,
+        |    CASE WHEN b.ln IS NULL THEN 1 ELSE 0 END AS keep
+        |  FROM l2 l LEFT JOIN boiler b
+        |    ON l.source = b.source AND l.ln = b.ln),
+        |perline AS (SELECT source, CAST(count(*) AS BIGINT) AS lines_before,
+        |    CAST(sum(1 - keep) AS BIGINT) AS lines_removed,
+        |    CAST(sum(CASE WHEN keep = 0 THEN length(ln) ELSE 0 END)
+        |      AS BIGINT) AS chars_removed,
+        |    CAST(count(DISTINCT CASE WHEN keep = 0 THEN ln END) AS BIGINT)
+        |      AS boiler_lines
+        |  FROM tagged GROUP BY 1),
+        |perdoc AS (SELECT doc_id, source,
+        |    coalesce(string_agg(CASE WHEN keep = 1 THEN ln END,
+        |      chr(10) ORDER BY pos), '') AS new_text
+        |  FROM tagged GROUP BY 1, 2),
+        |fps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    bit_xor(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(new_text, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))), $FpByteFold)) AS fp_after_xor
+        |  FROM perdoc GROUP BY 1)
+        |SELECT source, n_docs, lines_before, boiler_lines, lines_removed,
+        |  chars_removed, fp_after_xor
+        |FROM fps JOIN perline USING (source) ORDER BY source""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

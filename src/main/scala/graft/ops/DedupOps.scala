@@ -1382,4 +1382,86 @@ object DedupOps {
       .filter($"max_span" >= SfxMinSpan)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** q267's planted footer lines (built from `source` and `doc_id` so the
+    * oracle derives them arithmetically): footer 1 on EVERY doc of a
+    * source (100% line-df), footer 2 on 2/3 of docs (~667k ppm — above
+    * threshold), and a rare per-id editor note (~34k ppm — must NOT
+    * strip). The frequency threshold: a line is boilerplate in a source
+    * iff it appears in ≥ 2 docs AND ≥ 20% of the source's docs. */
+  private[graft] val LineBoilerThresholdPpm = 200000L
+
+  /** X236 — frequent-line boilerplate removal: the LINE-FREQUENCY rung of
+    * the boilerplate ladder (q163/q260 find shared PREFIXES between sort
+    * neighbors; this finds lines repeated across a source's documents at
+    * ANY position — nav menus, cookie banners, footers — the jusText/
+    * CCNet-style signal). A line is boilerplate in its source iff its
+    * document frequency reaches 20% of the source's docs (and ≥ 2 docs);
+    * every instance is removed and documents are reassembled in original
+    * line order. The report carries the audit and the proof: per source,
+    * line/removal counts, distinct boilerplate lines, chars removed, and
+    * an order-independent bit_xor checksum of the surviving texts.
+    *
+    * Line keys are RAW strings, not fingerprints — q243's tradeoff: a
+    * colliding fingerprint would strip a non-boilerplate line, and the
+    * distinct-line frame is corpus-bytes-bounded either way.
+    *
+    * Scale: one posexplode at scan throughput; ONE (source, line)
+    * distinct-df aggregate is the corpus-sized work; the boilerplate set
+    * is BOUNDED by construction — at most 5·avg_lines_per_doc distinct
+    * lines per source can have df ≥ 20% — so it broadcasts like a
+    * centroid frame, never a shuffle join; reassembly is one doc_id
+    * aggregation (collect_list is per-doc-bounded), and the two |sources|
+    * report frames join driver-small. */
+  def q267LineBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val base = docs(s, dir)
+      .select($"doc_id", $"source",
+        concat(coalesce($"text", lit("")),
+          lit("\n(C) "), $"source", lit(" syndication network"),
+          when(pmod($"doc_id", lit(3L)) =!= 2L,
+            concat(lit("\nsubscribe at "), $"source", lit(" daily digest")))
+            .otherwise(lit("")),
+          when($"doc_id" % 29 === 0,
+            concat(lit("\neditor note "), ($"doc_id" % 7).cast("string")))
+            .otherwise(lit(""))).as("t2"))
+    val lines = base
+      .select($"doc_id", $"source",
+        posexplode(split($"t2", "\n", -1)).as(Seq("pos", "ln")))
+    val srcN = docs(s, dir).groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val boiler = lines.groupBy($"source", $"ln")
+      .agg(countDistinct($"doc_id").as("df"))
+      .join(broadcast(srcN), Seq("source"))
+      .filter($"df" >= 2 &&
+        expr(s"df * 1000000 div n_docs >= $LineBoilerThresholdPpm"))
+      .select($"source", $"ln")
+    val tagged = lines
+      .join(broadcast(boiler.withColumn("boiler", lit(true))),
+        Seq("source", "ln"), "left")
+      .withColumn("keep", $"boiler".isNull)
+    // ONE consumer of the corpus-sized line frame: doc-level reassembly
+    // carries the line metrics alongside the rebuilt text; boiler_lines
+    // comes from the TINY boiler frame (every boiler line has df >= 2,
+    // so "distinct lines removed" == the boiler set per source)
+    val perSrc = tagged.groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("lb"),
+        sum(when(!$"keep", 1L).otherwise(0L)).as("rm"),
+        sum(when(!$"keep", length($"ln")).otherwise(0L)).as("cr"),
+        array_join(transform(
+          array_sort(collect_list(when($"keep", struct($"pos", $"ln")))),
+          x => x("ln")), "\n").as("new_text"))
+      .withColumn("fp", expr("graft_fingerprint(new_text)"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"lb").as("lines_before"),
+        sum($"rm").as("lines_removed"), sum($"cr").as("chars_removed"),
+        expr("bit_xor(fp)").as("fp_after_xor"))
+    val boilerN = boiler.groupBy($"source")
+      .agg(count(lit(1)).as("boiler_lines"))
+    perSrc.join(broadcast(boilerN), Seq("source"), "left")
+      .select($"source", $"n_docs", $"lines_before",
+        coalesce($"boiler_lines", lit(0L)).as("boiler_lines"),
+        $"lines_removed", $"chars_removed", $"fp_after_xor")
+      .orderBy($"source")
+  }
 }

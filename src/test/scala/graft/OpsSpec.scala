@@ -418,6 +418,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q267: line boilerplate strips footers, keeps rare lines; replay agrees") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("")))
+    // driver replay of the plant + threshold + strip + reassembly
+    def t2(id: Long, src: String, text: String): String =
+      text + s"\n(C) $src syndication network" +
+        (if (id % 3 != 2) s"\nsubscribe at $src daily digest" else "") +
+        (if (id % 29 == 0) s"\neditor note ${id % 7}" else "")
+    val all = docs.map { case (id, src, tx) => (id, src, t2(id, src, tx)) }
+    val srcN = all.groupBy(_._2).view.mapValues(_.size).toMap
+    val df = all.flatMap { case (id, src, t) =>
+      t.split("\n", -1).distinct.map(ln => (src, ln) -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    def isBoiler(src: String, ln: String): Boolean =
+      df((src, ln)) >= 2 && df((src, ln)) * 1000000L / srcN(src) >= 200000L
+    val expect = all.groupBy(_._2).map { case (src, rows) =>
+      val per = rows.map { case (_, _, t) =>
+        val ls = t.split("\n", -1)
+        val (rm, kp) = ls.partition(isBoiler(src, _))
+        (ls.length.toLong, rm.length.toLong, rm.map(_.length.toLong).sum,
+          refHash(kp.mkString("\n")))
+      }
+      val boiler = rows.flatMap(_._3.split("\n", -1)).distinct
+        .count(isBoiler(src, _)).toLong
+      src -> (rows.size.toLong, per.map(_._1).sum, boiler,
+        per.map(_._2).sum, per.map(_._3).sum,
+        per.map(_._4).reduce(_ ^ _))
+    }
+    val got = graft.ops.DedupOps.q267LineBoilerplate(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == expect, s"per-source mismatch")
+    // the planted structure: both footers strip everywhere (100% / ~67%
+    // df), the rare editor note and every content line survive
+    all.foreach { case (id, src, _) =>
+      assert(isBoiler(src, s"(C) $src syndication network"))
+      assert(isBoiler(src, s"subscribe at $src daily digest"))
+      if (id % 29 == 0) assert(!isBoiler(src, s"editor note ${id % 7}"))
+    }
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

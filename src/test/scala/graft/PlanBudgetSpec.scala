@@ -391,6 +391,12 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q267_line_boilerplate" -> 14, // line-df agg (2-phase distinct) +
+                             // broadcast boiler/srcN + doc reassembly +
+                             // source fold + orderBy; the boiler subplan
+                             // recounts in plan text for its boilerN
+                             // consumer (q189's rule — AQE reuses the
+                             // stages at runtime)
     "q186_compressibility" -> 2, // narrow gram HOF + one combinable source
                              // fold + orderBy
     "q187_funnel_rates" -> 13, // q78's cascaded min-agg subplan (its own
