@@ -315,6 +315,7 @@ object SparkEntry {
     "q265_skeleton_dedup" -> TextOps.q265SkeletonDedup _,
     "q266_markup_strip"   -> TextOps.q266MarkupStrip _,
     "q267_line_boilerplate" -> DedupOps.q267LineBoilerplate _,
+    "q268_perm_dedup"     -> DedupOps.q268PermutationDedup _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4949,6 +4950,41 @@ object SparkEntry {
         |SELECT source, n_docs, lines_before, boiler_lines, lines_removed,
         |  chars_removed, fp_after_xor
         |FROM fps JOIN perline USING (source) ORDER BY source""".stripMargin,
+
+    // q268: the plant interpolates verbatim from DedupOps.PermPlant; the
+    // signature folds (xor / sum / count over per-chunk byte-fold
+    // fingerprints) are order-independent on both engines, and chunk
+    // boundaries come from the same 8-word grouping.
+    "q268_perm_dedup" ->
+      raw"""WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
+        |  UNION ALL SELECT doc_id, t FROM (VALUES ${graft.ops.DedupOps.PermPlant
+               .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+               .mkString(",\n        |    ")}) v(doc_id, t)),
+        |sg AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp_raw,
+        |    list_transform(generate_series(CAST(0 AS BIGINT),
+        |        (CAST(len(string_split(t, ' ')) AS BIGINT) + 7) // 8 - 1),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(array_to_string(
+        |          list_slice(string_split(t, ' '),
+        |            CAST(i * 8 + 1 AS INT), CAST(i * 8 + 8 AS INT)), ' '), ''),
+        |          ch -> CAST(ascii(ch) AS BIGINT))), $FpByteFold)) AS fps
+        |  FROM base),
+        |g AS (SELECT doc_id, fp_raw, CAST(len(fps) AS BIGINT) AS n_chunks,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+        |      (a, b) -> xor(a, b)) AS sig_xor,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+        |      (a, b) -> a + b) AS sig_sum
+        |  FROM sg)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT fp_raw) AS BIGINT) AS n_raw_variants,
+        |  n_chunks, sig_xor, sig_sum
+        |FROM g GROUP BY n_chunks, sig_xor, sig_sum
+        |HAVING count(*) >= 2 AND count(DISTINCT fp_raw) >= 2
+        |ORDER BY min_doc_id""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

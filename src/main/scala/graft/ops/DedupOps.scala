@@ -1383,6 +1383,82 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q268's 8-word building blocks: block-aligned permutations of the
+    * same blocks must collide; D2 differs from D in ONE word (control);
+    * the Greek/CJK pair routes the signature through the UTF-8 byte fold
+    * (q252's gate). 8 words each, so any block-level reorder preserves
+    * the 8-word chunk boundaries. */
+  private[graft] val PermBlockA = "amber basalt cedar delta ember flint granite harbor"
+  private[graft] val PermBlockB = "indigo jasper kelp lumen marble nectar onyx prism"
+  private[graft] val PermBlockC = "quartz russet slate topaz umber violet willow xenon"
+  private[graft] val PermBlockD = "yarrow zephyr anchor breeze copper dune ethos fjord"
+  private[graft] val PermBlockD2 = "yarrow zephyr anchor breeze copper dune ethos forge"
+  private[graft] val PermBlockG1 = "λόγος πρᾶξις ἦθος πάθος μῦθος κόσμος φύσις ψυχή"
+  private[graft] val PermBlockG2 = "中文 测试 数据 管道 模型 训练 样本 语料"
+
+  /** q268 planted ground truth (disjoint -601..-608 id range): one
+    * visible ASCII reorder group (-601/-602/-604), a one-word-off control
+    * (-603, must NOT join it), an exact-dup pair (-605/-606 — equal chunk
+    * multiset but only ONE raw variant, so the ≥2-variant filter excludes
+    * it: exact dups are q31's job), and a non-ASCII reorder pair
+    * (-607/-608). */
+  private[graft] val PermPlant: Seq[(Long, String)] = Seq(
+    -601L -> Seq(PermBlockA, PermBlockB, PermBlockC, PermBlockD).mkString(" "),
+    -602L -> Seq(PermBlockC, PermBlockD, PermBlockA, PermBlockB).mkString(" "),
+    -603L -> Seq(PermBlockA, PermBlockB, PermBlockC, PermBlockD2).mkString(" "),
+    -604L -> Seq(PermBlockB, PermBlockA, PermBlockD, PermBlockC).mkString(" "),
+    -605L -> Seq(PermBlockA, PermBlockB, PermBlockC).mkString(" "),
+    -606L -> Seq(PermBlockA, PermBlockB, PermBlockC).mkString(" "),
+    -607L -> Seq(PermBlockG1, PermBlockG2).mkString(" "),
+    -608L -> Seq(PermBlockG2, PermBlockG1).mkString(" "))
+
+  /** X237 — permutation-invariant document dedup: documents whose 8-word
+    * chunk MULTISETS are equal but whose raw bytes differ — the
+    * reordered-copy class (shuffled paragraphs, moved sections) that
+    * byte-keyed dedup (X1) misses entirely and word-set Jaccard (X2)
+    * only scores approximately. The signature is (n_chunks, xor, sum)
+    * over per-chunk fingerprints — each fold order-independent, the
+    * composite collision-resistant (a forged collision must hold xor AND
+    * sum AND count simultaneously). Groups need ≥ 2 docs AND ≥ 2 raw
+    * variants, so exact duplicates are excluded and the output isolates
+    * exactly the reorder-only mass. Block-ALIGNED reorders are the
+    * detectable class (an arbitrary word scramble changes chunk contents
+    * — that is X2's Jaccard territory); real-world paragraph moves are
+    * block-aligned by nature.
+    *
+    * Scale: one narrow per-doc signature projection (both HOF folds
+    * LET-BIND the chunk-fp array via the q235 element_at(transform(
+    * array(...)))  idiom — chained selects would inline the upstream
+    * array into every lambda and re-derive it per element), one hash
+    * aggregation on the signature; nothing pairwise anywhere. */
+  def q268PermutationDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val sig =
+      """element_at(transform(array(split(t, ' ')), w ->
+        |  element_at(transform(array(transform(
+        |      sequence(0L, (size(w) + 7L) div 8L - 1L),
+        |      i -> graft_fingerprint(
+        |             array_join(slice(w, CAST(i * 8 + 1 AS INT), 8), ' ')))),
+        |    fps -> struct(
+        |      size(fps) AS n_chunks,
+        |      aggregate(fps, 0L, (a, x) -> a ^ x) AS sig_xor,
+        |      aggregate(fps, 0L, (a, x) -> a + x) AS sig_sum)), 1)), 1)""".stripMargin
+    docs(s, dir).select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .unionByName(PermPlant.toDF("doc_id", "t"))
+      .select($"doc_id", expr("graft_fingerprint(t)").as("fp_raw"),
+        expr(sig).as("sig"))
+      .select($"doc_id", $"fp_raw", $"sig.n_chunks", $"sig.sig_xor",
+        $"sig.sig_sum")
+      .groupBy($"n_chunks", $"sig_xor", $"sig_sum")
+      .agg(min($"doc_id").as("min_doc_id"), count(lit(1)).as("n_docs"),
+        countDistinct($"fp_raw").as("n_raw_variants"))
+      .filter($"n_docs" >= 2 && $"n_raw_variants" >= 2)
+      .select($"min_doc_id", $"n_docs", $"n_raw_variants",
+        $"n_chunks".cast("long").as("n_chunks"), $"sig_xor", $"sig_sum")
+      .orderBy($"min_doc_id")
+  }
+
   /** q267's planted footer lines (built from `source` and `doc_id` so the
     * oracle derives them arithmetically): footer 1 on EVERY doc of a
     * source (100% line-df), footer 2 on 2/3 of docs (~667k ppm — above

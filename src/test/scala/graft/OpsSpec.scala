@@ -461,6 +461,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q268: block-aligned reorders collide; one-word-off and exact dups do not") {
+    import graft.ops.DedupOps
+    // signature replay: 8-word chunks, per-chunk refHash, xor/sum/count
+    def sig(t: String): (Int, Long, Long) = {
+      val w = t.split(" ", -1)
+      val fps = w.grouped(8).map(g => refHash(g.mkString(" "))).toSeq
+      (fps.size, fps.foldLeft(0L)(_ ^ _), fps.sum)
+    }
+    val plant = DedupOps.PermPlant.toMap
+    assert(sig(plant(-601L)) == sig(plant(-602L)))
+    assert(sig(plant(-601L)) == sig(plant(-604L)))
+    assert(sig(plant(-601L)) != sig(plant(-603L))) // one-word-off control
+    assert(sig(plant(-607L)) == sig(plant(-608L))) // non-ASCII pair
+    assert(plant(-607L) != plant(-608L))
+    val got = DedupOps.q268PermutationDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exactly two groups surface; the exact-dup pair (-605/-606, one raw
+    // variant) and the corpus (all-distinct signatures) stay silent
+    assert(got == Map(-604L -> (3L, 3L), -608L -> (2L, 2L)), s"got $got")
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

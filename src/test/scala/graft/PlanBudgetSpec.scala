@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q268_perm_dedup" -> 3, // narrow per-doc signature projection
+                             // (let-bound chunk-fp folds); signature
+                             // hash agg (2-phase distinct) + orderBy
     "q267_line_boilerplate" -> 14, // line-df agg (2-phase distinct) +
                              // broadcast boiler/srcN + doc reassembly +
                              // source fold + orderBy; the boiler subplan
