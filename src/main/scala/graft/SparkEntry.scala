@@ -316,6 +316,7 @@ object SparkEntry {
     "q266_markup_strip"   -> TextOps.q266MarkupStrip _,
     "q267_line_boilerplate" -> DedupOps.q267LineBoilerplate _,
     "q268_perm_dedup"     -> DedupOps.q268PermutationDedup _,
+    "q269_url_canonical"  -> TextOps.q269UrlCanonical _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -4985,6 +4986,66 @@ object SparkEntry {
         |FROM g GROUP BY n_chunks, sig_xor, sig_sum
         |HAVING count(*) >= 2 AND count(DISTINCT fp_raw) >= 2
         |ORDER BY min_doc_id""".stripMargin,
+
+    // q269: same plant arithmetic (pre-reduced overflow-safe id mixer),
+    // same parse regex (anchored, optional groups return '' unmatched on
+    // both engines), same canonical rebuild (lowercase, default-port
+    // strip, tracking-param filter, lexicographic param sort).
+    "q269_url_canonical" ->
+      raw"""WITH w AS (SELECT doc_id, text,
+        |    CAST(((doc_id % 40 + 40) % 40 * 2654435761) % 40 AS VARCHAR) AS k,
+        |    CAST((doc_id % 7 + 7) % 7 AS VARCHAR) AS m
+        |  FROM documents),
+        |b AS (SELECT doc_id, coalesce(text, '') || ' see ' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Site' || k || '.Example.ORG'
+        |         ELSE 'site' || k || '.example.org' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ':8443'
+        |         WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+        |    '/p/' || m ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '?id=' || m || '&ref=a'
+        |         ELSE '?ref=a&id=' || m END ||
+        |    CASE WHEN doc_id % 2 = 1 THEN '&utm_source=news' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '&fbclid=xyz' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END || ' end' AS t2
+        |  FROM w),
+        |uu AS (SELECT doc_id,
+        |    regexp_extract(t2, '(?i)(https?://[^ ]+)', 1) AS u FROM b),
+        |p AS (SELECT doc_id, u,
+        |    lower(regexp_extract(u,
+        |      '^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$$',
+        |      1)) AS scheme,
+        |    lower(regexp_extract(u,
+        |      '^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$$',
+        |      2)) AS host,
+        |    regexp_extract(u,
+        |      '^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$$',
+        |      3) AS port,
+        |    regexp_extract(u,
+        |      '^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$$',
+        |      4) AS path,
+        |    regexp_extract(u,
+        |      '^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$$',
+        |      5) AS qraw
+        |  FROM uu),
+        |c AS (SELECT doc_id, u,
+        |    scheme || '://' || host ||
+        |    CASE WHEN (scheme = 'https' AND port = ':443')
+        |           OR (scheme = 'http' AND port = ':80') THEN ''
+        |         ELSE port END ||
+        |    path ||
+        |    CASE WHEN len(ps) = 0 THEN ''
+        |         ELSE '?' || array_to_string(list_sort(ps), '&') END
+        |      AS canonical_url
+        |  FROM (SELECT *, list_filter(string_split(substr(qraw, 2), '&'),
+        |      pp -> pp <> '' AND substr(pp, 1, 4) <> 'utm_'
+        |        AND substr(pp, 1, 7) <> 'fbclid='
+        |        AND substr(pp, 1, 6) <> 'gclid=') AS ps FROM p))
+        |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS n_raw_urls
+        |FROM c GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY canonical_url""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

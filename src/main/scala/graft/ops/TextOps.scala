@@ -758,6 +758,71 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** X238 — URL canonicalization + canonical-URL dedup: the crawl-dedup
+    * step upstream of by-URL frequency caps — the SAME resource arrives
+    * as `HTTPS://Site3.Example.ORG:443/p/1?utm_source=x&id=2#f` and
+    * `https://site3.example.org/p/1?id=2`, and byte-keyed URL dedup sees
+    * two origins. Canonical recipe (the practical subset of RFC 3986
+    * normalization): lowercase scheme+host, strip the scheme's default
+    * port (:443/https, :80/http — a NON-default port is a different
+    * origin and stays), drop the fragment, drop tracking params
+    * (utm_ prefix / fbclid / gclid — a curated policy table like q266's entities),
+    * sort surviving params. Noise features are planted per doc_id
+    * (case, default/odd port, param order, tracking params, fragment)
+    * over a bounded canonical key space, so groups form at every SF and
+    * every raw variant is derivable.
+    *
+    * Scale: extraction + parse + rebuild are narrow codegen'd passes
+    * (the param rebuild LET-BINDS its filtered array — q235); ONE hash
+    * aggregation on the canonical key; report is key-space-sized. */
+  def q269UrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = ((pmod($"doc_id", lit(40L)) * 2654435761L) % 40L).cast("string")
+    val m = pmod($"doc_id", lit(7L)).cast("string")
+    val url = concat(
+      when($"doc_id" % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when($"doc_id" % 2 === 0,
+        concat(lit("Site"), k, lit(".Example.ORG")))
+        .otherwise(concat(lit("site"), k, lit(".example.org"))),
+      when($"doc_id" % 11 === 0, lit(":8443"))
+        .when($"doc_id" % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), m,
+      when($"doc_id" % 2 === 0, concat(lit("?id="), m, lit("&ref=a")))
+        .otherwise(concat(lit("?ref=a&id="), m)),
+      when($"doc_id" % 2 === 1, lit("&utm_source=news")).otherwise(lit("")),
+      when($"doc_id" % 5 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
+      when($"doc_id" % 4 === 0, lit("#sec")).otherwise(lit("")))
+    val parse = "^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\\?[^#]*)?(#.*)?$"
+    val canonParams =
+      """element_at(transform(array(filter(split(substr(qraw, 2), '&'),
+        |    p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
+        |      AND substr(p, 1, 7) <> 'fbclid=' AND substr(p, 1, 6) <> 'gclid=')),
+        |  ps -> IF(size(ps) = 0, '',
+        |           concat('?', array_join(array_sort(ps), '&')))), 1)""".stripMargin
+    docs(s, dir)
+      .withColumn("t2", concat(coalesce($"text", lit("")),
+        lit(" see "), url, lit(" end")))
+      .withColumn("u", regexp_extract($"t2", "(?i)(https?://[^ ]+)", 1))
+      .withColumn("scheme", lower(regexp_extract($"u", parse, 1)))
+      .withColumn("host", lower(regexp_extract($"u", parse, 2)))
+      .withColumn("port", regexp_extract($"u", parse, 3))
+      .withColumn("path", regexp_extract($"u", parse, 4))
+      .withColumn("qraw", regexp_extract($"u", parse, 5))
+      .withColumn("portk",
+        when(($"scheme" === "https" && $"port" === ":443") ||
+          ($"scheme" === "http" && $"port" === ":80"), lit(""))
+          .otherwise($"port"))
+      .withColumn("canonical_url", concat($"scheme", lit("://"), $"host",
+        $"portk", $"path", expr(canonParams)))
+      .groupBy($"canonical_url")
+      .agg(min($"doc_id").as("min_doc_id"), count(lit(1)).as("n_docs"),
+        countDistinct($"u").as("n_raw_urls"))
+      .filter($"n_docs" >= 2)
+      .select($"canonical_url", $"min_doc_id", $"n_docs", $"n_raw_urls")
+      .orderBy($"canonical_url")
+  }
+
   /** q266's markup wrappers, indexed by pmod(doc_id, 6): (prefix, suffix)
     * pairs planted around each document's text. Class 0 is the no-markup
     * control; 1 = plain tags; 2 = attributed anchor (visible link text

@@ -482,6 +482,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(-604L -> (3L, 3L), -608L -> (2L, 2L)), s"got $got")
   }
 
+  test("q269: canonicalization folds every planted noise feature; odd ports stay") {
+    // driver replay of the plant + canonical recipe
+    def canon(id: Long): String = {
+      val k = (id % 40) * 2654435761L % 40
+      val m = id % 7
+      val port = if (id % 11 == 0) ":8443" else ""
+      s"https://site$k.example.org$port/p/$m?id=$m&ref=a"
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expect = docs.groupBy(canon).collect {
+      case (c, ids) if ids.length >= 2 => c -> ids.length.toLong
+    }
+    val got = graft.ops.TextOps.q269UrlCanonical(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.view.mapValues(_._1).toMap == expect.toMap, "group sizes")
+    // canonical urls carry none of the planted noise...
+    got.keys.foreach { c =>
+      assert(!c.contains("utm_") && !c.contains("fbclid") &&
+        !c.contains("#") && !c.contains(":443") && !c.contains("Site"))
+      assert(c.startsWith("https://site"))
+    }
+    // ...yet raw variants really differed inside the groups (case, port,
+    // param order, tracking, fragment noise is id-dependent)
+    assert(got.values.exists(_._2 >= 2))
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q269_url_canonical" -> 3, // narrow extract/parse/rebuild passes;
+                             // canonical-key hash agg (2-phase distinct)
+                             // + orderBy
     "q268_perm_dedup" -> 3, // narrow per-doc signature projection
                              // (let-bound chunk-fp folds); signature
                              // hash agg (2-phase distinct) + orderBy
