@@ -317,6 +317,7 @@ object SparkEntry {
     "q267_line_boilerplate" -> DedupOps.q267LineBoilerplate _,
     "q268_perm_dedup"     -> DedupOps.q268PermutationDedup _,
     "q269_url_canonical"  -> TextOps.q269UrlCanonical _,
+    "q270_containment"    -> DedupOps.q270ContainmentDedup _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5046,6 +5047,47 @@ object SparkEntry {
         |  CAST(count(DISTINCT u) AS BIGINT) AS n_raw_urls
         |FROM c GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY canonical_url""".stripMargin,
+
+    // q270: the excerpt plant (first 16 words of every mod-37 doc) and
+    // the capped inverted index replay identically; sizes count POST-CAP
+    // evidence grams on both engines, so planted containment is exactly
+    // 1e6 ppm. g/gi/sizes are MATERIALIZED (multi-referenced).
+    "q270_containment" ->
+      raw"""WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |base AS (SELECT doc_id, t FROM d
+        |  UNION ALL
+        |  SELECT -doc_id - 1000,
+        |    array_to_string(list_slice(string_split(t, ' '), 1, 16), ' ')
+        |  FROM d WHERE doc_id % 37 = 0),
+        |g AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(CAST(0 AS BIGINT), CAST(len(w) - 5 AS BIGINT)),
+        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(array_to_string(
+        |        list_slice(w, CAST(i + 1 AS INT), CAST(i + 5 AS INT)), ' '), ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT))), $FpByteFold)))) AS gf
+        |  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM base)
+        |  WHERE len(w) >= 5),
+        |keep AS (SELECT gf FROM g GROUP BY gf HAVING count(*) <= 64),
+        |gi AS MATERIALIZED (SELECT g.doc_id, g.gf FROM g JOIN keep USING (gf)),
+        |sizes AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
+        |  FROM gi GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM gi a JOIN gi b USING (gf) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (SELECT
+        |    CASE WHEN sa.ng <= sb.ng THEN da ELSE db END AS excerpt_id,
+        |    CASE WHEN sa.ng <= sb.ng THEN db ELSE da END AS host_id,
+        |    least(sa.ng, sb.ng) AS grams_excerpt,
+        |    greatest(sa.ng, sb.ng) AS grams_host, shared
+        |  FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db)
+        |SELECT excerpt_id, host_id, grams_excerpt, grams_host, shared,
+        |  shared * 1000000 // grams_excerpt AS containment_ppm
+        |FROM j
+        |WHERE shared >= 8 AND grams_excerpt * 2 <= grams_host
+        |  AND shared * 1000000 // grams_excerpt >= 900000
+        |ORDER BY excerpt_id, host_id""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

@@ -1459,6 +1459,64 @@ object DedupOps {
       .orderBy($"min_doc_id")
   }
 
+  /** X239 — containment dedup (excerpt/quote detection): the ASYMMETRIC
+    * complement of X2's Jaccard — a 16-word excerpt of a 99-word document
+    * scores Jaccard ≈ 0.12 (invisible to symmetric dedup) but containment
+    * 1.0. Verdict: ≥ 90% of the smaller side's distinct word-5-grams
+    * appear in the larger side AND the smaller side is at most half the
+    * larger's grams. Ground truth is planted: every doc_id ≡ 0 (mod 37)
+    * source gets an excerpt twin (its first 16 words) at id -(1000 +
+    * doc_id) — an excerpt's grams are source grams BY CONSTRUCTION, so
+    * containment is exactly 10⁶ ppm for every qualifying plant.
+    *
+    * Gram sizes count POST-CAP evidence grams (df ≤ 64): frequent
+    * shingles are stop-shingles excluded from similarity evidence — and
+    * because a capped gram drops from BOTH sides, planted containment
+    * stays exact instead of eroding with corpus growth.
+    *
+    * Scale: the inverted index is the standard cap discipline (q253's
+    * 2..64 bound): pair blowup is ≤ 64² per gram, never quadratic in the
+    * corpus; the pair fold and the two size joins are id-keyed shuffles;
+    * plan text recounts the gi subplan per consumer (q189's rule — AQE
+    * reuses the stages at runtime). */
+  def q270ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val d = docs(s, dir).select($"doc_id", coalesce($"text", lit("")).as("t"))
+    val exc = d.filter($"doc_id" % 37 === 0)
+      .select((-$"doc_id" - 1000L).as("doc_id"),
+        array_join(slice(split($"t", " ", -1), 1, 16), " ").as("t"))
+    val g = d.unionByName(exc)
+      .select($"doc_id", split($"t", " ", -1).as("w"))
+      .filter(size($"w") >= 5)
+      .select($"doc_id", explode(array_distinct(expr(
+        """transform(sequence(0, size(w) - 5),
+          |  i -> graft_fingerprint(array_join(slice(w, i + 1, 5), ' ')))"""
+          .stripMargin))).as("gf"))
+    val keep = g.groupBy($"gf").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 64).select($"gf")
+    val gi = g.join(keep, Seq("gf"))
+    val sizes = gi.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
+    val pairs = gi.select($"gf", $"doc_id".as("da"))
+      .join(gi.select($"gf", $"doc_id".as("db")), Seq("gf"))
+      .filter($"da" < $"db")
+      .groupBy($"da", $"db").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select($"doc_id".as("da"), $"ng".as("nga")), Seq("da"))
+      .join(sizes.select($"doc_id".as("db"), $"ng".as("ngb")), Seq("db"))
+      .select(
+        when($"nga" <= $"ngb", $"da").otherwise($"db").as("excerpt_id"),
+        when($"nga" <= $"ngb", $"db").otherwise($"da").as("host_id"),
+        least($"nga", $"ngb").as("grams_excerpt"),
+        greatest($"nga", $"ngb").as("grams_host"),
+        $"shared")
+      .filter($"shared" >= 8 && $"grams_excerpt" * 2 <= $"grams_host" &&
+        expr("shared * 1000000 div grams_excerpt >= 900000"))
+      .withColumn("containment_ppm",
+        expr("shared * 1000000 div grams_excerpt"))
+      .orderBy($"excerpt_id", $"host_id")
+  }
+
   /** q267's planted footer lines (built from `source` and `doc_id` so the
     * oracle derives them arithmetically): footer 1 on EVERY doc of a
     * source (100% line-df), footer 2 on 2/3 of docs (~667k ppm — above

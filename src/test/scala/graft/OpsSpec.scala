@@ -509,6 +509,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(_._2 >= 2))
   }
 
+  test("q270: planted excerpts pair with their sources at exact containment") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    // driver replay: distinct 5-gram sets, df<=64 cap, both thresholds
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val excerpts = docs.collect { case (id, t) if id % 37 == 0 =>
+      (-id - 1000L) -> t.split(" ", -1).take(16).mkString(" ") }
+    val all = docs ++ excerpts
+    val df = all.values.toSeq.flatMap(grams(_).toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val capped = all.view.mapValues(grams(_).filter(df(_) <= 64)).toMap
+    val got = graft.ops.DedupOps.q270ContainmentDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // every reported pair satisfies the thresholds under the replay
+    got.foreach { case ((e, h), (ge, gh, sh, ppm)) =>
+      assert(capped(e).size.toLong == ge && capped(h).size.toLong == gh)
+      assert((capped(e) & capped(h)).size.toLong == sh)
+      assert(sh >= 8 && ge * 2 <= gh && ppm == sh * 1000000L / ge)
+    }
+    // every QUALIFYING plant is found, paired with its true source, at
+    // exactly 1e6 ppm (an excerpt's grams are source grams by
+    // construction); non-qualifying plants (too short / ratio) are absent
+    excerpts.foreach { case (eid, _) =>
+      val src = -eid - 1000L
+      val (ce, cs) = (capped(eid), capped(src))
+      val qualifies = (ce & cs).size >= 8 && ce.size * 2 <= cs.size &&
+        (ce & cs).size * 1000000L / ce.size >= 900000L
+      val found = got.keys.filter(_._1 == eid).toSeq
+      if (qualifies) {
+        assert(found.map(_._2).contains(src), s"plant $eid missed")
+        assert(got((eid, src))._4 == 1000000L, s"plant $eid not exact")
+      } else assert(!found.map(_._2).contains(src))
+    }
+    assert(got.nonEmpty)
+  }
+
   test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)

@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q270_containment" -> 15, // gram distinct + df cap + capped pair
+                             // join + two size joins + orderBy; the gi
+                             // subplan recounts per consumer in plan
+                             // text (q189's rule — AQE reuses stages)
     "q269_url_canonical" -> 3, // narrow extract/parse/rebuild passes;
                              // canonical-key hash agg (2-phase distinct)
                              // + orderBy
