@@ -318,6 +318,7 @@ object SparkEntry {
     "q268_perm_dedup"     -> DedupOps.q268PermutationDedup _,
     "q269_url_canonical"  -> TextOps.q269UrlCanonical _,
     "q270_containment"    -> DedupOps.q270ContainmentDedup _,
+    "q271_linear_attrib"  -> EventOps.q271LinearAttribution _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5088,6 +5089,55 @@ object SparkEntry {
         |WHERE shared >= 8 AND grams_excerpt * 2 <= grams_host
         |  AND shared * 1000000 // grams_excerpt >= 900000
         |ORDER BY excerpt_id, host_id""".stripMargin,
+
+    // q271: identical composite-key RANGE window (k = us*1024 + id salt,
+    // one numeric sort key per engine's RANGE rules), identical integer
+    // split v div n + remainder-to-latest via the k*2+is_view arg-max
+    // pack — every boundary and tie is a VALUE decision on both engines.
+    "q271_linear_attrib" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    coalesce(value, 0) AS value, epoch_us(ts) AS us,
+        |    epoch_us(ts) * 1024 + (event_id % 1024 + 1024) % 1024 AS k
+        |  FROM events),
+        |w1 AS (SELECT *,
+        |    coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER win, 0) AS nv,
+        |    coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER win, 0) AS nc,
+        |    max(CASE WHEN event_type IN ('view', 'click')
+        |        THEN k * 2 + CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+        |        END) OVER win AS mlast
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY k
+        |    RANGE BETWEEN 619315200000000 PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CAST(nv AS BIGINT) AS nv, CAST(nc AS BIGINT) AS nc, mlast
+        |  FROM w1 WHERE event_type = 'purchase'),
+        |p2 AS (SELECT v, nv, nc, nv + nc AS n,
+        |    CASE WHEN nv + nc > 0 THEN v // (nv + nc) ELSE 0 END AS base,
+        |    CASE WHEN nv + nc > 0 THEN mlast % 2 ELSE 0 END AS lview
+        |  FROM p),
+        |p3 AS (SELECT *, CASE WHEN n > 0 THEN v - base * n ELSE 0 END AS rem
+        |  FROM p2),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN n > 0 THEN base * nv + rem * lview
+        |      ELSE 0 END) AS BIGINT) AS credit_view,
+        |    CAST(sum(CASE WHEN n > 0 THEN base * nc + rem * (1 - lview)
+        |      ELSE 0 END) AS BIGINT) AS credit_click,
+        |    CAST(sum(CASE WHEN n = 0 THEN v ELSE 0 END) AS BIGINT)
+        |      AS credit_un,
+        |    CAST(sum(CASE WHEN n > 0 THEN nv ELSE 0 END) AS BIGINT) AS t_view,
+        |    CAST(sum(CASE WHEN n > 0 THEN nc ELSE 0 END) AS BIGINT) AS t_click,
+        |    CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p_view,
+        |    CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p_click,
+        |    CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p_un
+        |  FROM p3)
+        |SELECT 'click' AS touch_type, t_click AS n_touches,
+        |  p_click AS n_purchases, credit_click AS credit_cents FROM a
+        |UNION ALL SELECT 'unattributed', CAST(0 AS BIGINT), p_un, credit_un
+        |  FROM a
+        |UNION ALL SELECT 'view', t_view, p_view, credit_view FROM a
+        |ORDER BY touch_type""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

@@ -527,6 +527,73 @@ object EventOps {
       .orderBy($"event_id")
   }
 
+  /** X240 — linear multi-touch attribution: X107's single-winner model
+    * credits ONLY the last click; marketing mix analysis wants every
+    * touch (view or click) in the 7-day lookback to share the purchase
+    * value equally — integer cents split as `v div n` per touch with the
+    * remainder going to the LATEST touch, so credit reconciles to
+    * revenue EXACTLY (sum of credits + unattributed = total purchase
+    * cents, no rounding leak).
+    *
+    * The lookback window runs over a composite key k = us·1024 +
+    * (event_id mod 1024): RANGE frames take ONE numeric sort key on both
+    * engines, and bare microseconds collide — the id term makes every
+    * frame boundary a VALUE decision instead of a row-order accident
+    * (same-microsecond ties resolve by id, never nondeterministically).
+    * The latest-touch pick is likewise by value: max over k·2 + is_view
+    * — no last_value row-order dependence anywhere.
+    *
+    * Scale: ONE user_id partitioning carries all three window folds (two
+    * conditional counts + the arg-max pack) — no self-join of the stream
+    * against its own touches (q141's rule); the report collapses to a
+    * 1-row aggregate then stacks to 3 rows. */
+  def q271LinearAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lookbackK = 7L * 86400L * 1000000L * 1024L
+    val e = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        coalesce($"value", lit(0.0)).as("value"),
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("k", $"us" * 1024L + pmod($"event_id", lit(1024L)))
+    val w = Window.partitionBy($"user_id").orderBy($"k")
+      .rangeBetween(-lookbackK, -1L)
+    val p = e
+      .withColumn("nv", coalesce(
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).over(w), lit(0L)))
+      .withColumn("nc", coalesce(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).over(w), lit(0L)))
+      .withColumn("mlast", max(when(
+        $"event_type" === "view" || $"event_type" === "click",
+        $"k" * 2L + when($"event_type" === "view", 1L).otherwise(0L)))
+        .over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("v", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("n", $"nv" + $"nc")
+      .withColumn("base", when($"n" > 0, expr("v div n")).otherwise(0L))
+      .withColumn("rem", when($"n" > 0, $"v" - $"base" * $"n").otherwise(0L))
+      .withColumn("lview",
+        when($"n" > 0, pmod($"mlast", lit(2L))).otherwise(0L))
+    p.agg(
+        sum(when($"n" > 0, $"base" * $"nv" + $"rem" * $"lview")
+          .otherwise(0L)).as("credit_view"),
+        sum(when($"n" > 0, $"base" * $"nc" + $"rem" * (lit(1L) - $"lview"))
+          .otherwise(0L)).as("credit_click"),
+        sum(when($"n" === 0, $"v").otherwise(0L)).as("credit_un"),
+        sum(when($"n" > 0, $"nv").otherwise(0L)).as("t_view"),
+        sum(when($"n" > 0, $"nc").otherwise(0L)).as("t_click"),
+        sum(when($"nv" > 0, 1L).otherwise(0L)).as("p_view"),
+        sum(when($"nc" > 0, 1L).otherwise(0L)).as("p_click"),
+        sum(when($"n" === 0, 1L).otherwise(0L)).as("p_un"))
+      .select(expr(
+        """stack(3,
+          |  'click', t_click, p_click, credit_click,
+          |  'unattributed', 0L, p_un, credit_un,
+          |  'view', t_view, p_view, credit_view)
+          |  AS (touch_type, n_touches, n_purchases, credit_cents)"""
+          .stripMargin))
+      .orderBy($"touch_type")
+  }
+
   /** X120 — change-log net-effect compaction: collapse each entity's event
     * history to its NET state — op counts, first/last operation in the
     * (time, event_id) total order, and whether the entity survives (last

@@ -813,6 +813,55 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(attributed > 0 && attributed < got.length)
   }
 
+  // ------------------------------------------------------------- X240
+
+  test("q271: linear credits reconcile to revenue exactly; replay agrees") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("event_id", "user_id", "event_type",
+        "coalesce(value, 0.0D) AS value",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    val L = 7L * 86400L * 1000000L * 1024L
+    var (cv, cc, cu, tv, tc, pv, pc, pu, total) =
+      (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    ev.groupBy(_._2).values.foreach { es =>
+      val ks = es.map(e => (e._5 * 1024L + ((e._1 % 1024) + 1024) % 1024, e))
+      ks.foreach {
+        case (k, e) if e._3 == "purchase" =>
+          val frame = ks.filter { case (k2, _) => k2 >= k - L && k2 <= k - 1 }
+          val nv = frame.count(_._2._3 == "view").toLong
+          val nc = frame.count(_._2._3 == "click").toLong
+          val packs = frame.collect {
+            case (k2, e2) if e2._3 == "view" || e2._3 == "click" =>
+              k2 * 2 + (if (e2._3 == "view") 1L else 0L) }
+          val v = math.round(e._4 * 100)
+          total += v
+          val n = nv + nc
+          if (n == 0) { cu += v; pu += 1 }
+          else {
+            val base = v / n; val rem = v - base * n
+            val lview = packs.max % 2
+            cv += base * nv + rem * lview
+            cc += base * nc + rem * (1 - lview)
+            tv += nv; tc += nc
+            if (nv > 0) pv += 1
+            if (nc > 0) pc += 1
+          }
+        case _ =>
+      }
+    }
+    val got = graft.ops.EventOps.q271LinearAttribution(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map("click" -> (tc, pc, cc), "view" -> (tv, pv, cv),
+      "unattributed" -> (0L, pu, cu)), s"got $got")
+    // the integer split leaks nothing: credits reconcile to revenue
+    assert(cv + cc + cu == total)
+    assert(cv > 0 && cc > 0 && cu > 0) // all three branches exercised
+  }
+
   // ------------------------------------------------------------- X108
 
   test("prefix-filtered similarity join equals the brute-force relation") {

@@ -391,6 +391,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q271_linear_attrib" -> 2, // ONE user_id partitioning carries all
+                             // three window folds; 1-row agg + stack
     "q270_containment" -> 15, // gram distinct + df cap + capped pair
                              // join + two size joins + orderBy; the gi
                              // subplan recounts per consumer in plan
