@@ -319,6 +319,7 @@ object SparkEntry {
     "q269_url_canonical"  -> TextOps.q269UrlCanonical _,
     "q270_containment"    -> DedupOps.q270ContainmentDedup _,
     "q271_linear_attrib"  -> EventOps.q271LinearAttribution _,
+    "q272_fd_discovery"   -> graft.operators.SchemaOps.q272FdDiscovery _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5138,6 +5139,26 @@ object SparkEntry {
         |  FROM a
         |UNION ALL SELECT 'view', t_view, p_view, credit_view FROM a
         |ORDER BY touch_type""".stripMargin,
+
+    // q272: the stacked pair scan is generated from the SAME catalog
+    // (SchemaOps.FdPairs) the Spark leg uses.
+    "q272_fd_discovery" ->
+      s"""WITH pr AS (${graft.operators.SchemaOps.FdPairs.map { case (t, a, b) =>
+             s"SELECT '$t.$a' AS lhs_col, '$t.$b' AS rhs_col, " +
+               s"CAST($a AS BIGINT) AS a, CAST($b AS BIGINT) AS b FROM $t " +
+               s"WHERE $a IS NOT NULL AND $b IS NOT NULL"
+           }.mkString("\n        |  UNION ALL ")}),
+        |d AS (SELECT DISTINCT lhs_col, rhs_col, a, b FROM pr),
+        |g AS (SELECT lhs_col, rhs_col, a, CAST(count(*) AS BIGINT) AS nb
+        |  FROM d GROUP BY 1, 2, 3)
+        |SELECT lhs_col, rhs_col, CAST(count(*) AS BIGINT) AS n_lhs,
+        |  CAST(sum(nb) AS BIGINT) AS n_pairs,
+        |  CAST(max(nb) AS BIGINT) AS max_rhs_per_lhs,
+        |  CAST(count(*) AS BIGINT) * 1000000 // CAST(sum(nb) AS BIGINT)
+        |    AS fd_ppm,
+        |  CAST(CASE WHEN CAST(sum(nb) AS BIGINT) = count(*) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_fd
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

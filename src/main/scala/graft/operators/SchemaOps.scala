@@ -281,6 +281,50 @@ object SchemaOps {
       .orderBy($"col_id")
   }
 
+  /** q272's ordered same-table column pairs, derived from the SAME
+    * catalog q262/q263 profile — the three discovery passes must agree
+    * on what the schema's columns ARE. */
+  private[graft] val FdPairs: Seq[(String, String, String)] =
+    FkColumns.groupBy(_._1).toSeq.flatMap { case (tbl, cols) =>
+      for { (_, a) <- cols; (_, b) <- cols if a != b } yield (tbl, a, b)
+    }.sortBy(p => (p._1, p._2, p._3))
+
+  /** X241 — functional-dependency discovery, the schema-discovery trio's
+    * third pass (q263 finds keys, q262 finds references, this finds
+    * DETERMINATIONS): for every ordered same-table column pair (A, B),
+    * A → B holds iff every A value maps to exactly one B value —
+    * |distinct(A)| = |distinct(A,B)| over non-null pairs. Key → attribute
+    * pairs hold by definition (o_orderkey → o_custkey); reverse and
+    * fact-table pairs fail with a measured violation margin (fd_ppm,
+    * max_rhs_per_lhs — what a normalizing migration needs to size the
+    * dimension split). Coincidental in-sample FDs are reported as data
+    * truth, q263's rule.
+    *
+    * Scale: one stacked scan per table (bounded catalog explode, q262's
+    * idiom); the corpus-sized work is ONE distinct on (pair, a, b) —
+    * everything after is per-lhs then per-pair rollup, each a strictly
+    * coarser combinable aggregate; report is catalog-sized. */
+  def q272FdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = FdPairs.groupBy(_._1).toSeq.map { case (tbl, ps) =>
+      val stack = ps.map { case (_, a, b) =>
+        s"'$tbl.$a', '$tbl.$b', CAST($a AS BIGINT), CAST($b AS BIGINT)"
+      }.mkString(s"stack(${ps.size}, ", ", ", ") AS (lhs_col, rhs_col, a, b)")
+      graft.sources.Tables.load(s, dir, tbl).selectExpr(stack)
+        .filter($"a".isNotNull && $"b".isNotNull)
+    }.reduce(_ unionByName _)
+    rows.distinct()
+      .groupBy($"lhs_col", $"rhs_col", $"a").agg(count(lit(1)).as("nb"))
+      .groupBy($"lhs_col", $"rhs_col")
+      .agg(count(lit(1)).as("n_lhs"), sum($"nb").as("n_pairs"),
+        max($"nb").as("max_rhs_per_lhs"))
+      .withColumn("fd_ppm", expr("n_lhs * 1000000 div n_pairs"))
+      .withColumn("is_fd", when($"n_pairs" === $"n_lhs", 1L).otherwise(0L))
+      .select($"lhs_col", $"rhs_col", $"n_lhs", $"n_pairs",
+        $"max_rhs_per_lhs", $"fd_ppm", $"is_fd")
+      .orderBy($"lhs_col", $"rhs_col")
+  }
+
   def q147JoinSizeAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def t(n: String) = graft.sources.Tables.load(s, dir, n)

@@ -322,6 +322,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(t => assert(pks(t), s"FK target $t not a key"))
   }
 
+  test("q272: key->attribute FDs hold; reverse directions measure violations") {
+    val got = graft.operators.SchemaOps.q272FdDiscovery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.size == graft.operators.SchemaOps.FdPairs.size)
+    // the four true key->attribute determinations all hold
+    Seq("nation.n_nationkey" -> "nation.n_regionkey",
+      "customer.c_custkey" -> "customer.c_nationkey",
+      "supplier.s_suppkey" -> "supplier.s_nationkey",
+      "orders.o_orderkey" -> "orders.o_custkey").foreach { p =>
+      assert(got(p)._5 == 1L, s"true FD $p not detected")
+      assert(got(p)._1 == got(p)._2 && got(p)._3 == 1L, s"FD $p inconsistent")
+    }
+    // a region holds many nations: the reverse direction must fail with
+    // a measured multiplicity
+    val rev = got(("nation.n_regionkey", "nation.n_nationkey"))
+    assert(rev._5 == 0L && rev._3 > 1L && rev._4 < 1000000L)
+    // fact-table pairs: an order spans parts and suppliers
+    assert(got(("lineitem.l_orderkey", "lineitem.l_partkey"))._5 == 0L)
+    // internal consistency on every row: ppm math, verdict, bounds —
+    // any in-sample extra FD is data truth (q263's rule)
+    got.foreach { case (p, (nl, np, mx, ppm, fd)) =>
+      assert(np >= nl && ppm == nl * 1000000L / np, s"$p")
+      assert((fd == 1L) == (np == nl) && (fd == 1L) == (mx == 1L), s"$p")
+    }
+  }
+
   test("q264: homoglyph spoofs flag; single-script and cross-word mixing do not") {
     import graft.ops.TextOps
     val got = TextOps.q264ScriptMix(spark, sf).collect()

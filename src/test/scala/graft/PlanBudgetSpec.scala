@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q272_fd_discovery" -> 4, // stacked pair scans into ONE distinct;
+                             // per-lhs and per-pair rollups coarsen the
+                             // same key (combinable); orderBy
     "q271_linear_attrib" -> 2, // ONE user_id partitioning carries all
                              // three window folds; 1-row agg + stack
     "q270_containment" -> 15, // gram distinct + df cap + capped pair
