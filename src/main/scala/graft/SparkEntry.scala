@@ -320,6 +320,7 @@ object SparkEntry {
     "q270_containment"    -> DedupOps.q270ContainmentDedup _,
     "q271_linear_attrib"  -> EventOps.q271LinearAttribution _,
     "q272_fd_discovery"   -> graft.operators.SchemaOps.q272FdDiscovery _,
+    "q273_tcloseness"     -> PipelineOps.q273TCloseness _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5159,6 +5160,36 @@ object SparkEntry {
         |  CAST(CASE WHEN CAST(sum(nb) AS BIGINT) = count(*) THEN 1 ELSE 0 END
         |    AS BIGINT) AS is_fd
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q273: identical integer-div ppm probabilities and the same sparse
+    // TV identity (absent bands fold into the global P_total constant);
+    // cb is MATERIALIZED (three consumers).
+    "q273_tcloseness" ->
+      """WITH cb AS MATERIALIZED (SELECT CAST(c_nationkey AS BIGINT)
+        |      AS nationkey, c_mktsegment AS segment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |cls AS (SELECT nationkey, segment, CAST(sum(n) AS BIGINT)
+        |    AS n_members FROM cb GROUP BY 1, 2),
+        |bnd AS (SELECT band, CAST(sum(n) AS BIGINT) AS n_b
+        |  FROM cb GROUP BY 1),
+        |nt AS (SELECT CAST(sum(n_b) AS BIGINT) AS n_tot FROM bnd),
+        |b2 AS MATERIALIZED (SELECT band, n_b * 1000000 // n_tot AS p_b_ppm
+        |  FROM bnd, nt),
+        |pt AS (SELECT CAST(sum(p_b_ppm) AS BIGINT) AS p_total FROM b2),
+        |j AS (SELECT cb.nationkey, cb.segment, cls.n_members,
+        |    abs(cb.n * 1000000 // cls.n_members - b2.p_b_ppm) - b2.p_b_ppm
+        |      AS term
+        |  FROM cb JOIN cls ON cb.nationkey = cls.nationkey
+        |    AND cb.segment = cls.segment
+        |  JOIN b2 ON cb.band = b2.band)
+        |SELECT nationkey, segment, n_members,
+        |  (CAST(sum(term) AS BIGINT) + p_total) // 2 AS tv_ppm,
+        |  CASE WHEN (CAST(sum(term) AS BIGINT) + p_total) // 2 > 200000
+        |    THEN 'skewed' ELSE 'publish' END AS verdict
+        |FROM j, pt GROUP BY nationkey, segment, n_members, p_total
+        |ORDER BY nationkey, segment""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

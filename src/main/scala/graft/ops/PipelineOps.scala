@@ -854,6 +854,56 @@ object PipelineOps {
       .orderBy($"nationkey", $"segment")
   }
 
+  /** X242 — t-closeness audit, the privacy ladder's third rung (X71
+    * k-anonymity bounds group SIZE, X90 l-diversity bounds sensitive
+    * VARIETY, this bounds sensitive DISTRIBUTION): a group can pass both
+    * k and l while its balance-band distribution still screams (49 of 50
+    * members in the top band) — t-closeness requires each QI class's
+    * sensitive distribution to sit within t of the global one. Distance
+    * is total variation in integer ppm (the categorical-attribute
+    * simplification of the original EMD formulation), with per-band
+    * probabilities as integer-div ppm — deterministic on both engines,
+    * within |bands| ppm of the real TV.
+    *
+    * The grid stays SPARSE: a band absent from a class contributes
+    * exactly p_b to the TV sum, and Σ_b p_b is a global constant — so
+    * tv = (Σ_present (|p_cb − p_b| − p_b) + P_total) div 2, computed
+    * from present cells only. No densification join.
+    *
+    * Scale: ONE corpus-sized (QI, band) aggregate; every later frame is
+    * QI- or band-cardinality-sized and broadcasts; the cb subplan
+    * recounts per consumer in plan text (q189's rule — AQE reuses the
+    * exchange at runtime). */
+  def q273TCloseness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tPpm = 200000L
+    val cb = Tables.load(s, dir, "customer")
+      .select($"c_nationkey".cast("long").as("nationkey"),
+        $"c_mktsegment".as("segment"),
+        expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("band"))
+      .groupBy($"nationkey", $"segment", $"band")
+      .agg(count(lit(1)).as("n"))
+    val cls = cb.groupBy($"nationkey", $"segment")
+      .agg(sum($"n").as("n_members"))
+    val bnd = cb.groupBy($"band").agg(sum($"n").as("n_b"))
+    val ntot = bnd.agg(sum($"n_b").as("n_tot"))
+    val bnd2 = bnd.crossJoin(broadcast(ntot))
+      .select($"band", expr("n_b * 1000000 div n_tot").as("p_b_ppm"))
+    val ptot = bnd2.agg(sum($"p_b_ppm").as("p_total"))
+    cb.join(broadcast(cls), Seq("nationkey", "segment"))
+      .join(broadcast(bnd2), Seq("band"))
+      .withColumn("term",
+        expr("abs(n * 1000000 div n_members - p_b_ppm) - p_b_ppm"))
+      .groupBy($"nationkey", $"segment", $"n_members")
+      .agg(sum($"term").as("sum_term"))
+      .crossJoin(broadcast(ptot))
+      .withColumn("tv_ppm", expr("(sum_term + p_total) div 2"))
+      .select($"nationkey", $"segment", $"n_members", $"tv_ppm",
+        when($"tv_ppm" > tPpm, lit("skewed")).otherwise(lit("publish"))
+          .as("verdict"))
+      .orderBy($"nationkey", $"segment")
+  }
+
   /** X99 — deterministic weighted curriculum interleave: the exact global
     * reading order a trainer draws when sampling languages proportional to
     * the [[mixtureWeights]] sqrt-token weights — stream s's k-th document

@@ -322,6 +322,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(t => assert(pks(t), s"FK target $t not a key"))
   }
 
+  test("q273: sparse TV identity equals the dense grid; replay agrees") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("CAST(c_nationkey AS BIGINT)", "c_mktsegment",
+        "CAST(round(c_acctbal * 100) AS BIGINT) div 100000")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val cb = cust.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cls = cust.groupBy(c => (c._1, c._2)).view.mapValues(_.size.toLong).toMap
+    val bndC = cust.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nTot = cust.length.toLong
+    val pB = bndC.view.mapValues(_ * 1000000L / nTot).toMap
+    val pTotal = pB.values.sum
+    val expect = cls.map { case ((nk, seg), nc) =>
+      // dense-grid TV: every global band contributes, absent ones at p_b
+      val dense = pB.map { case (b, pb) =>
+        val pcb = cb.getOrElse((nk, seg, b), 0L) * 1000000L / nc
+        math.abs(pcb - pb)
+      }.sum / 2
+      // sparse identity: present cells only + the P_total constant
+      val sparse = (cb.collect { case ((`nk`, `seg`, b), n) =>
+        math.abs(n * 1000000L / nc - pB(b)) - pB(b) }.sum + pTotal) / 2
+      assert(dense == sparse, s"identity broken at ($nk, $seg)")
+      (nk, seg) -> (nc, sparse)
+    }
+    val got = graft.ops.PipelineOps.q273TCloseness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap == expect)
+    got.foreach { case (_, (_, tv, v)) =>
+      assert(v == (if (tv > 200000L) "skewed" else "publish"))
+      assert(tv >= 0L && tv <= 1000000L)
+    }
+  }
+
   test("q272: key->attribute FDs hold; reverse directions measure violations") {
     val got = graft.operators.SchemaOps.q272FdDiscovery(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2),

@@ -391,6 +391,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q273_tcloseness" -> 21, // ONE corpus-sized (QI, band) agg; every
+                             // later frame is QI/band-sized broadcast;
+                             // the cb subplan recounts per consumer in
+                             // plan text (q189's rule — AQE reuses the
+                             // identical exchange at runtime)
     "q272_fd_discovery" -> 4, // stacked pair scans into ONE distinct;
                              // per-lhs and per-pair rollups coarsen the
                              // same key (combinable); orderBy
