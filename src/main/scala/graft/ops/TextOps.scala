@@ -777,22 +777,48 @@ object TextOps {
     * aggregation on the canonical key; report is key-space-sized. */
   def q269UrlCanonical(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val k = ((pmod($"doc_id", lit(40L)) * 2654435761L) % 40L).cast("string")
-    val m = pmod($"doc_id", lit(7L)).cast("string")
+    withCanonicalUrl(withUrlNoise(docs(s, dir)))
+      .groupBy($"canonical_url")
+      .agg(min($"doc_id").as("min_doc_id"), count(lit(1)).as("n_docs"),
+        countDistinct($"u").as("n_raw_urls"))
+      .filter($"n_docs" >= 2)
+      .select($"canonical_url", $"min_doc_id", $"n_docs", $"n_raw_urls")
+      .orderBy($"canonical_url")
+  }
+
+  /** q269's URL-noise plant: appends one planted URL (id-derived case /
+    * port / param-order / tracking / fragment noise) to each document's
+    * text as `t2`. Shared by the batch op, the oracle shape, and the
+    * streaming-gate spec (which feeds the SAME planted stream). */
+  private[graft] def withUrlNoise(df: DataFrame): DataFrame = {
+    val k =
+      ((pmod(col("doc_id"), lit(40L)) * 2654435761L) % 40L).cast("string")
+    val m = pmod(col("doc_id"), lit(7L)).cast("string")
     val url = concat(
-      when($"doc_id" % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+      when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
       lit("://"),
-      when($"doc_id" % 2 === 0,
+      when(col("doc_id") % 2 === 0,
         concat(lit("Site"), k, lit(".Example.ORG")))
         .otherwise(concat(lit("site"), k, lit(".example.org"))),
-      when($"doc_id" % 11 === 0, lit(":8443"))
-        .when($"doc_id" % 3 === 0, lit(":443")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(":8443"))
+        .when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
       lit("/p/"), m,
-      when($"doc_id" % 2 === 0, concat(lit("?id="), m, lit("&ref=a")))
+      when(col("doc_id") % 2 === 0, concat(lit("?id="), m, lit("&ref=a")))
         .otherwise(concat(lit("?ref=a&id="), m)),
-      when($"doc_id" % 2 === 1, lit("&utm_source=news")).otherwise(lit("")),
-      when($"doc_id" % 5 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
-      when($"doc_id" % 4 === 0, lit("#sec")).otherwise(lit("")))
+      when(col("doc_id") % 2 === 1, lit("&utm_source=news"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("#sec")).otherwise(lit("")))
+    df.withColumn("t2", concat(coalesce(col("text"), lit("")),
+      lit(" see "), url, lit(" end")))
+  }
+
+  /** THE canonicalization: extract the first URL from `t2` as `u`, parse,
+    * rebuild as `canonical_url`. ONE definition shared by the q269 batch
+    * dedup and the streaming [[graft.streaming.EventStream.urlDedupGate]]
+    * — gate and audit must agree on what "the same URL" means, or the
+    * stream admits what the batch audit would collapse. */
+  private[graft] def withCanonicalUrl(df: DataFrame): DataFrame = {
     val parse = "^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\\?[^#]*)?(#.*)?$"
     val canonParams =
       """element_at(transform(array(filter(split(substr(qraw, 2), '&'),
@@ -800,27 +826,19 @@ object TextOps {
         |      AND substr(p, 1, 7) <> 'fbclid=' AND substr(p, 1, 6) <> 'gclid=')),
         |  ps -> IF(size(ps) = 0, '',
         |           concat('?', array_join(array_sort(ps), '&')))), 1)""".stripMargin
-    docs(s, dir)
-      .withColumn("t2", concat(coalesce($"text", lit("")),
-        lit(" see "), url, lit(" end")))
-      .withColumn("u", regexp_extract($"t2", "(?i)(https?://[^ ]+)", 1))
-      .withColumn("scheme", lower(regexp_extract($"u", parse, 1)))
-      .withColumn("host", lower(regexp_extract($"u", parse, 2)))
-      .withColumn("port", regexp_extract($"u", parse, 3))
-      .withColumn("path", regexp_extract($"u", parse, 4))
-      .withColumn("qraw", regexp_extract($"u", parse, 5))
+    df.withColumn("u", regexp_extract(col("t2"), "(?i)(https?://[^ ]+)", 1))
+      .withColumn("scheme", lower(regexp_extract(col("u"), parse, 1)))
+      .withColumn("host", lower(regexp_extract(col("u"), parse, 2)))
+      .withColumn("port", regexp_extract(col("u"), parse, 3))
+      .withColumn("path", regexp_extract(col("u"), parse, 4))
+      .withColumn("qraw", regexp_extract(col("u"), parse, 5))
       .withColumn("portk",
-        when(($"scheme" === "https" && $"port" === ":443") ||
-          ($"scheme" === "http" && $"port" === ":80"), lit(""))
-          .otherwise($"port"))
-      .withColumn("canonical_url", concat($"scheme", lit("://"), $"host",
-        $"portk", $"path", expr(canonParams)))
-      .groupBy($"canonical_url")
-      .agg(min($"doc_id").as("min_doc_id"), count(lit(1)).as("n_docs"),
-        countDistinct($"u").as("n_raw_urls"))
-      .filter($"n_docs" >= 2)
-      .select($"canonical_url", $"min_doc_id", $"n_docs", $"n_raw_urls")
-      .orderBy($"canonical_url")
+        when((col("scheme") === "https" && col("port") === ":443") ||
+          (col("scheme") === "http" && col("port") === ":80"), lit(""))
+          .otherwise(col("port")))
+      .withColumn("canonical_url", concat(col("scheme"), lit("://"),
+        col("host"), col("portk"), col("path"), expr(canonParams)))
+      .drop("scheme", "host", "port", "path", "qraw", "portk")
   }
 
   /** q266's markup wrappers, indexed by pmod(doc_id, 6): (prefix, suffix)

@@ -630,6 +630,48 @@ object EventStream {
       }
   }
 
+  final case class UrlState(minDocId: Long, nDocs: Long, raw: Set[String])
+
+  final case class UrlUpdate(canonical_url: String, min_doc_id: Long,
+      n_docs: Long, n_raw_urls: Long)
+
+  /** Streaming canonical-URL dedup gate — q269's continuous form (X243):
+    * a crawl frontier deduplicates URLs at ingest, and byte-keyed state
+    * balloons with every tracking-param permutation of the same page.
+    * Keyed by `canonical_url` through THE one canonicalization
+    * definition ([[graft.ops.TextOps.withCanonicalUrl]], shared with the
+    * batch audit — gate and audit must agree on what "the same URL" is),
+    * each key's state tracks first-seen doc, fetch count, and the
+    * distinct raw spellings (capped at 1024 per key — beyond the cap the
+    * variant count saturates rather than growing state without bound;
+    * dedup verdicts never need more). Update-mode refreshes per
+    * micro-batch.
+    *
+    * Scale: state partitions by canonical key across executors — no
+    * global consistency point; per-key state is variants-bounded. */
+  def urlDedupGate(docs: DataFrame): Dataset[UrlUpdate] = {
+    import docs.sparkSession.implicits._
+    graft.ops.TextOps.withCanonicalUrl(
+      docs.withColumn("t2", coalesce(col("text"), lit(""))))
+      .select(col("canonical_url"), col("doc_id"), col("u"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UrlState, UrlUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[UrlState]) =>
+          val st0 = state.getOption.getOrElse(
+            UrlState(Long.MaxValue, 0L, Set.empty))
+          var (minId, n, raw) = (st0.minDocId, st0.nDocs, st0.raw)
+          rows.foreach { case (_, id, u) =>
+            minId = math.min(minId, id)
+            n += 1L
+            if (raw.size < 1024) raw += u
+          }
+          state.update(UrlState(minId, n, raw))
+          Iterator.single(UrlUpdate(key, minId, n, raw.size.toLong))
+      }
+  }
+
   def blocklistGate(docs: DataFrame, blocklist: DataFrame): DataFrame = {
     val blocked: Array[String] = blocklist
       .select(col("domain").cast("string")).collect().map(_.getString(0))

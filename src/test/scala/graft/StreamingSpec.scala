@@ -584,6 +584,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(streamedFinal == batch)
   }
+
+  test("urlDedupGate through a real stream equals the ORACLE-GATED q269 frame") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // the IDENTICAL planted URL noise the oracle-gated q269 frame folds,
+    // fed through a REAL stream in several micro-batches so dedup state
+    // genuinely accumulates across batch boundaries
+    val planted = graft.ops.TextOps.withUrlNoise(
+      graft.sources.Tables.load(spark, sf, "documents"))
+      .select($"doc_id", $"t2").as[(Long, String)].collect()
+      .map { case (id, t2) => StreamingSpec.Doc(id, t0, t2, "en") }
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = EventStream.urlDedupGate(mem.toDF())
+      .writeStream.format("memory").queryName("urlgate")
+      .outputMode(OutputMode.Update).start()
+    planted.grouped(planted.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val updates = spark.table("urlgate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = SparkEntry.queries("q269_url_canonical")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // genuinely incremental: keys refresh across micro-batches
+    assert(updates.length > updates.map(_._1).distinct.length)
+    // the final refresh per key, restricted to dup keys, IS the batch
+    // frame — same canonicalization, same counts, same first-seen doc
+    val streamedFinal = updates.groupBy(_._1).map { case (k, us) =>
+      val f = us.maxBy(_._3)
+      k -> (f._2, f._3, f._4)
+    }.filter(_._2._2 >= 2L)
+    assert(streamedFinal == batch)
+    // dedup really fires in-stream: some key sees >= 2 raw spellings
+    assert(streamedFinal.values.exists(_._3 >= 2L))
+  }
 }
 
 object StreamingSpec {
