@@ -321,6 +321,7 @@ object SparkEntry {
     "q271_linear_attrib"  -> EventOps.q271LinearAttribution _,
     "q272_fd_discovery"   -> graft.operators.SchemaOps.q272FdDiscovery _,
     "q273_tcloseness"     -> PipelineOps.q273TCloseness _,
+    "q274_png_probe"      -> MultimodalOps.q274PngProbe _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5190,6 +5191,21 @@ object SparkEntry {
         |    THEN 'skewed' ELSE 'publish' END AS verdict
         |FROM j, pt GROUP BY nationkey, segment, n_members, p_total
         |ORDER BY nationkey, segment""".stripMargin,
+
+    // q274: dims replay arithmetically from the plant; the format
+    // constants (8-bit RGB truecolor, no interlace, signature + CRC ok)
+    // are pinned literals — a drifting encoder or broken parser breaks
+    // the equality loudly (q222's codec-gate discipline).
+    "q274_png_probe" ->
+      """SELECT doc_id,
+        |  (doc_id % 16 + 16) % 16 + 4 AS width,
+        |  (doc_id % 9 + 9) % 9 + 3 AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(2 AS BIGINT) AS color_type,
+        |  CAST(0 AS BIGINT) AS interlace,
+        |  CAST(1 AS BIGINT) AS sig_ok,
+        |  CAST(1 AS BIGINT) AS crc_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

