@@ -322,6 +322,7 @@ object SparkEntry {
     "q272_fd_discovery"   -> graft.operators.SchemaOps.q272FdDiscovery _,
     "q273_tcloseness"     -> PipelineOps.q273TCloseness _,
     "q274_png_probe"      -> MultimodalOps.q274PngProbe _,
+    "q275_vopt_histogram" -> graft.operators.SchemaOps.q275VOptHistogram _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5206,6 +5207,56 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS sig_ok,
         |  CAST(1 AS BIGINT) AS crc_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q275: the SAME v-optimal DP as 8 chained relational levels + 8
+    // backtrack steps; packed min(cost*512 + k) tie-breaks exactly like
+    // the Spark leg's ascending-k strict-< scan (smallest split on equal
+    // cost). cost/pz/dp2..dp7 are MATERIALIZED (multi-referenced).
+    "q275_vopt_histogram" -> {
+      val dpLevels = (2 to 8).map { j =>
+        s"""dp$j AS MATERIALIZED (SELECT c.i,
+           |    min((d.pack // 512 + c.cost) * 512 + c.k) AS pack
+           |  FROM dp${j - 1} d JOIN cost c ON c.k = d.i GROUP BY c.i)"""
+          .stripMargin
+      }.mkString(",\n        |")
+      val backtracks = (7 to 1 by -1).map { j =>
+        s"""b$j AS (SELECT b${j + 1}.k AS e,
+           |  (SELECT pack % 512 FROM dp$j WHERE dp$j.i = b${j + 1}.k) AS k
+           |  FROM b${j + 1})""".stripMargin
+      }.mkString(",\n        |")
+      val buckets = (1 to 8).map { j =>
+        s"""SELECT CAST($j AS BIGINT) AS bucket, b$j.k AS lo_cell,
+           |  b$j.e - 1 AS hi_cell,
+           |  (SELECT s FROM pz WHERE pz.i = b$j.e) -
+           |    (SELECT s FROM pz WHERE pz.i = b$j.k) AS n_rows,
+           |  (SELECT cost FROM cost WHERE cost.k = b$j.k
+           |     AND cost.i = b$j.e) AS sse_scaled
+           |FROM b$j""".stripMargin
+      }.mkString("\n        |UNION ALL ")
+      raw"""WITH o AS (SELECT least(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      // 200000, 255) AS ci FROM orders),
+        |cn AS (SELECT ci, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1),
+        |cells AS (SELECT g.i, coalesce(cn.c, 0) AS c
+        |  FROM (SELECT unnest(generate_series(CAST(0 AS BIGINT), 255)) AS i) g
+        |  LEFT JOIN cn ON cn.ci = g.i),
+        |ps AS (SELECT i, CAST(sum(c) OVER (ORDER BY i) AS BIGINT) AS s,
+        |    CAST(sum(c * c) OVER (ORDER BY i) AS BIGINT) AS q FROM cells),
+        |pz AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS i,
+        |    CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS q
+        |  UNION ALL SELECT i + 1, s, q FROM ps),
+        |cost AS MATERIALIZED (SELECT pk.i AS k, pi.i AS i,
+        |    (pi.i - pk.i) * (pi.q - pk.q) - (pi.s - pk.s) * (pi.s - pk.s)
+        |      AS cost
+        |  FROM pz pk JOIN pz pi ON pk.i < pi.i),
+        |dp1 AS MATERIALIZED (SELECT i, cost * 512 + 0 AS pack
+        |  FROM cost WHERE k = 0),
+        |$dpLevels,
+        |b8 AS (SELECT CAST(256 AS BIGINT) AS e, pack % 512 AS k
+        |  FROM dp8 WHERE i = 256),
+        |$backtracks
+        |$buckets
+        |ORDER BY bucket""".stripMargin
+    },
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

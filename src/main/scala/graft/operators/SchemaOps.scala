@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.types.TypeMapper
 import graft.ddl.DdlConverter
@@ -323,6 +323,66 @@ object SchemaOps {
       .select($"lhs_col", $"rhs_col", $"n_lhs", $"n_pairs",
         $"max_rhs_per_lhs", $"fd_ppm", $"is_fd")
       .orderBy($"lhs_col", $"rhs_col")
+  }
+
+  /** X245 — v-optimal histogram construction (ANALYZE-grade optimizer
+    * statistics, X68's sizing counterpart): partition the order-value
+    * domain into 8 buckets minimizing Σ len·SSE of the 256 equi-width
+    * cell counts — the classic v-optimal objective (scaled by len to
+    * stay integer-exact: cost(k,i) = len·ΣQ − S², which is len²·variance
+    * and ≥ 0 by Cauchy-Schwarz). Equi-width/equi-depth histograms
+    * misestimate skewed predicates; v-optimal is what cost-based
+    * optimizers actually want and is exactly solvable by DP over the
+    * bounded cell frame.
+    *
+    * The DP runs DRIVER-SIDE over the 256 collected cell counts (the
+    * bounded-report idiom — the corpus-sized work is ONE bucketize
+    * aggregate; O(V²·B) ≈ 0.5M integer ops is noise). The DuckDB oracle
+    * runs the SAME DP as 8 chained relational levels + 8 backtrack
+    * steps, tie-breaking identically (min packed cost·512+k ⟺ smallest
+    * k on equal cost) — two independent DP implementations, one exact
+    * answer.
+    *
+    * Integer envelope: cost ≤ len·Σc² ≤ 256·N² — exact for N up to
+    * ~1.9e8 rows per cell; beyond that pre-scale counts (the histogram
+    * shape is scale-invariant). Cells use a FIXED [0, 512M-cent) domain
+    * so the definition is SF-independent. */
+  def q275VOptHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = graft.sources.Tables.load(s, dir, "orders")
+      .select(expr(
+        "least(CAST(round(o_totalprice * 100) AS BIGINT) div 200000, 255L)")
+        .as("ci"))
+      .groupBy($"ci").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val c = Array.tabulate(256)(i => counts.getOrElse(i, 0L))
+    val S = c.scanLeft(0L)(_ + _) // S(i) = sum of first i cells
+    val Q = c.scanLeft(0L)((a, x) => a + x * x)
+    def cost(k: Int, i: Int): Long =
+      (i - k).toLong * (Q(i) - Q(k)) - (S(i) - S(k)) * (S(i) - S(k))
+    val B = 8
+    // dp(j)(i) = min cost of covering cells 1..i with j buckets; parent
+    // keeps the smallest split k on ties (strict < with k ascending)
+    val dp = Array.fill(B + 1, 257)(Long.MaxValue)
+    val par = Array.fill(B + 1, 257)(0)
+    dp(0)(0) = 0L
+    for (j <- 1 to B; i <- j to 256; k <- (j - 1) until i) {
+      if (dp(j - 1)(k) != Long.MaxValue) {
+        val v = dp(j - 1)(k) + cost(k, i)
+        if (v < dp(j)(i)) { dp(j)(i) = v; par(j)(i) = k }
+      }
+    }
+    val bounds = new Array[Int](B + 1)
+    bounds(B) = 256
+    for (j <- B to 1 by -1) bounds(j - 1) = par(j)(bounds(j))
+    val rows = (1 to B).map { j =>
+      val (k, i) = (bounds(j - 1), bounds(j))
+      Row(j.toLong, k.toLong, (i - 1).toLong, S(i) - S(k), cost(k, i))
+    }
+    import org.apache.spark.sql.types.LongType
+    LocalReport.frame(s, rows, "bucket" -> LongType, "lo_cell" -> LongType,
+      "hi_cell" -> LongType, "n_rows" -> LongType, "sse_scaled" -> LongType)
+      .orderBy($"bucket")
   }
 
   def q147JoinSizeAudit(s: SparkSession, dir: String): DataFrame = {

