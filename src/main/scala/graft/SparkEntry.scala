@@ -323,6 +323,7 @@ object SparkEntry {
     "q273_tcloseness"     -> PipelineOps.q273TCloseness _,
     "q274_png_probe"      -> MultimodalOps.q274PngProbe _,
     "q275_vopt_histogram" -> graft.operators.SchemaOps.q275VOptHistogram _,
+    "q276_selectivity"    -> graft.operators.SchemaOps.q276SelectivityAudit _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5257,6 +5258,57 @@ object SparkEntry {
         |$buckets
         |ORDER BY bucket""".stripMargin
     },
+
+    // q276: the predicate table interpolates from SchemaOps.SelPredicates
+    // (cell-aligned, so exact stays exact); identical cumulative-window
+    // boundary search and per-bucket floor-div estimates.
+    "q276_selectivity" ->
+      s"""WITH o AS (SELECT least(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      // 12500, 4095) AS i FROM orders),
+        |c0 AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1),
+        |dense AS (SELECT g.i, coalesce(c0.c, 0) AS c
+        |  FROM (SELECT unnest(generate_series(CAST(0 AS BIGINT), 4095)) AS i) g
+        |  LEFT JOIN c0 USING (i)),
+        |cells AS MATERIALIZED (SELECT i, c,
+        |    CAST(sum(c) OVER (ORDER BY i) AS BIGINT) AS cum FROM dense),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM cells),
+        |bounds AS (SELECT j, min(i) AS vj
+        |  FROM cells, nt,
+        |    (SELECT unnest(generate_series(CAST(1 AS BIGINT), 7)) AS j) js
+        |  WHERE cum * 8 >= j * n_tot GROUP BY j),
+        |wb AS MATERIALIZED (SELECT i, c,
+        |    1 + (SELECT count(*) FROM bounds WHERE vj <= cells.i) AS db,
+        |    i // 512 + 1 AS wbk
+        |  FROM cells),
+        |bfw AS (SELECT wbk AS b, min(i) AS blo, max(i) AS bhi,
+        |    CAST(sum(c) AS BIGINT) AS nb FROM wb GROUP BY 1),
+        |bfd AS (SELECT db AS b, min(i) AS blo, max(i) AS bhi,
+        |    CAST(sum(c) AS BIGINT) AS nb FROM wb GROUP BY 1),
+        |preds AS (SELECT * FROM (VALUES ${graft.operators.SchemaOps.SelPredicates
+               .map { case (lo, hi) =>
+                 s"(CAST($lo AS BIGINT), CAST($hi AS BIGINT), " +
+                   s"CAST(${lo / 12500} AS BIGINT), CAST(${hi / 12500} AS BIGINT))" }
+               .mkString(",\n        |    ")})
+        |  p(lo_cents, hi_cents, loc, hic)),
+        |ex AS (SELECT lo_cents, hi_cents, CAST(sum(c) AS BIGINT)
+        |    AS exact_rows
+        |  FROM preds, cells WHERE i >= loc AND i < hic GROUP BY 1, 2),
+        |ew AS (SELECT lo_cents, hi_cents, CAST(sum(
+        |    nb * greatest(0, least(hic - 1, bhi) - greatest(loc, blo) + 1)
+        |      // (bhi - blo + 1)) AS BIGINT) AS est_width
+        |  FROM preds, bfw GROUP BY 1, 2),
+        |ed AS (SELECT lo_cents, hi_cents, CAST(sum(
+        |    nb * greatest(0, least(hic - 1, bhi) - greatest(loc, blo) + 1)
+        |      // (bhi - blo + 1)) AS BIGINT) AS est_depth
+        |  FROM preds, bfd GROUP BY 1, 2)
+        |SELECT lo_cents, hi_cents, exact_rows, est_width, est_depth,
+        |  abs(est_width - exact_rows) * 1000000 // greatest(exact_rows, 1)
+        |    AS err_width_ppm,
+        |  abs(est_depth - exact_rows) * 1000000 // greatest(exact_rows, 1)
+        |    AS err_depth_ppm
+        |FROM ex JOIN ew USING (lo_cents, hi_cents)
+        |JOIN ed USING (lo_cents, hi_cents)
+        |ORDER BY lo_cents, hi_cents""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

@@ -385,6 +385,80 @@ object SchemaOps {
       .orderBy($"bucket")
   }
 
+  /** q276's fixed range predicates, in cents, all aligned to the 12500-
+    * cent cell width so every overlap is whole cells and the estimator
+    * arithmetic stays integer-exact. */
+  private[graft] val SelPredicates: Seq[(Long, Long)] = Seq(
+    0L -> 1000000L, 1000000L -> 3000000L, 5000000L -> 10000000L,
+    10000000L -> 20000000L, 30000000L -> 35000000L, 20000000L -> 50000000L)
+
+  /** X246 — histogram selectivity-estimation audit: the measurement that
+    * justifies which histogram the optimizer should keep — for each
+    * fixed range predicate, the EXACT row count vs the uniform-within-
+    * bucket estimates from an 8-bucket equi-width and an 8-bucket
+    * equi-depth histogram, with errors in ppm of the true count. Both
+    * histograms and the exact counts derive from ONE 4096-cell count
+    * aggregate (cells on a fixed domain; predicates align to cell
+    * boundaries, so "exact" is exact); equi-depth boundaries sit at
+    * cell granularity — the sketch-built form every engine ships.
+    *
+    * Scale: the corpus collapses in the single cell aggregate; the
+    * cumulative window, boundary search, bucket ranges, and the
+    * predicate × bucket estimation grid are all bounded frames
+    * (≤ 4096·8 rows) — q257's cell-frame window rule. */
+  def q276SelectivityAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cellW = 12500L
+    val cells0 = graft.sources.Tables.load(s, dir, "orders")
+      .select(expr(
+        s"least(CAST(round(o_totalprice * 100) AS BIGINT) div $cellW, 4095L)")
+        .as("i"))
+      .groupBy($"i").agg(count(lit(1)).as("c"))
+    val dense = s.range(0, 4096).select($"id".as("i"))
+      .join(cells0, Seq("i"), "left")
+      .select($"i", coalesce($"c", lit(0L)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy($"i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = dense.withColumn("cum", sum($"c").over(wCum))
+    val ntot = cells0.agg(sum($"c").as("n_tot"))
+    // equi-depth boundaries: v_j = min cell with cum >= ceil(j*N/8)
+    val js = s.range(1, 8).select($"id".as("j"))
+    val bounds = cells.crossJoin(broadcast(ntot)).crossJoin(broadcast(js))
+      .filter($"cum" * 8L >= $"j" * $"n_tot")
+      .groupBy($"j").agg(min($"i").as("vj"))
+    // depth bucket of a cell = 1 + |{j : v_j <= i}|; width bucket = i div 512
+    val withBuckets = cells.crossJoin(broadcast(
+        bounds.groupBy().agg(collect_list($"vj").as("vs"))))
+      .withColumn("db",
+        expr("1 + size(filter(vs, v -> v <= i))"))
+      .withColumn("wb", expr("i div 512 + 1"))
+    def bucketFrame(bcol: String) = withBuckets.groupBy(col(bcol).as("b"))
+      .agg(min($"i").as("blo"), max($"i").as("bhi"), sum($"c").as("nb"))
+    val preds = SelPredicates.map { case (lo, hi) =>
+      (lo, hi, lo / cellW, hi / cellW) }
+      .toDF("lo_cents", "hi_cents", "loc", "hic")
+    def estimate(bf: DataFrame, name: String) =
+      preds.crossJoin(broadcast(bf))
+        .withColumn("ov", greatest(lit(0L),
+          least($"hic" - 1, $"bhi") - greatest($"loc", $"blo") + 1))
+        .groupBy($"lo_cents", $"hi_cents")
+        .agg(sum(expr("nb * ov div (bhi - blo + 1)")).as(name))
+    val exact = preds.crossJoin(broadcast(cells))
+      .filter($"i" >= $"loc" && $"i" < $"hic")
+      .groupBy($"lo_cents", $"hi_cents").agg(sum($"c").as("exact_rows"))
+    exact
+      .join(estimate(bucketFrame("wb"), "est_width"),
+        Seq("lo_cents", "hi_cents"))
+      .join(estimate(bucketFrame("db"), "est_depth"),
+        Seq("lo_cents", "hi_cents"))
+      .withColumn("err_width_ppm", expr(
+        "abs(est_width - exact_rows) * 1000000 div greatest(exact_rows, 1L)"))
+      .withColumn("err_depth_ppm", expr(
+        "abs(est_depth - exact_rows) * 1000000 div greatest(exact_rows, 1L)"))
+      .orderBy($"lo_cents", $"hi_cents")
+  }
+
   def q147JoinSizeAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def t(n: String) = graft.sources.Tables.load(s, dir, n)

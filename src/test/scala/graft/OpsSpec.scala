@@ -411,6 +411,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._5).sum <= equiCost)
   }
 
+  test("q276: both estimators replay; depth beats width on the heavy tail") {
+    import graft.operators.SchemaOps
+    val ci = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("least(CAST(round(o_totalprice * 100) AS BIGINT) div 12500, 4095L) AS i")
+      .collect().map(_.getLong(0).toInt)
+    val c = Array.tabulate(4096)(i => ci.count(_ == i).toLong)
+    val cum = c.scanLeft(0L)(_ + _).tail // cum(i) inclusive
+    val n = c.sum
+    val vj = (1 to 7).map(j => (0 until 4096).find(cum(_) * 8 >= j * n).get)
+    def db(i: Int) = 1 + vj.count(_ <= i)
+    def wb(i: Int) = i / 512 + 1
+    def buckets(f: Int => Int) = (0 until 4096).groupBy(f).map {
+      case (b, is) => (is.min, is.max, is.map(c(_)).sum) }.toSeq
+    def est(bs: Seq[(Int, Int, Long)], lo: Int, hi: Int) = bs.map {
+      case (blo, bhi, nb) =>
+        val ov = math.max(0, math.min(hi - 1, bhi) - math.max(lo, blo) + 1)
+        nb * ov / (bhi - blo + 1)
+    }.sum
+    val got = SchemaOps.q276SelectivityAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    SchemaOps.SelPredicates.foreach { case (lo, hi) =>
+      val (loc, hic) = ((lo / 12500).toInt, (hi / 12500).toInt)
+      val exact = (loc until hic).map(c(_)).sum
+      val (ew, ed) = (est(buckets(wb), loc, hic), est(buckets(db), loc, hic))
+      val want = (exact, ew, ed,
+        math.abs(ew - exact) * 1000000L / math.max(exact, 1L),
+        math.abs(ed - exact) * 1000000L / math.max(exact, 1L))
+      assert(got((lo, hi)) == want, s"predicate [$lo, $hi)")
+    }
+    // the audit's reason to exist: the estimators genuinely differ and
+    // carry measurable, nonzero error somewhere
+    assert(got.values.exists(v => v._4 != v._5))
+    assert(got.values.exists(v => v._4 > 0L))
+  }
+
   test("q274: the container parser agrees with ImageIO and catches corruption") {
     val got = graft.ops.MultimodalOps.q274PngProbe(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -391,6 +391,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q276_selectivity" -> 32, // the corpus collapses in ONE cell agg;
+                             // cumulative window, boundary search, and
+                             // both estimation grids are ≤4096-row
+                             // frames; the cell subplan recounts per
+                             // consumer in plan text (q189's rule)
     // q275 materializes via the bounded-report idiom (ONE bucketize agg
     // collected at 256 cells, DP driver-side) so its returned plan is
     // local — optimality is pinned by the OpsSpec exhaustive check
