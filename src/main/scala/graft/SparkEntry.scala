@@ -324,6 +324,7 @@ object SparkEntry {
     "q274_png_probe"      -> MultimodalOps.q274PngProbe _,
     "q275_vopt_histogram" -> graft.operators.SchemaOps.q275VOptHistogram _,
     "q276_selectivity"    -> graft.operators.SchemaOps.q276SelectivityAudit _,
+    "q277_constraint_verify" -> graft.operators.SchemaOps.q277ConstraintVerify _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5309,6 +5310,63 @@ object SparkEntry {
         |FROM ex JOIN ew USING (lo_cents, hi_cents)
         |JOIN ed USING (lo_cents, hi_cents)
         |ORDER BY lo_cents, hi_cents""".stripMargin,
+
+    // q277: identical planted violations (dup -701 pair, orphan -711,
+    // one NULL key, negative total -721, out-of-range quantity -731);
+    // the clean corpus contributes zero to every violation count.
+    "q277_constraint_verify" ->
+      """WITH nn AS (SELECT 'customer.c_custkey NOT NULL' AS constraint_id,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations,
+        |    CAST(-1 AS BIGINT) AS sample_key
+        |  FROM (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        |        UNION ALL SELECT CAST(NULL AS BIGINT))),
+        |uqg AS (SELECT k, CAST(count(*) AS BIGINT) AS m
+        |  FROM (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+        |        UNION ALL SELECT * FROM (VALUES (CAST(-701 AS BIGINT)),
+        |          (CAST(-701 AS BIGINT)), (CAST(-702 AS BIGINT))))
+        |  GROUP BY 1),
+        |uq AS (SELECT 'orders.o_orderkey UNIQUE' AS constraint_id,
+        |    CAST(sum(m) AS BIGINT) AS n_checked,
+        |    CAST(sum(CASE WHEN m > 1 THEN m ELSE 0 END) AS BIGINT)
+        |      AS n_violations,
+        |    CAST(coalesce(min(CASE WHEN m > 1 THEN k END), -1) AS BIGINT)
+        |      AS sample_key
+        |  FROM uqg),
+        |oc AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders
+        |  UNION ALL SELECT CAST(-711 AS BIGINT)),
+        |orph AS (SELECT k FROM oc WHERE k NOT IN
+        |  (SELECT CAST(c_custkey AS BIGINT) FROM customer)),
+        |fk AS (SELECT 'orders.o_custkey FK customer.c_custkey'
+        |      AS constraint_id,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM oc) AS n_checked,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orph) AS n_violations,
+        |    (SELECT CAST(coalesce(min(k), -1) AS BIGINT) FROM orph)
+        |      AS sample_key),
+        |pr AS (SELECT 'orders.o_totalprice CHECK > 0' AS constraint_id,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations,
+        |    CAST(coalesce(min(CASE WHEN v <= 0 THEN k END), -1) AS BIGINT)
+        |      AS sample_key
+        |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |        CAST(o_orderkey AS BIGINT) AS k FROM orders
+        |        UNION ALL SELECT CAST(-12345 AS BIGINT),
+        |          CAST(-721 AS BIGINT))),
+        |qt AS (SELECT 'lineitem.l_quantity CHECK 1..50' AS constraint_id,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(sum(CASE WHEN v < 1 OR v > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations,
+        |    CAST(coalesce(min(CASE WHEN v < 1 OR v > 50 THEN k END), -1)
+        |      AS BIGINT) AS sample_key
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS v,
+        |        CAST(l_orderkey AS BIGINT) AS k FROM lineitem
+        |        UNION ALL SELECT CAST(99 AS BIGINT), CAST(-731 AS BIGINT)))
+        |SELECT * FROM nn UNION ALL SELECT * FROM uq
+        |UNION ALL SELECT * FROM fk UNION ALL SELECT * FROM pr
+        |UNION ALL SELECT * FROM qt
+        |ORDER BY constraint_id""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

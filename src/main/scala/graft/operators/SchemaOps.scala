@@ -459,6 +459,72 @@ object SchemaOps {
       .orderBy($"lo_cents", $"hi_cents")
   }
 
+  /** X247 — declared-constraint verification: the validation pass a
+    * migration runs AFTER loading — the discovery trio (q262/q263/q272)
+    * infers constraints from data; this verifies DECLARED ones against
+    * data and reports violations with evidence (count + the smallest
+    * violating key — the row a DBA opens first). Five constraint
+    * classes: NOT NULL, UNIQUE, FK, and two CHECKs. Ground truth is
+    * planted (disjoint negative-key rows unioned per table: a duplicate
+    * order key, an FK orphan, a NULL customer key, a negative total, an
+    * out-of-range quantity), so every count is derivable and the clean
+    * corpus contributes exactly zero.
+    *
+    * Scale: each constraint is an independent combinable branch (q105's
+    * union-of-branches shape — pruned single-column scans scheduling
+    * concurrently); UNIQUE is one keyed count, FK one broadcast-able
+    * anti-join (dimension keys project to one column), CHECK/NOT NULL
+    * narrow filters; the report is constraint-cardinality-sized. */
+  def q277ConstraintVerify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def t(n: String) = graft.sources.Tables.load(s, dir, n)
+    // planted violations, disjoint negative key ranges per class
+    val cust = t("customer").select($"c_custkey".cast("long").as("k"))
+      .unionByName(Seq(Option.empty[Long]).toDF("k"))
+    val ordKeys = t("orders").select($"o_orderkey".cast("long").as("k"))
+      .unionByName(Seq(-701L, -701L, -702L).toDF("k"))
+    val ordCust = t("orders").select($"o_custkey".cast("long").as("k"))
+      .unionByName(Seq(-711L).toDF("k"))
+    val ordPrice = t("orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+        $"o_orderkey".cast("long").as("k"))
+      .unionByName(Seq((-12345L, -721L)).toDF("v", "k"))
+    val liQty = t("lineitem")
+      .select($"l_quantity".cast("long").as("v"),
+        $"l_orderkey".cast("long").as("k"))
+      .unionByName(Seq((99L, -731L)).toDF("v", "k"))
+    val notNull = cust.agg(count(lit(1)).as("n_checked"),
+        sum(when($"k".isNull, 1L).otherwise(0L)).as("n_violations"),
+        lit(-1L).as("sample_key"))
+      .select(lit("customer.c_custkey NOT NULL").as("constraint_id"),
+        $"n_checked", $"n_violations", $"sample_key")
+    val uniq0 = ordKeys.groupBy($"k").agg(count(lit(1)).as("m"))
+    val uniq = uniq0.agg(sum($"m").as("n_checked"),
+        sum(when($"m" > 1, $"m").otherwise(0L)).as("n_violations"),
+        coalesce(min(when($"m" > 1, $"k")), lit(-1L)).as("sample_key"))
+      .select(lit("orders.o_orderkey UNIQUE").as("constraint_id"),
+        $"n_checked", $"n_violations", $"sample_key")
+    val custKeys = t("customer").select($"c_custkey".cast("long").as("ck"))
+    val orphans = ordCust.join(broadcast(custKeys),
+        $"k" === $"ck", "left_anti")
+    val fk = ordCust.agg(count(lit(1)).as("n_checked"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_violations"),
+        coalesce(min($"k"), lit(-1L)).as("sample_key")))
+      .select(lit("orders.o_custkey FK customer.c_custkey")
+        .as("constraint_id"), $"n_checked", $"n_violations", $"sample_key")
+    def check(df: DataFrame, id: String, bad: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_checked"),
+          sum(when(bad, 1L).otherwise(0L)).as("n_violations"),
+          coalesce(min(when(bad, $"k")), lit(-1L)).as("sample_key"))
+        .select(lit(id).as("constraint_id"), $"n_checked", $"n_violations",
+          $"sample_key")
+    val chkPrice = check(ordPrice, "orders.o_totalprice CHECK > 0", $"v" <= 0L)
+    val chkQty = check(liQty, "lineitem.l_quantity CHECK 1..50",
+      $"v" < 1L || $"v" > 50L)
+    Seq(notNull, uniq, fk, chkPrice, chkQty).reduce(_ unionByName _)
+      .orderBy($"constraint_id")
+  }
+
   def q147JoinSizeAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def t(n: String) = graft.sources.Tables.load(s, dir, n)

@@ -447,6 +447,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(v => v._4 > 0L))
   }
 
+  test("q277: exactly the planted violations surface, with their keys") {
+    val got = graft.operators.SchemaOps.q277ConstraintVerify(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == 5)
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    val nOrd = spark.read.parquet(s"$sf/orders.parquet").count()
+    val nLi = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(got("customer.c_custkey NOT NULL") == (nCust + 1, 1L, -1L))
+    assert(got("orders.o_orderkey UNIQUE") == (nOrd + 3, 2L, -701L))
+    assert(got("orders.o_custkey FK customer.c_custkey") ==
+      (nOrd + 1, 1L, -711L))
+    assert(got("orders.o_totalprice CHECK > 0") == (nOrd + 1, 1L, -721L))
+    assert(got("lineitem.l_quantity CHECK 1..50") == (nLi + 1, 1L, -731L))
+  }
+
   test("q274: the container parser agrees with ImageIO and catches corruption") {
     val got = graft.ops.MultimodalOps.q274PngProbe(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

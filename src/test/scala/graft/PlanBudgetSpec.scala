@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q277_constraint_verify" -> 10, // five independent combinable
+                             // branches (q105's union shape): keyed
+                             // count for UNIQUE, broadcast anti-join
+                             // for FK, narrow filters for the rest
     "q276_selectivity" -> 32, // the corpus collapses in ONE cell agg;
                              // cumulative window, boundary search, and
                              // both estimation grids are ≤4096-row
