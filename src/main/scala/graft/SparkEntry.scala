@@ -325,6 +325,7 @@ object SparkEntry {
     "q275_vopt_histogram" -> graft.operators.SchemaOps.q275VOptHistogram _,
     "q276_selectivity"    -> graft.operators.SchemaOps.q276SelectivityAudit _,
     "q277_constraint_verify" -> graft.operators.SchemaOps.q277ConstraintVerify _,
+    "q278_csv_sniff"      -> graft.operators.TransferOps.q278CsvSniff _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5367,6 +5368,19 @@ object SparkEntry {
         |UNION ALL SELECT * FROM fk UNION ALL SELECT * FROM pr
         |UNION ALL SELECT * FROM qt
         |ORDER BY constraint_id""".stripMargin,
+
+    // q278: real consistency-vote detector vs the arithmetic plant
+    // (q274's discipline) — the quoted decoy field carries every
+    // candidate delimiter, so detection without quote stripping fails.
+    "q278_csv_sniff" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 4 + 4) % 4 AS BIGINT) AS delim_id,
+        |  CAST(3 AS BIGINT) AS n_fields,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quoted,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS has_header
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

@@ -17,6 +17,66 @@ object TransferOps {
 
   private val tables = Seq("customer", "lineitem", "orders")
 
+  /** X248 — CSV dialect sniffing: the ingest-time probe a migration tool
+    * runs on an unknown feed before wiring a reader — delimiter, quoting,
+    * and header presence detected from the payload itself. Detection is
+    * the consistency vote every real sniffer uses: for each candidate
+    * delimiter, quote-stripped per-line counts; the delimiter whose count
+    * is IDENTICAL across lines (and ≥ 1) wins. The planted blobs carry a
+    * quoted DECOY field on one line containing every candidate delimiter
+    * — without quote stripping the true delimiter's counts go
+    * inconsistent and detection fails loudly, so the gate proves the
+    * quote handling, not just the split. Expected answers derive purely
+    * from the doc_id plant arithmetic (q274's discipline: real detector
+    * vs arithmetic oracle).
+    *
+    * Scale: blob build + detection are one narrow projection (nested
+    * HOFs let-bind the stripped-line array once — q235); zero shuffles
+    * before the presentation orderBy. */
+  def q278CsvSniff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def n(k: Int) = (pmod(col("doc_id") * k, lit(90L)) + 10L).cast("string")
+    val d = element_at(
+      array(lit(","), lit(";"), lit("\t"), lit("|")),
+      pmod(col("doc_id"), lit(4L)).cast("int") + 1)
+    val q = when(col("doc_id") % 2 === 0, lit("\"")).otherwise(lit(""))
+    val header = when(col("doc_id") % 3 === 0,
+      concat(lit("col_a"), d, lit("col_b"), d, lit("col_c"), lit("\n")))
+      .otherwise(lit(""))
+    val field2 = when(col("doc_id") % 2 === 0, lit("\"x,;\t|x\""))
+      .otherwise(n(5))
+    val blob = concat(header,
+      n(1), d, q, n(2), q, d, n(3), lit("\n"),
+      n(4), d, field2, d, n(6), lit("\n"),
+      n(7), d, q, n(8), q, d, n(9))
+    val verdicts =
+      """element_at(transform(array(transform(split(blob, '\n', -1),
+        |    l -> regexp_replace(l, '"[^"]*"', 'q'))), ls ->
+        |  transform(array(',', ';', '\t', '|'), d ->
+        |    element_at(transform(array(transform(ls,
+        |        l -> length(l) - length(replace(l, d)))), cs ->
+        |      struct(size(array_distinct(cs)) = 1
+        |               AND element_at(cs, 1) >= 1 AS ok,
+        |             element_at(cs, 1) AS k)), 1))), 1)""".stripMargin
+    graft.sources.Tables.load(s, dir, "documents")
+      .select($"doc_id")
+      .withColumn("blob", blob)
+      .withColumn("vs", expr(verdicts))
+      .withColumn("delim_id", expr(
+        "element_at(filter(sequence(0, 3), i -> element_at(vs, CAST(i AS INT) + 1).ok), 1)")
+        .cast("long"))
+      .withColumn("n_fields", expr(
+        "element_at(vs, CAST(delim_id AS INT) + 1).k + 1").cast("long"))
+      .withColumn("quoted",
+        when($"blob".rlike("\"[^\"]*\""), 1L).otherwise(0L))
+      .withColumn("has_header", expr(
+        """CAST(NOT element_at(split(blob, '\n', -1), 1) RLIKE '[0-9]'
+          |  AND element_at(split(blob, '\n', -1), 2) RLIKE '[0-9]'
+          |  AS LONG)""".stripMargin))
+      .select($"doc_id", $"delim_id", $"n_fields", $"quoted", $"has_header")
+      .orderBy($"doc_id")
+  }
+
   def q41TransferValidate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future}

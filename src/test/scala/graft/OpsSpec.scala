@@ -464,6 +464,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("lineitem.l_quantity CHECK 1..50") == (nLi + 1, 1L, -731L))
   }
 
+  test("q278: the sniffer needs quote handling; verdicts match the dialects") {
+    val got = graft.operators.TransferOps.q278CsvSniff(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.size == 500)
+    got.foreach { case (id, (delim, nf, quoted, hdr)) =>
+      assert(delim == id % 4, s"delim $id")
+      assert(nf == 3L, s"fields $id")
+      assert(quoted == (if (id % 2 == 0) 1L else 0L), s"quoted $id")
+      assert(hdr == (if (id % 3 == 0) 1L else 0L), s"header $id")
+    }
+    // the decoy does its job: WITHOUT quote stripping the true
+    // delimiter's per-line counts are inconsistent on a quoted blob
+    val blob = "10,\"22\",30\n40,\"x,;\t|x\",60\n70,\"88\",90"
+    def counts(strip: Boolean) = blob.split("\n", -1).toSeq.map { l0 =>
+      val l = if (strip) l0.replaceAll("\"[^\"]*\"", "q") else l0
+      l.count(_ == ',')
+    }
+    assert(counts(strip = true).distinct.size == 1)  // detector's view
+    assert(counts(strip = false).distinct.size > 1)  // naive split fails
+  }
+
   test("q274: the container parser agrees with ImageIO and catches corruption") {
     val got = graft.ops.MultimodalOps.q274PngProbe(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

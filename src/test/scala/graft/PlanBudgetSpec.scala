@@ -391,6 +391,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q278_csv_sniff" -> 1, // blob build + consistency-vote detection is
+                             // one narrow let-bound projection; orderBy
     "q277_constraint_verify" -> 10, // five independent combinable
                              // branches (q105's union shape): keyed
                              // count for UNIQUE, broadcast anti-join
