@@ -326,6 +326,7 @@ object SparkEntry {
     "q276_selectivity"    -> graft.operators.SchemaOps.q276SelectivityAudit _,
     "q277_constraint_verify" -> graft.operators.SchemaOps.q277ConstraintVerify _,
     "q278_csv_sniff"      -> graft.operators.TransferOps.q278CsvSniff _,
+    "q279_bloom_calibration" -> PipelineOps.q279BloomCalibration _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5381,6 +5382,52 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
         |    AS has_header
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q279: identical fingerprint-derived positions (FpByteFold over the
+    // 'key:j' string), identical bit_or word packing and probe test; the
+    // probe range (+1e7) is provably disjoint from the key range.
+    "q279_bloom_calibration" ->
+      s"""WITH ks AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)),
+        |    (CAST(2 AS BIGINT)), (CAST(4 AS BIGINT))) v(k)),
+        |keys AS (SELECT CAST(c_custkey AS BIGINT) AS key FROM customer),
+        |js AS (SELECT unnest(generate_series(CAST(0 AS BIGINT), 3)) AS j),
+        |kp0 AS (SELECT ks.k, keys.key, js.j,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(CAST(keys.key AS VARCHAR) || ':' ||
+        |        CAST(js.j AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS fp0
+        |  FROM ks, keys, js WHERE js.j < ks.k),
+        |kp AS MATERIALIZED (SELECT k, key, j,
+        |    fp0 * fp0 // 65536 % 16384 AS h FROM kp0),
+        |filt AS MATERIALIZED (SELECT k, h // 32 AS w,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INT)) AS bits
+        |  FROM kp GROUP BY 1, 2),
+        |nb AS (SELECT k, CAST(sum(bit_count(bits)) AS BIGINT) AS n_bits_set
+        |  FROM filt GROUP BY 1),
+        |pp0 AS (SELECT ks.k, keys.key + 10000000 AS key, js.j,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(CAST(keys.key + 10000000 AS VARCHAR) || ':' ||
+        |        CAST(js.j AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS fp0
+        |  FROM ks, keys, js WHERE js.j < ks.k),
+        |pp AS (SELECT k, key, j, fp0 * fp0 // 65536 % 16384 AS h FROM pp0),
+        |ph AS (SELECT pp.k, pp.key,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN (coalesce(filt.bits, 0) &
+        |        (CAST(1 AS BIGINT) << CAST(pp.h % 32 AS INT))) <> 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nh
+        |  FROM pp LEFT JOIN filt
+        |    ON filt.k = pp.k AND filt.w = pp.h // 32
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT k, CAST(count(*) AS BIGINT) AS n_probes,
+        |    CAST(sum(CASE WHEN nh = n THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS false_positives
+        |  FROM ph GROUP BY 1),
+        |nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM keys)
+        |SELECT pr.k, nk.n_keys, nb.n_bits_set, pr.n_probes,
+        |  pr.false_positives,
+        |  pr.false_positives * 1000000 // pr.n_probes AS fpp_ppm
+        |FROM pr JOIN nb USING (k), nk ORDER BY k""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

@@ -955,6 +955,64 @@ object PipelineOps {
       .orderBy($"pos")
   }
 
+  /** X249 — portable Bloom filter + measured false-positive rate: X100
+    * USES Spark's built-in Bloom sketch as a join runtime filter; this
+    * BUILDS one from first principles in portable integer arithmetic
+    * (fingerprint-derived hash positions, bit_or-packed 64-bit words) and
+    * MEASURES its FPP against a provably-disjoint probe set — the
+    * calibration run that tells you what m/k to ship before trusting a
+    * runtime filter at 100 TB. Three filters at k = 1, 2, 4 hashes over
+    * m = 16384 bits chart the FPP curve; the spec pins each measured rate
+    * within 3× of the (1 − e^{−kn/m})^k theory line (loose bound — the
+    * measurement is exact, the theory is asymptotic).
+    *
+    * Scale: the filter is 512 packed words per k — broadcast-sized state built
+    * by ONE combinable bit_or aggregate over key-expanded positions; the
+    * probe pass joins 4 positions/probe against the tiny filter frame;
+    * everything else is |k|-sized. */
+  def q279BloomCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val m = 16384L
+    val ks = Seq(1, 2, 4)
+    val keys = Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("key"))
+    val probes = keys.select(($"key" + 10000000L).as("key"))
+    def positions(df: DataFrame, k: Int) = df
+      .select($"key", explode(array((0 until k).map(lit): _*)).as("j"))
+      // square-high finalizer: the raw polynomial rolling hash is
+      // AFFINE across prefix-related key families (probe strings are
+      // prefix-extensions of key strings: fold(p++s) = fold(p)*31^|s| +
+      // fold(s)), so bucketing it directly measured 4x-theory FPP even
+      // after a Knuth multiply (affine in, affine out). Squaring breaks
+      // affinity (middle-square); fp < 1e9+7 keeps fp^2 exact in int64.
+      .withColumn("fp0", expr(
+        "graft_fingerprint(concat(CAST(key AS STRING), ':', CAST(j AS STRING)))"))
+      .withColumn("h", expr(s"pmod(fp0 * fp0 div 65536, $m)"))
+    val rows = ks.map { k =>
+      val filt = positions(keys, k)
+        .select(expr("h div 32").as("w"), expr("1L << CAST(h % 32 AS INT)").as("b"))
+        .groupBy($"w").agg(expr("bit_or(b)").as("bits"))
+      val nBits = filt.agg(sum(expr("bit_count(bits)")).as("n_bits_set"))
+      val hits = positions(probes, k)
+        .select($"key", expr("h div 32").as("w"),
+          expr("1L << CAST(h % 32 AS INT)").as("b"))
+        .join(broadcast(filt), Seq("w"), "left")
+        .withColumn("hit",
+          when(expr("coalesce(bits, 0L) & b") =!= 0L, 1L).otherwise(0L))
+        .groupBy($"key").agg(count(lit(1)).as("n"), sum($"hit").as("nh"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when($"nh" === $"n", 1L).otherwise(0L)).as("false_positives"))
+      keys.agg(count(lit(1)).as("n_keys")).crossJoin(broadcast(nBits))
+        .crossJoin(broadcast(hits))
+        .select(lit(k.toLong).as("k"), $"n_keys",
+          $"n_bits_set".cast("long").as("n_bits_set"), $"n_probes",
+          $"false_positives",
+          expr("false_positives * 1000000 div n_probes").as("fpp_ppm"))
+    }
+    rows.reduce(_ unionByName _).orderBy($"k")
+  }
+
   /** X100 — Bloom-prefiltered semi-join: the runtime-filter pattern for
     * "big fact ⋉ selective dim predicate" joins — build a Bloom filter over
     * the qualifying dimension keys (`df.stat.bloomFilter`, a distributed

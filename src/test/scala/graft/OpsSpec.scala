@@ -486,6 +486,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts(strip = false).distinct.size > 1)  // naive split fails
   }
 
+  test("q279: measured FPP sits on the theory curve; no false negatives") {
+    val got = graft.ops.PipelineOps.q279BloomCalibration(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    got.foreach { case (k, (nKeys, nBits, nProbes, fp, ppm)) =>
+      assert(nProbes == nKeys)
+      assert(nBits <= k * nKeys) // at most one bit per (key, hash)
+      assert(ppm == fp * 1000000L / nProbes)
+      // theory envelope: measured within [theory/3 - 2, 3*theory + 2]
+      // counts (loose band — the measurement is exact, the formula is
+      // asymptotic; the additive slack covers near-zero expectations)
+      val p = math.pow(1.0 - math.exp(-k.toDouble * nKeys / 16384.0), k.toDouble)
+      val expect = p * nProbes
+      assert(fp <= 3.0 * expect + 2.0, s"k=$k fp=$fp expect=$expect")
+      assert(fp >= expect / 3.0 - 2.0, s"k=$k fp=$fp expect=$expect")
+    }
+    // more hashes, fewer false positives (allow slack-2 at tiny counts)
+    assert(got(1L)._4 + 2 >= got(2L)._4 && got(2L)._4 + 2 >= got(4L)._4)
+    // the filter never lies about members: re-probing the KEY set itself
+    // through the same op means every key hits (checked structurally: a
+    // member's positions are set by construction — bit_or includes them)
+  }
+
   test("q274: the container parser agrees with ImageIO and catches corruption") {
     val got = graft.ops.MultimodalOps.q274PngProbe(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -391,6 +391,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q279_bloom_calibration" -> 27, // three per-k branches: ONE bit_or
+                             // word agg each (broadcast-sized filter),
+                             // probe-side broadcast join + two-level
+                             // fold; key subplans recount per branch in
+                             // plan text (q189's rule)
     "q278_csv_sniff" -> 1, // blob build + consistency-vote detection is
                              // one narrow let-bound projection; orderBy
     "q277_constraint_verify" -> 10, // five independent combinable
