@@ -327,6 +327,7 @@ object SparkEntry {
     "q277_constraint_verify" -> graft.operators.SchemaOps.q277ConstraintVerify _,
     "q278_csv_sniff"      -> graft.operators.TransferOps.q278CsvSniff _,
     "q279_bloom_calibration" -> PipelineOps.q279BloomCalibration _,
+    "q280_skyline"        -> Relational.q280Skyline _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5428,6 +5429,20 @@ object SparkEntry {
         |  pr.false_positives,
         |  pr.false_positives * 1000000 // pr.n_probes AS fpp_ppm
         |FROM pr JOIN nb USING (k), nk ORDER BY k""".stripMargin,
+
+    // q280: the oracle is the DEFINITION — the O(n²) NOT-EXISTS
+    // dominance relation; the staircase plan must reproduce it exactly
+    // (including price-tied front points).
+    "q280_skyline" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part)
+        |SELECT partkey, price_cents, size FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.size <= a.size
+        |    AND (b.price_cents < a.price_cents OR b.size < a.size))
+        |ORDER BY size, partkey""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

@@ -527,6 +527,41 @@ object Relational {
     * non-broadcastable band table is the equi-join on
     * floor(price / width) — documented, not needed at any realistic band
     * cardinality. */
+  /** X250 — skyline / Pareto-front query (min price, min size over
+    * parts): the multi-criteria operator relational engines bolt on as
+    * SKYLINE OF — a part is on the front iff nothing is ≤ in BOTH
+    * dimensions with at least one strict. The naive form is an O(n²)
+    * NOT-EXISTS self-join (the oracle runs exactly that); the engine
+    * plan exploits the small discrete size domain: per-size min price
+    * (ONE combinable aggregate), a 50-row running-min staircase, and a
+    * broadcast join back — a part survives iff it ACHIEVES its size's
+    * min price and that min strictly undercuts every smaller size's
+    * (price-tied parts at a front point all survive: no strict
+    * dominance). For continuous/high-d criteria the same shape coarsens
+    * to grid cells (cell mins prune candidates, the exact pass runs on
+    * the surviving sliver).
+    *
+    * Scale: the corpus collapses in the per-size aggregate; the
+    * staircase window runs on the 50-row frame (q257's bounded-frame
+    * rule); the final pass is scan + broadcast filter. No self-join. */
+  def q280Skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = t(s, dir, "part").select($"p_partkey".cast("long").as("partkey"),
+      expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+      $"p_size".cast("long").as("size"))
+    val perSize = p.groupBy($"size").agg(min($"price_cents").as("mn"))
+    val w = Window.orderBy($"size")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stairs = perSize
+      .withColumn("m_prev", min($"mn").over(w))
+      .withColumn("front_size",
+        $"m_prev".isNull || $"mn" < $"m_prev")
+    p.join(broadcast(stairs), Seq("size"))
+      .filter($"front_size" && $"price_cents" === $"mn")
+      .select($"partkey", $"price_cents", $"size")
+      .orderBy($"size", $"partkey")
+  }
+
   def q52RangeJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bands = broadcast(

@@ -510,6 +510,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // member's positions are set by construction — bit_or includes them)
   }
 
+  test("q280: the staircase plan equals brute-force dominance; ties survive") {
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("CAST(p_partkey AS BIGINT)",
+        "CAST(round(p_retailprice * 100) AS BIGINT)", "CAST(p_size AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def front(ps: Seq[(Long, Long, Long)]) = ps.filter { case (_, pc, sz) =>
+      !ps.exists { case (_, qc, qz) =>
+        qc <= pc && qz <= sz && (qc < pc || qz < sz) }
+    }.sortBy(p => (p._3, p._1))
+    val want = front(parts.toSeq)
+    val got = graft.operators.Relational.q280Skyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want && got.nonEmpty)
+    // the front is a strict staircase in (size asc, price desc)
+    got.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(b < a); case _ => }
+    // tie semantics on a rigged set: two parts at one front point both
+    // survive; a same-size higher-price part does not
+    val rig = Seq((1L, 100L, 5L), (2L, 100L, 5L), (3L, 120L, 5L),
+      (4L, 90L, 9L), (5L, 100L, 9L))
+    assert(front(rig).map(_._1) == Seq(1L, 2L, 4L))
+  }
+
   test("q274: the container parser agrees with ImageIO and catches corruption") {
     val got = graft.ops.MultimodalOps.q274PngProbe(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q280_skyline" -> 4, // per-size min agg; 50-row staircase window;
+                             // broadcast filter back over the scan —
+                             // no self-join at any scale
     "q279_bloom_calibration" -> 27, // three per-k branches: ONE bit_or
                              // word agg each (broadcast-sized filter),
                              // probe-side broadcast join + two-level
