@@ -328,6 +328,7 @@ object SparkEntry {
     "q278_csv_sniff"      -> graft.operators.TransferOps.q278CsvSniff _,
     "q279_bloom_calibration" -> PipelineOps.q279BloomCalibration _,
     "q280_skyline"        -> Relational.q280Skyline _,
+    "q281_dataset_dedup"  -> graft.operators.TransferOps.q281DatasetDedup _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5443,6 +5444,52 @@ object SparkEntry {
         |  WHERE b.price_cents <= a.price_cents AND b.size <= a.size
         |    AND (b.price_cents < a.price_cents OR b.size < a.size))
         |ORDER BY size, partkey""".stripMargin,
+
+    // q281: the permuted copy signatures from the SAME canonical string
+    // (name-sorted columns), so the oracle derives it from customer once;
+    // the mutated copy shifts one cent at custkey 1.
+    "q281_dataset_dedup" ->
+      s"""WITH cv AS (SELECT
+        |    CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) || '|' ||
+        |    CAST(CAST(c_custkey AS BIGINT) AS VARCHAR) || '|' ||
+        |    c_name || '|' ||
+        |    CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR) AS v,
+        |    CAST(CAST(round(c_acctbal * 100) AS BIGINT) +
+        |      CASE WHEN c_custkey = 1 THEN 1 ELSE 0 END AS VARCHAR) || '|' ||
+        |    CAST(CAST(c_custkey AS BIGINT) AS VARCHAR) || '|' ||
+        |    c_name || '|' ||
+        |    CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR) AS vm
+        |  FROM customer),
+        |cf AS (SELECT
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(v, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(vm, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fpm
+        |  FROM cv),
+        |nf AS (SELECT
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(n_name || '|' ||
+        |        CAST(CAST(n_nationkey AS BIGINT) AS VARCHAR) || '|' ||
+        |        CAST(CAST(n_regionkey AS BIGINT) AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS fp
+        |  FROM nation),
+        |sigs AS (
+        |  SELECT 'customer' AS dataset_id, CAST(count(*) AS BIGINT)
+        |      AS n_rows, bit_xor(fp) AS sig_xor,
+        |    CAST(sum(fp) AS BIGINT) AS sig_sum FROM cf
+        |  UNION ALL SELECT 'customer_perm', CAST(count(*) AS BIGINT),
+        |    bit_xor(fp), CAST(sum(fp) AS BIGINT) FROM cf
+        |  UNION ALL SELECT 'customer_mut', CAST(count(*) AS BIGINT),
+        |    bit_xor(fpm), CAST(sum(fpm) AS BIGINT) FROM cf
+        |  UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT),
+        |    bit_xor(fp), CAST(sum(fp) AS BIGINT) FROM nf)
+        |SELECT a.dataset_id, a.n_rows, a.sig_xor, a.sig_sum,
+        |  min(b.dataset_id) AS dup_of
+        |FROM sigs a JOIN sigs b ON a.n_rows = b.n_rows
+        |  AND a.sig_xor = b.sig_xor AND a.sig_sum = b.sig_sum
+        |GROUP BY 1, 2, 3, 4 ORDER BY a.dataset_id""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

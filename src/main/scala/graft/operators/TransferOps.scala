@@ -77,6 +77,61 @@ object TransferOps {
       .orderBy($"doc_id")
   }
 
+  /** X251 — dataset-level dedup (table fingerprinting): q268 lifted from
+    * documents to whole TABLES — a lake accretes copies of the same
+    * dataset written by different jobs with permuted column order and
+    * nondeterministic row order, and path-level dedup sees distinct
+    * files. Canonicalize each row (columns sorted BY NAME, values
+    * '|'-joined, NULL spelled), fingerprint it, and fold the table to an
+    * order-independent (count, xor, sum) signature; tables with equal
+    * signatures are the same dataset regardless of row or column order.
+    * The catalog here: customer as written, a column-permuted
+    * row-shuffled copy (must collide), a one-cent-mutated copy and an
+    * unrelated table (must not). Column RENAMES are out of scope by
+    * design — name-sorted canonicalization is the contract.
+    *
+    * Scale: one narrow canonicalize+fingerprint pass per dataset, each
+    * folding map-side to a 1-row signature; the dup-of resolution is a
+    * |datasets|² self-join on a 4-row frame. */
+  def q281DatasetDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    def canonical(df: DataFrame): org.apache.spark.sql.Column = {
+      val cols = df.columns.sorted.map(c =>
+        coalesce(col(c).cast("string"), lit("NULL")))
+      concat_ws("|", cols: _*)
+    }
+    def signature(name: String, df: DataFrame): DataFrame = {
+      val canon = df.withColumn("cv", canonical(df))
+        .withColumn("fp", expr("graft_fingerprint(cv)"))
+      canon.agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(fp)").as("sig_xor"), sum($"fp").as("sig_sum"))
+        .select(lit(name).as("dataset_id"), $"n_rows", $"sig_xor", $"sig_sum")
+    }
+    val base = graft.sources.Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("custkey"),
+        $"c_name".as("name"), $"c_nationkey".cast("long").as("nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("acctbal_cents"))
+    val perm = base.orderBy(expr("pmod(custkey * 2654435761, 97)"))
+      .select($"acctbal_cents", $"nationkey", $"name", $"custkey")
+    val mut = base.withColumn("acctbal_cents",
+      when($"custkey" === 1L, $"acctbal_cents" + 1L)
+        .otherwise($"acctbal_cents"))
+    val other = graft.sources.Tables.load(s, dir, "nation")
+      .select($"n_nationkey".cast("long").as("nationkey"),
+        $"n_name".as("name"), $"n_regionkey".cast("long").as("regionkey"))
+    val sigs = Seq(signature("customer", base),
+      signature("customer_perm", perm), signature("customer_mut", mut),
+      signature("nation", other)).reduce(_ unionByName _)
+    sigs.as("a").join(sigs.as("b"),
+        $"a.n_rows" === $"b.n_rows" && $"a.sig_xor" === $"b.sig_xor" &&
+          $"a.sig_sum" === $"b.sig_sum")
+      .groupBy($"a.dataset_id".as("dataset_id"), $"a.n_rows".as("n_rows"),
+        $"a.sig_xor".as("sig_xor"), $"a.sig_sum".as("sig_sum"))
+      .agg(min($"b.dataset_id").as("dup_of"))
+      .orderBy($"dataset_id")
+  }
+
   def q41TransferValidate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future}

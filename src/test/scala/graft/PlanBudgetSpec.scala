@@ -391,6 +391,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q281_dataset_dedup" -> 9, // four map-side-combinable signature
+                             // folds (2-phase agg each) over narrow
+                             // canonicalize projections; the dup-of
+                             // self-join and orderBy act on a 4-row
+                             // frame — nothing pairwise touches data
     "q280_skyline" -> 4, // per-size min agg; 50-row staircase window;
                              // broadcast filter back over the scan —
                              // no self-join at any scale

@@ -66,6 +66,33 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q281 dataset dedup: permuted copy collides, mutated copy and stranger do not") {
+    import graft.functions.Fingerprint
+    val out = graft.operators.TransferOps.q281DatasetDedup(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    assert(out.keySet == Set("customer", "customer_perm", "customer_mut", "nation"))
+    // the column-permuted row-shuffled copy carries the IDENTICAL signature
+    // and resolves to customer; the one-cent mutation breaks xor AND sum at
+    // equal n_rows; the unrelated table matches nothing
+    assert(out("customer_perm")._1 == out("customer")._1)
+    assert(out("customer")._2 == "customer" && out("customer_perm")._2 == "customer")
+    assert(out("customer_mut")._1._1 == out("customer")._1._1)
+    assert(out("customer_mut")._1._2 != out("customer")._1._2)
+    assert(out("customer_mut")._1._3 != out("customer")._1._3)
+    assert(out("customer_mut")._2 == "customer_mut" && out("nation")._2 == "nation")
+    // driver replay of the canonical recipe: name-sorted columns
+    // (acctbal_cents|custkey|name|nationkey), '|'-joined, fingerprinted
+    val rows = Transfer.read(spark, ParquetDir(sf), "customer")
+      .selectExpr("CAST(round(c_acctbal * 100) AS BIGINT) AS a",
+        "CAST(c_custkey AS BIGINT) AS k", "c_name AS n",
+        "CAST(c_nationkey AS BIGINT) AS t").collect()
+    val fps = rows.map(r => Fingerprint.hashString(
+      s"${r.getLong(0)}|${r.getLong(1)}|${r.getString(2)}|${r.getLong(3)}"))
+    val expect = (fps.length.toLong, fps.foldLeft(0L)(_ ^ _), fps.sum)
+    assert(out("customer")._1 == expect, s"replay $expect vs ${out("customer")._1}")
+  }
+
   test("parquet -> Derby JDBC roundtrip (real database)") {
     val db = Files.createTempDirectory("derbydb").toString + "/g"
     val url = s"jdbc:derby:$db;create=true"
