@@ -329,6 +329,7 @@ object SparkEntry {
     "q279_bloom_calibration" -> PipelineOps.q279BloomCalibration _,
     "q280_skyline"        -> Relational.q280Skyline _,
     "q281_dataset_dedup"  -> graft.operators.TransferOps.q281DatasetDedup _,
+    "q282_hll_audit"      -> PipelineOps.q282HllAudit _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5490,6 +5491,43 @@ object SparkEntry {
         |FROM sigs a JOIN sigs b ON a.n_rows = b.n_rows
         |  AND a.sig_xor = b.sig_xor AND a.sig_sum = b.sig_sum
         |GROUP BY 1, 2, 3, 4 ORDER BY a.dataset_id""".stripMargin,
+
+    // q282: the register recipe (middle-square, trailing-zeros reg,
+    // exact harmonic sum) replays verbatim; 281474976710656 = 2^48 =
+    // m^2 * 2^32, 4294967296 = 2^32 (an empty register's term).
+    "q282_hll_audit" ->
+      s"""WITH src AS (
+        |  SELECT 'orders_pk' AS est_id, CAST(o_orderkey AS BIGINT) AS v
+        |    FROM orders
+        |  UNION ALL SELECT 'lineitem_fk', CAST(l_orderkey AS BIGINT)
+        |    FROM lineitem
+        |  UNION ALL SELECT 'lineitem_pk', CAST(l_orderkey AS BIGINT) * 8
+        |      + CAST(l_linenumber AS BIGINT)
+        |    FROM lineitem),
+        |h AS (SELECT est_id, v,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |       string_split(CAST(v AS VARCHAR), ''),
+        |       c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) *
+        |     list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |       string_split(CAST(v AS VARCHAR), ''),
+        |       c -> CAST(ascii(c) AS BIGINT))), $FpByteFold)) // 65536 AS hh
+        |  FROM src),
+        |regs AS (SELECT est_id, hh % 256 AS idx,
+        |    CAST(max(least(bit_count(((hh // 256) & -(hh // 256)) - 1)
+        |      + 1, 32)) AS BIGINT) AS reg
+        |  FROM h GROUP BY 1, 2),
+        |tsum AS (SELECT est_id,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(32 - reg AS INT))
+        |      AS BIGINT) + (256 - count(*)) * 4294967296 AS t
+        |  FROM regs GROUP BY 1),
+        |ex AS (SELECT est_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+        |  FROM src GROUP BY 1)
+        |SELECT ex.est_id, n_rows, n_distinct,
+        |  718273 * (281474976710656 // t) // 1000000 AS hll_estimate,
+        |  (718273 * (281474976710656 // t) // 1000000) * 1000000
+        |    // n_distinct - 1000000 AS err_ppm
+        |FROM ex JOIN tsum USING (est_id) ORDER BY est_id""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

@@ -1013,6 +1013,65 @@ object PipelineOps {
     rows.reduce(_ unionByName _).orderBy($"k")
   }
 
+  /** X252 — portable HyperLogLog + measured estimation error: q279's
+    * cardinality sibling. X28 USES Spark's built-in HLL++; this BUILDS the
+    * sketch from first principles in portable integer arithmetic —
+    * m = 256 registers, register index from the middle-square finalizer's
+    * low byte (q279's lesson: the raw polynomial hash is affine across
+    * related key families; `fp² div 65536` breaks it), register value =
+    * trailing-zeros+1 of the remaining bits (the same geometric law as
+    * the textbook leading-zeros rho, and expressible as
+    * `bit_count((w & -w) - 1) + 1` on BOTH engines — w = 0 degrades to
+    * bit_count(-1)+1 = 65, capped at 32, identically on both). The
+    * harmonic mean stays exact: T = Σ 2^(32−reg) (+ 2^32 per empty
+    * register), estimate = α·m²·2^32/T with α = 718273/10⁶ (0.7213/(1 +
+    * 1.079/m)) evaluated in overflow-safe order (2^48 div T first).
+    * Three estimators chart the behaviors that matter: a unique key
+    * column, the SAME key set observed with ~4× duplication (HLL must
+    * return the IDENTICAL estimate — registers are max-folds, dup-blind),
+    * and a 4×-larger composite key space. Small-range (linear-counting)
+    * correction is out of scope by precondition: all audited
+    * cardinalities exceed 2.5·m, the published branch threshold.
+    *
+    * Scale: per estimator ONE map-side-combinable max fold to 256
+    * register rows; the harmonic sum, alpha multiply and error ppm act on
+    * |estimators|-row frames. The register frame is mergeable state — at
+    * 100 TB, per-partition sketches union by max, the property this audit
+    * exercises via the duplicated-key leg. */
+  def q282HllAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val orders = Tables.load(s, dir, "orders")
+      .select(lit("orders_pk").as("est_id"),
+        $"o_orderkey".cast("long").as("v"))
+    val li = Tables.load(s, dir, "lineitem")
+    val liFk = li.select(lit("lineitem_fk").as("est_id"),
+      $"l_orderkey".cast("long").as("v"))
+    val liPk = li.select(lit("lineitem_pk").as("est_id"),
+      ($"l_orderkey".cast("long") * 8L +
+        $"l_linenumber".cast("long")).as("v"))
+    val src = orders.unionByName(liFk).unionByName(liPk)
+      .withColumn("fp", expr("graft_fingerprint(CAST(v AS STRING))"))
+      .withColumn("hh", expr("fp * fp div 65536"))
+      .withColumn("idx", expr("hh % 256"))
+      .withColumn("reg", expr(
+        "least(bit_count(((hh div 256) & -(hh div 256)) - 1) + 1, 32)"))
+    val regs = src.groupBy($"est_id", $"idx")
+      .agg(max($"reg").cast("long").as("reg"))
+    val tsum = regs.groupBy($"est_id")
+      .agg((sum(expr("shiftleft(1L, CAST(32 - reg AS INT))")) +
+        (lit(256L) - count(lit(1))) * lit(4294967296L)).as("t"))
+    val exact = src.groupBy($"est_id")
+      .agg(count(lit(1)).as("n_rows"), countDistinct($"v").as("n_distinct"))
+    exact.join(tsum, Seq("est_id"))
+      .withColumn("hll_estimate",
+        expr("718273 * (281474976710656 div t) div 1000000"))
+      .withColumn("err_ppm",
+        expr("hll_estimate * 1000000 div n_distinct - 1000000"))
+      .select($"est_id", $"n_rows", $"n_distinct", $"hll_estimate", $"err_ppm")
+      .orderBy($"est_id")
+  }
+
   /** X100 — Bloom-prefiltered semi-join: the runtime-filter pattern for
     * "big fact ⋉ selective dim predicate" joins — build a Bloom filter over
     * the qualifying dimension keys (`df.stat.bloomFilter`, a distributed

@@ -475,4 +475,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(("zz-sdc-plant", "bb", 25L, -1L, "complementary")))
     assert(rows.contains(("zz-sdc-lone", "~total", 4L, -1L, "margin_suppressed")))
   }
+
+  test("q282: HLL estimates replay from a set-fold and sit inside the error band") {
+    import graft.functions.Fingerprint
+    val rows = PipelineOps.q282HllAudit(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("orders_pk", "lineitem_fk", "lineitem_pk"))
+    // m=256 gives 1.04/sqrt(m) = 6.5% std error; 20% ~= 3 sigma
+    rows.values.foreach { case (_, _, _, err) => assert(math.abs(err) <= 200000L) }
+    // pure-Scala sketch replay over the DISTINCT value set — equality with
+    // the query's duplicated-stream estimate proves the register fold is
+    // duplicate-blind (the mergeability property HLL exists for)
+    def estimate(values: Set[Long]): Long = {
+      val regs = new Array[Long](256)
+      values.foreach { v =>
+        val fp = Fingerprint.hashString(v.toString)
+        val hh = fp * fp / 65536L
+        val idx = (hh % 256L).toInt
+        val reg = math.min(java.lang.Long.numberOfTrailingZeros(hh / 256L) + 1, 32).toLong
+        if (reg > regs(idx)) regs(idx) = reg
+      }
+      val t = regs.map(r => if (r == 0L) 4294967296L else 1L << (32 - r).toInt).sum
+      718273L * (281474976710656L / t) / 1000000L
+    }
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_orderkey AS BIGINT) AS k", "CAST(l_linenumber AS BIGINT) AS n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows("lineitem_fk")._3 == estimate(li.map(_._1).toSet))
+    assert(rows("lineitem_pk")._3 == estimate(li.map(p => p._1 * 8L + p._2).toSet))
+    assert(rows("lineitem_fk")._1 == li.length.toLong) // dups were observed
+    assert(rows("lineitem_fk")._2 == li.map(_._1).distinct.length.toLong)
+  }
 }

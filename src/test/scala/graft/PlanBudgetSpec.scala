@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q282_hll_audit" -> 6, // ONE (est_id, idx) register max-fold +
+                             // exact countDistinct twin over the union'd
+                             // scan; harmonic sum, alpha and ppm act on
+                             // 256-row / 3-row frames
     "q281_dataset_dedup" -> 9, // four map-side-combinable signature
                              // folds (2-phase agg each) over narrow
                              // canonicalize projections; the dup-of
