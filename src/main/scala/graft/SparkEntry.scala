@@ -330,6 +330,7 @@ object SparkEntry {
     "q280_skyline"        -> Relational.q280Skyline _,
     "q281_dataset_dedup"  -> graft.operators.TransferOps.q281DatasetDedup _,
     "q282_hll_audit"      -> PipelineOps.q282HllAudit _,
+    "q283_cms_audit"      -> CorpusOps.q283CmsAudit _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5528,6 +5529,36 @@ object SparkEntry {
         |  (718273 * (281474976710656 // t) // 1000000) * 1000000
         |    // n_distinct - 1000000 AS err_ppm
         |FROM ex JOIN tsum USING (est_id) ORDER BY est_id""".stripMargin,
+
+    // q283: buckets hash the part-key TYPE (per-key count frame), so the
+    // oracle rehashes only distinct keys; UNION (not ALL) mirrors
+    // .distinct() on the probe legs.
+    "q283_cms_audit" ->
+      s"""WITH keys AS MATERIALIZED (
+        |  SELECT CAST(l_partkey AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |kb AS MATERIALIZED (
+        |  SELECT k, n, i, (fp * fp // 65536) % 256 AS b
+        |  FROM (SELECT k, n, i,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |        string_split(CAST(k AS VARCHAR) || ':' || CAST(i AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS fp
+        |    FROM keys, (SELECT unnest([0, 1, 2, 3]) AS i) AS ii)),
+        |sketch AS (SELECT i, b, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM kb GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT k, n FROM (SELECT k, n FROM keys ORDER BY n DESC, k LIMIT 16)
+        |  UNION
+        |  SELECT k, n FROM (SELECT k, n FROM keys ORDER BY n ASC, k LIMIT 8)),
+        |nt AS (SELECT CAST(sum(n) AS BIGINT) AS n_stream FROM keys),
+        |est AS (SELECT p.k, p.n, min(s.cnt) AS cms_est
+        |  FROM probes p JOIN kb ON kb.k = p.k
+        |  JOIN sketch s ON s.i = kb.i AND s.b = kb.b
+        |  GROUP BY 1, 2)
+        |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
+        |  (cms_est - n) * 1000000 // n_stream AS over_ppm
+        |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

@@ -365,6 +365,67 @@ object CorpusOps {
       .orderBy($"w")
   }
 
+  /** X253 — Count-Min sketch frequency estimation + measured overestimate:
+    * completes the portable-sketch suite (q279 Bloom membership, q282 HLL
+    * cardinality, q100 Misra-Gries heavy hitters) with the point-frequency
+    * sketch. d = 4 hash rows × w = 256 counters built over the order-line
+    * stream keyed by part (2000 part types at sf0.01 → ~8 types per
+    * counter, so collision mass is REAL and measured — the documents
+    * corpus' 31-word vocabulary would make the audit degenerate); a query
+    * reads min over the d counters at the key's buckets, which can only
+    * OVERestimate (every counter holds the true count plus nonnegative
+    * collision mass — the one-sided guarantee the spec pins per probe).
+    * Buckets hash the key TYPE through q279's middle-square finalizer, so
+    * the sketch builds from the per-key count frame — the stream is
+    * scanned once and never rehashed per occurrence. Probes: the top-16
+    * parts (count desc, key asc) where collisions hide inside big counts,
+    * plus the 8 rarest (count asc, key asc) where the overestimate IS the
+    * collision mass; reported against the stream size as over_ppm
+    * (theory: E[over] ≈ N/w per row, min over d rows; guarantee
+    * P[over > eN/w] ≤ e^-d).
+    *
+    * Scale: the per-key fold is the only corpus-sized shuffle; the sketch
+    * is ≤1024 rows built by ONE combinable sum over the ×4 bucket explode
+    * of the key frame; probes/estimates act on 24-row frames. The counter
+    * frame is mergeable state (per-partition sketches union by +). The
+    * key frame has four consumers, so it persists around the bounded
+    * report and releases (q117's idiom). */
+  def q283CmsAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val keys = Tables.load(s, dir, "lineitem")
+      .select($"l_partkey".cast("long").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      keys.count()
+      val kb = keys.select($"k", $"n",
+          explode(array((0 until 4).map(lit): _*)).as("i"))
+        .withColumn("fp", expr(
+          "graft_fingerprint(concat(CAST(k AS STRING), ':', CAST(i AS STRING)))"))
+        .withColumn("b", expr("(fp * fp div 65536) % 256"))
+        .select($"k", $"n", $"i", $"b")
+      val sketch = kb.groupBy($"i", $"b").agg(sum($"n").as("cnt"))
+      val probes = keys.orderBy($"n".desc, $"k").limit(16)
+        .unionByName(keys.orderBy($"n".asc, $"k").limit(8))
+        .distinct()
+      val nt = keys.agg(sum($"n").cast("long").as("n_stream"))
+      val rows = kb.join(broadcast(probes.select($"k")), Seq("k"), "left_semi")
+        .join(broadcast(sketch), Seq("i", "b"))
+        .groupBy($"k", $"n").agg(min($"cnt").as("cms_est"))
+        .crossJoin(broadcast(nt))
+        .select($"k".as("partkey"), $"n".as("exact_n"), $"cms_est",
+          ($"cms_est" - $"n").as("overcount"),
+          expr("(cms_est - n) * 1000000 div n_stream").as("over_ppm"))
+        .orderBy($"exact_n".desc, $"partkey")
+        .collect().toSeq
+      import org.apache.spark.sql.types._
+      graft.operators.LocalReport.frame(s, rows,
+        ("partkey", LongType), ("exact_n", LongType), ("cms_est", LongType),
+        ("overcount", LongType), ("over_ppm", LongType))
+    } finally keys.unpersist(blocking = false)
+  }
+
   /** X79 — out-of-vocabulary rate against a frequency-built tokenizer
     * vocabulary: take the top-V corpus words (count desc, word asc — a
     * total order, so the vocabulary is deterministic), then score every

@@ -382,4 +382,35 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(waste >= 0L)
     }
   }
+
+  test("q283: CMS never underestimates and replays from a pure-Scala sketch") {
+    import graft.functions.Fingerprint
+    val rows = CorpusOps.q283CmsAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 24)
+    // the one-sided CMS guarantee: min-of-d counters >= the true count
+    rows.foreach { case (k, n, est, over, _) =>
+      assert(est >= n && over == est - n, s"partkey $k")
+    }
+    // pure-Scala sketch replay: d=4 x w=256 counters over the exact
+    // per-key counts; every probe's estimate must match the query's
+    val counts = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_partkey AS BIGINT) AS k").collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sketch = Array.fill(4, 256)(0L)
+    counts.foreach { case (k, n) =>
+      (0 until 4).foreach { i =>
+        val fp = Fingerprint.hashString(s"$k:$i")
+        sketch(i)(((fp * fp / 65536L) % 256L).toInt) += n
+      }
+    }
+    rows.foreach { case (k, n, est, _, _) =>
+      assert(counts(k) == n, s"exact count for $k")
+      val replay = (0 until 4).map { i =>
+        val fp = Fingerprint.hashString(s"$k:$i")
+        sketch(i)(((fp * fp / 65536L) % 256L).toInt)
+      }.min
+      assert(replay == est, s"estimate for $k: $replay vs $est")
+    }
+  }
 }

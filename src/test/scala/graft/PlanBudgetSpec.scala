@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q283_cms_audit" -> 0, // collect-local 24-row report; the data work
+                             // (ONE per-key fold, ≤1024-row sketch sum,
+                             // broadcast probe joins) runs pre-collect
+                             // around the persisted key frame
     "q282_hll_audit" -> 6, // ONE (est_id, idx) register max-fold +
                              // exact countDistinct twin over the union'd
                              // scan; harmonic sum, alpha and ppm act on
