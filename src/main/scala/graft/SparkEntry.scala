@@ -331,6 +331,7 @@ object SparkEntry {
     "q281_dataset_dedup"  -> graft.operators.TransferOps.q281DatasetDedup _,
     "q282_hll_audit"      -> PipelineOps.q282HllAudit _,
     "q283_cms_audit"      -> CorpusOps.q283CmsAudit _,
+    "q284_merkle_diff"    -> graft.operators.TransferOps.q284MerkleDiff _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5559,6 +5560,88 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q284: the oracle rebuilds the SAME Merkle tree relationally — leaf
+    // signature strings cnt:xor:sum, parents hash node-ordered 'node:hash'
+    // child lists; n_compared(k) = 4 * n_differing(k-1), root = 1.
+    "q284_merkle_diff" ->
+      s"""WITH base AS (SELECT CAST(o_orderkey AS BIGINT) % 64 AS b,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR) || '|' ||
+        |        CAST(CAST(o_custkey AS BIGINT) AS VARCHAR) || '|' ||
+        |        CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) ||
+        |        '|' || o_orderstatus, ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS fa,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR) || '|' ||
+        |        CAST(CAST(o_custkey AS BIGINT) AS VARCHAR) || '|' ||
+        |        CAST(CAST(round(o_totalprice * 100) AS BIGINT) +
+        |          CASE WHEN CAST(o_orderkey AS BIGINT) % 64 = 32
+        |            THEN 1 ELSE 0 END AS VARCHAR) ||
+        |        '|' || o_orderstatus, ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS fb
+        |  FROM orders),
+        |leaves AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt,
+        |    bit_xor(fa) AS xa, CAST(sum(fa) AS BIGINT) AS sa,
+        |    bit_xor(fb) AS xb, CAST(sum(fb) AS BIGINT) AS sb
+        |  FROM base GROUP BY b),
+        |l3 AS MATERIALIZED (SELECT b AS node,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(CAST(cnt AS VARCHAR) || ':' || CAST(xa AS VARCHAR)
+        |        || ':' || CAST(sa AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS ha,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(CAST(cnt AS VARCHAR) || ':' || CAST(xb AS VARCHAR)
+        |        || ':' || CAST(sb AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS hb
+        |  FROM leaves),
+        |l2 AS MATERIALIZED (SELECT node // 4 AS node,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(string_agg(CAST(node AS VARCHAR) || ':' ||
+        |        CAST(ha AS VARCHAR), '|' ORDER BY node), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS ha,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(string_agg(CAST(node AS VARCHAR) || ':' ||
+        |        CAST(hb AS VARCHAR), '|' ORDER BY node), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS hb
+        |  FROM l3 GROUP BY 1),
+        |l1 AS MATERIALIZED (SELECT node // 4 AS node,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(string_agg(CAST(node AS VARCHAR) || ':' ||
+        |        CAST(ha AS VARCHAR), '|' ORDER BY node), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS ha,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(string_agg(CAST(node AS VARCHAR) || ':' ||
+        |        CAST(hb AS VARCHAR), '|' ORDER BY node), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS hb
+        |  FROM l2 GROUP BY 1),
+        |l0 AS (SELECT node // 4 AS node,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(string_agg(CAST(node AS VARCHAR) || ':' ||
+        |        CAST(ha AS VARCHAR), '|' ORDER BY node), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS ha,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(string_agg(CAST(node AS VARCHAR) || ':' ||
+        |        CAST(hb AS VARCHAR), '|' ORDER BY node), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS hb
+        |  FROM l1 GROUP BY 1),
+        |alln AS (SELECT 3 AS level, node, ha, hb FROM l3
+        |  UNION ALL SELECT 2, node, ha, hb FROM l2
+        |  UNION ALL SELECT 1, node, ha, hb FROM l1
+        |  UNION ALL SELECT 0, node, ha, hb FROM l0),
+        |stats AS MATERIALIZED (SELECT level,
+        |    CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(CASE WHEN ha <> hb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_differing,
+        |    CAST(coalesce(min(CASE WHEN ha <> hb THEN node END), -1)
+        |      AS BIGINT) AS first_diff_node
+        |  FROM alln GROUP BY level)
+        |SELECT CAST(s.level AS BIGINT) AS level, s.n_nodes,
+        |  CAST(CASE WHEN s.level = 0 THEN 1 ELSE 4 * p.n_differing END
+        |    AS BIGINT) AS n_compared,
+        |  s.n_differing, s.first_diff_node
+        |FROM stats s LEFT JOIN stats p ON p.level = s.level - 1
+        |ORDER BY level""".stripMargin,
 
     // q264: the script classes interpolate RAW from TextOps (DuckDB
     // strings do not process backslashes; the Spark leg re-escapes via

@@ -435,6 +435,78 @@ object TransferOps {
       .orderBy($"day")
   }
 
+  /** X254 — Merkle partition-tree snapshot diff: q149 compares snapshots
+    * bucket-by-bucket, which reads EVERY bucket signature on every sync;
+    * with millions of partitions at lake scale the comparison itself
+    * becomes the scan. A Merkle tree over the bucket signatures localizes
+    * changes logarithmically: equal roots certify the whole snapshot in
+    * one comparison; an unequal node opens exactly its 4 children. Leaves
+    * = 64 key-hash buckets with order-independent (count, xor, sum) row-
+    * fingerprint signatures (q281's fold); a parent hashes its children's
+    * `node:hash` strings joined in node order, so any leaf change
+    * propagates to the root. Snapshot B plants a one-cent mutation
+    * confined to bucket 32 (every orderkey ≡ 32 mod 64), and the audit
+    * walks the diff: per level, total nodes, nodes COMPARED (root, then 4
+    * children per differing parent), nodes differing, and the first
+    * differing node — the descent path 0 → 2 → 8 → 32 touches 13 of 85
+    * nodes where q149's flat compare reads all 64 leaves.
+    *
+    * Scale: the corpus-sized work is ONE bucket fold computing both legs'
+    * signatures in the same pass; the tree build and walk act on the
+    * 64-row leaf frame driver-side (bounded-report idiom). At a real
+    * lake, leaves live in a signature registry (q281) and only the
+    * opened path's children are ever fetched. */
+  def q284MerkleDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    val rowStr = """concat(CAST(CAST(o_orderkey AS BIGINT) AS STRING), '|',
+      |  CAST(CAST(o_custkey AS BIGINT) AS STRING), '|',
+      |  CAST(%s AS STRING), '|', o_orderstatus)""".stripMargin
+    val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    val centsMut = s"$cents + CASE WHEN pmod(CAST(o_orderkey AS BIGINT), 64) = 32" +
+      " THEN 1 ELSE 0 END"
+    val leaves = graft.sources.Tables.load(s, dir, "orders")
+      .select(expr("pmod(CAST(o_orderkey AS BIGINT), 64)").as("b"),
+        expr(s"graft_fingerprint(${rowStr.format(cents)})").as("fa"),
+        expr(s"graft_fingerprint(${rowStr.format(centsMut)})").as("fb"))
+      .groupBy($"b")
+      .agg(count(lit(1)).as("cnt"),
+        expr("bit_xor(fa)").as("xa"), sum($"fa").as("sa"),
+        expr("bit_xor(fb)").as("xb"), sum($"fb").as("sb"))
+      .collect()
+    val hash = graft.functions.Fingerprint.hashString _
+    // level 3 = leaf hashes over the signature string; parents hash the
+    // node-ordered child list — one definition, replayed by the oracle
+    var level = leaves.map { r =>
+      (r.getLong(0),
+        hash(s"${r.getLong(1)}:${r.getLong(2)}:${r.getLong(3)}"),
+        hash(s"${r.getLong(1)}:${r.getLong(4)}:${r.getLong(5)}"))
+    }.sortBy(_._1).toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Long, Long)])]
+    out += ((3L, level))
+    for (lv <- Seq(2L, 1L, 0L)) {
+      level = level.groupBy(_._1 / 4).toSeq.sortBy(_._1).map { case (p, cs0) =>
+        val cs = cs0.sortBy(_._1)
+        (p, hash(cs.map(c => s"${c._1}:${c._2}").mkString("|")),
+          hash(cs.map(c => s"${c._1}:${c._3}").mkString("|")))
+      }
+      out += ((lv, level))
+    }
+    val byLevel = out.sortBy(_._1).map { case (lv, nodes) =>
+      val diffs = nodes.filter(n => n._2 != n._3)
+      (lv, nodes.size.toLong, diffs.size.toLong,
+        diffs.headOption.map(_._1).getOrElse(-1L))
+    }
+    val rows = byLevel.zipWithIndex.map { case ((lv, n, d, first), i) =>
+      val compared = if (i == 0) 1L else 4L * byLevel(i - 1)._3
+      org.apache.spark.sql.Row(lv, n, compared, d, first)
+    }
+    import org.apache.spark.sql.types._
+    LocalReport.frame(s, rows.toSeq,
+      ("level", LongType), ("n_nodes", LongType), ("n_compared", LongType),
+      ("n_differing", LongType), ("first_diff_node", LongType))
+  }
+
   def q135PitJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q284_merkle_diff" -> 0, // collect-local 4-row report; the data work
+                             // is ONE 64-bucket signature fold computing
+                             // both snapshot legs in the same pass; tree
+                             // build + walk act on the 64-row leaf frame
     "q283_cms_audit" -> 0, // collect-local 24-row report; the data work
                              // (ONE per-key fold, ≤1024-row sketch sum,
                              // broadcast probe joins) runs pre-collect

@@ -93,6 +93,34 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("customer")._1 == expect, s"replay $expect vs ${out("customer")._1}")
   }
 
+  test("q284 merkle diff: the walk opens exactly the path to the mutated bucket") {
+    import graft.functions.Fingerprint
+    val got = graft.operators.TransferOps.q284MerkleDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    // descent path 0 -> 2 -> 8 -> 32: one differing node per level, the
+    // root compare + 4 children per differing parent = 13 of 85 touched
+    assert(got == Seq((0L, 1L, 1L, 1L, 0L), (1L, 4L, 4L, 1L, 2L),
+      (2L, 16L, 4L, 1L, 8L), (3L, 64L, 4L, 1L, 32L)), got)
+    // independent leaf check straight from the raw rows: the A/B row-
+    // fingerprint sums diverge in bucket 32 and nowhere else
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(o_orderkey AS BIGINT) AS k", "CAST(o_custkey AS BIGINT) AS c",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents", "o_orderstatus AS st")
+      .collect()
+    val perBucket = rows.groupBy(r => r.getLong(0) % 64).map { case (b, rs) =>
+      val fa = rs.map(r => Fingerprint.hashString(
+        s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}|${r.getString(3)}")).sum
+      val fb = rs.map { r =>
+        val cents = r.getLong(2) + (if (r.getLong(0) % 64 == 32) 1 else 0)
+        Fingerprint.hashString(s"${r.getLong(0)}|${r.getLong(1)}|$cents|${r.getString(3)}")
+      }.sum
+      b -> (fa == fb)
+    }
+    assert(perBucket.size == 64)
+    assert(perBucket.collect { case (b, equal) if !equal => b }.toSet == Set(32L))
+  }
+
   test("parquet -> Derby JDBC roundtrip (real database)") {
     val db = Files.createTempDirectory("derbydb").toString + "/g"
     val url = s"jdbc:derby:$db;create=true"
