@@ -332,6 +332,7 @@ object SparkEntry {
     "q282_hll_audit"      -> PipelineOps.q282HllAudit _,
     "q283_cms_audit"      -> CorpusOps.q283CmsAudit _,
     "q284_merkle_diff"    -> graft.operators.TransferOps.q284MerkleDiff _,
+    "q285_cusum_drift"    -> EventOps.q285CusumDrift _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5560,6 +5561,40 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q285: the CUSUM fold replays via list_reduce with a prepended
+    // [[0,0]] init (q255's list-accumulator pattern); states are scaled
+    // by the 7-day baseline window so the arithmetic is pure integer.
+    "q285_cusum_drift" ->
+      """WITH daily AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+        |    AS day, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |ord AS (SELECT day, n, CAST(row_number() OVER (ORDER BY day)
+        |    AS BIGINT) AS idx FROM daily),
+        |px AS (SELECT day, idx,
+        |    n + CASE WHEN idx >= 16 THEN n // 4 ELSE 0 END AS x FROM ord),
+        |arrs AS (SELECT list(x ORDER BY idx) AS xs,
+        |    list(day ORDER BY idx) AS ds FROM px),
+        |params AS (SELECT xs, ds,
+        |    CAST(list_sum(xs[1:7]) AS BIGINT) AS t0 FROM arrs),
+        |folds AS (SELECT ds, xs, t0,
+        |    list_reduce(
+        |      list_prepend([[CAST(0 AS BIGINT), CAST(0 AS BIGINT)]],
+        |        list_transform(xs, x -> [[x, x]])),
+        |      (acc, e) -> list_append(acc, [
+        |        greatest(CAST(0 AS BIGINT),
+        |          acc[len(acc)][1] + 7 * e[1][1] - t0 - t0 // 10),
+        |        greatest(CAST(0 AS BIGINT),
+        |          acc[len(acc)][2] - 7 * e[1][1] + t0 - t0 // 10)])) AS st
+        |  FROM params)
+        |SELECT r.day AS day, r.idx AS idx, r.x AS x,
+        |  r.s_pos AS s_pos, r.s_neg AS s_neg, r.alarm AS alarm
+        |FROM (SELECT unnest(list_transform(xs, (x, i) -> {
+        |    'day': ds[i], 'idx': CAST(i AS BIGINT), 'x': x,
+        |    's_pos': st[i + 1][1], 's_neg': st[i + 1][2],
+        |    'alarm': CAST(CASE WHEN st[i + 1][1] > t0 // 2
+        |      OR st[i + 1][2] > t0 // 2 THEN 1 ELSE 0 END AS BIGINT)}))
+        |    AS r FROM folds)
+        |ORDER BY day""".stripMargin,
 
     // q284: the oracle rebuilds the SAME Merkle tree relationally — leaf
     // signature strings cnt:xor:sum, parents hash node-ordered 'node:hash'

@@ -937,6 +937,57 @@ object EventOps {
       .orderBy($"event_type")
   }
 
+  /** X255 — CUSUM changepoint detection on the daily event series: the
+    * monitoring twin of q258's EWMA forecast — EWMA tracks a drifting
+    * level, CUSUM DETECTS a level shift with bounded detection delay (the
+    * Page 1954 sequential test every pipeline-volume monitor ships). All
+    * integer: the per-step score is scaled by the 7-day baseline window
+    * (S⁺ ← max(0, S⁺ + 7·x − T0 − K), mirrored for S⁻), so no division
+    * ever happens — T0 = baseline total plays the role of 7·μ0, allowance
+    * K = T0/10 (10% of the mean) absorbs daily noise, threshold H = T0/2.
+    * The series plants a +25% volume shift from day 16 (x + x div 4 — a
+    * feed doubling-up or a duplicate-ingest incident); measured first
+    * alarm lands at day 17-19 across all SFs with ZERO baseline false
+    * alarms, and the one-sided plant leaves S⁻ silent — both pinned by
+    * the spec.
+    *
+    * Scale: the corpus collapses in ONE (day) count aggregate; the CUSUM
+    * fold is order-dependent BY DEFINITION (like q258) so it runs as a
+    * list-accumulator aggregate() over the calendar-bounded series —
+    * 31 rows here, never corpus-sized; per-day states then re-explode
+    * relationally. The oracle replays the identical fold via DuckDB
+    * list_reduce with a prepended init state. */
+  def q285CusumDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = ev(s, dir)
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+    val fold =
+      """aggregate(xs, array(array(0L, 0L)), (acc, x) -> concat(acc, array(array(
+        |  greatest(0L, element_at(element_at(acc, size(acc)), 1)
+        |    + 7L * x - t0 - t0 div 10L),
+        |  greatest(0L, element_at(element_at(acc, size(acc)), 2)
+        |    - 7L * x + t0 - t0 div 10L)))))""".stripMargin
+    daily.agg(collect_list(struct($"day", $"n")).as("dn"))
+      .select(expr("transform(sort_array(dn), e -> e.day)").as("ds"),
+        expr("""transform(sort_array(dn), (e, i) ->
+          |  CASE WHEN i + 1 >= 16 THEN e.n + e.n div 4L ELSE e.n END)"""
+          .stripMargin).as("xs"))
+      .withColumn("t0", expr("aggregate(slice(xs, 1, 7), 0L, (a, x) -> a + x)"))
+      .withColumn("st", expr(fold))
+      .select($"ds", $"xs", $"t0", $"st",
+        explode(expr("sequence(1, size(xs))")).as("i"))
+      .select(expr("element_at(ds, i)").as("day"),
+        $"i".cast("long").as("idx"),
+        expr("element_at(xs, i)").as("x"),
+        expr("element_at(element_at(st, i + 1), 1)").as("s_pos"),
+        expr("element_at(element_at(st, i + 1), 2)").as("s_neg"),
+        expr("""CASE WHEN element_at(element_at(st, i + 1), 1) > t0 div 2L
+          |  OR element_at(element_at(st, i + 1), 2) > t0 div 2L
+          |  THEN 1L ELSE 0L END""".stripMargin).as("alarm"))
+      .orderBy($"day")
+  }
+
   /** X217 — watermark-lateness audit: per event type, how far events
     * arrive BEHIND the global event-time frontier (the maximum event
     * time already seen in ARRIVAL order) — the exact distribution a

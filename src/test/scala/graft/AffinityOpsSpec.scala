@@ -1835,4 +1835,33 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(v => v._5 >= 0L && v._5 < 1000000L))
     assert(got.values.forall(_._3 >= 0L))
   }
+
+  test("q285 CUSUM: pure-Scala fold replay; alarm only after the planted shift") {
+    import spark.implicits._
+    val got = graft.ops.EventOps.q285CusumDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    // sequential replay from raw rows: daily counts -> plant -> CUSUM fold
+    val days = graft.sources.Tables.load(spark, sf, "events")
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("d"))
+      .as[Long].collect().groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val xs = days.zipWithIndex.map { case ((_, n), i) =>
+      if (i + 1 >= 16) n + n / 4 else n
+    }
+    val t0 = xs.take(7).sum
+    var sp = 0L; var sn = 0L
+    val expect = days.zip(xs).zipWithIndex.map { case (((d, _), x), i) =>
+      sp = math.max(0L, sp + 7 * x - t0 - t0 / 10)
+      sn = math.max(0L, sn - 7 * x + t0 - t0 / 10)
+      (d, i + 1L, x, sp, sn, if (sp > t0 / 2 || sn > t0 / 2) 1L else 0L)
+    }
+    assert(got == expect)
+    // no false alarm in the unshifted regime; detection within 10 days of
+    // the day-16 shift; the one-sided plant leaves the downward side silent
+    val firstAlarm = got.find(_._6 == 1L).map(_._2)
+    assert(got.filter(_._2 < 16L).forall(_._6 == 0L))
+    assert(firstAlarm.exists(a => a >= 16L && a <= 26L), s"first alarm $firstAlarm")
+    assert(got.forall(_._5 <= t0 / 2))
+  }
 }

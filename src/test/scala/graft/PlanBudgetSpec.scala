@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q285_cusum_drift" -> 2, // ONE daily count fold; the CUSUM list-
+                             // accumulator runs on the calendar-bounded
+                             // series (single-row agg) + final orderBy
     "q284_merkle_diff" -> 0, // collect-local 4-row report; the data work
                              // is ONE 64-bucket signature fold computing
                              // both snapshot legs in the same pass; tree
