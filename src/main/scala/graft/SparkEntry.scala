@@ -333,6 +333,7 @@ object SparkEntry {
     "q283_cms_audit"      -> CorpusOps.q283CmsAudit _,
     "q284_merkle_diff"    -> graft.operators.TransferOps.q284MerkleDiff _,
     "q285_cusum_drift"    -> EventOps.q285CusumDrift _,
+    "q286_pseudonymize"   -> PipelineOps.q286Pseudonymize _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5561,6 +5562,50 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q286: token = 'P' + two independently-salted fingerprints; join
+    // row semantics: n_rows = raw join count, n_distinct_in = token join
+    // count, n_distinct_out = distinct join keys, collisions = tok - raw.
+    "q286_pseudonymize" ->
+      s"""WITH cust AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    'P' || CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('s1:' ||
+        |        CAST(CAST(c_custkey AS BIGINT) AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS VARCHAR) ||
+        |    '-' || CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('s2:' ||
+        |        CAST(CAST(c_custkey AS BIGINT) AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS VARCHAR) AS p
+        |  FROM customer),
+        |ords AS MATERIALIZED (SELECT CAST(o_custkey AS BIGINT) AS k,
+        |    'P' || CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('s1:' ||
+        |        CAST(CAST(o_custkey AS BIGINT) AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS VARCHAR) ||
+        |    '-' || CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('s2:' ||
+        |        CAST(CAST(o_custkey AS BIGINT) AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS VARCHAR) AS p
+        |  FROM orders),
+        |ca AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS n_in,
+        |    CAST(count(DISTINCT p) AS BIGINT) AS n_out FROM cust),
+        |oa AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS n_in,
+        |    CAST(count(DISTINCT p) AS BIGINT) AS n_out FROM ords),
+        |rj AS (SELECT CAST(count(*) AS BIGINT) AS raw_rows,
+        |    CAST(count(DISTINCT o.k) AS BIGINT) AS raw_keys
+        |  FROM ords o JOIN cust c ON o.k = c.k),
+        |tj AS (SELECT CAST(count(*) AS BIGINT) AS tok_rows
+        |  FROM ords o JOIN cust c ON o.p = c.p)
+        |SELECT 'customer.c_custkey' AS scope, n_rows,
+        |  n_in AS n_distinct_in, n_out AS n_distinct_out,
+        |  n_in - n_out AS n_collisions FROM ca
+        |UNION ALL SELECT 'orders.o_custkey', n_rows, n_in, n_out,
+        |  n_in - n_out FROM oa
+        |UNION ALL SELECT 'join_orders_customer', raw_rows, tok_rows,
+        |  raw_keys, tok_rows - raw_rows FROM rj, tj
+        |ORDER BY scope""".stripMargin,
 
     // q285: the CUSUM fold replays via list_reduce with a prepended
     // [[0,0]] init (q255's list-accumulator pattern); states are scaled

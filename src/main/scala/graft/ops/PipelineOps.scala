@@ -27,6 +27,65 @@ object PipelineOps {
   private val IpRe    = PiiPatterns.Ipv4
   private val NumRe   = PiiPatterns.LongNumber
 
+  /** X256 — consistent pseudonymization + referential-integrity audit:
+    * X40 redacts destructively (a mask token kills every downstream
+    * join); governance pipelines that must keep data USABLE pseudonymize
+    * instead — a deterministic keyed mapping value → token, identical
+    * wherever the value appears, so foreign keys keep joining while the
+    * raw identifier never leaves the boundary. Token = 'P' + two
+    * independently-salted fingerprints ('s1:'/'s2:' prefixes) — the pair
+    * widens the space to ~2^60, so distinct keys collide with probability
+    * ~n²/2^61 (zero at every audited SF, and the audit MEASURES it rather
+    * than assuming it). The audit proves the two properties that make a
+    * pseudonymized release usable: per column, distinct-in == distinct-out
+    * (injectivity on this data); across tables, |orders ⋈ customer| is
+    * IDENTICAL joining on raw keys and on tokens (consistency — both
+    * sides mapped through the same keyed function). The join row reports:
+    * n_rows = raw join count, n_distinct_in = token join count,
+    * n_distinct_out = distinct join keys, n_collisions = token − raw
+    * (0 = joins preserved exactly).
+    *
+    * Scale: pseudonymization itself is a NARROW codegen'd projection —
+    * zero shuffles added to whatever plan consumes it; the audit's joins
+    * run on uniform customer keys with the dim side broadcast-eligible;
+    * everything aggregates map-side to a 3-row report. */
+  def q286Pseudonymize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    def tok(c: String): String =
+      s"""concat('P',
+         |  CAST(graft_fingerprint(concat('s1:', CAST($c AS STRING))) AS STRING),
+         |  '-',
+         |  CAST(graft_fingerprint(concat('s2:', CAST($c AS STRING))) AS STRING))"""
+        .stripMargin
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("k"), expr(tok("c_custkey")).as("p"))
+    val ords = Tables.load(s, dir, "orders")
+      .select($"o_custkey".cast("long").as("k"), expr(tok("o_custkey")).as("p"))
+    def colAudit(scope: String, df: DataFrame): DataFrame = df
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"k").as("n_distinct_in"),
+        countDistinct($"p").as("n_distinct_out"))
+      .select(lit(scope).as("scope"), $"n_rows", $"n_distinct_in",
+        $"n_distinct_out",
+        ($"n_distinct_in" - $"n_distinct_out").as("n_collisions"))
+    val rawJoin = ords.select($"k")
+      .join(cust.select($"k"), Seq("k"))
+      .agg(count(lit(1)).as("raw_rows"), countDistinct($"k").as("raw_keys"))
+    val tokJoin = ords.select($"p")
+      .join(cust.select($"p"), Seq("p"))
+      .agg(count(lit(1)).as("tok_rows"))
+    val joinRow = rawJoin.crossJoin(broadcast(tokJoin))
+      .select(lit("join_orders_customer").as("scope"),
+        $"raw_rows".as("n_rows"), $"tok_rows".as("n_distinct_in"),
+        $"raw_keys".as("n_distinct_out"),
+        ($"tok_rows" - $"raw_rows").as("n_collisions"))
+    colAudit("customer.c_custkey", cust)
+      .unionByName(colAudit("orders.o_custkey", ords))
+      .unionByName(joinRow)
+      .orderBy($"scope")
+  }
+
   /** X40 — PII redaction: the scrub pass every shareable corpus runs —
     * emails, IPv4 addresses, long digit runs (phone/account-shaped) each
     * detected, counted, and replaced with a typed mask token, in a fixed

@@ -476,6 +476,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(("zz-sdc-lone", "~total", 4L, -1L, "margin_suppressed")))
   }
 
+  test("q286: pseudonymization is injective, consistent, and join-preserving") {
+    import graft.functions.Fingerprint
+    val rows = PipelineOps.q286Pseudonymize(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("customer.c_custkey", "orders.o_custkey",
+      "join_orders_customer"))
+    // zero measured collisions anywhere; the token join reproduces the raw
+    // join EXACTLY (consistency + injectivity together)
+    rows.values.foreach { case (_, _, _, coll) => assert(coll == 0L) }
+    val (rawRows, tokRows, _, _) = rows("join_orders_customer")
+    assert(rawRows == tokRows && rawRows > 0L)
+    // replay: the token derivation is the salted fingerprint pair, and the
+    // two salts genuinely produce independent halves
+    def token(k: Long): String =
+      s"P${Fingerprint.hashString(s"s1:$k")}-${Fingerprint.hashString(s"s2:$k")}"
+    val keys = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("CAST(c_custkey AS BIGINT)").collect().map(_.getLong(0))
+    val toks = keys.map(token)
+    assert(toks.distinct.length == keys.distinct.length)
+    keys.take(5).foreach { k =>
+      assert(Fingerprint.hashString(s"s1:$k") != Fingerprint.hashString(s"s2:$k"))
+      assert(!token(k).contains(s"P$k-"))
+    }
+  }
+
   test("q282: HLL estimates replay from a set-fold and sit inside the error band") {
     import graft.functions.Fingerprint
     val rows = PipelineOps.q282HllAudit(spark, sf).collect()

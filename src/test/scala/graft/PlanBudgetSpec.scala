@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q286_pseudonymize" -> 10, // tokenization is a narrow projection;
+                             // two countDistinct audits (2-phase each) +
+                             // raw/token joins on uniform customer keys;
+                             // report is a 3-row union
     "q285_cusum_drift" -> 2, // ONE daily count fold; the CUSUM list-
                              // accumulator runs on the calendar-bounded
                              // series (single-row agg) + final orderBy
