@@ -334,6 +334,7 @@ object SparkEntry {
     "q284_merkle_diff"    -> graft.operators.TransferOps.q284MerkleDiff _,
     "q285_cusum_drift"    -> EventOps.q285CusumDrift _,
     "q286_pseudonymize"   -> PipelineOps.q286Pseudonymize _,
+    "q287_incr_join"      -> graft.operators.TransferOps.q287IncrJoin _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5562,6 +5563,39 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q287: terms keyed 1..6 so the incremental sum (5) and direct
+    // recompute (6) sit adjacent; the oracle derives every term from the
+    // same two splits.
+    "q287_incr_join" ->
+      s"""WITH o AS MATERIALIZED (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    CAST(o_custkey AS BIGINT) AS ckey FROM orders),
+        |c AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS ckey
+        |  FROM customer),
+        |j AS MATERIALIZED (SELECT o.okey, o.ckey,
+        |    o.okey % 13 = 0 AS da, o.ckey % 7 = 0 AS db,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(CAST(o.okey AS VARCHAR) || '|' ||
+        |        CAST(o.ckey AS VARCHAR), ''),
+        |      x -> CAST(ascii(x) AS BIGINT))), $FpByteFold) AS fp
+        |  FROM o JOIN c ON o.ckey = c.ckey),
+        |terms AS MATERIALIZED (
+        |  SELECT '1_v_old' AS term, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(coalesce(sum(fp), 0) AS BIGINT) AS sum_fp
+        |  FROM j WHERE NOT da AND NOT db
+        |  UNION ALL SELECT '2_delta_a_join_b', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(fp), 0) AS BIGINT) FROM j WHERE da AND NOT db
+        |  UNION ALL SELECT '3_a_join_delta_b', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(fp), 0) AS BIGINT) FROM j WHERE NOT da AND db
+        |  UNION ALL SELECT '4_delta_a_join_delta_b',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(fp), 0) AS BIGINT) FROM j WHERE da AND db)
+        |SELECT term, n_rows, sum_fp FROM terms
+        |UNION ALL SELECT '5_v_incremental', CAST(sum(n_rows) AS BIGINT),
+        |  CAST(sum(sum_fp) AS BIGINT) FROM terms
+        |UNION ALL SELECT '6_v_direct', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(fp), 0) AS BIGINT) FROM j
+        |ORDER BY term""".stripMargin,
 
     // q286: token = 'P' + two independently-salted fingerprints; join
     // row semantics: n_rows = raw join count, n_distinct_in = token join

@@ -507,6 +507,56 @@ object TransferOps {
       ("n_differing", LongType), ("first_diff_node", LongType))
   }
 
+  /** X257 — incremental join-view maintenance (delta joins): X101
+    * maintains AGGREGATE state incrementally; this is the other IVM
+    * workhorse — a materialized join view V = A ⋈ B kept current under
+    * append-only deltas via the textbook decomposition
+    * ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (each term delta-sized on at least one
+    * side, so maintenance cost scales with the BATCH, not the view).
+    * The audit materializes every term with a row-fingerprint checksum
+    * and reconciles: v_old + the three delta terms must equal the direct
+    * full recompute in BOTH count and checksum — the incremental and
+    * direct rows appear side by side in the output, equal by
+    * construction only if the decomposition is exactly right (double-
+    * counting ΔA⋈ΔB, the classic IVM bug, breaks both columns). Splits:
+    * ΔA = orders with o_orderkey ≡ 0 mod 13 (a new order batch), ΔB =
+    * customers with c_custkey ≡ 0 mod 7 (new signups).
+    *
+    * Scale: every term is ONE equi-join on the uniform customer key; at
+    * 100 TB the delta side of each term broadcasts (batch-sized), so
+    * maintenance never re-shuffles the standing view — which is the
+    * entire point of IVM over recompute. Checksums are map-side
+    * combinable sums of row fingerprints. */
+  def q287IncrJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    val o = graft.sources.Tables.load(s, dir, "orders")
+      .select($"o_orderkey".cast("long").as("okey"),
+        $"o_custkey".cast("long").as("ckey"))
+    val c = graft.sources.Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("ckey"))
+    val oOld = o.filter(pmod($"okey", lit(13L)) =!= 0L)
+    val dA = o.filter(pmod($"okey", lit(13L)) === 0L)
+    val cOld = c.filter(pmod($"ckey", lit(7L)) =!= 0L)
+    val dB = c.filter(pmod($"ckey", lit(7L)) === 0L)
+    def term(name: String, l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, Seq("ckey"))
+        .select(expr("""graft_fingerprint(concat(CAST(okey AS STRING), '|',
+          |  CAST(ckey AS STRING)))""".stripMargin).as("fp"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum($"fp"), lit(0L)).as("sum_fp"))
+        .select(lit(name).as("term"), $"n_rows", $"sum_fp")
+    val parts = Seq(term("1_v_old", oOld, cOld),
+      term("2_delta_a_join_b", dA, cOld),
+      term("3_a_join_delta_b", oOld, dB),
+      term("4_delta_a_join_delta_b", dA, dB))
+    val incr = parts.reduce(_ unionByName _)
+    val vInc = incr.agg(sum($"n_rows").as("n_rows"), sum($"sum_fp").as("sum_fp"))
+      .select(lit("5_v_incremental").as("term"), $"n_rows", $"sum_fp")
+    val vDir = term("6_v_direct", o, c)
+    incr.unionByName(vInc).unionByName(vDir).orderBy($"term")
+  }
+
   def q135PitJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

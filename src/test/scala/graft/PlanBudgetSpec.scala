@@ -391,6 +391,13 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q287_incr_join" -> 18, // five equi-joins on the uniform customer
+                             // key (4 delta terms + direct recompute),
+                             // each ONE broadcast-eligible join + a
+                             // 1-row combinable checksum agg; the audit
+                             // materializes BOTH sides of the IVM
+                             // equality on purpose — production keeps
+                             // only the three delta terms
     "q286_pseudonymize" -> 10, // tokenization is a narrow projection;
                              // two countDistinct audits (2-phase each) +
                              // raw/token joins on uniform customer keys;

@@ -121,6 +121,34 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perBucket.collect { case (b, equal) if !equal => b }.toSet == Set(32L))
   }
 
+  test("q287 incremental join: the delta decomposition reconciles with the direct view") {
+    val rows = graft.operators.TransferOps.q287IncrJoin(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet.size == 6)
+    val termSum = (1 to 4).map(i => rows.keys.find(_.startsWith(s"${i}_")).get)
+      .map(rows).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(termSum == rows("5_v_incremental"))
+    assert(rows("5_v_incremental") == rows("6_v_direct"))
+    // every term genuinely contributes (the splits are non-degenerate)
+    (1 to 4).foreach { i =>
+      val t = rows.keys.find(_.startsWith(s"${i}_")).get
+      assert(rows(t)._1 > 0L, s"term $t empty")
+    }
+    // driver replay of the term counts straight from the raw tables
+    val oks = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(o_orderkey AS BIGINT)", "CAST(o_custkey AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cks = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("CAST(c_custkey AS BIGINT)").collect().map(_.getLong(0)).toSet
+    def cnt(da: Boolean, db: Boolean): Long = oks.count { case (ok, ck) =>
+      cks.contains(ck) && (ok % 13 == 0) == da && (ck % 7 == 0) == db
+    }.toLong
+    assert(rows("1_v_old")._1 == cnt(da = false, db = false))
+    assert(rows("2_delta_a_join_b")._1 == cnt(da = true, db = false))
+    assert(rows("3_a_join_delta_b")._1 == cnt(da = false, db = true))
+    assert(rows("4_delta_a_join_delta_b")._1 == cnt(da = true, db = true))
+  }
+
   test("parquet -> Derby JDBC roundtrip (real database)") {
     val db = Files.createTempDirectory("derbydb").toString + "/g"
     val url = s"jdbc:derby:$db;create=true"
