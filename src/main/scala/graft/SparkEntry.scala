@@ -335,6 +335,7 @@ object SparkEntry {
     "q285_cusum_drift"    -> EventOps.q285CusumDrift _,
     "q286_pseudonymize"   -> PipelineOps.q286Pseudonymize _,
     "q287_incr_join"      -> graft.operators.TransferOps.q287IncrJoin _,
+    "q288_bitmap_index"   -> Relational.q288BitmapIndex _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5563,6 +5564,61 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q288: the oracle packs the identical 32-bit words and answers the
+    // same three predicate shapes inside the bitmap algebra.
+    "q288_bitmap_index" ->
+      """WITH base AS MATERIALIZED (SELECT
+        |    CAST(row_number() OVER () AS BIGINT) - 1 AS pos,
+        |    l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(round(l_quantity) AS BIGINT) // 10 AS qb
+        |  FROM lineitem),
+        |wb AS MATERIALIZED (SELECT rf, ls, qb, pos // 32 AS word,
+        |    CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS bit FROM base),
+        |uni AS (SELECT word, bit_or(bit) AS bits FROM wb GROUP BY 1),
+        |bm_rf_r AS (SELECT word, bit_or(bit) AS bits FROM wb
+        |  WHERE rf = 'R' GROUP BY 1),
+        |bm_ls_f AS (SELECT word, bit_or(bit) AS bits FROM wb
+        |  WHERE ls = 'F' GROUP BY 1),
+        |bm_q0 AS (SELECT word, bit_or(bit) AS bits FROM wb
+        |  WHERE qb = 0 GROUP BY 1),
+        |bm_q4 AS (SELECT word, bit_or(bit) AS bits FROM wb
+        |  WHERE qb = 4 GROUP BY 1),
+        |bm_rf_a AS (SELECT word, bit_or(bit) AS bits FROM wb
+        |  WHERE rf = 'A' GROUP BY 1),
+        |bm_q2 AS (SELECT word, bit_or(bit) AS bits FROM wb
+        |  WHERE qb = 2 GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_index,
+        |    CAST(sum(bit_count(bits)) AS BIGINT) AS n_pop FROM uni),
+        |p1 AS (SELECT CAST(coalesce(sum(bit_count(a.bits & b.bits)), 0)
+        |    AS BIGINT) AS n
+        |  FROM bm_rf_r a JOIN bm_ls_f b ON a.word = b.word),
+        |p2 AS (SELECT CAST(coalesce(sum(bit_count(
+        |    coalesce(a.bits, 0) | coalesce(b.bits, 0))), 0) AS BIGINT) AS n
+        |  FROM bm_q0 a FULL OUTER JOIN bm_q4 b ON a.word = b.word),
+        |p3 AS (SELECT CAST(coalesce(sum(bit_count(
+        |    a.bits & ~coalesce(b.bits, 0))), 0) AS BIGINT) AS n
+        |  FROM bm_rf_a a LEFT JOIN bm_q2 b ON a.word = b.word),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS e0,
+        |    CAST(sum(CASE WHEN rf = 'R' AND ls = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS e1,
+        |    CAST(sum(CASE WHEN qb = 0 OR qb = 4 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS e2,
+        |    CAST(sum(CASE WHEN rf = 'A' AND qb <> 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS e3
+        |  FROM base)
+        |SELECT predicate, n_words, n_bitmap, n_exact,
+        |  n_bitmap - n_exact AS diff
+        |FROM (
+        |  SELECT '0_index_stats' AS predicate, s.n_index AS n_words,
+        |    s.n_pop AS n_bitmap, ex.e0 AS n_exact FROM stats s, ex
+        |  UNION ALL SELECT '1_rf_and_ls', s.n_index, p1.n, ex.e1
+        |    FROM stats s, p1, ex
+        |  UNION ALL SELECT '2_qband_in', s.n_index, p2.n, ex.e2
+        |    FROM stats s, p2, ex
+        |  UNION ALL SELECT '3_rf_and_not_qband', s.n_index, p3.n, ex.e3
+        |    FROM stats s, p3, ex)
+        |ORDER BY predicate""".stripMargin,
 
     // q287: terms keyed 1..6 so the incremental sum (5) and direct
     // recompute (6) sit adjacent; the oracle derives every term from the

@@ -544,6 +544,80 @@ object Relational {
     * Scale: the corpus collapses in the per-size aggregate; the
     * staircase window runs on the 50-row frame (q257's bounded-frame
     * rule); the final pass is scan + broadcast filter. No self-join. */
+  /** X258 — bitmap-index build + predicate algebra: the other classic
+    * OLAP index (X43 builds the inverted index for text; this is its
+    * low-cardinality-column sibling). Per value of l_returnflag,
+    * l_linestatus and a derived quantity band, a bitmap of row positions
+    * packed into 32-bit words keyed by word index — only nonzero words
+    * stored, the roaring-style sparse form. Predicates are then answered
+    * ENTIRELY inside the index: AND = word-join + `&`, OR = full-outer
+    * word-join + `|`, NOT = `& ~` against the value's own superset
+    * bitmap; cardinality = Σ bit_count. The audit runs three predicate
+    * shapes (conjunction, IN-list disjunction, negated conjunct) and
+    * shows each index answer EQUAL to the exact scan count — plus the
+    * index-stats row proving positions are unique (popcount of the
+    * universe bitmap == row count). Positions are a DENSE GlobalOrder
+    * row numbering — (l_orderkey, l_linenumber) is NOT unique in this
+    * corpus, and every count here is invariant to WHICH row gets which
+    * position (each row sets exactly one bit; a predicate's popcount is
+    * the number of rows satisfying it under any bijective numbering),
+    * which is why the DuckDB oracle can use its own row_number() and
+    * still agree bit-for-bit on every output.
+    *
+    * Scale: each bitmap is ONE combinable bit_or aggregate keyed by the
+    * uniform word index (data/32-sized, distributed — never collected);
+    * predicate evaluation joins bitmap frames word-to-word (co-keyed —
+    * a co-partitioned merge at any scale) and popcounts map-side. The
+    * exact counts exist only because the audit proves equality;
+    * production reads the index alone. */
+  def q288BitmapIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".cast("long").as("okey"),
+        $"l_linenumber".cast("long").as("line"),
+        $"l_returnflag".as("rf"), $"l_linestatus".as("ls"),
+        expr("CAST(round(l_quantity) AS BIGINT) div 10").as("qb"))
+    val base = GlobalOrder.withRowNumber(rows,
+        Seq($"okey", $"line", $"rf", $"ls", $"qb"), "rk")
+      .select($"rf", $"ls", $"qb", expr("(rk - 1) div 32").as("word"),
+        expr("shiftleft(1L, CAST((rk - 1) % 32 AS INT))").as("bit"))
+    def bm(cond: Column): DataFrame = base.filter(cond)
+      .groupBy($"word").agg(expr("bit_or(bit)").as("bits"))
+    val universe = base.groupBy($"word").agg(expr("bit_or(bit)").as("bits"))
+    val stats = universe
+      .agg(count(lit(1)).as("n_index"),
+        sum(expr("bit_count(bits)")).as("n_pop"))
+    val p1 = bm($"rf" === "R").as("a")
+      .join(bm($"ls" === "F").as("b"), Seq("word"))
+      .agg(coalesce(sum(expr("bit_count(a.bits & b.bits)")), lit(0L)).as("n"))
+    val p2 = bm($"qb" === 0L).as("a")
+      .join(bm($"qb" === 4L).as("b"), Seq("word"), "full_outer")
+      .agg(coalesce(sum(expr(
+        "bit_count(coalesce(a.bits, 0L) | coalesce(b.bits, 0L))")), lit(0L)).as("n"))
+    val p3 = bm($"rf" === "A").as("a")
+      .join(bm($"qb" === 2L).as("b"), Seq("word"), "left")
+      .agg(coalesce(sum(expr(
+        "bit_count(a.bits & ~coalesce(b.bits, 0L))")), lit(0L)).as("n"))
+    val exact = base.agg(count(lit(1)).as("e0"),
+      sum(when($"rf" === "R" && $"ls" === "F", 1L).otherwise(0L)).as("e1"),
+      sum(when($"qb" === 0L || $"qb" === 4L, 1L).otherwise(0L)).as("e2"),
+      sum(when($"rf" === "A" && $"qb" =!= 2L, 1L).otherwise(0L)).as("e3"))
+    stats.crossJoin(broadcast(p1.select($"n".as("n1"))))
+      .crossJoin(broadcast(p2.select($"n".as("n2"))))
+      .crossJoin(broadcast(p3.select($"n".as("n3"))))
+      .crossJoin(broadcast(exact))
+      .selectExpr(
+        """stack(4,
+          |  '0_index_stats', n_index, n_pop, e0,
+          |  '1_rf_and_ls', n_index, n1, e1,
+          |  '2_qband_in', n_index, n2, e2,
+          |  '3_rf_and_not_qband', n_index, n3, e3)
+          |AS (predicate, n_words, n_bitmap, n_exact)""".stripMargin)
+      .selectExpr("predicate", "n_words", "n_bitmap", "n_exact",
+        "n_bitmap - n_exact AS diff")
+      .orderBy($"predicate")
+  }
+
   def q280Skyline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val p = t(s, dir, "part").select($"p_partkey".cast("long").as("partkey"),

@@ -533,6 +533,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(front(rig).map(_._1) == Seq(1L, 2L, 4L))
   }
 
+  test("q288: bitmap algebra answers every predicate exactly; positions dense") {
+    val got = graft.operators.Relational.q288BitmapIndex(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == Set("0_index_stats", "1_rf_and_ls", "2_qband_in",
+      "3_rf_and_not_qband"))
+    // zero divergence between the index answer and the exact scan, on
+    // every predicate shape INCLUDING the universe popcount
+    got.values.foreach { case (_, _, _, diff) => assert(diff == 0L) }
+    // dense packing: word count = ceil(rows / 32)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_returnflag", "l_linestatus",
+        "CAST(round(l_quantity) AS BIGINT) AS q").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 10))
+    assert(got("0_index_stats")._1 == (li.length + 31) / 32)
+    assert(got("0_index_stats")._3 == li.length.toLong)
+    // exact legs replay from raw rows
+    assert(got("1_rf_and_ls")._3 ==
+      li.count(t => t._1 == "R" && t._2 == "F").toLong)
+    assert(got("2_qband_in")._3 ==
+      li.count(t => t._3 == 0L || t._3 == 4L).toLong)
+    assert(got("3_rf_and_not_qband")._3 ==
+      li.count(t => t._1 == "A" && t._3 != 2L).toLong)
+  }
+
   test("q274: the container parser agrees with ImageIO and catches corruption") {
     val got = graft.ops.MultimodalOps.q274PngProbe(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -391,6 +391,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q288_bitmap_index" -> 16, // GlobalOrder dense numbering (range
+                             // shuffle) + six combinable bit_or bitmap
+                             // folds keyed by the uniform word index +
+                             // three word-co-keyed predicate joins; all
+                             // verdict frames are 1-row
     "q287_incr_join" -> 18, // five equi-joins on the uniform customer
                              // key (4 delta terms + direct recompute),
                              // each ONE broadcast-eligible join + a
