@@ -44,6 +44,41 @@ object SparkEntry {
       "WHEN b < 65536 THEN (a*29791 + (224 + b//4096)*961 + (128 + (b//64)%64)*31 + 128 + b%64) % 1000000007 " +
       "ELSE (a*923521 + (240 + b//262144)*29791 + (128 + (b//4096)%64)*961 + (128 + (b//64)%64)*31 + 128 + b%64) % 1000000007 END"
 
+  /** q289's oracle, generated: the Gonzalez greedy unrolls into 8 chained
+    * pick/update CTE levels (q275's chained-DP discipline) — p1 seeds at
+    * the smallest vec_id, each m_r carries the running min-distance frame
+    * forward, each p_r takes the farthest point (ties to smallest id). */
+  private def q289OracleSql: String = {
+    def d2(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    val head =
+      s"""WITH e AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |p1 AS MATERIALIZED (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1),
+         |m1 AS MATERIALIZED (SELECT e.vec_id, e.q,
+         |    ${d2("e.q", "p.q")} AS d FROM e, p1 p)""".stripMargin
+    val levels = (2 to 8).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT vec_id, q, d FROM m${r - 1}
+         |  ORDER BY d DESC, vec_id LIMIT 1),
+         |m$r AS MATERIALIZED (SELECT m.vec_id, m.q,
+         |    least(m.d, ${d2("m.q", "p.q")}) AS d FROM m${r - 1} m, p$r p)"""
+        .stripMargin
+    }
+    val picks = (2 to 8).map(r =>
+      s"UNION ALL SELECT $r, vec_id, d FROM p$r").mkString("\n")
+    s"""$head,
+       |${levels.mkString(",\n")}
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+       |  CAST(radius2 AS BIGINT) AS radius2 FROM (
+       |  SELECT 1 AS rank, vec_id, -1 AS radius2 FROM p1
+       |  $picks
+       |  UNION ALL SELECT 9, -1, (SELECT max(d) FROM m8))
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
@@ -336,6 +371,7 @@ object SparkEntry {
     "q286_pseudonymize"   -> PipelineOps.q286Pseudonymize _,
     "q287_incr_join"      -> graft.operators.TransferOps.q287IncrJoin _,
     "q288_bitmap_index"   -> Relational.q288BitmapIndex _,
+    "q289_kcenter"        -> SimilarityOps.q289KCenter _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5564,6 +5600,9 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q289: generated 8-level greedy chain — see q289OracleSql.
+    "q289_kcenter" -> q289OracleSql,
 
     // q288: the oracle packs the identical 32-bit words and answers the
     // same three predicate shapes inside the bitmap algebra.

@@ -245,6 +245,64 @@ object SimilarityOps {
     } finally q.unpersist(blocking = false)
   }
 
+  /** X259 — k-center farthest-point selection (Gonzalez greedy): X211
+    * selects a coreset balanced by cluster POPULATION (coverage of the
+    * mass); k-center maximizes SPREAD — the maximally-diverse exemplar
+    * set, the published 2-approximation to the k-center objective and
+    * the seeding/curation tool for "show me k maximally different
+    * examples". Greedy: seed at the smallest vec_id, then 7× pick the
+    * point with the LARGEST min-distance to the chosen set (exact
+    * integer d² on milli-quantized components through the codegen'd
+    * graft_dist2 lane; ties broken to the smallest vec_id via
+    * max(struct(d2, -vec_id))). Output: each pick with the coverage
+    * radius² it closed (a non-increasing sequence — the 2-approx
+    * certificate) plus the final residual coverage radius².
+    *
+    * Scale: exactly k sequential corpus aggregates, each ONE combinable
+    * max-of-struct fold with the ≤k chosen vectors inlined as literals
+    * (k×d longs — broadcast-free); the quantized frame persists across
+    * the iterations and releases before return (q106's Lloyd's
+    * discipline). Nothing pairwise, nothing collected beyond k rows. */
+  def q289KCenter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SquaredDistance.register(s)
+    val k = 8
+    val q = Tables.load(s, dir, "embeddings")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      .persist()
+    try {
+      val seed = q.orderBy($"vec_id").limit(1)
+        .collect().head
+      var chosen = Seq((1L, seed.getLong(0), -1L,
+        seed.getSeq[Long](1).toArray))
+      def minDistExpr(cs: Seq[(Long, Long, Long, Array[Long])]): String = {
+        val ds = cs.map { case (_, _, _, v) =>
+          s"graft_dist2(q, array(${v.mkString("L,")}L))"
+        }
+        if (ds.size == 1) ds.head else ds.mkString("least(", ", ", ")")
+      }
+      while (chosen.size < k) {
+        val minDist = minDistExpr(chosen)
+        val pick = q
+          .select($"vec_id", $"q", expr(minDist).as("d2"))
+          .agg(max(struct($"d2", (-$"vec_id").as("neg"), $"vec_id", $"q"))
+            .as("m"))
+          .select($"m.d2", $"m.vec_id", $"m.q")
+          .collect().head
+        chosen = chosen :+ ((chosen.size + 1L, pick.getLong(1),
+          pick.getLong(0), pick.getSeq[Long](2).toArray))
+      }
+      val cover = q.select(expr(minDistExpr(chosen)).as("d2"))
+        .agg(max($"d2")).collect().head.getLong(0)
+      import org.apache.spark.sql.types._
+      LocalReport.frame(s,
+        chosen.map(c => org.apache.spark.sql.Row(c._1, c._2, c._3)) :+
+          org.apache.spark.sql.Row(9L, -1L, cover),
+        ("rank", LongType), ("vec_id", LongType), ("radius2", LongType))
+    } finally q.unpersist(blocking = false)
+  }
+
   /** X145 — IVF recall audit: per query of the X10 pipeline, how many of
     * the TRUE top-3 neighbors (exact cosine over the full corpus
     * universe) the single-probe IVF search actually returned — the

@@ -1217,4 +1217,35 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .mapValues(_.map(_._2).distinct.length.toLong).toMap
     assert(rows == expected)
   }
+
+  test("q289 k-center: pure-Scala greedy replay; radii certify the selection") {
+    val got = graft.ops.SimilarityOps.q289KCenter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // pure-Scala replay of the Gonzalez greedy on the quantized vectors
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("CAST(vec_id AS BIGINT) AS id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = Seq(vecs.keys.min)
+    var expect = Seq((1L, chosen.head, -1L))
+    while (chosen.size < 8) {
+      val (id, d) = vecs.view.mapValues(v => chosen.map(c => d2(vecs(c), v)).min)
+        .toSeq.maxBy { case (id, d) => (d, -id) }
+      chosen = chosen :+ id
+      expect = expect :+ ((chosen.size.toLong, id, d))
+    }
+    val cover = vecs.values.map(v => chosen.map(c => d2(vecs(c), v)).min).max
+    assert(got == expect :+ ((9L, -1L, cover)))
+    // certificate: the closed radii are non-increasing and the residual
+    // coverage never exceeds the last closed radius (Gonzalez's 2-approx
+    // argument rests on exactly this chain)
+    val radii = got.drop(1).map(_._3)
+    radii.sliding(2).foreach { case Seq(a, b) => assert(b <= a); case _ => }
+    // chosen centers are pairwise at least the residual apart
+    chosen.combinations(2).foreach { case Seq(a, b) =>
+      assert(d2(vecs(a), vecs(b)) >= cover)
+    }
+  }
 }

@@ -391,6 +391,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q289_kcenter" -> 0, // collect-local 9-row report; the data work is
+                             // k sequential max-of-struct folds over the
+                             // persisted quantized frame (q106's Lloyd's
+                             // discipline), chosen vectors inlined as
+                             // k×d literals
     "q288_bitmap_index" -> 16, // GlobalOrder dense numbering (range
                              // shuffle) + six combinable bit_or bitmap
                              // folds keyed by the uniform word index +
