@@ -372,6 +372,7 @@ object SparkEntry {
     "q287_incr_join"      -> graft.operators.TransferOps.q287IncrJoin _,
     "q288_bitmap_index"   -> Relational.q288BitmapIndex _,
     "q289_kcenter"        -> SimilarityOps.q289KCenter _,
+    "q290_why_provenance" -> graft.operators.SchemaOps.q290WhyProvenance _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5600,6 +5601,25 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q290: the shard digest xors DISTINCT per-shard fingerprints — a
+    // set digest, invariant to row order and per-shard row counts.
+    "q290_why_provenance" ->
+      s"""SELECT CAST(l_partkey AS BIGINT) AS partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT CAST(l_suppkey AS BIGINT) % 64) AS BIGINT)
+        |    AS n_shards,
+        |  min(CAST(l_suppkey AS BIGINT) % 64) AS shard_min,
+        |  max(CAST(l_suppkey AS BIGINT) % 64) AS shard_max,
+        |  bit_xor(DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split('shard:' ||
+        |      CAST(CAST(l_suppkey AS BIGINT) % 64 AS VARCHAR), ''),
+        |    c -> CAST(ascii(c) AS BIGINT))), $FpByteFold)) AS prov_xor,
+        |  CAST(max(CASE WHEN CAST(l_suppkey AS BIGINT) % 64 = 7
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS tainted
+        |FROM lineitem GROUP BY 1 ORDER BY partkey""".stripMargin,
 
     // q289: generated 8-level greedy chain — see q289OracleSql.
     "q289_kcenter" -> q289OracleSql,

@@ -565,4 +565,45 @@ object SchemaOps {
              coalesce($"actual_rows", lit(0L)), 1L).otherwise(0L).as("ok"))
       .orderBy($"edge")
   }
+
+  /** X260 — why-provenance propagation + taint blame: for every cell of
+    * an aggregate report, WHICH upstream shards contributed — the
+    * why-provenance of database research, and operationally the answer
+    * to "this cell is wrong; what is the minimal reprocess set?".
+    * Lineage rides the aggregation itself as set-semiring state: per
+    * part, revenue plus an order-independent digest of the contributing
+    * supplier shards (count of distinct shards, min/max, and a
+    * DISTINCT-xor of per-shard fingerprints — xor over the SET, so any
+    * row order and any duplication of a shard's rows yields the same
+    * digest). The blame step marks every cell touched by a planted bad
+    * shard (shard 7 — a collector that shipped corrupt data): tainted
+    * cells are exactly the reprocess set, and untainted revenue is
+    * certified good WITHOUT re-reading the corpus. Grouping by part
+    * against 64 supplier shards keeps the incidence genuinely sparse
+    * (~30 rows per part at sf0.001), so provenance differs per cell
+    * rather than degenerating to "everything touches everything".
+    *
+    * Scale: ONE combinable aggregate keyed by the uniform part key
+    * carries all lineage state (min/max/count-distinct/xor all have
+    * partial forms); the digest replaces a collect_set of shard lists —
+    * constant-size state per cell no matter how many shards exist. */
+  def q290WhyProvenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    graft.sources.Tables.load(s, dir, "lineitem")
+      .select($"l_partkey".cast("long").as("partkey"),
+        pmod($"l_suppkey".cast("long"), lit(64L)).as("shard"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("sfp", expr(
+        "graft_fingerprint(concat('shard:', CAST(shard AS STRING)))"))
+      .groupBy($"partkey")
+      .agg(sum($"cents").as("revenue_cents"),
+        count(lit(1)).as("n_rows"),
+        countDistinct($"shard").as("n_shards"),
+        min($"shard").as("shard_min"),
+        max($"shard").as("shard_max"),
+        expr("bit_xor(DISTINCT sfp)").as("prov_xor"),
+        max(when($"shard" === 7L, 1L).otherwise(0L)).as("tainted"))
+      .orderBy($"partkey")
+  }
 }

@@ -558,6 +558,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       li.count(t => t._1 == "A" && t._3 != 2L).toLong)
   }
 
+  test("q290: lineage digests replay from the shard SET; taint marks exactly shard 7") {
+    import graft.functions.Fingerprint
+    val got = graft.operators.SchemaOps.q290WhyProvenance(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT) % 64",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPart = rows.groupBy(_._1)
+    assert(got.keySet == byPart.keySet)
+    byPart.foreach { case (pk, rs) =>
+      val shards = rs.map(_._2).toSet
+      val (rev, n, ns, mn, mx, xor, taint) = got(pk)
+      assert(rev == rs.map(_._3).sum && n == rs.length.toLong)
+      assert(ns == shards.size.toLong && mn == shards.min && mx == shards.max)
+      // the digest is a SET xor: duplication of a shard's rows is invisible
+      assert(xor == shards.map(sh => Fingerprint.hashString(s"shard:$sh"))
+        .foldLeft(0L)(_ ^ _))
+      assert(taint == (if (shards.contains(7L)) 1L else 0L))
+    }
+    // the incidence is genuinely sparse and the blame set is non-trivial
+    assert(got.values.map(_._3).max < 64L)
+    val tainted = got.values.count(_._7 == 1L)
+    assert(tainted > 0 && tainted < got.size)
+  }
+
   test("q274: the container parser agrees with ImageIO and catches corruption") {
     val got = graft.ops.MultimodalOps.q274PngProbe(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

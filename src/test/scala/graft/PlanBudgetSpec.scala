@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q290_why_provenance" -> 3, // ONE part-keyed aggregate carries all
+                             // lineage state (every digest has a partial
+                             // form; countDistinct adds its 2-phase
+                             // twin) + orderBy
     "q289_kcenter" -> 0, // collect-local 9-row report; the data work is
                              // k sequential max-of-struct folds over the
                              // persisted quantized frame (q106's Lloyd's
