@@ -373,6 +373,7 @@ object SparkEntry {
     "q288_bitmap_index"   -> Relational.q288BitmapIndex _,
     "q289_kcenter"        -> SimilarityOps.q289KCenter _,
     "q290_why_provenance" -> graft.operators.SchemaOps.q290WhyProvenance _,
+    "q291_ab_experiment"  -> PipelineOps.q291AbExperiment _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5601,6 +5602,71 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q291: z² as IEEE doubles with the IDENTICAL operation order on
+    // both engines (the sqrt-divide determinism lane); the verdict
+    // decides on the milli-rounded statistic, never the raw double.
+    "q291_ab_experiment" ->
+      s"""WITH conv AS (SELECT c.k, c.arm1, c.arm2,
+        |    (c.nat OR (c.arm1 = 1 AND c.boost)) AS conv1, c.nat AS conv2
+        |  FROM (SELECT k, nat,
+        |      (f1 * f1 // 65536) % 2 AS arm1,
+        |      (f2 * f2 // 65536) % 2 AS arm2,
+        |      (fb * fb // 65536) % 2 = 0 AS boost
+        |    FROM (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |      coalesce(m.mx, 0) >= 46500000 AS nat,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |        string_split('exp1:' || CAST(CAST(c_custkey AS BIGINT)
+        |          AS VARCHAR), ''),
+        |        x -> CAST(ascii(x) AS BIGINT))), $FpByteFold) AS f1,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |        string_split('exp2:' || CAST(CAST(c_custkey AS BIGINT)
+        |          AS VARCHAR), ''),
+        |        x -> CAST(ascii(x) AS BIGINT))), $FpByteFold) AS f2,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |        string_split('boost:' || CAST(CAST(c_custkey AS BIGINT)
+        |          AS VARCHAR), ''),
+        |        x -> CAST(ascii(x) AS BIGINT))), $FpByteFold) AS fb
+        |    FROM customer LEFT JOIN (SELECT CAST(o_custkey AS BIGINT) AS k,
+        |        max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx
+        |      FROM orders GROUP BY 1) m ON CAST(c_custkey AS BIGINT) = m.k))
+        |    AS c),
+        |sums AS (SELECT
+        |    CAST(sum(CASE WHEN arm1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1a,
+        |    CAST(sum(CASE WHEN arm1 = 0 AND conv1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x1a,
+        |    CAST(sum(CASE WHEN arm1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1b,
+        |    CAST(sum(CASE WHEN arm1 = 1 AND conv1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x1b,
+        |    CAST(sum(CASE WHEN arm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2a,
+        |    CAST(sum(CASE WHEN arm2 = 0 AND conv2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x2a,
+        |    CAST(sum(CASE WHEN arm2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2b,
+        |    CAST(sum(CASE WHEN arm2 = 1 AND conv2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x2b
+        |  FROM conv),
+        |st AS (SELECT experiment, n_a, x_a, n_b, x_b,
+        |    x_a * 1000000 // n_a AS rate_a_ppm,
+        |    x_b * 1000000 // n_b AS rate_b_ppm,
+        |    CAST(round(
+        |      ((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |       * (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |      / ((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |       * (1.0 - CAST(x_a + x_b AS DOUBLE)
+        |          / CAST(n_a + n_b AS DOUBLE))
+        |       * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |      * 1000.0) AS BIGINT) AS z2_milli
+        |  FROM (SELECT 'exp1_treatment' AS experiment, n1a AS n_a,
+        |      x1a AS x_a, n1b AS n_b, x1b AS x_b FROM sums
+        |    UNION ALL SELECT 'exp2_aa_control', n2a, x2a, n2b, x2b
+        |      FROM sums))
+        |SELECT experiment, n_a, x_a, n_b, x_b, rate_a_ppm, rate_b_ppm,
+        |  z2_milli,
+        |  CAST(CASE WHEN z2_milli > 3841 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS significant
+        |FROM st ORDER BY experiment""".stripMargin,
 
     // q290: the shard digest xors DISTINCT per-shard fingerprints — a
     // set digest, invariant to row order and per-shard row counts.

@@ -27,6 +27,87 @@ object PipelineOps {
   private val IpRe    = PiiPatterns.Ipv4
   private val NumRe   = PiiPatterns.LongNumber
 
+  /** X261 — deterministic A/B experiment analysis: the full experiment
+    * readout a growth/data platform runs — hash-based arm assignment
+    * (fp('exp:'+unit) % 2, the production bucketing that needs no
+    * coordination and no stored assignment table), a conversion metric
+    * (customer placed an order ≥ $465k — ~50% base rate on this corpus),
+    * and the two-proportion z² verdict at 95% (milli-rounded χ²₁ >
+    * 3841). Assignment and boost hashes go through the middle-square
+    * finalizer (fp² div 2^16): the raw polynomial fingerprints of
+    * 'exp1:k', 'exp2:k', 'boost:k' differ by CONSTANTS for same-length
+    * keys (q279's affine lesson), which measured as perfectly
+    * anti-correlated arms and a boost that never fired in treatment
+    * until squared. Two
+    * experiments ship side by side: exp1 plants a genuine treatment
+    * effect (arm B converts additionally on a 50% boost hash — ~+22pp)
+    * and must read SIGNIFICANT; exp2 is the A/A control (same metric,
+    * independent assignment salt, no effect) and must read NOT
+    * significant — the pair is the calibration every experimentation
+    * platform runs before anyone trusts a dashboard. z² is computed as
+    * IEEE doubles with the IDENTICAL operation order on both engines
+    * (the house sqrt-divide determinism lane); counts and rates stay
+    * exact integers.
+    *
+    * Scale: one per-customer max-order fold + a narrow assignment/
+    * conversion projection; both experiments aggregate in the SAME
+    * single pass (conditional sums), folding the corpus to one row that
+    * stacks to two. Nothing per-unit is ever collected. */
+  def q291AbExperiment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val conv = Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("k"))
+      .join(Tables.load(s, dir, "orders")
+          .groupBy($"o_custkey".cast("long").as("k"))
+          .agg(max(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("mx")),
+        Seq("k"), "left")
+      .select($"k",
+        (coalesce($"mx", lit(0L)) >= 46500000L).as("natural"),
+        expr("""pmod(graft_fingerprint(concat('exp1:', CAST(k AS STRING))) *
+          |  graft_fingerprint(concat('exp1:', CAST(k AS STRING)))
+          |  div 65536, 2)""".stripMargin).as("arm1"),
+        expr("""pmod(graft_fingerprint(concat('exp2:', CAST(k AS STRING))) *
+          |  graft_fingerprint(concat('exp2:', CAST(k AS STRING)))
+          |  div 65536, 2)""".stripMargin).as("arm2"),
+        (expr("""pmod(graft_fingerprint(concat('boost:', CAST(k AS STRING))) *
+          |  graft_fingerprint(concat('boost:', CAST(k AS STRING)))
+          |  div 65536, 2)""".stripMargin) === 0L).as("boost"))
+      .select($"k", $"arm1", $"arm2",
+        ($"natural" || ($"arm1" === 1L && $"boost")).as("conv1"),
+        $"natural".as("conv2"))
+    val sums = conv.agg(
+      sum(when($"arm1" === 0L, 1L).otherwise(0L)).as("n1a"),
+      sum(when($"arm1" === 0L && $"conv1", 1L).otherwise(0L)).as("x1a"),
+      sum(when($"arm1" === 1L, 1L).otherwise(0L)).as("n1b"),
+      sum(when($"arm1" === 1L && $"conv1", 1L).otherwise(0L)).as("x1b"),
+      sum(when($"arm2" === 0L, 1L).otherwise(0L)).as("n2a"),
+      sum(when($"arm2" === 0L && $"conv2", 1L).otherwise(0L)).as("x2a"),
+      sum(when($"arm2" === 1L, 1L).otherwise(0L)).as("n2b"),
+      sum(when($"arm2" === 1L && $"conv2", 1L).otherwise(0L)).as("x2b"))
+    sums.selectExpr(
+        """stack(2,
+          |  'exp1_treatment', n1a, x1a, n1b, x1b,
+          |  'exp2_aa_control', n2a, x2a, n2b, x2b)
+          |AS (experiment, n_a, x_a, n_b, x_b)""".stripMargin)
+      .selectExpr("experiment", "n_a", "x_a", "n_b", "x_b",
+        "x_a * 1000000 div n_a AS rate_a_ppm",
+        "x_b * 1000000 div n_b AS rate_b_ppm",
+        """CAST(round(
+          |  ((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+          |   * (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+          |  / ((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+          |   * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+          |   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+          |  * 1000.0) AS BIGINT) AS z2_milli""".stripMargin)
+      .selectExpr("experiment", "n_a", "x_a", "n_b", "x_b",
+        "rate_a_ppm", "rate_b_ppm", "z2_milli",
+        "CAST(CASE WHEN z2_milli > 3841 THEN 1 ELSE 0 END AS BIGINT) AS significant")
+      .orderBy($"experiment")
+  }
+
   /** X256 — consistent pseudonymization + referential-integrity audit:
     * X40 redacts destructively (a mask token kills every downstream
     * join); governance pipelines that must keep data USABLE pseudonymize

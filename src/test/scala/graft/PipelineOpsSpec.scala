@@ -476,6 +476,51 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(("zz-sdc-lone", "~total", 4L, -1L, "margin_suppressed")))
   }
 
+  test("q291: planted uplift reads significant, the A/A control does not; replay exact") {
+    import graft.functions.Fingerprint
+    val got = PipelineOps.q291AbExperiment(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(7), r.getLong(8))).toMap
+    assert(got("exp1_treatment")._6 == 1L, s"treatment ${got("exp1_treatment")}")
+    assert(got("exp2_aa_control")._6 == 0L, s"control ${got("exp2_aa_control")}")
+    // driver replay: assignment, conversion, and the IEEE z² pipeline
+    val mx = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(o_custkey AS BIGINT)",
+        "CAST(round(o_totalprice * 100) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+    def sq(sLit: String, k: Long): Long = {
+      val f = Fingerprint.hashString(s"$sLit:$k"); f * f / 65536L
+    }
+    val units = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("CAST(c_custkey AS BIGINT)").collect().map(_.getLong(0))
+      .map { k =>
+        val nat = mx.getOrElse(k, 0L) >= 46500000L
+        val a1 = sq("exp1", k) % 2; val a2 = sq("exp2", k) % 2
+        val conv1 = nat || (a1 == 1L && sq("boost", k) % 2 == 0L)
+        (a1, a2, conv1, nat)
+      }
+    def z2m(na: Long, xa: Long, nb: Long, xb: Long): Long = {
+      val pa = xa.toDouble / na; val pb = xb.toDouble / nb
+      val p = (xa + xb).toDouble / (na + nb)
+      math.round((pa - pb) * (pa - pb) / (p * (1.0 - p) * (1.0 / na + 1.0 / nb)) * 1000.0)
+    }
+    val (n1a, x1a) = (units.count(_._1 == 0L).toLong,
+      units.count(u => u._1 == 0L && u._3).toLong)
+    val (n1b, x1b) = (units.count(_._1 == 1L).toLong,
+      units.count(u => u._1 == 1L && u._3).toLong)
+    assert(got("exp1_treatment") ==
+      ((n1a, x1a, n1b, x1b, z2m(n1a, x1a, n1b, x1b),
+        if (z2m(n1a, x1a, n1b, x1b) > 3841L) 1L else 0L)))
+    val (n2a, x2a) = (units.count(_._2 == 0L).toLong,
+      units.count(u => u._2 == 0L && u._4).toLong)
+    val (n2b, x2b) = (units.count(_._2 == 1L).toLong,
+      units.count(u => u._2 == 1L && u._4).toLong)
+    assert(got("exp2_aa_control") ==
+      ((n2a, x2a, n2b, x2b, z2m(n2a, x2a, n2b, x2b),
+        if (z2m(n2a, x2a, n2b, x2b) > 3841L) 1L else 0L)))
+  }
+
   test("q286: pseudonymization is injective, consistent, and join-preserving") {
     import graft.functions.Fingerprint
     val rows = PipelineOps.q286Pseudonymize(spark, sf).collect()

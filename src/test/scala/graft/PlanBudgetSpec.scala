@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q291_ab_experiment" -> 3, // per-customer max-order fold + ONE
+                             // conditional-sum pass folding BOTH
+                             // experiments to a single row; z² math on
+                             // the 2-row stack
     "q290_why_provenance" -> 3, // ONE part-keyed aggregate carries all
                              // lineage state (every digest has a partial
                              // form; countDistinct adds its 2-phase
