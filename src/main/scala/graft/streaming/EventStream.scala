@@ -630,6 +630,63 @@ object EventStream {
       }
   }
 
+  final case class CusumUpdate(day: Long, idx: Long, x: Long,
+      s_pos: Long, s_neg: Long, alarm: Long)
+
+  /** Streaming CUSUM changepoint gate — q285's real-stream twin (X255):
+    * the volume monitor maintained continuously over an event stream.
+    * State is the per-day count map (calendar-bounded, like
+    * [[latenessAudit]]'s |types|-sized accounting); each micro-batch
+    * folds new arrivals into it and replays the IDENTICAL q285 recipe —
+    * baseline T0 from the first 7 observed days, the planted day-16
+    * shift, the scaled integer recurrences — emitting the full per-day
+    * CUSUM table in Update mode. Rows before the 7-day baseline
+    * completes emit nothing (T0 is undefined — exactly when a production
+    * monitor stays silent during warm-up); afterwards every emission is
+    * the exact q285 frame over the data seen so far, so the final
+    * emission per day equals the ORACLE-GATED q285 frame (StreamingSpec
+    * pins it).
+    *
+    * Scale: the key is global BY DEFINITION (one series, one alarm
+    * state — q285's argument); the stateful fold is one task per
+    * micro-batch over |days| integers. Per-stream monitoring partitions
+    * the same fold by stream key, exactly as q258/ewmaFeed partitions
+    * by type. */
+  def cusumGate(events: Dataset[Event],
+      watermarkDelay: String = "2 hours"): Dataset[CusumUpdate] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Map[Long, Long], CusumUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { e =>
+            val d = micros(e.ts) / 86400000000L
+            m = m.updated(d, m.getOrElse(d, 0L) + 1L)
+          }
+          state.update(m)
+          val days = m.toSeq.sortBy(_._1)
+          if (days.size < 7) Iterator.empty
+          else {
+            val xs = days.zipWithIndex.map { case ((d, n), i) =>
+              (d, i + 1L, if (i + 1 >= 16) n + n / 4 else n)
+            }
+            val t0 = xs.take(7).map(_._3).sum
+            var sp = 0L; var sn = 0L
+            xs.iterator.map { case (d, idx, x) =>
+              sp = math.max(0L, sp + 7L * x - t0 - t0 / 10L)
+              sn = math.max(0L, sn - 7L * x + t0 - t0 / 10L)
+              CusumUpdate(d, idx, x, sp, sn,
+                if (sp > t0 / 2L || sn > t0 / 2L) 1L else 0L)
+            }
+          }
+      }
+  }
+
   final case class UrlState(minDocId: Long, nDocs: Long, raw: Set[String])
 
   final case class UrlUpdate(canonical_url: String, min_doc_id: Long,

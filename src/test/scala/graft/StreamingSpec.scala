@@ -585,6 +585,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamedFinal == batch)
   }
 
+  test("cusumGate through a real stream equals the ORACLE-GATED q285 frame") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val mem = MemoryStream[Event]
+    val q = EventStream.cusumGate(mem.toDS())
+      .writeStream.format("memory").queryName("cusumgate")
+      .outputMode(OutputMode.Update).start()
+    events.grouped(events.length / 6 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val updates = spark.table("cusumgate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val batch = SparkEntry.queries("q285_cusum_drift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // genuinely incremental: multiple refreshes of early days as counts grow
+    assert(updates.length > batch.length)
+    // take each day's LAST emission: a day's row changes while its count
+    // accumulates; the final one has seen every event of that day
+    val lastByDay = updates.zipWithIndex.groupBy(_._1._1)
+      .map { case (_, us) => us.maxBy(_._2)._1 }.toSeq.sortBy(_._1)
+    assert(lastByDay == batch.sortBy(_._1).toSeq)
+  }
+
   test("urlDedupGate through a real stream equals the ORACLE-GATED q269 frame") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
