@@ -374,6 +374,7 @@ object SparkEntry {
     "q289_kcenter"        -> SimilarityOps.q289KCenter _,
     "q290_why_provenance" -> graft.operators.SchemaOps.q290WhyProvenance _,
     "q291_ab_experiment"  -> PipelineOps.q291AbExperiment _,
+    "q292_record_linkage" -> DedupOps.q292RecordLinkage _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5602,6 +5603,41 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q292: DuckDB's levenshtein agrees with Spark's (q64 established
+    // the cross-engine lane); substring is 1-based on both engines.
+    "q292_record_linkage" ->
+      """WITH cust AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    c_name AS nm, CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    c_mktsegment AS seg FROM customer),
+        |cands AS MATERIALIZED (
+        |  SELECT -k AS cand_id,
+        |    substring(nm, 1, 8) || 'X' || substring(nm, 10) AS nm,
+        |    nat, cents + 7 AS cents, seg FROM cust WHERE k % 50 = 3
+        |  UNION ALL
+        |  SELECT -k, 'Stranger#' || CAST(k AS VARCHAR), nat, cents, 'NONE'
+        |  FROM cust WHERE k % 50 = 17),
+        |scored AS (SELECT c.cand_id, o.k AS okey,
+        |    CAST(levenshtein(c.nm, o.nm) AS BIGINT) AS lev,
+        |    abs(c.cents - o.cents) AS bal_diff,
+        |    c.seg = o.seg AS seg_eq,
+        |    CASE WHEN levenshtein(c.nm, o.nm) <= 2 THEN 24 ELSE -8 END +
+        |    CASE WHEN abs(c.cents - o.cents) <= 10 THEN 16 ELSE -4 END +
+        |    CASE WHEN c.seg = o.seg THEN 8 ELSE -2 END AS score
+        |  FROM cands c JOIN cust o ON c.nat = o.nat),
+        |best AS (SELECT cand_id, okey, score, lev, n_pairs FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cand_id
+        |        ORDER BY score DESC, okey ASC) AS rn,
+        |      CAST(count(*) OVER (PARTITION BY cand_id) AS BIGINT)
+        |        AS n_pairs
+        |    FROM scored) WHERE rn = 1)
+        |SELECT cand_id, okey AS matched_custkey, CAST(score AS BIGINT)
+        |    AS score, lev, n_pairs,
+        |  CASE WHEN score >= 30 THEN 'match'
+        |       WHEN score >= 10 THEN 'possible'
+        |       ELSE 'non_match' END AS verdict
+        |FROM best ORDER BY cand_id""".stripMargin,
 
     // q291: z² as IEEE doubles with the IDENTICAL operation order on
     // both engines (the sqrt-divide determinism lane); the verdict

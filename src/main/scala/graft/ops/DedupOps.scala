@@ -207,6 +207,66 @@ object DedupOps {
       .orderBy($"pk_a", $"pk_b")
   }
 
+  /** X263 — record linkage with weighted field evidence (Fellegi-Sunter
+    * shape): X24 matches on ONE field's edit distance; real entity
+    * resolution scores MULTIPLE fields with agreement/disagreement
+    * weights and classifies into match / possible / non-match — the
+    * three-way decision the published linkage model produces. Blocking
+    * on nationkey bounds candidate pairs; per pair the evidence is
+    * name edit distance ≤ 2 (+24 / −8), account balance within 10 cents
+    * (+16 / −4), segment equality (+8 / −2) — integer log-odds-shaped
+    * weights; per candidate the best original wins (max score, ties to
+    * the smallest custkey). Plants (negative ids, disjoint ranges):
+    * one-char-typo copies with a 7-cent balance drift (must score 48 →
+    * match — and a neighbor original at edit distance ≤2 can reach at
+    * most 28, so multi-field evidence, not name alone, decides) and
+    * strangers sharing only the balance (+16 −8 −2 = 6 → non-match —
+    * one agreeing field is NOT enough, the property that separates
+    * Fellegi-Sunter from single-field fuzzy matching).
+    *
+    * Scale: the pair space is blocking-bounded (|block|² within a
+    * nation, never corpus²); scoring is a narrow projection on the
+    * joined pairs; the best-match window partitions by candidate id. */
+  def q292RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("k"), $"c_name".as("nm"),
+        $"c_nationkey".cast("long").as("nat"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"),
+        $"c_mktsegment".as("seg"))
+    val dirty = cust.filter(pmod($"k", lit(50L)) === 3L)
+      .select((-$"k").as("cand_id"),
+        expr("concat(substring(nm, 1, 8), 'X', substring(nm, 10))").as("nm"),
+        $"nat", ($"cents" + 7L).as("cents"), $"seg")
+    val strangers = cust.filter(pmod($"k", lit(50L)) === 17L)
+      .select((-$"k").as("cand_id"),
+        concat(lit("Stranger#"), $"k".cast("string")).as("nm"),
+        $"nat", $"cents", lit("NONE").as("seg"))
+    val cands = dirty.unionByName(strangers)
+    val scored = cands.as("c")
+      .join(cust.as("o"), $"c.nat" === $"o.nat")
+      .select($"cand_id", $"o.k".as("okey"),
+        levenshtein($"c.nm", $"o.nm").cast("long").as("lev"),
+        abs($"c.cents" - $"o.cents").as("bal_diff"),
+        ($"c.seg" === $"o.seg").as("seg_eq"))
+      .withColumn("score",
+        when($"lev" <= 2L, 24L).otherwise(-8L) +
+        when($"bal_diff" <= 10L, 16L).otherwise(-4L) +
+        when($"seg_eq", 8L).otherwise(-2L))
+    val w = Window.partitionBy($"cand_id")
+      .orderBy($"score".desc, $"okey".asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy($"cand_id")))
+      .filter($"rn" === 1)
+      .select($"cand_id", $"okey".as("matched_custkey"), $"score",
+        $"lev", $"n_pairs",
+        when($"score" >= 30L, "match")
+          .when($"score" >= 10L, "possible")
+          .otherwise("non_match").as("verdict"))
+      .orderBy($"cand_id")
+  }
+
   // MinHash permutation constants h_i(x) = (a_i·x + b_i) mod p; p = 1e9+7
   // keeps a_i·x < 2^63. 12 perms in 4 bands of 3.
   private[ops] val perms: Seq[(Int, Int)] = Seq(

@@ -558,6 +558,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       li.count(t => t._1 == "A" && t._3 != 2L).toLong)
   }
 
+  test("q292: multi-field evidence separates typo-copies from balance-coincidences") {
+    val got = graft.ops.DedupOps.q292RecordLinkage(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (candId, (matched, score, lev, nPairs, verdict)) =>
+      val srcKey = -candId
+      if (srcKey % 50 == 3) {
+        // typo copy: full evidence (name<=2, balance 7c, same segment)
+        assert(verdict == "match" && score == 48L, s"cand $candId")
+        assert(matched == srcKey, s"cand $candId matched $matched")
+        assert(lev <= 2L)
+      } else {
+        // stranger: balance agrees (+16) but name (-8) and segment (-2)
+        // disagree — one field is not enough
+        assert(srcKey % 50 == 17)
+        assert(verdict == "non_match" && score == 6L, s"cand $candId")
+      }
+      assert(nPairs >= 1L)
+    }
+    // both planted classes are present
+    assert(got.values.count(_._5 == "match") > 0)
+    assert(got.values.count(_._5 == "non_match") > 0)
+  }
+
   test("q290: lineage digests replay from the shard SET; taint marks exactly shard 7") {
     import graft.functions.Fingerprint
     val got = graft.operators.SchemaOps.q290WhyProvenance(spark, sf).collect()

@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q292_record_linkage" -> 3, // blocking join on nationkey bounds the
+                             // pair space; scoring is a narrow pair
+                             // projection; the best-match window
+                             // partitions by the plant-sized cand_id
     "q291_ab_experiment" -> 3, // per-customer max-order fold + ONE
                              // conditional-sum pass folding BOTH
                              // experiments to a single row; z² math on
