@@ -375,6 +375,7 @@ object SparkEntry {
     "q290_why_provenance" -> graft.operators.SchemaOps.q290WhyProvenance _,
     "q291_ab_experiment"  -> PipelineOps.q291AbExperiment _,
     "q292_record_linkage" -> DedupOps.q292RecordLinkage _,
+    "q293_minhash_union"  -> AffinityOps.q293MinhashUnion _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5603,6 +5604,48 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q293: the sketch leg min-folds h_i(fp(t)) per (source, perm); the
+    // exact leg is q117's incidence join; both from ONE distinct frame.
+    "q293_minhash_union" ->
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |x AS (SELECT source, ws,
+        |    unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+        |g AS MATERIALIZED (SELECT DISTINCT source,
+        |    ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS t FROM x),
+        |gf AS MATERIALIZED (SELECT source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      $FpByteFold) AS fp
+        |  FROM g),
+        |sk AS MATERIALIZED (SELECT source, i,
+        |    min((fp * (4 * i + 3) + (2 * i + 1)) % 1000000007) AS mh
+        |  FROM gf, (SELECT unnest(generate_series(0, 47)) AS i) AS ii
+        |  GROUP BY 1, 2),
+        |ag AS (SELECT a.source AS s1, b.source AS s2,
+        |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM sk a JOIN sk b ON a.i = b.i AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |iv AS (SELECT a.source AS s1, b.source AS s2,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM g a JOIN g b ON a.t = b.t AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |z AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab
+        |  FROM g GROUP BY source)
+        |SELECT ag.s1, ag.s2,
+        |  coalesce(iv.n_shared, 0) * 1000000
+        |    // (z1.n_vocab + z2.n_vocab - coalesce(iv.n_shared, 0))
+        |    AS exact_ppm,
+        |  ag.n_agree, ag.n_agree * 1000000 // 48 AS est_ppm,
+        |  ag.n_agree * 1000000 // 48
+        |    - coalesce(iv.n_shared, 0) * 1000000
+        |      // (z1.n_vocab + z2.n_vocab - coalesce(iv.n_shared, 0))
+        |    AS err_ppm
+        |FROM ag LEFT JOIN iv ON ag.s1 = iv.s1 AND ag.s2 = iv.s2
+        |JOIN z z1 ON ag.s1 = z1.source JOIN z z2 ON ag.s2 = z2.source
+        |ORDER BY ag.s1, ag.s2""".stripMargin,
 
     // q292: DuckDB's levenshtein agrees with Spark's (q64 established
     // the cross-engine lane); substring is 1-based on both engines.

@@ -103,6 +103,76 @@ object AffinityOps {
     * and released after the bounded C(|sources|,2) report is collected
     * (measured: 4.0 s recompute-per-consumer → ~1 s persisted, driver
     * bench; the round-8 judge's only perf regression). */
+  /** X264 — mergeable MinHash union sketch vs exact source overlap: the
+    * set-similarity member of the portable-sketch suite (q279 membership,
+    * q282 cardinality, q283 frequency). X75 computes exact source-pair
+    * Jaccard through a full incidence self-join; a per-source MinHash
+    * signature over the UNION of its shingles (min per permutation — 48
+    * perms h_i(x) = ((4i+3)·x + 2i+1) mod p over shingle fingerprints)
+    * estimates the same Jaccard as the fraction of agreeing minima, and
+    * the signature MERGES: per-partition minima combine by min, so 1000
+    * executors sketch independently and a source's signature is 48 longs
+    * regardless of corpus size. The audit puts estimate and exact side
+    * by side with the signed error — the calibration that says when the
+    * 48-long sketch can replace the incidence join (std error
+    * √(J(1−J)/48) ≈ 4pp at the 1-9% Jaccards here).
+    *
+    * Scale: the sketch leg is ONE combinable (source, perm) min fold
+    * over a ×48 explode of the shingle frame; the exact leg exists only
+    * because the audit reports error. The distinct incidence frame has
+    * four consumers, so it persists around the bounded C(|sources|,2)
+    * report (q117's measured discipline). */
+  def q293MinhashUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    val sw = Tables.load(s, dir, "documents")
+      .select($"source", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"source", explode(expr(
+        """transform(sequence(1, size(ws) - 2),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+          |                 element_at(ws, i + 2)))""".stripMargin)).as("t"))
+      .filter($"source".isNotNull && $"t".isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sketch = sw
+        .select($"source", expr("graft_fingerprint(t)").as("x"),
+          explode(expr("sequence(0, 47)")).as("i"))
+        .select($"source", $"i",
+          expr("(x * (4 * i + 3) + (2 * i + 1)) % 1000000007").as("h"))
+        .groupBy($"source", $"i").agg(min($"h").as("mh"))
+      val agree = sketch.select($"i", $"mh", $"source".as("s1"))
+        .join(sketch.select($"i", $"mh".as("mh2"), $"source".as("s2")),
+          Seq("i"))
+        .filter($"s1" < $"s2")
+        .groupBy($"s1", $"s2")
+        .agg(sum(when($"mh" === $"mh2", 1L).otherwise(0L)).as("n_agree"))
+      val inter = sw.select($"t", $"source".as("s1"))
+        .join(sw.select($"t", $"source".as("s2")), Seq("t"))
+        .filter($"s1" < $"s2")
+        .groupBy($"s1", $"s2").agg(count(lit(1)).as("n_shared"))
+      val sizes = sw.groupBy($"source").agg(count(lit(1)).as("n_vocab"))
+      val rows = agree
+        .join(inter, Seq("s1", "s2"), "left")
+        .join(broadcast(sizes.select($"source".as("s1"), $"n_vocab".as("v1"))), Seq("s1"))
+        .join(broadcast(sizes.select($"source".as("s2"), $"n_vocab".as("v2"))), Seq("s2"))
+        .select($"s1", $"s2",
+          expr("""coalesce(n_shared, 0L) * 1000000
+            |  div (v1 + v2 - coalesce(n_shared, 0L))""".stripMargin)
+            .as("exact_ppm"),
+          $"n_agree",
+          expr("n_agree * 1000000 div 48").as("est_ppm"))
+        .withColumn("err_ppm", $"est_ppm" - $"exact_ppm")
+        .orderBy($"s1", $"s2")
+        .collect().toSeq
+      import org.apache.spark.sql.types._
+      LocalReport.frame(s, rows,
+        ("s1", StringType), ("s2", StringType), ("exact_ppm", LongType),
+        ("n_agree", LongType), ("est_ppm", LongType), ("err_ppm", LongType))
+    } finally sw.unpersist(blocking = false)
+  }
+
   def q117SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // non-null filter aligned across all three consumers (see q110) so the

@@ -1836,6 +1836,46 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.forall(_._3 >= 0L))
   }
 
+  test("q293: union signatures replay, MERGE by min, and estimates stay in band") {
+    import graft.functions.Fingerprint
+    val got = graft.ops.AffinityOps.q293MinhashUnion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    // estimate granularity and identity hold everywhere
+    got.values.foreach { case (exact, agree, est, err) =>
+      assert(agree >= 0L && agree <= 48L)
+      assert(est == agree * 1000000L / 48L && err == est - exact)
+    }
+    // pure-Scala signature replay for one source + the MERGE property:
+    // sketching two halves separately and min-combining equals sketching
+    // the union — the reason a 48-long signature works on 1000 executors
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .filter($"source" === "src0" && $"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def shingles(texts: Seq[String]): Set[String] = texts.flatMap { t =>
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Seq.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSeq
+    }.toSet
+    def sig(sh: Set[String]): Seq[Long] = (0 until 48).map { i =>
+      sh.map { t =>
+        (Fingerprint.hashString(t) * (4L * i + 3L) + (2L * i + 1L)) % 1000000007L
+      }.min
+    }
+    val all = sig(shingles(docs.map(_._2).toSeq))
+    // split by POSITION (all src0 doc_ids share parity — source = id%20)
+    val (h1, h2) = docs.zipWithIndex.partition(_._2 % 2 == 0)
+    val merged = sig(shingles(h1.map(_._1._2).toSeq))
+      .zip(sig(shingles(h2.map(_._1._2).toSeq))).map { case (a, b) => math.min(a, b) }
+    assert(merged == all)
+    // the estimator lands within 4 sigma of exact at these Jaccards
+    got.values.foreach { case (_, _, _, err) =>
+      assert(math.abs(err) <= 200000L, s"err $err")
+    }
+  }
+
   test("q285 CUSUM: pure-Scala fold replay; alarm only after the planted shift") {
     import spark.implicits._
     val got = graft.ops.EventOps.q285CusumDrift(spark, sf).collect()

@@ -391,6 +391,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q293_minhash_union" -> 0, // collect-local C(|sources|,2) report;
+                             // the sketch leg is ONE (source, perm) min
+                             // fold over the persisted distinct
+                             // incidence frame; exact leg = q117's
+                             // incidence join, pre-collect
     "q292_record_linkage" -> 3, // blocking join on nationkey bounds the
                              // pair space; scoring is a narrow pair
                              // projection; the best-match window
