@@ -79,6 +79,61 @@ object SparkEntry {
        |ORDER BY rank""".stripMargin
   }
 
+  /** q294's oracle, generated: one zone-map CTE block per candidate
+    * layout (row_number in layout order → 64 files → min/max zone maps →
+    * skipping verdicts per predicate), unioned into the 12-row report. */
+  private def q294OracleSql: String = {
+    val layouts = Seq(("1_natural", "okey"), ("2_by_date", "day, okey"),
+      ("3_by_cust", "ckey, okey"), ("4_zorder", "zval, okey"))
+    val blocks = layouts.map { case (n, o) =>
+      val t = n.take(1)
+      s"""f$t AS (SELECT (CAST(row_number() OVER (ORDER BY $o) AS BIGINT)
+         |      - 1) * 64 // CAST(count(*) OVER () AS BIGINT) AS file,
+         |    day, ckey FROM z),
+         |m$t AS (SELECT file, min(day) AS mnd, max(day) AS mxd,
+         |    min(ckey) AS mnc, max(ckey) AS mxc FROM f$t GROUP BY 1),
+         |h$t AS (SELECT CAST(count(*) AS BIGINT) AS nf,
+         |    CAST(sum(CASE WHEN NOT (mxd < 2000 OR mnd > 2029)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+         |    CAST(sum(CASE WHEN NOT (mxc < 40 OR mnc > 49)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+         |    CAST(sum(CASE WHEN NOT (mxd < 2000 OR mnd > 2029)
+         |      AND NOT (mxc < 40 OR mnc > 49)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS h3
+         |  FROM m$t)""".stripMargin
+    }
+    val rows = layouts.flatMap { case (n, _) =>
+      val t = n.take(1)
+      Seq(("p_date", "h1", "r1"), ("p_cust", "h2", "r2"),
+        ("p_both", "h3", "r3")).map { case (p, h, r) =>
+        s"SELECT '$n' AS layout, '$p' AS predicate, nf AS n_files, " +
+          s"$h AS n_files_hit, $h * 1000000 // nf AS files_ppm, " +
+          s"$r * 1000000 // n AS rows_ppm FROM h$t, sel"
+      }
+    }
+    s"""WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       |    CAST(o_custkey AS BIGINT) AS ckey,
+       |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate
+       |      AS DATE)) AS BIGINT) AS day FROM orders),
+       |z AS MATERIALIZED (SELECT *,
+       |    CAST(list_sum(list_transform(generate_series(0, 15),
+       |      i -> (((ckey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+       |         + (((day % 65536) >> i) & 1)
+       |           * (CAST(1 AS BIGINT) << (2 * i + 1)))) AS BIGINT) AS zval
+       |  FROM b),
+       |sel AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN day BETWEEN 2000 AND 2029
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+       |    CAST(sum(CASE WHEN ckey BETWEEN 40 AND 49
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+       |    CAST(sum(CASE WHEN day BETWEEN 2000 AND 2029
+       |      AND ckey BETWEEN 40 AND 49 THEN 1 ELSE 0 END) AS BIGINT) AS r3
+       |  FROM z),
+       |${blocks.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL ")}
+       |ORDER BY layout, predicate""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
@@ -376,6 +431,7 @@ object SparkEntry {
     "q291_ab_experiment"  -> PipelineOps.q291AbExperiment _,
     "q292_record_linkage" -> DedupOps.q292RecordLinkage _,
     "q293_minhash_union"  -> AffinityOps.q293MinhashUnion _,
+    "q294_layout_sweep"   -> PipelineOps.q294LayoutSweep _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5604,6 +5660,9 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q294: generated per-layout zone-map chain — see q294OracleSql.
+    "q294_layout_sweep" -> q294OracleSql,
 
     // q293: the sketch leg min-folds h_i(fp(t)) per (source, perm); the
     // exact leg is q117's incidence join; both from ONE distinct frame.

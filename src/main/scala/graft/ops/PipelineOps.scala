@@ -361,6 +361,82 @@ object PipelineOps {
       .orderBy($"bucket")
   }
 
+  /** X265 — sort-layout sweep / min-max skipping effectiveness: X44 lays
+    * the table out in ONE order; this is the decision tool that says
+    * WHICH order to ship — for each candidate layout (write order,
+    * date-sorted, customer-sorted, z-order over both), tile the table
+    * into 64 equal files, record per-file (min, max) zone maps of the
+    * probe columns, and measure how many files each of three predicate
+    * shapes (date range, key range, conjunction) must read under
+    * standard min-max skipping — against the predicate's TRUE row
+    * selectivity. The verdict pattern engines live by: a single-column
+    * sort prunes its own column to ~selectivity and does nothing for the
+    * other; z-order pays a little on each to serve both.
+    *
+    * Scale: per layout ONE GlobalOrder range shuffle (the same shuffle
+    * the actual write would pay) + a 64-row zone-map aggregate;
+    * predicate evaluation touches only the zone maps — the exact
+    * mechanic parquet row-group skipping uses, surfaced as a measured
+    * comparison instead of folklore. */
+  def q294LayoutSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".cast("long").as("okey"),
+        $"o_custkey".cast("long").as("ckey"),
+        datediff($"o_orderdate", lit("1992-01-01")).cast("long").as("day"))
+      .withColumn("zval", expr(
+        """aggregate(sequence(0, 15), 0L,
+          |  (acc, i) -> acc + shiftleft(shiftright(ckey % 65536, i) & 1, 2 * i)
+          |    + shiftleft(shiftright(day % 65536, i) & 1, 2 * i + 1))"""
+          .stripMargin))
+    val preds = Seq(
+      ("p_date", (mnD: Column, mxD: Column, _: Column, _: Column) =>
+        !(mxD < 2000L || mnD > 2029L),
+        $"day".between(2000L, 2029L)),
+      ("p_cust", (_: Column, _: Column, mnC: Column, mxC: Column) =>
+        !(mxC < 40L || mnC > 49L),
+        $"ckey".between(40L, 49L)),
+      ("p_both", (mnD: Column, mxD: Column, mnC: Column, mxC: Column) =>
+        !(mxD < 2000L || mnD > 2029L) && !(mxC < 40L || mnC > 49L),
+        $"day".between(2000L, 2029L) && $"ckey".between(40L, 49L)))
+    val sel = base.agg(count(lit(1)).as("n"),
+      preds.map { case (nm, _, rowPred) =>
+        sum(when(rowPred, 1L).otherwise(0L)).as(s"rows_$nm")
+      }: _*).collect().head
+    val nTotal = sel.getLong(0)
+    val layouts = Seq(
+      ("1_natural", Seq($"okey")),
+      ("2_by_date", Seq($"day", $"okey")),
+      ("3_by_cust", Seq($"ckey", $"okey")),
+      ("4_zorder", Seq($"zval", $"okey")))
+    val rows = layouts.flatMap { case (lname, order) =>
+      val (numbered, total) = graft.operators.GlobalOrder
+        .withRowNumberAndTotal(base, order, "rn")
+      val zones = numbered
+        .withColumn("file", expr(s"(rn - 1) * 64 div ${total}L"))
+        .groupBy($"file")
+        .agg(min($"day").as("mn_d"), max($"day").as("mx_d"),
+          min($"ckey").as("mn_c"), max($"ckey").as("mx_c"))
+      val hits = zones.agg(count(lit(1)).as("n_files"),
+        preds.map { case (nm, zonePred, _) =>
+          sum(when(zonePred($"mn_d", $"mx_d", $"mn_c", $"mx_c"), 1L)
+            .otherwise(0L)).as(s"hit_$nm")
+        }: _*).collect().head
+      preds.zipWithIndex.map { case ((nm, _, _), i) =>
+        val nFiles = hits.getLong(0)
+        val nHit = hits.getLong(i + 1)
+        val nRows = sel.getLong(i + 1)
+        org.apache.spark.sql.Row(lname, nm, nFiles, nHit,
+          nHit * 1000000L / nFiles, nRows * 1000000L / nTotal)
+      }
+    }
+    import org.apache.spark.sql.types._
+    LocalReport.frame(s, rows,
+      ("layout", StringType), ("predicate", StringType),
+      ("n_files", LongType), ("n_files_hit", LongType),
+      ("files_ppm", LongType), ("rows_ppm", LongType))
+  }
+
   /** X45 — exact-quantile length trimming: drop each language's shortest
     * 5% and longest 5% of documents (the outlier trim before packing).
     * Rank-based with pure integer comparisons (20·rk > n keeps P5..P95) —

@@ -476,6 +476,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(("zz-sdc-lone", "~total", 4L, -1L, "margin_suppressed")))
   }
 
+  test("q294: zone-map skipping is sound and layouts prune exactly as replayed") {
+    import spark.implicits._
+    val got = PipelineOps.q294LayoutSweep(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(got.size == 12)
+    // soundness: a predicate with matching rows always hits >= 1 file
+    got.foreach { case (k, (nf, hit, rowsPpm)) =>
+      assert(nf == 64L, k)
+      if (rowsPpm > 0L) assert(hit >= 1L, k)
+    }
+    // the layout story: sorting by a column prunes ITS predicate far
+    // below the natural layout; z-order helps BOTH single-column probes
+    assert(got(("2_by_date", "p_date"))._2 < got(("1_natural", "p_date"))._2)
+    assert(got(("3_by_cust", "p_cust"))._2 < got(("1_natural", "p_cust"))._2)
+    assert(got(("4_zorder", "p_date"))._2 < got(("1_natural", "p_date"))._2)
+    assert(got(("4_zorder", "p_cust"))._2 < got(("1_natural", "p_cust"))._2)
+    // replay the by_date layout's zone maps and hit count from raw rows
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(o_orderkey AS BIGINT) AS okey",
+        "CAST(o_custkey AS BIGINT) AS ckey",
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sorted = rows.sortBy(r => (r._3, r._1))
+    val n = sorted.length
+    val hits = sorted.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 64L / n }
+      .values.count { f =>
+        val days = f.map(_._1._3)
+        !(days.max < 2000L || days.min > 2029L)
+      }
+    assert(got(("2_by_date", "p_date"))._2 == hits.toLong)
+    val exact = rows.count(r => r._3 >= 2000L && r._3 <= 2029L).toLong
+    assert(got(("2_by_date", "p_date"))._3 == exact * 1000000L / n)
+  }
+
   test("q291: planted uplift reads significant, the A/A control does not; replay exact") {
     import graft.functions.Fingerprint
     val got = PipelineOps.q291AbExperiment(spark, sf).collect()

@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q294_layout_sweep" -> 0, // collect-local 12-row report; per layout
+                             // ONE GlobalOrder range shuffle (what the
+                             // real write would pay) + a 64-row zone-map
+                             // agg, pre-collect
     "q293_minhash_union" -> 0, // collect-local C(|sources|,2) report;
                              // the sketch leg is ONE (source, perm) min
                              // fold over the persisted distinct
