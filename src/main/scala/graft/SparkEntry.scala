@@ -432,6 +432,7 @@ object SparkEntry {
     "q292_record_linkage" -> DedupOps.q292RecordLinkage _,
     "q293_minhash_union"  -> AffinityOps.q293MinhashUnion _,
     "q294_layout_sweep"   -> PipelineOps.q294LayoutSweep _,
+    "q295_sample_quantiles" -> PipelineOps.q295SampleQuantiles _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5660,6 +5661,46 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q295: value-at-rank is well defined under duplicate values, so
+    // row_number tie order is immaterial; the sample predicate is the
+    // middle-square row-content hash.
+    "q295_sample_quantiles" ->
+      s"""WITH li AS (SELECT CAST(l_orderkey AS BIGINT) AS okey,
+        |    CAST(l_linenumber AS BIGINT) AS line,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |f AS MATERIALIZED (SELECT c,
+        |    (fp * fp // 65536) % 100 < 5 AS in_sample
+        |  FROM (SELECT c,
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |        string_split(CAST(okey AS VARCHAR) || ':' ||
+        |          CAST(line AS VARCHAR) || ':' || CAST(c AS VARCHAR), ''),
+        |        x -> CAST(ascii(x) AS BIGINT))), $FpByteFold) AS fp
+        |    FROM li)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS m
+        |  FROM f),
+        |fr AS (SELECT c, CAST(row_number() OVER (ORDER BY c) AS BIGINT)
+        |    AS rk FROM f),
+        |sr AS (SELECT c, CAST(row_number() OVER (ORDER BY c) AS BIGINT)
+        |    AS rk FROM f WHERE in_sample),
+        |dd AS (SELECT unnest(generate_series(CAST(1 AS BIGINT),
+        |    CAST(9 AS BIGINT))) AS decile),
+        |ex AS (SELECT dd.decile, fr.c AS exact_value
+        |  FROM dd, nn, fr WHERE fr.rk = greatest(1, dd.decile * nn.n // 10)),
+        |sv AS MATERIALIZED (SELECT dd.decile, sr.c AS sample_value
+        |  FROM dd, nn, sr WHERE sr.rk = greatest(1, dd.decile * nn.m // 10)),
+        |tr AS (SELECT sv.decile,
+        |    CAST(sum(CASE WHEN f.c <= sv.sample_value THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS t
+        |  FROM f CROSS JOIN sv GROUP BY sv.decile)
+        |SELECT ex.decile AS decile, ex.exact_value, sv.sample_value,
+        |  tr.t * 1000000 // nn.n AS sample_rank_ppm,
+        |  tr.t * 1000000 // nn.n - ex.decile * 100000 AS err_ppm
+        |FROM ex JOIN sv ON ex.decile = sv.decile
+        |JOIN tr ON ex.decile = tr.decile, nn
+        |ORDER BY decile""".stripMargin,
 
     // q294: generated per-layout zone-map chain — see q294OracleSql.
     "q294_layout_sweep" -> q294OracleSql,

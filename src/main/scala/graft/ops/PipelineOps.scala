@@ -437,6 +437,68 @@ object PipelineOps {
       ("files_ppm", LongType), ("rows_ppm", LongType))
   }
 
+  /** X266 — sampled-quantile rank-error audit: X53 computes exact global
+    * deciles with a full range shuffle; at 100 TB the practical question
+    * is whether a deterministic 5% hash sample estimates them well
+    * enough to skip that pass — and by HOW MUCH the ranks are off. Per
+    * decile: the exact value (rank ⌈dN/10⌉ over the full column), the
+    * sample's estimate (same rank rule over the sample), the estimate's
+    * TRUE rank in the full data (one broadcast conditional fold), and
+    * the signed rank error in ppm — the measured answer to "sample or
+    * sort?", with the √(1/m) theory line to judge it against. Sampling
+    * hashes the row content through the middle-square finalizer
+    * (duplicate rows sample together — deterministic on both engines,
+    * and harmless to VALUE-rank queries since ties share the value).
+    *
+    * Scale: the sample leg's sort is 5% of the full pass (the point);
+    * the exact leg exists only because the audit reports error; the
+    * true-rank probe broadcasts 9 values into ONE conditional fold.
+    * Value-at-rank is well defined under duplicate values, so no
+    * tie-break determinism is needed anywhere. */
+  def q295SampleQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val c = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".cast("long").as("okey"),
+        $"l_linenumber".cast("long").as("line"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .withColumn("fp", expr(
+        """graft_fingerprint(concat(CAST(okey AS STRING), ':',
+          |  CAST(line AS STRING), ':', CAST(c AS STRING)))""".stripMargin))
+      .select($"c", expr("(fp * fp div 65536) % 100 < 5").as("in_sample"))
+      .persist()
+    try {
+      val n = c.count()
+      val m = c.filter($"in_sample").count()
+      def atRanks(df: DataFrame, total: Long): Map[Long, Long] = {
+        val ranks = (1L to 9L).map(d => math.max(1L, d * total / 10L))
+        val numbered = graft.operators.GlobalOrder
+          .withRowNumber(df.select($"c"), Seq($"c"), "rk")
+        numbered.filter($"rk".isin(ranks: _*))
+          .select($"rk", $"c").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap match {
+            case byRank => (1L to 9L).map(d =>
+              d -> byRank(math.max(1L, d * total / 10L))).toMap
+          }
+      }
+      val exact = atRanks(c, n)
+      val sample = atRanks(c.filter($"in_sample"), m)
+      val rankAggs = (1L to 9L).map(d =>
+        sum(when($"c" <= sample(d), 1L).otherwise(0L)).as(s"r$d"))
+      val trueRanks = c.agg(rankAggs.head, rankAggs.tail: _*)
+        .collect().head
+      import org.apache.spark.sql.types._
+      LocalReport.frame(s, (1L to 9L).map { d =>
+        val tr = trueRanks.getLong((d - 1).toInt)
+        org.apache.spark.sql.Row(d, exact(d), sample(d),
+          tr * 1000000L / n, tr * 1000000L / n - d * 100000L)
+      },
+        ("decile", LongType), ("exact_value", LongType),
+        ("sample_value", LongType), ("sample_rank_ppm", LongType),
+        ("err_ppm", LongType))
+    } finally c.unpersist(blocking = false)
+  }
+
   /** X45 — exact-quantile length trimming: drop each language's shortest
     * 5% and longest 5% of documents (the outlier trim before packing).
     * Rank-based with pure integer comparisons (20·rk > n keeps P5..P95) —

@@ -476,6 +476,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(("zz-sdc-lone", "~total", 4L, -1L, "margin_suppressed")))
   }
 
+  test("q295: sampled quantiles replay exactly and rank errors stay in band") {
+    import graft.functions.Fingerprint
+    val got = PipelineOps.q295SampleQuantiles(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == (1L to 9L).toSet)
+    // full driver replay: sample membership, both value-at-rank legs,
+    // true ranks of the sample estimates
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_orderkey AS BIGINT)", "CAST(l_linenumber AS BIGINT)",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cs = rows.map(_._3).sorted
+    val sampleCs = rows.filter { case (o, l, c) =>
+      val fp = Fingerprint.hashString(s"$o:$l:$c")
+      (fp * fp / 65536L) % 100L < 5L
+    }.map(_._3).sorted
+    val (n, m) = (cs.length.toLong, sampleCs.length.toLong)
+    (1L to 9L).foreach { d =>
+      val exact = cs((math.max(1L, d * n / 10L) - 1L).toInt)
+      val est = sampleCs((math.max(1L, d * m / 10L) - 1L).toInt)
+      val trueRank = cs.count(_ <= est).toLong
+      assert(got(d) == ((exact, est, trueRank * 1000000L / n,
+        trueRank * 1000000L / n - d * 100000L)), s"decile $d")
+      // a 5% sample keeps decile rank error within ~3 sigma of sqrt(p(1-p)/m)
+      assert(math.abs(got(d)._4) <= 100000L, s"decile $d err ${got(d)._4}")
+    }
+    // the sample is genuinely ~5%, not degenerate
+    assert(m * 100 > n * 2 && m * 100 < n * 9, s"sample $m of $n")
+  }
+
   test("q294: zone-map skipping is sound and layouts prune exactly as replayed") {
     import spark.implicits._
     val got = PipelineOps.q294LayoutSweep(spark, sf).collect()

@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q295_sample_quantiles" -> 0, // collect-local 9-row report; the
+                             // sample leg's GlobalOrder pass is 5% of
+                             // the full one (the point); the true-rank
+                             // probe is ONE broadcast conditional fold
     "q294_layout_sweep" -> 0, // collect-local 12-row report; per layout
                              // ONE GlobalOrder range shuffle (what the
                              // real write would pay) + a 64-row zone-map
