@@ -433,6 +433,7 @@ object SparkEntry {
     "q293_minhash_union"  -> AffinityOps.q293MinhashUnion _,
     "q294_layout_sweep"   -> PipelineOps.q294LayoutSweep _,
     "q295_sample_quantiles" -> PipelineOps.q295SampleQuantiles _,
+    "q296_encoding_advisor" -> graft.operators.SchemaOps.q296EncodingAdvisor _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5661,6 +5662,59 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q296: transitions under the write order are stable because ties
+    // in ALL five projected columns are full duplicates of the
+    // projection; size models: plain n·w, dict n·c + ndv·w,
+    // rle runs·(c+16) + ndv·w (16-bit run lengths).
+    "q296_encoding_advisor" ->
+      """WITH b AS (SELECT CAST(l_orderkey AS BIGINT) AS okey,
+        |    CAST(l_linenumber AS BIGINT) AS line,
+        |    CAST(l_partkey AS BIGINT) AS partkey,
+        |    CAST(ascii(l_returnflag) AS BIGINT) AS rfc,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS day
+        |  FROM lineitem),
+        |r AS (SELECT okey, line, partkey, rfc, day,
+        |    CASE WHEN okey <> lag(okey) OVER w THEN 1 ELSE 0 END AS t1,
+        |    CASE WHEN line <> lag(line) OVER w THEN 1 ELSE 0 END AS t2,
+        |    CASE WHEN partkey <> lag(partkey) OVER w THEN 1 ELSE 0 END AS t3,
+        |    CASE WHEN rfc <> lag(rfc) OVER w THEN 1 ELSE 0 END AS t4,
+        |    CASE WHEN day <> lag(day) OVER w THEN 1 ELSE 0 END AS t5
+        |  FROM b WINDOW w AS (ORDER BY okey, line, partkey, rfc, day)),
+        |a AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT okey) AS BIGINT) AS ndv1, max(okey) AS mx1,
+        |    1 + CAST(sum(t1) AS BIGINT) AS runs1,
+        |    CAST(count(DISTINCT line) AS BIGINT) AS ndv2, max(line) AS mx2,
+        |    1 + CAST(sum(t2) AS BIGINT) AS runs2,
+        |    CAST(count(DISTINCT partkey) AS BIGINT) AS ndv3,
+        |    max(partkey) AS mx3, 1 + CAST(sum(t3) AS BIGINT) AS runs3,
+        |    CAST(count(DISTINCT rfc) AS BIGINT) AS ndv4, max(rfc) AS mx4,
+        |    1 + CAST(sum(t4) AS BIGINT) AS runs4,
+        |    CAST(count(DISTINCT day) AS BIGINT) AS ndv5, max(day) AS mx5,
+        |    1 + CAST(sum(t5) AS BIGINT) AS runs5
+        |  FROM r),
+        |u AS (SELECT 'okey' AS col, n, ndv1 AS ndv, mx1 AS mx,
+        |    runs1 AS runs FROM a
+        |  UNION ALL SELECT 'line', n, ndv2, mx2, runs2 FROM a
+        |  UNION ALL SELECT 'partkey', n, ndv3, mx3, runs3 FROM a
+        |  UNION ALL SELECT 'rfc', n, ndv4, mx4, runs4 FROM a
+        |  UNION ALL SELECT 'day', n, ndv5, mx5, runs5 FROM a),
+        |v AS (SELECT col, n, ndv, runs,
+        |    CASE WHEN mx <= 0 THEN 0
+        |      ELSE CAST(len(bin(mx)) AS BIGINT) END AS w,
+        |    CASE WHEN ndv <= 1 THEN 0
+        |      ELSE CAST(len(bin(ndv - 1)) AS BIGINT) END AS cw
+        |  FROM u)
+        |SELECT col AS "column", n AS n_rows, ndv, runs AS n_runs,
+        |  w AS value_bits, cw AS code_bits,
+        |  n * w AS plain_bits, n * cw + ndv * w AS dict_bits,
+        |  runs * (cw + 16) + ndv * w AS rle_bits,
+        |  CASE WHEN n * w <= n * cw + ndv * w
+        |        AND n * w <= runs * (cw + 16) + ndv * w THEN 'plain'
+        |       WHEN n * cw + ndv * w <= runs * (cw + 16) + ndv * w
+        |        THEN 'dict' ELSE 'rle_dict' END AS best
+        |FROM v ORDER BY "column"""".stripMargin,
 
     // q295: value-at-rank is well defined under duplicate values, so
     // row_number tie order is immaterial; the sample predicate is the

@@ -566,6 +566,99 @@ object SchemaOps {
       .orderBy($"edge")
   }
 
+  /** X267 — columnar encoding advisor: the write-side decision every
+    * columnar format makes per column — plain, dictionary, or
+    * dictionary+RLE — derived from measured statistics instead of
+    * defaults: value bit width (len(bin(max))), dictionary code width
+    * (len(bin(ndv−1))), and the RUN COUNT under the table's key order
+    * (the write order of a keyset-loaded table, and the one order both
+    * engines replay deterministically), the statistic the other two
+    * can't see (l_orderkey runs in
+    * ~4-row blocks → RLE wins; l_partkey is shuffled → runs ≈ n → RLE
+    * loses to plain dictionary). Size models: plain = n·w, dict = n·c +
+    * ndv·w, rle = runs·(c+16) + ndv·w (16-bit run lengths — the hybrid-RLE headroom real formats varint below). Strings ride their 8-bit code
+    * surrogate so one integer pipeline serves every column.
+    *
+    * Scale: ndv/max fold is ONE combinable aggregate; the run counter is
+    * the two-phase shape — range-shuffle + sortWithinPartitions on the
+    * write order, transitions counted INSIDE each partition in one
+    * imperative pass (the rare mapPartitions case: genuinely positional
+    * logic), plus a partition-count-sized (first, last) frame collected
+    * to stitch boundaries — never an unpartitioned window, never a
+    * rank self-join. Adjacent ties are full projected-row duplicates,
+    * so transition counts are order-stable and the DuckDB lag-window
+    * replay agrees exactly. */
+  def q296EncodingAdvisor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("okey", "line", "partkey", "rfc", "day")
+    val base = graft.sources.Tables.load(s, dir, "lineitem")
+      .selectExpr("CAST(l_orderkey AS BIGINT) AS okey",
+        "CAST(l_linenumber AS BIGINT) AS line",
+        "CAST(l_partkey AS BIGINT) AS partkey",
+        "CAST(ascii(l_returnflag) AS BIGINT) AS rfc",
+        "CAST(datediff(l_shipdate, DATE '1992-01-01') AS BIGINT) AS day")
+    val order = Seq($"okey", $"line", $"partkey", $"rfc", $"day")
+    val p = s.sessionState.conf.numShufflePartitions
+    val sorted = base.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+    // per partition: transition counts per column + boundary rows
+    val partStats = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        val firstV = cols.indices.map(first.getLong).toArray
+        var prev = firstV.clone()
+        val trans = new Array[Long](cols.length)
+        var n = 1L
+        it.foreach { r =>
+          var i = 0
+          while (i < cols.length) {
+            val v = r.getLong(i)
+            if (v != prev(i)) { trans(i) += 1; prev(i) = v }
+            i += 1
+          }
+          n += 1
+        }
+        Iterator.single((pid, n, firstV.toSeq, prev.toSeq, trans.toSeq))
+      }
+    }.collect().sortBy(_._1)
+    val nTotal = partStats.map(_._2).sum
+    // stitch boundaries: a run continues across partitions when the next
+    // partition's first value equals this partition's last
+    val runs = cols.indices.map { i =>
+      val within = partStats.map(_._5(i)).sum + partStats.length
+      val merged = partStats.sliding(2).count {
+        case Array(a, b) => a._4(i) == b._3(i)
+        case _ => false
+      }
+      within - merged
+    }
+    val aggsHead = countDistinct(col(cols.head)).as(s"ndv_${cols.head}")
+    val aggsTail = cols.tail.map(c => countDistinct(col(c)).as(s"ndv_$c")) ++
+      cols.map(c => max(col(c)).as(s"max_$c"))
+    val stats = base.agg(aggsHead, aggsTail: _*).collect().head
+    def bits(x: Long): Long = if (x <= 0L) 0L else 64L - java.lang.Long.numberOfLeadingZeros(x)
+    import org.apache.spark.sql.types._
+    LocalReport.frame(s, cols.zipWithIndex.map { case (c, i) =>
+      val ndv = stats.getLong(i)
+      val mx = stats.getLong(cols.length + i)
+      val w = bits(mx)
+      val cw = if (ndv <= 1L) 0L else bits(ndv - 1L)
+      val plain = nTotal * w
+      val dict = nTotal * cw + ndv * w
+      val rle = runs(i) * (cw + 16L) + ndv * w
+      val best =
+        if (plain <= dict && plain <= rle) "plain"
+        else if (dict <= rle) "dict" else "rle_dict"
+      org.apache.spark.sql.Row(c, nTotal, ndv, runs(i).toLong, w, cw,
+        plain, dict, rle, best)
+    }.sortBy(_.getString(0)),
+      ("column", StringType), ("n_rows", LongType), ("ndv", LongType),
+      ("n_runs", LongType), ("value_bits", LongType), ("code_bits", LongType),
+      ("plain_bits", LongType), ("dict_bits", LongType),
+      ("rle_bits", LongType), ("best", StringType))
+  }
+
   /** X260 — why-provenance propagation + taint blame: for every cell of
     * an aggregate report, WHICH upstream shards contributed — the
     * why-provenance of database research, and operationally the answer

@@ -583,6 +583,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.count(_._5 == "non_match") > 0)
   }
 
+  test("q296: run counts and size models replay; the advisor picks the min") {
+    val got = graft.operators.SchemaOps.q296EncodingAdvisor(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getString(9))).toMap
+    assert(got.keySet == Set("okey", "line", "partkey", "rfc", "day"))
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_orderkey AS BIGINT)", "CAST(l_linenumber AS BIGINT)",
+        "CAST(l_partkey AS BIGINT)", "CAST(ascii(l_returnflag) AS BIGINT)",
+        "CAST(datediff(l_shipdate, DATE '1992-01-01') AS BIGINT)")
+      .collect().map(r => (0 to 4).map(r.getLong))
+      .sortBy(t => (t(0), t(1), t(2), t(3), t(4)))
+    def bits(x: Long): Long =
+      if (x <= 0L) 0L else 64L - java.lang.Long.numberOfLeadingZeros(x)
+    Seq("okey", "line", "partkey", "rfc", "day").zipWithIndex.foreach {
+      case (c, i) =>
+        val vs: Vector[Long] = rows.map(_(i)).toVector
+        val runs = 1L + vs.sliding(2).count {
+          case Seq(a, b) => a != b
+          case _ => false
+        }
+        val (n, ndv, mx) = (vs.length.toLong, vs.distinct.length.toLong, vs.max)
+        val (w, cw) = (bits(mx), if (ndv <= 1) 0L else bits(ndv - 1))
+        val (plain, dict, rle) =
+          (n * w, n * cw + ndv * w, runs * (cw + 16L) + ndv * w)
+        val best = if (plain <= dict && plain <= rle) "plain"
+                   else if (dict <= rle) "dict" else "rle_dict"
+        assert(got(c) == ((n, ndv, runs, w, cw, plain, dict, rle, best)), c)
+    }
+    // the three verdicts genuinely differ across this table's columns
+    assert(got.values.map(_._9).toSet.size >= 2)
+  }
+
   test("q290: lineage digests replay from the shard SET; taint marks exactly shard 7") {
     import graft.functions.Fingerprint
     val got = graft.operators.SchemaOps.q290WhyProvenance(spark, sf).collect()

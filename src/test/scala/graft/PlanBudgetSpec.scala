@@ -391,6 +391,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q296_encoding_advisor" -> 0, // collect-local 5-row report; ONE
+                             // combinable ndv/max fold + ONE range
+                             // shuffle whose transitions count inside
+                             // each partition (partition-count-sized
+                             // boundary stitch)
     "q295_sample_quantiles" -> 0, // collect-local 9-row report; the
                              // sample leg's GlobalOrder pass is 5% of
                              // the full one (the point); the true-rank
