@@ -434,6 +434,7 @@ object SparkEntry {
     "q294_layout_sweep"   -> PipelineOps.q294LayoutSweep _,
     "q295_sample_quantiles" -> PipelineOps.q295SampleQuantiles _,
     "q296_encoding_advisor" -> graft.operators.SchemaOps.q296EncodingAdvisor _,
+    "q297_threshold_topk" -> Relational.q297ThresholdTopk _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5662,6 +5663,45 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q297: the oracle replays the identical ladder/stop rule — the
+    // per-depth candidate ranking decides dpick, and the top-10 is read
+    // from the SEEN set at dpick, so a wrong stop cannot hash-match.
+    "q297_threshold_topk" ->
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS s1,
+        |    coalesce(o.s2, 0) AS s2
+        |  FROM customer LEFT JOIN (SELECT CAST(o_custkey AS BIGINT) AS ck,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |        AS BIGINT) AS s2
+        |    FROM orders GROUP BY 1) o ON CAST(c_custkey AS BIGINT) = o.ck),
+        |rr AS MATERIALIZED (SELECT k, s1, s2, s1 + s2 AS score,
+        |    CAST(row_number() OVER (ORDER BY s1 DESC, k) AS BIGINT) AS r1,
+        |    CAST(row_number() OVER (ORDER BY s2 DESC, k) AS BIGINT) AS r2
+        |  FROM base),
+        |nn AS (SELECT least(CAST(count(*) AS BIGINT), 1024) AS n FROM rr),
+        |ds AS (SELECT DISTINCT least(CAST(unnest(
+        |    [8, 16, 32, 64, 128, 256, 512, 1024]) AS BIGINT), n) AS d
+        |  FROM nn),
+        |th AS (SELECT ds.d,
+        |    (SELECT s1 FROM rr WHERE r1 = ds.d)
+        |      + (SELECT s2 FROM rr WHERE r2 = ds.d) AS t
+        |  FROM ds),
+        |j AS MATERIALIZED (SELECT ds.d, rr.score, rr.k,
+        |    CAST(row_number() OVER (PARTITION BY ds.d
+        |      ORDER BY rr.score DESC, rr.k) AS BIGINT) AS rnk
+        |  FROM ds JOIN rr ON least(rr.r1, rr.r2) <= ds.d),
+        |q AS (SELECT j.d, max(CASE WHEN rnk = 10 THEN score END) AS k10,
+        |    CAST(count(*) AS BIGINT) AS nseen
+        |  FROM j GROUP BY j.d),
+        |pick AS (SELECT coalesce(min(q.d), (SELECT n FROM nn)) AS dpick
+        |  FROM q JOIN th ON q.d = th.d
+        |  WHERE q.nseen >= 10 AND q.k10 >= th.t)
+        |SELECT j.rnk AS rank, j.k AS custkey, j.score,
+        |  pick.dpick AS ta_depth, q.nseen AS n_seen
+        |FROM j, pick, q
+        |WHERE j.d = pick.dpick AND q.d = pick.dpick AND j.rnk <= 10
+        |ORDER BY rank""".stripMargin,
 
     // q296: transitions under the write order are stable because ties
     // in ALL five projected columns are full duplicates of the

@@ -583,6 +583,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.count(_._5 == "non_match") > 0)
   }
 
+  test("q297: the threshold algorithm's top-10 equals brute force at a tiny depth") {
+    val got = graft.operators.Relational.q297ThresholdTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(got.size == 10)
+    // brute force over EVERYTHING — the TA guarantee is exactness
+    val bal = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("CAST(c_custkey AS BIGINT)",
+        "CAST(round(c_acctbal * 100) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val spend = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(o_custkey AS BIGINT)",
+        "CAST(round(o_totalprice * 100) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val brute = bal.map { case (k, s1) => (k, s1 + spend.getOrElse(k, 0L)) }
+      .sortBy(p => (-p._2, p._1)).take(10)
+    assert(got.map(r => (r._2, r._3)).toSeq == brute.toSeq)
+    // the saving is real: depth and candidate count far below n
+    val n = bal.length.toLong
+    val (depth, seen) = (got.head._4, got.head._5)
+    assert(depth <= 32L && seen < n / 2, s"depth $depth seen $seen of $n")
+    // TA stop condition replay: 10th best among seen >= threshold at depth
+    val l1 = bal.map { case (k, s1) => (k, s1) }.sortBy(p => (-p._2, p._1))
+    val l2 = bal.map { case (k, _) => (k, spend.getOrElse(k, 0L)) }
+      .sortBy(p => (-p._2, p._1))
+    val t = l1((depth - 1).toInt)._2 + l2((depth - 1).toInt)._2
+    assert(got(9)._3 >= t)
+  }
+
   test("q296: run counts and size models replay; the advisor picks the min") {
     val got = graft.operators.SchemaOps.q296EncodingAdvisor(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

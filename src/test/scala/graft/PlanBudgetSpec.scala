@@ -391,6 +391,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q297_threshold_topk" -> 0, // collect-local 10-row report; the data
+                             // work is TWO distributed TakeOrdered
+                             // prefixes (top-1024 per attribute, no
+                             // global sort) + one broadcast-left spend
+                             // fold; TA state is ≤2·depth driver rows
     "q296_encoding_advisor" -> 0, // collect-local 5-row report; ONE
                              // combinable ndv/max fold + ONE range
                              // shuffle whose transitions count inside
@@ -426,11 +431,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // persisted quantized frame (q106's Lloyd's
                              // discipline), chosen vectors inlined as
                              // k×d literals
-    "q288_bitmap_index" -> 16, // GlobalOrder dense numbering (range
-                             // shuffle) + six combinable bit_or bitmap
-                             // folds keyed by the uniform word index +
-                             // three word-co-keyed predicate joins; all
-                             // verdict frames are 1-row
+    "q288_bitmap_index" -> 0, // collect-local 4-row report; the data
+                             // work (GlobalOrder numbering persisted for
+                             // its 8 consumers, six combinable bit_or
+                             // folds, word-co-keyed predicate joins)
+                             // runs pre-collect
     "q287_incr_join" -> 18, // five equi-joins on the uniform customer
                              // key (4 delta terms + direct recompute),
                              // each ONE broadcast-eligible join + a
