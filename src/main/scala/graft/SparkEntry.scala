@@ -435,6 +435,7 @@ object SparkEntry {
     "q295_sample_quantiles" -> PipelineOps.q295SampleQuantiles _,
     "q296_encoding_advisor" -> graft.operators.SchemaOps.q296EncodingAdvisor _,
     "q297_threshold_topk" -> Relational.q297ThresholdTopk _,
+    "q298_phrase_search"  -> CorpusOps.q298PhraseSearch _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5663,6 +5664,25 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q298: the oracle answers the SAME phrases by direct trigram scan —
+    // no index — so the engines agree only if the positional index is
+    // faithful; sum over DISTINCT docs mirrors sum_distinct.
+    "q298_phrase_search" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |x AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+        |g AS MATERIALIZED (SELECT doc_id,
+        |    ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS t FROM x),
+        |top3 AS (SELECT t FROM (SELECT t, count(*) AS n FROM g GROUP BY t
+        |  ORDER BY n DESC, t LIMIT 3))
+        |SELECT g.t AS phrase, CAST(count(DISTINCT g.doc_id) AS BIGINT)
+        |    AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(sum(DISTINCT g.doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM g JOIN top3 ON g.t = top3.t
+        |GROUP BY g.t ORDER BY phrase""".stripMargin,
 
     // q297: the oracle replays the identical ladder/stop rule — the
     // per-depth candidate ranking decides dpick, and the top-10 is read

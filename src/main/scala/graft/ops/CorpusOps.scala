@@ -426,6 +426,61 @@ object CorpusOps {
     } finally keys.unpersist(blocking = false)
   }
 
+  /** X269 — positional phrase search: X43 builds the docs-only inverted
+    * index; exact phrase queries need POSITIONS — the classic IR
+    * mechanic where "new york times" must not match documents containing
+    * the three words scattered. The index leg runs here: a positional
+    * posting list (word → (doc, pos)), phrase matching as two co-keyed
+    * adjacency joins ((doc, pos+1), (doc, pos+2)), per phrase the doc
+    * count, occurrence count and a doc-id checksum. The three query
+    * phrases are the corpus' top trigrams (count desc, phrase asc — a
+    * total order), so the gate is non-vacuous at any SF. The ORACLE
+    * never touches an index — it counts the same phrases by direct
+    * trigram scan — so the two engines answer by INDEPENDENT algorithms
+    * and the hash compare proves the index faithful.
+    *
+    * Scale: postings shuffle once on the uniform word key; each phrase's
+    * adjacency joins touch only its words' postings (the selectivity
+    * argument positional indexes exist for); phrase selection is a
+    * vocabulary-sized count + driver-3 TakeOrdered. */
+  def q298PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val postings = docs(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .persist()
+    try {
+      val phrases = docs(s, dir)
+        .select(split($"text", " ").as("ws"))
+        .filter(size($"ws") >= 3) // sequence(1, n-2) descends below 3
+        .select(explode(expr(
+          """transform(sequence(1, size(ws) - 2),
+            |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+            |                 element_at(ws, i + 2)))""".stripMargin)).as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"t").limit(3)
+        .collect().map(_.getString(0))
+      val rows = phrases.toSeq.map { ph =>
+        val ws = ph.split(" ")
+        val m = postings.filter($"w" === ws(0))
+          .select($"doc_id", $"pos")
+          .join(postings.filter($"w" === ws(1))
+            .select($"doc_id", ($"pos" - 1).as("pos")), Seq("doc_id", "pos"))
+          .join(postings.filter($"w" === ws(2))
+            .select($"doc_id", ($"pos" - 2).as("pos")), Seq("doc_id", "pos"))
+        m.agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          sum_distinct($"doc_id").as("sum_doc_ids"))
+          .select(lit(ph).as("phrase"), $"n_docs", $"n_occurrences",
+            $"sum_doc_ids")
+          .collect().head
+      }
+      import org.apache.spark.sql.types._
+      graft.operators.LocalReport.frame(s, rows.sortBy(_.getString(0)),
+        ("phrase", StringType), ("n_docs", LongType),
+        ("n_occurrences", LongType), ("sum_doc_ids", LongType))
+    } finally postings.unpersist(blocking = false)
+  }
+
   /** X79 — out-of-vocabulary rate against a frequency-built tokenizer
     * vocabulary: take the top-V corpus words (count desc, word asc — a
     * total order, so the vocabulary is deterministic), then score every

@@ -383,6 +383,31 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q298: phrase hits replay from sliding windows; position-blind match is rejected") {
+    import spark.implicits._
+    val got = CorpusOps.q298PhraseSearch(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 3)
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").filter($"text".isNotNull)
+      .as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split(" ", -1)) }
+    // replay: trigram sliding windows give occurrence/doc/id-sum per phrase
+    got.foreach { case (ph, (nDocs, nOcc, sumIds)) =>
+      val perDoc = texts.map { case (id, ws) =>
+        (id, ws.sliding(3).count(_.mkString(" ") == ph))
+      }.filter(_._2 > 0)
+      assert(nOcc == perDoc.map(_._2).sum.toLong, ph)
+      assert(nDocs == perDoc.length.toLong && sumIds == perDoc.map(_._1).sum, ph)
+      // docs containing all three WORDS scattered vastly outnumber true
+      // phrase docs on this vocabulary — the index matched positions, not
+      // bags of words
+      val wset = ph.split(" ")
+      val scattered = texts.count { case (_, ws) => wset.forall(ws.contains) }
+      assert(scattered > perDoc.length, s"$ph scattered $scattered")
+    }
+  }
+
   test("q283: CMS never underestimates and replays from a pure-Scala sketch") {
     import graft.functions.Fingerprint
     val rows = CorpusOps.q283CmsAudit(spark, sf).collect()

@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q298_phrase_search" -> 0, // collect-local 3-row report; postings
+                             // persist once; each phrase's adjacency
+                             // joins are co-keyed on (doc_id, pos) and
+                             // touch only that phrase's words' postings
     "q297_threshold_topk" -> 0, // collect-local 10-row report; the data
                              // work is TWO distributed TakeOrdered
                              // prefixes (top-1024 per attribute, no
