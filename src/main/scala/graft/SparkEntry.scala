@@ -436,6 +436,7 @@ object SparkEntry {
     "q296_encoding_advisor" -> graft.operators.SchemaOps.q296EncodingAdvisor _,
     "q297_threshold_topk" -> Relational.q297ThresholdTopk _,
     "q298_phrase_search"  -> CorpusOps.q298PhraseSearch _,
+    "q299_time_in_state"  -> graft.operators.TransferOps.q299TimeInState _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5664,6 +5665,34 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q299: open intervals close at the horizon (global max valid_from);
+    // twa = Σ price·days div Σ days — time-weighted, all integer.
+    "q299_time_in_state" ->
+      """WITH d AS (SELECT o_custkey,
+        |    CAST(o_orderdate AS DATE) AS valid_from,
+        |    lead(CAST(o_orderdate AS DATE)) OVER w AS valid_to,
+        |    o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY CAST(o_orderdate AS DATE), o_orderkey)),
+        |h AS (SELECT max(valid_from) AS h FROM d),
+        |e AS (SELECT status, price_cents,
+        |    CAST(date_diff('day', valid_from, coalesce(valid_to, h.h))
+        |      AS BIGINT) AS days
+        |  FROM d, h),
+        |g AS MATERIALIZED (SELECT status,
+        |    CAST(count(*) AS BIGINT) AS n_intervals,
+        |    CAST(sum(days) AS BIGINT) AS total_days,
+        |    CAST(sum(price_cents * days) AS BIGINT) AS cent_days
+        |  FROM e GROUP BY status),
+        |t AS (SELECT CAST(sum(total_days) AS BIGINT) AS all_days FROM g)
+        |SELECT status, n_intervals, total_days,
+        |  total_days * 1000000 // all_days AS share_ppm,
+        |  CASE WHEN total_days > 0 THEN cent_days // total_days
+        |    ELSE -1 END AS twa_price_cents
+        |FROM g, t ORDER BY status""".stripMargin,
 
     // q298: the oracle answers the SAME phrases by direct trigram scan —
     // no index — so the engines agree only if the positional index is

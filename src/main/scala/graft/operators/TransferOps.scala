@@ -292,6 +292,48 @@ object TransferOps {
         $"price_cents", $"is_current".cast("long").as("is_current"))
   }
 
+  /** X270 — time-in-state temporal aggregation over the SCD2 dimension:
+    * X76 builds versioned validity intervals and X103 probes them
+    * point-in-time; this AGGREGATES over the time dimension itself — per
+    * status, how many customer-days the population spent in that state,
+    * its share of all tracked time, and the TIME-WEIGHTED average order
+    * value (Σ price·days div Σ days — the temporal mean that ordinary
+    * AVG gets wrong because it weights a 2-day state equal to a 2-year
+    * one). Open (current) intervals close at the observation horizon =
+    * the global max valid_from, so every interval has a defined duration
+    * and the shares partition exactly. Pure integers: durations in days,
+    * weighted sums in cent-days.
+    *
+    * Scale: the SCD2 build is one custkey-partitioned window; the
+    * horizon is a broadcast 1-row fold; the report is ONE combinable
+    * status-keyed aggregate — temporal weighting adds zero exchanges
+    * over the plain status rollup. */
+  def q299TimeInState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = scd2Frame(s, dir)
+    val horizon = dim.agg(max($"valid_from").as("h"))
+    // the |statuses|-row rollup collects once; shares derive driver-side
+    // (the bounded-report idiom — no second SCD2 pass for the total)
+    val byStatus = dim.crossJoin(broadcast(horizon))
+      .withColumn("days",
+        datediff(coalesce($"valid_to", $"h"), $"valid_from").cast("long"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"days").as("total_days"),
+        sum($"price_cents" * $"days").as("cent_days"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val allDays = byStatus.map(_._3).sum
+    import org.apache.spark.sql.types._
+    LocalReport.frame(s, byStatus.toSeq.map { case (st, n, td, cd) =>
+      org.apache.spark.sql.Row(st, n, td, td * 1000000L / allDays,
+        if (td > 0L) cd / td else -1L)
+    },
+      ("status", StringType), ("n_intervals", LongType),
+      ("total_days", LongType), ("share_ppm", LongType),
+      ("twa_price_cents", LongType))
+  }
+
   /** X85 — referential-integrity audit: orphan counts for every foreign-key
     * edge of the star schema — the "did every parent row make it across?"
     * gate a migration engine must run beyond the reference's per-table

@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q299_time_in_state" -> 0, // collect-local |statuses|-row report;
+                             // ONE custkey window + ONE status-keyed
+                             // combinable rollup pre-collect
     "q298_phrase_search" -> 0, // collect-local 3-row report; postings
                              // persist once; each phrase's adjacency
                              // joins are co-keyed on (doc_id, pos) and

@@ -149,6 +149,37 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("4_delta_a_join_delta_b")._1 == cnt(da = true, db = true))
   }
 
+  test("q299 time-in-state: interval durations and TWA replay from raw orders") {
+    val got = graft.operators.TransferOps.q299TimeInState(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // replay: SCD2 intervals per customer, horizon = global max valid_from
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(o_custkey AS BIGINT)", "CAST(o_orderkey AS BIGINT)",
+        "o_orderstatus", "CAST(round(o_totalprice * 100) AS BIGINT)",
+        "CAST(o_orderdate AS DATE)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDate(4).toLocalDate))
+    val horizon = rows.map(_._5).max
+    val intervals = rows.groupBy(_._1).values.flatMap { vs =>
+      val sorted = vs.sortBy(v => (v._5.toEpochDay, v._2))
+      sorted.zipWithIndex.map { case ((_, _, st, cents, from), i) =>
+        val to = if (i + 1 < sorted.length) sorted(i + 1)._5 else horizon
+        (st, cents, to.toEpochDay - from.toEpochDay)
+      }
+    }.toSeq
+    val allDays = intervals.map(_._3).sum
+    val expect = intervals.groupBy(_._1).map { case (st, is) =>
+      val td = is.map(_._3).sum
+      st -> (is.size.toLong, td, td * 1000000L / allDays,
+        if (td > 0) is.map(v => v._2 * v._3).sum / td else -1L)
+    }
+    assert(got == expect)
+    // shares partition all tracked time (floor division loses < 1 ppm each)
+    val shareSum = got.values.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - got.size)
+  }
+
   test("parquet -> Derby JDBC roundtrip (real database)") {
     val db = Files.createTempDirectory("derbydb").toString + "/g"
     val url = s"jdbc:derby:$db;create=true"
