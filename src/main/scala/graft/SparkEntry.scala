@@ -437,6 +437,7 @@ object SparkEntry {
     "q297_threshold_topk" -> Relational.q297ThresholdTopk _,
     "q298_phrase_search"  -> CorpusOps.q298PhraseSearch _,
     "q299_time_in_state"  -> graft.operators.TransferOps.q299TimeInState _,
+    "q300_autocorrelation" -> EventOps.q300Autocorrelation _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5665,6 +5666,28 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q300: N-scaled deviations keep the arithmetic division-free until
+    // the final ppm; signed // truncates toward zero on both engines.
+    "q300_autocorrelation" ->
+      """WITH daily AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+        |    AS day, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |px AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+        |    AS idx,
+        |    CASE WHEN day % 7 = 3 THEN 2 * n ELSE n END AS x
+        |  FROM daily),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(x) AS BIGINT) AS s FROM px),
+        |dv AS MATERIALIZED (SELECT idx, nd * x - s AS d FROM px, st),
+        |den AS (SELECT CAST(sum(d * d) AS BIGINT) AS den FROM dv),
+        |ks AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag),
+        |num AS (SELECT ks.lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(a.d * b.d) AS BIGINT) AS num
+        |  FROM ks JOIN dv a ON true JOIN dv b ON b.idx = a.idx + ks.lag
+        |  GROUP BY ks.lag)
+        |SELECT lag, n_pairs, num * 1000000 // den.den AS autocorr_ppm
+        |FROM num, den ORDER BY lag""".stripMargin,
 
     // q299: open intervals close at the horizon (global max valid_from);
     // twa = Σ price·days div Σ days — time-weighted, all integer.

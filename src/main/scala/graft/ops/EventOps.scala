@@ -988,6 +988,44 @@ object EventOps {
       .orderBy($"day")
   }
 
+  /** X271 — integer autocorrelation / seasonality detection: X170 counts
+    * by weekday label; this DETECTS the period without being told it —
+    * the lag-k autocorrelation of the daily volume series, exact in
+    * integers via the N-scaled form r_k = Σ(N·x_i−S)(N·x_{i+k}−S) · 10⁶
+    * div Σ(N·x_i−S)² (N·x_i−S = N(x_i−μ) with no division, so no
+    * rounding enters before the final ppm). The series plants a weekly
+    * spike (doubled volume every day ≡ 3 mod 7 — a batch-job load
+    * pattern sized to clear the sf0.001 noise floor, where a +50%
+    * spike measured BELOW an off-phase noise lag), and
+    * the audit reads the signature a monitor alarms on: r₇ high positive,
+    * the off-phase lags depressed. Signed division truncates toward zero
+    * identically on both engines. Integer envelope: N·x ≈ 2^17 here;
+    * pre-scale counts to thousands when N·x approaches 2^31 so the
+    * squared terms stay inside int64.
+    *
+    * Scale: ONE daily count fold collapses the corpus; the lag products
+    * act on the calendar-bounded series (|days|·7 pairs). Per-stream
+    * seasonality partitions the same fold by stream key. */
+  def q300Autocorrelation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = ev(s, dir)
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val xs = daily.map { case (d, n) => if (d % 7 == 3) 2 * n else n }
+    val nD = xs.length.toLong
+    val sSum = xs.sum
+    val dev = xs.map(x => nD * x - sSum)
+    val den = dev.map(d => d * d).sum
+    import org.apache.spark.sql.types._
+    graft.operators.LocalReport.frame(s, (1 to 7).map { k =>
+      val num = dev.dropRight(k).zip(dev.drop(k)).map { case (a, b) => a * b }.sum
+      org.apache.spark.sql.Row(k.toLong, nD - k,
+        num * 1000000L / den)
+    },
+      ("lag", LongType), ("n_pairs", LongType), ("autocorr_ppm", LongType))
+  }
+
   /** X217 — watermark-lateness audit: per event type, how far events
     * arrive BEHIND the global event-time frontier (the maximum event
     * time already seen in ARRIVAL order) — the exact distribution a

@@ -1876,6 +1876,33 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q300 autocorrelation: replay exact; the weekly plant reads at lag 7 only") {
+    import spark.implicits._
+    val got = graft.ops.EventOps.q300Autocorrelation(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == (1L to 7L).toSet)
+    // pure-Scala replay from raw events
+    val days = graft.sources.Tables.load(spark, sf, "events")
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("d"))
+      .as[Long].collect().groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val xs = days.map { case (d, n) => if (d % 7 == 3) 2 * n else n }
+    val nD = xs.length.toLong
+    val sSum = xs.sum
+    val dev = xs.map(x => nD * x - sSum)
+    val den = dev.map(v => v * v).sum
+    (1 to 7).foreach { k =>
+      val num = dev.dropRight(k).zip(dev.drop(k)).map { case (a, b) => a * b }.sum
+      assert(got(k.toLong) == ((nD - k, num * 1000000L / den)), s"lag $k")
+    }
+    // the detection criterion: positive at the planted period and the
+    // clear maximum over every off-phase lag (342229 ppm at sf0.001,
+    // 757504 at sf0.01 — a +50% plant measured BELOW a noise lag at
+    // sf0.001's floor, which is why the plant doubles)
+    assert(got(7L)._2 > 0L, s"r7 ${got(7L)._2}")
+    (1 to 6).foreach(k => assert(got(k.toLong)._2 < got(7L)._2, s"lag $k"))
+  }
+
   test("q285 CUSUM: pure-Scala fold replay; alarm only after the planted shift") {
     import spark.implicits._
     val got = graft.ops.EventOps.q285CusumDrift(spark, sf).collect()

@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q300_autocorrelation" -> 0, // collect-local 7-row report; ONE daily
+                             // count fold pre-collect; lag products act
+                             // on the calendar-bounded series
     "q299_time_in_state" -> 0, // collect-local |statuses|-row report;
                              // ONE custkey window + ONE status-keyed
                              // combinable rollup pre-collect
