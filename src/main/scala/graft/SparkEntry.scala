@@ -438,6 +438,7 @@ object SparkEntry {
     "q298_phrase_search"  -> CorpusOps.q298PhraseSearch _,
     "q299_time_in_state"  -> graft.operators.TransferOps.q299TimeInState _,
     "q300_autocorrelation" -> EventOps.q300Autocorrelation _,
+    "q301_benford_audit"  -> PipelineOps.q301BenfordAudit _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5666,6 +5667,34 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q301: the Benford expectations are the fixed integer table
+    // floor(log10(1+1/d)·1e6) — constants, not computed logs.
+    "q301_benford_audit" ->
+      """WITH ben AS (SELECT * FROM (VALUES
+        |    (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+        |    (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+        |  AS t(digit, benford_ppm)),
+        |v AS (SELECT 'orders_totalprice' AS scope,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+        |  UNION ALL SELECT 'lineitem_extendedprice',
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem),
+        |d AS (SELECT scope,
+        |    CAST(substring(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM v),
+        |g AS MATERIALIZED (SELECT scope, digit,
+        |    CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |t AS (SELECT scope, CAST(sum(n) AS BIGINT) AS total
+        |  FROM g GROUP BY 1)
+        |SELECT t.scope, CAST(ben.digit AS BIGINT) AS digit,
+        |  coalesce(g.n, 0) AS n,
+        |  coalesce(g.n, 0) * 1000000 // t.total AS observed_ppm,
+        |  CAST(ben.benford_ppm AS BIGINT) AS benford_ppm,
+        |  abs(coalesce(g.n, 0) * 1000000 // t.total - ben.benford_ppm)
+        |    AS abs_dev_ppm
+        |FROM t CROSS JOIN ben
+        |LEFT JOIN g ON g.scope = t.scope AND g.digit = ben.digit
+        |ORDER BY t.scope, ben.digit""".stripMargin,
 
     // q300: N-scaled deviations keep the arithmetic division-free until
     // the final ppm; signed // truncates toward zero on both engines.

@@ -108,6 +108,53 @@ object PipelineOps {
       .orderBy($"experiment")
   }
 
+  /** X272 — Benford first-digit conformance screen: the classic forensic
+    * filter over monetary amounts — natural multiplicative processes put
+    * digit d first with probability log10(1+1/d), and ledgers that stray
+    * far from that line go to an auditor. Per (scope, digit): observed
+    * count, observed ppm, the fixed Benford expectation (integer table
+    * ⌊log10(1+1/d)·10⁶⌋ — a CONSTANT, identical on both engines by
+    * construction), and the absolute deviation. The verdict on this
+    * corpus is the honest one: BOTH amount columns fail Benford loudly
+    * (synthetic generators draw from bounded uniforms, not
+    * multiplicative growth) — which is precisely what the screen exists
+    * to flag about machine-generated numbers; the spec pins the failure
+    * magnitude rather than pretending conformance.
+    *
+    * Scale: first-digit extraction is a narrow string projection; each
+    * scope folds in ONE combinable (scope, digit) count — the screen
+    * costs one aggregate per audited column at any corpus size. */
+  def q301BenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val scopes = Seq(
+      ("orders_totalprice", Tables.load(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))),
+      ("lineitem_extendedprice", Tables.load(s, dir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))))
+    val rows = scopes.flatMap { case (name, df) =>
+      val counts = df
+        .select(expr("CAST(substring(CAST(v AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      (1 to 9).map { d =>
+        val n = counts.getOrElse(d.toLong, 0L)
+        val obs = n * 1000000L / total
+        org.apache.spark.sql.Row(name, d.toLong, n, obs,
+          benford(d - 1), math.abs(obs - benford(d - 1)))
+      }
+    }
+    import org.apache.spark.sql.types._
+    LocalReport.frame(s,
+      rows.sortBy(r => (r.getString(0), r.getLong(1))),
+      ("scope", StringType), ("digit", LongType), ("n", LongType),
+      ("observed_ppm", LongType), ("benford_ppm", LongType),
+      ("abs_dev_ppm", LongType))
+  }
+
   /** X256 — consistent pseudonymization + referential-integrity audit:
     * X40 redacts destructively (a mask token kills every downstream
     * join); governance pipelines that must keep data USABLE pseudonymize

@@ -476,6 +476,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(("zz-sdc-lone", "~total", 4L, -1L, "margin_suppressed")))
   }
 
+  test("q301: the Benford table matches the law; synthetic amounts fail the screen") {
+    val got = PipelineOps.q301BenfordAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.size == 18)
+    // the fixed integer table IS floor(log10(1+1/d)*1e6)
+    (1 to 9).foreach { d =>
+      val expect = math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong
+      assert(got(("orders_totalprice", d.toLong))._3 == expect, s"digit $d")
+    }
+    // replay digit counts per scope
+    Seq(("orders_totalprice", "orders.parquet", "o_totalprice"),
+      ("lineitem_extendedprice", "lineitem.parquet", "l_extendedprice"))
+      .foreach { case (scope, file, col) =>
+        val digits = spark.read.parquet(s"$sf/$file")
+          .selectExpr(s"CAST(round($col * 100) AS BIGINT)").collect()
+          .map(_.getLong(0).toString.head.asDigit.toLong)
+        val total = digits.length.toLong
+        (1 to 9).foreach { d =>
+          val n = digits.count(_ == d.toLong).toLong
+          val (gn, obs, exp, dev) = got((scope, d.toLong))
+          assert(gn == n && obs == n * 1000000L / total, s"$scope $d")
+          assert(dev == math.abs(obs - exp))
+        }
+        // the machine-generated verdict: total deviation far beyond what a
+        // conforming ledger shows (natural data sits within a few % here)
+        val totalDev = (1 to 9).map(d => got((scope, d.toLong))._4).sum
+        assert(totalDev > 150000L, s"$scope dev $totalDev")
+      }
+  }
+
   test("q295: sampled quantiles replay exactly and rank errors stay in band") {
     import graft.functions.Fingerprint
     val got = PipelineOps.q295SampleQuantiles(spark, sf).collect()

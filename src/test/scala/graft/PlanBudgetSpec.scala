@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q301_benford_audit" -> 0, // collect-local 18-row report; per scope
+                             // ONE combinable (digit) count over a
+                             // narrow string projection
     "q300_autocorrelation" -> 0, // collect-local 7-row report; ONE daily
                              // count fold pre-collect; lag products act
                              // on the calendar-bounded series
