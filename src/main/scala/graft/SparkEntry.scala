@@ -439,6 +439,7 @@ object SparkEntry {
     "q299_time_in_state"  -> graft.operators.TransferOps.q299TimeInState _,
     "q300_autocorrelation" -> EventOps.q300Autocorrelation _,
     "q301_benford_audit"  -> PipelineOps.q301BenfordAudit _,
+    "q302_theil_sen"      -> EventOps.q302TheilSen _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5667,6 +5668,42 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q302: pair slopes order by the IEEE quotient with a (dy, dx)
+    // tiebreak; the lower-median rank is (m-1)//2 + 1; slope and OLS
+    // report as truncated integer milli-slopes.
+    "q302_theil_sen" ->
+      """WITH daily AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+        |    AS day, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |px AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+        |    AS idx, n FROM daily),
+        |sx AS MATERIALIZED (
+        |  SELECT '1_clean' AS series, idx, n + 4 * idx AS x FROM px
+        |  UNION ALL SELECT '2_corrupted', idx,
+        |    CASE WHEN idx = 10 THEN (n + 4 * idx) * 10
+        |      ELSE n + 4 * idx END FROM px),
+        |pairs AS (SELECT a.series, b.x - a.x AS dy, b.idx - a.idx AS dx
+        |  FROM sx a JOIN sx b ON a.series = b.series AND b.idx > a.idx),
+        |rk AS (SELECT series, dy, dx,
+        |    CAST(row_number() OVER (PARTITION BY series
+        |      ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY series) AS BIGINT) AS m
+        |  FROM pairs),
+        |ts AS (SELECT series, 'theil_sen' AS estimator,
+        |    dy * 1000 // dx AS slope_milli
+        |  FROM rk WHERE r = (m - 1) // 2 + 1),
+        |ol AS (SELECT series, 'ols' AS estimator,
+        |    (nd * six - si * sx) * 1000 // (nd * si2 - si * si)
+        |      AS slope_milli
+        |  FROM (SELECT series, CAST(count(*) AS BIGINT) AS nd,
+        |      CAST(sum(idx) AS BIGINT) AS si,
+        |      CAST(sum(idx * idx) AS BIGINT) AS si2,
+        |      CAST(sum(x) AS BIGINT) AS sx,
+        |      CAST(sum(idx * x) AS BIGINT) AS six
+        |    FROM sx GROUP BY 1))
+        |SELECT series, estimator, slope_milli FROM ts
+        |UNION ALL SELECT series, estimator, slope_milli FROM ol
+        |ORDER BY series, estimator""".stripMargin,
 
     // q301: the Benford expectations are the fixed integer table
     // floor(log10(1+1/d)·1e6) — constants, not computed logs.

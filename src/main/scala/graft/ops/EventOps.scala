@@ -1026,6 +1026,63 @@ object EventOps {
       ("lag", LongType), ("n_pairs", LongType), ("autocorr_ppm", LongType))
   }
 
+  /** X273 — Theil-Sen robust trend vs OLS under corruption: the last
+    * member of the monitoring lane (EWMA forecasts, CUSUM detects level
+    * shifts, autocorrelation finds the period, MAD flags outliers — this
+    * estimates the TREND, robustly). Theil-Sen = the median of all
+    * pairwise slopes (dy/dx over C(|days|,2) pairs); the audit runs it
+    * and ordinary least squares on the same planted-drift series
+    * (x = n + 4·idx) twice — clean, and with ONE corrupted day (idx 10
+    * ×10, a collector double-count burst) — and shows the division of
+    * labor: Theil-Sen barely moves (median of pair slopes tolerates up
+    * to ~29 corrupted pairs of 435) while OLS is dragged far off, which
+    * is WHY monitors fit trends robustly. Exactness: pair slopes order
+    * by the IEEE quotient (identical doubles both engines) with a
+    * (dy, dx) tiebreak; the reported milli-slope is integer dy·1000
+    * div dx of the LOWER-median pair; OLS is the exact integer rational
+    * (NΣix−ΣiΣx)·1000 div (NΣi²−(Σi)²).
+    *
+    * Scale: ONE daily count fold collapses the corpus; the C(|days|,2)
+    * pair set is calendar-bounded (435 pairs here) — at longer horizons
+    * the published remedy is Theil-Sen on a sliding window or a random
+    * pair sample, both of which keep the pair set bounded. */
+  def q302TheilSen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = ev(s, dir)
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val base = daily.zipWithIndex.map { case ((_, n), i) => n + 4L * (i + 1) }
+    def slopes(xs: Array[Long]): Long = {
+      val pairs = for {
+        i <- xs.indices; j <- (i + 1) until xs.length
+      } yield (xs(j) - xs(i), (j - i).toLong)
+      val sorted = pairs.sortBy { case (dy, dx) =>
+        (dy.toDouble / dx, dy, dx)
+      }
+      val (dy, dx) = sorted((sorted.size - 1) / 2)
+      dy * 1000L / dx
+    }
+    def ols(xs: Array[Long]): Long = {
+      val nD = xs.length.toLong
+      val si = (1L to nD).sum
+      val si2 = (1L to nD).map(i => i * i).sum
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (nD * six - si * sx) * 1000L / (nD * si2 - si * si)
+    }
+    val corrupted = base.clone()
+    corrupted(9) = corrupted(9) * 10L
+    import org.apache.spark.sql.types._
+    graft.operators.LocalReport.frame(s, Seq(
+      org.apache.spark.sql.Row("1_clean", "ols", ols(base)),
+      org.apache.spark.sql.Row("1_clean", "theil_sen", slopes(base)),
+      org.apache.spark.sql.Row("2_corrupted", "ols", ols(corrupted)),
+      org.apache.spark.sql.Row("2_corrupted", "theil_sen", slopes(corrupted))),
+      ("series", StringType), ("estimator", StringType),
+      ("slope_milli", LongType))
+  }
+
   /** X217 — watermark-lateness audit: per event type, how far events
     * arrive BEHIND the global event-time frontier (the maximum event
     * time already seen in ARRIVAL order) — the exact distribution a

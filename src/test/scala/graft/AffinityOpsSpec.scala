@@ -1903,6 +1903,45 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     (1 to 6).foreach(k => assert(got(k.toLong)._2 < got(7L)._2, s"lag $k"))
   }
 
+  test("q302 Theil-Sen: replay exact; one corrupted day flips OLS, not the median") {
+    import spark.implicits._
+    val got = graft.ops.EventOps.q302TheilSen(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.size == 4)
+    // replay both estimators on both series from raw events
+    val days = graft.sources.Tables.load(spark, sf, "events")
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("d"))
+      .as[Long].collect().groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val base = days.zipWithIndex.map { case ((_, n), i) => n + 4L * (i + 1) }.toArray
+    val corrupted = base.clone(); corrupted(9) = corrupted(9) * 10L
+    def theilSen(xs: Array[Long]): Long = {
+      val ps = for { i <- xs.indices; j <- (i + 1) until xs.length }
+        yield (xs(j) - xs(i), (j - i).toLong)
+      val st = ps.sortBy { case (dy, dx) => (dy.toDouble / dx, dy, dx) }
+      val (dy, dx) = st((st.size - 1) / 2); dy * 1000L / dx
+    }
+    def olsS(xs: Array[Long]): Long = {
+      val nD = xs.length.toLong
+      val si = (1L to nD).sum; val si2 = (1L to nD).map(i => i * i).sum
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (nD * six - si * sx) * 1000L / (nD * si2 - si * si)
+    }
+    assert(got(("1_clean", "theil_sen")) == theilSen(base))
+    assert(got(("1_clean", "ols")) == olsS(base))
+    assert(got(("2_corrupted", "theil_sen")) == theilSen(corrupted))
+    assert(got(("2_corrupted", "ols")) == olsS(corrupted))
+    // both estimators agree on the clean drift (~4/day planted)
+    assert(math.abs(got(("1_clean", "theil_sen")) - 4000L) < 1500L)
+    assert(math.abs(got(("1_clean", "ols")) - got(("1_clean", "theil_sen"))) < 1000L)
+    // robustness: the median moves a little, OLS is dragged far away
+    val tsShift = math.abs(got(("2_corrupted", "theil_sen")) - got(("1_clean", "theil_sen")))
+    val olsShift = math.abs(got(("2_corrupted", "ols")) - got(("1_clean", "ols")))
+    assert(tsShift < 1000L && olsShift > 4L * math.max(tsShift, 1L),
+      s"ts $tsShift ols $olsShift")
+  }
+
   test("q285 CUSUM: pure-Scala fold replay; alarm only after the planted shift") {
     import spark.implicits._
     val got = graft.ops.EventOps.q285CusumDrift(spark, sf).collect()

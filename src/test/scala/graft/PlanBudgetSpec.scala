@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q302_theil_sen" -> 0, // collect-local 4-row report; ONE daily count
+                             // fold pre-collect; the C(|days|,2) pair
+                             // set is calendar-bounded
     "q301_benford_audit" -> 0, // collect-local 18-row report; per scope
                              // ONE combinable (digit) count over a
                              // narrow string projection
