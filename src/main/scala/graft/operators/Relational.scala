@@ -579,7 +579,7 @@ object Relational {
         expr("CAST(round(l_quantity) AS BIGINT) div 10").as("qb"))
     // the numbered frame feeds 8 consumers (6 bitmaps, universe, exact) —
     // without the persist each one re-runs the GlobalOrder range shuffle
-    // (measured 5.2 s un-persisted at sf0.1 driver bench); released after
+    // (measured 5.2 s un-persisted → 2.2 s persisted at sf0.1); released after
     // the 4-row report collects (the bounded-report idiom)
     val base = GlobalOrder.withRowNumber(rows,
         Seq($"okey", $"line", $"rf", $"ls", $"qb"), "rk")

@@ -430,8 +430,9 @@ object PipelineOps {
     // base feeds 5 consumers (the selectivity fold + one GlobalOrder
     // pass per layout) — persist once so each layout's range shuffle
     // reads the computed frame instead of re-deriving the scan + Morton
-    // fold (6.4 s un-persisted at sf0.1 driver bench); released after
-    // the report collects
+    // fold (6.4 s un-persisted → 4.9 s at sf0.1; the rest is the four
+    // deliberate write-shaped range shuffles); released after the
+    // report collects
     val base = Tables.load(s, dir, "orders")
       .select($"o_orderkey".cast("long").as("okey"),
         $"o_custkey".cast("long").as("ckey"),
@@ -1370,7 +1371,10 @@ object PipelineOps {
     * register rows; the harmonic sum, alpha multiply and error ppm act on
     * |estimators|-row frames. The register frame is mergeable state — at
     * 100 TB, per-partition sketches union by max, the property this audit
-    * exercises via the duplicated-key leg. */
+    * exercises via the duplicated-key leg. The exact-distinct twin reads
+    * the union scan a second time (deliberate: the scan is three narrow
+    * projections and the lazily-returned 3-row frame cannot release a
+    * cache; production ships the sketch fold alone). */
   def q282HllAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Fingerprint.register(s)
