@@ -440,6 +440,8 @@ object SparkEntry {
     "q300_autocorrelation" -> EventOps.q300Autocorrelation _,
     "q301_benford_audit"  -> PipelineOps.q301BenfordAudit _,
     "q302_theil_sen"      -> EventOps.q302TheilSen _,
+    "q303_patch_audit"    -> ((s: SparkSession, d: String) =>
+      MultimodalOps.q303PatchAudit(s, d).toDF),
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5668,6 +5670,37 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q303: the oracle replays the generator + patch math as pure
+    // arithmetic (no codec — q222's contract: Spark's leg went through a
+    // REAL PNG encode/decode, so any codec bug breaks this equality).
+    "q303_patch_audit" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |    16 + doc_id % 9 AS h FROM documents),
+        |cells AS (SELECT doc_id, w, h, pi, pj, dx, dy
+        |  FROM d,
+        |    (SELECT unnest(generate_series(0, 3)) AS pi) a,
+        |    (SELECT unnest(generate_series(0, 3)) AS pj) b,
+        |    (SELECT unnest(generate_series(0, 7)) AS dx) c,
+        |    (SELECT unnest(generate_series(0, 7)) AS dy) e
+        |  WHERE pi < w // 8 AND pj < h // 8),
+        |g AS (SELECT doc_id, w, h, pi, pj,
+        |    CASE WHEN doc_id % 5 = 0 AND pi = 0 AND pj = 0 THEN 128
+        |      ELSE (doc_id + 31 * (pi * 8 + dx) + 17 * (pj * 8 + dy)) % 256
+        |      END AS g
+        |  FROM cells),
+        |pp AS (SELECT doc_id, w, h, pi, pj,
+        |    CAST(sum(g) AS BIGINT) AS sg,
+        |    CAST(sum(g * g) AS BIGINT) AS sg2
+        |  FROM g GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_patches,
+        |  CAST(sum(CASE WHEN 64 * sg2 - sg * sg = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flat,
+        |  CAST(sum(64 * sg2 - sg * sg) AS BIGINT) AS var_checksum,
+        |  CAST(sum(sg) AS BIGINT) AS pix_sum
+        |FROM pp GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
 
     // q302: pair slopes order by the IEEE quotient with a (dy, dx)
     // tiebreak; the lower-median rank is (m-1)//2 + 1; slope and OLS

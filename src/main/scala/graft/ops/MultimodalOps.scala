@@ -149,6 +149,84 @@ object MultimodalOps {
 
   /** Decoded-image audit row: everything a DuckDB oracle can recompute
     * arithmetically without a codec. */
+  final case class PatchAudit(doc_id: Long, width: Long, height: Long,
+      n_patches: Long, n_flat: Long, var_checksum: Long, pix_sum: Long)
+
+  /** X274 — ViT patch-preprocessing audit on the real-decode lane: vision
+    * transformers consume images as a grid of fixed patches, and
+    * production pipelines DROP low-information patches (uniform sky,
+    * letterbox bars) before they cost sequence length. Per image: 8×8
+    * patch grid over the REAL decoded raster (PNG through the q222
+    * encode→decode discipline — any codec bug breaks the oracle
+    * equality), per-patch integer variance via the division-free form
+    * 64·Σg² − (Σg)² (q275's len·SSE trick, ≥ 0 by Cauchy-Schwarz, == 0
+    * iff the patch is constant), reported as the droppable-patch count
+    * plus a variance checksum. Images where doc_id ≡ 0 mod 5 plant a
+    * constant 128-gray top-left 8×8 block (a letterbox corner) — exactly
+    * one flat patch each; the 31i+17j gradient everywhere else can never
+    * be constant across a patch. The remainder crop (w,h not multiples
+    * of 8) is the standard ViT behavior and is part of the contract.
+    *
+    * Scale: encode+decode+patch folds run inside ONE mapPartitions pass
+    * (decoder init per partition, constant memory per row — ≤31×24 px);
+    * zero shuffles before the presentation orderBy. */
+  def q303PatchAudit(s: SparkSession, dir: String): Dataset[PatchAudit] = {
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents").select($"doc_id").as[Long]
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = (16 + Math.floorMod(id, 16L)).toInt
+        val h = (16 + Math.floorMod(id, 9L)).toInt
+        val flatPlant = Math.floorMod(id, 5L) == 0L
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var j = 0
+        while (j < h) {
+          var i = 0
+          while (i < w) {
+            val g = if (flatPlant && i < 8 && j < 8) 128
+                    else Math.floorMod(id + 31L * i + 17L * j, 256L).toInt
+            img.setRGB(i, j, (g << 16) | (g << 8) | g)
+            i += 1
+          }
+          j += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val back = Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray)))
+          .getOrElse(sys.error(s"png decode failed for doc $id"))
+        val (gw, gh) = (back.getWidth / 8, back.getHeight / 8)
+        var nFlat = 0L; var varSum = 0L; var pixSum = 0L
+        var pj = 0
+        while (pj < gh) {
+          var pi = 0
+          while (pi < gw) {
+            var sg = 0L; var sg2 = 0L
+            var dy = 0
+            while (dy < 8) {
+              var dx = 0
+              while (dx < 8) {
+                val g = back.getRGB(pi * 8 + dx, pj * 8 + dy) & 0xff
+                sg += g; sg2 += g.toLong * g
+                dx += 1
+              }
+              dy += 1
+            }
+            val vr = 64L * sg2 - sg * sg
+            if (vr == 0L) nFlat += 1L
+            varSum += vr; pixSum += sg
+            pi += 1
+          }
+          pj += 1
+        }
+        PatchAudit(id, w.toLong, h.toLong, (gw * gh).toLong, nFlat,
+          varSum, pixSum)
+      }
+    }.orderBy($"doc_id").as[PatchAudit]
+  }
+
   final case class DecodedImage(doc_id: Long, fmt: String, width: Long,
       height: Long, pixel_sum: Long)
 

@@ -583,6 +583,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.count(_._5 == "non_match") > 0)
   }
 
+  test("q303: patch stats survive the real codec; plants yield exactly one flat patch") {
+    import spark.implicits._
+    val got = graft.ops.MultimodalOps.q303PatchAudit(spark, sf).collect()
+    assert(got.nonEmpty)
+    // codec-independent replay straight from the generator formula — the
+    // query's numbers went through a REAL PNG encode/decode, so equality
+    // proves the raster round-trips losslessly
+    got.foreach { a =>
+      val id = a.doc_id
+      val (w, h) = ((16 + Math.floorMod(id, 16L)).toInt, (16 + Math.floorMod(id, 9L)).toInt)
+      assert(a.width == w.toLong && a.height == h.toLong)
+      val (gw, gh) = (w / 8, h / 8)
+      assert(a.n_patches == (gw * gh).toLong)
+      var nFlat = 0L; var varSum = 0L; var pixSum = 0L
+      for (pj <- 0 until gh; pi <- 0 until gw) {
+        var sg = 0L; var sg2 = 0L
+        for (dy <- 0 until 8; dx <- 0 until 8) {
+          val (i, j) = (pi * 8 + dx, pj * 8 + dy)
+          val g = if (Math.floorMod(id, 5L) == 0L && i < 8 && j < 8) 128L
+                  else Math.floorMod(id + 31L * i + 17L * j, 256L)
+          sg += g; sg2 += g * g
+        }
+        val vr = 64L * sg2 - sg * sg
+        assert(vr >= 0L) // Cauchy-Schwarz
+        if (vr == 0L) nFlat += 1L
+        varSum += vr; pixSum += sg
+      }
+      assert(a.n_flat == nFlat && a.var_checksum == varSum && a.pix_sum == pixSum,
+        s"doc $id")
+      // the plant contract: letterbox corner iff id % 5 == 0, exactly one
+      assert(a.n_flat == (if (Math.floorMod(id, 5L) == 0L) 1L else 0L), s"doc $id")
+    }
+  }
+
   test("q297: the threshold algorithm's top-10 equals brute force at a tiny depth") {
     val got = graft.operators.Relational.q297ThresholdTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q303_patch_audit" -> 1, // encode+decode+patch folds in ONE
+                             // mapPartitions pass at scan throughput;
+                             // only exchange is the orderBy
     "q302_theil_sen" -> 0, // collect-local 4-row report; ONE daily count
                              // fold pre-collect; the C(|days|,2) pair
                              // set is calendar-bounded
