@@ -442,6 +442,7 @@ object SparkEntry {
     "q302_theil_sen"      -> EventOps.q302TheilSen _,
     "q303_patch_audit"    -> ((s: SparkSession, d: String) =>
       MultimodalOps.q303PatchAudit(s, d).toDF),
+    "q304_filtered_ann"   -> SimilarityOps.q304FilteredAnn _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5670,6 +5671,36 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q304: survivors of the global top-10 sorted by the SAME distance
+    // are a prefix of the true same-label list, so recall =
+    // min(3, survivors)/3 — the structural fact both legs share.
+    "q304_filtered_ann" ->
+      """WITH e AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS q_id, label AS q_label, q AS qv FROM e
+        |  WHERE vec_id < 10),
+        |sc AS (SELECT qs.q_id, qs.q_label, e.vec_id, e.label,
+        |    CAST(list_sum(list_transform(generate_series(1, len(e.q)),
+        |      i -> (e.q[i] - qs.qv[i]) * (e.q[i] - qs.qv[i])))
+        |      AS BIGINT) AS d2
+        |  FROM e CROSS JOIN qs WHERE e.vec_id >= 10),
+        |rk AS (SELECT q_id, q_label, label,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id)
+        |      AS BIGINT) AS rk_all
+        |  FROM sc)
+        |SELECT q_id, q_label AS label,
+        |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_same_in_top10,
+        |  least(CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+        |    AS BIGINT), 3) AS n_hits,
+        |  least(CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+        |    AS BIGINT), 3) * 1000000 // 3 AS recall_ppm
+        |FROM rk WHERE rk_all <= 10
+        |GROUP BY 1, 2 ORDER BY q_id""".stripMargin,
 
     // q303: the oracle replays the generator + patch math as pure
     // arithmetic (no codec — q222's contract: Spark's leg went through a

@@ -303,6 +303,48 @@ object SimilarityOps {
     } finally q.unpersist(blocking = false)
   }
 
+  /** X275 — filtered vector search: pre-filter vs post-filter recall:
+    * the tradeoff every vector store with metadata filters faces —
+    * PRE-filtering searches only the label-matching sub-corpus (exact
+    * recall, but the index must support the predicate), POST-filtering
+    * takes the global top-k' and drops non-matching hits (index-
+    * friendly, but rare labels starve the result). The audit measures
+    * it: per query, the same-label survivors of the global top-10 vs
+    * the true same-label top-3 — and because both rank by the SAME
+    * distance, the survivors are a PREFIX of the true list, so recall =
+    * min(3, survivors)/3 exactly (the structural fact the oracle
+    * exploits). Distances are exact int64 on milli-quantized components
+    * (graft_dist2 lane); ties break to the smaller vec_id.
+    *
+    * Scale: one corpus×|queries| broadcast scoring pass (the
+    * calibration-batch pattern, q177) with BOTH rankings computed from
+    * ONE (q_id) window family; at production scale the pre-filter leg
+    * is an IVF probe over label-partitioned lists and this audit sizes
+    * how much k' must grow for post-filtering to survive rare labels. */
+  def q304FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SquaredDistance.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(label AS BIGINT) AS label",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+    val queries = broadcast(e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"), $"q".as("qv")))
+    val scored = e.filter($"vec_id" >= 10).crossJoin(queries)
+      .withColumn("d2", expr("graft_dist2(q, qv)"))
+      .withColumn("same", ($"label" === $"q_label").cast("long"))
+    val wAll = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
+    scored
+      .withColumn("rk_all", row_number().over(wAll).cast("long"))
+      .filter($"rk_all" <= 10L)
+      .groupBy($"q_id", $"q_label".as("label"))
+      .agg(sum($"same").as("n_same_in_top10"))
+      .select($"q_id", $"label", $"n_same_in_top10",
+        least($"n_same_in_top10", lit(3L)).as("n_hits"),
+        expr("least(n_same_in_top10, 3) * 1000000 div 3").as("recall_ppm"))
+      .orderBy($"q_id")
+  }
+
   /** X145 — IVF recall audit: per query of the X10 pipeline, how many of
     * the TRUE top-3 neighbors (exact cosine over the full corpus
     * universe) the single-probe IVF search actually returned — the

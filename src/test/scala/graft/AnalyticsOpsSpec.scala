@@ -1218,6 +1218,35 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == expected)
   }
 
+  test("q304 filtered ANN: replay exact; survivors are a prefix of the true list") {
+    val got = graft.ops.SimilarityOps.q304FilteredAnn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.size == 10)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("CAST(vec_id AS BIGINT)", "CAST(label AS BIGINT)",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val corpus = vecs.filter(_._1 >= 10)
+    vecs.filter(_._1 < 10).foreach { case (qid, qlab, qv) =>
+      val ranked = corpus.map { case (id, lab, v) => (d2(qv, v), id, lab) }
+        .sortBy(p => (p._1, p._2))
+      val top10 = ranked.take(10)
+      val survivors = top10.filter(_._3 == qlab).map(_._2).toSeq
+      val exact3 = ranked.filter(_._3 == qlab).take(3).map(_._2).toSeq
+      // prefix property: post-filter survivors ARE the head of the true list
+      assert(survivors.take(3) == exact3.take(survivors.size.min(3)), s"q $qid")
+      val hits = math.min(3L, survivors.size.toLong)
+      assert(got(qid) == ((qlab, survivors.size.toLong, hits,
+        hits * 1000000L / 3L)), s"q $qid")
+    }
+    // the measurement is non-vacuous: post-filtering both starves (< 3)
+    // and saturates (= 3) across this query batch
+    assert(got.values.exists(_._3 < 3L) && got.values.exists(_._3 == 3L))
+  }
+
   test("q289 k-center: pure-Scala greedy replay; radii certify the selection") {
     val got = graft.ops.SimilarityOps.q289KCenter(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq

@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q304_filtered_ann" -> 3, // one broadcast corpus×queries scoring
+                             // pass (q177's calibration-batch pattern);
+                             // per-query window + tiny rollup + orderBy
     "q303_patch_audit" -> 1, // encode+decode+patch folds in ONE
                              // mapPartitions pass at scan throughput;
                              // only exchange is the orderBy
