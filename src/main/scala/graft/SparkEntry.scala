@@ -443,6 +443,7 @@ object SparkEntry {
     "q303_patch_audit"    -> ((s: SparkSession, d: String) =>
       MultimodalOps.q303PatchAudit(s, d).toDF),
     "q304_filtered_ann"   -> SimilarityOps.q304FilteredAnn _,
+    "q305_hybrid_rrf"     -> SimilarityOps.q305HybridRrf _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5671,6 +5672,55 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q305: both legs rank deterministically (score desc/d2 asc, id);
+    // RRF consumes only ranks so no score calibration crosses engines.
+    "q305_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN list_contains(ws, 'spark') THEN 1 ELSE 0
+        |      END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN list_contains(ws, 'merge') THEN 1 ELSE 0
+        |      END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN list_contains(ws, 'hash') THEN 1 ELSE 0
+        |      END) AS BIGINT) AS df2
+        |  FROM d),
+        |tf AS (SELECT doc_id,
+        |    CAST(len(list_filter(ws, w -> w = 'spark')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(ws, w -> w = 'merge')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(ws, w -> w = 'hash')) AS BIGINT) AS tf2
+        |  FROM d WHERE doc_id <> 0),
+        |lex AS (SELECT doc_id,
+        |    CASE WHEN tf0 > 0 THEN (n * 1000000 // (df0 + 1))
+        |      * (tf0 * 2000000 // (tf0 + 1)) // 1000000 ELSE 0 END +
+        |    CASE WHEN tf1 > 0 THEN (n * 1000000 // (df1 + 1))
+        |      * (tf1 * 2000000 // (tf1 + 1)) // 1000000 ELSE 0 END +
+        |    CASE WHEN tf2 > 0 THEN (n * 1000000 // (df2 + 1))
+        |      * (tf2 * 2000000 // (tf2 + 1)) // 1000000 ELSE 0 END AS score
+        |  FROM tf, st),
+        |lr AS (SELECT doc_id, CAST(row_number() OVER
+        |    (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex FROM lex),
+        |e AS (SELECT CAST(vec_id AS BIGINT) AS doc_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qv AS (SELECT q AS qv FROM e WHERE doc_id = 0),
+        |vs AS (SELECT e.doc_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(e.q)),
+        |      i -> (e.q[i] - qv.qv[i]) * (e.q[i] - qv.qv[i])))
+        |      AS BIGINT) AS d2
+        |  FROM e, qv WHERE e.doc_id <> 0),
+        |vr AS (SELECT doc_id, CAST(row_number() OVER
+        |    (ORDER BY d2, doc_id) AS BIGINT) AS r_vec FROM vs),
+        |fused AS (SELECT lr.doc_id, lr.r_lex, vr.r_vec,
+        |    1000000 // (60 + lr.r_lex) + 1000000 // (60 + vr.r_vec)
+        |      AS rrf_ppm
+        |  FROM lr JOIN vr ON lr.doc_id = vr.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id)
+        |    AS BIGINT) AS rank,
+        |  doc_id, r_lex, r_vec, rrf_ppm
+        |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin,
 
     // q304: survivors of the global top-10 sorted by the SAME distance
     // are a prefix of the true same-label list, so recall =

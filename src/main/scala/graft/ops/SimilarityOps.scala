@@ -345,6 +345,73 @@ object SimilarityOps {
       .orderBy($"q_id")
   }
 
+  /** X276 — hybrid retrieval with reciprocal-rank fusion: modern search
+    * runs a LEXICAL ranking and a VECTOR ranking and fuses them — RRF
+    * (score = Σ 1/(60+rank)) is the published fusion that needs no score
+    * calibration because it consumes only RANKS. The lexical leg is
+    * X113's integer BM25 surrogate over the probe terms; the vector leg
+    * ranks by exact int64 distance to the query embedding (vec 0,
+    * excluded from candidates); the paired id spaces (doc_id == vec_id,
+    * the driver generates them aligned) make the fusion join a uniform-
+    * key equi-join. RRF in integer ppm: 10⁶/(60+r_lex) + 10⁶/(60+r_vec).
+    * The spec pins the fusion's point: the fused top-10 equals NEITHER
+    * leg's own top-10.
+    *
+    * Scale: each leg ranks with ONE GlobalOrder range shuffle (never an
+    * unpartitioned window); the fusion join is id-keyed; the final
+    * top-10 is a distributed TakeOrdered. At production scale each leg's
+    * ranking comes from its own index head (q297's argument) and RRF
+    * fuses k'-sized lists. */
+  def q305HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SquaredDistance.register(s)
+    val terms = Seq("spark", "merge", "hash")
+    val d = Tables.load(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains($"ws", t), 1L).otherwise(0L)).as(s"df$i")
+    }
+    val stats = d.agg(count(lit(1)).as("n"), dfCols: _*)
+    val withTf = terms.zipWithIndex.foldLeft(d) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i",
+        expr(s"size(filter(ws, w -> w = '$t'))").cast("long"))
+    }
+    val lexScored = withTf.crossJoin(broadcast(stats))
+      .withColumn("score", terms.indices.map { i =>
+        expr(s"""CASE WHEN tf$i > 0
+                |  THEN (n * 1000000 div (df$i + 1))
+                |       * (tf$i * 2000000 div (tf$i + 1)) div 1000000
+                |  ELSE 0 END""".stripMargin)
+      }.reduce(_ + _))
+      .filter($"doc_id" =!= 0L)
+      .select($"doc_id", $"score")
+    val lexRank = graft.operators.GlobalOrder.withRowNumber(
+      lexScored, Seq($"score".desc, $"doc_id"), "r_lex")
+    val e = Tables.load(s, dir, "embeddings")
+      .selectExpr("CAST(vec_id AS BIGINT) AS doc_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+    val qv = e.filter($"doc_id" === 0L).select($"q".as("qv"))
+    val vecScored = e.filter($"doc_id" =!= 0L).crossJoin(broadcast(qv))
+      .withColumn("d2", expr("graft_dist2(q, qv)"))
+      .select($"doc_id", $"d2")
+    val vecRank = graft.operators.GlobalOrder.withRowNumber(
+      vecScored, Seq($"d2", $"doc_id"), "r_vec")
+    val fused = lexRank.select($"doc_id", $"r_lex")
+      .join(vecRank.select($"doc_id", $"r_vec"), Seq("doc_id"))
+      .withColumn("rrf_ppm",
+        expr("1000000 div (60 + r_lex) + 1000000 div (60 + r_vec)"))
+      .orderBy($"rrf_ppm".desc, $"doc_id").limit(10)
+      .collect()
+    import org.apache.spark.sql.types._
+    graft.operators.LocalReport.frame(s,
+      fused.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i + 1L, r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))
+      },
+      ("rank", LongType), ("doc_id", LongType), ("r_lex", LongType),
+      ("r_vec", LongType), ("rrf_ppm", LongType))
+  }
+
   /** X145 — IVF recall audit: per query of the X10 pipeline, how many of
     * the TRUE top-3 neighbors (exact cosine over the full corpus
     * universe) the single-probe IVF search actually returned — the

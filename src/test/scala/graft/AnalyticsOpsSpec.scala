@@ -1218,6 +1218,52 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == expected)
   }
 
+  test("q305 hybrid RRF: replay exact; the fusion differs from both legs") {
+    import spark.implicits._
+    val got = graft.ops.SimilarityOps.q305HybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(got.size == 10)
+    // lexical replay (q146's integer BM25 surrogate)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        (id, Option(t).getOrElse("").split(" ", -1)) }
+    val terms = Seq("spark", "merge", "hash")
+    val n = docs.length.toLong
+    val dfs = terms.map(t => docs.count(_._2.contains(t)).toLong)
+    val lex = docs.filter(_._1 != 0L).map { case (id, ws) =>
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val tf = ws.count(_ == t).toLong
+        if (tf > 0) (n * 1000000L / (dfs(i) + 1)) * (tf * 2000000L / (tf + 1)) / 1000000L
+        else 0L
+      }.sum
+      (id, score)
+    }.sortBy(p => (-p._2, p._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // vector replay
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("CAST(vec_id AS BIGINT)",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qv = vecs.find(_._1 == 0L).get._2
+    val vec = vecs.filter(_._1 != 0L).map { case (id, v) =>
+      (id, v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(p => (p._2, p._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val fused = lex.keys.map { id =>
+      (id, lex(id), vec(id),
+        1000000L / (60 + lex(id)) + 1000000L / (60 + vec(id)))
+    }.toSeq.sortBy(p => (-p._4, p._1)).take(10)
+    assert(got == fused.zipWithIndex.map { case ((id, rl, rv, f), i) =>
+      (i + 1L, id, rl, rv, f) }.toSeq)
+    // the fusion's point: its top-10 is NEITHER leg's top-10
+    val fusedSet = got.map(_._2).toSet
+    val lexTop = lex.toSeq.sortBy(_._2).take(10).map(_._1).toSet
+    val vecTop = vec.toSeq.sortBy(_._2).take(10).map(_._1).toSet
+    assert(fusedSet != lexTop && fusedSet != vecTop)
+  }
+
   test("q304 filtered ANN: replay exact; survivors are a prefix of the true list") {
     val got = graft.ops.SimilarityOps.q304FilteredAnn(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

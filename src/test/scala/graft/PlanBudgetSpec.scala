@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q305_hybrid_rrf" -> 0, // collect-local 10-row report; each leg
+                             // ranks with ONE GlobalOrder range shuffle,
+                             // the fusion join is id-keyed, the top-10
+                             // is a distributed TakeOrdered — pre-collect
     "q304_filtered_ann" -> 3, // one broadcast corpus×queries scoring
                              // pass (q177's calibration-batch pattern);
                              // per-query window + tiny rollup + orderBy
