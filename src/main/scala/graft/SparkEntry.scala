@@ -134,6 +134,53 @@ object SparkEntry {
        |ORDER BY layout, predicate""".stripMargin
   }
 
+  /** q306's oracle, generated: the MMR greedy unrolls into 4 chained
+    * scored-pick CTE levels after the relevance seed (q289's chained
+    * greedy discipline); pairwise candidate distances come from one
+    * 8×8 frame. */
+  private def q306OracleSql: String = {
+    val picks = (2 to 5).map { t =>
+      s"""sc$t AS (SELECT c.doc_id, c.d2q, min(pr.d) AS minsel
+         |  FROM cands c JOIN pairs pr ON pr.a = c.doc_id
+         |    AND pr.b IN (SELECT doc_id FROM sel${t - 1})
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${t - 1})
+         |  GROUP BY 1, 2),
+         |p$t AS (SELECT doc_id, d2q, minsel,
+         |    -500 * d2q + 500 * minsel AS sc
+         |  FROM sc$t ORDER BY sc DESC, doc_id LIMIT 1),
+         |sel$t AS (SELECT doc_id FROM sel${t - 1}
+         |  UNION ALL SELECT doc_id FROM p$t)""".stripMargin
+    }
+    val outs = (2 to 5).map(t =>
+      s"UNION ALL SELECT $t, doc_id, d2q, minsel, sc FROM p$t").mkString("\n")
+    s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS doc_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qv AS (SELECT q AS qv FROM e WHERE doc_id = 0),
+       |cd AS (SELECT e.doc_id, e.q,
+       |    CAST(list_sum(list_transform(generate_series(1, len(e.q)),
+       |      i -> (e.q[i] - qv.qv[i]) * (e.q[i] - qv.qv[i])))
+       |      AS BIGINT) AS d2q
+       |  FROM e, qv WHERE e.doc_id <> 0),
+       |cands AS MATERIALIZED (SELECT doc_id, q, d2q FROM cd
+       |  ORDER BY d2q, doc_id LIMIT 8),
+       |pairs AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b,
+       |    CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+       |      i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS BIGINT) AS d
+       |  FROM cands a JOIN cands b ON a.doc_id <> b.doc_id),
+       |p1 AS (SELECT doc_id, d2q FROM cands ORDER BY d2q, doc_id LIMIT 1),
+       |sel1 AS (SELECT doc_id FROM p1),
+       |${picks.mkString(",\n")}
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+       |  d2q AS d2_query, CAST(minsel AS BIGINT) AS min_d2_selected,
+       |  CAST(sc AS BIGINT) AS mmr_score
+       |FROM (SELECT 1 AS rank, doc_id, d2q, -1 AS minsel,
+       |    -500 * d2q AS sc FROM p1
+       |  $outs)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
@@ -444,6 +491,7 @@ object SparkEntry {
       MultimodalOps.q303PatchAudit(s, d).toDF),
     "q304_filtered_ann"   -> SimilarityOps.q304FilteredAnn _,
     "q305_hybrid_rrf"     -> SimilarityOps.q305HybridRrf _,
+    "q306_mmr_rerank"     -> SimilarityOps.q306MmrRerank _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5672,6 +5720,9 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q306: generated 5-level greedy chain — see q306OracleSql.
+    "q306_mmr_rerank" -> q306OracleSql,
 
     // q305: both legs rank deterministically (score desc/d2 asc, id);
     // RRF consumes only ranks so no score calibration crosses engines.

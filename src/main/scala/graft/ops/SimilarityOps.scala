@@ -412,6 +412,60 @@ object SimilarityOps {
       ("r_vec", LongType), ("rrf_ppm", LongType))
   }
 
+  /** X277 — MMR diversified re-ranking: the last stage of the retrieval
+    * stack (search → filter q304 → fuse q305 → DIVERSIFY) — maximal
+    * marginal relevance re-orders the candidate list so the result is
+    * relevant AND non-redundant: greedily pick argmax of
+    * λ·relevance + (1−λ)·distance-to-already-selected. In the exact
+    * integer form here (λ = 500‰, distances on the graft_dist2 milli
+    * lane): seed = nearest candidate to the query, then 4× pick
+    * max(500·(−d2_query) + 500·min_selected d2_pair), ties to the
+    * smaller id. The output carries each pick's relevance and its
+    * distance to the selected set — the diversity certificate (a pure
+    * relevance ranking would pick near-duplicates; the spec pins that
+    * MMR's order differs from it and that every non-seed pick's
+    * min-distance column is positive).
+    *
+    * Scale: candidate generation is a distributed TakeOrdered (top-8 by
+    * distance); the greedy runs on the 8-candidate frame driver-side —
+    * MMR is O(k²) in the CANDIDATE list by definition, never in the
+    * corpus. The oracle replays the identical greedy as 5 chained pick
+    * CTEs (q289's discipline). */
+  def q306MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SquaredDistance.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+      .selectExpr("CAST(vec_id AS BIGINT) AS doc_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+    val qv = e.filter($"doc_id" === 0L).select($"q".as("qv"))
+    val cands = e.filter($"doc_id" =!= 0L).crossJoin(broadcast(qv))
+      .withColumn("d2q", expr("graft_dist2(q, qv)"))
+      .orderBy($"d2q", $"doc_id").limit(8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray,
+        r.getLong(3)))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var selected = Seq(cands.minBy(c => (c._3, c._1)))
+    var rows = Seq((1L, selected.head._1, selected.head._3, -1L,
+      -500L * selected.head._3))
+    while (selected.size < 5) {
+      val remaining = cands.filterNot(c => selected.exists(_._1 == c._1))
+      val scored = remaining.map { c =>
+        val minSel = selected.map(sel => d2(c._2, sel._2)).min
+        (c, minSel, -500L * c._3 + 500L * minSel)
+      }
+      val best = scored.maxBy { case (c, _, sc) => (sc, -c._1) }
+      selected = selected :+ best._1
+      rows = rows :+ ((selected.size.toLong, best._1._1, best._1._3,
+        best._2, best._3))
+    }
+    import org.apache.spark.sql.types._
+    graft.operators.LocalReport.frame(s,
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5)),
+      ("rank", LongType), ("doc_id", LongType), ("d2_query", LongType),
+      ("min_d2_selected", LongType), ("mmr_score", LongType))
+  }
+
   /** X145 — IVF recall audit: per query of the X10 pipeline, how many of
     * the TRUE top-3 neighbors (exact cosine over the full corpus
     * universe) the single-probe IVF search actually returned — the

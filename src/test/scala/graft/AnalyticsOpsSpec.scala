@@ -1218,6 +1218,41 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == expected)
   }
 
+  test("q306 MMR: greedy replay exact; diversification departs from pure relevance") {
+    val got = graft.ops.SimilarityOps.q306MmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    assert(got.size == 5)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("CAST(vec_id AS BIGINT)",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qv = vecs.find(_._1 == 0L).get._2
+    val cands = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, d2(qv, v)) }
+      .sortBy(c => (c._3, c._1)).take(8)
+    var sel = Seq(cands.head)
+    var expect = Seq((1L, sel.head._1, sel.head._3, -1L, -500L * sel.head._3))
+    while (sel.size < 5) {
+      val rem = cands.filterNot(c => sel.exists(_._1 == c._1))
+      val best = rem.map { c =>
+        val ms = sel.map(x => d2(c._2, x._2)).min
+        (c, ms, -500L * c._3 + 500L * ms)
+      }.maxBy { case (c, _, sc) => (sc, -c._1) }
+      sel = sel :+ best._1
+      expect = expect :+ ((sel.size.toLong, best._1._1, best._1._3,
+        best._2, best._3))
+    }
+    assert(got == expect)
+    // MMR genuinely diversifies: its order differs from pure relevance,
+    // and every non-seed pick sits strictly apart from the selected set
+    val relevance5 = cands.take(5).map(_._1).toSeq
+    assert(got.map(_._2) != relevance5)
+    got.drop(1).foreach { r => assert(r._4 > 0L, s"rank ${r._1}") }
+  }
+
   test("q305 hybrid RRF: replay exact; the fusion differs from both legs") {
     import spark.implicits._
     val got = graft.ops.SimilarityOps.q305HybridRrf(spark, sf).collect()

@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q306_mmr_rerank" -> 0, // collect-local 5-row report; candidates via
+                             // distributed TakeOrdered (top-8 by d2);
+                             // the O(k²) greedy runs on the candidate
+                             // frame, never the corpus
     "q305_hybrid_rrf" -> 0, // collect-local 10-row report; each leg
                              // ranks with ONE GlobalOrder range shuffle,
                              // the fusion join is id-keyed, the top-10
