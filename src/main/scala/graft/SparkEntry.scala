@@ -492,6 +492,7 @@ object SparkEntry {
     "q304_filtered_ann"   -> SimilarityOps.q304FilteredAnn _,
     "q305_hybrid_rrf"     -> SimilarityOps.q305HybridRrf _,
     "q306_mmr_rerank"     -> SimilarityOps.q306MmrRerank _,
+    "q307_survivorship"   -> DedupOps.q307Survivorship _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5720,6 +5721,28 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q307: survivorship rules replay field-by-field — name lexicographic
+    // min, balance max, segment from the master source.
+    "q307_survivorship" ->
+      """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS nm,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    c_mktsegment AS seg
+        |  FROM customer WHERE CAST(c_custkey AS BIGINT) % 50 = 3),
+        |members AS (
+        |  SELECT k AS entity, 'master' AS src, nm, cents, seg FROM cust
+        |  UNION ALL SELECT k, 'import',
+        |    substring(nm, 1, 8) || 'X' || substring(nm, 10),
+        |    cents + 7, seg FROM cust)
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n_members,
+        |  min(nm) AS golden_name,
+        |  max(cents) AS golden_cents,
+        |  max(CASE WHEN src = 'master' THEN seg END) AS golden_segment,
+        |  CAST(CASE WHEN count(DISTINCT nm) > 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN count(DISTINCT cents) > 1 THEN 1 ELSE 0 END
+        |    + CASE WHEN count(DISTINCT seg) > 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_field_conflicts
+        |FROM members GROUP BY entity ORDER BY entity""".stripMargin,
 
     // q306: generated 5-level greedy chain — see q306OracleSql.
     "q306_mmr_rerank" -> q306OracleSql,

@@ -267,6 +267,48 @@ object DedupOps {
       .orderBy($"cand_id")
   }
 
+  /** X278 — golden-record survivorship merge: the step AFTER record
+    * linkage (X263 finds the matches; MDM then builds ONE record per
+    * entity from its matched members) — per field, a deterministic
+    * survivorship rule decides which member's value wins: names take the
+    * lexicographic minimum (the master's 'Customer#…' beats the import's
+    * typo 'CustomerX…'), balances take the MAX (latest-value assumption
+    * — the import's 7-cent drift wins), segments trust the master source
+    * by priority. The golden record is therefore a COMPOSITE no single
+    * member equals — the property that distinguishes survivorship from
+    * pick-a-winner dedup, and the spec pins it (name from master,
+    * balance from import, per cluster). Conflict counts per field make
+    * the merge auditable. Clusters come from X263's planted dirty copies
+    * (custkey ≡ 3 mod 50, negative-id import records).
+    *
+    * Scale: members union once and fold in ONE combinable entity-keyed
+    * aggregate (min/max/conditional-max all have partial forms); no
+    * pairwise work — linkage already happened upstream. */
+  def q307Survivorship(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("k"), $"c_name".as("nm"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"),
+        $"c_mktsegment".as("seg"))
+      .filter(pmod($"k", lit(50L)) === 3L)
+    val master = cust.select($"k".as("entity"), lit("master").as("src"),
+      $"nm", $"cents", $"seg")
+    val imported = cust.select($"k".as("entity"), lit("import").as("src"),
+      expr("concat(substring(nm, 1, 8), 'X', substring(nm, 10))").as("nm"),
+      ($"cents" + 7L).as("cents"), $"seg")
+    master.unionByName(imported)
+      .groupBy($"entity")
+      .agg(count(lit(1)).as("n_members"),
+        min($"nm").as("golden_name"),
+        max($"cents").as("golden_cents"),
+        max(when($"src" === "master", $"seg")).as("golden_segment"),
+        (when(countDistinct($"nm") > 1, 1L).otherwise(0L) +
+          when(countDistinct($"cents") > 1, 1L).otherwise(0L) +
+          when(countDistinct($"seg") > 1, 1L).otherwise(0L))
+          .as("n_field_conflicts"))
+      .orderBy($"entity")
+  }
+
   // MinHash permutation constants h_i(x) = (a_i·x + b_i) mod p; p = 1e9+7
   // keeps a_i·x < 2^63. 12 perms in 4 bands of 3.
   private[ops] val perms: Seq[(Int, Int)] = Seq(

@@ -558,6 +558,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       li.count(t => t._1 == "A" && t._3 != 2L).toLong)
   }
 
+  test("q307: the golden record is a composite no single member equals") {
+    val got = graft.ops.DedupOps.q307Survivorship(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toMap
+    val masters = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("CAST(c_custkey AS BIGINT)", "c_name",
+        "CAST(round(c_acctbal * 100) AS BIGINT)", "c_mktsegment")
+      .collect().filter(_.getLong(0) % 50 == 3)
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got.keySet == masters.keySet && got.nonEmpty)
+    got.foreach { case (k, (n, gName, gCents, gSeg, conflicts)) =>
+      val (mName, mCents, mSeg) = masters(k)
+      assert(n == 2L)
+      // per-field survivorship: name from the MASTER (lexicographic min
+      // beats the 'X' typo), balance from the IMPORT (max = +7 drift),
+      // segment by master priority — a composite neither member equals
+      assert(gName == mName && gCents == mCents + 7L && gSeg == mSeg, s"$k")
+      assert(conflicts == 2L) // name and cents disagreed; segment did not
+    }
+  }
+
   test("q292: multi-field evidence separates typo-copies from balance-coincidences") {
     val got = graft.ops.DedupOps.q292RecordLinkage(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

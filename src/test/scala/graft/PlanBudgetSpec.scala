@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q307_survivorship" -> 3, // ONE entity-keyed combinable fold over
+                             // the unioned members (countDistinct adds
+                             // its 2-phase twins) + orderBy; no pairwise
+                             // work — linkage happened upstream
     "q306_mmr_rerank" -> 0, // collect-local 5-row report; candidates via
                              // distributed TakeOrdered (top-8 by d2);
                              // the O(k²) greedy runs on the candidate
