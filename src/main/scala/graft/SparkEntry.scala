@@ -181,6 +181,44 @@ object SparkEntry {
        |ORDER BY rank""".stripMargin
   }
 
+  /** q308's oracle, generated from the SAME valid-order enumeration
+    * (SchemaOps.validOrders — one definition of connectivity); the six
+    * subset cardinalities are independent DuckDB join counts. */
+  private def q308OracleSql: String = {
+    val cname = Map(
+      Set("L", "O") -> "clo", Set("L", "P") -> "clp",
+      Set("O", "C") -> "coc", Set("L", "O", "C") -> "cloc",
+      Set("L", "O", "P") -> "clop", Set("L", "O", "C", "P") -> "cf")
+    val rows = graft.operators.SchemaOps.validOrders.map { perm =>
+      val cost = (2 to 4).map(k => cname(perm.take(k).toSet)).mkString(" + ")
+      s"SELECT '${perm.mkString(">")}' AS join_order, $cost AS cost FROM k"
+    }
+    s"""WITH k AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+       |      JOIN orders o ON l.l_orderkey = o.o_orderkey) AS clo,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+       |      JOIN part p ON l.l_partkey = p.p_partkey) AS clp,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+       |      JOIN customer c ON o.o_custkey = c.c_custkey) AS coc,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+       |      JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |      JOIN customer c ON o.o_custkey = c.c_custkey) AS cloc,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+       |      JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |      JOIN part p ON l.l_partkey = p.p_partkey) AS clop,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+       |      JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |      JOIN customer c ON o.o_custkey = c.c_custkey
+       |      JOIN part p ON l.l_partkey = p.p_partkey) AS cf),
+       |ords AS (
+       |${rows.mkString("\nUNION ALL ")})
+       |SELECT CAST(row_number() OVER (ORDER BY cost, join_order)
+       |    AS BIGINT) AS rank,
+       |  join_order, cost AS cost_rows,
+       |  cost * 1000000 // min(cost) OVER () AS vs_best_ppm
+       |FROM ords ORDER BY rank""".stripMargin
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
@@ -493,6 +531,7 @@ object SparkEntry {
     "q305_hybrid_rrf"     -> SimilarityOps.q305HybridRrf _,
     "q306_mmr_rerank"     -> SimilarityOps.q306MmrRerank _,
     "q307_survivorship"   -> DedupOps.q307Survivorship _,
+    "q308_join_order"     -> graft.operators.SchemaOps.q308JoinOrderAudit _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5721,6 +5760,10 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q308: generated from the SAME valid-order enumeration — see
+    // q308OracleSql; cardinalities are independent DuckDB join counts.
+    "q308_join_order" -> q308OracleSql,
 
     // q307: survivorship rules replay field-by-field — name lexicographic
     // min, balance max, segment from the master source.

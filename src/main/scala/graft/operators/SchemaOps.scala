@@ -659,6 +659,72 @@ object SchemaOps {
       ("rle_bits", LongType), ("best", StringType))
   }
 
+  /** The star join graph shared by q308's operator and its generated
+    * oracle: tables L(ineitem), O(rders), C(ustomer), P(art) with edges
+    * L-O (orderkey), L-P (partkey), O-C (custkey). One definition of
+    * which left-deep orders are valid (every prefix connected — cross
+    * joins excluded, the classic Selinger restriction). */
+  private[graft] val JoinEdges: Set[Set[String]] =
+    Set(Set("L", "O"), Set("L", "P"), Set("O", "C"))
+
+  private[graft] def validOrders: Seq[Seq[String]] =
+    Seq("L", "O", "C", "P").permutations.filter { perm =>
+      (2 to 4).forall { k =>
+        val prefix = perm.take(k)
+        JoinEdges.exists(e => e.contains(prefix.last) &&
+          e.exists(prefix.dropRight(1).contains))
+      }
+    }.toSeq.sortBy(_.mkString(">"))
+
+  /** X279 — join-order cost audit (Selinger enumeration with EXACT
+    * cardinalities): the decision a cost-based optimizer makes blind,
+    * made visible — every valid left-deep order of the 4-table star
+    * (prefixes must be connected; cross joins excluded) costed as the
+    * sum of its intermediate result sizes, with every intermediate
+    * measured EXACTLY by running the sub-join (6 connected subsets, so
+    * 6 counts cover all 14 valid orders). The spread is the lesson: an
+    * order that enters through the selective customer⋈orders edge costs
+    * a fraction of one that starts by exploding lineitem⋈part — the gap
+    * a real optimizer's cardinality estimator (X246) exists to predict.
+    *
+    * Scale: the 6 subset counts are each ONE equi-join count with
+    * broadcast-eligible dims (the audit's cost IS six counted joins);
+    * enumeration and costing act on a 14-row driver list. At optimizer
+    * scale the counts come from sampled estimates — this audit is the
+    * exact-truth calibration run. */
+  def q308JoinOrderAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def t(n: String) = graft.sources.Tables.load(s, dir, n)
+    val l = t("lineitem").select($"l_orderkey".as("okey"),
+      $"l_partkey".as("pkey"))
+    val o = t("orders").select($"o_orderkey".as("okey"),
+      $"o_custkey".as("ckey"))
+    val c = t("customer").select($"c_custkey".as("ckey"))
+    val p = t("part").select($"p_partkey".as("pkey"))
+    val lo = l.join(o, Seq("okey"))
+    val cards: Map[Set[String], Long] = Map(
+      Set("L", "O") -> lo.count(),
+      Set("L", "P") -> l.join(p, Seq("pkey")).count(),
+      Set("O", "C") -> o.join(c, Seq("ckey")).count(),
+      Set("L", "O", "C") -> lo.join(c, Seq("ckey")).count(),
+      Set("L", "O", "P") -> lo.join(p, Seq("pkey")).count(),
+      Set("L", "O", "C", "P") ->
+        lo.join(c, Seq("ckey")).join(p, Seq("pkey")).count())
+    val rows = validOrders.map { perm =>
+      val cost = (2 to 4).map(k => cards(perm.take(k).toSet)).sum
+      (perm.mkString(">"), cost)
+    }
+    val best = rows.map(_._2).min
+    import org.apache.spark.sql.types._
+    LocalReport.frame(s, rows.sortBy(r => (r._2, r._1)).zipWithIndex.map {
+      case ((ord, cost), i) =>
+        Row(i + 1L, ord, cost,
+          cost * 1000000L / best)
+    },
+      ("rank", LongType), ("join_order", StringType),
+      ("cost_rows", LongType), ("vs_best_ppm", LongType))
+  }
+
   /** X260 — why-provenance propagation + taint blame: for every cell of
     * an aggregate report, WHICH upstream shards contributed — the
     * why-provenance of database research, and operationally the answer

@@ -558,6 +558,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       li.count(t => t._1 == "A" && t._3 != 2L).toLong)
   }
 
+  test("q308: costs replay from independent join counts; cross joins are pruned") {
+    val got = graft.operators.SchemaOps.q308JoinOrderAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // connectivity pruning: 8 of the 24 permutations survive, and no
+    // surviving order opens with the disconnected {C,P} pair
+    assert(got.size == 8)
+    got.foreach { case (_, ord, _, _) =>
+      assert(!ord.startsWith("C>P") && !ord.startsWith("P>C"), ord)
+    }
+    // independent cardinality replay from collected keys
+    val lk = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(l_orderkey AS BIGINT)", "CAST(l_partkey AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ok = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(o_orderkey AS BIGINT)", "CAST(o_custkey AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cs = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("CAST(c_custkey AS BIGINT)").collect().map(_.getLong(0)).toSet
+    val ps = spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("CAST(p_partkey AS BIGINT)").collect().map(_.getLong(0)).toSet
+    val oMap = ok.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val lo = lk.flatMap { case (o, p) =>
+      oMap.getOrElse(o, Seq.empty[Long]).map(c => (p, c)) }
+    val cards = Map(
+      Set("L", "O") -> lo.length.toLong,
+      Set("L", "P") -> lk.count(r => ps.contains(r._2)).toLong,
+      Set("O", "C") -> ok.count(r => cs.contains(r._2)).toLong,
+      Set("L", "O", "C") -> lo.count(r => cs.contains(r._2)).toLong,
+      Set("L", "O", "P") -> lo.count(r => ps.contains(r._1)).toLong,
+      Set("L", "O", "C", "P") ->
+        lo.count(r => cs.contains(r._2) && ps.contains(r._1)).toLong)
+    val best = got.head._3
+    got.foreach { case (_, ord, cost, ratio) =>
+      val perm = ord.split(">").toSeq
+      val expect = (2 to 4).map(k => cards(perm.take(k).toSet)).sum: Long
+      assert(cost == expect && ratio == cost * 1000000L / best, ord)
+    }
+    // the lesson is visible: the order spread is real
+    assert(got.last._3 > got.head._3)
+  }
+
   test("q307: the golden record is a composite no single member equals") {
     val got = graft.ops.DedupOps.q307Survivorship(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3),

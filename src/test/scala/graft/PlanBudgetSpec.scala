@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q308_join_order" -> 0, // collect-local 8-row report; the data work
+                             // is six exact join counts (broadcast-
+                             // eligible dims) covering all valid orders
     "q307_survivorship" -> 3, // ONE entity-keyed combinable fold over
                              // the unioned members (countDistinct adds
                              // its 2-phase twins) + orderBy; no pairwise
