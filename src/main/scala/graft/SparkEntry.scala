@@ -532,6 +532,7 @@ object SparkEntry {
     "q306_mmr_rerank"     -> SimilarityOps.q306MmrRerank _,
     "q307_survivorship"   -> DedupOps.q307Survivorship _,
     "q308_join_order"     -> graft.operators.SchemaOps.q308JoinOrderAudit _,
+    "q309_bitemporal"     -> graft.operators.TransferOps.q309Bitemporal _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5760,6 +5761,28 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q309: latest-version = max (tx, v) per okey; the three as-of legs
+    // replay via row_number within each tx horizon.
+    "q309_bitemporal" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |versions AS MATERIALIZED (
+        |  SELECT okey, status, cents, okey % 3 AS tx, 0 AS v FROM base
+        |  UNION ALL SELECT okey, status, cents + 100, 2, 1 FROM base
+        |  WHERE okey % 10 = 0),
+        |ts AS (SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT) AS t),
+        |latest AS (SELECT ts.t, v.okey, v.status, v.cents,
+        |    row_number() OVER (PARTITION BY ts.t, v.okey
+        |      ORDER BY v.tx DESC, v.v DESC) AS rn
+        |  FROM ts JOIN versions v ON v.tx <= ts.t)
+        |SELECT t AS as_known_at, status,
+        |  CAST(count(*) AS BIGINT) AS n_orders_known,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM latest WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY as_known_at, status""".stripMargin,
 
     // q308: generated from the SAME valid-order enumeration — see
     // q308OracleSql; cardinalities are independent DuckDB join counts.

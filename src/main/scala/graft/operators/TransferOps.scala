@@ -334,6 +334,48 @@ object TransferOps {
       ("twa_price_cents", LongType))
   }
 
+  /** X280 — bitemporal as-known-at reconstruction: X76's SCD2 tracks
+    * VALID time (when a fact was true); regulated reporting also needs
+    * TRANSACTION time (when the warehouse learned it) so any report can
+    * be reproduced "as known at load t" after late corrections land.
+    * Model: orders arrive in three load batches (tx = okey mod 3) and
+    * batch 2 carries a CORRECTION restating the price of every okey ≡ 0
+    * mod 10 (+100 cents — a late-arriving amendment, the reason
+    * bitemporal exists). Per (as-known-at tx, status): orders known and
+    * revenue — the report sequence shows rows appearing batch by batch
+    * AND earlier rows' revenue restating at t=2 without history loss
+    * (the t=0/t=1 rows still reproduce the pre-correction numbers
+    * exactly, which an overwrite-in-place store cannot do).
+    *
+    * Scale: versions union once; per as-of time the latest-version pick
+    * is an entity-keyed max-struct argmax (combinable — never a window
+    * over the corpus); all three as-of legs reuse the same shape and
+    * the report is |t|×|status| rows. */
+  def q309Bitemporal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.sources.Tables.load(s, dir, "orders")
+      .select($"o_orderkey".cast("long").as("okey"),
+        $"o_orderstatus".as("status"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val versions = base
+      .select($"okey", $"status", $"cents",
+        pmod($"okey", lit(3L)).as("tx"), lit(0L).as("v"))
+      .unionByName(base.filter(pmod($"okey", lit(10L)) === 0L)
+        .select($"okey", $"status", ($"cents" + 100L).as("cents"),
+          lit(2L).as("tx"), lit(1L).as("v")))
+    val legs = (0L to 2L).map { t =>
+      versions.filter($"tx" <= t)
+        .groupBy($"okey")
+        .agg(max(struct($"tx", $"v", $"status", $"cents")).as("m"))
+        .groupBy($"m.status".as("status"))
+        .agg(count(lit(1)).as("n_orders_known"),
+          sum($"m.cents").as("revenue_cents"))
+        .select(lit(t).as("as_known_at"), $"status", $"n_orders_known",
+          $"revenue_cents")
+    }
+    legs.reduce(_ unionByName _).orderBy($"as_known_at", $"status")
+  }
+
   /** X85 — referential-integrity audit: orphan counts for every foreign-key
     * edge of the star schema — the "did every parent row make it across?"
     * gate a migration engine must run beyond the reference's per-table

@@ -391,6 +391,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q309_bitemporal" -> 7, // three as-of legs, each ONE entity-keyed
+                             // combinable max-struct argmax + a status
+                             // rollup (never a corpus window); versions
+                             // union is narrow
     "q308_join_order" -> 0, // collect-local 8-row report; the data work
                              // is six exact join counts (broadcast-
                              // eligible dims) covering all valid orders

@@ -180,6 +180,35 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shareSum <= 1000000L && shareSum > 1000000L - got.size)
   }
 
+  test("q309 bitemporal: batches accumulate, corrections restate only at t=2") {
+    val got = graft.operators.TransferOps.q309Bitemporal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val rows = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(o_orderkey AS BIGINT)", "o_orderstatus",
+        "CAST(round(o_totalprice * 100) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // replay: as known at t, the latest version within tx <= t
+    (0L to 2L).foreach { t =>
+      val known = rows.filter(_._1 % 3 <= t)
+      known.groupBy(_._2).foreach { case (st, rs) =>
+        val rev = rs.map { case (k, _, c) =>
+          if (t == 2L && k % 10 == 0) c + 100L else c
+        }.sum
+        assert(got((t, st)) == ((rs.length.toLong, rev)), s"t=$t $st")
+      }
+    }
+    // history is preserved: the pre-correction report at t=1 is exactly
+    // the original prices (no +100 leaks backward), and t=2 restates by
+    // precisely 100 cents per corrected order known at t=2
+    val restated = rows.filter(r => r._1 % 10 == 0).map(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    restated.foreach { case (st, n) =>
+      val pre = rows.filter(r => r._2 == st && r._1 % 3 <= 2).map(_._3).sum
+      assert(got((2L, st))._2 == pre + 100L * n, st)
+    }
+  }
+
   test("parquet -> Derby JDBC roundtrip (real database)") {
     val db = Files.createTempDirectory("derbydb").toString + "/g"
     val url = s"jdbc:derby:$db;create=true"
