@@ -533,6 +533,7 @@ object SparkEntry {
     "q307_survivorship"   -> DedupOps.q307Survivorship _,
     "q308_join_order"     -> graft.operators.SchemaOps.q308JoinOrderAudit _,
     "q309_bitemporal"     -> graft.operators.TransferOps.q309Bitemporal _,
+    "q310_quarantine"     -> graft.operators.SchemaOps.q310QuarantineRoute _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5761,6 +5762,35 @@ object SparkEntry {
         |SELECT k AS partkey, n AS exact_n, cms_est, cms_est - n AS overcount,
         |  (cms_est - n) * 1000000 // n_stream AS over_ppm
         |FROM est, nt ORDER BY exact_n DESC, partkey""".stripMargin,
+
+    // q310: first-match-exclusive routing; the accepted checksum pins
+    // exact membership, not just counts.
+    "q310_quarantine" ->
+      s"""WITH feed AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    CAST(o_custkey AS BIGINT) AS ckey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (-741, NULL, 1000), (-701, 1, 2000), (-701, 1, 2100),
+        |    (-751, -711, 3000), (-721, 2, -12345))
+        |    AS t(okey, ckey, cents)),
+        |dup AS (SELECT okey, count(*) AS m FROM feed GROUP BY 1),
+        |r AS (SELECT f.okey, f.cents,
+        |    CASE WHEN f.ckey IS NULL THEN '1_null_custkey'
+        |      WHEN d.m > 1 THEN '2_dup_orderkey'
+        |      WHEN c.c_custkey IS NULL THEN '3_fk_orphan'
+        |      WHEN f.cents <= 0 THEN '4_nonpositive_amount'
+        |      ELSE '5_accepted' END AS verdict
+        |  FROM feed f JOIN dup d ON f.okey = d.okey
+        |  LEFT JOIN customer c ON f.ckey = CAST(c.c_custkey AS BIGINT))
+        |SELECT verdict, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(okey) AS min_key,
+        |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(CAST(okey AS VARCHAR) || '|' ||
+        |      CAST(cents AS VARCHAR), ''),
+        |    x -> CAST(ascii(x) AS BIGINT))), $FpByteFold)) AS BIGINT)
+        |    AS sum_fp
+        |FROM r GROUP BY verdict ORDER BY verdict""".stripMargin,
 
     // q309: latest-version = max (tx, v) per okey; the three as-of legs
     // replay via row_number within each tx horizon.

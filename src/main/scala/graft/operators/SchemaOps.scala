@@ -525,6 +525,55 @@ object SchemaOps {
       .orderBy($"constraint_id")
   }
 
+  /** X281 — expectation-gate quarantine routing: X247 VERIFIES declared
+    * constraints and reports counts; an ingest pipeline must also
+    * EXECUTE the verdicts — route every row to accepted or to a
+    * quarantine bucket attributed to the FIRST failing rule (exclusive,
+    * X33's partition discipline, so bucket totals reconcile to the feed
+    * exactly). Rules in priority order over the damaged feed: NULL
+    * custkey → duplicate orderkey → FK orphan → non-positive amount →
+    * accepted. Plants reuse X247's disjoint negative-key classes; the
+    * accepted bucket carries a row-fingerprint checksum that pins EXACT
+    * membership (q245's execution discipline — a row routed to the
+    * wrong bucket breaks the hash even when counts balance).
+    *
+    * Scale: duplicate detection is one keyed count joined back on the
+    * uniform key; the FK gate is a broadcast anti-lookup; everything
+    * else is narrow CASE routing + ONE verdict-keyed combinable fold. */
+  def q310QuarantineRoute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    val feed = graft.sources.Tables.load(s, dir, "orders")
+      .select($"o_orderkey".cast("long").as("okey"),
+        $"o_custkey".cast("long").as("ckey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .unionByName(Seq(
+        (-741L, Option.empty[Long], 1000L),
+        (-701L, Some(1L), 2000L), (-701L, Some(1L), 2100L),
+        (-751L, Some(-711L), 3000L),
+        (-721L, Some(2L), -12345L)).toDF("okey", "ckey", "cents"))
+    val dupKeys = feed.groupBy($"okey").agg(count(lit(1)).as("m"))
+      .filter($"m" > 1).select($"okey", lit(1L).as("is_dup"))
+    val custKeys = graft.sources.Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("ckey"), lit(1L).as("ck_ok"))
+    feed
+      .join(dupKeys, Seq("okey"), "left")
+      .join(broadcast(custKeys), Seq("ckey"), "left")
+      .withColumn("verdict",
+        when($"ckey".isNull, "1_null_custkey")
+          .when($"is_dup" === 1L, "2_dup_orderkey")
+          .when($"ck_ok".isNull, "3_fk_orphan")
+          .when($"cents" <= 0L, "4_nonpositive_amount")
+          .otherwise("5_accepted"))
+      .withColumn("fp", expr(
+        """graft_fingerprint(concat(CAST(okey AS STRING), '|',
+          |  CAST(cents AS STRING)))""".stripMargin))
+      .groupBy($"verdict")
+      .agg(count(lit(1)).as("n_rows"), min($"okey").as("min_key"),
+        sum($"fp").as("sum_fp"))
+      .orderBy($"verdict")
+  }
+
   def q147JoinSizeAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def t(n: String) = graft.sources.Tables.load(s, dir, n)

@@ -558,6 +558,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       li.count(t => t._1 == "A" && t._3 != 2L).toLong)
   }
 
+  test("q310: routing is exclusive, exhaustive, and membership-exact") {
+    val rows = graft.operators.SchemaOps.q310QuarantineRoute(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Set("1_null_custkey", "2_dup_orderkey",
+      "3_fk_orphan", "4_nonpositive_amount", "5_accepted"))
+    // each planted class lands in ITS bucket under first-match priority
+    assert(rows("1_null_custkey")._1 == 1L && rows("1_null_custkey")._2 == -741L)
+    assert(rows("2_dup_orderkey")._1 == 2L && rows("2_dup_orderkey")._2 == -701L)
+    assert(rows("3_fk_orphan")._1 == 1L && rows("3_fk_orphan")._2 == -751L)
+    assert(rows("4_nonpositive_amount") == ((1L, -721L,
+      graft.functions.Fingerprint.hashString("-721|-12345")))
+    )
+    // exhaustive: buckets reconcile to the feed (orders + 5 plants)
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.values.map(_._1).sum == nOrders + 5L)
+    // membership-exact: the accepted checksum equals the clean corpus's
+    val keyed = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(o_orderkey AS BIGINT)",
+        "CAST(round(o_totalprice * 100) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), graft.functions.Fingerprint.hashString(
+        s"${r.getLong(0)}|${r.getLong(1)}")))
+    assert(rows("5_accepted") ==
+      ((nOrders, keyed.map(_._1).min, keyed.map(_._2).sum)))
+  }
+
   test("q308: costs replay from independent join counts; cross joins are pruned") {
     val got = graft.operators.SchemaOps.q308JoinOrderAudit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

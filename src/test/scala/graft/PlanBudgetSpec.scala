@@ -391,6 +391,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // skeleton-fp hash agg (2-phase) + orderBy
     "q266_markup_strip" -> 1, // six chained narrow string passes at scan
                              // throughput; only exchange is the orderBy
+    "q310_quarantine" -> 5, // one keyed dup count joined back on the
+                             // uniform okey; broadcast FK lookup; narrow
+                             // CASE routing + ONE verdict fold + orderBy
     "q309_bitemporal" -> 7, // three as-of legs, each ONE entity-keyed
                              // combinable max-struct argmax + a status
                              // rollup (never a corpus window); versions
