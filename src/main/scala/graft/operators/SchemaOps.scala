@@ -750,7 +750,12 @@ object SchemaOps {
       $"o_custkey".as("ckey"))
     val c = t("customer").select($"c_custkey".as("ckey"))
     val p = t("part").select($"p_partkey".as("pkey"))
+    // lo feeds 4 of the 6 sequential count barriers — persist it once so
+    // the lineitem⋈orders shuffle runs ONCE, not four times (the q147
+    // sequential-barrier shape that inflated under a loaded driver run);
+    // released below once the 14-row report is materialized.
     val lo = l.join(o, Seq("okey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cards: Map[Set[String], Long] = Map(
       Set("L", "O") -> lo.count(),
       Set("L", "P") -> l.join(p, Seq("pkey")).count(),
@@ -759,6 +764,7 @@ object SchemaOps {
       Set("L", "O", "P") -> lo.join(p, Seq("pkey")).count(),
       Set("L", "O", "C", "P") ->
         lo.join(c, Seq("ckey")).join(p, Seq("pkey")).count())
+    lo.unpersist(blocking = false)
     val rows = validOrders.map { perm =>
       val cost = (2 to 4).map(k => cards(perm.take(k).toSet)).sum
       (perm.mkString(">"), cost)

