@@ -534,6 +534,7 @@ object SparkEntry {
     "q308_join_order"     -> graft.operators.SchemaOps.q308JoinOrderAudit _,
     "q309_bitemporal"     -> graft.operators.TransferOps.q309Bitemporal _,
     "q310_quarantine"     -> graft.operators.SchemaOps.q310QuarantineRoute _,
+    "q311_chat_contracts" -> EventOps.q311ChatContracts _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5791,6 +5792,76 @@ object SparkEntry {
         |    x -> CAST(ascii(x) AS BIGINT))), $FpByteFold)) AS BIGINT)
         |    AS sum_fp
         |FROM r GROUP BY verdict ORDER BY verdict""".stripMargin,
+
+    // q311: conversations = q54's 30-min gap sessions over events ∪ the
+    // ChatPlant VALUES rows; transcript_fp replays the ORDERED role-
+    // tagged transcript via string_agg(ORDER BY us, event_id) + the
+    // byte-exact fold; detectors are the q81/q246 regexes verbatim.
+    "q311_chat_contracts" ->
+      raw"""WITH base AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+        |    CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us,
+        |    event_type, props FROM events
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(-70101 AS BIGINT), CAST(-701 AS BIGINT), CAST(1000000 AS BIGINT), 'view', '{"q": 1}'),
+        |    (-70102, -701, 2000000, 'purchase', '{"a": 1}'),
+        |    (-70103, -701, 3000000, 'click', '{"q": 2}'),
+        |    (-70104, -701, 4000000, 'purchase', '{"a": 2}'),
+        |    (-70201, -702, 1000000, 'view', 'hello'),
+        |    (-70202, -702, 2000000, 'click', 'are you there'),
+        |    (-70203, -702, 3000000, 'purchase', 'reply'),
+        |    (-70301, -703, 1000000, 'view', 'hi'),
+        |    (-70302, -703, 2000000, 'purchase', ''),
+        |    (-70401, -704, 1000000, 'purchase', 'unprompted greeting'),
+        |    (-70402, -704, 2000000, 'view', 'question'),
+        |    (-70403, -704, 3000000, 'purchase', 'answer'),
+        |    (-70501, -705, 1000000, 'view', 'contact me at alice@example.com'),
+        |    (-70502, -705, 2000000, 'purchase', 'ok will do'),
+        |    (-70503, -705, 3000000, 'click', 'still there'),
+        |    (-70601, -706, 1000000, 'view', 'use token=abcdefghijklmnop1234'),
+        |    (-70602, -706, 2000000, 'purchase', 'done'),
+        |    (-70603, -706, 2002000000, 'view', 'new chat'))
+        |    AS p(event_id, user_id, us, event_type, props)),
+        |r AS (SELECT event_id, user_id, us,
+        |    CASE WHEN event_type = 'purchase' THEN 'assistant'
+        |         WHEN event_type = 'error' THEN 'system'
+        |         ELSE 'user' END AS role,
+        |    coalesce(props, '') AS t
+        |  FROM base),
+        |f AS (SELECT *,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess,
+        |    CASE WHEN lead(us) OVER w IS NULL OR lead(us) OVER w - us > 1800000000
+        |      THEN 1 ELSE 0 END AS is_tail,
+        |    lag(role) OVER w AS prev_role
+        |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS conv_idx FROM f),
+        |a AS (SELECT user_id, conv_idx,
+        |    CAST(count(*) AS BIGINT) AS n_turns,
+        |    CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns,
+        |    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant_turns,
+        |    CAST(sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system_turns,
+        |    CAST(sum(CASE WHEN new_sess = 0 AND prev_role = role THEN 1 ELSE 0 END) AS BIGINT) AS n_same_role_pairs,
+        |    CAST(max(CASE WHEN new_sess = 1 AND role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS opener_bad,
+        |    CAST(max(CASE WHEN is_tail = 1 AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS dangling_tail,
+        |    CAST(sum(CASE WHEN trim(t) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_turns,
+        |    CAST(sum(CASE WHEN regexp_matches(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |      OR regexp_matches(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')
+        |      OR regexp_matches(t, '\d{6,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_turns,
+        |    CAST(sum(CASE WHEN regexp_matches(t, '[0-9a-f]{32,}')
+        |      OR regexp_matches(t, 'AKIA[0-9A-Z]{16}')
+        |      OR regexp_matches(t, '(?i)(?:api_key|secret|token|password)=[A-Za-z0-9+/_-]{16,}')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_secret_turns,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(string_agg(role || ':' || t, chr(10) ORDER BY us, event_id), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS transcript_fp
+        |  FROM g GROUP BY user_id, conv_idx)
+        |SELECT *, CAST(CASE WHEN n_same_role_pairs + opener_bad + dangling_tail
+        |    + n_empty_turns + n_pii_turns + n_secret_turns = 0
+        |  THEN 1 ELSE 0 END AS BIGINT) AS contract_ok
+        |FROM a ORDER BY user_id, conv_idx""".stripMargin,
 
     // q309: latest-version = max (tx, v) per okey; the three as-of legs
     // replay via row_number within each tx horizon.

@@ -1123,4 +1123,120 @@ object EventOps {
       .withColumn("late_ppm", expr("n_late * 1000000 div n_events"))
       .orderBy($"event_type")
   }
+
+  /** q311 planted ground truth (disjoint -701..-706 user range; event ids
+    * -70101..-70603; us anchored at epoch so the plants sit 54 years from
+    * the real 2024 stream but user-disjointness is what isolates them).
+    * One conversation per violation class:
+    *  -701 clean alternation (user/assistant/user/assistant) — ok;
+    *  -702 consecutive same-role pair (user,user,assistant);
+    *  -703 empty assistant turn;
+    *  -704 assistant opener (orphaned response);
+    *  -705 dangling user tail + an email turn (PII gate);
+    *  -706 credential-assignment turn (secret gate) + a SECOND
+    *       conversation after a >30-min gap whose single user turn is a
+    *       dangling tail — exercises the per-conversation split. */
+  private[graft] val ChatPlant: Seq[(Long, Long, Long, String, String)] = Seq(
+    (-70101L, -701L, 1000000L, "view", "{\"q\": 1}"),
+    (-70102L, -701L, 2000000L, "purchase", "{\"a\": 1}"),
+    (-70103L, -701L, 3000000L, "click", "{\"q\": 2}"),
+    (-70104L, -701L, 4000000L, "purchase", "{\"a\": 2}"),
+    (-70201L, -702L, 1000000L, "view", "hello"),
+    (-70202L, -702L, 2000000L, "click", "are you there"),
+    (-70203L, -702L, 3000000L, "purchase", "reply"),
+    (-70301L, -703L, 1000000L, "view", "hi"),
+    (-70302L, -703L, 2000000L, "purchase", ""),
+    (-70401L, -704L, 1000000L, "purchase", "unprompted greeting"),
+    (-70402L, -704L, 2000000L, "view", "question"),
+    (-70403L, -704L, 3000000L, "purchase", "answer"),
+    (-70501L, -705L, 1000000L, "view", "contact me at alice@example.com"),
+    (-70502L, -705L, 2000000L, "purchase", "ok will do"),
+    (-70503L, -705L, 3000000L, "click", "still there"),
+    (-70601L, -706L, 1000000L, "view", "use token=abcdefghijklmnop1234"),
+    (-70602L, -706L, 2000000L, "purchase", "done"),
+    (-70603L, -706L, 2002000000L, "view", "new chat"))
+
+  /** X282 — conversation/chat-turn assembly + contract audit: the flat-
+    * document assumption's blind spot closed. Events become ordered turns
+    * (role from event_type: purchase→assistant, error→system, else user;
+    * turn text from props), conversations are the 30-minute gap sessions
+    * — the IDENTICAL rule as [[q54Sessionize]], asserted by the
+    * reconciliation spec — and every conversation is audited against the
+    * role-alternation contracts a multi-turn training example must hold:
+    * consecutive same-role turns, an assistant opener (orphaned
+    * response), a dangling user tail (question with no reply), empty
+    * turns, and per-turn content gated through the SHARED
+    * [[PiiPatterns]]/[[SecretPatterns]] detectors (q81/q246's
+    * one-definition rule — the audit can never silently diverge from the
+    * scrubbers). `transcript_fp` fingerprints the ORDERED role-tagged
+    * transcript, proving the assembly end to end: any turn reorder, drop,
+    * or role remap breaks the hash against the oracle's ORDER BY
+    * string_agg replay.
+    *
+    * Scale: ONE user_id partitioning carries the session boundary, the
+    * lag/lead contract flags, AND (by the subset-clustering rule) the per-
+    * conversation aggregate — the q54 discipline; detector regexes run
+    * codegen'd per turn at scan throughput; transcripts are session-
+    * bounded (watermark-bounded in the streaming twin's terms), never
+    * corpus-sized. */
+  def q311ChatContracts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    val gapUs = 1800L * 1000000L
+    val plant = s.createDataset(ChatPlant).toDF(
+      "event_id", "user_id", "us", "event_type", "props")
+    val e = ev(s, dir)
+      .select($"event_id", $"user_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_type", $"props")
+      .unionByName(plant)
+      .withColumn("role",
+        when($"event_type" === "purchase", "assistant")
+          .when($"event_type" === "error", "system")
+          .otherwise("user"))
+      .withColumn("t", coalesce($"props", lit("")))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevUs = lag($"us", 1).over(w)
+    val nextUs = lead($"us", 1).over(w)
+    val turns = e
+      .withColumn("new_sess",
+        when(prevUs.isNull || $"us" - prevUs > gapUs, 1L).otherwise(0L))
+      .withColumn("is_tail",
+        when(nextUs.isNull || nextUs - $"us" > gapUs, 1L).otherwise(0L))
+      .withColumn("same_role",
+        when($"new_sess" === 0L && lag($"role", 1).over(w) === $"role", 1L)
+          .otherwise(0L))
+      .withColumn("conv_idx", sum($"new_sess").over(run))
+    val pii = $"t".rlike(PiiPatterns.Email) || $"t".rlike(PiiPatterns.Ipv4) ||
+      $"t".rlike(PiiPatterns.LongNumber)
+    val secret = $"t".rlike(SecretPatterns.HexRun) ||
+      $"t".rlike(SecretPatterns.AwsKeyId) || $"t".rlike(SecretPatterns.CredAssign)
+    turns.groupBy($"user_id", $"conv_idx")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when($"role" === "user", 1L).otherwise(0L)).as("n_user_turns"),
+        sum(when($"role" === "assistant", 1L).otherwise(0L)).as("n_assistant_turns"),
+        sum(when($"role" === "system", 1L).otherwise(0L)).as("n_system_turns"),
+        sum($"same_role").as("n_same_role_pairs"),
+        max(when($"new_sess" === 1L && $"role" === "assistant", 1L)
+          .otherwise(0L)).as("opener_bad"),
+        max(when($"is_tail" === 1L && $"role" === "user", 1L)
+          .otherwise(0L)).as("dangling_tail"),
+        sum(when(length(trim($"t")) === 0, 1L).otherwise(0L)).as("n_empty_turns"),
+        sum(when(pii, 1L).otherwise(0L)).as("n_pii_turns"),
+        sum(when(secret, 1L).otherwise(0L)).as("n_secret_turns"),
+        expr("""graft_fingerprint(concat_ws(char(10),
+          |  transform(array_sort(collect_list(struct(us, event_id, role, t))),
+          |            x -> concat(x.role, ':', x.t))))""".stripMargin)
+          .as("transcript_fp"))
+      .withColumn("contract_ok",
+        when($"n_same_role_pairs" + $"opener_bad" + $"dangling_tail" +
+          $"n_empty_turns" + $"n_pii_turns" + $"n_secret_turns" === 0L, 1L)
+          .otherwise(0L))
+      .select($"user_id", $"conv_idx", $"n_turns", $"n_user_turns",
+        $"n_assistant_turns", $"n_system_turns", $"n_same_role_pairs",
+        $"opener_bad", $"dangling_tail", $"n_empty_turns", $"n_pii_turns",
+        $"n_secret_turns", $"contract_ok", $"transcript_fp")
+      .orderBy($"user_id", $"conv_idx")
+  }
 }

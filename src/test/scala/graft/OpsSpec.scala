@@ -1590,6 +1590,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sess.forall(_._4 >= 0))
   }
 
+  test("chat contracts: conversations reconcile with q54 sessions; plants audited") {
+    import spark.implicits._
+    import graft.ops.EventOps
+    val rows = EventOps.q311ChatContracts(spark, sf).collect()
+    def row(u: Long, c: Long) =
+      rows.find(r => r.getLong(0) == u && r.getLong(1) == c).get
+    // reconciliation: for REAL users the conversation segmentation is
+    // EXACTLY q54's sessionization — same per-user session count.
+    val convPerUser = rows.filter(_.getLong(0) >= 0)
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val sessPerUser = EventOps.q54Sessionize(spark, sf)
+      .select("user_id", "sess_idx").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(convPerUser == sessPerUser,
+      "q311 conversations must segment exactly like q54 sessions")
+    // planted contract violations (disjoint -701..-706 user range)
+    val clean = row(-701L, 1L)
+    assert(clean.getAs[Long]("contract_ok") == 1L &&
+      clean.getAs[Long]("n_turns") == 4L &&
+      clean.getAs[Long]("n_user_turns") == 2L &&
+      clean.getAs[Long]("n_assistant_turns") == 2L)
+    assert(row(-702L, 1L).getAs[Long]("n_same_role_pairs") == 1L)
+    assert(row(-702L, 1L).getAs[Long]("contract_ok") == 0L)
+    assert(row(-703L, 1L).getAs[Long]("n_empty_turns") == 1L)
+    assert(row(-704L, 1L).getAs[Long]("opener_bad") == 1L)
+    assert(row(-704L, 1L).getAs[Long]("dangling_tail") == 0L)
+    val pii = row(-705L, 1L)
+    assert(pii.getAs[Long]("dangling_tail") == 1L &&
+      pii.getAs[Long]("n_pii_turns") == 1L)
+    assert(row(-706L, 1L).getAs[Long]("n_secret_turns") == 1L)
+    val tail = row(-706L, 2L) // >30-min gap split a second conversation
+    assert(tail.getAs[Long]("n_turns") == 1L &&
+      tail.getAs[Long]("dangling_tail") == 1L &&
+      tail.getAs[Long]("opener_bad") == 0L)
+    // ordered-assembly fingerprint: driver replay of -701's transcript
+    val transcript = Seq("user:{\"q\": 1}", "assistant:{\"a\": 1}",
+      "user:{\"q\": 2}", "assistant:{\"a\": 2}").mkString("\n")
+    val expected = transcript.getBytes("UTF-8")
+      .foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    assert(clean.getAs[Long]("transcript_fp") == expected,
+      "transcript fingerprint must replay the ordered role-tagged turns")
+  }
+
   test("range join covers every order at most once") {
     import spark.implicits._
     import graft.operators.Relational

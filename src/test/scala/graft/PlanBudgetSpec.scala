@@ -752,7 +752,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q226_bpe_merges"   -> 1, // bounded trainer job; returned merge
                              // table is pair-fold + orderBy
     "q228_audio_decode" -> 1, // one mapPartitions codec pass; orderBy
-    "q229_semantic_dedup" -> 0 // cluster-bounded persist-then-collect
+    "q229_semantic_dedup" -> 0, // cluster-bounded persist-then-collect
+    "q311_chat_contracts" -> 2 // ONE user_id partitioning carries the
+                             // session boundary, contract lags/leads AND
+                             // the per-conversation agg (subset-
+                             // clustering rule) + orderBy
   )
 
   budgets.foreach { case (name, max) =>
