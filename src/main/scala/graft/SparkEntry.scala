@@ -84,7 +84,28 @@ object SparkEntry {
     * skipping verdicts per predicate), unioned into the 12-row report. */
   private def q294OracleSql: String = {
     val layouts = Seq(("1_natural", "okey"), ("2_by_date", "day, okey"),
-      ("3_by_cust", "ckey, okey"), ("4_zorder", "zval, okey"))
+      ("3_by_cust", "ckey, okey"), ("4_zorder", "zval, okey"),
+      ("5_hilbert", "hval, okey"))
+    // Hilbert xy2d unrolled as 16 chained CTEs (q275's chained-DP
+    // discipline): DuckDB 1.0's list_reduce mis-vectorizes struct
+    // accumulators over multi-row batches (single-row evaluation is
+    // correct; 16 of 64 cells wrong at 8x8 against the reference), so
+    // the recurrence must be column arithmetic, one CTE per level.
+    val hilbert = (15 to 0 by -1).map { i =>
+      val prev = if (i == 15) "hlseed" else s"hl${i + 1}"
+      s"""hl$i AS (SELECT okey, ckey, day, zval,
+         |    CASE WHEN ((hy >> $i) & 1) = 0
+         |      THEN CASE WHEN ((hx >> $i) & 1) = 1 THEN 65535 - hy ELSE hy END
+         |      ELSE hx END AS hx,
+         |    CASE WHEN ((hy >> $i) & 1) = 0
+         |      THEN CASE WHEN ((hx >> $i) & 1) = 1 THEN 65535 - hx ELSE hx END
+         |      ELSE hy END AS hy,
+         |    hd + (CAST(1 AS BIGINT) << ${2 * i}) *
+         |      (CASE WHEN ((hx >> $i) & 1) = 0 AND ((hy >> $i) & 1) = 0 THEN 0
+         |            WHEN ((hx >> $i) & 1) = 0 THEN 1
+         |            WHEN ((hy >> $i) & 1) = 1 THEN 2 ELSE 3 END) AS hd
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
     val blocks = layouts.map { case (n, o) =>
       val t = n.take(1)
       s"""f$t AS (SELECT (CAST(row_number() OVER (ORDER BY $o) AS BIGINT)
@@ -115,12 +136,16 @@ object SparkEntry {
        |    CAST(o_custkey AS BIGINT) AS ckey,
        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate
        |      AS DATE)) AS BIGINT) AS day FROM orders),
-       |z AS MATERIALIZED (SELECT *,
+       |z0 AS (SELECT *,
        |    CAST(list_sum(list_transform(generate_series(0, 15),
        |      i -> (((ckey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
        |         + (((day % 65536) >> i) & 1)
        |           * (CAST(1 AS BIGINT) << (2 * i + 1)))) AS BIGINT) AS zval
        |  FROM b),
+       |hlseed AS (SELECT okey, ckey, day, zval, ckey % 65536 AS hx,
+       |    day % 65536 AS hy, CAST(0 AS BIGINT) AS hd FROM z0),
+       |$hilbert,
+       |z AS MATERIALIZED (SELECT okey, ckey, day, zval, hd AS hval FROM hl0),
        |sel AS (SELECT CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(CASE WHEN day BETWEEN 2000 AND 2029
        |      THEN 1 ELSE 0 END) AS BIGINT) AS r1,
@@ -535,6 +560,8 @@ object SparkEntry {
     "q309_bitemporal"     -> graft.operators.TransferOps.q309Bitemporal _,
     "q310_quarantine"     -> graft.operators.SchemaOps.q310QuarantineRoute _,
     "q311_chat_contracts" -> EventOps.q311ChatContracts _,
+    "q312_kll_quantiles"  -> PipelineOps.q312KllQuantiles _,
+    "q313_loss_masks"     -> PipelineOps.q313LossMasks _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5792,6 +5819,144 @@ object SparkEntry {
         |    x -> CAST(ascii(x) AS BIGINT))), $FpByteFold)) AS BIGINT)
         |    AS sum_fp
         |FROM r GROUP BY verdict ORDER BY verdict""".stripMargin,
+
+    // q313: line-granular loss masks — flags are the q81/q246/q259/q267
+    // detector definitions verbatim; adjacent masked lines coalesce via
+    // gaps-and-islands; spans_fp replays the ordered 'start-end' list and
+    // kept_fp the mask-applied text.
+    "q313_loss_masks" ->
+      raw"""WITH base AS (SELECT doc_id, source, coalesce(text, '') ||
+        |    chr(10) || '(C) ' || source || ' syndication network' ||
+        |    CASE WHEN (doc_id % 3 + 3) % 3 <> 2
+        |      THEN chr(10) || 'subscribe at ' || source || ' daily digest'
+        |      ELSE '' END ||
+        |    chr(10) || 'section ' || CAST((doc_id % 7 + 7) % 7 AS VARCHAR) || ' notes' ||
+        |    CASE WHEN (doc_id % 5 + 5) % 5 = 1
+        |      THEN chr(10) || 'reach me at user' ||
+        |        CAST((doc_id % 1000 + 1000) % 1000 AS VARCHAR) || '@example.com'
+        |    WHEN (doc_id % 5 + 5) % 5 = 2
+        |      THEN chr(10) || 'token=secretvaluepad' ||
+        |        lpad(CAST((doc_id % 1000 + 1000) % 1000 AS VARCHAR), 3, '0')
+        |    WHEN (doc_id % 5 + 5) % 5 = 3
+        |      THEN chr(10) || 'stop <|endoftext|> marker ' ||
+        |        CAST((doc_id % 7 + 7) % 7 AS VARCHAR)
+        |    WHEN (doc_id % 5 + 5) % 5 = 4
+        |      THEN chr(10) || 'reach me at user' ||
+        |        CAST((doc_id % 1000 + 1000) % 1000 AS VARCHAR) || '@example.com' ||
+        |        chr(10) || 'token=secretvaluepad' ||
+        |        lpad(CAST((doc_id % 1000 + 1000) % 1000 AS VARCHAR), 3, '0')
+        |    ELSE '' END AS t2
+        |  FROM documents),
+        |arr AS (SELECT doc_id, source, string_split(t2, chr(10)) AS a FROM base),
+        |l2 AS MATERIALIZED (SELECT doc_id, source, pos,
+        |    a[CAST(pos AS INT) + 1] AS ln
+        |  FROM (SELECT doc_id, source, a,
+        |      unnest(generate_series(CAST(0 AS BIGINT),
+        |        CAST(len(a) - 1 AS BIGINT))) AS pos
+        |    FROM arr)),
+        |srcn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |boiler AS (SELECT f.source, f.ln
+        |  FROM (SELECT source, ln, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM l2 GROUP BY 1, 2) f
+        |  JOIN srcn USING (source)
+        |  WHERE df >= 2 AND df * 1000000 // n_docs >= 200000),
+        |fl AS (SELECT l.doc_id, l.pos, l.ln,
+        |    CASE WHEN b.ln IS NOT NULL THEN 1 ELSE 0 END AS is_boiler,
+        |    CASE WHEN regexp_matches(l.ln, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |      OR regexp_matches(l.ln, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')
+        |      OR regexp_matches(l.ln, '\d{6,}') THEN 1 ELSE 0 END AS is_pii,
+        |    CASE WHEN regexp_matches(l.ln, '[0-9a-f]{32,}')
+        |      OR regexp_matches(l.ln, 'AKIA[0-9A-Z]{16}')
+        |      OR regexp_matches(l.ln, '(?i)(?:api_key|secret|token|password)=[A-Za-z0-9+/_-]{16,}')
+        |      THEN 1 ELSE 0 END AS is_secret,
+        |    CASE WHEN regexp_matches(l.ln, '<[|][a-z_]+[|]>')
+        |      OR regexp_matches(l.ln, '\[/?INST\]|<</?SYS>>')
+        |      OR regexp_matches(l.ln, '<fim_[a-z]+>')
+        |      THEN 1 ELSE 0 END AS is_special
+        |  FROM l2 l LEFT JOIN boiler b ON l.source = b.source AND l.ln = b.ln),
+        |m AS (SELECT *, CASE WHEN is_boiler + is_pii + is_secret + is_special > 0
+        |    THEN 1 ELSE 0 END AS masked FROM fl),
+        |off0 AS (SELECT *, CAST(coalesce(sum(length(ln) + 1) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |  FROM m),
+        |off AS MATERIALIZED (SELECT *, st + length(ln) AS en FROM off0),
+        |isl AS (SELECT *, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM off WHERE masked = 1),
+        |sp AS (SELECT doc_id, grp, min(st) AS sp_start, max(en) AS sp_end
+        |  FROM isl GROUP BY 1, 2),
+        |spa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(sp_end - sp_start) AS BIGINT) AS masked_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(string_agg(CAST(sp_start AS VARCHAR) || '-' ||
+        |        CAST(sp_end AS VARCHAR), ',' ORDER BY sp_start), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS spans_fp
+        |  FROM sp GROUP BY 1),
+        |da AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(masked) AS BIGINT) AS n_masked_lines,
+        |    CAST(sum(is_pii) AS BIGINT) AS n_pii_lines,
+        |    CAST(sum(is_secret) AS BIGINT) AS n_secret_lines,
+        |    CAST(sum(is_special) AS BIGINT) AS n_special_lines,
+        |    CAST(sum(is_boiler) AS BIGINT) AS n_boiler_lines,
+        |    CAST(sum(length(ln)) + count(*) - 1 AS BIGINT) AS total_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(coalesce(string_agg(CASE WHEN masked = 0 THEN ln END,
+        |        chr(10) ORDER BY pos), ''), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS kept_fp
+        |  FROM off GROUP BY 1)
+        |SELECT da.doc_id, n_lines, n_masked_lines,
+        |  coalesce(n_spans, 0) AS n_spans,
+        |  coalesce(masked_chars, 0) AS masked_chars, total_chars,
+        |  coalesce(masked_chars, 0) * 1000000 // total_chars AS mask_ppm,
+        |  n_pii_lines, n_secret_lines, n_special_lines, n_boiler_lines,
+        |  coalesce(spans_fp, 0) AS spans_fp, kept_fp
+        |FROM da LEFT JOIN spa USING (doc_id) ORDER BY da.doc_id""".stripMargin,
+
+    // q312: the deterministic MRL/KLL compactor replays exactly — per
+    // bucket b (id mod 64), level L_b = bitlen((n_b-1)//128) keeps value-
+    // ranks ≡ 1 (mod 2^L_b) with tail-exact weights; estimates read the
+    // first cumulative weight >= d*n/10 + 1; bound = Σ 2^L_b.
+    "q312_kll_quantiles" ->
+      """WITH base AS MATERIALIZED (SELECT
+        |    CAST(l_orderkey AS BIGINT) * 8 + CAST(l_linenumber AS BIGINT) AS id,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |bk AS MATERIALIZED (SELECT *, id % 64 AS b FROM base),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY b ORDER BY cents, id) AS BIGINT) AS br FROM bk),
+        |c AS (SELECT b, CAST(count(*) AS BIGINT) AS n_b FROM bk GROUP BY b),
+        |lv AS MATERIALIZED (SELECT b, n_b, CASE WHEN n_b <= 128 THEN CAST(1 AS BIGINT)
+        |      ELSE (CAST(1 AS BIGINT) << CAST(length(bin((n_b - 1) // 128)) AS INT)) END AS pow2
+        |  FROM c),
+        |kept AS (SELECT r.cents, r.id, least(lv.pow2, lv.n_b - r.br + 1) AS w
+        |  FROM r JOIN lv ON r.b = lv.b WHERE (r.br - 1) % lv.pow2 = 0),
+        |cum AS (SELECT *, CAST(sum(w) OVER (ORDER BY cents, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw FROM kept),
+        |g AS MATERIALIZED (SELECT cents, id,
+        |    CAST(row_number() OVER (ORDER BY cents, id) AS BIGINT) AS rn FROM base),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |bd AS (SELECT CAST(sum(pow2) AS BIGINT) AS bound FROM lv),
+        |t AS MATERIALIZED (SELECT CAST(d AS BIGINT) AS decile,
+        |    (CAST(d AS BIGINT) * n) // 10 + 1 AS target_rank, n
+        |  FROM generate_series(1, 9) s(d), nn),
+        |es AS (SELECT t.decile, t.target_rank, t.n,
+        |    arg_min(k.cents, k.cumw) AS sketch_cents,
+        |    arg_min(k.id, k.cumw) AS est_id
+        |  FROM t JOIN cum k ON k.cumw >= t.target_rank
+        |  GROUP BY t.decile, t.target_rank, t.n),
+        |ex AS (SELECT t2.decile, g.cents AS exact_cents
+        |  FROM t t2 JOIN g ON g.rn = t2.target_rank),
+        |er AS (SELECT es.decile, min(g.rn) AS est_rank
+        |  FROM es JOIN g ON g.id = es.est_id AND g.cents = es.sketch_cents
+        |  GROUP BY es.decile)
+        |SELECT es.decile, ex.exact_cents, es.sketch_cents, es.target_rank,
+        |  er.est_rank, er.est_rank - es.target_rank AS err_rank,
+        |  abs(er.est_rank - es.target_rank) * 1000000 // es.n AS abs_err_ppm,
+        |  bd.bound * 1000000 // es.n AS bound_ppm,
+        |  CAST(CASE WHEN abs(er.est_rank - es.target_rank) <= bd.bound
+        |    THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        |FROM es JOIN ex ON ex.decile = es.decile
+        |JOIN er ON er.decile = es.decile, bd
+        |ORDER BY es.decile""".stripMargin,
 
     // q311: conversations = q54's 30-min gap sessions over events ∪ the
     // ChatPlant VALUES rows; transcript_fp replays the ORDERED role-

@@ -411,14 +411,17 @@ object PipelineOps {
   /** X265 — sort-layout sweep / min-max skipping effectiveness: X44 lays
     * the table out in ONE order; this is the decision tool that says
     * WHICH order to ship — for each candidate layout (write order,
-    * date-sorted, customer-sorted, z-order over both), tile the table
-    * into 64 equal files, record per-file (min, max) zone maps of the
-    * probe columns, and measure how many files each of three predicate
-    * shapes (date range, key range, conjunction) must read under
-    * standard min-max skipping — against the predicate's TRUE row
+    * date-sorted, customer-sorted, z-order and Hilbert order over both),
+    * tile the table into 64 equal files, record per-file (min, max) zone
+    * maps of the probe columns, and measure how many files each of three
+    * predicate shapes (date range, key range, conjunction) must read
+    * under standard min-max skipping — against the predicate's TRUE row
     * selectivity. The verdict pattern engines live by: a single-column
     * sort prunes its own column to ~selectivity and does nothing for the
-    * other; z-order pays a little on each to serve both.
+    * other; z-order pays a little on each to serve both; Hilbert (the
+    * published integer xy2d transform) preserves locality strictly
+    * better than Morton in the worst case — the sweep exists precisely
+    * to measure that folklore on this table's zone maps.
     *
     * Scale: per layout ONE GlobalOrder range shuffle (the same shuffle
     * the actual write would pay) + a 64-row zone-map aggregate;
@@ -427,12 +430,12 @@ object PipelineOps {
     * comparison instead of folklore. */
   def q294LayoutSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // base feeds 5 consumers (the selectivity fold + one GlobalOrder
+    // base feeds 6 consumers (the selectivity fold + one GlobalOrder
     // pass per layout) — persist once so each layout's range shuffle
-    // reads the computed frame instead of re-deriving the scan + Morton
-    // fold (6.4 s un-persisted → 4.9 s at sf0.1; the rest is the four
-    // deliberate write-shaped range shuffles); released after the
-    // report collects
+    // reads the computed frame instead of re-deriving the scan + the
+    // Morton/Hilbert folds (6.4 s un-persisted → 4.9 s at sf0.1; the
+    // rest is the five deliberate write-shaped range shuffles);
+    // released after the report collects
     val base = Tables.load(s, dir, "orders")
       .select($"o_orderkey".cast("long").as("okey"),
         $"o_custkey".cast("long").as("ckey"),
@@ -442,6 +445,35 @@ object PipelineOps {
           |  (acc, i) -> acc + shiftleft(shiftright(ckey % 65536, i) & 1, 2 * i)
           |    + shiftleft(shiftright(day % 65536, i) & 1, 2 * i + 1))"""
           .stripMargin))
+      // published integer Hilbert xy2d (the classic MSB-first
+      // rotate/flip loop) as ONE sequential fold with struct state —
+      // NOT 16 chained withColumns, which would collapse into a single
+      // projection and double the inlined expression tree per level
+      // (the q235 trap, here 2^16-fold). The DuckDB oracle unrolls the
+      // same recurrence as 16 chained CTEs instead: its list_reduce
+      // mis-vectorizes struct accumulators in multi-row batches
+      // (verified against the reference implementation; single-row is
+      // correct, 16/64 cells wrong at 8x8).
+      .withColumn("hval", expr(
+        """aggregate(sequence(15, 0, -1),
+          |  named_struct('x', ckey % 65536, 'y', day % 65536,
+          |               'd', CAST(0 AS BIGINT)),
+          |  (a, i) -> named_struct(
+          |    'x', CASE WHEN (shiftright(a.y, i) & 1) = 0
+          |      THEN (CASE WHEN (shiftright(a.x, i) & 1) = 1
+          |            THEN 65535 - a.y ELSE a.y END)
+          |      ELSE a.x END,
+          |    'y', CASE WHEN (shiftright(a.y, i) & 1) = 0
+          |      THEN (CASE WHEN (shiftright(a.x, i) & 1) = 1
+          |            THEN 65535 - a.x ELSE a.x END)
+          |      ELSE a.y END,
+          |    'd', a.d + shiftleft(CAST(1 AS BIGINT), 2 * i) *
+          |      (CASE WHEN (shiftright(a.x, i) & 1) = 0
+          |              AND (shiftright(a.y, i) & 1) = 0 THEN CAST(0 AS BIGINT)
+          |            WHEN (shiftright(a.x, i) & 1) = 0 THEN CAST(1 AS BIGINT)
+          |            WHEN (shiftright(a.y, i) & 1) = 1 THEN CAST(2 AS BIGINT)
+          |            ELSE CAST(3 AS BIGINT) END)),
+          |  a -> a.d)""".stripMargin))
       .persist()
     val preds = Seq(
       ("p_date", (mnD: Column, mxD: Column, _: Column, _: Column) =>
@@ -463,7 +495,8 @@ object PipelineOps {
       ("1_natural", Seq($"okey")),
       ("2_by_date", Seq($"day", $"okey")),
       ("3_by_cust", Seq($"ckey", $"okey")),
-      ("4_zorder", Seq($"zval", $"okey")))
+      ("4_zorder", Seq($"zval", $"okey")),
+      ("5_hilbert", Seq($"hval", $"okey")))
     val rows = layouts.flatMap { case (lname, order) =>
       val (numbered, total) = graft.operators.GlobalOrder
         .withRowNumberAndTotal(base, order, "rn")
@@ -1347,6 +1380,133 @@ object PipelineOps {
     rows.reduce(_ unionByName _).orderBy($"k")
   }
 
+  /** q312's per-shard deterministic compactor summaries (MRL/KLL
+    * "compact-from-exact" form): items hash to `shards` buckets; a bucket
+    * of n_b items compacts L_b times with L_b minimal s.t.
+    * n_b <= cap * 2^L_b, keeping its value-ranks ≡ 1 (mod 2^L_b) with
+    * tail-exact weights min(2^L_b, n_b - r + 1) — so per-bucket weights
+    * sum to n_b EXACTLY and any cumulative-weight rank estimate is off by
+    * at most 2^L_b - 1 per bucket (the deterministic MRL bound; no coin
+    * flips, which is what lets a second engine replay the sketch
+    * bit-for-bit). Returns (summary rows (cents, id, weight) sorted by
+    * (cents, id), total n, bound = Σ_b 2^L_b ≥ any estimate's rank
+    * error).
+    *
+    * Per-bucket ranks come from ONE GlobalOrder pass over (bucket, value,
+    * id) minus broadcast bucket offsets — never a |shards|-partition
+    * window over the corpus. In production the shards ARE the storage
+    * shards and each summary folds from its shard's local sort with no
+    * shuffle at all; the deterministic bucket assignment here exists so
+    * two engines build the identical sketch. */
+  private[graft] def kllSummary(base: DataFrame, shards: Int, cap: Int)
+      : (Array[(Long, Long, Long)], Long, Long) = {
+    val s = base.sparkSession
+    import s.implicits._
+    val bucketed = base.withColumn("bk", pmod($"id", lit(shards.toLong)))
+    val (num, n) = graft.operators.GlobalOrder.withRowNumberAndTotal(
+      bucketed, Seq($"bk", $"cents", $"id"), "grn")
+    val counts = bucketed.groupBy($"bk").agg(count(lit(1)).as("n_b"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val meta = counts.map { case (bk, nB) =>
+      val lvl = if (nB <= cap) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros((nB - 1) / cap)
+      (bk, offsets(bk), nB, 1L << lvl)
+    }
+    val bound = meta.map(_._4).sum
+    val metaDf = meta.toSeq.toDF("bk", "off", "n_b", "pow2")
+    val summary = num.join(broadcast(metaDf), Seq("bk"))
+      .withColumn("br", $"grn" - $"off")
+      .filter(($"br" - 1) % $"pow2" === 0)
+      .select($"cents", $"id", least($"pow2", $"n_b" - $"br" + 1).as("w"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    (summary, n, bound)
+  }
+
+  /** X283 — portable KLL-class mergeable quantile sketch + measured rank
+    * error: completes the portable-sketch suite (q279 membership, q282
+    * cardinality, q283 point frequency, q293 set similarity — and now
+    * QUANTILES, the sketch a 100 TB pipeline needs most: q91's exact
+    * deciles pay a full corpus range shuffle; this answers the same
+    * deciles from Σ_shards ≤ cap weighted items). Deterministic
+    * compactor summaries per shard ([[kllSummary]] — the MRL
+    * "keep-every-2^L-th with tail-exact weights" form, every step
+    * replayable by a second engine), merged by weighted union; each
+    * decile's estimate is the first summary item whose cumulative weight
+    * reaches the target rank. The audit puts estimate and exact value
+    * side by side with the estimate's TRUE rank, its raw rank error, and
+    * the sketch's own DETERMINISTIC bound Σ_b 2^L_b — within_bound == 1
+    * everywhere is the certificate (14400 ppm bound at sf0.01's 60k rows,
+    * cap 128 × 64 shards; measured |error| ~5700-7500 ppm, and one-sided:
+    * start-of-block representatives make cumulative weight an
+    * OVERcount of items ≤ v, so estimates land at-or-below the target
+    * rank — the deterministic form trades KLL's random-offset
+    * unbiasedness for two-engine replayability and keeps the same
+    * worst-case bound). The merge
+    * property (q293's discipline: half-sketches union to a valid sketch
+    * with summed bounds) is spec-pinned on real id-parity halves.
+    *
+    * Scale: the sketch lane is one narrow projection + ONE GlobalOrder
+    * pass (deterministic-replay cost only: production shards fold
+    * locally) into a ≤ shards·cap bounded frame; the exact lane (q91's
+    * range shuffle) exists BECAUSE this is the calibration audit —
+    * production ships the sketch alone. Report is 9 rows, collect-local
+    * (q294's idiom). */
+  def q312KllQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shards = 64
+    val cap = 128
+    val base = Tables.load(s, dir, "lineitem")
+      .select(($"l_orderkey".cast("long") * 8 +
+        $"l_linenumber".cast("long")).as("id"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val (summary, n, bound) = kllSummary(base, shards, cap)
+    // driver merge of the (already-unioned) weighted summaries: running
+    // cumulative weight in (cents, id) order; estimate for target t = the
+    // first item with cumw >= t. Σ weights == n exactly, so every target
+    // d*n/10 + 1 <= n is covered.
+    val targets = (1 to 9).map(d => d.toLong -> ((d * n) / 10 + 1)).toMap
+    var cumw = 0L
+    val cum = summary.map { case (c, i, w) => cumw += w; (c, i, cumw) }
+    val est = targets.map { case (d, t) =>
+      val (c, i, _) = cum(cum.indexWhere(_._3 >= t))
+      d -> (c, i)
+    }
+    // exact values at the target ranks + TRUE ranks of the estimates:
+    // one GlobalOrder pass by (cents, id), filtered to 18 rows.
+    val (glob, _) = graft.operators.GlobalOrder.withRowNumberAndTotal(
+      base, Seq($"cents", $"id"), "rn")
+    val estIds = est.values.map(_._2).toSeq
+    val tRanks = targets.values.toSeq
+    val lookup = glob
+      .filter($"rn".isin(tRanks: _*) || $"id".isin(estIds: _*))
+      .select($"id", $"cents", $"rn")
+      .as[(Long, Long, Long)].collect()
+    val byRank = lookup.map(r => r._3 -> r._2).toMap
+    import org.apache.spark.sql.types._
+    LocalReport.frame(s, (1 to 9).map { d =>
+      val t = targets(d.toLong)
+      val (estC, estId) = est(d.toLong)
+      // (orderkey, linenumber) is NOT unique in this corpus (q288's
+      // lesson): the estimate's TRUE rank is the MIN rank of its
+      // duplicate (cents, id) group — invariant to which duplicate row
+      // received which row number on either engine.
+      val estRank = lookup.collect {
+        case (i, c, rn) if i == estId && c == estC => rn
+      }.min
+      val err = estRank - t
+      org.apache.spark.sql.Row(d.toLong, byRank(t), estC, t, estRank, err,
+        math.abs(err) * 1000000L / n, bound * 1000000L / n,
+        if (math.abs(err) <= bound) 1L else 0L)
+    },
+      ("decile", LongType), ("exact_cents", LongType),
+      ("sketch_cents", LongType), ("target_rank", LongType),
+      ("est_rank", LongType), ("err_rank", LongType),
+      ("abs_err_ppm", LongType), ("bound_ppm", LongType),
+      ("within_bound", LongType))
+  }
+
   /** X252 — portable HyperLogLog + measured estimation error: q279's
     * cardinality sibling. X28 USES Spark's built-in HLL++; this BUILDS the
     * sketch from first principles in portable integer arithmetic —
@@ -2134,6 +2294,11 @@ object PipelineOps {
   private[graft] val ChatMarkers = """\[/?INST\]|<</?SYS>>"""
   private[graft] def chatMarkersSparkLit: String = ChatMarkers.replace("\\", "\\\\")
 
+  /** The other two q259 detector classes, single definitions shared with
+    * q313's span annotator (no escapes — safe inline in both engines). */
+  private[graft] val ReservedTokens = "<[|][a-z_]+[|]>"
+  private[graft] val FimSentinels = "<fim_[a-z]+>"
+
   def q259SpecialTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
@@ -2147,14 +2312,126 @@ object PipelineOps {
           .otherwise(lit("")),
         lit(" end")))
       .select($"doc_id",
-        size(expr("regexp_extract_all(t2, '<[|][a-z_]+[|]>', 0)"))
+        size(expr(s"regexp_extract_all(t2, '$ReservedTokens', 0)"))
           .cast("long").as("n_reserved"),
         size(expr(s"regexp_extract_all(t2, '$chatMarkersSparkLit', 0)"))
           .cast("long").as("n_chat_markers"),
-        size(expr("regexp_extract_all(t2, '<fim_[a-z]+>', 0)"))
+        size(expr(s"regexp_extract_all(t2, '$FimSentinels', 0)"))
           .cast("long").as("n_fim"))
       .withColumn("has_special",
         when($"n_reserved" + $"n_chat_markers" + $"n_fim" > 0, 1L).otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
+  /** X284 — loss-masking span annotation: the non-destructive output
+    * contract modern training pipelines want — KEEP the text, emit
+    * (masked char ranges, reason) per document, and let the trainer zero
+    * the loss over the spans instead of shredding the bytes (q81/q260/
+    * q267 redact or strip; this ANNOTATES). Masking is line-granular:
+    * a line masks if it trips the shared PII regexes ([[PiiPatterns]]),
+    * the shared secret regexes ([[SecretPatterns]]), the shared
+    * special-token detectors (q259's [[ReservedTokens]]/[[ChatMarkers]]/
+    * [[FimSentinels]]), or q267's frequent-line boilerplate rule
+    * (df >= 2 and >= [[DedupOps.LineBoilerThresholdPpm]] of the source)
+    * — ONE definition per detector, so the annotator can never silently
+    * diverge from the scrubbers it composes. Adjacent masked lines
+    * COALESCE into maximal spans (q138's interval-union idea as
+    * gaps-and-islands); `spans_fp` fingerprints the ordered
+    * 'start-end' list and `kept_fp` the mask-APPLIED text, so the oracle
+    * pins both the annotation and its application. Plants (by doc_id mod
+    * 5): an email line, a credential line, a special-token line, and the
+    * email+credential ADJACENT pair that must coalesce to one span; an
+    * id-salted 'section' line separates the always-boiler header block
+    * from the plant block so islands are genuinely plural.
+    *
+    * Scale: the line frame is a narrow explode; the boilerplate fold is
+    * ONE (source, line) aggregate joined back broadcast (q267's shape);
+    * offsets, islands, span agg and doc agg all ride ONE doc_id
+    * partitioning (filter preserves it; grouping keys are supersets).
+    * Nothing pairwise, nothing corpus-sized on the driver. */
+  def q313LossMasks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val idm = (k: Long) => pmod($"doc_id", lit(k))
+    val emailLine = concat(lit("\nreach me at user"),
+      idm(1000L).cast("string"), lit("@example.com"))
+    val secretLine = concat(lit("\ntoken=secretvaluepad"),
+      lpad(idm(1000L).cast("string"), 3, "0"))
+    val base = docs(s, dir).select($"doc_id", $"source",
+      concat(coalesce($"text", lit("")),
+        lit("\n(C) "), $"source", lit(" syndication network"),
+        when(idm(3L) =!= 2L,
+          concat(lit("\nsubscribe at "), $"source", lit(" daily digest")))
+          .otherwise(lit("")),
+        concat(lit("\nsection "), idm(7L).cast("string"), lit(" notes")),
+        when(idm(5L) === 1L, emailLine)
+          .when(idm(5L) === 2L, secretLine)
+          .when(idm(5L) === 3L, concat(lit("\nstop <|endoftext|> marker "),
+            idm(7L).cast("string")))
+          .when(idm(5L) === 4L, concat(emailLine, secretLine))
+          .otherwise(lit(""))).as("t2"))
+    val lines = base.select($"doc_id", $"source",
+      posexplode(split($"t2", "\n", -1)).as(Seq("pos", "ln")))
+    val srcN = docs(s, dir).groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+    val boiler = lines.groupBy($"source", $"ln")
+      .agg(countDistinct($"doc_id").as("df"))
+      .join(broadcast(srcN), Seq("source"))
+      .filter($"df" >= 2 && expr(
+        s"df * 1000000 div n_docs >= ${DedupOps.LineBoilerThresholdPpm}"))
+      .select($"source", $"ln", lit(1L).as("bhit"))
+    val flagged = lines
+      .join(broadcast(boiler), Seq("source", "ln"), "left")
+      .withColumn("is_boiler", $"bhit".isNotNull)
+      .withColumn("is_pii", $"ln".rlike(PiiPatterns.Email) ||
+        $"ln".rlike(PiiPatterns.Ipv4) || $"ln".rlike(PiiPatterns.LongNumber))
+      .withColumn("is_secret", $"ln".rlike(SecretPatterns.HexRun) ||
+        $"ln".rlike(SecretPatterns.AwsKeyId) ||
+        $"ln".rlike(SecretPatterns.CredAssign))
+      .withColumn("is_special", $"ln".rlike(ReservedTokens) ||
+        $"ln".rlike(ChatMarkers) || $"ln".rlike(FimSentinels))
+      .withColumn("masked",
+        $"is_boiler" || $"is_pii" || $"is_secret" || $"is_special")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val withOff = flagged
+      .withColumn("st", coalesce(sum((length($"ln") + 1).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("en", $"st" + length($"ln").cast("long"))
+    val spans = withOff.filter($"masked")
+      .withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"st").as("sp_start"), max($"en").as("sp_end"))
+    val spanAgg = spans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"sp_end" - $"sp_start").as("masked_chars"),
+        expr("""graft_fingerprint(array_join(transform(
+          |  array_sort(collect_list(struct(sp_start, sp_end))),
+          |  x -> concat(CAST(x.sp_start AS STRING), '-',
+          |              CAST(x.sp_end AS STRING))), ','))""".stripMargin)
+          .as("spans_fp"))
+    val docAgg = withOff.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"masked", 1L).otherwise(0L)).as("n_masked_lines"),
+        sum(when($"is_pii", 1L).otherwise(0L)).as("n_pii_lines"),
+        sum(when($"is_secret", 1L).otherwise(0L)).as("n_secret_lines"),
+        sum(when($"is_special", 1L).otherwise(0L)).as("n_special_lines"),
+        sum(when($"is_boiler", 1L).otherwise(0L)).as("n_boiler_lines"),
+        (sum(length($"ln").cast("long")) + count(lit(1)) - 1)
+          .as("total_chars"),
+        expr("""graft_fingerprint(coalesce(array_join(transform(
+          |  array_sort(collect_list(CASE WHEN NOT masked
+          |    THEN struct(pos, ln) END)),
+          |  x -> x.ln), char(10)), ''))""".stripMargin).as("kept_fp"))
+    docAgg.join(spanAgg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_lines", $"n_masked_lines",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"masked_chars", lit(0L)).as("masked_chars"),
+        $"total_chars",
+        expr("coalesce(masked_chars, 0L) * 1000000 div total_chars")
+          .as("mask_ppm"),
+        $"n_pii_lines", $"n_secret_lines", $"n_special_lines",
+        $"n_boiler_lines",
+        coalesce($"spans_fp", lit(0L)).as("spans_fp"), $"kept_fp")
       .orderBy($"doc_id")
   }
 

@@ -729,6 +729,114 @@ object EventStream {
       }
   }
 
+  final case class ChatConv(user_id: Long, conv_idx: Long, n_turns: Long,
+      n_user_turns: Long, n_assistant_turns: Long, n_system_turns: Long,
+      n_same_role_pairs: Long, opener_bad: Long, dangling_tail: Long,
+      n_empty_turns: Long, n_pii_turns: Long, n_secret_turns: Long,
+      contract_ok: Long, transcript_fp: Long)
+
+  // (us, event_id, event_type, props) pending turns + conversations
+  // already closed for this user (the batch conv_idx is the ordinal over
+  // the user's full history; sessions close in watermark order, so a
+  // running counter reproduces it)
+  final case class ChatState(pending: List[(Long, Long, String, String)],
+      closed: Long)
+
+  /** X285 — streaming chat-contract gate: q311's real-stream twin. Turns
+    * buffer per user exactly like [[sessionize]] (same 30-minute gap,
+    * same watermark-finalization rule: a conversation closes when the
+    * watermark passes its last turn + gap), and each CLOSED conversation
+    * emits the IDENTICAL audit row as the oracle-gated batch operator —
+    * same role map, same shared [[graft.ops.PiiPatterns]]/
+    * [[graft.ops.SecretPatterns]] detectors, same transcript fingerprint
+    * over the ordered role-tagged turns (StreamingSpec pins the finalize
+    * output row-identical to the q311 frame). State is watermark-bounded:
+    * pending turns of at most one open conversation window per user plus
+    * one counter. */
+  def chatContractGate(events: Dataset[Event], gapMinutes: Int = 30)
+      : Dataset[ChatConv] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    // compiled once on the driver, shipped serialized (java Pattern is
+    // Serializable) — q254's lesson: never acquire per row what a
+    // prologue can own
+    val piiPat = Seq(graft.ops.PiiPatterns.Email, graft.ops.PiiPatterns.Ipv4,
+      graft.ops.PiiPatterns.LongNumber).map(java.util.regex.Pattern.compile)
+    val secretPat = Seq(graft.ops.SecretPatterns.HexRun,
+      graft.ops.SecretPatterns.AwsKeyId, graft.ops.SecretPatterns.CredAssign)
+      .map(java.util.regex.Pattern.compile)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ChatState, ChatConv](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[ChatState]) =>
+          val wmUs =
+            try {
+              val ms = state.getCurrentWatermarkMs()
+              if (ms <= 0L) 0L else ms * 1000L
+            } catch { case _: UnsupportedOperationException => Long.MaxValue }
+          val st0 = state.getOption.getOrElse(ChatState(Nil, 0L))
+          val incoming = rows.map(e => (micros(e.ts), e.event_id,
+            e.event_type, Option(e.props).getOrElse(""))).toList
+          val all = (st0.pending ++ incoming).sortBy(t => (t._1, t._2))
+          val convs = scala.collection.mutable.ListBuffer
+            .empty[Vector[(Long, Long, String, String)]]
+          var cur = Vector.empty[(Long, Long, String, String)]
+          all.foreach { p =>
+            if (cur.nonEmpty && p._1 - cur.last._1 > gapUs) {
+              convs += cur; cur = Vector(p)
+            } else cur = cur :+ p
+          }
+          if (cur.nonEmpty) convs += cur
+          val (closed, open) = convs.partition(c => c.last._1 + gapUs <= wmUs)
+          if (open.isEmpty) {
+            // keep the ordinal counter alive on a real stream (a later
+            // conversation must not restart at conv_idx 1); the batch
+            // path (wm = +inf) finalizes everything in one invocation
+            // and can drop state entirely
+            if (wmUs != Long.MaxValue && st0.closed + closed.size > 0L)
+              state.update(ChatState(Nil, st0.closed + closed.size))
+            else state.remove()
+          } else {
+            state.update(ChatState(open.flatten.toList,
+              st0.closed + closed.size))
+            state.setTimeoutTimestamp(open.map(_.last._1).max / 1000L +
+              gapMinutes * 60L * 1000L + 1L)
+          }
+          def role(et: String): String =
+            if (et == "purchase") "assistant"
+            else if (et == "error") "system" else "user"
+          def find(pats: Seq[java.util.regex.Pattern], s: String): Boolean =
+            pats.exists(_.matcher(s).find())
+          closed.iterator.zipWithIndex.map { case (c, i) =>
+            val roles = c.map(t => role(t._3))
+            val texts = c.map(_._4)
+            val samePairs = roles.sliding(2).count {
+              case Seq(a, b) => a == b
+              case _ => false
+            }.toLong
+            val opener = if (roles.head == "assistant") 1L else 0L
+            val tail = if (roles.last == "user") 1L else 0L
+            val empty = texts.count(_.trim.isEmpty).toLong
+            val pii = texts.count(find(piiPat, _)).toLong
+            val secret = texts.count(find(secretPat, _)).toLong
+            val fp = graft.functions.Fingerprint.hashString(
+              roles.zip(texts).map { case (r, t) => s"$r:$t" }.mkString("\n"))
+            ChatConv(userId, st0.closed + i + 1L, c.size.toLong,
+              roles.count(_ == "user").toLong,
+              roles.count(_ == "assistant").toLong,
+              roles.count(_ == "system").toLong,
+              samePairs, opener, tail, empty, pii, secret,
+              if (samePairs + opener + tail + empty + pii + secret == 0L) 1L
+              else 0L,
+              fp)
+          }
+      }
+  }
+
   def blocklistGate(docs: DataFrame, blocklist: DataFrame): DataFrame = {
     val blocked: Array[String] = blocklist
       .select(col("domain").cast("string")).collect().map(_.getString(0))

@@ -543,7 +543,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = PipelineOps.q294LayoutSweep(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
-    assert(got.size == 12)
+    assert(got.size == 15)
     // soundness: a predicate with matching rows always hits >= 1 file
     got.foreach { case (k, (nf, hit, rowsPpm)) =>
       assert(nf == 64L, k)
@@ -555,6 +555,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(("3_by_cust", "p_cust"))._2 < got(("1_natural", "p_cust"))._2)
     assert(got(("4_zorder", "p_date"))._2 < got(("1_natural", "p_date"))._2)
     assert(got(("4_zorder", "p_cust"))._2 < got(("1_natural", "p_cust"))._2)
+    // Hilbert serves both probes too, and in AGGREGATE reads fewer
+    // files than Morton over the predicate suite (47 vs 61 at sf0.001,
+    // 19 vs 29 at sf0.01) — the locality advantage is an average-case
+    // property; per-predicate zone maps can go either way (p_date at
+    // sf0.001 measures 4 vs 2), which is exactly why the sweep measures
+    // instead of assuming
+    assert(got(("5_hilbert", "p_date"))._2 < got(("1_natural", "p_date"))._2)
+    assert(got(("5_hilbert", "p_cust"))._2 < got(("1_natural", "p_cust"))._2)
+    val ps = Seq("p_date", "p_cust", "p_both")
+    assert(ps.map(p => got(("5_hilbert", p))._2).sum <=
+      ps.map(p => got(("4_zorder", p))._2).sum,
+      "hilbert must not read more total files than z-order over the suite")
+    // Hilbert index replay: the published xy2d loop, driver-side
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0 % 65536L, y0 % 65536L, 0L)
+      var s = 32768L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = 65535L - x; y = 65535L - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
     // replay the by_date layout's zone maps and hit count from raw rows
     val rows = spark.read.parquet(s"$sf/orders.parquet")
       .selectExpr("CAST(o_orderkey AS BIGINT) AS okey",
@@ -572,6 +600,16 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(("2_by_date", "p_date"))._2 == hits.toLong)
     val exact = rows.count(r => r._3 >= 2000L && r._3 <= 2029L).toLong
     assert(got(("2_by_date", "p_date"))._3 == exact * 1000000L / n)
+    // replay the HILBERT layout's hit count for p_cust from raw rows
+    val hSorted = rows.sortBy(r => (xy2d(r._2, r._3), r._1))
+    val hHits = hSorted.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 64L / n }
+      .values.count { f =>
+        val cs = f.map(_._1._2)
+        !(cs.max < 40L || cs.min > 49L)
+      }
+    assert(got(("5_hilbert", "p_cust"))._2 == hHits.toLong,
+      "hilbert zone-map hits must replay from the reference xy2d")
   }
 
   test("q291: planted uplift reads significant, the A/A control does not; replay exact") {
@@ -675,5 +713,136 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("lineitem_pk")._3 == estimate(li.map(p => p._1 * 8L + p._2).toSet))
     assert(rows("lineitem_fk")._1 == li.length.toLong) // dups were observed
     assert(rows("lineitem_fk")._2 == li.map(_._1).distinct.length.toLong)
+  }
+
+  test("q312: KLL summary compacts, totals n, bounds hold, and MERGES on real halves") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((col("l_orderkey").cast("long") * 8 +
+        col("l_linenumber").cast("long")).as("id"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val all = base.collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy(identity) // (cents, id) total order
+    val n = all.length.toLong
+    // true rank of a (cents, id) pair = items strictly below it + 1
+    // (duplicate-invariant — the q288 non-unique-id lesson)
+    def trueRank(p: (Long, Long)): Long =
+      all.count(x => x._1 < p._1 || (x._1 == p._1 && x._2 < p._2)) + 1L
+    def estimate(sum: Array[(Long, Long, Long)], t: Long): (Long, Long) = {
+      var cw = 0L
+      val hit = sum.find { case (_, _, w) => cw += w; cw >= t }.get
+      (hit._1, hit._2)
+    }
+    // cap 16 forces REAL compaction at sf0.001 (n_b ~94 -> level 3;
+    // the shipped cap 128 only compacts from sf0.01 up)
+    val (s16, n16, bound16) = graft.ops.PipelineOps.kllSummary(base, 64, 16)
+    assert(n16 == n)
+    assert(s16.map(_._3).sum == n, "tail-exact weights must total n")
+    assert(s16.length <= 64 * 16, "summary must respect shards*cap")
+    assert(s16.exists(_._3 > 1L), "cap 16 must actually compact at this SF")
+    val targets = (1 to 9).map(d => (d * n) / 10 + 1)
+    targets.foreach { t =>
+      val err = trueRank(estimate(s16, t)) - t
+      assert(math.abs(err) <= bound16, s"target $t err $err bound $bound16")
+    }
+    // merge property (q293's discipline, additive-bound form): the union
+    // of the two id-parity halves' sketches is a valid sketch of the
+    // full corpus with bound <= bound(h1) + bound(h2).
+    val (h1, _, b1) = graft.ops.PipelineOps.kllSummary(
+      base.filter(pmod(col("id"), lit(2)) === 0), 64, 16)
+    val (h2, _, b2) = graft.ops.PipelineOps.kllSummary(
+      base.filter(pmod(col("id"), lit(2)) === 1), 64, 16)
+    val merged = (h1 ++ h2).sortBy(r => (r._1, r._2))
+    assert(merged.map(_._3).sum == n, "half weights must total n")
+    targets.foreach { t =>
+      val err = trueRank(estimate(merged, t)) - t
+      assert(math.abs(err) <= b1 + b2,
+        s"merged target $t err $err bound ${b1 + b2}")
+    }
+  }
+
+  test("q313: spans replay, coalesce adjacents, and mask application kills every hit") {
+    import graft.ops.{PiiPatterns, SecretPatterns}
+    val got = graft.ops.PipelineOps.q313LossMasks(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "source",
+        "coalesce(text, '') AS text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def m(id: Long, k: Long) = ((id % k) + k) % k
+    def t2(id: Long, src: String, text: String): String = {
+      val sb = new StringBuilder(text)
+      sb.append("\n(C) ").append(src).append(" syndication network")
+      if (m(id, 3) != 2) sb.append("\nsubscribe at ").append(src).append(" daily digest")
+      sb.append("\nsection ").append(m(id, 7)).append(" notes")
+      val em = s"\nreach me at user${m(id, 1000)}@example.com"
+      val sec = f"\ntoken=secretvaluepad${m(id, 1000)}%03d"
+      m(id, 5) match {
+        case 1 => sb.append(em)
+        case 2 => sb.append(sec)
+        case 3 => sb.append("\nstop <|endoftext|> marker ").append(m(id, 7))
+        case 4 => sb.append(em).append(sec)
+        case _ =>
+      }
+      sb.toString
+    }
+    val pii = Seq(PiiPatterns.Email, PiiPatterns.Ipv4, PiiPatterns.LongNumber)
+      .map(java.util.regex.Pattern.compile)
+    val sec = Seq(SecretPatterns.HexRun, SecretPatterns.AwsKeyId,
+      SecretPatterns.CredAssign).map(java.util.regex.Pattern.compile)
+    val spec = Seq(graft.ops.PipelineOps.ReservedTokens,
+      graft.ops.PipelineOps.ChatMarkers, graft.ops.PipelineOps.FimSentinels)
+      .map(java.util.regex.Pattern.compile)
+    def hits(ps: Seq[java.util.regex.Pattern], s: String) =
+      ps.exists(_.matcher(s).find())
+    val allLines = docs.map { case (id, src, tx) =>
+      (id, src, t2(id, src, tx).split("\n", -1)) }
+    // q267's boilerplate rule, replayed
+    val srcN = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // NOTE: .iterator before .collect — Map#collect with pair results
+    // re-keys into a Map and silently drops all but one line per source
+    val boiler: Set[(String, String)] = allLines
+      .flatMap { case (id, src, ls) => ls.distinct.map(l => (src, l, id)) }
+      .groupBy(t => (t._1, t._2)).iterator.collect {
+        case ((src, l), g)
+          if g.map(_._3).distinct.length >= 2 &&
+            g.map(_._3).distinct.length * 1000000L / srcN(src) >= 200000L =>
+          (src, l)
+      }.toSet
+    var sawCoalesced = false
+    def fp(s: String): Long = s.getBytes("UTF-8")
+      .foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    allLines.foreach { case (id, src, ls) =>
+      val masked = ls.map(l => hits(pii, l) || hits(sec, l) ||
+        hits(spec, l) || boiler((src, l)))
+      // char offsets + gaps-and-islands span coalescing
+      val offs = ls.scanLeft(0L)((a, l) => a + l.length + 1)
+      val spans = ls.indices.filter(masked).foldLeft(List.empty[(Long, Long)]) {
+        case (acc, i) =>
+          val (st, en) = (offs(i), offs(i) + ls(i).length)
+          acc match {
+            case (ps, pe) :: tail if pe + 1 == st => (ps, en) :: tail
+            case _ => (st, en) :: acc
+          }
+      }.reverse
+      val row = got(id)
+      assert(row.getAs[Long]("n_lines") == ls.length.toLong, s"doc $id")
+      assert(row.getAs[Long]("n_masked_lines") == masked.count(identity).toLong, s"doc $id")
+      assert(row.getAs[Long]("n_spans") == spans.length.toLong, s"doc $id spans")
+      assert(row.getAs[Long]("masked_chars") ==
+        spans.map(p => p._2 - p._1).sum, s"doc $id chars")
+      assert(row.getAs[Long]("spans_fp") ==
+        fp(spans.map(p => s"${p._1}-${p._2}").mkString(",")), s"doc $id spans_fp")
+      // mask APPLICATION: dropping masked lines kills every detector hit
+      val kept = ls.indices.filterNot(masked).map(ls).mkString("\n")
+      assert(row.getAs[Long]("kept_fp") == fp(kept), s"doc $id kept_fp")
+      assert(!hits(pii, kept) && !hits(sec, kept) && !hits(spec, kept),
+        s"doc $id: applied mask must leave zero detector hits")
+      if (m(id, 5) == 4 && row.getAs[Long]("n_pii_lines") >= 1 &&
+        row.getAs[Long]("n_secret_lines") >= 1 &&
+        spans.length < masked.count(identity)) sawCoalesced = true
+    }
+    assert(sawCoalesced,
+      "at least one class-4 doc must coalesce adjacent pii+secret lines into one span")
   }
 }

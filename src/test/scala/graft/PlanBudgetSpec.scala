@@ -753,10 +753,21 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // table is pair-fold + orderBy
     "q228_audio_decode" -> 1, // one mapPartitions codec pass; orderBy
     "q229_semantic_dedup" -> 0, // cluster-bounded persist-then-collect
-    "q311_chat_contracts" -> 2 // ONE user_id partitioning carries the
+    "q311_chat_contracts" -> 2, // ONE user_id partitioning carries the
                              // session boundary, contract lags/leads AND
                              // the per-conversation agg (subset-
                              // clustering rule) + orderBy
+    "q312_kll_quantiles" -> 0, // collect-local 9-row report; the data
+                             // work is the sketch's ONE GlobalOrder pass
+                             // into a <=8192-row summary + the exact
+                             // lane's range shuffle (the calibration
+                             // cost), both pre-collect
+    "q313_loss_masks" -> 14 // line-df agg (2-phase distinct, recounted
+                             // per consumer in plan text — q267's shape;
+                             // AQE reuses the stages) + broadcast boiler
+                             // /srcN + ONE doc_id partitioning carrying
+                             // offsets, islands, span agg AND doc agg +
+                             // co-partitioned span/doc join + orderBy
   )
 
   budgets.foreach { case (name, max) =>

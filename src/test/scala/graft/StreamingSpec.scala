@@ -654,6 +654,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // dedup really fires in-stream: some key sees >= 2 raw spellings
     assert(streamedFinal.values.exists(_._3 >= 2L))
   }
+
+  test("chatContractGate finalize equals the ORACLE-GATED q311 frame") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // the stream sees the SAME feed as the batch operator: real events
+    // plus the ChatPlant rows (rebuilt as Event values; us -> timestamp)
+    val real = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .as[Event].collect()
+    val plants = graft.ops.EventOps.ChatPlant.map { case (eid, uid, us, typ, props) =>
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      Event(eid, t, uid, typ, 0.0, props)
+    }
+    val ds = spark.createDataset(real.toSeq ++ plants)
+    // batch execution finalizes every conversation (watermark = +inf)
+    val streamed = EventStream.chatContractGate(ds).collect()
+      .map(c => (c.user_id, c.conv_idx, c.n_turns, c.n_user_turns,
+        c.n_assistant_turns, c.n_system_turns, c.n_same_role_pairs,
+        c.opener_bad, c.dangling_tail, c.n_empty_turns, c.n_pii_turns,
+        c.n_secret_turns, c.contract_ok, c.transcript_fp)).toSet
+    val batch = SparkEntry.queries("q311_chat_contracts")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9), r.getLong(10), r.getLong(11), r.getLong(12),
+        r.getLong(13))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("chatContractGate keeps the conversation ordinal across closed state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.chatContractGate(mem.toDS())
+      .writeStream.format("memory").queryName("chatconvs")
+      .outputMode(OutputMode.Append).start()
+    // conversation 1 for user 9: view then purchase
+    mem.addData(ev(1, 0, 9, "view"), ev(2, 1, 9, "purchase"))
+    q.processAllAvailable()
+    // watermark pusher (other user): wm -> 200-120 = 80 > conv1 end+gap
+    mem.addData(ev(100, 200, 8, "view"))
+    q.processAllAvailable()
+    // conversation 2 arrives IN-watermark (300 > 80); conv 1 closes here
+    mem.addData(ev(3, 300, 9, "view"), ev(4, 301, 9, "purchase"))
+    q.processAllAvailable()
+    // two pushes: the first raises the wm past conv2's timeout, the
+    // second batch actually FIRES the timeout (wm applies next batch)
+    mem.addData(ev(101, 600, 8, "view"))
+    q.processAllAvailable()
+    mem.addData(ev(102, 620, 8, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chatconvs").collect()
+      .filter(_.getLong(0) == 9L).map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // two clean 2-turn conversations, ordinals 1 then 2 — the counter
+    // survived the state having gone pending-empty between them
+    assert(got.toSeq == Seq((1L, 2L), (2L, 2L)))
+  }
 }
 
 object StreamingSpec {
