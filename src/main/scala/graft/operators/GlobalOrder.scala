@@ -28,6 +28,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object GlobalOrder {
 
+  /** Persist the input for the sampling + shuffle double-read — UNLESS
+    * the caller already persisted it. `persist` on an already-cached
+    * frame is a no-op, but the paired `unpersist` DROPS the caller's
+    * cache entry and silently forces every later consumer to recompute
+    * the frame from scratch (measured on q294: the 5-pass layout sweep
+    * re-derived its scan + Morton/Hilbert folds once PER PASS, 5.9 s →
+    * 14.8 s at sf0.1). Borrow the caller's cache when one exists;
+    * own-and-release only a cache this call created. */
+  private def borrowCache(df: DataFrame): (DataFrame, () => Unit) =
+    if (df.storageLevel != StorageLevel.NONE) (df, () => ())
+    else {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      (p, () => { p.unpersist(blocking = false); () })
+    }
+
   def withRowNumber(df: DataFrame, sortCols: Seq[Column], out: String,
                     numPartitions: Int = 0): DataFrame =
     withRowNumberAndTotal(df, sortCols, out, numPartitions)._1
@@ -45,7 +60,7 @@ object GlobalOrder {
     // pass over `df` before the shuffle pass. Persist the (caller-narrowed)
     // input so sampling + shuffle read the computed frame once, then drop
     // it as soon as the count job has run the shuffle's map stage.
-    val input = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val (input, release) = borrowCache(df)
     val sorted = input.repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     // ONE RDD instance shared by the count job and the numbering job: the
@@ -64,7 +79,7 @@ object GlobalOrder {
         Iterator((i, c))
       }
       .collect().sortBy(_._1).map(_._2)
-    input.unpersist(blocking = false)
+    release()
     val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
     val schema = sorted.schema.add(StructField(out, LongType, nullable = false))
     val numbered = sortedRdd.mapPartitionsWithIndex { (i, it) =>
@@ -86,7 +101,7 @@ object GlobalOrder {
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
-    val input = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val (input, release) = borrowCache(df)
     val sorted = input.repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val sortedRdd = sorted.rdd // shared: sums job + summing job reuse the shuffle
@@ -106,7 +121,7 @@ object GlobalOrder {
         Iterator((i, acc))
       }
       .collect().sortBy(_._1).map(_._2)
-    input.unpersist(blocking = false)
+    release()
     val offsets = sums.scanLeft(0L)(_ + _) // offsets(i) = sum before partition i
     val schema = sorted.schema.add(StructField(out, LongType, nullable = false))
     val summed = sortedRdd.mapPartitionsWithIndex { (i, it) =>
@@ -130,7 +145,7 @@ object GlobalOrder {
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
-    val input = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val (input, release) = borrowCache(df)
     val sorted = input.repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val sortedRdd = sorted.rdd // shared: maxima job + carry job reuse the shuffle
@@ -148,7 +163,7 @@ object GlobalOrder {
         Iterator((i, acc))
       }
       .collect().sortBy(_._1).map(_._2)
-    input.unpersist(blocking = false)
+    release()
     // offsets(i) = max over all partitions before i (MinValue for the first)
     val offsets = maxima.scanLeft(Long.MinValue)(math.max)
     val schema = sorted.schema.add(StructField(out, LongType, nullable = false))
