@@ -562,6 +562,7 @@ object SparkEntry {
     "q311_chat_contracts" -> EventOps.q311ChatContracts _,
     "q312_kll_quantiles"  -> PipelineOps.q312KllQuantiles _,
     "q313_loss_masks"     -> PipelineOps.q313LossMasks _,
+    "q314_lsh_plan"       -> DedupOps.q314LshPlan _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5819,6 +5820,51 @@ object SparkEntry {
         |    x -> CAST(ascii(x) AS BIGINT))), $FpByteFold)) AS BIGINT)
         |    AS sum_fp
         |FROM r GROUP BY verdict ORDER BY verdict""".stripMargin,
+
+    // q314: the S-curve planner replays in pure integer multiply-
+    // truncate (a*v // 1e6 folds — no IEEE pow); density = q213's
+    // deterministic sample + exact 3-gram Jaccard in 50 2%-bands.
+    "q314_lsh_plan" ->
+      raw"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |    WHERE len(string_split(text, ' ')) >= 3
+        |      AND doc_id % greatest(1, (SELECT count(*) FROM documents) // 500) = 0),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
+        |hs AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(shingles,
+        |         s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |           $FpByteFold))) AS ss FROM sh),
+        |pairs AS (SELECT len(list_intersect(a.ss, b.ss)) AS inter_n,
+        |    len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS union_n
+        |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id),
+        |hist AS MATERIALIZED (SELECT
+        |    least(49, CAST(inter_n AS BIGINT) * 1000000 // union_n // 20000) AS band,
+        |    CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1),
+        |bands AS (SELECT CAST(x AS BIGINT) AS band FROM generate_series(0, 49) t(x)),
+        |wts AS MATERIALIZED (SELECT b.band, coalesce(h.n, 0) + 1 AS w,
+        |    b.band * 20000 + 10000 AS mid
+        |  FROM bands b LEFT JOIN hist h ON h.band = b.band),
+        |plans AS (SELECT CAST(nb AS BIGINT) AS n_bands,
+        |    CAST(rp AS BIGINT) AS rows_per_band
+        |  FROM (VALUES (1,48),(2,24),(3,16),(4,12),(6,8),(8,6),(12,4),(16,3),(24,2),(48,1)) v(nb, rp)),
+        |curve AS (SELECT p.n_bands, p.rows_per_band, w.band, w.w, w.mid,
+        |    1000000 - list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+        |        list_transform(generate_series(1, p.n_bands),
+        |          x -> 1000000 - list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+        |            list_transform(generate_series(1, p.rows_per_band), y -> w.mid)),
+        |            (a, v) -> a * v // 1000000))),
+        |      (a, v) -> a * v // 1000000) AS pcoll
+        |  FROM plans p CROSS JOIN wts w),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM wts),
+        |sc AS (SELECT n_bands, rows_per_band,
+        |    CAST(sum(CASE WHEN mid < 800000 THEN w * pcoll ELSE 0 END) AS BIGINT) // wt AS fp_ppm,
+        |    CAST(sum(CASE WHEN mid >= 800000 THEN w * (1000000 - pcoll) ELSE 0 END) AS BIGINT) // wt AS fn_ppm
+        |  FROM curve, tot GROUP BY n_bands, rows_per_band, wt)
+        |SELECT n_bands, rows_per_band, fp_ppm, fn_ppm,
+        |  fp_ppm + fn_ppm AS total_err_ppm,
+        |  CAST(CASE WHEN fp_ppm + fn_ppm = min(fp_ppm + fn_ppm) OVER ()
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_best
+        |FROM sc ORDER BY n_bands""".stripMargin,
 
     // q313: line-granular loss masks — flags are the q81/q246/q259/q267
     // detector definitions verbatim; adjacent masked lines coalesce via

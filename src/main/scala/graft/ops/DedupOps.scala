@@ -1700,4 +1700,85 @@ object DedupOps {
         $"lines_removed", $"chars_removed", $"fp_after_xor")
       .orderBy($"source")
   }
+
+  /** q314's integer S-curve: collision probability of an (b bands × r
+    * rows) MinHash-LSH plan at similarity s (ppm), p = 1 − (1 − s^r)^b,
+    * computed as repeated multiply-TRUNCATE in 1e6 scale — every step is
+    * `a * v div 1e6` on int64 (products ≤ 1e12), so both engines
+    * reproduce it bit-for-bit with no IEEE pow in sight. Truncation
+    * error is irrelevant: the planner compares candidate plans under ONE
+    * arithmetic, which is all a ranking needs. */
+  private[graft] def sCurvePpm(sPpm: Long, b: Int, r: Int): Long = {
+    def powT(x: Long, e: Int): Long =
+      (1 to e).foldLeft(1000000L)((a, _) => a * x / 1000000L)
+    1000000L - powT(1000000L - powT(sPpm, r), b)
+  }
+
+  /** X286 — LSH band-plan optimizer: q34 SHIPS one (bands × rows) plan,
+    * q213 measures its agreement, q233 sweeps the verdict threshold —
+    * this picks the plan. For every factorization b·r = 48 of the
+    * signature budget, the expected error of the plan's S-curve
+    * p(s) = 1 − (1 − s^r)^b against the house threshold J ≥ 0.8:
+    * below-threshold mass that would COLLIDE (false-positive work the
+    * verifier must discard) and above-threshold mass that would NOT
+    * (false negatives — missed duplicates), each weighted by the
+    * CORPUS'S OWN measured pair-similarity density (q213's deterministic
+    * sample, exact 3-gram Jaccard, 50 × 2%-bands, plus-one smoothing so
+    * the empty tail still counts). The integer S-curve uses multiply-
+    * truncate 1e6-scale arithmetic — no IEEE pow, both engines
+    * bit-identical. Wide-band plans (1×48) miss nearly every true pair
+    * (fn → 1e6); tall ones (48×1) collide on everything (fp dominated);
+    * the planner surfaces the knee.
+    *
+    * Scale: the density estimate is the q213 discipline — a
+    * count-div-500 deterministic sample whose quadratic truth leg is
+    * sample-bounded by construction (modulus grows with the corpus);
+    * the curve math acts on a 10-plan × 50-band grid. One persisted
+    * sample frame, released after the 50-row histogram collects. */
+  def q314LshPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    graft.functions.SortedIntersectSize.register(s)
+    val k = docs(s, dir).agg(greatest(lit(1L),
+      expr("count(1) div 500")).as("k"))
+    val sample = docs(s, dir).crossJoin(broadcast(k))
+      .selectExpr("doc_id", "k", "split(text, ' ') AS ws")
+      .where("size(ws) >= 3 AND doc_id % k = 0")
+      .selectExpr("doc_id",
+        s"array_sort(array_distinct(${TextGrams.fpArrayExpr(3)})) AS ss")
+      .persist()
+    try {
+      val a = sample.select($"doc_id".as("doc_a"), $"ss".as("ss_a"))
+      val b = sample.select($"doc_id".as("doc_b"), $"ss".as("ss_b"))
+      val hist: Map[Long, Long] = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+        .withColumn("inter_n", expr("graft_sorted_inter_n(ss_a, ss_b)"))
+        .withColumn("j_ppm", expr(
+          "inter_n * 1000000 div (size(ss_a) + size(ss_b) - inter_n)"))
+        .withColumn("band", least(lit(49L), expr("j_ppm div 20000")))
+        .groupBy($"band").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      val weights = (0L to 49L).map(bd => bd -> (hist.getOrElse(bd, 0L) + 1L))
+      val wTotal = weights.map(_._2).sum
+      val plans = Seq(1 -> 48, 2 -> 24, 3 -> 16, 4 -> 12, 6 -> 8,
+        8 -> 6, 12 -> 4, 16 -> 3, 24 -> 2, 48 -> 1)
+      val scored = plans.map { case (nb, rp) =>
+        var fp = 0L; var fn = 0L
+        weights.foreach { case (bd, w) =>
+          val mid = bd * 20000L + 10000L
+          val p = sCurvePpm(mid, nb, rp)
+          if (mid < 800000L) fp += w * p else fn += w * (1000000L - p)
+        }
+        (nb.toLong, rp.toLong, fp / wTotal, fn / wTotal)
+      }
+      val bestTotal = scored.map(t => t._3 + t._4).min
+      import org.apache.spark.sql.types._
+      graft.operators.LocalReport.frame(s, scored.map { case (nb, rp, fp, fn) =>
+        org.apache.spark.sql.Row(nb, rp, fp, fn, fp + fn,
+          if (fp + fn == bestTotal) 1L else 0L)
+      },
+        ("n_bands", LongType), ("rows_per_band", LongType),
+        ("fp_ppm", LongType), ("fn_ppm", LongType),
+        ("total_err_ppm", LongType), ("is_best", LongType))
+    } finally sample.unpersist(blocking = false)
+  }
 }

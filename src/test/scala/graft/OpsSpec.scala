@@ -1633,6 +1633,64 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "transcript fingerprint must replay the ordered role-tagged turns")
   }
 
+  test("q314: LSH plan scores replay exactly; the S-curve tradeoff is monotone") {
+    import graft.functions.Fingerprint
+    val got = graft.ops.DedupOps.q314LshPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // monotone tradeoff in band count: more bands -> more collisions
+    // (fp nondecreasing), fewer misses (fn nonincreasing)
+    val byBands = got.sortBy(_._1)
+    assert(byBands.map(_._3).sliding(2).forall(w =>
+      w.length < 2 || w(0) <= w(1)), "fp must be nondecreasing in n_bands")
+    assert(byBands.map(_._4).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)), "fn must be nonincreasing in n_bands")
+    assert(got.filter(_._6 == 1L).map(_._5).distinct.length == 1)
+    assert(got.filter(_._6 == 1L).head._5 == got.map(_._5).min)
+    // full driver replay: q213's sample, exact 3-gram Jaccard density,
+    // integer multiply-truncate S-curve
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val k = math.max(1L, docs.length.toLong / 500L)
+    val sets = docs.collect {
+      case (id, t) if id % k == 0 && t.split(" ", -1).length >= 3 =>
+        val ws = t.split(" ", -1)
+        ws.sliding(3).map(g => Fingerprint.hashString(g.mkString(" ")))
+          .toArray.distinct.sorted
+    }
+    def inter(a: Array[Long], b: Array[Long]): Long = {
+      var (i, j, n) = (0, 0, 0L)
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1 else j += 1
+      }
+      n
+    }
+    val hist = new Array[Long](50)
+    for (i <- sets.indices; j <- (i + 1) until sets.length) {
+      val in = inter(sets(i), sets(j))
+      val un = sets(i).length + sets(j).length - in
+      hist(math.min(49L, in * 1000000L / un / 20000L).toInt) += 1L
+    }
+    val wTotal = hist.map(_ + 1L).sum
+    val plans = Seq(1 -> 48, 2 -> 24, 3 -> 16, 4 -> 12, 6 -> 8,
+      8 -> 6, 12 -> 4, 16 -> 3, 24 -> 2, 48 -> 1)
+    val expect = plans.map { case (nb, rp) =>
+      var fp = 0L; var fn = 0L
+      (0 until 50).foreach { bd =>
+        val w = hist(bd) + 1L
+        val mid = bd * 20000L + 10000L
+        val p = graft.ops.DedupOps.sCurvePpm(mid, nb, rp)
+        if (mid < 800000L) fp += w * p else fn += w * (1000000L - p)
+      }
+      (nb.toLong, rp.toLong, fp / wTotal, fn / wTotal)
+    }
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == expect)
+    // the reference S-curve point (checked against the published formula)
+    assert(graft.ops.DedupOps.sCurvePpm(850000L, 6, 8) == 851737L)
+  }
+
   test("range join covers every order at most once") {
     import spark.implicits._
     import graft.operators.Relational

@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q314_lsh_plan" -> 0, // collect-local 10-row report; the density
+                             // leg is q213's sample-bounded pair join
+                             // over ONE persisted sample frame, released
+                             // after the 50-row histogram collects
     "q313_loss_masks" -> 14 // line-df agg (2-phase distinct, recounted
                              // per consumer in plan text — q267's shape;
                              // AQE reuses the stages) + broadcast boiler
