@@ -82,6 +82,55 @@ object SparkEntry {
   /** q294's oracle, generated: one zone-map CTE block per candidate
     * layout (row_number in layout order → 64 files → min/max zone maps →
     * skipping verdicts per predicate), unioned into the 12-row report. */
+  /** q315's oracle, generated: the three IPF rounds unroll into six
+    * chained scaling CTEs (a1/b1..a3/b3 — q275's chained-DP discipline);
+    * every step is the same truncating `w * (t * 1e6) // Σ n·w` the
+    * Spark driver fold computes, so the fixpoint path is bit-identical. */
+  private def q315OracleSql: String = {
+    val steps = (1 to 3).flatMap { r =>
+      val prev = if (r == 1) "w0" else s"b${r - 1}"
+      Seq(
+        s"""a$r AS (SELECT c.lang, c.source, c.n,
+           |    c.w * (lt.t * 1000000) // rm.m AS w
+           |  FROM $prev c
+           |  JOIN (SELECT lang, CAST(sum(n * w) AS BIGINT) AS m
+           |        FROM $prev GROUP BY lang) rm ON rm.lang = c.lang
+           |  JOIN lt ON lt.lang = c.lang)""".stripMargin,
+        s"""b$r AS (SELECT c.lang, c.source, c.n,
+           |    c.w * (st.t * 1000000) // cm.m AS w
+           |  FROM a$r c
+           |  JOIN (SELECT source, CAST(sum(n * w) AS BIGINT) AS m
+           |        FROM a$r GROUP BY source) cm ON cm.source = c.source
+           |  JOIN st ON st.source = c.source)""".stripMargin)
+    }.mkString(",\n")
+    s"""WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |lt AS (SELECT lang, nt.n // d.L +
+       |    CASE WHEN d.rn <= nt.n % d.L THEN 1 ELSE 0 END AS t
+       |  FROM (SELECT lang, CAST(row_number() OVER (ORDER BY lang) AS BIGINT) AS rn,
+       |          CAST(count(*) OVER () AS BIGINT) AS L
+       |        FROM (SELECT DISTINCT lang FROM documents)) d, nt),
+       |st AS (SELECT source, nt.n // d.L +
+       |    CASE WHEN d.rn <= nt.n % d.L THEN 1 ELSE 0 END AS t
+       |  FROM (SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS rn,
+       |          CAST(count(*) OVER () AS BIGINT) AS L
+       |        FROM (SELECT DISTINCT source FROM documents)) d, nt),
+       |w0 AS (SELECT lang, source, n, CAST(1000000 AS BIGINT) AS w FROM cells),
+       |$steps,
+       |rm3 AS (SELECT lang, CAST(sum(n * w) AS BIGINT) // 1000000 AS m
+       |  FROM b3 GROUP BY lang),
+       |cm3 AS (SELECT source, CAST(sum(n * w) AS BIGINT) // 1000000 AS m
+       |  FROM b3 GROUP BY source)
+       |SELECT c.lang, c.source, c.n AS n_docs, c.w AS weight_ppm,
+       |  lt.t AS lang_target, rm3.m AS lang_achieved,
+       |  st.t AS source_target, cm3.m AS source_achieved
+       |FROM b3 c
+       |JOIN lt ON lt.lang = c.lang JOIN rm3 ON rm3.lang = c.lang
+       |JOIN st ON st.source = c.source JOIN cm3 ON cm3.source = c.source
+       |ORDER BY c.lang, c.source""".stripMargin
+  }
+
   private def q294OracleSql: String = {
     val layouts = Seq(("1_natural", "okey"), ("2_by_date", "day, okey"),
       ("3_by_cust", "ckey, okey"), ("4_zorder", "zval, okey"),
@@ -563,6 +612,7 @@ object SparkEntry {
     "q312_kll_quantiles"  -> PipelineOps.q312KllQuantiles _,
     "q313_loss_masks"     -> PipelineOps.q313LossMasks _,
     "q314_lsh_plan"       -> DedupOps.q314LshPlan _,
+    "q315_composition_raking" -> PipelineOps.q315CompositionRaking _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5820,6 +5870,8 @@ object SparkEntry {
         |    x -> CAST(ascii(x) AS BIGINT))), $FpByteFold)) AS BIGINT)
         |    AS sum_fp
         |FROM r GROUP BY verdict ORDER BY verdict""".stripMargin,
+
+    "q315_composition_raking" -> q315OracleSql,
 
     // q314: the S-curve planner replays in pure integer multiply-
     // truncate (a*v // 1e6 folds — no IEEE pow); density = q213's

@@ -2233,6 +2233,80 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  /** q315's integer IPF scaling step, shared by operator, spec replay,
+    * and (structurally) the generated oracle: one proportional-fitting
+    * pass over one margin — every cell's 1e6-scale weight is multiplied
+    * by its margin's target/achieved ratio with TRUNCATING division
+    * (w * t * 1e6 div Σ n·w), so both engines reproduce the fixpoint
+    * path bit-for-bit. */
+  private[graft] def ipfStep(cells: Seq[(String, String, Long, Long)],
+      targets: Map[String, Long], byRow: Boolean)
+      : Seq[(String, String, Long, Long)] = {
+    val key = (c: (String, String, Long, Long)) => if (byRow) c._1 else c._2
+    val mass = cells.groupBy(key).view
+      .mapValues(_.map(c => c._3 * c._4).sum).toMap
+    cells.map { c =>
+      (c._1, c._2, c._3, c._4 * (targets(key(c)) * 1000000L) / mass(key(c)))
+    }
+  }
+
+  /** X287 — dataset composition raking (iterative proportional fitting):
+    * the published IPF/raking algorithm survey statisticians and
+    * dataset-balancing pipelines use when BOTH marginals must hit
+    * targets at once — q82 reweights the lang margin and q151/q189
+    * rebalance per-source, but nothing satisfied two margins
+    * simultaneously. Targets here are equal shares per lang and per
+    * source (remainders to the lexicographically-first values, so both
+    * margin targets sum to N exactly); three row/column scaling rounds
+    * of the integer 1e6-scale step ([[ipfStep]]) converge the grid; the
+    * output carries each observed (lang, source) cell's final weight,
+    * its margin targets, and the achieved margin masses — the residual
+    * IS the report (spec pins that round 3's worst margin error is no
+    * worse than round 1's and the final row margins land within
+    * rounding of target).
+    *
+    * Scale: ONE corpus-sized (lang, source) count fold; the IPF loop
+    * acts on the |langs|×|sources| grid (100 cells here) driver-side —
+    * at any corpus size the grid is dictionary-bounded. The 1e6-scale
+    * products stay < 2^63 up to ~1e10 doc·weight mass; past that the
+    * same recurrence runs in 128-bit (DuckDB already does natively). */
+  def q315CompositionRaking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells0 = docs(s, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().sortBy(c => (c._1, c._2))
+    val n = cells0.map(_._3).sum
+    def equalTargets(keys: Seq[String]): Map[String, Long] = {
+      val L = keys.length
+      keys.sorted.zipWithIndex.map { case (k, i) =>
+        k -> (n / L + (if (i < (n % L)) 1L else 0L))
+      }.toMap
+    }
+    val lt = equalTargets(cells0.map(_._1).distinct)
+    val st = equalTargets(cells0.map(_._2).distinct)
+    var cells = cells0.map(c => (c._1, c._2, c._3, 1000000L)).toSeq
+    (1 to 3).foreach { _ =>
+      cells = ipfStep(cells, lt, byRow = true)
+      cells = ipfStep(cells, st, byRow = false)
+    }
+    // divide once AFTER the margin sum: per-cell truncation of ~5-doc
+    // cell masses lost up to 20% of the margin in the report (weights
+    // are exact; only this statistic was coarse)
+    val rowMass = cells.groupBy(_._1).view
+      .mapValues(_.map(c => c._3 * c._4).sum / 1000000L).toMap
+    val colMass = cells.groupBy(_._2).view
+      .mapValues(_.map(c => c._3 * c._4).sum / 1000000L).toMap
+    import org.apache.spark.sql.types._
+    LocalReport.frame(s, cells.sortBy(c => (c._1, c._2)).map { c =>
+      org.apache.spark.sql.Row(c._1, c._2, c._3, c._4,
+        lt(c._1), rowMass(c._1), st(c._2), colMass(c._2))
+    },
+      ("lang", StringType), ("source", StringType), ("n_docs", LongType),
+      ("weight_ppm", LongType), ("lang_target", LongType),
+      ("lang_achieved", LongType), ("source_target", LongType),
+      ("source_achieved", LongType))
+  }
+
   /** X199 — context-window packing-efficiency sweep: for each candidate
     * training context length, the padding waste of the two standard
     * batching strategies — PAD (each document alone, last window padded;
@@ -2349,15 +2423,18 @@ object PipelineOps {
     * offsets, islands, span agg and doc agg all ride ONE doc_id
     * partitioning (filter preserves it; grouping keys are supersets).
     * Nothing pairwise, nothing corpus-sized on the driver. */
-  def q313LossMasks(s: SparkSession, dir: String): DataFrame = {
+  /** q313's planted corpus and boilerplate set, factored so the
+    * streaming twin ([[graft.streaming.EventStream.lossMaskGate]]) can
+    * be fed the IDENTICAL standing boiler frame the batch operator
+    * derives — one rule, two execution modes. */
+  private[graft] def q313Base(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Fingerprint.register(s)
     val idm = (k: Long) => pmod($"doc_id", lit(k))
     val emailLine = concat(lit("\nreach me at user"),
       idm(1000L).cast("string"), lit("@example.com"))
     val secretLine = concat(lit("\ntoken=secretvaluepad"),
       lpad(idm(1000L).cast("string"), 3, "0"))
-    val base = docs(s, dir).select($"doc_id", $"source",
+    docs(s, dir).select($"doc_id", $"source",
       concat(coalesce($"text", lit("")),
         lit("\n(C) "), $"source", lit(" syndication network"),
         when(idm(3L) =!= 2L,
@@ -2370,16 +2447,30 @@ object PipelineOps {
             idm(7L).cast("string")))
           .when(idm(5L) === 4L, concat(emailLine, secretLine))
           .otherwise(lit(""))).as("t2"))
-    val lines = base.select($"doc_id", $"source",
+  }
+
+  /** The q267-rule boilerplate frame over [[q313Base]]'s lines:
+    * (source, ln) pairs with df >= 2 and >= 20% of the source. */
+  private[graft] def q313BoilerFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = q313Base(s, dir).select($"doc_id", $"source",
       posexplode(split($"t2", "\n", -1)).as(Seq("pos", "ln")))
     val srcN = docs(s, dir).groupBy($"source")
       .agg(count(lit(1)).as("n_docs"))
-    val boiler = lines.groupBy($"source", $"ln")
+    lines.groupBy($"source", $"ln")
       .agg(countDistinct($"doc_id").as("df"))
       .join(broadcast(srcN), Seq("source"))
       .filter($"df" >= 2 && expr(
         s"df * 1000000 div n_docs >= ${DedupOps.LineBoilerThresholdPpm}"))
-      .select($"source", $"ln", lit(1L).as("bhit"))
+      .select($"source", $"ln")
+  }
+
+  def q313LossMasks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val lines = q313Base(s, dir).select($"doc_id", $"source",
+      posexplode(split($"t2", "\n", -1)).as(Seq("pos", "ln")))
+    val boiler = q313BoilerFrame(s, dir).withColumn("bhit", lit(1L))
     val flagged = lines
       .join(broadcast(boiler), Seq("source", "ln"), "left")
       .withColumn("is_boiler", $"bhit".isNotNull)

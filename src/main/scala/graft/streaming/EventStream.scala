@@ -837,6 +837,84 @@ object EventStream {
       }
   }
 
+  final case class MaskDoc(doc_id: Long, ts: Timestamp, source: String,
+      text: String)
+  final case class MaskRow(doc_id: Long, n_lines: Long, n_masked_lines: Long,
+      n_spans: Long, masked_chars: Long, total_chars: Long, mask_ppm: Long,
+      n_pii_lines: Long, n_secret_lines: Long, n_special_lines: Long,
+      n_boiler_lines: Long, spans_fp: Long, kept_fp: Long)
+
+  /** X288 — streaming loss-mask gate: q313's real-stream twin. Per
+    * arriving document, the IDENTICAL line-granular mask annotation —
+    * same shared PII/secret/special detectors (compiled once on the
+    * driver), same frequent-line boilerplate rule via a STANDING boiler
+    * frame computed batch-side (the blocklistGate pattern: corpus-level
+    * state ships as a bounded static side, per-doc work stays
+    * stateless), same gaps-and-islands span coalescing and span/kept
+    * fingerprints — spec-pinned row-identical to the oracle-gated q313
+    * frame. Stateless map: works unchanged on a stream or a batch. */
+  def lossMaskGate(docs: Dataset[MaskDoc], boiler: DataFrame)
+      : Dataset[MaskRow] = {
+    import docs.sparkSession.implicits._
+    val boilerMap: Map[String, Set[String]] = boiler
+      .select(col("source").cast("string"), col("ln").cast("string"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val piiPat = Seq(graft.ops.PiiPatterns.Email, graft.ops.PiiPatterns.Ipv4,
+      graft.ops.PiiPatterns.LongNumber).map(java.util.regex.Pattern.compile)
+    val secretPat = Seq(graft.ops.SecretPatterns.HexRun,
+      graft.ops.SecretPatterns.AwsKeyId, graft.ops.SecretPatterns.CredAssign)
+      .map(java.util.regex.Pattern.compile)
+    val specialPat = Seq(graft.ops.PipelineOps.ReservedTokens,
+      graft.ops.PipelineOps.ChatMarkers, graft.ops.PipelineOps.FimSentinels)
+      .map(java.util.regex.Pattern.compile)
+    docs.map { d =>
+      def m(k: Long) = ((d.doc_id % k) + k) % k
+      val sb = new StringBuilder(Option(d.text).getOrElse(""))
+      sb.append("\n(C) ").append(d.source).append(" syndication network")
+      if (m(3) != 2)
+        sb.append("\nsubscribe at ").append(d.source).append(" daily digest")
+      sb.append("\nsection ").append(m(7)).append(" notes")
+      val em = s"\nreach me at user${m(1000)}@example.com"
+      val sec = f"\ntoken=secretvaluepad${m(1000)}%03d"
+      m(5) match {
+        case 1L => sb.append(em)
+        case 2L => sb.append(sec)
+        case 3L => sb.append("\nstop <|endoftext|> marker ").append(m(7))
+        case 4L => sb.append(em).append(sec)
+        case _ =>
+      }
+      val ls = sb.toString.split("\n", -1)
+      def hit(ps: Seq[java.util.regex.Pattern], s: String) =
+        ps.exists(_.matcher(s).find())
+      val bset = boilerMap.getOrElse(d.source, Set.empty)
+      val pii = ls.map(hit(piiPat, _))
+      val secF = ls.map(hit(secretPat, _))
+      val spc = ls.map(hit(specialPat, _))
+      val boi = ls.map(bset.contains)
+      val masked = ls.indices.map(i => pii(i) || secF(i) || spc(i) || boi(i))
+      val offs = ls.scanLeft(0L)((a, l) => a + l.length + 1)
+      val spans = ls.indices.filter(masked)
+        .foldLeft(List.empty[(Long, Long)]) { case (acc, i) =>
+          val (st, en) = (offs(i), offs(i) + ls(i).length)
+          acc match {
+            case (ps, pe) :: tail if pe + 1 == st => (ps, en) :: tail
+            case _ => (st, en) :: acc
+          }
+        }.reverse
+      val kept = ls.indices.filterNot(masked).map(ls).mkString("\n")
+      val total = ls.map(_.length.toLong).sum + ls.length - 1
+      val mchars = spans.map(p => p._2 - p._1).sum
+      MaskRow(d.doc_id, ls.length.toLong, masked.count(identity).toLong,
+        spans.length.toLong, mchars, total, mchars * 1000000L / total,
+        pii.count(identity).toLong, secF.count(identity).toLong,
+        spc.count(identity).toLong, boi.count(identity).toLong,
+        graft.functions.Fingerprint.hashString(
+          spans.map(p => s"${p._1}-${p._2}").mkString(",")),
+        graft.functions.Fingerprint.hashString(kept))
+    }
+  }
+
   def blocklistGate(docs: DataFrame, blocklist: DataFrame): DataFrame = {
     val blocked: Array[String] = blocklist
       .select(col("domain").cast("string")).collect().map(_.getString(0))

@@ -761,6 +761,53 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q315: IPF raking replays, converges, and both margins land within rounding") {
+    val got = PipelineOps.q315CompositionRaking(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val cells0 = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((l, src), n) => (l, src, n) }.sortBy(c => (c._1, c._2))
+    val n = cells0.map(_._3).sum
+    def tgt(keys: Seq[String]): Map[String, Long] = {
+      val L = keys.length
+      keys.sorted.zipWithIndex.map { case (k, i) =>
+        k -> (n / L + (if (i < (n % L)) 1L else 0L))
+      }.toMap
+    }
+    val lt = tgt(cells0.map(_._1).distinct)
+    val st = tgt(cells0.map(_._2).distinct)
+    def rounds(r: Int): Seq[(String, String, Long, Long)] = {
+      var cells = cells0.map(c => (c._1, c._2, c._3, 1000000L)).toSeq
+      (1 to r).foreach { _ =>
+        cells = PipelineOps.ipfStep(cells, lt, byRow = true)
+        cells = PipelineOps.ipfStep(cells, st, byRow = false)
+      }
+      cells
+    }
+    def rowErr(cells: Seq[(String, String, Long, Long)]): Long =
+      cells.groupBy(_._1).map { case (l, cs) =>
+        math.abs(cs.map(c => c._3 * c._4).sum / 1000000L - lt(l))
+      }.max
+    val fin = rounds(3)
+    // full replay: weights and margins equal the operator's frame
+    val expect = fin.sortBy(c => (c._1, c._2)).map { c =>
+      val rm = fin.filter(_._1 == c._1).map(x => x._3 * x._4).sum / 1000000L
+      val cm = fin.filter(_._2 == c._2).map(x => x._3 * x._4).sum / 1000000L
+      (c._1, c._2, c._3, c._4, lt(c._1), rm, st(c._2), cm)
+    }
+    assert(got.toSeq == expect)
+    // convergence: three rounds are no worse than one, and the final
+    // row margin is within per-cell truncation of target
+    assert(rowErr(fin) <= rowErr(rounds(1)))
+    val nSources = cells0.map(_._2).distinct.length.toLong
+    assert(rowErr(fin) <= nSources,
+      "final lang margins must land within truncation rounding of target")
+    assert(got.forall(_._4 > 0L), "weights stay positive")
+  }
+
   test("q313: spans replay, coalesce adjacents, and mask application kills every hit") {
     import graft.ops.{PiiPatterns, SecretPatterns}
     val got = graft.ops.PipelineOps.q313LossMasks(spark, sf).collect()

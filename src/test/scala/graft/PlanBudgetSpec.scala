@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q315_composition_raking" -> 0, // collect-local grid report; ONE
+                             // corpus (lang, source) count fold feeds a
+                             // dictionary-bounded driver IPF loop
     "q314_lsh_plan" -> 0, // collect-local 10-row report; the density
                              // leg is q213's sample-bounded pair join
                              // over ONE persisted sample frame, released

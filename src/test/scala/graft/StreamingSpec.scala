@@ -684,6 +684,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("lossMaskGate through a real stream equals the ORACLE-GATED q313 frame") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the standing boiler frame comes from the batch side (one rule,
+    // two execution modes)
+    val boiler = graft.ops.PipelineOps.q313BoilerFrame(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        "TIMESTAMP '2024-01-01 00:00:00' AS ts", // docs carry no event
+        "source", "coalesce(text, '') AS text")  // time; gate is stateless
+      .as[EventStream.MaskDoc].collect()
+    val mem = MemoryStream[EventStream.MaskDoc]
+    val q = EventStream.lossMaskGate(mem.toDS(), boiler)
+      .writeStream.format("memory").queryName("lossmasks")
+      .outputMode(OutputMode.Append).start()
+    docs.grouped(docs.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("lossmasks").collect()
+      .map(r => (0 to 12).map(i => r.getLong(i)).toList).toSet
+    val batch = SparkEntry.queries("q313_loss_masks")(spark, sf).collect()
+      .map(r => (0 to 12).map(i => r.getLong(i)).toList).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("chatContractGate keeps the conversation ordinal across closed state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
