@@ -613,6 +613,7 @@ object SparkEntry {
     "q313_loss_masks"     -> PipelineOps.q313LossMasks _,
     "q314_lsh_plan"       -> DedupOps.q314LshPlan _,
     "q315_composition_raking" -> PipelineOps.q315CompositionRaking _,
+    "q316_bloom_skipping" -> PipelineOps.q316BloomSkipping _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5872,6 +5873,63 @@ object SparkEntry {
         |FROM r GROUP BY verdict ORDER BY verdict""".stripMargin,
 
     "q315_composition_raking" -> q315OracleSql,
+
+    // q316: file tiling by row_number over the unique okey; blooms use
+    // q279's middle-square position recipe verbatim at m=4096, k=3.
+    "q316_bloom_skipping" ->
+      s"""WITH base AS MATERIALIZED (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    CAST(o_custkey AS BIGINT) AS ckey FROM orders),
+        |f AS MATERIALIZED (SELECT ckey,
+        |    (CAST(row_number() OVER (ORDER BY okey) AS BIGINT) - 1) * 64
+        |      // CAST(count(*) OVER () AS BIGINT) AS file
+        |  FROM base),
+        |zones AS (SELECT file, min(ckey) AS mn, max(ckey) AS mx
+        |  FROM f GROUP BY 1),
+        |js AS (SELECT unnest(generate_series(CAST(0 AS BIGINT),
+        |    CAST(2 AS BIGINT))) AS j),
+        |bp0 AS (SELECT fc.file, fc.ckey, js.j,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(CAST(fc.ckey AS VARCHAR) || ':' ||
+        |        CAST(js.j AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS fp0
+        |  FROM (SELECT DISTINCT file, ckey FROM f) fc, js),
+        |bp AS MATERIALIZED (SELECT file, h // 32 AS w,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INT)) AS bits
+        |  FROM (SELECT file, fp0 * fp0 // 65536 % 4096 AS h FROM bp0)
+        |  GROUP BY 1, 2),
+        |probes AS MATERIALIZED (
+        |  SELECT DISTINCT ckey AS probe, CAST(1 AS BIGINT) AS present
+        |  FROM base WHERE ckey % 61 = 17
+        |  UNION ALL
+        |  SELECT DISTINCT ckey + 10000000, CAST(0 AS BIGINT)
+        |  FROM base WHERE ckey % 61 = 17),
+        |truth AS (SELECT p.probe, CAST(count(DISTINCT f.file) AS BIGINT) AS n_true
+        |  FROM probes p JOIN f ON f.ckey = p.probe GROUP BY 1),
+        |mm AS (SELECT p.probe, CAST(count(*) AS BIGINT) AS n_minmax
+        |  FROM probes p JOIN zones z ON p.probe BETWEEN z.mn AND z.mx
+        |  GROUP BY 1),
+        |pp0 AS (SELECT p.probe, js.j,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(CAST(p.probe AS VARCHAR) || ':' ||
+        |        CAST(js.j AS VARCHAR), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS fp0
+        |  FROM probes p, js),
+        |pp AS (SELECT probe, fp0 * fp0 // 65536 % 4096 AS h FROM pp0),
+        |bh AS (SELECT probe, file FROM (
+        |    SELECT pp.probe, bp.file, count(*) AS nh
+        |    FROM pp JOIN bp ON bp.w = pp.h // 32
+        |    WHERE (bp.bits & (CAST(1 AS BIGINT) << CAST(pp.h % 32 AS INT))) <> 0
+        |    GROUP BY 1, 2) WHERE nh = 3),
+        |bl AS (SELECT probe, CAST(count(*) AS BIGINT) AS n_bloom
+        |  FROM bh GROUP BY 1)
+        |SELECT p.probe AS probe_key, p.present,
+        |  coalesce(t.n_true, 0) AS n_files_true,
+        |  coalesce(mm.n_minmax, 0) AS n_files_minmax,
+        |  coalesce(bl.n_bloom, 0) AS n_files_bloom
+        |FROM probes p LEFT JOIN truth t ON t.probe = p.probe
+        |LEFT JOIN mm ON mm.probe = p.probe
+        |LEFT JOIN bl ON bl.probe = p.probe
+        |ORDER BY probe_key""".stripMargin,
 
     // q314: the S-curve planner replays in pure integer multiply-
     // truncate (a*v // 1e6 folds — no IEEE pow); density = q213's

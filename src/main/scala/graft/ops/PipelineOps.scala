@@ -1380,6 +1380,105 @@ object PipelineOps {
     rows.reduce(_ unionByName _).orderBy($"k")
   }
 
+  /** X289 — file-level Bloom skipping audit: the skipping lane's missing
+    * member. Min-max zone maps (q85/q294) prune RANGE predicates on
+    * sorted-ish columns and are USELESS for point lookups on a
+    * high-cardinality column uncorrelated with write order — every file
+    * spans nearly the full key range. Parquet-style per-file Bloom
+    * filters (q279's portable recipe: middle-square-finalized
+    * fingerprint positions, 4096 bits × 3 hashes, bit_or-packed words)
+    * close exactly that gap. The audit tiles orders into 64 natural-
+    * order files, builds both structures, and probes present custkeys
+    * (≡ 17 mod 61) plus their +1e7 absent shifts: per probe, TRUE
+    * containing files vs files min-max must read vs files the Bloom
+    * admits. Measured: min-max reads all 64 files for every PRESENT
+    * probe (the point-lookup blind spot) while Bloom reads ≈ the true
+    * ~10-file set plus a small FP tail; on the absent class min-max
+    * prunes trivially (out of range) and the Bloom column becomes a
+    * direct read of the per-file false-positive rate on keys that hash
+    * like real ones.
+    *
+    * Scale: one GlobalOrder pass for the file tiling (the write's own
+    * cost), ONE combinable (file, word) bit_or fold (≤ 64×128 rows —
+    * broadcast class), zone maps are 64 rows; probe joins broadcast the
+    * bounded structures. The Bloom table at 100 TB is files × 128
+    * words — exactly the parquet footer metadata a real lake stores. */
+  def q316BloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val m = 4096L
+    val base = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".cast("long").as("okey"),
+        $"o_custkey".cast("long").as("ckey"))
+    val (numbered, total) = graft.operators.GlobalOrder
+      .withRowNumberAndTotal(base, Seq($"okey"), "rn")
+    val filed = numbered
+      .withColumn("file", expr(s"(rn - 1) * 64 div ${total}L"))
+      .select($"file", $"ckey").persist()
+    try {
+      def positions(df: DataFrame, keyCol: String) = df
+        .select(col(keyCol), explode(array(lit(0), lit(1), lit(2))).as("j"))
+        .withColumn("fp0", expr(
+          s"graft_fingerprint(concat(CAST($keyCol AS STRING), ':', CAST(j AS STRING)))"))
+        .withColumn("h", expr(s"pmod(fp0 * fp0 div 65536, $m)"))
+      val zones = filed.groupBy($"file")
+        .agg(min($"ckey").as("mn"), max($"ckey").as("mx"))
+      val blooms = filed.select($"file", $"ckey").distinct()
+        .select($"file", $"ckey",
+          explode(array(lit(0), lit(1), lit(2))).as("j"))
+        .withColumn("fp0", expr(
+          "graft_fingerprint(concat(CAST(ckey AS STRING), ':', CAST(j AS STRING)))"))
+        .withColumn("h", expr(s"pmod(fp0 * fp0 div 65536, $m)"))
+        .select($"file", expr("h div 32").as("w"),
+          expr("1L << CAST(h % 32 AS INT)").as("b"))
+        .groupBy($"file", $"w").agg(expr("bit_or(b)").as("bits"))
+      // every in-range custkey is used in this synthetic corpus (no
+      // customer without orders), so the absent class is q279's +1e7
+      // shift: min-max prunes it trivially (out of range), which makes
+      // the Bloom column a DIRECT read of the per-file false-positive
+      // tail on keys that hash like real ones
+      val present = base.select($"ckey".as("probe")).distinct()
+        .filter(pmod($"probe", lit(61L)) === 17L)
+        .withColumn("present", lit(1L))
+      val absent = present
+        .select(($"probe" + 10000000L).as("probe"), lit(0L).as("present"))
+      val probes = present.unionByName(absent)
+      val truth = filed
+        .join(probes.select($"probe"), filed("ckey") === $"probe")
+        .groupBy($"probe").agg(countDistinct($"file").as("n_true"))
+      val mm = probes.select($"probe")
+        .crossJoin(broadcast(zones))
+        .filter($"probe".between($"mn", $"mx"))
+        .groupBy($"probe").agg(count(lit(1)).as("n_minmax"))
+      val bl = positions(probes.select($"probe"), "probe")
+        .select($"probe", expr("h div 32").as("w"),
+          expr("1L << CAST(h % 32 AS INT)").as("b"))
+        .join(broadcast(blooms), Seq("w"))
+        .filter(expr("bits & b") =!= 0L)
+        .groupBy($"probe", $"file").agg(count(lit(1)).as("nh"))
+        .filter($"nh" === 3L)
+        .groupBy($"probe").agg(count(lit(1)).as("n_bloom"))
+      // probe-count-sized report: collect while filed is cached, then
+      // release (the persist-materialize-unpersist discipline — a lazily
+      // returned frame could not release its own cache)
+      val rows = probes
+        .join(truth, Seq("probe"), "left")
+        .join(mm, Seq("probe"), "left")
+        .join(bl, Seq("probe"), "left")
+        .select($"probe".as("probe_key"), $"present",
+          coalesce($"n_true", lit(0L)).as("n_files_true"),
+          coalesce($"n_minmax", lit(0L)).as("n_files_minmax"),
+          coalesce($"n_bloom", lit(0L)).as("n_files_bloom"))
+        .orderBy($"probe_key")
+        .collect().toSeq
+      import org.apache.spark.sql.types._
+      LocalReport.frame(s, rows,
+        ("probe_key", LongType), ("present", LongType),
+        ("n_files_true", LongType), ("n_files_minmax", LongType),
+        ("n_files_bloom", LongType))
+    } finally filed.unpersist(blocking = false)
+  }
+
   /** q312's per-shard deterministic compactor summaries (MRL/KLL
     * "compact-from-exact" form): items hash to `shards` buckets; a bucket
     * of n_b items compacts L_b times with L_b minimal s.t.

@@ -761,6 +761,57 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q316: bloom skipping replays; no false negatives; minmax blind on point lookups") {
+    import graft.functions.Fingerprint
+    val got = PipelineOps.q316BloomSkipping(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // Bloom guarantee: never a false negative; never worse than min-max
+    // on present keys; min-max reads (nearly) everything for them
+    got.filter(_._2 == 1L).foreach { case (k, _, t, mmx, bl) =>
+      assert(bl >= t, s"probe $k: bloom must contain every true file")
+      assert(bl <= mmx, s"probe $k")
+      assert(mmx >= 32L, s"probe $k: minmax should be near-blind here")
+    }
+    got.filter(_._2 == 0L).foreach { case (k, _, t, mmx, _) =>
+      assert(t == 0L && mmx == 0L, s"absent probe $k")
+    }
+    assert(got.filter(_._2 == 1L).map(_._5).sum * 2 <
+      got.filter(_._2 == 1L).map(_._4).sum,
+      "bloom must read far fewer total files than minmax on present keys")
+    // full driver replay from raw rows
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(o_orderkey AS BIGINT)", "CAST(o_custkey AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = orders.length
+    val filed = orders.sortBy(_._1).zipWithIndex
+      .map { case ((_, c), i) => (i.toLong * 64L / n, c) }
+    def pos(key: Long): Seq[Long] = (0 to 2).map { j =>
+      val fp = Fingerprint.hashString(s"$key:$j")
+      Math.floorMod(fp * fp / 65536L, 4096L)
+    }
+    val blooms: Map[Long, Map[Long, Long]] = filed.distinct.groupBy(_._1)
+      .view.mapValues { fs =>
+        fs.map(_._2).distinct.flatMap(pos).groupBy(_ / 32L)
+          .view.mapValues(_.map(h => 1L << (h % 32L).toInt)
+            .reduce(_ | _)).toMap
+      }.toMap
+    val zones = filed.groupBy(_._1).view
+      .mapValues(fs => (fs.map(_._2).min, fs.map(_._2).max)).toMap
+    val presentProbes = orders.map(_._2).distinct.filter(_ % 61L == 17L)
+    val expect = (presentProbes.map(p => (p, 1L)) ++
+      presentProbes.map(p => (p + 10000000L, 0L))).map { case (p, pr) =>
+      val t = filed.filter(_._2 == p).map(_._1).distinct.length.toLong
+      val mmx = zones.count { case (_, (mn, mx)) => p >= mn && p <= mx }.toLong
+      val ps = pos(p)
+      val bl = blooms.count { case (_, words) =>
+        ps.forall(h => (words.getOrElse(h / 32L, 0L) & (1L << (h % 32L).toInt)) != 0L)
+      }.toLong
+      (p, pr, t, mmx, bl)
+    }.sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("q315: IPF raking replays, converges, and both margins land within rounding") {
     val got = PipelineOps.q315CompositionRaking(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),

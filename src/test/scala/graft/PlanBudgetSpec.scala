@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q316_bloom_skipping" -> 0, // collect-local probe report; data work
+                             // = one GlobalOrder tiling pass + ONE
+                             // (file, word) bit_or fold into a
+                             // broadcast-sized bloom table, pre-collect
     "q315_composition_raking" -> 0, // collect-local grid report; ONE
                              // corpus (lang, source) count fold feeds a
                              // dictionary-bounded driver IPF loop
