@@ -82,6 +82,64 @@ object SparkEntry {
   /** q294's oracle, generated: one zone-map CTE block per candidate
     * layout (row_number in layout order → 64 files → min/max zone maps →
     * skipping verdicts per predicate), unioned into the 12-row report. */
+  /** q317's oracle, generated: the 48-perm signature (q293's family)
+    * plus one banded self-join per plan — 1×48 / 6×8 / 48×1 — against
+    * the exact J ≥ 0.8 truth over the q213 sample. */
+  private def q317OracleSql: String = {
+    val sigEntries = (0 until 48).map(i =>
+      s"list_min(list_transform(ss, x -> (x * ${4 * i + 3} + ${2 * i + 1}) % 1000000007))")
+      .mkString("[\n", ",\n", "]")
+    val plans = Seq((1, 48, "p1"), (6, 8, "p2"), (48, 1, "p3"))
+    val planBlocks = plans.map { case (b, r, tag) =>
+      val bandRows = (0 until b).map { j =>
+        val parts = (0 until r)
+          .map(t => s"CAST(sig[${j * r + t + 1}] AS VARCHAR)")
+          .mkString(" || ':' || ")
+        s"SELECT doc_id, $j AS band_idx, $parts AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""bands_$tag AS ($bandRows),
+         |cand_$tag AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands_$tag x JOIN bands_$tag y
+         |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         |    AND x.doc_id < y.doc_id),
+         |m_$tag AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand_$tag c JOIN truth t
+         |      ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_tp
+         |  FROM cand_$tag)""".stripMargin
+    }.mkString(",\n")
+    val outRows = plans.map { case (b, r, tag) =>
+      s"""SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  m_$tag.n_cand AS n_candidates, nt.n AS n_truth,
+         |  m_$tag.n_tp AS n_true_positives,
+         |  CASE WHEN m_$tag.n_cand = 0 THEN 0
+         |    ELSE m_$tag.n_tp * 1000000 // m_$tag.n_cand END AS precision_ppm,
+         |  CASE WHEN nt.n = 0 THEN 0
+         |    ELSE m_$tag.n_tp * 1000000 // nt.n END AS recall_ppm
+         |FROM m_$tag, nt""".stripMargin
+    }.mkString("\nUNION ALL ")
+    raw"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |    WHERE len(string_split(text, ' ')) >= 3
+       |      AND doc_id % greatest(1, (SELECT count(*) FROM documents) // 500) = 0),
+       |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
+       |hs AS MATERIALIZED (SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(shingles,
+       |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |        $FpByteFold)))) AS ss FROM sh),
+       |sigs AS MATERIALIZED (SELECT doc_id, $sigEntries AS sig FROM hs),
+       |truth AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) * 1000000
+       |    // CAST(len(a.ss) + len(b.ss)
+       |        - len(list_intersect(a.ss, b.ss)) AS BIGINT) >= 800000),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
+       |$planBlocks
+       |SELECT * FROM (
+       |$outRows
+       |) ORDER BY n_bands""".stripMargin
+  }
+
   /** q315's oracle, generated: the three IPF rounds unroll into six
     * chained scaling CTEs (a1/b1..a3/b3 — q275's chained-DP discipline);
     * every step is the same truncating `w * (t * 1e6) // Σ n·w` the
@@ -614,6 +672,7 @@ object SparkEntry {
     "q314_lsh_plan"       -> DedupOps.q314LshPlan _,
     "q315_composition_raking" -> PipelineOps.q315CompositionRaking _,
     "q316_bloom_skipping" -> PipelineOps.q316BloomSkipping _,
+    "q317_lsh_plan_exec"  -> DedupOps.q317LshPlanExec _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5873,6 +5932,7 @@ object SparkEntry {
         |FROM r GROUP BY verdict ORDER BY verdict""".stripMargin,
 
     "q315_composition_raking" -> q315OracleSql,
+    "q317_lsh_plan_exec" -> q317OracleSql,
 
     // q316: file tiling by row_number over the unique okey; blooms use
     // q279's middle-square position recipe verbatim at m=4096, k=3.

@@ -1714,6 +1714,80 @@ object DedupOps {
     1000000L - powT(1000000L - powT(sPpm, r), b)
   }
 
+  /** X290 — LSH plan EXECUTION audit (q314's execution twin, the
+    * detection→decision→EXECUTION house discipline): run the planner's
+    * chosen knee (6 bands × 8 rows) against both budget extremes
+    * (1×48, 48×1) with a REAL 48-perm MinHash signature (q293's
+    * h_i(x) = (4i+3)x + (2i+1) family) over the q213 sample, and
+    * measure what each plan actually delivers against the exact
+    * J ≥ 0.8 truth: candidates generated, true positives, realized
+    * precision and recall. The planner's S-curve prediction, confirmed
+    * by execution: 1×48 generates almost no candidates (recall
+    * collapses), 48×1 floods the verifier with false candidates
+    * (precision collapses), the knee holds both.
+    *
+    * Scale: the q213 sample discipline bounds the quadratic truth leg
+    * by construction; candidate joins are banded self-joins on the
+    * bounded sample; report is 3 rows, collect-local while the
+    * signature frame is cached. */
+  def q317LshPlanExec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    graft.functions.SortedIntersectSize.register(s)
+    val sigExpr = (0 until 48).map { i =>
+      s"array_min(transform(ss, x -> (x * ${4 * i + 3}L + ${2 * i + 1}L) % 1000000007L))"
+    }.mkString("array(", ", ", ")")
+    val k = docs(s, dir).agg(greatest(lit(1L),
+      expr("count(1) div 500")).as("k"))
+    val base = docs(s, dir).crossJoin(broadcast(k))
+      .selectExpr("doc_id", "k", "split(text, ' ') AS ws")
+      .where("size(ws) >= 3 AND doc_id % k = 0")
+      .selectExpr("doc_id",
+        s"array_sort(array_distinct(${TextGrams.fpArrayExpr(3)})) AS ss")
+      .selectExpr("doc_id", "ss", s"$sigExpr AS sig")
+      .persist()
+    try {
+      val ta = base.select($"doc_id".as("doc_a"), $"ss".as("ss_a"))
+      val tb = base.select($"doc_id".as("doc_b"), $"ss".as("ss_b"))
+      val truth = ta.crossJoin(tb).filter($"doc_a" < $"doc_b")
+        .withColumn("inter_n", expr("graft_sorted_inter_n(ss_a, ss_b)"))
+        .filter(expr(
+          "inter_n * 1000000 div (size(ss_a) + size(ss_b) - inter_n) >= 800000"))
+        .select($"doc_a", $"doc_b")
+        .persist()
+      val nTruth = truth.count()
+      val plans = Seq(1 -> 48, 6 -> 8, 48 -> 1)
+      val rows = plans.map { case (nb, rp) =>
+        val bandCols: Column = array((0 until nb).map { j =>
+          val parts = (0 until rp)
+            .map(r => s"CAST(sig[${j * rp + r}] AS STRING)")
+          expr(s"concat_ws(':', ${parts.mkString(", ")})")
+        }: _*)
+        val bands = base.select($"doc_id",
+          posexplode(bandCols).as(Seq("band_idx", "band_key")))
+        val cands = bands.as("x").join(bands.as("y"),
+            $"x.band_idx" === $"y.band_idx" &&
+              $"x.band_key" === $"y.band_key" && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+          .distinct().persist()
+        val nCand = cands.count()
+        val nTp = cands.join(truth, Seq("doc_a", "doc_b")).count()
+        cands.unpersist(blocking = false)
+        org.apache.spark.sql.Row(nb.toLong, rp.toLong, nCand, nTruth, nTp,
+          if (nCand == 0) 0L else nTp * 1000000L / nCand,
+          if (nTruth == 0) 0L else nTp * 1000000L / nTruth)
+      }
+      import org.apache.spark.sql.types._
+      val out = graft.operators.LocalReport.frame(s, rows,
+        ("n_bands", LongType), ("rows_per_band", LongType),
+        ("n_candidates", LongType), ("n_truth", LongType),
+        ("n_true_positives", LongType), ("precision_ppm", LongType),
+        ("recall_ppm", LongType))
+      truth.unpersist(blocking = false)
+      out
+    } finally base.unpersist(blocking = false)
+  }
+
   /** X286 — LSH band-plan optimizer: q34 SHIPS one (bands × rows) plan,
     * q213 measures its agreement, q233 sweeps the verdict threshold —
     * this picks the plan. For every factorization b·r = 48 of the

@@ -1691,6 +1691,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.DedupOps.sCurvePpm(850000L, 6, 8) == 851737L)
   }
 
+  test("q317: executing the planned LSH knee dominates both budget extremes") {
+    val got = graft.ops.DedupOps.q317LshPlanExec(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val wide = got((1L, 48L)); val knee = got((6L, 8L)); val tall = got((48L, 1L))
+    assert(got.size == 3 && wide._2 > 0L, "truth pairs must exist")
+    // candidates can never exceed... and TP never exceeds truth or cands
+    got.values.foreach { case (cand, truth, tp, _, _) =>
+      assert(tp <= truth && tp <= cand)
+    }
+    // the planner's prediction, confirmed by execution: the knee is at
+    // least as good as BOTH extremes on BOTH metrics, and each extreme
+    // collapses on its predicted axis
+    assert(knee._4 >= wide._4 && knee._4 >= tall._4, "knee precision")
+    assert(knee._5 >= wide._5 && knee._5 >= tall._5, "knee recall")
+    assert(wide._5 < knee._5, "1x48 must miss true duplicates (recall collapse)")
+    assert(tall._4 < knee._4 / 10L,
+      "48x1 must flood the verifier (precision collapse)")
+    // reconciliation: q314's chosen plan IS the executed knee
+    val best = graft.ops.DedupOps.q314LshPlan(spark, sf).collect()
+      .filter(_.getLong(5) == 1L).map(r => (r.getLong(0), r.getLong(1)))
+    assert(best.contains((6L, 8L)),
+      "the executed knee must be the plan q314 marked best")
+  }
+
   test("range join covers every order at most once") {
     import spark.implicits._
     import graft.operators.Relational

@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q317_lsh_plan_exec" -> 0, // collect-local 3-row report; sample-
+                             // bounded truth join + banded self-joins
+                             // over ONE persisted signature frame
     "q316_bloom_skipping" -> 0, // collect-local probe report; data work
                              // = one GlobalOrder tiling pass + ONE
                              // (file, word) bit_or fold into a
