@@ -673,6 +673,7 @@ object SparkEntry {
     "q315_composition_raking" -> PipelineOps.q315CompositionRaking _,
     "q316_bloom_skipping" -> PipelineOps.q316BloomSkipping _,
     "q317_lsh_plan_exec"  -> DedupOps.q317LshPlanExec _,
+    "q318_dp_mechanism"   -> PipelineOps.q318DpMechanism _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5933,6 +5934,34 @@ object SparkEntry {
 
     "q315_composition_raking" -> q315OracleSql,
     "q317_lsh_plan_exec" -> q317OracleSql,
+
+    // q318: seeded geometric draws = trailing zeros of middle-square-
+    // finalized fingerprints (q282's register idiom) — exact both sides.
+    "q318_dp_mechanism" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS true_count
+        |  FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM c),
+        |f AS (SELECT source, true_count,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split('dp1:' || source, ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT))), $FpByteFold) AS fp1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split('dp2:' || source, ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT))), $FpByteFold) AS fp2
+        |  FROM c),
+        |w AS (SELECT source, true_count, fp1 * fp1 // 65536 AS w1,
+        |    fp2 * fp2 // 65536 AS w2 FROM f),
+        |g AS (SELECT source, true_count,
+        |    CASE WHEN w1 = 0 THEN 0
+        |      ELSE CAST(bit_count((w1 & (-w1)) - 1) AS BIGINT) END AS g1,
+        |    CASE WHEN w2 = 0 THEN 0
+        |      ELSE CAST(bit_count((w2 & (-w2)) - 1) AS BIGINT) END AS g2
+        |  FROM w)
+        |SELECT source, true_count, g1 - g2 AS noise,
+        |  greatest(CAST(0 AS BIGINT), true_count + g1 - g2) AS released_count,
+        |  abs(g1 - g2) AS abs_noise, CAST(693 AS BIGINT) AS eps_milli,
+        |  693 * n.nr AS eps_total_milli
+        |FROM g, n ORDER BY source""".stripMargin,
 
     // q316: file tiling by row_number over the unique okey; blooms use
     // q279's middle-square position recipe verbatim at m=4096, k=3.

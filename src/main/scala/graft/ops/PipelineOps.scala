@@ -1380,6 +1380,54 @@ object PipelineOps {
     rows.reduce(_ unionByName _).orderBy($"k")
   }
 
+  /** X291 — differential-privacy mechanism audit (discrete geometric /
+    * two-sided-geometric noise on released counts): the privacy ladder
+    * (k-anon q108/q150, l-diversity q125, t-closeness q273, SDC
+    * suppression q257) bounds what a release REVEALS structurally; DP
+    * bounds it mechanically — per-source released count = true count +
+    * (G1 − G2) with G1, G2 independent Geometric(1/2) draws, the
+    * discrete analogue of the Laplace mechanism with per-unit privacy
+    * loss ε = ln 2 (693 milli-nats) for a count query of sensitivity 1.
+    * The geometric draws come from trailing-zero counts of
+    * middle-square-finalized fingerprints (q282's register idiom:
+    * `bit_count((w & -w) - 1)` — exact on both engines), SEEDED so the
+    * audit is replayable: this verifies the mechanism's arithmetic,
+    * noise distribution shape, and ε accounting; a production release
+    * draws fresh randomness through the identical pipeline (a seeded
+    * draw is NOT private — the point of the audit is that everything
+    * AROUND the draw is exact and portable). The total ε column carries
+    * sequential composition: releases × 693 milli-nats.
+    *
+    * Scale: ONE combinable per-source count fold; noise derivation is a
+    * narrow projection on the |sources|-row frame. */
+  def q318DpMechanism(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val perSrc = docs(s, dir).groupBy($"source")
+      .agg(count(lit(1)).as("true_count"))
+    // middle-square breaks the rolling hash's affinity (q279's lesson);
+    // trailing zeros of the finalized bits are Geometric(1/2) (q282's
+    // register idiom, exact on both engines; w = 0 at ~2^-50 maps to 0)
+    def withGeom(df: DataFrame, tag: String, out: String): DataFrame = df
+      .withColumn("_w", expr(
+        s"(graft_fingerprint(concat('$tag:', source)) * " +
+        s"graft_fingerprint(concat('$tag:', source))) div 65536"))
+      .withColumn(out, when($"_w" === 0L, 0L).otherwise(
+        expr("CAST(bit_count((_w & -_w) - 1) AS BIGINT)")))
+      .drop("_w")
+    val nRel = perSrc.count()
+    withGeom(withGeom(perSrc, "dp1", "g1"), "dp2", "g2")
+      .withColumn("noise", $"g1" - $"g2")
+      .withColumn("released_count",
+        greatest(lit(0L), $"true_count" + $"noise"))
+      .withColumn("abs_noise", abs($"noise"))
+      .withColumn("eps_milli", lit(693L))
+      .withColumn("eps_total_milli", lit(693L * nRel))
+      .select($"source", $"true_count", $"noise", $"released_count",
+        $"abs_noise", $"eps_milli", $"eps_total_milli")
+      .orderBy($"source")
+  }
+
   /** X289 — file-level Bloom skipping audit: the skipping lane's missing
     * member. Min-max zone maps (q85/q294) prune RANGE predicates on
     * sorted-ish columns and are USELESS for point lookups on a

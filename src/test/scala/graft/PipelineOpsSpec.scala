@@ -761,6 +761,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q318: DP geometric noise replays; accounting and clamping hold") {
+    import graft.functions.Fingerprint
+    val got = PipelineOps.q318DpMechanism(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    def geom(tag: String, src: String): Long = {
+      val fp = Fingerprint.hashString(s"$tag:$src")
+      val w = fp * fp / 65536L
+      if (w == 0L) 0L else java.lang.Long.numberOfTrailingZeros(w).toLong
+    }
+    val trueCounts = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (src, tc, noise, rel, absn, eps, epsTot) =>
+      assert(tc == trueCounts(src))
+      assert(noise == geom("dp1", src) - geom("dp2", src), s"$src noise")
+      assert(rel == math.max(0L, tc + noise), s"$src clamp")
+      assert(absn == math.abs(noise))
+      assert(eps == 693L && epsTot == 693L * got.length, s"$src accounting")
+    }
+    // the draws are genuinely two-sided and non-degenerate
+    assert(got.exists(_._3 > 0L) && got.exists(_._3 < 0L),
+      "noise must take both signs across sources")
+  }
+
   test("q316: bloom skipping replays; no false negatives; minmax blind on point lookups") {
     import graft.functions.Fingerprint
     val got = PipelineOps.q316BloomSkipping(spark, sf).collect()

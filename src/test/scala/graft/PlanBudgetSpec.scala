@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q318_dp_mechanism" -> 2, // ONE combinable source count fold +
+                             // orderBy; noise math is a narrow
+                             // projection on the |sources|-row frame
     "q317_lsh_plan_exec" -> 0, // collect-local 3-row report; sample-
                              // bounded truth join + banded self-joins
                              // over ONE persisted signature frame
