@@ -674,6 +674,7 @@ object SparkEntry {
     "q316_bloom_skipping" -> PipelineOps.q316BloomSkipping _,
     "q317_lsh_plan_exec"  -> DedupOps.q317LshPlanExec _,
     "q318_dp_mechanism"   -> PipelineOps.q318DpMechanism _,
+    "q319_survival_km"    -> EventOps.q319SurvivalKm _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5934,6 +5935,38 @@ object SparkEntry {
 
     "q315_composition_raking" -> q315OracleSql,
     "q317_lsh_plan_exec" -> q317OracleSql,
+
+    // q319: per-day KM step replayed as a packed n*1e6+d BIGINT list
+    // fold (acc * (n-d) // n, 1e6 seed) — the identical truncating walk
+    // the Spark driver runs over the calendar-bounded day frame.
+    "q319_survival_km" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |hz AS (SELECT max(us) AS h FROM e),
+        |s0 AS (SELECT user_id, min(us) AS t0 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p0 AS (SELECT e.user_id, min(e.us) AS tp
+        |  FROM e JOIN s0 ON s0.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= s0.t0 GROUP BY 1),
+        |ends AS (SELECT
+        |    CASE WHEN p0.tp IS NOT NULL THEN (p0.tp - s0.t0) // 86400000000
+        |      ELSE (hz.h - s0.t0) // 86400000000 END AS day,
+        |    CAST(sum(CASE WHEN p0.tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_i,
+        |    CAST(sum(CASE WHEN p0.tp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_i
+        |  FROM s0 LEFT JOIN p0 USING (user_id), hz GROUP BY 1),
+        |risk AS (SELECT day, d_i, c_i,
+        |    CAST(sum(d_i + c_i) OVER (ORDER BY day DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |  FROM ends),
+        |evd AS MATERIALIZED (SELECT day, n_risk, d_i, c_i FROM risk WHERE d_i > 0)
+        |SELECT e1.day, e1.n_risk AS n_at_risk, e1.d_i AS n_events,
+        |  e1.c_i AS n_censored,
+        |  list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+        |    list(e2.n_risk * 1000000 + e2.d_i ORDER BY e2.day)),
+        |    (a, x) -> a * (x // 1000000 - x % 1000000) // (x // 1000000))
+        |    AS survival_ppm
+        |FROM evd e1 JOIN evd e2 ON e2.day <= e1.day
+        |GROUP BY e1.day, e1.n_risk, e1.d_i, e1.c_i
+        |ORDER BY e1.day""".stripMargin,
 
     // q318: seeded geometric draws = trailing zeros of middle-square-
     // finalized fingerprints (q282's register idiom) — exact both sides.

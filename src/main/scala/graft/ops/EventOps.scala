@@ -1124,6 +1124,64 @@ object EventOps {
       .orderBy($"event_type")
   }
 
+  /** X292 — Kaplan-Meier survival analysis with right-censoring: the
+    * published product-limit estimator on signup→purchase conversion
+    * time — the analytics question naive "average days to purchase"
+    * answers WRONGLY because users who have not converted yet are not
+    * failures, they are CENSORED observations. Per user: first signup,
+    * first purchase at-or-after it; users without one are censored at
+    * the corpus horizon. At every day with ≥ 1 conversion the estimator
+    * steps S ← S·(n_at_risk − d)/n_at_risk, computed as an integer
+    * multiply-truncate fold in 1e6 scale (q314's lane — no IEEE
+    * products; the DuckDB oracle replays the identical fold over a
+    * packed n·1e6+d list so both engines walk the same fixpoint path).
+    *
+    * Scale: two user-keyed combinable folds (first signup; first
+    * qualifying purchase — q78's cascade shape) collapse the stream to
+    * one row per user; those rows fold again into the CALENDAR-BOUNDED
+    * (day, endings) frame, and the KM walk runs driver-side on that
+    * bounded series (q285's discipline). Nothing user- or event-sized
+    * ever reaches the driver. */
+  def q319SurvivalKm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400000000L
+    val e = ev(s, dir).select($"user_id", $"event_type",
+      unix_micros($"ts".cast("timestamp")).as("us"))
+    val hz = e.agg(max($"us").as("h"))
+    val s0 = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("t0"))
+    val p0 = e.filter($"event_type" === "purchase")
+      .join(s0, Seq("user_id"))
+      .filter($"us" >= $"t0")
+      .groupBy($"user_id").agg(min($"us").as("tp"))
+    val ends = s0.join(p0, Seq("user_id"), "left")
+      .crossJoin(broadcast(hz))
+      .select(
+        when($"tp".isNotNull, expr(s"(tp - t0) div $dayUs"))
+          .otherwise(expr(s"(h - t0) div $dayUs")).as("day"),
+        when($"tp".isNotNull, 1L).otherwise(0L).as("is_event"))
+      .groupBy($"day")
+      .agg(sum($"is_event").as("d_i"),
+        sum(lit(1L) - $"is_event").as("c_i"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // suffix sums give at-risk; the KM walk is the 1e6-scale truncating
+    // product over conversion days, in day order
+    var risk = ends.map(r => r._2 + r._3).sum
+    var surv = 1000000L
+    val rows = ends.flatMap { case (day, d, c) =>
+      val out = if (d > 0) {
+        surv = surv * (risk - d) / risk
+        Some(org.apache.spark.sql.Row(day, risk, d, c, surv))
+      } else None
+      risk -= d + c
+      out
+    }
+    import org.apache.spark.sql.types._
+    graft.operators.LocalReport.frame(s, rows.toSeq,
+      ("day", LongType), ("n_at_risk", LongType), ("n_events", LongType),
+      ("n_censored", LongType), ("survival_ppm", LongType))
+  }
+
   /** q311 planted ground truth (disjoint -701..-706 user range; event ids
     * -70101..-70603; us anchored at epoch so the plants sit 54 years from
     * the real 2024 stream but user-disjointness is what isolates them).

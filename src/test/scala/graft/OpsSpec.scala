@@ -1717,6 +1717,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the executed knee must be the plan q314 marked best")
   }
 
+  test("q319: KM curve replays from raw events; monotone; censoring respected") {
+    import spark.implicits._
+    val got = graft.ops.EventOps.q319SurvivalKm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    // survival is non-increasing and at-risk strictly decreases
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._5 <= a._5, "survival must be non-increasing")
+        assert(b._2 < a._2, "at-risk must shrink")
+      case _ =>
+    }
+    // independent replay from raw events
+    val evs = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .as[(Long, String, Long)].collect()
+    val hz = evs.map(_._3).max
+    val t0 = evs.filter(_._2 == "signup").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val tp = evs.filter(_._2 == "purchase")
+      .filter(e => t0.get(e._1).exists(e._3 >= _))
+      .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val d = 86400000000L
+    // t0.toSeq first: Map#map with pair results would RE-KEY by day and
+    // collapse users (the Map#collect trap from CLAUDE.md, again)
+    val obs = t0.toSeq.map { case (u, t) =>
+      tp.get(u) match {
+        case Some(p) => ((p - t) / d, true)
+        case None => ((hz - t) / d, false)
+      }
+    }
+    var risk = obs.size.toLong
+    var surv = 1000000L
+    val expect = obs.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (day, os) =>
+        val dI = os.count(_._2).toLong
+        val cI = os.count(!_._2).toLong
+        val out = if (dI > 0) {
+          surv = surv * (risk - dI) / risk
+          Some((day, risk, dI, cI, surv))
+        } else None
+        risk -= dI + cI
+        out
+    }
+    assert(got.toSeq == expect)
+    // every conversion is counted exactly once; at-risk day 0 covers
+    // every signed-up user (converting or censored)
+    assert(got.map(_._3).sum == obs.count(_._2).toLong)
+    assert(got.head._2 == obs.size.toLong)
+  }
+
   test("range join covers every order at most once") {
     import spark.implicits._
     import graft.operators.Relational

@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q319_survival_km" -> 0, // collect-local calendar-bounded report;
+                             // two user-keyed combinable folds collapse
+                             // the stream pre-collect (q285's bounded-
+                             // series discipline)
     "q318_dp_mechanism" -> 2, // ONE combinable source count fold +
                              // orderBy; noise math is a narrow
                              // projection on the |sources|-row frame
