@@ -79,9 +79,6 @@ object SparkEntry {
        |ORDER BY rank""".stripMargin
   }
 
-  /** q294's oracle, generated: one zone-map CTE block per candidate
-    * layout (row_number in layout order → 64 files → min/max zone maps →
-    * skipping verdicts per predicate), unioned into the 12-row report. */
   /** q317's oracle, generated: the 48-perm signature (q293's family)
     * plus one banded self-join per plan — 1×48 / 6×8 / 48×1 — against
     * the exact J ≥ 0.8 truth over the q213 sample. */
@@ -97,8 +94,8 @@ object SparkEntry {
           .mkString(" || ':' || ")
         s"SELECT doc_id, $j AS band_idx, $parts AS band_key FROM sigs"
       }.mkString("\n  UNION ALL ")
-      s"""bands_$tag AS ($bandRows),
-         |cand_$tag AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      s"""bands_$tag AS MATERIALIZED ($bandRows),
+         |cand_$tag AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands_$tag x JOIN bands_$tag y
          |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
          |    AND x.doc_id < y.doc_id),
@@ -148,13 +145,13 @@ object SparkEntry {
     val steps = (1 to 3).flatMap { r =>
       val prev = if (r == 1) "w0" else s"b${r - 1}"
       Seq(
-        s"""a$r AS (SELECT c.lang, c.source, c.n,
+        s"""a$r AS MATERIALIZED (SELECT c.lang, c.source, c.n,
            |    c.w * (lt.t * 1000000) // rm.m AS w
            |  FROM $prev c
            |  JOIN (SELECT lang, CAST(sum(n * w) AS BIGINT) AS m
            |        FROM $prev GROUP BY lang) rm ON rm.lang = c.lang
            |  JOIN lt ON lt.lang = c.lang)""".stripMargin,
-        s"""b$r AS (SELECT c.lang, c.source, c.n,
+        s"""b$r AS MATERIALIZED (SELECT c.lang, c.source, c.n,
            |    c.w * (st.t * 1000000) // cm.m AS w
            |  FROM a$r c
            |  JOIN (SELECT source, CAST(sum(n * w) AS BIGINT) AS m
@@ -163,18 +160,18 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
        |  FROM documents GROUP BY 1, 2),
-       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-       |lt AS (SELECT lang, nt.n // d.L +
+       |nt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |lt AS MATERIALIZED (SELECT lang, nt.n // d.L +
        |    CASE WHEN d.rn <= nt.n % d.L THEN 1 ELSE 0 END AS t
        |  FROM (SELECT lang, CAST(row_number() OVER (ORDER BY lang) AS BIGINT) AS rn,
        |          CAST(count(*) OVER () AS BIGINT) AS L
        |        FROM (SELECT DISTINCT lang FROM documents)) d, nt),
-       |st AS (SELECT source, nt.n // d.L +
+       |st AS MATERIALIZED (SELECT source, nt.n // d.L +
        |    CASE WHEN d.rn <= nt.n % d.L THEN 1 ELSE 0 END AS t
        |  FROM (SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS rn,
        |          CAST(count(*) OVER () AS BIGINT) AS L
        |        FROM (SELECT DISTINCT source FROM documents)) d, nt),
-       |w0 AS (SELECT lang, source, n, CAST(1000000 AS BIGINT) AS w FROM cells),
+       |w0 AS MATERIALIZED (SELECT lang, source, n, CAST(1000000 AS BIGINT) AS w FROM cells),
        |$steps,
        |rm3 AS (SELECT lang, CAST(sum(n * w) AS BIGINT) // 1000000 AS m
        |  FROM b3 GROUP BY lang),
@@ -189,6 +186,10 @@ object SparkEntry {
        |ORDER BY c.lang, c.source""".stripMargin
   }
 
+  /** q294's oracle, generated: one zone-map CTE block per candidate
+    * layout (row_number in layout order → 64 files → min/max zone maps →
+    * skipping verdicts per predicate), unioned into the 15-row report
+    * (5 layouts × 3 predicates). */
   private def q294OracleSql: String = {
     val layouts = Seq(("1_natural", "okey"), ("2_by_date", "day, okey"),
       ("3_by_cust", "ckey, okey"), ("4_zorder", "zval, okey"),

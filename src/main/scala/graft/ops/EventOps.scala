@@ -1145,25 +1145,31 @@ object EventOps {
   def q319SurvivalKm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dayUs = 86400000000L
+    // persist-once: the narrow projection feeds THREE folds (horizon
+    // max, first-signup, first-qualifying-purchase) — uncached each
+    // fold re-scanned events (r11 VERDICT task 7); released right
+    // after the calendar-bounded `ends` frame collects
     val e = ev(s, dir).select($"user_id", $"event_type",
-      unix_micros($"ts".cast("timestamp")).as("us"))
-    val hz = e.agg(max($"us").as("h"))
-    val s0 = e.filter($"event_type" === "signup")
-      .groupBy($"user_id").agg(min($"us").as("t0"))
-    val p0 = e.filter($"event_type" === "purchase")
-      .join(s0, Seq("user_id"))
-      .filter($"us" >= $"t0")
-      .groupBy($"user_id").agg(min($"us").as("tp"))
-    val ends = s0.join(p0, Seq("user_id"), "left")
-      .crossJoin(broadcast(hz))
-      .select(
-        when($"tp".isNotNull, expr(s"(tp - t0) div $dayUs"))
-          .otherwise(expr(s"(h - t0) div $dayUs")).as("day"),
-        when($"tp".isNotNull, 1L).otherwise(0L).as("is_event"))
-      .groupBy($"day")
-      .agg(sum($"is_event").as("d_i"),
-        sum(lit(1L) - $"is_event").as("c_i"))
-      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      unix_micros($"ts".cast("timestamp")).as("us")).persist()
+    val ends = try {
+      val hz = e.agg(max($"us").as("h"))
+      val s0 = e.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"us").as("t0"))
+      val p0 = e.filter($"event_type" === "purchase")
+        .join(s0, Seq("user_id"))
+        .filter($"us" >= $"t0")
+        .groupBy($"user_id").agg(min($"us").as("tp"))
+      s0.join(p0, Seq("user_id"), "left")
+        .crossJoin(broadcast(hz))
+        .select(
+          when($"tp".isNotNull, expr(s"(tp - t0) div $dayUs"))
+            .otherwise(expr(s"(h - t0) div $dayUs")).as("day"),
+          when($"tp".isNotNull, 1L).otherwise(0L).as("is_event"))
+        .groupBy($"day")
+        .agg(sum($"is_event").as("d_i"),
+          sum(lit(1L) - $"is_event").as("c_i"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+    } finally e.unpersist()
     // suffix sums give at-risk; the KM walk is the 1e6-scale truncating
     // product over conversion days, in day order
     var risk = ends.map(r => r._2 + r._3).sum

@@ -1398,34 +1398,39 @@ object PipelineOps {
     * AROUND the draw is exact and portable). The total ε column carries
     * sequential composition: releases × 693 milli-nats.
     *
-    * Scale: ONE combinable per-source count fold; noise derivation is a
-    * narrow projection on the |sources|-row frame. */
+    * Scale: ONE combinable per-source count fold, collected ONCE — the
+    * release count and every noise column derive from the collected
+    * |sources|-row aggregate driver-side (the old `perSrc.count()`
+    * triggered a second full documents scan for a number the collect
+    * already carries); the report is a LocalReport frame. */
   def q318DpMechanism(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Fingerprint.register(s)
+    import org.apache.spark.sql.types.{LongType, StringType}
     val perSrc = docs(s, dir).groupBy($"source")
       .agg(count(lit(1)).as("true_count"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val nRel = perSrc.length.toLong
     // middle-square breaks the rolling hash's affinity (q279's lesson);
     // trailing zeros of the finalized bits are Geometric(1/2) (q282's
-    // register idiom, exact on both engines; w = 0 at ~2^-50 maps to 0)
-    def withGeom(df: DataFrame, tag: String, out: String): DataFrame = df
-      .withColumn("_w", expr(
-        s"(graft_fingerprint(concat('$tag:', source)) * " +
-        s"graft_fingerprint(concat('$tag:', source))) div 65536"))
-      .withColumn(out, when($"_w" === 0L, 0L).otherwise(
-        expr("CAST(bit_count((_w & -_w) - 1) AS BIGINT)")))
-      .drop("_w")
-    val nRel = perSrc.count()
-    withGeom(withGeom(perSrc, "dp1", "g1"), "dp2", "g2")
-      .withColumn("noise", $"g1" - $"g2")
-      .withColumn("released_count",
-        greatest(lit(0L), $"true_count" + $"noise"))
-      .withColumn("abs_noise", abs($"noise"))
-      .withColumn("eps_milli", lit(693L))
-      .withColumn("eps_total_milli", lit(693L * nRel))
-      .select($"source", $"true_count", $"noise", $"released_count",
-        $"abs_noise", $"eps_milli", $"eps_total_milli")
-      .orderBy($"source")
+    // register idiom; w = 0 at ~2^-50 maps to 0). Driver replay of the
+    // former `(fp * fp) div 65536` / `bit_count((w & -w) - 1)` columns:
+    // fp < 1e9+7 so fp*fp never overflows, and numberOfTrailingZeros is
+    // exactly the bit_count-of-lowest-set-bit-minus-one idiom.
+    def geom(tag: String, src: String): Long = {
+      val fp = Fingerprint.hashString(s"$tag:$src")
+      val w = (fp * fp) / 65536L
+      if (w == 0L) 0L else java.lang.Long.numberOfTrailingZeros(w).toLong
+    }
+    val rows = perSrc.map { case (src, tc) =>
+      val noise = geom("dp1", src) - geom("dp2", src)
+      org.apache.spark.sql.Row(src, tc, noise, math.max(0L, tc + noise),
+        math.abs(noise), 693L, 693L * nRel)
+    }
+    graft.operators.LocalReport.frame(s, rows.toSeq,
+      "source" -> StringType, "true_count" -> LongType,
+      "noise" -> LongType, "released_count" -> LongType,
+      "abs_noise" -> LongType, "eps_milli" -> LongType,
+      "eps_total_milli" -> LongType)
   }
 
   /** X289 — file-level Bloom skipping audit: the skipping lane's missing

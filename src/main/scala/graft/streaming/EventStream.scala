@@ -893,17 +893,21 @@ object EventStream {
       val spc = ls.map(hit(specialPat, _))
       val boi = ls.map(bset.contains)
       val masked = ls.indices.map(i => pii(i) || secF(i) || spc(i) || boi(i))
-      val offs = ls.scanLeft(0L)((a, l) => a + l.length + 1)
+      // Codepoint lengths (not UTF-16 code units): batch q313 and the
+      // DuckDB oracle count codepoints, and FpByteFold supports
+      // supplementary-plane text, so offsets must match on 4-byte UTF-8.
+      def cp(l: String): Long = l.codePointCount(0, l.length).toLong
+      val offs = ls.scanLeft(0L)((a, l) => a + cp(l) + 1)
       val spans = ls.indices.filter(masked)
         .foldLeft(List.empty[(Long, Long)]) { case (acc, i) =>
-          val (st, en) = (offs(i), offs(i) + ls(i).length)
+          val (st, en) = (offs(i), offs(i) + cp(ls(i)))
           acc match {
             case (ps, pe) :: tail if pe + 1 == st => (ps, en) :: tail
             case _ => (st, en) :: acc
           }
         }.reverse
       val kept = ls.indices.filterNot(masked).map(ls).mkString("\n")
-      val total = ls.map(_.length.toLong).sum + ls.length - 1
+      val total = ls.map(cp).sum + ls.length - 1
       val mchars = spans.map(p => p._2 - p._1).sum
       MaskRow(d.doc_id, ls.length.toLong, masked.count(identity).toLong,
         spans.length.toLong, mchars, total, mchars * 1000000L / total,

@@ -939,11 +939,12 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     allLines.foreach { case (id, src, ls) =>
       val masked = ls.map(l => hits(pii, l) || hits(sec, l) ||
         hits(spec, l) || boiler((src, l)))
-      // char offsets + gaps-and-islands span coalescing
-      val offs = ls.scanLeft(0L)((a, l) => a + l.length + 1)
+      // codepoint offsets (not UTF-16 units) + gaps-and-islands coalescing
+      def cp(l: String): Long = l.codePointCount(0, l.length).toLong
+      val offs = ls.scanLeft(0L)((a, l) => a + cp(l) + 1)
       val spans = ls.indices.filter(masked).foldLeft(List.empty[(Long, Long)]) {
         case (acc, i) =>
-          val (st, en) = (offs(i), offs(i) + ls(i).length)
+          val (st, en) = (offs(i), offs(i) + cp(ls(i)))
           acc match {
             case (ps, pe) :: tail if pe + 1 == st => (ps, en) :: tail
             case _ => (st, en) :: acc

@@ -766,9 +766,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // two user-keyed combinable folds collapse
                              // the stream pre-collect (q285's bounded-
                              // series discipline)
-    "q318_dp_mechanism" -> 2, // ONE combinable source count fold +
-                             // orderBy; noise math is a narrow
-                             // projection on the |sources|-row frame
+    "q318_dp_mechanism" -> 0, // collect-local report: ONE combinable
+                             // source count fold collected once; noise
+                             // math replayed driver-side on |sources| rows
     "q317_lsh_plan_exec" -> 0, // collect-local 3-row report; sample-
                              // bounded truth join + banded self-joins
                              // over ONE persisted signature frame
