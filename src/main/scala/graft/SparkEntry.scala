@@ -137,6 +137,70 @@ object SparkEntry {
        |) ORDER BY n_bands""".stripMargin
   }
 
+  /** q320's oracle, generated: 30 BPE learn rounds as chained CTE blocks
+    * (weighted pair-count → deterministic argmax → run-parity merge marks
+    * → renumbered symbol table). Greedy left-to-right merging is
+    * state-free here: a≠b occurrences can never overlap, and for a=b
+    * runs greedy merges exactly the even run offsets, so merge starts
+    * are `(pos - run_start) % 2 = 0` with run_start from gaps-and-islands
+    * window math (q294's chained-CTE discipline — DuckDB 1.0 list_reduce
+    * struct state is off-limits). An empty argmax round degrades to an
+    * identity rewrite and contributes no report row, matching the Spark
+    * loop's early stop. */
+  private def q320OracleSql: String = {
+    val n = 30
+    val rounds = (1 to n).map { k =>
+      val prev = s"s${k - 1}"
+      s"""p$k AS MATERIALIZED (SELECT x.sym AS a, y.sym AS b,
+         |    CAST(sum(x.c) AS BIGINT) AS pc
+         |  FROM $prev x JOIN $prev y ON x.word = y.word AND y.pos = x.pos + 1
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT a, b, pc FROM p$k
+         |  ORDER BY pc DESC, a, b LIMIT 1),
+         |m$k AS MATERIALIZED (
+         |  SELECT z.word, z.c, z.pos, z.sym, z.nsym,
+         |    CASE WHEN z.nsym IS NOT NULL AND z.sym = b.a AND z.nsym = b.b
+         |      AND (b.a <> b.b OR (z.pos - z.bst) % 2 = 0)
+         |      THEN 1 ELSE 0 END AS st
+         |  FROM (SELECT word, c, pos, sym, nsym,
+         |      MIN(pos) OVER (PARTITION BY word, sym, blk) AS bst
+         |    FROM (SELECT word, c, pos, sym,
+         |        LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym,
+         |        pos - ROW_NUMBER() OVER (PARTITION BY word, sym ORDER BY pos) AS blk
+         |      FROM $prev)) z
+         |  LEFT JOIN b$k b ON TRUE),
+         |s$k AS MATERIALIZED (
+         |  SELECT word, c,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         |    CASE WHEN st = 1 THEN sym || nsym ELSE sym END AS sym
+         |  FROM (SELECT *, LAG(st, 1, 0) OVER (PARTITION BY word ORDER BY pos) AS pst
+         |    FROM m$k)
+         |  WHERE pst = 0)""".stripMargin
+    }.mkString(",\n")
+    val report = (1 to n).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS merge_idx, b.a AS sym_a, b.b AS sym_b,
+         |  b.a || b.b AS merged, b.pc AS pair_count,
+         |  (SELECT CAST(sum(c) AS BIGINT) FROM s${k - 1})
+         |    - (SELECT CAST(sum(c) AS BIGINT) FROM s$k) AS n_merged,
+         |  (SELECT CAST(sum(c) AS BIGINT) FROM s$k) AS tokens_after,
+         |  (SELECT CAST(count(DISTINCT sym) AS BIGINT) FROM s$k) AS n_sym_types
+         |FROM b$k b""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, c,
+       |    CAST(unnest(generate_series(1, length(word))) AS BIGINT) AS pos,
+       |    unnest(string_split(word, '')) AS sym
+       |  FROM w0),
+       |$rounds
+       |SELECT * FROM (
+       |$report
+       |) ORDER BY merge_idx""".stripMargin
+  }
+
   /** q315's oracle, generated: the three IPF rounds unroll into six
     * chained scaling CTEs (a1/b1..a3/b3 — q275's chained-DP discipline);
     * every step is the same truncating `w * (t * 1e6) // Σ n·w` the
@@ -676,6 +740,7 @@ object SparkEntry {
     "q317_lsh_plan_exec"  -> DedupOps.q317LshPlanExec _,
     "q318_dp_mechanism"   -> PipelineOps.q318DpMechanism _,
     "q319_survival_km"    -> EventOps.q319SurvivalKm _,
+    "q320_bpe_train"      -> TextOps.q320BpeTrain _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -5936,6 +6001,7 @@ object SparkEntry {
 
     "q315_composition_raking" -> q315OracleSql,
     "q317_lsh_plan_exec" -> q317OracleSql,
+    "q320_bpe_train" -> q320OracleSql,
 
     // q319: per-day KM step replayed as a packed n*1e6+d BIGINT list
     // fold (acc * (n-d) // n, 1e6 seed) — the identical truncating walk

@@ -916,4 +916,116 @@ object TextOps {
         expr("graft_fingerprint(s6)").as("fp_text"))
       .orderBy($"doc_id")
   }
+
+  /** Greedy left-to-right non-overlapping merge of the adjacent symbol
+    * pair (a, b) → a||b, as ONE `aggregate` HOF with named_struct state
+    * (the sanctioned fold shape — chained withColumns would collapse
+    * into an exponentially-inlined projection). State = (out, carry):
+    * carry is the last unmerged symbol; (carry=a, x=b) emits the merged
+    * symbol and clears the carry, so a run "a a a a" merges at even run
+    * offsets exactly like classic BPE's learn-time replacement. */
+  private def bpeMergePair(a: String, b: String): org.apache.spark.sql.Column = {
+    val init = struct(
+      expr("CAST(array() AS array<string>)").as("o"),
+      lit(null).cast("string").as("cr"))
+    val step = (st: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =>
+      when(st("cr").isNull, struct(st("o").as("o"), x.as("cr")))
+        .when(st("cr") === lit(a) && x === lit(b),
+          struct(concat(st("o"), array(lit(a + b))).as("o"),
+            lit(null).cast("string").as("cr")))
+        .otherwise(struct(concat(st("o"), array(st("cr"))).as("o"), x.as("cr")))
+    val fin = (st: org.apache.spark.sql.Column) =>
+      when(st("cr").isNull, st("o")).otherwise(concat(st("o"), array(st("cr"))))
+    aggregate(col("syms"), init, step, fin)
+  }
+
+  /** Core BPE merge-learning loop over a (word, c) frequency frame:
+    * per round ONE combinable adjacent-pair count fold → deterministic
+    * argmax (count DESC, then pair bytes ASC) → broadcast-literal merge
+    * application. Stops early when no adjacent pair remains. Returns one
+    * report row per learned merge. Exposed to the spec so the planted
+    * mini-corpus drives the same loop as q320. */
+  private[graft] def bpeTrainRows(s: SparkSession, wordFreq: DataFrame,
+                                  maxMerges: Int): Seq[org.apache.spark.sql.Row] = {
+    import s.implicits._
+    val out = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
+    // localCheckpoint, not persist: persist leaves the full lineage in the
+    // plan, and each round's InMemoryRelation RENDERING nests the previous
+    // round's — the executed-plan string doubles per round and AQE's
+    // explainString OOMs near round 25 (measured; execution itself stayed
+    // ~0.4 s/round). The checkpoint truncates the plan to a LogicalRDD, so
+    // every round optimizes and renders a constant-size plan. The
+    // checkpointed frames are tiny (word-TYPE table) and freed by the
+    // ContextCleaner as rounds drop their references.
+    var cur = wordFreq.select(col("word"), col("c"),
+      expr("filter(split(word, ''), x -> x <> '')").as("syms")).localCheckpoint()
+    var toksPrev = cur.agg(sum(col("c") * size(col("syms")))).as[Long].head()
+    var k = 0
+    var exhausted = false
+    while (k < maxMerges && !exhausted) {
+      val best = cur.select($"c", explode(expr(
+        """transform(slice(syms, 1, greatest(size(syms) - 1, 0)),
+          |  (x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))"""
+          .stripMargin)).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"c").as("pc"))
+        .orderBy(desc("pc"), asc("a"), asc("b")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, pc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val merged = cur
+          .select($"word", $"c", bpeMergePair(a, b).as("syms")).localCheckpoint()
+        val (toks, ntyp) = merged.select($"c", explode($"syms").as("s"))
+          .agg(sum($"c").as("toks"), countDistinct($"s").as("ntyp"))
+          .as[(Long, Long)].head()
+        cur = merged
+        k += 1
+        out += org.apache.spark.sql.Row(
+          k.toLong, a, b, a + b, pc, toksPrev - toks, toks, ntyp)
+        toksPrev = toks
+      }
+    }
+    out.toSeq
+  }
+
+  /** X293 — BPE vocabulary merge TRAINING (published byte-pair-encoding
+    * learn loop): the tokenizer lane's missing member — q75 tokenizes,
+    * q255 audits application optimality GIVEN a vocabulary, q113/q157
+    * measure coverage of a frequency vocab; this LEARNS the merges.
+    * Word-frequency table from the corpus, initial symbols = characters;
+    * each of 30 bounded rounds counts adjacent symbol pairs weighted by
+    * word frequency, picks the argmax under a deterministic tie-break
+    * (count DESC, pair bytes ASC), and applies the merge greedily
+    * left-to-right. Per merge the report carries the winning pair count,
+    * the weighted number of merge sites actually rewritten (tokens
+    * saved — the fertility drop; less than the pair count when the pair
+    * is a run "a a a" where greedy merges ⌊k/2⌋ of k−1 overlapping
+    * occurrences), the corpus token count after, and the live symbol-type
+    * count.
+    *
+    * Scale: the ONLY corpus-sized pass is the word-frequency fold (one
+    * combinable shuffle); the 30-round loop runs on the Zipf-bounded
+    * word-TYPE table — per round one pair-count fold + a 1-row argmax
+    * collect + a broadcast-literal merge projection, localCheckpointed
+    * per round so lineage (and the exponential nested plan RENDERING
+    * persist alone leaves behind) stays constant-size across rounds.
+    * The DuckDB oracle replays the identical loop as 30
+    * generated chained-CTE rounds (q294's discipline — list_reduce
+    * struct state is banned), with greedy-run semantics expressed
+    * state-free via run-parity window math. */
+  def q320BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val wordFreq = docs(s, dir)
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+    val rows = bpeTrainRows(s, wordFreq, 30)
+    graft.operators.LocalReport.frame(s, rows,
+      "merge_idx" -> LongType, "sym_a" -> StringType, "sym_b" -> StringType,
+      "merged" -> StringType, "pair_count" -> LongType,
+      "n_merged" -> LongType, "tokens_after" -> LongType,
+      "n_sym_types" -> LongType)
+  }
 }

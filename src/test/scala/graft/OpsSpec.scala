@@ -2144,4 +2144,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(found > twins.length / 2, s"only $found of ${twins.length} twins")
   }
+
+  test("q320: planted corpus forces the known BPE merge order, tie-break, run parity, early stop") {
+    import spark.implicits._
+    // Hand-computed ground truth. Word frequencies:
+    //   aaab x5, abab x4, cdcd x3, aaaa x2, xy x7, xz x7  (84 tokens).
+    // Round 1 must pick (a,a) with pair count 16 but GREEDILY merge only
+    // 9 sites (aaab has 2 overlapping (a,a) pairs but 1 merge; aaaa has
+    // 3 pairs but 2 merges) — the run-parity case. Rounds 3/4 pin the
+    // tie-break: (x,y) and (x,z) both count 7, byte order picks y first.
+    // After round 9 every word is a single symbol -> early stop at 9
+    // rows even though 12 merges were requested.
+    val wf = Seq(("aaab", 5L), ("abab", 4L), ("cdcd", 3L), ("aaaa", 2L),
+      ("xy", 7L), ("xz", 7L)).toDF("word", "c")
+    val got = TextOps.bpeTrainRows(spark, wf, 12)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val want = Seq(
+      (1L, "a", "a", "aa", 16L, 9L, 75L, 8L),
+      (2L, "a", "b", "ab", 13L, 13L, 62L, 7L),
+      (3L, "x", "y", "xy", 7L, 7L, 55L, 7L),
+      (4L, "x", "z", "xz", 7L, 7L, 48L, 6L),
+      (5L, "c", "d", "cd", 6L, 6L, 42L, 5L),
+      (6L, "aa", "ab", "aaab", 5L, 5L, 37L, 6L),
+      (7L, "ab", "ab", "abab", 4L, 4L, 33L, 6L),
+      (8L, "cd", "cd", "cdcd", 3L, 3L, 30L, 6L),
+      (9L, "aa", "aa", "aaaa", 2L, 2L, 28L, 6L))
+    assert(got == want, s"got:\n${got.mkString("\n")}")
+  }
+
+  test("q320 end-to-end on a planted documents dir matches the driver replay") {
+    import spark.implicits._
+    // The corpus fold (split/filter/groupBy) feeds the same loop: one
+    // planted doc whose space-joined text realizes the frequencies above.
+    val words = List.fill(5)("aaab") ++ List.fill(4)("abab") ++
+      List.fill(3)("cdcd") ++ List.fill(2)("aaaa") ++
+      List.fill(7)("xy") ++ List.fill(7)("xz")
+    val text = words.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_plant").toString
+    Seq((-1L, text, "en", "planted", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.q320BpeTrain(spark, dir)
+      .select($"merge_idx", $"merged", $"pair_count", $"n_merged")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got.take(2) == Seq((1L, "aa", 16L, 9L), (2L, "ab", 13L, 13L)))
+    assert(got.size == 9 && got.last == (9L, "aaaa", 2L, 2L))
+  }
 }

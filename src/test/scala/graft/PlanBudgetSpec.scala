@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q320_bpe_train" -> 0,   // collect-local merge report; the training
+                             // loop's per-round folds run inside the
+                             // builder (one combinable pair-count fold +
+                             // 1-row argmax per round, localCheckpointed)
     "q319_survival_km" -> 0, // collect-local calendar-bounded report;
                              // two user-keyed combinable folds collapse
                              // the stream pre-collect (q285's bounded-
