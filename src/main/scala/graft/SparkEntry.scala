@@ -201,6 +201,61 @@ object SparkEntry {
        |) ORDER BY merge_idx""".stripMargin
   }
 
+  /** q321's oracle: hashed-bigram DSIR replay — FpByteFold fingerprints
+    * for doc hash + gram buckets, add-one-smoothed ppm models, half-bit
+    * log2 ratio via length(bin(r²))−1−39, A-ES log-domain priority, exact
+    * rank selection of k = n//5, |langs|-row composition report. */
+  private def q321OracleSql: String = {
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+       |    ${fp("coalesce(text, '') || CAST(doc_id AS VARCHAR)")} AS fp
+       |  FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+       |      i -> ${fp("ws[i] || ' ' || ws[i+1]")} % 128)) AS bucket
+       |  FROM d),
+       |cnt AS MATERIALIZED (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_r,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+       |  FROM g GROUP BY bucket),
+       |tot AS MATERIALIZED (
+       |  SELECT CAST(sum(n_r) AS BIGINT) AS nr, CAST(sum(n_t) AS BIGINT) AS nt
+       |  FROM cnt),
+       |sc AS MATERIALIZED (
+       |  SELECT bucket, CAST(length(bin(r * r)) - 1 - 39 AS BIGINT) AS llw_half
+       |  FROM (SELECT bucket,
+       |      least(greatest((n_t + 1) * 1000000 // (tot.nt + 128), 1) * 1000000
+       |        // greatest((n_r + 1) * 1000000 // (tot.nr + 128), 1),
+       |        2147483647) AS r
+       |    FROM cnt, tot)),
+       |llw AS MATERIALIZED (
+       |  SELECT g.doc_id, CAST(sum(sc.llw_half) AS BIGINT) AS llw
+       |  FROM g JOIN sc USING (bucket) GROUP BY g.doc_id),
+       |pd AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang, coalesce(llw.llw, 0) AS llw,
+       |    CAST(length(bin((d.fp + 1) * (d.fp + 1))) - 1 AS BIGINT)
+       |      - coalesce(llw.llw, 0) AS pri
+       |  FROM d LEFT JOIN llw USING (doc_id)),
+       |rk AS MATERIALIZED (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER () AS BIGINT) AS total
+       |  FROM pd)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_raw,
+       |  CAST(count(*) AS BIGINT) * 1000000 // min(total) AS raw_ppm,
+       |  CAST(sum(llw) AS BIGINT) AS sum_llw,
+       |  CAST(sum(CASE WHEN rn <= total // 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+       |  CASE WHEN min(total) // 5 = 0 THEN 0
+       |    ELSE CAST(sum(CASE WHEN rn <= total // 5 THEN 1 ELSE 0 END) AS BIGINT)
+       |      * 1000000 // (min(total) // 5) END AS sel_ppm
+       |FROM rk GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** q315's oracle, generated: the three IPF rounds unroll into six
     * chained scaling CTEs (a1/b1..a3/b3 — q275's chained-DP discipline);
     * every step is the same truncating `w * (t * 1e6) // Σ n·w` the
@@ -741,6 +796,7 @@ object SparkEntry {
     "q318_dp_mechanism"   -> PipelineOps.q318DpMechanism _,
     "q319_survival_km"    -> EventOps.q319SurvivalKm _,
     "q320_bpe_train"      -> TextOps.q320BpeTrain _,
+    "q321_dsir_resample"  -> PipelineOps.q321DsirResample _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6002,6 +6058,7 @@ object SparkEntry {
     "q315_composition_raking" -> q315OracleSql,
     "q317_lsh_plan_exec" -> q317OracleSql,
     "q320_bpe_train" -> q320OracleSql,
+    "q321_dsir_resample" -> q321OracleSql,
 
     // q319: per-day KM step replayed as a packed n*1e6+d BIGINT list
     // fold (acc * (n-d) // n, 1e6 seed) — the identical truncating walk

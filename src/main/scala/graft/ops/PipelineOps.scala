@@ -2739,4 +2739,98 @@ object PipelineOps {
           .otherwise(lit("margin")).as("status"))
     rel.unionByName(margins).orderBy($"source", $"lang")
   }
+
+  /** X294 — DSIR-class importance resampling for data selection (the
+    * published Data-Selection-with-Importance-Resampling recipe, made
+    * integer-exact): select raw documents toward a TARGET domain (here
+    * the `lang = 'en'` slice stands in as the target corpus) by scoring
+    * every document under hashed-bigram bag-of-ngrams models of target
+    * and raw.
+    *
+    *  1. Features (q162's hashing trick): word bigrams →
+    *     `graft_fingerprint % 128` buckets; one exploded pass feeds BOTH
+    *     bucket-count models (raw count + target count in a single fold).
+    *  2. Importance weights: per bucket the add-one-smoothed ppm
+    *     probabilities pt/pr, then the log2 of their ratio in HALF-BIT
+    *     resolution via the q130 bin-length idiom — `band(r²) − 39`
+    *     where band(x) = length(bin(x)) − 1 = floor(log2 x) and r is the
+    *     clamped ratio in ppm: integer-exact on both engines where a
+    *     libm log would hash-diverge in the last ulp. A document's
+    *     log-weight is the sum of its gram occurrences' half-bits.
+    *  3. Resampling (q143's deterministic A-ES analogue, log domain):
+    *     priority = band((fp+1)²) − llw — "log2 u² minus log2 w²" — keep
+    *     the k = n/5 smallest via GlobalOrder's exact rank, never a
+    *     driver-side top-k of a corpus-sized k. The hash term spans ~59
+    *     half-bits, so it randomizes only within a ~2^30 weight band;
+    *     across bands selection follows the importance weights — stated
+    *     plainly: this is importance-BIASED deterministic selection,
+    *     replayable under retries like every sampling lane here.
+    *
+    * The report is the |langs|-row composition shift: raw vs selected
+    * share in ppm plus each language's total log-weight — the selected
+    * mix must move toward the target marginals (the q321 spec plants a
+    * disjoint negative-id target-twin corpus and asserts both the weight
+    * ordering and the shift).
+    *
+    * Scale: ONE documents scan into a persisted narrow frame; the gram
+    * explode is recomputed from that cache for its two folds (CPU over
+    * caching a token-sized frame); the 128-row model collects driver-side
+    * (bounded-dictionary class) and broadcasts back; ranking is
+    * GlobalOrder's two-phase range shuffle; the report collects |langs|
+    * rows and every cache is released before return. */
+  def q321DsirResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val B = 128
+    val w = docs(s, dir).select($"doc_id", $"lang",
+      expr("filter(split(text, ' '), x -> x <> '')").as("ws"),
+      expr("graft_fingerprint(concat(coalesce(text, ''), CAST(doc_id AS STRING)))")
+        .as("fp")).persist()
+    try {
+      val grams = w.select($"doc_id", $"lang", explode(expr(
+        s"""transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
+           |  (x, i) -> pmod(graft_fingerprint(concat(x, ' ', element_at(ws, i + 2))), $B))"""
+          .stripMargin)).as("bucket"))
+      val counts = grams.groupBy($"bucket")
+        .agg(count(lit(1)).as("n_r"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nR = counts.map(_._2).sum
+      val nT = counts.map(_._3).sum
+      def band(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+      val scores = counts.toSeq.map { case (b, nr, nt) =>
+        val pt = math.max((nt + 1) * 1000000L / (nT + B), 1L)
+        val pr = math.max((nr + 1) * 1000000L / (nR + B), 1L)
+        val r = math.min(pt * 1000000L / pr, 2147483647L)
+        (b, band(r * r) - 39L)
+      }.toDF("bucket", "llw_half")
+      val llw = grams.join(broadcast(scores), Seq("bucket"))
+        .groupBy($"doc_id").agg(sum($"llw_half").as("llw"))
+      val perDoc = w.select($"doc_id", $"lang", $"fp")
+        .join(llw, Seq("doc_id"), "left")
+        .withColumn("llw", coalesce($"llw", lit(0L)))
+        .withColumn("pri",
+          expr("CAST(length(bin((fp + 1) * (fp + 1))) - 1 AS BIGINT) - llw"))
+        .persist()
+      try {
+        val (ranked, total) = graft.operators.GlobalOrder
+          .withRowNumberAndTotal(perDoc, Seq($"pri", $"doc_id"), "rn")
+        val k = total / 5
+        val rep = ranked.groupBy($"lang")
+          .agg(count(lit(1)).as("n_raw"), sum($"llw").as("sum_llw"),
+            sum(when($"rn" <= k, 1L).otherwise(0L)).as("n_sel"))
+          .orderBy($"lang").collect()
+        val rows = rep.map { r =>
+          val (nRaw, nSel) = (r.getLong(1), r.getLong(3))
+          org.apache.spark.sql.Row(r.getString(0), nRaw,
+            nRaw * 1000000L / total, r.getLong(2), nSel,
+            if (k == 0) 0L else nSel * 1000000L / k)
+        }
+        LocalReport.frame(s, rows.toSeq,
+          "lang" -> StringType, "n_raw" -> LongType, "raw_ppm" -> LongType,
+          "sum_llw" -> LongType, "n_sel" -> LongType, "sel_ppm" -> LongType)
+      } finally perDoc.unpersist()
+    } finally w.unpersist()
+  }
 }

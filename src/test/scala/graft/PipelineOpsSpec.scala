@@ -970,4 +970,54 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sawCoalesced,
       "at least one class-4 doc must coalesce adjacent pii+secret lines into one span")
   }
+
+  test("q321: planted target-twin corpus — weights order by target likeness, selection shifts") {
+    import spark.implicits._
+    // DSIR must select target-LIKE documents, not target-LABELED ones:
+    // plant (negative ids, vocabulary foreign to the corpus)
+    //  - 12 docs lang='en' with target-only grams (they DEFINE the target
+    //    model's mass in those buckets; 12 anchors vs 6 twins keeps the
+    //    twins' own raw mass from diluting the bucket ratio below the
+    //    selection threshold — measured: 8 half-bits at 6/6, 71 at 12/6),
+    //  - 6 docs lang='xx'  with the SAME grams — target-like but not
+    //    target-labeled: DSIR must pull them in,
+    //  - 6 docs lang='yy'  with different foreign grams that appear ONLY
+    //    in raw — the target model has never seen them, so their
+    //    importance weight must go NEGATIVE and they must not be selected.
+    val tgtText = Array.fill(12)("qqalpha qqbeta qqgamma qqdelta qqepsilon")
+      .mkString(" ")
+    val rawText = Array.fill(12)("zzalpha zzbeta zzgamma zzdelta zzepsilon")
+      .mkString(" ")
+    val plants =
+      (1 to 12).map(i => (-100L - i, tgtText, "en", "planted")) ++
+      (1 to 6).map(i => (-200L - i, tgtText, "xx", "planted")) ++
+      (1 to 6).map(i => (-300L - i, rawText, "yy", "planted"))
+    val dir = java.nio.file.Files.createTempDirectory("dsir_plant").toString
+    graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionAll(plants.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rep = PipelineOps.q321DsirResample(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val (xxRaw, xxRawPpm, xxLlw, xxSel, xxSelPpm) = rep("xx")
+    val (yyRaw, _, yyLlw, yySel, _) = rep("yy")
+    assert(xxRaw == 6L && yyRaw == 6L)
+    // target-like twins: strongly positive weight, fully selected, and
+    // over-represented vs their raw share
+    assert(xxLlw > 0L, s"xx sum_llw=$xxLlw")
+    assert(xxSel == 6L, s"xx n_sel=$xxSel")
+    assert(xxSelPpm > xxRawPpm, s"xx sel=$xxSelPpm raw=$xxRawPpm")
+    // raw-only foreign docs: negative weight, never selected
+    assert(yyLlw < 0L, s"yy sum_llw=$yyLlw")
+    assert(yySel == 0L, s"yy n_sel=$yySel")
+    // per-doc ordering: xx twins carry more weight per doc than any
+    // natural language's average (they are pure target-bucket mass)
+    val langs = rep.keySet -- Set("xx", "yy")
+    langs.foreach { l =>
+      val (n, _, llw, _, _) = rep(l)
+      assert(xxLlw / 6L > llw / n, s"xx avg must exceed $l avg")
+    }
+  }
 }

@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q321_dsir_resample" -> 0, // collect-local |langs| report; data work
+                             // (gram folds + GlobalOrder rank) runs
+                             // inside the builder on persisted frames
     "q320_bpe_train" -> 0,   // collect-local merge report; the training
                              // loop's per-round folds run inside the
                              // builder (one combinable pair-count fold +
