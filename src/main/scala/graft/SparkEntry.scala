@@ -797,6 +797,7 @@ object SparkEntry {
     "q319_survival_km"    -> EventOps.q319SurvivalKm _,
     "q320_bpe_train"      -> TextOps.q320BpeTrain _,
     "q321_dsir_resample"  -> PipelineOps.q321DsirResample _,
+    "q322_semantic_prune" -> DedupOps.q322SemanticPrune _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7830,5 +7831,74 @@ object SparkEntry {
         |    // count(*) AS BIGINT) AS drop_ppm
         |FROM n LEFT JOIN dr ON n.vec_id = dr.vec_id
         |GROUP BY cid ORDER BY cluster_id""".stripMargin,
+
+    // q322: q229's Lloyd's replay over the paraphrase-trio union, then
+    // the SemDeDup priority sweep (farthest-from-centroid keeps first)
+    // as ONE state-free self-join + argmax head attribution.
+    "q322_semantic_prune" ->
+      """WITH e0 AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id, label, q FROM e0
+        |  UNION ALL
+        |  SELECT -vid - 1 AS vec_id, CAST((lab + 1) % 10 AS INTEGER) AS label,
+        |    list_transform(generate_series(1, len(qq)), j -> qq[j] + (vid + j - 1) % 3 - 1) AS q
+        |  FROM (SELECT vec_id AS vid, label AS lab, q AS qq FROM e0 WHERE vec_id % 10 = 7)
+        |  UNION ALL
+        |  SELECT -vid - 100001 AS vec_id, CAST((lab + 2) % 10 AS INTEGER) AS label,
+        |    list_transform(generate_series(1, len(qq)), j -> qq[j] + (vid + 2 * j - 1) % 3 - 1) AS q
+        |  FROM (SELECT vec_id AS vid, label AS lab, q AS qq FROM e0 WHERE vec_id % 10 = 7)),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+        |       FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, e.q, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c0 c)) WHERE rn = 1),
+        |x1 AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a1),
+        |s1 AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+        |       FROM x1 GROUP BY cid, i),
+        |u1 AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+        |       FROM s1 GROUP BY cid),
+        |c1 AS (SELECT c0.cid, coalesce(u1.c, c0.c) AS c FROM c0 LEFT JOIN u1 USING (cid)),
+        |a2 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, e.q, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c1 c)) WHERE rn = 1),
+        |x2 AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a2),
+        |s2 AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+        |       FROM x2 GROUP BY cid, i),
+        |u2 AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+        |       FROM s2 GROUP BY cid),
+        |c2 AS (SELECT c1.cid, coalesce(u2.c, c1.c) AS c FROM c1 LEFT JOIN u2 USING (cid)),
+        |n AS MATERIALIZED (SELECT f.vec_id, e.label, f.cid, f.q,
+        |    CAST(f.d AS BIGINT) AS d2,
+        |    CAST(list_sum(list_transform(f.q, x -> x * x)) AS BIGINT) AS nrm2
+        |  FROM (SELECT vec_id, q, cid, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+        |      SELECT e.vec_id, e.q, c.cid,
+        |        list_sum(list_transform(generate_series(1, len(e.q)),
+        |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+        |      FROM e CROSS JOIN c2 c)) WHERE rn = 1) f
+        |  JOIN e ON e.vec_id = f.vec_id),
+        |hd AS MATERIALIZED (SELECT vec_id, head FROM (
+        |  SELECT y.vec_id, x.vec_id AS head,
+        |    row_number() OVER (PARTITION BY y.vec_id ORDER BY x.d2 DESC, x.vec_id) AS rk
+        |  FROM n x JOIN n y ON x.cid = y.cid
+        |    AND (x.d2 > y.d2 OR (x.d2 = y.d2 AND x.vec_id < y.vec_id))
+        |  WHERE x.nrm2 > 0 AND y.nrm2 > 0
+        |    AND CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+        |        i -> x.q[i] * y.q[i])) AS DOUBLE)
+        |      / (sqrt(CAST(x.nrm2 AS DOUBLE)) * sqrt(CAST(y.nrm2 AS DOUBLE))) >= 0.95)
+        |  WHERE rk = 1)
+        |SELECT n.vec_id, n.label, n.cid AS cluster_id, n.d2,
+        |  CASE WHEN hd.vec_id IS NULL THEN CAST(1 AS BIGINT) ELSE 0 END AS kept,
+        |  coalesce(hd.head, n.vec_id) AS head_vec_id
+        |FROM n LEFT JOIN hd ON n.vec_id = hd.vec_id
+        |ORDER BY n.vec_id""".stripMargin,
   )
 }

@@ -1052,6 +1052,82 @@ object DedupOps {
     } finally q.unpersist(blocking = false)
   }
 
+  /** X295 — SemDeDup with keep-best survivorship (the full published
+    * resolution, past q229's pairwise higher-id drop): cluster-blocked
+    * semantic prune producing a per-member VERDICT with group heads.
+    *
+    *  - Blocks = X69's shared integer Lloyd's clusters (no label input
+    *    anywhere — the blocks come from the embedding space itself).
+    *  - Keep priority = SemDeDup's published policy: FARTHEST from
+    *    centroid first (d² DESC, vec_id ASC tiebreak) — q79's
+    *    argmax-survivor shape with centroid distance as the quality.
+    *  - A member is PRUNED iff some higher-priority member of its
+    *    cluster has cosine ≥ 0.95 with it (the paper's prefix-discard
+    *    sweep — state-free, so the DuckDB oracle replays it as one
+    *    self-join, no iterative components); its `head_vec_id` is the
+    *    highest-priority such member, kept members head themselves.
+    *
+    * Planted paraphrase ground truth rides the query (q229/q214's
+    * disjoint-range rule): every vec_id ≡ 7 (mod 10) original gets TWO
+    * ±1-milli perturbed paraphrases at −id−1 and −id−100001 with ROTATED
+    * labels ((l+1)%10, (l+2)%10) — cross-label trios that q36's
+    * label-blocked dedup structurally cannot see (members never share a
+    * block), while the label-free cluster blocking recovers them.
+    *
+    * Scale: q229's argument verbatim — quadratic only within a cluster,
+    * 8× salt on the block key (pmod: plants are negative), exact int64
+    * dots through the codegen'd graft_dot_l lane, doubles only at the
+    * IEEE sqrt-divide threshold compare. The verdict frame is
+    * member-sized (per-item, like q34's pair frame), not collected. */
+  def q322SemanticPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SquaredDistance.register(s)
+    val base = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id", "label",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+    def para(idOff: Long, labOff: Int, stride: Int) = base
+      .filter($"vec_id" % 10 === 7)
+      .select((-$"vec_id" - lit(idOff)).as("vec_id"),
+        (($"label" + lit(labOff)) % 10).as("label"),
+        expr(s"transform(q, (x, i) -> x + pmod(vec_id + $stride * i + ${stride - 1}, 3) - 1)")
+          .as("q"))
+    val e = base.unionByName(para(1L, 1, 1)).unionByName(para(100001L, 2, 2))
+      .persist()
+    try {
+      val assigned = SimilarityOps.kmeansAssign(s, e.select($"vec_id", $"q"),
+          k = 8, iters = 3)
+        .join(e.select($"vec_id", $"label"), Seq("vec_id"))
+        .withColumn("nrm2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+        .persist()
+      try {
+        val a = saltLeft(assigned.select($"vec_id".as("va"), $"cid",
+          $"d".as("da"), $"q".as("qa"), $"nrm2".as("na")), "va")
+        val b = replicateRight(assigned.select($"vec_id".as("vb"), $"cid",
+          $"d".as("db"), $"q".as("qb"), $"nrm2".as("nb")))
+        val heads = a.join(b, Seq("cid", "salt"))
+          .filter(($"da" > $"db" || ($"da" === $"db" && $"va" < $"vb")) &&
+            $"na" > 0L && $"nb" > 0L)
+          .withColumn("dot", expr("graft_dot_l(qa, qb)"))
+          .filter($"dot".cast("double") /
+            (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))) >= 0.95)
+          .groupBy($"vb".as("vec_id"))
+          .agg(max(struct($"da", (-$"va").as("nva"))).as("m"))
+          .select($"vec_id", (-$"m.nva").as("head"))
+        val out = assigned.join(heads, Seq("vec_id"), "left")
+          .select($"vec_id", $"label", $"cid".as("cluster_id"),
+            $"d".as("d2"),
+            when($"head".isNull, 1L).otherwise(0L).as("kept"),
+            coalesce($"head", $"vec_id").as("head_vec_id"))
+          .orderBy($"vec_id")
+        // localCheckpoint, not collect: the verdict is MEMBER-sized (a
+        // per-item frame, never driver-safe at 100 TB); the eager
+        // distributed materialization lets both caches release before
+        // return while the returned plan stays a LogicalRDD.
+        out.localCheckpoint()
+      } finally assigned.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
+
   /** X200 — winnowing fingerprint selection (the MOSS local-fingerprint
     * algorithm): per document, hash every k-gram (k=4 words), then keep
     * the MINIMUM hash of each sliding window of w=4 consecutive grams.

@@ -2145,6 +2145,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found > twins.length / 2, s"only $found of ${twins.length} twins")
   }
 
+  test("q322: planted cross-label paraphrase trios are pruned to one survivor per trio") {
+    import spark.implicits._
+    val out = DedupOps.q322SemanticPrune(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(3))).toMap
+    val origs = out.keys.filter(id => id >= 0 && id % 10 == 7).toSeq.sorted
+    assert(origs.nonEmpty)
+    var resolved = 0
+    origs.foreach { o =>
+      val trio = Seq(o, -o - 1, -o - 100001).map(id => id -> out(id))
+      // rotated labels: pairwise distinct — a label-blocked dedup (q36's
+      // shape) can never compare any two members of this trio
+      assert(trio.map(_._2._1).distinct.size == 3, s"trio $o labels")
+      if (trio.map(_._2._2).distinct.size == 1) { // all in one cluster
+        resolved += 1
+        assert(trio.map(_._2._3).sum == 1L, s"trio $o must keep exactly one")
+        trio.filter(_._2._3 == 0L).foreach { case (id, (_, _, _, head, _)) =>
+          assert(trio.exists(_._1 == head),
+            s"pruned $id must attribute to its own trio, got head $head")
+        }
+      }
+    }
+    // ±1-milli paraphrases must land in their original's cluster in the
+    // overwhelming majority of cases (boundary flips are possible in
+    // principle; zero observed at sf0.001 and sf0.01)
+    assert(resolved * 10 >= origs.size * 9, s"only $resolved of ${origs.size}")
+    // every kept member heads itself; every pruned member heads a
+    // strictly higher-priority (d2 DESC, vec_id ASC) same-cluster member
+    out.foreach { case (id, (_, cid, kept, head, d2)) =>
+      if (kept == 1L) assert(head == id)
+      else {
+        val (_, hcid, _, _, hd2) = out(head)
+        assert(hcid == cid && head != id, s"$id head $head")
+        assert(hd2 > d2 || (hd2 == d2 && head < id), s"$id head $head priority")
+      }
+    }
+  }
+
   test("q320: planted corpus forces the known BPE merge order, tie-break, run parity, early stop") {
     import spark.implicits._
     // Hand-computed ground truth. Word frequencies:

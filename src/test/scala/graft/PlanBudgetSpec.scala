@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q322_semantic_prune" -> 0, // localCheckpointed member verdict; the
+                             // Lloyd's loop + salted within-cluster
+                             // sweep run inside the builder
     "q321_dsir_resample" -> 0, // collect-local |langs| report; data work
                              // (gram folds + GlobalOrder rank) runs
                              // inside the builder on persisted frames
