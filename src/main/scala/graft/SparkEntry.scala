@@ -256,6 +256,101 @@ object SparkEntry {
        |FROM rk GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  private def q305OracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN list_contains(ws, 'spark') THEN 1 ELSE 0
+        |      END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN list_contains(ws, 'merge') THEN 1 ELSE 0
+        |      END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN list_contains(ws, 'hash') THEN 1 ELSE 0
+        |      END) AS BIGINT) AS df2
+        |  FROM d),
+        |tf AS (SELECT doc_id,
+        |    CAST(len(list_filter(ws, w -> w = 'spark')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(ws, w -> w = 'merge')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(ws, w -> w = 'hash')) AS BIGINT) AS tf2
+        |  FROM d WHERE doc_id <> 0),
+        |lex AS (SELECT doc_id,
+        |    CASE WHEN tf0 > 0 THEN (n * 1000000 // (df0 + 1))
+        |      * (tf0 * 2000000 // (tf0 + 1)) // 1000000 ELSE 0 END +
+        |    CASE WHEN tf1 > 0 THEN (n * 1000000 // (df1 + 1))
+        |      * (tf1 * 2000000 // (tf1 + 1)) // 1000000 ELSE 0 END +
+        |    CASE WHEN tf2 > 0 THEN (n * 1000000 // (df2 + 1))
+        |      * (tf2 * 2000000 // (tf2 + 1)) // 1000000 ELSE 0 END AS score
+        |  FROM tf, st),
+        |lr AS (SELECT doc_id, CAST(row_number() OVER
+        |    (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex FROM lex),
+        |e AS (SELECT CAST(vec_id AS BIGINT) AS doc_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qv AS (SELECT q AS qv FROM e WHERE doc_id = 0),
+        |vs AS (SELECT e.doc_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(e.q)),
+        |      i -> (e.q[i] - qv.qv[i]) * (e.q[i] - qv.qv[i])))
+        |      AS BIGINT) AS d2
+        |  FROM e, qv WHERE e.doc_id <> 0),
+        |vr AS (SELECT doc_id, CAST(row_number() OVER
+        |    (ORDER BY d2, doc_id) AS BIGINT) AS r_vec FROM vs),
+        |fused AS (SELECT lr.doc_id, lr.r_lex, vr.r_vec,
+        |    1000000 // (60 + lr.r_lex) + 1000000 // (60 + vr.r_vec)
+        |      AS rrf_ppm
+        |  FROM lr JOIN vr ON lr.doc_id = vr.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id)
+        |    AS BIGINT) AS rank,
+        |  doc_id, r_lex, r_vec, rrf_ppm
+        |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin
+
+  /** q323's oracle, generated: the q305/q306 oracle texts embed verbatim
+    * as ranked-list subqueries (one definition — the graded lists can
+    * never drift from the rankings under audit); grades derive from the
+    * exact-distance rank (3/2/1/0 bands at 3/10/30), DCG uses the same
+    * ⌊1e6/log2(i+1)⌋ literals as [[graft.ops.SimilarityOps.InvLogPpm]],
+    * IDCG normalizes per list length. */
+  private def q323OracleSql: String = {
+    val invRows = graft.ops.SimilarityOps.InvLogPpm.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+    s"""WITH inv(rk, w) AS (VALUES $invRows),
+       |rrfl AS MATERIALIZED (SELECT rank, doc_id FROM ($q305OracleSql)),
+       |mmrl AS MATERIALIZED (SELECT rank, doc_id FROM ($q306OracleSql)),
+       |ne AS (SELECT CAST(vec_id AS BIGINT) AS doc_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |nqv AS (SELECT q AS qv FROM ne WHERE doc_id = 0),
+       |nds AS (SELECT ne.doc_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(ne.q)),
+       |      i -> (ne.q[i] - nqv.qv[i]) * (ne.q[i] - nqv.qv[i])))
+       |      AS BIGINT) AS d2
+       |  FROM ne, nqv WHERE ne.doc_id <> 0),
+       |rel AS MATERIALIZED (SELECT doc_id, xr,
+       |    CASE WHEN xr <= 3 THEN 3 WHEN xr <= 10 THEN 2
+       |         WHEN xr <= 30 THEN 1 ELSE 0 END AS g
+       |  FROM (SELECT doc_id,
+       |      CAST(row_number() OVER (ORDER BY d2, doc_id) AS BIGINT) AS xr
+       |    FROM nds)),
+       |lists AS (
+       |  SELECT 'exact' AS system, xr AS rank, doc_id FROM rel WHERE xr <= 10
+       |  UNION ALL SELECT 'rrf', rank, doc_id FROM rrfl
+       |  UNION ALL SELECT 'mmr', rank, doc_id FROM mmrl),
+       |dcg AS MATERIALIZED (SELECT system, CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(rel.g * inv.w) AS BIGINT) AS dcg_raw
+       |  FROM lists JOIN inv ON inv.rk = lists.rank
+       |    JOIN rel ON rel.doc_id = lists.doc_id
+       |  GROUP BY system),
+       |idcg AS (SELECT kk.k,
+       |    CAST(sum((CASE WHEN inv.rk <= 3 THEN 3 WHEN inv.rk <= 10 THEN 2
+       |      ELSE 1 END) * inv.w) AS BIGINT) AS idcg_raw
+       |  FROM (SELECT DISTINCT k FROM dcg) kk
+       |  JOIN inv ON inv.rk <= kk.k GROUP BY kk.k)
+       |SELECT d.system, d.k, d.dcg_raw, i.idcg_raw,
+       |  d.dcg_raw * 1000000 // i.idcg_raw AS ndcg_ppm
+       |FROM dcg d JOIN idcg i ON i.k = d.k
+       |ORDER BY d.system""".stripMargin
+  }
+
   /** q315's oracle, generated: the three IPF rounds unroll into six
     * chained scaling CTEs (a1/b1..a3/b3 — q275's chained-DP discipline);
     * every step is the same truncating `w * (t * 1e6) // Σ n·w` the
@@ -798,6 +893,7 @@ object SparkEntry {
     "q320_bpe_train"      -> TextOps.q320BpeTrain _,
     "q321_dsir_resample"  -> PipelineOps.q321DsirResample _,
     "q322_semantic_prune" -> DedupOps.q322SemanticPrune _,
+    "q323_ndcg_grade"     -> SimilarityOps.q323NdcgGrade _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6060,6 +6156,7 @@ object SparkEntry {
     "q317_lsh_plan_exec" -> q317OracleSql,
     "q320_bpe_train" -> q320OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
+    "q323_ndcg_grade" -> q323OracleSql,
 
     // q319: per-day KM step replayed as a packed n*1e6+d BIGINT list
     // fold (acc * (n-d) // n, 1e6 seed) — the identical truncating walk
@@ -6484,52 +6581,7 @@ object SparkEntry {
 
     // q305: both legs rank deterministically (score desc/d2 asc, id);
     // RRF consumes only ranks so no score calibration crosses engines.
-    "q305_hybrid_rrf" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |  FROM documents),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CASE WHEN list_contains(ws, 'spark') THEN 1 ELSE 0
-        |      END) AS BIGINT) AS df0,
-        |    CAST(sum(CASE WHEN list_contains(ws, 'merge') THEN 1 ELSE 0
-        |      END) AS BIGINT) AS df1,
-        |    CAST(sum(CASE WHEN list_contains(ws, 'hash') THEN 1 ELSE 0
-        |      END) AS BIGINT) AS df2
-        |  FROM d),
-        |tf AS (SELECT doc_id,
-        |    CAST(len(list_filter(ws, w -> w = 'spark')) AS BIGINT) AS tf0,
-        |    CAST(len(list_filter(ws, w -> w = 'merge')) AS BIGINT) AS tf1,
-        |    CAST(len(list_filter(ws, w -> w = 'hash')) AS BIGINT) AS tf2
-        |  FROM d WHERE doc_id <> 0),
-        |lex AS (SELECT doc_id,
-        |    CASE WHEN tf0 > 0 THEN (n * 1000000 // (df0 + 1))
-        |      * (tf0 * 2000000 // (tf0 + 1)) // 1000000 ELSE 0 END +
-        |    CASE WHEN tf1 > 0 THEN (n * 1000000 // (df1 + 1))
-        |      * (tf1 * 2000000 // (tf1 + 1)) // 1000000 ELSE 0 END +
-        |    CASE WHEN tf2 > 0 THEN (n * 1000000 // (df2 + 1))
-        |      * (tf2 * 2000000 // (tf2 + 1)) // 1000000 ELSE 0 END AS score
-        |  FROM tf, st),
-        |lr AS (SELECT doc_id, CAST(row_number() OVER
-        |    (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex FROM lex),
-        |e AS (SELECT CAST(vec_id AS BIGINT) AS doc_id,
-        |    list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |qv AS (SELECT q AS qv FROM e WHERE doc_id = 0),
-        |vs AS (SELECT e.doc_id,
-        |    CAST(list_sum(list_transform(generate_series(1, len(e.q)),
-        |      i -> (e.q[i] - qv.qv[i]) * (e.q[i] - qv.qv[i])))
-        |      AS BIGINT) AS d2
-        |  FROM e, qv WHERE e.doc_id <> 0),
-        |vr AS (SELECT doc_id, CAST(row_number() OVER
-        |    (ORDER BY d2, doc_id) AS BIGINT) AS r_vec FROM vs),
-        |fused AS (SELECT lr.doc_id, lr.r_lex, vr.r_vec,
-        |    1000000 // (60 + lr.r_lex) + 1000000 // (60 + vr.r_vec)
-        |      AS rrf_ppm
-        |  FROM lr JOIN vr ON lr.doc_id = vr.doc_id)
-        |SELECT CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id)
-        |    AS BIGINT) AS rank,
-        |  doc_id, r_lex, r_vec, rrf_ppm
-        |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin,
+    "q305_hybrid_rrf" -> q305OracleSql,
 
     // q304: survivors of the global top-10 sorted by the SAME distance
     // are a prefix of the true same-label list, so recall =

@@ -739,4 +739,68 @@ object SimilarityOps {
         ("sel_d2_sum", LongType))
     } finally q.unpersist(blocking = false)
   }
+
+  /** 1e6-scale discount table ⌊1e6 / log2(i+1)⌋ for ranks 1..10 — the
+    * ONE copy both the q323 driver fold and its generated DuckDB oracle
+    * inline as literals, so no runtime libm log2 ever crosses an engine
+    * boundary. */
+  private[graft] val InvLogPpm: Seq[Long] = Seq(1000000L, 630929L, 500000L,
+    430676L, 386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** X296 — nDCG@k grading of the retrieval stack: q305 fuses and q306
+    * diversifies, but nothing GRADED those rankings against graded
+    * relevance. Relevance derives from the exact-distance ranking to the
+    * q305/q306 query vector (doc 0): grade 3 for the true top-3, 2 for
+    * ranks 4–10, 1 for 11–30, 0 beyond — so the exact ranking's grades
+    * are monotone non-increasing and its nDCG@10 is EXACTLY 1e6 ppm (the
+    * built-in sanity anchor), while RRF fusion and MMR diversification
+    * pay measurable, graded costs. DCG is the published
+    * Σ grade·⌊1e6/log2(i+1)⌋ with the k-bounded precomputed
+    * [[InvLogPpm]] table (integer-exact on both engines); IDCG
+    * normalizes per list length (RRF/exact @10, MMR @5).
+    *
+    * Scale: the exact leg is a 30-bounded TakeOrdered calibration pass
+    * (q177's sampled-query-batch argument — run per audit batch, never
+    * per production query); the graded lists are ≤10 rows each; all DCG
+    * math folds driver-side on those bounded lists. */
+  def q323NdcgGrade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    graft.functions.SquaredDistance.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+      .selectExpr("CAST(vec_id AS BIGINT) AS doc_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+    val qv = e.filter($"doc_id" === 0L).select($"q".as("qv"))
+    val exact30 = e.filter($"doc_id" =!= 0L).crossJoin(broadcast(qv))
+      .withColumn("d2", expr("graft_dist2(q, qv)"))
+      .select($"doc_id", $"d2")
+      .orderBy($"d2", $"doc_id").limit(30)
+      .collect().map(_.getLong(0))
+    def grade(doc: Long): Long = exact30.indexOf(doc) match {
+      case -1 => 0L
+      case i if i < 3 => 3L
+      case i if i < 10 => 2L
+      case _ => 1L
+    }
+    def idealGrade(i: Int): Long = if (i < 3) 3L else if (i < 10) 2L else 1L
+    val rrfList = q305HybridRrf(s, dir)
+      .select($"rank", $"doc_id").as[(Long, Long)].collect().toSeq
+    val mmrList = q306MmrRerank(s, dir)
+      .select($"rank", $"doc_id").as[(Long, Long)].collect().toSeq
+    val exactList = exact30.take(10).toSeq.zipWithIndex
+      .map { case (d, i) => (i + 1L, d) }
+    def rowFor(sys: String, list: Seq[(Long, Long)]) = {
+      val k = list.size
+      val dcg = list.map { case (rk, doc) =>
+        grade(doc) * InvLogPpm(rk.toInt - 1) }.sum
+      val idcg = (0 until k).map(i => idealGrade(i) * InvLogPpm(i)).sum
+      org.apache.spark.sql.Row(sys, k.toLong, dcg, idcg,
+        dcg * 1000000L / idcg)
+    }
+    LocalReport.frame(s,
+      Seq(rowFor("exact", exactList), rowFor("mmr", mmrList),
+        rowFor("rrf", rrfList)),
+      ("system", StringType), ("k", LongType), ("dcg_raw", LongType),
+      ("idcg_raw", LongType), ("ndcg_ppm", LongType))
+  }
 }

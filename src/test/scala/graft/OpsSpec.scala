@@ -2145,6 +2145,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found > twins.length / 2, s"only $found of ${twins.length} twins")
   }
 
+  test("q323: nDCG grades the stack — exact pins 1e6, MMR/RRF land in their bands, a blind leg pays") {
+    import spark.implicits._
+    def byName(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val base = byName(SimilarityOps.q323NdcgGrade(spark, sf))
+    // exact ranking's grades are monotone in its own rank -> nDCG is
+    // EXACTLY 1e6 by construction (the sanity anchor)
+    assert(base("exact")._4 == 1000000L)
+    assert(base("exact")._1 == 10L && base("rrf")._1 == 10L &&
+      base("mmr")._1 == 5L)
+    base.values.foreach { case (_, dcg, idcg, _) => assert(dcg <= idcg) }
+    // measured at sf0.001: mmr 960960 (diversification costs < 10% of
+    // ideal relevance), rrf 391519 (the lexical leg pulls the fused list
+    // off the embedding-defined relevance — the insight the grade exists
+    // to surface). Bands stated with headroom.
+    assert(base("mmr")._4 >= 900000L, s"mmr ${base("mmr")._4}")
+    assert(base("rrf")._4 >= 300000L && base("rrf")._4 < 1000000L,
+      s"rrf ${base("rrf")._4}")
+    // planted graded-relevance truth: three near-query vectors (negative
+    // ids, no documents rows) become the true top-3 (grade 3). The
+    // lexical leg cannot see them, and RRF's inner fusion drops them ->
+    // its nDCG must fall below the unplanted run; exact stays pinned.
+    val dir = java.nio.file.Files.createTempDirectory("ndcg_plant").toString
+    graft.sources.Tables.load(spark, sf, "documents")
+      .write.parquet(s"$dir/documents.parquet")
+    val e0 = graft.sources.Tables.load(spark, sf, "embeddings")
+    val qv = e0.filter($"vec_id" === 0L).select($"embedding")
+      .collect().head.getSeq[Float](0).toArray
+    val plants = Seq(-11L, -12L, -13L).zipWithIndex.map { case (id, i) =>
+      val v = qv.clone(); v(i) = v(i) + 0.005f * (i + 1)
+      (id, v.toSeq, 0)
+    }
+    e0.select($"vec_id", $"embedding", $"label")
+      .unionAll(plants.toDF("vec_id", "embedding", "label")
+        .select($"vec_id", $"embedding".cast("array<float>"), $"label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val planted = byName(SimilarityOps.q323NdcgGrade(spark, dir))
+    assert(planted("exact")._4 == 1000000L)
+    assert(planted("rrf")._4 < base("rrf")._4,
+      s"planted rrf ${planted("rrf")._4} vs base ${base("rrf")._4}")
+  }
+
   test("q322: planted cross-label paraphrase trios are pruned to one survivor per trio") {
     import spark.implicits._
     val out = DedupOps.q322SemanticPrune(spark, sf).collect()

@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q323_ndcg_grade" -> 0,  // collect-local 3-row grade report; the
+                             // ranked lists under audit are bounded
+                             // (<=10 rows each) and fold driver-side
     "q322_semantic_prune" -> 0, // localCheckpointed member verdict; the
                              // Lloyd's loop + salted within-cluster
                              // sweep run inside the builder
