@@ -894,6 +894,7 @@ object SparkEntry {
     "q321_dsir_resample"  -> PipelineOps.q321DsirResample _,
     "q322_semantic_prune" -> DedupOps.q322SemanticPrune _,
     "q323_ndcg_grade"     -> SimilarityOps.q323NdcgGrade _,
+    "q324_unimax_budget"  -> PipelineOps.q324UnimaxBudget _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6157,6 +6158,41 @@ object SparkEntry {
     "q320_bpe_train" -> q320OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
+
+    // q324: the UniMax waterfall replays as a recursive CTE whose
+    // accumulator is a lone BIGINT remaining-pool column (the banned
+    // lane is struct accumulators in list lambdas, not recursion).
+    "q324_unimax_budget" ->
+      """WITH RECURSIVE
+        |t AS MATERIALIZED (SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |w AS MATERIALIZED (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS ws FROM t),
+        |l AS MATERIALIZED (SELECT lang, n,
+        |    ws * 1000000 // (SELECT CAST(sum(ws) AS BIGINT) FROM w)
+        |      AS weight_ppm,
+        |    CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS m,
+        |    2 * (SELECT CAST(sum(n) AS BIGINT) FROM t) AS budget
+        |  FROM w),
+        |wf AS (
+        |  SELECT CAST(1 AS BIGINT) AS rk,
+        |    2 * (SELECT CAST(sum(n) AS BIGINT) FROM t) AS rb
+        |  UNION ALL
+        |  SELECT wf.rk + 1,
+        |    wf.rb - least(wf.rb // (l.m - l.rk + 1), 3 * l.n)
+        |  FROM wf JOIN l ON l.rk = wf.rk),
+        |a AS (SELECT l.lang, l.n, l.weight_ppm, l.budget,
+        |    wf.rb // (l.m - l.rk + 1) AS share, 3 * l.n AS cap
+        |  FROM l JOIN wf ON wf.rk = l.rk)
+        |SELECT lang, n AS n_tokens, weight_ppm, cap AS cap_tokens,
+        |  least(share, cap) AS budget_tokens,
+        |  CASE WHEN cap <= share THEN CAST(1 AS BIGINT) ELSE 0 END AS capped,
+        |  (least(share, cap) // n) * 1000
+        |    + ((least(share, cap) % n) * 1000) // n AS epochs_permille,
+        |  least(share, cap) * 1000 // budget AS share_permille
+        |FROM a ORDER BY lang""".stripMargin,
 
     // q319: per-day KM step replayed as a packed n*1e6+d BIGINT list
     // fold (acc * (n-d) // n, 1e6 seed) — the identical truncating walk

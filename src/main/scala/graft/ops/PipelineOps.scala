@@ -2740,6 +2740,57 @@ object PipelineOps {
     rel.unionByName(margins).orderBy($"source", $"lang")
   }
 
+  /** X297 — UniMax epoch-capped language budgets (the published UniMax
+    * allocation): distribute a training token budget (2× the corpus —
+    * data-derived, deterministic) across languages as UNIFORMLY as
+    * possible subject to a hard max-epochs cap (E = 3) per language —
+    * the principled successor to temperature sampling that stops
+    * low-resource languages from being repeated into overfitting.
+    * The published waterfall, integer-exact: languages ascend by
+    * (n_tokens, lang); each takes min(remaining // remaining_langs,
+    * E·n_tokens); its allocation leaves the pool. A language is CAPPED
+    * exactly when its 3-epoch ceiling undercuts the uniform share — the
+    * planted-low-resource spec pins epochs_permille = 3000 exactly.
+    * The report reconciles against q82's shared sqrt-temperature
+    * weights ([[mixtureWeights]] — one definition) and carries q250's
+    * split-form permille epoch math (no b·1000 overflow at corpus
+    * token counts).
+    *
+    * Scale: ONE combinable corpus fold to the |langs| frame (q82's
+    * shape); the waterfall is a driver fold over that bounded
+    * dictionary; the DuckDB oracle replays it as a recursive CTE with a
+    * BIGINT-only accumulator (safe — the banned lane is struct
+    * accumulators in list lambdas). */
+  def q324UnimaxBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val lf = mixtureWeights(docs(s, dir)
+        .select($"lang", size(split($"text", " ")).cast("long").as("n_toks")))
+      .select($"lang", $"n_tokens", $"weight_ppm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val eCap = 3L
+    val budget = 2L * lf.map(_._2).sum
+    var r = budget
+    var m = lf.length.toLong
+    val alloc = lf.sortBy { case (l, n, _) => (n, l) }.map {
+      case (lang, n, wppm) =>
+        val share = r / m
+        val cap = eCap * n
+        val b = math.min(share, cap)
+        r -= b; m -= 1
+        val epochs = (b / n) * 1000L + ((b % n) * 1000L) / n
+        (lang, n, wppm, cap, b, if (cap <= share) 1L else 0L,
+          epochs, b * 1000L / budget)
+    }
+    LocalReport.frame(s,
+      alloc.sortBy(_._1).map(t => org.apache.spark.sql.Row(
+        t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8)).toSeq,
+      "lang" -> StringType, "n_tokens" -> LongType,
+      "weight_ppm" -> LongType, "cap_tokens" -> LongType,
+      "budget_tokens" -> LongType, "capped" -> LongType,
+      "epochs_permille" -> LongType, "share_permille" -> LongType)
+  }
+
   /** X294 — DSIR-class importance resampling for data selection (the
     * published Data-Selection-with-Importance-Resampling recipe, made
     * integer-exact): select raw documents toward a TARGET domain (here

@@ -971,6 +971,46 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "at least one class-4 doc must coalesce adjacent pii+secret lines into one span")
   }
 
+  test("q324: planted low-resource languages hit the epoch cap exactly; the pool conserves") {
+    import spark.implicits._
+    // plant two tiny languages (negative ids): their 3-epoch ceiling is
+    // far below any uniform share, so UniMax must cap them at EXACTLY
+    // 3000 permille epochs and hand the savings down the waterfall
+    val dir = java.nio.file.Files.createTempDirectory("unimax_plant").toString
+    val plantDocs = Seq(
+      (-401L, Array.fill(10)("aa").mkString(" "), "aa", "planted"),
+      (-402L, Array.fill(20)("bb").mkString(" "), "bb", "planted"))
+    graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionAll(plantDocs.map { case (id, t, l, src) =>
+        (id, t, l, src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = PipelineOps.q324UnimaxBudget(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    Seq("aa" -> 10L, "bb" -> 20L).foreach { case (l, n) =>
+      val (nTok, cap, b, capped, epochs) = rows(l)
+      assert(nTok == n && cap == 3 * n && b == 3 * n,
+        s"$l budget $b cap $cap")
+      assert(capped == 1L && epochs == 3000L, s"$l epochs $epochs")
+    }
+    // the largest language is uncapped here, so it absorbs the full
+    // remaining pool: allocations conserve the 2x-corpus budget exactly
+    val totalTokens = rows.values.map(_._1).sum
+    assert(rows.values.map(_._3).sum == 2L * totalTokens)
+    // independent waterfall replay from the reported inputs
+    var r = 2L * totalTokens
+    var m = rows.size.toLong
+    rows.toSeq.sortBy { case (l, v) => (v._1, l) }.foreach { case (l, v) =>
+      val share = r / m
+      val b = math.min(share, 3L * v._1)
+      assert(v._3 == b, s"$l waterfall: got ${v._3} want $b")
+      assert(v._4 == (if (3L * v._1 <= share) 1L else 0L), s"$l capped flag")
+      r -= b; m -= 1
+    }
+  }
+
   test("q321: planted target-twin corpus — weights order by target likeness, selection shifts") {
     import spark.implicits._
     // DSIR must select target-LIKE documents, not target-LABELED ones:

@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q324_unimax_budget" -> 0, // collect-local |langs| report; one
+                             // combinable corpus fold pre-collect, the
+                             // waterfall is a driver fold on it
     "q323_ndcg_grade" -> 0,  // collect-local 3-row grade report; the
                              // ranked lists under audit are bounded
                              // (<=10 rows each) and fold driver-side
