@@ -919,6 +919,89 @@ object EventStream {
     }
   }
 
+  final case class KllLevel(items: Seq[(Long, Long)])
+  final case class KllShardState(levels: Seq[KllLevel], nItems: Long,
+      bound: Long)
+  final case class KllUpdate(shard: Long, decile: Long, target_rank: Long,
+      est_cents: Long, est_id: Long, n_items: Long, bound: Long)
+
+  /** Streaming KLL-class quantile gate — q312's stream-side sibling
+    * (X283's compactors are mergeable state BY CONSTRUCTION, so they
+    * live naturally in flatMapGroupsWithState): per shard
+    * (event_id mod shards), a deterministic MRL compactor stack over the
+    * event cents — inserts land in level 0; a level that reaches `cap`
+    * sorts by (cents, id), promotes its even-indexed half to the next
+    * level (weights double: Σ2^L·|buf_L| stays EXACTLY the item count),
+    * and adds 2^L to the running deterministic rank-error bound (one
+    * compaction at level L moves any threshold's weight-count by at most
+    * one level-L item). Every micro-batch each touched shard re-merges
+    * its ≤ cap·levels summary and emits its nine decile estimates with
+    * the q312 estimator (first item whose cumulative weight reaches
+    * d·n/10 + 1) plus the live bound — the bound-still-holds certificate
+    * the spec checks against exact prefix ranks per batch.
+    *
+    * NOT pinned row-identical to q312: the batch sketch picks
+    * every-2^L-th of the globally SORTED shard, the stream compacts in
+    * arrival order — same estimator family, same Σ-weights-exact and
+    * worst-case-bound guarantees, different (both valid) summaries; the
+    * spec instead pins a driver replay of the identical fold over the
+    * same arrival prefix, the discipline latenessAudit uses. Within a
+    * batch, per-shard arrivals fold in (event-time, id) order so the
+    * replay is deterministic under the spec's batch divisions.
+    *
+    * Scale: state per shard is ≤ cap·log₂(n/cap) items — thousands of
+    * longs for a billion-event shard; shards partition across executors
+    * (ewmaFeed's argument), and summaries of separate shards merge by
+    * weighted union with summed bounds (q312's spec-pinned property). */
+  def kllGate(events: Dataset[Event], shards: Int = 8, cap: Int = 32,
+      watermarkDelay: String = "2 hours"): Dataset[KllUpdate] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => java.lang.Math.floorMod(e.event_id, shards.toLong))
+      .flatMapGroupsWithState[KllShardState, KllUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state: GroupState[KllShardState]) =>
+          val st0 = state.getOption.getOrElse(
+            KllShardState(Seq(KllLevel(Seq.empty)), 0L, 0L))
+          var levels = st0.levels.map(_.items.toVector).toVector
+          var bound = st0.bound
+          var n = st0.nItems
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val cents = math.round(e.value * 100).toLong
+            levels = levels.updated(0, levels(0) :+ ((cents, e.event_id)))
+            n += 1
+            var l = 0
+            while (levels(l).size >= cap) {
+              val promoted = levels(l).sortBy(identity)
+                .zipWithIndex.collect { case (x, i) if i % 2 == 0 => x }
+              if (levels.size == l + 1) levels = levels :+ Vector.empty
+              levels = levels.updated(l, Vector.empty)
+                .updated(l + 1, levels(l + 1) ++ promoted)
+              bound += 1L << l
+              l += 1
+            }
+          }
+          state.update(KllShardState(levels.map(v => KllLevel(v)), n, bound))
+          if (n == 0L) Iterator.empty
+          else {
+            var cw = 0L
+            val cum = levels.zipWithIndex
+              .flatMap { case (buf, l) =>
+                buf.map { case (c, id) => (c, id, 1L << l) } }
+              .sortBy(x => (x._1, x._2))
+              .map { case (c, id, w) => cw += w; (c, id, cw) }
+            (1 to 9).iterator.map { d =>
+              val t = math.min(d.toLong * n / 10L + 1L, n)
+              val (c, id, _) = cum(cum.indexWhere(_._3 >= t))
+              KllUpdate(shard, d.toLong, t, c, id, n, bound)
+            }
+          }
+      }
+  }
+
   def blocklistGate(docs: DataFrame, blocklist: DataFrame): DataFrame = {
     val blocked: Array[String] = blocklist
       .select(col("domain").cast("string")).collect().map(_.getString(0))

@@ -616,6 +616,108 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lastByDay == batch.sortBy(_._1).toSeq)
   }
 
+  test("kllGate: emissions replay exactly, the rank-error bound holds per batch, shards merge") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val mem = MemoryStream[Event]
+    val q = EventStream.kllGate(mem.toDS())
+      .writeStream.format("memory").queryName("kllgate")
+      .outputMode(OutputMode.Update).start()
+    // INDEPENDENT driver replay of the compactor fold (not code reuse):
+    // per shard a level stack, the exact item prefix, and the bound
+    val (shards, cap) = (8, 32)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    val levels = Array.fill(shards)(
+      scala.collection.mutable.ArrayBuffer[Vector[(Long, Long)]](Vector.empty))
+    val nArr = Array.fill(shards)(0L)
+    val boundArr = Array.fill(shards)(0L)
+    val exact = Array.fill(shards)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long)])
+    val expected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long)]
+    def summarize(sh: Int): Seq[(Long, Long, Long)] = {
+      var cw = 0L
+      levels(sh).zipWithIndex
+        .flatMap { case (buf, l) => buf.map { case (c, id) => (c, id, 1L << l) } }
+        .sortBy(x => (x._1, x._2)).toSeq
+        .map { case (c, id, w) => cw += w; (c, id, cw) }
+    }
+    var checkedBound = 0
+    events.grouped(events.length / 6 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+      chunk.groupBy(e => java.lang.Math.floorMod(e.event_id, shards.toLong))
+        .toSeq.foreach { case (shL, es) =>
+          val sh = shL.toInt
+          es.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val cents = math.round(e.value * 100).toLong
+            levels(sh)(0) = levels(sh)(0) :+ ((cents, e.event_id))
+            exact(sh) += ((cents, e.event_id))
+            nArr(sh) += 1
+            var l = 0
+            while (levels(sh)(l).size >= cap) {
+              val promoted = levels(sh)(l).sortBy(identity)
+                .zipWithIndex.collect { case (x, i) if i % 2 == 0 => x }
+              if (levels(sh).size == l + 1) levels(sh) += Vector.empty
+              levels(sh)(l) = Vector.empty
+              levels(sh)(l + 1) = levels(sh)(l + 1) ++ promoted
+              boundArr(sh) += 1L << l
+              l += 1
+            }
+          }
+          val cum = summarize(sh)
+          val sortedExact = exact(sh).sorted
+          (1 to 9).foreach { d =>
+            val n = nArr(sh)
+            val t = math.min(d.toLong * n / 10L + 1L, n)
+            val (c, id, _) = cum(cum.indexWhere(_._3 >= t))
+            expected += ((shL, d.toLong, t, c, id, n, boundArr(sh)))
+            // bound-still-holds: the estimate's TRUE rank in this shard's
+            // exact prefix is within the sketch's own deterministic bound
+            val trueRank = sortedExact.indexOf((c, id)) + 1L
+            assert(trueRank >= 1L, s"estimate ($c,$id) not in shard $sh prefix")
+            assert(math.abs(trueRank - t) <= boundArr(sh),
+              s"shard $sh d$d: rank $trueRank target $t bound ${boundArr(sh)}")
+            checkedBound += 1
+          }
+        }
+    }
+    q.stop()
+    val got = spark.table("kllgate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got.sorted == expected.toSeq.sorted, s"${got.size} vs ${expected.size}")
+    assert(checkedBound >= 9 * shards)
+    // compactions genuinely happened, and the sketch beats the trivial
+    // bound on every shard
+    (0 until shards).foreach { sh =>
+      assert(boundArr(sh) > 0L && boundArr(sh) < nArr(sh), s"shard $sh")
+    }
+    // mergeability (q312's property, cross-SHARD form): the weighted
+    // union of all shard summaries answers global deciles within the
+    // SUMMED bound of the global exact ranks
+    var cw = 0L
+    val merged = (0 until shards).flatMap(sh => levels(sh).zipWithIndex
+        .flatMap { case (buf, l) => buf.map { case (c, id) => (c, id, 1L << l) } })
+      .sortBy(x => (x._1, x._2))
+      .map { case (c, id, w) => cw += w; (c, id, cw) }
+    val gN = nArr.sum
+    assert(cw == gN) // Sigma weights stays exactly the item count
+    val gExact = exact.flatten.sorted
+    val gBound = boundArr.sum
+    (1 to 9).foreach { d =>
+      val t = d.toLong * gN / 10L + 1L
+      val (c, id, _) = merged(merged.indexWhere(_._3 >= t))
+      val trueRank = gExact.indexOf((c, id)) + 1L
+      assert(math.abs(trueRank - t) <= gBound, s"merged d$d")
+    }
+  }
+
   test("urlDedupGate through a real stream equals the ORACLE-GATED q269 frame") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
