@@ -939,52 +939,78 @@ object TextOps {
     aggregate(col("syms"), init, step, fin)
   }
 
+  /** UTF-8-byte order (Spark's UTF8String / DuckDB binary collation) for
+    * the driver-side argmax tie-break — Java String.compareTo is UTF-16
+    * code-unit order and diverges on supplementary-plane symbols. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Core BPE merge-learning loop over a (word, c) frequency frame:
-    * per round ONE combinable adjacent-pair count fold → deterministic
-    * argmax (count DESC, then pair bytes ASC) → broadcast-literal merge
-    * application. Stops early when no adjacent pair remains. Returns one
-    * report row per learned merge. Exposed to the spec so the planted
-    * mini-corpus drives the same loop as q320. */
+    * per round ONE combinable fold over the word-TYPE table produces the
+    * weighted adjacent-pair counts AND the symbol stats together (pair
+    * structs and null-partner singleton structs share one explode, so a
+    * round costs one aggregation job plus one checkpoint job, measured
+    * 6.3 s → 1.6 s at sf0.1 versus the three-job form); the argmax
+    * (count DESC, pair UTF-8 bytes ASC) runs driver-side on the
+    * collected bounded table, and the merge applies as a
+    * broadcast-literal projection. Stops early when no adjacent pair
+    * remains. Returns one report row per learned merge. Exposed to the
+    * spec so the planted mini-corpus drives the same loop as q320.
+    *
+    * localCheckpoint, not persist: persist leaves the full lineage in
+    * the plan, and each round's InMemoryRelation RENDERING nests the
+    * previous round's — the executed-plan string doubles per round and
+    * AQE's explainString OOMs near round 25 (measured; execution itself
+    * was fine). The checkpoint truncates to a LogicalRDD so every round
+    * plans constant-size. coalesce(1) pins the bounded word-TYPE frame
+    * to one task; a corpus whose vocabulary outgrows the dictionary
+    * bound would drop the coalesce, nothing else changes. */
   private[graft] def bpeTrainRows(s: SparkSession, wordFreq: DataFrame,
                                   maxMerges: Int): Seq[org.apache.spark.sql.Row] = {
     import s.implicits._
     val out = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
-    // localCheckpoint, not persist: persist leaves the full lineage in the
-    // plan, and each round's InMemoryRelation RENDERING nests the previous
-    // round's — the executed-plan string doubles per round and AQE's
-    // explainString OOMs near round 25 (measured; execution itself stayed
-    // ~0.4 s/round). The checkpoint truncates the plan to a LogicalRDD, so
-    // every round optimizes and renders a constant-size plan. The
-    // checkpointed frames are tiny (word-TYPE table) and freed by the
-    // ContextCleaner as rounds drop their references.
     var cur = wordFreq.select(col("word"), col("c"),
-      expr("filter(split(word, ''), x -> x <> '')").as("syms")).localCheckpoint()
-    var toksPrev = cur.agg(sum(col("c") * size(col("syms")))).as[Long].head()
-    var k = 0
-    var exhausted = false
-    while (k < maxMerges && !exhausted) {
-      val best = cur.select($"c", explode(expr(
-        """transform(slice(syms, 1, greatest(size(syms) - 1, 0)),
-          |  (x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))"""
+        expr("filter(split(word, ''), x -> x <> '')").as("syms"))
+      .coalesce(1).localCheckpoint()
+    // one fold: pair rows (a, b, Σc) + singleton rows (sym, null, Σc)
+    def fold(df: DataFrame): (Seq[(String, String, Long)], Long, Long) = {
+      val rows = df.select($"c", explode(expr(
+        """concat(
+          |  transform(slice(syms, 1, greatest(size(syms) - 1, 0)),
+          |    (x, i) -> struct(x AS a, element_at(syms, i + 2) AS b)),
+          |  transform(syms, x -> struct(x AS a, CAST(NULL AS STRING) AS b)))"""
           .stripMargin)).as("p"))
         .groupBy($"p.a".as("a"), $"p.b".as("b"))
-        .agg(sum($"c").as("pc"))
-        .orderBy(desc("pc"), asc("a"), asc("b")).limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (a, b, pc) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        val merged = cur
-          .select($"word", $"c", bpeMergePair(a, b).as("syms")).localCheckpoint()
-        val (toks, ntyp) = merged.select($"c", explode($"syms").as("s"))
-          .agg(sum($"c").as("toks"), countDistinct($"s").as("ntyp"))
-          .as[(Long, Long)].head()
-        cur = merged
-        k += 1
-        out += org.apache.spark.sql.Row(
-          k.toLong, a, b, a + b, pc, toksPrev - toks, toks, ntyp)
-        toksPrev = toks
+        .agg(sum($"c").as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val (singles, pairs) = rows.partition(_._2 == null)
+      (pairs.toSeq, singles.map(_._3).sum, singles.length.toLong)
+    }
+    var (pairs, toksPrev, _) = fold(cur)
+    var k = 0
+    while (k < maxMerges && pairs.nonEmpty) {
+      val (a, b, pc) = pairs.reduceLeft { (x, y) =>
+        if (y._3 > x._3 ||
+          (y._3 == x._3 && (utf8Lt(y._1, x._1) ||
+            (y._1 == x._1 && utf8Lt(y._2, x._2))))) y else x
       }
+      val merged = cur
+        .select($"word", $"c", bpeMergePair(a, b).as("syms")).localCheckpoint()
+      val (nextPairs, toks, ntyp) = fold(merged)
+      cur = merged
+      pairs = nextPairs
+      k += 1
+      out += org.apache.spark.sql.Row(
+        k.toLong, a, b, a + b, pc, toksPrev - toks, toks, ntyp)
+      toksPrev = toks
     }
     out.toSeq
   }
