@@ -147,8 +147,9 @@ object SparkEntry {
     * struct state is off-limits). An empty argmax round degrades to an
     * identity rewrite and contributes no report row, matching the Spark
     * loop's early stop. */
-  private def q320OracleSql: String = {
-    val n = 30
+  /** The w0→s$n BPE learn-chain CTE block shared by the q320 report and
+    * the q325 application oracle — one definition of the replayed loop. */
+  private def bpeChainSql(n: Int): String = {
     val rounds = (1 to n).map { k =>
       val prev = s"s${k - 1}"
       s"""p$k AS MATERIALIZED (SELECT x.sym AS a, y.sym AS b,
@@ -177,6 +178,20 @@ object SparkEntry {
          |    FROM m$k)
          |  WHERE pst = 0)""".stripMargin
     }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, c,
+       |    CAST(unnest(generate_series(1, length(word))) AS BIGINT) AS pos,
+       |    unnest(string_split(word, '')) AS sym
+       |  FROM w0),
+       |$rounds""".stripMargin
+  }
+
+  private def q320OracleSql: String = {
+    val n = 30
     val report = (1 to n).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS merge_idx, b.a AS sym_a, b.b AS sym_b,
          |  b.a || b.b AS merged, b.pc AS pair_count,
@@ -186,20 +201,32 @@ object SparkEntry {
          |  (SELECT CAST(count(DISTINCT sym) AS BIGINT) FROM s$k) AS n_sym_types
          |FROM b$k b""".stripMargin
     }.mkString("\nUNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS c
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE len(w) > 0 GROUP BY w),
-       |s0 AS MATERIALIZED (
-       |  SELECT word, c,
-       |    CAST(unnest(generate_series(1, length(word))) AS BIGINT) AS pos,
-       |    unnest(string_split(word, '')) AS sym
-       |  FROM w0),
-       |$rounds
+    s"""WITH ${bpeChainSql(n)}
        |SELECT * FROM (
        |$report
        |) ORDER BY merge_idx""".stripMargin
   }
+
+  /** q325's oracle: the same generated learn chain, then the final s30
+    * symbolization becomes the word→token-count dictionary applied to
+    * the per-(lang, source) word stream. */
+  private def q325OracleSql: String =
+    s"""WITH ${bpeChainSql(30)},
+       |tok AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+       |  FROM s30 GROUP BY word),
+       |wd AS (SELECT lang, source,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |  FROM documents)
+       |SELECT wd.lang, wd.source,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(tok.n_tok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(length(wd.word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(tok.n_tok) AS BIGINT) * 1000000
+       |    // CAST(count(*) AS BIGINT) AS fertility_ppm,
+       |  CAST(sum(length(wd.word)) AS BIGINT) * 1000000
+       |    // CAST(sum(tok.n_tok) AS BIGINT) AS chars_per_token_ppm
+       |FROM wd JOIN tok USING (word)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** q321's oracle: hashed-bigram DSIR replay — FpByteFold fingerprints
     * for doc hash + gram buckets, add-one-smoothed ppm models, half-bit
@@ -895,6 +922,7 @@ object SparkEntry {
     "q322_semantic_prune" -> DedupOps.q322SemanticPrune _,
     "q323_ndcg_grade"     -> SimilarityOps.q323NdcgGrade _,
     "q324_unimax_budget"  -> PipelineOps.q324UnimaxBudget _,
+    "q325_bpe_apply"      -> TextOps.q325BpeApply _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6156,6 +6184,7 @@ object SparkEntry {
     "q315_composition_raking" -> q315OracleSql,
     "q317_lsh_plan_exec" -> q317OracleSql,
     "q320_bpe_train" -> q320OracleSql,
+    "q325_bpe_apply" -> q325OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

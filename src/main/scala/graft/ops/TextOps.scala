@@ -974,7 +974,14 @@ object TextOps {
     * to one task; a corpus whose vocabulary outgrows the dictionary
     * bound would drop the coalesce, nothing else changes. */
   private[graft] def bpeTrainRows(s: SparkSession, wordFreq: DataFrame,
-                                  maxMerges: Int): Seq[org.apache.spark.sql.Row] = {
+                                  maxMerges: Int): Seq[org.apache.spark.sql.Row] =
+    bpeTrain(s, wordFreq, maxMerges)._1
+
+  /** [[bpeTrainRows]] plus the final (word, c, syms) vocabulary frame —
+    * the learned tokenizer as data, consumed by q325's apply pass. The
+    * frame is localCheckpointed, so it stays valid after return. */
+  private[graft] def bpeTrain(s: SparkSession, wordFreq: DataFrame,
+      maxMerges: Int): (Seq[org.apache.spark.sql.Row], DataFrame) = {
     import s.implicits._
     val out = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
     var cur = wordFreq.select(col("word"), col("c"),
@@ -1012,7 +1019,7 @@ object TextOps {
         k.toLong, a, b, a + b, pc, toksPrev - toks, toks, ntyp)
       toksPrev = toks
     }
-    out.toSeq
+    (out.toSeq, cur)
   }
 
   /** X293 — BPE vocabulary merge TRAINING (published byte-pair-encoding
@@ -1053,5 +1060,54 @@ object TextOps {
       "merged" -> StringType, "pair_count" -> LongType,
       "n_merged" -> LongType, "tokens_after" -> LongType,
       "n_sym_types" -> LongType)
+  }
+
+  /** X299 — BPE tokenizer APPLICATION + fertility audit: closes the
+    * tokenizer loop (q320 LEARNS the merges, q255 audits application
+    * optimality, q113/q157 measure coverage — this APPLIES the learned
+    * vocabulary at corpus scale). Training already symbolizes every word
+    * TYPE, so application is exactly how production tokenizers run: the
+    * word→token-count dictionary broadcasts and the corpus pass is one
+    * join + combinable fold — per (lang, source) cell the word count,
+    * BPE token count, codepoint count, fertility (tokens per 1e6 words)
+    * and compression (chars per 1e6 tokens). Global Σ n_bpe_tokens
+    * reconciles EXACTLY with q320's final tokens_after (the spec pins
+    * it), and the planted fully-merged corpus pins fertility at exactly
+    * 1e6.
+    *
+    * Scale: ONE persisted (lang, source, word) explode feeds both the
+    * frequency fold (training input) and the apply join; the dictionary
+    * is word-TYPE-sized (bounded-dictionary broadcast — an open-vocab
+    * corpus would switch the apply join to a shuffle join, nothing else
+    * changes); the |lang×source| report collects and the cache releases
+    * before return. */
+  def q325BpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val words = docs(s, dir)
+      .select($"lang", $"source",
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      .persist()
+    try {
+      val wordFreq = words.groupBy($"word").agg(count(lit(1)).as("c"))
+      val (_, vocab) = bpeTrain(s, wordFreq, 30)
+      val dict = vocab.select($"word", size($"syms").cast("long").as("n_tok"),
+        length($"word").cast("long").as("n_chr"))
+      val rep = words.join(broadcast(dict), Seq("word"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_words"), sum($"n_tok").as("n_bpe_tokens"),
+          sum($"n_chr").as("n_chars"))
+        .withColumn("fertility_ppm",
+          expr("n_bpe_tokens * 1000000 div n_words"))
+        .withColumn("chars_per_token_ppm",
+          expr("n_chars * 1000000 div n_bpe_tokens"))
+        .orderBy($"lang", $"source")
+        .collect()
+      graft.operators.LocalReport.frame(s, rep.toSeq,
+        "lang" -> StringType, "source" -> StringType,
+        "n_words" -> LongType, "n_bpe_tokens" -> LongType,
+        "n_chars" -> LongType, "fertility_ppm" -> LongType,
+        "chars_per_token_ppm" -> LongType)
+    } finally words.unpersist(blocking = false)
   }
 }

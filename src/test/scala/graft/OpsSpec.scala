@@ -2188,6 +2188,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"planted rrf ${planted("rrf")._4} vs base ${base("rrf")._4}")
   }
 
+  test("q325: applied BPE reconciles with the trainer; fully-merged plant pins fertility at 1e6") {
+    import spark.implicits._
+    // cross-operator reconciliation: the SAME corpus through q320 and
+    // q325 — the apply pass's global token total must equal the
+    // trainer's final tokens_after exactly (the dictionary IS the
+    // trained symbolization, so nothing can drift between them)
+    val train = TextOps.q320BpeTrain(spark, sf).collect()
+    val apply = TextOps.q325BpeApply(spark, sf).collect()
+    val tokensAfter = train.last.getAs[Long]("tokens_after")
+    assert(apply.map(_.getAs[Long]("n_bpe_tokens")).sum == tokensAfter)
+    // fertility never below 1 token/word, never above chars/word
+    apply.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_bpe_tokens") <= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L)
+    }
+    // planted corpus where every word fully merges within 30 rounds
+    // (q320's 9-merge corpus): BPE emits exactly one token per word ->
+    // fertility is EXACTLY 1e6 and chars_per_token = chars_per_word
+    val words = List.fill(5)("aaab") ++ List.fill(4)("abab") ++
+      List.fill(3)("cdcd") ++ List.fill(2)("aaaa") ++
+      List.fill(7)("xy") ++ List.fill(7)("xz")
+    val text = words.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_apply_plant").toString
+    Seq((-1L, text, "en", "planted", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val planted = TextOps.q325BpeApply(spark, dir).collect()
+    assert(planted.length == 1)
+    val p = planted.head
+    assert(p.getAs[Long]("n_words") == words.length.toLong)
+    assert(p.getAs[Long]("n_bpe_tokens") == words.length.toLong)
+    assert(p.getAs[Long]("fertility_ppm") == 1000000L)
+    assert(p.getAs[Long]("n_chars") == words.map(_.length.toLong).sum)
+  }
+
   test("q322: planted cross-label paraphrase trios are pruned to one survivor per trio") {
     import spark.implicits._
     val out = DedupOps.q322SemanticPrune(spark, sf).collect()

@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q325_bpe_apply" -> 0,   // collect-local |lang x source| report; the
+                             // train + broadcast-dictionary apply join
+                             // run inside the builder on a persisted
+                             // word explode
     "q324_unimax_budget" -> 0, // collect-local |langs| report; one
                              // combinable corpus fold pre-collect, the
                              // waterfall is a driver fold on it
