@@ -378,6 +378,53 @@ object SparkEntry {
        |ORDER BY d.system""".stripMargin
   }
 
+  /** q326's oracle: FpByteFold leaf fingerprints (v1 + in-query rev2
+    * edit), rolling-fold shard digests in doc order, two 8-ary levels and
+    * the root, unioned into the per-node diff table. */
+  private def q326OracleSql: String = {
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    val fold = "(a, b) -> (a * 31 + b) % 1000000007"
+    def ordFold(v: String, k: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list($v ORDER BY $k)), $fold)"
+    s"""WITH d AS MATERIALIZED (SELECT doc_id,
+       |    ${fp("coalesce(text, '') || ':' || CAST(doc_id AS VARCHAR)")} AS f1,
+       |    CASE WHEN doc_id % 97 = 13
+       |      THEN ${fp("coalesce(text, '') || ' [rev2]:' || CAST(doc_id AS VARCHAR)")}
+       |      ELSE ${fp("coalesce(text, '') || ':' || CAST(doc_id AS VARCHAR)")}
+       |    END AS f2
+       |  FROM documents),
+       |s0 AS MATERIALIZED (SELECT doc_id // 64 AS node,
+       |    CAST(count(*) AS BIGINT) AS n_leaves,
+       |    ${ordFold("f1", "doc_id")} AS d1,
+       |    ${ordFold("f2", "doc_id")} AS d2
+       |  FROM d GROUP BY 1),
+       |l1 AS MATERIALIZED (SELECT node // 8 AS parent,
+       |    CAST(sum(n_leaves) AS BIGINT) AS n_leaves,
+       |    ${ordFold("d1", "node")} AS d1, ${ordFold("d2", "node")} AS d2
+       |  FROM s0 GROUP BY 1),
+       |l2 AS MATERIALIZED (SELECT node // 8 AS parent,
+       |    CAST(sum(n_leaves) AS BIGINT) AS n_leaves,
+       |    ${ordFold("d1", "node")} AS d1, ${ordFold("d2", "node")} AS d2
+       |  FROM (SELECT parent AS node, n_leaves, d1, d2 FROM l1) GROUP BY 1),
+       |rt AS (SELECT CAST(0 AS BIGINT) AS parent,
+       |    CAST(sum(n_leaves) AS BIGINT) AS n_leaves,
+       |    ${ordFold("d1", "node")} AS d1, ${ordFold("d2", "node")} AS d2
+       |  FROM (SELECT parent AS node, n_leaves, d1, d2 FROM l2))
+       |SELECT level, node_id, n_leaves, digest_v1, digest_v2,
+       |  CASE WHEN digest_v1 <> digest_v2 THEN CAST(1 AS BIGINT) ELSE 0 END
+       |    AS changed
+       |FROM (
+       |  SELECT CAST(0 AS BIGINT) AS level, node AS node_id, n_leaves,
+       |    d1 AS digest_v1, d2 AS digest_v2 FROM s0
+       |  UNION ALL SELECT 1, parent, n_leaves, d1, d2 FROM l1
+       |  UNION ALL SELECT 2, parent, n_leaves, d1, d2 FROM l2
+       |  UNION ALL SELECT 3, parent, n_leaves, d1, d2 FROM rt)
+       |ORDER BY level, node_id""".stripMargin
+  }
+
   /** q315's oracle, generated: the three IPF rounds unroll into six
     * chained scaling CTEs (a1/b1..a3/b3 — q275's chained-DP discipline);
     * every step is the same truncating `w * (t * 1e6) // Σ n·w` the
@@ -923,6 +970,7 @@ object SparkEntry {
     "q323_ndcg_grade"     -> SimilarityOps.q323NdcgGrade _,
     "q324_unimax_budget"  -> PipelineOps.q324UnimaxBudget _,
     "q325_bpe_apply"      -> TextOps.q325BpeApply _,
+    "q326_merkle_diff"    -> graft.operators.TransferOps.q326MerkleDiff _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6185,6 +6233,7 @@ object SparkEntry {
     "q317_lsh_plan_exec" -> q317OracleSql,
     "q320_bpe_train" -> q320OracleSql,
     "q325_bpe_apply" -> q325OracleSql,
+    "q326_merkle_diff" -> q326OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -716,4 +716,73 @@ object TransferOps {
         ("sum_strlen", LongType))
     } finally graft.sources.Scratch.delete(s, tmp)
   }
+
+  /** X300 — Merkle shard-manifest diff (content-addressed corpus
+    * versioning, the git-for-data idea behind every lake versioning
+    * system): leaves are per-document fingerprints, 64-document tiles
+    * (doc_id div 64 — tile SIZE is constant, tile COUNT grows with the
+    * corpus) fold into shard digests via the sequential rolling fold in
+    * doc_id order, 8-ary tree levels fold shard digests upward to a
+    * single root. Two versions compute in ONE scan: v2 is v1 with every
+    * doc_id ≡ 13 (mod 97) document revised (text + ' [rev2]' — a
+    * deterministic in-query edit, q229's planted-version discipline).
+    * The diff table lists every node at every level with both digests
+    * and a changed flag — the Merkle property (a node's digest changes
+    * iff some descendant leaf changed, unchanged ⇒ whole subtree
+    * skippable) is what lets two 100 TB corpus versions diff in
+    * O(changed · log n) reads instead of a full scan; the spec pins the
+    * pruning certificate and a driver replay of the shard fold.
+    *
+    * Scale: leaf fingerprints ride the scan (narrow, both versions in
+    * one projection); each tree level is ONE combinable groupBy over a
+    * frame 64×/8× smaller than the last; the full diff table here is
+    * test-scale output — a production manifest persists per level and
+    * the diff emits only CHANGED nodes (bounded by the change volume,
+    * not the corpus). */
+  def q326MerkleDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    val fold = "(acc, x) -> (acc * 31 + x) % 1000000007"
+    // fold order = child-node order: sort_array on (key, digest) structs,
+    // then fold the digests; one definition for every tree level
+    def ordFold(keyCol: String, valCol: String) = expr(
+      s"aggregate(transform(sort_array(collect_list(struct($keyCol AS k, $valCol AS v))), s -> s.v), CAST(0 AS BIGINT), $fold)")
+    def level(df: DataFrame, arity: Long): DataFrame = df
+      .groupBy(expr(s"node div $arity").as("parent"))
+      .agg(sum($"n_leaves").as("n_leaves_sum"),
+        ordFold("node", "d1").as("d1"), ordFold("node", "d2").as("d2"))
+      .select($"parent", $"n_leaves_sum".as("n_leaves"), $"d1", $"d2")
+    val leaves = graft.sources.Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        expr("graft_fingerprint(concat(coalesce(text, ''), ':', CAST(doc_id AS STRING)))").as("f1"),
+        expr("""CASE WHEN doc_id % 97 = 13
+                THEN graft_fingerprint(concat(coalesce(text, ''), ' [rev2]:', CAST(doc_id AS STRING)))
+                ELSE graft_fingerprint(concat(coalesce(text, ''), ':', CAST(doc_id AS STRING))) END""").as("f2"))
+    val shards = leaves
+      .groupBy(expr("doc_id div 64").as("node"))
+      .agg(count(lit(1)).as("n_leaves"),
+        ordFold("doc_id", "f1").as("d1"), ordFold("doc_id", "f2").as("d2"))
+      .persist()
+    try {
+      val l1 = level(shards, 8L).persist()
+      val l2 = level(l1.withColumnRenamed("parent", "node"), 8L)
+      val root = level(l2.withColumnRenamed("parent", "node"), 10000000L)
+      def rows(df: DataFrame, lvl: Long) = df
+        .select(lit(lvl).as("level"), col("node").cast("long").as("node_id"),
+          $"n_leaves", $"d1".as("digest_v1"), $"d2".as("digest_v2"),
+          when($"d1" =!= $"d2", 1L).otherwise(0L).as("changed"))
+      val out = rows(shards, 0L)
+        .unionByName(rows(l1.withColumnRenamed("parent", "node"), 1L))
+        .unionByName(rows(l2.withColumnRenamed("parent", "node"), 2L))
+        .unionByName(rows(root.withColumnRenamed("parent", "node"), 3L))
+        .orderBy($"level", $"node_id")
+        .collect()
+      l1.unpersist(blocking = false)
+      import org.apache.spark.sql.types._
+      graft.operators.LocalReport.frame(s, out.toSeq,
+        ("level", LongType), ("node_id", LongType), ("n_leaves", LongType),
+        ("digest_v1", LongType), ("digest_v2", LongType),
+        ("changed", LongType))
+    } finally shards.unpersist(blocking = false)
+  }
 }

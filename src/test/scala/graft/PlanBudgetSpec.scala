@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q326_merkle_diff" -> 0, // collect-local diff table (test-scale);
+                             // leaf fps ride the scan, each tree level
+                             // is one combinable fold 8x smaller
     "q325_bpe_apply" -> 0,   // collect-local |lang x source| report; the
                              // train + broadcast-dictionary apply join
                              // run inside the builder on a persisted

@@ -366,4 +366,45 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = Transfer.validate(spark, src, dst, "t1")
     assert(r.srcRows == 2 && r.dstRows == 1 && !r.checksumMatch)
   }
+
+  test("q326: Merkle pruning certificate holds and shard digests replay driver-side") {
+    val rows = graft.operators.TransferOps.q326MerkleDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byLevel = rows.groupBy(_._1)
+    // independent driver replay of the level-0 (shard) digests
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    def fp(s: String): Long = graft.functions.Fingerprint.hashString(s)
+    val wantShards = docs.groupBy(_._1 / 64).map { case (sh, ds) =>
+      val sorted = ds.sortBy(_._1)
+      def fold(f: (Long, String) => Long) =
+        sorted.foldLeft(0L)((a, d) => (a * 31 + f(d._1, d._2)) % 1000000007L)
+      sh -> (sorted.length.toLong,
+        fold((id, t) => fp(s"$t:$id")),
+        fold((id, t) => if (id % 97 == 13) fp(s"$t [rev2]:$id") else fp(s"$t:$id")))
+    }
+    byLevel(0L).foreach { case (_, node, nl, d1, d2, ch) =>
+      val (wn, w1, w2) = wantShards(node)
+      assert(nl == wn && d1 == w1 && d2 == w2, s"shard $node")
+      assert(ch == (if (w1 != w2) 1L else 0L))
+    }
+    // at least one shard changed (the rev2 pattern hits this corpus) and
+    // at least one did not (the diff genuinely prunes)
+    assert(byLevel(0L).exists(_._6 == 1L) && byLevel(0L).exists(_._6 == 0L))
+    // Merkle/pruning certificate: a parent changed iff >= 1 child changed
+    Seq((1L, 0L), (2L, 1L)).foreach { case (plvl, clvl) =>
+      byLevel(plvl).foreach { case (_, node, nl, _, _, ch) =>
+        val kids = byLevel(clvl).filter(_._2 / 8 == node)
+        assert(kids.nonEmpty)
+        assert(nl == kids.map(_._3).sum, s"level $plvl node $node leaves")
+        assert((ch == 1L) == kids.exists(_._6 == 1L), s"level $plvl node $node")
+      }
+    }
+    // the root changes iff anything anywhere changed, and counts all docs
+    val root = byLevel(3L).head
+    assert(root._3 == docs.length.toLong)
+    assert((root._6 == 1L) == byLevel(0L).exists(_._6 == 1L))
+  }
 }
