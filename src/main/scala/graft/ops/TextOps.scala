@@ -1023,9 +1023,15 @@ object TextOps {
   }
 
   /** X293 — BPE vocabulary merge TRAINING (published byte-pair-encoding
-    * learn loop): the tokenizer lane's missing member — q75 tokenizes,
+    * learn loop), the DISTRIBUTED full-vocabulary trainer: q226 learns
+    * merges too, but as a driver loop over a CAPPED 256-type `[a-z]+`
+    * dictionary (8 merges — the bounded prototype whose cap is the
+    * scalability escape hatch); here every round is a combinable fold
+    * over the complete unfiltered word-TYPE table, 30 rounds, with the
+    * per-round fertility ledger q226 doesn't produce. q75 tokenizes,
     * q255 audits application optimality GIVEN a vocabulary, q113/q157
-    * measure coverage of a frequency vocab; this LEARNS the merges.
+    * measure coverage of a frequency vocab; this LEARNS the merges at
+    * the corpus's own vocabulary scale.
     * Word-frequency table from the corpus, initial symbols = characters;
     * each of 30 bounded rounds counts adjacent symbol pairs weighted by
     * word frequency, picks the argmax under a deterministic tie-break
@@ -1065,7 +1071,11 @@ object TextOps {
   /** X299 — BPE tokenizer APPLICATION + fertility audit: closes the
     * tokenizer loop (q320 LEARNS the merges, q255 audits application
     * optimality, q113/q157 measure coverage — this APPLIES the learned
-    * vocabulary at corpus scale). Training already symbolizes every word
+    * vocabulary at corpus scale). q227 applies q226's capped trainer via
+    * a chain of `replace` calls (8 merges, `[a-z]+` words only); here
+    * the FULL 30-merge vocabulary applies by dictionary join — the
+    * replace-chain would inline 30 nested string passes per token, while
+    * the dictionary is exactly the trainer's final symbolization. Training already symbolizes every word
     * TYPE, so application is exactly how production tokenizers run: the
     * word→token-count dictionary broadcasts and the corpus pass is one
     * join + combinable fold — per (lang, source) cell the word count,
