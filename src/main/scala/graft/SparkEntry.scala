@@ -378,6 +378,74 @@ object SparkEntry {
        |ORDER BY d.system""".stripMargin
   }
 
+  /** q327's oracle, generated: the PrefPlant rows render as VALUES from
+    * the SAME Scala constant the Spark query unions (one definition);
+    * sessions replay q54's LAG gap rule, candidate stats via a
+    * cstat-join, selection contracts as the WHERE clause. */
+  private def q327OracleSql: String = {
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    val plantRows = graft.ops.EventOps.PrefPlant.map {
+      case (id, uid, us, et, v, p) =>
+        s"(CAST($id AS BIGINT), CAST($uid AS BIGINT), CAST($us AS BIGINT), '$et', CAST($v AS DOUBLE), '$p')"
+    }.mkString(",\n    ")
+    val pii = Seq(graft.ops.PiiPatterns.Email, graft.ops.PiiPatterns.Ipv4,
+      graft.ops.PiiPatterns.LongNumber)
+      .map(r => s"regexp_matches(f.f_t, '$r')").mkString(" OR ")
+    s"""WITH base AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+       |    CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us,
+       |    event_type, CAST(value AS DOUBLE) AS value, props FROM events
+       |  UNION ALL SELECT * FROM (VALUES
+       |    $plantRows)),
+       |t AS MATERIALIZED (SELECT *,
+       |    CASE WHEN event_type = 'purchase' THEN 'assistant'
+       |         WHEN event_type = 'error' THEN 'system'
+       |         ELSE 'user' END AS role,
+       |    coalesce(props, '') AS txt,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    CAST(sum(CASE WHEN lus IS NULL OR us - lus > 1800000000
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT)
+       |      AS conv_idx
+       |  FROM (SELECT *, LAG(us) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id) AS lus FROM base)),
+       |firsts AS MATERIALIZED (SELECT user_id, conv_idx, role AS f_role,
+       |    txt AS f_t
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, conv_idx
+       |      ORDER BY us, event_id) AS rn FROM t) WHERE rn = 1),
+       |cands AS MATERIALIZED (SELECT user_id, conv_idx, cents, event_id,
+       |    ${fp("txt")} AS tfp
+       |  FROM t WHERE role = 'assistant'),
+       |cstat AS MATERIALIZED (SELECT user_id, conv_idx,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(max(cents) AS BIGINT) AS cmax,
+       |    CAST(min(cents) AS BIGINT) AS cmin
+       |  FROM cands GROUP BY 1, 2),
+       |ext AS (SELECT cs.user_id, cs.conv_idx, cs.n, cs.cmax, cs.cmin,
+       |    CAST(sum(CASE WHEN c.cents = cs.cmax THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nmax,
+       |    CAST(sum(CASE WHEN c.cents = cs.cmin THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nmin,
+       |    max(CASE WHEN c.cents = cs.cmax THEN c.event_id END) AS ch_id,
+       |    max(CASE WHEN c.cents = cs.cmax THEN c.tfp END) AS ch_fp,
+       |    max(CASE WHEN c.cents = cs.cmin THEN c.event_id END) AS rj_id,
+       |    max(CASE WHEN c.cents = cs.cmin THEN c.tfp END) AS rj_fp
+       |  FROM cands c JOIN cstat cs USING (user_id, conv_idx)
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT e.user_id, e.conv_idx, ${fp("f.f_t")} AS prompt_fp,
+       |  e.n AS n_candidates, e.ch_id AS chosen_id, e.rj_id AS rejected_id,
+       |  e.cmax AS chosen_cents, e.cmin AS rejected_cents,
+       |  e.cmax - e.cmin AS margin_cents,
+       |  CASE WHEN $pii THEN CAST(1 AS BIGINT) ELSE 0 END AS pii_prompt
+       |FROM ext e JOIN firsts f USING (user_id, conv_idx)
+       |WHERE f.f_role = 'user' AND length(trim(f.f_t)) > 0 AND e.n >= 2
+       |  AND e.cmax > e.cmin AND e.nmax = 1 AND e.nmin = 1
+       |  AND e.ch_fp <> e.rj_fp
+       |ORDER BY user_id, conv_idx""".stripMargin
+  }
+
   /** q326's oracle: FpByteFold leaf fingerprints (v1 + in-query rev2
     * edit), rolling-fold shard digests in doc order, two 8-ary levels and
     * the root, unioned into the per-node diff table. */
@@ -971,6 +1039,7 @@ object SparkEntry {
     "q324_unimax_budget"  -> PipelineOps.q324UnimaxBudget _,
     "q325_bpe_apply"      -> TextOps.q325BpeApply _,
     "q326_merkle_diff"    -> graft.operators.TransferOps.q326MerkleDiff _,
+    "q327_preference_pairs" -> EventOps.q327PreferencePairs _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6234,6 +6303,7 @@ object SparkEntry {
     "q320_bpe_train" -> q320OracleSql,
     "q325_bpe_apply" -> q325OracleSql,
     "q326_merkle_diff" -> q326OracleSql,
+    "q327_preference_pairs" -> q327OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

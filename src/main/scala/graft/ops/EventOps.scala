@@ -1303,4 +1303,108 @@ object EventOps {
         $"n_secret_turns", $"contract_ok", $"transcript_fp")
       .orderBy($"user_id", $"conv_idx")
   }
+
+  /** q327 planted ground truth (disjoint -801..-806 user range, epoch-
+    * anchored like [[ChatPlant]]): one conversation per selection rule —
+    *  -801 clean 3-candidate pair (900¢ chosen, 500¢ rejected);
+    *  -802 tie at max → ambiguous chosen, dropped;
+    *  -803 single candidate → dropped;
+    *  -804 identical candidate texts → degenerate preference, dropped;
+    *  -805 PII prompt + valid pair → emitted with pii_prompt = 1;
+    *  -806 assistant opener (no user prompt) → dropped. */
+  private[graft] val PrefPlant: Seq[(Long, Long, Long, String, Double, String)] = Seq(
+    (-80101L, -801L, 1000000L, "view", 0.0, "recommend a database"),
+    (-80102L, -801L, 2000000L, "purchase", 5.0, "use flatfiles"),
+    (-80103L, -801L, 3000000L, "purchase", 7.0, "use a kv store"),
+    (-80104L, -801L, 4000000L, "purchase", 9.0, "use a columnar warehouse"),
+    (-80201L, -802L, 1000000L, "view", 0.0, "pick a color"),
+    (-80202L, -802L, 2000000L, "purchase", 7.0, "blue"),
+    (-80203L, -802L, 3000000L, "purchase", 7.0, "green"),
+    (-80301L, -803L, 1000000L, "view", 0.0, "lonely prompt"),
+    (-80302L, -803L, 2000000L, "purchase", 3.0, "only answer"),
+    (-80401L, -804L, 1000000L, "view", 0.0, "same answers"),
+    (-80402L, -804L, 2000000L, "purchase", 2.0, "identical reply"),
+    (-80403L, -804L, 3000000L, "purchase", 8.0, "identical reply"),
+    (-80501L, -805L, 1000000L, "view", 0.0, "email me at bob@example.com"),
+    (-80502L, -805L, 2000000L, "purchase", 1.0, "will do"),
+    (-80503L, -805L, 3000000L, "purchase", 6.0, "sent to your inbox"),
+    (-80601L, -806L, 1000000L, "purchase", 4.0, "unprompted a"),
+    (-80602L, -806L, 2000000L, "purchase", 8.0, "unprompted b"))
+
+  /** X301 — preference-pair assembly (RLHF/DPO training-data prep): turn
+    * the interaction stream into (prompt, chosen, rejected) pairs with
+    * the integrity contracts preference optimization needs. Conversations
+    * are q54's 30-minute gap sessions over ONE user_id partitioning
+    * (q311's discipline, same role map: purchase→assistant response,
+    * value→reward cents); a conversation yields a pair iff its FIRST
+    * turn is a non-empty user prompt, it has ≥ 2 assistant candidates,
+    * the reward argmax and argmin are UNIQUE (a tie is an ambiguous
+    * preference, not a coin flip), the margin is strictly positive, and
+    * chosen/rejected texts differ (identical responses carry no
+    * preference). The prompt is PII-gated through the SHARED
+    * [[PiiPatterns]] (flagged, not dropped — the caller decides).
+    * Candidate analysis binds the sorted candidate array ONCE via the
+    * transform-array let-bind idiom (the q235 collapse rule).
+    *
+    * Scale: one user_id window shuffle + one conversation fold; the
+    * candidate list per conversation is session-bounded; output is
+    * pair-sized. The [[PrefPlant]] rows ride the query (q311's
+    * discipline) and the generated oracle replays them via VALUES. */
+  def q327PreferencePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    val gapUs = 1800L * 1000000L
+    val plant = s.createDataset(PrefPlant).toDF(
+      "event_id", "user_id", "us", "event_type", "value", "props")
+    val e = ev(s, dir)
+      .select($"event_id", $"user_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_type", $"value".cast("double").as("value"), $"props")
+      .unionByName(plant)
+      .withColumn("role", when($"event_type" === "purchase", "assistant")
+        .when($"event_type" === "error", "system").otherwise("user"))
+      .withColumn("t", coalesce($"props", lit("")))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val turns = e
+      .withColumn("new_sess", when(lag($"us", 1).over(w).isNull ||
+        $"us" - lag($"us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("conv_idx", sum($"new_sess").over(run))
+    val conv = turns.groupBy($"user_id", $"conv_idx")
+      .agg(
+        min_by(struct($"role", $"t"), struct($"us", $"event_id")).as("first"),
+        collect_list(when($"role" === "assistant",
+          struct($"cents", $"event_id",
+            expr("graft_fingerprint(t)").as("fp")))).as("cands"))
+    val piiPrompt = $"first.t".rlike(PiiPatterns.Email) ||
+      $"first.t".rlike(PiiPatterns.Ipv4) ||
+      $"first.t".rlike(PiiPatterns.LongNumber)
+    conv
+      .filter(size($"cands") >= 2 &&
+        $"first.role" === "user" && length(trim($"first.t")) > 0)
+      // the size guard ALSO lives inside the expression: filter fusion
+      // may evaluate the candidate analysis before the row filter, and
+      // ANSI element_at throws on an empty array
+      .withColumn("a", expr(
+        """element_at(transform(
+          |  array(CASE WHEN size(cands) >= 2 THEN array_sort(cands) END),
+          |  s -> CASE WHEN s IS NULL THEN NULL ELSE named_struct(
+          |    'n', size(s),
+          |    'ch', element_at(s, -1),
+          |    'rj', element_at(s, 1),
+          |    'nmax', size(filter(s, x -> x.cents = element_at(s, -1).cents)),
+          |    'nmin', size(filter(s, x -> x.cents = element_at(s, 1).cents)))
+          |  END), 1)""".stripMargin))
+      .filter($"a.ch.cents" > $"a.rj.cents" && $"a.nmax" === 1 &&
+        $"a.nmin" === 1 && $"a.ch.fp" =!= $"a.rj.fp")
+      .select($"user_id", $"conv_idx",
+        expr("graft_fingerprint(first.t)").as("prompt_fp"),
+        $"a.n".cast("long").as("n_candidates"),
+        $"a.ch.event_id".as("chosen_id"), $"a.rj.event_id".as("rejected_id"),
+        $"a.ch.cents".as("chosen_cents"), $"a.rj.cents".as("rejected_cents"),
+        ($"a.ch.cents" - $"a.rj.cents").as("margin_cents"),
+        when(piiPrompt, 1L).otherwise(0L).as("pii_prompt"))
+      .orderBy($"user_id", $"conv_idx")
+  }
 }

@@ -2188,6 +2188,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"planted rrf ${planted("rrf")._4} vs base ${base("rrf")._4}")
   }
 
+  test("q327: every planted selection rule resolves as designed; contracts hold on all pairs") {
+    val rows = graft.ops.EventOps.q327PreferencePairs(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    // -801: clean 3-candidate pair, extremes picked, margin exact
+    val p801 = byUser(-801L).head
+    assert(p801.getAs[Long]("n_candidates") == 3L)
+    assert(p801.getAs[Long]("chosen_id") == -80104L)
+    assert(p801.getAs[Long]("rejected_id") == -80102L)
+    assert(p801.getAs[Long]("margin_cents") == 400L)
+    assert(p801.getAs[Long]("pii_prompt") == 0L)
+    // -805: valid pair whose prompt carries PII -> flagged, not dropped
+    val p805 = byUser(-805L).head
+    assert(p805.getAs[Long]("pii_prompt") == 1L)
+    assert(p805.getAs[Long]("chosen_id") == -80503L &&
+      p805.getAs[Long]("rejected_id") == -80502L)
+    // drops: tie at max, single candidate, identical texts, no prompt
+    Seq(-802L, -803L, -804L, -806L).foreach { u =>
+      assert(!byUser.contains(u), s"user $u must yield no pair")
+    }
+    // contracts on EVERY emitted pair (planted and natural alike)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("margin_cents") ==
+        r.getAs[Long]("chosen_cents") - r.getAs[Long]("rejected_cents"))
+      assert(r.getAs[Long]("margin_cents") > 0L)
+      assert(r.getAs[Long]("chosen_id") != r.getAs[Long]("rejected_id"))
+      assert(r.getAs[Long]("n_candidates") >= 2L)
+    }
+  }
+
   test("q325: applied BPE reconciles with the trainer; fully-merged plant pins fertility at 1e6") {
     import spark.implicits._
     // cross-operator reconciliation: the SAME corpus through q320 and

@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q327_preference_pairs" -> 2, // ONE user_id window shuffle + the
+                             // conversation fold; candidate analysis is
+                             // a let-bound HOF on session-bounded arrays
     "q326_merkle_diff" -> 0, // collect-local diff table (test-scale);
                              // leaf fps ride the scan, each tree level
                              // is one combinable fold 8x smaller
