@@ -446,6 +446,74 @@ object SparkEntry {
        |ORDER BY user_id, conv_idx""".stripMargin
   }
 
+  /** q328's oracle: the Lloyd's replay over the lang-joined embedding ∪
+    * 'xx'-twin union, then within-cluster language pairs, 4-NN distance
+    * sums per side, the distance-form margin, and mutual-best selection. */
+  private def q328OracleSql: String = {
+    val d2 = "list_sum(list_transform(generate_series(1, len(x.q)), " +
+      "i -> (x.q[i] - y.q[i]) * (x.q[i] - y.q[i])))"
+    def assign(c: String): String =
+      s"""SELECT vec_id, q, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+         |      SELECT e.vec_id, e.q, c.cid,
+         |        list_sum(list_transform(generate_series(1, len(e.q)),
+         |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+         |      FROM e CROSS JOIN $c c)) WHERE rn = 1""".stripMargin
+    s"""WITH e0 AS (SELECT em.vec_id, d.lang,
+       |    list_transform(em.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, lang, q FROM e0
+       |  UNION ALL
+       |  SELECT -vid - 1 AS vec_id, 'xx' AS lang,
+       |    list_transform(generate_series(1, len(qq)), j -> qq[j] + (vid + j - 1) % 3 - 1) AS q
+       |  FROM (SELECT vec_id AS vid, q AS qq FROM e0
+       |        WHERE vec_id % 10 = 3 AND lang = 'en')),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+       |       FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8)),
+       |a1 AS (${assign("c0")}),
+       |x1 AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a1),
+       |s1 AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+       |       FROM x1 GROUP BY cid, i),
+       |u1 AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+       |       FROM s1 GROUP BY cid),
+       |c1 AS (SELECT c0.cid, coalesce(u1.c, c0.c) AS c FROM c0 LEFT JOIN u1 USING (cid)),
+       |a2 AS (${assign("c1")}),
+       |x2 AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a2),
+       |s2 AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+       |       FROM x2 GROUP BY cid, i),
+       |u2 AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+       |       FROM s2 GROUP BY cid),
+       |c2 AS (SELECT c1.cid, coalesce(u2.c, c1.c) AS c FROM c1 LEFT JOIN u2 USING (cid)),
+       |n AS MATERIALIZED (SELECT f.vec_id, f.q, f.cid, e.lang
+       |  FROM (${assign("c2")}) f JOIN e ON e.vec_id = f.vec_id),
+       |p AS MATERIALIZED (SELECT x.cid, x.vec_id AS sid, x.lang AS src_lang,
+       |    y.vec_id AS tid, CAST($d2 AS BIGINT) AS d2
+       |  FROM n x JOIN n y ON x.cid = y.cid
+       |  WHERE x.lang <> 'en' AND y.lang = 'en'),
+       |ns AS MATERIALIZED (SELECT sid, CAST(sum(d2) AS BIGINT) AS sum_s
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY sid ORDER BY d2, tid) AS rk
+       |        FROM p)
+       |  WHERE rk <= 4 GROUP BY sid HAVING count(*) = 4),
+       |nt AS MATERIALIZED (SELECT tid, CAST(sum(d2) AS BIGINT) AS sum_t
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY tid ORDER BY d2, sid) AS rk
+       |        FROM p)
+       |  WHERE rk <= 4 GROUP BY tid HAVING count(*) = 4),
+       |sc AS MATERIALIZED (SELECT p.*, ns.sum_s + nt.sum_t - 8 * p.d2 AS margin
+       |  FROM p JOIN ns USING (sid) JOIN nt USING (tid)
+       |  WHERE ns.sum_s + nt.sum_t - 8 * p.d2 > 0),
+       |f AS (SELECT * FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS rk
+       |  FROM sc) WHERE rk = 1),
+       |b AS (SELECT tid, sid FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY tid ORDER BY margin DESC, sid) AS rk
+       |  FROM sc) WHERE rk = 1)
+       |SELECT f.sid AS src_id, f.src_lang, f.tid AS tgt_id,
+       |  f.cid AS cluster_id, f.d2, f.margin
+       |FROM f JOIN b ON f.tid = b.tid AND f.sid = b.sid
+       |ORDER BY src_id""".stripMargin
+  }
+
   /** q326's oracle: FpByteFold leaf fingerprints (v1 + in-query rev2
     * edit), rolling-fold shard digests in doc order, two 8-ary levels and
     * the root, unioned into the per-node diff table. */
@@ -1040,6 +1108,7 @@ object SparkEntry {
     "q325_bpe_apply"      -> TextOps.q325BpeApply _,
     "q326_merkle_diff"    -> graft.operators.TransferOps.q326MerkleDiff _,
     "q327_preference_pairs" -> EventOps.q327PreferencePairs _,
+    "q328_bitext_mine"    -> SimilarityOps.q328BitextMine _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6304,6 +6373,7 @@ object SparkEntry {
     "q325_bpe_apply" -> q325OracleSql,
     "q326_merkle_diff" -> q326OracleSql,
     "q327_preference_pairs" -> q327OracleSql,
+    "q328_bitext_mine" -> q328OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

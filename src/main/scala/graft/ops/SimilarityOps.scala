@@ -740,6 +740,91 @@ object SimilarityOps {
     } finally q.unpersist(blocking = false)
   }
 
+  /** X302 — margin-based bitext mining (the published cross-lingual
+    * alignment criterion, integer-exact): align non-English documents to
+    * English partners by embedding proximity, scored RELATIVE to each
+    * side's neighborhood — the margin idea that suppresses hub vectors a
+    * raw nearest-neighbor join mis-aligns. Adaptation for the exact-int
+    * lane: similarity = exact int64 d² on milli-quantized vectors
+    * (graft_dist2), and the margin is the distance form
+    * `Σ₄NN(x) + Σ₄NN(y) − 8·d²(x,y)` — positive iff the pair is closer
+    * than their neighborhoods' average, the same relative-similarity
+    * structure as the published cosine ratio without a single libm op
+    * (integer sums are order-free, so no sequential-fold ceremony).
+    * Blocking = X69's shared k-means clusters (q237/q322's argument:
+    * quadratic only within bounded cluster populations, salted 8×; the
+    * coarse-quantization miss is exactly IVF's, stated not hidden).
+    * A pair aligns iff each side needs ≥ 4 opposite-language in-cluster
+    * neighbors, the margins agree (m > 0), and the pair is MUTUAL-best
+    * under (margin DESC, id ASC). Languages come from the established
+    * vec_id ≡ doc_id correspondence (q305's fusion join); planted 'xx'
+    * twins of en vectors ride the query in a disjoint negative range and
+    * must all recover their originals.
+    *
+    * Scale: one Lloyd's assignment over the persisted quantized frame,
+    * one salted within-cluster language-pair join, two bounded 4-NN
+    * window folds keyed by each side; the aligned-pair output
+    * materializes via localCheckpoint (member-sized — q322's rule). */
+  def q328BitextMine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SquaredDistance.register(s)
+    val langs = Tables.load(s, dir, "documents")
+      .select($"doc_id".as("vec_id"), $"lang")
+    val base = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      .join(langs, Seq("vec_id"))
+    val twins = base.filter($"vec_id" % 10 === 3 && $"lang" === "en")
+      .select((-$"vec_id" - 1L).as("vec_id"), lit("xx").as("lang"),
+        expr("transform(q, (x, i) -> x + pmod(vec_id + i, 3) - 1)").as("q"))
+    val e = base.select($"vec_id", $"lang", $"q").unionByName(twins).persist()
+    try {
+      val assigned = kmeansAssign(s, e.select($"vec_id", $"q"), k = 8, iters = 3)
+        .join(e.select($"vec_id", $"lang"), Seq("vec_id")).persist()
+      try {
+        val src = graft.ops.DedupOps.saltLeft(
+          assigned.filter($"lang" =!= "en").select($"vec_id".as("sid"),
+            $"lang".as("src_lang"), $"cid", $"q".as("qs")), "sid")
+        val tgt = graft.ops.DedupOps.replicateRight(
+          assigned.filter($"lang" === "en").select($"vec_id".as("tid"),
+            $"cid", $"q".as("qt")))
+        val pairs = src.join(tgt, Seq("cid", "salt"))
+          .withColumn("d2", expr("graft_dist2(qs, qt)"))
+          .select($"cid", $"sid", $"src_lang", $"tid", $"d2")
+          .persist()
+        try {
+          val wS = Window.partitionBy($"sid").orderBy($"d2", $"tid")
+          val nnS = pairs.withColumn("rk", row_number().over(wS))
+            .filter($"rk" <= 4).groupBy($"sid")
+            .agg(count(lit(1)).as("ns"), sum($"d2").as("sum_s"))
+            .filter($"ns" === 4L)
+          val wT = Window.partitionBy($"tid").orderBy($"d2", $"sid")
+          val nnT = pairs.withColumn("rk", row_number().over(wT))
+            .filter($"rk" <= 4).groupBy($"tid")
+            .agg(count(lit(1)).as("nt"), sum($"d2").as("sum_t"))
+            .filter($"nt" === 4L)
+          val scored = pairs.join(nnS, Seq("sid")).join(nnT, Seq("tid"))
+            .withColumn("margin", $"sum_s" + $"sum_t" - lit(8L) * $"d2")
+            .filter($"margin" > 0L)
+          val fwd = scored.withColumn("rk", row_number().over(
+              Window.partitionBy($"sid").orderBy($"margin".desc, $"tid")))
+            .filter($"rk" === 1).drop("rk")
+          val bwd = scored.withColumn("rk", row_number().over(
+              Window.partitionBy($"tid").orderBy($"margin".desc, $"sid")))
+            .filter($"rk" === 1)
+            .select($"tid".as("b_tid"), $"sid".as("b_sid"))
+          val out = fwd.join(bwd,
+              $"tid" === $"b_tid" && $"sid" === $"b_sid")
+            .select($"sid".as("src_id"), $"src_lang",
+              $"tid".as("tgt_id"), $"cid".as("cluster_id"),
+              $"d2", $"margin")
+            .orderBy($"src_id")
+          out.localCheckpoint()
+        } finally pairs.unpersist(blocking = false)
+      } finally assigned.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
+
   /** 1e6-scale discount table ⌊1e6 / log2(i+1)⌋ for ranks 1..10 — the
     * ONE copy both the q323 driver fold and its generated DuckDB oracle
     * inline as literals, so no runtime libm log2 ever crosses an engine

@@ -2188,6 +2188,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"planted rrf ${planted("rrf")._4} vs base ${base("rrf")._4}")
   }
 
+  test("q328: planted xx twins align mutual-best to their en originals; alignment is injective") {
+    import spark.implicits._
+    val rows = SimilarityOps.q328BitextMine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4),
+        r.getLong(5)))
+    assert(rows.nonEmpty)
+    // mutual-best makes the alignment injective on BOTH sides
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.map(_._3).distinct.length == rows.length)
+    rows.foreach { case (_, _, _, _, m) => assert(m > 0L) }
+    // every emitted planted twin must recover exactly its original
+    // (twin id = -orig - 1, ±1-milli perturbation -> d² ≤ 64 dims · 4)
+    val xx = rows.filter(_._2 == "xx")
+    assert(xx.nonEmpty)
+    xx.foreach { case (sid, _, tid, d2, _) =>
+      assert(tid == -sid - 1L, s"twin $sid aligned to $tid")
+      assert(d2 <= 256L, s"twin $sid d2=$d2")
+    }
+    // non-vacuity both ways: natural cross-lingual pairs align too
+    assert(rows.exists(_._2 != "xx"))
+    // and the twin population is substantially recovered (boundary
+    // cluster flips are the only escape)
+    val planted = graft.sources.Tables.load(spark, sf, "documents")
+      .filter($"lang" === "en" && $"doc_id" % 10 === 3)
+      .join(graft.sources.Tables.load(spark, sf, "embeddings")
+        .select($"vec_id".as("doc_id")), Seq("doc_id"))
+      .count()
+    assert(xx.length * 10L >= planted * 9L, s"${xx.length} of $planted")
+  }
+
   test("q327: every planted selection rule resolves as designed; contracts hold on all pairs") {
     val rows = graft.ops.EventOps.q327PreferencePairs(spark, sf).collect()
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))

@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q328_bitext_mine" -> 0, // localCheckpointed aligned-pair frame;
+                             // Lloyd's + salted block join + two 4-NN
+                             // window folds run inside the builder
     "q327_preference_pairs" -> 2, // ONE user_id window shuffle + the
                              // conversation fold; candidate analysis is
                              // a let-bound HOF on session-bounded arrays
