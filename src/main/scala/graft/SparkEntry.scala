@@ -446,6 +446,53 @@ object SparkEntry {
        |ORDER BY user_id, conv_idx""".stripMargin
   }
 
+  /** q329's oracle: middle-square permutation key via FpByteFold, the
+    * per-category exclusive-prefix window (the oracle may use the
+    * cat-partitioned window the Spark side deliberately avoids — DuckDB
+    * has no skew problem at sf), naive vs ordered encodings + MAEs. */
+  private def q329OracleSql: String = {
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    s"""WITH o AS MATERIALIZED (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       |    o_orderpriority AS cat,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders
+       |  UNION ALL SELECT * FROM (VALUES
+       |    (CAST(-901 AS BIGINT), 'X-PLANT', CAST(99999999 AS BIGINT)))),
+       |t AS MATERIALIZED (SELECT *,
+       |    CASE WHEN cents >= 46500000 THEN CAST(1 AS BIGINT) ELSE 0 END AS y,
+       |    (${fp("'ord:' || CAST(okey AS VARCHAR)")} *
+       |     ${fp("'ord:' || CAST(okey AS VARCHAR)")}) // 65536 AS pk
+       |  FROM o),
+       |pr AS (SELECT CAST(sum(y) AS BIGINT) * 1000000
+       |    // CAST(count(*) AS BIGINT) AS prior_ppm FROM t),
+       |e AS MATERIALIZED (SELECT t.cat, t.y, pr.prior_ppm,
+       |    (coalesce(CAST(sum(y) OVER w AS BIGINT), 0) * 1000000
+       |      + pr.prior_ppm)
+       |      // (CAST(count(*) OVER w AS BIGINT) + 1) AS ordered_ppm
+       |  FROM t, pr
+       |  WINDOW w AS (PARTITION BY cat ORDER BY pk, okey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |g AS (SELECT cat, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS np,
+       |    CAST(sum(ordered_ppm) AS BIGINT) AS osum,
+       |    CAST(sum(abs(ordered_ppm - y * 1000000)) AS BIGINT) AS omae,
+       |    min(prior_ppm) AS prior_ppm
+       |  FROM e GROUP BY cat)
+       |SELECT cat AS category, n AS n_rows, np AS n_pos, prior_ppm,
+       |  np * 1000000 // n AS naive_enc_ppm,
+       |  osum // n AS mean_ordered_ppm,
+       |  (np * (1000000 - np * 1000000 // n)
+       |    + (n - np) * (np * 1000000 // n)) // n AS mae_naive_ppm,
+       |  omae // n AS mae_ordered_ppm,
+       |  omae // n - (np * (1000000 - np * 1000000 // n)
+       |    + (n - np) * (np * 1000000 // n)) // n AS leak_gap_ppm
+       |FROM g ORDER BY category""".stripMargin
+  }
+
   /** q328's oracle: the Lloyd's replay over the lang-joined embedding ∪
     * 'xx'-twin union, then within-cluster language pairs, 4-NN distance
     * sums per side, the distance-form margin, and mutual-best selection. */
@@ -1109,6 +1156,7 @@ object SparkEntry {
     "q326_merkle_diff"    -> graft.operators.TransferOps.q326MerkleDiff _,
     "q327_preference_pairs" -> EventOps.q327PreferencePairs _,
     "q328_bitext_mine"    -> SimilarityOps.q328BitextMine _,
+    "q329_target_encoding" -> PipelineOps.q329TargetEncoding _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6374,6 +6422,7 @@ object SparkEntry {
     "q326_merkle_diff" -> q326OracleSql,
     "q327_preference_pairs" -> q327OracleSql,
     "q328_bitext_mine" -> q328OracleSql,
+    "q329_target_encoding" -> q329OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -2791,6 +2791,96 @@ object PipelineOps {
       "epochs_permille" -> LongType, "share_permille" -> LongType)
   }
 
+  /** X303 — ordered target statistics vs naive mean encoding (CatBoost's
+    * published leakage-free categorical encoding, plus the audit that
+    * shows WHY): encoding a category by the mean of its own rows' target
+    * leaks the label into the feature — catastrophically for rare
+    * categories, where the naive encoding IS the row's own target. The
+    * published fix computes each row's statistic from a PREFIX of a
+    * pseudo-random permutation only: enc_i = (Σ_before y + prior) /
+    * (n_before + 1). Here the permutation key is the middle-square-
+    * finalized fingerprint of the order key (q282's idiom — the raw
+    * polynomial fp orders affinely with the key, q291's lesson), target
+    * = q291's ≥ $465k conversion, prior = the global mean in ppm. The
+    * report puts naive and ordered encodings side by side per category
+    * with their train-set MAE — `leak_gap_ppm` > 0 is the leakage
+    * signature (naive looks "better" on train because it peeked), and
+    * the planted single-row category 'X-PLANT' shows the extreme: naive
+    * encodes its own target exactly (MAE 0), ordered falls back to the
+    * prior.
+    *
+    * Scale: NO category-partitioned windows (a 5-value category key
+    * would pin corpus-sized partitions — the CLAUDE.md skew rule):
+    * the per-category EXCLUSIVE prefix derives from TWO GlobalOrder
+    * two-phase passes over the (cat, perm, key) total order (rank +
+    * running y-sum) minus collected per-category bases (|cats| rows,
+    * driver-tiny); the report is a |cats|-row combinable fold. */
+  def q329TargetEncoding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val plant = Seq((-901L, "X-PLANT", 99999999L))
+      .toDF("okey", "cat", "cents")
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".cast("long").as("okey"),
+        $"o_orderpriority".as("cat"),
+        graft.functions.Exact.cents($"o_totalprice").as("cents"))
+      .unionByName(plant)
+      .withColumn("y", when($"cents" >= 46500000L, 1L).otherwise(0L))
+      .withColumn("pk", expr(
+        "(graft_fingerprint(concat('ord:', CAST(okey AS STRING))) * " +
+        "graft_fingerprint(concat('ord:', CAST(okey AS STRING)))) div 65536"))
+      .persist()
+    try {
+      val sort = Seq($"cat", $"pk", $"okey")
+      val (ranked, total) = graft.operators.GlobalOrder
+        .withRowNumberAndTotal(o, sort, "rn")
+      val (summed, totalY) = graft.operators.GlobalOrder
+        .withRunningSum(ranked, sort, "y", "ys")
+      val priorPpm = totalY * 1000000L / total
+      // per-category bases in (cat ASC) order — cat leads the total
+      // order, so every earlier category wholly precedes this one
+      val catTotals = o.groupBy($"cat")
+        .agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val totalsSeq = catTotals.toSeq
+      val cum = totalsSeq.scanLeft(("", 0L, 0L)) {
+        case ((_, cn, cs), (cat, n, sy)) => (cat, cn + n, cs + sy)
+      }
+      val bases = totalsSeq.zipWithIndex.map { case ((cat, _, _), i) =>
+        (cat, cum(i)._2, cum(i)._3) // prefix totals of strictly-earlier cats
+      }.toDF("cat", "cnt_base", "sum_base")
+      val enc = summed.join(broadcast(bases), Seq("cat"))
+        .withColumn("cb", $"rn" - 1L - $"cnt_base")
+        .withColumn("sb", $"ys" - $"y" - $"sum_base")
+        .withColumn("ordered_ppm",
+          expr(s"(sb * 1000000 + $priorPpm) div (cb + 1)"))
+      val rep = enc.groupBy($"cat".as("category"))
+        .agg(count(lit(1)).as("n_rows"), sum($"y").as("n_pos"),
+          sum($"ordered_ppm").as("ord_sum"),
+          sum(abs($"ordered_ppm" - $"y" * 1000000L)).as("ord_mae_sum"))
+        .withColumn("prior_ppm", lit(priorPpm))
+        .withColumn("naive_enc_ppm", expr("n_pos * 1000000 div n_rows"))
+        .withColumn("mean_ordered_ppm", expr("ord_sum div n_rows"))
+        .withColumn("mae_naive_ppm", expr(
+          "(n_pos * (1000000 - naive_enc_ppm) + " +
+          "(n_rows - n_pos) * naive_enc_ppm) div n_rows"))
+        .withColumn("mae_ordered_ppm", expr("ord_mae_sum div n_rows"))
+        .withColumn("leak_gap_ppm", $"mae_ordered_ppm" - $"mae_naive_ppm")
+        .select($"category", $"n_rows", $"n_pos", $"prior_ppm",
+          $"naive_enc_ppm", $"mean_ordered_ppm", $"mae_naive_ppm",
+          $"mae_ordered_ppm", $"leak_gap_ppm")
+        .orderBy($"category")
+        .collect()
+      import org.apache.spark.sql.types._
+      LocalReport.frame(s, rep.toSeq,
+        ("category", StringType), ("n_rows", LongType), ("n_pos", LongType),
+        ("prior_ppm", LongType), ("naive_enc_ppm", LongType),
+        ("mean_ordered_ppm", LongType), ("mae_naive_ppm", LongType),
+        ("mae_ordered_ppm", LongType), ("leak_gap_ppm", LongType))
+    } finally o.unpersist(blocking = false)
+  }
+
   /** X294 — DSIR-class importance resampling for data selection (the
     * published Data-Selection-with-Importance-Resampling recipe, made
     * integer-exact): select raw documents toward a TARGET domain (here

@@ -971,6 +971,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "at least one class-4 doc must coalesce adjacent pii+secret lines into one span")
   }
 
+  test("q329: the planted singleton category exposes naive leakage; ordered stays at the prior") {
+    val rows = PipelineOps.q329TargetEncoding(spark, sf).collect()
+    val byCat = rows.map(r => r.getString(0) -> r).toMap
+    val prior = rows.head.getAs[Long]("prior_ppm")
+    // global prior reconciles with the per-category masses
+    assert(prior == rows.map(_.getAs[Long]("n_pos")).sum * 1000000L /
+      rows.map(_.getAs[Long]("n_rows")).sum)
+    // the leakage extreme: a single-row category's naive encoding IS its
+    // own target (train MAE 0 — pure memorization); the ordered
+    // statistic has never seen the category and returns the prior
+    val p = byCat("X-PLANT")
+    assert(p.getAs[Long]("n_rows") == 1L && p.getAs[Long]("n_pos") == 1L)
+    assert(p.getAs[Long]("naive_enc_ppm") == 1000000L)
+    assert(p.getAs[Long]("mae_naive_ppm") == 0L)
+    assert(p.getAs[Long]("mean_ordered_ppm") == prior)
+    assert(p.getAs[Long]("leak_gap_ppm") == 1000000L - prior)
+    // large natural categories: both encodings near the category mean,
+    // leakage gap small (measured |gap| <= 3116 at sf0.01)
+    rows.filter(_.getString(0) != "X-PLANT").foreach { r =>
+      assert(math.abs(r.getAs[Long]("leak_gap_ppm")) < 50000L,
+        s"${r.getString(0)} gap ${r.getAs[Long]("leak_gap_ppm")}")
+      val mo = r.getAs[Long]("mean_ordered_ppm")
+      assert(mo >= 0L && mo <= 1000000L)
+    }
+  }
+
   test("q324: planted low-resource languages hit the epoch cap exactly; the pool conserves") {
     import spark.implicits._
     // plant two tiny languages (negative ids): their 3-epoch ceiling is

@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q329_target_encoding" -> 0, // collect-local |cats| report; two
+                             // GlobalOrder passes + a combinable fold
+                             // run inside the builder (no cat windows)
     "q328_bitext_mine" -> 0, // localCheckpointed aligned-pair frame;
                              // Lloyd's + salted block join + two 4-NN
                              // window folds run inside the builder
