@@ -446,6 +446,69 @@ object SparkEntry {
        |ORDER BY user_id, conv_idx""".stripMargin
   }
 
+  /** q330's oracle: position explode, middle-square span decisions, the
+    * covers-OR over ≤ 4 preceding starts, island ordinals, sentinel
+    * assembly via ordered string_agg, FpByteFold fingerprints. */
+  private def q330OracleSql: String = {
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    s"""WITH p0 AS MATERIALIZED (
+       |  SELECT doc_id, CAST(unnest(generate_series(1, len(ws))) - 1 AS BIGINT) AS pos,
+       |    unnest(ws) AS w
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |        FROM documents)),
+       |mk AS MATERIALIZED (SELECT *,
+       |    CASE WHEN h % 20 = 0 THEN CAST(1 AS BIGINT) ELSE 0 END AS is_start,
+       |    2 + (h // 20) % 3 AS slen
+       |  FROM (SELECT *, (${fp("CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")} *
+       |      ${fp("CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")}) // 65536 AS h
+       |    FROM p0)),
+       |cv AS MATERIALIZED (SELECT *,
+       |    CASE WHEN is_start = 1
+       |      OR (coalesce(lag(is_start, 1) OVER dw, 0) = 1
+       |          AND coalesce(lag(slen, 1) OVER dw, 0) > 1)
+       |      OR (coalesce(lag(is_start, 2) OVER dw, 0) = 1
+       |          AND coalesce(lag(slen, 2) OVER dw, 0) > 2)
+       |      OR (coalesce(lag(is_start, 3) OVER dw, 0) = 1
+       |          AND coalesce(lag(slen, 3) OVER dw, 0) > 3)
+       |      THEN CAST(1 AS BIGINT) ELSE 0 END AS corrupted
+       |  FROM mk
+       |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |sp AS MATERIALIZED (SELECT *,
+       |    CAST(sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+       |      AS span_ord
+       |  FROM (SELECT *, CASE WHEN corrupted = 1 AND
+       |        coalesce(lag(corrupted, 1) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+       |      THEN CAST(1 AS BIGINT) ELSE 0 END AS new_span FROM cv)),
+       |pc AS MATERIALIZED (SELECT *,
+       |    CASE WHEN corrupted = 0 THEN w
+       |         WHEN new_span = 1
+       |         THEN '<extra_id_' || CAST(span_ord - 1 AS VARCHAR) || '>'
+       |    END AS input_piece,
+       |    CASE WHEN new_span = 1
+       |         THEN '<extra_id_' || CAST(span_ord - 1 AS VARCHAR) || '> ' || w
+       |         WHEN corrupted = 1 THEN w
+       |    END AS target_piece
+       |  FROM sp),
+       |g AS MATERIALIZED (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(new_span) AS BIGINT) AS n_spans,
+       |    CAST(sum(corrupted) AS BIGINT) AS n_corrupted,
+       |    coalesce(string_agg(input_piece, ' ' ORDER BY pos)
+       |      FILTER (input_piece IS NOT NULL), '') AS inp,
+       |    coalesce(string_agg(target_piece, ' ' ORDER BY pos)
+       |      FILTER (target_piece IS NOT NULL), '') AS tgt
+       |  FROM pc GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_spans, n_corrupted,
+       |  n_corrupted * 1000000 // n_tokens AS corrupted_ppm,
+       |  ${fp("inp")} AS input_fp,
+       |  ${fp("CASE WHEN n_spans = 0 THEN tgt ELSE tgt || ' <extra_id_' || CAST(n_spans AS VARCHAR) || '>' END")}
+       |    AS target_fp
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   /** q329's oracle: middle-square permutation key via FpByteFold, the
     * per-category exclusive-prefix window (the oracle may use the
     * cat-partitioned window the Spark side deliberately avoids — DuckDB
@@ -1157,6 +1220,7 @@ object SparkEntry {
     "q327_preference_pairs" -> EventOps.q327PreferencePairs _,
     "q328_bitext_mine"    -> SimilarityOps.q328BitextMine _,
     "q329_target_encoding" -> PipelineOps.q329TargetEncoding _,
+    "q330_span_corruption" -> PipelineOps.q330SpanCorruption _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6423,6 +6487,7 @@ object SparkEntry {
     "q327_preference_pairs" -> q327OracleSql,
     "q328_bitext_mine" -> q328OracleSql,
     "q329_target_encoding" -> q329OracleSql,
+    "q330_span_corruption" -> q330OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

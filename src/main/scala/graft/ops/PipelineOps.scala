@@ -2791,6 +2791,83 @@ object PipelineOps {
       "epochs_permille" -> LongType, "share_permille" -> LongType)
   }
 
+  /** X304 — span-corruption example construction (the published T5/UL2
+    * denoising objective, as a deterministic data transform): per
+    * document, ~1/20 of token positions START a corruption span of
+    * length 2–4 (mean 3 → ~15% corruption, T5's rate), overlapping
+    * spans coalesce, and the example splits into INPUT (kept tokens with
+    * one `<extra_id_k>` sentinel per span) and TARGET (each sentinel
+    * followed by its span's tokens, plus the closing sentinel) — the
+    * exact construction a denoising pretraining pipeline runs per
+    * document. Span decisions come from middle-square-finalized
+    * fingerprints of (doc_id, position) — the raw polynomial fp is
+    * AFFINE in the position for same-length keys (q279/q291's lesson),
+    * which would make every 20th position a span start instead of a
+    * pseudo-random 1/20. Reconstruction (splice each target span back
+    * at its sentinel) reproduces the original text exactly — the spec's
+    * round-trip theorem.
+    *
+    * Scale: ONE doc_id-keyed position shuffle carries every window
+    * (start/len lags, the corrupted-OR over the ≤ 4 preceding starts,
+    * the span-ordinal running count); assembly is an ordered
+    * collect_list fold per doc (document-bounded arrays); the output is
+    * a per-document frame at scan-order cost. */
+  def q330SpanCorruption(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val pos = docs(s, dir)
+      .select($"doc_id", posexplode(expr(
+        "filter(split(text, ' '), x -> x <> '')")).as(Seq("pos", "w")))
+      .withColumn("h", expr(
+        "(graft_fingerprint(concat(CAST(doc_id AS STRING), ':', CAST(pos AS STRING))) * " +
+        "graft_fingerprint(concat(CAST(doc_id AS STRING), ':', CAST(pos AS STRING)))) div 65536"))
+      .withColumn("is_start", when(pmod($"h", lit(20L)) === 0L, 1L).otherwise(0L))
+      .withColumn("slen", lit(2L) + pmod(expr("h div 20"), lit(3L)))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def covers(k: Int) = // a start k positions back whose span reaches here
+      coalesce(lag($"is_start", k).over(w) === 1L &&
+        lag($"slen", k).over(w) > k.toLong, lit(false))
+    val marked = pos
+      .withColumn("corrupted",
+        when(covers(0) || covers(1) || covers(2) || covers(3), 1L)
+          .otherwise(0L))
+      .withColumn("new_span",
+        when($"corrupted" === 1L &&
+          coalesce(lag($"corrupted", 1).over(w), lit(0L)) === 0L, 1L)
+          .otherwise(0L))
+      .withColumn("span_ord", sum($"new_span").over(run))
+    val pieces = marked
+      .withColumn("input_piece", expr(
+        """CASE WHEN corrupted = 0 THEN w
+          |     WHEN new_span = 1
+          |     THEN concat('<extra_id_', CAST(span_ord - 1 AS STRING), '>')
+          |END""".stripMargin))
+      .withColumn("target_piece", expr(
+        """CASE WHEN new_span = 1
+          |     THEN concat('<extra_id_', CAST(span_ord - 1 AS STRING), '> ', w)
+          |     WHEN corrupted = 1 THEN w
+          |END""".stripMargin))
+    def assemble(piece: String) = expr(
+      s"""concat_ws(' ', transform(array_sort(collect_list(
+         |  CASE WHEN $piece IS NOT NULL
+         |       THEN struct(pos AS p, $piece AS v) END)), x -> x.v))"""
+        .stripMargin)
+    pieces.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"corrupted").as("n_corrupted"),
+        sum($"new_span").as("n_spans"),
+        assemble("input_piece").as("inp"),
+        assemble("target_piece").as("tgt"))
+      .select($"doc_id", $"n_tokens", $"n_spans", $"n_corrupted",
+        expr("n_corrupted * 1000000 div n_tokens").as("corrupted_ppm"),
+        expr("graft_fingerprint(inp)").as("input_fp"),
+        expr("graft_fingerprint(CASE WHEN n_spans = 0 THEN tgt ELSE " +
+          "concat(tgt, ' <extra_id_', CAST(n_spans AS STRING), '>') END)")
+          .as("target_fp"))
+      .orderBy($"doc_id")
+  }
+
   /** X303 — ordered target statistics vs naive mean encoding (CatBoost's
     * published leakage-free categorical encoding, plus the audit that
     * shows WHY): encoding a category by the mean of its own rows' target

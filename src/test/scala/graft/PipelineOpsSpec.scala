@@ -971,6 +971,69 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "at least one class-4 doc must coalesce adjacent pii+secret lines into one span")
   }
 
+  test("q330: span corruption replays driver-side and the round-trip splice restores every doc") {
+    import spark.implicits._
+    val got = PipelineOps.q330SpanCorruption(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def fp(s: String): Long = graft.functions.Fingerprint.hashString(s)
+    var corrTot = 0L; var tokTot = 0L
+    docs.foreach { case (id, text) =>
+      val ws = Option(text).getOrElse("").split(" ", -1).filter(_.nonEmpty)
+      if (ws.nonEmpty) {
+        val h = ws.indices.map { i =>
+          val f = fp(s"$id:$i"); (f * f) / 65536L
+        }
+        val isStart = h.map(_ % 20L == 0L)
+        val slen = h.map(x => 2L + (x / 20L) % 3L)
+        val corrupted = ws.indices.map(i => (0 to 3).exists(k =>
+          i - k >= 0 && isStart(i - k) && slen(i - k) > k))
+        val newSpan = ws.indices.map(i =>
+          corrupted(i) && (i == 0 || !corrupted(i - 1)))
+        var ord = -1
+        val inp = new StringBuilder; val tgt = new StringBuilder
+        ws.indices.foreach { i =>
+          if (newSpan(i)) {
+            ord += 1
+            if (inp.nonEmpty) inp += ' '
+            inp ++= s"<extra_id_$ord>"
+            if (tgt.nonEmpty) tgt += ' '
+            tgt ++= s"<extra_id_$ord> ${ws(i)}"
+          } else if (corrupted(i)) {
+            tgt ++= s" ${ws(i)}"
+          } else {
+            if (inp.nonEmpty) inp += ' '
+            inp ++= ws(i)
+          }
+        }
+        val nSpans = ord + 1
+        val tgtFull = if (nSpans == 0) tgt.toString
+          else s"$tgt <extra_id_$nSpans>"
+        val row = got(id)
+        assert(row.getAs[Long]("n_tokens") == ws.length.toLong, s"doc $id")
+        assert(row.getAs[Long]("n_spans") == nSpans.toLong, s"doc $id spans")
+        assert(row.getAs[Long]("input_fp") == fp(inp.toString), s"doc $id inp")
+        assert(row.getAs[Long]("target_fp") == fp(tgtFull), s"doc $id tgt")
+        corrTot += row.getAs[Long]("n_corrupted"); tokTot += ws.length
+        // round-trip theorem: splicing each target span back at its
+        // sentinel restores the original token stream exactly
+        val spans = tgtFull.split("<extra_id_\\d+>").map(_.trim)
+          .filter(_.nonEmpty)
+        var k = 0
+        val restored = inp.toString.split(" ", -1).flatMap { tok =>
+          if (tok.matches("<extra_id_\\d+>")) {
+            k += 1; spans(k - 1).split(" ", -1)
+          } else Array(tok)
+        }
+        assert(restored.toSeq == ws.toSeq, s"doc $id round-trip")
+      }
+    }
+    // the corruption rate lands near T5's ~15% (1/20 starts x mean 3)
+    val ppm = corrTot * 1000000L / tokTot
+    assert(ppm > 80000L && ppm < 250000L, s"corrupted ppm $ppm")
+  }
+
   test("q329: the planted singleton category exposes naive leakage; ordered stays at the prior") {
     val rows = PipelineOps.q329TargetEncoding(spark, sf).collect()
     val byCat = rows.map(r => r.getString(0) -> r).toMap

@@ -762,6 +762,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q330_span_corruption" -> 2, // ONE doc_id position shuffle carries
+                             // all windows + the assembly fold
     "q329_target_encoding" -> 0, // collect-local |cats| report; two
                              // GlobalOrder passes + a combinable fold
                              // run inside the builder (no cat windows)
