@@ -446,6 +446,47 @@ object SparkEntry {
        |ORDER BY user_id, conv_idx""".stripMargin
   }
 
+  /** q331's oracle: running-sum packing offsets by doc_id, the 5-depth
+    * grid cross join, nearest-boundary argmin per (context, depth). */
+  private def q331OracleSql: String = {
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT doc_id, n_toks,
+       |    CAST(sum(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS end_off
+       |  FROM (SELECT doc_id,
+       |      CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |        AS BIGINT) AS n_toks
+       |    FROM documents) WHERE n_toks > 0),
+       |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total FROM p),
+       |pl AS MATERIALIZED (SELECT doc_id,
+       |    (end_off - n_toks) // 2048 AS ctx,
+       |    (end_off - n_toks) % 2048 AS boff FROM p),
+       |g AS (SELECT CAST(unnest([0, 250000, 500000, 750000, 1000000])
+       |    AS BIGINT) AS depth_target_ppm),
+       |x AS MATERIALIZED (SELECT pl.ctx, g.depth_target_ppm, pl.doc_id,
+       |    pl.boff, least(2048, tot.total - pl.ctx * 2048) AS ctx_tokens,
+       |    abs(pl.boff - g.depth_target_ppm
+       |      * least(2048, tot.total - pl.ctx * 2048) // 1000000) AS drift
+       |  FROM pl, g, tot),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY ctx, depth_target_ppm
+       |      ORDER BY drift, boff, doc_id) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY ctx, depth_target_ppm) AS BIGINT)
+       |      AS nd
+       |  FROM x)
+       |SELECT ctx AS context_id, nd AS n_docs,
+       |  CAST(ctx_tokens AS BIGINT) AS ctx_tokens, depth_target_ppm,
+       |  doc_id AS insert_before_doc, boff AS insert_at_off,
+       |  boff * 1000000 // ctx_tokens AS actual_depth_ppm,
+       |  CAST(drift AS BIGINT) AS drift_tokens,
+       |  ${fp("'needle:' || CAST(ctx AS VARCHAR) || ':' || CAST(depth_target_ppm AS VARCHAR)")}
+       |    AS needle_fp
+       |FROM r WHERE rk = 1
+       |ORDER BY context_id, depth_target_ppm""".stripMargin
+  }
+
   /** q330's oracle: position explode, middle-square span decisions, the
     * covers-OR over ≤ 4 preceding starts, island ordinals, sentinel
     * assembly via ordered string_agg, FpByteFold fingerprints. */
@@ -1221,6 +1262,7 @@ object SparkEntry {
     "q328_bitext_mine"    -> SimilarityOps.q328BitextMine _,
     "q329_target_encoding" -> PipelineOps.q329TargetEncoding _,
     "q330_span_corruption" -> PipelineOps.q330SpanCorruption _,
+    "q331_needle_plan"    -> CorpusOps.q331NeedlePlan _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6488,6 +6530,7 @@ object SparkEntry {
     "q328_bitext_mine" -> q328OracleSql,
     "q329_target_encoding" -> q329OracleSql,
     "q330_span_corruption" -> q330OracleSql,
+    "q331_needle_plan" -> q331OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

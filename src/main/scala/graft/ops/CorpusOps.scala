@@ -283,6 +283,60 @@ object CorpusOps {
     * no second pass, no driver loop. This is the exact shape of the
     * "pack then chunk" layout job a 100 TB tokenized corpus runs before
     * training. */
+  /** X305 — needle-in-a-haystack insertion planning (long-context eval
+    * construction): the NIAH protocol needs needles placed at CONTROLLED
+    * depth fractions of long packed contexts; this plans the insertions
+    * over X39's concat-and-chunk layout — documents pack into 2048-token
+    * contexts in doc_id order (GlobalOrder running token sum, never a
+    * global window), needles may only land on DOCUMENT boundaries
+    * (mid-document splices corrupt the haystack), so for each (context,
+    * target depth ∈ {0, ¼, ½, ¾, 1}) the plan picks the nearest
+    * achievable boundary and reports the exact achieved depth and its
+    * drift — the honest-accounting table an eval builder checks before
+    * claiming "the needle was at 75% depth". The needle id fingerprint
+    * is deterministic per (context, depth), so the downstream retrieval
+    * grader can verify what it planted.
+    *
+    * Scale: ONE GlobalOrder running-sum pass over the (doc_id, tokens)
+    * projection; boundary selection is a combinable min_by fold per
+    * (context, depth) after a 5-row broadcast grid join; the plan frame
+    * is |contexts|×5. */
+  def q331NeedlePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val cap = 2048L
+    val toks = docs(s, dir)
+      .select($"doc_id",
+        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
+          .as("n_toks"))
+      .filter($"n_toks" > 0L)
+    val (summed, total) = graft.operators.GlobalOrder
+      .withRunningSum(toks, Seq($"doc_id"), "n_toks", "end_off")
+    val placed = summed
+      .withColumn("start_off", $"end_off" - $"n_toks")
+      .withColumn("ctx", expr(s"start_off div $cap"))
+      .withColumn("boff", expr(s"start_off - ctx * $cap"))
+    val grid = Seq(0L, 250000L, 500000L, 750000L, 1000000L)
+      .toDF("depth_target_ppm")
+    placed.crossJoin(broadcast(grid))
+      .withColumn("ctx_tokens",
+        least(lit(cap), lit(total) - $"ctx" * cap))
+      .withColumn("target", expr("depth_target_ppm * ctx_tokens div 1000000"))
+      .withColumn("drift", abs($"boff" - $"target"))
+      .groupBy($"ctx".as("context_id"), $"depth_target_ppm")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"ctx_tokens").as("ctx_tokens"),
+        min(struct($"drift", $"boff", $"doc_id")).as("pick"))
+      .select($"context_id", $"n_docs", $"ctx_tokens", $"depth_target_ppm",
+        $"pick.doc_id".as("insert_before_doc"),
+        $"pick.boff".as("insert_at_off"),
+        expr("pick.boff * 1000000 div ctx_tokens").as("actual_depth_ppm"),
+        $"pick.drift".as("drift_tokens"),
+        expr("graft_fingerprint(concat('needle:', CAST(context_id AS STRING), " +
+          "':', CAST(depth_target_ppm AS STRING)))").as("needle_fp"))
+      .orderBy($"context_id", $"depth_target_ppm")
+  }
+
   def q80SequencePack(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ctx = 2048L

@@ -438,4 +438,41 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(replay == est, s"estimate for $k: $replay vs $est")
     }
   }
+
+  test("q331: every planned needle sits on the truly nearest document boundary") {
+    import spark.implicits._
+    val rows = graft.ops.CorpusOps.q331NeedlePlan(spark, sf).collect()
+    // independent replay: boundaries from the raw corpus
+    val toks = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", expr(
+        "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("n"))
+      .as[(Long, Long)].collect().sortBy(_._1).filter(_._2 > 0)
+    val total = toks.map(_._2).sum
+    var off = 0L
+    val bounds = toks.map { case (id, n) =>
+      val b = (id, off / 2048L, off % 2048L); off += n; b
+    }.groupBy(_._2)
+    // each context's n_docs repeats across its 5 depth rows
+    assert(rows.map(_.getAs[Long]("n_docs")).sum / 5 == toks.length.toLong)
+    rows.foreach { r =>
+      val (ctx, d) = (r.getAs[Long]("context_id"),
+        r.getAs[Long]("depth_target_ppm"))
+      val ctxToks = math.min(2048L, total - ctx * 2048L)
+      assert(r.getAs[Long]("ctx_tokens") == ctxToks)
+      val target = d * ctxToks / 1000000L
+      val cands = bounds(ctx).map { case (id, _, boff) =>
+        (math.abs(boff - target), boff, id) }.sorted
+      val (drift, boff, id) = cands.head
+      assert(r.getAs[Long]("insert_before_doc") == id, s"ctx $ctx d$d")
+      assert(r.getAs[Long]("insert_at_off") == boff, s"ctx $ctx d$d")
+      assert(r.getAs[Long]("drift_tokens") == drift, s"ctx $ctx d$d")
+      assert(r.getAs[Long]("actual_depth_ppm") == boff * 1000000L / ctxToks)
+    }
+    // within a context, achieved offsets are monotone in target depth
+    rows.groupBy(_.getAs[Long]("context_id")).values.foreach { rs =>
+      val offs = rs.sortBy(_.getAs[Long]("depth_target_ppm"))
+        .map(_.getAs[Long]("insert_at_off"))
+      assert(offs.zip(offs.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }

@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q331_needle_plan" -> 3, // GlobalOrder running-sum pass + the
+                             // (context, depth) min_by fold after a
+                             // 5-row broadcast grid join
     "q330_span_corruption" -> 2, // ONE doc_id position shuffle carries
                              // all windows + the assembly fold
     "q329_target_encoding" -> 0, // collect-local |cats| report; two
