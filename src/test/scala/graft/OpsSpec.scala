@@ -2321,6 +2321,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q320 distributed trainer matches the property-tested driver trainer on fuzzed dictionaries") {
+    import spark.implicits._
+    // cross-implementation equivalence: the distributed full-vocab loop
+    // and q226's pure driver trainer implement the SAME greedy BPE
+    // ((count desc, left, right) argmax, left-to-right non-overlapping
+    // application) — seeded fuzz dictionaries must train identically,
+    // merge-for-merge, including early stops
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { t =>
+      val words = (1 to (3 + rnd.nextInt(8))).map { _ =>
+        (1 to (1 + rnd.nextInt(8)))
+          .map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+      }.distinct
+      val dict = words.map(w => (w, 1L + rnd.nextInt(50).toLong)).toList
+      val want = graft.ops.CorpusOps.learnMerges(dict, 6)
+      val got = TextOps.bpeTrainRows(spark, dict.toDF("word", "c"), 6)
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(4)))
+      assert(got == want, s"trial $t dict $dict:\n$got\nvs\n$want")
+    }
+  }
+
   test("q320: planted corpus forces the known BPE merge order, tie-break, run parity, early stop") {
     import spark.implicits._
     // Hand-computed ground truth. Word frequencies:
