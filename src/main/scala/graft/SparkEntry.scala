@@ -446,6 +446,50 @@ object SparkEntry {
        |ORDER BY user_id, conv_idx""".stripMargin
   }
 
+  /** q332's oracle: both orders (doc_id; middle-square shuffle key) via
+    * LAG transition counts per attribute, then the cleared-denominator
+    * z² in HUGEINT (the products exceed int64 at n ≈ 5000). */
+  private def q332OracleSql: String = {
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    def leg(attr: String, yExpr: String, order: String, orderBy: String) =
+      s"""SELECT '$attr' AS attr, '$order' AS order_name,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN py IS NULL OR py <> y THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS runs
+         |FROM (SELECT y, lag(y) OVER (ORDER BY $orderBy) AS py
+         |  FROM (SELECT $yExpr AS y, doc_id, sk FROM b))""".stripMargin
+    s"""WITH b AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10
+       |      THEN CAST(1 AS BIGINT) ELSE 0 END AS lo,
+       |    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+       |      THEN CAST(1 AS BIGINT) ELSE 0 END AS s2,
+       |    ${fp("'shuf:' || CAST(doc_id AS VARCHAR) || ':' || CAST((doc_id % 1000003) * (doc_id % 1000003) AS VARCHAR)")} AS sk
+       |  FROM documents),
+       |legs AS (
+       |  ${leg("src_even", "s2", "natural", "doc_id")}
+       |  UNION ALL ${leg("src_even", "s2", "shuffled", "sk, doc_id")}
+       |  UNION ALL ${leg("src_low", "lo", "natural", "doc_id")}
+       |  UNION ALL ${leg("src_low", "lo", "shuffled", "sk, doc_id")}),
+       |sc AS (SELECT *, n * (runs - 1) - 2 * n1 * (n - n1) AS dev,
+       |    CAST(2 * n1 * (n - n1) AS HUGEINT)
+       |      * (2 * n1 * (n - n1) - n) AS den
+       |  FROM legs)
+       |SELECT attr, order_name, n, n1 AS n_pos, runs AS n_runs,
+       |  CASE WHEN den <= 0 THEN CAST(-1 AS BIGINT)
+       |    ELSE CAST(CAST(1000 AS HUGEINT) * dev * dev * (n - 1) // den
+       |      AS BIGINT) END AS z2_milli,
+       |  CASE WHEN dev > 0 THEN CAST(1 AS BIGINT)
+       |       WHEN dev < 0 THEN -1 ELSE 0 END AS z_sign,
+       |  CASE WHEN den > 0
+       |      AND CAST(1000 AS HUGEINT) * dev * dev * (n - 1) // den < 3842
+       |    THEN CAST(1 AS BIGINT) ELSE 0 END AS looks_random
+       |FROM sc ORDER BY attr, order_name""".stripMargin
+  }
+
   /** q331's oracle: running-sum packing offsets by doc_id, the 5-depth
     * grid cross join, nearest-boundary argmin per (context, depth). */
   private def q331OracleSql: String = {
@@ -568,8 +612,7 @@ object SparkEntry {
        |    (CAST(-901 AS BIGINT), 'X-PLANT', CAST(99999999 AS BIGINT)))),
        |t AS MATERIALIZED (SELECT *,
        |    CASE WHEN cents >= 46500000 THEN CAST(1 AS BIGINT) ELSE 0 END AS y,
-       |    (${fp("'ord:' || CAST(okey AS VARCHAR)")} *
-       |     ${fp("'ord:' || CAST(okey AS VARCHAR)")}) // 65536 AS pk
+       |    ${fp("'ord:' || CAST(okey AS VARCHAR) || ':' || CAST(((okey % 1000003 + 1000003) % 1000003) * ((okey % 1000003 + 1000003) % 1000003) AS VARCHAR)")} AS pk
        |  FROM o),
        |pr AS (SELECT CAST(sum(y) AS BIGINT) * 1000000
        |    // CAST(count(*) AS BIGINT) AS prior_ppm FROM t),
@@ -1263,6 +1306,7 @@ object SparkEntry {
     "q329_target_encoding" -> PipelineOps.q329TargetEncoding _,
     "q330_span_corruption" -> PipelineOps.q330SpanCorruption _,
     "q331_needle_plan"    -> CorpusOps.q331NeedlePlan _,
+    "q332_runs_test"      -> PipelineOps.q332RunsTest _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6531,6 +6575,7 @@ object SparkEntry {
     "q329_target_encoding" -> q329OracleSql,
     "q330_span_corruption" -> q330OracleSql,
     "q331_needle_plan" -> q331OracleSql,
+    "q332_runs_test" -> q332OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -2791,6 +2791,90 @@ object PipelineOps {
       "epochs_permille" -> LongType, "share_permille" -> LongType)
   }
 
+  /** X306 — Wald–Wolfowitz runs test for training-order shuffle quality:
+    * X42 SHUFFLES (fingerprint-derived order) and X99 interleaves, but
+    * nothing TESTED whether an order is actually free of sequential
+    * structure. The published two-sided runs test over a binary
+    * attribute: R runs among n items with n₁ positives has
+    * E[R] = 1 + 2n₁n₀/n and a closed-form variance, and
+    * z² = (n(R−1) − 2n₁n₀)²·(n−1) / (2n₁n₀·(2n₁n₀ − n)) — ENTIRELY
+    * integer by clearing denominators, so the verdict is oracle-exact
+    * with no libm (the cleared products exceed int64 at n ≈ 5000, so
+    * the driver fold multiplies in BigInt and the oracle in HUGEINT;
+    * the milli-scale quotient is ≤ 1000·n and lands back in int64).
+    * TOO FEW runs = clumping; TOO MANY = periodicity — and the corpus's
+    * round-robin ingest (source ≡ doc_id mod 20) exhibits BOTH in
+    * doc_id order: `src_num < 10` forms 10-long blocks (z deeply
+    * negative), `src_num even` alternates every document (z deeply
+    * positive, runs = n), while the fingerprint shuffle passes two-sided
+    * at |z| < 1.96 for both attributes (landing on exactly E[R] = 251
+    * for one of them). The shuffle key is
+    * `fp('shuf:' ‖ id ‖ ':' ‖ (id mod 1000003)²)` — the squared tail
+    * rewrites MANY characters between consecutive ids, which is what
+    * the rolling hash needs to avalanche. This test CAUGHT three weaker
+    * keys in development: `fp` alone and `fp² div 65536` kept perfect
+    * alternation (consecutive ids' fps differ by 1 and the square's
+    * high bits sort in key order), and `fp² mod p` / a digit-reversed
+    * double hash still carried |z| ≈ 3–9 residual structure — the test
+    * is exactly the audit that justifies whatever key X42-family
+    * shuffles use.
+    *
+    * Scale: per order ONE GlobalOrder rank pass + ONE uniform rn→rn+1
+    * self-join counting transitions (never an unpartitioned lag window);
+    * the statistics fold to a 1-row frame per (order, attr) and the
+    * 4-row report assembles driver-side. */
+  def q332RunsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val base = docs(s, dir).select($"doc_id",
+      when(expr("CAST(substring(source, 4) AS BIGINT)") < 10L, 1L)
+        .otherwise(0L).as("y_low"),
+      when(expr("CAST(substring(source, 4) AS BIGINT) % 2") === 0L, 1L)
+        .otherwise(0L).as("y_even"),
+      expr("graft_fingerprint(concat('shuf:', CAST(doc_id AS STRING), ':', " +
+        "CAST(pmod(doc_id, 1000003) * pmod(doc_id, 1000003) AS STRING)))")
+        .as("sk")).persist()
+    try {
+      def stats(orderCols: Seq[org.apache.spark.sql.Column])
+          : (Long, Long, Long, Long, Long) = {
+        val ranked = graft.operators.GlobalOrder
+          .withRowNumber(base, orderCols, "rn")
+        val tot = ranked.agg(count(lit(1)), sum($"y_low"), sum($"y_even"))
+          .as[(Long, Long, Long)].head()
+        val nxt = ranked.select(($"rn" - 1L).as("rn"),
+          $"y_low".as("ne"), $"y_even".as("ns"))
+        val tr = ranked.join(nxt, Seq("rn"))
+          .agg(sum(when($"y_low" =!= $"ne", 1L).otherwise(0L)),
+            sum(when($"y_even" =!= $"ns", 1L).otherwise(0L)))
+          .as[(Long, Long)].head()
+        (tot._1, tot._2, tot._3, tr._1 + 1L, tr._2 + 1L)
+      }
+      val nat = stats(Seq($"doc_id"))
+      val shf = stats(Seq($"sk", $"doc_id"))
+      def row(attr: String, order: String, n: Long, n1: Long, runs: Long) = {
+        val n0 = n - n1
+        val dev = n * (runs - 1L) - 2L * n1 * n0
+        val den = BigInt(2L * n1 * n0) * (2L * n1 * n0 - n)
+        // BigInt: 1000·dev²·(n−1) exceeds int64 already at n ≈ 5000;
+        // the quotient itself is ≤ 1000·n (the oracle uses HUGEINT)
+        val z2m = if (den <= 0) -1L
+          else (BigInt(1000) * dev * dev * (n - 1L) / den).toLong
+        org.apache.spark.sql.Row(attr, order, n, n1, runs, z2m,
+          if (dev > 0L) 1L else if (dev < 0L) -1L else 0L,
+          if (z2m >= 0L && z2m < 3842L) 1L else 0L)
+      }
+      LocalReport.frame(s, Seq(
+        row("src_even", "natural", nat._1, nat._3, nat._5),
+        row("src_even", "shuffled", shf._1, shf._3, shf._5),
+        row("src_low", "natural", nat._1, nat._2, nat._4),
+        row("src_low", "shuffled", shf._1, shf._2, shf._4)),
+        "attr" -> StringType, "order_name" -> StringType, "n" -> LongType,
+        "n_pos" -> LongType, "n_runs" -> LongType, "z2_milli" -> LongType,
+        "z_sign" -> LongType, "looks_random" -> LongType)
+    } finally base.unpersist(blocking = false)
+  }
+
   /** X304 — span-corruption example construction (the published T5/UL2
     * denoising objective, as a deterministic data transform): per
     * document, ~1/20 of token positions START a corruption span of
@@ -2875,9 +2959,13 @@ object PipelineOps {
     * categories, where the naive encoding IS the row's own target. The
     * published fix computes each row's statistic from a PREFIX of a
     * pseudo-random permutation only: enc_i = (Σ_before y + prior) /
-    * (n_before + 1). Here the permutation key is the middle-square-
-    * finalized fingerprint of the order key (q282's idiom — the raw
-    * polynomial fp orders affinely with the key, q291's lesson), target
+    * (n_before + 1). The permutation key is q332's squared-tail
+    * fingerprint (`fp('ord:' ‖ key ‖ ':' ‖ (key mod 1000003)²)`): the
+    * raw polynomial fp orders affinely with sequential keys and even
+    * its middle-square stays locally monotone (consecutive keys' fps
+    * differ by 1, the square's high bits sort in key order — q332's
+    * runs test caught exactly this); the squared TAIL rewrites many
+    * characters so the rolling hash avalanches. Target
     * = q291's ≥ $465k conversion, prior = the global mean in ppm. The
     * report puts naive and ordered encodings side by side per category
     * with their train-set MAE — `leak_gap_ppm` > 0 is the leakage
@@ -2904,8 +2992,8 @@ object PipelineOps {
       .unionByName(plant)
       .withColumn("y", when($"cents" >= 46500000L, 1L).otherwise(0L))
       .withColumn("pk", expr(
-        "(graft_fingerprint(concat('ord:', CAST(okey AS STRING))) * " +
-        "graft_fingerprint(concat('ord:', CAST(okey AS STRING)))) div 65536"))
+        "graft_fingerprint(concat('ord:', CAST(okey AS STRING), ':', " +
+        "CAST(pmod(okey, 1000003) * pmod(okey, 1000003) AS STRING)))"))
       .persist()
     try {
       val sort = Seq($"cat", $"pk", $"okey")

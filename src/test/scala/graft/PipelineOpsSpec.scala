@@ -971,6 +971,40 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "at least one class-4 doc must coalesce adjacent pii+secret lines into one span")
   }
 
+  test("q332: natural order fails both ways, the shuffle passes, z² replays in BigInt") {
+    val rows = PipelineOps.q332RunsTest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    def g(attr: String, ord: String, col: String) =
+      rows((attr, ord)).getAs[Long](col)
+    // the round-robin ingest layout: src_even alternates EVERY document
+    // (runs = n, z deeply positive), src_low forms 10-long blocks
+    // (runs << n, z deeply negative) — both flagged non-random
+    assert(g("src_even", "natural", "n_runs") == g("src_even", "natural", "n"))
+    assert(g("src_even", "natural", "z_sign") == 1L)
+    assert(g("src_even", "natural", "looks_random") == 0L)
+    assert(g("src_low", "natural", "n_runs") < g("src_low", "natural", "n") / 5L)
+    assert(g("src_low", "natural", "z_sign") == -1L)
+    assert(g("src_low", "natural", "looks_random") == 0L)
+    // the fingerprint shuffle passes two-sided for both attributes
+    Seq("src_even", "src_low").foreach { a =>
+      assert(g(a, "shuffled", "looks_random") == 1L, s"$a shuffled")
+      assert(g(a, "shuffled", "z2_milli") < 3842L)
+    }
+    // independent BigInt replay of the cleared-denominator statistic
+    rows.values.foreach { r =>
+      val (n, n1, runs) = (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+        r.getAs[Long]("n_runs"))
+      val n0 = n - n1
+      val dev = n * (runs - 1L) - 2L * n1 * n0
+      val den = BigInt(2L * n1 * n0) * (2L * n1 * n0 - n)
+      val want = if (den <= 0) -1L
+        else (BigInt(1000) * dev * dev * (n - 1L) / den).toLong
+      assert(r.getAs[Long]("z2_milli") == want)
+      assert(r.getAs[Long]("z_sign") ==
+        (if (dev > 0) 1L else if (dev < 0) -1L else 0L))
+    }
+  }
+
   test("q330: span corruption replays driver-side and the round-trip splice restores every doc") {
     import spark.implicits._
     val got = PipelineOps.q330SpanCorruption(spark, sf).collect()

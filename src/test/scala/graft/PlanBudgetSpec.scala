@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q332_runs_test" -> 0,   // collect-local 4-row report; two
+                             // GlobalOrder rank passes + uniform rn
+                             // self-joins run inside the builder
     "q331_needle_plan" -> 3, // GlobalOrder running-sum pass + the
                              // (context, depth) min_by fold after a
                              // 5-row broadcast grid join
