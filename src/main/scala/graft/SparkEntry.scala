@@ -755,6 +755,94 @@ object SparkEntry {
        |ORDER BY level, node_id""".stripMargin
   }
 
+  private def q50OracleSql: String =
+    raw"""WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
+        |hs AS (SELECT doc_id, list_transform(shingles,
+        |         s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |                          $FpByteFold)) AS h FROM sh),
+        |sig AS (SELECT doc_id, [
+        |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
+        |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
+        |  list_min(list_transform(h, x -> (11 * x + 13) % 1000000007)),
+        |  list_min(list_transform(h, x -> (17 * x + 29) % 1000000007)),
+        |  list_min(list_transform(h, x -> (23 * x + 37) % 1000000007)),
+        |  list_min(list_transform(h, x -> (31 * x + 43) % 1000000007)),
+        |  list_min(list_transform(h, x -> (41 * x + 53) % 1000000007)),
+        |  list_min(list_transform(h, x -> (47 * x + 61) % 1000000007)),
+        |  list_min(list_transform(h, x -> (59 * x + 71) % 1000000007)),
+        |  list_min(list_transform(h, x -> (67 * x + 79) % 1000000007)),
+        |  list_min(list_transform(h, x -> (73 * x + 89) % 1000000007)),
+        |  list_min(list_transform(h, x -> (83 * x + 101) % 1000000007))] AS sig FROM hs),
+        |bands AS (SELECT doc_id, i AS band_idx,
+        |    CAST(sig[3*i + 1] AS VARCHAR) || ':' || CAST(sig[3*i + 2] AS VARCHAR)
+        |      || ':' || CAST(sig[3*i + 3] AS VARCHAR) AS band_key
+        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM cands JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+        |  WHERE len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) >= 6),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS label FROM nodes
+        |  UNION
+        |  SELECT e.a AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b),
+        |lab AS (SELECT doc_id, CAST(min(label) AS BIGINT) AS canonical_id
+        |        FROM reach GROUP BY doc_id),
+        |sz AS (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY canonical_id)
+        |SELECT doc_id, canonical_id, CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM lab JOIN sz USING (canonical_id)
+        |ORDER BY doc_id""".stripMargin
+
+  /** q333's oracle: the q50 oracle text embeds verbatim as the cluster
+    * subquery (one definition of the dup graph), then both fold keys
+    * (q332's squared-tail fingerprint mod 5) and the per-fold doc /
+    * dup-cluster counts under naive and group assignment. */
+  private def q333OracleSql: String = {
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    def foldOf(x: String): String =
+      fp(s"'fold:' || CAST($x AS VARCHAR) || ':' || " +
+        s"CAST(($x % 1000003) * ($x % 1000003) AS VARCHAR)") + " % 5"
+    // q50's text concatenates OUTSIDE the stripMargin template: it
+    // contains continuation lines that BEGIN with `||`, and a second
+    // stripMargin pass would eat one pipe (binder error: `|` operator)
+    "WITH cl AS MATERIALIZED (\n  SELECT doc_id, canonical_id FROM (" +
+      q50OracleSql + ")),\n" +
+    s"""dd AS MATERIALIZED (SELECT doc.doc_id, cl.canonical_id,
+       |    coalesce(cl.canonical_id, doc.doc_id) AS grp
+       |  FROM documents doc LEFT JOIN cl ON cl.doc_id = doc.doc_id),
+       |f AS MATERIALIZED (SELECT *,
+       |    ${foldOf("doc_id")} AS nf, ${foldOf("grp")} AS gf FROM dd),
+       |dn AS (SELECT nf AS fold, CAST(count(*) AS BIGINT) AS n_docs_naive
+       |  FROM f GROUP BY 1),
+       |dg AS (SELECT gf AS fold, CAST(count(*) AS BIGINT) AS n_docs_group
+       |  FROM f GROUP BY 1),
+       |cn AS (SELECT nf AS fold, CAST(count(*) AS BIGINT) AS ncn
+       |  FROM (SELECT DISTINCT canonical_id, nf FROM f
+       |        WHERE canonical_id IS NOT NULL) GROUP BY 1),
+       |cg AS (SELECT gf AS fold, CAST(count(*) AS BIGINT) AS ncg
+       |  FROM (SELECT DISTINCT canonical_id, gf FROM f
+       |        WHERE canonical_id IS NOT NULL) GROUP BY 1)
+       |SELECT CAST(fold AS BIGINT) AS fold,
+       |  coalesce(dn.n_docs_naive, 0) AS n_docs_naive,
+       |  coalesce(dg.n_docs_group, 0) AS n_docs_group,
+       |  coalesce(cn.ncn, 0) AS n_dup_clusters_naive,
+       |  coalesce(cg.ncg, 0) AS n_dup_clusters_group
+       |FROM dn
+       |FULL OUTER JOIN dg USING (fold)
+       |FULL OUTER JOIN cn USING (fold)
+       |FULL OUTER JOIN cg USING (fold)
+       |ORDER BY fold""".stripMargin
+  }
+
   /** q315's oracle, generated: the three IPF rounds unroll into six
     * chained scaling CTEs (a1/b1..a3/b3 — q275's chained-DP discipline);
     * every step is the same truncating `w * (t * 1e6) // Σ n·w` the
@@ -1307,6 +1395,7 @@ object SparkEntry {
     "q330_span_corruption" -> PipelineOps.q330SpanCorruption _,
     "q331_needle_plan"    -> CorpusOps.q331NeedlePlan _,
     "q332_runs_test"      -> PipelineOps.q332RunsTest _,
+    "q333_group_folds"    -> DedupOps.q333GroupFolds _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -1949,49 +2038,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'orders', count(*), count(*), true FROM orders)
         |ORDER BY table_name""".stripMargin,
 
-    "q50_dedup_clusters" ->
-      raw"""WITH RECURSIVE docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
-        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
-        |hs AS (SELECT doc_id, list_transform(shingles,
-        |         s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-        |                          $FpByteFold)) AS h FROM sh),
-        |sig AS (SELECT doc_id, [
-        |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
-        |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
-        |  list_min(list_transform(h, x -> (11 * x + 13) % 1000000007)),
-        |  list_min(list_transform(h, x -> (17 * x + 29) % 1000000007)),
-        |  list_min(list_transform(h, x -> (23 * x + 37) % 1000000007)),
-        |  list_min(list_transform(h, x -> (31 * x + 43) % 1000000007)),
-        |  list_min(list_transform(h, x -> (41 * x + 53) % 1000000007)),
-        |  list_min(list_transform(h, x -> (47 * x + 61) % 1000000007)),
-        |  list_min(list_transform(h, x -> (59 * x + 71) % 1000000007)),
-        |  list_min(list_transform(h, x -> (67 * x + 79) % 1000000007)),
-        |  list_min(list_transform(h, x -> (73 * x + 89) % 1000000007)),
-        |  list_min(list_transform(h, x -> (83 * x + 101) % 1000000007))] AS sig FROM hs),
-        |bands AS (SELECT doc_id, i AS band_idx,
-        |    CAST(sig[3*i + 1] AS VARCHAR) || ':' || CAST(sig[3*i + 2] AS VARCHAR)
-        |      || ':' || CAST(sig[3*i + 3] AS VARCHAR) AS band_key
-        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
-        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-        |pairs AS (SELECT doc_a, doc_b
-        |  FROM cands JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
-        |  WHERE len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) >= 6),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
-        |reach AS (
-        |  SELECT doc_id, doc_id AS label FROM nodes
-        |  UNION
-        |  SELECT e.a AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.b),
-        |lab AS (SELECT doc_id, CAST(min(label) AS BIGINT) AS canonical_id
-        |        FROM reach GROUP BY doc_id),
-        |sz AS (SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY canonical_id)
-        |SELECT doc_id, canonical_id, CAST(cluster_size AS BIGINT) AS cluster_size
-        |FROM lab JOIN sz USING (canonical_id)
-        |ORDER BY doc_id""".stripMargin,
+    "q50_dedup_clusters" -> q50OracleSql,
 
     "q51_asof_join" ->
       """WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
@@ -6576,6 +6623,7 @@ object SparkEntry {
     "q330_span_corruption" -> q330OracleSql,
     "q331_needle_plan" -> q331OracleSql,
     "q332_runs_test" -> q332OracleSql,
+    "q333_group_folds" -> q333OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

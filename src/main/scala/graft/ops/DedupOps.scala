@@ -1128,6 +1128,67 @@ object DedupOps {
     } finally e.unpersist(blocking = false)
   }
 
+  /** X307 — group k-fold assignment (dup-cluster-safe cross-validation
+    * folds): random folds SPLIT near-duplicate clusters across the
+    * fold boundary — the q223 leakage failure inside a CV loop, where a
+    * model validates on near-copies of its own training rows. GroupKFold
+    * (the published sklearn discipline) assigns folds by GROUP: here the
+    * group is q50's MinHash dup-cluster canonical id (singletons group
+    * as themselves), so a cluster lands WHOLLY inside one fold by
+    * construction. The report puts naive (per-doc key) and group
+    * (per-cluster key) assignments side by side per fold: doc balance
+    * plus how many multi-doc clusters touch the fold — Σ over folds of
+    * the group column equals the cluster count exactly (no cluster spans
+    * two folds: the theorem the spec pins), while the naive column
+    * overcounts by one per split cluster. Fold keys use the q332
+    * squared-tail fingerprint (sequential-id keys order affinely — the
+    * runs-test lesson).
+    *
+    * Scale: the cluster frame is dup-candidate-sized (q50's machinery
+    * unchanged); the corpus pass is one narrow projection + left join
+    * on doc_id and two |folds|-sized combinable aggregates. */
+  def q333GroupFolds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    def foldOf(col: String) = expr(
+      s"pmod(graft_fingerprint(concat('fold:', CAST($col AS STRING), ':', " +
+      s"CAST(pmod($col, 1000003) * pmod($col, 1000003) AS STRING))), 5)")
+    val clusters = q50DedupClusters(s, dir)
+      .select($"doc_id", $"canonical_id")
+    val d = docs(s, dir).select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce($"canonical_id", $"doc_id"))
+      .withColumn("nf", foldOf("doc_id"))
+      .withColumn("gf", foldOf("grp"))
+      .persist()
+    try {
+      val docCounts = d.groupBy($"nf".as("fold"))
+        .agg(count(lit(1)).as("n_docs_naive"))
+        .join(d.groupBy($"gf".as("fold"))
+          .agg(count(lit(1)).as("n_docs_group")), Seq("fold"), "full_outer")
+      val dup = d.filter($"canonical_id".isNotNull)
+      val clCounts = dup.select($"canonical_id", $"nf").distinct()
+        .groupBy($"nf".as("fold"))
+        .agg(count(lit(1)).as("n_dup_clusters_naive"))
+        .join(dup.select($"canonical_id", $"gf").distinct()
+          .groupBy($"gf".as("fold"))
+          .agg(count(lit(1)).as("n_dup_clusters_group")),
+          Seq("fold"), "full_outer")
+      val rep = docCounts.join(clCounts, Seq("fold"), "full_outer")
+        .select($"fold".cast("long").as("fold"),
+          coalesce($"n_docs_naive", lit(0L)).as("n_docs_naive"),
+          coalesce($"n_docs_group", lit(0L)).as("n_docs_group"),
+          coalesce($"n_dup_clusters_naive", lit(0L)).as("n_dup_clusters_naive"),
+          coalesce($"n_dup_clusters_group", lit(0L)).as("n_dup_clusters_group"))
+        .orderBy($"fold").collect()
+      import org.apache.spark.sql.types._
+      graft.operators.LocalReport.frame(s, rep.toSeq,
+        ("fold", LongType), ("n_docs_naive", LongType),
+        ("n_docs_group", LongType), ("n_dup_clusters_naive", LongType),
+        ("n_dup_clusters_group", LongType))
+    } finally d.unpersist(blocking = false)
+  }
+
   /** X200 — winnowing fingerprint selection (the MOSS local-fingerprint
     * algorithm): per document, hash every k-gram (k=4 words), then keep
     * the MINIMUM hash of each sliding window of w=4 consecutive grams.

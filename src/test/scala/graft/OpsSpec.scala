@@ -2283,6 +2283,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.getAs[Long]("n_chars") == words.map(_.length.toLong).sum)
   }
 
+  test("q333: group folds never split a dup cluster; naive folds measurably do") {
+    import spark.implicits._
+    val rows = DedupOps.q333GroupFolds(spark, sf).collect()
+    val nClusters = DedupOps.q50DedupClusters(spark, sf)
+      .select($"canonical_id").distinct().count()
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    // both assignments partition the corpus
+    assert(rows.map(_.getAs[Long]("n_docs_naive")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("n_docs_group")).sum == nDocs)
+    // THE theorem: under group assignment every dup cluster touches
+    // exactly one fold, so the per-fold cluster counts sum to the
+    // cluster count exactly; naive assignment overcounts by one per
+    // split cluster — and on this corpus it does split
+    val sumGroup = rows.map(_.getAs[Long]("n_dup_clusters_group")).sum
+    val sumNaive = rows.map(_.getAs[Long]("n_dup_clusters_naive")).sum
+    assert(sumGroup == nClusters, s"group $sumGroup vs $nClusters")
+    assert(sumNaive > nClusters,
+      s"naive must split at least one cluster ($sumNaive vs $nClusters)")
+    // no empty folds at this corpus size
+    assert(rows.length == 5 &&
+      rows.forall(_.getAs[Long]("n_docs_group") > 0L))
+  }
+
   test("q322: planted cross-label paraphrase trios are pruned to one survivor per trio") {
     import spark.implicits._
     val out = DedupOps.q322SemanticPrune(spark, sf).collect()

@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q333_group_folds" -> 0, // collect-local 5-row report; q50's
+                             // cluster machinery + two fold aggregates
+                             // run inside the builder
     "q332_runs_test" -> 0,   // collect-local 4-row report; two
                              // GlobalOrder rank passes + uniform rn
                              // self-joins run inside the builder
