@@ -925,7 +925,7 @@ object EventStream {
   final case class KllUpdate(shard: Long, decile: Long, target_rank: Long,
       est_cents: Long, est_id: Long, n_items: Long, bound: Long)
 
-  /** Streaming KLL-class quantile gate — q312's stream-side sibling
+  /** X298 — streaming KLL-class quantile gate, q312's stream-side sibling
     * (X283's compactors are mergeable state BY CONSTRUCTION, so they
     * live naturally in flatMapGroupsWithState): per shard
     * (event_id mod shards), a deterministic MRL compactor stack over the
