@@ -474,9 +474,11 @@ object SparkEntry {
        |  UNION ALL ${leg("src_even", "s2", "shuffled", "sk, doc_id")}
        |  UNION ALL ${leg("src_low", "lo", "natural", "doc_id")}
        |  UNION ALL ${leg("src_low", "lo", "shuffled", "sk, doc_id")}),
-       |sc AS (SELECT *, n * (runs - 1) - 2 * n1 * (n - n1) AS dev,
-       |    CAST(2 * n1 * (n - n1) AS HUGEINT)
-       |      * (2 * n1 * (n - n1) - n) AS den
+       |sc AS (SELECT *,
+       |    CAST(n AS HUGEINT) * (runs - 1)
+       |      - CAST(2 AS HUGEINT) * n1 * (n - n1) AS dev,
+       |    (CAST(2 AS HUGEINT) * n1 * (n - n1))
+       |      * (CAST(2 AS HUGEINT) * n1 * (n - n1) - n) AS den
        |  FROM legs)
        |SELECT attr, order_name, n, n1 AS n_pos, runs AS n_runs,
        |  CASE WHEN den <= 0 THEN CAST(-1 AS BIGINT)

@@ -747,11 +747,14 @@ object TransferOps {
     // then fold the digests; one definition for every tree level
     def ordFold(keyCol: String, valCol: String) = expr(
       s"aggregate(transform(sort_array(collect_list(struct($keyCol AS k, $valCol AS v))), s -> s.v), CAST(0 AS BIGINT), $fold)")
-    def level(df: DataFrame, arity: Long): DataFrame = df
-      .groupBy(expr(s"node div $arity").as("parent"))
+    def levelBy(df: DataFrame, parent: org.apache.spark.sql.Column)
+        : DataFrame = df
+      .groupBy(parent.as("parent"))
       .agg(sum($"n_leaves").as("n_leaves_sum"),
         ordFold("node", "d1").as("d1"), ordFold("node", "d2").as("d2"))
       .select($"parent", $"n_leaves_sum".as("n_leaves"), $"d1", $"d2")
+    def level(df: DataFrame, arity: Long): DataFrame =
+      levelBy(df, expr(s"node div $arity"))
     val leaves = graft.sources.Tables.load(s, dir, "documents")
       .select($"doc_id",
         expr("graft_fingerprint(concat(coalesce(text, ''), ':', CAST(doc_id AS STRING)))").as("f1"),
@@ -766,7 +769,10 @@ object TransferOps {
     try {
       val l1 = level(shards, 8L).persist()
       val l2 = level(l1.withColumnRenamed("parent", "node"), 8L)
-      val root = level(l2.withColumnRenamed("parent", "node"), 10000000L)
+      // root = ALL l2 nodes under one parent unconditionally (lit 0),
+      // matching the oracle's literal parent — a magic-divisor grouping
+      // would split the root once l2 node ids pass the divisor
+      val root = levelBy(l2.withColumnRenamed("parent", "node"), lit(0L))
       def rows(df: DataFrame, lvl: Long) = df
         .select(lit(lvl).as("level"), col("node").cast("long").as("node_id"),
           $"n_leaves", $"d1".as("digest_v1"), $"d2".as("digest_v2"),

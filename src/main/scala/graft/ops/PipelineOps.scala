@@ -1408,7 +1408,8 @@ object PipelineOps {
     import org.apache.spark.sql.types.{LongType, StringType}
     val perSrc = docs(s, dir).groupBy($"source")
       .agg(count(lit(1)).as("true_count"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)(TextOps.utf8Ordering)
     val nRel = perSrc.length.toLong
     // middle-square breaks the rolling hash's affinity (q279's lesson);
     // trailing zeros of the finalized bits are Geometric(1/2) (q282's
@@ -2772,7 +2773,8 @@ object PipelineOps {
     val budget = 2L * lf.map(_._2).sum
     var r = budget
     var m = lf.length.toLong
-    val alloc = lf.sortBy { case (l, n, _) => (n, l) }.map {
+    val alloc = lf.sortBy { case (l, n, _) => (n, l) }(
+      Ordering.Tuple2(Ordering.Long, TextOps.utf8Ordering)).map {
       case (lang, n, wppm) =>
         val share = r / m
         val cap = eCap * n
@@ -2783,7 +2785,7 @@ object PipelineOps {
           epochs, b * 1000L / budget)
     }
     LocalReport.frame(s,
-      alloc.sortBy(_._1).map(t => org.apache.spark.sql.Row(
+      alloc.sortBy(_._1)(TextOps.utf8Ordering).map(t => org.apache.spark.sql.Row(
         t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8)).toSeq,
       "lang" -> StringType, "n_tokens" -> LongType,
       "weight_ppm" -> LongType, "cap_tokens" -> LongType,
@@ -2854,14 +2856,17 @@ object PipelineOps {
       val shf = stats(Seq($"sk", $"doc_id"))
       def row(attr: String, order: String, n: Long, n1: Long, runs: Long) = {
         val n0 = n - n1
-        val dev = n * (runs - 1L) - 2L * n1 * n0
-        val den = BigInt(2L * n1 * n0) * (2L * n1 * n0 - n)
-        // BigInt: 1000·dev²·(n−1) exceeds int64 already at n ≈ 5000;
-        // the quotient itself is ≤ 1000·n (the oracle uses HUGEINT)
+        // BigInt from the FIRST multiply: n·runs and 2·n1·n0 themselves
+        // wrap int64 at n ≈ 3×10⁹ rows, long before the dev²·(n−1)
+        // product does at n ≈ 5000 — promote before multiplying, never
+        // after (the oracle casts the same inner products to HUGEINT)
+        val dev = BigInt(n) * (runs - 1L) - BigInt(2) * n1 * n0
+        val twoN1N0 = BigInt(2) * n1 * n0
+        val den = twoN1N0 * (twoN1N0 - n)
         val z2m = if (den <= 0) -1L
           else (BigInt(1000) * dev * dev * (n - 1L) / den).toLong
         org.apache.spark.sql.Row(attr, order, n, n1, runs, z2m,
-          if (dev > 0L) 1L else if (dev < 0L) -1L else 0L,
+          if (dev > 0) 1L else if (dev < 0) -1L else 0L,
           if (z2m >= 0L && z2m < 3842L) 1L else 0L)
       }
       LocalReport.frame(s, Seq(
@@ -3007,7 +3012,11 @@ object PipelineOps {
       val catTotals = o.groupBy($"cat")
         .agg(count(lit(1)).as("n"), sum($"y").as("sy"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        .sortBy(_._1)
+        // UTF-8-byte sort: cat LEADS GlobalOrder's total order in Spark's
+        // binary collation, and the bases assume strictly-earlier
+        // categories — Java ordering would mis-base a supplementary-plane
+        // category (CLAUDE.md's tie-break rule)
+        .sortBy(_._1)(TextOps.utf8Ordering)
       val totalsSeq = catTotals.toSeq
       val cum = totalsSeq.scanLeft(("", 0L, 0L)) {
         case ((_, cn, cs), (cat, n, sy)) => (cat, cn + n, cs + sy)

@@ -940,9 +940,12 @@ object TextOps {
   }
 
   /** UTF-8-byte order (Spark's UTF8String / DuckDB binary collation) for
-    * the driver-side argmax tie-break — Java String.compareTo is UTF-16
-    * code-unit order and diverges on supplementary-plane symbols. */
-  private def utf8Lt(a: String, b: String): Boolean = {
+    * EVERY driver-side string comparison that must agree with the engines
+    * (argmax tie-breaks, prefix-base sorts) — Java String.compareTo is
+    * UTF-16 code-unit order and diverges on supplementary-plane symbols.
+    * Shared across graft (CLAUDE.md's tie-break rule); [[utf8Ordering]]
+    * is the Ordering view for `sortBy`. */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
     val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
     var i = 0
     while (i < x.length && i < y.length) {
@@ -952,6 +955,13 @@ object TextOps {
     }
     x.length < y.length
   }
+
+  /** [[utf8Lt]] as an Ordering[String] for driver-side `sortBy` calls
+    * whose order is load-bearing against an engine-sorted frame (q329's
+    * exclusive prefix bases) or fixes output row order (q318/q324). */
+  private[graft] val utf8Ordering: Ordering[String] =
+    (a: String, b: String) =>
+      if (utf8Lt(a, b)) -1 else if (utf8Lt(b, a)) 1 else 0
 
   /** Core BPE merge-learning loop over a (word, c) frequency frame:
     * per round ONE combinable fold over the word-TYPE table produces the
