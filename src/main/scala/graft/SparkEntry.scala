@@ -283,6 +283,95 @@ object SparkEntry {
        |FROM rk GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q334's oracle: the QualityPlant rows render as VALUES from the SAME
+    * Scala constant the driver trains on; per-class bucket counts over
+    * FpByteFold bigram fingerprints % 256, add-one-smoothed ppm models,
+    * half-bit LLR via length(bin(r²))−1−39, per-doc score folds for
+    * plants AND corpus, then the exact threshold sweep (tp/fp/fn,
+    * precision/recall/F1 ppm, max-F1 chosen row, corpus keep counts and
+    * q31-heuristic agreement). */
+  private def q334OracleSql: String = {
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    val plantRows = graft.ops.PipelineOps.QualityPlant.map {
+      case (id, y, t) => s"(CAST($id AS BIGINT), CAST($y AS BIGINT), '$t')"
+    }.mkString(",\n    ")
+    s"""WITH plants(doc_id, y, txt) AS (VALUES
+       |    $plantRows),
+       |pw AS MATERIALIZED (SELECT doc_id, y,
+       |    list_filter(string_split(txt, ' '), x -> x <> '') AS ws
+       |  FROM plants),
+       |pg AS MATERIALIZED (SELECT doc_id, y,
+       |    unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+       |      i -> ${fp("ws[i] || ' ' || ws[i+1]")} % 256)) AS bucket
+       |  FROM pw),
+       |cnt AS (SELECT bucket, CAST(sum(y) AS BIGINT) AS c1,
+       |    CAST(sum(1 - y) AS BIGINT) AS c0
+       |  FROM pg GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+       |    CAST(sum(1 - y) AS BIGINT) AS n0 FROM pg),
+       |w AS MATERIALIZED (
+       |  SELECT bucket, CAST(length(bin(r * r)) - 1 - 39 AS BIGINT) AS w
+       |  FROM (SELECT bk.bucket,
+       |      least(greatest((coalesce(cnt.c1, 0) + 1) * 1000000
+       |          // (tot.n1 + 256), 1) * 1000000
+       |        // greatest((coalesce(cnt.c0, 0) + 1) * 1000000
+       |          // (tot.n0 + 256), 1), 2147483647) AS r
+       |    FROM (SELECT CAST(unnest(generate_series(0, 255)) AS BIGINT)
+       |        AS bucket) bk
+       |    LEFT JOIN cnt USING (bucket), tot)),
+       |ps AS MATERIALIZED (
+       |  SELECT pw.doc_id, pw.y, coalesce(sc.s, 0) AS score
+       |  FROM pw LEFT JOIN (SELECT doc_id, CAST(sum(w.w) AS BIGINT) AS s
+       |    FROM pg JOIN w USING (bucket) GROUP BY doc_id) sc USING (doc_id)),
+       |dw AS MATERIALIZED (SELECT doc_id,
+       |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws,
+       |    CASE WHEN text IS NOT NULL
+       |      AND len(list_distinct(string_split(text, ' '))) * 1000
+       |        // len(string_split(text, ' ')) >= 450
+       |      THEN CAST(1 AS BIGINT) ELSE 0 END AS heur
+       |  FROM documents),
+       |dg AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+       |      i -> ${fp("ws[i] || ' ' || ws[i+1]")} % 256)) AS bucket
+       |  FROM dw),
+       |ds AS MATERIALIZED (
+       |  SELECT dw.doc_id, coalesce(sc.s, 0) AS score, dw.heur
+       |  FROM dw LEFT JOIN (SELECT doc_id, CAST(sum(w.w) AS BIGINT) AS s
+       |    FROM dg JOIN w USING (bucket) GROUP BY doc_id) sc USING (doc_id)),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ds),
+       |thr AS MATERIALIZED (SELECT DISTINCT score AS t FROM ps),
+       |sw AS MATERIALIZED (SELECT thr.t,
+       |    CAST(sum(CASE WHEN ps.y = 1 AND ps.score >= thr.t
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN ps.y = 0 AND ps.score >= thr.t
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN ps.y = 1 AND ps.score < thr.t
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM thr CROSS JOIN ps GROUP BY thr.t),
+       |cs AS MATERIALIZED (SELECT thr.t,
+       |    CAST(sum(CASE WHEN ds.score >= thr.t THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS npred,
+       |    CAST(sum(CASE WHEN (CASE WHEN ds.score >= thr.t THEN 1 ELSE 0 END)
+       |      = ds.heur THEN 1 ELSE 0 END) AS BIGINT) AS agree
+       |  FROM thr CROSS JOIN ds GROUP BY thr.t),
+       |fs AS MATERIALIZED (SELECT t AS thr_half, tp, fp, fn,
+       |    tp * 1000000 // (tp + fp) AS prec_ppm,
+       |    tp * 1000000 // (tp + fn) AS rec_ppm,
+       |    2 * tp * 1000000 // (2 * tp + fp + fn) AS f1_ppm
+       |  FROM sw)
+       |SELECT fs.thr_half, fs.tp, fs.fp, fs.fn, fs.prec_ppm, fs.rec_ppm,
+       |  fs.f1_ppm,
+       |  CASE WHEN row_number() OVER (ORDER BY fs.f1_ppm DESC, fs.thr_half)
+       |    = 1 THEN CAST(1 AS BIGINT) ELSE 0 END AS chosen,
+       |  cs.npred AS n_corpus_pred_pos,
+       |  cs.agree * 1000000 // nc.n AS heur_agree_ppm
+       |FROM fs JOIN cs ON fs.thr_half = cs.t, nc
+       |ORDER BY thr_half""".stripMargin
+  }
+
   private def q305OracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -1398,6 +1487,7 @@ object SparkEntry {
     "q331_needle_plan"    -> CorpusOps.q331NeedlePlan _,
     "q332_runs_test"      -> PipelineOps.q332RunsTest _,
     "q333_group_folds"    -> DedupOps.q333GroupFolds _,
+    "q334_quality_classifier" -> PipelineOps.q334QualityClassifier _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6626,6 +6716,7 @@ object SparkEntry {
     "q331_needle_plan" -> q331OracleSql,
     "q332_runs_test" -> q332OracleSql,
     "q333_group_folds" -> q333OracleSql,
+    "q334_quality_classifier" -> q334OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

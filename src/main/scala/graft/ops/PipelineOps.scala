@@ -3148,4 +3148,154 @@ object PipelineOps {
       } finally perDoc.unpersist()
     } finally w.unpersist()
   }
+
+  /** The labeled corpus q334 trains on: fastText-classifier convention —
+    * positives stand in for a curated set, negatives for raw crawl junk.
+    * Positive plant i mixes 12 "good"-phrase repetitions with i junk
+    * noise words (score decreases in i), negatives mirror it, and one
+    * MISLABELED doc per class (pure junk labeled 1, pure good labeled 0)
+    * makes perfect F1 impossible so the max-F1 threshold is a real
+    * operating point, not a separating hyperplane artifact. Disjoint
+    * negative-id ranges (-1001.., -2001.., -3001..) per the planted
+    * ground-truth convention. ONE definition shared by the Spark query,
+    * the generated DuckDB oracle and the spec. */
+  private[graft] val QualityPlant: Seq[(Long, Long, String)] = {
+    val good = "clear concise cited structured readable"
+    val junk = "spam garble zzzz clickbait adfarm"
+    val gw = good.split(' ')
+    val jw = junk.split(' ')
+    val pos = (0 until 20).map { i =>
+      (-1001L - i, 1L,
+        (Seq.fill(12)(good) ++ (0 until i).map(k => jw(k % 5))).mkString(" "))
+    }
+    val neg = (0 until 20).map { i =>
+      (-2001L - i, 0L,
+        (Seq.fill(12)(junk) ++ (0 until i).map(k => gw(k % 5))).mkString(" "))
+    }
+    (pos ++ neg) :+
+      (-3001L, 1L, Seq.fill(12)(junk).mkString(" ")) :+
+      (-3002L, 0L, Seq.fill(12)(good).mkString(" "))
+  }
+
+  /** q334's feature extractor, driver-side: hashed word-bigram buckets
+    * (q162's hashing trick, q321's gram definition) — the SAME buckets
+    * the Spark scoring expression computes per row, replayed here for
+    * the bounded plant corpus so training is a pure driver fold. */
+  private[graft] def qualityGrams(text: String, buckets: Int): Seq[Int] = {
+    val ws = text.split(" ").filter(_.nonEmpty)
+    if (ws.length < 2) Seq.empty
+    else (0 until ws.length - 1).map { i =>
+      (Fingerprint.hashString(ws(i) + " " + ws(i + 1)) % buckets).toInt
+    }
+  }
+
+  /** X308 — trained quality classifier (the CCNet/fastText-class filter):
+    * q31 scores documents HEURISTICALLY, q321 selects by importance
+    * toward a target, q237/q97 audit agreement — this is the lane's
+    * missing piece, a classifier that LEARNS a filter from labels.
+    * Integer-exact Naive Bayes over hashed word-bigram features:
+    *
+    *  1. Training (driver fold over the bounded [[QualityPlant]] corpus —
+    *     42 labeled docs, the curated-vs-crawl convention): per-class
+    *     bucket counts over `fp(bigram) % 256`, add-one-smoothed ppm
+    *     class-conditionals, and the per-bucket log-likelihood ratio in
+    *     HALF-BIT resolution via q321's `band(r²) − 39` idiom
+    *     (band(x) = floor(log2 x) — integer-exact on both engines where
+    *     libm log would hash-diverge). ALL 256 buckets get a weight
+    *     (unseen buckets carry the smoothed default), so corpus grams
+    *     outside the plant vocabulary score the prior ratio, not zero.
+    *  2. Scoring: EVERY document's score = Σ over its bigram occurrences
+    *     of the bucket weight — ONE narrow codegen'd projection (the
+    *     256-entry weight table is an inlined constant-folded array
+    *     literal, the gram array is let-bound via the q235
+    *     element_at(transform(array(...))) idiom so projection collapse
+    *     cannot re-derive it per element). NO explode, NO join, NO
+    *     shuffle for scoring.
+    *  3. Threshold sweep: candidate thresholds = the distinct plant
+    *     scores; per threshold exact tp/fp/fn, precision/recall/F1 in
+    *     ppm on the plant labels; `chosen` marks the max-F1 row
+    *     (tie-break: smallest threshold). The corpus side reports how
+    *     many real documents each threshold keeps and the ppm agreement
+    *     with q31's distinct-word-ratio heuristic (qm ≥ 450) — the
+    *     measured answer to "does the learned filter match the
+    *     heuristic?".
+    *
+    * Scale: training is O(plants) on the driver; the corpus pass is ONE
+    * scan → narrow score projection → (score, heur) histogram fold whose
+    * output is bounded by the score RANGE (documents are bounded-length,
+    * so half-bit scores span a few thousand values — a bounded
+    * dictionary, never corpus-sized); the sweep runs on the driver over
+    * |plant-scores| × |histogram| rows. A 100 TB corpus costs exactly
+    * one combinable aggregation. */
+  def q334QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.LongType
+    Fingerprint.register(s)
+    val B = 256
+    // --- training: per-class bucket counts over the plant corpus ---
+    val occ = QualityPlant.flatMap { case (_, y, t) =>
+      qualityGrams(t, B).map(b => (b, y))
+    }
+    val n1 = occ.count(_._2 == 1L).toLong
+    val n0 = occ.size.toLong - n1
+    val byBucket = occ.groupBy(_._1)
+    def band(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val weights: IndexedSeq[Long] = (0 until B).map { b =>
+      val c1 = byBucket.get(b).map(_.count(_._2 == 1L).toLong).getOrElse(0L)
+      val c0 = byBucket.get(b).map(_.count(_._2 == 0L).toLong).getOrElse(0L)
+      val p1 = math.max((c1 + 1L) * 1000000L / (n1 + B), 1L)
+      val p0 = math.max((c0 + 1L) * 1000000L / (n0 + B), 1L)
+      val r = math.min(p1 * 1000000L / p0, 2147483647L)
+      band(r * r) - 39L
+    }
+    // --- scoring: one narrow projection over the corpus ---
+    val wArr = weights.mkString(", ")
+    val scored = docs(s, dir).select(
+      expr(
+        s"""element_at(transform(array(filter(split(coalesce(text, ''), ' '), x -> x <> '')), ws ->
+           |  aggregate(
+           |    transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
+           |      (x, i) -> CAST(pmod(graft_fingerprint(concat(x, ' ', element_at(ws, i + 2))), $B) AS INT)),
+           |    CAST(0 AS BIGINT),
+           |    (acc, b) -> acc + element_at(array($wArr), b + 1))), 1)"""
+          .stripMargin).as("score"),
+      expr(
+        """CASE WHEN text IS NOT NULL
+          |  AND CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000
+          |    div size(split(text, ' ')) >= 450
+          |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin)
+        .as("heur"))
+    val hist = scored.groupBy($"score", $"heur")
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)].collect()
+    val nCorpus = hist.map(_._3).sum
+    // --- sweep: driver math over plant scores + the corpus histogram ---
+    val plantScores = QualityPlant.map { case (_, y, t) =>
+      (y, qualityGrams(t, B).map(b => weights(b)).sum)
+    }
+    val nPosPlants = plantScores.count(_._1 == 1L).toLong
+    val thrs = plantScores.map(_._2).distinct.sorted
+    val sweep = thrs.map { t =>
+      val tp = plantScores.count(p => p._1 == 1L && p._2 >= t).toLong
+      val fp = plantScores.count(p => p._1 == 0L && p._2 >= t).toLong
+      val fn = nPosPlants - tp
+      val f1 = 2L * tp * 1000000L / (2L * tp + fp + fn)
+      val nPred = hist.filter(_._1 >= t).map(_._3).sum
+      val agree = hist.filter(h => (if (h._1 >= t) 1L else 0L) == h._2)
+        .map(_._3).sum
+      (t, tp, fp, fn, tp * 1000000L / (tp + fp), tp * 1000000L / nPosPlants,
+        f1, nPred, agree * 1000000L / nCorpus)
+    }
+    val bestF1 = sweep.map(_._7).max
+    val chosenT = sweep.filter(_._7 == bestF1).map(_._1).min
+    LocalReport.frame(s,
+      sweep.map { r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5, r._6, r._7,
+          if (r._1 == chosenT) 1L else 0L, r._8, r._9)
+      },
+      "thr_half" -> LongType, "tp" -> LongType, "fp" -> LongType,
+      "fn" -> LongType, "prec_ppm" -> LongType, "rec_ppm" -> LongType,
+      "f1_ppm" -> LongType, "chosen" -> LongType,
+      "n_corpus_pred_pos" -> LongType, "heur_agree_ppm" -> LongType)
+  }
 }

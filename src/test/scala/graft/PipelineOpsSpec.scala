@@ -1183,4 +1183,59 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(xxLlw / 6L > llw / n, s"xx avg must exceed $l avg")
     }
   }
+
+  test("q334: plants separate, chosen row is the max-F1 operating point") {
+    val rows = PipelineOps.q334QualityClassifier(spark, sf).collect()
+    assert(rows.length >= 10, "sweep must have many distinct thresholds")
+    val thrs = rows.map(_.getAs[Long]("thr_half"))
+    assert(thrs.sameElements(thrs.sorted), "ordered by threshold")
+    // plant ordering: every core positive outscores every core negative —
+    // with only the two MISLABELED extremes crossing, some threshold
+    // classifies 20/21 positives with a single false positive
+    val chosen = rows.filter(_.getAs[Long]("chosen") == 1L)
+    assert(chosen.length == 1, "exactly one operating point")
+    val c = chosen.head
+    assert(c.getAs[Long]("tp") == 20L && c.getAs[Long]("fp") == 1L &&
+      c.getAs[Long]("fn") == 1L,
+      s"chosen row must miss exactly the mislabeled pair: $c")
+    val maxF1 = rows.map(_.getAs[Long]("f1_ppm")).max
+    assert(c.getAs[Long]("f1_ppm") == maxF1)
+    // tie-break: smallest threshold among max-F1 rows
+    assert(c.getAs[Long]("thr_half") ==
+      rows.filter(_.getAs[Long]("f1_ppm") == maxF1)
+        .map(_.getAs[Long]("thr_half")).min)
+    rows.foreach { r =>
+      val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"))
+      assert(tp + fn == 21L, "every sweep row sees all 21 positives")
+      assert(r.getAs[Long]("prec_ppm") == tp * 1000000L / (tp + fp))
+      assert(r.getAs[Long]("rec_ppm") == tp * 1000000L / 21L)
+      assert(r.getAs[Long]("f1_ppm") == 2L * tp * 1000000L / (2L * tp + fp + fn))
+      val ag = r.getAs[Long]("heur_agree_ppm")
+      assert(ag >= 0L && ag <= 1000000L)
+    }
+    // corpus keep-count is monotone non-increasing in the threshold
+    val keeps = rows.map(_.getAs[Long]("n_corpus_pred_pos"))
+    keeps.sliding(2).foreach(p => assert(p(0) >= p(1), "monotone keeps"))
+  }
+
+  test("q334: engine scoring expression ≡ driver fold (plants as the corpus)") {
+    import spark.implicits._
+    // run the operator with the plant TEXTS as the documents table: the
+    // engine's narrow HOF scoring expression then scores exactly the
+    // texts the driver fold scored, so every sweep row must satisfy
+    // n_corpus_pred_pos == tp + fp — a cross-implementation equality
+    // between the codegen'd SQL path and the Scala replay, byte-exact
+    val dir = java.nio.file.Files.createTempDirectory("q334_plant").toString
+    PipelineOps.QualityPlant.zipWithIndex
+      .map { case ((_, _, t), i) => (i + 1L, t, "xx", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = PipelineOps.q334QualityClassifier(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_corpus_pred_pos") ==
+        r.getAs[Long]("tp") + r.getAs[Long]("fp"),
+        s"engine histogram diverges from driver plant scores at $r")
+    }
+  }
 }

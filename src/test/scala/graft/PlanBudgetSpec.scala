@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q334_quality_classifier" -> 0, // collect-local sweep report;
+                             // training is a driver fold over the plant
+                             // corpus, scoring ONE narrow projection into
+                             // a bounded (score, heur) histogram fold
     "q333_group_folds" -> 0, // collect-local 5-row report; q50's
                              // cluster machinery + two fold aggregates
                              // run inside the builder
