@@ -969,11 +969,16 @@ object TextOps {
     * structs and null-partner singleton structs share one explode, so a
     * round costs one aggregation job plus one checkpoint job, measured
     * 6.3 s → 1.6 s at sf0.1 versus the three-job form); the argmax
-    * (count DESC, pair UTF-8 bytes ASC) runs driver-side on the
-    * collected bounded table, and the merge applies as a
-    * broadcast-literal projection. Stops early when no adjacent pair
-    * remains. Returns one report row per learned merge. Exposed to the
-    * spec so the planted mini-corpus drives the same loop as q320.
+    * (count DESC, pair UTF-8 bytes ASC) is DISTRIBUTED — a one-row
+    * min(struct(−n, a, b)) reduce riding the same fold, so the driver
+    * collects O(1) rows per round instead of the pair table (which is
+    * vocabulary-bounded here but vocabulary²-shaped in the worst case;
+    * the binary struct order is exactly TextOps.utf8Lt, which remains
+    * the documented driver-side replay of the same tie-break). The
+    * merge applies as a broadcast-literal projection. Stops early when
+    * no adjacent pair remains. Returns one report row per learned
+    * merge. Exposed to the spec so the planted mini-corpus drives the
+    * same loop as q320.
     *
     * localCheckpoint, not persist: persist leaves the full lineage in
     * the plan, and each round's InMemoryRelation RENDERING nests the
@@ -997,9 +1002,18 @@ object TextOps {
     var cur = wordFreq.select(col("word"), col("c"),
         expr("filter(split(word, ''), x -> x <> '')").as("syms"))
       .coalesce(1).localCheckpoint()
-    // one fold: pair rows (a, b, Σc) + singleton rows (sym, null, Σc)
-    def fold(df: DataFrame): (Seq[(String, String, Long)], Long, Long) = {
-      val rows = df.select($"c", explode(expr(
+    // one fold: pair rows (a, b, Σc) + singleton rows (sym, null, Σc),
+    // reduced to a DISTRIBUTED argmax: each post-shuffle partition emits
+    // its own top-1 pair (count DESC, pair UTF-8 bytes ASC — the same
+    // order utf8Lt defines) plus its singleton subtotals via a fused
+    // mapPartitions (NO extra stage or exchange — a second global agg
+    // measured +~20 ms/round in scheduling), so the driver collects
+    // ≤ |partitions| partial rows per round and combines them, never the
+    // pair table (vocabulary²-shaped in the worst case, driver-fatal at
+    // open-web vocabulary scale)
+    def fold(df: DataFrame)
+        : (Option[(String, String, Long)], Long, Long) = {
+      val partials = df.select($"c", explode(expr(
         """concat(
           |  transform(slice(syms, 1, greatest(size(syms) - 1, 0)),
           |    (x, i) -> struct(x AS a, element_at(syms, i + 2) AS b)),
@@ -1007,23 +1021,37 @@ object TextOps {
           .stripMargin)).as("p"))
         .groupBy($"p.a".as("a"), $"p.b".as("b"))
         .agg(sum($"c").as("n"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val (singles, pairs) = rows.partition(_._2 == null)
-      (pairs.toSeq, singles.map(_._3).sum, singles.length.toLong)
-    }
-    var (pairs, toksPrev, _) = fold(cur)
-    var k = 0
-    while (k < maxMerges && pairs.nonEmpty) {
-      val (a, b, pc) = pairs.reduceLeft { (x, y) =>
+        .as[(String, String, Long)]
+        .mapPartitions { it =>
+          var ba: String = null; var bb: String = null; var bn = 0L
+          var toks = 0L; var ntyp = 0L
+          it.foreach { case (a, b, n) =>
+            if (b == null) { toks += n; ntyp += 1L }
+            else if (ba == null || n > bn ||
+              (n == bn && (utf8Lt(a, ba) || (a == ba && utf8Lt(b, bb))))) {
+              ba = a; bb = b; bn = n
+            }
+          }
+          if (ba == null && ntyp == 0L) Iterator.empty
+          else Iterator((ba, bb, bn, toks, ntyp))
+        }
+        .collect()
+      val best = partials.filter(_._1 != null).reduceOption { (x, y) =>
         if (y._3 > x._3 ||
           (y._3 == x._3 && (utf8Lt(y._1, x._1) ||
             (y._1 == x._1 && utf8Lt(y._2, x._2))))) y else x
-      }
+      }.map(p => (p._1, p._2, p._3))
+      (best, partials.map(_._4).sum, partials.map(_._5).sum)
+    }
+    var (bestPair, toksPrev, _) = fold(cur)
+    var k = 0
+    while (k < maxMerges && bestPair.nonEmpty) {
+      val (a, b, pc) = bestPair.get
       val merged = cur
         .select($"word", $"c", bpeMergePair(a, b).as("syms")).localCheckpoint()
-      val (nextPairs, toks, ntyp) = fold(merged)
+      val (nextBest, toks, ntyp) = fold(merged)
       cur = merged
-      pairs = nextPairs
+      bestPair = nextBest
       k += 1
       out += org.apache.spark.sql.Row(
         k.toLong, a, b, a + b, pc, toksPrev - toks, toks, ntyp)
