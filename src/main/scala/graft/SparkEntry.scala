@@ -147,9 +147,40 @@ object SparkEntry {
     * struct state is off-limits). An empty argmax round degrades to an
     * identity rewrite and contributes no report row, matching the Spark
     * loop's early stop. */
-  /** The w0→s$n BPE learn-chain CTE block shared by the q320 report and
-    * the q325 application oracle — one definition of the replayed loop. */
-  private def bpeChainSql(n: Int): String = {
+  /** One greedy merge-application round over a (word, c, pos, sym)
+    * symbol table: run-parity window math marks merge starts (a=b runs
+    * merge exactly the even offsets), LAG suppresses the consumed
+    * partner, ROW_NUMBER renumbers. Shared by the learn chain (s-tables)
+    * and q335's holdout apply chain (h-tables) — one definition of the
+    * replayed greedy pass. */
+  private def bpeApplyBlockSql(prev: String, bTab: String, mTab: String,
+      outTab: String): String =
+    s"""$mTab AS MATERIALIZED (
+       |  SELECT z.word, z.c, z.pos, z.sym, z.nsym,
+       |    CASE WHEN z.nsym IS NOT NULL AND z.sym = b.a AND z.nsym = b.b
+       |      AND (b.a <> b.b OR (z.pos - z.bst) % 2 = 0)
+       |      THEN 1 ELSE 0 END AS st
+       |  FROM (SELECT word, c, pos, sym, nsym,
+       |      MIN(pos) OVER (PARTITION BY word, sym, blk) AS bst
+       |    FROM (SELECT word, c, pos, sym,
+       |        LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym,
+       |        pos - ROW_NUMBER() OVER (PARTITION BY word, sym ORDER BY pos) AS blk
+       |      FROM $prev)) z
+       |  LEFT JOIN $bTab b ON TRUE),
+       |$outTab AS MATERIALIZED (
+       |  SELECT word, c,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+       |    CASE WHEN st = 1 THEN sym || nsym ELSE sym END AS sym
+       |  FROM (SELECT *, LAG(st, 1, 0) OVER (PARTITION BY word ORDER BY pos) AS pst
+       |    FROM $mTab)
+       |  WHERE pst = 0)""".stripMargin
+
+  /** The w0→s$n BPE learn-chain CTE block shared by the q320 report,
+    * the q325 application oracle and q335's trainer leg — one definition
+    * of the replayed loop. `docsRel` is the relation the word-frequency
+    * table folds from (q335 trains on the even pmod-half of an
+    * augmented documents CTE). */
+  private def bpeChainSql(n: Int, docsRel: String = "documents"): String = {
     val rounds = (1 to n).map { k =>
       val prev = s"s${k - 1}"
       s"""p$k AS MATERIALIZED (SELECT x.sym AS a, y.sym AS b,
@@ -158,29 +189,11 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |b$k AS MATERIALIZED (SELECT a, b, pc FROM p$k
          |  ORDER BY pc DESC, a, b LIMIT 1),
-         |m$k AS MATERIALIZED (
-         |  SELECT z.word, z.c, z.pos, z.sym, z.nsym,
-         |    CASE WHEN z.nsym IS NOT NULL AND z.sym = b.a AND z.nsym = b.b
-         |      AND (b.a <> b.b OR (z.pos - z.bst) % 2 = 0)
-         |      THEN 1 ELSE 0 END AS st
-         |  FROM (SELECT word, c, pos, sym, nsym,
-         |      MIN(pos) OVER (PARTITION BY word, sym, blk) AS bst
-         |    FROM (SELECT word, c, pos, sym,
-         |        LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym,
-         |        pos - ROW_NUMBER() OVER (PARTITION BY word, sym ORDER BY pos) AS blk
-         |      FROM $prev)) z
-         |  LEFT JOIN b$k b ON TRUE),
-         |s$k AS MATERIALIZED (
-         |  SELECT word, c,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
-         |    CASE WHEN st = 1 THEN sym || nsym ELSE sym END AS sym
-         |  FROM (SELECT *, LAG(st, 1, 0) OVER (PARTITION BY word ORDER BY pos) AS pst
-         |    FROM m$k)
-         |  WHERE pst = 0)""".stripMargin
+         |${bpeApplyBlockSql(prev, s"b$k", s"m$k", s"s$k")}""".stripMargin
     }.mkString(",\n")
     s"""w0 AS MATERIALIZED (
        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS c
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $docsRel)
        |  WHERE len(w) > 0 GROUP BY w),
        |s0 AS MATERIALIZED (
        |  SELECT word, c,
@@ -227,6 +240,65 @@ object SparkEntry {
        |    // CAST(sum(tok.n_tok) AS BIGINT) AS chars_per_token_ppm
        |FROM wd JOIN tok USING (word)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q335's oracle: the SAME generated learn chain trained on the even
+    * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
+    * APPLY chain — h0 is the char symbolization of the odd-half word
+    * types and each round re-applies the learned b$k merge via the
+    * shared greedy block (sequential rank-order application ≡ the
+    * published lowest-rank-first encode; see bpeEncodeExpr's scaladoc).
+    * The report folds the odd-half word stream over the h30 token
+    * counts, with OOV = type absent from the trainer's w0. */
+  private def q335OracleSql: String = {
+    val n = 30
+    val plantRows = graft.ops.TextOps.Q335Plant.map {
+      case (id, t, l, src) => s"(CAST($id AS BIGINT), '$t', '$l', '$src')"
+    }.mkString(",\n    ")
+    val holdRounds = (1 to n).map { k =>
+      bpeApplyBlockSql(s"h${k - 1}", s"b$k", s"hm$k", s"h$k")
+    }.mkString(",\n")
+    s"""WITH alldocs AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM (VALUES
+       |    $plantRows) pl(doc_id, text, lang, source)),
+       |traindocs AS (SELECT text FROM alldocs
+       |  WHERE ((doc_id % 2) + 2) % 2 = 0),
+       |${bpeChainSql(n, "traindocs")},
+       |hw AS MATERIALIZED (
+       |  SELECT w AS word, CAST(1 AS BIGINT) AS c
+       |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+       |    FROM alldocs WHERE ((doc_id % 2) + 2) % 2 = 1)
+       |  WHERE len(w) > 0),
+       |h0 AS MATERIALIZED (
+       |  SELECT word, c,
+       |    CAST(unnest(generate_series(1, length(word))) AS BIGINT) AS pos,
+       |    unnest(string_split(word, '')) AS sym
+       |  FROM hw),
+       |$holdRounds,
+       |tok AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+       |  FROM h$n GROUP BY word),
+       |wd AS (SELECT d.lang, d.source,
+       |    unnest(list_filter(string_split(d.text, ' '), x -> x <> '')) AS word
+       |  FROM (SELECT lang, source, text FROM documents
+       |      WHERE ((doc_id % 2) + 2) % 2 = 1
+       |    UNION ALL SELECT lang, source, text FROM (VALUES
+       |      $plantRows) pl2(doc_id, text, lang, source)
+       |      WHERE ((doc_id % 2) + 2) % 2 = 1) d)
+       |SELECT wd.lang, wd.source,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(CASE WHEN w0.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov_words,
+       |  CAST(sum(tok.n_tok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(length(wd.word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(tok.n_tok) AS BIGINT) * 1000000
+       |    // CAST(count(*) AS BIGINT) AS fertility_ppm,
+       |  CAST(sum(CASE WHEN w0.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // CAST(count(*) AS BIGINT) AS oov_ppm,
+       |  CAST(sum(length(wd.word)) AS BIGINT) * 1000000
+       |    // CAST(sum(tok.n_tok) AS BIGINT) AS chars_per_token_ppm
+       |FROM wd JOIN tok USING (word) LEFT JOIN w0 ON wd.word = w0.word
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   /** q321's oracle: hashed-bigram DSIR replay — FpByteFold fingerprints
     * for doc hash + gram buckets, add-one-smoothed ppm models, half-bit
@@ -1488,6 +1560,7 @@ object SparkEntry {
     "q332_runs_test"      -> PipelineOps.q332RunsTest _,
     "q333_group_folds"    -> DedupOps.q333GroupFolds _,
     "q334_quality_classifier" -> PipelineOps.q334QualityClassifier _,
+    "q335_bpe_encode_holdout" -> TextOps.q335BpeEncodeHoldout _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6717,6 +6790,7 @@ object SparkEntry {
     "q332_runs_test" -> q332OracleSql,
     "q333_group_folds" -> q333OracleSql,
     "q334_quality_classifier" -> q334OracleSql,
+    "q335_bpe_encode_holdout" -> q335OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

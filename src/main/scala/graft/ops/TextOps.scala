@@ -1158,4 +1158,132 @@ object TextOps {
         "chars_per_token_ppm" -> LongType)
     } finally words.unpersist(blocking = false)
   }
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Open-vocabulary BPE ENCODE as one constant-size nested HOF over a
+    * `word` column: the learned merge list (in RANK order) is an inlined
+    * literal array of (a, b) structs; the outer aggregate folds the
+    * merges over the word's character symbolization, the inner aggregate
+    * is [[bpeMergePair]]'s greedy left-to-right carry pass with the pair
+    * taken from the OUTER lambda variable. Rank-order application is
+    * provably identical to the published lowest-rank-first encode loop:
+    * a merge can only create adjacencies INVOLVING its new symbol, and
+    * every earlier merge predates that symbol, so no lower-rank pair can
+    * reappear once its pass completes. ONE expression regardless of
+    * merge count (the q294 rule — 30 chained withColumn passes would
+    * double the inlined projection per level). */
+  private[graft] def bpeEncodeExpr(merges: Seq[(String, String)])
+      : org.apache.spark.sql.Column =
+    if (merges.isEmpty) expr("filter(split(word, ''), ch -> ch <> '')")
+    else {
+      val arr = merges.map { case (a, b) =>
+        s"named_struct('a', ${sqlStr(a)}, 'b', ${sqlStr(b)})"
+      }.mkString("array(", ", ", ")")
+      expr(
+        s"""aggregate($arr,
+           |  filter(split(word, ''), ch -> ch <> ''),
+           |  (syms, m) -> aggregate(syms,
+           |    named_struct('o', CAST(array() AS ARRAY<STRING>),
+           |                 'cr', CAST(NULL AS STRING)),
+           |    (st, x) -> CASE
+           |      WHEN st.cr IS NULL THEN named_struct('o', st.o, 'cr', x)
+           |      WHEN st.cr = m.a AND x = m.b THEN named_struct(
+           |        'o', concat(st.o, array(concat(m.a, m.b))),
+           |        'cr', CAST(NULL AS STRING))
+           |      ELSE named_struct(
+           |        'o', concat(st.o, array(st.cr)), 'cr', x) END,
+           |    st -> CASE WHEN st.cr IS NULL THEN st.o
+           |      ELSE concat(st.o, array(st.cr)) END))""".stripMargin)
+    }
+
+  /** Driver-side replay of [[bpeEncodeExpr]] for specs and argmax-free
+    * verification — the same greedy carry pass per merge, in rank
+    * order. */
+  private[graft] def bpeEncode(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.split("").toSeq.filter(_.nonEmpty)
+    merges.foreach { case (a, b) =>
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var cr: String = null
+      syms.foreach { x =>
+        if (cr == null) cr = x
+        else if (cr == a && x == b) { out += a + b; cr = null }
+        else { out += cr; cr = x }
+      }
+      if (cr != null) out += cr
+      syms = out.toSeq
+    }
+    syms
+  }
+
+  /** q335's planted UNSEEN-word documents (odd pmod-half ids, so they
+    * land in the holdout split and never influence training): word
+    * types absent from the corpus vocabulary that the open-vocabulary
+    * encoder must still tokenize via the learned merges. ONE definition
+    * shared by the Spark query, the generated DuckDB oracle and the
+    * spec. */
+  private[graft] val Q335Plant: Seq[(Long, String, String, String)] = Seq(
+    (-335001L, "hashtable tableau zq zq hashtable", "xx", "planted"),
+    (-335003L, "querying sorting the the zq", "xx", "planted"))
+
+  /** X309 — OPEN-VOCABULARY BPE encode + held-out fertility audit: q325
+    * applies the learned vocabulary by dictionary join, which by
+    * construction cannot tokenize a word TYPE absent from training —
+    * the open-vocabulary story every production tokenizer needs. Here
+    * the merges train on the pmod(doc_id, 2) = 0 half only, and the
+    * OTHER half (plus [[Q335Plant]]'s genuinely unseen word types)
+    * encodes through [[bpeEncodeExpr]] — the published greedy BPE encode
+    * applying the learned merge list by rank to ARBITRARY words. Per
+    * (lang, source) cell of the holdout: word/OOV-word/BPE-token/char
+    * counts, fertility and OOV share in ppm — the honest held-out
+    * fertility a tokenizer paper reports, rather than q325's
+    * train-set-fertility (its Σ reconciles with the trainer exactly
+    * BECAUSE application is the training symbolization).
+    *
+    * Scale: ONE persisted (lang, source, half, word) explode feeds the
+    * training fold, the holdout type frame and the report join; the
+    * encode expression runs once per held-out word TYPE (Zipf-bounded),
+    * not per occurrence, and is constant-size in the merge count; the
+    * report is a |lang×source| fold. The type dictionary broadcast has
+    * the same bounded-vocabulary caveat as q325. */
+  def q335BpeEncodeHoldout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val plant = Q335Plant.toDF("doc_id", "text", "lang", "source")
+    val words = docs(s, dir).select($"doc_id", $"text", $"lang", $"source")
+      .unionByName(plant)
+      .select($"lang", $"source", pmod($"doc_id", lit(2L)).as("half"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      .persist()
+    try {
+      val trainWf = words.filter($"half" === 0L)
+        .groupBy($"word").agg(count(lit(1)).as("c"))
+      val (trainRows, _) = bpeTrain(s, trainWf, 30)
+      val merges = trainRows.map(r => (r.getString(1), r.getString(2)))
+      val enc = words.filter($"half" === 1L).select($"word").distinct()
+        .join(trainWf.select($"word", lit(1L).as("seen")), Seq("word"), "left")
+        .select($"word",
+          size(bpeEncodeExpr(merges)).cast("long").as("n_tok"),
+          length($"word").cast("long").as("n_chr"),
+          when($"seen".isNull, 1L).otherwise(0L).as("oov"))
+      val rep = words.filter($"half" === 1L).join(broadcast(enc), Seq("word"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_words"), sum($"oov").as("n_oov_words"),
+          sum($"n_tok").as("n_bpe_tokens"), sum($"n_chr").as("n_chars"))
+        .withColumn("fertility_ppm",
+          expr("n_bpe_tokens * 1000000 div n_words"))
+        .withColumn("oov_ppm", expr("n_oov_words * 1000000 div n_words"))
+        .withColumn("chars_per_token_ppm",
+          expr("n_chars * 1000000 div n_bpe_tokens"))
+        .orderBy($"lang", $"source")
+        .collect()
+      graft.operators.LocalReport.frame(s, rep.toSeq,
+        "lang" -> StringType, "source" -> StringType,
+        "n_words" -> LongType, "n_oov_words" -> LongType,
+        "n_bpe_tokens" -> LongType, "n_chars" -> LongType,
+        "fertility_ppm" -> LongType, "oov_ppm" -> LongType,
+        "chars_per_token_ppm" -> LongType)
+    } finally words.unpersist(blocking = false)
+  }
 }

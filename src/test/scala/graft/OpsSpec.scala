@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{count, explode, expr, lit, pmod}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import graft.functions.Fingerprint
@@ -2411,5 +2412,67 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(got.take(2) == Seq((1L, "aa", 16L, 9L), (2L, "ab", 13L, 13L)))
     assert(got.size == 9 && got.last == (9L, "aaaa", 2L, 2L))
+  }
+
+  test("q335: open-vocab encode reproduces the trainer's symbolization on every training type") {
+    import spark.implicits._
+    // the encode path must be a strict generalization: replaying the
+    // learned merge list by rank over a TRAINING word must land exactly
+    // on the trainer's final symbolization of that word (both through
+    // the Spark expression and the driver replay)
+    val words = graft.sources.Tables.load(spark, sf, "documents")
+      .select(pmod($"doc_id", lit(2L)).as("half"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+    val trainWf = words.filter($"half" === 0L)
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+    val (rows, vocab) = TextOps.bpeTrain(spark, trainWf, 30)
+    val merges = rows.map(r => (r.getString(1), r.getString(2)))
+    assert(merges.nonEmpty)
+    val mismatch = vocab
+      .withColumn("enc", TextOps.bpeEncodeExpr(merges))
+      .filter(!($"enc" <=> $"syms")).count()
+    assert(mismatch == 0L, "Spark encode diverges from trainer symbolization")
+    vocab.select($"word", $"syms").as[(String, Seq[String])].collect()
+      .foreach { case (w, syms) =>
+        assert(TextOps.bpeEncode(w, merges) == syms, s"driver replay: $w")
+      }
+  }
+
+  test("q335: a planted unseen word encodes through the expected merge sequence") {
+    import spark.implicits._
+    // merges learned from the hand-computed forced corpus (q320's plant):
+    // aa, ab, xy, xz, cd, aaab, abab, cdcd, aaaa — then encode word
+    // types the trainer NEVER saw and pin the exact greedy-by-rank
+    // outcome, including the run-parity case and untouchable symbols
+    val wf = Seq(("aaab", 5L), ("abab", 4L), ("cdcd", 3L), ("aaaa", 2L),
+      ("xy", 7L), ("xz", 7L)).toDF("word", "c")
+    val merges = TextOps.bpeTrainRows(spark, wf, 12)
+      .map(r => (r.getString(1), r.getString(2)))
+    val want = Map(
+      "aaabab" -> Seq("aaab", "ab"),   // rank 1 then 2 then the rank-6 pair
+      "xyz"    -> Seq("xy", "z"),      // xy (rank 3) blocks xz (rank 4)
+      "aaaaa"  -> Seq("aaaa", "a"),    // run parity then the (aa,aa) merge
+      "qaxb"   -> Seq("q", "a", "x", "b")) // nothing applies
+    want.foreach { case (w, exp) =>
+      assert(TextOps.bpeEncode(w, merges) == exp, s"driver: $w")
+    }
+    val got = want.keys.toSeq.toDF("word")
+      .select($"word", TextOps.bpeEncodeExpr(merges).as("enc"))
+      .as[(String, Seq[String])].collect().toMap
+    want.foreach { case (w, exp) => assert(got(w) == exp, s"expr: $w") }
+  }
+
+  test("q335: holdout report carries the planted OOV words") {
+    val rep = TextOps.q335BpeEncodeHoldout(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val p = rep(("xx", "planted"))
+    assert(p.getAs[Long]("n_words") == 10L)
+    // hashtable x2, tableau, zq x3, querying, sorting unseen; 'the' x2 seen
+    assert(p.getAs[Long]("n_oov_words") == 8L)
+    assert(p.getAs[Long]("oov_ppm") == 800000L)
+    rep.values.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_bpe_tokens") <= r.getAs[Long]("n_chars"))
+    }
   }
 }

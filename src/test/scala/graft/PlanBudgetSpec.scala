@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q335_bpe_encode_holdout" -> 0, // collect-local |lang x source|
+                             // report; training folds + the word-TYPE
+                             // encode projection + the broadcast apply
+                             // join run inside the builder
     "q334_quality_classifier" -> 0, // collect-local sweep report;
                              // training is a driver fold over the plant
                              // corpus, scoring ONE narrow projection into
