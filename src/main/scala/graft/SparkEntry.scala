@@ -300,6 +300,97 @@ object SparkEntry {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** q336's oracle: four generated q106-style Lloyd's chains over the
+    * 16-dim subspace slices of the twin-augmented PQ corpus (init = 8
+    * lowest vec_ids, two exact integer update rounds, final assign),
+    * then codes, per-query 4×8 exact-d² lookup tables, ADC and exact
+    * rankings, recall@10 and the planted twin's ADC rank. */
+  private def q336OracleSql: String = {
+    def kmChain(m: Int): String = {
+      val lo = m * 16 + 1; val hi = (m + 1) * 16
+      def assignBlock(out: String, cents: String) =
+        s"""$out AS MATERIALIZED (SELECT vec_id, q, cid, d FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+           |      SELECT e.vec_id, e.q, c.cid,
+           |        list_sum(list_transform(generate_series(1, len(e.q)),
+           |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+           |      FROM e$m e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+      def updateBlock(k: Int) =
+        s"""x${k}_$m AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a${k}_$m),
+           |s${k}_$m AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+           |       FROM x${k}_$m GROUP BY cid, i),
+           |u${k}_$m AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+           |       FROM s${k}_$m GROUP BY cid),
+           |c${k}_$m AS MATERIALIZED (SELECT c${k - 1}_$m.cid, coalesce(u${k}_$m.c, c${k - 1}_$m.c) AS c
+           |       FROM c${k - 1}_$m LEFT JOIN u${k}_$m USING (cid))""".stripMargin
+      s"""e$m AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q FROM pqc),
+         |c0_$m AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+         |       FROM (SELECT vec_id, q FROM e$m ORDER BY vec_id LIMIT 8)),
+         |${assignBlock(s"a1_$m", s"c0_$m")},
+         |${updateBlock(1)},
+         |${assignBlock(s"a2_$m", s"c1_$m")},
+         |${updateBlock(2)},
+         |${assignBlock(s"a3_$m", s"c2_$m")}""".stripMargin
+    }
+    val luts = (0 until 4).map { m =>
+      val lo = m * 16
+      s"""SELECT q.q_id, CAST($m AS BIGINT) AS m, c.cid,
+         |    list_sum(list_transform(generate_series(1, 16),
+         |      i -> (q.q[$lo + i] - c.c[i]) * (q.q[$lo + i] - c.c[i]))) AS d2
+         |  FROM qry q CROSS JOIN c2_$m c""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH eqn AS MATERIALIZED (
+       |  SELECT vec_id, q FROM (SELECT vec_id,
+       |      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |    FROM embeddings)
+       |  WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |qry AS MATERIALIZED (SELECT vec_id AS q_id, q FROM eqn
+       |  WHERE vec_id >= 8 AND vec_id < 18),
+       |pqc AS MATERIALIZED (
+       |  SELECT vec_id, q FROM eqn WHERE vec_id >= 18
+       |  UNION ALL SELECT -1000 - q_id AS vec_id,
+       |    list_transform(q, (x, i) -> CASE WHEN i = 1 THEN x + 1 ELSE x END) AS q
+       |  FROM qry),
+       |${(0 until 4).map(kmChain).mkString(",\n")},
+       |codes AS MATERIALIZED (
+       |  SELECT a3_0.vec_id, a3_0.cid AS k0, a3_1.cid AS k1,
+       |    a3_2.cid AS k2, a3_3.cid AS k3
+       |  FROM a3_0 JOIN a3_1 USING (vec_id) JOIN a3_2 USING (vec_id)
+       |    JOIN a3_3 USING (vec_id)),
+       |lut AS MATERIALIZED (
+       |  $luts),
+       |adcr AS MATERIALIZED (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rk
+       |  FROM (SELECT l0.q_id, codes.vec_id,
+       |      l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc
+       |    FROM codes
+       |    JOIN lut l0 ON l0.m = 0 AND l0.cid = codes.k0
+       |    JOIN lut l1 ON l1.m = 1 AND l1.cid = codes.k1 AND l1.q_id = l0.q_id
+       |    JOIN lut l2 ON l2.m = 2 AND l2.cid = codes.k2 AND l2.q_id = l0.q_id
+       |    JOIN lut l3 ON l3.m = 3 AND l3.cid = codes.k3 AND l3.q_id = l0.q_id)),
+       |extop AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, p.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(p.q)),
+       |          i -> (p.q[i] - q.q[i]) * (p.q[i] - q.q[i]))), p.vec_id) AS rk
+       |    FROM pqc p CROSS JOIN qry q)
+       |  WHERE rk <= 10),
+       |hits AS (SELECT e.q_id, CAST(count(a.q_id) AS BIGINT) AS n_hits
+       |  FROM extop e LEFT JOIN (SELECT q_id, vec_id FROM adcr WHERE rk <= 10) a
+       |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+       |  GROUP BY e.q_id),
+       |twin AS (SELECT q_id, rk AS twin_adc_rank FROM adcr
+       |  WHERE vec_id = -1000 - q_id)
+       |SELECT hits.q_id, hits.n_hits,
+       |  hits.n_hits * 1000000 // 10 AS recall_ppm,
+       |  twin.twin_adc_rank,
+       |  CASE WHEN twin.twin_adc_rank <= 10 THEN CAST(1 AS BIGINT) ELSE 0 END
+       |    AS twin_top10
+       |FROM hits JOIN twin USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
   /** q321's oracle: hashed-bigram DSIR replay — FpByteFold fingerprints
     * for doc hash + gram buckets, add-one-smoothed ppm models, half-bit
     * log2 ratio via length(bin(r²))−1−39, A-ES log-domain priority, exact
@@ -1561,6 +1652,7 @@ object SparkEntry {
     "q333_group_folds"    -> DedupOps.q333GroupFolds _,
     "q334_quality_classifier" -> PipelineOps.q334QualityClassifier _,
     "q335_bpe_encode_holdout" -> TextOps.q335BpeEncodeHoldout _,
+    "q336_pq_recall"      -> SimilarityOps.q336PqRecall _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6791,6 +6883,7 @@ object SparkEntry {
     "q333_group_folds" -> q333OracleSql,
     "q334_quality_classifier" -> q334OracleSql,
     "q335_bpe_encode_holdout" -> q335OracleSql,
+    "q336_pq_recall" -> q336OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -160,7 +160,14 @@ object SimilarityOps {
     * X197's SemDeDup blocking run the identical clustering. Caller owns
     * the persist lifecycle of `q`. */
   private[ops] def kmeansAssign(s: SparkSession, q: DataFrame,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame =
+    kmeansAssignWithCents(s, q, k, iters)._1
+
+  /** [[kmeansAssign]] plus the FINAL centroid table — X310's product
+    * quantizer needs the codebook vectors themselves for the asymmetric
+    * distance lookup tables, not just the assignments. */
+  private[ops] def kmeansAssignWithCents(s: SparkSession, q: DataFrame,
+      k: Int, iters: Int): (DataFrame, Array[(Int, Array[Long])]) = {
     import s.implicits._
     graft.functions.SquaredDistance.register(s)
     val init: Array[(Int, Array[Long])] = q.orderBy($"vec_id").limit(k)
@@ -198,7 +205,7 @@ object SimilarityOps {
         .map { case (cid, c) => (cid.toInt, c) }.toMap
       cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
-    assign(finalCents)
+    (assign(finalCents), finalCents)
   }
 
   /** X69 — distributed Lloyd's k-means over the embedding column, in
@@ -497,6 +504,124 @@ object SimilarityOps {
       .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0L))).as("n_hits"))
       .select($"q_id", $"n_hits", expr("n_hits * 1000000 div k").as("recall_ppm"))
       .orderBy($"q_id")
+  }
+
+  /** X310 — product-quantization codebooks + asymmetric-distance recall
+    * audit (the published PQ recipe, integer-exact): the ANN lane's
+    * MEMORY story — q56/q38 index but still store full vectors; PQ
+    * stores 4 code bytes per vector (64 dims → 4 subspaces × 16 dims,
+    * 8-centroid codebook each, trained by the SAME Lloyd's core as
+    * q106/q322 via [[kmeansAssignWithCents]]) and answers queries by
+    * asymmetric distance: per query a 4×8 int64 lookup table of exact
+    * subspace d²(query_sub, centroid), and a vector's ADC distance is
+    * four table lookups summed — no vector reads at query time.
+    *
+    * The audit is q177's self-calibration shape: ADC top-10 vs exact-d²
+    * top-10 over the SAME query batch and id partitioning as the IVF
+    * lane ([[IvfQueryLo]]/[[IvfCorpusLo]]), recall@10 in ppm. Planted
+    * twins (q328's discipline, disjoint negative ids -1000-q_id): each
+    * query gets a corpus twin one milli away in dimension 0 — the twin
+    * shares the query's quantization cell, so ADC must surface it
+    * (twin_top10 = 1 on every planted row; the twins also seed the
+    * deterministic k-means init, which is stated rather than avoided).
+    *
+    * Scale: codebook training is 4 independent Lloyd's runs over NARROW
+    * 16-dim projections of ONE persisted corpus cache; encoding folds
+    * the 4 assignments into codes via ONE union+pivot aggregation
+    * (never 3 self-joins); the LUT is driver-built (|queries|×4×8
+    * longs) and rides a broadcast literal; ranking windows partition by
+    * the SAMPLED query batch (q177's calibration convention — a
+    * production serving path keeps only the 4-byte codes and scans them
+    * at memory bandwidth). */
+  def q336PqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.LongType
+    graft.functions.SquaredDistance.register(s)
+    val M = 4; val SubDim = 16; val K = 8
+    val eAll = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      // same degenerate-vector exclusion as emb(), in the milli domain
+      .filter(expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+    val queries = eAll
+      .filter($"vec_id" >= IvfQueryLo && $"vec_id" < IvfCorpusLo)
+    val twins = queries.select((lit(-1000L) - $"vec_id").as("vec_id"),
+      expr("transform(q, (x, i) -> CASE WHEN i = 0 THEN x + 1 ELSE x END)")
+        .as("q"))
+    val corpus = eAll.filter($"vec_id" >= IvfCorpusLo)
+      .unionByName(twins).persist()
+    try {
+      val trained = (0 until M).map { m =>
+        val sub = corpus.select($"vec_id",
+          expr(s"slice(q, ${m * SubDim + 1}, $SubDim)").as("q"))
+        val (asg, cents) = kmeansAssignWithCents(s, sub, K, 3)
+        (asg.select($"vec_id", lit(m.toLong).as("m"),
+          $"cid".cast("long").as("cid")), cents)
+      }
+      val codes = trained.map(_._1).reduce(_ unionByName _)
+        .groupBy($"vec_id")
+        .agg(
+          max(when($"m" === 0L, $"cid")).as("c0"),
+          max(when($"m" === 1L, $"cid")).as("c1"),
+          max(when($"m" === 2L, $"cid")).as("c2"),
+          max(when($"m" === 3L, $"cid")).as("c3"))
+      // driver-built asymmetric lookup tables: |queries| × 4 × 8 longs
+      val qRows = queries.orderBy($"vec_id")
+        .select($"vec_id", $"q").as[(Long, Array[Long])].collect()
+      val lutRows = qRows.map { case (qid, qv) =>
+        val luts = (0 until M).map { m =>
+          val cents = trained(m)._2.sortBy(_._1)
+          cents.map { case (_, c) =>
+            (0 until SubDim).map { i =>
+              val d = qv(m * SubDim + i) - c(i); d * d
+            }.sum
+          }.toSeq
+        }
+        (qid, luts(0), luts(1), luts(2), luts(3))
+      }.toSeq
+      val lutDf = broadcast(
+        lutRows.toDF("q_id", "l0", "l1", "l2", "l3"))
+      val adcRanked = codes.crossJoin(lutDf)
+        .withColumn("adc", expr(
+          """element_at(l0, CAST(c0 + 1 AS INT)) +
+            |element_at(l1, CAST(c1 + 1 AS INT)) +
+            |element_at(l2, CAST(c2 + 1 AS INT)) +
+            |element_at(l3, CAST(c3 + 1 AS INT))""".stripMargin))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"adc", $"vec_id")).cast("long"))
+        .filter($"rk" <= 10L || $"vec_id" === lit(-1000L) - $"q_id")
+        .select($"q_id", $"vec_id", $"rk")
+        .persist()
+      try {
+        val qLit = broadcast(qRows.toSeq.toDF("q_id", "qv"))
+        val exactTop = corpus.crossJoin(qLit)
+          .withColumn("d2", expr("graft_dist2(q, qv)"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")))
+          .filter($"rk" <= 10)
+          .select($"q_id", $"vec_id")
+        val hits = exactTop.join(
+            adcRanked.filter($"rk" <= 10L).select($"q_id", $"vec_id",
+              lit(1L).as("hit")),
+            Seq("q_id", "vec_id"), "left")
+          .groupBy($"q_id")
+          .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+        val twinRank = adcRanked
+          .filter($"vec_id" === lit(-1000L) - $"q_id")
+          .select($"q_id", $"rk".as("twin_adc_rank"))
+        val rep = hits.join(twinRank, Seq("q_id"))
+          .select($"q_id", $"n_hits",
+            expr("n_hits * 1000000 div 10").as("recall_ppm"),
+            $"twin_adc_rank",
+            when($"twin_adc_rank" <= 10L, 1L).otherwise(0L).as("twin_top10"))
+          .orderBy($"q_id")
+          .collect()
+        LocalReport.frame(s, rep.toSeq,
+          ("q_id", LongType), ("n_hits", LongType),
+          ("recall_ppm", LongType), ("twin_adc_rank", LongType),
+          ("twin_top10", LongType))
+      } finally adcRanked.unpersist(blocking = false)
+    } finally corpus.unpersist(blocking = false)
   }
 
   /** X166 — quantized centroid-drift monitor: per label, the L1 distance

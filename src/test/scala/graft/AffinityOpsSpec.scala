@@ -1487,6 +1487,29 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("n_hits")).sum > 0L)
   }
 
+  // ------------------------------------------------------------- X310
+
+  test("pq recall: twins recovered at ADC rank 1, recall band holds") {
+    val rows = graft.ops.SimilarityOps.q336PqRecall(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("q_id")).toSeq == (8L to 17L))
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      // the twin sits in BOTH top-10s by construction (exact d² = 1,
+      // ADC = its own cell's lookup minimum, ties broken to the
+      // negative id), so every query scores at least one hit
+      assert(h >= 1L && h <= 10L)
+      assert(r.getAs[Long]("recall_ppm") == h * 100000L)
+      // planted-twin recovery: the quantization cell of a 1-milli
+      // perturbation IS the query's cell — ADC must rank it first
+      assert(r.getAs[Long]("twin_adc_rank") == 1L)
+      assert(r.getAs[Long]("twin_top10") == 1L)
+    }
+    // stated recall band: mean recall@10 >= 15% for a 4x8 codebook on
+    // this corpus (observed 27% at sf0.001, 33% at sf0.01 — PQ with
+    // 3-bit codes on near-isotropic 64-dim data is honestly lossy)
+    assert(rows.map(_.getAs[Long]("n_hits")).sum >= 15L)
+  }
+
   // ------------------------------------------------------------- X146
 
   test("split leakage: exact-dup families crossing the split are counted") {

@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q336_pq_recall" -> 0,   // collect-local |queries| report; the 4
+                             // Lloyd's runs, the union+pivot encode and
+                             // the ADC/exact ranking windows run inside
+                             // the builder over the persisted corpus
     "q335_bpe_encode_holdout" -> 0, // collect-local |lang x source|
                              // report; training folds + the word-TYPE
                              // encode projection + the broadcast apply
