@@ -391,6 +391,62 @@ object SparkEntry {
        |ORDER BY q_id""".stripMargin
   }
 
+  /** q337's oracle: both planted domains regenerate from the SAME
+    * arithmetic as the Spark query (string_agg over generate_series —
+    * no corpus-sized literal), the per-source bigram loss replays q107's
+    * dict join, and the 10 hedge rounds unroll as chained CTEs with
+    * BIGINT-only accumulators (w, running Σw), each round renormalized
+    * by its own sum. */
+  private def q337OracleSql: String = {
+    val rounds = (1 to 10).map { t =>
+      s"""u$t AS (SELECT source, excess, acc,
+         |    w * (1000000 + excess) AS u FROM r${t - 1}),
+         |r$t AS MATERIALIZED (SELECT source, excess,
+         |    CAST(u * 1000000 // (SELECT CAST(sum(u) AS BIGINT) FROM u$t)
+         |      AS BIGINT) AS w,
+         |    acc + CAST(u * 1000000 // (SELECT CAST(sum(u) AS BIGINT)
+         |      FROM u$t) AS BIGINT) AS acc
+         |  FROM u$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH plants AS (
+       |  SELECT 'xx' AS lang, 'plantE' AS source,
+       |    (SELECT string_agg('ze' || CAST(k % 4 AS VARCHAR), ' ' ORDER BY k)
+       |     FROM generate_series(0, 399) t(k)) AS text
+       |  UNION ALL SELECT 'xx', 'plantH',
+       |    (SELECT string_agg('zh' || CAST(CASE WHEN k % 2 = 0
+       |        THEN (k // 2) % 60
+       |        ELSE ((k // 2) % 60 + (k // 2) // 60 + 1) % 60 END AS VARCHAR),
+       |      ' ' ORDER BY k)
+       |     FROM generate_series(0, 7079) t(k))),
+       |alld AS (SELECT source, text FROM documents
+       |  UNION ALL SELECT source, text FROM plants),
+       |w AS (SELECT source, string_split(text, ' ') AS ws FROM alld
+       |      WHERE len(string_split(text, ' ')) >= 2),
+       |x AS (SELECT source, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+       |g AS MATERIALIZED (SELECT source, ws[i] AS w1, ws[i + 1] AS w2 FROM x),
+       |c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS n12 FROM g GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+       |d AS (SELECT c2.w1, c2.w2, n12 * 1000000 // n1 AS ppm
+       |      FROM c2 JOIN c1 USING (w1)),
+       |dom AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS np,
+       |    CAST(sum(ppm) AS BIGINT) AS sppm
+       |  FROM g JOIN d USING (w1, w2) GROUP BY source),
+       |ls AS MATERIALIZED (SELECT source, np, sppm // np AS pred,
+       |    1000000 - sppm // np AS loss
+       |  FROM dom),
+       |mn AS (SELECT min(loss) AS ml, CAST(sum(np) AS BIGINT) AS tp FROM ls),
+       |r0 AS MATERIALIZED (SELECT source, loss - mn.ml AS excess,
+       |    np * 1000000 // mn.tp AS w, CAST(0 AS BIGINT) AS acc
+       |  FROM ls, mn),
+       |$rounds
+       |SELECT ls.source, ls.np AS n_pairs, ls.pred AS pred_ppm,
+       |  ls.loss AS loss_ppm, r10.excess AS excess_ppm,
+       |  r0.w AS w_init_ppm, r10.w AS w_final_ppm,
+       |  r10.acc // 10 AS w_avg_ppm, r10.w - r0.w AS drift_ppm
+       |FROM ls JOIN r0 USING (source) JOIN r10 USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   /** q321's oracle: hashed-bigram DSIR replay — FpByteFold fingerprints
     * for doc hash + gram buckets, add-one-smoothed ppm models, half-bit
     * log2 ratio via length(bin(r²))−1−39, A-ES log-domain priority, exact
@@ -1653,6 +1709,7 @@ object SparkEntry {
     "q334_quality_classifier" -> PipelineOps.q334QualityClassifier _,
     "q335_bpe_encode_holdout" -> TextOps.q335BpeEncodeHoldout _,
     "q336_pq_recall"      -> SimilarityOps.q336PqRecall _,
+    "q337_doremi_reweight" -> PipelineOps.q337DoremiReweight _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6884,6 +6941,7 @@ object SparkEntry {
     "q334_quality_classifier" -> q334OracleSql,
     "q335_bpe_encode_holdout" -> q335OracleSql,
     "q336_pq_recall" -> q336OracleSql,
+    "q337_doremi_reweight" -> q337OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -3189,6 +3189,104 @@ object PipelineOps {
     }
   }
 
+  /** q337's planted domains, generated IN-QUERY from pure arithmetic so
+    * the oracle rebuilds byte-identical text without a corpus-sized
+    * literal. plantE: a 4-word cycle — every bigram transition is
+    * deterministic, so the bigram-LM predictability is exactly 1e6 and
+    * the loss 0 (the easiest possible domain). plantH: a uniform-fanout
+    * walk over 60 disjoint words (pair p = (r, i) emits z_i then
+    * z_{(i+r) mod 60}), giving every context ~2(H−1) transitions spread
+    * over ~H distinct successors — predictability ≈ 1.5e6/(2(H−1)) ≈
+    * 13k ppm, strictly below the ~32k of the 31-word uniform corpus
+    * salad, so it is the HARDEST domain at every SF. Both on negative
+    * doc ids with their own `source` values. */
+  private[graft] val Q337EasySql: String =
+    "concat_ws(' ', transform(sequence(0, 399), k -> " +
+      "concat('ze', CAST(k % 4 AS STRING))))"
+  private[graft] val Q337HardSql: String =
+    "concat_ws(' ', transform(sequence(0, 7079), k -> concat('zh', " +
+      "CAST(CASE WHEN k % 2 = 0 THEN (k div 2) % 60 " +
+      "ELSE ((k div 2) % 60 + (k div 2) div 60 + 1) % 60 END AS STRING))))"
+
+  /** X311 — DoReMi-class iterative domain reweighting: q82 and q324
+    * allocate mixture weights STATICALLY (sqrt-damping, epoch-capped
+    * waterfall); the published DoReMi recipe ITERATES — per-domain
+    * excess loss drives a multiplicative-weights update, and the
+    * training mixture is the average of the per-round weights. The
+    * integer-exact surrogate here: the loss proxy is q107's bigram-LM
+    * predictability per domain (domain = source), loss = 1e6 − pred
+    * ppm, excess = loss − min-domain loss (the reference-model role),
+    * and T = 10 hedge rounds of `w ← w·(1e6 + excess)` renormalized to
+    * Σ = 1e6 ppm each round — the linearized multiplicative-weights
+    * update, every step in int64 (w·(1e6+excess) ≤ 2·10¹², ×1e6 for
+    * the normalizing division stays under 2¹⁸·10¹⁵ < Long.Max). The
+    * planted [[Q337EasySql]] domain (excess exactly 0) can only shed
+    * mass while the planted hardest domain gains every round — the
+    * opposite-directions certificate.
+    *
+    * Scale: the corpus work is ONE q107-shaped pass (narrow bigram
+    * zip, combinable pair fold, vocabulary-sized dict join back on the
+    * same key); the MW loop runs driver-side over the collected
+    * |domains|-row frame — iterating a 22-row state through Spark jobs
+    * would pay 10 rounds of scheduling for nothing (q320's
+    * localCheckpoint discipline is for CORPUS-sized iteration state;
+    * this state is domain-sized by construction). The oracle replays
+    * the fixpoint as 10 chained CTE rounds with BIGINT-only
+    * accumulators. */
+  def q337DoremiReweight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val plant = Seq((-337001L, "xx", "plantE"), (-337003L, "xx", "plantH"))
+      .toDF("doc_id", "lang", "source")
+      .select($"doc_id",
+        when($"source" === "plantE", expr(Q337EasySql))
+          .otherwise(expr(Q337HardSql)).as("text"),
+        $"lang", $"source")
+    val d = docs(s, dir).select($"doc_id", $"text", $"lang", $"source")
+      .unionByName(plant)
+    val pairs = d.select($"source", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"source", explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select($"source", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val c2 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("n12"))
+    val c1 = c2.groupBy($"w1").agg(sum($"n12").as("n1"))
+    val dict = c2.join(c1, "w1")
+      .select($"w1", $"w2", expr("n12 * 1000000 div n1").as("ppm"))
+    val base = pairs.join(dict, Seq("w1", "w2"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("np"), sum($"ppm").as("sppm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)(graft.ops.TextOps.utf8Ordering)
+    val totPairs = base.map(_._2).sum
+    val loss = base.map { case (src, np, sppm) =>
+      (src, np, sppm / np, 1000000L - sppm / np)
+    }
+    val minLoss = loss.map(_._4).min
+    val T = 10
+    var w = loss.map { case (_, np, _, _) => np * 1000000L / totPairs }
+    var acc = Array.fill(loss.length)(0L)
+    val w0 = w
+    (1 to T).foreach { _ =>
+      val upd = w.zip(loss).map { case (wi, (_, _, _, l)) =>
+        wi * (1000000L + (l - minLoss))
+      }
+      val tot = upd.sum
+      w = upd.map(u => u * 1000000L / tot)
+      acc = acc.zip(w).map { case (a, wi) => a + wi }
+    }
+    val rows = loss.zipWithIndex.map { case ((src, np, pred, l), i) =>
+      org.apache.spark.sql.Row(src, np, pred, l, l - minLoss,
+        w0(i), w(i), acc(i) / T, w(i) - w0(i))
+    }
+    LocalReport.frame(s, rows,
+      "source" -> StringType, "n_pairs" -> LongType, "pred_ppm" -> LongType,
+      "loss_ppm" -> LongType, "excess_ppm" -> LongType,
+      "w_init_ppm" -> LongType, "w_final_ppm" -> LongType,
+      "w_avg_ppm" -> LongType, "drift_ppm" -> LongType)
+  }
+
   /** X308 — trained quality classifier (the CCNet/fastText-class filter):
     * q31 scores documents HEURISTICALLY, q321 selects by importance
     * toward a target, q237/q97 audit agreement — this is the lane's

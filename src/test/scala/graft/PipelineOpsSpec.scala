@@ -1184,6 +1184,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q337: planted easy/hard domains move in opposite directions under the hedge loop") {
+    val rows = PipelineOps.q337DoremiReweight(spark, sf).collect()
+    val bySrc = rows.map(r => r.getString(0) -> r).toMap
+    val e = bySrc("plantE"); val h = bySrc("plantH")
+    // the cycle domain is perfectly predictable: loss exactly 0, excess
+    // exactly 0 — the only domain whose multiplier is flat, so it can
+    // only shed mass
+    assert(e.getAs[Long]("loss_ppm") == 0L && e.getAs[Long]("excess_ppm") == 0L)
+    assert(e.getAs[Long]("drift_ppm") < 0L)
+    assert(e.getAs[Long]("w_final_ppm") < e.getAs[Long]("w_init_ppm") / 10L,
+      "easy domain must collapse, not just dip")
+    // the uniform-fanout walk is the hardest domain at every SF (~13k
+    // pred vs the ~34k uniform salad) and must gain every round
+    assert(h.getAs[Long]("excess_ppm") ==
+      rows.map(_.getAs[Long]("excess_ppm")).max)
+    assert(h.getAs[Long]("drift_ppm") > 0L)
+    rows.filter(r => r.getString(0).startsWith("src")).foreach { r =>
+      assert(math.abs(r.getAs[Long]("drift_ppm")) < h.getAs[Long]("drift_ppm"),
+        s"natural ${r.getString(0)} must move less than the hard plant")
+    }
+    // trajectory direction: a monotone-decreasing weight averages above
+    // its final value; a monotone-increasing one averages below
+    assert(e.getAs[Long]("w_avg_ppm") > e.getAs[Long]("w_final_ppm"))
+    assert(h.getAs[Long]("w_avg_ppm") < h.getAs[Long]("w_final_ppm"))
+    // each round renormalizes to 1e6 ppm; the final row set may only
+    // lose the per-domain truncation remainders
+    val tot = rows.map(_.getAs[Long]("w_final_ppm")).sum
+    assert(tot <= 1000000L && tot >= 1000000L - rows.length)
+    // independent replay of the 10 hedge rounds from the report's own
+    // loss/pair columns
+    val base = rows.map(r => (r.getAs[Long]("n_pairs"),
+      r.getAs[Long]("excess_ppm"))).toSeq
+    val tp = base.map(_._1).sum
+    var w = base.map(_._1 * 1000000L / tp)
+    (1 to 10).foreach { _ =>
+      val u = w.zip(base).map { case (wi, (_, x)) => wi * (1000000L + x) }
+      val t = u.sum
+      w = u.map(_ * 1000000L / t)
+    }
+    rows.zip(w).foreach { case (r, wi) =>
+      assert(r.getAs[Long]("w_final_ppm") == wi, s"replay: ${r.getString(0)}")
+    }
+  }
+
   test("q334: plants separate, chosen row is the max-F1 operating point") {
     val rows = PipelineOps.q334QualityClassifier(spark, sf).collect()
     assert(rows.length >= 10, "sweep must have many distinct thresholds")

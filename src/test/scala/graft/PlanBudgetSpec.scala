@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q337_doremi_reweight" -> 0, // collect-local |domains| report; the
+                             // q107-shaped pair/dict folds run inside
+                             // the builder, the hedge loop is driver
+                             // math over the 22-row state
     "q336_pq_recall" -> 0,   // collect-local |queries| report; the 4
                              // Lloyd's runs, the union+pivot encode and
                              // the ADC/exact ranking windows run inside
