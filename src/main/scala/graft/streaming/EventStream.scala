@@ -837,6 +837,120 @@ object EventStream {
       }
   }
 
+  final case class PrefPair(user_id: Long, conv_idx: Long, prompt_fp: Long,
+      n_candidates: Long, chosen_id: Long, rejected_id: Long,
+      chosen_cents: Long, rejected_cents: Long, margin_cents: Long,
+      pii_prompt: Long)
+
+  // pending turns carry (us, event_id, event_type, value, props); the
+  // ordinal counter covers EVERY closed conversation (qualifying or
+  // not) so conv_idx matches the batch ordinal over the full history
+  final case class PrefState(
+      pending: List[(Long, Long, String, Double, String)], closed: Long)
+
+  /** X312 — streaming preference-pair gate: q327's real-stream twin.
+    * Conversations buffer per user exactly like [[chatContractGate]]
+    * (same 30-minute gap, same watermark-finalization rule, same
+    * running conversation ordinal that survives the state going
+    * pending-empty between conversations), and each CLOSED conversation
+    * runs the IDENTICAL q327 selection contract — first turn must be a
+    * non-empty user prompt, ≥ 2 assistant candidates, candidates sorted
+    * by (cents, event_id, fp) with chosen = last / rejected = first,
+    * UNIQUE argmax and argmin, strictly positive margin, distinct
+    * chosen/rejected fingerprints, PII-flagged (not dropped) prompt via
+    * the shared [[graft.ops.PiiPatterns]]. Cents replicate the batch
+    * `CAST(round(value·100) AS BIGINT)` through the same
+    * BigDecimal.HALF_UP rounding Spark's Round applies to doubles.
+    * NON-qualifying conversations still advance the ordinal — they emit
+    * nothing, exactly like the batch filter. StreamingSpec pins the
+    * finalize output row-identical to the oracle-gated q327 frame and
+    * the ordinal across a closed-then-reopened state.
+    *
+    * Scale: state partitions by user across executors; pending turns
+    * are bounded by one open conversation window per user (the
+    * watermark closes everything older), and the emitted frame is
+    * pair-sized. */
+  def prefPairGate(events: Dataset[Event], gapMinutes: Int = 30)
+      : Dataset[PrefPair] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    val piiPat = Seq(graft.ops.PiiPatterns.Email, graft.ops.PiiPatterns.Ipv4,
+      graft.ops.PiiPatterns.LongNumber).map(java.util.regex.Pattern.compile)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PrefState, PrefPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[PrefState]) =>
+          val wmUs =
+            try {
+              val ms = state.getCurrentWatermarkMs()
+              if (ms <= 0L) 0L else ms * 1000L
+            } catch { case _: UnsupportedOperationException => Long.MaxValue }
+          val st0 = state.getOption.getOrElse(PrefState(Nil, 0L))
+          val incoming = rows.map(e => (micros(e.ts), e.event_id,
+            e.event_type, e.value, Option(e.props).getOrElse(""))).toList
+          val all = (st0.pending ++ incoming).sortBy(t => (t._1, t._2))
+          val convs = scala.collection.mutable.ListBuffer
+            .empty[Vector[(Long, Long, String, Double, String)]]
+          var cur = Vector.empty[(Long, Long, String, Double, String)]
+          all.foreach { p =>
+            if (cur.nonEmpty && p._1 - cur.last._1 > gapUs) {
+              convs += cur; cur = Vector(p)
+            } else cur = cur :+ p
+          }
+          if (cur.nonEmpty) convs += cur
+          val (closed, open) = convs.partition(c => c.last._1 + gapUs <= wmUs)
+          if (open.isEmpty) {
+            // ordinal persistence across pending-empty state — the
+            // chatContractGate discipline (batch wm = +inf drops state)
+            if (wmUs != Long.MaxValue && st0.closed + closed.size > 0L)
+              state.update(PrefState(Nil, st0.closed + closed.size))
+            else state.remove()
+          } else {
+            state.update(PrefState(open.flatten.toList,
+              st0.closed + closed.size))
+            state.setTimeoutTimestamp(open.map(_.last._1).max / 1000L +
+              gapMinutes * 60L * 1000L + 1L)
+          }
+          def cents(v: Double): Long =
+            java.math.BigDecimal.valueOf(v * 100.0)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          def find(pats: Seq[java.util.regex.Pattern], s: String): Boolean =
+            pats.exists(_.matcher(s).find())
+          closed.iterator.zipWithIndex.flatMap { case (c, i) =>
+            val convIdx = st0.closed + i + 1L
+            val first = c.head
+            val firstRole =
+              if (first._3 == "purchase") "assistant"
+              else if (first._3 == "error") "system" else "user"
+            // (cents, event_id, fp) — the batch array_sort order
+            val cands = c.filter(t =>
+              (if (t._3 == "purchase") "assistant"
+               else if (t._3 == "error") "system" else "user") == "assistant")
+              .map(t => (cents(t._4), t._2,
+                graft.functions.Fingerprint.hashString(t._5)))
+              .sortBy(identity)
+            if (firstRole != "user" || first._5.trim.isEmpty ||
+              cands.size < 2) Iterator.empty
+            else {
+              val ch = cands.last; val rj = cands.head
+              val nmax = cands.count(_._1 == ch._1)
+              val nmin = cands.count(_._1 == rj._1)
+              if (ch._1 > rj._1 && nmax == 1 && nmin == 1 && ch._3 != rj._3)
+                Iterator.single(PrefPair(userId, convIdx,
+                  graft.functions.Fingerprint.hashString(first._5),
+                  cands.size.toLong, ch._2, rj._2, ch._1, rj._1,
+                  ch._1 - rj._1,
+                  if (find(piiPat, first._5)) 1L else 0L))
+              else Iterator.empty
+            }
+          }
+      }
+  }
+
   final case class MaskDoc(doc_id: Long, ts: Timestamp, source: String,
       text: String)
   final case class MaskRow(doc_id: Long, n_lines: Long, n_masked_lines: Long,

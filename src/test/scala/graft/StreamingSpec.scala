@@ -815,6 +815,78 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("prefPairGate finalize equals the ORACLE-GATED q327 frame") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // the stream sees the SAME feed as the batch operator: real events
+    // plus the PrefPlant rows (rebuilt as Event values; us -> timestamp)
+    val real = graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      .as[Event].collect()
+    val plants = graft.ops.EventOps.PrefPlant.map {
+      case (eid, uid, us, typ, v, props) =>
+        val t = new Timestamp(us / 1000L)
+        t.setNanos(((us % 1000000L) * 1000L).toInt)
+        Event(eid, t, uid, typ, v, props)
+    }
+    val ds = spark.createDataset(real.toSeq ++ plants)
+    // batch execution finalizes every conversation (watermark = +inf)
+    val streamed = EventStream.prefPairGate(ds).collect()
+      .map(p => (p.user_id, p.conv_idx, p.prompt_fp, p.n_candidates,
+        p.chosen_id, p.rejected_id, p.chosen_cents, p.rejected_cents,
+        p.margin_cents, p.pii_prompt)).toSet
+    val batch = SparkEntry.queries("q327_preference_pairs")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the planted clean pair and the PII pair both came through
+    assert(streamed.exists(p => p._1 == -801L && p._10 == 0L))
+    assert(streamed.exists(p => p._1 == -805L && p._10 == 1L))
+  }
+
+  test("prefPairGate: non-qualifying conversations still advance the ordinal") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def pe(id: Long, min: Long, user: Long, typ: String, value: Double,
+        props: String): Event = Event(id, ts(min), user, typ, value, props)
+    val mem = MemoryStream[Event]
+    val q = EventStream.prefPairGate(mem.toDS())
+      .writeStream.format("memory").queryName("prefpairs")
+      .outputMode(OutputMode.Append).start()
+    // conversation 1 for user 9: qualifying pair
+    mem.addData(pe(1, 0, 9, "view", 0.0, "prompt one"),
+      pe(2, 1, 9, "purchase", 2.0, "weak answer"),
+      pe(3, 2, 9, "purchase", 9.0, "strong answer"))
+    q.processAllAvailable()
+    // watermark pusher closes conv 1; state goes pending-empty
+    mem.addData(pe(100, 200, 8, "view", 0.0, "x"))
+    q.processAllAvailable()
+    // conversation 2: single candidate -> NO pair, but the ordinal moves
+    mem.addData(pe(4, 300, 9, "view", 0.0, "prompt two"),
+      pe(5, 301, 9, "purchase", 3.0, "only answer"))
+    q.processAllAvailable()
+    mem.addData(pe(101, 600, 8, "view", 0.0, "x"))
+    q.processAllAvailable()
+    // conversation 3: qualifying again -> conv_idx must be 3, not 2
+    mem.addData(pe(6, 700, 9, "view", 0.0, "prompt three"),
+      pe(7, 701, 9, "purchase", 1.0, "meh"),
+      pe(8, 702, 9, "purchase", 8.0, "great"))
+    q.processAllAvailable()
+    mem.addData(pe(102, 1000, 8, "view", 0.0, "x"))
+    q.processAllAvailable()
+    mem.addData(pe(103, 1020, 8, "view", 0.0, "x"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("prefpairs").collect()
+      .filter(_.getLong(0) == 9L)
+      .map(r => (r.getLong(1), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L, 2L), (3L, 8L, 7L)),
+      s"ordinals must skip the single-candidate conversation: ${got.toSeq}")
+  }
+
   test("chatContractGate keeps the conversation ordinal across closed state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
