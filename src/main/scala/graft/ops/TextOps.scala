@@ -1125,11 +1125,24 @@ object TextOps {
     *
     * Scale: ONE persisted (lang, source, word) explode feeds both the
     * frequency fold (training input) and the apply join; the dictionary
-    * is word-TYPE-sized (bounded-dictionary broadcast — an open-vocab
-    * corpus would switch the apply join to a shuffle join, nothing else
-    * changes); the |lang×source| report collects and the cache releases
-    * before return. */
-  def q325BpeApply(s: SparkSession, dir: String): DataFrame = {
+    * is word-TYPE-sized and the broadcast decision is COUNTED, not
+    * assumed — above [[bpeApplyReport]]'s threshold the apply join
+    * escalates to a shuffle join (loud-logged; the spec pins both
+    * branches row-identical); the |lang×source| report collects and the
+    * cache releases before return. */
+  def q325BpeApply(s: SparkSession, dir: String): DataFrame =
+    bpeApplyReport(s, dir, broadcastTypeThreshold = 1000000L)
+
+  /** [[q325BpeApply]]'s body with the broadcast decision COUNTED instead
+    * of assumed (the q50 driver/distributed threshold pattern): the
+    * word-TYPE dictionary is Zipf-bounded on this corpus, but an
+    * open-web vocabulary is not — above the threshold the apply join
+    * escalates to a plain shuffle join (same output, the spec pins both
+    * branches row-identical) and says so loudly on stderr. The count is
+    * one cheap job over the trainer's already-localCheckpointed vocab
+    * frame. */
+  private[graft] def bpeApplyReport(s: SparkSession, dir: String,
+      broadcastTypeThreshold: Long): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.{LongType, StringType}
     val words = docs(s, dir)
@@ -1141,7 +1154,16 @@ object TextOps {
       val (_, vocab) = bpeTrain(s, wordFreq, 30)
       val dict = vocab.select($"word", size($"syms").cast("long").as("n_tok"),
         length($"word").cast("long").as("n_chr"))
-      val rep = words.join(broadcast(dict), Seq("word"))
+      val nTypes = dict.count()
+      val applySide =
+        if (nTypes <= broadcastTypeThreshold) broadcast(dict)
+        else {
+          Console.err.println(s"[graft] q325: $nTypes word types exceed " +
+            s"the broadcast threshold $broadcastTypeThreshold — " +
+            "escalating the apply join to a shuffle join")
+          dict
+        }
+      val rep = words.join(applySide, Seq("word"))
         .groupBy($"lang", $"source")
         .agg(count(lit(1)).as("n_words"), sum($"n_tok").as("n_bpe_tokens"),
           sum($"n_chr").as("n_chars"))

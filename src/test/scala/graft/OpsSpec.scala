@@ -2284,6 +2284,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.getAs[Long]("n_chars") == words.map(_.length.toLong).sum)
   }
 
+  test("q325: broadcast and escalated shuffle-join branches are row-identical") {
+    // the counted threshold branch (q50's driver/distributed pattern):
+    // threshold 0 forces the loud-logged shuffle-join escalation; the
+    // report must not depend on the join strategy
+    def rows(thr: Long) = TextOps.bpeApplyReport(spark, sf, thr).collect()
+      .map(r => (0 until r.length).map(i => r.get(i)).toList).toList
+    assert(rows(Long.MaxValue) == rows(0L))
+  }
+
   test("q333: group folds never split a dup cluster; naive folds measurably do") {
     import spark.implicits._
     val rows = DedupOps.q333GroupFolds(spark, sf).collect()
