@@ -241,6 +241,53 @@ object SparkEntry {
        |FROM wd JOIN tok USING (word)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q338's oracle: the shared NB score chain, then isotonic fit via the
+    * MINIMAX formulation — fit_i = max_{a≤i} min_{b≥i} floor(avg(a,b))
+    * over the bounded plant-score bins (provably equal to the driver's
+    * PAV because floor commutes with max and min — the gate is a
+    * cross-ALGORITHM check), plus the corpus step-function bin mapping
+    * and exact Brier numerators. */
+  private def q338OracleSql: String =
+    s"""WITH $nbScoreChainSql,
+       |bins AS MATERIALIZED (
+       |  SELECT score, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS np
+       |  FROM ps GROUP BY score),
+       |pre AS MATERIALIZED (
+       |  SELECT score, n, np,
+       |    CAST(row_number() OVER (ORDER BY score) AS BIGINT) AS rn,
+       |    CAST(sum(n) OVER (ORDER BY score) AS BIGINT) AS cn,
+       |    CAST(sum(np) OVER (ORDER BY score) AS BIGINT) AS cp
+       |  FROM bins),
+       |seg AS MATERIALIZED (
+       |  SELECT a.rn AS ra, b.rn AS rb,
+       |    (b.cp - a.cp + a.np) * 1000000 // (b.cn - a.cn + a.n) AS avgf
+       |  FROM pre a JOIN pre b ON b.rn >= a.rn),
+       |mm AS (SELECT i.rn AS i, s.ra, min(s.avgf) AS mn
+       |  FROM pre i JOIN seg s ON s.ra <= i.rn AND s.rb >= i.rn
+       |  GROUP BY i.rn, s.ra),
+       |fit AS MATERIALIZED (
+       |  SELECT i AS rn, CAST(max(mn) AS BIGINT) AS iso FROM mm GROUP BY i),
+       |ch AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM ds GROUP BY score),
+       |cb AS (SELECT ch.score, ch.c,
+       |    coalesce((SELECT max(p.rn) FROM pre p WHERE p.score <= ch.score), 1)
+       |      AS rn
+       |  FROM ch),
+       |cc AS MATERIALIZED (
+       |  SELECT rn, CAST(sum(c) AS BIGINT) AS n_corpus FROM cb GROUP BY rn)
+       |SELECT pre.rn AS bin_idx, pre.score AS score_half, pre.n AS n_cal,
+       |  pre.np AS n_pos, pre.np * 1000000 // pre.n AS raw_ppm,
+       |  fit.iso AS iso_ppm,
+       |  coalesce(cc.n_corpus, 0) AS n_corpus,
+       |  pre.np * (1000000 - pre.np * 1000000 // pre.n)
+       |      * (1000000 - pre.np * 1000000 // pre.n)
+       |    + (pre.n - pre.np) * (pre.np * 1000000 // pre.n)
+       |      * (pre.np * 1000000 // pre.n) AS raw_sse_ppm2,
+       |  pre.np * (1000000 - fit.iso) * (1000000 - fit.iso)
+       |    + (pre.n - pre.np) * fit.iso * fit.iso AS iso_sse_ppm2
+       |FROM pre JOIN fit USING (rn) LEFT JOIN cc USING (rn)
+       |ORDER BY score_half""".stripMargin
+
   /** q335's oracle: the SAME generated learn chain trained on the even
     * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
     * APPLY chain — h0 is the char symbolization of the odd-half word
@@ -509,7 +556,11 @@ object SparkEntry {
     * plants AND corpus, then the exact threshold sweep (tp/fp/fn,
     * precision/recall/F1 ppm, max-F1 chosen row, corpus keep counts and
     * q31-heuristic agreement). */
-  private def q334OracleSql: String = {
+  /** The Naive-Bayes train-and-score CTE chain shared by q334's sweep
+    * and q338's calibrator: QualityPlant VALUES, per-class bucket
+    * counts, half-bit LLR weights over all 256 buckets, plant scores
+    * (ps) and corpus scores + q31 heuristic (ds). */
+  private def nbScoreChainSql: String = {
     def fp(e: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
          |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
@@ -517,7 +568,7 @@ object SparkEntry {
     val plantRows = graft.ops.PipelineOps.QualityPlant.map {
       case (id, y, t) => s"(CAST($id AS BIGINT), CAST($y AS BIGINT), '$t')"
     }.mkString(",\n    ")
-    s"""WITH plants(doc_id, y, txt) AS (VALUES
+    s"""plants(doc_id, y, txt) AS (VALUES
        |    $plantRows),
        |pw AS MATERIALIZED (SELECT doc_id, y,
        |    list_filter(string_split(txt, ' '), x -> x <> '') AS ws
@@ -559,7 +610,12 @@ object SparkEntry {
        |ds AS MATERIALIZED (
        |  SELECT dw.doc_id, coalesce(sc.s, 0) AS score, dw.heur
        |  FROM dw LEFT JOIN (SELECT doc_id, CAST(sum(w.w) AS BIGINT) AS s
-       |    FROM dg JOIN w USING (bucket) GROUP BY doc_id) sc USING (doc_id)),
+       |    FROM dg JOIN w USING (bucket) GROUP BY doc_id) sc USING (doc_id))"""
+      .stripMargin
+  }
+
+  private def q334OracleSql: String = {
+    s"""WITH $nbScoreChainSql,
        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ds),
        |thr AS MATERIALIZED (SELECT DISTINCT score AS t FROM ps),
        |sw AS MATERIALIZED (SELECT thr.t,
@@ -1710,6 +1766,7 @@ object SparkEntry {
     "q335_bpe_encode_holdout" -> TextOps.q335BpeEncodeHoldout _,
     "q336_pq_recall"      -> SimilarityOps.q336PqRecall _,
     "q337_doremi_reweight" -> PipelineOps.q337DoremiReweight _,
+    "q338_isotonic_calibration" -> PipelineOps.q338IsotonicCalibration _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -6942,6 +6999,7 @@ object SparkEntry {
     "q335_bpe_encode_holdout" -> q335OracleSql,
     "q336_pq_recall" -> q336OracleSql,
     "q337_doremi_reweight" -> q337OracleSql,
+    "q338_isotonic_calibration" -> q338OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

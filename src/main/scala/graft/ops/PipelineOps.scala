@@ -3287,6 +3287,85 @@ object PipelineOps {
       "w_avg_ppm" -> LongType, "drift_ppm" -> LongType)
   }
 
+  /** X313 — isotonic calibration of the trained classifier (pool-
+    * adjacent-violators): q334's Naive-Bayes scores rank documents, but
+    * a score is not a PROBABILITY — the published calibration step fits
+    * the monotone map from score to positive rate. Integer-exact both
+    * ways via the PAV ≡ minimax theorem: the driver runs the O(n) PAV
+    * stack over the exact (positives, count) prefix sums of the plant
+    * score bins and floors ONLY the final block average to ppm, while
+    * the DuckDB oracle computes fit_i = max_{a≤i} min_{b≥i}
+    * floor(avg(a, b)) — equal because floor commutes with max and min,
+    * so the gate itself is a cross-ALGORITHM proof, not a replay of the
+    * same loop. The [[QualityPlant]] construction bakes in real pooling
+    * work: the mislabeled pure-junk positive shares a bin with the
+    * pure-junk negative (rate 500000 at the BOTTOM of the score axis)
+    * and the mislabeled pure-good negative ties the top bin (500000 at
+    * the TOP) — PAV must pool the bottom bin with the zero-rate
+    * negatives (→ 1/21) and the top bin with the 1e6-rate positives
+    * (→ 20/21). Per bin: calibration counts, raw vs isotonic rate,
+    * Brier-style squared-error sums (raw ≤ iso ≤ prior — the spec pins
+    * the ordering), and how many CORPUS documents the step function
+    * maps into the bin (largest bin score ≤ doc score; scores below the
+    * first bin clamp to it).
+    *
+    * Scale: calibration runs on the driver over the bounded labeled
+    * bins; the only corpus-sized work is ONE narrow scoring scan into a
+    * (score) histogram fold (q334's shape); the bin mapping is driver
+    * math over the bounded histogram. */
+  def q338IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.LongType
+    Fingerprint.register(s)
+    val weights = q334Weights
+    val plantScores = QualityPlant.map { case (_, y, t) =>
+      (qualityGrams(t, 256).map(b => weights(b)).sum, y)
+    }
+    val bins = plantScores.groupBy(_._1).toSeq
+      .map { case (sc, g) =>
+        (sc, g.size.toLong, g.count(_._2 == 1L).toLong)
+      }.sortBy(_._1)
+    // PAV over exact integer block sums; violation test by
+    // cross-multiplication, never a rounded intermediate
+    val blocks = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
+    bins.foreach { case (_, n, p) =>
+      var (bp, bc, bk) = (p, n, 1)
+      while (blocks.nonEmpty &&
+        blocks.last._1 * bc > bp * blocks.last._2) {
+        val (lp, lc, lk) = blocks.remove(blocks.length - 1)
+        bp += lp; bc += lc; bk += lk
+      }
+      blocks += ((bp, bc, bk))
+    }
+    val iso = blocks.flatMap { case (bp, bc, bk) =>
+      Seq.fill(bk)(bp * 1000000L / bc)
+    }.toIndexedSeq
+    // corpus application: one scoring scan into a bounded histogram
+    val hist = docs(s, dir).select(q334ScoreExpr(weights).as("score"))
+      .groupBy($"score").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect()
+    val scoresAsc = bins.map(_._1)
+    def binOf(sc: Long): Int = {
+      val i = scoresAsc.lastIndexWhere(_ <= sc)
+      if (i < 0) 0 else i
+    }
+    val corpusPerBin = hist.groupBy(h => binOf(h._1)).view
+      .mapValues(_.map(_._2).sum).toMap
+    // exact Brier numerators in ppm² (≤ 21·10¹² — comfortably int64)
+    def sse(p: Long, n: Long, fit: Long): Long =
+      p * (1000000L - fit) * (1000000L - fit) + (n - p) * fit * fit
+    val rows = bins.zipWithIndex.map { case ((sc, n, p), i) =>
+      val raw = p * 1000000L / n
+      org.apache.spark.sql.Row((i + 1).toLong, sc, n, p, raw, iso(i),
+        corpusPerBin.getOrElse(i, 0L), sse(p, n, raw), sse(p, n, iso(i)))
+    }
+    LocalReport.frame(s, rows,
+      "bin_idx" -> LongType, "score_half" -> LongType, "n_cal" -> LongType,
+      "n_pos" -> LongType, "raw_ppm" -> LongType, "iso_ppm" -> LongType,
+      "n_corpus" -> LongType, "raw_sse_ppm2" -> LongType,
+      "iso_sse_ppm2" -> LongType)
+  }
+
   /** X308 — trained quality classifier (the CCNet/fastText-class filter):
     * q31 scores documents HEURISTICALLY, q321 selects by importance
     * toward a target, q237/q97 audit agreement — this is the lane's
@@ -3325,12 +3404,10 @@ object PipelineOps {
     * dictionary, never corpus-sized); the sweep runs on the driver over
     * |plant-scores| × |histogram| rows. A 100 TB corpus costs exactly
     * one combinable aggregation. */
-  def q334QualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.types.LongType
-    Fingerprint.register(s)
+  /** q334's trained per-bucket half-bit LLR weights — a pure driver fold
+    * over the [[QualityPlant]] corpus, shared with q338's calibrator. */
+  private[graft] def q334Weights: IndexedSeq[Long] = {
     val B = 256
-    // --- training: per-class bucket counts over the plant corpus ---
     val occ = QualityPlant.flatMap { case (_, y, t) =>
       qualityGrams(t, B).map(b => (b, y))
     }
@@ -3338,7 +3415,7 @@ object PipelineOps {
     val n0 = occ.size.toLong - n1
     val byBucket = occ.groupBy(_._1)
     def band(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
-    val weights: IndexedSeq[Long] = (0 until B).map { b =>
+    (0 until B).map { b =>
       val c1 = byBucket.get(b).map(_.count(_._2 == 1L).toLong).getOrElse(0L)
       val c0 = byBucket.get(b).map(_.count(_._2 == 0L).toLong).getOrElse(0L)
       val p1 = math.max((c1 + 1L) * 1000000L / (n1 + B), 1L)
@@ -3346,17 +3423,31 @@ object PipelineOps {
       val r = math.min(p1 * 1000000L / p0, 2147483647L)
       band(r * r) - 39L
     }
-    // --- scoring: one narrow projection over the corpus ---
+  }
+
+  /** q334's narrow NB scoring projection over a `text` column (see the
+    * q334 scaladoc for the let-bind rationale), shared with q338. */
+  private[graft] def q334ScoreExpr(weights: IndexedSeq[Long]): Column = {
     val wArr = weights.mkString(", ")
+    expr(
+      s"""element_at(transform(array(filter(split(coalesce(text, ''), ' '), x -> x <> '')), ws ->
+         |  aggregate(
+         |    transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
+         |      (x, i) -> CAST(pmod(graft_fingerprint(concat(x, ' ', element_at(ws, i + 2))), 256) AS INT)),
+         |    CAST(0 AS BIGINT),
+         |    (acc, b) -> acc + element_at(array($wArr), b + 1))), 1)"""
+        .stripMargin)
+  }
+
+  def q334QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.LongType
+    Fingerprint.register(s)
+    val B = 256
+    val weights = q334Weights
+    // --- scoring: one narrow projection over the corpus ---
     val scored = docs(s, dir).select(
-      expr(
-        s"""element_at(transform(array(filter(split(coalesce(text, ''), ' '), x -> x <> '')), ws ->
-           |  aggregate(
-           |    transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
-           |      (x, i) -> CAST(pmod(graft_fingerprint(concat(x, ' ', element_at(ws, i + 2))), $B) AS INT)),
-           |    CAST(0 AS BIGINT),
-           |    (acc, b) -> acc + element_at(array($wArr), b + 1))), 1)"""
-          .stripMargin).as("score"),
+      q334ScoreExpr(weights).as("score"),
       expr(
         """CASE WHEN text IS NOT NULL
           |  AND CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000

@@ -1228,6 +1228,51 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q338: isotonic fit is monotone, pools the mislabeled ties, and beats the prior") {
+    val rows = PipelineOps.q338IsotonicCalibration(spark, sf).collect()
+      .sortBy(_.getAs[Long]("score_half"))
+    assert(rows.length >= 10)
+    // monotone non-decreasing calibrated probabilities
+    rows.sliding(2).foreach { p =>
+      assert(p(0).getAs[Long]("iso_ppm") <= p(1).getAs[Long]("iso_ppm"))
+    }
+    // the two mislabeled extremes tie their twins into 1/2-rate bins;
+    // both violate monotonicity and MUST be pooled away from 500000
+    val halves = rows.filter(_.getAs[Long]("raw_ppm") == 500000L)
+    assert(halves.length == 2, s"expected the two mislabeled ties")
+    halves.foreach(r =>
+      assert(r.getAs[Long]("iso_ppm") != 500000L, s"unpooled tie: $r"))
+    // Brier ordering: raw (unconstrained per-bin fit) <= isotonic <=
+    // the single global prior
+    val nPos = rows.map(_.getAs[Long]("n_pos")).sum
+    val nAll = rows.map(_.getAs[Long]("n_cal")).sum
+    val prior = nPos * 1000000L / nAll
+    val priorSse = rows.map { r =>
+      val (p, n) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_cal"))
+      p * (1000000L - prior) * (1000000L - prior) + (n - p) * prior * prior
+    }.sum
+    val rawSse = rows.map(_.getAs[Long]("raw_sse_ppm2")).sum
+    val isoSse = rows.map(_.getAs[Long]("iso_sse_ppm2")).sum
+    assert(rawSse <= isoSse && isoSse <= priorSse,
+      s"raw=$rawSse iso=$isoSse prior=$priorSse")
+    // every corpus document lands in exactly one bin
+    val nCorpus = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_corpus")).sum == nCorpus)
+    // third implementation: the minimax formulation (the oracle's
+    // algorithm) recomputed here must equal the driver's PAV output —
+    // floor commutes with max/min, so the two are provably equal
+    val bins = rows.map(r => (r.getAs[Long]("n_cal"), r.getAs[Long]("n_pos")))
+    val n = bins.length
+    val cn = bins.scanLeft(0L)(_ + _._1)
+    val cp = bins.scanLeft(0L)(_ + _._2)
+    def avgf(a: Int, b: Int): Long =
+      (cp(b + 1) - cp(a)) * 1000000L / (cn(b + 1) - cn(a))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val mm = (0 to i).map(a => (i until n).map(b => avgf(a, b)).min).max
+      assert(r.getAs[Long]("iso_ppm") == mm, s"minimax mismatch at bin $i")
+    }
+  }
+
   test("q334: plants separate, chosen row is the max-F1 operating point") {
     val rows = PipelineOps.q334QualityClassifier(spark, sf).collect()
     assert(rows.length >= 10, "sweep must have many distinct thresholds")

@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q338_isotonic_calibration" -> 0, // collect-local |bins| report;
+                             // PAV runs on the driver over the bounded
+                             // labeled bins, the corpus work is one
+                             // scoring scan into a histogram fold
     "q337_doremi_reweight" -> 0, // collect-local |domains| report; the
                              // q107-shaped pair/dict folds run inside
                              // the builder, the hedge loop is driver
