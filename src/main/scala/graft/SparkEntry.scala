@@ -288,6 +288,64 @@ object SparkEntry {
        |FROM pre JOIN fit USING (rn) LEFT JOIN cc USING (rn)
        |ORDER BY score_half""".stripMargin
 
+  /** q339's oracle: q107's per-doc difficulty replay over documents ∪
+    * the arithmetic-generated q337 plant texts, exact rank order, the
+    * 10 sqrt-competence cuts (floor(sqrt(t·10¹¹)) — exact-integer sqrt
+    * argument, IEEE-identical on both engines), phase assignment by
+    * counting cuts below the rank, 10-row fold. */
+  private def q339OracleSql: String =
+    s"""WITH plants AS (
+       |  SELECT CAST(-339001 AS BIGINT) AS doc_id,
+       |    (SELECT string_agg('ze' || CAST(k % 4 AS VARCHAR), ' ' ORDER BY k)
+       |     FROM generate_series(0, 399) t(k)) AS text
+       |  UNION ALL SELECT -339003,
+       |    (SELECT string_agg('zh' || CAST(CASE WHEN k % 2 = 0
+       |        THEN (k // 2) % 60
+       |        ELSE ((k // 2) % 60 + (k // 2) // 60 + 1) % 60 END AS VARCHAR),
+       |      ' ' ORDER BY k)
+       |     FROM generate_series(0, 7079) t(k))),
+       |alld AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM plants),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM alld
+       |      WHERE len(string_split(text, ' ')) >= 2),
+       |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+       |g AS MATERIALIZED (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM x),
+       |c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS n12 FROM g GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+       |d AS (SELECT c2.w1, c2.w2, n12 * 1000000 // n1 AS ppm
+       |      FROM c2 JOIN c1 USING (w1)),
+       |df AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    1000000 - CAST(sum(ppm) AS BIGINT) // count(*) AS diff
+       |  FROM g JOIN d USING (w1, w2) GROUP BY doc_id),
+       |rk AS MATERIALIZED (SELECT *,
+       |    CAST(row_number() OVER (ORDER BY diff, doc_id) AS BIGINT) AS rn
+       |  FROM df),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk),
+       |cuts AS MATERIALIZED (SELECT phase,
+       |    CAST(floor(sqrt(CAST(phase * 100000000000 AS DOUBLE))) AS BIGINT)
+       |      AS c_ppm,
+       |    CAST(floor(sqrt(CAST(phase * 100000000000 AS DOUBLE))) AS BIGINT)
+       |      * nn.n // 1000000 AS cut
+       |  FROM (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+       |    AS phase) p, nn),
+       |asg AS (SELECT rk.rn, rk.n_pairs, rk.diff,
+       |    1 + (SELECT CAST(count(*) AS BIGINT) FROM cuts
+       |      WHERE cuts.cut < rk.rn) AS phase
+       |  FROM rk),
+       |agg AS (SELECT phase, CAST(count(*) AS BIGINT) AS n_new,
+       |    CAST(sum(n_pairs + 1) AS BIGINT) AS toks,
+       |    CAST(sum(diff) AS BIGINT) AS sumd,
+       |    CAST(max(diff) AS BIGINT) AS maxd
+       |  FROM asg GROUP BY phase)
+       |SELECT cuts.phase, cuts.c_ppm AS competence_ppm, cuts.cut AS cut_rank,
+       |  coalesce(agg.n_new, 0) AS n_new,
+       |  coalesce(agg.toks, 0) AS new_tokens,
+       |  CASE WHEN agg.n_new IS NULL OR agg.n_new = 0 THEN 0
+       |    ELSE agg.sumd // agg.n_new END AS mean_new_difficulty_ppm,
+       |  coalesce(agg.maxd, 0) AS frontier_difficulty_ppm
+       |FROM cuts LEFT JOIN agg USING (phase)
+       |ORDER BY phase""".stripMargin
+
   /** q335's oracle: the SAME generated learn chain trained on the even
     * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
     * APPLY chain — h0 is the char symbolization of the odd-half word
@@ -1767,6 +1825,7 @@ object SparkEntry {
     "q336_pq_recall"      -> SimilarityOps.q336PqRecall _,
     "q337_doremi_reweight" -> PipelineOps.q337DoremiReweight _,
     "q338_isotonic_calibration" -> PipelineOps.q338IsotonicCalibration _,
+    "q339_curriculum_schedule" -> CorpusOps.q339CurriculumSchedule _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7000,6 +7059,7 @@ object SparkEntry {
     "q336_pq_recall" -> q336OracleSql,
     "q337_doremi_reweight" -> q337OracleSql,
     "q338_isotonic_calibration" -> q338OracleSql,
+    "q339_curriculum_schedule" -> q339OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

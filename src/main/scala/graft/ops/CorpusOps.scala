@@ -402,6 +402,86 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** X314 — competence-based curriculum schedule (Platanios et al.): X99
+    * (q133) interleaves domains by WEIGHT; this orders documents by
+    * DIFFICULTY and unlocks them on the published sqrt competence
+    * schedule — the construction step of curriculum pre-training.
+    * Difficulty is q107's integer surrogate per document
+    * (1e6 − avg bigram predictability ppm; docs need ≥ 2 words — the
+    * universe every row of this report draws from), the total order is
+    * (difficulty ASC, doc_id) via GlobalOrder's exact rank, and phase
+    * t ∈ 1..10 admits the easiest floor(√(t/10)·1e6) ppm of ranks
+    * (c_ppm = floor(sqrt(t·10¹¹)) — the sqrt argument is an exact
+    * integer in double, IEEE sqrt is correctly rounded, and floor lands
+    * both engines on the same BIGINT). Per phase: the competence, the
+    * rank cut, eligible/new doc counts, new tokens (bigram transitions
+    * + 1), the mean difficulty of the newly unlocked band and the
+    * frontier difficulty at the cut. The q337 plant texts ride along:
+    * the 4-word cycle (difficulty exactly 0) must unlock in phase 1 at
+    * rank 1, the uniform-fanout walk is the corpus's hardest document
+    * and must unlock in the LAST phase — the spec pins both.
+    *
+    * Scale: q107's pair/dict folds + ONE GlobalOrder rank pass over the
+    * doc-difficulty frame; the 10 phase cuts broadcast as a literal and
+    * phase assignment is arithmetic on the rank (no per-phase scans);
+    * the report is a 10-row fold. */
+  def q339CurriculumSchedule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.LongType
+    val plant = Seq((-339001L, "plantE"), (-339003L, "plantH"))
+      .toDF("doc_id", "tag")
+      .select($"doc_id",
+        when($"tag" === "plantE", expr(PipelineOps.Q337EasySql))
+          .otherwise(expr(PipelineOps.Q337HardSql)).as("text"))
+    val d = docs(s, dir).select($"doc_id", $"text").unionByName(plant)
+    val pairs = d.select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val c2 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("n12"))
+    val c1 = c2.groupBy($"w1").agg(sum($"n12").as("n1"))
+    val dict = c2.join(c1, "w1")
+      .select($"w1", $"w2", expr("n12 * 1000000 div n1").as("ppm"))
+    val diff = pairs.join(dict, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("1000000 - CAST(sum(ppm) AS BIGINT) div count(1)")
+          .as("difficulty_ppm"))
+    val (ranked, n) = graft.operators.GlobalOrder.withRowNumberAndTotal(
+      diff, Seq($"difficulty_ppm", $"doc_id"), "rn")
+    val cuts = (1 to 10).map { t =>
+      val c = math.floor(math.sqrt((t * 100000000000L).toDouble)).toLong
+      (t.toLong, c, c * n / 1000000L)
+    }
+    // phase of a rank = 1 + #cuts strictly below it (cuts are monotone)
+    val phaseExpr = cuts.map { case (_, _, cut) =>
+      s"(CASE WHEN rn > ${cut}L THEN 1 ELSE 0 END)"
+    }.mkString("1 + ", " + ", "")
+    val perPhase = ranked
+      .withColumn("phase", expr(phaseExpr).cast("long"))
+      .groupBy($"phase")
+      .agg(count(lit(1)).as("n_new"),
+        sum($"n_pairs" + 1L).as("new_tokens"),
+        sum($"difficulty_ppm").as("sum_diff"),
+        max($"difficulty_ppm").as("max_diff"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = cuts.map { case (t, cPpm, cut) =>
+      val (nNew, toks, sumD, maxD) =
+        perPhase.getOrElse(t, (0L, 0L, 0L, 0L))
+      org.apache.spark.sql.Row(t, cPpm, cut, nNew, toks,
+        if (nNew == 0L) 0L else sumD / nNew,
+        maxD)
+    }
+    graft.operators.LocalReport.frame(s, rows,
+      "phase" -> LongType, "competence_ppm" -> LongType,
+      "cut_rank" -> LongType, "n_new" -> LongType,
+      "new_tokens" -> LongType, "mean_new_difficulty_ppm" -> LongType,
+      "frontier_difficulty_ppm" -> LongType)
+  }
+
   def q100HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = docs(s, dir).select(explode(split($"text", " ")).as("w"))

@@ -475,4 +475,55 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(offs.zip(offs.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("q339: sqrt pacing, rank partition, plants bracket the schedule") {
+    val rows = graft.ops.CorpusOps.q339CurriculumSchedule(spark, sf)
+      .collect().sortBy(_.getAs[Long]("phase"))
+    assert(rows.length == 10)
+    val n = rows.last.getAs[Long]("cut_rank")
+    rows.foreach { r =>
+      val t = r.getAs[Long]("phase")
+      val c = math.floor(math.sqrt((t * 100000000000L).toDouble)).toLong
+      assert(r.getAs[Long]("competence_ppm") == c)
+      assert(r.getAs[Long]("cut_rank") == c * n / 1000000L)
+    }
+    // the phases partition the ranked universe exactly
+    assert(rows.map(_.getAs[Long]("n_new")).sum == n)
+    // difficulty frontier is non-decreasing across phases with new docs
+    val fronts = rows.filter(_.getAs[Long]("n_new") > 0L)
+      .map(_.getAs[Long]("frontier_difficulty_ppm"))
+    fronts.sliding(2).foreach(p => assert(p(0) <= p(1)))
+    // the uniform-fanout walk's difficulty is plant-internal (its words
+    // never occur in the corpus), hence SF-invariant: 1e6 - 16806 — and
+    // it must be the LAST phase's frontier (the hardest document)
+    assert(rows.last.getAs[Long]("frontier_difficulty_ppm") == 983194L)
+    assert(rows.last.getAs[Long]("n_new") > 0L)
+  }
+
+  test("q339: hand-computed 4-doc corpus pins every phase row") {
+    import spark.implicits._
+    // corpus = easy plant (difficulty 0, rank 1 by id tie-break),
+    // A = 'aa bb aa bb aa' (difficulty 125000 once B skews the dict),
+    // B = 'aa bb aa cc' (333334), hard plant walk (983194). Cuts over
+    // n = 4: ranks unlock at phases 1, 3, 6, 10 (floor(sqrt(t/10))·4).
+    val dir = java.nio.file.Files.createTempDirectory("curr_plant").toString
+    Seq((10L, "aa bb aa bb aa", "en", "planted", 14L),
+        (11L, "aa bb aa cc", "en", "planted", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.CorpusOps.q339CurriculumSchedule(spark, dir)
+      .collect().sortBy(_.getAs[Long]("phase"))
+      .map(r => (r.getAs[Long]("phase"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("mean_new_difficulty_ppm"),
+        r.getAs[Long]("frontier_difficulty_ppm")))
+    val want = Seq(
+      (1L, 1L, 0L, 0L),           // easy plant, deterministic cycle
+      (2L, 0L, 0L, 0L),
+      (3L, 1L, 125000L, 125000L), // A: (2·0.75e6 + 2·1e6)/4 pred
+      (4L, 0L, 0L, 0L), (5L, 0L, 0L, 0L),
+      (6L, 1L, 333334L, 333334L), // B: (0.75e6 + 1e6 + 0.25e6)/3 pred
+      (7L, 0L, 0L, 0L), (8L, 0L, 0L, 0L), (9L, 0L, 0L, 0L),
+      (10L, 1L, 983194L, 983194L)) // the walk
+    assert(rows.toSeq == want, s"got:\n${rows.mkString("\n")}")
+  }
 }

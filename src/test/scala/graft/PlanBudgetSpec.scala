@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q339_curriculum_schedule" -> 0, // collect-local 10-row report; the
+                             // q107 folds + ONE GlobalOrder rank pass
+                             // + the phase fold run inside the builder
     "q338_isotonic_calibration" -> 0, // collect-local |bins| report;
                              // PAV runs on the driver over the bounded
                              // labeled bins, the corpus work is one
