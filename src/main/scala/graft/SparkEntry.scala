@@ -346,6 +346,45 @@ object SparkEntry {
        |FROM cuts LEFT JOIN agg USING (phase)
        |ORDER BY phase""".stripMargin
 
+  /** q340's oracle: milli-quantized universe ∪ in-query twins/confusers,
+    * label-blocked pair distances, hard and semi-hard argmin windows. */
+  private def q340OracleSql: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |en AS MATERIALIZED (SELECT * FROM e
+       |  WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |an AS MATERIALIZED (SELECT vec_id AS a_id, label, q AS aq FROM en
+       |  WHERE vec_id % 10 = 3),
+       |tw AS (SELECT -2000 - a_id AS vec_id, label,
+       |    list_transform(aq, (x, i) -> CASE WHEN i = 1 THEN x + 1 ELSE x END)
+       |      AS q
+       |  FROM an),
+       |cf AS (SELECT -3000 - a_id AS vec_id, label, aq AS q FROM an
+       |  WHERE a_id % 20 = 3),
+       |un AS MATERIALIZED (SELECT vec_id, label, q FROM en
+       |  UNION ALL SELECT * FROM tw UNION ALL SELECT * FROM cf),
+       |pr AS MATERIALIZED (SELECT an.a_id, un.vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(un.q)),
+       |      i -> (un.q[i] - an.aq[i]) * (un.q[i] - an.aq[i]))) AS BIGINT)
+       |      AS d2
+       |  FROM un JOIN an USING (label)
+       |  WHERE un.vec_id <> an.a_id AND un.vec_id <> -2000 - an.a_id),
+       |hd AS (SELECT a_id, vec_id AS hard_neg_id, d2 AS d2_hard FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY d2, vec_id)
+       |    AS rk FROM pr) WHERE rk = 1),
+       |sm AS (SELECT a_id, vec_id AS semi_neg_id, d2 AS d2_semi FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY d2, vec_id)
+       |    AS rk FROM pr WHERE d2 > 1) WHERE rk = 1)
+       |SELECT an.a_id AS anchor_id, an.label, -2000 - an.a_id AS pos_id,
+       |  CAST(1 AS BIGINT) AS d2_pos, hd.hard_neg_id, hd.d2_hard,
+       |  sm.semi_neg_id, sm.d2_semi,
+       |  CASE WHEN hd.d2_hard > 1 THEN CAST(1 AS BIGINT) ELSE 0 END
+       |    AS margin_ok
+       |FROM an JOIN hd USING (a_id) JOIN sm USING (a_id)
+       |ORDER BY anchor_id""".stripMargin
+
   /** q335's oracle: the SAME generated learn chain trained on the even
     * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
     * APPLY chain — h0 is the char symbolization of the odd-half word
@@ -1826,6 +1865,7 @@ object SparkEntry {
     "q337_doremi_reweight" -> PipelineOps.q337DoremiReweight _,
     "q338_isotonic_calibration" -> PipelineOps.q338IsotonicCalibration _,
     "q339_curriculum_schedule" -> CorpusOps.q339CurriculumSchedule _,
+    "q340_triplet_mining" -> SimilarityOps.q340TripletMining _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7060,6 +7100,7 @@ object SparkEntry {
     "q337_doremi_reweight" -> q337OracleSql,
     "q338_isotonic_calibration" -> q338OracleSql,
     "q339_curriculum_schedule" -> q339OracleSql,
+    "q340_triplet_mining" -> q340OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

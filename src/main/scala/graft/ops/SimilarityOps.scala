@@ -624,6 +624,69 @@ object SimilarityOps {
     } finally corpus.unpersist(blocking = false)
   }
 
+  /** X315 — contrastive triplet mining with hard/semi-hard negatives
+    * (the FaceNet recipe as a data-prep operator): embedding training
+    * needs (anchor, positive, negative) triplets where the negative is
+    * HARD — the closest non-matching vector — or SEMI-HARD — the
+    * closest one still farther than the positive. Anchors are the
+    * vec_id % 10 = 3 mining batch (published practice mines per batch;
+    * a corpus-wide all-pairs mine is the thing this operator exists to
+    * avoid), positives are planted 1-milli twins (-2000-vec_id, the
+    * q336 discipline), and negatives are searched WITHIN THE ANCHOR'S
+    * LABEL — for negative mining the same-label block is not a
+    * compromise but the point: same-label items are the semantically
+    * hard negatives. Anchors with vec_id % 20 = 3 additionally get a
+    * planted exact-duplicate CONFUSER (-3000-vec_id, d² = 0) that
+    * outranks the positive — margin_ok = 0 on exactly those rows, the
+    * measured demonstration of WHY triplet mining runs after dedup
+    * (q50): an un-deduped corpus feeds duplicates in as false
+    * negatives. All distances exact int64 on milli components
+    * (graft_dist2).
+    *
+    * Scale: the mine is |batch| × |label block| — never corpus²; the
+    * argmin/semi-hard selection is one window over the blocked pair
+    * frame; output is batch-sized. */
+  def q340TripletMining(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SquaredDistance.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      .filter(expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+    val anchors = e.filter(pmod($"vec_id", lit(10L)) === 3L)
+      .select($"vec_id".as("a_id"), $"label", $"q".as("aq"))
+    def perturb(df: DataFrame, off: Long) = df.select(
+      (lit(off) - $"a_id").as("vec_id"), $"label",
+      expr("transform(aq, (x, i) -> CASE WHEN i = 0 THEN x + 1 ELSE x END)")
+        .as("q"))
+    val twins = perturb(anchors, -2000L)
+    val confusers = anchors.filter(pmod($"a_id", lit(20L)) === 3L)
+      .select((lit(-3000L) - $"a_id").as("vec_id"), $"label", $"aq".as("q"))
+    val universe = e.select($"vec_id", $"label", $"q")
+      .unionByName(twins).unionByName(confusers)
+    val pairs = universe.join(broadcast(anchors), Seq("label"))
+      .filter($"vec_id" =!= $"a_id" &&
+        $"vec_id" =!= lit(-2000L) - $"a_id") // positives are not negatives
+      .withColumn("d2", expr("graft_dist2(q, aq)"))
+      .select($"a_id", $"vec_id", $"d2")
+    val d2Pos = lit(1L) // twin = +1 milli in one dimension, exactly
+    // hard and semi-hard argmins ride ONE combinable aggregation —
+    // min(struct(d2, vec_id)) is the (d2 ASC, vec_id ASC) argmin, and
+    // the semi-hard leg is the same min gated on d2 > d2_pos; a
+    // window-per-leg form measured 6 exchanges vs 2 here
+    val sel = pairs.groupBy($"a_id").agg(
+      min(struct($"d2", $"vec_id")).as("h"),
+      min(when($"d2" > d2Pos, struct($"d2", $"vec_id"))).as("sh"))
+    sel.join(broadcast(anchors.select($"a_id", $"label")), Seq("a_id"))
+      .filter($"sh".isNotNull) // an anchor whose whole block is dups
+      .select($"a_id".as("anchor_id"), $"label",
+        (lit(-2000L) - $"a_id").as("pos_id"), d2Pos.as("d2_pos"),
+        $"h.vec_id".as("hard_neg_id"), $"h.d2".as("d2_hard"),
+        $"sh.vec_id".as("semi_neg_id"), $"sh.d2".as("d2_semi"),
+        when($"h.d2" > d2Pos, 1L).otherwise(0L).as("margin_ok"))
+      .orderBy($"anchor_id")
+  }
+
   /** X166 — quantized centroid-drift monitor: per label, the L1 distance
     * between the two snapshot halves' centroid MASS (vec_id parity —
     * consecutive embedding batches) — the "did the encoder or the data

@@ -1510,6 +1510,34 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("n_hits")).sum >= 15L)
   }
 
+  // ------------------------------------------------------------- X315
+
+  test("triplet mining: confusers violate the margin, semi-hard clears it") {
+    val rows = graft.ops.SimilarityOps.q340TripletMining(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Long]("anchor_id")
+      assert(r.getAs[Long]("pos_id") == -2000L - a)
+      assert(r.getAs[Long]("d2_pos") == 1L)
+      // semi-hard is by definition farther than the positive, and never
+      // below the hard negative
+      assert(r.getAs[Long]("d2_semi") > 1L)
+      assert(r.getAs[Long]("d2_hard") <= r.getAs[Long]("d2_semi"))
+      if (a % 20L == 3L) {
+        // planted exact-duplicate confuser: the hard negative is a
+        // duplicate at distance 0 — the mine-after-dedup lesson
+        assert(r.getAs[Long]("hard_neg_id") == -3000L - a)
+        assert(r.getAs[Long]("d2_hard") == 0L)
+        assert(r.getAs[Long]("margin_ok") == 0L)
+      } else {
+        assert(r.getAs[Long]("margin_ok") == 1L)
+        assert(r.getAs[Long]("hard_neg_id") == r.getAs[Long]("semi_neg_id"))
+      }
+    }
+    assert(rows.exists(_.getAs[Long]("margin_ok") == 0L))
+    assert(rows.exists(_.getAs[Long]("margin_ok") == 1L))
+  }
+
   // ------------------------------------------------------------- X146
 
   test("split leakage: exact-dup families crossing the split are counted") {

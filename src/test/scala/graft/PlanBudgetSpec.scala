@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q340_triplet_mining" -> 4, // label-blocked pair fold + ONE combined
+                             // hard/semi argmin aggregation (a window
+                             // per leg measured 6) + the anchor
+                             // broadcast + orderBy
     "q339_curriculum_schedule" -> 0, // collect-local 10-row report; the
                              // q107 folds + ONE GlobalOrder rank pass
                              // + the phase fold run inside the builder
