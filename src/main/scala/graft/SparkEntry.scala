@@ -385,6 +385,80 @@ object SparkEntry {
        |FROM an JOIN hd USING (a_id) JOIN sm USING (a_id)
        |ORDER BY anchor_id""".stripMargin
 
+  /** q341's oracle, generated: rank-offset deterministic init, then
+    * [[graft.ops.SimilarityOps.NndRounds]] NN-Descent local-join rounds
+    * as chained CTEs (reverse view capped at k per node, pairs share a
+    * common source, top-k merge per node), audited against the exact
+    * top-k truth of the 10-node IVF query batch. */
+  private def q341OracleSql: String = {
+    val k = graft.ops.SimilarityOps.NndK
+    val rounds = graft.ops.SimilarityOps.NndRounds
+    def d2(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""rev$r AS (SELECT dst AS src, src AS dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY dst
+         |      ORDER BY d2, src) AS rn FROM g${r - 1}) WHERE rn <= $k),
+         |und$r AS MATERIALIZED (SELECT src, dst FROM g${r - 1}
+         |  UNION SELECT src, dst FROM rev$r),
+         |cnd$r AS MATERIALIZED (SELECT DISTINCT a.dst AS x, b.dst AS y
+         |  FROM und$r a JOIN und$r b ON a.src = b.src AND a.dst < b.dst),
+         |new$r AS (SELECT p.src, p.dst, ${d2("sq.q", "dq.q")} AS d2
+         |  FROM (SELECT x AS src, y AS dst FROM cnd$r
+         |        UNION ALL SELECT y AS src, x AS dst FROM cnd$r) p
+         |  JOIN e sq ON sq.vec_id = p.src JOIN e dq ON dq.vec_id = p.dst),
+         |g$r AS MATERIALIZED (SELECT src, dst, d2 FROM (
+         |    SELECT src, dst, d2, row_number() OVER (PARTITION BY src
+         |      ORDER BY d2, dst) AS rn FROM (
+         |      SELECT src, dst, min(d2) AS d2 FROM (
+         |        SELECT * FROM g${r - 1} UNION ALL SELECT * FROM new$r)
+         |      GROUP BY src, dst)) WHERE rn <= $k)""".stripMargin
+    }.mkString(",\n")
+    val statRows = (0 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rnd,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM g$r) AS n_edges,
+         |  (SELECT CAST(sum(d2) AS BIGINT) FROM g$r) AS sum_d2,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM g$r g
+         |     JOIN tr ON g.src = tr.a_id AND g.dst = tr.dst) * 1000000
+         |    // (SELECT n FROM ntr) AS recall_ppm""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH e0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |e AS MATERIALIZED (SELECT * FROM e0
+       |  WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |rkt AS MATERIALIZED (SELECT vec_id, q,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS rk0 FROM e),
+       |ini0 AS (SELECT a.vec_id AS src,
+       |    (a.rk0 + 1 + ((a.vec_id * 2654435761 + (rr.r + 1) * 40503)
+       |      % 1000003) % (nn.n - 1)) % nn.n AS tgt0
+       |  FROM rkt a CROSS JOIN generate_series(0, ${k - 1}) rr(r)
+       |  CROSS JOIN nn),
+       |ini AS (SELECT DISTINCT i.src, t.vec_id AS dst
+       |  FROM ini0 i JOIN rkt t ON t.rk0 = i.tgt0),
+       |g0 AS MATERIALIZED (SELECT src, dst, d2 FROM (
+       |    SELECT src, dst, d2, row_number() OVER (PARTITION BY src
+       |      ORDER BY d2, dst) AS rn FROM (
+       |      SELECT i.src, i.dst, ${d2("sq.q", "dq.q")} AS d2
+       |      FROM ini i JOIN e sq ON sq.vec_id = i.src
+       |      JOIN e dq ON dq.vec_id = i.dst)) WHERE rn <= $k),
+       |$roundCtes,
+       |aud AS MATERIALIZED (SELECT vec_id AS a_id, q AS aq FROM e
+       |  WHERE vec_id >= 8 AND vec_id < 18),
+       |trd AS (SELECT a.a_id, x.vec_id, ${d2("x.q", "a.aq")} AS d2
+       |  FROM e x CROSS JOIN aud a WHERE x.vec_id <> a.a_id),
+       |tr AS MATERIALIZED (SELECT a_id, vec_id AS dst FROM (
+       |    SELECT a_id, vec_id, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY d2, vec_id) AS rn FROM trd) WHERE rn <= $k),
+       |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr)
+       |SELECT * FROM (
+       |$statRows
+       |) ORDER BY rnd""".stripMargin
+  }
+
   /** q335's oracle: the SAME generated learn chain trained on the even
     * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
     * APPLY chain — h0 is the char symbolization of the odd-half word
@@ -1866,6 +1940,7 @@ object SparkEntry {
     "q338_isotonic_calibration" -> PipelineOps.q338IsotonicCalibration _,
     "q339_curriculum_schedule" -> CorpusOps.q339CurriculumSchedule _,
     "q340_triplet_mining" -> SimilarityOps.q340TripletMining _,
+    "q341_nndescent_graph" -> SimilarityOps.q341NnDescent _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7101,6 +7176,7 @@ object SparkEntry {
     "q338_isotonic_calibration" -> q338OracleSql,
     "q339_curriculum_schedule" -> q339OracleSql,
     "q340_triplet_mining" -> q340OracleSql,
+    "q341_nndescent_graph" -> q341OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -1076,4 +1076,114 @@ object SimilarityOps {
       ("system", StringType), ("k", LongType), ("dcg_raw", LongType),
       ("idcg_raw", LongType), ("ndcg_ppm", LongType))
   }
+
+  /** q341's knobs, shared with the generated oracle: k neighbors per
+    * node, NN-Descent local-join rounds. */
+  private[graft] val NndK = 8
+  private[graft] val NndRounds = 4
+
+  /** X316 — NN-Descent kNN-graph construction (Dong et al., WWW 2011),
+    * the backbone every graph-ANN index (HNSW/NSG family) is built on
+    * and the missing graph leg of the ANN lane (q38 hashes, q56
+    * partitions — neither produces the all-nodes neighbor GRAPH that
+    * graph indexes, dedup blocking and q237's label-noise audit consume).
+    * The published recipe, made deterministic end to end:
+    *
+    *  - init: each node draws [[NndK]] pseudo-random neighbors by RANK
+    *    offset — GlobalOrder ranks the universe once, and neighbor r of
+    *    node v sits at rank (rk(v) + 1 + h(v,r) mod (n-1)) mod n with h
+    *    a multiplicative-avalanche hash (pure int64 arithmetic, so the
+    *    oracle replays it verbatim; the +1 makes a self-edge impossible
+    *    by construction).
+    *  - round: the LOCAL JOIN — candidates are pairs of nodes sharing a
+    *    graph neighbor, over the UNDIRECTED view (forward edges plus
+    *    reverse edges CAPPED at k per node by a (d2, src) window — the
+    *    published rho*k reverse sampling; an uncapped reverse view would
+    *    let one popular node quadratically explode its block). Each
+    *    node then keeps the k best of old ∪ new by exact int64 d²
+    *    (milli components, graft_dist2), ties to the smaller dst.
+    *  - audit: against the exact top-k of the IVF lane's 10-node query
+    *    batch (q336's truth convention — the exact leg is |audit| × n,
+    *    the q177 bounded-calibration shape, never corpus²), per-round
+    *    graph recall in ppm plus Σd² over ALL edges — which the top-k
+    *    merge makes monotone NON-INCREASING per round, the
+    *    convergence certificate the spec pins.
+    *
+    * Scale: per-round candidate cost is Σ_v deg(v)² ≤ n·(2k)² — linear
+    * in the corpus for fixed k, never corpus²; every join is key-equi
+    * on node id, every window is partitioned by a corpus-cardinality
+    * key; the iterative graph state is localCheckpointed per round
+    * (q320's lineage rule). Output is a 4-row local report; the
+    * member-sized graph itself never reaches the driver (the audit
+    * collects only the 10-node batch's 60 edges). */
+  def q341NnDescent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    graft.functions.SquaredDistance.register(s)
+    val k = NndK
+    val e = Tables.load(s, dir, "embeddings")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      .filter(expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+      .persist() // vectors feed the init join, every round's d2 join, and the truth leg
+    try {
+      val (ranked0, n) =
+        graft.operators.GlobalOrder.withRowNumberAndTotal(e, Seq($"vec_id"), "rk")
+      val ranked = ranked0.select($"vec_id", $"q", ($"rk" - 1L).as("rk0"))
+        .localCheckpoint() // consumed by the explode side AND the rank-target join
+      def withD2(edges: DataFrame): DataFrame =
+        edges.join(e.select($"vec_id".as("src"), $"q".as("sq")), Seq("src"))
+          .join(e.select($"vec_id".as("dst"), $"q".as("dq")), Seq("dst"))
+          .select($"src", $"dst", expr("graft_dist2(sq, dq)").as("d2"))
+      def topK(edges: DataFrame): DataFrame = {
+        val w = Window.partitionBy($"src").orderBy($"d2", $"dst")
+        edges.groupBy($"src", $"dst").agg(min($"d2").as("d2"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= k).drop("rn")
+      }
+      val init = ranked.select($"vec_id", $"rk0")
+        .withColumn("r", explode(expr(s"sequence(0, ${k - 1})")))
+        .withColumn("tgt0", ($"rk0" + 1L +
+          (($"vec_id" * 2654435761L + ($"r" + 1L) * 40503L) % 1000003L)
+            % lit(n - 1L)) % lit(n))
+        .join(ranked.select($"rk0".as("tgt0"), $"vec_id".as("dst")), Seq("tgt0"))
+        .select($"vec_id".as("src"), $"dst").distinct()
+      var g = topK(withD2(init)).localCheckpoint()
+      val snaps = scala.collection.mutable.ArrayBuffer(g)
+      for (_ <- 1 to NndRounds) {
+        val wRev = Window.partitionBy($"dst").orderBy($"d2", $"src")
+        val rev = g.withColumn("rn", row_number().over(wRev))
+          .filter($"rn" <= k).select($"dst".as("src"), $"src".as("dst"))
+        val und = g.select($"src", $"dst").unionByName(rev).distinct()
+        val cand = und.as("a")
+          .join(und.as("b"), $"a.src" === $"b.src" && $"a.dst" < $"b.dst")
+          .select($"a.dst".as("x"), $"b.dst".as("y")).distinct()
+        val pairs = cand.select($"x".as("src"), $"y".as("dst"))
+          .unionByName(cand.select($"y".as("src"), $"x".as("dst")))
+        g = topK(g.unionByName(withD2(pairs))).localCheckpoint()
+        snaps += g
+      }
+      val audit = e.filter($"vec_id" >= IvfQueryLo && $"vec_id" < IvfCorpusLo)
+        .select($"vec_id".as("a_id"), $"q".as("aq"))
+      val wT = Window.partitionBy($"a_id").orderBy($"d2", $"vec_id")
+      val truth = e.crossJoin(broadcast(audit))
+        .filter($"vec_id" =!= $"a_id")
+        .withColumn("d2", expr("graft_dist2(q, aq)"))
+        .withColumn("rn", row_number().over(wT))
+        .filter($"rn" <= k).select($"a_id", $"vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val auditIds = truth.map(_._1).toSeq.sorted
+      val rows = snaps.toSeq.zipWithIndex.map { case (gr, i) =>
+        val st = gr.agg(count(lit(1)), sum($"d2")).head
+        val mine = gr.filter($"src".isin(auditIds: _*)).select($"src", $"dst")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        Row(i.toLong, st.getLong(0), st.getLong(1),
+          mine.count(truth.contains) * 1000000L / truth.size)
+      }
+      LocalReport.frame(s, rows, ("rnd", LongType), ("n_edges", LongType),
+        ("sum_d2", LongType), ("recall_ppm", LongType))
+    } finally e.unpersist(blocking = false)
+  }
+
 }

@@ -762,6 +762,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q341_nndescent_graph" -> 0, // collect-local 5-row report; the init
+                             // rank pass (GlobalOrder), the per-round
+                             // local joins + top-k merges (localCheck-
+                             // pointed) and the bounded truth leg all
+                             // run inside the builder
     "q340_triplet_mining" -> 4, // label-blocked pair fold + ONE combined
                              // hard/semi argmin aggregation (a window
                              // per leg measured 6) + the anchor
