@@ -459,6 +459,58 @@ object SparkEntry {
        |) ORDER BY rnd""".stripMargin
   }
 
+  /** q342's oracle, generated: the SAME driver-computed ±1 sign matrix
+    * as a 16×64 literal, list-lambda projections, shared-window recall
+    * and the exact-div distortion quantiles. */
+  private def q342OracleSql: String = {
+    val m = graft.ops.SimilarityOps.JlDims
+    val signLit = (0 until m).map { i =>
+      (0 until 64).map(j => graft.ops.SimilarityOps.jlSign(i, j).toString)
+        .mkString("[", ", ", "]")
+    }.mkString("[\n    ", ",\n    ", "]")
+    def d2(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    s"""WITH sgt AS (SELECT $signLit AS sg),
+       |e0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |e1 AS (SELECT * FROM e0
+       |  WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |pe AS MATERIALIZED (SELECT vec_id, q,
+       |    list_transform(generate_series(1, $m), i ->
+       |      CAST(list_sum(list_transform(generate_series(1, 64),
+       |        j -> sg[i][j] * q[j])) AS BIGINT)) AS p
+       |  FROM e1 CROSS JOIN sgt),
+       |aud AS MATERIALIZED (SELECT vec_id AS q_id, q AS aq, p AS ap
+       |  FROM pe WHERE vec_id >= 8 AND vec_id < 18),
+       |pr AS MATERIALIZED (SELECT a.q_id, x.vec_id,
+       |    ${d2("x.q", "a.aq")} AS d2x, ${d2("x.p", "a.ap")} AS d2p
+       |  FROM pe x CROSS JOIN aud a WHERE x.vec_id <> a.q_id),
+       |rk AS (SELECT q_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2x, vec_id) AS rkx,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2p, vec_id) AS rkp
+       |  FROM pr),
+       |rc AS (SELECT q_id, CAST(sum(CASE WHEN rkx <= 10 AND rkp <= 10
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM rk GROUP BY q_id),
+       |fr AS (SELECT q_id, vec_id,
+       |    d2p * 1000000 // (d2x * $m) AS ratio_ppm,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY d2p * 1000000 // (d2x * $m), vec_id) AS rn,
+       |    count(*) OVER (PARTITION BY q_id) AS cnt
+       |  FROM pr WHERE d2x > 0),
+       |st AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(min(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+       |    CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN ratio_ppm END)
+       |      AS BIGINT) AS med_ratio_ppm,
+       |    CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+       |  FROM fr GROUP BY q_id)
+       |SELECT st.q_id, st.n_pairs, rc.n_hits * 100000 AS recall10_ppm,
+       |  st.min_ratio_ppm, st.med_ratio_ppm, st.max_ratio_ppm
+       |FROM st JOIN rc USING (q_id) ORDER BY q_id""".stripMargin
+  }
+
   /** q335's oracle: the SAME generated learn chain trained on the even
     * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
     * APPLY chain — h0 is the char symbolization of the odd-half word
@@ -1941,6 +1993,7 @@ object SparkEntry {
     "q339_curriculum_schedule" -> CorpusOps.q339CurriculumSchedule _,
     "q340_triplet_mining" -> SimilarityOps.q340TripletMining _,
     "q341_nndescent_graph" -> SimilarityOps.q341NnDescent _,
+    "q342_jl_projection"  -> SimilarityOps.q342JlProjection _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7177,6 +7230,7 @@ object SparkEntry {
     "q339_curriculum_schedule" -> q339OracleSql,
     "q340_triplet_mining" -> q340OracleSql,
     "q341_nndescent_graph" -> q341OracleSql,
+    "q342_jl_projection" -> q342OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -1186,4 +1186,96 @@ object SimilarityOps {
     } finally e.unpersist(blocking = false)
   }
 
+  /** q342's projected dimension count, shared with the generated oracle. */
+  private[graft] val JlDims = 16
+
+  /** The deterministic ±1 sign matrix both engines inline as a
+    * DRIVER-COMPUTED literal (the oracle embeds the same matrix, so no
+    * SQL replay constrains the hash). Two rejected forms, measured:
+    * a multiplicative hash of the sequential flat index is the q332
+    * trap (parity alternates in lockstep — every row collapsed to the
+    * same ± pattern, |row corr| = 1.0, max distortion 7×), and the
+    * PARITY of the polynomial string fingerprint is a near-LINEAR bit
+    * (31h+b keeps bit 0 = Σbytes mod 2 up to rare mod wraps — rows
+    * were ±each other, perfectly balanced and perfectly correlated).
+    * The SplitMix64 finalizer (public constants, full avalanche) gives
+    * |row corr| 0.16 and the textbook m=16 band. */
+  private[graft] def jlSign(i: Int, j: Int): Long = {
+    var z = (i * 64 + j).toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    if ((z & 1L) == 0L) 1L else -1L
+  }
+
+  /** X317 — Johnson-Lindenstrauss random-projection audit: the
+    * dimensionality-reduction story of the sketch lane. A ±1 sign
+    * matrix (Achlioptas' database-friendly JL construction — signs, not
+    * Gaussians, precisely so the projection stays INTEGER on milli
+    * components) maps 64 dims to [[JlDims]]; for ±1 entries
+    * E[‖Px − Py‖²] = m·‖x − y‖², so the per-pair distortion
+    * ratio_ppm = 1e6·d2_proj / (m·d2_exact) is an exact int64 div with
+    * expectation 1e6. Audited on the IVF lane's 10-node query batch vs
+    * the whole corpus (the q177/q341 bounded-calibration shape): per
+    * query the pair count, projected-vs-exact top-10 recall, and the
+    * min/median/max distortion — the JL lemma's guarantee is exactly
+    * that this band tightens as m grows, and the measured band at m=16
+    * (roughly [0.3, 2.2]× at sf0.01) is the honest cost of a 4×
+    * memory/bandwidth cut on near-isotropic data.
+    *
+    * Scale: the projection is ONE narrow codegen'd map (16 integer dot
+    * products against constant-folded sign literals, q38's plane
+    * idiom) — no shuffle; the corpus never materializes pairs beyond
+    * the |batch| × n audit leg; both ranking windows share one
+    * partition key (q_id) so they ride a single exchange. At 100 TB
+    * the projected corpus is what ships to the ANN index — 4× less
+    * I/O — and this audit is the certificate that recall survives. */
+  def q342JlProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SquaredDistance.register(s)
+    val m = JlDims
+    val signLits = (0 until m).map { i =>
+      (0 until 64).map(j => s"${jlSign(i, j)}L")
+        .mkString("array(", ", ", ")")
+    }
+    val projExpr = (0 until m).map(i => s"graft_dot_l(q, ${signLits(i)})")
+      .mkString("array(", ", ", ")")
+    val e = Tables.load(s, dir, "embeddings")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      .filter(expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+      .withColumn("p", expr(projExpr))
+    val aud = broadcast(e.filter($"vec_id" >= IvfQueryLo && $"vec_id" < IvfCorpusLo)
+      .select($"vec_id".as("q_id"), $"q".as("aq"), $"p".as("ap")))
+    val pr = e.crossJoin(aud).filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        expr("graft_dist2(q, aq)").as("d2x"),
+        expr("graft_dist2(p, ap)").as("d2p"))
+    val wX = Window.partitionBy($"q_id").orderBy($"d2x", $"vec_id")
+    val wP = Window.partitionBy($"q_id").orderBy($"d2p", $"vec_id")
+    val ranked = pr
+      .withColumn("rkx", row_number().over(wX))
+      .withColumn("rkp", row_number().over(wP))
+    val recall = ranked.groupBy($"q_id").agg(
+      sum(when($"rkx" <= 10 && $"rkp" <= 10, 1L).otherwise(0L))
+        .as("n_hits"))
+    // distortion universe: pairs with d2_exact > 0 (an exact duplicate
+    // has no defined ratio; it ranks first in BOTH orders either way)
+    val wR = Window.partitionBy($"q_id").orderBy($"ratio_ppm", $"vec_id")
+    val wC = Window.partitionBy($"q_id")
+    val fr = pr.filter($"d2x" > 0L)
+      .withColumn("ratio_ppm", expr(s"d2p * 1000000L div (d2x * $m)"))
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("cnt", count(lit(1)).over(wC))
+    val stats = fr.groupBy($"q_id").agg(
+      count(lit(1)).as("n_pairs"),
+      min($"ratio_ppm").as("min_ratio_ppm"),
+      max(when($"rn" === expr("(cnt + 1L) div 2L"), $"ratio_ppm"))
+        .as("med_ratio_ppm"),
+      max($"ratio_ppm").as("max_ratio_ppm"))
+    stats.join(recall, Seq("q_id"))
+      .select($"q_id", $"n_pairs", ($"n_hits" * 100000L).as("recall10_ppm"),
+        $"min_ratio_ppm", $"med_ratio_ppm", $"max_ratio_ppm")
+      .orderBy($"q_id")
+  }
 }

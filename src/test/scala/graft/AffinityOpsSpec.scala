@@ -1575,6 +1575,40 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rec.last >= 400000L)
   }
 
+  // ------------------------------------------------------------- X317
+
+  test("jl projection: sign matrix avalanches, distortion band centers on 1e6") {
+    val m = graft.ops.SimilarityOps.JlDims
+    // the two measured failure modes were STRUCTURAL: rows identical or
+    // exactly opposite (multiplicative-hash parity / fp parity are
+    // near-linear bits over a sequential index). Pin decorrelation and
+    // balance on the matrix itself.
+    val rows64 = (0 until m).map(i => (0 until 64).map(j =>
+      graft.ops.SimilarityOps.jlSign(i, j)))
+    rows64.foreach(r => assert(math.abs(r.sum) <= 16L))
+    for (a <- 0 until m; b <- a + 1 until m) {
+      val dot = (0 until 64).map(j => rows64(a)(j) * rows64(b)(j)).sum
+      assert(math.abs(dot) <= 32L, s"rows $a,$b correlate: $dot")
+    }
+    val rows = graft.ops.SimilarityOps.q342JlProjection(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("q_id")).toSeq == (8L to 17L))
+    val nPairs = rows.map(_.getAs[Long]("n_pairs")).distinct
+    assert(nPairs.length == 1) // every query audits the same universe
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_ratio_ppm") <= r.getAs[Long]("med_ratio_ppm"))
+      assert(r.getAs[Long]("med_ratio_ppm") <= r.getAs[Long]("max_ratio_ppm"))
+      // E[d2_proj] = m * d2_exact for ±1 signs: the median distortion
+      // sits near 1e6 (observed 0.90-1.18e6; the degenerate matrices
+      // measured 0.25e6 / 7e6 tails before the fix)
+      val med = r.getAs[Long]("med_ratio_ppm")
+      assert(med >= 600000L && med <= 1500000L, s"median off: $med")
+      assert(r.getAs[Long]("recall10_ppm") <= 1000000L)
+    }
+    // top-10 recall through a 4x compression is honestly lossy on
+    // near-isotropic data, but not zero across the whole batch
+    assert(rows.map(_.getAs[Long]("recall10_ppm")).sum >= 300000L)
+  }
+
   // ------------------------------------------------------------- X146
 
   test("split leakage: exact-dup families crossing the split are counted") {

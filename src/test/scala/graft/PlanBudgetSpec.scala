@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q342_jl_projection" -> 5, // ONE broadcast audit-pair scan feeds
+                             // both ranking windows on a shared q_id
+                             // exchange + the distortion-quantile
+                             // window + the two 10-row aggs' join
     "q341_nndescent_graph" -> 0, // collect-local 5-row report; the init
                              // rank pass (GlobalOrder), the per-round
                              // local joins + top-k merges (localCheck-
