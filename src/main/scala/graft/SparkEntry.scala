@@ -511,6 +511,38 @@ object SparkEntry {
        |FROM st JOIN rc USING (q_id) ORDER BY q_id""".stripMargin
   }
 
+  /** q343's oracle: FpByteFold shuffle keys, one rank window per order,
+    * batch-chunk folds and the exact-div waste roll-up. */
+  private def q343OracleSql: String = {
+    val b = graft.ops.CorpusOps.PadBatch
+    def roll(name: String, src: String): String =
+      s"""SELECT '$name' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+         |    CAST(sum(sm) AS BIGINT) AS real_tokens,
+         |    CAST(sum(mx * nd) AS BIGINT) AS padded_tokens
+         |  FROM (SELECT (rk - 1) // $b AS batch, CAST(count(*) AS BIGINT)
+         |      AS nd, max(n_tok) AS mx, sum(n_tok) AS sm
+         |    FROM $src GROUP BY 1)""".stripMargin
+    s"""WITH d AS MATERIALIZED (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split('bat:' || CAST(doc_id AS VARCHAR)
+       |        || ':' || CAST((doc_id % 1000003) * (doc_id % 1000003)
+       |        AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      $FpByteFold) AS sk
+       |  FROM documents),
+       |ra AS (SELECT n_tok, row_number() OVER (ORDER BY sk, doc_id) AS rk
+       |  FROM d),
+       |rb AS (SELECT n_tok, row_number() OVER (ORDER BY n_tok DESC, doc_id)
+       |  AS rk FROM d),
+       |wa AS (${roll("arrival", "ra")}),
+       |wb AS (${roll("sorted_desc", "rb")})
+       |SELECT strategy, n_batches, real_tokens, padded_tokens,
+       |  (padded_tokens - real_tokens) * 1000000 // padded_tokens
+       |    AS waste_ppm
+       |FROM (SELECT * FROM wa UNION ALL SELECT * FROM wb)
+       |ORDER BY strategy""".stripMargin
+  }
+
   /** q335's oracle: the SAME generated learn chain trained on the even
     * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
     * APPLY chain — h0 is the char symbolization of the odd-half word
@@ -1994,6 +2026,7 @@ object SparkEntry {
     "q340_triplet_mining" -> SimilarityOps.q340TripletMining _,
     "q341_nndescent_graph" -> SimilarityOps.q341NnDescent _,
     "q342_jl_projection"  -> SimilarityOps.q342JlProjection _,
+    "q343_batch_padding"  -> CorpusOps.q343BatchPadding _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7231,6 +7264,7 @@ object SparkEntry {
     "q340_triplet_mining" -> q340OracleSql,
     "q341_nndescent_graph" -> q341OracleSql,
     "q342_jl_projection" -> q342OracleSql,
+    "q343_batch_padding" -> q343OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -1601,4 +1601,69 @@ object CorpusOps {
     s"""${bpeLearnWith(vocabCap, nMerges)}
        |SELECT * FROM ($out) ORDER BY merge_rank""".stripMargin
   }
+
+  /** q343's batch size, shared with the generated oracle. */
+  private[graft] val PadBatch = 16L
+
+  /** X318 — padding-waste batch planner (length bucketing): a training
+    * batch pads every sequence to the batch maximum, so batch COMPOSITION
+    * decides how many pad tokens the accelerator burns — the published
+    * fix (fairseq/tensor2tensor dynamic batching) is to sort by length
+    * before chunking. This operator measures the exact stake: whitespace
+    * token counts per document, two total orders — `arrival` (the X42
+    * deterministic shuffle under the q332-hardened avalanche key, i.e.
+    * the order a shuffled corpus actually arrives in) and `sorted_desc`
+    * (n_tok DESC, doc_id) — each chunked into batches of [[PadBatch]]
+    * docs by GlobalOrder rank, and per strategy the real vs padded token
+    * totals and waste ppm.
+    *
+    * Sorted chunking is the EXACT argmin of Σ batch-maxima over all
+    * partitions into the same size multiset (after removing any i−1
+    * groups, at most (i−1)·B elements are gone, so the max of what
+    * remains is ≥ the element at sorted rank (i−1)·B+1 — summing gives
+    * the chunked value); the spec pins sorted ≤ arrival as that
+    * theorem's observable.
+    *
+    * Scale: token counting is one narrow projection; each order is ONE
+    * GlobalOrder range pass (no unpartitioned window); the per-batch
+    * fold and the 1-row roll-up are combinable aggregations. The input
+    * frame is persisted once around the two rank passes (GlobalOrder
+    * borrows the cache). */
+  def q343BatchPadding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val b = PadBatch
+    val base = docs(s, dir).select($"doc_id",
+      expr("CAST(size(split(text, ' ', -1)) AS BIGINT)").as("n_tok"),
+      expr("graft_fingerprint(concat('bat:', CAST(doc_id AS STRING), ':', " +
+        "CAST(pmod(doc_id, 1000003) * pmod(doc_id, 1000003) AS STRING)))")
+        .as("sk")).persist()
+    try {
+      def plan(name: String, orderCols: Seq[org.apache.spark.sql.Column])
+          : DataFrame = {
+        val ranked = graft.operators.GlobalOrder
+          .withRowNumber(base, orderCols, "rk")
+        ranked.withColumn("batch", expr(s"(rk - 1L) div ${b}L"))
+          .groupBy($"batch").agg(count(lit(1)).as("nd"),
+            max($"n_tok").as("mx"), sum($"n_tok").as("sm"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum($"sm").as("real_tokens"),
+            sum($"mx" * $"nd").as("padded_tokens"))
+          .select(lit(name).as("strategy"), $"n_batches", $"real_tokens",
+            $"padded_tokens",
+            expr("(padded_tokens - real_tokens) * 1000000L div padded_tokens")
+              .as("waste_ppm"))
+      }
+      val out = plan("arrival", Seq($"sk", $"doc_id"))
+        .unionByName(plan("sorted_desc", Seq($"n_tok".desc, $"doc_id")))
+        .orderBy($"strategy")
+      // both plans fold to 1 row each; materialize before the shared
+      // input cache is released
+      val rows = out.collect()
+      graft.operators.LocalReport.frame(s, rows.toSeq, ("strategy", StringType),
+        ("n_batches", LongType), ("real_tokens", LongType),
+        ("padded_tokens", LongType), ("waste_ppm", LongType))
+    } finally base.unpersist(blocking = false)
+  }
 }

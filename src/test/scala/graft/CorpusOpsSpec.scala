@@ -526,4 +526,36 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (10L, 1L, 983194L, 983194L)) // the walk
     assert(rows.toSeq == want, s"got:\n${rows.mkString("\n")}")
   }
+
+  // ------------------------------------------------------------- X318
+
+  test("q343: sorted chunking is the argmin, sorted leg replays exactly") {
+    import spark.implicits._
+    val rows = graft.ops.CorpusOps.q343BatchPadding(spark, sf).collect()
+      .map(r => r.getAs[String]("strategy") -> r).toMap
+    val arr = rows("arrival"); val srt = rows("sorted_desc")
+    // same corpus, same batch-size multiset
+    assert(arr.getAs[Long]("real_tokens") == srt.getAs[Long]("real_tokens"))
+    assert(arr.getAs[Long]("n_batches") == srt.getAs[Long]("n_batches"))
+    // the exchange-argument theorem: sorted contiguous chunking
+    // minimizes sum(batch maxima) over ALL partitions into groups of
+    // size <= B, so ANY arrival order pads at least as much
+    assert(srt.getAs[Long]("padded_tokens") <= arr.getAs[Long]("padded_tokens"))
+    rows.values.foreach { r =>
+      val (p, t) = (r.getAs[Long]("padded_tokens"), r.getAs[Long]("real_tokens"))
+      assert(r.getAs[Long]("waste_ppm") == (p - t) * 1000000L / p)
+      assert(p >= t)
+    }
+    // driver replay of the sorted leg (split(" ", -1) keeps trailing
+    // empties, matching Spark's size(split(text, ' ', -1)))
+    val b = graft.ops.CorpusOps.PadBatch.toInt
+    val toks = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => (t.split(" ", -1).length.toLong, id) }
+      .sortBy { case (n, id) => (-n, id) }.map(_._1)
+    val batches = toks.grouped(b).toSeq
+    assert(srt.getAs[Long]("padded_tokens") ==
+      batches.map(g => g.max * g.length).sum)
+    assert(srt.getAs[Long]("real_tokens") == toks.sum)
+  }
 }

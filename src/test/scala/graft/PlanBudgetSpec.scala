@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q343_batch_padding" -> 0, // collect-local 2-row report; each
+                             // strategy is ONE GlobalOrder range pass +
+                             // combinable batch folds inside the builder
     "q342_jl_projection" -> 5, // ONE broadcast audit-pair scan feeds
                              // both ranking windows on a shared q_id
                              // exchange + the distortion-quantile
