@@ -543,6 +543,47 @@ object SparkEntry {
        |ORDER BY strategy""".stripMargin
   }
 
+  /** q344's oracle, generated: the replicate axis explodes via
+    * generate_series (the one-scan Spark side folds 2R+2 columns
+    * instead), FpByteFold weight hashes, HUGEINT means, order-statistic
+    * rows by rank window. */
+  private def q344OracleSql: String = {
+    val r = graft.ops.PipelineOps.BootReps
+    s"""WITH o AS MATERIALIZED (SELECT o_orderkey AS k,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+       |reps AS (SELECT unnest(generate_series(0, ${r - 1})) AS rep),
+       |hs AS (SELECT rep, x,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split('boot:' || CAST(k AS VARCHAR)
+       |        || ':' || CAST(rep AS VARCHAR) || ':'
+       |        || CAST((k % 1000003) * (k % 1000003) AS VARCHAR), ''),
+       |        c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS h
+       |  FROM o CROSS JOIN reps),
+       |ws AS (SELECT rep, x,
+       |    (CASE WHEN h % 4 = 0 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN (h // 4) % 4 = 0 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN (h // 16) % 4 = 0 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN (h // 64) % 4 = 0 THEN 1 ELSE 0 END) AS w
+       |  FROM hs),
+       |pr AS (SELECT rep, CAST(sum(w) AS BIGINT) AS w_count,
+       |    CAST(sum(w * x) AS BIGINT) AS w_sum_cents FROM ws GROUP BY rep),
+       |pm AS MATERIALIZED (SELECT rep, w_count, w_sum_cents,
+       |    CAST(CAST(w_sum_cents AS HUGEINT) * 1000000 // w_count AS BIGINT)
+       |      AS mean_microcents FROM pr),
+       |rkd AS MATERIALIZED (SELECT *,
+       |    row_number() OVER (ORDER BY mean_microcents, rep) AS rk FROM pm),
+       |pt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx FROM o)
+       |SELECT rep, w_count, w_sum_cents, mean_microcents FROM pm
+       |UNION ALL SELECT CAST(97 AS BIGINT), n, sx,
+       |  CAST(CAST(sx AS HUGEINT) * 1000000 // n AS BIGINT) FROM pt
+       |UNION ALL SELECT CAST(98 AS BIGINT), w_count, w_sum_cents,
+       |  mean_microcents FROM rkd WHERE rk = 2
+       |UNION ALL SELECT CAST(99 AS BIGINT), w_count, w_sum_cents,
+       |  mean_microcents FROM rkd WHERE rk = ${r - 1}
+       |ORDER BY rep""".stripMargin
+  }
+
   /** q335's oracle: the SAME generated learn chain trained on the even
     * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
     * APPLY chain — h0 is the char symbolization of the odd-half word
@@ -2027,6 +2068,7 @@ object SparkEntry {
     "q341_nndescent_graph" -> SimilarityOps.q341NnDescent _,
     "q342_jl_projection"  -> SimilarityOps.q342JlProjection _,
     "q343_batch_padding"  -> CorpusOps.q343BatchPadding _,
+    "q344_bootstrap_ci"   -> PipelineOps.q344BootstrapCi _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7265,6 +7307,7 @@ object SparkEntry {
     "q341_nndescent_graph" -> q341OracleSql,
     "q342_jl_projection" -> q342OracleSql,
     "q343_batch_padding" -> q343OracleSql,
+    "q344_bootstrap_ci" -> q344OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

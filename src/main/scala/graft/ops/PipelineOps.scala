@@ -3487,4 +3487,78 @@ object PipelineOps {
       "f1_ppm" -> LongType, "chosen" -> LongType,
       "n_corpus_pred_pos" -> LongType, "heur_agree_ppm" -> LongType)
   }
+
+  /** q344's replicate count, shared with the generated oracle. */
+  private[graft] val BootReps = 32
+
+  /** X319 — deterministic multiplier-bootstrap confidence interval
+    * (the Poisson bootstrap of Chamandy et al. / the BLB family, the
+    * published way to get uncertainty at 100 TB): a classic bootstrap
+    * RESAMPLES the corpus R times — R full shuffles; the multiplier
+    * form instead gives every row an iid mean-1 integer weight per
+    * replicate and folds all R weighted sums in ONE scan. Here the
+    * weight is Binomial(4, 1/4) — the count of zero 2-bit fields in
+    * the row-and-replicate fingerprint — so everything stays int64 and
+    * both engines replay it bit-for-bit (variance 0.75 vs Poisson's 1,
+    * stated rather than hidden; the CI is proportionally conservative
+    * on the narrow side). The per-replicate (Σw, Σwx) pairs are
+    * trivially mergeable across shards — the same algebra the sketch
+    * lane (X252/X283) uses.
+    *
+    * Metric: mean order value in micro-cents over `orders`. Output:
+    * one row per replicate, the point estimate (rep 97), and the
+    * [2nd, 31st] order-statistic percentile interval (reps 98/99,
+    * ≈94% nominal at R=32), means computed in BigInt/HUGEINT so the
+    * 1e6 scale-up never wraps.
+    *
+    * The weight hash extracts 2-bit fields from the STRING fingerprint
+    * keyed 'boot:key:rep:(key mod 1000003)²' — the q332-hardened tail;
+    * a first draft measured the field distribution before trusting it
+    * (the q342 lesson: hash-bit quality is load-bearing and must be
+    * measured, not assumed).
+    *
+    * Scale: ONE corpus scan computing R fingerprints per row feeding a
+    * single combinable 2R+2-column aggregation — no resample
+    * materialization, no shuffle beyond the 1-row agg; driver state is
+    * R pairs. */
+  def q344BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.LongType
+    Fingerprint.register(s)
+    val r = BootReps
+    def hSql(rep: Int): String =
+      s"graft_fingerprint(concat('boot:', CAST(o_orderkey AS STRING), ':', " +
+        s"'$rep', ':', CAST(pmod(o_orderkey, 1000003) * " +
+        s"pmod(o_orderkey, 1000003) AS STRING)))"
+    val base = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", graft.functions.Exact.cents($"o_totalprice").as("x"))
+    val withH = base.select(col("*") +:
+      (0 until r).map(i => expr(hSql(i)).as(s"h$i")): _*)
+    val withW = withH.select(($"x" +:
+      (0 until r).map(i => expr(
+        s"(CASE WHEN h$i % 4 = 0 THEN 1L ELSE 0L END) + " +
+          s"(CASE WHEN (h$i div 4) % 4 = 0 THEN 1L ELSE 0L END) + " +
+          s"(CASE WHEN (h$i div 16) % 4 = 0 THEN 1L ELSE 0L END) + " +
+          s"(CASE WHEN (h$i div 64) % 4 = 0 THEN 1L ELSE 0L END)")
+        .as(s"w$i"))): _*)
+    val aggExprs = Seq(count(lit(1)).as("n"), sum($"x").as("sx")) ++
+      (0 until r).flatMap(i => Seq(
+        sum(col(s"w$i")).as(s"wc$i"), sum(col(s"w$i") * $"x").as(s"ws$i")))
+    val row = withW.agg(aggExprs.head, aggExprs.tail: _*).head()
+    def mean(sum: Long, cnt: Long): Long =
+      (BigInt(sum) * 1000000 / BigInt(cnt)).toLong
+    val n = row.getLong(0); val sx = row.getLong(1)
+    val reps = (0 until r).map { i =>
+      val wc = row.getLong(2 + 2 * i); val ws = row.getLong(3 + 2 * i)
+      (i.toLong, wc, ws, mean(ws, wc))
+    }
+    val byMean = reps.sortBy { case (rep, _, _, m) => (m, rep) }
+    val lo = byMean(1); val hi = byMean(r - 2)
+    val out = reps ++ Seq((97L, n, sx, mean(sx, n)),
+      (98L, lo._2, lo._3, lo._4), (99L, hi._2, hi._3, hi._4))
+    LocalReport.frame(s, out.map { case (a, b, c, d) =>
+      org.apache.spark.sql.Row(a, b, c, d) },
+      "rep" -> LongType, "w_count" -> LongType, "w_sum_cents" -> LongType,
+      "mean_microcents" -> LongType)
+  }
 }

@@ -1327,4 +1327,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"engine histogram diverges from driver plant scores at $r")
     }
   }
+
+  // ------------------------------------------------------------- X319
+
+  test("q344: weights are mean-1, interval rows are the order statistics") {
+    val rows = PipelineOps.q344BootstrapCi(spark, sf).collect()
+      .map(r => r.getAs[Long]("rep") -> r).toMap
+    val reps = graft.ops.PipelineOps.BootReps
+    assert(rows.keySet == ((0L until reps.toLong).toSet ++ Set(97L, 98L, 99L)))
+    val n = rows(97L).getAs[Long]("w_count")
+    // mean-1 binomial(4, 1/4) weights: every replicate's effective count
+    // sits near n (a biased hash bit shows up exactly here — the q342
+    // lesson; the pre-fix low-bit extraction measured 0.68n)
+    (0L until reps.toLong).foreach { i =>
+      val wc = rows(i).getAs[Long]("w_count")
+      assert(math.abs(wc - n) * 10L < n, s"replicate $i count $wc vs $n")
+    }
+    // every row's mean is the exact BigInt div of its own sums
+    rows.values.foreach { r =>
+      val m = (BigInt(r.getAs[Long]("w_sum_cents")) * 1000000 /
+        BigInt(r.getAs[Long]("w_count"))).toLong
+      assert(r.getAs[Long]("mean_microcents") == m)
+    }
+    // interval rows 98/99 are the 2nd / (R-1)th order statistics of the
+    // replicate means (tie-break rep asc), and the point estimate is
+    // inside the interval on this corpus
+    val means = (0L until reps.toLong)
+      .map(i => (rows(i).getAs[Long]("mean_microcents"), i)).sorted
+    assert(rows(98L).getAs[Long]("mean_microcents") == means(1)._1)
+    assert(rows(99L).getAs[Long]("mean_microcents") == means(reps - 2)._1)
+    val pt = rows(97L).getAs[Long]("mean_microcents")
+    assert(pt >= rows(98L).getAs[Long]("mean_microcents"))
+    assert(pt <= rows(99L).getAs[Long]("mean_microcents"))
+  }
 }

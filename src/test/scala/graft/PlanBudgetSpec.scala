@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q344_bootstrap_ci" -> 0, // collect-local 35-row report; the ONE
+                             // corpus scan folds all 2R+2 replicate
+                             // sums inside the builder
     "q343_batch_padding" -> 0, // collect-local 2-row report; each
                              // strategy is ONE GlobalOrder range pass +
                              // combinable batch folds inside the builder
