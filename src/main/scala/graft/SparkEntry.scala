@@ -584,6 +584,63 @@ object SparkEntry {
        |ORDER BY rep""".stripMargin
   }
 
+  /** q345's oracle, generated: the q106 Lloyd's chain keeping (q, cid,
+    * d), FpByteFold shuffle keys, one rank window per ordering, and the
+    * rn→rn+1 adjacent-pair folds. */
+  private def q345OracleSql: String = {
+    def assignBlock(out: String, cents: String) =
+      s"""$out AS MATERIALIZED (SELECT vec_id, q, cid, d FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+         |      SELECT e.vec_id, e.q, c.cid,
+         |        list_sum(list_transform(generate_series(1, len(e.q)),
+         |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+         |      FROM e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+    def updateBlock(k: Int) =
+      s"""x$k AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a$k),
+         |s$k AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+         |       FROM x$k GROUP BY cid, i),
+         |u$k AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+         |       FROM s$k GROUP BY cid),
+         |c$k AS (SELECT c${k - 1}.cid, coalesce(u$k.c, c${k - 1}.c) AS c
+         |       FROM c${k - 1} LEFT JOIN u$k USING (cid))""".stripMargin
+    def pairFold(name: String, src: String) =
+      s"""SELECT '$name' AS ordering, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(d2) AS BIGINT) AS sum_adj_d2,
+         |    CAST(sum(same) AS BIGINT) AS n_same_cluster
+         |  FROM (SELECT list_sum(list_transform(generate_series(1, len(a.q)),
+         |        i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS d2,
+         |      CASE WHEN a.cid = b.cid THEN 1 ELSE 0 END AS same
+         |    FROM $src a JOIN $src b ON b.rn = a.rn + 1)""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+       |       FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8)),
+       |${assignBlock("a1", "c0")},
+       |${updateBlock(1)},
+       |${assignBlock("a2", "c1")},
+       |${updateBlock(2)},
+       |${assignBlock("a3", "c2")},
+       |kb AS MATERIALIZED (SELECT vec_id, q, cid, d,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split('icp:' || CAST(vec_id AS VARCHAR)
+       |        || ':' || CAST((vec_id % 1000003) * (vec_id % 1000003)
+       |        AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      $FpByteFold) AS sk
+       |  FROM a3),
+       |rc AS MATERIALIZED (SELECT vec_id, q, cid,
+       |    row_number() OVER (ORDER BY cid, d, vec_id) AS rn FROM kb),
+       |rs AS MATERIALIZED (SELECT vec_id, q, cid,
+       |    row_number() OVER (ORDER BY sk, vec_id) AS rn FROM kb),
+       |mc AS (${pairFold("clustered", "rc")}),
+       |ms AS (${pairFold("shuffled", "rs")})
+       |SELECT ordering, n_pairs, sum_adj_d2,
+       |  sum_adj_d2 // n_pairs AS mean_adj_d2, n_same_cluster
+       |FROM (SELECT * FROM mc UNION ALL SELECT * FROM ms)
+       |ORDER BY ordering""".stripMargin
+  }
+
   /** q335's oracle: the SAME generated learn chain trained on the even
     * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
     * APPLY chain — h0 is the char symbolization of the odd-half word
@@ -2069,6 +2126,7 @@ object SparkEntry {
     "q342_jl_projection"  -> SimilarityOps.q342JlProjection _,
     "q343_batch_padding"  -> CorpusOps.q343BatchPadding _,
     "q344_bootstrap_ci"   -> PipelineOps.q344BootstrapCi _,
+    "q345_iclm_ordering"  -> SimilarityOps.q345IclmOrdering _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7308,6 +7366,7 @@ object SparkEntry {
     "q342_jl_projection" -> q342OracleSql,
     "q343_batch_padding" -> q343OracleSql,
     "q344_bootstrap_ci" -> q344OracleSql,
+    "q345_iclm_ordering" -> q345OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

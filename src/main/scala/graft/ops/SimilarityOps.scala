@@ -1278,4 +1278,63 @@ object SimilarityOps {
         $"min_ratio_ppm", $"med_ratio_ppm", $"max_ratio_ppm")
       .orderBy($"q_id")
   }
+
+  /** X320 — in-context-pretraining document ordering (the ICLM recipe,
+    * Shi et al. 2024): pretraining on RELATED documents placed adjacent
+    * in the token stream measurably improves in-context learning; the
+    * published pipeline orders the corpus so semantic neighbors sit
+    * next to each other. The scale-true surrogate for their greedy
+    * nearest-neighbor chaining is cluster-then-sort: k-means blocks
+    * (q106's exact integer Lloyd's, the same clustering SemDeDup/PQ
+    * already run) ordered by (cluster, distance-to-centroid) — inside a
+    * cluster, vectors at similar radii are near the same centroid
+    * neighborhood. Audited against the X42 deterministic shuffle (the
+    * q332-hardened key): per ordering the adjacent-pair count, exact
+    * Σd² over consecutive pairs (the GlobalOrder rn→rn+1 self-join —
+    * never an unpartitioned lag), mean adjacent d², and how many
+    * adjacent pairs share a cluster.
+    *
+    * Scale: clustering is the standard driver-centroid Lloyd's; each
+    * ordering costs ONE GlobalOrder range pass and ONE uniform rn→rn+1
+    * self-join; the report is 2 rows. At 100 TB the output ORDER is
+    * what ships to the sequence packer (q80/q247) — this operator is
+    * the measured justification for paying the ordering pass at all. */
+  def q345IclmOrdering(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    graft.functions.Fingerprint.register(s)
+    val q = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      .persist()
+    try {
+      val asg = kmeansAssign(s, q, k = 8, iters = 3)
+        .withColumn("sk", expr(
+          "graft_fingerprint(concat('icp:', CAST(vec_id AS STRING), ':', " +
+            "CAST(pmod(vec_id, 1000003) * pmod(vec_id, 1000003) AS STRING)))"))
+        .persist() // two rank passes + their pair joins read this
+      try {
+        asg.count() // materialize before the rank passes fork
+        def metric(name: String,
+                   cols: Seq[org.apache.spark.sql.Column]) = {
+          val ranked = graft.operators.GlobalOrder
+            .withRowNumber(asg, cols, "rn")
+            .select($"rn", $"q", $"cid")
+          val nxt = ranked.select(($"rn" - 1L).as("rn"), $"q".as("nq"),
+            $"cid".as("ncid"))
+          val st = ranked.join(nxt, Seq("rn"))
+            .agg(count(lit(1)), sum(expr("graft_dist2(q, nq)")),
+              sum(when($"cid" === $"ncid", 1L).otherwise(0L))).head()
+          org.apache.spark.sql.Row(name, st.getLong(0), st.getLong(1),
+            st.getLong(1) / st.getLong(0), st.getLong(2))
+        }
+        LocalReport.frame(s,
+          Seq(metric("clustered", Seq($"cid", $"d", $"vec_id")),
+            metric("shuffled", Seq($"sk", $"vec_id"))),
+          ("ordering", StringType), ("n_pairs", LongType),
+          ("sum_adj_d2", LongType), ("mean_adj_d2", LongType),
+          ("n_same_cluster", LongType))
+      } finally asg.unpersist(blocking = false)
+    } finally q.unpersist(blocking = false)
+  }
 }

@@ -1609,6 +1609,28 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("recall10_ppm")).sum >= 300000L)
   }
 
+  // ------------------------------------------------------------- X320
+
+  test("iclm ordering: cluster-sort beats the shuffle, boundaries count exactly") {
+    val rows = graft.ops.SimilarityOps.q345IclmOrdering(spark, sf).collect()
+      .map(r => r.getAs[String]("ordering") -> r).toMap
+    val cl = rows("clustered"); val sh = rows("shuffled")
+    assert(cl.getAs[Long]("n_pairs") == sh.getAs[Long]("n_pairs"))
+    // the ordering's purpose: semantic neighbors adjacent — strictly
+    // less adjacent-pair distance than the shuffled stream
+    assert(cl.getAs[Long]("sum_adj_d2") < sh.getAs[Long]("sum_adj_d2"))
+    assert(cl.getAs[Long]("n_same_cluster") > sh.getAs[Long]("n_same_cluster"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("mean_adj_d2") ==
+        r.getAs[Long]("sum_adj_d2") / r.getAs[Long]("n_pairs"))
+    }
+    // in the clustered order every cluster is contiguous, so the only
+    // cross-cluster adjacencies are the k_present - 1 boundaries
+    val kPresent = graft.ops.SimilarityOps.q106Kmeans(spark, sf).collect().length
+    assert(cl.getAs[Long]("n_same_cluster") ==
+      cl.getAs[Long]("n_pairs") + 1L - kPresent)
+  }
+
   // ------------------------------------------------------------- X146
 
   test("split leakage: exact-dup families crossing the split are counted") {

@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q345_iclm_ordering" -> 0, // collect-local 2-row report; Lloyd's
+                             // passes + one GlobalOrder range pass and
+                             // one rn→rn+1 self-join per ordering run
+                             // inside the builder
     "q344_bootstrap_ci" -> 0, // collect-local 35-row report; the ONE
                              // corpus scan folds all 2R+2 replicate
                              // sums inside the builder
