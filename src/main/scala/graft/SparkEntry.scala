@@ -641,6 +641,57 @@ object SparkEntry {
        |ORDER BY ordering""".stripMargin
   }
 
+  /** q346's oracle: per-customer pre/post folds ∪ the arithmetic plant,
+    * FpByteFold middle-square arms, HUGEINT cleared-denominator moments
+    * and the θppm-first ρ² factoring (Sxy² would overflow 128 bits). */
+  private def q346OracleSql: String =
+    s"""WITH osum AS (SELECT o_custkey AS k,
+       |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN
+       |      CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN
+       |      CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |corpus AS (SELECT 'corpus' AS scope, CAST(c_custkey AS BIGINT) AS k,
+       |    coalesce(x, 0) AS x, coalesce(y, 0) AS base_y, 0 AS boost
+       |  FROM customer LEFT JOIN osum ON c_custkey = osum.k),
+       |plant AS (SELECT 'plant' AS scope, -i AS k,
+       |    (i * i % 9973) * 1000 AS x,
+       |    2 * ((i * i % 9973) * 1000) + (i * i * i % 101 - 50) * 100 AS base_y,
+       |    5000000 AS boost
+       |  FROM generate_series(1, 200) t(i)),
+       |armed AS MATERIALIZED (SELECT scope, arm, x,
+       |    base_y + CASE WHEN arm = 1 THEN boost ELSE 0 END AS y
+       |  FROM (SELECT *, (fp * fp // 65536) % 2 AS arm FROM (
+       |    SELECT *, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split('cuped:' || CAST(k AS VARCHAR), ''),
+       |        c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS fp
+       |    FROM (SELECT * FROM corpus UNION ALL SELECT * FROM plant)))),
+       |m AS MATERIALIZED (SELECT scope, arm, CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM armed GROUP BY scope, arm),
+       |p AS (SELECT scope, sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+       |    sum(sxy) AS sxy, sum(sxx) AS sxx, sum(syy) AS syy
+       |  FROM m GROUP BY scope),
+       |t AS MATERIALIZED (SELECT scope,
+       |    1000000 * (n * sxy - sx * sy) // (n * sxx - sx * sx) AS theta_ppm,
+       |    (1000000 * (n * sxy - sx * sy) // (n * sxx - sx * sx))
+       |      * (n * sxy - sx * sy) // (n * syy - sy * sy) AS varred_ppm,
+       |    1000000 * sx // n AS mx
+       |  FROM p)
+       |SELECT m.scope, CASE WHEN m.arm = 0 THEN 'a' ELSE 'b' END AS arm,
+       |  CAST(m.n AS BIGINT) AS n,
+       |  CAST(1000000 * m.sx // m.n AS BIGINT) AS mean_x_microcents,
+       |  CAST(1000000 * m.sy // m.n AS BIGINT) AS mean_y_microcents,
+       |  CAST(1000000 * m.sy // m.n
+       |    - t.theta_ppm * (1000000 * m.sx // m.n - t.mx) // 1000000
+       |    AS BIGINT) AS adj_mean_y_microcents,
+       |  CAST(t.theta_ppm AS BIGINT) AS theta_ppm,
+       |  CAST(t.varred_ppm AS BIGINT) AS varred_ppm
+       |FROM m JOIN t USING (scope) ORDER BY scope, arm""".stripMargin
+
   /** q335's oracle: the SAME generated learn chain trained on the even
     * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
     * APPLY chain — h0 is the char symbolization of the odd-half word
@@ -2127,6 +2178,7 @@ object SparkEntry {
     "q343_batch_padding"  -> CorpusOps.q343BatchPadding _,
     "q344_bootstrap_ci"   -> PipelineOps.q344BootstrapCi _,
     "q345_iclm_ordering"  -> SimilarityOps.q345IclmOrdering _,
+    "q346_cuped_variance" -> PipelineOps.q346CupedVariance _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7367,6 +7419,7 @@ object SparkEntry {
     "q343_batch_padding" -> q343OracleSql,
     "q344_bootstrap_ci" -> q344OracleSql,
     "q345_iclm_ordering" -> q345OracleSql,
+    "q346_cuped_variance" -> q346OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

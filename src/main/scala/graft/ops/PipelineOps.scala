@@ -3491,6 +3491,103 @@ object PipelineOps {
   /** q344's replicate count, shared with the generated oracle. */
   private[graft] val BootReps = 32
 
+  /** X321 — CUPED variance reduction (Deng et al., WSDM 2013), the
+    * published control-variate step every experimentation platform runs
+    * before reading an A/B dashboard: with a pre-period covariate X,
+    * analyze Yadj = Y − θ(X − X̄) instead of Y; under randomization the
+    * treatment delta is unchanged while Var(Yadj) = Var(Y)(1 − ρ²).
+    * θ = Sxy/Sxx and ρ² = Sxy²/(Sxx·Syy) in CLEARED-DENOMINATOR exact
+    * integer form (Sxy_m = nΣxy − ΣxΣy etc.); ρ² is computed as
+    * (θppm·Sxy_m) // Syy_m — the θppm-first factoring keeps every
+    * intermediate under HUGEINT/BigInt bounds where the naive Sxy_m²
+    * product would overflow 128 bits at cent scale.
+    *
+    * Two scopes ship side by side: `corpus` — X = pre-1998 customer
+    * spend, Y = post-1998 spend — where the synthetic order stream has
+    * NO per-customer persistence (measured corr ≈ −0.004), so CUPED
+    * honestly buys ~nothing (varred_ppm ≈ 0: the calibration half,
+    * exactly like q291's A/A leg); and `plant` — 200 in-query units
+    * (negative ids, pure arithmetic: x from a quadratic residue spread,
+    * y = 2x + bounded cubic noise + a planted 50 000-cent effect on arm
+    * B under the q291 middle-square assignment) — where the covariate
+    * explains ~everything (varred_ppm ≥ 0.999e6) and the ADJUSTED delta
+    * pins the planted effect while the raw delta wears the full 2x
+    * covariate noise.
+    *
+    * Scale: ONE per-customer pre/post fold, one union with the bounded
+    * plant, ONE combinable (scope, arm) moment aggregation (products in
+    * int64, sums in DECIMAL(38,0)); driver state is 4 moment rows.
+    * BigInt `/` truncates toward zero exactly like DuckDB `//`
+    * (verified on negatives — the corpus Sxy CAN be negative here). */
+  def q346CupedVariance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val osum = Tables.load(s, dir, "orders")
+      .groupBy($"o_custkey".cast("long").as("k"))
+      .agg(
+        sum(expr("CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN " +
+          "CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0L END")).as("x"),
+        sum(expr("CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN " +
+          "CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0L END")).as("y"))
+    val corpus = Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("k"))
+      .join(osum, Seq("k"), "left")
+      .select(lit("corpus").as("scope"), $"k",
+        coalesce($"x", lit(0L)).as("x"),
+        coalesce($"y", lit(0L)).as("base_y"), lit(0L).as("boost"))
+    val plant = s.range(1, 201)
+      .select(lit("plant").as("scope"), (-$"id").as("k"),
+        expr("(id * id % 9973L) * 1000L").as("x"),
+        expr("2L * ((id * id % 9973L) * 1000L) + " +
+          "(id * id * id % 101L - 50L) * 100L").as("base_y"),
+        lit(5000000L).as("boost"))
+    val armExpr = expr(
+      "pmod(graft_fingerprint(concat('cuped:', CAST(k AS STRING))) * " +
+        "graft_fingerprint(concat('cuped:', CAST(k AS STRING))) div 65536, 2)")
+    val units = corpus.unionByName(plant)
+      .withColumn("arm", armExpr)
+      .select($"scope", $"arm", $"x",
+        ($"base_y" + when($"arm" === 1L, $"boost").otherwise(0L)).as("y"))
+    val moments = units.groupBy($"scope", $"arm").agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"),
+      sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"),
+      sum(expr("CAST(y * y AS DECIMAL(38,0))")).as("syy"))
+      .collect()
+    def big(r: org.apache.spark.sql.Row, i: Int): BigInt = r.get(i) match {
+      case l: java.lang.Long => BigInt(l)
+      case d: java.math.BigDecimal => BigInt(d.toBigInteger)
+    }
+    val M = 1000000
+    val out = moments.map(r => (r.getString(0), r.getLong(1))).sorted
+      .map { case (scope, arm) =>
+        val mine = moments.find(r =>
+          r.getString(0) == scope && r.getLong(1) == arm).get
+        val pool = moments.filter(_.getString(0) == scope)
+        // columns: scope(0) arm(1) n(2) sx(3) sy(4) sxy(5) sxx(6) syy(7)
+        def psum(i: Int) = pool.map(big(_, i)).sum
+        val n = psum(2); val sx = psum(3); val sy = psum(4)
+        val sxyM = n * psum(5) - sx * sy
+        val sxxM = n * psum(6) - sx * sx
+        val syyM = n * psum(7) - sy * sy
+        val theta = M * sxyM / sxxM
+        val varred = theta * sxyM / syyM
+        val mx = M * sx / n
+        val na = big(mine, 2); val mxa = M * big(mine, 3) / na
+        val mya = M * big(mine, 4) / na
+        val adj = mya - theta * (mxa - mx) / M
+        org.apache.spark.sql.Row(scope, if (arm == 0L) "a" else "b",
+          na.toLong, mxa.toLong, mya.toLong, adj.toLong, theta.toLong,
+          varred.toLong)
+      }
+    LocalReport.frame(s, out.toSeq,
+      "scope" -> StringType, "arm" -> StringType, "n" -> LongType,
+      "mean_x_microcents" -> LongType, "mean_y_microcents" -> LongType,
+      "adj_mean_y_microcents" -> LongType, "theta_ppm" -> LongType,
+      "varred_ppm" -> LongType)
+  }
+
   /** X319 — deterministic multiplier-bootstrap confidence interval
     * (the Poisson bootstrap of Chamandy et al. / the BLB family, the
     * published way to get uncertainty at 100 TB): a classic bootstrap

@@ -1360,4 +1360,41 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pt >= rows(98L).getAs[Long]("mean_microcents"))
     assert(pt <= rows(99L).getAs[Long]("mean_microcents"))
   }
+
+  // ------------------------------------------------------------- X321
+
+  test("q346: CUPED recovers the planted effect, corpus leg is honestly null") {
+    val rows = PipelineOps.q346CupedVariance(spark, sf).collect()
+      .map(r => (r.getAs[String]("scope"), r.getAs[String]("arm")) -> r).toMap
+    assert(rows.keySet ==
+      Set(("corpus", "a"), ("corpus", "b"), ("plant", "a"), ("plant", "b")))
+    // pooled stats repeat identically on both arm rows of a scope
+    Seq("corpus", "plant").foreach { sc =>
+      assert(rows((sc, "a")).getAs[Long]("theta_ppm") ==
+        rows((sc, "b")).getAs[Long]("theta_ppm"))
+      assert(rows((sc, "a")).getAs[Long]("varred_ppm") ==
+        rows((sc, "b")).getAs[Long]("varred_ppm"))
+    }
+    // the synthetic order stream has no per-customer persistence:
+    // CUPED buys ~nothing and must SAY so (the A/A-style calibration).
+    // theta itself is a noisy null (−4388 ppm at sf0.01, 123443 at
+    // sf0.001's 150 customers) — the calibrated readout is varred
+    assert(math.abs(rows(("corpus", "a")).getAs[Long]("theta_ppm")) < 300000L)
+    assert(rows(("corpus", "a")).getAs[Long]("varred_ppm") < 50000L)
+    // the plant's y = 2x + bounded noise + effect: theta pins ~2.0 and
+    // the covariate explains most of the pooled variance
+    val pth = rows(("plant", "a")).getAs[Long]("theta_ppm")
+    assert(pth > 1950000L && pth < 2050000L, s"theta $pth")
+    assert(rows(("plant", "a")).getAs[Long]("varred_ppm") > 500000L)
+    // the point of CUPED: the ADJUSTED delta recovers the planted
+    // 50,000-dollar effect far better than the raw delta (which wears
+    // the full 2x covariate imbalance between arms)
+    val effect = 5000000L * 1000000L / 100L * 100L // 5e6 cents in microcents
+    def delta(col: String) = rows(("plant", "b")).getAs[Long](col) -
+      rows(("plant", "a")).getAs[Long](col)
+    val rawErr = math.abs(delta("mean_y_microcents") - effect)
+    val adjErr = math.abs(delta("adj_mean_y_microcents") - effect)
+    assert(adjErr < rawErr, s"adj $adjErr !< raw $rawErr")
+    assert(adjErr <= 2000000000L, s"adj error $adjErr microcents")
+  }
 }

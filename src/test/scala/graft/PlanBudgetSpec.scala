@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q346_cuped_variance" -> 0, // collect-local 4-row report; ONE
+                             // per-customer pre/post fold + ONE
+                             // (scope, arm) moment agg inside the builder
     "q345_iclm_ordering" -> 0, // collect-local 2-row report; Lloyd's
                              // passes + one GlobalOrder range pass and
                              // one rn→rn+1 self-join per ordering run
