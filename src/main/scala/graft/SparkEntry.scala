@@ -390,12 +390,17 @@ object SparkEntry {
     * as chained CTEs (reverse view capped at k per node, pairs share a
     * common source, top-k merge per node), audited against the exact
     * top-k truth of the 10-node IVF query batch. */
-  private def q341OracleSql: String = {
+  private def nndListD2(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+
+  /** The NN-Descent chain CTEs shared by q341 (per-round audit) and
+    * q347 (beam search over the final g<rounds>): e0/e/rkt/init plus
+    * one local-join round per CTE block. */
+  private def nndChainCtes: String = {
     val k = graft.ops.SimilarityOps.NndK
     val rounds = graft.ops.SimilarityOps.NndRounds
-    def d2(a: String, b: String): String =
-      s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
-        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    def d2(a: String, b: String): String = nndListD2(a, b)
     val roundCtes = (1 to rounds).map { r =>
       s"""rev$r AS (SELECT dst AS src, src AS dst FROM (
          |    SELECT src, dst, row_number() OVER (PARTITION BY dst
@@ -415,15 +420,7 @@ object SparkEntry {
          |        SELECT * FROM g${r - 1} UNION ALL SELECT * FROM new$r)
          |      GROUP BY src, dst)) WHERE rn <= $k)""".stripMargin
     }.mkString(",\n")
-    val statRows = (0 to rounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS rnd,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM g$r) AS n_edges,
-         |  (SELECT CAST(sum(d2) AS BIGINT) FROM g$r) AS sum_d2,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM g$r g
-         |     JOIN tr ON g.src = tr.a_id AND g.dst = tr.dst) * 1000000
-         |    // (SELECT n FROM ntr) AS recall_ppm""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH e0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+    s"""e0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |    list_transform(embedding,
        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
        |  FROM embeddings),
@@ -445,10 +442,24 @@ object SparkEntry {
        |      SELECT i.src, i.dst, ${d2("sq.q", "dq.q")} AS d2
        |      FROM ini i JOIN e sq ON sq.vec_id = i.src
        |      JOIN e dq ON dq.vec_id = i.dst)) WHERE rn <= $k),
-       |$roundCtes,
+       |$roundCtes""".stripMargin
+  }
+
+  private def q341OracleSql: String = {
+    val k = graft.ops.SimilarityOps.NndK
+    val rounds = graft.ops.SimilarityOps.NndRounds
+    val statRows = (0 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rnd,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM g$r) AS n_edges,
+         |  (SELECT CAST(sum(d2) AS BIGINT) FROM g$r) AS sum_d2,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM g$r g
+         |     JOIN tr ON g.src = tr.a_id AND g.dst = tr.dst) * 1000000
+         |    // (SELECT n FROM ntr) AS recall_ppm""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH $nndChainCtes,
        |aud AS MATERIALIZED (SELECT vec_id AS a_id, q AS aq FROM e
        |  WHERE vec_id >= 8 AND vec_id < 18),
-       |trd AS (SELECT a.a_id, x.vec_id, ${d2("x.q", "a.aq")} AS d2
+       |trd AS (SELECT a.a_id, x.vec_id, ${nndListD2("x.q", "a.aq")} AS d2
        |  FROM e x CROSS JOIN aud a WHERE x.vec_id <> a.a_id),
        |tr AS MATERIALIZED (SELECT a_id, vec_id AS dst FROM (
        |    SELECT a_id, vec_id, row_number() OVER (PARTITION BY a_id
@@ -457,6 +468,58 @@ object SparkEntry {
        |SELECT * FROM (
        |$statRows
        |) ORDER BY rnd""".stripMargin
+  }
+
+  /** q347's oracle, generated: the shared NN-Descent chain, then
+    * [[graft.ops.SimilarityOps.BeamHops]] beam-search hops as chained
+    * CTEs (frontier expand → score → visited dedup → top-B window) and
+    * the exact-top-1 truth join. */
+  private def q347OracleSql: String = {
+    val rounds = graft.ops.SimilarityOps.NndRounds
+    val b = graft.ops.SimilarityOps.BeamWidth
+    val hops = graft.ops.SimilarityOps.BeamHops
+    val hopCtes = (1 to hops).map { h =>
+      s"""nb$h AS (SELECT DISTINCT bm.q_id, g.dst AS node
+         |  FROM b${h - 1} bm JOIN g$rounds g ON g.src = bm.node
+         |  WHERE g.dst <> bm.q_id),
+         |sc$h AS (SELECT n.q_id, n.node, ${nndListD2("x.q", "a.aq")} AS d2
+         |  FROM nb$h n JOIN e x ON x.vec_id = n.node
+         |  JOIN aud a ON a.q_id = n.q_id),
+         |v$h AS MATERIALIZED (SELECT q_id, node, min(d2) AS d2 FROM (
+         |    SELECT * FROM v${h - 1} UNION ALL SELECT * FROM sc$h)
+         |  GROUP BY q_id, node),
+         |b$h AS MATERIALIZED (SELECT q_id, node, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY d2, node) AS rn FROM v$h) WHERE rn <= $b)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $nndChainCtes,
+       |aud AS MATERIALIZED (SELECT vec_id AS q_id, q AS aq FROM e
+       |  WHERE vec_id >= 8 AND vec_id < 18),
+       |ent AS (SELECT min(vec_id) AS node FROM e),
+       |v0 AS MATERIALIZED (SELECT a.q_id, ent.node,
+       |    ${nndListD2("x.q", "a.aq")} AS d2
+       |  FROM ent JOIN e x ON x.vec_id = ent.node CROSS JOIN aud a
+       |  WHERE ent.node <> a.q_id),
+       |b0 AS (SELECT * FROM v0),
+       |$hopCtes,
+       |bstat AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_visited,
+       |    max(CASE WHEN rn = 1 THEN node END) AS best_id,
+       |    max(CASE WHEN rn = 1 THEN d2 END) AS best_d2
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY d2, node) AS rn FROM v$hops) GROUP BY q_id),
+       |ex AS (SELECT q_id, vec_id AS exact_id, d2 AS exact_d2 FROM (
+       |    SELECT a.q_id, x.vec_id, ${nndListD2("x.q", "a.aq")} AS d2,
+       |      row_number() OVER (PARTITION BY a.q_id
+       |        ORDER BY ${nndListD2("x.q", "a.aq")}, x.vec_id) AS rn
+       |    FROM e x CROSS JOIN aud a WHERE x.vec_id <> a.q_id)
+       |  WHERE rn = 1)
+       |SELECT b.q_id, b.n_visited, b.best_id, CAST(b.best_d2 AS BIGINT)
+       |    AS best_d2, ex.exact_id, ex.exact_d2,
+       |  CASE WHEN b.best_id = ex.exact_id THEN CAST(1 AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS found,
+       |  (b.best_d2 - ex.exact_d2) * 1000000 // ex.exact_d2 AS excess_ppm
+       |FROM bstat b JOIN ex USING (q_id) ORDER BY q_id""".stripMargin
   }
 
   /** q342's oracle, generated: the SAME driver-computed ±1 sign matrix
@@ -2179,6 +2242,7 @@ object SparkEntry {
     "q344_bootstrap_ci"   -> PipelineOps.q344BootstrapCi _,
     "q345_iclm_ordering"  -> SimilarityOps.q345IclmOrdering _,
     "q346_cuped_variance" -> PipelineOps.q346CupedVariance _,
+    "q347_graph_search"   -> SimilarityOps.q347GraphSearch _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7420,6 +7484,7 @@ object SparkEntry {
     "q344_bootstrap_ci" -> q344OracleSql,
     "q345_iclm_ordering" -> q345OracleSql,
     "q346_cuped_variance" -> q346OracleSql,
+    "q347_graph_search" -> q347OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -1116,54 +1116,71 @@ object SimilarityOps {
     * (q320's lineage rule). Output is a 4-row local report; the
     * member-sized graph itself never reaches the driver (the audit
     * collects only the 10-node batch's 60 edges). */
+  /** The milli-quantized nonzero embedding universe the NN-Descent lane
+    * (X316 build, X322 search) shares. Caller owns the persist. */
+  private[ops] def nndUniverse(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SquaredDistance.register(s)
+    Tables.load(s, dir, "embeddings")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      .filter(expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+  }
+
+  /** The NN-Descent builder shared by X316 (which audits every round's
+    * snapshot) and X322's beam search (which consumes the final graph).
+    * Returns the localCheckpointed (src, dst, d2) snapshot per round,
+    * init first. `e` must already be persisted by the caller. */
+  private[ops] def nndSnapshots(s: SparkSession, e: DataFrame): Seq[DataFrame] = {
+    import s.implicits._
+    val k = NndK
+    val (ranked0, n) =
+      graft.operators.GlobalOrder.withRowNumberAndTotal(e, Seq($"vec_id"), "rk")
+    val ranked = ranked0.select($"vec_id", $"q", ($"rk" - 1L).as("rk0"))
+      .localCheckpoint() // consumed by the explode side AND the rank-target join
+    def withD2(edges: DataFrame): DataFrame =
+      edges.join(e.select($"vec_id".as("src"), $"q".as("sq")), Seq("src"))
+        .join(e.select($"vec_id".as("dst"), $"q".as("dq")), Seq("dst"))
+        .select($"src", $"dst", expr("graft_dist2(sq, dq)").as("d2"))
+    def topK(edges: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"src").orderBy($"d2", $"dst")
+      edges.groupBy($"src", $"dst").agg(min($"d2").as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k).drop("rn")
+    }
+    val init = ranked.select($"vec_id", $"rk0")
+      .withColumn("r", explode(expr(s"sequence(0, ${k - 1})")))
+      .withColumn("tgt0", ($"rk0" + 1L +
+        (($"vec_id" * 2654435761L + ($"r" + 1L) * 40503L) % 1000003L)
+          % lit(n - 1L)) % lit(n))
+      .join(ranked.select($"rk0".as("tgt0"), $"vec_id".as("dst")), Seq("tgt0"))
+      .select($"vec_id".as("src"), $"dst").distinct()
+    var g = topK(withD2(init)).localCheckpoint()
+    val snaps = scala.collection.mutable.ArrayBuffer(g)
+    for (_ <- 1 to NndRounds) {
+      val wRev = Window.partitionBy($"dst").orderBy($"d2", $"src")
+      val rev = g.withColumn("rn", row_number().over(wRev))
+        .filter($"rn" <= k).select($"dst".as("src"), $"src".as("dst"))
+      val und = g.select($"src", $"dst").unionByName(rev).distinct()
+      val cand = und.as("a")
+        .join(und.as("b"), $"a.src" === $"b.src" && $"a.dst" < $"b.dst")
+        .select($"a.dst".as("x"), $"b.dst".as("y")).distinct()
+      val pairs = cand.select($"x".as("src"), $"y".as("dst"))
+        .unionByName(cand.select($"y".as("src"), $"x".as("dst")))
+      g = topK(g.unionByName(withD2(pairs))).localCheckpoint()
+      snaps += g
+    }
+    snaps.toSeq
+  }
+
   def q341NnDescent(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
-    graft.functions.SquaredDistance.register(s)
     val k = NndK
-    val e = Tables.load(s, dir, "embeddings")
-      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
-        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
-      .filter(expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+    val e = nndUniverse(s, dir)
       .persist() // vectors feed the init join, every round's d2 join, and the truth leg
     try {
-      val (ranked0, n) =
-        graft.operators.GlobalOrder.withRowNumberAndTotal(e, Seq($"vec_id"), "rk")
-      val ranked = ranked0.select($"vec_id", $"q", ($"rk" - 1L).as("rk0"))
-        .localCheckpoint() // consumed by the explode side AND the rank-target join
-      def withD2(edges: DataFrame): DataFrame =
-        edges.join(e.select($"vec_id".as("src"), $"q".as("sq")), Seq("src"))
-          .join(e.select($"vec_id".as("dst"), $"q".as("dq")), Seq("dst"))
-          .select($"src", $"dst", expr("graft_dist2(sq, dq)").as("d2"))
-      def topK(edges: DataFrame): DataFrame = {
-        val w = Window.partitionBy($"src").orderBy($"d2", $"dst")
-        edges.groupBy($"src", $"dst").agg(min($"d2").as("d2"))
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" <= k).drop("rn")
-      }
-      val init = ranked.select($"vec_id", $"rk0")
-        .withColumn("r", explode(expr(s"sequence(0, ${k - 1})")))
-        .withColumn("tgt0", ($"rk0" + 1L +
-          (($"vec_id" * 2654435761L + ($"r" + 1L) * 40503L) % 1000003L)
-            % lit(n - 1L)) % lit(n))
-        .join(ranked.select($"rk0".as("tgt0"), $"vec_id".as("dst")), Seq("tgt0"))
-        .select($"vec_id".as("src"), $"dst").distinct()
-      var g = topK(withD2(init)).localCheckpoint()
-      val snaps = scala.collection.mutable.ArrayBuffer(g)
-      for (_ <- 1 to NndRounds) {
-        val wRev = Window.partitionBy($"dst").orderBy($"d2", $"src")
-        val rev = g.withColumn("rn", row_number().over(wRev))
-          .filter($"rn" <= k).select($"dst".as("src"), $"src".as("dst"))
-        val und = g.select($"src", $"dst").unionByName(rev).distinct()
-        val cand = und.as("a")
-          .join(und.as("b"), $"a.src" === $"b.src" && $"a.dst" < $"b.dst")
-          .select($"a.dst".as("x"), $"b.dst".as("y")).distinct()
-        val pairs = cand.select($"x".as("src"), $"y".as("dst"))
-          .unionByName(cand.select($"y".as("src"), $"x".as("dst")))
-        g = topK(g.unionByName(withD2(pairs))).localCheckpoint()
-        snaps += g
-      }
+      val snaps = nndSnapshots(s, e)
       val audit = e.filter($"vec_id" >= IvfQueryLo && $"vec_id" < IvfCorpusLo)
         .select($"vec_id".as("a_id"), $"q".as("aq"))
       val wT = Window.partitionBy($"a_id").orderBy($"d2", $"vec_id")
@@ -1174,7 +1191,7 @@ object SimilarityOps {
         .filter($"rn" <= k).select($"a_id", $"vec_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val auditIds = truth.map(_._1).toSeq.sorted
-      val rows = snaps.toSeq.zipWithIndex.map { case (gr, i) =>
+      val rows = snaps.zipWithIndex.map { case (gr, i) =>
         val st = gr.agg(count(lit(1)), sum($"d2")).head
         val mine = gr.filter($"src".isin(auditIds: _*)).select($"src", $"dst")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1183,6 +1200,83 @@ object SimilarityOps {
       }
       LocalReport.frame(s, rows, ("rnd", LongType), ("n_edges", LongType),
         ("sum_d2", LongType), ("recall_ppm", LongType))
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** q347's beam width and hop budget, shared with the generated oracle. */
+  private[graft] val BeamWidth = 8
+  private[graft] val BeamHops = 8
+
+  /** X322 — greedy beam search over the NN-Descent graph: the SEARCH
+    * half of the graph-ANN story (X316 builds the structure every
+    * HNSW/NSG-family index rests on; this is the published
+    * beam/best-first walk that answers queries against it). From a
+    * fixed entry node (the minimum vec_id — deterministic, the role
+    * HNSW's top-layer entry plays), each hop expands the current
+    * beam's graph neighbors, scores them by exact int64 d² to the
+    * query, and keeps the [[BeamWidth]] best of everything VISITED —
+    * ties to the smaller node id, so both engines walk the identical
+    * frontier. After [[BeamHops]] hops: per query the visited count
+    * (the whole point — a handful of hops touches ~B·k·H nodes, not
+    * the corpus), the best node found, the exact nearest neighbor
+    * (the q177-shaped bounded truth leg), and whether the walk found
+    * it.
+    *
+    * Scale: every hop joins a ≤|batch|·B frontier against the graph
+    * and the vector table via BROADCAST of the tiny side — the
+    * corpus-sized inputs are the cached/localCheckpointed frames and
+    * never shuffle; beam state localCheckpoints per hop (q320's rule).
+    * A production deployment would back the point lookups with a
+    * bucketed table or KV store; the dataflow — frontier expansion,
+    * visited-set dedup, top-B merge — is exactly this. */
+  def q347GraphSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = nndUniverse(s, dir).persist()
+    try {
+      val g = nndSnapshots(s, e).last
+      val entry = e.agg(min($"vec_id")).head().getLong(0)
+      val aud = broadcast(
+        e.filter($"vec_id" >= IvfQueryLo && $"vec_id" < IvfCorpusLo)
+          .select($"vec_id".as("q_id"), $"q".as("aq")))
+      def score(nodes: DataFrame): DataFrame =
+        e.select($"vec_id".as("node"), $"q")
+          .join(broadcast(nodes), Seq("node"))
+          .join(aud, Seq("q_id"))
+          .select($"q_id", $"node", expr("graft_dist2(q, aq)").as("d2"))
+      var visited = score(
+        aud.select($"q_id").withColumn("node", lit(entry))
+          .filter($"node" =!= $"q_id")).localCheckpoint()
+      var beam = visited
+      for (_ <- 1 to BeamHops) {
+        val nb = g.select($"src".as("node"), $"dst")
+          .join(broadcast(beam.select($"q_id", $"node")), Seq("node"))
+          .select($"q_id", $"dst".as("node"))
+          .filter($"node" =!= $"q_id").distinct()
+        visited = visited.unionByName(score(nb))
+          .groupBy($"q_id", $"node").agg(min($"d2").as("d2"))
+          .localCheckpoint()
+        val wB = Window.partitionBy($"q_id").orderBy($"d2", $"node")
+        beam = visited.withColumn("rn", row_number().over(wB))
+          .filter($"rn" <= BeamWidth).drop("rn").localCheckpoint()
+      }
+      val wV = Window.partitionBy($"q_id").orderBy($"d2", $"node")
+      val stats = visited.withColumn("rn", row_number().over(wV))
+        .groupBy($"q_id").agg(
+          count(lit(1)).as("n_visited"),
+          max(when($"rn" === 1, $"node")).as("best_id"),
+          max(when($"rn" === 1, $"d2")).as("best_d2"))
+      val wT = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
+      val exact = e.crossJoin(aud).filter($"vec_id" =!= $"q_id")
+        .withColumn("d2", expr("graft_dist2(q, aq)"))
+        .withColumn("rn", row_number().over(wT)).filter($"rn" === 1)
+        .select($"q_id", $"vec_id".as("exact_id"), $"d2".as("exact_d2"))
+      stats.join(exact, Seq("q_id"))
+        .select($"q_id", $"n_visited", $"best_id", $"best_d2",
+          $"exact_id", $"exact_d2",
+          when($"best_id" === $"exact_id", 1L).otherwise(0L).as("found"),
+          expr("(best_d2 - exact_d2) * 1000000L div exact_d2")
+            .as("excess_ppm"))
+        .orderBy($"q_id")
     } finally e.unpersist(blocking = false)
   }
 

@@ -1575,6 +1575,35 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rec.last >= 400000L)
   }
 
+  // ------------------------------------------------------------- X322
+
+  test("graph search: beam stays sublinear, hits are exact, misses are near") {
+    import spark.implicits._
+    val rows = graft.ops.SimilarityOps.q347GraphSearch(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("q_id")).toSeq == (8L to 17L))
+    val n = graft.sources.Tables.load(spark, sf, "embeddings")
+      .selectExpr(s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      .filter(expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+      .count()
+    rows.foreach { r =>
+      // the search never sees most of the corpus — that's its point
+      assert(r.getAs[Long]("n_visited") * 2L < n)
+      // the beam's best can never beat the exact nearest neighbor
+      assert(r.getAs[Long]("best_d2") >= r.getAs[Long]("exact_d2"))
+      assert(r.getAs[Long]("excess_ppm") ==
+        (r.getAs[Long]("best_d2") - r.getAs[Long]("exact_d2")) * 1000000L /
+          r.getAs[Long]("exact_d2"))
+      if (r.getAs[Long]("found") == 1L) {
+        assert(r.getAs[Long]("best_id") == r.getAs[Long]("exact_id"))
+        assert(r.getAs[Long]("excess_ppm") == 0L)
+      }
+    }
+    // honest band on near-isotropic data over a 71%-recall graph: some
+    // exact hits, and every miss within ~15% of the exact distance
+    assert(rows.map(_.getAs[Long]("found")).sum >= 2L)
+    assert(rows.map(_.getAs[Long]("excess_ppm")).max <= 300000L)
+  }
+
   // ------------------------------------------------------------- X317
 
   test("jl projection: sign matrix avalanches, distortion band centers on 1e6") {

@@ -762,6 +762,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q347_graph_search" -> 4, // the returned plan reads localCheck-
+                             // pointed visited state: one q_id window
+                             // + stats agg + the bounded exact-truth
+                             // window + the 10-row join; hop expansion
+                             // ran in the builder via broadcast joins
     "q346_cuped_variance" -> 0, // collect-local 4-row report; ONE
                              // per-customer pre/post fold + ONE
                              // (scope, arm) moment agg inside the builder
