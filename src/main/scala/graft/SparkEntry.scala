@@ -755,6 +755,72 @@ object SparkEntry {
        |  CAST(t.varred_ppm AS BIGINT) AS varred_ppm
        |FROM m JOIN t USING (scope) ORDER BY scope, arm""".stripMargin
 
+  /** q348's oracle, generated: the spike-planted universe, HUGEINT
+    * scatter matrix via a self-joined unnest, 8 chained matvec+rescale
+    * CTEs (truncating division matches BigInt), and the two-step-floor
+    * Rayleigh share. */
+  private def q348OracleSql: String = {
+    val iters = graft.ops.SimilarityOps.AbttIters
+    val iterCtes = (1 to iters).map { t =>
+      s"""w$t AS (SELECT m.i, sum(m.m * v.val) AS w
+         |  FROM mr m JOIN v${t - 1} v ON v.i = m.j GROUP BY m.i),
+         |x$t AS (SELECT max(abs(w)) AS mx FROM w$t),
+         |v$t AS MATERIALIZED (SELECT i, w * 1000000 // mx AS val
+         |  FROM w$t CROSS JOIN x$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eu AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT -i, list_transform(generate_series(1, 64),
+       |    j -> CASE WHEN j = 8 THEN
+       |      (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END)
+       |        * CAST(15000 + i * 10 AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END)
+       |  FROM generate_series(1, 50) t(i)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM eu),
+       |li AS MATERIALIZED (SELECT vec_id,
+       |    unnest(generate_series(1, 64)) AS i, unnest(q) AS x FROM eu),
+       |sx AS MATERIALIZED (SELECT i, CAST(sum(x) AS BIGINT) AS sx
+       |  FROM li GROUP BY i),
+       |sxx AS (SELECT a.i AS i, b.i AS j,
+       |    CAST(sum(a.x * b.x) AS BIGINT) AS sr
+       |  FROM li a JOIN li b USING (vec_id) GROUP BY a.i, b.i),
+       |mr AS MATERIALIZED (SELECT sxx.i, sxx.j,
+       |    CAST(nn.n AS HUGEINT) * sr - CAST(sa.sx AS HUGEINT) * sb.sx AS m
+       |  FROM sxx CROSS JOIN nn JOIN sx sa ON sa.i = sxx.i
+       |  JOIN sx sb ON sb.i = sxx.j),
+       |jm AS (SELECT i FROM mr WHERE i = j ORDER BY m DESC, i LIMIT 1),
+       |v0 AS (SELECT sx.i, CASE WHEN sx.i = jm.i
+       |    THEN CAST(1000000 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS val
+       |  FROM sx CROSS JOIN jm),
+       |$iterCtes,
+       |vt AS MATERIALIZED (SELECT * FROM v$iters),
+       |sxv AS (SELECT CAST(sum(sx.sx * vt.val) AS HUGEINT) AS sv
+       |  FROM sx JOIN vt ON vt.i = sx.i),
+       |pv AS MATERIALIZED (SELECT li.vec_id,
+       |    CAST(sum(li.x * vt.val) AS HUGEINT) AS dv,
+       |    CAST(sum((nn.n * li.x - sx.sx) * (nn.n * li.x - sx.sx))
+       |      AS HUGEINT) AS yy
+       |  FROM li JOIN vt ON vt.i = li.i JOIN sx ON sx.i = li.i
+       |  CROSS JOIN nn GROUP BY li.vec_id),
+       |ag AS (SELECT
+       |    sum((nn.n * pv.dv - sxv.sv) * (nn.n * pv.dv - sxv.sv)) AS sp2,
+       |    sum(pv.yy) AS syy
+       |  FROM pv CROSS JOIN sxv CROSS JOIN nn),
+       |vvt AS (SELECT sum(val * val) AS vv FROM vt)
+       |SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
+       |  (SELECT CAST(i AS BIGINT) FROM vt ORDER BY abs(val) DESC, i
+       |    LIMIT 1) AS top_dim,
+       |  CAST((ag.sp2 // vvt.vv) * 1000000 // ag.syy AS BIGINT)
+       |    AS share_top_ppm,
+       |  CAST(((ag.sp2 // vvt.vv) * 1000000 // ag.syy) * 64 AS BIGINT)
+       |    AS iso_x_ppm
+       |FROM ag CROSS JOIN vvt""".stripMargin
+  }
+
   /** q335's oracle: the SAME generated learn chain trained on the even
     * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
     * APPLY chain — h0 is the char symbolization of the odd-half word
@@ -2243,6 +2309,7 @@ object SparkEntry {
     "q345_iclm_ordering"  -> SimilarityOps.q345IclmOrdering _,
     "q346_cuped_variance" -> PipelineOps.q346CupedVariance _,
     "q347_graph_search"   -> SimilarityOps.q347GraphSearch _,
+    "q348_abtt_direction" -> SimilarityOps.q348AbttDirection _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7485,6 +7552,7 @@ object SparkEntry {
     "q345_iclm_ordering" -> q345OracleSql,
     "q346_cuped_variance" -> q346OracleSql,
     "q347_graph_search" -> q347OracleSql,
+    "q348_abtt_direction" -> q348OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -1280,6 +1280,99 @@ object SimilarityOps {
     } finally e.unpersist(blocking = false)
   }
 
+  /** q348's power-iteration count, shared with the generated oracle. */
+  private[graft] val AbttIters = 8
+
+  /** X323 — all-but-the-top dominant-direction audit (Mu & Viswanath,
+    * ICLR 2018): embedding sets share a large common component — a few
+    * dominant directions soak up most of the variance, and removing
+    * the mean + top direction(s) measurably improves every similarity
+    * task downstream. This operator finds the top CENTERED direction
+    * exactly: the cleared-denominator scatter M = n·Σxxᵀ − (Σx)(Σx)ᵀ
+    * (equal to Σyyᵀ/n for y = n·x − Σx — all integers, no mean
+    * division ever happens) from ONE corpus pass (Σx: 64 sums;
+    * Σxxᵀ: 4096 sums via a double posexplode — the 100 TB form
+    * accumulates the 64×64 outer product per partition in
+    * mapPartitions instead of exploding), then [[AbttIters]] power
+    * iterations on the DRIVER over the 64×64 BigInt matrix, rescaling
+    * v ← (M·v)·10⁶ / max|M·v| each step (truncating division — BigInt
+    * `/` ≡ DuckDB `//`, verified on negatives). A second pass projects
+    * every centered vector on v and reports the Rayleigh share:
+    * share_top_ppm = ((Σ(y·v)² // (v·v)) · 10⁶) // Σ‖y‖² — the
+    * two-step floor is part of the contract (the one-step numerator
+    * overflows 128-bit; the θppm-first lesson from q346).
+    *
+    * A 50-vector spike plant (negative ids, ±(15000 + 10i) milli in
+    * dimension 8 only — a "stuck feature") rides along: the audit must
+    * point at dim 8 with a share ≥ 10× the isotropic 1/64 — exactly
+    * the pathology all-but-the-top exists to catch before it poisons
+    * every cosine in the ANN lane.
+    *
+    * Scale: two corpus scans (moment fold, projection fold), both
+    * combinable; driver state is a 64×64 matrix + a 64-vector. Σp² and
+    * Σ‖y‖² aggregate in DECIMAL(38,0) — per-row products stay in
+    * int64 but the corpus sums do not. */
+  def q348AbttDirection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.LongType
+    graft.functions.SquaredDistance.register(s)
+    val d = 64
+    val corpus = Tables.load(s, dir, "embeddings")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+    val plant = s.range(1, 51).selectExpr("-id AS vec_id",
+      "transform(sequence(1, 64), j -> CASE WHEN j = 8 THEN " +
+        "(CASE WHEN id % 2 = 0 THEN 1L ELSE -1L END) * (15000L + id * 10L) " +
+        "ELSE 0L END) AS q")
+    val u = corpus.unionByName(plant).persist()
+    try {
+      val n = u.count()
+      val sxRows = u.select(posexplode($"q").as(Seq("i0", "x")))
+        .groupBy($"i0").agg(sum($"x").as("sx"))
+        .collect().map(r => r.getAs[Int]("i0") -> r.getAs[Long]("sx")).toMap
+      val sx = (0 until d).map(i => BigInt(sxRows(i)))
+      val sxxRows = u.select($"q", posexplode($"q").as(Seq("i0", "xi")))
+        .select($"i0", $"xi", posexplode($"q").as(Seq("j0", "xj")))
+        .groupBy($"i0", $"j0").agg(sum($"xi" * $"xj").as("sxx"))
+        .collect()
+        .map(r => (r.getAs[Int]("i0"), r.getAs[Int]("j0")) -> r.getAs[Long]("sxx"))
+        .toMap
+      val m = Array.tabulate(d, d)((i, j) =>
+        BigInt(n) * sxxRows((i, j)) - sx(i) * sx(j))
+      // deterministic init: the coordinate with the largest diagonal
+      // (ties to the lowest index), at 1e6 scale
+      val jmax = (0 until d).maxBy(j => (m(j)(j), -j))
+      var v = Array.tabulate(d)(i => if (i == jmax) BigInt(1000000) else BigInt(0))
+      for (_ <- 1 to AbttIters) {
+        val w = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+        val mx = w.map(_.abs).max
+        v = w.map(x => x * 1000000 / mx)
+      }
+      val vv = v.map(x => x * x).sum
+      val topDim = (0 until d).maxBy(i => (v(i).abs, -i)) + 1 // 1-based
+      val vLit = v.map(x => s"${x.toLong}L").mkString("array(", ", ", ")")
+      val sxLit = sx.map(x => s"${x.toLong}L").mkString("array(", ", ", ")")
+      val sxv = (0 until d).map(i => sx(i) * v(i)).sum.toLong
+      val folds = u.select(
+        (lit(n) * expr(s"graft_dot_l(q, $vLit)") - lit(sxv)).as("p"),
+        expr(s"aggregate(zip_with(q, $sxLit, (x, s) -> " +
+          s"(${n}L * x - s) * (${n}L * x - s)), 0L, (a, b) -> a + b)")
+          .as("yy"))
+        .agg(
+          sum(expr("CAST(p AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0))"))
+            .as("sp2"),
+          sum(expr("CAST(yy AS DECIMAL(38,0))")).as("syy"))
+        .head()
+      def dec(i: Int): BigInt =
+        BigInt(folds.getAs[java.math.BigDecimal](i).toBigInteger)
+      val share = ((dec(0) / vv) * 1000000 / dec(1)).toLong
+      LocalReport.frame(s, Seq(org.apache.spark.sql.Row(
+        n, topDim.toLong, share, share * 64L)),
+        "n" -> LongType, "top_dim" -> LongType,
+        "share_top_ppm" -> LongType, "iso_x_ppm" -> LongType)
+    } finally u.unpersist(blocking = false)
+  }
+
   /** q342's projected dimension count, shared with the generated oracle. */
   private[graft] val JlDims = 16
 

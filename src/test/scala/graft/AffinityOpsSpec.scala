@@ -1604,6 +1604,22 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("excess_ppm")).max <= 300000L)
   }
 
+  // ------------------------------------------------------------- X323
+
+  test("abtt: power iteration finds the planted spike dimension") {
+    val rows = graft.ops.SimilarityOps.q348AbttDirection(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // the 50-vector ±15σ spike rides in dimension 8 — the dominant
+    // centered direction must point there
+    assert(r.getAs[Long]("top_dim") == 8L)
+    val share = r.getAs[Long]("share_top_ppm")
+    // far above the isotropic 1/64 = 15625 ppm, but a genuine share
+    assert(share > 156250L && share < 1000000L, s"share $share")
+    assert(r.getAs[Long]("iso_x_ppm") == share * 64L)
+    assert(r.getAs[Long]("n") > 50L) // corpus + the 50 plants
+  }
+
   // ------------------------------------------------------------- X317
 
   test("jl projection: sign matrix avalanches, distortion band centers on 1e6") {

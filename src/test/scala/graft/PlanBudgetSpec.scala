@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q348_abtt_direction" -> 0, // collect-local 1-row report; the two
+                             // combinable moment/projection folds and
+                             // the driver power iteration run inside
+                             // the builder
     "q347_graph_search" -> 4, // the returned plan reads localCheck-
                              // pointed visited state: one q_id window
                              // + stats agg + the bounded exact-truth
