@@ -821,6 +821,91 @@ object SparkEntry {
        |FROM ag CROSS JOIN vvt""".stripMargin
   }
 
+  /** q349's oracle, generated: q253's anchor/key/LCP replay extended
+    * with span POSITIONS, the q138 running-max interval union (windows,
+    * never a struct-state list fold), ordered segment re-assembly via
+    * string_agg, and md5 of the stripped text. */
+  private def q349OracleSql: String = {
+    import graft.ops.DedupOps.{SfxCtx, SfxKey, SfxKeyCap, SfxMinSpan, SfxMod, SfxWin}
+    def lcpCase(a: String, b: String): String =
+      s"""(CASE WHEN least(length($a), length($b)) = 0 THEN 0
+         |  WHEN list_position(list_transform(
+         |      generate_series(1, least(length($a), length($b))),
+         |      i -> substr($a, i, 1) = substr($b, i, 1)), false) = 0
+         |    THEN least(length($a), length($b))
+         |  ELSE list_position(list_transform(
+         |      generate_series(1, least(length($a), length($b))),
+         |      i -> substr($a, i, 1) = substr($b, i, 1)), false) - 1 END)"""
+        .stripMargin
+    val plants = graft.ops.DedupOps.SuffixPlant
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(",\n          ")
+    raw"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, regexp_replace(coalesce(text, ''), ' {2,}', ' ', 'g') AS na
+       |  FROM (SELECT doc_id, text FROM documents
+       |        UNION ALL SELECT * FROM (VALUES $plants) v(doc_id, text))),
+       |an AS MATERIALIZED (
+       |  SELECT doc_id, p,
+       |    substr(na, p, $SfxKey) AS key,
+       |    reverse(substr(na, greatest(1, p - $SfxWin),
+       |                   p - greatest(1, p - $SfxWin))) AS bck,
+       |    substr(na, p, $SfxWin) AS fwd
+       |  FROM (SELECT doc_id, na,
+       |          unnest(generate_series(1,
+       |            greatest(length(na) - ${SfxKey - 1}, 0))) AS p
+       |        FROM base)
+       |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+       |      string_split(substr(na, p, $SfxCtx), ''),
+       |      c -> CAST(ascii(c) AS BIGINT))),
+       |    $FpByteFold) % $SfxMod = 0),
+       |k2 AS MATERIALIZED (
+       |  SELECT key FROM (SELECT key, count(DISTINCT doc_id) AS nd
+       |                   FROM an GROUP BY key)
+       |  WHERE nd >= 2 AND nd <= $SfxKeyCap),
+       |cand AS (
+       |  SELECT b.doc_id AS doc_id, b.p AS pb,
+       |         a.bck AS ba, a.fwd AS fa, b.bck AS bb, b.fwd AS fb
+       |  FROM an a JOIN k2 USING (key) JOIN an b USING (key)
+       |  WHERE a.doc_id < b.doc_id),
+       |ext AS (SELECT doc_id, pb,
+       |    ${lcpCase("ba", "bb")} AS lb,
+       |    ${lcpCase("fa", "fb")} AS lf
+       |  FROM cand),
+       |sp AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |    CAST(pb - lb AS BIGINT) AS st, CAST(pb + lf AS BIGINT) AS en
+       |  FROM ext WHERE lb + lf >= $SfxMinSpan),
+       |isl AS MATERIALIZED (SELECT doc_id, island,
+       |    min(st) AS ist, max(en) AS ien
+       |  FROM (SELECT *, sum(new_i) OVER (PARTITION BY doc_id
+       |      ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      CURRENT ROW) AS island
+       |    FROM (SELECT *, CASE WHEN max(en) OVER (PARTITION BY doc_id
+       |          ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |          1 PRECEDING) IS NULL
+       |        OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |        THEN 1 ELSE 0 END AS new_i
+       |      FROM sp))
+       |  GROUP BY doc_id, island),
+       |sg AS (SELECT isl.doc_id, ist, ien,
+       |    lag(ien, 1, CAST(1 AS BIGINT)) OVER (PARTITION BY isl.doc_id
+       |      ORDER BY ist) AS prev_ien,
+       |    base.na
+       |  FROM isl JOIN base USING (doc_id)),
+       |fin AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+       |    CAST(sum(ien - ist) AS BIGINT) AS chars_flagged,
+       |    CAST(max(length(na)) AS BIGINT) AS n_chars,
+       |    string_agg(substr(na, CAST(prev_ien AS INT),
+       |      CAST(ist - prev_ien AS INT)), '' ORDER BY ist) AS head_segs,
+       |    max(na) AS na_m, max(ien) AS last_en
+       |  FROM sg GROUP BY doc_id)
+       |SELECT doc_id, n_islands, chars_flagged, n_chars,
+       |  (n_chars - chars_flagged) * 1000000 // n_chars AS keep_ppm,
+       |  md5(head_segs || substr(na_m, CAST(last_en AS INT)))
+       |    AS stripped_md5
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   /** q335's oracle: the SAME generated learn chain trained on the even
     * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
     * APPLY chain — h0 is the char symbolization of the odd-half word
@@ -2310,6 +2395,7 @@ object SparkEntry {
     "q346_cuped_variance" -> PipelineOps.q346CupedVariance _,
     "q347_graph_search"   -> SimilarityOps.q347GraphSearch _,
     "q348_abtt_direction" -> SimilarityOps.q348AbttDirection _,
+    "q349_suffix_strip"   -> DedupOps.q349SuffixStrip _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7553,6 +7639,7 @@ object SparkEntry {
     "q346_cuped_variance" -> q346OracleSql,
     "q347_graph_search" -> q347OracleSql,
     "q348_abtt_direction" -> q348OracleSql,
+    "q349_suffix_strip" -> q349OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -1992,4 +1992,102 @@ object DedupOps {
         ("total_err_ppm", LongType), ("is_best", LongType))
     } finally sample.unpersist(blocking = false)
   }
+
+  /** X324 — repeated-span removal EXECUTION (the strip step of Lee et
+    * al.'s suffix-array training-data dedup, applied to X220's
+    * findings): q253 REPORTS variable-length repeated character spans;
+    * production pipelines then REMOVE every occurrence but the first.
+    * Same anchors, same key gating, same LCP extensions as q253 — but
+    * each candidate anchor pair now carries the span's POSITION in the
+    * larger-id document ([p − lcpB, p + lcpF) on the whitespace-
+    * normalized text; keep-first = strip only where the doc is the
+    * pair's doc_b), spans ≥ L merge into maximal islands per doc via
+    * the q138 running-max window union (NEVER a struct-state list
+    * fold — DuckDB's list_reduce mis-vectorizes struct accumulators,
+    * the q294 rule), and the kept text re-assembles as the ordered
+    * concatenation of inter-island segments — md5-fingerprinted so the
+    * gate pins the exact strip boundaries, not just the counts.
+    *
+    * Scale: identical candidate complexity to q253 (key-capped banded
+    * join, window-bounded extensions); the interval union is one
+    * doc-partitioned window pass over span-sized rows; text
+    * re-assembly touches only AFFECTED docs (flagged docs ≪ corpus). */
+  def q349SuffixStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SuffixText.register(s)
+    val base = docs(s, dir).select($"doc_id", $"text")
+      .unionByName(SuffixPlant.toDF("doc_id", "text"))
+      .select($"doc_id",
+        regexp_replace(coalesce($"text", lit("")), " {2,}", " ").as("na"))
+      .persist() // anchor explode + the affected-doc text join read this
+    try {
+      val anchorsExpr =
+        s"""element_at(transform(array(na), t ->
+           |  transform(
+           |    graft_anchor_positions(t, $SfxCtx, $SfxMod, $SfxKey),
+           |    p -> named_struct(
+           |      'p', p,
+           |      'key', substring(t, CAST(p AS INT), $SfxKey),
+           |      'bck', reverse(substring(t, CAST(greatest(1, p - $SfxWin) AS INT),
+           |                               CAST(p - greatest(1, p - $SfxWin) AS INT))),
+           |      'fwd', substring(t, CAST(p AS INT), $SfxWin)))), 1)""".stripMargin
+      val anchors = base
+        .select($"doc_id", explode(expr(anchorsExpr)).as("a"))
+        .select($"doc_id", $"a.p".as("p"), $"a.key".as("key"),
+          $"a.bck".as("bck"), $"a.fwd".as("fwd"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val keyOk = anchors.groupBy($"key")
+          .agg(countDistinct($"doc_id").as("nd"))
+          .filter($"nd" >= 2 && $"nd" <= SfxKeyCap)
+          .select($"key")
+        val ak = anchors.join(keyOk, Seq("key"))
+        // keep-first: the span is stripped from the LARGER doc id (doc_b);
+        // its position there comes from doc_b's own anchor p
+        val spans = ak
+          .select($"key", $"doc_id".as("doc_a"), $"bck".as("ba"), $"fwd".as("fa"))
+          .join(ak.select($"key", $"doc_id".as("doc_b"), $"p".as("pb"),
+            $"bck".as("bb"), $"fwd".as("fb")), Seq("key"))
+          .filter($"doc_a" < $"doc_b")
+          .select($"doc_b".as("doc_id"),
+            expr("graft_lcp(ba, bb)").as("lb"),
+            expr("graft_lcp(fa, fb)").as("lf"), $"pb")
+          .filter($"lb" + $"lf" >= SfxMinSpan)
+          .select($"doc_id", ($"pb" - $"lb").as("st"),
+            ($"pb" + $"lf").as("en")) // [st, en) on the normalized text
+          .distinct()
+        val byStart = Window.partitionBy($"doc_id").orderBy($"st", $"en")
+        val wPrev = byStart.rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val islands = spans
+          .withColumn("prev_end", max($"en").over(wPrev))
+          .withColumn("new_i",
+            when($"prev_end".isNull || $"st" > $"prev_end", 1L).otherwise(0L))
+          .withColumn("island", sum($"new_i").over(wCum))
+          .groupBy($"doc_id", $"island")
+          .agg(min($"st").as("ist"), max($"en").as("ien"))
+        // kept text = segment before each island (from the previous
+        // island's end) + the tail after the last island
+        val byIsland = Window.partitionBy($"doc_id").orderBy($"ist")
+        val segs = islands
+          .withColumn("prev_ien", lag($"ien", 1, 1L).over(byIsland))
+          .join(base, Seq("doc_id"))
+          .withColumn("seg", expr(
+            "substring(na, CAST(prev_ien AS INT), CAST(ist - prev_ien AS INT))"))
+        segs.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum($"ien" - $"ist").as("chars_flagged"),
+            max(length($"na")).cast("long").as("n_chars"),
+            expr("array_join(transform(array_sort(collect_list(" +
+              "struct(ist, seg))), x -> x.seg), '')").as("head_segs"),
+            max($"na").as("na_m"), max($"ien").as("last_en"))
+          .select($"doc_id", $"n_islands", $"chars_flagged", $"n_chars",
+            expr("(n_chars - chars_flagged) * 1000000L div n_chars")
+              .as("keep_ppm"),
+            md5(concat($"head_segs",
+              expr("substring(na_m, CAST(last_en AS INT))"))).as("stripped_md5"))
+          .orderBy($"doc_id")
+      } finally anchors.unpersist(blocking = false)
+    } finally base.unpersist(blocking = false)
+  }
 }

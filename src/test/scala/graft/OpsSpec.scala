@@ -151,6 +151,55 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qn == 37 && qn < DedupOps.SfxMinSpan) // boundary control really is sub-threshold
   }
 
+  test("q349: strip removes exactly the shared spans, keep-first holds") {
+    import graft.ops.DedupOps
+    val plant = DedupOps.SuffixPlant.toMap
+    def norm(t: String) = t.replaceAll(" {2,}", " ")
+    def lcs(a: String, b: String): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1; best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = DedupOps.q349SuffixStrip(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // keep-first: the smaller id of each plant pair keeps its copy; the
+    // control and the sub-threshold pair are untouched entirely
+    Seq(-202L, -204L, -205L, -206L, -207L).foreach(id =>
+      assert(!got.contains(id), s"$id must not be stripped"))
+    // strip boundaries are EXACT: the removed island is precisely the
+    // maximal shared span, pinned through the md5 of the remainder
+    for ((victim, keeper, want) <- Seq((-201L, -202L, 76), (-203L, -204L, 71))) {
+      val a = norm(plant(victim)); val b = norm(plant(keeper))
+      val n = lcs(a, b)
+      assert(n == want)
+      val span = (0 to a.length - n).map(i => a.substring(i, i + n))
+        .find(sp => b.contains(sp)).get
+      val idx = a.indexOf(span)
+      val stripped = a.substring(0, idx) + a.substring(idx + n)
+      val r = got(victim)
+      assert(r.getAs[Long]("n_islands") == 1L)
+      assert(r.getAs[Long]("chars_flagged") == n.toLong)
+      assert(r.getAs[String]("stripped_md5") == md5hex(stripped),
+        s"$victim strip boundaries off")
+    }
+    // exact-dup corpus copies strip to nothing: keep 0 ⇒ md5 of ""
+    got.values.foreach { r =>
+      val (f, nch) = (r.getAs[Long]("chars_flagged"), r.getAs[Long]("n_chars"))
+      assert(f <= nch)
+      assert(r.getAs[Long]("keep_ppm") == (nch - f) * 1000000L / nch)
+      if (f == nch)
+        assert(r.getAs[String]("stripped_md5") ==
+          "d41d8cd98f00b204e9800998ecf8427e")
+    }
+    assert(got.values.exists(_.getAs[Long]("keep_ppm") == 0L))
+  }
+
   test("q254: decoded scene cuts land exactly on the planted boundaries") {
     import spark.implicits._
     val got = graft.ops.MultimodalOps.q254SceneCuts(spark, sf).collect()

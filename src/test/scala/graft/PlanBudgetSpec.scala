@@ -762,6 +762,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q349_suffix_strip" -> 11, // q253's anchor/key-cap/banded-join
+                             // lanes + the interval-union window, the
+                             // island lag window and the affected-doc
+                             // re-assembly agg
     "q348_abtt_direction" -> 0, // collect-local 1-row report; the two
                              // combinable moment/projection folds and
                              // the driver power iteration run inside
