@@ -1127,4 +1127,54 @@ object EventStream {
       .select(col("doc_id"), col("ts"), col("lang"), col("domains"),
         col("blocked"))
   }
+
+  final case class Order(o_orderkey: Long, o_orderdate: Timestamp,
+    o_totalprice: Double)
+  final case class BootState(wCount: Long, wSumCents: Long)
+  final case class BootUpdate(rep: Long, w_count: Long, w_sum_cents: Long)
+
+  /** X325 — streaming multiplier-bootstrap gate, X319's stream twin and
+    * the purest mergeable-state demo in the module: every arriving
+    * order contributes its Binomial(4, 1/4) fingerprint weight to all
+    * [[graft.ops.PipelineOps.BootReps]] replicates, and the per-replicate
+    * state is just (Σw, Σwx) — two longs per replicate, 32 keys total,
+    * no pending buffers, no closure semantics, associative under any
+    * batch split (the sketch-lane algebra live in a stream). Each batch
+    * emits the updated running pair per touched replicate; the FINAL
+    * emission per replicate is row-identical to q344's oracle-gated
+    * replicate rows, which the StreamingSpec pins along with
+    * prefix-consistency after every intermediate batch.
+    *
+    * The weight arithmetic is byte-identical to q344's SQL
+    * (Fingerprint.hashString ≡ graft_fingerprint on the same key
+    * string; cents via HALF_UP like the batch side's round). */
+  def bootstrapGate(orders: Dataset[Order]): Dataset[BootUpdate] = {
+    import orders.sparkSession.implicits._
+    val reps = graft.ops.PipelineOps.BootReps
+    orders.flatMap { o =>
+      val x = java.math.BigDecimal.valueOf(o.o_totalprice * 100.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      val k = o.o_orderkey
+      (0 until reps).iterator.map { rep =>
+        val h = graft.functions.Fingerprint.hashString(
+          s"boot:$k:$rep:${(k % 1000003L) * (k % 1000003L)}")
+        val w = (if (h % 4L == 0L) 1L else 0L) +
+          (if (h / 4L % 4L == 0L) 1L else 0L) +
+          (if (h / 16L % 4L == 0L) 1L else 0L) +
+          (if (h / 64L % 4L == 0L) 1L else 0L)
+        (rep.toLong, w, w * x)
+      }
+    }
+      .groupByKey(_._1)
+      .mapGroupsWithState[BootState, BootUpdate](GroupStateTimeout.NoTimeout) {
+        (rep: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[BootState]) =>
+          var st = state.getOption.getOrElse(BootState(0L, 0L))
+          rows.foreach { r =>
+            st = BootState(st.wCount + r._2, st.wSumCents + r._3)
+          }
+          state.update(st)
+          BootUpdate(rep, st.wCount, st.wSumCents)
+      }
+  }
 }

@@ -923,3 +923,77 @@ object StreamingSpec {
   final case class Doc(doc_id: Long, ts: java.sql.Timestamp,
       text: String, lang: String)
 }
+
+class BootstrapGateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("bootstrap-gate-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("bootstrapGate: prefix-consistent replicate sums pin to the q344 frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.sources.Tables.load(spark, sf, "orders")
+      .selectExpr("o_orderkey", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "o_totalprice")
+      .as[EventStream.Order].collect().sortBy(_.o_orderkey)
+    val mem = MemoryStream[EventStream.Order]
+    val q = EventStream.bootstrapGate(mem.toDS())
+      .writeStream.format("memory").queryName("bootgate")
+      .outputMode(OutputMode.Update).start()
+    val reps = graft.ops.PipelineOps.BootReps
+    // independent driver replay of the weight arithmetic (double entry,
+    // not code reuse)
+    val cnt = Array.fill(reps)(0L); val sums = Array.fill(reps)(0L)
+    orders.grouped(orders.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+      chunk.foreach { o =>
+        val x = java.math.BigDecimal.valueOf(o.o_totalprice * 100.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        val k = o.o_orderkey
+        (0 until reps).foreach { rep =>
+          val h = graft.functions.Fingerprint.hashString(
+            s"boot:$k:$rep:${(k % 1000003L) * (k % 1000003L)}")
+          val w = (if (h % 4L == 0L) 1L else 0L) +
+            (if (h / 4L % 4L == 0L) 1L else 0L) +
+            (if (h / 16L % 4L == 0L) 1L else 0L) +
+            (if (h / 64L % 4L == 0L) 1L else 0L)
+          cnt(rep) += w; sums(rep) += w * x
+        }
+      }
+      // the LATEST emission per replicate (w_count is cumulative, so
+      // max-by-struct picks it) equals the fed prefix exactly — the
+      // mergeable-state property observed at every batch boundary
+      val got = spark.table("bootgate").groupBy($"rep")
+        .agg(max(struct($"w_count", $"w_sum_cents")).as("s"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+      (0 until reps).foreach { rep =>
+        assert(got(rep.toLong) == ((cnt(rep), sums(rep))), s"prefix rep $rep")
+      }
+    }
+    q.stop()
+    // the pin: final stream state is row-identical to the ORACLE-GATED
+    // q344 replicate rows
+    val batch = graft.ops.PipelineOps.q344BootstrapCi(spark, sf).collect()
+      .filter(_.getAs[Long]("rep") < reps)
+      .map(r => r.getAs[Long]("rep") ->
+        (r.getAs[Long]("w_count"), r.getAs[Long]("w_sum_cents"))).toMap
+    assert(batch.size == reps)
+    (0 until reps).foreach { rep =>
+      assert(batch(rep.toLong) == ((cnt(rep), sums(rep))),
+        s"rep $rep diverges from the q344 frame")
+    }
+  }
+}
