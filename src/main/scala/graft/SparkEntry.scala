@@ -906,6 +906,40 @@ object SparkEntry {
        |FROM fin ORDER BY doc_id""".stripMargin
   }
 
+  /** q350's oracle: vocabulary fold + LIMIT k+1 order statistics, the
+    * half-bit bin(n²) logs and the integer-ln2 α̂ on both scopes. */
+  private def q350OracleSql: String = {
+    val k = graft.ops.CorpusOps.HillK
+    def alpha(src: String): String =
+      s"""(SELECT CAST(min(n) AS BIGINT) AS cut_freq,
+         |   CAST(sum(hb) - ${k + 1} * min(hb) AS BIGINT) AS sum_delta_hb,
+         |   CAST(CASE WHEN sum(hb) - ${k + 1} * min(hb) = 0 THEN 0
+         |     ELSE 2 * $k * 1000000000000
+         |       // (693147 * (sum(hb) - ${k + 1} * min(hb))) END AS BIGINT)
+         |     AS alpha_ppm
+         | FROM $src)""".stripMargin
+    s"""WITH vocab AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT ws[i] || ' ' || ws[i + 1] AS w FROM (
+       |      SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |      FROM (SELECT string_split(text, ' ') AS ws FROM documents)))
+       |  GROUP BY w),
+       |ct AS (SELECT n, CAST(length(bin(n * n)) - 1 AS BIGINT) AS hb
+       |  FROM vocab ORDER BY n DESC, w ASC LIMIT ${k + 1}),
+       |pt AS (SELECT n, CAST(length(bin(n * n)) - 1 AS BIGINT) AS hb
+       |  FROM (SELECT 1000000000 // i AS n FROM generate_series(1, 1000) t(i))
+       |  ORDER BY n DESC LIMIT ${k + 1}),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM vocab),
+       |ca AS ${alpha("ct")},
+       |pa AS ${alpha("pt")}
+       |SELECT scope, k, n_types, cut_freq, sum_delta_hb, alpha_ppm FROM (
+       |  SELECT 'corpus' AS scope, CAST($k AS BIGINT) AS k, nt.n_types,
+       |    ca.cut_freq, ca.sum_delta_hb, ca.alpha_ppm FROM ca CROSS JOIN nt
+       |  UNION ALL
+       |  SELECT 'plant', CAST($k AS BIGINT), CAST(1000 AS BIGINT),
+       |    pa.cut_freq, pa.sum_delta_hb, pa.alpha_ppm FROM pa)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q335's oracle: the SAME generated learn chain trained on the even
     * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
     * APPLY chain — h0 is the char symbolization of the odd-half word
@@ -2396,6 +2430,7 @@ object SparkEntry {
     "q347_graph_search"   -> SimilarityOps.q347GraphSearch _,
     "q348_abtt_direction" -> SimilarityOps.q348AbttDirection _,
     "q349_suffix_strip"   -> DedupOps.q349SuffixStrip _,
+    "q350_hill_tail"      -> CorpusOps.q350HillTail _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7640,6 +7675,7 @@ object SparkEntry {
     "q347_graph_search" -> q347OracleSql,
     "q348_abtt_direction" -> q348OracleSql,
     "q349_suffix_strip" -> q349OracleSql,
+    "q350_hill_tail" -> q350OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -1605,6 +1605,87 @@ object CorpusOps {
   /** q343's batch size, shared with the generated oracle. */
   private[graft] val PadBatch = 16L
 
+  /** q350's order-statistic count, shared with the generated oracle. */
+  private[graft] val HillK = 200
+
+  /** X326 — Hill tail-index estimator (the classic extreme-value
+    * estimator of a power-law exponent, Hill 1975): q196 audits WHERE
+    * the rank-frequency curve deviates from Zipf by decade band; this
+    * estimates the tail exponent itself — α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎)
+    * over the top-k order statistics — the number that decides how
+    * heavy-tailed a vocabulary really is (dedup and mixture planning
+    * both care: α near 1 means the head dominates any sample).
+    * Integer-exact via the q321 half-bit idiom: hb(x) = length(bin(x²))
+    * − 1 = ⌊2·log₂x⌋, so Σ ln-ratios = (ln2/2)·Σ(hbᵢ − hb_cut) and
+    * α̂_ppm = 2k·10¹² div (693147·Σdelta) with ln2 entering as the
+    * INTEGER constant 693147 — no libm call anywhere. Boundary ties
+    * cost nothing: the (k+1)-th term's delta is 0, so the fold runs
+    * over the whole k+1 frame. Quantization is the stated ±half-bit
+    * per term (a few percent on α).
+    *
+    * Two scopes: `corpus` — the word-BIGRAM frequency table's top k+1
+    * (the 31-type word lexicon is too short for k = 200 order
+    * statistics; bigrams give 916 types, q107's gram universe) — and
+    * `plant` — an in-query exact harmonic tail x_i = 10⁹ div i (α = 1
+    * by construction, pure arithmetic both engines), which the
+    * estimator recovers within the quantization band (measured
+    * 1.021e6 ppm). The corpus finding is the honest one: random draws
+    * from a tiny lexicon make bigram frequencies near-UNIFORM
+    * (sum_delta_hb = 2 → α̂ ≈ 289) — "no heavy tail" is exactly what
+    * the estimator should scream about machine-generated text, the
+    * q301-Benford-style negative reading; sum_delta = 0 reports the 0
+    * sentinel rather than dividing.
+    *
+    * Scale: ONE explode+count vocabulary fold (combinable) and a
+    * k+1-row TakeOrdered — k is a CONSTANT, so the top-k is a bounded
+    * driver structure (the q113 driver-k precedent), never a rank pass
+    * over the vocabulary. */
+  def q350HillTail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val k = HillK
+    def hill(top: DataFrame): (Long, Long, Long, Long) = {
+      // top = EXACTLY k+1 rows (n, hb); ties at the cut contribute 0
+      val r = top.agg(count(lit(1)), sum($"hb"), min($"n"),
+        min(expr("CAST(length(bin(n * n)) - 1 AS BIGINT)"))).head()
+      require(r.getLong(0) == k + 1L, s"tail needs ${k + 1} types")
+      val hbCut = r.getLong(3)
+      val sumDelta = r.getLong(1) - (k + 1L) * hbCut
+      // sum_delta = 0 means the top-k is FLAT to half-bit resolution —
+      // no tail at all; 0 is the sentinel (not +inf)
+      val alpha =
+        if (sumDelta == 0L) 0L
+        else 2L * k * 1000000000000L / (693147L * sumDelta)
+      (r.getLong(2), hbCut, sumDelta, alpha)
+    }
+    // the synthetic lexicon has only 31 word TYPES — the word-frequency
+    // tail is too short for k = 200 order statistics; the BIGRAM table
+    // (916 types, q107's gram universe) is the corpus tail this audits
+    val vocab = docs(s, dir)
+      .select(split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+    val corpusTop = vocab.orderBy($"n".desc, $"w".asc).limit(k + 1)
+      .select($"n", expr("CAST(length(bin(n * n)) - 1 AS BIGINT)").as("hb"))
+    val nTypes = vocab.count()
+    val (cCut, _, cDelta, cAlpha) = hill(corpusTop)
+    val plantTop = s.range(1, 1001)
+      .select(expr("1000000000L div id").as("n"))
+      .orderBy($"n".desc).limit(k + 1)
+      .select($"n", expr("CAST(length(bin(n * n)) - 1 AS BIGINT)").as("hb"))
+    val (pCut, _, pDelta, pAlpha) = hill(plantTop)
+    graft.operators.LocalReport.frame(s, Seq(
+      org.apache.spark.sql.Row("corpus", k.toLong, nTypes, cCut, cDelta, cAlpha),
+      org.apache.spark.sql.Row("plant", k.toLong, 1000L, pCut, pDelta, pAlpha)),
+      ("scope", StringType), ("k", LongType), ("n_types", LongType),
+      ("cut_freq", LongType), ("sum_delta_hb", LongType),
+      ("alpha_ppm", LongType))
+  }
+
   /** X318 — padding-waste batch planner (length bucketing): a training
     * batch pads every sequence to the batch maximum, so batch COMPOSITION
     * decides how many pad tokens the accelerator burns — the published

@@ -527,6 +527,35 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == want, s"got:\n${rows.mkString("\n")}")
   }
 
+  // ------------------------------------------------------------- X326
+
+  test("q350: Hill recovers the harmonic plant's alpha = 1 within quantization") {
+    val rows = graft.ops.CorpusOps.q350HillTail(spark, sf).collect()
+      .map(r => r.getAs[String]("scope") -> r).toMap
+    assert(rows.keySet == Set("corpus", "plant"))
+    // the exact harmonic tail x_i = 1e9 div i has alpha = 1 by
+    // construction; half-bit quantization costs a few percent at most
+    val pa = rows("plant").getAs[Long]("alpha_ppm")
+    assert(pa > 900000L && pa < 1100000L, s"plant alpha $pa")
+    assert(rows("plant").getAs[Long]("cut_freq") ==
+      1000000000L / (graft.ops.CorpusOps.HillK + 1L))
+    rows.values.foreach { r =>
+      val sd = r.getAs[Long]("sum_delta_hb")
+      assert(sd >= 0L)
+      // alpha replays from its own row: 2k*1e12 div (693147 * sum_delta)
+      assert(r.getAs[Long]("alpha_ppm") == (if (sd == 0L) 0L
+        else 2L * r.getAs[Long]("k") * 1000000000000L / (693147L * sd)))
+    }
+    // the honest corpus finding: random draws from a 31-word lexicon
+    // produce near-UNIFORM bigram frequencies — the estimator must say
+    // "no heavy tail" loudly (huge alpha / near-flat top-k), exactly
+    // what it exists to flag about machine-generated text
+    val cr = rows("corpus")
+    assert(cr.getAs[Long]("sum_delta_hb") <= 20L)
+    assert(cr.getAs[Long]("alpha_ppm") == 0L ||
+      cr.getAs[Long]("alpha_ppm") > 20000000L)
+  }
+
   // ------------------------------------------------------------- X318
 
   test("q343: sorted chunking is the argmin, sorted leg replays exactly") {

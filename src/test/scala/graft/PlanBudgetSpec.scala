@@ -762,6 +762,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q350_hill_tail" -> 0, // collect-local 2-row report; the vocab
+                             // fold + bounded-k TakeOrdered run inside
+                             // the builder
     "q349_suffix_strip" -> 11, // q253's anchor/key-cap/banded-join
                              // lanes + the interval-union window, the
                              // island lag window and the affected-doc
