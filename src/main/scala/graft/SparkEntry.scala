@@ -940,6 +940,45 @@ object SparkEntry {
        |ORDER BY scope""".stripMargin
   }
 
+  /** q352's oracle: q302's daily frame, three series, the O(days²)
+    * pairwise sign self-join, tie correction and the exact-div z². */
+  private def q352OracleSql: String =
+    """WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+      |    AS day, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+      |r AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY day)
+      |    AS BIGINT) AS i, n FROM d),
+      |ser AS MATERIALIZED (
+      |  SELECT '1_null' AS series, i, n AS x FROM r
+      |  UNION ALL SELECT '2_trend', i, n + 4 * i FROM r
+      |  UNION ALL SELECT '3_trend_spiked', i,
+      |    CASE WHEN i = 10 THEN (n + 4 * i) * 10 ELSE n + 4 * i END FROM r),
+      |s AS (SELECT a.series, CAST(sum(CASE WHEN b.x > a.x THEN 1
+      |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM ser a JOIN ser b ON a.series = b.series AND b.i > a.i
+      |  GROUP BY a.series),
+      |tt AS (SELECT series,
+      |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ties
+      |  FROM (SELECT series, x, CAST(count(*) AS BIGINT) AS t
+      |        FROM ser GROUP BY series, x)
+      |  WHERE t > 1 GROUP BY series),
+      |nn AS (SELECT series, CAST(count(*) AS BIGINT) AS n
+      |  FROM ser GROUP BY series),
+      |fin AS (SELECT nn.series, nn.n, s.s_stat,
+      |    nn.n * (nn.n - 1) * (2 * nn.n + 5) - coalesce(tt.ties, 0)
+      |      AS denom
+      |  FROM nn JOIN s USING (series) LEFT JOIN tt USING (series)),
+      |z AS (SELECT series, n, s_stat, denom,
+      |    CASE WHEN s_stat = 0 OR denom = 0 THEN 0
+      |      ELSE 18000 * (abs(s_stat) - 1) * (abs(s_stat) - 1) // denom
+      |      END AS z2_milli
+      |  FROM fin)
+      |SELECT series, n AS n_days, s_stat,
+      |  CAST(denom AS BIGINT) AS var_denom18,
+      |  CAST(z2_milli AS BIGINT) AS z2_milli,
+      |  CAST(CASE WHEN z2_milli > 3841 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS significant
+      |FROM z ORDER BY series""".stripMargin
+
   /** q335's oracle: the SAME generated learn chain trained on the even
     * pmod-half of documents ∪ Q335Plant, plus a parallel h0→h30 holdout
     * APPLY chain — h0 is the char symbolization of the odd-half word
@@ -2431,6 +2470,8 @@ object SparkEntry {
     "q348_abtt_direction" -> SimilarityOps.q348AbttDirection _,
     "q349_suffix_strip"   -> DedupOps.q349SuffixStrip _,
     "q350_hill_tail"      -> CorpusOps.q350HillTail _,
+    "q351_good_turing"    -> CorpusOps.q351GoodTuring _,
+    "q352_mann_kendall"   -> EventOps.q352MannKendall _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7676,6 +7717,28 @@ object SparkEntry {
     "q348_abtt_direction" -> q348OracleSql,
     "q349_suffix_strip" -> q349OracleSql,
     "q350_hill_tail" -> q350OracleSql,
+    "q351_good_turing" ->
+      """WITH t AS MATERIALIZED (SELECT lang, g, CAST(count(*) AS BIGINT)
+        |    AS n
+        |  FROM (SELECT lang, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+        |      AS g
+        |    FROM (SELECT lang, ws,
+        |        unnest(generate_series(1, len(ws) - 2)) AS i
+        |      FROM (SELECT lang, string_split(text, ' ') AS ws
+        |        FROM documents)))
+        |  GROUP BY lang, g),
+        |a AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n_tokens, n_types, n1, n2, n3,
+        |  n1 * 1000000 // n_tokens AS unseen_ppm,
+        |  CASE WHEN n1 = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE 2 * n2 * 1000 // n1 END AS r1_star_milli
+        |FROM a ORDER BY lang""".stripMargin,
+    "q352_mann_kendall" -> q352OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

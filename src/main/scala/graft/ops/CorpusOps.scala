@@ -1608,6 +1608,50 @@ object CorpusOps {
   /** q350's order-statistic count, shared with the generated oracle. */
   private[graft] val HillK = 200
 
+  /** X327 — Good-Turing missing-mass audit (count-of-counts): the
+    * classical estimate of how much probability mass belongs to types
+    * NEVER SEEN — P(next token is a new type) ≈ N₁/N — plus the
+    * Good-Turing discounted rate r* = (r+1)·N_{r+1}/N_r for the rare
+    * rows. This is the number coverage and dedup planning actually
+    * need: a corpus whose unseen mass is 36% (this one, at the
+    * trigram level) is nowhere near saturated, and q243's novelty
+    * curve and q157's coverage curve both read against it. Universe =
+    * word trigrams per language (the 31-word lexicon keeps unigrams
+    * and bigrams saturated; trigrams give 16k types with 9.4k
+    * singletons — a live tail).
+    *
+    * Output per lang: token/type totals, N₁..N₃ counts-of-counts, the
+    * unseen mass in ppm, and r₁* in milli (Good-Turing's discounted
+    * expected count for singletons, (2·N₂/N₁) — under ~1000 means
+    * singletons are over-counted, the classic smoothing signal). The
+    * identity Σ r·N_r = N is exact on both engines and spec-pinned.
+    *
+    * Scale: one trigram explode + (lang, gram) count — combinable —
+    * then a |langs×freqs|-bounded count-of-counts fold; nothing
+    * corpus-sized leaves the aggregations. */
+  def q351GoodTuring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = docs(s, dir)
+      .select($"lang", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"lang", explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat(" +
+          "element_at(ws, i), ' ', element_at(ws, i + 1), ' ', " +
+          "element_at(ws, i + 2)))")).as("g"))
+      .groupBy($"lang", $"g").agg(count(lit(1)).as("n"))
+    types.groupBy($"lang").agg(
+      sum($"n").as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when($"n" === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when($"n" === 2L, 1L).otherwise(0L)).as("n2"),
+      sum(when($"n" === 3L, 1L).otherwise(0L)).as("n3"))
+      .select($"lang", $"n_tokens", $"n_types", $"n1", $"n2", $"n3",
+        expr("n1 * 1000000L div n_tokens").as("unseen_ppm"),
+        expr("CASE WHEN n1 = 0 THEN 0L ELSE 2L * n2 * 1000L div n1 END")
+          .as("r1_star_milli"))
+      .orderBy($"lang")
+  }
+
   /** X326 — Hill tail-index estimator (the classic extreme-value
     * estimator of a power-law exponent, Hill 1975): q196 audits WHERE
     * the rank-frequency curve deviates from Zipf by decade band; this

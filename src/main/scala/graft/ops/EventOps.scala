@@ -1407,4 +1407,58 @@ object EventOps {
         when(piiPrompt, 1L).otherwise(0L).as("pii_prompt"))
       .orderBy($"user_id", $"conv_idx")
   }
+
+  /** X328 — Mann-Kendall trend test, the significance HALF of the
+    * robust-trend lane (X273's Theil-Sen estimates the slope; the
+    * published pairing is Mann-Kendall for "is there a monotone trend
+    * at all"): S = Σ_{i<j} sgn(x_j − x_i) over the daily series,
+    * Var(S)·18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5), and the
+    * continuity-corrected z² = 18·(|S|−1)² / denom — ALL integers
+    * (z²_milli via one exact div; chi²₁ 95% = 3.841 as the milli
+    * constant 3841, the q291 verdict convention). Three scopes on the
+    * SAME daily frame q302 uses: `1_null` (raw daily counts — no
+    * planted trend, must read NOT significant), `2_trend` (q302's
+    * +4/day injection — must read significant), and `3_trend_spiked`
+    * (the trend series with q302's 10× day-10 spike — rank-based S
+    * barely moves, the verdict HOLDS; the same spike that doubles
+    * q302's OLS slope, which is the point of the pairing).
+    *
+    * Scale: the daily fold is one combinable aggregation to a
+    * horizon-bounded frame (q302's precedent); the O(days²) sign sum
+    * runs on the driver over that bounded series; output is 3 rows. */
+  def q352MannKendall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val daily = ev(s, dir)
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .map(_._2)
+    val nullS = daily
+    val trend = daily.zipWithIndex.map { case (n, i) => n + 4L * (i + 1) }
+    val spiked = trend.clone()
+    spiked(9) = spiked(9) * 10L
+    def mk(xs: Array[Long]): (Long, Long, Long, Long, Long) = {
+      val n = xs.length.toLong
+      var sStat = 0L
+      for (i <- xs.indices; j <- (i + 1) until xs.length)
+        sStat += java.lang.Long.signum(xs(j) - xs(i))
+      val ties = xs.groupBy(identity).values.map(_.length.toLong)
+        .filter(_ > 1L).map(t => t * (t - 1L) * (2L * t + 5L)).sum
+      val denom = n * (n - 1L) * (2L * n + 5L) - ties
+      val z2m =
+        if (sStat == 0L || denom == 0L) 0L
+        else 18000L * (math.abs(sStat) - 1L) * (math.abs(sStat) - 1L) / denom
+      (n, sStat, denom, z2m, if (z2m > 3841L) 1L else 0L)
+    }
+    val rows = Seq(("1_null", nullS), ("2_trend", trend),
+      ("3_trend_spiked", spiked)).map { case (name, xs) =>
+      val (n, sStat, denom, z2m, sig) = mk(xs)
+      org.apache.spark.sql.Row(name, n, sStat, denom, z2m, sig)
+    }
+    graft.operators.LocalReport.frame(s, rows,
+      ("series", StringType), ("n_days", LongType), ("s_stat", LongType),
+      ("var_denom18", LongType), ("z2_milli", LongType),
+      ("significant", LongType))
+  }
 }

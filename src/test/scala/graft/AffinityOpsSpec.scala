@@ -1676,6 +1676,35 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       cl.getAs[Long]("n_pairs") + 1L - kPresent)
   }
 
+  // ------------------------------------------------------------- X328
+
+  test("q352: null quiet, trend loud, spike cannot flip the verdict") {
+    val rows = graft.ops.EventOps.q352MannKendall(spark, sf).collect()
+      .map(r => r.getAs[String]("series") -> r).toMap
+    assert(rows.keySet == Set("1_null", "2_trend", "3_trend_spiked"))
+    // calibration: the raw daily series has no planted trend
+    assert(rows("1_null").getAs[Long]("significant") == 0L)
+    // power: the +4/day injection reads significant
+    assert(rows("2_trend").getAs[Long]("significant") == 1L)
+    assert(rows("2_trend").getAs[Long]("s_stat") > 0L)
+    // robustness (the point of pairing MK with Theil-Sen): the 10x
+    // day-10 spike flips at most the n-1 pair signs through that day,
+    // so S barely moves and the verdict HOLDS — the same spike doubles
+    // q302's OLS slope
+    val n = rows("2_trend").getAs[Long]("n_days")
+    val dS = math.abs(rows("2_trend").getAs[Long]("s_stat") -
+      rows("3_trend_spiked").getAs[Long]("s_stat"))
+    assert(dS <= 2L * (n - 1L), s"spike moved S by $dS")
+    assert(rows("3_trend_spiked").getAs[Long]("significant") == 1L)
+    rows.values.foreach { r =>
+      val (sS, d) = (r.getAs[Long]("s_stat"), r.getAs[Long]("var_denom18"))
+      val z2 = if (sS == 0L || d == 0L) 0L
+        else 18000L * (math.abs(sS) - 1L) * (math.abs(sS) - 1L) / d
+      assert(r.getAs[Long]("z2_milli") == z2)
+      assert(r.getAs[Long]("significant") == (if (z2 > 3841L) 1L else 0L))
+    }
+  }
+
   // ------------------------------------------------------------- X146
 
   test("split leakage: exact-dup families crossing the split are counted") {

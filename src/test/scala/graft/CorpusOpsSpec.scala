@@ -556,6 +556,48 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       cr.getAs[Long]("alpha_ppm") > 20000000L)
   }
 
+  // ------------------------------------------------------------- X327
+
+  test("q351: full driver replay of the count-of-counts, identities hold") {
+    import spark.implicits._
+    val rows = graft.ops.CorpusOps.q351GoodTuring(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // independent driver replay over the raw documents (split(" ", -1)
+    // per the CLAUDE.md rule) — every column, not just the identities
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"lang", $"text").as[(String, String)].collect()
+    val byLang = docs.groupBy(_._1)
+    assert(rows.keySet == byLang.keySet)
+    byLang.foreach { case (lang, ds) =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      ds.foreach { case (_, t) =>
+        val ws = t.split(" ", -1)
+        if (ws.length >= 3)
+          (0 to ws.length - 3).foreach { i =>
+            val g = s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}"
+            counts(g) = counts.getOrElse(g, 0L) + 1L
+          }
+      }
+      val r = rows(lang)
+      val n = counts.values.sum
+      def cc(f: Long) = counts.values.count(_ == f).toLong
+      assert(r.getAs[Long]("n_tokens") == n, s"$lang tokens")
+      assert(r.getAs[Long]("n_types") == counts.size.toLong)
+      assert(r.getAs[Long]("n1") == cc(1L))
+      assert(r.getAs[Long]("n2") == cc(2L))
+      assert(r.getAs[Long]("n3") == cc(3L))
+      assert(r.getAs[Long]("unseen_ppm") == cc(1L) * 1000000L / n)
+      assert(r.getAs[Long]("r1_star_milli") ==
+        (if (cc(1L) == 0L) 0L else 2L * cc(2L) * 1000L / cc(1L)))
+      // the Good-Turing frame: sum(r * N_r) = N exactly
+      assert(counts.values.groupBy(identity)
+        .map { case (f, g) => f * g.size }.sum == n)
+    }
+    // the corpus-level story: a live tail (every language far from
+    // saturated at the trigram level)
+    rows.values.foreach(r => assert(r.getAs[Long]("unseen_ppm") > 300000L))
+  }
+
   // ------------------------------------------------------------- X318
 
   test("q343: sorted chunking is the argmin, sorted leg replays exactly") {

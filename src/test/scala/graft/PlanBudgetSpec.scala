@@ -762,6 +762,12 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // into a <=8192-row summary + the exact
                              // lane's range shuffle (the calibration
                              // cost), both pre-collect
+    "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
+                             // fold runs inside the builder, the sign
+                             // sum is driver math over bounded days
+    "q351_good_turing" -> 3, // combinable (lang, gram) count + the
+                             // |langs|-bounded count-of-counts fold +
+                             // orderBy
     "q350_hill_tail" -> 0, // collect-local 2-row report; the vocab
                              // fold + bounded-k TakeOrdered run inside
                              // the builder
