@@ -1338,6 +1338,59 @@ object SparkEntry {
        |ORDER BY thr_half""".stripMargin
   }
 
+  /** q353's oracle: the shared NB score chain, the chosen-threshold
+    * derivation replayed in SQL (max F1, smallest-t tie-break), the
+    * exact-median corpus-relative threshold (⌈n/2⌉-th largest score —
+    * a value, so the row_number tie order is irrelevant), both cuts
+    * and the per-(lang, source) composition shift. */
+  private def q353OracleSql: String =
+    s"""WITH $nbScoreChainSql,
+       |thr AS (SELECT DISTINCT score AS t FROM ps),
+       |sw AS (SELECT thr.t,
+       |    CAST(sum(CASE WHEN ps.y = 1 AND ps.score >= thr.t
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN ps.y = 0 AND ps.score >= thr.t
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN ps.y = 1 AND ps.score < thr.t
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM thr CROSS JOIN ps GROUP BY thr.t),
+       |ch AS (SELECT t AS thr FROM (SELECT t,
+       |      2 * tp * 1000000 // (2 * tp + fp + fn) AS f1 FROM sw)
+       |  ORDER BY f1 DESC, t LIMIT 1),
+       |nm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ds),
+       |tm AS (SELECT CAST(min(score) AS BIGINT) AS t FROM
+       |    (SELECT score, row_number() OVER (ORDER BY score DESC) AS rn
+       |     FROM ds)
+       |  WHERE rn <= (SELECT (n + 1) // 2 FROM nm)),
+       |kd AS (SELECT d.lang, d.source, d.n_chars,
+       |    CASE WHEN ds.score >= ch.thr THEN 1 ELSE 0 END AS keep,
+       |    CASE WHEN ds.score >= tm.t THEN 1 ELSE 0 END AS keepm
+       |  FROM ds JOIN documents d USING (doc_id)
+       |  CROSS JOIN ch CROSS JOIN tm),
+       |per AS MATERIALIZED (SELECT lang, source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(keep) AS BIGINT) AS n_keep,
+       |    CAST(sum(keepm) AS BIGINT) AS n_keep_med,
+       |    CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       |    CAST(sum(n_chars * keep) AS BIGINT) AS chars_kept,
+       |    CAST(sum(n_chars * keepm) AS BIGINT) AS chars_kept_med
+       |  FROM kd GROUP BY lang, source),
+       |gt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS na,
+       |    CAST(sum(n_keep) AS BIGINT) AS nk,
+       |    CAST(sum(n_keep_med) AS BIGINT) AS nkm FROM per)
+       |SELECT lang, source,
+       |  (SELECT CAST(thr AS BIGINT) FROM ch) AS thr_half,
+       |  (SELECT t FROM tm) AS thr_med,
+       |  n_docs, n_keep, n_keep * 1000000 // n_docs AS keep_ppm,
+       |  n_keep_med, n_keep_med * 1000000 // n_docs AS keep_med_ppm,
+       |  chars_total, chars_kept, chars_kept_med,
+       |  n_docs * 1000000 // gt.na AS share_before_ppm,
+       |  CASE WHEN gt.nk = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE n_keep * 1000000 // gt.nk END AS share_after_ppm,
+       |  CASE WHEN gt.nkm = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE n_keep_med * 1000000 // gt.nkm END AS share_after_med_ppm
+       |FROM per CROSS JOIN gt ORDER BY lang, source""".stripMargin
+
   private def q305OracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -2472,6 +2525,7 @@ object SparkEntry {
     "q350_hill_tail"      -> CorpusOps.q350HillTail _,
     "q351_good_turing"    -> CorpusOps.q351GoodTuring _,
     "q352_mann_kendall"   -> EventOps.q352MannKendall _,
+    "q353_filter_apply"   -> PipelineOps.q353FilterApply _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7739,6 +7793,7 @@ object SparkEntry {
         |    ELSE 2 * n2 * 1000 // n1 END AS r1_star_milli
         |FROM a ORDER BY lang""".stripMargin,
     "q352_mann_kendall" -> q352OracleSql,
+    "q353_filter_apply" -> q353OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

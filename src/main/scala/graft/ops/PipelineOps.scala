@@ -3438,6 +3438,24 @@ object PipelineOps {
     }
   }
 
+  /** The max-F1 operating threshold of q334's sweep — a pure function
+    * of the bounded labeled plant (no corpus scan), so the EXECUTION
+    * operator (X329) derives it independently and the spec reconciles
+    * it against q334's chosen row. Tie-break: smallest threshold. */
+  private[graft] def q334ChosenThr(weights: IndexedSeq[Long]): Long = {
+    val plantScores = QualityPlant.map { case (_, y, t) =>
+      (y, qualityGrams(t, 256).map(b => weights(b)).sum)
+    }
+    val nPos = plantScores.count(_._1 == 1L).toLong
+    val sweep = plantScores.map(_._2).distinct.sorted.map { t =>
+      val tp = plantScores.count(p => p._1 == 1L && p._2 >= t).toLong
+      val fp = plantScores.count(p => p._1 == 0L && p._2 >= t).toLong
+      (t, 2L * tp * 1000000L / (2L * tp + fp + (nPos - tp)))
+    }
+    val best = sweep.map(_._2).max
+    sweep.filter(_._2 == best).map(_._1).min
+  }
+
   /** q334's narrow NB scoring projection over a `text` column (see the
     * q334 scaladoc for the let-bind rationale), shared with q338. */
   private[graft] def q334ScoreExpr(weights: IndexedSeq[Long]): Column = {
@@ -3499,6 +3517,103 @@ object PipelineOps {
       "fn" -> LongType, "prec_ppm" -> LongType, "rec_ppm" -> LongType,
       "f1_ppm" -> LongType, "chosen" -> LongType,
       "n_corpus_pred_pos" -> LongType, "heur_agree_ppm" -> LongType)
+  }
+
+  /** X329 — trained-classifier filtering EXECUTION (the apply step of
+    * the learned-filter lane, closing train (q334) → calibrate (q338)
+    * → APPLY): production corpora are cut at the classifier's chosen
+    * operating point, and the artifact that matters downstream is the
+    * per-(lang, source) composition shift the cut causes — the exact
+    * number mixture planning (q82/q324/q337) must re-balance against.
+    * The threshold is [[q334ChosenThr]] — a pure function of the
+    * bounded labeled plant, derived independently here and reconciled
+    * against q334's chosen row in the spec (cross-operator agreement,
+    * not code reuse of the sweep).
+    *
+    * TWO cuts ship side by side, because the plant-tuned absolute
+    * threshold HONESTLY transfers badly (trained on the 42-doc plant
+    * convention, its operating point keeps 0 docs of this
+    * out-of-domain corpus — the measured transfer failure the report
+    * exists to surface BEFORE the cut ships): the `thr_half` columns
+    * apply [[q334ChosenThr]] as-is, and the `thr_med` columns apply
+    * the production fallback every corpus pipeline actually runs — a
+    * CORPUS-RELATIVE cut at the exact median score (keep the top
+    * ⌈n/2⌉ ranks; ties at the boundary keep everything at the
+    * boundary value, so both engines agree without an order tie-break).
+    * thr_med = the ⌈n/2⌉-th largest score, derived on the driver from
+    * the exact (score → count) histogram — the k-th order statistic
+    * of a multiset needs no row order, so no GlobalOrder pass.
+    *
+    * Per (lang, source): docs and kept docs under both cuts, chars
+    * and kept chars, keep ppm, and the composition shift — corpus
+    * share before vs after in ppm (totals from the collected
+    * |lang×source| frame, driver math).
+    *
+    * Scale: ONE narrow scoring projection (the codegen'd q334
+    * expression — no explode, no shuffle), persisted once around its
+    * two combinable folds (histogram + per-group) and released; the
+    * score histogram is bounded by the score VALUE RANGE
+    * (|bigrams/doc| × the half-bit weight span, ≈10⁴ values), never
+    * corpus-sized, and the report frame is |lang×source|. */
+  def q353FilterApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val weights = q334Weights
+    val thr = q334ChosenThr(weights)
+    val scored = docs(s, dir)
+      .select($"lang", $"source", $"n_chars",
+        q334ScoreExpr(weights).as("score"))
+      .persist()
+    // Exact median threshold from the value-bounded score histogram:
+    // the ⌈n/2⌉-th largest score (k-th order statistic of a multiset —
+    // tie order is irrelevant, the boundary VALUE is what both engines
+    // compare against).
+    val hist = scored.groupBy($"score").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().sortBy(-_._1)
+    val n = hist.map(_._2).sum
+    val k = (n + 1L) / 2L
+    val thrMed = hist.scanLeft((0L, 0L)) { case ((_, cum), (sc, c)) =>
+      (sc, cum + c)
+    }.drop(1).find(_._2 >= k).map(_._1).get
+    val per = scored
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"score" >= thr).cast("long")).as("n_keep"),
+        sum(($"score" >= thrMed).cast("long")).as("n_keep_med"),
+        sum($"n_chars").as("chars_total"),
+        sum($"n_chars" * ($"score" >= thr).cast("long")).as("chars_kept"),
+        sum($"n_chars" * ($"score" >= thrMed).cast("long"))
+          .as("chars_kept_med"))
+      .collect()
+    scored.unpersist()
+    val nAll = per.map(_.getAs[Long]("n_docs")).sum
+    val nKeepAll = per.map(_.getAs[Long]("n_keep")).sum
+    val nKeepMedAll = per.map(_.getAs[Long]("n_keep_med")).sum
+    val rows = per.map { r =>
+      val nd = r.getAs[Long]("n_docs")
+      val nk = r.getAs[Long]("n_keep")
+      val nkm = r.getAs[Long]("n_keep_med")
+      org.apache.spark.sql.Row(r.getAs[String]("lang"),
+        r.getAs[String]("source"), thr, thrMed, nd,
+        nk, nk * 1000000L / nd,
+        nkm, nkm * 1000000L / nd,
+        r.getAs[Long]("chars_total"), r.getAs[Long]("chars_kept"),
+        r.getAs[Long]("chars_kept_med"),
+        nd * 1000000L / nAll,
+        if (nKeepAll == 0L) 0L else nk * 1000000L / nKeepAll,
+        if (nKeepMedAll == 0L) 0L else nkm * 1000000L / nKeepMedAll)
+    }.sortBy(r => (r.getString(0), r.getString(1)))(
+      Ordering.Tuple2(TextOps.utf8Ordering, TextOps.utf8Ordering))
+    LocalReport.frame(s, rows.toSeq,
+      "lang" -> StringType, "source" -> StringType, "thr_half" -> LongType,
+      "thr_med" -> LongType, "n_docs" -> LongType,
+      "n_keep" -> LongType, "keep_ppm" -> LongType,
+      "n_keep_med" -> LongType, "keep_med_ppm" -> LongType,
+      "chars_total" -> LongType, "chars_kept" -> LongType,
+      "chars_kept_med" -> LongType,
+      "share_before_ppm" -> LongType, "share_after_ppm" -> LongType,
+      "share_after_med_ppm" -> LongType)
   }
 
   /** q344's replicate count, shared with the generated oracle. */

@@ -1328,6 +1328,53 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------------------- X329
+
+  test("q353: thresholds reconcile with q334 and the exact median; shares add up") {
+    import spark.implicits._
+    val rows = PipelineOps.q353FilterApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // cross-operator agreement: the execution's plant threshold is the
+    // SAME operating point q334's sweep marks chosen (independent
+    // derivations — q334ChosenThr vs the frame's chosen row)
+    val q334Chosen = PipelineOps.q334QualityClassifier(spark, sf).collect()
+      .filter(_.getAs[Long]("chosen") == 1L).head.getAs[Long]("thr_half")
+    assert(rows.forall(_.getAs[Long]("thr_half") == q334Chosen),
+      "execution threshold must be q334's chosen operating point")
+    // independent median replay: score the corpus through the shared
+    // expression, take the ⌈n/2⌉-th largest score with a plain sort
+    val scores = graft.sources.Tables.load(spark, sf, "documents")
+      .select(PipelineOps.q334ScoreExpr(PipelineOps.q334Weights).as("score"))
+      .as[Long].collect().sorted(Ordering[Long].reverse)
+    val k = ((scores.length + 1) / 2) - 1
+    val tMed = scores(k)
+    assert(rows.forall(_.getAs[Long]("thr_med") == tMed),
+      s"median threshold must be the ${k + 1}-th largest score $tMed")
+    // the median cut keeps at least half (boundary ties keep extra),
+    // and cutting strictly above the median value would keep less
+    val nKeepMed = rows.map(_.getAs[Long]("n_keep_med")).sum
+    assert(nKeepMed == scores.count(_ >= tMed))
+    assert(nKeepMed >= (scores.length + 1) / 2)
+    assert(scores.count(_ > tMed) < (scores.length + 1) / 2,
+      "thr_med must be the LARGEST value keeping at least half")
+    // per-row arithmetic + global share accounting
+    val nAll = rows.map(_.getAs[Long]("n_docs")).sum
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_docs")
+      val nk = r.getAs[Long]("n_keep")
+      val nkm = r.getAs[Long]("n_keep_med")
+      assert(nk <= nd && nkm <= nd)
+      assert(r.getAs[Long]("keep_ppm") == nk * 1000000L / nd)
+      assert(r.getAs[Long]("keep_med_ppm") == nkm * 1000000L / nd)
+      assert(r.getAs[Long]("chars_kept") <= r.getAs[Long]("chars_total"))
+      assert(r.getAs[Long]("chars_kept_med") <= r.getAs[Long]("chars_total"))
+      assert(r.getAs[Long]("share_before_ppm") == nd * 1000000L / nAll)
+    }
+    val shareAfterMed = rows.map(_.getAs[Long]("share_after_med_ppm")).sum
+    assert(shareAfterMed > 1000000L - rows.length &&
+      shareAfterMed <= 1000000L, s"after-shares must sum to ~1e6: $shareAfterMed")
+  }
+
   // ------------------------------------------------------------- X319
 
   test("q344: weights are mean-1, interval rows are the order statistics") {

@@ -765,6 +765,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q353_filter_apply" -> 0, // collect-local |lang×source| report; the
+                             // data work is ONE persisted narrow scoring
+                             // scan feeding two combinable folds (value-
+                             // bounded score histogram + per-group cut),
+                             // both pre-collect
     "q351_good_turing" -> 3, // combinable (lang, gram) count + the
                              // |langs|-bounded count-of-counts fold +
                              // orderBy
