@@ -1391,6 +1391,85 @@ object SparkEntry {
        |    ELSE n_keep_med * 1000000 // gt.nkm END AS share_after_med_ppm
        |FROM per CROSS JOIN gt ORDER BY lang, source""".stripMargin
 
+  /** q354's oracle: the shared-rare-5-gram graph, the seed clamp, and
+    * [[graft.ops.PipelineOps.LabelPropRounds]] generated synchronous
+    * propagation rounds (full_r = clamp ∪ normalized inflow over
+    * unlabeled nodes), then the per-lang coverage/accuracy report. */
+  private def q354OracleSql: String = {
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    val plantRows = graft.ops.PipelineOps.LabelPropPlant.map {
+      case (id, lang, t) => s"(CAST($id AS BIGINT), '$lang', '$t')"
+    }.mkString(",\n    ")
+    val rounds = (1 to graft.ops.PipelineOps.LabelPropRounds).map { r =>
+      s"""i$r AS (SELECT e.v AS doc_id, p.label,
+         |    CAST(sum(p.m) AS BIGINT) AS infl
+         |  FROM edges e JOIN full${r - 1} p ON e.u = p.doc_id
+         |  JOIN un ON un.doc_id = e.v
+         |  GROUP BY e.v, p.label),
+         |u$r AS MATERIALIZED (SELECT doc_id, label,
+         |    infl * 1000000 // sum(infl) OVER (PARTITION BY doc_id) AS m
+         |  FROM i$r),
+         |full$r AS MATERIALIZED (
+         |  SELECT * FROM full0 UNION ALL SELECT * FROM u$r)""".stripMargin
+    }.mkString(",\n")
+    val R = graft.ops.PipelineOps.LabelPropRounds
+    s"""WITH pl(doc_id, lang, txt) AS (VALUES
+       |    $plantRows),
+       |corpus AS MATERIALIZED (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL SELECT doc_id, lang, txt FROM pl),
+       |nodes AS MATERIALIZED (SELECT doc_id, lang,
+       |    CASE WHEN doc_id < 0
+       |      THEN CASE WHEN doc_id IN (-901, -902) THEN 1 ELSE 0 END
+       |      ELSE CASE WHEN ${fp("'lp:' || CAST(doc_id AS VARCHAR)")} % 4 = 0
+       |        THEN 1 ELSE 0 END END AS seed
+       |  FROM corpus),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus
+       |  WHERE len(string_split(text, ' ')) >= 5),
+       |g AS (SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, len(ws) - 4),
+       |      i -> ${fp("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]")})) AS gf
+       |  FROM w),
+       |rare AS (SELECT gf FROM (SELECT gf, count(*) AS c FROM g GROUP BY gf)
+       |  WHERE c BETWEEN 2 AND 8),
+       |gp AS MATERIALIZED (SELECT g.doc_id, g.gf FROM g JOIN rare USING (gf)),
+       |pr AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |  FROM gp a JOIN gp b ON a.gf = b.gf AND a.doc_id < b.doc_id),
+       |edges AS MATERIALIZED (
+       |  SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+       |un AS MATERIALIZED (SELECT doc_id FROM nodes WHERE seed = 0),
+       |full0 AS MATERIALIZED (SELECT doc_id, lang AS label,
+       |    CAST(1000000 AS BIGINT) AS m FROM nodes WHERE seed = 1),
+       |$rounds,
+       |p1 AS (SELECT doc_id, label FROM (SELECT doc_id, label,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY m DESC, label) AS rn FROM u$R)
+       |  WHERE rn = 1)
+       |SELECT n.lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n.seed) AS BIGINT) AS n_seed,
+       |  CAST(sum(1 - n.seed) AS BIGINT) AS n_unseeded,
+       |  CAST(sum(CASE WHEN p1.label IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_pred,
+       |  CAST(sum(CASE WHEN p1.label = n.lang THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  CASE WHEN CAST(sum(1 - n.seed) AS BIGINT) = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(sum(CASE WHEN p1.label IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) * 1000000 // CAST(sum(1 - n.seed) AS BIGINT)
+       |    END AS coverage_ppm,
+       |  CASE WHEN CAST(sum(CASE WHEN p1.label IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(sum(CASE WHEN p1.label = n.lang THEN 1 ELSE 0 END)
+       |      AS BIGINT) * 1000000
+       |      // CAST(sum(CASE WHEN p1.label IS NOT NULL THEN 1 ELSE 0 END)
+       |        AS BIGINT) END AS acc_ppm
+       |FROM nodes n LEFT JOIN p1 USING (doc_id)
+       |GROUP BY n.lang ORDER BY n.lang""".stripMargin
+  }
+
   private def q305OracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -2526,6 +2605,7 @@ object SparkEntry {
     "q351_good_turing"    -> CorpusOps.q351GoodTuring _,
     "q352_mann_kendall"   -> EventOps.q352MannKendall _,
     "q353_filter_apply"   -> PipelineOps.q353FilterApply _,
+    "q354_label_prop"     -> PipelineOps.q354LabelPropagation _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7794,6 +7874,7 @@ object SparkEntry {
         |FROM a ORDER BY lang""".stripMargin,
     "q352_mann_kendall" -> q352OracleSql,
     "q353_filter_apply" -> q353OracleSql,
+    "q354_label_prop" -> q354OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

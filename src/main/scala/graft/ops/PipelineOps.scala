@@ -3616,6 +3616,118 @@ object PipelineOps {
       "share_after_med_ppm" -> LongType)
   }
 
+  /** q354's propagation rounds, shared with the generated oracle. */
+  private[graft] val LabelPropRounds = 5
+
+  /** q354's planted component: a 6-doc 'xx' family sharing ONE unique
+    * 5-gram (a K6 in the shared-gram graph; ids -901/-902 are seeds,
+    * -903..-906 must recover the label) and an isolated 'xy' doc whose
+    * grams are all unique (no edges — the honest coverage miss).
+    * Shared with the oracle's VALUES literal. */
+  private[graft] val LabelPropPlant: Seq[(Long, String, String)] = {
+    val span = "plga1 plga2 plga3 plga4 plga5"
+    (1 to 6).map { i =>
+      (-900L - i, "xx", s"$span plfb$i plfc$i plfd$i plfe$i")
+    } :+ ((-910L, "xy", "pliz1 pliz2 pliz3 pliz4 pliz5 pliz6"))
+  }
+
+  /** X330 — semi-supervised label propagation (Zhu & Ghahramani 2002)
+    * for metadata completion: a large corpus has SPARSE trusted labels
+    * (here: the lang tag on a deterministic ~25% seed set) and the
+    * published way to extend them without training a model is to let
+    * label mass flow over a document-similarity graph until unlabeled
+    * nodes inherit their neighborhood's majority. The graph is the
+    * shared-RARE-5-gram graph (edges between docs sharing a 5-gram
+    * whose document frequency is 2..8 — the q224-style cap is what
+    * keeps boilerplate grams from densifying the graph quadratically);
+    * masses are integer ppm: labeled nodes clamp at 1e6 on their own
+    * label every round (the Zhu/Ghahramani clamp), unlabeled nodes take
+    * inflow = Σ neighbor masses per label, normalized per node by
+    * truncating division. After [[LabelPropRounds]] synchronous rounds,
+    * an unlabeled node's prediction is its max-mass label (tie-break:
+    * UTF-8-smallest label — struct binary order on both engines).
+    *
+    * Per true lang: nodes, seeds, unseeded, predicted (coverage of the
+    * propagation — a node with no rare-gram edge never gets mass),
+    * correct predictions, coverage and accuracy ppm. The planted 'xx'
+    * K6 family must recover 4/4 and the isolated 'xy' doc must stay
+    * unpredicted ([[LabelPropPlant]]).
+    *
+    * Scale: gram-blocked edge generation (never all-pairs: df-capped
+    * grams bound each gram's pair fanout at C(8,2)); each round is ONE
+    * shuffle join + one combinable (node, label) fold + a doc_id-keyed
+    * window; the ITERATION state (per-node masses) localCheckpoints per
+    * round — the q320 lesson: persist leaves nested InMemoryRelation
+    * renderings that double the plan string per round. Static frames
+    * (nodes, edges) persist once and release after the final round
+    * materializes. */
+  def q354LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val plantDf = LabelPropPlant.toDF("doc_id", "lang", "text")
+    val corpus = docs(s, dir).select($"doc_id", $"lang", $"text")
+      .unionByName(plantDf)
+    val nodes = corpus.select($"doc_id", $"lang",
+      expr("""CASE WHEN doc_id < 0
+             |  THEN CASE WHEN doc_id IN (-901, -902) THEN 1L ELSE 0L END
+             |  ELSE CASE WHEN pmod(graft_fingerprint(
+             |    concat('lp:', CAST(doc_id AS STRING))), 4) = 0
+             |    THEN 1L ELSE 0L END END""".stripMargin).as("seed"))
+      .persist()
+    val grams = corpus
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .where("size(ws) >= 5")
+      .selectExpr("doc_id", s"explode(${TextGrams.fpArrayExpr(5)}) AS g")
+      .distinct()
+    val rare = grams.groupBy($"g").agg(count(lit(1)).as("ndg"))
+      .where($"ndg".between(2, 8)).select($"g")
+    val gp = grams.join(rare, Seq("g"))
+    val pairs = gp.as("a").join(gp.as("b"), Seq("g"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("u"), $"b.doc_id".as("v")).distinct()
+    val edges = pairs.unionByName(pairs.select($"v".as("u"), $"u".as("v")))
+      .persist()
+    val unlabeled = nodes.where($"seed" === 0L).select($"doc_id")
+    val m0 = nodes.where($"seed" === 1L)
+      .select($"doc_id", $"lang".as("label"), lit(1000000L).as("m"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    var un: DataFrame = null
+    var full = m0
+    for (_ <- 1 to LabelPropRounds) {
+      un = edges.join(full.withColumnRenamed("doc_id", "u"), Seq("u"))
+        .groupBy($"v".as("doc_id"), $"label")
+        .agg(sum($"m").as("infl"))
+        .join(unlabeled, Seq("doc_id"))
+        .withColumn("m", expr("infl * 1000000 div sum(infl) OVER " +
+          "(PARTITION BY doc_id)"))
+        .select($"doc_id", $"label", $"m")
+        .localCheckpoint()
+      full = m0.unionByName(un)
+    }
+    edges.unpersist()
+    val pred = un
+      .groupBy($"doc_id")
+      .agg(min(struct((-$"m").as("nm"), $"label".as("l"))).as("best"))
+      .select($"doc_id", $"best.l".as("plabel"))
+    val out = nodes.join(pred, Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"seed").as("n_seed"),
+        sum(lit(1L) - $"seed").as("n_unseeded"),
+        sum(when($"plabel".isNotNull, 1L).otherwise(0L)).as("n_pred"),
+        sum(when($"plabel" === $"lang", 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("coverage_ppm", expr(
+        "CASE WHEN n_unseeded = 0 THEN 0L ELSE n_pred * 1000000 div n_unseeded END"))
+      .withColumn("acc_ppm", expr(
+        "CASE WHEN n_pred = 0 THEN 0L ELSE n_correct * 1000000 div n_pred END"))
+      .orderBy($"lang")
+    // nodes backs the lazily-returned report; it is a narrow scan +
+    // 7-row literal union, so release the cache rather than pin it in
+    // the shared multi-query session (the recompute is one projection).
+    nodes.unpersist()
+    out
+  }
+
   /** q344's replicate count, shared with the generated oracle. */
   private[graft] val BootReps = 32
 

@@ -1375,6 +1375,41 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       shareAfterMed <= 1000000L, s"after-shares must sum to ~1e6: $shareAfterMed")
   }
 
+  // ------------------------------------------------------------- X330
+
+  test("q354: planted K6 family recovers its label, isolated node stays unpredicted") {
+    val rows = PipelineOps.q354LabelPropagation(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // the 6-doc 'xx' family shares ONE rare 5-gram (a K6): the two seeds
+    // clamp at 1e6 and the four unseeded members are connected ONLY to
+    // family, so every one of them must inherit 'xx' with full mass
+    val xx = rows("xx")
+    assert(xx.getAs[Long]("n_docs") == 6L && xx.getAs[Long]("n_seed") == 2L)
+    assert(xx.getAs[Long]("n_unseeded") == 4L)
+    assert(xx.getAs[Long]("n_pred") == 4L && xx.getAs[Long]("n_correct") == 4L)
+    assert(xx.getAs[Long]("coverage_ppm") == 1000000L)
+    assert(xx.getAs[Long]("acc_ppm") == 1000000L)
+    // the isolated 'xy' doc has only unique grams — no edges, no mass,
+    // no prediction: the coverage-miss path
+    val xy = rows("xy")
+    assert(xy.getAs[Long]("n_docs") == 1L && xy.getAs[Long]("n_seed") == 0L)
+    assert(xy.getAs[Long]("n_pred") == 0L)
+    assert(xy.getAs[Long]("coverage_ppm") == 0L && xy.getAs[Long]("acc_ppm") == 0L)
+    // accounting on every row
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_seed") + r.getAs[Long]("n_unseeded") ==
+        r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_pred"))
+      assert(r.getAs[Long]("n_pred") <= r.getAs[Long]("n_unseeded"))
+    }
+    // corpus langs exist alongside the plants and some corpus node got a
+    // prediction (the rare-gram graph is sparse but not empty)
+    val corpusPred = rows.iterator
+      .collect { case (l, r) if l != "xx" && l != "xy" =>
+        r.getAs[Long]("n_pred") }.sum
+    assert(corpusPred > 0L, "rare-gram graph must connect some corpus docs")
+  }
+
   // ------------------------------------------------------------- X319
 
   test("q344: weights are mean-1, interval rows are the order statistics") {

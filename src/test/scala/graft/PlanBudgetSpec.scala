@@ -765,6 +765,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q354_label_prop" -> 4, // the returned report: prediction argmax fold
+                             // over the checkpointed final masses + seed
+                             // recompute join + lang agg + orderBy; the 5
+                             // propagation rounds run inside the builder
+                             // against persisted nodes/edges
     "q353_filter_apply" -> 0, // collect-local |lang×source| report; the
                              // data work is ONE persisted narrow scoring
                              // scan feeding two combinable folds (value-
