@@ -1470,6 +1470,46 @@ object SparkEntry {
        |GROUP BY n.lang ORDER BY n.lang""".stripMargin
   }
 
+  /** q355's oracle: the static bucket table as a WITH RECURSIVE replay
+    * of [[graft.ops.PipelineOps.DdBounds]]' integer recurrence, the
+    * broadcast-range bucket assignment, per-scope cumulative rank
+    * selection and the exact order-statistic leg. */
+  private def q355OracleSql: String =
+    s"""WITH RECURSIVE bnd(idx, lo, hi) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+       |  UNION ALL
+       |  SELECT idx + 1, hi, hi + greatest(1, hi // 16) FROM bnd
+       |  WHERE hi <= 1099511627776),
+       |vals AS MATERIALIZED (
+       |  SELECT 'corpus' AS scope, c FROM (
+       |    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders)
+       |  WHERE c >= 1
+       |  UNION ALL SELECT 'plant', lo FROM bnd),
+       |sk AS MATERIALIZED (SELECT scope, idx, lo, hi,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM vals JOIN bnd ON c >= lo AND c < hi
+       |  GROUP BY scope, idx, lo, hi),
+       |ns AS (SELECT scope, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM sk GROUP BY scope),
+       |qs(q) AS (VALUES (CAST(500 AS BIGINT)), (900), (950), (990)),
+       |rk AS (SELECT scope, q, n, greatest(1, q * n // 1000) AS r
+       |  FROM ns CROSS JOIN qs),
+       |cum AS (SELECT scope, idx, lo, hi, cnt,
+       |    sum(cnt) OVER (PARTITION BY scope ORDER BY idx) AS cm
+       |  FROM sk),
+       |sel AS (SELECT rk.scope, rk.q, rk.n, rk.r, c.lo, c.hi
+       |  FROM rk JOIN cum c ON c.scope = rk.scope
+       |    AND c.cm >= rk.r AND c.cm - c.cnt < rk.r),
+       |ex AS (SELECT scope, c,
+       |    row_number() OVER (PARTITION BY scope ORDER BY c) AS rn
+       |  FROM vals)
+       |SELECT sel.scope, sel.q AS q_permille, sel.r AS rank_k, sel.n,
+       |  sel.lo AS est, ex.c AS exact,
+       |  (ex.c - sel.lo) * 1000000 // ex.c AS err_ppm,
+       |  (sel.hi - sel.lo) * 1000000 // sel.lo AS bound_ppm
+       |FROM sel JOIN ex ON ex.scope = sel.scope AND ex.rn = sel.r
+       |ORDER BY sel.scope, q_permille""".stripMargin
+
   private def q305OracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -2606,6 +2646,7 @@ object SparkEntry {
     "q352_mann_kendall"   -> EventOps.q352MannKendall _,
     "q353_filter_apply"   -> PipelineOps.q353FilterApply _,
     "q354_label_prop"     -> PipelineOps.q354LabelPropagation _,
+    "q355_rel_quantiles"  -> PipelineOps.q355RelQuantiles _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7875,6 +7916,7 @@ object SparkEntry {
     "q352_mann_kendall" -> q352OracleSql,
     "q353_filter_apply" -> q353OracleSql,
     "q354_label_prop" -> q354OracleSql,
+    "q355_rel_quantiles" -> q355OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

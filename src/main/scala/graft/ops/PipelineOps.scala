@@ -3616,6 +3616,96 @@ object PipelineOps {
       "share_after_med_ppm" -> LongType)
   }
 
+  /** q355's bucket table: lo_0 = 1, hi = lo + max(1, lo div 16),
+    * next lo = hi, until lo exceeds 2^40 — an exact integer recurrence
+    * both engines replay (driver loop here, WITH RECURSIVE in the
+    * oracle), so the sketch structure is STATIC and data-independent
+    * (the DDSketch property that makes shard sketches mergeable by
+    * plain bucket-count addition). ~430 buckets cover 1..2^40;
+    * widths are exactly lo div 16 above lo = 16, so the relative
+    * error of answering with a bucket's lower edge is ≤ 1/16. */
+  private[graft] val DdBounds: IndexedSeq[(Long, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var lo = 1L
+    var idx = 0L
+    while (lo <= (1L << 40)) {
+      val hi = lo + math.max(1L, lo / 16L)
+      out += ((idx, lo, hi))
+      lo = hi
+      idx += 1L
+    }
+    out.toIndexedSeq
+  }
+
+  /** X331 — relative-error quantile sketch (the DDSketch family,
+    * Masson et al., VLDB 2019): q312's KLL bounds RANK error, but the
+    * question monitoring actually asks — "is p99 latency/price within
+    * x% of truth?" — needs RELATIVE-error bounds, which rank sketches
+    * cannot give on heavy-tailed values. Geometric buckets do: a value
+    * lands in the [[DdBounds]] bucket containing it, the sketch is the
+    * per-bucket count vector (combinable, mergeable across shards by
+    * addition — the static bucket table IS the merge contract), and a
+    * quantile answers with the lower edge of the bucket holding rank
+    * ⌈qn⌉. The certificate is structural: the true rank-r value lies
+    * INSIDE the answering bucket, so err_ppm ≤ bound_ppm =
+    * (hi−lo)·1e6/lo ≤ 62500 (1/16 growth) on every row, by
+    * construction — and measured much smaller where mass concentrates.
+    *
+    * Two scopes: `corpus` (o_totalprice cents, the q346 convention)
+    * and `plant` — the bucket lower edges themselves as the value set,
+    * where every quantile's estimate must equal the exact value
+    * (err_ppm = 0): an off-by-one in either edge convention breaks it.
+    *
+    * Scale: bucket assignment is a ~430-row BROADCAST range join (the
+    * bounded-dictionary idiom; at 100 TB the join swaps for an O(log)
+    * branchless expression, nothing else changes), the sketch fold is
+    * one combinable (scope, bucket) count, and the exact leg — the
+    * AUDIT, not the product — is one GlobalOrder pass per scope. */
+  def q355RelQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val bnd = DdBounds.toDF("idx", "lo", "hi")
+    val corpus = Tables.load(s, dir, "orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .where($"c" >= 1L)
+    val values = corpus.select(lit("corpus").as("scope"), $"c")
+      .unionByName(DdBounds.map(_._2).toDF("c")
+        .select(lit("plant").as("scope"), $"c"))
+      .persist()
+    val sketch = values
+      .join(broadcast(bnd), $"c" >= $"lo" && $"c" < $"hi")
+      .groupBy($"scope", $"idx", $"lo", $"hi")
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    val qs = Seq(500L, 900L, 950L, 990L)
+    val rows = sketch.groupBy(_._1).toSeq
+      .sortBy(_._1)(TextOps.utf8Ordering).flatMap { case (scope, bs) =>
+        val byIdx = bs.sortBy(_._2)
+        val n = byIdx.map(_._5).sum
+        val cum = byIdx.map(_._5).scanLeft(0L)(_ + _).drop(1)
+        val ranks = qs.map(q => math.max(1L, q * n / 1000L))
+        val exact = {
+          val numbered = graft.operators.GlobalOrder.withRowNumber(
+            values.where($"scope" === scope).select($"c"), Seq($"c"), "rk")
+          numbered.where($"rk".isin(ranks: _*))
+            .select($"rk", $"c").as[(Long, Long)].collect().toMap
+        }
+        qs.zip(ranks).map { case (q, r) =>
+          val i = cum.indexWhere(_ >= r)
+          val lo = byIdx(i)._3
+          val hi = byIdx(i)._4
+          val ex = exact(r)
+          org.apache.spark.sql.Row(scope, q, r, n, lo, ex,
+            (ex - lo) * 1000000L / ex, (hi - lo) * 1000000L / lo)
+        }
+      }
+    values.unpersist()
+    LocalReport.frame(s, rows,
+      "scope" -> StringType, "q_permille" -> LongType, "rank_k" -> LongType,
+      "n" -> LongType, "est" -> LongType, "exact" -> LongType,
+      "err_ppm" -> LongType, "bound_ppm" -> LongType)
+  }
+
   /** q354's propagation rounds, shared with the generated oracle. */
   private[graft] val LabelPropRounds = 5
 

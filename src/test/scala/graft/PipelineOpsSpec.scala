@@ -1410,6 +1410,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpusPred > 0L, "rare-gram graph must connect some corpus docs")
   }
 
+  // ------------------------------------------------------------- X331
+
+  test("q355: relative-error certificate holds on every row; plant is exact") {
+    val rows = PipelineOps.q355RelQuantiles(spark, sf).collect()
+    assert(rows.length == 8, "2 scopes x 4 quantiles")
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est")
+      val exact = r.getAs[Long]("exact")
+      // structural certificate: the rank-r value lies inside the
+      // answering bucket, so est <= exact and err <= the bucket bound
+      assert(est <= exact, s"lower-edge estimate must not exceed exact: $r")
+      assert(r.getAs[Long]("err_ppm") <= r.getAs[Long]("bound_ppm"), s"$r")
+      // 1/16 geometric growth above lo = 16
+      if (est >= 16L) assert(r.getAs[Long]("bound_ppm") <= 62500L)
+      assert(r.getAs[Long]("rank_k") >= 1L &&
+        r.getAs[Long]("rank_k") <= r.getAs[Long]("n"))
+    }
+    // the plant values ARE the bucket lower edges: every estimate must
+    // be exact (an off-by-one in either edge convention breaks this)
+    rows.filter(_.getAs[String]("scope") == "plant").foreach { r =>
+      assert(r.getAs[Long]("err_ppm") == 0L, s"plant must be exact: $r")
+      assert(r.getAs[Long]("n") == PipelineOps.DdBounds.length.toLong)
+    }
+    // static sketch structure: the bucket table is contiguous and the
+    // recurrence's widths are exactly max(1, lo div 16)
+    PipelineOps.DdBounds.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 == b._2, "buckets must tile contiguously")
+    }
+    PipelineOps.DdBounds.foreach { case (_, lo, hi) =>
+      assert(hi - lo == math.max(1L, lo / 16L))
+    }
+  }
+
   // ------------------------------------------------------------- X319
 
   test("q344: weights are mean-1, interval rows are the order statistics") {

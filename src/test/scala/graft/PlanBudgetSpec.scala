@@ -765,6 +765,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q355_rel_quantiles" -> 0, // collect-local 8-row report; the data
+                             // work is one broadcast bucket join into a
+                             // combinable (scope, bucket) count + one
+                             // GlobalOrder pass per scope (the audit leg),
+                             // all pre-collect
     "q354_label_prop" -> 4, // the returned report: prediction argmax fold
                              // over the checkpointed final masses + seed
                              // recompute join + lang agg + orderBy; the 5
