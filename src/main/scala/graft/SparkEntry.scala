@@ -1510,6 +1510,38 @@ object SparkEntry {
        |FROM sel JOIN ex ON ex.scope = sel.scope AND ex.rn = sel.r
        |ORDER BY sel.scope, q_permille""".stripMargin
 
+  /** q356's oracle: the [[graft.ops.PipelineOps.EpochDecayPpm]] table
+    * inlined (one copy of the transcendental constants), per-lang token
+    * fold + the 'xp' plant, effective-token HUGEINT math, marginal via
+    * a lag window over the bounded |langs|×8 frame. */
+  private def q356OracleSql: String = {
+    val dec = graft.ops.PipelineOps.EpochDecayPpm.zipWithIndex
+      .map { case (e, j) => s"($j, CAST($e AS BIGINT))" }.mkString(", ")
+    s"""WITH dec(j, e) AS (VALUES $dec),
+       |ul AS MATERIALIZED (
+       |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS u
+       |  FROM documents GROUP BY lang
+       |  UNION ALL SELECT 'xp', CAST(1000000 AS BIGINT)),
+       |ks(k) AS (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9),
+       |  (10), (11), (12), (13), (14), (15), (16)),
+       |ef AS (SELECT ul.lang, ul.u, ks.k,
+       |    ul.u + CAST(CAST(ul.u AS HUGEINT) * 15390 * (1000000 - d.e)
+       |      // 1000000000 AS BIGINT) AS eff
+       |  FROM ul CROSS JOIN ks JOIN dec d ON d.j = ks.k - 1),
+       |mg AS (SELECT lang, u, k, eff,
+       |    eff - coalesce(lag(eff) OVER (PARTITION BY lang ORDER BY k), 0)
+       |      AS marginal
+       |  FROM ef)
+       |SELECT lang, CAST(k AS BIGINT) AS k, u AS u_tokens,
+       |  CAST(k AS BIGINT) * u AS raw_tokens, eff AS eff_tokens,
+       |  marginal AS marginal_tokens,
+       |  CAST(CAST(eff AS HUGEINT) * 1000000
+       |    // (CAST(k AS HUGEINT) * u) AS BIGINT) AS value_ppm,
+       |  CASE WHEN 2 * marginal >= u THEN CAST(1 AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS worth_it
+       |FROM mg ORDER BY lang, k""".stripMargin
+  }
+
   private def q305OracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -2647,6 +2679,7 @@ object SparkEntry {
     "q353_filter_apply"   -> PipelineOps.q353FilterApply _,
     "q354_label_prop"     -> PipelineOps.q354LabelPropagation _,
     "q355_rel_quantiles"  -> PipelineOps.q355RelQuantiles _,
+    "q356_epoch_value"    -> PipelineOps.q356EpochValue _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7917,6 +7950,7 @@ object SparkEntry {
     "q353_filter_apply" -> q353OracleSql,
     "q354_label_prop" -> q354OracleSql,
     "q355_rel_quantiles" -> q355OracleSql,
+    "q356_epoch_value" -> q356OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -3616,6 +3616,66 @@ object PipelineOps {
       "share_after_med_ppm" -> LongType)
   }
 
+  /** q356's decay table: e_j = round(exp(−j/15.39)·1e6) for j = 0..15,
+    * computed ONCE here and inlined into the generated oracle (the
+    * q323 InvLogPpm discipline: one copy of the only transcendental
+    * constants, so no cross-engine libm call can diverge). 15.39 is
+    * the published R_D* fit (Muennighoff et al., 2023). */
+  private[graft] val EpochDecayPpm: IndexedSeq[Long] =
+    (0 until 16).map(j => math.round(math.exp(-j / 15.39) * 1e6))
+
+  /** X332 — data-constrained scaling audit (Muennighoff et al., 2023:
+    * "Scaling Data-Constrained Language Models"): when the corpus is
+    * smaller than the token budget, epochs repeat data — and the
+    * published fit says repeated tokens decay in value, effective data
+    * D'(k) = U + U·R*·(1 − exp(−(k−1)/R*)) with R* ≈ 15.39 epochs.
+    * q250 plans epoch counts and q324 caps them; this prices them: per
+    * language and epoch count k = 1..16, the unique tokens U, raw
+    * token-epochs k·U, effective tokens under the decay fit, the
+    * marginal value of the k-th epoch, value_ppm = eff/(k·U), and the
+    * worth_it verdict (marginal ≥ U/2 — the "half-value epoch" rule of
+    * thumb the paper's Figure 1 motivates; with R* = 15.39 it flips at
+    * exactly k = 13, so the grid exercises both branches). All
+    * arithmetic is integer:
+    * the exp values live in [[EpochDecayPpm]] and the driver multiplies
+    * in BigInt (U·15390·ppm exceeds int64 past U ≈ 6·10⁸ — exactly the
+    * corpus sizes this operator is FOR; the oracle casts to HUGEINT at
+    * the same spots).
+    *
+    * A planted scope 'xp' with U = exactly 10⁶ rides along so the
+    * decay curve itself is pinned independent of corpus token counts.
+    *
+    * Scale: ONE combinable (lang) token fold; everything after is
+    * driver math over the |langs|-row frame (the q324 shape). */
+  def q356EpochValue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val per = docs(s, dir)
+      .groupBy($"lang")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("u"))
+      .as[(String, Long)].collect().toSeq :+ (("xp", 1000000L))
+    val rows = per.sortBy(_._1)(TextOps.utf8Ordering).flatMap {
+      case (lang, u) =>
+        val effs = (0 to 16).map { k =>
+          if (k == 0) 0L
+          else (BigInt(u) + BigInt(u) * 15390 *
+            (1000000L - EpochDecayPpm(k - 1)) / BigInt(1000000000L)).toLong
+        }
+        (1 to 16).map { k =>
+          val marginal = effs(k) - effs(k - 1)
+          org.apache.spark.sql.Row(lang, k.toLong, u, k.toLong * u,
+            effs(k), marginal,
+            (BigInt(effs(k)) * 1000000 / (BigInt(k) * u)).toLong,
+            if (2L * marginal >= u) 1L else 0L)
+        }
+    }
+    LocalReport.frame(s, rows,
+      "lang" -> StringType, "k" -> LongType, "u_tokens" -> LongType,
+      "raw_tokens" -> LongType, "eff_tokens" -> LongType,
+      "marginal_tokens" -> LongType, "value_ppm" -> LongType,
+      "worth_it" -> LongType)
+  }
+
   /** q355's bucket table: lo_0 = 1, hi = lo + max(1, lo div 16),
     * next lo = hi, until lo exceeds 2^40 — an exact integer recurrence
     * both engines replay (driver loop here, WITH RECURSIVE in the

@@ -1410,6 +1410,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpusPred > 0L, "rare-gram graph must connect some corpus docs")
   }
 
+  // ------------------------------------------------------------- X332
+
+  test("q356: decay curve is monotone, plant pins the half-value flip at k=13") {
+    val rows = PipelineOps.q356EpochValue(spark, sf).collect()
+    val xp = rows.filter(_.getAs[String]("lang") == "xp")
+      .sortBy(_.getAs[Long]("k"))
+    assert(xp.length == 16)
+    // epoch 1 is all fresh data: eff == raw == U, value exactly 1e6
+    assert(xp.head.getAs[Long]("eff_tokens") == 1000000L)
+    assert(xp.head.getAs[Long]("value_ppm") == 1000000L)
+    // the published R* = 15.39 fit halves the marginal at k = 13
+    xp.foreach { r =>
+      val expected = if (r.getAs[Long]("k") < 13L) 1L else 0L
+      assert(r.getAs[Long]("worth_it") == expected, s"flip must be at 13: $r")
+    }
+    // structure on every language: eff monotone increasing, marginal
+    // non-increasing (the decay is convex), value_ppm non-increasing,
+    // eff bounded by the U·(1 + R*) saturation ceiling
+    rows.groupBy(_.getAs[String]("lang")).values.foreach { g =>
+      val byK = g.sortBy(_.getAs[Long]("k"))
+      val u = byK.head.getAs[Long]("u_tokens")
+      byK.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Long]("eff_tokens") < b.getAs[Long]("eff_tokens"))
+        assert(a.getAs[Long]("marginal_tokens") >= b.getAs[Long]("marginal_tokens"))
+        assert(a.getAs[Long]("value_ppm") >= b.getAs[Long]("value_ppm"))
+      }
+      byK.foreach { r =>
+        assert(r.getAs[Long]("eff_tokens") <= u + u * 15390L / 1000L + 1L)
+        assert(r.getAs[Long]("raw_tokens") == r.getAs[Long]("k") * u)
+      }
+    }
+  }
+
   // ------------------------------------------------------------- X331
 
   test("q355: relative-error certificate holds on every row; plant is exact") {

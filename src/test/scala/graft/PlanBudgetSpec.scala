@@ -765,6 +765,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q356_epoch_value" -> 0, // collect-local |langs|x16 report; ONE
+                             // combinable lang token fold pre-collect,
+                             // the decay math is driver BigInt
     "q355_rel_quantiles" -> 0, // collect-local 8-row report; the data
                              // work is one broadcast bucket join into a
                              // combinable (scope, bucket) count + one
