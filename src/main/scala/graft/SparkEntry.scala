@@ -1542,6 +1542,55 @@ object SparkEntry {
        |FROM mg ORDER BY lang, k""".stripMargin
   }
 
+  /** q357's oracle: 8 salted priority rankings (IEEE double w/r with
+    * id tie-break — bit-identical cross-engine), the cleared-denominator
+    * estimator per salt, the salt-99 mean row, and the n<k plant where
+    * the estimate is the exact sum by the published τ=0 rule. Error
+    * ppm in HUGEINT (the driver's BigInt twin). */
+  private def q357OracleSql: String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS id,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS w FROM orders),
+       |ex AS (SELECT CAST(sum(w) AS BIGINT) AS exact FROM base),
+       |salts(t) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7)),
+       |pri AS (SELECT t, id, w,
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(
+       |        'ps' || t || ':' || CAST(id AS VARCHAR) || ':' ||
+       |        CAST((id % 1000003) * (id % 1000003) AS VARCHAR), ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      $FpByteFold) % 1048576) + 1 AS r
+       |  FROM base CROSS JOIN salts),
+       |rk AS MATERIALIZED (SELECT t, id, w, r,
+       |    row_number() OVER (PARTITION BY t
+       |      ORDER BY CAST(w AS DOUBLE) / r DESC, id) AS rn
+       |  FROM pri),
+       |tau AS (SELECT t, w AS wt, r AS rt FROM rk WHERE rn = 65),
+       |es AS MATERIALIZED (SELECT rk.t,
+       |    CAST(sum(greatest(rk.w * tau.rt, tau.wt * 1048576)) AS BIGINT)
+       |      // tau.rt AS e
+       |  FROM rk JOIN tau ON tau.t = rk.t WHERE rk.rn <= 64
+       |  GROUP BY rk.t, tau.rt),
+       |pe AS (SELECT CAST(sum(1000 * i) AS BIGINT) AS e,
+       |    CAST(count(*) AS BIGINT) AS nk
+       |  FROM generate_series(1, 50) s(i))
+       |SELECT * FROM (
+       |  SELECT 'corpus' AS scope, CAST(t AS BIGINT) AS salt,
+       |    CAST(64 AS BIGINT) AS n_kept, e AS est_cents, ex.exact
+       |      AS exact_cents,
+       |    CAST((CAST(e AS HUGEINT) - ex.exact) * 1000000
+       |      // ex.exact AS BIGINT) AS err_ppm
+       |  FROM es, ex
+       |  UNION ALL
+       |  SELECT 'corpus', 99, 512,
+       |    CAST(CAST(sum(e) AS HUGEINT) // 8 AS BIGINT), ex.exact,
+       |    CAST((CAST(sum(e) AS HUGEINT) // 8 - ex.exact) * 1000000
+       |      // ex.exact AS BIGINT)
+       |  FROM es, ex GROUP BY ex.exact
+       |  UNION ALL
+       |  SELECT 'plant', 0, nk, e, e, 0 FROM pe)
+       |ORDER BY scope, salt""".stripMargin
+
   private def q305OracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -2680,6 +2729,7 @@ object SparkEntry {
     "q354_label_prop"     -> PipelineOps.q354LabelPropagation _,
     "q355_rel_quantiles"  -> PipelineOps.q355RelQuantiles _,
     "q356_epoch_value"    -> PipelineOps.q356EpochValue _,
+    "q357_priority_sample" -> PipelineOps.q357PrioritySample _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -7951,6 +8001,7 @@ object SparkEntry {
     "q354_label_prop" -> q354OracleSql,
     "q355_rel_quantiles" -> q355OracleSql,
     "q356_epoch_value" -> q356OracleSql,
+    "q357_priority_sample" -> q357OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -3616,6 +3616,84 @@ object PipelineOps {
       "share_after_med_ppm" -> LongType)
   }
 
+  /** q357's sample size, shared with the generated oracle. */
+  private[graft] val PrioK = 64
+
+  /** X333 — priority-sampling sum estimation (Duffield, Lund & Thorup,
+    * JACM 2007): the published way to estimate a weighted total from a
+    * FIXED-SIZE sample with near-optimal variance — each item gets
+    * priority w/u (u uniform), the top-k priorities are kept, and the
+    * estimator Σ max(w_i, τ) over kept items (τ = the (k+1)-th
+    * priority) is exactly unbiased. Deterministic u: the q332-hardened
+    * squared-tail fingerprint mod 2^20, +1 (so u ∈ (0,1]); the
+    * priority RANKING uses one IEEE double divide w/r — bit-identical
+    * on both engines (the CLAUDE.md sqrt-divide rule) — with an id
+    * tie-break, while the ESTIMATOR itself clears denominators:
+    * est·r_τ = Σ max(w_i·r_τ, w_τ·2^20), pure int64 (6e7 cents × 2^20
+    * × 64 kept < 2^62).
+    *
+    * Eight independent salts measure the estimator's spread and their
+    * mean (salt 99) shows the variance averaging down — the
+    * unbiasedness reading. A 50-row arithmetic plant (n < k, so τ = 0
+    * and the sample IS the population) must estimate EXACTLY.
+    *
+    * Scale: the weight frame persists once; each salt is one
+    * TakeOrdered(k+1) pass (orderBy+limit never global-sorts), the
+    * exact total one combinable fold — the audit leg. In production
+    * only ONE salt runs and the k+1 collected rows are the entire
+    * driver state; sketches from disjoint shards merge by re-selecting
+    * the top-k of the union (the bottom-k/priority-sample merge rule). */
+  def q357PrioritySample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val M = 1048576L
+    val base = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".cast("long").as("id"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("w"))
+      .persist()
+    val exact = base.agg(sum($"w").as("t")).as[Long].collect().head
+    def estimate(top: Seq[(Long, Long, Long)]): Long =
+      if (top.length <= PrioK) top.map(_._2).sum
+      else {
+        val sorted = top // already TakeOrdered-sorted; tau is last
+        val (wT, rT) = (sorted(PrioK)._2, sorted(PrioK)._3)
+        sorted.take(PrioK).map(x => math.max(x._2 * rT, wT * M)).sum / rT
+      }
+    val perSalt = (0 to 7).map { t =>
+      val top = base.select($"id", $"w",
+          (pmod(expr(s"graft_fingerprint(concat('ps$t:', CAST(id AS STRING)," +
+            s" ':', CAST((id % 1000003) * (id % 1000003) AS STRING)))"),
+            lit(M)) + lit(1L)).as("r"))
+        .withColumn("pri", $"w".cast("double") / $"r".cast("double"))
+        .orderBy($"pri".desc, $"id")
+        .limit(PrioK + 1)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(x => (x._1, x._2, x._3)).toSeq
+      (t.toLong, estimate(top), math.min(top.length, PrioK).toLong)
+    }
+    base.unpersist()
+    val meanEst = perSalt.map(_._2).sum / 8L
+    val plantExact = (1 to 50).map(i => 1000L * i).sum
+    // (est − exact)·1e6 wraps int64 once totals pass ~9·10¹² cents —
+    // BigInt here, HUGEINT in the oracle (the q332 BigInt-first rule)
+    def errPpm(e: Long): Long =
+      ((BigInt(e) - BigInt(exact)) * 1000000 / BigInt(exact)).toLong
+    val rows =
+      perSalt.map { case (t, e, nk) =>
+        org.apache.spark.sql.Row("corpus", t, nk, e, exact, errPpm(e))
+      } ++ Seq(
+        org.apache.spark.sql.Row("corpus", 99L, 8L * PrioK, meanEst, exact,
+          errPpm(meanEst)),
+        // n < k: tau = 0, every kept weight estimates as itself — the
+        // sample is the population and the estimate is exact
+        org.apache.spark.sql.Row("plant", 0L, 50L, plantExact, plantExact, 0L))
+    LocalReport.frame(s, rows,
+      "scope" -> StringType, "salt" -> LongType, "n_kept" -> LongType,
+      "est_cents" -> LongType, "exact_cents" -> LongType,
+      "err_ppm" -> LongType)
+  }
+
   /** q356's decay table: e_j = round(exp(−j/15.39)·1e6) for j = 0..15,
     * computed ONCE here and inlined into the generated oracle (the
     * q323 InvLogPpm discipline: one copy of the only transcendental

@@ -1410,6 +1410,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpusPred > 0L, "rare-gram graph must connect some corpus docs")
   }
 
+  // ------------------------------------------------------------- X333
+
+  test("q357: plant estimates exactly, salted spread sits in the k=64 band") {
+    val rows = PipelineOps.q357PrioritySample(spark, sf).collect()
+    assert(rows.length == 10, "8 salts + mean + plant")
+    val plant = rows.filter(_.getAs[String]("scope") == "plant").head
+    // n < k: tau = 0, the sample IS the population — exact by the
+    // published estimator definition
+    assert(plant.getAs[Long]("est_cents") == plant.getAs[Long]("exact_cents"))
+    assert(plant.getAs[Long]("err_ppm") == 0L && plant.getAs[Long]("n_kept") == 50L)
+    val salted = rows.filter(r => r.getAs[String]("scope") == "corpus" &&
+      r.getAs[Long]("salt") < 8L)
+    assert(salted.length == 8)
+    // theoretical sd ~ 1/sqrt(k-1) = 12.6%: individual samples stay
+    // within a 4-sigma band, the 8-salt mean within ~1.5 sigma/sqrt(8)
+    salted.foreach { r =>
+      assert(math.abs(r.getAs[Long]("err_ppm")) < 500000L, s"outlier: $r")
+      assert(r.getAs[Long]("n_kept") == PipelineOps.PrioK.toLong)
+    }
+    val mean = rows.filter(_.getAs[Long]("salt") == 99L).head
+    assert(math.abs(mean.getAs[Long]("err_ppm")) < 150000L,
+      s"mean of 8 must average down: $mean")
+    // the mean row is exactly the floor-average of the salted estimates
+    assert(mean.getAs[Long]("est_cents") ==
+      salted.map(_.getAs[Long]("est_cents")).sum / 8L)
+    // all rows agree on the exact total
+    val exacts = rows.filter(_.getAs[String]("scope") == "corpus")
+      .map(_.getAs[Long]("exact_cents")).distinct
+    assert(exacts.length == 1)
+  }
+
   // ------------------------------------------------------------- X332
 
   test("q356: decay curve is monotone, plant pins the half-value flip at k=13") {

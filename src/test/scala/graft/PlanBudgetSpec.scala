@@ -765,6 +765,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q357_priority_sample" -> 0, // collect-local 10-row report; the data
+                             // work is one combinable total fold + 8
+                             // TakeOrdered(65) passes over the persisted
+                             // weight frame, all pre-collect
     "q356_epoch_value" -> 0, // collect-local |langs|x16 report; ONE
                              // combinable lang token fold pre-collect,
                              // the decay math is driver BigInt
