@@ -1591,6 +1591,38 @@ object SparkEntry {
        |  SELECT 'plant', 0, nk, e, e, 0 FROM pe)
        |ORDER BY scope, salt""".stripMargin
 
+  /** q358's oracle: the shared NB score chain, per-scope (score, label)
+    * histograms, the tie-aware 2U fold via a cumulative window in score
+    * order, HUGEINT AUC/Gini divisions. */
+  private def q358OracleSql: String =
+    s"""WITH $nbScoreChainSql,
+       |hh AS (SELECT 'corpus' AS scope, score,
+       |    CAST(sum(heur) AS BIGINT) AS p,
+       |    CAST(sum(1 - heur) AS BIGINT) AS n
+       |  FROM ds GROUP BY score
+       |  UNION ALL SELECT 'plant', score, CAST(sum(y) AS BIGINT),
+       |    CAST(sum(1 - y) AS BIGINT)
+       |  FROM ps GROUP BY score),
+       |cu AS (SELECT scope, score, p, n,
+       |    coalesce(sum(n) OVER (PARTITION BY scope ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+       |  FROM hh),
+       |ag AS (SELECT scope, CAST(sum(p) AS BIGINT) AS n_pos,
+       |    CAST(sum(n) AS BIGINT) AS n_neg,
+       |    CAST(count(*) AS BIGINT) AS n_scores,
+       |    sum(CAST(p AS HUGEINT) * (2 * nb + n)) AS u2
+       |  FROM cu GROUP BY scope)
+       |SELECT scope, n_pos, n_neg, n_scores,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(u2 * 1000000
+       |      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+       |    END AS auc_ppm,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(u2 * 1000000
+       |      // (CAST(n_pos AS HUGEINT) * n_neg) - 1000000 AS BIGINT)
+       |    END AS gini_ppm
+       |FROM ag ORDER BY scope""".stripMargin
+
   private def q305OracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -2730,6 +2762,7 @@ object SparkEntry {
     "q355_rel_quantiles"  -> PipelineOps.q355RelQuantiles _,
     "q356_epoch_value"    -> PipelineOps.q356EpochValue _,
     "q357_priority_sample" -> PipelineOps.q357PrioritySample _,
+    "q358_exact_auc"      -> PipelineOps.q358ExactAuc _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8002,6 +8035,7 @@ object SparkEntry {
     "q355_rel_quantiles" -> q355OracleSql,
     "q356_epoch_value" -> q356OracleSql,
     "q357_priority_sample" -> q357OracleSql,
+    "q358_exact_auc" -> q358OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -3470,6 +3470,14 @@ object PipelineOps {
         .stripMargin)
   }
 
+  /** q334's distinct-word-ratio heuristic flag (q31's quality signal as
+    * a binary), shared with q358's AUC audit. */
+  private[graft] def q334HeurExpr: Column = expr(
+    """CASE WHEN text IS NOT NULL
+      |  AND CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000
+      |    div size(split(text, ' ')) >= 450
+      |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin)
+
   def q334QualityClassifier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.LongType
@@ -3479,12 +3487,7 @@ object PipelineOps {
     // --- scoring: one narrow projection over the corpus ---
     val scored = docs(s, dir).select(
       q334ScoreExpr(weights).as("score"),
-      expr(
-        """CASE WHEN text IS NOT NULL
-          |  AND CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000
-          |    div size(split(text, ' ')) >= 450
-          |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin)
-        .as("heur"))
+      q334HeurExpr.as("heur"))
     val hist = scored.groupBy($"score", $"heur")
       .agg(count(lit(1)).as("cnt"))
       .as[(Long, Long, Long)].collect()
@@ -3614,6 +3617,68 @@ object PipelineOps {
       "chars_kept_med" -> LongType,
       "share_before_ppm" -> LongType, "share_after_ppm" -> LongType,
       "share_after_med_ppm" -> LongType)
+  }
+
+  /** X334 — exact AUC / Mann-Whitney ranking audit for the classifier
+    * lane: q334 reports the F1 sweep at discrete thresholds; AUC is the
+    * threshold-FREE ranking quality number every classifier report
+    * leads with, and it is exactly computable from the value-bounded
+    * score histogram — no per-pair work, no approximation: with
+    * per-score (pos, neg) counts in score order,
+    * 2U = Σ_v pos_v·(2·neg_below(v) + neg_v) handles ties by the
+    * midrank convention, and AUC = U/(n₁n₀). All driver math is BigInt
+    * (2·n₁·n₀ passes int64 at n ≈ 4·10⁹ — the operator's home scale)
+    * and the oracle mirrors in HUGEINT; only bounded ppm columns ship.
+    *
+    * Two scopes: `plant` — the NB score against the QualityPlant's own
+    * labels (high AUC: training-set separation, imperfect only through
+    * the two mislabeled extremes) — and `corpus` — the NB score
+    * against q31's distinct-word-ratio heuristic, the honest
+    * out-of-domain reading (≈ chance, the same finding q334's
+    * agreement column measures, now in the standard metric).
+    *
+    * Scale: ONE narrow scoring projection into ONE combinable
+    * (score, label) histogram fold per scope; the histogram is bounded
+    * by the score VALUE range (the q353 argument), so AUC at 100 TB
+    * costs one scan + a driver fold over ≈10⁴ histogram rows. */
+  def q358ExactAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val weights = q334Weights
+    val corpusHist = docs(s, dir)
+      .select(q334ScoreExpr(weights).as("score"), q334HeurExpr.as("y"))
+      .groupBy($"score", $"y").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)].collect()
+    val plantHist = QualityPlant
+      .map { case (_, y, t) => (qualityGrams(t, 256).map(weights).sum, y) }
+      .groupBy(identity).map { case ((sc, y), g) => (sc, y, g.size.toLong) }
+      .toSeq
+    def report(scope: String, h: Seq[(Long, Long, Long)])
+        : org.apache.spark.sql.Row = {
+      val byScore = h.groupBy(_._1).toSeq.sortBy(_._1).map { case (sc, g) =>
+        (sc, g.filter(_._2 == 1L).map(_._3).sum,
+          g.filter(_._2 == 0L).map(_._3).sum)
+      }
+      var negBelow = BigInt(0)
+      var u2 = BigInt(0)
+      var n1 = 0L
+      var n0 = 0L
+      byScore.foreach { case (_, p, n) =>
+        u2 += BigInt(p) * (2 * negBelow + n)
+        negBelow += n; n1 += p; n0 += n
+      }
+      val (auc, gini) =
+        if (n1 == 0L || n0 == 0L) (0L, 0L)
+        else ((u2 * 1000000 / (2 * BigInt(n1) * n0)).toLong,
+          (u2 * 1000000 / (BigInt(n1) * n0) - 1000000).toLong)
+      org.apache.spark.sql.Row(scope, n1, n0, byScore.length.toLong,
+        auc, gini)
+    }
+    LocalReport.frame(s,
+      Seq(report("corpus", corpusHist.toSeq), report("plant", plantHist)),
+      "scope" -> StringType, "n_pos" -> LongType, "n_neg" -> LongType,
+      "n_scores" -> LongType, "auc_ppm" -> LongType, "gini_ppm" -> LongType)
   }
 
   /** q357's sample size, shared with the generated oracle. */

@@ -1410,6 +1410,43 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpusPred > 0L, "rare-gram graph must connect some corpus docs")
   }
 
+  // ------------------------------------------------------------- X334
+
+  test("q358: histogram AUC equals the brute-force pair count; Gini consistent") {
+    val rows = PipelineOps.q358ExactAuc(spark, sf).collect()
+      .map(r => r.getAs[String]("scope") -> r).toMap
+    // independent replay: brute-force Mann-Whitney over all (pos, neg)
+    // plant pairs — wins count 2, ties count 1, in doubled units
+    val ps = PipelineOps.QualityPlant.map { case (_, y, t) =>
+      (y, PipelineOps.qualityGrams(t, 256).map(PipelineOps.q334Weights).sum)
+    }
+    val pos = ps.filter(_._1 == 1L).map(_._2)
+    val neg = ps.filter(_._1 == 0L).map(_._2)
+    val u2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    val plant = rows("plant")
+    assert(plant.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(plant.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(plant.getAs[Long]("auc_ppm") ==
+      BigInt(u2) * 1000000 / (2L * pos.length * neg.length),
+      "histogram fold must equal the brute-force pair count")
+    // the mislabeled extremes keep training AUC below perfect
+    assert(plant.getAs[Long]("auc_ppm") > 850000L &&
+      plant.getAs[Long]("auc_ppm") < 1000000L)
+    rows.values.foreach { r =>
+      val auc = r.getAs[Long]("auc_ppm")
+      val gini = r.getAs[Long]("gini_ppm")
+      assert(auc >= 0L && auc <= 1000000L)
+      // gini and auc floor independently from the same exact ratio
+      assert(math.abs(2L * auc - (gini + 1000000L)) <= 1L, s"$r")
+    }
+    // corpus scope counts every document exactly once
+    val c = rows("corpus")
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(c.getAs[Long]("n_pos") + c.getAs[Long]("n_neg") == nDocs)
+  }
+
   // ------------------------------------------------------------- X333
 
   test("q357: plant estimates exactly, salted spread sits in the k=64 band") {

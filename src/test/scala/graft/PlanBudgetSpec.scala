@@ -765,6 +765,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q358_exact_auc" -> 0,   // collect-local 2-row report; ONE narrow
+                             // scoring projection into one combinable
+                             // (score, label) histogram fold pre-collect
     "q357_priority_sample" -> 0, // collect-local 10-row report; the data
                              // work is one combinable total fold + 8
                              // TakeOrdered(65) passes over the persisted
