@@ -499,6 +499,39 @@ object EventStream {
           lit(1L)).otherwise(lit(0L)))
   }
 
+  /** X335 — streaming trained-classifier gate, q353's real-stream twin:
+    * the learned NB quality filter applied AT INGEST, where a corpus cut
+    * actually runs — each arriving document scores through the SAME
+    * codegen'd projection q334/q353 use (`PipelineOps.q334ScoreExpr`
+    * over the shared weights; divergent copies would silently split the
+    * batch and stream verdicts, the secretGate rule) and the running
+    * per-(lang, source) composition — docs, kept docs, chars, kept
+    * chars under the trained [[graft.ops.PipelineOps.q334ChosenThr]]
+    * operating point — refreshes every micro-batch: the live form of
+    * q353's composition-shift report, read BEFORE the cut ships.
+    *
+    * Scale: the scoring projection is stateless and narrow (ingest
+    * throughput, zero per-doc state); the only standing state is the
+    * |lang×source|-keyed running aggregate — bounded keys, partial-
+    * aggregable, exactly the streaming-agg shape Spark maintains
+    * incrementally. StreamingSpec pins the final snapshot row-identical
+    * to the oracle-gated q353 frame's thr-cut columns on the same
+    * documents. Input schema: (doc_id, ts, lang, source, n_chars,
+    * text). */
+  def classifierGate(docs: DataFrame): DataFrame = {
+    graft.functions.Fingerprint.register(docs.sparkSession)
+    val weights = graft.ops.PipelineOps.q334Weights
+    val thr = graft.ops.PipelineOps.q334ChosenThr(weights)
+    docs
+      .withWatermark("ts", "2 hours")
+      .withColumn("keep",
+        (graft.ops.PipelineOps.q334ScoreExpr(weights) >= thr).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(col("n_chars") * col("keep")).as("chars_kept"))
+  }
+
   final case class LatenessState(frontier: Long,
       byType: Map[String, (Long, Long, Long, Long)])
 

@@ -510,6 +510,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.values.exists(_._4 == 1L))
   }
 
+  test("classifier gate through a real stream equals q353's thr-cut columns") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // the REAL corpus through a real stream in three micro-batches; the
+    // running (lang, source) snapshot must finish row-identical to the
+    // oracle-gated q353 frame's plant-threshold columns
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .collect().map(r => StreamingSpec.SrcDoc(r.getAs[Long]("doc_id"), t0,
+        r.getAs[String]("text"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    val mem = MemoryStream[StreamingSpec.SrcDoc]
+    val q = EventStream.classifierGate(mem.toDF())
+      .writeStream.format("memory").queryName("clsgate")
+      .outputMode(OutputMode.Complete).start()
+    docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("lang"), r.getAs[String]("source"))
+    def stats(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"),
+        r.getAs[Long]("chars_total"), r.getAs[Long]("chars_kept"))
+    val streamed = spark.table("clsgate").collect()
+      .map(r => key(r) -> stats(r)).toMap
+    val batch = SparkEntry.queries("q353_filter_apply")(spark, sf).collect()
+      .map(r => key(r) -> stats(r)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("latenessAudit through a real stream equals the ORACLE-GATED q249 frame") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -922,6 +957,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 object StreamingSpec {
   final case class Doc(doc_id: Long, ts: java.sql.Timestamp,
       text: String, lang: String)
+  final case class SrcDoc(doc_id: Long, ts: java.sql.Timestamp,
+      text: String, lang: String, source: String, n_chars: Long)
 }
 
 class BootstrapGateSpec extends AnyFunSuite with BeforeAndAfterAll {
