@@ -1623,6 +1623,44 @@ object SparkEntry {
        |    END AS gini_ppm
        |FROM ag ORDER BY scope""".stripMargin
 
+  /** q359's oracle: the same mixed (key, shard) weights via FpByteFold,
+    * argmax by list_position over the 8- and 9-shard weight lists, the
+    * stacked scope counts and the move row. */
+  private def q359OracleSql: String = {
+    def w(n: Int): String =
+      s"""list_transform(generate_series(0, ${n - 1}), sh ->
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(
+         |      'rv:' || CAST(doc_id AS VARCHAR) || ':' ||
+         |      CAST(sh AS VARCHAR) || ':' ||
+         |      CAST(((doc_id + sh * 131) % 1000003) *
+         |           ((doc_id + sh * 131) % 1000003) AS VARCHAR) || ':' ||
+         |      CAST(((doc_id * 7 + sh) % 999983) *
+         |           ((doc_id * 7 + sh) % 999983) AS VARCHAR), ''),
+         |      c -> CAST(ascii(c) AS BIGINT))),
+         |    $FpByteFold))""".stripMargin
+    s"""WITH a AS MATERIALIZED (SELECT doc_id,
+       |    CAST(list_position(w8, list_max(w8)) - 1 AS BIGINT) AS s8,
+       |    CAST(list_position(w9, list_max(w9)) - 1 AS BIGINT) AS s9
+       |  FROM (SELECT doc_id, ${w(8)} AS w8, ${w(9)} AS w9
+       |    FROM documents)),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM a),
+       |sc AS (SELECT scope, shard, CAST(count(*) AS BIGINT) AS n_keys
+       |  FROM (SELECT 'n8' AS scope, s8 AS shard FROM a
+       |    UNION ALL SELECT 'n9', s9 FROM a)
+       |  GROUP BY scope, shard),
+       |mv AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM a
+       |  WHERE s8 <> s9)
+       |SELECT scope, shard, n_keys, n_keys * 1000000 // n.total
+       |  AS share_ppm
+       |FROM sc, n
+       |UNION ALL
+       |SELECT 'move', CAST(-1 AS BIGINT), mv.n_keys,
+       |  mv.n_keys * 1000000 // n.total
+       |FROM mv, n
+       |ORDER BY scope, shard""".stripMargin
+  }
+
   private def q305OracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -2763,6 +2801,7 @@ object SparkEntry {
     "q356_epoch_value"    -> PipelineOps.q356EpochValue _,
     "q357_priority_sample" -> PipelineOps.q357PrioritySample _,
     "q358_exact_auc"      -> PipelineOps.q358ExactAuc _,
+    "q359_rendezvous"     -> PipelineOps.q359RendezvousShards _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8036,6 +8075,7 @@ object SparkEntry {
     "q356_epoch_value" -> q356OracleSql,
     "q357_priority_sample" -> q357OracleSql,
     "q358_exact_auc" -> q358OracleSql,
+    "q359_rendezvous" -> q359OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -3681,6 +3681,71 @@ object PipelineOps {
       "n_scores" -> LongType, "auc_ppm" -> LongType, "gini_ppm" -> LongType)
   }
 
+  /** X336 — rendezvous (highest-random-weight) consistent shard
+    * assignment + minimal-movement audit (Thaler & Ravishankar 1998,
+    * the hashing discipline behind consistent-routing layers): X42
+    * assigns shards by fp mod N, which REMAPS ~(N−1)/N of all keys when
+    * N changes — a full corpus rewrite on every reshard. HRW assigns
+    * key → argmax over shards of a mixed (key, shard) weight, so when a
+    * shard is ADDED the argmax of every key either stays (its old max
+    * still beats the rest — the candidate set only grew by one) or
+    * moves TO THE NEW SHARD; keys moved ≡ keys the new shard wins
+    * ≈ 1/(N+1), the provable minimum. The weight key carries TWO
+    * independent squared tails mixing (id, shard) under different
+    * moduli — the construction was MEASURED before being trusted (the
+    * q332/q342 rule): one squared tail alone left χ² = 49.7 at 7 df
+    * over 50k sequential keys (visible edge-shard bias), and a
+    * double-fingerprint (fp of a decimal-re-encoded fp) was WORSE
+    * (χ² = 1838 — the outer rolling hash is near-affine in the inner
+    * value's digits); the two-tail form measures χ² = 3.5 (n=8),
+    * 2.5 (n=9), movement 111940 ppm vs the 111111 theoretical.
+    *
+    * Report: per (scope ∈ {n8, n9}, shard) key counts and share ppm,
+    * plus the move row — whose count equals the n9 shard-8 count
+    * EXACTLY by the theorem (spec-pinned from the frame itself).
+    *
+    * Scale: assignment is ONE narrow projection (a 9-lambda transform
+    * + array_position — no shuffle, no per-shard scan); both scopes and
+    * the move flag ride the same projection into one combinable fold.
+    * Reshard cost at 100 TB: move 1/(N+1) of bytes instead of N/(N+1). */
+  def q359RendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    def wexpr(n: Int): String =
+      s"""transform(sequence(0, ${n - 1}), sh ->
+         |  graft_fingerprint(concat('rv:', CAST(doc_id AS STRING), ':',
+         |    CAST(sh AS STRING), ':',
+         |    CAST(((doc_id + sh * 131) % 1000003) *
+         |         ((doc_id + sh * 131) % 1000003) AS STRING), ':',
+         |    CAST(((doc_id * 7 + sh) % 999983) *
+         |         ((doc_id * 7 + sh) % 999983) AS STRING))))""".stripMargin
+    // let-bind the weight arrays (the q235 collapse rule: naming the
+    // array twice would inline all 8/9 fingerprint calls twice)
+    def argmax(n: Int): String =
+      s"""element_at(transform(array(${wexpr(n)}),
+         |  ws -> array_position(ws, array_max(ws)) - 1), 1)""".stripMargin
+    val assigned = docs(s, dir).select($"doc_id")
+      .withColumn("s8", expr(argmax(8)))
+      .withColumn("s9", expr(argmax(9)))
+      .persist()
+    val counts = assigned
+      .select(expr("stack(2, 'n8', s8, 'n9', s9) AS (scope, shard)"))
+      .groupBy($"scope", $"shard").agg(count(lit(1)).as("n_keys"))
+      .as[(String, Long, Long)].collect()
+    val moved = assigned.where($"s8" =!= $"s9").count()
+    assigned.unpersist()
+    val n = counts.filter(_._1 == "n8").map(_._3).sum
+    val rows = (counts.map { case (sc, sh, c) =>
+      org.apache.spark.sql.Row(sc, sh, c, c * 1000000L / n)
+    } :+ org.apache.spark.sql.Row("move", -1L, moved, moved * 1000000L / n))
+      .sortBy(r => (r.getString(0), r.getLong(1)))(
+        Ordering.Tuple2(TextOps.utf8Ordering, Ordering.Long))
+    LocalReport.frame(s, rows,
+      "scope" -> StringType, "shard" -> LongType,
+      "n_keys" -> LongType, "share_ppm" -> LongType)
+  }
+
   /** q357's sample size, shared with the generated oracle. */
   private[graft] val PrioK = 64
 

@@ -1410,6 +1410,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpusPred > 0L, "rare-gram graph must connect some corpus docs")
   }
 
+  // ------------------------------------------------------------- X336
+
+  test("q359: minimal movement is structural; weight mix passes the balance audit") {
+    val rows = PipelineOps.q359RendezvousShards(spark, sf).collect()
+    val n8 = rows.filter(_.getAs[String]("scope") == "n8")
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_keys")).toMap
+    val n9 = rows.filter(_.getAs[String]("scope") == "n9")
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_keys")).toMap
+    val moved = rows.filter(_.getAs[String]("scope") == "move")
+      .head.getAs[Long]("n_keys")
+    // the HRW theorem, from the frame itself: adding shard 8 only
+    // moves keys TO shard 8 — every old shard loses, never gains, and
+    // the losses sum to the move count
+    assert(moved == n9.getOrElse(8L, 0L), "moved keys == new shard's keys")
+    (0L to 7L).foreach { sh =>
+      assert(n8.getOrElse(sh, 0L) >= n9.getOrElse(sh, 0L),
+        s"old shard $sh must never gain keys")
+    }
+    assert((0L to 7L).map(sh => n8.getOrElse(sh, 0L) - n9.getOrElse(sh, 0L))
+      .sum == moved)
+    assert(n8.values.sum == n9.values.sum)
+    // balance audit over 50k sequential keys — the q332 discipline: the
+    // two-tail weight mix was measured against rejected alternatives
+    // (one squared tail: chi2 = 49.7; double-fingerprint: 1838); this
+    // pins the shipped mix's quality for good
+    def assign(i: Long, n: Int): Int = {
+      val ws = (0 until n).map { sh =>
+        val t1 = (i + sh * 131L) % 1000003L
+        val t2 = (i * 7L + sh) % 999983L
+        graft.functions.Fingerprint.hashString(
+          s"rv:$i:$sh:${t1 * t1}:${t2 * t2}")
+      }
+      ws.indexOf(ws.max)
+    }
+    val counts = new Array[Long](8)
+    (1L to 50000L).foreach(i => counts(assign(i, 8)) += 1L)
+    val exp = 50000.0 / 8
+    val chi2 = counts.map(c => (c - exp) * (c - exp) / exp).sum
+    assert(chi2 < 20.0, s"weight mix imbalance: chi2=$chi2 over ${counts.toSeq}")
+  }
+
   // ------------------------------------------------------------- X334
 
   test("q358: histogram AUC equals the brute-force pair count; Gini consistent") {

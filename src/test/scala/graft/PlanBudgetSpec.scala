@@ -765,6 +765,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q359_rendezvous" -> 0,  // collect-local 18-row report; assignment is
+                             // ONE narrow let-bound 8/9-lambda projection
+                             // into a combinable stacked fold, pre-collect
     "q358_exact_auc" -> 0,   // collect-local 2-row report; ONE narrow
                              // scoring projection into one combinable
                              // (score, label) histogram fold pre-collect
