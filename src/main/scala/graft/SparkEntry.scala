@@ -1661,6 +1661,48 @@ object SparkEntry {
        |ORDER BY scope, shard""".stripMargin
   }
 
+  /** q360's oracle: the plant VALUES, the squared-tail parity sample
+    * flag, ONE (lang, gram) fold carrying both the full count and the
+    * sampled count, the bias-corrected Chao1 and signed error. */
+  private def q360OracleSql: String = {
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    val plantRows = graft.ops.CorpusOps.ChaoPlant.map {
+      case (id, lang, t) => s"(CAST($id AS BIGINT), '$lang', '$t')"
+    }.mkString(",\n    ")
+    s"""WITH pl(doc_id, lang, txt) AS (VALUES
+       |    $plantRows),
+       |corpus AS (SELECT doc_id, lang, text FROM documents
+       |  UNION ALL SELECT doc_id, lang, txt FROM pl),
+       |b AS (SELECT lang,
+       |    CASE WHEN doc_id < 0 THEN 1
+       |      WHEN ${fp("'ch:' || CAST(doc_id AS VARCHAR) || ':' || CAST((doc_id % 1000003) * (doc_id % 1000003) AS VARCHAR)")} % 2 = 0
+       |      THEN 1 ELSE 0 END AS in_samp,
+       |    string_split(text, ' ') AS ws
+       |  FROM corpus),
+       |g AS (SELECT lang, in_samp,
+       |    unnest(list_transform(generate_series(1, len(ws) - 2),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+       |  FROM b WHERE len(ws) >= 3),
+       |gc AS (SELECT lang, g, CAST(sum(in_samp) AS BIGINT) AS n_samp
+       |  FROM g GROUP BY lang, g),
+       |per AS (SELECT lang, CAST(count(*) AS BIGINT) AS d_full,
+       |    CAST(sum(CASE WHEN n_samp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS d_samp,
+       |    CAST(sum(CASE WHEN n_samp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n1,
+       |    CAST(sum(CASE WHEN n_samp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n2
+       |  FROM gc GROUP BY lang)
+       |SELECT lang, d_samp, n1, n2,
+       |  d_samp + n1 * (n1 - 1) // (2 * (n2 + 1)) AS chao1, d_full,
+       |  (d_samp + n1 * (n1 - 1) // (2 * (n2 + 1)) - d_full) * 1000000
+       |    // d_full AS err_ppm
+       |FROM per ORDER BY lang""".stripMargin
+  }
+
   private def q305OracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -2802,6 +2844,7 @@ object SparkEntry {
     "q357_priority_sample" -> PipelineOps.q357PrioritySample _,
     "q358_exact_auc"      -> PipelineOps.q358ExactAuc _,
     "q359_rendezvous"     -> PipelineOps.q359RendezvousShards _,
+    "q360_chao_richness"  -> CorpusOps.q360ChaoRichness _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8076,6 +8119,7 @@ object SparkEntry {
     "q357_priority_sample" -> q357OracleSql,
     "q358_exact_auc" -> q358OracleSql,
     "q359_rendezvous" -> q359OracleSql,
+    "q360_chao_richness" -> q360OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

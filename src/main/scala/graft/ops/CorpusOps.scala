@@ -1629,6 +1629,81 @@ object CorpusOps {
     * Scale: one trigram explode + (lang, gram) count — combinable —
     * then a |langs×freqs|-bounded count-of-counts fold; nothing
     * corpus-sized leaves the aggregations. */
+  /** q360's planted lang: trigram multiplicities 10×1 + 4×2 + 6×3 by
+    * construction (each doc is one 3-word line = one trigram), so
+    * D = 20, N1 = 10, N2 = 4 and Chao1 = 20 + 10·9/(2·(4+1)) = 29
+    * exactly. Ids −1001.. (disjoint from every other plant range). */
+  private[graft] val ChaoPlant: Seq[(Long, String, String)] = {
+    val reps = (1 to 10).map(j => (j, 1)) ++ (11 to 14).map(j => (j, 2)) ++
+      (15 to 20).map(j => (j, 3))
+    reps.flatMap { case (j, k) => (1 to k).map(c => (j, c)) }
+      .zipWithIndex.map { case ((j, _), i) =>
+        (-1001L - i, "xq", s"xqa$j xqb$j xqc$j")
+      }
+  }
+
+  /** X337 — Chao1 species-richness estimation (Chao 1984, the standard
+    * nonparametric "how many types exist that I haven't seen"): q351's
+    * Good-Turing estimates the unseen MASS; corpus planning also needs
+    * the unseen TYPE COUNT — how much bigger the trigram vocabulary
+    * gets if the crawl doubles (sizing BPE vocabularies, dedup
+    * structures, coverage targets). The bias-corrected estimator
+    * Ŝ = D + N₁(N₁−1)/(2(N₂+1)) is pure integer; this audit computes
+    * it on a deterministic HALF of the corpus (squared-tail fingerprint
+    * parity — the q332-hardened key) and scores it against the ground
+    * truth the other half provides: the FULL corpus's observed distinct
+    * count. Per lang: sampled distinct/singletons/doubletons, Chao1,
+    * full-corpus distinct, and the signed error ppm. The planted 'xq'
+    * lang has hand-constructed multiplicities, pinning Chao1 = 29 from
+    * D = 20 exactly.
+    *
+    * The corpus reading is the q350-family honest negative: this
+    * synthetic corpus's trigrams are near-uniform random (96% of
+    * sampled types are singletons), so Chao1 extrapolates 6–9× past
+    * the doubled-corpus truth — the estimator assumes a FIXED
+    * community being sampled, and singleton-dominated machine text
+    * violates it loudly (en, with real doubleton mass, lands at
+    * 1.7×). Reading N₁/D next to the estimate is the operator's
+    * usage contract, and both ship as columns.
+    *
+    * Scale: ONE combinable (lang, gram) fold carries BOTH legs (full
+    * count + sampled count in the same aggregate — the sample flag
+    * rides the projection, no second scan), then one |langs|-bounded
+    * fold; N₁² stays in int64 up to ~3·10⁹ types (past that the
+    * count-of-counts collect is bounded and the driver goes BigInt,
+    * the q351 shape). */
+  def q360ChaoRichness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
+    val corpus = docs(s, dir).select($"doc_id", $"lang", $"text")
+      .unionByName(ChaoPlant.toDF("doc_id", "lang", "text"))
+    val grams = corpus
+      .withColumn("in_samp", expr(
+        """CASE WHEN doc_id < 0 THEN 1L
+          |  WHEN pmod(graft_fingerprint(concat('ch:',
+          |    CAST(doc_id AS STRING), ':',
+          |    CAST((doc_id % 1000003) * (doc_id % 1000003) AS STRING))),
+          |    2) = 0 THEN 1L ELSE 0L END""".stripMargin))
+      .select($"lang", $"in_samp", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"lang", $"in_samp", explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat(" +
+          "element_at(ws, i), ' ', element_at(ws, i + 1), ' ', " +
+          "element_at(ws, i + 2)))")).as("g"))
+      .groupBy($"lang", $"g")
+      .agg(sum($"in_samp").as("n_samp"))
+    grams.groupBy($"lang").agg(
+      count(lit(1)).as("d_full"),
+      sum(when($"n_samp" > 0L, 1L).otherwise(0L)).as("d_samp"),
+      sum(when($"n_samp" === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when($"n_samp" === 2L, 1L).otherwise(0L)).as("n2"))
+      .select($"lang", $"d_samp", $"n1", $"n2",
+        expr("d_samp + n1 * (n1 - 1) div (2 * (n2 + 1))").as("chao1"),
+        $"d_full")
+      .withColumn("err_ppm", expr("(chao1 - d_full) * 1000000 div d_full"))
+      .orderBy($"lang")
+  }
+
   def q351GoodTuring(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val types = docs(s, dir)

@@ -558,6 +558,34 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------------------- X327
 
+  test("q360: plant pins Chao1 = 29 from D = 20; estimator structure holds") {
+    val rows = graft.ops.CorpusOps.q360ChaoRichness(spark, sf).collect()
+    val xq = rows.filter(_.getAs[String]("lang") == "xq").head
+    // hand-constructed multiplicities: 10 singletons, 4 doubletons,
+    // 6 tripletons -> D = 20, Chao1 = 20 + 10*9/(2*5) = 29
+    assert(xq.getAs[Long]("d_samp") == 20L && xq.getAs[Long]("n1") == 10L &&
+      xq.getAs[Long]("n2") == 4L)
+    assert(xq.getAs[Long]("chao1") == 29L && xq.getAs[Long]("d_full") == 20L)
+    assert(xq.getAs[Long]("err_ppm") == 450000L)
+    rows.foreach { r =>
+      val (ds, n1, n2) = (r.getAs[Long]("d_samp"), r.getAs[Long]("n1"),
+        r.getAs[Long]("n2"))
+      // the correction is non-negative and the formula replays exactly
+      assert(r.getAs[Long]("chao1") == ds + n1 * (n1 - 1) / (2 * (n2 + 1)))
+      assert(r.getAs[Long]("chao1") >= ds)
+      // sampling can only lose types vs the full corpus
+      assert(ds <= r.getAs[Long]("d_full"))
+      assert(n1 + n2 <= ds)
+    }
+    // the documented honest negative: corpus langs are singleton-
+    // dominated (near-uniform synthetic trigrams), which is WHY Chao1
+    // overshoots here — the condition itself is what the spec pins
+    rows.filter(_.getAs[String]("lang") != "xq").foreach { r =>
+      assert(r.getAs[Long]("n1") * 2 > r.getAs[Long]("d_samp"),
+        s"singleton domination expected on synthetic text: $r")
+    }
+  }
+
   test("q351: full driver replay of the count-of-counts, identities hold") {
     import spark.implicits._
     val rows = graft.ops.CorpusOps.q351GoodTuring(spark, sf).collect()

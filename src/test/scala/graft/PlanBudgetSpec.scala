@@ -765,6 +765,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q360_chao_richness" -> 3, // ONE (lang, gram) fold carrying both the
+                             // full and sampled legs + the |langs| fold +
+                             // orderBy
     "q359_rendezvous" -> 0,  // collect-local 18-row report; assignment is
                              // ONE narrow let-bound 8/9-lambda projection
                              // into a combinable stacked fold, pre-collect
