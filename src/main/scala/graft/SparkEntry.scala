@@ -1703,6 +1703,48 @@ object SparkEntry {
        |FROM per ORDER BY lang""".stripMargin
   }
 
+  /** q361's oracle: presence sets from the shared plant-gram CTE, the
+    * 2×2 χ² at ×1000 scale over all 256 buckets (absent buckets rank
+    * with χ² = 0), top-8 with corpus occurrence counts from the shared
+    * corpus-gram CTE. */
+  private def q361OracleSql: String =
+    s"""WITH $nbScoreChainSql,
+       |pres AS (SELECT DISTINCT doc_id, y, bucket FROM pg),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS na,
+       |    CAST(sum(y) AS BIGINT) AS n1 FROM pw),
+       |ct AS (SELECT bk.bucket,
+       |    CAST(coalesce(sum(CASE WHEN pres.y = 1 THEN 1 END), 0) AS BIGINT)
+       |      AS pa,
+       |    CAST(coalesce(sum(CASE WHEN pres.y = 0 THEN 1 END), 0) AS BIGINT)
+       |      AS pc
+       |  FROM (SELECT CAST(unnest(generate_series(0, 255)) AS BIGINT)
+       |      AS bucket) bk
+       |  LEFT JOIN pres ON pres.bucket = bk.bucket
+       |  GROUP BY bk.bucket),
+       |ch AS (SELECT bucket, pa, n1 - pa AS pb, pc, (na - n1) - pc AS pd,
+       |    CASE WHEN (pa + pc) * ((n1 - pa) + ((na - n1) - pc))
+       |        * n1 * (na - n1) = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE na * (pa * ((na - n1) - pc) - (n1 - pa) * pc)
+       |        * (pa * ((na - n1) - pc) - (n1 - pa) * pc) * 1000
+       |        // ((pa + pc) * ((n1 - pa) + ((na - n1) - pc))
+       |          * n1 * (na - n1)) END AS chi
+       |  FROM ct, nn),
+       |tp AS (SELECT * FROM (SELECT bucket, chi, pa, pb, pc, pd,
+       |      row_number() OVER (ORDER BY chi DESC, bucket) AS rnk FROM ch)
+       |  WHERE rnk <= 8),
+       |oc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS hits
+       |  FROM dg GROUP BY bucket),
+       |ot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM dg)
+       |SELECT CAST(tp.rnk AS BIGINT) AS rank, tp.bucket,
+       |  tp.chi AS chi2_milli, tp.pa AS a_pos_with, tp.pb AS b_pos_without,
+       |  tp.pc AS c_neg_with, tp.pd AS d_neg_without,
+       |  coalesce(oc.hits, 0) AS corpus_hits,
+       |  CASE WHEN ot.total = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE coalesce(oc.hits, 0) * 1000000 // ot.total END
+       |    AS corpus_hit_ppm
+       |FROM tp LEFT JOIN oc USING (bucket), ot
+       |ORDER BY rank""".stripMargin
+
   private def q305OracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -2845,6 +2887,7 @@ object SparkEntry {
     "q358_exact_auc"      -> PipelineOps.q358ExactAuc _,
     "q359_rendezvous"     -> PipelineOps.q359RendezvousShards _,
     "q360_chao_richness"  -> CorpusOps.q360ChaoRichness _,
+    "q361_chi_features"   -> PipelineOps.q361ChiFeatures _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8120,6 +8163,7 @@ object SparkEntry {
     "q358_exact_auc" -> q358OracleSql,
     "q359_rendezvous" -> q359OracleSql,
     "q360_chao_richness" -> q360OracleSql,
+    "q361_chi_features" -> q361OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

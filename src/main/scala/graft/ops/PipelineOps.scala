@@ -3681,6 +3681,72 @@ object PipelineOps {
       "n_scores" -> LongType, "auc_ppm" -> LongType, "gini_ppm" -> LongType)
   }
 
+  /** X338 — χ² feature selection (Yang & Pedersen 1997, the classical
+    * text-classification feature ranking): BEFORE training a filter,
+    * pipelines rank candidate features by class association; per hashed
+    * bigram bucket (q334's feature space) the 2×2 presence×class
+    * contingency over the labeled plant gives
+    * χ² = N·(AD−BC)²/((A+B)(C+D)(A+C)(B+D)) — integer throughout at
+    * ×1000 scale (the plant is bounded, so every product fits int64
+    * with room; degenerate margins define χ² = 0). The top-8 buckets by
+    * (χ² DESC, bucket) ship with their contingency cells AND the
+    * corpus tie-in every selection decision needs: how many corpus
+    * bigram OCCURRENCES hit each selected bucket (hash-feature reuse
+    * means a discriminative bucket also catches unrelated corpus mass —
+    * the collision cost q162 audits, here priced per feature).
+    *
+    * Scale: the χ² ranking is driver math over the 42-doc plant × 256
+    * buckets; the corpus leg is ONE combinable bucket-count fold over
+    * the same narrow gram projection q334 scores with. */
+  def q361ChiFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.LongType
+    Fingerprint.register(s)
+    val B = 256
+    // presence sets per class over the plant
+    val present: Seq[(Long, Set[Int])] = QualityPlant.map { case (_, y, t) =>
+      (y, qualityGrams(t, B).toSet)
+    }
+    val n1 = present.count(_._1 == 1L).toLong
+    val n0 = present.size.toLong - n1
+    val nAll = n1 + n0
+    val chi = (0 until B).map { b =>
+      val a = present.count(p => p._1 == 1L && p._2.contains(b)).toLong
+      val c = present.count(p => p._1 == 0L && p._2.contains(b)).toLong
+      val bb = n1 - a
+      val d = n0 - c
+      val denom = (a + c) * (bb + d) * n1 * n0
+      val num = a * d - bb * c
+      val v = if (denom == 0L) 0L else nAll * num * num * 1000L / denom
+      (b.toLong, v, a, bb, c, d)
+    }
+    val top = chi.sortBy(x => (-x._2, x._1)).take(8)
+    val topSet = top.map(_._1).toSet
+    // corpus occurrences per bucket: one combinable fold over the same
+    // bigram-bucket projection the classifier scores with
+    val occ = docs(s, dir)
+      .select(expr(
+        s"""explode(element_at(transform(
+           |  array(filter(split(coalesce(text, ''), ' '), x -> x <> '')),
+           |  ws -> transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
+           |    (x, i) -> CAST(pmod(graft_fingerprint(
+           |      concat(x, ' ', element_at(ws, i + 2))), $B) AS BIGINT))),
+           |  1)) AS b""".stripMargin))
+      .groupBy($"b").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().toMap
+    val totalOcc = occ.values.sum
+    val rows = top.zipWithIndex.map { case ((b, v, a, bb, c, d), i) =>
+      val hits = occ.getOrElse(b, 0L)
+      org.apache.spark.sql.Row(i.toLong + 1L, b, v, a, bb, c, d, hits,
+        if (totalOcc == 0L) 0L else hits * 1000000L / totalOcc)
+    }
+    LocalReport.frame(s, rows,
+      "rank" -> LongType, "bucket" -> LongType, "chi2_milli" -> LongType,
+      "a_pos_with" -> LongType, "b_pos_without" -> LongType,
+      "c_neg_with" -> LongType, "d_neg_without" -> LongType,
+      "corpus_hits" -> LongType, "corpus_hit_ppm" -> LongType)
+  }
+
   /** X336 — rendezvous (highest-random-weight) consistent shard
     * assignment + minimal-movement audit (Thaler & Ravishankar 1998,
     * the hashing discipline behind consistent-routing layers): X42

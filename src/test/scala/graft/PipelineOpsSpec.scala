@@ -1410,6 +1410,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpusPred > 0L, "rare-gram graph must connect some corpus docs")
   }
 
+  // ------------------------------------------------------------- X338
+
+  test("q361: class-pure marker buckets rank top; contingency and formula replay") {
+    val rows = PipelineOps.q361ChiFeatures(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 8)
+    val chis = rows.map(_.getAs[Long]("chi2_milli"))
+    chis.sliding(2).foreach(p => assert(p(0) >= p(1), "chi2 ordered"))
+    // equal chi2 -> smaller bucket first
+    rows.sliding(2).foreach { case Array(x, y) =>
+      if (x.getAs[Long]("chi2_milli") == y.getAs[Long]("chi2_milli"))
+        assert(x.getAs[Long]("bucket") < y.getAs[Long]("bucket"))
+    }
+    val n1 = PipelineOps.QualityPlant.count(_._2 == 1L).toLong
+    val n0 = PipelineOps.QualityPlant.size.toLong - n1
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a_pos_with"), r.getAs[Long]("b_pos_without"))
+      val (c, d) = (r.getAs[Long]("c_neg_with"), r.getAs[Long]("d_neg_without"))
+      assert(a + b == n1 && c + d == n0, s"contingency margins: $r")
+      // formula replay from the reported cells
+      val denom = (a + c) * (b + d) * n1 * n0
+      val num = a * d - b * c
+      val expect = if (denom == 0L) 0L
+        else (n1 + n0) * num * num * 1000L / denom
+      assert(r.getAs[Long]("chi2_milli") == expect, s"chi2 replay: $r")
+      assert(r.getAs[Long]("corpus_hit_ppm") >= 0L &&
+        r.getAs[Long]("corpus_hit_ppm") <= 1000000L)
+    }
+    // the class-marker bigrams hash to buckets that separate the plant
+    // almost perfectly: the top rows must be one-sided (a = 0 or c = 0)
+    val top = rows.take(2)
+    assert(top.forall(r => r.getAs[Long]("a_pos_with") == 0L ||
+      r.getAs[Long]("c_neg_with") == 0L),
+      "top chi2 buckets must be class-pure marker buckets")
+    assert(top.map(_.getAs[Long]("chi2_milli")).distinct.length == 1,
+      "the two pure marker buckets tie at the maximum")
+  }
+
   // ------------------------------------------------------------- X336
 
   test("q359: minimal movement is structural; weight mix passes the balance audit") {

@@ -765,6 +765,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q361_chi_features" -> 0, // collect-local 8-row report; the chi2
+                             // ranking is driver math over the bounded
+                             // plant, the corpus leg ONE combinable
+                             // 256-bucket count fold pre-collect
     "q360_chao_richness" -> 3, // ONE (lang, gram) fold carrying both the
                              // full and sampled legs + the |langs| fold +
                              // orderBy
