@@ -1745,6 +1745,58 @@ object SparkEntry {
        |FROM tp LEFT JOIN oc USING (bucket), ot
        |ORDER BY rank""".stripMargin
 
+  /** q362's oracle: parity score histograms off the shared NB chain,
+    * exact baseline deciles, count-of-edges band assignment, the
+    * rotated plant, and the quarter-bit HUGEINT PSI sum. */
+  private def q362OracleSql: String = {
+    def qb(num: String, den: String): String =
+      s"""length(bin((CAST($num AS HUGEINT) * $num * $num * $num)
+         |  // (CAST($den AS HUGEINT) * $den * $den * $den))) - 1"""
+        .stripMargin
+    s"""WITH $nbScoreChainSql,
+       |h AS MATERIALIZED (SELECT ds.doc_id % 2 AS par, ds.score,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM ds GROUP BY 1, 2),
+       |bh AS MATERIALIZED (SELECT score, cnt,
+       |    sum(cnt) OVER (ORDER BY score) AS cum FROM h WHERE par = 0),
+       |nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bh),
+       |ed AS MATERIALIZED (SELECT d, (SELECT min(score) FROM bh, nb
+       |    WHERE cum >= greatest(1, d * nb.n // 10)) AS e
+       |  FROM (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS d)),
+       |bb AS (SELECT band, CAST(sum(cnt) AS BIGINT) AS c FROM (
+       |    SELECT (SELECT count(*) FROM ed WHERE ed.e < bh.score) AS band,
+       |      cnt FROM bh) GROUP BY band),
+       |cc AS (SELECT band, CAST(sum(cnt) AS BIGINT) AS c FROM (
+       |    SELECT (SELECT count(*) FROM ed WHERE ed.e < h.score) AS band,
+       |      cnt FROM h WHERE par = 1) GROUP BY band),
+       |bands AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT)
+       |    AS band),
+       |bsx AS MATERIALIZED (SELECT bands.band, coalesce(bb.c, 0) AS c
+       |  FROM bands LEFT JOIN bb USING (band)),
+       |sides AS (SELECT 'null' AS scope, bands.band, coalesce(cc.c, 0) AS c
+       |    FROM bands LEFT JOIN cc USING (band)
+       |  UNION ALL SELECT 'plant', (band + 2) % 10, c FROM bsx),
+       |tq AS (SELECT scope, CAST(sum(c) AS BIGINT) AS n
+       |  FROM sides GROUP BY scope),
+       |pq AS (SELECT sides.scope, sides.band,
+       |    greatest(b2.c * 1000000 // nb.n, 1) AS p,
+       |    greatest(sides.c * 1000000 // tq.n, 1) AS q
+       |  FROM sides JOIN bsx b2 ON b2.band = sides.band
+       |  JOIN tq ON tq.scope = sides.scope, nb),
+       |cb AS MATERIALIZED (SELECT scope, band, p, q,
+       |    (p - q) * (CASE WHEN p >= q THEN ${qb("p", "q")}
+       |      ELSE -(${qb("q", "p")}) END) AS contrib
+       |  FROM pq),
+       |psx AS (SELECT scope, CAST(sum(contrib) AS BIGINT) AS psi
+       |  FROM cb GROUP BY scope)
+       |SELECT cb.scope, cb.band, cb.p AS p_ppm, cb.q AS q_ppm,
+       |  CAST(cb.contrib AS BIGINT) AS contrib, psx.psi,
+       |  CASE WHEN psx.psi >= 1442695 THEN CAST(2 AS BIGINT)
+       |    WHEN psx.psi >= 577078 THEN CAST(1 AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS verdict
+       |FROM cb JOIN psx USING (scope) ORDER BY cb.scope, cb.band"""
+      .stripMargin
+  }
+
   private def q305OracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -2888,6 +2940,7 @@ object SparkEntry {
     "q359_rendezvous"     -> PipelineOps.q359RendezvousShards _,
     "q360_chao_richness"  -> CorpusOps.q360ChaoRichness _,
     "q361_chi_features"   -> PipelineOps.q361ChiFeatures _,
+    "q362_psi_drift"      -> PipelineOps.q362PsiDrift _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8164,6 +8217,7 @@ object SparkEntry {
     "q359_rendezvous" -> q359OracleSql,
     "q360_chao_richness" -> q360OracleSql,
     "q361_chi_features" -> q361OracleSql,
+    "q362_psi_drift" -> q362OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -3681,6 +3681,88 @@ object PipelineOps {
       "n_scores" -> LongType, "auc_ppm" -> LongType, "gini_ppm" -> LongType)
   }
 
+  /** X339 — PSI score-drift monitor (Population Stability Index, the
+    * standard deployed-classifier monitoring metric): once q353's cut
+    * ships, production watches whether the SCORE DISTRIBUTION drifts
+    * from the deployment snapshot — PSI = Σ (p_i − q_i)·ln(p_i/q_i)
+    * over baseline-decile score bands, with the 0.1/0.25 rules of
+    * thumb. Integer-exact form: band edges are exact baseline deciles
+    * read off the value-bounded score histogram (k-th order statistics
+    * — no sort), shares are ppm with the standard 1-ppm floor on empty
+    * cells, and ln uses a QUARTER-bit integer log — L = ⌊4·log2(p/q)⌋
+    * = bitlen(p⁴ div q⁴) − 1 (exact: for x ≥ 1, ⌊log2⌊x⌋⌋ = ⌊log2 x⌋
+    * because powers of two are integers), signed by direction, BigInt
+    * on the driver and HUGEINT in the oracle (p⁴ ≤ 10²⁴). The
+    * statistic's unit is ppm·quarter-bits: ln x = (L/4)·ln 2, so the
+    * published 0.10 alert converts to ≈ 577078 and 0.25 to ≈ 1442695.
+    * The half-bit idiom was MEASURED first and rejected here: its
+    * 0.35-nat resolution inflated the A/A scope (true PSI 0.082) past
+    * the 0.10 alert; quarter-bit reads it at ≈ 0.064 — below, as an
+    * A/A must.
+    *
+    * Two scopes: `null` — even vs odd doc_ids, the same distribution,
+    * PSI ≈ 0 (the calibration half, q291's A/A discipline) — and
+    * `plant` — the current counts are the baseline's rotated two bands
+    * forward, a hard distribution shift that must alert.
+    *
+    * Scale: ONE combinable (parity, score) histogram fold (the q353
+    * value-bounded argument); deciles, bands and the PSI sum are
+    * driver math over the bounded histogram. Monitoring at 100 TB is
+    * one narrow scan. */
+  def q362PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val weights = q334Weights
+    val hist = docs(s, dir)
+      .select(pmod($"doc_id", lit(2L)).as("par"),
+        q334ScoreExpr(weights).as("score"))
+      .groupBy($"par", $"score").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long, Long)].collect()
+    val base = hist.filter(_._1 == 0L).map(t => (t._2, t._3)).sortBy(_._1)
+    val cur = hist.filter(_._1 == 1L).map(t => (t._2, t._3)).sortBy(_._1)
+    val nB = base.map(_._2).sum
+    // exact baseline deciles from the histogram: edges e_1..e_9, band i
+    // = scores in (e_i, e_{i+1}] with e_0 = -inf, e_10 = +inf
+    val cum = base.map(_._2).scanLeft(0L)(_ + _).drop(1)
+    val edges = (1 to 9).map { d =>
+      val k = math.max(1L, d.toLong * nB / 10L)
+      base(cum.indexWhere(_ >= k))._1
+    }
+    def bandOf(score: Long): Int = edges.count(_ < score)
+    def bandCounts(h: Seq[(Long, Long)]): IndexedSeq[Long] = {
+      val a = new Array[Long](10)
+      h.foreach { case (sc, c) => a(bandOf(sc)) += c }
+      a.toIndexedSeq
+    }
+    val bBase = bandCounts(base.toSeq)
+    val bNull = bandCounts(cur.toSeq)
+    // plant: the baseline mass rotated two bands forward — a hard shift
+    val bPlant = (0 until 10).map(i => bBase((i + 8) % 10))
+    // quarter-bit integer log: floor(4*log2(hi/lo)) via BigInt fourth
+    // powers (exact — see scaladoc); the oracle mirrors in HUGEINT
+    def quarterBits(hi: Long, lo: Long): Long =
+      (BigInt(hi).pow(4) / BigInt(lo).pow(4)).bitLength.toLong - 1L
+    def rows(scope: String, bq: IndexedSeq[Long]) = {
+      val nQ = bq.sum
+      val perBand = (0 until 10).map { i =>
+        val p = math.max(bBase(i) * 1000000L / nB, 1L)
+        val q = math.max(bq(i) * 1000000L / nQ, 1L)
+        val l = if (p >= q) quarterBits(p, q) else -quarterBits(q, p)
+        (i.toLong, p, q, (p - q) * l)
+      }
+      val psi = perBand.map(_._4).sum
+      perBand.map { case (i, p, q, c) =>
+        org.apache.spark.sql.Row(scope, i, p, q, c, psi,
+          if (psi >= 1442695L) 2L else if (psi >= 577078L) 1L else 0L)
+      }
+    }
+    LocalReport.frame(s, rows("null", bNull) ++ rows("plant", bPlant),
+      "scope" -> StringType, "band" -> LongType, "p_ppm" -> LongType,
+      "q_ppm" -> LongType, "contrib" -> LongType, "psi" -> LongType,
+      "verdict" -> LongType)
+  }
+
   /** X338 — χ² feature selection (Yang & Pedersen 1997, the classical
     * text-classification feature ranking): BEFORE training a filter,
     * pipelines rank candidate features by class association; per hashed

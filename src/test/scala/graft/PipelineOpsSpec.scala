@@ -1410,6 +1410,43 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpusPred > 0L, "rare-gram graph must connect some corpus docs")
   }
 
+  // ------------------------------------------------------------- X339
+
+  test("q362: A/A scope stays quiet, rotated plant alerts, PSI accounting") {
+    val rows = PipelineOps.q362PsiDrift(spark, sf).collect()
+    assert(rows.length == 20, "2 scopes x 10 bands")
+    val nul = rows.filter(_.getAs[String]("scope") == "null")
+    val plant = rows.filter(_.getAs[String]("scope") == "plant")
+    // the calibration half: even vs odd docs are the same distribution,
+    // so the monitor must NOT alert (the half-bit log variant failed
+    // exactly this check — see the scaladoc)
+    assert(nul.forall(_.getAs[Long]("verdict") == 0L),
+      s"A/A must stay quiet: psi=${nul.head.getAs[Long]("psi")}")
+    // a two-band rotation is a hard shift: red alert
+    assert(plant.forall(_.getAs[Long]("verdict") == 2L))
+    assert(plant.head.getAs[Long]("psi") > nul.head.getAs[Long]("psi") * 10L)
+    rows.groupBy(_.getAs[String]("scope")).values.foreach { g =>
+      // psi is the sum of its own band contributions
+      assert(g.map(_.getAs[Long]("contrib")).sum ==
+        g.head.getAs[Long]("psi"))
+      // every contribution is non-negative: (p-q) and the signed log
+      // always share sign
+      g.foreach(r => assert(r.getAs[Long]("contrib") >= 0L, s"$r"))
+      // shares are ppm with the 1-ppm floor
+      g.foreach { r =>
+        assert(r.getAs[Long]("p_ppm") >= 1L && r.getAs[Long]("p_ppm") <= 1000000L)
+        assert(r.getAs[Long]("q_ppm") >= 1L && r.getAs[Long]("q_ppm") <= 1000000L)
+      }
+    }
+    // quarter-bit log replay on a known ratio: floor(4*log2(224/132)) = 3
+    val b5 = nul.find(_.getAs[Long]("band") == 5L).get
+    if (b5.getAs[Long]("p_ppm") > b5.getAs[Long]("q_ppm")) {
+      val p = b5.getAs[Long]("p_ppm"); val q = b5.getAs[Long]("q_ppm")
+      val l = (BigInt(p).pow(4) / BigInt(q).pow(4)).bitLength - 1
+      assert(b5.getAs[Long]("contrib") == (p - q) * l)
+    }
+  }
+
   // ------------------------------------------------------------- X338
 
   test("q361: class-pure marker buckets rank top; contingency and formula replay") {

@@ -765,6 +765,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q362_psi_drift" -> 0,   // collect-local 20-row report; ONE
+                             // combinable (parity, score) histogram fold
+                             // pre-collect, deciles/bands/PSI driver math
     "q361_chi_features" -> 0, // collect-local 8-row report; the chi2
                              // ranking is driver math over the bounded
                              // plant, the corpus leg ONE combinable
