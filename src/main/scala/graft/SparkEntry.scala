@@ -1797,6 +1797,71 @@ object SparkEntry {
       .stripMargin
   }
 
+  /** q363's oracle: the two generate_series Bernoulli plants + the
+    * q291 treatment stream ranked by custkey, per-batch folds, a
+    * cumulative-LLR window and the first Wald boundary crossing. */
+  private def q363OracleSql: String = {
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    val ip = graft.ops.PipelineOps.SprtIncPos
+    val in_ = graft.ops.PipelineOps.SprtIncNeg
+    val bd = graft.ops.PipelineOps.SprtBound
+    def plant(scope: String, salt: String, rate: Long): String =
+      s"""SELECT '$scope' AS scope, (i - 1) // 250 AS b,
+         |  CASE WHEN ${fp(s"'$salt:' || CAST(i AS VARCHAR) || ':' || CAST((i % 1000003) * (i % 1000003) AS VARCHAR)")}
+         |    % 1000000 < $rate THEN 1 ELSE 0 END AS c
+         |FROM generate_series(1, 2000) t(i)""".stripMargin
+    s"""WITH trials AS MATERIALIZED (
+       |  ${plant("null", "sn", 300000L)}
+       |  UNION ALL
+       |  ${plant("effect", "se", 360000L)}
+       |  UNION ALL
+       |  SELECT 'corpus', (rn - 1) // 250 AS b, c FROM (
+       |    SELECT row_number() OVER (ORDER BY k) AS rn,
+       |      CASE WHEN nat OR boost THEN 1 ELSE 0 END AS c
+       |    FROM (SELECT k, nat,
+       |        (f1 * f1 // 65536) % 2 AS arm1,
+       |        (fb * fb // 65536) % 2 = 0 AS boost
+       |      FROM (SELECT CAST(c_custkey AS BIGINT) AS k,
+       |        coalesce(m.mx, 0) >= 46500000 AS nat,
+       |        ${fp("'exp1:' || CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)")}
+       |          AS f1,
+       |        ${fp("'boost:' || CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)")}
+       |          AS fb
+       |      FROM customer LEFT JOIN (SELECT CAST(o_custkey AS BIGINT) AS k,
+       |          max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx
+       |        FROM orders GROUP BY 1) m ON CAST(c_custkey AS BIGINT) = m.k))
+       |    WHERE arm1 = 1)),
+       |bt AS MATERIALIZED (SELECT scope, b, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(c) AS BIGINT) AS k FROM trials GROUP BY scope, b),
+       |ll AS MATERIALIZED (SELECT scope, b,
+       |    sum(n) OVER w AS cn, sum(k) OVER w AS ck,
+       |    (sum(k) OVER w) * $ip + (sum(n) OVER w - sum(k) OVER w) * ($in_)
+       |      AS llr
+       |  FROM bt WINDOW w AS (PARTITION BY scope ORDER BY b)),
+       |fc AS (SELECT scope, min(b) AS bdec FROM ll
+       |  WHERE llr >= $bd OR llr <= -$bd GROUP BY scope),
+       |tot AS (SELECT scope, CAST(sum(n) AS BIGINT) AS nt,
+       |    CAST(sum(k) AS BIGINT) AS kt, max(b) AS bmax
+       |  FROM bt GROUP BY scope)
+       |SELECT tot.scope, tot.nt AS n_trials, tot.kt AS n_conv,
+       |  CASE WHEN tot.nt = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE tot.kt * 1000000 // tot.nt END AS rate_ppm,
+       |  CAST(CASE WHEN fc.bdec IS NULL THEN 0
+       |    WHEN ll.llr >= $bd THEN 1 ELSE -1 END AS BIGINT) AS decision,
+       |  CAST(coalesce(fc.bdec, -1) AS BIGINT) AS batch_dec,
+       |  CAST(CASE WHEN fc.bdec IS NULL THEN tot.nt ELSE ll.cn END
+       |    AS BIGINT) AS n_dec,
+       |  CAST(ll.llr AS BIGINT) AS llr_dec,
+       |  CAST($bd AS BIGINT) AS bound
+       |FROM tot LEFT JOIN fc ON fc.scope = tot.scope
+       |LEFT JOIN ll ON ll.scope = tot.scope
+       |  AND ll.b = coalesce(fc.bdec, tot.bmax)
+       |ORDER BY tot.scope""".stripMargin
+  }
+
   private def q305OracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -2941,6 +3006,7 @@ object SparkEntry {
     "q360_chao_richness"  -> CorpusOps.q360ChaoRichness _,
     "q361_chi_features"   -> PipelineOps.q361ChiFeatures _,
     "q362_psi_drift"      -> PipelineOps.q362PsiDrift _,
+    "q363_sprt_gate"      -> PipelineOps.q363SprtGate _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8218,6 +8284,7 @@ object SparkEntry {
     "q360_chao_richness" -> q360OracleSql,
     "q361_chi_features" -> q361OracleSql,
     "q362_psi_drift" -> q362OracleSql,
+    "q363_sprt_gate" -> q363OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

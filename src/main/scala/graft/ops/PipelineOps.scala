@@ -3681,6 +3681,110 @@ object PipelineOps {
       "n_scores" -> LongType, "auc_ppm" -> LongType, "gini_ppm" -> LongType)
   }
 
+  /** q363's SPRT constants, computed ONCE (the EpochDecayPpm
+    * discipline) and inlined into the generated oracle: testing
+    * p0 = 30% vs p1 = 36% conversion at α = β = 5%, the per-trial
+    * log-likelihood increments in micro-nats are ln(p1/p0) on a
+    * conversion and ln((1−p1)/(1−p0)) on a miss, and the Wald
+    * boundaries are ±ln((1−β)/α) = ±ln 19. */
+  private[graft] val SprtIncPos: Long = math.round(math.log(1.2) * 1e6)
+  private[graft] val SprtIncNeg: Long =
+    math.round(math.log(640000.0 / 700000.0) * 1e6)
+  private[graft] val SprtBound: Long = math.round(math.log(19.0) * 1e6)
+
+  /** X340 — Wald's sequential probability ratio test (SPRT, Wald 1945)
+    * as a group-sequential experiment gate: q291 reads the experiment
+    * ONCE at the end; production wants to STOP EARLY — the SPRT walks
+    * the conversion stream accumulating the log-likelihood ratio of
+    * H1 (p1 = 36%) vs H0 (p0 = 30%) and decides the first time it
+    * leaves (−ln 19, +ln 19), with both error rates ≤ 5% by Wald's
+    * guarantee. Checked at BATCH boundaries of 250 trials (the
+    * published group-sequential deployment — per-trial checking is a
+    * sequential scan, per-batch checking is a combinable fold plus a
+    * bounded driver walk, and the boundary-crossing guarantee is
+    * conservative under batching).
+    *
+    * Three scopes: two SF-INVARIANT 2000-trial planted Bernoulli
+    * streams from squared-tail fingerprints — `null` at rate p0 must
+    * ACCEPT H0 (decision −1) and `effect` at rate p1 must REJECT
+    * (decision +1), both typically within a few hundred trials
+    * (E[increment] ≈ ∓8 milli-nats/trial) — and `corpus`: q291's
+    * experiment-1 TREATMENT arm in custkey order under the same
+    * hypotheses, reported honestly whatever it decides.
+    *
+    * Scale: per scope ONE combinable (batch, counts) fold — the plant
+    * streams are generated in-query, the corpus stream ranks via
+    * GlobalOrder (never an unpartitioned window) — and the LLR walk is
+    * driver math over the |batches| frame. All LLR arithmetic is
+    * int64 micro-nats (k·182322 caps at 9·10¹² even at a billion
+    * trials). */
+  def q363SprtGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val batchSize = 250L
+    def plantBatches(salt: String, ratePpm: Long): Seq[(Long, Long, Long)] = {
+      // 2000 in-query Bernoulli trials; the same expression text feeds
+      // the oracle's generate_series replay
+      s.range(1, 2001)
+        .selectExpr(s"(id - 1) div $batchSize AS b",
+          s"""CASE WHEN pmod(graft_fingerprint(concat('$salt:',
+             |  CAST(id AS STRING), ':',
+             |  CAST((id % 1000003) * (id % 1000003) AS STRING))),
+             |  1000000) < $ratePpm THEN 1L ELSE 0L END AS c""".stripMargin)
+        .groupBy($"b").agg(count(lit(1)).as("n"), sum($"c").as("k"))
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    }
+    val corpusTrials = Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("k"))
+      .join(Tables.load(s, dir, "orders")
+          .groupBy($"o_custkey".cast("long").as("k"))
+          .agg(max(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("mx")),
+        Seq("k"), "left")
+      .select($"k",
+        (coalesce($"mx", lit(0L)) >= 46500000L).as("natural"),
+        expr("""pmod(graft_fingerprint(concat('exp1:', CAST(k AS STRING))) *
+          |  graft_fingerprint(concat('exp1:', CAST(k AS STRING)))
+          |  div 65536, 2)""".stripMargin).as("arm1"),
+        (expr("""pmod(graft_fingerprint(concat('boost:', CAST(k AS STRING))) *
+          |  graft_fingerprint(concat('boost:', CAST(k AS STRING)))
+          |  div 65536, 2)""".stripMargin) === 0L).as("boost"))
+      .where($"arm1" === 1L)
+      .select($"k", ($"natural" || $"boost").cast("long").as("c"))
+    val ranked = graft.operators.GlobalOrder.withRowNumber(
+      corpusTrials, Seq($"k"), "rk")
+    val corpusBatches = ranked
+      .select(expr(s"(rk - 1) div $batchSize").as("b"), $"c")
+      .groupBy($"b").agg(count(lit(1)).as("n"), sum($"c").as("k"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    def walk(scope: String, bs: Seq[(Long, Long, Long)]) = {
+      val nT = bs.map(_._2).sum
+      val kT = bs.map(_._3).sum
+      var (cn, ck) = (0L, 0L)
+      var dec = 0L; var bDec = -1L; var nDec = nT; var llrDec = 0L
+      bs.foreach { case (b, n, k) =>
+        if (dec == 0L) {
+          cn += n; ck += k
+          val llr = ck * SprtIncPos + (cn - ck) * SprtIncNeg
+          llrDec = llr
+          if (llr >= SprtBound) { dec = 1L; bDec = b; nDec = cn }
+          else if (llr <= -SprtBound) { dec = -1L; bDec = b; nDec = cn }
+        }
+      }
+      org.apache.spark.sql.Row(scope, nT, kT,
+        if (nT == 0L) 0L else kT * 1000000L / nT,
+        dec, bDec, nDec, llrDec, SprtBound)
+    }
+    LocalReport.frame(s, Seq(
+      walk("corpus", corpusBatches),
+      walk("effect", plantBatches("se", 360000L)),
+      walk("null", plantBatches("sn", 300000L))),
+      "scope" -> StringType, "n_trials" -> LongType, "n_conv" -> LongType,
+      "rate_ppm" -> LongType, "decision" -> LongType,
+      "batch_dec" -> LongType, "n_dec" -> LongType, "llr_dec" -> LongType,
+      "bound" -> LongType)
+  }
+
   /** X339 — PSI score-drift monitor (Population Stability Index, the
     * standard deployed-classifier monitoring metric): once q353's cut
     * ships, production watches whether the SCORE DISTRIBUTION drifts

@@ -1410,6 +1410,51 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpusPred > 0L, "rare-gram graph must connect some corpus docs")
   }
 
+  // ------------------------------------------------------------- X340
+
+  test("q363: null accepts, effect rejects, crossing replays from the raw trials") {
+    val rows = PipelineOps.q363SprtGate(spark, sf).collect()
+      .map(r => r.getAs[String]("scope") -> r).toMap
+    assert(rows.size == 3)
+    // the two SF-invariant planted streams: a p0-rate stream must
+    // accept H0, a p1-rate stream must reject — Wald's guarantee says
+    // each errs with probability <= 5%, and these fixed hash draws land
+    // on the right side
+    assert(rows("null").getAs[Long]("decision") == -1L)
+    assert(rows("effect").getAs[Long]("decision") == 1L)
+    rows.values.foreach { r =>
+      val dec = r.getAs[Long]("decision")
+      val llr = r.getAs[Long]("llr_dec")
+      val bound = r.getAs[Long]("bound")
+      if (dec != 0L) {
+        assert(math.abs(llr) >= bound, s"decision without a crossing: $r")
+        assert((dec == 1L) == (llr >= bound))
+        assert(r.getAs[Long]("n_dec") <= r.getAs[Long]("n_trials"))
+      }
+      assert(r.getAs[Long]("rate_ppm") ==
+        r.getAs[Long]("n_conv") * 1000000L / r.getAs[Long]("n_trials"))
+    }
+    // independent replay of the null stream's first batch: regenerate
+    // the same 250 Bernoulli trials from the shared fingerprint and
+    // fold the LLR — must equal the frame's crossing value exactly
+    val nul = rows("null")
+    if (nul.getAs[Long]("batch_dec") == 0L) {
+      val k = (1L to 250L).count { i =>
+        val t = (i % 1000003L) * (i % 1000003L)
+        java.lang.Math.floorMod(
+          graft.functions.Fingerprint.hashString(s"sn:$i:$t"), 1000000L) <
+          300000L
+      }.toLong
+      val llr = k * PipelineOps.SprtIncPos +
+        (250L - k) * PipelineOps.SprtIncNeg
+      assert(nul.getAs[Long]("llr_dec") == llr,
+        s"driver replay $llr vs frame ${nul.getAs[Long]("llr_dec")}")
+    }
+    // the planted streams are SF-invariant: always 2000 trials
+    assert(rows("null").getAs[Long]("n_trials") == 2000L)
+    assert(rows("effect").getAs[Long]("n_trials") == 2000L)
+  }
+
   // ------------------------------------------------------------- X339
 
   test("q362: A/A scope stays quiet, rotated plant alerts, PSI accounting") {

@@ -765,6 +765,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q363_sprt_gate" -> 0,   // collect-local 3-row report; per scope ONE
+                             // combinable batch fold (plants in-query,
+                             // corpus via GlobalOrder rank), LLR walk is
+                             // driver math over |batches|
     "q362_psi_drift" -> 0,   // collect-local 20-row report; ONE
                              // combinable (parity, score) histogram fold
                              // pre-collect, deciles/bands/PSI driver math
