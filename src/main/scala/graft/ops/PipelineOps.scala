@@ -3813,26 +3813,39 @@ object PipelineOps {
     * value-bounded argument); deciles, bands and the PSI sum are
     * driver math over the bounded histogram. Monitoring at 100 TB is
     * one narrow scan. */
-  def q362PsiDrift(s: SparkSession, dir: String): DataFrame = {
+  /** q362's (parity, score, count) histogram — the batch monitor and
+    * the streaming band feed's spec harness share this one collect. */
+  private[graft] def nbParityHistogram(s: SparkSession, dir: String)
+      : Array[(Long, Long, Long)] = {
     import s.implicits._
-    import org.apache.spark.sql.types.{LongType, StringType}
     Fingerprint.register(s)
-    val weights = q334Weights
-    val hist = docs(s, dir)
+    docs(s, dir)
       .select(pmod($"doc_id", lit(2L)).as("par"),
-        q334ScoreExpr(weights).as("score"))
+        q334ScoreExpr(q334Weights).as("score"))
       .groupBy($"par", $"score").agg(count(lit(1)).as("cnt"))
       .as[(Long, Long, Long)].collect()
-    val base = hist.filter(_._1 == 0L).map(t => (t._2, t._3)).sortBy(_._1)
-    val cur = hist.filter(_._1 == 1L).map(t => (t._2, t._3)).sortBy(_._1)
+  }
+
+  /** Exact baseline deciles from a (score, count) histogram: edges
+    * e_1..e_9; band i = scores in (e_i, e_{i+1}] with e_0 = −inf.
+    * ONE definition shared by q362 and the streaming band feed. */
+  private[graft] def decileEdges(base: Seq[(Long, Long)]): IndexedSeq[Long] = {
     val nB = base.map(_._2).sum
-    // exact baseline deciles from the histogram: edges e_1..e_9, band i
-    // = scores in (e_i, e_{i+1}] with e_0 = -inf, e_10 = +inf
     val cum = base.map(_._2).scanLeft(0L)(_ + _).drop(1)
-    val edges = (1 to 9).map { d =>
+    (1 to 9).map { d =>
       val k = math.max(1L, d.toLong * nB / 10L)
       base(cum.indexWhere(_ >= k))._1
     }
+  }
+
+  def q362PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val hist = nbParityHistogram(s, dir)
+    val base = hist.filter(_._1 == 0L).map(t => (t._2, t._3)).sortBy(_._1)
+    val cur = hist.filter(_._1 == 1L).map(t => (t._2, t._3)).sortBy(_._1)
+    val nB = base.map(_._2).sum
+    val edges = decileEdges(base.toSeq)
     def bandOf(score: Long): Int = edges.count(_ < score)
     def bandCounts(h: Seq[(Long, Long)]): IndexedSeq[Long] = {
       val a = new Array[Long](10)

@@ -532,6 +532,34 @@ object EventStream {
         sum(col("n_chars") * col("keep")).as("chars_kept"))
   }
 
+  /** X341 — streaming PSI band feed, q362's real-stream twin: the
+    * deployed filter's live score distribution, banded against the
+    * DEPLOYMENT SNAPSHOT's decile edges (a 9-element bounded argument —
+    * the batch monitor computes them once via
+    * `PipelineOps.decileEdges`, the single shared definition, and
+    * ships them to the gate as constants). Each arriving document
+    * scores through the SHARED q334 projection and lands in the band
+    * counting `edges < score` — a constant 9-lambda fold, stateless
+    * and narrow; the only standing state is the 10-key band aggregate,
+    * refreshed every micro-batch. The PSI skim (shares, quarter-bit
+    * logs, verdict) runs on the finalized snapshot where the totals
+    * are known — the trendingTerms division of labor. StreamingSpec
+    * pins the final band counts' derived shares row-identical to the
+    * oracle-gated q362 frame's current-side (q_ppm) column on the same
+    * documents. Input schema: (doc_id, ts, text, ...). */
+  def psiBandFeed(docs: DataFrame, edges: Seq[Long]): DataFrame = {
+    graft.functions.Fingerprint.register(docs.sparkSession)
+    val weights = graft.ops.PipelineOps.q334Weights
+    val bandExpr =
+      s"size(filter(array(${edges.mkString("L, ")}L), e -> e < score))"
+    docs
+      .withWatermark("ts", "2 hours")
+      .withColumn("score", graft.ops.PipelineOps.q334ScoreExpr(weights))
+      .withColumn("band", expr(bandExpr).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   final case class LatenessState(frontier: Long,
       byType: Map[String, (Long, Long, Long, Long)])
 

@@ -545,6 +545,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("PSI band feed through a real stream matches q362's current-side shares") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // the deployment loop the operator documents: the batch monitor
+    // computes the baseline decile edges once; the stream gates against
+    // them as constants
+    val hist = graft.ops.PipelineOps.nbParityHistogram(spark, sf)
+    val edges = graft.ops.PipelineOps.decileEdges(
+      hist.filter(_._1 == 0L).map(t => (t._2, t._3)).sortBy(_._1).toSeq)
+    // the CURRENT side (odd doc_ids) through a real three-batch stream
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .where($"doc_id" % 2 === 1L)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .collect().map(r => StreamingSpec.SrcDoc(r.getAs[Long]("doc_id"), t0,
+        r.getAs[String]("text"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    val mem = MemoryStream[StreamingSpec.SrcDoc]
+    val q = EventStream.psiBandFeed(mem.toDF(), edges)
+      .writeStream.format("memory").queryName("psifeed")
+      .outputMode(OutputMode.Complete).start()
+    docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val counts = spark.table("psifeed").collect()
+      .map(r => r.getAs[Long]("band") -> r.getAs[Long]("n_docs")).toMap
+    assert(counts.values.sum == docs.length.toLong,
+      "every streamed doc lands in exactly one band")
+    // derive the shares the way q362 does (ppm, 1-ppm floor) and pin
+    // them against the ORACLE-GATED frame's current-side column
+    val nQ = counts.values.sum
+    val derived = (0L to 9L).map(b =>
+      b -> math.max(counts.getOrElse(b, 0L) * 1000000L / nQ, 1L)).toMap
+    val frame = SparkEntry.queries("q362_psi_drift")(spark, sf).collect()
+      .filter(_.getAs[String]("scope") == "null")
+      .map(r => r.getAs[Long]("band") -> r.getAs[Long]("q_ppm")).toMap
+    assert(derived == frame,
+      s"streamed band shares must equal the batch monitor's: $derived vs $frame")
+  }
+
   test("latenessAudit through a real stream equals the ORACLE-GATED q249 frame") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
