@@ -631,8 +631,9 @@ object SparkEntry {
        |pr AS (SELECT rep, CAST(sum(w) AS BIGINT) AS w_count,
        |    CAST(sum(w * x) AS BIGINT) AS w_sum_cents FROM ws GROUP BY rep),
        |pm AS MATERIALIZED (SELECT rep, w_count, w_sum_cents,
+       |    CASE WHEN w_count = 0 THEN CAST(0 AS BIGINT) ELSE
        |    CAST(CAST(w_sum_cents AS HUGEINT) * 1000000 // w_count AS BIGINT)
-       |      AS mean_microcents FROM pr),
+       |    END AS mean_microcents FROM pr),
        |rkd AS MATERIALIZED (SELECT *,
        |    row_number() OVER (ORDER BY mean_microcents, rep) AS rk FROM pm),
        |pt AS (SELECT CAST(count(*) AS BIGINT) AS n,

@@ -1437,7 +1437,9 @@ object EventOps {
     val nullS = daily
     val trend = daily.zipWithIndex.map { case (n, i) => n + 4L * (i + 1) }
     val spiked = trend.clone()
-    spiked(9) = spiked(9) * 10L
+    // mirror the oracle's CASE WHEN i = 10, which matches nothing on a
+    // series shorter than 10 days (no crash on tiny fixtures)
+    if (spiked.length > 9) spiked(9) = spiked(9) * 10L
     def mk(xs: Array[Long]): (Long, Long, Long, Long, Long) = {
       val n = xs.length.toLong
       var sStat = 0L

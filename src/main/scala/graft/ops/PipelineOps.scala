@@ -4506,7 +4506,10 @@ object PipelineOps {
         sum(col(s"w$i")).as(s"wc$i"), sum(col(s"w$i") * $"x").as(s"ws$i")))
     val row = withW.agg(aggExprs.head, aggExprs.tail: _*).head()
     def mean(sum: Long, cnt: Long): Long =
-      (BigInt(sum) * 1000000 / BigInt(cnt)).toLong
+      // 0-sentinel for an all-zero-weight replicate (P = (3/4)^(4n) per
+      // replicate — vanishing beyond toy corpora, but the gate must
+      // compare, not crash); the oracle carries the same CASE WHEN
+      if (cnt == 0L) 0L else (BigInt(sum) * 1000000 / BigInt(cnt)).toLong
     val n = row.getLong(0); val sx = row.getLong(1)
     val reps = (0 until r).map { i =>
       val wc = row.getLong(2 + 2 * i); val ws = row.getLong(3 + 2 * i)

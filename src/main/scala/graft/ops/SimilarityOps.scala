@@ -1310,8 +1310,14 @@ object SimilarityOps {
     *
     * Scale: two corpus scans (moment fold, projection fold), both
     * combinable; driver state is a 64×64 matrix + a 64-vector. Σp² and
-    * Σ‖y‖² aggregate in DECIMAL(38,0) — per-row products stay in
-    * int64 but the corpus sums do not. */
+    * Σ‖y‖² aggregate in DECIMAL(38,0); the PER-ROW folds stay in int64
+    * only while n·max|x| ≲ 3.8e8 — each yy term is (n·x − Σx)² ≤
+    * (2·n·max|x|)² and 64 terms must fit 2⁶³, so at the plant's
+    * 15500-milli scale the bound is ~2.4e4 vectors (q346/q356's
+    * stated-boundary convention). Past it both engines ABORT on the
+    * overflow (Spark ANSI, DuckDB) rather than diverge; the 100 TB form
+    * lifts the yy fold to DECIMAL(38,0)/HUGEINT per-term on both
+    * sides. */
   def q348AbttDirection(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.LongType

@@ -1267,9 +1267,21 @@ object TextOps {
     * training fold, the holdout type frame and the report join; the
     * encode expression runs once per held-out word TYPE (Zipf-bounded),
     * not per occurrence, and is constant-size in the merge count; the
-    * report is a |lang×source| fold. The type dictionary broadcast has
-    * the same bounded-vocabulary caveat as q325. */
-  def q335BpeEncodeHoldout(s: SparkSession, dir: String): DataFrame = {
+    * report is a |lang×source| fold. The holdout type-dictionary
+    * broadcast is COUNTED, not assumed — [[bpeEncodeHoldoutReport]]
+    * escalates to a shuffle join above the threshold (q325's 59239d9
+    * pattern; the spec pins both branches row-identical). */
+  def q335BpeEncodeHoldout(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeHoldoutReport(s, dir, broadcastTypeThreshold = 1000000L)
+
+  /** [[q335BpeEncodeHoldout]]'s body with the holdout type-dictionary
+    * broadcast decision COUNTED (same counted branch as
+    * [[bpeApplyReport]]): the count is one cheap distinct-count job over
+    * the already-persisted word explode BEFORE the per-type encode runs;
+    * above the threshold the report join escalates to a shuffle join,
+    * loudly. */
+  private[graft] def bpeEncodeHoldoutReport(s: SparkSession, dir: String,
+      broadcastTypeThreshold: Long): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.{LongType, StringType}
     val plant = Q335Plant.toDF("doc_id", "text", "lang", "source")
@@ -1283,13 +1295,23 @@ object TextOps {
         .groupBy($"word").agg(count(lit(1)).as("c"))
       val (trainRows, _) = bpeTrain(s, trainWf, 30)
       val merges = trainRows.map(r => (r.getString(1), r.getString(2)))
-      val enc = words.filter($"half" === 1L).select($"word").distinct()
+      val holdoutTypes = words.filter($"half" === 1L).select($"word").distinct()
+      val enc = holdoutTypes
         .join(trainWf.select($"word", lit(1L).as("seen")), Seq("word"), "left")
         .select($"word",
           size(bpeEncodeExpr(merges)).cast("long").as("n_tok"),
           length($"word").cast("long").as("n_chr"),
           when($"seen".isNull, 1L).otherwise(0L).as("oov"))
-      val rep = words.filter($"half" === 1L).join(broadcast(enc), Seq("word"))
+      val nTypes = holdoutTypes.count()
+      val encSide =
+        if (nTypes <= broadcastTypeThreshold) broadcast(enc)
+        else {
+          Console.err.println(s"[graft] q335: $nTypes holdout word types " +
+            s"exceed the broadcast threshold $broadcastTypeThreshold — " +
+            "escalating the report join to a shuffle join")
+          enc
+        }
+      val rep = words.filter($"half" === 1L).join(encSide, Seq("word"))
         .groupBy($"lang", $"source")
         .agg(count(lit(1)).as("n_words"), sum($"oov").as("n_oov_words"),
           sum($"n_tok").as("n_bpe_tokens"), sum($"n_chr").as("n_chars"))

@@ -2342,6 +2342,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(Long.MaxValue) == rows(0L))
   }
 
+  test("q335: broadcast and escalated shuffle-join branches are row-identical") {
+    // same counted-branch contract as q325: threshold 0 forces the
+    // loud-logged shuffle-join escalation on the holdout type dictionary
+    def rows(thr: Long) =
+      TextOps.bpeEncodeHoldoutReport(spark, sf, thr).collect()
+        .map(r => (0 until r.length).map(i => r.get(i)).toList).toList
+    assert(rows(Long.MaxValue) == rows(0L))
+  }
+
   test("q333: group folds never split a dup cluster; naive folds measurably do") {
     import spark.implicits._
     val rows = DedupOps.q333GroupFolds(spark, sf).collect()
