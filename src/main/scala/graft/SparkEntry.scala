@@ -1798,6 +1798,47 @@ object SparkEntry {
       .stripMargin
   }
 
+  /** q364's oracle: a DIFFERENT exact algorithm from the Spark suffix
+    * array — the aligned L-gram run reduction. A cross-doc common
+    * substring of length m >= L is exactly a maximal run of m-L+1
+    * consecutive equal L-grams on one (doc_a, doc_b, offset-delta)
+    * diagonal, so gaps-and-islands over the gram self-join recovers
+    * every span exactly; per-doc max over the `da` side covers both
+    * directions because the join keeps both orders. The gram join is
+    * fine HERE (the oracle runs on the bounded sf0.01 fixture) and
+    * deliberately NOT the Spark path — a hot gram is quadratic, which
+    * is the published reason the suffix array exists. */
+  private def q364OracleSql: String = {
+    val l = graft.ops.DedupOps.SfxMinSpan
+    val plants = (graft.ops.DedupOps.SuffixPlant ++
+        graft.ops.SuffixArrayOps.DodgePlant)
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(",\n        |          ")
+    raw"""WITH d AS MATERIALIZED (
+      |  SELECT doc_id, regexp_replace(coalesce(text, ''), ' {2,}', ' ', 'g') AS na
+      |  FROM (SELECT doc_id, text FROM documents
+      |        UNION ALL SELECT * FROM (VALUES $plants) v(doc_id, text))),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id, off, substr(na, off, $l) AS gram
+      |  FROM (SELECT doc_id, na,
+      |          unnest(generate_series(1, length(na) - ${l - 1})) AS off
+      |        FROM d WHERE length(na) >= $l)),
+      |m AS (SELECT a.doc_id AS da, a.off AS oa, b.doc_id AS db, b.off AS ob
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+      |runs AS (SELECT da, CAST(${l - 1} + count(*) AS BIGINT) AS span
+      |  FROM (SELECT da, db, oa - ob AS diag, oa,
+      |          oa - row_number() OVER (PARTITION BY da, db, oa - ob
+      |                                  ORDER BY oa) AS isl
+      |        FROM m)
+      |  GROUP BY da, db, diag, isl),
+      |pd AS (SELECT da AS doc_id, max(span) AS max_xdoc_span
+      |       FROM runs GROUP BY da)
+      |SELECT p.doc_id, CAST(length(d.na) AS BIGINT) AS n_sfx, p.max_xdoc_span
+      |FROM pd p JOIN d USING (doc_id)
+      |WHERE p.max_xdoc_span >= $l
+      |ORDER BY p.doc_id""".stripMargin
+  }
+
   /** q363's oracle: the two generate_series Bernoulli plants + the
     * q291 treatment stream ranked by custkey, per-batch folds, a
     * cumulative-LLR window and the first Wald boundary crossing. */
@@ -3008,6 +3049,7 @@ object SparkEntry {
     "q361_chi_features"   -> PipelineOps.q361ChiFeatures _,
     "q362_psi_drift"      -> PipelineOps.q362PsiDrift _,
     "q363_sprt_gate"      -> PipelineOps.q363SprtGate _,
+    "q364_suffix_array"   -> graft.ops.SuffixArrayOps.q364SuffixArray _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8286,6 +8328,7 @@ object SparkEntry {
     "q361_chi_features" -> q361OracleSql,
     "q362_psi_drift" -> q362OracleSql,
     "q363_sprt_gate" -> q363OracleSql,
+    "q364_suffix_array" -> q364OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

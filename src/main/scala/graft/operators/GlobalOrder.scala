@@ -89,6 +89,86 @@ object GlobalOrder {
     (spark.createDataFrame(numbered, schema), offsets.last)
   }
 
+  /** Distributed DENSE rank over key columns — equal keys share a rank,
+    * ranks start at 1 and have no gaps — without the single-task sort an
+    * unpartitioned `dense_rank()` window degenerates to. The workhorse of
+    * the prefix-doubling suffix sort (X342/q364), where every doubling
+    * round re-ranks (rank, rank2) pairs and needs the count of DISTINCT
+    * keys back to decide termination.
+    *
+    * Same two-phase shape as [[withRowNumberAndTotal]], ONE range shuffle:
+    *   1. `repartitionByRange(keyCols)` + `sortWithinPartitions` — equal
+    *      keys are contiguous, possibly spanning a partition boundary;
+    *   2. a per-partition summary job returning (count, firstKey, lastKey,
+    *      keyChanges) — numPartitions tuples, driver tiny — merged on the
+    *      driver into per-partition starting ranks (a boundary where
+    *      lastKey(i) == firstKey(i+1) continues the run instead of
+    *      starting a new rank);
+    *   3. a narrow map assigning `startRank + local dense index`.
+    *
+    * Returns the ranked frame and the total number of distinct keys (free
+    * from the driver merge). Deterministic regardless of range-boundary
+    * placement: equal keys always sort adjacent, and the boundary merge
+    * makes the assigned rank independent of WHERE the sampler cut. Key
+    * columns must be non-null. */
+  def withDenseRank(df: DataFrame, keyCols: Seq[String], out: String,
+                    numPartitions: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val cols = keyCols.map(df.col)
+    val (input, release) = borrowCache(df)
+    val sorted = input.repartitionByRange(p, cols: _*)
+      .sortWithinPartitions(cols: _*)
+    val sortedRdd = sorted.rdd // shared: summary job + ranking job reuse the shuffle
+    val idxs = keyCols.map(sorted.schema.fieldIndex)
+    val summaries = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator((i, 0L, null: Seq[Any], null: Seq[Any], 0L))
+      else {
+        val fk: Seq[Any] = idxs.map(it.next().get)
+        var last = fk
+        var changes = 0L // key transitions within the partition
+        var cnt = 1L
+        while (it.hasNext) {
+          val k: Seq[Any] = idxs.map(it.next().get)
+          cnt += 1
+          if (k != last) { changes += 1; last = k }
+        }
+        Iterator((i, cnt, fk, last, changes))
+      }
+    }.collect().sortBy(_._1)
+    release()
+    // rank of the FIRST row of each partition; runningRank = rank of the
+    // last row seen so far, runningLast = its key (carried past empties)
+    val firstRank = new Array[Long](summaries.length)
+    var runningLast: Seq[Any] = null
+    var runningRank = 0L
+    summaries.foreach { case (i, cnt, fk, lk, changes) =>
+      if (cnt == 0L) firstRank(i) = runningRank // partition empty — unused
+      else {
+        val startsNew = runningLast == null || fk != runningLast
+        firstRank(i) = runningRank + (if (startsNew) 1L else 0L)
+        runningRank = firstRank(i) + changes
+        runningLast = lk
+      }
+    }
+    val totalDistinct = runningRank
+    val schema = sorted.schema.add(StructField(out, LongType, nullable = false))
+    val ranked = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      var rank = firstRank(i)
+      var prev: Seq[Any] = null
+      var started = false
+      it.map { r =>
+        val k: Seq[Any] = idxs.map(r.get)
+        if (!started) started = true
+        else if (k != prev) rank += 1
+        prev = k
+        Row.fromSeq(r.toSeq :+ rank)
+      }
+    }
+    (spark.createDataFrame(ranked, schema), totalDistinct)
+  }
+
   /** Distributed inclusive prefix sum over a total order — the running-sum
     * analogue of [[withRowNumberAndTotal]] (cumulative revenue, Pareto
     * cuts, equal-bytes packing). Same two-phase shape: ONE range shuffle,

@@ -1,0 +1,281 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.operators.GlobalOrder
+import graft.sources.Tables
+
+/** X342 — EXACT distributed suffix array + LCP over the document corpus:
+  * the structure the published suffix-dedup pipeline (Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better") actually
+  * builds, closing the completeness gap the sampled-anchor lane (X220/
+  * q253, X324/q349) states in its own scaladoc — an adversarial repeat
+  * that dodges every content-defined anchor is invisible there, and
+  * [[DodgePlant]] is exactly such a repeat (searched offline against the
+  * q253 anchor hash so that NO position in its first m−SfxKey+1 chars
+  * fires; the spec re-derives that emptiness with
+  * [[graft.functions.SuffixText.anchorPositions]], demonstrates the q253
+  * miss, and pins this operator finding it at exactly span 51).
+  *
+  * Algorithm (all exact, no sampling, no caps):
+  *   1. suffixes = every (doc_id, off) of the whitespace-normalized text
+  *      (q253's normalization); the initial rank dense-ranks the first
+  *      [[RadixLen]]=32 chars in ONE text-keyed range shuffle — identical
+  *      by definition to five 1→32 doubling rounds, for one shuffle of
+  *      ~40-byte keys instead of five of long pairs (the radix-start
+  *      trade every published SA construction makes; measured it halves
+  *      the round count on this corpus, 10 → 5);
+  *   2. prefix doubling: each round pairs rank(off) with rank(off + len)
+  *      via a doc-partitioned `lead` (suffixes never cross documents, so
+  *      the pairing window is doc-bounded — never an unpartitioned
+  *      window) and re-ranks the pairs with
+  *      [[GlobalOrder.withDenseRank]] — ONE range shuffle per round,
+  *      rounds = ceil(log2(max doc length / RadixLen)), with early stop
+  *      the round all ranks go distinct; every round localCheckpoints
+  *      (q320's lineage rule);
+  *   3. the suffix ARRAY is the final total order (rank, doc_id, off);
+  *      adjacency is read directly off the range partitioning by a
+  *      sliding mapPartitions stitched with the driver-collected first
+  *      row of each partition (≤ numShufflePartitions rows) — ZERO extra
+  *      shuffle for the n−1 adjacent pairs;
+  *   4. survivors = adjacent CROSS-doc pairs whose radix ranks agree
+  *      (first 32 chars equal — a NECESSARY condition for any span ≥
+  *      L=40, carried as a column through the doubling so the prefilter
+  *      is a narrow comparison, never a join);
+  *   5. exact LCP per survivor from the RANK HISTORY: walk levels t =
+  *      T..0, advancing both offsets by RadixLen·2^t whenever the
+  *      level-t ranks at (off + lcp) agree — the classic O(log n)
+  *      suffix-comparison walk — then the sub-RadixLen residual closes
+  *      with one compiled [[graft.functions.SuffixText]] compare of the
+  *      next RadixLen−1 chars, and the result clamps to the shorter
+  *      suffix (two equal-to-end-of-doc suffixes compare equal at every
+  *      level; the clamp restores the true length). Each level's lookups
+  *      ride ONE join against the level's checkpointed rank frame with
+  *      the survivor requests as the broadcast side;
+  *   6. report, per doc with any cross-doc repeat ≥ L: the doc's suffix
+  *      count and its max cross-doc span — for a span held by exactly
+  *      two docs the SA-interval argument guarantees an adjacent pair
+  *      realizes it (any suffix sorting between two occurrences of S
+  *      itself starts with S), and for ≥3-doc spans the per-doc max is
+  *      still exact (the nearest other-doc neighbor inside the S-interval
+  *      is adjacent to a run boundary), so per-doc max over ADJACENT
+  *      pairs equals the true longest cross-doc substring — without ever
+  *      enumerating the quadratic all-pairs of a boilerplate interval.
+  *
+  * The DuckDB oracle is a DIFFERENT exact algorithm (aligned L-gram run
+  * reduction: a common substring of length m ≥ L is exactly a run of
+  * m−L+1 consecutive equal L-grams on one (doc_a, doc_b, offset-delta)
+  * diagonal — gaps-and-islands over the gram join), so the gate
+  * cross-checks two independent exact formulations, not a replay.
+  *
+  * Scale: every doubling round shuffles O(n) 4-long rows (never text);
+  * rank frames are the only checkpointed state (T ≈ log2(max doc len)
+  * frames). The LCP walk touches only the survivor mass (positions
+  * inside ≥32-char repeated regions — repeat-bounded, not corpus-
+  * bounded) with the level tables streamed map-side past the broadcast
+  * requests; levels whose step exceeds the longest document are skipped
+  * (exact — see step 5). The oracle's gram join is NOT the Spark path
+  * precisely because a hot gram explodes quadratically; the SA costs
+  * log-rounds of linear shuffles instead — the published trade.
+  * Measured quiet at sf0.1 (1.49M suffixes, 32 threads): ~21 s total =
+  * radix rank ~5 s + 5 doubling rounds ~7.5 s + adjacency ~1.3 s +
+  * 5-level walk ~5 s + refine/report — the log-linear price of an EXACT
+  * structure where the whole q253 anchor lane costs ~2 s and provably
+  * misses [[DodgePlant]]; both tools stay in the box, this one is the
+  * completeness certificate. The 100 TB form keeps doc-bounded suffixes
+  * (this engine's data model) so no suffix ever exceeds a row; Lee et
+  * al.'s corpus-concatenated variant swaps the doc-window pairing for a
+  * global-offset range join, same round structure. */
+object SuffixArrayOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Report threshold, shared with the q253 lane for comparability. */
+  private[graft] val SaMinSpan: Int = DedupOps.SfxMinSpan
+
+  /** Initial radix width: the first-RadixLen-char prefix is dense-ranked
+    * in one text-keyed shuffle instead of log2(RadixLen) doubling rounds,
+    * and doubles as the survivor prefilter width (RadixLen <= SaMinSpan
+    * keeps prefix equality a NECESSARY condition for any reported
+    * span). */
+  private[graft] val RadixLen: Int = 32
+
+  /** The anchor-dodging span (51 chars, leading/trailing space included):
+    * found by deterministic backtracking search over a word list against
+    * the exact q253 anchor predicate (fp31 of the 8-char context mod
+    * 1000000007 mod 4 == 0) so that NO position in 1..m−SfxKey+1 = 1..28
+    * is an anchor — q253's own scaladoc states detection is decidable
+    * from the span text alone, and this span decides to "miss". The spec
+    * re-derives the emptiness instead of trusting this comment. */
+  private[graft] val DodgeSpan =
+    " granite zenith copper harbor timber meadow cinder "
+
+  /** Dodge plant (disjoint -364xx id range): hosts share ONLY the span —
+    * the flanking characters differ on both sides ('l'/'e' before,
+    * 'm'/'h' after), so the true longest common substring is exactly
+    * len(DodgeSpan) = 51 and the zero shared anchor keys make the pair
+    * provably invisible to q253. */
+  private[graft] val DodgePlant: Seq[(Long, String)] = Seq(
+    -36401L -> ("kestrel" + DodgeSpan + "moonlit"),
+    -36402L -> ("bramble" + DodgeSpan + "harvest"))
+
+  /** Everything the spec needs to certify the build: the gate report,
+    * every survivor pair with its FINAL walked+refined+clamped span (the
+    * spec re-derives each one from the raw suffix texts — the exactness
+    * certificate), the normalized base, and the measured round count. */
+  private[graft] final case class SaBuild(report: DataFrame,
+      pairs: DataFrame, normalized: DataFrame, rounds: Int,
+      nSuffixes: Long, nDistinctFinal: Long)
+
+  def q364SuffixArray(s: SparkSession, dir: String): DataFrame =
+    build(s, dir).report
+
+  private[graft] def build(s: SparkSession, dir: String): SaBuild = {
+    import s.implicits._
+    val plant = (DedupOps.SuffixPlant ++ DodgePlant).toDF("doc_id", "text")
+    val base = docs(s, dir).select($"doc_id", $"text")
+      .unionByName(plant)
+      .select($"doc_id",
+        regexp_replace(coalesce($"text", lit("")), " {2,}", " ").as("na"))
+      .filter(length($"na") > 0)
+
+    val maxLen = base.agg(max(length($"na"))).head().getInt(0).toLong
+
+    // 1. radix-32 initialization: dense-rank the 32-char prefix of every
+    // suffix in ONE text-keyed range shuffle — identical by definition to
+    // the rank five 1→32 doubling rounds would produce, for one shuffle
+    // of ~40-byte keys instead of five of long pairs (the DC3/radix-start
+    // trade every published SA construction makes). RadixLen = 32 is also
+    // the L-prefilter width: equal initial ranks ⟺ equal first-32 chars,
+    // a NECESSARY condition for any span >= L=40, carried for free.
+    val pre = base
+      .select($"doc_id", $"na", length($"na").cast("long").as("dlen"))
+      .withColumn("off", explode(expr("sequence(1L, dlen, 1L)")))
+      .select($"doc_id", $"dlen", $"off",
+        expr(s"substring(na, CAST(off AS INT), $RadixLen)").as("k"))
+    val (pre1, nDist0) = GlobalOrder.withDenseRank(pre, Seq("k"), "rank")
+
+    // 2. prefix doubling; levels(i) holds the rank of
+    // substring(off, RadixLen * 2^i)
+    var cur = pre1.drop("k").withColumn("r32", $"rank").localCheckpoint()
+    val nSuffixes = cur.count()
+    var levels = Vector[DataFrame](cur)
+    var len = RadixLen.toLong
+    var rounds = 0
+    var nDist = nDist0
+    val docW = Window.partitionBy($"doc_id").orderBy($"off")
+    while (len < maxLen && nDist < nSuffixes) {
+      val paired = cur.withColumn("r2",
+        lead($"rank", len.toInt, -1L).over(docW))
+      val (ranked, d) = GlobalOrder.withDenseRank(paired, Seq("rank", "r2"), "nrank")
+      val next = ranked.drop("rank", "r2").withColumnRenamed("nrank", "rank")
+      len *= 2
+      rounds += 1
+      nDist = d
+      cur = next.localCheckpoint()
+      levels = levels :+ cur
+    }
+
+    // 3. the suffix array + zero-shuffle adjacency off the range partitions
+    val (saDf, _) = GlobalOrder.withRowNumberAndTotal(
+      cur, Seq($"rank", $"doc_id", $"off"), "rn")
+    val saRdd = saDf.rdd
+    val iDoc = saDf.schema.fieldIndex("doc_id")
+    val iLen = saDf.schema.fieldIndex("dlen")
+    val iOff = saDf.schema.fieldIndex("off")
+    val iR32 = saDf.schema.fieldIndex("r32")
+    val firsts = saRdd.mapPartitionsWithIndex((i, it) =>
+        if (it.hasNext) Iterator((i, it.next())) else Iterator.empty)
+      .collect().toMap
+    val nParts = saRdd.getNumPartitions
+    val successor: Map[Int, Row] = (0 until nParts).flatMap { i =>
+      ((i + 1) until nParts).find(firsts.contains).map(j => i -> firsts(j))
+    }.toMap
+    val pairSchema = StructType(Seq(
+      StructField("da", LongType, nullable = false),
+      StructField("oa", LongType, nullable = false),
+      StructField("la", LongType, nullable = false),
+      StructField("r32a", LongType, nullable = false),
+      StructField("db", LongType, nullable = false),
+      StructField("ob", LongType, nullable = false),
+      StructField("lb", LongType, nullable = false),
+      StructField("r32b", LongType, nullable = false)))
+    val adjRdd = saRdd.mapPartitionsWithIndex { (i, it) =>
+      val extended = successor.get(i) match {
+        case Some(next) => it ++ Iterator(next)
+        case None       => it
+      }
+      extended.sliding(2).withPartial(false).map { w =>
+        val a = w.head; val b = w(1)
+        Row(a.getLong(iDoc), a.getLong(iOff), a.getLong(iLen), a.getLong(iR32),
+            b.getLong(iDoc), b.getLong(iOff), b.getLong(iLen), b.getLong(iR32))
+      }
+    }
+    val adj = s.createDataFrame(adjRdd, pairSchema)
+
+    // 4. survivors: cross-doc adjacent pairs that MIGHT reach L (narrow)
+    var pairs = adj.filter($"da" =!= $"db" && $"r32a" === $"r32b")
+      .select($"da", $"oa", $"la", $"db", $"ob", $"lb", lit(0L).as("lcp"))
+      .localCheckpoint()
+
+    // 5. exact LCP via the rank-history walk, top level down; each level
+    // resolves RadixLen * 2^t chars, the sub-RadixLen residual closes
+    // with one bounded text compare in step 5b. Levels whose step exceeds
+    // the longest document are skipped — equality there can only be the
+    // both-truncated (equal-to-end) case, which the remaining levels
+    // accumulate past the suffix end and the step-6 clamp restores, so
+    // the skip is exact (one fewer full-table scan per skipped level).
+    val walkTop = (rounds to 0 by -1)
+      .find(t => (RadixLen.toLong << t) <= maxLen).getOrElse(0)
+    for (t <- walkTop to 0 by -1) {
+      val step = RadixLen.toLong << t
+      val lt = levels(t).select($"doc_id", $"off", $"rank")
+      val reqs = pairs.select($"da", $"oa", lit(1L).as("side"),
+          $"da".as("doc_id"), ($"oa" + $"lcp").as("off"))
+        .unionByName(pairs.select($"da", $"oa", lit(2L).as("side"),
+          $"db".as("doc_id"), ($"ob" + $"lcp").as("off")))
+      val hits = reqs.join(lt, Seq("doc_id", "off"))
+        .groupBy($"da", $"oa")
+        .agg(max(when($"side" === 1L, $"rank")).as("rka"),
+             max(when($"side" === 2L, $"rank")).as("rkb"))
+        .filter($"rka".isNotNull && $"rkb" === $"rka")
+        .select($"da", $"oa", lit(step).as("add"))
+      pairs = pairs.join(hits, Seq("da", "oa"), "left")
+        .withColumn("lcp", $"lcp" + coalesce($"add", lit(0L)))
+        .drop("add")
+        .localCheckpoint()
+    }
+
+    // 5b. residual: after the walk the remaining common run is
+    // < RadixLen chars; ONE compiled-kernel compare of the next
+    // RadixLen-1 chars (windows fetched by joining the bounded doc
+    // frame, survivors broadcast) closes it exactly
+    graft.functions.SuffixText.register(s)
+    val naA = base.select($"doc_id".as("da"), $"na".as("naa"))
+    val naB = base.select($"doc_id".as("db"), $"na".as("nab"))
+    val refined = pairs.join(naA, Seq("da")).join(naB, Seq("db"))
+      .withColumn("lcp", $"lcp" + expr(
+        s"""graft_lcp(
+           |  substring(naa, CAST(oa + lcp AS INT), ${RadixLen - 1}),
+           |  substring(nab, CAST(ob + lcp AS INT), ${RadixLen - 1}))"""
+          .stripMargin))
+      .drop("naa", "nab")
+
+    // 6. clamp equal-to-end overshoot, threshold, fold per doc
+    val spansAll = refined.select($"da", $"oa", $"db", $"ob",
+        least($"lcp", $"la" - $"oa" + 1L, $"lb" - $"ob" + 1L).as("span"))
+    val spans = spansAll.filter($"span" >= SaMinSpan.toLong)
+    val perDoc = spans.select($"da".as("doc_id"), $"span")
+      .unionByName(spans.select($"db".as("doc_id"), $"span"))
+      .groupBy($"doc_id").agg(max($"span").as("max_xdoc_span"))
+    val report = base
+      .select($"doc_id", length($"na").cast("long").as("n_sfx"))
+      .join(perDoc, Seq("doc_id"))
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_sfx", $"max_xdoc_span")
+    SaBuild(report, spansAll, base, rounds, nSuffixes, nDist)
+  }
+}

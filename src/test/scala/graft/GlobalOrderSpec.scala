@@ -88,4 +88,28 @@ class GlobalOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("frontier")).toMap
     assert(p7 == expected)
   }
+
+  test("withDenseRank equals the unpartitioned dense_rank window, with total") {
+    import spark.implicits._
+    // modulo keys force plenty of ties, including runs that straddle the
+    // range-partition boundaries the driver merge must stitch
+    val df = base.select($"o_orderkey",
+      ($"o_custkey" % 17L).as("k1"), ($"o_orderkey" % 5L).as("k2"))
+    val expected = df
+      .withColumn("dr", dense_rank()
+        .over(Window.orderBy($"k1", $"k2")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("dr")).toMap
+    val nDistinct = df.select($"k1", $"k2").distinct().count()
+    val (got, total) = GlobalOrder.withDenseRank(df, Seq("k1", "k2"), "dr")
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getAs[Long]("dr")).toMap
+    assert(total == nDistinct)
+    assert(gotMap == expected)
+    // partition count never changes the assigned ranks (boundary stitch)
+    for (p <- Seq(1, 7)) {
+      val (gp, tp) = GlobalOrder.withDenseRank(df, Seq("k1", "k2"), "dr", p)
+      assert(tp == nDistinct)
+      assert(gp.collect().map(r => r.getLong(0) -> r.getAs[Long]("dr")).toMap
+        == expected, s"partitions=$p")
+    }
+  }
 }

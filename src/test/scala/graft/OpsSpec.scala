@@ -106,6 +106,68 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("q364: exact SA recovers the q253 lane AND the anchor-dodging repeat") {
+    import graft.ops.{DedupOps, SuffixArrayOps}
+    // (a) the dodge span has NO anchor in positions 1..m-SfxKey+1 — q253's
+    // own decidability criterion (its scaladoc: a span is found iff an
+    // anchor fires there) says the repeat is invisible to the anchor lane
+    val span = SuffixArrayOps.DodgeSpan
+    assert(span.length == 51 && span.length >= DedupOps.SfxMinSpan)
+    val dodgeAnchors = (0 to span.length - DedupOps.SfxKey).filter(i =>
+      Fingerprint.hashString(span.substring(i, i + DedupOps.SfxCtx))
+        % DedupOps.SfxMod == 0)
+    assert(dodgeAnchors.isEmpty, "dodge span gained an anchor — regenerate")
+    // (b) operationally: the two dodge hosts share ZERO anchor keys, so
+    // q253's key join can never even produce the candidate pair
+    def keys(t: String): Set[String] = {
+      val na = t.replaceAll(" {2,}", " ")
+      (0 to na.length - DedupOps.SfxKey).filter(i =>
+        Fingerprint.hashString(na.substring(i, i + DedupOps.SfxCtx))
+          % DedupOps.SfxMod == 0)
+        .map(i => na.substring(i, i + DedupOps.SfxKey)).toSet
+    }
+    val Seq((idA, tA), (idB, tB)) = SuffixArrayOps.DodgePlant
+    assert(keys(tA).nonEmpty || keys(tB).nonEmpty) // hosts do have anchors...
+    assert(keys(tA).intersect(keys(tB)).isEmpty)   // ...but never shared ones
+    // (c) the suffix array reports both dodge docs at EXACTLY the span
+    val b = SuffixArrayOps.build(spark, sf)
+    val rep = b.report.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep(idA)._2 == span.length.toLong, s"got ${rep.get(idA)}")
+    assert(rep(idB)._2 == span.length.toLong, s"got ${rep.get(idB)}")
+    // (d) strict superset of the anchor lane: every q253-reported pair's
+    // span is matched or exceeded per doc (q253's LCE never overstates a
+    // common substring, so >= is the exact containment relation); this is
+    // also the q349 guarantee, whose strip spans derive from q253's
+    val q253 = DedupOps.q253SuffixRepeats(spark, sf).collect()
+    assert(q253.nonEmpty)
+    q253.foreach { r =>
+      val (a, bb, sp) = (r.getLong(0), r.getLong(1), r.getAs[Long]("max_span"))
+      assert(rep.contains(a) && rep(a)._2 >= sp, s"doc $a lost span $sp")
+      assert(rep.contains(bb) && rep(bb)._2 >= sp, s"doc $bb lost span $sp")
+    }
+    // (e) exactness certificate: every survivor pair's walked+refined+
+    // clamped span equals a character-by-character driver replay from the
+    // raw suffix texts (ASCII corpus: String indexing == codepoints)
+    val texts = b.normalized.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairRows = b.pairs.collect()
+    assert(pairRows.length > q253.length)
+    pairRows.foreach { r =>
+      val (da, oa) = (r.getAs[Long]("da"), r.getAs[Long]("oa"))
+      val (db, ob) = (r.getAs[Long]("db"), r.getAs[Long]("ob"))
+      val sa = texts(da).substring(oa.toInt - 1)
+      val sb = texts(db).substring(ob.toInt - 1)
+      val want = sa.zip(sb).takeWhile { case (x, y) => x == y }.size.toLong
+      assert(r.getAs[Long]("span") == want, s"pair ($da,$oa)-($db,$ob)")
+    }
+    // (f) round count pinned: radix 32, maxLen 558 at this fixture →
+    // exactly 5 doublings (32→1024), no premature all-distinct stop
+    // because near-dup corpus docs share >= 512-char prefixes
+    assert(b.rounds == 5, s"rounds ${b.rounds}")
+    assert(b.nDistinctFinal <= b.nSuffixes && b.nSuffixes > 150000L)
+  }
+
   test("q253: variable-length repeated spans that 5-gram dedup cannot see") {
     import graft.ops.DedupOps
     val plant = DedupOps.SuffixPlant.toMap

@@ -765,6 +765,13 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q364_suffix_array" -> 7, // the REPORT stage only: the radix rank,
+                             // 5 doubling rounds and the LCP walk are
+                             // localCheckpointed inside the builder
+                             // (ExchProbe-measured; lineage cut is the
+                             // q320 rule), leaving the per-doc span agg
+                             // (union + hash agg), the base join and the
+                             // deterministic orderBy
     "q363_sprt_gate" -> 0,   // collect-local 3-row report; per scope ONE
                              // combinable batch fold (plants in-query,
                              // corpus via GlobalOrder rank), LLR walk is
