@@ -1130,6 +1130,127 @@ object SparkEntry {
        |ORDER BY q_id""".stripMargin
   }
 
+  /** q365's oracle: q336's four Lloyd's chains + codes + LUTs verbatim,
+    * plus the coarse quantizer — 8 seed centroids (lowest real corpus
+    * ids), corpus assignment and per-query nprobe=2 probe lists by exact
+    * d² argmin (ties to the lowest centroid id), ADC ranked over the
+    * PROBED rows only, and the two loss terms (ADC recall vs the coarse
+    * ceiling) reported separately. */
+  private def q365OracleSql: String = {
+    def kmChain(m: Int): String = {
+      val lo = m * 16 + 1; val hi = (m + 1) * 16
+      def assignBlock(out: String, cents: String) =
+        s"""$out AS MATERIALIZED (SELECT vec_id, q, cid, d FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+           |      SELECT e.vec_id, e.q, c.cid,
+           |        list_sum(list_transform(generate_series(1, len(e.q)),
+           |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+           |      FROM e$m e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+      def updateBlock(k: Int) =
+        s"""x${k}_$m AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a${k}_$m),
+           |s${k}_$m AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+           |       FROM x${k}_$m GROUP BY cid, i),
+           |u${k}_$m AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+           |       FROM s${k}_$m GROUP BY cid),
+           |c${k}_$m AS MATERIALIZED (SELECT c${k - 1}_$m.cid, coalesce(u${k}_$m.c, c${k - 1}_$m.c) AS c
+           |       FROM c${k - 1}_$m LEFT JOIN u${k}_$m USING (cid))""".stripMargin
+      s"""e$m AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q FROM pqc),
+         |c0_$m AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+         |       FROM (SELECT vec_id, q FROM e$m ORDER BY vec_id LIMIT 8)),
+         |${assignBlock(s"a1_$m", s"c0_$m")},
+         |${updateBlock(1)},
+         |${assignBlock(s"a2_$m", s"c1_$m")},
+         |${updateBlock(2)},
+         |${assignBlock(s"a3_$m", s"c2_$m")}""".stripMargin
+    }
+    val luts = (0 until 4).map { m =>
+      val lo = m * 16
+      s"""SELECT q.q_id, CAST($m AS BIGINT) AS m, c.cid,
+         |    list_sum(list_transform(generate_series(1, 16),
+         |      i -> (q.q[$lo + i] - c.c[i]) * (q.q[$lo + i] - c.c[i]))) AS d2
+         |  FROM qry q CROSS JOIN c2_$m c""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH eqn AS MATERIALIZED (
+       |  SELECT vec_id, q FROM (SELECT vec_id,
+       |      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |    FROM embeddings)
+       |  WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |qry AS MATERIALIZED (SELECT vec_id AS q_id, q FROM eqn
+       |  WHERE vec_id >= 8 AND vec_id < 18),
+       |pqc AS MATERIALIZED (
+       |  SELECT vec_id, q FROM eqn WHERE vec_id >= 18
+       |  UNION ALL SELECT -1000 - q_id AS vec_id,
+       |    list_transform(q, (x, i) -> CASE WHEN i = 1 THEN x + 1 ELSE x END) AS q
+       |  FROM qry),
+       |${(0 until 4).map(kmChain).mkString(",\n")},
+       |codes AS MATERIALIZED (
+       |  SELECT a3_0.vec_id, a3_0.cid AS k0, a3_1.cid AS k1,
+       |    a3_2.cid AS k2, a3_3.cid AS k3
+       |  FROM a3_0 JOIN a3_1 USING (vec_id) JOIN a3_2 USING (vec_id)
+       |    JOIN a3_3 USING (vec_id)),
+       |lut AS MATERIALIZED (
+       |  $luts),
+       |cc AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ccid, q AS c
+       |  FROM (SELECT vec_id, q FROM pqc WHERE vec_id >= 18 ORDER BY vec_id LIMIT 8)),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, ccid AS cluster FROM (
+       |    SELECT p.vec_id, c.ccid,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(p.q)),
+       |          i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))), c.ccid) AS rn
+       |    FROM pqc p CROSS JOIN cc c) WHERE rn = 1),
+       |probe AS MATERIALIZED (
+       |  SELECT q_id, ccid AS cluster FROM (
+       |    SELECT q.q_id, c.ccid,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.q)),
+       |          i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))), c.ccid) AS rn
+       |    FROM qry q CROSS JOIN cc c) WHERE rn <= 2),
+       |pr AS (SELECT probe.q_id, codes.vec_id, codes.k0, codes.k1,
+       |    codes.k2, codes.k3
+       |  FROM codes JOIN asg USING (vec_id)
+       |  JOIN probe ON probe.cluster = asg.cluster),
+       |adcr AS MATERIALIZED (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rk
+       |  FROM (SELECT pr.q_id, pr.vec_id,
+       |      l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc
+       |    FROM pr
+       |    JOIN lut l0 ON l0.q_id = pr.q_id AND l0.m = 0 AND l0.cid = pr.k0
+       |    JOIN lut l1 ON l1.q_id = pr.q_id AND l1.m = 1 AND l1.cid = pr.k1
+       |    JOIN lut l2 ON l2.q_id = pr.q_id AND l2.m = 2 AND l2.cid = pr.k2
+       |    JOIN lut l3 ON l3.q_id = pr.q_id AND l3.m = 3 AND l3.cid = pr.k3)),
+       |np AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_probed
+       |  FROM adcr GROUP BY q_id),
+       |extop AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, p.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(p.q)),
+       |          i -> (p.q[i] - q.q[i]) * (p.q[i] - q.q[i]))), p.vec_id) AS rk
+       |    FROM pqc p CROSS JOIN qry q)
+       |  WHERE rk <= 10),
+       |hits AS (SELECT e.q_id,
+       |    CAST(count(a.q_id) AS BIGINT) AS n_hits,
+       |    CAST(count(p.q_id) AS BIGINT) AS ceil_hits
+       |  FROM extop e
+       |  LEFT JOIN (SELECT q_id, vec_id FROM adcr WHERE rk <= 10) a
+       |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+       |  LEFT JOIN (SELECT q_id, vec_id FROM adcr) p
+       |    ON e.q_id = p.q_id AND e.vec_id = p.vec_id
+       |  GROUP BY e.q_id),
+       |twin AS (SELECT q_id, rk FROM adcr WHERE vec_id = -1000 - q_id)
+       |SELECT np.q_id, np.n_probed, hits.n_hits,
+       |  hits.n_hits * 1000000 // 10 AS recall_ppm,
+       |  hits.ceil_hits,
+       |  hits.ceil_hits * 1000000 // 10 AS ceiling_ppm,
+       |  coalesce(twin.rk, CAST(0 AS BIGINT)) AS twin_rank,
+       |  CASE WHEN twin.rk IS NOT NULL AND twin.rk <= 10
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS twin_top10
+       |FROM np JOIN hits USING (q_id) LEFT JOIN twin USING (q_id)
+       |ORDER BY np.q_id""".stripMargin
+  }
+
   /** q337's oracle: both planted domains regenerate from the SAME
     * arithmetic as the Spark query (string_agg over generate_series —
     * no corpus-sized literal), the per-source bigram loss replays q107's
@@ -3050,6 +3171,7 @@ object SparkEntry {
     "q362_psi_drift"      -> PipelineOps.q362PsiDrift _,
     "q363_sprt_gate"      -> PipelineOps.q363SprtGate _,
     "q364_suffix_array"   -> graft.ops.SuffixArrayOps.q364SuffixArray _,
+    "q365_ivf_adc"        -> SimilarityOps.q365IvfAdc _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8329,6 +8451,7 @@ object SparkEntry {
     "q362_psi_drift" -> q362OracleSql,
     "q363_sprt_gate" -> q363OracleSql,
     "q364_suffix_array" -> q364OracleSql,
+    "q365_ivf_adc" -> q365OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

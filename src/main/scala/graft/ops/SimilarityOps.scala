@@ -506,6 +506,57 @@ object SimilarityOps {
       .orderBy($"q_id")
   }
 
+  /** PQ geometry shared by X310 (q336) and X343 (q365): 64 dims → PqM=4
+    * subspaces × PqSubDim=16 dims, PqK=8 centroids per codebook. */
+  private[ops] val PqM = 4
+  private[ops] val PqSubDim = 16
+  private[ops] val PqK = 8
+
+  /** Train the 4 subspace codebooks (the SAME Lloyd's core as q106/q322)
+    * over a caller-persisted milli corpus and encode every vector to 4
+    * code bytes via ONE union+pivot aggregation (never 3 self-joins).
+    * Factored out of q336 so X343's IVFADC composes the identical
+    * quantizer; returns the codes frame and the per-subspace centroid
+    * tables (driver arrays, PqM × PqK × PqSubDim longs). */
+  private[ops] def pqTrainEncode(s: SparkSession, corpus: DataFrame)
+      : (DataFrame, IndexedSeq[Array[(Int, Array[Long])]]) = {
+    import s.implicits._
+    val trained = (0 until PqM).map { m =>
+      val sub = corpus.select($"vec_id",
+        expr(s"slice(q, ${m * PqSubDim + 1}, $PqSubDim)").as("q"))
+      val (asg, cents) = kmeansAssignWithCents(s, sub, PqK, 3)
+      (asg.select($"vec_id", lit(m.toLong).as("m"),
+        $"cid".cast("long").as("cid")), cents)
+    }
+    val codes = trained.map(_._1).reduce(_ unionByName _)
+      .groupBy($"vec_id")
+      .agg(
+        max(when($"m" === 0L, $"cid")).as("c0"),
+        max(when($"m" === 1L, $"cid")).as("c1"),
+        max(when($"m" === 2L, $"cid")).as("c2"),
+        max(when($"m" === 3L, $"cid")).as("c3"))
+    (codes, trained.map(_._2))
+  }
+
+  /** The driver-built asymmetric-distance lookup rows: per query, PqM
+    * tables of PqK exact int64 subspace d² values. */
+  private[ops] def pqLutRows(qRows: Array[(Long, Array[Long])],
+      trainedCents: IndexedSeq[Array[(Int, Array[Long])]])
+      : Seq[(Long, Seq[Long], Seq[Long], Seq[Long], Seq[Long])] = {
+    val lutRows = qRows.map { case (qid, qv) =>
+      val luts = (0 until PqM).map { m =>
+        val cents = trainedCents(m).sortBy(_._1)
+        cents.map { case (_, c) =>
+          (0 until PqSubDim).map { i =>
+            val d = qv(m * PqSubDim + i) - c(i); d * d
+          }.sum
+        }.toSeq
+      }
+      (qid, luts(0), luts(1), luts(2), luts(3))
+    }
+    lutRows.toSeq
+  }
+
   /** X310 — product-quantization codebooks + asymmetric-distance recall
     * audit (the published PQ recipe, integer-exact): the ANN lane's
     * MEMORY story — q56/q38 index but still store full vectors; PQ
@@ -526,18 +577,21 @@ object SimilarityOps {
     * deterministic k-means init, which is stated rather than avoided).
     *
     * Scale: codebook training is 4 independent Lloyd's runs over NARROW
-    * 16-dim projections of ONE persisted corpus cache; encoding folds
-    * the 4 assignments into codes via ONE union+pivot aggregation
-    * (never 3 self-joins); the LUT is driver-built (|queries|×4×8
-    * longs) and rides a broadcast literal; ranking windows partition by
-    * the SAMPLED query batch (q177's calibration convention — a
-    * production serving path keeps only the 4-byte codes and scans them
-    * at memory bandwidth). */
+    * 16-dim projections of ONE persisted corpus cache (the shared
+    * [[pqTrainEncode]]); encoding folds the 4 assignments into codes via
+    * ONE union+pivot aggregation (never 3 self-joins); the LUT is
+    * driver-built (|queries|×4×8 longs) and rides a broadcast literal.
+    * This query is the QUANTIZATION-LOSS AUDIT and deliberately ranks
+    * ADC against the whole code table (the q37 brute-audit convention,
+    * bounded query batch) so the measured recall isolates the codes from
+    * any probe policy; the production SERVING path — ADC over probed
+    * inverted lists only, corpus·nprobe/K rows per query — is the
+    * composed [[q365IvfAdc]], which separates the two loss terms this
+    * audit folds together. */
   def q336PqRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.LongType
     graft.functions.SquaredDistance.register(s)
-    val M = 4; val SubDim = 16; val K = 8
     val eAll = Tables.load(s, dir, "embeddings")
       .selectExpr("vec_id",
         s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
@@ -551,34 +605,11 @@ object SimilarityOps {
     val corpus = eAll.filter($"vec_id" >= IvfCorpusLo)
       .unionByName(twins).persist()
     try {
-      val trained = (0 until M).map { m =>
-        val sub = corpus.select($"vec_id",
-          expr(s"slice(q, ${m * SubDim + 1}, $SubDim)").as("q"))
-        val (asg, cents) = kmeansAssignWithCents(s, sub, K, 3)
-        (asg.select($"vec_id", lit(m.toLong).as("m"),
-          $"cid".cast("long").as("cid")), cents)
-      }
-      val codes = trained.map(_._1).reduce(_ unionByName _)
-        .groupBy($"vec_id")
-        .agg(
-          max(when($"m" === 0L, $"cid")).as("c0"),
-          max(when($"m" === 1L, $"cid")).as("c1"),
-          max(when($"m" === 2L, $"cid")).as("c2"),
-          max(when($"m" === 3L, $"cid")).as("c3"))
+      val (codes, trainedCents) = pqTrainEncode(s, corpus)
       // driver-built asymmetric lookup tables: |queries| × 4 × 8 longs
       val qRows = queries.orderBy($"vec_id")
         .select($"vec_id", $"q").as[(Long, Array[Long])].collect()
-      val lutRows = qRows.map { case (qid, qv) =>
-        val luts = (0 until M).map { m =>
-          val cents = trained(m)._2.sortBy(_._1)
-          cents.map { case (_, c) =>
-            (0 until SubDim).map { i =>
-              val d = qv(m * SubDim + i) - c(i); d * d
-            }.sum
-          }.toSeq
-        }
-        (qid, luts(0), luts(1), luts(2), luts(3))
-      }.toSeq
+      val lutRows = pqLutRows(qRows, trainedCents)
       val lutDf = broadcast(
         lutRows.toDF("q_id", "l0", "l1", "l2", "l3"))
       val adcRanked = codes.crossJoin(lutDf)
@@ -619,6 +650,137 @@ object SimilarityOps {
         LocalReport.frame(s, rep.toSeq,
           ("q_id", LongType), ("n_hits", LongType),
           ("recall_ppm", LongType), ("twin_adc_rank", LongType),
+          ("twin_top10", LongType))
+      } finally adcRanked.unpersist(blocking = false)
+    } finally corpus.unpersist(blocking = false)
+  }
+
+  /** q365's coarse-quantizer geometry: 8 seed lists, 2 probed per query. */
+  private[ops] val IvfAdcCoarseK = 8
+  private[ops] val IvfAdcNProbe = 2
+
+  /** X343 — IVFADC: the COMPOSED production ANN serving path (Jégou et
+    * al.'s canonical index), closing the r13 finding that q336's ADC
+    * audit ranks the full code table per query in one window partition.
+    * Here the coarse quantizer (the [[IvfAdcCoarseK]] lowest real corpus
+    * ids as deterministic seed centroids — q56's replayable-seed
+    * convention; swapping in q106's trained centroids changes recall,
+    * not the dataflow) splits the corpus into inverted lists, each query
+    * probes its [[IvfAdcNProbe]] nearest lists, and ADC ranks ONLY the
+    * probed rows — corpus·nprobe/K per query, the serving claim q336's
+    * scaladoc made and its plan did not deliver.
+    *
+    * The report keeps BOTH loss terms separate, which is the honest
+    * IVFADC measurement: recall_ppm (ADC top-10 ∩ exact global top-10 —
+    * coarse miss AND quantization loss) and ceiling_ppm (exact top-10 ∩
+    * probed universe — the coarse miss alone, the best ANY in-list
+    * ranker could do at this nprobe). The planted 1-milli twin (q336's
+    * discipline) must land in the probed lists and at ADC rank 1 —
+    * twin_rank carries a 0 sentinel if the coarse probe ever lost it.
+    *
+    * Scale: codebooks and codes come from the SHARED [[pqTrainEncode]];
+    * the coarse assignment is one narrow argmin over a centroid literal
+    * (q106's idiom); probe pairs and LUTs are driver math over the
+    * bounded query batch, broadcast; the codes⋈cluster equi-join is the
+    * index-build co-partition (a production build writes (cluster,
+    * codes) in one pass); the ranking window partitions by q_id over
+    * probed rows only. The exact-top-10 truth leg stays the q37
+    * brute-audit convention over the bounded batch. */
+  def q365IvfAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.LongType
+    graft.functions.SquaredDistance.register(s)
+    val eAll = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      .filter(expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+    val queries = eAll
+      .filter($"vec_id" >= IvfQueryLo && $"vec_id" < IvfCorpusLo)
+    val twins = queries.select((lit(-1000L) - $"vec_id").as("vec_id"),
+      expr("transform(q, (x, i) -> CASE WHEN i = 0 THEN x + 1 ELSE x END)")
+        .as("q"))
+    val corpus = eAll.filter($"vec_id" >= IvfCorpusLo)
+      .unionByName(twins).persist()
+    try {
+      val (codes, trainedCents) = pqTrainEncode(s, corpus)
+      // coarse seeds: the CoarseK lowest REAL corpus ids (twins excluded —
+      // a twin centroid would gift every query its own list)
+      val coarse: Array[(Int, Array[Long])] =
+        corpus.filter($"vec_id" >= IvfCorpusLo)
+          .orderBy($"vec_id").limit(IvfAdcCoarseK)
+          .select($"q").as[Array[Long]].collect().zipWithIndex.map(_.swap)
+      val coarseLit = array(coarse.map { case (cid, c) =>
+        struct(lit(cid.toLong).as("cid"), array(c.map(lit(_)): _*).as("c"))
+      }: _*)
+      val scored = transform(coarseLit, ct => struct(
+        call_function("graft_dist2", $"q", ct.getField("c")).as("d"),
+        ct.getField("cid").as("cid")))
+      val assigned = corpus.withColumn("best", array_min(scored))
+        .select($"vec_id", $"best.cid".as("cluster"))
+      val qRows = queries.orderBy($"vec_id")
+        .select($"vec_id", $"q").as[(Long, Array[Long])].collect()
+      def d2(a: Array[Long], b: Array[Long]): Long = {
+        var acc = 0L; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        acc
+      }
+      val probePairs = qRows.toSeq.flatMap { case (qid, qv) =>
+        coarse.map { case (cid, c) => (cid.toLong, d2(qv, c)) }
+          .sortBy { case (cid, d) => (d, cid) }.take(IvfAdcNProbe)
+          .map { case (cid, _) => (qid, cid) }
+      }
+      val probeDf = broadcast(probePairs.toDF("q_id", "cluster"))
+      val lutDf = broadcast(
+        pqLutRows(qRows, trainedCents).toDF("q_id", "l0", "l1", "l2", "l3"))
+      val adcRanked = codes.join(assigned, Seq("vec_id"))
+        .join(probeDf, Seq("cluster"))
+        .join(lutDf, Seq("q_id"))
+        .withColumn("adc", expr(
+          """element_at(l0, CAST(c0 + 1 AS INT)) +
+            |element_at(l1, CAST(c1 + 1 AS INT)) +
+            |element_at(l2, CAST(c2 + 1 AS INT)) +
+            |element_at(l3, CAST(c3 + 1 AS INT))""".stripMargin))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"adc", $"vec_id")).cast("long"))
+        .select($"q_id", $"vec_id", $"rk")
+        .persist()
+      try {
+        val nProbed = adcRanked.groupBy($"q_id")
+          .agg(count(lit(1)).as("n_probed"))
+        val qLit = broadcast(qRows.toSeq.toDF("q_id", "qv"))
+        val exactTop = corpus.crossJoin(qLit)
+          .withColumn("d2", expr("graft_dist2(q, qv)"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")))
+          .filter($"rk" <= 10)
+          .select($"q_id", $"vec_id")
+        val adcTop = adcRanked.filter($"rk" <= 10L)
+          .select($"q_id", $"vec_id", lit(1L).as("hit"))
+        val inProbe = adcRanked.select($"q_id", $"vec_id", lit(1L).as("pv"))
+        val hits = exactTop
+          .join(adcTop, Seq("q_id", "vec_id"), "left")
+          .join(inProbe, Seq("q_id", "vec_id"), "left")
+          .groupBy($"q_id")
+          .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"),
+               sum(coalesce($"pv", lit(0L))).as("ceil_hits"))
+        val twinRank = adcRanked
+          .filter($"vec_id" === lit(-1000L) - $"q_id")
+          .select($"q_id", $"rk".as("twin_rank_raw"))
+        val rep = nProbed.join(hits, Seq("q_id"))
+          .join(twinRank, Seq("q_id"), "left")
+          .select($"q_id", $"n_probed", $"n_hits",
+            expr("n_hits * 1000000 div 10").as("recall_ppm"),
+            $"ceil_hits",
+            expr("ceil_hits * 1000000 div 10").as("ceiling_ppm"),
+            coalesce($"twin_rank_raw", lit(0L)).as("twin_rank"),
+            when($"twin_rank_raw".isNotNull && $"twin_rank_raw" <= 10L, 1L)
+              .otherwise(0L).as("twin_top10"))
+          .orderBy($"q_id")
+          .collect()
+        LocalReport.frame(s, rep.toSeq,
+          ("q_id", LongType), ("n_probed", LongType), ("n_hits", LongType),
+          ("recall_ppm", LongType), ("ceil_hits", LongType),
+          ("ceiling_ppm", LongType), ("twin_rank", LongType),
           ("twin_top10", LongType))
       } finally adcRanked.unpersist(blocking = false)
     } finally corpus.unpersist(blocking = false)

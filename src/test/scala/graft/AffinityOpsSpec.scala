@@ -1510,6 +1510,35 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("n_hits")).sum >= 15L)
   }
 
+  // ------------------------------------------------------------- X343
+
+  test("ivfadc: probe restricts the ranked set, losses ordered, twin survives") {
+    import spark.implicits._
+    val rows = graft.ops.SimilarityOps.q365IvfAdc(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("q_id")).toSeq == (8L to 17L))
+    // the probed universe really is a strict subset: corpus (>=18 plus
+    // the 10 twins) vs nprobe=2 of 8 lists
+    val corpusN = graft.sources.Tables.load(spark, sf, "embeddings")
+      .filter($"vec_id" >= 18L).count() + 10L
+    rows.foreach { r =>
+      val probed = r.getAs[Long]("n_probed")
+      assert(probed > 0L && probed < corpusN, s"probe did not restrict: $probed")
+      val h = r.getAs[Long]("n_hits"); val c = r.getAs[Long]("ceil_hits")
+      // the two loss terms are ordered by construction: ADC top-10 is a
+      // subset of the probed universe, so recall <= ceiling <= 1
+      assert(h >= 0L && h <= c && c <= 10L)
+      assert(r.getAs[Long]("recall_ppm") == h * 100000L)
+      assert(r.getAs[Long]("ceiling_ppm") == c * 100000L)
+      // the 1-milli twin shares the query's nearest coarse list AND its
+      // quantization cell: it must survive the probe at ADC rank 1
+      assert(r.getAs[Long]("twin_rank") == 1L)
+      assert(r.getAs[Long]("twin_top10") == 1L)
+    }
+    // the coarse probe must not be vacuous on real neighbors either:
+    // across the batch it keeps a nonzero slice of the exact top-10
+    assert(rows.map(_.getAs[Long]("ceil_hits")).sum > 0L)
+  }
+
   // ------------------------------------------------------------- X315
 
   test("triplet mining: confusers violate the margin, semi-hard clears it") {

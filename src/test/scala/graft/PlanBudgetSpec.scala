@@ -765,6 +765,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q365_ivf_adc" -> 0,     // collect-local 10-row report; training is
+                             // the shared pqTrainEncode over a persisted
+                             // corpus, probe pairs + LUTs are driver math
+                             // over the bounded batch, the probed ADC
+                             // rank + truth leg run inside the builder
     "q364_suffix_array" -> 7, // the REPORT stage only: the radix rank,
                              // 5 doubling rounds and the LCP walk are
                              // localCheckpointed inside the builder
