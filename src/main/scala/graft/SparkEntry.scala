@@ -180,7 +180,8 @@ object SparkEntry {
     * of the replayed loop. `docsRel` is the relation the word-frequency
     * table folds from (q335 trains on the even pmod-half of an
     * augmented documents CTE). */
-  private def bpeChainSql(n: Int, docsRel: String = "documents"): String = {
+  private def bpeChainSql(n: Int, docsRel: String = "documents",
+      byteInit: Boolean = false): String = {
     val rounds = (1 to n).map { k =>
       val prev = s"s${k - 1}"
       s"""p$k AS MATERIALIZED (SELECT x.sym AS a, y.sym AS b,
@@ -191,16 +192,84 @@ object SparkEntry {
          |  ORDER BY pc DESC, a, b LIMIT 1),
          |${bpeApplyBlockSql(prev, s"b$k", s"m$k", s"s$k")}""".stripMargin
     }.mkString(",\n")
+    // byteInit: q366's byte-level symbolization — each UTF-8 byte as a
+    // 2-hex-digit symbol (strlen = DuckDB byte length; hex(encode(...))
+    // matches Spark's lower(hex(encode(word, 'UTF-8'))) chunking)
+    val s0 =
+      if (byteInit)
+        s"""s0 AS MATERIALIZED (
+           |  SELECT word, c, pos, substr(h, CAST(pos * 2 - 1 AS INT), 2) AS sym
+           |  FROM (SELECT word, c, lower(hex(encode(word))) AS h,
+           |          CAST(unnest(generate_series(1, strlen(word))) AS BIGINT) AS pos
+           |        FROM w0))""".stripMargin
+      else
+        s"""s0 AS MATERIALIZED (
+           |  SELECT word, c,
+           |    CAST(unnest(generate_series(1, length(word))) AS BIGINT) AS pos,
+           |    unnest(string_split(word, '')) AS sym
+           |  FROM w0)""".stripMargin
     s"""w0 AS MATERIALIZED (
        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS c
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $docsRel)
        |  WHERE len(w) > 0 GROUP BY w),
-       |s0 AS MATERIALIZED (
-       |  SELECT word, c,
-       |    CAST(unnest(generate_series(1, length(word))) AS BIGINT) AS pos,
-       |    unnest(string_split(word, '')) AS sym
-       |  FROM w0),
+       |$s0,
        |$rounds""".stripMargin
+  }
+
+  /** q366's oracle: the SAME generated learn chain as q320/q325/q335 with
+    * the byte-level s0 (hex-pair symbols), trained over q252's
+    * plant-augmented corpus; the plant words encode through a parallel
+    * h0→h30 apply chain (q335's holdout machinery) and the corpus leg
+    * folds the s30 symbolization per language. */
+  private def q366OracleSql: String = {
+    val n = 30
+    val plantRows = graft.ops.TextOps.Q366Plant.map {
+      case (id, w) => s"(CAST($id AS BIGINT), '$w')"
+    }.mkString(",\n    ")
+    val caseArms = (1 to 7).map(i =>
+      s"WHEN $i THEN '${graft.ops.TextOps.Utf8Plant(i)}'").mkString(" ")
+    val holdRounds = (1 to n).map { k =>
+      bpeApplyBlockSql(s"h${k - 1}", s"b$k", s"hm$k", s"h$k")
+    }.mkString(",\n")
+    s"""WITH bdocs AS MATERIALIZED (
+       |  SELECT lang, text || CASE doc_id % 8 $caseArms ELSE '' END
+       |    || ' fin' AS t2
+       |  FROM documents),
+       |tdocs AS (SELECT t2 AS text FROM bdocs),
+       |${bpeChainSql(n, "tdocs", byteInit = true)},
+       |tok AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+       |  FROM s$n GROUP BY word),
+       |wd AS (SELECT lang, w AS word FROM (
+       |    SELECT lang,
+       |      unnest(list_filter(string_split(t2, ' '), x -> x <> '')) AS w
+       |    FROM bdocs)),
+       |corp AS (SELECT 'lang:' || lang AS grp,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(strlen(word)) AS BIGINT) AS n_bytes,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    '' AS toks
+       |  FROM wd JOIN tok USING (word) GROUP BY lang),
+       |pw AS (SELECT * FROM (VALUES
+       |    $plantRows) v(w_id, word)),
+       |h0 AS MATERIALIZED (
+       |  SELECT word, CAST(1 AS BIGINT) AS c, pos,
+       |    substr(h, CAST(pos * 2 - 1 AS INT), 2) AS sym
+       |  FROM (SELECT word, lower(hex(encode(word))) AS h,
+       |          CAST(unnest(generate_series(1, strlen(word))) AS BIGINT) AS pos
+       |        FROM (SELECT DISTINCT word FROM pw))),
+       |$holdRounds,
+       |ptok AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    string_agg(sym, ' ' ORDER BY pos) AS toks
+       |  FROM h$n GROUP BY word),
+       |plant AS (SELECT 'word:' || CAST(pw.w_id AS VARCHAR) AS grp,
+       |    CAST(1 AS BIGINT) AS n_words,
+       |    CAST(strlen(pw.word) AS BIGINT) AS n_bytes,
+       |    ptok.n_tokens, ptok.toks
+       |  FROM pw JOIN ptok USING (word))
+       |SELECT grp, n_words, n_bytes, n_tokens,
+       |  n_bytes * 1000000 // n_tokens AS bytes_per_token_ppm, toks
+       |FROM (SELECT * FROM corp UNION ALL SELECT * FROM plant)
+       |ORDER BY grp""".stripMargin
   }
 
   private def q320OracleSql: String = {
@@ -3172,6 +3241,7 @@ object SparkEntry {
     "q363_sprt_gate"      -> PipelineOps.q363SprtGate _,
     "q364_suffix_array"   -> graft.ops.SuffixArrayOps.q364SuffixArray _,
     "q365_ivf_adc"        -> SimilarityOps.q365IvfAdc _,
+    "q366_byte_bpe"       -> TextOps.q366ByteBpe _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8452,6 +8522,7 @@ object SparkEntry {
     "q363_sprt_gate" -> q363OracleSql,
     "q364_suffix_array" -> q364OracleSql,
     "q365_ivf_adc" -> q365OracleSql,
+    "q366_byte_bpe" -> q366OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

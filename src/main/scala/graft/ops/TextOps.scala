@@ -917,6 +917,21 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Character symbolization — the default initial alphabet for the BPE
+    * trainer and encoder (q320/q325/q335). */
+  private[graft] val CharSymsExpr = "filter(split(word, ''), x -> x <> '')"
+
+  /** BYTE symbolization (GPT-2-style byte-level BPE, X344/q366): each
+    * UTF-8 byte of the word renders as a 2-hex-digit symbol — a
+    * representation both engines derive identically (`lower(hex(encode
+    * (word)))` + fixed-width chunking) and in which merged symbols are
+    * collision-free by construction (2 chars per byte). The hex string
+    * is let-bound per the q235 collapse rule. */
+  private[graft] val ByteSymsExpr =
+    """element_at(transform(array(lower(hex(encode(word, 'UTF-8')))), h ->
+      |  transform(sequence(1, length(h) div 2), i ->
+      |    substring(h, CAST(i * 2 - 1 AS INT), 2))), 1)""".stripMargin
+
   /** Greedy left-to-right non-overlapping merge of the adjacent symbol
     * pair (a, b) → a||b, as ONE `aggregate` HOF with named_struct state
     * (the sanctioned fold shape — chained withColumns would collapse
@@ -996,11 +1011,13 @@ object TextOps {
     * the learned tokenizer as data, consumed by q325's apply pass. The
     * frame is localCheckpointed, so it stays valid after return. */
   private[graft] def bpeTrain(s: SparkSession, wordFreq: DataFrame,
-      maxMerges: Int): (Seq[org.apache.spark.sql.Row], DataFrame) = {
+      maxMerges: Int,
+      symsExpr: String = CharSymsExpr)
+      : (Seq[org.apache.spark.sql.Row], DataFrame) = {
     import s.implicits._
     val out = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
     var cur = wordFreq.select(col("word"), col("c"),
-        expr("filter(split(word, ''), x -> x <> '')").as("syms"))
+        expr(symsExpr).as("syms"))
       .coalesce(1).localCheckpoint()
     // one fold: pair rows (a, b, Σc) + singleton rows (sym, null, Σc),
     // reduced to a DISTRIBUTED argmax: each post-shuffle partition emits
@@ -1195,16 +1212,17 @@ object TextOps {
     * reappear once its pass completes. ONE expression regardless of
     * merge count (the q294 rule — 30 chained withColumn passes would
     * double the inlined projection per level). */
-  private[graft] def bpeEncodeExpr(merges: Seq[(String, String)])
+  private[graft] def bpeEncodeExpr(merges: Seq[(String, String)],
+      initExpr: String = CharSymsExpr)
       : org.apache.spark.sql.Column =
-    if (merges.isEmpty) expr("filter(split(word, ''), ch -> ch <> '')")
+    if (merges.isEmpty) expr(initExpr)
     else {
       val arr = merges.map { case (a, b) =>
         s"named_struct('a', ${sqlStr(a)}, 'b', ${sqlStr(b)})"
       }.mkString("array(", ", ", ")")
       expr(
         s"""aggregate($arr,
-           |  filter(split(word, ''), ch -> ch <> ''),
+           |  $initExpr,
            |  (syms, m) -> aggregate(syms,
            |    named_struct('o', CAST(array() AS ARRAY<STRING>),
            |                 'cr', CAST(NULL AS STRING)),
@@ -1223,8 +1241,14 @@ object TextOps {
     * verification — the same greedy carry pass per merge, in rank
     * order. */
   private[graft] def bpeEncode(word: String,
+      merges: Seq[(String, String)]): Seq[String] =
+    bpeEncodeSyms(word.split("").toSeq.filter(_.nonEmpty), merges)
+
+  /** The same greedy carry pass over an ARBITRARY initial symbolization —
+    * q366's byte-level spec replays hex-pair symbols through it. */
+  private[graft] def bpeEncodeSyms(init: Seq[String],
       merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Seq[String] = word.split("").toSeq.filter(_.nonEmpty)
+    var syms: Seq[String] = init
     merges.foreach { case (a, b) =>
       val out = scala.collection.mutable.ListBuffer.empty[String]
       var cr: String = null
@@ -1328,6 +1352,99 @@ object TextOps {
         "n_bpe_tokens" -> LongType, "n_chars" -> LongType,
         "fertility_ppm" -> LongType, "oov_ppm" -> LongType,
         "chars_per_token_ppm" -> LongType)
+    } finally words.unpersist(blocking = false)
+  }
+
+  /** q366's planted UNSEEN word types: an in-vocab ASCII control, a
+    * 2-byte-letter Latin word, a 3-byte Katakana word whose bytes never
+    * occur in training, and a supplementary-plane mix (U+1D54F, U+1D11E —
+    * 4-byte f0-9d-... sequences). ONE definition shared by the Spark
+    * query, the generated oracle and the spec. */
+  private[graft] val Q366Plant: Seq[(Long, String)] = Seq(
+    1L -> "printer",
+    2L -> "naïveté",
+    3L -> "テスト",
+    4L -> "𝕏ray𝄞")
+
+  /** X344 — BYTE-LEVEL BPE (the GPT-2 byte fallback): q320/q335 operate
+    * on character symbols, so a character absent from training has no
+    * symbol at all; production tokenizers train and encode over UTF-8
+    * BYTES, where the base alphabet is closed (≤256 values) and ANY
+    * Unicode word type tokenizes by construction. Reuses the whole lane
+    * unchanged — [[bpeTrain]]'s distributed trainer and
+    * [[bpeEncodeExpr]]'s rank-order encode are symbol-generic; only the
+    * initial symbolization swaps to [[ByteSymsExpr]] (each UTF-8 byte as
+    * a 2-hex-digit symbol, derived identically on both engines and
+    * collision-free under concatenation).
+    *
+    * Training corpus is q252's non-ASCII gate corpus (documents text +
+    * the per-class [[Utf8Plant]] suffix + ' fin'), so multi-byte
+    * sequences — accented Latin, Greek, CJK, emoji, supplementary-plane
+    * — are all IN the pair statistics. The [[Q366Plant]] words are
+    * unseen TYPES encoded through the learned merges: the ASCII control
+    * "printer" rides the learned `in`/`er` merges (n_tokens < n_bytes,
+    * spec-pinned), the Katakana word falls back to raw byte symbols
+    * (every learned merge pairs ASCII bytes on this corpus — measured,
+    * so ≥0x80 bytes stay single), and the supplementary-plane mix pins
+    * the 4-byte f0-9d sequences' deterministic tokenization — the
+    * FpByteFold discipline applied to tokenizer space. Output per group
+    * (corpus langs + plant words): word/byte/token counts, bytes per
+    * token in ppm, and for plant words the exact hex token string.
+    *
+    * Scale: identical to q320/q325 — ONE corpus word fold; the 30-round
+    * loop runs on the word-TYPE table (per round one combinable fold +
+    * 1-row argmax + broadcast-literal merge); the apply join is the
+    * counted broadcast branch (q325's gate); byte symbolization adds a
+    * constant ×~1.1 symbol count on mostly-ASCII text (measured: UTF-8
+    * expansion only on non-ASCII), not a complexity change. */
+  def q366ByteBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val words = docs(s, dir)
+      .withColumn("t2", concat($"text",
+        element_at(array(Utf8Plant.map(lit): _*),
+          pmod($"doc_id", lit(8)).cast("int") + 1),
+        lit(" fin")))
+      .select($"lang",
+        explode(expr("filter(split(t2, ' '), x -> x <> '')")).as("word"))
+      .persist()
+    try {
+      val wf = words.groupBy($"word").agg(count(lit(1)).as("c"))
+      val (trainRows, vocab) = bpeTrain(s, wf, 30, ByteSymsExpr)
+      val merges = trainRows.map(r => (r.getString(1), r.getString(2)))
+      val dict = vocab.select($"word", size($"syms").cast("long").as("n_tok"),
+        expr("CAST(octet_length(word) AS BIGINT)").as("n_b"))
+      val nTypes = dict.count()
+      val dictSide =
+        if (nTypes <= 1000000L) broadcast(dict)
+        else {
+          Console.err.println(s"[graft] q366: $nTypes word types exceed " +
+            "the broadcast threshold — escalating to a shuffle join")
+          dict
+        }
+      val corpusRows = words.join(dictSide, Seq("word"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_words"), sum($"n_b").as("n_bytes"),
+          sum($"n_tok").as("n_tokens"))
+        .select(concat(lit("lang:"), $"lang").as("grp"), $"n_words",
+          $"n_bytes", $"n_tokens", lit("").as("toks"))
+      val plantRows = Q366Plant.toDF("w_id", "word")
+        .select($"w_id", $"word", bpeEncodeExpr(merges, ByteSymsExpr).as("tk"))
+        .select(concat(lit("word:"), $"w_id").as("grp"), lit(1L).as("n_words"),
+          expr("CAST(octet_length(word) AS BIGINT)").as("n_bytes"),
+          size($"tk").cast("long").as("n_tokens"),
+          array_join($"tk", " ").as("toks"))
+      val rep = corpusRows.unionByName(plantRows)
+        .withColumn("bytes_per_token_ppm",
+          expr("n_bytes * 1000000 div n_tokens"))
+        .select($"grp", $"n_words", $"n_bytes", $"n_tokens",
+          $"bytes_per_token_ppm", $"toks")
+        .orderBy($"grp")
+        .collect()
+      graft.operators.LocalReport.frame(s, rep.toSeq,
+        "grp" -> StringType, "n_words" -> LongType, "n_bytes" -> LongType,
+        "n_tokens" -> LongType, "bytes_per_token_ppm" -> LongType,
+        "toks" -> StringType)
     } finally words.unpersist(blocking = false)
   }
 }

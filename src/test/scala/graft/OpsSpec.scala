@@ -106,6 +106,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("q366: byte-level BPE — open vocabulary, merges ride, bytes round-trip") {
+    import spark.implicits._
+    def hexSyms(w: String): Seq[String] =
+      w.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").toSeq
+    val rows = TextOps.q366ByteBpe(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // corpus leg: merges applied corpus-wide (strict compression per lang)
+    val langRows = rows.filter(_._1.startsWith("lang:"))
+    assert(langRows.nonEmpty)
+    langRows.values.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") < r.getAs[Long]("n_bytes"))
+      assert(r.getAs[String]("toks") == "")
+    }
+    // plant leg: re-derive every token string with the DRIVER replay of
+    // the greedy rank-order encode over hex-pair symbols, using merges
+    // from the same trainer run the operator performs
+    val wf = graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("t2", org.apache.spark.sql.functions.concat($"text",
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.array(TextOps.Utf8Plant.map(lit): _*),
+          pmod($"doc_id", lit(8)).cast("int") + 1),
+        lit(" fin")))
+      .select(explode(expr("filter(split(t2, ' '), x -> x <> '')")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+    val (trainRows, _) = TextOps.bpeTrain(spark, wf, 30, TextOps.ByteSymsExpr)
+    val merges = trainRows.map(r => (r.getString(1), r.getString(2)))
+    TextOps.Q366Plant.foreach { case (id, w) =>
+      val r = rows(s"word:$id")
+      val expect = TextOps.bpeEncodeSyms(hexSyms(w), merges)
+      assert(r.getAs[String]("toks") == expect.mkString(" "), s"word $id")
+      assert(r.getAs[Long]("n_bytes") == w.getBytes("UTF-8").length.toLong)
+      assert(r.getAs[Long]("n_tokens") == expect.length.toLong)
+      // the byte-level guarantee: tokens concatenate back to the exact
+      // original UTF-8 bytes — encode can never lose or alter a byte
+      assert(expect.mkString("") == hexSyms(w).mkString(""), s"round-trip $id")
+    }
+    // "printer" rides learned ASCII merges; the Katakana word falls back
+    // to raw single-byte symbols (every learned merge on this corpus
+    // pairs ASCII bytes); the supplementary-plane word tokenizes its
+    // 4-byte f0-9d sequences deterministically
+    assert(rows("word:1").getAs[Long]("n_tokens")
+      < rows("word:1").getAs[Long]("n_bytes"))
+    assert(rows("word:3").getAs[Long]("n_tokens")
+      == rows("word:3").getAs[Long]("n_bytes"))
+    assert(rows("word:4").getAs[String]("toks").startsWith("f0 9d"))
+  }
+
   test("q364: exact SA recovers the q253 lane AND the anchor-dodging repeat") {
     import graft.ops.{DedupOps, SuffixArrayOps}
     // (a) the dodge span has NO anchor in positions 1..m-SfxKey+1 — q253's

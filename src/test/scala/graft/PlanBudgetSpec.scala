@@ -765,6 +765,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q366_byte_bpe" -> 0,    // collect-local 9-row report; ONE corpus word
+                             // fold, the 30-round trainer loop inside the
+                             // builder (q320's shape), counted broadcast
+                             // apply join, plant encode is 4 narrow rows
     "q365_ivf_adc" -> 0,     // collect-local 10-row report; training is
                              // the shared pqTrainEncode over a persisted
                              // corpus, probe pairs + LUTs are driver math
