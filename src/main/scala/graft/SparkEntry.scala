@@ -1320,6 +1320,121 @@ object SparkEntry {
        |ORDER BY np.q_id""".stripMargin
   }
 
+  /** q367's oracle: three plant signal legs (heuristic ratio, the shared
+    * NB chain's `ps`/`ds`, a plant-trained bigram-LM dictionary), one
+    * minimax-PAV calibration per signal (q338's cross-algorithm form),
+    * calibrated-rate ensemble scores per plant and corpus doc, and per
+    * signal + ensemble the exact max-F1 sweep, midrank AUC and corpus
+    * keep count at the operating point. */
+  private def q367OracleSql: String = {
+    // per-signal blocks over pRel(doc_id, y, score) / dRel(doc_id, score)
+    def calBlock(g: String, pRel: String): String =
+      s"""bins_$g AS MATERIALIZED (SELECT score, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS np FROM $pRel GROUP BY score),
+         |pre_$g AS MATERIALIZED (SELECT score, n, np,
+         |    CAST(row_number() OVER (ORDER BY score) AS BIGINT) AS rn,
+         |    CAST(sum(n) OVER (ORDER BY score) AS BIGINT) AS cn,
+         |    CAST(sum(np) OVER (ORDER BY score) AS BIGINT) AS cp
+         |  FROM bins_$g),
+         |seg_$g AS (SELECT a.rn AS ra, b.rn AS rb,
+         |    (b.cp - a.cp + a.np) * 1000000 // (b.cn - a.cn + a.n) AS avgf
+         |  FROM pre_$g a JOIN pre_$g b ON b.rn >= a.rn),
+         |mm_$g AS (SELECT i.rn AS i, s.ra, min(s.avgf) AS mn
+         |  FROM pre_$g i JOIN seg_$g s ON s.ra <= i.rn AND s.rb >= i.rn
+         |  GROUP BY i.rn, s.ra),
+         |fit_$g AS (SELECT i AS rn, CAST(max(mn) AS BIGINT) AS iso
+         |  FROM mm_$g GROUP BY i),
+         |cal_$g AS MATERIALIZED (SELECT p.score, f.iso
+         |  FROM pre_$g p JOIN fit_$g f USING (rn))""".stripMargin
+    def evalBlock(g: String, pRel: String, dRel: String): String =
+      s"""sw_$g AS (SELECT thr.t,
+         |    CAST(sum(CASE WHEN p.y = 1 AND p.score >= thr.t
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN p.y = 0 AND p.score >= thr.t
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN p.y = 1 AND p.score < thr.t
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM (SELECT DISTINCT score AS t FROM $pRel) thr
+         |  CROSS JOIN $pRel p GROUP BY thr.t),
+         |best_$g AS MATERIALIZED (SELECT t, tp, fp, fn,
+         |    2 * tp * 1000000 // (2 * tp + fp + fn) AS f1
+         |  FROM sw_$g ORDER BY f1 DESC, t LIMIT 1),
+         |auh_$g AS (SELECT score, CAST(sum(y) AS BIGINT) AS p,
+         |    CAST(sum(1 - y) AS BIGINT) AS n FROM $pRel GROUP BY score),
+         |auw_$g AS (SELECT p, n,
+         |    coalesce(CAST(sum(n) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS negb
+         |  FROM auh_$g),
+         |auc_$g AS (SELECT CAST(CAST(sum(p * (2 * negb + n)) AS HUGEINT)
+         |    * 1000000 // (2 * CAST(sum(p) AS HUGEINT) * sum(n)) AS BIGINT)
+         |    AS auc FROM auw_$g),
+         |ck_$g AS (SELECT CAST(sum(CASE WHEN d.score >= b.t
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |  FROM $dRel d CROSS JOIN best_$g b)""".stripMargin
+    def rate(g: String, ref: String): String =
+      s"""coalesce((SELECT c.iso FROM cal_$g c WHERE c.score <= $ref
+         |      ORDER BY c.score DESC LIMIT 1),
+         |    (SELECT c.iso FROM cal_$g c ORDER BY c.score LIMIT 1))""".stripMargin
+    def outRow(name: String, g: String): String =
+      s"""SELECT '$name' AS signal, (SELECT auc FROM auc_$g) AS auc_ppm,
+         |  b.t AS best_thr, b.tp, b.fp, b.fn, b.f1 AS f1_ppm,
+         |  (SELECT k FROM ck_$g) AS n_corpus_keep
+         |FROM best_$g b""".stripMargin
+    s"""WITH $nbScoreChainSql,
+       |p_h AS MATERIALIZED (SELECT doc_id, y,
+       |    CAST(len(list_distinct(string_split(txt, ' '))) * 1000
+       |      // len(string_split(txt, ' ')) AS BIGINT) AS score
+       |  FROM plants),
+       |d_h AS MATERIALIZED (SELECT doc_id,
+       |    CAST(len(list_distinct(string_split(coalesce(text, ''), ' '))) * 1000
+       |      // len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS score
+       |  FROM documents),
+       |lx AS (SELECT doc_id, y, ws,
+       |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i FROM pw),
+       |lg AS MATERIALIZED (SELECT doc_id, y, ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM lx),
+       |lc2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+       |  FROM lg GROUP BY w1, w2),
+       |lc1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM lc2 GROUP BY w1),
+       |ldic AS MATERIALIZED (SELECT w1, w2, n12 * 1000000 // n1 AS ppm
+       |  FROM lc2 JOIN lc1 USING (w1)),
+       |p_l AS MATERIALIZED (SELECT lg.doc_id, lg.y,
+       |    CAST(sum(coalesce(ldic.ppm, 0)) // count(*) AS BIGINT) AS score
+       |  FROM lg LEFT JOIN ldic USING (w1, w2) GROUP BY lg.doc_id, lg.y),
+       |dx AS (SELECT doc_id, ws,
+       |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i FROM dw),
+       |dgp AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM dx),
+       |d_l AS MATERIALIZED (SELECT dw.doc_id, coalesce(sl.sc, 0) AS score
+       |  FROM dw LEFT JOIN (SELECT doc_id,
+       |      CAST(sum(coalesce(ldic.ppm, 0)) // count(*) AS BIGINT) AS sc
+       |    FROM dgp LEFT JOIN ldic USING (w1, w2) GROUP BY doc_id) sl
+       |  USING (doc_id)),
+       |${calBlock("h", "p_h")},
+       |${calBlock("n", "ps")},
+       |${calBlock("l", "p_l")},
+       |pe AS MATERIALIZED (SELECT a.doc_id, a.y,
+       |    CAST(${rate("h", "a.score")}
+       |      + ${rate("n", "b.score")}
+       |      + ${rate("l", "l.score")} AS BIGINT) AS score
+       |  FROM p_h a JOIN ps b USING (doc_id) JOIN p_l l USING (doc_id)),
+       |de AS MATERIALIZED (SELECT a.doc_id,
+       |    CAST(${rate("h", "a.score")}
+       |      + ${rate("n", "b.score")}
+       |      + ${rate("l", "l.score")} AS BIGINT) AS score
+       |  FROM d_h a JOIN ds b USING (doc_id) JOIN d_l l USING (doc_id)),
+       |${evalBlock("h", "p_h", "d_h")},
+       |${evalBlock("n", "ps", "ds")},
+       |${evalBlock("l", "p_l", "d_l")},
+       |${evalBlock("e", "pe", "de")}
+       |SELECT * FROM (
+       |${outRow("1_heur", "h")}
+       |UNION ALL ${outRow("2_nb", "n")}
+       |UNION ALL ${outRow("3_lm", "l")}
+       |UNION ALL ${outRow("4_ensemble", "e")})
+       |ORDER BY signal""".stripMargin
+  }
+
   /** q337's oracle: both planted domains regenerate from the SAME
     * arithmetic as the Spark query (string_agg over generate_series —
     * no corpus-sized literal), the per-source bigram loss replays q107's
@@ -3242,6 +3357,7 @@ object SparkEntry {
     "q364_suffix_array"   -> graft.ops.SuffixArrayOps.q364SuffixArray _,
     "q365_ivf_adc"        -> SimilarityOps.q365IvfAdc _,
     "q366_byte_bpe"       -> TextOps.q366ByteBpe _,
+    "q367_ensemble_filter" -> PipelineOps.q367EnsembleFilter _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8523,6 +8639,7 @@ object SparkEntry {
     "q364_suffix_array" -> q364OracleSql,
     "q365_ivf_adc" -> q365OracleSql,
     "q366_byte_bpe" -> q366OracleSql,
+    "q367_ensemble_filter" -> q367OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

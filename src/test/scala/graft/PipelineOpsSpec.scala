@@ -1573,6 +1573,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------------------- X334
 
+  test("q367: ensemble F1 >= every single signal; AUC strictly improves") {
+    val rows = PipelineOps.q367EnsembleFilter(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("1_heur", "2_nb", "3_lm", "4_ensemble"))
+    // the VERDICT criterion, asserted: the stacked scorer never loses to
+    // a single signal at its own best operating point
+    val ensF1 = rows("4_ensemble").getAs[Long]("f1_ppm")
+    Seq("1_heur", "2_nb", "3_lm").foreach { s =>
+      assert(ensF1 >= rows(s).getAs[Long]("f1_ppm"), s"ensemble lost to $s")
+    }
+    // plant is a fixed literal => every ablation number is SF-invariant;
+    // pin the exact values (independently derived: the NB lane's known
+    // 952380 max-F1, chance AUC for both weak signals on the equally
+    // repetitive classes, and the fusion AUC lift 920634 -> 958049)
+    def pin(s: String, auc: Long, thr: Long, f1: Long): Unit = {
+      assert(rows(s).getAs[Long]("auc_ppm") == auc, s"$s auc")
+      assert(rows(s).getAs[Long]("best_thr") == thr, s"$s thr")
+      assert(rows(s).getAs[Long]("f1_ppm") == f1, s"$s f1")
+    }
+    pin("1_heur", 500000L, 83L, 666666L)
+    pin("2_nb", 920634L, 226L, 952380L)
+    pin("3_lm", 500000L, 971901L, 666666L)
+    pin("4_ensemble", 958049L, 1944444L, 952380L)
+    // tp/fp/fn arithmetic is internally consistent at each operating point
+    rows.values.foreach { r =>
+      val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"))
+      assert(r.getAs[Long]("f1_ppm") == 2 * tp * 1000000L / (2 * tp + fp + fn))
+      assert(tp + fn == 21L) // 20 planted positives + the mislabeled junk
+      assert(r.getAs[Long]("n_corpus_keep") >= 0L)
+    }
+  }
+
   test("q358: histogram AUC equals the brute-force pair count; Gini consistent") {
     val rows = PipelineOps.q358ExactAuc(spark, sf).collect()
       .map(r => r.getAs[String]("scope") -> r).toMap

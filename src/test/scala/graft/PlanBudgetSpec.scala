@@ -765,6 +765,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q367_ensemble_filter" -> 0, // collect-local 4-row ablation; the only
+                             // corpus work is ONE narrow 4-flag scan into
+                             // a 1-row agg (signals let-bound as lambda
+                             // fields, calibrations constant-folded)
     "q366_byte_bpe" -> 0,    // collect-local 9-row report; ONE corpus word
                              // fold, the 30-round trainer loop inside the
                              // builder (q320's shape), counted broadcast
