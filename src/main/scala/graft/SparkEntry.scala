@@ -463,56 +463,63 @@ object SparkEntry {
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
 
-  /** The NN-Descent chain CTEs shared by q341 (per-round audit) and
-    * q347 (beam search over the final g<rounds>): e0/e/rkt/init plus
-    * one local-join round per CTE block. */
-  private def nndChainCtes: String = {
+  /** One full NN-Descent chain (rank-offset init + local-join rounds)
+    * over the vector relation `eRel`, every CTE name prefixed with `p` —
+    * q368 runs TWO chains in one query (the base-corpus build and the
+    * full rebuild), q341/q347 use the unprefixed default over `e`. */
+  private def nndChainBody(p: String, eRel: String): String = {
     val k = graft.ops.SimilarityOps.NndK
     val rounds = graft.ops.SimilarityOps.NndRounds
     def d2(a: String, b: String): String = nndListD2(a, b)
     val roundCtes = (1 to rounds).map { r =>
-      s"""rev$r AS (SELECT dst AS src, src AS dst FROM (
+      s"""${p}rev$r AS (SELECT dst AS src, src AS dst FROM (
          |    SELECT src, dst, row_number() OVER (PARTITION BY dst
-         |      ORDER BY d2, src) AS rn FROM g${r - 1}) WHERE rn <= $k),
-         |und$r AS MATERIALIZED (SELECT src, dst FROM g${r - 1}
-         |  UNION SELECT src, dst FROM rev$r),
-         |cnd$r AS MATERIALIZED (SELECT DISTINCT a.dst AS x, b.dst AS y
-         |  FROM und$r a JOIN und$r b ON a.src = b.src AND a.dst < b.dst),
-         |new$r AS (SELECT p.src, p.dst, ${d2("sq.q", "dq.q")} AS d2
-         |  FROM (SELECT x AS src, y AS dst FROM cnd$r
-         |        UNION ALL SELECT y AS src, x AS dst FROM cnd$r) p
-         |  JOIN e sq ON sq.vec_id = p.src JOIN e dq ON dq.vec_id = p.dst),
-         |g$r AS MATERIALIZED (SELECT src, dst, d2 FROM (
+         |      ORDER BY d2, src) AS rn FROM ${p}g${r - 1}) WHERE rn <= $k),
+         |${p}und$r AS MATERIALIZED (SELECT src, dst FROM ${p}g${r - 1}
+         |  UNION SELECT src, dst FROM ${p}rev$r),
+         |${p}cnd$r AS MATERIALIZED (SELECT DISTINCT a.dst AS x, b.dst AS y
+         |  FROM ${p}und$r a JOIN ${p}und$r b ON a.src = b.src AND a.dst < b.dst),
+         |${p}new$r AS (SELECT p.src, p.dst, ${d2("sq.q", "dq.q")} AS d2
+         |  FROM (SELECT x AS src, y AS dst FROM ${p}cnd$r
+         |        UNION ALL SELECT y AS src, x AS dst FROM ${p}cnd$r) p
+         |  JOIN $eRel sq ON sq.vec_id = p.src JOIN $eRel dq ON dq.vec_id = p.dst),
+         |${p}g$r AS MATERIALIZED (SELECT src, dst, d2 FROM (
          |    SELECT src, dst, d2, row_number() OVER (PARTITION BY src
          |      ORDER BY d2, dst) AS rn FROM (
          |      SELECT src, dst, min(d2) AS d2 FROM (
-         |        SELECT * FROM g${r - 1} UNION ALL SELECT * FROM new$r)
+         |        SELECT * FROM ${p}g${r - 1} UNION ALL SELECT * FROM ${p}new$r)
          |      GROUP BY src, dst)) WHERE rn <= $k)""".stripMargin
     }.mkString(",\n")
+    s"""${p}nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $eRel),
+       |${p}rkt AS MATERIALIZED (SELECT vec_id, q,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS rk0 FROM $eRel),
+       |${p}ini0 AS (SELECT a.vec_id AS src,
+       |    (a.rk0 + 1 + ((a.vec_id * 2654435761 + (rr.r + 1) * 40503)
+       |      % 1000003) % (${p}nn.n - 1)) % ${p}nn.n AS tgt0
+       |  FROM ${p}rkt a CROSS JOIN generate_series(0, ${k - 1}) rr(r)
+       |  CROSS JOIN ${p}nn),
+       |${p}ini AS (SELECT DISTINCT i.src, t.vec_id AS dst
+       |  FROM ${p}ini0 i JOIN ${p}rkt t ON t.rk0 = i.tgt0),
+       |${p}g0 AS MATERIALIZED (SELECT src, dst, d2 FROM (
+       |    SELECT src, dst, d2, row_number() OVER (PARTITION BY src
+       |      ORDER BY d2, dst) AS rn FROM (
+       |      SELECT i.src, i.dst, ${d2("sq.q", "dq.q")} AS d2
+       |      FROM ${p}ini i JOIN $eRel sq ON sq.vec_id = i.src
+       |      JOIN $eRel dq ON dq.vec_id = i.dst)) WHERE rn <= $k),
+       |$roundCtes""".stripMargin
+  }
+
+  /** The NN-Descent chain CTEs shared by q341 (per-round audit) and
+    * q347 (beam search over the final g<rounds>): e0/e/rkt/init plus
+    * one local-join round per CTE block. */
+  private def nndChainCtes: String =
     s"""e0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
        |    list_transform(embedding,
        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
        |  FROM embeddings),
        |e AS MATERIALIZED (SELECT * FROM e0
        |  WHERE list_sum(list_transform(q, x -> x * x)) > 0),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-       |rkt AS MATERIALIZED (SELECT vec_id, q,
-       |    row_number() OVER (ORDER BY vec_id) - 1 AS rk0 FROM e),
-       |ini0 AS (SELECT a.vec_id AS src,
-       |    (a.rk0 + 1 + ((a.vec_id * 2654435761 + (rr.r + 1) * 40503)
-       |      % 1000003) % (nn.n - 1)) % nn.n AS tgt0
-       |  FROM rkt a CROSS JOIN generate_series(0, ${k - 1}) rr(r)
-       |  CROSS JOIN nn),
-       |ini AS (SELECT DISTINCT i.src, t.vec_id AS dst
-       |  FROM ini0 i JOIN rkt t ON t.rk0 = i.tgt0),
-       |g0 AS MATERIALIZED (SELECT src, dst, d2 FROM (
-       |    SELECT src, dst, d2, row_number() OVER (PARTITION BY src
-       |      ORDER BY d2, dst) AS rn FROM (
-       |      SELECT i.src, i.dst, ${d2("sq.q", "dq.q")} AS d2
-       |      FROM ini i JOIN e sq ON sq.vec_id = i.src
-       |      JOIN e dq ON dq.vec_id = i.dst)) WHERE rn <= $k),
-       |$roundCtes""".stripMargin
-  }
+       |${nndChainBody("", "e")}""".stripMargin
 
   private def q341OracleSql: String = {
     val k = graft.ops.SimilarityOps.NndK
@@ -589,6 +596,115 @@ object SparkEntry {
        |    ELSE CAST(0 AS BIGINT) END AS found,
        |  (b.best_d2 - ex.exact_d2) * 1000000 // ex.exact_d2 AS excess_ppm
        |FROM bstat b JOIN ex USING (q_id) ORDER BY q_id""".stripMargin
+  }
+
+  /** q368's oracle, generated: TWO NN-Descent chains (base corpus minus
+    * the pmod-25 batch, prefixed `b`; the full rebuild, unprefixed),
+    * q347's beam hops seeding each new vector over the base graph, the
+    * reverse-attached top-k merge, two touched-source local rounds, and
+    * per-stage edge/Σd²/recall stats against both exact truth legs. */
+  private def q368OracleSql: String = {
+    val k = graft.ops.SimilarityOps.NndK
+    val rounds = graft.ops.SimilarityOps.NndRounds
+    val b = graft.ops.SimilarityOps.BeamWidth
+    val hops = graft.ops.SimilarityOps.BeamHops
+    val localRounds = graft.ops.SimilarityOps.NndLocalRounds
+    val bmod = graft.ops.SimilarityOps.NndBatchMod
+    val bres = graft.ops.SimilarityOps.NndBatchRes
+    val newAudit = graft.ops.SimilarityOps.NndNewAudit
+    def d2(a: String, bb: String): String = nndListD2(a, bb)
+    val hopCtes = (1 to hops).map { h =>
+      s"""snb$h AS (SELECT DISTINCT bm.q_id, g.dst AS node
+         |  FROM sb${h - 1} bm JOIN bg$rounds g ON g.src = bm.node),
+         |ssc$h AS (SELECT n.q_id, n.node, ${d2("x.q", "w.q")} AS d2
+         |  FROM snb$h n JOIN eb x ON x.vec_id = n.node
+         |  JOIN nw w ON w.vec_id = n.q_id),
+         |sv$h AS MATERIALIZED (SELECT q_id, node, min(d2) AS d2 FROM (
+         |    SELECT * FROM sv${h - 1} UNION ALL SELECT * FROM ssc$h)
+         |  GROUP BY q_id, node),
+         |sb$h AS MATERIALIZED (SELECT q_id, node, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY d2, node) AS rn FROM sv$h) WHERE rn <= $b)"""
+        .stripMargin
+    }.mkString(",\n")
+    def topkSql(srcRel: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT src, dst, d2 FROM (
+         |    SELECT src, dst, d2, row_number() OVER (PARTITION BY src
+         |      ORDER BY d2, dst) AS rn FROM (
+         |      SELECT src, dst, min(d2) AS d2 FROM $srcRel
+         |      GROUP BY src, dst)) WHERE rn <= $k)""".stripMargin
+    val localCtes = (1 to localRounds).map { r =>
+      s"""lrev$r AS (SELECT dst AS src, src AS dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY dst
+         |      ORDER BY d2, src) AS rn FROM lg${r - 1}) WHERE rn <= $k),
+         |lund$r AS (SELECT src, dst FROM lg${r - 1}
+         |  UNION SELECT src, dst FROM lrev$r),
+         |lut$r AS MATERIALIZED (SELECT u.src, u.dst
+         |  FROM lund$r u JOIN tch ON u.src = tch.t),
+         |lcnd$r AS MATERIALIZED (SELECT DISTINCT a.dst AS x, b.dst AS y
+         |  FROM lut$r a JOIN lut$r b ON a.src = b.src AND a.dst < b.dst),
+         |lnew$r AS (SELECT p.src, p.dst, ${d2("sq.q", "dq.q")} AS d2
+         |  FROM (SELECT x AS src, y AS dst FROM lcnd$r
+         |        UNION ALL SELECT y AS src, x AS dst FROM lcnd$r) p
+         |  JOIN e sq ON sq.vec_id = p.src JOIN e dq ON dq.vec_id = p.dst),
+         |${topkSql(s"(SELECT * FROM lg${r - 1} UNION ALL SELECT * FROM lnew$r)",
+           s"lg$r")}""".stripMargin
+    }.mkString(",\n")
+    def statRow(stage: String, rel: String): String =
+      s"""SELECT '$stage' AS stage,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $rel) AS n_edges,
+         |  (SELECT CAST(sum(d2) AS BIGINT) FROM $rel) AS sum_d2,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $rel g
+         |     JOIN tra t ON g.src = t.a_id AND g.dst = t.dst) * 1000000
+         |    // (SELECT n FROM ntra) AS recall_audit_ppm,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $rel g
+         |     JOIN trn t ON g.src = t.a_id AND g.dst = t.dst) * 1000000
+         |    // (SELECT n FROM ntrn) AS recall_new_ppm""".stripMargin
+    val stageRows = (Seq(("1_base", s"bg$rounds"), ("2_seeded", "lg0")) ++
+      (1 to localRounds).map(r => (s"${2 + r}_local$r", s"lg$r")) :+
+      ("9_rebuild", s"g$rounds"))
+      .map { case (st, rel) => statRow(st, rel) }
+      .mkString("\nUNION ALL ")
+    s"""WITH $nndChainCtes,
+       |eb AS MATERIALIZED (SELECT * FROM e
+       |  WHERE ((vec_id % $bmod) + $bmod) % $bmod <> $bres),
+       |nw AS MATERIALIZED (SELECT vec_id, q FROM e
+       |  WHERE ((vec_id % $bmod) + $bmod) % $bmod = $bres),
+       |${nndChainBody("b", "eb")},
+       |ent AS (SELECT min(vec_id) AS node FROM eb),
+       |sv0 AS MATERIALIZED (SELECT w.vec_id AS q_id, ent.node,
+       |    ${d2("x.q", "w.q")} AS d2
+       |  FROM nw w CROSS JOIN ent JOIN eb x ON x.vec_id = ent.node),
+       |sb0 AS (SELECT * FROM sv0),
+       |$hopCtes,
+       |${topkSql(
+         s"""(SELECT src, dst, d2 FROM bg$rounds
+            |        UNION ALL SELECT q_id AS src, node AS dst, d2 FROM sb$hops
+            |        UNION ALL SELECT node AS src, q_id AS dst, d2 FROM sb$hops)"""
+           .stripMargin, "lg0")},
+       |tch AS MATERIALIZED (SELECT DISTINCT t FROM (
+       |  SELECT q_id AS t FROM sb$hops
+       |  UNION ALL SELECT node AS t FROM sb$hops)),
+       |$localCtes,
+       |aud AS MATERIALIZED (SELECT vec_id AS a_id, q AS aq FROM e
+       |  WHERE vec_id >= 8 AND vec_id < 18),
+       |naud AS MATERIALIZED (SELECT vec_id AS a_id, q AS aq FROM nw
+       |  ORDER BY vec_id LIMIT $newAudit),
+       |tra AS MATERIALIZED (SELECT a_id, vec_id AS dst FROM (
+       |    SELECT a.a_id, x.vec_id, row_number() OVER (PARTITION BY a.a_id
+       |      ORDER BY ${d2("x.q", "a.aq")}, x.vec_id) AS rn
+       |    FROM e x CROSS JOIN aud a WHERE x.vec_id <> a.a_id)
+       |  WHERE rn <= $k),
+       |ntra AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tra),
+       |trn AS MATERIALIZED (SELECT a_id, vec_id AS dst FROM (
+       |    SELECT a.a_id, x.vec_id, row_number() OVER (PARTITION BY a.a_id
+       |      ORDER BY ${d2("x.q", "a.aq")}, x.vec_id) AS rn
+       |    FROM e x CROSS JOIN naud a WHERE x.vec_id <> a.a_id)
+       |  WHERE rn <= $k),
+       |ntrn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM trn)
+       |SELECT * FROM (
+       |$stageRows
+       |) ORDER BY stage""".stripMargin
   }
 
   /** q342's oracle, generated: the SAME driver-computed ±1 sign matrix
@@ -3358,6 +3474,7 @@ object SparkEntry {
     "q365_ivf_adc"        -> SimilarityOps.q365IvfAdc _,
     "q366_byte_bpe"       -> TextOps.q366ByteBpe _,
     "q367_ensemble_filter" -> PipelineOps.q367EnsembleFilter _,
+    "q368_incremental_nnd" -> SimilarityOps.q368IncrementalNnd _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8640,6 +8757,7 @@ object SparkEntry {
     "q365_ivf_adc" -> q365OracleSql,
     "q366_byte_bpe" -> q366OracleSql,
     "q367_ensemble_filter" -> q367OracleSql,
+    "q368_incremental_nnd" -> q368OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -1442,6 +1442,156 @@ object SimilarityOps {
     } finally e.unpersist(blocking = false)
   }
 
+  /** q368's batch selector (pmod 25 = 3 — ~4% "new arrivals"), local
+    * refinement rounds, and new-node audit size, shared with the oracle. */
+  private[graft] val NndBatchMod = 25L
+  private[graft] val NndBatchRes = 3L
+  private[graft] val NndLocalRounds = 2
+  private[graft] val NndNewAudit = 10
+
+  /** X346 — INCREMENTAL NN-Descent maintenance: q341 rebuilds the kNN
+    * graph from scratch, but a production corpus grows in batches and
+    * the graph should absorb one without a full rebuild (the r13
+    * next-round item; q92's incremental-dedup shape applied to the ANN
+    * graph). The recipe, all from parts the lane already owns:
+    *
+    *  1. BASE: build q341's graph over the corpus minus the batch
+    *     (vec_id pmod [[NndBatchMod]] = [[NndBatchRes]]).
+    *  2. SEED: beam-search each new vector over the BASE graph (q347's
+    *     walk, batch as the query set) — the final beam IS the new
+    *     node's initial adjacency (BeamWidth = k), and each seed edge
+    *     reverse-attaches (seed → new, same d²) so old nodes learn the
+    *     arrivals; merge by the same top-k fold.
+    *  3. LOCAL REFINE: [[NndLocalRounds]] NN-Descent rounds whose
+    *     candidate generation is RESTRICTED to touched sources (the new
+    *     nodes and their seed partners — a fixed two-hop refinement
+    *     horizon, stated rather than a change-propagation frontier), so
+    *     refinement cost scales with the BATCH, not the corpus.
+    *  4. AUDIT: per stage (base / seeded / each local round / the full
+    *     REBUILD), edge count, Σd², and exact recall vs the full-corpus
+    *     truth for BOTH the q341 audit batch (old nodes — does the old
+    *     graph learn its new true neighbors?) and the [[NndNewAudit]]
+    *     lowest new ids (do arrivals get real adjacency?).
+    *
+    * Recall is monotone across merge stages BY CONSTRUCTION (a true
+    * top-k edge has the smallest possible d², so the top-k fold can
+    * never evict it once discovered — the spec asserts the monotonicity
+    * and the rebuild-parity band). Measured at sf0.01: old-node audit
+    * recall 675000 (base, missing its batch neighbors) → 700000 after
+    * two local rounds vs 712500 rebuilt — absorption closes the gap to
+    * 12500 ppm; new-node recall 0 → 525000 vs 687500 rebuilt — arrival
+    * adjacency trails the rebuild by ~16 points, the honest price of
+    * one-entry beam seeding plus a batch-local refinement horizon on
+    * near-isotropic data (more hops or a wider horizon buys it back;
+    * both knobs are stated constants).
+    *
+    * Scale: seeding touches |batch|·B·k·H nodes (q347's bound); local
+    * rounds generate candidates only from touched sources (batch-sized
+    * × k² — never the corpus-wide Σdeg² of a full round); the rebuild
+    * leg exists ONLY as the audit's parity baseline. Iterative state
+    * localCheckpoints per hop/round (q320's rule). */
+  def q368IncrementalNnd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val k = NndK
+    val e = nndUniverse(s, dir).persist()
+    try {
+      val isNew = pmod($"vec_id", lit(NndBatchMod)) === NndBatchRes
+      val eBase = e.filter(!isNew).persist()
+      try {
+        val gBase = nndSnapshots(s, eBase).last
+        val newV = e.filter(isNew)
+        // --- seed: q347's beam walk with the batch as the query set ---
+        val entry = eBase.agg(min($"vec_id")).head().getLong(0)
+        val qs = broadcast(newV.select($"vec_id".as("q_id"), $"q".as("aq")))
+        def score(nodes: DataFrame): DataFrame =
+          eBase.select($"vec_id".as("node"), $"q")
+            .join(broadcast(nodes), Seq("node"))
+            .join(qs, Seq("q_id"))
+            .select($"q_id", $"node", expr("graft_dist2(q, aq)").as("d2"))
+        var visited = score(qs.select($"q_id").withColumn("node", lit(entry)))
+          .localCheckpoint()
+        var beam = visited
+        for (_ <- 1 to BeamHops) {
+          val nb = gBase.select($"src".as("node"), $"dst")
+            .join(broadcast(beam.select($"q_id", $"node")), Seq("node"))
+            .select($"q_id", $"dst".as("node")).distinct()
+          visited = visited.unionByName(score(nb))
+            .groupBy($"q_id", $"node").agg(min($"d2").as("d2"))
+            .localCheckpoint()
+          val wB = Window.partitionBy($"q_id").orderBy($"d2", $"node")
+          beam = visited.withColumn("rn", row_number().over(wB))
+            .filter($"rn" <= BeamWidth).drop("rn").localCheckpoint()
+        }
+        val seeds = beam.select($"q_id".as("src"), $"node".as("dst"), $"d2")
+        def topKm(edges: DataFrame): DataFrame = {
+          val w = Window.partitionBy($"src").orderBy($"d2", $"dst")
+          edges.groupBy($"src", $"dst").agg(min($"d2").as("d2"))
+            .withColumn("rn", row_number().over(w))
+            .filter($"rn" <= k).drop("rn")
+        }
+        var g = topKm(gBase.unionByName(seeds).unionByName(
+            seeds.select($"dst".as("src"), $"src".as("dst"), $"d2")))
+          .localCheckpoint()
+        val touched = seeds.select($"src".as("t"))
+          .unionByName(seeds.select($"dst".as("t"))).distinct()
+          .localCheckpoint()
+        // --- local refinement, candidates from touched sources only ---
+        def withD2Full(edges: DataFrame): DataFrame =
+          edges.join(e.select($"vec_id".as("src"), $"q".as("sq")), Seq("src"))
+            .join(e.select($"vec_id".as("dst"), $"q".as("dq")), Seq("dst"))
+            .select($"src", $"dst", expr("graft_dist2(sq, dq)").as("d2"))
+        val stages = scala.collection.mutable.ArrayBuffer[(String, DataFrame)](
+          "1_base" -> gBase, "2_seeded" -> g)
+        for (r <- 1 to NndLocalRounds) {
+          val wRev = Window.partitionBy($"dst").orderBy($"d2", $"src")
+          val rev = g.withColumn("rn", row_number().over(wRev))
+            .filter($"rn" <= k).select($"dst".as("src"), $"src".as("dst"))
+          val und = g.select($"src", $"dst").unionByName(rev).distinct()
+          val undT = und.join(broadcast(touched), $"src" === $"t").drop("t")
+          val cand = undT.as("a")
+            .join(undT.as("b"), $"a.src" === $"b.src" && $"a.dst" < $"b.dst")
+            .select($"a.dst".as("x"), $"b.dst".as("y")).distinct()
+          val pairs = cand.select($"x".as("src"), $"y".as("dst"))
+            .unionByName(cand.select($"y".as("src"), $"x".as("dst")))
+          g = topKm(g.unionByName(withD2Full(pairs))).localCheckpoint()
+          stages += ((s"${2 + r}_local$r", g))
+        }
+        val gFull = nndSnapshots(s, e).last
+        stages += (("9_rebuild", gFull))
+        // --- truth legs over the FULL corpus (bounded audit batches) ---
+        val audit = e.filter($"vec_id" >= IvfQueryLo && $"vec_id" < IvfCorpusLo)
+          .select($"vec_id".as("a_id"), $"q".as("aq"))
+        val newAudit = newV.orderBy($"vec_id").limit(NndNewAudit)
+          .select($"vec_id".as("a_id"), $"q".as("aq"))
+        def truthOf(aud: DataFrame): Set[(Long, Long)] = {
+          val wT = Window.partitionBy($"a_id").orderBy($"d2", $"vec_id")
+          e.crossJoin(broadcast(aud)).filter($"vec_id" =!= $"a_id")
+            .withColumn("d2", expr("graft_dist2(q, aq)"))
+            .withColumn("rn", row_number().over(wT))
+            .filter($"rn" <= k).select($"a_id", $"vec_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        val truthA = truthOf(audit)
+        val truthN = truthOf(newAudit)
+        def recallOf(gr: DataFrame, truth: Set[(Long, Long)]): Long = {
+          val ids = truth.map(_._1).toSeq.sorted
+          val mine = gr.filter($"src".isin(ids: _*)).select($"src", $"dst")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          mine.count(truth.contains) * 1000000L / truth.size
+        }
+        val rows = stages.map { case (tag, gr) =>
+          val st = gr.agg(count(lit(1)), sum($"d2")).head()
+          org.apache.spark.sql.Row(tag, st.getLong(0), st.getLong(1),
+            recallOf(gr, truthA), recallOf(gr, truthN))
+        }
+        LocalReport.frame(s, rows.toSeq,
+          ("stage", StringType), ("n_edges", LongType), ("sum_d2", LongType),
+          ("recall_audit_ppm", LongType), ("recall_new_ppm", LongType))
+      } finally eBase.unpersist(blocking = false)
+    } finally e.unpersist(blocking = false)
+  }
+
   /** q348's power-iteration count, shared with the generated oracle. */
   private[graft] val AbttIters = 8
 

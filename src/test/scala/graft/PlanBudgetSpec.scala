@@ -765,6 +765,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q368_incremental_nnd" -> 0, // collect-local 5-row report; both graph
+                             // builds + seeding + local rounds run inside
+                             // the builder, localCheckpointed per stage
     "q367_ensemble_filter" -> 0, // collect-local 4-row ablation; the only
                              // corpus work is ONE narrow 4-flag scan into
                              // a 1-row agg (signals let-bound as lambda
