@@ -3902,23 +3902,35 @@ object PipelineOps {
     * driver math over the |batches| frame. All LLR arithmetic is
     * int64 micro-nats (k·182322 caps at 9·10¹² even at a billion
     * trials). */
-  def q363SprtGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.types.{LongType, StringType}
-    Fingerprint.register(s)
-    val batchSize = 250L
-    def plantBatches(salt: String, ratePpm: Long): Seq[(Long, Long, Long)] = {
-      // 2000 in-query Bernoulli trials; the same expression text feeds
-      // the oracle's generate_series replay
-      s.range(1, 2001)
-        .selectExpr(s"(id - 1) div $batchSize AS b",
-          s"""CASE WHEN pmod(graft_fingerprint(concat('$salt:',
-             |  CAST(id AS STRING), ':',
-             |  CAST((id % 1000003) * (id % 1000003) AS STRING))),
-             |  1000000) < $ratePpm THEN 1L ELSE 0L END AS c""".stripMargin)
-        .groupBy($"b").agg(count(lit(1)).as("n"), sum($"c").as("k"))
-        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+  /** q363's batched LLR walk over (batch, n, k) rows in batch order —
+    * ONE definition shared by the batch gate and the streaming twin
+    * (the secretGate rule): returns (decision, batch_dec, n_dec,
+    * llr_dec, n_total, k_total). */
+  private[graft] def sprtWalk(bs: Seq[(Long, Long, Long)])
+      : (Long, Long, Long, Long, Long, Long) = {
+    val nT = bs.map(_._2).sum
+    val kT = bs.map(_._3).sum
+    var (cn, ck) = (0L, 0L)
+    var dec = 0L; var bDec = -1L; var nDec = nT; var llrDec = 0L
+    bs.foreach { case (b, n, k) =>
+      if (dec == 0L) {
+        cn += n; ck += k
+        val llr = ck * SprtIncPos + (cn - ck) * SprtIncNeg
+        llrDec = llr
+        if (llr >= SprtBound) { dec = 1L; bDec = b; nDec = cn }
+        else if (llr <= -SprtBound) { dec = -1L; bDec = b; nDec = cn }
+      }
     }
+    (dec, bDec, nDec, llrDec, nT, kT)
+  }
+
+  /** q363's per-trial streams, shared with the streaming gate's spec:
+    * the corpus experiment arm as a ranked (trial_idx0, converted)
+    * frame, and the planted Bernoulli streams. */
+  private[graft] def sprtCorpusTrials(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    Fingerprint.register(s)
     val corpusTrials = Tables.load(s, dir, "customer")
       .select($"c_custkey".cast("long").as("k"))
       .join(Tables.load(s, dir, "orders")
@@ -3935,34 +3947,42 @@ object PipelineOps {
           |  div 65536, 2)""".stripMargin) === 0L).as("boost"))
       .where($"arm1" === 1L)
       .select($"k", ($"natural" || $"boost").cast("long").as("c"))
-    val ranked = graft.operators.GlobalOrder.withRowNumber(
-      corpusTrials, Seq($"k"), "rk")
-    val corpusBatches = ranked
-      .select(expr(s"(rk - 1) div $batchSize").as("b"), $"c")
+    graft.operators.GlobalOrder.withRowNumber(
+        corpusTrials, Seq($"k"), "rk")
+      .selectExpr("rk - 1 AS i", "c")
+  }
+
+  /** q363's planted Bernoulli trial stream (trial_idx0, converted). */
+  private[graft] def sprtPlantTrials(s: SparkSession, salt: String,
+      ratePpm: Long): DataFrame = {
+    Fingerprint.register(s)
+    s.range(1, 2001)
+      .selectExpr("id - 1 AS i",
+        s"""CASE WHEN pmod(graft_fingerprint(concat('$salt:',
+           |  CAST(id AS STRING), ':',
+           |  CAST((id % 1000003) * (id % 1000003) AS STRING))),
+           |  1000000) < $ratePpm THEN 1L ELSE 0L END AS c""".stripMargin)
+  }
+
+  def q363SprtGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val batchSize = 250L
+    def toBatches(trials: DataFrame): Seq[(Long, Long, Long)] = trials
+      .select(expr(s"i div $batchSize").as("b"), $"c")
       .groupBy($"b").agg(count(lit(1)).as("n"), sum($"c").as("k"))
       .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
-    def walk(scope: String, bs: Seq[(Long, Long, Long)]) = {
-      val nT = bs.map(_._2).sum
-      val kT = bs.map(_._3).sum
-      var (cn, ck) = (0L, 0L)
-      var dec = 0L; var bDec = -1L; var nDec = nT; var llrDec = 0L
-      bs.foreach { case (b, n, k) =>
-        if (dec == 0L) {
-          cn += n; ck += k
-          val llr = ck * SprtIncPos + (cn - ck) * SprtIncNeg
-          llrDec = llr
-          if (llr >= SprtBound) { dec = 1L; bDec = b; nDec = cn }
-          else if (llr <= -SprtBound) { dec = -1L; bDec = b; nDec = cn }
-        }
-      }
+    def row(scope: String, bs: Seq[(Long, Long, Long)]) = {
+      val (dec, bDec, nDec, llrDec, nT, kT) = sprtWalk(bs)
       org.apache.spark.sql.Row(scope, nT, kT,
         if (nT == 0L) 0L else kT * 1000000L / nT,
         dec, bDec, nDec, llrDec, SprtBound)
     }
     LocalReport.frame(s, Seq(
-      walk("corpus", corpusBatches),
-      walk("effect", plantBatches("se", 360000L)),
-      walk("null", plantBatches("sn", 300000L))),
+      row("corpus", toBatches(sprtCorpusTrials(s, dir))),
+      row("effect", toBatches(sprtPlantTrials(s, "se", 360000L))),
+      row("null", toBatches(sprtPlantTrials(s, "sn", 300000L)))),
       "scope" -> StringType, "n_trials" -> LongType, "n_conv" -> LongType,
       "rate_ppm" -> LongType, "decision" -> LongType,
       "batch_dec" -> LongType, "n_dec" -> LongType, "llr_dec" -> LongType,

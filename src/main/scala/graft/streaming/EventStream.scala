@@ -748,6 +748,58 @@ object EventStream {
       }
   }
 
+  final case class SprtTrial(scope: String, idx: Long, conv: Long)
+
+  final case class SprtStatus(scope: String, n_trials: Long, n_conv: Long,
+      rate_ppm: Long, decision: Long, batch_dec: Long, n_dec: Long,
+      llr_dec: Long, bound: Long)
+
+  /** Streaming SPRT experiment gate — q363's real-stream twin (X347):
+    * the early-stopping monitor maintained continuously over a trial
+    * stream. The batched LLR walk is naturally incremental — the ONLY
+    * state is the per-batch (n, k) count map (horizon-bounded:
+    * trials/batchSize entries, [[cusumGate]]'s day-map discipline), keyed
+    * by experiment scope so independent experiments ride one query.
+    * Each micro-batch folds arrivals into the map (any arrival order —
+    * the batch index comes from the trial index, not wall time) and
+    * replays the IDENTICAL q363 walk
+    * ([[graft.ops.PipelineOps.sprtWalk]] — ONE definition, the
+    * secretGate rule) over the data seen so far, emitting the scope's
+    * current verdict row: a crossed Wald boundary freezes the decision
+    * exactly as the batch walk does, and an uncrossed walk emits the
+    * no-decision-yet carry row (decision 0, the running LLR) — the row
+    * a dashboard shows while the experiment is still inconclusive.
+    * Every emission is the exact q363 frame over arrivals so far, so
+    * the final emission per scope equals the ORACLE-GATED q363 row
+    * (StreamingSpec pins it, including an intermediate carry emission).
+    *
+    * Scale: state is |batches| pairs per scope; the walk is a driver-
+    * side fold over that bounded map per emission; scopes partition
+    * across executors. */
+  def sprtGate(trials: Dataset[SprtTrial],
+      batchSize: Long = 250L): Dataset[SprtStatus] = {
+    import trials.sparkSession.implicits._
+    trials
+      .groupByKey(_.scope)
+      .flatMapGroupsWithState[Map[Long, (Long, Long)], SprtStatus](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (scope, rows, state: GroupState[Map[Long, (Long, Long)]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
+          rows.foreach { t =>
+            val b = t.idx / batchSize
+            val (n, k) = m.getOrElse(b, (0L, 0L))
+            m = m.updated(b, (n + 1L, k + t.conv))
+          }
+          state.update(m)
+          val bs = m.toSeq.sortBy(_._1).map { case (b, (n, k)) => (b, n, k) }
+          val (dec, bDec, nDec, llrDec, nT, kT) =
+            graft.ops.PipelineOps.sprtWalk(bs)
+          Iterator.single(SprtStatus(scope, nT, kT,
+            if (nT == 0L) 0L else kT * 1000000L / nT,
+            dec, bDec, nDec, llrDec, graft.ops.PipelineOps.SprtBound))
+      }
+  }
+
   final case class UrlState(minDocId: Long, nDocs: Long, raw: Set[String])
 
   final case class UrlUpdate(canonical_url: String, min_doc_id: Long,

@@ -694,6 +694,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lastByDay == batch.sortBy(_._1).toSeq)
   }
 
+  test("sprtGate: final emissions equal the ORACLE-GATED q363 frame, carry included") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val P = graft.ops.PipelineOps
+    // the SAME trial streams the batch gate folds (shared defs)
+    val corpus = P.sprtCorpusTrials(spark, sf)
+      .as[(Long, Long)].collect().sortBy(_._1)
+      .map { case (i, c) => EventStream.SprtTrial("corpus", i, c) }
+    val effect = P.sprtPlantTrials(spark, "se", 360000L)
+      .as[(Long, Long)].collect().sortBy(_._1)
+      .map { case (i, c) => EventStream.SprtTrial("effect", i, c) }
+    val nul = P.sprtPlantTrials(spark, "sn", 300000L)
+      .as[(Long, Long)].collect().sortBy(_._1)
+      .map { case (i, c) => EventStream.SprtTrial("null", i, c) }
+    val mem = MemoryStream[EventStream.SprtTrial]
+    val q = EventStream.sprtGate(mem.toDS())
+      .writeStream.format("memory").queryName("sprtgate")
+      .outputMode(OutputMode.Update).start()
+    // chunking exercises the carry: the effect plant crosses only at
+    // trial 1000 (q363's batch_dec = 3), so its first 500 trials must
+    // emit a no-decision-yet row before later chunks decide it
+    mem.addData(effect.take(500).toSeq: _*)
+    q.processAllAvailable()
+    val carry = spark.table("sprtgate").collect()
+      .filter(_.getString(0) == "effect")
+    assert(carry.length == 1)
+    assert(carry.head.getAs[Long]("decision") == 0L) // inconclusive so far
+    assert(carry.head.getAs[Long]("n_trials") == 500L)
+    mem.addData((effect.drop(500) ++ corpus).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(nul.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.table("sprtgate").collect()
+      .map(r => (0 until r.length).map(r.get))
+    // final emission per scope — pinned row-identical to the batch frame
+    val lastByScope = updates.zipWithIndex.groupBy(_._1.head)
+      .map { case (_, us) => us.maxBy(_._2)._1 }.toSet
+    val batch = SparkEntry.queries("q363_sprt_gate")(spark, sf).collect()
+      .map(r => (0 until r.length).map(r.get)).toSet
+    assert(lastByScope == batch)
+    // and the carry row really preceded a decision for the effect scope
+    val effFinal = lastByScope.find(_.head == "effect").get
+    assert(effFinal(4).asInstanceOf[Long] != 0L)
+  }
+
   test("kllGate: emissions replay exactly, the rank-error bound holds per batch, shards merge") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
