@@ -1574,12 +1574,16 @@ object SimilarityOps {
         }
         val truthA = truthOf(audit)
         val truthN = truthOf(newAudit)
-        def recallOf(gr: DataFrame, truth: Set[(Long, Long)]): Long = {
-          val ids = truth.map(_._1).toSeq.sorted
-          val mine = gr.filter($"src".isin(ids: _*)).select($"src", $"dst")
-            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-          mine.count(truth.contains) * 1000000L / truth.size
-        }
+        def recallOf(gr: DataFrame, truth: Set[(Long, Long)]): Long =
+          // 0-sentinel on an empty truth leg (a corpus too small to have
+          // a batch) — the gate must compare, not crash (the q344 rule)
+          if (truth.isEmpty) 0L
+          else {
+            val ids = truth.map(_._1).toSeq.sorted
+            val mine = gr.filter($"src".isin(ids: _*)).select($"src", $"dst")
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            mine.count(truth.contains) * 1000000L / truth.size
+          }
         val rows = stages.map { case (tag, gr) =>
           val st = gr.agg(count(lit(1)), sum($"d2")).head()
           org.apache.spark.sql.Row(tag, st.getLong(0), st.getLong(1),
