@@ -112,4 +112,20 @@ class GlobalOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
         == expected, s"partitions=$p")
     }
   }
+
+  test("withDenseRank on STRING keys (the q364 radix shape)") {
+    import spark.implicits._
+    // text keys with heavy ties, exactly how the suffix array's radix
+    // rank uses it (substring prefixes as the key column)
+    val df = base.select($"o_orderkey",
+      concat(lit("k"), ($"o_custkey" % 23L)).as("k1"))
+    val expected = df
+      .withColumn("dr", dense_rank().over(Window.orderBy($"k1")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("dr")).toMap
+    val nDistinct = df.select($"k1").distinct().count()
+    val (got, total) = GlobalOrder.withDenseRank(df, Seq("k1"), "dr", 5)
+    assert(total == nDistinct)
+    assert(got.collect().map(r => r.getLong(0) -> r.getAs[Long]("dr")).toMap
+      == expected)
+  }
 }
