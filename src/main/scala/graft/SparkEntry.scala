@@ -1436,6 +1436,47 @@ object SparkEntry {
        |ORDER BY np.q_id""".stripMargin
   }
 
+  /** q369's oracle: the same 32 squared-tail sign folds per row (the
+    * inner fp(source) computed once per row, the rep axis via
+    * generate_series), the 32-sum fold, exact F2, mean and
+    * median-of-means summary rows. */
+  private def q369OracleSql: String = {
+    val r = graft.ops.PipelineOps.AmsReps
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    s"""WITH d AS MATERIALIZED (SELECT source, ${fp("source")} AS fpk
+       |  FROM documents),
+       |sg AS (SELECT t.r, CASE WHEN (${fp(
+            "'ams:' || CAST(t.r AS VARCHAR) || ':' || d.source || ':' || " +
+            "CAST((d.fpk % 1000003) * (d.fpk % 1000003) AS VARCHAR)")}
+       |    // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM d CROSS JOIN generate_series(0, ${r - 1}) t(r)),
+       |z AS MATERIALIZED (SELECT r, CAST(sum(s) AS BIGINT) AS z
+       |  FROM sg GROUP BY r),
+       |ex AS MATERIALIZED (SELECT CAST(sum(c * c) AS BIGINT) AS f2,
+       |    CAST(sum(c) AS BIGINT) AS n
+       |  FROM (SELECT count(*) AS c FROM documents GROUP BY source)),
+       |est AS MATERIALIZED (SELECT r, z, z * z AS e FROM z),
+       |mn AS (SELECT CAST(sum(e) // $r AS BIGINT) AS m FROM est),
+       |grp AS (SELECT CAST(sum(e) // 4 AS BIGINT) AS gm
+       |  FROM est GROUP BY r // 4),
+       |mom AS (SELECT CAST(sum(gm) // 2 AS BIGINT) AS m FROM (
+       |    SELECT gm FROM grp ORDER BY gm LIMIT 2 OFFSET ${r / 8 - 1}))
+       |SELECT * FROM (
+       |SELECT est.r AS rep, est.z AS z_or_n, est.e AS estimate,
+       |  abs(est.e - ex.f2) * 1000000 // ex.f2 AS err_ppm
+       |FROM est CROSS JOIN ex
+       |UNION ALL SELECT CAST(97 AS BIGINT), ex.n, ex.f2,
+       |  CAST(0 AS BIGINT) FROM ex
+       |UNION ALL SELECT CAST(98 AS BIGINT), CAST($r AS BIGINT), mn.m,
+       |  abs(mn.m - ex.f2) * 1000000 // ex.f2 FROM mn CROSS JOIN ex
+       |UNION ALL SELECT CAST(99 AS BIGINT), CAST(${r / 4} AS BIGINT), mom.m,
+       |  abs(mom.m - ex.f2) * 1000000 // ex.f2 FROM mom CROSS JOIN ex)
+       |ORDER BY rep""".stripMargin
+  }
+
   /** q367's oracle: three plant signal legs (heuristic ratio, the shared
     * NB chain's `ps`/`ds`, a plant-trained bigram-LM dictionary), one
     * minimax-PAV calibration per signal (q338's cross-algorithm form),
@@ -3475,6 +3516,7 @@ object SparkEntry {
     "q366_byte_bpe"       -> TextOps.q366ByteBpe _,
     "q367_ensemble_filter" -> PipelineOps.q367EnsembleFilter _,
     "q368_incremental_nnd" -> SimilarityOps.q368IncrementalNnd _,
+    "q369_ams_f2"         -> PipelineOps.q369AmsF2 _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8758,6 +8800,7 @@ object SparkEntry {
     "q366_byte_bpe" -> q366OracleSql,
     "q367_ensemble_filter" -> q367OracleSql,
     "q368_incremental_nnd" -> q368OracleSql,
+    "q369_ams_f2" -> q369OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

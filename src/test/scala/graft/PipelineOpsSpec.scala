@@ -1606,6 +1606,60 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q369: AMS sketch — driver replay, additivity, the rejected hash is >=50x worse") {
+    import spark.implicits._
+    val rows = PipelineOps.q369AmsF2(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // exact truth leg reconciles with an independent driver recount
+    val counts = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"source").as[String].collect()
+      .groupBy(identity).map(_._2.length.toLong)
+    val f2 = counts.map(c => c * c).sum
+    assert(rows(97L).getAs[Long]("estimate") == f2)
+    assert(rows(97L).getAs[Long]("z_or_n") == counts.sum)
+    // driver replay of every estimator's Z with the hardened sign hash
+    def fp(s0: String): Long = graft.functions.Fingerprint.hashString(s0)
+    def sign(rep: Int, key: String): Long = {
+      val t = (fp(key) % 1000003L) * (fp(key) % 1000003L)
+      if ((fp(s"ams:$rep:$key:$t") / 64L) % 2L == 0L) 1L else -1L
+    }
+    val byKey = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"source").as[String].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    (0 until PipelineOps.AmsReps).foreach { rep =>
+      val z = byKey.map { case (k, c) => sign(rep, k) * c }.sum
+      assert(rows(rep.toLong).getAs[Long]("z_or_n") == z, s"rep $rep")
+      assert(rows(rep.toLong).getAs[Long]("estimate") == z * z)
+    }
+    // mergeability BY LINEARITY: Z over any split of the rows adds —
+    // the sketch state merges with 32 integer additions per shard
+    val (evenKeys, oddKeys) = byKey.toSeq.partition(_._1.hashCode % 2 == 0)
+    (0 until 4).foreach { rep =>
+      val zAll = rows(rep.toLong).getAs[Long]("z_or_n")
+      val zE = evenKeys.map { case (k, c) => sign(rep, k) * c }.sum
+      val zO = oddKeys.map { case (k, c) => sign(rep, k) * c }.sum
+      assert(zE + zO == zAll)
+    }
+    // the unbiased mean sits at 18800 ppm on this fixture (SF-invariant:
+    // the key SET is fixed, so relative error is scale-free); the
+    // REJECTED unhardened hash (bit 6 of fp without the squared tail)
+    // measured 7450000 ppm — re-derived here and pinned >= 50x worse,
+    // so the hardening cannot silently regress
+    assert(rows(98L).getAs[Long]("err_ppm") == 18800L)
+    def signRaw(rep: Int, key: String): Long =
+      if ((fp(s"ams:$rep:$key") / 64L) % 2L == 0L) 1L else -1L
+    val rawEsts = (0 until PipelineOps.AmsReps).map { rep =>
+      val z = byKey.map { case (k, c) => signRaw(rep, k) * c }.sum
+      z * z
+    }
+    val rawErr = math.abs(rawEsts.sum / PipelineOps.AmsReps - f2) * 1000000L / f2
+    assert(rawErr >= 50L * rows(98L).getAs[Long]("err_ppm"),
+      s"unhardened hash err $rawErr — the trap evidence vanished")
+    // median-of-means is the robust form; on well-behaved data it pays
+    // variance for tail guarantees (reported honestly, never hidden)
+    assert(rows(99L).getAs[Long]("err_ppm") >= rows(98L).getAs[Long]("err_ppm"))
+  }
+
   test("q358: histogram AUC equals the brute-force pair count; Gini consistent") {
     val rows = PipelineOps.q358ExactAuc(spark, sf).collect()
       .map(r => r.getAs[String]("scope") -> r).toMap

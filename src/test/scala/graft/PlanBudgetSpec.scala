@@ -765,6 +765,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q352_mann_kendall" -> 0, // collect-local 3-row report; the daily
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
+    "q369_ams_f2" -> 0,      // collect-local 35-row report; the sketch is
+                             // ONE narrow 32-sign projection into a 1-row
+                             // combinable agg + the bounded exact leg
     "q368_incremental_nnd" -> 0, // collect-local 5-row report; both graph
                              // builds + seeding + local rounds run inside
                              // the builder, localCheckpointed per stage
