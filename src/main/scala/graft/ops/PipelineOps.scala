@@ -3868,6 +3868,20 @@ object PipelineOps {
   /** q369's estimator count, shared with the generated oracle. */
   private[graft] val AmsReps = 32
 
+  /** The ONE let-bound AMS signs-array expression (q369's measured
+    * squared-tail sign hash): for a string key expression, an array of
+    * `r` ±1 signs with the inner key fingerprint bound once per row —
+    * shared by the q369 batch sketch, the q374 bilinear join estimator
+    * and the streaming F2 feed so the sign definition can never drift
+    * between consumers (the sprtWalk rule). */
+  private[graft] def amsSignsSql(keyExpr: String, salt: String, r: Int): String =
+    s"""element_at(transform(array(graft_fingerprint($keyExpr)), f ->
+       |  transform(sequence(0, ${r - 1}), i ->
+       |    CASE WHEN (graft_fingerprint(concat('$salt:', CAST(i AS STRING),
+       |        ':', $keyExpr, ':',
+       |        CAST(pmod(f, 1000003) * pmod(f, 1000003) AS STRING)))
+       |      div 64) % 2 = 0 THEN 1L ELSE -1L END)), 1)""".stripMargin
+
   /** X348 — AMS / Tug-of-War second-moment (F2) sketch (Alon, Matias &
     * Szegedy 1996): F2 = Σ_v f_v² is the self-join size — the number
     * the join-planning lane (q147's pre-flight audit, q308's Selinger
@@ -3895,28 +3909,28 @@ object PipelineOps {
     * reported honestly: robustness costs variance on well-behaved
     * data).
     *
-    * Scale: the sketch is ONE narrow projection of [[AmsReps]] sign
-    * columns into a single combinable 32-sum aggregate — no groupBy
-    * over the key space, no shuffle beyond the 1-row agg; at 100 TB
-    * the exact leg disappears and the sketch is the only pass. All
-    * arithmetic int64 (Z² ≤ n², ×10⁶ for the error division stays
-    * under 2⁶³ to n ≈ 3·10⁶ per shard; shard merges add Z, never
-    * Z²). */
+    * Scale: the sketch is ONE narrow let-bound signs-array projection —
+    * the inner key fingerprint binds ONCE per row as a lambda field
+    * (the q235/q367 idiom: 1 + [[AmsReps]] = 33 hash evaluations per
+    * row, not the 3·32 = 96 the per-column inlining re-derived) —
+    * exploded into a combinable [[AmsReps]]-key partial agg whose
+    * shuffle is 32 rows per map partition; at 100 TB the exact leg
+    * disappears and the sketch is the only pass. All arithmetic int64
+    * (Z² ≤ n², ×10⁶ for the error division stays under 2⁶³ to
+    * n ≈ 3·10⁶ per shard; shard merges add Z, never Z²). */
   def q369AmsF2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.LongType
     Fingerprint.register(s)
     val r = AmsReps
-    def signSql(i: Int): String =
-      s"""CASE WHEN (graft_fingerprint(concat('ams:', '$i', ':', source, ':',
-         |  CAST(pmod(graft_fingerprint(source), 1000003)
-         |    * pmod(graft_fingerprint(source), 1000003) AS STRING)))
-         |  div 64) % 2 = 0 THEN 1L ELSE -1L END""".stripMargin
-    val aggExprs = count(lit(1)).as("n") +:
-      (0 until r).map(i => sum(expr(signSql(i))).as(s"z$i"))
-    val row = docs(s, dir).agg(aggExprs.head, aggExprs.tail: _*).head()
-    val n = row.getLong(0)
-    val zs = (0 until r).map(i => row.getLong(1 + i))
+    val zRows = docs(s, dir)
+      .select(posexplode(expr(amsSignsSql("source", "ams", r)))
+        .as(Seq("rep", "sgn")))
+      .groupBy($"rep").agg(count(lit(1)).as("cnt"), sum($"sgn").as("z"))
+      .orderBy($"rep").collect()
+    require(zRows.length == r, s"q369: expected $r sign sums, got ${zRows.length}")
+    val n = zRows.head.getLong(1)
+    val zs = (0 until r).map(i => zRows(i).getLong(2))
     val exact = docs(s, dir).groupBy($"source").agg(count(lit(1)).as("c"))
       .agg(sum($"c" * $"c")).head().getLong(0)
     def err(est: Long): Long = math.abs(est - exact) * 1000000L / exact

@@ -766,8 +766,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // fold runs inside the builder, the sign
                              // sum is driver math over bounded days
     "q369_ams_f2" -> 0,      // collect-local 35-row report; the sketch is
-                             // ONE narrow 32-sign projection into a 1-row
-                             // combinable agg + the bounded exact leg
+                             // ONE let-bound signs-array projection (33
+                             // fp/row) exploded into a combinable 32-key
+                             // partial agg + the bounded exact leg
     "q368_incremental_nnd" -> 0, // collect-local 5-row report; both graph
                              // builds + seeding + local rounds run inside
                              // the builder, localCheckpointed per stage
