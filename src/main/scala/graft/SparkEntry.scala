@@ -654,12 +654,14 @@ object SparkEntry {
       s"""SELECT '$stage' AS stage,
          |  (SELECT CAST(count(*) AS BIGINT) FROM $rel) AS n_edges,
          |  (SELECT CAST(sum(d2) AS BIGINT) FROM $rel) AS sum_d2,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM $rel g
+         |  CASE WHEN (SELECT n FROM ntra) = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (SELECT CAST(count(*) AS BIGINT) FROM $rel g
          |     JOIN tra t ON g.src = t.a_id AND g.dst = t.dst) * 1000000
-         |    // (SELECT n FROM ntra) AS recall_audit_ppm,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM $rel g
+         |    // (SELECT n FROM ntra) END AS recall_audit_ppm,
+         |  CASE WHEN (SELECT n FROM ntrn) = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (SELECT CAST(count(*) AS BIGINT) FROM $rel g
          |     JOIN trn t ON g.src = t.a_id AND g.dst = t.dst) * 1000000
-         |    // (SELECT n FROM ntrn) AS recall_new_ppm""".stripMargin
+         |    // (SELECT n FROM ntrn) END AS recall_new_ppm""".stripMargin
     val stageRows = (Seq(("1_base", s"bg$rounds"), ("2_seeded", "lg0")) ++
       (1 to localRounds).map(r => (s"${2 + r}_local$r", s"lg$r")) :+
       ("9_rebuild", s"g$rounds"))
@@ -1556,9 +1558,12 @@ object SparkEntry {
        |lc1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM lc2 GROUP BY w1),
        |ldic AS MATERIALIZED (SELECT w1, w2, n12 * 1000000 // n1 AS ppm
        |  FROM lc2 JOIN lc1 USING (w1)),
-       |p_l AS MATERIALIZED (SELECT lg.doc_id, lg.y,
-       |    CAST(sum(coalesce(ldic.ppm, 0)) // count(*) AS BIGINT) AS score
-       |  FROM lg LEFT JOIN ldic USING (w1, w2) GROUP BY lg.doc_id, lg.y),
+       |p_l AS MATERIALIZED (SELECT pw.doc_id, pw.y,
+       |    coalesce(sl.sc, 0) AS score
+       |  FROM pw LEFT JOIN (SELECT doc_id,
+       |      CAST(sum(coalesce(ldic.ppm, 0)) // count(*) AS BIGINT) AS sc
+       |    FROM lg LEFT JOIN ldic USING (w1, w2) GROUP BY doc_id) sl
+       |  USING (doc_id)),
        |dx AS (SELECT doc_id, ws,
        |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i FROM dw),
        |dgp AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM dx),
