@@ -53,7 +53,10 @@ import graft.sources.Tables
   *      suffix (two equal-to-end-of-doc suffixes compare equal at every
   *      level; the clamp restores the true length). Each level's lookups
   *      ride ONE join against the level's checkpointed rank frame with
-  *      the survivor requests as the broadcast side;
+  *      the survivor requests as the broadcast side — ENFORCED by the
+  *      counted branch ([[SaWalkBroadcastPairCap]]): past the cap the
+  *      level joins escalate loudly to shuffle joins (same rows, the
+  *      q325/q335 rule) instead of leaving the pick to AQE;
   *   6. report, per doc with any cross-doc repeat ≥ L: the doc's suffix
   *      count and its max cross-doc span — for a span held by exactly
   *      two docs the SA-interval argument guarantees an adjacent pair
@@ -75,7 +78,9 @@ import graft.sources.Tables
   * frames). The LCP walk touches only the survivor mass (positions
   * inside ≥32-char repeated regions — repeat-bounded, not corpus-
   * bounded) with the level tables streamed map-side past the broadcast
-  * requests; levels whose step exceeds the longest document are skipped
+  * requests (the counted [[SaWalkBroadcastPairCap]] branch — loud
+  * shuffle escalation past the cap); levels whose step exceeds the
+  * longest document are skipped
   * (exact — see step 5). The oracle's gram join is NOT the Spark path
   * precisely because a hot gram explodes quadratically; the SA costs
   * log-rounds of linear shuffles instead — the published trade.
@@ -133,14 +138,51 @@ object SuffixArrayOps {
   def q364SuffixArray(s: SparkSession, dir: String): DataFrame =
     build(s, dir).report
 
-  private[graft] def build(s: SparkSession, dir: String): SaBuild = {
+  /** Survivor-pair cap under which each LCP-walk level join broadcasts
+    * the request side (2 pairs rows of 5 longs ≈ 80 MB at the cap); a
+    * boilerplate-heavy corpus whose survivor mass exceeds it escalates
+    * LOUDLY to shuffle joins — same rows either way (the q325/q335
+    * counted-branch rule), and the spec pins both branches
+    * row-identical. */
+  private[graft] val SaWalkBroadcastPairCap: Long = 1000000L
+
+  /** ONE walk level: look up both sides' level-t ranks at (off + lcp)
+    * and return the (da, oa, step) advance rows for pairs whose ranks
+    * agree. Factored out of [[build]] so the spec can pin the plan of
+    * both broadcast branches directly. */
+  private[graft] def walkLevelHits(pairs: DataFrame, lt: DataFrame,
+      step: Long, broadcastReqs: Boolean): DataFrame = {
+    val s = pairs.sparkSession
     import s.implicits._
-    val plant = (DedupOps.SuffixPlant ++ DodgePlant).toDF("doc_id", "text")
-    val base = docs(s, dir).select($"doc_id", $"text")
-      .unionByName(plant)
-      .select($"doc_id",
-        regexp_replace(coalesce($"text", lit("")), " {2,}", " ").as("na"))
-      .filter(length($"na") > 0)
+    val reqs = pairs.select($"da", $"oa", lit(1L).as("side"),
+        $"da".as("doc_id"), ($"oa" + $"lcp").as("off"))
+      .unionByName(pairs.select($"da", $"oa", lit(2L).as("side"),
+        $"db".as("doc_id"), ($"ob" + $"lcp").as("off")))
+    val reqSide = if (broadcastReqs) broadcast(reqs) else reqs
+    reqSide.join(lt, Seq("doc_id", "off"))
+      .groupBy($"da", $"oa")
+      .agg(max(when($"side" === 1L, $"rank")).as("rka"),
+           max(when($"side" === 2L, $"rank")).as("rkb"))
+      .filter($"rka".isNotNull && $"rkb" === $"rka")
+      .select($"da", $"oa", lit(step).as("add"))
+  }
+
+  private[graft] def build(s: SparkSession, dir: String,
+      walkBroadcastPairCap: Long = SaWalkBroadcastPairCap): SaBuild = {
+    import s.implicits._
+    def mkBase(): DataFrame = {
+      val plant = (DedupOps.SuffixPlant ++ DodgePlant).toDF("doc_id", "text")
+      docs(s, dir).select($"doc_id", $"text")
+        .unionByName(plant)
+        .select($"doc_id",
+          regexp_replace(coalesce($"text", lit("")), " {2,}", " ").as("na"))
+        .filter(length($"na") > 0)
+    }
+    // base feeds five jobs (maxLen, the suffix explode, both residual
+    // text joins, the report) — persist once, release after the report
+    // and pair frames materialize (the GlobalOrder discipline)
+    val base = mkBase()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val maxLen = base.agg(max(length($"na"))).head().getInt(0).toLong
 
@@ -220,6 +262,15 @@ object SuffixArrayOps {
     var pairs = adj.filter($"da" =!= $"db" && $"r32a" === $"r32b")
       .select($"da", $"oa", $"la", $"db", $"ob", $"lb", lit(0L).as("lcp"))
       .localCheckpoint()
+    // counted branch for the walk's request side: the checkpointed pair
+    // count is free, and the claim "level tables stream past the
+    // BROADCAST requests" is now enforced, not left to AQE
+    val nPairs = pairs.count()
+    val broadcastWalk = nPairs <= walkBroadcastPairCap
+    if (!broadcastWalk)
+      Console.err.println(s"[graft] q364: $nPairs survivor pairs exceed " +
+        s"the walk broadcast cap $walkBroadcastPairCap — escalating the " +
+        "level joins to shuffle joins")
 
     // 5. exact LCP via the rank-history walk, top level down; each level
     // resolves RadixLen * 2^t chars, the sub-RadixLen residual closes
@@ -233,16 +284,7 @@ object SuffixArrayOps {
     for (t <- walkTop to 0 by -1) {
       val step = RadixLen.toLong << t
       val lt = levels(t).select($"doc_id", $"off", $"rank")
-      val reqs = pairs.select($"da", $"oa", lit(1L).as("side"),
-          $"da".as("doc_id"), ($"oa" + $"lcp").as("off"))
-        .unionByName(pairs.select($"da", $"oa", lit(2L).as("side"),
-          $"db".as("doc_id"), ($"ob" + $"lcp").as("off")))
-      val hits = reqs.join(lt, Seq("doc_id", "off"))
-        .groupBy($"da", $"oa")
-        .agg(max(when($"side" === 1L, $"rank")).as("rka"),
-             max(when($"side" === 2L, $"rank")).as("rkb"))
-        .filter($"rka".isNotNull && $"rkb" === $"rka")
-        .select($"da", $"oa", lit(step).as("add"))
+      val hits = walkLevelHits(pairs, lt, step, broadcastWalk)
       pairs = pairs.join(hits, Seq("da", "oa"), "left")
         .withColumn("lcp", $"lcp" + coalesce($"add", lit(0L)))
         .drop("add")
@@ -264,7 +306,13 @@ object SuffixArrayOps {
           .stripMargin))
       .drop("naa", "nab")
 
-    // 6. clamp equal-to-end overshoot, threshold, fold per doc
+    // 6. clamp equal-to-end overshoot, threshold, fold per doc; the
+    // report materializes eagerly (localCheckpoint) so base's cache can
+    // release before return — `spansAll` and `normalized` return as
+    // lazy plans whose heavy state is already cut at the checkpointed
+    // `pairs` (re-deriving base for the spec's replays is one cheap
+    // scan; checkpointing spansAll too would materialize the survivor
+    // frame for nothing the production path reads)
     val spansAll = refined.select($"da", $"oa", $"db", $"ob",
         least($"lcp", $"la" - $"oa" + 1L, $"lb" - $"ob" + 1L).as("span"))
     val spans = spansAll.filter($"span" >= SaMinSpan.toLong)
@@ -276,6 +324,8 @@ object SuffixArrayOps {
       .join(perDoc, Seq("doc_id"))
       .orderBy($"doc_id")
       .select($"doc_id", $"n_sfx", $"max_xdoc_span")
-    SaBuild(report, spansAll, base, rounds, nSuffixes, nDist)
+      .localCheckpoint()
+    base.unpersist(blocking = false)
+    SaBuild(report, spansAll, mkBase(), rounds, nSuffixes, nDist)
   }
 }

@@ -153,6 +153,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("word:4").getAs[String]("toks").startsWith("f0 9d"))
   }
 
+  // one default SA build shared by the q364 spec and the walk-branch spec
+  private lazy val saBuildDefault =
+    graft.ops.SuffixArrayOps.build(spark, sf)
+
+  test("q364: LCP-walk broadcast gate — both branches row-identical, plans pinned") {
+    import graft.ops.SuffixArrayOps
+    import spark.implicits._
+    // (a) the escalated (shuffle) branch: cap 0 forces every level join
+    // to the shuffle path; the report must be row-identical to the
+    // default broadcast build (the 59239d9 both-branches rule)
+    val shuffled = SuffixArrayOps.build(spark, sf, walkBroadcastPairCap = 0L)
+    val want = saBuildDefault.report.collect().map(_.toSeq).toSeq
+    val got = shuffled.report.collect().map(_.toSeq).toSeq
+    assert(got == want, "escalated walk changed the report")
+    // (b) plan pin for ONE walk level (the stage the q364 budget entry
+    // cannot see behind the localCheckpoints): under the cap the request
+    // side is a BroadcastHashJoin with a single groupBy shuffle; past
+    // the cap it is a SortMergeJoin — pinned with the size estimator
+    // disabled so the pin tests the BRANCH, not AQE's coincidence
+    val pairs = Seq((1L, 1L, 10L, 2L, 1L, 10L, 0L))
+      .toDF("da", "oa", "la", "db", "ob", "lb", "lcp")
+    val lt = Seq((1L, 1L, 5L)).toDF("doc_id", "off", "rank")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bPlan = SuffixArrayOps.walkLevelHits(pairs, lt, 32L, broadcastReqs = true)
+        .queryExecution.executedPlan.toString
+      assert(bPlan.contains("BroadcastHashJoin") && !bPlan.contains("SortMergeJoin"))
+      assert("Exchange hashpartitioning".r.findAllIn(bPlan).size == 1,
+        s"broadcast walk level grew a shuffle:\n$bPlan")
+      val sPlan = SuffixArrayOps.walkLevelHits(pairs, lt, 32L, broadcastReqs = false)
+        .queryExecution.executedPlan.toString
+      assert(sPlan.contains("SortMergeJoin") && !sPlan.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q364: exact SA recovers the q253 lane AND the anchor-dodging repeat") {
     import graft.ops.{DedupOps, SuffixArrayOps}
     // (a) the dodge span has NO anchor in positions 1..m-SfxKey+1 — q253's
@@ -177,7 +213,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys(tA).nonEmpty || keys(tB).nonEmpty) // hosts do have anchors...
     assert(keys(tA).intersect(keys(tB)).isEmpty)   // ...but never shared ones
     // (c) the suffix array reports both dodge docs at EXACTLY the span
-    val b = SuffixArrayOps.build(spark, sf)
+    val b = saBuildDefault
     val rep = b.report.collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rep(idA)._2 == span.length.toLong, s"got ${rep.get(idA)}")
