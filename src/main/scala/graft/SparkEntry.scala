@@ -2306,6 +2306,65 @@ object SparkEntry {
       |ORDER BY p.doc_id""".stripMargin
   }
 
+  /** q370's oracle: the width-L run-membership collapse replayed
+    * directly — every L-gram offset whose gram also occurs in a
+    * smaller doc marks [off, off+L), the q349 island union merges the
+    * marks, and the kept text re-assembles with its length and md5
+    * (kept_chars is the cross-engine mass-conservation witness). */
+  private def q370OracleSql: String = {
+    val l = graft.ops.DedupOps.SfxMinSpan
+    val plants = (graft.ops.DedupOps.SuffixPlant ++
+        graft.ops.SuffixArrayOps.DodgePlant)
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(",\n        |          ")
+    raw"""WITH base AS MATERIALIZED (
+      |  SELECT doc_id, regexp_replace(coalesce(text, ''), ' {2,}', ' ', 'g') AS na
+      |  FROM (SELECT doc_id, text FROM documents
+      |        UNION ALL SELECT * FROM (VALUES $plants) v(doc_id, text))),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id, off, substr(na, off, $l) AS gram
+      |  FROM (SELECT doc_id, na,
+      |          unnest(generate_series(1, length(na) - ${l - 1})) AS off
+      |        FROM base WHERE length(na) >= $l)),
+      |mk AS MATERIALIZED (
+      |  SELECT doc_id, CAST(off AS BIGINT) AS st, CAST(off + $l AS BIGINT) AS en
+      |  FROM (SELECT doc_id, off,
+      |          min(doc_id) OVER (PARTITION BY gram) AS dmin FROM g)
+      |  WHERE dmin < doc_id),
+      |isl AS MATERIALIZED (SELECT doc_id, island,
+      |    min(st) AS ist, max(en) AS ien
+      |  FROM (SELECT *, sum(new_i) OVER (PARTITION BY doc_id
+      |      ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      CURRENT ROW) AS island
+      |    FROM (SELECT *, CASE WHEN max(en) OVER (PARTITION BY doc_id
+      |          ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |          1 PRECEDING) IS NULL
+      |        OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |        THEN 1 ELSE 0 END AS new_i
+      |      FROM mk))
+      |  GROUP BY doc_id, island),
+      |sg AS (SELECT isl.doc_id, ist, ien,
+      |    lag(ien, 1, CAST(1 AS BIGINT)) OVER (PARTITION BY isl.doc_id
+      |      ORDER BY ist) AS prev_ien,
+      |    base.na
+      |  FROM isl JOIN base USING (doc_id)),
+      |fin AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+      |    CAST(sum(ien - ist) AS BIGINT) AS chars_flagged,
+      |    CAST(max(length(na)) AS BIGINT) AS n_chars,
+      |    string_agg(substr(na, CAST(prev_ien AS INT),
+      |      CAST(ist - prev_ien AS INT)), '' ORDER BY ist) AS head_segs,
+      |    max(na) AS na_m, max(ien) AS last_en
+      |  FROM sg GROUP BY doc_id)
+      |SELECT doc_id, n_islands, chars_flagged, n_chars,
+      |  (n_chars - chars_flagged) * 1000000 // n_chars AS keep_ppm,
+      |  CAST(length(head_segs || substr(na_m, CAST(last_en AS INT)))
+      |    AS BIGINT) AS kept_chars,
+      |  md5(head_segs || substr(na_m, CAST(last_en AS INT)))
+      |    AS stripped_md5
+      |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   /** q363's oracle: the two generate_series Bernoulli plants + the
     * q291 treatment stream ranked by custkey, per-batch folds, a
     * cumulative-LLR window and the first Wald boundary crossing. */
@@ -3522,6 +3581,7 @@ object SparkEntry {
     "q367_ensemble_filter" -> PipelineOps.q367EnsembleFilter _,
     "q368_incremental_nnd" -> SimilarityOps.q368IncrementalNnd _,
     "q369_ams_f2"         -> PipelineOps.q369AmsF2 _,
+    "q370_sa_strip"       -> graft.ops.SuffixArrayOps.q370SaStrip _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8806,6 +8866,7 @@ object SparkEntry {
     "q367_ensemble_filter" -> q367OracleSql,
     "q368_incremental_nnd" -> q368OracleSql,
     "q369_ams_f2" -> q369OracleSql,
+    "q370_sa_strip" -> q370OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

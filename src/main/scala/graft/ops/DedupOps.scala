@@ -2057,37 +2057,59 @@ object DedupOps {
             ($"pb" + $"lf").as("en")) // [st, en) on the normalized text
           .distinct()
         val byStart = Window.partitionBy($"doc_id").orderBy($"st", $"en")
-        val wPrev = byStart.rowsBetween(Window.unboundedPreceding, -1)
-        val wCum = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val islands = spans
-          .withColumn("prev_end", max($"en").over(wPrev))
-          .withColumn("new_i",
-            when($"prev_end".isNull || $"st" > $"prev_end", 1L).otherwise(0L))
-          .withColumn("island", sum($"new_i").over(wCum))
-          .groupBy($"doc_id", $"island")
-          .agg(min($"st").as("ist"), max($"en").as("ien"))
-        // kept text = segment before each island (from the previous
-        // island's end) + the tail after the last island
-        val byIsland = Window.partitionBy($"doc_id").orderBy($"ist")
-        val segs = islands
-          .withColumn("prev_ien", lag($"ien", 1, 1L).over(byIsland))
-          .join(base, Seq("doc_id"))
-          .withColumn("seg", expr(
-            "substring(na, CAST(prev_ien AS INT), CAST(ist - prev_ien AS INT))"))
-        segs.groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_islands"),
-            sum($"ien" - $"ist").as("chars_flagged"),
-            max(length($"na")).cast("long").as("n_chars"),
-            expr("array_join(transform(array_sort(collect_list(" +
-              "struct(ist, seg))), x -> x.seg), '')").as("head_segs"),
-            max($"na").as("na_m"), max($"ien").as("last_en"))
+        stripReport(base, spans)
           .select($"doc_id", $"n_islands", $"chars_flagged", $"n_chars",
-            expr("(n_chars - chars_flagged) * 1000000L div n_chars")
-              .as("keep_ppm"),
-            md5(concat($"head_segs",
-              expr("substring(na_m, CAST(last_en AS INT))"))).as("stripped_md5"))
-          .orderBy($"doc_id")
+            $"keep_ppm", $"stripped_md5")
       } finally anchors.unpersist(blocking = false)
     } finally base.unpersist(blocking = false)
+  }
+
+  /** Shared strip machinery (X324/X349): merge flagged [st, en) spans
+    * per doc into maximal islands via the q138 running-max window union
+    * (NEVER a struct-state list fold — the q294 rule), re-assemble the
+    * kept text of AFFECTED docs only as the ordered inter-island
+    * segments, and report flag/keep mass, the re-assembled length
+    * (`kept_chars` — the mass-conservation witness both engines derive
+    * from their OWN re-assembly, so the gate's hash compare enforces
+    * kept_chars = n_chars − chars_flagged across engines) and the md5
+    * of the stripped text. `base` must carry (doc_id, na); `spans`
+    * (doc_id, st, en) half-open on the normalized text. */
+  private[ops] def stripReport(base: DataFrame, spans: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val byStart = Window.partitionBy($"doc_id").orderBy($"st", $"en")
+    val wPrev = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = spans
+      .withColumn("prev_end", max($"en").over(wPrev))
+      .withColumn("new_i",
+        when($"prev_end".isNull || $"st" > $"prev_end", 1L).otherwise(0L))
+      .withColumn("island", sum($"new_i").over(wCum))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"st").as("ist"), max($"en").as("ien"))
+    // kept text = segment before each island (from the previous
+    // island's end) + the tail after the last island
+    val byIsland = Window.partitionBy($"doc_id").orderBy($"ist")
+    val segs = islands
+      .withColumn("prev_ien", lag($"ien", 1, 1L).over(byIsland))
+      .join(base, Seq("doc_id"))
+      .withColumn("seg", expr(
+        "substring(na, CAST(prev_ien AS INT), CAST(ist - prev_ien AS INT))"))
+    segs.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum($"ien" - $"ist").as("chars_flagged"),
+        max(length($"na")).cast("long").as("n_chars"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(ist, seg))), x -> x.seg), '')").as("head_segs"),
+        max($"na").as("na_m"), max($"ien").as("last_en"))
+      .select($"doc_id", $"n_islands", $"chars_flagged", $"n_chars",
+        expr("(n_chars - chars_flagged) * 1000000L div n_chars")
+          .as("keep_ppm"),
+        expr("CAST(length(concat(head_segs, " +
+          "substring(na_m, CAST(last_en AS INT)))) AS BIGINT)")
+          .as("kept_chars"),
+        md5(concat($"head_segs",
+          expr("substring(na_m, CAST(last_en AS INT))"))).as("stripped_md5"))
+      .orderBy($"doc_id")
   }
 }

@@ -167,17 +167,24 @@ object SuffixArrayOps {
       .select($"da", $"oa", lit(step).as("add"))
   }
 
+  /** The SA lane's corpus: documents plus BOTH plant families (q253's
+    * anchor-visible spans and the anchor-dodging pair), whitespace-
+    * normalized — shared by the q364 build and the q370 strip so the
+    * two ends of the lane can never diverge on their input. */
+  private[ops] def saBase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val plant = (DedupOps.SuffixPlant ++ DodgePlant).toDF("doc_id", "text")
+    docs(s, dir).select($"doc_id", $"text")
+      .unionByName(plant)
+      .select($"doc_id",
+        regexp_replace(coalesce($"text", lit("")), " {2,}", " ").as("na"))
+      .filter(length($"na") > 0)
+  }
+
   private[graft] def build(s: SparkSession, dir: String,
       walkBroadcastPairCap: Long = SaWalkBroadcastPairCap): SaBuild = {
     import s.implicits._
-    def mkBase(): DataFrame = {
-      val plant = (DedupOps.SuffixPlant ++ DodgePlant).toDF("doc_id", "text")
-      docs(s, dir).select($"doc_id", $"text")
-        .unionByName(plant)
-        .select($"doc_id",
-          regexp_replace(coalesce($"text", lit("")), " {2,}", " ").as("na"))
-        .filter(length($"na") > 0)
-    }
+    def mkBase(): DataFrame = saBase(s, dir)
     // base feeds five jobs (maxLen, the suffix explode, both residual
     // text joins, the report) — persist once, release after the report
     // and pair frames materialize (the GlobalOrder discipline)
@@ -327,5 +334,82 @@ object SuffixArrayOps {
       .localCheckpoint()
     base.unpersist(blocking = false)
     SaBuild(report, spansAll, mkBase(), rounds, nSuffixes, nDist)
+  }
+
+  /** X349 — repeated-span removal EXECUTION driven by the exact
+    * suffix-array lane, closing r14's top finding: q364 FINDS the
+    * dodge-class repeats (the [[DodgePlant]] span q253's anchors
+    * provably miss) but q349 strips only anchor-derived spans — the
+    * lane could detect what it could not remove, and removal is the
+    * published point of the structure (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": ExactSubstr exists to
+    * DRIVE the strip).
+    *
+    * Keep rule (keep-first at doc granularity, q349's rule generalized
+    * from pairs to the corpus): a position of doc d is stripped iff it
+    * lies inside a substring of length ≥ [[SaMinSpan]] = L that also
+    * occurs in some doc with a SMALLER id; the smallest sharing doc
+    * keeps every occurrence. Same-doc-only repeats are NOT stripped
+    * (the intra-doc lane, q145, owns those).
+    *
+    * Exactness — the width-L run-membership collapse: a position p of
+    * doc d is covered by a shared-with-smaller span of length ≥ L
+    * ⟺ some offset o ∈ [p−L+1, p] starts an L-gram of d that also
+    * occurs in a smaller doc (⇒: a maximal shared interval [st, en) ∋ p
+    * with en−st ≥ L has every offset in [st, en−L] shared, and one of
+    * them lands within L of p; ⇐: the L-gram itself is the witness).
+    * In suffix-array terms, "the L-gram at o occurs in a smaller doc" is
+    * exactly "suffix (d, o) shares an L-run with a smaller-doc suffix" —
+    * and because the strip needs run membership at the FIXED width L
+    * (never the maximal span q364 reports), the SA's doubling tower
+    * collapses to its width-L rank = the gram itself, and adjacency
+    * collapses to min-doc-per-gram: ONE window min over the gram-keyed
+    * partitioning marks every strippable offset, with no doubling
+    * rounds and no adjacency stitch. The union of [o, o+L) over marked
+    * offsets then EQUALS the union of the maximal shared spans (the ⇒
+    * direction applied at every covered position), which the q364 spec
+    * cross-checks against the survivor pairs: every q364 span ≥ L is
+    * flagged in full on its larger doc.
+    *
+    * Report (affected docs only, q349's shape + the conservation
+    * witness): islands, flagged/total/kept chars, keep_ppm, and the md5
+    * of the re-assembled stripped text; kept_chars is computed from the
+    * re-assembly itself so the oracle's hash compare enforces
+    * kept_chars = n_chars − chars_flagged on both engines (q161's
+    * mass-conservation discipline).
+    *
+    * Scale: the gram frame is n rows of (8B id, 8B off, L chars) — ONE
+    * hash-partitioned window shuffle (~56 B/row at L = 40, the same
+    * inflation class as q364's 40-byte radix-rank shuffle, paid once
+    * instead of once-plus-five-long-rounds); min-doc-per-gram is a
+    * partition-local fold (hot boilerplate grams cost one wide window
+    * partition, never a pair join — the quadratic hot-gram explosion
+    * stays in the DuckDB oracle, where the fixture is bounded); the
+    * island union and re-assembly are doc-partitioned windows over
+    * flagged-position-sized frames (repeat-bounded, not corpus-
+    * bounded), and only AFFECTED docs reach the text join. Measured
+    * min-of-3 at sf0.1 (1.49M positions, 249 affected docs): 6.1 s —
+    * the fixed-width collapse is why the STRIP costs a third of the
+    * q364 REPORT (~19.5 s), whose maximal spans genuinely need the
+    * doubling tower. */
+  def q370SaStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = SaMinSpan
+    // base feeds the gram explode AND the affected-doc re-assembly;
+    // persist once, release after the bounded report materializes
+    val base = saBase(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val grams = base.filter(length($"na") >= l)
+        .withColumn("off",
+          explode(expr(s"sequence(1L, CAST(length(na) - ${l - 1} AS BIGINT), 1L)")))
+        .select($"doc_id", $"off",
+          expr(s"substring(na, CAST(off AS INT), $l)").as("g"))
+      val marked = grams
+        .withColumn("dmin", min($"doc_id").over(Window.partitionBy($"g")))
+        .filter($"dmin" < $"doc_id")
+        .select($"doc_id", $"off".as("st"), ($"off" + lit(l.toLong)).as("en"))
+      DedupOps.stripReport(base, marked).localCheckpoint()
+    } finally base.unpersist(blocking = false)
   }
 }

@@ -189,6 +189,82 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q370: SA-driven strip — driver replay, dodge single-host, q349 parity, conservation") {
+    import graft.ops.{DedupOps, SuffixArrayOps}
+    val l = DedupOps.SfxMinSpan
+    val rows = SuffixArrayOps.q370SaStrip(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // (a) full independent driver replay of the keep rule: min-doc per
+    // L-gram, [o, o+L) interval union, segment re-assembly, md5
+    val texts = saBuildDefault.normalized.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gmin = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.foreach { case (d, na) =>
+      (0 to na.length - l).foreach { o =>
+        val g = na.substring(o, o + l)
+        if (!gmin.contains(g) || d < gmin(g)) gmin(g) = d
+      }
+    }
+    def md5Hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var replayed = 0
+    texts.foreach { case (d, na) =>
+      val marked = (0 to na.length - l).filter(o => gmin(na.substring(o, o + l)) < d)
+      if (marked.nonEmpty) {
+        replayed += 1
+        val islands = marked.foldLeft(Vector.empty[(Int, Int)]) {
+          case (acc, o) =>
+            if (acc.nonEmpty && o <= acc.last._2) // 0-based [o, o+l)
+              acc.init :+ (acc.last._1, math.max(acc.last._2, o + l))
+            else acc :+ (o, o + l)
+        }
+        val kept = (islands.map(_._1) :+ na.length).zip(
+          0 +: islands.map(_._2)).map { case (to, from) =>
+          na.substring(from, to)
+        }.mkString("")
+        val r = rows.getOrElse(d, fail(s"doc $d missing from q370 report"))
+        assert(r.getAs[Long]("n_islands") == islands.size.toLong, s"doc $d")
+        assert(r.getAs[Long]("chars_flagged") ==
+          islands.map(i => i._2 - i._1).sum.toLong, s"doc $d")
+        assert(r.getAs[Long]("n_chars") == na.length.toLong, s"doc $d")
+        assert(r.getAs[Long]("kept_chars") == kept.length.toLong, s"doc $d")
+        assert(r.getAs[String]("stripped_md5") == md5Hex(kept), s"doc $d")
+      } else assert(!rows.contains(d), s"doc $d flagged with no marked gram")
+    }
+    assert(replayed == rows.size && replayed > 0)
+    // (b) mass conservation on every report row (q161's discipline)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("kept_chars") ==
+        r.getAs[Long]("n_chars") - r.getAs[Long]("chars_flagged"))
+    }
+    // (c) the dodge repeat is stripped from EXACTLY one host — the
+    // larger id keeps nothing of the span, the smaller keeps everything
+    val Seq((idA, _), (idB, _)) = SuffixArrayOps.DodgePlant // -36401 > -36402
+    assert(rows.contains(idA) &&
+      rows(idA).getAs[Long]("chars_flagged") ==
+        SuffixArrayOps.DodgeSpan.length.toLong)
+    assert(!rows.contains(idB), "the keeper host lost text")
+    // (d) q349 parity: every anchor-visible strip is covered — each
+    // q349-affected doc appears here with at least its flagged mass
+    DedupOps.q349SuffixStrip(spark, sf).collect().foreach { r =>
+      val d = r.getLong(0)
+      assert(rows.contains(d), s"q349-stripped doc $d missing")
+      assert(rows(d).getAs[Long]("chars_flagged") >=
+        r.getAs[Long]("chars_flagged"), s"doc $d lost flagged mass")
+    }
+    // (e) q364-span coverage: every exact survivor span >= L is flagged
+    // in full on its LARGER doc (the flagged interval is contiguous, so
+    // flagged mass is at least the span)
+    saBuildDefault.pairs.collect()
+      .filter(_.getAs[Long]("span") >= l.toLong).foreach { r =>
+        val d = math.max(r.getAs[Long]("da"), r.getAs[Long]("db"))
+        assert(rows.contains(d) &&
+          rows(d).getAs[Long]("chars_flagged") >= r.getAs[Long]("span"),
+          s"pair span ${r.getAs[Long]("span")} not flagged on doc $d")
+      }
+  }
+
   test("q364: exact SA recovers the q253 lane AND the anchor-dodging repeat") {
     import graft.ops.{DedupOps, SuffixArrayOps}
     // (a) the dodge span has NO anchor in positions 1..m-SfxKey+1 — q253's

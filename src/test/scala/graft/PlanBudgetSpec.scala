@@ -785,6 +785,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // corpus, probe pairs + LUTs are driver math
                              // over the bounded batch, the probed ADC
                              // rank + truth leg run inside the builder
+    "q370_sa_strip" -> 0,    // checkpoint-cut affected-docs report; the
+                             // strip itself is ONE gram-keyed window min
+                             // + doc-partitioned island/segment windows
+                             // inside the builder (ExchProbe-measured 0
+                             // post-checkpoint)
     "q364_suffix_array" -> 7, // the REPORT stage only: the radix rank,
                              // 5 doubling rounds and the LCP walk are
                              // localCheckpointed inside the builder
