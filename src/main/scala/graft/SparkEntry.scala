@@ -1438,6 +1438,161 @@ object SparkEntry {
        |ORDER BY np.q_id""".stripMargin
   }
 
+  /** q371's oracle: q365's chains verbatim (PQ Lloyd's ×4, codes,
+    * LUTs) plus ONE full-dim Lloyd's chain over the real corpus
+    * (c0_c → 2 updates → c2_c, the kmeansAssignWithCents replay), the
+    * shared exact-top-10 truth leg, and the q365 tail instantiated
+    * twice — seed cents (= c0_c's vectors) and trained cents (c2_c). */
+  private def q371OracleSql: String = {
+    def kmChain(m: Int): String = {
+      val lo = m * 16 + 1; val hi = (m + 1) * 16
+      def assignBlock(out: String, cents: String) =
+        s"""$out AS MATERIALIZED (SELECT vec_id, q, cid, d FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+           |      SELECT e.vec_id, e.q, c.cid,
+           |        list_sum(list_transform(generate_series(1, len(e.q)),
+           |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+           |      FROM e$m e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+      def updateBlock(k: Int) =
+        s"""x${k}_$m AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a${k}_$m),
+           |s${k}_$m AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+           |       FROM x${k}_$m GROUP BY cid, i),
+           |u${k}_$m AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+           |       FROM s${k}_$m GROUP BY cid),
+           |c${k}_$m AS MATERIALIZED (SELECT c${k - 1}_$m.cid, coalesce(u${k}_$m.c, c${k - 1}_$m.c) AS c
+           |       FROM c${k - 1}_$m LEFT JOIN u${k}_$m USING (cid))""".stripMargin
+      s"""e$m AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS q FROM pqc),
+         |c0_$m AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+         |       FROM (SELECT vec_id, q FROM e$m ORDER BY vec_id LIMIT 8)),
+         |${assignBlock(s"a1_$m", s"c0_$m")},
+         |${updateBlock(1)},
+         |${assignBlock(s"a2_$m", s"c1_$m")},
+         |${updateBlock(2)},
+         |${assignBlock(s"a3_$m", s"c2_$m")}""".stripMargin
+    }
+    // full-dim coarse Lloyd's over the REAL corpus (twins excluded):
+    // init = 8 lowest vec_ids (== the seed quantizer), 2 updates
+    def coarseChain: String = {
+      def assignBlock(out: String, cents: String) =
+        s"""$out AS MATERIALIZED (SELECT vec_id, q, cid FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM (
+           |      SELECT e.vec_id, e.q, c.cid,
+           |        list_sum(list_transform(generate_series(1, len(e.q)),
+           |          i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS d
+           |      FROM e_c e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+      def updateBlock(k: Int) =
+        s"""x${k}_c AS (SELECT cid, unnest(generate_series(1, len(q))) AS i, unnest(q) AS x FROM a${k}_c),
+           |s${k}_c AS (SELECT cid, i, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+           |       FROM x${k}_c GROUP BY cid, i),
+           |u${k}_c AS (SELECT cid, list(CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+           |       FROM s${k}_c GROUP BY cid),
+           |c${k}_c AS MATERIALIZED (SELECT c${k - 1}_c.cid, coalesce(u${k}_c.c, c${k - 1}_c.c) AS c
+           |       FROM c${k - 1}_c LEFT JOIN u${k}_c USING (cid))""".stripMargin
+      s"""e_c AS MATERIALIZED (SELECT vec_id, q FROM pqc WHERE vec_id >= 18),
+         |c0_c AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+         |       FROM (SELECT vec_id, q FROM e_c ORDER BY vec_id LIMIT 8)),
+         |${assignBlock("a1_c", "c0_c")},
+         |${updateBlock(1)},
+         |${assignBlock("a2_c", "c1_c")},
+         |${updateBlock(2)}""".stripMargin
+    }
+    val luts = (0 until 4).map { m =>
+      val lo = m * 16
+      s"""SELECT q.q_id, CAST($m AS BIGINT) AS m, c.cid,
+         |    list_sum(list_transform(generate_series(1, 16),
+         |      i -> (q.q[$lo + i] - c.c[i]) * (q.q[$lo + i] - c.c[i]))) AS d2
+         |  FROM qry q CROSS JOIN c2_$m c""".stripMargin
+    }.mkString("\nUNION ALL ")
+    // one audit tail per quantizer: cents relation -> per-query stats
+    def tail(x: String, cents: String): String =
+      s"""asg_$x AS MATERIALIZED (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT p.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(p.q)),
+         |          i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))), c.cid) AS rn
+         |    FROM pqc p CROSS JOIN $cents c) WHERE rn = 1),
+         |probe_$x AS MATERIALIZED (
+         |  SELECT q_id, cid AS cluster FROM (
+         |    SELECT q.q_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(q.q)),
+         |          i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))), c.cid) AS rn
+         |    FROM qry q CROSS JOIN $cents c) WHERE rn <= 2),
+         |pr_$x AS (SELECT probe_$x.q_id, codes.vec_id, codes.k0, codes.k1,
+         |    codes.k2, codes.k3
+         |  FROM codes JOIN asg_$x USING (vec_id)
+         |  JOIN probe_$x ON probe_$x.cluster = asg_$x.cluster),
+         |adcr_$x AS MATERIALIZED (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rk
+         |  FROM (SELECT pr_$x.q_id, pr_$x.vec_id,
+         |      l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc
+         |    FROM pr_$x
+         |    JOIN lut l0 ON l0.q_id = pr_$x.q_id AND l0.m = 0 AND l0.cid = pr_$x.k0
+         |    JOIN lut l1 ON l1.q_id = pr_$x.q_id AND l1.m = 1 AND l1.cid = pr_$x.k1
+         |    JOIN lut l2 ON l2.q_id = pr_$x.q_id AND l2.m = 2 AND l2.cid = pr_$x.k2
+         |    JOIN lut l3 ON l3.q_id = pr_$x.q_id AND l3.m = 3 AND l3.cid = pr_$x.k3)),
+         |np_$x AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_probed
+         |  FROM adcr_$x GROUP BY q_id),
+         |hits_$x AS (SELECT e.q_id,
+         |    CAST(count(a.q_id) AS BIGINT) AS n_hits,
+         |    CAST(count(p.q_id) AS BIGINT) AS ceil_hits
+         |  FROM extop e
+         |  LEFT JOIN (SELECT q_id, vec_id FROM adcr_$x WHERE rk <= 10) a
+         |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         |  LEFT JOIN (SELECT q_id, vec_id FROM adcr_$x) p
+         |    ON e.q_id = p.q_id AND e.vec_id = p.vec_id
+         |  GROUP BY e.q_id),
+         |twin_$x AS (SELECT q_id, rk FROM adcr_$x WHERE vec_id = -1000 - q_id)"""
+        .stripMargin
+    def outRows(tag: String, x: String): String =
+      s"""SELECT '$tag' AS quant, np_$x.q_id, np_$x.n_probed, hits_$x.n_hits,
+         |  hits_$x.n_hits * 1000000 // 10 AS recall_ppm,
+         |  hits_$x.ceil_hits,
+         |  hits_$x.ceil_hits * 1000000 // 10 AS ceiling_ppm,
+         |  coalesce(twin_$x.rk, CAST(0 AS BIGINT)) AS twin_rank,
+         |  CASE WHEN twin_$x.rk IS NOT NULL AND twin_$x.rk <= 10
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS twin_top10
+         |FROM np_$x JOIN hits_$x USING (q_id) LEFT JOIN twin_$x USING (q_id)"""
+        .stripMargin
+    s"""WITH eqn AS MATERIALIZED (
+       |  SELECT vec_id, q FROM (SELECT vec_id,
+       |      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |    FROM embeddings)
+       |  WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |qry AS MATERIALIZED (SELECT vec_id AS q_id, q FROM eqn
+       |  WHERE vec_id >= 8 AND vec_id < 18),
+       |pqc AS MATERIALIZED (
+       |  SELECT vec_id, q FROM eqn WHERE vec_id >= 18
+       |  UNION ALL SELECT -1000 - q_id AS vec_id,
+       |    list_transform(q, (x, i) -> CASE WHEN i = 1 THEN x + 1 ELSE x END) AS q
+       |  FROM qry),
+       |${(0 until 4).map(kmChain).mkString(",\n")},
+       |codes AS MATERIALIZED (
+       |  SELECT a3_0.vec_id, a3_0.cid AS k0, a3_1.cid AS k1,
+       |    a3_2.cid AS k2, a3_3.cid AS k3
+       |  FROM a3_0 JOIN a3_1 USING (vec_id) JOIN a3_2 USING (vec_id)
+       |    JOIN a3_3 USING (vec_id)),
+       |lut AS MATERIALIZED (
+       |  $luts),
+       |$coarseChain,
+       |extop AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, p.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(p.q)),
+       |          i -> (p.q[i] - q.q[i]) * (p.q[i] - q.q[i]))), p.vec_id) AS rk
+       |    FROM pqc p CROSS JOIN qry q)
+       |  WHERE rk <= 10),
+       |${tail("s", "c0_c")},
+       |${tail("t", "c2_c")}
+       |SELECT * FROM (
+       |${outRows("0_seed", "s")}
+       |UNION ALL
+       |${outRows("1_trained", "t")})
+       |ORDER BY quant, q_id""".stripMargin
+  }
+
   /** q369's oracle: the same 32 squared-tail sign folds per row (the
     * inner fp(source) computed once per row, the rep axis via
     * generate_series), the 32-sum fold, exact F2, mean and
@@ -3582,6 +3737,7 @@ object SparkEntry {
     "q368_incremental_nnd" -> SimilarityOps.q368IncrementalNnd _,
     "q369_ams_f2"         -> PipelineOps.q369AmsF2 _,
     "q370_sa_strip"       -> graft.ops.SuffixArrayOps.q370SaStrip _,
+    "q371_ivf_trained"    -> SimilarityOps.q371IvfTrained _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -8867,6 +9023,7 @@ object SparkEntry {
     "q368_incremental_nnd" -> q368OracleSql,
     "q369_ams_f2" -> q369OracleSql,
     "q370_sa_strip" -> q370OracleSql,
+    "q371_ivf_trained" -> q371OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

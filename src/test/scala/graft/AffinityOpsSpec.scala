@@ -1539,6 +1539,35 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("ceil_hits")).sum > 0L)
   }
 
+  // ------------------------------------------------------------- X350
+
+  test("q371: trained coarse quantizer — seed block pins q365, twins survive both") {
+    val rows = graft.ops.SimilarityOps.q371IvfTrained(spark, sf).collect()
+    val (seedRows, trainedRows) =
+      rows.partition(_.getAs[String]("quant") == "0_seed")
+    assert(seedRows.length == 10 && trainedRows.length == 10)
+    // the 0_seed block runs the IDENTICAL dataflow to q365 (same seed
+    // cents, same codes/LUTs/truth leg) — pinned row-identical, so the
+    // two queries can never drift apart on the shared machinery
+    val q365 = graft.ops.SimilarityOps.q365IvfAdc(spark, sf).collect()
+    assert(seedRows.map(_.toSeq.drop(1)).toSeq == q365.map(_.toSeq).toSeq,
+      "q371's seed block diverged from q365")
+    // structural invariants hold under BOTH quantizers: loss ordering
+    // (ADC top-10 ⊆ probed universe), ppm consistency, and the 1-milli
+    // twin surviving the probe at ADC rank 1 — training may move real
+    // neighbors' lists out of the probe set (measured: it does, stated
+    // in the scaladoc) but it can never separate a twin from its query
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits"); val c = r.getAs[Long]("ceil_hits")
+      assert(h >= 0L && h <= c && c <= 10L)
+      assert(r.getAs[Long]("recall_ppm") == h * 100000L)
+      assert(r.getAs[Long]("ceiling_ppm") == c * 100000L)
+      assert(r.getAs[Long]("n_probed") > 0L)
+      assert(r.getAs[Long]("twin_rank") == 1L)
+      assert(r.getAs[Long]("twin_top10") == 1L)
+    }
+  }
+
   // ------------------------------------------------------------- X315
 
   test("triplet mining: confusers violate the margin, semi-hard clears it") {

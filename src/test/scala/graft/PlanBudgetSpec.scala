@@ -780,6 +780,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // fold, the 30-round trainer loop inside the
                              // builder (q320's shape), counted broadcast
                              // apply join, plant encode is 4 narrow rows
+    "q371_ivf_trained" -> 0, // collect-local 20-row report; the shared
+                             // pqTrainEncode + Lloyd's coarse training +
+                             // both probed ADC rankings and the ONE
+                             // shared truth leg run inside the builder
     "q365_ivf_adc" -> 0,     // collect-local 10-row report; training is
                              // the shared pqTrainEncode over a persisted
                              // corpus, probe pairs + LUTs are driver math
