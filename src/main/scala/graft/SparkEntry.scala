@@ -272,6 +272,64 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q372's oracle: q366's generated chain verbatim with the fallback
+    * count folded into the same dictionary — a hex-pair symbol of
+    * length 2 is an unmerged byte on both engines. */
+  private def q372OracleSql: String = {
+    val n = 30
+    val plantRows = graft.ops.TextOps.Q366Plant.map {
+      case (id, w) => s"(CAST($id AS BIGINT), '$w')"
+    }.mkString(",\n    ")
+    val caseArms = (1 to 7).map(i =>
+      s"WHEN $i THEN '${graft.ops.TextOps.Utf8Plant(i)}'").mkString(" ")
+    val holdRounds = (1 to n).map { k =>
+      bpeApplyBlockSql(s"h${k - 1}", s"b$k", s"hm$k", s"h$k")
+    }.mkString(",\n")
+    s"""WITH bdocs AS MATERIALIZED (
+       |  SELECT lang, text || CASE doc_id % 8 $caseArms ELSE '' END
+       |    || ' fin' AS t2
+       |  FROM documents),
+       |tdocs AS (SELECT t2 AS text FROM bdocs),
+       |${bpeChainSql(n, "tdocs", byteInit = true)},
+       |tok AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n_tok,
+       |    CAST(sum(CASE WHEN length(sym) = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_fb
+       |  FROM s$n GROUP BY word),
+       |wd AS (SELECT lang, w AS word FROM (
+       |    SELECT lang,
+       |      unnest(list_filter(string_split(t2, ' '), x -> x <> '')) AS w
+       |    FROM bdocs)),
+       |corp AS (SELECT 'lang:' || lang AS grp,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(strlen(word)) AS BIGINT) AS n_bytes,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_fb) AS BIGINT) AS n_fallback
+       |  FROM wd JOIN tok USING (word) GROUP BY lang),
+       |pw AS (SELECT * FROM (VALUES
+       |    $plantRows) v(w_id, word)),
+       |h0 AS MATERIALIZED (
+       |  SELECT word, CAST(1 AS BIGINT) AS c, pos,
+       |    substr(h, CAST(pos * 2 - 1 AS INT), 2) AS sym
+       |  FROM (SELECT word, lower(hex(encode(word))) AS h,
+       |          CAST(unnest(generate_series(1, strlen(word))) AS BIGINT) AS pos
+       |        FROM (SELECT DISTINCT word FROM pw))),
+       |$holdRounds,
+       |ptok AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN length(sym) = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_fallback
+       |  FROM h$n GROUP BY word),
+       |plant AS (SELECT 'word:' || CAST(pw.w_id AS VARCHAR) AS grp,
+       |    CAST(1 AS BIGINT) AS n_words,
+       |    CAST(strlen(pw.word) AS BIGINT) AS n_bytes,
+       |    ptok.n_tokens, ptok.n_fallback
+       |  FROM pw JOIN ptok USING (word))
+       |SELECT grp, n_words, n_bytes, n_tokens, n_fallback,
+       |  n_bytes * 1000000 // n_tokens AS bytes_per_token_ppm,
+       |  n_fallback * 1000000 // n_tokens AS fallback_ppm
+       |FROM (SELECT * FROM corp UNION ALL SELECT * FROM plant)
+       |ORDER BY grp""".stripMargin
+  }
+
   private def q320OracleSql: String = {
     val n = 30
     val report = (1 to n).map { k =>
@@ -3738,6 +3796,7 @@ object SparkEntry {
     "q369_ams_f2"         -> PipelineOps.q369AmsF2 _,
     "q370_sa_strip"       -> graft.ops.SuffixArrayOps.q370SaStrip _,
     "q371_ivf_trained"    -> SimilarityOps.q371IvfTrained _,
+    "q372_byte_fallback"  -> TextOps.q372ByteFallback _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9024,6 +9083,7 @@ object SparkEntry {
     "q369_ams_f2" -> q369OracleSql,
     "q370_sa_strip" -> q370OracleSql,
     "q371_ivf_trained" -> q371OracleSql,
+    "q372_byte_fallback" -> q372OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

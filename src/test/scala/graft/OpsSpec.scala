@@ -106,6 +106,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("q372: byte-BPE fallback rate — q366 cross-pin, plant classes, consistency") {
+    val r372 = TextOps.q372ByteFallback(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val r366 = TextOps.q366ByteBpe(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // same trained tokenizer: every shared group's word/byte/token
+    // counts are identical across the two audits
+    assert(r372.keySet == r366.keySet)
+    r372.foreach { case (g, r) =>
+      val o = r366(g)
+      assert(r.getAs[Long]("n_words") == o.getAs[Long]("n_words"), g)
+      assert(r.getAs[Long]("n_bytes") == o.getAs[Long]("n_bytes"), g)
+      assert(r.getAs[Long]("n_tokens") == o.getAs[Long]("n_tokens"), g)
+      // internal consistency: fallback is a sub-count of tokens and the
+      // ppm columns are the exact integer divisions
+      val fb = r.getAs[Long]("n_fallback"); val nt = r.getAs[Long]("n_tokens")
+      assert(fb >= 0L && fb <= nt, g)
+      assert(r.getAs[Long]("fallback_ppm") == fb * 1000000L / nt, g)
+      assert(r.getAs[Long]("bytes_per_token_ppm") ==
+        r.getAs[Long]("n_bytes") * 1000000L / nt, g)
+    }
+    // plant classes (q366's behaviors re-read through the fallback lens):
+    // the Katakana word is ALL fallback — every byte >= 0x80 and every
+    // learned merge pairs ASCII bytes; 'printer' rides merges below 100%
+    val kat = r372("word:3")
+    assert(kat.getAs[Long]("fallback_ppm") == 1000000L)
+    assert(kat.getAs[Long]("n_fallback") == kat.getAs[Long]("n_bytes"))
+    assert(r372("word:1").getAs[Long]("fallback_ppm") < 1000000L)
+    // every corpus language carries a real fallback share (the 30-merge
+    // vocabulary leaves most of the byte stream unmerged — the dial)
+    r372.filter(_._1.startsWith("lang:")).values.foreach { r =>
+      assert(r.getAs[Long]("fallback_ppm") > 0L &&
+        r.getAs[Long]("fallback_ppm") < 1000000L)
+    }
+  }
+
   test("q366: byte-level BPE — open vocabulary, merges ride, bytes round-trip") {
     import spark.implicits._
     def hexSyms(w: String): Seq[String] =

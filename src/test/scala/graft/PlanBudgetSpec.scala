@@ -776,6 +776,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // corpus work is ONE narrow 4-flag scan into
                              // a 1-row agg (signals let-bound as lambda
                              // fields, calibrations constant-folded)
+    "q372_byte_fallback" -> 0, // collect-local 9-row report; q366's exact
+                             // exchange structure, fallback count rides
+                             // the same dictionary join and lang agg
     "q366_byte_bpe" -> 0,    // collect-local 9-row report; ONE corpus word
                              // fold, the 30-round trainer loop inside the
                              // builder (q320's shape), counted broadcast
