@@ -1698,63 +1698,60 @@ object SparkEntry {
     * calibrated-rate ensemble scores per plant and corpus doc, and per
     * signal + ensemble the exact max-F1 sweep, midrank AUC and corpus
     * keep count at the operating point. */
-  private def q367OracleSql: String = {
-    // per-signal blocks over pRel(doc_id, y, score) / dRel(doc_id, score)
-    def calBlock(g: String, pRel: String): String =
-      s"""bins_$g AS MATERIALIZED (SELECT score, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(y) AS BIGINT) AS np FROM $pRel GROUP BY score),
-         |pre_$g AS MATERIALIZED (SELECT score, n, np,
-         |    CAST(row_number() OVER (ORDER BY score) AS BIGINT) AS rn,
-         |    CAST(sum(n) OVER (ORDER BY score) AS BIGINT) AS cn,
-         |    CAST(sum(np) OVER (ORDER BY score) AS BIGINT) AS cp
-         |  FROM bins_$g),
-         |seg_$g AS (SELECT a.rn AS ra, b.rn AS rb,
-         |    (b.cp - a.cp + a.np) * 1000000 // (b.cn - a.cn + a.n) AS avgf
-         |  FROM pre_$g a JOIN pre_$g b ON b.rn >= a.rn),
-         |mm_$g AS (SELECT i.rn AS i, s.ra, min(s.avgf) AS mn
-         |  FROM pre_$g i JOIN seg_$g s ON s.ra <= i.rn AND s.rb >= i.rn
-         |  GROUP BY i.rn, s.ra),
-         |fit_$g AS (SELECT i AS rn, CAST(max(mn) AS BIGINT) AS iso
-         |  FROM mm_$g GROUP BY i),
-         |cal_$g AS MATERIALIZED (SELECT p.score, f.iso
-         |  FROM pre_$g p JOIN fit_$g f USING (rn))""".stripMargin
-    def evalBlock(g: String, pRel: String, dRel: String): String =
-      s"""sw_$g AS (SELECT thr.t,
-         |    CAST(sum(CASE WHEN p.y = 1 AND p.score >= thr.t
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         |    CAST(sum(CASE WHEN p.y = 0 AND p.score >= thr.t
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         |    CAST(sum(CASE WHEN p.y = 1 AND p.score < thr.t
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
-         |  FROM (SELECT DISTINCT score AS t FROM $pRel) thr
-         |  CROSS JOIN $pRel p GROUP BY thr.t),
-         |best_$g AS MATERIALIZED (SELECT t, tp, fp, fn,
-         |    2 * tp * 1000000 // (2 * tp + fp + fn) AS f1
-         |  FROM sw_$g ORDER BY f1 DESC, t LIMIT 1),
-         |auh_$g AS (SELECT score, CAST(sum(y) AS BIGINT) AS p,
-         |    CAST(sum(1 - y) AS BIGINT) AS n FROM $pRel GROUP BY score),
-         |auw_$g AS (SELECT p, n,
-         |    coalesce(CAST(sum(n) OVER (ORDER BY score
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-         |      0) AS negb
-         |  FROM auh_$g),
-         |auc_$g AS (SELECT CAST(CAST(sum(p * (2 * negb + n)) AS HUGEINT)
-         |    * 1000000 // (2 * CAST(sum(p) AS HUGEINT) * sum(n)) AS BIGINT)
-         |    AS auc FROM auw_$g),
-         |ck_$g AS (SELECT CAST(sum(CASE WHEN d.score >= b.t
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS k
-         |  FROM $dRel d CROSS JOIN best_$g b)""".stripMargin
-    def rate(g: String, ref: String): String =
-      s"""coalesce((SELECT c.iso FROM cal_$g c WHERE c.score <= $ref
-         |      ORDER BY c.score DESC LIMIT 1),
-         |    (SELECT c.iso FROM cal_$g c ORDER BY c.score LIMIT 1))""".stripMargin
-    def outRow(name: String, g: String): String =
-      s"""SELECT '$name' AS signal, (SELECT auc FROM auc_$g) AS auc_ppm,
-         |  b.t AS best_thr, b.tp, b.fp, b.fn, b.f1 AS f1_ppm,
-         |  (SELECT k FROM ck_$g) AS n_corpus_keep
-         |FROM best_$g b""".stripMargin
-    s"""WITH $nbScoreChainSql,
-       |p_h AS MATERIALIZED (SELECT doc_id, y,
+  // per-signal oracle blocks over pRel(doc_id, y, score) /
+  // dRel(doc_id, score) — ONE definition shared by the q367 (plant-
+  // calibrated) and q373 (in-domain pseudo-label) oracles
+  private def calBlock(g: String, pRel: String): String =
+    s"""bins_$g AS MATERIALIZED (SELECT score, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS np FROM $pRel GROUP BY score),
+       |pre_$g AS MATERIALIZED (SELECT score, n, np,
+       |    CAST(row_number() OVER (ORDER BY score) AS BIGINT) AS rn,
+       |    CAST(sum(n) OVER (ORDER BY score) AS BIGINT) AS cn,
+       |    CAST(sum(np) OVER (ORDER BY score) AS BIGINT) AS cp
+       |  FROM bins_$g),
+       |seg_$g AS (SELECT a.rn AS ra, b.rn AS rb,
+       |    (b.cp - a.cp + a.np) * 1000000 // (b.cn - a.cn + a.n) AS avgf
+       |  FROM pre_$g a JOIN pre_$g b ON b.rn >= a.rn),
+       |mm_$g AS (SELECT i.rn AS i, s.ra, min(s.avgf) AS mn
+       |  FROM pre_$g i JOIN seg_$g s ON s.ra <= i.rn AND s.rb >= i.rn
+       |  GROUP BY i.rn, s.ra),
+       |fit_$g AS (SELECT i AS rn, CAST(max(mn) AS BIGINT) AS iso
+       |  FROM mm_$g GROUP BY i),
+       |cal_$g AS MATERIALIZED (SELECT p.score, f.iso
+       |  FROM pre_$g p JOIN fit_$g f USING (rn))""".stripMargin
+  private def evalBlock(g: String, pRel: String, dRel: String): String =
+    s"""sw_$g AS (SELECT thr.t,
+       |    CAST(sum(CASE WHEN p.y = 1 AND p.score >= thr.t
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN p.y = 0 AND p.score >= thr.t
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN p.y = 1 AND p.score < thr.t
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM (SELECT DISTINCT score AS t FROM $pRel) thr
+       |  CROSS JOIN $pRel p GROUP BY thr.t),
+       |best_$g AS MATERIALIZED (SELECT t, tp, fp, fn,
+       |    2 * tp * 1000000 // (2 * tp + fp + fn) AS f1
+       |  FROM sw_$g ORDER BY f1 DESC, t LIMIT 1),
+       |auh_$g AS (SELECT score, CAST(sum(y) AS BIGINT) AS p,
+       |    CAST(sum(1 - y) AS BIGINT) AS n FROM $pRel GROUP BY score),
+       |auw_$g AS (SELECT p, n,
+       |    coalesce(CAST(sum(n) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS negb
+       |  FROM auh_$g),
+       |auc_$g AS (SELECT CAST(CASE WHEN sum(p) = 0 OR sum(n) = 0 THEN 0
+       |    ELSE CAST(sum(p * (2 * negb + n)) AS HUGEINT)
+       |    * 1000000 // (2 * CAST(sum(p) AS HUGEINT) * sum(n)) END AS BIGINT)
+       |    AS auc FROM auw_$g),
+       |ck_$g AS (SELECT CAST(sum(CASE WHEN d.score >= b.t
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM $dRel d CROSS JOIN best_$g b)""".stripMargin
+
+  /** The q367 signal legs — plant scores (p_h/ps/p_l) and corpus scores
+    * (d_h/ds/d_l) for all three quality signals — shared verbatim by the
+    * q367 and q373 oracles (prepend [[nbScoreChainSql]]). */
+  private def signalLegsSql: String =
+    s"""p_h AS MATERIALIZED (SELECT doc_id, y,
        |    CAST(len(list_distinct(string_split(txt, ' '))) * 1000
        |      // len(string_split(txt, ' ')) AS BIGINT) AS score
        |  FROM plants),
@@ -1784,7 +1781,20 @@ object SparkEntry {
        |  FROM dw LEFT JOIN (SELECT doc_id,
        |      CAST(sum(coalesce(ldic.ppm, 0)) // count(*) AS BIGINT) AS sc
        |    FROM dgp LEFT JOIN ldic USING (w1, w2) GROUP BY doc_id) sl
-       |  USING (doc_id)),
+       |  USING (doc_id))""".stripMargin
+
+  private def q367OracleSql: String = {
+    def rate(g: String, ref: String): String =
+      s"""coalesce((SELECT c.iso FROM cal_$g c WHERE c.score <= $ref
+         |      ORDER BY c.score DESC LIMIT 1),
+         |    (SELECT c.iso FROM cal_$g c ORDER BY c.score LIMIT 1))""".stripMargin
+    def outRow(name: String, g: String): String =
+      s"""SELECT '$name' AS signal, (SELECT auc FROM auc_$g) AS auc_ppm,
+         |  b.t AS best_thr, b.tp, b.fp, b.fn, b.f1 AS f1_ppm,
+         |  (SELECT k FROM ck_$g) AS n_corpus_keep
+         |FROM best_$g b""".stripMargin
+    s"""WITH $nbScoreChainSql,
+       |$signalLegsSql,
        |${calBlock("h", "p_h")},
        |${calBlock("n", "ps")},
        |${calBlock("l", "p_l")},
@@ -1802,6 +1812,115 @@ object SparkEntry {
        |${evalBlock("n", "ps", "ds")},
        |${evalBlock("l", "p_l", "d_l")},
        |${evalBlock("e", "pe", "de")}
+       |SELECT * FROM (
+       |${outRow("1_heur", "h")}
+       |UNION ALL ${outRow("2_nb", "n")}
+       |UNION ALL ${outRow("3_lm", "l")}
+       |UNION ALL ${outRow("4_ensemble", "e")})
+       |ORDER BY signal""".stripMargin
+  }
+
+  /** q373's oracle: the SAME signal legs as q367, exact deciles via
+    * row_number over (score, doc_id), the agreement-band pseudo-labels,
+    * the shared calBlock/evalBlock machinery over decile scores, the
+    * 10-entry calibrated rate tables, the ensemble join and the
+    * per-signal agreement matrices vs the ensemble cut. */
+  private def q373OracleSql: String = {
+    def rate10Block(g: String): String =
+      s"""r10_$g AS MATERIALIZED (SELECT dv.d AS dec,
+         |    coalesce((SELECT c.iso FROM cal_$g c WHERE c.score <= dv.d
+         |        ORDER BY c.score DESC LIMIT 1),
+         |      (SELECT c.iso FROM cal_$g c ORDER BY c.score LIMIT 1)) AS r
+         |  FROM (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS d) dv)"""
+        .stripMargin
+    def agBlock(g: String): String =
+      s"""ag_$g AS MATERIALIZED (SELECT
+         |    CAST(sum(CASE WHEN e.score >= be.t AND d.score >= bg.t
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS a11,
+         |    CAST(sum(CASE WHEN e.score >= be.t AND d.score < bg.t
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS a10,
+         |    CAST(sum(CASE WHEN e.score < be.t AND d.score >= bg.t
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS a01,
+         |    CAST(sum(CASE WHEN e.score < be.t AND d.score < bg.t
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS a00
+         |  FROM de e JOIN dr_$g d USING (doc_id)
+         |  CROSS JOIN best_e be CROSS JOIN best_$g bg)""".stripMargin
+    def outRow(name: String, g: String): String = {
+      val (ak, mk, md, ad) =
+        if (g == "e") ("(SELECT k FROM ck_e)", "CAST(0 AS BIGINT)",
+          "CAST(0 AS BIGINT)",
+          "(SELECT n FROM nc373) - (SELECT k FROM ck_e)")
+        else (s"(SELECT a11 FROM ag_$g)", s"(SELECT a10 FROM ag_$g)",
+          s"(SELECT a01 FROM ag_$g)", s"(SELECT a00 FROM ag_$g)")
+      s"""SELECT '$name' AS signal, (SELECT auc FROM auc_$g) AS auc_ppm,
+         |  b.t AS best_thr, b.tp, b.fp, b.fn, b.f1 AS f1_ppm,
+         |  (SELECT k FROM ck_$g) AS n_corpus_keep,
+         |  $ak AS agree_keep, $mk AS mixed_keep,
+         |  $md AS mixed_drop, $ad AS agree_drop,
+         |  (SELECT npos FROM lc373) AS n_pseudo_pos,
+         |  (SELECT nneg FROM lc373) AS n_pseudo_neg,
+         |  (SELECT namb FROM lc373) AS n_ambiguous
+         |FROM best_$g b""".stripMargin
+    }
+    s"""WITH $nbScoreChainSql,
+       |$signalLegsSql,
+       |sigs AS MATERIALIZED (SELECT d_h.doc_id, d_h.score AS sh,
+       |    ds.score AS sn, d_l.score AS sl
+       |  FROM d_h JOIN ds USING (doc_id) JOIN d_l USING (doc_id)),
+       |nc373 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sigs),
+       |dd AS MATERIALIZED (SELECT doc_id,
+       |    (row_number() OVER (ORDER BY sh, doc_id) - 1) * 10
+       |      // (SELECT n FROM nc373) AS d_h,
+       |    (row_number() OVER (ORDER BY sn, doc_id) - 1) * 10
+       |      // (SELECT n FROM nc373) AS d_n,
+       |    (row_number() OVER (ORDER BY sl, doc_id) - 1) * 10
+       |      // (SELECT n FROM nc373) AS d_l
+       |  FROM sigs),
+       |lab AS MATERIALIZED (SELECT doc_id, d_h, d_n, d_l,
+       |    CASE WHEN d_h >= 5 AND d_n >= 5 AND d_l >= 5 THEN 1
+       |         WHEN d_h < 5 AND d_n < 5 AND d_l < 5 THEN 0 END AS y,
+       |    CASE WHEN d_n >= 5 AND d_l >= 5 THEN 1
+       |         WHEN d_n < 5 AND d_l < 5 THEN 0 END AS y_h,
+       |    CASE WHEN d_h >= 5 AND d_l >= 5 THEN 1
+       |         WHEN d_h < 5 AND d_l < 5 THEN 0 END AS y_n,
+       |    CASE WHEN d_h >= 5 AND d_n >= 5 THEN 1
+       |         WHEN d_h < 5 AND d_n < 5 THEN 0 END AS y_l
+       |  FROM dd),
+       |lb AS MATERIALIZED (SELECT * FROM lab WHERE y IS NOT NULL),
+       |p373h AS (SELECT doc_id, y_h AS y, d_h AS score FROM lab
+       |  WHERE y_h IS NOT NULL),
+       |p373n AS (SELECT doc_id, y_n AS y, d_n AS score FROM lab
+       |  WHERE y_n IS NOT NULL),
+       |p373l AS (SELECT doc_id, y_l AS y, d_l AS score FROM lab
+       |  WHERE y_l IS NOT NULL),
+       |${calBlock("h", "p373h")},
+       |${calBlock("n", "p373n")},
+       |${calBlock("l", "p373l")},
+       |${rate10Block("h")},
+       |${rate10Block("n")},
+       |${rate10Block("l")},
+       |de AS MATERIALIZED (SELECT dd.doc_id,
+       |    rh.r + rn2.r + rl.r AS score
+       |  FROM dd JOIN r10_h rh ON rh.dec = dd.d_h
+       |  JOIN r10_n rn2 ON rn2.dec = dd.d_n
+       |  JOIN r10_l rl ON rl.dec = dd.d_l),
+       |pe AS MATERIALIZED (SELECT de.doc_id, lb.y, de.score
+       |  FROM de JOIN lb USING (doc_id)),
+       |dr_h AS (SELECT doc_id, d_h AS score FROM dd),
+       |dr_n AS (SELECT doc_id, d_n AS score FROM dd),
+       |dr_l AS (SELECT doc_id, d_l AS score FROM dd),
+       |${evalBlock("h", "p373h", "dr_h")},
+       |${evalBlock("n", "p373n", "dr_n")},
+       |${evalBlock("l", "p373l", "dr_l")},
+       |${evalBlock("e", "pe", "de")},
+       |${agBlock("h")},
+       |${agBlock("n")},
+       |${agBlock("l")},
+       |lc373 AS (SELECT
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+       |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nneg,
+       |    CAST(sum(CASE WHEN y IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS namb
+       |  FROM lab)
        |SELECT * FROM (
        |${outRow("1_heur", "h")}
        |UNION ALL ${outRow("2_nb", "n")}
@@ -3797,6 +3916,7 @@ object SparkEntry {
     "q370_sa_strip"       -> graft.ops.SuffixArrayOps.q370SaStrip _,
     "q371_ivf_trained"    -> SimilarityOps.q371IvfTrained _,
     "q372_byte_fallback"  -> TextOps.q372ByteFallback _,
+    "q373_indomain_cut"   -> PipelineOps.q373IndomainCut _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9084,6 +9204,7 @@ object SparkEntry {
     "q370_sa_strip" -> q370OracleSql,
     "q371_ivf_trained" -> q371OracleSql,
     "q372_byte_fallback" -> q372OracleSql,
+    "q373_indomain_cut" -> q373OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

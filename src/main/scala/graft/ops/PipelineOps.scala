@@ -3754,6 +3754,59 @@ object PipelineOps {
     else (u2 * 1000000 / (2 * BigInt(n1) * n0)).toLong
   }
 
+  /** [[q367Sweep]] over a pre-binned (score, n, n_positive) histogram —
+    * the corpus-scale form (the per-doc list never reaches the driver;
+    * only the bounded bin table does). Same contract: max F1, ties to
+    * the lowest threshold. */
+  private[graft] def histSweep(bins: Seq[(Long, Long, Long)])
+      : (Long, Long, Long, Long, Long) = {
+    val sorted = bins.sortBy(_._1)
+    val nPos = sorted.map(_._3).sum
+    val evals = sorted.map(_._1).map { t =>
+      val keep = sorted.filter(_._1 >= t)
+      val tp = keep.map(_._3).sum
+      val fp = keep.map { case (_, n, p) => n - p }.sum
+      val fn = nPos - tp
+      (t, tp, fp, fn, 2L * tp * 1000000L / (2L * tp + fp + fn))
+    }
+    val best = evals.map(_._5).max
+    evals.filter(_._5 == best).minBy(_._1)
+  }
+
+  /** [[q367Auc]] over a pre-binned (score, n, n_positive) histogram. */
+  private[graft] def histAuc(bins: Seq[(Long, Long, Long)]): Long = {
+    var negb = BigInt(0); var u2 = BigInt(0); var n1 = 0L; var n0 = 0L
+    bins.sortBy(_._1).foreach { case (_, n, p) =>
+      val ng = n - p
+      u2 += BigInt(p) * (2 * negb + ng); negb += ng; n1 += p; n0 += ng
+    }
+    if (n1 == 0L || n0 == 0L) 0L
+    else (u2 * 1000000 / (2 * BigInt(n1) * n0)).toLong
+  }
+
+  /** The three corpus signal SQL expressions — q31's distinct-word
+    * heuristic (×1000), q334's NB score, the plant-trained bigram-LM
+    * mean ppm — ONE definition shared by q367's flag scan and q373's
+    * in-domain calibration (the sprtWalk rule: consumers can never
+    * drift on the signal semantics). */
+  private[graft] def q367CorpusSignalSqls: (String, String, String) = {
+    val heurSql =
+      """CAST(size(array_distinct(split(coalesce(text, ''), ' '))) AS BIGINT)
+        | * 1000 div size(split(coalesce(text, ''), ' '))""".stripMargin
+    val lmEntries = q367LmDict.toSeq
+      .sortBy { case ((a, b), _) => (a, b) }
+      .map { case ((a, b), v) => s"'${a} ${b}', ${v}L" }.mkString(", ")
+    val lmSql =
+      s"""element_at(transform(array(filter(split(coalesce(text, ''), ' '), x -> x <> '')), ws ->
+         |  CASE WHEN size(ws) < 2 THEN CAST(0 AS BIGINT) ELSE
+         |    aggregate(transform(slice(ws, 1, size(ws) - 1), (x, i) ->
+         |        coalesce(element_at(map($lmEntries),
+         |          concat(x, ' ', element_at(ws, i + 2))), CAST(0 AS BIGINT))),
+         |      CAST(0 AS BIGINT), (a, b) -> a + b)
+         |    div CAST(size(ws) - 1 AS BIGINT) END), 1)""".stripMargin
+    (heurSql, q334ScoreSql(q334Weights), lmSql)
+  }
+
   /** X345 — stacked ensemble quality filter + ablation (the
     * DataComp-style measurement): the lane owns three INDEPENDENT
     * quality signals — q31's distinct-word-ratio heuristic, q334's
@@ -3820,20 +3873,7 @@ object PipelineOps {
       sigs :+ ("4_ensemble" -> ensSl)
     val points = all.map { case (tag, sl) => (tag, q367Sweep(sl), q367Auc(sl)) }
     // --- corpus application: ONE narrow scan, four keep flags ---
-    val heurSql =
-      """CAST(size(array_distinct(split(coalesce(text, ''), ' '))) AS BIGINT)
-        | * 1000 div size(split(coalesce(text, ''), ' '))""".stripMargin
-    val lmEntries = lmDict.toSeq
-      .sortBy { case ((a, b), _) => (a, b) }
-      .map { case ((a, b), v) => s"'${a} ${b}', ${v}L" }.mkString(", ")
-    val lmSql =
-      s"""element_at(transform(array(filter(split(coalesce(text, ''), ' '), x -> x <> '')), ws ->
-         |  CASE WHEN size(ws) < 2 THEN CAST(0 AS BIGINT) ELSE
-         |    aggregate(transform(slice(ws, 1, size(ws) - 1), (x, i) ->
-         |        coalesce(element_at(map($lmEntries),
-         |          concat(x, ' ', element_at(ws, i + 2))), CAST(0 AS BIGINT))),
-         |      CAST(0 AS BIGINT), (a, b) -> a + b)
-         |    div CAST(size(ws) - 1 AS BIGINT) END), 1)""".stripMargin
+    val (heurSql, nbSql, lmSql) = q367CorpusSignalSqls
     def rateSql(calIdx: Int, ref: String): String = {
       val (_, scores, fits) = cals(calIdx)
       s"element_at(array(${fits.map(_ + "L").mkString(", ")}), " +
@@ -3843,7 +3883,7 @@ object PipelineOps {
     val thr = points.map(_._2._1)
     val flagsSql =
       s"""element_at(transform(array(named_struct(
-         |  'h', $heurSql, 'n', ${q334ScoreSql(weights)}, 'l', $lmSql)), t ->
+         |  'h', $heurSql, 'n', $nbSql, 'l', $lmSql)), t ->
          |  named_struct(
          |    'kh', CASE WHEN t.h >= ${thr(0)}L THEN 1L ELSE 0L END,
          |    'kn', CASE WHEN t.n >= ${thr(1)}L THEN 1L ELSE 0L END,
@@ -3863,6 +3903,173 @@ object PipelineOps {
       "signal" -> StringType, "auc_ppm" -> LongType, "best_thr" -> LongType,
       "tp" -> LongType, "fp" -> LongType, "fn" -> LongType,
       "f1_ppm" -> LongType, "n_corpus_keep" -> LongType)
+  }
+
+  /** X352 — IN-DOMAIN filter operating point (closing the lane's
+    * three-round-old honest negative): q353 and q367 both report that
+    * PLANT-calibrated operating points keep zero real documents — the
+    * plant is out-of-domain, so its thresholds land above every corpus
+    * score. This operator closes the gap instead of restating it, the
+    * way production closes it when no labels exist: PSEUDO-LABELS from
+    * the signals' own agreement. Each of the three q367 signals (ONE
+    * shared definition, [[q367CorpusSignalSqls]]) ranks the corpus into
+    * exact GlobalOrder deciles; a document is pseudo-POSITIVE when all
+    * three signals place it in the upper half (deciles ≥ 5),
+    * pseudo-NEGATIVE when all three place it in the lower half, and
+    * AMBIGUOUS (excluded from evaluation, still scored) otherwise.
+    * Each SIGNAL, however, is calibrated and evaluated LEAVE-ONE-OUT —
+    * against the agreement of the OTHER TWO signals only (the
+    * co-training construction) — so a signal's AUC/F1 measure real
+    * cross-signal prediction, never a label the signal helped define.
+    * The ensemble row evaluates against the three-way band, which its
+    * monotone calibrated sum separates BY CONSTRUCTION (AUC/F1 =
+    * 1000000 there is a consistency check, not a finding — stated; the
+    * ensemble's informative outputs are the corpus keep and the
+    * matrices).
+    *
+    * Calibration runs q367's machinery IN DOMAIN: PAV ([[pavFits]])
+    * per signal over its 10 decile bins against its leave-one-out
+    * labels, ensemble = sum of the three calibrated rates (≤ 1000
+    * distinct values BY CONSTRUCTION — three 10-step functions — so
+    * the sweep/AUC histograms are driver-bounded at any corpus size),
+    * max-F1 operating points per signal and ensemble, and ONE final
+    * corpus pass reporting each cut's keep count plus the 2×2
+    * agreement matrix of every signal's cut against the ensemble's.
+    *
+    * Measured at sf0.01 (500 docs): the three-way band is 72 positives
+    * / 52 negatives / 376 ambiguous; the ensemble cut keeps 178 corpus
+    * documents (35.6% — the NONZERO, defensible in-domain keep the
+    * plant-calibrated q353/q367 cuts could not produce). The
+    * leave-one-out AUCs are the honest part: the heuristic decile
+    * scores 389274 — BELOW chance against the other two signals'
+    * consensus (its ranking anti-correlates with NB∧LM agreement on
+    * this corpus) — NB 526560, LM 605260, and the two weak signals'
+    * max-F1 operating points degenerate to threshold 0 (keep-all),
+    * which the report shows rather than hides. The pseudo-label
+    * construction, deciles, PAV, sweeps and matrices all replay in the
+    * DuckDB oracle.
+    *
+    * Scale: the signal scan is ONE narrow projection (each signal
+    * evaluated once per row); deciles are three GlobalOrder passes over
+    * the persisted narrow score frame (range shuffles — never an
+    * unpartitioned window); calibration bins (30 rows), ensemble bins
+    * (≤1000 rows) and the final 19-sum aggregate are the only
+    * collects. */
+  def q373IndomainCut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val (hSql, nSql, lSql) = q367CorpusSignalSqls
+    val sig = docs(s, dir).select($"doc_id",
+      expr(hSql).as("h"), expr(nSql).as("n"), expr(lSql).as("l"))
+      .persist()
+    try {
+      def dec(c: String): DataFrame = {
+        val (numbered, total) = graft.operators.GlobalOrder
+          .withRowNumberAndTotal(sig.select($"doc_id", col(c)),
+            Seq(col(c), $"doc_id"), "rn")
+        numbered.select($"doc_id",
+          expr(s"(rn - 1) * 10 div ${total}L").as(s"d_$c"))
+      }
+      val dd = dec("h").join(dec("n"), Seq("doc_id"))
+        .join(dec("l"), Seq("doc_id"))
+        .persist() // bin fold + ensemble-bin fold + the final matrix agg
+      try {
+        val isPos = $"d_h" >= 5 && $"d_n" >= 5 && $"d_l" >= 5
+        val isNeg = $"d_h" < 5 && $"d_n" < 5 && $"d_l" < 5
+        // leave-one-out pseudo-labels: signal g is calibrated and
+        // evaluated against the OTHER TWO signals' agreement, so its
+        // AUC/F1 measure real cross-signal prediction, never a label it
+        // helped define
+        def loo(a: String, b: String) =
+          when(col(a) >= 5 && col(b) >= 5, 1L)
+            .when(col(a) < 5 && col(b) < 5, 0L)
+        val lab3 = dd
+          .withColumn("y_h", loo("d_n", "d_l"))
+          .withColumn("y_n", loo("d_h", "d_l"))
+          .withColumn("y_l", loo("d_h", "d_n"))
+        val lab = dd.withColumn("y", when(isPos, 1L).when(isNeg, 0L))
+          .filter($"y".isNotNull)
+        val binRows = lab3
+          .select(expr(
+            "stack(3, 'h', d_h, y_h, 'n', d_n, y_n, 'l', d_l, y_l)" +
+              " AS (sig, dec, y)"))
+          .filter($"y".isNotNull)
+          .groupBy($"sig", $"dec")
+          .agg(count(lit(1)).as("n"), sum($"y").as("np"))
+          .collect()
+        val sigTags = Seq("h", "n", "l")
+        val bins: Map[String, Seq[(Long, Long, Long)]] = sigTags.map { g =>
+          g -> binRows.filter(_.getString(0) == g)
+            .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+            .sortBy(_._1).toSeq
+        }.toMap
+        // PAV per signal over its decile bins; rate10(g)(d) = calibrated
+        // pseudo-positive rate of decile d (q367's step lookup)
+        val rate10: Map[String, IndexedSeq[Long]] = sigTags.map { g =>
+          val b = bins(g)
+          val fits = pavFits(b)
+          val decs = b.map(_._1)
+          g -> (0L to 9L).map { d =>
+            fits(math.max(decs.lastIndexWhere(_ <= d), 0))
+          }
+        }.toMap
+        def rateArr(g: String): String =
+          s"array(${rate10(g).map(_ + "L").mkString(", ")})"
+        val ensSql = s"""element_at(${rateArr("h")}, CAST(d_h + 1 AS INT))
+          | + element_at(${rateArr("n")}, CAST(d_n + 1 AS INT))
+          | + element_at(${rateArr("l")}, CAST(d_l + 1 AS INT))""".stripMargin
+        val ensBins = lab.select(expr(ensSql).as("e"), $"y")
+          .groupBy($"e").agg(count(lit(1)).as("n"), sum($"y").as("np"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        val points: Seq[(String, (Long, Long, Long, Long, Long), Long)] =
+          sigTags.map(g => (g, histSweep(bins(g)), histAuc(bins(g)))) :+
+            (("e", histSweep(ensBins), histAuc(ensBins)))
+        val thr = points.map(p => p._1 -> p._2._1).toMap
+        // ONE final corpus pass: keeps at every operating point, the
+        // per-signal agreement matrix vs the ensemble cut, label counts
+        val keCol = col("e") >= lit(thr("e"))
+        val cells: Seq[Column] = sigTags.flatMap { g =>
+          val kg = col(s"d_$g") >= lit(thr(g))
+          Seq(
+            sum(when(keCol && kg, 1L).otherwise(0L)).as(s"a11_$g"),
+            sum(when(keCol && !kg, 1L).otherwise(0L)).as(s"a10_$g"),
+            sum(when(!keCol && kg, 1L).otherwise(0L)).as(s"a01_$g"),
+            sum(when(!keCol && !kg, 1L).otherwise(0L)).as(s"a00_$g"))
+        }
+        val aggCols: Seq[Column] = Seq(
+          count(lit(1)).as("nc"),
+          sum(when(col("d_h") >= lit(thr("h")), 1L).otherwise(0L)).as("kh"),
+          sum(when(col("d_n") >= lit(thr("n")), 1L).otherwise(0L)).as("kn"),
+          sum(when(col("d_l") >= lit(thr("l")), 1L).otherwise(0L)).as("kl"),
+          sum(when(keCol, 1L).otherwise(0L)).as("ke"),
+          sum(when(isPos, 1L).otherwise(0L)).as("npos"),
+          sum(when(isNeg, 1L).otherwise(0L)).as("nneg")) ++ cells
+        val m = dd.withColumn("e", expr(ensSql))
+          .agg(aggCols.head, aggCols.tail: _*).head()
+        def g(name: String): Long = m.getLong(m.fieldIndex(name))
+        val nPos = g("npos"); val nNeg = g("nneg")
+        val nAmb = g("nc") - nPos - nNeg
+        val tags = Map("h" -> "1_heur", "n" -> "2_nb", "l" -> "3_lm",
+          "e" -> "4_ensemble")
+        val rows = points.map { case (k, (t, tp, fp, fn, f1), auc) =>
+          val (keep, a11, a10, a01, a00) =
+            if (k == "e") (g("ke"), g("ke"), 0L, 0L, g("nc") - g("ke"))
+            else (g(s"k$k"), g(s"a11_$k"), g(s"a10_$k"), g(s"a01_$k"),
+              g(s"a00_$k"))
+          org.apache.spark.sql.Row(tags(k), auc, t, tp, fp, fn, f1,
+            keep, a11, a10, a01, a00, nPos, nNeg, nAmb)
+        }
+        LocalReport.frame(s, rows,
+          "signal" -> StringType, "auc_ppm" -> LongType,
+          "best_thr" -> LongType, "tp" -> LongType, "fp" -> LongType,
+          "fn" -> LongType, "f1_ppm" -> LongType,
+          "n_corpus_keep" -> LongType, "agree_keep" -> LongType,
+          "mixed_keep" -> LongType, "mixed_drop" -> LongType,
+          "agree_drop" -> LongType, "n_pseudo_pos" -> LongType,
+          "n_pseudo_neg" -> LongType, "n_ambiguous" -> LongType)
+      } finally dd.unpersist(blocking = false)
+    } finally sig.unpersist(blocking = false)
   }
 
   /** q369's estimator count, shared with the generated oracle. */

@@ -1606,6 +1606,113 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q373: in-domain cut — full driver replay, nonzero keep, matrix identities") {
+    import spark.implicits._
+    val rows = PipelineOps.q373IndomainCut(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet ==
+      Set("1_heur", "2_nb", "3_lm", "4_ensemble"))
+    // (a) full independent driver replay: signals from the driver-side
+    // scorer functions (NOT the SQL expressions), exact deciles by
+    // sorting, leave-one-out labels, PAV, rate sums, sweeps, matrices
+    val weights = PipelineOps.q334Weights
+    val lmDict = PipelineOps.q367LmDict
+    val docsRows = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      .as[(Long, String)].collect()
+    val scored = docsRows.map { case (id, t) =>
+      (id, PipelineOps.q367HeurScore(t),
+        PipelineOps.qualityGrams(t, 256).map(weights).sum,
+        PipelineOps.q367LmScore(t, lmDict))
+    }
+    val nDocs = scored.length.toLong
+    def deciles(f: ((Long, Long, Long, Long)) => Long): Map[Long, Long] =
+      scored.sortBy(r => (f(r), r._1)).zipWithIndex.map { case (r, i) =>
+        r._1 -> i.toLong * 10L / nDocs
+      }.toMap
+    val dh = deciles(_._2); val dn = deciles(_._3); val dl = deciles(_._4)
+    val dd = scored.map(r => (r._1, dh(r._1), dn(r._1), dl(r._1)))
+    def loo(a: Long, b: Long): Option[Long] =
+      if (a >= 5 && b >= 5) Some(1L) else if (a < 5 && b < 5) Some(0L)
+      else None
+    def binsOf(sel: ((Long, Long, Long, Long)) => (Long, Option[Long]))
+        : Seq[(Long, Long, Long)] =
+      dd.flatMap { r => val (d, y) = sel(r); y.map(v => (d, v)) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (d, g) => (d, g.size.toLong, g.count(_._2 == 1L).toLong) }
+    val binH = binsOf(r => (r._2, loo(r._3, r._4)))
+    val binN = binsOf(r => (r._3, loo(r._2, r._4)))
+    val binL = binsOf(r => (r._4, loo(r._2, r._3)))
+    def rate10(b: Seq[(Long, Long, Long)]): IndexedSeq[Long] = {
+      val fits = PipelineOps.pavFits(b); val decs = b.map(_._1)
+      (0L to 9L).map(d => fits(math.max(decs.lastIndexWhere(_ <= d), 0)))
+    }
+    val (rH, rN, rL) = (rate10(binH), rate10(binN), rate10(binL))
+    val ens = dd.map(r => (r._1, rH(r._2.toInt) + rN(r._3.toInt) + rL(r._4.toInt),
+      r._2, r._3, r._4))
+    val uni = dd.flatMap { r =>
+      if (r._2 >= 5 && r._3 >= 5 && r._4 >= 5) Some(r._1 -> 1L)
+      else if (r._2 < 5 && r._3 < 5 && r._4 < 5) Some(r._1 -> 0L) else None
+    }.toMap
+    val ensBins = ens.filter(e => uni.contains(e._1))
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (sc, g) =>
+        (sc, g.size.toLong, g.count(e => uni(e._1) == 1L).toLong) }
+    val pts = Seq(
+      "1_heur" -> (PipelineOps.histSweep(binH), PipelineOps.histAuc(binH)),
+      "2_nb" -> (PipelineOps.histSweep(binN), PipelineOps.histAuc(binN)),
+      "3_lm" -> (PipelineOps.histSweep(binL), PipelineOps.histAuc(binL)),
+      "4_ensemble" ->
+        (PipelineOps.histSweep(ensBins), PipelineOps.histAuc(ensBins)))
+    val thrE = pts.last._2._1._1
+    pts.foreach { case (tag, ((t, tp, fp, fn, f1), auc)) =>
+      val r = rows(tag)
+      assert(r.getAs[Long]("best_thr") == t, tag)
+      assert(r.getAs[Long]("tp") == tp && r.getAs[Long]("fp") == fp &&
+        r.getAs[Long]("fn") == fn, tag)
+      assert(r.getAs[Long]("f1_ppm") == f1 && r.getAs[Long]("auc_ppm") == auc,
+        tag)
+      // keep counts and matrices replayed from the per-doc frames
+      val thrG = t
+      val keep: Long => Boolean = tag match {
+        case "1_heur" => id => dh(id) >= thrG
+        case "2_nb" => id => dn(id) >= thrG
+        case "3_lm" => id => dl(id) >= thrG
+        case _ => id => ens.find(_._1 == id).get._2 >= thrE
+      }
+      assert(r.getAs[Long]("n_corpus_keep") ==
+        dd.count(x => keep(x._1)).toLong, tag)
+      if (tag != "4_ensemble") {
+        val ke: Long => Boolean = id => ens.find(_._1 == id).get._2 >= thrE
+        assert(r.getAs[Long]("agree_keep") ==
+          dd.count(x => ke(x._1) && keep(x._1)).toLong, tag)
+        assert(r.getAs[Long]("mixed_keep") ==
+          dd.count(x => ke(x._1) && !keep(x._1)).toLong, tag)
+        assert(r.getAs[Long]("mixed_drop") ==
+          dd.count(x => !ke(x._1) && keep(x._1)).toLong, tag)
+        assert(r.getAs[Long]("agree_drop") ==
+          dd.count(x => !ke(x._1) && !keep(x._1)).toLong, tag)
+      }
+    }
+    // (b) the point of the operator: a NONZERO defensible in-domain keep
+    val ensRow = rows("4_ensemble")
+    assert(ensRow.getAs[Long]("n_corpus_keep") > 0L)
+    assert(ensRow.getAs[Long]("n_pseudo_pos") > 0L &&
+      ensRow.getAs[Long]("n_pseudo_neg") > 0L)
+    // (c) matrix identities: cells partition the corpus; row/column sums
+    // reconcile with the keep counts
+    val nc = ensRow.getAs[Long]("n_pseudo_pos") +
+      ensRow.getAs[Long]("n_pseudo_neg") + ensRow.getAs[Long]("n_ambiguous")
+    Seq("1_heur", "2_nb", "3_lm").foreach { tag =>
+      val r = rows(tag)
+      val cells = Seq("agree_keep", "mixed_keep", "mixed_drop", "agree_drop")
+        .map(r.getAs[Long])
+      assert(cells.sum == nc, tag)
+      assert(cells(0) + cells(1) == ensRow.getAs[Long]("n_corpus_keep"), tag)
+      assert(cells(0) + cells(2) == r.getAs[Long]("n_corpus_keep"), tag)
+    }
+  }
+
   test("q369: AMS sketch — driver replay, additivity, the rejected hash is >=50x worse") {
     import spark.implicits._
     val rows = PipelineOps.q369AmsF2(spark, sf).collect()

@@ -772,6 +772,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q368_incremental_nnd" -> 0, // collect-local 5-row report; both graph
                              // builds + seeding + local rounds run inside
                              // the builder, localCheckpointed per stage
+    "q373_indomain_cut" -> 0, // collect-local 4-row report; the signal
+                             // scan + three GlobalOrder decile passes +
+                             // the bounded bin folds and the final
+                             // 19-sum agg all run inside the builder
     "q367_ensemble_filter" -> 0, // collect-local 4-row ablation; the only
                              // corpus work is ONE narrow 4-flag scan into
                              // a 1-row agg (signals let-bound as lambda
