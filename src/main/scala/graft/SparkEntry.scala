@@ -1651,6 +1651,81 @@ object SparkEntry {
        |ORDER BY quant, q_id""".stripMargin
   }
 
+  /** q374's oracle: the q147 edge streams, per-distinct-key signs (the
+    * sign is a function of the key alone, so the oracle computes each
+    * key's 32 signs once and joins — same values as the Spark per-row
+    * fold), per-(edge, rep) Z sums on both sides, floor-division mean
+    * and median-of-means of the products, the exact/executed legs and
+    * HUGEINT ppm errors. */
+  private def q374OracleSql: String = {
+    val r = graft.ops.PipelineOps.AmsReps
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    s"""WITH lft AS MATERIALIZED (
+       |  SELECT 'lineitem-orders' AS edge, CAST(l_orderkey AS BIGINT) AS k
+       |    FROM lineitem WHERE l_orderkey IS NOT NULL
+       |  UNION ALL SELECT 'lineitem-part', CAST(l_partkey AS BIGINT)
+       |    FROM lineitem WHERE l_partkey IS NOT NULL
+       |  UNION ALL SELECT 'orders-customer', CAST(o_custkey AS BIGINT)
+       |    FROM orders WHERE o_custkey IS NOT NULL),
+       |rgt AS MATERIALIZED (
+       |  SELECT 'lineitem-orders' AS edge, CAST(o_orderkey AS BIGINT) AS k
+       |    FROM orders WHERE o_orderkey IS NOT NULL
+       |  UNION ALL SELECT 'lineitem-part', CAST(p_partkey AS BIGINT)
+       |    FROM part WHERE p_partkey IS NOT NULL
+       |  UNION ALL SELECT 'orders-customer', CAST(c_custkey AS BIGINT)
+       |    FROM customer WHERE c_custkey IS NOT NULL),
+       |kx AS MATERIALIZED (SELECT DISTINCT k FROM (
+       |  SELECT k FROM lft UNION ALL SELECT k FROM rgt)),
+       |ks AS MATERIALIZED (SELECT k, t.r,
+       |    CASE WHEN (${fp(
+              "'amsj:' || CAST(t.r AS VARCHAR) || ':' || CAST(k AS VARCHAR)" +
+              " || ':' || CAST((fpk % 1000003) * (fpk % 1000003) AS VARCHAR)")}
+       |      // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT k, ${fp("CAST(k AS VARCHAR)")} AS fpk FROM kx)
+       |  CROSS JOIN generate_series(0, ${r - 1}) t(r)),
+       |za AS MATERIALIZED (SELECT edge, r, CAST(sum(s) AS BIGINT) AS z,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM lft JOIN ks USING (k) GROUP BY edge, r),
+       |zb AS MATERIALIZED (SELECT edge, r, CAST(sum(s) AS BIGINT) AS z,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM rgt JOIN ks USING (k) GROUP BY edge, r),
+       |prods AS MATERIALIZED (SELECT a.edge, a.r, a.z * b.z AS p
+       |  FROM za a JOIN zb b ON a.edge = b.edge AND a.r = b.r),
+       |mn AS (SELECT edge, CAST(sum(p) // $r AS BIGINT) AS m
+       |  FROM prods GROUP BY edge),
+       |grp AS (SELECT edge, CAST(sum(p) // 4 AS BIGINT) AS gm
+       |  FROM prods GROUP BY edge, r // 4),
+       |mom AS (SELECT edge, CAST(sum(gm) // 2 AS BIGINT) AS m FROM (
+       |    SELECT edge, gm, row_number() OVER (PARTITION BY edge
+       |      ORDER BY gm) AS rn FROM grp)
+       |  WHERE rn IN (${r / 8}, ${r / 8 + 1}) GROUP BY edge),
+       |ex AS (SELECT a.edge, CAST(coalesce(sum(a.na * b.nb), 0) AS BIGINT) AS p
+       |  FROM (SELECT edge, k, count(*) AS na FROM lft GROUP BY edge, k) a
+       |  JOIN (SELECT edge, k, count(*) AS nb FROM rgt GROUP BY edge, k) b
+       |    ON a.edge = b.edge AND a.k = b.k
+       |  GROUP BY a.edge),
+       |act AS (SELECT lft.edge, CAST(count(*) AS BIGINT) AS a
+       |  FROM lft JOIN rgt ON lft.edge = rgt.edge AND lft.k = rgt.k
+       |  GROUP BY lft.edge),
+       |nsz AS (SELECT edge,
+       |    (SELECT n FROM za WHERE za.edge = e.edge AND za.r = 0) AS n_left,
+       |    (SELECT n FROM zb WHERE zb.edge = e.edge AND zb.r = 0) AS n_right
+       |  FROM (SELECT DISTINCT edge FROM lft) e)
+       |SELECT nsz.edge, nsz.n_left, nsz.n_right,
+       |  ex.p AS exact_pred, act.a AS actual_rows,
+       |  mn.m AS ams_mean, mom.m AS ams_mom,
+       |  CAST(abs(CAST(mn.m AS HUGEINT) - act.a) * 1000000 // act.a
+       |    AS BIGINT) AS err_mean_ppm,
+       |  CAST(abs(CAST(mom.m AS HUGEINT) - act.a) * 1000000 // act.a
+       |    AS BIGINT) AS err_mom_ppm
+       |FROM nsz JOIN ex USING (edge) JOIN act USING (edge)
+       |JOIN mn USING (edge) JOIN mom USING (edge)
+       |ORDER BY nsz.edge""".stripMargin
+  }
+
   /** q369's oracle: the same 32 squared-tail sign folds per row (the
     * inner fp(source) computed once per row, the rep axis via
     * generate_series), the 32-sum fold, exact F2, mean and
@@ -3917,6 +3992,7 @@ object SparkEntry {
     "q371_ivf_trained"    -> SimilarityOps.q371IvfTrained _,
     "q372_byte_fallback"  -> TextOps.q372ByteFallback _,
     "q373_indomain_cut"   -> PipelineOps.q373IndomainCut _,
+    "q374_ams_join_est"   -> SchemaOps.q374AmsJoinEstimate _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9205,6 +9281,7 @@ object SparkEntry {
     "q371_ivf_trained" -> q371OracleSql,
     "q372_byte_fallback" -> q372OracleSql,
     "q373_indomain_cut" -> q373OracleSql,
+    "q374_ams_join_est" -> q374OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

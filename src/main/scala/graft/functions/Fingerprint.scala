@@ -82,12 +82,73 @@ object Fingerprint {
 
   /** SQL registration; usable both as a Column (via [[fingerprint]]) and
     * inside lambda expressions (`transform(arr, s -> graft_fingerprint(s))`). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     Registration.once(spark, "graft_fingerprint") {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_fingerprint", exprs => Fingerprint(exprs.head), "built-in")
     }
+    Registration.once(spark, "graft_fingerprint_seeded") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_fingerprint_seeded",
+        exprs => FingerprintSeeded(exprs.head, exprs(1)), "built-in")
+    }
+  }
 
   /** Column API over the registered function (register() must run first). */
   def fingerprint(colName: String): Column = expr(s"graft_fingerprint($colName)")
+}
+
+/** The SAME rolling fold continued from an explicit seed:
+  * `graft_fingerprint_seeded(graft_fingerprint(a), b)
+  *  == graft_fingerprint(concat(a, b))` by definition of the fold (the
+  * fold is left-associative, so a prefix's accumulator IS the seed for
+  * the suffix). Exists for hot paths that hash a per-row prefix once and
+  * extend it with a tiny varying suffix (q374 folds a ≤2-digit rep index
+  * into a once-per-row 25-char prefix hash — 48M short folds instead of
+  * 48M full concat+hash). DuckDB oracles need no counterpart: the
+  * bounded fixture hashes the full concatenated string, which is equal
+  * by the identity above (the spec pins it property-style). */
+case class FingerprintSeeded(seed: Expression, child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = seed
+  override def right: Expression = child
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (seed.dataType == LongType && child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fingerprint_seeded requires (BIGINT, STRING), got " +
+          s"(${seed.dataType.catalogString}, ${child.dataType.catalogString})")
+
+  override def nullSafeEval(seedV: Any, input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var acc = seedV.asInstanceOf[Long]
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s0, c) => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $acc = $s0;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $acc = ($acc * 31 + ($bytes[$i] & 0xff)) % 1000000007L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FingerprintSeeded =
+    copy(seed = newLeft, child = newRight)
 }

@@ -574,15 +574,15 @@ object SchemaOps {
       .orderBy($"verdict")
   }
 
-  def q147JoinSizeAudit(s: SparkSession, dir: String): DataFrame = {
+  /** The three audit edges as tagged (edge, k) row streams — ONE
+    * definition shared by the exact pre-flight audit (q147) and the
+    * AMS bilinear estimator (q374), so the two predictions can never
+    * disagree about what an edge is. stack() emits both lineitem edges
+    * from ONE pruned scan. */
+  private def joinEdgeRows(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import s.implicits._
     def t(n: String) = graft.sources.Tables.load(s, dir, n)
-    // Every edge role is TAGGED and unioned, so the whole audit is one
-    // declarative plan with zero driver-blocking actions (the round-8/9
-    // shape ran 6 sequential collect/count barriers and re-scanned
-    // lineitem per edge — the most load-fragile query in the r9 driver
-    // bench at 8.58 s). stack() emits both lineitem edges from ONE pruned
-    // scan; each base table is read at most twice (count leg + row leg).
     val leftRows = t("lineitem").selectExpr(
         "stack(2, 'lineitem-orders', l_orderkey, 'lineitem-part', l_partkey) AS (edge, k)")
       .unionByName(t("orders")
@@ -593,6 +593,18 @@ object SchemaOps {
       .unionByName(t("part").selectExpr("'lineitem-part' AS edge", "p_partkey AS k"))
       .unionByName(t("customer").selectExpr("'orders-customer' AS edge", "c_custkey AS k"))
       .filter($"k".isNotNull)
+    (leftRows, rightRows)
+  }
+
+  def q147JoinSizeAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Every edge role is TAGGED and unioned, so the whole audit is one
+    // declarative plan with zero driver-blocking actions (the round-8/9
+    // shape ran 6 sequential collect/count barriers and re-scanned
+    // lineitem per edge — the most load-fragile query in the r9 driver
+    // bench at 8.58 s). Each base table is read at most twice (count
+    // leg + row leg).
+    val (leftRows, rightRows) = joinEdgeRows(s, dir)
     // prediction: per-key histograms joined co-keyed, one Σ na·nb per edge
     val predicted = leftRows.groupBy($"edge", $"k").agg(count(lit(1)).as("na"))
       .join(rightRows.groupBy($"edge", $"k").agg(count(lit(1)).as("nb")),
@@ -613,6 +625,122 @@ object SchemaOps {
         when(coalesce($"predicted_rows", lit(0L)) ===
              coalesce($"actual_rows", lit(0L)), 1L).otherwise(0L).as("ok"))
       .orderBy($"edge")
+  }
+
+  /** X353 — AMS bilinear join-size estimation (consuming the q369 F2
+    * sketch in the join-planning lane, r14's item #5): q147 predicts
+    * |A⋈B| from EXACT per-key histograms — a full groupBy over each
+    * side's key space, exactly the pass a planner cannot afford for
+    * keys it has not pre-counted. The AMS paper's second use of the
+    * Tug-of-War state covers that case: with the SAME sign hash on both
+    * sides, E[Za·Zb] = Σ_k fa(k)·fb(k) = |A⋈B| — the bilinear form —
+    * so two 32-long sketch states (mergeable by addition, q369's
+    * algebra) predict the join size with NO key-space aggregation.
+    *
+    * The sign hash is q369's measured squared-tail construction applied
+    * to the key string (sequential int64 keys are exactly the q332 trap
+    * the tail exists for), with the rep index LAST so the hot scan
+    * hashes a per-row prefix once and folds each rep's digits through
+    * the compiled [[graft.functions.FingerprintSeeded]] kernel — see
+    * the zOf comment for the measured 37 → 15 → 11 s ladder and the
+    * rep-LAST variant that was as fast but statistically broken. Per edge the
+    * report carries the sketch mean, the median-of-means (8 groups of
+    * 4, q369's grouping), the EXACT q147 prediction, the executed join
+    * size, and both errors in ppm — the estimator's variance is the
+    * honest caveat: Var(mean) ≤ (F2(A)·F2(B) + |A⋈B|²)/r for bilinear
+    * forms (AMS Thm 2.2), a MUCH looser guarantee than the self-join
+    * case. Measured at sf0.01 against that bound (σ/T ≈ 25–26% per
+    * edge from the measured F2s at r = 32): mean errors 26% / 45% /
+    * 63% = 1.0σ / 1.7σ / 2.5σ, median-of-means NOT better (40–65%) —
+    * stated, not hidden, and exactly why the report keeps the exact
+    * leg as the audit baseline. The sign family is deliberately GLOBAL
+    * (a function of the key value alone): production maintains
+    * sketch(column) before knowing which joins will be asked, and an
+    * edge composes two independently-maintained columns — which also
+    * means overlapping integer key domains correlate ACROSS edges (the
+    * three errors share direction here); per-edge salting would break
+    * composability, so the correlation is the price of the design.
+    * All divisions floor (Math.floorDiv ≡ DuckDB //; products can be
+    * negative), err math in BigInt/HUGEINT (|est−actual|·10⁶ exceeds
+    * int64 at corpus scale).
+    *
+    * Scale: per side ONE narrow let-bound signs scan into a combinable
+    * (edge, rep) aggregate — 96 rows per side collected; the exact and
+    * executed legs are the in-query audit baseline (at 100 TB the
+    * sketch states are maintained incrementally per shard and the exact
+    * legs disappear — q369's framing). */
+  def q374AmsJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    graft.functions.Fingerprint.register(s)
+    val r = graft.ops.PipelineOps.AmsReps
+    val (leftRows, rightRows) = joinEdgeRows(s, dir)
+    // q369's rep-FIRST squared-tail family ('amsj:r:key:tail²'),
+    // evaluated as: 32 DRIVER-constant prefix hashes fp('amsj:r:')
+    // seed the compiled [[graft.functions.FingerprintSeeded]] fold over
+    // a per-row suffix built once — identical sign values to hashing
+    // the full concat (the fold identity), with no per-rep string
+    // allocation. Measured min-of-3 at sf0.1: 37 s (let-bound
+    // interpreted HOF array) → 15 s (rep-first compiled concat) → 11 s
+    // (this form; the remaining floor is the 48M-row generator). A rep-LAST seeded variant was ~8 s too but MEASURED
+    // WORSE statistically (4.4σ on lineitem-orders): the trailing rep
+    // digits append only tiny additive constants to the fold, so the 32
+    // estimators correlate — the q332 avalanche lesson a third time;
+    // the rep must multiply through the whole key, i.e. come FIRST.
+    def zOf(side: DataFrame): (Map[(String, Long), Long], Map[String, Long]) = {
+      val bases = (0 until r)
+        .map(i => graft.functions.Fingerprint.hashString(s"amsj:$i:"))
+      val baseLit = s"array(${bases.map(_ + "L").mkString(", ")})"
+      val rows = side
+        .select($"edge", expr("CAST(k AS STRING)").as("ks"))
+        .select($"edge", expr(
+          """concat(ks, ':',
+            |  CAST(pmod(graft_fingerprint(ks), 1000003)
+            |    * pmod(graft_fingerprint(ks), 1000003) AS STRING))"""
+            .stripMargin).as("sfx"))
+        .select($"edge", $"sfx",
+          explode(expr(s"sequence(0L, ${r - 1}L)")).as("rep"))
+        .select($"edge", $"rep", expr(
+          s"""CASE WHEN (graft_fingerprint_seeded(
+             |  element_at($baseLit, CAST(rep + 1 AS INT)), sfx)
+             |  div 64) % 2 = 0
+             |THEN 1L ELSE -1L END""".stripMargin).as("sgn"))
+        .groupBy($"edge", $"rep")
+        .agg(sum($"sgn").as("z"), count(lit(1)).as("n"))
+        .collect()
+      (rows.map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap,
+        rows.filter(_.getLong(1) == 0L)
+          .map(x => x.getString(0) -> x.getLong(3)).toMap)
+    }
+    val (za, nl) = zOf(leftRows)
+    val (zb, nr) = zOf(rightRows)
+    val exact = leftRows.groupBy($"edge", $"k").agg(count(lit(1)).as("na"))
+      .join(rightRows.groupBy($"edge", $"k").agg(count(lit(1)).as("nb")),
+        Seq("edge", "k"))
+      .groupBy($"edge").agg(sum($"na" * $"nb").as("p"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val actual = leftRows.join(rightRows, Seq("edge", "k"))
+      .groupBy($"edge").agg(count(lit(1)).as("a"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val edges = Seq("lineitem-orders", "lineitem-part", "orders-customer")
+    val rows = edges.map { e =>
+      val prods = (0L until r.toLong).map(i => za((e, i)) * zb((e, i)))
+      val mean = Math.floorDiv(prods.sum, r.toLong)
+      val gs = (0 until r / 4)
+        .map(g => Math.floorDiv(prods.slice(g * 4, g * 4 + 4).sum, 4L))
+        .sorted
+      val mom = Math.floorDiv(gs(r / 8 - 1) + gs(r / 8), 2L)
+      val act = actual(e)
+      def err(est: Long): Long =
+        ((BigInt(est) - BigInt(act)).abs * 1000000 / BigInt(act)).toLong
+      org.apache.spark.sql.Row(e, nl(e), nr(e), exact(e), act,
+        mean, mom, err(mean), err(mom))
+    }
+    graft.operators.LocalReport.frame(s, rows,
+      "edge" -> StringType, "n_left" -> LongType, "n_right" -> LongType,
+      "exact_pred" -> LongType, "actual_rows" -> LongType,
+      "ams_mean" -> LongType, "ams_mom" -> LongType,
+      "err_mean_ppm" -> LongType, "err_mom_ppm" -> LongType)
   }
 
   /** X267 — columnar encoding advisor: the write-side decision every

@@ -960,6 +960,72 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------------------- X353
+
+  test("q374: AMS bilinear join estimate — full driver replay, variance-bound sanity") {
+    import spark.implicits._
+    val rows = graft.operators.SchemaOps.q374AmsJoinEstimate(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet ==
+      Set("lineitem-orders", "lineitem-part", "orders-customer"))
+    // driver replay: per-key frequencies per edge/side, the shared
+    // squared-tail sign family (a function of the key value ALONE —
+    // composability), Z sums, floor-division mean and median-of-means
+    def fp(s0: String): Long = graft.functions.Fingerprint.hashString(s0)
+    def sign(rep: Int, k: Long): Long = {
+      val f = fp(k.toString)
+      val t = (f % 1000003L) * (f % 1000003L)
+      if ((fp(s"amsj:$rep:$k:$t") / 64L) % 2L == 0L) 1L else -1L
+    }
+    def keyCounts(table: String, keyCol: String): Map[Long, Long] =
+      graft.sources.Tables.load(spark, sf, table)
+        .select(col(keyCol).cast("long")).filter(col(keyCol).isNotNull)
+        .as[Long].collect().groupBy(identity).view.mapValues(_.length.toLong)
+        .toMap
+    val edges = Seq(
+      ("lineitem-orders", keyCounts("lineitem", "l_orderkey"),
+        keyCounts("orders", "o_orderkey")),
+      ("lineitem-part", keyCounts("lineitem", "l_partkey"),
+        keyCounts("part", "p_partkey")),
+      ("orders-customer", keyCounts("orders", "o_custkey"),
+        keyCounts("customer", "c_custkey")))
+    edges.foreach { case (e, fa, fb) =>
+      val r = rows(e)
+      val truth = fa.keysIterator
+        .map(k => fa(k) * fb.getOrElse(k, 0L)).sum
+      assert(r.getAs[Long]("exact_pred") == truth, e)
+      assert(r.getAs[Long]("actual_rows") == truth, e)
+      assert(r.getAs[Long]("n_left") == fa.values.sum &&
+        r.getAs[Long]("n_right") == fb.values.sum, e)
+      val reps = graft.ops.PipelineOps.AmsReps
+      val prods = (0 until reps).map { i =>
+        val za = fa.map { case (k, c) => sign(i, k) * c }.sum
+        val zb = fb.map { case (k, c) => sign(i, k) * c }.sum
+        za * zb
+      }
+      val mean = Math.floorDiv(prods.sum, reps.toLong)
+      val gs = (0 until reps / 4)
+        .map(g => Math.floorDiv(prods.slice(g * 4, g * 4 + 4).sum, 4L)).sorted
+      val mom = Math.floorDiv(gs(reps / 8 - 1) + gs(reps / 8), 2L)
+      assert(r.getAs[Long]("ams_mean") == mean, e)
+      assert(r.getAs[Long]("ams_mom") == mom, e)
+      def err(est: Long): Long =
+        ((BigInt(est) - BigInt(truth)).abs * 1000000 / BigInt(truth)).toLong
+      assert(r.getAs[Long]("err_mean_ppm") == err(mean), e)
+      assert(r.getAs[Long]("err_mom_ppm") == err(mom), e)
+      // variance-bound sanity (AMS Thm 2.2): the observed error stays
+      // within 4σ of the bilinear bound sqrt((F2a·F2b + T²)/r) — a
+      // deterministic fact of this fixture, recorded so a future sign-
+      // hash regression (the q332 class) trips loudly here
+      val f2a = fa.values.map(c => BigInt(c) * c).sum
+      val f2b = fb.values.map(c => BigInt(c) * c).sum
+      val sigma = math.sqrt(((f2a * f2b + BigInt(truth) * truth) / reps)
+        .toDouble)
+      assert(math.abs(mean - truth).toDouble <= 4.0 * sigma,
+        s"$e: mean $mean vs truth $truth exceeds 4 sigma ($sigma)")
+    }
+  }
+
   // ------------------------------------------------------------- X115
 
   test("Gini audit: rank-formula replay per source, bounded in [0, 1e6)") {

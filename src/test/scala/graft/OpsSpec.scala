@@ -35,6 +35,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     inputs.foreach(s => assert(got(s) == refHash(s), s"mismatch for '$s'"))
   }
 
+  test("fingerprint_seeded: continuing the fold from a prefix hash == hashing the concat") {
+    import spark.implicits._
+    Fingerprint.register(spark)
+    val pairs = Seq(("", "x"), ("amsj:42:1764:", "7"), ("abc", ""),
+      ("the quick ", "brown fox"), ("π≈", "3.14159"), ("amsj:9:81:", "31"))
+    pairs.toDF("a", "b")
+      .selectExpr("graft_fingerprint_seeded(graft_fingerprint(a), b) AS seeded",
+        "graft_fingerprint(concat(a, b)) AS whole")
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("fingerprint works inside higher-order function lambdas") {
     import spark.implicits._
     Fingerprint.register(spark)

@@ -170,6 +170,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                               // back; tf HOFs are narrow; top-k TakeOrdered
     "q148_gini_audit"   -> 2, // ONE source partitioning (rank window +
                              // combinable Gini fold) + orderBy
+    "q374_ams_join_est" -> 0, // collect-local 3-row report; two sign
+                             // scans (seeded codegen fold into a 96-key
+                             // combinable agg) + the exact/executed audit
+                             // legs run inside the builder
     "q147_join_size_audit" -> 9, // ONE declarative edge-tagged plan (was 6
                              // driver-barrier jobs through round 9): two
                              // per-key count aggs + histogram join + the
