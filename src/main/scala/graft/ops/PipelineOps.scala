@@ -4075,6 +4075,30 @@ object PipelineOps {
   /** q369's estimator count, shared with the generated oracle. */
   private[graft] val AmsReps = 32
 
+  /** The AMS estimator skim — unbiased mean of the Z² estimates and the
+    * (r/4-group, 4-wide) median-of-means — ONE definition shared by the
+    * q369 batch sketch and the streaming F2 feed (the sprtWalk rule).
+    * All estimates ≥ 0, so `/` ≡ floor on both engines. */
+  private[graft] def amsMeanMom(zs: Seq[Long]): (Long, Long) = {
+    val r = zs.length
+    val ests = zs.map(z => z * z)
+    val mean = ests.sum / r
+    val groupMeans =
+      (0 until r / 4).map(g => ests.slice(g * 4, g * 4 + 4).sum / 4)
+    val gs = groupMeans.sorted
+    (mean, (gs(r / 8 - 1) + gs(r / 8)) / 2)
+  }
+
+  /** Driver/executor-side evaluation of ONE AMS sign — the same value
+    * [[amsSignsSql]] computes per row (the spec and the streaming feed
+    * replay it without an expression). */
+  private[graft] def amsSign(salt: String, rep: Int, key: String): Long = {
+    val f = graft.functions.Fingerprint.hashString(key)
+    val t = (f % 1000003L) * (f % 1000003L)
+    if ((graft.functions.Fingerprint.hashString(s"$salt:$rep:$key:$t")
+        / 64L) % 2L == 0L) 1L else -1L
+  }
+
   /** The ONE let-bound AMS signs-array expression (q369's measured
     * squared-tail sign hash): for a string key expression, an array of
     * `r` ±1 signs with the inner key fingerprint bound once per row —
@@ -4141,11 +4165,7 @@ object PipelineOps {
     val exact = docs(s, dir).groupBy($"source").agg(count(lit(1)).as("c"))
       .agg(sum($"c" * $"c")).head().getLong(0)
     def err(est: Long): Long = math.abs(est - exact) * 1000000L / exact
-    val ests = zs.map(z => z * z)
-    val mean = ests.sum / r
-    val groupMeans = (0 until r / 4).map(g => ests.slice(g * 4, g * 4 + 4).sum / 4)
-    val gs = groupMeans.sorted
-    val mom = (gs(r / 8 - 1) + gs(r / 8)) / 2
+    val (mean, mom) = amsMeanMom(zs)
     val rows = zs.zipWithIndex.map { case (z, i) =>
       org.apache.spark.sql.Row(i.toLong, z, z * z, err(z * z))
     } ++ Seq(

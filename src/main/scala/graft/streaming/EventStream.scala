@@ -800,6 +800,65 @@ object EventStream {
       }
   }
 
+  final case class F2Obs(scope: String, key: String)
+
+  final case class F2State(n: Long, zs: Seq[Long])
+
+  final case class F2Row(scope: String, rep: Long, z_or_n: Long,
+      estimate: Long)
+
+  /** Streaming AMS/Tug-of-War F2 feed — q369's real-stream twin (the
+    * sketch lane's cheapest possible streaming member): the sketch
+    * state is [[graft.ops.PipelineOps.AmsReps]] sign sums plus a count,
+    * and Z is LINEAR in the rows, so a micro-batch folds into the
+    * standing state with 32 integer additions per arrival — the
+    * add-mergeability q369's spec proves is exactly what makes the
+    * stream form trivial. Signs come from the ONE shared definition
+    * ([[graft.ops.PipelineOps.amsSign]], q369's measured squared-tail
+    * family, salt 'ams'), and the per-emission skim (Z² estimates,
+    * unbiased mean, 8×4 median-of-means) is the SHARED
+    * [[graft.ops.PipelineOps.amsMeanMom]] — the sprtWalk rule on both
+    * halves. Emissions mirror q369's estimator rows; rep 97 carries the
+    * running row count with a 0 estimate (the exact F2 needs a key-space
+    * groupBy a stream cannot afford — the batch audit owns the truth
+    * leg, so the feed's 97 row is honest about not knowing it).
+    * StreamingSpec drives the SAME corpus keys through chunked
+    * micro-batches and pins the final emissions row-identical to the
+    * oracle-gated q369 frame's estimator/mean/MoM rows.
+    *
+    * Scale: state is 33 longs per scope; a thousand concurrent scopes
+    * cost a thousand small vectors, and shards of one scope merge by
+    * addition (the mergeable-sketch lane's contract). */
+  def f2Feed(obs: Dataset[F2Obs]): Dataset[F2Row] = {
+    import obs.sparkSession.implicits._
+    val r = graft.ops.PipelineOps.AmsReps
+    obs
+      .groupByKey(_.scope)
+      .flatMapGroupsWithState[F2State, F2Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (scope, rows, state: GroupState[F2State]) =>
+          val st0 = state.getOption.getOrElse(F2State(0L, Seq.fill(r)(0L)))
+          var n = st0.n
+          val zs = st0.zs.toArray
+          rows.foreach { o =>
+            n += 1L
+            var i = 0
+            while (i < r) {
+              zs(i) += graft.ops.PipelineOps.amsSign("ams", i, o.key)
+              i += 1
+            }
+          }
+          state.update(F2State(n, zs.toSeq))
+          val (mean, mom) = graft.ops.PipelineOps.amsMeanMom(zs.toSeq)
+          val est = (0 until r).map(i =>
+            F2Row(scope, i.toLong, zs(i), zs(i) * zs(i)))
+          (est ++ Seq(
+            F2Row(scope, 97L, n, 0L),
+            F2Row(scope, 98L, r.toLong, mean),
+            F2Row(scope, 99L, (r / 4).toLong, mom))).iterator
+      }
+  }
+
   final case class UrlState(minDocId: Long, nDocs: Long, raw: Set[String])
 
   final case class UrlUpdate(canonical_url: String, min_doc_id: Long,

@@ -741,6 +741,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(effFinal(4).asInstanceOf[Long] != 0L)
   }
 
+  test("f2Feed: final emissions equal the q369 frame's estimator rows; state adds") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the SAME keys the batch sketch folds (documents.source), driven in
+    // three chunks — additivity means the chunking cannot matter
+    val keys = graft.sources.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("source")).as[String]
+      .collect().sorted
+      .map(k => EventStream.F2Obs("corpus", k))
+    val mem = MemoryStream[EventStream.F2Obs]
+    val q = EventStream.f2Feed(mem.toDS())
+      .writeStream.format("memory").queryName("f2feed")
+      .outputMode(OutputMode.Update).start()
+    val (c1, rest) = keys.splitAt(keys.length / 3)
+    val (c2, c3) = rest.splitAt(rest.length / 2)
+    Seq(c1, c2, c3).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // final emission per rep (Update mode refreshes all 35 rows per batch)
+    val updates = spark.table("f2feed").collect().zipWithIndex
+    val fin = updates.groupBy(_._1.getLong(1))
+      .map { case (rep, us) => rep -> us.maxBy(_._2)._1 }
+    val batch = SparkEntry.queries("q369_ams_f2")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    (0 until graft.ops.PipelineOps.AmsReps).map(_.toLong).foreach { rep =>
+      assert(fin(rep).getLong(2) == batch(rep).getAs[Long]("z_or_n"), s"rep $rep")
+      assert(fin(rep).getLong(3) == batch(rep).getAs[Long]("estimate"), s"rep $rep")
+    }
+    // mean and median-of-means skim rows match the batch frame exactly
+    Seq(98L, 99L).foreach { rep =>
+      assert(fin(rep).getLong(2) == batch(rep).getAs[Long]("z_or_n"), s"rep $rep")
+      assert(fin(rep).getLong(3) == batch(rep).getAs[Long]("estimate"), s"rep $rep")
+    }
+    // rep 97: the running count matches; the exact F2 is honestly absent
+    assert(fin(97L).getLong(2) == batch(97L).getAs[Long]("z_or_n"))
+    assert(fin(97L).getLong(3) == 0L)
+    // additivity witnessed by the intermediate emissions: the first
+    // chunk's Z values differ from the final ones (state really folded
+    // across micro-batches rather than recomputing per batch)
+    val firstEmission = updates.filter(_._1.getLong(1) == 97L).minBy(_._2)._1
+    assert(firstEmission.getLong(2) == c1.length.toLong)
+  }
+
   test("kllGate: emissions replay exactly, the rank-error bound holds per batch, shards merge") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
