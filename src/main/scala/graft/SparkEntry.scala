@@ -2772,6 +2772,74 @@ object SparkEntry {
       |FROM fin ORDER BY doc_id""".stripMargin
   }
 
+  /** q375's oracle: the q370 strip chain instantiated TWICE — pass 1
+    * re-assembles the stripped corpus (plus the seam plant), pass 2
+    * re-detects over it and reports what a second strip would remove. */
+  private def q375OracleSql: String = {
+    val l = graft.ops.DedupOps.SfxMinSpan
+    val plants = (graft.ops.DedupOps.SuffixPlant ++
+        graft.ops.SuffixArrayOps.DodgePlant ++
+        graft.ops.SuffixArrayOps.SeamPlant)
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(",\n        |          ")
+    def passBlock(src: String, x: String): String =
+      s"""g$x AS MATERIALIZED (
+         |  SELECT doc_id, off, substr(na, off, $l) AS gram
+         |  FROM (SELECT doc_id, na,
+         |          unnest(generate_series(1, length(na) - ${l - 1})) AS off
+         |        FROM $src WHERE length(na) >= $l)),
+         |mk$x AS MATERIALIZED (
+         |  SELECT doc_id, CAST(off AS BIGINT) AS st, CAST(off + $l AS BIGINT) AS en
+         |  FROM (SELECT doc_id, off,
+         |          min(doc_id) OVER (PARTITION BY gram) AS dmin FROM g$x)
+         |  WHERE dmin < doc_id),
+         |isl$x AS MATERIALIZED (SELECT doc_id, island,
+         |    min(st) AS ist, max(en) AS ien
+         |  FROM (SELECT *, sum(new_i) OVER (PARTITION BY doc_id
+         |      ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      CURRENT ROW) AS island
+         |    FROM (SELECT *, CASE WHEN max(en) OVER (PARTITION BY doc_id
+         |          ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |          1 PRECEDING) IS NULL
+         |        OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |        THEN 1 ELSE 0 END AS new_i
+         |      FROM mk$x))
+         |  GROUP BY doc_id, island),
+         |sg$x AS (SELECT isl$x.doc_id, ist, ien,
+         |    lag(ien, 1, CAST(1 AS BIGINT)) OVER (PARTITION BY isl$x.doc_id
+         |      ORDER BY ist) AS prev_ien,
+         |    $src.na
+         |  FROM isl$x JOIN $src USING (doc_id)),
+         |fin$x AS MATERIALIZED (SELECT doc_id, n_islands, chars_flagged,
+         |    n_chars,
+         |    head_segs || substr(na_m, CAST(last_en AS INT)) AS stripped
+         |  FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+         |      CAST(sum(ien - ist) AS BIGINT) AS chars_flagged,
+         |      CAST(max(length(na)) AS BIGINT) AS n_chars,
+         |      string_agg(substr(na, CAST(prev_ien AS INT),
+         |        CAST(ist - prev_ien AS INT)), '' ORDER BY ist) AS head_segs,
+         |      max(na) AS na_m, max(ien) AS last_en
+         |    FROM sg$x GROUP BY doc_id))""".stripMargin
+    raw"""WITH base AS MATERIALIZED (
+      |  SELECT doc_id, regexp_replace(coalesce(text, ''), ' {2,}', ' ', 'g') AS na
+      |  FROM (SELECT doc_id, text FROM documents
+      |        UNION ALL SELECT * FROM (VALUES $plants) v(doc_id, text))),
+      |${passBlock("base", "1")},
+      |base2 AS MATERIALIZED (SELECT doc_id, na FROM (
+      |    SELECT doc_id, stripped AS na FROM fin1
+      |    UNION ALL
+      |    SELECT doc_id, na FROM base
+      |    WHERE doc_id NOT IN (SELECT doc_id FROM fin1))
+      |  WHERE length(na) > 0),
+      |${passBlock("base2", "2")}
+      |SELECT doc_id, n_islands, chars_flagged, n_chars,
+      |  (n_chars - chars_flagged) * 1000000 // n_chars AS keep_ppm,
+      |  CAST(length(stripped) AS BIGINT) AS kept_chars,
+      |  md5(stripped) AS stripped_md5
+      |FROM fin2 ORDER BY doc_id""".stripMargin
+  }
+
   /** q363's oracle: the two generate_series Bernoulli plants + the
     * q291 treatment stream ranked by custkey, per-batch folds, a
     * cumulative-LLR window and the first Wald boundary crossing. */
@@ -3993,6 +4061,7 @@ object SparkEntry {
     "q372_byte_fallback"  -> TextOps.q372ByteFallback _,
     "q373_indomain_cut"   -> PipelineOps.q373IndomainCut _,
     "q374_ams_join_est"   -> SchemaOps.q374AmsJoinEstimate _,
+    "q375_strip_residual" -> graft.ops.SuffixArrayOps.q375StripResidual _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9282,6 +9351,7 @@ object SparkEntry {
     "q372_byte_fallback" -> q372OracleSql,
     "q373_indomain_cut" -> q373OracleSql,
     "q374_ams_join_est" -> q374OracleSql,
+    "q375_strip_residual" -> q375OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -2077,6 +2077,22 @@ object DedupOps {
   private[ops] def stripReport(base: DataFrame, spans: DataFrame): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
+    stripAssemble(base, spans)
+      .select($"doc_id", $"n_islands", $"chars_flagged", $"n_chars",
+        expr("(n_chars - chars_flagged) * 1000000L div n_chars")
+          .as("keep_ppm"),
+        length($"stripped").cast("long").as("kept_chars"),
+        md5($"stripped").as("stripped_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** The strip's re-assembly half (shared by [[stripReport]] and the
+    * q375 residual audit, which needs the stripped TEXT itself to
+    * re-detect over): per AFFECTED doc, the island stats and the
+    * re-assembled kept text. */
+  private[ops] def stripAssemble(base: DataFrame, spans: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
     val byStart = Window.partitionBy($"doc_id").orderBy($"st", $"en")
     val wPrev = byStart.rowsBetween(Window.unboundedPreceding, -1)
     val wCum = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2103,13 +2119,7 @@ object DedupOps {
           "struct(ist, seg))), x -> x.seg), '')").as("head_segs"),
         max($"na").as("na_m"), max($"ien").as("last_en"))
       .select($"doc_id", $"n_islands", $"chars_flagged", $"n_chars",
-        expr("(n_chars - chars_flagged) * 1000000L div n_chars")
-          .as("keep_ppm"),
-        expr("CAST(length(concat(head_segs, " +
-          "substring(na_m, CAST(last_en AS INT)))) AS BIGINT)")
-          .as("kept_chars"),
-        md5(concat($"head_segs",
-          expr("substring(na_m, CAST(last_en AS INT))"))).as("stripped_md5"))
-      .orderBy($"doc_id")
+        concat($"head_segs",
+          expr("substring(na_m, CAST(last_en AS INT))")).as("stripped"))
   }
 }

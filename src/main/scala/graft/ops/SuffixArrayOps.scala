@@ -171,9 +171,11 @@ object SuffixArrayOps {
     * anchor-visible spans and the anchor-dodging pair), whitespace-
     * normalized — shared by the q364 build and the q370 strip so the
     * two ends of the lane can never diverge on their input. */
-  private[ops] def saBase(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def saBase(s: SparkSession, dir: String,
+      extraPlant: Seq[(Long, String)] = Nil): DataFrame = {
     import s.implicits._
-    val plant = (DedupOps.SuffixPlant ++ DodgePlant).toDF("doc_id", "text")
+    val plant = (DedupOps.SuffixPlant ++ DodgePlant ++ extraPlant)
+      .toDF("doc_id", "text")
     docs(s, dir).select($"doc_id", $"text")
       .unionByName(plant)
       .select($"doc_id",
@@ -394,22 +396,86 @@ object SuffixArrayOps {
     * doubling tower. */
   def q370SaStrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val l = SaMinSpan
     // base feeds the gram explode AND the affected-doc re-assembly;
     // persist once, release after the bounded report materializes
     val base = saBase(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val grams = base.filter(length($"na") >= l)
-        .withColumn("off",
-          explode(expr(s"sequence(1L, CAST(length(na) - ${l - 1} AS BIGINT), 1L)")))
-        .select($"doc_id", $"off",
-          expr(s"substring(na, CAST(off AS INT), $l)").as("g"))
-      val marked = grams
-        .withColumn("dmin", min($"doc_id").over(Window.partitionBy($"g")))
-        .filter($"dmin" < $"doc_id")
-        .select($"doc_id", $"off".as("st"), ($"off" + lit(l.toLong)).as("en"))
-      DedupOps.stripReport(base, marked).localCheckpoint()
+      DedupOps.stripReport(base, gramMarks(base)).localCheckpoint()
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** q370's marker: every offset whose width-L gram also occurs in a
+    * SMALLER doc, as [off, off+L) spans — ONE gram-keyed window min
+    * (the run-membership collapse; see [[q370SaStrip]]'s proof). Shared
+    * by the strip and the q375 residual re-detection. */
+  private[ops] def gramMarks(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val l = SaMinSpan
+    base.filter(length($"na") >= l)
+      .withColumn("off",
+        explode(expr(s"sequence(1L, CAST(length(na) - ${l - 1} AS BIGINT), 1L)")))
+      .select($"doc_id", $"off",
+        expr(s"substring(na, CAST(off AS INT), $l)").as("g"))
+      .withColumn("dmin", min($"doc_id").over(Window.partitionBy($"g")))
+      .filter($"dmin" < $"doc_id")
+      .select($"doc_id", $"off".as("st"), ($"off" + lit(l.toLong)).as("en"))
+  }
+
+  /** The seam plant (disjoint -375xx ids): stripping doc C's shared
+    * span S1 (kept by the smaller A) concatenates C's flanks, and the
+    * 40-char seam string T = tail₂₀(X)+head₂₀(Y) — absent from C
+    * BEFORE the strip (S1 sits between the halves, each half < L) — is
+    * planted verbatim in the smaller D. So pass 1 CREATES a cross-doc
+    * repeat between stripped-C and D that pass 1 could not see: the
+    * measured demonstration of why production iterates the strip
+    * (q375's residual audit is the second pass's work list). Flank
+    * characters are chosen so A's copy of S1 abuts letters while C's
+    * abuts a space/'t' — the shared interval is EXACTLY S1 (the spec
+    * re-derives all of this from the raw texts). */
+  private[graft] val SeamT = "sqseam alpha bridge token relay junction"
+  private[graft] val SeamS1 = "sqspan granite vessel ember lantern quartz"
+  private[graft] val SeamPlant: Seq[(Long, String)] = Seq(
+    -37504L -> ("sqaflank" + SeamS1 + "sqzflank"),
+    -37503L -> ("sqdhost " + SeamT + " zzdtail"),
+    -37501L -> ("sqxhead marker " + SeamT.substring(0, 20) + SeamS1 +
+      SeamT.substring(20) + " sqytail marker"))
+
+  /** X355 — post-strip RESIDUAL audit (the strip's completeness
+    * certificate, and the demonstration that one pass is NOT a
+    * fixpoint): re-run q370's exact detector on the STRIPPED corpus
+    * (affected docs re-assembled, unaffected verbatim, fully-stripped
+    * docs dropped) and report what a SECOND pass would strip. Stripping
+    * is not idempotent in general — removing an interval concatenates
+    * its flanks, and the seam can form a NEW ≥L-char string shared with
+    * another doc; [[SeamPlant]] plants exactly that (T invisible before
+    * pass 1, a (D, stripped-C) repeat after it), so the audit provably
+    * detects the class. Everything a second pass would remove is in the
+    * report; production iterates strip→audit until this frame is empty
+    * (Lee et al. run the same loop to fixpoint).
+    *
+    * Scale: two passes of q370's machinery — each ONE gram-keyed window
+    * shuffle plus doc-partitioned island/segment windows; pass 2's scan
+    * is the pass-1 OUTPUT corpus (never bigger), and the intermediate
+    * stripped-text frame for affected docs is repeat-bounded. */
+  def q375StripResidual(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = saBase(s, dir, SeamPlant)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val asm = DedupOps.stripAssemble(base, gramMarks(base))
+        .select($"doc_id", $"stripped".as("na"))
+        .localCheckpoint() // pass-1 output materializes once; pass 2
+                           // re-reads it for the gram scan + re-assembly
+      val base2 = base
+        .join(asm.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(asm)
+        .filter(length($"na") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        DedupOps.stripReport(base2, gramMarks(base2)).localCheckpoint()
+      } finally base2.unpersist(blocking = false)
     } finally base.unpersist(blocking = false)
   }
 }

@@ -312,6 +312,93 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("q375: strip residual — seam repeat created by pass 1, full two-pass replay") {
+    import graft.ops.{DedupOps, SuffixArrayOps}
+    val l = DedupOps.SfxMinSpan
+    val t = SuffixArrayOps.SeamT
+    val s1 = SuffixArrayOps.SeamS1
+    assert(t.length == 40 && s1.length >= l)
+    val Seq((idA, tA), (idD, tD), (idC, tC)) = SuffixArrayOps.SeamPlant
+    // (a) the construction's claims, re-derived from the raw texts:
+    // pass 1 cannot see T in C (the halves are each < L and S1 sits
+    // between them), D holds T verbatim, and C's only >= L share with a
+    // smaller doc is EXACTLY S1 (flanks differ on both sides)
+    assert(!tC.contains(t) && tD.contains(t))
+    assert(tC.contains(s1) && tA.contains(s1))
+    assert(idA < idC && idD < idC)
+    def lcsLen(a: String, b: String): Int = {
+      var best = 0
+      for (i <- a.indices; j <- b.indices) {
+        var k = 0
+        while (i + k < a.length && j + k < b.length && a(i + k) == b(j + k)) k += 1
+        best = math.max(best, k)
+      }
+      best
+    }
+    assert(lcsLen(tC, tA) == s1.length, "shared interval is not exactly S1")
+    assert(lcsLen(tC, tD) < l && lcsLen(tA, tD) < l, "T leaked before the strip")
+    // (b) full two-pass driver replay over the whole corpus
+    val texts = SuffixArrayOps.saBase(spark, sf, SuffixArrayOps.SeamPlant)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def markedIslands(ts: Map[Long, String]): Map[Long, Vector[(Int, Int)]] = {
+      val gmin = scala.collection.mutable.HashMap.empty[String, Long]
+      ts.foreach { case (d, na) =>
+        (0 to na.length - l).foreach { o =>
+          val g = na.substring(o, o + l)
+          if (!gmin.contains(g) || d < gmin(g)) gmin(g) = d
+        }
+      }
+      ts.flatMap { case (d, na) =>
+        val marked = (0 to na.length - l)
+          .filter(o => gmin(na.substring(o, o + l)) < d)
+        if (marked.isEmpty) None
+        else Some(d -> marked.foldLeft(Vector.empty[(Int, Int)]) {
+          case (acc, o) =>
+            if (acc.nonEmpty && o <= acc.last._2)
+              acc.init :+ (acc.last._1, math.max(acc.last._2, o + l))
+            else acc :+ (o, o + l)
+        })
+      }
+    }
+    def stripOnce(ts: Map[Long, String]): Map[Long, String] = {
+      val isl = markedIslands(ts)
+      ts.map { case (d, na) =>
+        d -> isl.get(d).fold(na) { is =>
+          (is.map(_._1) :+ na.length).zip(0 +: is.map(_._2))
+            .map { case (to, from) => na.substring(from, to) }.mkString("")
+        }
+      }.filter(_._2.nonEmpty)
+    }
+    val after1 = stripOnce(texts)
+    val resIsl = markedIslands(after1)
+    val rows = SuffixArrayOps.q375StripResidual(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == resIsl.keySet, "residual doc set diverged")
+    def md5Hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    resIsl.foreach { case (d, is) =>
+      val na = after1(d)
+      val kept = (is.map(_._1) :+ na.length).zip(0 +: is.map(_._2))
+        .map { case (to, from) => na.substring(from, to) }.mkString("")
+      val r = rows(d)
+      assert(r.getAs[Long]("n_islands") == is.size.toLong, s"doc $d")
+      assert(r.getAs[Long]("chars_flagged") == is.map(i => i._2 - i._1).sum.toLong, s"doc $d")
+      assert(r.getAs[Long]("n_chars") == na.length.toLong, s"doc $d")
+      assert(r.getAs[Long]("kept_chars") == kept.length.toLong, s"doc $d")
+      assert(r.getAs[String]("stripped_md5") == md5Hex(kept), s"doc $d")
+    }
+    // (c) the seam doc IS in the residual (pass 1 created the repeat),
+    // flagged at exactly ' '+T+' ' = 42 chars, and the flagged region of
+    // the pass-1 output really contains T
+    val rc = rows.getOrElse(idC, fail("seam residual missing"))
+    assert(rc.getAs[Long]("chars_flagged") == t.length.toLong + 2L)
+    val (ist, ien) = resIsl(idC).head
+    assert(after1(idC).substring(ist, ien).contains(t))
+    // (d) D itself is untouched by both passes (it is the keeper)
+    assert(!rows.contains(idD) && after1(idD) == texts(idD))
+  }
+
   test("q364: exact SA recovers the q253 lane AND the anchor-dodging repeat") {
     import graft.ops.{DedupOps, SuffixArrayOps}
     // (a) the dodge span has NO anchor in positions 1..m-SfxKey+1 — q253's

@@ -800,6 +800,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // corpus, probe pairs + LUTs are driver math
                              // over the bounded batch, the probed ADC
                              // rank + truth leg run inside the builder
+    "q375_strip_residual" -> 0, // checkpoint-cut residual report; two
+                             // q370 passes (gram window + island windows
+                             // each) run inside the builder, the pass-1
+                             // stripped frame localCheckpointed once
     "q370_sa_strip" -> 0,    // checkpoint-cut affected-docs report; the
                              // strip itself is ONE gram-keyed window min
                              // + doc-partitioned island/segment windows
