@@ -330,6 +330,72 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q376's oracle: ONE generated 30-round byte-level chain; each budget
+    * reads the TRAINER's own state s₁₀/s₂₀/s₃₀ (and the holdout chain's
+    * h₁₀/h₂₀/h₃₀ for the plants) — the cross-algorithm check against
+    * the Spark side's rank-order ENCODE at the same budgets. */
+  private def q376OracleSql: String = {
+    val budgets = graft.ops.TextOps.MergeBudgets
+    val n = budgets.max
+    val plantRows = graft.ops.TextOps.Q366Plant.map {
+      case (id, w) => s"(CAST($id AS BIGINT), '$w')"
+    }.mkString(",\n    ")
+    val caseArms = (1 to 7).map(i =>
+      s"WHEN $i THEN '${graft.ops.TextOps.Utf8Plant(i)}'").mkString(" ")
+    val holdRounds = (1 to n).map { k =>
+      bpeApplyBlockSql(s"h${k - 1}", s"b$k", s"hm$k", s"h$k")
+    }.mkString(",\n")
+    val budgetCtes = budgets.map { b =>
+      s"""tok$b AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(CASE WHEN length(sym) = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_fb
+         |  FROM s$b GROUP BY word),
+         |corp$b AS (SELECT CAST($b AS BIGINT) AS budget, 'corpus' AS grp,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(strlen(word)) AS BIGINT) AS n_bytes,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_fb) AS BIGINT) AS n_fallback
+         |  FROM wd JOIN tok$b USING (word)),
+         |ptok$b AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN length(sym) = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_fallback
+         |  FROM h$b GROUP BY word),
+         |plant$b AS (SELECT CAST($b AS BIGINT) AS budget,
+         |    'word:' || CAST(pw.w_id AS VARCHAR) AS grp,
+         |    CAST(1 AS BIGINT) AS n_words,
+         |    CAST(strlen(pw.word) AS BIGINT) AS n_bytes,
+         |    ptok$b.n_tokens, ptok$b.n_fallback
+         |  FROM pw JOIN ptok$b USING (word))""".stripMargin
+    }.mkString(",\n")
+    val unions = budgets.flatMap(b =>
+      Seq(s"SELECT * FROM corp$b", s"SELECT * FROM plant$b"))
+      .mkString("\nUNION ALL ")
+    s"""WITH bdocs AS MATERIALIZED (
+       |  SELECT lang, text || CASE doc_id % 8 $caseArms ELSE '' END
+       |    || ' fin' AS t2
+       |  FROM documents),
+       |tdocs AS (SELECT t2 AS text FROM bdocs),
+       |${bpeChainSql(n, "tdocs", byteInit = true)},
+       |wd AS MATERIALIZED (SELECT w AS word FROM (
+       |    SELECT unnest(list_filter(string_split(t2, ' '), x -> x <> '')) AS w
+       |    FROM bdocs)),
+       |pw AS (SELECT * FROM (VALUES
+       |    $plantRows) v(w_id, word)),
+       |h0 AS MATERIALIZED (
+       |  SELECT word, CAST(1 AS BIGINT) AS c, pos,
+       |    substr(h, CAST(pos * 2 - 1 AS INT), 2) AS sym
+       |  FROM (SELECT word, lower(hex(encode(word))) AS h,
+       |          CAST(unnest(generate_series(1, strlen(word))) AS BIGINT) AS pos
+       |        FROM (SELECT DISTINCT word FROM pw))),
+       |$holdRounds,
+       |$budgetCtes
+       |SELECT budget, grp, n_words, n_bytes, n_tokens, n_fallback,
+       |  n_bytes * 1000000 // n_tokens AS bytes_per_token_ppm,
+       |  n_fallback * 1000000 // n_tokens AS fallback_ppm
+       |FROM ($unions)
+       |ORDER BY budget, grp""".stripMargin
+  }
+
   private def q320OracleSql: String = {
     val n = 30
     val report = (1 to n).map { k =>
@@ -4062,6 +4128,7 @@ object SparkEntry {
     "q373_indomain_cut"   -> PipelineOps.q373IndomainCut _,
     "q374_ams_join_est"   -> SchemaOps.q374AmsJoinEstimate _,
     "q375_strip_residual" -> graft.ops.SuffixArrayOps.q375StripResidual _,
+    "q376_merge_budget"   -> TextOps.q376MergeBudget _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9352,6 +9419,7 @@ object SparkEntry {
     "q373_indomain_cut" -> q373OracleSql,
     "q374_ams_join_est" -> q374OracleSql,
     "q375_strip_residual" -> q375OracleSql,
+    "q376_merge_budget" -> q376OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

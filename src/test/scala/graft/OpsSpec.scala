@@ -153,6 +153,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q376: merge-budget dial — monotone, prefix-stable, q372 cross-pin") {
+    import spark.implicits._
+    val rows = TextOps.q376MergeBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val budgets = TextOps.MergeBudgets.map(_.toLong)
+    // (a) the dial turns monotonically on the corpus: more merges never
+    // add tokens and never raise the fallback share
+    budgets.sliding(2).foreach { case Seq(b1, b2) =>
+      assert(rows((b1, "corpus")).getAs[Long]("n_tokens") >
+        rows((b2, "corpus")).getAs[Long]("n_tokens"), s"$b1->$b2")
+      assert(rows((b1, "corpus")).getAs[Long]("fallback_ppm") >=
+        rows((b2, "corpus")).getAs[Long]("fallback_ppm"), s"$b1->$b2")
+    }
+    // (b) the full-budget row IS the q372 tokenizer: corpus totals equal
+    // q372's per-language rows summed, plant rows equal exactly
+    val q372 = TextOps.q372ByteFallback(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val langs = q372.filter(_._1.startsWith("lang:")).values
+    val c30 = rows((budgets.max, "corpus"))
+    assert(c30.getAs[Long]("n_tokens") ==
+      langs.map(_.getAs[Long]("n_tokens")).sum)
+    assert(c30.getAs[Long]("n_fallback") ==
+      langs.map(_.getAs[Long]("n_fallback")).sum)
+    assert(c30.getAs[Long]("n_words") ==
+      langs.map(_.getAs[Long]("n_words")).sum)
+    TextOps.Q366Plant.foreach { case (id, _) =>
+      val a = rows((budgets.max, s"word:$id")); val b = q372(s"word:$id")
+      assert(a.getAs[Long]("n_tokens") == b.getAs[Long]("n_tokens"), s"word $id")
+      assert(a.getAs[Long]("n_fallback") == b.getAs[Long]("n_fallback"), s"word $id")
+    }
+    // (c) greedy BPE is prefix-stable: an independent 10-merge train
+    // reproduces the 30-merge train's first ten merges exactly
+    val wf = graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("t2", org.apache.spark.sql.functions.concat($"text",
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.array(TextOps.Utf8Plant.map(lit): _*),
+          pmod($"doc_id", lit(8)).cast("int") + 1),
+        lit(" fin")))
+      .select(explode(expr("filter(split(t2, ' '), x -> x <> '')")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+    val m30 = TextOps.bpeTrain(spark, wf, 30, TextOps.ByteSymsExpr)._1
+      .map(r => (r.getString(1), r.getString(2)))
+    val m10 = TextOps.bpeTrain(spark, wf, 10, TextOps.ByteSymsExpr)._1
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(m10 == m30.take(10), "greedy merges are not prefix-stable")
+    // (d) the raw-byte class is budget-invariant: Katakana stays 100%
+    // fallback at every checkpoint
+    budgets.foreach { b =>
+      assert(rows((b, "word:3")).getAs[Long]("fallback_ppm") == 1000000L, s"b=$b")
+    }
+  }
+
   test("q366: byte-level BPE — open vocabulary, merges ride, bytes round-trip") {
     import spark.implicits._
     def hexSyms(w: String): Seq[String] =

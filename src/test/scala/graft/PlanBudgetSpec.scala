@@ -784,6 +784,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // corpus work is ONE narrow 4-flag scan into
                              // a 1-row agg (signals let-bound as lambda
                              // fields, calibrations constant-folded)
+    "q376_merge_budget" -> 0, // collect-local 15-row report; one trainer
+                             // run + per-budget type encode and counted-
+                             // broadcast corpus join inside the builder
     "q372_byte_fallback" -> 0, // collect-local 9-row report; q366's exact
                              // exchange structure, fallback count rides
                              // the same dictionary join and lang agg
