@@ -1792,6 +1792,85 @@ object SparkEntry {
        |ORDER BY nsz.edge""".stripMargin
   }
 
+  /** q377's oracle: q371's chains (PQ ×4, full-dim coarse Lloyd's,
+    * shared truth leg) with the TRAINED-quantizer tail instantiated at
+    * each swept nprobe — only the probe CTE's rn bound varies. */
+  private def q377OracleSql: String = {
+    val q371 = q371OracleSql
+    // reuse q371's text up to and including the shared extop CTE, then
+    // attach per-nprobe trained tails — the chain prefixes are IDENTICAL
+    // by construction (same generator below would duplicate 200 lines)
+    val cutMarker = "extop AS MATERIALIZED ("
+    val cut = q371.indexOf(cutMarker)
+    require(cut >= 0, "q371 oracle shape changed — update q377's reuse")
+    val endMarker = "  WHERE rk <= 10),"
+    val end = q371.indexOf(endMarker, cut)
+    require(end >= 0, "q371 extop tail changed — update q377's reuse")
+    val prefix = q371.substring(0, end + endMarker.length)
+    def tail(np: Int): String = {
+      val x = s"p$np"
+      s"""asg_$x AS MATERIALIZED (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT p.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(p.q)),
+         |          i -> (p.q[i] - c.c[i]) * (p.q[i] - c.c[i]))), c.cid) AS rn
+         |    FROM pqc p CROSS JOIN c2_c c) WHERE rn = 1),
+         |probe_$x AS MATERIALIZED (
+         |  SELECT q_id, cid AS cluster FROM (
+         |    SELECT q.q_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(q.q)),
+         |          i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))), c.cid) AS rn
+         |    FROM qry q CROSS JOIN c2_c c) WHERE rn <= $np),
+         |pr_$x AS (SELECT probe_$x.q_id, codes.vec_id, codes.k0, codes.k1,
+         |    codes.k2, codes.k3
+         |  FROM codes JOIN asg_$x USING (vec_id)
+         |  JOIN probe_$x ON probe_$x.cluster = asg_$x.cluster),
+         |adcr_$x AS MATERIALIZED (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS BIGINT) AS rk
+         |  FROM (SELECT pr_$x.q_id, pr_$x.vec_id,
+         |      l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc
+         |    FROM pr_$x
+         |    JOIN lut l0 ON l0.q_id = pr_$x.q_id AND l0.m = 0 AND l0.cid = pr_$x.k0
+         |    JOIN lut l1 ON l1.q_id = pr_$x.q_id AND l1.m = 1 AND l1.cid = pr_$x.k1
+         |    JOIN lut l2 ON l2.q_id = pr_$x.q_id AND l2.m = 2 AND l2.cid = pr_$x.k2
+         |    JOIN lut l3 ON l3.q_id = pr_$x.q_id AND l3.m = 3 AND l3.cid = pr_$x.k3)),
+         |np_$x AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_probed
+         |  FROM adcr_$x GROUP BY q_id),
+         |hits_$x AS (SELECT e.q_id,
+         |    CAST(count(a.q_id) AS BIGINT) AS n_hits,
+         |    CAST(count(p.q_id) AS BIGINT) AS ceil_hits
+         |  FROM extop e
+         |  LEFT JOIN (SELECT q_id, vec_id FROM adcr_$x WHERE rk <= 10) a
+         |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         |  LEFT JOIN (SELECT q_id, vec_id FROM adcr_$x) p
+         |    ON e.q_id = p.q_id AND e.vec_id = p.vec_id
+         |  GROUP BY e.q_id),
+         |twin_$x AS (SELECT q_id, rk FROM adcr_$x WHERE vec_id = -1000 - q_id)"""
+        .stripMargin
+    }
+    def outRows(np: Int): String = {
+      val x = s"p$np"
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, np_$x.q_id, np_$x.n_probed,
+         |  hits_$x.n_hits,
+         |  hits_$x.n_hits * 1000000 // 10 AS recall_ppm,
+         |  hits_$x.ceil_hits,
+         |  hits_$x.ceil_hits * 1000000 // 10 AS ceiling_ppm,
+         |  coalesce(twin_$x.rk, CAST(0 AS BIGINT)) AS twin_rank,
+         |  CASE WHEN twin_$x.rk IS NOT NULL AND twin_$x.rk <= 10
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS twin_top10
+         |FROM np_$x JOIN hits_$x USING (q_id) LEFT JOIN twin_$x USING (q_id)"""
+        .stripMargin
+    }
+    val sweep = graft.ops.SimilarityOps.IvfNprobeSweep
+    s"""$prefix
+       |${sweep.map(tail).mkString(",\n")}
+       |SELECT * FROM (
+       |${sweep.map(outRows).mkString("\nUNION ALL ")})
+       |ORDER BY nprobe, q_id""".stripMargin
+  }
+
   /** q369's oracle: the same 32 squared-tail sign folds per row (the
     * inner fp(source) computed once per row, the rep axis via
     * generate_series), the 32-sum fold, exact F2, mean and
@@ -4129,6 +4208,7 @@ object SparkEntry {
     "q374_ams_join_est"   -> SchemaOps.q374AmsJoinEstimate _,
     "q375_strip_residual" -> graft.ops.SuffixArrayOps.q375StripResidual _,
     "q376_merge_budget"   -> TextOps.q376MergeBudget _,
+    "q377_ivf_nprobe"     -> SimilarityOps.q377IvfNprobe _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9420,6 +9500,7 @@ object SparkEntry {
     "q374_ams_join_est" -> q374OracleSql,
     "q375_strip_residual" -> q375OracleSql,
     "q376_merge_budget" -> q376OracleSql,
+    "q377_ivf_nprobe" -> q377OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

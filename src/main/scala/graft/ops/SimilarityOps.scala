@@ -758,7 +758,8 @@ object SimilarityOps {
     * leg — the q365 tail, factored so q371 can run it per quantizer. */
   private def ivfAdcQuantRows(s: SparkSession, corpus: DataFrame,
       codes: DataFrame, qRows: Array[(Long, Array[Long])], lutDf: DataFrame,
-      exactTop: DataFrame, coarse: Array[(Int, Array[Long])])
+      exactTop: DataFrame, coarse: Array[(Int, Array[Long])],
+      nprobe: Int = IvfAdcNProbe)
       : Seq[org.apache.spark.sql.Row] = {
     import s.implicits._
     val coarseLit = array(coarse.map { case (cid, c) =>
@@ -776,7 +777,7 @@ object SimilarityOps {
     }
     val probePairs = qRows.toSeq.flatMap { case (qid, qv) =>
       coarse.map { case (cid, c) => (cid.toLong, d2(qv, c)) }
-        .sortBy { case (cid, d) => (d, cid) }.take(IvfAdcNProbe)
+        .sortBy { case (cid, d) => (d, cid) }.take(nprobe)
         .map { case (cid, _) => (qid, cid) }
     }
     val probeDf = broadcast(probePairs.toDF("q_id", "cluster"))
@@ -848,6 +849,78 @@ object SimilarityOps {
     * (each ONE argmin scan + a k×d-row combinable update, q106's
     * shape) and a second probed-rows ADC ranking; codes, LUTs and the
     * exact truth leg are shared, computed once. */
+  /** X357 — IVFADC nprobe sweep (the serving knob measured): q371
+    * fixes nprobe = 2 and varies the quantizer; production tunes the
+    * OTHER axis — how many inverted lists each query probes — because
+    * nprobe IS the recall/latency dial of the deployed index (probed
+    * rows ≈ corpus·nprobe/K per query is the serving cost). This audit
+    * runs the trained-quantizer IVFADC at nprobe ∈ {1, 2, 4} against
+    * the ONE shared exact truth leg and reports, per (nprobe, query),
+    * the probed-row cost next to both loss terms.
+    *
+    * Structural guarantees, spec-pinned: the probe lists nest
+    * (take(np) of one sorted centroid order), so n_probed and
+    * ceiling_ppm are MONOTONE non-decreasing in nprobe per query, and
+    * the 1-milli twin — whose cell is by construction the query's
+    * nearest list, probe #1 — stays ADC rank 1 even at nprobe = 1.
+    * recall_ppm is NOT guaranteed monotone (a newly probed vector can
+    * displace a true neighbor from the ADC top-10): measured at
+    * sf0.01, aggregate recall goes 26 → 34 → 38 of 100 (monotone here,
+    * but flattening) while the ceiling goes 37 → 56 → 79 and probed
+    * rows 660 → 1286 → 2465 — the knob buys CANDIDATES almost
+    * linearly in cost, yet recall barely follows because the
+    * ceiling−recall gap is the PQ code's quantization loss, and no
+    * nprobe turns that down; the widening gap is the measured reason
+    * the report keeps both terms separate.
+    *
+    * Scale: one probe+rank pass per nprobe over probed rows only;
+    * codes, LUTs, trained centroids and the truth leg are computed
+    * ONCE and shared across the sweep. */
+  def q377IvfNprobe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    graft.functions.SquaredDistance.register(s)
+    val eAll = Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      .filter(expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+    val queries = eAll
+      .filter($"vec_id" >= IvfQueryLo && $"vec_id" < IvfCorpusLo)
+    val twins = queries.select((lit(-1000L) - $"vec_id").as("vec_id"),
+      expr("transform(q, (x, i) -> CASE WHEN i = 0 THEN x + 1 ELSE x END)")
+        .as("q"))
+    val corpus = eAll.filter($"vec_id" >= IvfCorpusLo)
+      .unionByName(twins).persist()
+    try {
+      val (codes, pqCents) = pqTrainEncode(s, corpus)
+      val (_, trained) = kmeansAssignWithCents(s,
+        corpus.filter($"vec_id" >= IvfCorpusLo).select($"vec_id", $"q"),
+        k = IvfAdcCoarseK, iters = 3)
+      val cents = trained.sortBy(_._1)
+      val qRows = queries.orderBy($"vec_id")
+        .select($"vec_id", $"q").as[(Long, Array[Long])].collect()
+      val lutDf = broadcast(
+        pqLutRows(qRows, pqCents).toDF("q_id", "l0", "l1", "l2", "l3"))
+      val exactTop = ivfAdcExactTop(s, corpus, qRows).persist()
+      try {
+        val rep = IvfNprobeSweep.flatMap { np =>
+          ivfAdcQuantRows(s, corpus, codes, qRows, lutDf, exactTop, cents,
+            nprobe = np)
+            .map(r => org.apache.spark.sql.Row.fromSeq(np.toLong +: r.toSeq))
+        }
+        LocalReport.frame(s, rep,
+          ("nprobe", LongType), ("q_id", LongType), ("n_probed", LongType),
+          ("n_hits", LongType), ("recall_ppm", LongType),
+          ("ceil_hits", LongType), ("ceiling_ppm", LongType),
+          ("twin_rank", LongType), ("twin_top10", LongType))
+      } finally exactTop.unpersist(blocking = false)
+    } finally corpus.unpersist(blocking = false)
+  }
+
+  /** q377's swept probe counts (ascending; 2 is q371's operating
+    * point). */
+  private[graft] val IvfNprobeSweep: Seq[Int] = Seq(1, 2, 4)
+
   def q371IvfTrained(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.{LongType, StringType}

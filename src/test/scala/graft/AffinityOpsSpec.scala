@@ -1634,6 +1634,44 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------------------- X357
+
+  test("q377: nprobe sweep — nested probes monotone, twin at rank 1 everywhere, pins q371") {
+    val rows = graft.ops.SimilarityOps.q377IvfNprobe(spark, sf).collect()
+    val sweep = graft.ops.SimilarityOps.IvfNprobeSweep.map(_.toLong)
+    assert(rows.length == sweep.length * 10)
+    val byNp = rows.groupBy(_.getAs[Long]("nprobe"))
+      .view.mapValues(_.map(r => r.getAs[Long]("q_id") -> r).toMap).toMap
+    // probe lists NEST (take(np) of one sorted centroid order), so the
+    // probed-row cost and the coarse ceiling are monotone per query; the
+    // twin's cell is probe #1, so rank 1 even at nprobe = 1
+    sweep.sliding(2).foreach { case Seq(a, b) =>
+      (8L to 17L).foreach { q =>
+        assert(byNp(a)(q).getAs[Long]("n_probed") <=
+          byNp(b)(q).getAs[Long]("n_probed"), s"np $a->$b q $q")
+        assert(byNp(a)(q).getAs[Long]("ceil_hits") <=
+          byNp(b)(q).getAs[Long]("ceil_hits"), s"np $a->$b q $q")
+      }
+    }
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits"); val c = r.getAs[Long]("ceil_hits")
+      assert(h >= 0L && h <= c && c <= 10L)
+      assert(r.getAs[Long]("recall_ppm") == h * 100000L)
+      assert(r.getAs[Long]("ceiling_ppm") == c * 100000L)
+      assert(r.getAs[Long]("twin_rank") == 1L)
+      assert(r.getAs[Long]("twin_top10") == 1L)
+    }
+    // nprobe = 2 IS q371's trained block — pinned row-identical, so the
+    // sweep and the quantizer ablation can never drift on the shared
+    // machinery
+    val q371t = graft.ops.SimilarityOps.q371IvfTrained(spark, sf).collect()
+      .filter(_.getAs[String]("quant") == "1_trained")
+      .map(_.toSeq.drop(1)).toSeq
+    val np2 = rows.filter(_.getAs[Long]("nprobe") == 2L)
+      .sortBy(_.getAs[Long]("q_id")).map(_.toSeq.drop(1)).toSeq
+    assert(np2 == q371t, "q377's nprobe=2 diverged from q371's trained block")
+  }
+
   // ------------------------------------------------------------- X315
 
   test("triplet mining: confusers violate the margin, semi-hard clears it") {

@@ -794,6 +794,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
                              // fold, the 30-round trainer loop inside the
                              // builder (q320's shape), counted broadcast
                              // apply join, plant encode is 4 narrow rows
+    "q377_ivf_nprobe" -> 0,  // collect-local 30-row report; one probe+
+                             // rank pass per swept nprobe, shared codes/
+                             // LUTs/cents/truth leg inside the builder
     "q371_ivf_trained" -> 0, // collect-local 20-row report; the shared
                              // pqTrainEncode + Lloyd's coarse training +
                              // both probed ADC rankings and the ONE
