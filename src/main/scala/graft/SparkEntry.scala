@@ -1871,6 +1871,62 @@ object SparkEntry {
        |ORDER BY nprobe, q_id""".stripMargin
   }
 
+  /** q378's oracle: the support-2 edge build + plant VALUES, degree
+    * init, [[graft.ops.AffinityOps.KCoreOracleRounds]] unrolled h-index
+    * rounds (idempotent past the fixpoint), the first-unchanged-round
+    * detector, and the histogram/plant/rounds report. */
+  private def q378OracleSql: String = {
+    val t = graft.ops.AffinityOps.KCoreOracleRounds
+    val plants = graft.ops.AffinityOps.KCorePlant
+      .map { case (a, b) => s"(CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+      .mkString(",\n    ")
+    val rounds = (1 to t).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT v, CAST(max(CASE WHEN cv >= rn THEN rn ELSE 0 END)
+         |    AS BIGINT) AS c
+         |  FROM (SELECT und.v, p.c AS cv,
+         |      row_number() OVER (PARTITION BY und.v ORDER BY p.c DESC)
+         |        AS rn
+         |    FROM und JOIN c${k - 1} p ON p.v = und.u)
+         |  GROUP BY v),
+         |chg$k AS (SELECT CAST(count(*) AS BIGINT) AS n
+         |  FROM c$k a JOIN c${k - 1} b USING (v) WHERE a.c <> b.c)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rlist = (1 to t)
+      .map(k => s"SELECT $k AS t, (SELECT n FROM chg$k) AS n")
+      .mkString("\nUNION ALL ")
+    s"""WITH po AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |edges AS MATERIALIZED (
+       |  SELECT p1, p2 FROM (
+       |    SELECT a.pk AS p1, b.pk AS p2, count(*) AS w
+       |    FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+       |    GROUP BY 1, 2) WHERE w >= 2
+       |  UNION ALL SELECT * FROM (VALUES
+       |    $plants) v(p1, p2)),
+       |und AS MATERIALIZED (
+       |  SELECT p1 AS v, p2 AS u FROM edges
+       |  UNION ALL SELECT p2 AS v, p1 AS u FROM edges),
+       |c0 AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS c
+       |  FROM und GROUP BY v),
+       |$rounds,
+       |rl AS ($rlist),
+       |rnd AS (SELECT CAST(min(t) AS BIGINT) AS r FROM rl WHERE n = 0),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c$t)
+       |SELECT * FROM (
+       |SELECT 'core:' || CAST(c AS VARCHAR) AS grp, c AS core,
+       |  CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM c$t GROUP BY c
+       |UNION ALL
+       |SELECT 'part:' || CAST(v AS VARCHAR), c, CAST(1 AS BIGINT)
+       |FROM c$t WHERE v <= -37800 AND v > -37900
+       |UNION ALL
+       |SELECT 'rounds', (SELECT r FROM rnd), (SELECT n FROM tot))
+       |ORDER BY grp""".stripMargin
+  }
+
   /** q369's oracle: the same 32 squared-tail sign folds per row (the
     * inner fp(source) computed once per row, the rep axis via
     * generate_series), the 32-sum fold, exact F2, mean and
@@ -4209,6 +4265,7 @@ object SparkEntry {
     "q375_strip_residual" -> graft.ops.SuffixArrayOps.q375StripResidual _,
     "q376_merge_budget"   -> TextOps.q376MergeBudget _,
     "q377_ivf_nprobe"     -> SimilarityOps.q377IvfNprobe _,
+    "q378_kcore"          -> graft.ops.AffinityOps.q378KCore _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9501,6 +9558,7 @@ object SparkEntry {
     "q375_strip_residual" -> q375OracleSql,
     "q376_merge_budget" -> q376OracleSql,
     "q377_ivf_nprobe" -> q377OracleSql,
+    "q378_kcore" -> q378OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -56,6 +56,96 @@ object AffinityOps {
   private def support2Edges(s: SparkSession, dir: String): DataFrame =
     support2Pairs(s, dir).select("p1", "p2")
 
+  /** q378's planted subgraphs (disjoint -378xx ids, canonical p1 < p2
+    * per edge): a 5-clique (every node coreness 4), a 2-edge chain
+    * hanging off the clique (coreness 1 — pendant paths peel first),
+    * and a 4-cycle (coreness 2). Hand-computable core numbers the spec
+    * pins exactly. */
+  private[graft] val KCorePlant: Seq[(Long, Long)] = {
+    val clique = Seq(-37815L, -37814L, -37813L, -37812L, -37811L)
+    val cliqueEdges = for {
+      i <- clique.indices; j <- (i + 1) until clique.length
+    } yield (math.min(clique(i), clique(j)), math.max(clique(i), clique(j)))
+    cliqueEdges ++ Seq(
+      (-37816L, -37811L), (-37817L, -37816L),             // chain
+      (-37822L, -37821L), (-37823L, -37822L),             // 4-cycle
+      (-37824L, -37823L), (-37824L, -37821L))
+  }
+
+  /** Spark-side cap on the peeling iterations — far above any real
+    * fixpoint (sf0.01 measures 10 rounds); the oracle unrolls
+    * [[KCoreOracleRounds]], and exceeding either fails LOUDLY instead
+    * of silently diverging. */
+  private[graft] val KCoreMaxRounds = 64
+  private[graft] val KCoreOracleRounds = 16
+
+  /** X358 — k-core decomposition of the co-purchase graph (the
+    * dense-community / graph-curation primitive): each node's CORENESS
+    * is the largest k such that it survives in the subgraph where every
+    * node keeps ≥ k neighbors — the standard "which parts sit in a
+    * dense cross-sell community vs a pendant tail" measure, and the
+    * graph analogue of the quality lane's keep/drop bands. Computed by
+    * the published distributed h-index iteration (Lü et al., PNAS 2016):
+    * c₀(v) = deg(v), c_{t+1}(v) = H({c_t(u) : u ∈ N(v)}), which
+    * decreases monotonically to the exact core numbers — no peeling
+    * queue, every round is ONE neighbor join + ONE per-node fold, the
+    * shape that distributes (sequential peeling is inherently serial).
+    *
+    * Convergence is measured, not assumed: the driver loop runs to the
+    * first unchanged round (10 at sf0.01) with a loud
+    * [[KCoreMaxRounds]] cap, the report carries the round count, and
+    * the oracle unrolls [[KCoreOracleRounds]] chained CTE rounds —
+    * idempotent past the fixpoint, and a fixpoint beyond the unroll
+    * fails the gate loudly. [[KCorePlant]] pins the exact classes:
+    * 5-clique coreness 4, pendant chain 1, 4-cycle 2 (the corpus graph
+    * tops out at coreness 3 at sf0.01, so the clique is also the
+    * measured max-core community).
+    *
+    * Scale: per round ONE (edge ⋈ node-coreness) shuffle join + ONE
+    * per-node combinable fold over degree-bounded neighbor lists;
+    * iteration state localCheckpoints per round (the q320 lineage
+    * rule); rounds grow like the graph's degeneracy-peeling depth
+    * (logarithmic-ish in practice), never like |V|. */
+  def q378KCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val e = support2Edges(s, dir)
+      .unionByName(KCorePlant.toDF("p1", "p2"))
+    val und = e.select($"p1".as("v"), $"p2".as("u"))
+      .unionByName(e.select($"p2".as("v"), $"p1".as("u")))
+      .localCheckpoint() // read by every round's neighbor join
+    var c = und.groupBy($"v").agg(count(lit(1)).as("c")).localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < KCoreMaxRounds) {
+      rounds += 1
+      val next = und.join(c.withColumnRenamed("v", "u"), Seq("u"))
+        .groupBy($"v")
+        .agg(sort_array(collect_list($"c"), asc = false).as("cs"))
+        .select($"v", expr(
+          """aggregate(cs, named_struct('i', 0L, 'h', 0L), (st, x) ->
+            |  named_struct('i', st.i + 1L,
+            |    'h', CASE WHEN x >= st.i + 1L THEN st.i + 1L
+            |         ELSE st.h END)).h""".stripMargin).as("nc"))
+        .join(c, Seq("v"))
+        .localCheckpoint()
+      changed = next.filter($"nc" =!= $"c").count()
+      c = next.select($"v", $"nc".as("c")).localCheckpoint()
+    }
+    require(rounds < KCoreMaxRounds,
+      s"q378: no fixpoint within $KCoreMaxRounds rounds")
+    val hist = c.groupBy($"c".as("core")).agg(count(lit(1)).as("n_nodes"))
+      .select(concat(lit("core:"), $"core").as("grp"), $"core", $"n_nodes")
+    val plant = c.filter($"v" <= -37800L && $"v" > -37900L)
+      .select(concat(lit("part:"), $"v").as("grp"), $"c".as("core"),
+        lit(1L).as("n_nodes"))
+    val total = c.count()
+    val rows = hist.unionByName(plant).orderBy($"grp").collect().toSeq :+
+      org.apache.spark.sql.Row("rounds", rounds.toLong, total)
+    LocalReport.frame(s, rows,
+      ("grp", StringType), ("core", LongType), ("n_nodes", LongType))
+  }
+
   /** X74 — co-purchase lift: for every unordered part pair appearing in ≥2
     * common orders, the support count and the lift vs independence, in
     * integer parts-per-million (ppm keeps the ratio engine-exact; a libm

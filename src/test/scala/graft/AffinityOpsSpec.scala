@@ -1634,6 +1634,74 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------------------- X358
+
+  test("q378: k-core — exact sequential peeling cross-check, plant classes, coreness property") {
+    import spark.implicits._
+    val rows = graft.ops.AffinityOps.q378KCore(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // independent edge rebuild (the operator's own definition, replayed)
+    val po = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .filter($"ok".isNotNull && $"pk".isNotNull).distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = po.groupBy(_._1).values
+    val support = scala.collection.mutable.HashMap.empty[(Long, Long), Int]
+    byOrder.foreach { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        support((ps(i), ps(j))) = support.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val edges = support.filter(_._2 >= 2).keys.toSeq ++
+      graft.ops.AffinityOps.KCorePlant
+    // EXACT sequential min-degree peeling (the textbook algorithm — a
+    // DIFFERENT algorithm from the operator's h-index iteration, so
+    // equality is a cross-algorithm proof, not a replay)
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val core = scala.collection.mutable.HashMap.empty[Long, Long]
+    val deg = scala.collection.mutable.HashMap(
+      adj.iterator.map { case (v, ns) => v -> ns.size }.toSeq: _*)
+    val alive = scala.collection.mutable.Set(adj.keys.toSeq: _*)
+    var k = 0L
+    while (alive.nonEmpty) {
+      val v = alive.minBy(x => (deg(x), x))
+      k = math.max(k, deg(v).toLong)
+      core(v) = k
+      alive -= v
+      adj(v).foreach { u => if (alive(u)) deg(u) = deg(u) - 1 }
+    }
+    // histogram + plant rows equal the peeling result exactly
+    val wantHist = core.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    wantHist.foreach { case (c, n) =>
+      assert(rows(s"core:$c").getAs[Long]("n_nodes") == n, s"core $c")
+    }
+    assert(rows.count(_._1.startsWith("core:")) == wantHist.size)
+    core.filter(_._1 <= -37800L).foreach { case (v, c) =>
+      assert(rows(s"part:$v").getAs[Long]("core") == c, s"part $v")
+    }
+    // plant classes by hand: 5-clique coreness 4, pendant chain 1, cycle 2
+    Seq(-37811L, -37812L, -37813L, -37814L, -37815L)
+      .foreach(v => assert(rows(s"part:$v").getAs[Long]("core") == 4L))
+    Seq(-37816L, -37817L)
+      .foreach(v => assert(rows(s"part:$v").getAs[Long]("core") == 1L))
+    Seq(-37821L, -37822L, -37823L, -37824L)
+      .foreach(v => assert(rows(s"part:$v").getAs[Long]("core") == 2L))
+    // the defining coreness property on the peeled assignment: every
+    // node has >= core(v) neighbors of coreness >= core(v)
+    adj.foreach { case (v, ns) =>
+      assert(ns.count(u => core(u) >= core(v)) >= core(v), s"node $v")
+    }
+    // rounds row: converged in >= 1 rounds over all nodes
+    assert(rows("rounds").getAs[Long]("core") >= 1L)
+    assert(rows("rounds").getAs[Long]("n_nodes") == adj.size.toLong)
+  }
+
   // ------------------------------------------------------------- X357
 
   test("q377: nprobe sweep — nested probes monotone, twin at rank 1 everywhere, pins q371") {

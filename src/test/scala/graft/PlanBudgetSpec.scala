@@ -93,6 +93,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the returned plan and trip here, not just drift the bench)
     "q118_rfm_segments" -> 0,
     "q123_item_rank"    -> 0,
+    "q378_kcore"        -> 0, // collect-local report; per-round edge
+                              // join + node fold run inside the builder,
+                              // coreness state checkpointed per round
     "q132_triangles"    -> 0,
     "q119_anomaly_p99"  -> 2, // ONE event_type partitioning (rank + count
                               // windows share it) + orderBy
