@@ -1927,6 +1927,61 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q379's oracle: the shared NB chain + plant sweep (best_n is the
+    * SAME evalBlock q367 uses), confusion rates over the plant, one
+    * predicted-positive count per target, and the floor-division BBSE
+    * estimator with the clamp/flag on both engines. */
+  private def q379OracleSql: String = {
+    s"""WITH $nbScoreChainSql,
+       |${evalBlock("n", "ps", "ds")},
+       |conf AS MATERIALIZED (SELECT
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+       |    CAST(sum(CASE WHEN y = 1 AND score >= b.t THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS k1,
+       |    CAST(sum(CASE WHEN y = 0 AND score >= b.t THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS k0
+       |  FROM ps CROSS JOIN best_n b),
+       |rates AS MATERIALIZED (SELECT
+       |    k1 * 1000000 // p AS tpr, k0 * 1000000 // nn AS fpr,
+       |    p, nn, k1, k0 FROM conf),
+       |mc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN d.score >= b.t THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS k
+       |  FROM ds d CROSS JOIN best_n b),
+       |sc AS (
+       |  SELECT '1_plant_self' AS scope, CAST(1 AS BIGINT) AS wp,
+       |    CAST(1 AS BIGINT) AS wn, CAST(1 AS BIGINT) AS has_truth
+       |  UNION ALL SELECT '2_shift_pos', 3, 1, 1
+       |  UNION ALL SELECT '3_shift_neg', 1, 3, 1),
+       |sr AS (SELECT sc.scope,
+       |    wp * r.p + wn * r.nn AS n_docs,
+       |    (wp * r.k1 + wn * r.k0) * 1000000 // (wp * r.p + wn * r.nn)
+       |      AS mu_ppm,
+       |    wp * r.p * 1000000 // (wp * r.p + wn * r.nn) AS true_prior_ppm,
+       |    sc.has_truth
+       |  FROM sc CROSS JOIN rates r),
+       |al AS (
+       |  SELECT scope, n_docs, mu_ppm, true_prior_ppm, has_truth FROM sr
+       |  UNION ALL SELECT '4_corpus', mc.n, mc.k * 1000000 // mc.n,
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM mc),
+       |est AS (SELECT al.*, r.tpr, r.fpr,
+       |    (al.mu_ppm - r.fpr) * 1000000 // (r.tpr - r.fpr) AS raw
+       |  FROM al CROSS JOIN rates r)
+       |SELECT scope, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(mu_ppm AS BIGINT) AS mu_ppm,
+       |  CAST(tpr AS BIGINT) AS tpr_ppm, CAST(fpr AS BIGINT) AS fpr_ppm,
+       |  CAST(least(greatest(raw, 0), 1000000) AS BIGINT) AS est_prior_ppm,
+       |  CAST(CASE WHEN raw = least(greatest(raw, 0), 1000000) THEN 0
+       |    ELSE 1 END AS BIGINT) AS clamped,
+       |  CAST(true_prior_ppm AS BIGINT) AS true_prior_ppm,
+       |  CAST(CASE WHEN has_truth = 1
+       |    THEN abs(least(greatest(raw, 0), 1000000) - true_prior_ppm)
+       |    ELSE 0 END AS BIGINT) AS err_ppm,
+       |  CAST(has_truth AS BIGINT) AS has_truth
+       |FROM est ORDER BY scope""".stripMargin
+  }
+
   /** q369's oracle: the same 32 squared-tail sign folds per row (the
     * inner fp(source) computed once per row, the rep axis via
     * generate_series), the 32-sum fold, exact F2, mean and
@@ -4266,6 +4321,7 @@ object SparkEntry {
     "q376_merge_budget"   -> TextOps.q376MergeBudget _,
     "q377_ivf_nprobe"     -> SimilarityOps.q377IvfNprobe _,
     "q378_kcore"          -> graft.ops.AffinityOps.q378KCore _,
+    "q379_label_shift"    -> PipelineOps.q379LabelShift _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9559,6 +9615,7 @@ object SparkEntry {
     "q376_merge_budget" -> q376OracleSql,
     "q377_ivf_nprobe" -> q377OracleSql,
     "q378_kcore" -> q378OracleSql,
+    "q379_label_shift" -> q379OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

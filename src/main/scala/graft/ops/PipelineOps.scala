@@ -4072,6 +4072,91 @@ object PipelineOps {
     } finally sig.unpersist(blocking = false)
   }
 
+  /** X359 — black-box label-shift estimation (BBSE, Lipton et al.
+    * 2018): when the LABEL distribution moves but p(x|y) does not, the
+    * target class prior is recoverable from a frozen classifier alone —
+    * π̂ = (μ − fpr) / (tpr − fpr), with (tpr, fpr) measured once on
+    * labeled source data and μ = the classifier's predicted-positive
+    * rate on the unlabeled target — the production answer to "what
+    * fraction of the new crawl is junk?" without labeling the new
+    * crawl. Classifier = q334's NB at the plant max-F1 threshold (the
+    * SHARED [[q367Sweep]] — one sweep definition); confusion rates are
+    * driver math over the bounded labeled plant.
+    *
+    * Scopes: `1_plant_self` (the identity check — μ over the source
+    * itself must estimate the source prior back, exact up to ppm
+    * flooring), `2_shift_pos` / `3_shift_neg` (synthetic label-shifted
+    * targets: the SAME plant docs re-weighted 3:1 and 1:3 — p(x|y)
+    * unchanged BY CONSTRUCTION, so BBSE's assumption holds exactly and
+    * the estimator must recover the known shifted priors; the planted
+    * certificate), and `4_corpus` (the real corpus, where the
+    * assumption does NOT hold — domain shift, not label shift — and
+    * the estimate lands outside [0, 1] and is CLAMPED with its flag
+    * set: the measured demonstration of the method's stated limit, the
+    * q353 transfer lesson in BBSE form).
+    *
+    * All arithmetic integer ppm; the signed estimator division floors
+    * (Math.floorDiv ≡ DuckDB //); the degenerate tpr = fpr case is a
+    * loud require (a chance-level classifier cannot drive BBSE — q367
+    * measured the heuristic at exactly chance on this plant, which is
+    * why the NB signal is the black box here).
+    *
+    * Scale: the target pass is ONE narrow predicted-positive count —
+    * BBSE's whole point is that re-estimating priors costs one scan
+    * and no labels; everything else is bounded driver math. */
+  def q379LabelShift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val weights = q334Weights
+    val plantNb = QualityPlant.map { case (_, y, t) =>
+      (qualityGrams(t, 256).map(weights).sum, y)
+    }
+    val thr = q367Sweep(plantNb)._1
+    val preds = plantNb.map { case (sc, y) => (y, if (sc >= thr) 1L else 0L) }
+    val pPos = preds.count(_._1 == 1L).toLong
+    val pNeg = preds.count(_._1 == 0L).toLong
+    val k1 = preds.count(p => p._1 == 1L && p._2 == 1L).toLong
+    val k0 = preds.count(p => p._1 == 0L && p._2 == 1L).toLong
+    val tpr = k1 * 1000000L / pPos
+    val fpr = k0 * 1000000L / pNeg
+    require(tpr != fpr, "q379: chance-level classifier — BBSE undefined")
+    val nbSql = q367CorpusSignalSqls._2
+    val corpusRow = docs(s, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(expr(nbSql) >= thr, 1L).otherwise(0L)).as("k"))
+      .head()
+    val (nCorpus, kCorpus) = (corpusRow.getLong(0), corpusRow.getLong(1))
+    def estOf(mu: Long): (Long, Long) = {
+      val raw = Math.floorDiv((mu - fpr) * 1000000L, tpr - fpr)
+      val clamped = math.max(0L, math.min(1000000L, raw))
+      (clamped, if (raw == clamped) 0L else 1L)
+    }
+    def shiftRow(tag: String, wPos: Long, wNeg: Long)
+        : org.apache.spark.sql.Row = {
+      val nW = wPos * pPos + wNeg * pNeg
+      val mu = (wPos * k1 + wNeg * k0) * 1000000L / nW
+      val truth = wPos * pPos * 1000000L / nW
+      val (est, cl) = estOf(mu)
+      org.apache.spark.sql.Row(tag, nW, mu, tpr, fpr, est, cl,
+        truth, math.abs(est - truth), 1L)
+    }
+    val muC = kCorpus * 1000000L / nCorpus
+    val (estC, clC) = estOf(muC)
+    val rows = Seq(
+      shiftRow("1_plant_self", 1L, 1L),
+      shiftRow("2_shift_pos", 3L, 1L),
+      shiftRow("3_shift_neg", 1L, 3L),
+      org.apache.spark.sql.Row("4_corpus", nCorpus, muC, tpr, fpr,
+        estC, clC, 0L, 0L, 0L))
+    LocalReport.frame(s, rows,
+      "scope" -> StringType, "n_docs" -> LongType, "mu_ppm" -> LongType,
+      "tpr_ppm" -> LongType, "fpr_ppm" -> LongType,
+      "est_prior_ppm" -> LongType, "clamped" -> LongType,
+      "true_prior_ppm" -> LongType, "err_ppm" -> LongType,
+      "has_truth" -> LongType)
+  }
+
   /** q369's estimator count, shared with the generated oracle. */
   private[graft] val AmsReps = 32
 

@@ -1713,6 +1713,66 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q379: BBSE — identity/shift recovery within flooring, corpus clamp, full replay") {
+    import spark.implicits._
+    val rows = PipelineOps.q379LabelShift(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // full driver replay: threshold from the shared sweep, confusion
+    // rates, every scope's mu/truth/estimate including the corpus scan
+    // re-scored through the driver-side NB (not the SQL expression)
+    val weights = PipelineOps.q334Weights
+    val plantNb = PipelineOps.QualityPlant.map { case (_, y, t) =>
+      (PipelineOps.qualityGrams(t, 256).map(weights).sum, y)
+    }
+    val thr = PipelineOps.q367Sweep(plantNb)._1
+    val preds = plantNb.map { case (sc, y) => (y, if (sc >= thr) 1L else 0L) }
+    val pPos = preds.count(_._1 == 1L).toLong
+    val pNeg = preds.count(_._1 == 0L).toLong
+    val k1 = preds.count(p => p._1 == 1L && p._2 == 1L).toLong
+    val k0 = preds.count(p => p._1 == 0L && p._2 == 1L).toLong
+    val tpr = k1 * 1000000L / pPos; val fpr = k0 * 1000000L / pNeg
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("tpr_ppm") == tpr && r.getAs[Long]("fpr_ppm") == fpr)
+    }
+    def est(mu: Long): (Long, Long) = {
+      val raw = Math.floorDiv((mu - fpr) * 1000000L, tpr - fpr)
+      (math.max(0L, math.min(1000000L, raw)),
+        if (raw >= 0L && raw <= 1000000L) 0L else 1L)
+    }
+    Seq(("1_plant_self", 1L, 1L), ("2_shift_pos", 3L, 1L),
+        ("3_shift_neg", 1L, 3L)).foreach { case (tag, wp, wn) =>
+      val nW = wp * pPos + wn * pNeg
+      val mu = (wp * k1 + wn * k0) * 1000000L / nW
+      val truth = wp * pPos * 1000000L / nW
+      val (e, c) = est(mu)
+      val r = rows(tag)
+      assert(r.getAs[Long]("n_docs") == nW && r.getAs[Long]("mu_ppm") == mu, tag)
+      assert(r.getAs[Long]("est_prior_ppm") == e &&
+        r.getAs[Long]("clamped") == c, tag)
+      assert(r.getAs[Long]("true_prior_ppm") == truth, tag)
+      assert(r.getAs[Long]("err_ppm") == math.abs(e - truth), tag)
+      // the estimator's whole point: known shifted priors recovered to
+      // within integer ppm flooring (<= 2 ppm)
+      assert(r.getAs[Long]("err_ppm") <= 2L, tag)
+    }
+    // corpus scan replayed through the driver scorer
+    val corpusScores = graft.sources.Tables.load(spark, sf, "documents")
+      .select(coalesce($"text", lit("")).as("t")).as[String].collect()
+      .map(t => PipelineOps.qualityGrams(t, 256).map(weights).sum)
+    val muC = corpusScores.count(_ >= thr).toLong * 1000000L /
+      corpusScores.length
+    val rc = rows("4_corpus")
+    assert(rc.getAs[Long]("mu_ppm") == muC)
+    assert(rc.getAs[Long]("n_docs") == corpusScores.length.toLong)
+    // the honest negative: domain shift violates BBSE's assumption and
+    // the raw estimate leaves [0, 1] — clamped with the flag SET (the
+    // corpus mu sits below the plant fpr)
+    assert(muC < fpr)
+    assert(rc.getAs[Long]("clamped") == 1L &&
+      rc.getAs[Long]("est_prior_ppm") == 0L)
+    assert(rc.getAs[Long]("has_truth") == 0L)
+  }
+
   test("q369: AMS sketch — driver replay, additivity, the rejected hash is >=50x worse") {
     import spark.implicits._
     val rows = PipelineOps.q369AmsF2(spark, sf).collect()

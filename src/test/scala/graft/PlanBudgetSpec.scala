@@ -779,6 +779,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q368_incremental_nnd" -> 0, // collect-local 5-row report; both graph
                              // builds + seeding + local rounds run inside
                              // the builder, localCheckpointed per stage
+    "q379_label_shift" -> 0, // collect-local 4-row report; ONE narrow
+                             // predicted-positive corpus count inside
+                             // the builder, the rest bounded driver math
     "q373_indomain_cut" -> 0, // collect-local 4-row report; the signal
                              // scan + three GlobalOrder decile passes +
                              // the bounded bin folds and the final
