@@ -1982,6 +1982,86 @@ object SparkEntry {
        |FROM est ORDER BY scope""".stripMargin
   }
 
+  /** q380's oracle: the same view / delete-aggregate / dirty-detection /
+    * dirty-only-recompute / drop / audit chain in SQL, with the
+    * FpByteFold view checksum. */
+  private def q380OracleSql: String = {
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    val plantFeed = graft.operators.TransferOps.RetractPlantFeed
+      .map { case (ck, ok, c) =>
+        s"(CAST($ck AS BIGINT), CAST($ok AS BIGINT), CAST($c AS BIGINT))"
+      }.mkString(",\n    ")
+    val dels = graft.operators.TransferOps.RetractPlantDeleted.mkString(", ")
+    s"""WITH feed AS MATERIALIZED (
+       |  SELECT ck, okey, cents,
+       |    CASE WHEN (okey > 0 AND okey % 23 = 7) OR okey IN ($dels)
+       |      THEN 1 ELSE 0 END AS isdel
+       |  FROM (
+       |    SELECT CAST(o_custkey AS BIGINT) AS ck,
+       |      CAST(o_orderkey AS BIGINT) AS okey,
+       |      CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+       |    UNION ALL SELECT * FROM (VALUES
+       |    $plantFeed) v(ck, okey, cents))),
+       |v0 AS (SELECT ck, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(cents) AS BIGINT) AS sm, min(cents) AS mn,
+       |    max(cents) AS mx
+       |  FROM feed GROUP BY ck),
+       |da AS (SELECT ck, CAST(count(*) AS BIGINT) AS dn,
+       |    CAST(sum(cents) AS BIGINT) AS dsm, min(cents) AS dmn,
+       |    max(cents) AS dmx
+       |  FROM feed WHERE isdel = 1 GROUP BY ck),
+       |mg AS MATERIALIZED (SELECT v0.ck, n, sm, mn, mx,
+       |    coalesce(dn, 0) AS dn, coalesce(dsm, 0) AS dsm,
+       |    n - coalesce(dn, 0) AS n2, sm - coalesce(dsm, 0) AS sm2,
+       |    CASE WHEN n - coalesce(dn, 0) > 0 AND dmn = mn
+       |      THEN 1 ELSE 0 END AS dirty_mn,
+       |    CASE WHEN n - coalesce(dn, 0) > 0 AND dmx = mx
+       |      THEN 1 ELSE 0 END AS dirty_mx
+       |  FROM v0 LEFT JOIN da USING (ck)),
+       |rd AS (SELECT f.ck, min(f.cents) AS rmn, max(f.cents) AS rmx
+       |  FROM feed f JOIN (SELECT ck FROM mg
+       |    WHERE dirty_mn = 1 OR dirty_mx = 1) d USING (ck)
+       |  WHERE f.isdel = 0 GROUP BY f.ck),
+       |mt AS MATERIALIZED (SELECT mg.ck, n2 AS n, sm2 AS sm,
+       |    CASE WHEN dirty_mn = 1 THEN rmn ELSE mn END AS mn,
+       |    CASE WHEN dirty_mx = 1 THEN rmx ELSE mx END AS mx
+       |  FROM mg LEFT JOIN rd USING (ck) WHERE n2 > 0),
+       |fl AS (SELECT ck, CAST(count(*) AS BIGINT) AS fn,
+       |    CAST(sum(cents) AS BIGINT) AS fsm, min(cents) AS fmn,
+       |    max(cents) AS fmx
+       |  FROM feed WHERE isdel = 0 GROUP BY ck),
+       |aud AS (SELECT CAST(sum(CASE WHEN n IS NULL OR fn IS NULL
+       |      OR n <> fn OR sm <> fsm OR mn <> fmn OR mx <> fmx
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS bad
+       |  FROM mt FULL OUTER JOIN fl USING (ck)),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS g0,
+       |    CAST(sum(dn) AS BIGINT) AS ndel,
+       |    CAST(sum(dirty_mn) AS BIGINT) AS dmin,
+       |    CAST(sum(dirty_mx) AS BIGINT) AS dmax,
+       |    CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS dropped
+       |  FROM mg),
+       |vfp AS (SELECT CAST(sum(f) AS BIGINT) AS f FROM (
+       |  SELECT ${fp(
+            "CAST(ck AS VARCHAR) || '|' || CAST(n AS VARCHAR) || '|' ||" +
+            " CAST(sm AS VARCHAR) || '|' || CAST(mn AS VARCHAR) || '|' ||" +
+            " CAST(mx AS VARCHAR)")} AS f
+       |  FROM mt))
+       |SELECT * FROM (
+       |SELECT '1_groups_before' AS metric, (SELECT g0 FROM st) AS value
+       |UNION ALL SELECT '2_groups_after', (SELECT g0 - dropped FROM st)
+       |UNION ALL SELECT '3_rows_deleted', (SELECT ndel FROM st)
+       |UNION ALL SELECT '4_dirty_min_groups', (SELECT dmin FROM st)
+       |UNION ALL SELECT '5_dirty_max_groups', (SELECT dmax FROM st)
+       |UNION ALL SELECT '6_dropped_groups', (SELECT dropped FROM st)
+       |UNION ALL SELECT '7_mismatch_groups', (SELECT bad FROM aud)
+       |UNION ALL SELECT '8_view_fp_sum', (SELECT f FROM vfp))
+       |ORDER BY metric""".stripMargin
+  }
+
   /** q369's oracle: the same 32 squared-tail sign folds per row (the
     * inner fp(source) computed once per row, the rep axis via
     * generate_series), the 32-sum fold, exact F2, mean and
@@ -4322,6 +4402,7 @@ object SparkEntry {
     "q377_ivf_nprobe"     -> SimilarityOps.q377IvfNprobe _,
     "q378_kcore"          -> graft.ops.AffinityOps.q378KCore _,
     "q379_label_shift"    -> PipelineOps.q379LabelShift _,
+    "q380_retract_ivm"    -> TransferOps.q380RetractIvm _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9616,6 +9697,7 @@ object SparkEntry {
     "q377_ivf_nprobe" -> q377OracleSql,
     "q378_kcore" -> q378OracleSql,
     "q379_label_shift" -> q379OracleSql,
+    "q380_retract_ivm" -> q380OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

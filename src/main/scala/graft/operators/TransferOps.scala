@@ -641,6 +641,124 @@ object TransferOps {
     incr.unionByName(vInc).unionByName(vDir).orderBy($"term")
   }
 
+  /** q380's planted retraction classes (disjoint -380xx custkeys /
+    * -381xx orderkeys): a group whose deleted row IS its min (dirty
+    * min), one whose deleted row is its max (dirty max), one with a
+    * non-extreme delete (pure subtraction), and one whose rows are ALL
+    * deleted (the group must vanish from the view). */
+  private[graft] val RetractPlantFeed: Seq[(Long, Long, Long)] = Seq(
+    (-38001L, -38101L, 100L), (-38001L, -38102L, 200L), (-38001L, -38103L, 300L),
+    (-38002L, -38111L, 100L), (-38002L, -38112L, 200L), (-38002L, -38113L, 300L),
+    (-38003L, -38121L, 100L), (-38003L, -38122L, 200L), (-38003L, -38123L, 300L),
+    (-38004L, -38131L, 150L), (-38004L, -38132L, 250L))
+  private[graft] val RetractPlantDeleted: Seq[Long] =
+    Seq(-38101L, -38113L, -38122L, -38131L, -38132L)
+
+  /** X360 — retraction-aware incremental view maintenance (IVM with
+    * DELETES): q136 maintains aggregates under INSERTS, where every
+    * standard aggregate merges; deletes split the aggregate family in
+    * two — count/sum RETRACT by subtraction (O(delta) always), but
+    * min/max are NOT retractable: when a deleted row equals the group's
+    * current extreme, the new extreme is unknowable from the state
+    * alone, and the view must recompute — the textbook reason
+    * production IVM either bans MIN/MAX or keeps per-group heaps. This
+    * operator does the honest middle: subtract the retractable columns
+    * everywhere, detect exactly the DIRTY groups (deleted min = current
+    * min, or deleted max = current max), recompute min/max for those
+    * groups ONLY from the surviving rows, drop groups whose rows all
+    * died, and then AUDIT the maintained view against a full
+    * from-scratch recompute (mismatch count pinned 0 — the equivalence
+    * proof runs inside the query, q147's execute-to-prove discipline).
+    *
+    * Delete batch: deterministic pmod-23 orderkeys plus
+    * [[RetractPlantDeleted]], whose [[RetractPlantFeed]] groups pin all
+    * four retraction classes by construction. Report: group/delete/
+    * dirty/dropped/mismatch counts plus a fingerprint fold over the
+    * maintained view so the gate pins the view's CONTENT, not just its
+    * shape.
+    *
+    * Scale: retractable maintenance is one delta-keyed aggregate + one
+    * state join (O(delta) like q136); the min/max recompute joins the
+    * surviving rows against the DIRTY key set only (dirty ≪ groups —
+    * the deleted row must tie the group extreme), so the non-
+    * retractable price is paid exactly where it is owed; the audit's
+    * full recompute is the in-query baseline that disappears at 100 TB
+    * (q369's framing). */
+  def q380RetractIvm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    graft.functions.Fingerprint.register(s)
+    val feed = graft.sources.Tables.load(s, dir, "orders")
+      .select($"o_custkey".cast("long").as("ck"),
+        $"o_orderkey".cast("long").as("okey"),
+        graft.functions.Exact.cents($"o_totalprice").as("cents"))
+      .unionByName(RetractPlantFeed.toDF("ck", "okey", "cents"))
+      .persist() // view build + delete agg + dirty recompute + audit
+    try {
+      val isDel = ($"okey" > 0L && pmod($"okey", lit(23L)) === 7L) ||
+        $"okey".isin(RetractPlantDeleted: _*)
+      val view = feed.groupBy($"ck").agg(count(lit(1)).as("n"),
+        sum($"cents").as("sm"), min($"cents").as("mn"), max($"cents").as("mx"))
+      val dAgg = feed.filter(isDel).groupBy($"ck")
+        .agg(count(lit(1)).as("dn"), sum($"cents").as("dsm"),
+          min($"cents").as("dmn"), max($"cents").as("dmx"))
+      val merged = view.join(dAgg, Seq("ck"), "left")
+        .select($"ck", $"n", $"sm", $"mn", $"mx",
+          coalesce($"dn", lit(0L)).as("dn"),
+          coalesce($"dsm", lit(0L)).as("dsm"), $"dmn", $"dmx")
+        .withColumn("n2", $"n" - $"dn")
+        .withColumn("sm2", $"sm" - $"dsm")
+        .withColumn("dirty_mn",
+          when($"n2" > 0L && $"dmn" === $"mn", 1L).otherwise(0L))
+        .withColumn("dirty_mx",
+          when($"n2" > 0L && $"dmx" === $"mx", 1L).otherwise(0L))
+        .persist() // dirty-key extraction + maintained-view assembly
+      try {
+        val dirtyKeys = merged
+          .filter($"dirty_mn" === 1L || $"dirty_mx" === 1L).select($"ck")
+        val redone = feed.filter(!isDel)
+          .join(dirtyKeys, Seq("ck"))
+          .groupBy($"ck")
+          .agg(min($"cents").as("rmn"), max($"cents").as("rmx"))
+        val maintained = merged.filter($"n2" > 0L)
+          .join(redone, Seq("ck"), "left")
+          .select($"ck", $"n2".as("n"), $"sm2".as("sm"),
+            when($"dirty_mn" === 1L, $"rmn").otherwise($"mn").as("mn"),
+            when($"dirty_mx" === 1L, $"rmx").otherwise($"mx").as("mx"))
+        val full = feed.filter(!isDel).groupBy($"ck")
+          .agg(count(lit(1)).as("fn"), sum($"cents").as("fsm"),
+            min($"cents").as("fmn"), max($"cents").as("fmx"))
+        val audit = maintained.join(full, Seq("ck"), "full_outer")
+          .agg(sum(when($"n".isNull || $"fn".isNull ||
+            $"n" =!= $"fn" || $"sm" =!= $"fsm" ||
+            $"mn" =!= $"fmn" || $"mx" =!= $"fmx", 1L).otherwise(0L))
+            .as("bad")).head().getLong(0)
+        val stats = merged.agg(count(lit(1)).as("g0"),
+          sum($"dn").as("ndel"), sum($"dirty_mn").as("dmin"),
+          sum($"dirty_mx").as("dmax"),
+          sum(when($"n2" === 0L, 1L).otherwise(0L)).as("dropped")).head()
+        val viewFp = maintained.select(expr(
+          """graft_fingerprint(concat(CAST(ck AS STRING), '|',
+            |  CAST(n AS STRING), '|', CAST(sm AS STRING), '|',
+            |  CAST(mn AS STRING), '|', CAST(mx AS STRING)))"""
+            .stripMargin).as("fp"))
+          .agg(sum($"fp")).head().getLong(0)
+        val rows = Seq(
+          ("1_groups_before", stats.getLong(0)),
+          ("2_groups_after", stats.getLong(0) - stats.getLong(4)),
+          ("3_rows_deleted", stats.getLong(1)),
+          ("4_dirty_min_groups", stats.getLong(2)),
+          ("5_dirty_max_groups", stats.getLong(3)),
+          ("6_dropped_groups", stats.getLong(4)),
+          ("7_mismatch_groups", audit),
+          ("8_view_fp_sum", viewFp)
+        ).map { case (m, v) => org.apache.spark.sql.Row(m, v) }
+        LocalReport.frame(s, rows,
+          ("metric", StringType), ("value", LongType))
+      } finally merged.unpersist(blocking = false)
+    } finally feed.unpersist(blocking = false)
+  }
+
   def q135PitJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

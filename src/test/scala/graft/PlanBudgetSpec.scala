@@ -779,6 +779,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q368_incremental_nnd" -> 0, // collect-local 5-row report; both graph
                              // builds + seeding + local rounds run inside
                              // the builder, localCheckpointed per stage
+    "q380_retract_ivm" -> 0, // collect-local 8-row report; delta agg +
+                             // state join + dirty-only recompute + the
+                             // in-query audit run inside the builder
     "q379_label_shift" -> 0, // collect-local 4-row report; ONE narrow
                              // predicted-positive corpus count inside
                              // the builder, the rest bounded driver math

@@ -121,6 +121,68 @@ class TransferSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perBucket.collect { case (b, equal) if !equal => b }.toSet == Set(32L))
   }
 
+  test("q380 retract IVM: plant classes land, full driver replay, audit is zero") {
+    import graft.operators.TransferOps
+    import graft.functions.Fingerprint
+    val rows = TransferOps.q380RetractIvm(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the in-query audit already proves maintained == full recompute;
+    // pin it and the plant-dropped group
+    assert(rows("7_mismatch_groups") == 0L)
+    assert(rows("6_dropped_groups") >= 1L)
+    assert(rows("2_groups_after") ==
+      rows("1_groups_before") - rows("6_dropped_groups"))
+    // full driver replay from the raw feed, including every plant class
+    val feed = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(o_custkey AS BIGINT) AS ck",
+        "CAST(o_orderkey AS BIGINT) AS okey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ++
+      TransferOps.RetractPlantFeed
+    val delSet = TransferOps.RetractPlantDeleted.toSet
+    def isDel(ok: Long): Boolean = (ok > 0 && ok % 23 == 7) || delSet(ok)
+    val byCk = feed.groupBy(_._1)
+    var (dirtyMn, dirtyMx, dropped, del) = (0L, 0L, 0L, 0L)
+    var fpSum = 0L
+    byCk.foreach { case (ck, g) =>
+      val all = g.map(_._3)
+      val dels = g.filter(r => isDel(r._2)).map(_._3)
+      val keep = g.filter(r => !isDel(r._2)).map(_._3)
+      del += dels.length
+      if (keep.isEmpty) dropped += 1L
+      else {
+        if (dels.nonEmpty && dels.min == all.min) dirtyMn += 1L
+        if (dels.nonEmpty && dels.max == all.max) dirtyMx += 1L
+        // the maintained view row must equal the from-scratch recompute
+        // (min/max via the dirty-aware path): replay the maintenance
+        val n = keep.length.toLong; val sm = keep.sum
+        val mn = if (dels.nonEmpty && dels.min == all.min) keep.min else all.min
+        val mx = if (dels.nonEmpty && dels.max == all.max) keep.max else all.max
+        assert(mn == keep.min && mx == keep.max, s"group $ck")
+        fpSum += Fingerprint.hashString(s"$ck|$n|$sm|$mn|$mx")
+      }
+    }
+    assert(rows("1_groups_before") == byCk.size.toLong)
+    assert(rows("3_rows_deleted") == del)
+    assert(rows("4_dirty_min_groups") == dirtyMn)
+    assert(rows("5_dirty_max_groups") == dirtyMx)
+    assert(rows("6_dropped_groups") == dropped)
+    assert(rows("8_view_fp_sum") == fpSum)
+    // the four planted classes, by construction
+    def cls(ck: Long): (Boolean, Boolean, Boolean) = {
+      val g = feed.filter(_._1 == ck)
+      val dels = g.filter(r => isDel(r._2)).map(_._3)
+      val keep = g.filter(r => !isDel(r._2)).map(_._3)
+      (dels.nonEmpty && keep.nonEmpty && dels.min == g.map(_._3).min,
+        dels.nonEmpty && keep.nonEmpty && dels.max == g.map(_._3).max,
+        keep.isEmpty)
+    }
+    assert(cls(-38001L) == ((true, false, false)))  // min deleted
+    assert(cls(-38002L) == ((false, true, false)))  // max deleted
+    assert(cls(-38003L) == ((false, false, false))) // pure subtraction
+    assert(cls(-38004L) == ((false, false, true)))  // group vanishes
+  }
+
   test("q287 incremental join: the delta decomposition reconciles with the direct view") {
     val rows = graft.operators.TransferOps.q287IncrJoin(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
