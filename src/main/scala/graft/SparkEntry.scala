@@ -2062,6 +2062,65 @@ object SparkEntry {
        |ORDER BY metric""".stripMargin
   }
 
+  /** q381's oracle: the 3-moment stratum fold, floored population
+    * variance, IEEE-sqrt σ, and both allocations replayed with the
+    * identical floor/largest-remainder/zero-funding rule. */
+  private def q381OracleSql: String = {
+    val b = graft.ops.PipelineOps.NeymanBudget
+    val plants = graft.ops.PipelineOps.NeymanPlant
+      .map { case (st, _, y) => s"('$st', CAST($y AS BIGINT))" }
+      .mkString(",\n    ")
+    def allocBlock(x: String, wExpr: String): String =
+      s"""w_$x AS (SELECT stratum, $wExpr AS w FROM sv),
+         |t_$x AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w_$x),
+         |b_$x AS (SELECT stratum, $b * w // tw AS b0, ($b * w) % tw AS rem
+         |  FROM w_$x CROSS JOIN t_$x),
+         |s_$x AS (SELECT CAST($b - sum(b0) AS BIGINT) AS short FROM b_$x),
+         |u_$x AS MATERIALIZED (SELECT stratum, b0 +
+         |    CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum) <=
+         |      (SELECT short FROM s_$x) THEN 1 ELSE 0 END AS a
+         |  FROM b_$x),
+         |z_$x AS (SELECT CAST(count(*) AS BIGINT) AS k FROM u_$x WHERE a = 0),
+         |d_$x AS (SELECT stratum FROM u_$x ORDER BY a DESC, stratum LIMIT 1),
+         |f_$x AS MATERIALIZED (SELECT u.stratum,
+         |    CAST(CASE WHEN u.a = 0 THEN 1
+         |         WHEN u.stratum = (SELECT stratum FROM d_$x)
+         |           AND (SELECT k FROM z_$x) > 0
+         |           THEN u.a - (SELECT k FROM z_$x)
+         |         ELSE u.a END AS BIGINT) AS a
+         |  FROM u_$x u)""".stripMargin
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT lang AS stratum,
+       |    CAST(length(coalesce(text, '')) AS BIGINT) AS y FROM documents
+       |  UNION ALL SELECT * FROM (VALUES
+       |    $plants) v(stratum, y)),
+       |mom AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM base GROUP BY stratum),
+       |sv AS MATERIALIZED (SELECT stratum, n,
+       |    (n * syy - sy * sy) // (n * n) AS v2,
+       |    CAST(floor(sqrt(CAST((n * syy - sy * sy) // (n * n) AS DOUBLE)))
+       |      AS BIGINT) AS sigma
+       |  FROM mom),
+       |${allocBlock("p", "n")},
+       |${allocBlock("y", "n * sigma")},
+       |sc AS (SELECT
+       |    (SELECT CAST(sum(sv.n * sv.n * sv.v2 // f.a) AS BIGINT)
+       |     FROM sv JOIN f_p f USING (stratum)) AS vp,
+       |    (SELECT CAST(sum(sv.n * sv.n * sv.v2 // f.a) AS BIGINT)
+       |     FROM sv JOIN f_y f USING (stratum)) AS vy)
+       |SELECT * FROM (
+       |SELECT 's_' || sv.stratum AS stratum, sv.n AS n_docs,
+       |  CAST(sv.v2 AS BIGINT) AS v2, sv.sigma,
+       |  fp.a AS n_prop, fy.a AS n_neyman
+       |FROM sv JOIN f_p fp USING (stratum) JOIN f_y fy USING (stratum)
+       |UNION ALL SELECT 'z1_var_prop', CAST($b AS BIGINT),
+       |  (SELECT vp FROM sc), 0, 0, 0
+       |UNION ALL SELECT 'z2_var_neyman', CAST($b AS BIGINT),
+       |  (SELECT vy FROM sc), 0, 0, 0)
+       |ORDER BY stratum""".stripMargin
+  }
+
   /** q369's oracle: the same 32 squared-tail sign folds per row (the
     * inner fp(source) computed once per row, the rep axis via
     * generate_series), the 32-sum fold, exact F2, mean and
@@ -4403,6 +4462,7 @@ object SparkEntry {
     "q378_kcore"          -> graft.ops.AffinityOps.q378KCore _,
     "q379_label_shift"    -> PipelineOps.q379LabelShift _,
     "q380_retract_ivm"    -> TransferOps.q380RetractIvm _,
+    "q381_neyman_alloc"   -> PipelineOps.q381NeymanAlloc _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9698,6 +9758,7 @@ object SparkEntry {
     "q378_kcore" -> q378OracleSql,
     "q379_label_shift" -> q379OracleSql,
     "q380_retract_ivm" -> q380OracleSql,
+    "q381_neyman_alloc" -> q381OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

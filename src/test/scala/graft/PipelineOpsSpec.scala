@@ -1713,6 +1713,69 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q381: Neyman allocation — theorem holds, budget conserved, full replay") {
+    import spark.implicits._
+    val rows = PipelineOps.q381NeymanAlloc(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val strata = rows.filter(_._1.startsWith("s_"))
+    // budget conservation under both allocations
+    assert(strata.values.map(_.getAs[Long]("n_prop")).sum ==
+      PipelineOps.NeymanBudget)
+    assert(strata.values.map(_.getAs[Long]("n_neyman")).sum ==
+      PipelineOps.NeymanBudget)
+    // the theorem, measured: Neyman never worse than proportional
+    assert(rows("z2_var_neyman").getAs[Long]("v2") <=
+      rows("z1_var_prop").getAs[Long]("v2"))
+    // plant pins: the zero-variance stratum sits at the 1-unit floor,
+    // the bimodal stratum takes MORE budget under Neyman
+    assert(rows("s_plantlo").getAs[Long]("sigma") == 0L)
+    assert(rows("s_plantlo").getAs[Long]("n_neyman") == 1L)
+    assert(rows("s_planthi").getAs[Long]("v2") == 250000L &&
+      rows("s_planthi").getAs[Long]("sigma") == 500L)
+    assert(rows("s_planthi").getAs[Long]("n_neyman") >
+      rows("s_planthi").getAs[Long]("n_prop"))
+    // independent driver replay of moments, variance, sigma and BOTH
+    // allocation rules (floor + largest remainder + zero funding)
+    val ys = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"lang", length(coalesce($"text", lit(""))).cast("long"))
+      .as[(String, Long)].collect() ++
+      PipelineOps.NeymanPlant.map(p => (p._1, p._3))
+    val mom = ys.groupBy(_._1).toSeq.sortBy(_._1).map { case (st, g) =>
+      val n = g.length.toLong; val sy = g.map(_._2).sum
+      val syy = g.map(x => x._2 * x._2).sum
+      val v2 = (n * syy - sy * sy) / (n * n)
+      (st, n, v2, math.sqrt(v2.toDouble).toLong)
+    }
+    def alloc(w: Seq[Long]): Seq[Long] = {
+      val b = PipelineOps.NeymanBudget; val tot = w.sum
+      val base0 = w.map(x => b * x / tot)
+      val rem = w.map(x => b * x % tot)
+      val short = (b - base0.sum).toInt
+      val order = rem.zipWithIndex.zip(mom.map(_._1))
+        .sortBy { case ((r, _), st) => (-r, st) }.map(_._1._2)
+      val a = base0.toArray
+      order.take(short).foreach(i => a(i) += 1L)
+      val zeros = a.indices.filter(a(_) == 0L)
+      if (zeros.nonEmpty) {
+        val donor = a.indices.maxBy(k => (a(k), -k))
+        a(donor) -= zeros.length.toLong; zeros.foreach(i => a(i) += 1L)
+      }
+      a.toSeq
+    }
+    val np = alloc(mom.map(_._2)); val ny = alloc(mom.map(m => m._2 * m._4))
+    mom.zipWithIndex.foreach { case ((st, n, v2, sg), i) =>
+      val r = rows(s"s_$st")
+      assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("v2") == v2, st)
+      assert(r.getAs[Long]("sigma") == sg, st)
+      assert(r.getAs[Long]("n_prop") == np(i), st)
+      assert(r.getAs[Long]("n_neyman") == ny(i), st)
+    }
+    def score(ns: Seq[Long]): Long =
+      mom.zip(ns).map { case ((_, n, v2, _), nh) => n * n * v2 / nh }.sum
+    assert(rows("z1_var_prop").getAs[Long]("v2") == score(np))
+    assert(rows("z2_var_neyman").getAs[Long]("v2") == score(ny))
+  }
+
   test("q379: BBSE — identity/shift recovery within flooring, corpus clamp, full replay") {
     import spark.implicits._
     val rows = PipelineOps.q379LabelShift(spark, sf).collect()
