@@ -2121,6 +2121,53 @@ object SparkEntry {
        |ORDER BY stratum""".stripMargin
   }
 
+  /** q382's oracle: the codec round-trip is lossless, so the decoded
+    * raster IS the rendering formula (q251's rule) — replay the texture
+    * + watermark pixels and the fp31 fold per tile directly, then the
+    * share detector and totals. */
+  private def q382OracleSql: String = {
+    val (wmMod, wmRes) = (graft.ops.MultimodalOps.WmMod,
+      graft.ops.MultimodalOps.WmRes)
+    def fpPix: String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split(
+         |    CAST(id AS VARCHAR) || ':' ||
+         |    CAST((t.t % 2) * 8 + (k % 8) AS VARCHAR) || ':' ||
+         |    CAST((t.t // 2) * 8 + (k // 8) AS VARCHAR), ''),
+         |    c -> CAST(ascii(c) AS BIGINT))),
+         |  $FpByteFold)""".stripMargin
+    s"""WITH d AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS id,
+       |    ((CAST(doc_id AS BIGINT) % $wmMod) + $wmMod) % $wmMod = $wmRes
+       |      AS wm
+       |  FROM documents),
+       |tiles AS MATERIALIZED (
+       |  SELECT id, t.t,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(0, 63), k ->
+       |        CASE WHEN wm AND t.t = 0
+       |          THEN (17 * ((k % 8)) + 23 * (k // 8) + 101) % 256
+       |          ELSE list_extract(list_transform([$fpPix], f ->
+       |                 (f * f % 1000000007) % 256), 1)
+       |        END)),
+       |      (acc, v) -> (acc * 31 + v) % 1000000007) AS sig
+       |  FROM d CROSS JOIN generate_series(0, 3) t(t)),
+       |sh AS MATERIALIZED (SELECT sig, CAST(count(*) AS BIGINT) AS n_images,
+       |    CAST(min(id) AS BIGINT) AS min_doc
+       |  FROM tiles GROUP BY sig HAVING count(*) >= 2),
+       |tot AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n,
+       |    CAST(count(DISTINCT CASE WHEN wm THEN id END) AS BIGINT) AS nw
+       |  FROM d)
+       |SELECT * FROM (
+       |SELECT '1_images_total' AS grp, (SELECT n FROM tot) AS n_images,
+       |  CAST(0 AS BIGINT) AS min_doc
+       |UNION ALL SELECT '2_watermarked', (SELECT nw FROM tot), 0
+       |UNION ALL SELECT '3_shared_sigs',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sh), 0
+       |UNION ALL SELECT 'sig:' || CAST(sig AS VARCHAR), n_images, min_doc
+       |FROM sh)
+       |ORDER BY grp""".stripMargin
+  }
+
   /** q369's oracle: the same 32 squared-tail sign folds per row (the
     * inner fp(source) computed once per row, the rep axis via
     * generate_series), the 32-sum fold, exact F2, mean and
@@ -4463,6 +4510,7 @@ object SparkEntry {
     "q379_label_shift"    -> PipelineOps.q379LabelShift _,
     "q380_retract_ivm"    -> TransferOps.q380RetractIvm _,
     "q381_neyman_alloc"   -> PipelineOps.q381NeymanAlloc _,
+    "q382_patch_watermark" -> MultimodalOps.q382PatchWatermark _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9759,6 +9807,7 @@ object SparkEntry {
     "q379_label_shift" -> q379OracleSql,
     "q380_retract_ivm" -> q380OracleSql,
     "q381_neyman_alloc" -> q381OracleSql,
+    "q382_patch_watermark" -> q382OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -937,4 +937,114 @@ object MultimodalOps {
       }
     }.toDF().orderBy($"doc_id")
   }
+
+  /** q382's watermark stamp rate (pmod(doc_id, WmMod) == WmRes) and the
+    * doc-independent 8×8 watermark pattern applied to tile (0,0). */
+  private[graft] val WmMod = 9L
+  private[graft] val WmRes = 4L
+  private[graft] def wmPixel(i: Int, j: Int): Int =
+    ((17 * i + 23 * j + 101) % 256)
+
+  /** X362 — cross-image repeated-PATCH detection (watermark / logo
+    * discovery): the suffix lane's min-doc-per-gram idea applied to
+    * VISION — a watermark is to an image corpus what boilerplate is to
+    * a text corpus, and the detector is the same shape: hash fixed
+    * 8×8 tiles of every image and group identical tile signatures
+    * across images. Each doc renders a REAL 16×16 PNG (the q251
+    * discipline: a real codec encodes and decodes in the loop — the
+    * lossless round-trip is part of what is being tested), with a
+    * per-pixel texture g = (fp31("id:gi:gj")² mod 1e9+7) mod 256 — the
+    * squared-tail avalanche applied to PIXELS, and the q332 lesson
+    * measured twice more on the way here: an affine texture collided
+    * 26 tile pairs at sf0.1 (translation + id-shift solves the linear
+    * coefficient equations), and raw fp31 mod 256 collided THOUSANDS
+    * (short strings never engage the modulus, so the low bits stay a
+    * linear function of the prefix hash — any doc pair congruent mod
+    * 256 rendered identical tiles); squaring mod the prime engages the
+    * wrap per pixel and both SFs measure EXACTLY one shared signature
+    * (the stamp), zero natural collisions; docs with
+    * pmod(doc_id, [[WmMod]]) = [[WmRes]] get the doc-INDEPENDENT
+    * [[wmPixel]] stamp over tile (0,0) — the planted watermark. Tile
+    * signature = the fp31 fold over the 64 decoded pixel values in
+    * raster order (numeric fold — no string formatting to diverge).
+    *
+    * Report: every tile signature shared across ≥2 images (expected:
+    * EXACTLY the watermark — the texture bound makes natural
+    * collisions impossible, and the spec asserts the sig matches the
+    * stamp's replayed fold) with its image count and first carrier,
+    * plus corpus totals. The DuckDB oracle replays the pixel
+    * arithmetic + watermark overwrite + fold directly (q251's rule:
+    * the codec is lossless, so the decoded raster IS the formula).
+    *
+    * Scale: rendering/hashing is one narrow mapPartitions (64 pixels ×
+    * 4 tiles per image); the share detector is ONE tile-signature-
+    * keyed aggregate — corpus × 4 rows of (8B, 4B, 8B), the vision
+    * analogue of q370's gram shuffle at 1/10th the width. */
+  def q382PatchWatermark(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val ids = Tables.load(s, dir, "documents").select($"doc_id").as[Long]
+    val tiles = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { id =>
+        val wm = Math.floorMod(id, WmMod) == WmRes
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var j = 0
+        while (j < 16) {
+          var i = 0
+          while (i < 16) {
+            val g =
+              if (wm && i < 8 && j < 8) wmPixel(i, j)
+              else {
+                val f = graft.functions.Fingerprint.hashString(s"$id:$i:$j")
+                ((f * f % 1000000007L) % 256L).toInt
+              }
+            img.setRGB(i, j, (g << 16) | (g << 8) | g)
+            i += 1
+          }
+          j += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val payload = bos.toByteArray
+        if (!ImageCodec.isPng(payload))
+          sys.error(s"real png payload not recognized for doc $id")
+        val back = Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+          .getOrElse(sys.error(s"png payload failed to decode for doc $id"))
+        (0 until 4).map { t =>
+          val (tx, ty) = (t % 2, t / 2)
+          var acc = 0L
+          var jj = 0
+          while (jj < 8) {
+            var ii = 0
+            while (ii < 8) {
+              val v = (back.getRGB(tx * 8 + ii, ty * 8 + jj) & 0xff).toLong
+              acc = (acc * 31L + v) % 1000000007L
+              ii += 1
+            }
+            jj += 1
+          }
+          (id, t.toLong, acc)
+        }
+      }
+    }.toDF("doc_id", "tile", "sig")
+    val shared = tiles.groupBy($"sig")
+      .agg(count(lit(1)).as("n_images"), min($"doc_id").as("min_doc"))
+      .filter($"n_images" >= 2L)
+    val sharedRows = shared
+      .select(concat(lit("sig:"), $"sig").as("grp"), $"n_images", $"min_doc")
+      .orderBy($"grp").collect().toSeq
+    val nImgs = ids.distinct().count()
+    val nWm = ids.filter(id => Math.floorMod(id, WmMod) == WmRes)
+      .distinct().count()
+    val rows = Seq(
+      org.apache.spark.sql.Row("1_images_total", nImgs, 0L),
+      org.apache.spark.sql.Row("2_watermarked", nWm, 0L),
+      org.apache.spark.sql.Row("3_shared_sigs", sharedRows.length.toLong, 0L)
+    ) ++ sharedRows
+    graft.operators.LocalReport.frame(s, rows,
+      ("grp", StringType), ("n_images", LongType), ("min_doc", LongType))
+  }
 }

@@ -205,6 +205,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q382: patch watermark — the one shared tile is the stamp's replayed fold") {
+    import spark.implicits._
+    val rows = MultimodalOps.q382PatchWatermark(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the stamp's signature, re-derived from the wmPixel formula alone
+    var acc = 0L
+    for (jj <- 0 until 8; ii <- 0 until 8)
+      acc = (acc * 31L + MultimodalOps.wmPixel(ii, jj)) % 1000000007L
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect()
+    val wmDocs = nDocs.filter(id => Math.floorMod(id, MultimodalOps.WmMod) ==
+      MultimodalOps.WmRes)
+    assert(rows("1_images_total").getAs[Long]("n_images") == nDocs.length.toLong)
+    assert(rows("2_watermarked").getAs[Long]("n_images") == wmDocs.length.toLong)
+    // EXACTLY one cross-image shared tile, and it is the watermark:
+    // every stamped image carries it, the first carrier is the smallest
+    // stamped id, and no natural texture tile ever collides (the
+    // doc-unique texture key — asserted by the count being exact)
+    assert(rows("3_shared_sigs").getAs[Long]("n_images") == 1L)
+    val sig = rows.keys.find(_.startsWith("sig:")).get
+    assert(sig == s"sig:$acc", "shared tile is not the replayed stamp fold")
+    assert(rows(sig).getAs[Long]("n_images") == wmDocs.length.toLong)
+    assert(rows(sig).getAs[Long]("min_doc") == wmDocs.min)
+  }
+
   test("q366: byte-level BPE — open vocabulary, merges ride, bytes round-trip") {
     import spark.implicits._
     def hexSyms(w: String): Seq[String] =

@@ -779,6 +779,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q368_incremental_nnd" -> 0, // collect-local 5-row report; both graph
                              // builds + seeding + local rounds run inside
                              // the builder, localCheckpointed per stage
+    "q382_patch_watermark" -> 0, // collect-local report; render/hash
+                             // mapPartitions + ONE sig-keyed aggregate
+                             // run inside the builder
     "q381_neyman_alloc" -> 0, // collect-local 9-row report; ONE 3-moment
                              // stratum fold inside the builder, the
                              // allocations are |strata|-row driver math
