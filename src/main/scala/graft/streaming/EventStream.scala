@@ -859,6 +859,56 @@ object EventStream {
       }
   }
 
+  final case class IvmDelta(ck: Long, cents: Long, op: Long)
+
+  final case class IvmState(n: Long, sm: Long, mn: Long, mx: Long,
+      dirty: Long)
+
+  final case class IvmRow(ck: Long, n: Long, sm: Long, mn: Long, mx: Long,
+      dirty: Long)
+
+  /** Streaming retraction-aware IVM gate — q380's real-stream twin,
+    * with the division of labor the batch operator's scaladoc derives:
+    * count/sum RETRACT exactly in O(1) state per group, min/max cannot
+    * (a delete that ties the extreme makes the new extreme unknowable
+    * from bounded state), so the stream maintains the extremes
+    * OPTIMISTICALLY and raises a per-group DIRTY flag the moment a
+    * delete ties one — the flag is the batch repair pass's work list
+    * (exactly the set q380 recomputes group-locally), and a dirty
+    * group's emitted extremes are explicitly unusable until repaired.
+    * Fully-deleted groups emit n = 0 (the view drop) and reset.
+    *
+    * Scale: state is 5 longs per group, never a value multiset — the
+    * alternative (per-group heaps) is the published trade this gate
+    * deliberately refuses; dirty groups are repair work, not state. */
+  def retractGate(deltas: Dataset[IvmDelta]): Dataset[IvmRow] = {
+    import deltas.sparkSession.implicits._
+    deltas
+      .groupByKey(_.ck)
+      .flatMapGroupsWithState[IvmState, IvmRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (ck, rows, state: GroupState[IvmState]) =>
+          var st = state.getOption.getOrElse(
+            IvmState(0L, 0L, Long.MaxValue, Long.MinValue, 0L))
+          rows.foreach { d =>
+            if (d.op >= 0L) {
+              st = IvmState(st.n + 1L, st.sm + d.cents,
+                math.min(st.mn, d.cents), math.max(st.mx, d.cents), st.dirty)
+            } else {
+              val dirty = if (st.n > 1L && (d.cents == st.mn || d.cents == st.mx))
+                1L else st.dirty
+              st = IvmState(st.n - 1L, st.sm - d.cents, st.mn, st.mx, dirty)
+            }
+            if (st.n == 0L)
+              st = IvmState(0L, 0L, Long.MaxValue, Long.MinValue, 0L)
+          }
+          state.update(st)
+          Iterator.single(IvmRow(ck, st.n, st.sm,
+            if (st.n == 0L) 0L else st.mn,
+            if (st.n == 0L) 0L else st.mx, st.dirty))
+      }
+  }
+
   final case class UrlState(minDocId: Long, nDocs: Long, raw: Set[String])
 
   final case class UrlUpdate(canonical_url: String, min_doc_id: Long,

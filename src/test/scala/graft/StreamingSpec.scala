@@ -741,6 +741,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(effFinal(4).asInstanceOf[Long] != 0L)
   }
 
+  test("retractGate: flags exactly q380's dirty groups; retractables exact; drops emit") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val TO = graft.operators.TransferOps
+    val feed = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(o_custkey AS BIGINT) AS ck",
+        "CAST(o_orderkey AS BIGINT) AS okey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .as[(Long, Long, Long)].collect() ++ TO.RetractPlantFeed
+    val delSet = TO.RetractPlantDeleted.toSet
+    def isDel(ok: Long): Boolean = (ok > 0 && ok % 23 == 7) || delSet(ok)
+    val mem = MemoryStream[EventStream.IvmDelta]
+    val q = EventStream.retractGate(mem.toDS())
+      .writeStream.format("memory").queryName("retractgate")
+      .outputMode(OutputMode.Update).start()
+    // the batch operator's exact scenario: the standing view builds from
+    // inserts, then the delete batch retracts
+    mem.addData(feed.map(r => EventStream.IvmDelta(r._1, r._3, 1L)).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(feed.filter(r => isDel(r._2))
+      .map(r => EventStream.IvmDelta(r._1, r._3, -1L)).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.table("retractgate").collect().zipWithIndex
+    val fin = updates.groupBy(_._1.getLong(0))
+      .map { case (ck, us) => ck -> us.maxBy(_._2)._1 }
+    // driver replay of the batch maintenance (TransferSpec's q380 logic)
+    feed.groupBy(_._1).foreach { case (ck, g) =>
+      val all = g.map(_._3)
+      val dels = g.filter(r => isDel(r._2)).map(_._3)
+      val keep = g.filter(r => !isDel(r._2)).map(_._3)
+      if (dels.isEmpty) {
+        // untouched groups emitted only in batch 1 — still the view row
+        val r = fin(ck)
+        assert(r.getLong(1) == keep.length.toLong && r.getLong(2) == keep.sum)
+        assert(r.getLong(3) == keep.min && r.getLong(4) == keep.max)
+        assert(r.getLong(5) == 0L)
+      } else if (keep.isEmpty) {
+        // fully-deleted group: the drop row
+        val r = fin(ck)
+        assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(5) == 0L)
+      } else {
+        val r = fin(ck)
+        // retractables are exact regardless of dirtiness
+        assert(r.getLong(1) == keep.length.toLong && r.getLong(2) == keep.sum,
+          s"group $ck")
+        val dirty = dels.min == all.min || dels.max == all.max
+        assert(r.getLong(5) == (if (dirty) 1L else 0L),
+          s"group $ck dirty flag")
+        if (!dirty) {
+          // clean groups: the optimistic extremes ARE the true extremes
+          assert(r.getLong(3) == keep.min && r.getLong(4) == keep.max)
+        } else {
+          // dirty groups: the stream's extremes are the STALE view
+          // extremes (explicitly unusable — the batch repair's work list)
+          assert(r.getLong(3) == all.min && r.getLong(4) == all.max)
+        }
+      }
+    }
+    // the planted classes: -38001 dirty (min), -38002 dirty (max),
+    // -38003 clean, -38004 dropped
+    assert(fin(-38001L).getLong(5) == 1L)
+    assert(fin(-38002L).getLong(5) == 1L)
+    assert(fin(-38003L).getLong(5) == 0L)
+    assert(fin(-38004L).getLong(1) == 0L)
+  }
+
   test("f2Feed: final emissions equal the q369 frame's estimator rows; state adds") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
