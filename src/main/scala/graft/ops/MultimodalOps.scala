@@ -1030,21 +1030,26 @@ object MultimodalOps {
         }
       }
     }.toDF("doc_id", "tile", "sig")
+    // the shared-signature frame stays DISTRIBUTED (its size is bounded
+    // by the corpus's repeated-patch mass, not by a known constant — an
+    // all-duplicates image corpus would make a driver collect
+    // corpus-sized); only the 3 summary counters are driver values
     val shared = tiles.groupBy($"sig")
       .agg(count(lit(1)).as("n_images"), min($"doc_id").as("min_doc"))
       .filter($"n_images" >= 2L)
-    val sharedRows = shared
       .select(concat(lit("sig:"), $"sig").as("grp"), $"n_images", $"min_doc")
-      .orderBy($"grp").collect().toSeq
-    val nImgs = ids.distinct().count()
-    val nWm = ids.filter(id => Math.floorMod(id, WmMod) == WmRes)
-      .distinct().count()
-    val rows = Seq(
-      org.apache.spark.sql.Row("1_images_total", nImgs, 0L),
-      org.apache.spark.sql.Row("2_watermarked", nWm, 0L),
-      org.apache.spark.sql.Row("3_shared_sigs", sharedRows.length.toLong, 0L)
-    ) ++ sharedRows
-    graft.operators.LocalReport.frame(s, rows,
-      ("grp", StringType), ("n_images", LongType), ("min_doc", LongType))
+      .persist() // counted for the summary row + emitted in the report
+    try {
+      val nImgs = ids.distinct().count()
+      val nWm = ids.filter(id => Math.floorMod(id, WmMod) == WmRes)
+        .distinct().count()
+      val nShared = shared.count()
+      val summary = graft.operators.LocalReport.frame(s, Seq(
+        org.apache.spark.sql.Row("1_images_total", nImgs, 0L),
+        org.apache.spark.sql.Row("2_watermarked", nWm, 0L),
+        org.apache.spark.sql.Row("3_shared_sigs", nShared, 0L)),
+        ("grp", StringType), ("n_images", LongType), ("min_doc", LongType))
+      summary.unionByName(shared).orderBy($"grp").localCheckpoint()
+    } finally shared.unpersist(blocking = false)
   }
 }
