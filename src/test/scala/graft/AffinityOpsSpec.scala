@@ -2462,4 +2462,58 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(firstAlarm.exists(a => a >= 16L && a <= 26L), s"first alarm $firstAlarm")
     assert(got.forall(_._5 <= t0 / 2))
   }
+
+  // ------------------------------------------------------------- X364
+
+  test("q383: hamming codes, ranks and hits replay exactly; recall monotone in depth") {
+    import spark.implicits._
+    val ops = graft.ops.SimilarityOps
+    val rows = ops.q383HammingAnn(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // milli vectors via the engine's own quantizer (the one definition),
+    // everything downstream replayed in plain Scala
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
+      .as[(Long, Array[Long])].collect()
+      .filter(_._2.map(x => x * x).sum > 0L)
+      .sortBy(_._1)
+    def code(q: Array[Long]): (Long, Long) = {
+      def half(lo: Int): Long = (lo until lo + 32).map { i =>
+        val dot = (0 until 64).map(j => ops.jlSign(i, j) * q(j)).sum
+        if (dot > 0L) 1L << (i - lo) else 0L
+      }.sum
+      (half(0), half(32))
+    }
+    val coded = vecs.map { case (id, q) => (id, q, code(q)) }
+    val queries = coded.filter(c => c._1 >= 8L && c._1 < 18L)
+    val corpus = coded.filter(_._1 >= 18L)
+    assert(queries.length == 10)
+    var (th5, tc8, tc32) = (0L, 0L, 0L)
+    queries.foreach { case (qid, aq, (qh1, qh2)) =>
+      val scored = corpus.map { case (vid, v, (h1, h2)) =>
+        val ham = java.lang.Long.bitCount(h1 ^ qh1).toLong +
+          java.lang.Long.bitCount(h2 ^ qh2).toLong
+        val d2 = (0 until 64).map(j => (v(j) - aq(j)) * (v(j) - aq(j))).sum
+        (vid, ham, d2)
+      }
+      val rkt = scored.sortBy(t => (t._3, t._1)).map(_._1).zipWithIndex.toMap
+      val rkh = scored.sortBy(t => (t._2, t._1)).map(_._1).zipWithIndex.toMap
+      def hits(c: Int): Long =
+        scored.count(t => rkt(t._1) < 5 && rkh(t._1) < c).toLong
+      val r = rows(s"q:$qid")
+      assert(r.getAs[Long]("hits_ham5") == hits(5), s"q$qid ham5")
+      assert(r.getAs[Long]("hits_c8") == hits(8), s"q$qid c8")
+      assert(r.getAs[Long]("hits_c32") == hits(32), s"q$qid c32")
+      assert(r.getAs[Long]("ham5_ppm") == hits(5) * 200000L)
+      // a truth row inside a candidate set survives subset rescoring,
+      // so recall is monotone in the rescore depth BY CONSTRUCTION
+      assert(hits(5) <= hits(8) && hits(8) <= hits(32), s"q$qid monotone")
+      th5 += hits(5); tc8 += hits(8); tc32 += hits(32)
+    }
+    val z = rows("z_total")
+    assert(z.getAs[Long]("hits_ham5") == th5 &&
+      z.getAs[Long]("hits_c8") == tc8 && z.getAs[Long]("hits_c32") == tc32)
+    assert(z.getAs[Long]("c32_ppm") == tc32 * 1000000L / 50L)
+  }
 }

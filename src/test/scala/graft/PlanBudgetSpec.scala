@@ -782,6 +782,11 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q383_hamming_ann" -> 0, // collect-local 11-row report; the code
+                             // projection is narrow, the audit leg is a
+                             // broadcast crossJoin whose two rank windows
+                             // share the single q_id exchange inside the
+                             // builder
     "q381_neyman_alloc" -> 0, // collect-local 9-row report; ONE 3-moment
                              // stratum fold inside the builder, the
                              // allocations are |strata|-row driver math
