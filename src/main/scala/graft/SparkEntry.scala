@@ -1989,6 +1989,57 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q384's oracle: the q378 po/edges/und graph text with the BFS plant,
+    * then an INDEPENDENT algorithm — a depth-capped recursive CTE
+    * enumerating (node, depth) pairs and taking min per node — rather
+    * than a replay of the Spark frontier loop. */
+  private def q384OracleSql: String = {
+    val cap = graft.ops.AffinityOps.BfsMaxDist
+    val plants = graft.ops.AffinityOps.BfsPlant
+      .map { case (a, b) => s"(CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+      .mkString(",\n    ")
+    s"""WITH RECURSIVE po AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |edges AS MATERIALIZED (
+       |  SELECT p1, p2 FROM (
+       |    SELECT a.pk AS p1, b.pk AS p2, count(*) AS w
+       |    FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+       |    GROUP BY 1, 2) WHERE w >= 2
+       |  UNION ALL SELECT * FROM (VALUES
+       |    $plants) v(p1, p2)),
+       |und AS MATERIALIZED (
+       |  SELECT p1 AS v, p2 AS u FROM edges
+       |  UNION ALL SELECT p2 AS v, p1 AS u FROM edges),
+       |nodes AS MATERIALIZED (SELECT DISTINCT v FROM und),
+       |seeds AS (SELECT v FROM nodes
+       |  WHERE (v > 0 AND v % 97 = 0) OR v = -38401),
+       |r AS (SELECT v, 0 AS d FROM seeds
+       |  UNION
+       |  SELECT und.u AS v, r.d + 1 AS d
+       |  FROM r JOIN und ON und.v = r.v WHERE r.d < $cap),
+       |md AS MATERIALIZED (SELECT v, CAST(min(d) AS BIGINT) AS d
+       |  FROM r GROUP BY v),
+       |tot AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM md) AS n_visited,
+       |    (SELECT CAST(max(d) AS BIGINT) FROM md) AS max_d)
+       |SELECT * FROM (
+       |SELECT 'dist:' || CAST(d AS VARCHAR) AS grp, d AS dist,
+       |  CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM md GROUP BY d
+       |UNION ALL
+       |SELECT 'part:' || CAST(n.v AS VARCHAR), coalesce(md.d, -1),
+       |  CAST(1 AS BIGINT)
+       |FROM nodes n LEFT JOIN md ON md.v = n.v
+       |WHERE n.v <= -38400 AND n.v > -38500
+       |UNION ALL
+       |SELECT 'unreachable', -1, n_nodes - n_visited FROM tot
+       |UNION ALL
+       |SELECT 'z_summary', max_d, n_visited FROM tot)
+       |ORDER BY grp""".stripMargin
+  }
+
   /** q379's oracle: the shared NB chain + plant sweep (best_n is the
     * SAME evalBlock q367 uses), confusion rates over the plant, one
     * predicted-positive count per target, and the floor-division BBSE
@@ -4574,6 +4625,7 @@ object SparkEntry {
     "q381_neyman_alloc"   -> PipelineOps.q381NeymanAlloc _,
     "q382_patch_watermark" -> MultimodalOps.q382PatchWatermark _,
     "q383_hamming_ann"    -> SimilarityOps.q383HammingAnn _,
+    "q384_bfs_distance"   -> graft.ops.AffinityOps.q384BfsDistance _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9872,6 +9924,7 @@ object SparkEntry {
     "q381_neyman_alloc" -> q381OracleSql,
     "q382_patch_watermark" -> q382OracleSql,
     "q383_hamming_ann" -> q383OracleSql,
+    "q384_bfs_distance" -> q384OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

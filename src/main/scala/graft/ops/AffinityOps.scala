@@ -146,6 +146,95 @@ object AffinityOps {
       ("grp", StringType), ("core", LongType), ("n_nodes", LongType))
   }
 
+  /** q384's planted component (disjoint -384xx ids, canonical p1 < p2):
+    * a 6-node chain rooted at the planted seed -38401 — exact distances
+    * 0..5, forcing the frontier loop through six genuine rounds — and a
+    * 2-node island with no seed, the unreachability witness. Island ids
+    * avoid ≡ 0 (mod 97): -38412 IS a multiple of 97 and would have
+    * silently become a corpus-rule seed. */
+  private[graft] val BfsPlant: Seq[(Long, Long)] = Seq(
+    (-38402L, -38401L), (-38403L, -38402L), (-38404L, -38403L),
+    (-38405L, -38404L), (-38406L, -38405L),
+    (-38414L, -38413L))
+
+  /** Spark-side cap on BFS rounds and the oracle's recursion depth cap —
+    * ONE number, stated identically on both engines: a node farther than
+    * this from every seed fails the Spark require LOUDLY instead of
+    * silently disagreeing with the capped recursive CTE. */
+  private[graft] val BfsMaxDist = 31
+
+  /** X365 — multi-source BFS distance labeling (graph reachability):
+    * the graph lane measures density (q378 coreness), importance (q123
+    * rank), neighborhoods (q188 two-hop) — but nothing answers "how FAR
+    * is every node from a seed set, and what is unreachable?", the
+    * primitive behind influence radii, catalog-coverage audits and
+    * seed-expansion curation. Multi-source BFS over the support-2
+    * co-purchase graph: seeds are the deterministic corpus rule
+    * (v > 0 ∧ v ≡ 0 mod 97) plus the planted seed; dist(v) = min hops
+    * to any seed; the report is the distance histogram, the unreachable
+    * count, and the [[BfsPlant]] pins (chain distances 0..5 exactly,
+    * island unreachable).
+    *
+    * The frontier loop is level-synchronous BFS in its distributed
+    * normal form: each round ONE (edges ⋈ frontier) shuffle join, ONE
+    * min-fold dedup of the expansion, ONE anti-join against the visited
+    * set — never a per-node queue (inherently serial) and never a
+    * quadratic all-pairs. Rounds = the seed set's eccentricity (7 at
+    * sf0.01 — the corpus wave outlasts the 5-hop plant chain), capped
+    * LOUDLY at
+    * [[BfsMaxDist]]; the oracle is an INDEPENDENT algorithm — DuckDB's
+    * recursive CTE enumerating (node, depth ≤ cap) pairs then taking
+    * min — not a replay of the loop.
+    *
+    * Scale: iteration state is the narrow (v, d) pair localCheckpointed
+    * per round (the q320 lineage rule — persist() would nest
+    * InMemoryRelation renderings per round); the frontier SHRINKS as
+    * the wave passes, so late rounds are nearly free; co-purchase-class
+    * graphs have small-world eccentricity (single digits), so the
+    * round count — the only serial dimension — stays flat as the edge
+    * count scales 1000×. */
+  def q384BfsDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val e = support2Edges(s, dir).unionByName(BfsPlant.toDF("p1", "p2"))
+    val und = e.select($"p1".as("v"), $"p2".as("u"))
+      .unionByName(e.select($"p2".as("v"), $"p1".as("u")))
+      .localCheckpoint() // read by every round's frontier join
+    val nodes = und.select($"v").distinct().localCheckpoint()
+    var dist = nodes
+      .filter(($"v" > 0L && $"v" % 97L === 0L) || ($"v" === -38401L))
+      .withColumn("d", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var rounds = 0
+    var fcount = frontier.count()
+    while (fcount > 0 && rounds <= BfsMaxDist) {
+      rounds += 1
+      val next = und.join(frontier.select($"v".as("u"), $"d"), Seq("u"))
+        .groupBy($"v").agg(min($"d" + 1L).as("d"))
+        .join(dist, Seq("v"), "left_anti")
+        .localCheckpoint()
+      fcount = next.count()
+      if (fcount > 0) dist = dist.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    require(rounds <= BfsMaxDist,
+      s"q384: frontier still live past distance $BfsMaxDist")
+    val hist = dist.groupBy($"d").agg(count(lit(1)).as("n_nodes"))
+      .select(concat(lit("dist:"), $"d").as("grp"), $"d".as("dist"),
+        $"n_nodes")
+    val plant = nodes.filter($"v" <= -38400L && $"v" > -38500L)
+      .join(dist, Seq("v"), "left_outer")
+      .select(concat(lit("part:"), $"v").as("grp"),
+        coalesce($"d", lit(-1L)).as("dist"), lit(1L).as("n_nodes"))
+    val (nTotal, nVisited) = (nodes.count(), dist.count())
+    val maxDist = dist.agg(max($"d")).head().getLong(0)
+    val rows = hist.unionByName(plant).orderBy($"grp").collect().toSeq ++ Seq(
+      org.apache.spark.sql.Row("unreachable", -1L, nTotal - nVisited),
+      org.apache.spark.sql.Row("z_summary", maxDist, nVisited))
+    LocalReport.frame(s, rows,
+      ("grp", StringType), ("dist", LongType), ("n_nodes", LongType))
+  }
+
   /** X74 — co-purchase lift: for every unordered part pair appearing in ≥2
     * common orders, the support count and the lift vs independence, in
     * integer parts-per-million (ppm keeps the ratio engine-exact; a libm

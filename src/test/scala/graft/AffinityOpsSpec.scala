@@ -2463,6 +2463,55 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_._5 <= t0 / 2))
   }
 
+  // ------------------------------------------------------------- X365
+
+  test("q384: BFS distances replay exactly; plant chain and island pinned") {
+    import spark.implicits._
+    val ops = graft.ops.AffinityOps
+    val rows = ops.q384BfsDistance(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // plant pins: the chain walks 0..5 off its seed, the island has no
+    // path to any seed
+    (1 to 6).foreach { i =>
+      assert(rows(s"part:-3840$i").getAs[Long]("dist") == (i - 1).toLong)
+    }
+    assert(rows("part:-38413").getAs[Long]("dist") == -1L)
+    assert(rows("part:-38414").getAs[Long]("dist") == -1L)
+    // independent sequential BFS replay over the same graph
+    val po = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+      .filter($"l_orderkey".isNotNull && $"l_partkey".isNotNull)
+      .distinct().as[(Long, Long)].collect()
+    val support2 = po.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys
+    val edges = support2.toSeq ++ ops.BfsPlant
+    val adj = (edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.keySet.filter(v => (v > 0L && v % 97L == 0L) ||
+      v == -38401L)
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(adj(_)).diff(dist.keySet)
+      val d = dist(frontier.head) + 1L
+      dist ++= next.map(_ -> d)
+      frontier = next
+    }
+    val hist = dist.values.groupBy(identity).view.mapValues(_.size.toLong)
+    hist.toSeq.sortBy(_._1).foreach { case (d, n) =>
+      assert(rows(s"dist:$d").getAs[Long]("n_nodes") == n, s"dist $d")
+    }
+    assert(rows("unreachable").getAs[Long]("n_nodes") ==
+      adj.keySet.size.toLong - dist.size.toLong)
+    assert(rows("z_summary").getAs[Long]("dist") == dist.values.max)
+    assert(rows("z_summary").getAs[Long]("n_nodes") == dist.size.toLong)
+    // every emitted distance row is a real BFS level: contiguous 0..max
+    (0L to dist.values.max).foreach(d => assert(rows.contains(s"dist:$d")))
+  }
+
   // ------------------------------------------------------------- X364
 
   test("q383: hamming codes, ranks and hits replay exactly; recall monotone in depth") {

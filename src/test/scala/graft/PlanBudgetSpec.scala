@@ -782,6 +782,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q384_bfs_distance" -> 0, // collect-local report; per BFS round ONE
+                             // frontier join + min-fold + anti-join run
+                             // inside the builder, state localCheckpointed
     "q383_hamming_ann" -> 0, // collect-local 11-row report; the code
                              // projection is narrow, the audit leg is a
                              // broadcast crossJoin whose two rank windows
