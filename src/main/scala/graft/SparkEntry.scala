@@ -2040,6 +2040,93 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q385's oracle: the q213 shingle/fingerprint/12-perm text with the
+    * mod-200 sample, the single-permutation bins, the -1-sentinel BIGINT
+    * densification fold (plain BIGINT accumulator — the list_reduce
+    * struct bug cannot bite), and the three per-pair estimators vs
+    * exact Jaccard. */
+  private def q385OracleSql: String = {
+    val m = graft.ops.DedupOps.OphBins
+    val c = graft.ops.DedupOps.OphWrapC
+    def est(pred: String): String =
+      s"len(list_filter(generate_series(1, $m), i -> $pred))"
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |    WHERE len(string_split(text, ' ')) >= 3
+       |      AND doc_id % greatest(1, (SELECT count(*) FROM documents) // 200) = 0),
+       |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM docs),
+       |hs AS (SELECT doc_id, list_transform(shingles,
+       |         s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |                          $FpByteFold)) AS h FROM sh),
+       |sig AS MATERIALIZED (SELECT doc_id,
+       |    CAST(len(h) AS BIGINT) AS n_sh,
+       |    list_distinct(h) AS ss, [
+       |  list_min(list_transform(h, x -> (3 * x + 1) % 1000000007)),
+       |  list_min(list_transform(h, x -> (7 * x + 5) % 1000000007)),
+       |  list_min(list_transform(h, x -> (11 * x + 13) % 1000000007)),
+       |  list_min(list_transform(h, x -> (17 * x + 29) % 1000000007)),
+       |  list_min(list_transform(h, x -> (23 * x + 37) % 1000000007)),
+       |  list_min(list_transform(h, x -> (31 * x + 43) % 1000000007)),
+       |  list_min(list_transform(h, x -> (41 * x + 53) % 1000000007)),
+       |  list_min(list_transform(h, x -> (47 * x + 61) % 1000000007)),
+       |  list_min(list_transform(h, x -> (59 * x + 71) % 1000000007)),
+       |  list_min(list_transform(h, x -> (67 * x + 79) % 1000000007)),
+       |  list_min(list_transform(h, x -> (73 * x + 89) % 1000000007)),
+       |  list_min(list_transform(h, x -> (83 * x + 101) % 1000000007))] AS sig,
+       |    list_transform(generate_series(0, ${m - 1}), j ->
+       |      list_min(list_transform(
+       |        list_filter(list_transform(h, x -> (3 * x + 1) % 1000000007),
+       |          u -> u % $m = j), u -> u // $m))) AS bins
+       |  FROM hs),
+       |dn AS MATERIALIZED (SELECT doc_id, n_sh, ss, sig, bins,
+       |    list_transform(generate_series(0, ${m - 1}), j ->
+       |      list_reduce(list_prepend(CAST(-1 AS BIGINT),
+       |        list_transform(generate_series(0, ${m - 1}),
+       |          t -> CAST(t AS BIGINT))),
+       |        (acc, t) -> CASE WHEN acc >= 0 THEN acc
+       |          WHEN bins[CAST((j + t) % $m AS INT) + 1] IS NOT NULL
+       |            THEN bins[CAST((j + t) % $m AS INT) + 1] + t * $c
+       |          ELSE CAST(-1 AS BIGINT) END)) AS dens
+       |  FROM sig),
+       |pr AS MATERIALIZED (SELECT
+       |    CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) * 1000000
+       |      // CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))
+       |        AS BIGINT) AS jacc,
+       |    CAST(${est("a.sig[i] = b.sig[i]")} AS BIGINT) * 1000000 // $m
+       |      AS est1,
+       |    CAST(${est("a.bins[i] IS NOT NULL AND b.bins[i] IS NOT NULL")}
+       |      AS BIGINT) AS nb,
+       |    CAST(${est("a.bins[i] IS NOT NULL AND b.bins[i] IS NOT NULL " +
+                       "AND a.bins[i] = b.bins[i]")} AS BIGINT) AS m2,
+       |    CAST(${est("a.dens[i] = b.dens[i]")} AS BIGINT) * 1000000 // $m
+       |      AS est3
+       |  FROM dn a JOIN dn b ON a.doc_id < b.doc_id),
+       |pe AS (SELECT jacc, est1, est3,
+       |    CASE WHEN nb = 0 THEN 0 ELSE m2 * 1000000 // nb END AS est2
+       |  FROM pr),
+       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(abs(est1 - jacc)) AS BIGINT) AS a1,
+       |    CAST(sum(est1 - jacc) AS BIGINT) AS s1,
+       |    CAST(sum(abs(est2 - jacc)) AS BIGINT) AS a2,
+       |    CAST(sum(est2 - jacc) AS BIGINT) AS s2,
+       |    CAST(sum(abs(est3 - jacc)) AS BIGINT) AS a3,
+       |    CAST(sum(est3 - jacc) AS BIGINT) AS s3
+       |  FROM pe),
+       |dg AS (SELECT CAST(sum(n_sh) AS BIGINT) AS evals,
+       |    CAST(sum($m - len(list_filter(bins, x -> x IS NOT NULL)))
+       |      AS BIGINT) AS empt
+       |  FROM dn)
+       |SELECT * FROM (
+       |SELECT '1_kperm' AS scope, n AS n_pairs, a1 // n AS mae_ppm,
+       |  s1 AS bias_sum_ppm, CAST(0 AS BIGINT) AS n_empty_bins,
+       |  12 * (SELECT evals FROM dg) AS hash_evals FROM ag
+       |UNION ALL SELECT '2_oph_raw', n, a2 // n, s2,
+       |  (SELECT empt FROM dg), (SELECT evals FROM dg) FROM ag
+       |UNION ALL SELECT '3_oph_dens', n, a3 // n, s3,
+       |  CAST(0 AS BIGINT), (SELECT evals FROM dg) FROM ag)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q379's oracle: the shared NB chain + plant sweep (best_n is the
     * SAME evalBlock q367 uses), confusion rates over the plant, one
     * predicted-positive count per target, and the floor-division BBSE
@@ -4626,6 +4713,7 @@ object SparkEntry {
     "q382_patch_watermark" -> MultimodalOps.q382PatchWatermark _,
     "q383_hamming_ann"    -> SimilarityOps.q383HammingAnn _,
     "q384_bfs_distance"   -> graft.ops.AffinityOps.q384BfsDistance _,
+    "q385_oph_dedup"      -> DedupOps.q385OphDedup _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -9925,6 +10013,7 @@ object SparkEntry {
     "q382_patch_watermark" -> q382OracleSql,
     "q383_hamming_ann" -> q383OracleSql,
     "q384_bfs_distance" -> q384OracleSql,
+    "q385_oph_dedup" -> q385OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

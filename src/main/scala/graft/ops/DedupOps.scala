@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.Fingerprint
+import graft.operators.LocalReport
 
 /** Deduplication operators over `documents`: exact (hash-groupBy),
   * blocked n-gram Jaccard, and MinHash+LSH (shingle → minhash → band →
@@ -899,6 +900,139 @@ object DedupOps {
     val rows = verdict.collect().toSeq
     base.unpersist(blocking = false)
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), verdict.schema)
+  }
+
+  /** q385's bin count (= the k-perm signature length, so the two
+    * estimators compare at equal signature size) and the per-wrap
+    * densification offset (keeps a value borrowed across t bins distinct
+    * from any in-bin value and from borrows at other distances). */
+  private[graft] val OphBins = 12
+  private[graft] val OphWrapC = 1L << 40
+
+  /** X366 — one-permutation MinHash (OPH) + rotation densification,
+    * audited against the k-permutation estimator and exact Jaccard
+    * (Li, Owen & Zhang 2012; Shrivastava & Li 2014). q34's production
+    * signature applies [[perms]].length = 12 permutations to EVERY
+    * shingle — at 100 TB the hashing pass IS the dedup bill. OPH spends
+    * ONE permutation: u = (3h+1) mod p splits into [[OphBins]] bins by
+    * u mod 12 (in-bin value u div 12), signature = per-bin min; the
+    * price is EMPTY bins on short documents, and the published fix is
+    * densification — an empty bin borrows from the first non-empty bin
+    * to its right (circular), offset by t·[[OphWrapC]] per wrap
+    * distance, restoring a total 12-slot signature whose collision
+    * probability again tracks Jaccard.
+    *
+    * This operator MEASURES the trade on a deterministic corpus sample
+    * (doc_id mod ⌊n/200⌋, q213's rule, all pairs — no truth-threshold
+    * filter, the full Jaccard range): per estimator (12-perm, raw OPH
+    * over both-non-empty bins, densified OPH) the mean absolute error
+    * and signed error sum vs exact Jaccard in ppm, the empty-bin mass
+    * the raw estimator skips, and the HASH COST as a number —
+    * hash_evals = 12·Σ|shingles| for k-perm vs Σ|shingles| for both
+    * OPH variants, the 12× the method exists to save. Measured at
+    * sf0.01 (250 docs, 31125 pairs): kperm MAE 1381 ppm, raw OPH
+    * 1446 ppm with 189 empty bins (~6% — this corpus's docs are long
+    * enough to fill most bins; short-doc corpora are where raw OPH
+    * collapses), densified OPH 1362 ppm — PARITY with the
+    * 12-permutation estimator at hash_evals 12646 vs 151752, the
+    * measured 12×.
+    *
+    * Integer discipline: bins/densified values are exact int64 (the
+    * -1 sentinel fold is a plain BIGINT accumulator — the DuckDB
+    * list_reduce struct-state bug cannot bite); both bin derivations
+    * let-bind their upstream array (the q235 collapse rule: `us` feeds
+    * 12 filter lambdas, `bins` feeds 144 probe slots — inlined, each
+    * would re-derive per slot).
+    *
+    * Scale: ONE narrow pass computes all three signatures (no shuffle);
+    * the audit leg is the bounded ~200-doc sample's pair matrix
+    * (q213's convention); the report is 3 rows. The production path
+    * this audit certifies swaps q34's 12-hash signature builder for
+    * the 1-hash OPH builder with banding unchanged. */
+  def q385OphDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    graft.functions.SortedIntersectSize.register(s)
+    Fingerprint.register(s)
+    val m = OphBins
+    val sigExprs = perms.map { case (a, b) =>
+      s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${P}L))"
+    }.mkString("array(", ", ", ")")
+    val binsExpr =
+      s"""element_at(transform(array(transform(hs, h -> (3L * h + 1L) % ${P}L)),
+         |  us -> transform(sequence(0, ${m - 1}), j ->
+         |    array_min(transform(filter(us, u -> u % ${m}L = j),
+         |      u -> u div ${m}L)))), 1)""".stripMargin
+    val densExpr =
+      s"""element_at(transform(array(bins), b ->
+         |  transform(sequence(0, ${m - 1}), j ->
+         |    aggregate(sequence(0, ${m - 1}), CAST(-1 AS BIGINT), (acc, t) ->
+         |      CASE WHEN acc >= 0L THEN acc
+         |           WHEN element_at(b, CAST(pmod(j + t, $m) AS INT) + 1)
+         |             IS NOT NULL
+         |             THEN element_at(b, CAST(pmod(j + t, $m) AS INT) + 1)
+         |               + CAST(t AS BIGINT) * ${OphWrapC}L
+         |           ELSE CAST(-1 AS BIGINT) END))), 1)""".stripMargin
+    val k = docs(s, dir).agg(greatest(lit(1L),
+      expr("count(1) div 200")).as("k"))
+    val base = docs(s, dir).crossJoin(broadcast(k))
+      .selectExpr("doc_id", "k", "split(text, ' ') AS ws")
+      .where("size(ws) >= 3 AND doc_id % k = 0")
+      .selectExpr("doc_id", s"${TextGrams.fpArrayExpr(3)} AS hs")
+      .selectExpr("doc_id", "size(hs) AS n_sh",
+        "array_sort(array_distinct(hs)) AS ss",
+        s"$sigExprs AS sig", s"$binsExpr AS bins")
+      .selectExpr("doc_id", "n_sh", "ss", "sig", "bins",
+        s"$densExpr AS dens")
+      .persist()
+    try {
+      val a = base.select($"doc_id".as("doc_a"), $"ss".as("ss_a"),
+        $"sig".as("sig_a"), $"bins".as("bins_a"), $"dens".as("dens_a"))
+      val b = base.select($"doc_id".as("doc_b"), $"ss".as("ss_b"),
+        $"sig".as("sig_b"), $"bins".as("bins_b"), $"dens".as("dens_b"))
+      val pr = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+        .withColumn("inter_n", expr("graft_sorted_inter_n(ss_a, ss_b)"))
+        .withColumn("jacc", expr(
+          "inter_n * 1000000L div (size(ss_a) + size(ss_b) - inter_n)"))
+        .withColumn("est1", expr(
+          s"""size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))
+             | * 1000000L div ${m}L""".stripMargin))
+        .withColumn("nb", expr(
+          """size(filter(zip_with(bins_a, bins_b,
+            |  (x, y) -> x IS NOT NULL AND y IS NOT NULL), v -> v))"""
+            .stripMargin).cast("long"))
+        .withColumn("m2", expr(
+          """size(filter(zip_with(bins_a, bins_b,
+            |  (x, y) -> x IS NOT NULL AND y IS NOT NULL AND x = y),
+            |  v -> v))""".stripMargin).cast("long"))
+        .withColumn("est2", expr(
+          "CASE WHEN nb = 0L THEN 0L ELSE m2 * 1000000L div nb END"))
+        .withColumn("est3", expr(
+          s"""size(filter(zip_with(dens_a, dens_b, (x, y) -> x = y), v -> v))
+             | * 1000000L div ${m}L""".stripMargin))
+      val ag = pr.agg(count(lit(1)).as("n"),
+        sum(abs($"est1" - $"jacc")).as("a1"),
+        sum($"est1" - $"jacc").as("s1"),
+        sum(abs($"est2" - $"jacc")).as("a2"),
+        sum($"est2" - $"jacc").as("s2"),
+        sum(abs($"est3" - $"jacc")).as("a3"),
+        sum($"est3" - $"jacc").as("s3")).head()
+      val dg = base.agg(sum($"n_sh").as("evals"),
+        sum(lit(m.toLong) -
+          expr("size(filter(bins, x -> x IS NOT NULL))").cast("long"))
+          .as("empty")).head()
+      val n = ag.getLong(0)
+      val (evals, emptyBins) = (dg.getLong(0), dg.getLong(1))
+      def row(tag: String, sa: Long, ss0: Long, empt: Long, ev: Long) =
+        org.apache.spark.sql.Row(tag, n, sa / n, ss0, empt, ev)
+      LocalReport.frame(s, Seq(
+        row("1_kperm", ag.getLong(1), ag.getLong(2), 0L, 12L * evals),
+        row("2_oph_raw", ag.getLong(3), ag.getLong(4), emptyBins, evals),
+        row("3_oph_dens", ag.getLong(5), ag.getLong(6), 0L, evals)),
+        "scope" -> StringType, "n_pairs" -> LongType,
+        "mae_ppm" -> LongType, "bias_sum_ppm" -> LongType,
+        "n_empty_bins" -> LongType, "hash_evals" -> LongType)
+    } finally base.unpersist(blocking = false)
   }
 
   /** X192 — CROSS-document repeated-span coverage (the exact-substring

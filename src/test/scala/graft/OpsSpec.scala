@@ -2974,4 +2974,73 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_bpe_tokens") <= r.getAs[Long]("n_chars"))
     }
   }
+
+  test("q385: OPH signatures, densification and all three estimators replay exactly") {
+    import spark.implicits._
+    val rows = DedupOps.q385OphDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val P = 1000000007L
+    val perms = Seq((3L, 1L), (7L, 5L), (11L, 13L), (17L, 29L), (23L, 37L),
+      (31L, 43L), (41L, 53L), (47L, 61L), (59L, 71L), (67L, 79L),
+      (73L, 89L), (83L, 101L))
+    val m = DedupOps.OphBins
+    val c = DedupOps.OphWrapC
+    val all = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val k = math.max(1L, all.length.toLong / 200L)
+    val sample = all.map { case (id, t) =>
+      (id, Option(t).getOrElse("").split(" ", -1))
+    }.filter(d => d._2.length >= 3 && d._1 % k == 0).sortBy(_._1)
+    case class Doc(id: Long, hs: Seq[Long], ss: Set[Long], sig: Seq[Long],
+                   bins: Seq[Option[Long]], dens: Seq[Long])
+    val docs = sample.map { case (id, ws) =>
+      val hs = (0 until ws.length - 2).map(i =>
+        Fingerprint.hashString(s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}"))
+      val sig = perms.map { case (a, b1) => hs.map(h => (a * h + b1) % P).min }
+      val us = hs.map(h => (3L * h + 1L) % P)
+      val bins = (0 until m).map { j =>
+        val inBin = us.filter(_ % m == j).map(_ / m)
+        if (inBin.isEmpty) None else Some(inBin.min)
+      }
+      val dens = (0 until m).map { j =>
+        val t = (0 until m).find(t0 => bins((j + t0) % m).isDefined).get
+        bins((j + t) % m).get + t.toLong * c
+      }
+      Doc(id, hs, hs.toSet, sig, bins, dens)
+    }
+    var (n, a1, s1, a2, s2, a3, s3) = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    for (i <- docs.indices; j <- (i + 1) until docs.length) {
+      val (x, y) = (docs(i), docs(j))
+      val inter = (x.ss & y.ss).size.toLong
+      val jacc = inter * 1000000L / (x.ss.size + y.ss.size - inter)
+      val est1 = x.sig.zip(y.sig).count(p => p._1 == p._2) * 1000000L / m
+      val both = x.bins.zip(y.bins).filter(p => p._1.isDefined && p._2.isDefined)
+      val est2 = if (both.isEmpty) 0L
+        else both.count(p => p._1 == p._2) * 1000000L / both.length
+      val est3 = x.dens.zip(y.dens).count(p => p._1 == p._2) * 1000000L / m
+      n += 1; a1 += math.abs(est1 - jacc); s1 += est1 - jacc
+      a2 += math.abs(est2 - jacc); s2 += est2 - jacc
+      a3 += math.abs(est3 - jacc); s3 += est3 - jacc
+    }
+    val evals = docs.map(_.hs.length.toLong).sum
+    val empty = docs.map(_.bins.count(_.isEmpty).toLong).sum
+    def check(tag: String, sa: Long, ss0: Long, empt: Long, ev: Long): Unit = {
+      val r = rows(tag)
+      assert(r.getAs[Long]("n_pairs") == n, tag)
+      assert(r.getAs[Long]("mae_ppm") == sa / n, tag)
+      assert(r.getAs[Long]("bias_sum_ppm") == ss0, tag)
+      assert(r.getAs[Long]("n_empty_bins") == empt, tag)
+      assert(r.getAs[Long]("hash_evals") == ev, tag)
+    }
+    check("1_kperm", a1, s1, 0L, 12L * evals)
+    check("2_oph_raw", a2, s2, empty, evals)
+    check("3_oph_dens", a3, s3, 0L, evals)
+    // densification is total (every slot filled) and identical docs
+    // collide on every slot: a doc compared against itself scores 1e6
+    // under all three estimators — the estimators share a fixed point
+    docs.headOption.foreach { d =>
+      assert(d.dens.forall(_ >= 0L))
+      assert(d.sig.zip(d.sig).count(p => p._1 == p._2) == m)
+    }
+  }
 }
