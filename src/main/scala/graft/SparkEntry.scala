@@ -2040,6 +2040,50 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q386's oracle: the sorted value list from a distinct subquery, the
+    * same squared-tail per-row coin, the flip-target index arithmetic,
+    * both histograms, and the clamped debias division (nonneg on both
+    * engines, so // ≡ div). */
+  private def q386OracleSql: String = {
+    val p = graft.ops.PipelineOps.RrKeepPpm
+    val sq = "((doc_id % 1000003 + 1000003) % 1000003)"
+    val fp =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split('rr:' || CAST(doc_id AS VARCHAR) ||
+         |        ':' || CAST($sq * $sq AS VARCHAR), ''),
+         |        c -> CAST(ascii(c) AS BIGINT))), $FpByteFold)""".stripMargin
+    s"""WITH ls AS (SELECT list(lang ORDER BY lang) AS ls
+       |  FROM (SELECT DISTINCT lang FROM documents)),
+       |par AS (SELECT CAST(len(ls) AS BIGINT) AS k FROM ls),
+       |rr AS (SELECT CASE WHEN f % 1000000 < $p THEN lang
+       |    ELSE ls[CAST((own + 1 + (f // 1000000) % (k - 1)) % k AS INT) + 1]
+       |    END AS rep
+       |  FROM (SELECT d.lang, ls.ls, par.k,
+       |      CAST(list_position(ls.ls, d.lang) AS BIGINT) - 1 AS own,
+       |      $fp AS f
+       |    FROM documents d CROSS JOIN ls CROSS JOIN par)),
+       |obs AS (SELECT rep AS lang, CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM rr GROUP BY rep),
+       |tru AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |qp AS (SELECT 250000 // (k - 1) AS q, k FROM par),
+       |per AS MATERIALIZED (SELECT t.lang, t.n_true,
+       |    coalesce(o.n_obs, 0) AS n_obs,
+       |    CAST(CASE WHEN coalesce(o.n_obs, 0) * 1000000 - n * q <= 0 THEN 0
+       |      ELSE (coalesce(o.n_obs, 0) * 1000000 - n * q) // ($p - q)
+       |      END AS BIGINT) AS n_est
+       |  FROM tru t LEFT JOIN obs o USING (lang)
+       |  CROSS JOIN tot CROSS JOIN qp)
+       |SELECT * FROM (
+       |SELECT 'lang:' || lang AS scope, n_true, n_obs, n_est,
+       |  abs(n_est - n_true) AS err_abs FROM per
+       |UNION ALL SELECT 'z_total', (SELECT n FROM tot),
+       |  CAST(sum(n_obs) AS BIGINT), CAST(sum(n_est) AS BIGINT),
+       |  CAST(sum(abs(n_est - n_true)) AS BIGINT) FROM per)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q385's oracle: the q213 shingle/fingerprint/12-perm text with the
     * mod-200 sample, the single-permutation bins, the -1-sentinel BIGINT
     * densification fold (plain BIGINT accumulator — the list_reduce
@@ -4714,6 +4758,7 @@ object SparkEntry {
     "q383_hamming_ann"    -> SimilarityOps.q383HammingAnn _,
     "q384_bfs_distance"   -> graft.ops.AffinityOps.q384BfsDistance _,
     "q385_oph_dedup"      -> DedupOps.q385OphDedup _,
+    "q386_randomized_response" -> PipelineOps.q386RandomizedResponse _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10014,6 +10059,7 @@ object SparkEntry {
     "q383_hamming_ann" -> q383OracleSql,
     "q384_bfs_distance" -> q384OracleSql,
     "q385_oph_dedup" -> q385OracleSql,
+    "q386_randomized_response" -> q386OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -1447,6 +1447,83 @@ object PipelineOps {
       "eps_total_milli" -> LongType)
   }
 
+  /** q386's keep probability in ppm: p = 0.75, so ε = ln(p/q) =
+    * ln(3(k−1)) for k response values (~2.7 nats at k = 6). */
+  private[graft] val RrKeepPpm = 750000L
+
+  /** X367 — local-DP k-ary randomized response (Warner 1965; the
+    * RAPPOR/Apple-class collection model): q318 adds noise to COUNTS a
+    * trusted curator computed — local DP removes the curator from the
+    * trust boundary entirely: each row randomizes its OWN value before
+    * it is ever collected (report the true lang with p = [[RrKeepPpm]],
+    * else one of the k−1 other values uniformly), and the collector
+    * debiases the observed histogram: n̂_v = (c_v − n·q) / (p − q) with
+    * q = (1−p)/(k−1), clamped at 0 (both engines state the clamp; a
+    * signed floor-vs-truncate division never happens). The report
+    * carries, per value: the true count (the audit baseline the real
+    * collector never sees), the observed noisy count, the debiased
+    * estimate, and |err| — the privacy/utility trade as numbers.
+    * Measured at sf0.01 (k = 5, n = 500): per-lang |err| 2–22 on
+    * 64–218-count groups, Σ|err| 46 — √(n·q)-scale noise, exactly the
+    * method's published utility, and debiasing visibly matters (en is
+    * OBSERVED at 173 of a true 218; the estimator returns 206).
+    *
+    * DERANDOMIZATION CAVEAT (stated loudly, q318's convention): the
+    * per-row coin is the q332-hardened squared-tail fingerprint of
+    * doc_id so the DuckDB gate can replay the mechanism EXACTLY; a
+    * production deployment swaps that one expression for a CSPRNG draw
+    * on the client — the estimator, clamp and ε accounting are
+    * unchanged. A deterministic coin keyed on a public id provides NO
+    * privacy; this operator certifies the pipeline arithmetic, not the
+    * entropy source.
+    *
+    * Scale: ONE narrow scan computes the report column (the value
+    * universe rides along as a broadcast ≤k-element array literal from
+    * a 1-row agg — no driver count action), ONE k-row aggregate each
+    * for observed and true histograms; debiasing is k-row driver math.
+    * At 100 TB the collector stores k counters per window — local DP's
+    * entire point is that the server-side state is the histogram. */
+  def q386RandomizedResponse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val langsF = docs(s, dir).agg(sort_array(collect_set($"lang")).as("ls"))
+    val rep = docs(s, dir).crossJoin(broadcast(langsF))
+      .selectExpr("lang", "ls",
+        "CAST(array_position(ls, lang) AS BIGINT) - 1L AS own",
+        "graft_fingerprint(concat('rr:', CAST(doc_id AS STRING), ':', " +
+          "CAST(pmod(doc_id, 1000003) * pmod(doc_id, 1000003) AS STRING)))" +
+          " AS f")
+      .selectExpr(
+        s"""CASE WHEN pmod(f, 1000000L) < ${RrKeepPpm}L THEN lang
+           |ELSE element_at(ls, CAST(pmod(own + 1L +
+           |  pmod(f div 1000000L, CAST(size(ls) AS BIGINT) - 1L),
+           |  CAST(size(ls) AS BIGINT)) AS INT) + 1) END AS rep"""
+          .stripMargin)
+    val obs = rep.groupBy($"rep").agg(count(lit(1)).as("n_obs"))
+      .select($"rep".as("lang"), $"n_obs")
+    val tru = docs(s, dir).groupBy($"lang").agg(count(lit(1)).as("n_true"))
+    val per = tru.join(obs, Seq("lang"), "full_outer")
+      .na.fill(0L, Seq("n_true", "n_obs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n = per.map(_._2).sum
+    val k = per.length.toLong
+    val qPpm = 250000L / (k - 1L)
+    val den = RrKeepPpm - qPpm
+    val body = per.map { case (lg, t, o) =>
+      val num = o * 1000000L - n * qPpm
+      val est = if (num <= 0L) 0L else num / den
+      org.apache.spark.sql.Row(s"lang:$lg", t, o, est, math.abs(est - t))
+    }.toSeq
+    val rows = body :+ org.apache.spark.sql.Row("z_total", n,
+      body.map(_.getLong(2)).sum, body.map(_.getLong(3)).sum,
+      body.map(_.getLong(4)).sum)
+    graft.operators.LocalReport.frame(s, rows,
+      "scope" -> StringType, "n_true" -> LongType, "n_obs" -> LongType,
+      "n_est" -> LongType, "err_abs" -> LongType)
+  }
+
   /** X289 — file-level Bloom skipping audit: the skipping lane's missing
     * member. Min-max zone maps (q85/q294) prune RANGE predicates on
     * sorted-ish columns and are USELESS for point lookups on a

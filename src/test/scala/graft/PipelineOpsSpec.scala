@@ -2091,4 +2091,46 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(adjErr < rawErr, s"adj $adjErr !< raw $rawErr")
     assert(adjErr <= 2000000000L, s"adj error $adjErr microcents")
   }
+
+  test("q386: randomized response — mechanism and debias replay; totals conserve") {
+    import spark.implicits._
+    val rows = PipelineOps.q386RandomizedResponse(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // full driver replay of the coin, flip target, histograms and the
+    // clamped debias division
+    val all = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val ls = all.map(_._2).distinct.sorted
+    val k = ls.length.toLong
+    val rep = all.map { case (id, lg) =>
+      val sq = ((id % 1000003L) + 1000003L) % 1000003L
+      val f = graft.functions.Fingerprint.hashString(s"rr:$id:${sq * sq}")
+      if (f % 1000000L < PipelineOps.RrKeepPpm) lg
+      else {
+        val own = ls.indexOf(lg).toLong
+        ls((((own + 1L + (f / 1000000L) % (k - 1L)) % k)).toInt)
+      }
+    }
+    val n = all.length.toLong
+    val qPpm = 250000L / (k - 1L)
+    val obs = rep.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tru = all.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    ls.foreach { lg =>
+      val r = rows(s"lang:$lg")
+      val o = obs.getOrElse(lg, 0L)
+      assert(r.getAs[Long]("n_true") == tru(lg), lg)
+      assert(r.getAs[Long]("n_obs") == o, lg)
+      val num = o * 1000000L - n * qPpm
+      val est = if (num <= 0L) 0L
+        else num / (PipelineOps.RrKeepPpm - qPpm)
+      assert(r.getAs[Long]("n_est") == est, lg)
+      assert(r.getAs[Long]("err_abs") == math.abs(est - tru(lg)), lg)
+    }
+    // randomization permutes reports but conserves the response count
+    val z = rows("z_total")
+    assert(z.getAs[Long]("n_true") == n && z.getAs[Long]("n_obs") == n)
+    // the debiased total tracks n (unbiasedness up to the clamp and
+    // per-value flooring: each value floors away < 1 count)
+    assert(math.abs(z.getAs[Long]("n_est") - n) <= k)
+  }
 }
