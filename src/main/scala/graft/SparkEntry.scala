@@ -2040,6 +2040,58 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q387's oracle: the same per-stream lag window (epoch_us), zigzag +
+    * varint band ladder, first-row 8-byte rule and the per-segment
+    * byte/ratio/zero/one-byte roll-up, plant generated in-query. */
+  private def q387OracleSql: String = {
+    def zz(c: String) = s"(CASE WHEN $c >= 0 THEN 2 * $c ELSE -2 * $c - 1 END)"
+    def vb(c: String) =
+      s"""(CASE WHEN $c < 128 THEN 1 WHEN $c < 16384 THEN 2
+         | WHEN $c < 2097152 THEN 3 WHEN $c < 268435456 THEN 4
+         | WHEN $c < 34359738368 THEN 5 WHEN $c < 4398046511104 THEN 6
+         | WHEN $c < 562949953421312 THEN 7
+         | WHEN $c < 72057594037927936 THEN 8 ELSE 9 END)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us,
+       |    CAST(event_id AS BIGINT) AS event_id, 'corpus' AS segment
+       |  FROM events
+       |  UNION ALL
+       |  SELECT CAST(-387 AS BIGINT), 1700000000000000 + i * 1000000,
+       |    -38700 - i, 'plant'
+       |  FROM generate_series(0, 63) t(i)),
+       |l1 AS (SELECT segment, user_id, us, event_id,
+       |    us - lag(us) OVER w AS d1
+       |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |lagged AS (SELECT segment, d1, d1 - lag(d1) OVER w AS d2
+       |  FROM l1 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |bytes AS (SELECT segment,
+       |    CASE WHEN d1 IS NULL THEN 8 ELSE ${vb(zz("d1"))} END AS b_delta,
+       |    CASE WHEN d1 IS NULL THEN 8
+       |      WHEN d2 IS NULL THEN ${vb(zz("d1"))}
+       |      ELSE ${vb(zz("d2"))} END AS b_dd,
+       |    CASE WHEN d1 = 0 THEN 1 ELSE 0 END AS z1,
+       |    CASE WHEN d2 = 0 THEN 1 ELSE 0 END AS z2
+       |  FROM lagged),
+       |ag AS MATERIALIZED (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(b_delta) AS BIGINT) AS bd,
+       |    CAST(sum(b_dd) AS BIGINT) AS bdd,
+       |    CAST(sum(z1) AS BIGINT) AS nz1, CAST(sum(z2) AS BIGINT) AS nz2,
+       |    CAST(sum(CASE WHEN b_delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ob1,
+       |    CAST(sum(CASE WHEN b_dd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ob2
+       |  FROM bytes GROUP BY segment)
+       |SELECT * FROM (
+       |SELECT '1_raw:' || segment AS scope, n AS n_rows,
+       |  8 * n AS total_bytes, CAST(1000000 AS BIGINT) AS ratio_ppm,
+       |  CAST(0 AS BIGINT) AS n_zero, CAST(0 AS BIGINT) AS n_one_byte
+       |FROM ag
+       |UNION ALL SELECT '2_delta_zigzag:' || segment, n, bd,
+       |  bd * 1000000 // (8 * n), nz1, ob1 FROM ag
+       |UNION ALL SELECT '3_delta_of_delta:' || segment, n, bdd,
+       |  bdd * 1000000 // (8 * n), nz2, ob2 FROM ag)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q386's oracle: the sorted value list from a distinct subquery, the
     * same squared-tail per-row coin, the flip-target index arithmetic,
     * both histograms, and the clamped debias division (nonneg on both
@@ -4759,6 +4811,7 @@ object SparkEntry {
     "q384_bfs_distance"   -> graft.ops.AffinityOps.q384BfsDistance _,
     "q385_oph_dedup"      -> DedupOps.q385OphDedup _,
     "q386_randomized_response" -> PipelineOps.q386RandomizedResponse _,
+    "q387_ts_compression" -> EventOps.q387TsCompression _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10060,6 +10113,7 @@ object SparkEntry {
     "q384_bfs_distance" -> q384OracleSql,
     "q385_oph_dedup" -> q385OracleSql,
     "q386_randomized_response" -> q386OracleSql,
+    "q387_ts_compression" -> q387OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

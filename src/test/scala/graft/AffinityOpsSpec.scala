@@ -2463,6 +2463,64 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_._5 <= t0 / 2))
   }
 
+  // ------------------------------------------------------------- X368
+
+  test("q387: byte bills replay exactly; the periodic plant collapses under delta-of-delta") {
+    import spark.implicits._
+    val rows = graft.ops.EventOps.q387TsCompression(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // plant pins: 64 rows, first 8B + one 3B delta + 62 one-byte zeros
+    val p = rows("3_delta_of_delta:plant")
+    assert(p.getAs[Long]("n_rows") == 64L)
+    assert(p.getAs[Long]("total_bytes") == 73L)
+    assert(p.getAs[Long]("ratio_ppm") == 73L * 1000000L / 512L)
+    assert(p.getAs[Long]("n_zero") == 62L && p.getAs[Long]("n_one_byte") == 62L)
+    assert(rows("2_delta_zigzag:plant").getAs[Long]("total_bytes") ==
+      8L + 63L * 3L) // every delta is 1e6 us -> zigzag 2e6 -> 3 bytes
+    // full corpus replay: per-user sorted streams, both difference
+    // levels, zigzag + varint bands
+    def vb(x: Long): Long = {
+      val z = if (x >= 0L) 2L * x else -2L * x - 1L
+      Seq(128L, 16384L, 2097152L, 268435456L, 34359738368L,
+        4398046511104L, 562949953421312L, 72057594037927936L)
+        .indexWhere(z < _) match {
+        case -1 => 9L
+        case i  => (i + 1).toLong
+      }
+    }
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select($"user_id".cast("long"),
+        expr("unix_micros(cast(ts as timestamp))"),
+        $"event_id".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    var (n, bd, bdd, nz1, nz2, ob1, ob2) = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    ev.groupBy(_._1).values.foreach { g =>
+      val us = g.sortBy(e => (e._2, e._3)).map(_._2)
+      val d1 = us.indices.map(i => if (i == 0) None else Some(us(i) - us(i - 1)))
+      val d2 = us.indices.map(i =>
+        if (i < 2) None else Some(d1(i).get - d1(i - 1).get))
+      us.indices.foreach { i =>
+        n += 1
+        val b1 = d1(i).map(vb).getOrElse(8L)
+        val b2 = d2(i).map(vb).orElse(d1(i).map(vb)).getOrElse(8L)
+        bd += b1; bdd += b2
+        if (d1(i).contains(0L)) nz1 += 1
+        if (d2(i).contains(0L)) nz2 += 1
+        if (b1 == 1L) ob1 += 1
+        if (b2 == 1L) ob2 += 1
+      }
+    }
+    val c2 = rows("2_delta_zigzag:corpus"); val c3 = rows("3_delta_of_delta:corpus")
+    assert(rows("1_raw:corpus").getAs[Long]("total_bytes") == 8L * n)
+    assert(c2.getAs[Long]("n_rows") == n && c3.getAs[Long]("n_rows") == n)
+    assert(c2.getAs[Long]("total_bytes") == bd)
+    assert(c3.getAs[Long]("total_bytes") == bdd)
+    assert(c2.getAs[Long]("ratio_ppm") == bd * 1000000L / (8L * n))
+    assert(c2.getAs[Long]("n_zero") == nz1 && c3.getAs[Long]("n_zero") == nz2)
+    assert(c2.getAs[Long]("n_one_byte") == ob1 &&
+      c3.getAs[Long]("n_one_byte") == ob2)
+  }
+
   // ------------------------------------------------------------- X365
 
   test("q384: BFS distances replay exactly; plant chain and island pinned") {

@@ -782,6 +782,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q387_ts_compression" -> 0, // collect-local 6-row report; both lag
+                             // columns ride ONE user_id window exchange
+                             // inside the builder
     "q386_randomized_response" -> 0, // collect-local k+1-row report; ONE
                              // narrow randomize scan + two k-row
                              // histograms inside the builder
