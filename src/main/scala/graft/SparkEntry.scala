@@ -2040,6 +2040,72 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q388's oracle: year-pivoted pairs, the SAME squared-tail sign fold
+    * the q369 sketch uses (one definition), both MC legs off one
+    * replicate table, and the 2¹²-mask exact enumerations over the
+    * plant literals. */
+  private def q388OracleSql: String = {
+    val r = graft.ops.PipelineOps.SfReps
+    val shift = graft.ops.PipelineOps.SfShiftCents
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''),
+         |    c -> CAST(ascii(c) AS BIGINT))), $FpByteFold)""".stripMargin
+    def plant(name: String, ds: Seq[Long]): String = {
+      val lit = ds.mkString("[", ", ", "]")
+      s"""pl$name AS (SELECT $lit AS dl),
+         |en$name AS (SELECT
+         |    CAST((SELECT list_sum(dl) FROM pl$name) AS BIGINT) AS t0,
+         |    CAST(count(*) AS BIGINT) AS e
+         |  FROM pl$name CROSS JOIN generate_series(0, 4095) g(m)
+         |  WHERE abs(list_sum(list_transform(generate_series(0, 11),
+         |      i -> CASE WHEN (m // (1 << i)) % 2 = 1 THEN -dl[i+1]
+         |           ELSE dl[i+1] END))) >= abs(list_sum(dl)))"""
+        .stripMargin
+    }
+    s"""WITH by AS (SELECT CAST(o_custkey AS BIGINT) AS c,
+       |    CAST(year(o_orderdate) AS BIGINT) AS y,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+       |ag AS (SELECT c, y, CAST(sum(cents) AS BIGINT) AS v
+       |  FROM by GROUP BY c, y),
+       |pairs AS MATERIALIZED (SELECT a.c, b.v - a.v AS d
+       |  FROM ag a JOIN ag b ON a.c = b.c AND a.y = 1995 AND b.y = 1996),
+       |fk AS (SELECT c, d, ${fp("CAST(c AS VARCHAR)")} AS fpk FROM pairs),
+       |sg AS (SELECT t.r, fk.d,
+       |    CASE WHEN (${fp(
+              "'sfp:' || CAST(t.r AS VARCHAR) || ':' || CAST(fk.c AS VARCHAR)" +
+              " || ':' || CAST((fk.fpk % 1000003) * (fk.fpk % 1000003)" +
+              " AS VARCHAR)")}
+       |      // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM fk CROSS JOIN generate_series(0, ${r - 1}) t(r)),
+       |ts AS MATERIALIZED (SELECT r, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(s * d) AS BIGINT) AS t,
+       |    CAST(sum(s * (d + $shift)) AS BIGINT) AS tsh
+       |  FROM sg GROUP BY r),
+       |ob AS (SELECT CAST(sum(d) AS BIGINT) AS t0,
+       |    CAST(count(*) AS BIGINT) AS np FROM pairs),
+       |m3 AS (SELECT CAST(count(*) AS BIGINT) AS e FROM ts CROSS JOIN ob
+       |  WHERE abs(t) >= abs(t0)),
+       |m4 AS (SELECT CAST(count(*) AS BIGINT) AS e FROM ts CROSS JOIN ob
+       |  WHERE abs(tsh) >= abs(t0 + np * $shift)),
+       |${plant("1", graft.ops.PipelineOps.SfPlantShifted)},
+       |${plant("2", graft.ops.PipelineOps.SfPlantNull)}
+       |SELECT * FROM (
+       |SELECT '1_plant_exact' AS scope, CAST(12 AS BIGINT) AS n_pairs,
+       |  t0 AS t_obs, e AS n_extreme, CAST(4096 AS BIGINT) AS n_total,
+       |  e * 1000000 // 4096 AS p_ppm FROM en1
+       |UNION ALL SELECT '2_plant_null_exact', 12, t0, e, 4096,
+       |  e * 1000000 // 4096 FROM en2
+       |UNION ALL SELECT '3_corpus_mc', (SELECT np FROM ob),
+       |  (SELECT t0 FROM ob), (SELECT e FROM m3), $r,
+       |  ((SELECT e FROM m3) + 1) * 1000000 // ${r + 1}
+       |UNION ALL SELECT '4_corpus_shifted_mc', (SELECT np FROM ob),
+       |  (SELECT t0 + np * $shift FROM ob), (SELECT e FROM m4), $r,
+       |  ((SELECT e FROM m4) + 1) * 1000000 // ${r + 1})
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q387's oracle: the same per-stream lag window (epoch_us), zigzag +
     * varint band ladder, first-row 8-byte rule and the per-segment
     * byte/ratio/zero/one-byte roll-up, plant generated in-query. */
@@ -4812,6 +4878,7 @@ object SparkEntry {
     "q385_oph_dedup"      -> DedupOps.q385OphDedup _,
     "q386_randomized_response" -> PipelineOps.q386RandomizedResponse _,
     "q387_ts_compression" -> EventOps.q387TsCompression _,
+    "q388_signflip_test"  -> PipelineOps.q388SignFlipTest _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10114,6 +10181,7 @@ object SparkEntry {
     "q385_oph_dedup" -> q385OracleSql,
     "q386_randomized_response" -> q386OracleSql,
     "q387_ts_compression" -> q387OracleSql,
+    "q388_signflip_test" -> q388OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

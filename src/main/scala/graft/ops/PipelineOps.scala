@@ -4437,6 +4437,112 @@ object PipelineOps {
       "err_ppm" -> LongType)
   }
 
+  /** q388's Monte-Carlo replicate count, the injected per-pair shift for
+    * the power leg (cents), and the two 12-pair exact-enumeration plants
+    * (cents): a shifted set whose exact p the spec/oracle enumerate over
+    * all 2¹² sign masks, and a sign-symmetric set whose T_obs = 0 forces
+    * p = 1e6 exactly — the calibration fixed point. */
+  private[graft] val SfReps = 128
+  private[graft] val SfShiftCents = 2000000L
+  private[graft] val SfPlantShifted: Seq[Long] =
+    Seq(300L, 500L, 700L, -100L, 200L, 400L, 600L, 800L, -200L, 100L,
+      900L, 1000L)
+  private[graft] val SfPlantNull: Seq[Long] =
+    Seq(300L, -300L, 500L, -500L, 700L, -700L, 900L, -900L, 1100L,
+      -1100L, 1300L, -1300L)
+
+  /** X369 — paired sign-flip permutation test (Fisher randomization):
+    * the uncertainty lane quantifies (bootstrap q344), adjusts (CUPED
+    * q346) and sequentially gates (SPRT q363); this adds the
+    * assumption-free SIGNIFICANCE test for paired data — under H0 the
+    * paired differences d_i are sign-symmetric, so every sign
+    * assignment of Σ±d_i is equally likely and the p-value is the
+    * fraction of assignments at least as extreme as the observed T.
+    * No normality, no variance estimate, exact in the small-n regime.
+    *
+    * Four legs: (1) exact enumeration of all 2¹² masks over
+    * [[SfPlantShifted]] — the textbook exact test, pinned; (2) the
+    * same over [[SfPlantNull]] (T_obs = 0) — p = 1e6 exactly, the
+    * calibration fixed point; (3) Monte-Carlo on the corpus pairs
+    * (per-customer order-spend cents in 1995 vs 1996, both years
+    * present) with [[SfReps]] deterministic sign draws — the SHARED
+    * [[amsSign]]/[[amsSignsSql]] definition (the sprtWalk rule: the
+    * q369 sketch, the F2 feed and this test can never drift apart),
+    * p = (extreme+1)·1e6 div (R+1), the standard add-one permutation
+    * p-value; (4) the same draws re-summed with +[[SfShiftCents]]
+    * injected per pair — the power leg (T'_r = Σs_i(d_i+Δ) shares the
+    * SAME signs, so both legs ride one aggregation).
+    *
+    * Measured at sf0.01: the shifted plant's exact p = 5371 ppm
+    * (22 of 4096 masks), the null plant sits at exactly 1e6; the
+    * corpus pairs carry a POSITIVE drift (mean +1.48M cents/pair,
+    * 1996 over 1995) yet p = 201550 — heavy-tailed per-customer
+    * differences make the drift non-significant under randomization,
+    * exactly the verdict a t-test's normality assumption would get
+    * wrong; the injected shift drives p to the MC floor
+    * 1e6/(R+1) = 7751 (0 of 128 replicates as extreme) — detection,
+    * as a number.
+    *
+    * Scale: pairs are ONE year-pivoted aggregate over orders; the MC
+    * leg is one narrow let-bound signs-array projection (33-hash idiom)
+    * exploded into a combinable R-key partial agg — map-side combine
+    * makes the shuffle R rows per partition; enumeration legs are
+    * 4096-mask driver math over 12 literals. */
+  def q388SignFlipTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val r = SfReps
+    def exact(ds: Seq[Long]): (Long, Long, Long) = {
+      val tObs = ds.sum
+      val nExt = (0 until (1 << ds.length)).count { mask =>
+        val t = ds.zipWithIndex.map { case (d, i) =>
+          if (((mask >> i) & 1) == 1) -d else d
+        }.sum
+        math.abs(t) >= math.abs(tObs)
+      }.toLong
+      (tObs, nExt, nExt * 1000000L / (1L << ds.length))
+    }
+    val byYear = Tables.load(s, dir, "orders")
+      .select($"o_custkey".cast("long").as("c"),
+        year($"o_orderdate").as("y"),
+        graft.functions.Exact.cents($"o_totalprice").as("cents"))
+      .filter($"y".isin(1995, 1996))
+      .groupBy($"c", $"y").agg(sum($"cents").as("v"))
+    val pairs = byYear.filter($"y" === 1995).select($"c", $"v".as("v95"))
+      .join(byYear.filter($"y" === 1996).select($"c", $"v".as("v96")),
+        Seq("c"))
+      .select($"c", ($"v96" - $"v95").as("d"))
+    val mc = pairs
+      .select($"d", posexplode(expr(
+        amsSignsSql("CAST(c AS STRING)", "sfp", r))).as(Seq("rep", "sgn")))
+      .groupBy($"rep").agg(
+        count(lit(1)).as("n"),
+        sum($"sgn" * $"d").as("t"),
+        sum($"sgn" * ($"d" + lit(SfShiftCents))).as("ts"))
+      .orderBy($"rep").collect()
+    require(mc.length == r, s"q388: expected $r replicates, got ${mc.length}")
+    val nPairs = mc.head.getLong(1)
+    val obs = pairs.agg(sum($"d")).head().getLong(0)
+    val obsS = obs + nPairs * SfShiftCents
+    def mcLeg(tOf: org.apache.spark.sql.Row => Long, tObs: Long) = {
+      val nExt = mc.count(row => math.abs(tOf(row)) >= math.abs(tObs)).toLong
+      (nExt, (nExt + 1L) * 1000000L / (r + 1L))
+    }
+    val (e3, p3) = mcLeg(_.getLong(2), obs)
+    val (e4, p4) = mcLeg(_.getLong(3), obsS)
+    val (t1, e1, p1) = exact(SfPlantShifted)
+    val (t2, e2, p2) = exact(SfPlantNull)
+    LocalReport.frame(s, Seq(
+      org.apache.spark.sql.Row("1_plant_exact", 12L, t1, e1, 4096L, p1),
+      org.apache.spark.sql.Row("2_plant_null_exact", 12L, t2, e2, 4096L, p2),
+      org.apache.spark.sql.Row("3_corpus_mc", nPairs, obs, e3, r.toLong, p3),
+      org.apache.spark.sql.Row("4_corpus_shifted_mc", nPairs, obsS, e4,
+        r.toLong, p4)),
+      "scope" -> StringType, "n_pairs" -> LongType, "t_obs" -> LongType,
+      "n_extreme" -> LongType, "n_total" -> LongType, "p_ppm" -> LongType)
+  }
+
   /** q363's SPRT constants, computed ONCE (the EpochDecayPpm
     * discipline) and inlined into the generated oracle: testing
     * p0 = 30% vs p1 = 36% conversion at α = β = 5%, the per-trial

@@ -2133,4 +2133,65 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // per-value flooring: each value floors away < 1 count)
     assert(math.abs(z.getAs[Long]("n_est") - n) <= k)
   }
+
+  test("q388: sign-flip test — exact enumerations, MC replicates and p-values replay") {
+    import spark.implicits._
+    val rows = PipelineOps.q388SignFlipTest(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // exact legs: re-enumerate all 4096 masks
+    def exact(ds: Seq[Long]): (Long, Long) = {
+      val t0 = ds.sum
+      val e = (0 until 4096).count { m =>
+        math.abs(ds.zipWithIndex.map { case (d, i) =>
+          if (((m >> i) & 1) == 1) -d else d
+        }.sum) >= math.abs(t0)
+      }.toLong
+      (t0, e)
+    }
+    val (t1, e1) = exact(PipelineOps.SfPlantShifted)
+    val r1 = rows("1_plant_exact")
+    assert(r1.getAs[Long]("t_obs") == t1 && r1.getAs[Long]("n_extreme") == e1)
+    assert(r1.getAs[Long]("p_ppm") == e1 * 1000000L / 4096L)
+    // the sign-symmetric null is the calibration fixed point: T_obs = 0,
+    // every mask is at least as extreme, p = 1e6 exactly
+    val r2 = rows("2_plant_null_exact")
+    assert(r2.getAs[Long]("t_obs") == 0L)
+    assert(r2.getAs[Long]("n_extreme") == 4096L)
+    assert(r2.getAs[Long]("p_ppm") == 1000000L)
+    // MC legs: replay the pairs and the SHARED amsSign definition
+    val byYear = graft.sources.Tables.load(spark, sf, "orders")
+      .select($"o_custkey".cast("long"), year($"o_orderdate"),
+        graft.functions.Exact.cents($"o_totalprice"))
+      .as[(Long, Int, Long)].collect()
+      .filter(t => t._2 == 1995 || t._2 == 1996)
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val pairs = byYear.keys.map(_._1).toSeq.distinct.sorted.flatMap { c =>
+      for (a <- byYear.get((c, 1995)); b <- byYear.get((c, 1996)))
+        yield (c, b - a)
+    }
+    val r3 = rows("3_corpus_mc"); val r4 = rows("4_corpus_shifted_mc")
+    assert(r3.getAs[Long]("n_pairs") == pairs.length.toLong)
+    val obs = pairs.map(_._2).sum
+    assert(r3.getAs[Long]("t_obs") == obs)
+    val shift = PipelineOps.SfShiftCents
+    assert(r4.getAs[Long]("t_obs") == obs + pairs.length * shift)
+    val reps = PipelineOps.SfReps
+    val ts = (0 until reps).map { r =>
+      pairs.map { case (c, d) =>
+        PipelineOps.amsSign("sfp", r, c.toString) * d
+      }.sum
+    }
+    val tsh = (0 until reps).map { r =>
+      pairs.map { case (c, d) =>
+        PipelineOps.amsSign("sfp", r, c.toString) * (d + shift)
+      }.sum
+    }
+    val e3 = ts.count(t => math.abs(t) >= math.abs(obs)).toLong
+    val e4 = tsh.count(t =>
+      math.abs(t) >= math.abs(obs + pairs.length * shift)).toLong
+    assert(r3.getAs[Long]("n_extreme") == e3)
+    assert(r3.getAs[Long]("p_ppm") == (e3 + 1L) * 1000000L / (reps + 1L))
+    assert(r4.getAs[Long]("n_extreme") == e4)
+    assert(r4.getAs[Long]("p_ppm") == (e4 + 1L) * 1000000L / (reps + 1L))
+  }
 }

@@ -782,6 +782,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q388_signflip_test" -> 0, // collect-local 4-row report; ONE pivoted
+                             // pair aggregate + ONE combinable R-key
+                             // replicate agg inside the builder;
+                             // enumerations are 4096-mask driver math
     "q387_ts_compression" -> 0, // collect-local 6-row report; both lag
                              // columns ride ONE user_id window exchange
                              // inside the builder
