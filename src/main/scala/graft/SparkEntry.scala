@@ -2040,6 +2040,98 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q389's oracle: the pixel formula replayed (lossless codec rule),
+    * the 4-bit histogram, THREE unrolled median-cut rounds under the
+    * identical split rule (longest axis, ⌈W/2⌉ cumulative-weight
+    * coordinate, step-down-at-max adjustment), palette means, and an
+    * independent nearest-entry assignment with exact SSE. */
+  private def q389OracleSql: String = {
+    def chan(c: String): String =
+      s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(CAST(d.doc_id AS VARCHAR) || ':' ||
+         |      CAST(ij.i AS VARCHAR) || ':' || CAST(ij.j AS VARCHAR) ||
+         |      ':$c', ''), ch -> CAST(ascii(ch) AS BIGINT))), $FpByteFold))"""
+        .stripMargin
+    def sq(c: String): String = s"(($c * $c % 1000000007) % 256)"
+    def round(k: Int): String = {
+      val p = k - 1
+      s"""st$k AS (SELECT box, max(cr) - min(cr) AS rr,
+         |    max(cg) - min(cg) AS rg, max(cb) - min(cb) AS rb,
+         |    CAST(sum(w) AS BIGINT) AS tw
+         |  FROM b$p GROUP BY box),
+         |ax$k AS (SELECT box, tw,
+         |    CASE WHEN rr >= rg AND rr >= rb THEN 0
+         |         WHEN rg >= rb THEN 1 ELSE 2 END AS ax
+         |  FROM st$k),
+         |cx$k AS (SELECT c.cr, c.cg, c.cb, c.w, c.box, a.tw,
+         |    CASE a.ax WHEN 0 THEN c.cr WHEN 1 THEN c.cg ELSE c.cb END
+         |      AS coord
+         |  FROM b$p c JOIN ax$k a USING (box)),
+         |cw$k AS (SELECT box, coord, CAST(sum(w) AS BIGINT) AS cw,
+         |    CAST(min(tw) AS BIGINT) AS tw
+         |  FROM cx$k GROUP BY box, coord),
+         |cc$k AS (SELECT box, coord, tw,
+         |    sum(cw) OVER (PARTITION BY box ORDER BY coord) AS cum
+         |  FROM cw$k),
+         |spa$k AS (SELECT box,
+         |    min(CASE WHEN cum >= (tw + 1) // 2 THEN coord END) AS sraw,
+         |    min(coord) AS mn, max(coord) AS mx
+         |  FROM cc$k GROUP BY box),
+         |sp$k AS (SELECT a.box,
+         |    CASE WHEN a.sraw = a.mx AND a.mx > a.mn
+         |      THEN (SELECT max(coord) FROM cw$k w2
+         |            WHERE w2.box = a.box AND w2.coord < a.mx)
+         |      ELSE a.sraw END AS s
+         |  FROM spa$k a),
+         |b$k AS (SELECT c.cr, c.cg, c.cb, c.w,
+         |    c.box * 2 + CASE WHEN c.coord > p.s THEN 1 ELSE 0 END AS box
+         |  FROM cx$k c JOIN sp$k p USING (box))""".stripMargin
+    }
+    s"""WITH ij AS (SELECT i.i, j.j FROM generate_series(0, 15) i(i)
+       |  CROSS JOIN generate_series(0, 15) j(j)),
+       |px AS MATERIALIZED (SELECT d.doc_id, ij.i, ij.j,
+       |    ${sq(chan("r"))} AS r, ${sq(chan("g"))} AS g,
+       |    ${sq(chan("b"))} AS b
+       |  FROM documents d CROSS JOIN ij),
+       |cells AS (SELECT r // 16 AS cr, g // 16 AS cg, b // 16 AS cb,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM px GROUP BY 1, 2, 3),
+       |b0 AS (SELECT cr, cg, cb, w, 0 AS box FROM cells),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |pal AS (SELECT box,
+       |    CAST(sum(w * (cr * 16 + 8)) // sum(w) AS BIGINT) AS pr,
+       |    CAST(sum(w * (cg * 16 + 8)) // sum(w) AS BIGINT) AS pg,
+       |    CAST(sum(w * (cb * 16 + 8)) // sum(w) AS BIGINT) AS pb
+       |  FROM b3 GROUP BY box),
+       |pal8 AS MATERIALIZED (SELECT k.k AS box, coalesce(pr, 0) AS pr,
+       |    coalesce(pg, 0) AS pg, coalesce(pb, 0) AS pb
+       |  FROM generate_series(0, 7) k(k) LEFT JOIN pal ON pal.box = k.k),
+       |ad AS (SELECT p.doc_id, p.i, p.j, e.box,
+       |    (p.r - e.pr) * (p.r - e.pr) + (p.g - e.pg) * (p.g - e.pg) +
+       |      (p.b - e.pb) * (p.b - e.pb) AS d
+       |  FROM px p CROSS JOIN pal8 e),
+       |asg AS (SELECT box, d, row_number() OVER (
+       |    PARTITION BY doc_id, i, j ORDER BY d, box) AS rn FROM ad),
+       |a1 AS (SELECT box, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d) AS BIGINT) AS sse
+       |  FROM asg WHERE rn = 1 GROUP BY box),
+       |fin AS MATERIALIZED (SELECT p8.box, p8.pr, p8.pg, p8.pb,
+       |    coalesce(a1.n, 0) AS n, coalesce(a1.sse, 0) AS sse
+       |  FROM pal8 p8 LEFT JOIN a1 USING (box)),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+       |    CAST(sum(sse) AS BIGINT) AS st FROM fin)
+       |SELECT * FROM (
+       |SELECT 'pal:' || CAST(box AS VARCHAR) AS scope,
+       |  CAST(pr AS BIGINT) AS pal_r, CAST(pg AS BIGINT) AS pal_g,
+       |  CAST(pb AS BIGINT) AS pal_b, n AS n_pixels,
+       |  CAST(sse AS BIGINT) AS sse
+       |FROM fin
+       |UNION ALL SELECT 'z_total', 0, 0, 0, nt, st * 1000 // nt FROM tot)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q388's oracle: year-pivoted pairs, the SAME squared-tail sign fold
     * the q369 sketch uses (one definition), both MC legs off one
     * replicate table, and the 2¹²-mask exact enumerations over the
@@ -4879,6 +4971,7 @@ object SparkEntry {
     "q386_randomized_response" -> PipelineOps.q386RandomizedResponse _,
     "q387_ts_compression" -> EventOps.q387TsCompression _,
     "q388_signflip_test"  -> PipelineOps.q388SignFlipTest _,
+    "q389_median_cut"     -> MultimodalOps.q389MedianCut _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10182,6 +10275,7 @@ object SparkEntry {
     "q386_randomized_response" -> q386OracleSql,
     "q387_ts_compression" -> q387OracleSql,
     "q388_signflip_test" -> q388OracleSql,
+    "q389_median_cut" -> q389OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

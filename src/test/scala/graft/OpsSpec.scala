@@ -3043,4 +3043,81 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(d.sig.zip(d.sig).count(p => p._1 == p._2) == m)
     }
   }
+
+  test("q389: median cut — histogram, split rounds, palette and SSE replay independently") {
+    import spark.implicits._
+    val rows = MultimodalOps.q389MedianCut(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // independent replay: pixel formula (codec round-trip is lossless),
+    // 4-bit histogram, three split rounds under an independently coded
+    // split rule, palette means, nearest-entry assignment
+    val ids = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect()
+    val px = ids.flatMap { id =>
+      for (j <- 0 until 16; i <- 0 until 16) yield {
+        def chan(c: String): Int = {
+          val f = Fingerprint.hashString(s"$id:$i:$j:$c")
+          ((f * f % 1000000007L) % 256L).toInt
+        }
+        (chan("r"), chan("g"), chan("b"))
+      }
+    }
+    val cells = px.groupBy(p => (p._1 / 16, p._2 / 16, p._3 / 16))
+      .map { case ((cr, cg, cb), ps) => (cr, cg, cb, ps.length.toLong) }
+      .toSeq
+    def split(cs: Seq[(Int, Int, Int, Long)]) = {
+      val rng = Seq(cs.map(_._1), cs.map(_._2), cs.map(_._3))
+        .map(v => v.max - v.min)
+      val ax = rng.indexOf(rng.max)
+      def co(c: (Int, Int, Int, Long)) =
+        Seq(c._1, c._2, c._3)(ax)
+      val w = cs.map(_._4).sum
+      val byC = cs.groupBy(co).view.mapValues(_.map(_._4).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val sRaw = byC.collectFirst {
+        case (v, cw) if { cum += cw; cum >= (w + 1) / 2 } => v
+      }.get
+      val mx = byC.last._1
+      val sAdj = if (sRaw == mx && mx > byC.head._1)
+        byC.map(_._1).filter(_ < mx).max else sRaw
+      cs.partition(co(_) <= sAdj)
+    }
+    var boxes = Map(0 -> cells)
+    (1 to 3).foreach { _ =>
+      boxes = boxes.toSeq.flatMap { case (b, cs) =>
+        if (cs.isEmpty) Nil
+        else { val (l, r) = split(cs); Seq(2 * b -> l, 2 * b + 1 -> r) }
+      }.filter(_._2.nonEmpty).toMap
+    }
+    val pal = (0 until 8).map { k =>
+      boxes.get(k).filter(_.nonEmpty).map { cs =>
+        val w = cs.map(_._4).sum
+        (cs.map(c => c._4 * (c._1 * 16 + 8)).sum / w,
+          cs.map(c => c._4 * (c._2 * 16 + 8)).sum / w,
+          cs.map(c => c._4 * (c._3 * 16 + 8)).sum / w)
+      }.getOrElse((0L, 0L, 0L))
+    }
+    pal.zipWithIndex.foreach { case ((pr, pg, pb), k) =>
+      val r = rows(s"pal:$k")
+      assert(r.getAs[Long]("pal_r") == pr, s"pal $k r")
+      assert(r.getAs[Long]("pal_g") == pg, s"pal $k g")
+      assert(r.getAs[Long]("pal_b") == pb, s"pal $k b")
+    }
+    val counts = Array.fill(8)(0L); val sses = Array.fill(8)(0L)
+    px.foreach { case (r0, g0, b0) =>
+      val ds = pal.map { case (pr, pg, pb) =>
+        (r0 - pr) * (r0 - pr) + (g0 - pg) * (g0 - pg) + (b0 - pb) * (b0 - pb)
+      }
+      val k = ds.indexOf(ds.min)
+      counts(k) += 1L; sses(k) += ds(k)
+    }
+    (0 until 8).foreach { k =>
+      assert(rows(s"pal:$k").getAs[Long]("n_pixels") == counts(k), s"n $k")
+      assert(rows(s"pal:$k").getAs[Long]("sse") == sses(k), s"sse $k")
+    }
+    val z = rows("z_total")
+    assert(z.getAs[Long]("n_pixels") == px.length.toLong)
+    assert(z.getAs[Long]("sse") == sses.sum * 1000L / px.length)
+  }
 }

@@ -782,6 +782,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q389_median_cut" -> 0,  // collect-local 9-row report; render
+                             // mapPartitions + ONE <=4096-cell histogram
+                             // fold + ONE 8-key assignment agg inside
+                             // the builder (pixels persist across both)
     "q388_signflip_test" -> 0, // collect-local 4-row report; ONE pivoted
                              // pair aggregate + ONE combinable R-key
                              // replicate agg inside the builder;
