@@ -482,10 +482,15 @@ object CorpusOps {
       "frontier_difficulty_ppm" -> LongType)
   }
 
+  /** The Misra-Gries counter budget, shared by the q100 batch sketch and
+    * the streaming [[graft.streaming.EventStream.mgGate]] twin (the
+    * sprtWalk one-definition rule). */
+  private[graft] val MgK = 400
+
   def q100HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = docs(s, dir).select(explode(split($"text", " ")).as("w"))
-    val mg = udaf(new graft.functions.MisraGries(400))
+    val mg = udaf(new graft.functions.MisraGries(MgK))
     // one job: (candidate words, exact total N); both tiny → driver-safe
     val (cands, total) = words.agg(mg($"w").as("r"))
       .select($"r._1".as("cands"), $"r._2".as("total"))

@@ -859,6 +859,60 @@ object EventStream {
       }
   }
 
+  final case class MgObs(scope: String, word: String)
+
+  final case class MgState(counts: Map[String, Long], total: Long)
+
+  final case class MgRow(scope: String, word: String, mg_count: Long,
+      n_total: Long, max_undercount: Long)
+
+  /** Streaming Misra-Gries heavy-hitter gate — q100's real-stream twin:
+    * the candidate-tracking half of the heavy-hitter pipeline run
+    * directly on the stream, with state = the ≤ k live effective
+    * counters plus the running total (MG state is FULLY characterized
+    * by its effective counts, so a rebuild-from-state micro-batch fold
+    * is algorithm-identical to one long sequential run — which is what
+    * the spec pins). Every arrival runs the ONE shared
+    * [[graft.functions.MisraGries]].reduce (the sprtWalk rule: the
+    * batch sketch and this gate cannot drift), with k =
+    * [[graft.ops.CorpusOps.MgK]]. Emissions per batch: each live
+    * candidate with its MG count, the running N, and the
+    * (N − Σcounters) div (k+1) undercount bound — MG's published
+    * guarantee: every item with true count > N/(k+1) is live, and a
+    * live counter underestimates by at most that bound. The exact
+    * recount (q100's second pass) stays a batch job by design — the
+    * stream names WHO to recount, which is the half that cannot wait.
+    *
+    * Scale: state is ≤ k (word, count) pairs per scope — never the
+    * vocabulary; the per-arrival work is O(1) amortized (the base-bump
+    * trick), and shards of one scope would merge by the Agarwal et al.
+    * mergeable-summary rule the batch aggregator already implements. */
+  def mgGate(obs: Dataset[MgObs],
+             k: Int = graft.ops.CorpusOps.MgK): Dataset[MgRow] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.scope)
+      .flatMapGroupsWithState[MgState, MgRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (scope, rows, state: GroupState[MgState]) =>
+          val st0 = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          val agg = new graft.functions.MisraGries(k)
+          val buf = new graft.functions.MGBuffer(
+            scala.collection.mutable.HashMap(st0.counts.toSeq: _*),
+            scala.collection.mutable.HashMap.empty,
+            0L, st0.counts.size.toLong, st0.total)
+          st0.counts.values.foreach(v =>
+            buf.hist.update(v, buf.hist.getOrElse(v, 0L) + 1L))
+          rows.foreach(o => agg.reduce(buf, o.word))
+          val eff = buf.effective
+          state.update(MgState(eff, buf.total))
+          val slack = (buf.total - eff.values.sum) / (k + 1L)
+          eff.toSeq.sortBy(_._1).map { case (w, c) =>
+            MgRow(scope, w, c, buf.total, slack)
+          }.iterator
+      }
+  }
+
   final case class IvmDelta(ck: Long, cents: Long, op: Long)
 
   final case class IvmState(n: Long, sm: Long, mn: Long, mx: Long,

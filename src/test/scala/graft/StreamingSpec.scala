@@ -854,6 +854,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(firstEmission.getLong(2) == c1.length.toLong)
   }
 
+  test("mgGate: final candidates equal one sequential MG run; q100 hitters all live; bound holds") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the SAME word stream the batch sketch folds, in document order,
+    // driven in three chunks — MG state is its effective counts, so the
+    // chunked fold must equal one sequential run
+    val words = graft.sources.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+      .flatMap(d => Option(d._2).getOrElse("").split(" ", -1))
+    val k = graft.ops.CorpusOps.MgK
+    val mem = MemoryStream[EventStream.MgObs]
+    val q = EventStream.mgGate(mem.toDS())
+      .writeStream.format("memory").queryName("mggate")
+      .outputMode(OutputMode.Update).start()
+    val chunks = words.grouped(math.max(1, words.length / 3 + 1)).toSeq
+    chunks.foreach { c =>
+      mem.addData(c.map(w => EventStream.MgObs("corpus", w)).toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val updates = spark.table("mggate").collect().zipWithIndex
+    val lastN = updates.map(_._1.getLong(3)).max
+    val fin = updates.filter(_._1.getLong(3) == lastN)
+      .map(u => u._1.getString(1) -> u._1).toMap
+    // ONE sequential run through the same shared aggregator
+    val agg = new graft.functions.MisraGries(k)
+    val buf = words.foldLeft(agg.zero)((b, w) => agg.reduce(b, w))
+    val eff = buf.effective
+    assert(lastN == words.length.toLong)
+    assert(fin.keySet == eff.keySet)
+    val slack = (buf.total - eff.values.sum) / (k + 1L)
+    eff.foreach { case (w, c) =>
+      assert(fin(w).getLong(2) == c, w)
+      assert(fin(w).getLong(4) == slack, w)
+    }
+    // the MG guarantee vs the oracle-gated batch frame: every q100 heavy
+    // hitter is live, and its count is within the undercount bound
+    val hitters = SparkEntry.queries("q100_heavy_hitters")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    hitters.foreach { case (w, exact) =>
+      assert(eff.contains(w), s"hitter $w not live")
+      val mg = eff(w)
+      assert(mg <= exact && exact - mg <= slack, s"$w: $mg vs $exact")
+    }
+  }
+
   test("kllGate: emissions replay exactly, the rank-error bound holds per batch, shards merge") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
