@@ -2040,6 +2040,63 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q390's oracle: the mod-200 sample, IEEE-sqrt milli norms, the same
+    * squared-tail entry coin, weighted kept-pair contributions and the
+    * exact co-occurrence truth leg. */
+  private def q390OracleSql: String = {
+    val sg = graft.ops.DedupOps.DimsumSgScaled
+    val fp =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split('ds:' || w || ':' ||
+         |        CAST(doc_id AS VARCHAR) || ':' ||
+         |        CAST(((doc_id % 1000003 + 1000003) % 1000003) *
+         |             ((doc_id % 1000003 + 1000003) % 1000003) AS VARCHAR),
+         |        ''), c -> CAST(ascii(c) AS BIGINT))), $FpByteFold)"""
+        .stripMargin
+    s"""WITH d0 AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dw
+       |  FROM documents
+       |  WHERE doc_id % greatest(1,
+       |    (SELECT count(*) FROM documents) // 200) = 0
+       |    AND len(list_distinct(string_split(text, ' '))) >= 1),
+       |dn AS (SELECT doc_id,
+       |    CAST(floor(sqrt(CAST(len(dw) * 1000000 AS DOUBLE))) AS BIGINT)
+       |      AS nm, dw
+       |  FROM d0),
+       |ent AS MATERIALIZED (SELECT doc_id, nm,
+       |    least(1000000, $sg // nm) AS p, unnest(dw) AS w
+       |  FROM dn),
+       |ek AS MATERIALIZED (SELECT doc_id, nm, p, w,
+       |    ($fp % 1000000) < p AS kept
+       |  FROM ent),
+       |ex AS MATERIALIZED (SELECT a.w, a.doc_id AS d1, b.doc_id AS d2,
+       |    a.nm AS nm1, b.nm AS nm2, a.p AS p1, b.p AS p2,
+       |    a.kept AS kept1, b.kept AS kept2
+       |  FROM ek a JOIN ek b ON a.w = b.w AND a.doc_id < b.doc_id),
+       |exact AS (SELECT d1, d2, nm1, nm2,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM ex GROUP BY d1, d2, nm1, nm2),
+       |est AS (SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_emitted,
+       |    CAST(sum(1000000000000000000 // (p1 * p2)) AS BIGINT) AS dotmic
+       |  FROM ex WHERE kept1 AND kept2 GROUP BY d1, d2),
+       |per AS MATERIALIZED (SELECT coalesce(e.n_emitted, 0) AS n_emitted,
+       |    x.inter * 1000000000000 // (x.nm1 * x.nm2) AS exact_cos,
+       |    coalesce(e.dotmic, 0) * 1000000 // (x.nm1 * x.nm2) AS est_cos
+       |  FROM exact x LEFT JOIN est e ON x.d1 = e.d1 AND x.d2 = e.d2),
+       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(abs(est_cos - exact_cos)) AS BIGINT) AS sa,
+       |    CAST(sum(est_cos - exact_cos) AS BIGINT) AS ss,
+       |    CAST(sum(n_emitted) AS BIGINT) AS em
+       |  FROM per),
+       |xm AS (SELECT CAST(count(*) AS BIGINT) AS xe FROM ex)
+       |SELECT * FROM (
+       |SELECT '1_exact' AS scope, n AS n_pairs,
+       |  (SELECT xe FROM xm) AS emitted_contribs,
+       |  CAST(0 AS BIGINT) AS mae_ppm, CAST(0 AS BIGINT) AS bias_sum_ppm
+       |FROM ag
+       |UNION ALL SELECT '2_dimsum', n, em, sa // n, ss FROM ag)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q389's oracle: the pixel formula replayed (lossless codec rule),
     * the 4-bit histogram, THREE unrolled median-cut rounds under the
     * identical split rule (longest axis, ⌈W/2⌉ cumulative-weight
@@ -4972,6 +5029,7 @@ object SparkEntry {
     "q387_ts_compression" -> EventOps.q387TsCompression _,
     "q388_signflip_test"  -> PipelineOps.q388SignFlipTest _,
     "q389_median_cut"     -> MultimodalOps.q389MedianCut _,
+    "q390_dimsum_cosine"  -> DedupOps.q390DimsumCosine _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10276,6 +10334,7 @@ object SparkEntry {
     "q387_ts_compression" -> q387OracleSql,
     "q388_signflip_test" -> q388OracleSql,
     "q389_median_cut" -> q389OracleSql,
+    "q390_dimsum_cosine" -> q390OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -909,6 +909,102 @@ object DedupOps {
   private[graft] val OphBins = 12
   private[graft] val OphWrapC = 1L << 40
 
+  /** q390's √γ oversampling constant, pre-scaled so that
+    * p_ppm(d) = min(1e6, DimsumSgScaled div normMilli(d)) with
+    * normMilli = ⌊√(|d|·10⁶)⌋ — i.e. √γ = 3: documents with ≤ 9
+    * distinct words are kept unsampled. */
+  private[graft] val DimsumSgScaled = 3000000000L
+
+  /** X372 — DIMSUM sampled all-pairs cosine similarity (Zadeh &
+    * Carlsson 2013 — the algorithm behind Spark MLlib's
+    * `RowMatrix.columnSimilarities(threshold)`): exact all-pairs cosine
+    * over a doc-term matrix emits Σ_w C(df_w, 2) pair contributions —
+    * quadratic in each word's document frequency, and stopwords make
+    * that the whole bill. DIMSUM keeps each (word, doc) entry with
+    * probability p(d) = min(1, √γ/‖d‖) and weights surviving pair
+    * contributions by 1/(p_i·p_j), which is unbiased for the dot
+    * product and caps the per-word emission mass — the published
+    * shuffle-bound magic. Derandomized here (q386's convention, stated
+    * loudly): the coin is the q332-hardened squared-tail fingerprint of
+    * (word, doc), so BOTH engines replay the sample exactly; a
+    * production run swaps the one coin expression for randomness and
+    * keeps the estimator.
+    *
+    * Binary doc-term incidence keeps everything integer: ‖d‖ = √|d| as
+    * normMilli = ⌊√(|d|·10⁶)⌋ (exact int through IEEE sqrt — the
+    * CLAUDE.md sqrt rule), p in ppm, contribution 10¹⁸ div (p₁·p₂)
+    * micro-units (an unclamped entry pair contributes exactly 10⁶ =
+    * one dot unit), cos in ppm via div by normMilli products. The
+    * audit runs on the q213/q385 mod-200 document sample, compares
+    * estimated vs exact cosine over EVERY co-occurring pair, and
+    * reports the emission mass both ways — the claimed shuffle saving
+    * as a number. Measured at sf0.01 (250 docs, 31123 co-occurring
+    * pairs; this corpus's short small-vocabulary docs make cosines
+    * LARGE, so ppm errors read high): the √γ dial was measured at
+    * 2/3/4 → emission saving 5.8×/2.6×/1.5× at MAE
+    * 378k/186k/88k ppm — variance falls as γ grows exactly as the
+    * paper's analysis says; shipped at √γ = 3 (207410 of 541457
+    * contributions emitted).
+    *
+    * Scale: the kept-entry self-join is the algorithm's entire shuffle
+    * and its per-word mass is O(γ²) in expectation regardless of df
+    * (the paper's Theorem 2 — why this scales to 100 TB vocabularies);
+    * the exact leg exists only as the audit's bounded-sample truth and
+    * disappears in production. */
+  def q390DimsumCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val k = docs(s, dir).agg(greatest(lit(1L),
+      expr("count(1) div 200")).as("k"))
+    val base = docs(s, dir).crossJoin(broadcast(k))
+      .selectExpr("doc_id", "array_distinct(split(text, ' ')) AS dw")
+      .where("doc_id % k = 0 AND size(dw) >= 1")
+      .selectExpr("doc_id",
+        "CAST(floor(sqrt(CAST(size(dw) * 1000000L AS DOUBLE))) AS BIGINT)" +
+          " AS nm", "dw")
+      .selectExpr("doc_id", "nm",
+        s"least(1000000L, $DimsumSgScaled div nm) AS p", "explode(dw) AS w")
+      .withColumn("kept", expr(
+        "pmod(graft_fingerprint(concat('ds:', w, ':', CAST(doc_id AS STRING)" +
+          ", ':', CAST(pmod(doc_id, 1000003) * pmod(doc_id, 1000003)" +
+          " AS STRING))), 1000000) < p"))
+      .persist()
+    try {
+      def side(tag: String) = base.select($"w", $"doc_id".as(s"d$tag"),
+        $"nm".as(s"nm$tag"), $"p".as(s"p$tag"), $"kept".as(s"kept$tag"))
+      val ex = side("1").join(side("2"), Seq("w"))
+        .filter($"d1" < $"d2")
+        .persist()
+      try {
+        val exact = ex.groupBy($"d1", $"d2", $"nm1", $"nm2")
+          .agg(count(lit(1)).as("inter"))
+        val est = ex.filter($"kept1" && $"kept2")
+          .groupBy($"d1", $"d2")
+          .agg(count(lit(1)).as("n_emitted"),
+            sum(expr("1000000000000000000L div (p1 * p2)")).as("dotmic"))
+        val per = exact.join(est, Seq("d1", "d2"), "left_outer")
+          .na.fill(0L, Seq("n_emitted", "dotmic"))
+          .selectExpr("n_emitted",
+            "inter * 1000000000000L div (nm1 * nm2) AS exact_cos",
+            "dotmic * 1000000L div (nm1 * nm2) AS est_cos")
+        val ag = per.agg(count(lit(1)).as("n"),
+          sum(abs($"est_cos" - $"exact_cos")).as("sa"),
+          sum($"est_cos" - $"exact_cos").as("ss"),
+          sum($"n_emitted").as("em")).head()
+        val exactEmit = ex.count()
+        val (n, sa, ss, em) = (ag.getLong(0), ag.getLong(1), ag.getLong(2),
+          ag.getLong(3))
+        LocalReport.frame(s, Seq(
+          org.apache.spark.sql.Row("1_exact", n, exactEmit, 0L, 0L),
+          org.apache.spark.sql.Row("2_dimsum", n, em, sa / n, ss)),
+          "scope" -> StringType, "n_pairs" -> LongType,
+          "emitted_contribs" -> LongType, "mae_ppm" -> LongType,
+          "bias_sum_ppm" -> LongType)
+      } finally ex.unpersist(blocking = false)
+    } finally base.unpersist(blocking = false)
+  }
+
   /** X366 — one-permutation MinHash (OPH) + rotation densification,
     * audited against the k-permutation estimator and exact Jaccard
     * (Li, Owen & Zhang 2012; Shrivastava & Li 2014). q34's production

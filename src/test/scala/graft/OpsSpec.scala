@@ -3120,4 +3120,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z.getAs[Long]("n_pixels") == px.length.toLong)
     assert(z.getAs[Long]("sse") == sses.sum * 1000L / px.length)
   }
+
+  test("q390: DIMSUM sample, weights and cosine errors replay; unclamped pairs are exact") {
+    import spark.implicits._
+    val rows = DedupOps.q390DimsumCosine(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val all = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val k = math.max(1L, all.length.toLong / 200L)
+    val docs = all.filter(_._1 % k == 0).map { case (id, t) =>
+      (id, Option(t).getOrElse("").split(" ", -1).distinct.toSeq)
+    }.filter(_._2.nonEmpty).sortBy(_._1)
+    case class D(id: Long, nm: Long, p: Long, kept: Set[String],
+                 words: Set[String])
+    val ds = docs.map { case (id, dw) =>
+      val nm = math.floor(math.sqrt((dw.length * 1000000L).toDouble)).toLong
+      val p = math.min(1000000L, DedupOps.DimsumSgScaled / nm)
+      val sq = ((id % 1000003L) + 1000003L) % 1000003L
+      val kept = dw.filter { w =>
+        val f = Fingerprint.hashString(s"ds:$w:$id:${sq * sq}")
+        ((f % 1000000L) + 1000000L) % 1000000L < p
+      }.toSet
+      D(id, nm, p, kept, dw.toSet)
+    }
+    var (n, sa, ss, em, xe) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- ds.indices; j <- (i + 1) until ds.length) {
+      val (a, b) = (ds(i), ds(j))
+      val inter = (a.words & b.words).size.toLong
+      if (inter > 0L) {
+        n += 1L; xe += inter
+        val shared = (a.kept & b.kept).size.toLong
+        em += shared
+        val dotmic = shared * (1000000000000000000L / (a.p * b.p))
+        val exactCos = inter * 1000000000000L / (a.nm * b.nm)
+        val estCos = dotmic * 1000000L / (a.nm * b.nm)
+        sa += math.abs(estCos - exactCos); ss += estCos - exactCos
+        // a fully unclamped-at-p=1e6 doc pair estimates EXACTLY when
+        // both docs keep everything: contribution is 1e6 per shared word
+        if (a.p == 1000000L && b.p == 1000000L)
+          assert(estCos == exactCos, s"${a.id},${b.id}")
+      }
+    }
+    val dx = rows("1_exact"); val dm = rows("2_dimsum")
+    assert(dx.getAs[Long]("n_pairs") == n && dm.getAs[Long]("n_pairs") == n)
+    assert(dx.getAs[Long]("emitted_contribs") == xe)
+    assert(dm.getAs[Long]("emitted_contribs") == em)
+    assert(dm.getAs[Long]("mae_ppm") == sa / n)
+    assert(dm.getAs[Long]("bias_sum_ppm") == ss)
+    // the sampling must actually save emission mass on this corpus
+    assert(em < xe)
+  }
 }

@@ -782,6 +782,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q390_dimsum_cosine" -> 0, // collect-local 2-row report; the
+                             // word-keyed pair self-join (the algorithm's
+                             // only shuffle) + both pair aggs run inside
+                             // the builder over the bounded sample
     "q389_median_cut" -> 0,  // collect-local 9-row report; render
                              // mapPartitions + ONE <=4096-cell histogram
                              // fold + ONE 8-key assignment agg inside
