@@ -2040,6 +2040,77 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q391's oracle: the q213 shingle text over the mod-200 pool, eight
+    * unrolled greedy rounds (NOT EXISTS against the picked docs and
+    * their covered grams, argmax with the doc_id tie), and both
+    * baselines re-selected independently. */
+  private def q391OracleSql: String = {
+    val kk = graft.ops.CorpusOps.CoverK
+    val rounds = (1 to kk).map { k =>
+      s"""g$k AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS gain
+         |  FROM ent e
+         |  WHERE NOT EXISTS (SELECT 1 FROM p${k - 1} p WHERE p.d = e.doc_id)
+         |    AND NOT EXISTS (SELECT 1 FROM ent e2 JOIN p${k - 1} p
+         |      ON e2.doc_id = p.d WHERE e2.g = e.g)
+         |  GROUP BY e.doc_id),
+         |s$k AS (SELECT doc_id AS d, gain, $k AS rnd FROM g$k
+         |  ORDER BY gain DESC, doc_id LIMIT 1),
+         |p$k AS MATERIALIZED (SELECT d FROM p${k - 1}
+         |  UNION ALL SELECT d FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val sList = (1 to kk).map(k => s"SELECT * FROM s$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH docs0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3
+       |    AND doc_id % greatest(1,
+       |      (SELECT count(*) FROM documents) // 200) = 0),
+       |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+       |  FROM docs0),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(shingles,
+       |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(s, ''), c -> CAST(ascii(c)
+       |        AS BIGINT))), $FpByteFold))) AS h
+       |  FROM sh),
+       |ent AS MATERIALIZED (SELECT doc_id, unnest(h) AS g FROM hs),
+       |p0 AS (SELECT CAST(NULL AS BIGINT) AS d WHERE 1 = 0),
+       |$rounds,
+       |gr AS MATERIALIZED ($sList),
+       |uni AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS u FROM ent),
+       |gcov AS (SELECT CAST(count(DISTINCT e.g) AS BIGINT) AS c
+       |  FROM ent e JOIN p$kk p ON e.doc_id = p.d),
+       |siz AS MATERIALIZED (SELECT e.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split('cov:' ||
+       |        CAST(e.doc_id AS VARCHAR) || ':' ||
+       |        CAST(((e.doc_id % 1000003 + 1000003) % 1000003) *
+       |             ((e.doc_id % 1000003 + 1000003) % 1000003) AS VARCHAR),
+       |        ''), c -> CAST(ascii(c) AS BIGINT))), $FpByteFold) AS sk
+       |  FROM ent e GROUP BY e.doc_id),
+       |rnd8 AS (SELECT doc_id FROM siz ORDER BY sk, doc_id LIMIT $kk),
+       |lng8 AS (SELECT doc_id FROM siz ORDER BY n DESC, doc_id LIMIT $kk),
+       |rcov AS (SELECT CAST(count(DISTINCT e.g) AS BIGINT) AS c
+       |  FROM ent e JOIN rnd8 r ON e.doc_id = r.doc_id),
+       |lcov AS (SELECT CAST(count(DISTINCT e.g) AS BIGINT) AS c
+       |  FROM ent e JOIN lng8 l ON e.doc_id = l.doc_id)
+       |SELECT * FROM (
+       |SELECT 'g' || CAST(rnd AS VARCHAR) AS scope, d AS doc_id, gain,
+       |  CAST(sum(gain) OVER (ORDER BY rnd) AS BIGINT) AS covered,
+       |  CAST(sum(gain) OVER (ORDER BY rnd) AS BIGINT) * 1000000
+       |    // (SELECT u FROM uni) AS covered_ppm
+       |FROM gr
+       |UNION ALL SELECT 'z_greedy', 0, 0, (SELECT c FROM gcov),
+       |  (SELECT c FROM gcov) * 1000000 // (SELECT u FROM uni)
+       |UNION ALL SELECT 'z_longest', 0, 0, (SELECT c FROM lcov),
+       |  (SELECT c FROM lcov) * 1000000 // (SELECT u FROM uni)
+       |UNION ALL SELECT 'z_random', 0, 0, (SELECT c FROM rcov),
+       |  (SELECT c FROM rcov) * 1000000 // (SELECT u FROM uni)
+       |UNION ALL SELECT 'z_universe', 0, 0, (SELECT u FROM uni), 1000000)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q390's oracle: the mod-200 sample, IEEE-sqrt milli norms, the same
     * squared-tail entry coin, weighted kept-pair contributions and the
     * exact co-occurrence truth leg. */
@@ -5030,6 +5101,7 @@ object SparkEntry {
     "q388_signflip_test"  -> PipelineOps.q388SignFlipTest _,
     "q389_median_cut"     -> MultimodalOps.q389MedianCut _,
     "q390_dimsum_cosine"  -> DedupOps.q390DimsumCosine _,
+    "q391_coverage_select" -> CorpusOps.q391CoverageSelect _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10335,6 +10407,7 @@ object SparkEntry {
     "q388_signflip_test" -> q388OracleSql,
     "q389_median_cut" -> q389OracleSql,
     "q390_dimsum_cosine" -> q390OracleSql,
+    "q391_coverage_select" -> q391OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -657,4 +657,57 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       batches.map(g => g.max * g.length).sum)
     assert(srt.getAs[Long]("real_tokens") == toks.sum)
   }
+
+  test("q391: greedy coverage replays exactly; gains non-increasing; greedy beats baselines") {
+    import spark.implicits._
+    val ops = graft.ops.CorpusOps
+    val rows = ops.q391CoverageSelect(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // full replay: pool, gram sets, 8 greedy rounds, both baselines
+    val all = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val k = math.max(1L, all.length.toLong / 200L)
+    val pool = all.map { case (id, t) =>
+      (id, Option(t).getOrElse("").split(" ", -1))
+    }.filter(d => d._2.length >= 3 && d._1 % k == 0).map { case (id, ws) =>
+      id -> (0 until ws.length - 2).map(i =>
+        graft.functions.Fingerprint.hashString(
+          s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")).toSet
+    }.sortBy(_._1)
+    val universe = pool.flatMap(_._2).toSet.size.toLong
+    var covered = Set.empty[Long]
+    var picked = Set.empty[Long]
+    val gains = (1 to ops.CoverK).map { i =>
+      val (d, g) = pool.filter(p => !picked.contains(p._1))
+        .map(p => (p._1, (p._2 diff covered).size.toLong))
+        .minBy { case (id, gn) => (-gn, id) }
+      picked += d; covered ++= pool.find(_._1 == d).get._2
+      val r = rows(s"g$i")
+      assert(r.getAs[Long]("doc_id") == d, s"round $i pick")
+      assert(r.getAs[Long]("gain") == g, s"round $i gain")
+      g
+    }
+    // submodularity's signature: greedy marginal gains are non-increasing
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b })
+    assert(rows("z_greedy").getAs[Long]("covered") == covered.size.toLong)
+    assert(rows("z_greedy").getAs[Long]("covered") == gains.sum)
+    assert(rows("z_universe").getAs[Long]("covered") == universe)
+    // baselines replayed + the selection claim: greedy >= both
+    def covOf(ids: Seq[Long]): Long =
+      pool.filter(p => ids.contains(p._1)).flatMap(_._2).toSet.size.toLong
+    val sized = pool.map { case (id, g0) =>
+      val sq = ((id % 1000003L) + 1000003L) % 1000003L
+      (id, g0.size.toLong,
+        graft.functions.Fingerprint.hashString(s"cov:$id:${sq * sq}"))
+    }
+    // pool gram multiset sizes: entries are DISTINCT per doc, so n = |set|
+    val rand = sized.sortBy(d => (d._3, d._1)).take(ops.CoverK).map(_._1)
+    val long0 = sized.sortBy(d => (-d._2, d._1)).take(ops.CoverK).map(_._1)
+    assert(rows("z_random").getAs[Long]("covered") == covOf(rand))
+    assert(rows("z_longest").getAs[Long]("covered") == covOf(long0))
+    assert(rows("z_greedy").getAs[Long]("covered") >=
+      rows("z_longest").getAs[Long]("covered"))
+    assert(rows("z_greedy").getAs[Long]("covered") >=
+      rows("z_random").getAs[Long]("covered"))
+  }
 }

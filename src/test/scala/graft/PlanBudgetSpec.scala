@@ -782,6 +782,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q391_coverage_select" -> 0, // collect-local 12-row report; per
+                             // greedy round ONE anti-join + per-doc
+                             // count inside the builder, covered set
+                             // localCheckpointed per round
     "q390_dimsum_cosine" -> 0, // collect-local 2-row report; the
                              // word-keyed pair self-join (the algorithm's
                              // only shuffle) + both pair aggs run inside
