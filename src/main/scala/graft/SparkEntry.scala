@@ -2040,6 +2040,70 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q392's oracle: the same squared-tail 4-way split, exact median
+    * slope via a middle-element order statistic, the ⌈(n+1)·0.9⌉-th
+    * smallest calibration score for both legs (plant via
+    * generate_series) and the test coverage folds. */
+  private def q392OracleSql: String = {
+    val pn = graft.ops.PipelineOps.ConfPlantN
+    val fp =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split('cp:' || CAST(doc_id AS VARCHAR) ||
+         |        ':' || CAST(((doc_id % 1000003 + 1000003) % 1000003) *
+         |             ((doc_id % 1000003 + 1000003) % 1000003) AS VARCHAR),
+         |        ''), c -> CAST(ascii(c) AS BIGINT))), $FpByteFold)"""
+        .stripMargin
+    s"""WITH b AS MATERIALIZED (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+       |    CAST(length(coalesce(text, '')) AS BIGINT) AS y,
+       |    ($fp) % 4 AS sp
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+       |tr AS (SELECT y * 1000 // x AS ratio, doc_id FROM b WHERE sp <= 1),
+       |trn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+       |sl AS MATERIALIZED (SELECT CAST(ratio AS BIGINT) AS slope FROM (
+       |    SELECT ratio, row_number() OVER (ORDER BY ratio, doc_id) AS rn
+       |    FROM tr)
+       |  WHERE rn = ((SELECT n FROM trn) + 1) // 2),
+       |cal AS MATERIALIZED (SELECT b.doc_id,
+       |    abs(b.y - (b.x * sl.slope) // 1000) AS sc
+       |  FROM b CROSS JOIN sl WHERE b.sp = 2),
+       |pl AS (SELECT CAST(-t.i - 1 AS BIGINT) AS doc_id,
+       |    abs(1000000 - (10 * sl.slope) // 1000) AS sc
+       |  FROM generate_series(0, ${pn - 1}) t(i) CROSS JOIN sl),
+       |calp AS MATERIALIZED (SELECT * FROM cal UNION ALL SELECT * FROM pl),
+       |qc AS (SELECT CAST(sc AS BIGINT) AS q,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM cal) AS n FROM (
+       |    SELECT sc, row_number() OVER (ORDER BY sc, doc_id) AS rn FROM cal)
+       |  WHERE rn = (9 * ((SELECT count(*) FROM cal) + 1) + 9) // 10),
+       |qp AS (SELECT CAST(sc AS BIGINT) AS q,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM calp) AS n FROM (
+       |    SELECT sc, row_number() OVER (ORDER BY sc, doc_id) AS rn FROM calp)
+       |  WHERE rn = (9 * ((SELECT count(*) FROM calp) + 1) + 9) // 10),
+       |te AS MATERIALIZED (SELECT abs(b.y - (b.x * sl.slope) // 1000) AS sc
+       |  FROM b CROSS JOIN sl WHERE b.sp = 3),
+       |cov AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN te.sc <= (SELECT q FROM qc) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cc,
+       |    CAST(sum(CASE WHEN te.sc <= (SELECT q FROM qp) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cp
+       |  FROM te)
+       |SELECT * FROM (
+       |SELECT '0_model' AS scope, (SELECT n FROM trn) AS n,
+       |  (SELECT slope FROM sl) AS slope_milli, CAST(0 AS BIGINT) AS qhat,
+       |  CAST(0 AS BIGINT) AS covered, CAST(0 AS BIGINT) AS coverage_ppm
+       |UNION ALL SELECT '1_clean_cal', (SELECT n FROM qc),
+       |  (SELECT slope FROM sl), (SELECT q FROM qc), 0, 0
+       |UNION ALL SELECT '2_clean_test', (SELECT n FROM cov),
+       |  (SELECT slope FROM sl), (SELECT q FROM qc), (SELECT cc FROM cov),
+       |  (SELECT cc FROM cov) * 1000000 // (SELECT n FROM cov)
+       |UNION ALL SELECT '3_polluted_cal', (SELECT n FROM qp),
+       |  (SELECT slope FROM sl), (SELECT q FROM qp), 0, 0
+       |UNION ALL SELECT '4_polluted_test', (SELECT n FROM cov),
+       |  (SELECT slope FROM sl), (SELECT q FROM qp), (SELECT cp FROM cov),
+       |  (SELECT cp FROM cov) * 1000000 // (SELECT n FROM cov))
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q391's oracle: the q213 shingle text over the mod-200 pool, eight
     * unrolled greedy rounds (NOT EXISTS against the picked docs and
     * their covered grams, argmax with the doc_id tie), and both
@@ -5102,6 +5166,7 @@ object SparkEntry {
     "q389_median_cut"     -> MultimodalOps.q389MedianCut _,
     "q390_dimsum_cosine"  -> DedupOps.q390DimsumCosine _,
     "q391_coverage_select" -> CorpusOps.q391CoverageSelect _,
+    "q392_conformal"      -> PipelineOps.q392ConformalIntervals _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10408,6 +10473,7 @@ object SparkEntry {
     "q389_median_cut" -> q389OracleSql,
     "q390_dimsum_cosine" -> q390OracleSql,
     "q391_coverage_select" -> q391OracleSql,
+    "q392_conformal" -> q392OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

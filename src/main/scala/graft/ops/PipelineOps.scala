@@ -4543,6 +4543,108 @@ object PipelineOps {
       "n_extreme" -> LongType, "n_total" -> LongType, "p_ppm" -> LongType)
   }
 
+  /** q392's miscoverage rate α = 10% and the calibration-pollution
+    * plant: 40 synthetic rows whose residuals dwarf every real one —
+    * the heavy-tail stressor for the guarantee-vs-width lesson. */
+  private[graft] val ConfAlphaPct = 10L
+  private[graft] val ConfPlantN = 40
+
+  /** X374 — split-conformal prediction intervals (Vovk's conformal
+    * prediction, the split/inductive form of Papadopoulos et al. 2002;
+    * Lei et al. 2018's recipe): the uncertainty lane can quantify
+    * (bootstrap q344), test (q388) and sequence (q363) — conformal adds
+    * the DISTRIBUTION-FREE finite-sample interval: fit anything on a
+    * train split, score absolute residuals on a held-out calibration
+    * split, take q̂ = the ⌈(n+1)(1−α)⌉-th smallest score, and
+    * [ŷ ± q̂] covers a fresh exchangeable point with probability
+    * ≥ 1−α — no normality, no asymptotics, the model can even be bad
+    * (the guarantee degrades the WIDTH, never the coverage).
+    *
+    * Concrete task: predict a document's n_chars from its n_words with
+    * the train split's exact median chars-per-word (milli — one
+    * GlobalOrder middle-element pass, the robust 1-parameter model);
+    * splits are pmod(fp(squared-tail doc key), 4): {0,1} train, 2
+    * calibration, 3 test. Two legs: CLEAN, and POLLUTED — the
+    * calibration set plus [[ConfPlantN]] synthetic heavy-tail rows
+    * (y = 10⁶ at x = 10, residuals dwarfing every real score). The
+    * lesson the report makes measurable, at sf0.01: the clean leg's
+    * q̂ = 15 chars with realized test coverage 875000 ppm — the
+    * guarantee is MARGINAL (E[coverage] ≥ 1−α over exchangeable
+    * draws), and 105/120 sits within one binomial σ of 90%, stated
+    * precisely rather than rounded up; the polluted leg's 40 plants
+    * are ≥ 10% of the calibration mass, so the 90th-percentile score
+    * lands INSIDE the plant block and q̂ explodes 15 → 999945 while
+    * coverage rises to 10⁶ ppm — outliers in calibration cost WIDTH
+    * (66000×), never coverage. That asymmetry is the method.
+    *
+    * Integer discipline: exact order statistics for both the median
+    * and the conformal quantile (rank = ⌈(n+1)(1−α)⌉ via the
+    * (9(n+1)+9) div 10 ceiling), residuals exact int64, coverage ppm.
+    *
+    * Scale: THREE GlobalOrder range passes (train median, two
+    * calibration quantiles) over the persisted base frame (the
+    * persist-once rule for multi-pass consumers), one test-split
+    * coverage fold per leg; the report is 5 rows. At 100 TB the
+    * calibration quantile is the only global-order pass on the hot
+    * path, and it ranks the CALIBRATION split only. */
+  def q392ConformalIntervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val base = docs(s, dir)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS x",
+        "CAST(length(coalesce(text, '')) AS BIGINT) AS y")
+      .where("x >= 1")
+      .withColumn("sp", expr(
+        "pmod(graft_fingerprint(concat('cp:', CAST(doc_id AS STRING), ':'," +
+          " CAST(pmod(doc_id, 1000003) * pmod(doc_id, 1000003)" +
+          " AS STRING))), 4)"))
+      .persist()
+    try {
+      base.count() // materialize once for the three rank passes
+      val train = base.filter($"sp" <= 1L)
+        .selectExpr("doc_id", "y * 1000L div x AS ratio")
+      val (trRanked, nTrain) = graft.operators.GlobalOrder
+        .withRowNumberAndTotal(train, Seq($"ratio", $"doc_id"), "rn")
+      val slope = trRanked.filter($"rn" === (nTrain + 1L) / 2L)
+        .select($"ratio").head().getLong(0)
+      def scoresOf(df: DataFrame) = df
+        .selectExpr("doc_id", s"abs(y - x * ${slope}L div 1000L) AS sc")
+      val calScores = scoresOf(base.filter($"sp" === 2L))
+      val plant = s.range(0, ConfPlantN.toLong, 1, 1).selectExpr(
+        "-id - 1 AS doc_id", "CAST(10 AS BIGINT) AS x",
+        "CAST(1000000 AS BIGINT) AS y")
+      def qhatOf(scores: DataFrame): (Long, Long, Long) = {
+        val (ranked, n) = graft.operators.GlobalOrder
+          .withRowNumberAndTotal(scores, Seq($"sc", $"doc_id"), "rn")
+        val k = (9L * (n + 1L) + 9L) / 10L
+        require(k <= n, s"q392: calibration too small for alpha (k=$k n=$n)")
+        (ranked.filter($"rn" === k).select($"sc").head().getLong(0), n, k)
+      }
+      val (qC, nC, _) = qhatOf(calScores)
+      val (qP, nP, _) = qhatOf(scoresOf(plant).unionByName(calScores))
+      val test = scoresOf(base.filter($"sp" === 3L))
+      def cover(q: Long): (Long, Long) = {
+        val r = test.agg(count(lit(1)).as("n"),
+          sum(when($"sc" <= q, 1L).otherwise(0L)).as("c")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (nT, cC) = cover(qC)
+      val (_, cP) = cover(qP)
+      LocalReport.frame(s, Seq(
+        org.apache.spark.sql.Row("0_model", nTrain, slope, 0L, 0L, 0L),
+        org.apache.spark.sql.Row("1_clean_cal", nC, slope, qC, 0L, 0L),
+        org.apache.spark.sql.Row("2_clean_test", nT, slope, qC, cC,
+          cC * 1000000L / nT),
+        org.apache.spark.sql.Row("3_polluted_cal", nP, slope, qP, 0L, 0L),
+        org.apache.spark.sql.Row("4_polluted_test", nT, slope, qP, cP,
+          cP * 1000000L / nT)),
+        "scope" -> StringType, "n" -> LongType, "slope_milli" -> LongType,
+        "qhat" -> LongType, "covered" -> LongType,
+        "coverage_ppm" -> LongType)
+    } finally base.unpersist(blocking = false)
+  }
+
   /** q363's SPRT constants, computed ONCE (the EpochDecayPpm
     * discipline) and inlined into the generated oracle: testing
     * p0 = 30% vs p1 = 36% conversion at α = β = 5%, the per-trial

@@ -2194,4 +2194,52 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r4.getAs[Long]("n_extreme") == e4)
     assert(r4.getAs[Long]("p_ppm") == (e4 + 1L) * 1000000L / (reps + 1L))
   }
+
+  test("q392: conformal — splits, median slope, quantiles and coverage replay; width explodes, coverage holds") {
+    import spark.implicits._
+    val rows = PipelineOps.q392ConformalIntervals(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val all = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val txt = Option(t).getOrElse("")
+        (id, txt.split(" ", -1).length.toLong, txt.length.toLong)
+      }.filter(_._2 >= 1L)
+      .map { case (id, x, y) =>
+        val sq = ((id % 1000003L) + 1000003L) % 1000003L
+        (id, x, y,
+          graft.functions.Fingerprint.hashString(s"cp:$id:${sq * sq}") % 4L)
+      }
+    val train = all.filter(_._4 <= 1L)
+      .map(d => (d._3 * 1000L / d._2, d._1)).sortBy(identity)
+    val slope = train((train.length + 1) / 2 - 1)._1
+    assert(rows("0_model").getAs[Long]("slope_milli") == slope)
+    assert(rows("0_model").getAs[Long]("n") == train.length.toLong)
+    def sc(x: Long, y: Long): Long = math.abs(y - x * slope / 1000L)
+    def qhat(scores: Seq[(Long, Long)]): Long = {
+      val srt = scores.sortBy(identity)
+      val k = (9L * (srt.length + 1L) + 9L) / 10L
+      srt(k.toInt - 1)._1
+    }
+    val cal = all.filter(_._4 == 2L).map(d => (sc(d._2, d._3), d._1))
+    val plant = (0 until PipelineOps.ConfPlantN).map(i =>
+      (sc(10L, 1000000L), -i - 1L))
+    val (qC, qP) = (qhat(cal), qhat(plant ++ cal))
+    assert(rows("1_clean_cal").getAs[Long]("qhat") == qC)
+    assert(rows("3_polluted_cal").getAs[Long]("qhat") == qP)
+    val test = all.filter(_._4 == 3L).map(d => sc(d._2, d._3))
+    def cov(q: Long) = test.count(_ <= q).toLong
+    val t2 = rows("2_clean_test"); val t4 = rows("4_polluted_test")
+    assert(t2.getAs[Long]("n") == test.length.toLong)
+    assert(t2.getAs[Long]("covered") == cov(qC))
+    assert(t2.getAs[Long]("coverage_ppm") == cov(qC) * 1000000L / test.length)
+    assert(t4.getAs[Long]("covered") == cov(qP))
+    // the conformal asymmetry: pollution can only widen the interval
+    // (q monotone in added mass above the quantile), so polluted
+    // coverage >= clean coverage, and the clean leg sits in the
+    // guarantee's binomial band around 1-alpha
+    assert(qP >= qC)
+    assert(t4.getAs[Long]("coverage_ppm") >= t2.getAs[Long]("coverage_ppm"))
+    assert(t2.getAs[Long]("coverage_ppm") >= 800000L)
+  }
 }

@@ -782,6 +782,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q392_conformal" -> 0,   // collect-local 5-row report; three
+                             // GlobalOrder rank passes over the
+                             // persisted base + two coverage folds
+                             // inside the builder
     "q391_coverage_select" -> 0, // collect-local 12-row report; per
                              // greedy round ONE anti-join + per-doc
                              // count inside the builder, covered set
