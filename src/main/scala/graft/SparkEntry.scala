@@ -2040,6 +2040,75 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q393's oracle: the q279 square-high position hash, counter build
+    * and delete subtraction as sum folds, per-key min-counter probes on
+    * all four legs, and the overflow/max-counter filter row. */
+  private def q393OracleSql: String = {
+    val m = 16384L
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''),
+         |    c -> CAST(ascii(c) AS BIGINT))), $FpByteFold)""".stripMargin
+    s"""WITH keys AS MATERIALIZED (SELECT DISTINCT CAST(c_custkey AS BIGINT)
+       |    AS key FROM customer WHERE c_custkey % 5 = 0),
+       |del AS MATERIALIZED (SELECT key FROM keys WHERE key % 7 = 3),
+       |pos AS MATERIALIZED (SELECT k.key, t.j,
+       |    (${fp("CAST(k.key AS VARCHAR) || ':' || CAST(t.j AS VARCHAR)")}
+       |     * ${fp("CAST(k.key AS VARCHAR) || ':' || CAST(t.j AS VARCHAR)")}
+       |     // 65536) % $m AS h
+       |  FROM keys k CROSS JOIN generate_series(0, 2) t(j)),
+       |apos AS MATERIALIZED (SELECT k.key + 10000000 AS key, t.j,
+       |    (${fp("CAST(k.key + 10000000 AS VARCHAR) || ':' || " +
+                  "CAST(t.j AS VARCHAR)")}
+       |     * ${fp("CAST(k.key + 10000000 AS VARCHAR) || ':' || " +
+                  "CAST(t.j AS VARCHAR)")}
+       |     // 65536) % $m AS h
+       |  FROM keys k CROSS JOIN generate_series(0, 2) t(j)),
+       |cells AS MATERIALIZED (SELECT h, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pos GROUP BY h),
+       |after AS MATERIALIZED (SELECT c.h,
+       |    c.cnt - coalesce(d.dcnt, 0) AS cnt
+       |  FROM cells c LEFT JOIN (SELECT h, CAST(count(*) AS BIGINT) AS dcnt
+       |    FROM pos JOIN del USING (key) GROUP BY h) d ON c.h = d.h
+       |  WHERE c.cnt - coalesce(d.dcnt, 0) > 0),
+       |pb AS (SELECT p.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS mc
+       |  FROM pos p LEFT JOIN cells c ON p.h = c.h GROUP BY p.key),
+       |pa AS MATERIALIZED (SELECT p.key,
+       |    CAST(min(coalesce(a.cnt, 0)) AS BIGINT) AS mc
+       |  FROM pos p LEFT JOIN after a ON p.h = a.h GROUP BY p.key),
+       |ab AS (SELECT p.key, CAST(min(coalesce(a.cnt, 0)) AS BIGINT) AS mc
+       |  FROM apos p LEFT JOIN after a ON p.h = a.h GROUP BY p.key),
+       |l1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN mc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS h
+       |  FROM pb),
+       |l2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN mc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS h
+       |  FROM pa WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.key = pa.key)),
+       |l3 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN mc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS h
+       |  FROM pa WHERE EXISTS (SELECT 1 FROM del WHERE del.key = pa.key)),
+       |l4 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN mc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS h
+       |  FROM ab),
+       |fr AS (SELECT CAST(max(cnt) AS BIGINT) AS mx,
+       |    CAST(sum(CASE WHEN cnt >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS ov
+       |  FROM cells)
+       |SELECT * FROM (
+       |SELECT '0_filter' AS scope,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM del) AS hits,
+       |  (SELECT ov FROM fr) AS rate_ppm, (SELECT mx FROM fr) AS aux
+       |UNION ALL SELECT '1_present_before', n, h,
+       |  CASE WHEN n = 0 THEN 0 ELSE h * 1000000 // n END, 0 FROM l1
+       |UNION ALL SELECT '2_survivors_after', n, h,
+       |  CASE WHEN n = 0 THEN 0 ELSE h * 1000000 // n END, 0 FROM l2
+       |UNION ALL SELECT '3_deleted_after', n, h,
+       |  CASE WHEN n = 0 THEN 0 ELSE h * 1000000 // n END, 0 FROM l3
+       |UNION ALL SELECT '4_absent_after', n, h,
+       |  CASE WHEN n = 0 THEN 0 ELSE h * 1000000 // n END, 0 FROM l4)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q392's oracle: the same squared-tail 4-way split, exact median
     * slope via a middle-element order statistic, the ⌈(n+1)·0.9⌉-th
     * smallest calibration score for both legs (plant via
@@ -5167,6 +5236,7 @@ object SparkEntry {
     "q390_dimsum_cosine"  -> DedupOps.q390DimsumCosine _,
     "q391_coverage_select" -> CorpusOps.q391CoverageSelect _,
     "q392_conformal"      -> PipelineOps.q392ConformalIntervals _,
+    "q393_counting_bloom" -> PipelineOps.q393CountingBloom _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10474,6 +10544,7 @@ object SparkEntry {
     "q390_dimsum_cosine" -> q390OracleSql,
     "q391_coverage_select" -> q391OracleSql,
     "q392_conformal" -> q392OracleSql,
+    "q393_counting_bloom" -> q393OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -1350,6 +1350,98 @@ object PipelineOps {
     * by ONE combinable bit_or aggregate over key-expanded positions; the
     * probe pass joins 4 positions/probe against the tiny filter frame;
     * everything else is |k|-sized. */
+  /** X375 — counting Bloom filter: membership WITH DELETION (Fan et al.
+    * 2000's Summary Cache structure — the deletable sibling of q279's
+    * bit Bloom, and the membership-lane member of the retraction theme
+    * q380/retractGate opened): each of the k = 3 positions holds a
+    * COUNTER; insert = +1, delete = −1, membership = all counters > 0.
+    * Everything is a combinable sum fold — insertion counters, the
+    * delete subtraction, probe verdicts — so the filter builds in ONE
+    * pass, merges by addition (the sketch lane's X252/X283 algebra) and
+    * deletes without rebuild, which a bit Bloom cannot.
+    *
+    * Positions reuse q279's measured square-high finalizer (the raw
+    * rolling hash is affine across prefix-related families — q279
+    * measured 4× theory before the fix). Audit legs, each exact: (1)
+    * every inserted key found pre-delete and (2) every SURVIVOR found
+    * post-delete — counting Blooms have NO false negatives, both rates
+    * pinned at 10⁶ by spec and oracle; (3) deleted keys re-probed —
+    * hits are pure position-collision residue, measured; (4) absent
+    * probes (+10⁷ shifts) — the FPP, measured; plus the filter row
+    * with the max counter (the published 4-bit-counter design needs
+    * P[counter ≥ 16] ≈ 0, so the ≥16 overflow count is reported and
+    * expected 0). Measured at sf0.01 (300 keys, m = 16384): zero false
+    * negatives both legs, deleted-residual 0 ppm, absent FPP 0 ppm
+    * (kn/m = 0.055 — far under load), max counter 2.
+    *
+    * Scale: the counter frame is ≤ m rows of mergeable state; probes
+    * are one join against it; at 100 TB the filter IS the shard
+    * metadata (q316's role) with deletes riding the same delta stream
+    * the IVM lane already processes. */
+  def q393CountingBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val m = 16384L
+    val keys = Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("key"))
+      .filter($"key" % 5L === 0L).distinct().persist()
+    try {
+      def positions(df: DataFrame) = df
+        .select($"key", explode(array(lit(0), lit(1), lit(2))).as("j"))
+        .withColumn("fp0", expr(
+          "graft_fingerprint(concat(CAST(key AS STRING), ':', CAST(j AS STRING)))"))
+        .withColumn("h", expr(s"pmod(fp0 * fp0 div 65536, $m)"))
+        .select($"key", $"h")
+      val del = keys.filter($"key" % 7L === 3L)
+      val cells = positions(keys).groupBy($"h")
+        .agg(count(lit(1)).as("cnt")).persist()
+      try {
+        val dcells = positions(del).groupBy($"h")
+          .agg(count(lit(1)).as("dcnt"))
+        val after = cells.join(dcells, Seq("h"), "left_outer")
+          .na.fill(0L, Seq("dcnt"))
+          .select($"h", ($"cnt" - $"dcnt").as("cnt"))
+          .filter($"cnt" > 0L).persist()
+        try {
+          def probe(df: DataFrame, filt: DataFrame): (Long, Long) = {
+            val r = positions(df)
+              .join(filt.withColumnRenamed("cnt", "c"), Seq("h"), "left_outer")
+              .na.fill(0L, Seq("c"))
+              .groupBy($"key").agg(min($"c").as("mc"))
+              .agg(count(lit(1)).as("n"),
+                sum(when($"mc" > 0L, 1L).otherwise(0L)).as("hits")).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          val surv = keys.join(del, Seq("key"), "left_anti")
+          val absent = keys.select(($"key" + 10000000L).as("key"))
+          val (n1, h1) = probe(keys, cells)
+          val (n2, h2) = probe(surv, after)
+          val (n3, h3) = probe(del, after)
+          val (n4, h4) = probe(absent, after)
+          val fr = cells.agg(max($"cnt").as("mx"),
+            sum(when($"cnt" >= 16L, 1L).otherwise(0L)).as("ov")).head()
+          val nk = keys.count(); val nd = del.count()
+          def row(tag: String, n: Long, h: Long, mx: Long) =
+            org.apache.spark.sql.Row(tag, n, h,
+              if (n == 0L) 0L else h * 1000000L / n, mx)
+          // 0_filter row: n = inserted keys, hits = deleted keys,
+          // rate_ppm = counters >= 16 (the 4-bit overflow count),
+          // aux = max counter
+          LocalReport.frame(s, Seq(
+            org.apache.spark.sql.Row("0_filter", nk, nd, fr.getLong(1),
+              fr.getLong(0)),
+            row("1_present_before", n1, h1, 0L),
+            row("2_survivors_after", n2, h2, 0L),
+            row("3_deleted_after", n3, h3, 0L),
+            row("4_absent_after", n4, h4, 0L)),
+            "scope" -> StringType, "n" -> LongType, "hits" -> LongType,
+            "rate_ppm" -> LongType, "aux" -> LongType)
+        } finally after.unpersist(blocking = false)
+      } finally cells.unpersist(blocking = false)
+    } finally keys.unpersist(blocking = false)
+  }
+
   def q279BloomCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Fingerprint.register(s)

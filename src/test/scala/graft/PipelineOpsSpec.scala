@@ -2242,4 +2242,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t4.getAs[Long]("coverage_ppm") >= t2.getAs[Long]("coverage_ppm"))
     assert(t2.getAs[Long]("coverage_ppm") >= 800000L)
   }
+
+  test("q393: counting Bloom — no false negatives before or after delete; full replay") {
+    import spark.implicits._
+    val rows = PipelineOps.q393CountingBloom(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // THE theorem of the structure: membership never false-negative on
+    // live keys, before and after deletion
+    assert(rows("1_present_before").getAs[Long]("rate_ppm") == 1000000L)
+    assert(rows("2_survivors_after").getAs[Long]("rate_ppm") == 1000000L)
+    // full replay: positions, counters, delete subtraction, all probes
+    val m = 16384L
+    val keys = graft.sources.Tables.load(spark, sf, "customer")
+      .select($"c_custkey".cast("long")).as[Long].collect()
+      .filter(_ % 5L == 0L).distinct.sorted
+    val del = keys.filter(_ % 7L == 3L).toSet
+    def pos(key: Long): Seq[Long] = (0 until 3).map { j =>
+      val f = graft.functions.Fingerprint.hashString(s"$key:$j")
+      (f * f / 65536L) % m
+    }
+    val cells = keys.flatMap(pos).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val after = del.toSeq.flatMap(pos).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap.foldLeft(cells) {
+        case (c, (h, d)) => c.updated(h, c(h) - d)
+      }
+    def hit(key: Long, f: Map[Long, Long]): Boolean =
+      pos(key).forall(h => f.getOrElse(h, 0L) > 0L)
+    val surv = keys.filterNot(del)
+    assert(rows("0_filter").getAs[Long]("n") == keys.length.toLong)
+    assert(rows("0_filter").getAs[Long]("hits") == del.size.toLong)
+    assert(rows("0_filter").getAs[Long]("aux") == cells.values.max)
+    assert(rows("0_filter").getAs[Long]("rate_ppm") ==
+      cells.values.count(_ >= 16L).toLong)
+    assert(rows("2_survivors_after").getAs[Long]("n") == surv.length.toLong)
+    assert(rows("2_survivors_after").getAs[Long]("hits") ==
+      surv.count(hit(_, after)).toLong)
+    assert(rows("3_deleted_after").getAs[Long]("hits") ==
+      del.count(hit(_, after)).toLong)
+    assert(rows("4_absent_after").getAs[Long]("hits") ==
+      keys.map(_ + 10000000L).count(hit(_, after)).toLong)
+    // survivors are all found in the replay too (cross-implementation)
+    assert(surv.forall(hit(_, after)))
+  }
 }

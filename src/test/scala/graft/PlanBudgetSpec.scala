@@ -782,6 +782,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q393_counting_bloom" -> 0, // collect-local 5-row report; counter
+                             // sum folds + per-leg min-counter probe
+                             // joins inside the builder
     "q392_conformal" -> 0,   // collect-local 5-row report; three
                              // GlobalOrder rank passes over the
                              // persisted base + two coverage folds
