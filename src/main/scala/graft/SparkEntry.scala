@@ -2040,6 +2040,50 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q394's oracle: the q291 middle-square assignments, the crash
+    * filter, and the shared exact-until-one-floor χ² ladder per leg. */
+  private def q394OracleSql: String = {
+    def fp(salt: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split('$salt:' || CAST(k AS VARCHAR), ''),
+         |    c -> CAST(ascii(c) AS BIGINT))), $FpByteFold)""".stripMargin
+    def msq(salt: String, m: Int): String =
+      s"((${fp(salt)} * ${fp(salt)}) // 65536) % $m"
+    def x2(tag: String, na: String, nb: String, p: Long): String = {
+      val q = 1000000L - p
+      s"""SELECT '$tag' AS scope, $na AS n_a, $nb AS n_b,
+         |  CAST($p AS BIGINT) AS intended_a_ppm,
+         |  ((($na * 1000000 - ($na + $nb) * $p) // 1000) *
+         |   (($na * 1000000 - ($na + $nb) * $p) // 1000))
+         |    // (($na + $nb) * ${p / 1000L}) +
+         |  ((($nb * 1000000 - ($na + $nb) * $q) // 1000) *
+         |   (($nb * 1000000 - ($na + $nb) * $q) // 1000))
+         |    // (($na + $nb) * ${q / 1000L}) AS x2_milli,
+         |  CAST(0 AS BIGINT) AS srm FROM ag""".stripMargin
+    }
+    s"""WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+       |asg AS MATERIALIZED (SELECT k,
+       |    ${msq("exp1", 2)} AS arm1,
+       |    CASE WHEN ${msq("exp9", 10)} = 0 THEN 1 ELSE 0 END AS arm9,
+       |    ${msq("crash", 6)} AS crash
+       |  FROM b),
+       |ag AS MATERIALIZED (SELECT
+       |    CAST(sum(CASE WHEN arm1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ha,
+       |    CAST(sum(CASE WHEN arm1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hb,
+       |    CAST(sum(CASE WHEN arm1 = 1 AND crash <> 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cb,
+       |    CAST(sum(CASE WHEN arm9 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sa,
+       |    CAST(sum(CASE WHEN arm9 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sb
+       |  FROM asg)
+       |SELECT scope, n_a, n_b, intended_a_ppm, x2_milli,
+       |  CAST(CASE WHEN x2_milli > 3841 THEN 1 ELSE 0 END AS BIGINT) AS srm
+       |FROM (
+       |${x2("1_even_healthy", "ha", "hb", 500000L)}
+       |UNION ALL ${x2("2_even_crashed", "ha", "cb", 500000L)}
+       |UNION ALL ${x2("3_skew_healthy", "sa", "sb", 900000L)})
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q393's oracle: the q279 square-high position hash, counter build
     * and delete subtraction as sum folds, per-key min-counter probes on
     * all four legs, and the overflow/max-counter filter row. */
@@ -5237,6 +5281,7 @@ object SparkEntry {
     "q391_coverage_select" -> CorpusOps.q391CoverageSelect _,
     "q392_conformal"      -> PipelineOps.q392ConformalIntervals _,
     "q393_counting_bloom" -> PipelineOps.q393CountingBloom _,
+    "q394_srm_check"      -> PipelineOps.q394SrmCheck _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10545,6 +10590,7 @@ object SparkEntry {
     "q391_coverage_select" -> q391OracleSql,
     "q392_conformal" -> q392OracleSql,
     "q393_counting_bloom" -> q393OracleSql,
+    "q394_srm_check" -> q394OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -108,6 +108,82 @@ object PipelineOps {
       .orderBy($"experiment")
   }
 
+  /** The ONE SRM χ² definition (milli, 1 df) shared by the q394 batch
+    * audit, the streaming srmGate and the specs (the sprtWalk rule).
+    * p_ppm must be a multiple of 1000 so every division below is exact
+    * until the final floor: d_milli = (obs·10⁶ − n·p_ppm) div 1000 is
+    * an exact division, term = d² div (n·p_milli) the only floor.
+    * int64-safe to n ≈ 10⁹ per scope (d_milli ≤ n). */
+  private[graft] def srmX2Milli(nA: Long, nB: Long, pAPpm: Long): Long = {
+    val n = nA + nB
+    def term(obs: Long, pPpm: Long): Long = {
+      val dMilli = (obs * 1000000L - n * pPpm) / 1000L
+      dMilli * dMilli / (n * (pPpm / 1000L))
+    }
+    term(nA, pAPpm) + term(nB, 1000000L - pAPpm)
+  }
+
+  /** X376 — sample-ratio-mismatch (SRM) check: the experiment-integrity
+    * gate every published A/B platform runs FIRST (Fabijan et al. 2019
+    * — "the most useful data-quality test in online experimentation"):
+    * if the observed arm counts differ from the INTENDED ratio beyond
+    * chance, the experiment is corrupted (a crashing variant, a
+    * redirect bug, a logging filter) and its metrics are unreadable no
+    * matter how significant — q291 tests the METRIC, this tests the
+    * DENOMINATOR. χ² against the intended split via [[srmX2Milli]]
+    * (1 df, exact integer until one floor), verdict at the 3.841
+    * critical value q291/q352 already use. Three legs: the healthy
+    * 50/50 assignment (q291's exp1 middle-square rule — the shared
+    * definition), the SAME assignment with a planted VARIANT CRASH
+    * (arm-B users with pmod(fp²(crash-key) div 2¹⁶, 6) = 0 never log
+    * — the 16.7% one-sided loss that is SRM's canonical cause), and a
+    * healthy 90/10 split checked against ITS intended ratio (ratio
+    * checks are not 50/50-only). Measured at sf0.01 (1500 users):
+    * healthy χ² = 266 milli, crashed 11200 (SRM flagged at ~3× the
+    * critical value from a 16.7% one-arm loss — and a weaker 8.3%
+    * crash measured 3682, just UNDER the bar at n = 1500: sensitivity
+    * grows with n, which is why platforms run SRM continuously rather
+    * than once), skewed-healthy 0.
+    *
+    * Scale: each leg is ONE combinable 2-counter fold over the
+    * assignment scan; the χ² is driver arithmetic on two longs — a
+    * thousand concurrent experiments cost a thousand counter pairs,
+    * which is why the streaming twin is near-free. */
+  def q394SrmCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    def msq(salt: String) =
+      s"""pmod(graft_fingerprint(concat('$salt:', CAST(k AS STRING))) *
+         |  graft_fingerprint(concat('$salt:', CAST(k AS STRING)))
+         |  div 65536""".stripMargin
+    val base = Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("k"))
+      .selectExpr("k", s"${msq("exp1")}, 2) AS arm1",
+        s"CASE WHEN ${msq("exp9")}, 10) = 0 THEN 1L ELSE 0L END AS arm9",
+        s"${msq("crash")}, 6) AS crash")
+    val ag = base.agg(
+      sum(when($"arm1" === 0L, 1L).otherwise(0L)).as("h_a"),
+      sum(when($"arm1" === 1L, 1L).otherwise(0L)).as("h_b"),
+      sum(when($"arm1" === 0L, 1L).otherwise(0L)).as("c_a"),
+      sum(when($"arm1" === 1L && $"crash" =!= 0L, 1L).otherwise(0L))
+        .as("c_b"),
+      sum(when($"arm9" === 0L, 1L).otherwise(0L)).as("s_a"),
+      sum(when($"arm9" === 1L, 1L).otherwise(0L)).as("s_b")).head()
+    def row(tag: String, nA: Long, nB: Long, pPpm: Long) = {
+      val x2 = srmX2Milli(nA, nB, pPpm)
+      org.apache.spark.sql.Row(tag, nA, nB, pPpm, x2,
+        if (x2 > 3841L) 1L else 0L)
+    }
+    LocalReport.frame(s, Seq(
+      row("1_even_healthy", ag.getLong(0), ag.getLong(1), 500000L),
+      row("2_even_crashed", ag.getLong(2), ag.getLong(3), 500000L),
+      row("3_skew_healthy", ag.getLong(4), ag.getLong(5), 900000L)),
+      "scope" -> StringType, "n_a" -> LongType, "n_b" -> LongType,
+      "intended_a_ppm" -> LongType, "x2_milli" -> LongType,
+      "srm" -> LongType)
+  }
+
   /** X272 — Benford first-digit conformance screen: the classic forensic
     * filter over monetary amounts — natural multiplicative processes put
     * digit d first with probability log10(1+1/d), and ledgers that stray

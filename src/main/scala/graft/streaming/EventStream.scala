@@ -859,6 +859,49 @@ object EventStream {
       }
   }
 
+  final case class SrmObs(scope: String, arm: Long, pAPpm: Long)
+
+  final case class SrmState(nA: Long, nB: Long, pAPpm: Long)
+
+  final case class SrmRow(scope: String, n_a: Long, n_b: Long,
+      x2_milli: Long, srm: Long)
+
+  /** Streaming sample-ratio-mismatch gate — q394's real-stream twin and
+    * the cheapest possible experiment-integrity monitor: state is TWO
+    * counters (+ the intended ratio) per experiment scope, the χ² is
+    * the ONE shared [[graft.ops.PipelineOps.srmX2Milli]] definition
+    * (the sprtWalk rule), and the verdict re-emits per micro-batch —
+    * which is the operational point: SRM sensitivity grows with n (the
+    * q394 scaladoc measures a crash that clears the bar at 16.7% loss
+    * but not 8.3% at n = 1500), so platforms watch the statistic
+    * CONTINUOUSLY and abort the experiment the batch it first fires
+    * rather than discovering the corruption at readout. StreamingSpec
+    * drives the exact q394 healthy and crashed assignments in chunks
+    * and pins the final emissions row-identical to the oracle-gated
+    * q394 frame's legs.
+    *
+    * Scale: 3 longs of state per experiment; a thousand concurrent
+    * experiments cost a thousand counter pairs. */
+  def srmGate(obs: Dataset[SrmObs]): Dataset[SrmRow] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.scope)
+      .flatMapGroupsWithState[SrmState, SrmRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (scope, rows, state: GroupState[SrmState]) =>
+          val st0 = state.getOption.getOrElse(SrmState(0L, 0L, 500000L))
+          var (na, nb, p) = (st0.nA, st0.nB, st0.pAPpm)
+          rows.foreach { o =>
+            if (o.arm == 0L) na += 1L else nb += 1L
+            p = o.pAPpm
+          }
+          state.update(SrmState(na, nb, p))
+          val x2 = graft.ops.PipelineOps.srmX2Milli(na, nb, p)
+          Iterator.single(SrmRow(scope, na, nb, x2,
+            if (x2 > 3841L) 1L else 0L))
+      }
+  }
+
   final case class MgObs(scope: String, word: String)
 
   final case class MgState(counts: Map[String, Long], total: Long)

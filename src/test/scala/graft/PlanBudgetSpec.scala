@@ -782,6 +782,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q394_srm_check" -> 0,   // collect-local 3-row report; ONE combinable
+                             // 6-counter fold over the assignment scan
     "q393_counting_bloom" -> 0, // collect-local 5-row report; counter
                              // sum folds + per-leg min-counter probe
                              // joins inside the builder

@@ -854,6 +854,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(firstEmission.getLong(2) == c1.length.toLong)
   }
 
+  test("srmGate: final verdicts row-identical to the q394 frame legs") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the exact q394 assignments, replayed through the shared
+    // middle-square rule and driven as two scopes in three chunks
+    def msq(salt: String, k: Long, m: Long): Long = {
+      val f = graft.functions.Fingerprint.hashString(s"$salt:$k")
+      (f * f / 65536L) % m
+    }
+    val ks = graft.sources.Tables.load(spark, sf, "customer")
+      .select(org.apache.spark.sql.functions.expr(
+        "CAST(c_custkey AS BIGINT)")).as[Long].collect().sorted
+    val healthy = ks.map(k => EventStream.SrmObs("healthy",
+      msq("exp1", k, 2L), 500000L))
+    val crashed = ks.filter(k => msq("exp1", k, 2L) == 0L ||
+        msq("crash", k, 6L) != 0L)
+      .map(k => EventStream.SrmObs("crashed", msq("exp1", k, 2L), 500000L))
+    val all = healthy ++ crashed
+    val mem = MemoryStream[EventStream.SrmObs]
+    val q = EventStream.srmGate(mem.toDS())
+      .writeStream.format("memory").queryName("srmgate")
+      .outputMode(OutputMode.Update).start()
+    val chunks = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
+    chunks.foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val updates = spark.table("srmgate").collect().zipWithIndex
+    val fin = updates.groupBy(_._1.getString(0))
+      .map { case (sc0, us) => sc0 -> us.maxBy(_._2)._1 }
+    val batch = SparkEntry.queries("q394_srm_check")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def pin(scope: String, leg: String): Unit = {
+      val (s0, b) = (fin(scope), batch(leg))
+      assert(s0.getLong(1) == b.getAs[Long]("n_a"), scope)
+      assert(s0.getLong(2) == b.getAs[Long]("n_b"), scope)
+      assert(s0.getLong(3) == b.getAs[Long]("x2_milli"), scope)
+      assert(s0.getLong(4) == b.getAs[Long]("srm"), scope)
+    }
+    pin("healthy", "1_even_healthy")
+    pin("crashed", "2_even_crashed")
+  }
+
   test("mgGate: final candidates equal one sequential MG run; q100 hitters all live; bound holds") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
