@@ -2040,6 +2040,79 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q395's oracle: the q123 graph text twice (old pairs; + clique plant
+    * and the in-query mod-500 anchors), 18 unrolled rank rounds (6 old,
+    * 6 cold, 6 warm) through the identical recurrence, and the per-round
+    * L1/diff-count distances against the cold round-6 reference. */
+  private def q395OracleSql: String = {
+    val rr = graft.ops.AffinityOps.IncrRankRounds
+    val plants = graft.ops.AffinityOps.RankBatchPlant
+      .map { case (a, b, w) =>
+        s"(CAST($a AS BIGINT), CAST($b AS BIGINT), CAST($w AS BIGINT))"
+      }.mkString(",\n    ")
+    def round(name: String, g: String, prev: String): String =
+      s"""$name AS MATERIALIZED (SELECT dst AS pk,
+         |  150000 + 850 * CAST(sum(score * w // w_tot) AS BIGINT) // 1000
+         |    AS score
+         |  FROM $g JOIN $prev ON $g.src = $prev.pk GROUP BY dst)"""
+        .stripMargin
+    def chain(tag: String, g: String, init: String): String =
+      (1 to rr).map(k =>
+        round(s"$tag$k", g, if (k == 1) init else s"$tag${k - 1}"))
+        .mkString(",\n")
+    def dist(name: String, cur: String, prev: String): String =
+      s"""$name AS (SELECT CAST(sum(abs(x.score - r.score)) AS BIGINT) AS l1,
+         |  CAST(sum(CASE WHEN x.score <> r.score THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS nd
+         |  FROM $cur x JOIN $prev r ON x.pk = r.pk)""".stripMargin
+    val dists = (1 to rr).flatMap(r => Seq(
+      dist(s"dc$r", s"c$r", s"c${r - 1}"),
+      dist(s"dw$r", s"w$r", s"w${r - 1}"))).mkString(",\n")
+    val sel = (1 to rr).flatMap(r => Seq(
+      s"SELECT 'cold:$r' AS scope, l1 AS delta_l1, nd AS n_moved FROM dc$r",
+      s"SELECT 'warm:$r', l1, nd FROM dw$r")).mkString("\nUNION ALL ")
+    s"""WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pr AS MATERIALIZED (SELECT a.pk AS p1, b.pk AS p2,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |eo AS (SELECT p1 AS src, p2 AS dst, w FROM pr
+       |  UNION ALL SELECT p2, p1, w FROM pr),
+       |go AS MATERIALIZED (SELECT eo.src, eo.dst, eo.w, wt.w_tot
+       |  FROM eo JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS w_tot
+       |    FROM eo GROUP BY src) wt USING (src)),
+       |anch AS (SELECT CAST(-39501 AS BIGINT) AS p1, pk AS p2,
+       |    CAST(2 AS BIGINT) AS w
+       |  FROM (SELECT DISTINCT src AS pk FROM eo) WHERE pk % 500 = 0),
+       |prn AS MATERIALIZED (SELECT * FROM pr
+       |  UNION ALL SELECT * FROM (VALUES
+       |    $plants) v(p1, p2, w)
+       |  UNION ALL SELECT * FROM anch),
+       |en AS (SELECT p1 AS src, p2 AS dst, w FROM prn
+       |  UNION ALL SELECT p2, p1, w FROM prn),
+       |gn AS MATERIALIZED (SELECT en.src, en.dst, en.w, wt.w_tot
+       |  FROM en JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS w_tot
+       |    FROM en GROUP BY src) wt USING (src)),
+       |o0 AS (SELECT DISTINCT src AS pk, CAST(1000000 AS BIGINT) AS score
+       |  FROM eo),
+       |${chain("o", "go", "o0")},
+       |c0 AS MATERIALIZED (SELECT DISTINCT src AS pk,
+       |    CAST(1000000 AS BIGINT) AS score FROM en),
+       |${chain("c", "gn", "c0")},
+       |w0 AS (SELECT n.pk, coalesce(o$rr.score, 1000000) AS score
+       |  FROM c0 n LEFT JOIN o$rr ON o$rr.pk = n.pk),
+       |${chain("w", "gn", "w0")},
+       |$dists,
+       |zr AS (SELECT CAST(sum(score) AS BIGINT) AS l1,
+       |    CAST(count(*) AS BIGINT) AS nd FROM c$rr)
+       |SELECT * FROM (
+       |$sel
+       |UNION ALL SELECT 'z_ref', l1, nd FROM zr)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q394's oracle: the q291 middle-square assignments, the crash
     * filter, and the shared exact-until-one-floor χ² ladder per leg. */
   private def q394OracleSql: String = {
@@ -5282,6 +5355,7 @@ object SparkEntry {
     "q392_conformal"      -> PipelineOps.q392ConformalIntervals _,
     "q393_counting_bloom" -> PipelineOps.q393CountingBloom _,
     "q394_srm_check"      -> PipelineOps.q394SrmCheck _,
+    "q395_incr_rank"      -> graft.ops.AffinityOps.q395IncrRank _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10591,6 +10665,7 @@ object SparkEntry {
     "q392_conformal" -> q392OracleSql,
     "q393_counting_bloom" -> q393OracleSql,
     "q394_srm_check" -> q394OracleSql,
+    "q395_incr_rank" -> q395OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -2463,6 +2463,71 @@ class AffinityOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_._5 <= t0 / 2))
   }
 
+  // ------------------------------------------------------------- X378
+
+  test("q395: warm-start rank increments replay exactly; warm dominates cold every round") {
+    import spark.implicits._
+    val ops = graft.ops.AffinityOps
+    val rows = ops.q395IncrRank(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // sequential replay of both graphs and all 18 rounds
+    val po = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+      .filter($"l_orderkey".isNotNull && $"l_partkey".isNotNull)
+      .distinct().as[(Long, Long)].collect()
+    val pairs = po.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).collect { case (p, g) if g.size >= 2 =>
+      (p._1, p._2, g.size.toLong)
+    }.toSeq
+    def graph(pr: Seq[(Long, Long, Long)]) = {
+      val e = pr.flatMap(p => Seq((p._1, p._2, p._3), (p._2, p._1, p._3)))
+      val wt = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      (e, wt)
+    }
+    def round(e: Seq[(Long, Long, Long)], wt: Map[Long, Long],
+              sc: Map[Long, Long]): Map[Long, Long] =
+      e.groupBy(_._2).view.mapValues { es =>
+        val inflow = es.map { case (src, _, w) => sc(src) * w / wt(src) }.sum
+        150000L + 850L * inflow / 1000L
+      }.toMap
+    val (eo, wto) = graph(pairs)
+    val oldNodes = eo.map(_._1).distinct
+    var so = oldNodes.map(_ -> 1000000L).toMap
+    (1 to ops.IncrRankRounds).foreach(_ => so = round(eo, wto, so))
+    val anchors = oldNodes.filter(_ % 500L == 0L)
+      .map(p => (-39501L, p, 2L))
+    val (en, wtn) = graph(pairs ++ ops.RankBatchPlant ++ anchors)
+    val newNodes = en.map(_._1).distinct
+    def increments(init: Map[Long, Long]): Seq[(Long, Long)] = {
+      var cur = init
+      (1 to ops.IncrRankRounds).map { _ =>
+        val nxt = round(en, wtn, cur)
+        val l1 = nxt.map { case (k, v) => math.abs(v - cur(k)) }.sum
+        val nd = nxt.count { case (k, v) => v != cur(k) }.toLong
+        cur = nxt
+        (l1, nd)
+      }
+    }
+    val coldInc = increments(newNodes.map(_ -> 1000000L).toMap)
+    val warmInc = increments(newNodes.map(k =>
+      k -> so.getOrElse(k, 1000000L)).toMap)
+    (1 to ops.IncrRankRounds).foreach { r =>
+      val (cl, cn) = coldInc(r - 1); val (wl, wn) = warmInc(r - 1)
+      assert(rows(s"cold:$r").getAs[Long]("delta_l1") == cl, s"cold $r")
+      assert(rows(s"cold:$r").getAs[Long]("n_moved") == cn, s"cold $r")
+      assert(rows(s"warm:$r").getAs[Long]("delta_l1") == wl, s"warm $r")
+      assert(rows(s"warm:$r").getAs[Long]("n_moved") == wn, s"warm $r")
+      // the warm-start claim: strictly less update work at every round
+      assert(wl < cl, s"round $r: warm $wl !< cold $cl")
+    }
+    // geometric decay of the cold leg (the damping factor at work)
+    val colds = coldInc.map(_._1)
+    assert(colds.zip(colds.tail).forall { case (a, b) => b < a })
+  }
+
   // ------------------------------------------------------------- X368
 
   test("q387: byte bills replay exactly; the periodic plant collapses under delta-of-delta") {

@@ -782,6 +782,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q395_incr_rank" -> 0,   // collect-local 13-row report; 18 shared
+                             // rankRound folds (localCheckpointed) +
+                             // per-round increment joins inside the
+                             // builder
     "q394_srm_check" -> 0,   // collect-local 3-row report; ONE combinable
                              // 6-counter fold over the assignment scan
     "q393_counting_bloom" -> 0, // collect-local 5-row report; counter
