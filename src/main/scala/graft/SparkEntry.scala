@@ -2040,6 +2040,75 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q396's oracle: the weighted substring rank, one scalar row of
+    * length-grouped vocabulary lists per budget, and the q255 DP fold
+    * (list-of-BIGINT accumulator — the safe list_reduce family) with
+    * length-grouped membership candidates, all four legs in one pass. */
+  private def q396OracleSql: String = {
+    val sweep = graft.ops.CorpusOps.SeedVocabSweep
+    val gmax = graft.ops.CorpusOps.SeedMaxLen
+    val subLists = (1 to gmax).map { g =>
+      s"list_transform(generate_series(1, len(w) - ${g - 1}), " +
+        s"i -> substr(w, CAST(i AS INTEGER), $g))"
+    }.reduce((a, b) => s"list_concat($a, $b)")
+    val vlCols = (s"(SELECT list(sub ORDER BY sub) FROM rk " +
+      s"WHERE len(sub) = 1) AS c1") +:
+      (for (v <- sweep; g <- 2 to gmax) yield
+        s"(SELECT list(sub ORDER BY sub) FROM rk WHERE len(sub) = $g " +
+          s"AND rn <= $v) AS l${v}_$g")
+    def dp(v: Int): String = {
+      val cands = (2 to gmax).map { g =>
+        s"""CASE WHEN e[1] >= $g AND coalesce(list_contains(l${v}_$g,
+           |  substr(t.w, CAST(e[1] - ${g - 1} AS INTEGER), $g)), false)
+           |  THEN acc[CAST(e[1] - ${g - 1} AS INTEGER)] + 1
+           |  ELSE 1000000 END""".stripMargin
+      }.mkString(",\n        ")
+      s"""(list_reduce(list_prepend([CAST(0 AS BIGINT)],
+         |  list_transform(generate_series(1, CAST(length(t.w) AS BIGINT)),
+         |    i -> [i])),
+         |  (acc, e) -> list_append(acc, least(
+         |    acc[CAST(e[1] AS INTEGER)] + 1,
+         |        $cands))))[CAST(length(t.w) + 1 AS INTEGER)]""".stripMargin
+    }
+    val legCols = sweep.map(v => s"${dp(v)} AS v$v").mkString(",\n    ")
+    val legAggs = sweep.map(v =>
+      s"CAST(sum(n * v$v) AS BIGINT) AS s$v").mkString(",\n    ")
+    val legRows = sweep.map { v =>
+      val tag = f"v$v%03d"
+      s"""UNION ALL SELECT '$tag',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM rk
+         |   WHERE rn <= $v OR len(sub) = 1),
+         |  s$v, s$v * 1000 // nw, s$v * 1000000 // ct FROM ag"""
+        .stripMargin
+    }.mkString("\n")
+    s"""WITH tt AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_full_match(w, '[a-z]+') GROUP BY w),
+       |subs AS (SELECT s.sub, CAST(sum(t.n) AS BIGINT) AS weight
+       |  FROM tt t, unnest($subLists) s(sub)
+       |  GROUP BY s.sub),
+       |rk AS MATERIALIZED (SELECT sub,
+       |    row_number() OVER (ORDER BY weight DESC, sub) AS rn
+       |  FROM subs),
+       |vl AS MATERIALIZED (SELECT
+       |  ${vlCols.mkString(",\n  ")}),
+       |sc AS (SELECT t.n, CAST(length(t.w) AS BIGINT) AS lw,
+       |    $legCols
+       |  FROM tt t CROSS JOIN vl),
+       |ag AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS nw,
+       |    CAST(sum(n * lw) AS BIGINT) AS ct,
+       |    $legAggs
+       |  FROM sc)
+       |SELECT * FROM (
+       |SELECT 'v000_chars' AS scope,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rk WHERE len(sub) = 1)
+       |    AS vocab_size,
+       |  ct AS tokens, ct * 1000 // nw AS fert_milli,
+       |  CAST(1000000 AS BIGINT) AS comp_ppm FROM ag
+       |$legRows)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q395's oracle: the q123 graph text twice (old pairs; + clique plant
     * and the in-query mod-500 anchors), 18 unrolled rank rounds (6 old,
     * 6 cold, 6 warm) through the identical recurrence, and the per-round
@@ -5356,6 +5425,7 @@ object SparkEntry {
     "q393_counting_bloom" -> PipelineOps.q393CountingBloom _,
     "q394_srm_check"      -> PipelineOps.q394SrmCheck _,
     "q395_incr_rank"      -> graft.ops.AffinityOps.q395IncrRank _,
+    "q396_seed_vocab"     -> CorpusOps.q396SeedVocabFrontier _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10666,6 +10736,7 @@ object SparkEntry {
     "q393_counting_bloom" -> q393OracleSql,
     "q394_srm_check" -> q394OracleSql,
     "q395_incr_rank" -> q395OracleSql,
+    "q396_seed_vocab" -> q396OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -1872,6 +1872,106 @@ object CorpusOps {
     } finally base.unpersist(blocking = false)
   }
 
+  /** q396's vocabulary-size sweep and the max candidate-token length. */
+  private[graft] val SeedVocabSweep: Seq[Int] = Seq(64, 128, 256, 512)
+  private[graft] val SeedMaxLen = 4
+
+  /** X379 — seed-vocabulary capacity frontier (the SentencePiece SEED
+    * stage, Kudo 2018 §3: the unigram trainer initializes from the most
+    * frequent substrings and prunes — this operator measures what that
+    * initialization family can express at each budget): candidate
+    * tokens = all substrings of length ≤ [[SeedMaxLen]] of the [a-z]+
+    * word types, ranked by occurrence-weighted frequency (ties UTF-8
+    * lex — ASCII here); vocab_V = top-V ∪ all single chars (totality —
+    * the standard rule); per budget in [[SeedVocabSweep]], the corpus
+    * fertility under the EXACT Viterbi-optimal segmentation (q255's DP,
+    * the one the tokenizer lane already trusts, with candidates tested
+    * by LENGTH-GROUPED membership against the ≤512-token array — 4
+    * candidate terms per position, not 512). Because top-V vocabularies
+    * are NESTED and the char floor is shared, the optimal token count
+    * is monotone non-increasing in V — a theorem the spec pins — and
+    * the report is the measured diminishing-returns curve a tokenizer
+    * budget decision actually reads (q376 measured the same dial for
+    * the BPE-merge family; this is the unigram-seed family). Measured
+    * at sf0.01: per-word fertility 4.509 (chars) → 3.127 (V=64) →
+    * 2.512 (128) → 1.501 (256), and the curve SATURATES there because
+    * this corpus's ≤4-gram substring universe is only 228 candidates —
+    * v256 ≡ v512, reported as-is (the saturation point IS the budget
+    * answer for this corpus).
+    *
+    * Scale: the substring rank is ONE (sub → Σn) combinable fold over
+    * word TYPES (q226's rule — never per token); the top-512+chars
+    * vocabulary collects under the bounded-dictionary rule and inlines
+    * into the DP as length-grouped array literals; all four budget
+    * legs ride ONE pass over the type table (4 DP columns). */
+  def q396SeedVocabFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val tt = docs(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w".rlike("\\A[a-z]+\\z"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      // q34's ANSI trap: sequence(1, 0) runs DESCENDING — guard each
+      // length class instead of clamping the upper bound
+      val subExpr = (1 to SeedMaxLen).map { g =>
+        s"""IF(length(w) >= $g,
+           |  transform(sequence(1, length(w) - ${g - 1}),
+           |    i -> substring(w, i, $g)), array_repeat('', 0))""".stripMargin
+      }.mkString("concat(", ", ", ")")
+      val ranked = tt
+        .select(explode(expr(subExpr)).as("sub"), $"n")
+        .groupBy($"sub").agg(sum($"n").as("weight"))
+        .orderBy($"weight".desc, $"sub")
+        .limit(SeedVocabSweep.max)
+        .collect().map(_.getString(0))
+      val chars = tt.select(explode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as("c")).distinct().collect().map(_.getString(0)).sorted
+      def dpExpr(vocab: Set[String]): String = {
+        val byLen = (2 to SeedMaxLen).map(g =>
+          g -> vocab.filter(_.length == g).toSeq.sorted)
+        val cands = byLen.collect { case (g, toks) if toks.nonEmpty =>
+          val arr = toks.map(t => s"'$t'").mkString("array(", ", ", ")")
+          s"""IF(i >= ${g}L AND array_contains($arr,
+             |  substring(w, CAST(i AS INT) - ${g - 1}, $g)),
+             |  element_at(acc, CAST(i AS INT) - ${g - 1}) + 1L,
+             |  1000000L)""".stripMargin
+        }
+        val step = (Seq("element_at(acc, CAST(i AS INT)) + 1L") ++ cands)
+          .mkString("least(", ", ", ")")
+        s"aggregate(sequence(1L, CAST(length(w) AS BIGINT)), array(0L), " +
+          s"(acc, i) -> concat(acc, array($step)), " +
+          s"acc -> element_at(acc, length(w) + 1))"
+      }
+      val legs = SeedVocabSweep.map { v =>
+        v -> (ranked.take(v).toSet ++ chars)
+      }
+      val aggCols = Seq(sum($"n").as("nw"), sum($"charToks").as("ct")) ++
+        legs.map { case (v, _) => sum(col(s"t$v")).as(s"s$v") }
+      val agged = tt.select((
+        Seq($"n", expr("n * length(w)").as("charToks")) ++
+          legs.map { case (v, voc) =>
+            ($"n" * expr(dpExpr(voc))).as(s"t$v")
+          }): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .head()
+      val (nw, ct) = (agged.getLong(0), agged.getLong(1))
+      val rows = org.apache.spark.sql.Row("v000_chars",
+        chars.length.toLong, ct, ct * 1000L / nw, 1000000L) +:
+        legs.zipWithIndex.map { case ((v, voc), i) =>
+          val t = agged.getLong(2 + i)
+          org.apache.spark.sql.Row(f"v$v%03d", voc.size.toLong, t,
+            t * 1000L / nw, t * 1000000L / ct)
+        }
+      graft.operators.LocalReport.frame(s, rows,
+        "scope" -> StringType, "vocab_size" -> LongType,
+        "tokens" -> LongType, "fert_milli" -> LongType,
+        "comp_ppm" -> LongType)
+    } finally tt.unpersist(blocking = false)
+  }
+
   /** q391's selection budget (greedy rounds) — 8 picks over the mod-200
     * candidate pool. */
   private[graft] val CoverK = 8

@@ -710,4 +710,47 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("z_greedy").getAs[Long]("covered") >=
       rows("z_random").getAs[Long]("covered"))
   }
+
+  test("q396: seed-vocab frontier replays exactly; fertility monotone under nested vocabs") {
+    import spark.implicits._
+    val ops = graft.ops.CorpusOps
+    val rows = ops.q396SeedVocabFrontier(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // full replay: types, weighted substrings, rank, per-budget DP
+    val tt = graft.sources.Tables.load(spark, sf, "documents")
+      .select($"text").as[String].collect()
+      .flatMap(t => Option(t).getOrElse("").split(" ", -1))
+      .filter(_.matches("[a-z]+"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val weights = tt.flatMap { case (w, n) =>
+      for (g <- 1 to ops.SeedMaxLen; i <- 0 to w.length - g)
+        yield (w.substring(i, i + g), n)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val ranked = weights.sortBy { case (sub, wt) => (-wt, sub) }.map(_._1)
+    val chars = weights.map(_._1).filter(_.length == 1).toSet
+    def viterbi(w: String, voc: Set[String]): Long = {
+      val dp = Array.fill(w.length + 1)(1000000L); dp(0) = 0L
+      for (i <- 1 to w.length; g <- 1 to math.min(ops.SeedMaxLen, i))
+        if (g == 1 || voc.contains(w.substring(i - g, i)))
+          dp(i) = math.min(dp(i), dp(i - g) + 1L)
+      dp(w.length)
+    }
+    val nw = tt.map(_._2).sum
+    val ct = tt.map { case (w, n) => n * w.length }.sum
+    assert(rows("v000_chars").getAs[Long]("tokens") == ct)
+    assert(rows("v000_chars").getAs[Long]("vocab_size") == chars.size.toLong)
+    val toks = ops.SeedVocabSweep.map { v =>
+      val voc = ranked.take(v).toSet ++ chars
+      val t = tt.map { case (w, n) => n * viterbi(w, voc) }.sum
+      val r = rows(f"v$v%03d")
+      assert(r.getAs[Long]("vocab_size") == voc.size.toLong, s"v$v size")
+      assert(r.getAs[Long]("tokens") == t, s"v$v tokens")
+      assert(r.getAs[Long]("fert_milli") == t * 1000L / nw, s"v$v fert")
+      assert(r.getAs[Long]("comp_ppm") == t * 1000000L / ct, s"v$v comp")
+      t
+    }
+    // nested vocabularies: optimal token count monotone non-increasing
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a })
+    assert(toks.head <= ct)
+  }
 }

@@ -782,6 +782,10 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q396_seed_vocab" -> 0,  // collect-local 5-row report; ONE weighted
+                             // substring fold + bounded vocab collect +
+                             // ONE 4-DP-column type pass inside the
+                             // builder
     "q395_incr_rank" -> 0,   // collect-local 13-row report; 18 shared
                              // rankRound folds (localCheckpointed) +
                              // per-round increment joins inside the
