@@ -2040,6 +2040,65 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q397's oracle: the q291 assignment/reward text (one definition of
+    * the logged arm and potential outcomes), the balance-rule policy,
+    * and the three matched-round replay folds + exact counterfactual
+    * truths. */
+  private def q397OracleSql: String = {
+    def fp(salt: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |        string_split('$salt:' || CAST(CAST(c_custkey AS BIGINT)
+         |          AS VARCHAR), ''),
+         |        x -> CAST(ascii(x) AS BIGINT))), $FpByteFold)""".stripMargin
+    s"""WITH b AS MATERIALIZED (SELECT k, bal,
+       |    (f1 * f1 // 65536) % 2 AS logged,
+       |    CAST((nat OR (fb * fb // 65536) % 2 = 0) AS INTEGER) AS r1,
+       |    CAST(nat AS INTEGER) AS r0,
+       |    CASE WHEN bal > 0 THEN 1 ELSE 0 END AS pi_bal
+       |  FROM (SELECT CAST(c_custkey AS BIGINT) AS k,
+       |      CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+       |      coalesce(m.mx, 0) >= 46500000 AS nat,
+       |      ${fp("exp1")} AS f1,
+       |      ${fp("boost")} AS fb
+       |    FROM customer LEFT JOIN (SELECT CAST(o_custkey AS BIGINT) AS k,
+       |        max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx
+       |      FROM orders GROUP BY 1) m ON CAST(c_custkey AS BIGINT) = m.k)),
+       |ag AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN logged = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS m_at,
+       |    CAST(sum(CASE WHEN logged = 1 THEN r1 ELSE 0 END) AS BIGINT)
+       |      AS w_at,
+       |    CAST(sum(r1) AS BIGINT) AS t_at,
+       |    CAST(sum(CASE WHEN logged = pi_bal THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS m_bal,
+       |    CAST(sum(CASE WHEN logged = pi_bal THEN
+       |      CASE WHEN logged = 1 THEN r1 ELSE r0 END ELSE 0 END) AS BIGINT)
+       |      AS w_bal,
+       |    CAST(sum(CASE WHEN pi_bal = 1 THEN r1 ELSE r0 END) AS BIGINT)
+       |      AS t_bal,
+       |    CAST(sum(CASE WHEN logged = 1 THEN r1 ELSE r0 END) AS BIGINT)
+       |      AS w_log
+       |  FROM b)
+       |SELECT * FROM (
+       |SELECT '1_always_treat' AS scope, m_at AS n_matched,
+       |  CASE WHEN m_at = 0 THEN 0 ELSE w_at * 1000000 // m_at END
+       |    AS v_hat_ppm,
+       |  t_at * 1000000 // n AS v_true_ppm,
+       |  abs(CASE WHEN m_at = 0 THEN 0 ELSE w_at * 1000000 // m_at END
+       |    - t_at * 1000000 // n) AS err_ppm
+       |FROM ag
+       |UNION ALL SELECT '2_balance_rule', m_bal,
+       |  CASE WHEN m_bal = 0 THEN 0 ELSE w_bal * 1000000 // m_bal END,
+       |  t_bal * 1000000 // n,
+       |  abs(CASE WHEN m_bal = 0 THEN 0 ELSE w_bal * 1000000 // m_bal END
+       |    - t_bal * 1000000 // n)
+       |FROM ag
+       |UNION ALL SELECT '3_logging', n, w_log * 1000000 // n,
+       |  w_log * 1000000 // n, 0
+       |FROM ag)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q396's oracle: the weighted substring rank, one scalar row of
     * length-grouped vocabulary lists per budget, and the q255 DP fold
     * (list-of-BIGINT accumulator — the safe list_reduce family) with
@@ -5426,6 +5485,7 @@ object SparkEntry {
     "q394_srm_check"      -> PipelineOps.q394SrmCheck _,
     "q395_incr_rank"      -> graft.ops.AffinityOps.q395IncrRank _,
     "q396_seed_vocab"     -> CorpusOps.q396SeedVocabFrontier _,
+    "q397_replay_eval"    -> PipelineOps.q397ReplayEval _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10737,6 +10797,7 @@ object SparkEntry {
     "q394_srm_check" -> q394OracleSql,
     "q395_incr_rank" -> q395OracleSql,
     "q396_seed_vocab" -> q396OracleSql,
+    "q397_replay_eval" -> q397OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

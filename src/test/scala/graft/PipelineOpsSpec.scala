@@ -2285,4 +2285,55 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // survivors are all found in the replay too (cross-implementation)
     assert(surv.forall(hit(_, after)))
   }
+
+  test("q397: replay estimator replays exactly; logging policy is the fixed point") {
+    import spark.implicits._
+    val rows = PipelineOps.q397ReplayEval(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the estimator's fixed point: replaying the logging policy keeps
+    // every round and recovers its true value exactly
+    val lg = rows("3_logging")
+    assert(lg.getAs[Long]("v_hat_ppm") == lg.getAs[Long]("v_true_ppm"))
+    assert(lg.getAs[Long]("err_ppm") == 0L)
+    // full driver replay of arms, potential outcomes and all estimates
+    val custs = graft.sources.Tables.load(spark, sf, "customer")
+      .select($"c_custkey".cast("long"),
+        graft.functions.Exact.cents($"c_acctbal"))
+      .as[(Long, Long)].collect()
+    val mx = graft.sources.Tables.load(spark, sf, "orders")
+      .select($"o_custkey".cast("long"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    def msq(salt: String, k: Long): Long = {
+      val f = graft.functions.Fingerprint.hashString(s"$salt:$k")
+      (f * f / 65536L) % 2L
+    }
+    case class R(logged: Long, r1: Long, r0: Long, piBal: Long)
+    val data = custs.map { case (k, bal) =>
+      val nat = mx.getOrElse(k, 0L) >= 46500000L
+      val boost = msq("boost", k) == 0L
+      R(msq("exp1", k), if (nat || boost) 1L else 0L,
+        if (nat) 1L else 0L, if (bal > 0L) 1L else 0L)
+    }
+    val n = data.length.toLong
+    def check(tag: String, pi: R => Long): Unit = {
+      val matched = data.filter(d => d.logged == pi(d))
+      val w = matched.map(d => if (d.logged == 1L) d.r1 else d.r0).sum
+      val t = data.map(d => if (pi(d) == 1L) d.r1 else d.r0).sum
+      val r = rows(tag)
+      assert(r.getAs[Long]("n_matched") == matched.length.toLong, tag)
+      assert(r.getAs[Long]("v_hat_ppm") == w * 1000000L / matched.length, tag)
+      assert(r.getAs[Long]("v_true_ppm") == t * 1000000L / n, tag)
+      assert(r.getAs[Long]("err_ppm") == math.abs(
+        w * 1000000L / matched.length - t * 1000000L / n), tag)
+    }
+    check("1_always_treat", _ => 1L)
+    check("2_balance_rule", _.piBal)
+    check("3_logging", _.logged)
+    // under uniform logging a deterministic policy matches ~half the
+    // rounds — the estimator's data-efficiency price, visible
+    val m1 = rows("1_always_treat").getAs[Long]("n_matched")
+    assert(m1 * 3L > n && m1 * 3L < 2L * n, s"matched $m1 of $n")
+  }
 }
