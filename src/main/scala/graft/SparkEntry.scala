@@ -2040,6 +2040,49 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q398's oracle: the q291 reward text, the ppm propensity coin, and
+    * the naive/IPS/SNIPS folds with identical weight floors. */
+  private def q398OracleSql: String = {
+    def fp(salt: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |        string_split('$salt:' || CAST(CAST(c_custkey AS BIGINT)
+         |          AS VARCHAR), ''),
+         |        x -> CAST(ascii(x) AS BIGINT))), $FpByteFold)""".stripMargin
+    s"""WITH b AS MATERIALIZED (SELECT k,
+       |    CASE WHEN nat THEN 750000 ELSE 250000 END AS p,
+       |    CAST((nat OR (fb * fb // 65536) % 2 = 0) AS INTEGER) AS r1,
+       |    CASE WHEN (fu * fu // 65536) % 1000000 <
+       |      (CASE WHEN nat THEN 750000 ELSE 250000 END)
+       |      THEN 1 ELSE 0 END AS treated
+       |  FROM (SELECT CAST(c_custkey AS BIGINT) AS k,
+       |      coalesce(m.mx, 0) >= 46500000 AS nat,
+       |      ${fp("boost")} AS fb,
+       |      ${fp("logb")} AS fu
+       |    FROM customer LEFT JOIN (SELECT CAST(o_custkey AS BIGINT) AS k,
+       |        max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx
+       |      FROM orders GROUP BY 1) m ON CAST(c_custkey AS BIGINT) = m.k)),
+       |ag AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(treated) AS BIGINT) AS m,
+       |    CAST(sum(r1) AS BIGINT) AS t,
+       |    CAST(sum(CASE WHEN treated = 1 THEN r1 ELSE 0 END) AS BIGINT)
+       |      AS wn,
+       |    CAST(sum(CASE WHEN treated = 1
+       |      THEN r1 * (1000000000000 // p) ELSE 0 END) AS BIGINT) AS wi,
+       |    CAST(sum(CASE WHEN treated = 1
+       |      THEN 1000000000000 // p ELSE 0 END) AS BIGINT) AS den
+       |  FROM b)
+       |SELECT * FROM (
+       |SELECT '1_naive' AS scope, m AS n_used,
+       |  wn * 1000000 // m AS v_hat_ppm, t * 1000000 // n AS v_true_ppm,
+       |  abs(wn * 1000000 // m - t * 1000000 // n) AS err_ppm FROM ag
+       |UNION ALL SELECT '2_ips', n, wi // n, t * 1000000 // n,
+       |  abs(wi // n - t * 1000000 // n) FROM ag
+       |UNION ALL SELECT '3_snips', m, wi * 1000000 // den,
+       |  t * 1000000 // n, abs(wi * 1000000 // den - t * 1000000 // n)
+       |FROM ag)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q397's oracle: the q291 assignment/reward text (one definition of
     * the logged arm and potential outcomes), the balance-rule policy,
     * and the three matched-round replay folds + exact counterfactual
@@ -5486,6 +5529,7 @@ object SparkEntry {
     "q395_incr_rank"      -> graft.ops.AffinityOps.q395IncrRank _,
     "q396_seed_vocab"     -> CorpusOps.q396SeedVocabFrontier _,
     "q397_replay_eval"    -> PipelineOps.q397ReplayEval _,
+    "q398_ips_eval"       -> PipelineOps.q398IpsEval _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10798,6 +10842,7 @@ object SparkEntry {
     "q395_incr_rank" -> q395OracleSql,
     "q396_seed_vocab" -> q396OracleSql,
     "q397_replay_eval" -> q397OracleSql,
+    "q398_ips_eval" -> q398OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

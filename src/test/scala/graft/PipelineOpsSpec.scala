@@ -2336,4 +2336,55 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m1 = rows("1_always_treat").getAs[Long]("n_matched")
     assert(m1 * 3L > n && m1 * 3L < 2L * n, s"matched $m1 of $n")
   }
+
+  test("q398: IPS corrects the naive bias under biased logging; full replay") {
+    import spark.implicits._
+    val rows = PipelineOps.q398IpsEval(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // full driver replay of propensities, coins, rewards and all three
+    // estimators
+    val custs = graft.sources.Tables.load(spark, sf, "customer")
+      .select($"c_custkey".cast("long")).as[Long].collect()
+    val mx = graft.sources.Tables.load(spark, sf, "orders")
+      .select($"o_custkey".cast("long"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    def msq(salt: String, k: Long, m: Long): Long = {
+      val f = graft.functions.Fingerprint.hashString(s"$salt:$k")
+      (f * f / 65536L) % m
+    }
+    case class R(p: Long, r1: Long, treated: Boolean)
+    val data = custs.map { k =>
+      val nat = mx.getOrElse(k, 0L) >= 46500000L
+      val p = if (nat) 750000L else 250000L
+      R(p, if (nat || msq("boost", k, 2L) == 0L) 1L else 0L,
+        msq("logb", k, 1000000L) < p)
+    }
+    val n = data.length.toLong
+    val m = data.count(_.treated).toLong
+    val t = data.map(_.r1).sum
+    val vTrue = t * 1000000L / n
+    val wn = data.filter(_.treated).map(_.r1).sum
+    val wi = data.filter(_.treated)
+      .map(d => d.r1 * (1000000000000L / d.p)).sum
+    val den = data.filter(_.treated).map(d => 1000000000000L / d.p).sum
+    def check(tag: String, used: Long, vHat: Long): Unit = {
+      val r = rows(tag)
+      assert(r.getAs[Long]("n_used") == used, tag)
+      assert(r.getAs[Long]("v_hat_ppm") == vHat, tag)
+      assert(r.getAs[Long]("v_true_ppm") == vTrue, tag)
+      assert(r.getAs[Long]("err_ppm") == math.abs(vHat - vTrue), tag)
+    }
+    check("1_naive", m, wn * 1000000L / m)
+    check("2_ips", n, wi / n)
+    check("3_snips", m, wi * 1000000L / den)
+    // the lesson, pinned: naive is biased UP (it over-samples natural
+    // converters) and both propensity-corrected estimators beat it
+    assert(rows("1_naive").getAs[Long]("v_hat_ppm") > vTrue)
+    assert(rows("2_ips").getAs[Long]("err_ppm") <
+      rows("1_naive").getAs[Long]("err_ppm"))
+    assert(rows("3_snips").getAs[Long]("err_ppm") <
+      rows("1_naive").getAs[Long]("err_ppm"))
+  }
 }

@@ -782,6 +782,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q398_ips_eval" -> 0,    // collect-local 3-row report; ONE narrow
+                             // propensity/reward scan into one fold
     "q397_replay_eval" -> 0, // collect-local 3-row report; ONE narrow
                              // arm/reward scan into one combinable fold
     "q396_seed_vocab" -> 0,  // collect-local 5-row report; ONE weighted
