@@ -2078,11 +2078,26 @@ object SimilarityOps {
     def half(lo: Int): String = (lo until lo + 32).map { i =>
       s"(CASE WHEN graft_dot_l(q, ${signLits(i)}) > 0 THEN ${1L << (i - lo)}L ELSE 0L END)"
     }.mkString(" + ")
+    // the q235 collapse rule, measured HERE: with `q` a plain projected
+    // column, Catalyst inlines the milli-transform into all 64 dot
+    // lambdas plus the norm filter (~66 re-derivations per row — 15.0 s
+    // at sf0.1); let-binding q as a lambda variable inside ONE struct
+    // expression and persisting the coded frame brings the pass to one
+    // struct evaluation per consumer column (2.4 s warm, 6×)
+    val hhExpr =
+      s"""element_at(transform(array(${graft.functions.Exact
+            .milliArrayExpr("embedding")}), q -> named_struct(
+         |  'n2', aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x),
+         |  'h1', ${half(0)},
+         |  'h2', ${half(32)},
+         |  'q', q)), 1)""".stripMargin
     val e = Tables.load(s, dir, "embeddings")
-      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
-        s"${graft.functions.Exact.milliArrayExpr("embedding")} AS q")
-      .filter(expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) > 0"))
-      .withColumn("h1", expr(half(0))).withColumn("h2", expr(half(32)))
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id", s"$hhExpr AS hh")
+      .filter($"hh.n2" > 0L)
+      .select($"vec_id", $"hh.q".as("q"),
+        $"hh.h1".as("h1"), $"hh.h2".as("h2"))
+      .persist()
+    e.count() // materialize the codes once for both sides
     val qs = broadcast(
       e.filter($"vec_id" >= IvfQueryLo && $"vec_id" < IvfCorpusLo)
         .select($"vec_id".as("q_id"), $"q".as("aq"),
@@ -2117,6 +2132,7 @@ object SimilarityOps {
         h5 * 1000000L / (5L * nq), c8 * 1000000L / (5L * nq),
         c32 * 1000000L / (5L * nq))
     })
+    e.unpersist(blocking = false)
     LocalReport.frame(s, rows,
       "scope" -> StringType, "hits_ham5" -> LongType,
       "hits_c8" -> LongType, "hits_c32" -> LongType,
