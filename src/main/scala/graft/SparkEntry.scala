@@ -2040,6 +2040,88 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q399's oracle: the q388 pair/sign text with the mod-40 experiment
+    * split and planted shifts, per-experiment add-one MC p-values, the
+    * cross-multiplied BH step-up scan, and both procedures' realized
+    * false-discovery roll-ups. */
+  private def q399OracleSql: String = {
+    val m = graft.ops.PipelineOps.FdrExperiments
+    val eff = graft.ops.PipelineOps.FdrEffects
+    val shift = graft.ops.PipelineOps.FdrShiftCents
+    val alpha = graft.ops.PipelineOps.FdrAlphaPpm
+    val r = graft.ops.PipelineOps.FdrReps
+    def fp(e: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split($e, ''),
+         |    c -> CAST(ascii(c) AS BIGINT))), $FpByteFold)""".stripMargin
+    s"""WITH by AS (SELECT CAST(o_custkey AS BIGINT) AS c,
+       |    CAST(year(o_orderdate) AS BIGINT) AS y,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+       |ag0 AS (SELECT c, y, CAST(sum(cents) AS BIGINT) AS v
+       |  FROM by GROUP BY c, y),
+       |p0 AS (SELECT a.c, a.c % $m AS e, b.v - a.v AS d0,
+       |    ${fp("'sym:' || CAST(a.c AS VARCHAR)")} AS fs
+       |  FROM ag0 a JOIN ag0 b ON a.c = b.c AND a.y = 1995 AND b.y = 1996),
+       |pairs AS MATERIALIZED (SELECT c, e,
+       |    (CASE WHEN ((fs * fs // 65536) % 2) = 0 THEN 1 ELSE -1 END)
+       |      * d0 + CASE WHEN e < $eff THEN $shift ELSE 0 END AS d
+       |  FROM p0),
+       |fk AS (SELECT c, e, d, ${fp("CAST(c AS VARCHAR)")} AS fpk FROM pairs),
+       |sg AS (SELECT fk.e, t.r, fk.d,
+       |    CASE WHEN (${fp(
+              "'fdr:' || CAST(t.r AS VARCHAR) || ':' || CAST(fk.c AS VARCHAR)" +
+              " || ':' || CAST((fk.fpk % 1000003) * (fk.fpk % 1000003)" +
+              " AS VARCHAR)")}
+       |      // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM fk CROSS JOIN generate_series(0, ${r - 1}) t(r)),
+       |ts AS MATERIALIZED (SELECT e, r, CAST(sum(s * d) AS BIGINT) AS t
+       |  FROM sg GROUP BY e, r),
+       |ob AS MATERIALIZED (SELECT e, CAST(sum(d) AS BIGINT) AS t0,
+       |    CAST(count(*) AS BIGINT) AS np FROM pairs GROUP BY e),
+       |pe AS MATERIALIZED (SELECT ob.e, ob.np, ob.t0,
+       |    (CAST((SELECT count(*) FROM ts
+       |      WHERE ts.e = ob.e AND abs(ts.t) >= abs(ob.t0)) AS BIGINT) + 1)
+       |      * 1000000 // ${r + 1} AS p
+       |  FROM ob),
+       |rk AS MATERIALIZED (SELECT e, np, t0, p,
+       |    row_number() OVER (ORDER BY p, e) AS k FROM pe),
+       |ks AS (SELECT CAST(coalesce(max(k), 0) AS BIGINT) AS ks FROM rk
+       |  WHERE p * $m <= k * $alpha),
+       |fin AS MATERIALIZED (SELECT e, np, t0, p,
+       |    CASE WHEN p <= $alpha THEN 1 ELSE 0 END AS naive_rej,
+       |    CASE WHEN k <= (SELECT ks FROM ks) THEN 1 ELSE 0 END AS bh_rej,
+       |    CASE WHEN e < $eff THEN 1 ELSE 0 END AS has_effect
+       |  FROM rk)
+       |SELECT * FROM (
+       |SELECT 'e' || CASE WHEN e < 10 THEN '0' ELSE '' END ||
+       |  CAST(e AS VARCHAR) AS scope, np AS n_pairs, t0 AS t_obs,
+       |  p AS p_ppm, CAST(naive_rej AS BIGINT) AS naive_rej,
+       |  CAST(bh_rej AS BIGINT) AS bh_rej,
+       |  CAST(has_effect AS BIGINT) AS has_effect
+       |FROM fin
+       |UNION ALL SELECT 'z_naive',
+       |  CAST(sum(naive_rej) AS BIGINT),
+       |  CAST(sum(CASE WHEN naive_rej = 1 AND has_effect = 0
+       |    THEN 1 ELSE 0 END) AS BIGINT),
+       |  CASE WHEN sum(naive_rej) = 0 THEN 0
+       |    ELSE CAST(sum(CASE WHEN naive_rej = 1 AND has_effect = 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |      // CAST(sum(naive_rej) AS BIGINT) END, 0, 0, 0
+       |FROM fin
+       |UNION ALL SELECT 'z_bh',
+       |  CAST(sum(bh_rej) AS BIGINT),
+       |  CAST(sum(CASE WHEN bh_rej = 1 AND has_effect = 0
+       |    THEN 1 ELSE 0 END) AS BIGINT),
+       |  CASE WHEN sum(bh_rej) = 0 THEN 0
+       |    ELSE CAST(sum(CASE WHEN bh_rej = 1 AND has_effect = 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |      // CAST(sum(bh_rej) AS BIGINT) END,
+       |  (SELECT ks FROM ks), 0, 0
+       |FROM fin)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q398's oracle: the q291 reward text, the ppm propensity coin, and
     * the naive/IPS/SNIPS folds with identical weight floors. */
   private def q398OracleSql: String = {
@@ -5530,6 +5612,7 @@ object SparkEntry {
     "q396_seed_vocab"     -> CorpusOps.q396SeedVocabFrontier _,
     "q397_replay_eval"    -> PipelineOps.q397ReplayEval _,
     "q398_ips_eval"       -> PipelineOps.q398IpsEval _,
+    "q399_bh_fdr"         -> PipelineOps.q399BhFdr _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10843,6 +10926,7 @@ object SparkEntry {
     "q396_seed_vocab" -> q396OracleSql,
     "q397_replay_eval" -> q397OracleSql,
     "q398_ips_eval" -> q398OracleSql,
+    "q399_bh_fdr" -> q399OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

@@ -4971,6 +4971,139 @@ object PipelineOps {
     } finally base.unpersist(blocking = false)
   }
 
+  /** q399's experiment count, planted-effect count/shift, and α. */
+  private[graft] val FdrExperiments = 40
+  private[graft] val FdrEffects = 8
+  private[graft] val FdrShiftCents = 40000000L
+  private[graft] val FdrAlphaPpm = 100000L
+  private[graft] val FdrReps = 512
+
+  /** X382 — Benjamini-Hochberg FDR control across concurrent
+    * experiments (Benjamini & Hochberg 1995): the uncertainty lane
+    * tests ONE hypothesis at a time (q388, q291, q352); a platform
+    * runs dozens concurrently, and at α = 10% a naive per-test
+    * threshold falsely flags ~3 of every 32 true nulls — the
+    * multiple-testing problem BH exists to control. Traffic splits
+    * into [[FdrExperiments]] disjoint experiments (customer mod 40 —
+    * how platforms actually share traffic); each runs q388's paired
+    * sign-flip MC test (the SHARED [[amsSign]] family, salt 'fdr', the
+    * add-one p-value) on 1995-vs-1996 spend pairs, with
+    * [[FdrEffects]] experiments carrying a planted +[[FdrShiftCents]]
+    * per-pair effect — so the TRUTH of every hypothesis is known and
+    * both procedures' realized false discoveries are EXACT numbers.
+    * BH: sort p ascending, reject the largest k with
+    * p₍ₖ₎·m ≤ k·α (integer cross-multiplication — no division), a
+    * STEP-UP rule whose mechanics the MC floor makes visible: the
+    * smallest achievable p is 1e6/513 = 1949 ppm, which FAILS the BH
+    * line at k = 1 (α/m = 2500... barely passes — but weaker
+    * evidence like e04's 7797 clears only because eight discoveries
+    * raise the line to 20000: the "discoveries help each other"
+    * character of step-up procedures, visible in the frame). Two
+    * constructions were REJECTED on measurement before this one: raw
+    * year differences made two "null" experiments genuinely
+    * significant (the corpus's own drift concentrates in slices — a
+    * statement about the data, not the procedure), and a rolling-fold
+    * 'sym' symmetrizer locked signs to the test's 'fdr' family within
+    * key-length classes (fp(p++s) is AFFINE in the shared suffix — the
+    * q279 lesson biting ACROSS salts; two nulls landed at the exact MC
+    * floor, p(each) = 1/513). Measured with the middle-square
+    * symmetrizer at sf0.01: both procedures detect all 8 effects
+    * (e04's p = 7797 included) and reject zero nulls — the realized
+    * null p's cluster HIGH because heavy-tailed slices make the
+    * sign-flip statistic conservative (a dominant |d| pins |T_r| near
+    * |t0|), stated rather than retried until a false positive showed
+    * up.
+    *
+    * Scale: the per-experiment MC rides ONE combinable
+    * (experiment, rep) partial agg over the pair scan (each pair
+    * belongs to exactly one experiment, so the whole 40-test battery
+    * costs ONE q388); the BH scan is m-row driver math. */
+  def q399BhFdr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Fingerprint.register(s)
+    val (m, r) = (FdrExperiments, FdrReps)
+    val byYear = Tables.load(s, dir, "orders")
+      .select($"o_custkey".cast("long").as("c"),
+        year($"o_orderdate").as("y"),
+        graft.functions.Exact.cents($"o_totalprice").as("cents"))
+      .filter($"y".isin(1995, 1996))
+      .groupBy($"c", $"y").agg(sum($"cents").as("v"))
+    // the null must BE null: the corpus's own 1995→1996 drift
+    // concentrates in some traffic slices (measured before this
+    // construction: two "null" experiments sat at p < 1% on raw
+    // differences — real drift, not multiple-testing flukes), so the
+    // magnitudes keep their heavy tails but the SIGN is randomized per
+    // customer. The symmetrizer must come from a DIFFERENT hash
+    // structure than the test's amsSign family: a rolling-fold 'sym'
+    // salt shares its suffix with 'fdr:r' strings, and fp(p++s) is
+    // AFFINE in the shared suffix — within a key-length class the two
+    // sign bits lock together (measured: two null experiments at the
+    // exact MC floor, p(each) = 1/513). The middle-square fp² div 2¹⁶
+    // bit (q291's arm family) squares that relation away.
+    val pairs = byYear.filter($"y" === 1995).select($"c", $"v".as("v95"))
+      .join(byYear.filter($"y" === 1996).select($"c", $"v".as("v96")),
+        Seq("c"))
+      .selectExpr("c", s"pmod(c, $m) AS e",
+        s"""(CASE WHEN pmod(
+           |    graft_fingerprint(concat('sym:', CAST(c AS STRING))) *
+           |    graft_fingerprint(concat('sym:', CAST(c AS STRING)))
+           |    div 65536, 2) = 0 THEN 1L ELSE -1L END)
+           | * (v96 - v95) + CASE WHEN pmod(c, $m) < $FdrEffects
+           |  THEN ${FdrShiftCents}L ELSE 0L END AS d""".stripMargin)
+    val mc = pairs
+      .select($"e", $"d", posexplode(expr(
+        amsSignsSql("CAST(c AS STRING)", "fdr", r))).as(Seq("rep", "sgn")))
+      .groupBy($"e", $"rep").agg(
+        count(lit(1)).as("n"), sum($"sgn" * $"d").as("t"))
+      .groupBy($"e").agg(max($"n").as("n"),
+        collect_list(struct($"rep", $"t")).as("ts"))
+      .collect().map { row =>
+        (row.getLong(0), row.getLong(1),
+          row.getSeq[org.apache.spark.sql.Row](2)
+            .map(x => x.getLong(1)).toSeq)
+      }
+    val obs = pairs.groupBy($"e").agg(sum($"d").as("t0"), count(lit(1)))
+      .collect().map(row => row.getLong(0) -> (row.getLong(1),
+        row.getLong(2))).toMap
+    val perExp = mc.map { case (e, _, ts) =>
+      val (t0, np) = obs(e)
+      val ext = ts.count(t => math.abs(t) >= math.abs(t0)).toLong
+      val p = (ext + 1L) * 1000000L / (r + 1L)
+      (e, np, t0, p)
+    }.sortBy(_._1)
+    // BH step-up: reject the k* smallest p-values where k* is the
+    // largest k with p_(k) * m <= k * alpha (cross-multiplied, exact)
+    val sorted = perExp.sortBy(x => (x._4, x._1))
+    val kStar = (1 to sorted.length).filter(k =>
+      sorted(k - 1)._4 * m.toLong <= k.toLong * FdrAlphaPpm).lastOption
+      .getOrElse(0)
+    val bhSet = sorted.take(kStar).map(_._1).toSet
+    val rows = perExp.map { case (e, np, t0, p) =>
+      val naive = if (p <= FdrAlphaPpm) 1L else 0L
+      val bh = if (bhSet.contains(e)) 1L else 0L
+      val truth = if (e < FdrEffects) 1L else 0L
+      org.apache.spark.sql.Row(f"e$e%02d", np, t0, p, naive, bh, truth)
+    } ++ {
+      def leg(dec: ((Long, Long, Long, Long)) => Boolean) = {
+        val rej = perExp.filter(dec)
+        (rej.length.toLong,
+          rej.count(_._1 >= FdrEffects).toLong)
+      }
+      val (nN, fN) = leg(x => x._4 <= FdrAlphaPpm)
+      val (nB, fB) = leg(x => bhSet.contains(x._1))
+      Seq(
+        org.apache.spark.sql.Row("z_naive", nN, fN,
+          if (nN == 0L) 0L else fN * 1000000L / nN, 0L, 0L, 0L),
+        org.apache.spark.sql.Row("z_bh", nB, fB,
+          if (nB == 0L) 0L else fB * 1000000L / nB, kStar.toLong, 0L, 0L))
+    }
+    LocalReport.frame(s, rows,
+      "scope" -> StringType, "n_pairs" -> LongType, "t_obs" -> LongType,
+      "p_ppm" -> LongType, "naive_rej" -> LongType, "bh_rej" -> LongType,
+      "has_effect" -> LongType)
+  }
+
   /** q363's SPRT constants, computed ONCE (the EpochDecayPpm
     * discipline) and inlined into the generated oracle: testing
     * p0 = 30% vs p1 = 36% conversion at α = β = 5%, the per-trial

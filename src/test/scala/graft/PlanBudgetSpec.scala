@@ -782,6 +782,9 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q399_bh_fdr" -> 0,      // collect-local 42-row report; ONE pair scan
+                             // into a combinable (experiment, rep) agg;
+                             // the BH scan is m-row driver math
     "q398_ips_eval" -> 0,    // collect-local 3-row report; ONE narrow
                              // propensity/reward scan into one fold
     "q397_replay_eval" -> 0, // collect-local 3-row report; ONE narrow
