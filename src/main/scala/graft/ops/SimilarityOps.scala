@@ -2098,6 +2098,7 @@ object SimilarityOps {
         $"hh.h1".as("h1"), $"hh.h2".as("h2"))
       .persist()
     e.count() // materialize the codes once for both sides
+    try {
     val qs = broadcast(
       e.filter($"vec_id" >= IvfQueryLo && $"vec_id" < IvfCorpusLo)
         .select($"vec_id".as("q_id"), $"q".as("aq"),
@@ -2132,10 +2133,10 @@ object SimilarityOps {
         h5 * 1000000L / (5L * nq), c8 * 1000000L / (5L * nq),
         c32 * 1000000L / (5L * nq))
     })
-    e.unpersist(blocking = false)
     LocalReport.frame(s, rows,
       "scope" -> StringType, "hits_ham5" -> LongType,
       "hits_c8" -> LongType, "hits_c32" -> LongType,
       "ham5_ppm" -> LongType, "c8_ppm" -> LongType, "c32_ppm" -> LongType)
+    } finally e.unpersist(blocking = false)
   }
 }
