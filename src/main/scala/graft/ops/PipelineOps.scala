@@ -1584,6 +1584,16 @@ object PipelineOps {
     * by ONE combinable bit_or aggregate over key-expanded positions; the
     * probe pass joins 4 positions/probe against the tiny filter frame;
     * everything else is |k|-sized. */
+  /** The ONE driver-side counting-Bloom position definition (q279's
+    * square-high finalizer, k = 3, identical to the SQL expression the
+    * q393 batch operator and its oracle evaluate), shared by the
+    * streaming cbfGate and the specs — the sprtWalk rule. */
+  private[graft] def cbfPositions(key: Long, m: Long = 16384L): Seq[Long] =
+    (0 until 3).map { j =>
+      val f = graft.functions.Fingerprint.hashString(s"$key:$j")
+      (f * f / 65536L) % m
+    }
+
   /** X375 — counting Bloom filter: membership WITH DELETION (Fan et al.
     * 2000's Summary Cache structure — the deletable sibling of q279's
     * bit Bloom, and the membership-lane member of the retraction theme

@@ -859,6 +859,55 @@ object EventStream {
       }
   }
 
+  final case class CbfOp(scope: String, op: String, key: Long)
+
+  final case class CbfState(counts: Map[Long, Long])
+
+  final case class CbfRow(scope: String, key: Long, present: Long)
+
+  /** Streaming counting-Bloom membership gate — q393's real-stream twin
+    * and the membership member of the retraction trio (retractGate,
+    * q393, this): the counter array IS streaming state (insert +1,
+    * delete −1 per position — the deletability that q279's bit Bloom
+    * cannot stream), positions come from the ONE shared
+    * [[graft.ops.PipelineOps.cbfPositions]] definition, and 'probe'
+    * records emit a membership verdict against the counters AS OF
+    * their batch — the order-sensitivity that makes a streamed filter
+    * different from a batch one is the semantics, not a bug, and the
+    * spec drives q393's exact insert → probe → delete → re-probe
+    * scenario and pins every verdict count row-identical to the
+    * oracle-gated q393 frame's legs.
+    *
+    * Scale: state is the ≤ m-entry counter map per scope (zero
+    * counters are dropped on write, so the map holds only live
+    * positions); per arrival O(k) updates. */
+  def cbfGate(ops: Dataset[CbfOp]): Dataset[CbfRow] = {
+    import ops.sparkSession.implicits._
+    ops
+      .groupByKey(_.scope)
+      .flatMapGroupsWithState[CbfState, CbfRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (scope, rows, state: GroupState[CbfState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CbfRow]
+          rows.foreach { o =>
+            val ps = graft.ops.PipelineOps.cbfPositions(o.key)
+            o.op match {
+              case "add" => ps.foreach(h =>
+                counts = counts.updated(h, counts.getOrElse(h, 0L) + 1L))
+              case "del" => ps.foreach { h =>
+                val v = counts.getOrElse(h, 0L) - 1L
+                counts = if (v <= 0L) counts - h else counts.updated(h, v)
+              }
+              case _ => out += CbfRow(scope, o.key,
+                if (ps.forall(h => counts.getOrElse(h, 0L) > 0L)) 1L else 0L)
+            }
+          }
+          state.update(CbfState(counts))
+          out.iterator
+      }
+  }
+
   final case class SrmObs(scope: String, arm: Long, pAPpm: Long)
 
   final case class SrmState(nA: Long, nB: Long, pAPpm: Long)

@@ -2257,10 +2257,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"c_custkey".cast("long")).as[Long].collect()
       .filter(_ % 5L == 0L).distinct.sorted
     val del = keys.filter(_ % 7L == 3L).toSet
-    def pos(key: Long): Seq[Long] = (0 until 3).map { j =>
-      val f = graft.functions.Fingerprint.hashString(s"$key:$j")
-      (f * f / 65536L) % m
-    }
+    def pos(key: Long): Seq[Long] = PipelineOps.cbfPositions(key, m)
     val cells = keys.flatMap(pos).groupBy(identity).view
       .mapValues(_.length.toLong).toMap
     val after = del.toSeq.flatMap(pos).groupBy(identity).view

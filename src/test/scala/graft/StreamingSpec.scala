@@ -854,6 +854,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(firstEmission.getLong(2) == c1.length.toLong)
   }
 
+  test("cbfGate: insert/probe/delete/re-probe verdicts match the q393 frame legs") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val keys = graft.sources.Tables.load(spark, sf, "customer")
+      .select(org.apache.spark.sql.functions.expr(
+        "CAST(c_custkey AS BIGINT)")).as[Long].collect()
+      .filter(_ % 5L == 0L).distinct.sorted
+    val del = keys.filter(_ % 7L == 3L)
+    val surv = keys.filterNot(del.contains)
+    def ops(tag: String, ks: Seq[Long]) =
+      ks.map(k => EventStream.CbfOp("f", tag, k))
+    val mem = MemoryStream[EventStream.CbfOp]
+    val q = EventStream.cbfGate(mem.toDS())
+      .writeStream.format("memory").queryName("cbfgate")
+      .outputMode(OutputMode.Update).start()
+    // q393's exact scenario: insert all, probe all; delete the del set;
+    // probe survivors + deleted + shifted absents
+    mem.addData(ops("add", keys) ++ ops("probe", keys): _*)
+    q.processAllAvailable()
+    val afterInsert = spark.table("cbfgate").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    mem.addData(ops("del", del.toSeq): _*); q.processAllAvailable()
+    mem.addData(ops("probe", surv) ++ ops("probe", del.toSeq) ++
+      ops("probe", keys.map(_ + 10000000L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("cbfgate").collect().zipWithIndex
+    val later = all.drop(afterInsert.size)
+      .map(u => u._1.getLong(1) -> u._1.getLong(2)).toMap
+    val batch = SparkEntry.queries("q393_counting_bloom")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // leg 1: every inserted key present pre-delete
+    assert(keys.forall(afterInsert(_) == 1L))
+    assert(batch("1_present_before").getAs[Long]("hits") == keys.length.toLong)
+    // leg 2: every survivor still present post-delete
+    assert(surv.forall(later(_) == 1L))
+    assert(batch("2_survivors_after").getAs[Long]("hits") == surv.length.toLong)
+    // legs 3/4: the stream's residual/absent hit counts equal the
+    // oracle-gated frame's
+    assert(del.count(later(_) == 1L).toLong ==
+      batch("3_deleted_after").getAs[Long]("hits"))
+    assert(keys.map(_ + 10000000L).count(later(_) == 1L).toLong ==
+      batch("4_absent_after").getAs[Long]("hits"))
+  }
+
   test("srmGate: final verdicts row-identical to the q394 frame legs") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
