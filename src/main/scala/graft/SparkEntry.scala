@@ -2040,6 +2040,92 @@ object SparkEntry {
        |ORDER BY grp""".stripMargin
   }
 
+  /** q400's oracle: the (balance-band, nation) cell fold, TWO unrolled
+    * six-round Mondrian chains (multidimensional and x-forced) under
+    * the identical guarded split rule, leaf extents and all three
+    * discernibility roll-ups. */
+  private def q400OracleSql: String = {
+    val k = graft.ops.PipelineOps.MondrianK
+    val rr = graft.ops.PipelineOps.MondrianRounds
+    val cell = graft.ops.PipelineOps.MondrianCell
+    def round(tag: String, kk: Int, axisExpr: String): String = {
+      val p = if (kk == 1) s"${tag}0" else s"$tag${kk - 1}"
+      s"""st$tag$kk AS (SELECT box, max(cx) - min(cx) AS rx,
+         |    max(cy) - min(cy) AS ry, CAST(sum(w) AS BIGINT) AS tw
+         |  FROM $p GROUP BY box),
+         |ax$tag$kk AS (SELECT box, tw, $axisExpr AS ax FROM st$tag$kk),
+         |cx$tag$kk AS (SELECT c.cx, c.cy, c.w, c.box, a.tw,
+         |    CASE a.ax WHEN 0 THEN c.cx ELSE c.cy END AS coord
+         |  FROM $p c JOIN ax$tag$kk a USING (box)),
+         |cw$tag$kk AS (SELECT box, coord, CAST(sum(w) AS BIGINT) AS cw,
+         |    CAST(min(tw) AS BIGINT) AS tw
+         |  FROM cx$tag$kk GROUP BY box, coord),
+         |cc$tag$kk AS (SELECT box, coord, tw,
+         |    sum(cw) OVER (PARTITION BY box ORDER BY coord) AS cum
+         |  FROM cw$tag$kk),
+         |spa$tag$kk AS (SELECT box,
+         |    min(CASE WHEN cum >= (tw + 1) // 2 THEN coord END) AS sraw,
+         |    min(coord) AS mn, max(coord) AS mx
+         |  FROM cc$tag$kk GROUP BY box),
+         |sp$tag$kk AS (SELECT a.box, a.mn, a.mx,
+         |    CASE WHEN a.sraw = a.mx AND a.mx > a.mn
+         |      THEN (SELECT max(coord) FROM cw$tag$kk w2
+         |            WHERE w2.box = a.box AND w2.coord < a.mx)
+         |      ELSE a.sraw END AS s
+         |  FROM spa$tag$kk a),
+         |acc$tag$kk AS (SELECT p.box, p.s,
+         |    CASE WHEN p.mx > p.mn
+         |      AND (SELECT CAST(sum(cw) AS BIGINT) FROM cw$tag$kk w3
+         |           WHERE w3.box = p.box AND w3.coord <= p.s) >= $k
+         |      AND (SELECT CAST(sum(cw) AS BIGINT) FROM cw$tag$kk w4
+         |           WHERE w4.box = p.box AND w4.coord > p.s) >= $k
+         |      THEN 1 ELSE 0 END AS acc
+         |  FROM sp$tag$kk p),
+         |$tag$kk AS MATERIALIZED (SELECT c.cx, c.cy, c.w,
+         |    CASE WHEN a.acc = 1
+         |      THEN c.box * 2 + CASE WHEN c.coord > a.s THEN 1 ELSE 0 END
+         |      ELSE c.box END AS box
+         |  FROM cx$tag$kk c JOIN acc$tag$kk a USING (box))""".stripMargin
+    }
+    def chain(tag: String, axisExpr: String): String =
+      (1 to rr).map(kk => round(tag, kk, axisExpr)).mkString(",\n")
+    def disc(frame: String): String =
+      s"""(SELECT CAST(sum(m * m) AS BIGINT) FROM
+         |  (SELECT CAST(sum(w) AS BIGINT) AS m FROM $frame GROUP BY box))"""
+        .stripMargin
+    def mins(frame: String): String =
+      s"""(SELECT CAST(min(m) AS BIGINT) FROM
+         |  (SELECT CAST(sum(w) AS BIGINT) AS m FROM $frame GROUP BY box))"""
+        .stripMargin
+    def nlv(frame: String): String =
+      s"(SELECT CAST(count(DISTINCT box) AS BIGINT) FROM $frame)"
+    s"""WITH cells AS MATERIALIZED (SELECT
+       |    CAST(round(c_acctbal * 100) AS BIGINT) // $cell AS cx,
+       |    CAST(c_nationkey AS BIGINT) AS cy,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM customer GROUP BY 1, 2),
+       |m0 AS (SELECT cx, cy, w, 1 AS box FROM cells),
+       |x0 AS (SELECT cx, cy, w, 1 AS box FROM cells),
+       |${chain("m", "CASE WHEN rx >= ry THEN 0 ELSE 1 END")},
+       |${chain("x", "0")},
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS n FROM cells)
+       |SELECT * FROM (
+       |SELECT 'leaf:' || CASE WHEN box < 10 THEN '00'
+       |    WHEN box < 100 THEN '0' ELSE '' END || CAST(box AS VARCHAR)
+       |    AS scope,
+       |  CAST(min(cx) AS BIGINT) AS x0, CAST(max(cx) AS BIGINT) AS x1,
+       |  CAST(min(cy) AS BIGINT) AS y0, CAST(max(cy) AS BIGINT) AS y1,
+       |  CAST(sum(w) AS BIGINT) AS n_or_disc
+       |FROM m$rr GROUP BY box
+       |UNION ALL SELECT 'z0_none', 1, (SELECT n FROM tot), 0, 0,
+       |  (SELECT n * n FROM tot)
+       |UNION ALL SELECT 'z1_xonly', ${nlv(s"x$rr")}, ${mins(s"x$rr")},
+       |  0, 0, ${disc(s"x$rr")}
+       |UNION ALL SELECT 'z2_multi', ${nlv(s"m$rr")}, ${mins(s"m$rr")},
+       |  0, 0, ${disc(s"m$rr")})
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q399's oracle: the q388 pair/sign text with the mod-40 experiment
     * split and planted shifts, per-experiment add-one MC p-values, the
     * cross-multiplied BH step-up scan, and both procedures' realized
@@ -5613,6 +5699,7 @@ object SparkEntry {
     "q397_replay_eval"    -> PipelineOps.q397ReplayEval _,
     "q398_ips_eval"       -> PipelineOps.q398IpsEval _,
     "q399_bh_fdr"         -> PipelineOps.q399BhFdr _,
+    "q400_mondrian"       -> PipelineOps.q400Mondrian _,
     "q241_important_stock" -> Relational.q241ImportantStock _,
     "q242_parts_supplier" -> Relational.q242PartsSupplierRel _,
   )
@@ -10927,6 +11014,7 @@ object SparkEntry {
     "q397_replay_eval" -> q397OracleSql,
     "q398_ips_eval" -> q398OracleSql,
     "q399_bh_fdr" -> q399OracleSql,
+    "q400_mondrian" -> q400OracleSql,
     "q321_dsir_resample" -> q321OracleSql,
     "q323_ndcg_grade" -> q323OracleSql,
 

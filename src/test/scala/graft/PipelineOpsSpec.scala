@@ -2449,4 +2449,58 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ~2 pairs per experiment the sign-flip p cannot resolve below
     // ~1/4, so power is a scale property, not asserted here)
   }
+
+  test("q400: Mondrian — every leaf k-anonymous, leaves tile the population, full replay") {
+    import spark.implicits._
+    val rows = PipelineOps.q400Mondrian(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val leaves = rows.filter(_._1.startsWith("leaf:"))
+    val n = rows("z0_none").getAs[Long]("x1")
+    // THE k-anonymity theorem: every leaf holds >= k rows (given the
+    // root does), and the leaves partition the population exactly
+    assert(leaves.values.forall(
+      _.getAs[Long]("n_or_disc") >= PipelineOps.MondrianK))
+    assert(leaves.values.map(_.getAs[Long]("n_or_disc")).sum == n)
+    assert(rows("z2_multi").getAs[Long]("x1") >= PipelineOps.MondrianK)
+    // discernibility ordering: multidimensional <= single-attribute <=
+    // unpartitioned (more admissible cuts can only help the greedy)
+    val (d0, d1, d2) = (rows("z0_none").getAs[Long]("n_or_disc"),
+      rows("z1_xonly").getAs[Long]("n_or_disc"),
+      rows("z2_multi").getAs[Long]("n_or_disc"))
+    assert(d2 <= d1 && d1 <= d0)
+    // full replay through the shared split rule
+    val cells = graft.sources.Tables.load(spark, sf, "customer")
+      .selectExpr(
+        s"CAST(round(c_acctbal * 100) AS BIGINT) div ${PipelineOps.MondrianCell}",
+        "CAST(c_nationkey AS BIGINT)")
+      .as[(Long, Long)].collect()
+      .groupBy(identity).map { case ((x, y), g) => (x, y, g.length.toLong) }
+      .toSeq
+    def cut(forceAxis: Option[Int]) = {
+      var boxes: Map[Int, Seq[(Long, Long, Long)]] = Map(1 -> cells)
+      (1 to PipelineOps.MondrianRounds).foreach { _ =>
+        boxes = boxes.toSeq.flatMap { case (b, cs) =>
+          PipelineOps.mondrianSplit(cs, PipelineOps.MondrianK, forceAxis) match {
+            case Some((l, r)) => Seq(2 * b -> l, 2 * b + 1 -> r)
+            case None         => Seq(b -> cs)
+          }
+        }.toMap
+      }
+      boxes
+    }
+    val multi = cut(None)
+    assert(leaves.size == multi.size)
+    multi.foreach { case (b, cs) =>
+      val r = rows(f"leaf:$b%03d")
+      assert(r.getAs[Long]("x0") == cs.map(_._1).min, s"leaf $b")
+      assert(r.getAs[Long]("x1") == cs.map(_._1).max, s"leaf $b")
+      assert(r.getAs[Long]("y0") == cs.map(_._2).min, s"leaf $b")
+      assert(r.getAs[Long]("y1") == cs.map(_._2).max, s"leaf $b")
+      assert(r.getAs[Long]("n_or_disc") == cs.map(_._3).sum, s"leaf $b")
+    }
+    val xd = cut(Some(0))
+    assert(rows("z1_xonly").getAs[Long]("x0") == xd.size.toLong)
+    assert(rows("z1_xonly").getAs[Long]("n_or_disc") ==
+      xd.values.map(cs => { val m = cs.map(_._3).sum; m * m }).sum)
+  }
 }

@@ -782,6 +782,8 @@ class PlanBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q382_patch_watermark" -> 0, // collect-local report; render/hash
                              // mapPartitions + ONE sig-keyed aggregate
                              // run inside the builder
+    "q400_mondrian" -> 0,    // collect-local report; ONE bounded-cell
+                             // fold, the cut is driver math
     "q399_bh_fdr" -> 0,      // collect-local 42-row report; ONE pair scan
                              // into a combinable (experiment, rep) agg;
                              // the BH scan is m-row driver math
