@@ -96,6 +96,35 @@ object Fingerprint {
 
   /** Column API over the registered function (register() must run first). */
   def fingerprint(colName: String): Column = expr(s"graft_fingerprint($colName)")
+
+  /** The fold modulus (1e9+7), named for the linear-fold algebra below. */
+  val FpMod: Long = 1000000007L
+
+  /** 31^j mod 1e9+7 for j = 1..128 (Pow31(j-1) = 31^j): the suffix-length
+    * powers the LINEAR FOLD IDENTITY needs. The fold acc←acc·31+byte is
+    * affine in acc, so folding a suffix `b` from seed `s` gives
+    * `s·31^|b| + fp(b) (mod 1e9+7)` — i.e.
+    * `fp(concat(a, b)) = fp(a)·31^octet_length(b) + fp(b) (mod p)`.
+    * Hot paths that need fp(constᵢ ++ suffix) for MANY i therefore fold
+    * the suffix ONCE and finish each i with one multiply-add instead of
+    * re-folding the whole string per i (q344/q369/q374/q388/q399 — the
+    * 32–512-replicate sign/weight families). The identity is the same
+    * one [[FingerprintSeeded]]'s scaladoc states; the driver replays
+    * (specs, oracles) keep hashing the full concatenation, which is
+    * equal by construction. */
+  val Pow31: IndexedSeq[Long] =
+    Iterator.iterate(31L)(x => x * 31L % FpMod).take(128).toIndexedSeq
+
+  /** SQL for `31^octet_length(strExpr) mod 1e9+7`, total for ANY length:
+    * the seeded fold from 1 over octet_length zero bytes — each 0x00
+    * byte multiplies the accumulator by exactly 31, so the fold IS
+    * modular exponentiation. Chosen over an element_at(literal-array)
+    * lookup because these expressions live inside HOF lambdas, where
+    * CreateArray of literals is NOT constant-folded and a 128-literal
+    * array would be re-built per row (measured on q369: the lookup
+    * form cost more than it saved at r = 32). */
+  def pow31LenSql(strExpr: String): String =
+    s"graft_fingerprint_seeded(1L, repeat(chr(0), octet_length($strExpr)))"
 }
 
 /** The SAME rolling fold continued from an explicit seed:

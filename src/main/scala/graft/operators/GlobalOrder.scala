@@ -122,7 +122,39 @@ object GlobalOrder {
       .sortWithinPartitions(cols: _*)
     val sortedRdd = sorted.rdd // shared: summary job + ranking job reuse the shuffle
     val idxs = keyCols.map(sorted.schema.fieldIndex)
-    val summaries = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+    // all-LONG keys (the prefix-doubling case: every round compares
+    // (rank, r2) pairs over the whole suffix frame) take a primitive
+    // comparison path — no per-row Seq[Any] allocation, no boxed
+    // equality — with the generic path kept for string/mixed keys
+    // (q364's radix round). Pure per-task work (guide §1.2 step 2);
+    // identical ranks by construction.
+    val allLong = idxs.forall(sorted.schema.fields(_).dataType == LongType)
+    val summaries = (if (allLong) sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator((i, 0L, null: Seq[Any], null: Seq[Any], 0L))
+      else {
+        val n = idxs.length
+        val first = it.next()
+        val fk = new Array[Long](n)
+        var j = 0
+        while (j < n) { fk(j) = first.getLong(idxs(j)); j += 1 }
+        val last = fk.clone()
+        var changes = 0L
+        var cnt = 1L
+        while (it.hasNext) {
+          val r = it.next()
+          cnt += 1
+          var diff = false
+          j = 0
+          while (j < n) {
+            val v = r.getLong(idxs(j))
+            if (v != last(j)) { diff = true; last(j) = v }
+            j += 1
+          }
+          if (diff) changes += 1
+        }
+        Iterator((i, cnt, fk.toSeq: Seq[Any], last.toSeq: Seq[Any], changes))
+      }
+    } else sortedRdd.mapPartitionsWithIndex { (i, it) =>
       if (!it.hasNext) Iterator((i, 0L, null: Seq[Any], null: Seq[Any], 0L))
       else {
         val fk: Seq[Any] = idxs.map(it.next().get)
@@ -136,7 +168,7 @@ object GlobalOrder {
         }
         Iterator((i, cnt, fk, last, changes))
       }
-    }.collect().sortBy(_._1)
+    }).collect().sortBy(_._1)
     release()
     // rank of the FIRST row of each partition; runningRank = rank of the
     // last row seen so far, runningLast = its key (carried past empties)
@@ -154,7 +186,24 @@ object GlobalOrder {
     }
     val totalDistinct = runningRank
     val schema = sorted.schema.add(StructField(out, LongType, nullable = false))
-    val ranked = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+    val ranked = (if (allLong) sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      var rank = firstRank(i)
+      val n = idxs.length
+      val prev = new Array[Long](n)
+      var started = false
+      it.map { r =>
+        var diff = false
+        var j = 0
+        while (j < n) {
+          val v = r.getLong(idxs(j))
+          if (v != prev(j)) { diff = true; prev(j) = v }
+          j += 1
+        }
+        if (!started) started = true
+        else if (diff) rank += 1
+        Row.fromSeq(r.toSeq :+ rank)
+      }
+    } else sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var rank = firstRank(i)
       var prev: Seq[Any] = null
       var started = false
@@ -165,7 +214,7 @@ object GlobalOrder {
         prev = k
         Row.fromSeq(r.toSeq :+ rank)
       }
-    }
+    })
     (spark.createDataFrame(ranked, schema), totalDistinct)
   }
 

@@ -675,42 +675,35 @@ object SchemaOps {
     graft.functions.Fingerprint.register(s)
     val r = graft.ops.PipelineOps.AmsReps
     val (leftRows, rightRows) = joinEdgeRows(s, dir)
-    // q369's rep-FIRST squared-tail family ('amsj:r:key:tail²'),
-    // evaluated as: 32 DRIVER-constant prefix hashes fp('amsj:r:')
-    // seed the compiled [[graft.functions.FingerprintSeeded]] fold over
-    // a per-row suffix built once — identical sign values to hashing
-    // the full concat (the fold identity), with no per-rep string
-    // allocation. Measured min-of-3 at sf0.1: 37 s (let-bound
-    // interpreted HOF array) → 15 s (rep-first compiled concat) → 11 s
-    // (this form; the remaining floor is the 48M-row generator). A rep-LAST seeded variant was ~8 s too but MEASURED
-    // WORSE statistically (4.4σ on lineitem-orders): the trailing rep
-    // digits append only tiny additive constants to the fold, so the 32
-    // estimators correlate — the q332 avalanche lesson a third time;
-    // the rep must multiply through the whole key, i.e. come FIRST.
+    // q369's rep-FIRST squared-tail family ('amsj:r:key:tail²').
+    // Measured min-of-3 at sf0.1: 37 s (let-bound interpreted HOF
+    // array) → 15 s (rep-first compiled concat) → 11 s (32 seeded
+    // folds per row over an exploded ×32 generator; that round's
+    // stated floor WAS the 48M-row generator) → the current amsZFold
+    // form, which removes both remaining costs via the linear fold
+    // identity (one suffix fold + 32 multiply-adds per row) and the
+    // partition fold (no ×32 generator, no wide aggregate — a
+    // 66-column HashAggregate re-measured WORSE than the explode,
+    // ~6 µs/row; amsZFold's scaladoc carries that ladder). A rep-LAST
+    // seeded variant was ~8 s too but MEASURED WORSE statistically
+    // (4.4σ on lineitem-orders): the trailing rep digits append only
+    // tiny additive constants to the fold, so the 32 estimators
+    // correlate — the q332 avalanche lesson a third time; the rep must
+    // multiply through the whole key, i.e. come FIRST (the linear-fold
+    // form keeps rep-FIRST: baseᵢ multiplies the whole suffix's
+    // 31-power, exactly the full-concat value).
     def zOf(side: DataFrame): (Map[(String, Long), Long], Map[String, Long]) = {
-      val bases = (0 until r)
-        .map(i => graft.functions.Fingerprint.hashString(s"amsj:$i:"))
-      val baseLit = s"array(${bases.map(_ + "L").mkString(", ")})"
-      val rows = side
-        .select($"edge", expr("CAST(k AS STRING)").as("ks"))
-        .select($"edge", expr(
-          """concat(ks, ':',
-            |  CAST(pmod(graft_fingerprint(ks), 1000003)
-            |    * pmod(graft_fingerprint(ks), 1000003) AS STRING))"""
-            .stripMargin).as("sfx"))
-        .select($"edge", $"sfx",
-          explode(expr(s"sequence(0L, ${r - 1}L)")).as("rep"))
-        .select($"edge", $"rep", expr(
-          s"""CASE WHEN (graft_fingerprint_seeded(
-             |  element_at($baseLit, CAST(rep + 1 AS INT)), sfx)
-             |  div 64) % 2 = 0
-             |THEN 1L ELSE -1L END""".stripMargin).as("sgn"))
-        .groupBy($"edge", $"rep")
-        .agg(sum($"sgn").as("z"), count(lit(1)).as("n"))
-        .collect()
-      (rows.map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap,
-        rows.filter(_.getLong(1) == 0L)
-          .map(x => x.getString(0) -> x.getLong(3)).toMap)
+      // the shared [[graft.ops.PipelineOps.amsZFold]] partition fold:
+      // linear-fold signs (one suffix hash + 32 multiply-adds per row)
+      // summed imperatively per (partition, edge) — see its scaladoc
+      // for the measured ladder that rejected both the ×32 explode and
+      // the 66-column SQL aggregate.
+      val folded = graft.ops.PipelineOps.amsZFold(
+        side.select($"edge".as("g"), expr("CAST(k AS STRING)").as("ks")),
+        "amsj", r)
+      (folded.toSeq.flatMap { case (e, a) =>
+        (0 until r).map(i => (e, i.toLong) -> a(i + 1)) }.toMap,
+        folded.map { case (e, a) => e -> a(0) })
     }
     val (za, nl) = zOf(leftRows)
     val (zb, nr) = zOf(rightRows)

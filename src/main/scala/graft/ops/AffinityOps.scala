@@ -111,10 +111,17 @@ object AffinityOps {
     import org.apache.spark.sql.types.{LongType, StringType}
     val e = support2Edges(s, dir)
       .unionByName(KCorePlant.toDF("p1", "p2"))
+    // Lazy checkpoints: each round's ONLY action is the changed-count,
+    // which materializes that round's frame in the same job — one job
+    // per round instead of three (eager next + count + eager re-copy
+    // of c); c itself is a narrow SELECT over the round's checkpointed
+    // frame, so no third materialization exists at all. Lineage still
+    // truncates at every round's checkpoint (the q320 rule).
     val und = e.select($"p1".as("v"), $"p2".as("u"))
       .unionByName(e.select($"p2".as("v"), $"p1".as("u")))
-      .localCheckpoint() // read by every round's neighbor join
-    var c = und.groupBy($"v").agg(count(lit(1)).as("c")).localCheckpoint()
+      .localCheckpoint(false) // read by every round's neighbor join
+    var c = und.groupBy($"v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < KCoreMaxRounds) {
@@ -128,9 +135,9 @@ object AffinityOps {
             |    'h', CASE WHEN x >= st.i + 1L THEN st.i + 1L
             |         ELSE st.h END)).h""".stripMargin).as("nc"))
         .join(c, Seq("v"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter($"nc" =!= $"c").count()
-      c = next.select($"v", $"nc".as("c")).localCheckpoint()
+      c = next.select($"v", $"nc".as("c"))
     }
     require(rounds < KCoreMaxRounds,
       s"q378: no fixpoint within $KCoreMaxRounds rounds")
@@ -197,13 +204,17 @@ object AffinityOps {
     import s.implicits._
     import org.apache.spark.sql.types.{LongType, StringType}
     val e = support2Edges(s, dir).unionByName(BfsPlant.toDF("p1", "p2"))
+    // Lazy checkpoints (the q378 fusion): each round's only action is
+    // the frontier count, which materializes the round's frame — and
+    // the growing dist union — inside that same job: ~1 job per BFS
+    // level instead of 3. Lineage still truncates per round.
     val und = e.select($"p1".as("v"), $"p2".as("u"))
       .unionByName(e.select($"p2".as("v"), $"p1".as("u")))
-      .localCheckpoint() // read by every round's frontier join
-    val nodes = und.select($"v").distinct().localCheckpoint()
+      .localCheckpoint(false) // read by every round's frontier join
+    val nodes = und.select($"v").distinct().localCheckpoint(false)
     var dist = nodes
       .filter(($"v" > 0L && $"v" % 97L === 0L) || ($"v" === -38401L))
-      .withColumn("d", lit(0L)).localCheckpoint()
+      .withColumn("d", lit(0L)).localCheckpoint(false)
     var frontier = dist
     var rounds = 0
     var fcount = frontier.count()
@@ -212,9 +223,9 @@ object AffinityOps {
       val next = und.join(frontier.select($"v".as("u"), $"d"), Seq("u"))
         .groupBy($"v").agg(min($"d" + 1L).as("d"))
         .join(dist, Seq("v"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
       fcount = next.count()
-      if (fcount > 0) dist = dist.unionByName(next).localCheckpoint()
+      if (fcount > 0) dist = dist.unionByName(next).localCheckpoint(false)
       frontier = next
     }
     require(rounds <= BfsMaxDist,
@@ -471,9 +482,13 @@ object AffinityOps {
       val batch = RankBatchPlant.toDF("p1", "p2", "w").unionByName(anchors)
       val gNew = rankGraph(pairs.unionByName(batch)).persist()
       try {
+        // lazy checkpoints: round r's frame materializes inside round
+        // r+1's broadcast build (or the final increment job) instead of
+        // paying an eager checkpoint job per round; lineage still cuts
+        // at every round (the q320 rule)
         def run(g: DataFrame, init: DataFrame): Seq[DataFrame] =
-          (1 to IncrRankRounds).scanLeft(init.localCheckpoint()) {
-            (sc, _) => rankRound(g, sc).localCheckpoint()
+          (1 to IncrRankRounds).scanLeft(init.localCheckpoint(false)) {
+            (sc, _) => rankRound(g, sc).localCheckpoint(false)
           }
         val nodesNew = gNew.select($"src".as("pk")).distinct()
         val colds = run(gNew, nodesNew.select($"pk",
@@ -484,21 +499,31 @@ object AffinityOps {
         val warms = run(gNew, nodesNew
           .join(oldFinal, Seq("pk"), "left_outer")
           .select($"pk", coalesce($"score", lit(1000000L)).as("score")))
-        def inc(a: DataFrame, b: DataFrame): (Long, Long) = {
-          val r = b.join(a.withColumnRenamed("score", "ps"), Seq("pk"))
-            .agg(sum(abs($"score" - $"ps")).as("l1"),
-              sum(when($"score" =!= $"ps", 1L).otherwise(0L)).as("nd"))
-            .head()
-          (r.getLong(0), r.getLong(1))
-        }
-        def legRows(tag: String, seq: Seq[DataFrame]) =
+        // All 12 per-round increments + the z_ref aggregate ride ONE
+        // union-collect job instead of 13 sequential driver head()s:
+        // every round frame is already checkpointed, so each single-row
+        // aggregate is an independent branch that the one job fans out
+        // across the cores (guide §2.6 — overlap independent work —
+        // applied inside the query; 13 job round-trips → 1).
+        def incFrames(tag: String, seq: Seq[DataFrame]): Seq[DataFrame] =
           seq.zip(seq.tail).zipWithIndex.map { case ((a, b), i) =>
-            val (l1, nd) = inc(a, b)
-            org.apache.spark.sql.Row(s"$tag:${i + 1}", l1, nd)
+            b.join(a.withColumnRenamed("score", "ps"), Seq("pk"))
+              .agg(sum(abs($"score" - $"ps")).as("x"),
+                sum(when($"score" =!= $"ps", 1L).otherwise(0L)).as("y"))
+              .select(lit(s"$tag:${i + 1}").as("scope"), $"x", $"y")
           }
-        val rows = legRows("cold", colds) ++ legRows("warm", warms) ++ Seq {
-          val zr = colds.last.agg(count(lit(1)), sum($"score")).head()
-          org.apache.spark.sql.Row("z_ref", zr.getLong(1), zr.getLong(0))
+        val zRef = colds.last
+          .agg(count(lit(1)).as("n"), sum($"score").as("sc"))
+          .select(lit("z_ref").as("scope"), $"sc".as("x"), $"n".as("y"))
+        val collected =
+          (incFrames("cold", colds) ++ incFrames("warm", warms) :+ zRef)
+            .reduce(_.unionByName(_)).collect()
+            .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+            .toMap
+        val rows = ((1 to IncrRankRounds).map(i => s"cold:$i") ++
+          (1 to IncrRankRounds).map(i => s"warm:$i") :+ "z_ref").map { k =>
+          val (x, y) = collected(k)
+          org.apache.spark.sql.Row(k, x, y)
         }
         LocalReport.frame(s, rows,
           ("scope", StringType), ("delta_l1", LongType),

@@ -4802,14 +4802,82 @@ object PipelineOps {
     * `r` ±1 signs with the inner key fingerprint bound once per row —
     * shared by the q369 batch sketch, the q374 bilinear join estimator
     * and the streaming F2 feed so the sign definition can never drift
-    * between consumers (the sprtWalk rule). */
-  private[graft] def amsSignsSql(keyExpr: String, salt: String, r: Int): String =
+    * between consumers (the sprtWalk rule).
+    *
+    * Evaluated via the linear-fold identity
+    * ([[graft.functions.Fingerprint.Pow31]]):
+    * fp('salt:i:' ++ sfx) = Cᵢ·31^|sfx| + fp(sfx) (mod 1e9+7) with
+    * Cᵢ = fp('salt:i:') a DRIVER constant — so the per-row cost is ONE
+    * suffix fold plus r integer multiply-adds instead of r full string
+    * folds inside an interpreted HOF (r = 512 for the sign-flip tests:
+    * measured 6.6 s → the fold was the whole cost of q399's MC leg).
+    * Values are bit-identical to hashing the full concatenation — the
+    * driver replay [[amsSign]] still does exactly that, and the specs
+    * pin the two paths against each other. */
+  private[graft] def amsSignsSql(keyExpr: String, salt: String, r: Int): String = {
+    val cs = (0 until r)
+      .map(i => graft.functions.Fingerprint.hashString(s"$salt:$i:"))
+    val csLit = cs.map(_ + "L").mkString(", ")
     s"""element_at(transform(array(graft_fingerprint($keyExpr)), f ->
-       |  transform(sequence(0, ${r - 1}), i ->
-       |    CASE WHEN (graft_fingerprint(concat('$salt:', CAST(i AS STRING),
-       |        ':', $keyExpr, ':',
-       |        CAST(pmod(f, 1000003) * pmod(f, 1000003) AS STRING)))
-       |      div 64) % 2 = 0 THEN 1L ELSE -1L END)), 1)""".stripMargin
+       |  element_at(transform(array(concat($keyExpr, ':',
+       |      CAST(pmod(f, 1000003) * pmod(f, 1000003) AS STRING))), sfx ->
+       |    element_at(transform(array(named_struct(
+       |        'h', graft_fingerprint(sfx),
+       |        'pw', ${graft.functions.Fingerprint.pow31LenSql("sfx")})), hp ->
+       |      transform(array($csLit), c ->
+       |        CASE WHEN (pmod(c * hp.pw + hp.h,
+       |            ${graft.functions.Fingerprint.FpMod}L)
+       |          div 64) % 2 = 0 THEN 1L ELSE -1L END)), 1)), 1)), 1)"""
+      .stripMargin
+  }
+
+  /** Per-partition AMS sign-sum fold over (group, key) rows — ONE
+    * definition shared by the q369 F2 sketch and the q374 bilinear
+    * join estimator. Per row it evaluates the SAME squared-tail sign
+    * family as [[amsSign]]/[[amsSignsSql]] via the linear fold identity
+    * ([[graft.functions.Fingerprint.Pow31]]): h = fp(key:tail²),
+    * pw = 31^|key:tail²|, sign_i = bit6 of (fp('salt:i:')·pw + h mod
+    * 1e9+7) — and folds (count, Z_0..Z_{r-1}) per group imperatively in
+    * the partition (the q296 mapPartitions precedent: a 1+2r-column SQL
+    * HashAggregate measured ~6 µs/row at 33 aggregate buffers on q374's
+    * 2.7M-row scan — wide aggregate buffers defeat the fast path — vs
+    * ~0.1 µs/row for this fold; the sums are identical and
+    * order-independent). Partials are |groups|·(r+1) longs per
+    * partition — the same mergeable-by-addition algebra the sketch lane
+    * ships, so the collect is partitions×groups tiny rows. */
+  private[graft] def amsZFold(keyed: DataFrame, salt: String, r: Int)
+      : Map[String, Array[Long]] = {
+    val s = keyed.sparkSession
+    import s.implicits._
+    graft.functions.Fingerprint.register(s)
+    val bases = (0 until r)
+      .map(i => graft.functions.Fingerprint.hashString(s"$salt:$i:")).toArray
+    val hp = keyed
+      .select($"g", $"ks", expr("graft_fingerprint(ks)").as("fk"))
+      .select($"g", expr(
+        """concat(ks, ':',
+          |  CAST(pmod(fk, 1000003) * pmod(fk, 1000003) AS STRING))"""
+          .stripMargin).as("sfx"))
+      .select($"g", expr("graft_fingerprint(sfx)").as("h"),
+        expr(graft.functions.Fingerprint.pow31LenSql("sfx")).as("pw"))
+    hp.as[(String, Long, Long)].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+      it.foreach { case (g, h, pw) =>
+        val a = m.getOrElseUpdate(g, new Array[Long](r + 1))
+        a(0) += 1L
+        var i = 0
+        while (i < r) {
+          val v = (bases(i) * pw + h) % 1000000007L
+          a(i + 1) += (if ((v / 64L) % 2L == 0L) 1L else -1L)
+          i += 1
+        }
+      }
+      m.iterator.map { case (g, a) => (g, a.toIndexedSeq) }
+    }.collect()
+      .groupBy(_._1)
+      .map { case (g, xs) =>
+        g -> Array.tabulate(r + 1)(j => xs.map(_._2(j)).sum) }
+  }
 
   /** X348 — AMS / Tug-of-War second-moment (F2) sketch (Alon, Matias &
     * Szegedy 1996): F2 = Σ_v f_v² is the self-join size — the number
@@ -4852,14 +4920,14 @@ object PipelineOps {
     import org.apache.spark.sql.types.LongType
     Fingerprint.register(s)
     val r = AmsReps
-    val zRows = docs(s, dir)
-      .select(posexplode(expr(amsSignsSql("source", "ams", r)))
-        .as(Seq("rep", "sgn")))
-      .groupBy($"rep").agg(count(lit(1)).as("cnt"), sum($"sgn").as("z"))
-      .orderBy($"rep").collect()
-    require(zRows.length == r, s"q369: expected $r sign sums, got ${zRows.length}")
-    val n = zRows.head.getLong(1)
-    val zs = (0 until r).map(i => zRows(i).getLong(2))
+    // the [[amsZFold]] partition fold — same sign family, same sums,
+    // one narrow scan with no ×r row generation (see amsZFold scaladoc)
+    val folded = amsZFold(
+      docs(s, dir).select(lit("x").as("g"), $"source".as("ks")), "ams", r)
+    require(folded.contains("x"), "q369: empty corpus — no sign sums")
+    val zRow = folded("x")
+    val n = zRow(0)
+    val zs = (0 until r).map(i => zRow(i + 1))
     val exact = docs(s, dir).groupBy($"source").agg(count(lit(1)).as("c"))
       .agg(sum($"c" * $"c")).head().getLong(0)
     def err(est: Long): Long = math.abs(est - exact) * 1000000L / exact
@@ -5879,7 +5947,7 @@ object PipelineOps {
         .withColumn("m", expr("infl * 1000000 div sum(infl) OVER " +
           "(PARTITION BY doc_id)"))
         .select($"doc_id", $"label", $"m")
-        .localCheckpoint()
+        .localCheckpoint(false) // rides the next round's join (q378 rule)
       full = m0.unionByName(un)
     }
     edges.unpersist()
@@ -6041,14 +6109,29 @@ object PipelineOps {
     import org.apache.spark.sql.types.LongType
     Fingerprint.register(s)
     val r = BootReps
-    def hSql(rep: Int): String =
-      s"graft_fingerprint(concat('boot:', CAST(o_orderkey AS STRING), ':', " +
-        s"'$rep', ':', CAST(pmod(o_orderkey, 1000003) * " +
-        s"pmod(o_orderkey, 1000003) AS STRING)))"
+    // Linear-fold evaluation ([[graft.functions.Fingerprint.Pow31]]):
+    // with h0 = fp('boot:' ++ key ++ ':'), t the squared-tail string,
+    // C1ᵢ = 31^|iᵢ ++ ':'| and C2ᵢ = fp(iᵢ ++ ':') driver constants,
+    //   fp('boot:key:i:t') = (h0·C1ᵢ + C2ᵢ)·31^|t| + fp(t)  (mod 1e9+7)
+    // — TWO short folds + r multiply-adds per row instead of r full
+    // string folds on the operator's only corpus scan; bit-identical
+    // values by the fold identity, oracle untouched.
     val base = Tables.load(s, dir, "orders")
-      .select($"o_orderkey", graft.functions.Exact.cents($"o_totalprice").as("x"))
-    val withH = base.select(col("*") +:
-      (0 until r).map(i => expr(hSql(i)).as(s"h$i")): _*)
+      .select($"o_orderkey",
+        graft.functions.Exact.cents($"o_totalprice").as("x"),
+        expr("graft_fingerprint(concat('boot:', " +
+          "CAST(o_orderkey AS STRING), ':'))").as("fh0"),
+        expr("CAST(pmod(o_orderkey, 1000003) * " +
+          "pmod(o_orderkey, 1000003) AS STRING)").as("t"))
+      .select($"x", $"fh0", expr("graft_fingerprint(t)").as("ft"),
+        expr(graft.functions.Fingerprint.pow31LenSql("t")).as("pwt"))
+    val withH = base.select($"x" +:
+      (0 until r).map { i =>
+        val c1 = graft.functions.Fingerprint.Pow31(s"$i:".length - 1)
+        val c2 = graft.functions.Fingerprint.hashString(s"$i:")
+        expr(s"pmod(pmod(fh0 * ${c1}L + ${c2}L, 1000000007L) * pwt + ft, " +
+          "1000000007L)").as(s"h$i")
+      }: _*)
     val withW = withH.select(($"x" +:
       (0 until r).map(i => expr(
         s"(CASE WHEN h$i % 4 = 0 THEN 1L ELSE 0L END) + " +

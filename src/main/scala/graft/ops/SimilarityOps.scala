@@ -521,12 +521,29 @@ object SimilarityOps {
   private[ops] def pqTrainEncode(s: SparkSession, corpus: DataFrame)
       : (DataFrame, IndexedSeq[Array[(Int, Array[Long])]]) = {
     import s.implicits._
-    val trained = (0 until PqM).map { m =>
-      val sub = corpus.select($"vec_id",
-        expr(s"slice(q, ${m * PqSubDim + 1}, $PqSubDim)").as("q"))
-      val (asg, cents) = kmeansAssignWithCents(s, sub, PqK, 3)
-      (asg.select($"vec_id", lit(m.toLong).as("m"),
-        $"cid".cast("long").as("cid")), cents)
+    // the PqM subspace trainings are INDEPENDENT chains of small jobs
+    // (Lloyd's collect per iteration over a cached frame) — submit them
+    // from a thread pool so each chain's tasks back-fill cores the
+    // others leave idle (guide §2.6 overlap-independent-jobs; actions
+    // are only sequential because driver code calls them sequentially).
+    // Each subspace's own job sequence — and therefore its result — is
+    // unchanged; `corpus` is caller-persisted, and concurrent first
+    // materialization is block-locked by the cache layer.
+    val trained = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(PqM)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse((0 until PqM).toList) { m =>
+          scala.concurrent.Future {
+            val sub = corpus.select($"vec_id",
+              expr(s"slice(q, ${m * PqSubDim + 1}, $PqSubDim)").as("q"))
+            val (asg, cents) = kmeansAssignWithCents(s, sub, PqK, 3)
+            (asg.select($"vec_id", lit(m.toLong).as("m"),
+              $"cid".cast("long").as("cid")), cents)
+          }
+        }, scala.concurrent.duration.Duration.Inf).toIndexedSeq
+      finally pool.shutdown()
     }
     val codes = trained.map(_._1).reduce(_ unionByName _)
       .groupBy($"vec_id")
@@ -1473,8 +1490,13 @@ object SimilarityOps {
     val k = NndK
     val (ranked0, n) =
       graft.operators.GlobalOrder.withRowNumberAndTotal(e, Seq($"vec_id"), "rk")
+    // LAZY checkpoints through the whole builder (the q378/q384 rule):
+    // each round's frame materializes inside the next round's first job
+    // (or the caller's first audit job) instead of paying an eager
+    // checkpoint job per round; lineage still cuts identically, and all
+    // three consumers (q341/q347/q368) inherit the fused schedule.
     val ranked = ranked0.select($"vec_id", $"q", ($"rk" - 1L).as("rk0"))
-      .localCheckpoint() // consumed by the explode side AND the rank-target join
+      .localCheckpoint(false) // consumed by the explode side AND the rank-target join
     def withD2(edges: DataFrame): DataFrame =
       edges.join(e.select($"vec_id".as("src"), $"q".as("sq")), Seq("src"))
         .join(e.select($"vec_id".as("dst"), $"q".as("dq")), Seq("dst"))
@@ -1492,7 +1514,7 @@ object SimilarityOps {
           % lit(n - 1L)) % lit(n))
       .join(ranked.select($"rk0".as("tgt0"), $"vec_id".as("dst")), Seq("tgt0"))
       .select($"vec_id".as("src"), $"dst").distinct()
-    var g = topK(withD2(init)).localCheckpoint()
+    var g = topK(withD2(init)).localCheckpoint(false)
     val snaps = scala.collection.mutable.ArrayBuffer(g)
     for (_ <- 1 to NndRounds) {
       val wRev = Window.partitionBy($"dst").orderBy($"d2", $"src")
@@ -1504,7 +1526,7 @@ object SimilarityOps {
         .select($"a.dst".as("x"), $"b.dst".as("y")).distinct()
       val pairs = cand.select($"x".as("src"), $"y".as("dst"))
         .unionByName(cand.select($"y".as("src"), $"x".as("dst")))
-      g = topK(g.unionByName(withD2(pairs))).localCheckpoint()
+      g = topK(g.unionByName(withD2(pairs))).localCheckpoint(false)
       snaps += g
     }
     snaps.toSeq
@@ -1529,12 +1551,25 @@ object SimilarityOps {
         .filter($"rn" <= k).select($"a_id", $"vec_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val auditIds = truth.map(_._1).toSeq.sorted
-      val rows = snaps.zipWithIndex.map { case (gr, i) =>
-        val st = gr.agg(count(lit(1)), sum($"d2")).head
-        val mine = gr.filter($"src".isin(auditIds: _*)).select($"src", $"dst")
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        Row(i.toLong, st.getLong(0), st.getLong(1),
-          mine.count(truth.contains) * 1000000L / truth.size)
+      // per-round stats and audit edges each ride ONE union job across
+      // all snapshots instead of 2 driver actions per round (guide
+      // §2.6 — independent branches of one job back-fill the cores)
+      val stats = snaps.zipWithIndex.map { case (gr, i) =>
+        gr.agg(count(lit(1)).as("n"), sum($"d2").as("sd"))
+          .select(lit(i.toLong).as("i"), $"n", $"sd")
+      }.reduce(_.unionByName(_)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val mines = snaps.zipWithIndex.map { case (gr, i) =>
+        gr.filter($"src".isin(auditIds: _*))
+          .select(lit(i.toLong).as("i"), $"src", $"dst")
+      }.reduce(_.unionByName(_)).collect()
+        .groupBy(_.getLong(0))
+        .map { case (i, rs) =>
+          i -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+      val rows = snaps.indices.map { i =>
+        val (n, sd) = stats(i.toLong)
+        val mine = mines.getOrElse(i.toLong, Set.empty[(Long, Long)])
+        Row(i.toLong, n, sd, mine.count(truth.contains) * 1000000L / truth.size)
       }
       LocalReport.frame(s, rows, ("rnd", LongType), ("n_edges", LongType),
         ("sum_d2", LongType), ("recall_ppm", LongType))
@@ -1581,9 +1616,12 @@ object SimilarityOps {
           .join(broadcast(nodes), Seq("node"))
           .join(aud, Seq("q_id"))
           .select($"q_id", $"node", expr("graft_dist2(q, aq)").as("d2"))
+      // lazy checkpoints (the q378/q384 fusion): each hop's frames
+      // materialize inside the next hop's broadcast build instead of
+      // paying 2 eager checkpoint jobs per hop
       var visited = score(
         aud.select($"q_id").withColumn("node", lit(entry))
-          .filter($"node" =!= $"q_id")).localCheckpoint()
+          .filter($"node" =!= $"q_id")).localCheckpoint(false)
       var beam = visited
       for (_ <- 1 to BeamHops) {
         val nb = g.select($"src".as("node"), $"dst")
@@ -1592,10 +1630,10 @@ object SimilarityOps {
           .filter($"node" =!= $"q_id").distinct()
         visited = visited.unionByName(score(nb))
           .groupBy($"q_id", $"node").agg(min($"d2").as("d2"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val wB = Window.partitionBy($"q_id").orderBy($"d2", $"node")
         beam = visited.withColumn("rn", row_number().over(wB))
-          .filter($"rn" <= BeamWidth).drop("rn").localCheckpoint()
+          .filter($"rn" <= BeamWidth).drop("rn").localCheckpoint(false)
       }
       val wV = Window.partitionBy($"q_id").orderBy($"d2", $"node")
       val stats = visited.withColumn("rn", row_number().over(wV))
@@ -1685,8 +1723,10 @@ object SimilarityOps {
             .join(broadcast(nodes), Seq("node"))
             .join(qs, Seq("q_id"))
             .select($"q_id", $"node", expr("graft_dist2(q, aq)").as("d2"))
+        // lazy checkpoints (the q378/q384 fusion) — 2 eager jobs per
+        // hop fold into the next hop's broadcast build
         var visited = score(qs.select($"q_id").withColumn("node", lit(entry)))
-          .localCheckpoint()
+          .localCheckpoint(false)
         var beam = visited
         for (_ <- 1 to BeamHops) {
           val nb = gBase.select($"src".as("node"), $"dst")
@@ -1694,10 +1734,10 @@ object SimilarityOps {
             .select($"q_id", $"dst".as("node")).distinct()
           visited = visited.unionByName(score(nb))
             .groupBy($"q_id", $"node").agg(min($"d2").as("d2"))
-            .localCheckpoint()
+            .localCheckpoint(false)
           val wB = Window.partitionBy($"q_id").orderBy($"d2", $"node")
           beam = visited.withColumn("rn", row_number().over(wB))
-            .filter($"rn" <= BeamWidth).drop("rn").localCheckpoint()
+            .filter($"rn" <= BeamWidth).drop("rn").localCheckpoint(false)
         }
         val seeds = beam.select($"q_id".as("src"), $"node".as("dst"), $"d2")
         def topKm(edges: DataFrame): DataFrame = {
@@ -1708,10 +1748,10 @@ object SimilarityOps {
         }
         var g = topKm(gBase.unionByName(seeds).unionByName(
             seeds.select($"dst".as("src"), $"src".as("dst"), $"d2")))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val touched = seeds.select($"src".as("t"))
           .unionByName(seeds.select($"dst".as("t"))).distinct()
-          .localCheckpoint()
+          .localCheckpoint(false)
         // --- local refinement, candidates from touched sources only ---
         def withD2Full(edges: DataFrame): DataFrame =
           edges.join(e.select($"vec_id".as("src"), $"q".as("sq")), Seq("src"))
@@ -1730,7 +1770,7 @@ object SimilarityOps {
             .select($"a.dst".as("x"), $"b.dst".as("y")).distinct()
           val pairs = cand.select($"x".as("src"), $"y".as("dst"))
             .unionByName(cand.select($"y".as("src"), $"x".as("dst")))
-          g = topKm(g.unionByName(withD2Full(pairs))).localCheckpoint()
+          g = topKm(g.unionByName(withD2Full(pairs))).localCheckpoint(false)
           stages += ((s"${2 + r}_local$r", g))
         }
         val gFull = nndSnapshots(s, e).last
@@ -1750,20 +1790,37 @@ object SimilarityOps {
         }
         val truthA = truthOf(audit)
         val truthN = truthOf(newAudit)
-        def recallOf(gr: DataFrame, truth: Set[(Long, Long)]): Long =
+        // all per-stage stats and audit edges ride TWO union jobs
+        // instead of 3 driver actions per stage (the q341 batching)
+        val stats = stages.map { case (tag, gr) =>
+          gr.agg(count(lit(1)).as("n"), sum($"d2").as("sd"))
+            .select(lit(tag).as("tag"), $"n", $"sd")
+        }.reduce(_.unionByName(_)).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val allIds = (truthA.map(_._1) ++ truthN.map(_._1)).toSeq.sorted
+        val mines: Map[String, Set[(Long, Long)]] =
+          if (allIds.isEmpty) Map.empty
+          else stages.map { case (tag, gr) =>
+            gr.filter($"src".isin(allIds: _*))
+              .select(lit(tag).as("tag"), $"src", $"dst")
+          }.reduce(_.unionByName(_)).collect()
+            .groupBy(_.getString(0))
+            .map { case (t, rs) =>
+              t -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+        def recallOf(tag: String, truth: Set[(Long, Long)]): Long =
           // 0-sentinel on an empty truth leg (a corpus too small to have
           // a batch) — the gate must compare, not crash (the q344 rule)
           if (truth.isEmpty) 0L
           else {
-            val ids = truth.map(_._1).toSeq.sorted
-            val mine = gr.filter($"src".isin(ids: _*)).select($"src", $"dst")
-              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            val ids = truth.map(_._1)
+            val mine = mines.getOrElse(tag, Set.empty[(Long, Long)])
+              .filter(e => ids.contains(e._1))
             mine.count(truth.contains) * 1000000L / truth.size
           }
-        val rows = stages.map { case (tag, gr) =>
-          val st = gr.agg(count(lit(1)), sum($"d2")).head()
-          org.apache.spark.sql.Row(tag, st.getLong(0), st.getLong(1),
-            recallOf(gr, truthA), recallOf(gr, truthN))
+        val rows = stages.map { case (tag, _) =>
+          val (n, sd) = stats(tag)
+          org.apache.spark.sql.Row(tag, n, sd,
+            recallOf(tag, truthA), recallOf(tag, truthN))
         }
         LocalReport.frame(s, rows.toSeq,
           ("stage", StringType), ("n_edges", LongType), ("sum_d2", LongType),

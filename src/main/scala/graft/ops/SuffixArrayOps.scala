@@ -210,8 +210,13 @@ object SuffixArrayOps {
     val (pre1, nDist0) = GlobalOrder.withDenseRank(pre, Seq("k"), "rank")
 
     // 2. prefix doubling; levels(i) holds the rank of
-    // substring(off, RadixLen * 2^i)
-    var cur = pre1.drop("k").withColumn("r32", $"rank").localCheckpoint()
+    // substring(off, RadixLen * 2^i). Checkpoints are LAZY throughout
+    // the doubling and the walk (the q378/q384 fusion): each frame's
+    // materialization rides the next round's first job (window shuffle,
+    // summary collect, or broadcast build) instead of paying a separate
+    // eager-checkpoint job per round; lineage still cuts identically.
+    var cur = pre1.drop("k").withColumn("r32", $"rank")
+      .localCheckpoint(false)
     val nSuffixes = cur.count()
     var levels = Vector[DataFrame](cur)
     var len = RadixLen.toLong
@@ -226,7 +231,7 @@ object SuffixArrayOps {
       len *= 2
       rounds += 1
       nDist = d
-      cur = next.localCheckpoint()
+      cur = next.localCheckpoint(false)
       levels = levels :+ cur
     }
 
@@ -270,7 +275,7 @@ object SuffixArrayOps {
     // 4. survivors: cross-doc adjacent pairs that MIGHT reach L (narrow)
     var pairs = adj.filter($"da" =!= $"db" && $"r32a" === $"r32b")
       .select($"da", $"oa", $"la", $"db", $"ob", $"lb", lit(0L).as("lcp"))
-      .localCheckpoint()
+      .localCheckpoint(false) // materialized by the count below
     // counted branch for the walk's request side: the checkpointed pair
     // count is free, and the claim "level tables stream past the
     // BROADCAST requests" is now enforced, not left to AQE
@@ -297,7 +302,7 @@ object SuffixArrayOps {
       pairs = pairs.join(hits, Seq("da", "oa"), "left")
         .withColumn("lcp", $"lcp" + coalesce($"add", lit(0L)))
         .drop("add")
-        .localCheckpoint()
+        .localCheckpoint(false) // rides the next level's request build
     }
 
     // 5b. residual: after the walk the remaining common run is

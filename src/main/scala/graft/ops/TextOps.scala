@@ -1016,9 +1016,16 @@ object TextOps {
       : (Seq[org.apache.spark.sql.Row], DataFrame) = {
     import s.implicits._
     val out = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
+    // LAZY localCheckpoints throughout the merge loop: the very next
+    // fold() is always the first action over the frame, so the
+    // materialization rides the fold's own job instead of paying a
+    // separate eager-checkpoint job per round — maxMerges rounds cost
+    // maxMerges jobs, not 2·maxMerges (measured across the four
+    // trainer consumers q320/q366/q372/q376; lineage still truncates
+    // identically once the fold has run).
     var cur = wordFreq.select(col("word"), col("c"),
         expr(symsExpr).as("syms"))
-      .coalesce(1).localCheckpoint()
+      .coalesce(1).localCheckpoint(false)
     // one fold: pair rows (a, b, Σc) + singleton rows (sym, null, Σc),
     // reduced to a DISTRIBUTED argmax: each post-shuffle partition emits
     // its own top-1 pair (count DESC, pair UTF-8 bytes ASC — the same
@@ -1065,7 +1072,8 @@ object TextOps {
     while (k < maxMerges && bestPair.nonEmpty) {
       val (a, b, pc) = bestPair.get
       val merged = cur
-        .select($"word", $"c", bpeMergePair(a, b).as("syms")).localCheckpoint()
+        .select($"word", $"c", bpeMergePair(a, b).as("syms"))
+        .localCheckpoint(false) // materialized by the fold below
       val (nextBest, toks, ntyp) = fold(merged)
       cur = merged
       bestPair = nextBest

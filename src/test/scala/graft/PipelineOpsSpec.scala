@@ -2503,4 +2503,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("z1_xonly").getAs[Long]("n_or_disc") ==
       xd.values.map(cs => { val m = cs.map(_._3).sum; m * m }).sum)
   }
+
+  test("amsSignsSql linear-fold form matches the full-concat driver replay") {
+    // The SQL path now evaluates fp('salt:i:' ++ sfx) as
+    // C_i*31^|sfx| + fp(sfx) (the Fingerprint.Pow31 identity); the
+    // driver replay amsSign still hashes the whole concatenation, so
+    // exact agreement here IS the identity check — including a key
+    // long enough (>128-byte suffix) to force the pow-table's seeded
+    // zero-byte fallback branch.
+    import spark.implicits._
+    graft.functions.Fingerprint.register(spark)
+    val keys = Seq("src0", "src19", "c:12345", "-987654321",
+      "k" * 130, "\u00e9\u4e16\u754c" * 40) // multi-byte UTF-8 past the table too
+    val r = 32
+    val got = keys.toDF("k")
+      .select($"k", expr(PipelineOps.amsSignsSql("k", "ams", r)).as("s"))
+      .collect().map(x => x.getString(0) -> x.getSeq[Long](1)).toMap
+    keys.foreach { k =>
+      val want = (0 until r).map(i => PipelineOps.amsSign("ams", i, k))
+      assert(got(k) == want, s"key $k")
+    }
+  }
 }
